@@ -1,13 +1,531 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.dedup.Dedup
+import graft.etl.Etl
+import graft.index.ShardIndex
+import graft.ops.{ApproxDedup, Multimodal, Similarity}
+import graft.route.HashRangeRouter
+import graft.schema.{IndexField, IndexSchema}
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, IntegerType, LongType, StringType}
+
+/**
+ * Driver contract (SURVEY.md §7): one `queries` entry per implemented
+ * operator from the SURVEY §2 inventory plus the training-data-pipeline
+ * extensions, each with a DuckDB oracle where SQL-expressible.
+ *
+ * Numeric-parity rules used throughout (so DuckDB hash-compare is
+ * byte-stable):
+ *  - money sums go through DECIMAL(18,2) (exact, order-independent);
+ *  - double ratios/divisions are computed with the same operation tree
+ *    on both sides (IEEE ops are exactly rounded → bit-equal);
+ *  - counts/row_numbers are cast to BIGINT to match DuckDB's widths.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /**
+   * Flagship (SURVEY §7.2 minimum E2E slice): lineitem → doc ids
+   * (F4-style concat key) → dedup → Solr-compatible 4-shard route →
+   * shard store write → match-all count per shard read back
+   * (SolrIndexDriverTest.java:54-61 shape). Driver smoke-checks rows>0.
+   */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.lineitem(spark, dir)
+      .withColumn("id", concat(col("l_orderkey"), lit("#"), col("l_linenumber")))
+    val deduped = Dedup.retainMostRecent(docs, Seq(col("id")), col("l_shipdate"))
+    val out = java.nio.file.Files.createTempDirectory("graft_shards_").toString
+    ShardIndex.write(deduped, "id", out, shards = 4)
+    ShardIndex.matchAllCounts(ShardIndex.read(spark, out))
+  }
+
+  // ---------------------------------------------------------------
+  // queries: name -> (spark, sfDir) => DataFrame
+  // ---------------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1-S5 scan + match-all count (the `*:*` verification query)
+    "q01_match_all" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(count(lit(1)).as("cnt"))),
+
+    // Aggregate family over the main fact table (partial agg map-side;
+    // decimal sums exact at any parallelism)
+    "q02_pricing_summary" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("sum_price"),
+        count(lit(1)).as("cnt"),
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+    }),
+
+    // F4 generateSolrSequenceKey: per-file running counter key
+    "q03_seq_key" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Etl.generateSequenceKey(docs, col("source"), col("source"), col("doc_id"), out = "seq_id")
+        .select(col("doc_id"), col("seq_id"))
+    }),
+
+    // A1 RetainMostRecentUpdateConflictResolver
+    "q04_dedup_retain_recent" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      Dedup.retainMostRecent(ev, Seq(col("user_id")), col("ts"), col("event_id"))
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+    }),
+
+    // A6 dedup metric counters (duplicates vs outdated)
+    "q05_dedup_counters" -> ((s, d) =>
+      Dedup.retainMostRecentCounters(Tables.events(s, d), Seq(col("user_id")), col("ts"))),
+
+    // A3 RejectingUpdateConflictResolver: the conflicting keys
+    "q06_dedup_conflicts" -> ((s, d) =>
+      Dedup.conflicts(Tables.events(s, d), Seq(col("user_id")))),
+
+    // F1 convertTimestamp: multi-format parse -> ISO-8601
+    "q07_convert_timestamp" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .withColumn("raw", date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss"))
+      Etl.convertTimestamp(li, col("raw"), "ship_iso",
+          Seq("yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        .select(col("l_orderkey"), col("l_linenumber"), col("ship_iso"))
+    }),
+
+    // F3 generateUUID (deterministic name-based variant)
+    "q08_uuid" -> ((s, d) =>
+      Etl.generateUuid(Tables.documents(s, d), "uuid", col("doc_id"))
+        .select(col("doc_id"), col("uuid"))),
+
+    // P4 sanitizeUnknownSolrFields with quarantine rename
+    "q09_sanitize" -> ((s, d) => {
+      val schema = IndexSchema("doc_id", Seq(
+        IndexField("doc_id", LongType, required = true),
+        IndexField("text", StringType), IndexField("lang", StringType)))
+      schema.sanitize(Tables.documents(s, d), renamePrefix = Some("ignored_"))
+    }),
+
+    // F2 tokenizeText + term frequencies (the inverted-index view)
+    "q10_tokenize_tf" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(TextAnalysis.tokenize(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))),
+
+    // term query read-back (MorphlineGoLiveMiniMRTest-style assertion)
+    "q11_term_query" -> ((s, d) =>
+      Tables.documents(s, d).filter(col("text").contains("spark"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))),
+
+    // X2 Solr-compatible hash-range routing: docs per root shard
+    "q12_shard_counts" -> ((s, d) => {
+      val router = HashRangeRouter(4)
+      Tables.lineitem(s, d)
+        .withColumn("id", concat(col("l_orderkey"), lit("#"), col("l_linenumber")))
+        .groupBy(router.shardCol(col("id")).as("shard"))
+        .agg(count(lit(1)).as("cnt")).orderBy(col("shard"))
+    }),
+
+    // X2 micro-shard spread (reducers = shards * fanout)
+    "q13_micro_shards" -> ((s, d) => {
+      val router = HashRangeRouter(4)
+      Tables.lineitem(s, d)
+        .withColumn("id", concat(col("l_orderkey"), lit("#"), col("l_linenumber")))
+        .groupBy(router.microShardCol(col("id"), 8).as("micro"))
+        .agg(count(lit(1)).as("cnt")).orderBy(col("micro"))
+    }),
+
+    // join surface (free from Spark, §2.3): revenue per nation,
+    // dims broadcast
+    "q14_join_revenue" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name")).agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("revenue"))
+    }),
+
+    // window family: gap-based sessionization (30 min)
+    "q15_sessionize" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val sec = col("ts").cast("long")
+      val prevSec = lag(sec, 1).over(w)
+      val newSession = when(prevSec.isNull || sec - prevSec > 1800, 1).otherwise(0)
+      ev.withColumn("session_id",
+          sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+        .select(col("event_id"), col("user_id"), col("session_id"))
+    }),
+
+    // sort + limit / top-k (absent in reference, Spark builtin)
+    "q16_topk_orders" -> ((s, d) => {
+      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 10)
+        .select(col("rnk"), col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // F8 alphanumeric ordering (part-2 < part-10 semantics)
+    "q17_alphanum_sort" -> ((s, d) => {
+      val brands = Tables.part(s, d).select(col("p_brand")).distinct()
+      val w = Window.orderBy(Etl.alphaNumOrderKey(col("p_brand")))
+      brands.withColumn("pos", row_number().over(w).cast("long"))
+        .select(col("pos"), col("p_brand"))
+    }),
+
+    // language ID heuristic (training-data pipeline)
+    "q18_langid" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.languageId(col("text")).as("lang_pred"))),
+
+    // quality scoring (training-data pipeline)
+    "q19_quality" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cols = TextAnalysis.qualityColumns(col("text"))
+      val base = cols.foldLeft(docs) { case (df, (n, c)) => df.withColumn(n, c) }
+      base.select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        col("mean_word_len"), col("punct_ratio"),
+        col("stopword_distinct").cast("long").as("stopword_distinct"),
+        col("stopword_ratio"), col("keep"))
+    }),
+
+    // document fingerprint (exact near-dup key)
+    "q20_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    // exact dedup: keep first row per content hash group
+    "q21_dedup_exact" -> ((s, d) =>
+      Dedup.exactByContent(Tables.lineitem(s, d), col("l_orderkey"), col("l_linenumber"))
+        .select(col("l_orderkey"), col("l_linenumber"))),
+
+    // MinHash+LSH near-dup candidates (planted near-dups: doc texts
+    // re-appended with a suffix so candidate pairs exist)
+    "q22_minhash_pairs" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val planted = docs.limit(50)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("text", concat(col("text"), lit(" near duplicate suffix")))
+      val corpus = docs.unionByName(planted)
+      val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+      ApproxDedup.minHashCandidates(corpus, col("doc_id"), toks)
+        .filter(col("est_jaccard") >= 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SimHash fingerprints
+    "q23_simhash" -> ((s, d) => {
+      val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+      Tables.documents(s, d).select(col("doc_id"), ApproxDedup.simHash32(toks).as("simhash"))
+    }),
+
+    // exact n-gram Jaccard on adjacent-doc pairs
+    "q24_ngram_jaccard" -> ((s, d) => {
+      val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+      val sh = Tables.documents(s, d).select(col("doc_id"), ApproxDedup.shingles(toks, 3).as("sh"))
+      sh.as("a").join(sh.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          ApproxDedup.jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+    }),
+
+    // brute-force cosine top-k (exact ANN baseline)
+    "q25_cosine_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("corpus_id"), round(col("cosine"), 6).as("cosine_r"))
+    }),
+
+    // LSH-bucketed ANN (the scale path; oracle-free — signature uses
+    // engine-side hyperplanes)
+    "q26_lsh_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 5, dim = 64)
+        .select(col("query_id"), col("rank"), col("corpus_id"))
+    }),
+
+    // window running total (frame spec), decimal-exact
+    "q27_running_total" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      ev.withColumn("running_value", sum(col("value").cast(DecimalType(18, 2))).over(w))
+        .select(col("event_id"), col("user_id"), col("running_value"))
+    }),
+
+    // streaming-shape tumbling-window agg (batch equivalent of
+    // StreamingIngest.windowedCounts)
+    "q28_events_hourly" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value").cast(DecimalType(18, 2))).as("total_value"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total_value"))),
+
+    // M4 union of inputs
+    "q29_union_brands" -> ((s, d) => {
+      val p = Tables.part(s, d)
+      p.filter(col("p_brand") === "Brand#1")
+        .unionByName(p.filter(col("p_brand") === "Brand#2"))
+        .groupBy(col("p_brand")).agg(count(lit(1)).as("n"))
+    }),
+
+    // left-semi join (EXISTS)
+    "q30_semi_join" -> ((s, d) =>
+      Tables.customer(s, d).join(
+          Tables.orders(s, d).filter(col("o_totalprice") > 450000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))),
+
+    // left-anti join (NOT EXISTS)
+    "q31_anti_join" -> ((s, d) =>
+      Tables.customer(s, d).join(
+          Tables.orders(s, d).filter(col("o_totalprice") > 450000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))),
+
+    // set op: intersect
+    "q32_intersect_nations" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))),
+
+    // approx_count_distinct surfacing (HLL — engine-specific, rows-only)
+    "q33_approx_distinct" -> ((s, d) =>
+      Tables.events(s, d).agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))),
+
+    // S5/S10 binary whole-file scan + MIME sniff + file_* metadata
+    "q34_binary_assets" -> ((s, d) => {
+      val bin = Multimodal.readBinary(s, d, "*.parquet")
+      val sniffed = Multimodal.sniffMime(bin)
+      Etl.withFileMetadata(sniffed, col("path"), col("length"), col("modificationTime"))
+        .select(col("file_name"), col("mime"), col("file_length"))
+        .orderBy(col("file_name"))
+    }),
+
+    // O1/O2 seed-deterministic randomization
+    "q35_randomize" -> ((s, d) =>
+      Etl.randomize(Tables.supplier(s, d).select(col("s_name")))),
+
+    // P1-style projection out of semi-structured props
+    "q36_extract_props" -> ((s, d) =>
+      Tables.events(s, d).select(col("event_id"),
+        regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("int").as("k")))
+  )
+
+  // ---------------------------------------------------------------
+  // DuckDB oracles (ANSI-ish SQL over the same parquet tables).
+  // Omitted for hash-/seed-dependent ops -> driver rows-only check.
+  // ---------------------------------------------------------------
+  private val stopIn: String = TextAnalysis.EnglishStopwords
+    .map(w => s"'$w'").mkString("(", ",", ")")
+  private def listLit(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString("[", ",", "]")
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_match_all" -> "SELECT count(*) AS cnt FROM lineitem",
+
+    "q02_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        | sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+        | count(*) AS cnt, sum(l_quantity)/count(*) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q03_seq_key" ->
+      """SELECT doc_id, source || '#' ||
+        | CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS VARCHAR) AS seq_id
+        |FROM documents""".stripMargin,
+
+    "q04_dedup_retain_recent" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        | SELECT user_id, event_id, event_type, value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events) t WHERE rn = 1""".stripMargin,
+
+    "q05_dedup_counters" ->
+      """SELECT count(CASE WHEN ts = mx AND nmax > 1 THEN 1 END) AS duplicates,
+        | count(CASE WHEN ts < mx THEN 1 END) AS outdated,
+        | count(*) AS total
+        |FROM (
+        | SELECT user_id, ts, mx,
+        |  count(CASE WHEN ts = mx THEN 1 END) OVER (PARTITION BY user_id) AS nmax
+        | FROM (SELECT user_id, ts, max(ts) OVER (PARTITION BY user_id) AS mx FROM events) a
+        |) b""".stripMargin,
+
+    "q06_dedup_conflicts" ->
+      "SELECT user_id, count(*) AS n FROM events GROUP BY user_id HAVING count(*) > 1",
+
+    "q07_convert_timestamp" ->
+      """SELECT l_orderkey, l_linenumber,
+        | strftime(l_shipdate, '%Y-%m-%dT%H:%M:%SZ') AS ship_iso
+        |FROM lineitem""".stripMargin,
+
+    "q08_uuid" ->
+      """SELECT doc_id, concat_ws('-',
+        | substr(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+        | substr(md5(CAST(doc_id AS VARCHAR)), 9, 4),
+        | substr(md5(CAST(doc_id AS VARCHAR)), 13, 4),
+        | substr(md5(CAST(doc_id AS VARCHAR)), 17, 4),
+        | substr(md5(CAST(doc_id AS VARCHAR)), 21, 12)) AS uuid
+        |FROM documents""".stripMargin,
+
+    "q09_sanitize" ->
+      """SELECT doc_id, text, lang, source AS ignored_source,
+        | n_chars AS ignored_n_chars FROM documents""".stripMargin,
+
+    "q10_tokenize_tf" ->
+      s"""SELECT token, count(*) AS n FROM (
+         | SELECT regexp_replace(tok, '''s$$', '') AS token FROM (
+         |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+(?:\\.[a-z0-9]+)*')) AS tok
+         |  FROM documents) u
+         |) v WHERE token NOT IN $stopIn
+         |GROUP BY token""".stripMargin,
+
+    "q11_term_query" ->
+      "SELECT doc_id, lang, n_chars FROM documents WHERE text LIKE '%spark%'",
+
+    "q14_join_revenue" ->
+      """SELECT n_name, count(*) AS n_orders,
+        | sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
+    "q15_sessionize" ->
+      """SELECT event_id, user_id,
+        | CAST(sum(CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800 THEN 1 ELSE 0 END)
+        |  OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |FROM (
+        | SELECT event_id, user_id, ts,
+        |  date_diff('second', TIMESTAMP '1970-01-01 00:00:00', CAST(ts AS TIMESTAMP)) AS sec,
+        |  lag(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', CAST(ts AS TIMESTAMP)))
+        |   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+        | FROM events) t""".stripMargin,
+
+    "q16_topk_orders" ->
+      """SELECT rnk, o_orderkey, o_totalprice FROM (
+        | SELECT CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk,
+        |  o_orderkey, o_totalprice FROM orders) t
+        |WHERE rnk <= 10""".stripMargin,
+
+    "q17_alphanum_sort" ->
+      """SELECT CAST(row_number() OVER (ORDER BY regexp_extract(p_brand, '^([^0-9]*)', 1),
+        |  CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS pos, p_brand
+        |FROM (SELECT DISTINCT p_brand FROM part) t""".stripMargin,
+
+    "q18_langid" -> {
+      val en = listLit(TextAnalysis.LangMarkers("en"))
+      val de = listLit(TextAnalysis.LangMarkers("de"))
+      val fr = listLit(TextAnalysis.LangMarkers("fr"))
+      val es = listLit(TextAnalysis.LangMarkers("es"))
+      s"""SELECT doc_id,
+         | CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+         |  WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+         |  WHEN de >= fr AND de >= es THEN 'de'
+         |  WHEN fr >= es THEN 'fr'
+         |  ELSE 'es' END AS lang_pred
+         |FROM (
+         | SELECT doc_id,
+         |  len(list_distinct(list_intersect(toks, $en))) AS en,
+         |  len(list_distinct(list_intersect(toks, $de))) AS de,
+         |  len(list_distinct(list_intersect(toks, $fr))) AS fr,
+         |  len(list_distinct(list_intersect(toks, $es))) AS es
+         | FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+         |       FROM documents) t) s""".stripMargin
+    },
+
+    "q19_quality" -> {
+      val sw = listLit(TextAnalysis.EnglishStopwords)
+      s"""SELECT doc_id, n_tokens, mean_word_len, punct_ratio, stopword_distinct, stopword_ratio,
+         | (n_tokens >= 5 AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+         |   AND punct_ratio <= 0.3) AS keep
+         |FROM (
+         | SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CASE WHEN len(toks) > 0
+         |   THEN CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
+         |     / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS mean_word_len,
+         |  CASE WHEN length(text) > 0
+         |   THEN CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+         |     / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+         |  CAST(len(list_distinct(list_intersect(toks, $sw))) AS BIGINT) AS stopword_distinct,
+         |  CASE WHEN len(toks) > 0
+         |   THEN CAST(len(list_distinct(list_intersect(toks, $sw))) AS DOUBLE)
+         |     / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS stopword_ratio
+         | FROM (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         |       FROM documents) t) s""".stripMargin
+    },
+
+    "q20_fingerprint" ->
+      """SELECT doc_id,
+        | md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin,
+
+    "q21_dedup_exact" ->
+      "SELECT l_orderkey, min(l_linenumber) AS l_linenumber FROM lineitem GROUP BY l_orderkey",
+
+    "q24_ngram_jaccard" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |   ELSE list_transform(generate_series(1, len(toks) - 2),
+        |     i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        |  END AS sh
+        | FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |       FROM documents) t)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE) /
+        | CAST(len(list_distinct(a.sh)) + len(list_distinct(b.sh))
+        |   - len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE) AS jaccard
+        |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1""".stripMargin,
+
+    "q25_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 10),
+        |p AS (SELECT q.vec_id AS query_id, e.vec_id AS corpus_id,
+        |  list_dot_product(q.v, e.v) /
+        |   (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))) AS cosine
+        | FROM q, e WHERE q.vec_id <> e.vec_id)
+        |SELECT query_id, rnk, corpus_id, round(cosine, 6) AS cosine_r FROM (
+        | SELECT query_id, corpus_id, cosine,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS BIGINT) AS rnk
+        | FROM p) t WHERE rnk <= 5""".stripMargin,
+
+    "q27_running_total" ->
+      """SELECT event_id, user_id,
+        | sum(CAST(value AS DECIMAL(18,2)))
+        |  OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS running_value
+        |FROM events""".stripMargin,
+
+    "q28_events_hourly" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+        | count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q29_union_brands" ->
+      """SELECT p_brand, count(*) AS n FROM part
+        |WHERE p_brand IN ('Brand#1', 'Brand#2') GROUP BY p_brand""".stripMargin,
+
+    "q30_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer WHERE c_custkey IN
+        | (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)""".stripMargin,
+
+    "q31_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN
+        | (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)""".stripMargin,
+
+    "q32_intersect_nations" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+
+    "q36_extract_props" ->
+      """SELECT event_id,
+        | CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) AS k
+        |FROM events""".stripMargin
+  )
 }

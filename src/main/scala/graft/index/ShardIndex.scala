@@ -1,0 +1,86 @@
+package graft.index
+
+import graft.route.HashRangeRouter
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * The shard store: the Spark-native re-expression of the reference's
+ * index-build dataflow (SolrRecordWriter + TreeMerge, SURVEY.md §2.7/
+ * §2.8). One Lucene directory per reducer (`<out>/part-NNNNN/data/
+ * index`, SolrRecordWriter.java:129) becomes a Parquet table
+ * hash-partitioned by the Solr-compatible shard id.
+ *
+ * Scale design: the reference needs `reducers = shards * fanout^N`
+ * micro shards plus a log_F mtree-merge job chain
+ * (MapReduceIndexerTool.java:765-815) purely because a Lucene index
+ * merge is single-threaded per target. With a columnar shard store the
+ * WHOLE merge phase collapses into the one shuffle Spark already does
+ * for `repartition(shards)` — map-side the rows stream straight to
+ * their final shard, no intermediate micro-shard materialization, no
+ * merge jobs. `sortWithinPartitions(id desc)` reproduces the index
+ * sort the merge applies (solrconfig_merge.xml:6-12 `sort: id desc`
+ * via SortingMergePolicyFactory, TreeMergeOutputFormat.java:248-260).
+ */
+object ShardIndex {
+
+  /**
+   * Build the shard store: route every doc to its Solr-compatible
+   * shard, sort within shards by id desc (O4 parity), write one dir
+   * per shard (`shard=NNNNN`). `microShards` > 0 reproduces the
+   * reference's micro-shard layout (reducers knob) for tests; at scale
+   * leave 0 = write final shards directly.
+   */
+  def write(df: DataFrame, idCol: String, out: String, shards: Int,
+            microShards: Int = 0): DataFrame = {
+    val router = HashRangeRouter(shards)
+    val shardCol = format_string("%05d", router.shardCol(col(idCol)))
+    val withShard = df.withColumn("shard", shardCol)
+    val routed =
+      if (microShards > 0)
+        withShard.withColumn("micro", router.microShardCol(col(idCol), microShards))
+          .repartition(col("shard"), col("micro")).drop("micro")
+      else withShard.repartition(shards, col("shard"))
+    routed
+      .sortWithinPartitions(col("shard"), col(idCol).desc)
+      .write.mode("overwrite").partitionBy("shard").parquet(out)
+    withShard
+  }
+
+  /** Read the shard store back (shard is a partition column). */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /**
+   * M2 segment-optimize analog: compact each shard to `maxSegments`
+   * files (`--max-segments`, MapReduceIndexerTool.java:317-331;
+   * forceMerge BatchWriter.java:203-218). For Parquet, fewer/larger
+   * files per shard = fewer splits to open at query time.
+   */
+  def optimize(spark: SparkSession, path: String, maxSegments: Int = 1): Unit = {
+    val df = spark.read.parquet(path)
+    df.repartition(maxSegments * df.select("shard").distinct().count().toInt, col("shard"))
+      .write.mode("overwrite").partitionBy("shard")
+      .parquet(path + "_optimized")
+  }
+
+  // ---- the query surface that makes shards "queryable" (the
+  // reference verifies builds by querying them back:
+  // SolrIndexDriverTest.java:54-61 MatchAllDocsQuery;
+  // MorphlineGoLiveMiniMRTest.java:388-489 term + id queries) ----
+
+  /** `*:*` count, total and per shard. */
+  def matchAllCounts(store: DataFrame): DataFrame =
+    store.groupBy(col("shard")).agg(count(lit(1)).as("cnt")).orderBy(col("shard"))
+
+  /** Term query: exact field match (filter pushed to parquet scan). */
+  def termQuery(store: DataFrame, field: String, value: Any): DataFrame =
+    store.filter(col(field) === lit(value))
+
+  /** Per-id lookup — only the owning shard's directory is scanned when
+    * the caller routes first (partition pruning on `shard`). */
+  def byId(store: DataFrame, idCol: String, id: String, shards: Int): DataFrame = {
+    val router = HashRangeRouter(shards)
+    store.filter(col("shard") === f"${router.shardOfId(id)}%05d" && col(idCol) === id)
+  }
+}

@@ -1,0 +1,153 @@
+package graft.ops
+
+import graft.route.SolrHash
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Near-duplicate detection for training-data pipelines: MinHash+LSH,
+ * SimHash, and n-gram Jaccard, built scale-first:
+ *
+ *  - signatures are computed map-side as pure column expressions
+ *    (higher-order functions over token arrays — codegen'd, no UDFs);
+ *  - candidate generation is an equi-join on LSH band keys (a hash
+ *    shuffle on small keys, never an O(n²) cross join);
+ *  - verification runs only on candidate pairs.
+ *
+ * At 100 TB the only all-to-all movement is the band-key shuffle whose
+ * payload is (band_key, doc_id, signature) — a few hundred bytes/doc —
+ * while document bodies stay columnar in place.
+ *
+ * The token hash reuses graft's Solr murmur3 (SolrHash) so signatures
+ * are deterministic across runs/engines.
+ */
+object ApproxDedup {
+
+  /** `w`-shingles (word n-grams) of a token array. */
+  def shingles(tokens: Column, w: Int = 3): Column = {
+    val n = size(tokens)
+    when(n < w, array(concat_ws(" ", tokens)))
+      .otherwise(transform(sequence(lit(0), n - w),
+        i => concat_ws(" ", slice(tokens, i + lit(1), lit(w)))))
+  }
+
+  private def hashCol(c: Column): Column = {
+    import graft.route.GraftColumns
+    GraftColumns.of(graft.route.SolrMurmurHash(GraftColumns.expr(c)))
+  }
+
+  /** Murmur-hash every shingle once (array<long>) — the ONLY place the
+    * string hash runs; all minhash functions derive from this array. */
+  def shingleHashes(shingleCol: Column): Column =
+    transform(shingleCol, s => hashCol(s).cast("long"))
+
+  private def hashParams(numHashes: Int, seed: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numHashes)((1 + rnd.nextInt(Int.MaxValue - 1)).toLong ->
+      rnd.nextInt(Int.MaxValue).toLong)
+  }
+
+  /**
+   * MinHash signature via the standard universal-hash family
+   * h_i(x) = (a_i*x + b_i) mod p (p = 2^31 - 1), i < numHashes, over a
+   * PRE-HASHED shingle array (shingleHashes): each of the numHashes
+   * passes is then pure integer arithmetic over the array — the
+   * expensive string murmur runs once per shingle, not numHashes
+   * times. Returns array<int> of length numHashes.
+   */
+  def minHashSignature(hashedShingles: Column, numHashes: Int = 32, seed: Int = 42): Column = {
+    val p = 2147483647L // 2^31 - 1, prime
+    array(hashParams(numHashes, seed).map { case (a, b) =>
+      aggregate(hashedShingles, lit(Long.MaxValue),
+        (acc, h) => least(acc, (((h % p) * a + b) % p)))
+        .cast("int")
+    }: _*)
+  }
+
+  /**
+   * LSH banding: split the signature into `bands` bands of `rowsPerBand`
+   * and emit one (band_id, band_key) per band. Docs sharing any band
+   * key are near-dup candidates.
+   */
+  def lshBands(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"),
+        hashCol(concat_ws("_", slice(signature, b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)))).as("key")))
+
+  /**
+   * End-to-end MinHash LSH near-dup candidate pairs over (id, tokens):
+   * signature → bands → self-join on (band, key) → distinct pairs with
+   * estimated Jaccard (signature agreement). Keeps `id < id2` to halve
+   * the pair space.
+   */
+  def minHashCandidates(df: DataFrame, id: Column, tokens: Column,
+                        numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val rows = numHashes / bands
+    // signatures are tiny (numHashes ints per doc): persist them so the
+    // LSH self-join below reads them twice instead of recomputing the
+    // tokenize→shingle→hash pipeline on both sides
+    val sig = df.select(id.as("id"), shingleHashes(shingles(tokens)).as("hs"))
+      .select(col("id"), minHashSignature(col("hs"), numHashes).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sig.select(col("id"), col("sig"),
+      explode(lshBands(col("sig"), bands, rows)).as("b"))
+      .select(col("id"), col("sig"), col("b.band"), col("b.key"))
+    val pairs = banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.sig").as("sig_a"), col("r.sig").as("sig_b"))
+      .distinct()
+    pairs.withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"), (a, b) => when(a === b, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / lit(numHashes.toDouble))
+      .drop("sig_a", "sig_b")
+  }
+
+  /**
+   * Exact n-gram Jaccard similarity for candidate pairs (the verify
+   * step after LSH, or standalone for small corpora): |A∩B| / |A∪B|
+   * over distinct shingles.
+   */
+  def jaccard(shinglesA: Column, shinglesB: Column): Column = {
+    val a = array_distinct(shinglesA)
+    val b = array_distinct(shinglesB)
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter).cast("double")
+  }
+
+  /**
+   * SimHash (64→32-bit variant): per token hash, each bit votes +1/-1
+   * weighted by term frequency; the sign vector is the fingerprint.
+   * Near-dups differ in few bits (hamming distance). Pure column
+   * expressions: bit loop unrolled over 32 bits.
+   */
+  def simHash32(tokens: Column): Column = {
+    val hashes = transform(tokens, t => hashCol(t))
+    val bits = (0 until 32).map { i =>
+      val votes = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(votes > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /**
+   * Near-dup grouping: connected components are overkill for dedup —
+   * the standard trick is "keep the min id per band bucket cluster",
+   * iterated once: a doc is dropped if any candidate pair names it as
+   * the larger id with similarity >= threshold.
+   */
+  def dropNearDuplicates(df: DataFrame, id: Column, tokens: Column,
+                         threshold: Double = 0.8, numHashes: Int = 32,
+                         bands: Int = 8): DataFrame = {
+    val losers = minHashCandidates(df, id, tokens, numHashes, bands)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_b").as("__loser")).distinct()
+    df.join(losers, id === col("__loser"), "left_anti")
+  }
+}

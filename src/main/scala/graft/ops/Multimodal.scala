@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Multimodal (image/audio/video) column plumbing: opaque `binary`
+ * payloads + typed metadata, the Spark-side shape a training-data
+ * pipeline needs even when the actual codecs live elsewhere. The
+ * reference's analog is the `_attachment_body`/`_attachment_mimetype`
+ * pseudo-fields every morphline record carries
+ * (MorphlineMapRunner.java:195,233-234) and the `detectMimeType` /
+ * `decompress` commands (solrCellDocumentTypes.conf:52-77).
+ *
+ * Codec note: the decode step is a clearly-marked deterministic FAKE
+ * (this container has no image/audio libraries). Everything around it
+ * — schema, batched per-partition execution, partitioning so one
+ * partition's payloads fit in executor memory — is real and tested.
+ */
+object Multimodal {
+
+  /** Typed metadata row for a binary asset column. */
+  case class AssetMeta(path: String, mime: String, length: Long)
+  case class DecodedImage(path: String, width: Int, height: Int,
+                          channels: Int, features: Array[Float])
+
+  /**
+   * Read a directory of files as a binary-asset DataFrame:
+   * (path, modificationTime, length, content) — S5 whole-file read.
+   * `withContent=false` = the reference's `morphlineDisableFileOpen`
+   * metadata-only mode (MorphlineMapRunner.java:84-87): Catalyst prunes
+   * the content column so file bytes are never read.
+   */
+  def readBinary(spark: SparkSession, path: String, glob: String = "*",
+                 withContent: Boolean = true): DataFrame = {
+    val df = spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob).load(path)
+    if (withContent) df else df.drop("content")
+  }
+
+  /**
+   * detectMimeType (S10): magic-byte sniffing as a column expression
+   * over the first bytes of the binary payload — no UDF, stays in
+   * codegen; extend the `when` chain per format.
+   */
+  def sniffMime(df: DataFrame, content: String = "content"): DataFrame = {
+    val head4 = hex(substring(col(content), 1, 4))
+    df.withColumn("mime",
+      when(head4.startsWith("89504E47"), "image/png")
+        .when(head4.startsWith("FFD8FF"), "image/jpeg")
+        .when(head4.startsWith("47494638"), "image/gif")
+        .when(head4.startsWith("50415231"), "application/x-parquet") // PAR1
+        .when(head4.startsWith("504B0304"), "application/zip")
+        .when(head4.startsWith("1F8B"), "application/gzip")
+        .when(head4.startsWith("25504446"), "application/pdf")
+        .when(head4.startsWith("4F676753"), "audio/ogg")
+        .when(head4.startsWith("52494646"), "audio/wav")
+        .otherwise("application/octet-stream"))
+  }
+
+  /**
+   * Decode/feature-extract, batched per partition (the Scala analog of
+   * a Pandas-UDF `mapInPandas` stage: one iterator per partition, so a
+   * real codec would amortize model/codec init across the batch).
+   *
+   * STUB: `decodeOne` fakes the decode deterministically from the
+   * bytes (size-derived dims, 8 moment features). Swap its body for a
+   * real codec (javax.imageio / ffmpeg bindings) in production — the
+   * signature, schema and partition shape stay identical.
+   */
+  def decodeImages(spark: SparkSession, assets: DataFrame,
+                   batchHint: Int = 64): Dataset[DecodedImage] = {
+    import spark.implicits._
+    assets.select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition init happens here (codec/model load, once)
+        it.map { case (path, bytes) => decodeOne(path, bytes) }
+      }
+  }
+
+  /** ??? in spirit: a deterministic fake decode standing in for the codec. */
+  private def decodeOne(path: String, bytes: Array[Byte]): DecodedImage = {
+    val n = bytes.length
+    val w = 64 + (n % 512)
+    val h = 64 + ((n / 512) % 512)
+    val feats = new Array[Float](8)
+    var i = 0
+    while (i < n) { feats(i % 8) += (bytes(i) & 0xff) / 255.0f; i += 1 }
+    if (n > 0) { var j = 0; while (j < 8) { feats(j) /= math.max(1, n / 8).toFloat; j += 1 } }
+    DecodedImage(path, w, h, 3, feats)
+  }
+
+  /**
+   * Frame-sampling plan for video assets: every `everyNth` frame index
+   * up to `maxFrames` — the explode pattern that turns one video row
+   * into N frame rows with bounded fan-out (bound it BEFORE the
+   * explode so the shuffle sees only sampled frames).
+   */
+  def sampleFrameIndexes(df: DataFrame, frameCount: String,
+                         everyNth: Int = 30, maxFrames: Int = 32): DataFrame =
+    df.withColumn("frame_index",
+      explode(slice(sequence(lit(0), greatest(col(frameCount) - 1, lit(0)), lit(everyNth)),
+        1, maxFrames)))
+}

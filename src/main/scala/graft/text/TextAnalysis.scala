@@ -1,0 +1,118 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text analysis: the reference's `tokenizeText` analyzer command plus
+ * the text-pipeline operators a training-data engine needs (language
+ * ID, quality scoring, token counting, fingerprinting). All are pure
+ * column expressions over built-in functions — whole-stage codegen'd,
+ * no UDFs, no per-row interpreter (contrast the reference's
+ * row-at-a-time Lucene analyzer chain, TokenizeTextBuilder.java:83-105).
+ */
+object TextAnalysis {
+
+  /**
+   * Lucene's English stopword set (StandardAnalyzer.ENGLISH_STOP_WORDS_SET,
+   * public Lucene source) — what the reference's `text_en` field type
+   * removes.
+   */
+  val EnglishStopwords: Seq[String] = Seq(
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such",
+    "that", "the", "their", "then", "there", "these", "they", "this",
+    "to", "was", "will", "with")
+
+  /**
+   * tokenizeText (TokenizeTextBuilder.java:83-105), `text_en` behavior
+   * per the reference's own golden test (SolrMorphlineTest.java:52-68):
+   * "Hello World!\nFoo@Bar.com #%()123" → [hello, world, foo, bar.com, 123].
+   * Rules: lowercase; split on anything that is not [a-z0-9] except
+   * dots BETWEEN alphanumerics (StandardTokenizer keeps interior dots,
+   * splits at '@'); strip possessive 's; drop stopwords.
+   */
+  def tokenize(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
+    val toks = regexp_extract_all(
+      lower(text), lit("[a-z0-9]+(?:\\.[a-z0-9]+)*"), lit(0))
+    val stemmed = transform(toks, t => regexp_replace(t, "'s$", ""))
+    filter(stemmed, t => !t.isin(stopwords: _*))
+  }
+
+  /** Plain whitespace token count — the cheap "how long is this doc". */
+  def whitespaceTokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish subword count estimate: alnum runs + punctuation marks
+    * each count; long words count ~len/4 pieces (byte-pair intuition). */
+  def subwordCountEstimate(text: Column): Column = {
+    val words = regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+    val punct = length(regexp_replace(text, "[a-zA-Z0-9\\s]+", ""))
+    aggregate(words, lit(0),
+      (acc, w) => acc + greatest(lit(1), ceil(length(w) / lit(4)).cast("int"))) + punct
+  }
+
+  /**
+   * n-gram heuristic language ID: score = stopword hits per language,
+   * highest score wins (ties by fixed precedence en>de>fr>es). The
+   * word lists are tiny public stopword heads; the operator shape (N
+   * parallel scores + argmax, one projection) is what matters at scale.
+   */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "ich", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "une", "pour", "que", "dans"),
+    "es" -> Seq("el", "los", "las", "es", "no", "una", "por", "con", "para", "como"))
+
+  def langScores(tokens: Column): Map[String, Column] =
+    LangMarkers.map { case (lang, words) =>
+      lang -> size(array_intersect(tokens, array(words.map(lit): _*)))
+    }
+
+  def languageId(text: Column): Column = {
+    val toks = regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))
+    val s = langScores(toks)
+    val (en, de, fr, es) = (s("en"), s("de"), s("fr"), s("es"))
+    when(greatest(en, de, fr, es) === 0, lit("und"))
+      .when(en >= de && en >= fr && en >= es, lit("en"))
+      .when(de >= fr && de >= es, lit("de"))
+      .when(fr >= es, lit("fr"))
+      .otherwise(lit("es"))
+  }
+
+  /**
+   * Quality scoring (Gopher/C4-style cheap signals): char length, word
+   * count, mean word length, punctuation ratio, stopword ratio, and a
+   * composite keep/drop flag. All exact-arithmetic column expressions
+   * so the DuckDB oracle reproduces them bit-for-bit.
+   */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val toks = regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+    val nTokens = size(toks)
+    val nChars = length(text)
+    val nPunct = length(regexp_replace(text, "[a-zA-Z0-9\\s]", ""))
+    val nStop = size(array_intersect(toks, array(EnglishStopwords.map(lit): _*)))
+    val meanWordLen = when(nTokens > 0,
+      aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double") / nTokens.cast("double"))
+      .otherwise(lit(0.0))
+    val punctRatio = when(nChars > 0, nPunct.cast("double") / nChars.cast("double")).otherwise(lit(0.0))
+    val stopRatio = when(nTokens > 0, nStop.cast("double") / nTokens.cast("double")).otherwise(lit(0.0))
+    val keep = nTokens >= 5 && meanWordLen >= 2.0 && meanWordLen <= 12.0 && punctRatio <= 0.3
+    Seq("n_tokens" -> nTokens, "mean_word_len" -> meanWordLen,
+      "punct_ratio" -> punctRatio, "stopword_distinct" -> nStop,
+      "stopword_ratio" -> stopRatio, "keep" -> keep)
+  }
+
+  /**
+   * Document fingerprint: normalized-content hash for exact/near-exact
+   * dedup at scale (whitespace-collapse + lowercase then md5 — the
+   * stable 128-bit id; a rolling/shingled variant lives in
+   * ApproxDedup.shingles).
+   */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /** Term frequency over a tokenized corpus: explode + count — the
+    * inverted-index-ish view of the shard store. */
+  def termFrequencies(tokens: Column): Column = explode(tokens)
+}

@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/**
+ * Column <-> Expression bridge. Spark 4 `Column` wraps a ColumnNode and
+ * the conversion helpers (`classic.ExpressionUtils`) are private[sql],
+ * so this one-file shim lives in the org.apache.spark.sql package —
+ * the standard pattern for Catalyst-level Spark extensions.
+ */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -1,0 +1,72 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ApproxDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+
+  private lazy val corpus = {
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"),
+      (2L, "completely different content about distributed query engines and columnar storage formats"),
+      (3L, "yet another unrelated document discussing streaming watermarks and stateful aggregation")
+    )
+    val nearDup = (101L,
+      "the quick brown fox jumps over the lazy dog and runs far away into the woods today")
+    (base :+ nearDup).toDF("doc_id", "text")
+  }
+
+  test("minhash LSH finds the planted near-duplicate pair, not unrelated pairs") {
+    val pairs = ApproxDedup.minHashCandidates(corpus, col("doc_id"), toks)
+      .filter(col("est_jaccard") >= 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 101L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("est_jaccard is 1.0 for identical docs") {
+    val dup = corpus.union(corpus.withColumn("doc_id", col("doc_id") + 1000))
+    val got = ApproxDedup.minHashCandidates(dup, col("doc_id"), toks)
+      .filter(col("id_b") === col("id_a") + 1000)
+      .select("est_jaccard").as[Double].collect()
+    assert(got.nonEmpty && got.forall(_ === 1.0))
+  }
+
+  test("dropNearDuplicates keeps the smaller id of a near-dup pair") {
+    val kept = ApproxDedup.dropNearDuplicates(corpus, col("doc_id"), toks, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 3L))
+  }
+
+  test("exact jaccard: identical=1, disjoint=0") {
+    val sh = corpus.select(col("doc_id"), ApproxDedup.shingles(toks).as("sh"))
+    val self = sh.as("a").join(sh.as("b"), col("a.doc_id") === col("b.doc_id"))
+      .select(ApproxDedup.jaccard(col("a.sh"), col("b.sh")).as("j"))
+      .as[Double].collect()
+    assert(self.forall(_ === 1.0))
+    val cross = sh.as("a").join(sh.as("b"),
+        col("a.doc_id") === 2L && col("b.doc_id") === 3L)
+      .select(ApproxDedup.jaccard(col("a.sh"), col("b.sh")).as("j"))
+      .as[Double].collect().head
+    assert(cross === 0.0)
+  }
+
+  test("simhash: near-dups at small hamming distance, unrelated docs far") {
+    val sims = corpus.select(col("doc_id"), ApproxDedup.simHash32(toks).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sims(1L), sims(101L)) <= 6)
+    assert(ham(sims(1L), sims(2L)) > 6)
+  }
+
+  test("hamming column expression matches bitCount") {
+    val got = Seq((0x0fL, 0x00L)).toDF("a", "b")
+      .select(ApproxDedup.hamming(col("a"), col("b"))).as[Long].collect().head
+    assert(got === 4)
+  }
+}

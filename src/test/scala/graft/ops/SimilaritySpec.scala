@@ -1,0 +1,46 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("brute-force cosine top-k on the embeddings table: sane and self-consistent") {
+    val emb = graft.Tables.embeddings(spark, TestSpark.sf)
+    val got = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3), k = 4)
+    val rows = got.collect()
+    assert(rows.length === 12) // 3 queries * 4 neighbors
+    // cosine within [-1, 1]; ranks descending in cosine per query
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("cosine")) <= 1.0 + 1e-9))
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    byQuery.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      val cosines = sorted.map(_.getAs[Double]("cosine")).toSeq
+      assert(cosines === cosines.sorted.reverse)
+    }
+  }
+
+  test("an exact duplicate vector is the top-1 neighbor with cosine ~1") {
+    val emb = graft.Tables.embeddings(spark, TestSpark.sf)
+    val clone = emb.filter(col("vec_id") === 0).withColumn("vec_id", lit(99999L))
+    val corpus = emb.unionByName(clone)
+    val top = Similarity.bruteForceTopK(corpus, emb.filter(col("vec_id") === 0), k = 1)
+      .collect().head
+    assert(top.getAs[Long]("corpus_id") === 99999L)
+    assert(math.abs(top.getAs[Double]("cosine") - 1.0) < 1e-9)
+  }
+
+  test("LSH ANN recall@5 >= 0.5 vs brute force on the embeddings table") {
+    val emb = graft.Tables.embeddings(spark, TestSpark.sf)
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(emb, queries, k = 5, dim = 64)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall")
+  }
+}
