@@ -1,0 +1,39 @@
+package graft.index
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Go-live deploy sink (S14): the reference merges each built shard
+ * into a live SolrCloud via HTTP MERGEINDEXES + a cluster commit, from
+ * a driver-side thread pool (GoLive.java:46-168). That is an external
+ * side effect, kept out of the engine's correctness surface behind
+ * this trait (SURVEY.md §7.1.7) — a production impl would issue the
+ * HTTP calls; tests and offline runs use the recording no-op.
+ */
+trait GoLive {
+  /** Deploy each (shardIndex, shardDir) to its target; then commit. */
+  def goLive(shards: Seq[(Int, String)], targets: Seq[String]): Unit
+}
+
+/** Records calls instead of talking to a cluster. */
+final class RecordingGoLive extends GoLive {
+  val merged = scala.collection.mutable.ArrayBuffer[(Int, String, String)]()
+  @volatile var committed = false
+  override def goLive(shards: Seq[(Int, String)], targets: Seq[String]): Unit = {
+    require(targets.nonEmpty, "no go-live targets")
+    // positional zip of shard dirs with shard URLs — the reference's
+    // buildShardUrls contract (MapReduceIndexerTool.java:518-537)
+    shards.foreach { case (i, dir) => merged += ((i, dir, targets(i % targets.size))) }
+    committed = true
+  }
+}
+
+object GoLive {
+  /** List a shard store's (index, dir) pairs in shard order. */
+  def shardDirs(store: String): Seq[(Int, String)] = {
+    val dirs = Option(new java.io.File(store).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+      .sortBy(_.getName)
+    dirs.zipWithIndex.map { case (f, i) => (i, f.getAbsolutePath) }.toSeq
+  }
+}

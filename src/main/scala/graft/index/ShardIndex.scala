@@ -64,6 +64,40 @@ object ShardIndex {
       .parquet(path + "_optimized")
   }
 
+  /**
+   * M1 mtree-merge equivalent: re-shard a store built with
+   * `microShards` reducers down to `shards` final shards. The
+   * reference needs ceil(log_fanout(reducers/shards)) mapper-only jobs
+   * because a Lucene `addIndexes` merge is single-threaded per target
+   * (MapReduceIndexerTool.java:765-815, TreeMergeOutputFormat.java:
+   * 118-234); with a columnar store the whole tree collapses into ONE
+   * shuffle — rows stream from micro-shard files straight to their
+   * final shard writer, no intermediate materialization.
+   */
+  def mergeShards(spark: SparkSession, inStore: String, out: String,
+                  idCol: String, shards: Int): DataFrame = {
+    val df = spark.read.parquet(inStore).drop("shard")
+    write(df, idCol, out, shards)
+  }
+
+  /** The reference's merge-planning invariant, kept as a helper for
+    * sizing micro-shard builds: iterations = log_fanout(reducers/
+    * shards), requiring reducers = shards * fanout^N
+    * (MapReduceIndexerTool.java:846-890). */
+  def mtreeIterations(reducers: Int, shards: Int, fanout: Int): Int = {
+    require(fanout >= 2, s"fanout must be >= 2: $fanout")
+    require(reducers >= shards && reducers % shards == 0,
+      s"reducers ($reducers) must be a positive multiple of shards ($shards)")
+    var n = 0
+    var r = reducers
+    while (r > shards) {
+      require(r % fanout == 0, s"reducers=$reducers not shards*fanout^N")
+      r /= fanout
+      n += 1
+    }
+    n
+  }
+
   // ---- the query surface that makes shards "queryable" (the
   // reference verifies builds by querying them back:
   // SolrIndexDriverTest.java:54-61 MatchAllDocsQuery;

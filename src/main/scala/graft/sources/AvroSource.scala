@@ -1,0 +1,123 @@
+package graft.sources
+
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileReader
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.avro.mapred.{AvroInputFormat, AvroWrapper}
+import org.apache.hadoop.io.NullWritable
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+
+/**
+ * Avro object-container source (S6): the reference ingests Avro via the
+ * `readAvroContainer` morphline command (used at morphlines-core/src/
+ * test/resources/test-morphlines/tutorialReadAvroContainer.conf:55-71).
+ * This distribution carries avro-mapred but not the spark-avro
+ * connector, so the source is built on `sc.hadoopFile` +
+ * `AvroInputFormat` (splittable container blocks → one Spark partition
+ * per block span, same parallelism story as any file source) with an
+ * Avro→Catalyst schema/value converter.
+ *
+ * Supported Avro shapes: primitives, bytes/fixed, enum (→ string),
+ * union-with-null (→ nullable), record (→ struct), array (→ array),
+ * map (→ map<string,_>) — covering the flat-with-nesting documents the
+ * reference's `extractAvroPaths` then projects (SURVEY.md §2.2 P1/P2).
+ */
+object AvroSource {
+
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val avroSchema = readSchema(spark, path)
+    val structType = toSqlType(avroSchema) match {
+      case st: StructType => st
+      case other => StructType(Seq(StructField("value", other)))
+    }
+    val schemaJson = avroSchema.toString
+    val rdd = spark.sparkContext.hadoopFile(
+        path,
+        classOf[AvroInputFormat[GenericRecord]],
+        classOf[AvroWrapper[GenericRecord]],
+        classOf[NullWritable])
+      .mapPartitions { it =>
+        val schema = new Schema.Parser().parse(schemaJson)
+        it.map { case (w, _) => toRow(w.datum(), schema) }
+      }
+    spark.createDataFrame(rdd, structType)
+  }
+
+  /** Driver-side: open the first container file to get the writer schema. */
+  private def readSchema(spark: SparkSession, path: String): Schema = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val status = fs.globStatus(new org.apache.hadoop.fs.Path(path)) match {
+      case null | Array() =>
+        val listed = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        listed.filter(s => s.isFile && s.getPath.getName.endsWith(".avro"))
+      case arr => arr.flatMap { s =>
+        if (s.isDirectory)
+          fs.listStatus(s.getPath).filter(f => f.isFile && f.getPath.getName.endsWith(".avro"))
+        else Array(s)
+      }
+    }
+    require(status.nonEmpty, s"no avro files under $path")
+    val local = java.io.File.createTempFile("graft_avro_schema", ".avro")
+    try {
+      fs.copyToLocalFile(status.head.getPath, new org.apache.hadoop.fs.Path(local.getAbsolutePath))
+      val reader = new DataFileReader[GenericRecord](local, new GenericDatumReader[GenericRecord]())
+      try reader.getSchema finally reader.close()
+    } finally local.delete()
+  }
+
+  /** Avro schema → Catalyst type. */
+  def toSqlType(s: Schema): DataType = s.getType match {
+    case Schema.Type.BOOLEAN => BooleanType
+    case Schema.Type.INT => IntegerType
+    case Schema.Type.LONG => LongType
+    case Schema.Type.FLOAT => FloatType
+    case Schema.Type.DOUBLE => DoubleType
+    case Schema.Type.STRING => StringType
+    case Schema.Type.ENUM => StringType
+    case Schema.Type.BYTES | Schema.Type.FIXED => BinaryType
+    case Schema.Type.NULL => NullType
+    case Schema.Type.ARRAY => ArrayType(toSqlType(s.getElementType))
+    case Schema.Type.MAP => MapType(StringType, toSqlType(s.getValueType))
+    case Schema.Type.RECORD =>
+      StructType(s.getFields.asScala.toSeq.map(f =>
+        StructField(f.name(), toSqlType(f.schema()), nullable = true)))
+    case Schema.Type.UNION =>
+      val nonNull = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
+      require(nonNull.size == 1,
+        s"only unions with null are supported, got: $s")
+      toSqlType(nonNull.head)
+    case other => throw new IllegalArgumentException(s"unsupported avro type: $other")
+  }
+
+  private def toRow(rec: GenericRecord, schema: Schema): Row =
+    Row.fromSeq(schema.getFields.asScala.toSeq.map(f =>
+      convert(rec.get(f.pos()), f.schema())))
+
+  private def convert(v: Any, s: Schema): Any = {
+    if (v == null) return null
+    s.getType match {
+      case Schema.Type.UNION =>
+        val nonNull = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
+        convert(v, nonNull.head)
+      case Schema.Type.STRING | Schema.Type.ENUM => v.toString
+      case Schema.Type.BYTES =>
+        val bb = v.asInstanceOf[java.nio.ByteBuffer]
+        val arr = new Array[Byte](bb.remaining()); bb.duplicate().get(arr); arr
+      case Schema.Type.FIXED =>
+        v.asInstanceOf[org.apache.avro.generic.GenericFixed].bytes().clone()
+      case Schema.Type.RECORD => toRow(v.asInstanceOf[GenericRecord], s)
+      case Schema.Type.ARRAY =>
+        v.asInstanceOf[java.util.Collection[Any]].asScala.toSeq
+          .map(convert(_, s.getElementType))
+      case Schema.Type.MAP =>
+        v.asInstanceOf[java.util.Map[Any, Any]].asScala.map {
+          case (k, vv) => k.toString -> convert(vv, s.getValueType)
+        }.toMap
+      case _ => v // primitives pass through
+    }
+  }
+}

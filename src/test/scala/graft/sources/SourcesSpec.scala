@@ -1,0 +1,122 @@
+package graft.sources
+
+import graft.TestSpark
+import org.apache.avro.{Schema, SchemaBuilder}
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SourcesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def writeAvroFixture(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_").toString
+    val schema: Schema = SchemaBuilder.record("tweet").fields()
+      .requiredLong("id")
+      .requiredString("user_screen_name")
+      .optionalString("text")
+      .name("tags").`type`().array().items().stringType().noDefault()
+      .endRecord()
+    val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    writer.create(schema, new java.io.File(s"$dir/part-0.avro"))
+    (0 until 25).foreach { i =>
+      val r = new GenericData.Record(schema)
+      r.put("id", i.toLong)
+      r.put("user_screen_name", s"Nadja$i")
+      r.put("text", if (i % 5 == 0) null else s"hello tweet $i")
+      val tags = new java.util.ArrayList[String]()
+      tags.add(s"t$i"); tags.add("common")
+      r.put("tags", tags)
+      writer.append(r)
+    }
+    writer.close()
+    dir
+  }
+
+  test("S6 Avro container source: schema + values round-trip (MorphlineBasicMiniMRTest shape)") {
+    val dir = writeAvroFixture()
+    val df = AvroSource.read(spark, dir + "/*.avro")
+    assert(df.count() === 25)
+    assert(df.schema.fieldNames.toSeq === Seq("id", "user_screen_name", "text", "tags"))
+    // per-doc field equality, the reference's own assertion style
+    val row = df.filter(col("id") === 7).collect().head
+    assert(row.getAs[String]("user_screen_name") === "Nadja7")
+    assert(row.getAs[String]("text") === "hello tweet 7")
+    assert(row.getAs[Seq[String]]("tags") === Seq("t7", "common"))
+    // union-with-null -> null value preserved
+    assert(df.filter(col("text").isNull).count() === 5)
+    // P1 extractAvroPaths ≙ nested/array projection over the source
+    val tagCount = df.select(explode(col("tags")).as("tag"))
+      .groupBy("tag").count().filter(col("tag") === "common").collect().head
+    assert(tagCount.getAs[Long]("count") === 25)
+  }
+
+  test("S11 unpack: zip explodes to one row per inner file") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    for ((n, c) <- Seq("a.txt" -> "alpha", "b/c.txt" -> "beta")) {
+      z.putNextEntry(new java.util.zip.ZipEntry(n))
+      z.write(c.getBytes("UTF-8")); z.closeEntry()
+    }
+    z.close()
+    val df = Seq(("docs.zip", bos.toByteArray)).toDF("name", "content")
+    val got = Archives.unpack(df, col("name"), col("content"))
+      .select(col("entry_name"), col("entry_content").cast("string"))
+      .as[(String, String)].collect().toSet
+    assert(got === Set(("a.txt", "alpha"), ("b/c.txt", "beta")))
+  }
+
+  test("S11 decompress: gzip (and gzip-of-tar recursion)") {
+    val gz = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write("payload text".getBytes("UTF-8")); g.close()
+      bos.toByteArray
+    }
+    val df = Seq(("x.txt.gz", gz)).toDF("name", "content")
+    val got = Archives.unpack(df, col("name"), col("content"))
+      .select(col("entry_name"), col("entry_content").cast("string"))
+      .as[(String, String)].collect().toSet
+    assert(got === Set(("x.txt", "payload text")))
+  }
+
+  test("S11 corrupt archive quarantines as raw blob instead of failing the task") {
+    val junk = Array[Byte](0x50, 0x4b, 0x03, 0x04, 1, 2, 3) // zip magic, garbage body
+    val df = Seq(("bad.zip", junk)).toDF("name", "content")
+    val got = Archives.unpack(df, col("name"), col("content")).collect()
+    assert(got.length === 1)
+    assert(got.head.getAs[String]("entry_name") === "bad.zip")
+  }
+
+  test("S9 parse_document: XML text + attributes, plain text, binary stub") {
+    val xml = """<doc lang="en"><title>Hi</title><body>There</body></doc>"""
+    val df = Seq(
+      ("application/xml", xml.getBytes("UTF-8")),
+      ("text/plain", "just text".getBytes("UTF-8")),
+      ("image/png", Array[Byte](1, 2, 3))).toDF("mime", "content")
+    val got = DocumentParser.parseDocuments(df, col("mime"), col("content"))
+      .select(col("mime"), col("doc.text"), col("doc.metadata")).collect()
+    val byMime = got.map(r => r.getString(0) ->
+      ((r.getString(1), r.getAs[Map[String, String]](2)))).toMap
+    assert(byMime("application/xml")._1 === "HiThere")
+    assert(byMime("application/xml")._2("root") === "doc")
+    assert(byMime("application/xml")._2("attr_lang") === "en")
+    assert(byMime("text/plain")._1 === "just text")
+    assert(byMime("image/png")._2("length") === "3")
+  }
+
+  test("S7/S8 csv + json builtin sources round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csvjson_").toString
+    graft.Tables.nation(spark, TestSpark.sf)
+      .write.option("header", "true").csv(s"$dir/csv")
+    graft.Tables.nation(spark, TestSpark.sf).write.json(s"$dir/json")
+    val csv = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(s"$dir/csv")
+    val json = spark.read.json(s"$dir/json")
+    assert(csv.count() === 25 && json.count() === 25)
+    assert(csv.select("n_name").as[String].collect().toSet ===
+      json.select("n_name").as[String].collect().toSet)
+  }
+}
