@@ -44,7 +44,25 @@ object ShardIndex {
     routed
       .sortWithinPartitions(col("shard"), col(idCol).desc)
       .write.mode("overwrite").partitionBy("shard").parquet(out)
+    writeCommitMeta(out, shards, idCol)
     withShard
+  }
+
+  /**
+   * M3 commit metadata analog (SolrIndexWriter.setCommitData,
+   * TreeMergeOutputFormat.java:221-223): a store-level marker so a
+   * consumer can validate layout (shards, key column, writer version)
+   * before serving it.
+   */
+  private def writeCommitMeta(out: String, shards: Int, idCol: String): Unit = {
+    val meta = s"""{"graft_commit":1,"shards":$shards,"id_column":"$idCol"}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(out, "_graft_commit.json"), meta)
+  }
+
+  def commitMeta(store: String): Option[String] = {
+    val p = java.nio.file.Paths.get(store, "_graft_commit.json")
+    if (java.nio.file.Files.exists(p)) Some(java.nio.file.Files.readString(p)) else None
   }
 
   /** Read the shard store back (shard is a partition column). */
@@ -52,17 +70,18 @@ object ShardIndex {
     spark.read.parquet(path)
 
   /**
-   * M2 segment-optimize analog: compact each shard to `maxSegments`
-   * files (`--max-segments`, MapReduceIndexerTool.java:317-331;
-   * forceMerge BatchWriter.java:203-218). For Parquet, fewer/larger
-   * files per shard = fewer splits to open at query time.
+   * M2 segment-optimize analog (`--max-segments` forceMerge,
+   * MapReduceIndexerTool.java:317-331; BatchWriter.java:203-218):
+   * rewrite the store with each shard compacted to one file — fewer
+   * splits to open at query time, the same latency trade the reference
+   * documents. `repartition(col("shard"))` puts each shard's rows in
+   * one task, and the partitionBy writer emits one file per shard.
    */
-  def optimize(spark: SparkSession, path: String, maxSegments: Int = 1): Unit = {
-    val df = spark.read.parquet(path)
-    df.repartition(maxSegments * df.select("shard").distinct().count().toInt, col("shard"))
-      .write.mode("overwrite").partitionBy("shard")
-      .parquet(path + "_optimized")
-  }
+  def optimize(spark: SparkSession, path: String, out: String): Unit =
+    spark.read.parquet(path)
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(out)
 
   /**
    * M1 mtree-merge equivalent: re-shard a store built with
