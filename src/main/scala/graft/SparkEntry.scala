@@ -314,7 +314,65 @@ object SparkEntry {
     // P1-style projection out of semi-structured props
     "q36_extract_props" -> ((s, d) =>
       Tables.events(s, d).select(col("event_id"),
-        regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("int").as("k")))
+        regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("int").as("k"))),
+
+    // A2 SortingUpdateConflictResolver: updates applied ascending by
+    // timestamp — the observable ordered-apply sequence per key
+    "q37_ordered_updates" -> ((s, d) =>
+      Tables.events(s, d).groupBy(col("user_id")).agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("ts"), col("event_id")))),
+            x => x.getField("event_id").cast("string")),
+          ",").as("ordered_events"))),
+
+    // rollup (grouping-sets family — absent in reference, Spark builtin)
+    "q38_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))),
+
+    // left outer join with empty-side counting
+    "q39_left_outer" -> ((s, d) =>
+      Tables.orders(s, d).join(Tables.lineitem(s, d),
+          col("l_orderkey") === col("o_orderkey"), "left_outer")
+        .groupBy(col("o_orderkey")).agg(count(col("l_orderkey")).as("n_lines"))),
+
+    // scalar string-function family (morphline string commands)
+    "q40_string_funcs" -> ((s, d) =>
+      Tables.part(s, d).select(col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        substring(col("p_name"), 1, 5).as("prefix5"),
+        regexp_replace(col("p_type"), " ", "_").as("type_u"),
+        lpad(col("p_size").cast("string"), 4, "0").as("size_pad"))),
+
+    // exact distinct counts per group
+    "q41_distinct_per_group" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy(col("l_returnflag")).agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_parts"))),
+
+    // date-part extraction grouping
+    "q42_year_month" -> ((s, d) =>
+      Tables.orders(s, d).groupBy(
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"))
+        .agg(count(lit(1)).as("cnt"))),
+
+    // set op: except
+    "q43_except" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val rich = c.join(Tables.orders(s, d).filter(col("o_totalprice") > 450000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+        .except(rich.select(col("c_custkey")))
+    }),
+
+    // skew-resistant salted dedup — MUST produce the same rows as the
+    // window-based q04 (verified against the identical oracle)
+    "q44_salted_dedup" -> ((s, d) =>
+      Dedup.retainMostRecentSalted(Tables.events(s, d), Seq("user_id"),
+          Seq("ts", "event_id"), saltBuckets = 16)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value")))
   )
 
   // ---------------------------------------------------------------
@@ -526,6 +584,48 @@ object SparkEntry {
     "q36_extract_props" ->
       """SELECT event_id,
         | CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) AS k
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+
+    "q37_ordered_updates" ->
+      """SELECT user_id,
+        | string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY ts, event_id) AS ordered_events
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q38_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q39_left_outer" ->
+      """SELECT o_orderkey, count(l_orderkey) AS n_lines
+        |FROM orders LEFT JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY o_orderkey""".stripMargin,
+
+    "q40_string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS uname, substr(p_name, 1, 5) AS prefix5,
+        | replace(p_type, ' ', '_') AS type_u,
+        | lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad
+        |FROM part""".stripMargin,
+
+    "q41_distinct_per_group" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+        | count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q42_year_month" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+        | CAST(month(o_orderdate) AS BIGINT) AS m, count(*) AS cnt
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+
+    "q43_except" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |EXCEPT
+        |SELECT c_custkey FROM customer WHERE c_custkey IN
+        | (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)""".stripMargin,
+
+    "q44_salted_dedup" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        | SELECT user_id, event_id, event_type, value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events) t WHERE rn = 1""".stripMargin
   )
 }

@@ -89,6 +89,29 @@ object Dedup {
   def noChange(df: DataFrame): DataFrame = df
 
   /**
+   * Skew-resistant retain-most-recent: two-phase aggregation with a
+   * deterministic salt so one hot key (think: one doc id colliding a
+   * million times at 100 TB) cannot pin a single reducer — phase 1
+   * reduces each (key, salt) bucket to its max row map-side-ish, phase
+   * 2 reduces the ≤saltBuckets survivors per key. Same result as
+   * `retainMostRecent` when the ordering (orderCols, in precedence
+   * order) is total per key.
+   */
+  def retainMostRecentSalted(df: DataFrame, keyCols: Seq[String],
+                             orderCols: Seq[String],
+                             saltBuckets: Int = 64): DataFrame = {
+    val payload = struct(df.columns.map(col).toIndexedSeq: _*)
+    val ord = struct(orderCols.map(col).toIndexedSeq: _*)
+    val salt = pmod(hash(payload), lit(saltBuckets)).as("__salt")
+    val stage1 = df
+      .groupBy((keyCols.map(col) :+ salt).toIndexedSeq: _*)
+      .agg(max_by(payload, ord).as("__p"), max(ord).as("__ord"))
+    stage1.groupBy(keyCols.map(col).toIndexedSeq: _*)
+      .agg(max_by(col("__p"), col("__ord")).as("__p"))
+      .select(col("__p.*"))
+  }
+
+  /**
    * Exact whole-row (or chosen-column) dedup for training-data
    * pipelines: group by a content hash, keep the first by `keep`
    * ordering. One shuffle on the hash; at 100 TB the hash groupBy
