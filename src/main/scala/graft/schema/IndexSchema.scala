@@ -75,4 +75,73 @@ final case class IndexSchema(
         s"Missing unique key field '$uniqueKey' (reference rejects such docs)")
     df
   }
+
+  /**
+   * Enforce single-valuedness: Solr rejects multiple values on a
+   * non-multiValued field (the Record model is list-valued by default,
+   * SURVEY.md §7.3). Array-typed columns for single-valued fields are
+   * reduced to their head, erroring (null) on collisions per
+   * `strict`.
+   */
+  def enforceCardinality(df: DataFrame): DataFrame = {
+    val byName = fields.map(f => f.name -> f).toMap
+    val cols = df.schema.fields.map { sf =>
+      byName.get(sf.name) match {
+        case Some(f) if !f.multiValued && sf.dataType.isInstanceOf[ArrayType] =>
+          when(size(col(sf.name)) > 1,
+            raise_error(lit(s"multiple values for single-valued field ${sf.name}")))
+            .otherwise(element_at(col(sf.name), 1)).as(sf.name)
+        case _ => col(sf.name)
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+}
+
+object IndexSchema {
+
+  /** Solr fieldType class → Catalyst type (SURVEY.md §1.2 table). */
+  private def classToType(cls: String, typeName: String): DataType = cls match {
+    case c if c.contains("StrField") => StringType
+    case c if c.contains("BoolField") => BooleanType
+    case c if c.contains("BinaryField") => BinaryType
+    case c if c.contains("IntPointField") || c.contains("TrieIntField") => IntegerType
+    case c if c.contains("FloatPointField") || c.contains("TrieFloatField") => FloatType
+    case c if c.contains("LongPointField") || c.contains("TrieLongField") => LongType
+    case c if c.contains("DoublePointField") || c.contains("TrieDoubleField") => DoubleType
+    case c if c.contains("DatePointField") || c.contains("TrieDateField") => TimestampType
+    case c if c.contains("TextField") => StringType // analyzed text
+    case _ => StringType
+  }
+
+  /**
+   * Parse a Solr-style schema.xml (the reference's external schema
+   * carrier, loaded via IndexSchema/SolrLocator — SolrLocator.java:
+   * 114-175, uniqueKey validation :177-184). Supports <fieldType>,
+   * <field> with indexed/stored/required/multiValued/docValues flags,
+   * <dynamicField> patterns and <uniqueKey>.
+   */
+  def fromSolrXml(xml: String): IndexSchema = {
+    val root = scala.xml.XML.loadString(xml)
+    def attr(n: scala.xml.Node, a: String, dflt: Boolean): Boolean =
+      n.attribute(a).map(_.text.trim.equalsIgnoreCase("true")).getOrElse(dflt)
+    val typeClasses = (root \\ "fieldType" ++ root \\ "fieldtype").map(t =>
+      (t \@ "name") -> (t \@ "class")).toMap
+    val fields = (root \\ "field").map { f =>
+      val tpe = f \@ "type"
+      IndexField(
+        name = f \@ "name",
+        dataType = classToType(typeClasses.getOrElse(tpe, ""), tpe),
+        multiValued = attr(f, "multiValued", dflt = false),
+        required = attr(f, "required", dflt = false),
+        indexed = attr(f, "indexed", dflt = true),
+        stored = attr(f, "stored", dflt = true),
+        docValues = attr(f, "docValues", dflt = false))
+    }
+    val dynamic = (root \\ "dynamicField").map(_ \@ "name")
+    val key = (root \\ "uniqueKey").text.trim
+    require(key.nonEmpty, "schema.xml has no <uniqueKey> (reference requires one)")
+    IndexSchema(key, fields,
+      if (dynamic.nonEmpty) dynamic else Seq("ignored_*"))
+  }
 }
