@@ -223,10 +223,14 @@ object SparkEntry {
       Tables.documents(s, d).select(col("doc_id"), ApproxDedup.simHash32(toks).as("simhash"))
     }),
 
-    // exact n-gram Jaccard on adjacent-doc pairs
+    // exact n-gram Jaccard on adjacent-doc pairs (shingle sets are
+    // distinct'd once and persisted so the self-join reads them
+    // instead of re-running tokenize+shingle on both sides)
     "q24_ngram_jaccard" -> ((s, d) => {
       val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
-      val sh = Tables.documents(s, d).select(col("doc_id"), ApproxDedup.shingles(toks, 3).as("sh"))
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), array_distinct(ApproxDedup.shingles(toks, 3)).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       sh.as("a").join(sh.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
           ApproxDedup.jaccard(col("a.sh"), col("b.sh")).as("jaccard"))

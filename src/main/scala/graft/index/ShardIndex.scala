@@ -32,15 +32,19 @@ object ShardIndex {
    * leave 0 = write final shards directly.
    */
   def write(df: DataFrame, idCol: String, out: String, shards: Int,
-            microShards: Int = 0): DataFrame = {
+            microShards: Int = 0, filesPerShard: Int = 1): DataFrame = {
     val router = HashRangeRouter(shards)
     val shardCol = format_string("%05d", router.shardCol(col(idCol)))
     val withShard = df.withColumn("shard", shardCol)
+    // Parallelism inside a shard: one task per shard would bottleneck a
+    // 100 TB build (a shard can be terabytes), so the exchange key is
+    // the micro-shard index — filesPerShard write tasks per shard, each
+    // emitting one file into the shard dir. Size filesPerShard ≈
+    // shardBytes / targetFileBytes on a cluster.
+    val splits = math.max(1, if (microShards > 0) microShards / shards else filesPerShard)
     val routed =
-      if (microShards > 0)
-        withShard.withColumn("micro", router.microShardCol(col(idCol), microShards))
-          .repartition(col("shard"), col("micro")).drop("micro")
-      else withShard.repartition(shards, col("shard"))
+      withShard.repartition(shards * splits,
+        router.microShardCol(col(idCol), shards * splits))
     routed
       .sortWithinPartitions(col("shard"), col(idCol).desc)
       .write.mode("overwrite").partitionBy("shard").parquet(out)

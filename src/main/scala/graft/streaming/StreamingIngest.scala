@@ -57,4 +57,63 @@ object StreamingIngest {
   def runToCompletion(q: StreamingQuery): Unit = {
     q.awaitTermination()
   }
+
+  /**
+   * Stateful gap-based sessionization over a stream —
+   * `flatMapGroupsWithState` with an event-time timeout: per-user
+   * state holds (sessionStart, lastSeen, count); a session row is
+   * emitted when the watermark passes lastSeen + gap. The custom-state
+   * path the batch window operator (SparkEntry q15) cannot express
+   * incrementally.
+   */
+  case class SessionState(start: Long, last: Long, count: Long)
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                        session_end: java.sql.Timestamp, n_events: Long)
+
+  def sessionizeStream(events: DataFrame, gapSeconds: Long = 1800,
+                       watermark: String = "2 hours"): org.apache.spark.sql.Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    // the watermark tag lives on the ts attribute — it must survive
+    // untouched into the grouping (casting it away = "no watermark")
+    val typed = events.withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, rawRows, state: GroupState[SessionState]) =>
+          val rows = rawRows.map { case (u, t) => (u, t.getTime / 1000) }
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(user,
+              new java.sql.Timestamp(s.start * 1000),
+              new java.sql.Timestamp(s.last * 1000), s.count))
+          } else {
+            val secs = rows.map(_._2).toSeq.sorted
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            secs.foreach { sec =>
+              cur match {
+                case Some(s) if sec - s.last <= gapSeconds =>
+                  cur = Some(s.copy(last = sec, count = s.count + 1))
+                case Some(s) =>
+                  closed ::= SessionOut(user,
+                    new java.sql.Timestamp(s.start * 1000),
+                    new java.sql.Timestamp(s.last * 1000), s.count)
+                  cur = Some(SessionState(sec, sec, 1))
+                case None =>
+                  cur = Some(SessionState(sec, sec, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.last + gapSeconds) * 1000)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
 }

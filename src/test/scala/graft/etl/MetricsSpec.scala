@@ -35,6 +35,19 @@ class MetricsSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() === spark.read.parquet(dir).count())
   }
 
+  test("multimodal decode stub: per-partition batched, deterministic features") {
+    val assets = graft.ops.Multimodal.readBinary(spark, TestSpark.sf, "*.parquet")
+    val decoded = graft.ops.Multimodal.decodeImages(spark, assets).collect()
+    assert(decoded.length === 10) // one per table file
+    decoded.foreach { d =>
+      assert(d.width >= 64 && d.height >= 64 && d.channels === 3)
+      assert(d.features.length === 8)
+    }
+    // deterministic: same bytes -> same features
+    val again = graft.ops.Multimodal.decodeImages(spark, assets).collect()
+    assert(decoded.map(_.features.toSeq).toSet === again.map(_.features.toSeq).toSet)
+  }
+
   test("S2 manifest source reads exactly the listed files") {
     val manifest = java.nio.file.Files.createTempFile("graft_manifest_", ".txt")
     java.nio.file.Files.writeString(manifest,
