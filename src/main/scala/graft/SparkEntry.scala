@@ -376,7 +376,21 @@ object SparkEntry {
     "q44_salted_dedup" -> ((s, d) =>
       Dedup.retainMostRecentSalted(Tables.events(s, d), Seq("user_id"),
           Seq("ts", "event_id"), saltBuckets = 16)
-        .select(col("user_id"), col("event_id"), col("event_type"), col("value")))
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))),
+
+    // embedding-cosine near-dup pairs (exact variant, DuckDB-checked;
+    // the scale path is the LSH-bucketed dropNearDuplicatesByEmbedding)
+    "q45_embedding_neardup" -> ((s, d) =>
+      Similarity.nearDupPairsExact(Tables.embeddings(s, d), threshold = 0.4)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine_r"))),
+
+    // IVF ANN (k-means cells + nprobe rescoring; oracle-free — cells
+    // depend on engine-side training)
+    "q46_ivf_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5, dim = 64, nprobe = 8)
+        .select(col("query_id"), col("rank"), col("corpus_id"))
+    })
   )
 
   // ---------------------------------------------------------------
@@ -630,6 +644,14 @@ object SparkEntry {
       """SELECT user_id, event_id, event_type, value FROM (
         | SELECT user_id, event_id, event_type, value,
         |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-        | FROM events) t WHERE rn = 1""".stripMargin
+        | FROM events) t WHERE rn = 1""".stripMargin,
+
+    "q45_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_dot_product(a.v, b.v) /
+        |   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+        | FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(cosine, 6) AS cosine_r FROM p WHERE cosine >= 0.4""".stripMargin
   )
 }

@@ -66,6 +66,109 @@ object Similarity {
   }
 
   /**
+   * Embedding-cosine near-duplicate pairs. `exact=true` scores every
+   * a<b pair — DuckDB-checkable, fine for corpora that fit a
+   * broadcast; the 100 TB path is `lshTopK`-style bucketing first and
+   * exact rescoring only inside buckets (`dropNearDuplicatesByEmbedding`
+   * composes that).
+   */
+  def nearDupPairsExact(df: DataFrame, threshold: Double,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).cast("array<double>").as("va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).cast("array<double>").as("vb"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Near-dup dedup by embedding: drop the larger id of every pair
+    * whose bucketed-LSH candidates rescore above the threshold. */
+  def dropNearDuplicatesByEmbedding(df: DataFrame, threshold: Double, dim: Int,
+                                    idCol: String = "vec_id",
+                                    vecCol: String = "embedding"): DataFrame = {
+    val losers = lshTopK(df, df, k = 64, dim = dim, idCol = idCol, vecCol = vecCol)
+      .filter(col("cosine") >= threshold && col("corpus_id") > col("query_id"))
+      .select(col("corpus_id").as("__loser")).distinct()
+    df.join(losers, col(idCol) === col("__loser"), "left_anti")
+  }
+
+  /**
+   * IVF (inverted-file) ANN: corpus coarse-quantized to `nlist`
+   * k-means centroids (trained driver-side on a bounded sample, Lloyd
+   * iterations, fixed seed); queries probe their `nprobe` nearest
+   * cells and rescore exactly inside them. The other classical ANN
+   * trade vs LSH: data-adaptive cells, recall ≈ probed mass.
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+              nlist: Int = 16, nprobe: Int = 4, sampleSize: Int = 2048,
+              seed: Long = 42L,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sample = corpus.select(col(vecCol).cast("array<double>")).limit(sampleSize)
+      .collect().map(_.getSeq[Double](0).toArray)
+    val centroids = kmeans(sample, nlist, iters = 8, seed)
+    def centroidCol(c: Array[Double]): Column = array(c.map(lit).toIndexedSeq: _*)
+    def dists(vec: Column): Seq[Column] =
+      centroids.map(c => -cosine(vec, centroidCol(c))) // min dist = max cosine
+    def nearestCell(vec: Column): Column = {
+      val ds = dists(vec)
+      val arr = array(ds.toIndexedSeq: _*)
+      (array_position(arr, array_min(arr)) - 1).cast("int")
+    }
+    val c = corpus.select(col(idCol).as("corpus_id"),
+        col(vecCol).cast("array<double>").as("cvec"))
+      .withColumn("cell", nearestCell(col("cvec")))
+    val q0 = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qvec"))
+    // nprobe nearest cells per query: rank the distance array
+    val q = q0.withColumn("cell",
+        explode(slice(transform(
+          array_sort(zip_with(
+            array(dists(col("qvec")).toIndexedSeq: _*),
+            sequence(lit(0), lit(nlist - 1)),
+            (d, i) => struct(d.as("d"), i.as("i")))),
+          x => x.getField("i")), 1, nprobe)))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cosine", cosine(col("qvec"), col("cvec")))
+      .select(col("query_id"), col("corpus_id"), col("cosine")).distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Driver-side Lloyd k-means over a bounded sample (deterministic). */
+  private[ops] def kmeans(sample: Array[Array[Double]], k: Int, iters: Int,
+                          seed: Long): Array[Array[Double]] = {
+    require(sample.nonEmpty, "empty k-means sample")
+    val dim = sample.head.length
+    val rnd = new scala.util.Random(seed)
+    var centroids = rnd.shuffle(sample.toVector).take(k).map(_.clone).toArray
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var i = 0
+        while (i < centroids.length) {
+          var d = 0.0; var j = 0
+          while (j < dim) { val x = v(j) - centroids(i)(j); d += x * x; j += 1 }
+          if (d < bestD) { bestD = d; best = i }
+          i += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+      }
+      centroids = centroids.indices.map { i =>
+        if (counts(i) == 0) centroids(i)
+        else sums(i).map(_ / counts(i))
+      }.toArray
+    }
+    centroids
+  }
+
+  /**
    * Multi-table LSH ANN (the classical design: L independent tables of
    * b hyperplane bits; a pair is a candidate if its signatures collide
    * in ANY table). Collision prob for angle θ is 1-(1-(1-θ/π)^b)^L —

@@ -33,6 +33,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(top.getAs[Double]("cosine") - 1.0) < 1e-9)
   }
 
+  test("IVF ANN recall@5 vs brute force; probing more cells helps") {
+    val emb = graft.Tables.embeddings(spark, TestSpark.sf)
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    def recallAt(nprobe: Int): Double = {
+      val approx = Similarity.ivfTopK(emb, queries, k = 5, dim = 64, nprobe = nprobe)
+        .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    val r8 = recallAt(8)
+    assert(r8 >= 0.4, s"recall@nprobe=8 = $r8")
+    assert(recallAt(16) === 1.0) // probing every cell == exact
+  }
+
+  test("embedding near-dup pairs: symmetric-free (a<b), thresholded") {
+    val emb = graft.Tables.embeddings(spark, TestSpark.sf)
+    val pairs = Similarity.nearDupPairsExact(emb, 0.4).collect()
+    assert(pairs.length === 66) // counted offline on the sf0.001 table
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
+      assert(r.getAs[Double]("cosine") >= 0.4)
+    }
+  }
+
   test("LSH ANN recall@5 >= 0.5 vs brute force on the embeddings table") {
     val emb = graft.Tables.embeddings(spark, TestSpark.sf)
     val queries = emb.filter(col("vec_id") < 10)
