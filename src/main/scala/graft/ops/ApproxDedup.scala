@@ -93,16 +93,18 @@ object ApproxDedup {
     val banded = sig.select(col("id"), col("sig"),
       explode(lshBands(col("sig"), bands, rows)).as("b"))
       .select(col("id"), col("sig"), col("b.band"), col("b.key"))
-    val pairs = banded.as("l").join(banded.as("r"),
+    // estimate BEFORE dedup so the distinct hashes three scalars per
+    // pair instead of two 32-int signature arrays (pairs colliding in
+    // several bands carry identical sigs, hence identical estimates)
+    banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.sig").as("sig_a"), col("r.sig").as("sig_b"))
-      .distinct()
-    pairs.withColumn("est_jaccard",
-        aggregate(zip_with(col("sig_a"), col("sig_b"), (a, b) => when(a === b, 1).otherwise(0)),
+        (aggregate(zip_with(col("l.sig"), col("r.sig"),
+            (a, b) => when(a === b, 1).otherwise(0)),
           lit(0), (acc, x) => acc + x).cast("double") / lit(numHashes.toDouble))
-      .drop("sig_a", "sig_b")
+          .as("est_jaccard"))
+      .distinct()
   }
 
   /**

@@ -19,11 +19,13 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** Sequential-order dot product — deterministic fp so oracles match. */
+  /** Sequential-order dot product (fused custom expression — same
+    * left-to-right fold as aggregate(zip_with), so deterministic fp
+    * and oracle-compatible, without the per-pair zipped array). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.ArrayDotProduct.array_dot(a, b)
 
-  def norm(a: Column): Column = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -34,13 +36,18 @@ object Similarity {
    */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // norms hoisted to one column per ROW (not per pair) — same
+    // arithmetic tree as cosine(), so results stay bit-identical while
+    // the per-pair work drops to a single dot product
     val c = corpus.select(col(idCol).as("corpus_id"),
-      col(vecCol).cast("array<double>").as("cvec"))
+        col(vecCol).cast("array<double>").as("cvec"))
+      .withColumn("cnorm", norm(col("cvec")))
     val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).cast("array<double>").as("qvec"))
+        col(vecCol).cast("array<double>").as("qvec"))
+      .withColumn("qnorm", norm(col("qvec")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("corpus_id"))
-      .withColumn("cosine", cosine(col("qvec"), col("cvec")))
+      .withColumn("cosine", dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -75,9 +82,11 @@ object Similarity {
   def nearDupPairsExact(df: DataFrame, threshold: Double,
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val a = df.select(col(idCol).as("id_a"), col(vecCol).cast("array<double>").as("va"))
+      .withColumn("na", norm(col("va")))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).cast("array<double>").as("vb"))
+      .withColumn("nb", norm(col("vb")))
     a.join(broadcast(b), col("id_a") < col("id_b"))
-      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
@@ -117,9 +126,11 @@ object Similarity {
     }
     val c = corpus.select(col(idCol).as("corpus_id"),
         col(vecCol).cast("array<double>").as("cvec"))
+      .withColumn("cnorm", norm(col("cvec")))
       .withColumn("cell", nearestCell(col("cvec")))
     val q0 = queries.select(col(idCol).as("query_id"),
-      col(vecCol).cast("array<double>").as("qvec"))
+        col(vecCol).cast("array<double>").as("qvec"))
+      .withColumn("qnorm", norm(col("qvec")))
     // nprobe nearest cells per query: rank the distance array
     val q = q0.withColumn("cell",
         explode(slice(transform(
@@ -130,7 +141,7 @@ object Similarity {
           x => x.getField("i")), 1, nprobe)))
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("corpus_id"))
-      .withColumn("cosine", cosine(col("qvec"), col("cvec")))
+      .withColumn("cosine", dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
       .select(col("query_id"), col("corpus_id"), col("cosine")).distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id").asc)
@@ -186,9 +197,11 @@ object Similarity {
               tables: Int = 16, bits: Int = 6, seed: Long = 42L,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"),
-      col(vecCol).cast("array<double>").as("cvec"))
+        col(vecCol).cast("array<double>").as("cvec"))
+      .withColumn("cnorm", norm(col("cvec")))
     val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).cast("array<double>").as("qvec"))
+        col(vecCol).cast("array<double>").as("qvec"))
+      .withColumn("qnorm", norm(col("qvec")))
     def sigs(vec: Column): Column = array((0 until tables).map(t =>
       struct(lit(t).as("t"),
         hyperplaneSignature(vec, dim, bits, seed + t * 7919L).as("bucket"))): _*)
@@ -202,7 +215,7 @@ object Similarity {
     val scored = pairs
       .join(c, Seq("corpus_id"))
       .join(broadcast(q), Seq("query_id"))
-      .withColumn("cosine", cosine(col("qvec"), col("cvec")))
+      .withColumn("cosine", dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
       .select(col("query_id"), col("corpus_id"), col("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id").asc)
