@@ -1,0 +1,46 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.index.ShardIndex
+import graft.schema.IndexSchema
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Top-level facade: the one-call equivalent of the reference's
+ * MapReduceIndexerTool run (randomize → ETL → dedup → route → index →
+ * merge, MapReduceIndexerTool.java:113-150), for users switching from
+ * the reference. Each stage is the library operator documented in its
+ * own module; this just sequences them over one Catalyst plan + one
+ * shuffle.
+ */
+object Graft {
+
+  /**
+   * Build a queryable shard store from documents.
+   *
+   * @param docs     input documents (any DataFrame)
+   * @param schema   index schema; unknown columns are quarantined to
+   *                 `ignored_*` (dropped unless the pattern accepts them),
+   *                 single-valued fields enforced, unique key required
+   * @param out      store directory (one `shard=NNNNN` dir per shard)
+   * @param shards   final shard count (SolrCloud-compatible routing)
+   * @param orderBy  dedup recency column (reference default:
+   *                 file_last_modified); None = reject on conflicts
+   */
+  def buildIndex(docs: DataFrame, schema: IndexSchema, out: String, shards: Int,
+                 orderBy: Option[Column], filesPerShard: Int = 1): DataFrame = {
+    val sanitized = schema.enforceCardinality(
+      schema.sanitize(docs, renamePrefix = Some("ignored_")))
+    val validated = schema.validate(sanitized)
+    val deduped = orderBy match {
+      case Some(ts) => Dedup.retainMostRecent(validated, Seq(col(schema.uniqueKey)), ts)
+      case None => Dedup.rejectOnConflict(validated, Seq(col(schema.uniqueKey)))
+    }
+    ShardIndex.write(deduped, schema.uniqueKey, out, shards, filesPerShard = filesPerShard)
+  }
+
+  /** Open a built store for querying. */
+  def openIndex(spark: SparkSession, path: String): DataFrame =
+    ShardIndex.read(spark, path)
+}

@@ -390,6 +390,19 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5, dim = 64, nprobe = 8)
         .select(col("query_id"), col("rank"), col("corpus_id"))
+    }),
+
+    // token statistics (whitespace + BPE-ish subword estimate)
+    "q47_token_stats" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.whitespaceTokenCount(col("text")).cast("long").as("ws_tokens"),
+        TextAnalysis.subwordCountEstimate(col("text")).cast("long").as("subword_est"))),
+
+    // winnowing (rolling-hash) fingerprints; hash-dependent -> rows-only
+    "q48_winnowing" -> ((s, d) => {
+      val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+      Tables.documents(s, d).select(col("doc_id"),
+        size(TextAnalysis.winnowingFingerprints(toks)).as("n_fingerprints"))
     })
   )
 
@@ -645,6 +658,15 @@ object SparkEntry {
         | SELECT user_id, event_id, event_type, value,
         |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         | FROM events) t WHERE rn = 1""".stripMargin,
+
+    "q47_token_stats" ->
+      """SELECT doc_id,
+        | CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+        | CAST(COALESCE(list_aggregate(list_transform(
+        |   regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |   x -> greatest(1, CAST(ceil(length(x)/4.0) AS INTEGER))), 'sum'), 0)
+        |  + length(regexp_replace(text, '[a-zA-Z0-9\s]+', '', 'g')) AS BIGINT) AS subword_est
+        |FROM documents""".stripMargin,
 
     "q45_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -171,6 +171,18 @@ object Etl {
    * Normalization: left-pad every digit run to 20 so lexicographic
    * order == alphanumeric order; usable in orderBy at any scale.
    */
+  /**
+   * Per-row fault tolerance (reference posture: recoverable-exception
+   * allowlist + production mode, MorphlineMapRunner.java:110-114;
+   * SolrReducer.java:128-148): split a frame into (valid, quarantined)
+   * on a validity predicate so bad rows are preserved for inspection
+   * instead of failing the job or silently vanishing. Both sides are
+   * filters over the same scan — Catalyst reuses the exchange.
+   */
+  def quarantine(df: DataFrame, valid: Column): (DataFrame, DataFrame) =
+    (df.filter(coalesce(valid, lit(false))),
+      df.filter(!coalesce(valid, lit(false))))
+
   def alphaNumOrderKey(c: Column): Column = {
     // pad each digit run with zeros to width 20: split into runs via
     // regexp_replace with a callback is unavailable in SQL, so use the

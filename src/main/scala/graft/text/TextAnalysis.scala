@@ -115,4 +115,23 @@ object TextAnalysis {
   /** Term frequency over a tokenized corpus: explode + count — the
     * inverted-index-ish view of the shard store. */
   def termFrequencies(tokens: Column): Column = explode(tokens)
+
+  /**
+   * Winnowing fingerprints (Schleimer/Wilkerson/Aiken): hash every
+   * k-gram shingle (rolling-hash role played by the reusable murmur
+   * expression), slide a window of `w` hashes, keep each window's
+   * minimum, dedup. Guarantees a shared fingerprint for any match of
+   * length >= w+k-1 — the standard plagiarism/near-dup signature that,
+   * unlike one md5 per doc, localizes partial overlap. Pure column
+   * expressions; output is array<int> per document.
+   */
+  def winnowingFingerprints(tokens: Column, k: Int = 3, w: Int = 4): Column = {
+    val hashes = graft.ops.ApproxDedup.shingleHashes(
+      graft.ops.ApproxDedup.shingles(tokens, k))
+    val n = size(hashes)
+    val mins = when(n <= w, array(array_min(hashes)))
+      .otherwise(transform(sequence(lit(0), n - w),
+        i => array_min(slice(hashes, i + lit(1), lit(w)))))
+    array_distinct(mins)
+  }
 }

@@ -1,0 +1,59 @@
+package graft
+
+import graft.etl.Etl
+import graft.schema.{IndexField, IndexSchema}
+import graft.text.TextAnalysis
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftFacadeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("buildIndex: sanitize + validate + dedup + route + store in one call") {
+    val schema = IndexSchema("id", Seq(
+      IndexField("id", StringType, required = true),
+      IndexField("value", StringType),
+      IndexField("ts", LongType)))
+    val docs = Seq(
+      ("a", "old", 1L, "junk"), ("a", "new", 2L, "junk"),
+      ("b", "only", 1L, "junk")).toDF("id", "value", "ts", "unknown_col")
+    val out = java.nio.file.Files.createTempDirectory("graft_facade_").toString
+    Graft.buildIndex(docs, schema, out, shards = 2, orderBy = Some(col("ts")))
+    val store = Graft.openIndex(spark, out)
+    assert(store.count() === 2)
+    assert(!store.columns.contains("unknown_col"))
+    val a = store.filter(col("id") === "a").collect().head
+    assert(a.getAs[String]("value") === "new")
+    // reject mode throws on the conflicting input
+    intercept[IllegalArgumentException] {
+      Graft.buildIndex(docs, schema,
+        java.nio.file.Files.createTempDirectory("graft_facade2_").toString,
+        shards = 2, orderBy = None)
+    }
+  }
+
+  test("quarantine splits valid/invalid preserving all rows") {
+    val df = Seq(("1", "ok"), (null, "no-key"), ("3", "ok2")).toDF("id", "v")
+    val (valid, bad) = Etl.quarantine(df, col("id").isNotNull)
+    assert(valid.count() === 2 && bad.count() === 1)
+    assert(bad.select("v").as[String].collect().toSeq === Seq("no-key"))
+  }
+
+  test("winnowing fingerprints: shared fingerprints for overlapping docs") {
+    val toks = (s: String) => s.split(" ").toSeq
+    val df = Seq(
+      (1L, toks("the quick brown fox jumps over the lazy dog tonight again")),
+      (2L, toks("prefix words then the quick brown fox jumps over the lazy dog tonight again")),
+      (3L, toks("completely unrelated content with different words entirely here"))
+    ).toDF("id", "toks")
+    val fps = df.select(col("id"),
+        TextAnalysis.winnowingFingerprints(col("toks")).as("fp"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val shared12 = fps(1L).toSet intersect fps(2L).toSet
+    val shared13 = fps(1L).toSet intersect fps(3L).toSet
+    assert(shared12.nonEmpty, "overlapping docs must share fingerprints")
+    assert(shared13.isEmpty, "unrelated docs must not")
+  }
+}
