@@ -401,8 +401,11 @@ object SparkEntry {
     // winnowing (rolling-hash) fingerprints; hash-dependent -> rows-only
     "q48_winnowing" -> ((s, d) => {
       val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
-      Tables.documents(s, d).select(col("doc_id"),
-        size(TextAnalysis.winnowingFingerprints(toks)).as("n_fingerprints"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          ApproxDedup.shingleHashes(ApproxDedup.shingles(toks, 3)).as("hs"))
+        .select(col("doc_id"),
+          size(TextAnalysis.winnowingFingerprints(col("hs"))).as("n_fingerprints"))
     })
   )
 

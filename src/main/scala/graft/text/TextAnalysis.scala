@@ -117,21 +117,23 @@ object TextAnalysis {
   def termFrequencies(tokens: Column): Column = explode(tokens)
 
   /**
-   * Winnowing fingerprints (Schleimer/Wilkerson/Aiken): hash every
-   * k-gram shingle (rolling-hash role played by the reusable murmur
-   * expression), slide a window of `w` hashes, keep each window's
-   * minimum, dedup. Guarantees a shared fingerprint for any match of
-   * length >= w+k-1 — the standard plagiarism/near-dup signature that,
-   * unlike one md5 per doc, localizes partial overlap. Pure column
-   * expressions; output is array<int> per document.
+   * Winnowing fingerprints (Schleimer/Wilkerson/Aiken): slide a window
+   * of `w` over the k-gram shingle hashes, keep each window's minimum,
+   * dedup. Guarantees a shared fingerprint for any match of length >=
+   * w+k-1 — the standard plagiarism/near-dup signature that, unlike
+   * one md5 per doc, localizes partial overlap.
+   *
+   * Takes the PRE-HASHED shingle array (`ApproxDedup.shingleHashes(
+   * ApproxDedup.shingles(tokens, k))` staged as its own column): an
+   * expression tree embedded here would be re-evaluated inside the
+   * per-window lambda — O(windows × shingles) murmur calls per doc —
+   * while an attribute reference is read once per row.
    */
-  def winnowingFingerprints(tokens: Column, k: Int = 3, w: Int = 4): Column = {
-    val hashes = graft.ops.ApproxDedup.shingleHashes(
-      graft.ops.ApproxDedup.shingles(tokens, k))
-    val n = size(hashes)
-    val mins = when(n <= w, array(array_min(hashes)))
+  def winnowingFingerprints(hashedShingles: Column, w: Int = 4): Column = {
+    val n = size(hashedShingles)
+    val mins = when(n <= w, array(array_min(hashedShingles)))
       .otherwise(transform(sequence(lit(0), n - w),
-        i => array_min(slice(hashes, i + lit(1), lit(w)))))
+        i => array_min(slice(hashedShingles, i + lit(1), lit(w)))))
     array_distinct(mins)
   }
 }

@@ -48,8 +48,11 @@ class GraftFacadeSpec extends AnyFunSuite {
       (2L, toks("prefix words then the quick brown fox jumps over the lazy dog tonight again")),
       (3L, toks("completely unrelated content with different words entirely here"))
     ).toDF("id", "toks")
-    val fps = df.select(col("id"),
-        TextAnalysis.winnowingFingerprints(col("toks")).as("fp"))
+    import graft.ops.ApproxDedup
+    val fps = df
+      .select(col("id"),
+        ApproxDedup.shingleHashes(ApproxDedup.shingles(col("toks"), 3)).as("hs"))
+      .select(col("id"), TextAnalysis.winnowingFingerprints(col("hs")).as("fp"))
       .as[(Long, Seq[Long])].collect().toMap
     val shared12 = fps(1L).toSet intersect fps(2L).toSet
     val shared13 = fps(1L).toSet intersect fps(3L).toSet
