@@ -406,6 +406,27 @@ object SparkEntry {
           ApproxDedup.shingleHashes(ApproxDedup.shingles(toks, 3)).as("hs"))
         .select(col("doc_id"),
           size(TextAnalysis.winnowingFingerprints(col("hs"))).as("n_fingerprints"))
+    }),
+
+    // the flagship build dataflow end-to-end (what the reference's
+    // whole MR job chain does), timed by Bench: sanitize -> validate
+    // -> dedup -> route -> 8-shard store write -> match-all read-back.
+    // Rows-only (shard membership is hash-defined).
+    "q49_build_index" -> ((s, d) => {
+      import graft.schema.{IndexField, IndexSchema}
+      import org.apache.spark.sql.types._
+      val schema = IndexSchema("id", Seq(
+        IndexField("id", StringType, required = true),
+        IndexField("l_quantity", DoubleType),
+        IndexField("l_extendedprice", DoubleType),
+        IndexField("l_returnflag", StringType),
+        IndexField("l_shipdate", TimestampType)))
+      val docs = Tables.lineitem(s, d)
+        .withColumn("id", concat(col("l_orderkey"), lit("#"), col("l_linenumber")))
+      val out = java.nio.file.Files.createTempDirectory("graft_q49_").toString
+      Graft.buildIndex(docs, schema, out, shards = 8,
+        orderBy = Some(col("l_shipdate")), filesPerShard = 2)
+      ShardIndex.matchAllCounts(Graft.openIndex(s, out))
     })
   )
 
