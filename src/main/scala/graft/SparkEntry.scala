@@ -408,6 +408,21 @@ object SparkEntry {
           size(TextAnalysis.winnowingFingerprints(col("hs"))).as("n_fingerprints"))
     }),
 
+    // composite-id (tenant!doc) routing: all docs of a tenant land in
+    // the same shard neighbourhood — multi-tenant co-location the
+    // CompositeIdRouter exists for. Rows-only (hash-defined).
+    "q50_composite_route" -> ((s, d) => {
+      val router = HashRangeRouter(8)
+      Tables.documents(s, d)
+        .withColumn("cid", concat(col("source"), lit("!"), col("doc_id")))
+        .groupBy(col("source"),
+          router.shardCol(col("cid")).as("shard"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("shard")).as("n_shards"), sum(col("cnt")).as("docs"))
+        .orderBy(col("source"))
+    }),
+
     // the flagship build dataflow end-to-end (what the reference's
     // whole MR job chain does), timed by Bench: sanitize -> validate
     // -> dedup -> route -> 8-shard store write -> match-all read-back.

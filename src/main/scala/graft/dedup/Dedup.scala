@@ -31,9 +31,22 @@ object Dedup {
    * deterministic in a parallel engine).
    */
   def retainMostRecent(df: DataFrame, key: Seq[Column], orderBy: Column,
-                       tiebreakers: Column* ): DataFrame = {
+                       tiebreakers: Column* ): DataFrame =
+    retainMostRecentNulls(df, key, orderBy, nullsFirst = false, tiebreakers: _*)
+
+  /**
+   * A5 ordering control: the reference's SolrInputDocumentComparator
+   * is null-FIRST (SolrInputDocumentComparator.java:39-55), i.e. a row
+   * missing the order field loses to any row that has one — but when
+   * ALL rows miss it, one still survives. `nullsFirst = false`
+   * (default) keeps that semantic under a descending scan
+   * (desc_nulls_last); `true` makes missing values win instead.
+   */
+  def retainMostRecentNulls(df: DataFrame, key: Seq[Column], orderBy: Column,
+                            nullsFirst: Boolean, tiebreakers: Column*): DataFrame = {
+    def ord(c: Column) = if (nullsFirst) c.desc_nulls_first else c.desc_nulls_last
     val w = Window.partitionBy(key: _*)
-      .orderBy((orderBy.desc_nulls_last +: tiebreakers.map(_.desc_nulls_last)): _*)
+      .orderBy((ord(orderBy) +: tiebreakers.map(ord)): _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Plan-shape regression tests: lock in the physical properties the
+ * 100 TB posture depends on (README "100 TB posture"). A code change
+ * that silently turns a broadcast join into a shuffle join, or stops
+ * a filter from reaching the scan, fails HERE, not in production.
+ */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, TestSpark.sf).queryExecution.executedPlan.toString
+
+  test("q11 term query: predicate pushed to the parquet scan") {
+    val p = plan("q11_term_query")
+    assert(p.contains("PushedFilters") && p.contains("StringContains"), p.take(1500))
+  }
+
+  test("q02 aggregation: map-side partial aggregation before the exchange") {
+    val p = plan("q02_pricing_summary")
+    assert(p.contains("partial_sum"), p.take(1500))
+  }
+
+  test("q14 join: both dimensions broadcast, no shuffle join") {
+    val p = plan("q14_join_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
+
+  test("q12 shard counts: custom shard expression aggregated before exchange") {
+    val p = plan("q12_shard_counts")
+    assert(p.contains("solr_shard"), p.take(1500))
+    assert(p.contains("partial_count"), p.take(1500))
+  }
+
+  test("q25 ANN: fused array_dot in the plan, query side broadcast") {
+    val p = plan("q25_cosine_topk")
+    assert(p.contains("array_dot"), p.take(2000))
+    assert(p.contains("Broadcast"), p.take(2000))
+  }
+
+  test("q01 match-all: scan reads no data columns (count pushdown shape)") {
+    val p = plan("q01_match_all")
+    assert(p.contains("ReadSchema: struct<>"), p.take(1500))
+  }
+
+  test("whole-stage codegen present in scan-heavy queries") {
+    for (q <- Seq("q11_term_query", "q07_convert_timestamp", "q20_fingerprint")) {
+      assert(plan(q).contains("*(1)"), q) // codegen stages render as *(n)
+    }
+  }
+}

@@ -45,6 +45,17 @@ class DedupSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("A5 null ordering: rows with a value beat missing-value rows by default") {
+    val df = Seq(("k", Some(5L), "has"), ("k", None, "missing"),
+      ("only-null", None, "survives")).toDF("id", "ts", "tag")
+    val kept = Dedup.retainMostRecent(df, Seq(col("id")), col("ts"))
+      .select("tag").as[String].collect().toSet
+    assert(kept === Set("has", "survives"))
+    val nullsWin = Dedup.retainMostRecentNulls(df, Seq(col("id")), col("ts"),
+      nullsFirst = true).select("tag").as[String].collect().toSet
+    assert(nullsWin === Set("missing", "survives"))
+  }
+
   test("exactByContent dedups by content hash keeping first by keep-order") {
     val df = Seq(("x", 2, "keep2"), ("x", 1, "keep1"), ("y", 9, "only"))
       .toDF("content", "ord", "tag")

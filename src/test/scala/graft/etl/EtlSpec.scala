@@ -84,6 +84,13 @@ class EtlSpec extends AnyFunSuite {
     assert(p1 !== (1 to 20).map(_.toString)) // actually permuted
   }
 
+  test("P3 addValues appends to multivalued fields, null-safe") {
+    val df = Seq((Seq("a"), 1), (null, 2)).toDF("tags", "i")
+    val got = Etl.addValues(df, "tags", array(lit("x")))
+      .select("tags").as[Seq[String]].collect().toSeq
+    assert(got === Seq(Seq("a", "x"), Seq("x")))
+  }
+
   test("flattenStructs explodes struct columns into prefixed columns") {
     val df = spark.sql("SELECT 1 AS a, named_struct('x', 2, 'y', 'z') AS s")
     val got = Etl.flattenStructs(df)

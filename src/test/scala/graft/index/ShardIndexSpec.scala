@@ -59,6 +59,18 @@ class ShardIndexSpec extends AnyFunSuite {
     assert(viaStore === direct)
   }
 
+  test("multivalued (array) columns round-trip through the shard store") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_test_mv_").toString
+    val docs = Tables.documents(spark, TestSpark.sf).limit(200)
+      .withColumn("id", col("doc_id").cast("string"))
+      .withColumn("toks", org.apache.spark.sql.functions.split(col("text"), " "))
+    ShardIndex.write(docs, "id", dir, shards = 2)
+    val back = ShardIndex.read(spark, dir)
+    assert(back.count() === 200)
+    val row = back.filter(col("id") === "5").collect().head
+    assert(row.getAs[scala.collection.Seq[String]]("toks").nonEmpty)
+  }
+
   test("micro-shard layout: microShards spread within root shards") {
     val dir = java.nio.file.Files.createTempDirectory("graft_test_micro_").toString
     val docs = Tables.lineitem(spark, TestSpark.sf)
