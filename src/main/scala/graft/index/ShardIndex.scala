@@ -74,6 +74,23 @@ object ShardIndex {
     spark.read.parquet(path)
 
   /**
+   * Bucketed variant: persist the docs bucketed BY THE KEY so
+   * key-equi-joins and key aggregations against the table need no
+   * exchange at all (Spark reads bucket files as pre-shuffled input).
+   * This is the co-located-join lever for repeated 100 TB joins — pay
+   * the shuffle once at write, never again. Requires a table catalog
+   * (saveAsTable), so it complements — not replaces — the
+   * directory-addressed shard store.
+   */
+  def writeBucketed(df: DataFrame, idCol: String, table: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, idCol)
+      .sortBy(idCol)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /**
    * M2 segment-optimize analog (`--max-segments` forceMerge,
    * MapReduceIndexerTool.java:317-331; BatchWriter.java:203-218):
    * rewrite the store with each shard compacted to one file — fewer
