@@ -42,6 +42,30 @@ object ApproxDedup {
   def shingleHashes(shingleCol: Column): Column =
     transform(shingleCol, s => hashCol(s).cast("long"))
 
+  /** Murmur-hash each TOKEN once (array<long>). */
+  def tokenHashes(tokens: Column): Column =
+    transform(tokens, t => hashCol(t).cast("long"))
+
+  /**
+   * Shingle hashes from PRE-HASHED tokens (an attribute column, not an
+   * expression tree — see the lambda-recompute trap in minHashCandidates):
+   * the w token hashes of each window combine arithmetically
+   * (polynomial rolling mix), so no shingle string is ever built and
+   * no murmur runs per window — string hashing is O(tokens), shingling
+   * is pure integer work. Same near-dup behavior as string shingles
+   * (both are exact-match fingerprints of the w-gram).
+   */
+  def shingleHashesFromTokenHashes(tokenHashCol: Column, w: Int = 3): Column = {
+    val n = size(tokenHashCol)
+    val p = 2147483647L // keep acc < 2^31 so acc*1000003+h never overflows (ANSI mode throws)
+    def step(acc: Column, h: Column): Column = pmod(acc * 1000003L + h, lit(p))
+    val mixAll = aggregate(tokenHashCol, lit(1L), step)
+    when(n < w, array(mixAll))
+      .otherwise(transform(sequence(lit(0), n - w),
+        i => (0 until w).foldLeft(lit(1L): Column)(
+          (acc, j) => step(acc, element_at(tokenHashCol, i + lit(j + 1))))))
+  }
+
   private def hashParams(numHashes: Int, seed: Int): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(numHashes)((1 + rnd.nextInt(Int.MaxValue - 1)).toLong ->
@@ -86,8 +110,11 @@ object ApproxDedup {
     val rows = numHashes / bands
     // signatures are tiny (numHashes ints per doc): persist them so the
     // LSH self-join below reads them twice instead of recomputing the
-    // tokenize→shingle→hash pipeline on both sides
-    val sig = df.select(id.as("id"), shingleHashes(shingles(tokens)).as("hs"))
+    // tokenize→shingle→hash pipeline on both sides. Every intermediate
+    // array is staged as its OWN column — an expression tree referenced
+    // inside a per-element lambda re-evaluates per element.
+    val sig = df.select(id.as("id"), tokenHashes(tokens).as("__th"))
+      .select(col("id"), shingleHashesFromTokenHashes(col("__th")).as("hs"))
       .select(col("id"), minHashSignature(col("hs"), numHashes).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sig.select(col("id"), col("sig"),
