@@ -408,6 +408,13 @@ object SparkEntry {
           size(TextAnalysis.winnowingFingerprints(col("hs"))).as("n_fingerprints"))
     }),
 
+    // exact percentiles per group (quality-score distribution shape)
+    "q51_percentiles" -> ((s, d) =>
+      Tables.events(s, d).groupBy(col("event_type")).agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"),
+        min(col("value")).as("vmin"), max(col("value")).as("vmax"))),
+
     // composite-id (tenant!doc) routing: all docs of a tenant land in
     // the same shard neighbourhood — multi-tenant co-location the
     // CompositeIdRouter exists for. Rows-only (hash-defined).
@@ -706,6 +713,12 @@ object SparkEntry {
         |   x -> greatest(1, CAST(ceil(length(x)/4.0) AS INTEGER))), 'sum'), 0)
         |  + length(regexp_replace(text, '[a-zA-Z0-9\s]+', '', 'g')) AS BIGINT) AS subword_est
         |FROM documents""".stripMargin,
+
+    "q51_percentiles" ->
+      """SELECT event_type, quantile_cont(value, 0.5) AS p50,
+        | quantile_cont(value, 0.9) AS p90,
+        | min(value) AS vmin, max(value) AS vmax
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q45_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
