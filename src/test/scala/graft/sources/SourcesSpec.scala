@@ -53,6 +53,45 @@ class SourcesSpec extends AnyFunSuite {
     assert(tagCount.getAs[Long]("count") === 25)
   }
 
+  test("S6 Avro extended types: enum, map, fixed, nested record") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro2_").toString
+    val schemaJson =
+      """{"type":"record","name":"rich","fields":[
+        | {"name":"id","type":"long"},
+        | {"name":"color","type":{"type":"enum","name":"Color","symbols":["RED","BLUE"]}},
+        | {"name":"props","type":{"type":"map","values":"int"}},
+        | {"name":"digest","type":{"type":"fixed","name":"D4","size":4}},
+        | {"name":"inner","type":{"type":"record","name":"Inner","fields":[
+        |   {"name":"x","type":"int"},{"name":"y","type":["null","string"]}]}}
+        |]}""".stripMargin
+    val schema = new Schema.Parser().parse(schemaJson)
+    val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, new java.io.File(s"$dir/rich.avro"))
+    val r = new GenericData.Record(schema)
+    r.put("id", 1L)
+    r.put("color", new GenericData.EnumSymbol(schema.getField("color").schema(), "BLUE"))
+    val m = new java.util.HashMap[String, Integer](); m.put("a", 7)
+    r.put("props", m)
+    r.put("digest", new GenericData.Fixed(schema.getField("digest").schema(),
+      Array[Byte](1, 2, 3, 4)))
+    val inner = new GenericData.Record(schema.getField("inner").schema())
+    inner.put("x", 42); inner.put("y", null)
+    r.put("inner", inner)
+    w.append(r); w.close()
+
+    val df = AvroSource.read(spark, s"$dir/*.avro")
+    val row = df.collect().head
+    assert(row.getAs[String]("color") === "BLUE")
+    assert(row.getAs[Map[String, Int]]("props") === Map("a" -> 7))
+    assert(row.getAs[Array[Byte]]("digest").toSeq === Seq[Byte](1, 2, 3, 4))
+    val in = row.getAs[org.apache.spark.sql.Row]("inner")
+    assert(in.getAs[Int]("x") === 42 && in.isNullAt(in.fieldIndex("y")))
+    // P2 extractAvroTree ≙ flattenStructs over the nested record
+    val flat = graft.etl.Etl.flattenStructs(df)
+    assert(flat.columns.contains("inner_x"))
+  }
+
   test("S11 unpack: zip explodes to one row per inner file") {
     val bos = new java.io.ByteArrayOutputStream()
     val z = new java.util.zip.ZipOutputStream(bos)
