@@ -24,6 +24,34 @@ import org.apache.spark.sql.types.{DecimalType, IntegerType, LongType, StringTyp
  *    on both sides (IEEE ops are exactly rounded → bit-equal);
  *  - counts/row_numbers are cast to BIGINT to match DuckDB's widths.
  */
+/** Typed row for the Dataset[T] surface (q53). */
+case class Event(event_id: Long, user_id: Long, event_type: String, value: Double)
+
+/** Aggregator[IN, BUF, OUT] instances — the typed custom-aggregate
+  * surface (partial-merge capable, unlike mapGroups). */
+object TypedAggs {
+  import org.apache.spark.sql.{Encoder, Encoders, TypedColumn}
+  import org.apache.spark.sql.expressions.Aggregator
+
+  val userIdSum: TypedColumn[Event, Long] = new Aggregator[Event, Long, Long] {
+    def zero: Long = 0L
+    def reduce(b: Long, e: Event): Long = b + e.user_id
+    def merge(a: Long, b: Long): Long = a + b
+    def finish(r: Long): Long = r
+    def bufferEncoder: Encoder[Long] = Encoders.scalaLong
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }.toColumn
+
+  val rowCount: TypedColumn[Event, Long] = new Aggregator[Event, Long, Long] {
+    def zero: Long = 0L
+    def reduce(b: Long, e: Event): Long = b + 1
+    def merge(a: Long, b: Long): Long = a + b
+    def finish(r: Long): Long = r
+    def bufferEncoder: Encoder[Long] = Encoders.scalaLong
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }.toColumn
+}
+
 object SparkEntry {
 
   /**
@@ -408,6 +436,26 @@ object SparkEntry {
           size(TextAnalysis.winnowingFingerprints(col("hs"))).as("n_fingerprints"))
     }),
 
+    // cube grouping sets (all subtotal combinations)
+    "q52_cube" -> ((s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("total"))),
+
+    // typed Dataset[T] aggregation — case-class Encoders + the
+    // Aggregator[IN, BUF, OUT] custom-aggregate surface (the engine's
+    // UDAF plug-point, ≙ the reference's UpdateConflictResolver SPI)
+    "q53_typed_events" -> ((s, d) => {
+      import s.implicits._
+      val ds = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .as[Event]
+      ds.groupByKey(_.event_type)
+        .agg(TypedAggs.rowCount.name("n"), TypedAggs.userIdSum.name("user_id_sum"))
+        .toDF("event_type", "n", "user_id_sum")
+    }),
+
     // exact percentiles per group (quality-score distribution shape)
     "q51_percentiles" -> ((s, d) =>
       Tables.events(s, d).groupBy(col("event_type")).agg(
@@ -713,6 +761,15 @@ object SparkEntry {
         |   x -> greatest(1, CAST(ceil(length(x)/4.0) AS INTEGER))), 'sum'), 0)
         |  + length(regexp_replace(text, '[a-zA-Z0-9\s]+', '', 'g')) AS BIGINT) AS subword_est
         |FROM documents""".stripMargin,
+
+    "q52_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+        | sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q53_typed_events" ->
+      """SELECT event_type, count(*) AS n, sum(user_id) AS user_id_sum
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q51_percentiles" ->
       """SELECT event_type, quantile_cont(value, 0.5) AS p50,
