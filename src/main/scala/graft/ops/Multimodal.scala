@@ -92,6 +92,21 @@ object Multimodal {
   }
 
   /**
+   * Resize planning: aspect-preserving target dimensions capped at
+   * `maxDim` (the Spark-side arithmetic of a resize stage — the pixel
+   * resample itself belongs in the decode codec, see decodeImages).
+   * Never upscales.
+   */
+  def resizePlan(df: DataFrame, widthCol: String, heightCol: String,
+                 maxDim: Int = 512): DataFrame = {
+    val w = col(widthCol).cast("double")
+    val h = col(heightCol).cast("double")
+    val scale = least(lit(1.0), lit(maxDim.toDouble) / greatest(w, h))
+    df.withColumn("target_width", greatest(lit(1), round(w * scale).cast("int")))
+      .withColumn("target_height", greatest(lit(1), round(h * scale).cast("int")))
+  }
+
+  /**
    * Frame-sampling plan for video assets: every `everyNth` frame index
    * up to `maxFrames` — the explode pattern that turns one video row
    * into N frame rows with bounded fan-out (bound it BEFORE the

@@ -48,6 +48,17 @@ class MetricsSpec extends AnyFunSuite {
     assert(decoded.map(_.features.toSeq).toSet === again.map(_.features.toSeq).toSet)
   }
 
+  test("resize plan: aspect preserved, capped, never upscaled") {
+    import spark.implicits._
+    val df = Seq((1, 2048, 1024), (2, 100, 50), (3, 512, 512)).toDF("id", "w", "h")
+    val got = graft.ops.Multimodal.resizePlan(df, "w", "h", maxDim = 512)
+      .select("id", "target_width", "target_height")
+      .as[(Int, Int, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1) === ((512, 256)))  // downscaled, aspect kept
+    assert(got(2) === ((100, 50)))   // small image untouched
+    assert(got(3) === ((512, 512)))  // exactly at cap
+  }
+
   test("S2 manifest source reads exactly the listed files") {
     val manifest = java.nio.file.Files.createTempFile("graft_manifest_", ".txt")
     java.nio.file.Files.writeString(manifest,
