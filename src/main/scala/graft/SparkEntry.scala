@@ -436,6 +436,27 @@ object SparkEntry {
           size(TextAnalysis.winnowingFingerprints(col("hs"))).as("n_fingerprints"))
     }),
 
+    // end-to-end near-dup DROP (minhash candidates -> losers removed);
+    // planted dups must vanish, originals survive. Rows-only.
+    "q54_drop_near_dups" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val planted = docs.limit(30)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("text", concat(col("text"), lit(" tiny suffix")))
+      val corpus = docs.unionByName(planted)
+      val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+      val kept = ApproxDedup.dropNearDuplicates(corpus, col("doc_id"), toks, threshold = 0.7)
+      kept.agg(count(lit(1)).as("kept"),
+        count(when(col("doc_id") >= 1000000L, 1)).as("planted_survivors"))
+    }),
+
+    // per-row quarantine: valid side of a quality gate, oracled
+    "q55_quarantine" -> ((s, d) => {
+      val (valid, _) = graft.etl.Etl.quarantine(
+        Tables.documents(s, d), col("n_chars") > 200)
+      valid.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    }),
+
     // cube grouping sets (all subtotal combinations)
     "q52_cube" -> ((s, d) =>
       Tables.orders(s, d)
@@ -761,6 +782,10 @@ object SparkEntry {
         |   x -> greatest(1, CAST(ceil(length(x)/4.0) AS INTEGER))), 'sum'), 0)
         |  + length(regexp_replace(text, '[a-zA-Z0-9\s]+', '', 'g')) AS BIGINT) AS subword_est
         |FROM documents""".stripMargin,
+
+    "q55_quarantine" ->
+      """SELECT lang, count(*) AS n FROM documents
+        |WHERE n_chars > 200 GROUP BY lang""".stripMargin,
 
     "q52_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
