@@ -450,6 +450,25 @@ object SparkEntry {
         count(when(col("doc_id") >= 1000000L, 1)).as("planted_survivors"))
     }),
 
+    // all-pairs exact n-gram near-dup discovery (bounded so the
+    // oracle's cross join stays sane) — finds the corpus's planted
+    // 0.99-jaccard twins, DuckDB-checked. The size-ratio predicate is
+    // an EXACT prefilter (J >= 0.5 forces |A| and |B| within 2x), so
+    // it prunes intersections without changing the result set.
+    "q56_neardup_discovery" -> ((s, d) => {
+      val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+      val sh = Tables.documents(s, d).filter(col("doc_id") < 300)
+        .select(col("doc_id"), array_distinct(ApproxDedup.shingles(toks, 3)).as("sh"))
+        .withColumn("n", size(col("sh")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sh.as("a").join(sh.as("b"),
+          col("a.doc_id") < col("b.doc_id") &&
+            col("a.n") * 2 >= col("b.n") && col("b.n") * 2 >= col("a.n"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          ApproxDedup.jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+    }),
+
     // per-row quarantine: valid side of a quality gate, oracled
     "q55_quarantine" -> ((s, d) => {
       val (valid, _) = graft.etl.Etl.quarantine(
@@ -786,6 +805,22 @@ object SparkEntry {
     "q55_quarantine" ->
       """SELECT lang, count(*) AS n FROM documents
         |WHERE n_chars > 200 GROUP BY lang""".stripMargin,
+
+    "q56_neardup_discovery" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |   ELSE list_transform(generate_series(1, len(toks) - 2),
+        |     i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        |  END) AS sh
+        | FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |       FROM documents WHERE doc_id < 300) t)
+        |SELECT id_a, id_b, jaccard FROM (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |  CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
+        | FROM d a JOIN d b ON a.doc_id < b.doc_id) p
+        |WHERE jaccard >= 0.5""".stripMargin,
 
     "q52_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
