@@ -476,6 +476,13 @@ object SparkEntry {
       valid.groupBy(col("lang")).agg(count(lit(1)).as("n"))
     }),
 
+    // pivot (long->wide reshape with per-value aggregation)
+    "q57_pivot" -> ((s, d) =>
+      Tables.events(s, d).groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)),
+
     // cube grouping sets (all subtotal combinations)
     "q52_cube" -> ((s, d) =>
       Tables.orders(s, d)
@@ -821,6 +828,15 @@ object SparkEntry {
         |  CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
         | FROM d a JOIN d b ON a.doc_id < b.doc_id) p
         |WHERE jaccard >= 0.5""".stripMargin,
+
+    "q57_pivot" ->
+      """SELECT user_id,
+        | count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        | count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        | count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        | count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        | count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY user_id""".stripMargin,
 
     "q52_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
