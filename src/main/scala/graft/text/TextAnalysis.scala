@@ -130,10 +130,12 @@ object TextAnalysis {
    * while an attribute reference is read once per row.
    */
   def winnowingFingerprints(hashedShingles: Column, w: Int = 4): Column = {
+    require(w >= 2, s"winnow window must be >= 2: $w")
     val n = size(hashedShingles)
+    // least() over w element_at reads — no per-window slice allocation
     val mins = when(n <= w, array(array_min(hashedShingles)))
       .otherwise(transform(sequence(lit(0), n - w),
-        i => array_min(slice(hashedShingles, i + lit(1), lit(w)))))
+        i => least((1 to w).map(j => element_at(hashedShingles, i + lit(j))): _*)))
     array_distinct(mins)
   }
 }
