@@ -576,7 +576,8 @@ object SparkEntry {
         | FROM events) t WHERE rn = 1""".stripMargin,
 
     "q05_dedup_counters" ->
-      """SELECT count(CASE WHEN ts = mx AND nmax > 1 THEN 1 END) AS duplicates,
+      """SELECT count(CASE WHEN ts = mx AND nmax > 1 THEN 1 END)
+        |  - count(DISTINCT CASE WHEN nmax > 1 THEN user_id END) AS duplicates,
         | count(CASE WHEN ts < mx THEN 1 END) AS outdated,
         | count(*) AS total
         |FROM (

@@ -61,10 +61,16 @@ object Dedup {
    */
   def retainMostRecentCounters(df: DataFrame, key: Seq[Column], orderBy: Column): DataFrame = {
     val w = Window.partitionBy(key: _*)
+    // reference semantics (RetainMostRecentUpdateConflictResolver.java:
+    // 76-110): scanning each key group, the FIRST max is retained;
+    // every further doc comparing equal is a "duplicate", every doc
+    // comparing lower is "outdated" — so an n-way tie yields n-1
+    // duplicates, not n.
     df.withColumn("__max", max(orderBy).over(w))
       .withColumn("__nmax", count(when(orderBy === col("__max"), 1)).over(w))
       .agg(
-        count(when(orderBy === col("__max") && col("__nmax") > 1, 1)).as("duplicates"),
+        (count(when(orderBy === col("__max") && col("__nmax") > 1, 1)) -
+          countDistinct(when(col("__nmax") > 1, struct(key: _*)))).as("duplicates"),
         count(when(orderBy < col("__max"), 1)).as("outdated"),
         count(lit(1)).as("total"))
   }

@@ -24,7 +24,9 @@ class DedupSpec extends AnyFunSuite {
   test("A6 counters: duplicates (equal order value) vs outdated (superseded)") {
     val row = Dedup.retainMostRecentCounters(docs, Seq(col("id")),
       col("file_last_modified")).collect().head
-    assert(row.getAs[Long]("duplicates") === 2) // both c rows tie at 7
+    // c's 2-way tie at 7 = ONE duplicate beyond the retained doc
+    // (reference counts collisions, not tied rows)
+    assert(row.getAs[Long]("duplicates") === 1)
     assert(row.getAs[Long]("outdated") === 2)   // a-old, a-mid
     assert(row.getAs[Long]("total") === 6)
   }
