@@ -24,7 +24,14 @@ object Etl {
   def generateSequenceKey(df: DataFrame, baseId: Column, file: Column,
                           orderWithinFile: Column, existingId: Option[Column] = None,
                           out: String = "id"): DataFrame = {
-    val seq = row_number().over(Window.partitionBy(file).orderBy(orderWithinFile)) - 1
+    // the reference's counter advances only when it GENERATES an id —
+    // records carrying their own id are preserved without consuming a
+    // sequence number (GenerateSolrSequenceKeyBuilder.java:99-127), so
+    // the rank counts prior id-less rows, not prior rows
+    val needsId = existingId.map(_.isNull).getOrElse(lit(true))
+    val w = Window.partitionBy(file).orderBy(orderWithinFile)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val seq = count(when(needsId, 1)).over(w) - 1
     val gen = concat(baseId.cast("string"), lit("#"), seq.cast("string"))
     df.withColumn(out, existingId.map(e => coalesce(e, gen)).getOrElse(gen))
   }

@@ -8,15 +8,17 @@ class EtlSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  test("F4 generateSequenceKey: per-file counter, existing ids preserved") {
+  test("F4 generateSequenceKey: per-file counter, existing ids preserved AND not consuming a number") {
     val df = Seq(
-      ("f1", 1, None: Option[String]), ("f1", 2, None), ("f1", 3, Some("keep-me")),
+      ("f1", 1, None: Option[String]), ("f1", 2, Some("keep-me")), ("f1", 3, None),
       ("f2", 1, None)).toDF("file", "pos", "existing")
     val got = Etl.generateSequenceKey(df, col("file"), col("file"), col("pos"),
         existingId = Some(col("existing")))
       .select("file", "pos", "id").as[(String, Int, String)].collect().toSet
-    assert(got === Set(("f1", 1, "f1#0"), ("f1", 2, "f1#1"),
-      ("f1", 3, "keep-me"), ("f2", 1, "f2#0")))
+    // the row AFTER keep-me gets #1, not #2 — the reference counter
+    // advances only on generation
+    assert(got === Set(("f1", 1, "f1#0"), ("f1", 2, "keep-me"),
+      ("f1", 3, "f1#1"), ("f2", 1, "f2#0")))
   }
 
   test("F3 generateUuid: deterministic, RFC-4122 shaped, preserveExisting") {
