@@ -141,7 +141,12 @@ object Etl {
   def withFileMetadata(df: DataFrame, path: Column, length: Column,
                        modificationTime: Column): DataFrame = {
     val scheme = regexp_extract(path, "^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
-    val afterScheme = regexp_replace(path, "^[a-zA-Z][a-zA-Z0-9+.-]*://?", "/")
+    // strip scheme://authority (URI form), then any bare scheme: prefix
+    // (file:/x form) — what remains is the filesystem path
+    val noAuthority = regexp_replace(path, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", "")
+    val afterScheme = when(
+      regexp_replace(noAuthority, "^[a-zA-Z][a-zA-Z0-9+.-]*:", "") === "", lit("/"))
+      .otherwise(regexp_replace(noAuthority, "^[a-zA-Z][a-zA-Z0-9+.-]*:", ""))
     df.withColumn("file_upload_url", path)
       .withColumn("file_download_url", path)
       .withColumn("file_scheme", when(scheme === "", lit("file")).otherwise(scheme))

@@ -73,8 +73,15 @@ class EtlSpec extends AnyFunSuite {
     assert(got.getString(0) === "hdfs")
     assert(got.getString(1) === "nn")
     assert(got.getString(2) === "8020")
+    assert(got.getString(3) === "/user/x/data.avro") // authority stripped
     assert(got.getString(4) === "data.avro")
     assert(got.getLong(5) === 123L)
+    // file:/single-slash and bare paths
+    val df2 = Seq(("file:/tmp/a.bin", 1L, new java.sql.Timestamp(0)),
+      ("/plain/p.bin", 1L, new java.sql.Timestamp(0))).toDF("path", "length", "mtime")
+    val paths = Etl.withFileMetadata(df2, col("path"), col("length"), col("mtime"))
+      .select("file_path").as[String].collect().toSeq
+    assert(paths === Seq("/tmp/a.bin", "/plain/p.bin"))
   }
 
   test("O1 randomize: deterministic permutation for a fixed seed") {
