@@ -146,6 +146,15 @@ class SourcesSpec extends AnyFunSuite {
     assert(byMime("image/png")._2("length") === "3")
   }
 
+  test("ORC + text builtin sources round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc_").toString
+    graft.Tables.region(spark, TestSpark.sf).write.orc(s"$dir/orc")
+    assert(spark.read.orc(s"$dir/orc").count() === 5)
+    graft.Tables.region(spark, TestSpark.sf).select(col("r_name"))
+      .write.text(s"$dir/txt")
+    assert(spark.read.textFile(s"$dir/txt").count() === 5)
+  }
+
   test("S7/S8 csv + json builtin sources round-trip") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csvjson_").toString
     graft.Tables.nation(spark, TestSpark.sf)
