@@ -64,6 +64,21 @@ object ShardIndex {
       java.nio.file.Paths.get(out, "_graft_commit.json"), meta)
   }
 
+  /** Store statistics: rows, files and bytes per shard — the ops view
+    * for spotting skewed shards and compaction debt. */
+  def stats(spark: SparkSession, store: String): DataFrame = {
+    import spark.implicits._
+    val rows = spark.read.parquet(store)
+      .groupBy(col("shard")).agg(count(lit(1)).as("rows"))
+    val files = Option(new java.io.File(store).listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("shard="))
+      .map { d =>
+        val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+        (d.getName.stripPrefix("shard="), parts.length, parts.map(_.length()).sum)
+      }.toSeq.toDF("shard", "files", "bytes")
+    rows.join(files, Seq("shard")).orderBy(col("shard"))
+  }
+
   def commitMeta(store: String): Option[String] = {
     val p = java.nio.file.Paths.get(store, "_graft_commit.json")
     if (java.nio.file.Files.exists(p)) Some(java.nio.file.Files.readString(p)) else None
