@@ -32,7 +32,10 @@ object Graft {
                  orderBy: Option[Column], filesPerShard: Int = 1): DataFrame = {
     val sanitized = schema.enforceCardinality(
       schema.sanitize(docs, renamePrefix = Some("ignored_")))
-    val validated = schema.validate(sanitized)
+    // missing-key enforcement rides inside the build job (raise_error
+    // on null key) — one pass over the corpus, not a separate
+    // driver-blocking pre-scan
+    val validated = schema.requireKey(sanitized)
     val deduped = orderBy match {
       case Some(ts) => Dedup.retainMostRecent(validated, Seq(col(schema.uniqueKey)), ts)
       case None => Dedup.rejectOnConflict(validated, Seq(col(schema.uniqueKey)))

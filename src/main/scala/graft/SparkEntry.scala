@@ -195,17 +195,26 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("session_id"))
     }),
 
-    // sort + limit / top-k (absent in reference, Spark builtin)
+    // sort + limit / top-k (absent in reference, Spark builtin).
+    // orderBy+limit compiles to TakeOrderedAndProject — per-partition
+    // top-k heaps merged on the driver — NOT a global row_number window,
+    // which would drag every row through one task. The rank is assigned
+    // after the limit, so its window only ever sees k rows.
     "q16_topk_orders" -> ((s, d) => {
-      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      Tables.orders(s, d)
+      val ord = Seq(col("o_totalprice").desc, col("o_orderkey").asc)
+      val top = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_totalprice"))
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= 10)
+        .orderBy(ord: _*)
+        .limit(10)
+      val w = Window.orderBy(ord: _*)
+      top.withColumn("rnk", row_number().over(w).cast("long"))
         .select(col("rnk"), col("o_orderkey"), col("o_totalprice"))
     }),
 
-    // F8 alphanumeric ordering (part-2 < part-10 semantics)
+    // F8 alphanumeric ordering (part-2 < part-10 semantics).
+    // The unpartitioned window is safe ONLY because it runs over the
+    // distinct-brand set (~25 rows at any SF — brand cardinality is
+    // fixed); never use this shape on an unbounded key space.
     "q17_alphanum_sort" -> ((s, d) => {
       val brands = Tables.part(s, d).select(col("p_brand")).distinct()
       val w = Window.orderBy(Etl.alphaNumOrderKey(col("p_brand")))
@@ -618,7 +627,7 @@ object SparkEntry {
     "q10_tokenize_tf" ->
       s"""SELECT token, count(*) AS n FROM (
          | SELECT regexp_replace(tok, '''s$$', '') AS token FROM (
-         |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+(?:\\.[a-z0-9]+)*')) AS tok
+         |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+(?:[''.][a-z0-9]+)*')) AS tok
          |  FROM documents) u
          |) v WHERE token NOT IN $stopIn
          |GROUP BY token""".stripMargin,

@@ -2,10 +2,11 @@ package graft.functions
 
 import graft.route.GraftColumns
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.GraftBridge.AbstractDataType
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /**
  * `array_dot(a, b)`: fused dot product over two array<double> columns.
@@ -17,22 +18,32 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
  * ArrayData buffers in generated code, no allocation, staying inside
  * whole-stage codegen.
  *
- * Summation is left-to-right from +0.0 — the exact fold order of the
- * composable form — so swapping it in changes NOTHING numerically
- * (verified: DuckDB oracle hash-parity holds for q25/q45).
+ * Semantics match the composable form exactly:
+ *  - inputs are implicitly cast to array<double> (SQL misuse with
+ *    non-castable types fails analysis, not silently reads garbage);
+ *  - a NULL input array, a NULL element on either side, or a length
+ *    mismatch (zip_with pads with NULL) yields NULL;
+ *  - summation is left-to-right from +0.0 — the exact fold order of
+ *    the composable form — so swapping it in changes NOTHING
+ *    numerically (verified: DuckDB oracle hash-parity for q25/q45).
  */
 case class ArrayDotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
@@ -45,12 +56,17 @@ case class ArrayDotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

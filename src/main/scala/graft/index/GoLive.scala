@@ -29,11 +29,20 @@ final class RecordingGoLive extends GoLive {
 }
 
 object GoLive {
-  /** List a shard store's (index, dir) pairs in shard order. */
-  def shardDirs(store: String): Seq[(Int, String)] = {
-    val dirs = Option(new java.io.File(store).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
-      .sortBy(_.getName)
-    dirs.zipWithIndex.map { case (f, i) => (i, f.getAbsolutePath) }.toSeq
+  /** List a shard store's (index, dir) pairs in shard order, through
+    * the store path's own FileSystem — a store on `hdfs://`/`s3a://`
+    * lists the same way a local one does (the reference go-lives
+    * straight from HDFS job output, GoLive.java:46-72). */
+  def shardDirs(store: String,
+                conf: org.apache.hadoop.conf.Configuration =
+                  ShardIndex.activeHadoopConf()): Seq[(Int, String)] = {
+    val root = new org.apache.hadoop.fs.Path(store)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("shard="))
+      .sortBy(_.getPath.getName)
+      .zipWithIndex
+      .map { case (s, i) => (i, s.getPath.toString) }.toSeq
   }
 }

@@ -1,8 +1,12 @@
 package graft.index
 
 import graft.route.HashRangeRouter
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import java.nio.charset.StandardCharsets
 
 /**
  * The shard store: the Spark-native re-expression of the reference's
@@ -48,40 +52,69 @@ object ShardIndex {
     routed
       .sortWithinPartitions(col("shard"), col(idCol).desc)
       .write.mode("overwrite").partitionBy("shard").parquet(out)
-    writeCommitMeta(out, shards, idCol)
+    writeCommitMeta(out, shards, idCol, hadoopConf(df.sparkSession))
     withShard
   }
+
+  /** The Hadoop conf to resolve store paths with: the active session's
+    * (carries s3a/hdfs credentials and filesystem settings) when one
+    * exists, else defaults. Everything metadata-side goes through
+    * org.apache.hadoop.fs so the store works on any cluster filesystem
+    * the reference does (it runs entirely over HDFS,
+    * SolrRecordWriter.java:129). */
+  private[graft] def hadoopConf(spark: SparkSession): Configuration =
+    spark.sparkContext.hadoopConfiguration
+  private[graft] def activeHadoopConf(): Configuration =
+    SparkSession.getActiveSession.map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
 
   /**
    * M3 commit metadata analog (SolrIndexWriter.setCommitData,
    * TreeMergeOutputFormat.java:221-223): a store-level marker so a
    * consumer can validate layout (shards, key column, writer version)
-   * before serving it.
+   * before serving it. Written through the store path's own FileSystem
+   * so `hdfs://`/`s3a://` stores work, not just local dirs.
    */
-  private def writeCommitMeta(out: String, shards: Int, idCol: String): Unit = {
+  private def writeCommitMeta(out: String, shards: Int, idCol: String,
+                              conf: Configuration): Unit = {
     val meta = s"""{"graft_commit":1,"shards":$shards,"id_column":"$idCol"}"""
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(out, "_graft_commit.json"), meta)
+    val p = new Path(out, "_graft_commit.json")
+    val fs = p.getFileSystem(conf)
+    val os = fs.create(p, true)
+    try os.write(meta.getBytes(StandardCharsets.UTF_8)) finally os.close()
   }
 
   /** Store statistics: rows, files and bytes per shard — the ops view
-    * for spotting skewed shards and compaction debt. */
+    * for spotting skewed shards and compaction debt. File listing goes
+    * through the store's FileSystem (cluster-storage-safe). */
   def stats(spark: SparkSession, store: String): DataFrame = {
     import spark.implicits._
     val rows = spark.read.parquet(store)
       .groupBy(col("shard")).agg(count(lit(1)).as("rows"))
-    val files = Option(new java.io.File(store).listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.getName.startsWith("shard="))
+    val root = new Path(store)
+    val fs = root.getFileSystem(hadoopConf(spark))
+    val files = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("shard="))
       .map { d =>
-        val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
-        (d.getName.stripPrefix("shard="), parts.length, parts.map(_.length()).sum)
+        val parts = fs.listStatus(d.getPath)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+        (d.getPath.getName.stripPrefix("shard="),
+          parts.length, parts.map(_.getLen).sum)
       }.toSeq.toDF("shard", "files", "bytes")
     rows.join(files, Seq("shard")).orderBy(col("shard"))
   }
 
-  def commitMeta(store: String): Option[String] = {
-    val p = java.nio.file.Paths.get(store, "_graft_commit.json")
-    if (java.nio.file.Files.exists(p)) Some(java.nio.file.Files.readString(p)) else None
+  def commitMeta(store: String,
+                 conf: Configuration = activeHadoopConf()): Option[String] = {
+    val p = new Path(store, "_graft_commit.json")
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try in.readFully(0, buf) finally in.close()
+      Some(new String(buf, StandardCharsets.UTF_8))
+    }
   }
 
   /** Read the shard store back (shard is a partition column). */

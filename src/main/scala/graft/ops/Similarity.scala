@@ -91,14 +91,54 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
-  /** Near-dup dedup by embedding: drop the larger id of every pair
-    * whose bucketed-LSH candidates rescore above the threshold. */
+  /**
+   * Corpus-wide LSH candidate pairs via a SHUFFLE banded self-join —
+   * the scale path for self-dedup. Unlike `lshTopK` (which broadcasts
+   * the query side and would OOM the moment queries == the corpus),
+   * nothing here is broadcast: signatures shuffle on their (table,
+   * bucket) key, candidate id pairs are distinct'd, and the rescore is
+   * two shuffle equi-joins back against the vector table. Every join
+   * key is an equi-key, so the whole thing is sort-merge/hash
+   * partitionable at any corpus size.
+   */
+  def lshSelfPairs(df: DataFrame, dim: Int,
+                   tables: Int = 16, bits: Int = 6, seed: Long = 42L,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val v = df.select(col(idCol).as("__vid"),
+        col(vecCol).cast("array<double>").as("__vec"))
+      .withColumn("__nrm", norm(col("__vec")))
+    def sigs(vec: Column): Column = array((0 until tables).map(t =>
+      struct(lit(t).as("t"),
+        hyperplaneSignature(vec, dim, bits, seed + t * 7919L).as("bucket"))): _*)
+    // signatures are tiny ((table, bucket, id) longs); persist so the
+    // self-join's two sides don't re-hash the corpus twice
+    val sig = v.select(col("__vid"), explode(sigs(col("__vec"))).as("tb"))
+      .select(col("tb.t").as("t"), col("tb.bucket").as("bucket"), col("__vid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = sig.as("a").join(sig.as("b"), Seq("t", "bucket"))
+      .filter(col("a.__vid") < col("b.__vid"))
+      .select(col("a.__vid").as("id_a"), col("b.__vid").as("id_b"))
+      .distinct()
+    pairs
+      .join(v.select(col("__vid").as("id_a"), col("__vec").as("__va"),
+        col("__nrm").as("__na")), Seq("id_a"))
+      .join(v.select(col("__vid").as("id_b"), col("__vec").as("__vb"),
+        col("__nrm").as("__nb")), Seq("id_b"))
+      .withColumn("cosine", dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Near-dup dedup by embedding: drop the larger id of every
+    * LSH-candidate pair that rescores above the threshold. Built on
+    * [[lshSelfPairs]] — no broadcast of the corpus, safe when the
+    * input is the full 100 TB table, not a bounded query set. */
   def dropNearDuplicatesByEmbedding(df: DataFrame, threshold: Double, dim: Int,
                                     idCol: String = "vec_id",
                                     vecCol: String = "embedding"): DataFrame = {
-    val losers = lshTopK(df, df, k = 64, dim = dim, idCol = idCol, vecCol = vecCol)
-      .filter(col("cosine") >= threshold && col("corpus_id") > col("query_id"))
-      .select(col("corpus_id").as("__loser")).distinct()
+    val losers = lshSelfPairs(df, dim, idCol = idCol, vecCol = vecCol)
+      .filter(col("cosine") >= threshold)
+      .select(col("id_b").as("__loser")).distinct()
     df.join(losers, col(idCol) === col("__loser"), "left_anti")
   }
 

@@ -17,8 +17,14 @@ import org.apache.spark.unsafe.types.UTF8String
  * id hashes (SolrHash.compositeHash) into exactly one range = its root
  * shard. With `numPartitions` a multiple of `numShards`, each root
  * shard is spread over `numPartitions / numShards` micro shards by
- * `(hash & Int.MaxValue) % perShard`
- * (SolrCloudCompositeIdRoutingPartitioner.java:94-96).
+ * `(offsetHash & Int.MaxValue) % perShard`, where the offset hash is
+ * the PLAIN murmur3 of the FULL key string — not the composite routing
+ * hash — exactly as the reference computes it
+ * (SolrCloudCompositeIdRoutingPartitioner.java:92-96
+ * `Hash.murmurhash3_x86_32(keyStr, 0, keyStr.length(), 0)`). The two
+ * hashes coincide for plain ids but differ for `a!b` composite ids:
+ * the composite hash picks the slice, the full-key hash spreads the
+ * slice's docs over its micro shards.
  *
  * Range synthesis mirrors Solr CompositeIdRouter.partitionRange
  * (public Apache Solr source): equal steps, each range end rounded to a
@@ -30,12 +36,33 @@ import org.apache.spark.unsafe.types.UTF8String
  * lookup is a binary search over the precomputed range starts, O(log
  * shards) per row inside codegen.
  */
-final case class HashRangeRouter(numShards: Int, routingBits: Int = 16)
+final case class HashRangeRouter(numShards: Int, routingBits: Int = 16,
+    explicitRanges: Option[Seq[(Int, Int)]] = None)
     extends Serializable {
   require(numShards > 0, s"numShards must be positive: $numShards")
 
   /** Inclusive range starts; ranges(i) covers [starts(i), ends(i)]. */
-  val (starts: Array[Int], ends: Array[Int]) = {
+  val (starts: Array[Int], ends: Array[Int]) = explicitRanges match {
+    case Some(ranges) =>
+      // X1 alignment path: route against a LIVE collection's slice
+      // ranges (e.g. read from its cluster state after shard splits)
+      // instead of synthesizing equal ones. ZK discovery itself stays
+      // out of scope (SolrCloudPartitioner.java:50-141); callers fetch
+      // the ranges and inject them here.
+      require(ranges.length == numShards,
+        s"explicitRanges has ${ranges.length} entries for $numShards shards")
+      require(ranges.head._1 == Int.MinValue && ranges.last._2 == Int.MaxValue,
+        "explicitRanges must cover the full 32-bit hash space")
+      ranges.sliding(2).foreach {
+        case Seq((_, e), (s2, _)) =>
+          require(s2 == e + 1, s"explicitRanges not contiguous at $e -> $s2")
+        case _ =>
+      }
+      (ranges.map(_._1).toArray, ranges.map(_._2).toArray)
+    case None => synthesizeRanges()
+  }
+
+  private def synthesizeRanges(): (Array[Int], Array[Int]) = {
     val min = Int.MinValue
     val max = Int.MaxValue
     val rangeSize = max.toLong - min.toLong
@@ -69,6 +96,8 @@ final case class HashRangeRouter(numShards: Int, routingBits: Int = 16)
   }
   require(starts.length == numShards,
     s"range synthesis produced ${starts.length} ranges for $numShards shards")
+  require(ends.length == numShards,
+    s"range synthesis produced ${ends.length} range ends for $numShards shards")
 
   /** Root shard for a 32-bit routing hash: binary search on starts. */
   def shardOfHash(hash: Int): Int = {
@@ -83,13 +112,15 @@ final case class HashRangeRouter(numShards: Int, routingBits: Int = 16)
 
   def shardOfId(id: String): Int = shardOfHash(SolrHash.compositeHash(id))
 
-  /** Micro-shard (= reducer partition) placement, reference parity. */
+  /** Micro-shard (= reducer partition) placement, reference parity:
+    * slice by composite hash, offset by plain full-key murmur3
+    * (SolrCloudCompositeIdRoutingPartitioner.java:92-96). */
   def microShard(id: String, numPartitions: Int): Int = {
     require(numPartitions % numShards == 0,
       s"numPartitions ($numPartitions) must be a multiple of numShards ($numShards)")
     val perShard = numPartitions / numShards
-    val hash = SolrHash.compositeHash(id)
-    shardOfHash(hash) * perShard + (hash & Int.MaxValue) % perShard
+    shardOfHash(SolrHash.compositeHash(id)) * perShard +
+      (SolrHash.hashString(id) & Int.MaxValue) % perShard
   }
 
   def shardName(i: Int): String = f"part-$i%05d"
@@ -106,6 +137,15 @@ final case class HashRangeRouter(numShards: Int, routingBits: Int = 16)
   }
 }
 
+object HashRangeRouter {
+  /** Router over explicit (inclusive) slice ranges — align a batch
+    * build with an existing live collection whose ranges are no longer
+    * uniform (after SPLITSHARD). Ranges must be sorted, contiguous and
+    * cover the full 32-bit space. */
+  def fromRanges(ranges: Seq[(Int, Int)], routingBits: Int = 16): HashRangeRouter =
+    HashRangeRouter(ranges.length, routingBits, Some(ranges))
+}
+
 /**
  * `solr_shard(id)`: root shard (perShard=1) or micro shard index for a
  * document id under Solr hash-range routing. Codegen-friendly: a
@@ -117,19 +157,24 @@ case class SolrShardRoute(child: Expression, router: HashRangeRouter, perShard: 
   override def dataType: DataType = IntegerType
 
   override def nullSafeEval(v: Any): Any = {
-    val hash = SolrHash.compositeHashUtf8(v.asInstanceOf[UTF8String])
-    router.shardOfHash(hash) * perShard +
-      (if (perShard == 1) 0 else (hash & Int.MaxValue) % perShard)
+    val s = v.asInstanceOf[UTF8String]
+    val shard = router.shardOfHash(SolrHash.compositeHashUtf8(s))
+    if (perShard == 1) shard
+    else shard * perShard + (SolrHash.hashUtf8(s) & Int.MaxValue) % perShard
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val routerRef = ctx.addReferenceObj("graftRouter", router, classOf[HashRangeRouter].getName)
     nullSafeCodeGen(ctx, ev, c => {
       val h = ctx.freshName("graftHash")
+      // offset hash = plain murmur3 of the full key (reference parity,
+      // SolrCloudCompositeIdRoutingPartitioner.java:92-96); the ternary
+      // keeps it unevaluated for root-shard (perShard == 1) routing
       s"""
          |int $h = graft.route.SolrHash.compositeHashUtf8($c);
          |${ev.value} = $routerRef.shardOfHash($h) * $perShard +
-         |  ($perShard == 1 ? 0 : (($h & Integer.MAX_VALUE) % $perShard));
+         |  ($perShard == 1 ? 0
+         |    : ((graft.route.SolrHash.hashUtf8($c) & Integer.MAX_VALUE) % $perShard));
        """.stripMargin
     })
   }

@@ -74,30 +74,72 @@ object SolrHash {
   }
 
   /**
-   * Solr composite-id routing hash. Plain ids hash whole; `a!b` ids
-   * take the top `bits` (default 16) bits of hash(a) and the bottom
-   * 32-bits bits of hash(b), so all docs sharing a route prefix land in
-   * the same hash neighbourhood (Solr CompositeIdRouter semantics; the
-   * reference relies on them via DocRouter.getTargetSlice,
-   * SolrCloudCompositeIdRoutingPartitioner.java:74). A `a/n!b` prefix
-   * overrides the bit split.
+   * Solr composite-id routing hash (CompositeIdRouter.KeyParser
+   * semantics from the public Apache Solr source; the reference relies
+   * on them via DocRouter.getTargetSlice,
+   * SolrCloudCompositeIdRoutingPartitioner.java:74).
+   *
+   * Plain ids hash whole. `a!b` ids take the top 16 bits of hash(a) and
+   * the bottom 16 of hash(b). Tri-level `a!b!c` ids split 8/8/16: top 8
+   * bits from hash(a), next 8 from hash(b), bottom 16 from hash(c). A
+   * `/n` suffix on a routing part (`a/n!b`, `a/n!b/m!c`) overrides its
+   * bit allocation (clamped to [0,32]; malformed specs keep the
+   * default). Trailing-separator rules follow SOLR-6257: `a!` masks to
+   * the top 16 bits of hash(a) alone; `a!b!` is treated as bi-level
+   * `a!b`; `a!!` as `a!`.
    */
   def compositeHash(id: String): Int = {
-    val bang = id.indexOf('!')
-    if (bang < 0) return hashString(id)
-    var prefix = id.substring(0, bang)
-    val rest = id.substring(bang + 1)
-    var bits = 16
-    val slash = prefix.indexOf('/')
-    if (slash >= 0) {
-      bits = try prefix.substring(slash + 1).toInt catch { case _: NumberFormatException => 16 }
-      prefix = prefix.substring(0, slash)
+    val first = id.indexOf('!')
+    if (first < 0) return hashString(id)
+    val lastPos = id.length - 1
+    // split into at most 3 parts (KeyParser; trailing '!' per SOLR-6257)
+    var p0 = id.substring(0, first)
+    var p1: String = null
+    var p2: String = null
+    if (first < lastPos) {
+      val second = id.indexOf('!', first + 1)
+      if (second < 0) p1 = id.substring(first + 1)
+      else if (second == lastPos) {
+        if (first < second - 1) p1 = id.substring(first + 1, second)
+      } else {
+        p1 = id.substring(first + 1, second)
+        p2 = id.substring(second + 1)
+      }
     }
-    if (bits <= 0) return hashString(rest)
-    if (bits >= 32) return hashString(prefix)
-    val upperMask = -1 << (32 - bits) // top `bits` bits set
-    (hashString(prefix) & upperMask) | (hashString(rest) & ~upperMask)
+    val tri = p2 != null
+    var bits0 = if (tri) 8 else 16
+    var bits1 = 8
+    val slash0 = p0.indexOf('/')
+    if (slash0 >= 0) {
+      bits0 = parseBits(p0.substring(slash0 + 1), bits0)
+      p0 = p0.substring(0, slash0)
+    }
+    if (tri) {
+      val slash1 = p1.indexOf('/')
+      if (slash1 >= 0) {
+        bits1 = parseBits(p1.substring(slash1 + 1), bits1)
+        p1 = p1.substring(0, slash1)
+      }
+    }
+    val mask0 = if (bits0 == 0) 0 else -1 << (32 - bits0)
+    var result = hashString(p0) & mask0
+    if (tri) {
+      val used = math.min(32, bits0 + bits1)
+      val mask1 =
+        if (bits1 == 0 || bits0 >= 32) 0
+        else (-1 >>> bits0) & (-1 << (32 - used))
+      val mask2 = if (used >= 32) 0 else -1 >>> used
+      result |= (hashString(p1) & mask1) | (hashString(p2) & mask2)
+    } else if (p1 != null) {
+      val mask1 = if (bits0 >= 32) 0 else -1 >>> bits0
+      result |= hashString(p1) & mask1
+    }
+    result
   }
+
+  private def parseBits(s: String, dflt: Int): Int =
+    try { val v = s.toInt; if (v < 0) 0 else math.min(32, v) }
+    catch { case _: NumberFormatException => dflt }
 
   /** Fast path over UTF8String: plain (no '!') ids hash their UTF-8
     * bytes directly — no String materialization per row. */

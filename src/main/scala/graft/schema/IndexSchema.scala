@@ -69,11 +69,34 @@ final case class IndexSchema(
    */
   def missingKey(df: DataFrame): DataFrame = df.filter(col(uniqueKey).isNull)
 
+  /**
+   * Eager driver-side check: runs a full scan NOW. Useful as a
+   * standalone pre-flight; build pipelines should use [[requireKey]]
+   * instead, which enforces the same invariant inside the build job
+   * itself at zero extra passes.
+   */
   def validate(df: DataFrame, strict: Boolean = true): DataFrame = {
     if (strict && missingKey(df).limit(1).collect().nonEmpty)
       throw new IllegalArgumentException(
         s"Missing unique key field '$uniqueKey' (reference rejects such docs)")
     df
+  }
+
+  /**
+   * In-job missing-key guard: replaces the key column with a
+   * `raise_error` on null, so the FIRST build action that touches an
+   * invalid row fails the job — same invariant as [[validate]] without
+   * the extra driver-blocking scan (the reference likewise rejects
+   * per-record inside the mapper, MorphlineMapper.java:125-131, not in
+   * a separate pass).
+   */
+  def requireKey(df: DataFrame): DataFrame = {
+    val keyType = df.schema(uniqueKey).dataType
+    df.withColumn(uniqueKey,
+      when(col(uniqueKey).isNull, raise_error(
+        lit(s"Missing unique key field '$uniqueKey' (reference rejects such docs)"))
+        .cast(keyType))
+        .otherwise(col(uniqueKey)))
   }
 
   /**

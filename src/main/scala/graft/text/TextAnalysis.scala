@@ -29,12 +29,14 @@ object TextAnalysis {
    * per the reference's own golden test (SolrMorphlineTest.java:52-68):
    * "Hello World!\nFoo@Bar.com #%()123" → [hello, world, foo, bar.com, 123].
    * Rules: lowercase; split on anything that is not [a-z0-9] except
-   * dots BETWEEN alphanumerics (StandardTokenizer keeps interior dots,
-   * splits at '@'); strip possessive 's; drop stopwords.
+   * dots and apostrophes BETWEEN alphanumerics (StandardTokenizer
+   * keeps interior dots and apostrophes, splits at '@'); strip
+   * possessive 's (EnglishPossessiveFilter: "john's" -> "john",
+   * "don't" stays whole); drop stopwords.
    */
   def tokenize(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
     val toks = regexp_extract_all(
-      lower(text), lit("[a-z0-9]+(?:\\.[a-z0-9]+)*"), lit(0))
+      lower(text), lit("[a-z0-9]+(?:['.][a-z0-9]+)*"), lit(0))
     val stemmed = transform(toks, t => regexp_replace(t, "'s$", ""))
     filter(stemmed, t => !t.isin(stopwords: _*))
   }

@@ -11,4 +11,9 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** `types.AbstractDataType` is private[sql] in Spark 4; expressions
+    * outside this package need it to declare `ExpectsInputTypes.
+    * inputTypes`. The alias is the standard visibility bridge. */
+  type AbstractDataType = types.AbstractDataType
 }

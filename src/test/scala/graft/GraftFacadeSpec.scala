@@ -34,6 +34,40 @@ class GraftFacadeSpec extends AnyFunSuite {
     }
   }
 
+  test("buildIndex: missing unique key fails the build job (in-job raise_error)") {
+    val schema = IndexSchema("id", Seq(
+      IndexField("id", StringType, required = true),
+      IndexField("value", StringType)))
+    val docs = Seq(("a", "ok"), (null, "no-key")).toDF("id", "value")
+    val out = java.nio.file.Files.createTempDirectory("graft_facade3_").toString
+    val e = intercept[Exception] {
+      Graft.buildIndex(docs, schema, out, shards = 2, orderBy = None)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("Missing unique key field 'id'")), e)
+  }
+
+  test("buildIndex through an explicit file:-scheme Hadoop path (cluster-storage shape)") {
+    val schema = IndexSchema("id", Seq(
+      IndexField("id", StringType, required = true),
+      IndexField("value", StringType)))
+    val docs = (0 until 40).map(i => (s"doc-$i", s"v$i")).toDF("id", "value")
+    val out = "file://" +
+      java.nio.file.Files.createTempDirectory("graft_facade_fs_").toString
+    Graft.buildIndex(docs, schema, out, shards = 2, orderBy = None)
+    // commit metadata, shard listing and stats all resolve through the
+    // Hadoop FileSystem of the store URI — no java.io/java.nio paths
+    assert(graft.index.ShardIndex.commitMeta(out).exists(_.contains("\"shards\":2")))
+    val dirs = graft.index.GoLive.shardDirs(out)
+    assert(dirs.map(_._1) === Seq(0, 1))
+    assert(dirs.forall(_._2.contains("shard=")))
+    val st = graft.index.ShardIndex.stats(spark, out).collect()
+    assert(st.length === 2 && st.map(_.getAs[Long]("rows")).sum === 40)
+    assert(Graft.openIndex(spark, out).count() === 40)
+  }
+
   test("quarantine splits valid/invalid preserving all rows") {
     val df = Seq(("1", "ok"), (null, "no-key"), ("3", "ok2")).toDF("id", "v")
     val (valid, bad) = Etl.quarantine(df, col("id").isNotNull)

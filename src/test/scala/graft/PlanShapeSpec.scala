@@ -46,6 +46,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<>"), p.take(1500))
   }
 
+  test("q16 top-k: TakeOrderedAndProject, no full-corpus single-partition exchange") {
+    val p = plan("q16_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    // the only Window in the plan must sit above the 10-row limit, so
+    // no Exchange SinglePartition may appear below a Sort of the scan
+    assert(!p.contains("rangepartitioning"), p.take(2000))
+  }
+
   test("whole-stage codegen present in scan-heavy queries") {
     for (q <- Seq("q11_term_query", "q07_convert_timestamp", "q20_fingerprint")) {
       assert(plan(q).contains("*(1)"), q) // codegen stages render as *(n)

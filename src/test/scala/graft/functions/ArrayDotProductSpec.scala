@@ -22,23 +22,35 @@ class ArrayDotProductSpec extends AnyFunSuite {
     assert(pairs.filter(col("fused") =!= col("composed")).count() === 0)
   }
 
-  test("null inputs, empty and length-mismatched arrays") {
-    val got = spark.sql(
-      """SELECT
-        | CAST(NULL AS ARRAY<DOUBLE>) AS a, array(1.0d, 2.0d) AS b
-      """.stripMargin)
-      .select(array_dot(col("a"), col("b")).as("d"))
-      .collect().head
-    assert(got.isNullAt(0))
-    val vals = Seq(
-      (Seq.empty[Double], Seq.empty[Double], 0.0),
-      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0), 14.0) // min-length semantics
-    )
-    vals.foreach { case (a, b, expect) =>
-      val d = Seq((a, b)).toDF("a", "b")
-        .select(array_dot(col("a"), col("b"))).as[Double].collect().head
-      assert(d === expect, s"$a . $b")
+  test("null inputs, null elements and length mismatch all yield NULL (zip_with parity)") {
+    // null input array
+    assert(spark.sql("SELECT CAST(NULL AS ARRAY<DOUBLE>) AS a, array(1.0d, 2.0d) AS b")
+      .select(array_dot(col("a"), col("b")).as("d")).collect().head.isNullAt(0))
+    // empty arrays: empty sum = 0.0
+    val empty = Seq((Seq.empty[Double], Seq.empty[Double])).toDF("a", "b")
+      .select(array_dot(col("a"), col("b"))).as[Double].collect().head
+    assert(empty === 0.0)
+    // length mismatch: zip_with pads with NULL -> NULL (was min-length)
+    assert(Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0))).toDF("a", "b")
+      .select(array_dot(col("a"), col("b"))).collect().head.isNullAt(0))
+    // null element on either side -> NULL
+    assert(spark.sql("SELECT array(1.0d, CAST(NULL AS DOUBLE)) AS a, array(1.0d, 2.0d) AS b")
+      .select(array_dot(col("a"), col("b"))).collect().head.isNullAt(0))
+  }
+
+  test("SQL typing: int arrays cast implicitly, non-numeric types fail analysis") {
+    graft.functions.GraftFunctions.register(spark)
+    // integer literals upcast to double — same answer as the double form
+    val d = spark.sql("SELECT array_dot(array(1, 2), array(3, 4)) AS d")
+      .as[Double].collect().head
+    assert(d === 11.0)
+    // strings are not castable to array<double>: clean analysis error,
+    // not a runtime ClassCastException over garbage bytes
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT array_dot(array('x'), array('y'))").collect()
     }
+    assert(e.getMessage.toLowerCase.contains("array_dot") ||
+      e.getMessage.toLowerCase.contains("data type mismatch"), e.getMessage)
   }
 
   test("interpreted eval matches codegen") {

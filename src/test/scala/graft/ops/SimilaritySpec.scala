@@ -58,6 +58,39 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("embedding self-dedup (shuffle LSH path): drops planted clones, never over-drops") {
+    val emb = graft.Tables.embeddings(spark, TestSpark.sf)
+    val clones = emb.filter(col("vec_id") < 5)
+      .withColumn("vec_id", col("vec_id") + 100000L)
+    val corpus = emb.unionByName(clones)
+    val kept = Similarity.dropNearDuplicatesByEmbedding(corpus, 0.999, dim = 64)
+      .select("vec_id").as[Long].collect().toSet
+    // identical vectors collide in every LSH table, so each planted
+    // clone (the larger id of its pair) is guaranteed dropped
+    assert((100000L until 100005L).forall(id => !kept.contains(id)), kept.toSeq.sorted.takeRight(10))
+    assert((0L until 5L).forall(kept.contains))
+    // LSH candidates are a subset of all pairs at the same threshold,
+    // so everything the EXACT dedup keeps the LSH dedup keeps too
+    val exactLosers = Similarity.nearDupPairsExact(corpus, 0.999)
+      .select(col("id_b")).as[Long].collect().toSet
+    val keptExact = corpus.select("vec_id").as[Long].collect().toSet -- exactLosers
+    assert(keptExact.subsetOf(kept))
+  }
+
+  test("lshSelfPairs: shuffle-only plan, no broadcast of the corpus (100 TB shape)") {
+    val emb = graft.Tables.embeddings(spark, TestSpark.sf)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // with auto-broadcast off, any BroadcastExchange left in the plan
+      // could only come from an explicit broadcast() hint — the exact
+      // thing this path exists to avoid
+      val p = Similarity.lshSelfPairs(emb, dim = 64)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastExchange"), p.take(3000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("LSH ANN recall@5 >= 0.5 vs brute force on the embeddings table") {
     val emb = graft.Tables.embeddings(spark, TestSpark.sf)
     val queries = emb.filter(col("vec_id") < 10)

@@ -44,17 +44,57 @@ class HashRangeRouterSpec extends AnyFunSuite {
     }
   }
 
-  test("microShard: reference formula (rootShard*perShard + (hash&MAX)%perShard)") {
+  test("microShard: reference formula (slice by composite hash, offset by full-key murmur3)") {
     val r = HashRangeRouter(4)
     for (id <- Seq("a", "doc-17", "42#3", "tenant!x")) {
-      val hsh = SolrHash.compositeHash(id)
+      val route = SolrHash.compositeHash(id)
+      // hand-computed reference math, SolrCloudCompositeIdRoutingPartitioner.java:92-96:
+      // offset term hashes the FULL key string with plain murmur3
+      val offsetHash = SolrHash.hashString(id)
       val micro = r.microShard(id, 8)
-      assert(micro === r.shardOfHash(hsh) * 2 + (hsh & Int.MaxValue) % 2)
+      assert(micro === r.shardOfHash(route) * 2 + (offsetHash & Int.MaxValue) % 2)
       assert(micro >= 0 && micro < 8)
       // micro shards of a root shard are contiguous (mtree merge layout)
-      assert(micro / 2 === r.shardOfHash(hsh))
+      assert(micro / 2 === r.shardOfHash(route))
     }
     intercept[IllegalArgumentException](r.microShard("a", 9))
+  }
+
+  test("composite-id micro shard: offset from full key, NOT the composite hash") {
+    // golden check that composite ids where the two hashes pick
+    // different offsets follow the full-key one (the round-1/2 bug
+    // derived the offset from compositeHash)
+    val r = HashRangeRouter(2)
+    val perShard = 8
+    val ids = (0 until 200).map(i => s"tenant$i!doc$i")
+    val diverging = ids.filter { id =>
+      (SolrHash.compositeHash(id) & Int.MaxValue) % perShard !=
+        (SolrHash.hashString(id) & Int.MaxValue) % perShard
+    }
+    assert(diverging.size > 50, "test corpus should exercise divergent offsets")
+    diverging.foreach { id =>
+      val micro = r.microShard(id, 2 * perShard)
+      assert(micro % perShard === (SolrHash.hashString(id) & Int.MaxValue) % perShard, id)
+      assert(micro / perShard === r.shardOfHash(SolrHash.compositeHash(id)), id)
+    }
+  }
+
+  test("explicit (non-uniform) ranges: injection routes by the live collection's slices") {
+    // a 3-shard collection after splitting shard 0 of a 2-shard one
+    val ranges = Seq((Int.MinValue, -0x40000001), (-0x40000000, -1), (0, Int.MaxValue))
+    val r = HashRangeRouter.fromRanges(ranges)
+    assert(r.numShards === 3)
+    assert(r.shardOfHash(Int.MinValue) === 0)
+    assert(r.shardOfHash(-0x40000001) === 0)
+    assert(r.shardOfHash(-0x40000000) === 1)
+    assert(r.shardOfHash(-1) === 1)
+    assert(r.shardOfHash(0) === 2)
+    assert(r.shardOfHash(Int.MaxValue) === 2)
+    // invalid injections rejected
+    intercept[IllegalArgumentException](
+      HashRangeRouter.fromRanges(Seq((Int.MinValue, 5), (7, Int.MaxValue)))) // gap
+    intercept[IllegalArgumentException](
+      HashRangeRouter.fromRanges(Seq((Int.MinValue, 5), (6, 100)))) // not full space
   }
 
   test("shard expression (codegen) agrees with driver-side routing") {

@@ -59,4 +59,41 @@ class SolrHashSpec extends AnyFunSuite {
     // plain id untouched
     assert(SolrHash.compositeHash("plain") === SolrHash.hashString("plain"))
   }
+
+  test("tri-level ids: 8/8/16 split (CompositeIdRouter KeyParser)") {
+    val ha = SolrHash.hashString("app")
+    val hb = SolrHash.hashString("user")
+    val hc = SolrHash.hashString("doc9")
+    assert(SolrHash.compositeHash("app!user!doc9") ===
+      ((ha & 0xff000000) | (hb & 0x00ff0000) | (hc & 0x0000ffff)))
+    // explicit bit allocations on both routing parts: 4 top bits, then
+    // 12 middle bits [27..16], bottom 16 from the leaf
+    assert(SolrHash.compositeHash("app/4!user/12!doc9") ===
+      ((ha & 0xf0000000) | (hb & 0x0fff0000) | (hc & 0x0000ffff)))
+    // zero-bit parts contribute nothing
+    assert(SolrHash.compositeHash("app/0!user!doc9") ===
+      ((hb & 0xff000000) | (hc & 0x00ffffff)))
+    // utf8 path agrees
+    import org.apache.spark.unsafe.types.UTF8String
+    for (s <- Seq("app!user!doc9", "a/4!b/12!c", "x!y!", "x!!", "x!"))
+      assert(SolrHash.compositeHashUtf8(UTF8String.fromString(s)) ===
+        SolrHash.compositeHash(s), s)
+  }
+
+  test("trailing-separator rules (SOLR-6257 back-compat)") {
+    val ha = SolrHash.hashString("a")
+    val hb = SolrHash.hashString("b")
+    // "a!" routes by the top 16 bits of hash(a) alone
+    assert(SolrHash.compositeHash("a!") === (ha & 0xffff0000))
+    // "a!b!" collapses to bi-level a!b
+    assert(SolrHash.compositeHash("a!b!") ===
+      ((ha & 0xffff0000) | (hb & 0x0000ffff)))
+    // "a!!" collapses to "a!"
+    assert(SolrHash.compositeHash("a!!") === (ha & 0xffff0000))
+    // "a!!c" is tri-level with an empty middle part
+    val hEmpty = SolrHash.hashString("")
+    val hc = SolrHash.hashString("c")
+    assert(SolrHash.compositeHash("a!!c") ===
+      ((ha & 0xff000000) | (hEmpty & 0x00ff0000) | (hc & 0x0000ffff)))
+  }
 }

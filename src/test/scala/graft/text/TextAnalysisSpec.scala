@@ -23,6 +23,14 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got === Seq("quick", "fox", "v1.2.3", "release"))
   }
 
+  test("tokenize strips possessive 's, keeps interior apostrophes (text_en)") {
+    // EnglishPossessiveFilter: "John's" -> john; contractions stay whole
+    val got = Seq("John's dog don't chase Mary's cats").toDF("t")
+      .select(TextAnalysis.tokenize(col("t")).as("toks"))
+      .as[Seq[String]].collect().head
+    assert(got === Seq("john", "dog", "don't", "chase", "mary", "cats"))
+  }
+
   test("languageId picks the language with most stopword hits") {
     val got = Seq(
       "the cat sat on the mat and it was happy",
