@@ -26,15 +26,20 @@ for p in glob.glob(os.path.join(sf, "*.parquet")):
 oracle = json.load(open(os.path.join(out, "oracle_sql.json")))
 
 
-def norm_hash(df):
+def sorted_rows(df):
+    """Normalized, sorted row strings — the single definition both the
+    hash and the mismatch diagnostic consume, so the printed 'first
+    diff' always reflects exactly what was hashed."""
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime"):
             df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
-    rows = ["\x1f".join(str(v) for v in row)
-            for row in df.itertuples(index=False)]
-    rows.sort()
-    return hashlib.md5("\x1e".join(rows).encode()).hexdigest()
+    return sorted("\x1f".join(str(v) for v in row)
+                  for row in df.itertuples(index=False))
+
+
+def norm_hash(df):
+    return hashlib.md5("\x1e".join(sorted_rows(df)).encode()).hexdigest()
 
 
 ok = fail = 0
@@ -63,13 +68,6 @@ for q, sql in sorted(oracle.items()):
         continue
     if norm_hash(exp) != norm_hash(got):
         # diagnostic: show first differing sorted row
-        def sorted_rows(df):
-            df = df.reindex(sorted(df.columns), axis=1)
-            for c in df.columns:
-                if str(df[c].dtype).startswith("datetime"):
-                    df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
-            return sorted("\x1f".join(str(v) for v in r)
-                          for r in df.itertuples(index=False))
         es, gs = sorted_rows(exp), sorted_rows(got)
         diff = next(((a, b) for a, b in zip(es, gs) if a != b), ("<len>", "<len>"))
         print(f"FAIL {q}: hash mismatch; first diff exp={diff[0]!r} got={diff[1]!r}")

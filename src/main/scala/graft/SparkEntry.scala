@@ -24,8 +24,15 @@ import org.apache.spark.sql.types.{DecimalType, IntegerType, LongType, StringTyp
  *    stringifies the Spark parquet read-back (Decimal keeps trailing
  *    zeros, "123.40") but fetches the oracle as float64 ("123.4"), so
  *    a decimal OUTPUT column hash-mismatches even when values are
- *    equal. Exact-decimal→double is a single deterministic rounding,
- *    identical in both engines.
+ *    equal. Exact-decimal→double is deterministic in both engines, but
+ *    NOT computed identically: Spark/Java BigDecimal.doubleValue is
+ *    correctly rounded, while DuckDB converts the int128 unscaled
+ *    value to double and divides by 10^scale (two roundings). They
+ *    agree only while the unscaled sum fits in 2^53 (~9e13 at scale
+ *    2, i.e. ~$90T per group) — beyond that, 1-ulp hash mismatches
+ *    are possible; switch the affected oracle to a shared exact
+ *    DECIMAL→VARCHAR formatting on both sides if a corpus ever
+ *    crosses it.
  *  - DuckDB sum(BIGINT) is HUGEINT (→ float64 "n.0" in the driver's
  *    fetch) — always CAST(... AS BIGINT) integer sums in oracle SQL.
  *  - double ratios/divisions are computed with the same operation tree
@@ -87,7 +94,11 @@ object SparkEntry {
       Tables.lineitem(s, d).agg(count(lit(1)).as("cnt"))),
 
     // Aggregate family over the main fact table (partial agg map-side;
-    // decimal sums exact at any parallelism)
+    // decimal sums exact at any parallelism). sum_qty/avg_qty stay raw
+    // DOUBLE (no decimal route): l_quantity values are integer-valued
+    // doubles, whose sums are exact under any partition order — a
+    // DATA-dependent invariant of the generator, not a structural one;
+    // a generator with fractional quantities needs the decimal route.
     "q02_pricing_summary" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       li.groupBy(col("l_returnflag"), col("l_linestatus")).agg(
@@ -347,6 +358,11 @@ object SparkEntry {
         approx_count_distinct(col("user_id")).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"))),
 
+    // the exact half of q33, split out so it gets a hash-matched oracle
+    "q58_exact_distinct" -> ((s, d) =>
+      Tables.events(s, d).groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))),
+
     // S5/S10 binary whole-file scan + MIME sniff + file_* metadata
     "q34_binary_assets" -> ((s, d) => {
       val bin = Multimodal.readBinary(s, d, "*.parquet")
@@ -374,7 +390,9 @@ object SparkEntry {
             x => x.getField("event_id").cast("string")),
           ",").as("ordered_events"))),
 
-    // rollup (grouping-sets family — absent in reference, Spark builtin)
+    // rollup (grouping-sets family — absent in reference, Spark builtin).
+    // sum_qty: raw-double exactness rests on integer-valued quantities,
+    // see the q02 note.
     "q38_rollup" -> ((s, d) =>
       Tables.lineitem(s, d)
         .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -771,6 +789,18 @@ object SparkEntry {
         |INTERSECT
         |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
 
+    // file-level metadata oracle: DuckDB lists the same parquet files
+    // with read_blob and sniffs the PAR1 magic from the hex prefix.
+    // {SF_DIR} is substituted with the absolute sf dir by Verify at
+    // dump time (the SQL itself is scale-factor-agnostic).
+    "q34_binary_assets" ->
+      """SELECT regexp_extract(filename, '[^/]+$') AS file_name,
+        | CASE WHEN substr(hex(content), 1, 8) = '50415231'
+        |      THEN 'application/x-parquet'
+        |      ELSE 'application/octet-stream' END AS mime,
+        | CAST(size AS BIGINT) AS file_length
+        |FROM read_blob('{SF_DIR}/*.parquet')""".stripMargin,
+
     "q36_extract_props" ->
       """SELECT event_id,
         | CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) AS k
@@ -877,6 +907,10 @@ object SparkEntry {
         |  list_dot_product(a.v, b.v) /
         |   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
         | FROM e a JOIN e b ON a.vec_id < b.vec_id)
-        |SELECT id_a, id_b, round(cosine, 6) AS cosine_r FROM p WHERE cosine >= 0.4""".stripMargin
+        |SELECT id_a, id_b, round(cosine, 6) AS cosine_r FROM p WHERE cosine >= 0.4""".stripMargin,
+
+    "q58_exact_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users
+        |FROM events GROUP BY event_type""".stripMargin
   )
 }

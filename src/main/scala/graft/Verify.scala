@@ -35,8 +35,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // {SF_DIR} lets an oracle address the raw data files themselves
+    // (e.g. q34's read_blob file-metadata check) while staying
+    // scale-factor-agnostic in the source; resolved to an absolute
+    // path because DuckDB runs from the driver's own cwd.
+    val sfAbs = Paths.get(sfDir).toAbsolutePath.toString
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{SF_DIR}", sfAbs))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

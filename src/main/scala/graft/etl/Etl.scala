@@ -157,13 +157,53 @@ object Etl {
       .withColumn("file_length", length)
       .withColumn("file_last_modified", modificationTime)
       // owner/group/permissions are not exposed by Spark's binaryFile
-      // source; the reference fills them from FileStatus. Left null.
+      // source; the reference fills them from FileStatus — opt in via
+      // withFileStatusMetadata below, which overwrites these nulls.
       .withColumn("file_owner", lit(null).cast("string"))
       .withColumn("file_group", lit(null).cast("string"))
       .withColumn("file_permissions_user", lit(null).cast("string"))
       .withColumn("file_permissions_group", lit(null).cast("string"))
       .withColumn("file_permissions_other", lit(null).cast("string"))
       .withColumn("file_permissions_stickybit", lit(null).cast("string"))
+  }
+
+  /**
+   * Fill the 6 owner/group/permission `file_*` fields from Hadoop
+   * FileStatus, the way the mapper does (MorphlineMapRunner.java:
+   * 231-253: `FileStatus.getOwner/getGroup/getPermission` →
+   * FILE_OWNER/FILE_GROUP/FILE_PERMISSIONS_*). The lookups run on
+   * EXECUTORS (one FileSystem per partition over the distinct paths,
+   * Hadoop conf broadcast), then join back on path — no driver-side
+   * per-file RPC loop, so a 100M-file corpus enriches as a normal
+   * distributed job.
+   */
+  def withFileStatusMetadata(spark: org.apache.spark.sql.SparkSession,
+                             df: DataFrame, pathCol: String = "path"): DataFrame = {
+    import spark.implicits._
+    val confBc = spark.sparkContext.broadcast(
+      new graft.util.SerializableHadoopConf(
+        spark.sparkContext.hadoopConfiguration))
+    val status = df.select(col(pathCol)).distinct().as[String]
+      .mapPartitions { it =>
+        val conf = confBc.value.value
+        // FileSystem.get caches per (scheme, authority) — one client
+        // per partition per filesystem, not per file
+        it.map { p =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          val st = hp.getFileSystem(conf).getFileStatus(hp)
+          val perm = st.getPermission
+          (p, st.getOwner, st.getGroup,
+            perm.getUserAction.SYMBOL, perm.getGroupAction.SYMBOL,
+            perm.getOtherAction.SYMBOL, perm.getStickyBit.toString)
+        }
+      }
+      .toDF(pathCol, "file_owner", "file_group", "file_permissions_user",
+        "file_permissions_group", "file_permissions_other",
+        "file_permissions_stickybit")
+    df.drop("file_owner", "file_group", "file_permissions_user",
+        "file_permissions_group", "file_permissions_other",
+        "file_permissions_stickybit")
+      .join(status, Seq(pathCol), "left")
   }
 
   /**

@@ -35,12 +35,15 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("; "))
   }
 
-  test("oracle SQL strings reference only existing tables") {
+  test("oracle SQL strings reference an existing table or the sf dir") {
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       val lower = sql.toLowerCase
-      assert(tables.exists(t => lower.contains(t)), s"$name oracle references no table")
+      // {sf_dir} oracles (q34) address the raw data files directly via
+      // read_blob; Verify substitutes the absolute path at dump time
+      assert(tables.exists(t => lower.contains(t)) || lower.contains("{sf_dir}"),
+        s"$name oracle references no table")
     }
   }
 }

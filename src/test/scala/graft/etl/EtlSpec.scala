@@ -84,6 +84,31 @@ class EtlSpec extends AnyFunSuite {
     assert(paths === Seq("/tmp/a.bin", "/plain/p.bin"))
   }
 
+  test("file_owner/group/permissions enrichment from Hadoop FileStatus") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fstat").toFile
+    try {
+      val f = new java.io.File(dir, "a.bin")
+      java.nio.file.Files.write(f.toPath, Array[Byte](1, 2, 3))
+      val df = spark.read.format("binaryFile").load(dir.getAbsolutePath).drop("content")
+      val got = Etl.withFileStatusMetadata(spark,
+        Etl.withFileMetadata(df, col("path"), col("length"), col("modificationTime")))
+        .select("file_name", "file_owner", "file_group",
+          "file_permissions_user", "file_permissions_group",
+          "file_permissions_other", "file_permissions_stickybit")
+        .collect().head
+      assert(got.getString(0) === "a.bin")
+      assert(got.getString(1) != null && got.getString(1).nonEmpty) // e.g. root
+      assert(got.getString(2) != null)
+      // FsAction symbols: some subset of rwx / "---"
+      assert(got.getString(3).matches("[r-][w-][x-]"))
+      assert(got.getString(4).matches("[r-][w-][x-]"))
+      assert(got.getString(5).matches("[r-][w-][x-]"))
+      assert(Set("true", "false").contains(got.getString(6)))
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("O1 randomize: deterministic permutation for a fixed seed") {
     val df = (1 to 20).map(_.toString).toDF("v")
     val p1 = Etl.randomize(df).as[String].collect().toSeq
