@@ -33,8 +33,10 @@ object DocumentParser {
           val lines = str().split("\n", -1)
           ParsedDoc(str(), mime, Map("columns" -> lines.headOption.getOrElse(""),
             "rows" -> (lines.length - 1).max(0).toString))
+        case "text/html" | "application/xhtml+xml" =>
+          parseHtml(str(), mime)
         case "application/json" =>
-          ParsedDoc(str(), mime, Map.empty)
+          parseJson(str(), mime)
         case _ =>
           // unparsed binary: empty text, length metadata (Tika stub)
           ParsedDoc("", mime, Map("length" -> bytes.length.toString))
@@ -42,6 +44,60 @@ object DocumentParser {
     } catch {
       case e: Exception => ParsedDoc("", mime, Map("parse_error" -> e.getMessage))
     }
+  }
+
+  /** HTML → text, the dominant training-data parse (Tika's HtmlParser
+    * analog, kept dependency-free): drop script/style/comments, strip
+    * tags, decode the common entities, collapse whitespace; title and
+    * meta-description surface as metadata. */
+  private[sources] def parseHtml(html: String, mime: String): ParsedDoc = {
+    def grab(re: String) =
+      re.r.findFirstMatchIn(html).map(m => decodeEntities(m.group(1)).trim)
+    val title = grab("(?is)<title[^>]*>(.*?)</title>")
+    val desc = grab(
+      "(?is)<meta\\s+[^>]*name=[\"']description[\"'][^>]*content=[\"']([^\"']*)[\"']")
+    val text = decodeEntities(
+      html.replaceAll("(?is)<(script|style)[^>]*>.*?</\\1>", " ")
+        .replaceAll("(?s)<!--.*?-->", " ")
+        .replaceAll("(?s)<[^>]+>", " "))
+      .replaceAll("\\s+", " ").trim
+    ParsedDoc(text, mime,
+      Map.empty[String, String] ++ title.map("title" -> _) ++
+        desc.map("description" -> _))
+  }
+
+  private val namedEntities = Map("amp" -> "&", "lt" -> "<", "gt" -> ">",
+    "quot" -> "\"", "apos" -> "'", "nbsp" -> " ")
+
+  private[sources] def decodeEntities(s: String): String =
+    "&(#x?[0-9a-fA-F]+|[a-zA-Z]+);".r.replaceAllIn(s, { m =>
+      val body = m.group(1)
+      val out =
+        if (body.startsWith("#x") || body.startsWith("#X"))
+          new String(Character.toChars(Integer.parseInt(body.drop(2), 16)))
+        else if (body.startsWith("#"))
+          new String(Character.toChars(body.drop(1).toInt))
+        else namedEntities.getOrElse(body, m.matched)
+      scala.util.matching.Regex.quoteReplacement(out)
+    })
+
+  /** JSON → text + metadata: text is every string value depth-first
+    * (what an indexer wants to search), metadata the top-level scalar
+    * fields (what a schema mapper wants to route on). */
+  private[sources] def parseJson(json: String, mime: String): ParsedDoc = {
+    import scala.jdk.CollectionConverters._
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val texts = Seq.newBuilder[String]
+    def walk(n: com.fasterxml.jackson.databind.JsonNode): Unit =
+      if (n.isTextual) texts += n.asText
+      else if (n.isContainerNode) n.elements().asScala.foreach(walk)
+    walk(root)
+    val meta =
+      if (!root.isObject) Map.empty[String, String]
+      else root.properties().asScala.iterator
+        .filter(e => e.getValue.isValueNode)
+        .map(e => e.getKey -> e.getValue.asText).toMap
+    ParsedDoc(texts.result().mkString(" "), mime, meta)
   }
 
   private val parseUdf = udf((mime: String, bytes: Array[Byte]) => parse(mime, bytes))
@@ -55,6 +111,7 @@ object DocumentParser {
     * (reference: custom-mimetypes.xml + detectMimeType). */
   def mimeFromName(name: Column): Column =
     when(name.endsWith(".xml"), "application/xml")
+      .when(name.endsWith(".html") || name.endsWith(".htm"), "text/html")
       .when(name.endsWith(".json"), "application/json")
       .when(name.endsWith(".csv") || name.endsWith(".tsv"), "text/csv")
       .when(name.endsWith(".txt") || name.endsWith(".log"), "text/plain")

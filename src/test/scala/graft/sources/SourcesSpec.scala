@@ -146,6 +146,31 @@ class SourcesSpec extends AnyFunSuite {
     assert(byMime("image/png")._2("length") === "3")
   }
 
+  test("S9 parse_document: HTML strips tags/script, extracts title + entities") {
+    val html =
+      """<html><head><title>My &amp; Title</title>
+        |<meta name="description" content="a page">
+        |<style>body { color: red }</style></head>
+        |<body><h1>Hello</h1><script>var x = "<nope>";</script>
+        |<p>world &#x26; &#38; &lt;tag&gt;</p><!-- comment --></body></html>
+        |""".stripMargin
+    val doc = DocumentParser.parse("text/html", html.getBytes("UTF-8"))
+    assert(doc.text === "My & Title Hello world & & <tag>")
+    assert(doc.metadata("title") === "My & Title")
+    assert(doc.metadata("description") === "a page")
+  }
+
+  test("S9 parse_document: JSON text harvest + top-level scalar metadata") {
+    val json = """{"id": 7, "title": "Doc", "nested": {"body": "text here"},
+                 | "tags": ["a", "b"], "flag": true}""".stripMargin
+    val doc = DocumentParser.parse("application/json", json.getBytes("UTF-8"))
+    assert(doc.text === "Doc text here a b")
+    assert(doc.metadata === Map("id" -> "7", "title" -> "Doc", "flag" -> "true"))
+    // malformed JSON falls into the parse_error path, not an exception
+    val bad = DocumentParser.parse("application/json", "{nope".getBytes("UTF-8"))
+    assert(bad.metadata.contains("parse_error"))
+  }
+
   test("ORC + text builtin sources round-trip") {
     val dir = java.nio.file.Files.createTempDirectory("graft_orc_").toString
     graft.Tables.region(spark, TestSpark.sf).write.orc(s"$dir/orc")
