@@ -150,16 +150,22 @@ object ApproxDedup {
    * SimHash (64→32-bit variant): per token hash, each bit votes +1/-1
    * weighted by term frequency; the sign vector is the fingerprint.
    * Near-dups differ in few bits (hamming distance). Pure column
-   * expressions: bit loop unrolled over 32 bits.
+   * expressions, SINGLE pass: one aggregate carries all 32 bit
+   * counters (zip_with against a mask array), so each token is hashed
+   * and visited once — the naive per-bit formulation (32 aggregates,
+   * each re-evaluating the token-hash transform) does 32× the work.
    */
   def simHash32(tokens: Column): Column = {
-    val hashes = transform(tokens, t => hashCol(t))
-    val bits = (0 until 32).map { i =>
-      val votes = aggregate(hashes, lit(0),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(votes > 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+    val masks = array((0 until 32).map(i => lit(1 << i)): _*)
+    val bitVals = array((0 until 32).map(i => lit(1L << i)): _*)
+    val votes = aggregate(
+      transform(tokens, t => hashCol(t)),
+      array((0 until 32).map(_ => lit(0)): _*),
+      (acc, h) => zip_with(acc, masks,
+        (a, m) => a + when(h.bitwiseAND(m) =!= 0, 1).otherwise(-1)))
+    aggregate(
+      zip_with(votes, bitVals, (v, b) => when(v > 0, b).otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc + b)
   }
 
   /** Hamming distance between two simhashes. */

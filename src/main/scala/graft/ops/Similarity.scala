@@ -60,16 +60,22 @@ object Similarity {
    * `numBits` fixed pseudo-random hyperplanes (deterministic seed).
    * Cosine-similar vectors agree on most bits, so bucketing on bands
    * of the signature finds neighbors without the cross join.
+   *
+   * Computed by the [[graft.functions.HyperplaneSignature]] expression:
+   * the plane matrix rides as ONE codegen reference object instead of
+   * `numBits × dim` inlined literals — at lshTopK's 16 tables × 6 bits
+   * × 64 dims the literal form made janino compile ~6k-constant
+   * methods, which dominated small-corpus wall time and blows past JIT
+   * inlining limits at any scale.
    */
   def hyperplaneSignature(vec: Column, dim: Int, numBits: Int = 16,
                           seed: Long = 42L): Column = {
     val rnd = new scala.util.Random(seed)
+    // row-major (bit-major) fill order — the same stream positions as
+    // the historical per-plane generation, so signatures are unchanged
     val planes = Array.fill(numBits, dim)(rnd.nextGaussian())
-    val bits = (0 until numBits).map { i =>
-      val plane = array(planes(i).map(v => lit(v)): _*)
-      when(dot(vec.cast("array<double>"), plane) >= 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+    graft.functions.HyperplaneSignature.hyperplane_sig(
+      vec.cast("array<double>"), planes.flatten.toIndexedSeq, numBits, dim)
   }
 
   /**
@@ -156,12 +162,15 @@ object Similarity {
     val sample = corpus.select(col(vecCol).cast("array<double>")).limit(sampleSize)
       .collect().map(_.getSeq[Double](0).toArray)
     val centroids = kmeans(sample, nlist, iters = 8, seed)
-    def centroidCol(c: Array[Double]): Column = array(c.map(lit).toIndexedSeq: _*)
-    def dists(vec: Column): Seq[Column] =
-      centroids.map(c => -cosine(vec, centroidCol(c))) // min dist = max cosine
+    // one fused kernel per row (centroid matrix as a codegen reference
+    // object): vector norm computed once, each centroid dot once —
+    // the literal-array form inlined nlist×dim doubles and recomputed
+    // norm(vec) per centroid. min(-cosine) = nearest cell.
+    val flat = centroids.flatten.toIndexedSeq
+    def dists(vec: Column): Column =
+      graft.functions.CentroidNegCosines.centroid_neg_cosines(vec, flat, nlist, dim)
     def nearestCell(vec: Column): Column = {
-      val ds = dists(vec)
-      val arr = array(ds.toIndexedSeq: _*)
+      val arr = dists(vec)
       (array_position(arr, array_min(arr)) - 1).cast("int")
     }
     val c = corpus.select(col(idCol).as("corpus_id"),
@@ -175,7 +184,7 @@ object Similarity {
     val q = q0.withColumn("cell",
         explode(slice(transform(
           array_sort(zip_with(
-            array(dists(col("qvec")).toIndexedSeq: _*),
+            dists(col("qvec")),
             sequence(lit(0), lit(nlist - 1)),
             (d, i) => struct(d.as("d"), i.as("i")))),
           x => x.getField("i")), 1, nprobe)))

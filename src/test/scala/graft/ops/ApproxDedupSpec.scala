@@ -64,6 +64,24 @@ class ApproxDedupSpec extends AnyFunSuite {
     assert(ham(sims(1L), sims(2L)) > 6)
   }
 
+  test("simhash: column value matches independent driver-side computation") {
+    val tokens = Seq("the", "quick", "brown", "fox", "the")
+    // reference math: per token murmur, bit i votes +1/-1, sign -> bit
+    val expected = {
+      val votes = new Array[Int](32)
+      tokens.foreach { t =>
+        val h = graft.route.SolrHash.hashString(t)
+        (0 until 32).foreach { i =>
+          votes(i) += (if (((h >> i) & 1) == 1) 1 else -1)
+        }
+      }
+      (0 until 32).map(i => if (votes(i) > 0) 1L << i else 0L).sum
+    }
+    val got = Seq(tokens).toDF("toks")
+      .select(ApproxDedup.simHash32(col("toks"))).as[Long].collect().head
+    assert(got === expected)
+  }
+
   test("hamming column expression matches bitCount") {
     val got = Seq((0x0fL, 0x00L)).toDF("a", "b")
       .select(ApproxDedup.hamming(col("a"), col("b"))).as[Long].collect().head

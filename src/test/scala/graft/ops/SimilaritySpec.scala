@@ -23,6 +23,53 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("hyperplane signature expression matches the composable formulation") {
+    val dim = 8; val numBits = 5; val seed = 42L
+    // the composable form the expression replaced: literal plane
+    // arrays, array_dot per bit, sign -> bit value, summed
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(numBits, dim)(rnd.nextGaussian())
+    val composable = (0 until numBits).map { i =>
+      val plane = array(planes(i).map(v => lit(v)): _*)
+      when(graft.functions.ArrayDotProduct.array_dot(
+          col("v").cast("array<double>"), plane) >= 0, lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val vecs = Seq.tabulate(20)(i =>
+      (i.toLong, Array.tabulate(dim)(j => math.sin(i * 31 + j).toFloat)))
+      .toDF("vec_id", "v")
+    val rows = vecs.select(
+      Similarity.hyperplaneSignature(col("v"), dim, numBits, seed).as("expr_sig"),
+      composable.as("comp_sig")).collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // dim mismatch -> signature 0, matching the composable fallthrough
+    val bad = Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "v")
+      .select(Similarity.hyperplaneSignature(col("v"), dim, numBits, seed))
+      .as[Long].collect().head
+    assert(bad === 0L)
+  }
+
+  test("centroid neg-cosines expression matches the composable formulation") {
+    val dim = 6; val nlist = 3
+    val cents = Array(
+      Array(1.0, 0.5, -0.25, 2.0, 0.0, 1.5),
+      Array(-1.0, 1.0, 0.75, 0.5, 2.5, -0.5),
+      Array(0.25, -2.0, 1.0, 1.0, 0.5, 0.75))
+    val composable = array(cents.map { c =>
+      -Similarity.cosine(col("v").cast("array<double>"),
+        array(c.map(lit).toIndexedSeq: _*))
+    }.toIndexedSeq: _*)
+    val fused = graft.functions.CentroidNegCosines.centroid_neg_cosines(
+      col("v").cast("array<double>"), cents.flatten.toIndexedSeq, nlist, dim)
+    val rows = Seq.tabulate(10)(i =>
+      (i.toLong, Array.tabulate(dim)(j => math.cos(i * 17 + j).toFloat)))
+      .toDF("vec_id", "v")
+      .select(fused.as("f"), composable.as("c")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Double](0) === r.getSeq[Double](1)) // bit-identical
+    }
+  }
+
   test("an exact duplicate vector is the top-1 neighbor with cosine ~1") {
     val emb = graft.Tables.embeddings(spark, TestSpark.sf)
     val clone = emb.filter(col("vec_id") === 0).withColumn("vec_id", lit(99999L))
