@@ -464,9 +464,13 @@ object SparkEntry {
     // winnowing (rolling-hash) fingerprints; hash-dependent -> rows-only
     "q48_winnowing" -> ((s, d) => {
       val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+      // arithmetic shingle path: murmur each TOKEN once, combine the w
+      // token hashes per window arithmetically — no shingle string is
+      // ever built (same staging discipline as minHashCandidates)
       Tables.documents(s, d)
+        .select(col("doc_id"), ApproxDedup.tokenHashes(toks).as("th"))
         .select(col("doc_id"),
-          ApproxDedup.shingleHashes(ApproxDedup.shingles(toks, 3)).as("hs"))
+          ApproxDedup.shingleHashesFromTokenHashes(col("th"), 3).as("hs"))
         .select(col("doc_id"),
           size(TextAnalysis.winnowingFingerprints(col("hs"))).as("n_fingerprints"))
     }),

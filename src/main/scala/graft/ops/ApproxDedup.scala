@@ -55,16 +55,11 @@ object ApproxDedup {
    * is pure integer work. Same near-dup behavior as string shingles
    * (both are exact-match fingerprints of the w-gram).
    */
-  def shingleHashesFromTokenHashes(tokenHashCol: Column, w: Int = 3): Column = {
-    val n = size(tokenHashCol)
-    val p = 2147483647L // keep acc < 2^31 so acc*1000003+h never overflows (ANSI mode throws)
-    def step(acc: Column, h: Column): Column = pmod(acc * 1000003L + h, lit(p))
-    val mixAll = aggregate(tokenHashCol, lit(1L), step)
-    when(n < w, array(mixAll))
-      .otherwise(transform(sequence(lit(0), n - w),
-        i => (0 until w).foldLeft(lit(1L): Column)(
-          (acc, j) => step(acc, element_at(tokenHashCol, i + lit(j + 1))))))
-  }
+  def shingleHashesFromTokenHashes(tokenHashCol: Column, w: Int = 3): Column =
+    // fused kernel (graft.functions.PolyShingleHashes): one codegen'd
+    // pass replacing the interpreted per-window foldLeft of element_at
+    // reads + pmod steps — identical values (see kernel parity notes)
+    graft.functions.PolyShingleHashes.poly_shingles(tokenHashCol, w)
 
   private def hashParams(numHashes: Int, seed: Int): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
@@ -81,12 +76,13 @@ object ApproxDedup {
    * times. Returns array<int> of length numHashes.
    */
   def minHashSignature(hashedShingles: Column, numHashes: Int = 32, seed: Int = 42): Column = {
-    val p = 2147483647L // 2^31 - 1, prime
-    array(hashParams(numHashes, seed).map { case (a, b) =>
-      aggregate(hashedShingles, lit(Long.MaxValue),
-        (acc, h) => least(acc, (((h % p) * a + b) % p)))
-        .cast("int")
-    }: _*)
+    // fused single-pass kernel (graft.functions.MinHashSignatureExpr):
+    // the per-function aggregate form traversed the array numHashes
+    // times in interpreted lambdas; this walks it once in codegen,
+    // same values (see the expression's parity notes + spec)
+    val params = hashParams(numHashes, seed)
+    graft.functions.MinHashSignatureExpr.minhash_sig(
+      hashedShingles, params.map(_._1), params.map(_._2))
   }
 
   /**

@@ -131,13 +131,9 @@ object TextAnalysis {
    * per-window lambda — O(windows × shingles) murmur calls per doc —
    * while an attribute reference is read once per row.
    */
-  def winnowingFingerprints(hashedShingles: Column, w: Int = 4): Column = {
-    require(w >= 2, s"winnow window must be >= 2: $w")
-    val n = size(hashedShingles)
-    // least() over w element_at reads — no per-window slice allocation
-    val mins = when(n <= w, array(array_min(hashedShingles)))
-      .otherwise(transform(sequence(lit(0), n - w),
-        i => least((1 to w).map(j => element_at(hashedShingles, i + lit(j))): _*)))
-    array_distinct(mins)
-  }
+  def winnowingFingerprints(hashedShingles: Column, w: Int = 4): Column =
+    // fused kernel (graft.functions.WinnowMinima): one codegen'd pass
+    // computing window minima + inline distinct, replacing the
+    // interpreted per-window least(element_at...) lambda — same values
+    graft.functions.WinnowMinima.winnow_minima(hashedShingles, w)
 }

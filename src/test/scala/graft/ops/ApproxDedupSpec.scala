@@ -64,6 +64,46 @@ class ApproxDedupSpec extends AnyFunSuite {
     assert(ham(sims(1L), sims(2L)) > 6)
   }
 
+  test("poly shingle hashes match the composable formulation") {
+    val w = 3
+    val p = 2147483647L
+    // the composable form the fused kernel replaced
+    def composable(th: org.apache.spark.sql.Column) = {
+      val n = size(th)
+      def step(acc: org.apache.spark.sql.Column, h: org.apache.spark.sql.Column) =
+        pmod(acc * 1000003L + h, lit(p))
+      when(n < w, array(aggregate(th, lit(1L), step)))
+        .otherwise(transform(sequence(lit(0), n - w),
+          i => (0 until w).foldLeft(lit(1L): org.apache.spark.sql.Column)(
+            (acc, j) => step(acc, element_at(th, i + lit(j + 1))))))
+    }
+    val cases = Seq(
+      Seq(42L, -17L, 123456789L, 7L, -99L, 3L), // negatives exercise pmod
+      Seq(1L, 2L),                              // n < w whole-array mix
+      Seq(5L))
+    val df = cases.map(Tuple1(_)).toDF("th")
+    val rows = df.select(
+      ApproxDedup.shingleHashesFromTokenHashes(col("th"), w).as("fused"),
+      composable(col("th")).as("comp")).collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+  }
+
+  test("minhash signature matches independent driver-side computation") {
+    val hashes = Seq(42L, -17L, 123456789L, 7L)
+    val p = 2147483647L
+    // regenerate the same (a, b) params the production path uses
+    val rnd = new scala.util.Random(42)
+    val params = Seq.fill(32)((1 + rnd.nextInt(Int.MaxValue - 1)).toLong ->
+      rnd.nextInt(Int.MaxValue).toLong)
+    val expected = params.map { case (a, b) =>
+      hashes.map(h => ((h % p) * a + b) % p).min.toInt
+    }
+    val got = Seq(Tuple1(hashes)).toDF("hs")
+      .select(ApproxDedup.minHashSignature(col("hs")))
+      .as[Seq[Int]].collect().head
+    assert(got === expected)
+  }
+
   test("simhash: column value matches independent driver-side computation") {
     val tokens = Seq("the", "quick", "brown", "fox", "the")
     // reference math: per token murmur, bit i votes +1/-1, sign -> bit

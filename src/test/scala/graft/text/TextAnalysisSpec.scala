@@ -66,4 +66,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     val sub = df.select(TextAnalysis.subwordCountEstimate(col("t"))).as[Int].collect().head
     assert(sub >= 3)
   }
+
+  test("winnowing minima match the composable formulation") {
+    val w = 4
+    // the composable form the fused kernel replaced
+    def composable(hs: org.apache.spark.sql.Column) = {
+      val n = size(hs)
+      array_distinct(when(n <= w, array(array_min(hs)))
+        .otherwise(transform(sequence(lit(0), n - w),
+          i => least((1 to w).map(j => element_at(hs, i + lit(j))): _*))))
+    }
+    val cases = Seq(
+      Seq(5L, 3L, 9L, 1L, 7L, 3L, 8L, 2L), // normal slide
+      Seq(4L, 4L, 4L, 4L, 4L),             // all-equal dedup
+      Seq(9L, 2L),                         // n < w whole-array window
+      Seq(6L))                             // single element
+    val df = cases.map(Tuple1(_)).toDF("hs")
+    val rows = df.select(
+      TextAnalysis.winnowingFingerprints(col("hs"), w).as("fused"),
+      composable(col("hs")).as("comp")).collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+  }
 }
