@@ -24,13 +24,12 @@ import org.apache.spark.sql.functions._
  */
 object ApproxDedup {
 
-  /** `w`-shingles (word n-grams) of a token array. */
-  def shingles(tokens: Column, w: Int = 3): Column = {
-    val n = size(tokens)
-    when(n < w, array(concat_ws(" ", tokens)))
-      .otherwise(transform(sequence(lit(0), n - w),
-        i => concat_ws(" ", slice(tokens, i + lit(1), lit(w)))))
-  }
+  /** `w`-shingles (word n-grams) of a token array — fused kernel
+    * (graft.functions.StringShingles), replacing the interpreted
+    * per-window concat_ws(slice) lambda with one codegen'd pass;
+    * identical strings (parity-tested). */
+  def shingles(tokens: Column, w: Int = 3): Column =
+    graft.functions.StringShingles.string_shingles(tokens, w)
 
   private def hashCol(c: Column): Column = {
     import graft.route.GraftColumns

@@ -64,6 +64,26 @@ class ApproxDedupSpec extends AnyFunSuite {
     assert(ham(sims(1L), sims(2L)) > 6)
   }
 
+  test("string shingles match the composable formulation") {
+    val w = 3
+    def composable(tokens: org.apache.spark.sql.Column) = {
+      val n = size(tokens)
+      when(n < w, array(concat_ws(" ", tokens)))
+        .otherwise(transform(sequence(lit(0), n - w),
+          i => concat_ws(" ", slice(tokens, i + lit(1), lit(w)))))
+    }
+    val cases = Seq(
+      Seq("the", "quick", "brown", "fox", "jumps"),
+      Seq("one", "two"),   // n < w whole-array shingle
+      Seq("solo"),
+      Seq.empty[String])   // empty -> [""] both ways
+    val df = cases.map(Tuple1(_)).toDF("toks")
+    val rows = df.select(
+      ApproxDedup.shingles(col("toks"), w).as("fused"),
+      composable(col("toks")).as("comp")).collect()
+    rows.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
+  }
+
   test("poly shingle hashes match the composable formulation") {
     val w = 3
     val p = 2147483647L
