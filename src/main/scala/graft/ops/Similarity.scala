@@ -154,6 +154,14 @@ object Similarity {
    * iterations, fixed seed); queries probe their `nprobe` nearest
    * cells and rescore exactly inside them. The other classical ANN
    * trade vs LSH: data-adaptive cells, recall ≈ probed mass.
+   *
+   * Scaling the defaults: nlist=16 suits the test corpus; the
+   * classical sizing is nlist ≈ sqrt(corpus rows) (FAISS guidance —
+   * 1e9 vectors → nlist ~ 32k) with `sampleSize` ≥ ~40×nlist so every
+   * cell sees training mass, and nprobe/nlist ≈ the recall target.
+   * Cell assignment stays one fused map pass at any nlist; only the
+   * driver-side k-means grows (O(sampleSize × nlist × dim) per
+   * iteration — still seconds at 32k×128 on one core).
    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
               nlist: Int = 16, nprobe: Int = 4, sampleSize: Int = 2048,

@@ -59,4 +59,22 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(plan(q).contains("*(1)"), q) // codegen stages render as *(n)
     }
   }
+
+  test("fused kernels appear in plans (no interpreted HOF fallbacks)") {
+    assert(plan("q23_simhash").contains("solr_hash"), "q23 token hashing")
+    val p26 = plan("q26_lsh_ann")
+    assert(p26.contains("hyperplane_sig"), p26.take(2000))
+    val p22 = plan("q22_minhash_pairs")
+    assert(p22.contains("minhash_sig") && p22.contains("poly_shingles"),
+      p22.take(2000))
+    val p48 = plan("q48_winnowing")
+    assert(p48.contains("winnow_minima"), p48.take(2000))
+    val p24 = plan("q24_ngram_jaccard")
+    assert(p24.contains("string_shingles"), p24.take(2000))
+  }
+
+  test("q46 IVF: fused centroid kernel, corpus side never broadcast") {
+    val p = plan("q46_ivf_ann")
+    assert(p.contains("centroid_neg_cosines"), p.take(2000))
+  }
 }
