@@ -36,11 +36,18 @@ object Graft {
     // on null key) — one pass over the corpus, not a separate
     // driver-blocking pre-scan
     val validated = schema.requireKey(sanitized)
-    val deduped = orderBy match {
-      case Some(ts) => Dedup.retainMostRecent(validated, Seq(col(schema.uniqueKey)), ts)
-      case None => Dedup.rejectOnConflict(validated, Seq(col(schema.uniqueKey)))
+    orderBy match {
+      case Some(ts) =>
+        // retain-most-recent dedup fuses into the route shuffle (a
+        // doc's shard is a function of its id), so the whole build is
+        // ONE exchange — see ShardIndex.routedForWrite
+        ShardIndex.write(validated, schema.uniqueKey, out, shards,
+          filesPerShard = filesPerShard, dedupOrder = Some(ts))
+      case None =>
+        val deduped = Dedup.rejectOnConflict(validated, Seq(col(schema.uniqueKey)))
+        ShardIndex.write(deduped, schema.uniqueKey, out, shards,
+          filesPerShard = filesPerShard)
     }
-    ShardIndex.write(deduped, schema.uniqueKey, out, shards, filesPerShard = filesPerShard)
   }
 
   /** Open a built store for querying. */

@@ -36,24 +36,59 @@ object ShardIndex {
    * leave 0 = write final shards directly.
    */
   def write(df: DataFrame, idCol: String, out: String, shards: Int,
-            microShards: Int = 0, filesPerShard: Int = 1): DataFrame = {
-    val router = HashRangeRouter(shards)
-    val shardCol = format_string("%05d", router.shardCol(col(idCol)))
-    val withShard = df.withColumn("shard", shardCol)
-    // Parallelism inside a shard: one task per shard would bottleneck a
-    // 100 TB build (a shard can be terabytes), so the exchange key is
-    // the micro-shard index — filesPerShard write tasks per shard, each
-    // emitting one file into the shard dir. Size filesPerShard ≈
-    // shardBytes / targetFileBytes on a cluster.
+            microShards: Int = 0, filesPerShard: Int = 1,
+            dedupOrder: Option[Column] = None): DataFrame = {
     val splits = math.max(1, if (microShards > 0) microShards / shards else filesPerShard)
-    val routed =
-      withShard.repartition(shards * splits,
-        router.microShardCol(col(idCol), shards * splits))
+    val routed = routedForWrite(df, idCol, shards, splits, dedupOrder)
     routed
       .sortWithinPartitions(col("shard"), col(idCol).desc)
       .write.mode("overwrite").partitionBy("shard").parquet(out)
     writeCommitMeta(out, shards, idCol, hadoopConf(df.sparkSession))
-    withShard
+    routed
+  }
+
+  /**
+   * The routed (and optionally deduped) frame `write` materializes —
+   * exposed so plan tests can assert the single-shuffle property.
+   *
+   * Parallelism inside a shard: one task per shard would bottleneck a
+   * 100 TB build (a shard can be terabytes), so the exchange key is
+   * the micro-shard index — filesPerShard write tasks per shard, each
+   * emitting one file into the shard dir. Size filesPerShard ≈
+   * shardBytes / targetFileBytes on a cluster.
+   *
+   * `dedupOrder` fuses retain-most-recent dedup INTO the route
+   * exchange: a doc's (micro-)shard is a pure function of its id, so
+   * after the route repartition every id's rows are co-located, and a
+   * window over (__ms, id) is satisfied by the existing
+   * HashPartitioning(__ms) — Catalyst inserts a partition-local sort,
+   * NOT a second exchange. The reference pays the same insight in
+   * reverse: its dedup rides the one MR shuffle that also routes
+   * (the reducer keys are the routed doc ids). A separate
+   * Dedup.retainMostRecent call before write costs one full extra
+   * shuffle of the corpus at 100 TB.
+   */
+  private[graft] def routedForWrite(df: DataFrame, idCol: String, shards: Int,
+                                    splits: Int,
+                                    dedupOrder: Option[Column]): DataFrame = {
+    val router = HashRangeRouter(shards)
+    val shardCol = format_string("%05d", router.shardCol(col(idCol)))
+    val routed = df.withColumn("shard", shardCol)
+      .withColumn("__ms", router.microShardCol(col(idCol), shards * splits))
+      .repartition(shards * splits, col("__ms"))
+    val deduped = dedupOrder match {
+      case Some(ts) =>
+        // same survivor semantics as Dedup.retainMostRecent
+        // (desc_nulls_last): groups are identical because equal ids
+        // share a micro shard
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__ms"), col(idCol))
+          .orderBy(ts.desc_nulls_last)
+        routed.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      case None => routed
+    }
+    deduped.drop("__ms")
   }
 
   /** The Hadoop conf to resolve store paths with: the active session's

@@ -77,4 +77,20 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("q46_ivf_ann")
     assert(p.contains("centroid_neg_cosines"), p.take(2000))
   }
+
+  test("build dataflow: dedup fuses into the route shuffle (ONE exchange)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq(("doc1", "a", 10L), ("doc1", "b", 20L), ("doc2", "c", 5L))
+      .toDF("id", "v", "ts")
+    val routed = graft.index.ShardIndex.routedForWrite(
+      docs, "id", shards = 2, splits = 2, dedupOrder = Some(col("ts")))
+    val p = routed.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges === 1, s"expected exactly 1 exchange, plan:\n${p.take(3000)}")
+    assert(p.contains("row_number"), p.take(3000))
+    // survivors match the standalone retain-most-recent operator
+    val got = routed.select("id", "v").as[(String, String)].collect().toSet
+    assert(got === Set(("doc1", "b"), ("doc2", "c")))
+  }
 }
