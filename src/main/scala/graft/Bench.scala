@@ -31,7 +31,14 @@ object Bench {
         failed += name
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // several queries persist intermediates (LSH signatures, shingle
+      // sets) for their own multi-read plans; dropping them between
+      // queries keeps each measurement independent — leaked cache
+      // blocks from earlier queries otherwise build memory pressure
+      // that shows up as multi-second outliers in later ones
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
