@@ -20,9 +20,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the session (JVM, codegen, FS stack) so the first measured
-    // query doesn't pay one-time startup cost
-    spark.range(1000000L).selectExpr("sum(id)").collect()
+    // warm the session (JVM, codegen, the noop sink the measured
+    // queries write through, and the parquet/Hadoop-FS read stack via
+    // the 5-row region table) so the first measured query doesn't pay
+    // one-time startup cost — data itself stays cold
+    spark.range(1000000L).selectExpr("sum(id) as s")
+      .write.format("noop").mode("overwrite").save()
+    spark.read.parquet(s"$sfDir/region.parquet")
+      .write.format("noop").mode("overwrite").save()
     val failed = scala.collection.mutable.ArrayBuffer[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
