@@ -1,6 +1,5 @@
 package graft
 
-import graft.dedup.Dedup
 import graft.index.ShardIndex
 import graft.schema.IndexSchema
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -44,9 +43,11 @@ object Graft {
         ShardIndex.write(validated, schema.uniqueKey, out, shards,
           filesPerShard = filesPerShard, dedupOrder = Some(ts))
       case None =>
-        val deduped = Dedup.rejectOnConflict(validated, Seq(col(schema.uniqueKey)))
-        ShardIndex.write(deduped, schema.uniqueKey, out, shards,
-          filesPerShard = filesPerShard)
+        // conflict REJECTION also rides the route shuffle (count window
+        // over the same keys, raise_error on collision) — no separate
+        // conflict pre-scan
+        ShardIndex.write(validated, schema.uniqueKey, out, shards,
+          filesPerShard = filesPerShard, rejectConflicts = true)
     }
   }
 

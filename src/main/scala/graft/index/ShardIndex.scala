@@ -37,9 +37,10 @@ object ShardIndex {
    */
   def write(df: DataFrame, idCol: String, out: String, shards: Int,
             microShards: Int = 0, filesPerShard: Int = 1,
-            dedupOrder: Option[Column] = None): DataFrame = {
+            dedupOrder: Option[Column] = None,
+            rejectConflicts: Boolean = false): DataFrame = {
     val splits = math.max(1, if (microShards > 0) microShards / shards else filesPerShard)
-    val routed = routedForWrite(df, idCol, shards, splits, dedupOrder)
+    val routed = routedForWrite(df, idCol, shards, splits, dedupOrder, rejectConflicts)
     routed
       .sortWithinPartitions(col("shard"), col(idCol).desc)
       .write.mode("overwrite").partitionBy("shard").parquet(out)
@@ -70,22 +71,35 @@ object ShardIndex {
    */
   private[graft] def routedForWrite(df: DataFrame, idCol: String, shards: Int,
                                     splits: Int,
-                                    dedupOrder: Option[Column]): DataFrame = {
+                                    dedupOrder: Option[Column],
+                                    rejectConflicts: Boolean = false): DataFrame = {
     val router = HashRangeRouter(shards)
     val shardCol = format_string("%05d", router.shardCol(col(idCol)))
     val routed = df.withColumn("shard", shardCol)
       .withColumn("__ms", router.microShardCol(col(idCol), shards * splits))
       .repartition(shards * splits, col("__ms"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__ms"), col(idCol))
     val deduped = dedupOrder match {
       case Some(ts) =>
         // same survivor semantics as Dedup.retainMostRecent
         // (desc_nulls_last): groups are identical because equal ids
         // share a micro shard
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("__ms"), col(idCol))
-          .orderBy(ts.desc_nulls_last)
-        routed.withColumn("__rn", row_number().over(w))
+        routed.withColumn("__rn", row_number().over(w.orderBy(ts.desc_nulls_last)))
           .filter(col("__rn") === 1).drop("__rn")
+      case None if rejectConflicts =>
+        // RejectingUpdateConflictResolver semantics riding the same
+        // exchange: a colliding key fails the build job itself instead
+        // of a separate driver-blocking conflict pre-scan
+        // (Dedup.rejectOnConflict remains the eager standalone form)
+        val keyType = df.schema(idCol).dataType
+        routed.withColumn("__cnt", count(lit(1)).over(w))
+          .withColumn(idCol,
+            when(col("__cnt") > 1, raise_error(concat(
+              lit("duplicate unique key: "), col(idCol).cast("string")))
+              .cast(keyType))
+              .otherwise(col(idCol)))
+          .drop("__cnt")
       case None => routed
     }
     deduped.drop("__ms")

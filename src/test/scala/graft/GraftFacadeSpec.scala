@@ -26,8 +26,9 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(!store.columns.contains("unknown_col"))
     val a = store.filter(col("id") === "a").collect().head
     assert(a.getAs[String]("value") === "new")
-    // reject mode throws on the conflicting input
-    intercept[IllegalArgumentException] {
+    // reject mode fails the build JOB on the conflicting input (in-job
+    // raise_error riding the route shuffle, not an eager pre-scan)
+    intercept[Exception] {
       Graft.buildIndex(docs, schema,
         java.nio.file.Files.createTempDirectory("graft_facade2_").toString,
         shards = 2, orderBy = None)
@@ -47,6 +48,26 @@ class GraftFacadeSpec extends AnyFunSuite {
       if (t == null) Seq.empty
       else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(e).exists(_.contains("Missing unique key field 'id'")), e)
+  }
+
+  test("buildIndex orderBy=None: duplicate keys fail the build job in-job") {
+    val schema = IndexSchema("id", Seq(
+      IndexField("id", StringType, required = true),
+      IndexField("value", StringType)))
+    val dup = Seq(("a", "v1"), ("a", "v2"), ("b", "v3")).toDF("id", "value")
+    val out = java.nio.file.Files.createTempDirectory("graft_facade4_").toString
+    val e = intercept[Exception] {
+      Graft.buildIndex(dup, schema, out, shards = 2, orderBy = None)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("duplicate unique key: a")), e)
+    // conflict-free input still builds
+    val clean = Seq(("a", "v1"), ("b", "v3")).toDF("id", "value")
+    val out2 = java.nio.file.Files.createTempDirectory("graft_facade5_").toString
+    Graft.buildIndex(clean, schema, out2, shards = 2, orderBy = None)
+    assert(Graft.openIndex(spark, out2).count() === 2)
   }
 
   test("buildIndex through an explicit file:-scheme Hadoop path (cluster-storage shape)") {
