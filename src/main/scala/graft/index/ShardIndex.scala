@@ -74,9 +74,13 @@ object ShardIndex {
                                     dedupOrder: Option[Column],
                                     rejectConflicts: Boolean = false): DataFrame = {
     val router = HashRangeRouter(shards)
-    val shardCol = format_string("%05d", router.shardCol(col(idCol)))
-    val routed = df.withColumn("shard", shardCol)
+    // shard index falls out of the micro-shard arithmetically
+    // (microShard = shard * splits + offset), so the routing hash runs
+    // ONCE per row
+    val routed = df
       .withColumn("__ms", router.microShardCol(col(idCol), shards * splits))
+      .withColumn("shard",
+        format_string("%05d", (col("__ms") / splits).cast("int")))
       .repartition(shards * splits, col("__ms"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__ms"), col(idCol))
