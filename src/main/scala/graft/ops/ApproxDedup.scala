@@ -134,12 +134,12 @@ object ApproxDedup {
    * step after LSH, or standalone for small corpora): |A∩B| / |A∪B|
    * over distinct shingles.
    */
-  def jaccard(shinglesA: Column, shinglesB: Column): Column = {
-    val a = array_distinct(shinglesA)
-    val b = array_distinct(shinglesB)
-    val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - inter).cast("double")
-  }
+  def jaccard(shinglesA: Column, shinglesB: Column): Column =
+    // fused kernel (graft.functions.JaccardSimilarity): hash-set
+    // intersection instead of three allocated intermediate arrays per
+    // pair; identical values (integer cardinalities, same division) —
+    // parity-tested and oracle-verified (q24/q56 hash-match)
+    graft.functions.JaccardSimilarity.jaccard_sim(shinglesA, shinglesB)
 
   /**
    * SimHash (64→32-bit variant): per token hash, each bit votes +1/-1

@@ -64,6 +64,25 @@ class ApproxDedupSpec extends AnyFunSuite {
     assert(ham(sims(1L), sims(2L)) > 6)
   }
 
+  test("jaccard matches the composable formulation") {
+    def composable(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+      val da = array_distinct(a)
+      val db = array_distinct(b)
+      val inter = size(array_intersect(da, db)).cast("double")
+      inter / (size(da) + size(db) - inter).cast("double")
+    }
+    val cases = Seq(
+      (Seq("a b c", "b c d", "c d e"), Seq("b c d", "c d e", "x y z")),
+      (Seq("a", "a", "b"), Seq("b", "b", "c")),   // dup inputs pre-distinct
+      (Seq("only"), Seq("only")),                 // identical singletons
+      (Seq("x"), Seq("y")))                       // disjoint
+    val df = cases.toDF("a", "b")
+    val rows = df.select(
+      ApproxDedup.jaccard(col("a"), col("b")).as("fused"),
+      composable(col("a"), col("b")).as("comp")).collect()
+    rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
   test("string shingles match the composable formulation") {
     val w = 3
     def composable(tokens: org.apache.spark.sql.Column) = {
