@@ -37,8 +37,11 @@ object TextAnalysis {
   def tokenize(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
     val toks = regexp_extract_all(
       lower(text), lit("[a-z0-9]+(?:['.][a-z0-9]+)*"), lit(0))
-    val stemmed = transform(toks, t => regexp_replace(t, "'s$", ""))
-    filter(stemmed, t => !t.isin(stopwords: _*))
+    // possessive strip + stopword removal fused into one pass
+    // (graft.functions.TokenCleanup) — the per-token regexp_replace +
+    // isin chain ran interpreted per element; values identical
+    // (parity-tested, q10 oracle hash-matches)
+    graft.functions.TokenCleanup.token_cleanup(toks, stopwords)
   }
 
   /** Plain whitespace token count — the cheap "how long is this doc". */

@@ -67,6 +67,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(sub >= 3)
   }
 
+  test("token cleanup matches the composable formulation") {
+    val sw = TextAnalysis.EnglishStopwords
+    def composable(text: org.apache.spark.sql.Column) = {
+      val toks = regexp_extract_all(
+        lower(text), lit("[a-z0-9]+(?:['.][a-z0-9]+)*"), lit(0))
+      val stemmed = transform(toks, t => regexp_replace(t, "'s$", ""))
+      filter(stemmed, t => !t.isin(sw: _*))
+    }
+    val df = Seq(
+      "John's dog and the cat's toy",
+      "it's a file.name v1.2 test",   // interior apostrophe + dotted tokens
+      "x's's nested possessive",
+      "the a an of").toDF("t")        // all stopwords -> empty
+    val rows = df.select(
+      TextAnalysis.tokenize(col("t")).as("fused"),
+      composable(col("t")).as("comp")).collect()
+    rows.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
+  }
+
   test("winnowing minima match the composable formulation") {
     val w = 4
     // the composable form the fused kernel replaced
