@@ -25,5 +25,7 @@ object GraftFunctions {
       }, "scala_udf")
     registry.createOrReplaceTempFunction("array_dot",
       (args: Seq[Expression]) => ArrayDotProduct(args(0), args(1)), "scala_udf")
+    registry.createOrReplaceTempFunction("jaccard_sim",
+      (args: Seq[Expression]) => JaccardSimilarity(args(0), args(1)), "scala_udf")
   }
 }
