@@ -28,7 +28,8 @@ object Graft {
    *                 file_last_modified); None = reject on conflicts
    */
   def buildIndex(docs: DataFrame, schema: IndexSchema, out: String, shards: Int,
-                 orderBy: Option[Column], filesPerShard: Int = 1): DataFrame = {
+                 orderBy: Option[Column], filesPerShard: Int = 1,
+                 overwrite: Boolean = false): DataFrame = {
     val sanitized = schema.enforceCardinality(
       schema.sanitize(docs, renamePrefix = Some("ignored_")))
     // missing-key enforcement rides inside the build job (raise_error
@@ -41,13 +42,15 @@ object Graft {
         // doc's shard is a function of its id), so the whole build is
         // ONE exchange — see ShardIndex.routedForWrite
         ShardIndex.write(validated, schema.uniqueKey, out, shards,
-          filesPerShard = filesPerShard, dedupOrder = Some(ts))
+          filesPerShard = filesPerShard, dedupOrder = Some(ts),
+          overwrite = overwrite)
       case None =>
         // conflict REJECTION also rides the route shuffle (count window
         // over the same keys, raise_error on collision) — no separate
         // conflict pre-scan
         ShardIndex.write(validated, schema.uniqueKey, out, shards,
-          filesPerShard = filesPerShard, rejectConflicts = true)
+          filesPerShard = filesPerShard, rejectConflicts = true,
+          overwrite = overwrite)
     }
   }
 

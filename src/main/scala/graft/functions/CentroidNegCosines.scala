@@ -36,6 +36,10 @@ case class CentroidNegCosines(child: Expression, centroids: Seq[Double],
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  // can return NULL (dim mismatch / null element) even for a
+  // non-nullable child — without this, nullSafeCodeGen's non-nullable
+  // branch emits `ev.isNull = true` against an undeclared variable
+  override def nullable: Boolean = true
 
   @transient private lazy val cs: Array[Double] = centroids.toArray
   @transient private lazy val cnorms: Array[Double] = Array.tabulate(nlist) { i =>

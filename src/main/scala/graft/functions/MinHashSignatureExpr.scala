@@ -39,6 +39,10 @@ case class MinHashSignatureExpr(child: Expression, as: Seq[Long], bs: Seq[Long])
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  // can return NULL (null element) even for a non-nullable child —
+  // without this, nullSafeCodeGen's non-nullable branch emits
+  // `ev.isNull = true` against an undeclared variable
+  override def nullable: Boolean = true
 
   @transient private lazy val aArr: Array[Long] = as.toArray
   @transient private lazy val bArr: Array[Long] = bs.toArray

@@ -26,10 +26,17 @@ object PolyShingleKernel {
 
   /** Window-of-`w` polynomial mixes; `n < w` degrades to one mix over
     * the whole array (the composable form's `when(n < w, ...)` arm).
-    * Throws on NULL elements — token-hash arrays are never null; the
-    * expression-level null contract stays at the array level. */
+    * A NULL element nulls exactly the windows covering it — the same
+    * per-window propagation the composable pmod chain had (a null
+    * token hash must not silently read as 0 and corrupt fingerprints).
+    * Token arrays are null-free in every graft path, so the boxed
+    * null-aware walk only runs when a null is actually present. */
   def compute(arr: ArrayData, w: Int): ArrayData = {
     val n = arr.numElements()
+    var hasNull = false
+    var k = 0
+    while (k < n && !hasNull) { hasNull = arr.isNullAt(k); k += 1 }
+    if (hasNull) return computeWithNulls(arr, w)
     if (n < w) {
       var acc = 1L
       var j = 0
@@ -48,6 +55,27 @@ object PolyShingleKernel {
       new GenericArrayData(out)
     }
   }
+
+  private def computeWithNulls(arr: ArrayData, w: Int): ArrayData = {
+    val n = arr.numElements()
+    def mix(from: Int, until: Int): Any = {
+      var acc = 1L
+      var j = from
+      while (j < until) {
+        if (arr.isNullAt(j)) return null
+        acc = step(acc, arr.getLong(j))
+        j += 1
+      }
+      acc
+    }
+    if (n < w) new GenericArrayData(Array[Any](mix(0, n)))
+    else {
+      val out = new Array[Any](n - w + 1)
+      var i = 0
+      while (i <= n - w) { out(i) = mix(i, i + w); i += 1 }
+      new GenericArrayData(out)
+    }
+  }
 }
 
 /**
@@ -63,7 +91,9 @@ case class PolyShingleHashes(child: Expression, w: Int)
   require(w >= 1, s"shingle width must be >= 1: $w")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // null elements propagate per-window (see kernel), so the output may
+  // carry nulls
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
 
   override def nullSafeEval(v: Any): Any =
     PolyShingleKernel.compute(v.asInstanceOf[ArrayData], w)

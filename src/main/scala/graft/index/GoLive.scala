@@ -32,7 +32,11 @@ object GoLive {
   /** List a shard store's (index, dir) pairs in shard order, through
     * the store path's own FileSystem — a store on `hdfs://`/`s3a://`
     * lists the same way a local one does (the reference go-lives
-    * straight from HDFS job output, GoLive.java:46-72). */
+    * straight from HDFS job output, GoLive.java:46-72).
+    *
+    * Entries are FileSystem-QUALIFIED URIs (`file:/...`, `hdfs://...`),
+    * not bare local paths: resolve them with `new org.apache.hadoop.fs.
+    * Path(entry)`, never `new java.io.File(entry)`. */
   def shardDirs(store: String,
                 conf: org.apache.hadoop.conf.Configuration =
                   ShardIndex.activeHadoopConf()): Seq[(Int, String)] = {

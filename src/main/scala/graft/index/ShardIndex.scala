@@ -38,7 +38,19 @@ object ShardIndex {
   def write(df: DataFrame, idCol: String, out: String, shards: Int,
             microShards: Int = 0, filesPerShard: Int = 1,
             dedupOrder: Option[Column] = None,
-            rejectConflicts: Boolean = false): DataFrame = {
+            rejectConflicts: Boolean = false,
+            overwrite: Boolean = false): DataFrame = {
+    // A COMMITTED store at `out` is never overwritten by default: the
+    // in-job guards (requireKey / rejectConflicts) fail MID-write, and
+    // Spark's overwrite mode deletes the target before tasks run — a
+    // failed rebuild would destroy the serving store and leave
+    // nothing. Same stance as the reference's FileOutputFormat, which
+    // refuses an existing output dir outright; pass overwrite=true to
+    // knowingly replace. (A dir without the commit marker is a dead
+    // partial build — reclaimed silently.)
+    if (!overwrite && commitMeta(out, hadoopConf(df.sparkSession)).isDefined)
+      throw new IllegalStateException(
+        s"shard store already committed at $out; pass overwrite=true to replace")
     val splits = math.max(1, if (microShards > 0) microShards / shards else filesPerShard)
     val routed = routedForWrite(df, idCol, shards, splits, dedupOrder, rejectConflicts)
     routed

@@ -101,7 +101,16 @@ object ApproxDedup {
    * the pair space.
    */
   def minHashCandidates(df: DataFrame, id: Column, tokens: Column,
-                        numHashes: Int = 32, bands: Int = 8): DataFrame = {
+                        numHashes: Int = 32, bands: Int = 8): DataFrame =
+    minHashCandidatesWithSig(df, id, tokens, numHashes, bands)._1
+
+  /** [[minHashCandidates]] plus the PERSISTED signature frame backing
+    * it, so a consumer that materializes the candidates can
+    * `unpersist` the signatures instead of leaking them for the
+    * session's lifetime ([[dropNearDuplicates]] does exactly that). */
+  private[graft] def minHashCandidatesWithSig(
+      df: DataFrame, id: Column, tokens: Column,
+      numHashes: Int = 32, bands: Int = 8): (DataFrame, DataFrame) = {
     val rows = numHashes / bands
     // signatures are tiny (numHashes ints per doc): persist them so the
     // LSH self-join below reads them twice instead of recomputing the
@@ -118,7 +127,7 @@ object ApproxDedup {
     // estimate BEFORE dedup so the distinct hashes three scalars per
     // pair instead of two 32-int signature arrays (pairs colliding in
     // several bands carry identical sigs, hence identical estimates)
-    banded.as("l").join(banded.as("r"),
+    val pairs = banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
@@ -127,6 +136,7 @@ object ApproxDedup {
           lit(0), (acc, x) => acc + x).cast("double") / lit(numHashes.toDouble))
           .as("est_jaccard"))
       .distinct()
+    (pairs, sig)
   }
 
   /**
@@ -175,9 +185,16 @@ object ApproxDedup {
   def dropNearDuplicates(df: DataFrame, id: Column, tokens: Column,
                          threshold: Double = 0.8, numHashes: Int = 32,
                          bands: Int = 8): DataFrame = {
-    val losers = minHashCandidates(df, id, tokens, numHashes, bands)
+    val (cand, sig) = minHashCandidatesWithSig(df, id, tokens, numHashes, bands)
+    val losers = cand
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_b").as("__loser")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the (small: duplicate ids only) loser set, then
+    // release the signature cache — without this, every call leaks the
+    // full signature frame for the session's lifetime
+    losers.count()
+    sig.unpersist()
     df.join(losers, id === col("__loser"), "left_anti")
   }
 }

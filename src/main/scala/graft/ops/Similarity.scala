@@ -110,7 +110,17 @@ object Similarity {
   def lshSelfPairs(df: DataFrame, dim: Int,
                    tables: Int = 16, bits: Int = 6, seed: Long = 42L,
                    idCol: String = "vec_id",
-                   vecCol: String = "embedding"): DataFrame = {
+                   vecCol: String = "embedding"): DataFrame =
+    lshSelfPairsWithSig(df, dim, tables, bits, seed, idCol, vecCol)._1
+
+  /** [[lshSelfPairs]] plus the PERSISTED bucket frame backing it, so a
+    * consumer that materializes the pairs can `unpersist` it instead
+    * of leaking it ([[dropNearDuplicatesByEmbedding]] does). */
+  private[graft] def lshSelfPairsWithSig(
+      df: DataFrame, dim: Int,
+      tables: Int = 16, bits: Int = 6, seed: Long = 42L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): (DataFrame, DataFrame) = {
     val v = df.select(col(idCol).as("__vid"),
         col(vecCol).cast("array<double>").as("__vec"))
       .withColumn("__nrm", norm(col("__vec")))
@@ -126,13 +136,14 @@ object Similarity {
       .filter(col("a.__vid") < col("b.__vid"))
       .select(col("a.__vid").as("id_a"), col("b.__vid").as("id_b"))
       .distinct()
-    pairs
+    val scored = pairs
       .join(v.select(col("__vid").as("id_a"), col("__vec").as("__va"),
         col("__nrm").as("__na")), Seq("id_a"))
       .join(v.select(col("__vid").as("id_b"), col("__vec").as("__vb"),
         col("__nrm").as("__nb")), Seq("id_b"))
       .withColumn("cosine", dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
       .select(col("id_a"), col("id_b"), col("cosine"))
+    (scored, sig)
   }
 
   /** Near-dup dedup by embedding: drop the larger id of every
@@ -142,9 +153,14 @@ object Similarity {
   def dropNearDuplicatesByEmbedding(df: DataFrame, threshold: Double, dim: Int,
                                     idCol: String = "vec_id",
                                     vecCol: String = "embedding"): DataFrame = {
-    val losers = lshSelfPairs(df, dim, idCol = idCol, vecCol = vecCol)
+    val (scored, sig) = lshSelfPairsWithSig(df, dim, idCol = idCol, vecCol = vecCol)
+    val losers = scored
       .filter(col("cosine") >= threshold)
       .select(col("id_b").as("__loser")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the (small) loser set, then release the bucket cache
+    losers.count()
+    sig.unpersist()
     df.join(losers, col(idCol) === col("__loser"), "left_anti")
   }
 

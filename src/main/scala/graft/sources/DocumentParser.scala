@@ -72,21 +72,32 @@ object DocumentParser {
   private[sources] def decodeEntities(s: String): String =
     "&(#x?[0-9a-fA-F]+|[a-zA-Z]+);".r.replaceAllIn(s, { m =>
       val body = m.group(1)
+      // a malformed entity (`&#ffff;` — hex digits without x, or a
+      // code point past 0x10FFFF) stays verbatim rather than throwing:
+      // crawled HTML is full of junk and one bad entity must not cost
+      // the document (parse()'s catch-all would blank it entirely)
       val out =
-        if (body.startsWith("#x") || body.startsWith("#X"))
-          new String(Character.toChars(Integer.parseInt(body.drop(2), 16)))
-        else if (body.startsWith("#"))
-          new String(Character.toChars(body.drop(1).toInt))
-        else namedEntities.getOrElse(body, m.matched)
+        try {
+          if (body.startsWith("#x") || body.startsWith("#X"))
+            new String(Character.toChars(Integer.parseInt(body.drop(2), 16)))
+          else if (body.startsWith("#"))
+            new String(Character.toChars(body.drop(1).toInt))
+          else namedEntities.getOrElse(body, m.matched)
+        } catch { case _: IllegalArgumentException => m.matched }
       scala.util.matching.Regex.quoteReplacement(out)
     })
+
+  // shared, thread-safe after configuration — building a mapper per
+  // document is one of Jackson's most expensive operations
+  private lazy val jsonMapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
 
   /** JSON → text + metadata: text is every string value depth-first
     * (what an indexer wants to search), metadata the top-level scalar
     * fields (what a schema mapper wants to route on). */
   private[sources] def parseJson(json: String, mime: String): ParsedDoc = {
     import scala.jdk.CollectionConverters._
-    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val root = jsonMapper.readTree(json)
     val texts = Seq.newBuilder[String]
     def walk(n: com.fasterxml.jackson.databind.JsonNode): Unit =
       if (n.isTextual) texts += n.asText

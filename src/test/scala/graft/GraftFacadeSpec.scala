@@ -70,6 +70,26 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(Graft.openIndex(spark, out2).count() === 2)
   }
 
+  test("buildIndex refuses to clobber a committed store unless overwrite=true") {
+    val schema = IndexSchema("id", Seq(
+      IndexField("id", StringType, required = true),
+      IndexField("value", StringType)))
+    val docs = Seq(("a", "v1"), ("b", "v2")).toDF("id", "value")
+    val out = java.nio.file.Files.createTempDirectory("graft_facade6_").toString
+    Graft.buildIndex(docs, schema, out, shards = 2, orderBy = None)
+    // a second build into the committed store must fail fast, BEFORE
+    // Spark's overwrite mode deletes the serving data
+    val e = intercept[IllegalStateException] {
+      Graft.buildIndex(docs, schema, out, shards = 2, orderBy = None)
+    }
+    assert(e.getMessage.contains("already committed"))
+    assert(Graft.openIndex(spark, out).count() === 2) // store untouched
+    // explicit opt-in replaces it
+    Graft.buildIndex(docs.limit(1), schema, out, shards = 2, orderBy = None,
+      overwrite = true)
+    assert(Graft.openIndex(spark, out).count() === 1)
+  }
+
   test("buildIndex through an explicit file:-scheme Hadoop path (cluster-storage shape)") {
     val schema = IndexSchema("id", Seq(
       IndexField("id", StringType, required = true),

@@ -127,6 +127,31 @@ class ApproxDedupSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
   }
 
+  test("fused kernels: null elements and non-nullable children are safe") {
+    // poly shingles: a null token hash nulls exactly the windows
+    // covering it (never silently mixes garbage)
+    val sh = Seq(Tuple1(Seq[java.lang.Long](1L, null, 3L, 4L, 5L)))
+      .toDF("th")
+      .select(ApproxDedup.shingleHashesFromTokenHashes(col("th"), 3))
+      .collect().head.getSeq[Any](0)
+    assert(sh.length === 3)
+    assert(sh(0) == null && sh(1) == null) // windows covering the null
+    assert(sh(2) != null)
+    // minhash over a null-element array -> NULL signature
+    val row = Seq(Tuple1(Seq[java.lang.Long](1L, null)))
+      .toDF("hs").select(ApproxDedup.minHashSignature(col("hs")).as("sig"))
+      .collect().head
+    assert(row.isNullAt(0))
+    // non-nullable children (array literals) must still codegen: the
+    // expressions declare nullable=true themselves
+    val lit1 = spark.range(1).select(
+      ApproxDedup.minHashSignature(array(lit(7L), lit(9L))).as("sig"),
+      graft.functions.CentroidNegCosines.centroid_neg_cosines(
+        array(lit(1.0), lit(0.0)), Seq(1.0, 0.0, 0.0, 1.0), 2, 2).as("cc"))
+      .collect().head
+    assert(!lit1.isNullAt(0) && !lit1.isNullAt(1))
+  }
+
   test("minhash signature matches independent driver-side computation") {
     val hashes = Seq(42L, -17L, 123456789L, 7L)
     val p = 2147483647L

@@ -160,6 +160,13 @@ class SourcesSpec extends AnyFunSuite {
     assert(doc.metadata("description") === "a page")
   }
 
+  test("S9 parse_document: malformed entities stay verbatim, doc text survives") {
+    val html = "<p>ok &#ffff; and &#x110000; and &unknown; text</p>"
+    val doc = DocumentParser.parse("text/html", html.getBytes("UTF-8"))
+    assert(!doc.metadata.contains("parse_error"))
+    assert(doc.text === "ok &#ffff; and &#x110000; and &unknown; text")
+  }
+
   test("S9 parse_document: JSON text harvest + top-level scalar metadata") {
     val json = """{"id": 7, "title": "Doc", "nested": {"body": "text here"},
                  | "tags": ["a", "b"], "flag": true}""".stripMargin
