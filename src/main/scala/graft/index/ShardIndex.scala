@@ -211,11 +211,25 @@ object ShardIndex {
    * documents. `repartition(col("shard"))` puts each shard's rows in
    * one task, and the partitionBy writer emits one file per shard.
    */
-  def optimize(spark: SparkSession, path: String, out: String): Unit =
+  def optimize(spark: SparkSession, path: String, out: String,
+               overwrite: Boolean = false): Unit = {
+    // same clobber guard as write(): refuse a committed target by
+    // default, and carry the source's commit metadata forward so the
+    // compacted store serves exactly like the original
+    if (!overwrite && commitMeta(out, hadoopConf(spark)).isDefined)
+      throw new IllegalStateException(
+        s"shard store already committed at $out; pass overwrite=true to replace")
     spark.read.parquet(path)
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"))
       .write.mode("overwrite").partitionBy("shard").parquet(out)
+    commitMeta(path, hadoopConf(spark)).foreach { meta =>
+      val p = new Path(out, "_graft_commit.json")
+      val fs = p.getFileSystem(hadoopConf(spark))
+      val os = fs.create(p, true)
+      try os.write(meta.getBytes(StandardCharsets.UTF_8)) finally os.close()
+    }
+  }
 
   /**
    * M1 mtree-merge equivalent: re-shard a store built with

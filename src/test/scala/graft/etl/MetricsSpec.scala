@@ -33,6 +33,12 @@ class MetricsSpec extends AnyFunSuite {
       assert(parts.length === 1, s"${d.getName} has ${parts.length} files")
     }
     assert(spark.read.parquet(out).count() === spark.read.parquet(dir).count())
+    // commit meta carried forward; re-optimize refuses the committed
+    // target without overwrite=true
+    assert(ShardIndex.commitMeta(out).exists(_.contains("\"shards\":2")))
+    intercept[IllegalStateException](ShardIndex.optimize(spark, dir, out))
+    ShardIndex.optimize(spark, dir, out, overwrite = true)
+    assert(spark.read.parquet(out).count() === spark.read.parquet(dir).count())
   }
 
   test("multimodal decode stub: per-partition batched, deterministic features") {
