@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/**
+ * Property tests over the pure kernels backing the fused expressions
+ * (docs/KERNELS.md), each checked against an obviously-correct Scala
+ * reference implementation on arbitrary inputs — no Spark session
+ * needed, so these run as plain JVM properties.
+ */
+object KernelProps extends Properties("kernels") {
+
+  private val P = 2147483647L
+  private val longArrays = Gen.listOf(Gen.chooseNum(Long.MinValue / 4, Long.MaxValue / 4))
+  private val smallW = Gen.chooseNum(2, 5)
+
+  private def pmod(x: Long): Long = { val r = x % P; if (r < 0) r + P else r }
+
+  property("poly shingles == reference sliding fold") =
+    forAll(longArrays, smallW) { (xs, w) =>
+      val got = PolyShingleKernel
+        .compute(new GenericArrayData(xs.toArray), w).toLongArray.toSeq
+      val exp =
+        if (xs.length < w) Seq(xs.foldLeft(1L)((acc, h) => pmod(acc * 1000003L + h)))
+        else xs.sliding(w).map(_.foldLeft(1L)((acc, h) => pmod(acc * 1000003L + h))).toSeq
+      got == exp
+    }
+
+  property("winnow minima == reference sliding-min + ordered distinct") =
+    forAll(longArrays.suchThat(_.nonEmpty), smallW) { (xs, w) =>
+      val got = WinnowKernel
+        .compute(new GenericArrayData(xs.toArray), w).toLongArray.toSeq
+      val mins = if (xs.length <= w) Seq(xs.min) else xs.sliding(w).map(_.min).toSeq
+      got == mins.distinct
+    }
+
+  property("jaccard == reference set arithmetic") =
+    forAll(Gen.listOf(Gen.alphaNumStr), Gen.listOf(Gen.alphaNumStr)) { (a, b) =>
+      val toArr = (s: Seq[String]) =>
+        new GenericArrayData(s.map(UTF8String.fromString).toArray[Any])
+      val got = JaccardKernel.compute(toArr(a), toArr(b))
+      val (sa, sb) = (a.toSet, b.toSet)
+      val inter = (sa & sb).size
+      val union = sa.size + sb.size - inter
+      // both empty -> 0/0: kernel yields NaN, reference guard mirrors it
+      if (union == 0) got.isNaN
+      else got == inter.toDouble / union.toDouble
+    }
+
+  property("string shingles == reference windows") =
+    forAll(Gen.listOf(Gen.alphaNumStr), smallW) { (toks, w) =>
+      val got = StringShingleKernel
+        .compute(new GenericArrayData(toks.map(UTF8String.fromString).toArray[Any]), w)
+        .toArray[UTF8String](org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+      val exp =
+        if (toks.length < w) Seq(toks.mkString(" "))
+        else toks.sliding(w).map(_.mkString(" ")).toSeq
+      got == exp
+    }
+
+  property("minhash signature == reference min over universal hashes") =
+    forAll(longArrays.suchThat(_.nonEmpty)) { xs =>
+      val as = Seq(3L, 7L, 11L)
+      val bs = Seq(1L, 5L, 13L)
+      val got = MinHashSignatureExpr(
+        org.apache.spark.sql.catalyst.expressions.Literal(1), as, bs)
+        .nullSafeEval(new GenericArrayData(xs.toArray))
+        .asInstanceOf[GenericArrayData].toIntArray.toSeq
+      val exp = as.zip(bs).map { case (a, b) =>
+        xs.map(h => ((h % P) * a + b) % P).min.toInt
+      }
+      got == exp
+    }
+}
