@@ -127,13 +127,15 @@ object ApproxDedup {
     // estimate BEFORE dedup so the distinct hashes three scalars per
     // pair instead of two 32-int signature arrays (pairs colliding in
     // several bands carry identical sigs, hence identical estimates)
+    // agreement count fused (graft.functions.ArrayEqCount) — this runs
+    // once per CANDIDATE PAIR, the join's hottest row count; the
+    // division keeps the composable form's exact float op
     val pairs = banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        (aggregate(zip_with(col("l.sig"), col("r.sig"),
-            (a, b) => when(a === b, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x).cast("double") / lit(numHashes.toDouble))
+        (graft.functions.ArrayEqCount.array_eq_count(col("l.sig"), col("r.sig"))
+          .cast("double") / lit(numHashes.toDouble))
           .as("est_jaccard"))
       .distinct()
     (pairs, sig)

@@ -61,6 +61,14 @@ object KernelProps extends Properties("kernels") {
       got == exp
     }
 
+  property("array eq count == reference position-wise agreement") =
+    forAll(Gen.listOf(Gen.chooseNum(-100, 100)), Gen.listOf(Gen.chooseNum(-100, 100))) {
+      (a, b) =>
+        val got = ArrayEqCount.compute(
+          new GenericArrayData(a.toArray), new GenericArrayData(b.toArray))
+        got == a.zip(b).count { case (x, y) => x == y }
+    }
+
   property("minhash signature == reference min over universal hashes") =
     forAll(longArrays.suchThat(_.nonEmpty)) { xs =>
       val as = Seq(3L, 7L, 11L)
