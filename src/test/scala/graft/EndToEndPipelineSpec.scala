@@ -118,5 +118,19 @@ class EndToEndPipelineSpec extends AnyFunSuite {
     val m2 = ShardIndex.read(spark, merged)
     assert(m2.count() === 91)
     assert(m2.select("shard").distinct().count() === 2)
+
+    // 8. the one-call fused facade (dedup riding the route shuffle)
+    // produces the same survivors and placement as the 2-step chain
+    val fused = java.nio.file.Files.createTempDirectory("graft_e2e_fused_").toString
+    Graft.buildIndex(etl(raw), indexSchema, fused, shards = 3,
+      orderBy = Some(col("created_at")))
+    val fb = ShardIndex.read(spark, fused)
+    assert(fb.count() === 91)
+    val fdoc9 = ShardIndex.byId(fb, "id", "doc9", 3).collect()
+    assert(fdoc9.length === 1)
+    assert(fdoc9.head.getAs[String]("user_screen_name") === "Nadja10")
+    // (shard reads back as the partition-inferred int type)
+    assert(fb.select("id", "shard").collect().map(r => r.getString(0) -> r.get(1).toString).toMap
+      === built.select("id", "shard").collect().map(r => r.getString(0) -> r.get(1).toString).toMap)
   }
 }
