@@ -70,6 +70,33 @@ object Archives {
     finally in.close()
   }
 
+  /** zstd — the dominant training-corpus codec (zstd-jni ships with
+    * Spark; commons-compress fronts it). */
+  def unzstd(name: String, bytes: Array[Byte]): Seq[ArchiveEntry] = {
+    val in = new org.apache.commons.compress.compressors.zstandard.ZstdCompressorInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try Seq(ArchiveEntry(name.stripSuffix(".zst").stripSuffix(".zstd"),
+      readAll(in, MaxEntryBytes)))
+    finally in.close()
+  }
+
+  /** lz4 frame format (commons-compress pure-Java). */
+  def unlz4(name: String, bytes: Array[Byte]): Seq[ArchiveEntry] = {
+    val in = new org.apache.commons.compress.compressors.lz4.FramedLZ4CompressorInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try Seq(ArchiveEntry(name.stripSuffix(".lz4"), readAll(in, MaxEntryBytes)))
+    finally in.close()
+  }
+
+  /** framed snappy (commons-compress pure-Java). */
+  def unsnappy(name: String, bytes: Array[Byte]): Seq[ArchiveEntry] = {
+    val in = new org.apache.commons.compress.compressors.snappy.FramedSnappyCompressorInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try Seq(ArchiveEntry(name.stripSuffix(".sz").stripSuffix(".snappy"),
+      readAll(in, MaxEntryBytes)))
+    finally in.close()
+  }
+
   /** Dispatch on magic bytes like the reference's detectMimeType →
     * decompress/unpack chain; unknown formats pass through unchanged. */
   def expandEntries(name: String, bytes: Array[Byte]): Seq[ArchiveEntry] = {
@@ -83,6 +110,12 @@ object Archives {
           inner.flatMap(e => expandEntries(e.name, e.content))
         } else if (hasPrefix(0x50, 0x4b, 0x03, 0x04)) unzip(bytes)
         else if (hasPrefix(0x42, 0x5a, 0x68)) bunzip2(name, bytes).flatMap(e => expandEntries(e.name, e.content))
+        else if (hasPrefix(0x28, 0xb5, 0x2f, 0xfd))
+          unzstd(name, bytes).flatMap(e => expandEntries(e.name, e.content))
+        else if (hasPrefix(0x04, 0x22, 0x4d, 0x18))
+          unlz4(name, bytes).flatMap(e => expandEntries(e.name, e.content))
+        else if (hasPrefix(0xff, 0x06, 0x00, 0x00, 0x73, 0x4e, 0x61, 0x50, 0x70, 0x59))
+          unsnappy(name, bytes).flatMap(e => expandEntries(e.name, e.content))
         else if (name.endsWith(".tar")) untar(bytes)
         else Seq(ArchiveEntry(name, bytes))
       } catch {

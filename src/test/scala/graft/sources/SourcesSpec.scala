@@ -121,6 +121,42 @@ class SourcesSpec extends AnyFunSuite {
     assert(got === Set(("x.txt", "payload text")))
   }
 
+  test("S11 decompress: zstd / lz4-frame / framed-snappy (and .tar.zst recursion)") {
+    import org.apache.commons.compress.compressors.lz4.FramedLZ4CompressorOutputStream
+    import org.apache.commons.compress.compressors.snappy.FramedSnappyCompressorOutputStream
+    import org.apache.commons.compress.compressors.zstandard.ZstdCompressorOutputStream
+    def compress(mk: java.io.OutputStream => java.io.OutputStream,
+                 payload: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = mk(bos)
+      out.write(payload); out.close()
+      bos.toByteArray
+    }
+    val text = "modern codec payload".getBytes("UTF-8")
+    val tar = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val t = new org.apache.commons.compress.archivers.tar.TarArchiveOutputStream(bos)
+      val e = new org.apache.commons.compress.archivers.tar.TarArchiveEntry("inner/doc.txt")
+      e.setSize(text.length)
+      t.putArchiveEntry(e); t.write(text); t.closeArchiveEntry(); t.close()
+      bos.toByteArray
+    }
+    val df = Seq(
+      ("a.txt.zst", compress(new ZstdCompressorOutputStream(_), text)),
+      ("b.txt.lz4", compress(new FramedLZ4CompressorOutputStream(_), text)),
+      ("c.txt.sz", compress(new FramedSnappyCompressorOutputStream(_), text)),
+      ("d.tar.zst", compress(new ZstdCompressorOutputStream(_), tar))
+    ).toDF("name", "content")
+    val got = Archives.unpack(df, col("name"), col("content"))
+      .select(col("entry_name"), col("entry_content").cast("string"))
+      .as[(String, String)].collect().toSet
+    assert(got === Set(
+      ("a.txt", "modern codec payload"),
+      ("b.txt", "modern codec payload"),
+      ("c.txt", "modern codec payload"),
+      ("inner/doc.txt", "modern codec payload")))
+  }
+
   test("S11 corrupt archive quarantines as raw blob instead of failing the task") {
     val junk = Array[Byte](0x50, 0x4b, 0x03, 0x04, 1, 2, 3) // zip magic, garbage body
     val df = Seq(("bad.zip", junk)).toDF("name", "content")
