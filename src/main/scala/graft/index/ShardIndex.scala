@@ -141,13 +141,25 @@ object ShardIndex {
    * so `hdfs://`/`s3a://` stores work, not just local dirs.
    */
   private def writeCommitMeta(out: String, shards: Int, idCol: String,
-                              conf: Configuration): Unit = {
-    val meta = s"""{"graft_commit":1,"shards":$shards,"id_column":"$idCol"}"""
+                              conf: Configuration): Unit =
+    putCommitMeta(out,
+      s"""{"graft_commit":1,"shards":$shards,"id_column":"$idCol"}""", conf)
+
+  /** The one place marker bytes hit the FileSystem — writeCommitMeta
+    * formats fresh metadata, optimize() forwards the source's. */
+  private def putCommitMeta(out: String, meta: String,
+                            conf: Configuration): Unit = {
     val p = new Path(out, "_graft_commit.json")
     val fs = p.getFileSystem(conf)
     val os = fs.create(p, true)
     try os.write(meta.getBytes(StandardCharsets.UTF_8)) finally os.close()
   }
+
+  /** id_column recorded in a store's commit marker, if any. */
+  private[graft] def idColumnOf(store: String, conf: Configuration): Option[String] =
+    commitMeta(store, conf).flatMap { meta =>
+      """"id_column"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(meta).map(_.group(1))
+    }
 
   /** Store statistics: rows, files and bytes per shard — the ops view
     * for spotting skewed shards and compaction debt. File listing goes
@@ -219,16 +231,25 @@ object ShardIndex {
     if (!overwrite && commitMeta(out, hadoopConf(spark)).isDefined)
       throw new IllegalStateException(
         s"shard store already committed at $out; pass overwrite=true to replace")
-    spark.read.parquet(path)
-      .repartition(col("shard"))
-      .sortWithinPartitions(col("shard"))
-      .write.mode("overwrite").partitionBy("shard").parquet(out)
-    commitMeta(path, hadoopConf(spark)).foreach { meta =>
-      val p = new Path(out, "_graft_commit.json")
-      val fs = p.getFileSystem(hadoopConf(spark))
-      val os = fs.create(p, true)
-      try os.write(meta.getBytes(StandardCharsets.UTF_8)) finally os.close()
+    // the shard partition column reads back type-INFERRED (int) —
+    // re-pad it so the compacted dirs keep write()'s shard=NNNNN
+    // naming (GoLive.shardDirs maps shards to targets POSITIONALLY
+    // after an alphanumeric-safe sort; unpadded shard=10 would sort
+    // before shard=2 and go-live every shard >= 10 to the wrong core)
+    val src = spark.read.parquet(path)
+      .withColumn("shard", format_string("%05d", col("shard").cast("int")))
+    // re-establish write()'s within-shard id-desc index sort (O4
+    // parity — the reference's forceMerge keeps SortingMergePolicy
+    // order) using the id column recorded in the source's marker
+    val ordered = idColumnOf(path, hadoopConf(spark)) match {
+      case Some(id) => src.repartition(col("shard"))
+        .sortWithinPartitions(col("shard"), col(id).desc)
+      case None => src.repartition(col("shard"))
+        .sortWithinPartitions(col("shard"))
     }
+    ordered.write.mode("overwrite").partitionBy("shard").parquet(out)
+    commitMeta(path, hadoopConf(spark)).foreach(
+      putCommitMeta(out, _, hadoopConf(spark)))
   }
 
   /**

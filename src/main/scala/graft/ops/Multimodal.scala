@@ -54,6 +54,7 @@ object Multimodal {
         .when(head4.startsWith("1F8B"), "application/gzip")
         .when(head4.startsWith("28B52FFD"), "application/zstd")
         .when(head4.startsWith("04224D18"), "application/x-lz4")
+        .when(head4.startsWith("FF060000"), "application/x-snappy-framed")
         .when(head4.startsWith("25504446"), "application/pdf")
         .when(head4.startsWith("4F676753"), "audio/ogg")
         .when(head4.startsWith("52494646"), "audio/wav")

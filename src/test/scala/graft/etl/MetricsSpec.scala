@@ -41,6 +41,23 @@ class MetricsSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() === spark.read.parquet(dir).count())
   }
 
+  test("optimize keeps write()'s dir padding and id-desc sort at >= 10 shards") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_opt12_in_").toString
+    val docs = Tables.lineitem(spark, TestSpark.sf).limit(3000)
+      .withColumn("id", concat(col("l_orderkey"), lit("#"), col("l_linenumber")))
+    ShardIndex.write(docs, "id", dir, shards = 12)
+    val out = java.nio.file.Files.createTempDirectory("graft_opt12_out_").toString
+    ShardIndex.optimize(spark, dir, out)
+    // padded shard=000NN dirs — positional go-live mapping stays
+    // correct past shard 9 (unpadded shard=10 sorts before shard=2)
+    val dirs = graft.index.GoLive.shardDirs(out).map(_._2.split('/').last)
+    assert(dirs === (0 until 12).map(i => f"shard=$i%05d"))
+    // within-shard id-desc order re-established from the commit marker
+    val shard0 = spark.read.parquet(s"$out/shard=00000")
+      .select("id").collect().map(_.getString(0)).toSeq
+    assert(shard0 === shard0.sorted.reverse)
+  }
+
   test("multimodal decode stub: per-partition batched, deterministic features") {
     val assets = graft.ops.Multimodal.readBinary(spark, TestSpark.sf, "*.parquet")
     val decoded = graft.ops.Multimodal.decodeImages(spark, assets).collect()
