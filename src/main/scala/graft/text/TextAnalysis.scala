@@ -53,8 +53,9 @@ object TextAnalysis {
   def subwordCountEstimate(text: Column): Column = {
     val words = regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
     val punct = length(regexp_replace(text, "[a-zA-Z0-9\\s]+", ""))
-    aggregate(words, lit(0),
-      (acc, w) => acc + greatest(lit(1), ceil(length(w) / lit(4)).cast("int"))) + punct
+    // fused Σ max(1, ceil(len/4.0)) — same double division as the
+    // composable `/ lit(4)` fold (Spark Divide is always double)
+    graft.functions.SubwordEstSum.subword_est_sum(words) + punct
   }
 
   /**
@@ -70,8 +71,10 @@ object TextAnalysis {
     "es" -> Seq("el", "los", "las", "es", "no", "una", "por", "con", "para", "como"))
 
   def langScores(tokens: Column): Map[String, Column] =
+    // fused set-membership count (graft.functions.ArrayInSetCount) —
+    // same value as size(array_intersect(tokens, lit array))
     LangMarkers.map { case (lang, words) =>
-      lang -> size(array_intersect(tokens, array(words.map(lit): _*)))
+      lang -> graft.functions.ArrayInSetCount.in_set_count(tokens, words)
     }
 
   def languageId(text: Column): Column = {
@@ -96,9 +99,10 @@ object TextAnalysis {
     val nTokens = size(toks)
     val nChars = length(text)
     val nPunct = length(regexp_replace(text, "[a-zA-Z0-9\\s]", ""))
-    val nStop = size(array_intersect(toks, array(EnglishStopwords.map(lit): _*)))
+    val nStop = graft.functions.ArrayInSetCount.in_set_count(toks, EnglishStopwords)
     val meanWordLen = when(nTokens > 0,
-      aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double") / nTokens.cast("double"))
+      graft.functions.ArrayStrLenSum.str_len_sum(toks)
+        .cast("double") / nTokens.cast("double"))
       .otherwise(lit(0.0))
     val punctRatio = when(nChars > 0, nPunct.cast("double") / nChars.cast("double")).otherwise(lit(0.0))
     val stopRatio = when(nTokens > 0, nStop.cast("double") / nTokens.cast("double")).otherwise(lit(0.0))

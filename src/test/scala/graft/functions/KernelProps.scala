@@ -69,6 +69,33 @@ object KernelProps extends Properties("kernels") {
         got == a.zip(b).count { case (x, y) => x == y }
     }
 
+  private val tokenLists = Gen.listOf(Gen.oneOf(
+    Gen.alphaNumStr, Gen.oneOf("the", "and", "der", "le", "el", "of")))
+
+  property("in-set count == reference distinct-intersection size") =
+    forAll(tokenLists) { toks =>
+      val set = Seq("the", "and", "der", "le", "el")
+      val hs = new java.util.HashSet[UTF8String]()
+      set.foreach(w => hs.add(UTF8String.fromString(w)))
+      val got = TextKernels.inSetCount(
+        new GenericArrayData(toks.map(UTF8String.fromString).toArray[Any]), hs)
+      got == (toks.toSet & set.toSet).size
+    }
+
+  property("str len sum == reference Σ length (code points)") =
+    forAll(Gen.listOf(Gen.asciiPrintableStr)) { toks =>
+      val got = TextKernels.lenSum(
+        new GenericArrayData(toks.map(UTF8String.fromString).toArray[Any]))
+      got == toks.map(_.length).sum
+    }
+
+  property("subword sum == reference Σ max(1, ceil(len/4.0))") =
+    forAll(Gen.listOf(Gen.alphaNumStr)) { toks =>
+      val got = TextKernels.subwordSum(
+        new GenericArrayData(toks.map(UTF8String.fromString).toArray[Any]))
+      got == toks.map(t => math.max(1, math.ceil(t.length / 4.0).toInt)).sum
+    }
+
   property("minhash signature == reference min over universal hashes") =
     forAll(longArrays.suchThat(_.nonEmpty)) { xs =>
       val as = Seq(3L, 7L, 11L)
