@@ -693,7 +693,8 @@ object SparkEntry {
       val fr = listLit(TextAnalysis.LangMarkers("fr"))
       val es = listLit(TextAnalysis.LangMarkers("es"))
       s"""SELECT doc_id,
-         | CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+         | CASE WHEN en IS NULL THEN 'und'
+         |  WHEN greatest(en, de, fr, es) = 0 THEN 'und'
          |  WHEN en >= de AND en >= fr AND en >= es THEN 'en'
          |  WHEN de >= fr AND de >= es THEN 'de'
          |  WHEN fr >= es THEN 'fr'

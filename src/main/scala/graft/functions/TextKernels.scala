@@ -22,11 +22,12 @@ object TextKernels {
     * `size(array_intersect(tokens, lit array))` count (null elements
     * never match a null-free set, exactly like array_intersect). */
   def inSetCount(arr: ArrayData, set: java.util.HashSet[UTF8String]): Int = {
+    val max = set.size()
     val seen = new java.util.HashSet[UTF8String]()
     var c = 0
     var i = 0
     val n = arr.numElements()
-    while (i < n) {
+    while (i < n && c < max) { // saturated: no token can raise the count
       if (!arr.isNullAt(i)) {
         val t = arr.getUTF8String(i)
         if (set.contains(t) && seen.add(t)) c += 1

@@ -155,11 +155,6 @@ object ShardIndex {
     try os.write(meta.getBytes(StandardCharsets.UTF_8)) finally os.close()
   }
 
-  /** id_column recorded in a store's commit marker, if any. */
-  private[graft] def idColumnOf(store: String, conf: Configuration): Option[String] =
-    commitMeta(store, conf).flatMap { meta =>
-      """"id_column"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(meta).map(_.group(1))
-    }
 
   /** Store statistics: rows, files and bytes per shard — the ops view
     * for spotting skewed shards and compaction debt. File listing goes
@@ -240,16 +235,20 @@ object ShardIndex {
       .withColumn("shard", format_string("%05d", col("shard").cast("int")))
     // re-establish write()'s within-shard id-desc index sort (O4
     // parity — the reference's forceMerge keeps SortingMergePolicy
-    // order) using the id column recorded in the source's marker
-    val ordered = idColumnOf(path, hadoopConf(spark)) match {
+    // order) using the id column recorded in the source's marker; the
+    // marker is read ONCE and the same bytes forwarded (one metadata
+    // round-trip on object stores, no read-vs-forward race)
+    val meta = commitMeta(path, hadoopConf(spark))
+    val idCol = meta.flatMap(
+      """"id_column"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(_)).map(_.group(1))
+    val ordered = idCol match {
       case Some(id) => src.repartition(col("shard"))
         .sortWithinPartitions(col("shard"), col(id).desc)
       case None => src.repartition(col("shard"))
         .sortWithinPartitions(col("shard"))
     }
     ordered.write.mode("overwrite").partitionBy("shard").parquet(out)
-    commitMeta(path, hadoopConf(spark)).foreach(
-      putCommitMeta(out, _, hadoopConf(spark)))
+    meta.foreach(putCommitMeta(out, _, hadoopConf(spark)))
   }
 
   /**

@@ -34,13 +34,22 @@ object Archives {
     out.toByteArray
   }
 
-  /** gzip: one inner entry, named after the outer file minus `.gz`. */
-  def gunzip(name: String, bytes: Array[Byte]): Seq[ArchiveEntry] = {
-    val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
-    try Seq(ArchiveEntry(name.stripSuffix(".gz").stripSuffix(".gzip"),
-      readAll(in, MaxEntryBytes)))
+  /** Shared shape of every single-entry decompressor: wrap the bytes
+    * in the codec stream, read capped, name = outer minus suffixes. */
+  private def decompressOne(name: String, bytes: Array[Byte],
+                            suffixes: Seq[String],
+                            mkStream: java.io.InputStream => java.io.InputStream)
+      : Seq[ArchiveEntry] = {
+    val in = mkStream(new java.io.ByteArrayInputStream(bytes))
+    try Seq(ArchiveEntry(
+      suffixes.foldLeft(name)(_ stripSuffix _), readAll(in, MaxEntryBytes)))
     finally in.close()
   }
+
+  /** gzip: one inner entry, named after the outer file minus `.gz`. */
+  def gunzip(name: String, bytes: Array[Byte]): Seq[ArchiveEntry] =
+    decompressOne(name, bytes, Seq(".gz", ".gzip"),
+      new java.util.zip.GZIPInputStream(_))
 
   def unzip(bytes: Array[Byte]): Seq[ArchiveEntry] = {
     val zin = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(bytes))
@@ -63,39 +72,25 @@ object Archives {
     } finally tin.close()
   }
 
-  def bunzip2(name: String, bytes: Array[Byte]): Seq[ArchiveEntry] = {
-    val in = new org.apache.commons.compress.compressors.bzip2.BZip2CompressorInputStream(
-      new java.io.ByteArrayInputStream(bytes))
-    try Seq(ArchiveEntry(name.stripSuffix(".bz2"), readAll(in, MaxEntryBytes)))
-    finally in.close()
-  }
+  def bunzip2(name: String, bytes: Array[Byte]): Seq[ArchiveEntry] =
+    decompressOne(name, bytes, Seq(".bz2"),
+      new org.apache.commons.compress.compressors.bzip2.BZip2CompressorInputStream(_))
 
   /** zstd — the dominant training-corpus codec (zstd-jni ships with
     * Spark; commons-compress fronts it). */
-  def unzstd(name: String, bytes: Array[Byte]): Seq[ArchiveEntry] = {
-    val in = new org.apache.commons.compress.compressors.zstandard.ZstdCompressorInputStream(
-      new java.io.ByteArrayInputStream(bytes))
-    try Seq(ArchiveEntry(name.stripSuffix(".zst").stripSuffix(".zstd"),
-      readAll(in, MaxEntryBytes)))
-    finally in.close()
-  }
+  def unzstd(name: String, bytes: Array[Byte]): Seq[ArchiveEntry] =
+    decompressOne(name, bytes, Seq(".zst", ".zstd"),
+      new org.apache.commons.compress.compressors.zstandard.ZstdCompressorInputStream(_))
 
   /** lz4 frame format (commons-compress pure-Java). */
-  def unlz4(name: String, bytes: Array[Byte]): Seq[ArchiveEntry] = {
-    val in = new org.apache.commons.compress.compressors.lz4.FramedLZ4CompressorInputStream(
-      new java.io.ByteArrayInputStream(bytes))
-    try Seq(ArchiveEntry(name.stripSuffix(".lz4"), readAll(in, MaxEntryBytes)))
-    finally in.close()
-  }
+  def unlz4(name: String, bytes: Array[Byte]): Seq[ArchiveEntry] =
+    decompressOne(name, bytes, Seq(".lz4"),
+      new org.apache.commons.compress.compressors.lz4.FramedLZ4CompressorInputStream(_))
 
   /** framed snappy (commons-compress pure-Java). */
-  def unsnappy(name: String, bytes: Array[Byte]): Seq[ArchiveEntry] = {
-    val in = new org.apache.commons.compress.compressors.snappy.FramedSnappyCompressorInputStream(
-      new java.io.ByteArrayInputStream(bytes))
-    try Seq(ArchiveEntry(name.stripSuffix(".sz").stripSuffix(".snappy"),
-      readAll(in, MaxEntryBytes)))
-    finally in.close()
-  }
+  def unsnappy(name: String, bytes: Array[Byte]): Seq[ArchiveEntry] =
+    decompressOne(name, bytes, Seq(".sz", ".snappy"),
+      new org.apache.commons.compress.compressors.snappy.FramedSnappyCompressorInputStream(_))
 
   /** Dispatch on magic bytes like the reference's detectMimeType →
     * decompress/unpack chain; unknown formats pass through unchanged. */

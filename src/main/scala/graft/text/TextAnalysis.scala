@@ -81,7 +81,12 @@ object TextAnalysis {
     val toks = regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))
     val s = langScores(toks)
     val (en, de, fr, es) = (s("en"), s("de"), s("fr"), s("es"))
-    when(greatest(en, de, fr, es) === 0, lit("und"))
+    // NULL text is explicitly "und" — without the guard, NULL scores
+    // make every when-condition NULL and the chain silently falls
+    // through to the LAST language (and the historical non-ANSI
+    // size(null) = -1 arm gave yet another answer)
+    when(text.isNull, lit("und"))
+      .when(greatest(en, de, fr, es) === 0, lit("und"))
       .when(en >= de && en >= fr && en >= es, lit("en"))
       .when(de >= fr && de >= es, lit("de"))
       .when(fr >= es, lit("fr"))
