@@ -35,6 +35,8 @@ object DocumentParser {
             "rows" -> (lines.length - 1).max(0).toString))
         case "text/html" | "application/xhtml+xml" =>
           parseHtml(str(), mime)
+        case "text/markdown" =>
+          parseMarkdown(str(), mime)
         case "application/json" =>
           parseJson(str(), mime)
         case _ =>
@@ -64,6 +66,25 @@ object DocumentParser {
     ParsedDoc(text, mime,
       Map.empty[String, String] ++ title.map("title" -> _) ++
         desc.map("description" -> _))
+  }
+
+  /** Markdown → text: syntax stripped, content kept — the other
+    * dominant crawled-corpus format. First heading becomes the title. */
+  private[sources] def parseMarkdown(md: String, mime: String): ParsedDoc = {
+    val title = "(?m)^#{1,6}\\s+(.+?)\\s*#*\\s*$".r
+      .findFirstMatchIn(md).map(_.group(1).trim)
+    val text = md
+      .replaceAll("(?s)```[a-zA-Z0-9]*\\n?(.*?)```", " $1 ") // keep fenced code body
+      .replaceAll("!\\[([^\\]]*)\\]\\([^)]*\\)", "$1")       // image -> alt text
+      .replaceAll("\\[([^\\]]+)\\]\\([^)]*\\)", "$1")        // link -> anchor text
+      .replaceAll("(?m)^#{1,6}\\s+", "")                     // heading markers
+      .replaceAll("(?m)^\\s*>\\s?", "")                      // blockquote markers
+      .replaceAll("(?m)^\\s*[-*+]\\s+", "")                  // list bullets
+      .replaceAll("(?m)^\\s*\\d+\\.\\s+", "")                // ordered-list numbers
+      .replaceAll("(?m)^[-=_*]{3,}\\s*$", " ")               // horizontal rules
+      .replaceAll("[*_`~]", "")                              // emphasis/inline-code marks
+      .replaceAll("\\s+", " ").trim
+    ParsedDoc(text, mime, Map.empty[String, String] ++ title.map("title" -> _))
   }
 
   private val namedEntities = Map("amp" -> "&", "lt" -> "<", "gt" -> ">",
@@ -123,6 +144,7 @@ object DocumentParser {
   def mimeFromName(name: Column): Column =
     when(name.endsWith(".xml"), "application/xml")
       .when(name.endsWith(".html") || name.endsWith(".htm"), "text/html")
+      .when(name.endsWith(".md") || name.endsWith(".markdown"), "text/markdown")
       .when(name.endsWith(".json"), "application/json")
       .when(name.endsWith(".csv") || name.endsWith(".tsv"), "text/csv")
       .when(name.endsWith(".txt") || name.endsWith(".log"), "text/plain")

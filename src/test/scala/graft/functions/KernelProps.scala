@@ -96,6 +96,20 @@ object KernelProps extends Properties("kernels") {
       got == toks.map(t => math.max(1, math.ceil(t.length / 4.0).toInt)).sum
     }
 
+  property("token cleanup == reference possessive strip + stopword filter") =
+    forAll(Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr, Gen.alphaNumStr.map(_ + "'s"), Gen.oneOf("the", "and", "of")))) { toks =>
+      val stop = Seq("the", "and", "of")
+      val hs = new java.util.HashSet[UTF8String]()
+      stop.foreach(w => hs.add(UTF8String.fromString(w)))
+      val got = TokenCleanup.compute(
+        new GenericArrayData(toks.map(UTF8String.fromString).toArray[Any]), hs)
+        .toArray[UTF8String](org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+      val exp = toks.map(t => if (t.endsWith("'s")) t.dropRight(2) else t)
+        .filterNot(stop.contains)
+      got == exp
+    }
+
   property("minhash signature == reference min over universal hashes") =
     forAll(longArrays.suchThat(_.nonEmpty)) { xs =>
       val as = Seq(3L, 7L, 11L)

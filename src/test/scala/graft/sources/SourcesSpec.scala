@@ -196,6 +196,28 @@ class SourcesSpec extends AnyFunSuite {
     assert(doc.metadata("description") === "a page")
   }
 
+  test("S9 parse_document: markdown strips syntax, keeps content + title") {
+    val md =
+      """# My Title
+        |
+        |Some *bold* and _em_ text with a [link](http://x.y) and
+        |![logo](img.png).
+        |
+        |> quoted line
+        |
+        |- item one
+        |1. numbered
+        |
+        |```scala
+        |val code = 1
+        |```
+        |""".stripMargin
+    val doc = DocumentParser.parse("text/markdown", md.getBytes("UTF-8"))
+    assert(doc.metadata("title") === "My Title")
+    assert(doc.text === "My Title Some bold and em text with a link and logo. " +
+      "quoted line item one numbered val code = 1")
+  }
+
   test("S9 parse_document: malformed entities stay verbatim, doc text survives") {
     val html = "<p>ok &#ffff; and &#x110000; and &unknown; text</p>"
     val doc = DocumentParser.parse("text/html", html.getBytes("UTF-8"))
