@@ -29,7 +29,8 @@ object Graft {
    */
   def buildIndex(docs: DataFrame, schema: IndexSchema, out: String, shards: Int,
                  orderBy: Option[Column], filesPerShard: Int = 1,
-                 overwrite: Boolean = false): DataFrame = {
+                 overwrite: Boolean = false,
+                 router: Option[graft.route.HashRangeRouter] = None): DataFrame = {
     val sanitized = schema.enforceCardinality(
       schema.sanitize(docs, renamePrefix = Some("ignored_")))
     // missing-key enforcement rides inside the build job (raise_error
@@ -43,14 +44,14 @@ object Graft {
         // ONE exchange — see ShardIndex.routedForWrite
         ShardIndex.write(validated, schema.uniqueKey, out, shards,
           filesPerShard = filesPerShard, dedupOrder = Some(ts),
-          overwrite = overwrite)
+          overwrite = overwrite, router = router)
       case None =>
         // conflict REJECTION also rides the route shuffle (count window
         // over the same keys, raise_error on collision) — no separate
         // conflict pre-scan
         ShardIndex.write(validated, schema.uniqueKey, out, shards,
           filesPerShard = filesPerShard, rejectConflicts = true,
-          overwrite = overwrite)
+          overwrite = overwrite, router = router)
     }
   }
 

@@ -39,7 +39,10 @@ object ShardIndex {
             microShards: Int = 0, filesPerShard: Int = 1,
             dedupOrder: Option[Column] = None,
             rejectConflicts: Boolean = false,
-            overwrite: Boolean = false): DataFrame = {
+            overwrite: Boolean = false,
+            router: Option[HashRangeRouter] = None): DataFrame = {
+    router.foreach(r => require(r.numShards == shards,
+      s"router has ${r.numShards} shards, write called with $shards"))
     // A COMMITTED store at `out` is never overwritten by default: the
     // in-job guards (requireKey / rejectConflicts) fail MID-write, and
     // Spark's overwrite mode deletes the target before tasks run — a
@@ -52,7 +55,8 @@ object ShardIndex {
       throw new IllegalStateException(
         s"shard store already committed at $out; pass overwrite=true to replace")
     val splits = math.max(1, if (microShards > 0) microShards / shards else filesPerShard)
-    val routed = routedForWrite(df, idCol, shards, splits, dedupOrder, rejectConflicts)
+    val routed = routedForWrite(df, idCol, shards, splits, dedupOrder,
+      rejectConflicts, router)
     routed
       .sortWithinPartitions(col("shard"), col(idCol).desc)
       .write.mode("overwrite").partitionBy("shard").parquet(out)
@@ -84,8 +88,14 @@ object ShardIndex {
   private[graft] def routedForWrite(df: DataFrame, idCol: String, shards: Int,
                                     splits: Int,
                                     dedupOrder: Option[Column],
-                                    rejectConflicts: Boolean = false): DataFrame = {
-    val router = HashRangeRouter(shards)
+                                    rejectConflicts: Boolean = false,
+                                    routerOpt: Option[HashRangeRouter] = None)
+      : DataFrame = {
+    // injected router = X1 live-collection alignment (ClusterState
+    // .routerFor over the collection's state.json, or fromRanges);
+    // default = synthesized uniform ranges, the reference's ZK-free
+    // X2 behavior
+    val router = routerOpt.getOrElse(HashRangeRouter(shards))
     // shard index falls out of the micro-shard arithmetically
     // (microShard = shard * splits + offset), so the routing hash runs
     // ONCE per row

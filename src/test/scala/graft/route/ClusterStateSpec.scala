@@ -47,6 +47,27 @@ class ClusterStateSpec extends AnyFunSuite {
     assert(router.shardOfId("doc-42") === router.shardOfHash(h))
   }
 
+  test("a build routed with the live ranges places docs per the live layout") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val router = ClusterState.routerFor(stateJson, "mycoll")
+    val docs = (0 until 200).map(i => (s"doc-$i", s"v$i")).toDF("id", "value")
+    val out = java.nio.file.Files.createTempDirectory("graft_cs_build_").toString
+    graft.index.ShardIndex.write(docs, "id", out, shards = 3,
+      dedupOrder = None, router = Some(router))
+    val back = graft.index.ShardIndex.read(spark, out)
+      .select("id", "shard").as[(String, String)].collect()
+    assert(back.length === 200)
+    back.foreach { case (id, shard) =>
+      assert(shard.toInt === router.shardOfId(id), s"misrouted $id")
+    }
+    // non-uniform layout actually exercised: the live ranges differ
+    // from uniform 3-shard synthesis for at least one doc
+    val uniform = graft.route.HashRangeRouter(3)
+    assert((0 until 200).exists(i =>
+      uniform.shardOfId(s"doc-$i") != router.shardOfId(s"doc-$i")))
+  }
+
   test("bare shards body and missing collection") {
     val bare = """{"shards": {"s1": {"range": "80000000-7fffffff"}}}"""
     assert(ClusterState.parseSlices(bare, "whatever").head.name === "s1")
