@@ -363,6 +363,31 @@ object SparkEntry {
       Tables.events(s, d).groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("exact_users"))),
 
+    // P3 addValues: append to a multivalued field, null-safe (oracled)
+    "q59_add_values" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("tags",
+          when(col("doc_id") % 7 === 0, lit(null).cast("array<string>"))
+            .otherwise(split(col("source"), "-")))
+      Etl.addValues(Etl.addValues(docs, "tags", array(lit("extra"))),
+          "tags", array(col("lang")))
+        .select(col("doc_id"), array_join(col("tags"), "|").as("tags_joined"),
+          size(col("tags")).cast("long").as("n_tags"))
+    }),
+
+    // P2 extractAvroTree/flatten: struct flattened to prefixed
+    // top-level columns (struct built in-query, flattened by the
+    // SAME operator the Avro tree path uses)
+    "q60_flatten_struct" -> ((s, d) =>
+      Etl.flattenStructs(
+        Tables.orders(s, d).select(
+          col("o_orderkey"),
+          struct(col("o_orderstatus").as("status"),
+            col("o_totalprice").as("total")).as("meta")))
+        .filter(col("meta_total") > 400000)
+        .select(col("o_orderkey"), col("meta_status"),
+          col("meta_total").cast("double").as("meta_total"))),
+
     // S5/S10 binary whole-file scan + MIME sniff + file_* metadata
     "q34_binary_assets" -> ((s, d) => {
       val bin = Multimodal.readBinary(s, d, "*.parquet")
@@ -916,6 +941,21 @@ object SparkEntry {
 
     "q58_exact_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users
-        |FROM events GROUP BY event_type""".stripMargin
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q59_add_values" ->
+      """SELECT doc_id,
+        | array_to_string(tags || ['extra', lang], '|') AS tags_joined,
+        | CAST(len(tags) + 2 AS BIGINT) AS n_tags
+        |FROM (
+        | SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 7 = 0 THEN CAST([] AS VARCHAR[])
+        |       ELSE string_split(source, '-') END AS tags
+        | FROM documents) t""".stripMargin,
+
+    "q60_flatten_struct" ->
+      """SELECT o_orderkey, o_orderstatus AS meta_status,
+        | o_totalprice AS meta_total
+        |FROM orders WHERE o_totalprice > 400000""".stripMargin
   )
 }
