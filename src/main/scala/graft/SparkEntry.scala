@@ -375,6 +375,27 @@ object SparkEntry {
           size(col("tags")).cast("long").as("n_tags"))
     }),
 
+    // P5 tryRules: first-matching-rule dispatch, each branch applying
+    // its own transform (oracled as the equivalent CASE routing)
+    "q61_try_rules" -> ((s, d) =>
+      Etl.tryRules(Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        Seq(
+          (col("lang") === "en",
+            (b: org.apache.spark.sql.DataFrame) => b.withColumn("route", lit("english"))),
+          (col("lang") === "de" || col("lang") === "fr",
+            (b: org.apache.spark.sql.DataFrame) => b.withColumn("route", lit("european"))),
+          (lit(true),
+            (b: org.apache.spark.sql.DataFrame) => b.withColumn("route", lit("other")))))
+        .select(col("doc_id"), col("route"))),
+
+    // F6 separateAttachments: one record per attachment via explode
+    "q62_separate_attachments" -> ((s, d) =>
+      Etl.separateAttachments(
+          Tables.documents(s, d)
+            .withColumn("atts", split(col("source"), "-")),
+          col("atts"))
+        .select(col("doc_id"), col("attachment"))),
+
     // P2 extractAvroTree/flatten: struct flattened to prefixed
     // top-level columns (struct built in-query, flattened by the
     // SAME operator the Avro tree path uses)
@@ -956,6 +977,17 @@ object SparkEntry {
     "q60_flatten_struct" ->
       """SELECT o_orderkey, o_orderstatus AS meta_status,
         | o_totalprice AS meta_total
-        |FROM orders WHERE o_totalprice > 400000""".stripMargin
+        |FROM orders WHERE o_totalprice > 400000""".stripMargin,
+
+    "q61_try_rules" ->
+      """SELECT doc_id,
+        | CASE WHEN lang = 'en' THEN 'english'
+        |      WHEN lang = 'de' OR lang = 'fr' THEN 'european'
+        |      ELSE 'other' END AS route
+        |FROM documents""".stripMargin,
+
+    "q62_separate_attachments" ->
+      """SELECT doc_id, unnest(string_split(source, '-')) AS attachment
+        |FROM documents""".stripMargin
   )
 }
