@@ -45,13 +45,17 @@ object Bench {
       spark.catalog.clearCache()
       name -> dt
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // the harness that captures this output keeps only a bounded tail
+    // of stdout, so the line must stay short: 3-decimal seconds (1 ms
+    // precision is below run-to-run noise anyway), and spark.stop()
+    // BEFORE the println so no shutdown WARN lands after the JSON line
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = f"${results.map(_._2).sum}%.3f"
     // a failed query runs fast — surface failures instead of letting
     // them read as speedups
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
   }
 }

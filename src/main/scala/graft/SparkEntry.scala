@@ -3,7 +3,7 @@ package graft
 import graft.dedup.Dedup
 import graft.etl.Etl
 import graft.index.ShardIndex
-import graft.ops.{ApproxDedup, Multimodal, Similarity}
+import graft.ops.{ApproxDedup, Chunking, Decontamination, Joins, Multimodal, Sampling, Similarity}
 import graft.route.HashRangeRouter
 import graft.schema.{IndexField, IndexSchema}
 import graft.text.TextAnalysis
@@ -542,11 +542,15 @@ object SparkEntry {
     // it prunes intersections without changing the result set.
     "q56_neardup_discovery" -> ((s, d) => {
       val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+      // no persist here: the 300-row shingle set is trivial to
+      // recompute, and persisting a self-joined DF makes the broadcast
+      // build and the streamed side race to cache the same blocks
+      // ("Block already exists" contention — multi-second outliers
+      // under memory pressure); broadcast side pinned for a stable plan
       val sh = Tables.documents(s, d).filter(col("doc_id") < 300)
         .select(col("doc_id"), array_distinct(ApproxDedup.shingles(toks, 3)).as("sh"))
         .withColumn("n", size(col("sh")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      sh.as("a").join(sh.as("b"),
+      sh.as("a").join(broadcast(sh.as("b")),
           col("a.doc_id") < col("b.doc_id") &&
             col("a.n") * 2 >= col("b.n") && col("b.n") * 2 >= col("a.n"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
@@ -629,7 +633,112 @@ object SparkEntry {
       Graft.buildIndex(docs, schema, out, shards = 8,
         orderBy = Some(col("l_shipdate")), filesPerShard = 2)
       ShardIndex.matchAllCounts(Graft.openIndex(s, out))
-    })
+    }),
+
+    // PII redaction (emails/IPs/SSNs/phones -> typed tags + counts).
+    // The corpus is synthetic word salad, so the PII is PLANTED from
+    // doc_id (same derivation in the oracle) — the operator under
+    // test is the regexp chain, oracle-checked byte-for-byte.
+    "q63_pii_redact" -> ((s, d) => {
+      import graft.text.Redaction
+      val planted = Tables.documents(s, d).withColumn("ptext",
+        concat(col("text"), lit(" contact u"), col("doc_id"),
+          lit("@example.com from 10.0."), pmod(col("doc_id"), lit(256)),
+          lit(".7 ssn 123-45-6789 tel 555-867-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+      planted.select(
+        Seq(col("doc_id"), Redaction.redactPii(col("ptext")).as("redacted")) ++
+          Redaction.piiCounts(col("ptext")).map { case (n, c) => c.as(n) }: _*)
+    }),
+
+    // URL canonicalization (web-corpus dedup key). URLs planted from
+    // doc_id with every noise class the canonicalizer handles: cased
+    // scheme/host, www., :80, utm_* params, fragment.
+    "q64_url_canonical" -> ((s, d) => {
+      import graft.text.UrlNormalize
+      val urls = Tables.documents(s, d).withColumn("url",
+        concat(lit("HTTP://WWW.Example"), pmod(col("doc_id"), lit(40)),
+          lit(".COM:80/Docs/"), pmod(col("doc_id"), lit(7)),
+          lit("/?utm_source=feed&ref="), pmod(col("doc_id"), lit(3)),
+          lit("&utm_campaign=c"), pmod(col("doc_id"), lit(5)),
+          lit("#sec"), col("doc_id")))
+      urls.select(col("doc_id"), col("url"),
+        UrlNormalize.canonicalizeUrl(col("url")).as("canonical_url"))
+    }),
+
+    // Gopher-style repetition signals (dup word/2-gram/3-gram frac)
+    "q65_repetition" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("toks"))
+      docs.select(Seq(col("doc_id")) ++
+        TextAnalysis.repetitionColumns(col("toks")).map { case (n, c) => c.as(n) }: _*)
+    }),
+
+    // fixed-size token chunking with overlap (training-window prep)
+    "q66_chunking" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("toks"))
+      Chunking.chunkTokens(docs, col("doc_id"), col("toks"), chunkSize = 32, stride = 24)
+    }),
+
+    // benchmark decontamination: corpus docs sharing an 8-gram with
+    // the "eval set" (docs with doc_id % 97 == 0 stand in for it —
+    // those docs therefore flag themselves, plus any near-dup twins)
+    "q67_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      def toks(c: Column) = regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
+      val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(toks(col("text")).as("btoks"))
+      Decontamination.sharedNgrams(docs, col("doc_id"), toks(col("text")),
+        bench, col("btoks"), n = 8)
+    }),
+
+    // deterministic quota sampling: exactly 20 docs per language by
+    // md5(doc_id) order — reproducible cross-engine (oracle-checked)
+    "q68_quota_sample" -> ((s, d) =>
+      Sampling.quotaSample(Tables.documents(s, d), col("lang"), col("doc_id"), k = 20)
+        .select(col("doc_id"), col("lang"))),
+
+    // data-mixture design: per-source char share + uniform-target
+    // resampling weight
+    "q69_mix_weights" -> ((s, d) =>
+      Sampling.mixtureWeights(Tables.documents(s, d), col("source"), col("n_chars"))),
+
+    // as-of join: each click gets the latest prior purchase value of
+    // the same user (single shuffle union+window plan — no range join)
+    "q70_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("purchase_value"))
+      Joins.asofJoin(clicks, purchases, "user_id", "ts", "ts", Seq("purchase_value"))
+        .select(col("event_id"), col("user_id"), col("purchase_value"))
+    }),
+
+    // binned range join: events counted into the first-hour window of
+    // each of users 0-19 — bin equi-join + exact residual, no
+    // broadcast-nested-loop
+    "q71_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("sec", col("ts").cast("long"))
+      val intervals = ev.filter(col("user_id") < 20)
+        .groupBy(col("user_id"))
+        .agg(min(col("sec")).as("window_start"))
+        .withColumnRenamed("user_id", "iv_user")
+        .withColumn("window_end", col("window_start") + 3600)
+      Joins.rangeJoinBinned(ev.select(col("event_id"), col("sec")), "sec",
+          broadcast(intervals), "window_start", "window_end", binSize = 3600)
+        .groupBy(col("iv_user")).agg(count(lit(1)).as("n_events"))
+    }),
+
+    // sequence packing, budget-bucket variant (the oracle-checkable
+    // deterministic packing; exact greedy-reset packing is
+    // Chunking.packGreedy, unit-tested)
+    "q72_pack_buckets" -> ((s, d) =>
+      Chunking.packByBudget(Tables.documents(s, d), col("source"), col("doc_id"),
+          col("n_chars"), budget = 4000)
+        .select(col("doc_id"), col("source"), col("pack_id")))
   )
 
   // ---------------------------------------------------------------
@@ -988,6 +1097,135 @@ object SparkEntry {
 
     "q62_separate_attachments" ->
       """SELECT doc_id, unnest(string_split(source, '-')) AS attachment
+        |FROM documents""".stripMargin,
+
+    // q63: the SQL is GENERATED from Redaction.Patterns so the engine
+    // and the oracle cannot drift. DuckDB regexp_replace needs the
+    // explicit 'g' flag (Spark replaces all matches by default).
+    "q63_pii_redact" -> {
+      // single line: this is interpolated into a stripMargin string,
+      // where a continuation line starting with '||' would lose its
+      // first '|' to the margin stripper
+      val planted = "text || ' contact u' || CAST(doc_id AS VARCHAR)" +
+        " || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)" +
+        " || '.7 ssn 123-45-6789 tel 555-867-'" +
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+      val redacted = graft.text.Redaction.Patterns.foldLeft("ptext") {
+        case (e, (_, p, r)) => s"regexp_replace($e, '$p', '$r', 'g')"
+      }
+      val counts = graft.text.Redaction.Patterns.map { case (n, p, _) =>
+        s"CAST(len(regexp_extract_all(ptext, '$p')) AS BIGINT) AS n_$n"
+      }.mkString(",\n ")
+      s"""WITH p AS (SELECT doc_id, $planted AS ptext FROM documents)
+         |SELECT doc_id, $redacted AS redacted,
+         | $counts
+         |FROM p""".stripMargin
+    },
+
+    // q64: the canonicalization chain mirrored step-for-step (CTE per
+    // step); RE2 replacement backrefs are \1 where Java's are $1.
+    "q64_url_canonical" ->
+      """WITH u AS (
+        | SELECT doc_id,
+        |  'HTTP://WWW.Example' || CAST(doc_id % 40 AS VARCHAR) || '.COM:80/Docs/'
+        |   || CAST(doc_id % 7 AS VARCHAR) || '/?utm_source=feed&ref='
+        |   || CAST(doc_id % 3 AS VARCHAR) || '&utm_campaign=c'
+        |   || CAST(doc_id % 5 AS VARCHAR) || '#sec' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |s2 AS (SELECT doc_id, url, regexp_replace(trim(url), '#.*', '', 'g') AS c FROM u),
+        |s3 AS (SELECT doc_id, url,
+        |  lower(regexp_extract(c, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)', 1))
+        |   || regexp_replace(c, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*', '') AS c FROM s2),
+        |s4 AS (SELECT doc_id, url,
+        |  regexp_replace(c, '(utm_[a-z]+|fbclid|gclid)=[^&]*&?', '', 'g') AS c FROM s3),
+        |s5 AS (SELECT doc_id, url, regexp_replace(c, '[?&]+$', '', 'g') AS c FROM s4),
+        |s6 AS (SELECT doc_id, url, regexp_replace(c, '^(https?://)www\.', '\1', 'g') AS c FROM s5),
+        |s7 AS (SELECT doc_id, url,
+        |  regexp_replace(c, '^(https?://[^/:?]+):(80|443)([/?].*|)$', '\1\3', 'g') AS c FROM s6)
+        |SELECT doc_id, url, regexp_replace(c, '/$', '', 'g') AS canonical_url FROM s7""".stripMargin,
+
+    "q65_repetition" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |           FROM documents),
+        |g AS (SELECT doc_id, toks,
+        |  CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+        |   ELSE list_transform(generate_series(1, len(toks) - 1),
+        |     i -> concat_ws(' ', toks[i], toks[i+1])) END AS g2,
+        |  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |   ELSE list_transform(generate_series(1, len(toks) - 2),
+        |     i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) END AS g3
+        | FROM t)
+        |SELECT doc_id,
+        | CASE WHEN len(toks) > 0 THEN CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+        |   / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS dup_word_frac,
+        | CASE WHEN len(g2) > 0 THEN CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
+        |   / CAST(len(g2) AS DOUBLE) ELSE 0.0 END AS dup_2gram_frac,
+        | CASE WHEN len(g3) > 0 THEN CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)
+        |   / CAST(len(g3) AS DOUBLE) ELSE 0.0 END AS dup_3gram_frac
+        |FROM g""".stripMargin,
+
+    "q66_chunking" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |           FROM documents),
+        |s AS (SELECT doc_id, toks,
+        |  unnest(generate_series(0, greatest(len(toks) - 1, 0), 24)) AS cs FROM t)
+        |SELECT doc_id, CAST(cs AS BIGINT) AS chunk_start,
+        | CAST(len(toks[cs+1:cs+32]) AS BIGINT) AS n_chunk_tokens,
+        | array_to_string(toks[cs+1:cs+32], ' ') AS chunk_text
+        |FROM s""".stripMargin,
+
+    "q67_decontaminate" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |           FROM documents),
+        |g AS (SELECT doc_id, list_distinct(
+        |  CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+        |   ELSE list_transform(generate_series(1, len(toks) - 7),
+        |     i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+        |                    toks[i+4], toks[i+5], toks[i+6], toks[i+7])) END) AS grams
+        | FROM t),
+        |bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+        |cg AS (SELECT doc_id, unnest(grams) AS gram FROM g)
+        |SELECT cg.doc_id, count(*) AS n_shared_grams
+        |FROM cg JOIN bg USING (gram) GROUP BY cg.doc_id""".stripMargin,
+
+    "q68_quota_sample" ->
+      """SELECT doc_id, lang FROM (
+        | SELECT doc_id, lang, row_number() OVER (
+        |   PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        | FROM documents) t WHERE rn <= 20""".stripMargin,
+
+    "q69_mix_weights" ->
+      """WITH a AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS group_cost
+        |           FROM documents GROUP BY source)
+        |SELECT source, group_cost,
+        | CAST(group_cost AS DOUBLE) / CAST(sum(group_cost) OVER () AS DOUBLE) AS share,
+        | (CAST(1 AS DOUBLE) / CAST(count(*) OVER () AS DOUBLE))
+        |  / (CAST(group_cost AS DOUBLE) / CAST(sum(group_cost) OVER () AS DOUBLE)) AS weight
+        |FROM a""".stripMargin,
+
+    "q70_asof_join" ->
+      """WITH p AS (SELECT user_id, ts, max(value) AS purchase_value FROM events
+        |           WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, p.purchase_value
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+
+    "q71_range_join" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |  date_diff('second', TIMESTAMP '1970-01-01 00:00:00', CAST(ts AS TIMESTAMP)) AS sec
+        | FROM events),
+        |iv AS (SELECT user_id AS iv_user, min(sec) AS ws, min(sec) + 3600 AS we
+        |       FROM e WHERE user_id < 20 GROUP BY user_id)
+        |SELECT iv_user, count(*) AS n_events
+        |FROM iv JOIN e ON e.sec BETWEEN iv.ws AND iv.we
+        |GROUP BY iv_user""".stripMargin,
+
+    "q72_pack_buckets" ->
+      """SELECT doc_id, source,
+        | CAST(floor(CAST(COALESCE(sum(n_chars) OVER (
+        |   PARTITION BY source ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+        |  / CAST(4000 AS DOUBLE)) AS BIGINT) AS pack_id
         |FROM documents""".stripMargin
   )
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -29,5 +30,80 @@ object Joins {
       .withColumn("__salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
       .withColumn("__salt", col("__salt").cast("int"))
     saltedLarge.join(replicatedSmall, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /**
+   * As-of join: for every left row, attach `payload` columns from the
+   * LATEST right row with the same `key` and rightTs <= leftTs
+   * (inclusive, the conventional as-of semantics); null when no prior
+   * right row exists (left-outer).
+   *
+   * NOT implemented as a range join (which Spark can only execute as
+   * a broadcast-nested-loop): both sides are UNIONED, shuffled ONCE
+   * on `key`, sorted by (ts, side) within each key, and the payload
+   * is carried forward with last(ignoreNulls) — right rows sort
+   * before coincident left rows, giving the inclusive match. Cost is
+   * one hash shuffle + per-key sort, the same shape as any windowed
+   * aggregation — no quadratic term at any scale.
+   *
+   * Requires (key, rightTs) unique on the right (pre-aggregate
+   * otherwise) — with duplicates the carried value would depend on
+   * intra-key sort stability.
+   */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(!payload.exists(leftCols.contains),
+      s"payload columns ${payload.mkString(",")} collide with left columns")
+    val rightTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap
+    // common layout: key, __t, __side, left payload-nulled / right left-nulled
+    val lSide = left
+      .withColumn("__t", col(leftTs))
+      .withColumn("__side", lit(1))
+      .select(Seq(col(key), col("__t"), col("__side")) ++
+        leftCols.filterNot(_ == key).map(col) ++
+        payload.map(p => lit(null).cast(rightTypes(p)).as(p)): _*)
+    val lTypes = left.schema.fields.map(f => f.name -> f.dataType).toMap
+    val rSide = right
+      .withColumn("__t", col(rightTs))
+      .withColumn("__side", lit(0))
+      .select(Seq(col(key), col("__t"), col("__side")) ++
+        leftCols.filterNot(_ == key).map(c => lit(null).cast(lTypes(c)).as(c)) ++
+        payload.map(col): _*)
+    val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(lSide.unionByName(rSide)) { (df, p) =>
+      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ payload.map(col): _*)
+  }
+
+  /**
+   * Range join (point-in-interval) via binning: intervals are
+   * replicated to every `binSize`-wide bin they overlap, points carry
+   * their single bin, and the join becomes a BIN EQUI-JOIN plus the
+   * exact BETWEEN residual — a hash/sort-merge join instead of the
+   * broadcast-nested-loop Spark plans for a bare range predicate. A
+   * point's bin intersects an interval's bin list exactly once when
+   * they overlap, so no dedup is needed.
+   *
+   * Shuffle volume: |points| + Σ(interval span / binSize). Pick
+   * binSize near the median interval span so replication stays O(1)
+   * per interval. Columns `pointCol`/`startCol`/`endCol` must be
+   * numeric (epoch seconds, not timestamps).
+   */
+  def rangeJoinBinned(points: DataFrame, pointCol: String,
+                      intervals: DataFrame, startCol: String, endCol: String,
+                      binSize: Long): DataFrame = {
+    require(binSize > 0)
+    val binnedIntervals = intervals.withColumn("__bin",
+      explode(sequence(floor(col(startCol) / binSize).cast("long"),
+        floor(col(endCol) / binSize).cast("long"))))
+    val binnedPoints = points.withColumn("__bin",
+      floor(col(pointCol) / binSize).cast("long"))
+    binnedPoints.join(binnedIntervals, Seq("__bin"))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("__bin")
   }
 }

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus sampling and mixture design for training-data pipelines.
+ *
+ * `quotaSample` is DETERMINISTIC sampling: rank rows inside each
+ * group by a cryptographic hash of their key and keep the first k.
+ * Unlike `sampleBy` (seeded Bernoulli — approximate counts, engine-
+ * specific RNG), this gives exact per-group quotas, is reproducible
+ * across engines (md5 is md5 everywhere — the DuckDB oracle checks
+ * it value-for-value), and is stable under corpus growth: a document
+ * keeps its rank position unless new docs hash below it.
+ *
+ * `mixtureWeights` computes per-group sampling weights that reshape
+ * the corpus toward target shares (the "data mixture" step of
+ * pre-training: upweight underrepresented sources, downweight
+ * overrepresented ones).
+ */
+object Sampling {
+
+  /**
+   * Exactly k rows per group, chosen by md5(key) order (ties broken
+   * by the key itself). One shuffle on the group key; the per-group
+   * sort is the price of exactness — for a handful of giant groups
+   * prefer a two-phase per-partition pre-top-k, for the typical
+   * many-groups case (languages, domains, sources) this is the right
+   * shape as-is.
+   */
+  def quotaSample(df: DataFrame, grp: Column, key: Column, k: Int): DataFrame = {
+    require(k > 0)
+    val w = Window.partitionBy(grp).orderBy(md5(key.cast("string")), key)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /**
+   * Per-group cost share and resampling weight toward uniform shares:
+   * weight g = target_share / actual_share where target_share =
+   * 1/n_groups. weight > 1 → upsample, < 1 → downsample. Output:
+   * (group, group_cost, share, weight). Aggregation is one map-side-
+   * partial shuffle; the share/weight windows run over the tiny
+   * per-group aggregate (rows = number of groups), not the corpus.
+   */
+  def mixtureWeights(df: DataFrame, grp: Column, cost: Column): DataFrame = {
+    val agg = df.groupBy(grp).agg(sum(cost).as("group_cost"))
+    val all = Window.partitionBy()
+    agg
+      .withColumn("share",
+        col("group_cost").cast("double") / sum(col("group_cost")).over(all).cast("double"))
+      .withColumn("weight",
+        (lit(1.0) / count(lit(1)).over(all).cast("double")) / col("share"))
+  }
+}

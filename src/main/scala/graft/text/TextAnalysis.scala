@@ -131,6 +131,33 @@ object TextAnalysis {
   def termFrequencies(tokens: Column): Column = explode(tokens)
 
   /**
+   * Repetition signals (Gopher §A1.1-style): the fraction of
+   * duplicated words / 2-grams / 3-grams in a document. Boilerplate
+   * and spam repeat themselves; high dup fractions are a standard
+   * drop criterion in pre-training filters.
+   *
+   * `tokens` should be a STAGED column (an attribute, not an
+   * expression tree) — the n-gram lambdas read it per element.
+   * Fraction = 1 - distinct/total as double (0.0 for empty docs);
+   * n-grams come from `ApproxDedup.shingles`, whose "< k tokens"
+   * fallback (one whole-doc shingle) also yields 0.0 — consistent.
+   */
+  def repetitionColumns(tokens: Column): Seq[(String, Column)] = {
+    def dupFrac(grams: Column): Column = {
+      val n = size(grams)
+      // (total - distinct)/total with the subtraction on INTEGERS so
+      // the only rounding is the final division (bit-equal in DuckDB)
+      when(n > 0,
+        (n - size(array_distinct(grams))).cast("double") / n.cast("double"))
+        .otherwise(lit(0.0))
+    }
+    Seq(
+      "dup_word_frac" -> dupFrac(tokens),
+      "dup_2gram_frac" -> dupFrac(graft.ops.ApproxDedup.shingles(tokens, 2)),
+      "dup_3gram_frac" -> dupFrac(graft.ops.ApproxDedup.shingles(tokens, 3)))
+  }
+
+  /**
    * Winnowing fingerprints (Schleimer/Wilkerson/Aiken): slide a window
    * of `w` over the k-gram shingle hashes, keep each window's minimum,
    * dedup. Guarantees a shared fingerprint for any match of length >=

@@ -78,6 +78,50 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("centroid_neg_cosines"), p.take(2000))
   }
 
+  test("q67 decontamination: benchmark grams broadcast, corpus never shuffled for the join") {
+    val p = plan("q67_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("q70 as-of join: one union+window plan — NO join operator at all") {
+    val p = plan("q70_asof_join")
+    assert(!p.contains("Join"), p.take(3000))
+    assert(p.contains("Union") && p.contains("Window"), p.take(3000))
+  }
+
+  test("asofJoin operator in isolation: exactly ONE hash exchange") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L)).toDF("event_id", "k", "t")
+    val right = Seq((10L, 90L, 1.5)).toDF("k", "t", "v")
+    val p = graft.ops.Joins.asofJoin(left, right, "k", "t", "t", Seq("v"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges === 1, s"expected exactly 1 hash exchange, got $exchanges:\n${p.take(3000)}")
+  }
+
+  test("q71 range join: bin equi-join, no broadcast-nested-loop / cartesian") {
+    val p = plan("q71_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("q63/q64 text scrubbing: pure map pipelines, zero exchanges") {
+    for (q <- Seq("q63_pii_redact", "q64_url_canonical")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q should be shuffle-free:\n${p.take(2000)}")
+      assert(p.contains("*(1)"), s"$q should be whole-stage codegen'd")
+    }
+  }
+
+  test("q56 self-join: no persisted-block race — broadcast side explicit, no InMemoryRelation") {
+    val p = plan("q56_neardup_discovery")
+    assert(!p.contains("InMemoryTableScan"), p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000)) // bounded by design
+  }
+
   test("build dataflow: dedup fuses into the route shuffle (ONE exchange)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

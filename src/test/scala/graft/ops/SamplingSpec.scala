@@ -1,0 +1,53 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = (1 to 300).map(i => (i.toLong, "g" + (i % 3))).toDF("id", "g")
+
+  test("quotaSample: exactly k rows per group") {
+    val got = Sampling.quotaSample(docs, col("g"), col("id"), k = 7)
+      .groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(got === Map("g0" -> 7L, "g1" -> 7L, "g2" -> 7L))
+  }
+
+  test("quotaSample: deterministic across runs") {
+    def ids = Sampling.quotaSample(docs, col("g"), col("id"), k = 5)
+      .select("id").as[Long].collect().toSet
+    assert(ids === ids)
+  }
+
+  test("quotaSample: k >= group size keeps the whole group") {
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "g")
+    assert(Sampling.quotaSample(tiny, col("g"), col("id"), k = 10).count() === 3)
+  }
+
+  test("quotaSample: stable under growth — kept set only shrinks by hash order") {
+    // a sampled id stays sampled unless a new id hashes before it
+    val small = Sampling.quotaSample(docs.filter(col("id") <= 150), col("g"), col("id"), 5)
+      .select("id").as[Long].collect().toSet
+    val bigTop = Sampling.quotaSample(docs, col("g"), col("id"), 5)
+      .select("id").as[Long].collect().toSet
+    // every survivor of the big corpus that existed in the small corpus
+    // must have been sampled there too (its rank can only improve)
+    assert(bigTop.filter(_ <= 150).subsetOf(small))
+  }
+
+  test("mixtureWeights: shares sum to 1, weights invert the share ratio") {
+    val df = Seq(("a", 100L), ("a", 100L), ("b", 200L), ("c", 600L))
+      .toDF("g", "cost")
+    val byG = Sampling.mixtureWeights(df, col("g"), col("cost"))
+      .select("g", "group_cost", "share", "weight")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(byG("a")._1 === 200L)
+    assert(math.abs(byG.values.map(_._2).sum - 1.0) < 1e-12)
+    // uniform target share = 1/3; a has share 0.2 -> weight (1/3)/0.2
+    assert(math.abs(byG("a")._3 - (1.0 / 3) / 0.2) < 1e-12)
+    assert(math.abs(byG("c")._3 - (1.0 / 3) / 0.6) < 1e-12)
+  }
+}

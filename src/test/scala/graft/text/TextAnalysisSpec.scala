@@ -42,6 +42,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got === Seq("en", "de", "fr", "es", "und"))
   }
 
+  test("repetitionColumns: dup fractions for words/2-grams/3-grams") {
+    val df = Seq(
+      Seq("a", "a", "a", "a"),      // all same: dup_word 3/4; 2-grams all "a a" -> 2/3
+      Seq("a", "b", "c", "d"),      // all distinct: 0 everywhere
+      Seq("a", "b", "a", "b"),      // dup words 2/4; 2-grams [ab, ba, ab] -> 1/3
+      Seq.empty[String]             // empty: all 0.0
+    ).toDF("toks")
+    val cols = TextAnalysis.repetitionColumns(col("toks")).map { case (n, c) => c.as(n) }
+    val got = df.select(cols: _*).as[(Double, Double, Double)].collect().toSeq
+    assert(got(0)._1 === 3.0 / 4)
+    assert(got(0)._2 === 2.0 / 3)
+    assert(got(0)._3 === 1.0 / 2)
+    assert(got(1) === ((0.0, 0.0, 0.0)))
+    assert(got(2)._1 === 2.0 / 4)
+    assert(got(2)._2 === 1.0 / 3)
+    assert(got(3) === ((0.0, 0.0, 0.0)))
+  }
+
   test("fingerprint is whitespace/case normalized") {
     val df = Seq("Hello   World", "hello world", "different").toDF("t")
     val fps = df.select(TextAnalysis.fingerprint(col("t")).as("fp")).as[String].collect()

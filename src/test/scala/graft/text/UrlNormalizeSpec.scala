@@ -1,0 +1,49 @@
+package graft.text
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class UrlNormalizeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def canon(s: String): String =
+    Seq(s).toDF("u").select(UrlNormalize.canonicalizeUrl(col("u")).as("c"))
+      .as[String].collect().head
+
+  test("lowercases scheme and host but not the path") {
+    assert(canon("HTTP://EXAMPLE.COM/Path/File") === "http://example.com/Path/File")
+  }
+
+  test("strips www., default ports, fragments, trailing slash") {
+    assert(canon("https://www.example.com:443/a/") === "https://example.com/a")
+    assert(canon("http://example.com:80") === "http://example.com")
+    assert(canon("http://example.com/a#section-2") === "http://example.com/a")
+  }
+
+  test("keeps non-default ports and non-www subdomains") {
+    assert(canon("http://example.com:8080/a") === "http://example.com:8080/a")
+    assert(canon("http://api.example.com/a") === "http://api.example.com/a")
+  }
+
+  test("strips tracking params, keeps the rest of the query") {
+    assert(canon("http://e.com/p?utm_source=x&id=7&utm_medium=y") === "http://e.com/p?id=7")
+    assert(canon("http://e.com/p?utm_source=x") === "http://e.com/p")
+    assert(canon("http://e.com/p?id=7&fbclid=abc") === "http://e.com/p?id=7")
+  }
+
+  test("the full noise stack collapses equivalent spellings to one key") {
+    val variants = Seq(
+      "HTTP://WWW.E.COM:80/a/?utm_source=f#x",
+      "http://e.com/a/?utm_campaign=c",
+      "http://www.e.com/a",
+      "http://E.com:80/a/")
+    val canons = variants.map(canon).distinct
+    assert(canons === Seq("http://e.com/a"))
+  }
+
+  test("schemeless input passes through the lowercase step unchanged") {
+    assert(canon("not a url") === "not a url")
+  }
+}
