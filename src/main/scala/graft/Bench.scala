@@ -49,7 +49,7 @@ object Bench {
     // of stdout, so the line must stay short: 3-decimal seconds (1 ms
     // precision is below run-to-run noise anyway), and spark.stop()
     // BEFORE the println so no shutdown WARN lands after the JSON line
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     val total = f"${results.map(_._2).sum}%.3f"
     // a failed query runs fast — surface failures instead of letting
