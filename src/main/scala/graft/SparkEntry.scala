@@ -3,7 +3,8 @@ package graft
 import graft.dedup.Dedup
 import graft.etl.Etl
 import graft.index.ShardIndex
-import graft.ops.{ApproxDedup, Chunking, Decontamination, Joins, Multimodal, Sampling, Similarity}
+import graft.ops.{ApproxDedup, Boilerplate, Chunking, Clustering, Decontamination, Joins, Multimodal, Sampling, Similarity}
+import graft.text.Ranking
 import graft.route.HashRangeRouter
 import graft.schema.{IndexField, IndexSchema}
 import graft.text.TextAnalysis
@@ -738,7 +739,75 @@ object SparkEntry {
     "q72_pack_buckets" -> ((s, d) =>
       Chunking.packByBudget(Tables.documents(s, d), col("source"), col("doc_id"),
           col("n_chars"), budget = 4000)
-        .select(col("doc_id"), col("source"), col("pack_id")))
+        .select(col("doc_id"), col("source"), col("pack_id"))),
+
+    // TF-IDF: top-5 terms per doc (corpus idf over ALL docs; the
+    // doc_id bound only prunes the tf side). round(,6) absorbs the
+    // permitted 1-ulp ln() divergence between libm implementations
+    // (q25's cosine precedent).
+    "q73_tfidf" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("toks"))
+      val ti = Ranking.tfIdf(docs, col("doc_id"), col("toks"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(round(col("tf_idf"), 6).desc, col("term"))
+      ti.filter(col("doc_id") < 100)
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("doc_id"), col("rnk"), col("term"), col("tf"),
+          round(col("tf_idf"), 6).as("tf_idf_r"))
+    }),
+
+    // BM25 ranking for a 3-term query — the query-side scoring the
+    // reference's built indexes exist to serve. Top-20 with total
+    // (score, doc_id) order so the cut is deterministic.
+    "q74_bm25" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("toks"))
+      Ranking.bm25(docs, col("doc_id"), col("toks"), Seq("spark", "table", "vector"))
+        .select(col("doc_id"), round(col("score"), 6).as("score_r"))
+        .orderBy(col("score_r").desc, col("doc_id")).limit(20)
+    }),
+
+    // inverted-index postings: per term, exact df + capped ascending
+    // posting list (the unbounded-group guard demonstrated)
+    "q75_postings" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("toks"))
+      Ranking.postings(docs, col("doc_id"), col("toks"), cap = 20)
+    }),
+
+    // corpus-global boilerplate 2-grams (>= 50 docs) + per-doc
+    // boilerplate fraction (thresholds tuned to the synthetic corpus:
+    // small vocab -> 2-grams repeat across docs the way chrome/menu
+    // text does in a web crawl)
+    "q76_boilerplate" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("toks"))
+      Boilerplate.boilerplateStats(docs, col("doc_id"), col("toks"), n = 2, minDocs = 50)
+    }),
+
+    // near-dup clustering: candidate pairs -> connected components ->
+    // one canonical label (min doc_id) per duplicate GROUP. Corpus =
+    // docs<150 plus planted copies; the corpus twin pair (two base
+    // docs at jaccard 0.95) makes its group a 4-node component, so
+    // transitive merging is actually exercised. Bounded all-pairs
+    // edges (q56's oracle-baseline pattern; LSH is the scale path).
+    "q77_dedup_clusters" -> ((s, d) => {
+      val base = Tables.documents(s, d).filter(col("doc_id") < 150)
+      val copies = base.withColumn("doc_id", col("doc_id") + 100000L)
+        .withColumn("text", concat(col("text"), lit(" tiny suffix")))
+      val corpus = base.unionByName(copies)
+      val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+      val sh = corpus.select(col("doc_id"),
+        array_distinct(ApproxDedup.shingles(toks, 3)).as("sh"))
+      val edges = sh.as("a").join(broadcast(sh.as("b")),
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"),
+          ApproxDedup.jaccard(col("a.sh"), col("b.sh")).as("j"))
+        .filter(col("j") >= 0.5)
+      Clustering.connectedComponents(edges, "src", "dst")
+    })
   )
 
   // ---------------------------------------------------------------
@@ -1226,6 +1295,99 @@ object SparkEntry {
         |   PARTITION BY source ORDER BY doc_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
         |  / CAST(4000 AS DOUBLE)) AS BIGINT) AS pack_id
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q73_tfidf" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |           FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf
+        |       FROM (SELECT doc_id, unnest(toks) AS term FROM t) u GROUP BY doc_id, term),
+        |dfq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (SELECT tf.doc_id, tf.term, tf.tf,
+        |  CAST(tf.tf AS DOUBLE) * (ln((CAST(n_docs AS DOUBLE) + 1.0)
+        |    / (CAST(doc_freq AS DOUBLE) + 1.0)) + 1.0) AS tf_idf
+        | FROM tf JOIN dfq USING (term) CROSS JOIN n)
+        |SELECT doc_id, rnk, term, tf, tf_idf_r FROM (
+        | SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, round(tf_idf, 6) AS tf_idf_r,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY round(tf_idf, 6) DESC, term) AS BIGINT) AS rnk
+        | FROM s WHERE doc_id < 100) x WHERE rnk <= 5""".stripMargin,
+
+    "q74_bm25" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |           FROM documents),
+        |d AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM t),
+        |tf AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+        |       FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d) u
+        |       WHERE term IN ('spark', 'table', 'vector') GROUP BY doc_id, term),
+        |dfq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY term),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |              sum(dl) / CAST(count(*) AS DOUBLE) AS avgdl FROM d),
+        |c AS (SELECT tf.doc_id, tf.term,
+        |  ln(1.0 + (n_docs - CAST(doc_freq AS DOUBLE) + 0.5) / (CAST(doc_freq AS DOUBLE) + 0.5))
+        |   * (CAST(tf AS DOUBLE) * 1.2 + CAST(tf AS DOUBLE))
+        |   / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS c
+        | FROM tf JOIN dfq USING (term) CROSS JOIN st),
+        |wide AS (SELECT doc_id,
+        |  max(CASE WHEN term = 'spark' THEN c END) AS c1,
+        |  max(CASE WHEN term = 'table' THEN c END) AS c2,
+        |  max(CASE WHEN term = 'vector' THEN c END) AS c3
+        | FROM c GROUP BY doc_id)
+        |SELECT doc_id,
+        | round(COALESCE(c1, 0.0) + COALESCE(c2, 0.0) + COALESCE(c3, 0.0), 6) AS score_r
+        |FROM wide
+        |ORDER BY score_r DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q75_postings" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |           FROM documents),
+        |dt AS (SELECT DISTINCT doc_id, term
+        |       FROM (SELECT doc_id, unnest(toks) AS term FROM t) u),
+        |r AS (SELECT doc_id, term,
+        |  row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn FROM dt)
+        |SELECT term, count(*) AS doc_freq,
+        | COALESCE(string_agg(CASE WHEN rn <= 20 THEN CAST(doc_id AS VARCHAR) END,
+        |                     ',' ORDER BY doc_id), '') AS postings
+        |FROM r GROUP BY term""".stripMargin,
+
+    "q76_boilerplate" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |           FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(
+        |  CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+        |   ELSE list_transform(generate_series(1, len(toks) - 1),
+        |     i -> concat_ws(' ', toks[i], toks[i+1])) END)) AS gram FROM t),
+        |bp AS (SELECT gram FROM (SELECT gram, count(*) AS gram_docs FROM g GROUP BY gram) x
+        |       WHERE gram_docs >= 50),
+        |tot AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+        |hit AS (SELECT doc_id, count(*) AS n_bp FROM g JOIN bp USING (gram) GROUP BY doc_id)
+        |SELECT tot.doc_id, tot.n_grams, COALESCE(hit.n_bp, 0) AS n_bp,
+        | CAST(COALESCE(hit.n_bp, 0) AS DOUBLE) / CAST(tot.n_grams AS DOUBLE) AS bp_frac
+        |FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id""".stripMargin,
+
+    "q77_dedup_clusters" ->
+      """WITH RECURSIVE corpus AS (
+        | SELECT doc_id, text FROM documents WHERE doc_id < 150
+        | UNION ALL
+        | SELECT doc_id + 100000, text || ' tiny suffix' FROM documents WHERE doc_id < 150),
+        |d AS (SELECT doc_id,
+        |  list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |   ELSE list_transform(generate_series(1, len(toks) - 2),
+        |     i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) END) AS sh
+        | FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |       FROM corpus) t),
+        |e AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM d a JOIN d b
+        |  ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |   CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.5),
+        |sym AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
+        |vtx AS (SELECT DISTINCT a AS v FROM sym),
+        |reach(src, dst) AS (
+        | SELECT v, v FROM vtx
+        | UNION
+        | SELECT reach.src, s.b FROM reach JOIN sym s ON s.a = reach.dst)
+        |SELECT src AS v, CAST(min(dst) AS BIGINT) AS label
+        |FROM reach GROUP BY src""".stripMargin
   )
 }

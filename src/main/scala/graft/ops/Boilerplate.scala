@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-global boilerplate detection (RefinedWeb/CCNet-style): an
+ * n-gram that appears in many DISTINCT documents is boilerplate
+ * (navigation chrome, license headers, cookie banners); a document
+ * made mostly of such grams is template noise and gets dropped by
+ * quality filters.
+ *
+ * Two corpus-sized aggregations (gram → doc count; doc → gram count)
+ * plus one join of the corpus grams against the (much smaller)
+ * boilerplate gram set — all map-side-partial shuffles on the gram
+ * key; no all-pairs, nothing collected. At 100 TB the boilerplate set
+ * is the long head of a zipfian distribution — small enough to
+ * broadcast; left to AQE here since the threshold decides its size.
+ */
+object Boilerplate {
+
+  /**
+   * Per-document boilerplate statistics: n_grams (distinct n-grams in
+   * the doc), n_bp (how many of them occur in >= minDocs documents),
+   * bp_frac = n_bp / n_grams.
+   */
+  def boilerplateStats(df: DataFrame, id: Column, tokens: Column,
+                       n: Int, minDocs: Long): DataFrame = {
+    val gr = df.select(id.as("doc_id"),
+      explode(array_distinct(ApproxDedup.shingles(tokens, n))).as("gram"))
+    val bp = gr.groupBy(col("gram"))
+      .agg(count(lit(1)).as("gram_docs"))
+      .filter(col("gram_docs") >= minDocs)
+      .select(col("gram"))
+    val total = gr.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val hits = gr.join(bp, "gram").groupBy(col("doc_id")).agg(count(lit(1)).as("n_bp"))
+    total.join(hits, Seq("doc_id"), "left")
+      .withColumn("n_bp", coalesce(col("n_bp"), lit(0L)))
+      .withColumn("bp_frac", col("n_bp").cast("double") / col("n_grams").cast("double"))
+  }
+}

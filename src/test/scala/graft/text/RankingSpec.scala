@@ -1,0 +1,63 @@
+package graft.text
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RankingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val corpus = Seq(
+    (1L, Seq("spark", "fast", "spark")),     // spark tf=2
+    (2L, Seq("spark", "slow")),
+    (3L, Seq("data", "table", "data")),
+    (4L, Seq("table", "fast"))
+  ).toDF("id", "toks")
+
+  test("tfIdf: rare terms outweigh common ones; tf multiplies") {
+    val got = Ranking.tfIdf(corpus, col("id"), col("toks"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val n = 4.0
+    def idf(df: Double) = math.log((n + 1) / (df + 1)) + 1
+    assert(got((1L, "spark"))._1 === 2L)
+    assert(math.abs(got((1L, "spark"))._2 - 2 * idf(2)) < 1e-12)
+    assert(math.abs(got((3L, "data"))._2 - 2 * idf(1)) < 1e-12)
+    // rarer "data" (df=1) scores above equally-frequent "spark" (df=2)
+    assert(got((3L, "data"))._2 > got((1L, "spark"))._2)
+  }
+
+  test("bm25: matches a hand-computed score; non-matching docs absent") {
+    val got = Ranking.bm25(corpus, col("id"), col("toks"), Seq("spark"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === Set(1L, 2L))
+    val n = 4.0; val df = 2.0
+    val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    val avgdl = (3 + 2 + 3 + 2) / 4.0
+    def s(tf: Double, dl: Double) =
+      idf * (tf * 1.2 + tf) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    assert(math.abs(got(1L) - s(2, 3)) < 1e-12)
+    assert(math.abs(got(2L) - s(1, 2)) < 1e-12)
+    assert(got(1L) > got(2L)) // higher tf wins at similar length
+  }
+
+  test("bm25: multi-term scores are summed in fixed query order") {
+    val got = Ranking.bm25(corpus, col("id"), col("toks"), Seq("spark", "table"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val single = Seq("spark", "table").map(t =>
+      Ranking.bm25(corpus, col("id"), col("toks"), Seq(t))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap)
+    for (id <- got.keySet)
+      assert(got(id) === single.map(_.getOrElse(id, 0.0)).reduceLeft(_ + _))
+  }
+
+  test("postings: exact df, capped ascending posting list") {
+    val docs = (1 to 30).map(i => (i.toLong, Seq("common") ++ (if (i <= 2) Seq("rare") else Nil)))
+      .toDF("id", "toks")
+    val got = Ranking.postings(docs, col("id"), col("toks"), cap = 5)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got("common")._1 === 30L)             // df exact past the cap
+    assert(got("common")._2 === "1,2,3,4,5")     // list capped + sorted
+    assert(got("rare") === ((2L, "1,2")))
+  }
+}
