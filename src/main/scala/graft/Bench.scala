@@ -46,11 +46,14 @@ object Bench {
       name -> dt
     }
     // the harness that captures this output keeps only a bounded tail
-    // of stdout, so the line must stay short: 3-decimal seconds (1 ms
-    // precision is below run-to-run noise anyway), and spark.stop()
-    // BEFORE the println so no shutdown WARN lands after the JSON line
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
-      .mkString("{", ",", "}")
+    // of stdout, so the line must stay short: qNN short keys (the
+    // full names are in docs/QUERIES.md; with 77 queries full names
+    // alone blow the capture window), 2-decimal seconds (below
+    // run-to-run noise anyway), and spark.stop() BEFORE the println
+    // so no shutdown WARN lands after the JSON line
+    val qs = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.2f"
+    }.mkString("{", ",", "}")
     val total = f"${results.map(_._2).sum}%.3f"
     // a failed query runs fast — surface failures instead of letting
     // them read as speedups

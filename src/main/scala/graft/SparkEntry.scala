@@ -3,7 +3,7 @@ package graft
 import graft.dedup.Dedup
 import graft.etl.Etl
 import graft.index.ShardIndex
-import graft.ops.{ApproxDedup, Boilerplate, Chunking, Clustering, Decontamination, Joins, Multimodal, Sampling, Similarity}
+import graft.ops.{ApproxDedup, Boilerplate, Chunking, Clustering, CorpusPipeline, Decontamination, Joins, Multimodal, Sampling, Similarity}
 import graft.text.Ranking
 import graft.route.HashRangeRouter
 import graft.schema.{IndexField, IndexSchema}
@@ -807,6 +807,26 @@ object SparkEntry {
           ApproxDedup.jaccard(col("a.sh"), col("b.sh")).as("j"))
         .filter(col("j") >= 0.5)
       Clustering.connectedComponents(edges, "src", "dst")
+    }),
+
+    // the whole training-corpus pipeline end-to-end (quality gate ->
+    // redact -> exact dedup -> near-dup drop), with planted exact
+    // dups, near dups and junk that must all vanish while originals
+    // survive. Rows-only (the near-dup stage is minhash-defined).
+    "q78_corpus_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val exactDups = docs.limit(20).withColumn("doc_id", col("doc_id") + 500000L)
+      val nearDups = docs.limit(40).withColumn("doc_id", col("doc_id") + 600000L)
+        .withColumn("text", concat(col("text"), lit(" tiny suffix")))
+      val junk = docs.limit(10).withColumn("doc_id", col("doc_id") + 700000L)
+        .withColumn("text", substring(col("text"), 1, 12))
+      val corpus = docs.unionByName(exactDups).unionByName(nearDups).unionByName(junk)
+      val out = CorpusPipeline.prepare(corpus, "doc_id", "text",
+        CorpusPipeline.Config(nearDedupThreshold = Some(0.7)))
+      out.agg(count(lit(1)).as("kept"),
+        count(when(col("doc_id") >= 500000L && col("doc_id") < 600000L, 1)).as("exact_survivors"),
+        count(when(col("doc_id") >= 600000L && col("doc_id") < 700000L, 1)).as("near_survivors"),
+        count(when(col("doc_id") >= 700000L, 1)).as("junk_survivors"))
     })
   )
 

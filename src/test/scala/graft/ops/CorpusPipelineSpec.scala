@@ -1,0 +1,72 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CorpusPipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // realistic-enough docs: > 5 tokens, sane word lengths
+  private def doc(i: Long, text: String) = (i, text)
+
+  test("quality gate drops junk, exact dedup keeps the lowest id") {
+    val docs = Seq(
+      doc(1, "the quick brown fox jumps over the lazy dog today"),
+      doc(2, "an entirely different document about spark query engines"),
+      doc(3, "the quick brown fox jumps over the lazy dog today"), // exact dup of 1
+      doc(4, "tiny")                                               // quality junk
+    ).toDF("doc_id", "text")
+    val out = CorpusPipeline.prepare(docs, "doc_id", "text",
+      CorpusPipeline.Config(nearDedupThreshold = None))
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids === Set(1L, 2L))
+  }
+
+  test("PII is redacted in the surviving text") {
+    val docs = Seq(
+      doc(1, "please contact me at someone@example.com for more details soon")
+    ).toDF("doc_id", "text")
+    val out = CorpusPipeline.prepare(docs, "doc_id", "text",
+      CorpusPipeline.Config(nearDedupThreshold = None))
+    val text = out.select("text").as[String].collect().head
+    assert(text.contains("<EMAIL>"))
+    assert(!text.contains("example.com"))
+  }
+
+  test("canonical-URL dedup keeps one doc per canonical URL (lowest id)") {
+    val docs = Seq(
+      (1L, "first crawl of the page with plenty of words here", "HTTP://WWW.E.COM/a/?utm_source=x"),
+      (2L, "second crawl of that page with plenty of words here", "http://e.com/a"),
+      (3L, "a different page entirely with plenty of words here", "http://e.com/b")
+    ).toDF("doc_id", "text", "url")
+    val out = CorpusPipeline.prepare(docs, "doc_id", "text",
+      CorpusPipeline.Config(urlCol = Some("url"), exactDedup = false, nearDedupThreshold = None))
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids === Set(1L, 3L))
+  }
+
+  test("chunking mode emits training windows instead of docs") {
+    val docs = Seq(
+      doc(1, "one two three four five six seven eight nine ten eleven twelve")
+    ).toDF("doc_id", "text")
+    val out = CorpusPipeline.prepare(docs, "doc_id", "text",
+      CorpusPipeline.Config(nearDedupThreshold = None, chunkSize = 5, chunkStride = 5))
+    val chunks = out.orderBy("chunk_start")
+      .select("chunk_start", "n_chunk_tokens").as[(Long, Long)].collect().toSeq
+    assert(chunks === Seq((0L, 5L), (5L, 5L), (10L, 2L)))
+  }
+
+  test("near-dup stage drops planted high-id near-copies") {
+    val base = (1L to 30L).map(i =>
+      doc(i, s"document number $i carries some shared vocabulary plus unique token u$i and more filler words"))
+    val copies = base.take(5).map { case (i, t) => (i + 1000L, t + " extra") }
+    val docs = (base ++ copies).toDF("doc_id", "text")
+    val out = CorpusPipeline.prepare(docs, "doc_id", "text",
+      CorpusPipeline.Config(nearDedupThreshold = Some(0.7)))
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids.filter(_ > 1000L).isEmpty)   // all planted copies gone
+    assert((1L to 30L).forall(ids.contains)) // every original survives
+  }
+}
