@@ -30,8 +30,13 @@ object Clustering {
    */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 20): DataFrame = {
-    val sym = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
-      .union(edges.select(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b")))
+    // materialize the edge projection ONCE before symmetrizing: the
+    // two union branches are separate subplans to Spark (no cross-
+    // branch CSE), so an expensive upstream (e.g. an all-pairs
+    // similarity join) would otherwise run twice
+    val e = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .localCheckpoint()
+    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     // localCheckpoint (not persist) each round: an iterative DataFrame
