@@ -827,6 +827,34 @@ object SparkEntry {
         count(when(col("doc_id") >= 500000L && col("doc_id") < 600000L, 1)).as("exact_survivors"),
         count(when(col("doc_id") >= 600000L && col("doc_id") < 700000L, 1)).as("near_survivors"),
         count(when(col("doc_id") >= 700000L, 1)).as("junk_survivors"))
+    }),
+
+    // int8 embedding quantization: per-vector scale + quantized-array
+    // diagnostics (sum/min/max and reconstruction MSE). Scalar outputs
+    // only — the driver's hash compare stringifies arrays
+    // asymmetrically between pandas and duckdb.
+    "q79_quantize_int8" -> ((s, d) => {
+      val v = col("embedding").cast("array<double>")
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), v.as("v"))
+        .withColumn("scale", Similarity.int8Scale(col("v")))
+        .withColumn("q", Similarity.quantizeInt8(col("v"), col("scale")))
+      emb.select(col("vec_id"),
+        round(col("scale"), 6).as("scale_r"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x).as("qsum"),
+        array_min(col("q")).as("qmin"),
+        array_max(col("q")).as("qmax"),
+        round(Similarity.quantizationMse(col("v"), col("q"), col("scale")), 9).as("mse_r"))
+    }),
+
+    // two-stage retrieval: 16-dim coarse shortlist (40) -> exact
+    // full-vector rerank (top 5) — the truncated-vector ANN pattern
+    "q80_two_stage_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.twoStageTopK(emb, emb.filter(col("vec_id") < 10),
+          coarseDims = 16, shortlist = 40, k = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rnk"),
+          col("corpus_id"), col("cosine_r"))
     })
   )
 
@@ -1408,6 +1436,41 @@ object SparkEntry {
         | UNION
         | SELECT reach.src, s.b FROM reach JOIN sym s ON s.a = reach.dst)
         |SELECT src AS v, CAST(min(dst) AS BIGINT) AS label
-        |FROM reach GROUP BY src""".stripMargin
+        |FROM reach GROUP BY src""".stripMargin,
+
+    "q79_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |  list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+        |q AS (SELECT vec_id, v, scale,
+        |  list_transform(v, x -> CASE WHEN scale > 0
+        |    THEN CAST(round(x / scale) AS INTEGER) ELSE 0 END) AS qv FROM s)
+        |SELECT vec_id, round(scale, 6) AS scale_r,
+        | CAST(list_aggregate(qv, 'sum') AS BIGINT) AS qsum,
+        | list_min(qv) AS qmin, list_max(qv) AS qmax,
+        | round(list_aggregate(list_transform(generate_series(1, len(v)),
+        |   i -> (v[i] - CAST(qv[i] AS DOUBLE) * scale) * (v[i] - CAST(qv[i] AS DOUBLE) * scale)),
+        |   'sum') / CAST(len(v) AS DOUBLE), 9) AS mse_r
+        |FROM q""".stripMargin,
+
+    "q80_two_stage_ann" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |qs AS (SELECT * FROM e WHERE vec_id < 10),
+        |coarse AS (SELECT qs.vec_id AS query_id, e.vec_id AS corpus_id,
+        |  round(list_dot_product(qs.v[1:16], e.v[1:16]) /
+        |   (sqrt(list_dot_product(qs.v, qs.v)) * sqrt(list_dot_product(e.v, e.v))), 6) AS coarse_r,
+        |  list_dot_product(qs.v, e.v) /
+        |   (sqrt(list_dot_product(qs.v, qs.v)) * sqrt(list_dot_product(e.v, e.v))) AS cosine
+        | FROM qs, e WHERE qs.vec_id <> e.vec_id),
+        |short AS (SELECT * FROM (
+        |  SELECT query_id, corpus_id, cosine,
+        |   row_number() OVER (PARTITION BY query_id
+        |     ORDER BY coarse_r DESC, corpus_id) AS srank FROM coarse) x
+        | WHERE srank <= 40)
+        |SELECT query_id, rnk, corpus_id, cosine_r FROM (
+        | SELECT query_id, corpus_id, round(cosine, 6) AS cosine_r,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY round(cosine, 6) DESC, corpus_id) AS BIGINT) AS rnk
+        | FROM short) y WHERE rnk <= 5""".stripMargin
   )
 }

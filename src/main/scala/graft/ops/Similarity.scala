@@ -56,6 +56,68 @@ object Similarity {
   }
 
   /**
+   * Symmetric int8 quantization: scale = max|v|/127, q_i =
+   * round(v_i/scale) — the 4× memory cut that makes billion-vector
+   * corpora fit executor memory (dequantize: v ≈ q·scale). Pure
+   * column expressions; an all-zero vector quantizes to zeros with
+   * scale 0.
+   */
+  def int8Scale(vec: Column): Column =
+    array_max(transform(vec, x => abs(x))) / lit(127.0)
+
+  def quantizeInt8(vec: Column, scale: Column): Column =
+    transform(vec, x =>
+      when(scale > 0, round(x / scale).cast("int")).otherwise(lit(0)))
+
+  /** Mean squared reconstruction error of the quantization — the
+    * per-vector quality diagnostic (sequential fold, oracle-stable). */
+  def quantizationMse(vec: Column, quantized: Column, scale: Column): Column =
+    aggregate(
+      zip_with(vec, quantized, (v, q) => (v - q.cast("double") * scale) * (v - q.cast("double") * scale)),
+      lit(0.0), (acc, x) => acc + x) / size(vec).cast("double")
+
+  /**
+   * Two-stage (coarse-to-fine) exact retrieval: shortlist by dot
+   * product over the first `coarseDims` dimensions, then rerank the
+   * shortlist by full-vector cosine — the standard truncated-vector /
+   * matryoshka retrieval pattern: the coarse pass reads a quarter of
+   * the bytes, the exact pass touches only `shortlist` rows per
+   * query. Both ranks order by (round(score,6) desc, corpus_id) so
+   * the cut is reproducible cross-engine.
+   */
+  def twoStageTopK(corpus: DataFrame, queries: DataFrame, coarseDims: Int,
+                   shortlist: Int, k: Int,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"),
+        col(vecCol).cast("array<double>").as("cvec"))
+      .withColumn("chead", slice(col("cvec"), 1, coarseDims))
+      .withColumn("cnorm", norm(col("cvec")))
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qvec"))
+      .withColumn("qhead", slice(col("qvec"), 1, coarseDims))
+      .withColumn("qnorm", norm(col("qvec")))
+    // coarse score uses the FULL-vector norms (already computed for
+    // the rerank): truncated-dot-over-full-norm tracks the final
+    // cosine much better than a raw head dot when norms vary
+    val coarse = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("coarse_r",
+        round(dot(col("qhead"), col("chead")) / (col("qnorm") * col("cnorm")), 6))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("coarse_r").desc, col("corpus_id").asc)
+    val shortlisted = coarse.withColumn("srank", row_number().over(w1))
+      .filter(col("srank") <= shortlist)
+    val reranked = shortlisted
+      .withColumn("cosine_r",
+        round(dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")), 6))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_r").desc, col("corpus_id").asc)
+    reranked.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine_r"))
+  }
+
+  /**
    * Random-hyperplane LSH signature: sign bits of dot(v, r_i) for
    * `numBits` fixed pseudo-random hyperplanes (deterministic seed).
    * Cosine-similar vectors agree on most bits, so bucketing on bands
