@@ -122,6 +122,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000)) // bounded by design
   }
 
+  test("q73 TF-IDF: doc filter prunes the tf branch but idf still sees the whole corpus") {
+    val p = plan("q73_tfidf")
+    // the tf-side parquet scan must carry the doc_id pushdown...
+    assert(p.contains("LessThan(doc_id,100)"), p.take(3000))
+    // ...while the doc-frequency/corpus-count branches scan unfiltered
+    // (three scans of documents: tf-filtered, docFreq, nDocs)
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans >= 3, s"expected >=3 scans, got $scans")
+  }
+
+  test("q74 BM25: corpus stats and doc-freq attach via broadcast, term filter pushed down") {
+    val p = plan("q74_bm25")
+    assert(p.contains("BroadcastExchange"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000)) // top-20 distributed
+  }
+
   test("build dataflow: dedup fuses into the route shuffle (ONE exchange)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
