@@ -855,6 +855,21 @@ object SparkEntry {
           coarseDims = 16, shortlist = 40, k = 5)
         .select(col("query_id"), col("rank").cast("long").as("rnk"),
           col("corpus_id"), col("cosine_r"))
+    }),
+
+    // positional phrase query (Lucene exact-phrase over postings)
+    "q81_phrase_query" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("toks"))
+      Ranking.phraseOccurrences(docs, col("doc_id"), col("toks"), Seq("table", "hash"))
+    }),
+
+    // fuzzy term query (Solr `term~`): vocabulary within edit
+    // distance 2 of "spark", with document frequencies
+    "q82_fuzzy_term" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("toks"))
+      Ranking.fuzzyTerms(docs, col("doc_id"), col("toks"), "spark", maxDist = 2)
     })
   )
 
@@ -1471,6 +1486,25 @@ object SparkEntry {
         | SELECT query_id, corpus_id, round(cosine, 6) AS cosine_r,
         |  CAST(row_number() OVER (PARTITION BY query_id
         |    ORDER BY round(cosine, 6) DESC, corpus_id) AS BIGINT) AS rnk
-        | FROM short) y WHERE rnk <= 5""".stripMargin
+        | FROM short) y WHERE rnk <= 5""".stripMargin,
+
+    "q81_phrase_query" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |           FROM documents),
+        |p AS (SELECT doc_id, pos, toks[pos] AS term FROM
+        | (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS pos FROM t) x)
+        |SELECT a.doc_id, count(*) AS n_occurrences
+        |FROM p a JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |WHERE a.term = 'table' AND b.term = 'hash'
+        |GROUP BY a.doc_id""".stripMargin,
+
+    "q82_fuzzy_term" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |           FROM documents),
+        |v AS (SELECT term, count(*) AS doc_freq FROM
+        | (SELECT DISTINCT doc_id, unnest(toks) AS term FROM t) u GROUP BY term)
+        |SELECT term, CAST(doc_freq AS BIGINT) AS doc_freq,
+        | CAST(levenshtein(term, 'spark') AS BIGINT) AS dist
+        |FROM v WHERE levenshtein(term, 'spark') <= 2""".stripMargin
   )
 }

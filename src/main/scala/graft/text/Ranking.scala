@@ -92,6 +92,45 @@ object Ranking {
   }
 
   /**
+   * Positional phrase query — Lucene's exact-phrase algorithm over
+   * positional postings: explode (doc, position, term), then join the
+   * postings of consecutive phrase terms on (doc, pos+i). Each join is
+   * an equi-join on (doc_id, position) — at scale this shuffles only
+   * the postings of the QUERIED terms (the term filters push into the
+   * explode's scan), never the corpus.
+   * Output: (doc_id, n_occurrences) for docs containing the phrase.
+   */
+  def phraseOccurrences(df: DataFrame, id: Column, tokens: Column,
+                        phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty)
+    val pos = df.select(id.as("doc_id"), posexplode(tokens).as(Seq("pos", "term")))
+    val first = pos.filter(col("term") === phrase.head).select(col("doc_id"), col("pos"))
+    val matched = phrase.zipWithIndex.tail.foldLeft(first) { case (acc, (w, i)) =>
+      val next = pos.filter(col("term") === w)
+        .select(col("doc_id").as("__d"), col("pos").as("__p"))
+      acc.join(next, col("doc_id") === col("__d") && col("__p") === col("pos") + i)
+        .select(col("doc_id"), col("pos"))
+    }
+    matched.groupBy(col("doc_id")).agg(count(lit(1)).as("n_occurrences"))
+  }
+
+  /**
+   * Fuzzy term lookup: vocabulary terms within `maxDist` edit distance
+   * of `query`, with document frequencies — Solr's `term~` fuzzy
+   * query. The distance runs over the VOCABULARY (one aggregated row
+   * per distinct term), not the corpus; at web scale put an n-gram
+   * prefilter in front so the quadratic scan touches only candidate
+   * terms sharing a character n-gram with the query.
+   */
+  def fuzzyTerms(df: DataFrame, id: Column, tokens: Column,
+                 query: String, maxDist: Int): DataFrame = {
+    val terms = df.select(id.as("doc_id"), explode(array_distinct(tokens)).as("term"))
+    terms.groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
+      .withColumn("dist", levenshtein(col("term"), lit(query)).cast("long"))
+      .filter(col("dist") <= maxDist)
+  }
+
+  /**
    * The inverted-index view: per term, its document frequency and a
    * CAPPED ascending posting list (comma-joined doc ids). The cap is
    * the unbounded-group guard — posting lists of stopword-frequency

@@ -51,6 +51,45 @@ class RankingSpec extends AnyFunSuite {
       assert(got(id) === single.map(_.getOrElse(id, 0.0)).reduceLeft(_ + _))
   }
 
+  test("phraseOccurrences: counts exact consecutive runs, not bags of words") {
+    val docs = Seq(
+      (1L, Seq("big", "table", "scan")),            // phrase present once
+      (2L, Seq("table", "big")),                    // both words, wrong order
+      (3L, Seq("big", "x", "table")),               // gap
+      (4L, Seq("big", "table", "big", "table")),    // twice
+      (5L, Seq("nothing", "here"))
+    ).toDF("id", "toks")
+    val got = Ranking.phraseOccurrences(docs, col("id"), col("toks"), Seq("big", "table"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 4L -> 2L))
+  }
+
+  test("phraseOccurrences: three-word phrases chain the position joins") {
+    val docs = Seq(
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq("a", "b", "x", "c")),
+      (3L, Seq("x", "a", "b", "c"))
+    ).toDF("id", "toks")
+    val got = Ranking.phraseOccurrences(docs, col("id"), col("toks"), Seq("a", "b", "c"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 3L -> 1L))
+  }
+
+  test("fuzzyTerms: edit-distance vocabulary match with doc frequencies") {
+    val docs = Seq(
+      (1L, Seq("spark", "spork", "whale")),
+      (2L, Seq("spark", "sprk")),
+      (3L, Seq("sharks"))
+    ).toDF("id", "toks")
+    val got = Ranking.fuzzyTerms(docs, col("id"), col("toks"), "spark", maxDist = 1)
+      .select("term", "doc_freq", "dist").as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got === Map(
+      "spark" -> (2L, 0L),
+      "spork" -> (1L, 1L),   // substitute
+      "sprk" -> (1L, 1L)))   // delete
+  }
+
   test("postings: exact df, capped ascending posting list") {
     val docs = (1 to 30).map(i => (i.toLong, Seq("common") ++ (if (i <= 2) Seq("rare") else Nil)))
       .toDF("id", "toks")
