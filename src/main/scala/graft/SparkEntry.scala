@@ -870,7 +870,18 @@ object SparkEntry {
       val docs = Tables.documents(s, d).select(col("doc_id"),
         regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("toks"))
       Ranking.fuzzyTerms(docs, col("doc_id"), col("toks"), "spark", maxDist = 2)
-    })
+    }),
+
+    // Solr range facet (facet.range): fixed-width price buckets with
+    // counts — one map-side-partial groupBy on the computed bucket,
+    // exactly Solr's numeric range faceting over the whole corpus
+    "q83_range_facet" -> ((s, d) =>
+      Tables.orders(s, d)
+        .withColumn("bucket",
+          (floor(col("o_totalprice") / lit(50000.0)) * 50000).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("bucket_total")))
   )
 
   // ---------------------------------------------------------------
@@ -1505,6 +1516,12 @@ object SparkEntry {
         | (SELECT DISTINCT doc_id, unnest(toks) AS term FROM t) u GROUP BY term)
         |SELECT term, CAST(doc_freq AS BIGINT) AS doc_freq,
         | CAST(levenshtein(term, 'spark') AS BIGINT) AS dist
-        |FROM v WHERE levenshtein(term, 'spark') <= 2""".stripMargin
+        |FROM v WHERE levenshtein(term, 'spark') <= 2""".stripMargin,
+
+    "q83_range_facet" ->
+      """SELECT CAST(floor(o_totalprice / 50000.0) * 50000 AS BIGINT) AS bucket,
+        | count(*) AS cnt,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bucket_total
+        |FROM orders GROUP BY 1""".stripMargin
   )
 }
