@@ -51,10 +51,14 @@ object Bench {
     // alone blow the capture window), 2-decimal seconds (below
     // run-to-run noise anyway), and spark.stop() BEFORE the println
     // so no shutdown WARN lands after the JSON line
+    // Locale.ROOT: the default-locale f"" interpolator renders a
+    // comma decimal point on e.g. de_DE JVMs — malformed JSON
+    def fmt(v: Double, dp: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
     val qs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.2f"
+      "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v, 2)
     }.mkString("{", ",", "}")
-    val total = f"${results.map(_._2).sum}%.3f"
+    val total = fmt(results.map(_._2).sum, 3)
     // a failed query runs fast — surface failures instead of letting
     // them read as speedups
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -264,7 +264,9 @@ object SparkEntry {
     // re-appended with a suffix so candidate pairs exist)
     "q22_minhash_pairs" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val planted = docs.limit(50)
+      // filter, not limit: limit without order takes arbitrary rows —
+      // which docs get planted would depend on partition layout
+      val planted = docs.filter(col("doc_id") < 50)
         .withColumn("doc_id", col("doc_id") + 1000000L)
         .withColumn("text", concat(col("text"), lit(" near duplicate suffix")))
       val corpus = docs.unionByName(planted)
@@ -526,7 +528,8 @@ object SparkEntry {
     // planted dups must vanish, originals survive. Rows-only.
     "q54_drop_near_dups" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val planted = docs.limit(30)
+      // filter, not limit (deterministic planted set — see q22)
+      val planted = docs.filter(col("doc_id") < 30)
         .withColumn("doc_id", col("doc_id") + 1000000L)
         .withColumn("text", concat(col("text"), lit(" tiny suffix")))
       val corpus = docs.unionByName(planted)
@@ -815,10 +818,14 @@ object SparkEntry {
     // survive. Rows-only (the near-dup stage is minhash-defined).
     "q78_corpus_pipeline" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val exactDups = docs.limit(20).withColumn("doc_id", col("doc_id") + 500000L)
-      val nearDups = docs.limit(40).withColumn("doc_id", col("doc_id") + 600000L)
+      // filters, not limits (deterministic planted sets — see q22)
+      val exactDups = docs.filter(col("doc_id") < 20)
+        .withColumn("doc_id", col("doc_id") + 500000L)
+      val nearDups = docs.filter(col("doc_id") < 40)
+        .withColumn("doc_id", col("doc_id") + 600000L)
         .withColumn("text", concat(col("text"), lit(" tiny suffix")))
-      val junk = docs.limit(10).withColumn("doc_id", col("doc_id") + 700000L)
+      val junk = docs.filter(col("doc_id") < 10)
+        .withColumn("doc_id", col("doc_id") + 700000L)
         .withColumn("text", substring(col("text"), 1, 12))
       val corpus = docs.unionByName(exactDups).unionByName(nearDups).unionByName(junk)
       val out = CorpusPipeline.prepare(corpus, "doc_id", "text",
@@ -1280,12 +1287,14 @@ object SparkEntry {
         |  lower(regexp_extract(c, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)', 1))
         |   || regexp_replace(c, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*', '') AS c FROM s2),
         |s4 AS (SELECT doc_id, url,
-        |  regexp_replace(c, '(utm_[a-z]+|fbclid|gclid)=[^&]*&?', '', 'g') AS c FROM s3),
+        |  regexp_replace(c, '([?&])(?:(?:utm_[a-z]+|fbclid|gclid)=[^&]*(?:&|$))+', '\1', 'g') AS c FROM s3),
         |s5 AS (SELECT doc_id, url, regexp_replace(c, '[?&]+$', '', 'g') AS c FROM s4),
         |s6 AS (SELECT doc_id, url, regexp_replace(c, '^(https?://)www\.', '\1', 'g') AS c FROM s5),
         |s7 AS (SELECT doc_id, url,
-        |  regexp_replace(c, '^(https?://[^/:?]+):(80|443)([/?].*|)$', '\1\3', 'g') AS c FROM s6)
-        |SELECT doc_id, url, regexp_replace(c, '/$', '', 'g') AS canonical_url FROM s7""".stripMargin,
+        |  regexp_replace(c, '^(http://[^/:?]+):80([/?].*|)$', '\1\2', 'g') AS c FROM s6),
+        |s8 AS (SELECT doc_id, url,
+        |  regexp_replace(c, '^(https://[^/:?]+):443([/?].*|)$', '\1\2', 'g') AS c FROM s7)
+        |SELECT doc_id, url, regexp_replace(c, '/+$', '', 'g') AS canonical_url FROM s8""".stripMargin,
 
     "q65_repetition" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks

@@ -32,10 +32,15 @@ object Boilerplate {
       .agg(count(lit(1)).as("gram_docs"))
       .filter(col("gram_docs") >= minDocs)
       .select(col("gram"))
-    val total = gr.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-    val hits = gr.join(bp, "gram").groupBy(col("doc_id")).agg(count(lit(1)).as("n_bp"))
-    total.join(hits, Seq("doc_id"), "left")
-      .withColumn("n_bp", coalesce(col("n_bp"), lit(0L)))
+    // per-doc totals and boilerplate hits in ONE pass over gr: a left
+    // join against the boilerplate set with a marker column, counted
+    // conditionally — `gr` still feeds two subplans (this one and bp's
+    // aggregation; Spark has no cross-branch CSE), which is the floor
+    // without materializing the corpus-sized explode — a third scan
+    // (separate total/hits aggregations) is pure waste
+    gr.join(bp.withColumn("__bp", lit(1)), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("__bp")).as("n_bp"))
       .withColumn("bp_frac", col("n_bp").cast("double") / col("n_grams").cast("double"))
   }
 }

@@ -62,8 +62,10 @@ object Clustering {
       labels = next.select(col("v"), col("label"))
       iter += 1
     }
-    require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
+    // unpersist BEFORE the convergence check: a throw here would
+    // otherwise leak the cached edge frame for the session's lifetime
     sym.unpersist(blocking = false)
+    require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
     labels
   }
 }

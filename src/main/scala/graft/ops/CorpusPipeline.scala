@@ -50,32 +50,45 @@ object CorpusPipeline {
     val id = col(idCol)
     val text = col(textCol)
 
-    // 1. quality gate — keep flag from the standard cheap signals,
-    // with the token floor configurable
+    // 1. quality gate — the standard cheap signals with the token
+    // floor configurable in BOTH directions: the composite
+    // quality("keep") flag hard-codes its own n_tokens >= 5, so it is
+    // rebuilt here from the component columns with cfg's floor
+    // (otherwise minQualityTokens < 5 would be silently ineffective)
     val quality = TextAnalysis.qualityColumns(text).toMap
     val kept = docs.filter(
-      quality("keep") && quality("n_tokens") >= cfg.minQualityTokens)
+      quality("n_tokens") >= cfg.minQualityTokens &&
+        quality("mean_word_len") >= 2.0 && quality("mean_word_len") <= 12.0 &&
+        quality("punct_ratio") <= 0.3)
 
     // 2. PII redaction (pure projection)
     val redacted =
       if (cfg.redactPii) kept.withColumn(textCol, Redaction.redactPii(text))
       else kept
 
+    // "first doc per key" with a TYPE-AGNOSTIC min-id pick: ordering
+    // by -id would cast string/UUID ids to double (ANSI runtime error,
+    // or an all-null tie with ANSI off — an arbitrary winner)
+    def keepMinId(df: DataFrame, key: Column): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(key).orderBy(id.asc)
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
+
     // 3. canonical-URL dedup: first doc (min id) per canonical URL wins
     val urlDeduped = cfg.urlCol match {
       case Some(u) =>
         val canon = redacted.withColumn("__curl", UrlNormalize.canonicalizeUrl(col(u)))
-        graft.dedup.Dedup.retainMostRecent(
-          canon, Seq(col("__curl")), orderBy = -id).drop("__curl")
+        keepMinId(canon, col("__curl")).drop("__curl")
       case None => redacted
     }
 
     // 4. exact content dedup on the normalized fingerprint
     val exactDeduped =
       if (cfg.exactDedup)
-        graft.dedup.Dedup.retainMostRecent(
-          urlDeduped.withColumn("__fp", TextAnalysis.fingerprint(text)),
-          Seq(col("__fp")), orderBy = -id).drop("__fp")
+        keepMinId(urlDeduped.withColumn("__fp", TextAnalysis.fingerprint(text)), col("__fp"))
+          .drop("__fp")
       else urlDeduped
 
     // 5. near-dup drop (MinHash+LSH banded candidates, lower id wins)

@@ -72,8 +72,17 @@ object Joins {
         payload.map(col): _*)
     val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(lSide.unionByName(rSide)) { (df, p) =>
-      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    // the carried value is a STRUCT wrapping the payload, non-null on
+    // every right row: last(payload, ignoreNulls) alone would SKIP a
+    // matched right row whose payload value is legitimately NULL and
+    // resurrect an older row's value — the struct makes "matched row
+    // with null payload" distinguishable from "no row to match"
+    val union = lSide.unionByName(rSide)
+      .withColumn("__pv",
+        when(col("__side") === 0, struct(payload.map(col): _*)))
+      .withColumn("__pv", last(col("__pv"), ignoreNulls = true).over(w))
+    val carried = payload.foldLeft(union) { (df, p) =>
+      df.withColumn(p, col("__pv").getField(p))
     }
     carried.filter(col("__side") === 1)
       .select(leftCols.map(col) ++ payload.map(col): _*)

@@ -38,17 +38,29 @@ object UrlNormalize {
     val lowered = concat(
       lower(regexp_extract(noFrag, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)", 1)),
       regexp_replace(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*", ""))
-    // 4. tracking params (and the separator that follows, if any)
-    val noTrack = regexp_replace(lowered, s"($TrackingParams)=[^&]*&?", "")
+    // 4. tracking params: anchored on a real separator ([?&]) so a
+    //    param/path merely CONTAINING a tracking name (myfbclid=1,
+    //    /utm_campaign=x/) is never touched, and the (...)+ run form
+    //    removes ADJACENT tracking params in one match (regex scanning
+    //    resumes after a match, so a per-param pattern would skip every
+    //    second one in ?utm_a=1&utm_b=2&id=3)
+    val noTrack = regexp_replace(lowered,
+      s"([?&])(?:(?:$TrackingParams)=[^&]*(?:&|$$))+", "$1")
     // 5. dangling separators left by step 4 at end-of-string
     val noDangle = regexp_replace(noTrack, "[?&]+$", "")
     // 6. www.
     val noWww = regexp_replace(noDangle, "^(https?://)www\\.", "$1")
-    // 7. default port — group 3 has an empty alternative so it always
-    //    participates (RE2 has no lookahead; an unmatched group in the
-    //    replacement is engine-dependent)
-    val noPort = regexp_replace(noWww, "^(https?://[^/:?]+):(80|443)([/?].*|)$", "$1$3")
-    // 8. trailing slash
-    regexp_replace(noPort, "/$", "")
+    // 7. default port — PER SCHEME (:80 on https or :443 on http are
+    //    real, distinct resources and must survive). The trailing
+    //    group has an empty alternative so it always participates
+    //    (RE2 has no lookahead; an unmatched group in the replacement
+    //    is engine-dependent)
+    val noPort80 = regexp_replace(noWww, "^(http://[^/:?]+):80([/?].*|)$", "$1$2")
+    val noPort = regexp_replace(noPort80, "^(https://[^/:?]+):443([/?].*|)$", "$1$2")
+    // 8. trailing slashes — ALL of them, so the step is idempotent
+    //    ('http://a.com//' and 'http://a.com/' must canonicalize to
+    //    the same key, or a re-run over partially-processed data
+    //    diverges)
+    regexp_replace(noPort, "/+$", "")
   }
 }

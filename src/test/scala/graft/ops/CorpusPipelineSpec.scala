@@ -58,6 +58,19 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(chunks === Seq((0L, 5L), (5L, 5L), (10L, 2L)))
   }
 
+  test("string doc ids work; minQualityTokens below 5 actually lowers the floor") {
+    val docs = Seq(
+      ("doc-b", "three little words"),                      // 3 tokens
+      ("doc-a", "three little words"),                      // exact dup, smaller id
+      ("doc-c", "two words")
+    ).toDF("doc_id", "text")
+    val out = CorpusPipeline.prepare(docs, "doc_id", "text",
+      CorpusPipeline.Config(minQualityTokens = 3, nearDedupThreshold = None))
+    val ids = out.select("doc_id").as[String].collect().toSet
+    // 3-token docs pass the lowered floor; dedup keeps the MIN string id
+    assert(ids === Set("doc-a"))
+  }
+
   test("near-dup stage drops planted high-id near-copies") {
     val base = (1L to 30L).map(i =>
       doc(i, s"document number $i carries some shared vocabulary plus unique token u$i and more filler words"))

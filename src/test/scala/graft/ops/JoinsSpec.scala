@@ -42,6 +42,18 @@ class JoinsSpec extends AnyFunSuite {
       5L -> None))          // key absent on the right
   }
 
+  test("asofJoin: a matched right row with NULL payload is a match, not a skip") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 150L)).toDF("event_id", "k", "t")
+    val right = Seq((10L, 50L, Some("old")), (10L, 100L, Option.empty[String]))
+      .toDF("k", "t", "payload")
+    val got = Joins.asofJoin(left, right, "k", "t", "t", Seq("payload"))
+      .select("event_id", "payload").as[(Long, Option[String])].collect().toSeq
+    // the t=100 row is the as-of match; its payload is null — carrying
+    // 'old' forward would resurrect a stale value
+    assert(got === Seq(1L -> None))
+  }
+
   test("asofJoin == naive per-row max-prior lookup on random data") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)

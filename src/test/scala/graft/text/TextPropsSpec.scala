@@ -28,9 +28,11 @@ class TextPropsSpec extends AnyFunSuite {
     val www = pick(Seq("", "www.", "WWW."))
     val host = pick(Seq("example.com", "Sub.Example.COM", "a-b.org", "x.io"))
     val port = pick(Seq("", ":80", ":443", ":8080"))
-    val path = pick(Seq("", "/", "/A/b", "/Path/To/Page/", "/p.html"))
+    val path = pick(Seq("", "/", "/A/b", "/Path/To/Page/", "/p.html", "/a//",
+      "/utm_campaign=x/page"))
     val query = pick(Seq("", "?id=3", "?utm_source=x", "?utm_source=x&id=3",
-      "?id=3&utm_medium=m&z=9", "?fbclid=abc", "?gclid=1&utm_campaign=c"))
+      "?id=3&utm_medium=m&z=9", "?fbclid=abc", "?gclid=1&utm_campaign=c",
+      "?utm_a=1&utm_b=2&id=3", "?myfbclid=1&id=2", "?utm_a=1&id=2&utm_b=3"))
     val frag = pick(Seq("", "#top", "#Sec2"))
     s"$scheme://$www$host$port$path$query$frag"
   }

@@ -27,10 +27,29 @@ class UrlNormalizeSpec extends AnyFunSuite {
     assert(canon("http://api.example.com/a") === "http://api.example.com/a")
   }
 
+  test("port defaults are PER SCHEME: https:80 and http:443 are real ports") {
+    assert(canon("https://e.com:80/a") === "https://e.com:80/a")
+    assert(canon("http://e.com:443/a") === "http://e.com:443/a")
+  }
+
   test("strips tracking params, keeps the rest of the query") {
     assert(canon("http://e.com/p?utm_source=x&id=7&utm_medium=y") === "http://e.com/p?id=7")
     assert(canon("http://e.com/p?utm_source=x") === "http://e.com/p")
     assert(canon("http://e.com/p?id=7&fbclid=abc") === "http://e.com/p?id=7")
+  }
+
+  test("ADJACENT tracking params all go; params merely containing a tracking name survive") {
+    assert(canon("http://e.com/p?utm_a=1&utm_b=2&id=3") === "http://e.com/p?id=3")
+    assert(canon("http://e.com/p?utm_a=1&fbclid=x&gclid=y") === "http://e.com/p")
+    // a different param whose NAME contains a tracking suffix is untouched
+    assert(canon("http://e.com/p?myfbclid=1&id=2") === "http://e.com/p?myfbclid=1&id=2")
+    // tracking-lookalike path segments are untouched (no ? or & before them)
+    assert(canon("http://e.com/utm_campaign=x/page") === "http://e.com/utm_campaign=x/page")
+  }
+
+  test("double trailing slash canonicalizes same as single (idempotence)") {
+    assert(canon("http://e.com/a//") === "http://e.com/a")
+    assert(canon(canon("http://e.com/a//")) === canon("http://e.com/a//"))
   }
 
   test("the full noise stack collapses equivalent spellings to one key") {
