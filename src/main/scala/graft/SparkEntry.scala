@@ -879,6 +879,15 @@ object SparkEntry {
       Ranking.fuzzyTerms(docs, col("doc_id"), col("toks"), "spark", maxDist = 2)
     }),
 
+    // MoreLikeThis (Solr MLT handler): top-10 docs sharing the most of
+    // doc 7's ten highest-TF-IDF terms
+    "q84_more_like_this" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("toks"))
+      Ranking.moreLikeThis(docs, col("doc_id"), col("toks"),
+        sourceDocId = 7L, topTerms = 10, k = 10)
+    }),
+
     // Solr range facet (facet.range): fixed-width price buckets with
     // counts — one map-side-partial groupBy on the computed bucket,
     // exactly Solr's numeric range faceting over the whole corpus
@@ -1531,6 +1540,28 @@ object SparkEntry {
       """SELECT CAST(floor(o_totalprice / 50000.0) * 50000 AS BIGINT) AS bucket,
         | count(*) AS cnt,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bucket_total
-        |FROM orders GROUP BY 1""".stripMargin
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q84_more_like_this" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |           FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf
+        |       FROM (SELECT doc_id, unnest(toks) AS term FROM t) u GROUP BY doc_id, term),
+        |dfq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |ti AS (SELECT tf.doc_id, tf.term,
+        |  CAST(tf.tf AS DOUBLE) * (ln((CAST(n_docs AS DOUBLE) + 1.0)
+        |    / (CAST(doc_freq AS DOUBLE) + 1.0)) + 1.0) AS tf_idf
+        | FROM tf JOIN dfq USING (term) CROSS JOIN n),
+        |interesting AS (SELECT term FROM (
+        | SELECT term, row_number() OVER (
+        |   ORDER BY round(tf_idf, 6) DESC, term) AS rn
+        | FROM ti WHERE doc_id = 7) x WHERE rn <= 10),
+        |ct AS (SELECT DISTINCT doc_id, term
+        |       FROM (SELECT doc_id, unnest(toks) AS term FROM t) u WHERE doc_id <> 7)
+        |SELECT doc_id, count(*) AS shared_terms
+        |FROM ct JOIN interesting USING (term)
+        |GROUP BY doc_id
+        |ORDER BY shared_terms DESC, doc_id LIMIT 10""".stripMargin
   )
 }

@@ -131,6 +131,36 @@ object Ranking {
   }
 
   /**
+   * MoreLikeThis (Solr's MLT handler): rank the corpus by similarity
+   * to ONE document, using its `topTerms` highest-TF-IDF terms as the
+   * query. Exactly Solr's algorithm shape: extract interesting terms
+   * from the source doc, then score the corpus by how many it shares
+   * (tie-broken by doc id; the source doc itself is excluded).
+   *
+   * Scale shape: the interesting-term set is tiny (topTerms rows) and
+   * broadcast; the corpus side is one explode filtered BY that
+   * broadcast — only matching (doc, term) pairs reach the count
+   * aggregation. Nothing quadratic, nothing collected.
+   */
+  def moreLikeThis(df: DataFrame, id: Column, tokens: Column,
+                   sourceDocId: Long, topTerms: Int = 10, k: Int = 10): DataFrame = {
+    val ti = tfIdf(df, id, tokens)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(round(col("tf_idf"), 6).desc, col("term"))
+    val interesting = ti.filter(col("doc_id") === sourceDocId)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= topTerms)
+      .select(col("term"))
+    val corpusTerms = df.select(id.as("doc_id"), explode(array_distinct(tokens)).as("term"))
+      .filter(col("doc_id") =!= sourceDocId)
+    corpusTerms.join(broadcast(interesting), "term")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("shared_terms"))
+      .orderBy(col("shared_terms").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /**
    * The inverted-index view: per term, its document frequency and a
    * CAPPED ascending posting list (comma-joined doc ids). The cap is
    * the unbounded-group guard — posting lists of stopword-frequency

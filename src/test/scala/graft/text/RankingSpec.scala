@@ -90,6 +90,19 @@ class RankingSpec extends AnyFunSuite {
       "sprk" -> (1L, 1L)))   // delete
   }
 
+  test("moreLikeThis: ranks by shared distinctive terms, excludes the source") {
+    val docs = Seq(
+      (1L, Seq("whale", "ocean", "krill", "deep")),
+      (2L, Seq("whale", "ocean", "krill", "blue")),   // shares 3
+      (3L, Seq("whale", "desert", "cactus", "sand")), // shares 1
+      (4L, Seq("stock", "market", "prices", "graph")) // shares 0
+    ).toDF("id", "toks")
+    val got = Ranking.moreLikeThis(docs, col("id"), col("toks"),
+        sourceDocId = 1L, topTerms = 4, k = 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(got === Seq(2L -> 3L, 3L -> 1L)) // ranked, no source, no zero-overlap docs
+  }
+
   test("postings: exact df, capped ascending posting list") {
     val docs = (1 to 30).map(i => (i.toLong, Seq("common") ++ (if (i <= 2) Seq("rare") else Nil)))
       .toDF("id", "toks")
