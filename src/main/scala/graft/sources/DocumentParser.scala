@@ -17,9 +17,28 @@ object DocumentParser {
 
   case class ParsedDoc(text: String, mime: String, metadata: Map[String, String])
 
+  /**
+   * BOM-aware text decode (Tika's charset-detection analog, bounded
+   * to the deterministic part): UTF-8 / UTF-16LE / UTF-16BE byte-order
+   * marks select the charset and are stripped; everything else decodes
+   * as UTF-8 (malformed sequences become U+FFFD rather than throwing —
+   * crawled bytes are never trusted).
+   */
+  private[sources] def decodeText(bytes: Array[Byte]): String = {
+    import java.nio.charset.StandardCharsets._
+    if (bytes.length >= 3 && bytes(0) == 0xEF.toByte && bytes(1) == 0xBB.toByte
+        && bytes(2) == 0xBF.toByte)
+      new String(bytes, 3, bytes.length - 3, UTF_8)
+    else if (bytes.length >= 2 && bytes(0) == 0xFE.toByte && bytes(1) == 0xFF.toByte)
+      new String(bytes, 2, bytes.length - 2, UTF_16BE)
+    else if (bytes.length >= 2 && bytes(0) == 0xFF.toByte && bytes(1) == 0xFE.toByte)
+      new String(bytes, 2, bytes.length - 2, UTF_16LE)
+    else new String(bytes, UTF_8)
+  }
+
   /** Parse one blob by (sniffed or declared) mime type. */
   def parse(mime: String, bytes: Array[Byte]): ParsedDoc = {
-    val str = () => new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    val str = () => decodeText(bytes)
     try {
       mime match {
         case "application/xml" | "text/xml" =>
@@ -39,6 +58,8 @@ object DocumentParser {
           parseMarkdown(str(), mime)
         case "application/json" =>
           parseJson(str(), mime)
+        case "application/rtf" | "text/rtf" =>
+          parseRtf(str(), mime)
         case _ =>
           // unparsed binary: empty text, length metadata (Tika stub)
           ParsedDoc("", mime, Map("length" -> bytes.length.toString))
@@ -132,6 +153,74 @@ object DocumentParser {
     ParsedDoc(texts.result().mkString(" "), mime, meta)
   }
 
+  /** Destination groups whose content is formatting/metadata, not
+    * body text — Tika's RTF parser drops these wholesale. */
+  private val rtfSkipGroups = Set("fonttbl", "colortbl", "stylesheet",
+    "info", "pict", "themedata", "datastore", "header", "footer")
+
+  /**
+   * RTF → text (Tika RTFParser analog, dependency-free): brace-aware
+   * scan that drops formatting destination groups ({\fonttbl …},
+   * {\*\… }), decodes \'hh cp1252 escapes and \u…? Unicode escapes,
+   * maps \par/\line to newlines, and strips remaining control words.
+   */
+  private[sources] def parseRtf(rtf: String, mime: String): ParsedDoc = {
+    val out = new StringBuilder
+    var i = 0
+    val n = rtf.length
+    var skipDepth = -1 // brace depth at which a skipped group started
+    var depth = 0
+    while (i < n) {
+      val c = rtf.charAt(i)
+      if (c == '{') {
+        depth += 1
+        // peek: skip-worthy destination? ({\*\anything} or {\fonttbl…})
+        if (skipDepth < 0) {
+          val rest = rtf.substring(i + 1, math.min(n, i + 24))
+          if (rest.startsWith("\\*")) skipDepth = depth
+          else if (rest.startsWith("\\")) {
+            val word = rest.drop(1).takeWhile(_.isLetter)
+            if (rtfSkipGroups.contains(word)) skipDepth = depth
+          }
+        }
+        i += 1
+      } else if (c == '}') {
+        if (skipDepth == depth) skipDepth = -1
+        depth -= 1
+        i += 1
+      } else if (skipDepth >= 0) {
+        i += 1 // inside a dropped destination group
+      } else if (c == '\\') {
+        if (i + 1 >= n) i = n
+        else rtf.charAt(i + 1) match {
+          case '\\' | '{' | '}' => out.append(rtf.charAt(i + 1)); i += 2
+          case '~' => out.append(' '); i += 2
+          case '\'' if i + 3 < n =>
+            try out.append((Integer.parseInt(rtf.substring(i + 2, i + 4), 16)).toChar)
+            catch { case _: NumberFormatException => }
+            i += 4
+          case 'u' if i + 2 < n && (rtf.charAt(i + 2) == '-' || rtf.charAt(i + 2).isDigit) =>
+            val num = rtf.substring(i + 2).takeWhile(ch => ch == '-' || ch.isDigit)
+            try out.append(num.toInt.toChar) catch { case _: Exception => }
+            i += 2 + num.length
+            // \uN is followed by a fallback char for non-Unicode readers
+            if (i < n && rtf.charAt(i) == '?') i += 1
+          case _ =>
+            val word = rtf.substring(i + 1).takeWhile(_.isLetter)
+            if (word == "par" || word == "line") out.append('\n')
+            i += 1 + word.length
+            // optional numeric parameter, then one swallowed space
+            while (i < n && (rtf.charAt(i) == '-' || rtf.charAt(i).isDigit)) i += 1
+            if (i < n && rtf.charAt(i) == ' ') i += 1
+        }
+      } else {
+        if (c != '\r' && c != '\n') out.append(c)
+        i += 1
+      }
+    }
+    ParsedDoc(out.toString.replaceAll("\\s+", " ").trim, mime, Map.empty)
+  }
+
   private val parseUdf = udf((mime: String, bytes: Array[Byte]) => parse(mime, bytes))
 
   /** Adds `doc.text` / `doc.mime` / `doc.metadata` from a binary column. */
@@ -146,6 +235,7 @@ object DocumentParser {
       .when(name.endsWith(".html") || name.endsWith(".htm"), "text/html")
       .when(name.endsWith(".md") || name.endsWith(".markdown"), "text/markdown")
       .when(name.endsWith(".json"), "application/json")
+      .when(name.endsWith(".rtf"), "application/rtf")
       .when(name.endsWith(".csv") || name.endsWith(".tsv"), "text/csv")
       .when(name.endsWith(".txt") || name.endsWith(".log"), "text/plain")
       .when(name.endsWith(".avro"), "avro/binary")

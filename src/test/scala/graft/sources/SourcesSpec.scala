@@ -236,6 +236,31 @@ class SourcesSpec extends AnyFunSuite {
     assert(bad.metadata.contains("parse_error"))
   }
 
+  test("S9 parse_document: RTF strips control words and destination groups") {
+    val rtf = "{\\rtf1\\ansi{\\fonttbl{\\f0 Times New Roman;}}{\\colortbl;\\red0\\green0\\blue0;}\n" +
+      "{\\*\\generator Acme Writer 1.0;}\n" +
+      "\\f0\\fs24 Hello \\b bold\\b0  world.\\par\n" +
+      "Caf\\'e9 costs \\u8364?5 {\\pict 0011223344} done.\\par}"
+    val doc = DocumentParser.parse("application/rtf", rtf.getBytes("UTF-8"))
+    assert(!doc.metadata.contains("parse_error"))
+    assert(doc.text === "Hello bold world. Café costs €5 done.")
+  }
+
+  test("S9 decodeText: UTF-8/UTF-16LE/UTF-16BE BOMs select charset and are stripped") {
+    import java.nio.charset.StandardCharsets._
+    val s = "héllo"
+    val utf8 = Array(0xEF, 0xBB, 0xBF).map(_.toByte) ++ s.getBytes(UTF_8)
+    val be = Array(0xFE, 0xFF).map(_.toByte) ++ s.getBytes(UTF_16BE)
+    val le = Array(0xFF, 0xFE).map(_.toByte) ++ s.getBytes(UTF_16LE)
+    assert(DocumentParser.decodeText(utf8) === s)
+    assert(DocumentParser.decodeText(be) === s)
+    assert(DocumentParser.decodeText(le) === s)
+    assert(DocumentParser.decodeText(s.getBytes(UTF_8)) === s)
+    // UTF-16 text now parses through the normal text path
+    val doc = DocumentParser.parse("text/plain", be)
+    assert(doc.text === s)
+  }
+
   test("ORC + text builtin sources round-trip") {
     val dir = java.nio.file.Files.createTempDirectory("graft_orc_").toString
     graft.Tables.region(spark, TestSpark.sf).write.orc(s"$dir/orc")
