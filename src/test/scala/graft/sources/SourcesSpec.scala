@@ -246,6 +246,19 @@ class SourcesSpec extends AnyFunSuite {
     assert(doc.text === "Hello bold world. Café costs €5 done.")
   }
 
+  test("S9 parseRtf: terminates without throwing on 500 adversarial inputs") {
+    // the scanner is hand-rolled imperative code — the property that
+    // matters is that NO byte soup (truncated escapes, unbalanced
+    // braces, backslash at EOF) can hang or kill a task
+    val rnd = new scala.util.Random(42)
+    val alphabet = "{}\\'u-0123456789abcpar \n\t*;"
+    for (_ <- 1 to 500) {
+      val s = "{\\rtf1" + Seq.fill(rnd.nextInt(80))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      val doc = DocumentParser.parse("application/rtf", s.getBytes("UTF-8"))
+      assert(doc.text != null) // reached: parsed or clean parse_error, no hang/throw
+    }
+  }
+
   test("S9 decodeText: UTF-8/UTF-16LE/UTF-16BE BOMs select charset and are stripped") {
     import java.nio.charset.StandardCharsets._
     val s = "héllo"
