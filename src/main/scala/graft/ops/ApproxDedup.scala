@@ -101,8 +101,9 @@ object ApproxDedup {
    * the pair space.
    */
   def minHashCandidates(df: DataFrame, id: Column, tokens: Column,
-                        numHashes: Int = 32, bands: Int = 8): DataFrame =
-    minHashCandidatesWithSig(df, id, tokens, numHashes, bands)._1
+                        numHashes: Int = 32, bands: Int = 8,
+                        maxBucket: Int = 10000): DataFrame =
+    minHashCandidatesWithSig(df, id, tokens, numHashes, bands, maxBucket)._1
 
   /** [[minHashCandidates]] plus the PERSISTED signature frame backing
     * it, so a consumer that materializes the candidates can
@@ -110,7 +111,8 @@ object ApproxDedup {
     * session's lifetime ([[dropNearDuplicates]] does exactly that). */
   private[graft] def minHashCandidatesWithSig(
       df: DataFrame, id: Column, tokens: Column,
-      numHashes: Int = 32, bands: Int = 8): (DataFrame, DataFrame) = {
+      numHashes: Int = 32, bands: Int = 8,
+      maxBucket: Int = 10000): (DataFrame, DataFrame) = {
     val rows = numHashes / bands
     // signatures are tiny (numHashes ints per doc): persist them so the
     // LSH self-join below reads them twice instead of recomputing the
@@ -121,9 +123,23 @@ object ApproxDedup {
       .select(col("id"), shingleHashesFromTokenHashes(col("__th")).as("hs"))
       .select(col("id"), minHashSignature(col("hs"), numHashes).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sig.select(col("id"), col("sig"),
+    val allBanded = sig.select(col("id"), col("sig"),
       explode(lshBands(col("sig"), bands, rows)).as("b"))
       .select(col("id"), col("sig"), col("b.band"), col("b.key"))
+    // degenerate-bucket guard: a bucket of n (near-)identical docs
+    // contributes n²/2 candidate pairs — one boilerplate page crawled
+    // 100k times would put 5e9 pairs through ONE join key. Buckets
+    // past `maxBucket` are dropped: their members are exact/near-exact
+    // clones that the EXACT dedup pass (fingerprint groupBy — linear)
+    // collapses, so skipping their quadratic LSH pairs loses nothing.
+    // The size aggregation and the filter join both hash on (band,key),
+    // the self-join's own key — partitioning is reused, no extra
+    // exchange beyond the map-side-partial count.
+    val bucketSizes = allBanded.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("__bn"))
+    val banded = allBanded.join(
+      bucketSizes.filter(col("__bn") <= maxBucket).select(col("band"), col("key")),
+      Seq("band", "key"))
     // estimate BEFORE dedup so the distinct hashes three scalars per
     // pair instead of two 32-int signature arrays (pairs colliding in
     // several bands carry identical sigs, hence identical estimates)
@@ -186,8 +202,8 @@ object ApproxDedup {
    */
   def dropNearDuplicates(df: DataFrame, id: Column, tokens: Column,
                          threshold: Double = 0.8, numHashes: Int = 32,
-                         bands: Int = 8): DataFrame = {
-    val (cand, sig) = minHashCandidatesWithSig(df, id, tokens, numHashes, bands)
+                         bands: Int = 8, maxBucket: Int = 10000): DataFrame = {
+    val (cand, sig) = minHashCandidatesWithSig(df, id, tokens, numHashes, bands, maxBucket)
     val losers = cand
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_b").as("__loser")).distinct()

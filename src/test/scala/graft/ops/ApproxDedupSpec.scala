@@ -43,6 +43,27 @@ class ApproxDedupSpec extends AnyFunSuite {
     assert(kept === Set(1L, 2L, 3L))
   }
 
+  test("degenerate-bucket guard: a bucket past maxBucket contributes no pairs") {
+    import org.apache.spark.sql.functions._
+    // 40 byte-identical docs -> every band bucket holds all 40; with
+    // maxBucket=10 the n^2 pair explosion is skipped entirely (exact
+    // dedup is the documented path for clones), while a small planted
+    // near-dup pair in its own buckets still surfaces
+    val clones = (1 to 40).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog every single day"))
+    val pair = Seq(
+      (100L, "completely different text about distributed query engines and shuffles"),
+      (101L, "completely different text about distributed query engines and shuffles extra"))
+    val df = (clones ++ pair).toDF("doc_id", "text")
+    val capped = ApproxDedup.minHashCandidates(df, col("doc_id"), toks, maxBucket = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped.contains((100L, 101L)))          // real near-dup found
+    assert(!capped.exists(p => p._1 <= 40L))       // clone pairs skipped
+    val uncapped = ApproxDedup.minHashCandidates(df, col("doc_id"), toks)
+      .filter(col("id_a") <= 40).count()
+    assert(uncapped === 40L * 39 / 2)              // default cap leaves them
+  }
+
   test("exact jaccard: identical=1, disjoint=0") {
     val sh = corpus.select(col("doc_id"), ApproxDedup.shingles(toks).as("sh"))
     val self = sh.as("a").join(sh.as("b"), col("a.doc_id") === col("b.doc_id"))
