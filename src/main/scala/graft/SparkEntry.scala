@@ -879,6 +879,28 @@ object SparkEntry {
       Ranking.fuzzyTerms(docs, col("doc_id"), col("toks"), "spark", maxDist = 2)
     }),
 
+    // highlighting (first-fragment snippet around the matched term)
+    "q85_highlight" -> ((s, d) =>
+      Ranking.highlight(Tables.documents(s, d), col("doc_id"), col("text"),
+        "spark", contextWords = 3)),
+
+    // Solr atomic updates: set/inc/add merged onto the corpus by key
+    // (update set derived from doc_id so the oracle replays it)
+    "q86_atomic_update" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        col("n_chars"), split(col("source"), "-").as("tags"))
+      val updates = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(10)) === 0, lit("reviewed")).as("lang"),
+          lit(1000L).as("n_chars"),
+          array(lit("patched")).as("tags"))
+      graft.etl.Etl.applyAtomicUpdates(base, updates, "doc_id",
+          set = Seq("lang"), inc = Seq("n_chars"), add = Seq("tags"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          array_join(col("tags"), "|").as("tags_joined"))
+    }),
+
     // MoreLikeThis (Solr MLT handler): top-10 docs sharing the most of
     // doc 7's ten highest-TF-IDF terms
     "q84_more_like_this" -> ((s, d) => {
@@ -1562,6 +1584,26 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS shared_terms
         |FROM ct JOIN interesting USING (term)
         |GROUP BY doc_id
-        |ORDER BY shared_terms DESC, doc_id LIMIT 10""".stripMargin
+        |ORDER BY shared_terms DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q85_highlight" ->
+      """SELECT doc_id,
+        | regexp_extract(lower(text),
+        |  '((?:[a-z0-9]+ ){0,3}spark(?: [a-z0-9]+){0,3})', 1) AS snippet
+        |FROM documents WHERE lower(text) LIKE '%spark%'""".stripMargin,
+
+    "q86_atomic_update" ->
+      """WITH b AS (SELECT doc_id, lang, n_chars, string_split(source, '-') AS tags
+        |           FROM documents),
+        |u AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 0 THEN 'reviewed' END AS u_lang,
+        |  1000 AS u_inc, ['patched'] AS u_tags
+        | FROM documents WHERE doc_id % 5 = 0)
+        |SELECT b.doc_id, COALESCE(u.u_lang, b.lang) AS lang,
+        | CAST(b.n_chars + COALESCE(u.u_inc, 0) AS BIGINT) AS n_chars,
+        | array_to_string(CASE WHEN u.u_tags IS NULL THEN b.tags
+        |   WHEN b.tags IS NULL THEN u.u_tags
+        |   ELSE b.tags || u.u_tags END, '|') AS tags_joined
+        |FROM b LEFT JOIN u USING (doc_id)""".stripMargin
   )
 }

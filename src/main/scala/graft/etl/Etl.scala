@@ -77,6 +77,40 @@ object Etl {
       when(col(field).isNull, values).otherwise(concat(col(field), values)))
 
   /**
+   * Solr atomic updates (`{"set": …}`, `{"inc": …}`, `{"add": …}`)
+   * applied as a bulk merge: left-join `updates` onto `base` by `key`
+   * and combine per field — `set` overwrites when the update carries a
+   * non-null value (null/absent keeps the old value), `inc` adds the
+   * numeric delta, `add` appends to a multivalued (array) field.
+   * Documents without an update pass through unchanged; updates whose
+   * key matches nothing are ignored (Solr would create a doc — that is
+   * an ingest, not an update, and belongs to the union + dedup path).
+   *
+   * One equi-join shuffle on the key; the updates side is usually the
+   * small one — broadcast it at the call site when it fits.
+   */
+  def applyAtomicUpdates(base: DataFrame, updates: DataFrame, key: String,
+                         set: Seq[String] = Nil, inc: Seq[String] = Nil,
+                         add: Seq[String] = Nil): DataFrame = {
+    val touched = (set ++ inc ++ add).distinct
+    require(touched.nonEmpty, "no update fields given")
+    require(!touched.contains(key), "cannot update the key itself")
+    val u = updates.select((key +: touched).map(c => col(c).as(s"__u_$c")): _*)
+    val joined = base.join(u, base(key) === col(s"__u_$key"), "left")
+    val applied = touched.foldLeft(joined) { (d, f) =>
+      val upd = col(s"__u_$f")
+      val merged =
+        if (set.contains(f)) coalesce(upd, col(f))
+        else if (inc.contains(f)) col(f) + coalesce(upd, lit(0))
+        else // add: null-safe append (no untyped empty-array literals)
+          when(upd.isNull, col(f))
+            .otherwise(when(col(f).isNull, upd).otherwise(concat(col(f), upd)))
+      d.withColumn(f, merged)
+    }
+    applied.drop((key +: touched).map(c => s"__u_$c"): _*)
+  }
+
+  /**
    * extractAvroPaths / extractAvroTree (tutorialReadAvroContainer
    * .conf:84-106): nested-path projection. In Spark nested access is
    * just `col("a.b.c")`; this helper adds the reference's `flatten`

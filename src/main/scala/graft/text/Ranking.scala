@@ -161,6 +161,23 @@ object Ranking {
   }
 
   /**
+   * Highlighting (Solr's highlighting component, first-fragment
+   * variant): for documents matching `term`, the snippet of up to
+   * `contextWords` words on each side of the FIRST occurrence. A pure
+   * filter + regexp projection — the contains() filter pushes to the
+   * parquet scan, so only matching rows pay the extraction.
+   */
+  def highlight(df: DataFrame, id: Column, text: Column, term: String,
+                contextWords: Int = 3): DataFrame = {
+    require(term.matches("[a-z0-9]+"), "term must be a plain lowercase token")
+    val c = contextWords
+    val pattern = s"((?:[a-z0-9]+ ){0,$c}$term(?: [a-z0-9]+){0,$c})"
+    df.filter(lower(text).contains(term))
+      .select(id.as("doc_id"),
+        regexp_extract(lower(text), pattern, 1).as("snippet"))
+  }
+
+  /**
    * The inverted-index view: per term, its document frequency and a
    * CAPPED ascending posting list (comma-joined doc ids). The cap is
    * the unbounded-group guard — posting lists of stopword-frequency

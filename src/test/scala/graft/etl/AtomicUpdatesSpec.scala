@@ -1,0 +1,50 @@
+package graft.etl
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AtomicUpdatesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val base = Seq(
+    (1L, "en", 10L, Seq("a")),
+    (2L, "de", 20L, Seq("b", "c")),
+    (3L, "fr", 30L, null.asInstanceOf[Seq[String]])
+  ).toDF("id", "lang", "n", "tags")
+
+  test("set overwrites only non-null update values; inc adds; add appends") {
+    val updates = Seq(
+      (1L, Some("xx"), 5L, Seq("z")),   // set+inc+add
+      (2L, Option.empty[String], 0L, Seq.empty[String]), // null set keeps old
+      (3L, Some("yy"), 1L, Seq("w"))    // add onto a null array
+    ).toDF("id", "lang", "n", "tags")
+    val got = Etl.applyAtomicUpdates(base, updates, "id",
+        set = Seq("lang"), inc = Seq("n"), add = Seq("tags"))
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.getSeq[String](3)).map(_.toList).orNull)).toSeq
+    assert(got === Seq(
+      (1L, "xx", 15L, List("a", "z")),
+      (2L, "de", 20L, List("b", "c")),
+      (3L, "yy", 31L, List("w"))))
+  }
+
+  test("docs without an update row pass through; dangling updates are ignored") {
+    val updates = Seq((2L, 100L), (99L, 7L)).toDF("id", "n")
+    val got = Etl.applyAtomicUpdates(base, updates, "id", inc = Seq("n"))
+      .orderBy("id").select("id", "n").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 10L), (2L, 120L), (3L, 30L)))
+  }
+
+  test("updating the key or giving no fields is rejected") {
+    val updates = Seq((1L, 1L)).toDF("id", "n")
+    intercept[IllegalArgumentException] {
+      Etl.applyAtomicUpdates(base, updates, "id", set = Seq("id"))
+    }
+    intercept[IllegalArgumentException] {
+      Etl.applyAtomicUpdates(base, updates, "id")
+    }
+  }
+}

@@ -103,6 +103,19 @@ class RankingSpec extends AnyFunSuite {
     assert(got === Seq(2L -> 3L, 3L -> 1L)) // ranked, no source, no zero-overlap docs
   }
 
+  test("highlight: snippet around first occurrence, non-matches filtered out") {
+    val docs = Seq(
+      (1L, "alpha beta gamma spark delta epsilon zeta eta"),
+      (2L, "spark at the very start of it"),
+      (3L, "nothing relevant here at all")
+    ).toDF("id", "text")
+    val got = Ranking.highlight(docs, col("id"), col("text"), "spark", contextWords = 2)
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(
+      1L -> "beta gamma spark delta epsilon",
+      2L -> "spark at the")) // clamped at the text boundary
+  }
+
   test("postings: exact df, capped ascending posting list") {
     val docs = (1 to 30).map(i => (i.toLong, Seq("common") ++ (if (i <= 2) Seq("rare") else Nil)))
       .toDF("id", "toks")
