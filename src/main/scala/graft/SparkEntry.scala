@@ -910,6 +910,22 @@ object SparkEntry {
         sourceDocId = 7L, topTerms = 10, k = 10)
     }),
 
+    // cursorMark deep paging (keyset pagination): the page AFTER a
+    // cursor position in (totalprice desc, orderkey) order. The WHERE
+    // tuple-predicate prunes before the sort — OFFSET-based paging
+    // would sort and skip everything before the page (O(N) per page,
+    // the deep-paging scale-killer cursorMark exists to avoid).
+    "q87_cursor_page" -> ((s, d) => {
+      val cursorPrice = 500000.0
+      val cursorKey = 100L
+      Tables.orders(s, d)
+        .filter(col("o_totalprice") < cursorPrice ||
+          (col("o_totalprice") === cursorPrice && col("o_orderkey") > cursorKey))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_totalprice"))
+    }),
+
     // Solr range facet (facet.range): fixed-width price buckets with
     // counts — one map-side-partial groupBy on the computed bucket,
     // exactly Solr's numeric range faceting over the whole corpus
@@ -1557,6 +1573,12 @@ object SparkEntry {
         |SELECT term, CAST(doc_freq AS BIGINT) AS doc_freq,
         | CAST(levenshtein(term, 'spark') AS BIGINT) AS dist
         |FROM v WHERE levenshtein(term, 'spark') <= 2""".stripMargin,
+
+    "q87_cursor_page" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice < 500000.0
+        |   OR (o_totalprice = 500000.0 AND o_orderkey > 100)
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
 
     "q83_range_facet" ->
       """SELECT CAST(floor(o_totalprice / 50000.0) * 50000 AS BIGINT) AS bucket,
