@@ -1611,8 +1611,10 @@ object SparkEntry {
     "q85_highlight" ->
       """SELECT doc_id,
         | regexp_extract(lower(text),
-        |  '((?:[a-z0-9]+ ){0,3}spark(?: [a-z0-9]+){0,3})', 1) AS snippet
-        |FROM documents WHERE lower(text) LIKE '%spark%'""".stripMargin,
+        |  '((?:[a-z0-9]+ ){0,3}\bspark\b(?: [a-z0-9]+){0,3})', 1) AS snippet
+        |FROM documents
+        |WHERE lower(text) LIKE '%spark%'
+        |  AND regexp_matches(lower(text), '\bspark\b')""".stripMargin,
 
     "q86_atomic_update" ->
       """WITH b AS (SELECT doc_id, lang, n_chars, string_split(source, '-') AS tags

@@ -95,13 +95,27 @@ object Etl {
     val touched = (set ++ inc ++ add).distinct
     require(touched.nonEmpty, "no update fields given")
     require(!touched.contains(key), "cannot update the key itself")
+    // duplicate update keys would FAN OUT base rows through the join,
+    // silently duplicating documents — rejected in-job (same
+    // raise_error-rides-the-plan pattern as IndexSchema.requireKey);
+    // batch-combine duplicates (sum the incs) upstream instead
+    val dupGuard = org.apache.spark.sql.expressions.Window.partitionBy(col(s"__u_$key"))
     val u = updates.select((key +: touched).map(c => col(c).as(s"__u_$c")): _*)
+      .withColumn("__u_cnt", count(lit(1)).over(dupGuard))
+      .withColumn(s"__u_$key",
+        when(col("__u_cnt") === 1, col(s"__u_$key"))
+          .otherwise(raise_error(concat(lit("duplicate update for key: "),
+            col(s"__u_$key").cast("string")))))
+      .drop("__u_cnt")
     val joined = base.join(u, base(key) === col(s"__u_$key"), "left")
     val applied = touched.foldLeft(joined) { (d, f) =>
       val upd = col(s"__u_$f")
       val merged =
         if (set.contains(f)) coalesce(upd, col(f))
-        else if (inc.contains(f)) col(f) + coalesce(upd, lit(0))
+        else if (inc.contains(f))
+          // null base counts as 0 (Solr inc on an absent field sets it
+          // to the delta) — but a doc with NO update row stays null
+          when(upd.isNull, col(f)).otherwise(coalesce(col(f), lit(0)) + upd)
         else // add: null-safe append (no untyped empty-array literals)
           when(upd.isNull, col(f))
             .otherwise(when(col(f).isNull, upd).otherwise(concat(col(f), upd)))

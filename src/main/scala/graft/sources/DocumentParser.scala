@@ -158,6 +158,22 @@ object DocumentParser {
   private val rtfSkipGroups = Set("fonttbl", "colortbl", "stylesheet",
     "info", "pict", "themedata", "datastore", "header", "footer")
 
+  /** Control words that ARE characters (not formatting): dropped, they
+    * fuse the adjacent words ("a\tab b" must not become "ab"). */
+  private val rtfCharWords = Map(
+    "tab" -> "\t", "emdash" -> "—", "endash" -> "–",
+    "lquote" -> "‘", "rquote" -> "’",
+    "ldblquote" -> "“", "rdblquote" -> "”",
+    "bullet" -> "•", "emspace" -> " ", "enspace" -> " ",
+    "cell" -> " ", "row" -> "\n", "sect" -> "\n", "page" -> "\n")
+
+  // \'hh escapes are CODE-PAGE bytes — cp1252 for the \ansi RTF Word
+  // writes, where 0x80-0x9F are smart quotes/dashes/euro, NOT the C1
+  // control characters a raw toChar cast would produce
+  private lazy val cp1252 = java.nio.charset.Charset.forName("windows-1252")
+  private def cp1252Char(hh: Int): String =
+    new String(Array(hh.toByte), cp1252)
+
   /**
    * RTF → text (Tika RTFParser analog, dependency-free): brace-aware
    * scan that drops formatting destination groups ({\fonttbl …},
@@ -189,25 +205,34 @@ object DocumentParser {
         depth -= 1
         i += 1
       } else if (skipDepth >= 0) {
-        i += 1 // inside a dropped destination group
+        // inside a dropped destination group: escapes must still be
+        // consumed as units — a raw `\{` half-consumed would let the
+        // brace corrupt the depth tracking and swallow body text past
+        // the group's real close
+        if (c == '\\' && i + 1 < n) i += 2 else i += 1
       } else if (c == '\\') {
         if (i + 1 >= n) i = n
         else rtf.charAt(i + 1) match {
           case '\\' | '{' | '}' => out.append(rtf.charAt(i + 1)); i += 2
           case '~' => out.append(' '); i += 2
           case '\'' if i + 3 < n =>
-            try out.append((Integer.parseInt(rtf.substring(i + 2, i + 4), 16)).toChar)
-            catch { case _: NumberFormatException => }
-            i += 4
+            // on malformed hex consume only the \' and let the rest
+            // re-scan normally (blind i+=4 could eat a brace)
+            try { out.append(cp1252Char(Integer.parseInt(rtf.substring(i + 2, i + 4), 16))); i += 4 }
+            catch { case _: NumberFormatException => i += 2 }
           case 'u' if i + 2 < n && (rtf.charAt(i + 2) == '-' || rtf.charAt(i + 2).isDigit) =>
             val num = rtf.substring(i + 2).takeWhile(ch => ch == '-' || ch.isDigit)
             try out.append(num.toInt.toChar) catch { case _: Exception => }
             i += 2 + num.length
-            // \uN is followed by a fallback char for non-Unicode readers
+            // \uN carries a fallback for non-Unicode readers: either a
+            // plain char (commonly '?') or an \'hh escape — consume it
+            // so it doesn't double into the output (simplified \uc1)
             if (i < n && rtf.charAt(i) == '?') i += 1
+            else if (i + 3 < n && rtf.charAt(i) == '\\' && rtf.charAt(i + 1) == '\'') i += 4
           case _ =>
             val word = rtf.substring(i + 1).takeWhile(_.isLetter)
             if (word == "par" || word == "line") out.append('\n')
+            else rtfCharWords.get(word).foreach(out.append)
             i += 1 + word.length
             // optional numeric parameter, then one swallowed space
             while (i < n && (rtf.charAt(i) == '-' || rtf.charAt(i).isDigit)) i += 1

@@ -151,7 +151,10 @@ object Ranking {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= topTerms)
       .select(col("term"))
-    val corpusTerms = df.select(id.as("doc_id"), explode(array_distinct(tokens)).as("term"))
+    // corpus terms come from the tf relation already inside ti (one
+    // row per distinct (doc, term)) — a separate explode of df would
+    // scan and shingle the corpus a third time for nothing
+    val corpusTerms = ti.select(col("doc_id"), col("term"))
       .filter(col("doc_id") =!= sourceDocId)
     corpusTerms.join(broadcast(interesting), "term")
       .groupBy(col("doc_id"))
@@ -171,8 +174,13 @@ object Ranking {
                 contextWords: Int = 3): DataFrame = {
     require(term.matches("[a-z0-9]+"), "term must be a plain lowercase token")
     val c = contextWords
-    val pattern = s"((?:[a-z0-9]+ ){0,$c}$term(?: [a-z0-9]+){0,$c})"
-    df.filter(lower(text).contains(term))
+    // \b on both sides: the TOKEN must match, not a substring —
+    // "sparkle" is not a hit for "spark" (Solr highlighting is
+    // analyzer-based). contains() stays as the cheap prefilter (it
+    // pushes to the parquet scan as StringContains; rlike does not),
+    // the word-boundary rlike is the exact residual.
+    val pattern = s"((?:[a-z0-9]+ ){0,$c}\\b$term\\b(?: [a-z0-9]+){0,$c})"
+    df.filter(lower(text).contains(term) && lower(text).rlike(s"\\b$term\\b"))
       .select(id.as("doc_id"),
         regexp_extract(lower(text), pattern, 1).as("snippet"))
   }

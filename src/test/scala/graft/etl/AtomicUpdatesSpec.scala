@@ -38,6 +38,25 @@ class AtomicUpdatesSpec extends AnyFunSuite {
     assert(got === Seq((1L, 10L), (2L, 120L), (3L, 30L)))
   }
 
+  test("inc on a null base field sets it to the delta (Solr absent-field inc)") {
+    val b = Seq((1L, null.asInstanceOf[java.lang.Long]), (2L, java.lang.Long.valueOf(5L)))
+      .toDF("id", "n")
+    val updates = Seq((1L, 10L)).toDF("id", "n")
+    val got = Etl.applyAtomicUpdates(b, updates, "id", inc = Seq("n"))
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toSeq
+    assert(got === Seq(1L -> Some(10L), 2L -> Some(5L)))
+  }
+
+  test("duplicate update keys are rejected in-job, not silently fanned out") {
+    val updates = Seq((2L, 10L), (2L, 20L)).toDF("id", "n")
+    val ex = intercept[Exception] {
+      Etl.applyAtomicUpdates(base, updates, "id", inc = Seq("n")).collect()
+    }
+    assert(ex.getMessage.contains("duplicate update") ||
+      Option(ex.getCause).exists(_.getMessage.contains("duplicate update")))
+  }
+
   test("updating the key or giving no fields is rejected") {
     val updates = Seq((1L, 1L)).toDF("id", "n")
     intercept[IllegalArgumentException] {

@@ -246,6 +246,16 @@ class SourcesSpec extends AnyFunSuite {
     assert(doc.text === "Hello bold world. Café costs €5 done.")
   }
 
+  test("S9 parseRtf: cp1252 escapes, char control words, unicode fallbacks, escaped braces") {
+    // \'93...\'94 are cp1252 smart quotes (NOT C1 controls); \tab must
+    // separate words; 荤\'80 is euro + its cp1252 fallback (consumed,
+    // not doubled); \{ inside a skipped group must not corrupt depth
+    val rtf = "{\\rtf1\\ansi{\\*\\generator Acme \\{beta\\} v1;}" +
+      "\\'93quoted\\'94 a\\tab b costs \\u8364\\'80 now\\par}"
+    val doc = DocumentParser.parse("application/rtf", rtf.getBytes("UTF-8"))
+    assert(doc.text === "“quoted” a b costs € now")
+  }
+
   test("S9 parseRtf: terminates without throwing on 500 adversarial inputs") {
     // the scanner is hand-rolled imperative code — the property that
     // matters is that NO byte soup (truncated escapes, unbalanced

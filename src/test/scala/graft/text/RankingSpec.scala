@@ -107,13 +107,17 @@ class RankingSpec extends AnyFunSuite {
     val docs = Seq(
       (1L, "alpha beta gamma spark delta epsilon zeta eta"),
       (2L, "spark at the very start of it"),
-      (3L, "nothing relevant here at all")
+      (3L, "nothing relevant here at all"),
+      (4L, "a sparkle is not a spark match unless the token appears"),
+      (5L, "the sparkle and sparky words only")
     ).toDF("id", "text")
     val got = Ranking.highlight(docs, col("id"), col("text"), "spark", contextWords = 2)
       .as[(Long, String)].collect().toMap
     assert(got === Map(
       1L -> "beta gamma spark delta epsilon",
-      2L -> "spark at the")) // clamped at the text boundary
+      2L -> "spark at the", // clamped at the text boundary
+      4L -> "not a spark match unless")) // token hit, not the "sparkle" substring
+    assert(!got.contains(5L)) // substring-only docs are NOT matches
   }
 
   test("postings: exact df, capped ascending posting list") {
