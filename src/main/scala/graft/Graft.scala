@@ -58,4 +58,12 @@ object Graft {
   /** Open a built store for querying. */
   def openIndex(spark: SparkSession, path: String): DataFrame =
     ShardIndex.read(spark, path)
+
+  /** The training-corpus counterpart of [[buildIndex]]: quality gate →
+    * PII redaction → URL/exact/near dedup → optional chunking, one
+    * composed plan (see [[graft.ops.CorpusPipeline]]). */
+  def prepareCorpus(docs: DataFrame, idCol: String, textCol: String,
+                    cfg: graft.ops.CorpusPipeline.Config =
+                      graft.ops.CorpusPipeline.Config()): DataFrame =
+    graft.ops.CorpusPipeline.prepare(docs, idCol, textCol, cfg)
 }
