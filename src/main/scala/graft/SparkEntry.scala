@@ -86,6 +86,26 @@ object SparkEntry {
     ShardIndex.matchAllCounts(ShardIndex.read(spark, out))
   }
 
+  /** Prepend a 1-based `rnkName` column to a BOUNDED, already-ordered
+    * frame by collecting it and zipping positions driver-side. Only
+    * for frames bounded by construction (a `limit(k)`, a fixed-
+    * cardinality distinct): it replaces the unpartitioned row_number
+    * window — whose single-task WindowExec fires "No Partition
+    * Defined" warnings and would be a scale bug on unbounded input —
+    * with an explicitly driver-sized step, like the reference's own
+    * driver-side shard-dir sort (MapReduceIndexerTool.java:1146-1166). */
+  private def rankCollected(s: SparkSession, bounded: DataFrame,
+                            rnkName: String): DataFrame = {
+    val rows = bounded.collect()
+    val ranked = rows.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq((i + 1L) +: r.toSeq)
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField(rnkName, LongType, nullable = false) +:
+        bounded.schema.fields.toSeq)
+    s.createDataFrame(java.util.Arrays.asList(ranked: _*), schema)
+  }
+
   // ---------------------------------------------------------------
   // queries: name -> (spark, sfDir) => DataFrame
   // ---------------------------------------------------------------
@@ -210,27 +230,30 @@ object SparkEntry {
     // sort + limit / top-k (absent in reference, Spark builtin).
     // orderBy+limit compiles to TakeOrderedAndProject — per-partition
     // top-k heaps merged on the driver — NOT a global row_number window,
-    // which would drag every row through one task. The rank is assigned
-    // after the limit, so its window only ever sees k rows.
+    // which would drag every row through one task. The rank is then
+    // zipped on DRIVER-side over the 10 collected rows (bounded by the
+    // limit), so no unpartitioned WindowExec node exists in the plan
+    // at all.
     "q16_topk_orders" -> ((s, d) => {
       val ord = Seq(col("o_totalprice").desc, col("o_orderkey").asc)
       val top = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_totalprice"))
         .orderBy(ord: _*)
         .limit(10)
-      val w = Window.orderBy(ord: _*)
-      top.withColumn("rnk", row_number().over(w).cast("long"))
+      rankCollected(s, top, "rnk")
         .select(col("rnk"), col("o_orderkey"), col("o_totalprice"))
     }),
 
-    // F8 alphanumeric ordering (part-2 < part-10 semantics).
-    // The unpartitioned window is safe ONLY because it runs over the
-    // distinct-brand set (~25 rows at any SF — brand cardinality is
-    // fixed); never use this shape on an unbounded key space.
+    // F8 alphanumeric ordering (part-2 < part-10 semantics). The
+    // distinct-brand set is ~25 rows at any SF (brand cardinality is
+    // fixed), so the positions are zipped driver-side over the sorted
+    // collect — the reference itself does this sort on the driver
+    // (MapReduceIndexerTool.java:1146-1166); never use this shape on
+    // an unbounded key space.
     "q17_alphanum_sort" -> ((s, d) => {
       val brands = Tables.part(s, d).select(col("p_brand")).distinct()
-      val w = Window.orderBy(Etl.alphaNumOrderKey(col("p_brand")))
-      brands.withColumn("pos", row_number().over(w).cast("long"))
+        .orderBy(Etl.alphaNumOrderKey(col("p_brand")))
+      rankCollected(s, brands, "pos")
         .select(col("pos"), col("p_brand"))
     }),
 
@@ -355,11 +378,21 @@ object SparkEntry {
       Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
         .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))),
 
-    // approx_count_distinct surfacing (HLL — engine-specific, rows-only)
-    "q33_approx_distinct" -> ((s, d) =>
+    // approx_count_distinct surfacing. The HLL estimate itself is
+    // engine-specific, so the ORACLED output is (exact count, bound
+    // check): within_bound = |approx-exact|/exact <= 3·rsd, which the
+    // oracle reproduces as a literal TRUE next to its own exact count
+    // — the hash matches iff Spark's deterministic HLL estimate
+    // actually lands inside the published error bound.
+    "q33_approx_distinct" -> ((s, d) => {
+      val rsd = 0.05
       Tables.events(s, d).agg(
-        approx_count_distinct(col("user_id")).as("approx_users"),
-        countDistinct(col("user_id")).as("exact_users"))),
+          approx_count_distinct(col("user_id"), rsd).as("__approx"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .select(col("exact_users"),
+          (abs(col("__approx").cast("double") - col("exact_users").cast("double")) /
+            col("exact_users").cast("double") <= lit(rsd * 3)).as("within_bound"))
+    }),
 
     // the exact half of q33, split out so it gets a hash-matched oracle
     "q58_exact_distinct" -> ((s, d) =>
@@ -1145,6 +1178,13 @@ object SparkEntry {
       """SELECT c_nationkey AS nationkey FROM customer
         |INTERSECT
         |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+
+    // the bound check is the oracled claim: TRUE on the oracle side,
+    // computed |approx-exact|/exact <= 3*rsd on the Spark side
+    "q33_approx_distinct" ->
+      """SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        | TRUE AS within_bound
+        |FROM events""".stripMargin,
 
     // file-level metadata oracle: DuckDB lists the same parquet files
     // with read_blob and sniffs the PAR1 magic from the hex prefix.

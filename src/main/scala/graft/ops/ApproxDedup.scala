@@ -99,6 +99,16 @@ object ApproxDedup {
    * signature → bands → self-join on (band, key) → distinct pairs with
    * estimated Jaccard (signature agreement). Keeps `id < id2` to halve
    * the pair space.
+   *
+   * RECALL CAVEAT — `maxBucket`: LSH buckets holding more than
+   * `maxBucket` docs are dropped entirely (no pairs emitted for
+   * them). Such buckets only arise from near-identical clone swarms,
+   * which an EXACT fingerprint dedup collapses linearly — so the cap
+   * loses nothing WHEN an exact-dedup pass also runs (CorpusPipeline's
+   * default ordering). Calling this standalone with no exact dedup
+   * upstream means members of an over-cap bucket are never reported as
+   * candidates; pass `maxBucket = Int.MaxValue` to disable the guard
+   * (and accept the n²/2 pair cost per giant bucket).
    */
   def minHashCandidates(df: DataFrame, id: Column, tokens: Column,
                         numHashes: Int = 32, bands: Int = 8,
@@ -132,14 +142,15 @@ object ApproxDedup {
     // past `maxBucket` are dropped: their members are exact/near-exact
     // clones that the EXACT dedup pass (fingerprint groupBy — linear)
     // collapses, so skipping their quadratic LSH pairs loses nothing.
-    // The size aggregation and the filter join both hash on (band,key),
-    // the self-join's own key — partitioning is reused, no extra
-    // exchange beyond the map-side-partial count.
-    val bucketSizes = allBanded.groupBy(col("band"), col("key"))
-      .agg(count(lit(1)).as("__bn"))
-    val banded = allBanded.join(
-      bucketSizes.filter(col("__bn") <= maxBucket).select(col("band"), col("key")),
-      Seq("band", "key"))
+    // The size check is a COUNT window over (band, key) — the
+    // self-join's own partitioning, so Catalyst plans one exchange
+    // that both the window and the join reuse; the earlier
+    // groupBy+filter-join form shuffled a second aggregate alongside
+    // the self-join and cost q54 ~50% extra wall-clock at sf0.1.
+    val banded = allBanded
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
+      .filter(col("__bn") <= maxBucket)
+      .drop("__bn")
     // estimate BEFORE dedup so the distinct hashes three scalars per
     // pair instead of two 32-int signature arrays (pairs colliding in
     // several bands carry identical sigs, hence identical estimates)
@@ -199,6 +210,14 @@ object ApproxDedup {
    * the standard trick is "keep the min id per band bucket cluster",
    * iterated once: a doc is dropped if any candidate pair names it as
    * the larger id with similarity >= threshold.
+   *
+   * RECALL CAVEAT — `maxBucket` (see [[minHashCandidates]]): docs in
+   * an LSH bucket larger than `maxBucket` generate no candidate pairs,
+   * so a >maxBucket swarm of near-identical-but-not-byte-identical
+   * docs is KEPT in full by this standalone call. Run an exact
+   * fingerprint dedup first (as CorpusPipeline does), or pass
+   * `maxBucket = Int.MaxValue` to trade the quadratic pair cost for
+   * full recall.
    */
   def dropNearDuplicates(df: DataFrame, id: Column, tokens: Column,
                          threshold: Double = 0.8, numHashes: Int = 32,

@@ -81,6 +81,14 @@ object Chunking {
   def packGreedy(df: DataFrame, grpCol: String, orderCol: String,
                  costCol: String, budget: Long): DataFrame = {
     require(budget > 0)
+    // validate the cost type up front: the per-partition pass reads it
+    // as a long, and a surprise IntegerType would otherwise surface as
+    // a ClassCastException deep inside a task
+    import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
+    val costType = df.schema(costCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(costType),
+      s"packGreedy cost column '$costCol' must be an integral type " +
+        s"(byte/short/int/long), got $costType — cast it first")
     val schema: StructType = df.schema.add("pack_id", LongType, nullable = false)
     val grpIdx = df.schema.fieldIndex(grpCol)
     val costIdx = df.schema.fieldIndex(costCol)
@@ -92,7 +100,7 @@ object Chunking {
       var used = 0L
       rows.map { r =>
         val g = r.get(grpIdx)
-        val c = r.getLong(costIdx)
+        val c = r.get(costIdx).asInstanceOf[java.lang.Number].longValue()
         if (first || g != curGrp) { curGrp = g; first = false; packId = 0L; used = 0L }
         if (used > 0 && used + c > budget) { packId += 1; used = 0L }
         used += c

@@ -25,8 +25,20 @@ import org.apache.spark.sql.functions._
  * shape of its operator.
  *
  * Stage toggles exist because real pipelines run subsets (e.g. no URL
- * column in a books corpus); `report` surfaces per-stage row counts
- * via one `observe` per stage — metrics ride the job, no second pass.
+ * column in a books corpus). With `observe = true`, each stage's
+ * output frame carries a named `observe` (row count) — the metrics
+ * ride whatever action the caller runs, no second pass; read them
+ * from `QueryExecutionListener` / `observedMetrics` under
+ * `<observePrefix><stage>` for stages `quality`, `url_dedup`,
+ * `exact_dedup`, `near_dedup`. Opt-in because Spark requires
+ * observation names to be unique within a query: two `prepare` calls
+ * unioned into one plan need distinct prefixes.
+ *
+ * NOTE `exactDedup = false` + near-dup enabled: the LSH stage's
+ * degenerate-bucket cap drops over-cap buckets entirely (see
+ * [[ApproxDedup.dropNearDuplicates]]) — without the exact pass, a
+ * >10k swarm of near-identical docs is kept in full. Keep exact
+ * dedup on (the default) when near-dedup recall matters.
  */
 object CorpusPipeline {
 
@@ -37,7 +49,9 @@ object CorpusPipeline {
       exactDedup: Boolean = true,
       nearDedupThreshold: Option[Double] = Some(0.8),
       chunkSize: Int = 0, // 0 = no chunking, keep whole docs
-      chunkStride: Int = 0)
+      chunkStride: Int = 0,
+      observe: Boolean = false,
+      observePrefix: String = "graft_corpus_")
 
   /**
    * Run the pipeline over `docs` (must carry `idCol` and `textCol`).
@@ -49,6 +63,11 @@ object CorpusPipeline {
               cfg: Config = Config()): DataFrame = {
     val id = col(idCol)
     val text = col(textCol)
+    // per-stage row-count metric riding the caller's action (no extra
+    // job); no-op unless cfg.observe — see the object scaladoc
+    def staged(df: DataFrame, stage: String): DataFrame =
+      if (cfg.observe) df.observe(cfg.observePrefix + stage, count(lit(1)).as("rows"))
+      else df
 
     // 1. quality gate — the standard cheap signals with the token
     // floor configurable in BOTH directions: the composite
@@ -56,10 +75,10 @@ object CorpusPipeline {
     // rebuilt here from the component columns with cfg's floor
     // (otherwise minQualityTokens < 5 would be silently ineffective)
     val quality = TextAnalysis.qualityColumns(text).toMap
-    val kept = docs.filter(
+    val kept = staged(docs.filter(
       quality("n_tokens") >= cfg.minQualityTokens &&
         quality("mean_word_len") >= 2.0 && quality("mean_word_len") <= 12.0 &&
-        quality("punct_ratio") <= 0.3)
+        quality("punct_ratio") <= 0.3), "quality")
 
     // 2. PII redaction (pure projection)
     val redacted =
@@ -80,21 +99,24 @@ object CorpusPipeline {
     val urlDeduped = cfg.urlCol match {
       case Some(u) =>
         val canon = redacted.withColumn("__curl", UrlNormalize.canonicalizeUrl(col(u)))
-        keepMinId(canon, col("__curl")).drop("__curl")
+        staged(keepMinId(canon, col("__curl")).drop("__curl"), "url_dedup")
       case None => redacted
     }
 
     // 4. exact content dedup on the normalized fingerprint
     val exactDeduped =
       if (cfg.exactDedup)
-        keepMinId(urlDeduped.withColumn("__fp", TextAnalysis.fingerprint(text)), col("__fp"))
-          .drop("__fp")
+        staged(
+          keepMinId(urlDeduped.withColumn("__fp", TextAnalysis.fingerprint(text)), col("__fp"))
+            .drop("__fp"), "exact_dedup")
       else urlDeduped
 
     // 5. near-dup drop (MinHash+LSH banded candidates, lower id wins)
     val tokens = regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
     val nearDeduped = cfg.nearDedupThreshold match {
-      case Some(t) => ApproxDedup.dropNearDuplicates(exactDeduped, id, tokens, threshold = t)
+      case Some(t) =>
+        staged(ApproxDedup.dropNearDuplicates(exactDeduped, id, tokens, threshold = t),
+          "near_dedup")
       case None => exactDeduped
     }
 

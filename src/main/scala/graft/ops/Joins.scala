@@ -55,6 +55,13 @@ object Joins {
     val leftCols = left.columns.toSeq
     require(!payload.exists(leftCols.contains),
       s"payload columns ${payload.mkString(",")} collide with left columns")
+    // the union/window plumbing below owns these working names; an
+    // input already carrying one would silently corrupt the carry
+    val reserved = Seq("__t", "__side", "__pv")
+    val clashes = (leftCols ++ right.columns).filter(reserved.contains)
+    require(clashes.isEmpty,
+      s"asofJoin reserves column names ${reserved.mkString(",")}; " +
+        s"input carries ${clashes.distinct.mkString(",")} — rename it first")
     val rightTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap
     // common layout: key, __t, __side, left payload-nulled / right left-nulled
     val lSide = left

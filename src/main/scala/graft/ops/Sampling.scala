@@ -42,17 +42,24 @@ object Sampling {
    * Per-group cost share and resampling weight toward uniform shares:
    * weight g = target_share / actual_share where target_share =
    * 1/n_groups. weight > 1 → upsample, < 1 → downsample. Output:
-   * (group, group_cost, share, weight). Aggregation is one map-side-
-   * partial shuffle; the share/weight windows run over the tiny
-   * per-group aggregate (rows = number of groups), not the corpus.
+   * (group, group_cost, share, weight).
+   *
+   * The corpus-wide totals come from a broadcast CROSS-JOIN of the
+   * one-row grand aggregate, not an unpartitioned window: same
+   * values, but no single-task WindowExec (and no "No Partition
+   * Defined" log noise). Both branches contain the identical
+   * per-group exchange, so ReuseExchange runs the corpus scan +
+   * partial aggregation ONCE; the totals branch only adds a tiny
+   * final pass over the per-group rows.
    */
   def mixtureWeights(df: DataFrame, grp: Column, cost: Column): DataFrame = {
     val agg = df.groupBy(grp).agg(sum(cost).as("group_cost"))
-    val all = Window.partitionBy()
-    agg
+    val tot = agg.agg(sum(col("group_cost")).as("__tot"), count(lit(1)).as("__ngrp"))
+    agg.crossJoin(broadcast(tot))
       .withColumn("share",
-        col("group_cost").cast("double") / sum(col("group_cost")).over(all).cast("double"))
+        col("group_cost").cast("double") / col("__tot").cast("double"))
       .withColumn("weight",
-        (lit(1.0) / count(lit(1)).over(all).cast("double")) / col("share"))
+        (lit(1.0) / col("__ngrp").cast("double")) / col("share"))
+      .drop("__tot", "__ngrp")
   }
 }

@@ -118,14 +118,46 @@ object Ranking {
    * Fuzzy term lookup: vocabulary terms within `maxDist` edit distance
    * of `query`, with document frequencies — Solr's `term~` fuzzy
    * query. The distance runs over the VOCABULARY (one aggregated row
-   * per distinct term), not the corpus; at web scale put an n-gram
-   * prefilter in front so the quadratic scan touches only candidate
-   * terms sharing a character n-gram with the query.
+   * per distinct term), not the corpus, and a SOUND character-n-gram
+   * prefilter (the DataFrame analog of Lucene FuzzyQuery's automaton
+   * candidate pruning) runs before the levenshtein so the expensive
+   * distance touches only candidate terms:
+   *
+   *  - length filter: an edit changes length by ≤1, so any match has
+   *    | |t| − |q| | ≤ maxDist — always applied;
+   *  - gram-count filter: one edit destroys at most n of the query's
+   *    (|q|−n+1) n-gram occurrences, so a match retains ≥
+   *    k = (|q|−n+1) − d·n occurrences. Distinct-set intersection can
+   *    undercount retained OCCURRENCES by at most the query's own
+   *    duplicate-gram count (occ − |distinct|), so requiring
+   *    |termGrams ∩ queryGrams| ≥ max(1, k − (occ − |distinct|))
+   *    never drops a true match. n is chosen as the largest size that
+   *    keeps k ≥ 1 (capped at 3); when even n=1 gives k < 1 the gram
+   *    filter is skipped (the length filter still applies).
+   *
+   * Both predicates are cheap codegen'd column ops on the vocabulary
+   * frame — no second shuffle, no join.
    */
   def fuzzyTerms(df: DataFrame, id: Column, tokens: Column,
                  query: String, maxDist: Int): DataFrame = {
+    require(query.nonEmpty && maxDist >= 0)
     val terms = df.select(id.as("doc_id"), explode(array_distinct(tokens)).as("term"))
-    terms.groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
+    val vocab = terms.groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
+      .filter(abs(length(col("term")) - lit(query.length)) <= maxDist)
+    // largest n with (|q|-n+1) - d·n >= 1  ⇔  n <= (|q|-d)/(1+d)
+    val n = math.min(3, (query.length - maxDist) / (1 + maxDist))
+    val candidates = if (n >= 1) {
+      val occ = query.length - n + 1
+      val k = occ - maxDist * n
+      val distinctGrams = query.sliding(n).toSeq.distinct
+      val need = math.max(1, k - (occ - distinctGrams.size))
+      val termGrams = when(length(col("term")) < n, typedLit(Seq.empty[String]))
+        .otherwise(transform(sequence(lit(0), length(col("term")) - n),
+          i => col("term").substr(i + lit(1), lit(n))))
+      vocab.filter(
+        size(array_intersect(termGrams, array(distinctGrams.map(lit): _*))) >= need)
+    } else vocab
+    candidates
       .withColumn("dist", levenshtein(col("term"), lit(query)).cast("long"))
       .filter(col("dist") <= maxDist)
   }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /**
@@ -46,12 +47,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<>"), p.take(1500))
   }
 
-  test("q16 top-k: TakeOrderedAndProject, no full-corpus single-partition exchange") {
+  test("q16 top-k: rank zipped post-collect — final frame is local, no window/exchange") {
+    // the corpus-side top-k (TakeOrderedAndProject) runs inside
+    // rankCollected's bounded collect; the returned frame is the
+    // 10-row local relation with ranks — NO WindowExec, no exchange,
+    // no "No Partition Defined" warning source anywhere
     val p = plan("q16_topk_orders")
-    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
-    // the only Window in the plan must sit above the 10-row limit, so
-    // no Exchange SinglePartition may appear below a Sort of the scan
-    assert(!p.contains("rangepartitioning"), p.take(2000))
+    assert(p.contains("LocalTableScan"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.contains("Exchange"), p.take(2000))
+    // and the inner bounded frame takes the top-k path, not a global sort
+    val inner = graft.Tables.orders(spark, TestSpark.sf)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+    val ip = inner.queryExecution.executedPlan.toString
+    assert(ip.contains("TakeOrderedAndProject"), ip.take(2000))
   }
 
   test("whole-stage codegen present in scan-heavy queries") {

@@ -71,4 +71,16 @@ class ChunkingSpec extends AnyFunSuite {
       .count()
     assert(packs === 0L)
   }
+
+  test("packGreedy: IntegerType cost works; non-integral cost fails fast") {
+    val intCost = Seq(("a", 1L, 300), ("a", 2L, 300)).toDF("g", "ord", "cost")
+    val got = Chunking.packGreedy(intCost, "g", "ord", "cost", budget = 500)
+      .orderBy("ord").select("pack_id").as[Long].collect().toSeq
+    assert(got === Seq(0L, 1L))
+    val doubleCost = Seq(("a", 1L, 300.0)).toDF("g", "ord", "cost")
+    val e = intercept[IllegalArgumentException] {
+      Chunking.packGreedy(doubleCost, "g", "ord", "cost", budget = 500)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
 }

@@ -82,4 +82,22 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(ids.filter(_ > 1000L).isEmpty)   // all planted copies gone
     assert((1L to 30L).forall(ids.contains)) // every original survives
   }
+
+  test("observe=true surfaces per-stage row counts on the caller's action") {
+    val docs = Seq(
+      doc(1, "the quick brown fox jumps over the lazy dog today"),
+      doc(2, "an entirely different document about spark query engines"),
+      doc(3, "the quick brown fox jumps over the lazy dog today"), // exact dup of 1
+      doc(4, "tiny")                                               // quality junk
+    ).toDF("doc_id", "text")
+    val out = CorpusPipeline.prepare(docs, "doc_id", "text",
+      CorpusPipeline.Config(nearDedupThreshold = None, observe = true,
+        observePrefix = "cp_spec_"))
+    // collect() executes out's OWN QueryExecution — count() would spawn
+    // a new one and leave out.queryExecution.observedMetrics empty
+    assert(out.collect().length === 2)
+    val metrics = out.queryExecution.observedMetrics
+    assert(metrics("cp_spec_quality").getAs[Long]("rows") === 3L)
+    assert(metrics("cp_spec_exact_dedup").getAs[Long]("rows") === 2L)
+  }
 }

@@ -42,6 +42,16 @@ class JoinsSpec extends AnyFunSuite {
       5L -> None))          // key absent on the right
   }
 
+  test("asofJoin: inputs carrying reserved working names fail fast") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L)).toDF("event_id", "k", "__t")
+    val right = Seq((10L, 100L, "p")).toDF("k", "t", "payload")
+    val e = intercept[IllegalArgumentException] {
+      Joins.asofJoin(left, right, "k", "__t", "t", Seq("payload"))
+    }
+    assert(e.getMessage.contains("__t"))
+  }
+
   test("asofJoin: a matched right row with NULL payload is a match, not a skip") {
     import spark.implicits._
     val left = Seq((1L, 10L, 150L)).toDF("event_id", "k", "t")

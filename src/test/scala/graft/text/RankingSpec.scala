@@ -90,6 +90,36 @@ class RankingSpec extends AnyFunSuite {
       "sprk" -> (1L, 1L)))   // delete
   }
 
+  test("fuzzyTerms: n-gram prefilter is in the plan and never drops a true match") {
+    // the prefilter must appear in the optimized plan...
+    val docs = Seq((1L, Seq("spark", "spork", "whale"))).toDF("id", "toks")
+    val plan = Ranking.fuzzyTerms(docs, col("id"), col("toks"), "distributed", maxDist = 1)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("array_intersect"), s"prefilter missing from plan:\n$plan")
+    // ...and be SOUND: exhaustive compare vs the unfiltered levenshtein
+    // over a vocabulary engineered with near-misses, repeated-gram
+    // terms ("aaaaaa" — the set-undercount trap), and length edges
+    val vocab = Seq("spark", "spork", "sprk", "sparkk", "shark", "stark",
+      "aaaaaa", "aaaaab", "aabaaa", "banana", "bananas", "anana",
+      "distributed", "distribted", "distrributed", "xdistributed",
+      "spa", "sp", "s", "sparkling", "park", "pork", "arks")
+    val vdf = Seq((1L, vocab)).toDF("id", "toks")
+    for (q <- Seq("spark", "aaaaaa", "banana", "distributed"); d <- 0 to 2) {
+      val got = Ranking.fuzzyTerms(vdf, col("id"), col("toks"), q, d)
+        .select("term").as[String].collect().toSet
+      val want = vocab.filter { t =>
+        // plain Levenshtein via DP (spec-side reference)
+        val m = Array.tabulate(t.length + 1, q.length + 1) { (i, j) =>
+          if (i == 0) j else if (j == 0) i else 0 }
+        for (i <- 1 to t.length; j <- 1 to q.length)
+          m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+            m(i - 1)(j - 1) + (if (t(i - 1) == q(j - 1)) 0 else 1))
+        m(t.length)(q.length) <= d
+      }.toSet
+      assert(got === want, s"query=$q d=$d")
+    }
+  }
+
   test("moreLikeThis: ranks by shared distinctive terms, excludes the source") {
     val docs = Seq(
       (1L, Seq("whale", "ocean", "krill", "deep")),
