@@ -60,6 +60,8 @@ object DocumentParser {
           parseJson(str(), mime)
         case "application/rtf" | "text/rtf" =>
           parseRtf(str(), mime)
+        case "application/pdf" =>
+          parsePdf(bytes, mime)
         case _ =>
           // unparsed binary: empty text, length metadata (Tika stub)
           ParsedDoc("", mime, Map("length" -> bytes.length.toString))
@@ -246,6 +248,199 @@ object DocumentParser {
     ParsedDoc(out.toString.replaceAll("\\s+", " ").trim, mime, Map.empty)
   }
 
+  // ----- PDF (ISO 32000 subset; reference scope: solrCellDocumentTypes
+  // .conf:190-210 routes application/pdf through Tika's PDFParser) -----
+
+  /** Bounded zlib inflate — the FlateDecode filter. The cap is the
+    * decompression-bomb guard (same posture as Archives): a stream
+    * inflating past it is truncated there, never OOMs the task. */
+  private[sources] def inflateBounded(data: Array[Byte], cap: Int = 16 << 20): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(data)
+      val out = new java.io.ByteArrayOutputStream(math.min(data.length * 4, 1 << 16))
+      val buf = new Array[Byte](8192)
+      var done = false
+      while (!done && out.size <= cap) {
+        val k = inf.inflate(buf)
+        if (k > 0) out.write(buf, 0, k)
+        // finished, truncated input, or a dictionary request (which
+        // raw PDF Flate streams never legitimately make) all end the
+        // loop — each would otherwise spin at k == 0 forever
+        else done = true
+        if (inf.finished()) done = true
+      }
+      out.toByteArray
+    } finally inf.end()
+  }
+
+  /** PDF literal string `(…)` starting at `start`: handles nested
+    * balanced parens, the `\` escapes (incl. up-to-3-digit octal and
+    * line continuations). Returns (decoded, index after `)`). */
+  private def pdfLiteral(s: String, start: Int): (String, Int) = {
+    val sb = new StringBuilder
+    var i = start + 1
+    var depth = 1
+    val n = s.length
+    while (i < n && depth > 0) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < n) {
+        s.charAt(i + 1) match {
+          case 'n' => sb.append('\n'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'b' => sb.append('\b'); i += 2
+          case 'f' => sb.append('\f'); i += 2
+          case '(' => sb.append('('); i += 2
+          case ')' => sb.append(')'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case '\r' => i += 2; if (i < n && s.charAt(i) == '\n') i += 1 // continuation
+          case '\n' => i += 2                                          // continuation
+          case d if d >= '0' && d <= '7' =>
+            var j = i + 1; var v = 0
+            while (j < n && j < i + 4 && s.charAt(j) >= '0' && s.charAt(j) <= '7') {
+              v = v * 8 + (s.charAt(j) - '0'); j += 1
+            }
+            sb.append((v & 0xFF).toChar); i = j
+          case other => sb.append(other); i += 2 // spec: drop the backslash
+        }
+      } else if (c == '(') { depth += 1; sb.append(c); i += 1 }
+      else if (c == ')') { depth -= 1; if (depth > 0) sb.append(c); i += 1 }
+      else { sb.append(c); i += 1 }
+    }
+    (sb.toString, i)
+  }
+
+  /** PDF hex string `<…>` starting at `start` (odd final digit pads
+    * with 0 per spec). Returns (decoded, index after `>`). */
+  private def pdfHex(s: String, start: Int): (String, Int) = {
+    val end0 = s.indexOf('>', start + 1)
+    val end = if (end0 < 0) s.length else end0
+    val hex = s.substring(start + 1, end).filter(c => Character.digit(c, 16) >= 0)
+    val padded = if (hex.length % 2 == 1) hex + "0" else hex
+    val sb = new StringBuilder
+    var i = 0
+    while (i + 1 < padded.length + 1 && i + 2 <= padded.length) {
+      sb.append(Integer.parseInt(padded.substring(i, i + 2), 16).toChar)
+      i += 2
+    }
+    (sb.toString, math.min(end + 1, s.length))
+  }
+
+  /** Text-showing operators over one decoded content stream: strings
+    * accumulate as operands; `Tj`/`'`/`"` show the last string, `TJ`
+    * shows every string of its array; `Td`/`TD`/`T*`/`'`/`"` (and ET)
+    * are treated as line breaks. Positioning/font semantics beyond
+    * that are intentionally out of scope — the extraction target is
+    * searchable text, not layout. */
+  private[sources] def extractPdfText(cs: String): String = {
+    val out = new StringBuilder
+    val pending = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    val n = cs.length
+    def newline(): Unit =
+      if (out.nonEmpty && out.last != '\n') out.append('\n')
+    while (i < n) {
+      val c = cs.charAt(i)
+      c match {
+        case '(' =>
+          val (str, j) = pdfLiteral(cs, i); pending += str; i = j
+        case '<' if i + 1 < n && cs.charAt(i + 1) == '<' => i += 2 // dict open
+        case '<' =>
+          val (str, j) = pdfHex(cs, i); pending += str; i = j
+        case '%' => // comment to EOL
+          while (i < n && cs.charAt(i) != '\n' && cs.charAt(i) != '\r') i += 1
+        case '/' => // name token
+          i += 1
+          while (i < n && !" \t\r\n()<>[]{}/%".contains(cs.charAt(i))) i += 1
+        case ch if ch.isLetter || ch == '\'' || ch == '"' =>
+          val start = i
+          while (i < n && (cs.charAt(i).isLetterOrDigit || cs.charAt(i) == '*'
+            || cs.charAt(i) == '\'' || cs.charAt(i) == '"')) i += 1
+          cs.substring(start, i) match {
+            case "Tj" => pending.lastOption.foreach(out.append(_))
+            case "TJ" => pending.foreach(out.append(_))
+            case "'" | "\"" => newline(); pending.lastOption.foreach(out.append(_))
+            case "Td" | "TD" | "T*" => newline()
+            case "ET" => newline()
+            case _ => // other operator (Tf, Tm, cm, re, …): just clears operands
+          }
+          pending.clear()
+        case _ => i += 1 // numbers, delimiters, whitespace
+      }
+    }
+    out.toString
+  }
+
+  // stream boundary scan: the keyword, its EOL, and the matching
+  // endstream; the preceding object dictionary tells us the filter
+  private val pdfTitleRe =
+    """/Title\s*\(""".r
+
+  /**
+   * PDF → text (Tika PDFParser analog, dependency-free, public
+   * ISO 32000 subset): walks `stream`…`endstream` objects, inflates
+   * `/FlateDecode` streams (bounded — bomb-guarded) and takes
+   * unfiltered streams raw, then extracts the text-showing operators
+   * (Tj / TJ / ' / ") with full PDF string-escape handling. Streams
+   * with other filters (DCTDecode images, LZW, …) are skipped.
+   * Metadata: `pages` (count of page objects), `title` (Info dict),
+   * `encrypted` ("true" → no text: content streams are ciphertext).
+   *
+   * DIVERGENCE (declared): string bytes are mapped via the font's
+   * encoding in a real renderer; without font/CMap resolution they're
+   * taken as Latin-1 — exact for the ASCII/WinAnsi simple-font PDFs
+   * this targets, garbled for subset-embedded or CID fonts (such docs
+   * still parse, term positions just aren't meaningful).
+   */
+  private[sources] def parsePdf(bytes: Array[Byte], mime: String): ParsedDoc = {
+    val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    if (!s.startsWith("%PDF")) return ParsedDoc("", mime, Map("parse_error" -> "not a PDF"))
+    if (s.contains("/Encrypt"))
+      return ParsedDoc("", mime, Map("encrypted" -> "true"))
+    val text = new StringBuilder
+    var from = 0
+    var guard = 0
+    while (from < s.length && guard < 10000) {
+      guard += 1
+      val k = s.indexOf("stream", from)
+      if (k < 0) from = s.length
+      else {
+        // object dict = text between the enclosing "obj" (or start) and the keyword
+        val objAt = s.lastIndexOf(" obj", k)
+        val dict = s.substring(math.max(0, math.max(objAt, k - 400)), k)
+        var dataStart = k + "stream".length
+        if (dataStart < s.length && s.charAt(dataStart) == '\r') dataStart += 1
+        if (dataStart < s.length && s.charAt(dataStart) == '\n') dataStart += 1
+        val end0 = s.indexOf("endstream", dataStart)
+        val end = if (end0 < 0) s.length else end0
+        val raw = s.substring(dataStart, end)
+          .stripSuffix("\n").stripSuffix("\r")
+          .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+        val decoded: Option[String] =
+          if (dict.contains("/FlateDecode"))
+            try Some(new String(inflateBounded(raw),
+              java.nio.charset.StandardCharsets.ISO_8859_1))
+            catch { case _: Exception => None } // corrupt deflate: skip stream
+          else if (dict.contains("/Filter")) None // unsupported filter
+          else Some(new String(raw, java.nio.charset.StandardCharsets.ISO_8859_1))
+        decoded.filter(d => d.contains("BT") || d.contains("Tj") || d.contains("TJ"))
+          .foreach { d =>
+            val t = extractPdfText(d)
+            if (t.nonEmpty) { text.append(t); text.append('\n') }
+          }
+        from = end + "endstream".length
+      }
+    }
+    val pages = """/Type\s*/Page([^s]|$)""".r.findAllMatchIn(s).length
+    val title = pdfTitleRe.findFirstMatchIn(s).map { m =>
+      pdfLiteral(s, m.end - 1)._1
+    }
+    ParsedDoc(text.toString.replaceAll("[ \t]+", " ").replaceAll("\\s*\n\\s*", "\n").trim,
+      mime,
+      Map("pages" -> pages.toString) ++ title.map("title" -> _))
+  }
+
   private val parseUdf = udf((mime: String, bytes: Array[Byte]) => parse(mime, bytes))
 
   /** Adds `doc.text` / `doc.mime` / `doc.metadata` from a binary column. */
@@ -261,6 +456,7 @@ object DocumentParser {
       .when(name.endsWith(".md") || name.endsWith(".markdown"), "text/markdown")
       .when(name.endsWith(".json"), "application/json")
       .when(name.endsWith(".rtf"), "application/rtf")
+      .when(name.endsWith(".pdf"), "application/pdf")
       .when(name.endsWith(".csv") || name.endsWith(".tsv"), "text/csv")
       .when(name.endsWith(".txt") || name.endsWith(".log"), "text/plain")
       .when(name.endsWith(".avro"), "avro/binary")

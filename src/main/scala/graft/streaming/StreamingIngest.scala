@@ -59,6 +59,27 @@ object StreamingIngest {
   }
 
   /**
+   * Exactly-once index sink: each micro-batch overwrites its OWN
+   * `batch=<id>` subdirectory, so a batch replayed after a crash (or a
+   * restart that re-runs the last uncommitted batch) lands on the same
+   * path instead of appending duplicates — the streaming analog of the
+   * reference's task-commit idempotence (a rerun reducer rewrites its
+   * own part dir: MorphlineMapRunner.java:169,257-260 transaction per
+   * task + delete-output-first rerun semantics). Pair with a
+   * checkpointLocation; read the store back with `spark.read.parquet(
+   * out)` (the batch= partition column is pruned away by consumers
+   * selecting data columns).
+   */
+  def idempotentIndexSink(out: String)(transform: DataFrame => DataFrame)
+                         (events: DataFrame): DataStreamWriter[Row] =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        transform(batch).write.mode("overwrite").parquet(s"$out/batch=$batchId")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+
+  /**
    * Stateful gap-based sessionization over a stream —
    * `flatMapGroupsWithState` with an event-time timeout: per-user
    * state holds (sessionStart, lastSeen, count); a session row is

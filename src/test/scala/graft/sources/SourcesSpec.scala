@@ -269,6 +269,77 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  // hand-built minimal PDF (public ISO 32000 structure): one page, one
+  // content stream; `filtered` deflates the stream behind /FlateDecode
+  private def tinyPdf(content: String, filtered: Boolean,
+                      title: Option[String] = None): Array[Byte] = {
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    val data =
+      if (!filtered) content.getBytes(ISO_8859_1)
+      else {
+        val d = new java.util.zip.Deflater()
+        d.setInput(content.getBytes(ISO_8859_1)); d.finish()
+        val buf = new Array[Byte](8192)
+        val out = new java.io.ByteArrayOutputStream()
+        while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+        d.end(); out.toByteArray
+      }
+    val filter = if (filtered) "/Filter/FlateDecode" else ""
+    val head = ("%PDF-1.4\n" +
+      "1 0 obj <</Type/Catalog/Pages 2 0 R>> endobj\n" +
+      "2 0 obj <</Type/Pages/Kids[3 0 R]/Count 1>> endobj\n" +
+      "3 0 obj <</Type/Page/Parent 2 0 R/Contents 4 0 R>> endobj\n" +
+      title.map(t => s"5 0 obj <</Title ($t)>> endobj\n").getOrElse("") +
+      s"4 0 obj <</Length ${data.length}$filter>> stream\n").getBytes(ISO_8859_1)
+    val tail = "\nendstream endobj\ntrailer <</Root 1 0 R>>\n%%EOF".getBytes(ISO_8859_1)
+    head ++ data ++ tail
+  }
+
+  test("S9 parsePdf: uncompressed Tj/TJ text, escapes, hex strings, metadata") {
+    val cs = "BT /F1 12 Tf 72 720 Td (Hello \\(quoted\\) World) Tj " +
+      "0 -14 Td [(Sp) -120 (ark) 8 ( engine)] TJ " +
+      "T* <48692100> Tj ET"
+    val doc = DocumentParser.parse("application/pdf",
+      tinyPdf(cs, filtered = false, title = Some("Test Doc")))
+    assert(!doc.metadata.contains("parse_error"))
+    assert(doc.text === "Hello (quoted) World\nSpark engine\nHi!")
+    assert(doc.metadata("pages") === "1")
+    assert(doc.metadata("title") === "Test Doc")
+  }
+
+  test("S9 parsePdf: FlateDecode stream inflates and extracts; octal escapes decode") {
+    val cs = "BT (caf\\351 \\164ext) Tj ET" // \351 = é (Latin-1), \164 = t
+    val doc = DocumentParser.parse("application/pdf", tinyPdf(cs, filtered = true))
+    assert(!doc.metadata.contains("parse_error"))
+    assert(doc.text === "café text")
+  }
+
+  test("S9 parsePdf: encrypted flag, non-PDF rejection, unsupported filters skipped") {
+    val enc = "%PDF-1.4\n1 0 obj <</Encrypt 9 0 R>> endobj\n%%EOF".getBytes("ISO-8859-1")
+    assert(DocumentParser.parse("application/pdf", enc).metadata("encrypted") === "true")
+    val notPdf = "hello".getBytes("UTF-8")
+    assert(DocumentParser.parse("application/pdf", notPdf)
+      .metadata("parse_error") === "not a PDF")
+    // a DCTDecode (JPEG) stream must be skipped, not garbled into text
+    val jpeg = "%PDF-1.4\n4 0 obj <</Length 4/Filter/DCTDecode>> stream\nBTxx\nendstream endobj\n%%EOF"
+    assert(DocumentParser.parse("application/pdf", jpeg.getBytes("ISO-8859-1")).text === "")
+  }
+
+  test("S9 parsePdf: terminates without throwing on 500 adversarial inputs") {
+    val rnd = new scala.util.Random(4242)
+    val alphabet = "stream endobj ()<>[]\\/%BT Tj TJ 0123456789\n\r"
+    for (_ <- 1 to 500) {
+      val s = "%PDF-" + Seq.fill(rnd.nextInt(120))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      val doc = DocumentParser.parse("application/pdf", s.getBytes("ISO-8859-1"))
+      assert(doc.text != null)
+    }
+    // truncated flate data inside a well-formed shell must not throw or hang
+    val good = tinyPdf("BT (x) Tj ET", filtered = true)
+    val truncated = good.take(good.length - 40) ++
+      "\nendstream endobj\n%%EOF".getBytes("ISO-8859-1")
+    assert(DocumentParser.parse("application/pdf", truncated).text != null)
+  }
+
   test("S9 decodeText: UTF-8/UTF-16LE/UTF-16BE BOMs select charset and are stripped") {
     import java.nio.charset.StandardCharsets._
     val s = "héllo"

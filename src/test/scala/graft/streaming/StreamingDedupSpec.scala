@@ -26,4 +26,48 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(got.count() === users)
     assert(got.select("user_id").distinct().count() === users)
   }
+
+  test("restart-resume E2E: file source → dropDuplicatesWithinWatermark → " +
+    "index sink stays exactly-once across a stop/restart") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_sd_src_").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_sd_out_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sd_ck_").toString
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    def wave(rows: Seq[(Long, java.sql.Timestamp, String)], file: String): Unit =
+      rows.toDF("id", "ts", "v").coalesce(1).write.mode("overwrite")
+        .parquet(s"$src/$file")
+    // wave 1: ids 1..100, with in-wave duplicates of 1..10
+    wave((1L to 100L).map(i => (i, ts(i.toInt), s"w1-$i")) ++
+      (1L to 10L).map(i => (i, ts(i.toInt), s"w1dup-$i")), "wave1")
+
+    val schema = spark.read.parquet(s"$src/wave1").schema
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet").parquet(s"$src/*")
+        .withWatermark("ts", "24 hours")
+        .dropDuplicatesWithinWatermark("id")
+      val q = StreamingIngest.idempotentIndexSink(out)(identity)(stream)
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+    }
+    runOnce() // processes wave 1, then terminates (AvailableNow)
+
+    // wave 2 arrives while the query is DOWN: ids 51..150 — 51..100
+    // duplicate wave-1 docs (same event times), 101..150 are new
+    wave((51L to 150L).map(i => (i, ts(i.toInt), s"w2-$i")), "wave2")
+    runOnce() // restart from the same checkpoint: state + file log resume
+
+    val got = spark.read.parquet(out)
+    // exactly-once: every id 1..150 exactly once, despite in-wave dups,
+    // cross-wave dups, and the restart
+    assert(got.count() === 150L)
+    assert(got.select("id").distinct().count() === 150L)
+    assert(got.select("id").as[Long].collect().toSet === (1L to 150L).toSet)
+    // matches the BATCH dedup semantics over the union of all input
+    val batchDedup = spark.read.schema(schema).parquet(s"$src/*")
+      .dropDuplicates("id").count()
+    assert(batchDedup === 150L)
+  }
 }
