@@ -59,6 +59,27 @@ object Graft {
   def openIndex(spark: SparkSession, path: String): DataFrame =
     ShardIndex.read(spark, path)
 
+  /**
+   * Build the reference's index-DIRECTORY layout (`part-NNNNN/data/
+   * index` per shard, SolrRecordWriter.java:129) instead of the
+   * Parquet store: same routing and fused dedup, then mtree-merge the
+   * micro shards down and forceMerge each survivor to one segment —
+   * the full MapReduceIndexerTool phase sequence over
+   * [[graft.index.SegmentIndex]] directories. Returns per-part
+   * (part, docs, segments).
+   */
+  def buildSegmentIndex(docs: DataFrame, idCol: String, out: String,
+                        shards: Int, microShards: Int = 0, fanout: Int = 2,
+                        orderBy: Option[Column] = None): DataFrame = {
+    val spark = docs.sparkSession
+    graft.index.SegmentShardSink.write(docs, idCol, out, shards, microShards,
+      dedupOrder = orderBy)
+    if (microShards > shards)
+      graft.index.SegmentShardSink.mergeTree(spark, out, shards, fanout)
+    graft.index.SegmentShardSink.optimize(spark, out)
+    graft.index.SegmentShardSink.docCounts(spark, out)
+  }
+
   /** The training-corpus counterpart of [[buildIndex]]: quality gate →
     * PII redaction → URL/exact/near dedup → optional chunking, one
     * composed plan (see [[graft.ops.CorpusPipeline]]). */

@@ -672,6 +672,20 @@ object SparkEntry {
       ShardIndex.matchAllCounts(Graft.openIndex(s, out))
     }),
 
+    // the reference's index-DIRECTORY product end-to-end (S12 faithful
+    // layout + M1 mtree + M2 forceMerge over SegmentIndex dirs):
+    // 8 micro shards -> merge to 4 -> optimize to 1 segment each;
+    // reports per-part (part, docs, segments). Rows-only (membership
+    // is hash-defined; totals asserted in SegmentIndexSpec).
+    "q88_segment_store" -> ((s, d) => {
+      val docs = Tables.lineitem(s, d)
+        .withColumn("id", concat(col("l_orderkey"), lit("#"), col("l_linenumber")))
+        .select(col("id"), col("l_returnflag"), col("l_shipdate"))
+      val out = java.nio.file.Files.createTempDirectory("graft_q88_").toString
+      Graft.buildSegmentIndex(docs, "id", out, shards = 4, microShards = 8,
+        orderBy = Some(col("l_shipdate")))
+    }),
+
     // PII redaction (emails/IPs/SSNs/phones -> typed tags + counts).
     // The corpus is synthetic word salad, so the PII is PLANTED from
     // doc_id (same derivation in the oracle) — the operator under

@@ -1,0 +1,206 @@
+package graft.index
+
+import graft.route.HashRangeRouter
+import graft.util.SerializableHadoopConf
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * The index-directory shard sink — the reference's ACTUAL output
+ * layout (`<out>/part-NNNNN/data/index` per reducer,
+ * `SolrRecordWriter.java:129`), written per-partition behind the SAME
+ * Solr-compatible routing `ShardIndex.write` uses, with the mtree
+ * merge (`MapReduceIndexerTool.java:765-815`) and forceMerge
+ * (`BatchWriter.java:203-218`) as explicit follow-up phases over
+ * [[SegmentIndex]] directories.
+ *
+ * Division of labor with [[ShardIndex]]: the Parquet shard store is
+ * the engine's native, columnar, Catalyst-queryable form (single
+ * shuffle, no merge phase at all — the v1 SURVEY §7.4 sanctioned); this
+ * sink produces the SEARCH-INDEX-directory form for a consumer that
+ * wants the reference's go-live layout (one self-contained index dir
+ * per shard, mergeable/optimizable in place). It exists because the
+ * real Lucene artifact is absent from this offline build environment
+ * — [[SegmentIndex]] documents the architecture-level fidelity and
+ * the declared divergences.
+ *
+ * Scale shape: ONE hash shuffle on the micro-shard key (identical to
+ * ShardIndex.write — dedup fuses into the same exchange), then each
+ * task streams its sorted rows into per-micro-shard index dirs.
+ * Merge rounds move whole segment FILES (no doc rewrite), exactly the
+ * reference's cheap `addIndexes` path, and each merge target is one
+ * task — parallelism = number of targets, the same bound the
+ * reference's mapper-only merge jobs have.
+ */
+object SegmentShardSink {
+
+  /** Canonical string rendering per Spark type (the declared
+    * strings-only divergence of [[SegmentIndex]]). */
+  private def render(v: Any): String = v match {
+    case null => null
+    case s: String => s
+    case t: java.sql.Timestamp => t.toInstant.toString
+    case d: java.sql.Date => d.toString
+    case b: Array[Byte] => java.util.Base64.getEncoder.encodeToString(b)
+    case d: java.math.BigDecimal => d.toPlainString
+    case d: scala.math.BigDecimal => d.bigDecimal.toPlainString
+    case x => String.valueOf(x)
+  }
+
+  private def docOf(row: Row, fields: Array[(String, Int, Boolean)]): SegmentIndex.Doc =
+    fields.iterator.flatMap { case (name, idx, isArray) =>
+      if (row.isNullAt(idx)) Iterator.empty
+      else if (isArray)
+        row.getSeq[Any](idx).iterator.filter(_ != null).map(e => name -> render(e))
+      else Iterator.single(name -> render(row.get(idx)))
+    }.toSeq
+
+  /**
+   * Build `microShards` (default: `shards`) index directories at
+   * `out/part-NNNNN/data/index`, docs routed by the Solr-compatible
+   * hash of `idCol` and sorted `id desc` within each index (O4
+   * parity). `dedupOrder` fuses retain-most-recent dedup into the
+   * route exchange exactly as in `ShardIndex.write`. Every micro
+   * shard gets a directory — an empty one still holds a commit (the
+   * reference's empty reducers also produce empty indexes).
+   */
+  def write(df: DataFrame, idCol: String, out: String, shards: Int,
+            microShards: Int = 0,
+            dedupOrder: Option[Column] = None,
+            router: Option[HashRangeRouter] = None): Unit = {
+    val splits = math.max(1, if (microShards > 0) microShards / shards else 1)
+    val n = shards * splits
+    val routed = ShardIndex.routedForWrite(df, idCol, shards, splits, dedupOrder,
+      rejectConflicts = false, routerOpt = router, keepMs = true)
+      .drop("shard")
+      .sortWithinPartitions(col("__ms"), col(idCol).desc)
+    val schema = routed.schema
+    val msIdx = schema.fieldIndex("__ms")
+    val fields: Array[(String, Int, Boolean)] = schema.fields.zipWithIndex
+      .filter(_._1.name != "__ms")
+      .map { case (f, i) => (f.name, i, f.dataType.isInstanceOf[ArrayType]) }
+    val conf = new SerializableHadoopConf(ShardIndex.hadoopConf(df.sparkSession))
+    // rows arrive sorted by __ms, so each micro shard is one contiguous
+    // run: a single open writer at a time per task
+    routed.foreachPartition { (rows: Iterator[Row]) =>
+      var cur = -1
+      var w: SegmentIndex.Writer = null
+      rows.foreach { row =>
+        val ms = row.getInt(msIdx)
+        if (ms != cur) {
+          if (w != null) w.close()
+          w = SegmentIndex.writer(indexDir(out, ms), conf.value)
+          cur = ms
+        }
+        w.addDocument(docOf(row, fields))
+      }
+      if (w != null) w.close()
+      ()
+    }
+    // empty micro shards still get committed (empty) indexes
+    val fs = new Path(out).getFileSystem(ShardIndex.hadoopConf(df.sparkSession))
+    (0 until n).foreach { ms =>
+      val dir = new Path(indexDir(out, ms))
+      if (SegmentIndex.latestCommit(fs, dir).isEmpty)
+        new SegmentIndex.Writer(fs, dir).commit()
+    }
+    writeMarker(out, shards, n, idCol, df.sparkSession)
+  }
+
+  private def indexDir(out: String, part: Int): String =
+    f"$out/part-$part%05d/data/index"
+
+  private def writeMarker(out: String, shards: Int, parts: Int, idCol: String,
+                          spark: SparkSession): Unit = {
+    val p = new Path(out, "_graft_segment_commit.json")
+    val fs = p.getFileSystem(ShardIndex.hadoopConf(spark))
+    val os = fs.create(p, true)
+    try os.write(
+      s"""{"graft_segment_store":1,"shards":$shards,"parts":$parts,"id_column":"$idCol"}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
+  }
+
+  /** part-NNNNN dirs under a store, ascending. */
+  private def partDirs(spark: SparkSession, store: String): Seq[String] = {
+    val root = new Path(store)
+    val fs = root.getFileSystem(ShardIndex.hadoopConf(spark))
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.matches("part-\\d+"))
+      .map(_.getPath.getName).sorted
+      .map(name => s"$store/$name/data/index")
+  }
+
+  /**
+   * MTree merge (M1): collapse `parts` micro-shard indexes down to
+   * `shards` final ones with `fanout` sources per target per round —
+   * `log_fanout(parts/shards)` rounds, each target a single task
+   * calling the logical `addIndexes` (segment-file copy, no rewrite).
+   * Afterwards the store's part dirs are renumbered part-00000 …
+   * part-(shards-1) (X5 renumbering, `MapReduceIndexerTool.java:
+   * 1168-1250`). Requires `parts = shards * fanout^N`
+   * (`ShardIndex.mtreeIterations` — the reference's own invariant).
+   */
+  def mergeTree(spark: SparkSession, store: String, shards: Int, fanout: Int): Unit = {
+    var current = partDirs(spark, store)
+    require(current.nonEmpty, s"no part dirs under $store")
+    ShardIndex.mtreeIterations(current.size, shards, fanout) // validates invariant
+    val conf = new SerializableHadoopConf(ShardIndex.hadoopConf(spark))
+    var round = 0
+    while (current.size > shards) {
+      val groups = current.grouped(fanout).toSeq
+      val targets = groups.indices.map(i => f"$store/mtree-$round/part-$i%05d/data/index")
+      spark.sparkContext.parallelize(groups.zip(targets), groups.size)
+        .foreach { case (group, target) =>
+          val dir = new Path(target)
+          val w = new SegmentIndex.Writer(dir.getFileSystem(conf.value), dir)
+          w.addIndexes(group.map(new Path(_)))
+          w.commit()
+        }
+      current = targets
+      round += 1
+    }
+    // X5: publish merge output as the store's final part-NNNNN dirs
+    val fs = new Path(store).getFileSystem(ShardIndex.hadoopConf(spark))
+    if (round > 0) {
+      fs.listStatus(new Path(store))
+        .filter(s => s.isDirectory && s.getPath.getName.matches("part-\\d+"))
+        .foreach(s => fs.delete(s.getPath, true))
+      current.zipWithIndex.foreach { case (dir, i) =>
+        // dir = store/mtree-K/part-i/data/index; move its part dir up
+        val src = new Path(dir).getParent.getParent
+        fs.rename(src, new Path(store, f"part-$i%05d"))
+      }
+      (0 until round).foreach(r => fs.delete(new Path(store, s"mtree-$r"), true))
+    }
+  }
+
+  /** Segment optimize (M2): forceMerge every part index down to
+    * `maxSegments` (default 1), one task per part. */
+  def optimize(spark: SparkSession, store: String, maxSegments: Int = 1): Unit = {
+    val dirs = partDirs(spark, store)
+    val conf = new SerializableHadoopConf(ShardIndex.hadoopConf(spark))
+    spark.sparkContext.parallelize(dirs, math.max(1, dirs.size)).foreach { d =>
+      val p = new Path(d)
+      new SegmentIndex.Writer(p.getFileSystem(conf.value), p).forceMerge(maxSegments)
+      ()
+    }
+  }
+
+  /** Per-part doc/segment counts — the `*:*` verification view
+    * (SolrIndexDriverTest.java:54-61 shape) as a DataFrame. */
+  def docCounts(spark: SparkSession, store: String): DataFrame = {
+    import spark.implicits._
+    val conf = ShardIndex.hadoopConf(spark)
+    partDirs(spark, store).map { d =>
+      val p = new Path(d)
+      val cp = SegmentIndex.latestCommit(p.getFileSystem(conf), p)
+        .getOrElse(throw new IllegalStateException(s"no commit in $d"))
+      val part = p.getParent.getParent.getName
+      (part, cp.numDocs.toLong, cp.segments.length.toLong)
+    }.toDF("part", "docs", "segments").orderBy("part")
+  }
+}

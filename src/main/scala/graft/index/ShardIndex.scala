@@ -89,7 +89,8 @@ object ShardIndex {
                                     splits: Int,
                                     dedupOrder: Option[Column],
                                     rejectConflicts: Boolean = false,
-                                    routerOpt: Option[HashRangeRouter] = None)
+                                    routerOpt: Option[HashRangeRouter] = None,
+                                    keepMs: Boolean = false)
       : DataFrame = {
     // injected router = X1 live-collection alignment (ClusterState
     // .routerFor over the collection's state.json, or fromRanges);
@@ -128,7 +129,9 @@ object ShardIndex {
           .drop("__cnt")
       case None => routed
     }
-    deduped.drop("__ms")
+    // keepMs: the segment sink (SegmentShardSink) names its per-task
+    // index dirs by the micro-shard value, so it needs the column
+    if (keepMs) deduped else deduped.drop("__ms")
   }
 
   /** The Hadoop conf to resolve store paths with: the active session's
