@@ -62,6 +62,21 @@ object DocumentParser {
           parseRtf(str(), mime)
         case "application/pdf" =>
           parsePdf(bytes, mime)
+        case "application/vnd.openxmlformats-officedocument.wordprocessingml.document" =>
+          parseOoxml(bytes, mime, "word/document.xml", "w")
+        case "application/vnd.openxmlformats-officedocument.presentationml.presentation" =>
+          parseOoxml(bytes, mime, "ppt/slides/", "a")
+        case "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet" =>
+          parseXlsx(bytes, mime)
+        case "application/vnd.oasis.opendocument.text" =>
+          parseOdt(bytes, mime)
+        case "application/zip" =>
+          // a zip may BE an Office container (they all share the PK
+          // magic sniffMime sees) — refine by entry names, Tika-style
+          sniffZipDocument(bytes) match {
+            case Some(m) => parse(m, bytes)
+            case None => ParsedDoc("", mime, Map("length" -> bytes.length.toString))
+          }
         case _ =>
           // unparsed binary: empty text, length metadata (Tika stub)
           ParsedDoc("", mime, Map("length" -> bytes.length.toString))
@@ -246,6 +261,136 @@ object DocumentParser {
       }
     }
     ParsedDoc(out.toString.replaceAll("\\s+", " ").trim, mime, Map.empty)
+  }
+
+  // ----- Office containers (OOXML / ODF are PUBLIC zip-of-XML
+  // formats — ECMA-376, OASIS ODF; reference scope: solrCell routes
+  // them through Tika's OOXML/ODF parsers, solrCellDocumentTypes
+  // .conf:190-210). No new dependency: java.util.zip + scala.xml. -----
+
+  /** Bounded in-memory read of selected zip entries (decompression-
+    * bomb posture as Archives: per-entry cap, entry-count cap). */
+  private[sources] def zipEntries(bytes: Array[Byte], wanted: String => Boolean,
+                                  entryCap: Int = 16 << 20,
+                                  maxEntries: Int = 4096): Map[String, Array[Byte]] = {
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val out = Map.newBuilder[String, Array[Byte]]
+    try {
+      var e = zin.getNextEntry
+      var n = 0
+      while (e != null && n < maxEntries) {
+        n += 1
+        if (!e.isDirectory && wanted(e.getName)) {
+          val buf = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](8192)
+          var k = zin.read(chunk)
+          while (k >= 0 && buf.size <= entryCap) {
+            buf.write(chunk, 0, k)
+            k = zin.read(chunk)
+          }
+          out += e.getName -> buf.toByteArray
+        }
+        e = zin.getNextEntry
+      }
+    } finally zin.close()
+    out.result()
+  }
+
+  /** Entry names only — the cheap container sniff. */
+  private def zipEntryNames(bytes: Array[Byte], max: Int = 64): Seq[String] = {
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val names = Seq.newBuilder[String]
+    try {
+      var e = zin.getNextEntry
+      var n = 0
+      while (e != null && n < max) { names += e.getName; n += 1; e = zin.getNextEntry }
+    } catch { case _: Exception => } // truncated zip: sniff what we saw
+    finally zin.close()
+    names.result()
+  }
+
+  /** Refine application/zip to a concrete Office mime by entry names
+    * (what Tika's container detector does). */
+  private[sources] def sniffZipDocument(bytes: Array[Byte]): Option[String] = {
+    val names = zipEntryNames(bytes).toSet
+    if (names.contains("word/document.xml"))
+      Some("application/vnd.openxmlformats-officedocument.wordprocessingml.document")
+    else if (names.contains("xl/workbook.xml"))
+      Some("application/vnd.openxmlformats-officedocument.spreadsheetml.sheet")
+    else if (names.exists(_.startsWith("ppt/slides/")))
+      Some("application/vnd.openxmlformats-officedocument.presentationml.presentation")
+    else if (names.contains("content.xml") && names.contains("mimetype"))
+      Some("application/vnd.oasis.opendocument.text")
+    else None
+  }
+
+  /** OOXML core properties (docProps/core.xml) — title/creator. */
+  private def ooxmlMeta(entries: Map[String, Array[Byte]]): Map[String, String] =
+    entries.get("docProps/core.xml").map { b =>
+      val root = scala.xml.XML.loadString(new String(b, java.nio.charset.StandardCharsets.UTF_8))
+      Map.empty[String, String] ++
+        (root \ "title").headOption.map(t => "title" -> t.text).filter(_._2.nonEmpty) ++
+        (root \ "creator").headOption.map(c => "creator" -> c.text).filter(_._2.nonEmpty)
+    }.getOrElse(Map.empty)
+
+  /**
+   * DOCX / PPTX text: every `<w:t>` (word) or `<a:t>` (drawing/slide)
+   * run in document order, paragraphs (`<w:p>`/`<a:p>`) separated by
+   * newlines. `entryPrefix` selects the content parts (one document
+   * part for word, one part per slide for ppt — slides in name order).
+   */
+  private[sources] def parseOoxml(bytes: Array[Byte], mime: String,
+                                  entryPrefix: String, runNs: String): ParsedDoc = {
+    val entries = zipEntries(bytes,
+      n => n.startsWith(entryPrefix) && n.endsWith(".xml") || n == "docProps/core.xml")
+    val parts = entries.keys.filter(_.startsWith(entryPrefix)).toSeq.sorted
+    if (parts.isEmpty)
+      return ParsedDoc("", mime, Map("parse_error" -> s"no $entryPrefix part"))
+    val text = parts.map { part =>
+      val root = scala.xml.XML.loadString(
+        new String(entries(part), java.nio.charset.StandardCharsets.UTF_8))
+      // paragraph nodes -> their text runs joined, one line per para;
+      // runs outside any paragraph (defensive) append at the end
+      val paras = (root \\ "p").map(p => (p \\ "t").map(_.text).mkString)
+      val all = (root \\ "t").map(_.text)
+      val inParas = paras.map(_.length).sum
+      val lines = if (all.map(_.length).sum > inParas) paras :+ all.mkString(" ") else paras
+      lines.filter(_.nonEmpty).mkString("\n")
+    }.filter(_.nonEmpty).mkString("\n")
+    val meta = ooxmlMeta(entries) ++
+      (if (entryPrefix.startsWith("ppt")) Map("slides" -> parts.length.toString)
+       else Map.empty)
+    ParsedDoc(text.trim, mime, meta)
+  }
+
+  /** XLSX text: the shared-strings table (where cell text lives) in
+    * order, one line per string; sheet count as metadata. */
+  private[sources] def parseXlsx(bytes: Array[Byte], mime: String): ParsedDoc = {
+    val entries = zipEntries(bytes,
+      n => n == "xl/sharedStrings.xml" || n == "xl/workbook.xml" || n == "docProps/core.xml")
+    val text = entries.get("xl/sharedStrings.xml").map { b =>
+      val root = scala.xml.XML.loadString(new String(b, java.nio.charset.StandardCharsets.UTF_8))
+      // si = one shared string (may be split into rich-text runs)
+      (root \ "si").map(si => (si \\ "t").map(_.text).mkString).filter(_.nonEmpty)
+        .mkString("\n")
+    }.getOrElse("")
+    val sheets = entries.get("xl/workbook.xml").map { b =>
+      val root = scala.xml.XML.loadString(new String(b, java.nio.charset.StandardCharsets.UTF_8))
+      (root \\ "sheet").length
+    }.getOrElse(0)
+    ParsedDoc(text.trim, mime, ooxmlMeta(entries) + ("sheets" -> sheets.toString))
+  }
+
+  /** ODT text: `<text:p>` paragraphs of content.xml. */
+  private[sources] def parseOdt(bytes: Array[Byte], mime: String): ParsedDoc = {
+    val entries = zipEntries(bytes, _ == "content.xml")
+    entries.get("content.xml").map { b =>
+      val root = scala.xml.XML.loadString(new String(b, java.nio.charset.StandardCharsets.UTF_8))
+      val paras = (root \\ "p").map(_.text).filter(_.nonEmpty)
+      ParsedDoc(paras.mkString("\n").trim, mime, Map.empty)
+    }.getOrElse(ParsedDoc("", mime, Map("parse_error" -> "no content.xml")))
   }
 
   // ----- PDF (ISO 32000 subset; reference scope: solrCellDocumentTypes
@@ -457,6 +602,13 @@ object DocumentParser {
       .when(name.endsWith(".json"), "application/json")
       .when(name.endsWith(".rtf"), "application/rtf")
       .when(name.endsWith(".pdf"), "application/pdf")
+      .when(name.endsWith(".docx"),
+        "application/vnd.openxmlformats-officedocument.wordprocessingml.document")
+      .when(name.endsWith(".xlsx"),
+        "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet")
+      .when(name.endsWith(".pptx"),
+        "application/vnd.openxmlformats-officedocument.presentationml.presentation")
+      .when(name.endsWith(".odt"), "application/vnd.oasis.opendocument.text")
       .when(name.endsWith(".csv") || name.endsWith(".tsv"), "text/csv")
       .when(name.endsWith(".txt") || name.endsWith(".log"), "text/plain")
       .when(name.endsWith(".avro"), "avro/binary")

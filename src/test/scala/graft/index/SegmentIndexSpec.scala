@@ -141,6 +141,37 @@ class SegmentIndexSpec extends AnyFunSuite {
     assert(all.find(_("id") == "k1").get("value") === "new")
   }
 
+  test("go-live: built shards MERGEINDEXES into live serving indexes, commit bumps") {
+    import spark.implicits._
+    // a "live cluster": 2 serving indexes that already hold documents
+    val live = (0 until 2).map { i =>
+      val d = tmp(s"graft_seglive${i}_")
+      val w = SegmentIndex.writer(d, conf)
+      w.addDocument(Seq("id" -> s"pre$i", "value" -> "existing"))
+      w.close()
+      d
+    }
+    val preGens = live.map(d => SegmentIndex.reader(d, conf).commit.gen)
+    // build a 2-shard store offline, then go-live it
+    val out = tmp("graft_segbuild_")
+    val docs = (0 until 50).map(i => (s"doc$i", s"v$i")).toDF("id", "value")
+    SegmentShardSink.write(docs, "id", out, shards = 2)
+    new SegmentStoreGoLive(conf).goLive(GoLive.segmentShardDirs(out, conf), live)
+    // every live index now serves old + its shard's new docs
+    val readers = live.map(d => SegmentIndex.reader(d, conf))
+    assert(readers.map(_.matchAllCount).sum === 52L)
+    readers.zipWithIndex.foreach { case (r, i) =>
+      assert(r.termQueryCount("id", s"pre$i") === 1L) // pre-existing doc kept
+      assert(r.commit.gen > preGens(i))               // new commit published
+    }
+    // the deployed docs live in the shard the router names
+    val router = HashRangeRouter(2)
+    readers.zipWithIndex.foreach { case (r, i) =>
+      r.allDocs().map(_.toMap.apply("id")).filter(_.startsWith("doc"))
+        .foreach(id => assert(router.shardOfId(id) === i))
+    }
+  }
+
   test("array columns index one posting per element; typed values render canonically") {
     import spark.implicits._
     val out = tmp("graft_segarr_")

@@ -269,6 +269,98 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  // in-memory zip builder for the Office-container fixtures
+  private def zipOf(entries: (String, String)*): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    entries.foreach { case (n, c) =>
+      z.putNextEntry(new java.util.zip.ZipEntry(n))
+      z.write(c.getBytes("UTF-8")); z.closeEntry()
+    }
+    z.close()
+    bos.toByteArray
+  }
+
+  private val corePropsXml =
+    """<cp:coreProperties
+      |  xmlns:cp="http://schemas.openxmlformats.org/package/2006/metadata/core-properties"
+      |  xmlns:dc="http://purl.org/dc/elements/1.1/">
+      |  <dc:title>My Doc</dc:title><dc:creator>An Author</dc:creator>
+      |</cp:coreProperties>""".stripMargin
+
+  test("S9 parse DOCX: w:t runs per paragraph, core properties, zip sniff refinement") {
+    val docXml =
+      """<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">
+        |<w:body>
+        |  <w:p><w:r><w:t>Hello</w:t></w:r><w:r><w:t xml:space="preserve"> World</w:t></w:r></w:p>
+        |  <w:p><w:r><w:t>Second paragraph</w:t></w:r></w:p>
+        |</w:body></w:document>""".stripMargin
+    val docx = zipOf("[Content_Types].xml" -> "<Types/>",
+      "word/document.xml" -> docXml, "docProps/core.xml" -> corePropsXml)
+    val mime = "application/vnd.openxmlformats-officedocument.wordprocessingml.document"
+    val doc = DocumentParser.parse(mime, docx)
+    assert(!doc.metadata.contains("parse_error"))
+    assert(doc.text === "Hello World\nSecond paragraph")
+    assert(doc.metadata("title") === "My Doc")
+    assert(doc.metadata("creator") === "An Author")
+    // the PK-magic path: declared as a bare zip, refined by entry names
+    val sniffed = DocumentParser.parse("application/zip", docx)
+    assert(sniffed.text === "Hello World\nSecond paragraph")
+  }
+
+  test("S9 parse XLSX: shared strings incl. rich-text runs, sheet count") {
+    val xlsx = zipOf(
+      "xl/workbook.xml" ->
+        """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+          |<sheets><sheet name="a" sheetId="1"/><sheet name="b" sheetId="2"/></sheets>
+          |</workbook>""".stripMargin,
+      "xl/sharedStrings.xml" ->
+        """<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+          |<si><t>Revenue</t></si>
+          |<si><r><t>Q1 </t></r><r><t>totals</t></r></si>
+          |</sst>""".stripMargin)
+    val mime = "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet"
+    val doc = DocumentParser.parse(mime, xlsx)
+    assert(doc.text === "Revenue\nQ1 totals")
+    assert(doc.metadata("sheets") === "2")
+  }
+
+  test("S9 parse PPTX: a:t runs across slides in order; ODT paragraphs") {
+    def slide(t: String) =
+      s"""<p:sld xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main"
+         |  xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main">
+         |<p:cSld><a:p><a:r><a:t>$t</a:t></a:r></a:p></p:cSld></p:sld>""".stripMargin
+    val pptx = zipOf("ppt/slides/slide1.xml" -> slide("First slide"),
+      "ppt/slides/slide2.xml" -> slide("Second slide"))
+    val pmime = "application/vnd.openxmlformats-officedocument.presentationml.presentation"
+    val pdoc = DocumentParser.parse(pmime, pptx)
+    assert(pdoc.text === "First slide\nSecond slide")
+    assert(pdoc.metadata("slides") === "2")
+
+    val odt = zipOf("mimetype" -> "application/vnd.oasis.opendocument.text",
+      "content.xml" ->
+        """<office:document-content
+          |  xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+          |  xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">
+          |<office:body><office:text>
+          |  <text:p>First paragraph</text:p><text:p>Second</text:p>
+          |</office:text></office:body></office:document-content>""".stripMargin)
+    val odoc = DocumentParser.parse("application/vnd.oasis.opendocument.text", odt)
+    assert(odoc.text === "First paragraph\nSecond")
+    // zip sniff: mimetype + content.xml entries identify ODT
+    assert(DocumentParser.parse("application/zip", odt).text === "First paragraph\nSecond")
+  }
+
+  test("S9 Office containers: corrupt zip and non-office zip degrade cleanly") {
+    val junk = Array[Byte](0x50, 0x4b, 0x03, 0x04, 9, 9, 9)
+    val mime = "application/vnd.openxmlformats-officedocument.wordprocessingml.document"
+    val doc = DocumentParser.parse(mime, junk)
+    assert(doc.text === "") // parse_error or empty — never a throw
+    val plainZip = zipOf("readme.txt" -> "hello")
+    val z = DocumentParser.parse("application/zip", plainZip)
+    assert(z.text === "" && z.metadata.contains("length"))
+  }
+
   // hand-built minimal PDF (public ISO 32000 structure): one page, one
   // content stream; `filtered` deflates the stream behind /FlateDecode
   private def tinyPdf(content: String, filtered: Boolean,
