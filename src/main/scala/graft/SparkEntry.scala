@@ -982,7 +982,67 @@ object SparkEntry {
           (floor(col("o_totalprice") / lit(50000.0)) * 50000).cast("long"))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("cnt"),
-          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("bucket_total")))
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("bucket_total"))),
+
+    // Solr boolean query ((+spark +query) OR (+merge -slow)): pure
+    // filter over the token arrays — pushes into the scan, zero
+    // shuffles, the most common search a Solr user runs after `*:*`
+    "q89_boolean_query" -> ((s, d) => {
+      val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+      Tables.documents(s, d).withColumn("__t", toks)
+        .filter(
+          (array_contains(col("__t"), "spark") && array_contains(col("__t"), "query")) ||
+            (array_contains(col("__t"), "merge") && !array_contains(col("__t"), "slow")))
+        .select(col("doc_id"))
+    }),
+
+    // Solr stats component (stats.field=l_quantity, facet by flag):
+    // count/min/max/sum/mean per group, one map-side-partial groupBy
+    "q90_field_stats" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"),
+          min(col("l_quantity")).as("min_q"),
+          max(col("l_quantity")).as("max_q"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_q"))
+        .withColumn("mean_q", col("sum_q") / col("cnt").cast("double"))),
+
+    // Solr result grouping (group.field=source, group.limit=1): the
+    // top document per group — per-group window, rows = n_groups
+    "q91_grouping" -> ((s, d) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      Tables.documents(s, d)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+    }),
+
+    // Solr terms component (terms.prefix=s): vocabulary terms by
+    // prefix with doc frequencies, top 10 — prefix filter BEFORE the
+    // aggregation so only matching terms shuffle
+    "q92_terms_prefix" -> ((s, d) => {
+      val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(toks)).as("term"))
+        .filter(col("term").startsWith("s"))
+        .groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
+        .orderBy(col("doc_freq").desc, col("term"))
+        .limit(10)
+    }),
+
+    // edismax-lite boosted ranking: integer score 3*tf(spark) +
+    // 1*tf(query) per doc, top 20 — weighted term frequencies as pure
+    // column arithmetic (integer math: bit-stable to oracle)
+    "q93_boosted_query" -> ((s, d) => {
+      val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+      def tf(t: String) = size(filter(col("__t"), x => x === lit(t))).cast("long")
+      Tables.documents(s, d).withColumn("__t", toks)
+        .withColumn("score", lit(3L) * tf("spark") + tf("query"))
+        .filter(col("score") > 0)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+        .select(col("doc_id"), col("score"))
+    })
   )
 
   // ---------------------------------------------------------------
@@ -1639,6 +1699,49 @@ object SparkEntry {
         | count(*) AS cnt,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bucket_total
         |FROM orders GROUP BY 1""".stripMargin,
+
+    "q89_boolean_query" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |           FROM documents)
+        |SELECT doc_id FROM t
+        |WHERE (list_contains(toks, 'spark') AND list_contains(toks, 'query'))
+        |   OR (list_contains(toks, 'merge') AND NOT list_contains(toks, 'slow'))""".stripMargin,
+
+    // mean = sum_q / cnt replicated with the identical double op tree
+    "q90_field_stats" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        | min(l_quantity) AS min_q, max(l_quantity) AS max_q,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_q,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   / CAST(count(*) AS DOUBLE) AS mean_q
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q91_grouping" ->
+      """SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM (
+        | SELECT source, doc_id, n_chars,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY n_chars DESC, doc_id) AS rn
+        | FROM documents) x WHERE rn = 1""".stripMargin,
+
+    "q92_terms_prefix" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |           FROM documents),
+        |dt AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM t)
+        |SELECT term, count(*) AS doc_freq FROM dt
+        |WHERE term LIKE 's%'
+        |GROUP BY term
+        |ORDER BY doc_freq DESC, term LIMIT 10""".stripMargin,
+
+    "q93_boosted_query" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |           FROM documents),
+        |s AS (SELECT doc_id,
+        |  3 * len(list_filter(toks, x -> x = 'spark'))
+        |    + len(list_filter(toks, x -> x = 'query')) AS score
+        | FROM t)
+        |SELECT doc_id, CAST(score AS BIGINT) AS score FROM s
+        |WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     "q84_more_like_this" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
