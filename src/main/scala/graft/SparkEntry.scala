@@ -686,6 +686,150 @@ object SparkEntry {
         orderBy = Some(col("l_shipdate")))
     }),
 
+    // the SEARCH half of the product round-trip: build a segment store
+    // from `part`, fan an exact-term query out to every shard
+    // (scatter-gather, one task per shard, zero shuffles), gather hits
+    // as a DataFrame. Oracled against DuckDB on the SOURCE table — the
+    // query only matches if the index round-trip is lossless.
+    "q94_index_search" -> ((s, d) => {
+      import graft.index.{SegmentSearch, SegmentShardSink}
+      val parts = Tables.part(s, d).withColumn("id", col("p_partkey").cast("string"))
+      val out = java.nio.file.Files.createTempDirectory("graft_q94_").toString
+      SegmentShardSink.write(parts, "id", out, shards = 4)
+      SegmentSearch.termQuery(s, out, "p_brand", "Brand#23", Seq("id", "p_name", "p_size"))
+        .select(col("id").cast("long").as("p_partkey"), col("p_name"),
+          col("p_size").cast("long").as("p_size"))
+    }),
+
+    // index MAINTENANCE round-trip: distributed delete-by-term
+    // (tombstone generations, Lucene liveDocs design) + forceMerge
+    // reclaim, then export the store — oracled against DuckDB's view
+    // of what must survive. Checks deletes mask postings AND stored
+    // docs, and that the optimize rewrite drops exactly the tombstoned
+    // rows.
+    "q95_index_delete" -> ((s, d) => {
+      import graft.index.{SegmentSearch, SegmentShardSink}
+      val parts = Tables.part(s, d).withColumn("id", col("p_partkey").cast("string"))
+      val out = java.nio.file.Files.createTempDirectory("graft_q95_").toString
+      SegmentShardSink.write(parts, "id", out, shards = 4)
+      SegmentShardSink.deleteByTerm(s, out, "p_brand", "Brand#23")
+      SegmentShardSink.optimize(s, out) // tombstone reclaim
+      SegmentSearch.matchAll(s, out, Seq("id", "p_brand"))
+        .select(col("id").cast("long").as("p_partkey"), col("p_brand"))
+    }),
+
+    // Solr JSON Facet API: buckets within buckets plus per-bucket
+    // stats — top-5 brands by count (avg price stat on each), nested
+    // top-3 sizes per brand. Two grouped aggs + a per-parent window;
+    // the parent list is tiny -> broadcast join. avg goes through the
+    // decimal-exact-sum -> double / double-count tree (see header).
+    "q96_json_facet" -> ((s, d) => {
+      val p = Tables.part(s, d)
+      val brands = p.groupBy(col("p_brand")).agg(
+        count(lit(1)).as("brand_cnt"),
+        (sum(col("p_retailprice").cast(DecimalType(18, 2))).cast("double") /
+          count(lit(1)).cast("double")).as("avg_price"))
+      val top5 = brands.orderBy(col("brand_cnt").desc, col("p_brand")).limit(5)
+      val sizes = p.groupBy(col("p_brand"), col("p_size"))
+        .agg(count(lit(1)).as("size_cnt"))
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("size_cnt").desc, col("p_size"))
+      sizes.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3).drop("rn")
+        .join(broadcast(top5), "p_brand")
+        .select(col("p_brand"), col("brand_cnt"), col("avg_price"),
+          col("p_size").cast("long").as("p_size"), col("size_cnt"))
+    }),
+
+    // Solr spellcheck collate: each misspelled query term gets its one
+    // best correction from the corpus vocabulary by (edit distance,
+    // doc freq desc, term). The |V|×q candidate product is cut by the
+    // semantics-preserving length prefilter (lev >= |len(a)-len(b)|) —
+    // the same guard family as q82's n-gram prefilter; Solr's
+    // DirectSpellChecker walks an automaton to the same effect.
+    "q97_spell_collate" -> ((s, d) => {
+      import s.implicits._
+      val vocab = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(regexp_extract_all(lower(col("text")),
+            lit("[a-z0-9]+"), lit(0)))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val queries = Seq("sparc", "quary", "mergee").toDF("qterm")
+      val cand = vocab.crossJoin(broadcast(queries))
+        .filter(abs(length(col("term")) - length(col("qterm"))) <= 2)
+        .withColumn("dist", levenshtein(col("qterm"), col("term")))
+        .filter(col("dist") <= 2)
+      val w = Window.partitionBy(col("qterm"))
+        .orderBy(col("dist"), col("df").desc, col("term"))
+      cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("qterm"), col("term").as("suggestion"),
+          col("dist").cast("long").as("dist"), col("df"))
+    }),
+
+    // Solr function query (boost-by-recency): score = price * recip
+    // over age in days from the corpus's max date — recip(x,m,a,b) =
+    // a/(m*x+b) with a=b=90. One broadcast of the 1-row max, then a
+    // scan-local scalar expression; round(,6) absorbs libm division
+    // ulps like q73.
+    "q98_function_query" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val maxd = o.agg(max(col("o_orderdate")).as("maxd"))
+      o.crossJoin(broadcast(maxd))
+        .withColumn("age_days",
+          datediff(col("maxd").cast("date"), col("o_orderdate").cast("date"))
+            .cast("double"))
+        .withColumn("score",
+          round(col("o_totalprice") * lit(90.0) / (lit(90.0) + col("age_days")), 6))
+        .orderBy(col("score").desc, col("o_orderkey"))
+        .select(col("o_orderkey"), col("score"))
+        .limit(20)
+    }),
+
+    // Solr spatial geofilt: great-circle distance <= d km from a
+    // point, lat/lon planted deterministically from c_custkey (the
+    // corpus has no native coords; the oracle replants identically).
+    // Plan shape is the spatial-index story at scale: a cheap
+    // BOUNDING-BOX prefilter (comparisons only — pushdown-able, and
+    // the analog of Solr's prefix-tree grid pruning) ahead of the
+    // exact haversine residual; the bbox is a superset so the result
+    // is unchanged. Haversine uses the identical op tree both sides;
+    // round(,4) absorbs libm sin/cos ulps.
+    "q99_geofilt" -> ((s, d) => {
+      val ptLat = 10.0
+      val ptLon = 20.0
+      val dKm = 3000.0
+      val latHalf = dKm / 111.195
+      val lonHalf = dKm / (111.195 * math.cos(math.toRadians(ptLat)))
+      val c = Tables.customer(s, d)
+        .withColumn("lat", (pmod(col("c_custkey"), lit(120)) - lit(60)).cast("double") * lit(0.7))
+        .withColumn("lon", (pmod(col("c_custkey") * lit(7), lit(360)) - lit(180)).cast("double") * lit(0.9))
+      val hav = {
+        val dLat = radians(col("lat") - lit(ptLat)) / lit(2.0)
+        val dLon = radians(col("lon") - lit(ptLon)) / lit(2.0)
+        val a = sin(dLat) * sin(dLat) +
+          cos(radians(lit(ptLat))) * cos(radians(col("lat"))) * sin(dLon) * sin(dLon)
+        lit(2.0 * 6371.0088) * asin(sqrt(a))
+      }
+      c.filter(col("lat").between(ptLat - latHalf, ptLat + latHalf) &&
+          col("lon").between(ptLon - lonHalf, ptLon + lonHalf)) // bbox prune
+        .withColumn("dist_km", round(hav, 4))
+        .filter(col("dist_km") <= dKm)
+        .select(col("c_custkey"), col("dist_km"))
+    }),
+
+    // Solr collapse + expand: collapse orders on customer (group head
+    // = highest totalprice), expand returns the next hits per group —
+    // head + 2 expanded here, `position` 1 = the collapsed head. One
+    // window over the group key (q91 is the head-only grouping form).
+    "q100_collapse_expand" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("position", row_number().over(w).cast("long"))
+        .filter(col("position") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("position"))
+    }),
+
     // PII redaction (emails/IPs/SSNs/phones -> typed tags + counts).
     // The corpus is synthetic word salad, so the PII is PLANTED from
     // doc_id (same derivation in the oracle) — the operator under
@@ -1699,6 +1843,73 @@ object SparkEntry {
         | count(*) AS cnt,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bucket_total
         |FROM orders GROUP BY 1""".stripMargin,
+
+    "q94_index_search" ->
+      """SELECT p_partkey, p_name, CAST(p_size AS BIGINT) AS p_size
+        |FROM part WHERE p_brand = 'Brand#23'""".stripMargin,
+
+    "q95_index_delete" ->
+      "SELECT p_partkey, p_brand FROM part WHERE p_brand <> 'Brand#23'",
+
+    "q96_json_facet" ->
+      """WITH b AS (SELECT p_brand, count(*) AS brand_cnt,
+        |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS avg_price
+        | FROM part GROUP BY p_brand),
+        |top5 AS (SELECT * FROM b ORDER BY brand_cnt DESC, p_brand LIMIT 5),
+        |sz AS (SELECT p_brand, p_size, count(*) AS size_cnt
+        |       FROM part GROUP BY p_brand, p_size),
+        |r AS (SELECT p_brand, p_size, size_cnt, row_number() OVER (
+        |  PARTITION BY p_brand ORDER BY size_cnt DESC, p_size) AS rn FROM sz)
+        |SELECT r.p_brand, brand_cnt, avg_price,
+        | CAST(r.p_size AS BIGINT) AS p_size, size_cnt
+        |FROM r JOIN top5 ON r.p_brand = top5.p_brand
+        |WHERE rn <= 3""".stripMargin,
+
+    "q97_spell_collate" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |           FROM documents),
+        |dt AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM t),
+        |v AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+        |q AS (SELECT unnest(['sparc', 'quary', 'mergee']) AS qterm),
+        |c AS (SELECT qterm, term, levenshtein(qterm, term) AS dist, df
+        |      FROM q CROSS JOIN v WHERE levenshtein(qterm, term) <= 2)
+        |SELECT qterm, term AS suggestion, CAST(dist AS BIGINT) AS dist, df
+        |FROM (SELECT *, row_number() OVER (
+        |  PARTITION BY qterm ORDER BY dist, df DESC, term) AS rn FROM c) x
+        |WHERE rn = 1""".stripMargin,
+
+    "q98_function_query" ->
+      """WITH m AS (SELECT max(o_orderdate) AS maxd FROM orders),
+        |s AS (SELECT o_orderkey,
+        |  round(o_totalprice * 90.0 / (90.0 +
+        |    CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(maxd AS DATE))
+        |      AS DOUBLE)), 6) AS score
+        | FROM orders CROSS JOIN m)
+        |SELECT o_orderkey, score FROM s
+        |ORDER BY score DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q99_geofilt" ->
+      """WITH c AS (SELECT c_custkey,
+        |  CAST(c_custkey % 120 - 60 AS DOUBLE) * 0.7 AS lat,
+        |  CAST((c_custkey * 7) % 360 - 180 AS DOUBLE) * 0.9 AS lon
+        | FROM customer),
+        |d AS (SELECT c_custkey,
+        |  round(2.0 * 6371.0088 * asin(sqrt(
+        |    sin(radians(lat - 10.0) / 2.0) * sin(radians(lat - 10.0) / 2.0)
+        |    + cos(radians(10.0)) * cos(radians(lat))
+        |      * sin(radians(lon - 20.0) / 2.0) * sin(radians(lon - 20.0) / 2.0)
+        |  )), 4) AS dist_km
+        | FROM c)
+        |SELECT c_custkey, dist_km FROM d WHERE dist_km <= 3000.0""".stripMargin,
+
+    "q100_collapse_expand" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        | CAST(position AS BIGINT) AS position
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (
+        |  PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS position
+        | FROM orders) x
+        |WHERE position <= 3""".stripMargin,
 
     "q89_boolean_query" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks

@@ -31,6 +31,13 @@ import scala.collection.mutable
  *  - `forceMerge(1)` rewrites all segments into one (the reference's
  *    `--max-segments` latency trade, `BatchWriter.java:203-218`).
  *
+ *  - deletes are per-segment TOMBSTONE generations (`_K_G.del`
+ *    listing deleted ordinals — Lucene's liveDocs/delGen design):
+ *    segment files stay immutable, the commit names the live del
+ *    generation, readers mask deleted ordinals, `forceMerge`
+ *    reclaims them and fully-deleted segments drop at the next
+ *    commit.
+ *
  * DIVERGENCE (declared): field values are stored/indexed as strings
  * (numerics rendered canonically, timestamps as ISO instants) — no
  * typed points/docValues, no scoring, no compression. The format
@@ -44,9 +51,15 @@ import scala.collection.mutable
  */
 object SegmentIndex {
 
-  final case class SegmentMeta(name: String, docs: Int)
+  /** `dels`/`delGen`: per-segment tombstone count and the commit
+    * generation whose `_name_delGen.del` file holds the deleted
+    * ordinals (Lucene's liveDocs/delGen design — deletes never touch
+    * the immutable segment files). `delGen == 0` means no deletions. */
+  final case class SegmentMeta(name: String, docs: Int, dels: Int = 0, delGen: Int = 0) {
+    def liveDocs: Int = docs - dels
+  }
   final case class CommitPoint(gen: Int, counter: Int, segments: Seq[SegmentMeta]) {
-    def numDocs: Int = segments.map(_.docs).sum
+    def numDocs: Int = segments.map(_.liveDocs).sum
   }
 
   /** One document = ordered (field, value) pairs; a repeated field is
@@ -90,6 +103,38 @@ object SegmentIndex {
 
   private val FLD_MAGIC = 0x47464C44 // "GFLD"
   private val TRM_MAGIC = 0x4754524D // "GTRM"
+  private val DEL_MAGIC = 0x4744454C // "GDEL"
+
+  // ---- tombstones: _name_delGen.del = sorted deleted ordinals ----
+
+  private def delFile(name: String, delGen: Int) = s"${name}_$delGen.del"
+
+  private[index] def writeDels(fs: FileSystem, dir: Path, name: String,
+                               delGen: Int, ords: collection.SortedSet[Int]): Unit = {
+    val out = new DataOutputStream(new BufferedOutputStream(
+      fs.create(new Path(dir, delFile(name, delGen)), true)))
+    try {
+      out.writeInt(DEL_MAGIC)
+      writeVInt(out, ords.size)
+      var prev = 0
+      ords.foreach { o => writeVInt(out, o - prev); prev = o }
+    } finally out.close()
+  }
+
+  private[index] def readDels(fs: FileSystem, dir: Path,
+                              meta: SegmentMeta): collection.immutable.SortedSet[Int] = {
+    if (meta.delGen == 0) return collection.immutable.SortedSet.empty[Int]
+    val in = new DataInputStream(new BufferedInputStream(
+      fs.open(new Path(dir, delFile(meta.name, meta.delGen)))))
+    try {
+      require(in.readInt() == DEL_MAGIC, s"bad .del magic in $dir/${meta.name}")
+      val n = readVInt(in)
+      val b = collection.immutable.SortedSet.newBuilder[Int]
+      var prev = 0
+      (0 until n).foreach { _ => prev += readVInt(in); b += prev }
+      b.result()
+    } finally in.close()
+  }
 
   // ---- segment write ----
 
@@ -199,7 +244,9 @@ object SegmentIndex {
         .readTree(new String(buf, StandardCharsets.UTF_8))
       import scala.jdk.CollectionConverters._
       val segs = root.get("segments").elements().asScala.map { s =>
-        SegmentMeta(s.get("name").asText(), s.get("docs").asInt())
+        SegmentMeta(s.get("name").asText(), s.get("docs").asInt(),
+          if (s.has("dels")) s.get("dels").asInt() else 0,
+          if (s.has("delgen")) s.get("delgen").asInt() else 0)
       }.toSeq
       Some(CommitPoint(gen, root.get("counter").asInt(), segs))
     }
@@ -207,7 +254,8 @@ object SegmentIndex {
 
   private def writeCommit(fs: FileSystem, dir: Path, cp: CommitPoint): Unit = {
     val segs = cp.segments
-      .map(s => s"""{"name":"${s.name}","docs":${s.docs}}""").mkString("[", ",", "]")
+      .map(s => s"""{"name":"${s.name}","docs":${s.docs},"dels":${s.dels},"delgen":${s.delGen}}""")
+      .mkString("[", ",", "]")
     val json = s"""{"format":1,"counter":${cp.counter},"segments":$segs}"""
     val p = new Path(dir, s"segments_${cp.gen}")
     val os = fs.create(p, true)
@@ -229,11 +277,44 @@ object SegmentIndex {
     private var commitPoint =
       latestCommit(fs, dir).getOrElse(CommitPoint(0, 0, Nil))
     private val pending = mutable.ArrayBuffer.empty[Doc]
+    // newly-deleted ordinals per live segment, buffered until commit()
+    // (the commit file is the only publication point — a crash before
+    // commit leaves the index exactly at the previous generation)
+    private val pendingDels = mutable.HashMap.empty[String, mutable.SortedSet[Int]]
 
     def addDocument(doc: Doc): Unit = pending += doc
 
-    /** Flush buffered docs as a new segment and publish the next
-      * commit generation. Idempotent when nothing changed. */
+    /**
+     * Delete-by-term (Lucene `deleteDocuments(Term)` / Solr
+     * delete-by-query's exact-term case): tombstone every LIVE doc of
+     * every committed segment whose (field, term) posting matches.
+     * Buffered docs added in this writer session are a future segment
+     * and are NOT affected — so the Solr update idiom
+     * `deleteByTerm(id); addDocument(newDoc)` re-adds correctly.
+     * Returns the number of newly deleted docs; visible after
+     * `commit()`.
+     */
+    def deleteDocuments(field: String, term: String): Int = {
+      var deleted = 0
+      commitPoint.segments.foreach { seg =>
+        val hits = readPostings(fs, dir, seg.name)
+          .getOrElse(field, Map.empty).getOrElse(term, Array.empty[Int])
+        if (hits.nonEmpty) {
+          val already = readDels(fs, dir, seg)
+          val buf = pendingDels.getOrElseUpdate(seg.name, mutable.SortedSet.empty[Int])
+          hits.foreach { o =>
+            if (!already.contains(o) && buf.add(o)) deleted += 1
+          }
+        }
+      }
+      deleted
+    }
+
+    /** Flush buffered docs as a new segment, publish buffered deletes
+      * as per-segment `.del` generations, and write the next commit.
+      * A segment whose docs are ALL deleted is dropped from the commit
+      * and its files removed (Lucene drops fully-deleted segments at
+      * the next commit too). Idempotent when nothing changed. */
     def commit(): CommitPoint = {
       val withFlush =
         if (pending.isEmpty) commitPoint
@@ -244,8 +325,30 @@ object SegmentIndex {
           commitPoint.copy(counter = commitPoint.counter + 1,
             segments = commitPoint.segments :+ meta)
         }
-      commitPoint = withFlush.copy(gen = withFlush.gen + 1)
+      val nextGen = withFlush.gen + 1
+      val dropped = mutable.ArrayBuffer.empty[SegmentMeta]
+      val staleDelFiles = mutable.ArrayBuffer.empty[String]
+      val segs = withFlush.segments.flatMap { seg =>
+        pendingDels.get(seg.name) match {
+          case None => Some(seg)
+          case Some(newOnes) =>
+            val merged = readDels(fs, dir, seg) ++ newOnes
+            if (seg.delGen > 0) staleDelFiles += delFile(seg.name, seg.delGen)
+            if (merged.size >= seg.docs) { dropped += seg; None }
+            else {
+              writeDels(fs, dir, seg.name, nextGen, merged)
+              Some(seg.copy(dels = merged.size, delGen = nextGen))
+            }
+        }
+      }
+      pendingDels.clear()
+      commitPoint = CommitPoint(nextGen, withFlush.counter, segs)
       writeCommit(fs, dir, commitPoint)
+      // now that the new generation is live, remove dead files
+      staleDelFiles.foreach(f => fs.delete(new Path(dir, f), false))
+      dropped.foreach { s =>
+        Seq("fld", "trm").foreach(ext => fs.delete(new Path(dir, s"${s.name}.$ext"), false))
+      }
       commitPoint
     }
 
@@ -260,15 +363,27 @@ object SegmentIndex {
         val srcCp = latestCommit(fs, src).getOrElse(
           throw new IllegalStateException(s"no commit in source index $src"))
         srcCp.segments.foreach { seg =>
-          val name = s"_${commitPoint.counter}"
-          Seq("fld", "trm").foreach { ext =>
-            org.apache.hadoop.fs.FileUtil.copy(
-              fs, new Path(src, s"${seg.name}.$ext"),
-              fs, new Path(dir, s"$name.$ext"),
-              false, fs.getConf)
+          if (seg.dels == 0) {
+            val name = s"_${commitPoint.counter}"
+            Seq("fld", "trm").foreach { ext =>
+              org.apache.hadoop.fs.FileUtil.copy(
+                fs, new Path(src, s"${seg.name}.$ext"),
+                fs, new Path(dir, s"$name.$ext"),
+                false, fs.getConf)
+            }
+            commitPoint = commitPoint.copy(counter = commitPoint.counter + 1,
+              segments = commitPoint.segments :+ SegmentMeta(name, seg.docs))
+          } else {
+            // a source segment carrying tombstones is MATERIALIZED:
+            // its live docs join the pending buffer and become part of
+            // this writer's next flushed segment (the doc-rewrite merge
+            // path — only taken where a file copy would resurrect
+            // deleted docs)
+            val dels = readDels(fs, src, seg)
+            readStoredDocs(fs, src, seg.name).zipWithIndex.foreach {
+              case (doc, ord) => if (!dels.contains(ord)) pending += doc
+            }
           }
-          commitPoint = commitPoint.copy(counter = commitPoint.counter + 1,
-            segments = commitPoint.segments :+ SegmentMeta(name, seg.docs))
         }
       }
     }
@@ -282,16 +397,25 @@ object SegmentIndex {
     def forceMerge(maxSegments: Int = 1): CommitPoint = {
       require(maxSegments >= 1)
       commit() // flush pending first
-      if (commitPoint.segments.length <= maxSegments) commitPoint
+      if (commitPoint.segments.length <= maxSegments &&
+          commitPoint.segments.forall(_.dels == 0)) commitPoint
       else {
         val old = commitPoint.segments
-        val all = old.flatMap(s => readStoredDocs(fs, dir, s.name)).toIndexedSeq
+        // live docs only — forceMerge is also the tombstone-reclaim path
+        // (Lucene's expungeDeletes behavior folds into forceMerge)
+        val all = old.flatMap { s =>
+          val dels = readDels(fs, dir, s)
+          readStoredDocs(fs, dir, s.name).zipWithIndex.collect {
+            case (doc, ord) if !dels.contains(ord) => doc
+          }
+        }.toIndexedSeq
         val name = s"_${commitPoint.counter}"
         val meta = writeSegment(fs, dir, name, all)
         commitPoint = CommitPoint(commitPoint.gen + 1, commitPoint.counter + 1, Seq(meta))
         writeCommit(fs, dir, commitPoint)
         old.foreach { s =>
           Seq("fld", "trm").foreach(ext => fs.delete(new Path(dir, s"${s.name}.$ext"), false))
+          if (s.delGen > 0) fs.delete(new Path(dir, delFile(s.name, s.delGen)), false)
         }
         commitPoint
       }
@@ -312,18 +436,25 @@ object SegmentIndex {
     def numDocs: Int = commit.numDocs
     def numSegments: Int = commit.segments.length
 
-    /** MatchAllDocsQuery analog. */
+    /** MatchAllDocsQuery analog (live docs only). */
     def matchAllCount: Long = numDocs.toLong
 
-    /** All stored documents, segment order then ordinal order. */
+    /** All LIVE stored documents, segment order then ordinal order. */
     def allDocs(): Iterator[Doc] =
-      commit.segments.iterator.flatMap(s => readStoredDocs(fs, dir, s.name))
+      commit.segments.iterator.flatMap { s =>
+        val dels = readDels(fs, dir, s)
+        readStoredDocs(fs, dir, s.name).iterator.zipWithIndex.collect {
+          case (doc, ord) if !dels.contains(ord) => doc
+        }
+      }
 
-    /** Exact-term query: stored docs matching (field, term). */
+    /** Exact-term query: LIVE stored docs matching (field, term). */
     def termDocs(field: String, term: String): Seq[Doc] =
       commit.segments.flatMap { s =>
+        val dels = readDels(fs, dir, s)
         val ords = readPostings(fs, dir, s.name)
           .getOrElse(field, Map.empty).getOrElse(term, Array.empty[Int])
+          .filterNot(dels.contains)
         if (ords.isEmpty) Nil
         else {
           val stored = readStoredDocs(fs, dir, s.name)
@@ -333,8 +464,10 @@ object SegmentIndex {
 
     def termQueryCount(field: String, term: String): Long =
       commit.segments.map { s =>
+        val dels = readDels(fs, dir, s)
         readPostings(fs, dir, s.name)
-          .getOrElse(field, Map.empty).getOrElse(term, Array.empty[Int]).length.toLong
+          .getOrElse(field, Map.empty).getOrElse(term, Array.empty[Int])
+          .count(o => !dels.contains(o)).toLong
       }.sum
   }
 

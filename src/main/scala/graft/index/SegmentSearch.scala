@@ -1,0 +1,56 @@
+package graft.index
+
+import graft.util.SerializableHadoopConf
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/**
+ * Distributed search over a [[SegmentShardSink]] store — the
+ * scatter-gather half of the reference's product. The reference
+ * builds indexes FOR a SolrCloud that then answers queries by
+ * fanning them out to every shard and merging; here each shard's
+ * raw [[SegmentIndex.Reader]] runs inside one Spark task (one task
+ * per part dir — the same parallelism a Solr query gets from its
+ * shards) and the gathered hits come back as a DataFrame, so index
+ * lookups compose with the rest of the engine's relational surface.
+ *
+ * Results carry one string column per requested stored field
+ * (multivalued fields yield their FIRST value; null when absent) —
+ * the strings-only divergence declared on [[SegmentIndex]].
+ *
+ * Scale shape: no shuffle at all — a one-stage parallel scan of the
+ * posting lists, each task touching only its own shard directory,
+ * exactly the per-shard locality a distributed search tier has. The
+ * gathered result is only the HITS (not the corpus), so a selective
+ * term query moves negligible data.
+ */
+object SegmentSearch {
+
+  private def gather(spark: SparkSession, store: String, fields: Seq[String])
+                    (hits: SegmentIndex.Reader => Iterator[SegmentIndex.Doc]): DataFrame = {
+    val dirs = SegmentShardSink.partIndexDirs(spark, store)
+    require(dirs.nonEmpty, s"no part dirs under $store")
+    val conf = new SerializableHadoopConf(ShardIndex.hadoopConf(spark))
+    val schema = StructType(fields.map(f => StructField(f, StringType, nullable = true)))
+    val rows = spark.sparkContext.parallelize(dirs, dirs.size).flatMap { d =>
+      val p = new Path(d)
+      val reader = new SegmentIndex.Reader(p.getFileSystem(conf.value), p)
+      hits(reader).map { doc =>
+        val m = doc.toMap // first value wins for multivalued fields
+        Row.fromSeq(fields.map(m.get(_).orNull))
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Exact-term query (`field:term`) fanned out to every shard;
+    * returns the requested stored fields of every live hit. */
+  def termQuery(spark: SparkSession, store: String, field: String, term: String,
+                fields: Seq[String]): DataFrame =
+    gather(spark, store, fields)(r => r.termDocs(field, term).iterator)
+
+  /** `*:*` — every live stored doc across all shards. */
+  def matchAll(spark: SparkSession, store: String, fields: Seq[String]): DataFrame =
+    gather(spark, store, fields)(_.allDocs())
+}

@@ -124,6 +124,9 @@ object SegmentShardSink {
   }
 
   /** part-NNNNN dirs under a store, ascending. */
+  private[index] def partIndexDirs(spark: SparkSession, store: String): Seq[String] =
+    partDirs(spark, store)
+
   private def partDirs(spark: SparkSession, store: String): Seq[String] = {
     val root = new Path(store)
     val fs = root.getFileSystem(ShardIndex.hadoopConf(spark))
@@ -188,6 +191,27 @@ object SegmentShardSink {
       new SegmentIndex.Writer(p.getFileSystem(conf.value), p).forceMerge(maxSegments)
       ()
     }
+  }
+
+  /**
+   * Distributed delete-by-term (Solr's `<delete><query>field:term
+   * </query></delete>` exact-term case) across every part index: one
+   * task per shard opens its writer, tombstones matching live docs,
+   * and commits — the same single-writer-per-index discipline the
+   * write path uses, with no data movement (tombstones only). Returns
+   * the total number of newly deleted docs.
+   */
+  def deleteByTerm(spark: SparkSession, store: String, field: String, term: String): Long = {
+    val dirs = partDirs(spark, store)
+    require(dirs.nonEmpty, s"no part dirs under $store")
+    val conf = new SerializableHadoopConf(ShardIndex.hadoopConf(spark))
+    spark.sparkContext.parallelize(dirs, dirs.size).map { d =>
+      val p = new Path(d)
+      val w = new SegmentIndex.Writer(p.getFileSystem(conf.value), p)
+      val n = w.deleteDocuments(field, term)
+      if (n > 0) w.commit()
+      n.toLong
+    }.sum().toLong
   }
 
   /** Per-part doc/segment counts — the `*:*` verification view

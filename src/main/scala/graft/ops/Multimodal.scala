@@ -12,10 +12,15 @@ import org.apache.spark.sql.functions._
  * (MorphlineMapRunner.java:195,233-234) and the `detectMimeType` /
  * `decompress` commands (solrCellDocumentTypes.conf:52-77).
  *
- * Codec note: the decode step is a clearly-marked deterministic FAKE
- * (this container has no image/audio libraries). Everything around it
- * — schema, batched per-partition execution, partitioning so one
- * partition's payloads fit in executor memory — is real and tested.
+ * Codec note: image decode is REAL for the formats the JDK's
+ * `javax.imageio` ships codecs for (PNG/JPEG/GIF/BMP — decoded
+ * headless, dimensions/channels/features from actual pixels). For
+ * payloads ImageIO cannot decode (no external codec libraries in this
+ * container: webp, video, audio) the decode falls back to a
+ * clearly-marked deterministic FAKE so the pipeline shape stays
+ * testable. Everything around the codec — schema, batched
+ * per-partition execution, partitioning so one partition's payloads
+ * fit in executor memory — is real and tested either way.
  */
 object Multimodal {
 
@@ -49,6 +54,7 @@ object Multimodal {
       when(head4.startsWith("89504E47"), "image/png")
         .when(head4.startsWith("FFD8FF"), "image/jpeg")
         .when(head4.startsWith("47494638"), "image/gif")
+        .when(head4.startsWith("424D"), "image/bmp")
         .when(head4.startsWith("50415231"), "application/x-parquet") // PAR1
         .when(head4.startsWith("504B0304"), "application/zip")
         .when(head4.startsWith("1F8B"), "application/gzip")
@@ -63,13 +69,12 @@ object Multimodal {
 
   /**
    * Decode/feature-extract, batched per partition (the Scala analog of
-   * a Pandas-UDF `mapInPandas` stage: one iterator per partition, so a
-   * real codec would amortize model/codec init across the batch).
+   * a Pandas-UDF `mapInPandas` stage: one iterator per partition, so
+   * codec init amortizes across the batch).
    *
-   * STUB: `decodeOne` fakes the decode deterministically from the
-   * bytes (size-derived dims, 8 moment features). Swap its body for a
-   * real codec (javax.imageio / ffmpeg bindings) in production — the
-   * signature, schema and partition shape stay identical.
+   * Real decode via the JDK's ImageIO (PNG/JPEG/GIF/BMP); payloads it
+   * cannot decode take the deterministic fake path (`fakeDecode`) so
+   * non-image assets still flow with a consistent schema.
    */
   def decodeImages(spark: SparkSession, assets: DataFrame,
                    batchHint: Int = 64): Dataset[DecodedImage] = {
@@ -82,8 +87,49 @@ object Multimodal {
       }
   }
 
-  /** ??? in spirit: a deterministic fake decode standing in for the codec. */
   private def decodeOne(path: String, bytes: Array[Byte]): DecodedImage = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null } // corrupt/unsupported -> fake path
+    if (img == null) fakeDecode(path, bytes)
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      // 8 real pixel features over a bounded <=32x32 sample grid (cost
+      // independent of image size): mean R/G/B/luma + per-quadrant luma
+      val feats = new Array[Float](8)
+      val gx = math.min(32, w)
+      val gy = math.min(32, h)
+      var yi = 0
+      while (yi < gy) {
+        val y = yi * h / gy
+        var xi = 0
+        while (xi < gx) {
+          val x = xi * w / gx
+          val rgb = img.getRGB(x, y)
+          val r = ((rgb >> 16) & 0xFF) / 255.0f
+          val g = ((rgb >> 8) & 0xFF) / 255.0f
+          val b = (rgb & 0xFF) / 255.0f
+          val luma = 0.299f * r + 0.587f * g + 0.114f * b
+          feats(0) += r; feats(1) += g; feats(2) += b; feats(3) += luma
+          feats(4 + (if (y * 2 >= h) 2 else 0) + (if (x * 2 >= w) 1 else 0)) += luma
+          xi += 1
+        }
+        yi += 1
+      }
+      val total = (gx * gy).toFloat
+      feats(0) /= total; feats(1) /= total; feats(2) /= total; feats(3) /= total
+      var q = 4
+      while (q < 8) { feats(q) /= total / 4.0f; q += 1 }
+      DecodedImage(path, w, h, img.getColorModel.getNumComponents, feats)
+    }
+  }
+
+  /** ??? in spirit: a deterministic fake decode standing in for codecs
+    * the JDK lacks (webp/video/audio) — size-derived dims, 8 byte-
+    * moment features. Keeps undecodable payloads flowing with the same
+    * schema. */
+  private def fakeDecode(path: String, bytes: Array[Byte]): DecodedImage = {
     val n = bytes.length
     val w = 64 + (n % 512)
     val h = 64 + ((n / 512) % 512)

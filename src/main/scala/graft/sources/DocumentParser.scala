@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame}
+import java.nio.charset.StandardCharsets
 import org.apache.spark.sql.functions._
 
 /**
@@ -77,6 +78,12 @@ object DocumentParser {
             case Some(m) => parse(m, bytes)
             case None => ParsedDoc("", mime, Map("length" -> bytes.length.toString))
           }
+        case "image/png" => parsePng(bytes, mime)
+        case "image/jpeg" => parseJpeg(bytes, mime)
+        case "image/gif" => parseGif(bytes, mime)
+        case "image/bmp" => parseBmp(bytes, mime)
+        case "message/rfc822" => parseEml(str(), mime)
+        case "application/mbox" => parseMbox(str(), mime)
         case _ =>
           // unparsed binary: empty text, length metadata (Tika stub)
           ParsedDoc("", mime, Map("length" -> bytes.length.toString))
@@ -586,6 +593,240 @@ object DocumentParser {
       Map("pages" -> pages.toString) ++ title.map("title" -> _))
   }
 
+  // ----- email (RFC 5322 .eml + mbox containers — Tika's
+  // RFC822Parser / MboxParser scope; the reference routes message/*
+  // through Tika the same way, solrCellDocumentTypes.conf). Headers
+  // unfold per RFC 5322 §2.2.3; bodies decode quoted-printable and
+  // base64 transfer encodings; multipart messages keep their
+  // text/plain and text/html parts (html routed through parseHtml). -----
+
+  /** Unfold headers (continuation lines start with WSP) and return
+    * (headers, bodyStartIndex) over the raw message lines. */
+  private def emailHeaders(lines: Array[String]): (Map[String, String], Int) = {
+    val hdrs = Map.newBuilder[String, String]
+    var i = 0
+    var cur: String = null
+    var curVal = new StringBuilder
+    def flush(): Unit = if (cur != null) { hdrs += cur.toLowerCase -> curVal.toString.trim; cur = null }
+    while (i < lines.length && lines(i).nonEmpty) {
+      val l = lines(i)
+      if ((l.startsWith(" ") || l.startsWith("\t")) && cur != null) curVal.append(' ').append(l.trim)
+      else {
+        flush()
+        val k = l.indexOf(':')
+        if (k > 0) { cur = l.substring(0, k); curVal = new StringBuilder(l.substring(k + 1)) }
+      }
+      i += 1
+    }
+    flush()
+    (hdrs.result(), math.min(i + 1, lines.length))
+  }
+
+  private def decodeQuotedPrintable(s: String): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    val t = s.replaceAll("=\r?\n", "") // soft line breaks
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (c == '=' && i + 3 <= t.length) {
+        try { out.write(Integer.parseInt(t.substring(i + 1, i + 3), 16)); i += 3 }
+        catch { case _: NumberFormatException => out.write(c.toInt); i += 1 }
+      } else { out.write(c.toInt); i += 1 }
+    }
+    new String(out.toByteArray, StandardCharsets.UTF_8)
+  }
+
+  private def decodeBody(body: String, encoding: String): String =
+    encoding.toLowerCase match {
+      case e if e.contains("quoted-printable") => decodeQuotedPrintable(body)
+      case e if e.contains("base64") =>
+        try new String(java.util.Base64.getMimeDecoder.decode(body), StandardCharsets.UTF_8)
+        catch { case _: IllegalArgumentException => "" } // corrupt b64 part: drop
+      case _ => body
+    }
+
+  /** One RFC 5322 message → text + common headers. Multipart bodies
+    * keep text/plain (and text/html via parseHtml); other parts and
+    * attachments contribute only a count (separateAttachments is the
+    * operator for pulling them out). */
+  private[sources] def parseEml(raw: String, mime: String): ParsedDoc = {
+    val lines = raw.split("\r?\n", -1)
+    val (hdrs, bodyAt) = emailHeaders(lines)
+    val meta = Map.newBuilder[String, String]
+    Seq("subject", "from", "to", "date", "message-id").foreach { h =>
+      hdrs.get(h).foreach(v => meta += h.replace("-", "_") -> v)
+    }
+    val ctype = hdrs.getOrElse("content-type", "text/plain")
+    val body = lines.drop(bodyAt).mkString("\n")
+    val text =
+      if (ctype.contains("multipart/")) {
+        val boundary = "boundary=\"?([^\";]+)\"?".r.findFirstMatchIn(ctype).map(_.group(1))
+        boundary match {
+          case None => body
+          case Some(b) =>
+            val parts = body.split(java.util.regex.Pattern.quote("--" + b), -1)
+              .drop(1).filterNot(p => p.startsWith("--") || p.trim.isEmpty)
+            meta += "parts" -> parts.length.toString
+            parts.flatMap { p =>
+              val plines = p.dropWhile(c => c == '\r' || c == '\n').split("\r?\n", -1)
+              val (ph, pbAt) = emailHeaders(plines)
+              val pct = ph.getOrElse("content-type", "text/plain")
+              val enc = ph.getOrElse("content-transfer-encoding", "7bit")
+              val pbody = plines.drop(pbAt).mkString("\n")
+              if (pct.contains("text/plain")) Some(decodeBody(pbody, enc).trim)
+              else if (pct.contains("text/html"))
+                Some(parseHtml(decodeBody(pbody, enc), "text/html").text)
+              else None
+            }.mkString("\n").trim
+        }
+      } else decodeBody(body, hdrs.getOrElse("content-transfer-encoding", "7bit")).trim
+    ParsedDoc(text, mime, meta.result())
+  }
+
+  /** mbox container → one concatenated text with per-message subjects
+    * in metadata ("From " separator lines per the mboxrd convention;
+    * for one-row-per-message use separateAttachments-style explode on
+    * `mboxMessages`). */
+  private[sources] def parseMbox(raw: String, mime: String): ParsedDoc = {
+    val msgs = mboxMessages(raw)
+    val parsed = msgs.map(m => parseEml(m, "message/rfc822"))
+    ParsedDoc(parsed.map(_.text).filter(_.nonEmpty).mkString("\n\n"), mime,
+      Map("messages" -> msgs.length.toString) ++
+        parsed.zipWithIndex.flatMap { case (p, i) =>
+          p.metadata.get("subject").map(s => s"subject_$i" -> s)
+        })
+  }
+
+  /** Split an mbox into raw RFC 5322 messages (the explode hook). */
+  private[sources] def mboxMessages(raw: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var started = false
+    raw.split("\r?\n", -1).foreach { l =>
+      if (l.startsWith("From ")) { // envelope line: message boundary
+        if (started && cur.nonEmpty) out += cur.toString
+        cur.clear()
+        started = true
+      } else if (started) {
+        // mboxrd unquoting: ">From " at line start was escaped
+        cur.append(if (l.startsWith(">") && l.dropWhile(_ == '>').startsWith("From ")) l.drop(1) else l)
+        cur.append('\n')
+      }
+    }
+    if (started && cur.nonEmpty) out += cur.toString
+    out.result()
+  }
+
+  // ----- image metadata (Tika's ImageParser/JpegParser behavior:
+  // dimensions + format facts from the HEADER bytes, no pixel decode —
+  // reference scope: solrCellDocumentTypes.conf routes image/* through
+  // Tika, which indexes exactly this metadata; OCR is out of scope
+  // there too). All parsers are bounded scans of untrusted bytes:
+  // explicit length checks, no allocation proportional to claimed
+  // sizes. -----
+
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) |
+      ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) |
+      ((b(i + 2) & 0xFF) << 16) | ((b(i + 3) & 0xFF) << 24)
+
+  /** PNG (public spec, RFC 2083/ISO 15948): IHDR dims + bit depth +
+    * color type, plus tEXt keyword/value pairs (bounded walk). */
+  private[sources] def parsePng(bytes: Array[Byte], mime: String): ParsedDoc = {
+    if (bytes.length < 33) return ParsedDoc("", mime, Map("parse_error" -> "truncated png"))
+    // signature(8) + IHDR len(4) + "IHDR"(4) -> fields at 16
+    val meta = Map.newBuilder[String, String]
+    meta += "width" -> be32(bytes, 16).toString
+    meta += "height" -> be32(bytes, 20).toString
+    meta += "bit_depth" -> (bytes(24) & 0xFF).toString
+    meta += "color_type" -> (bytes(25) & 0xFF).toString
+    // chunk walk for tEXt (keyword\0value, both Latin-1); bounded
+    var i = 8
+    var chunks = 0
+    while (i + 8 <= bytes.length && chunks < 256) {
+      val len = be32(bytes, i)
+      val typ = new String(bytes, i + 4, 4, StandardCharsets.US_ASCII)
+      if (typ == "tEXt" && len <= 8192 && i + 8 + len <= bytes.length) {
+        val body = new String(bytes, i + 8, len.toInt, StandardCharsets.ISO_8859_1)
+        val nul = body.indexOf('\u0000')
+        if (nul > 0) meta += s"text_${body.substring(0, nul)}" -> body.substring(nul + 1)
+      }
+      if (typ == "IEND" || len > Int.MaxValue - 12) i = bytes.length
+      else i += 12 + len.toInt // len + type + data + crc
+      chunks += 1
+    }
+    ParsedDoc("", mime, meta.result())
+  }
+
+  /** JPEG (ITU T.81): marker walk to the first SOFn frame header for
+    * dimensions/components; JFIF density and progressive flag. */
+  private[sources] def parseJpeg(bytes: Array[Byte], mime: String): ParsedDoc = {
+    val n = bytes.length
+    if (n < 4) return ParsedDoc("", mime, Map("parse_error" -> "truncated jpeg"))
+    val meta = Map.newBuilder[String, String]
+    var i = 2 // past FFD8
+    var found = false
+    var guard = 0
+    while (!found && i + 4 <= n && guard < 1024) {
+      guard += 1
+      if ((bytes(i) & 0xFF) != 0xFF) i += 1 // resync on garbage
+      else {
+        val marker = bytes(i + 1) & 0xFF
+        if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD9) || marker == 0x01 || marker == 0xFF) {
+          i += 2 // standalone marker / fill byte
+        } else {
+          val segLen = be16(bytes, i + 2)
+          if (segLen < 2) i = n
+          else {
+            val isSof = marker >= 0xC0 && marker <= 0xCF &&
+              marker != 0xC4 && marker != 0xC8 && marker != 0xCC
+            if (isSof && i + 9 <= n) {
+              meta += "height" -> be16(bytes, i + 5).toString
+              meta += "width" -> be16(bytes, i + 7).toString
+              meta += "components" -> (bytes(i + 9) & 0xFF).toString
+              meta += "progressive" -> (marker == 0xC2).toString
+              found = true
+            } else if (marker == 0xE0 && i + 16 <= n &&
+              new String(bytes, i + 4, 4, StandardCharsets.US_ASCII) == "JFIF") {
+              meta += "density_x" -> be16(bytes, i + 12).toString
+              meta += "density_y" -> be16(bytes, i + 14).toString
+            }
+            i += 2 + segLen
+          }
+        }
+      }
+    }
+    if (!found) meta += "parse_error" -> "no SOF frame"
+    ParsedDoc("", mime, meta.result())
+  }
+
+  /** GIF87a/89a: little-endian logical-screen dimensions + version. */
+  private[sources] def parseGif(bytes: Array[Byte], mime: String): ParsedDoc = {
+    if (bytes.length < 10) return ParsedDoc("", mime, Map("parse_error" -> "truncated gif"))
+    ParsedDoc("", mime, Map(
+      "version" -> new String(bytes, 3, 3, StandardCharsets.US_ASCII),
+      "width" -> le16(bytes, 6).toString,
+      "height" -> le16(bytes, 8).toString))
+  }
+
+  /** BMP (BITMAPINFOHEADER): little-endian dims at 18/22 (height may
+    * be negative = top-down; report magnitude + orientation). */
+  private[sources] def parseBmp(bytes: Array[Byte], mime: String): ParsedDoc = {
+    if (bytes.length < 26) return ParsedDoc("", mime, Map("parse_error" -> "truncated bmp"))
+    val w = le32(bytes, 18)
+    val h = le32(bytes, 22) // negative = top-down orientation
+    ParsedDoc("", mime, Map(
+      "width" -> w.toString,
+      "height" -> math.abs(h).toString,
+      "top_down" -> (h < 0).toString))
+  }
+
   private val parseUdf = udf((mime: String, bytes: Array[Byte]) => parse(mime, bytes))
 
   /** Adds `doc.text` / `doc.mime` / `doc.metadata` from a binary column. */
@@ -611,6 +852,12 @@ object DocumentParser {
       .when(name.endsWith(".odt"), "application/vnd.oasis.opendocument.text")
       .when(name.endsWith(".csv") || name.endsWith(".tsv"), "text/csv")
       .when(name.endsWith(".txt") || name.endsWith(".log"), "text/plain")
+      .when(name.endsWith(".eml"), "message/rfc822")
+      .when(name.endsWith(".mbox"), "application/mbox")
+      .when(name.endsWith(".png"), "image/png")
+      .when(name.endsWith(".jpg") || name.endsWith(".jpeg"), "image/jpeg")
+      .when(name.endsWith(".gif"), "image/gif")
+      .when(name.endsWith(".bmp"), "image/bmp")
       .when(name.endsWith(".avro"), "avro/binary")
       .otherwise("application/octet-stream")
 }

@@ -172,6 +172,109 @@ class SegmentIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("deleteDocuments: tombstones mask term + match-all + stored reads; commit publishes") {
+    val dir = tmp("graft_segdel_")
+    val w = SegmentIndex.writer(dir, conf)
+    (1 to 6).foreach(i => w.addDocument(Seq("id" -> i.toString,
+      "color" -> (if (i % 2 == 0) "red" else "blue"))))
+    w.commit()
+    w.addDocument(Seq("id" -> "7", "color" -> "red")) // second segment
+    w.commit()
+
+    val n = w.deleteDocuments("color", "red")
+    assert(n === 4)
+    // not yet visible — publication happens at commit
+    assert(SegmentIndex.reader(dir, conf).matchAllCount === 7L)
+    w.commit()
+    val r = SegmentIndex.reader(dir, conf)
+    assert(r.matchAllCount === 3L)
+    assert(r.termQueryCount("color", "red") === 0L)
+    assert(r.termQueryCount("color", "blue") === 3L)
+    assert(r.allDocs().map(_.toMap.apply("id")).toSet === Set("1", "3", "5"))
+    // second delete on the same term is a no-op
+    assert(w.deleteDocuments("color", "red") === 0)
+    // deletes accumulate across generations
+    assert(w.deleteDocuments("id", "3") === 1)
+    w.commit()
+    assert(SegmentIndex.reader(dir, conf).matchAllCount === 2L)
+  }
+
+  test("delete-then-add re-adds under the same key (the Solr update idiom)") {
+    val dir = tmp("graft_segupd_")
+    val w = SegmentIndex.writer(dir, conf)
+    w.addDocument(Seq("id" -> "k", "v" -> "old"))
+    w.commit()
+    w.deleteDocuments("id", "k")
+    w.addDocument(Seq("id" -> "k", "v" -> "new")) // buffered doc NOT hit by delete
+    w.commit()
+    val r = SegmentIndex.reader(dir, conf)
+    assert(r.matchAllCount === 1L)
+    assert(r.termDocs("id", "k").head.toMap.apply("v") === "new")
+  }
+
+  test("fully-deleted segment drops at commit; forceMerge reclaims tombstones") {
+    val dir = tmp("graft_segreclaim_")
+    val w = SegmentIndex.writer(dir, conf)
+    w.addDocument(Seq("id" -> "a", "g" -> "dead"))
+    w.addDocument(Seq("id" -> "b", "g" -> "dead"))
+    w.commit() // segment 1: all docs will die
+    w.addDocument(Seq("id" -> "c", "g" -> "dead"))
+    w.addDocument(Seq("id" -> "d", "g" -> "live"))
+    w.commit() // segment 2: half dies
+    w.deleteDocuments("g", "dead")
+    w.commit()
+    val r1 = SegmentIndex.reader(dir, conf)
+    assert(r1.matchAllCount === 1L)
+    assert(r1.numSegments === 1) // the all-dead segment is gone
+    assert(r1.commit.segments.head.dels === 1)
+    w.forceMerge(1)
+    val r2 = SegmentIndex.reader(dir, conf)
+    assert(r2.matchAllCount === 1L)
+    assert(r2.commit.segments.head.dels === 0) // tombstones reclaimed
+    val files = new java.io.File(dir).list().toSeq
+    assert(!files.exists(_.endsWith(".del")))
+    assert(files.count(_.endsWith(".fld")) === 1)
+  }
+
+  test("addIndexes materializes deletions instead of resurrecting them") {
+    val src = tmp("graft_segsrcdel_")
+    val ws = SegmentIndex.writer(src, conf)
+    (1 to 5).foreach(i => ws.addDocument(Seq("id" -> i.toString)))
+    ws.commit()
+    ws.deleteDocuments("id", "2")
+    ws.deleteDocuments("id", "4")
+    ws.commit()
+    val dst = tmp("graft_segdstdel_")
+    val wd = SegmentIndex.writer(dst, conf)
+    wd.addIndexes(Seq(new Path(src)))
+    wd.commit()
+    val r = SegmentIndex.reader(dst, conf)
+    assert(r.matchAllCount === 3L)
+    assert(r.termQueryCount("id", "2") === 0L)
+    assert(r.allDocs().map(_.toMap.apply("id")).toSet === Set("1", "3", "5"))
+  }
+
+  test("distributed deleteByTerm + scatter-gather search over a store") {
+    import spark.implicits._
+    val out = tmp("graft_segdistdel_")
+    val docs = (0 until 100).map(i => (i.toString, if (i % 4 == 0) "drop" else "keep"))
+      .toDF("id", "fate")
+    SegmentShardSink.write(docs, "id", out, shards = 4)
+    // search before: scatter-gather finds every match
+    val hits = SegmentSearch.termQuery(spark, out, "fate", "drop", Seq("id"))
+    assert(hits.count() === 25L)
+    val deleted = SegmentShardSink.deleteByTerm(spark, out, "fate", "drop")
+    assert(deleted === 25L)
+    assert(SegmentSearch.termQuery(spark, out, "fate", "drop", Seq("id")).count() === 0L)
+    val survivors = SegmentSearch.matchAll(spark, out, Seq("id", "fate"))
+    assert(survivors.count() === 75L)
+    assert(survivors.filter(col("fate") === "drop").count() === 0L)
+    // doc counts view reflects tombstones; optimize reclaims them
+    assert(SegmentShardSink.docCounts(spark, out).agg(sum("docs")).head.getLong(0) === 75L)
+    SegmentShardSink.optimize(spark, out)
+    assert(SegmentSearch.matchAll(spark, out, Seq("id")).count() === 75L)
+  }
+
   test("array columns index one posting per element; typed values render canonically") {
     import spark.implicits._
     val out = tmp("graft_segarr_")

@@ -170,7 +170,7 @@ class SourcesSpec extends AnyFunSuite {
     val df = Seq(
       ("application/xml", xml.getBytes("UTF-8")),
       ("text/plain", "just text".getBytes("UTF-8")),
-      ("image/png", Array[Byte](1, 2, 3))).toDF("mime", "content")
+      ("video/mp4", Array[Byte](1, 2, 3))).toDF("mime", "content")
     val got = DocumentParser.parseDocuments(df, col("mime"), col("content"))
       .select(col("mime"), col("doc.text"), col("doc.metadata")).collect()
     val byMime = got.map(r => r.getString(0) ->
@@ -179,7 +179,7 @@ class SourcesSpec extends AnyFunSuite {
     assert(byMime("application/xml")._2("root") === "doc")
     assert(byMime("application/xml")._2("attr_lang") === "en")
     assert(byMime("text/plain")._1 === "just text")
-    assert(byMime("image/png")._2("length") === "3")
+    assert(byMime("video/mp4")._2("length") === "3")
   }
 
   test("S9 parse_document: HTML strips tags/script, extracts title + entities") {
@@ -445,6 +445,146 @@ class SourcesSpec extends AnyFunSuite {
     // UTF-16 text now parses through the normal text path
     val doc = DocumentParser.parse("text/plain", be)
     assert(doc.text === s)
+  }
+
+  // ----- image header metadata (Tika ImageParser behavior: dims
+  // from headers, no pixel decode). Fixtures come from the JDK's OWN
+  // encoders, so the parsers are checked against real format output,
+  // not hand-rolled bytes. -----
+
+  private def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h)
+      img.setRGB(x, y, ((x * 31 + y * 17) & 0xFF) << 8 | (x & 0xFF) << 16 | (y & 0xFF))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt encoder")
+    bos.toByteArray
+  }
+
+  test("S9 image metadata: PNG/JPEG/GIF/BMP dimensions from real encoder output") {
+    val png = DocumentParser.parse("image/png", imageBytes("png", 320, 200))
+    assert(png.text === "")
+    assert(png.metadata("width") === "320" && png.metadata("height") === "200")
+    assert(png.metadata("bit_depth") === "8")
+
+    val jpg = DocumentParser.parse("image/jpeg", imageBytes("jpg", 64, 48))
+    assert(jpg.metadata("width") === "64" && jpg.metadata("height") === "48")
+    assert(jpg.metadata("components") === "3")
+    assert(jpg.metadata("progressive") === "false")
+
+    val gif = DocumentParser.parse("image/gif", imageBytes("gif", 17, 9))
+    assert(gif.metadata("width") === "17" && gif.metadata("height") === "9")
+    assert(gif.metadata("version") === "89a")
+
+    val bmp = DocumentParser.parse("image/bmp", imageBytes("bmp", 33, 21))
+    assert(bmp.metadata("width") === "33" && bmp.metadata("height") === "21")
+    assert(bmp.metadata("top_down") === "false")
+  }
+
+  test("S9 PNG tEXt chunks surface as metadata; truncated images degrade cleanly") {
+    // splice a tEXt chunk (keyword NUL value; CRC unchecked by the
+    // header parser) in front of IEND of a real PNG
+    val png = imageBytes("png", 8, 8)
+    val iend = {
+      val sig = Array[Byte]('I', 'E', 'N', 'D')
+      (0 until png.length - 7).find(i =>
+        png(i + 4) == sig(0) && png(i + 5) == sig(1) &&
+          png(i + 6) == sig(2) && png(i + 7) == sig(3)).get
+    }
+    val body = "Software graft".getBytes("ISO-8859-1")
+    val chunk = java.nio.ByteBuffer.allocate(12 + body.length)
+      .putInt(body.length).put("tEXt".getBytes("US-ASCII")).put(body).putInt(0)
+    val spliced = png.take(iend) ++ chunk.array() ++ png.drop(iend)
+    val parsed = DocumentParser.parse("image/png", spliced)
+    assert(parsed.metadata("text_Software") === "graft")
+    assert(parsed.metadata("width") === "8")
+
+    // truncation and garbage: parse_error metadata, never a throw
+    for (bad <- Seq(png.take(10), Array[Byte](1, 2, 3), Array.empty[Byte]))
+      assert(DocumentParser.parse("image/png", bad).metadata.contains("parse_error"))
+    assert(DocumentParser.parse("image/jpeg", Array[Byte](-1, -40, 0, 0, 0, 0))
+      .metadata.contains("parse_error"))
+  }
+
+  test("multimodal decode is REAL for JDK-decodable formats (pixels, not fakes)") {
+    import spark.implicits._
+    // a solid-red PNG: mean R feature ~1, G/B ~0 — provably from pixels
+    val img = new java.awt.image.BufferedImage(40, 30,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 40; y <- 0 until 30) img.setRGB(x, y, 0xFF0000)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val assets = Seq(("mem://red.png", bos.toByteArray)).toDF("path", "content")
+    val d = graft.ops.Multimodal.decodeImages(spark, assets).collect().head
+    assert(d.width === 40 && d.height === 30 && d.channels === 3)
+    assert(math.abs(d.features(0) - 1.0f) < 1e-3) // mean R from real pixels
+    assert(d.features(1) < 1e-3 && d.features(2) < 1e-3)
+    // undecodable bytes still flow (deterministic fake path)
+    val junk = Seq(("mem://x.bin", Array.fill[Byte](100)(7))).toDF("path", "content")
+    val f = graft.ops.Multimodal.decodeImages(spark, junk).collect().head
+    assert(f.features.length === 8)
+  }
+
+  test("S9 parseEml: headers, folded subject, quoted-printable body") {
+    val eml =
+      "From: alice@example.com\r\n" +
+        "To: bob@example.com\r\n" +
+        "Subject: a folded\r\n subject line\r\n" +
+        "Date: Wed, 12 Aug 2026 10:00:00 +0000\r\n" +
+        "Content-Type: text/plain; charset=utf-8\r\n" +
+        "Content-Transfer-Encoding: quoted-printable\r\n" +
+        "\r\n" +
+        "caf=C3=A9 notes =\r\ncontinue here\r\n"
+    val p = DocumentParser.parse("message/rfc822", eml.getBytes("UTF-8"))
+    assert(p.metadata("subject") === "a folded subject line")
+    assert(p.metadata("from") === "alice@example.com")
+    assert(p.text === "café notes continue here")
+  }
+
+  test("S9 parseEml multipart: text/plain + text/html parts kept, base64 decoded") {
+    val b64 = java.util.Base64.getEncoder.encodeToString(
+      "<p>html <b>part</b></p>".getBytes("UTF-8"))
+    val eml =
+      "Subject: multi\n" +
+        "MIME-Version: 1.0\n" +
+        "Content-Type: multipart/alternative; boundary=\"XYZ\"\n" +
+        "\n" +
+        "--XYZ\n" +
+        "Content-Type: text/plain\n" +
+        "\n" +
+        "plain part\n" +
+        "--XYZ\n" +
+        "Content-Type: text/html\n" +
+        "Content-Transfer-Encoding: base64\n" +
+        "\n" +
+        b64 + "\n" +
+        "--XYZ\n" +
+        "Content-Type: application/octet-stream\n" +
+        "\n" +
+        "BINARYJUNK\n" +
+        "--XYZ--\n"
+    val p = DocumentParser.parse("message/rfc822", eml.getBytes("UTF-8"))
+    assert(p.metadata("parts") === "3")
+    assert(p.text.contains("plain part"))
+    assert(p.text.contains("html part"))
+    assert(!p.text.contains("BINARYJUNK"))
+  }
+
+  test("S9 parseMbox: splits on From_ envelopes, unquotes mboxrd, counts messages") {
+    val mbox =
+      "From alice Mon Aug 10 10:00:00 2026\n" +
+        "Subject: first\n\nbody one\n>From quoted line\n" +
+        "From bob Tue Aug 11 11:00:00 2026\n" +
+        "Subject: second\n\nbody two\n"
+    val p = DocumentParser.parse("application/mbox", mbox.getBytes("UTF-8"))
+    assert(p.metadata("messages") === "2")
+    assert(p.metadata("subject_0") === "first")
+    assert(p.metadata("subject_1") === "second")
+    assert(p.text.contains("body one") && p.text.contains("body two"))
+    assert(p.text.contains("From quoted line")) // mboxrd unquote
+    val msgs = DocumentParser.mboxMessages(mbox)
+    assert(msgs.length === 2)
   }
 
   test("ORC + text builtin sources round-trip") {
