@@ -80,6 +80,20 @@ object Graft {
     graft.index.SegmentShardSink.docCounts(spark, out)
   }
 
+  /** Scatter-gather exact-term query over a [[buildSegmentIndex]]
+    * store (one task per shard, zero shuffles); `fields` selects the
+    * stored fields to return. */
+  def searchIndex(spark: SparkSession, store: String, field: String,
+                  term: String, fields: Seq[String]): DataFrame =
+    graft.index.SegmentSearch.termQuery(spark, store, field, term, fields)
+
+  /** Distributed delete-by-term over a segment store (tombstones only;
+    * run [[graft.index.SegmentShardSink.optimize]] to reclaim).
+    * Returns newly deleted doc count. */
+  def deleteFromIndex(spark: SparkSession, store: String, field: String,
+                      term: String): Long =
+    graft.index.SegmentShardSink.deleteByTerm(spark, store, field, term)
+
   /** The training-corpus counterpart of [[buildIndex]]: quality gate →
     * PII redaction → URL/exact/near dedup → optional chunking, one
     * composed plan (see [[graft.ops.CorpusPipeline]]). */
