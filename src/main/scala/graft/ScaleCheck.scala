@@ -12,10 +12,13 @@ import org.apache.spark.sql.functions._
  *  - `lineitem`: 10 key-offset copies (l_orderkey += i·10⁹) so the
  *    build key (orderkey#linenumber) stays unique — replicating keys
  *    verbatim would let dedup collapse the copies and understate work;
- *  - `documents`: 10 key-offset copies with a per-copy suffix token on
- *    `text`, so exact-dedup/minhash queries see 10× distinct docs
- *    (identical texts would turn the corpus into one giant dup
- *    cluster — a different workload, not a bigger one);
+ *  - `documents`: 10 key-offset copies, each with ~30% of its tokens
+ *    deterministically rewritten (hash(token, copy) mod 100 < 30 →
+ *    suffixed variant), so exact-dedup AND near-dup queries see 10×
+ *    genuinely distinct docs — pairwise Jaccard between copies lands
+ *    ≈0.5, below the 0.8-class near-dup thresholds (a bare suffix
+ *    token would leave Jaccard ≈1 and make minhash queries measure
+ *    collapsing 10-way clusters, not a bigger diverse corpus);
  *  - remaining tables are carried over unchanged (the measured queries
  *    do not read them).
  *
@@ -54,7 +57,9 @@ object ScaleCheck {
   private def synthesize(spark: SparkSession, src: String, out: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val done = new org.apache.hadoop.fs.Path(out, "_SYNTH_DONE")
+    // v2: token-perturbed copies (marker renamed so a stale /tmp synth
+    // from the suffix-only version is regenerated, not reused)
+    val done = new org.apache.hadoop.fs.Path(out, "_SYNTH_DONE_v2")
     if (fs.exists(done)) return
     def copies(df: DataFrame, f: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until 10).map(i => f(df, i)).reduce(_ unionAll _)
@@ -67,7 +72,13 @@ object ScaleCheck {
     val docs = spark.read.parquet(s"$src/documents.parquet")
     copies(docs, (d, i) => d
         .withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000000L))
-        .withColumn("text", concat(col("text"), lit(s" copytoken$i"))))
+        .withColumn("text",
+          if (i == 0) col("text")
+          else array_join(
+            transform(split(col("text"), " "), t =>
+              when(pmod(hash(t, lit(i)), lit(100)) < 30, concat(t, lit("v"), lit(i)))
+                .otherwise(t)),
+            " ")))
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
     Seq("region", "nation", "customer", "supplier", "part", "orders",

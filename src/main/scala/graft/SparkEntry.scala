@@ -798,7 +798,11 @@ object SparkEntry {
       val ptLon = 20.0
       val dKm = 3000.0
       val latHalf = dKm / 111.195
-      val lonHalf = dKm / (111.195 * math.cos(math.toRadians(ptLat)))
+      // exact max longitude delta of the circle: the extreme is NOT at
+      // the center's latitude (dKm/(111.195*cos(ptLat)) under-covers
+      // near the east/west tangent points) — it's asin(sin(r/R)/cos(lat))
+      val lonHalf =
+        math.toDegrees(math.asin(math.sin(dKm / 6371.0088) / math.cos(math.toRadians(ptLat))))
       val c = Tables.customer(s, d)
         .withColumn("lat", (pmod(col("c_custkey"), lit(120)) - lit(60)).cast("double") * lit(0.7))
         .withColumn("lon", (pmod(col("c_custkey") * lit(7), lit(360)) - lit(180)).cast("double") * lit(0.9))
@@ -1186,6 +1190,146 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))
         .limit(20)
         .select(col("doc_id"), col("score"))
+    }),
+
+    // Solr {!parent} block join, ScoreMode.Total/Max: parents (orders)
+    // with >=1 child lineitem matching the child query, scored by the
+    // matching-children aggregate. The child filter runs FIRST (the
+    // selective side), then one groupBy on the join key, then the
+    // parent join — at 100 TB the child agg shrinks the probe side
+    // before the join shuffle; no window, no cross product. max() of
+    // doubles is exact (no rounding) -> hash-stable.
+    "q101_block_join" -> ((s, d) => {
+      val kids = Tables.lineitem(s, d)
+        .filter(col("l_quantity") >= 45)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("child_hits"), max(col("l_extendedprice")).as("best_child"))
+      Tables.orders(s, d)
+        .join(kids, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("o_orderpriority"), col("child_hits"),
+          col("best_child"))
+    }),
+
+    // Solr {!join from=s_nationkey to=c_nationkey} query parser:
+    // filter one doc set by field-equality against another query's
+    // result. The from-side collapses to DISTINCT keys (9 rows here)
+    // and broadcasts — a left-semi hash join with no shuffle of the
+    // to-side, which is exactly Solr's join-filter evaluation shape.
+    "q102_join_qparser" -> ((s, d) => {
+      val from = Tables.supplier(s, d)
+        .filter(col("s_acctbal") > 6000)
+        .select(col("s_nationkey")).distinct()
+      Tables.customer(s, d)
+        .join(broadcast(from), col("c_nationkey") === col("s_nationkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // Solr {!rerank reRankDocs=50 reRankWeight=...}: cheap base query
+    // ranks top-50, an expensive scorer re-ranks only that window —
+    // the two-phase retrieval shape (recall pass over the corpus,
+    // precision pass over a constant-size set). Final score =
+    // base + 10000*(custkey%7): one IEEE add of exactly-representable
+    // terms, bit-equal both engines. base_rank is assigned pre-rerank.
+    "q103_rerank" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(50)
+        .withColumn("base_rank",
+          row_number().over(Window.orderBy(col("o_totalprice").desc, col("o_orderkey")))
+            .cast("long")) // 50 rows: the unpartitioned window is post-limit, bounded
+      base.withColumn("rerank_score",
+          col("o_totalprice") + lit(10000.0) * pmod(col("o_custkey"), lit(7)).cast("double"))
+        .orderBy(col("rerank_score").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("base_rank"), col("rerank_score"))
+    }),
+
+    // Solr SignificantTermsQParser: terms over-represented in a
+    // foreground doc set vs the whole corpus. One explode+groupBy
+    // computes df and fg_df together (conditional count — a single
+    // aggregation pass, not two scans); score kept in integer
+    // millirat (fg_df*1000/df, integer division) so the ranking is
+    // bit-stable. df floor prunes the long tail before the sort.
+    "q104_significant_terms" -> ((s, d) => {
+      val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(toks)).as("term"))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("df"),
+          count(when(pmod(col("doc_id"), lit(7)) === 0, 1)).as("fg_df"))
+        .filter(col("df") >= 20)
+        .withColumn("score_milli", expr("fg_df * 1000 div df").cast("long"))
+        .orderBy(col("score_milli").desc, col("term"))
+        .limit(20)
+        .select(col("term"), col("df"), col("fg_df"), col("score_milli"))
+    }),
+
+    // Solr AnalyzingInfixSuggester: substring (not just prefix — q92
+    // covers that) match over the vocabulary, weighted by doc freq,
+    // with a payload (smallest holding doc). Same single explode+agg
+    // pass as the other vocabulary queries; the infix filter lands on
+    // the aggregated vocab (small), not the corpus.
+    "q105_suggest_infix" -> ((s, d) => {
+      val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(toks)).as("term"))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("weight"), min(col("doc_id")).as("payload_doc"))
+        .filter(col("term").contains("ar"))
+        .orderBy(col("weight").desc, col("term"))
+        .limit(10)
+    }),
+
+    // Solr interval facets: user-supplied arbitrary intervals (unlike
+    // q83's uniform range buckets), counted per facet field value.
+    // One CASE column + one groupBy — a single aggregation pass; the
+    // label expression is identical in the oracle so bucket edges
+    // can't drift.
+    "q106_interval_facet" -> ((s, d) => {
+      val interval = when(col("o_totalprice") < 50000, "[0,50k)")
+        .when(col("o_totalprice") < 150000, "[50k,150k)")
+        .when(col("o_totalprice") < 300000, "[150k,300k)")
+        .otherwise("[300k,*)")
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"), interval.as("interval"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // Solr streaming-expression gatherNodes (graph traversal): from a
+    // seed node set, walk customer -> orders -> supplying suppliers
+    // (two hops), emitting each frontier node with its path count.
+    // Each hop is a hash join on the edge key with the (small)
+    // frontier broadcast — the iterative-BFS-as-joins shape that
+    // scales by sharding the EDGE tables, never materializing paths.
+    "q107_graph_walk" -> ((s, d) => {
+      val seeds = Tables.customer(s, d)
+        .filter(pmod(col("c_custkey"), lit(997)) === 0)
+        .select(col("c_custkey"))
+      val hop1 = Tables.orders(s, d)
+        .join(broadcast(seeds), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"))
+      Tables.lineitem(s, d)
+        .join(broadcast(hop1), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("paths"))
+    }),
+
+    // the index as a first-class TABLE: DataSourceV2 read over the
+    // segment store with Catalyst-driven pushdown — the p_brand
+    // equality becomes a posting-list lookup per shard (no stored-doc
+    // scan; see IndexDataSource) and only 3 stored fields materialize.
+    // Same oracle as q94, which reaches the store via the explicit
+    // scatter-gather API instead — both must agree with the source
+    // table, proving the round-trip AND the pushdown are lossless.
+    "q108_index_dsv2" -> ((s, d) => {
+      import graft.index.SegmentShardSink
+      val parts = Tables.part(s, d).withColumn("id", col("p_partkey").cast("string"))
+      val out = java.nio.file.Files.createTempDirectory("graft_q108_").toString
+      SegmentShardSink.write(parts, "id", out, shards = 4)
+      s.read.format("graft-index").load(out)
+        .filter(col("p_brand") === "Brand#23")
+        .select(col("id").cast("long").as("p_partkey"), col("p_name"),
+          col("p_size").cast("long").as("p_size"))
     })
   )
 
@@ -1996,6 +2140,72 @@ object SparkEntry {
         | array_to_string(CASE WHEN u.u_tags IS NULL THEN b.tags
         |   WHEN b.tags IS NULL THEN u.u_tags
         |   ELSE b.tags || u.u_tags END, '|') AS tags_joined
-        |FROM b LEFT JOIN u USING (doc_id)""".stripMargin
+        |FROM b LEFT JOIN u USING (doc_id)""".stripMargin,
+
+    "q101_block_join" ->
+      """SELECT o_orderkey, o_orderpriority,
+        | CAST(count(*) AS BIGINT) AS child_hits,
+        | max(l_extendedprice) AS best_child
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_quantity >= 45
+        |GROUP BY o_orderkey, o_orderpriority""".stripMargin,
+
+    "q102_join_qparser" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_nationkey IN
+        |  (SELECT s_nationkey FROM supplier WHERE s_acctbal > 6000)""".stripMargin,
+
+    "q103_rerank" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS base_rank
+        |  FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 50)
+        |SELECT o_orderkey, CAST(base_rank AS BIGINT) AS base_rank,
+        |  o_totalprice + 10000.0 * CAST(o_custkey % 7 AS DOUBLE) AS rerank_score
+        |FROM base
+        |ORDER BY rerank_score DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q104_significant_terms" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |           FROM documents),
+        |dt AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM t),
+        |v AS (SELECT term, count(*) AS df,
+        |        count(*) FILTER (WHERE doc_id % 7 = 0) AS fg_df
+        |      FROM dt GROUP BY term)
+        |SELECT term, CAST(df AS BIGINT) AS df, CAST(fg_df AS BIGINT) AS fg_df,
+        |  CAST(fg_df * 1000 // df AS BIGINT) AS score_milli
+        |FROM v WHERE df >= 20
+        |ORDER BY score_milli DESC, term LIMIT 20""".stripMargin,
+
+    "q105_suggest_infix" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |           FROM documents),
+        |dt AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM t)
+        |SELECT term, CAST(count(*) AS BIGINT) AS weight,
+        |  min(doc_id) AS payload_doc
+        |FROM dt WHERE term LIKE '%ar%'
+        |GROUP BY term
+        |ORDER BY weight DESC, term LIMIT 10""".stripMargin,
+
+    "q106_interval_facet" ->
+      """SELECT o_orderpriority,
+        | CASE WHEN o_totalprice < 50000 THEN '[0,50k)'
+        |      WHEN o_totalprice < 150000 THEN '[50k,150k)'
+        |      WHEN o_totalprice < 300000 THEN '[150k,300k)'
+        |      ELSE '[300k,*)' END AS interval,
+        | CAST(count(*) AS BIGINT) AS cnt
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+
+    "q107_graph_walk" ->
+      """SELECT l_suppkey, CAST(count(*) AS BIGINT) AS paths
+        |FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_custkey % 997 = 0))
+        |GROUP BY l_suppkey""".stripMargin,
+
+    "q108_index_dsv2" ->
+      """SELECT p_partkey, p_name, CAST(p_size AS BIGINT) AS p_size
+        |FROM part WHERE p_brand = 'Brand#23'""".stripMargin
   )
 }

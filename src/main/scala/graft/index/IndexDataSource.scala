@@ -1,0 +1,171 @@
+package graft.index
+
+import graft.util.SerializableHadoopConf
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.util
+
+/**
+ * DataSourceV2 batch reader over a [[SegmentShardSink]] store —
+ * `spark.read.format("graft-index").load(store)` — so a built index
+ * participates in the engine's relational surface as a TABLE, with
+ * Catalyst driving the two optimizations an index can actually serve:
+ *
+ *  - **exact-term filter pushdown** ([[SupportsPushDownFilters]]): one
+ *    `EqualTo(field, value)` predicate is translated to a posting-list
+ *    lookup per shard (`SegmentIndex.Reader.termDocs`) instead of a
+ *    full stored-doc scan — the index analog of parquet predicate
+ *    pushdown, and precisely what Solr does with a `fq=field:term`.
+ *    Remaining predicates stay residual Spark filters.
+ *  - **column pruning** ([[SupportsPushDownRequiredColumns]]): only
+ *    requested stored fields are materialized into rows.
+ *
+ * Parallelism: one [[InputPartition]] per `part-NNNNN` shard dir — the
+ * same task-per-shard shape as [[SegmentSearch]] (and as a Solr
+ * distributed query), no shuffle. Schema comes from the store marker's
+ * `columns` inventory (metadata-only; no segment open at plan time);
+ * every column is `StringType` per the declared strings-only
+ * divergence of [[SegmentIndex]]. Multivalued fields surface their
+ * FIRST value, matching [[SegmentSearch]].
+ *
+ * Reference trace: the reference never reads its indexes back into the
+ * engine (its product ENDS at the go-live dirs) — this source is the
+ * Spark-native closing of that loop, letting downstream pipelines join
+ * index contents against anything else the session can read.
+ */
+class IndexDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-index"
+
+  private def storePath(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty, "graft-index requires .load(<store path>)")
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val store = storePath(options)
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val cols = SegmentShardSink.storedColumns(conf, store)
+    require(cols.nonEmpty,
+      s"no column inventory in $store/_graft_segment_commit.json — not a graft segment store?")
+    StructType(cols.map(c => StructField(c, StringType, nullable = true)))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new IndexTable(schema, properties.get("path"))
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+private[index] class IndexTable(tableSchema: StructType, store: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-index `$store`"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new IndexScanBuilder(tableSchema, store)
+}
+
+private[index] class IndexScanBuilder(full: StructType, store: String)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
+
+  /** Accept ONE string-equality on a stored field (a single posting
+    * lookup — the shape the index serves); everything else is residual.
+    * The pushed filter is exact (termDocs matches whole terms), so it
+    * is NOT returned for re-evaluation. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, residual) = {
+      val idx = filters.indexWhere {
+        case EqualTo(a, v: String) => full.fieldNames.contains(a) && v != null
+        case _ => false
+      }
+      if (idx < 0) (Array.empty[Filter], filters)
+      else (Array(filters(idx)), filters.patch(idx, Nil, 1))
+    }
+    pushed = accepted
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // keep only index-known fields; Spark may append metadata structs
+    required = StructType(requiredSchema.fields.filter(f => full.fieldNames.contains(f.name)))
+
+  override def build(): Scan = {
+    val term = pushed.collectFirst { case EqualTo(a, v: String) => (a, v) }
+    new IndexScan(store, required, term)
+  }
+}
+
+private[index] class IndexScan(store: String, required: StructType,
+                               term: Option[(String, String)]) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"GraftIndexScan store=$store pushedTerm=${term.map(t => t._1 + ":" + t._2).getOrElse("*:*")} " +
+      s"columns=${required.fieldNames.mkString(",")}"
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    SegmentShardSink.partIndexDirs(spark, store)
+      .map(d => IndexInputPartition(d): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = new SerializableHadoopConf(
+      SparkSession.active.sessionState.newHadoopConf())
+    new IndexReaderFactory(conf, required.fieldNames, term)
+  }
+}
+
+private[index] case class IndexInputPartition(dir: String) extends InputPartition
+
+private[index] class IndexReaderFactory(conf: SerializableHadoopConf,
+                                        fields: Array[String],
+                                        term: Option[(String, String)])
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val dir = new Path(partition.asInstanceOf[IndexInputPartition].dir)
+      private lazy val docs: Iterator[SegmentIndex.Doc] = {
+        val reader = new SegmentIndex.Reader(dir.getFileSystem(conf.value), dir)
+        term match {
+          case Some((f, t)) => reader.termDocs(f, t).iterator
+          case None => reader.allDocs()
+        }
+      }
+      private var current: InternalRow = _
+
+      override def next(): Boolean =
+        if (!docs.hasNext) false
+        else {
+          val doc = docs.next()
+          // first occurrence wins for multivalued fields (SegmentSearch contract)
+          val m = doc.foldLeft(Map.empty[String, String]) { case (acc, (k, v)) =>
+            if (acc.contains(k)) acc else acc.updated(k, v)
+          }
+          current = InternalRow.fromSeq(fields.toIndexedSeq.map(f =>
+            m.get(f).map(UTF8String.fromString).orNull))
+          true
+        }
+
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+}

@@ -37,7 +37,11 @@ object SegmentSearch {
       val p = new Path(d)
       val reader = new SegmentIndex.Reader(p.getFileSystem(conf.value), p)
       hits(reader).map { doc =>
-        val m = doc.toMap // first value wins for multivalued fields
+        // toMap keeps the LAST duplicate key; fold keeps the FIRST, per
+        // the documented multivalued contract above
+        val m = doc.foldLeft(Map.empty[String, String]) { case (acc, (k, v)) =>
+          if (acc.contains(k)) acc else acc.updated(k, v)
+        }
         Row.fromSeq(fields.map(m.get(_).orNull))
       }
     }

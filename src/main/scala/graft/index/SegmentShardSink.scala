@@ -106,21 +106,41 @@ object SegmentShardSink {
       if (SegmentIndex.latestCommit(fs, dir).isEmpty)
         new SegmentIndex.Writer(fs, dir).commit()
     }
-    writeMarker(out, shards, n, idCol, df.sparkSession)
+    writeMarker(out, shards, n, idCol, fields.map(_._1), df.sparkSession)
   }
 
   private def indexDir(out: String, part: Int): String =
     f"$out/part-$part%05d/data/index"
 
   private def writeMarker(out: String, shards: Int, parts: Int, idCol: String,
-                          spark: SparkSession): Unit = {
+                          columns: Seq[String], spark: SparkSession): Unit = {
     val p = new Path(out, "_graft_segment_commit.json")
     val fs = p.getFileSystem(ShardIndex.hadoopConf(spark))
     val os = fs.create(p, true)
+    // columns records the stored-field inventory so readers (the
+    // graft-index DataSourceV2 source) get a schema from metadata
+    // alone, without opening any segment
+    val cols = columns.map("\"" + _ + "\"").mkString("[", ",", "]")
     try os.write(
-      s"""{"graft_segment_store":1,"shards":$shards,"parts":$parts,"id_column":"$idCol"}"""
+      s"""{"graft_segment_store":1,"shards":$shards,"parts":$parts,"id_column":"$idCol","columns":$cols}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally os.close()
+  }
+
+  /** Stored-field inventory from the store marker (written by
+    * [[write]]); empty for a pre-columns-marker store. */
+  private[index] def storedColumns(conf: org.apache.hadoop.conf.Configuration,
+                                   store: String): Seq[String] = {
+    val p = new Path(store, "_graft_segment_commit.json")
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return Nil
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    "\"columns\":\\[(.*?)\\]".r.findFirstMatchIn(txt) match {
+      case Some(m) if m.group(1).nonEmpty =>
+        m.group(1).split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      case _ => Nil
+    }
   }
 
   /** part-NNNNN dirs under a store, ascending. */

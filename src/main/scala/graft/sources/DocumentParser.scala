@@ -757,8 +757,11 @@ object DocumentParser {
         val nul = body.indexOf('\u0000')
         if (nul > 0) meta += s"text_${body.substring(0, nul)}" -> body.substring(nul + 1)
       }
-      if (typ == "IEND" || len > Int.MaxValue - 12) i = bytes.length
-      else i += 12 + len.toInt // len + type + data + crc
+      // Long advance: i + 12 + len can exceed Int.MaxValue for a
+      // hostile len even when 12 + len alone doesn't
+      val next = i.toLong + 12L + len // len + type + data + crc
+      if (typ == "IEND" || next > bytes.length) i = bytes.length
+      else i = next.toInt
       chunks += 1
     }
     ParsedDoc("", mime, meta.result())
@@ -786,7 +789,7 @@ object DocumentParser {
           else {
             val isSof = marker >= 0xC0 && marker <= 0xCF &&
               marker != 0xC4 && marker != 0xC8 && marker != 0xCC
-            if (isSof && i + 9 <= n) {
+            if (isSof && i + 10 <= n) { // reads bytes(i+9)
               meta += "height" -> be16(bytes, i + 5).toString
               meta += "width" -> be16(bytes, i + 7).toString
               meta += "components" -> (bytes(i + 9) & 0xFF).toString

@@ -1,0 +1,90 @@
+package graft.index
+
+import graft.TestSpark
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The graft-index DataSourceV2 reader: schema from store metadata,
+  * term-filter pushdown to posting lookups, column pruning, and
+  * agreement with both the source DataFrame and the explicit
+  * SegmentSearch scatter-gather path. */
+class IndexDataSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def tmp(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private lazy val store: String = {
+    import spark.implicits._
+    val df = Seq(
+      ("1", "alpha", "x"), ("2", "beta", "y"), ("3", "alpha", "y"),
+      ("4", "gamma", "x"), ("5", "alpha", "z")
+    ).toDF("id", "value", "tag")
+    val out = tmp("graft_dsv2_")
+    SegmentShardSink.write(df, "id", out, shards = 2)
+    out
+  }
+
+  test("schema inferred from store marker, all-strings") {
+    val df = spark.read.format("graft-index").load(store)
+    assert(df.schema.fieldNames.toSeq === Seq("id", "value", "tag"))
+    assert(df.schema.fields.forall(_.dataType.typeName == "string"))
+  }
+
+  test("match-all read returns every live doc") {
+    val df = spark.read.format("graft-index").load(store)
+    assert(df.count() === 5)
+    assert(df.select("id").as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().sorted.toSeq === Seq("1", "2", "3", "4", "5"))
+  }
+
+  test("EqualTo pushdown: plan carries the term, result is exact") {
+    val df = spark.read.format("graft-index").load(store)
+      .filter(col("value") === "alpha").select("id")
+    // the pushed term must appear in the scan description (posting
+    // lookup, not a full scan) and the residual filter list must not
+    // re-evaluate it
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.description()
+    }
+    assert(scan.exists(_.contains("pushedTerm=value:alpha")), s"scan was: $scan")
+    assert(df.as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().sorted.toSeq === Seq("1", "3", "5"))
+  }
+
+  test("column pruning reaches the scan") {
+    val df = spark.read.format("graft-index").load(store).select("tag")
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.description()
+    }
+    assert(scan.exists(_.contains("columns=tag")), s"scan was: $scan")
+    assert(df.collect().map(_.getString(0)).sorted.toSeq === Seq("x", "x", "y", "y", "z"))
+  }
+
+  test("non-equality predicates stay residual and still filter correctly") {
+    val df = spark.read.format("graft-index").load(store)
+      .filter(col("value") === "alpha" && col("tag") =!= "z")
+    assert(df.select("id").collect().map(_.getString(0)).sorted.toSeq === Seq("1", "3"))
+  }
+
+  test("deletes are honored (reads only live docs)") {
+    val out = {
+      import spark.implicits._
+      val o = tmp("graft_dsv2_del_")
+      SegmentShardSink.write(Seq(("1", "a"), ("2", "b"), ("3", "a")).toDF("id", "v"),
+        "id", o, shards = 2)
+      o
+    }
+    SegmentShardSink.deleteByTerm(spark, out, "v", "a")
+    assert(spark.read.format("graft-index").load(out).count() === 1)
+  }
+
+  test("agrees with the SegmentSearch scatter-gather path") {
+    val viaDsv2 = spark.read.format("graft-index").load(store)
+      .filter(col("value") === "alpha").select("id", "tag")
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    val viaSearch = SegmentSearch.termQuery(spark, store, "value", "alpha", Seq("id", "tag"))
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(viaDsv2 === viaSearch)
+  }
+}
