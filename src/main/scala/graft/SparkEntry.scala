@@ -1330,6 +1330,61 @@ object SparkEntry {
         .filter(col("p_brand") === "Brand#23")
         .select(col("id").cast("long").as("p_partkey"), col("p_name"),
           col("p_size").cast("long").as("p_size"))
+    }),
+
+    // incremental UPSERT — Solr's steady-state indexing idiom
+    // (deleteById + add, one batch) applied to the store: build, then
+    // apply a delta that rewrites every 10th part and adds brand-new
+    // ids; the full export must equal the source's LATEST state, so
+    // the oracle catches lost updates, resurrected tombstones, and
+    // dropped adds. Delta-only shuffle (the store itself never moves).
+    "q109_index_upsert" -> ((s, d) => {
+      import graft.index.{SegmentSearch, SegmentShardSink}
+      val parts = Tables.part(s, d).withColumn("id", col("p_partkey").cast("string"))
+        .select(col("id"), col("p_name"), col("p_brand"))
+      val out = java.nio.file.Files.createTempDirectory("graft_q109_").toString
+      SegmentShardSink.write(parts, "id", out, shards = 4)
+      val delta = Tables.part(s, d)
+        .filter(pmod(col("p_partkey"), lit(10)) === 0)
+        .select(col("p_partkey").cast("string").as("id"),
+          concat(col("p_name"), lit(" v2")).as("p_name"), col("p_brand"))
+        .unionByName(Tables.part(s, d)
+          .filter(pmod(col("p_partkey"), lit(97)) === 0)
+          .select((col("p_partkey") + 10000000L).cast("string").as("id"),
+            concat(lit("new part "), col("p_partkey")).as("p_name"), col("p_brand")))
+      SegmentShardSink.upsert(s, out, delta)
+      SegmentSearch.matchAll(s, out, Seq("id", "p_name", "p_brand"))
+        .select(col("id").cast("long").as("p_partkey"), col("p_name"), col("p_brand"))
+    }),
+
+    // Luke/terms-component statistics: per-term live doc frequency
+    // from the index's own POSTINGS (stored docs never read), summed
+    // across shards — oracled against DuckDB on the source table, so
+    // the postings statistics themselves are verified, not just
+    // point lookups.
+    "q110_luke_terms" -> ((s, d) => {
+      import graft.index.{SegmentSearch, SegmentShardSink}
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey").cast("string").as("id"), col("c_mktsegment"))
+      val out = java.nio.file.Files.createTempDirectory("graft_q110_").toString
+      SegmentShardSink.write(cust, "id", out, shards = 4)
+      SegmentSearch.fieldTerms(s, out, "c_mktsegment")
+        .select(col("term").as("c_mktsegment"), col("doc_freq"))
+    }),
+
+    // Solr realtime get (/get?ids=...): an id-list lookup pushed into
+    // the index as an IN filter — Catalyst hands the DSv2 scan the
+    // whole id set, each shard resolves only its own posting lists.
+    "q111_realtime_get" -> ((s, d) => {
+      import graft.index.SegmentShardSink
+      val parts = Tables.part(s, d).withColumn("id", col("p_partkey").cast("string"))
+        .select(col("id"), col("p_name"), col("p_size"))
+      val out = java.nio.file.Files.createTempDirectory("graft_q111_").toString
+      SegmentShardSink.write(parts, "id", out, shards = 4)
+      s.read.format("graft-index").load(out)
+        .filter(col("id").isin("7", "77", "177", "777"))
+        .select(col("id").cast("long").as("p_partkey"), col("p_name"),
+          col("p_size").cast("long").as("p_size"))
     })
   )
 
@@ -2206,6 +2261,25 @@ object SparkEntry {
 
     "q108_index_dsv2" ->
       """SELECT p_partkey, p_name, CAST(p_size AS BIGINT) AS p_size
-        |FROM part WHERE p_brand = 'Brand#23'""".stripMargin
+        |FROM part WHERE p_brand = 'Brand#23'""".stripMargin,
+
+    "q109_index_upsert" ->
+      """SELECT p_partkey, p_name || ' v2' AS p_name, p_brand
+        |FROM part WHERE p_partkey % 10 = 0
+        |UNION ALL
+        |SELECT p_partkey, p_name, p_brand
+        |FROM part WHERE p_partkey % 10 <> 0
+        |UNION ALL
+        |SELECT p_partkey + 10000000 AS p_partkey,
+        |  'new part ' || p_partkey AS p_name, p_brand
+        |FROM part WHERE p_partkey % 97 = 0""".stripMargin,
+
+    "q110_luke_terms" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS doc_freq
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+
+    "q111_realtime_get" ->
+      """SELECT p_partkey, p_name, CAST(p_size AS BIGINT) AS p_size
+        |FROM part WHERE p_partkey IN (7, 77, 177, 777)""".stripMargin
   )
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -84,19 +84,20 @@ private[index] class IndexScanBuilder(full: StructType, store: String)
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
 
-  /** Accept ONE string-equality on a stored field (a single posting
-    * lookup — the shape the index serves); everything else is residual.
-    * The pushed filter is exact (termDocs matches whole terms), so it
-    * is NOT returned for re-evaluation. */
+  /** Accept ONE string-equality or string-IN on a stored field (a
+    * posting lookup per term — the shape the index serves); everything
+    * else is residual. The pushed filter is exact (termDocs matches
+    * whole terms), so it is NOT returned for re-evaluation. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (accepted, residual) = {
-      val idx = filters.indexWhere {
-        case EqualTo(a, v: String) => full.fieldNames.contains(a) && v != null
-        case _ => false
-      }
+    val idx = filters.indexWhere {
+      case EqualTo(a, v: String) => full.fieldNames.contains(a) && v != null
+      case In(a, vs) => full.fieldNames.contains(a) && vs.nonEmpty &&
+        vs.forall(v => v != null && v.isInstanceOf[String])
+      case _ => false
+    }
+    val (accepted, residual) =
       if (idx < 0) (Array.empty[Filter], filters)
       else (Array(filters(idx)), filters.patch(idx, Nil, 1))
-    }
     pushed = accepted
     residual
   }
@@ -107,16 +108,19 @@ private[index] class IndexScanBuilder(full: StructType, store: String)
     required = StructType(requiredSchema.fields.filter(f => full.fieldNames.contains(f.name)))
 
   override def build(): Scan = {
-    val term = pushed.collectFirst { case EqualTo(a, v: String) => (a, v) }
+    val term = pushed.collectFirst {
+      case EqualTo(a, v: String) => (a, Seq(v))
+      case In(a, vs) => (a, vs.toSeq.map(_.asInstanceOf[String]))
+    }
     new IndexScan(store, required, term)
   }
 }
 
 private[index] class IndexScan(store: String, required: StructType,
-                               term: Option[(String, String)]) extends Scan with Batch {
+                               term: Option[(String, Seq[String])]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def description(): String =
-    s"GraftIndexScan store=$store pushedTerm=${term.map(t => t._1 + ":" + t._2).getOrElse("*:*")} " +
+    s"GraftIndexScan store=$store pushedTerm=${term.map(t => t._1 + ":" + t._2.mkString("|")).getOrElse("*:*")} " +
       s"columns=${required.fieldNames.mkString(",")}"
   override def toBatch: Batch = this
 
@@ -137,7 +141,7 @@ private[index] case class IndexInputPartition(dir: String) extends InputPartitio
 
 private[index] class IndexReaderFactory(conf: SerializableHadoopConf,
                                         fields: Array[String],
-                                        term: Option[(String, String)])
+                                        term: Option[(String, Seq[String])])
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -146,7 +150,8 @@ private[index] class IndexReaderFactory(conf: SerializableHadoopConf,
       private lazy val docs: Iterator[SegmentIndex.Doc] = {
         val reader = new SegmentIndex.Reader(dir.getFileSystem(conf.value), dir)
         term match {
-          case Some((f, t)) => reader.termDocs(f, t).iterator
+          case Some((f, Seq(t))) => reader.termDocs(f, t).iterator
+          case Some((f, ts)) => reader.termDocsIn(f, ts).iterator
           case None => reader.allDocs()
         }
       }

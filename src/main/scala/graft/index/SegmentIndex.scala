@@ -294,16 +294,25 @@ object SegmentIndex {
      * Returns the number of newly deleted docs; visible after
      * `commit()`.
      */
-    def deleteDocuments(field: String, term: String): Int = {
+    def deleteDocuments(field: String, term: String): Int =
+      deleteDocumentsBatch(field, Set(term))
+
+    /** Batched delete-by-term: ONE postings read per segment for the
+      * whole term set (the upsert path deletes thousands of ids — a
+      * per-term call would re-read postings quadratically). Same
+      * tombstone/commit semantics as the single-term form. */
+    def deleteDocumentsBatch(field: String, terms: Set[String]): Int = {
       var deleted = 0
+      if (terms.isEmpty) return 0
       commitPoint.segments.foreach { seg =>
-        val hits = readPostings(fs, dir, seg.name)
-          .getOrElse(field, Map.empty).getOrElse(term, Array.empty[Int])
-        if (hits.nonEmpty) {
-          val already = readDels(fs, dir, seg)
-          val buf = pendingDels.getOrElseUpdate(seg.name, mutable.SortedSet.empty[Int])
-          hits.foreach { o =>
-            if (!already.contains(o) && buf.add(o)) deleted += 1
+        val post = readPostings(fs, dir, seg.name).getOrElse(field, Map.empty)
+        if (post.nonEmpty) {
+          lazy val already = readDels(fs, dir, seg)
+          lazy val buf = pendingDels.getOrElseUpdate(seg.name, mutable.SortedSet.empty[Int])
+          terms.foreach { term =>
+            post.getOrElse(term, Array.empty[Int]).foreach { o =>
+              if (!already.contains(o) && buf.add(o)) deleted += 1
+            }
           }
         }
       }
@@ -461,6 +470,40 @@ object SegmentIndex {
           ords.toSeq.map(stored)
         }
       }
+
+    /** Multi-term exact query (`field:(a OR b OR ...)` / realtime-get
+      * id lists): LIVE stored docs matching ANY of `terms`, each doc
+      * once even when several terms hit it on a multivalued field
+      * (ordinal-level dedup per segment). */
+    def termDocsIn(field: String, terms: Seq[String]): Seq[Doc] =
+      commit.segments.flatMap { s =>
+        val dels = readDels(fs, dir, s)
+        val post = readPostings(fs, dir, s.name).getOrElse(field, Map.empty)
+        val ords = terms.iterator
+          .flatMap(t => post.getOrElse(t, Array.empty[Int]).iterator)
+          .filterNot(dels.contains)
+          .toArray.distinct.sorted
+        if (ords.isEmpty) Nil
+        else {
+          val stored = readStoredDocs(fs, dir, s.name)
+          ords.toSeq.map(stored)
+        }
+      }
+
+    /** Per-term LIVE doc frequency for one field across all segments —
+      * the Luke/terms-component statistics view of the index. */
+    def termStats(field: String): Map[String, Long] = {
+      val acc = mutable.HashMap.empty[String, Long]
+      commit.segments.foreach { s =>
+        val dels = readDels(fs, dir, s)
+        readPostings(fs, dir, s.name).getOrElse(field, Map.empty).foreach {
+          case (term, ords) =>
+            val live = ords.count(o => !dels.contains(o))
+            if (live > 0) acc.update(term, acc.getOrElse(term, 0L) + live)
+        }
+      }
+      acc.toMap
+    }
 
     def termQueryCount(field: String, term: String): Long =
       commit.segments.map { s =>

@@ -3,6 +3,7 @@ package graft.index
 import graft.util.SerializableHadoopConf
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /**
@@ -57,4 +58,31 @@ object SegmentSearch {
   /** `*:*` — every live stored doc across all shards. */
   def matchAll(spark: SparkSession, store: String, fields: Seq[String]): DataFrame =
     gather(spark, store, fields)(_.allDocs())
+
+  /** Realtime-get analog: live docs whose `field` matches ANY of
+    * `terms` (each doc once), fanned out shard-parallel. */
+  def getByTerms(spark: SparkSession, store: String, field: String,
+                 terms: Seq[String], fields: Seq[String]): DataFrame =
+    gather(spark, store, fields)(r => r.termDocsIn(field, terms).iterator)
+
+  /**
+   * Luke/terms-component statistics: per-term LIVE doc frequency for
+   * one field, summed across shards. One task per shard reads only
+   * that shard's postings (never stored docs), then a single groupBy
+   * merges the per-shard counts — the scatter-gather shape of a
+   * distributed terms request, with data movement ∝ vocabulary size,
+   * not corpus size.
+   */
+  def fieldTerms(spark: SparkSession, store: String, field: String): DataFrame = {
+    import spark.implicits._
+    val dirs = SegmentShardSink.partIndexDirs(spark, store)
+    require(dirs.nonEmpty, s"no part dirs under $store")
+    val conf = new SerializableHadoopConf(ShardIndex.hadoopConf(spark))
+    spark.sparkContext.parallelize(dirs, dirs.size).flatMap { d =>
+      val p = new Path(d)
+      new SegmentIndex.Reader(p.getFileSystem(conf.value), p).termStats(field).iterator
+    }.toDF("term", "df_part")
+      .groupBy(col("term"))
+      .agg(org.apache.spark.sql.functions.sum(col("df_part")).as("doc_freq"))
+  }
 }

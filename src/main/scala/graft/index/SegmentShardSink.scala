@@ -127,6 +127,81 @@ object SegmentShardSink {
     finally os.close()
   }
 
+  /**
+   * Incremental upsert (Solr's steady-state indexing idiom
+   * `deleteByTerm(id); add(newDoc)` — the update path the reference
+   * delegates to the live cluster, here applied directly to the
+   * store): route the delta batch with the store's OWN routing
+   * (shards/parts/id column read back from the marker, so updates land
+   * on exactly the part that holds the prior version), then per part:
+   * one batched tombstone pass over the ids followed by the new docs
+   * as one fresh segment, one commit. Untouched parts never open.
+   *
+   * Scale shape: one hash shuffle of the DELTA only (the store itself
+   * does not move), per-part work ∝ delta size + one postings read per
+   * segment. Ids must be unique within `updates` (the usual upsert
+   * batch contract — last-writer ambiguity inside one batch is a
+   * caller bug, enforced here).
+   */
+  def upsert(spark: SparkSession, store: String, updates: DataFrame): Unit = {
+    val conf0 = ShardIndex.hadoopConf(spark)
+    val marker = readMarker(conf0, store)
+    val idCol = marker.idCol
+    val splits = math.max(1, marker.parts / marker.shards)
+    require(updates.columns.contains(idCol), s"updates must carry id column '$idCol'")
+    val dupes = updates.groupBy(col(idCol)).count().filter(col("count") > 1).limit(1).count()
+    require(dupes == 0, s"duplicate $idCol values in upsert batch")
+    val routed = ShardIndex.routedForWrite(updates, idCol, marker.shards, splits,
+      dedupOrder = None, rejectConflicts = false, routerOpt = None, keepMs = true)
+      .drop("shard")
+      .sortWithinPartitions(col("__ms"), col(idCol).desc)
+    val schema = routed.schema
+    val msIdx = schema.fieldIndex("__ms")
+    val idIdx = schema.fieldIndex(idCol)
+    val fields: Array[(String, Int, Boolean)] = schema.fields.zipWithIndex
+      .filter(_._1.name != "__ms")
+      .map { case (f, i) => (f.name, i, f.dataType.isInstanceOf[ArrayType]) }
+    val conf = new SerializableHadoopConf(conf0)
+    routed.foreachPartition { (rows: Iterator[Row]) =>
+      var cur = -1
+      var w: SegmentIndex.Writer = null
+      val ids = scala.collection.mutable.HashSet.empty[String]
+      def flush(): Unit = if (w != null) {
+        w.deleteDocumentsBatch(idCol, ids.toSet)
+        w.close() // commits tombstones + the new segment together
+        ids.clear()
+      }
+      rows.foreach { row =>
+        val ms = row.getInt(msIdx)
+        if (ms != cur) {
+          flush()
+          w = SegmentIndex.writer(indexDir(store, ms), conf.value)
+          cur = ms
+        }
+        ids += render(row.get(idIdx))
+        w.addDocument(docOf(row, fields))
+      }
+      flush()
+      ()
+    }
+  }
+
+  private[index] case class StoreMarker(shards: Int, parts: Int, idCol: String)
+
+  private[index] def readMarker(conf: org.apache.hadoop.conf.Configuration,
+                                store: String): StoreMarker = {
+    val p = new Path(store, "_graft_segment_commit.json")
+    val fs = p.getFileSystem(conf)
+    require(fs.exists(p), s"no store marker at $p")
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    def intOf(k: String) = s""""$k":(\\d+)""".r.findFirstMatchIn(txt)
+      .map(_.group(1).toInt).getOrElse(throw new IllegalStateException(s"marker missing $k"))
+    val id = """"id_column":"([^"]*)"""".r.findFirstMatchIn(txt)
+      .map(_.group(1)).getOrElse(throw new IllegalStateException("marker missing id_column"))
+    StoreMarker(intOf("shards"), intOf("parts"), id)
+  }
+
   /** Stored-field inventory from the store marker (written by
     * [[write]]); empty for a pre-columns-marker store. */
   private[index] def storedColumns(conf: org.apache.hadoop.conf.Configuration,

@@ -1,0 +1,229 @@
+package graft.search
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, IntegerType, LongType, ShortType, StructType}
+
+/**
+ * The Solr/Lucene query-string surface compiled to Catalyst `Column`
+ * predicates — the query language a user of the reference's indexes
+ * actually types (`q=field:term AND price:[10 TO 20]`), re-expressed
+ * so the SAME query text filters any DataFrame.
+ *
+ * Supported grammar (the standard lucene parser's core; reference
+ * queries in e.g. SolrIndexDriverTest use exactly this shape):
+ *
+ *   query     := clause ( (AND|OR) clause )*        (left-assoc)
+ *   clause    := [+|-|NOT] atom
+ *   atom      := '(' query ')' | field ':' value | value
+ *   value     := '*'                 match-any (field presence)
+ *              | '"phrase words"'    phrase
+ *              | '[a TO b]'          inclusive range  ('{' '}' exclusive)
+ *              | term                possibly with * and ? wildcards
+ *
+ * Semantics against a DataFrame (declared, deterministic divergences
+ * from a Lucene index — there is no analyzer chain here):
+ *  - fields in `textFields` are ANALYZED: a term matches as a whole
+ *    lowercase alphanumeric token anywhere in the column; a phrase
+ *    matches as a consecutive token sequence. Everything else is
+ *    EXACT string/number comparison (docValues-style).
+ *  - ranges on numeric columns compare numerically; on other columns
+ *    lexicographically (Solr string fields do the same).
+ *  - wildcard terms compile to anchored regexes (`*` → `.*`, `?` →
+ *    `.`); on text fields the anchors are token boundaries.
+ *  - bare (fieldless) values hit `defaultField`, as with Solr's `df`.
+ *  - `+` is a no-op marker (everything unmarked is already required
+ *    under explicit boolean structure); `-`/`NOT` negate. Adjacent
+ *    clauses with no operator default to AND (q.op=AND), so results
+ *    are purely conjunctive-compositional and thus ORACLE-ABLE — the
+ *    scoring-based MM behavior of q.op=OR has no DataFrame analog.
+ *
+ * All predicates are plain Catalyst expressions (equality, comparison,
+ * rlike) — pushdown-eligible, codegen-friendly, no UDFs.
+ */
+object SolrQueryString {
+
+  /** Compile `q` to a boolean Column over `schema`. */
+  def compile(q: String, schema: StructType, defaultField: String,
+              textFields: Set[String] = Set.empty): Column = {
+    val p = new Parser(q, schema, defaultField, textFields)
+    val c = p.parseQuery()
+    p.expectEnd()
+    c
+  }
+
+  private def isNumeric(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | ShortType | DoubleType | FloatType => true
+    case _ => false
+  }
+
+  private final class Parser(input: String, schema: StructType,
+                             defaultField: String, textFields: Set[String]) {
+    private var pos = 0
+
+    def parseQuery(): Column = {
+      var acc = parseClause()
+      var continue = true
+      while (continue) {
+        skipWs()
+        if (eof || peek == ')') continue = false
+        else if (tryKeyword("AND")) acc = acc && parseClause()
+        else if (tryKeyword("OR")) acc = acc || parseClause()
+        else acc = acc && parseClause() // implicit conjunction (q.op=AND)
+      }
+      acc
+    }
+
+    private def parseClause(): Column = {
+      skipWs()
+      if (tryKeyword("NOT")) return !parseClause()
+      if (!eof && peek == '-') { pos += 1; return !parseAtom() }
+      if (!eof && peek == '+') { pos += 1 } // required marker: no-op
+      parseAtom()
+    }
+
+    private def parseAtom(): Column = {
+      skipWs()
+      require(!eof, s"unexpected end of query at $pos in: $input")
+      if (peek == '(') {
+        pos += 1
+        val inner = parseQuery()
+        skipWs()
+        require(!eof && peek == ')', s"unbalanced ( in: $input")
+        pos += 1
+        inner
+      } else {
+        val start = pos
+        val tok = readBareToken()
+        if (!eof && peek == ':') { pos += 1; fieldValue(tok) }
+        else { pos = start; valueOn(defaultField) } // re-read as default-field value
+      }
+    }
+
+    private def fieldValue(field: String): Column = {
+      require(field == "*" || schema.fieldNames.contains(field),
+        s"unknown field '$field' in: $input")
+      if (field == "*") { // *:* — match all
+        skipWs()
+        require(!eof && peek == '*', s"only *:* is valid for field * in: $input")
+        pos += 1
+        lit(true)
+      } else valueOn(field)
+    }
+
+    private def valueOn(field: String): Column = {
+      skipWs()
+      val c = col(field)
+      peek match {
+        case '"' =>
+          val phrase = readQuoted()
+          if (textFields.contains(field)) tokenSeqMatch(c, phrase) else c === phrase
+        case '[' | '{' =>
+          val loInc = peek == '['
+          pos += 1
+          val lo = readRangeBound()
+          skipWs(); require(tryKeyword("TO"), s"range needs TO in: $input")
+          val hi = readRangeBound()
+          skipWs()
+          require(!eof && (peek == ']' || peek == '}'), s"unterminated range in: $input")
+          val hiInc = peek == ']'
+          pos += 1
+          rangePredicate(field, c, lo, hi, loInc, hiInc)
+        case _ =>
+          val term = readBareToken()
+          require(term.nonEmpty, s"empty term at $pos in: $input")
+          if (term == "*") c.isNotNull // field presence
+          else if (term.exists(ch => ch == '*' || ch == '?'))
+            wildcardMatch(c, term, textFields.contains(field))
+          else if (textFields.contains(field)) tokenMatch(c, term)
+          else c === term
+      }
+    }
+
+    private def rangePredicate(field: String, c: Column, lo: String, hi: String,
+                               loInc: Boolean, hiInc: Boolean): Column = {
+      // numeric columns compare numerically; timestamp/date columns get
+      // their bound strings cast by Spark's comparison coercion; other
+      // columns compare lexicographically (Solr string-field behavior)
+      val numeric = schema.fields.find(_.name == field).exists(f => isNumeric(f.dataType))
+      def side(v: String): Column = if (numeric) lit(v.toDouble) else lit(v)
+      val cc = if (numeric) c.cast(DoubleType) else c
+      val loC = if (lo == "*") lit(true) else if (loInc) cc >= side(lo) else cc > side(lo)
+      val hiC = if (hi == "*") lit(true) else if (hiInc) cc <= side(hi) else cc < side(hi)
+      loC && hiC
+    }
+
+    /** Whole-token match inside an analyzed text column: the term as a
+      * lowercase alphanumeric token with non-token (or edge) chars on
+      * both sides. */
+    private def tokenMatch(c: Column, term: String): Column =
+      lower(c).rlike("(^|[^a-z0-9])" + java.util.regex.Pattern.quote(term.toLowerCase) +
+        "([^a-z0-9]|$)")
+
+    /** Phrase = the token sequence with single non-token separators. */
+    private def tokenSeqMatch(c: Column, phrase: String): Column = {
+      val toks = phrase.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      if (toks.isEmpty) lit(true)
+      else lower(c).rlike("(^|[^a-z0-9])" +
+        toks.map(java.util.regex.Pattern.quote).mkString("[^a-z0-9]+") +
+        "([^a-z0-9]|$)")
+    }
+
+    private def wildcardMatch(c: Column, term: String, analyzed: Boolean): Column = {
+      val sb = new StringBuilder
+      term.toLowerCase.foreach {
+        case '*' => sb.append("[a-z0-9]*")
+        case '?' => sb.append("[a-z0-9]")
+        case ch => sb.append(java.util.regex.Pattern.quote(ch.toString))
+      }
+      if (analyzed) lower(c).rlike("(^|[^a-z0-9])" + sb + "([^a-z0-9]|$)")
+      else lower(c).rlike("^" + sb + "$")
+    }
+
+    // --- lexing helpers ---
+    private def eof: Boolean = pos >= input.length
+    private def peek: Char = input.charAt(pos)
+    private def skipWs(): Unit = while (!eof && peek.isWhitespace) pos += 1
+
+    private def tryKeyword(kw: String): Boolean = {
+      skipWs()
+      if (input.regionMatches(pos, kw, 0, kw.length) &&
+        (pos + kw.length >= input.length ||
+          !input.charAt(pos + kw.length).isLetterOrDigit)) {
+        pos += kw.length; true
+      } else false
+    }
+
+    private def readBareToken(): String = {
+      val sb = new StringBuilder
+      while (!eof && !peek.isWhitespace && !"():\"[]{}".contains(peek)) {
+        sb.append(peek); pos += 1
+      }
+      sb.toString
+    }
+
+    private def readQuoted(): String = {
+      require(peek == '"', "expected quote")
+      pos += 1
+      val sb = new StringBuilder
+      while (!eof && peek != '"') { sb.append(peek); pos += 1 }
+      require(!eof, s"unterminated phrase in: $input")
+      pos += 1
+      sb.toString
+    }
+
+    private def readRangeBound(): String = {
+      skipWs()
+      val sb = new StringBuilder
+      while (!eof && !peek.isWhitespace && !"]}".contains(peek)) {
+        sb.append(peek); pos += 1
+      }
+      sb.toString
+    }
+
+    def expectEnd(): Unit = {
+      skipWs()
+      require(eof, s"trailing input at $pos in: $input")
+    }
+  }
+}

@@ -79,6 +79,18 @@ class IndexDataSourceSpec extends AnyFunSuite {
     assert(spark.read.format("graft-index").load(out).count() === 1)
   }
 
+  test("In filter pushes as a multi-term posting lookup") {
+    val df = spark.read.format("graft-index").load(store)
+      .filter(col("id").isin("1", "4", "9"))
+      .select("id", "value")
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.description()
+    }
+    assert(scan.exists(_.contains("pushedTerm=id:")), s"scan was: $scan")
+    assert(df.collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq ===
+      Seq(("1", "alpha"), ("4", "gamma")))
+  }
+
   test("agrees with the SegmentSearch scatter-gather path") {
     val viaDsv2 = spark.read.format("graft-index").load(store)
       .filter(col("value") === "alpha").select("id", "tag")

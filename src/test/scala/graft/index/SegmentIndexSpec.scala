@@ -287,4 +287,70 @@ class SegmentIndexSpec extends AnyFunSuite {
     assert(r.termQueryCount("tags", "blue") === 1L)
     assert(r.termQueryCount("n", "7") === 1L)
   }
+
+  test("deleteDocumentsBatch == per-term deletes; termDocsIn dedupes multivalued hits") {
+    val dir = tmp("graft_batchdel_")
+    val w = SegmentIndex.writer(dir, conf)
+    w.addDocument(Seq("id" -> "1", "tag" -> "a", "tag" -> "b"))
+    w.addDocument(Seq("id" -> "2", "tag" -> "a"))
+    w.addDocument(Seq("id" -> "3", "tag" -> "c"))
+    w.commit()
+    // a doc matching BOTH queried terms comes back once
+    val r0 = SegmentIndex.reader(dir, conf)
+    assert(r0.termDocsIn("tag", Seq("a", "b")).map(_.toMap.apply("id")).sorted === Seq("1", "2"))
+    val deleted = w.deleteDocumentsBatch("id", Set("1", "3", "nope"))
+    assert(deleted === 2)
+    w.commit()
+    val r = SegmentIndex.reader(dir, conf)
+    assert(r.matchAllCount === 1L)
+    assert(r.termDocsIn("id", Seq("1", "2", "3")).map(_.toMap.apply("id")) === Seq("2"))
+  }
+
+  test("termStats: live doc frequency per term, deletes excluded, segments summed") {
+    val dir = tmp("graft_tstats_")
+    val w = SegmentIndex.writer(dir, conf)
+    w.addDocument(Seq("id" -> "1", "seg" -> "x"))
+    w.addDocument(Seq("id" -> "2", "seg" -> "x"))
+    w.commit() // segment 1
+    w.addDocument(Seq("id" -> "3", "seg" -> "x"))
+    w.addDocument(Seq("id" -> "4", "seg" -> "y"))
+    w.commit() // segment 2
+    assert(SegmentIndex.reader(dir, conf).termStats("seg") === Map("x" -> 3L, "y" -> 1L))
+    w.deleteDocuments("id", "2")
+    w.commit()
+    assert(SegmentIndex.reader(dir, conf).termStats("seg") === Map("x" -> 2L, "y" -> 1L))
+  }
+
+  test("upsert: updates replace, new ids append, untouched rows survive; " +
+    "duplicate-id batch rejected") {
+    import spark.implicits._
+    val out = tmp("graft_upsert_")
+    val base = (1 to 40).map(i => (i.toString, s"name$i")).toDF("id", "name")
+    SegmentShardSink.write(base, "id", out, shards = 2, microShards = 4)
+    val delta = Seq(("7", "name7 v2"), ("20", "name20 v2"), ("99", "brand new"))
+      .toDF("id", "name")
+    SegmentShardSink.upsert(spark, out, delta)
+    val got = SegmentSearch.matchAll(spark, out, Seq("id", "name"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got.size === 41) // 40 base - 0 lost + 1 new
+    assert(got("7") === "name7 v2" && got("20") === "name20 v2")
+    assert(got("99") === "brand new")
+    assert(got("8") === "name8")
+    // same-batch id collision is a caller bug, refused loudly
+    val bad = Seq(("5", "a"), ("5", "b")).toDF("id", "name")
+    assertThrows[IllegalArgumentException] {
+      SegmentShardSink.upsert(spark, out, bad)
+    }
+  }
+
+  test("fieldTerms: postings-only stats across shards match the source frame") {
+    import spark.implicits._
+    val out = tmp("graft_fterms_")
+    val df = (1 to 30).map(i => (i.toString, if (i % 3 == 0) "fizz" else "plain"))
+      .toDF("id", "kind")
+    SegmentShardSink.write(df, "id", out, shards = 3)
+    val stats = SegmentSearch.fieldTerms(spark, out, "kind")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats === Map("fizz" -> 10L, "plain" -> 20L))
+  }
 }

@@ -1,0 +1,86 @@
+package graft.search
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The Solr/Lucene query-string compiler: each query text filters a
+  * small frame and the surviving ids are asserted exactly. */
+class SolrQueryStringSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val df = {
+    import spark.implicits._
+    Seq(
+      (1L, "en", "the quick brown fox jumps", 10L, "alpha"),
+      (2L, "en", "spark shuffles the Quick data", 25L, "beta"),
+      (3L, "de", "ein schneller brauner fuchs", 40L, "beta"),
+      (4L, "fr", "un renard brun rapide", 55L, "gamma"),
+      (5L, "en", "quick-start guide to spark", 70L, null)
+    ).toDF("id", "lang", "text", "n", "tag")
+  }
+
+  private def ids(q: String): Seq[Long] = {
+    val pred = SolrQueryString.compile(q, df.schema, defaultField = "text",
+      textFields = Set("text"))
+    df.filter(pred).select("id").collect().map(_.getLong(0)).sorted.toSeq
+  }
+
+  test("exact field term and *:*") {
+    assert(ids("lang:en") === Seq(1L, 2L, 5L))
+    assert(ids("*:*") === Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("analyzed term matches whole tokens case-insensitively, not substrings") {
+    assert(ids("text:quick") === Seq(1L, 2L, 5L)) // 'quick-start' tokenizes to quick
+    assert(ids("text:qui") === Seq())             // no substring match
+  }
+
+  test("boolean operators, grouping, NOT and -") {
+    assert(ids("lang:en AND text:spark") === Seq(2L, 5L))
+    assert(ids("lang:de OR lang:fr") === Seq(3L, 4L))
+    assert(ids("(lang:de OR lang:fr) AND text:brun") === Seq(4L))
+    assert(ids("lang:en NOT text:spark") === Seq(1L))
+    assert(ids("lang:en -text:spark") === Seq(1L))
+    assert(ids("+lang:en +text:fox") === Seq(1L))
+  }
+
+  test("implicit conjunction between adjacent clauses (q.op=AND)") {
+    assert(ids("lang:en text:spark") === Seq(2L, 5L))
+  }
+
+  test("numeric ranges, inclusive/exclusive/open bounds") {
+    assert(ids("n:[25 TO 55]") === Seq(2L, 3L, 4L))
+    assert(ids("n:{25 TO 55]") === Seq(3L, 4L))
+    assert(ids("n:[25 TO 55}") === Seq(2L, 3L))
+    assert(ids("n:[* TO 25]") === Seq(1L, 2L))
+    assert(ids("n:[55 TO *]") === Seq(4L, 5L))
+  }
+
+  test("lexicographic range on string field") {
+    assert(ids("tag:[alpha TO beta]") === Seq(1L, 2L, 3L))
+  }
+
+  test("phrase on analyzed field = consecutive token sequence") {
+    assert(ids("text:\"quick brown\"") === Seq(1L))
+    assert(ids("text:\"brown quick\"") === Seq())
+  }
+
+  test("wildcards: trailing, embedded ?, field presence") {
+    assert(ids("text:qu*") === Seq(1L, 2L, 5L))
+    assert(ids("text:f?x") === Seq(1L))
+    assert(ids("tag:*") === Seq(1L, 2L, 3L, 4L)) // presence — null excluded
+    assert(ids("tag:bet*") === Seq(2L, 3L))
+  }
+
+  test("default field for bare terms") {
+    assert(ids("spark") === Seq(2L, 5L))
+    assert(ids("spark fox") === Seq()) // implicit AND across default-field terms
+  }
+
+  test("malformed queries are refused") {
+    assertThrows[IllegalArgumentException](ids("nosuchfield:x"))
+    assertThrows[IllegalArgumentException](ids("(lang:en"))
+    assertThrows[IllegalArgumentException](ids("n:[1 TO"))
+    assertThrows[IllegalArgumentException](ids("text:\"unterminated"))
+  }
+}
