@@ -1385,6 +1385,19 @@ object SparkEntry {
         .filter(col("id").isin("7", "77", "177", "777"))
         .select(col("id").cast("long").as("p_partkey"), col("p_name"),
           col("p_size").cast("long").as("p_size"))
+    }),
+
+    // the lucene QUERY-STRING surface end-to-end: the exact text a
+    // Solr user types, compiled by SolrQueryString to one Catalyst
+    // predicate (boolean ops + analyzed-token match + numeric range +
+    // wildcard; no UDFs — the oracle replicates each piece in SQL).
+    "q112_query_string" -> ((s, d) => {
+      import graft.search.SolrQueryString
+      val docs = Tables.documents(s, d)
+      val q = "(lang:en OR lang:de) AND text:spark -text:merge n_chars:[100 TO 400] source:src1*"
+      docs.filter(SolrQueryString.compile(q, docs.schema,
+          defaultField = "text", textFields = Set("text")))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
     })
   )
 
@@ -2280,6 +2293,14 @@ object SparkEntry {
 
     "q111_realtime_get" ->
       """SELECT p_partkey, p_name, CAST(p_size AS BIGINT) AS p_size
-        |FROM part WHERE p_partkey IN (7, 77, 177, 777)""".stripMargin
+        |FROM part WHERE p_partkey IN (7, 77, 177, 777)""".stripMargin,
+
+    "q112_query_string" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE (lang = 'en' OR lang = 'de')
+        |  AND regexp_matches(lower(text), '(^|[^a-z0-9])spark([^a-z0-9]|$)')
+        |  AND NOT regexp_matches(lower(text), '(^|[^a-z0-9])merge([^a-z0-9]|$)')
+        |  AND CAST(n_chars AS DOUBLE) BETWEEN 100.0 AND 400.0
+        |  AND regexp_matches(lower(source), '^src1[a-z0-9]*$')""".stripMargin
   )
 }

@@ -80,6 +80,38 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
 
   /**
+   * Streaming incremental indexing: each micro-batch UPSERTS into a
+   * live [[graft.index.SegmentShardSink]] store (deleteById + add,
+   * routed with the store's own routing) — continuous index
+   * maintenance, the operation a reference user performs by sending
+   * update batches to the live cluster.
+   *
+   * Exactly-once: an `_applied_batch_<id>` marker under the store
+   * skips a batch that already fully applied; a crash BETWEEN the
+   * upsert and the marker write replays the batch, which is safe
+   * because upserting the same delta twice is a semantic no-op
+   * (delete-then-add of identical ids/docs) — provided `transform` is
+   * deterministic, the same discipline the reference's rerun-a-reducer
+   * idempotence relies on.
+   */
+  def segmentUpsertSink(store: String)(transform: DataFrame => DataFrame)
+                       (events: DataFrame): DataStreamWriter[Row] =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.hadoop.fs.Path
+        val spark = batch.sparkSession
+        val marker = new Path(store, s"_applied_batch_$batchId")
+        val fs = marker.getFileSystem(
+          graft.index.ShardIndex.hadoopConf(spark))
+        if (!fs.exists(marker)) {
+          graft.index.SegmentShardSink.upsert(spark, store, transform(batch))
+          fs.create(marker, true).close()
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+
+  /**
    * Stateful gap-based sessionization over a stream —
    * `flatMapGroupsWithState` with an event-time timeout: per-user
    * state holds (sessionStart, lastSeen, count); a session row is

@@ -70,4 +70,42 @@ class StreamingDedupSpec extends AnyFunSuite {
       .dropDuplicates("id").count()
     assert(batchDedup === 150L)
   }
+
+  test("streaming segment-store upsert: continuous index maintenance, " +
+    "updates replace and restarts stay exactly-once") {
+    import graft.index.{SegmentSearch, SegmentShardSink}
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_su_src_").toString
+    val store = java.nio.file.Files.createTempDirectory("graft_su_store_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_su_ck_").toString
+    // seed store: ids 1..50 v1
+    SegmentShardSink.write((1 to 50).map(i => (i.toString, s"v1-$i"))
+      .toDF("id", "value"), "id", store, shards = 2)
+
+    def wave(rows: Seq[(String, String)], file: String): Unit =
+      rows.toDF("id", "value").coalesce(1).write.mode("overwrite")
+        .parquet(s"$src/$file")
+    wave((26 to 75).map(i => (i.toString, s"v2-$i")), "wave1")
+    val schema = spark.read.parquet(s"$src/wave1").schema
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet").parquet(s"$src/*")
+      val q = StreamingIngest.segmentUpsertSink(store)(identity)(stream)
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    // wave 2 lands while the query is down; restart resumes
+    wave((71 to 90).map(i => (i.toString, s"v3-$i")), "wave2")
+    runOnce()
+
+    val got = SegmentSearch.matchAll(spark, store, Seq("id", "value"))
+      .collect().map(r => r.getString(0).toInt -> r.getString(1)).toMap
+    assert(got.size === 90) // ids 1..90, each exactly once
+    assert(got(10) === "v1-10")  // untouched seed
+    assert(got(30) === "v2-30")  // updated by wave 1
+    assert(got(60) === "v2-60")  // added by wave 1
+    assert(got(72) === "v3-72")  // wave-1 doc updated again by wave 2
+    assert(got(85) === "v3-85")  // added by wave 2
+  }
 }
