@@ -70,15 +70,42 @@ object Graft {
    */
   def buildSegmentIndex(docs: DataFrame, idCol: String, out: String,
                         shards: Int, microShards: Int = 0, fanout: Int = 2,
-                        orderBy: Option[Column] = None): DataFrame = {
+                        orderBy: Option[Column] = None,
+                        analyzedFields: Set[String] = Set.empty): DataFrame = {
     val spark = docs.sparkSession
     graft.index.SegmentShardSink.write(docs, idCol, out, shards, microShards,
-      dedupOrder = orderBy)
+      dedupOrder = orderBy, analyzedFields = analyzedFields)
     if (microShards > shards)
       graft.index.SegmentShardSink.mergeTree(spark, out, shards, fanout)
     graft.index.SegmentShardSink.optimize(spark, out)
     graft.index.SegmentShardSink.docCounts(spark, out)
   }
+
+  /** Open a segment store as a TABLE via the graft-index DataSourceV2
+    * source: EqualTo/In predicates push down to posting lookups,
+    * stored-field projection prunes (see
+    * [[graft.index.IndexDataSource]]). */
+  def openSegmentIndex(spark: SparkSession, store: String): DataFrame =
+    spark.read.format("graft-index").load(store)
+
+  /** Incremental upsert of a delta batch into a segment store
+    * (deleteById + add with the store's own routing; see
+    * [[graft.index.SegmentShardSink.upsert]]). */
+  def upsertIndex(spark: SparkSession, store: String, updates: DataFrame): Unit =
+    graft.index.SegmentShardSink.upsert(spark, store, updates)
+
+  /** Compile a Solr/Lucene query string (`field:term AND n:[1 TO 5]`)
+    * to a Catalyst predicate usable on any DataFrame — including
+    * [[openSegmentIndex]] tables (see [[graft.search.SolrQueryString]]). */
+  def queryString(q: String, df: DataFrame, defaultField: String,
+                  textFields: Set[String] = Set.empty): Column =
+    graft.search.SolrQueryString.compile(q, df.schema, defaultField, textFields)
+
+  /** Compile a reference morphline .conf into a Pipeline command chain
+    * (see [[graft.etl.MorphlineConfig]]). */
+  def morphline(configText: String, schema: Option[IndexSchema] = None,
+                morphlineId: Option[String] = None): graft.etl.MorphlineConfig.Compiled =
+    graft.etl.MorphlineConfig.compile(configText, schema, morphlineId)
 
   /** Scatter-gather exact-term query over a [[buildSegmentIndex]]
     * store (one task per shard, zero shuffles); `fields` selects the

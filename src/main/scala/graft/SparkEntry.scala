@@ -1398,6 +1398,23 @@ object SparkEntry {
       docs.filter(SolrQueryString.compile(q, docs.schema,
           defaultField = "text", textFields = Set("text")))
         .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
+    // ANALYZED-field indexing (the Lucene stored-vs-indexed split):
+    // text postings hold lowercase alnum TOKENS while the stored value
+    // stays verbatim, so a term query on a text field matches docs
+    // CONTAINING the token — Solr's actual text_general behavior, and
+    // the same tokenization SolrQueryString compiles to, oracled via
+    // the equivalent token-boundary regex on the source table.
+    "q113_analyzed_index" -> ((s, d) => {
+      import graft.index.{SegmentSearch, SegmentShardSink}
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id").cast("string").as("id"), col("text"), col("lang"))
+      val out = java.nio.file.Files.createTempDirectory("graft_q113_").toString
+      SegmentShardSink.write(docs, "id", out, shards = 4,
+        analyzedFields = Set("text"))
+      SegmentSearch.termQuery(s, out, "text", "spark", Seq("id", "lang"))
+        .select(col("id").cast("long").as("doc_id"), col("lang"))
     })
   )
 
@@ -2301,6 +2318,10 @@ object SparkEntry {
         |  AND regexp_matches(lower(text), '(^|[^a-z0-9])spark([^a-z0-9]|$)')
         |  AND NOT regexp_matches(lower(text), '(^|[^a-z0-9])merge([^a-z0-9]|$)')
         |  AND CAST(n_chars AS DOUBLE) BETWEEN 100.0 AND 400.0
-        |  AND regexp_matches(lower(source), '^src1[a-z0-9]*$')""".stripMargin
+        |  AND regexp_matches(lower(source), '^src1[a-z0-9]*$')""".stripMargin,
+
+    "q113_analyzed_index" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE regexp_matches(lower(text), '(^|[^a-z0-9])spark([^a-z0-9]|$)')""".stripMargin
   )
 }

@@ -97,7 +97,22 @@ private[index] class IndexScanBuilder(full: StructType, store: String)
     }
     val (accepted, residual) =
       if (idx < 0) (Array.empty[Filter], filters)
-      else (Array(filters(idx)), filters.patch(idx, Nil, 1))
+      else {
+        val attr = filters(idx) match {
+          case EqualTo(a, _) => a
+          case In(a, _) => a
+          case _ => ""
+        }
+        // absorb Catalyst's companion IsNotNull on the SAME field: a
+        // posting hit always carries the field, and leaving it residual
+        // keeps the column alive through pruning for nothing
+        filters.zipWithIndex.partition { case (f, i) =>
+          i == idx || (f match {
+            case org.apache.spark.sql.sources.IsNotNull(a) => a == attr
+            case _ => false
+          })
+        } match { case (a, r) => (a.map(_._1), r.map(_._1)) }
+      }
     pushed = accepted
     residual
   }

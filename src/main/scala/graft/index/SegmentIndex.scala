@@ -138,8 +138,28 @@ object SegmentIndex {
 
   // ---- segment write ----
 
+  /** The index-time analyzer for text fields: lowercase alphanumeric
+    * runs — deliberately the SAME tokenization SolrQueryString's
+    * analyzed-term predicates use, so `text:spark` agrees between an
+    * index lookup and a DataFrame scan. */
+  private[index] def analyze(v: String): Seq[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var i = 0
+    val lower = v.toLowerCase
+    while (i < lower.length) {
+      val c = lower.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) sb.append(c)
+      else if (sb.nonEmpty) { out += sb.toString; sb.clear() }
+      i += 1
+    }
+    if (sb.nonEmpty) out += sb.toString
+    out.toSeq
+  }
+
   private[index] def writeSegment(fs: FileSystem, dir: Path, name: String,
-                                  docs: IndexedSeq[Doc]): SegmentMeta = {
+                                  docs: IndexedSeq[Doc],
+                                  analyzed: Set[String] = Set.empty): SegmentMeta = {
     // stored fields, doc-ordinal order
     val fld = new DataOutputStream(new BufferedOutputStream(
       fs.create(new Path(dir, s"$name.fld"), true)))
@@ -151,14 +171,20 @@ object SegmentIndex {
         d.foreach { case (f, v) => writeStr(fld, f); writeStr(fld, v) }
       }
     } finally fld.close()
-    // inverted postings: field → term → ascending distinct ordinals
+    // inverted postings: field → term → ascending distinct ordinals.
+    // Analyzed fields index their TOKENS (stored value stays verbatim,
+    // the Lucene stored-vs-indexed split); everything else indexes the
+    // exact value (docValues/StrField behavior).
     val post = mutable.HashMap.empty[String, mutable.HashMap[String, mutable.ArrayBuffer[Int]]]
     var ord = 0
     docs.foreach { d =>
       d.foreach { case (f, v) =>
-        val plist = post.getOrElseUpdate(f, mutable.HashMap.empty)
-          .getOrElseUpdate(v, mutable.ArrayBuffer.empty)
-        if (plist.isEmpty || plist.last != ord) plist += ord // dedupe same term, same doc
+        val terms = if (analyzed.contains(f)) analyze(v) else Seq(v)
+        val byField = post.getOrElseUpdate(f, mutable.HashMap.empty)
+        terms.foreach { t =>
+          val plist = byField.getOrElseUpdate(t, mutable.ArrayBuffer.empty)
+          if (plist.isEmpty || plist.last != ord) plist += ord // dedupe same term, same doc
+        }
       }
       ord += 1
     }
@@ -272,7 +298,8 @@ object SegmentIndex {
    * index dir — same single-writer discipline as Lucene). Buffered
    * documents become ONE new segment at `commit()`.
    */
-  final class Writer(fs: FileSystem, dir: Path) {
+  final class Writer(fs: FileSystem, dir: Path,
+                     analyzed: Set[String] = Set.empty) {
     fs.mkdirs(dir)
     private var commitPoint =
       latestCommit(fs, dir).getOrElse(CommitPoint(0, 0, Nil))
@@ -329,7 +356,7 @@ object SegmentIndex {
         if (pending.isEmpty) commitPoint
         else {
           val name = s"_${commitPoint.counter}"
-          val meta = writeSegment(fs, dir, name, pending.toIndexedSeq)
+          val meta = writeSegment(fs, dir, name, pending.toIndexedSeq, analyzed)
           pending.clear()
           commitPoint.copy(counter = commitPoint.counter + 1,
             segments = commitPoint.segments :+ meta)
@@ -419,7 +446,7 @@ object SegmentIndex {
           }
         }.toIndexedSeq
         val name = s"_${commitPoint.counter}"
-        val meta = writeSegment(fs, dir, name, all)
+        val meta = writeSegment(fs, dir, name, all, analyzed)
         commitPoint = CommitPoint(commitPoint.gen + 1, commitPoint.counter + 1, Seq(meta))
         writeCommit(fs, dir, commitPoint)
         old.foreach { s =>
@@ -514,9 +541,10 @@ object SegmentIndex {
       }.sum
   }
 
-  def writer(dir: String, conf: Configuration): Writer = {
+  def writer(dir: String, conf: Configuration,
+             analyzed: Set[String] = Set.empty): Writer = {
     val p = new Path(dir)
-    new Writer(p.getFileSystem(conf), p)
+    new Writer(p.getFileSystem(conf), p, analyzed)
   }
 
   def reader(dir: String, conf: Configuration): Reader = {

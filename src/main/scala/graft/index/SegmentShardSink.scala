@@ -69,7 +69,9 @@ object SegmentShardSink {
   def write(df: DataFrame, idCol: String, out: String, shards: Int,
             microShards: Int = 0,
             dedupOrder: Option[Column] = None,
-            router: Option[HashRangeRouter] = None): Unit = {
+            router: Option[HashRangeRouter] = None,
+            analyzedFields: Set[String] = Set.empty): Unit = {
+    require(!analyzedFields.contains(idCol), "the id column cannot be analyzed")
     val splits = math.max(1, if (microShards > 0) microShards / shards else 1)
     val n = shards * splits
     val routed = ShardIndex.routedForWrite(df, idCol, shards, splits, dedupOrder,
@@ -82,6 +84,7 @@ object SegmentShardSink {
       .filter(_._1.name != "__ms")
       .map { case (f, i) => (f.name, i, f.dataType.isInstanceOf[ArrayType]) }
     val conf = new SerializableHadoopConf(ShardIndex.hadoopConf(df.sparkSession))
+    val analyzedBc = analyzedFields
     // rows arrive sorted by __ms, so each micro shard is one contiguous
     // run: a single open writer at a time per task
     routed.foreachPartition { (rows: Iterator[Row]) =>
@@ -91,7 +94,7 @@ object SegmentShardSink {
         val ms = row.getInt(msIdx)
         if (ms != cur) {
           if (w != null) w.close()
-          w = SegmentIndex.writer(indexDir(out, ms), conf.value)
+          w = SegmentIndex.writer(indexDir(out, ms), conf.value, analyzedBc)
           cur = ms
         }
         w.addDocument(docOf(row, fields))
@@ -104,16 +107,17 @@ object SegmentShardSink {
     (0 until n).foreach { ms =>
       val dir = new Path(indexDir(out, ms))
       if (SegmentIndex.latestCommit(fs, dir).isEmpty)
-        new SegmentIndex.Writer(fs, dir).commit()
+        new SegmentIndex.Writer(fs, dir, analyzedFields).commit()
     }
-    writeMarker(out, shards, n, idCol, fields.map(_._1), df.sparkSession)
+    writeMarker(out, shards, n, idCol, fields.map(_._1), analyzedFields, df.sparkSession)
   }
 
   private def indexDir(out: String, part: Int): String =
     f"$out/part-$part%05d/data/index"
 
   private def writeMarker(out: String, shards: Int, parts: Int, idCol: String,
-                          columns: Seq[String], spark: SparkSession): Unit = {
+                          columns: Seq[String], analyzed: Set[String],
+                          spark: SparkSession): Unit = {
     val p = new Path(out, "_graft_segment_commit.json")
     val fs = p.getFileSystem(ShardIndex.hadoopConf(spark))
     val os = fs.create(p, true)
@@ -121,8 +125,9 @@ object SegmentShardSink {
     // graft-index DataSourceV2 source) get a schema from metadata
     // alone, without opening any segment
     val cols = columns.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val ana = analyzed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     try os.write(
-      s"""{"graft_segment_store":1,"shards":$shards,"parts":$parts,"id_column":"$idCol","columns":$cols}"""
+      s"""{"graft_segment_store":1,"shards":$shards,"parts":$parts,"id_column":"$idCol","columns":$cols,"analyzed":$ana}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally os.close()
   }
@@ -162,6 +167,7 @@ object SegmentShardSink {
       .filter(_._1.name != "__ms")
       .map { case (f, i) => (f.name, i, f.dataType.isInstanceOf[ArrayType]) }
     val conf = new SerializableHadoopConf(conf0)
+    val analyzedBc = marker.analyzed
     routed.foreachPartition { (rows: Iterator[Row]) =>
       var cur = -1
       var w: SegmentIndex.Writer = null
@@ -175,7 +181,7 @@ object SegmentShardSink {
         val ms = row.getInt(msIdx)
         if (ms != cur) {
           flush()
-          w = SegmentIndex.writer(indexDir(store, ms), conf.value)
+          w = SegmentIndex.writer(indexDir(store, ms), conf.value, analyzedBc)
           cur = ms
         }
         ids += render(row.get(idIdx))
@@ -186,7 +192,8 @@ object SegmentShardSink {
     }
   }
 
-  private[index] case class StoreMarker(shards: Int, parts: Int, idCol: String)
+  private[index] case class StoreMarker(shards: Int, parts: Int, idCol: String,
+                                        analyzed: Set[String])
 
   private[index] def readMarker(conf: org.apache.hadoop.conf.Configuration,
                                 store: String): StoreMarker = {
@@ -199,7 +206,12 @@ object SegmentShardSink {
       .map(_.group(1).toInt).getOrElse(throw new IllegalStateException(s"marker missing $k"))
     val id = """"id_column":"([^"]*)"""".r.findFirstMatchIn(txt)
       .map(_.group(1)).getOrElse(throw new IllegalStateException("marker missing id_column"))
-    StoreMarker(intOf("shards"), intOf("parts"), id)
+    val ana = """"analyzed":\[(.*?)\]""".r.findFirstMatchIn(txt) match {
+      case Some(m) if m.group(1).nonEmpty =>
+        m.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSet
+      case _ => Set.empty[String]
+    }
+    StoreMarker(intOf("shards"), intOf("parts"), id, ana)
   }
 
   /** Stored-field inventory from the store marker (written by
@@ -281,11 +293,24 @@ object SegmentShardSink {
   def optimize(spark: SparkSession, store: String, maxSegments: Int = 1): Unit = {
     val dirs = partDirs(spark, store)
     val conf = new SerializableHadoopConf(ShardIndex.hadoopConf(spark))
+    // forceMerge REWRITES postings from stored docs, so the store's
+    // analyzer config must ride along or analyzed fields would degrade
+    // to exact-value postings after an optimize
+    val analyzed = markerAnalyzed(spark, store)
     spark.sparkContext.parallelize(dirs, math.max(1, dirs.size)).foreach { d =>
       val p = new Path(d)
-      new SegmentIndex.Writer(p.getFileSystem(conf.value), p).forceMerge(maxSegments)
+      new SegmentIndex.Writer(p.getFileSystem(conf.value), p, analyzed).forceMerge(maxSegments)
       ()
     }
+  }
+
+  /** analyzer set from the marker; empty for raw SegmentIndex dirs
+    * without a store marker (direct Writer users). */
+  private def markerAnalyzed(spark: SparkSession, store: String): Set[String] = {
+    val p = new Path(store, "_graft_segment_commit.json")
+    val fs = p.getFileSystem(ShardIndex.hadoopConf(spark))
+    if (fs.exists(p)) readMarker(ShardIndex.hadoopConf(spark), store).analyzed
+    else Set.empty
   }
 
   /**

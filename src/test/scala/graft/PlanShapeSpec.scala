@@ -164,4 +164,31 @@ class PlanShapeSpec extends AnyFunSuite {
     val got = routed.select("id", "v").as[(String, String)].collect().toSet
     assert(got === Set(("doc1", "b"), ("doc2", "c")))
   }
+
+  test("q102 join qparser: from-side broadcast left-semi, no shuffle of the to-side") {
+    val p = plan("q102_join_qparser")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("q101 block join: child filter + aggregation run BEFORE the parent join") {
+    val p = plan("q101_block_join")
+    // partial agg on the child side proves the groupBy shrinks the
+    // probe before the join, not after
+    assert(p.contains("partial_count"), p.take(2000))
+  }
+
+  test("q108 DSv2 index scan: term pushed into the scan, columns pruned") {
+    val p = plan("q108_index_dsv2")
+    assert(p.contains("pushedTerm=p_brand:Brand#23"), p.take(2000))
+    // the filter column itself is pruned away (IsNotNull absorbed)
+    val cols = "columns=([a-z_,]+)".r.findFirstMatchIn(p).map(_.group(1)).get
+    assert(cols.split(",").toSet === Set("id", "p_name", "p_size"), p.take(2000))
+  }
+
+  test("q107 graph walk: both hops broadcast the frontier") {
+    val p = plan("q107_graph_walk")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
 }

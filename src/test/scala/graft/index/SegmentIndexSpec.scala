@@ -343,6 +343,39 @@ class SegmentIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("analyzed fields: token postings, verbatim stored values, survive forceMerge and upsert") {
+    import spark.implicits._
+    val out = tmp("graft_ana_")
+    val df = Seq(
+      ("1", "Spark Shuffles Data", "keep-exact"),
+      ("2", "the data pipeline", "keep-exact"),
+      ("3", "no match here", "other")).toDF("id", "body", "tag")
+    SegmentShardSink.write(df, "id", out, shards = 2, analyzedFields = Set("body"))
+    def hits(term: String) =
+      SegmentSearch.termQuery(spark, out, "body", term, Seq("id", "body"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // token match, case folded; stored value verbatim
+    assert(hits("data").keySet === Set("1", "2"))
+    assert(hits("data")("1") === "Spark Shuffles Data")
+    assert(hits("spark").keySet === Set("1"))
+    // full original string is NOT a term on an analyzed field
+    assert(hits("Spark Shuffles Data").isEmpty)
+    // non-analyzed field still matches exactly
+    assert(SegmentSearch.termQuery(spark, out, "tag", "keep-exact", Seq("id"))
+      .count() === 2L)
+    // forceMerge rewrites postings — analyzer must re-apply
+    SegmentShardSink.optimize(spark, out)
+    assert(hits("data").keySet === Set("1", "2"))
+    // upsert re-analyzes the delta with the store's config
+    SegmentShardSink.upsert(spark, out,
+      Seq(("3", "actually data too", "other")).toDF("id", "body", "tag"))
+    assert(hits("data").keySet === Set("1", "2", "3"))
+    // termStats counts tokens for analyzed fields
+    val stats = SegmentSearch.fieldTerms(spark, out, "body")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats("data") === 3L && stats("spark") === 1L)
+  }
+
   test("fieldTerms: postings-only stats across shards match the source frame") {
     import spark.implicits._
     val out = tmp("graft_fterms_")
