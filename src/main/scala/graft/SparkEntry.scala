@@ -1415,6 +1415,65 @@ object SparkEntry {
         analyzedFields = Set("text"))
       SegmentSearch.termQuery(s, out, "text", "spark", Seq("id", "lang"))
         .select(col("id").cast("long").as("doc_id"), col("lang"))
+    }),
+
+    // BUCKETED co-located join — the at-scale answer to "this join
+    // shuffles 100 TB every night": both fact tables bucketed+sorted
+    // on the join key at write time, so the join plan has ZERO
+    // exchanges (locked in PlanShapeSpec) — Spark's bucketing in place
+    // of the reference's implicit co-location-by-reducer. Tables are
+    // (re)built per sf-dir under /tmp, a one-time cost the nightly
+    // join amortizes, exactly the trade a warehouse makes.
+    "q114_bucketed_join" -> ((s, d) => {
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_bucket LOCATION '/tmp/graft_warehouse'")
+      val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+      val ot = s"graft_bucket.orders_$tag"
+      val lt = s"graft_bucket.lineitem_$tag"
+      // a FRESH session's in-memory catalog doesn't know tables a prior
+      // JVM left under the warehouse dir — clear the stale location so
+      // CTAS can manage it again
+      def ensure(table: String, build: () => Unit): Unit =
+        if (!s.catalog.tableExists(table)) {
+          val loc = new org.apache.hadoop.fs.Path(
+            "/tmp/graft_warehouse", table.split('.').last.toLowerCase)
+          val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(loc)) fs.delete(loc, true)
+          build()
+        }
+      ensure(ot, () => Tables.orders(s, d).write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey").mode("overwrite").saveAsTable(ot))
+      ensure(lt, () => Tables.lineitem(s, d).write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey").mode("overwrite").saveAsTable(lt))
+      s.table(ot).join(s.table(lt), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_quantity") >= 49)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("l_linenumber").cast("long").as("l_linenumber"), col("l_quantity"))
+    }),
+
+    // deterministic dataset split: split is a pure function of
+    // (salt, doc_id) via lexicographic md5 thresholds — stable under
+    // corpus growth, reproducible in any engine with md5 (the oracle
+    // replays the identical comparison). Shuffle-free projection +
+    // one count aggregation.
+    "q115_dataset_split" -> ((s, d) => {
+      Sampling.deterministicSplit(Tables.documents(s, d), col("doc_id"), "split1-")
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // PHRASE query against the INDEX (Lucene PhraseQuery, slop 0):
+    // positional postings resolve consecutive tokens per shard — the
+    // index-side counterpart of q81's DataFrame phrase ranking, oracled
+    // via the equivalent token-sequence regex on the source table.
+    "q116_index_phrase" -> ((s, d) => {
+      import graft.index.{SegmentSearch, SegmentShardSink}
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id").cast("string").as("id"), col("text"), col("lang"))
+      val out = java.nio.file.Files.createTempDirectory("graft_q116_").toString
+      SegmentShardSink.write(docs, "id", out, shards = 4,
+        analyzedFields = Set("text"))
+      SegmentSearch.phraseQuery(s, out, "text", "spark query", Seq("id", "lang"))
+        .select(col("id").cast("long").as("doc_id"), col("lang"))
     })
   )
 
@@ -2322,6 +2381,25 @@ object SparkEntry {
 
     "q113_analyzed_index" ->
       """SELECT doc_id, lang FROM documents
-        |WHERE regexp_matches(lower(text), '(^|[^a-z0-9])spark([^a-z0-9]|$)')""".stripMargin
+        |WHERE regexp_matches(lower(text), '(^|[^a-z0-9])spark([^a-z0-9]|$)')""".stripMargin,
+
+    "q114_bucketed_join" ->
+      """SELECT o_orderkey, o_orderpriority,
+        | CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_quantity >= 49""".stripMargin,
+
+    "q115_dataset_split" ->
+      """SELECT source,
+        | CASE WHEN md5('split1-' || CAST(doc_id AS VARCHAR)) < 'cc' THEN 'train'
+        |      WHEN md5('split1-' || CAST(doc_id AS VARCHAR)) < 'e6' THEN 'val'
+        |      ELSE 'test' END AS split,
+        | CAST(count(*) AS BIGINT) AS cnt
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    "q116_index_phrase" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE regexp_matches(lower(text),
+        |  '(^|[^a-z0-9])spark[^a-z0-9]+query([^a-z0-9]|$)')""".stripMargin
   )
 }

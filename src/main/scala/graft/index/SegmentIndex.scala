@@ -24,7 +24,10 @@ import scala.collection.mutable
  *    protocol) listing live segments and their doc counts;
  *  - a segment is `_K.fld` (stored fields, doc-ordinal order) +
  *    `_K.trm` (term dictionary: sorted (field, term) → delta-varint
- *    posting list of ascending doc ordinals);
+ *    posting list of ascending doc ordinals; v2 adds per-ordinal
+ *    token POSITIONS for analyzed fields — phrase queries — with a
+ *    100-position gap between multivalues, Lucene's
+ *    positionIncrementGap);
  *  - `addIndexes` is a LOGICAL merge: source segment files are copied
  *    in under fresh names and registered in the next commit — no
  *    rewrite, exactly Lucene's cheap path;
@@ -102,7 +105,8 @@ object SegmentIndex {
   }
 
   private val FLD_MAGIC = 0x47464C44 // "GFLD"
-  private val TRM_MAGIC = 0x4754524D // "GTRM"
+  private val TRM_MAGIC = 0x4754524D  // "GTRM" — v1, ords only
+  private val TRM_MAGIC2 = 0x4754524E // "GTRN" — v2, ords + per-ord positions
   private val DEL_MAGIC = 0x4744454C // "GDEL"
 
   // ---- tombstones: _name_delGen.del = sorted deleted ordinals ----
@@ -173,25 +177,40 @@ object SegmentIndex {
     } finally fld.close()
     // inverted postings: field → term → ascending distinct ordinals.
     // Analyzed fields index their TOKENS (stored value stays verbatim,
-    // the Lucene stored-vs-indexed split); everything else indexes the
-    // exact value (docValues/StrField behavior).
-    val post = mutable.HashMap.empty[String, mutable.HashMap[String, mutable.ArrayBuffer[Int]]]
+    // the Lucene stored-vs-indexed split) WITH token positions, so
+    // phrase queries run against the index; everything else indexes
+    // the exact value (docValues/StrField behavior, no positions).
+    // Multivalued analyzed fields advance positions by a 100 gap
+    // between values (Lucene's positionIncrementGap) so phrases never
+    // match across value boundaries.
+    final case class Posting(ords: mutable.ArrayBuffer[Int],
+                             positions: mutable.ArrayBuffer[mutable.ArrayBuffer[Int]])
+    val post = mutable.HashMap.empty[String, mutable.HashMap[String, Posting]]
     var ord = 0
     docs.foreach { d =>
+      val fieldPos = mutable.HashMap.empty[String, Int]
       d.foreach { case (f, v) =>
-        val terms = if (analyzed.contains(f)) analyze(v) else Seq(v)
+        val isAna = analyzed.contains(f)
+        val terms = if (isAna) analyze(v) else Seq(v)
         val byField = post.getOrElseUpdate(f, mutable.HashMap.empty)
-        terms.foreach { t =>
-          val plist = byField.getOrElseUpdate(t, mutable.ArrayBuffer.empty)
-          if (plist.isEmpty || plist.last != ord) plist += ord // dedupe same term, same doc
+        val base = fieldPos.getOrElse(f, 0)
+        terms.iterator.zipWithIndex.foreach { case (t, i) =>
+          val p = byField.getOrElseUpdate(t,
+            Posting(mutable.ArrayBuffer.empty, mutable.ArrayBuffer.empty))
+          if (p.ords.isEmpty || p.ords.last != ord) { // dedupe same term, same doc
+            p.ords += ord
+            p.positions += mutable.ArrayBuffer.empty[Int]
+          }
+          if (isAna) p.positions.last += (base + i)
         }
+        fieldPos(f) = base + terms.length + 100
       }
       ord += 1
     }
     val trm = new DataOutputStream(new BufferedOutputStream(
       fs.create(new Path(dir, s"$name.trm"), true)))
     try {
-      trm.writeInt(TRM_MAGIC)
+      trm.writeInt(TRM_MAGIC2) // v2: per-ord position lists
       val fields = post.keys.toSeq.sorted
       writeVInt(trm, fields.length)
       fields.foreach { f =>
@@ -200,10 +219,18 @@ object SegmentIndex {
         writeVInt(trm, terms.length)
         terms.foreach { t =>
           writeStr(trm, t)
-          val ords = post(f)(t)
+          val Posting(ords, positions) = post(f)(t)
           writeVInt(trm, ords.length)
           var prev = 0
-          ords.foreach { o => writeVInt(trm, o - prev); prev = o }
+          var i = 0
+          while (i < ords.length) {
+            writeVInt(trm, ords(i) - prev); prev = ords(i)
+            val ps = positions(i)
+            writeVInt(trm, ps.length)
+            var pprev = 0
+            ps.foreach { p => writeVInt(trm, p - pprev); pprev = p }
+            i += 1
+          }
         }
       }
     } finally trm.close()
@@ -225,13 +252,27 @@ object SegmentIndex {
   }
 
   /** field → term → ascending doc ordinals (whole term dictionary —
-    * vocabulary-sized, the per-segment lookup structure). */
+    * vocabulary-sized, the per-segment lookup structure). Positions
+    * (v2 files) are skipped here; use [[readPostingsPositions]]. */
   private[index] def readPostings(fs: FileSystem, dir: Path,
-                                  name: String): Map[String, Map[String, Array[Int]]] = {
+                                  name: String): Map[String, Map[String, Array[Int]]] =
+    readTrm(fs, dir, name, keepPositions = false)
+      .map { case (f, ts) => f -> ts.map { case (t, ps) => t -> ps.map(_._1) } }
+
+  /** v2 view: field → term → (ord, positions) — positions empty for
+    * non-analyzed fields and for v1 segment files. */
+  private[index] def readPostingsPositions(fs: FileSystem, dir: Path, name: String)
+      : Map[String, Map[String, Array[(Int, Array[Int])]]] =
+    readTrm(fs, dir, name, keepPositions = true)
+
+  private def readTrm(fs: FileSystem, dir: Path, name: String, keepPositions: Boolean)
+      : Map[String, Map[String, Array[(Int, Array[Int])]]] = {
     val in = new DataInputStream(new BufferedInputStream(
       fs.open(new Path(dir, s"$name.trm"))))
     try {
-      require(in.readInt() == TRM_MAGIC, s"bad .trm magic in $dir/$name")
+      val magic = in.readInt()
+      require(magic == TRM_MAGIC || magic == TRM_MAGIC2, s"bad .trm magic in $dir/$name")
+      val v2 = magic == TRM_MAGIC2
       val nFields = readVInt(in)
       (0 until nFields).map { _ =>
         val f = readStr(in)
@@ -239,11 +280,28 @@ object SegmentIndex {
         f -> (0 until nTerms).map { _ =>
           val t = readStr(in)
           val len = readVInt(in)
-          val ords = new Array[Int](len)
+          val out = new Array[(Int, Array[Int])](len)
           var prev = 0
           var i = 0
-          while (i < len) { prev += readVInt(in); ords(i) = prev; i += 1 }
-          t -> ords
+          while (i < len) {
+            prev += readVInt(in)
+            val positions: Array[Int] =
+              if (!v2) Array.empty
+              else {
+                val nPos = readVInt(in)
+                if (nPos == 0) Array.empty
+                else {
+                  val ps = new Array[Int](nPos)
+                  var pprev = 0
+                  var j = 0
+                  while (j < nPos) { pprev += readVInt(in); ps(j) = pprev; j += 1 }
+                  if (keepPositions) ps else Array.empty[Int]
+                }
+              }
+            out(i) = (prev, positions)
+            i += 1
+          }
+          t -> out
         }.toMap
       }.toMap
     } finally in.close()
@@ -530,6 +588,36 @@ object SegmentIndex {
         }
       }
       acc.toMap
+    }
+
+    /** Exact-phrase query over an ANALYZED field: LIVE docs where
+      * `tokens` occur at consecutive positions (Lucene PhraseQuery,
+      * slop 0). Fields indexed without analysis have no positions and
+      * never match a multi-token phrase. */
+    def phraseDocs(field: String, tokens: Seq[String]): Seq[Doc] = {
+      require(tokens.nonEmpty, "empty phrase")
+      commit.segments.flatMap { s =>
+        val dels = readDels(fs, dir, s)
+        val post = readPostingsPositions(fs, dir, s.name).getOrElse(field, Map.empty)
+        val perTok: Seq[Map[Int, Array[Int]]] =
+          tokens.map(t => post.getOrElse(t, Array.empty[(Int, Array[Int])]).toMap)
+        if (perTok.exists(_.isEmpty)) Nil
+        else {
+          val candidates = perTok.map(_.keySet).reduce(_ intersect _)
+            .filterNot(dels.contains).toSeq.sorted
+          val hits = candidates.filter { ord =>
+            val first = perTok.head(ord)
+            first.exists(p => perTok.zipWithIndex.tail.forall {
+              case (m, k) => java.util.Arrays.binarySearch(m(ord), p + k) >= 0
+            })
+          }
+          if (hits.isEmpty) Nil
+          else {
+            val stored = readStoredDocs(fs, dir, s.name)
+            hits.map(stored)
+          }
+        }
+      }
     }
 
     def termQueryCount(field: String, term: String): Long =

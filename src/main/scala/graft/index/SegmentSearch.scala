@@ -59,6 +59,16 @@ object SegmentSearch {
   def matchAll(spark: SparkSession, store: String, fields: Seq[String]): DataFrame =
     gather(spark, store, fields)(_.allDocs())
 
+  /** Exact-phrase query (`field:"a b c"`, slop 0) over an ANALYZED
+    * field, fanned out shard-parallel — positional postings resolve
+    * consecutive tokens per shard, no stored-doc scan for misses. The
+    * phrase is analyzed with the index's own tokenizer. */
+  def phraseQuery(spark: SparkSession, store: String, field: String,
+                  phrase: String, fields: Seq[String]): DataFrame = {
+    val tokens = SegmentIndex.analyze(phrase)
+    gather(spark, store, fields)(r => r.phraseDocs(field, tokens).iterator)
+  }
+
   /** Realtime-get analog: live docs whose `field` matches ANY of
     * `terms` (each doc once), fanned out shard-parallel. */
   def getByTerms(spark: SparkSession, store: String, field: String,

@@ -334,6 +334,82 @@ object SegmentShardSink {
     }.sum().toLong
   }
 
+  /**
+   * Consistent store snapshot (the Solr backup API's replication
+   * design): each part copies ONLY the files its LATEST COMMIT
+   * references — `segments_N`, each live segment's `.fld`/`.trm`, and
+   * the live `.del` generations — plus the store marker. Because
+   * segment files are immutable and a commit is the single
+   * publication point, a backup taken while a writer is mid-append
+   * still captures a valid, openable index at the committed
+   * generation (Lucene's snapshot-by-commit property). One task per
+   * part; bytes move executor-side through Hadoop FS streams, never
+   * the driver.
+   */
+  def backup(spark: SparkSession, store: String, dest: String): Unit = {
+    val dirs = partDirs(spark, store)
+    require(dirs.nonEmpty, s"no part dirs under $store")
+    val conf = new SerializableHadoopConf(ShardIndex.hadoopConf(spark))
+    spark.sparkContext.parallelize(dirs, dirs.size).foreach { d =>
+      val src = new Path(d)
+      val fs = src.getFileSystem(conf.value)
+      val part = src.getParent.getParent.getName // part-NNNNN
+      val dst = new Path(s"$dest/$part/data/index")
+      fs.mkdirs(dst)
+      SegmentIndex.latestCommit(fs, src).foreach { cp =>
+        val files = Seq(s"segments_${cp.gen}") ++ cp.segments.flatMap { m =>
+          Seq(s"${m.name}.fld", s"${m.name}.trm") ++
+            (if (m.delGen > 0) Seq(s"${m.name}_${m.delGen}.del") else Nil)
+        }
+        files.foreach { f =>
+          val in = fs.open(new Path(src, f))
+          val out = fs.create(new Path(dst, f), true)
+          try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536)
+          finally { in.close(); out.close() }
+        }
+      }
+    }
+    // marker last: its presence marks the backup complete
+    val fs = new Path(store).getFileSystem(ShardIndex.hadoopConf(spark))
+    val mSrc = new Path(store, "_graft_segment_commit.json")
+    if (fs.exists(mSrc)) {
+      val in = fs.open(mSrc)
+      val out = fs.create(new Path(dest, "_graft_segment_commit.json"), true)
+      try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536)
+      finally { in.close(); out.close() }
+    }
+  }
+
+  /** Restore a [[backup]] into `dest` (a fresh store path): the backup
+    * holds exactly one commit per part, so restore is a plain
+    * parallel copy. */
+  def restore(spark: SparkSession, backupDir: String, dest: String): Unit = {
+    val dirs = partDirs(spark, backupDir)
+    require(dirs.nonEmpty, s"no part dirs under $backupDir (not a backup?)")
+    val conf = new SerializableHadoopConf(ShardIndex.hadoopConf(spark))
+    spark.sparkContext.parallelize(dirs, dirs.size).foreach { d =>
+      val src = new Path(d)
+      val fs = src.getFileSystem(conf.value)
+      val part = src.getParent.getParent.getName
+      val dst = new Path(s"$dest/$part/data/index")
+      fs.mkdirs(dst)
+      fs.listStatus(src).filter(_.isFile).foreach { st =>
+        val in = fs.open(st.getPath)
+        val out = fs.create(new Path(dst, st.getPath.getName), true)
+        try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536)
+        finally { in.close(); out.close() }
+      }
+    }
+    val fs = new Path(backupDir).getFileSystem(ShardIndex.hadoopConf(spark))
+    val mSrc = new Path(backupDir, "_graft_segment_commit.json")
+    if (fs.exists(mSrc)) {
+      val in = fs.open(mSrc)
+      val out = fs.create(new Path(dest, "_graft_segment_commit.json"), true)
+      try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536)
+      finally { in.close(); out.close() }
+    }
+  }
+
   /** Per-part doc/segment counts — the `*:*` verification view
     * (SolrIndexDriverTest.java:54-61 shape) as a DataFrame. */
   def docCounts(spark: SparkSession, store: String): DataFrame = {

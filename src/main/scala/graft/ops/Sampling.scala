@@ -62,4 +62,30 @@ object Sampling {
         (lit(1.0) / col("__ngrp").cast("double")) / col("share"))
       .drop("__tot", "__ngrp")
   }
+
+  /**
+   * Deterministic train/val/test assignment: the split is a pure
+   * function of (salt, key) — stable across runs, machines, and
+   * corpus growth (a doc never migrates between splits when new data
+   * arrives, the property random splits lose). Buckets are carved by
+   * comparing md5(salt ++ key) LEXICOGRAPHICALLY against hex
+   * thresholds, so any engine with md5 reproduces the assignment
+   * byte-for-byte (no float fractions, no modulo-bias arithmetic).
+   * Shuffle-free: one codegen'd projection.
+   *
+   * `boundaries` maps label -> exclusive upper hex bound, in order;
+   * the last label takes the remainder. Default ≈ 80/10/10
+   * (0xcc/0x100 = .797, 0xe6/0x100 = .898).
+   */
+  def deterministicSplit(df: DataFrame, key: Column, salt: String,
+                         out: String = "split",
+                         boundaries: Seq[(String, String)] = Seq(
+                           "train" -> "cc", "val" -> "e6"),
+                         rest: String = "test"): DataFrame = {
+    val h = md5(concat(lit(salt), key.cast("string")))
+    val split = boundaries.foldRight(lit(rest): Column) {
+      case ((label, bound), elseC) => when(h < bound, label).otherwise(elseC)
+    }
+    df.withColumn(out, split)
+  }
 }

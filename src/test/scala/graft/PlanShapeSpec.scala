@@ -186,6 +186,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(cols.split(",").toSet === Set("id", "p_name", "p_size"), p.take(2000))
   }
 
+  test("q114 bucketed join: ZERO exchanges — co-located buckets join in place") {
+    val p = plan("q114_bucketed_join")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("q115 dataset split: shuffle-free projection feeding one aggregation") {
+    val p = plan("q115_dataset_split")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges === 1, p.take(3000)) // only the final groupBy
+    assert(p.contains("partial_count"), p.take(3000))
+  }
+
   test("q107 graph walk: both hops broadcast the frontier") {
     val p = plan("q107_graph_walk")
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p.take(3000))

@@ -91,6 +91,15 @@ class IndexDataSourceSpec extends AnyFunSuite {
       Seq(("1", "alpha"), ("4", "gamma")))
   }
 
+  test("SolrQueryString composes over the index table (the user's full loop)") {
+    import graft.search.SolrQueryString
+    val idx = spark.read.format("graft-index").load(store)
+    val pred = SolrQueryString.compile("value:alpha AND tag:[x TO y]",
+      idx.schema, defaultField = "value")
+    assert(idx.filter(pred).select("id").collect().map(_.getString(0)).sorted.toSeq
+      === Seq("1", "3"))
+  }
+
   test("agrees with the SegmentSearch scatter-gather path") {
     val viaDsv2 = spark.read.format("graft-index").load(store)
       .filter(col("value") === "alpha").select("id", "tag")

@@ -376,6 +376,57 @@ class SegmentIndexSpec extends AnyFunSuite {
     assert(stats("data") === 3L && stats("spark") === 1L)
   }
 
+  test("phrase query: consecutive positions only, multivalue gap blocks cross-value, " +
+    "survives forceMerge") {
+    val dir = tmp("graft_phrase_")
+    val w = new SegmentIndex.Writer(
+      new Path(dir).getFileSystem(conf), new Path(dir), analyzed = Set("body"))
+    w.addDocument(Seq("id" -> "1", "body" -> "the quick brown fox"))
+    w.addDocument(Seq("id" -> "2", "body" -> "quick thinking, brown result"))
+    w.addDocument(Seq("id" -> "3", "body" -> "Quick Brown shoes"))
+    // multivalued: "…quick" ends value 1, "brown…" starts value 2 — the
+    // position gap must prevent a phrase match across the boundary
+    w.addDocument(Seq("id" -> "4", "body" -> "very quick", "body" -> "brown again"))
+    w.commit()
+    val r = SegmentIndex.reader(dir, conf)
+    def ids(toks: Seq[String]) =
+      r.phraseDocs("body", toks).map(_.toMap.apply("id")).sorted
+    assert(ids(Seq("quick", "brown")) === Seq("1", "3")) // case-folded, punctuation-split
+    assert(ids(Seq("brown", "quick")) === Seq())         // order matters
+    assert(ids(Seq("quick")) === Seq("1", "2", "3", "4")) // 1-token phrase = term query
+    assert(ids(Seq("the", "quick", "brown", "fox")) === Seq("1"))
+    // forceMerge rewrites segments — positions must be rebuilt
+    w.forceMerge(1)
+    val r2 = SegmentIndex.reader(dir, conf)
+    assert(r2.phraseDocs("body", Seq("quick", "brown")).map(_.toMap.apply("id")).sorted
+      === Seq("1", "3"))
+  }
+
+  test("backup/restore: commit-point snapshot survives later mutation of the source") {
+    import spark.implicits._
+    val store = tmp("graft_bak_store_")
+    val bak = tmp("graft_bak_dest_")
+    val restored = tmp("graft_bak_rest_")
+    SegmentShardSink.write((1 to 30).map(i => (i.toString, s"v$i")).toDF("id", "v"),
+      "id", store, shards = 2)
+    SegmentShardSink.deleteByTerm(spark, store, "id", "7") // live .del generation
+    SegmentShardSink.backup(spark, store, bak)
+    // mutate the ORIGINAL after the backup
+    SegmentShardSink.upsert(spark, store,
+      Seq(("1", "MUTATED"), ("99", "post-backup")).toDF("id", "v"))
+    SegmentShardSink.restore(spark, bak, restored)
+    val got = SegmentSearch.matchAll(spark, restored, Seq("id", "v"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got.size === 29)            // 30 - deleted 7; no post-backup rows
+    assert(got("1") === "v1")          // pre-mutation value
+    assert(!got.contains("7") && !got.contains("99"))
+    // the restored store is fully functional (searchable, upsertable)
+    assert(SegmentSearch.termQuery(spark, restored, "v", "v12", Seq("id"))
+      .head.getString(0) === "12")
+    SegmentShardSink.upsert(spark, restored, Seq(("7", "back")).toDF("id", "v"))
+    assert(SegmentSearch.matchAll(spark, restored, Seq("id")).count() === 30L)
+  }
+
   test("fieldTerms: postings-only stats across shards match the source frame") {
     import spark.implicits._
     val out = tmp("graft_fterms_")
