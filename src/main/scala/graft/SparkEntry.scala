@@ -1350,7 +1350,7 @@ object SparkEntry {
           concat(col("p_name"), lit(" v2")).as("p_name"), col("p_brand"))
         .unionByName(Tables.part(s, d)
           .filter(pmod(col("p_partkey"), lit(97)) === 0)
-          .select((col("p_partkey") + 10000000L).cast("string").as("id"),
+          .select((col("p_partkey") + 1000000000L).cast("string").as("id"),
             concat(lit("new part "), col("p_partkey")).as("p_name"), col("p_brand")))
       SegmentShardSink.upsert(s, out, delta)
       SegmentSearch.matchAll(s, out, Seq("id", "p_name", "p_brand"))
@@ -2359,7 +2359,7 @@ object SparkEntry {
         |SELECT p_partkey, p_name, p_brand
         |FROM part WHERE p_partkey % 10 <> 0
         |UNION ALL
-        |SELECT p_partkey + 10000000 AS p_partkey,
+        |SELECT p_partkey + 1000000000 AS p_partkey,
         |  'new part ' || p_partkey AS p_name, p_brand
         |FROM part WHERE p_partkey % 97 = 0""".stripMargin,
 
@@ -2377,7 +2377,7 @@ object SparkEntry {
         |  AND regexp_matches(lower(text), '(^|[^a-z0-9])spark([^a-z0-9]|$)')
         |  AND NOT regexp_matches(lower(text), '(^|[^a-z0-9])merge([^a-z0-9]|$)')
         |  AND CAST(n_chars AS DOUBLE) BETWEEN 100.0 AND 400.0
-        |  AND regexp_matches(lower(source), '^src1[a-z0-9]*$')""".stripMargin,
+        |  AND regexp_matches(source, '^src1.*$')""".stripMargin,
 
     "q113_analyzed_index" ->
       """SELECT doc_id, lang FROM documents

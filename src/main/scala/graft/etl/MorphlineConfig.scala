@@ -116,11 +116,12 @@ object MorphlineConfig {
             steps += (df => sch.sanitize(df, rename))
           case "generateUUID" =>
             val out = body.str("field").getOrElse("id")
-            val preserve = body.str("preserveExisting")
+            // Kite's documented default is preserveExisting : true —
+            // a config that omits it must NOT clobber existing ids
+            val preserve = body.str("preserveExisting").forall(_.toBoolean)
             steps += (df => {
-              val from = concat_ws("", df.columns.sorted.map(col).toIndexedSeq: _*)
-              val pres = preserve.filter(_.toBoolean == true)
-                .flatMap(_ => if (df.columns.contains(out)) Some(col(out)) else None)
+              val from = concat_ws("", df.columns.sorted.map(col).toIndexedSeq: _*)
+              val pres = if (preserve && df.columns.contains(out)) Some(col(out)) else None
               Etl.generateUuid(df, out, from, pres)
             })
           case "setValues" =>

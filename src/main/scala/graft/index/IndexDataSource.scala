@@ -74,11 +74,19 @@ private[index] class IndexTable(tableSchema: StructType, store: String)
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new IndexScanBuilder(tableSchema, store)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // multivalued fields are excluded from pushdown: the relational
+    // surface shows their FIRST value, but a posting lookup matches
+    // ANY value — pushing would return rows that visibly violate the
+    // predicate. Residual Spark evaluation keeps the table honest.
+    val mv = SegmentShardSink.readMarker(
+      SparkSession.active.sessionState.newHadoopConf(), store).multivalued
+    new IndexScanBuilder(tableSchema, store, mv)
+  }
 }
 
-private[index] class IndexScanBuilder(full: StructType, store: String)
+private[index] class IndexScanBuilder(full: StructType, store: String,
+                                      multivalued: Set[String])
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = full
@@ -89,9 +97,10 @@ private[index] class IndexScanBuilder(full: StructType, store: String)
     * else is residual. The pushed filter is exact (termDocs matches
     * whole terms), so it is NOT returned for re-evaluation. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def pushable(a: String) = full.fieldNames.contains(a) && !multivalued.contains(a)
     val idx = filters.indexWhere {
-      case EqualTo(a, v: String) => full.fieldNames.contains(a) && v != null
-      case In(a, vs) => full.fieldNames.contains(a) && vs.nonEmpty &&
+      case EqualTo(a, v: String) => pushable(a) && v != null
+      case In(a, vs) => pushable(a) && vs.nonEmpty &&
         vs.forall(v => v != null && v.isInstanceOf[String])
       case _ => false
     }
@@ -176,10 +185,7 @@ private[index] class IndexReaderFactory(conf: SerializableHadoopConf,
         if (!docs.hasNext) false
         else {
           val doc = docs.next()
-          // first occurrence wins for multivalued fields (SegmentSearch contract)
-          val m = doc.foldLeft(Map.empty[String, String]) { case (acc, (k, v)) =>
-            if (acc.contains(k)) acc else acc.updated(k, v)
-          }
+          val m = SegmentIndex.firstValues(doc)
           current = InternalRow.fromSeq(fields.toIndexedSeq.map(f =>
             m.get(f).map(UTF8String.fromString).orNull))
           true

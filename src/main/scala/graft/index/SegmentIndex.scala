@@ -69,6 +69,14 @@ object SegmentIndex {
     * a multivalued field (Solr's default field model). */
   type Doc = Seq[(String, String)]
 
+  /** The relational surfacing contract for multivalued fields: the
+    * FIRST occurrence wins (shared by SegmentSearch and the DSv2
+    * source, so the two read paths cannot diverge). */
+  private[index] def firstValues(doc: Doc): Map[String, String] =
+    doc.foldLeft(Map.empty[String, String]) { case (acc, (k, v)) =>
+      if (acc.contains(k)) acc else acc.updated(k, v)
+    }
+
   // ---- primitives (unsigned LEB128 + length-prefixed UTF-8; no
   // writeUTF, whose 64 KB cap a document body would hit) ----
 

@@ -38,11 +38,7 @@ object SegmentSearch {
       val p = new Path(d)
       val reader = new SegmentIndex.Reader(p.getFileSystem(conf.value), p)
       hits(reader).map { doc =>
-        // toMap keeps the LAST duplicate key; fold keeps the FIRST, per
-        // the documented multivalued contract above
-        val m = doc.foldLeft(Map.empty[String, String]) { case (acc, (k, v)) =>
-          if (acc.contains(k)) acc else acc.updated(k, v)
-        }
+        val m = SegmentIndex.firstValues(doc) // first-wins multivalued contract
         Row.fromSeq(fields.map(m.get(_).orNull))
       }
     }
@@ -66,6 +62,9 @@ object SegmentSearch {
   def phraseQuery(spark: SparkSession, store: String, field: String,
                   phrase: String, fields: Seq[String]): DataFrame = {
     val tokens = SegmentIndex.analyze(phrase)
+    // fail fast on the driver — an empty token list would otherwise
+    // throw inside every shard task
+    require(tokens.nonEmpty, s"phrase '$phrase' has no indexable tokens")
     gather(spark, store, fields)(r => r.phraseDocs(field, tokens).iterator)
   }
 

@@ -109,7 +109,8 @@ object SegmentShardSink {
       if (SegmentIndex.latestCommit(fs, dir).isEmpty)
         new SegmentIndex.Writer(fs, dir, analyzedFields).commit()
     }
-    writeMarker(out, shards, n, idCol, fields.map(_._1), analyzedFields, df.sparkSession)
+    writeMarker(out, shards, n, idCol, fields.map(_._1), analyzedFields,
+      fields.filter(_._3).map(_._1).toSet, router, df.sparkSession)
   }
 
   private def indexDir(out: String, part: Int): String =
@@ -117,17 +118,29 @@ object SegmentShardSink {
 
   private def writeMarker(out: String, shards: Int, parts: Int, idCol: String,
                           columns: Seq[String], analyzed: Set[String],
+                          multivalued: Set[String],
+                          router: Option[HashRangeRouter],
                           spark: SparkSession): Unit = {
     val p = new Path(out, "_graft_segment_commit.json")
     val fs = p.getFileSystem(ShardIndex.hadoopConf(spark))
     val os = fs.create(p, true)
-    // columns records the stored-field inventory so readers (the
-    // graft-index DataSourceV2 source) get a schema from metadata
-    // alone, without opening any segment
-    val cols = columns.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val ana = analyzed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // the marker is the store's SCHEMA record: column inventory (the
+    // DSv2 source's metadata-only schema), analyzer + multivalued sets
+    // (so maintenance ops re-apply the same indexing), and the ROUTING
+    // (bits + explicit ranges) so upserts land on the part that holds
+    // the prior version even for custom-routed stores
+    def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val bits = router.map(_.routingBits).getOrElse(16)
+    val rangesJson = router.flatMap(_.explicitRanges) match {
+      case Some(rs) => "\"" + rs.map { case (a, b) => s"$a:$b" }.mkString(",") + "\""
+      case None => "null"
+    }
     try os.write(
-      s"""{"graft_segment_store":1,"shards":$shards,"parts":$parts,"id_column":"$idCol","columns":$cols,"analyzed":$ana}"""
+      (s"""{"graft_segment_store":1,"shards":$shards,"parts":$parts,""" +
+        s""""id_column":"$idCol","columns":${arr(columns)},""" +
+        s""""analyzed":${arr(analyzed.toSeq.sorted)},""" +
+        s""""multivalued":${arr(multivalued.toSeq.sorted)},""" +
+        s""""routing_bits":$bits,"ranges":$rangesJson}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally os.close()
   }
@@ -157,7 +170,8 @@ object SegmentShardSink {
     val dupes = updates.groupBy(col(idCol)).count().filter(col("count") > 1).limit(1).count()
     require(dupes == 0, s"duplicate $idCol values in upsert batch")
     val routed = ShardIndex.routedForWrite(updates, idCol, marker.shards, splits,
-      dedupOrder = None, rejectConflicts = false, routerOpt = None, keepMs = true)
+      dedupOrder = None, rejectConflicts = false,
+      routerOpt = Some(marker.router), keepMs = true)
       .drop("shard")
       .sortWithinPartitions(col("__ms"), col(idCol).desc)
     val schema = routed.schema
@@ -193,7 +207,14 @@ object SegmentShardSink {
   }
 
   private[index] case class StoreMarker(shards: Int, parts: Int, idCol: String,
-                                        analyzed: Set[String])
+                                        analyzed: Set[String],
+                                        columns: Seq[String],
+                                        multivalued: Set[String],
+                                        routingBits: Int,
+                                        ranges: Option[Seq[(Int, Int)]]) {
+    /** The store's routing, reconstructed — identical to what write() used. */
+    def router: HashRangeRouter = HashRangeRouter(shards, routingBits, ranges)
+  }
 
   private[index] def readMarker(conf: org.apache.hadoop.conf.Configuration,
                                 store: String): StoreMarker = {
@@ -206,12 +227,24 @@ object SegmentShardSink {
       .map(_.group(1).toInt).getOrElse(throw new IllegalStateException(s"marker missing $k"))
     val id = """"id_column":"([^"]*)"""".r.findFirstMatchIn(txt)
       .map(_.group(1)).getOrElse(throw new IllegalStateException("marker missing id_column"))
-    val ana = """"analyzed":\[(.*?)\]""".r.findFirstMatchIn(txt) match {
+    def strSet(k: String): Set[String] = (raw""""$k":\[(.*?)\]""").r.findFirstMatchIn(txt) match {
       case Some(m) if m.group(1).nonEmpty =>
         m.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSet
       case _ => Set.empty[String]
     }
-    StoreMarker(intOf("shards"), intOf("parts"), id, ana)
+    val cols = ("\"columns\":\\[(.*?)\\]").r.findFirstMatchIn(txt) match {
+      case Some(m) if m.group(1).nonEmpty =>
+        m.group(1).split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      case _ => Nil
+    }
+    val bits = """"routing_bits":(\d+)""".r.findFirstMatchIn(txt)
+      .map(_.group(1).toInt).getOrElse(16)
+    val ranges = """"ranges":"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+      .map(_.split(",").toSeq.map { pair =>
+        val Array(a, b) = pair.split(":"); (a.toInt, b.toInt)
+      })
+    StoreMarker(intOf("shards"), intOf("parts"), id, strSet("analyzed"),
+      cols, strSet("multivalued"), bits, ranges)
   }
 
   /** Stored-field inventory from the store marker (written by
@@ -259,6 +292,9 @@ object SegmentShardSink {
     require(current.nonEmpty, s"no part dirs under $store")
     ShardIndex.mtreeIterations(current.size, shards, fanout) // validates invariant
     val conf = new SerializableHadoopConf(ShardIndex.hadoopConf(spark))
+    // addIndexes MATERIALIZES source segments that carry tombstones —
+    // that path rewrites postings, so the analyzer must ride along
+    val analyzed = markerAnalyzed(spark, store)
     var round = 0
     while (current.size > shards) {
       val groups = current.grouped(fanout).toSeq
@@ -266,7 +302,7 @@ object SegmentShardSink {
       spark.sparkContext.parallelize(groups.zip(targets), groups.size)
         .foreach { case (group, target) =>
           val dir = new Path(target)
-          val w = new SegmentIndex.Writer(dir.getFileSystem(conf.value), dir)
+          val w = new SegmentIndex.Writer(dir.getFileSystem(conf.value), dir, analyzed)
           w.addIndexes(group.map(new Path(_)))
           w.commit()
         }
@@ -285,6 +321,12 @@ object SegmentShardSink {
         fs.rename(src, new Path(store, f"part-$i%05d"))
       }
       (0 until round).foreach(r => fs.delete(new Path(store, s"mtree-$r"), true))
+      // the store now has `shards` parts with 1 split each — rewrite the
+      // marker so routing-derived consumers (upsert) target the merged
+      // layout, not the pre-merge micro shards
+      val m = readMarker(ShardIndex.hadoopConf(spark), store)
+      writeMarker(store, shards, shards, m.idCol, m.columns, m.analyzed,
+        m.multivalued, Some(m.router), spark)
     }
   }
 

@@ -113,6 +113,7 @@ object SolrQueryString {
 
     private def valueOn(field: String): Column = {
       skipWs()
+      require(!eof, s"missing value for field '$field' in: $input")
       val c = col(field)
       peek match {
         case '"' =>
@@ -169,15 +170,24 @@ object SolrQueryString {
         "([^a-z0-9]|$)")
     }
 
+    /** Analyzed fields: wildcards range over TOKEN characters and the
+      * term is case-folded like every other analyzed match. Exact
+      * fields: Lucene semantics — `*` -> `.*`, `?` -> `.`, case
+      * SENSITIVE (consistent with `c === term` for plain terms). */
     private def wildcardMatch(c: Column, term: String, analyzed: Boolean): Column = {
-      val sb = new StringBuilder
-      term.toLowerCase.foreach {
-        case '*' => sb.append("[a-z0-9]*")
-        case '?' => sb.append("[a-z0-9]")
-        case ch => sb.append(java.util.regex.Pattern.quote(ch.toString))
+      def compile(t: String, star: String, one: String): String = {
+        val sb = new StringBuilder
+        t.foreach {
+          case '*' => sb.append(star)
+          case '?' => sb.append(one)
+          case ch => sb.append(java.util.regex.Pattern.quote(ch.toString))
+        }
+        sb.toString
       }
-      if (analyzed) lower(c).rlike("(^|[^a-z0-9])" + sb + "([^a-z0-9]|$)")
-      else lower(c).rlike("^" + sb + "$")
+      if (analyzed)
+        lower(c).rlike("(^|[^a-z0-9])" + compile(term.toLowerCase, "[a-z0-9]*", "[a-z0-9]") +
+          "([^a-z0-9]|$)")
+      else c.rlike("^" + compile(term, ".*", ".") + "$")
     }
 
     // --- lexing helpers ---

@@ -98,6 +98,25 @@ class MorphlineConfigSpec extends AnyFunSuite {
     assert(c.command(in).select("uid").head.getString(0) === row.getString(3))
   }
 
+  test("generateUUID preserves existing ids by default (Kite's documented default)") {
+    import spark.implicits._
+    val conf = """
+      morphlines : [ { id : m2b, commands : [ { generateUUID { field : uid } } ] } ]
+    """
+    val c = MorphlineConfig.compile(conf)
+    val in = Seq(("keep-me", "text a"), (null, "text b")).toDF("uid", "text")
+    val out = c.command(in).select("uid").collect().map(_.getString(0))
+    assert(out.contains("keep-me")) // existing id untouched
+    assert(out.forall(_ != null))   // null slot filled with a generated id
+    // explicit preserveExisting : false DOES regenerate
+    val c2 = MorphlineConfig.compile("""
+      morphlines : [ { id : m2c, commands : [
+        { generateUUID { field : uid, preserveExisting : false } } ] } ]
+    """)
+    val out2 = c2.command(in).select("uid").collect().map(_.getString(0))
+    assert(!out2.contains("keep-me"))
+  }
+
   test("strict mode refuses unknown commands; lenient records them") {
     val conf = """
       morphlines : [ { id : m3, commands : [ { xmlQueryThing { } } ] } ]

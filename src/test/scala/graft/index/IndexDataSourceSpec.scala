@@ -91,6 +91,29 @@ class IndexDataSourceSpec extends AnyFunSuite {
       Seq(("1", "alpha"), ("4", "gamma")))
   }
 
+  test("multivalued fields are NOT pushed down — relational first-value semantics hold") {
+    import spark.implicits._
+    val out = tmp("graft_dsv2_mv_")
+    val df = Seq(
+      ("1", Seq("y", "x")), // x is the SECOND value — termDocs would match it
+      ("2", Seq("x")),
+      ("3", Seq("z"))
+    ).toDF("id", "tags")
+    SegmentShardSink.write(df, "id", out, shards = 1)
+    val idx = spark.read.format("graft-index").load(out)
+    val hits = idx.filter(col("tags") === "x")
+    // pushdown must NOT claim the filter (it would surface doc 1 whose
+    // visible first value is "y")
+    val scan = hits.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.description()
+    }
+    assert(scan.exists(_.contains("pushedTerm=*:*")), s"scan was: $scan")
+    assert(hits.select("id").collect().map(_.getString(0)).toSeq === Seq("2"))
+    // the ANY-value search path stays available via the explicit API
+    assert(SegmentSearch.termQuery(spark, out, "tags", "x", Seq("id"))
+      .collect().map(_.getString(0)).sorted.toSeq === Seq("1", "2"))
+  }
+
   test("SolrQueryString composes over the index table (the user's full loop)") {
     import graft.search.SolrQueryString
     val idx = spark.read.format("graft-index").load(store)

@@ -402,6 +402,55 @@ class SegmentIndexSpec extends AnyFunSuite {
       === Seq("1", "3"))
   }
 
+  test("upsert after mergeTree targets the MERGED layout (marker rewritten)") {
+    import spark.implicits._
+    val out = tmp("graft_mtup_")
+    val base = (1 to 40).map(i => (i.toString, s"v$i")).toDF("id", "v")
+    SegmentShardSink.write(base, "id", out, shards = 2, microShards = 8)
+    SegmentShardSink.mergeTree(spark, out, shards = 2, fanout = 2)
+    assert(SegmentShardSink.partIndexDirs(spark, out).size === 2)
+    SegmentShardSink.upsert(spark, out,
+      Seq(("5", "v5 new"), ("41", "fresh")).toDF("id", "v"))
+    // no phantom micro-shard dirs resurrected by the upsert
+    assert(SegmentShardSink.partIndexDirs(spark, out).size === 2)
+    val got = SegmentSearch.matchAll(spark, out, Seq("id", "v"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got.size === 41)        // 40 + 1 new, NO duplicate of id 5
+    assert(got("5") === "v5 new")  // the merged part held the prior version
+  }
+
+  test("upsert honors a custom router recorded in the marker") {
+    import graft.route.HashRangeRouter
+    import spark.implicits._
+    val out = tmp("graft_custrt_")
+    // deliberately lopsided 2-shard ranges (NOT the uniform default)
+    val router = HashRangeRouter(2, explicitRanges = Some(Seq(
+      (Int.MinValue, -1000000000), (-999999999, Int.MaxValue))))
+    val base = (1 to 60).map(i => (i.toString, s"v$i")).toDF("id", "v")
+    SegmentShardSink.write(base, "id", out, shards = 2, router = Some(router))
+    SegmentShardSink.upsert(spark, out,
+      (1 to 60).map(i => (i.toString, s"v$i updated")).toDF("id", "v"))
+    val got = SegmentSearch.matchAll(spark, out, Seq("id", "v"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // every update found its prior version — no duplicates anywhere
+    assert(got.size === 60)
+    assert(got.values.forall(_.endsWith("updated")))
+  }
+
+  test("mergeTree preserves analyzed postings when sources carry tombstones") {
+    import spark.implicits._
+    val out = tmp("graft_mtana_")
+    val docs = (1 to 20).map(i => (i.toString, s"body text number$i")).toDF("id", "body")
+    SegmentShardSink.write(docs, "id", out, shards = 1, microShards = 4,
+      analyzedFields = Set("body"))
+    SegmentShardSink.deleteByTerm(spark, out, "id", "3") // forces materialize path
+    SegmentShardSink.mergeTree(spark, out, shards = 1, fanout = 2)
+    // token postings survived the merge's rewrite of tombstoned segments
+    assert(SegmentSearch.termQuery(spark, out, "body", "text", Seq("id")).count() === 19L)
+    assert(SegmentSearch.phraseQuery(spark, out, "body", "body text", Seq("id"))
+      .count() === 19L)
+  }
+
   test("backup/restore: commit-point snapshot survives later mutation of the source") {
     import spark.implicits._
     val store = tmp("graft_bak_store_")

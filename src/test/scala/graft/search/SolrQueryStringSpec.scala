@@ -82,5 +82,16 @@ class SolrQueryStringSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](ids("(lang:en"))
     assertThrows[IllegalArgumentException](ids("n:[1 TO"))
     assertThrows[IllegalArgumentException](ids("text:\"unterminated"))
+    assertThrows[IllegalArgumentException](ids("tag:")) // dangling field
+  }
+
+  test("exact-field wildcards: Lucene semantics — any char, case-sensitive") {
+    // '-' is matched by * on an exact field (it is NOT a token class)
+    assert(ids("tag:al*") === Seq(1L))
+    assert(ids("tag:a*a") === Seq(1L))
+    // case-sensitive like plain exact terms
+    assert(ids("tag:AL*") === Seq())
+    // analyzed fields stay case-folded, token-bounded
+    assert(ids("text:QUI*") === Seq(1L, 2L, 5L))
   }
 }
