@@ -101,6 +101,44 @@ object Graft {
                   textFields: Set[String] = Set.empty): Column =
     graft.search.SolrQueryString.compile(q, df.schema, defaultField, textFields)
 
+  /**
+   * The FULL Solr request loop in one call: parse the query string,
+   * filter the index table (term pushdown where eligible), BM25-rank
+   * the hits by the query's positive analyzed terms with CORPUS-WIDE
+   * statistics (Solr's idf scope), return the top-k with their stored
+   * fields. Ties break on the id column's string order; scores are
+   * rounded to 6 places (`score_r`) per the engine's float-parity
+   * discipline. A query with no rankable terms (pure filters/ranges)
+   * returns hits in id order with score 0.
+   */
+  def search(spark: SparkSession, store: String, q: String, topK: Int = 10): DataFrame = {
+    import graft.index.SegmentShardSink
+    val marker = SegmentShardSink.readMarker(
+      spark.sessionState.newHadoopConf(), store)
+    val idx = openSegmentIndex(spark, store)
+    val textFields = marker.analyzed
+    val default = textFields.headOption.getOrElse(marker.idCol)
+    val (pred, terms) = graft.search.SolrQueryString.compileWithTerms(
+      q, idx.schema, default, textFields)
+    val hits = idx.filter(pred)
+    val id = marker.idCol
+    if (terms.isEmpty)
+      hits.withColumn("score_r", lit(0.0)).orderBy(col(id)).limit(topK)
+    else {
+      val textCol = textFields.head
+      val toks = regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0))
+      val scored = graft.text.Ranking.bm25(
+          idx.withColumn("__toks", toks), col(id), col("__toks"), terms)
+        .withColumnRenamed("doc_id", "__sid")
+      hits.join(scored, col(id) === col("__sid"), "left")
+        .drop("__sid")
+        .withColumn("score_r", round(coalesce(col("score"), lit(0.0)), 6))
+        .drop("score")
+        .orderBy(col("score_r").desc, col(id))
+        .limit(topK)
+    }
+  }
+
   /** Compile a reference morphline .conf into a Pipeline command chain
     * (see [[graft.etl.MorphlineConfig]]). */
   def morphline(configText: String, schema: Option[IndexSchema] = None,

@@ -60,7 +60,10 @@ object MorphlineConfig {
         case _ => false
       }.getOrElse(throw new IllegalArgumentException(s"no morphline with id $id"))
     }
-    val obj = chosen.asInstanceOf[Hocon.CObj]
+    val obj = chosen match {
+      case o: Hocon.CObj => o
+      case other => throw new IllegalArgumentException(s"morphline entry is not an object: $other")
+    }
     val id = obj.str("id").getOrElse("morphline")
     val commands = obj.get("commands") match {
       case Some(Hocon.CArr(cs)) => cs
@@ -296,6 +299,11 @@ object MorphlineConfig {
               !(peek == '/' && pos + 1 < input.length && input.charAt(pos + 1) == '/')) {
               sb.append(peek); pos += 1
             }
+            // zero-width value = a stray closer in value position (e.g.
+            // '}' inside an array): consuming nothing here would loop
+            // the enclosing array parse forever
+            require(sb.nonEmpty,
+              s"unexpected '${if (eof) "<eof>" else peek.toString}' in value position at $pos")
             CStr(sb.toString.trim)
         }
       }

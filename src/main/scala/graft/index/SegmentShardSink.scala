@@ -206,7 +206,7 @@ object SegmentShardSink {
     }
   }
 
-  private[index] case class StoreMarker(shards: Int, parts: Int, idCol: String,
+  private[graft] case class StoreMarker(shards: Int, parts: Int, idCol: String,
                                         analyzed: Set[String],
                                         columns: Seq[String],
                                         multivalued: Set[String],
@@ -216,7 +216,7 @@ object SegmentShardSink {
     def router: HashRangeRouter = HashRangeRouter(shards, routingBits, ranges)
   }
 
-  private[index] def readMarker(conf: org.apache.hadoop.conf.Configuration,
+  private[graft] def readMarker(conf: org.apache.hadoop.conf.Configuration,
                                 store: String): StoreMarker = {
     val p = new Path(store, "_graft_segment_commit.json")
     val fs = p.getFileSystem(conf)

@@ -45,11 +45,20 @@ object SolrQueryString {
 
   /** Compile `q` to a boolean Column over `schema`. */
   def compile(q: String, schema: StructType, defaultField: String,
-              textFields: Set[String] = Set.empty): Column = {
+              textFields: Set[String] = Set.empty): Column =
+    compileWithTerms(q, schema, defaultField, textFields)._1
+
+  /** Compile AND collect the POSITIVE analyzed terms (plain terms and
+    * phrase tokens on text fields outside any NOT/- scope, query
+    * order, deduped) — the term set a ranking pass scores with, per
+    * Solr's query/rank split. Wildcard and range clauses contribute no
+    * ranking terms. */
+  def compileWithTerms(q: String, schema: StructType, defaultField: String,
+                       textFields: Set[String] = Set.empty): (Column, Seq[String]) = {
     val p = new Parser(q, schema, defaultField, textFields)
     val c = p.parseQuery()
     p.expectEnd()
-    c
+    (c, p.positiveTerms)
   }
 
   private def isNumeric(dt: DataType): Boolean = dt match {
@@ -60,6 +69,11 @@ object SolrQueryString {
   private final class Parser(input: String, schema: StructType,
                              defaultField: String, textFields: Set[String]) {
     private var pos = 0
+    private var negDepth = 0
+    private val collected = scala.collection.mutable.LinkedHashSet.empty[String]
+    def positiveTerms: Seq[String] = collected.toSeq
+    private def record(tokens: Seq[String]): Unit =
+      if (negDepth % 2 == 0) collected ++= tokens
 
     def parseQuery(): Column = {
       var acc = parseClause()
@@ -76,8 +90,17 @@ object SolrQueryString {
 
     private def parseClause(): Column = {
       skipWs()
-      if (tryKeyword("NOT")) return !parseClause()
-      if (!eof && peek == '-') { pos += 1; return !parseAtom() }
+      if (tryKeyword("NOT")) {
+        negDepth += 1
+        val c = try parseClause() finally negDepth -= 1
+        return !c
+      }
+      if (!eof && peek == '-') {
+        pos += 1
+        negDepth += 1
+        val c = try parseAtom() finally negDepth -= 1
+        return !c
+      }
       if (!eof && peek == '+') { pos += 1 } // required marker: no-op
       parseAtom()
     }
@@ -118,7 +141,10 @@ object SolrQueryString {
       peek match {
         case '"' =>
           val phrase = readQuoted()
-          if (textFields.contains(field)) tokenSeqMatch(c, phrase) else c === phrase
+          if (textFields.contains(field)) {
+            record(phrase.toLowerCase.split("[^a-z0-9]+").toSeq.filter(_.nonEmpty))
+            tokenSeqMatch(c, phrase)
+          } else c === phrase
         case '[' | '{' =>
           val loInc = peek == '['
           pos += 1
@@ -136,8 +162,10 @@ object SolrQueryString {
           if (term == "*") c.isNotNull // field presence
           else if (term.exists(ch => ch == '*' || ch == '?'))
             wildcardMatch(c, term, textFields.contains(field))
-          else if (textFields.contains(field)) tokenMatch(c, term)
-          else c === term
+          else if (textFields.contains(field)) {
+            record(Seq(term.toLowerCase))
+            tokenMatch(c, term)
+          } else c === term
       }
     }
 
@@ -147,7 +175,12 @@ object SolrQueryString {
       // their bound strings cast by Spark's comparison coercion; other
       // columns compare lexicographically (Solr string-field behavior)
       val numeric = schema.fields.find(_.name == field).exists(f => isNumeric(f.dataType))
-      def side(v: String): Column = if (numeric) lit(v.toDouble) else lit(v)
+      def side(v: String): Column =
+        if (!numeric) lit(v)
+        else lit(try v.toDouble catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"non-numeric range bound '$v' for numeric field '$field' in: $input")
+        })
       val cc = if (numeric) c.cast(DoubleType) else c
       val loC = if (lo == "*") lit(true) else if (loInc) cc >= side(lo) else cc > side(lo)
       val hiC = if (hi == "*") lit(true) else if (hiInc) cc <= side(hi) else cc < side(hi)

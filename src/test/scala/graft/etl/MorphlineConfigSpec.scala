@@ -117,6 +117,15 @@ class MorphlineConfigSpec extends AnyFunSuite {
     assert(!out2.contains("keep-me"))
   }
 
+  test("stray closer in value position is a parse error, not an infinite loop") {
+    // the fuzz-found case: '}' inside an array is neither a closer nor
+    // consumable as an unquoted value — must error, not spin
+    assertThrows[IllegalArgumentException](
+      MorphlineConfig.compile("morphlines : [ } ]", strict = false))
+    assertThrows[IllegalArgumentException](
+      MorphlineConfig.compile("a : [}", strict = false))
+  }
+
   test("strict mode refuses unknown commands; lenient records them") {
     val conf = """
       morphlines : [ { id : m3, commands : [ { xmlQueryThing { } } ] } ]
