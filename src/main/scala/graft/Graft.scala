@@ -110,23 +110,34 @@ object Graft {
    * rounded to 6 places (`score_r`) per the engine's float-parity
    * discipline. A query with no rankable terms (pure filters/ranges)
    * returns hits in id order with score 0.
+   *
+   * Ranking scope: scores are computed against ONE analyzed field —
+   * `rankField` when given, else the lexicographically-first analyzed
+   * field (also the query's default field) — the Solr `df`-scoring
+   * shape for the common single-text-field store. The ranking pass
+   * re-tokenizes stored text in one corpus scan; serving latency-
+   * critical traffic from the postings themselves (tf = position-list
+   * length) is the documented next optimization, not done here.
    */
-  def search(spark: SparkSession, store: String, q: String, topK: Int = 10): DataFrame = {
+  def search(spark: SparkSession, store: String, q: String, topK: Int = 10,
+             rankField: Option[String] = None): DataFrame = {
     import graft.index.SegmentShardSink
     val marker = SegmentShardSink.readMarker(
       spark.sessionState.newHadoopConf(), store)
     val idx = openSegmentIndex(spark, store)
     val textFields = marker.analyzed
-    val default = textFields.headOption.getOrElse(marker.idCol)
+    // sorted: Set iteration order is hash-dependent above 4 elements —
+    // the default/ranked field must not vary between runs
+    val default = rankField.orElse(textFields.toSeq.sorted.headOption)
+      .getOrElse(marker.idCol)
     val (pred, terms) = graft.search.SolrQueryString.compileWithTerms(
       q, idx.schema, default, textFields)
     val hits = idx.filter(pred)
     val id = marker.idCol
-    if (terms.isEmpty)
+    if (terms.isEmpty || !textFields.contains(default))
       hits.withColumn("score_r", lit(0.0)).orderBy(col(id)).limit(topK)
     else {
-      val textCol = textFields.head
-      val toks = regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0))
+      val toks = regexp_extract_all(lower(col(default)), lit("[a-z0-9]+"), lit(0))
       val scored = graft.text.Ranking.bm25(
           idx.withColumn("__toks", toks), col(id), col("__toks"), terms)
         .withColumnRenamed("doc_id", "__sid")

@@ -1439,7 +1439,10 @@ object SparkEntry {
           val loc = new org.apache.hadoop.fs.Path(
             "/tmp/graft_warehouse", table.split('.').last.toLowerCase)
           val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-          if (fs.exists(loc) && fs.listStatus(loc).exists(_.getPath.getName.startsWith("part-")))
+          // _SUCCESS gates registration: part- files without it are a
+          // crashed half-build — rebuild rather than register over them
+          if (fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS")) &&
+              fs.listStatus(loc).exists(_.getPath.getName.startsWith("part-")))
             s.sql(s"""CREATE TABLE $table (${df.schema.toDDL}) USING PARQUET
                      |CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS
                      |LOCATION '$loc'""".stripMargin)

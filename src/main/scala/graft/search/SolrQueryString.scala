@@ -163,7 +163,11 @@ object SolrQueryString {
           else if (term.exists(ch => ch == '*' || ch == '?'))
             wildcardMatch(c, term, textFields.contains(field))
           else if (textFields.contains(field)) {
-            record(Seq(term.toLowerCase))
+            // record the ANALYZED tokens (a term like "don't" filters
+            // as a literal but ranks as its tokens, same as the phrase
+            // path — a raw term with punctuation would never equal an
+            // analyzer-produced token and silently score 0)
+            record(term.toLowerCase.split("[^a-z0-9]+").toSeq.filter(_.nonEmpty))
             tokenMatch(c, term)
           } else c === term
       }
