@@ -1500,6 +1500,23 @@ object SparkEntry {
         analyzedFields = Set("text"))
       Graft.search(s, out, "text:spark text:table lang:en", topK = 10)
         .select(col("id").cast("long").as("doc_id"), col("lang"), col("score_r"))
+    }),
+
+    // COUNT(*) pushdown on the index table (Solr's numFound without
+    // fetching): Catalyst hands the aggregation to the DSv2 scan —
+    // match-all counts come from commit METADATA, term-filtered counts
+    // from posting-list cardinality; no stored field is ever read
+    // (plan-locked in PlanShapeSpec).
+    "q118_index_count" -> ((s, d) => {
+      import graft.index.SegmentShardSink
+      val parts = Tables.part(s, d).withColumn("id", col("p_partkey").cast("string"))
+      val out = java.nio.file.Files.createTempDirectory("graft_q118_").toString
+      SegmentShardSink.write(parts, "id", out, shards = 4)
+      val idx = s.read.format("graft-index").load(out)
+      val total = idx.agg(count(lit(1)).as("cnt")).withColumn("scope", lit("all"))
+      val brand = idx.filter(col("p_brand") === "Brand#23")
+        .agg(count(lit(1)).as("cnt")).withColumn("scope", lit("brand23"))
+      total.unionByName(brand).select(col("scope"), col("cnt"))
     })
   )
 
@@ -2455,6 +2472,12 @@ object SparkEntry {
         |SELECT h.doc_id, h.lang,
         | round(COALESCE(c1, 0.0) + COALESCE(c2, 0.0), 6) AS score_r
         |FROM hits h LEFT JOIN wide USING (doc_id)
-        |ORDER BY score_r DESC, CAST(h.doc_id AS VARCHAR) LIMIT 10""".stripMargin
+        |ORDER BY score_r DESC, CAST(h.doc_id AS VARCHAR) LIMIT 10""".stripMargin,
+
+    "q118_index_count" ->
+      """SELECT 'all' AS scope, CAST(count(*) AS BIGINT) AS cnt FROM part
+        |UNION ALL
+        |SELECT 'brand23' AS scope, CAST(count(*) AS BIGINT) AS cnt
+        |FROM part WHERE p_brand = 'Brand#23'""".stripMargin
   )
 }

@@ -6,9 +6,10 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -87,10 +88,28 @@ private[index] class IndexTable(tableSchema: StructType, store: String)
 
 private[index] class IndexScanBuilder(full: StructType, store: String,
                                       multivalued: Set[String])
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
+  private var countPushed = false
+
+  /** Ungrouped COUNT(*) answers from index METADATA: match-all counts
+    * come from the commit's live-doc counts, term-filtered counts from
+    * posting-list lengths — no stored-field scan at all (Solr's
+    * numFound-without-fetch). Partial pushdown: each shard returns its
+    * count, Spark sums the partials. */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    val ok = agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions.head.isInstanceOf[CountStar]
+    if (ok) {
+      countPushed = true
+      required = StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+    }
+    ok
+  }
 
   /** Accept ONE string-equality or string-IN on a stored field (a
     * posting lookup per term — the shape the index serves); everything
@@ -128,23 +147,28 @@ private[index] class IndexScanBuilder(full: StructType, store: String,
   override def pushedFilters(): Array[Filter] = pushed
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    // keep only index-known fields; Spark may append metadata structs
-    required = StructType(requiredSchema.fields.filter(f => full.fieldNames.contains(f.name)))
+    // keep only index-known fields; Spark may append metadata structs.
+    // After aggregate pushdown the schema IS the agg schema — pruning
+    // against the table fields would empty it
+    if (!countPushed)
+      required = StructType(requiredSchema.fields.filter(f => full.fieldNames.contains(f.name)))
 
   override def build(): Scan = {
     val term = pushed.collectFirst {
       case EqualTo(a, v: String) => (a, Seq(v))
       case In(a, vs) => (a, vs.toSeq.map(_.asInstanceOf[String]))
     }
-    new IndexScan(store, required, term)
+    new IndexScan(store, required, term, countPushed)
   }
 }
 
 private[index] class IndexScan(store: String, required: StructType,
-                               term: Option[(String, Seq[String])]) extends Scan with Batch {
+                               term: Option[(String, Seq[String])],
+                               countOnly: Boolean = false) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def description(): String =
     s"GraftIndexScan store=$store pushedTerm=${term.map(t => t._1 + ":" + t._2.mkString("|")).getOrElse("*:*")} " +
+      (if (countOnly) "pushedAgg=count(*) " else "") +
       s"columns=${required.fieldNames.mkString(",")}"
   override def toBatch: Batch = this
 
@@ -157,7 +181,7 @@ private[index] class IndexScan(store: String, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableHadoopConf(
       SparkSession.active.sessionState.newHadoopConf())
-    new IndexReaderFactory(conf, required.fieldNames, term)
+    new IndexReaderFactory(conf, required.fieldNames, term, countOnly)
   }
 }
 
@@ -165,11 +189,33 @@ private[index] case class IndexInputPartition(dir: String) extends InputPartitio
 
 private[index] class IndexReaderFactory(conf: SerializableHadoopConf,
                                         fields: Array[String],
-                                        term: Option[(String, Seq[String])])
+                                        term: Option[(String, Seq[String])],
+                                        countOnly: Boolean = false)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new PartitionReader[InternalRow] {
+    if (countOnly) new PartitionReader[InternalRow] {
+      // one partial row per shard: live-doc count from commit metadata
+      // (match-all) or posting-list cardinality (pushed term)
+      private val dir = new Path(partition.asInstanceOf[IndexInputPartition].dir)
+      private var emitted = false
+      override def next(): Boolean =
+        if (emitted) false
+        else {
+          val reader = new SegmentIndex.Reader(dir.getFileSystem(conf.value), dir)
+          val n = term match {
+            case Some((f, ts)) => reader.termCountIn(f, ts)
+            case None => reader.matchAllCount
+          }
+          currentRow = InternalRow(n)
+          emitted = true
+          true
+        }
+      private var currentRow: InternalRow = _
+      override def get(): InternalRow = currentRow
+      override def close(): Unit = ()
+    }
+    else new PartitionReader[InternalRow] {
       private val dir = new Path(partition.asInstanceOf[IndexInputPartition].dir)
       private lazy val docs: Iterator[SegmentIndex.Doc] = {
         val reader = new SegmentIndex.Reader(dir.getFileSystem(conf.value), dir)

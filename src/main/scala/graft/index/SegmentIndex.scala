@@ -628,6 +628,18 @@ object SegmentIndex {
       }
     }
 
+    /** Count of LIVE docs matching ANY of `terms` — postings only, no
+      * stored-doc reads (the count-pushdown path). */
+    def termCountIn(field: String, terms: Seq[String]): Long =
+      commit.segments.map { s =>
+        val dels = readDels(fs, dir, s)
+        val post = readPostings(fs, dir, s.name).getOrElse(field, Map.empty)
+        terms.iterator
+          .flatMap(t => post.getOrElse(t, Array.empty[Int]).iterator)
+          .filterNot(dels.contains)
+          .toArray.distinct.length.toLong
+      }.sum
+
     def termQueryCount(field: String, term: String): Long =
       commit.segments.map { s =>
         val dels = readDels(fs, dir, s)

@@ -114,6 +114,42 @@ class IndexDataSourceSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).sorted.toSeq === Seq("1", "2"))
   }
 
+  test("COUNT(*) pushes to metadata/postings; deletes respected; grouped aggs don't push") {
+    val idx = spark.read.format("graft-index").load(store)
+    val cnt = idx.agg(org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)))
+    // count() plans through AQE — match on the rendered plan instead of
+    // collecting the (wrapped) scan node
+    val scan = cnt.queryExecution.executedPlan.toString
+    assert(scan.contains("pushedAgg=count(*)"), scan.take(2000))
+    assert(cnt.head.getLong(0) === 5L)
+    // term-filtered count goes through posting cardinality
+    val termCnt = idx.filter(col("value") === "alpha")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)))
+    val scan2 = termCnt.queryExecution.executedPlan.toString
+    assert(scan2.contains("pushedAgg") && scan2.contains("value:alpha"), scan2.take(2000))
+    assert(termCnt.head.getLong(0) === 3L)
+    // deletes must be excluded from pushed counts
+    val out = {
+      import spark.implicits._
+      val o = tmp("graft_dsv2_cnt_")
+      SegmentShardSink.write(Seq(("1", "a"), ("2", "b"), ("3", "a")).toDF("id", "v"),
+        "id", o, shards = 2)
+      o
+    }
+    SegmentShardSink.deleteByTerm(spark, out, "v", "a")
+    assert(spark.read.format("graft-index").load(out)
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)))
+      .head.getLong(0) === 1L)
+    // GROUPED aggregation is NOT pushed (stays a real scan + groupBy)
+    val grouped = idx.groupBy("value")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+    val scan3 = grouped.queryExecution.executedPlan.toString
+    assert(!scan3.contains("pushedAgg"), scan3.take(2000))
+    assert(grouped.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("alpha" -> 3L, "beta" -> 1L, "gamma" -> 1L))
+  }
+
   test("SolrQueryString composes over the index table (the user's full loop)") {
     import graft.search.SolrQueryString
     val idx = spark.read.format("graft-index").load(store)
