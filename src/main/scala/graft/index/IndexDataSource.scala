@@ -89,11 +89,21 @@ private[index] class IndexTable(tableSchema: StructType, store: String)
 private[index] class IndexScanBuilder(full: StructType, store: String,
                                       multivalued: Set[String])
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
   private var countPushed = false
+  private var limit: Option[Int] = None
+
+  /** LIMIT n: each shard stops materializing after n hits (Spark still
+    * applies the global limit over the union — partial pushdown, like
+    * a per-shard `rows=n`). Never combined with a pushed count. */
+  override def pushLimit(n: Int): Boolean = {
+    limit = Some(n)
+    true
+  }
+  override def isPartiallyPushed(): Boolean = true
 
   /** Ungrouped COUNT(*) answers from index METADATA: match-all counts
     * come from the commit's live-doc counts, term-filtered counts from
@@ -158,17 +168,19 @@ private[index] class IndexScanBuilder(full: StructType, store: String,
       case EqualTo(a, v: String) => (a, Seq(v))
       case In(a, vs) => (a, vs.toSeq.map(_.asInstanceOf[String]))
     }
-    new IndexScan(store, required, term, countPushed)
+    new IndexScan(store, required, term, countPushed, limit)
   }
 }
 
 private[index] class IndexScan(store: String, required: StructType,
                                term: Option[(String, Seq[String])],
-                               countOnly: Boolean = false) extends Scan with Batch {
+                               countOnly: Boolean = false,
+                               limit: Option[Int] = None) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def description(): String =
     s"GraftIndexScan store=$store pushedTerm=${term.map(t => t._1 + ":" + t._2.mkString("|")).getOrElse("*:*")} " +
       (if (countOnly) "pushedAgg=count(*) " else "") +
+      limit.map(n => s"pushedLimit=$n ").getOrElse("") +
       s"columns=${required.fieldNames.mkString(",")}"
   override def toBatch: Batch = this
 
@@ -181,7 +193,7 @@ private[index] class IndexScan(store: String, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableHadoopConf(
       SparkSession.active.sessionState.newHadoopConf())
-    new IndexReaderFactory(conf, required.fieldNames, term, countOnly)
+    new IndexReaderFactory(conf, required.fieldNames, term, countOnly, limit)
   }
 }
 
@@ -190,7 +202,8 @@ private[index] case class IndexInputPartition(dir: String) extends InputPartitio
 private[index] class IndexReaderFactory(conf: SerializableHadoopConf,
                                         fields: Array[String],
                                         term: Option[(String, Seq[String])],
-                                        countOnly: Boolean = false)
+                                        countOnly: Boolean = false,
+                                        limit: Option[Int] = None)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -219,11 +232,12 @@ private[index] class IndexReaderFactory(conf: SerializableHadoopConf,
       private val dir = new Path(partition.asInstanceOf[IndexInputPartition].dir)
       private lazy val docs: Iterator[SegmentIndex.Doc] = {
         val reader = new SegmentIndex.Reader(dir.getFileSystem(conf.value), dir)
-        term match {
+        val it = term match {
           case Some((f, Seq(t))) => reader.termDocs(f, t).iterator
           case Some((f, ts)) => reader.termDocsIn(f, ts).iterator
           case None => reader.allDocs()
         }
+        limit.map(it.take).getOrElse(it) // per-shard early stop
       }
       private var current: InternalRow = _
 

@@ -150,6 +150,20 @@ class IndexDataSourceSpec extends AnyFunSuite {
       Map("alpha" -> 3L, "beta" -> 1L, "gamma" -> 1L))
   }
 
+  test("LIMIT pushes per-shard (partial): plan shows it, results exact") {
+    val idx = spark.read.format("graft-index").load(store)
+    val limited = idx.select("id").limit(2)
+    val plan = limited.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedLimit=2"), plan.take(2000))
+    assert(limited.collect().length === 2)
+    // limit composes with a pushed term: at most N per shard, then global
+    val both = idx.filter(col("value") === "alpha").select("id").limit(1)
+    val plan2 = both.queryExecution.executedPlan.toString
+    assert(plan2.contains("pushedTerm=value:alpha") && plan2.contains("pushedLimit=1"),
+      plan2.take(2000))
+    assert(both.collect().length === 1)
+  }
+
   test("SolrQueryString composes over the index table (the user's full loop)") {
     import graft.search.SolrQueryString
     val idx = spark.read.format("graft-index").load(store)
