@@ -1517,6 +1517,26 @@ object SparkEntry {
       val brand = idx.filter(col("p_brand") === "Brand#23")
         .agg(count(lit(1)).as("cnt")).withColumn("scope", lit("brand23"))
       total.unionByName(brand).select(col("scope"), col("cnt"))
+    }),
+
+    // RANGE pushdown on the index table (Solr `p_name:[m TO q}` /
+    // Lucene TermRangeQuery): Catalyst's >=/< bounds compile to ONE
+    // sorted-term-dictionary range scan per shard, and segments whose
+    // commit-recorded zone-map stats (per-field min/max term) exclude
+    // the range are skipped without opening a single segment file —
+    // the index analog of parquet min/max row-group pruning. Range
+    // order is code-point order on both sides (SegmentIndex.cpCompare
+    // == Spark UTF8String order == DuckDB binary collation), which is
+    // what makes this oracle exact.
+    "q119_index_range" -> ((s, d) => {
+      import graft.index.SegmentShardSink
+      val parts = Tables.part(s, d).withColumn("id", col("p_partkey").cast("string"))
+        .select(col("id"), col("p_name"), col("p_brand"))
+      val out = java.nio.file.Files.createTempDirectory("graft_q119_").toString
+      SegmentShardSink.write(parts, "id", out, shards = 4)
+      s.read.format("graft-index").load(out)
+        .filter(col("p_name") >= "m" && col("p_name") < "q")
+        .select(col("id").cast("long").as("p_partkey"), col("p_name"), col("p_brand"))
     })
   )
 
@@ -2478,6 +2498,10 @@ object SparkEntry {
       """SELECT 'all' AS scope, CAST(count(*) AS BIGINT) AS cnt FROM part
         |UNION ALL
         |SELECT 'brand23' AS scope, CAST(count(*) AS BIGINT) AS cnt
-        |FROM part WHERE p_brand = 'Brand#23'""".stripMargin
+        |FROM part WHERE p_brand = 'Brand#23'""".stripMargin,
+
+    "q119_index_range" ->
+      """SELECT p_partkey, p_name, p_brand
+        |FROM part WHERE p_name >= 'm' AND p_name < 'q'""".stripMargin
   )
 }

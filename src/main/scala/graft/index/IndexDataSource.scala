@@ -8,7 +8,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual, StringStartsWith}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -76,23 +76,39 @@ private[index] class IndexTable(tableSchema: StructType, store: String)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    // multivalued fields are excluded from pushdown: the relational
-    // surface shows their FIRST value, but a posting lookup matches
-    // ANY value — pushing would return rows that visibly violate the
-    // predicate. Residual Spark evaluation keeps the table honest.
-    val mv = SegmentShardSink.readMarker(
-      SparkSession.active.sessionState.newHadoopConf(), store).multivalued
-    new IndexScanBuilder(tableSchema, store, mv)
+    // two field classes are excluded from pushdown:
+    //  - MULTIVALUED: the relational surface shows their FIRST value,
+    //    but a posting lookup matches ANY value — pushing would return
+    //    rows that visibly violate the predicate;
+    //  - ANALYZED: postings hold TOKENS, the relational surface the
+    //    VERBATIM stored value — a pushed whole-value lookup would
+    //    silently miss (`text = "Spark"` vs token `spark`).
+    // Residual Spark evaluation keeps the table honest for both.
+    val marker = SegmentShardSink.readMarker(
+      SparkSession.active.sessionState.newHadoopConf(), store)
+    new IndexScanBuilder(tableSchema, store, marker.multivalued, marker.analyzed)
   }
 }
 
+/** What the scan will ask the index for — the pushed query shape. */
+private[index] sealed trait PushedQuery extends Serializable
+private[index] case object MatchAll extends PushedQuery
+private[index] final case class TermQuery(field: String, terms: Seq[String]) extends PushedQuery
+/** `[lower TO upper]` with per-bound inclusivity (None = unbounded);
+  * a pushed prefix is the range `[p, nextAfterPrefix(p))`. */
+private[index] final case class RangeQuery(field: String,
+                                           lower: Option[String], lowerInc: Boolean,
+                                           upper: Option[String], upperInc: Boolean) extends PushedQuery
+
 private[index] class IndexScanBuilder(full: StructType, store: String,
-                                      multivalued: Set[String])
+                                      multivalued: Set[String],
+                                      analyzed: Set[String])
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
+  private var query: PushedQuery = MatchAll
   private var countPushed = false
   private var limit: Option[Int] = None
 
@@ -121,37 +137,93 @@ private[index] class IndexScanBuilder(full: StructType, store: String,
     ok
   }
 
-  /** Accept ONE string-equality or string-IN on a stored field (a
-    * posting lookup per term — the shape the index serves); everything
-    * else is residual. The pushed filter is exact (termDocs matches
-    * whole terms), so it is NOT returned for re-evaluation. */
+  /** Accept ONE index-serviceable query shape, everything else
+    * residual:
+    *  - string equality / IN → a posting lookup per term;
+    *  - a `>=`/`>`/`<`/`<=` bound pair or `StartsWith` on one field →
+    *    a sorted-term-dictionary range scan with zone-map segment
+    *    skipping (prefix rewrites to `[p, nextAfterPrefix(p))`).
+    * Pushed filters are exact — terms match whole values and range
+    * order is code-point order, identical to Catalyst's UTF8String
+    * comparison — so they are NOT returned for re-evaluation. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    def pushable(a: String) = full.fieldNames.contains(a) && !multivalued.contains(a)
-    val idx = filters.indexWhere {
+    def pushable(a: String) = full.fieldNames.contains(a) &&
+      !multivalued.contains(a) && !analyzed.contains(a)
+
+    // 1st choice: an exact-term filter (the cheapest index shape)
+    val termIdx = filters.indexWhere {
       case EqualTo(a, v: String) => pushable(a) && v != null
       case In(a, vs) => pushable(a) && vs.nonEmpty &&
         vs.forall(v => v != null && v.isInstanceOf[String])
       case _ => false
     }
-    val (accepted, residual) =
-      if (idx < 0) (Array.empty[Filter], filters)
+
+    def lowerOf(f: Filter): Option[(String, String, Boolean)] = f match {
+      case GreaterThan(a, v: String) if v != null => Some((a, v, false))
+      case GreaterThanOrEqual(a, v: String) if v != null => Some((a, v, true))
+      case _ => None
+    }
+    def upperOf(f: Filter): Option[(String, String, Boolean)] = f match {
+      case LessThan(a, v: String) if v != null => Some((a, v, false))
+      case LessThanOrEqual(a, v: String) if v != null => Some((a, v, true))
+      case _ => None
+    }
+
+    val (accepted, q) =
+      if (termIdx >= 0) {
+        val (attr, terms) = filters(termIdx) match {
+          case EqualTo(a, v: String) => (a, Seq(v))
+          case In(a, vs) => (a, vs.toSeq.map(_.asInstanceOf[String]))
+          case _ => ("", Nil)
+        }
+        (Set(termIdx), TermQuery(attr, terms): PushedQuery)
+      } else {
+        // 2nd choice: a range — field of the first bound/prefix wins;
+        // one lower + one upper on that field are absorbed, the rest
+        // stay residual (Spark re-applies them — only exactness of the
+        // ABSORBED bounds matters)
+        val firstRange = filters.indexWhere(f =>
+          (lowerOf(f) orElse upperOf(f)).exists { case (a, _, _) => pushable(a) } ||
+            (f match { case StringStartsWith(a, p) => pushable(a) && p != null; case _ => false }))
+        if (firstRange < 0) (Set.empty[Int], MatchAll: PushedQuery)
+        else filters(firstRange) match {
+          case StringStartsWith(a, p) =>
+            (Set(firstRange),
+              RangeQuery(a, Some(p), lowerInc = true,
+                SegmentIndex.nextAfterPrefix(p), upperInc = false))
+          case f0 =>
+            val attr = (lowerOf(f0) orElse upperOf(f0)).get._1
+            val lo = filters.zipWithIndex
+              .collectFirst { case (f, i) if lowerOf(f).exists(_._1 == attr) => i }
+            val hi = filters.zipWithIndex
+              .collectFirst { case (f, i) if upperOf(f).exists(_._1 == attr) => i }
+            val l = lo.flatMap(i => lowerOf(filters(i)))
+            val u = hi.flatMap(i => upperOf(filters(i)))
+            (Set(lo, hi).flatten,
+              RangeQuery(attr, l.map(_._2), l.forall(_._3), u.map(_._2), u.forall(_._3)))
+        }
+      }
+
+    val (acc, residual) =
+      if (accepted.isEmpty) (Array.empty[Filter], filters)
       else {
-        val attr = filters(idx) match {
-          case EqualTo(a, _) => a
-          case In(a, _) => a
-          case _ => ""
+        val attr = q match {
+          case TermQuery(a, _) => a
+          case RangeQuery(a, _, _, _, _) => a
+          case MatchAll => ""
         }
         // absorb Catalyst's companion IsNotNull on the SAME field: a
         // posting hit always carries the field, and leaving it residual
         // keeps the column alive through pruning for nothing
         filters.zipWithIndex.partition { case (f, i) =>
-          i == idx || (f match {
-            case org.apache.spark.sql.sources.IsNotNull(a) => a == attr
+          accepted.contains(i) || (f match {
+            case IsNotNull(a) => a == attr
             case _ => false
           })
         } match { case (a, r) => (a.map(_._1), r.map(_._1)) }
       }
-    pushed = accepted
+    pushed = acc
+    query = q
     residual
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -163,25 +235,29 @@ private[index] class IndexScanBuilder(full: StructType, store: String,
     if (!countPushed)
       required = StructType(requiredSchema.fields.filter(f => full.fieldNames.contains(f.name)))
 
-  override def build(): Scan = {
-    val term = pushed.collectFirst {
-      case EqualTo(a, v: String) => (a, Seq(v))
-      case In(a, vs) => (a, vs.toSeq.map(_.asInstanceOf[String]))
-    }
-    new IndexScan(store, required, term, countPushed, limit)
-  }
+  override def build(): Scan =
+    new IndexScan(store, required, query, countPushed, limit)
 }
 
 private[index] class IndexScan(store: String, required: StructType,
-                               term: Option[(String, Seq[String])],
+                               query: PushedQuery,
                                countOnly: Boolean = false,
                                limit: Option[Int] = None) extends Scan with Batch {
   override def readSchema(): StructType = required
-  override def description(): String =
-    s"GraftIndexScan store=$store pushedTerm=${term.map(t => t._1 + ":" + t._2.mkString("|")).getOrElse("*:*")} " +
+  override def description(): String = {
+    val q = query match {
+      case MatchAll => "pushedTerm=*:*"
+      case TermQuery(f, ts) => s"pushedTerm=$f:${ts.mkString("|")}"
+      case RangeQuery(f, lo, loInc, hi, hiInc) =>
+        val l = lo.map(v => (if (loInc) "[" else "{") + v).getOrElse("[*")
+        val u = hi.map(v => v + (if (hiInc) "]" else "}")).getOrElse("*]")
+        s"pushedRange=$f:$l TO $u"
+    }
+    s"GraftIndexScan store=$store $q " +
       (if (countOnly) "pushedAgg=count(*) " else "") +
       limit.map(n => s"pushedLimit=$n ").getOrElse("") +
       s"columns=${required.fieldNames.mkString(",")}"
+  }
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -193,7 +269,7 @@ private[index] class IndexScan(store: String, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableHadoopConf(
       SparkSession.active.sessionState.newHadoopConf())
-    new IndexReaderFactory(conf, required.fieldNames, term, countOnly, limit)
+    new IndexReaderFactory(conf, required.fieldNames, query, countOnly, limit)
   }
 }
 
@@ -201,7 +277,7 @@ private[index] case class IndexInputPartition(dir: String) extends InputPartitio
 
 private[index] class IndexReaderFactory(conf: SerializableHadoopConf,
                                         fields: Array[String],
-                                        term: Option[(String, Seq[String])],
+                                        query: PushedQuery,
                                         countOnly: Boolean = false,
                                         limit: Option[Int] = None)
     extends PartitionReaderFactory {
@@ -209,16 +285,19 @@ private[index] class IndexReaderFactory(conf: SerializableHadoopConf,
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     if (countOnly) new PartitionReader[InternalRow] {
       // one partial row per shard: live-doc count from commit metadata
-      // (match-all) or posting-list cardinality (pushed term)
+      // (match-all), posting-list cardinality (term), or zone-map-
+      // skipping range count — stored fields never read
       private val dir = new Path(partition.asInstanceOf[IndexInputPartition].dir)
       private var emitted = false
       override def next(): Boolean =
         if (emitted) false
         else {
           val reader = new SegmentIndex.Reader(dir.getFileSystem(conf.value), dir)
-          val n = term match {
-            case Some((f, ts)) => reader.termCountIn(f, ts)
-            case None => reader.matchAllCount
+          val n = query match {
+            case TermQuery(f, ts) => reader.termCountIn(f, ts)
+            case RangeQuery(f, lo, loInc, hi, hiInc) =>
+              reader.rangeCount(f, lo, loInc, hi, hiInc)
+            case MatchAll => reader.matchAllCount
           }
           currentRow = InternalRow(n)
           emitted = true
@@ -232,10 +311,12 @@ private[index] class IndexReaderFactory(conf: SerializableHadoopConf,
       private val dir = new Path(partition.asInstanceOf[IndexInputPartition].dir)
       private lazy val docs: Iterator[SegmentIndex.Doc] = {
         val reader = new SegmentIndex.Reader(dir.getFileSystem(conf.value), dir)
-        val it = term match {
-          case Some((f, Seq(t))) => reader.termDocs(f, t).iterator
-          case Some((f, ts)) => reader.termDocsIn(f, ts).iterator
-          case None => reader.allDocs()
+        val it = query match {
+          case TermQuery(f, Seq(t)) => reader.termDocs(f, t).iterator
+          case TermQuery(f, ts) => reader.termDocsIn(f, ts).iterator
+          case RangeQuery(f, lo, loInc, hi, hiInc) =>
+            reader.rangeDocs(f, lo, loInc, hi, hiInc).iterator
+          case MatchAll => reader.allDocs()
         }
         limit.map(it.take).getOrElse(it) // per-shard early stop
       }

@@ -57,8 +57,17 @@ object SegmentIndex {
   /** `dels`/`delGen`: per-segment tombstone count and the commit
     * generation whose `_name_delGen.del` file holds the deleted
     * ordinals (Lucene's liveDocs/delGen design — deletes never touch
-    * the immutable segment files). `delGen == 0` means no deletions. */
-  final case class SegmentMeta(name: String, docs: Int, dels: Int = 0, delGen: Int = 0) {
+    * the immutable segment files). `delGen == 0` means no deletions.
+    *
+    * `stats`: per-field (min, max) indexed term under CODE-POINT order
+    * — the zone-map / Lucene-points analog that lets a range query
+    * skip whole segments from commit METADATA alone, before any
+    * segment file is opened. Recorded only for NON-analyzed fields
+    * (token min/max says nothing about stored-value ranges). Deletes
+    * leave stats untouched: they stay a conservative superset, which
+    * only ever over-reads, never drops a live match. */
+  final case class SegmentMeta(name: String, docs: Int, dels: Int = 0, delGen: Int = 0,
+                               stats: Map[String, (String, String)] = Map.empty) {
     def liveDocs: Int = docs - dels
   }
   final case class CommitPoint(gen: Int, counter: Int, segments: Seq[SegmentMeta]) {
@@ -76,6 +85,44 @@ object SegmentIndex {
     doc.foldLeft(Map.empty[String, String]) { case (acc, (k, v)) =>
       if (acc.contains(k)) acc else acc.updated(k, v)
     }
+
+  /** CODE-POINT string comparison — the order of UTF-8 byte comparison
+    * and therefore of Spark's `UTF8String` (what a pushed `>=`/`<`
+    * predicate means to Catalyst). `String.compareTo` is UTF-16
+    * code-UNIT order, which disagrees for supplementary characters vs
+    * chars in [U+E000, U+FFFF]; using it for range pushdown could
+    * silently DROP true matches. All range/stats ordering in this
+    * format goes through this comparator. */
+  private[index] def cpCompare(a: String, b: String): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(i)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+    }
+    Integer.compare(a.length, b.length)
+  }
+  private[index] val CpOrdering: Ordering[String] =
+    (a: String, b: String) => cpCompare(a, b)
+
+  /** Smallest string strictly greater than every string with prefix
+    * `p` (code-point order) — rewrites a prefix query as the range
+    * `[p, nextAfterPrefix(p))`. None when no upper bound exists (all
+    * code points in `p` are U+10FFFF). */
+  private[index] def nextAfterPrefix(p: String): Option[String] = {
+    val cps = p.codePoints().toArray
+    var i = cps.length - 1
+    while (i >= 0 && cps(i) == Character.MAX_CODE_POINT) i -= 1
+    if (i < 0) None
+    else {
+      val sb = new StringBuilder
+      (0 until i).foreach(j => sb.appendAll(Character.toChars(cps(j))))
+      sb.appendAll(Character.toChars(cps(i) + 1))
+      Some(sb.toString)
+    }
+  }
 
   // ---- primitives (unsigned LEB128 + length-prefixed UTF-8; no
   // writeUTF, whose 64 KB cap a document body would hit) ----
@@ -242,7 +289,14 @@ object SegmentIndex {
         }
       }
     } finally trm.close()
-    SegmentMeta(name, docs.length)
+    // zone-map stats: min/max indexed term per NON-analyzed field
+    // (code-point order — must match what a pushed range predicate
+    // means to Spark, see cpCompare)
+    val stats = post.iterator.collect {
+      case (f, terms) if !analyzed.contains(f) && terms.nonEmpty =>
+        f -> (terms.keys.min(CpOrdering), terms.keys.max(CpOrdering))
+    }.toMap
+    SegmentMeta(name, docs.length, stats = stats)
   }
 
   private[index] def readStoredDocs(fs: FileSystem, dir: Path,
@@ -336,19 +390,42 @@ object SegmentIndex {
         .readTree(new String(buf, StandardCharsets.UTF_8))
       import scala.jdk.CollectionConverters._
       val segs = root.get("segments").elements().asScala.map { s =>
+        val stats =
+          if (!s.has("stats")) Map.empty[String, (String, String)]
+          else s.get("stats").properties().asScala.map { e =>
+            e.getKey -> (e.getValue.get(0).asText(), e.getValue.get(1).asText())
+          }.toMap
         SegmentMeta(s.get("name").asText(), s.get("docs").asInt(),
           if (s.has("dels")) s.get("dels").asInt() else 0,
-          if (s.has("delgen")) s.get("delgen").asInt() else 0)
+          if (s.has("delgen")) s.get("delgen").asInt() else 0,
+          stats)
       }.toSeq
       Some(CommitPoint(gen, root.get("counter").asInt(), segs))
     }
   }
 
   private def writeCommit(fs: FileSystem, dir: Path, cp: CommitPoint): Unit = {
-    val segs = cp.segments
-      .map(s => s"""{"name":"${s.name}","docs":${s.docs},"dels":${s.dels},"delgen":${s.delGen}}""")
-      .mkString("[", ",", "]")
-    val json = s"""{"format":1,"counter":${cp.counter},"segments":$segs}"""
+    // jackson, not string interpolation: stats min/max are TERM data
+    // (arbitrary user strings) and must be JSON-escaped
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("format", 1)
+    root.put("counter", cp.counter)
+    val arr = root.putArray("segments")
+    cp.segments.foreach { s =>
+      val o = arr.addObject()
+      o.put("name", s.name)
+      o.put("docs", s.docs)
+      o.put("dels", s.dels)
+      o.put("delgen", s.delGen)
+      if (s.stats.nonEmpty) {
+        val st = o.putObject("stats")
+        s.stats.toSeq.sortBy(_._1).foreach { case (f, (mn, mx)) =>
+          val a = st.putArray(f); a.add(mn); a.add(mx)
+        }
+      }
+    }
+    val json = mapper.writeValueAsString(root)
     val p = new Path(dir, s"segments_${cp.gen}")
     val os = fs.create(p, true)
     try os.write(json.getBytes(StandardCharsets.UTF_8)) finally os.close()
@@ -474,7 +551,8 @@ object SegmentIndex {
                 false, fs.getConf)
             }
             commitPoint = commitPoint.copy(counter = commitPoint.counter + 1,
-              segments = commitPoint.segments :+ SegmentMeta(name, seg.docs))
+              segments = commitPoint.segments :+
+                SegmentMeta(name, seg.docs, stats = seg.stats)) // file copy keeps stats valid
           } else {
             // a source segment carrying tombstones is MATERIALIZED:
             // its live docs join the pending buffer and become part of
@@ -582,6 +660,76 @@ object SegmentIndex {
           ords.toSeq.map(stored)
         }
       }
+
+    private def termInRange(t: String,
+                            lower: Option[String], lowerInc: Boolean,
+                            upper: Option[String], upperInc: Boolean): Boolean =
+      lower.forall { l => val c = cpCompare(t, l); if (lowerInc) c >= 0 else c > 0 } &&
+      upper.forall { u => val c = cpCompare(t, u); if (upperInc) c <= 0 else c < 0 }
+
+    /** Zone-map check: can `s` possibly hold a term of `field` in the
+      * bounds? Decided from commit METADATA only. No stats entry (old
+      * commit format, or an analyzed field) → must open the segment. */
+    private def segmentCanMatch(s: SegmentMeta, field: String,
+                                lower: Option[String], lowerInc: Boolean,
+                                upper: Option[String], upperInc: Boolean): Boolean =
+      s.stats.get(field) match {
+        case None => true
+        case Some((mn, mx)) =>
+          lower.forall { l => val c = cpCompare(mx, l); if (lowerInc) c >= 0 else c > 0 } &&
+          upper.forall { u => val c = cpCompare(mn, u); if (upperInc) c <= 0 else c < 0 }
+      }
+
+    /** Ascending distinct ordinals of docs whose `field` term falls in
+      * the bounds (multivalued fields can match several terms). */
+    private def rangeOrds(s: SegmentMeta, field: String,
+                          lower: Option[String], lowerInc: Boolean,
+                          upper: Option[String], upperInc: Boolean): Array[Int] =
+      readPostings(fs, dir, s.name).getOrElse(field, Map.empty)
+        .iterator
+        .collect { case (t, ords) if termInRange(t, lower, lowerInc, upper, upperInc) => ords }
+        .flatten.toArray.distinct.sorted
+
+    /** Range query over exact-value postings (Lucene TermRangeQuery /
+      * Solr `field:[a TO b]`): LIVE stored docs whose indexed term for
+      * `field` lies within the code-point-ordered bounds (`None` =
+      * unbounded). Segments whose commit-recorded [[SegmentMeta.stats]]
+      * prove the range empty are skipped WITHOUT opening any segment
+      * file — the zone-map scale path for selective ranges over many
+      * segments. A prefix query is the range `[p, nextAfterPrefix(p))`.
+      * On an ANALYZED field this ranges over TOKENS, not stored values
+      * — the DSv2 source never pushes those. */
+    def rangeDocs(field: String,
+                  lower: Option[String], lowerInc: Boolean,
+                  upper: Option[String], upperInc: Boolean): Seq[Doc] =
+      commit.segments.flatMap { s =>
+        if (!segmentCanMatch(s, field, lower, lowerInc, upper, upperInc)) Nil
+        else {
+          val dels = readDels(fs, dir, s)
+          val ords = rangeOrds(s, field, lower, lowerInc, upper, upperInc)
+            .filterNot(dels.contains)
+          if (ords.isEmpty) Nil
+          else {
+            val stored = readStoredDocs(fs, dir, s.name)
+            ords.toSeq.map(stored)
+          }
+        }
+      }
+
+    /** Count of LIVE docs in the range — postings only, stored docs
+      * never read, skippable segments never opened (the numFound-for-
+      * a-range-fq count-pushdown path). */
+    def rangeCount(field: String,
+                   lower: Option[String], lowerInc: Boolean,
+                   upper: Option[String], upperInc: Boolean): Long =
+      commit.segments.map { s =>
+        if (!segmentCanMatch(s, field, lower, lowerInc, upper, upperInc)) 0L
+        else {
+          val dels = readDels(fs, dir, s)
+          rangeOrds(s, field, lower, lowerInc, upper, upperInc)
+            .count(o => !dels.contains(o)).toLong
+        }
+      }.sum
 
     /** Per-term LIVE doc frequency for one field across all segments —
       * the Luke/terms-component statistics view of the index. */

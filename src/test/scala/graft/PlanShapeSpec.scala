@@ -186,6 +186,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(cols.split(",").toSet === Set("id", "p_name", "p_size"), p.take(2000))
   }
 
+  test("q119 index range: bounds pushed as one term-dictionary range, nothing residual") {
+    val p = plan("q119_index_range")
+    assert(p.contains("pushedRange=p_name:[m TO q}"), p.take(2000))
+    // both bounds absorbed exactly — no residual Filter re-evaluates them
+    assert(!p.contains("Filter ("), p.take(2000))
+  }
+
   test("q114 bucketed join: ZERO exchanges — co-located buckets join in place") {
     val p = plan("q114_bucketed_join")
     assert(!p.contains("Exchange hashpartitioning"), p.take(3000))

@@ -164,6 +164,75 @@ class IndexDataSourceSpec extends AnyFunSuite {
     assert(both.collect().length === 1)
   }
 
+  test("range pushdown: bounds reach the scan as a term-dictionary range, results exact") {
+    val idx = spark.read.format("graft-index").load(store)
+    // both bounds on one field absorb into a single pushed range
+    val both = idx.filter(col("value") >= "alpha" && col("value") < "beta").select("id")
+    val scan = both.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.description()
+    }
+    assert(scan.exists(_.contains("pushedRange=value:[alpha TO beta}")), s"scan was: $scan")
+    assert(both.collect().map(_.getString(0)).sorted.toSeq === Seq("1", "3", "5"))
+    // single-sided bound
+    val lower = idx.filter(col("value") > "alpha").select("id")
+    val scan2 = lower.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.description()
+    }
+    assert(scan2.exists(_.contains("pushedRange=value:{alpha TO *]")), s"scan was: $scan2")
+    assert(lower.collect().map(_.getString(0)).sorted.toSeq === Seq("2", "4"))
+    // a term filter outranks a range: the range stays residual
+    val mixed = idx.filter(col("tag") === "y" && col("value") >= "alpha").select("id")
+    val scan3 = mixed.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.description()
+    }
+    assert(scan3.exists(_.contains("pushedTerm=tag:y")), s"scan was: $scan3")
+    assert(mixed.collect().map(_.getString(0)).sorted.toSeq === Seq("2", "3"))
+  }
+
+  test("startsWith pushes as a half-open prefix range") {
+    val idx = spark.read.format("graft-index").load(store)
+    val pre = idx.filter(col("value").startsWith("al")).select("id")
+    val scan = pre.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.description()
+    }
+    assert(scan.exists(_.contains("pushedRange=value:[al TO am}")), s"scan was: $scan")
+    assert(pre.collect().map(_.getString(0)).sorted.toSeq === Seq("1", "3", "5"))
+  }
+
+  test("range count composes with COUNT(*) pushdown (numFound for a range fq)") {
+    val idx = spark.read.format("graft-index").load(store)
+    val cnt = idx.filter(col("value") >= "b")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)))
+    val plan = cnt.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedAgg=count(*)") && plan.contains("pushedRange=value:[b TO *]"),
+      plan.take(2000))
+    assert(cnt.head.getLong(0) === 2L) // beta, gamma
+  }
+
+  test("analyzed fields are NOT pushed — verbatim stored values still match") {
+    import spark.implicits._
+    val out = tmp("graft_dsv2_ana_")
+    val df = Seq(("1", "Spark Engine"), ("2", "other words")).toDF("id", "text")
+    SegmentShardSink.write(df, "id", out, shards = 1, analyzedFields = Set("text"))
+    val idx = spark.read.format("graft-index").load(out)
+    // equality on an analyzed field: postings hold TOKENS ("spark",
+    // "engine"), the relational surface the VERBATIM value — pushing
+    // would lose this row. Must stay residual and still match.
+    val eq = idx.filter(col("text") === "Spark Engine")
+    val scan = eq.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.description()
+    }
+    assert(scan.exists(_.contains("pushedTerm=*:*")), s"scan was: $scan")
+    assert(eq.select("id").collect().map(_.getString(0)).toSeq === Seq("1"))
+    // ranges on analyzed fields equally stay residual
+    val rg = idx.filter(col("text") >= "S" && col("text") <= "T")
+    val scan2 = rg.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.description()
+    }
+    assert(scan2.exists(_.contains("pushedTerm=*:*")), s"scan was: $scan2")
+    assert(rg.select("id").collect().map(_.getString(0)).toSeq === Seq("1"))
+  }
+
   test("SolrQueryString composes over the index table (the user's full loop)") {
     import graft.search.SolrQueryString
     val idx = spark.read.format("graft-index").load(store)

@@ -486,4 +486,97 @@ class SegmentIndexSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(stats === Map("fizz" -> 10L, "plain" -> 20L))
   }
+
+  test("rangeDocs/rangeCount: bound inclusivity, unbounded sides, deletes masked") {
+    val dir = tmp("graft_range_")
+    val w = SegmentIndex.writer(dir, conf)
+    Seq("apple", "banana", "cherry", "date").zipWithIndex.foreach { case (v, i) =>
+      w.addDocument(Seq("id" -> (i + 1).toString, "v" -> v))
+    }
+    w.commit()
+    val r0 = SegmentIndex.reader(dir, conf)
+    def vals(docs: Seq[SegmentIndex.Doc]) = docs.map(_.toMap.apply("v")).sorted
+    assert(vals(r0.rangeDocs("v", Some("banana"), true, Some("cherry"), true))
+      === Seq("banana", "cherry"))
+    assert(vals(r0.rangeDocs("v", Some("banana"), false, Some("cherry"), false)) === Nil)
+    assert(vals(r0.rangeDocs("v", Some("b"), true, None, true))
+      === Seq("banana", "cherry", "date"))
+    assert(vals(r0.rangeDocs("v", None, true, Some("b"), false)) === Seq("apple"))
+    assert(r0.rangeCount("v", Some("b"), true, None, true) === 3L)
+    // delete one in-range doc: both paths mask it
+    w.deleteDocuments("v", "cherry"); w.commit()
+    val r1 = SegmentIndex.reader(dir, conf)
+    assert(vals(r1.rangeDocs("v", Some("b"), true, None, true)) === Seq("banana", "date"))
+    assert(r1.rangeCount("v", Some("b"), true, None, true) === 2L)
+  }
+
+  test("zone-map stats: recorded per non-analyzed field, skip avoids opening segments") {
+    val dir = tmp("graft_zonemap_")
+    val w = SegmentIndex.writer(dir, conf, analyzed = Set("text"))
+    w.addDocument(Seq("id" -> "1", "v" -> "aaa", "text" -> "Spark Engine"))
+    w.addDocument(Seq("id" -> "2", "v" -> "mmm", "text" -> "other words"))
+    w.commit() // segment A: v in [aaa, mmm]
+    w.addDocument(Seq("id" -> "3", "v" -> "xxx"))
+    w.commit() // segment B: v in [xxx, xxx]
+    val r = SegmentIndex.reader(dir, conf)
+    val stats = r.commit.segments.map(s => s.name -> s.stats).toMap
+    val (segA, segB) = (r.commit.segments.head, r.commit.segments.last)
+    assert(stats(segA.name)("v") === ("aaa", "mmm"))
+    assert(stats(segB.name)("v") === ("xxx", "xxx"))
+    // analyzed fields record NO stats (token ranges say nothing about
+    // stored values); id stats exist
+    assert(!stats(segA.name).contains("text"))
+    assert(stats(segA.name).contains("id"))
+    // PROOF of skipping: corrupt segment B's term dictionary. A range
+    // that B's stats exclude still answers (B never opened)...
+    val trmB = new java.io.File(dir, s"${segB.name}.trm")
+    val out = new java.io.FileOutputStream(trmB)
+    out.write(Array.fill(8)(0x7F.toByte)); out.close()
+    val r2 = SegmentIndex.reader(dir, conf)
+    assert(r2.rangeDocs("v", Some("aaa"), true, Some("nnn"), true).size === 2)
+    assert(r2.rangeCount("v", Some("aaa"), true, Some("nnn"), true) === 2L)
+    // ...while a range covering B must open it and fails on the
+    // corruption — the skip was real, not accidental emptiness
+    intercept[Exception] {
+      r2.rangeDocs("v", Some("aaa"), true, Some("zzz"), true)
+    }
+  }
+
+  test("zone-map stats survive addIndexes (file copy) and forceMerge (rewrite)") {
+    val src = tmp("graft_zmsrc_")
+    val ws = SegmentIndex.writer(src, conf)
+    ws.addDocument(Seq("id" -> "1", "v" -> "kkk"))
+    ws.close()
+    val dst = tmp("graft_zmdst_")
+    val wd = SegmentIndex.writer(dst, conf)
+    wd.addDocument(Seq("id" -> "2", "v" -> "bbb"))
+    wd.commit()
+    wd.addIndexes(Seq(new Path(src)))
+    wd.commit()
+    val r = SegmentIndex.reader(dst, conf)
+    assert(r.commit.segments.flatMap(_.stats.get("v")).toSet
+      === Set(("bbb", "bbb"), ("kkk", "kkk")))
+    wd.forceMerge(1)
+    val rm = SegmentIndex.reader(dst, conf)
+    assert(rm.commit.segments.head.stats("v") === ("bbb", "kkk"))
+  }
+
+  test("cpCompare and nextAfterPrefix: code-point order, prefix == half-open range") {
+    import SegmentIndex.{cpCompare, nextAfterPrefix}
+    // supplementary char (U+10000, surrogate pair) vs U+FFFD: UTF-16
+    // code-unit order would say 𐀀 < � — code-point
+    // order (and UTF-8 byte order) says the opposite
+    val supp = new String(Character.toChars(0x10000))
+    val fffd = "�"
+    assert(cpCompare(supp, fffd) > 0)
+    assert(supp.compareTo(fffd) < 0) // the trap we avoid
+    assert(cpCompare("abc", "abd") < 0 && cpCompare("ab", "abc") < 0)
+    assert(nextAfterPrefix("abc") === Some("abd"))
+    assert(nextAfterPrefix("") === None) // every string has prefix ""
+    // prefix p matches t iff p <= t < nextAfterPrefix(p)
+    val p = "ban"
+    val nxt = nextAfterPrefix(p).get
+    for (t <- Seq("ban", "banana", "bao", "bam", "bz", "a", p + "￿"))
+      assert((cpCompare(t, p) >= 0 && cpCompare(t, nxt) < 0) === t.startsWith(p), t)
+  }
 }
