@@ -1537,6 +1537,26 @@ object SparkEntry {
       s.read.format("graft-index").load(out)
         .filter(col("p_name") >= "m" && col("p_name") < "q")
         .select(col("id").cast("long").as("p_partkey"), col("p_name"), col("p_brand"))
+    }),
+
+    // TopN pushdown — Solr's distributed `sort=...&rows=N`: each shard
+    // answers its LOCAL top-N through a bounded heap (never
+    // materializing the full match set), Spark's TakeOrderedAndProject
+    // merges the ≤ shards×N candidates — the exact scatter-gather a
+    // Solr coordinator runs for a sorted query. The term filter rides
+    // along as a posting lookup; the unique id tie-break makes the
+    // result SET deterministic, so the oracle hash is exact.
+    "q120_index_topn" -> ((s, d) => {
+      import graft.index.SegmentShardSink
+      val parts = Tables.part(s, d).withColumn("id", col("p_partkey").cast("string"))
+        .select(col("id"), col("p_name"), col("p_brand"))
+      val out = java.nio.file.Files.createTempDirectory("graft_q120_").toString
+      SegmentShardSink.write(parts, "id", out, shards = 4)
+      s.read.format("graft-index").load(out)
+        .filter(col("p_brand") === "Brand#23")
+        .orderBy(col("p_name").desc, col("id").asc)
+        .limit(15)
+        .select(col("id").cast("long").as("p_partkey"), col("p_name"))
     })
   )
 
@@ -2502,6 +2522,10 @@ object SparkEntry {
 
     "q119_index_range" ->
       """SELECT p_partkey, p_name, p_brand
-        |FROM part WHERE p_name >= 'm' AND p_name < 'q'""".stripMargin
+        |FROM part WHERE p_name >= 'm' AND p_name < 'q'""".stripMargin,
+
+    "q120_index_topn" ->
+      """SELECT p_partkey, p_name FROM part WHERE p_brand = 'Brand#23'
+        |ORDER BY p_name DESC, CAST(p_partkey AS VARCHAR) ASC LIMIT 15""".stripMargin
   )
 }

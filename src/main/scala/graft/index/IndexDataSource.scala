@@ -5,7 +5,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual, StringStartsWith}
@@ -100,17 +100,25 @@ private[index] final case class RangeQuery(field: String,
                                            lower: Option[String], lowerInc: Boolean,
                                            upper: Option[String], upperInc: Boolean) extends PushedQuery
 
+/** One pushed sort key: stored field, descending?, nulls first? —
+  * compared on the surfaced (first) value in code-point order, i.e.
+  * exactly Spark's UTF8String sort on the same column. */
+private[index] final case class SortKey(field: String, desc: Boolean, nullsFirst: Boolean)
+  extends Serializable
+
 private[index] class IndexScanBuilder(full: StructType, store: String,
                                       multivalued: Set[String],
                                       analyzed: Set[String])
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates with SupportsPushDownLimit {
+    with SupportsPushDownAggregates with SupportsPushDownLimit
+    with SupportsPushDownTopN {
 
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
   private var query: PushedQuery = MatchAll
   private var countPushed = false
   private var limit: Option[Int] = None
+  private var topN: Option[(Seq[SortKey], Int)] = None
 
   /** LIMIT n: each shard stops materializing after n hits (Spark still
     * applies the global limit over the union — partial pushdown, like
@@ -119,6 +127,36 @@ private[index] class IndexScanBuilder(full: StructType, store: String,
     limit = Some(n)
     true
   }
+
+  /** ORDER BY + LIMIT n — Solr's distributed `sort=...&rows=n`: each
+    * shard answers its LOCAL top-n through a bounded heap (never
+    * materializing the full match set), Spark merges the per-shard
+    * candidates with its global TakeOrderedAndProject — partial
+    * pushdown, exactly the scatter-gather a Solr coordinator runs.
+    * Accepted when every sort key is a direct stored column: values
+    * are strings compared in code-point order on the surfaced (first)
+    * value, so local order == Spark's global order. */
+  override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
+    if (countPushed) return false
+    val keys = orders.toSeq.map { o =>
+      o.expression() match {
+        case ref: NamedReference if ref.fieldNames().length == 1 &&
+            full.fieldNames.contains(ref.fieldNames()(0)) =>
+          Some(SortKey(ref.fieldNames()(0),
+            o.direction() == SortDirection.DESCENDING,
+            o.nullOrdering() == NullOrdering.NULLS_FIRST))
+        case _ => None
+      }
+    }
+    if (keys.isEmpty || keys.exists(_.isEmpty)) false
+    else {
+      topN = Some((keys.flatten, n))
+      true
+    }
+  }
+
+  // one override serves both SupportsPushDownLimit and
+  // SupportsPushDownTopN: every pushdown here is per-shard partial
   override def isPartiallyPushed(): Boolean = true
 
   /** Ungrouped COUNT(*) answers from index METADATA: match-all counts
@@ -236,13 +274,14 @@ private[index] class IndexScanBuilder(full: StructType, store: String,
       required = StructType(requiredSchema.fields.filter(f => full.fieldNames.contains(f.name)))
 
   override def build(): Scan =
-    new IndexScan(store, required, query, countPushed, limit)
+    new IndexScan(store, required, query, countPushed, limit, topN)
 }
 
 private[index] class IndexScan(store: String, required: StructType,
                                query: PushedQuery,
                                countOnly: Boolean = false,
-                               limit: Option[Int] = None) extends Scan with Batch {
+                               limit: Option[Int] = None,
+                               topN: Option[(Seq[SortKey], Int)] = None) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def description(): String = {
     val q = query match {
@@ -256,6 +295,10 @@ private[index] class IndexScan(store: String, required: StructType,
     s"GraftIndexScan store=$store $q " +
       (if (countOnly) "pushedAgg=count(*) " else "") +
       limit.map(n => s"pushedLimit=$n ").getOrElse("") +
+      topN.map { case (ks, n) =>
+        val o = ks.map(k => s"${k.field} ${if (k.desc) "DESC" else "ASC"}").mkString(",")
+        s"pushedTopN=[$o] rows=$n "
+      }.getOrElse("") +
       s"columns=${required.fieldNames.mkString(",")}"
   }
   override def toBatch: Batch = this
@@ -269,7 +312,7 @@ private[index] class IndexScan(store: String, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableHadoopConf(
       SparkSession.active.sessionState.newHadoopConf())
-    new IndexReaderFactory(conf, required.fieldNames, query, countOnly, limit)
+    new IndexReaderFactory(conf, required.fieldNames, query, countOnly, limit, topN)
   }
 }
 
@@ -279,7 +322,8 @@ private[index] class IndexReaderFactory(conf: SerializableHadoopConf,
                                         fields: Array[String],
                                         query: PushedQuery,
                                         countOnly: Boolean = false,
-                                        limit: Option[Int] = None)
+                                        limit: Option[Int] = None,
+                                        topN: Option[(Seq[SortKey], Int)] = None)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -309,6 +353,44 @@ private[index] class IndexReaderFactory(conf: SerializableHadoopConf,
     }
     else new PartitionReader[InternalRow] {
       private val dir = new Path(partition.asInstanceOf[IndexInputPartition].dir)
+
+      /** Local top-n under the pushed sort keys via a bounded heap —
+        * O(matches · log n) memory-bounded at n docs, the per-shard
+        * half of a Solr coordinator's scatter-gather merge. */
+      private def localTopN(it: Iterator[SegmentIndex.Doc],
+                            keys: Seq[SortKey], n: Int): Iterator[SegmentIndex.Doc] = {
+        if (n <= 0) return Iterator.empty
+        val docOrd: Ordering[(Map[String, String], SegmentIndex.Doc)] =
+          (a, b) => {
+            var i = 0
+            var c = 0
+            while (c == 0 && i < keys.length) {
+              val k = keys(i)
+              c = (a._1.get(k.field), b._1.get(k.field)) match {
+                case (None, None) => 0
+                case (None, _) => if (k.nullsFirst) -1 else 1
+                case (_, None) => if (k.nullsFirst) 1 else -1
+                case (Some(x), Some(y)) =>
+                  val r = SegmentIndex.cpCompare(x, y)
+                  if (k.desc) -r else r
+              }
+              i += 1
+            }
+            c
+          }
+        // max-heap of the CURRENT WORST on top → poll evicts it
+        val pq = new java.util.PriorityQueue[(Map[String, String], SegmentIndex.Doc)](
+          n + 1, docOrd.reverse)
+        it.foreach { d =>
+          pq.add((SegmentIndex.firstValues(d), d))
+          if (pq.size > n) pq.poll()
+        }
+        val out = new Array[SegmentIndex.Doc](pq.size)
+        var i = pq.size - 1
+        while (i >= 0) { out(i) = pq.poll()._2; i -= 1 }
+        out.iterator
+      }
+
       private lazy val docs: Iterator[SegmentIndex.Doc] = {
         val reader = new SegmentIndex.Reader(dir.getFileSystem(conf.value), dir)
         val it = query match {
@@ -318,7 +400,10 @@ private[index] class IndexReaderFactory(conf: SerializableHadoopConf,
             reader.rangeDocs(f, lo, loInc, hi, hiInc).iterator
           case MatchAll => reader.allDocs()
         }
-        limit.map(it.take).getOrElse(it) // per-shard early stop
+        topN match {
+          case Some((keys, n)) => localTopN(it, keys, n)
+          case None => limit.map(it.take).getOrElse(it) // per-shard early stop
+        }
       }
       private var current: InternalRow = _
 

@@ -193,6 +193,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Filter ("), p.take(2000))
   }
 
+  test("q120 index TopN: term + sort + rows all pushed, global merge stays in Spark") {
+    val p = plan("q120_index_topn")
+    assert(p.contains("pushedTerm=p_brand:Brand#23"), p.take(2000))
+    assert(p.contains("pushedTopN=[p_name DESC,id ASC] rows=15"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000)) // partial: Spark merges
+  }
+
   test("q114 bucketed join: ZERO exchanges — co-located buckets join in place") {
     val p = plan("q114_bucketed_join")
     assert(!p.contains("Exchange hashpartitioning"), p.take(3000))

@@ -233,6 +233,50 @@ class IndexDataSourceSpec extends AnyFunSuite {
     assert(rg.select("id").collect().map(_.getString(0)).toSeq === Seq("1"))
   }
 
+  test("TopN pushdown: per-shard bounded heap, Spark's global merge, exact results") {
+    val idx = spark.read.format("graft-index").load(store)
+    // multi-key sort with a unique tie-break → deterministic set
+    val top = idx.orderBy(col("value").asc, col("id").asc).limit(3).select("id", "value")
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedTopN=[value ASC,id ASC] rows=3"), plan.take(2000))
+    // partial pushdown: Spark's own global TakeOrdered must remain
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(top.collect().map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("1", "alpha"), ("3", "alpha"), ("5", "alpha")))
+    // descending
+    val bottom = idx.orderBy(col("value").desc, col("id").desc).limit(2).select("id", "value")
+    val plan2 = bottom.queryExecution.executedPlan.toString
+    assert(plan2.contains("pushedTopN=[value DESC,id DESC] rows=2"), plan2.take(2000))
+    assert(bottom.collect().map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("4", "gamma"), ("2", "beta")))
+    // composes with a pushed term filter
+    val filtered = idx.filter(col("value") === "alpha")
+      .orderBy(col("id").desc).limit(2).select("id")
+    val plan3 = filtered.queryExecution.executedPlan.toString
+    assert(plan3.contains("pushedTerm=value:alpha") && plan3.contains("pushedTopN=[id DESC]"),
+      plan3.take(2000))
+    assert(filtered.collect().map(_.getString(0)).toSeq === Seq("5", "3"))
+  }
+
+  test("TopN honors null ordering for docs missing the sort field") {
+    import spark.implicits._
+    val out = tmp("graft_dsv2_topn_null_")
+    // doc 3 has no "rank" field at all → null on the relational surface
+    val df = Seq(
+      ("1", Some("b")), ("2", Some("a")), ("3", None), ("4", Some("c"))
+    ).toDF("id", "rank")
+    SegmentShardSink.write(df, "id", out, shards = 1)
+    val idx = spark.read.format("graft-index").load(out)
+    // ASC default: NULLS FIRST — the null doc must win the top spot
+    val first = idx.orderBy(col("rank").asc).limit(2).select("id")
+    assert(first.queryExecution.executedPlan.toString.contains("pushedTopN"),
+      first.queryExecution.executedPlan.toString.take(2000))
+    assert(first.collect().map(_.getString(0)).toSeq === Seq("3", "2"))
+    // DESC default: NULLS LAST — the null doc must NOT appear in top-2
+    val last = idx.orderBy(col("rank").desc).limit(2).select("id")
+    assert(last.collect().map(_.getString(0)).toSeq === Seq("4", "1"))
+  }
+
   test("SolrQueryString composes over the index table (the user's full loop)") {
     import graft.search.SolrQueryString
     val idx = spark.read.format("graft-index").load(store)
