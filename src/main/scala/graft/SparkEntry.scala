@@ -1557,6 +1557,23 @@ object SparkEntry {
         .orderBy(col("p_name").desc, col("id").asc)
         .limit(15)
         .select(col("id").cast("long").as("p_partkey"), col("p_name"))
+    }),
+
+    // facet.field pushdown — THE classic index-served aggregation:
+    // GROUP BY p_brand COUNT(*) never reads a stored document; each
+    // shard answers from its per-term live doc frequencies (postings
+    // cardinality, deletes masked) and Spark merges the partials —
+    // Solr's distributed facet counting, verified against DuckDB
+    // grouping over the source table.
+    "q121_index_facet" -> ((s, d) => {
+      import graft.index.SegmentShardSink
+      val parts = Tables.part(s, d).withColumn("id", col("p_partkey").cast("string"))
+        .select(col("id"), col("p_name"), col("p_brand"))
+      val out = java.nio.file.Files.createTempDirectory("graft_q121_").toString
+      SegmentShardSink.write(parts, "id", out, shards = 4)
+      s.read.format("graft-index").load(out)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("cnt"))
     })
   )
 
@@ -2526,6 +2543,9 @@ object SparkEntry {
 
     "q120_index_topn" ->
       """SELECT p_partkey, p_name FROM part WHERE p_brand = 'Brand#23'
-        |ORDER BY p_name DESC, CAST(p_partkey AS VARCHAR) ASC LIMIT 15""".stripMargin
+        |ORDER BY p_name DESC, CAST(p_partkey AS VARCHAR) ASC LIMIT 15""".stripMargin,
+
+    "q121_index_facet" ->
+      "SELECT p_brand, CAST(count(*) AS BIGINT) AS cnt FROM part GROUP BY p_brand"
   )
 }

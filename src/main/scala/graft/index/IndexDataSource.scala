@@ -117,6 +117,7 @@ private[index] class IndexScanBuilder(full: StructType, store: String,
   private var pushed: Array[Filter] = Array.empty
   private var query: PushedQuery = MatchAll
   private var countPushed = false
+  private var facetField: Option[String] = None
   private var limit: Option[Int] = None
   private var topN: Option[(Seq[SortKey], Int)] = None
 
@@ -159,20 +160,43 @@ private[index] class IndexScanBuilder(full: StructType, store: String,
   // SupportsPushDownTopN: every pushdown here is per-shard partial
   override def isPartiallyPushed(): Boolean = true
 
-  /** Ungrouped COUNT(*) answers from index METADATA: match-all counts
-    * come from the commit's live-doc counts, term-filtered counts from
-    * posting-list lengths — no stored-field scan at all (Solr's
-    * numFound-without-fetch). Partial pushdown: each shard returns its
-    * count, Spark sums the partials. */
+  /** COUNT(*) answers from the index, not from stored docs:
+    *
+    *  - UNGROUPED: match-all counts come from the commit's live-doc
+    *    counts, term-filtered counts from posting-list lengths,
+    *    range-filtered counts from the zone-map range path (Solr's
+    *    numFound-without-fetch).
+    *  - GROUPED by ONE pushable field (facet.field): each shard
+    *    answers from its per-term live doc frequencies (termStats) —
+    *    postings only, stored fields never read — plus a null bucket
+    *    for docs missing the field. Only for the unfiltered table:
+    *    a filtered facet would need posting intersections, so it
+    *    stays a real scan + groupBy.
+    *
+    * Partial pushdown both ways: shards return partials, Spark merges
+    * (sums) them — the facet half of Solr's scatter-gather. */
   override def pushAggregation(agg: Aggregation): Boolean = {
-    val ok = agg.groupByExpressions.isEmpty &&
-      agg.aggregateExpressions.length == 1 &&
+    val countStarOnly = agg.aggregateExpressions.length == 1 &&
       agg.aggregateExpressions.head.isInstanceOf[CountStar]
-    if (ok) {
-      countPushed = true
-      required = StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+    if (!countStarOnly) return false
+    def pushableGroup(a: String) = full.fieldNames.contains(a) &&
+      !multivalued.contains(a) && !analyzed.contains(a)
+    agg.groupByExpressions.toSeq match {
+      case Nil =>
+        countPushed = true
+        required = StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+        true
+      case Seq(ref: NamedReference)
+          if ref.fieldNames().length == 1 && pushableGroup(ref.fieldNames()(0)) &&
+            query == MatchAll =>
+        countPushed = true
+        facetField = Some(ref.fieldNames()(0))
+        required = StructType(Seq(
+          StructField(ref.fieldNames()(0), StringType, nullable = true),
+          StructField("count(*)", LongType, nullable = false)))
+        true
+      case _ => false
     }
-    ok
   }
 
   /** Accept ONE index-serviceable query shape, everything else
@@ -274,14 +298,15 @@ private[index] class IndexScanBuilder(full: StructType, store: String,
       required = StructType(requiredSchema.fields.filter(f => full.fieldNames.contains(f.name)))
 
   override def build(): Scan =
-    new IndexScan(store, required, query, countPushed, limit, topN)
+    new IndexScan(store, required, query, countPushed, limit, topN, facetField)
 }
 
 private[index] class IndexScan(store: String, required: StructType,
                                query: PushedQuery,
                                countOnly: Boolean = false,
                                limit: Option[Int] = None,
-                               topN: Option[(Seq[SortKey], Int)] = None) extends Scan with Batch {
+                               topN: Option[(Seq[SortKey], Int)] = None,
+                               facetField: Option[String] = None) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def description(): String = {
     val q = query match {
@@ -294,6 +319,7 @@ private[index] class IndexScan(store: String, required: StructType,
     }
     s"GraftIndexScan store=$store $q " +
       (if (countOnly) "pushedAgg=count(*) " else "") +
+      facetField.map(f => s"pushedGroupBy=$f ").getOrElse("") +
       limit.map(n => s"pushedLimit=$n ").getOrElse("") +
       topN.map { case (ks, n) =>
         val o = ks.map(k => s"${k.field} ${if (k.desc) "DESC" else "ASC"}").mkString(",")
@@ -312,7 +338,7 @@ private[index] class IndexScan(store: String, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableHadoopConf(
       SparkSession.active.sessionState.newHadoopConf())
-    new IndexReaderFactory(conf, required.fieldNames, query, countOnly, limit, topN)
+    new IndexReaderFactory(conf, required.fieldNames, query, countOnly, limit, topN, facetField)
   }
 }
 
@@ -323,11 +349,35 @@ private[index] class IndexReaderFactory(conf: SerializableHadoopConf,
                                         query: PushedQuery,
                                         countOnly: Boolean = false,
                                         limit: Option[Int] = None,
-                                        topN: Option[(Seq[SortKey], Int)] = None)
+                                        topN: Option[(Seq[SortKey], Int)] = None,
+                                        facetField: Option[String] = None)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    if (countOnly) new PartitionReader[InternalRow] {
+    if (facetField.isDefined) new PartitionReader[InternalRow] {
+      // facet.field from postings: one partial row per term of this
+      // shard — (term, live doc freq) from termStats — plus a null
+      // bucket for live docs missing the field. Stored docs never read.
+      private val dir = new Path(partition.asInstanceOf[IndexInputPartition].dir)
+      private lazy val rows: Iterator[InternalRow] = {
+        val reader = new SegmentIndex.Reader(dir.getFileSystem(conf.value), dir)
+        val stats = reader.termStats(facetField.get)
+        val withField = stats.valuesIterator.sum
+        val nullBucket = reader.matchAllCount - withField
+        val termRows = stats.iterator.map { case (t, n) =>
+          InternalRow(UTF8String.fromString(t), n)
+        }
+        if (nullBucket > 0) termRows ++ Iterator(InternalRow(null, nullBucket))
+        else termRows
+      }
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (!rows.hasNext) false
+        else { current = rows.next(); true }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+    else if (countOnly) new PartitionReader[InternalRow] {
       // one partial row per shard: live-doc count from commit metadata
       // (match-all), posting-list cardinality (term), or zone-map-
       // skipping range count — stored fields never read

@@ -200,6 +200,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000)) // partial: Spark merges
   }
 
+  test("q121 index facet: grouped count answered from postings, no stored-doc scan") {
+    val p = plan("q121_index_facet")
+    assert(p.contains("pushedAgg=count(*)") && p.contains("pushedGroupBy=p_brand"),
+      p.take(2000))
+  }
+
   test("q114 bucketed join: ZERO exchanges — co-located buckets join in place") {
     val p = plan("q114_bucketed_join")
     assert(!p.contains("Exchange hashpartitioning"), p.take(3000))

@@ -114,7 +114,7 @@ class IndexDataSourceSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).sorted.toSeq === Seq("1", "2"))
   }
 
-  test("COUNT(*) pushes to metadata/postings; deletes respected; grouped aggs don't push") {
+  test("COUNT(*) pushes to metadata/postings; deletes respected; grouped counts push too") {
     val idx = spark.read.format("graft-index").load(store)
     val cnt = idx.agg(org.apache.spark.sql.functions.count(
       org.apache.spark.sql.functions.lit(1)))
@@ -141,13 +141,69 @@ class IndexDataSourceSpec extends AnyFunSuite {
     assert(spark.read.format("graft-index").load(out)
       .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)))
       .head.getLong(0) === 1L)
-    // GROUPED aggregation is NOT pushed (stays a real scan + groupBy)
+    // GROUPED count on a pushable field answers from postings
+    // (facet.field — see the dedicated facet tests)
     val grouped = idx.groupBy("value")
       .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
     val scan3 = grouped.queryExecution.executedPlan.toString
-    assert(!scan3.contains("pushedAgg"), scan3.take(2000))
+    assert(scan3.contains("pushedGroupBy=value"), scan3.take(2000))
     assert(grouped.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
       Map("alpha" -> 3L, "beta" -> 1L, "gamma" -> 1L))
+  }
+
+  test("facet pushdown: GROUP BY field COUNT(*) answers from termStats postings") {
+    val idx = spark.read.format("graft-index").load(store)
+    val facet = idx.groupBy("tag")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+    val plan = facet.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedAgg=count(*)") && plan.contains("pushedGroupBy=tag"),
+      plan.take(2000))
+    assert(facet.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("x" -> 2L, "y" -> 2L, "z" -> 1L))
+    // deletes excluded from facet counts
+    val out = {
+      import spark.implicits._
+      val o = tmp("graft_dsv2_facetdel_")
+      SegmentShardSink.write(Seq(("1", "a"), ("2", "b"), ("3", "a")).toDF("id", "v"),
+        "id", o, shards = 2)
+      o
+    }
+    SegmentShardSink.deleteByTerm(spark, out, "id", "1")
+    assert(spark.read.format("graft-index").load(out).groupBy("v")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("a" -> 1L, "b" -> 1L))
+  }
+
+  test("facet pushdown: null bucket for docs missing the field; filter/mv/analyzed block it") {
+    import spark.implicits._
+    val out = tmp("graft_dsv2_facetnull_")
+    val df = Seq(("1", Some("a")), ("2", None), ("3", Some("a")), ("4", None))
+      .toDF("id", "v")
+    SegmentShardSink.write(df, "id", out, shards = 1)
+    val idx = spark.read.format("graft-index").load(out)
+    val facet = idx.groupBy("v")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+    assert(facet.queryExecution.executedPlan.toString.contains("pushedGroupBy=v"))
+    assert(facet.collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap ===
+      Map(Option("a") -> 2L, Option.empty[String] -> 2L))
+    // a FILTERED facet would need posting intersections — stays a real
+    // scan + groupBy (results still exact)
+    val filtered = idx.filter(col("id") =!= "4").groupBy("v")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+    assert(!filtered.queryExecution.executedPlan.toString.contains("pushedGroupBy"))
+    assert(filtered.collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap ===
+      Map(Option("a") -> 2L, Option.empty[String] -> 1L))
+    // multivalued group field: first-value semantics ≠ per-value postings
+    val mvOut = tmp("graft_dsv2_facetmv_")
+    SegmentShardSink.write(Seq(("1", Seq("y", "x")), ("2", Seq("x"))).toDF("id", "tags"),
+      "id", mvOut, shards = 1)
+    val mvIdx = spark.read.format("graft-index").load(mvOut)
+    val mvFacet = mvIdx.groupBy("tags")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+    assert(!mvFacet.queryExecution.executedPlan.toString.contains("pushedGroupBy"))
+    assert(mvFacet.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("y" -> 1L, "x" -> 1L)) // first values
   }
 
   test("LIMIT pushes per-shard (partial): plan shows it, results exact") {
