@@ -170,6 +170,13 @@ object Graft {
                       term: String): Long =
     graft.index.SegmentShardSink.deleteByTerm(spark, store, field, term)
 
+  /** Solr `deleteByQuery` over a segment store: the full query-string
+    * surface (boolean/range/prefix/analyzed-token), ids resolved via
+    * the index table's pushdown and tombstoned shard-locally (see
+    * [[graft.index.SegmentShardSink.deleteByQuery]]). */
+  def deleteByQuery(spark: SparkSession, store: String, q: String): Long =
+    graft.index.SegmentShardSink.deleteByQuery(spark, store, q)
+
   /** The training-corpus counterpart of [[buildIndex]]: quality gate →
     * PII redaction → URL/exact/near dedup → optional chunking, one
     * composed plan (see [[graft.ops.CorpusPipeline]]). */

@@ -1574,6 +1574,22 @@ object SparkEntry {
       s.read.format("graft-index").load(out)
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // deleteByQuery — Solr's query-string delete applied to the store:
+    // ids resolve through the index table (the boolean's term + prefix
+    // branches push down), shuffle ONLY the ids, tombstone per shard.
+    // The oracle is the complement: everything NOT matched must
+    // survive verbatim, so lost or resurrected docs both fail the hash.
+    "q122_delete_by_query" -> ((s, d) => {
+      import graft.index.{SegmentSearch, SegmentShardSink}
+      val parts = Tables.part(s, d).withColumn("id", col("p_partkey").cast("string"))
+        .select(col("id"), col("p_name"), col("p_brand"))
+      val out = java.nio.file.Files.createTempDirectory("graft_q122_").toString
+      SegmentShardSink.write(parts, "id", out, shards = 4)
+      SegmentShardSink.deleteByQuery(s, out, "p_brand:Brand#23 OR p_name:m*")
+      SegmentSearch.matchAll(s, out, Seq("id", "p_name", "p_brand"))
+        .select(col("id").cast("long").as("p_partkey"), col("p_name"), col("p_brand"))
     })
   )
 
@@ -2546,6 +2562,10 @@ object SparkEntry {
         |ORDER BY p_name DESC, CAST(p_partkey AS VARCHAR) ASC LIMIT 15""".stripMargin,
 
     "q121_index_facet" ->
-      "SELECT p_brand, CAST(count(*) AS BIGINT) AS cnt FROM part GROUP BY p_brand"
+      "SELECT p_brand, CAST(count(*) AS BIGINT) AS cnt FROM part GROUP BY p_brand",
+
+    "q122_delete_by_query" ->
+      """SELECT p_partkey, p_name, p_brand FROM part
+        |WHERE NOT (p_brand = 'Brand#23' OR p_name LIKE 'm%')""".stripMargin
   )
 }

@@ -377,6 +377,63 @@ object SegmentShardSink {
   }
 
   /**
+   * Distributed delete-by-query (Solr's `deleteByQuery` — the update
+   * surface the reference delegates to the live cluster,
+   * `SolrClientDocumentLoader.java` scope, here applied directly to
+   * the store): compile `q` against the store's OWN schema and
+   * analyzer config, resolve the matching ids through the DSv2 index
+   * table — filter pushdown applies, so a `field:term` or
+   * `field:[a TO b]` delete reads only its posting lists (and skips
+   * zone-map-excluded segments) — route the ids with the store's own
+   * router, and tombstone each shard in ONE batched postings pass.
+   *
+   * Scale shape: only the matching IDS shuffle (documents never
+   * move), per-part work ∝ matches + one postings read per segment;
+   * untouched parts never open a writer. Returns newly deleted docs
+   * (0 when re-run — tombstoning is idempotent).
+   */
+  def deleteByQuery(spark: SparkSession, store: String, q: String): Long = {
+    val conf0 = ShardIndex.hadoopConf(spark)
+    val marker = readMarker(conf0, store)
+    val idCol = marker.idCol
+    val idx = spark.read.format("graft-index").load(store)
+    val default = marker.analyzed.toSeq.sorted.headOption.getOrElse(idCol)
+    val pred = graft.search.SolrQueryString.compile(q, idx.schema, default, marker.analyzed)
+    val splits = math.max(1, marker.parts / marker.shards)
+    val routed = ShardIndex.routedForWrite(idx.filter(pred).select(col(idCol)),
+      idCol, marker.shards, splits, dedupOrder = None, rejectConflicts = false,
+      routerOpt = Some(marker.router), keepMs = true)
+      .drop("shard")
+      .sortWithinPartitions(col("__ms"))
+    val schema = routed.schema
+    val msIdx = schema.fieldIndex("__ms")
+    val idIdx = schema.fieldIndex(idCol)
+    val conf = new SerializableHadoopConf(conf0)
+    routed.rdd.mapPartitions { rows =>
+      var cur = -1
+      var w: SegmentIndex.Writer = null
+      var deleted = 0L
+      val ids = scala.collection.mutable.HashSet.empty[String]
+      def flush(): Unit = if (w != null) {
+        deleted += w.deleteDocumentsBatch(idCol, ids.toSet)
+        w.commit()
+        ids.clear()
+      }
+      rows.foreach { row =>
+        val ms = row.getInt(msIdx)
+        if (ms != cur) {
+          flush()
+          w = SegmentIndex.writer(indexDir(store, ms), conf.value)
+          cur = ms
+        }
+        ids += render(row.get(idIdx))
+      }
+      flush()
+      Iterator.single(deleted)
+    }.sum().toLong
+  }
+
+  /**
    * Consistent store snapshot (the Solr backup API's replication
    * design): each part copies ONLY the files its LATEST COMMIT
    * references — `segments_N`, each live segment's `.fld`/`.trm`, and

@@ -487,6 +487,42 @@ class SegmentIndexSpec extends AnyFunSuite {
     assert(stats === Map("fizz" -> 10L, "plain" -> 20L))
   }
 
+  test("deleteByQuery: boolean/range query tombstones across shards, idempotent") {
+    import spark.implicits._
+    val store = tmp("graft_dbq_")
+    val df = (1 to 40).map { i =>
+      (i.toString, f"v$i%02d", if (i % 2 == 0) "even" else "odd")
+    }.toDF("id", "v", "par")
+    SegmentShardSink.write(df, "id", store, shards = 4)
+    // range [v10 TO v19] AND par:even → v10 v12 v14 v16 v18
+    val n = SegmentShardSink.deleteByQuery(spark, store, "v:[v10 TO v19] AND par:even")
+    assert(n === 5L)
+    val left = SegmentSearch.matchAll(spark, store, Seq("id", "v"))
+      .collect().map(_.getString(1)).toSet
+    assert(left.size === 35)
+    assert(!left.contains("v10") && !left.contains("v18") && left.contains("v11"))
+    // idempotent: same query again deletes nothing
+    assert(SegmentShardSink.deleteByQuery(spark, store, "v:[v10 TO v19] AND par:even") === 0L)
+    // the survivors stay consistent through optimize (tombstone reclaim)
+    SegmentShardSink.optimize(spark, store)
+    assert(SegmentSearch.matchAll(spark, store, Seq("id")).count() === 35L)
+    // prefix delete via the query string (v3x block)
+    assert(SegmentShardSink.deleteByQuery(spark, store, "v:v3*") === 10L)
+    assert(SegmentSearch.matchAll(spark, store, Seq("id")).count() === 25L)
+  }
+
+  test("deleteByQuery matches ANALYZED fields by token (the Solr semantics)") {
+    import spark.implicits._
+    val store = tmp("graft_dbq_ana_")
+    val df = Seq(
+      ("1", "spark shines bright"), ("2", "dull engine"), ("3", "Spark again")
+    ).toDF("id", "text")
+    SegmentShardSink.write(df, "id", store, shards = 2, analyzedFields = Set("text"))
+    assert(SegmentShardSink.deleteByQuery(spark, store, "text:spark") === 2L)
+    assert(SegmentSearch.matchAll(spark, store, Seq("id"))
+      .collect().map(_.getString(0)).toSeq === Seq("2"))
+  }
+
   test("rangeDocs/rangeCount: bound inclusivity, unbounded sides, deletes masked") {
     val dir = tmp("graft_range_")
     val w = SegmentIndex.writer(dir, conf)
