@@ -137,9 +137,15 @@ object Graft {
     if (terms.isEmpty || !textFields.contains(default))
       hits.withColumn("score_r", lit(0.0)).orderBy(col(id)).limit(topK)
     else {
-      val toks = regexp_extract_all(lower(col(default)), lit("[a-z0-9]+"), lit(0))
-      val scored = graft.text.Ranking.bm25(
-          idx.withColumn("__toks", toks), col(id), col("__toks"), terms)
+      // INDEX-SERVED scoring: tf/df/|d| come from postings + norms
+      // (SegmentSearch.bm25Scores, Solr's distributed-idf two-phase) —
+      // per-query work ∝ the queried terms' posting lists, never a
+      // corpus re-tokenize. Bit-identical to the previous
+      // Ranking.bm25-over-stored-values plan for single-valued fields;
+      // for MULTIVALUED analyzed fields this scores ALL values (the
+      // Lucene/Solr semantics) where the old corpus scan saw only the
+      // surfaced first value.
+      val scored = graft.index.SegmentSearch.bm25Scores(spark, store, default, terms)
         .withColumnRenamed("doc_id", "__sid")
       hits.join(scored, col(id) === col("__sid"), "left")
         .drop("__sid")

@@ -163,6 +163,7 @@ object SegmentIndex {
   private val TRM_MAGIC = 0x4754524D  // "GTRM" — v1, ords only
   private val TRM_MAGIC2 = 0x4754524E // "GTRN" — v2, ords + per-ord positions
   private val DEL_MAGIC = 0x4744454C // "GDEL"
+  private val NRM_MAGIC = 0x474E524D // "GNRM" — per-ord token counts (norms)
 
   // ---- tombstones: _name_delGen.del = sorted deleted ordinals ----
 
@@ -241,12 +242,18 @@ object SegmentIndex {
     final case class Posting(ords: mutable.ArrayBuffer[Int],
                              positions: mutable.ArrayBuffer[mutable.ArrayBuffer[Int]])
     val post = mutable.HashMap.empty[String, mutable.HashMap[String, Posting]]
+    // norms: per-ord token counts of each ANALYZED field (the Lucene
+    // norms analog) — what index-side BM25 needs for |d| and avgdl
+    // without re-analyzing stored values. Multivalued fields sum
+    // tokens across ALL values (Lucene/Solr length semantics).
+    val norms = mutable.HashMap.empty[String, Array[Int]]
     var ord = 0
     docs.foreach { d =>
       val fieldPos = mutable.HashMap.empty[String, Int]
       d.foreach { case (f, v) =>
         val isAna = analyzed.contains(f)
         val terms = if (isAna) analyze(v) else Seq(v)
+        if (isAna) norms.getOrElseUpdate(f, new Array[Int](docs.length))(ord) += terms.length
         val byField = post.getOrElseUpdate(f, mutable.HashMap.empty)
         val base = fieldPos.getOrElse(f, 0)
         terms.iterator.zipWithIndex.foreach { case (t, i) =>
@@ -289,6 +296,21 @@ object SegmentIndex {
         }
       }
     } finally trm.close()
+    if (norms.nonEmpty) {
+      val nrm = new DataOutputStream(new BufferedOutputStream(
+        fs.create(new Path(dir, s"$name.nrm"), true)))
+      try {
+        nrm.writeInt(NRM_MAGIC)
+        val fields = norms.keys.toSeq.sorted
+        writeVInt(nrm, fields.length)
+        fields.foreach { f =>
+          writeStr(nrm, f)
+          val arr = norms(f)
+          writeVInt(nrm, arr.length)
+          arr.foreach(writeVInt(nrm, _))
+        }
+      } finally nrm.close()
+    }
     // zone-map stats: min/max indexed term per NON-analyzed field
     // (code-point order — must match what a pushed range predicate
     // means to Spark, see cpCompare)
@@ -310,6 +332,28 @@ object SegmentIndex {
         val nf = readVInt(in)
         (0 until nf).map(_ => (readStr(in), readStr(in)))
       }
+    } finally in.close()
+  }
+
+  /** Per-ord token counts of analyzed fields (`$name.nrm`); empty map
+    * when the segment predates norms — callers fall back to
+    * re-analyzing stored values. */
+  private[index] def readNorms(fs: FileSystem, dir: Path,
+                               name: String): Map[String, Array[Int]] = {
+    val p = new Path(dir, s"$name.nrm")
+    if (!fs.exists(p)) return Map.empty
+    val in = new DataInputStream(new BufferedInputStream(fs.open(p)))
+    try {
+      require(in.readInt() == NRM_MAGIC, s"bad .nrm magic in $dir/$name")
+      val nFields = readVInt(in)
+      (0 until nFields).map { _ =>
+        val f = readStr(in)
+        val n = readVInt(in)
+        val arr = new Array[Int](n)
+        var i = 0
+        while (i < n) { arr(i) = readVInt(in); i += 1 }
+        f -> arr
+      }.toMap
     } finally in.close()
   }
 
@@ -526,7 +570,7 @@ object SegmentIndex {
       // now that the new generation is live, remove dead files
       staleDelFiles.foreach(f => fs.delete(new Path(dir, f), false))
       dropped.foreach { s =>
-        Seq("fld", "trm").foreach(ext => fs.delete(new Path(dir, s"${s.name}.$ext"), false))
+        Seq("fld", "trm", "nrm").foreach(ext => fs.delete(new Path(dir, s"${s.name}.$ext"), false))
       }
       commitPoint
     }
@@ -544,11 +588,12 @@ object SegmentIndex {
         srcCp.segments.foreach { seg =>
           if (seg.dels == 0) {
             val name = s"_${commitPoint.counter}"
-            Seq("fld", "trm").foreach { ext =>
-              org.apache.hadoop.fs.FileUtil.copy(
-                fs, new Path(src, s"${seg.name}.$ext"),
-                fs, new Path(dir, s"$name.$ext"),
-                false, fs.getConf)
+            // .nrm only exists for segments with analyzed fields
+            Seq("fld", "trm", "nrm").foreach { ext =>
+              val from = new Path(src, s"${seg.name}.$ext")
+              if (ext != "nrm" || fs.exists(from))
+                org.apache.hadoop.fs.FileUtil.copy(
+                  fs, from, fs, new Path(dir, s"$name.$ext"), false, fs.getConf)
             }
             commitPoint = commitPoint.copy(counter = commitPoint.counter + 1,
               segments = commitPoint.segments :+
@@ -594,7 +639,7 @@ object SegmentIndex {
         commitPoint = CommitPoint(commitPoint.gen + 1, commitPoint.counter + 1, Seq(meta))
         writeCommit(fs, dir, commitPoint)
         old.foreach { s =>
-          Seq("fld", "trm").foreach(ext => fs.delete(new Path(dir, s"${s.name}.$ext"), false))
+          Seq("fld", "trm", "nrm").foreach(ext => fs.delete(new Path(dir, s"${s.name}.$ext"), false))
           if (s.delGen > 0) fs.delete(new Path(dir, delFile(s.name, s.delGen)), false)
         }
         commitPoint
@@ -795,6 +840,82 @@ object SegmentIndex {
           .getOrElse(field, Map.empty).getOrElse(term, Array.empty[Int])
           .count(o => !dels.contains(o)).toLong
       }.sum
+
+    /** Per-ord token counts of `field` in segment `s` — the stored
+      * norms when present, else recomputed by re-analyzing stored
+      * values (segments written before norms existed). */
+    private def segNorms(s: SegmentMeta, field: String): Array[Int] =
+      readNorms(fs, dir, s.name).get(field).getOrElse {
+        readStoredDocs(fs, dir, s.name).map(doc =>
+          doc.iterator.filter(_._1 == field).map(kv => analyze(kv._2).length).sum
+        ).toArray
+      }
+
+    /** The shard-local half of distributed BM25 term statistics
+      * (Solr's GET_TERM_STATS scatter phase): LIVE doc count, total
+      * `field` tokens over live docs (for global avgdl), and per-term
+      * live document frequency — postings + norms only, stored docs
+      * never read (unless norms need the legacy recompute). */
+    def bm25Stats(field: String, terms: Seq[String]): (Long, Long, Map[String, Long]) = {
+      var totalTokens = 0L
+      val df = mutable.HashMap.empty[String, Long]
+      commit.segments.foreach { s =>
+        val dels = readDels(fs, dir, s)
+        val norms = segNorms(s, field)
+        var o = 0
+        while (o < norms.length) {
+          if (!dels.contains(o)) totalTokens += norms(o)
+          o += 1
+        }
+        val post = readPostings(fs, dir, s.name).getOrElse(field, Map.empty)
+        terms.foreach { t =>
+          val live = post.getOrElse(t, Array.empty[Int]).count(o => !dels.contains(o))
+          if (live > 0) df.update(t, df.getOrElse(t, 0L) + live)
+        }
+      }
+      (matchAllCount, totalTokens, df.toMap)
+    }
+
+    /** The shard-local half of distributed BM25 scoring: for every
+      * LIVE doc matching ≥1 query term on the ANALYZED `field`, the
+      * exact score under the GLOBAL statistics handed in (nDocs,
+      * avgdl, df — combined across shards by the coordinator, Solr's
+      * distributed-idf design). tf comes from positional postings,
+      * |d| from norms; per-doc contributions sum in `terms` order, so
+      * the doubles equal [[graft.text.Ranking.bm25]]'s fixed-order
+      * column sum bit-for-bit. Work ∝ postings of the QUERIED terms —
+      * never a corpus scan. Returns (id value, score). */
+    def bm25Scores(field: String, terms: Seq[String], k1: Double, b: Double,
+                   nDocs: Double, avgdl: Double, df: Map[String, Long],
+                   idField: String): Iterator[(String, Double)] =
+      commit.segments.iterator.flatMap { s =>
+        val dels = readDels(fs, dir, s)
+        val post = readPostingsPositions(fs, dir, s.name).getOrElse(field, Map.empty)
+        val acc = mutable.LinkedHashMap.empty[Int, Double]
+        terms.foreach { t =>
+          df.get(t).foreach { dfT =>
+            val idf = math.log(1.0 + ((nDocs - dfT.toDouble) + 0.5) / (dfT.toDouble + 0.5))
+            lazy val norms = segNorms(s, field)
+            post.getOrElse(t, Array.empty[(Int, Array[Int])]).foreach {
+              case (ord, positions) =>
+                if (!dels.contains(ord) && positions.length > 0) {
+                  val tf = positions.length.toDouble
+                  val dl = norms(ord).toDouble
+                  val c = idf * (tf * k1 + tf) /
+                    (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+                  acc.update(ord, acc.getOrElse(ord, 0.0) + c)
+                }
+            }
+          }
+        }
+        if (acc.isEmpty) Iterator.empty
+        else {
+          val stored = readStoredDocs(fs, dir, s.name)
+          acc.iterator.flatMap { case (ord, score) =>
+            firstValues(stored(ord)).get(idField).map(_ -> score)
+          }
+        }
+      }
   }
 
   def writer(dir: String, conf: Configuration,

@@ -75,6 +75,64 @@ object SegmentSearch {
     gather(spark, store, fields)(r => r.termDocsIn(field, terms).iterator)
 
   /**
+   * INDEX-SERVED BM25 (the Lucene scoring path, distributed the way
+   * Solr distributes it): two scatter phases over the shards —
+   *
+   *  1. term statistics: per-shard live doc counts, total field
+   *     tokens (from the stored NORMS), per-term document frequency
+   *     from posting cardinality; combined on the driver into GLOBAL
+   *     N / avgdl / df (Solr's ShardRequest.PURPOSE_GET_TERM_STATS
+   *     distributed-idf design) and handed back to
+   *  2. scoring: each shard scores only the docs its QUERIED-term
+   *     posting lists name — tf from positions, |d| from norms —
+   *     so per-shard work is ∝ Σ df(query terms), never a corpus
+   *     scan or re-tokenize.
+   *
+   * The double math replicates [[graft.text.Ranking.bm25]]'s operator
+   * tree and fixed term-order summation exactly (all inputs are
+   * integer-derived, so the combined statistics are order-independent
+   * and the scores match bit-for-bit). `field` must be an ANALYZED
+   * field of the store. Output: (doc_id, score), one row per doc
+   * matching ≥1 term.
+   */
+  def bm25Scores(spark: SparkSession, store: String, field: String,
+                 terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25Scores needs at least one query term")
+    val marker = SegmentShardSink.readMarker(ShardIndex.hadoopConf(spark), store)
+    require(marker.analyzed.contains(field),
+      s"bm25Scores requires an analyzed field; '$field' is stored verbatim")
+    val idField = marker.idCol
+    val dirs = SegmentShardSink.partIndexDirs(spark, store)
+    require(dirs.nonEmpty, s"no part dirs under $store")
+    val conf = new SerializableHadoopConf(ShardIndex.hadoopConf(spark))
+    // phase 1: one tiny stats row per shard
+    val stats = spark.sparkContext.parallelize(dirs, dirs.size).map { d =>
+      val p = new Path(d)
+      new SegmentIndex.Reader(p.getFileSystem(conf.value), p).bm25Stats(field, terms)
+    }.collect()
+    val nDocs = stats.map(_._1).sum
+    val totalTokens = stats.map(_._2).sum
+    val df = stats.flatMap(_._3).groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sum }
+    if (nDocs == 0L || df.isEmpty) {
+      val schema = StructType(Seq(StructField("doc_id", StringType, nullable = true),
+        StructField("score", org.apache.spark.sql.types.DoubleType, nullable = false)))
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    }
+    val n = nDocs.toDouble
+    val avgdl = totalTokens.toDouble / n
+    // phase 2: postings-driven scoring under the global stats
+    val rows = spark.sparkContext.parallelize(dirs, dirs.size).flatMap { d =>
+      val p = new Path(d)
+      new SegmentIndex.Reader(p.getFileSystem(conf.value), p)
+        .bm25Scores(field, terms, k1, b, n, avgdl, df, idField)
+        .map { case (id, s) => Row(id, s) }
+    }
+    val schema = StructType(Seq(StructField("doc_id", StringType, nullable = true),
+      StructField("score", org.apache.spark.sql.types.DoubleType, nullable = false)))
+    spark.createDataFrame(rows, schema)
+  }
+
+  /**
    * Luke/terms-component statistics: per-term LIVE doc frequency for
    * one field, summed across shards. One task per shard reads only
    * that shard's postings (never stored docs), then a single groupBy

@@ -487,6 +487,69 @@ class SegmentIndexSpec extends AnyFunSuite {
     assert(stats === Map("fizz" -> 10L, "plain" -> 20L))
   }
 
+  test("index-served BM25 == Ranking.bm25 over stored values, bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val store = tmp("graft_bm25_")
+    val df = Seq(
+      ("1", "spark query engine runs spark jobs"),
+      ("2", "a dull tool with no relevant words at all whatsoever"),
+      ("3", "query planning in spark"),
+      ("4", "spark spark spark"),
+      ("5", "the query"),
+      ("6", "")
+    ).toDF("id", "text")
+    SegmentShardSink.write(df, "id", store, shards = 3, analyzedFields = Set("text"))
+    val terms = Seq("spark", "query")
+    val viaIndex = SegmentSearch.bm25Scores(spark, store, "text", terms)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    val viaCorpus = graft.text.Ranking.bm25(
+        df.withColumn("__toks", toks), col("id"), col("__toks"), terms)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(viaIndex.keySet === viaCorpus.keySet)
+    viaIndex.foreach { case (id, s) =>
+      assert(s === viaCorpus(id), s"doc $id: index $s vs corpus ${viaCorpus(id)}")
+    }
+    // deletes shift df/N and drop the doc — still exact vs the pruned corpus
+    SegmentShardSink.deleteByTerm(spark, store, "id", "4")
+    val viaIndex2 = SegmentSearch.bm25Scores(spark, store, "text", terms)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val viaCorpus2 = graft.text.Ranking.bm25(
+        df.filter(col("id") =!= "4").withColumn("__toks", toks),
+        col("id"), col("__toks"), terms)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(viaIndex2 === viaCorpus2)
+  }
+
+  test("norms: written per analyzed field, survive merge paths, legacy fallback recomputes") {
+    val dir = tmp("graft_norms_")
+    val w = SegmentIndex.writer(dir, conf, analyzed = Set("text"))
+    w.addDocument(Seq("id" -> "1", "text" -> "alpha beta gamma", "plain" -> "x"))
+    w.addDocument(Seq("id" -> "2", "text" -> "two words", "text" -> "more here now"))
+    w.commit()
+    val seg = SegmentIndex.reader(dir, conf).commit.segments.head
+    val norms = SegmentIndex.readNorms(
+      new Path(dir).getFileSystem(conf), new Path(dir), seg.name)
+    // multivalued text sums across values; non-analyzed fields absent
+    assert(norms("text").toSeq === Seq(3, 5))
+    assert(!norms.contains("plain") && !norms.contains("id"))
+    // forceMerge rewrites norms with the merged ordinals
+    w.addDocument(Seq("id" -> "3", "text" -> "one"))
+    w.forceMerge(1)
+    val merged = SegmentIndex.reader(dir, conf)
+    val segM = merged.commit.segments.head
+    val normsM = SegmentIndex.readNorms(
+      new Path(dir).getFileSystem(conf), new Path(dir), segM.name)
+    assert(normsM("text").toSeq === Seq(3, 5, 1))
+    // legacy fallback: delete the .nrm file — stats recompute from
+    // stored values and match
+    val fs = new Path(dir).getFileSystem(conf)
+    fs.delete(new Path(dir, s"${segM.name}.nrm"), false)
+    val (n, tot, df) = SegmentIndex.reader(dir, conf).bm25Stats("text", Seq("words"))
+    assert(n === 3L && tot === 9L && df === Map("words" -> 1L))
+  }
+
   test("deleteByQuery: boolean/range query tombstones across shards, idempotent") {
     import spark.implicits._
     val store = tmp("graft_dbq_")
