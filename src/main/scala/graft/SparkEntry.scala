@@ -1614,6 +1614,41 @@ object SparkEntry {
       SegmentShardSink.deleteByQuery(s, out, "p_brand:Brand#23 OR p_name:m*")
       SegmentSearch.matchAll(s, out, Seq("id", "p_name", "p_brand"))
         .select(col("id").cast("long").as("p_partkey"), col("p_name"), col("p_brand"))
+    }),
+
+    // stats-component MIN/MAX pushdown: string extremes answered from
+    // the commit's zone-map metadata (deletion-free segments never
+    // open a file; tombstoned ones fall back to live postings), count
+    // from live-doc metadata — the whole row costs ZERO stored reads.
+    "q123_index_stats" -> ((s, d) => {
+      import graft.index.SegmentShardSink
+      val out = sharedStore(d, "part_nb") { o =>
+        SegmentShardSink.write(
+          Tables.part(s, d).withColumn("id", col("p_partkey").cast("string"))
+            .select(col("id"), col("p_name"), col("p_brand")),
+          "id", o, shards = 4)
+      }
+      s.read.format("graft-index").load(out)
+        .agg(min(col("p_name")).as("name_lo"), max(col("p_name")).as("name_hi"),
+          count(lit(1)).as("cnt"))
+    }),
+
+    // fq + facet.field — Solr's filtered faceting: the pushed range
+    // filter and the grouped count BOTH land in the scan, each shard
+    // intersecting facet-field postings with the filter's posting set;
+    // stored docs never read, Spark sums the per-shard buckets.
+    "q124_index_fq_facet" -> ((s, d) => {
+      import graft.index.SegmentShardSink
+      val out = sharedStore(d, "part_nb") { o =>
+        SegmentShardSink.write(
+          Tables.part(s, d).withColumn("id", col("p_partkey").cast("string"))
+            .select(col("id"), col("p_name"), col("p_brand")),
+          "id", o, shards = 4)
+      }
+      s.read.format("graft-index").load(out)
+        .filter(col("p_name") >= "m" && col("p_name") < "q")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("cnt"))
     })
   )
 
@@ -2590,6 +2625,14 @@ object SparkEntry {
 
     "q122_delete_by_query" ->
       """SELECT p_partkey, p_name, p_brand FROM part
-        |WHERE NOT (p_brand = 'Brand#23' OR p_name LIKE 'm%')""".stripMargin
+        |WHERE NOT (p_brand = 'Brand#23' OR p_name LIKE 'm%')""".stripMargin,
+
+    "q123_index_stats" ->
+      """SELECT min(p_name) AS name_lo, max(p_name) AS name_hi,
+        | CAST(count(*) AS BIGINT) AS cnt FROM part""".stripMargin,
+
+    "q124_index_fq_facet" ->
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS cnt FROM part
+        |WHERE p_name >= 'm' AND p_name < 'q' GROUP BY p_brand""".stripMargin
   )
 }

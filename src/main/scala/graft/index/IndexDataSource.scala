@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection, SortOrder, Transform}
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual, StringStartsWith}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -106,6 +106,12 @@ private[index] final case class RangeQuery(field: String,
 private[index] final case class SortKey(field: String, desc: Boolean, nullsFirst: Boolean)
   extends Serializable
 
+/** One pushed ungrouped aggregate (partial: shards emit, Spark merges). */
+private[index] sealed trait PushedAgg extends Serializable
+private[index] case object CountStarAgg extends PushedAgg
+private[index] final case class MinAgg(field: String) extends PushedAgg
+private[index] final case class MaxAgg(field: String) extends PushedAgg
+
 private[index] class IndexScanBuilder(full: StructType, store: String,
                                       multivalued: Set[String],
                                       analyzed: Set[String])
@@ -117,6 +123,7 @@ private[index] class IndexScanBuilder(full: StructType, store: String,
   private var pushed: Array[Filter] = Array.empty
   private var query: PushedQuery = MatchAll
   private var countPushed = false
+  private var aggs: Seq[PushedAgg] = Nil
   private var facetField: Option[String] = None
   private var limit: Option[Int] = None
   private var topN: Option[(Seq[SortKey], Int)] = None
@@ -160,35 +167,59 @@ private[index] class IndexScanBuilder(full: StructType, store: String,
   // SupportsPushDownTopN: every pushdown here is per-shard partial
   override def isPartiallyPushed(): Boolean = true
 
-  /** COUNT(*) answers from the index, not from stored docs:
+  /** Aggregates answered from the index, not from stored docs:
     *
-    *  - UNGROUPED: match-all counts come from the commit's live-doc
-    *    counts, term-filtered counts from posting-list lengths,
-    *    range-filtered counts from the zone-map range path (Solr's
-    *    numFound-without-fetch).
-    *  - GROUPED by ONE pushable field (facet.field): each shard
-    *    answers from its per-term live doc frequencies (termStats) —
-    *    postings only, stored fields never read — plus a null bucket
-    *    for docs missing the field. Only for the unfiltered table:
-    *    a filtered facet would need posting intersections, so it
-    *    stays a real scan + groupBy.
+    *  - UNGROUPED COUNT(*): match-all counts come from the commit's
+    *    live-doc counts, term-filtered counts from posting-list
+    *    lengths, range-filtered counts from the zone-map range path
+    *    (Solr's numFound-without-fetch).
+    *  - UNGROUPED MIN/MAX of a pushable string field (the stats
+    *    component): deletion-free segments answer from commit-
+    *    recorded zone-map stats — METADATA ONLY, no segment file
+    *    opened — the rest from live postings. Unfiltered table only.
+    *  - GROUPED by ONE pushable field (facet.field) with COUNT(*):
+    *    each shard answers from its per-term live doc frequencies —
+    *    postings only — plus a null bucket for docs missing the
+    *    field. Composes with a pushed term/range filter (Solr's `fq`
+    *    + facet) via posting-set intersections; Spark only offers
+    *    aggregate pushdown when NO residual filter remains, so the
+    *    pushed query IS the complete filter.
     *
-    * Partial pushdown both ways: shards return partials, Spark merges
-    * (sums) them — the facet half of Solr's scatter-gather. */
+    * Partial pushdown throughout: shards return partials, Spark
+    * merges (sum / min / max) — the scatter half of Solr's
+    * distributed stats and faceting. */
   override def pushAggregation(agg: Aggregation): Boolean = {
-    val countStarOnly = agg.aggregateExpressions.length == 1 &&
-      agg.aggregateExpressions.head.isInstanceOf[CountStar]
-    if (!countStarOnly) return false
-    def pushableGroup(a: String) = full.fieldNames.contains(a) &&
+    def pushableField(a: String) = full.fieldNames.contains(a) &&
       !multivalued.contains(a) && !analyzed.contains(a)
+    def singleRef(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case r: NamedReference if r.fieldNames().length == 1 &&
+          pushableField(r.fieldNames()(0)) => Some(r.fieldNames()(0))
+        case _ => None
+      }
+    val specs: Seq[Option[PushedAgg]] = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(CountStarAgg)
+      case m: Min => singleRef(m.column).map(MinAgg)
+      case m: Max => singleRef(m.column).map(MaxAgg)
+      case _ => None
+    }
+    if (specs.isEmpty || specs.exists(_.isEmpty)) return false
+    val resolved = specs.flatten
     agg.groupByExpressions.toSeq match {
       case Nil =>
+        // min/max read whole-field extremes — only valid unfiltered
+        if (resolved.exists(_ != CountStarAgg) && query != MatchAll) return false
         countPushed = true
-        required = StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+        aggs = resolved
+        required = StructType(resolved.map {
+          case CountStarAgg => StructField("count(*)", LongType, nullable = false)
+          case MinAgg(f) => StructField(s"min($f)", StringType, nullable = true)
+          case MaxAgg(f) => StructField(s"max($f)", StringType, nullable = true)
+        })
         true
       case Seq(ref: NamedReference)
-          if ref.fieldNames().length == 1 && pushableGroup(ref.fieldNames()(0)) &&
-            query == MatchAll =>
+          if ref.fieldNames().length == 1 && pushableField(ref.fieldNames()(0)) &&
+            resolved == Seq(CountStarAgg) =>
         countPushed = true
         facetField = Some(ref.fieldNames()(0))
         required = StructType(Seq(
@@ -298,7 +329,7 @@ private[index] class IndexScanBuilder(full: StructType, store: String,
       required = StructType(requiredSchema.fields.filter(f => full.fieldNames.contains(f.name)))
 
   override def build(): Scan =
-    new IndexScan(store, required, query, countPushed, limit, topN, facetField)
+    new IndexScan(store, required, query, countPushed, limit, topN, facetField, aggs)
 }
 
 private[index] class IndexScan(store: String, required: StructType,
@@ -306,7 +337,8 @@ private[index] class IndexScan(store: String, required: StructType,
                                countOnly: Boolean = false,
                                limit: Option[Int] = None,
                                topN: Option[(Seq[SortKey], Int)] = None,
-                               facetField: Option[String] = None) extends Scan with Batch {
+                               facetField: Option[String] = None,
+                               aggs: Seq[PushedAgg] = Nil) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def description(): String = {
     val q = query match {
@@ -317,8 +349,16 @@ private[index] class IndexScan(store: String, required: StructType,
         val u = hi.map(v => v + (if (hiInc) "]" else "}")).getOrElse("*]")
         s"pushedRange=$f:$l TO $u"
     }
+    val aggDesc =
+      if (!countOnly) ""
+      else if (aggs.isEmpty) "pushedAgg=count(*) " // facet groupBy
+      else "pushedAgg=" + aggs.map {
+        case CountStarAgg => "count(*)"
+        case MinAgg(f) => s"min($f)"
+        case MaxAgg(f) => s"max($f)"
+      }.mkString(",") + " "
     s"GraftIndexScan store=$store $q " +
-      (if (countOnly) "pushedAgg=count(*) " else "") +
+      aggDesc +
       facetField.map(f => s"pushedGroupBy=$f ").getOrElse("") +
       limit.map(n => s"pushedLimit=$n ").getOrElse("") +
       topN.map { case (ks, n) =>
@@ -338,7 +378,8 @@ private[index] class IndexScan(store: String, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableHadoopConf(
       SparkSession.active.sessionState.newHadoopConf())
-    new IndexReaderFactory(conf, required.fieldNames, query, countOnly, limit, topN, facetField)
+    new IndexReaderFactory(conf, required.fieldNames, query, countOnly, limit, topN,
+      facetField, aggs)
   }
 }
 
@@ -350,20 +391,20 @@ private[index] class IndexReaderFactory(conf: SerializableHadoopConf,
                                         countOnly: Boolean = false,
                                         limit: Option[Int] = None,
                                         topN: Option[(Seq[SortKey], Int)] = None,
-                                        facetField: Option[String] = None)
+                                        facetField: Option[String] = None,
+                                        aggs: Seq[PushedAgg] = Nil)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     if (facetField.isDefined) new PartitionReader[InternalRow] {
       // facet.field from postings: one partial row per term of this
-      // shard — (term, live doc freq) from termStats — plus a null
-      // bucket for live docs missing the field. Stored docs never read.
+      // shard — (term, live doc freq among docs matching the pushed
+      // filter) — plus a null bucket for matching docs missing the
+      // field. Stored docs never read.
       private val dir = new Path(partition.asInstanceOf[IndexInputPartition].dir)
       private lazy val rows: Iterator[InternalRow] = {
         val reader = new SegmentIndex.Reader(dir.getFileSystem(conf.value), dir)
-        val stats = reader.termStats(facetField.get)
-        val withField = stats.valuesIterator.sum
-        val nullBucket = reader.matchAllCount - withField
+        val (stats, nullBucket) = reader.facetCounts(facetField.get, query)
         val termRows = stats.iterator.map { case (t, n) =>
           InternalRow(UTF8String.fromString(t), n)
         }
@@ -378,22 +419,30 @@ private[index] class IndexReaderFactory(conf: SerializableHadoopConf,
       override def close(): Unit = ()
     }
     else if (countOnly) new PartitionReader[InternalRow] {
-      // one partial row per shard: live-doc count from commit metadata
-      // (match-all), posting-list cardinality (term), or zone-map-
-      // skipping range count — stored fields never read
+      // one partial row per shard: counts from commit metadata /
+      // posting cardinality / zone-map range counting; min/max from
+      // zone-map stats (deletion-free segments never open a file) or
+      // live postings — stored fields never read
       private val dir = new Path(partition.asInstanceOf[IndexInputPartition].dir)
       private var emitted = false
       override def next(): Boolean =
         if (emitted) false
         else {
           val reader = new SegmentIndex.Reader(dir.getFileSystem(conf.value), dir)
-          val n = query match {
+          lazy val count = query match {
             case TermQuery(f, ts) => reader.termCountIn(f, ts)
             case RangeQuery(f, lo, loInc, hi, hiInc) =>
               reader.rangeCount(f, lo, loInc, hi, hiInc)
             case MatchAll => reader.matchAllCount
           }
-          currentRow = InternalRow(n)
+          val mmCache = scala.collection.mutable.HashMap.empty[String, Option[(String, String)]]
+          def mm(f: String) = mmCache.getOrElseUpdate(f, reader.fieldMinMax(f))
+          val values: Seq[Any] = aggs.map {
+            case CountStarAgg => count
+            case MinAgg(f) => mm(f).map(x => UTF8String.fromString(x._1)).orNull
+            case MaxAgg(f) => mm(f).map(x => UTF8String.fromString(x._2)).orNull
+          }
+          currentRow = InternalRow.fromSeq(values)
           emitted = true
           true
         }

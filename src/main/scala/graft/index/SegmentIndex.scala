@@ -776,6 +776,86 @@ object SegmentIndex {
         }
       }.sum
 
+    /** Min/max LIVE indexed term of a non-analyzed field (code-point
+      * order — Spark's string MIN/MAX semantics). A segment WITHOUT
+      * deletions answers from its commit-recorded zone-map stats —
+      * metadata only, no file opened; a segment carrying tombstones
+      * scans its live postings (stats could name a deleted doc's
+      * value). None when no live doc holds the field. */
+    def fieldMinMax(field: String): Option[(String, String)] = {
+      val perSeg = commit.segments.flatMap { s =>
+        if (s.dels == 0 && s.stats.nonEmpty) s.stats.get(field)
+        else {
+          val dels = readDels(fs, dir, s)
+          val live = readPostings(fs, dir, s.name).getOrElse(field, Map.empty)
+            .collect { case (t, ords) if ords.exists(o => !dels.contains(o)) => t }
+          if (live.isEmpty) None
+          else Some((live.min(CpOrdering), live.max(CpOrdering)))
+        }
+      }
+      if (perSeg.isEmpty) None
+      else Some((perSeg.map(_._1).min(CpOrdering), perSeg.map(_._2).max(CpOrdering)))
+    }
+
+    /** facet.field under a pushed filter (Solr's `fq` + facet): per-
+      * term LIVE doc counts of `field` among docs matching `filter`,
+      * plus the null bucket (matching docs lacking `field`) — postings
+      * intersections only, stored docs never read. `filter` shapes:
+      * [[MatchAll]] (plain facet), [[TermQuery]], [[RangeQuery]] (with
+      * zone-map segment skipping). Assumes `field` is single-valued
+      * and non-analyzed (the DSv2 layer's pushdown contract) so
+      * per-term counts partition the matching docs. */
+    def facetCounts(field: String, filter: PushedQuery): (Map[String, Long], Long) = {
+      val acc = mutable.HashMap.empty[String, Long]
+      var matched = 0L
+      var withField = 0L
+      commit.segments.foreach { s =>
+        val dels = readDels(fs, dir, s)
+        // range filters can skip the whole segment from commit metadata
+        val skippable = filter match {
+          case RangeQuery(ff, lo, loInc, hi, hiInc) =>
+            !segmentCanMatch(s, ff, lo, loInc, hi, hiInc)
+          case _ => false
+        }
+        if (!skippable) {
+          lazy val allPost = readPostings(fs, dir, s.name) // ONE .trm parse per segment
+          filter match {
+            case MatchAll =>
+              matched += s.liveDocs.toLong
+              allPost.getOrElse(field, Map.empty).foreach { case (term, ords) =>
+                val live = ords.count(o => !dels.contains(o)).toLong
+                if (live > 0) {
+                  acc.update(term, acc.getOrElse(term, 0L) + live)
+                  withField += live
+                }
+              }
+            case q =>
+              val fOrds: Set[Int] = (q match {
+                case TermQuery(ff, ts) =>
+                  val post = allPost.getOrElse(ff, Map.empty)
+                  ts.iterator.flatMap(t => post.getOrElse(t, Array.empty[Int]).iterator)
+                    .filterNot(dels.contains).toSet
+                case RangeQuery(ff, lo, loInc, hi, hiInc) =>
+                  allPost.getOrElse(ff, Map.empty).iterator
+                    .collect { case (t, ords) if termInRange(t, lo, loInc, hi, hiInc) => ords }
+                    .flatten.filterNot(dels.contains).toSet
+                case MatchAll => Set.empty[Int] // unreachable
+              })
+              matched += fOrds.size.toLong
+              if (fOrds.nonEmpty)
+                allPost.getOrElse(field, Map.empty).foreach { case (term, ords) =>
+                  val c = ords.count(fOrds.contains).toLong
+                  if (c > 0) {
+                    acc.update(term, acc.getOrElse(term, 0L) + c)
+                    withField += c
+                  }
+                }
+          }
+        }
+      }
+      (acc.toMap, matched - withField)
+    }
+
     /** Per-term LIVE doc frequency for one field across all segments —
       * the Luke/terms-component statistics view of the index. */
     def termStats(field: String): Map[String, Long] = {
@@ -891,11 +971,11 @@ object SegmentIndex {
       commit.segments.iterator.flatMap { s =>
         val dels = readDels(fs, dir, s)
         val post = readPostingsPositions(fs, dir, s.name).getOrElse(field, Map.empty)
+        lazy val norms = segNorms(s, field) // once per segment, only if a term hits
         val acc = mutable.LinkedHashMap.empty[Int, Double]
         terms.foreach { t =>
           df.get(t).foreach { dfT =>
             val idf = math.log(1.0 + ((nDocs - dfT.toDouble) + 0.5) / (dfT.toDouble + 0.5))
-            lazy val norms = segNorms(s, field)
             post.getOrElse(t, Array.empty[(Int, Array[Int])]).foreach {
               case (ord, positions) =>
                 if (!dels.contains(ord) && positions.length > 0) {

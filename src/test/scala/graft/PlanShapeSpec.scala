@@ -206,6 +206,17 @@ class PlanShapeSpec extends AnyFunSuite {
       p.take(2000))
   }
 
+  test("q123 index stats: min/max/count all pushed, no stored-field columns in the scan") {
+    val p = plan("q123_index_stats")
+    assert(p.contains("pushedAgg=min(p_name),max(p_name),count(*)"), p.take(2000))
+  }
+
+  test("q124 fq+facet: range filter AND grouped count both land in the scan") {
+    val p = plan("q124_index_fq_facet")
+    assert(p.contains("pushedRange=p_name:[m TO q}") && p.contains("pushedGroupBy=p_brand"),
+      p.take(2000))
+  }
+
   test("q114 bucketed join: ZERO exchanges — co-located buckets join in place") {
     val p = plan("q114_bucketed_join")
     assert(!p.contains("Exchange hashpartitioning"), p.take(3000))

@@ -187,8 +187,8 @@ class IndexDataSourceSpec extends AnyFunSuite {
     assert(facet.queryExecution.executedPlan.toString.contains("pushedGroupBy=v"))
     assert(facet.collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap ===
       Map(Option("a") -> 2L, Option.empty[String] -> 2L))
-    // a FILTERED facet would need posting intersections — stays a real
-    // scan + groupBy (results still exact)
+    // a NON-pushable filter (Not) stays residual, which blocks
+    // aggregate pushdown entirely — results still exact
     val filtered = idx.filter(col("id") =!= "4").groupBy("v")
       .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
     assert(!filtered.queryExecution.executedPlan.toString.contains("pushedGroupBy"))
@@ -204,6 +204,66 @@ class IndexDataSourceSpec extends AnyFunSuite {
     assert(!mvFacet.queryExecution.executedPlan.toString.contains("pushedGroupBy"))
     assert(mvFacet.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
       Map("y" -> 1L, "x" -> 1L)) // first values
+  }
+
+  test("FILTERED facet pushes: fq + facet.field as posting intersections") {
+    import spark.implicits._
+    val out = tmp("graft_dsv2_facetfq_")
+    val df = Seq(
+      ("1", Some("a"), "x"), ("2", Some("b"), "x"), ("3", Some("a"), "y"),
+      ("4", None, "x"), ("5", Some("a"), "x")
+    ).toDF("id", "v", "tag")
+    SegmentShardSink.write(df, "id", out, shards = 2)
+    val idx = spark.read.format("graft-index").load(out)
+    def cnt = org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1))
+    // term filter + facet: counts restricted to tag=x, null bucket kept
+    val fq = idx.filter(col("tag") === "x").groupBy("v").agg(cnt.as("n"))
+    val plan = fq.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedTerm=tag:x") && plan.contains("pushedGroupBy=v"),
+      plan.take(2000))
+    assert(fq.collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap ===
+      Map(Option("a") -> 2L, Option("b") -> 1L, Option.empty[String] -> 1L))
+    // range filter + facet
+    val rq = idx.filter(col("id") >= "2" && col("id") <= "4").groupBy("v").agg(cnt.as("n"))
+    val plan2 = rq.queryExecution.executedPlan.toString
+    assert(plan2.contains("pushedRange=id:[2 TO 4]") && plan2.contains("pushedGroupBy=v"),
+      plan2.take(2000))
+    assert(rq.collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap ===
+      Map(Option("a") -> 1L, Option("b") -> 1L, Option.empty[String] -> 1L))
+    // deletes respected under the filter
+    SegmentShardSink.deleteByTerm(spark, out, "id", "5")
+    assert(idx.filter(col("tag") === "x").groupBy("v").agg(cnt.as("n"))
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap ===
+      Map(Option("a") -> 1L, Option("b") -> 1L, Option.empty[String] -> 1L))
+  }
+
+  test("MIN/MAX pushdown: stats-component extremes from zone-map metadata") {
+    import org.apache.spark.sql.functions.{count => cnt, lit, max, min}
+    val idx = spark.read.format("graft-index").load(store)
+    val m = idx.agg(min("value").as("lo"), max("value").as("hi"), cnt(lit(1)).as("n"))
+    val plan = m.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedAgg=min(value),max(value),count(*)"), plan.take(2000))
+    val row = m.head
+    assert((row.getString(0), row.getString(1), row.getLong(2)) === (("alpha", "gamma", 5L)))
+    // deletes invalidate metadata stats — the live postings answer:
+    // delete "gamma" (the max) and the pushed max must drop to "beta"
+    val out = {
+      import spark.implicits._
+      val o = tmp("graft_dsv2_mm_")
+      SegmentShardSink.write(Seq(("1", "alpha"), ("2", "beta"), ("3", "gamma"))
+        .toDF("id", "v"), "id", o, shards = 1)
+      o
+    }
+    SegmentShardSink.deleteByTerm(spark, out, "v", "gamma")
+    val m2 = spark.read.format("graft-index").load(out)
+      .agg(min("v").as("lo"), max("v").as("hi")).head
+    assert((m2.getString(0), m2.getString(1)) === (("alpha", "beta")))
+    // filtered min/max is NOT pushed (extremes are whole-field) —
+    // stays a real scan, results exact
+    val f = idx.filter(col("tag") === "y").agg(max("value").as("hi"))
+    assert(!f.queryExecution.executedPlan.toString.contains("pushedAgg"),
+      f.queryExecution.executedPlan.toString.take(2000))
+    assert(f.head.getString(0) === "beta")
   }
 
   test("LIMIT pushes per-shard (partial): plan shows it, results exact") {
