@@ -1649,6 +1649,25 @@ object SparkEntry {
         .filter(col("p_name") >= "m" && col("p_name") < "q")
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // Boolean SHOULD pushdown — Lucene's BooleanQuery served the way
+    // Lucene serves it: the OR of a term branch and a prefix branch
+    // compiles to ONE pushed query whose posting-list unions (ordinal-
+    // deduped per segment) produce the hits; no stored-doc scan, no
+    // residual filter. The same shape a Solr user writes as
+    // `p_brand:Brand#23 OR p_name:m*`.
+    "q125_index_bool" -> ((s, d) => {
+      import graft.index.SegmentShardSink
+      val out = sharedStore(d, "part_nb") { o =>
+        SegmentShardSink.write(
+          Tables.part(s, d).withColumn("id", col("p_partkey").cast("string"))
+            .select(col("id"), col("p_name"), col("p_brand")),
+          "id", o, shards = 4)
+      }
+      s.read.format("graft-index").load(out)
+        .filter(col("p_brand") === "Brand#23" || col("p_name").startsWith("m"))
+        .select(col("id").cast("long").as("p_partkey"), col("p_name"), col("p_brand"))
     })
   )
 
@@ -2633,6 +2652,10 @@ object SparkEntry {
 
     "q124_index_fq_facet" ->
       """SELECT p_brand, CAST(count(*) AS BIGINT) AS cnt FROM part
-        |WHERE p_name >= 'm' AND p_name < 'q' GROUP BY p_brand""".stripMargin
+        |WHERE p_name >= 'm' AND p_name < 'q' GROUP BY p_brand""".stripMargin,
+
+    "q125_index_bool" ->
+      """SELECT p_partkey, p_name, p_brand FROM part
+        |WHERE p_brand = 'Brand#23' OR p_name LIKE 'm%'""".stripMargin
   )
 }

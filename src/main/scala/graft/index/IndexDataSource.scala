@@ -99,6 +99,9 @@ private[index] final case class TermQuery(field: String, terms: Seq[String]) ext
 private[index] final case class RangeQuery(field: String,
                                            lower: Option[String], lowerInc: Boolean,
                                            upper: Option[String], upperInc: Boolean) extends PushedQuery
+/** Boolean SHOULD (Lucene BooleanQuery): union of term/range branches,
+  * served by posting-list unions with per-segment ordinal dedup. */
+private[index] final case class OrQuery(branches: Seq[PushedQuery]) extends PushedQuery
 
 /** One pushed sort key: stored field, descending?, nulls first? —
   * compared on the surfaced (first) value in code-point order, i.e.
@@ -235,13 +238,43 @@ private[index] class IndexScanBuilder(full: StructType, store: String,
     *  - string equality / IN → a posting lookup per term;
     *  - a `>=`/`>`/`<`/`<=` bound pair or `StartsWith` on one field →
     *    a sorted-term-dictionary range scan with zone-map segment
-    *    skipping (prefix rewrites to `[p, nextAfterPrefix(p))`).
+    *    skipping (prefix rewrites to `[p, nextAfterPrefix(p))`);
+    *  - an OR tree whose leaves are all of the above (any fields) →
+    *    a Lucene BooleanQuery served by posting-list unions.
     * Pushed filters are exact — terms match whole values and range
     * order is code-point order, identical to Catalyst's UTF8String
     * comparison — so they are NOT returned for re-evaluation. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     def pushable(a: String) = full.fieldNames.contains(a) &&
       !multivalued.contains(a) && !analyzed.contains(a)
+
+    // a single filter as a pushable leaf (or a whole OR tree of them)
+    def leafOf(f: Filter): Option[PushedQuery] = f match {
+      case EqualTo(a, v: String) if pushable(a) && v != null => Some(TermQuery(a, Seq(v)))
+      case In(a, vs) if pushable(a) && vs.nonEmpty &&
+          vs.forall(v => v != null && v.isInstanceOf[String]) =>
+        Some(TermQuery(a, vs.toSeq.map(_.asInstanceOf[String])))
+      case GreaterThan(a, v: String) if pushable(a) && v != null =>
+        Some(RangeQuery(a, Some(v), lowerInc = false, None, upperInc = true))
+      case GreaterThanOrEqual(a, v: String) if pushable(a) && v != null =>
+        Some(RangeQuery(a, Some(v), lowerInc = true, None, upperInc = true))
+      case LessThan(a, v: String) if pushable(a) && v != null =>
+        Some(RangeQuery(a, None, lowerInc = true, Some(v), upperInc = false))
+      case LessThanOrEqual(a, v: String) if pushable(a) && v != null =>
+        Some(RangeQuery(a, None, lowerInc = true, Some(v), upperInc = true))
+      case StringStartsWith(a, p) if pushable(a) && p != null =>
+        Some(RangeQuery(a, Some(p), lowerInc = true,
+          SegmentIndex.nextAfterPrefix(p), upperInc = false))
+      case org.apache.spark.sql.sources.Or(l, r) =>
+        for { a <- leafOf(l); b <- leafOf(r) } yield {
+          def flat(q: PushedQuery): Seq[PushedQuery] = q match {
+            case OrQuery(bs) => bs
+            case other => Seq(other)
+          }
+          OrQuery(flat(a) ++ flat(b))
+        }
+      case _ => None
+    }
 
     // 1st choice: an exact-term filter (the cheapest index shape)
     val termIdx = filters.indexWhere {
@@ -278,7 +311,15 @@ private[index] class IndexScanBuilder(full: StructType, store: String,
         val firstRange = filters.indexWhere(f =>
           (lowerOf(f) orElse upperOf(f)).exists { case (a, _, _) => pushable(a) } ||
             (f match { case StringStartsWith(a, p) => pushable(a) && p != null; case _ => false }))
-        if (firstRange < 0) (Set.empty[Int], MatchAll: PushedQuery)
+        if (firstRange < 0) {
+          // 3rd choice: an OR tree of pushable leaves (BooleanQuery)
+          val orIdx = filters.indexWhere {
+            case f: org.apache.spark.sql.sources.Or => leafOf(f).isDefined
+            case _ => false
+          }
+          if (orIdx < 0) (Set.empty[Int], MatchAll: PushedQuery)
+          else (Set(orIdx), leafOf(filters(orIdx)).get)
+        }
         else filters(firstRange) match {
           case StringStartsWith(a, p) =>
             (Set(firstRange),
@@ -303,7 +344,7 @@ private[index] class IndexScanBuilder(full: StructType, store: String,
         val attr = q match {
           case TermQuery(a, _) => a
           case RangeQuery(a, _, _, _, _) => a
-          case MatchAll => ""
+          case _ => "" // OrQuery spans fields — no IsNotNull absorption
         }
         // absorb Catalyst's companion IsNotNull on the SAME field: a
         // posting hit always carries the field, and leaving it residual
@@ -341,13 +382,20 @@ private[index] class IndexScan(store: String, required: StructType,
                                aggs: Seq[PushedAgg] = Nil) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def description(): String = {
-    val q = query match {
-      case MatchAll => "pushedTerm=*:*"
-      case TermQuery(f, ts) => s"pushedTerm=$f:${ts.mkString("|")}"
+    def render(pq: PushedQuery): String = pq match {
+      case MatchAll => "*:*"
+      case TermQuery(f, ts) => s"$f:${ts.mkString("|")}"
       case RangeQuery(f, lo, loInc, hi, hiInc) =>
         val l = lo.map(v => (if (loInc) "[" else "{") + v).getOrElse("[*")
         val u = hi.map(v => v + (if (hiInc) "]" else "}")).getOrElse("*]")
-        s"pushedRange=$f:$l TO $u"
+        s"$f:$l TO $u"
+      case OrQuery(bs) => bs.map(render).mkString("(", " OR ", ")")
+    }
+    val q = query match {
+      case MatchAll => "pushedTerm=*:*"
+      case t: TermQuery => s"pushedTerm=${render(t)}"
+      case r: RangeQuery => s"pushedRange=${render(r)}"
+      case o: OrQuery => s"pushedOr=${render(o)}"
     }
     val aggDesc =
       if (!countOnly) ""
@@ -433,6 +481,7 @@ private[index] class IndexReaderFactory(conf: SerializableHadoopConf,
             case TermQuery(f, ts) => reader.termCountIn(f, ts)
             case RangeQuery(f, lo, loInc, hi, hiInc) =>
               reader.rangeCount(f, lo, loInc, hi, hiInc)
+            case o: OrQuery => reader.orCount(o)
             case MatchAll => reader.matchAllCount
           }
           val mmCache = scala.collection.mutable.HashMap.empty[String, Option[(String, String)]]
@@ -497,6 +546,7 @@ private[index] class IndexReaderFactory(conf: SerializableHadoopConf,
           case TermQuery(f, ts) => reader.termDocsIn(f, ts).iterator
           case RangeQuery(f, lo, loInc, hi, hiInc) =>
             reader.rangeDocs(f, lo, loInc, hi, hiInc).iterator
+          case o: OrQuery => reader.orDocs(o).iterator
           case MatchAll => reader.allDocs()
         }
         topN match {

@@ -776,6 +776,52 @@ object SegmentIndex {
         }
       }.sum
 
+    /** Ordinals (with duplicates, deletes NOT yet masked) matching a
+      * term/range/or query shape in segment `s` — the posting-algebra
+      * core shared by OR queries and filtered facets. Range branches
+      * consult the zone map BEFORE touching `allPost`, so a segment
+      * every branch excludes never opens its term dictionary. */
+    private def branchOrds(s: SegmentMeta,
+                           allPost: => Map[String, Map[String, Array[Int]]],
+                           q: PushedQuery): Iterator[Int] = q match {
+      case TermQuery(f, ts) =>
+        val post = allPost.getOrElse(f, Map.empty)
+        ts.iterator.flatMap(t => post.getOrElse(t, Array.empty[Int]).iterator)
+      case RangeQuery(f, lo, loInc, hi, hiInc) =>
+        if (!segmentCanMatch(s, f, lo, loInc, hi, hiInc)) Iterator.empty
+        else allPost.getOrElse(f, Map.empty).iterator
+          .collect { case (t, ords) if termInRange(t, lo, loInc, hi, hiInc) => ords }
+          .flatten
+      case OrQuery(bs) => bs.iterator.flatMap(b => branchOrds(s, allPost, b))
+      case MatchAll => Iterator.empty // callers handle MatchAll separately
+    }
+
+    /** Boolean SHOULD query (Lucene BooleanQuery of term/range
+      * clauses): LIVE stored docs matching ANY branch, each doc once —
+      * posting-list unions with per-segment ordinal dedup, exactly how
+      * Lucene serves `a OR b`. */
+    def orDocs(q: OrQuery): Seq[Doc] =
+      commit.segments.flatMap { s =>
+        val dels = readDels(fs, dir, s)
+        lazy val allPost = readPostings(fs, dir, s.name)
+        val ords = branchOrds(s, allPost, q)
+          .filterNot(dels.contains).toArray.distinct.sorted
+        if (ords.isEmpty) Nil
+        else {
+          val stored = readStoredDocs(fs, dir, s.name)
+          ords.toSeq.map(stored)
+        }
+      }
+
+    /** Count of LIVE docs matching ANY branch — postings only. */
+    def orCount(q: OrQuery): Long =
+      commit.segments.map { s =>
+        val dels = readDels(fs, dir, s)
+        lazy val allPost = readPostings(fs, dir, s.name)
+        branchOrds(s, allPost, q)
+          .filterNot(dels.contains).toArray.distinct.length.toLong
+      }.sum
+
     /** Min/max LIVE indexed term of a non-analyzed field (code-point
       * order — Spark's string MIN/MAX semantics). A segment WITHOUT
       * deletions answers from its commit-recorded zone-map stats —
@@ -830,17 +876,8 @@ object SegmentIndex {
                 }
               }
             case q =>
-              val fOrds: Set[Int] = (q match {
-                case TermQuery(ff, ts) =>
-                  val post = allPost.getOrElse(ff, Map.empty)
-                  ts.iterator.flatMap(t => post.getOrElse(t, Array.empty[Int]).iterator)
-                    .filterNot(dels.contains).toSet
-                case RangeQuery(ff, lo, loInc, hi, hiInc) =>
-                  allPost.getOrElse(ff, Map.empty).iterator
-                    .collect { case (t, ords) if termInRange(t, lo, loInc, hi, hiInc) => ords }
-                    .flatten.filterNot(dels.contains).toSet
-                case MatchAll => Set.empty[Int] // unreachable
-              })
+              val fOrds: Set[Int] =
+                branchOrds(s, allPost, q).filterNot(dels.contains).toSet
               matched += fOrds.size.toLong
               if (fOrds.nonEmpty)
                 allPost.getOrElse(field, Map.empty).foreach { case (term, ords) =>

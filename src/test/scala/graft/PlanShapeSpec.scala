@@ -217,6 +217,12 @@ class PlanShapeSpec extends AnyFunSuite {
       p.take(2000))
   }
 
+  test("q125 boolean query: the whole OR lands in the scan, nothing residual") {
+    val p = plan("q125_index_bool")
+    assert(p.contains("pushedOr=(p_brand:Brand#23 OR p_name:[m TO n})"), p.take(2000))
+    assert(!p.contains("Filter ("), p.take(2000))
+  }
+
   test("q114 bucketed join: ZERO exchanges — co-located buckets join in place") {
     val p = plan("q114_bucketed_join")
     assert(!p.contains("Exchange hashpartitioning"), p.take(3000))

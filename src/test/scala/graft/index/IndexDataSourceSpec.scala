@@ -393,6 +393,42 @@ class IndexDataSourceSpec extends AnyFunSuite {
     assert(last.collect().map(_.getString(0)).toSeq === Seq("4", "1"))
   }
 
+  test("OR pushdown: BooleanQuery as posting-list unions, cross-field, deduped") {
+    val idx = spark.read.format("graft-index").load(store)
+    // same-field OR — the classic lang:en OR lang:de shape
+    val sameField = idx.filter(col("value") === "beta" || col("value") === "gamma")
+      .select("id")
+    val plan = sameField.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedOr=(value:beta OR value:gamma)"), plan.take(2000))
+    assert(sameField.collect().map(_.getString(0)).sorted.toSeq === Seq("2", "4"))
+    // cross-field OR with a range branch; doc 4 (gamma, tag x) matches
+    // BOTH branches and must appear once
+    val crossField = idx.filter(col("value") === "gamma" || col("tag") >= "x").select("id")
+    val plan2 = crossField.queryExecution.executedPlan.toString
+    assert(plan2.contains("pushedOr=(value:gamma OR tag:[x TO *])"), plan2.take(2000))
+    assert(crossField.collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("1", "2", "3", "4", "5"))
+    // OR count composes with COUNT(*) pushdown
+    val cnt = idx.filter(col("value") === "alpha" || col("value") === "beta")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)))
+    val plan3 = cnt.queryExecution.executedPlan.toString
+    assert(plan3.contains("pushedAgg=count(*)") && plan3.contains("pushedOr="), plan3.take(2000))
+    assert(cnt.head.getLong(0) === 4L)
+    // OR filter + facet (fq with a boolean + facet.field)
+    val facet = idx.filter(col("value") === "alpha" || col("value") === "beta")
+      .groupBy("tag")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+    val plan4 = facet.queryExecution.executedPlan.toString
+    assert(plan4.contains("pushedOr=") && plan4.contains("pushedGroupBy=tag"), plan4.take(2000))
+    assert(facet.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("x" -> 1L, "y" -> 2L, "z" -> 1L))
+    // an OR with a NON-pushable branch (analyzed/missing/Not) stays residual
+    val residual = idx.filter(col("value") === "alpha" || col("tag") =!= "z").select("id")
+    assert(residual.queryExecution.executedPlan.toString.contains("pushedTerm=*:*"),
+      residual.queryExecution.executedPlan.toString.take(2000))
+    assert(residual.collect().map(_.getString(0)).sorted.toSeq === Seq("1", "2", "3", "4", "5"))
+  }
+
   test("SolrQueryString composes over the index table (the user's full loop)") {
     import graft.search.SolrQueryString
     val idx = spark.read.format("graft-index").load(store)
