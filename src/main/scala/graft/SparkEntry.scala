@@ -1668,6 +1668,25 @@ object SparkEntry {
       s.read.format("graft-index").load(out)
         .filter(col("p_brand") === "Brand#23" || col("p_name").startsWith("m"))
         .select(col("id").cast("long").as("p_partkey"), col("p_name"), col("p_brand"))
+    }),
+
+    // Boolean MUST pushdown — Lucene's +clauses: a nested boolean
+    // ((brand OR brand) AND name-range) compiles to ONE pushed query;
+    // each shard intersects the OR's posting union with the range's
+    // dictionary scan, zone maps still pruning segments. Zero residual
+    // filters, zero stored-doc scans for misses.
+    "q126_index_must" -> ((s, d) => {
+      import graft.index.SegmentShardSink
+      val out = sharedStore(d, "part_nb") { o =>
+        SegmentShardSink.write(
+          Tables.part(s, d).withColumn("id", col("p_partkey").cast("string"))
+            .select(col("id"), col("p_name"), col("p_brand")),
+          "id", o, shards = 4)
+      }
+      s.read.format("graft-index").load(out)
+        .filter((col("p_brand") === "Brand#23" || col("p_brand") === "Brand#34")
+          && col("p_name") >= "a" && col("p_name") < "n")
+        .select(col("id").cast("long").as("p_partkey"), col("p_name"), col("p_brand"))
     })
   )
 
@@ -2656,6 +2675,11 @@ object SparkEntry {
 
     "q125_index_bool" ->
       """SELECT p_partkey, p_name, p_brand FROM part
-        |WHERE p_brand = 'Brand#23' OR p_name LIKE 'm%'""".stripMargin
+        |WHERE p_brand = 'Brand#23' OR p_name LIKE 'm%'""".stripMargin,
+
+    "q126_index_must" ->
+      """SELECT p_partkey, p_name, p_brand FROM part
+        |WHERE (p_brand = 'Brand#23' OR p_brand = 'Brand#34')
+        |  AND p_name >= 'a' AND p_name < 'n'""".stripMargin
   )
 }

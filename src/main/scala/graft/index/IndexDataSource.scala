@@ -102,6 +102,9 @@ private[index] final case class RangeQuery(field: String,
 /** Boolean SHOULD (Lucene BooleanQuery): union of term/range branches,
   * served by posting-list unions with per-segment ordinal dedup. */
 private[index] final case class OrQuery(branches: Seq[PushedQuery]) extends PushedQuery
+/** Boolean MUST (Lucene BooleanQuery +clauses): intersection of
+  * term/range/or branches — posting-set intersections per segment. */
+private[index] final case class AndQuery(branches: Seq[PushedQuery]) extends PushedQuery
 
 /** One pushed sort key: stored field, descending?, nulls first? —
   * compared on the surfaced (first) value in code-point order, i.e.
@@ -276,86 +279,63 @@ private[index] class IndexScanBuilder(full: StructType, store: String,
       case _ => None
     }
 
-    // 1st choice: an exact-term filter (the cheapest index shape)
-    val termIdx = filters.indexWhere {
-      case EqualTo(a, v: String) => pushable(a) && v != null
-      case In(a, vs) => pushable(a) && vs.nonEmpty &&
-        vs.forall(v => v != null && v.isInstanceOf[String])
-      case _ => false
-    }
-
-    def lowerOf(f: Filter): Option[(String, String, Boolean)] = f match {
-      case GreaterThan(a, v: String) if v != null => Some((a, v, false))
-      case GreaterThanOrEqual(a, v: String) if v != null => Some((a, v, true))
-      case _ => None
-    }
-    def upperOf(f: Filter): Option[(String, String, Boolean)] = f match {
-      case LessThan(a, v: String) if v != null => Some((a, v, false))
-      case LessThanOrEqual(a, v: String) if v != null => Some((a, v, true))
-      case _ => None
-    }
-
-    val (accepted, q) =
-      if (termIdx >= 0) {
-        val (attr, terms) = filters(termIdx) match {
-          case EqualTo(a, v: String) => (a, Seq(v))
-          case In(a, vs) => (a, vs.toSeq.map(_.asInstanceOf[String]))
-          case _ => ("", Nil)
-        }
-        (Set(termIdx), TermQuery(attr, terms): PushedQuery)
-      } else {
-        // 2nd choice: a range — field of the first bound/prefix wins;
-        // one lower + one upper on that field are absorbed, the rest
-        // stay residual (Spark re-applies them — only exactness of the
-        // ABSORBED bounds matters)
-        val firstRange = filters.indexWhere(f =>
-          (lowerOf(f) orElse upperOf(f)).exists { case (a, _, _) => pushable(a) } ||
-            (f match { case StringStartsWith(a, p) => pushable(a) && p != null; case _ => false }))
-        if (firstRange < 0) {
-          // 3rd choice: an OR tree of pushable leaves (BooleanQuery)
-          val orIdx = filters.indexWhere {
-            case f: org.apache.spark.sql.sources.Or => leafOf(f).isDefined
-            case _ => false
+    // tighten range leaves on the same field into ONE range (both
+    // bounds of a BETWEEN land in a single dictionary scan)
+    def mergeRanges(ls: Seq[PushedQuery]): Seq[PushedQuery] = {
+      val ranges = ls.collect { case r: RangeQuery => r }
+      val rest = ls.filterNot(_.isInstanceOf[RangeQuery])
+      val merged = ranges.groupBy(_.field).toSeq.sortBy(_._1).map { case (_, rs) =>
+        rs.reduce { (a, b) =>
+          val (lo, loInc) = (a.lower, b.lower) match {
+            case (None, x) => (x, b.lowerInc)
+            case (x, None) => (x, a.lowerInc)
+            case (Some(x), Some(y)) =>
+              val c = SegmentIndex.cpCompare(x, y)
+              if (c > 0) (Some(x), a.lowerInc)
+              else if (c < 0) (Some(y), b.lowerInc)
+              else (Some(x), a.lowerInc && b.lowerInc)
           }
-          if (orIdx < 0) (Set.empty[Int], MatchAll: PushedQuery)
-          else (Set(orIdx), leafOf(filters(orIdx)).get)
-        }
-        else filters(firstRange) match {
-          case StringStartsWith(a, p) =>
-            (Set(firstRange),
-              RangeQuery(a, Some(p), lowerInc = true,
-                SegmentIndex.nextAfterPrefix(p), upperInc = false))
-          case f0 =>
-            val attr = (lowerOf(f0) orElse upperOf(f0)).get._1
-            val lo = filters.zipWithIndex
-              .collectFirst { case (f, i) if lowerOf(f).exists(_._1 == attr) => i }
-            val hi = filters.zipWithIndex
-              .collectFirst { case (f, i) if upperOf(f).exists(_._1 == attr) => i }
-            val l = lo.flatMap(i => lowerOf(filters(i)))
-            val u = hi.flatMap(i => upperOf(filters(i)))
-            (Set(lo, hi).flatten,
-              RangeQuery(attr, l.map(_._2), l.forall(_._3), u.map(_._2), u.forall(_._3)))
+          val (hi, hiInc) = (a.upper, b.upper) match {
+            case (None, x) => (x, b.upperInc)
+            case (x, None) => (x, a.upperInc)
+            case (Some(x), Some(y)) =>
+              val c = SegmentIndex.cpCompare(x, y)
+              if (c < 0) (Some(x), a.upperInc)
+              else if (c > 0) (Some(y), b.upperInc)
+              else (Some(x), a.upperInc && b.upperInc)
+          }
+          RangeQuery(a.field, lo, loInc, hi, hiInc)
         }
       }
+      rest ++ merged
+    }
 
+    // absorb EVERY pushable conjunct (Spark hands the predicate as an
+    // AND of filters): one leaf pushes alone, several push as a MUST
+    // intersection (Lucene BooleanQuery +clauses). Non-pushable
+    // conjuncts stay residual.
+    val leaves = filters.zipWithIndex.flatMap { case (f, i) => leafOf(f).map(i -> _) }.toSeq
+    val leafIdx = leaves.map(_._1).toSet
+    val merged = mergeRanges(leaves.map(_._2))
+    val q: PushedQuery =
+      if (merged.isEmpty) MatchAll
+      else if (merged.length == 1) merged.head
+      else AndQuery(merged)
+    // a doc matching a top-level term/range conjunct necessarily HAS
+    // that field — absorb Catalyst's companion IsNotNull for those
+    // fields (an OR branch implies nothing: its field may be absent)
+    val implied: Set[String] = merged.collect {
+      case TermQuery(f, _) => f
+      case RangeQuery(f, _, _, _, _) => f
+    }.toSet
     val (acc, residual) =
-      if (accepted.isEmpty) (Array.empty[Filter], filters)
-      else {
-        val attr = q match {
-          case TermQuery(a, _) => a
-          case RangeQuery(a, _, _, _, _) => a
-          case _ => "" // OrQuery spans fields — no IsNotNull absorption
-        }
-        // absorb Catalyst's companion IsNotNull on the SAME field: a
-        // posting hit always carries the field, and leaving it residual
-        // keeps the column alive through pruning for nothing
-        filters.zipWithIndex.partition { case (f, i) =>
-          accepted.contains(i) || (f match {
-            case IsNotNull(a) => a == attr
-            case _ => false
-          })
-        } match { case (a, r) => (a.map(_._1), r.map(_._1)) }
-      }
+      if (leafIdx.isEmpty) (Array.empty[Filter], filters)
+      else filters.zipWithIndex.partition { case (f, i) =>
+        leafIdx.contains(i) || (f match {
+          case IsNotNull(a) => implied.contains(a)
+          case _ => false
+        })
+      } match { case (a, r) => (a.map(_._1), r.map(_._1)) }
     pushed = acc
     query = q
     residual
@@ -390,12 +370,14 @@ private[index] class IndexScan(store: String, required: StructType,
         val u = hi.map(v => v + (if (hiInc) "]" else "}")).getOrElse("*]")
         s"$f:$l TO $u"
       case OrQuery(bs) => bs.map(render).mkString("(", " OR ", ")")
+      case AndQuery(bs) => bs.map(render).mkString("(", " AND ", ")")
     }
     val q = query match {
       case MatchAll => "pushedTerm=*:*"
       case t: TermQuery => s"pushedTerm=${render(t)}"
       case r: RangeQuery => s"pushedRange=${render(r)}"
       case o: OrQuery => s"pushedOr=${render(o)}"
+      case a: AndQuery => s"pushedAnd=${render(a)}"
     }
     val aggDesc =
       if (!countOnly) ""
@@ -481,7 +463,7 @@ private[index] class IndexReaderFactory(conf: SerializableHadoopConf,
             case TermQuery(f, ts) => reader.termCountIn(f, ts)
             case RangeQuery(f, lo, loInc, hi, hiInc) =>
               reader.rangeCount(f, lo, loInc, hi, hiInc)
-            case o: OrQuery => reader.orCount(o)
+            case q @ (_: OrQuery | _: AndQuery) => reader.queryCount(q)
             case MatchAll => reader.matchAllCount
           }
           val mmCache = scala.collection.mutable.HashMap.empty[String, Option[(String, String)]]
@@ -546,7 +528,7 @@ private[index] class IndexReaderFactory(conf: SerializableHadoopConf,
           case TermQuery(f, ts) => reader.termDocsIn(f, ts).iterator
           case RangeQuery(f, lo, loInc, hi, hiInc) =>
             reader.rangeDocs(f, lo, loInc, hi, hiInc).iterator
-          case o: OrQuery => reader.orDocs(o).iterator
+          case q @ (_: OrQuery | _: AndQuery) => reader.queryDocs(q).iterator
           case MatchAll => reader.allDocs()
         }
         topN match {

@@ -793,33 +793,59 @@ object SegmentIndex {
           .collect { case (t, ords) if termInRange(t, lo, loInc, hi, hiInc) => ords }
           .flatten
       case OrQuery(bs) => bs.iterator.flatMap(b => branchOrds(s, allPost, b))
+      case AndQuery(bs) =>
+        // MUST intersection with early exit once empty
+        var acc: Set[Int] = null
+        val it = bs.iterator
+        while (it.hasNext && (acc == null || acc.nonEmpty)) {
+          val next = branchOrds(s, allPost, it.next()).toSet
+          acc = if (acc == null) next else acc intersect next
+        }
+        if (acc == null) Iterator.empty else acc.iterator
       case MatchAll => Iterator.empty // callers handle MatchAll separately
     }
 
-    /** Boolean SHOULD query (Lucene BooleanQuery of term/range
-      * clauses): LIVE stored docs matching ANY branch, each doc once —
-      * posting-list unions with per-segment ordinal dedup, exactly how
-      * Lucene serves `a OR b`. */
-    def orDocs(q: OrQuery): Seq[Doc] =
+    /** Can the zone map rule the whole segment out for `q` WITHOUT
+      * opening any file? AND: any excluded branch excludes the
+      * conjunction; OR: all branches must be excluded. */
+    private def segExcluded(s: SegmentMeta, q: PushedQuery): Boolean = q match {
+      case RangeQuery(f, lo, loInc, hi, hiInc) =>
+        !segmentCanMatch(s, f, lo, loInc, hi, hiInc)
+      case AndQuery(bs) => bs.exists(segExcluded(s, _))
+      case OrQuery(bs) => bs.forall(segExcluded(s, _))
+      case _ => false
+    }
+
+    /** Boolean query (Lucene BooleanQuery): LIVE stored docs matching
+      * an [[OrQuery]] (SHOULD — posting-list unions, ordinal-deduped)
+      * or [[AndQuery]] (MUST — posting-set intersections), nestable.
+      * Zone-map-excluded segments are skipped unopened. */
+    def queryDocs(q: PushedQuery): Seq[Doc] =
       commit.segments.flatMap { s =>
-        val dels = readDels(fs, dir, s)
-        lazy val allPost = readPostings(fs, dir, s.name)
-        val ords = branchOrds(s, allPost, q)
-          .filterNot(dels.contains).toArray.distinct.sorted
-        if (ords.isEmpty) Nil
+        if (segExcluded(s, q)) Nil
         else {
-          val stored = readStoredDocs(fs, dir, s.name)
-          ords.toSeq.map(stored)
+          val dels = readDels(fs, dir, s)
+          lazy val allPost = readPostings(fs, dir, s.name)
+          val ords = branchOrds(s, allPost, q)
+            .filterNot(dels.contains).toArray.distinct.sorted
+          if (ords.isEmpty) Nil
+          else {
+            val stored = readStoredDocs(fs, dir, s.name)
+            ords.toSeq.map(stored)
+          }
         }
       }
 
-    /** Count of LIVE docs matching ANY branch — postings only. */
-    def orCount(q: OrQuery): Long =
+    /** Count of LIVE docs matching the boolean query — postings only. */
+    def queryCount(q: PushedQuery): Long =
       commit.segments.map { s =>
-        val dels = readDels(fs, dir, s)
-        lazy val allPost = readPostings(fs, dir, s.name)
-        branchOrds(s, allPost, q)
-          .filterNot(dels.contains).toArray.distinct.length.toLong
+        if (segExcluded(s, q)) 0L
+        else {
+          val dels = readDels(fs, dir, s)
+          lazy val allPost = readPostings(fs, dir, s.name)
+          branchOrds(s, allPost, q)
+            .filterNot(dels.contains).toArray.distinct.length.toLong
+        }
       }.sum
 
     /** Min/max LIVE indexed term of a non-analyzed field (code-point
@@ -857,13 +883,9 @@ object SegmentIndex {
       var withField = 0L
       commit.segments.foreach { s =>
         val dels = readDels(fs, dir, s)
-        // range filters can skip the whole segment from commit metadata
-        val skippable = filter match {
-          case RangeQuery(ff, lo, loInc, hi, hiInc) =>
-            !segmentCanMatch(s, ff, lo, loInc, hi, hiInc)
-          case _ => false
-        }
-        if (!skippable) {
+        // the zone map can rule the segment out from commit metadata
+        // (range filters directly; and/or trees recursively)
+        if (!segExcluded(s, filter)) {
           lazy val allPost = readPostings(fs, dir, s.name) // ONE .trm parse per segment
           filter match {
             case MatchAll =>

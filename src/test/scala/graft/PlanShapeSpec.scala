@@ -223,6 +223,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Filter ("), p.take(2000))
   }
 
+  test("q126 boolean MUST: nested (OR) AND range pushed whole, nothing residual") {
+    val p = plan("q126_index_must")
+    assert(p.contains(
+      "pushedAnd=((p_brand:Brand#23 OR p_brand:Brand#34) AND p_name:[a TO n})"),
+      p.take(2000))
+    assert(!p.contains("Filter ("), p.take(2000))
+  }
+
   test("q114 bucketed join: ZERO exchanges — co-located buckets join in place") {
     val p = plan("q114_bucketed_join")
     assert(!p.contains("Exchange hashpartitioning"), p.take(3000))

@@ -296,13 +296,50 @@ class IndexDataSourceSpec extends AnyFunSuite {
     }
     assert(scan2.exists(_.contains("pushedRange=value:{alpha TO *]")), s"scan was: $scan2")
     assert(lower.collect().map(_.getString(0)).sorted.toSeq === Seq("2", "4"))
-    // a term filter outranks a range: the range stays residual
+    // term + range on different fields: BOTH push, as a MUST intersection
     val mixed = idx.filter(col("tag") === "y" && col("value") >= "alpha").select("id")
     val scan3 = mixed.queryExecution.executedPlan.collectFirst {
       case b: BatchScanExec => b.scan.description()
     }
-    assert(scan3.exists(_.contains("pushedTerm=tag:y")), s"scan was: $scan3")
+    assert(scan3.exists(_.contains("pushedAnd=(tag:y AND value:[alpha TO *])")),
+      s"scan was: $scan3")
     assert(mixed.collect().map(_.getString(0)).sorted.toSeq === Seq("2", "3"))
+  }
+
+  test("AND pushdown: MUST intersections, nested booleans, count/facet composition") {
+    val idx = spark.read.format("graft-index").load(store)
+    // (value=alpha AND tag=y) — pure term intersection
+    val and2 = idx.filter(col("value") === "alpha" && col("tag") === "y").select("id")
+    val plan = and2.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedAnd=(value:alpha AND tag:y)"), plan.take(2000))
+    assert(and2.collect().map(_.getString(0)).toSeq === Seq("3"))
+    // AND containing an OR — the full boolean lands in the scan
+    val nested = idx.filter((col("value") === "alpha" || col("value") === "beta")
+      && col("tag") === "y").select("id")
+    val plan2 = nested.queryExecution.executedPlan.toString
+    assert(plan2.contains("pushedAnd=((value:alpha OR value:beta) AND tag:y)"),
+      plan2.take(2000))
+    assert(nested.collect().map(_.getString(0)).sorted.toSeq === Seq("2", "3"))
+    // AND count from postings only
+    val cnt = idx.filter(col("value") === "alpha" && col("tag") === "x")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)))
+    val plan3 = cnt.queryExecution.executedPlan.toString
+    assert(plan3.contains("pushedAgg=count(*)") && plan3.contains("pushedAnd="), plan3.take(2000))
+    assert(cnt.head.getLong(0) === 1L) // doc 1 only
+    // AND filter + facet (two fq clauses + facet.field)
+    val facet = idx.filter(col("value") === "alpha" && col("tag") =!= "q")
+      .groupBy("tag")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+    // tag=!=q is residual → no agg pushdown; drop it for the pushed shape
+    val facet2 = idx.filter(col("value") === "alpha" && col("id") >= "1")
+      .groupBy("tag")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+    val plan4 = facet2.queryExecution.executedPlan.toString
+    assert(plan4.contains("pushedAnd=") && plan4.contains("pushedGroupBy=tag"), plan4.take(2000))
+    assert(facet2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("x" -> 1L, "y" -> 1L, "z" -> 1L))
+    assert(facet.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("x" -> 1L, "y" -> 1L, "z" -> 1L))
   }
 
   test("startsWith pushes as a half-open prefix range") {
