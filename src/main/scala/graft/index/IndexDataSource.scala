@@ -236,14 +236,15 @@ private[index] class IndexScanBuilder(full: StructType, store: String,
     }
   }
 
-  /** Accept ONE index-serviceable query shape, everything else
-    * residual:
+  /** Accept EVERY index-serviceable conjunct, the rest residual:
     *  - string equality / IN → a posting lookup per term;
-    *  - a `>=`/`>`/`<`/`<=` bound pair or `StartsWith` on one field →
-    *    a sorted-term-dictionary range scan with zone-map segment
-    *    skipping (prefix rewrites to `[p, nextAfterPrefix(p))`);
+    *  - `>=`/`>`/`<`/`<=`/`StartsWith` → a sorted-term-dictionary
+    *    range scan with zone-map segment skipping (prefix rewrites to
+    *    `[p, nextAfterPrefix(p))`; bounds on one field merge);
     *  - an OR tree whose leaves are all of the above (any fields) →
-    *    a Lucene BooleanQuery served by posting-list unions.
+    *    posting-list unions (Lucene BooleanQuery SHOULD);
+    *  - several pushable conjuncts → posting-set intersections
+    *    (BooleanQuery MUST), or-branches nested freely.
     * Pushed filters are exact — terms match whole values and range
     * order is code-point order, identical to Catalyst's UTF8String
     * comparison — so they are NOT returned for re-evaluation. */
