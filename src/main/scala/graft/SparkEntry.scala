@@ -1687,6 +1687,29 @@ object SparkEntry {
         .filter((col("p_brand") === "Brand#23" || col("p_brand") === "Brand#34")
           && col("p_name") >= "a" && col("p_name") < "n")
         .select(col("id").cast("long").as("p_partkey"), col("p_name"), col("p_brand"))
+    }),
+
+    // Boolean MUST_NOT pushdown — Lucene's -clause, completing the
+    // BooleanQuery triad: `p_brand <> X` compiles to field-presence
+    // minus the term's postings (`+p_brand:[* TO *] -p_brand:X`, SQL's
+    // null-excluding <>), and the standalone IS NOT NULL on a column
+    // that is genuinely absent for most docs pushes as a presence
+    // dictionary walk. Both land in ONE pushed AND; zero residual
+    // filters, zero stored-doc reads for misses. The same shape a Solr
+    // user writes as `fq=-p_brand:Brand#23&fq=sm_cont:[* TO *]`.
+    "q127_index_not" -> ((s, d) => {
+      import graft.index.SegmentShardSink
+      val out = sharedStore(d, "part_nulls") { o =>
+        SegmentShardSink.write(
+          Tables.part(s, d).withColumn("id", col("p_partkey").cast("string"))
+            .select(col("id"), col("p_brand"),
+              when(col("p_type").startsWith("STANDARD"), col("p_type"))
+                .as("std_type")), // ABSENT for most docs — real null surface
+          "id", o, shards = 4)
+      }
+      s.read.format("graft-index").load(out)
+        .filter(col("p_brand") =!= "Brand#23" && col("std_type").isNotNull)
+        .select(col("id").cast("long").as("p_partkey"), col("p_brand"), col("std_type"))
     })
   )
 
@@ -2680,6 +2703,10 @@ object SparkEntry {
     "q126_index_must" ->
       """SELECT p_partkey, p_name, p_brand FROM part
         |WHERE (p_brand = 'Brand#23' OR p_brand = 'Brand#34')
-        |  AND p_name >= 'a' AND p_name < 'n'""".stripMargin
+        |  AND p_name >= 'a' AND p_name < 'n'""".stripMargin,
+
+    "q127_index_not" ->
+      """SELECT p_partkey, p_brand, p_type AS std_type FROM part
+        |WHERE p_brand <> 'Brand#23' AND p_type LIKE 'STANDARD%'""".stripMargin
   )
 }

@@ -8,7 +8,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual, StringStartsWith}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, StringStartsWith}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -105,6 +105,12 @@ private[index] final case class OrQuery(branches: Seq[PushedQuery]) extends Push
 /** Boolean MUST (Lucene BooleanQuery +clauses): intersection of
   * term/range/or branches — posting-set intersections per segment. */
 private[index] final case class AndQuery(branches: Seq[PushedQuery]) extends PushedQuery
+/** Boolean MUST_NOT (Lucene -clause): docs in `base` minus docs
+  * matching `inner`. `base = Some(f)` is field PRESENCE — SQL's
+  * `f <> v` is only true where f is non-null, i.e. Lucene's
+  * `+f:[* TO *] -f:v`; `base = None` is every doc in the segment
+  * (`f IS NULL` = docs not holding the field at all). */
+private[index] final case class NotQuery(inner: PushedQuery, base: Option[String]) extends PushedQuery
 
 /** One pushed sort key: stored field, descending?, nulls first? —
   * compared on the surfaced (first) value in code-point order, i.e.
@@ -241,10 +247,14 @@ private[index] class IndexScanBuilder(full: StructType, store: String,
     *  - `>=`/`>`/`<`/`<=`/`StartsWith` → a sorted-term-dictionary
     *    range scan with zone-map segment skipping (prefix rewrites to
     *    `[p, nextAfterPrefix(p))`; bounds on one field merge);
+    *  - `<>` / `NOT IN` / `NOT LIKE 'p%'` → field presence minus the
+    *    negated match (BooleanQuery MUST_NOT: `+f:[* TO *] -f:v`);
+    *    `IS NULL` → whole-segment complement of presence; a standalone
+    *    `IS NOT NULL` → a presence dictionary walk;
     *  - an OR tree whose leaves are all of the above (any fields) →
     *    posting-list unions (Lucene BooleanQuery SHOULD);
     *  - several pushable conjuncts → posting-set intersections
-    *    (BooleanQuery MUST), or-branches nested freely.
+    *    (BooleanQuery MUST), or/not branches nested freely.
     * Pushed filters are exact — terms match whole values and range
     * order is code-point order, identical to Catalyst's UTF8String
     * comparison — so they are NOT returned for re-evaluation. */
@@ -269,6 +279,19 @@ private[index] class IndexScanBuilder(full: StructType, store: String,
       case StringStartsWith(a, p) if pushable(a) && p != null =>
         Some(RangeQuery(a, Some(p), lowerInc = true,
           SegmentIndex.nextAfterPrefix(p), upperInc = false))
+      case IsNull(a) if pushable(a) =>
+        // docs NOT holding the field: whole-segment complement of
+        // field presence
+        Some(NotQuery(RangeQuery(a, None, lowerInc = true, None, upperInc = true), None))
+      case org.apache.spark.sql.sources.Not(inner) =>
+        // MUST_NOT over a single-field term/range leaf: SQL `f <> v` /
+        // `NOT f LIKE 'p%'` is true only where f is non-null, so the
+        // base is field presence. A Not over an OR/IsNull stays
+        // residual (Catalyst pushes NOT inward before we see it).
+        leafOf(inner).collect {
+          case t @ TermQuery(f, _) => NotQuery(t, Some(f))
+          case r @ RangeQuery(f, _, _, _, _) => NotQuery(r, Some(f))
+        }
       case org.apache.spark.sql.sources.Or(l, r) =>
         for { a <- leafOf(l); b <- leafOf(r) } yield {
           def flat(q: PushedQuery): Seq[PushedQuery] = q match {
@@ -315,20 +338,28 @@ private[index] class IndexScanBuilder(full: StructType, store: String,
     // AND of filters): one leaf pushes alone, several push as a MUST
     // intersection (Lucene BooleanQuery +clauses). Non-pushable
     // conjuncts stay residual.
-    val leaves = filters.zipWithIndex.flatMap { case (f, i) => leafOf(f).map(i -> _) }.toSeq
+    val leaves0 = filters.zipWithIndex.flatMap { case (f, i) => leafOf(f).map(i -> _) }.toSeq
+    // a doc matching a top-level term/range/not conjunct necessarily
+    // HAS that field — absorb Catalyst's companion IsNotNull for those
+    // fields (an OR branch implies nothing: its field may be absent)
+    val implied: Set[String] = leaves0.map(_._2).collect {
+      case TermQuery(f, _) => f
+      case RangeQuery(f, _, _, _, _) => f
+      case NotQuery(_, Some(f)) => f
+    }.toSet
+    // a standalone IS NOT NULL pushes as field presence (`f:[* TO *]`,
+    // one dictionary walk of the field); implied ones ride for free
+    val presence = filters.zipWithIndex.collect {
+      case (IsNotNull(a), i) if pushable(a) && !implied.contains(a) =>
+        i -> (RangeQuery(a, None, lowerInc = true, None, upperInc = true): PushedQuery)
+    }.toSeq
+    val leaves = leaves0 ++ presence
     val leafIdx = leaves.map(_._1).toSet
     val merged = mergeRanges(leaves.map(_._2))
     val q: PushedQuery =
       if (merged.isEmpty) MatchAll
       else if (merged.length == 1) merged.head
       else AndQuery(merged)
-    // a doc matching a top-level term/range conjunct necessarily HAS
-    // that field — absorb Catalyst's companion IsNotNull for those
-    // fields (an OR branch implies nothing: its field may be absent)
-    val implied: Set[String] = merged.collect {
-      case TermQuery(f, _) => f
-      case RangeQuery(f, _, _, _, _) => f
-    }.toSet
     val (acc, residual) =
       if (leafIdx.isEmpty) (Array.empty[Filter], filters)
       else filters.zipWithIndex.partition { case (f, i) =>
@@ -372,6 +403,8 @@ private[index] class IndexScan(store: String, required: StructType,
         s"$f:$l TO $u"
       case OrQuery(bs) => bs.map(render).mkString("(", " OR ", ")")
       case AndQuery(bs) => bs.map(render).mkString("(", " AND ", ")")
+      case NotQuery(inner, base) =>
+        s"(${base.map(f => s"$f:[* TO *]").getOrElse("*:*")} NOT ${render(inner)})"
     }
     val q = query match {
       case MatchAll => "pushedTerm=*:*"
@@ -379,6 +412,7 @@ private[index] class IndexScan(store: String, required: StructType,
       case r: RangeQuery => s"pushedRange=${render(r)}"
       case o: OrQuery => s"pushedOr=${render(o)}"
       case a: AndQuery => s"pushedAnd=${render(a)}"
+      case n: NotQuery => s"pushedNot=${render(n)}"
     }
     val aggDesc =
       if (!countOnly) ""
@@ -464,7 +498,7 @@ private[index] class IndexReaderFactory(conf: SerializableHadoopConf,
             case TermQuery(f, ts) => reader.termCountIn(f, ts)
             case RangeQuery(f, lo, loInc, hi, hiInc) =>
               reader.rangeCount(f, lo, loInc, hi, hiInc)
-            case q @ (_: OrQuery | _: AndQuery) => reader.queryCount(q)
+            case q @ (_: OrQuery | _: AndQuery | _: NotQuery) => reader.queryCount(q)
             case MatchAll => reader.matchAllCount
           }
           val mmCache = scala.collection.mutable.HashMap.empty[String, Option[(String, String)]]
@@ -529,7 +563,7 @@ private[index] class IndexReaderFactory(conf: SerializableHadoopConf,
           case TermQuery(f, ts) => reader.termDocsIn(f, ts).iterator
           case RangeQuery(f, lo, loInc, hi, hiInc) =>
             reader.rangeDocs(f, lo, loInc, hi, hiInc).iterator
-          case q @ (_: OrQuery | _: AndQuery) => reader.queryDocs(q).iterator
+          case q @ (_: OrQuery | _: AndQuery | _: NotQuery) => reader.queryDocs(q).iterator
           case MatchAll => reader.allDocs()
         }
         topN match {

@@ -793,6 +793,18 @@ object SegmentIndex {
           .collect { case (t, ords) if termInRange(t, lo, loInc, hi, hiInc) => ords }
           .flatten
       case OrQuery(bs) => bs.iterator.flatMap(b => branchOrds(s, allPost, b))
+      case NotQuery(inner, base) =>
+        // MUST_NOT: base ordinals (field presence as an unbounded
+        // range, or the whole segment for IS NULL) minus the inner
+        // match. Deletes are masked by the caller, after this.
+        val excluded = branchOrds(s, allPost, inner).toSet
+        val baseIt = base match {
+          case Some(f) =>
+            branchOrds(s, allPost,
+              RangeQuery(f, None, lowerInc = true, None, upperInc = true))
+          case None => Iterator.range(0, s.docs)
+        }
+        baseIt.filterNot(excluded)
       case AndQuery(bs) =>
         // MUST intersection with early exit once empty
         var acc: Set[Int] = null
@@ -807,7 +819,9 @@ object SegmentIndex {
 
     /** Can the zone map rule the whole segment out for `q` WITHOUT
       * opening any file? AND: any excluded branch excludes the
-      * conjunction; OR: all branches must be excluded. */
+      * conjunction; OR: all branches must be excluded. A NOT branch
+      * never excludes: zone maps bound what a field CONTAINS, not what
+      * a segment lacks (a complement can match everywhere). */
     private def segExcluded(s: SegmentMeta, q: PushedQuery): Boolean = q match {
       case RangeQuery(f, lo, loInc, hi, hiInc) =>
         !segmentCanMatch(s, f, lo, loInc, hi, hiInc)
@@ -817,8 +831,9 @@ object SegmentIndex {
     }
 
     /** Boolean query (Lucene BooleanQuery): LIVE stored docs matching
-      * an [[OrQuery]] (SHOULD — posting-list unions, ordinal-deduped)
-      * or [[AndQuery]] (MUST — posting-set intersections), nestable.
+      * an [[OrQuery]] (SHOULD — posting-list unions, ordinal-deduped),
+      * [[AndQuery]] (MUST — posting-set intersections) or [[NotQuery]]
+      * (MUST_NOT — presence/whole-segment complement), nestable.
       * Zone-map-excluded segments are skipped unopened. */
     def queryDocs(q: PushedQuery): Seq[Doc] =
       commit.segments.flatMap { s =>

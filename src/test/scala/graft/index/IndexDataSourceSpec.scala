@@ -61,10 +61,91 @@ class IndexDataSourceSpec extends AnyFunSuite {
     assert(df.collect().map(_.getString(0)).sorted.toSeq === Seq("x", "x", "y", "y", "z"))
   }
 
-  test("non-equality predicates stay residual and still filter correctly") {
+  test("term AND <> push together: posting lookup ∩ presence-minus-term") {
     val df = spark.read.format("graft-index").load(store)
       .filter(col("value") === "alpha" && col("tag") =!= "z")
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.description()
+    }
+    assert(scan.exists(_.contains(
+      "pushedAnd=(value:alpha AND (tag:[* TO *] NOT tag:z))")), s"scan was: $scan")
     assert(df.select("id").collect().map(_.getString(0)).sorted.toSeq === Seq("1", "3"))
+  }
+
+  test("MUST_NOT pushdown: <>, NOT IN, NOT LIKE — presence base honors SQL null semantics") {
+    import spark.implicits._
+    val out = tmp("graft_dsv2_not_")
+    // v is ABSENT on doc 4 — `v <> 'a'` must NOT return it (SQL: NULL)
+    SegmentShardSink.write(
+      Seq(("1", Some("a")), ("2", Some("b")), ("3", Some("c")), ("4", None))
+        .toDF("id", "v"),
+      "id", out, shards = 2)
+    val idx = spark.read.format("graft-index").load(out)
+
+    val ne = idx.filter(col("v") =!= "a")
+    val scanNe = ne.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.description()
+    }
+    assert(scanNe.exists(_.contains("pushedNot=(v:[* TO *] NOT v:a)")), s"scan was: $scanNe")
+    assert(ne.select("id").collect().map(_.getString(0)).sorted.toSeq === Seq("2", "3"))
+
+    val notIn = idx.filter(!col("v").isin("a", "b"))
+    assert(notIn.select("id").collect().map(_.getString(0)).toSeq === Seq("3"))
+    val scanIn = notIn.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.description()
+    }
+    assert(scanIn.exists(_.contains("pushedNot=")), s"scan was: $scanIn")
+
+    val notPrefix = idx.filter(!col("v").startsWith("a"))
+    assert(notPrefix.select("id").collect().map(_.getString(0)).sorted.toSeq === Seq("2", "3"))
+
+    // MUST_NOT composes with the pushed count (numFound, stored docs unread)
+    val cnt = idx.filter(col("v") =!= "a").agg(count(lit(1)))
+    assert(cnt.queryExecution.executedPlan.toString.contains("pushedAgg=count(*)"),
+      cnt.queryExecution.executedPlan.toString.take(2000))
+    assert(cnt.collect().head.getLong(0) === 2L)
+  }
+
+  test("IS NULL / IS NOT NULL push: whole-segment complement / presence walk") {
+    import spark.implicits._
+    val out = tmp("graft_dsv2_null_")
+    SegmentShardSink.write(
+      Seq(("1", Some("a")), ("2", None), ("3", Some("b")), ("4", None))
+        .toDF("id", "v"),
+      "id", out, shards = 2)
+    val idx = spark.read.format("graft-index").load(out)
+
+    val isNull = idx.filter(col("v").isNull)
+    val scanN = isNull.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.description()
+    }
+    assert(scanN.exists(_.contains("pushedNot=(*:* NOT v:[* TO *])")), s"scan was: $scanN")
+    assert(isNull.select("id").collect().map(_.getString(0)).sorted.toSeq === Seq("2", "4"))
+
+    val isNotNull = idx.filter(col("v").isNotNull)
+    val scanNN = isNotNull.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.description()
+    }
+    assert(scanNN.exists(_.contains("pushedRange=v:[* TO *]")), s"scan was: $scanNN")
+    assert(isNotNull.select("id").collect().map(_.getString(0)).sorted.toSeq === Seq("1", "3"))
+
+    // deletes stay honored through the complement path
+    SegmentShardSink.deleteByTerm(spark, out, "id", "2")
+    assert(spark.read.format("graft-index").load(out).filter(col("v").isNull)
+      .select("id").collect().map(_.getString(0)).toSeq === Seq("4"))
+  }
+
+  test("NOT nests inside a pushed OR") {
+    val idx = spark.read.format("graft-index").load(store)
+    val orNot = idx.filter(col("value") === "gamma" || col("tag") =!= "y")
+    val scan = orNot.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.description()
+    }
+    assert(scan.exists(s => s.contains("pushedOr=") && s.contains("NOT tag:y")),
+      s"scan was: $scan")
+    // docs: 1(alpha,x) 2(beta,y) 3(alpha,y) 4(gamma,x) 5(alpha,z)
+    assert(orNot.select("id").collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("1", "4", "5"))
   }
 
   test("deletes are honored (reads only live docs)") {
@@ -187,12 +268,18 @@ class IndexDataSourceSpec extends AnyFunSuite {
     assert(facet.queryExecution.executedPlan.toString.contains("pushedGroupBy=v"))
     assert(facet.collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap ===
       Map(Option("a") -> 2L, Option.empty[String] -> 2L))
-    // a NON-pushable filter (Not) stays residual, which blocks
-    // aggregate pushdown entirely — results still exact
+    // a pushed MUST_NOT filter composes with the facet (fq=-id:4)
     val filtered = idx.filter(col("id") =!= "4").groupBy("v")
       .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
-    assert(!filtered.queryExecution.executedPlan.toString.contains("pushedGroupBy"))
+    assert(filtered.queryExecution.executedPlan.toString.contains("pushedGroupBy=v"))
     assert(filtered.collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap ===
+      Map(Option("a") -> 2L, Option.empty[String] -> 1L))
+    // a NON-pushable filter (contains) stays residual, which blocks
+    // aggregate pushdown entirely — results still exact
+    val residualF = idx.filter(!col("id").contains("4")).groupBy("v")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+    assert(!residualF.queryExecution.executedPlan.toString.contains("pushedGroupBy"))
+    assert(residualF.collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap ===
       Map(Option("a") -> 2L, Option.empty[String] -> 1L))
     // multivalued group field: first-value semantics ≠ per-value postings
     val mvOut = tmp("graft_dsv2_facetmv_")
@@ -459,11 +546,16 @@ class IndexDataSourceSpec extends AnyFunSuite {
     assert(plan4.contains("pushedOr=") && plan4.contains("pushedGroupBy=tag"), plan4.take(2000))
     assert(facet.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
       Map("x" -> 1L, "y" -> 2L, "z" -> 1L))
-    // an OR with a NON-pushable branch (analyzed/missing/Not) stays residual
-    val residual = idx.filter(col("value") === "alpha" || col("tag") =!= "z").select("id")
+    // a MUST_NOT branch pushes inside the OR (value:alpha OR -tag:z)
+    val orNot = idx.filter(col("value") === "alpha" || col("tag") =!= "z").select("id")
+    assert(orNot.queryExecution.executedPlan.toString.contains("NOT tag:z"),
+      orNot.queryExecution.executedPlan.toString.take(2000))
+    assert(orNot.collect().map(_.getString(0)).sorted.toSeq === Seq("1", "2", "3", "4", "5"))
+    // an OR with a NON-pushable branch (contains) stays residual whole
+    val residual = idx.filter(col("value") === "alpha" || col("tag").contains("z")).select("id")
     assert(residual.queryExecution.executedPlan.toString.contains("pushedTerm=*:*"),
       residual.queryExecution.executedPlan.toString.take(2000))
-    assert(residual.collect().map(_.getString(0)).sorted.toSeq === Seq("1", "2", "3", "4", "5"))
+    assert(residual.collect().map(_.getString(0)).sorted.toSeq === Seq("1", "3", "5"))
   }
 
   test("SolrQueryString composes over the index table (the user's full loop)") {
