@@ -1710,6 +1710,27 @@ object SparkEntry {
       s.read.format("graft-index").load(out)
         .filter(col("p_brand") =!= "Brand#23" && col("std_type").isNotNull)
         .select(col("id").cast("long").as("p_partkey"), col("p_brand"), col("std_type"))
+    }),
+
+    // Solr facet.pivot=p_brand,p_size with an fq: GROUP BY two
+    // fields + COUNT(*) pushes whole — each shard inverts both
+    // fields' postings into transient forward (docvalues-style)
+    // ord→term views, one O(docs) pass per field, and counts (a, b)
+    // pairs over the fq's match set. Stored docs never read; Spark
+    // merges the per-shard partial buckets, its final agg the gather
+    // half of Solr's distributed pivot faceting.
+    "q128_index_pivot" -> ((s, d) => {
+      import graft.index.SegmentShardSink
+      val out = sharedStore(d, "part_bs") { o =>
+        SegmentShardSink.write(
+          Tables.part(s, d).withColumn("id", col("p_partkey").cast("string"))
+            .select(col("id"), col("p_brand"), col("p_size").cast("string").as("p_size")),
+          "id", o, shards = 4)
+      }
+      s.read.format("graft-index").load(out)
+        .filter(col("p_brand").startsWith("Brand#1"))
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(count(lit(1)).as("cnt"))
     })
   )
 
@@ -2707,6 +2728,12 @@ object SparkEntry {
 
     "q127_index_not" ->
       """SELECT p_partkey, p_brand, p_type AS std_type FROM part
-        |WHERE p_brand <> 'Brand#23' AND p_type LIKE 'STANDARD%'""".stripMargin
+        |WHERE p_brand <> 'Brand#23' AND p_type LIKE 'STANDARD%'""".stripMargin,
+
+    "q128_index_pivot" ->
+      """SELECT p_brand, CAST(p_size AS VARCHAR) AS p_size,
+        |       CAST(count(*) AS BIGINT) AS cnt
+        |FROM part WHERE p_brand LIKE 'Brand#1%'
+        |GROUP BY 1, 2""".stripMargin
   )
 }

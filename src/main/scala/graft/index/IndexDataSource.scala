@@ -136,7 +136,7 @@ private[index] class IndexScanBuilder(full: StructType, store: String,
   private var query: PushedQuery = MatchAll
   private var countPushed = false
   private var aggs: Seq[PushedAgg] = Nil
-  private var facetField: Option[String] = None
+  private var facetFields: Seq[String] = Nil
   private var limit: Option[Int] = None
   private var topN: Option[(Seq[SortKey], Int)] = None
 
@@ -196,6 +196,11 @@ private[index] class IndexScanBuilder(full: StructType, store: String,
     *    + facet) via posting-set intersections; Spark only offers
     *    aggregate pushdown when NO residual filter remains, so the
     *    pushed query IS the complete filter.
+    *  - GROUPED by TWO pushable fields (facet.pivot) with COUNT(*):
+    *    each shard inverts both fields' postings into transient
+    *    forward (docvalues-style) ord→term views — one O(docs) pass
+    *    per field — and counts (a, b) pairs over the match set, null
+    *    buckets on both axes. Still postings only.
     *
     * Partial pushdown throughout: shards return partials, Spark
     * merges (sum / min / max) — the scatter half of Solr's
@@ -229,14 +234,18 @@ private[index] class IndexScanBuilder(full: StructType, store: String,
           case MaxAgg(f) => StructField(s"max($f)", StringType, nullable = true)
         })
         true
-      case Seq(ref: NamedReference)
-          if ref.fieldNames().length == 1 && pushableField(ref.fieldNames()(0)) &&
-            resolved == Seq(CountStarAgg) =>
+      case groups if groups.nonEmpty && groups.length <= 2 &&
+          resolved == Seq(CountStarAgg) &&
+          groups.forall {
+            case r: NamedReference =>
+              r.fieldNames().length == 1 && pushableField(r.fieldNames()(0))
+            case _ => false
+          } =>
         countPushed = true
-        facetField = Some(ref.fieldNames()(0))
-        required = StructType(Seq(
-          StructField(ref.fieldNames()(0), StringType, nullable = true),
-          StructField("count(*)", LongType, nullable = false)))
+        facetFields = groups.map(_.asInstanceOf[NamedReference].fieldNames()(0))
+        required = StructType(
+          facetFields.map(f => StructField(f, StringType, nullable = true)) :+
+            StructField("count(*)", LongType, nullable = false))
         true
       case _ => false
     }
@@ -382,7 +391,7 @@ private[index] class IndexScanBuilder(full: StructType, store: String,
       required = StructType(requiredSchema.fields.filter(f => full.fieldNames.contains(f.name)))
 
   override def build(): Scan =
-    new IndexScan(store, required, query, countPushed, limit, topN, facetField, aggs)
+    new IndexScan(store, required, query, countPushed, limit, topN, facetFields, aggs)
 }
 
 private[index] class IndexScan(store: String, required: StructType,
@@ -390,7 +399,7 @@ private[index] class IndexScan(store: String, required: StructType,
                                countOnly: Boolean = false,
                                limit: Option[Int] = None,
                                topN: Option[(Seq[SortKey], Int)] = None,
-                               facetField: Option[String] = None,
+                               facetFields: Seq[String] = Nil,
                                aggs: Seq[PushedAgg] = Nil) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def description(): String = {
@@ -424,7 +433,7 @@ private[index] class IndexScan(store: String, required: StructType,
       }.mkString(",") + " "
     s"GraftIndexScan store=$store $q " +
       aggDesc +
-      facetField.map(f => s"pushedGroupBy=$f ").getOrElse("") +
+      (if (facetFields.nonEmpty) s"pushedGroupBy=${facetFields.mkString(",")} " else "") +
       limit.map(n => s"pushedLimit=$n ").getOrElse("") +
       topN.map { case (ks, n) =>
         val o = ks.map(k => s"${k.field} ${if (k.desc) "DESC" else "ASC"}").mkString(",")
@@ -444,7 +453,7 @@ private[index] class IndexScan(store: String, required: StructType,
     val conf = new SerializableHadoopConf(
       SparkSession.active.sessionState.newHadoopConf())
     new IndexReaderFactory(conf, required.fieldNames, query, countOnly, limit, topN,
-      facetField, aggs)
+      facetFields, aggs)
   }
 }
 
@@ -456,25 +465,33 @@ private[index] class IndexReaderFactory(conf: SerializableHadoopConf,
                                         countOnly: Boolean = false,
                                         limit: Option[Int] = None,
                                         topN: Option[(Seq[SortKey], Int)] = None,
-                                        facetField: Option[String] = None,
+                                        facetFields: Seq[String] = Nil,
                                         aggs: Seq[PushedAgg] = Nil)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    if (facetField.isDefined) new PartitionReader[InternalRow] {
-      // facet.field from postings: one partial row per term of this
-      // shard — (term, live doc freq among docs matching the pushed
-      // filter) — plus a null bucket for matching docs missing the
-      // field. Stored docs never read.
+    if (facetFields.nonEmpty) new PartitionReader[InternalRow] {
+      // facet.field / facet.pivot from postings: one partial row per
+      // group of this shard — (term[, term2], live doc count among
+      // docs matching the pushed filter) — plus null buckets for
+      // matching docs missing the field(s). Stored docs never read.
       private val dir = new Path(partition.asInstanceOf[IndexInputPartition].dir)
       private lazy val rows: Iterator[InternalRow] = {
         val reader = new SegmentIndex.Reader(dir.getFileSystem(conf.value), dir)
-        val (stats, nullBucket) = reader.facetCounts(facetField.get, query)
-        val termRows = stats.iterator.map { case (t, n) =>
-          InternalRow(UTF8String.fromString(t), n)
+        facetFields match {
+          case Seq(f) =>
+            val (stats, nullBucket) = reader.facetCounts(f, query)
+            val termRows = stats.iterator.map { case (t, n) =>
+              InternalRow(UTF8String.fromString(t), n)
+            }
+            if (nullBucket > 0) termRows ++ Iterator(InternalRow(null, nullBucket))
+            else termRows
+          case Seq(a, b) =>
+            reader.pivotCounts(a, b, query).iterator.map { case ((va, vb), n) =>
+              InternalRow(va.map(UTF8String.fromString).orNull,
+                vb.map(UTF8String.fromString).orNull, n)
+            }
         }
-        if (nullBucket > 0) termRows ++ Iterator(InternalRow(null, nullBucket))
-        else termRows
       }
       private var current: InternalRow = _
       override def next(): Boolean =

@@ -930,6 +930,47 @@ object SegmentIndex {
       (acc.toMap, matched - withField)
     }
 
+    /** facet.pivot (two-level) under a pushed filter: LIVE doc counts
+      * grouped by `(fieldA, fieldB)` among docs matching `filter`,
+      * with null buckets on BOTH axes (a doc missing a field lands in
+      * that axis's `None`). Postings only — per segment, each field's
+      * postings are inverted into a transient forward (docvalues-
+      * style) ord→term array in one O(docs) pass, then the match set
+      * is counted through the two views. The reference's Solr-side
+      * analog is facet.pivot, which walks per-segment docvalues the
+      * same way; per-vocabulary posting intersections would be
+      * O(|V_a|·|V_b|) and are exactly what this avoids. Assumes both
+      * fields single-valued non-analyzed (the DSv2 pushdown
+      * contract). */
+    def pivotCounts(fieldA: String, fieldB: String, filter: PushedQuery)
+        : Map[(Option[String], Option[String]), Long] = {
+      val acc = mutable.HashMap.empty[(Option[String], Option[String]), Long]
+      commit.segments.foreach { s =>
+        if (!segExcluded(s, filter)) {
+          val dels = readDels(fs, dir, s)
+          val allPost = readPostings(fs, dir, s.name) // ONE .trm parse
+          def forward(f: String): Array[String] = {
+            val fwd = new Array[String](s.docs)
+            allPost.getOrElse(f, Map.empty).foreach { case (t, ords) =>
+              ords.foreach(o => fwd(o) = t)
+            }
+            fwd
+          }
+          val fa = forward(fieldA)
+          val fb = forward(fieldB)
+          val ords: Iterator[Int] = filter match {
+            case MatchAll => Iterator.range(0, s.docs)
+            case q => branchOrds(s, allPost, q).toArray.distinct.iterator
+          }
+          ords.filterNot(dels.contains).foreach { o =>
+            val k = (Option(fa(o)), Option(fb(o)))
+            acc.update(k, acc.getOrElse(k, 0L) + 1L)
+          }
+        }
+      }
+      acc.toMap
+    }
+
     /** Per-term LIVE doc frequency for one field across all segments —
       * the Luke/terms-component statistics view of the index. */
     def termStats(field: String): Map[String, Long] = {

@@ -293,6 +293,58 @@ class IndexDataSourceSpec extends AnyFunSuite {
       Map("y" -> 1L, "x" -> 1L)) // first values
   }
 
+  test("PIVOT facet pushdown: two-field GROUP BY from forward views, null buckets both axes") {
+    import spark.implicits._
+    val out = tmp("graft_dsv2_pivot_")
+    // v missing on 4, tag missing on 5 — both axes need a null bucket
+    val df = Seq(
+      ("1", Some("a"), Some("x")), ("2", Some("b"), Some("x")),
+      ("3", Some("a"), Some("y")), ("4", None, Some("x")),
+      ("5", Some("a"), Option.empty[String])
+    ).toDF("id", "v", "tag")
+    SegmentShardSink.write(df, "id", out, shards = 2)
+    val idx = spark.read.format("graft-index").load(out)
+    def cnt = org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1))
+
+    val pivot = idx.groupBy("v", "tag").agg(cnt.as("n"))
+    val plan = pivot.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedGroupBy=v,tag"), plan.take(2000))
+    assert(pivot.collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1))) -> r.getLong(2)).toMap ===
+      Map((Some("a"), Some("x")) -> 1L, (Some("b"), Some("x")) -> 1L,
+        (Some("a"), Some("y")) -> 1L, (None, Some("x")) -> 1L,
+        (Some("a"), None) -> 1L))
+
+    // fq + pivot: the pushed filter restricts the match set
+    val fq = idx.filter(col("tag") === "x").groupBy("v", "tag").agg(cnt.as("n"))
+    val fqPlan = fq.queryExecution.executedPlan.toString
+    assert(fqPlan.contains("pushedTerm=tag:x") && fqPlan.contains("pushedGroupBy=v,tag"),
+      fqPlan.take(2000))
+    assert(fq.collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1))) -> r.getLong(2)).toMap ===
+      Map((Some("a"), Some("x")) -> 1L, (Some("b"), Some("x")) -> 1L,
+        (None, Some("x")) -> 1L))
+
+    // deletes honored through the forward views
+    SegmentShardSink.deleteByTerm(spark, out, "id", "2")
+    assert(spark.read.format("graft-index").load(out).groupBy("v", "tag").agg(cnt.as("n"))
+      .collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1))) -> r.getLong(2)).toMap ===
+      Map((Some("a"), Some("x")) -> 1L, (Some("a"), Some("y")) -> 1L,
+        (None, Some("x")) -> 1L, (Some("a"), None) -> 1L))
+
+    // a multivalued axis blocks the pivot (first-value ≠ postings)
+    val mvOut = tmp("graft_dsv2_pivotmv_")
+    SegmentShardSink.write(
+      Seq(("1", "a", Seq("y", "x")), ("2", "b", Seq("x"))).toDF("id", "v", "tags"),
+      "id", mvOut, shards = 1)
+    val mvPivot = spark.read.format("graft-index").load(mvOut)
+      .groupBy("v", "tags").agg(cnt.as("n"))
+    assert(!mvPivot.queryExecution.executedPlan.toString.contains("pushedGroupBy"))
+    assert(mvPivot.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap ===
+      Map(("a", "y") -> 1L, ("b", "x") -> 1L)) // first values
+  }
+
   test("FILTERED facet pushes: fq + facet.field as posting intersections") {
     import spark.implicits._
     val out = tmp("graft_dsv2_facetfq_")
