@@ -183,6 +183,14 @@ object Graft {
   def deleteByQuery(spark: SparkSession, store: String, q: String): Long =
     graft.index.SegmentShardSink.deleteByQuery(spark, store, q)
 
+  /** Solr facet.range over the segment store: gap-width buckets on a
+    * numeric field with live counts under a query-string fq, empty
+    * buckets kept (see [[graft.index.SegmentSearch.rangeFacet]]). */
+  def rangeFacet(spark: SparkSession, store: String, field: String,
+                 start: Double, end: Double, gap: Double,
+                 q: String = "*:*"): DataFrame =
+    graft.index.SegmentSearch.rangeFacet(spark, store, field, start, end, gap, q)
+
   /** The training-corpus counterpart of [[buildIndex]]: quality gate →
     * PII redaction → URL/exact/near dedup → optional chunking, one
     * composed plan (see [[graft.ops.CorpusPipeline]]). */

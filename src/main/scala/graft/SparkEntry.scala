@@ -1245,12 +1245,13 @@ object SparkEntry {
     // base + 10000*(custkey%7): one IEEE add of exactly-representable
     // terms, bit-equal both engines. base_rank is assigned pre-rerank.
     "q103_rerank" -> ((s, d) => {
-      val base = Tables.orders(s, d)
-        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-        .limit(50)
-        .withColumn("base_rank",
-          row_number().over(Window.orderBy(col("o_totalprice").desc, col("o_orderkey")))
-            .cast("long")) // 50 rows: the unpartitioned window is post-limit, bounded
+      // base_rank via rankCollected: the frame is bounded (post-limit
+      // 50 rows), so the driver-side zip replaces the unpartitioned
+      // row_number window (single-task WindowExec + warning)
+      val base = rankCollected(s,
+        Tables.orders(s, d)
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(50), "base_rank")
       base.withColumn("rerank_score",
           col("o_totalprice") + lit(10000.0) * pmod(col("o_custkey"), lit(7)).cast("double"))
         .orderBy(col("rerank_score").desc, col("o_orderkey"))
@@ -1731,6 +1732,67 @@ object SparkEntry {
         .filter(col("p_brand").startsWith("Brand#1"))
         .groupBy(col("p_brand"), col("p_size"))
         .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // JSON facet API nested stats ({type: terms, field: p_size,
+    // facet: {lo: "min(p_brand)", hi: "max(p_brand)"}} under an fq):
+    // GROUP BY + COUNT/MIN/MAX pushes whole — each shard walks the
+    // stat field's postings through the group's forward view over the
+    // fq match set, emitting per-bucket partials; Spark's final agg
+    // (sum/min/max merge) is the coordinator's bucket merge. Stored
+    // docs never read.
+    "q129_index_json_facet" -> ((s, d) => {
+      import graft.index.SegmentShardSink
+      val out = sharedStore(d, "part_bs") { o =>
+        SegmentShardSink.write(
+          Tables.part(s, d).withColumn("id", col("p_partkey").cast("string"))
+            .select(col("id"), col("p_brand"), col("p_size").cast("string").as("p_size")),
+          "id", o, shards = 4)
+      }
+      s.read.format("graft-index").load(out)
+        .filter(col("p_brand").startsWith("Brand#2"))
+        .groupBy(col("p_size"))
+        .agg(count(lit(1)).as("cnt"),
+          min(col("p_brand")).as("min_brand"),
+          max(col("p_brand")).as("max_brand"))
+    }),
+
+    // stats.field under an fq (stats=true&stats.field=p_name&fq=
+    // p_brand:Brand#23): ungrouped MIN/MAX/COUNT with a pushed filter
+    // — served per shard from the stat field's postings ∩ the fq
+    // match set (the unfiltered variant in q123 stays metadata-only
+    // zone maps). One partial row per shard, no stored docs.
+    "q130_index_stats_fq" -> ((s, d) => {
+      import graft.index.SegmentShardSink
+      val out = sharedStore(d, "part_nb") { o =>
+        SegmentShardSink.write(
+          Tables.part(s, d).withColumn("id", col("p_partkey").cast("string"))
+            .select(col("id"), col("p_name"), col("p_brand")),
+          "id", o, shards = 4)
+      }
+      s.read.format("graft-index").load(out)
+        .filter(col("p_brand") === "Brand#23")
+        .agg(min(col("p_name")).as("min_name"),
+          max(col("p_name")).as("max_name"),
+          count(lit(1)).as("cnt"))
+    }),
+
+    // Solr facet.range (facet.range=p_size&start=0&end=60&gap=10&fq=
+    // p_brand:Brand#23) served from the index: the per-term counting
+    // is the pushed facet.field (postings only), bucketing runs over
+    // the vocabulary-sized term-count frame, and a broadcast bucket
+    // spine keeps empty buckets at 0 (facet.mincount=0, Solr's
+    // default). Stored docs never read.
+    "q131_index_range_facet" -> ((s, d) => {
+      import graft.index.SegmentShardSink
+      val out = sharedStore(d, "part_bs") { o =>
+        SegmentShardSink.write(
+          Tables.part(s, d).withColumn("id", col("p_partkey").cast("string"))
+            .select(col("id"), col("p_brand"), col("p_size").cast("string").as("p_size")),
+          "id", o, shards = 4)
+      }
+      Graft.rangeFacet(s, out, "p_size", start = 0.0, end = 60.0, gap = 10.0,
+        q = "p_brand:Brand#23")
     })
   )
 
@@ -2734,6 +2796,27 @@ object SparkEntry {
       """SELECT p_brand, CAST(p_size AS VARCHAR) AS p_size,
         |       CAST(count(*) AS BIGINT) AS cnt
         |FROM part WHERE p_brand LIKE 'Brand#1%'
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q129_index_json_facet" ->
+      """SELECT CAST(p_size AS VARCHAR) AS p_size,
+        |       CAST(count(*) AS BIGINT) AS cnt,
+        |       min(p_brand) AS min_brand, max(p_brand) AS max_brand
+        |FROM part WHERE p_brand LIKE 'Brand#2%'
+        |GROUP BY 1""".stripMargin,
+
+    "q130_index_stats_fq" ->
+      """SELECT min(p_name) AS min_name, max(p_name) AS max_name,
+        |       CAST(count(*) AS BIGINT) AS cnt
+        |FROM part WHERE p_brand = 'Brand#23'""".stripMargin,
+
+    "q131_index_range_facet" ->
+      """WITH buckets AS (SELECT CAST(x * 10 AS DOUBLE) AS bucket FROM range(0, 6) t(x)),
+        |counts AS (
+        |  SELECT CAST(floor(p_size / 10.0) * 10 AS DOUBLE) AS bucket,
+        |         count(*) AS c
+        |  FROM part WHERE p_brand = 'Brand#23' GROUP BY 1)
+        |SELECT b.bucket, CAST(coalesce(c.c, 0) AS BIGINT) AS cnt
+        |FROM buckets b LEFT JOIN counts c USING (bucket)""".stripMargin
   )
 }

@@ -188,7 +188,7 @@ private[index] class IndexScanBuilder(full: StructType, store: String,
     *  - UNGROUPED MIN/MAX of a pushable string field (the stats
     *    component): deletion-free segments answer from commit-
     *    recorded zone-map stats — METADATA ONLY, no segment file
-    *    opened — the rest from live postings. Unfiltered table only.
+    *    opened — the rest from live postings.
     *  - GROUPED by ONE pushable field (facet.field) with COUNT(*):
     *    each shard answers from its per-term live doc frequencies —
     *    postings only — plus a null bucket for docs missing the
@@ -201,6 +201,13 @@ private[index] class IndexScanBuilder(full: StructType, store: String,
     *    forward (docvalues-style) ord→term views — one O(docs) pass
     *    per field — and counts (a, b) pairs over the match set, null
     *    buckets on both axes. Still postings only.
+    *  - GROUPED by ONE pushable field with any COUNT(*)/MIN/MAX mix
+    *    (the JSON facet API's nested stats — `{type: terms, facet:
+    *    {m: "min(f)"}}`): the group's forward view plus a streaming
+    *    walk of each stat field's postings over the match set.
+    *  - UNGROUPED MIN/MAX *under a pushed filter* (stats.field + fq):
+    *    the stat field's postings ∩ the match set per segment; the
+    *    unfiltered case keeps the metadata-only zone-map path.
     *
     * Partial pushdown throughout: shards return partials, Spark
     * merges (sum / min / max) — the scatter half of Solr's
@@ -224,8 +231,6 @@ private[index] class IndexScanBuilder(full: StructType, store: String,
     val resolved = specs.flatten
     agg.groupByExpressions.toSeq match {
       case Nil =>
-        // min/max read whole-field extremes — only valid unfiltered
-        if (resolved.exists(_ != CountStarAgg) && query != MatchAll) return false
         countPushed = true
         aggs = resolved
         required = StructType(resolved.map {
@@ -235,17 +240,22 @@ private[index] class IndexScanBuilder(full: StructType, store: String,
         })
         true
       case groups if groups.nonEmpty && groups.length <= 2 &&
-          resolved == Seq(CountStarAgg) &&
+          (groups.length == 1 || resolved == Seq(CountStarAgg)) &&
           groups.forall {
             case r: NamedReference =>
               r.fieldNames().length == 1 && pushableField(r.fieldNames()(0))
             case _ => false
           } =>
         countPushed = true
+        aggs = resolved
         facetFields = groups.map(_.asInstanceOf[NamedReference].fieldNames()(0))
         required = StructType(
-          facetFields.map(f => StructField(f, StringType, nullable = true)) :+
-            StructField("count(*)", LongType, nullable = false))
+          facetFields.map(f => StructField(f, StringType, nullable = true)) ++
+            resolved.map {
+              case CountStarAgg => StructField("count(*)", LongType, nullable = false)
+              case MinAgg(f) => StructField(s"min($f)", StringType, nullable = true)
+              case MaxAgg(f) => StructField(s"max($f)", StringType, nullable = true)
+            })
         true
       case _ => false
     }
@@ -479,13 +489,30 @@ private[index] class IndexReaderFactory(conf: SerializableHadoopConf,
       private lazy val rows: Iterator[InternalRow] = {
         val reader = new SegmentIndex.Reader(dir.getFileSystem(conf.value), dir)
         facetFields match {
-          case Seq(f) =>
+          case Seq(f) if aggs.isEmpty || aggs == Seq(CountStarAgg) =>
             val (stats, nullBucket) = reader.facetCounts(f, query)
             val termRows = stats.iterator.map { case (t, n) =>
               InternalRow(UTF8String.fromString(t), n)
             }
             if (nullBucket > 0) termRows ++ Iterator(InternalRow(null, nullBucket))
             else termRows
+          case Seq(f) =>
+            // JSON-facet nested stats: count/min/max per group bucket
+            val statFields = aggs.collect {
+              case MinAgg(x) => x
+              case MaxAgg(x) => x
+            }.distinct
+            reader.groupedStats(f, statFields, query).iterator.map {
+              case (g, (n, mm)) =>
+                InternalRow.fromSeq(
+                  (g.map(UTF8String.fromString).orNull: Any) +: aggs.map {
+                    case CountStarAgg => n
+                    case MinAgg(x) =>
+                      mm.get(x).map(v => UTF8String.fromString(v._1)).orNull
+                    case MaxAgg(x) =>
+                      mm.get(x).map(v => UTF8String.fromString(v._2)).orNull
+                  })
+            }
           case Seq(a, b) =>
             reader.pivotCounts(a, b, query).iterator.map { case ((va, vb), n) =>
               InternalRow(va.map(UTF8String.fromString).orNull,
@@ -519,7 +546,8 @@ private[index] class IndexReaderFactory(conf: SerializableHadoopConf,
             case MatchAll => reader.matchAllCount
           }
           val mmCache = scala.collection.mutable.HashMap.empty[String, Option[(String, String)]]
-          def mm(f: String) = mmCache.getOrElseUpdate(f, reader.fieldMinMax(f))
+          // unfiltered → metadata-only zone maps; filtered → postings ∩ match set
+          def mm(f: String) = mmCache.getOrElseUpdate(f, reader.filteredMinMax(f, query))
           val values: Seq[Any] = aggs.map {
             case CountStarAgg => count
             case MinAgg(f) => mm(f).map(x => UTF8String.fromString(x._1)).orNull

@@ -971,6 +971,96 @@ object SegmentIndex {
       acc.toMap
     }
 
+    /** stats.field under an `fq`: min/max LIVE indexed term of `field`
+      * among docs matching `filter` (code-point order — Spark's string
+      * MIN/MAX semantics). [[MatchAll]] delegates to the zone-map path
+      * [[fieldMinMax]] (metadata only); a real filter intersects the
+      * field's postings with the match set per segment — stored docs
+      * never read. None when no matching live doc holds the field. */
+    def filteredMinMax(field: String, filter: PushedQuery): Option[(String, String)] =
+      if (filter == MatchAll) fieldMinMax(field)
+      else {
+        val perSeg = commit.segments.flatMap { s =>
+          if (segExcluded(s, filter)) None
+          else {
+            val dels = readDels(fs, dir, s)
+            val allPost = readPostings(fs, dir, s.name)
+            val m: Set[Int] =
+              branchOrds(s, allPost, filter).filterNot(dels.contains).toSet
+            if (m.isEmpty) None
+            else {
+              val live = allPost.getOrElse(field, Map.empty)
+                .collect { case (t, ords) if ords.exists(m.contains) => t }
+              if (live.isEmpty) None
+              else Some((live.min(CpOrdering), live.max(CpOrdering)))
+            }
+          }
+        }
+        if (perSeg.isEmpty) None
+        else Some((perSeg.map(_._1).min(CpOrdering), perSeg.map(_._2).max(CpOrdering)))
+      }
+
+    /** JSON-facet nested stats (`{type: terms, field: group, facet:
+      * {m: "min(f)", x: "max(f)"}}`): per-group LIVE doc count plus
+      * min/max of each stat field among docs matching `filter`,
+      * grouped by `group` (key None = the null bucket — matching docs
+      * missing the group field). Per segment: the group's postings
+      * invert into a transient forward ord→term view (one O(docs)
+      * pass), the match set becomes a boolean array, and each stat
+      * field's postings stream through both — min/max ignore docs
+      * missing the stat field, exactly SQL MIN/MAX over NULLs. Stored
+      * docs never read. Assumes all fields single-valued non-analyzed
+      * (the DSv2 pushdown contract). */
+    def groupedStats(group: String, statFields: Seq[String], filter: PushedQuery)
+        : Map[Option[String], (Long, Map[String, (String, String)])] = {
+      val counts = mutable.HashMap.empty[Option[String], Long]
+      val mins = mutable.HashMap.empty[(Option[String], String), String]
+      val maxs = mutable.HashMap.empty[(Option[String], String), String]
+      commit.segments.foreach { s =>
+        if (!segExcluded(s, filter)) {
+          val dels = readDels(fs, dir, s)
+          val allPost = readPostings(fs, dir, s.name) // ONE .trm parse
+          val fwd = new Array[String](s.docs)
+          allPost.getOrElse(group, Map.empty).foreach { case (t, ords) =>
+            ords.foreach(o => fwd(o) = t)
+          }
+          val matched = new Array[Boolean](s.docs)
+          filter match {
+            case MatchAll =>
+              var o = 0
+              while (o < s.docs) { matched(o) = !dels.contains(o); o += 1 }
+            case q =>
+              branchOrds(s, allPost, q).filterNot(dels.contains)
+                .foreach(o => matched(o) = true)
+          }
+          var o = 0
+          while (o < s.docs) {
+            if (matched(o)) {
+              val g = Option(fwd(o))
+              counts.update(g, counts.getOrElse(g, 0L) + 1L)
+            }
+            o += 1
+          }
+          statFields.foreach { f =>
+            allPost.getOrElse(f, Map.empty).foreach { case (t, ords) =>
+              ords.foreach { o =>
+                if (matched(o)) {
+                  val km = (Option(fwd(o)), f)
+                  if (!mins.contains(km) || cpCompare(t, mins(km)) < 0) mins(km) = t
+                  if (!maxs.contains(km) || cpCompare(t, maxs(km)) > 0) maxs(km) = t
+                }
+              }
+            }
+          }
+        }
+      }
+      counts.keysIterator.map { g =>
+        g -> (counts(g), statFields.flatMap { f =>
+          mins.get((g, f)).map(mn => f -> (mn, maxs((g, f))))
+        }.toMap)
+      }.toMap
+    }
+
     /** Per-term LIVE doc frequency for one field across all segments —
       * the Luke/terms-component statistics view of the index. */
     def termStats(field: String): Map[String, Long] = {

@@ -133,6 +133,67 @@ object SegmentSearch {
   }
 
   /**
+   * Solr `facet.range` over a numeric single-valued field, served
+   * from the index: gap-width buckets `[start + i*gap, start +
+   * (i+1)*gap)` covering `[start, end)`, each with its LIVE doc count
+   * among docs matching the query string `q` (an `fq`). Empty buckets
+   * are kept at count 0 — Solr's `facet.mincount=0` default; values
+   * outside `[start, end)` are dropped (no `facet.range.other`).
+   *
+   * Scale shape: the per-term counting is the DSv2 facet pushdown —
+   * `filter(q).groupBy(field).count` compiles to a postings-only
+   * GraftIndexScan (term→count partials per shard, stored docs never
+   * read) — so the frame being bucketed is vocabulary-sized, not
+   * corpus-sized; the bucket spine (`spark.range`, ≤ a few hundred
+   * rows) joins broadcast. Unparsable (non-numeric) terms drop with
+   * the out-of-range values.
+   */
+  /** The facet half of [[rangeFacet]] alone: term → live count under
+    * the fq, as the pushed DSv2 facet plan (postings only). */
+  private[index] def pushedTermCounts(spark: SparkSession, store: String,
+                                      field: String, q: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit}
+    val marker = SegmentShardSink.readMarker(ShardIndex.hadoopConf(spark), store)
+    val idx = spark.read.format("graft-index").load(store)
+    val default = marker.analyzed.toSeq.sorted.headOption.getOrElse(marker.idCol)
+    val pred = graft.search.SolrQueryString.compile(q, idx.schema, default, marker.analyzed)
+    idx.filter(pred).groupBy(col(field)).agg(count(lit(1)).as("__c"))
+  }
+
+  def rangeFacet(spark: SparkSession, store: String, field: String,
+                 start: Double, end: Double, gap: Double,
+                 q: String = "*:*"): DataFrame = {
+    require(gap > 0, s"gap must be positive, got $gap")
+    require(end > start, s"empty range [$start, $end)")
+    import org.apache.spark.sql.functions.{broadcast, coalesce, floor, lit, sum}
+    val termCounts = pushedTermCounts(spark, store, field, q)
+    // Optimizer barrier: without it Catalyst transposes the bucket
+    // predicates below the aggregate (filters on a grouping key
+    // commute), where the un-pushable casts become residual filters
+    // and forfeit the facet pushdown — the scan would read stored
+    // docs O(matches) instead of postings O(vocabulary). The RDD
+    // round-trip finalizes the pushed plan; everything downstream
+    // operates on the vocabulary-sized partials, like a Solr
+    // coordinator over gathered facet responses (but still a
+    // distributed frame, never collected).
+    val counted = spark.createDataFrame(termCounts.rdd, termCounts.schema)
+      // try_cast: non-numeric terms become null and drop (ANSI-safe)
+      .withColumn("__v", org.apache.spark.sql.functions.expr(
+        s"try_cast(`$field` AS DOUBLE)"))
+      .filter(col("__v").isNotNull && col("__v") >= start && col("__v") < end)
+      .withColumn("bucket", floor((col("__v") - start) / gap) * gap + start)
+      .groupBy(col("bucket")).agg(sum(col("__c")).as("__n"))
+    val nb = math.ceil((end - start) / gap).toLong
+    val spine = spark.range(nb)
+      .select((lit(start) + col("id") * gap).as("bucket"))
+    // vocabulary-sized counts broadcast to the spine (left-outer keeps
+    // empty buckets; build side must be the non-preserved right)
+    spine.join(broadcast(counted), Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("__n"), lit(0L)).as("cnt"))
+  }
+
+  /**
    * Luke/terms-component statistics: per-term LIVE doc frequency for
    * one field, summed across shards. One task per shard reads only
    * that shard's postings (never stored docs), then a single groupBy

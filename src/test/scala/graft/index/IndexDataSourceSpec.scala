@@ -397,12 +397,69 @@ class IndexDataSourceSpec extends AnyFunSuite {
     val m2 = spark.read.format("graft-index").load(out)
       .agg(min("v").as("lo"), max("v").as("hi")).head
     assert((m2.getString(0), m2.getString(1)) === (("alpha", "beta")))
-    // filtered min/max is NOT pushed (extremes are whole-field) —
-    // stays a real scan, results exact
+    // stats.field under fq: filtered min/max pushes too, served from
+    // the stat field's postings ∩ the match set (not zone maps)
     val f = idx.filter(col("tag") === "y").agg(max("value").as("hi"))
-    assert(!f.queryExecution.executedPlan.toString.contains("pushedAgg"),
-      f.queryExecution.executedPlan.toString.take(2000))
+    val fPlan = f.queryExecution.executedPlan.toString
+    assert(fPlan.contains("pushedTerm=tag:y") && fPlan.contains("pushedAgg=max(value)"),
+      fPlan.take(2000))
     assert(f.head.getString(0) === "beta")
+  }
+
+  test("GROUPED stats pushdown: JSON-facet nested min/max per bucket") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{count => cnt, lit, max, min}
+    val out = tmp("graft_dsv2_gstats_")
+    // group g: nulls on 5; stat v: null on 4 (count must still see 4)
+    val df = Seq(
+      ("1", Some("a"), Some("m")), ("2", Some("a"), Some("q")),
+      ("3", Some("b"), Some("k")), ("4", Some("b"), Option.empty[String]),
+      ("5", Option.empty[String], Some("z"))
+    ).toDF("id", "g", "v")
+    SegmentShardSink.write(df, "id", out, shards = 2)
+    val idx = spark.read.format("graft-index").load(out)
+
+    val q = idx.groupBy("g").agg(cnt(lit(1)).as("n"), min("v").as("lo"), max("v").as("hi"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedAgg=count(*),min(v),max(v)") &&
+      plan.contains("pushedGroupBy=g"), plan.take(2000))
+    def asMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => Option(r.getString(0)) ->
+        ((r.getLong(1), Option(r.getString(2)), Option(r.getString(3))))).toMap
+    assert(asMap(q.collect()) === Map(
+      Some("a") -> ((2L, Some("m"), Some("q"))),
+      Some("b") -> ((2L, Some("k"), Some("k"))), // null v ignored by min/max, counted
+      None -> ((1L, Some("z"), Some("z")))))
+
+    // fq + nested stats: the pushed filter restricts every bucket
+    val fq = idx.filter(col("v") >= "m")
+      .groupBy("g").agg(cnt(lit(1)).as("n"), min("v").as("lo"), max("v").as("hi"))
+    val fqPlan = fq.queryExecution.executedPlan.toString
+    assert(fqPlan.contains("pushedRange=v:[m TO *]") &&
+      fqPlan.contains("pushedGroupBy=g"), fqPlan.take(2000))
+    assert(asMap(fq.collect()) === Map(
+      Some("a") -> ((2L, Some("m"), Some("q"))),
+      None -> ((1L, Some("z"), Some("z")))))
+
+    // deletes flow through the forward view and the stat walk
+    SegmentShardSink.deleteByTerm(spark, out, "id", "2")
+    assert(asMap(spark.read.format("graft-index").load(out)
+      .groupBy("g").agg(cnt(lit(1)).as("n"), min("v").as("lo"), max("v").as("hi"))
+      .collect()) === Map(
+      Some("a") -> ((1L, Some("m"), Some("m"))),
+      Some("b") -> ((2L, Some("k"), Some("k"))),
+      None -> ((1L, Some("z"), Some("z")))))
+
+    // an analyzed stat field blocks the push (stored value ≠ terms)
+    val anOut = tmp("graft_dsv2_gstatsan_")
+    SegmentShardSink.write(
+      Seq(("1", "a", "Big Cats"), ("2", "b", "small dogs")).toDF("id", "g", "txt"),
+      "id", anOut, shards = 1, analyzedFields = Set("txt"))
+    val an = spark.read.format("graft-index").load(anOut)
+      .groupBy("g").agg(min("txt").as("lo"))
+    assert(!an.queryExecution.executedPlan.toString.contains("pushedGroupBy"))
+    assert(an.collect().map(r => r.getString(0) -> r.getString(1)).toMap ===
+      Map("a" -> "Big Cats", "b" -> "small dogs"))
   }
 
   test("LIMIT pushes per-shard (partial): plan shows it, results exact") {

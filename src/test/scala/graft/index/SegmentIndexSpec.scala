@@ -376,6 +376,35 @@ class SegmentIndexSpec extends AnyFunSuite {
     assert(stats("data") === 3L && stats("spark") === 1L)
   }
 
+  test("rangeFacet: gap buckets from pushed facet counts, empty kept at 0, fq honored") {
+    import spark.implicits._
+    val out = tmp("graft_rangefacet_")
+    // sizes: 5,15,15,35 (k), 25 (other) — bucket 20 empty under the fq
+    val df = Seq(
+      ("1", "5", "k"), ("2", "15", "k"), ("3", "15", "k"),
+      ("4", "35", "k"), ("5", "25", "o"), ("6", "oops", "k") // non-numeric drops
+    ).toDF("id", "size", "grp")
+    SegmentShardSink.write(df, "id", out, shards = 2)
+    val got = SegmentSearch.rangeFacet(spark, out, "size",
+      start = 0.0, end = 40.0, gap = 10.0, q = "grp:k")
+    // the counting half is the pushed facet (postings only)…
+    val inner = SegmentSearch.pushedTermCounts(spark, out, "size", "grp:k")
+      .queryExecution.executedPlan.toString
+    assert(inner.contains("pushedTerm=grp:k") && inner.contains("pushedGroupBy=size"),
+      inner.take(2000))
+    // …and the bucketing composes past the barrier with a broadcast
+    // spine (the barrier keeps the cast predicates out of the scan)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(got.collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap ===
+      Map(0.0 -> 1L, 10.0 -> 2L, 20.0 -> 0L, 30.0 -> 1L))
+    // deletes flow through the pushed counts
+    SegmentShardSink.deleteByTerm(spark, out, "id", "2")
+    assert(SegmentSearch.rangeFacet(spark, out, "size", 0.0, 40.0, 10.0, "grp:k")
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap ===
+      Map(0.0 -> 1L, 10.0 -> 1L, 20.0 -> 0L, 30.0 -> 1L))
+  }
+
   test("phrase query: consecutive positions only, multivalue gap blocks cross-value, " +
     "survives forceMerge") {
     val dir = tmp("graft_phrase_")
