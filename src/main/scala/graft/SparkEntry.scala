@@ -1793,6 +1793,52 @@ object SparkEntry {
       }
       Graft.rangeFacet(s, out, "p_size", start = 0.0, end = 60.0, gap = 10.0,
         q = "p_brand:Brand#23")
+    }),
+
+    // Typed numeric fields (Solr plong/pdouble): p_size and the price
+    // index natively under the sortable term encoding, so a numeric
+    // BETWEEN + a double bound push as dictionary range scans in
+    // NUMERIC order (code-point "15" < "5" never leaks) with zone-map
+    // segment skipping — and the scan returns typed Long/Double
+    // columns, no residual filters, no casts in the plan.
+    "q132_index_num_range" -> ((s, d) => {
+      import graft.index.SegmentShardSink
+      val out = sharedStore(d, "part_num") { o =>
+        SegmentShardSink.write(
+          Tables.part(s, d).select(
+            col("p_partkey").cast("string").as("id"),
+            col("p_size").cast("long").as("p_size"),
+            col("p_retailprice").cast("double").as("p_price"),
+            col("p_brand")),
+          "id", o, shards = 4)
+      }
+      s.read.format("graft-index").load(out)
+        .filter(col("p_size") >= 10L && col("p_size") < 20L && col("p_price") < 1500.0)
+        .select(col("id").cast("long").as("p_partkey"), col("p_size"), col("p_price"))
+    }),
+
+    // JSON-facet nested stats over TYPED fields: numeric group keys
+    // and double min/max decode from the sortable encoding — the
+    // grouped-stats pushdown (q129) with plong buckets and pdouble
+    // extremes, Solr's {type: terms, field: p_size, facet: {lo:
+    // "min(price)", hi: "max(price)"}} under a numeric fq.
+    "q133_index_num_stats" -> ((s, d) => {
+      import graft.index.SegmentShardSink
+      val out = sharedStore(d, "part_num") { o =>
+        SegmentShardSink.write(
+          Tables.part(s, d).select(
+            col("p_partkey").cast("string").as("id"),
+            col("p_size").cast("long").as("p_size"),
+            col("p_retailprice").cast("double").as("p_price"),
+            col("p_brand")),
+          "id", o, shards = 4)
+      }
+      s.read.format("graft-index").load(out)
+        .filter(col("p_size") <= 10L)
+        .groupBy(col("p_size"))
+        .agg(count(lit(1)).as("cnt"),
+          min(col("p_price")).as("min_price"),
+          max(col("p_price")).as("max_price"))
     })
   )
 
@@ -2817,6 +2863,20 @@ object SparkEntry {
         |         count(*) AS c
         |  FROM part WHERE p_brand = 'Brand#23' GROUP BY 1)
         |SELECT b.bucket, CAST(coalesce(c.c, 0) AS BIGINT) AS cnt
-        |FROM buckets b LEFT JOIN counts c USING (bucket)""".stripMargin
+        |FROM buckets b LEFT JOIN counts c USING (bucket)""".stripMargin,
+
+    "q132_index_num_range" ->
+      """SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+        |       CAST(p_retailprice AS DOUBLE) AS p_price
+        |FROM part
+        |WHERE p_size >= 10 AND p_size < 20
+        |  AND CAST(p_retailprice AS DOUBLE) < 1500.0""".stripMargin,
+
+    "q133_index_num_stats" ->
+      """SELECT CAST(p_size AS BIGINT) AS p_size,
+        |       CAST(count(*) AS BIGINT) AS cnt,
+        |       min(CAST(p_retailprice AS DOUBLE)) AS min_price,
+        |       max(CAST(p_retailprice AS DOUBLE)) AS max_price
+        |FROM part WHERE p_size <= 10 GROUP BY 1""".stripMargin
   )
 }

@@ -9,7 +9,7 @@ import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering,
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, StringStartsWith}
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -33,10 +33,14 @@ import java.util
  * Parallelism: one [[InputPartition]] per `part-NNNNN` shard dir — the
  * same task-per-shard shape as [[SegmentSearch]] (and as a Solr
  * distributed query), no shuffle. Schema comes from the store marker's
- * `columns` inventory (metadata-only; no segment open at plan time);
- * every column is `StringType` per the declared strings-only
- * divergence of [[SegmentIndex]]. Multivalued fields surface their
- * FIRST value, matching [[SegmentSearch]].
+ * `columns` inventory (metadata-only; no segment open at plan time).
+ * Columns are `StringType` per the declared strings-only divergence of
+ * [[SegmentIndex]] — EXCEPT fields the sink recorded as numeric
+ * (Solr's plong/pdouble analog): those surface TYPED (Long/Double),
+ * their terms carry [[NumericTerms]]' sortable encoding inside the
+ * index (so ranges, zone maps and TopN run in numeric order), bounds
+ * encode on push and values decode on read. Multivalued fields
+ * surface their FIRST value, matching [[SegmentSearch]].
  *
  * Reference trace: the reference never reads its indexes back into the
  * engine (its product ENDS at the go-live dirs) — this source is the
@@ -59,7 +63,17 @@ class IndexDataSource extends TableProvider with DataSourceRegister {
     val cols = SegmentShardSink.storedColumns(conf, store)
     require(cols.nonEmpty,
       s"no column inventory in $store/_graft_segment_commit.json — not a graft segment store?")
-    StructType(cols.map(c => StructField(c, StringType, nullable = true)))
+    // numeric fields surface TYPED (the Solr plong/pdouble analog);
+    // their terms carry the sortable encoding, decoded on read
+    val marker = SegmentShardSink.readMarker(conf, store)
+    StructType(cols.map { c =>
+      val dt = marker.kindOf(c) match {
+        case 'l' => LongType
+        case 'd' => DoubleType
+        case _ => StringType
+      }
+      StructField(c, dt, nullable = true)
+    })
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -86,7 +100,10 @@ private[index] class IndexTable(tableSchema: StructType, store: String)
     // Residual Spark evaluation keeps the table honest for both.
     val marker = SegmentShardSink.readMarker(
       SparkSession.active.sessionState.newHadoopConf(), store)
-    new IndexScanBuilder(tableSchema, store, marker.multivalued, marker.analyzed)
+    val numeric: Map[String, Char] =
+      marker.numericLong.iterator.map(_ -> 'l').toMap ++
+        marker.numericDouble.iterator.map(_ -> 'd')
+    new IndexScanBuilder(tableSchema, store, marker.multivalued, marker.analyzed, numeric)
   }
 }
 
@@ -126,13 +143,40 @@ private[index] final case class MaxAgg(field: String) extends PushedAgg
 
 private[index] class IndexScanBuilder(full: StructType, store: String,
                                       multivalued: Set[String],
-                                      analyzed: Set[String])
+                                      analyzed: Set[String],
+                                      numeric: Map[String, Char] = Map.empty)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit
     with SupportsPushDownTopN {
 
+  /** A pushed comparison value as the INDEXED term: strings verbatim,
+    * numeric fields through the sortable encoding (so the dictionary
+    * range scan runs in numeric order). None = not translatable →
+    * that filter stays residual. */
+  private def termOf(field: String, v: Any): Option[String] =
+    numeric.getOrElse(field, 's') match {
+      case 'l' => v match {
+        case n @ (_: java.lang.Long | _: java.lang.Integer |
+                  _: java.lang.Short | _: java.lang.Byte) =>
+          Some(NumericTerms.encodeLong(n.asInstanceOf[java.lang.Number].longValue()))
+        case _ => None
+      }
+      case 'd' => v match {
+        case n @ (_: java.lang.Double | _: java.lang.Float) =>
+          Some(NumericTerms.encodeDouble(n.asInstanceOf[java.lang.Number].doubleValue()))
+        case _ => None
+      }
+      case _ => v match {
+        case s: String => Some(s)
+        case _ => None
+      }
+    }
+
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
+
+  private def fieldType(f: String): DataType =
+    full.fields.find(_.name == f).map(_.dataType).getOrElse(StringType)
   private var query: PushedQuery = MatchAll
   private var countPushed = false
   private var aggs: Seq[PushedAgg] = Nil
@@ -235,8 +279,8 @@ private[index] class IndexScanBuilder(full: StructType, store: String,
         aggs = resolved
         required = StructType(resolved.map {
           case CountStarAgg => StructField("count(*)", LongType, nullable = false)
-          case MinAgg(f) => StructField(s"min($f)", StringType, nullable = true)
-          case MaxAgg(f) => StructField(s"max($f)", StringType, nullable = true)
+          case MinAgg(f) => StructField(s"min($f)", fieldType(f), nullable = true)
+          case MaxAgg(f) => StructField(s"max($f)", fieldType(f), nullable = true)
         })
         true
       case groups if groups.nonEmpty && groups.length <= 2 &&
@@ -250,11 +294,11 @@ private[index] class IndexScanBuilder(full: StructType, store: String,
         aggs = resolved
         facetFields = groups.map(_.asInstanceOf[NamedReference].fieldNames()(0))
         required = StructType(
-          facetFields.map(f => StructField(f, StringType, nullable = true)) ++
+          facetFields.map(f => StructField(f, fieldType(f), nullable = true)) ++
             resolved.map {
               case CountStarAgg => StructField("count(*)", LongType, nullable = false)
-              case MinAgg(f) => StructField(s"min($f)", StringType, nullable = true)
-              case MaxAgg(f) => StructField(s"max($f)", StringType, nullable = true)
+              case MinAgg(f) => StructField(s"min($f)", fieldType(f), nullable = true)
+              case MaxAgg(f) => StructField(s"max($f)", fieldType(f), nullable = true)
             })
         true
       case _ => false
@@ -283,18 +327,19 @@ private[index] class IndexScanBuilder(full: StructType, store: String,
 
     // a single filter as a pushable leaf (or a whole OR tree of them)
     def leafOf(f: Filter): Option[PushedQuery] = f match {
-      case EqualTo(a, v: String) if pushable(a) && v != null => Some(TermQuery(a, Seq(v)))
-      case In(a, vs) if pushable(a) && vs.nonEmpty &&
-          vs.forall(v => v != null && v.isInstanceOf[String]) =>
-        Some(TermQuery(a, vs.toSeq.map(_.asInstanceOf[String])))
-      case GreaterThan(a, v: String) if pushable(a) && v != null =>
-        Some(RangeQuery(a, Some(v), lowerInc = false, None, upperInc = true))
-      case GreaterThanOrEqual(a, v: String) if pushable(a) && v != null =>
-        Some(RangeQuery(a, Some(v), lowerInc = true, None, upperInc = true))
-      case LessThan(a, v: String) if pushable(a) && v != null =>
-        Some(RangeQuery(a, None, lowerInc = true, Some(v), upperInc = false))
-      case LessThanOrEqual(a, v: String) if pushable(a) && v != null =>
-        Some(RangeQuery(a, None, lowerInc = true, Some(v), upperInc = true))
+      case EqualTo(a, v) if pushable(a) && v != null =>
+        termOf(a, v).map(t => TermQuery(a, Seq(t)))
+      case In(a, vs) if pushable(a) && vs.nonEmpty && vs.forall(_ != null) =>
+        val ts = vs.toSeq.map(termOf(a, _))
+        if (ts.forall(_.isDefined)) Some(TermQuery(a, ts.flatten)) else None
+      case GreaterThan(a, v) if pushable(a) && v != null =>
+        termOf(a, v).map(t => RangeQuery(a, Some(t), lowerInc = false, None, upperInc = true))
+      case GreaterThanOrEqual(a, v) if pushable(a) && v != null =>
+        termOf(a, v).map(t => RangeQuery(a, Some(t), lowerInc = true, None, upperInc = true))
+      case LessThan(a, v) if pushable(a) && v != null =>
+        termOf(a, v).map(t => RangeQuery(a, None, lowerInc = true, Some(t), upperInc = false))
+      case LessThanOrEqual(a, v) if pushable(a) && v != null =>
+        termOf(a, v).map(t => RangeQuery(a, None, lowerInc = true, Some(t), upperInc = true))
       case StringStartsWith(a, p) if pushable(a) && p != null =>
         Some(RangeQuery(a, Some(p), lowerInc = true,
           SegmentIndex.nextAfterPrefix(p), upperInc = false))
@@ -401,7 +446,8 @@ private[index] class IndexScanBuilder(full: StructType, store: String,
       required = StructType(requiredSchema.fields.filter(f => full.fieldNames.contains(f.name)))
 
   override def build(): Scan =
-    new IndexScan(store, required, query, countPushed, limit, topN, facetFields, aggs)
+    new IndexScan(store, required, query, countPushed, limit, topN, facetFields, aggs,
+      numeric)
 }
 
 private[index] class IndexScan(store: String, required: StructType,
@@ -410,15 +456,24 @@ private[index] class IndexScan(store: String, required: StructType,
                                limit: Option[Int] = None,
                                topN: Option[(Seq[SortKey], Int)] = None,
                                facetFields: Seq[String] = Nil,
-                               aggs: Seq[PushedAgg] = Nil) extends Scan with Batch {
+                               aggs: Seq[PushedAgg] = Nil,
+                               numeric: Map[String, Char] = Map.empty)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def description(): String = {
+    // numeric terms display decoded (the plan reader wants `p_size:15`,
+    // not the sortable hex the dictionary actually holds)
+    def disp(f: String, t: String): String = numeric.getOrElse(f, 's') match {
+      case 'l' => NumericTerms.decodeLong(t).toString
+      case 'd' => NumericTerms.decodeDouble(t).toString
+      case _ => t
+    }
     def render(pq: PushedQuery): String = pq match {
       case MatchAll => "*:*"
-      case TermQuery(f, ts) => s"$f:${ts.mkString("|")}"
+      case TermQuery(f, ts) => s"$f:${ts.map(disp(f, _)).mkString("|")}"
       case RangeQuery(f, lo, loInc, hi, hiInc) =>
-        val l = lo.map(v => (if (loInc) "[" else "{") + v).getOrElse("[*")
-        val u = hi.map(v => v + (if (hiInc) "]" else "}")).getOrElse("*]")
+        val l = lo.map(v => (if (loInc) "[" else "{") + disp(f, v)).getOrElse("[*")
+        val u = hi.map(v => disp(f, v) + (if (hiInc) "]" else "}")).getOrElse("*]")
         s"$f:$l TO $u"
       case OrQuery(bs) => bs.map(render).mkString("(", " OR ", ")")
       case AndQuery(bs) => bs.map(render).mkString("(", " AND ", ")")
@@ -463,7 +518,7 @@ private[index] class IndexScan(store: String, required: StructType,
     val conf = new SerializableHadoopConf(
       SparkSession.active.sessionState.newHadoopConf())
     new IndexReaderFactory(conf, required.fieldNames, query, countOnly, limit, topN,
-      facetFields, aggs)
+      facetFields, aggs, numeric)
   }
 }
 
@@ -476,8 +531,18 @@ private[index] class IndexReaderFactory(conf: SerializableHadoopConf,
                                         limit: Option[Int] = None,
                                         topN: Option[(Seq[SortKey], Int)] = None,
                                         facetFields: Seq[String] = Nil,
-                                        aggs: Seq[PushedAgg] = Nil)
+                                        aggs: Seq[PushedAgg] = Nil,
+                                        numeric: Map[String, Char] = Map.empty)
     extends PartitionReaderFactory {
+
+  /** Stored/indexed term → the typed row value: numeric fields decode
+    * the sortable encoding, the rest surface as UTF8 strings. */
+  private def conv(field: String): String => Any =
+    numeric.getOrElse(field, 's') match {
+      case 'l' => s => NumericTerms.decodeLong(s)
+      case 'd' => s => NumericTerms.decodeDouble(s)
+      case _ => s => UTF8String.fromString(s)
+    }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     if (facetFields.nonEmpty) new PartitionReader[InternalRow] {
@@ -490,14 +555,16 @@ private[index] class IndexReaderFactory(conf: SerializableHadoopConf,
         val reader = new SegmentIndex.Reader(dir.getFileSystem(conf.value), dir)
         facetFields match {
           case Seq(f) if aggs.isEmpty || aggs == Seq(CountStarAgg) =>
+            val cf = conv(f)
             val (stats, nullBucket) = reader.facetCounts(f, query)
             val termRows = stats.iterator.map { case (t, n) =>
-              InternalRow(UTF8String.fromString(t), n)
+              InternalRow(cf(t), n)
             }
             if (nullBucket > 0) termRows ++ Iterator(InternalRow(null, nullBucket))
             else termRows
           case Seq(f) =>
             // JSON-facet nested stats: count/min/max per group bucket
+            val cf = conv(f)
             val statFields = aggs.collect {
               case MinAgg(x) => x
               case MaxAgg(x) => x
@@ -505,18 +572,18 @@ private[index] class IndexReaderFactory(conf: SerializableHadoopConf,
             reader.groupedStats(f, statFields, query).iterator.map {
               case (g, (n, mm)) =>
                 InternalRow.fromSeq(
-                  (g.map(UTF8String.fromString).orNull: Any) +: aggs.map {
+                  (g.map(cf).orNull: Any) +: aggs.map {
                     case CountStarAgg => n
                     case MinAgg(x) =>
-                      mm.get(x).map(v => UTF8String.fromString(v._1)).orNull
+                      mm.get(x).map(v => conv(x)(v._1)).orNull
                     case MaxAgg(x) =>
-                      mm.get(x).map(v => UTF8String.fromString(v._2)).orNull
+                      mm.get(x).map(v => conv(x)(v._2)).orNull
                   })
             }
           case Seq(a, b) =>
+            val (ca, cb) = (conv(a), conv(b))
             reader.pivotCounts(a, b, query).iterator.map { case ((va, vb), n) =>
-              InternalRow(va.map(UTF8String.fromString).orNull,
-                vb.map(UTF8String.fromString).orNull, n)
+              InternalRow(va.map(ca).orNull, vb.map(cb).orNull, n)
             }
         }
       }
@@ -550,8 +617,8 @@ private[index] class IndexReaderFactory(conf: SerializableHadoopConf,
           def mm(f: String) = mmCache.getOrElseUpdate(f, reader.filteredMinMax(f, query))
           val values: Seq[Any] = aggs.map {
             case CountStarAgg => count
-            case MinAgg(f) => mm(f).map(x => UTF8String.fromString(x._1)).orNull
-            case MaxAgg(f) => mm(f).map(x => UTF8String.fromString(x._2)).orNull
+            case MinAgg(f) => mm(f).map(x => conv(f)(x._1)).orNull
+            case MaxAgg(f) => mm(f).map(x => conv(f)(x._2)).orNull
           }
           currentRow = InternalRow.fromSeq(values)
           emitted = true
@@ -618,13 +685,15 @@ private[index] class IndexReaderFactory(conf: SerializableHadoopConf,
       }
       private var current: InternalRow = _
 
+      private val convs: Array[String => Any] = fields.map(conv)
+
       override def next(): Boolean =
         if (!docs.hasNext) false
         else {
           val doc = docs.next()
           val m = SegmentIndex.firstValues(doc)
-          current = InternalRow.fromSeq(fields.toIndexedSeq.map(f =>
-            m.get(f).map(UTF8String.fromString).orNull))
+          current = InternalRow.fromSeq(fields.indices.map(i =>
+            m.get(fields(i)).map(convs(i)).orNull))
           true
         }
 

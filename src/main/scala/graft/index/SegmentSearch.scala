@@ -28,28 +28,57 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
  */
 object SegmentSearch {
 
+  /** Plain-value rendering of a stored term: numeric fields decode
+    * their sortable index encoding (see [[NumericTerms]]); the
+    * encoding is an INDEX-INTERNAL representation, never surfaced. */
+  private def decodeOf(marker: SegmentShardSink.StoreMarker,
+                       fields: Seq[String]): Array[String => String] =
+    fields.iterator.map { f =>
+      marker.kindOf(f) match {
+        case 'l' => (s: String) => NumericTerms.decodeLong(s).toString
+        case 'd' => (s: String) => NumericTerms.decodeDouble(s).toString
+        case _ => identity[String] _
+      }
+    }.toArray
+
+  /** A caller's plain query value as the INDEXED term (numeric fields
+    * encode — the inverse of [[decodeOf]]). */
+  private def encodeTerm(marker: SegmentShardSink.StoreMarker,
+                         field: String, term: String): String =
+    marker.kindOf(field) match {
+      case 'l' => NumericTerms.encodeLong(term.toLong)
+      case 'd' => NumericTerms.encodeDouble(term.toDouble)
+      case _ => term
+    }
+
   private def gather(spark: SparkSession, store: String, fields: Seq[String])
                     (hits: SegmentIndex.Reader => Iterator[SegmentIndex.Doc]): DataFrame = {
     val dirs = SegmentShardSink.partIndexDirs(spark, store)
     require(dirs.nonEmpty, s"no part dirs under $store")
     val conf = new SerializableHadoopConf(ShardIndex.hadoopConf(spark))
+    val decs = decodeOf(SegmentShardSink.readMarker(ShardIndex.hadoopConf(spark), store),
+      fields)
     val schema = StructType(fields.map(f => StructField(f, StringType, nullable = true)))
     val rows = spark.sparkContext.parallelize(dirs, dirs.size).flatMap { d =>
       val p = new Path(d)
       val reader = new SegmentIndex.Reader(p.getFileSystem(conf.value), p)
       hits(reader).map { doc =>
         val m = SegmentIndex.firstValues(doc) // first-wins multivalued contract
-        Row.fromSeq(fields.map(m.get(_).orNull))
+        Row.fromSeq(fields.indices.map(i => m.get(fields(i)).map(decs(i)).orNull))
       }
     }
     spark.createDataFrame(rows, schema)
   }
 
   /** Exact-term query (`field:term`) fanned out to every shard;
-    * returns the requested stored fields of every live hit. */
+    * returns the requested stored fields of every live hit. Numeric
+    * fields take the PLAIN value ("15", "2.5") and match exactly. */
   def termQuery(spark: SparkSession, store: String, field: String, term: String,
-                fields: Seq[String]): DataFrame =
-    gather(spark, store, fields)(r => r.termDocs(field, term).iterator)
+                fields: Seq[String]): DataFrame = {
+    val t = encodeTerm(
+      SegmentShardSink.readMarker(ShardIndex.hadoopConf(spark), store), field, term)
+    gather(spark, store, fields)(r => r.termDocs(field, t).iterator)
+  }
 
   /** `*:*` — every live stored doc across all shards. */
   def matchAll(spark: SparkSession, store: String, fields: Seq[String]): DataFrame =
@@ -71,8 +100,11 @@ object SegmentSearch {
   /** Realtime-get analog: live docs whose `field` matches ANY of
     * `terms` (each doc once), fanned out shard-parallel. */
   def getByTerms(spark: SparkSession, store: String, field: String,
-                 terms: Seq[String], fields: Seq[String]): DataFrame =
-    gather(spark, store, fields)(r => r.termDocsIn(field, terms).iterator)
+                 terms: Seq[String], fields: Seq[String]): DataFrame = {
+    val marker = SegmentShardSink.readMarker(ShardIndex.hadoopConf(spark), store)
+    val ts = terms.map(encodeTerm(marker, field, _))
+    gather(spark, store, fields)(r => r.termDocsIn(field, ts).iterator)
+  }
 
   /**
    * INDEX-SERVED BM25 (the Lucene scoring path, distributed the way
@@ -206,9 +238,14 @@ object SegmentSearch {
     val dirs = SegmentShardSink.partIndexDirs(spark, store)
     require(dirs.nonEmpty, s"no part dirs under $store")
     val conf = new SerializableHadoopConf(ShardIndex.hadoopConf(spark))
+    // Luke shows PLAIN values: numeric fields decode their sortable
+    // index encoding for the statistics view
+    val dec = decodeOf(
+      SegmentShardSink.readMarker(ShardIndex.hadoopConf(spark), store), Seq(field))(0)
     spark.sparkContext.parallelize(dirs, dirs.size).flatMap { d =>
       val p = new Path(d)
       new SegmentIndex.Reader(p.getFileSystem(conf.value), p).termStats(field).iterator
+        .map { case (t, n) => (dec(t), n) }
     }.toDF("term", "df_part")
       .groupBy(col("term"))
       .agg(org.apache.spark.sql.functions.sum(col("df_part")).as("doc_freq"))

@@ -49,13 +49,39 @@ object SegmentShardSink {
     case x => String.valueOf(x)
   }
 
-  private def docOf(row: Row, fields: Array[(String, Int, Boolean)]): SegmentIndex.Doc =
-    fields.iterator.flatMap { case (name, idx, isArray) =>
+  /** Render one value for indexing: numeric kinds ('l'/'d') take the
+    * sortable fixed-width encoding (see [[NumericTerms]]), everything
+    * else ('s') the canonical string. Accepts strings for numeric
+    * fields too (an upsert delta may carry pre-rendered values). */
+  private def renderKind(v: Any, kind: Char): String = kind match {
+    case 'l' => v match {
+      case n: java.lang.Number => NumericTerms.encodeLong(n.longValue())
+      case s: String => NumericTerms.encodeLong(s.toLong)
+      case x => NumericTerms.encodeLong(String.valueOf(x).toLong)
+    }
+    case 'd' => v match {
+      case n: java.lang.Number => NumericTerms.encodeDouble(n.doubleValue())
+      case s: String => NumericTerms.encodeDouble(s.toDouble)
+      case x => NumericTerms.encodeDouble(String.valueOf(x).toDouble)
+    }
+    case _ => render(v)
+  }
+
+  private def docOf(row: Row, fields: Array[(String, Int, Boolean, Char)]): SegmentIndex.Doc =
+    fields.iterator.flatMap { case (name, idx, isArray, kind) =>
       if (row.isNullAt(idx)) Iterator.empty
       else if (isArray)
         row.getSeq[Any](idx).iterator.filter(_ != null).map(e => name -> render(e))
-      else Iterator.single(name -> render(row.get(idx)))
+      else Iterator.single(name -> renderKind(row.get(idx), kind))
     }.toSeq
+
+  /** Numeric-term kind of a single-valued column: integrals 'l',
+    * fractionals 'd', everything else 's' (strings verbatim). */
+  private def kindOf(dt: DataType): Char = dt match {
+    case ByteType | ShortType | IntegerType | LongType => 'l'
+    case FloatType | DoubleType => 'd'
+    case _ => 's'
+  }
 
   /**
    * Build `microShards` (default: `shards`) index directories at
@@ -72,6 +98,8 @@ object SegmentShardSink {
             router: Option[HashRangeRouter] = None,
             analyzedFields: Set[String] = Set.empty): Unit = {
     require(!analyzedFields.contains(idCol), "the id column cannot be analyzed")
+    require(df.schema(idCol).dataType == StringType,
+      s"id column '$idCol' must be a string (cast it; ids are routed and deleted as strings)")
     val splits = math.max(1, if (microShards > 0) microShards / shards else 1)
     val n = shards * splits
     val routed = ShardIndex.routedForWrite(df, idCol, shards, splits, dedupOrder,
@@ -80,9 +108,16 @@ object SegmentShardSink {
       .sortWithinPartitions(col("__ms"), col(idCol).desc)
     val schema = routed.schema
     val msIdx = schema.fieldIndex("__ms")
-    val fields: Array[(String, Int, Boolean)] = schema.fields.zipWithIndex
+    // single-valued numeric columns index under the sortable encoding
+    // (Solr typed-field analog); analyzed fields are tokenized text by
+    // contract, so numeric typing never applies to them
+    val fields: Array[(String, Int, Boolean, Char)] = schema.fields.zipWithIndex
       .filter(_._1.name != "__ms")
-      .map { case (f, i) => (f.name, i, f.dataType.isInstanceOf[ArrayType]) }
+      .map { case (f, i) =>
+        val arr = f.dataType.isInstanceOf[ArrayType]
+        val kind = if (arr || analyzedFields.contains(f.name)) 's' else kindOf(f.dataType)
+        (f.name, i, arr, kind)
+      }
     val conf = new SerializableHadoopConf(ShardIndex.hadoopConf(df.sparkSession))
     val analyzedBc = analyzedFields
     // rows arrive sorted by __ms, so each micro shard is one contiguous
@@ -110,7 +145,9 @@ object SegmentShardSink {
         new SegmentIndex.Writer(fs, dir, analyzedFields).commit()
     }
     writeMarker(out, shards, n, idCol, fields.map(_._1), analyzedFields,
-      fields.filter(_._3).map(_._1).toSet, router, df.sparkSession)
+      fields.filter(_._3).map(_._1).toSet, router, df.sparkSession,
+      numericLong = fields.filter(_._4 == 'l').map(_._1).toSet,
+      numericDouble = fields.filter(_._4 == 'd').map(_._1).toSet)
   }
 
   private def indexDir(out: String, part: Int): String =
@@ -120,7 +157,9 @@ object SegmentShardSink {
                           columns: Seq[String], analyzed: Set[String],
                           multivalued: Set[String],
                           router: Option[HashRangeRouter],
-                          spark: SparkSession): Unit = {
+                          spark: SparkSession,
+                          numericLong: Set[String] = Set.empty,
+                          numericDouble: Set[String] = Set.empty): Unit = {
     val p = new Path(out, "_graft_segment_commit.json")
     val fs = p.getFileSystem(ShardIndex.hadoopConf(spark))
     val os = fs.create(p, true)
@@ -140,6 +179,8 @@ object SegmentShardSink {
         s""""id_column":"$idCol","columns":${arr(columns)},""" +
         s""""analyzed":${arr(analyzed.toSeq.sorted)},""" +
         s""""multivalued":${arr(multivalued.toSeq.sorted)},""" +
+        s""""numeric_long":${arr(numericLong.toSeq.sorted)},""" +
+        s""""numeric_double":${arr(numericDouble.toSeq.sorted)},""" +
         s""""routing_bits":$bits,"ranges":$rangesJson}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally os.close()
@@ -177,9 +218,14 @@ object SegmentShardSink {
     val schema = routed.schema
     val msIdx = schema.fieldIndex("__ms")
     val idIdx = schema.fieldIndex(idCol)
-    val fields: Array[(String, Int, Boolean)] = schema.fields.zipWithIndex
+    // numeric kinds come from the MARKER (the store's schema record),
+    // so a delta re-encodes exactly as the original write did
+    val fields: Array[(String, Int, Boolean, Char)] = schema.fields.zipWithIndex
       .filter(_._1.name != "__ms")
-      .map { case (f, i) => (f.name, i, f.dataType.isInstanceOf[ArrayType]) }
+      .map { case (f, i) =>
+        val arr = f.dataType.isInstanceOf[ArrayType]
+        (f.name, i, arr, if (arr) 's' else marker.kindOf(f.name))
+      }
     val conf = new SerializableHadoopConf(conf0)
     val analyzedBc = marker.analyzed
     routed.foreachPartition { (rows: Iterator[Row]) =>
@@ -211,9 +257,16 @@ object SegmentShardSink {
                                         columns: Seq[String],
                                         multivalued: Set[String],
                                         routingBits: Int,
-                                        ranges: Option[Seq[(Int, Int)]]) {
+                                        ranges: Option[Seq[(Int, Int)]],
+                                        numericLong: Set[String] = Set.empty,
+                                        numericDouble: Set[String] = Set.empty) {
     /** The store's routing, reconstructed — identical to what write() used. */
     def router: HashRangeRouter = HashRangeRouter(shards, routingBits, ranges)
+    /** Numeric-term kind per field ('l'/'d'/'s') — the typed-field record. */
+    def kindOf(field: String): Char =
+      if (numericLong.contains(field)) 'l'
+      else if (numericDouble.contains(field)) 'd'
+      else 's'
   }
 
   private[graft] def readMarker(conf: org.apache.hadoop.conf.Configuration,
@@ -244,7 +297,9 @@ object SegmentShardSink {
         val Array(a, b) = pair.split(":"); (a.toInt, b.toInt)
       })
     StoreMarker(intOf("shards"), intOf("parts"), id, strSet("analyzed"),
-      cols, strSet("multivalued"), bits, ranges)
+      cols, strSet("multivalued"), bits, ranges,
+      numericLong = strSet("numeric_long"),
+      numericDouble = strSet("numeric_double"))
   }
 
   /** Stored-field inventory from the store marker (written by
@@ -366,11 +421,15 @@ object SegmentShardSink {
   def deleteByTerm(spark: SparkSession, store: String, field: String, term: String): Long = {
     val dirs = partDirs(spark, store)
     require(dirs.nonEmpty, s"no part dirs under $store")
+    // numeric fields index under the sortable encoding — the caller's
+    // plain value must hit the encoded term
+    val kind = readMarker(ShardIndex.hadoopConf(spark), store).kindOf(field)
+    val t = if (kind == 's') term else renderKind(term, kind)
     val conf = new SerializableHadoopConf(ShardIndex.hadoopConf(spark))
     spark.sparkContext.parallelize(dirs, dirs.size).map { d =>
       val p = new Path(d)
       val w = new SegmentIndex.Writer(p.getFileSystem(conf.value), p)
-      val n = w.deleteDocuments(field, term)
+      val n = w.deleteDocuments(field, t)
       if (n > 0) w.commit()
       n.toLong
     }.sum().toLong

@@ -406,6 +406,65 @@ class IndexDataSourceSpec extends AnyFunSuite {
     assert(f.head.getString(0) === "beta")
   }
 
+  test("NUMERIC fields: typed schema, pushdown in numeric order, facets/stats decode") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{count => cnt, lit, max, min}
+    val out = tmp("graft_dsv2_num_")
+    // string order would put 100 < 15 < 5 — numeric order must win
+    val df = Seq(
+      ("1", 5L, 2.5), ("2", 15L, -1.25), ("3", 100L, 10.0), ("4", -3L, 0.5)
+    ).toDF("id", "n", "x")
+    SegmentShardSink.write(df, "id", out, shards = 2)
+    val idx = spark.read.format("graft-index").load(out)
+    assert(idx.schema("n").dataType.typeName === "long")
+    assert(idx.schema("x").dataType.typeName === "double")
+
+    // range pushdown runs in NUMERIC order (code-point order on the
+    // sortable encoding); plan displays decoded bounds
+    val r = idx.filter(col("n") > 10L)
+    val rPlan = r.queryExecution.executedPlan.toString
+    assert(rPlan.contains("pushedRange=n:{10 TO *]"), rPlan.take(2000))
+    assert(r.collect().map(_.getLong(1)).sorted.toSeq === Seq(15L, 100L))
+    // negative bound: -3 must sort below 5 (sign-flip encoding)
+    assert(idx.filter(col("n") < 5L).collect().map(_.getLong(1)).sorted.toSeq ===
+      Seq(-3L))
+    // double equality + range
+    assert(idx.filter(col("x") === -1.25).collect().map(_.getString(0)).toSeq ===
+      Seq("2"))
+    assert(idx.filter(col("x") >= 0.5 && col("x") < 10.0)
+      .collect().map(_.getString(0)).sorted.toSeq === Seq("1", "4"))
+    // In pushes as multi-term lookup
+    val in = idx.filter(col("n").isin(5L, 100L))
+    assert(in.queryExecution.executedPlan.toString.contains("pushedTerm=n:"),
+      in.queryExecution.executedPlan.toString.take(2000))
+    assert(in.collect().map(_.getString(0)).sorted.toSeq === Seq("1", "3"))
+
+    // TopN pushes and merges in numeric order
+    val top = idx.orderBy(col("n").desc).limit(2)
+    assert(top.queryExecution.executedPlan.toString.contains("pushedTopN=[n DESC]"),
+      top.queryExecution.executedPlan.toString.take(2000))
+    assert(top.collect().map(_.getLong(1)).toSeq === Seq(100L, 15L))
+
+    // facet + stats decode: grouped count over n, min/max over x
+    val fc = idx.groupBy("n").agg(cnt(lit(1)).as("c"))
+    assert(fc.queryExecution.executedPlan.toString.contains("pushedGroupBy=n"))
+    assert(fc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(5L -> 1L, 15L -> 1L, 100L -> 1L, -3L -> 1L))
+    val mm = idx.agg(min("x").as("lo"), max("x").as("hi")).head
+    assert((mm.getDouble(0), mm.getDouble(1)) === ((-1.25, 10.0)))
+
+    // deleteByTerm takes the PLAIN value (encodes internally)
+    SegmentShardSink.deleteByTerm(spark, out, "n", "100")
+    assert(spark.read.format("graft-index").load(out)
+      .filter(col("n") > 10L).collect().map(_.getLong(1)).toSeq === Seq(15L))
+
+    // upsert re-encodes numerics from the marker's kind record
+    SegmentShardSink.upsert(spark, out,
+      Seq(("5", 42L, 3.5)).toDF("id", "n", "x"))
+    assert(spark.read.format("graft-index").load(out)
+      .filter(col("n") === 42L).collect().map(_.getString(0)).toSeq === Seq("5"))
+  }
+
   test("GROUPED stats pushdown: JSON-facet nested min/max per bucket") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{count => cnt, lit, max, min}

@@ -285,7 +285,12 @@ class SegmentIndexSpec extends AnyFunSuite {
     val r = SegmentIndex.reader(s"$out/part-00000/data/index", conf)
     assert(r.termQueryCount("tags", "red") === 2L)
     assert(r.termQueryCount("tags", "blue") === 1L)
-    assert(r.termQueryCount("n", "7") === 1L)
+    // a single-valued numeric column indexes under the SORTABLE
+    // encoding (typed-field contract) — the raw dictionary holds the
+    // encoded term, the search surface takes/returns plain values
+    assert(r.termQueryCount("n", NumericTerms.encodeLong(7L)) === 1L)
+    assert(SegmentSearch.termQuery(spark, out, "n", "7", Seq("id", "n"))
+      .collect().map(x => (x.getString(0), x.getString(1))).toSeq === Seq(("d1", "7")))
   }
 
   test("deleteDocumentsBatch == per-term deletes; termDocsIn dedupes multivalued hits") {
