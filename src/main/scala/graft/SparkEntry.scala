@@ -1839,6 +1839,32 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"),
           min(col("p_price")).as("min_price"),
           max(col("p_price")).as("max_price"))
+    }),
+
+    // Typed temporal fields (Solr pdate): o_orderdate indexes as both
+    // a TIMESTAMP_NTZ (epoch-micros sortable terms — the parquet
+    // timestamp[ms] column reads as NTZ) and a DATE (epoch days); a
+    // timestamp lower bound and a date upper bound push together as
+    // one AND of dictionary ranges in CHRONOLOGICAL order — Solr's
+    // `o_ts:[1995-03-01T00:00 TO *] AND o_day:[* TO 1995-06-01}` fq —
+    // with typed columns out and zero residual.
+    "q134_index_time_range" -> ((s, d) => {
+      import graft.index.SegmentShardSink
+      val out = sharedStore(d, "orders_time") { o =>
+        SegmentShardSink.write(
+          Tables.orders(s, d).select(
+            col("o_orderkey").cast("string").as("id"),
+            col("o_orderdate").as("o_ts"),
+            to_date(col("o_orderdate")).as("o_day"),
+            col("o_totalprice")),
+          "id", o, shards = 4)
+      }
+      s.read.format("graft-index").load(out)
+        .filter(col("o_ts") >= lit("1995-03-01 00:00:00").cast("timestamp_ntz") &&
+          col("o_day") < lit("1995-06-01").cast("date"))
+        .select(col("id").cast("long").as("o_orderkey"),
+          date_format(col("o_ts"), "yyyy-MM-dd").as("o_day"),
+          col("o_totalprice"))
     })
   )
 
@@ -2877,6 +2903,13 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS cnt,
         |       min(CAST(p_retailprice AS DOUBLE)) AS min_price,
         |       max(CAST(p_retailprice AS DOUBLE)) AS max_price
-        |FROM part WHERE p_size <= 10 GROUP BY 1""".stripMargin
+        |FROM part WHERE p_size <= 10 GROUP BY 1""".stripMargin,
+
+    "q134_index_time_range" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_day,
+        |       o_totalprice
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-03-01 00:00:00'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1995-06-01'""".stripMargin
   )
 }

@@ -9,7 +9,7 @@ import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering,
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, StringStartsWith}
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, DateType, DoubleType, LongType, StringType, StructField, StructType, TimestampNTZType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -70,6 +70,9 @@ class IndexDataSource extends TableProvider with DataSourceRegister {
       val dt = marker.kindOf(c) match {
         case 'l' => LongType
         case 'd' => DoubleType
+        case 't' => TimestampType
+        case 'u' => TimestampNTZType
+        case 'a' => DateType
         case _ => StringType
       }
       StructField(c, dt, nullable = true)
@@ -102,7 +105,10 @@ private[index] class IndexTable(tableSchema: StructType, store: String)
       SparkSession.active.sessionState.newHadoopConf(), store)
     val numeric: Map[String, Char] =
       marker.numericLong.iterator.map(_ -> 'l').toMap ++
-        marker.numericDouble.iterator.map(_ -> 'd')
+        marker.numericDouble.iterator.map(_ -> 'd') ++
+        marker.numericTs.iterator.map(_ -> 't') ++
+        marker.numericDate.iterator.map(_ -> 'a') ++
+        marker.numericTsNtz.iterator.map(_ -> 'u')
     new IndexScanBuilder(tableSchema, store, marker.multivalued, marker.analyzed, numeric)
   }
 }
@@ -164,6 +170,26 @@ private[index] class IndexScanBuilder(full: StructType, store: String,
       case 'd' => v match {
         case n @ (_: java.lang.Double | _: java.lang.Float) =>
           Some(NumericTerms.encodeDouble(n.asInstanceOf[java.lang.Number].doubleValue()))
+        case _ => None
+      }
+      case 't' => v match {
+        // java.sql vs java.time depends on spark.sql.datetime.java8API
+        case ts: java.sql.Timestamp =>
+          Some(NumericTerms.encodeLong(NumericTerms.microsOf(ts)))
+        case i: java.time.Instant =>
+          Some(NumericTerms.encodeLong(NumericTerms.microsOf(i)))
+        case _ => None
+      }
+      case 'a' => v match {
+        case d: java.sql.Date =>
+          Some(NumericTerms.encodeLong(d.toLocalDate.toEpochDay))
+        case d: java.time.LocalDate =>
+          Some(NumericTerms.encodeLong(d.toEpochDay))
+        case _ => None
+      }
+      case 'u' => v match {
+        case l: java.time.LocalDateTime =>
+          Some(NumericTerms.encodeLong(NumericTerms.microsOfNtz(l)))
         case _ => None
       }
       case _ => v match {
@@ -466,6 +492,9 @@ private[index] class IndexScan(store: String, required: StructType,
     def disp(f: String, t: String): String = numeric.getOrElse(f, 's') match {
       case 'l' => NumericTerms.decodeLong(t).toString
       case 'd' => NumericTerms.decodeDouble(t).toString
+      case 't' => NumericTerms.instantOf(NumericTerms.decodeLong(t)).toString
+      case 'u' => NumericTerms.ntzOf(NumericTerms.decodeLong(t)).toString
+      case 'a' => java.time.LocalDate.ofEpochDay(NumericTerms.decodeLong(t)).toString
       case _ => t
     }
     def render(pq: PushedQuery): String = pq match {
@@ -536,10 +565,13 @@ private[index] class IndexReaderFactory(conf: SerializableHadoopConf,
     extends PartitionReaderFactory {
 
   /** Stored/indexed term → the typed row value: numeric fields decode
-    * the sortable encoding, the rest surface as UTF8 strings. */
+    * the sortable encoding (timestamps surface as Spark's internal
+    * epoch-micros Long, dates as epoch-days Int), the rest as UTF8
+    * strings. */
   private def conv(field: String): String => Any =
     numeric.getOrElse(field, 's') match {
-      case 'l' => s => NumericTerms.decodeLong(s)
+      case 'l' | 't' | 'u' => s => NumericTerms.decodeLong(s)
+      case 'a' => s => NumericTerms.decodeLong(s).toInt
       case 'd' => s => NumericTerms.decodeDouble(s)
       case _ => s => UTF8String.fromString(s)
     }

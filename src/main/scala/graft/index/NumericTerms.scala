@@ -45,4 +45,24 @@ private[graft] object NumericTerms {
     val bits = if (sortable < 0) sortable ^ Long.MinValue else ~sortable
     java.lang.Double.longBitsToDouble(bits)
   }
+
+  /** Timestamps index as epoch MICROSECONDS (Spark's internal
+    * timestamp resolution) through [[encodeLong]]; dates as epoch
+    * days. */
+  def microsOf(i: java.time.Instant): Long =
+    Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)
+
+  def microsOf(ts: java.sql.Timestamp): Long = microsOf(ts.toInstant)
+
+  def instantOf(micros: Long): java.time.Instant =
+    java.time.Instant.ofEpochSecond(Math.floorDiv(micros, 1000000L),
+      Math.floorMod(micros, 1000000L) * 1000L)
+
+  /** TIMESTAMP_NTZ: the wall-clock reading as micros from the epoch
+    * (no zone — Spark's internal NTZ representation). */
+  def microsOfNtz(l: java.time.LocalDateTime): Long =
+    microsOf(l.toInstant(java.time.ZoneOffset.UTC))
+
+  def ntzOf(micros: Long): java.time.LocalDateTime =
+    java.time.LocalDateTime.ofInstant(instantOf(micros), java.time.ZoneOffset.UTC)
 }

@@ -37,6 +37,12 @@ object SegmentSearch {
       marker.kindOf(f) match {
         case 'l' => (s: String) => NumericTerms.decodeLong(s).toString
         case 'd' => (s: String) => NumericTerms.decodeDouble(s).toString
+        case 't' => (s: String) =>
+          NumericTerms.instantOf(NumericTerms.decodeLong(s)).toString
+        case 'u' => (s: String) =>
+          NumericTerms.ntzOf(NumericTerms.decodeLong(s)).toString
+        case 'a' => (s: String) =>
+          java.time.LocalDate.ofEpochDay(NumericTerms.decodeLong(s)).toString
         case _ => identity[String] _
       }
     }.toArray
@@ -48,6 +54,12 @@ object SegmentSearch {
     marker.kindOf(field) match {
       case 'l' => NumericTerms.encodeLong(term.toLong)
       case 'd' => NumericTerms.encodeDouble(term.toDouble)
+      case 't' =>
+        NumericTerms.encodeLong(NumericTerms.microsOf(java.time.Instant.parse(term)))
+      case 'u' =>
+        NumericTerms.encodeLong(
+          NumericTerms.microsOfNtz(java.time.LocalDateTime.parse(term)))
+      case 'a' => NumericTerms.encodeLong(java.time.LocalDate.parse(term).toEpochDay)
       case _ => term
     }
 

@@ -49,10 +49,11 @@ object SegmentShardSink {
     case x => String.valueOf(x)
   }
 
-  /** Render one value for indexing: numeric kinds ('l'/'d') take the
-    * sortable fixed-width encoding (see [[NumericTerms]]), everything
-    * else ('s') the canonical string. Accepts strings for numeric
-    * fields too (an upsert delta may carry pre-rendered values). */
+  /** Render one value for indexing: numeric kinds ('l' long, 'd'
+    * double, 't' timestamp→epoch-micros, 'a' date→epoch-days) take
+    * the sortable fixed-width encoding (see [[NumericTerms]]),
+    * everything else ('s') the canonical string. Accepts strings for
+    * typed fields too (an upsert delta may carry plain renderings). */
   private def renderKind(v: Any, kind: Char): String = kind match {
     case 'l' => v match {
       case n: java.lang.Number => NumericTerms.encodeLong(n.longValue())
@@ -64,6 +65,27 @@ object SegmentShardSink {
       case s: String => NumericTerms.encodeDouble(s.toDouble)
       case x => NumericTerms.encodeDouble(String.valueOf(x).toDouble)
     }
+    case 't' => NumericTerms.encodeLong(v match {
+      case ts: java.sql.Timestamp => NumericTerms.microsOf(ts)
+      case i: java.time.Instant => NumericTerms.microsOf(i)
+      case n: java.lang.Number => n.longValue() // already epoch-micros
+      case s: String => NumericTerms.microsOf(java.time.Instant.parse(s))
+      case x => NumericTerms.microsOf(java.time.Instant.parse(String.valueOf(x)))
+    })
+    case 'a' => NumericTerms.encodeLong(v match {
+      case d: java.sql.Date => d.toLocalDate.toEpochDay
+      case d: java.time.LocalDate => d.toEpochDay
+      case n: java.lang.Number => n.longValue() // already epoch-days
+      case s: String => java.time.LocalDate.parse(s).toEpochDay
+      case x => java.time.LocalDate.parse(String.valueOf(x)).toEpochDay
+    })
+    case 'u' => NumericTerms.encodeLong(v match {
+      case l: java.time.LocalDateTime => NumericTerms.microsOfNtz(l)
+      case n: java.lang.Number => n.longValue() // already epoch-micros
+      case s: String => NumericTerms.microsOfNtz(java.time.LocalDateTime.parse(s))
+      case x => NumericTerms.microsOfNtz(
+        java.time.LocalDateTime.parse(String.valueOf(x)))
+    })
     case _ => render(v)
   }
 
@@ -76,10 +98,14 @@ object SegmentShardSink {
     }.toSeq
 
   /** Numeric-term kind of a single-valued column: integrals 'l',
-    * fractionals 'd', everything else 's' (strings verbatim). */
+    * fractionals 'd', timestamps 't' (epoch micros), dates 'a'
+    * (epoch days), everything else 's' (strings verbatim). */
   private def kindOf(dt: DataType): Char = dt match {
     case ByteType | ShortType | IntegerType | LongType => 'l'
     case FloatType | DoubleType => 'd'
+    case TimestampType => 't'
+    case TimestampNTZType => 'u' // pandas-written parquet reads as NTZ
+    case DateType => 'a'
     case _ => 's'
   }
 
@@ -147,7 +173,10 @@ object SegmentShardSink {
     writeMarker(out, shards, n, idCol, fields.map(_._1), analyzedFields,
       fields.filter(_._3).map(_._1).toSet, router, df.sparkSession,
       numericLong = fields.filter(_._4 == 'l').map(_._1).toSet,
-      numericDouble = fields.filter(_._4 == 'd').map(_._1).toSet)
+      numericDouble = fields.filter(_._4 == 'd').map(_._1).toSet,
+      numericTs = fields.filter(_._4 == 't').map(_._1).toSet,
+      numericDate = fields.filter(_._4 == 'a').map(_._1).toSet,
+      numericTsNtz = fields.filter(_._4 == 'u').map(_._1).toSet)
   }
 
   private def indexDir(out: String, part: Int): String =
@@ -159,7 +188,10 @@ object SegmentShardSink {
                           router: Option[HashRangeRouter],
                           spark: SparkSession,
                           numericLong: Set[String] = Set.empty,
-                          numericDouble: Set[String] = Set.empty): Unit = {
+                          numericDouble: Set[String] = Set.empty,
+                          numericTs: Set[String] = Set.empty,
+                          numericDate: Set[String] = Set.empty,
+                          numericTsNtz: Set[String] = Set.empty): Unit = {
     val p = new Path(out, "_graft_segment_commit.json")
     val fs = p.getFileSystem(ShardIndex.hadoopConf(spark))
     val os = fs.create(p, true)
@@ -181,6 +213,9 @@ object SegmentShardSink {
         s""""multivalued":${arr(multivalued.toSeq.sorted)},""" +
         s""""numeric_long":${arr(numericLong.toSeq.sorted)},""" +
         s""""numeric_double":${arr(numericDouble.toSeq.sorted)},""" +
+        s""""numeric_ts":${arr(numericTs.toSeq.sorted)},""" +
+        s""""numeric_date":${arr(numericDate.toSeq.sorted)},""" +
+        s""""numeric_ts_ntz":${arr(numericTsNtz.toSeq.sorted)},""" +
         s""""routing_bits":$bits,"ranges":$rangesJson}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally os.close()
@@ -259,13 +294,20 @@ object SegmentShardSink {
                                         routingBits: Int,
                                         ranges: Option[Seq[(Int, Int)]],
                                         numericLong: Set[String] = Set.empty,
-                                        numericDouble: Set[String] = Set.empty) {
+                                        numericDouble: Set[String] = Set.empty,
+                                        numericTs: Set[String] = Set.empty,
+                                        numericDate: Set[String] = Set.empty,
+                                        numericTsNtz: Set[String] = Set.empty) {
     /** The store's routing, reconstructed — identical to what write() used. */
     def router: HashRangeRouter = HashRangeRouter(shards, routingBits, ranges)
-    /** Numeric-term kind per field ('l'/'d'/'s') — the typed-field record. */
+    /** Numeric-term kind per field ('l'/'d'/'t'/'a'/'s') — the
+      * typed-field record (Solr plong/pdouble/pdate analog). */
     def kindOf(field: String): Char =
       if (numericLong.contains(field)) 'l'
       else if (numericDouble.contains(field)) 'd'
+      else if (numericTs.contains(field)) 't'
+      else if (numericDate.contains(field)) 'a'
+      else if (numericTsNtz.contains(field)) 'u'
       else 's'
   }
 
@@ -299,7 +341,10 @@ object SegmentShardSink {
     StoreMarker(intOf("shards"), intOf("parts"), id, strSet("analyzed"),
       cols, strSet("multivalued"), bits, ranges,
       numericLong = strSet("numeric_long"),
-      numericDouble = strSet("numeric_double"))
+      numericDouble = strSet("numeric_double"),
+      numericTs = strSet("numeric_ts"),
+      numericDate = strSet("numeric_date"),
+      numericTsNtz = strSet("numeric_ts_ntz"))
   }
 
   /** Stored-field inventory from the store marker (written by

@@ -465,6 +465,59 @@ class IndexDataSourceSpec extends AnyFunSuite {
       .filter(col("n") === 42L).collect().map(_.getString(0)).toSeq === Seq("5"))
   }
 
+  test("TEMPORAL fields: timestamp/date typed schema, range pushdown, decode round-trip") {
+    import spark.implicits._
+    val out = tmp("graft_dsv2_time_")
+    val df = Seq(
+      ("1", "2024-01-15 10:30:00", "2024-01-15"),
+      ("2", "2024-06-01 00:00:00", "2024-06-01"),
+      ("3", "2023-12-31 23:59:59", "2023-12-31")
+    ).toDF("id", "ts_s", "d_s")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+      .withColumn("day", col("d_s").cast("date"))
+      .select("id", "ts", "day")
+    SegmentShardSink.write(df, "id", out, shards = 2)
+    val idx = spark.read.format("graft-index").load(out)
+    assert(idx.schema("ts").dataType.typeName === "timestamp")
+    assert(idx.schema("day").dataType.typeName === "date")
+
+    // timestamp range pushes in instant order, zero residual
+    val r = idx.filter(col("ts") >= lit("2024-01-01 00:00:00").cast("timestamp"))
+    val plan = r.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedRange=ts:["), plan.take(2000))
+    assert(r.collect().map(_.getString(0)).sorted.toSeq === Seq("1", "2"))
+    // date equality + range
+    assert(idx.filter(col("day") === lit("2024-06-01").cast("date"))
+      .collect().map(_.getString(0)).toSeq === Seq("2"))
+    assert(idx.filter(col("day") < lit("2024-01-01").cast("date"))
+      .collect().map(_.getString(0)).toSeq === Seq("3"))
+    // values round-trip typed through the scan
+    val row = idx.filter(col("id") === "1").select("ts", "day").head
+    assert(row.getTimestamp(0).toString.startsWith("2024-01-15 10:30:00"))
+    assert(row.getDate(1).toString === "2024-01-15")
+    // TopN in chronological order
+    assert(idx.orderBy(col("ts").desc).limit(1).head.getString(0) === "2")
+    // the scatter-gather surface shows ISO plain values
+    val raw = SegmentSearch.matchAll(spark, out, Seq("id", "day"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(raw("3") === "2023-12-31")
+
+    // TIMESTAMP_NTZ (what pandas-written parquet timestamps read as):
+    // typed schema, chronological range pushdown, typed round-trip
+    val ntzOut = tmp("graft_dsv2_ntz_")
+    SegmentShardSink.write(
+      Seq(("1", "2024-01-15 10:30:00"), ("2", "2024-06-01 00:00:00"))
+        .toDF("id", "ts_s")
+        .withColumn("ts", col("ts_s").cast("timestamp_ntz")).select("id", "ts"),
+      "id", ntzOut, shards = 1)
+    val ntzIdx = spark.read.format("graft-index").load(ntzOut)
+    assert(ntzIdx.schema("ts").dataType.typeName === "timestamp_ntz")
+    val nq = ntzIdx.filter(col("ts") >= lit("2024-02-01 00:00:00").cast("timestamp_ntz"))
+    assert(nq.queryExecution.executedPlan.toString.contains("pushedRange=ts:[2024-02-01T00:00"),
+      nq.queryExecution.executedPlan.toString.take(2000))
+    assert(nq.collect().map(_.getString(0)).toSeq === Seq("2"))
+  }
+
   test("GROUPED stats pushdown: JSON-facet nested min/max per bucket") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{count => cnt, lit, max, min}
