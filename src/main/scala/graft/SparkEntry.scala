@@ -1865,6 +1865,30 @@ object SparkEntry {
         .select(col("id").cast("long").as("o_orderkey"),
           date_format(col("o_ts"), "yyyy-MM-dd").as("o_day"),
           col("o_totalprice"))
+    }),
+
+    // stats.field sum/count served from postings: SUM over an integral
+    // typed field is Σ decoded-term × live-match-count (exact integer
+    // math), COUNT(field) the non-null match count — one term-list walk
+    // per field, zero row materialization, composed under an fq. The
+    // executed plan is a single pushed-aggregate scan (no Spark-side
+    // HashAggregate over rows).
+    "q135_index_sum_stats" -> ((s, d) => {
+      import graft.index.SegmentShardSink
+      val out = sharedStore(d, "part_num") { o =>
+        SegmentShardSink.write(
+          Tables.part(s, d).select(
+            col("p_partkey").cast("string").as("id"),
+            col("p_size").cast("long").as("p_size"),
+            col("p_retailprice").cast("double").as("p_price"),
+            col("p_brand")),
+          "id", o, shards = 4)
+      }
+      s.read.format("graft-index").load(out)
+        .filter(col("p_brand") === "Brand#23")
+        .agg(sum(col("p_size")).as("sum_size"),
+          count(col("p_size")).as("cnt_size"),
+          count(lit(1)).as("cnt"))
     })
   )
 
@@ -2910,6 +2934,12 @@ object SparkEntry {
         |       o_totalprice
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1995-03-01 00:00:00'
-        |  AND CAST(o_orderdate AS DATE) < DATE '1995-06-01'""".stripMargin
+        |  AND CAST(o_orderdate AS DATE) < DATE '1995-06-01'""".stripMargin,
+
+    "q135_index_sum_stats" ->
+      """SELECT CAST(sum(p_size) AS BIGINT) AS sum_size,
+        |       CAST(count(p_size) AS BIGINT) AS cnt_size,
+        |       CAST(count(*) AS BIGINT) AS cnt
+        |FROM part WHERE p_brand = 'Brand#23'""".stripMargin
   )
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection, SortOrder, Transform}
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, StringStartsWith}
 import org.apache.spark.sql.types.{DataType, DateType, DoubleType, LongType, StringType, StructField, StructType, TimestampNTZType, TimestampType}
@@ -146,6 +146,11 @@ private[index] sealed trait PushedAgg extends Serializable
 private[index] case object CountStarAgg extends PushedAgg
 private[index] final case class MinAgg(field: String) extends PushedAgg
 private[index] final case class MaxAgg(field: String) extends PushedAgg
+/** SUM of a typed integral field — served as Σ decoded-term × live
+  * match count from postings, exact integer math. */
+private[index] final case class SumAgg(field: String) extends PushedAgg
+/** COUNT(field) — non-null count among the match set, from postings. */
+private[index] final case class CountFieldAgg(field: String) extends PushedAgg
 
 private[index] class IndexScanBuilder(full: StructType, store: String,
                                       multivalued: Set[String],
@@ -295,21 +300,35 @@ private[index] class IndexScanBuilder(full: StructType, store: String,
       case _: CountStar => Some(CountStarAgg)
       case m: Min => singleRef(m.column).map(MinAgg)
       case m: Max => singleRef(m.column).map(MaxAgg)
+      // SUM only for integral typed fields: the postings sum is exact
+      // integer math; double sums are order-sensitive and stay in Spark
+      case s: Sum if !s.isDistinct =>
+        singleRef(s.column).filter(f => numeric.getOrElse(f, 's') == 'l').map(SumAgg)
+      case c: Count if !c.isDistinct => singleRef(c.column).map(CountFieldAgg)
       case _ => None
     }
     if (specs.isEmpty || specs.exists(_.isEmpty)) return false
     val resolved = specs.flatten
+    def statSchema(a: PushedAgg): StructField = a match {
+      case CountStarAgg => StructField("count(*)", LongType, nullable = false)
+      case MinAgg(f) => StructField(s"min($f)", fieldType(f), nullable = true)
+      case MaxAgg(f) => StructField(s"max($f)", fieldType(f), nullable = true)
+      case SumAgg(f) => StructField(s"sum($f)", LongType, nullable = true)
+      case CountFieldAgg(f) => StructField(s"count($f)", LongType, nullable = false)
+    }
     agg.groupByExpressions.toSeq match {
       case Nil =>
         countPushed = true
         aggs = resolved
-        required = StructType(resolved.map {
-          case CountStarAgg => StructField("count(*)", LongType, nullable = false)
-          case MinAgg(f) => StructField(s"min($f)", fieldType(f), nullable = true)
-          case MaxAgg(f) => StructField(s"max($f)", fieldType(f), nullable = true)
-        })
+        required = StructType(resolved.map(statSchema))
         true
       case groups if groups.nonEmpty && groups.length <= 2 &&
+          // grouped: COUNT(*)/MIN/MAX only (sum/count(f) are ungrouped
+          // stats.field — the grouped walk doesn't serve them yet)
+          resolved.forall {
+            case CountStarAgg | _: MinAgg | _: MaxAgg => true
+            case _ => false
+          } &&
           (groups.length == 1 || resolved == Seq(CountStarAgg)) &&
           groups.forall {
             case r: NamedReference =>
@@ -321,11 +340,7 @@ private[index] class IndexScanBuilder(full: StructType, store: String,
         facetFields = groups.map(_.asInstanceOf[NamedReference].fieldNames()(0))
         required = StructType(
           facetFields.map(f => StructField(f, fieldType(f), nullable = true)) ++
-            resolved.map {
-              case CountStarAgg => StructField("count(*)", LongType, nullable = false)
-              case MinAgg(f) => StructField(s"min($f)", fieldType(f), nullable = true)
-              case MaxAgg(f) => StructField(s"max($f)", fieldType(f), nullable = true)
-            })
+            resolved.map(statSchema))
         true
       case _ => false
     }
@@ -524,6 +539,8 @@ private[index] class IndexScan(store: String, required: StructType,
         case CountStarAgg => "count(*)"
         case MinAgg(f) => s"min($f)"
         case MaxAgg(f) => s"max($f)"
+        case SumAgg(f) => s"sum($f)"
+        case CountFieldAgg(f) => s"count($f)"
       }.mkString(",") + " "
     s"GraftIndexScan store=$store $q " +
       aggDesc +
@@ -647,10 +664,18 @@ private[index] class IndexReaderFactory(conf: SerializableHadoopConf,
           val mmCache = scala.collection.mutable.HashMap.empty[String, Option[(String, String)]]
           // unfiltered → metadata-only zone maps; filtered → postings ∩ match set
           def mm(f: String) = mmCache.getOrElseUpdate(f, reader.filteredMinMax(f, query))
+          // sum/count(field) from one postings walk per field (cached:
+          // sum(f) + count(f) in the same query share the walk)
+          val scCache = scala.collection.mutable.HashMap.empty[String, (Option[Long], Long)]
+          def sc(f: String) = scCache.getOrElseUpdate(f,
+            reader.fieldSumCount(f, query,
+              if (numeric.getOrElse(f, 's') == 'l') NumericTerms.decodeLong else _ => 0L))
           val values: Seq[Any] = aggs.map {
             case CountStarAgg => count
             case MinAgg(f) => mm(f).map(x => conv(f)(x._1)).orNull
             case MaxAgg(f) => mm(f).map(x => conv(f)(x._2)).orNull
+            case SumAgg(f) => sc(f)._1.map(java.lang.Long.valueOf).orNull
+            case CountFieldAgg(f) => sc(f)._2
           }
           currentRow = InternalRow.fromSeq(values)
           emitted = true

@@ -1000,6 +1000,40 @@ object SegmentIndex {
         else Some((perSeg.map(_._1).min(CpOrdering), perSeg.map(_._2).max(CpOrdering)))
       }
 
+    /** stats.field sum/count under an `fq`: (Σ decoded term value ×
+      * live match count, non-null count) of `field` among docs
+      * matching `filter` — postings only, one pass over the field's
+      * term list per segment. `decode` maps an indexed term to its
+      * numeric value (the typed-field sortable encoding); the sum is
+      * exact integer math (`addExact`/`multiplyExact` — overflow
+      * throws, matching Spark's ANSI long-sum). Sum is None when no
+      * matching live doc holds the field (SQL SUM over empty = NULL).
+      * Assumes `field` single-valued non-analyzed (the DSv2 pushdown
+      * contract). */
+    def fieldSumCount(field: String, filter: PushedQuery,
+                      decode: String => Long): (Option[Long], Long) = {
+      var sum = 0L
+      var count = 0L
+      commit.segments.foreach { s =>
+        if (!segExcluded(s, filter)) {
+          val dels = readDels(fs, dir, s)
+          val allPost = readPostings(fs, dir, s.name)
+          val matched: Int => Boolean = filter match {
+            case MatchAll => o => !dels.contains(o)
+            case q => branchOrds(s, allPost, q).filterNot(dels.contains).toSet
+          }
+          allPost.getOrElse(field, Map.empty).foreach { case (t, ords) =>
+            val n = ords.count(matched).toLong
+            if (n > 0) {
+              sum = Math.addExact(sum, Math.multiplyExact(decode(t), n))
+              count += n
+            }
+          }
+        }
+      }
+      (if (count > 0) Some(sum) else None, count)
+    }
+
     /** JSON-facet nested stats (`{type: terms, field: group, facet:
       * {m: "min(f)", x: "max(f)"}}`): per-group LIVE doc count plus
       * min/max of each stat field among docs matching `filter`,

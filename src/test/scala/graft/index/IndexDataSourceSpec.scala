@@ -518,6 +518,50 @@ class IndexDataSourceSpec extends AnyFunSuite {
     assert(nq.collect().map(_.getString(0)).toSeq === Seq("2"))
   }
 
+  test("SUM/COUNT(field) pushdown: postings-served stats, null/delete aware") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{count => cnt, lit, sum}
+    val out = tmp("graft_dsv2_sum_")
+    val df = Seq(
+      ("1", Some(5L), Some(1.5)), ("2", Some(15L), None),
+      ("3", Option.empty[Long], Some(2.5)), ("4", Some(-3L), Some(0.25))
+    ).toDF("id", "n", "x")
+    SegmentShardSink.write(df, "id", out, shards = 2)
+    val idx = spark.read.format("graft-index").load(out)
+
+    val q = idx.agg(sum("n").as("s"), cnt(col("n")).as("cn"), cnt(lit(1)).as("all"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedAgg=sum(n),count(n),count(*)"), plan.take(2000))
+    val r = q.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((17L, 3L, 4L)))
+
+    // under an fq: only matching docs contribute
+    val fq = idx.filter(col("x") >= 1.0).agg(sum("n").as("s"), cnt(col("n")).as("cn"))
+    val fqPlan = fq.queryExecution.executedPlan.toString
+    assert(fqPlan.contains("pushedAgg=sum(n),count(n)"), fqPlan.take(2000))
+    val fr = fq.head
+    assert((fr.getLong(0), fr.getLong(1)) === ((5L, 1L))) // doc 1 only (3 has null n)
+
+    // count(double field) pushes; sum(double) does NOT (stays in Spark)
+    val cd = idx.agg(cnt(col("x")).as("cx"))
+    assert(cd.queryExecution.executedPlan.toString.contains("pushedAgg=count(x)"))
+    assert(cd.head.getLong(0) === 3L)
+    val sd = idx.agg(sum("x").as("sx"))
+    assert(!sd.queryExecution.executedPlan.toString.contains("pushedAgg"))
+    assert(sd.head.getDouble(0) === 4.25)
+
+    // deletes drop out of the walk
+    SegmentShardSink.deleteByTerm(spark, out, "id", "2")
+    val r2 = spark.read.format("graft-index").load(out)
+      .agg(sum("n").as("s"), cnt(col("n")).as("cn")).head
+    assert((r2.getLong(0), r2.getLong(1)) === ((2L, 2L)))
+
+    // sum over an all-null match set is NULL (SQL semantics)
+    val none = spark.read.format("graft-index").load(out)
+      .filter(col("id") === "3").agg(sum("n").as("s")).head
+    assert(none.isNullAt(0))
+  }
+
   test("GROUPED stats pushdown: JSON-facet nested min/max per bucket") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{count => cnt, lit, max, min}
