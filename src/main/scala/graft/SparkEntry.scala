@@ -1889,6 +1889,31 @@ object SparkEntry {
         .agg(sum(col("p_size")).as("sum_size"),
           count(col("p_size")).as("cnt_size"),
           count(lit(1)).as("cnt"))
+    }),
+
+    // Solr stats.cardinality / JSON-facet unique(field): per-brand
+    // bucket count + number of DISTINCT p_size values, served from
+    // postings alone. The inner GROUP BY is the pivot pushdown
+    // (q128) — each shard emits vocabulary²-bounded (brand, size)
+    // partials, which IS Solr's per-shard value-set refinement for
+    // unique(); the outer aggregate merges the sets (sum → bucket
+    // count, count of non-null sizes → cardinality). Data movement
+    // ∝ distinct pairs, never corpus size; stored docs never read.
+    "q136_index_unique" -> ((s, d) => {
+      import graft.index.SegmentShardSink
+      val out = sharedStore(d, "part_bs") { o =>
+        SegmentShardSink.write(
+          Tables.part(s, d).withColumn("id", col("p_partkey").cast("string"))
+            .select(col("id"), col("p_brand"), col("p_size").cast("string").as("p_size")),
+          "id", o, shards = 4)
+      }
+      s.read.format("graft-index").load(out)
+        .filter(col("p_brand").startsWith("Brand#1"))
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("p_brand"))
+        .agg(sum(col("__c")).as("cnt"),
+          count(col("p_size")).as("uniq_size"))
     })
   )
 
@@ -2940,6 +2965,12 @@ object SparkEntry {
       """SELECT CAST(sum(p_size) AS BIGINT) AS sum_size,
         |       CAST(count(p_size) AS BIGINT) AS cnt_size,
         |       CAST(count(*) AS BIGINT) AS cnt
-        |FROM part WHERE p_brand = 'Brand#23'""".stripMargin
+        |FROM part WHERE p_brand = 'Brand#23'""".stripMargin,
+
+    "q136_index_unique" ->
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(count(DISTINCT p_size) AS BIGINT) AS uniq_size
+        |FROM part WHERE p_brand LIKE 'Brand#1%'
+        |GROUP BY 1""".stripMargin
   )
 }

@@ -206,6 +206,14 @@ class PlanShapeSpec extends AnyFunSuite {
       p.take(2000))
   }
 
+  test("q136 unique(): outer distinct-count rides the pushed pivot, stored docs never read") {
+    val p = plan("q136_index_unique")
+    // inner GROUP BY (brand,size) + prefix fq all land in the scan
+    assert(p.contains("pushedGroupBy=p_brand,p_size") &&
+      p.contains("pushedRange=p_brand:[Brand#1 TO Brand#2}"), p.take(2000))
+    assert(!p.contains("Filter ("), p.take(2000))
+  }
+
   test("q123 index stats: min/max/count all pushed, no stored-field columns in the scan") {
     val p = plan("q123_index_stats")
     assert(p.contains("pushedAgg=min(p_name),max(p_name),count(*)"), p.take(2000))
