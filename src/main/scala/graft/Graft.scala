@@ -191,6 +191,12 @@ object Graft {
                  q: String = "*:*"): DataFrame =
     graft.index.SegmentSearch.rangeFacet(spark, store, field, start, end, gap, q)
 
+  /** Solr stats.percentiles, served EXACTLY from the sorted term
+    * dictionary (see [[graft.index.SegmentSearch.percentiles]]). */
+  def percentiles(spark: SparkSession, store: String, field: String,
+                  fractions: Seq[Double], q: String = "*:*"): DataFrame =
+    graft.index.SegmentSearch.percentiles(spark, store, field, fractions, q)
+
   /** The training-corpus counterpart of [[buildIndex]]: quality gate →
     * PII redaction → URL/exact/near dedup → optional chunking, one
     * composed plan (see [[graft.ops.CorpusPipeline]]). */

@@ -1914,6 +1914,27 @@ object SparkEntry {
         .groupBy(col("p_brand"))
         .agg(sum(col("__c")).as("cnt"),
           count(col("p_size")).as("uniq_size"))
+    }),
+
+    // Solr stats.percentiles over a pdouble field — EXACT (Solr only
+    // offers t-digest approximation): the term dictionary is already
+    // value-sorted, so each percentile is a cumulative-count walk
+    // over the pushed facet's vocabulary-sized term→count partials.
+    // percentile_disc semantics: smallest value whose cumulative doc
+    // count reaches p of the matching total.
+    "q137_index_percentiles" -> ((s, d) => {
+      import graft.index.SegmentShardSink
+      val out = sharedStore(d, "part_num") { o =>
+        SegmentShardSink.write(
+          Tables.part(s, d).select(
+            col("p_partkey").cast("string").as("id"),
+            col("p_size").cast("long").as("p_size"),
+            col("p_retailprice").cast("double").as("p_price"),
+            col("p_brand")),
+          "id", o, shards = 4)
+      }
+      Graft.percentiles(s, out, "p_price",
+        fractions = Seq(0.25, 0.5, 0.75, 0.95), q = "p_brand:Brand#23")
     })
   )
 
@@ -2971,6 +2992,20 @@ object SparkEntry {
       """SELECT p_brand, CAST(count(*) AS BIGINT) AS cnt,
         |       CAST(count(DISTINCT p_size) AS BIGINT) AS uniq_size
         |FROM part WHERE p_brand LIKE 'Brand#1%'
+        |GROUP BY 1""".stripMargin,
+
+    // Mirrors the engine's percentile_disc walk step-for-step: same
+    // cumulative-sum window, same double threshold arithmetic.
+    "q137_index_percentiles" ->
+      """WITH vals AS (
+        |  SELECT CAST(p_retailprice AS DOUBLE) AS v, count(*) AS c
+        |  FROM part WHERE p_brand = 'Brand#23' GROUP BY 1),
+        |cum AS (
+        |  SELECT v, sum(c) OVER (ORDER BY v) AS cumc, sum(c) OVER () AS tot
+        |  FROM vals)
+        |SELECT CAST(t.p AS DOUBLE) AS p, min(v) AS value
+        |FROM cum, (VALUES (0.25),(0.5),(0.75),(0.95)) t(p)
+        |WHERE cumc >= CAST(t.p AS DOUBLE) * tot
         |GROUP BY 1""".stripMargin
   )
 }

@@ -238,6 +238,47 @@ object SegmentSearch {
   }
 
   /**
+   * Solr `stats.percentiles` over a numeric single-valued field —
+   * except EXACT where Solr settles for a t-digest approximation:
+   * the index's term dictionary is already value-sorted, so the
+   * percentile is a cumulative-count walk over vocabulary-sized
+   * per-term counts, not a corpus sort. For each requested fraction
+   * `p` the result is the smallest value whose cumulative doc count
+   * reaches `p` of the matching total (classic `percentile_disc`).
+   *
+   * Scale shape: phase 1 is the pushed DSv2 facet
+   * (`filter(q).groupBy(field).count` → postings-only partials per
+   * shard); the cumulative walk then runs over the MERGED term→count
+   * frame — vocabulary-sized, single-partition windowed (documented:
+   * the frame is |distinct values|, not |docs|; a 100 TB corpus of
+   * bounded-cardinality fields stays cheap, and an unbounded-
+   * cardinality field is exactly the case where Solr's t-digest
+   * approximation loses exactness while this stays correct at
+   * vocabulary cost). Non-numeric terms are dropped.
+   */
+  def percentiles(spark: SparkSession, store: String, field: String,
+                  fractions: Seq[Double], q: String = "*:*"): DataFrame = {
+    require(fractions.nonEmpty, "percentiles needs at least one fraction")
+    require(fractions.forall(p => p > 0.0 && p <= 1.0),
+      s"fractions must be in (0, 1], got $fractions")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{broadcast, expr, min, sum}
+    val termCounts = pushedTermCounts(spark, store, field, q)
+    // same optimizer barrier as rangeFacet: keep the bucket math from
+    // migrating below the pushed aggregate and forfeiting the pushdown
+    val counted = spark.createDataFrame(termCounts.rdd, termCounts.schema)
+      .withColumn("__v", expr(s"try_cast(`$field` AS DOUBLE)"))
+      .filter(col("__v").isNotNull)
+    val cum = counted.select(col("__v"),
+      sum(col("__c")).over(Window.orderBy(col("__v"))).as("__cum"),
+      sum(col("__c")).over(Window.partitionBy()).as("__tot"))
+    import spark.implicits._
+    val spine = fractions.toDF("p")
+    cum.join(broadcast(spine), col("__cum") >= col("p") * col("__tot"))
+      .groupBy(col("p")).agg(min(col("__v")).as("value"))
+  }
+
+  /**
    * Luke/terms-component statistics: per-term LIVE doc frequency for
    * one field, summed across shards. One task per shard reads only
    * that shard's postings (never stored docs), then a single groupBy

@@ -410,6 +410,35 @@ class SegmentIndexSpec extends AnyFunSuite {
       Map(0.0 -> 1L, 10.0 -> 1L, 20.0 -> 0L, 30.0 -> 1L))
   }
 
+  test("percentiles: exact percentile_disc from pushed term counts, fq + deletes honored") {
+    import spark.implicits._
+    val out = tmp("graft_pctl_")
+    // 10 docs in grp k with values 1..10 (typed long), plus an
+    // out-of-fq doc that must not count
+    val df = ((1 to 10).map(i => (i.toString, i.toLong, "k")) :+ ("99", 1000L, "o"))
+      .toDF("id", "v", "grp")
+    SegmentShardSink.write(df, "id", out, shards = 2)
+    val got = SegmentSearch.percentiles(spark, out, "v",
+      fractions = Seq(0.1, 0.5, 0.95, 1.0), q = "grp:k")
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    // smallest value whose cumulative count reaches p*10
+    assert(got === Map(0.1 -> 1.0, 0.5 -> 5.0, 0.95 -> 10.0, 1.0 -> 10.0))
+    // the counting half is the pushed facet (postings only)
+    val inner = SegmentSearch.pushedTermCounts(spark, out, "v", "grp:k")
+      .queryExecution.executedPlan.toString
+    assert(inner.contains("pushedTerm=grp:k") && inner.contains("pushedGroupBy=v"),
+      inner.take(2000))
+    // deletes shift the distribution (drop 1..4 -> median of 5..10)
+    (1 to 4).foreach(i => SegmentShardSink.deleteByTerm(spark, out, "id", i.toString))
+    val after = SegmentSearch.percentiles(spark, out, "v", Seq(0.5), "grp:k")
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(after === Map(0.5 -> 7.0))
+    // bad fractions fail fast
+    intercept[IllegalArgumentException] {
+      SegmentSearch.percentiles(spark, out, "v", Seq(1.5))
+    }
+  }
+
   test("phrase query: consecutive positions only, multivalue gap blocks cross-value, " +
     "survives forceMerge") {
     val dir = tmp("graft_phrase_")
