@@ -23,11 +23,16 @@ import scala.collection.mutable
  *    commit file `segments_N` (highest N wins — Lucene's commit
  *    protocol) listing live segments and their doc counts;
  *  - a segment is `_K.fld` (stored fields, doc-ordinal order) +
+ *    `_K.fdx` (fixed-width byte offset of each stored doc record —
+ *    Lucene's stored-fields index: a selective query SEEKS to its
+ *    hit ordinals instead of streaming the segment) +
  *    `_K.trm` (term dictionary: sorted (field, term) → delta-varint
  *    posting list of ascending doc ordinals; v2 adds per-ordinal
  *    token POSITIONS for analyzed fields — phrase queries — with a
  *    100-position gap between multivalues, Lucene's
- *    positionIncrementGap);
+ *    positionIncrementGap; v3 appends a per-field seek FOOTER —
+ *    Lucene's terms index — so reading one field's postings never
+ *    parses the rest of the dictionary);
  *  - `addIndexes` is a LOGICAL merge: source segment files are copied
  *    in under fresh names and registered in the next commit — no
  *    rewrite, exactly Lucene's cheap path;
@@ -162,8 +167,24 @@ object SegmentIndex {
   private val FLD_MAGIC = 0x47464C44 // "GFLD"
   private val TRM_MAGIC = 0x4754524D  // "GTRM" — v1, ords only
   private val TRM_MAGIC2 = 0x4754524E // "GTRN" — v2, ords + per-ord positions
+  private val TRM_MAGIC3 = 0x4754524F // "GTRO" — v3: v2 blocks + per-field seek footer
   private val DEL_MAGIC = 0x4744454C // "GDEL"
   private val NRM_MAGIC = 0x474E524D // "GNRM" — per-ord token counts (norms)
+  private val FDX_MAGIC = 0x47464458 // "GFDX" — fixed-width stored-doc offsets
+
+  /** Byte-position tracking for the seek indexes (.trm footer / .fdx):
+    * sits between DataOutputStream and the buffered sink, so `count`
+    * is exact at every record boundary. */
+  private final class CountingOutputStream(out: java.io.OutputStream)
+      extends java.io.OutputStream {
+    var count: Long = 0L
+    override def write(b: Int): Unit = { out.write(b); count += 1 }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      out.write(b, off, len); count += len
+    }
+    override def flush(): Unit = out.flush()
+    override def close(): Unit = out.close()
+  }
 
   // ---- tombstones: _name_delGen.del = sorted deleted ordinals ----
 
@@ -220,17 +241,32 @@ object SegmentIndex {
   private[index] def writeSegment(fs: FileSystem, dir: Path, name: String,
                                   docs: IndexedSeq[Doc],
                                   analyzed: Set[String] = Set.empty): SegmentMeta = {
-    // stored fields, doc-ordinal order
-    val fld = new DataOutputStream(new BufferedOutputStream(
+    // stored fields, doc-ordinal order; .fdx records each doc record's
+    // byte offset (fixed-width) so a selective query can seek straight
+    // to its hit ordinals instead of streaming every stored doc —
+    // Lucene's stored-fields index (.fdx) design
+    val docOffsets = new Array[Long](docs.length)
+    val fldCount = new CountingOutputStream(new BufferedOutputStream(
       fs.create(new Path(dir, s"$name.fld"), true)))
+    val fld = new DataOutputStream(fldCount)
     try {
       fld.writeInt(FLD_MAGIC)
       writeVInt(fld, docs.length)
+      var i = 0
       docs.foreach { d =>
+        docOffsets(i) = fldCount.count
+        i += 1
         writeVInt(fld, d.length)
         d.foreach { case (f, v) => writeStr(fld, f); writeStr(fld, v) }
       }
     } finally fld.close()
+    val fdx = new DataOutputStream(new BufferedOutputStream(
+      fs.create(new Path(dir, s"$name.fdx"), true)))
+    try {
+      fdx.writeInt(FDX_MAGIC)
+      fdx.writeInt(docs.length)
+      docOffsets.foreach(fdx.writeLong)
+    } finally fdx.close()
     // inverted postings: field → term → ascending distinct ordinals.
     // Analyzed fields index their TOKENS (stored value stays verbatim,
     // the Lucene stored-vs-indexed split) WITH token positions, so
@@ -269,13 +305,19 @@ object SegmentIndex {
       }
       ord += 1
     }
-    val trm = new DataOutputStream(new BufferedOutputStream(
+    // v3: v2 per-field blocks + a seek FOOTER (field → block offset)
+    // and a fixed 12-byte trailer naming the footer — Lucene's
+    // per-field terms index. A reader touching one field seeks to its
+    // block instead of parsing the whole dictionary.
+    val trmCount = new CountingOutputStream(new BufferedOutputStream(
       fs.create(new Path(dir, s"$name.trm"), true)))
+    val trm = new DataOutputStream(trmCount)
     try {
-      trm.writeInt(TRM_MAGIC2) // v2: per-ord position lists
+      trm.writeInt(TRM_MAGIC3)
       val fields = post.keys.toSeq.sorted
-      writeVInt(trm, fields.length)
-      fields.foreach { f =>
+      val fieldOffsets = new Array[Long](fields.length)
+      fields.iterator.zipWithIndex.foreach { case (f, fi) =>
+        fieldOffsets(fi) = trmCount.count
         writeStr(trm, f)
         val terms = post(f).keys.toSeq.sorted
         writeVInt(trm, terms.length)
@@ -295,6 +337,14 @@ object SegmentIndex {
           }
         }
       }
+      val footerOff = trmCount.count
+      writeVInt(trm, fields.length)
+      fields.iterator.zipWithIndex.foreach { case (f, fi) =>
+        writeStr(trm, f)
+        trm.writeLong(fieldOffsets(fi))
+      }
+      trm.writeLong(footerOff)
+      trm.writeInt(TRM_MAGIC3)
     } finally trm.close()
     if (norms.nonEmpty) {
       val nrm = new DataOutputStream(new BufferedOutputStream(
@@ -359,58 +409,149 @@ object SegmentIndex {
 
   /** field → term → ascending doc ordinals (whole term dictionary —
     * vocabulary-sized, the per-segment lookup structure). Positions
-    * (v2 files) are skipped here; use [[readPostingsPositions]]. */
+    * (v2+ files) are skipped here; use [[readPostingsPositions]]. */
   private[index] def readPostings(fs: FileSystem, dir: Path,
                                   name: String): Map[String, Map[String, Array[Int]]] =
-    readTrm(fs, dir, name, keepPositions = false)
+    readTrm(fs, dir, name, None, keepPositions = false)
       .map { case (f, ts) => f -> ts.map { case (t, ps) => t -> ps.map(_._1) } }
 
-  /** v2 view: field → term → (ord, positions) — positions empty for
-    * non-analyzed fields and for v1 segment files. */
+  /** SELECTED fields only — on a v3 file each field's block is reached
+    * by SEEK via the footer, so I/O is ∝ the queried fields' postings,
+    * not the whole dictionary (the per-field terms-index scale path;
+    * older files fall back to a full parse). */
+  private[index] def readPostingsFields(fs: FileSystem, dir: Path, name: String,
+                                        fields: Set[String])
+      : Map[String, Map[String, Array[Int]]] =
+    readTrm(fs, dir, name, Some(fields), keepPositions = false)
+      .map { case (f, ts) => f -> ts.map { case (t, ps) => t -> ps.map(_._1) } }
+
+  /** Positional view: field → term → (ord, positions) — positions
+    * empty for non-analyzed fields and for v1 segment files. */
   private[index] def readPostingsPositions(fs: FileSystem, dir: Path, name: String)
       : Map[String, Map[String, Array[(Int, Array[Int])]]] =
-    readTrm(fs, dir, name, keepPositions = true)
+    readTrm(fs, dir, name, None, keepPositions = true)
 
-  private def readTrm(fs: FileSystem, dir: Path, name: String, keepPositions: Boolean)
-      : Map[String, Map[String, Array[(Int, Array[Int])]]] = {
-    val in = new DataInputStream(new BufferedInputStream(
-      fs.open(new Path(dir, s"$name.trm"))))
-    try {
-      val magic = in.readInt()
-      require(magic == TRM_MAGIC || magic == TRM_MAGIC2, s"bad .trm magic in $dir/$name")
-      val v2 = magic == TRM_MAGIC2
-      val nFields = readVInt(in)
-      (0 until nFields).map { _ =>
-        val f = readStr(in)
-        val nTerms = readVInt(in)
-        f -> (0 until nTerms).map { _ =>
-          val t = readStr(in)
-          val len = readVInt(in)
-          val out = new Array[(Int, Array[Int])](len)
-          var prev = 0
-          var i = 0
-          while (i < len) {
-            prev += readVInt(in)
-            val positions: Array[Int] =
-              if (!v2) Array.empty
-              else {
-                val nPos = readVInt(in)
-                if (nPos == 0) Array.empty
-                else {
-                  val ps = new Array[Int](nPos)
-                  var pprev = 0
-                  var j = 0
-                  while (j < nPos) { pprev += readVInt(in); ps(j) = pprev; j += 1 }
-                  if (keepPositions) ps else Array.empty[Int]
-                }
-              }
-            out(i) = (prev, positions)
-            i += 1
+  /** Positional view of ONE field (seek path on v3 files). */
+  private[index] def readPostingsPositionsField(fs: FileSystem, dir: Path, name: String,
+                                                field: String)
+      : Map[String, Array[(Int, Array[Int])]] =
+    readTrm(fs, dir, name, Some(Set(field)), keepPositions = true)
+      .getOrElse(field, Map.empty)
+
+  /** One field block: `field` name, then sorted terms with delta-coded
+    * ordinals (+ per-ordinal positions in v2/v3). */
+  private def parseFieldBlock(in: DataInputStream, hasPositions: Boolean,
+                              keepPositions: Boolean)
+      : (String, Map[String, Array[(Int, Array[Int])]]) = {
+    val f = readStr(in)
+    val nTerms = readVInt(in)
+    f -> (0 until nTerms).map { _ =>
+      val t = readStr(in)
+      val len = readVInt(in)
+      val out = new Array[(Int, Array[Int])](len)
+      var prev = 0
+      var i = 0
+      while (i < len) {
+        prev += readVInt(in)
+        val positions: Array[Int] =
+          if (!hasPositions) Array.empty
+          else {
+            val nPos = readVInt(in)
+            if (nPos == 0) Array.empty
+            else {
+              val ps = new Array[Int](nPos)
+              var pprev = 0
+              var j = 0
+              while (j < nPos) { pprev += readVInt(in); ps(j) = pprev; j += 1 }
+              if (keepPositions) ps else Array.empty[Int]
+            }
           }
-          t -> out
-        }.toMap
-      }.toMap
-    } finally in.close()
+        out(i) = (prev, positions)
+        i += 1
+      }
+      t -> out
+    }.toMap
+  }
+
+  private def readTrm(fs: FileSystem, dir: Path, name: String,
+                      sel: Option[Set[String]], keepPositions: Boolean)
+      : Map[String, Map[String, Array[(Int, Array[Int])]]] = {
+    val path = new Path(dir, s"$name.trm")
+    val raw = fs.open(path)
+    try {
+      val head = new DataInputStream(new BufferedInputStream(raw))
+      val magic = head.readInt()
+      require(magic == TRM_MAGIC || magic == TRM_MAGIC2 || magic == TRM_MAGIC3,
+        s"bad .trm magic in $dir/$name")
+      if (magic == TRM_MAGIC3) {
+        // footer-directed: trailer names the footer, footer names each
+        // field's block offset — selected fields are SEEKED to, the
+        // rest of the dictionary is never read
+        val len = fs.getFileStatus(path).getLen
+        raw.seek(len - 12)
+        val tail = new DataInputStream(raw)
+        val footerOff = tail.readLong()
+        require(tail.readInt() == TRM_MAGIC3, s"bad .trm trailer in $dir/$name")
+        raw.seek(footerOff)
+        val foot = new DataInputStream(new BufferedInputStream(raw))
+        val nFields = readVInt(foot)
+        val offsets = (0 until nFields).map(_ => (readStr(foot), foot.readLong()))
+        offsets.iterator
+          .filter { case (f, _) => sel.forall(_.contains(f)) }
+          .map { case (_, off) =>
+            raw.seek(off)
+            parseFieldBlock(new DataInputStream(new BufferedInputStream(raw)),
+              hasPositions = true, keepPositions)
+          }.toMap
+      } else {
+        // v1/v2: no footer — sequential parse (selection only filters)
+        val v2 = magic == TRM_MAGIC2
+        val nFields = readVInt(head)
+        (0 until nFields).iterator
+          .map(_ => parseFieldBlock(head, hasPositions = v2, keepPositions))
+          .filter { case (f, _) => sel.forall(_.contains(f)) }
+          .toMap
+      }
+    } finally raw.close()
+  }
+
+  /** Stored docs of SELECTED ascending ordinals: with a `.fdx` the
+    * reader seeks straight to each hit's record (I/O ∝ hits); without
+    * one — or when the selection is a large fraction of the segment,
+    * where streaming beats seeking — it streams the whole `.fld` and
+    * picks. Returned docs align with `ords` order. */
+  private[index] def readStoredDocsAt(fs: FileSystem, dir: Path, name: String,
+                                      ords: Array[Int], segDocs: Int): IndexedSeq[Doc] = {
+    val fdxPath = new Path(dir, s"$name.fdx")
+    if (ords.isEmpty) return IndexedSeq.empty
+    if (ords.length * 4 >= segDocs || !fs.exists(fdxPath)) {
+      val all = readStoredDocs(fs, dir, name)
+      return ords.toIndexedSeq.map(all)
+    }
+    val offsets = new Array[Long](ords.length)
+    val fdx = fs.open(fdxPath)
+    try {
+      val head = new DataInputStream(fdx)
+      require(head.readInt() == FDX_MAGIC, s"bad .fdx magic in $dir/$name")
+      val n = head.readInt()
+      var i = 0
+      while (i < ords.length) {
+        val o = ords(i)
+        require(o >= 0 && o < n, s"ordinal $o out of range in $dir/$name ($n docs)")
+        fdx.seek(8L + 8L * o)
+        offsets(i) = head.readLong()
+        i += 1
+      }
+    } finally fdx.close()
+    val fld = fs.open(new Path(dir, s"$name.fld"))
+    try {
+      offsets.iterator.map { off =>
+        fld.seek(off)
+        val in = new DataInputStream(new BufferedInputStream(fld))
+        val nf = readVInt(in)
+        (0 until nf).map(_ => (readStr(in), readStr(in))): Doc
+      }.toIndexedSeq
+    } finally fld.close()
   }
 
   // ---- commit protocol (segments_N, highest generation wins) ----
@@ -519,7 +660,8 @@ object SegmentIndex {
       var deleted = 0
       if (terms.isEmpty) return 0
       commitPoint.segments.foreach { seg =>
-        val post = readPostings(fs, dir, seg.name).getOrElse(field, Map.empty)
+        val post = readPostingsFields(fs, dir, seg.name, Set(field))
+          .getOrElse(field, Map.empty)
         if (post.nonEmpty) {
           lazy val already = readDels(fs, dir, seg)
           lazy val buf = pendingDels.getOrElseUpdate(seg.name, mutable.SortedSet.empty[Int])
@@ -570,7 +712,7 @@ object SegmentIndex {
       // now that the new generation is live, remove dead files
       staleDelFiles.foreach(f => fs.delete(new Path(dir, f), false))
       dropped.foreach { s =>
-        Seq("fld", "trm", "nrm").foreach(ext => fs.delete(new Path(dir, s"${s.name}.$ext"), false))
+        Seq("fld", "fdx", "trm", "nrm").foreach(ext => fs.delete(new Path(dir, s"${s.name}.$ext"), false))
       }
       commitPoint
     }
@@ -588,10 +730,11 @@ object SegmentIndex {
         srcCp.segments.foreach { seg =>
           if (seg.dels == 0) {
             val name = s"_${commitPoint.counter}"
-            // .nrm only exists for segments with analyzed fields
-            Seq("fld", "trm", "nrm").foreach { ext =>
+            // .nrm only exists for segments with analyzed fields;
+            // .fdx only for segments written since the seek index
+            Seq("fld", "fdx", "trm", "nrm").foreach { ext =>
               val from = new Path(src, s"${seg.name}.$ext")
-              if (ext != "nrm" || fs.exists(from))
+              if (ext == "fld" || ext == "trm" || fs.exists(from))
                 org.apache.hadoop.fs.FileUtil.copy(
                   fs, from, fs, new Path(dir, s"$name.$ext"), false, fs.getConf)
             }
@@ -639,7 +782,7 @@ object SegmentIndex {
         commitPoint = CommitPoint(commitPoint.gen + 1, commitPoint.counter + 1, Seq(meta))
         writeCommit(fs, dir, commitPoint)
         old.foreach { s =>
-          Seq("fld", "trm", "nrm").foreach(ext => fs.delete(new Path(dir, s"${s.name}.$ext"), false))
+          Seq("fld", "fdx", "trm", "nrm").foreach(ext => fs.delete(new Path(dir, s"${s.name}.$ext"), false))
           if (s.delGen > 0) fs.delete(new Path(dir, delFile(s.name, s.delGen)), false)
         }
         commitPoint
@@ -673,18 +816,16 @@ object SegmentIndex {
         }
       }
 
-    /** Exact-term query: LIVE stored docs matching (field, term). */
+    /** Exact-term query: LIVE stored docs matching (field, term) —
+      * one field-block seek for the postings, one stored-doc seek per
+      * hit (I/O ∝ hits, not segment size). */
     def termDocs(field: String, term: String): Seq[Doc] =
       commit.segments.flatMap { s =>
         val dels = readDels(fs, dir, s)
-        val ords = readPostings(fs, dir, s.name)
+        val ords = readPostingsFields(fs, dir, s.name, Set(field))
           .getOrElse(field, Map.empty).getOrElse(term, Array.empty[Int])
           .filterNot(dels.contains)
-        if (ords.isEmpty) Nil
-        else {
-          val stored = readStoredDocs(fs, dir, s.name)
-          ords.toSeq.map(stored)
-        }
+        readStoredDocsAt(fs, dir, s.name, ords, s.docs)
       }
 
     /** Multi-term exact query (`field:(a OR b OR ...)` / realtime-get
@@ -694,16 +835,13 @@ object SegmentIndex {
     def termDocsIn(field: String, terms: Seq[String]): Seq[Doc] =
       commit.segments.flatMap { s =>
         val dels = readDels(fs, dir, s)
-        val post = readPostings(fs, dir, s.name).getOrElse(field, Map.empty)
+        val post = readPostingsFields(fs, dir, s.name, Set(field))
+          .getOrElse(field, Map.empty)
         val ords = terms.iterator
           .flatMap(t => post.getOrElse(t, Array.empty[Int]).iterator)
           .filterNot(dels.contains)
           .toArray.distinct.sorted
-        if (ords.isEmpty) Nil
-        else {
-          val stored = readStoredDocs(fs, dir, s.name)
-          ords.toSeq.map(stored)
-        }
+        readStoredDocsAt(fs, dir, s.name, ords, s.docs)
       }
 
     private def termInRange(t: String,
@@ -730,7 +868,7 @@ object SegmentIndex {
     private def rangeOrds(s: SegmentMeta, field: String,
                           lower: Option[String], lowerInc: Boolean,
                           upper: Option[String], upperInc: Boolean): Array[Int] =
-      readPostings(fs, dir, s.name).getOrElse(field, Map.empty)
+      readPostingsFields(fs, dir, s.name, Set(field)).getOrElse(field, Map.empty)
         .iterator
         .collect { case (t, ords) if termInRange(t, lower, lowerInc, upper, upperInc) => ords }
         .flatten.toArray.distinct.sorted
@@ -753,11 +891,7 @@ object SegmentIndex {
           val dels = readDels(fs, dir, s)
           val ords = rangeOrds(s, field, lower, lowerInc, upper, upperInc)
             .filterNot(dels.contains)
-          if (ords.isEmpty) Nil
-          else {
-            val stored = readStoredDocs(fs, dir, s.name)
-            ords.toSeq.map(stored)
-          }
+          readStoredDocsAt(fs, dir, s.name, ords, s.docs)
         }
       }
 
@@ -817,6 +951,18 @@ object SegmentIndex {
       case MatchAll => Iterator.empty // callers handle MatchAll separately
     }
 
+    /** Every field a pushed query touches — what [[branchOrds]] will
+      * look up, so postings reads can be scoped to exactly these
+      * blocks (the v3 per-field seek path). */
+    private def queryFields(q: PushedQuery): Set[String] = q match {
+      case TermQuery(f, _) => Set(f)
+      case RangeQuery(f, _, _, _, _) => Set(f)
+      case OrQuery(bs) => bs.iterator.flatMap(queryFields).toSet
+      case AndQuery(bs) => bs.iterator.flatMap(queryFields).toSet
+      case NotQuery(inner, base) => queryFields(inner) ++ base
+      case MatchAll => Set.empty
+    }
+
     /** Can the zone map rule the whole segment out for `q` WITHOUT
       * opening any file? AND: any excluded branch excludes the
       * conjunction; OR: all branches must be excluded. A NOT branch
@@ -840,14 +986,10 @@ object SegmentIndex {
         if (segExcluded(s, q)) Nil
         else {
           val dels = readDels(fs, dir, s)
-          lazy val allPost = readPostings(fs, dir, s.name)
+          lazy val allPost = readPostingsFields(fs, dir, s.name, queryFields(q))
           val ords = branchOrds(s, allPost, q)
             .filterNot(dels.contains).toArray.distinct.sorted
-          if (ords.isEmpty) Nil
-          else {
-            val stored = readStoredDocs(fs, dir, s.name)
-            ords.toSeq.map(stored)
-          }
+          readStoredDocsAt(fs, dir, s.name, ords, s.docs)
         }
       }
 
@@ -857,7 +999,7 @@ object SegmentIndex {
         if (segExcluded(s, q)) 0L
         else {
           val dels = readDels(fs, dir, s)
-          lazy val allPost = readPostings(fs, dir, s.name)
+          lazy val allPost = readPostingsFields(fs, dir, s.name, queryFields(q))
           branchOrds(s, allPost, q)
             .filterNot(dels.contains).toArray.distinct.length.toLong
         }
@@ -874,7 +1016,8 @@ object SegmentIndex {
         if (s.dels == 0 && s.stats.nonEmpty) s.stats.get(field)
         else {
           val dels = readDels(fs, dir, s)
-          val live = readPostings(fs, dir, s.name).getOrElse(field, Map.empty)
+          val live = readPostingsFields(fs, dir, s.name, Set(field))
+            .getOrElse(field, Map.empty)
             .collect { case (t, ords) if ords.exists(o => !dels.contains(o)) => t }
           if (live.isEmpty) None
           else Some((live.min(CpOrdering), live.max(CpOrdering)))
@@ -901,7 +1044,10 @@ object SegmentIndex {
         // the zone map can rule the segment out from commit metadata
         // (range filters directly; and/or trees recursively)
         if (!segExcluded(s, filter)) {
-          lazy val allPost = readPostings(fs, dir, s.name) // ONE .trm parse per segment
+          // facet field + filter fields only — seeked blocks, not the
+          // whole dictionary
+          lazy val allPost =
+            readPostingsFields(fs, dir, s.name, queryFields(filter) + field)
           filter match {
             case MatchAll =>
               matched += s.liveDocs.toLong
@@ -948,7 +1094,8 @@ object SegmentIndex {
       commit.segments.foreach { s =>
         if (!segExcluded(s, filter)) {
           val dels = readDels(fs, dir, s)
-          val allPost = readPostings(fs, dir, s.name) // ONE .trm parse
+          val allPost = readPostingsFields(fs, dir, s.name,
+            queryFields(filter) + fieldA + fieldB)
           def forward(f: String): Array[String] = {
             val fwd = new Array[String](s.docs)
             allPost.getOrElse(f, Map.empty).foreach { case (t, ords) =>
@@ -984,7 +1131,8 @@ object SegmentIndex {
           if (segExcluded(s, filter)) None
           else {
             val dels = readDels(fs, dir, s)
-            val allPost = readPostings(fs, dir, s.name)
+            val allPost =
+              readPostingsFields(fs, dir, s.name, queryFields(filter) + field)
             val m: Set[Int] =
               branchOrds(s, allPost, filter).filterNot(dels.contains).toSet
             if (m.isEmpty) None
@@ -1017,7 +1165,8 @@ object SegmentIndex {
       commit.segments.foreach { s =>
         if (!segExcluded(s, filter)) {
           val dels = readDels(fs, dir, s)
-          val allPost = readPostings(fs, dir, s.name)
+          val allPost =
+            readPostingsFields(fs, dir, s.name, queryFields(filter) + field)
           val matched: Int => Boolean = filter match {
             case MatchAll => o => !dels.contains(o)
             case q => branchOrds(s, allPost, q).filterNot(dels.contains).toSet
@@ -1053,7 +1202,8 @@ object SegmentIndex {
       commit.segments.foreach { s =>
         if (!segExcluded(s, filter)) {
           val dels = readDels(fs, dir, s)
-          val allPost = readPostings(fs, dir, s.name) // ONE .trm parse
+          val allPost = readPostingsFields(fs, dir, s.name,
+            queryFields(filter) + group ++ statFields)
           val fwd = new Array[String](s.docs)
           allPost.getOrElse(group, Map.empty).foreach { case (t, ords) =>
             ords.foreach(o => fwd(o) = t)
@@ -1101,7 +1251,8 @@ object SegmentIndex {
       val acc = mutable.HashMap.empty[String, Long]
       commit.segments.foreach { s =>
         val dels = readDels(fs, dir, s)
-        readPostings(fs, dir, s.name).getOrElse(field, Map.empty).foreach {
+        readPostingsFields(fs, dir, s.name, Set(field))
+          .getOrElse(field, Map.empty).foreach {
           case (term, ords) =>
             val live = ords.count(o => !dels.contains(o))
             if (live > 0) acc.update(term, acc.getOrElse(term, 0L) + live)
@@ -1118,7 +1269,7 @@ object SegmentIndex {
       require(tokens.nonEmpty, "empty phrase")
       commit.segments.flatMap { s =>
         val dels = readDels(fs, dir, s)
-        val post = readPostingsPositions(fs, dir, s.name).getOrElse(field, Map.empty)
+        val post = readPostingsPositionsField(fs, dir, s.name, field)
         val perTok: Seq[Map[Int, Array[Int]]] =
           tokens.map(t => post.getOrElse(t, Array.empty[(Int, Array[Int])]).toMap)
         if (perTok.exists(_.isEmpty)) Nil
@@ -1131,11 +1282,7 @@ object SegmentIndex {
               case (m, k) => java.util.Arrays.binarySearch(m(ord), p + k) >= 0
             })
           }
-          if (hits.isEmpty) Nil
-          else {
-            val stored = readStoredDocs(fs, dir, s.name)
-            hits.map(stored)
-          }
+          readStoredDocsAt(fs, dir, s.name, hits.toArray, s.docs)
         }
       }
     }
@@ -1145,7 +1292,8 @@ object SegmentIndex {
     def termCountIn(field: String, terms: Seq[String]): Long =
       commit.segments.map { s =>
         val dels = readDels(fs, dir, s)
-        val post = readPostings(fs, dir, s.name).getOrElse(field, Map.empty)
+        val post = readPostingsFields(fs, dir, s.name, Set(field))
+          .getOrElse(field, Map.empty)
         terms.iterator
           .flatMap(t => post.getOrElse(t, Array.empty[Int]).iterator)
           .filterNot(dels.contains)
@@ -1155,7 +1303,7 @@ object SegmentIndex {
     def termQueryCount(field: String, term: String): Long =
       commit.segments.map { s =>
         val dels = readDels(fs, dir, s)
-        readPostings(fs, dir, s.name)
+        readPostingsFields(fs, dir, s.name, Set(field))
           .getOrElse(field, Map.empty).getOrElse(term, Array.empty[Int])
           .count(o => !dels.contains(o)).toLong
       }.sum
@@ -1186,7 +1334,8 @@ object SegmentIndex {
           if (!dels.contains(o)) totalTokens += norms(o)
           o += 1
         }
-        val post = readPostings(fs, dir, s.name).getOrElse(field, Map.empty)
+        val post = readPostingsFields(fs, dir, s.name, Set(field))
+          .getOrElse(field, Map.empty)
         terms.foreach { t =>
           val live = post.getOrElse(t, Array.empty[Int]).count(o => !dels.contains(o))
           if (live > 0) df.update(t, df.getOrElse(t, 0L) + live)
@@ -1209,7 +1358,7 @@ object SegmentIndex {
                    idField: String): Iterator[(String, Double)] =
       commit.segments.iterator.flatMap { s =>
         val dels = readDels(fs, dir, s)
-        val post = readPostingsPositions(fs, dir, s.name).getOrElse(field, Map.empty)
+        val post = readPostingsPositionsField(fs, dir, s.name, field)
         lazy val norms = segNorms(s, field) // once per segment, only if a term hits
         val acc = mutable.LinkedHashMap.empty[Int, Double]
         terms.foreach { t =>
@@ -1229,9 +1378,11 @@ object SegmentIndex {
         }
         if (acc.isEmpty) Iterator.empty
         else {
-          val stored = readStoredDocs(fs, dir, s.name)
+          val ords = acc.keys.toArray.sorted
+          val byOrd = ords.iterator
+            .zip(readStoredDocsAt(fs, dir, s.name, ords, s.docs).iterator).toMap
           acc.iterator.flatMap { case (ord, score) =>
-            firstValues(stored(ord)).get(idField).map(_ -> score)
+            firstValues(byOrd(ord)).get(idField).map(_ -> score)
           }
         }
       }

@@ -562,6 +562,7 @@ object SegmentShardSink {
       SegmentIndex.latestCommit(fs, src).foreach { cp =>
         val files = Seq(s"segments_${cp.gen}") ++ cp.segments.flatMap { m =>
           Seq(s"${m.name}.fld", s"${m.name}.trm") ++
+            (if (fs.exists(new Path(src, s"${m.name}.fdx"))) Seq(s"${m.name}.fdx") else Nil) ++
             (if (fs.exists(new Path(src, s"${m.name}.nrm"))) Seq(s"${m.name}.nrm") else Nil) ++
             (if (m.delGen > 0) Seq(s"${m.name}_${m.delGen}.del") else Nil)
         }

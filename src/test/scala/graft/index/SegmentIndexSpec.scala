@@ -27,6 +27,67 @@ class SegmentIndexSpec extends AnyFunSuite {
     assert(vals.map(_ => SegmentIndex.readVInt(in)) === vals)
   }
 
+  test("per-field seek index: scoped reads equal full-parse projections, .fdx " +
+    "random access equals streaming, survives copy-merge and forceMerge") {
+    val dir = tmp("graft_seek_")
+    val w = SegmentIndex.writer(dir, conf, analyzed = Set("body"))
+    (0 until 50).foreach { i =>
+      w.addDocument(Seq("id" -> i.toString, "grp" -> s"g${i % 3}",
+        "val" -> s"v${i % 7}", "body" -> s"token$i shared word"))
+    }
+    w.close()
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    val segName = SegmentIndex.reader(dir, conf).commit.segments.head.name
+    // field-scoped postings == the full parse, projected
+    val full = SegmentIndex.readPostings(fs, p, segName)
+    val scoped = SegmentIndex.readPostingsFields(fs, p, segName, Set("grp", "val"))
+    assert(scoped.keySet === Set("grp", "val"))
+    scoped.foreach { case (f, ts) =>
+      assert(ts.keySet === full(f).keySet)
+      ts.foreach { case (t, ords) => assert(ords.toSeq === full(f)(t).toSeq) }
+    }
+    // positional single-field view == full positional projection
+    val posFull = SegmentIndex.readPostingsPositions(fs, p, segName)("body")
+    val posOne = SegmentIndex.readPostingsPositionsField(fs, p, segName, "body")
+    assert(posOne.keySet === posFull.keySet)
+    posOne.foreach { case (t, arr) =>
+      assert(arr.map(_._1).toSeq === posFull(t).map(_._1).toSeq)
+      arr.zip(posFull(t)).foreach { case ((_, ps), (_, psF)) =>
+        assert(ps.toSeq === psF.toSeq)
+      }
+    }
+    // .fdx seek path (selective) == streamed pick, in ord order
+    val all = SegmentIndex.readStoredDocs(fs, p, segName)
+    val picks = Array(3, 17, 42)
+    assert(SegmentIndex.readStoredDocsAt(fs, p, segName, picks, 50) ===
+      picks.toIndexedSeq.map(all))
+    // large selections take the streaming path, same result
+    val most = (0 until 40).toArray
+    assert(SegmentIndex.readStoredDocsAt(fs, p, segName, most, 50) ===
+      most.toIndexedSeq.map(all))
+    // a store without .fdx (older segment) falls back to streaming
+    fs.delete(new Path(p, s"$segName.fdx"), false)
+    assert(SegmentIndex.readStoredDocsAt(fs, p, segName, picks, 50) ===
+      picks.toIndexedSeq.map(all))
+    // copy-merge carries the seek files; forceMerge rewrites them
+    val dir2 = tmp("graft_seek_dst_")
+    val w2 = SegmentIndex.writer(dir2, conf, analyzed = Set("body"))
+    w2.addIndexes(Seq(p))
+    // a second segment so forceMerge below genuinely rewrites
+    w2.addDocument(Seq("id" -> "extra", "grp" -> "g1", "val" -> "v0",
+      "body" -> "shared"))
+    w2.close()
+    val r2 = SegmentIndex.reader(dir2, conf)
+    assert(r2.termDocs("grp", "g1").size === 18)
+    w2.forceMerge(1)
+    val r3 = SegmentIndex.reader(dir2, conf)
+    val mergedSeg = r3.commit.segments.head.name
+    assert(r3.commit.segments.size === 1)
+    assert(fs.exists(new Path(new Path(dir2), s"$mergedSeg.fdx")))
+    assert(r3.termDocs("grp", "g1").size === 18)
+  }
+
   test("writer/reader roundtrip: stored docs, postings, multivalued fields") {
     val dir = tmp("graft_segidx_")
     val w = SegmentIndex.writer(dir, conf)
