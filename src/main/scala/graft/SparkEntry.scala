@@ -1935,6 +1935,32 @@ object SparkEntry {
       }
       Graft.percentiles(s, out, "p_price",
         fractions = Seq(0.25, 0.5, 0.75, 0.95), q = "p_brand:Brand#23")
+    }),
+
+    // JSON-facet numeric stats ({type: terms, field: p_brand, facet:
+    // {s: "sum(p_size)"}} under a numeric fq): GROUP BY + SUM/COUNT
+    // of a plong field pushes whole — each shard streams the stat
+    // field's postings through the group's forward view over the fq
+    // match set, summing DECODED typed terms in exact integer math.
+    // Spark's final aggregate merges the per-shard partials (Solr's
+    // coordinator bucket merge). Stored docs never read.
+    "q138_index_group_sum" -> ((s, d) => {
+      import graft.index.SegmentShardSink
+      val out = sharedStore(d, "part_num") { o =>
+        SegmentShardSink.write(
+          Tables.part(s, d).select(
+            col("p_partkey").cast("string").as("id"),
+            col("p_size").cast("long").as("p_size"),
+            col("p_retailprice").cast("double").as("p_price"),
+            col("p_brand")),
+          "id", o, shards = 4)
+      }
+      s.read.format("graft-index").load(out)
+        .filter(col("p_size") >= 10L && col("p_size") < 40L)
+        .groupBy(col("p_brand"))
+        .agg(sum(col("p_size")).as("sum_size"),
+          count(col("p_size")).as("cnt_size"),
+          count(lit(1)).as("cnt"))
     })
   )
 
@@ -3006,6 +3032,13 @@ object SparkEntry {
         |SELECT CAST(t.p AS DOUBLE) AS p, min(v) AS value
         |FROM cum, (VALUES (0.25),(0.5),(0.75),(0.95)) t(p)
         |WHERE cumc >= CAST(t.p AS DOUBLE) * tot
+        |GROUP BY 1""".stripMargin,
+
+    "q138_index_group_sum" ->
+      """SELECT p_brand, CAST(sum(p_size) AS BIGINT) AS sum_size,
+        |       CAST(count(p_size) AS BIGINT) AS cnt_size,
+        |       CAST(count(*) AS BIGINT) AS cnt
+        |FROM part WHERE p_size >= 10 AND p_size < 40
         |GROUP BY 1""".stripMargin
   )
 }

@@ -323,10 +323,11 @@ private[index] class IndexScanBuilder(full: StructType, store: String,
         required = StructType(resolved.map(statSchema))
         true
       case groups if groups.nonEmpty && groups.length <= 2 &&
-          // grouped: COUNT(*)/MIN/MAX only (sum/count(f) are ungrouped
-          // stats.field — the grouped walk doesn't serve them yet)
+          // grouped: COUNT(*)/MIN/MAX/SUM/COUNT(f) — the JSON-facet
+          // nested-stats walk serves all of them per bucket
           resolved.forall {
-            case CountStarAgg | _: MinAgg | _: MaxAgg => true
+            case CountStarAgg | _: MinAgg | _: MaxAgg |
+                 _: SumAgg | _: CountFieldAgg => true
             case _ => false
           } &&
           (groups.length == 1 || resolved == Seq(CountStarAgg)) &&
@@ -612,14 +613,20 @@ private[index] class IndexReaderFactory(conf: SerializableHadoopConf,
             if (nullBucket > 0) termRows ++ Iterator(InternalRow(null, nullBucket))
             else termRows
           case Seq(f) =>
-            // JSON-facet nested stats: count/min/max per group bucket
+            // JSON-facet nested stats: count/min/max/sum per bucket
             val cf = conv(f)
             val statFields = aggs.collect {
               case MinAgg(x) => x
               case MaxAgg(x) => x
             }.distinct
-            reader.groupedStats(f, statFields, query).iterator.map {
-              case (g, (n, mm)) =>
+            val sumFields = aggs.collect {
+              case SumAgg(x) => x
+              case CountFieldAgg(x) => x
+            }.distinct
+            reader.groupedStats(f, statFields, query, sumFields,
+              x => if (numeric.getOrElse(x, 's') == 'l') NumericTerms.decodeLong
+                   else _ => 0L).iterator.map {
+              case (g, (n, mm, sc)) =>
                 InternalRow.fromSeq(
                   (g.map(cf).orNull: Any) +: aggs.map {
                     case CountStarAgg => n
@@ -627,6 +634,10 @@ private[index] class IndexReaderFactory(conf: SerializableHadoopConf,
                       mm.get(x).map(v => conv(x)(v._1)).orNull
                     case MaxAgg(x) =>
                       mm.get(x).map(v => conv(x)(v._2)).orNull
+                    case SumAgg(x) =>
+                      sc.get(x).map(v => java.lang.Long.valueOf(v._1)).orNull
+                    case CountFieldAgg(x) =>
+                      sc.get(x).map(_._2).getOrElse(0L)
                   })
             }
           case Seq(a, b) =>

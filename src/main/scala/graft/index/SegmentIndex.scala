@@ -1184,26 +1184,33 @@ object SegmentIndex {
     }
 
     /** JSON-facet nested stats (`{type: terms, field: group, facet:
-      * {m: "min(f)", x: "max(f)"}}`): per-group LIVE doc count plus
-      * min/max of each stat field among docs matching `filter`,
-      * grouped by `group` (key None = the null bucket — matching docs
-      * missing the group field). Per segment: the group's postings
-      * invert into a transient forward ord→term view (one O(docs)
-      * pass), the match set becomes a boolean array, and each stat
-      * field's postings stream through both — min/max ignore docs
-      * missing the stat field, exactly SQL MIN/MAX over NULLs. Stored
-      * docs never read. Assumes all fields single-valued non-analyzed
-      * (the DSv2 pushdown contract). */
-    def groupedStats(group: String, statFields: Seq[String], filter: PushedQuery)
-        : Map[Option[String], (Long, Map[String, (String, String)])] = {
+      * {m: "min(f)", x: "max(f)", s: "sum(g)"}}`): per-group LIVE doc
+      * count, min/max of each `statFields` entry, and (sum, non-null
+      * count) of each `sumFields` entry — among docs matching
+      * `filter`, grouped by `group` (key None = the null bucket —
+      * matching docs missing the group field). Per segment: the
+      * group's postings invert into a transient forward ord→term view
+      * (one O(docs) pass), the match set becomes a boolean array, and
+      * each stat field's postings stream through both — min/max/sum
+      * ignore docs missing the stat field, exactly SQL aggregates
+      * over NULLs. Sums are exact integer math over `decode`d terms
+      * (`addExact` — overflow throws, matching Spark's ANSI long
+      * sum). Stored docs never read. Assumes all fields single-valued
+      * non-analyzed (the DSv2 pushdown contract). */
+    def groupedStats(group: String, statFields: Seq[String], filter: PushedQuery,
+                     sumFields: Seq[String] = Nil,
+                     decode: String => (String => Long) = _ => _ => 0L)
+        : Map[Option[String], (Long, Map[String, (String, String)], Map[String, (Long, Long)])] = {
       val counts = mutable.HashMap.empty[Option[String], Long]
       val mins = mutable.HashMap.empty[(Option[String], String), String]
       val maxs = mutable.HashMap.empty[(Option[String], String), String]
+      val sums = mutable.HashMap.empty[(Option[String], String), Long]
+      val cnts = mutable.HashMap.empty[(Option[String], String), Long]
       commit.segments.foreach { s =>
         if (!segExcluded(s, filter)) {
           val dels = readDels(fs, dir, s)
           val allPost = readPostingsFields(fs, dir, s.name,
-            queryFields(filter) + group ++ statFields)
+            queryFields(filter) + group ++ statFields ++ sumFields)
           val fwd = new Array[String](s.docs)
           allPost.getOrElse(group, Map.empty).foreach { case (t, ords) =>
             ords.foreach(o => fwd(o) = t)
@@ -1236,11 +1243,26 @@ object SegmentIndex {
               }
             }
           }
+          sumFields.foreach { f =>
+            val dec = decode(f)
+            allPost.getOrElse(f, Map.empty).foreach { case (t, ords) =>
+              val v = dec(t)
+              ords.foreach { o =>
+                if (matched(o)) {
+                  val km = (Option(fwd(o)), f)
+                  sums.update(km, Math.addExact(sums.getOrElse(km, 0L), v))
+                  cnts.update(km, cnts.getOrElse(km, 0L) + 1L)
+                }
+              }
+            }
+          }
         }
       }
       counts.keysIterator.map { g =>
         g -> (counts(g), statFields.flatMap { f =>
           mins.get((g, f)).map(mn => f -> (mn, maxs((g, f))))
+        }.toMap, sumFields.flatMap { f =>
+          cnts.get((g, f)).map(n => f -> (sums((g, f)), n))
         }.toMap)
       }.toMap
     }

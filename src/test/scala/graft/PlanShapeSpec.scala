@@ -214,6 +214,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Filter ("), p.take(2000))
   }
 
+  test("q138 grouped sum: GROUP BY + SUM/COUNT(field) + numeric fq all land in the scan") {
+    val p = plan("q138_index_group_sum")
+    assert(p.contains("pushedGroupBy=p_brand") &&
+      p.contains("sum(p_size)") && p.contains("count(p_size)"), p.take(2000))
+    assert(!p.contains("Filter ("), p.take(2000))
+  }
+
   test("q123 index stats: min/max/count all pushed, no stored-field columns in the scan") {
     val p = plan("q123_index_stats")
     assert(p.contains("pushedAgg=min(p_name),max(p_name),count(*)"), p.take(2000))

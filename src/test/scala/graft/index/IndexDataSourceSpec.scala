@@ -618,6 +618,58 @@ class IndexDataSourceSpec extends AnyFunSuite {
       Map("a" -> "Big Cats", "b" -> "small dogs"))
   }
 
+  test("GROUPED sum/count(field) pushdown: typed sums per bucket, null-aware") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{count => cnt, lit, sum => sm}
+    val out = tmp("graft_dsv2_gsum_")
+    // group g: null on 5; typed long v: null on 4 (sum/count skip it)
+    val df = Seq(
+      ("1", Some("a"), Some(10L)), ("2", Some("a"), Some(-3L)),
+      ("3", Some("b"), Some(7L)), ("4", Some("b"), Option.empty[Long]),
+      ("5", Option.empty[String], Some(100L))
+    ).toDF("id", "g", "v")
+    SegmentShardSink.write(df, "id", out, shards = 2)
+    val idx = spark.read.format("graft-index").load(out)
+    val q = idx.groupBy("g").agg(sm("v").as("s"), cnt(col("v")).as("nv"),
+      cnt(lit(1)).as("n"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedAgg=sum(v),count(v),count(*)") &&
+      plan.contains("pushedGroupBy=g"), plan.take(2000))
+    def asMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => Option(r.getString(0)) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Long]), r.getLong(2), r.getLong(3)))).toMap
+    assert(asMap(q.collect()) === Map(
+      Some("a") -> ((Some(7L), 2L, 2L)),
+      Some("b") -> ((Some(7L), 1L, 2L)), // null v: count(v)=1, count(*)=2
+      None -> ((Some(100L), 1L, 1L))))
+    // group with NO stat values at all -> SUM null, count(v) 0
+    val fq = idx.filter(col("v") <= 50L)
+      .groupBy("g").agg(sm("v").as("s"), cnt(col("v")).as("nv"), cnt(lit(1)).as("n"))
+    assert(asMap(fq.collect()) === Map(
+      Some("a") -> ((Some(7L), 2L, 2L)),
+      Some("b") -> ((Some(7L), 1L, 1L))))
+    // deletes flow through the sum walk
+    SegmentShardSink.deleteByTerm(spark, out, "id", "1")
+    assert(asMap(spark.read.format("graft-index").load(out)
+      .groupBy("g").agg(sm("v").as("s"), cnt(col("v")).as("nv"), cnt(lit(1)).as("n"))
+      .collect()) === Map(
+      Some("a") -> ((Some(-3L), 1L, 1L)),
+      Some("b") -> ((Some(7L), 1L, 2L)),
+      None -> ((Some(100L), 1L, 1L))))
+    // a DOUBLE stat field does NOT push grouped SUM (order-sensitive
+    // float math stays in Spark) — results still correct
+    val dOut = tmp("graft_dsv2_gsumd_")
+    SegmentShardSink.write(
+      Seq(("1", "a", Some(1.5)), ("2", "a", Some(2.25))).toDF("id", "g", "v"),
+      "id", dOut, shards = 1)
+    val dq = spark.read.format("graft-index").load(dOut)
+      .groupBy("g").agg(sm("v").as("s"))
+    assert(!dq.queryExecution.executedPlan.toString.contains("pushedAgg=sum"),
+      dq.queryExecution.executedPlan.toString.take(2000))
+    assert(dq.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap ===
+      Map("a" -> 3.75))
+  }
+
   test("LIMIT pushes per-shard (partial): plan shows it, results exact") {
     val idx = spark.read.format("graft-index").load(store)
     val limited = idx.select("id").limit(2)
