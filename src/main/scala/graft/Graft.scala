@@ -191,6 +191,12 @@ object Graft {
                  q: String = "*:*"): DataFrame =
     graft.index.SegmentSearch.rangeFacet(spark, store, field, start, end, gap, q)
 
+  /** Solr facet.field over ANY field — multivalued/analyzed included
+    * (see [[graft.index.SegmentSearch.facetField]]). */
+  def facetField(spark: SparkSession, store: String, field: String,
+                 fq: Option[(String, String)] = None): DataFrame =
+    graft.index.SegmentSearch.facetField(spark, store, field, fq)
+
   /** Solr stats.percentiles, served EXACTLY from the sorted term
     * dictionary (see [[graft.index.SegmentSearch.percentiles]]). */
   def percentiles(spark: SparkSession, store: String, field: String,

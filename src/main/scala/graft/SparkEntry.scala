@@ -1961,6 +1961,26 @@ object SparkEntry {
         .agg(sum(col("p_size")).as("sum_size"),
           count(col("p_size")).as("cnt_size"),
           count(lit(1)).as("cnt"))
+    }),
+
+    // Solr facet.field over an ANALYZED field (token facets — the
+    // tags/terms faceting the DSv2 groupBy pushdown must refuse
+    // because per-term counts don't partition docs): each doc counts
+    // once under EACH token it carries, under a term fq. Per-shard
+    // postings-block walks (v3 seek) produce vocabulary-sized
+    // partials; one groupBy merges them — the distributed facet
+    // response merge. The null bucket (token-less docs) is dropped to
+    // mirror SQL explode semantics.
+    "q139_token_facet" -> ((s, d) => {
+      import graft.index.SegmentShardSink
+      val out = sharedStore(d, "docs_text") { o =>
+        SegmentShardSink.write(
+          Tables.documents(s, d).select(
+            col("doc_id").cast("string").as("id"), col("text"), col("lang")),
+          "id", o, shards = 4, analyzedFields = Set("text"))
+      }
+      Graft.facetField(s, out, "text", fq = Some(("lang", "en")))
+        .filter(col("term").isNotNull)
     })
   )
 
@@ -3039,6 +3059,16 @@ object SparkEntry {
         |       CAST(count(p_size) AS BIGINT) AS cnt_size,
         |       CAST(count(*) AS BIGINT) AS cnt
         |FROM part WHERE p_size >= 10 AND p_size < 40
+        |GROUP BY 1""".stripMargin,
+
+    // Same tokenizer as the index analyzer: lowercase, [a-z0-9]+ runs;
+    // list_distinct = one count per (doc, token) pair.
+    "q139_token_facet" ->
+      """SELECT t AS term, CAST(count(*) AS BIGINT) AS cnt
+        |FROM (SELECT doc_id,
+        |        unnest(list_distinct(regexp_split_to_array(lower(text), '[^a-z0-9]+'))) AS t
+        |      FROM documents WHERE lang = 'en')
+        |WHERE t <> ''
         |GROUP BY 1""".stripMargin
   )
 }

@@ -1032,9 +1032,12 @@ object SegmentIndex {
       * plus the null bucket (matching docs lacking `field`) — postings
       * intersections only, stored docs never read. `filter` shapes:
       * [[MatchAll]] (plain facet), [[TermQuery]], [[RangeQuery]] (with
-      * zone-map segment skipping). Assumes `field` is single-valued
-      * and non-analyzed (the DSv2 layer's pushdown contract) so
-      * per-term counts partition the matching docs. */
+      * zone-map segment skipping). MULTIVALUED/analyzed fields get
+      * Solr facet semantics: a doc counts once under EACH term it
+      * carries (so counts need not partition the match set), while
+      * the null bucket complements ordinal-distinct field presence.
+      * On a single-valued field the counts partition the matching
+      * docs — the shape the DSv2 groupBy pushdown requires. */
     def facetCounts(field: String, filter: PushedQuery): (Map[String, Long], Long) = {
       val acc = mutable.HashMap.empty[String, Long]
       var matched = 0L
@@ -1048,15 +1051,19 @@ object SegmentIndex {
           // whole dictionary
           lazy val allPost =
             readPostingsFields(fs, dir, s.name, queryFields(filter) + field)
+          // presence tracked per ORDINAL (BitSet), not per posting:
+          // on a multivalued/analyzed field a doc carries several
+          // terms but must fill the null bucket's complement once
+          val present = new java.util.BitSet(s.docs)
           filter match {
             case MatchAll =>
               matched += s.liveDocs.toLong
               allPost.getOrElse(field, Map.empty).foreach { case (term, ords) =>
-                val live = ords.count(o => !dels.contains(o)).toLong
-                if (live > 0) {
-                  acc.update(term, acc.getOrElse(term, 0L) + live)
-                  withField += live
+                var live = 0L
+                ords.foreach { o =>
+                  if (!dels.contains(o)) { live += 1; present.set(o) }
                 }
+                if (live > 0) acc.update(term, acc.getOrElse(term, 0L) + live)
               }
             case q =>
               val fOrds: Set[Int] =
@@ -1064,13 +1071,14 @@ object SegmentIndex {
               matched += fOrds.size.toLong
               if (fOrds.nonEmpty)
                 allPost.getOrElse(field, Map.empty).foreach { case (term, ords) =>
-                  val c = ords.count(fOrds.contains).toLong
-                  if (c > 0) {
-                    acc.update(term, acc.getOrElse(term, 0L) + c)
-                    withField += c
+                  var c = 0L
+                  ords.foreach { o =>
+                    if (fOrds.contains(o)) { c += 1; present.set(o) }
                   }
+                  if (c > 0) acc.update(term, acc.getOrElse(term, 0L) + c)
                 }
           }
+          withField += present.cardinality().toLong
         }
       }
       (acc.toMap, matched - withField)

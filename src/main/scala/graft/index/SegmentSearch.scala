@@ -279,6 +279,45 @@ object SegmentSearch {
   }
 
   /**
+   * Solr `facet.field` over ANY field — including MULTIVALUED and
+   * ANALYZED fields, which the DSv2 groupBy pushdown must refuse
+   * (per-term counts don't partition docs there, so they aren't a
+   * SQL GROUP BY): a doc counts once under EACH term it carries —
+   * Solr's actual facet semantics for tags/token fields — plus a
+   * null-term bucket for matching docs lacking the field. The
+   * optional `fq` is an exact-term filter (field, plain value).
+   *
+   * Scale shape: one task per shard walks the facet field's postings
+   * block (v3 seek — the rest of the dictionary unread) intersected
+   * with the fq's posting list; the gathered frame is per-shard
+   * vocabulary-sized partials, merged by one groupBy — a distributed
+   * facet response merge, data movement ∝ vocabulary, never corpus.
+   */
+  def facetField(spark: SparkSession, store: String, field: String,
+                 fq: Option[(String, String)] = None): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.sum
+    val dirs = SegmentShardSink.partIndexDirs(spark, store)
+    require(dirs.nonEmpty, s"no part dirs under $store")
+    val marker = SegmentShardSink.readMarker(ShardIndex.hadoopConf(spark), store)
+    val dec = decodeOf(marker, Seq(field))(0)
+    val filter: PushedQuery = fq match {
+      case Some((f, v)) => TermQuery(f, Seq(encodeTerm(marker, f, v)))
+      case None => MatchAll
+    }
+    val conf = new SerializableHadoopConf(ShardIndex.hadoopConf(spark))
+    spark.sparkContext.parallelize(dirs, dirs.size).flatMap { d =>
+      val p = new Path(d)
+      val reader = new SegmentIndex.Reader(p.getFileSystem(conf.value), p)
+      val (counts, nullBucket) = reader.facetCounts(field, filter)
+      counts.iterator.map { case (t, n) => (dec(t), n) } ++
+        (if (nullBucket > 0) Iterator((null: String, nullBucket)) else Iterator.empty)
+    }.toDF("term", "cnt_part")
+      .groupBy(col("term"))
+      .agg(sum(col("cnt_part")).as("cnt"))
+  }
+
+  /**
    * Luke/terms-component statistics: per-term LIVE doc frequency for
    * one field, summed across shards. One task per shard reads only
    * that shard's postings (never stored docs), then a single groupBy

@@ -471,6 +471,36 @@ class SegmentIndexSpec extends AnyFunSuite {
       Map(0.0 -> 1L, 10.0 -> 1L, 20.0 -> 0L, 30.0 -> 1L))
   }
 
+  test("facetField: multivalued/analyzed Solr facet semantics, null bucket ordinal-distinct") {
+    import graft.TestSpark
+    val sp = TestSpark.spark
+    import sp.implicits._
+    val out = tmp("graft_mvfacet_")
+    // tags multivalued: doc 1 carries x+y (counts once under EACH);
+    // doc 3 has no tags (null bucket); doc 4 out of fq
+    val df = Seq(
+      ("1", Seq("x", "y"), "k"), ("2", Seq("x"), "k"),
+      ("3", Seq.empty[String], "k"), ("4", Seq("x"), "o")
+    ).toDF("id", "tags", "grp")
+    SegmentShardSink.write(df, "id", out, shards = 2)
+    val got = SegmentSearch.facetField(sp, out, "tags", fq = Some(("grp", "k")))
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(got === Map(Some("x") -> 2L, Some("y") -> 1L, None -> 1L))
+    // doc 1 holds two tags but fills the null-bucket complement once:
+    // nullBucket == matched(3) - present(2), NOT 3 - 3 postings
+    val noFq = SegmentSearch.facetField(sp, out, "tags")
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(noFq === Map(Some("x") -> 3L, Some("y") -> 1L, None -> 1L))
+    // analyzed field: token facets (each doc once per distinct token)
+    val out2 = tmp("graft_tokfacet_")
+    SegmentShardSink.write(
+      Seq(("1", "spark spark shuffles"), ("2", "spark joins")).toDF("id", "body"),
+      "id", out2, shards = 1, analyzedFields = Set("body"))
+    val toks = SegmentSearch.facetField(sp, out2, "body")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(toks === Map("spark" -> 2L, "shuffles" -> 1L, "joins" -> 1L))
+  }
+
   test("percentiles: exact percentile_disc from pushed term counts, fq + deletes honored") {
     import spark.implicits._
     val out = tmp("graft_pctl_")
