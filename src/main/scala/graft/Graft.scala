@@ -191,6 +191,12 @@ object Graft {
                  q: String = "*:*"): DataFrame =
     graft.index.SegmentSearch.rangeFacet(spark, store, field, start, end, gap, q)
 
+  /** Solr SPLITSHARD: split one shard's hash range at the midpoint,
+    * publish explicit slice ranges (see
+    * [[graft.index.SegmentShardSink.splitShard]]). */
+  def splitShard(spark: SparkSession, store: String, shard: Int): Unit =
+    graft.index.SegmentShardSink.splitShard(spark, store, shard)
+
   /** Solr facet.field over ANY field — multivalued/analyzed included
     * (see [[graft.index.SegmentSearch.facetField]]). */
   def facetField(spark: SparkSession, store: String, field: String,

@@ -1981,6 +1981,25 @@ object SparkEntry {
       }
       Graft.facetField(s, out, "text", fq = Some(("lang", "en")))
         .filter(col("term").isNotNull)
+    }),
+
+    // Solr SPLITSHARD: a private 2-shard store splits shard 0 at its
+    // hash midpoint into two sub-shards (one data-local rewrite task,
+    // siblings untouched), publishing shards=3 with EXPLICIT slice
+    // ranges in the marker — then the full store export must still
+    // equal the source (no doc lost, duplicated, or mis-routed).
+    // Mutating, so the store stays private (not sharedStore).
+    "q140_split_shard" -> ((s, d) => {
+      import graft.index.SegmentShardSink
+      val out = java.nio.file.Files.createTempDirectory("graft_q140_").toString
+      SegmentShardSink.write(
+        Tables.customer(s, d).select(
+          col("c_custkey").cast("string").as("id"),
+          col("c_name"), col("c_mktsegment")),
+        "id", out, shards = 2)
+      Graft.splitShard(s, out, 0)
+      s.read.format("graft-index").load(out)
+        .select(col("id"), col("c_name"), col("c_mktsegment"))
     })
   )
 
@@ -3069,6 +3088,10 @@ object SparkEntry {
         |        unnest(list_distinct(regexp_split_to_array(lower(text), '[^a-z0-9]+'))) AS t
         |      FROM documents WHERE lang = 'en')
         |WHERE t <> ''
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    "q140_split_shard" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS id, c_name, c_mktsegment
+        |FROM customer""".stripMargin
   )
 }

@@ -446,6 +446,80 @@ object SegmentShardSink {
     }
   }
 
+  /**
+   * Solr SPLITSHARD: split one shard's hash range at its midpoint and
+   * rewrite that shard's LIVE docs into two sub-shards — the
+   * collection-scaling operation (a hot shard outgrows its node; Solr
+   * splits it without touching the siblings). Exactly like Solr:
+   * a single-shard operation — the other parts' files never move, the
+   * rewrite runs as ONE data-local task, and the store publishes the
+   * new topology by rewriting its marker with shards+1 and EXPLICIT
+   * slice ranges (the same cluster-state ranges the router's X1
+   * alignment path consumes), so upserts/deletes keep routing
+   * correctly afterward. Docs re-index from their verbatim stored
+   * values (analyzed fields re-analyze, typed encodings are stable).
+   *
+   * Directory protocol: the two halves build under dot-prefixed temp
+   * dirs (invisible to partDirs), the parent drops, higher parts
+   * shift up one name, the halves rename into place, and the MARKER
+   * write is the publication point — a crash before it leaves a
+   * mixed-name store that the next split attempt would refuse, never
+   * a silently wrong router.
+   */
+  def splitShard(spark: SparkSession, store: String, shard: Int): Unit = {
+    val conf = ShardIndex.hadoopConf(spark)
+    val marker = readMarker(conf, store)
+    require(marker.shards == marker.parts,
+      s"splitShard needs one part per shard (shards=${marker.shards}, parts=${marker.parts})")
+    require(shard >= 0 && shard < marker.shards,
+      s"shard $shard out of range (0..${marker.shards - 1})")
+    require(marker.kindOf(marker.idCol) == 's',
+      "splitShard requires a string id column (routing re-hashes stored ids)")
+    val router = marker.router
+    val ranges = router.starts.zip(router.ends).toSeq
+    val (lo, hi) = ranges(shard)
+    require(lo < hi, s"shard $shard range [$lo, $hi] cannot split further")
+    val mid = (lo.toLong + (hi.toLong - lo.toLong) / 2).toInt
+    val srcDir = indexDir(store, shard)
+    val tmp0 = s"$store/.split-$shard-0/data/index"
+    val tmp1 = s"$store/.split-$shard-1/data/index"
+    val sConf = new SerializableHadoopConf(conf)
+    val idCol = marker.idCol
+    val analyzed = marker.analyzed
+    spark.sparkContext.parallelize(Seq(srcDir), 1).foreach { d =>
+      val p = new Path(d)
+      val reader = new SegmentIndex.Reader(p.getFileSystem(sConf.value), p)
+      val w0 = SegmentIndex.writer(tmp0, sConf.value, analyzed)
+      val w1 = SegmentIndex.writer(tmp1, sConf.value, analyzed)
+      reader.allDocs().foreach { doc =>
+        val id = SegmentIndex.firstValues(doc).getOrElse(idCol,
+          throw new IllegalStateException(s"doc missing id column '$idCol'"))
+        val h = graft.route.SolrHash.compositeHash(id)
+        (if (h <= mid) w0 else w1).addDocument(doc)
+      }
+      w0.close(); w1.close()
+      ()
+    }
+    val fs = new Path(store).getFileSystem(conf)
+    fs.delete(new Path(store, f"part-$shard%05d"), true)
+    var i = marker.parts - 1
+    while (i > shard) {
+      fs.rename(new Path(store, f"part-$i%05d"), new Path(store, f"part-${i + 1}%05d"))
+      i -= 1
+    }
+    fs.rename(new Path(store, s".split-$shard-0"), new Path(store, f"part-$shard%05d"))
+    fs.rename(new Path(store, s".split-$shard-1"), new Path(store, f"part-${shard + 1}%05d"))
+    val newRanges =
+      ranges.take(shard) ++ Seq((lo, mid), (mid + 1, hi)) ++ ranges.drop(shard + 1)
+    writeMarker(store, marker.shards + 1, marker.parts + 1, idCol, marker.columns,
+      marker.analyzed, marker.multivalued,
+      Some(HashRangeRouter(marker.shards + 1, marker.routingBits, Some(newRanges))),
+      spark,
+      numericLong = marker.numericLong, numericDouble = marker.numericDouble,
+      numericTs = marker.numericTs, numericDate = marker.numericDate,
+      numericTsNtz = marker.numericTsNtz)
+  }
+
   /** analyzer set from the marker; empty for raw SegmentIndex dirs
     * without a store marker (direct Writer users). */
   private def markerAnalyzed(spark: SparkSession, store: String): Set[String] = {

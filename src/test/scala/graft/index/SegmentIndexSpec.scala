@@ -471,6 +471,60 @@ class SegmentIndexSpec extends AnyFunSuite {
       Map(0.0 -> 1L, 10.0 -> 1L, 20.0 -> 0L, 30.0 -> 1L))
   }
 
+  test("splitShard: midpoint split, explicit ranges published, routing invariants hold") {
+    import graft.TestSpark
+    import graft.route.SolrHash
+    val sp = TestSpark.spark
+    import sp.implicits._
+    val out = tmp("graft_split_")
+    val docs = (1 to 200).map(i => (i.toString, s"name$i"))
+    SegmentShardSink.write(docs.toDF("id", "name"), "id", out, shards = 2)
+    SegmentShardSink.splitShard(sp, out, 0)
+    val conf = ShardIndex.hadoopConf(sp)
+    val m = SegmentShardSink.readMarker(conf, out)
+    assert(m.shards === 3 && m.parts === 3)
+    val ranges = m.ranges.get
+    // contiguous full-space cover, split at the old shard-0 midpoint
+    assert(ranges.head._1 === Int.MinValue && ranges.last._2 === Int.MaxValue)
+    ranges.sliding(2).foreach { case Seq((_, e), (s2, _)) => assert(s2 === e + 1); case _ => }
+    // every live doc sits in the part whose range holds its hash
+    val router = m.router
+    val dirs = SegmentShardSink.partIndexDirs(sp, out)
+    assert(dirs.size === 3)
+    dirs.zipWithIndex.foreach { case (d, i) =>
+      val p = new Path(d)
+      val r = new SegmentIndex.Reader(p.getFileSystem(conf), p)
+      r.allDocs().foreach { doc =>
+        val id = SegmentIndex.firstValues(doc)("id")
+        assert(router.shardOfHash(SolrHash.compositeHash(id)) === i,
+          s"doc $id mis-routed in part $i")
+      }
+    }
+    // nothing lost, nothing duplicated
+    val ids = sp.read.format("graft-index").load(out)
+      .select("id").collect().map(_.getString(0)).sorted
+    assert(ids.toSeq === docs.map(_._1).sorted)
+    // upsert routes with the NEW explicit ranges (update + fresh doc)
+    SegmentShardSink.upsert(sp, out,
+      Seq(("7", "updated7"), ("201", "name201")).toDF("id", "name"))
+    val after = sp.read.format("graft-index").load(out)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(after("7") === "updated7" && after("201") === "name201" &&
+      after.size === 201)
+    // the updated docs landed on the range-owning part
+    Seq("7", "201").foreach { id =>
+      val owner = router.shardOfHash(SolrHash.compositeHash(id))
+      val p = new Path(dirs(owner))
+      val r = new SegmentIndex.Reader(p.getFileSystem(conf), p)
+      assert(r.termDocs("id", id).nonEmpty, s"id $id not on owning part $owner")
+    }
+    // splitting the (new) last shard exercises the no-shift path
+    SegmentShardSink.splitShard(sp, out, 2)
+    val m2 = SegmentShardSink.readMarker(conf, out)
+    assert(m2.shards === 4 &&
+      sp.read.format("graft-index").load(out).count() === 201L)
+  }
+
   test("facetField: multivalued/analyzed Solr facet semantics, null bucket ordinal-distinct") {
     import graft.TestSpark
     val sp = TestSpark.spark
