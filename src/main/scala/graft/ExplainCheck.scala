@@ -46,7 +46,8 @@ object ExplainCheck {
       "q134_index_time_range" -> "typed temporal fields: timestamp + date bounds push as one AND of chronological dictionary ranges, typed columns out",
       "q136_index_unique" -> "unique()/cardinality: outer distinct-count rides the pushed pivot partials — vocabulary²-bounded, stored docs never read",
       "q137_index_percentiles" -> "exact percentiles: pushed facet partials -> vocabulary-sized cumulative window + broadcast fraction spine",
-      "q138_index_group_sum" -> "grouped SUM/COUNT(field): GROUP BY + typed sums + numeric fq pushed whole, per-shard bucket partials merged by Spark")
+      "q138_index_group_sum" -> "grouped SUM/COUNT(field): GROUP BY + typed sums + numeric fq pushed whole, per-shard bucket partials merged by Spark",
+      "q141_json_facet_api" -> "JSON Facet API: avg -> pushed sum+count partials, nested sub-facet -> pivot pushdown, <=5-row parent broadcast onto ranked child")
     val sb = new StringBuilder
     sb.append("# Captured physical plans (generated by graft.ExplainCheck at sf0.001)\n")
     sb.append("\nRegenerate: `sbt \"runMain graft.ExplainCheck\"`.\n")

@@ -191,6 +191,13 @@ object Graft {
                  q: String = "*:*"): DataFrame =
     graft.index.SegmentSearch.rangeFacet(spark, store, field, start, end, gap, q)
 
+  /** Solr JSON Facet API: compile a user's json.facet request onto
+    * the index table's pushed plans (see
+    * [[graft.search.JsonFacetApi.jsonFacet]]). */
+  def jsonFacet(spark: SparkSession, store: String, request: String,
+                q: String = "*:*"): DataFrame =
+    graft.search.JsonFacetApi.jsonFacet(spark, store, request, q)
+
   /** Solr SPLITSHARD: split one shard's hash range at the midpoint,
     * publish explicit slice ranges (see
     * [[graft.index.SegmentShardSink.splitShard]]). */

@@ -2000,6 +2000,30 @@ object SparkEntry {
       Graft.splitShard(s, out, 0)
       s.read.format("graft-index").load(out)
         .select(col("id"), col("c_name"), col("c_mktsegment"))
+    }),
+
+    // Solr JSON Facet API end-to-end: the request a Solr user writes
+    // ({type:terms, limit, sort, nested stats + sub-facet}) compiles
+    // onto the index pushdowns — parent buckets via grouped
+    // count+avg (avg(plong) rewrites to pushed sum+count partials),
+    // child buckets via the pivot pushdown, Solr tie-break (count
+    // desc, then index order), ≤5-row parent frame broadcast onto
+    // the ranked child frame. Flattened bucket tree out.
+    "q141_json_facet_api" -> ((s, d) => {
+      import graft.index.SegmentShardSink
+      val out = sharedStore(d, "part_jf") { o =>
+        SegmentShardSink.write(
+          Tables.part(s, d).select(
+            col("p_partkey").cast("string").as("id"),
+            col("p_brand"), col("p_type"),
+            col("p_size").cast("long").as("p_size")),
+          "id", o, shards = 4)
+      }
+      Graft.jsonFacet(s, out,
+        """{"brands": {"type": "terms", "field": "p_brand", "limit": 5,
+          |  "facet": {"avg_size": "avg(p_size)",
+          |            "types": {"type": "terms",
+          |                      "field": "p_type", "limit": 3}}}}""".stripMargin)
     })
   )
 
@@ -3092,6 +3116,29 @@ object SparkEntry {
 
     "q140_split_shard" ->
       """SELECT CAST(c_custkey AS VARCHAR) AS id, c_name, c_mktsegment
-        |FROM customer""".stripMargin
+        |FROM customer""".stripMargin,
+
+    // Replays the compiled plan: top-5 brands (count desc, brand
+    // tie-break), avg over exact integer sum, top-3 containers per
+    // brand — flattened.
+    "q141_json_facet_api" ->
+      """WITH parent AS (
+        |  SELECT p_brand, count(*) AS cnt,
+        |         CAST(sum(p_size) AS DOUBLE) / count(p_size) AS avg_size
+        |  FROM part GROUP BY 1),
+        |ptop AS (
+        |  SELECT *, row_number() OVER (ORDER BY cnt DESC, p_brand) AS rk
+        |  FROM parent),
+        |child AS (
+        |  SELECT p_brand, p_type, count(*) AS types_cnt
+        |  FROM part GROUP BY 1, 2),
+        |ctop AS (
+        |  SELECT *, row_number() OVER (PARTITION BY p_brand
+        |            ORDER BY types_cnt DESC, p_type) AS rk
+        |  FROM child)
+        |SELECT p.p_brand, CAST(p.cnt AS BIGINT) AS cnt, p.avg_size,
+        |       c.p_type, CAST(c.types_cnt AS BIGINT) AS types_cnt
+        |FROM ptop p JOIN ctop c USING (p_brand)
+        |WHERE p.rk <= 5 AND c.rk <= 3""".stripMargin
   )
 }

@@ -214,6 +214,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Filter ("), p.take(2000))
   }
 
+  test("q141 JSON Facet API: avg rewrites to pushed sum+count, child rides the pivot, " +
+    "parent broadcast") {
+    val p = plan("q141_json_facet_api")
+    assert(p.contains("pushedAgg=count(*),sum(p_size),count(p_size)") &&
+      p.contains("pushedGroupBy=p_brand,"), p.take(3000))
+    assert(p.contains("pushedGroupBy=p_brand,p_type"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p.take(3000))
+  }
+
   test("q138 grouped sum: GROUP BY + SUM/COUNT(field) + numeric fq all land in the scan") {
     val p = plan("q138_index_group_sum")
     assert(p.contains("pushedGroupBy=p_brand") &&
