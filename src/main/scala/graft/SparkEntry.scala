@@ -2024,7 +2024,18 @@ object SparkEntry {
           |  "facet": {"avg_size": "avg(p_size)",
           |            "types": {"type": "terms",
           |                      "field": "p_type", "limit": 3}}}}""".stripMargin)
-    })
+    }),
+
+    // Unigram-LM quality scoring (statistical-outlier signal for
+    // corpus filtering): per-doc rarity under the corpus unigram
+    // model, in bit-stable integer milli-ratio space (true ln-based
+    // perplexity is libm-dependent and unverifiable bit-for-bit;
+    // the inverse-probability ratio is monotone in the same
+    // surprise). One explode feeds corpus counts AND the cost join;
+    // totals broadcast; exact integer sums.
+    "q142_unigram_rarity" -> ((s, d) =>
+      TextAnalysis.unigramRarity(
+        Tables.documents(s, d), "doc_id", "text"))
   )
 
   // ---------------------------------------------------------------
@@ -3139,6 +3150,23 @@ object SparkEntry {
         |SELECT p.p_brand, CAST(p.cnt AS BIGINT) AS cnt, p.avg_size,
         |       c.p_type, CAST(c.types_cnt AS BIGINT) AS types_cnt
         |FROM ptop p JOIN ctop c USING (p_brand)
-        |WHERE p.rk <= 5 AND c.rk <= 3""".stripMargin
+        |WHERE p.rk <= 5 AND c.rk <= 3""".stripMargin,
+
+    // Pure integer math end-to-end (// is DuckDB integer division);
+    // only the final mean divides, exactly as the engine does.
+    "q142_unigram_rarity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t FROM (
+        |    SELECT doc_id,
+        |           unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+        |    FROM documents) u WHERE t <> ''),
+        |counts AS (SELECT t, count(*) AS c FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tt, count(*) AS v FROM counts),
+        |costs AS (SELECT t, ((tt + v) * 1000) // (c + 1) AS cost FROM counts, tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(cost) AS BIGINT) AS rarity_sum,
+        |       CAST(sum(cost) AS DOUBLE) / count(*) AS avg_rarity
+        |FROM toks JOIN costs USING (t)
+        |GROUP BY 1""".stripMargin
   )
 }

@@ -123,6 +123,60 @@ object TextAnalysis {
    * stable 128-bit id; a rolling/shingled variant lives in
    * ApproxDedup.shingles).
    */
+  /**
+   * Corpus unigram RARITY scoring — the quality-filter family's
+   * "statistical outlier" signal (docs whose tokens are improbable
+   * under the corpus unigram model: gibberish, boilerplate soup,
+   * wrong-language residue). A true LM perplexity needs `ln`, whose
+   * last-ulp behavior varies across libm implementations and would
+   * make the score unverifiable bit-for-bit; the add-one-smoothed
+   * INVERSE-PROBABILITY MILLI-RATIO `((T + V) * 1000) div (c(t) + 1)`
+   * is monotone in the same surprise and stays in exact integer
+   * space (T = corpus tokens, V = vocabulary, c = token count).
+   *
+   * Output per doc: token count, summed rarity (exact BIGINT), and
+   * the mean rarity per token (one exact-int division at the end).
+   *
+   * Scale shape: one token explode feeds BOTH the corpus counts and
+   * the per-doc join (Spark reuses the exchange); the 1-row totals
+   * frame broadcasts onto the vocabulary; the cost join shuffles on
+   * the token key (vocabulary vs occurrences — AQE broadcasts the
+   * cost side when it fits); the final per-doc aggregate partial-
+   * aggregates map-side. Nothing is driver-collected.
+   */
+  def unigramRarity(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val toks = docs.select(col(idCol), explode(expr(
+      s"filter(split(lower(`$textCol`), '[^a-z0-9]+'), x -> x <> '')")).as("__t"))
+    val counts = toks.groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+    // corpus totals as an unpartitioned window over the VOCABULARY
+    // frame (not a corpus re-scan, and not a crossJoin back onto the
+    // frame's own aggregate — a self-join Spark cannot disambiguate);
+    // single-partition is fine at |vocabulary| rows, same shape as
+    // SegmentSearch.percentiles
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    // positional toDF between the window projection and the cost
+    // arithmetic: Spark 4's resolver reports a spurious self-conflict
+    // on `__t` when a select references columns across this window —
+    // positional renaming mints unambiguous attributes without
+    // resolving names at all
+    val costs0 = counts
+      .select(col("__t"), col("__c"),
+        sum(col("__c")).over(w).as("__T"), count(lit(1)).over(w).as("__V"))
+      .toDF("__ct", "__kc", "__kT", "__kV")
+      .selectExpr("__ct", "((__kT + __kV) * 1000L) div (__kc + 1) AS __cost")
+    // the cost frame still descends from `toks`, so joining it back is
+    // a self-join; the RDD round-trip mints fresh attribute ids (the
+    // SegmentSearch.rangeFacet barrier trick)
+    val costs = docs.sparkSession.createDataFrame(costs0.rdd, costs0.schema)
+    toks.join(costs, col("__t") === col("__ct")).drop("__ct")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__cost")).as("rarity_sum"))
+      .withColumn("avg_rarity",
+        col("rarity_sum").cast("double") / col("n_tokens"))
+  }
+
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))
 

@@ -8,6 +8,24 @@ class TextAnalysisSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("unigramRarity: exact integer milli-ratio costs, hand-computed corpus") {
+    // corpus: "a a b" + "a c" -> T=5 tokens, V=3 vocab, T+V=8
+    // costs: a: 8000 div (3+1)=2000; b: 8000 div (1+1)=4000; c: 4000
+    val df = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramRarity(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // doc 1: 2000+2000+4000 = 8000 over 3 tokens; doc 2: 2000+4000 = 6000 over 2
+    assert(got === Map(
+      1L -> ((3L, 8000L, 8000.0 / 3)),
+      2L -> ((2L, 6000L, 3000.0))))
+    // punctuation/case fold into the same tokenizer
+    val noisy = TextAnalysis.unigramRarity(
+      Seq((1L, "A, a; B!"), (2L, "a C")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(noisy === Map(1L -> 8000L, 2L -> 6000L))
+  }
+
   test("F2 tokenize: the reference's own golden test (SolrMorphlineTest.java:52-68)") {
     // "Hello World!\nFoo@Bar.com #%()123" -> [hello, world, foo, bar.com, 123]
     val got = Seq("Hello World!\nFoo@Bar.com #%()123").toDF("t")
