@@ -204,6 +204,12 @@ object Graft {
   def splitShard(spark: SparkSession, store: String, shard: Int): Unit =
     graft.index.SegmentShardSink.splitShard(spark, store, shard)
 
+  /** INDEX-SERVED MoreLikeThis — the MLT handler with every statistic
+    * from postings (see [[graft.index.SegmentSearch.moreLikeThis]]). */
+  def moreLikeThis(spark: SparkSession, store: String, field: String,
+                   idValue: String, topTerms: Int = 10): DataFrame =
+    graft.index.SegmentSearch.moreLikeThis(spark, store, field, idValue, topTerms)
+
   /** Solr facet.field over ANY field — multivalued/analyzed included
     * (see [[graft.index.SegmentSearch.facetField]]). */
   def facetField(spark: SparkSession, store: String, field: String,

@@ -2035,7 +2035,28 @@ object SparkEntry {
     // totals broadcast; exact integer sums.
     "q142_unigram_rarity" -> ((s, d) =>
       TextAnalysis.unigramRarity(
-        Tables.documents(s, d), "doc_id", "text"))
+        Tables.documents(s, d), "doc_id", "text")),
+
+    // INDEX-SERVED MoreLikeThis: q84's exact scoring, but every
+    // statistic from the index — seed term vector from positional
+    // postings, df from posting cardinality, N from live counts,
+    // candidates from the 10 interesting terms' posting lists (one
+    // stored-id seek per candidate). Same oracle as q84 modulo the
+    // store round-trip.
+    "q143_index_mlt" -> ((s, d) => {
+      import graft.index.SegmentShardSink
+      val out = sharedStore(d, "docs_text") { o =>
+        SegmentShardSink.write(
+          Tables.documents(s, d).select(
+            col("doc_id").cast("string").as("id"), col("text"), col("lang")),
+          "id", o, shards = 4, analyzedFields = Set("text"))
+      }
+      Graft.moreLikeThis(s, out, "text", "7", topTerms = 10)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("shared_terms"))
+        .orderBy(col("shared_terms").desc, col("doc_id"))
+        .limit(10)
+    })
   )
 
   // ---------------------------------------------------------------
@@ -3167,6 +3188,30 @@ object SparkEntry {
         |       CAST(sum(cost) AS BIGINT) AS rarity_sum,
         |       CAST(sum(cost) AS DOUBLE) / count(*) AS avg_rarity
         |FROM toks JOIN costs USING (t)
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    // q84's oracle verbatim — the index-served path must produce the
+    // identical ranking from postings-derived statistics.
+    "q143_index_mlt" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |           FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf
+        |       FROM (SELECT doc_id, unnest(toks) AS term FROM t) u GROUP BY doc_id, term),
+        |dfq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |ti AS (SELECT tf.doc_id, tf.term,
+        |  CAST(tf.tf AS DOUBLE) * (ln((CAST(n_docs AS DOUBLE) + 1.0)
+        |    / (CAST(doc_freq AS DOUBLE) + 1.0)) + 1.0) AS tf_idf
+        | FROM tf JOIN dfq USING (term) CROSS JOIN n),
+        |interesting AS (SELECT term FROM (
+        | SELECT term, row_number() OVER (
+        |   ORDER BY round(tf_idf, 6) DESC, term) AS rn
+        | FROM ti WHERE doc_id = 7) x WHERE rn <= 10),
+        |ct AS (SELECT DISTINCT doc_id, term
+        |       FROM (SELECT doc_id, unnest(toks) AS term FROM t) u WHERE doc_id <> 7)
+        |SELECT doc_id, count(*) AS shared_terms
+        |FROM ct JOIN interesting USING (term)
+        |GROUP BY doc_id
+        |ORDER BY shared_terms DESC, doc_id LIMIT 10""".stripMargin
   )
 }

@@ -1338,6 +1338,54 @@ object SegmentIndex {
           .count(o => !dels.contains(o)).toLong
       }.sum
 
+    /** Term frequencies of ONE live doc (looked up by its `idField`
+      * value) over an ANALYZED field — tf from positional postings,
+      * the per-doc term-vector view MoreLikeThis needs. Empty when
+      * the doc isn't in this index. Cost: the id's posting lookup +
+      * one field-block parse of the seed's segment (v3 seek). */
+    def docTermFreqs(field: String, idField: String, idValue: String): Map[String, Int] =
+      commit.segments.iterator.flatMap { s =>
+        val dels = readDels(fs, dir, s)
+        readPostingsFields(fs, dir, s.name, Set(idField))
+          .getOrElse(idField, Map.empty)
+          .getOrElse(idValue, Array.empty[Int])
+          .filterNot(dels.contains).headOption.map { ord =>
+            readPostingsPositionsField(fs, dir, s.name, field).iterator
+              .flatMap { case (t, arr) =>
+                arr.find(_._1 == ord).filter(_._2.length > 0)
+                  .map(e => t -> e._2.length)
+              }.toMap
+          }
+      }.foldLeft(Map.empty[String, Int])(_ ++ _)
+
+    /** For every live doc holding ≥1 of `terms` on `field` (except
+      * the doc whose `idField` is `excludeIdValue`): how many DISTINCT
+      * query terms it shares — the MoreLikeThis candidate walk. Work ∝
+      * the query terms' posting lists + one stored-id seek per
+      * candidate; never a corpus scan. */
+    def sharedTermCounts(field: String, terms: Seq[String], idField: String,
+                         excludeIdValue: String): Iterator[(String, Int)] =
+      commit.segments.iterator.flatMap { s =>
+        val dels = readDels(fs, dir, s)
+        val post = readPostingsFields(fs, dir, s.name, Set(field))
+          .getOrElse(field, Map.empty)
+        val cnt = mutable.HashMap.empty[Int, Int]
+        terms.foreach { t =>
+          post.getOrElse(t, Array.empty[Int]).foreach { o =>
+            if (!dels.contains(o)) cnt.update(o, cnt.getOrElse(o, 0) + 1)
+          }
+        }
+        if (cnt.isEmpty) Iterator.empty
+        else {
+          val ords = cnt.keys.toArray.sorted
+          readStoredDocsAt(fs, dir, s.name, ords, s.docs).iterator
+            .zip(ords.iterator).flatMap { case (doc, o) =>
+              firstValues(doc).get(idField)
+                .filter(_ != excludeIdValue).map(_ -> cnt(o))
+            }
+        }
+      }
+
     /** Per-ord token counts of `field` in segment `s` — the stored
       * norms when present, else recomputed by re-analyzing stored
       * values (segments written before norms existed). */

@@ -279,6 +279,72 @@ object SegmentSearch {
   }
 
   /**
+   * INDEX-SERVED MoreLikeThis (Solr's MLT handler): find docs similar
+   * to the one whose id is `idValue`, with every statistic read from
+   * the index — the seed's term frequencies from positional postings
+   * (its per-doc term vector), document frequencies from posting
+   * cardinality, N from live-doc counts (the same scatter phases as
+   * distributed BM25) — then candidates from the interesting terms'
+   * posting lists only. Scoring replicates
+   * [[graft.text.Ranking.moreLikeThis]] exactly: interesting terms =
+   * top `topTerms` by `tf * (ln((N+1)/(df+1)) + 1)` rounded to 6
+   * decimals (term tie-break), candidate score = count of DISTINCT
+   * shared interesting terms.
+   *
+   * Scale shape: phase 1 touches the seed's id posting + ONE
+   * field-block; phase 2 moves |seed terms| stat rows per shard;
+   * phase 3's work is ∝ the 10 interesting terms' posting lists +
+   * one stored-id seek per candidate. A corpus scan never happens —
+   * Solr's MLT cost model exactly. Returns (doc_id, shared_terms),
+   * unranked (callers order/limit — ids may need a numeric cast
+   * first).
+   */
+  def moreLikeThis(spark: SparkSession, store: String, field: String,
+                   idValue: String, topTerms: Int = 10): DataFrame = {
+    import spark.implicits._
+    val marker = SegmentShardSink.readMarker(ShardIndex.hadoopConf(spark), store)
+    require(marker.analyzed.contains(field),
+      s"moreLikeThis requires an analyzed field; '$field' is stored verbatim")
+    val idField = marker.idCol
+    val dirs = SegmentShardSink.partIndexDirs(spark, store)
+    require(dirs.nonEmpty, s"no part dirs under $store")
+    val conf = new SerializableHadoopConf(ShardIndex.hadoopConf(spark))
+    // phase 1: the seed's term vector (exactly one shard holds it)
+    val seedTf = spark.sparkContext.parallelize(dirs, dirs.size).map { d =>
+      val p = new Path(d)
+      new SegmentIndex.Reader(p.getFileSystem(conf.value), p)
+        .docTermFreqs(field, idField, idValue)
+    }.collect().foldLeft(Map.empty[String, Int])(_ ++ _)
+    if (seedTf.isEmpty)
+      return Seq.empty[(String, Long)].toDF("doc_id", "shared_terms")
+    // phase 2: global N + df for the seed's terms (tiny rows per shard)
+    val stats = spark.sparkContext.parallelize(dirs, dirs.size).map { d =>
+      val p = new Path(d)
+      new SegmentIndex.Reader(p.getFileSystem(conf.value), p)
+        .bm25Stats(field, seedTf.keys.toSeq.sorted)
+    }.collect()
+    val n = stats.map(_._1).sum.toDouble
+    val df = stats.flatMap(_._3).groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sum }
+    def round6(x: Double): BigDecimal =
+      BigDecimal(java.math.BigDecimal.valueOf(x))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val interesting = seedTf.toSeq.map { case (t, tf) =>
+      val dfT = df.getOrElse(t, 0L).toDouble
+      (t, round6(tf.toDouble * (math.log((n + 1.0) / (dfT + 1.0)) + 1.0)))
+    }.sortBy { case (t, s) => (-s, t) }.take(topTerms).map(_._1)
+    // phase 3: candidates from the interesting terms' postings only
+    spark.sparkContext.parallelize(dirs, dirs.size).flatMap { d =>
+      val p = new Path(d)
+      new SegmentIndex.Reader(p.getFileSystem(conf.value), p)
+        .sharedTermCounts(field, interesting, idField, idValue)
+    }.toDF("doc_id", "__c")
+      // ids are store-unique, but a defensive merge keeps the contract
+      // obvious (and free at candidate-set size)
+      .groupBy(col("doc_id"))
+      .agg(org.apache.spark.sql.functions.sum(col("__c")).as("shared_terms"))
+  }
+
+  /**
    * Solr `facet.field` over ANY field — including MULTIVALUED and
    * ANALYZED fields, which the DSv2 groupBy pushdown must refuse
    * (per-term counts don't partition docs there, so they aren't a

@@ -525,6 +525,34 @@ class SegmentIndexSpec extends AnyFunSuite {
       sp.read.format("graft-index").load(out).count() === 201L)
   }
 
+  test("moreLikeThis: seed term vector from positions, candidates from postings, " +
+    "seed excluded, deletes honored") {
+    import graft.TestSpark
+    val sp = TestSpark.spark
+    import sp.implicits._
+    val out = tmp("graft_mlt_")
+    // seed 1: rare tokens xq zq + common token the; docs 2/3 share
+    // rare tokens, doc 4 shares only 'the' (low idf, still counted
+    // when within topTerms)
+    val df = Seq(
+      ("1", "xq zq the"), ("2", "xq zq other"), ("3", "zq alone"),
+      ("4", "the common"), ("5", "nothing shared")
+    ).toDF("id", "body")
+    SegmentShardSink.write(df, "id", out, shards = 2, analyzedFields = Set("body"))
+    def mlt() = SegmentSearch.moreLikeThis(sp, out, "body", "1", topTerms = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mlt() === Map("2" -> 2L, "3" -> 1L, "4" -> 1L))
+    // doc 2 deleted -> out of candidates AND out of df stats
+    SegmentShardSink.deleteByTerm(sp, out, "id", "2")
+    assert(mlt() === Map("3" -> 1L, "4" -> 1L))
+    // unknown seed -> empty frame, not an error
+    assert(SegmentSearch.moreLikeThis(sp, out, "body", "404").count() === 0L)
+    // non-analyzed field refused
+    intercept[IllegalArgumentException] {
+      SegmentSearch.moreLikeThis(sp, out, "id", "1")
+    }
+  }
+
   test("facetField: multivalued/analyzed Solr facet semantics, null bucket ordinal-distinct") {
     import graft.TestSpark
     val sp = TestSpark.spark
