@@ -6,17 +6,27 @@ import org.apache.spark.sql.functions._
 /**
  * Test-table loaders over /root/testdata/<sf>/ (TESTDATA.md).
  *
- * `events.ts` is parquet INT64 TIMESTAMP(NANOS) which Spark rejects by
- * default; it is read with `spark.sql.legacy.parquet.nanosAsLong` and
- * converted via integer division (a double division would lose
- * precision above 2^53 — epoch-nanos are ~1.7e18).
+ * `events.ts` has shipped in two physical encodings across testdata
+ * generations: INT64 TIMESTAMP(NANOS) (read with
+ * `spark.sql.legacy.parquet.nanosAsLong` and converted via integer
+ * division — a double division would lose precision above 2^53,
+ * epoch-nanos are ~1.7e18) and plain TIMESTAMP(MICROS) (read as
+ * TIMESTAMP_NTZ, cast to session-zone TIMESTAMP; the session is
+ * pinned to UTC so the cast is wall-clock identity). The loader
+ * branches on the decoded type so either generation yields the same
+ * TimestampType column.
  */
 object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case _ =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+      }
     case _ => spark.read.parquet(s"$dir/$name.parquet")
   }
 
