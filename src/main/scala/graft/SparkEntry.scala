@@ -2056,7 +2056,16 @@ object SparkEntry {
           col("shared_terms"))
         .orderBy(col("shared_terms").desc, col("doc_id"))
         .limit(10)
-    })
+    }),
+
+    // L106 exact cross-document substring-span dedup (Lee et al.
+    // 2022): every 5-token window occurring >=2 times corpus-wide
+    // marks its tokens; covered tokens are cut from the rebuilt text.
+    "q144_substring_dedup" -> ((s, d) =>
+      ops.SubstringDedup.dropDuplicatedSpans(
+        Tables.documents(s, d), "doc_id", "text", k = 5)
+        .select(col("doc_id"), col("n_tokens"), col("n_dup_tokens"),
+          col("text_deduped")))
   )
 
   // ---------------------------------------------------------------
@@ -3212,6 +3221,41 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS shared_terms
         |FROM ct JOIN interesting USING (term)
         |GROUP BY doc_id
-        |ORDER BY shared_terms DESC, doc_id LIMIT 10""".stripMargin
+        |ORDER BY shared_terms DESC, doc_id LIMIT 10""".stripMargin,
+
+    // 5-token windows; a window occurring >=2 times corpus-wide marks
+    // its 5 token positions; covered tokens drop from the rebuilt
+    // text. lead(...,4) IS NULL only past the partition end (tokens
+    // themselves are never NULL), so `whole` marks exactly the
+    // full-width windows.
+    "q144_substring_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+        |),
+        |grams AS (
+        |  SELECT doc_id, pos,
+        |    tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w || ' ' ||
+        |      lead(tok,3) OVER w || ' ' || lead(tok,4) OVER w AS gram,
+        |    lead(tok,4) OVER w IS NOT NULL AS whole
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |),
+        |dup AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS n
+        |    FROM grams WHERE whole) WHERE n >= 2
+        |),
+        |cov AS (
+        |  SELECT t.doc_id, t.pos, t.tok,
+        |    max(CASE WHEN d.pos IS NOT NULL THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY t.doc_id ORDER BY t.pos
+        |            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS covered
+        |  FROM toks t LEFT JOIN dup d ON t.doc_id = d.doc_id AND t.pos = d.pos
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(covered) AS BIGINT) AS n_dup_tokens,
+        |  coalesce(string_agg(CASE WHEN covered = 0 THEN tok END, ' ' ORDER BY pos), '')
+        |    AS text_deduped
+        |FROM cov GROUP BY doc_id""".stripMargin
   )
 }
