@@ -2065,7 +2065,13 @@ object SparkEntry {
       ops.SubstringDedup.dropDuplicatedSpans(
         Tables.documents(s, d), "doc_id", "text", k = 5)
         .select(col("doc_id"), col("n_tokens"), col("n_dup_tokens"),
-          col("text_deduped")))
+          col("text_deduped"))),
+
+    // L107 SemDeDup: axis-sign semantic buckets, within-bucket
+    // pairwise cosine, keep-lowest-id
+    "q145_semantic_dedup" -> ((s, d) =>
+      ops.Similarity.semanticDedup(
+        Tables.embeddings(s, d), threshold = 0.4, bits = 8))
   )
 
   // ---------------------------------------------------------------
@@ -3256,6 +3262,28 @@ object SparkEntry {
         |  CAST(sum(covered) AS BIGINT) AS n_dup_tokens,
         |  coalesce(string_agg(CASE WHEN covered = 0 THEN tok END, ' ' ORDER BY pos), '')
         |    AS text_deduped
-        |FROM cov GROUP BY doc_id""".stripMargin
+        |FROM cov GROUP BY doc_id""".stripMargin,
+
+    // axis-sign bucket = bit j set iff dim j+1 >= 0 (1-based lists on
+    // both engines); within a bucket, b is a dup iff some a < b has
+    // cosine >= 0.4; max over qualifying pairs is order-independent
+    "q145_semantic_dedup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id, v,
+        |  (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END) + (CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END) +
+        |  (CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END) + (CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END) +
+        |  (CASE WHEN v[5] >= 0 THEN 16 ELSE 0 END) + (CASE WHEN v[6] >= 0 THEN 32 ELSE 0 END) +
+        |  (CASE WHEN v[7] >= 0 THEN 64 ELSE 0 END) + (CASE WHEN v[8] >= 0 THEN 128 ELSE 0 END)
+        |    AS cluster
+        | FROM e),
+        |d AS (SELECT id_b AS vec_id, max(cos) AS mx FROM (
+        |  SELECT b.vec_id AS id_b,
+        |    list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+        |  FROM c a JOIN c b ON a.cluster = b.cluster AND a.vec_id < b.vec_id) p
+        | WHERE cos >= 0.4 GROUP BY id_b)
+        |SELECT c.vec_id, CAST(cluster AS BIGINT) AS cluster,
+        |  d.vec_id IS NOT NULL AS is_dup, round(d.mx, 6) AS max_prior_cos_r
+        |FROM c LEFT JOIN d ON c.vec_id = d.vec_id""".stripMargin
   )
 }

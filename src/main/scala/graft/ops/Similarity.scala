@@ -226,6 +226,65 @@ object Similarity {
     df.join(losers, col(idCol) === col("__loser"), "left_anti")
   }
 
+  /** Deterministic axis-sign semantic bucket: bit j set iff dim j of
+    * the vector is >= 0 (the first `bits` dims). A degenerate — but
+    * seed-free and engine-reproducible — random-hyperplane code with
+    * axis-aligned planes. */
+  def signBucket(vec: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 62)
+    (0 until bits).map(j =>
+      when(element_at(vec, j + 1) >= 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+  }
+
+  /**
+   * SemDeDup (Abbas et al. 2023): semantic deduplication by clustering
+   * the embedding space and dropping near-identical members inside
+   * each cluster. The published form clusters with k-means; this
+   * engine variant buckets by [[signBucket]] (deterministic,
+   * training-free, DuckDB-oracle-checkable — q145) and the production
+   * path swaps in [[ivfTopK]]'s trained centroids for data-adaptive
+   * cells (same downstream plan: an equi-join on the cell key).
+   *
+   * Within each bucket every ordered pair (a < b) with cosine >=
+   * `threshold` marks b as a semantic duplicate of an earlier
+   * representative — keep-lowest-id, the deterministic tie-break.
+   * Returns one row per input vector: (idCol, cluster, is_dup,
+   * max_prior_cos_r).
+   *
+   * Scale shape: ONE hash shuffle on the bucket key; the pairwise
+   * rescore is O(cell²) — the SemDeDup cost model (cells are sized by
+   * the bit width / nlist so cell² stays bounded; 2^bits buckets over
+   * n rows gives n²/2^bits expected pair work, and a skewed bucket is
+   * the signal to raise `bits`). Pairwise dot products are
+   * row-deterministic (fixed dim order), so no cross-row float
+   * accumulation exists anywhere — max() over pairs is
+   * order-independent.
+   */
+  def semanticDedup(df: DataFrame, threshold: Double, bits: Int = 8,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val base = df.select(col(idCol).as("sem_id"),
+        col(vecCol).cast("array<double>").as("sem_v"))
+      .withColumn("sem_cluster", signBucket(col("sem_v"), bits))
+      .withColumn("sem_n", norm(col("sem_v")))
+    val a = base.select(col("sem_cluster"), col("sem_id").as("id_a"),
+      col("sem_v").as("va"), col("sem_n").as("na"))
+    val b = base.select(col("sem_cluster"), col("sem_id").as("id_b"),
+      col("sem_v").as("vb"), col("sem_n").as("nb"))
+    val dups = a.join(b, Seq("sem_cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sem_cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("sem_cos") >= threshold)
+      .groupBy(col("id_b").as("sem_id"))
+      .agg(max(col("sem_cos")).as("sem_max_cos"))
+    base.join(dups, Seq("sem_id"), "left")
+      .select(col("sem_id").as(idCol),
+        col("sem_cluster").as("cluster"),
+        col("sem_max_cos").isNotNull.as("is_dup"),
+        round(col("sem_max_cos"), 6).as("max_prior_cos_r"))
+  }
+
   /**
    * IVF (inverted-file) ANN: corpus coarse-quantized to `nlist`
    * k-means centroids (trained driver-side on a bounded sample, Lloyd

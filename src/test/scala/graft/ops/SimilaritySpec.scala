@@ -196,4 +196,42 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = (exact intersect staged).size.toDouble / exact.size
     assert(recall >= 0.25, s"recall=$recall (random baseline 0.08)")
   }
+
+  test("semanticDedup: duplicate pair in one bucket marks the higher id") {
+    import spark.implicits._
+    // v1 ~ v2 (cos ~ 1, same sign bucket), v3 orthogonal-ish sign flip
+    val df = Seq(
+      (1L, Seq(1.0f, 1.0f, 0.5f, 0.1f, 0.2f, 0.3f, 0.1f, 0.4f)),
+      (2L, Seq(0.9f, 1.1f, 0.5f, 0.1f, 0.2f, 0.3f, 0.1f, 0.4f)),
+      (3L, Seq(-1.0f, 1.0f, -0.5f, 0.1f, 0.2f, 0.3f, 0.1f, 0.4f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(df, threshold = 0.9, bits = 8)
+      .orderBy("vec_id")
+      .select("vec_id", "is_dup").as[(Long, Boolean)].collect().toSeq
+    assert(got === Seq((1L, false), (2L, true), (3L, false)))
+  }
+
+  test("semanticDedup: near-identical vectors in DIFFERENT buckets both survive (the recall trade)") {
+    import spark.implicits._
+    // sign of dim 1 differs -> different buckets despite cos ~ 1
+    val df = Seq(
+      (1L, Seq(0.001f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f)),
+      (2L, Seq(-0.001f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(df, threshold = 0.5, bits = 8)
+      .select("is_dup").as[Boolean].collect().toSeq
+    assert(got === Seq(false, false))
+  }
+
+  test("semanticDedup: keep-lowest-id representative never marked, max over priors reported") {
+    import spark.implicits._
+    val v = Seq(1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f)
+    val df = Seq((10L, v), (20L, v), (30L, v)).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(df, threshold = 0.99, bits = 8)
+      .orderBy("vec_id")
+      .select("vec_id", "is_dup", "max_prior_cos_r")
+      .as[(Long, Boolean, Option[Double])].collect().toSeq
+    assert(got === Seq(
+      (10L, false, None), (20L, true, Some(1.0)), (30L, true, Some(1.0))))
+  }
 }
