@@ -2071,7 +2071,18 @@ object SparkEntry {
     // pairwise cosine, keep-lowest-id
     "q145_semantic_dedup" -> ((s, d) =>
       ops.Similarity.semanticDedup(
-        Tables.embeddings(s, d), threshold = 0.4, bits = 8))
+        Tables.embeddings(s, d), threshold = 0.4, bits = 8)),
+
+    // L108 BPE round-1: adjacent-char pair counts over the word-
+    // frequency table, top-20 by (count, pair) — the corpus-scale half
+    // of tokenizer training (the merge loop is unit-tested against an
+    // independent reference)
+    "q146_bpe_pairs" -> ((s, d) => {
+      val words = text.Bpe.wordFrequencies(Tables.documents(s, d), "text")
+        .select(text.Bpe.charSymbols(col("word")).as("syms"), col("freq"))
+      text.Bpe.pairCounts(words)
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(20)
+    })
   )
 
   // ---------------------------------------------------------------
@@ -3284,6 +3295,20 @@ object SparkEntry {
         | WHERE cos >= 0.4 GROUP BY id_b)
         |SELECT c.vec_id, CAST(cluster AS BIGINT) AS cluster,
         |  d.vec_id IS NOT NULL AS is_dup, round(d.mx, 6) AS max_prior_cos_r
-        |FROM c LEFT JOIN d ON c.vec_id = d.vec_id""".stripMargin
+        |FROM c LEFT JOIN d ON c.vec_id = d.vec_id""".stripMargin,
+
+    // word-frequency-weighted adjacent character pairs; the (cnt desc,
+    // a, b) total order makes the top-20 cut deterministic
+    "q146_bpe_pairs" ->
+      """WITH toks AS (SELECT t AS word FROM (
+        |    SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+        |    FROM documents) u WHERE t <> ''),
+        |wf AS (SELECT word, count(*) AS freq FROM toks GROUP BY 1),
+        |chars AS (SELECT freq, string_split(word, '') AS cs FROM wf),
+        |pairs AS (SELECT unnest(cs[1:len(cs)-1]) AS a, unnest(cs[2:len(cs)]) AS b, freq
+        |          FROM chars WHERE len(cs) >= 2)
+        |SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
+        |FROM pairs GROUP BY a, b
+        |ORDER BY cnt DESC, a, b LIMIT 20""".stripMargin
   )
 }

@@ -1,0 +1,84 @@
+package graft.text
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Independent single-machine BPE reference (textbook form) the
+    * distributed loop must reproduce exactly. */
+  private def refBpe(words: Map[String, Long], n: Int): Seq[(String, String, Long)] = {
+    var syms: Vector[(Vector[String], Long)] =
+      words.toVector.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    val out = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var continue = true
+    while (continue && out.size < n) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+      for ((s, f) <- syms; i <- 0 until s.length - 1) counts((s(i), s(i + 1))) += f
+      if (counts.isEmpty) continue = false
+      else {
+        val ((a, b), c) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((a, b, c))
+        syms = syms.map { case (s, f) => (mergeRef(s, a, b), f) }
+      }
+    }
+    out.toSeq
+  }
+
+  private def mergeRef(s: Vector[String], a: String, b: String): Vector[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == a && s(i + 1) == b) { out += (a + b); i += 2 }
+      else { out += s(i); i += 1 }
+    }
+    out.toVector
+  }
+
+  private def freqsOf(docs: Seq[String]): Map[String, Long] =
+    docs.flatMap(_.toLowerCase.split("[^a-z0-9]+")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+  test("learn matches the single-machine reference over a mixed corpus") {
+    val docs = Seq(
+      "low lower lowest low low",
+      "new newer newest new news",
+      "widest wide wider new low")
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val got = Bpe.learn(df, "text", numMerges = 8).map(m => (m.left, m.right, m.pairCount))
+    val want = refBpe(freqsOf(docs), 8)
+    assert(got === want)
+  }
+
+  test("merge loop handles the aaa overlap rule (left-to-right, non-overlapping)") {
+    val df = Seq((1L, "aaa aaa")).toDF("id", "text")
+    val got = Bpe.learn(df, "text", numMerges = 2).map(m => (m.left, m.right, m.pairCount))
+    // round 1: (a,a) count 4 (two per word, non-overlap irrelevant for
+    // counting adjacency: positions (0,1),(1,2) -> 2 per word);
+    // after merge "aaa" -> ["aa","a"]; round 2: (aa,a) count 2
+    assert(got === refBpe(freqsOf(Seq("aaa aaa")), 2))
+    assert(got.head._1 === "a" && got.head._2 === "a")
+    assert(got(1) === ("aa", "a", 2L))
+  }
+
+  test("learn stops early when no pairs remain") {
+    val df = Seq((1L, "a b c a b")).toDF("id", "text")
+    // single-char words only -> zero adjacent pairs -> no merges
+    assert(Bpe.learn(df, "text", numMerges = 3) === Seq.empty)
+  }
+
+  test("applyMerges re-segments a word with the learned table") {
+    val df = Seq((1L, "low low lower")).toDF("id", "text")
+    val merges = Bpe.learn(df, "text", numMerges = 2)
+    val seg = Seq(Tuple1("lowest")).toDF("w")
+      .select(Bpe.applyMerges(Bpe.charSymbols(col("w")), merges).as("syms"))
+      .as[Seq[String]].head()
+    // merges learned on "low": (l,o) then (lo,w) -> "lowest" segments
+    // as [low, e, s, t]
+    assert(merges.map(m => (m.left, m.right)) === Seq("l" -> "o", "lo" -> "w"))
+    assert(seg === Seq("low", "e", "s", "t"))
+  }
+}
