@@ -2082,7 +2082,12 @@ object SparkEntry {
         .select(text.Bpe.charSymbols(col("word")).as("syms"), col("freq"))
       text.Bpe.pairCounts(words)
         .orderBy(col("cnt").desc, col("a"), col("b")).limit(20)
-    })
+    }),
+
+    // L109 bigram-LM rarity: q142's conditional-probability sibling,
+    // same bit-stable integer milli-ratio space
+    "q147_bigram_rarity" -> ((s, d) =>
+      TextAnalysis.bigramRarity(Tables.documents(s, d), "doc_id", "text"))
   )
 
   // ---------------------------------------------------------------
@@ -3309,6 +3314,25 @@ object SparkEntry {
         |          FROM chars WHERE len(cs) >= 2)
         |SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
         |FROM pairs GROUP BY a, b
-        |ORDER BY cnt DESC, a, b LIMIT 20""".stripMargin
+        |ORDER BY cnt DESC, a, b LIMIT 20""".stripMargin,
+
+    // integer-space bigram surprise: ((c(prev)+V)*1000) // (c(prev,cur)+1)
+    // summed per doc; docs with < 2 tokens have no bigrams on either
+    // engine
+    "q147_bigram_rarity" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+        |  FROM documents),
+        |uni AS (SELECT t, count(*) AS c FROM (SELECT unnest(l) AS t FROM d) u GROUP BY 1),
+        |v AS (SELECT count(*) AS vv FROM uni),
+        |big AS (SELECT doc_id, unnest(l[1:len(l)-1]) AS a, unnest(l[2:len(l)]) AS b
+        |        FROM d WHERE len(l) >= 2),
+        |bc AS (SELECT a, b, count(*) AS cb FROM big GROUP BY a, b),
+        |costs AS (SELECT bc.a, bc.b, ((uni.c + vv) * 1000) // (cb + 1) AS cost
+        |          FROM bc JOIN uni ON bc.a = uni.t CROSS JOIN v)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(cost) AS BIGINT) AS bigram_cost_sum,
+        |  CAST(sum(cost) AS DOUBLE) / count(*) AS avg_bigram_cost
+        |FROM big JOIN costs USING (a, b) GROUP BY doc_id""".stripMargin
   )
 }

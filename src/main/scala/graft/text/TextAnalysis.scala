@@ -177,6 +177,55 @@ object TextAnalysis {
         col("rarity_sum").cast("double") / col("n_tokens"))
   }
 
+  /**
+   * Bigram-LM rarity (L109) — [[unigramRarity]]'s conditional-
+   * probability sibling: per-doc surprise under the corpus bigram
+   * model P(cur|prev) = (c(prev,cur)+1) / (c(prev)+V), scored in the
+   * same BIT-STABLE integer milli-ratio space (the add-one-smoothed
+   * inverse conditional probability ((c(prev)+V)*1000) div
+   * (c(prev,cur)+1) is monotone in the same surprise; no libm, no
+   * float accumulation). High avg = improbable token transitions —
+   * the perplexity-style fluency filter of a training pipeline,
+   * without the engine-dependent ln().
+   *
+   * Shape: bigrams form map-side (zip_with over the token array — no
+   * window, no per-doc shuffle); one aggregation on the pair key and
+   * one on the token key build the model; the cost join shuffles on
+   * the pair key; the per-doc aggregate partial-aggregates map-side.
+   * Docs with < 2 tokens have no bigrams and drop out (both engines).
+   */
+  def bigramRarity(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String): org.apache.spark.sql.DataFrame = {
+    val base = docs.select(col(idCol), expr(
+      s"filter(split(lower(`$textCol`), '[^a-z0-9]+'), x -> x <> '')").as("__l"))
+    val toks = base.select(explode(col("__l")).as("__t"))
+    val uni = toks.groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+    val big = base.filter(size(col("__l")) >= 2).select(col(idCol),
+        explode(zip_with(
+          slice(col("__l"), lit(1), size(col("__l")) - 1),
+          slice(col("__l"), lit(2), size(col("__l")) - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("__p"))
+      .select(col(idCol), col("__p.a").as("__a"), col("__p.b").as("__b"))
+    val bc = big.groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__cb"))
+    // V as an unpartitioned window over the VOCABULARY frame (bounded
+    // by |vocabulary|, the unigramRarity discipline), then positional
+    // toDF + RDD round-trip to mint fresh attributes for the self-join
+    // back onto `big` (same lineage)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val uniV = uni
+      .select(col("__t"), col("__c"), count(lit(1)).over(w).as("__V"))
+      .toDF("__ut", "__uc", "__uV")
+    val costs0 = bc.join(uniV, col("__a") === col("__ut"))
+      .selectExpr("__a AS __ca", "__b AS __cb2",
+        "((__uc + __uV) * 1000L) div (__cb + 1) AS __cost")
+    val costs = docs.sparkSession.createDataFrame(costs0.rdd, costs0.schema)
+    big.join(costs, col("__a") === col("__ca") && col("__b") === col("__cb2"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__cost")).as("bigram_cost_sum"))
+      .withColumn("avg_bigram_cost",
+        col("bigram_cost_sum").cast("double") / col("n_bigrams"))
+  }
+
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))
 

@@ -26,6 +26,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(noisy === Map(1L -> 8000L, 2L -> 6000L))
   }
 
+  test("bigramRarity: exact integer conditional-surprise costs, hand-computed corpus") {
+    // corpus: "a b a b" + "b c" -> unigrams a:2 b:3 c:1, V=3
+    // bigrams: (a,b):2 (b,a):1 (b,c):1
+    // costs: (a,b): ((2+3)*1000) div 3 = 1666; (b,a): ((3+3)*1000) div 2
+    //   = 3000; (b,c): 3000
+    val df = Seq((1L, "a b a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramRarity(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === Map(
+      1L -> ((3L, 1666L + 3000L + 1666L, 6332.0 / 3)),
+      2L -> ((1L, 3000L, 3000.0))))
+    // single-token docs have no bigrams and drop out
+    val short = TextAnalysis.bigramRarity(
+      Seq((1L, "a b"), (2L, "c")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(short === Set(1L))
+  }
+
   test("F2 tokenize: the reference's own golden test (SolrMorphlineTest.java:52-68)") {
     // "Hello World!\nFoo@Bar.com #%()123" -> [hello, world, foo, bar.com, 123]
     val got = Seq("Hello World!\nFoo@Bar.com #%()123").toDF("t")
