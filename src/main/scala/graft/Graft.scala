@@ -216,6 +216,37 @@ object Graft {
                  fq: Option[(String, String)] = None): DataFrame =
     graft.index.SegmentSearch.facetField(spark, store, field, fq)
 
+  /** Solr `facet.query` over a segment store: (facet_query, cnt) per
+    * named bucket query, under `q` + tagged `fq`s (see
+    * [[graft.search.MultiSelect]]). Filters accept the `{!tag=name}`
+    * localparams prefix. */
+  def facetQuery(spark: SparkSession, store: String,
+                 queries: Seq[(String, String)], q: String = "*:*",
+                 filters: Seq[String] = Nil): DataFrame = {
+    val (idx, default, textFields) = multiSelectCtx(spark, store)
+    graft.search.MultiSelect.facetQueries(idx, default, textFields, q,
+      filters.map(graft.search.MultiSelect.parseFq), queries)
+  }
+
+  /** Solr multi-select `facet.field={!ex=tags}field`: grouped counts
+    * with the excluded tags' `fq`s lifted — the checkbox-facet
+    * contract (see [[graft.search.MultiSelect.facetFieldEx]]). */
+  def facetFieldMultiSelect(spark: SparkSession, store: String, field: String,
+                            q: String = "*:*", filters: Seq[String] = Nil,
+                            exclude: Set[String] = Set.empty): DataFrame = {
+    val (idx, default, textFields) = multiSelectCtx(spark, store)
+    graft.search.MultiSelect.facetFieldEx(idx, default, textFields, field, q,
+      filters.map(graft.search.MultiSelect.parseFq), exclude)
+  }
+
+  private def multiSelectCtx(spark: SparkSession, store: String) = {
+    val marker = graft.index.SegmentShardSink.readMarker(
+      spark.sessionState.newHadoopConf(), store)
+    val idx = openSegmentIndex(spark, store)
+    val default = marker.analyzed.toSeq.sorted.headOption.getOrElse(marker.idCol)
+    (idx, default, marker.analyzed)
+  }
+
   /** Solr stats.percentiles, served EXACTLY from the sorted term
     * dictionary (see [[graft.index.SegmentSearch.percentiles]]). */
   def percentiles(spark: SparkSession, store: String, field: String,

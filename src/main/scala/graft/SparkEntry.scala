@@ -2087,7 +2087,43 @@ object SparkEntry {
     // L109 bigram-LM rarity: q142's conditional-probability sibling,
     // same bit-stable integer milli-ratio space
     "q147_bigram_rarity" -> ((s, d) =>
-      TextAnalysis.bigramRarity(Tables.documents(s, d), "doc_id", "text"))
+      TextAnalysis.bigramRarity(Tables.documents(s, d), "doc_id", "text")),
+
+    // L110 multi-select faceting: fq={!tag=lang}lang:en +
+    // facet.field={!ex=lang}lang — the tagged filter is LIFTED for
+    // this facet while the n_chars range still bites; counts served
+    // by the grouped-count pushdown
+    "q148_facet_exclusion" -> ((s, d) => {
+      import graft.index.SegmentShardSink
+      val out = sharedStore(d, "docs_meta") { o =>
+        SegmentShardSink.write(
+          Tables.documents(s, d).select(
+            col("doc_id").cast("string").as("id"),
+            col("lang"), col("source"), col("n_chars")),
+          "id", o, shards = 4)
+      }
+      Graft.facetFieldMultiSelect(s, out, "lang",
+          filters = Seq("{!tag=lang}lang:en", "n_chars:[300 TO *]"),
+          exclude = Set("lang"))
+        .select(col("lang"), col("cnt"))
+    }),
+
+    // L110 facet.query: named query-string buckets, each an
+    // independent pushed filter+count leg
+    "q149_facet_query" -> ((s, d) => {
+      import graft.index.SegmentShardSink
+      val out = sharedStore(d, "docs_meta") { o =>
+        SegmentShardSink.write(
+          Tables.documents(s, d).select(
+            col("doc_id").cast("string").as("id"),
+            col("lang"), col("source"), col("n_chars")),
+          "id", o, shards = 4)
+      }
+      Graft.facetQuery(s, out,
+        queries = Seq("short" -> "n_chars:[* TO 299]",
+                      "long" -> "n_chars:[300 TO *]"),
+        filters = Seq("lang:en"))
+    })
   )
 
   // ---------------------------------------------------------------
@@ -3333,6 +3369,19 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
         |  CAST(sum(cost) AS BIGINT) AS bigram_cost_sum,
         |  CAST(sum(cost) AS DOUBLE) / count(*) AS avg_bigram_cost
-        |FROM big JOIN costs USING (a, b) GROUP BY doc_id""".stripMargin
+        |FROM big JOIN costs USING (a, b) GROUP BY doc_id""".stripMargin,
+
+    // the lang fq is tagged and excluded for this facet; only the
+    // n_chars range applies
+    "q148_facet_exclusion" ->
+      """SELECT lang, count(*) AS cnt FROM documents
+        |WHERE n_chars >= 300 GROUP BY lang""".stripMargin,
+
+    "q149_facet_query" ->
+      """SELECT 'short' AS facet_query, count(*) AS cnt FROM documents
+        |  WHERE lang = 'en' AND n_chars <= 299
+        |UNION ALL
+        |SELECT 'long' AS facet_query, count(*) AS cnt FROM documents
+        |  WHERE lang = 'en' AND n_chars >= 300""".stripMargin
   )
 }

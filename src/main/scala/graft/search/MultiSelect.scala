@@ -1,0 +1,68 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Solr multi-select faceting: `facet.query` (arbitrary query-string
+ * buckets) and tagged filter exclusion — `fq={!tag=t}...` paired with
+ * `facet.field={!ex=t}f`, the checkbox-facet UI contract
+ * (reference scope: the Solr request surface a user of the built
+ * index runs; SimpleFacets handles both in Solr proper).
+ *
+ * Everything compiles through [[SolrQueryString]] onto the index
+ * DataFrame, so term/range predicates and the grouped-count shapes
+ * ride the DataSourceV2 pushdowns (L83/L87) when the store serves the
+ * frame — counts come from postings, stored docs are never read.
+ * facet.query legs are independent single-row aggregates unioned
+ * together: each leg pushes its own filter+count, and the union is
+ * `|queries|` rows — driver-sized by construction.
+ */
+object MultiSelect {
+
+  /** One `fq`: query string plus the optional `{!tag=name}` localparam. */
+  final case class TaggedFq(q: String, tag: Option[String] = None)
+
+  private val TagPrefix = """^\{!tag=([^}]+)\}(.*)$""".r
+
+  /** Parse the Solr `{!tag=...}` localparams prefix of an fq value. */
+  def parseFq(s: String): TaggedFq = s match {
+    case TagPrefix(t, rest) => TaggedFq(rest, Some(t))
+    case other => TaggedFq(other, None)
+  }
+
+  /** AND of the main query and every filter whose tag is not excluded
+    * (Solr: `facet.field={!ex=tags}` lifts those fqs for this facet
+    * only). */
+  def predicate(idx: DataFrame, defaultField: String, textFields: Set[String],
+                q: String, filters: Seq[TaggedFq],
+                exclude: Set[String] = Set.empty): Column =
+    (q +: filters.filterNot(_.tag.exists(exclude)).map(_.q))
+      .map(SolrQueryString.compile(_, idx.schema, defaultField, textFields))
+      .reduce(_ && _)
+
+  /** `facet.query`: one (facet_query, cnt) row per named bucket query,
+    * evaluated under the FULL filter set (facet.query is not
+    * exclusion-scoped unless tagged itself — this form applies all). */
+  def facetQueries(idx: DataFrame, defaultField: String, textFields: Set[String],
+                   q: String, filters: Seq[TaggedFq],
+                   queries: Seq[(String, String)]): DataFrame = {
+    require(queries.nonEmpty, "facet.query needs at least one bucket query")
+    val base = predicate(idx, defaultField, textFields, q, filters)
+    queries.map { case (name, bucket) =>
+      idx.filter(base &&
+          SolrQueryString.compile(bucket, idx.schema, defaultField, textFields))
+        .agg(count(lit(1)).as("cnt"))
+        .select(lit(name).as("facet_query"), col("cnt"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** `facet.field={!ex=tags}field`: grouped counts with the excluded
+    * tags' filters lifted. The null bucket surfaces as a null group
+    * row (the engine's facet.field convention, L83). */
+  def facetFieldEx(idx: DataFrame, defaultField: String, textFields: Set[String],
+                   field: String, q: String, filters: Seq[TaggedFq],
+                   exclude: Set[String]): DataFrame =
+    idx.filter(predicate(idx, defaultField, textFields, q, filters, exclude))
+      .groupBy(col(field)).agg(count(lit(1)).as("cnt"))
+}
