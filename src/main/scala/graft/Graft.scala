@@ -239,6 +239,13 @@ object Graft {
       filters.map(graft.search.MultiSelect.parseFq), exclude)
   }
 
+  /** Execute a Solr streaming expression (`search`/`top`/`unique`/
+    * `rollup`/`innerJoin`/`select`) against named segment stores
+    * (see [[graft.search.StreamingExpressions]]). */
+  def streamExpr(spark: SparkSession, expr: String,
+                 collections: Map[String, String]): DataFrame =
+    graft.search.StreamingExpressions.compile(spark, expr, collections)
+
   private def multiSelectCtx(spark: SparkSession, store: String) = {
     val marker = graft.index.SegmentShardSink.readMarker(
       spark.sessionState.newHadoopConf(), store)

@@ -2094,14 +2094,7 @@ object SparkEntry {
     // this facet while the n_chars range still bites; counts served
     // by the grouped-count pushdown
     "q148_facet_exclusion" -> ((s, d) => {
-      import graft.index.SegmentShardSink
-      val out = sharedStore(d, "docs_meta") { o =>
-        SegmentShardSink.write(
-          Tables.documents(s, d).select(
-            col("doc_id").cast("string").as("id"),
-            col("lang"), col("source"), col("n_chars")),
-          "id", o, shards = 4)
-      }
+      val out = docsMetaStore(s, d)
       Graft.facetFieldMultiSelect(s, out, "lang",
           filters = Seq("{!tag=lang}lang:en", "n_chars:[300 TO *]"),
           exclude = Set("lang"))
@@ -2111,20 +2104,66 @@ object SparkEntry {
     // L110 facet.query: named query-string buckets, each an
     // independent pushed filter+count leg
     "q149_facet_query" -> ((s, d) => {
-      import graft.index.SegmentShardSink
-      val out = sharedStore(d, "docs_meta") { o =>
-        SegmentShardSink.write(
-          Tables.documents(s, d).select(
-            col("doc_id").cast("string").as("id"),
-            col("lang"), col("source"), col("n_chars")),
-          "id", o, shards = 4)
-      }
+      val out = docsMetaStore(s, d)
       Graft.facetQuery(s, out,
         queries = Seq("short" -> "n_chars:[* TO 299]",
                       "long" -> "n_chars:[300 TO *]"),
         filters = Seq("lang:en"))
+    }),
+
+    // L111 streaming expressions: rollup(search(...)) — the /stream
+    // analytics surface compiled to a hash aggregate over the pushed
+    // index scan
+    "q150_stream_rollup" -> ((s, d) => {
+      val out = docsMetaStore(s, d)
+      Graft.streamExpr(s,
+        """rollup(search(docs_meta, q="n_chars:[100 TO *]", fl="lang,n_chars", sort="lang asc"),
+          |  over="lang", sum(n_chars), count(*))""".stripMargin,
+        Map("docs_meta" -> out))
+    }),
+
+    // L111 streaming expressions: select(top(innerJoin(search, search)))
+    // — a two-collection equi-join, TakeOrdered top-10, projection
+    "q151_stream_join_top" -> ((s, d) => {
+      import graft.index.SegmentShardSink
+      val meta = docsMetaStore(s, d)
+      val txt = sharedStore(d, "docs_text") { o =>
+        SegmentShardSink.write(
+          Tables.documents(s, d).select(
+            col("doc_id").cast("string").as("id"), col("text"), col("lang")),
+          "id", o, shards = 4, analyzedFields = Set("text"))
+      }
+      Graft.streamExpr(s,
+        """select(top(n=10,
+          |  innerJoin(search(docs_meta, q="lang:en", fl="id,n_chars", sort="id asc"),
+          |            search(docs_text, q="*:*", fl="id,lang", sort="id asc"), on="id"),
+          |  sort="n_chars desc, id asc"), "id", "lang", "n_chars")""".stripMargin,
+        Map("docs_meta" -> meta, "docs_text" -> txt))
+    }),
+
+    // L111 streaming expressions: unique(over=lang) under the stream's
+    // sort contract — first tuple per key in stream order
+    "q152_stream_unique" -> ((s, d) => {
+      val out = docsMetaStore(s, d)
+      Graft.streamExpr(s,
+        """unique(search(docs_meta, q="*:*", fl="id,lang,n_chars",
+          |  sort="n_chars desc, id asc"), over="lang")""".stripMargin,
+        Map("docs_meta" -> out))
     })
   )
+
+  /** The shared (id, lang, source, n_chars) documents segment store —
+    * n_chars indexes under the typed-numeric encoding. */
+  private def docsMetaStore(s: SparkSession, d: String): String = {
+    import graft.index.SegmentShardSink
+    sharedStore(d, "docs_meta") { o =>
+      SegmentShardSink.write(
+        Tables.documents(s, d).select(
+          col("doc_id").cast("string").as("id"),
+          col("lang"), col("source"), col("n_chars")),
+        "id", o, shards = 4)
+    }
+  }
 
   // ---------------------------------------------------------------
   // DuckDB oracles (ANSI-ish SQL over the same parquet tables).
@@ -3382,6 +3421,24 @@ object SparkEntry {
         |  WHERE lang = 'en' AND n_chars <= 299
         |UNION ALL
         |SELECT 'long' AS facet_query, count(*) AS cnt FROM documents
-        |  WHERE lang = 'en' AND n_chars >= 300""".stripMargin
+        |  WHERE lang = 'en' AND n_chars >= 300""".stripMargin,
+
+    "q150_stream_rollup" ->
+      """SELECT lang, CAST(sum(n_chars) AS BIGINT) AS sum_n_chars, count(*) AS cnt
+        |FROM documents WHERE n_chars >= 100 GROUP BY lang""".stripMargin,
+
+    // ids join/sort as STRINGS (the store's id type): the varchar cast
+    // matters for the asc tie-break
+    "q151_stream_join_top" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS id, lang, n_chars
+        |FROM documents WHERE lang = 'en'
+        |ORDER BY n_chars DESC, CAST(doc_id AS VARCHAR) ASC LIMIT 10""".stripMargin,
+
+    "q152_stream_unique" ->
+      """SELECT id, lang, n_chars FROM (
+        |  SELECT CAST(doc_id AS VARCHAR) AS id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_chars DESC, CAST(doc_id AS VARCHAR) ASC) AS rn
+        |  FROM documents) t WHERE rn = 1""".stripMargin
   )
 }

@@ -1,0 +1,269 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Solr streaming expressions (the `/stream` handler's functional
+ * query language) — the decorator subset a user of the built index
+ * actually composes for analytics:
+ *
+ *   search(coll, q="...", fl="a,b,c", sort="a asc")
+ *   top(n=5, <stream>, sort="x desc")
+ *   unique(<stream>, over="f")
+ *   rollup(<stream>, over="f", sum(x), min(x), max(x), avg(x), count(*))
+ *   innerJoin(<left>, <right>, on="a=b")
+ *   select(<stream>, "a as b", "c")
+ *
+ * Solr executes these as sorted tuple streams merged worker-side;
+ * the Spark-first re-expression compiles each decorator to the
+ * equivalent DataFrame transform and lets Catalyst pick the physical
+ * plan — `search` leaves ride the DataSourceV2 index pushdowns
+ * (filters/projection from postings), `rollup` is a hash aggregate
+ * (NOT a sorted-stream reduce — same result, no global sort),
+ * `top` is TakeOrdered, `innerJoin` a hash join. The one place
+ * Solr's sort-contract carries semantics is `unique(over=f)` (first
+ * tuple per key IN STREAM ORDER): the compiler threads the nearest
+ * upstream `sort` spec down and evaluates it as a row_number window
+ * over (partition by f, order by that spec) — order-insensitive
+ * plans everywhere else.
+ *
+ * Grammar (recursive descent, quoted or bare values):
+ *   expr  := ident '(' arg (',' arg)* ')'
+ *   arg   := expr | ident '=' value | value
+ *   value := '"' chars '"' | bare-token
+ */
+object StreamingExpressions {
+
+  sealed trait Arg
+  final case class Named(key: String, value: String) extends Arg
+  final case class Pos(value: String) extends Arg
+  final case class Sub(call: Call) extends Arg
+  final case class Call(name: String, args: Seq[Arg])
+
+  // ---------------- parser ----------------
+
+  def parse(s: String): Call = {
+    val p = new Parser(s)
+    val c = p.parseCall()
+    p.skipWs()
+    require(p.eof, s"trailing input at ${p.pos}: '${s.drop(p.pos)}'")
+    c
+  }
+
+  private final class Parser(s: String) {
+    var pos = 0
+    def eof: Boolean = pos >= s.length
+    def skipWs(): Unit = while (!eof && s(pos).isWhitespace) pos += 1
+    private def peek: Char = s(pos)
+
+    private def ident(): String = {
+      skipWs()
+      val start = pos
+      while (!eof && (s(pos).isLetterOrDigit || s(pos) == '_' || s(pos) == '*'))
+        pos += 1
+      require(pos > start, s"expected identifier at $start in '$s'")
+      s.substring(start, pos)
+    }
+
+    private def quoted(): String = {
+      val sb = new StringBuilder
+      pos += 1 // opening quote
+      while (!eof && peek != '"') {
+        if (peek == '\\' && pos + 1 < s.length) { sb.append(s(pos + 1)); pos += 2 }
+        else { sb.append(peek); pos += 1 }
+      }
+      require(!eof, s"unterminated string in '$s'")
+      pos += 1
+      sb.toString
+    }
+
+    private def bare(): String = {
+      val start = pos
+      var depth = 0
+      while (!eof && (depth > 0 || (peek != ',' && peek != ')'))) {
+        if (peek == '(') depth += 1
+        else if (peek == ')') depth -= 1
+        pos += 1
+      }
+      s.substring(start, pos).trim
+    }
+
+    def parseCall(): Call = {
+      val name = ident()
+      skipWs()
+      require(!eof && peek == '(', s"expected ( after $name")
+      pos += 1
+      val args = scala.collection.mutable.ArrayBuffer[Arg]()
+      skipWs()
+      if (!eof && peek != ')') {
+        args += parseArg()
+        skipWs()
+        while (!eof && peek == ',') { pos += 1; args += parseArg(); skipWs() }
+      }
+      require(!eof && peek == ')', s"expected ) at $pos in '$s'")
+      pos += 1
+      Call(name, args.toSeq)
+    }
+
+    private def parseArg(): Arg = {
+      skipWs()
+      if (peek == '"') Pos(quoted())
+      else {
+        val save = pos
+        val id = try ident() catch { case _: IllegalArgumentException => "" }
+        skipWs()
+        if (id.nonEmpty && !eof && peek == '(') { pos = save; Sub(parseCall()) }
+        else if (id.nonEmpty && !eof && peek == '=') {
+          pos += 1; skipWs()
+          if (!eof && peek == '"') Named(id, quoted()) else Named(id, bare())
+        } else { pos = save; Pos(bare()) }
+      }
+    }
+  }
+
+  // ---------------- compiler ----------------
+
+  /** A compiled stream: the frame plus the sort contract it would
+    * carry as a Solr tuple stream (threads into unique()). */
+  final case class Stream(df: DataFrame, sort: Seq[(String, Boolean)])
+
+  private def parseSort(spec: String): Seq[(String, Boolean)] =
+    spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { part =>
+      val ps = part.split("\\s+")
+      val asc = ps.length < 2 || ps(1).equalsIgnoreCase("asc")
+      (ps(0), asc)
+    }
+
+  private def sortCols(sort: Seq[(String, Boolean)]): Seq[Column] =
+    sort.map { case (f, asc) => if (asc) col(f).asc else col(f).desc }
+
+  private def named(c: Call, key: String): Option[String] =
+    c.args.collectFirst { case Named(k, v) if k == key => v }
+
+  private def subs(c: Call): Seq[Call] = c.args.collect { case Sub(s) => s }
+
+  private val AggRe = """^(sum|min|max|avg|count)\((.+)\)$""".r
+
+  /**
+   * Compile a streaming expression against `collections` (collection
+   * name → segment-store path). `textFields`/`defaultField` resolve
+   * per-collection from the store marker, as in [[graft.Graft.search]].
+   */
+  def compile(spark: SparkSession, expr: String,
+              collections: Map[String, String]): DataFrame =
+    compileCall(spark, parse(expr), collections).df
+
+  private def compileCall(spark: SparkSession, c: Call,
+                          collections: Map[String, String]): Stream = c.name match {
+    case "search" =>
+      val coll = c.args.headOption match {
+        case Some(Pos(v)) => v
+        case _ => sys.error("search() needs the collection as its first argument")
+      }
+      val store = collections.getOrElse(coll,
+        sys.error(s"unknown collection '$coll' (have ${collections.keys.mkString(",")})"))
+      val marker = graft.index.SegmentShardSink.readMarker(
+        spark.sessionState.newHadoopConf(), store)
+      val idx = spark.read.format("graft-index").load(store)
+      val default = marker.analyzed.toSeq.sorted.headOption.getOrElse(marker.idCol)
+      val q = named(c, "q").getOrElse("*:*")
+      val filtered = idx.filter(
+        SolrQueryString.compile(q, idx.schema, default, marker.analyzed))
+      val projected = named(c, "fl") match {
+        case Some(fl) => filtered.select(
+          fl.split(",").map(_.trim).filter(_.nonEmpty).map(col).toIndexedSeq: _*)
+        case None => filtered
+      }
+      Stream(projected, named(c, "sort").map(parseSort).getOrElse(Nil))
+
+    case "top" =>
+      val n = named(c, "n").getOrElse(sys.error("top() needs n=")).toInt
+      val in = one(spark, c, collections)
+      val sort = named(c, "sort").map(parseSort)
+        .orElse(Some(in.sort).filter(_.nonEmpty))
+        .getOrElse(sys.error("top() needs sort= (none inherited)"))
+      Stream(in.df.orderBy(sortCols(sort): _*).limit(n), sort)
+
+    case "unique" =>
+      val over = named(c, "over").getOrElse(sys.error("unique() needs over="))
+      val in = one(spark, c, collections)
+      require(in.sort.nonEmpty,
+        "unique() needs a sorted upstream (Solr's stream-order contract)")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(over)).orderBy(sortCols(in.sort): _*)
+      Stream(in.df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn"), in.sort)
+
+    case "rollup" =>
+      val over = named(c, "over").getOrElse(sys.error("rollup() needs over="))
+      // aggregates parse as nested calls (sum(n_chars)) — split them
+      // from the stream argument structurally
+      val aggFns = Set("sum", "min", "max", "avg", "count")
+      val streams = subs(c).filterNot(s => aggFns(s.name))
+      require(streams.length == 1, "rollup() needs exactly one stream argument")
+      val in = compileCall(spark, streams.head, collections)
+      val aggs = c.args.collect {
+        case Sub(Call(fn, as)) if aggFns(fn) =>
+          (fn, as.collectFirst { case Pos(v) => v }.getOrElse("*"))
+        case Pos(AggRe(fn, arg)) => (fn, arg) // quoted form
+      }
+      require(aggs.nonEmpty, "rollup() needs at least one aggregate")
+      val cols = aggs.map {
+        case ("count", _) => count(lit(1)).as("cnt")
+        case ("sum", f) => sum(col(f)).as(s"sum_$f")
+        case ("min", f) => min(col(f)).as(s"min_$f")
+        case ("max", f) => max(col(f)).as(s"max_$f")
+        case ("avg", f) => avg(col(f)).as(s"avg_$f")
+        case (fn, _) => sys.error(s"unsupported rollup aggregate $fn")
+      }
+      val overCols = over.split(",").map(_.trim).map(col).toIndexedSeq
+      Stream(in.df.groupBy(overCols: _*).agg(cols.head, cols.tail: _*), Nil)
+
+    case "innerJoin" =>
+      val on = named(c, "on").getOrElse(sys.error("innerJoin() needs on="))
+      val ss = subs(c)
+      require(ss.length == 2, "innerJoin() needs exactly two stream arguments")
+      val l = compileCall(spark, ss(0), collections)
+      val r = compileCall(spark, ss(1), collections)
+      val pairs = on.split(",").map(_.trim).map { p =>
+        p.split("=").map(_.trim) match {
+          case Array(a, b) => (a, b)
+          case Array(a) => (a, a)
+          case _ => sys.error(s"bad on= clause '$p'")
+        }
+      }
+      // equal-named keys join with USING semantics (one output column);
+      // differently-named keys keep both sides
+      val (usingKeys, exprKeys) = pairs.partition { case (a, b) => a == b }
+      val joined =
+        if (exprKeys.isEmpty) l.df.join(r.df, usingKeys.map(_._1).toIndexedSeq)
+        else {
+          val cond = pairs.map { case (a, b) => l.df(a) === r.df(b) }.reduce(_ && _)
+          l.df.join(r.df, cond)
+        }
+      Stream(joined, l.sort)
+
+    case "select" =>
+      val in = one(spark, c, collections)
+      val projs = c.args.collect { case Pos(v) => v }
+      require(projs.nonEmpty, "select() needs projections")
+      val cols = projs.map { p =>
+        p.split("(?i)\\s+as\\s+").map(_.trim) match {
+          case Array(f, a) => col(f).as(a)
+          case Array(f) => col(f)
+          case _ => sys.error(s"bad projection '$p'")
+        }
+      }
+      Stream(in.df.select(cols.toIndexedSeq: _*), in.sort)
+
+    case other => sys.error(s"unsupported streaming expression '$other'")
+  }
+
+  private def one(spark: SparkSession, c: Call,
+                  collections: Map[String, String]): Stream = {
+    val ss = subs(c)
+    require(ss.length == 1, s"${c.name}() needs exactly one stream argument")
+    compileCall(spark, ss.head, collections)
+  }
+}

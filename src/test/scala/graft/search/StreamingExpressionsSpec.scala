@@ -1,0 +1,80 @@
+package graft.search
+
+import graft.TestSpark
+import graft.search.{StreamingExpressions => SE}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingExpressionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val store: String = {
+    val out = java.nio.file.Files.createTempDirectory("graft_se_").toString
+    graft.index.SegmentShardSink.write(
+      Seq(
+        ("1", "en", 100L), ("2", "en", 400L), ("3", "de", 500L),
+        ("4", "de", 50L), ("5", "fr", 350L), ("6", "en", 400L)
+      ).toDF("id", "lang", "n_chars"),
+      "id", out, shards = 2)
+    out
+  }
+  private def colls = Map("c" -> store)
+
+  test("parser: nested calls, named args, quoted strings, aggregates") {
+    val c = SE.parse(
+      """top(n=3, search(c, q="lang:en", fl="id,lang", sort="id asc"), sort="id desc")""")
+    assert(c.name === "top")
+    assert(c.args.collectFirst { case SE.Named("n", v) => v } === Some("3"))
+    val sub = c.args.collectFirst { case SE.Sub(s) => s }.get
+    assert(sub.name === "search")
+    assert(sub.args.head === SE.Pos("c"))
+    assert(sub.args.collectFirst { case SE.Named("q", v) => v } === Some("lang:en"))
+    val r = SE.parse("""rollup(search(c), over="lang", sum(n_chars), count(*))""")
+    // aggregates parse as nested calls, split from the stream structurally
+    assert(r.args.collect { case SE.Sub(s) => s.name } === Seq("search", "sum", "count"))
+    assert(r.args.collect { case SE.Sub(SE.Call("sum", as)) => as } ===
+      Seq(Seq(SE.Pos("n_chars"))))
+  }
+
+  test("search + top: filter, projection, TakeOrdered") {
+    val got = SE.compile(spark,
+      """top(n=2, search(c, q="lang:en", fl="id,n_chars", sort="id asc"),
+        |  sort="n_chars desc, id asc")""".stripMargin, colls)
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq(("2", 400L), ("6", 400L)))
+  }
+
+  test("rollup compiles to a hash aggregate with Solr-shaped outputs") {
+    val got = SE.compile(spark,
+      """rollup(search(c, q="*:*", fl="lang,n_chars", sort="lang asc"),
+        |  over="lang", sum(n_chars), min(n_chars), count(*))""".stripMargin, colls)
+      .orderBy("lang")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(("de", 550L, 50L, 2L), ("en", 900L, 100L, 3L), ("fr", 350L, 350L, 1L)))
+  }
+
+  test("unique takes the first tuple per key in stream order") {
+    val got = SE.compile(spark,
+      """unique(search(c, q="*:*", fl="id,lang,n_chars", sort="n_chars desc, id asc"),
+        |  over="lang")""".stripMargin, colls)
+      .orderBy("lang").as[(String, String, Long)].collect().toSeq
+    assert(got === Seq(("3", "de", 500L), ("2", "en", 400L), ("5", "fr", 350L)))
+  }
+
+  test("unique without an upstream sort contract is rejected") {
+    val e = intercept[IllegalArgumentException] {
+      SE.compile(spark, """unique(search(c, q="*:*", fl="id,lang"), over="lang")""", colls)
+    }
+    assert(e.getMessage.contains("sorted upstream"))
+  }
+
+  test("innerJoin on a shared key + select renames") {
+    val got = SE.compile(spark,
+      """select(innerJoin(search(c, q="lang:en", fl="id,n_chars", sort="id asc"),
+        |                 search(c, q="*:*", fl="id,lang", sort="id asc"), on="id"),
+        |  "id", "lang", "n_chars as chars")""".stripMargin, colls)
+      .orderBy("id").as[(String, String, Long)].collect().toSeq
+    assert(got === Seq(("1", "en", 100L), ("2", "en", 400L), ("6", "en", 400L)))
+  }
+}
