@@ -2149,6 +2149,34 @@ object SparkEntry {
         """unique(search(docs_meta, q="*:*", fl="id,lang,n_chars",
           |  sort="n_chars desc, id asc"), over="lang")""".stripMargin,
         Map("docs_meta" -> out))
+    }),
+
+    // L112 LTR rerank ({!ltr model=m}): first-pass term retrieval off
+    // the index, feature extraction (occurrence count + field length),
+    // linear-model rescore of the candidates, top-10. Integer-exact
+    // features, fixed-order double fold -> bit-stable scores.
+    "q153_ltr_rerank" -> ((s, d) => {
+      import graft.index.SegmentShardSink
+      import graft.search.Ltr
+      val txt = sharedStore(d, "docs_text") { o =>
+        SegmentShardSink.write(
+          Tables.documents(s, d).select(
+            col("doc_id").cast("string").as("id"), col("text"), col("lang")),
+          "id", o, shards = 4, analyzedFields = Set("text"))
+      }
+      val idx = Graft.openSegmentIndex(s, txt)
+      val cand = idx.filter(
+        Graft.queryString("text:spark AND lang:en", idx, "text", Set("text")))
+      Ltr.rerank(cand,
+          Seq(
+            Ltr.Feature("hits",
+              ((length(col("text")) -
+                length(regexp_replace(col("text"), "spark", ""))) / 5).cast("long")),
+            Ltr.Feature("len_chars", length(col("text")).cast("long"))),
+          Ltr.LinearModel(Seq("hits" -> 2.0, "len_chars" -> 0.001)),
+          topK = 10, tieBreak = col("id").cast("long"))
+        .select(col("id").cast("long").as("doc_id"),
+          col("hits"), col("len_chars"), col("ltr_score_r"))
     })
   )
 
@@ -3439,6 +3467,20 @@ object SparkEntry {
         |  SELECT CAST(doc_id AS VARCHAR) AS id, lang, n_chars,
         |    row_number() OVER (PARTITION BY lang
         |      ORDER BY n_chars DESC, CAST(doc_id AS VARCHAR) ASC) AS rn
-        |  FROM documents) t WHERE rn = 1""".stripMargin
+        |  FROM documents) t WHERE rn = 1""".stripMargin,
+
+    // candidates = analyzed-term match (q113's boundary-regex
+    // convention); integer features; one fixed-order double chain
+    "q153_ltr_rerank" ->
+      """SELECT doc_id, hits, len_chars,
+        |  round(2.0 * hits + 0.001 * len_chars, 6) AS ltr_score_r
+        |FROM (
+        |  SELECT doc_id,
+        |    (length(text) - length(replace(text, 'spark', ''))) // 5 AS hits,
+        |    CAST(length(text) AS BIGINT) AS len_chars
+        |  FROM documents
+        |  WHERE lang = 'en'
+        |    AND regexp_matches(lower(text), '(^|[^a-z0-9])spark([^a-z0-9]|$)')) t
+        |ORDER BY ltr_score_r DESC, doc_id ASC LIMIT 10""".stripMargin
   )
 }
