@@ -47,7 +47,11 @@ object ExplainCheck {
       "q136_index_unique" -> "unique()/cardinality: outer distinct-count rides the pushed pivot partials — vocabulary²-bounded, stored docs never read",
       "q137_index_percentiles" -> "exact percentiles: pushed facet partials -> vocabulary-sized cumulative window + broadcast fraction spine",
       "q138_index_group_sum" -> "grouped SUM/COUNT(field): GROUP BY + typed sums + numeric fq pushed whole, per-shard bucket partials merged by Spark",
-      "q141_json_facet_api" -> "JSON Facet API: avg -> pushed sum+count partials, nested sub-facet -> pivot pushdown, <=5-row parent broadcast onto ranked child")
+      "q141_json_facet_api" -> "JSON Facet API: avg -> pushed sum+count partials, nested sub-facet -> pivot pushdown, <=5-row parent broadcast onto ranked child",
+      "q144_substring_dedup" -> "exact substring dedup: fused shingle kernel map-side, ONE window-count shuffle on the gram key, span fold + rebuild shuffle-free",
+      "q145_semantic_dedup" -> "SemDeDup: sign-bucket equi-join (one hash shuffle), pairwise cosine kernels row-local, max over pairs order-independent",
+      "q150_stream_rollup" -> "streaming-expr rollup: pushed index scan feeding a partial->final hash aggregate — no sorted-stream reduce",
+      "q151_stream_join_top" -> "streaming-expr innerJoin+top: two pushed index scans, hash join on id, global top-10 as TakeOrderedAndProject")
     val sb = new StringBuilder
     sb.append("# Captured physical plans (generated by graft.ExplainCheck at sf0.001)\n")
     sb.append("\nRegenerate: `sbt \"runMain graft.ExplainCheck\"`.\n")
