@@ -2177,6 +2177,22 @@ object SparkEntry {
           topK = 10, tieBreak = col("id").cast("long"))
         .select(col("id").cast("long").as("doc_id"),
           col("hits"), col("len_chars"), col("ltr_score_r"))
+    }),
+
+    // L113 corpus-pipeline provenance audit: one (doc_id, stage) row
+    // per dropped doc — the deterministic stages (quality + exact
+    // dedup) so the audit itself is oracled; the LSH stage's drops are
+    // covered rows-only through q78. Planted exact dups (ids shifted
+    // +100000) + a raised token floor give both stages real signal on
+    // the synthetic corpus.
+    "q154_corpus_audit" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val planted = docs.filter(col("doc_id") < 5)
+        .withColumn("doc_id", col("doc_id") + 100000L)
+      ops.CorpusPipeline.auditDrops(
+        docs.unionByName(planted), "doc_id", "text",
+        ops.CorpusPipeline.Config(minQualityTokens = 40,
+          redactPii = false, nearDedupThreshold = None))
     })
   )
 
@@ -3481,6 +3497,33 @@ object SparkEntry {
         |  FROM documents
         |  WHERE lang = 'en'
         |    AND regexp_matches(lower(text), '(^|[^a-z0-9])spark([^a-z0-9]|$)')) t
-        |ORDER BY ltr_score_r DESC, doc_id ASC LIMIT 10""".stripMargin
+        |ORDER BY ltr_score_r DESC, doc_id ASC LIMIT 10""".stripMargin,
+
+    // quality gate = q19's keep expression with the raised floor;
+    // exact dedup = min-id per q20 fingerprint among quality survivors
+    "q154_corpus_audit" ->
+      """WITH src AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 5),
+        |q AS (
+        |  SELECT doc_id, text,
+        |    (CAST(len(toks) AS BIGINT) >= 40
+        |     AND (CASE WHEN len(toks) > 0
+        |       THEN CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
+        |         / CAST(len(toks) AS DOUBLE) ELSE 0.0 END) BETWEEN 2.0 AND 12.0
+        |     AND (CASE WHEN length(text) > 0
+        |       THEN CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+        |         / CAST(length(text) AS DOUBLE) ELSE 0.0 END) <= 0.3) AS keep
+        |  FROM (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |        FROM src) t),
+        |qd AS (SELECT doc_id, 'quality' AS stage FROM q WHERE NOT keep),
+        |k AS (SELECT doc_id,
+        |        md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |      FROM q WHERE keep),
+        |ed AS (SELECT doc_id, 'exact_dedup' AS stage FROM (
+        |  SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |  FROM k) t WHERE rn > 1)
+        |SELECT * FROM qd UNION ALL SELECT * FROM ed""".stripMargin
   )
 }

@@ -53,6 +53,13 @@ object CorpusPipeline {
       observe: Boolean = false,
       observePrefix: String = "graft_corpus_")
 
+  /** The pipeline's intermediate frames — [[prepare]] returns the last
+    * one; [[auditDrops]] anti-joins consecutive pairs. A disabled
+    * stage reuses the previous frame reference (eq-skippable). */
+  private[ops] final case class StageFrames(
+      input: DataFrame, afterQuality: DataFrame, afterUrl: DataFrame,
+      afterExact: DataFrame, afterNear: DataFrame)
+
   /**
    * Run the pipeline over `docs` (must carry `idCol` and `textCol`).
    * Returns the cleaned corpus — or, when `chunkSize > 0`, the
@@ -61,6 +68,46 @@ object CorpusPipeline {
    */
   def prepare(docs: DataFrame, idCol: String, textCol: String,
               cfg: Config = Config()): DataFrame = {
+    val frames = stageFrames(docs, idCol, textCol, cfg)
+    val id = col(idCol)
+    val text = col(textCol)
+    val tokens = regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+    if (cfg.chunkSize > 0) {
+      val stride = if (cfg.chunkStride > 0) cfg.chunkStride else cfg.chunkSize
+      Chunking.chunkTokens(
+        frames.afterNear.select(id, tokens.as("__toks")), id, col("__toks"),
+        cfg.chunkSize, stride)
+    } else frames.afterNear
+  }
+
+  /**
+   * Provenance audit (L113): one (id, stage) row per document the
+   * pipeline DROPPED, tagged with the stage that dropped it —
+   * `quality` / `url_dedup` / `exact_dedup` / `near_dedup`. The data-
+   * lineage answer to "where did my corpus go": stage retention
+   * curves, per-source attrition joins, dropped-doc exports all read
+   * straight off this frame. Each stage's drops are one left-anti
+   * join between consecutive stage frames — ids only, never document
+   * bodies; disabled stages contribute nothing.
+   */
+  def auditDrops(docs: DataFrame, idCol: String, textCol: String,
+                 cfg: Config = Config()): DataFrame = {
+    val frames = stageFrames(docs, idCol, textCol, cfg.copy(observe = false))
+    def drops(before: DataFrame, after: DataFrame, stage: String): Option[DataFrame] =
+      if (before eq after) None
+      else Some(before.select(col(idCol))
+        .join(after.select(col(idCol)), Seq(idCol), "left_anti")
+        .withColumn("stage", lit(stage)))
+    Seq(
+      drops(frames.input, frames.afterQuality, "quality"),
+      drops(frames.afterQuality, frames.afterUrl, "url_dedup"),
+      drops(frames.afterUrl, frames.afterExact, "exact_dedup"),
+      drops(frames.afterExact, frames.afterNear, "near_dedup")).flatten
+      .reduce(_ unionByName _)
+  }
+
+  private def stageFrames(docs: DataFrame, idCol: String, textCol: String,
+                          cfg: Config): StageFrames = {
     val id = col(idCol)
     val text = col(textCol)
     // per-stage row-count metric riding the caller's action (no extra
@@ -120,12 +167,6 @@ object CorpusPipeline {
       case None => exactDeduped
     }
 
-    // 6. chunking into training windows
-    if (cfg.chunkSize > 0) {
-      val stride = if (cfg.chunkStride > 0) cfg.chunkStride else cfg.chunkSize
-      Chunking.chunkTokens(
-        nearDeduped.select(id, tokens.as("__toks")), id, col("__toks"),
-        cfg.chunkSize, stride)
-    } else nearDeduped
+    StageFrames(docs, kept, urlDeduped, exactDeduped, nearDeduped)
   }
 }

@@ -83,6 +83,34 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert((1L to 30L).forall(ids.contains)) // every original survives
   }
 
+  test("auditDrops tags each dropped doc with the stage that dropped it") {
+    val base = (1L to 30L).map(i =>
+      doc(i, s"document number $i carries some shared vocabulary plus unique token u$i and more filler words"))
+    val docs = (base ++ Seq(
+      doc(1001, base.head._2),   // exact dup of doc 1
+      doc(1002, base(1)._2 + " extra"), // near-dup of doc 2
+      doc(1003, "x")             // quality junk
+    )).toDF("doc_id", "text")
+    val got = CorpusPipeline.auditDrops(docs, "doc_id", "text",
+        CorpusPipeline.Config(nearDedupThreshold = Some(0.7)))
+      .as[(Long, String)].collect().toMap
+    assert(got(1001L) === "exact_dedup")
+    assert(got(1002L) === "near_dedup")
+    assert(got(1003L) === "quality")
+    assert(got.keySet === Set(1001L, 1002L, 1003L)) // originals all survive
+  }
+
+  test("auditDrops skips disabled stages entirely") {
+    val docs = Seq(
+      doc(1, "the quick brown fox jumps over the lazy dog today"),
+      doc(2, "the quick brown fox jumps over the lazy dog today"),
+      doc(3, "tiny")).toDF("doc_id", "text")
+    val got = CorpusPipeline.auditDrops(docs, "doc_id", "text",
+        CorpusPipeline.Config(nearDedupThreshold = None))
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(2L -> "exact_dedup", 3L -> "quality"))
+  }
+
   test("observe=true surfaces per-stage row counts on the caller's action") {
     val docs = Seq(
       doc(1, "the quick brown fox jumps over the lazy dog today"),
