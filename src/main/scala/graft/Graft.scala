@@ -246,6 +246,21 @@ object Graft {
                  collections: Map[String, String]): DataFrame =
     graft.search.StreamingExpressions.compile(spark, expr, collections)
 
+  /** The Solr /sql handler analog (Parallel SQL over collections):
+    * registers each named segment store as a temp view over its
+    * DataSourceV2 table and runs the statement — filters, projections
+    * and grouped counts push down to postings exactly as the
+    * DataFrame surface does. Where Solr compiles SQL to streaming
+    * expressions over worker nodes, the engine hands the plan to
+    * Catalyst — same contract, better optimizer. */
+  def sql(spark: SparkSession, statement: String,
+          collections: Map[String, String]): DataFrame = {
+    collections.foreach { case (name, store) =>
+      openSegmentIndex(spark, store).createOrReplaceTempView(name)
+    }
+    spark.sql(statement)
+  }
+
   private def multiSelectCtx(spark: SparkSession, store: String) = {
     val marker = graft.index.SegmentShardSink.readMarker(
       spark.sessionState.newHadoopConf(), store)

@@ -2193,6 +2193,17 @@ object SparkEntry {
         docs.unionByName(planted), "doc_id", "text",
         ops.CorpusPipeline.Config(minQualityTokens = 40,
           redactPii = false, nearDedupThreshold = None))
+    }),
+
+    // L114 /sql handler (Parallel SQL): SQL over a registered
+    // collection view — the grouped aggregate pushes to postings like
+    // the DataFrame surface
+    "q155_solr_sql" -> ((s, d) => {
+      val out = docsMetaStore(s, d)
+      Graft.sql(s,
+        """SELECT source, min(n_chars) AS min_chars, count(*) AS cnt
+          |FROM docs WHERE lang = 'en' GROUP BY source""".stripMargin,
+        Map("docs" -> out))
     })
   )
 
@@ -3524,6 +3535,10 @@ object SparkEntry {
         |ed AS (SELECT doc_id, 'exact_dedup' AS stage FROM (
         |  SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
         |  FROM k) t WHERE rn > 1)
-        |SELECT * FROM qd UNION ALL SELECT * FROM ed""".stripMargin
+        |SELECT * FROM qd UNION ALL SELECT * FROM ed""".stripMargin,
+
+    "q155_solr_sql" ->
+      """SELECT source, CAST(min(n_chars) AS BIGINT) AS min_chars, count(*) AS cnt
+        |FROM documents WHERE lang = 'en' GROUP BY source""".stripMargin
   )
 }
