@@ -94,15 +94,26 @@ object SubstringDedup {
       .agg(sort_array(collect_list(col("sd_pos"))).as("sd_starts"))
 
     grams.join(dupStarts, Seq("sd_id"), "left")
-      .withColumn("sd_spans",
-        mergeSpans(coalesce(col("sd_starts"), array().cast("array<int>")), k))
-      .withColumn("sd_kept",
-        filter(col("sd_toks"), (t, i) =>
-          !exists(col("sd_spans"), sp => sp("s") <= i && i <= sp("e"))))
+      .withColumn("sd_cut", graft.functions.SpanCut.span_cut(
+        col("sd_toks"),
+        coalesce(col("sd_starts"), array().cast("array<int>")), k))
       .select(
         col("sd_id").as(idCol),
         size(col("sd_toks")).cast("long").as("n_tokens"),
-        (size(col("sd_toks")) - size(col("sd_kept"))).cast("long").as("n_dup_tokens"),
-        array_join(col("sd_kept"), " ").as("text_deduped"))
+        col("sd_cut")("n_dup").cast("long").as("n_dup_tokens"),
+        col("sd_cut")("text_deduped").as("text_deduped"))
+  }
+
+  /** The composable formulation of the span-cut tail (fold-merged
+    * disjoint spans + per-token exists probe) — retained as the
+    * parity reference for the fused kernel (SpanCutSpec checks the
+    * two agree on adversarial inputs). */
+  private[ops] def composableCut(toks: Column, starts: Column, k: Int): Column = {
+    val spans = mergeSpans(starts, k)
+    val kept = filter(toks, (t, i) =>
+      !exists(spans, sp => sp("s") <= i && i <= sp("e")))
+    struct(
+      (size(toks) - size(kept)).as("n_dup"),
+      array_join(kept, " ").as("text_deduped"))
   }
 }

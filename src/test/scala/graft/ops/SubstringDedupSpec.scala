@@ -52,4 +52,29 @@ class SubstringDedupSpec extends AnyFunSuite {
     val got = run(Seq(1L -> "x y z", 2L -> "x y z"), k = 3, minOcc = 3)
     assert(got === Seq((1L, 3L, 0L, "x y z"), (2L, 3L, 0L, "x y z")))
   }
+
+  test("span_cut kernel matches the composable formulation on adversarial inputs") {
+    import org.apache.spark.sql.functions._
+    val cases: Seq[(Seq[String], Seq[Int], Int)] = Seq(
+      (Seq("a", "b", "c", "d", "e"), Seq(0, 1), 3),        // overlap
+      (Seq("a", "b", "c", "d", "e", "f"), Seq(0, 3), 3),   // adjacent spans
+      (Seq("a", "b", "c", "d"), Seq.empty, 3),             // no starts
+      (Seq("a", "b", "c"), Seq(0), 3),                     // whole doc covered
+      (Seq("", "x", "", "y"), Seq(1), 2),                  // empty-string tokens
+      (Seq("a"), Seq(0), 5),                               // k past the end
+      (Seq.empty, Seq.empty, 3),                           // empty doc
+      ((1 to 40).map(i => s"t$i"), Seq(0, 2, 4, 6, 20, 35), 4))
+    val df = cases.zipWithIndex
+      .map { case ((t, s, kk), i) => (i, t, s, kk) }
+      .toDF("case_id", "toks", "starts", "k")
+    cases.zipWithIndex.foreach { case ((_, _, kk), i) =>
+      val row = df.filter(col("case_id") === i)
+        .select(
+          graft.functions.SpanCut.span_cut(col("toks"), col("starts"), kk).as("fused"),
+          SubstringDedup.composableCut(col("toks"), col("starts"), kk).as("comp"))
+        .head()
+      assert(row.getStruct(0).getInt(0) === row.getStruct(1).getInt(0), s"case $i n_dup")
+      assert(row.getStruct(0).getString(1) === row.getStruct(1).getString(1), s"case $i text")
+    }
+  }
 }
