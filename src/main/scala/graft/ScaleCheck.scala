@@ -30,7 +30,9 @@ object ScaleCheck {
   private val Measured =
     Seq("q07_convert_timestamp", "q10_tokenize_tf", "q18_langid",
       "q21_dedup_exact", "q23_simhash", "q49_build_index",
-      "q54_drop_near_dups", "q74_bm25", "q78_corpus_pipeline")
+      "q54_drop_near_dups", "q74_bm25", "q78_corpus_pipeline",
+      "q144_substring_dedup", "q146_bpe_pairs", "q147_bigram_rarity",
+      "q154_corpus_audit")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
