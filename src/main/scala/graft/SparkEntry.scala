@@ -2204,6 +2204,33 @@ object SparkEntry {
         """SELECT source, min(n_chars) AS min_chars, count(*) AS cnt
           |FROM docs WHERE lang = 'en' GROUP BY source""".stripMargin,
         Map("docs" -> out))
+    }),
+
+    // L111 having(rollup(...), and(gt, lt)): the post-aggregate filter
+    // decorator
+    "q156_stream_having" -> ((s, d) => {
+      val out = docsMetaStore(s, d)
+      Graft.streamExpr(s,
+        """having(rollup(search(docs_meta, q="*:*", fl="source,n_chars", sort="source asc"),
+          |  over="source", sum(n_chars), count(*)),
+          |  and(gt(sum_n_chars, 7400), lt(cnt, 26)))""".stripMargin,
+        Map("docs_meta" -> out))
+    }),
+
+    // L111 complement(search, search): cross-collection anti-join by
+    // key — en docs whose text does NOT contain the token
+    "q157_stream_complement" -> ((s, d) => {
+      val meta = docsMetaStore(s, d)
+      val txt = sharedStore(d, "docs_text") { o =>
+        graft.index.SegmentShardSink.write(
+          Tables.documents(s, d).select(
+            col("doc_id").cast("string").as("id"), col("text"), col("lang")),
+          "id", o, shards = 4, analyzedFields = Set("text"))
+      }
+      Graft.streamExpr(s,
+        """complement(search(docs_meta, q="lang:en", fl="id,lang,n_chars", sort="id asc"),
+          |  search(docs_text, q="text:spark", fl="id", sort="id asc"), on="id")""".stripMargin,
+        Map("docs_meta" -> meta, "docs_text" -> txt))
     })
   )
 
@@ -3539,6 +3566,19 @@ object SparkEntry {
 
     "q155_solr_sql" ->
       """SELECT source, CAST(min(n_chars) AS BIGINT) AS min_chars, count(*) AS cnt
-        |FROM documents WHERE lang = 'en' GROUP BY source""".stripMargin
+        |FROM documents WHERE lang = 'en' GROUP BY source""".stripMargin,
+
+    "q156_stream_having" ->
+      """SELECT source, CAST(sum(n_chars) AS BIGINT) AS sum_n_chars, count(*) AS cnt
+        |FROM documents GROUP BY source
+        |HAVING sum(n_chars) > 7400 AND count(*) < 26""".stripMargin,
+
+    // ids are store strings; the anti-join key and output keep the
+    // varchar form
+    "q157_stream_complement" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS id, lang, n_chars
+        |FROM documents
+        |WHERE lang = 'en'
+        |  AND NOT regexp_matches(lower(text), '(^|[^a-z0-9])spark([^a-z0-9]|$)')""".stripMargin
   )
 }

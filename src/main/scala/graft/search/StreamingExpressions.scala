@@ -12,7 +12,14 @@ import org.apache.spark.sql.functions._
  *   top(n=5, <stream>, sort="x desc")
  *   unique(<stream>, over="f")
  *   rollup(<stream>, over="f", sum(x), min(x), max(x), avg(x), count(*))
+ *   stats(coll, q="...", sum(x), count(*))
  *   innerJoin(<left>, <right>, on="a=b")
+ *   fetch(coll, <stream>, on="id", fl="a,b")
+ *   intersect(<left>, <right>, on="key")   — left tuples whose key appears right
+ *   complement(<left>, <right>, on="key")  — left tuples whose key does not
+ *   having(<stream>, gt(f, v))             — gt/lt/eq/noteq/gteq/lteq, and/or/not
+ *   merge(<s1>, <s2>, on="a asc")          — union under a shared sort contract
+ *   sort(<stream>, by="a asc")             — global re-sort (new contract)
  *   select(<stream>, "a as b", "c")
  *
  * Solr executes these as sorted tuple streams merged worker-side;
@@ -199,24 +206,16 @@ object StreamingExpressions {
       val over = named(c, "over").getOrElse(sys.error("rollup() needs over="))
       // aggregates parse as nested calls (sum(n_chars)) — split them
       // from the stream argument structurally
-      val aggFns = Set("sum", "min", "max", "avg", "count")
-      val streams = subs(c).filterNot(s => aggFns(s.name))
+      val streams = subs(c).filterNot(s => AggFns(s.name))
       require(streams.length == 1, "rollup() needs exactly one stream argument")
       val in = compileCall(spark, streams.head, collections)
       val aggs = c.args.collect {
-        case Sub(Call(fn, as)) if aggFns(fn) =>
+        case Sub(Call(fn, as)) if AggFns(fn) =>
           (fn, as.collectFirst { case Pos(v) => v }.getOrElse("*"))
         case Pos(AggRe(fn, arg)) => (fn, arg) // quoted form
       }
       require(aggs.nonEmpty, "rollup() needs at least one aggregate")
-      val cols = aggs.map {
-        case ("count", _) => count(lit(1)).as("cnt")
-        case ("sum", f) => sum(col(f)).as(s"sum_$f")
-        case ("min", f) => min(col(f)).as(s"min_$f")
-        case ("max", f) => max(col(f)).as(s"max_$f")
-        case ("avg", f) => avg(col(f)).as(s"avg_$f")
-        case (fn, _) => sys.error(s"unsupported rollup aggregate $fn")
-      }
+      val cols = aggs.map(aggCol)
       val overCols = over.split(",").map(_.trim).map(col).toIndexedSeq
       Stream(in.df.groupBy(overCols: _*).agg(cols.head, cols.tail: _*), Nil)
 
@@ -257,7 +256,118 @@ object StreamingExpressions {
       }
       Stream(in.df.select(cols.toIndexedSeq: _*), in.sort)
 
+    case "stats" =>
+      // rollup without grouping: one global aggregate row over the
+      // collection under q= (partial-aggregates map-side)
+      val coll = c.args.headOption match {
+        case Some(Pos(v)) => v
+        case _ => sys.error("stats() needs the collection as its first argument")
+      }
+      val inner = Call("search", Seq(Pos(coll)) ++
+        c.args.collect { case n @ Named("q" | "fl", _) => n })
+      val in = compileCall(spark, inner, collections)
+      val aggs = c.args.collect {
+        case Sub(Call(fn, as)) if AggFns(fn) =>
+          (fn, as.collectFirst { case Pos(v) => v }.getOrElse("*"))
+        case Pos(AggRe(fn, arg)) => (fn, arg)
+      }
+      require(aggs.nonEmpty, "stats() needs at least one aggregate")
+      val cols = aggs.map(aggCol)
+      Stream(in.df.agg(cols.head, cols.tail: _*), Nil)
+
+    case "having" =>
+      val boolFns = Set("gt", "lt", "eq", "noteq", "gteq", "lteq", "and", "or", "not")
+      val streams = subs(c).filterNot(s => boolFns(s.name))
+      require(streams.length == 1, "having() needs exactly one stream argument")
+      val conds = subs(c).filter(s => boolFns(s.name))
+      require(conds.length == 1, "having() needs exactly one boolean operator")
+      val in = compileCall(spark, streams.head, collections)
+      Stream(in.df.filter(compileBool(conds.head)), in.sort)
+
+    case "sort" =>
+      val by = named(c, "by").getOrElse(sys.error("sort() needs by="))
+      val in = one(spark, c, collections)
+      val spec = parseSort(by)
+      Stream(in.df.orderBy(sortCols(spec): _*), spec)
+
+    case "merge" =>
+      val on = named(c, "on").getOrElse(sys.error("merge() needs on="))
+      val ss = subs(c)
+      require(ss.length >= 2, "merge() needs at least two stream arguments")
+      val compiled = ss.map(compileCall(spark, _, collections))
+      // the merged stream's order is a LOGICAL contract (consumed by
+      // unique()'s window); rows are not physically interleaved
+      Stream(compiled.map(_.df).reduce(_ unionByName _), parseSort(on))
+
+    case "intersect" | "complement" =>
+      val on = named(c, "on").getOrElse(sys.error(s"${c.name}() needs on="))
+      val ss = subs(c)
+      require(ss.length == 2, s"${c.name}() needs exactly two stream arguments")
+      val l = compileCall(spark, ss(0), collections)
+      val r = compileCall(spark, ss(1), collections)
+      val keys = on.split(",").map(_.trim).filter(_.nonEmpty).toIndexedSeq
+      val joinType = if (c.name == "intersect") "left_semi" else "left_anti"
+      Stream(l.df.join(r.df.select(keys.map(col): _*), keys, joinType), l.sort)
+
+    case "fetch" =>
+      // enrich stream tuples with fields from another collection
+      // (Solr's fetch decorator): left outer join on the id field
+      val coll = c.args.headOption match {
+        case Some(Pos(v)) => v
+        case _ => sys.error("fetch() needs the collection as its first argument")
+      }
+      val on = named(c, "on").getOrElse(sys.error("fetch() needs on="))
+      val fl = named(c, "fl").getOrElse(sys.error("fetch() needs fl="))
+      val in = one(spark, c, collections)
+      val side = compileCall(spark,
+        Call("search", Seq(Pos(coll),
+          Named("fl", s"$on,$fl"))), collections)
+      Stream(in.df.join(side.df, Seq(on), "left"), in.sort)
+
     case other => sys.error(s"unsupported streaming expression '$other'")
+  }
+
+  private val AggFns = Set("sum", "min", "max", "avg", "count")
+
+  private val aggCol: ((String, String)) => Column = {
+    case ("count", _) => count(lit(1)).as("cnt")
+    case ("sum", f) => sum(col(f)).as(s"sum_$f")
+    case ("min", f) => min(col(f)).as(s"min_$f")
+    case ("max", f) => max(col(f)).as(s"max_$f")
+    case ("avg", f) => avg(col(f)).as(s"avg_$f")
+    case (fn, _) => sys.error(s"unsupported aggregate $fn")
+  }
+
+  /** Solr having() boolean operators: leaf comparisons take (field,
+    * literal) — numeric when the literal parses, string otherwise. */
+  private def compileBool(c: Call): Column = {
+    def operand(i: Int): String = c.args(i) match {
+      case Pos(v) => v
+      case Named(k, v) => s"$k=$v"
+      case Sub(_) => sys.error(s"${c.name}() operand $i must be a value")
+    }
+    def litVal(s: String): Column =
+      s.toLongOption.map(lit(_))
+        .orElse(s.toDoubleOption.map(lit(_)))
+        .getOrElse(lit(s))
+    c.name match {
+      case "and" => subs(c).map(compileBool).reduce(_ && _)
+      case "or" => subs(c).map(compileBool).reduce(_ || _)
+      case "not" => !compileBool(subs(c).head)
+      case cmp =>
+        require(c.args.length == 2, s"$cmp() needs (field, value)")
+        val f = col(operand(0))
+        val v = litVal(operand(1))
+        cmp match {
+          case "gt" => f > v
+          case "lt" => f < v
+          case "eq" => f === v
+          case "noteq" => f =!= v
+          case "gteq" => f >= v
+          case "lteq" => f <= v
+          case other => sys.error(s"unsupported having() operator $other")
+        }
+    }
   }
 
   private def one(spark: SparkSession, c: Call,

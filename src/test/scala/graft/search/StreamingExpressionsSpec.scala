@@ -69,6 +69,53 @@ class StreamingExpressionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("sorted upstream"))
   }
 
+  test("having filters rollup output with boolean-op trees") {
+    val got = SE.compile(spark,
+      """having(rollup(search(c, q="*:*", fl="lang,n_chars", sort="lang asc"),
+        |  over="lang", sum(n_chars), count(*)),
+        |  and(gt(sum_n_chars, 400), not(eq(lang, "de"))))""".stripMargin, colls)
+      .as[(String, Long, Long)].collect().toSeq
+    // sums: de 550, en 900, fr 350 -> gt(400) keeps de,en; not(de) -> en
+    assert(got === Seq(("en", 900L, 3L)))
+  }
+
+  test("stats is a one-row global aggregate") {
+    val got = SE.compile(spark,
+      """stats(c, q="lang:en", sum(n_chars), count(*))""", colls)
+      .as[(Long, Long)].collect().toSeq
+    assert(got === Seq((900L, 3L)))
+  }
+
+  test("intersect keeps keyed matches, complement drops them") {
+    val inter = SE.compile(spark,
+      """intersect(search(c, q="*:*", fl="id,lang", sort="id asc"),
+        |  search(c, q="lang:de", fl="id", sort="id asc"), on="id")""".stripMargin, colls)
+      .select("id").as[String].collect().toSet
+    assert(inter === Set("3", "4"))
+    val comp = SE.compile(spark,
+      """complement(search(c, q="*:*", fl="id,lang", sort="id asc"),
+        |  search(c, q="lang:de", fl="id", sort="id asc"), on="id")""".stripMargin, colls)
+      .select("id").as[String].collect().toSet
+    assert(comp === Set("1", "2", "5", "6"))
+  }
+
+  test("fetch enriches stream tuples from another collection") {
+    val got = SE.compile(spark,
+      """fetch(c, search(c, q="lang:fr", fl="id", sort="id asc"),
+        |  on="id", fl="n_chars")""".stripMargin, colls)
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq(("5", 350L)))
+  }
+
+  test("merge unions streams under a shared sort contract that unique consumes") {
+    val got = SE.compile(spark,
+      """unique(merge(search(c, q="lang:en", fl="id,lang,n_chars", sort="n_chars desc, id asc"),
+        |  search(c, q="lang:de", fl="id,lang,n_chars", sort="n_chars desc, id asc"),
+        |  on="n_chars desc, id asc"), over="lang")""".stripMargin, colls)
+      .orderBy("lang").as[(String, String, Long)].collect().toSeq
+    assert(got === Seq(("3", "de", 500L), ("2", "en", 400L)))
+  }
+
   test("innerJoin on a shared key + select renames") {
     val got = SE.compile(spark,
       """select(innerJoin(search(c, q="lang:en", fl="id,n_chars", sort="id asc"),
