@@ -2231,7 +2231,15 @@ object SparkEntry {
         """complement(search(docs_meta, q="lang:en", fl="id,lang,n_chars", sort="id asc"),
           |  search(docs_text, q="text:spark", fl="id", sort="id asc"), on="id")""".stripMargin,
         Map("docs_meta" -> meta, "docs_text" -> txt))
-    })
+    }),
+
+    // L107 production path: SemDeDup over IVF k-means cells
+    // (data-adaptive; engine-side training -> rows-only, the oracled
+    // semantics live in q145)
+    "q158_semantic_dedup_ivf" -> ((s, d) =>
+      ops.Similarity.semanticDedupIvf(
+        Tables.embeddings(s, d), threshold = 0.4, dim = 64, nlist = 16)
+        .select(col("vec_id"), col("cluster"), col("is_dup")))
   )
 
   /** The shared (id, lang, source, n_chars) documents segment store —

@@ -267,7 +267,15 @@ object Similarity {
     val base = df.select(col(idCol).as("sem_id"),
         col(vecCol).cast("array<double>").as("sem_v"))
       .withColumn("sem_cluster", signBucket(col("sem_v"), bits))
-      .withColumn("sem_n", norm(col("sem_v")))
+    pruneWithinCells(base, threshold, idCol)
+  }
+
+  /** The shared within-cell keep-lowest-id prune: expects (sem_id,
+    * sem_v, sem_cluster); one equi-join on the cell key, pairwise
+    * cosine, max over qualifying priors. */
+  private def pruneWithinCells(clustered: DataFrame, threshold: Double,
+                               idCol: String): DataFrame = {
+    val base = clustered.withColumn("sem_n", norm(col("sem_v")))
     val a = base.select(col("sem_cluster"), col("sem_id").as("id_a"),
       col("sem_v").as("va"), col("sem_n").as("na"))
     val b = base.select(col("sem_cluster"), col("sem_id").as("id_b"),
@@ -340,6 +348,36 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /**
+   * [[semanticDedup]]'s PRODUCTION cell assignment — the published
+   * SemDeDup form: cells are the IVF k-means centroids (trained
+   * driver-side on a bounded sample, [[ivfTopK]]'s training) instead
+   * of axis-sign buckets, so cell populations adapt to the data
+   * distribution and the O(cell²) rescore stays balanced on clustered
+   * corpora where sign-bit buckets skew. Same downstream plan: one
+   * equi-join on the cell key, keep-lowest-id. Engine-side training →
+   * rows-only verification (the oracled semantics live in q145).
+   */
+  def semanticDedupIvf(df: DataFrame, threshold: Double, dim: Int,
+                       nlist: Int = 16, sampleSize: Int = 2048,
+                       seed: Long = 42L,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val sample = df.select(col(vecCol).cast("array<double>")).limit(sampleSize)
+      .collect().map(_.getSeq[Double](0).toArray)
+    val centroids = kmeans(sample, nlist, iters = 8, seed)
+    val flat = centroids.flatten.toIndexedSeq
+    def nearestCell(vec: Column): Column = {
+      val arr = graft.functions.CentroidNegCosines
+        .centroid_neg_cosines(vec, flat, nlist, dim)
+      (array_position(arr, array_min(arr)) - 1).cast("int")
+    }
+    val base = df.select(col(idCol).as("sem_id"),
+        col(vecCol).cast("array<double>").as("sem_v"))
+      .withColumn("sem_cluster", nearestCell(col("sem_v")).cast("long"))
+    pruneWithinCells(base, threshold, idCol)
   }
 
   /** Driver-side Lloyd k-means over a bounded sample (deterministic). */

@@ -223,6 +223,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got === Seq(false, false))
   }
 
+  test("semanticDedupIvf: identical vectors share a trained cell; higher ids marked") {
+    import spark.implicits._
+    val v1 = (1 to 8).map(_.toFloat)
+    val v2 = (1 to 8).map(i => -i.toFloat)
+    val df = (Seq((1L, v1), (2L, v1), (3L, v2)) ++
+      (10L to 29L).map(i => (i, (1 to 8).map(j => ((i * 7 + j) % 11).toFloat - 5f))))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedupIvf(df, threshold = 0.999, dim = 8, nlist = 4)
+      .filter(col("vec_id") <= 3).orderBy("vec_id")
+      .select("vec_id", "is_dup").as[(Long, Boolean)].collect().toSeq
+    // 1 and 2 are identical -> same nearest centroid, 2 marked; 3 is
+    // the antipode -> never cos >= 0.999 with anything
+    assert(got === Seq((1L, false), (2L, true), (3L, false)))
+  }
+
   test("semanticDedup: keep-lowest-id representative never marked, max over priors reported") {
     import spark.implicits._
     val v = Seq(1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f)
