@@ -2239,7 +2239,23 @@ object SparkEntry {
     "q158_semantic_dedup_ivf" -> ((s, d) =>
       ops.Similarity.semanticDedupIvf(
         Tables.embeddings(s, d), threshold = 0.4, dim = 64, nlist = 16)
-        .select(col("vec_id"), col("cluster"), col("is_dup")))
+        .select(col("vec_id"), col("cluster"), col("is_dup"))),
+
+    // L115 pack assembly: budget-bucketed packs per source, documents
+    // concatenated in doc_id order with an end-of-document marker
+    "q159_pack_texts" -> ((s, d) =>
+      ops.Chunking.packTexts(Tables.documents(s, d),
+        col("source"), col("doc_id"), col("n_chars"), budget = 2000,
+        col("text"), sep = "<|eod|>")
+        .select(col("grp").as("source"), col("pack_id"), col("n_docs"),
+          col("pack_cost"), col("packed_text"))),
+
+    // L116 temperature-scaled mixture sampling (alpha=0.5 -> sqrt,
+    // bit-stable): md5-coin Bernoulli under per-source rates
+    "q160_temperature_sample" -> ((s, d) =>
+      ops.Sampling.temperatureSample(Tables.documents(s, d),
+        col("source"), col("doc_id"), alpha = 0.5, targetFraction = 0.5)
+        .select(col("doc_id"), col("source")))
   )
 
   /** The shared (id, lang, source, n_chars) documents segment store —
@@ -3587,6 +3603,40 @@ object SparkEntry {
       """SELECT CAST(doc_id AS VARCHAR) AS id, lang, n_chars
         |FROM documents
         |WHERE lang = 'en'
-        |  AND NOT regexp_matches(lower(text), '(^|[^a-z0-9])spark([^a-z0-9]|$)')""".stripMargin
+        |  AND NOT regexp_matches(lower(text), '(^|[^a-z0-9])spark([^a-z0-9]|$)')""".stripMargin,
+
+    // pack_id = floor(exclusive running n_chars / 2000) per source in
+    // doc_id order; packs assemble in the same order
+    "q159_pack_texts" ->
+      """WITH p AS (
+        |  SELECT source, doc_id, text, n_chars,
+        |    CAST(floor(coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0) AS BIGINT)
+        |      AS pack_id
+        |  FROM documents)
+        |SELECT source, pack_id, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS pack_cost,
+        |  string_agg(text, '<|eod|>' ORDER BY doc_id) AS packed_text
+        |FROM p GROUP BY source, pack_id""".stripMargin,
+
+    // rate_g = min(1, 0.5*T/denom / sqrt(n_g/T)); denom = ordered
+    // window sum over groups (source asc) — the identical double
+    // addition sequence on both engines; the md5 coin divides the
+    // first 8 hex chars by 2^32 (exact)
+    "q160_temperature_sample" ->
+      """WITH g AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS T FROM g),
+        |r AS (SELECT source, n,
+        |    1.0 / sqrt(CAST(n AS DOUBLE) / CAST(T AS DOUBLE)) AS factor,
+        |    sum(CAST(n AS DOUBLE) * (1.0 / sqrt(CAST(n AS DOUBLE) / CAST(T AS DOUBLE))))
+        |      OVER (ORDER BY source ASC ROWS BETWEEN UNBOUNDED PRECEDING
+        |            AND UNBOUNDED FOLLOWING) AS denom,
+        |    T
+        |  FROM g CROSS JOIN t),
+        |rates AS (SELECT source,
+        |    least(1.0, 0.5 * CAST(T AS DOUBLE) / denom * factor) AS rate FROM r)
+        |SELECT d.doc_id, d.source FROM documents d JOIN rates USING (source)
+        |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      / 4294967296.0 < rate""".stripMargin
   )
 }

@@ -108,4 +108,31 @@ object Chunking {
       }
     }(org.apache.spark.sql.Encoders.row(schema))
   }
+
+  /**
+   * Pack ASSEMBLY (L115): the text-producing half of sequence packing
+   * — [[packByBudget]] assigns pack ids, then each pack's documents
+   * concatenate in `order` with `sep` between them (the end-of-
+   * document marker a pretraining loader inserts). Output one row per
+   * pack: (grp, pack_id, n_docs, pack_cost, packed_text).
+   *
+   * The ordered concat is the engine's deterministic-aggregation
+   * idiom: collect_list of (order, text) structs, array_sort (total
+   * order — `order` must be unique within a group), then a map-side
+   * join — no ordering is ever asked of the unordered aggregate
+   * itself. One shuffle on (grp, pack_id) beyond packByBudget's
+   * window.
+   */
+  def packTexts(df: DataFrame, grp: Column, order: Column, cost: Column,
+                budget: Long, text: Column, sep: String): DataFrame =
+    packByBudget(df, grp, order, cost, budget)
+      .groupBy(grp.as("grp"), col("pack_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(cost).as("pack_cost"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(order.as("o"), text.as("t")))),
+            x => x.getField("t")),
+          sep).as("packed_text"))
 }

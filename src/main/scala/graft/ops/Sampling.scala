@@ -63,6 +63,69 @@ object Sampling {
       .drop("__tot", "__ngrp")
   }
 
+  /** Uniform [0,1) fraction as a pure function of (salt, key): the
+    * first 8 md5 hex chars over 2^32. The division is by a power of
+    * two (exact), so any engine with md5 computes the identical
+    * double — the cross-engine Bernoulli coin. */
+  def hashFraction(key: Column, salt: String = ""): Column =
+    conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 8), 16, 10)
+      .cast("long").cast("double") / lit(4294967296.0)
+
+  /**
+   * Temperature-scaled mixture rates (L116 — the multilingual-
+   * pretraining rebalance, XLM-R style: sampling probability per
+   * group ∝ share^alpha, alpha < 1 flattens the distribution). For
+   * each group: rate = min(1, C · share^(alpha-1)) with C chosen so
+   * the expected kept mass is `targetFraction` of the corpus:
+   * C = targetFraction·T / Σ_g n_g·share_g^(alpha-1).
+   *
+   * Determinism: alpha = 0.5 (the common choice) evaluates via
+   * sqrt — an IEEE correctly-rounded operation, so rates are
+   * bit-identical across engines (q160's oracle); other alphas go
+   * through pow, which libm does not correctly round — same math,
+   * no bit guarantee. The Σ over groups is an ORDERED window sum
+   * (group asc, unpartitioned — bounded by the number of groups), so
+   * the double additions happen in the same sequence everywhere.
+   *
+   * Output: (group, n, rate).
+   */
+  def temperatureRates(df: DataFrame, grp: Column, alpha: Double,
+                       targetFraction: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1]: $alpha")
+    require(targetFraction > 0 && targetFraction <= 1)
+    val counts = df.groupBy(grp.as("grp")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("__T"))
+    def powShare(share: Column): Column =
+      if (alpha == 0.5) lit(1.0) / sqrt(share)
+      else pow(share, lit(alpha - 1.0))
+    val w = Window.partitionBy().orderBy(col("grp").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    counts.crossJoin(broadcast(tot))
+      .withColumn("__factor",
+        powShare(col("n").cast("double") / col("__T").cast("double")))
+      .withColumn("__denom",
+        sum(col("n").cast("double") * col("__factor")).over(w))
+      .withColumn("rate", least(lit(1.0),
+        lit(targetFraction) * col("__T").cast("double") / col("__denom")
+          * col("__factor")))
+      .select(col("grp"), col("n"), col("rate"))
+  }
+
+  /**
+   * Apply [[temperatureRates]]: keep a row iff its deterministic
+   * md5 coin lands under its group's rate. The rates frame is
+   * group-cardinality-sized and broadcast; the corpus is never
+   * shuffled — one map-side join + filter.
+   */
+  def temperatureSample(df: DataFrame, grp: Column, key: Column, alpha: Double,
+                        targetFraction: Double, salt: String = ""): DataFrame = {
+    val rates = temperatureRates(df, grp, alpha, targetFraction)
+      .withColumnRenamed("grp", "__tsg").drop("n")
+    df.join(broadcast(rates), grp === col("__tsg"))
+      .filter(hashFraction(key, salt) < col("rate"))
+      .drop("__tsg", "rate")
+  }
+
   /**
    * Deterministic train/val/test assignment: the split is a pure
    * function of (salt, key) — stable across runs, machines, and

@@ -29,6 +29,23 @@ class ChunkingSpec extends AnyFunSuite {
     assert(got === Seq((0L, 0L, "")))
   }
 
+  test("packTexts assembles each pack's documents in order with the separator") {
+    val df = Seq(
+      ("s", 1L, 300L, "one"), ("s", 2L, 300L, "two"),
+      ("s", 3L, 500L, "three"), ("s", 4L, 100L, "four"))
+      .toDF("g", "ord", "cost", "txt")
+    val got = Chunking.packTexts(df, col("g"), col("ord"), col("cost"),
+        budget = 500, col("txt"), sep = "<|eod|>")
+      .orderBy("pack_id")
+      .select("pack_id", "n_docs", "pack_cost", "packed_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // excl cumsums 0,300,600,1100 -> packs 0,0,1,2
+    assert(got === Seq(
+      (0L, 2L, 600L, "one<|eod|>two"),
+      (1L, 1L, 500L, "three"),
+      (2L, 1L, 100L, "four")))
+  }
+
   test("packByBudget: pack = exclusive cumsum / budget; straddlers keep their start pack") {
     val df = Seq(("a", 1L, 300L), ("a", 2L, 300L), ("a", 3L, 500L), ("a", 4L, 100L))
       .toDF("g", "ord", "cost")

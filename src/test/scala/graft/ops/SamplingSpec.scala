@@ -38,6 +38,41 @@ class SamplingSpec extends AnyFunSuite {
     assert(bigTop.filter(_ <= 150).subsetOf(small))
   }
 
+  test("temperatureRates: alpha=0.5 flattens toward small groups, expected mass = target") {
+    // groups: a=800, b=100, c=100 (T=1000)
+    val df = (1L to 800L).map(i => ("a", i)) ++
+      (801L to 900L).map(i => ("b", i)) ++ (901L to 1000L).map(i => ("c", i))
+    val rates = Sampling.temperatureRates(df.toDF("g", "id"), col("g"),
+        alpha = 0.5, targetFraction = 0.5)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // factor_g = 1/sqrt(share): a ~ 1.118, b = c ~ 3.162
+    // denom = 800*1.118 + 100*3.162 + 100*3.162 ~ 1526.9; C = 500/1526.9
+    val fa = 1.0 / math.sqrt(0.8); val fb = 1.0 / math.sqrt(0.1)
+    val denom = 800 * fa + 100 * fb + 100 * fb
+    assert(math.abs(rates("a")._2 - 500.0 / denom * fa) < 1e-12)
+    // the small groups' raw rate (1.036) clamps at 1.0 — they are
+    // kept whole; the clamp means realized mass lands slightly under
+    // the 500 target (the standard behavior: alpha-flattening cannot
+    // upsample past "keep everything" without replication)
+    assert(rates("b")._2 === 1.0)
+    assert(rates("c")._2 === 1.0)
+    val mass = rates.values.map { case (n, r) => n * r }.sum
+    assert(math.abs(mass - (800 * 500.0 / denom * fa + 200.0)) < 1e-9)
+    // alpha=0.5 upsamples the small groups relative to their share
+    assert(rates("b")._2 > rates("a")._2)
+  }
+
+  test("temperatureSample keeps a deterministic subset near the expected size") {
+    val df = ((1L to 800L).map(i => ("a", i)) ++
+      (801L to 1000L).map(i => ("b", i))).toDF("g", "id")
+    val kept = Sampling.temperatureSample(df, col("g"), col("id"),
+      alpha = 0.5, targetFraction = 0.5).select("id").as[Long].collect().toSet
+    val again = Sampling.temperatureSample(df, col("g"), col("id"),
+      alpha = 0.5, targetFraction = 0.5).select("id").as[Long].collect().toSet
+    assert(kept === again) // pure function of the key
+    assert(kept.size > 350 && kept.size < 650) // ~500 expected
+  }
+
   test("mixtureWeights: shares sum to 1, weights invert the share ratio") {
     val df = Seq(("a", 100L), ("a", 100L), ("b", 200L), ("c", 600L))
       .toDF("g", "cost")
