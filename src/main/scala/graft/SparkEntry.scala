@@ -2255,7 +2255,22 @@ object SparkEntry {
     "q160_temperature_sample" -> ((s, d) =>
       ops.Sampling.temperatureSample(Tables.documents(s, d),
         col("source"), col("doc_id"), alpha = 0.5, targetFraction = 0.5)
-        .select(col("doc_id"), col("source")))
+        .select(col("doc_id"), col("source"))),
+
+    // L108 end-to-end: learn 20 merges on the corpus, ENCODE the
+    // corpus with the fused kernel, count the resulting subword
+    // vocabulary (rows-only: the merge loop is engine-sequential;
+    // kernel-vs-fold parity is unit-pinned)
+    "q161_bpe_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = text.Bpe.learn(docs, "text", numMerges = 20)
+      text.Bpe.wordFrequencies(docs, "text")
+        .select(explode(text.Bpe.encode(
+          text.Bpe.charSymbols(col("word")), merges)).as("subword"),
+          col("freq"))
+        .groupBy(col("subword")).agg(sum(col("freq")).as("occurrences"))
+        .orderBy(col("occurrences").desc, col("subword")).limit(20)
+    })
   )
 
   /** The shared (id, lang, source, n_chars) documents segment store —

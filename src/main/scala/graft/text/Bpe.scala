@@ -103,8 +103,21 @@ object Bpe {
   }
 
   /** Apply an ordered merge list to one word's symbols (chained
-    * folds — test/demo scale; a production encoder fuses the merge
-    * table into one kernel pass). */
+    * folds — test/demo scale; [[encode]] is the production path and
+    * this form is its parity reference). */
   def applyMerges(syms: Column, merges: Seq[Merge]): Column =
     merges.sortBy(_.rank).foldLeft(syms)((c, m) => mergeAdjacent(c, m.left, m.right))
+
+  /** PRODUCTION encoding: one fused kernel pass per word with the
+    * merge table as a shared reference object
+    * (graft.functions.BpeEncode) — the chained-fold form compiles one
+    * interpreted aggregate() per merge and stops being viable around
+    * tens of merges, let alone a 50k-merge vocabulary. Output is
+    * identical for tables produced by [[learn]] (a learned pair's
+    * symbols always pre-date pairs built from them, so min-rank
+    * iteration and rank-order application agree — BpeSpec pins the
+    * parity). */
+  def encode(syms: Column, merges: Seq[Merge]): Column =
+    graft.functions.BpeEncode.bpe_encode(syms,
+      merges.sortBy(_.rank).map(m => (m.left, m.right)))
 }

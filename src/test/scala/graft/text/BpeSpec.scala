@@ -70,6 +70,31 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.learn(df, "text", numMerges = 3) === Seq.empty)
   }
 
+  test("fused encoder matches the chained-fold reference over a learned table") {
+    val corpus = Seq(
+      (1L, "low lower lowest low low slow slower glow"),
+      (2L, "new newer newest news knew renew"),
+      (3L, "wide wider widest widen sideways"))
+    val df = corpus.toDF("id", "text")
+    val merges = Bpe.learn(df, "text", numMerges = 12)
+    assert(merges.nonEmpty)
+    val words = Bpe.wordFrequencies(df, "text")
+      .select(col("word"), Bpe.charSymbols(col("word")).as("syms"))
+      .withColumn("fused", Bpe.encode(col("syms"), merges))
+      .withColumn("chained", Bpe.applyMerges(col("syms"), merges))
+    val rows = words.select("word", "fused", "chained")
+      .as[(String, Seq[String], Seq[String])].collect()
+    rows.foreach { case (w, f, c) => assert(f === c, s"word '$w'") }
+    // and on unseen words
+    val unseen = Seq(Tuple1("lowlands"), Tuple1("newton"), Tuple1("z"))
+      .toDF("w")
+      .select(
+        Bpe.encode(Bpe.charSymbols(col("w")), merges).as("fused"),
+        Bpe.applyMerges(Bpe.charSymbols(col("w")), merges).as("chained"))
+      .as[(Seq[String], Seq[String])].collect()
+    unseen.foreach { case (f, c) => assert(f === c) }
+  }
+
   test("applyMerges re-segments a word with the learned table") {
     val df = Seq((1L, "low low lower")).toDF("id", "text")
     val merges = Bpe.learn(df, "text", numMerges = 2)
