@@ -2270,6 +2270,37 @@ object SparkEntry {
           col("freq"))
         .groupBy(col("subword")).agg(sum(col("freq")).as("occurrences"))
         .orderBy(col("occurrences").desc, col("subword")).limit(20)
+    }),
+
+    // L117 incremental dedup, exact half: a new batch (with planted
+    // copies of corpus texts) anti-joins the corpus fingerprint set —
+    // fingerprints move, documents never do
+    "q162_delta_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") < 400)
+      val batch = docs.filter(col("doc_id") >= 400)
+        .unionByName(docs.filter(col("doc_id") < 10)
+          .withColumn("doc_id", col("doc_id") + 200000L))
+      Dedup.dropExactAgainst(batch, col("text"),
+          Dedup.contentFingerprints(corpus, col("text")))
+        .select(col("doc_id"), col("source"))
+    }),
+
+    // L117 incremental dedup, near half: batch signatures banded
+    // against the corpus signature table (rows-only: engine-side
+    // minhash family)
+    "q163_delta_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')")
+      val corpusSigs = ops.ApproxDedup.signatureTable(
+        docs.filter(col("doc_id") < 400), col("doc_id"), toks)
+      val batch = docs.filter(col("doc_id") >= 400)
+        .unionByName(docs.filter(col("doc_id") < 10)
+          .withColumn("doc_id", col("doc_id") + 200000L)
+          .withColumn("text", concat(col("text"), lit(" extra"))))
+      ops.ApproxDedup.dropNearDuplicatesAgainst(
+          batch, col("doc_id"), toks, corpusSigs, threshold = 0.8)
+        .select(col("doc_id"), col("source"))
     })
   )
 
@@ -3652,6 +3683,15 @@ object SparkEntry {
         |    least(1.0, 0.5 * CAST(T AS DOUBLE) / denom * factor) AS rate FROM r)
         |SELECT d.doc_id, d.source FROM documents d JOIN rates USING (source)
         |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-        |      / 4294967296.0 < rate""".stripMargin
+        |      / 4294967296.0 < rate""".stripMargin,
+
+    "q162_delta_dedup" ->
+      """WITH corpus AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id < 400),
+        |batch AS (
+        |  SELECT doc_id, source, text FROM documents WHERE doc_id >= 400
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id, source, text FROM documents WHERE doc_id < 10)
+        |SELECT doc_id, source FROM batch
+        |WHERE md5(text) NOT IN (SELECT fp FROM corpus)""".stripMargin
   )
 }

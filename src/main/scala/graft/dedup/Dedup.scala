@@ -142,4 +142,21 @@ object Dedup {
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+
+  /** The distinct content-fingerprint set of a corpus (md5 of the
+    * content column) — the exact half of the incremental-dedup state
+    * (L117): persist it, and dedupe each new batch against it with
+    * [[dropExactAgainst]] without touching corpus documents. */
+  def contentFingerprints(df: DataFrame, content: Column): DataFrame =
+    df.select(md5(content.cast("string")).as("fp")).distinct()
+
+  /** Delta exact dedup: drop new docs whose content fingerprint
+    * already exists in the corpus set — one anti-join on the md5 key
+    * (fingerprints only move, never documents). Batch-internal
+    * duplicates stay; compose with [[exactByContent]] for those. */
+  def dropExactAgainst(newDocs: DataFrame, content: Column,
+                       corpusFps: DataFrame): DataFrame =
+    newDocs.withColumn("__fp", md5(content.cast("string")))
+      .join(corpusFps.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
+      .drop("__fp")
 }

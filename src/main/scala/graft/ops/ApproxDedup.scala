@@ -202,6 +202,61 @@ object ApproxDedup {
       lit(0L), (acc, b) => acc + b)
   }
 
+  /**
+   * The (id, sig) MinHash signature table of a corpus — the
+   * INCREMENTAL-DEDUP STATE (L117): compute once over the existing
+   * corpus, persist as a table, and every new batch deduplicates
+   * against it via [[dropNearDuplicatesAgainst]] without the corpus
+   * ever reshuffling its documents (signatures are numHashes ints per
+   * doc — the only thing that moves). Store it bucketed by band key
+   * to eliminate even the signature shuffle per batch.
+   */
+  def signatureTable(df: DataFrame, id: Column, tokens: Column,
+                     numHashes: Int = 32): DataFrame =
+    df.select(id.as("id"), tokenHashes(tokens).as("__th"))
+      .select(col("id"), shingleHashesFromTokenHashes(col("__th")).as("hs"))
+      .select(col("id"), minHashSignature(col("hs"), numHashes).as("sig"))
+
+  /**
+   * Delta near-dedup: drop NEW docs that near-duplicate the existing
+   * corpus (its [[signatureTable]]) — the growing-corpus shape where
+   * re-running corpus-wide dedup per batch would be quadratic over
+   * the pipeline's lifetime. Banded equi-join of the batch's
+   * signatures against the corpus's (band-key shuffle ∝ corpus
+   * SIGNATURES + batch, never document bodies), est-Jaccard verify at
+   * `threshold`, anti-join of the loser set. The degenerate-bucket cap
+   * applies to the corpus side (the side that can carry a crawled
+   * clone swarm). Within-batch duplicates are NOT touched — compose
+   * with [[dropNearDuplicates]] for the batch-internal pass.
+   */
+  def dropNearDuplicatesAgainst(newDocs: DataFrame, id: Column, tokens: Column,
+                                corpusSigs: DataFrame, threshold: Double = 0.8,
+                                numHashes: Int = 32, bands: Int = 8,
+                                maxBucket: Int = 10000): DataFrame = {
+    val rows = numHashes / bands
+    def banded(sigs: DataFrame): DataFrame =
+      sigs.select(col("id"), col("sig"),
+          explode(lshBands(col("sig"), bands, rows)).as("b"))
+        .select(col("id"), col("sig"), col("b.band"), col("b.key"))
+    val corpusBanded = banded(corpusSigs)
+      .withColumn("__bn",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
+      .filter(col("__bn") <= maxBucket)
+      .drop("__bn")
+      .toDF("cid", "csig", "band", "key")
+    val newSigs = signatureTable(newDocs, id, tokens, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val losers = banded(newSigs).join(corpusBanded, Seq("band", "key"))
+      .filter(
+        graft.functions.ArrayEqCount.array_eq_count(col("sig"), col("csig"))
+          .cast("double") / lit(numHashes.toDouble) >= threshold)
+      .select(col("id").as("__loser")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    losers.count()
+    newSigs.unpersist()
+    newDocs.join(losers, id === col("__loser"), "left_anti")
+  }
+
   /** Hamming distance between two simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

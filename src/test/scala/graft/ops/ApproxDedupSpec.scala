@@ -212,4 +212,37 @@ class ApproxDedupSpec extends AnyFunSuite {
       .select(ApproxDedup.hamming(col("a"), col("b"))).as[Long].collect().head
     assert(got === 4)
   }
+
+  test("delta near-dedup drops batch docs that near-duplicate the corpus only") {
+    import spark.implicits._
+    val mk = (i: Long) =>
+      s"document number $i carries some shared vocabulary plus unique token u$i and more filler words"
+    val corpus = (1L to 20L).map(i => (i, mk(i))).toDF("doc_id", "text")
+    val toks = expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')")
+    val sigs = ApproxDedup.signatureTable(corpus, col("doc_id"), toks)
+    val batch = (Seq(
+      (101L, mk(5) + " extra"),          // near-dup of corpus doc 5
+      (102L, mk(7)),                     // exact text of corpus doc 7
+      (103L, "an entirely different new document about query engines and joins"),
+      (104L, mk(103) + " nothing like corpus")) // unique id text
+      ).toDF("doc_id", "text")
+    val kept = ApproxDedup.dropNearDuplicatesAgainst(
+        batch, col("doc_id"), toks, sigs, threshold = 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(103L, 104L))
+  }
+
+  test("delta near-dedup leaves within-batch duplicates for the batch pass") {
+    import spark.implicits._
+    val corpus = Seq((1L, "completely unrelated corpus document text here"))
+      .toDF("doc_id", "text")
+    val toks = expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')")
+    val sigs = ApproxDedup.signatureTable(corpus, col("doc_id"), toks)
+    val dup = "the same new document repeated twice inside one batch arrival"
+    val batch = Seq((10L, dup), (11L, dup)).toDF("doc_id", "text")
+    val kept = ApproxDedup.dropNearDuplicatesAgainst(
+        batch, col("doc_id"), toks, sigs, threshold = 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(10L, 11L)) // both survive the DELTA pass by contract
+  }
 }
