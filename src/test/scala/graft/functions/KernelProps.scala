@@ -110,6 +110,55 @@ object KernelProps extends Properties("kernels") {
       got == exp
     }
 
+  property("span cut == reference coverage-set filter") =
+    forAll(
+      Gen.listOf(Gen.alphaNumStr),
+      Gen.listOf(Gen.chooseNum(0, 60)),
+      Gen.chooseNum(1, 6)) { (toks, rawStarts, k) =>
+      val starts = rawStarts.filter(_ < toks.length).distinct.sorted
+      val row = SpanCutKernel.compute(
+        new GenericArrayData(toks.map(UTF8String.fromString).toArray[Any]),
+        new GenericArrayData(starts.toArray), k)
+      val covered = starts.flatMap(s => s until math.min(s + k, toks.length)).toSet
+      val expKept = toks.zipWithIndex.collect { case (t, i) if !covered(i) => t }
+      row.getInt(0) == toks.length - expKept.length &&
+        row.getUTF8String(1).toString == expKept.mkString(" ")
+    }
+
+  property("bpe encode == reference min-rank merge loop") =
+    forAll(
+      Gen.listOf(Gen.oneOf("a", "b", "c", "d")),
+      Gen.listOf(Gen.zip(Gen.oneOf("a", "b", "c", "d"), Gen.oneOf("a", "b", "c", "d")))) {
+      (syms, rawMerges) =>
+        val merges = rawMerges.distinct.toArray
+        val table = BpeEncodeKernel.buildTable(merges)
+        val got = BpeEncodeKernel.compute(
+          new GenericArrayData(syms.map(UTF8String.fromString).toArray[Any]), table)
+          .toArray[UTF8String](org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+        // reference: repeatedly merge the lowest-rank present pair
+        val rank = merges.zipWithIndex.toMap
+        var cur = syms.toVector
+        var go = cur.length > 1
+        while (go) {
+          val present = cur.indices.dropRight(1)
+            .flatMap(i => rank.get((cur(i), cur(i + 1))))
+          if (present.isEmpty) go = false
+          else {
+            val (a, b) = merges(present.min)
+            val out = scala.collection.mutable.ArrayBuffer[String]()
+            var i = 0
+            while (i < cur.length) {
+              if (i + 1 < cur.length && cur(i) == a && cur(i + 1) == b) {
+                out += (a + b); i += 2
+              } else { out += cur(i); i += 1 }
+            }
+            cur = out.toVector
+            go = cur.length > 1
+          }
+        }
+        got == cur
+    }
+
   property("minhash signature == reference min over universal hashes") =
     forAll(longArrays.suchThat(_.nonEmpty)) { xs =>
       val as = Seq(3L, 7L, 11L)
