@@ -112,6 +112,65 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
 
   /**
+   * Streaming corpus ingest with INCREMENTAL DEDUP STATE (L117 over a
+   * stream): per micro-batch —
+   *
+   *   1. drop docs whose content fingerprint exists in the COMMITTED
+   *      state (fingerprint dirs of batches < this one);
+   *   2. exact-dedup within the batch (keep min id);
+   *   3. write survivors to `out/batch=<id>` (idempotent overwrite);
+   *   4. write the survivors' fingerprints to `state/batch=<id>`
+   *      (same batch-keyed idempotence).
+   *
+   * Replay safety: a crashed batch reruns against the same committed
+   * prefix — its own partially-written dirs are overwritten, never
+   * read (the `< batchId` filter), so the admitted set is a pure
+   * function of (committed state, batch contents): exactly-once
+   * corpus growth with cross-batch dedup. Fingerprints are the only
+   * cross-batch state — documents never re-read. This is the
+   * streaming form of [[graft.dedup.Dedup.dropExactAgainst]]; swap
+   * stage 1-2 for the near-dup pair ([[graft.ops.ApproxDedup
+   * .signatureTable]] state) for fuzzy growth.
+   */
+  def dedupIngestSink(out: String, stateDir: String,
+                      idCol: String, textCol: String)
+                     (docs: DataFrame): DataStreamWriter[Row] =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.hadoop.fs.Path
+        val spark = batch.sparkSession
+        val statePath = new Path(stateDir)
+        val fs = statePath.getFileSystem(
+          graft.index.ShardIndex.hadoopConf(spark))
+        val committed =
+          if (!fs.exists(statePath)) Array.empty[String]
+          else fs.listStatus(statePath).map(_.getPath)
+            .filter { p =>
+              p.getName.startsWith("batch=") &&
+                p.getName.stripPrefix("batch=").toLong < batchId
+            }.map(_.toString)
+        val known =
+          if (committed.isEmpty)
+            spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](),
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField(
+                  "fp", org.apache.spark.sql.types.StringType))))
+          else spark.read.parquet(committed.toIndexedSeq: _*)
+        val fresh = graft.dedup.Dedup.dropExactAgainst(
+          batch, org.apache.spark.sql.functions.col(textCol), known)
+        val kept = graft.dedup.Dedup.exactByContent(fresh,
+          org.apache.spark.sql.functions.col(textCol),
+          org.apache.spark.sql.functions.col(idCol))
+        kept.write.mode("overwrite").parquet(s"$out/batch=$batchId")
+        graft.dedup.Dedup.contentFingerprints(kept,
+            org.apache.spark.sql.functions.col(textCol))
+          .write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+
+  /**
    * Stateful gap-based sessionization over a stream —
    * `flatMapGroupsWithState` with an event-time timeout: per-user
    * state holds (sessionStart, lastSeen, count); a session row is
