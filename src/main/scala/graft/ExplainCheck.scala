@@ -51,7 +51,9 @@ object ExplainCheck {
       "q144_substring_dedup" -> "exact substring dedup: fused shingle kernel map-side, ONE window-count shuffle on the gram key, span fold + rebuild shuffle-free",
       "q145_semantic_dedup" -> "SemDeDup: sign-bucket equi-join (one hash shuffle), pairwise cosine kernels row-local, max over pairs order-independent",
       "q150_stream_rollup" -> "streaming-expr rollup: pushed index scan feeding a partial->final hash aggregate — no sorted-stream reduce",
-      "q151_stream_join_top" -> "streaming-expr innerJoin+top: two pushed index scans, hash join on id, global top-10 as TakeOrderedAndProject")
+      "q151_stream_join_top" -> "streaming-expr innerJoin+top: two pushed index scans, hash join on id, global top-10 as TakeOrderedAndProject",
+      "q155_solr_sql" -> "Parallel SQL over the collection view: the same DSv2 pushdowns fire through spark.sql",
+      "q162_delta_dedup" -> "incremental exact dedup: batch anti-joins the corpus fingerprint set — fingerprints move, documents never")
     val sb = new StringBuilder
     sb.append("# Captured physical plans (generated by graft.ExplainCheck at sf0.001)\n")
     sb.append("\nRegenerate: `sbt \"runMain graft.ExplainCheck\"`.\n")

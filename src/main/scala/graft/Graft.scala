@@ -282,4 +282,34 @@ object Graft {
                     cfg: graft.ops.CorpusPipeline.Config =
                       graft.ops.CorpusPipeline.Config()): DataFrame =
     graft.ops.CorpusPipeline.prepare(docs, idCol, textCol, cfg)
+
+  /** [[prepareCorpus]]'s provenance audit: one (id, stage) row per
+    * dropped document (see [[graft.ops.CorpusPipeline.auditDrops]]). */
+  def auditCorpus(docs: DataFrame, idCol: String, textCol: String,
+                  cfg: graft.ops.CorpusPipeline.Config =
+                    graft.ops.CorpusPipeline.Config()): DataFrame =
+    graft.ops.CorpusPipeline.auditDrops(docs, idCol, textCol, cfg)
+
+  /** Exact cross-document substring-span dedup (see
+    * [[graft.ops.SubstringDedup.dropDuplicatedSpans]]). */
+  def dropDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                          k: Int = 5, minOccurrences: Int = 2): DataFrame =
+    graft.ops.SubstringDedup.dropDuplicatedSpans(docs, idCol, textCol, k, minOccurrences)
+
+  /** SemDeDup semantic dedup — sign-bucket cells (oracle-checkable)
+    * or trained IVF cells via [[graft.ops.Similarity.semanticDedupIvf]]
+    * (see [[graft.ops.Similarity.semanticDedup]]). */
+  def semanticDedup(df: DataFrame, threshold: Double, bits: Int = 8): DataFrame =
+    graft.ops.Similarity.semanticDedup(df, threshold, bits)
+
+  /** Learn BPE merges from a corpus (see [[graft.text.Bpe.learn]]);
+    * encode with [[graft.text.Bpe.encode]]'s fused kernel. */
+  def learnBpe(docs: DataFrame, textCol: String, numMerges: Int): Seq[graft.text.Bpe.Merge] =
+    graft.text.Bpe.learn(docs, textCol, numMerges)
+
+  /** Temperature-scaled mixture sampling (see
+    * [[graft.ops.Sampling.temperatureSample]]). */
+  def temperatureSample(df: DataFrame, grp: Column, key: Column,
+                        alpha: Double, targetFraction: Double): DataFrame =
+    graft.ops.Sampling.temperatureSample(df, grp, key, alpha, targetFraction)
 }
