@@ -269,6 +269,13 @@ object Graft {
     (idx, default, marker.analyzed)
   }
 
+  /** Compile a Solr function query (`recip(age,1,1000,1000)`,
+    * `div(x,y)`, ...) to a Column over `df`'s schema — the
+    * defType=func / sort-by-function / edismax boost-function surface
+    * (see [[graft.search.FunctionQuery]]). */
+  def functionQuery(fq: String, df: DataFrame): Column =
+    graft.search.FunctionQuery.compile(fq, df.schema)
+
   /** Solr stats.percentiles, served EXACTLY from the sorted term
     * dictionary (see [[graft.index.SegmentSearch.percentiles]]). */
   def percentiles(spark: SparkSession, store: String, field: String,

@@ -2301,6 +2301,18 @@ object SparkEntry {
       ops.ApproxDedup.dropNearDuplicatesAgainst(
           batch, col("doc_id"), toks, corpusSigs, threshold = 0.8)
         .select(col("doc_id"), col("source"))
+    }),
+
+    // L118 function-query compiler: sort=<func> desc — the freshness-
+    // boost family as compiled Columns (IEEE correctly-rounded ops
+    // only, so the scores hash-match)
+    "q164_function_sort" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val score = Graft.functionQuery(
+        "sum(recip(n_chars,1,1000,1000), product(0.001, n_chars))", docs)
+      docs.withColumn("fscore_r", round(score, 6))
+        .orderBy(col("fscore_r").desc, col("doc_id"))
+        .select(col("doc_id"), col("fscore_r")).limit(15)
     })
   )
 
@@ -3692,6 +3704,15 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT doc_id + 200000 AS doc_id, source, text FROM documents WHERE doc_id < 10)
         |SELECT doc_id, source FROM batch
-        |WHERE md5(text) NOT IN (SELECT fp FROM corpus)""".stripMargin
+        |WHERE md5(text) NOT IN (SELECT fp FROM corpus)""".stripMargin,
+
+    // the compiled column's exact association order: recip = a/(m*x+b),
+    // then + product — all IEEE correctly-rounded ops
+    "q164_function_sort" ->
+      """SELECT doc_id,
+        |  round(1000.0 / (1.0 * CAST(n_chars AS DOUBLE) + 1000.0)
+        |        + 0.001 * CAST(n_chars AS DOUBLE), 6) AS fscore_r
+        |FROM documents
+        |ORDER BY fscore_r DESC, doc_id ASC LIMIT 15""".stripMargin
   )
 }

@@ -1,0 +1,37 @@
+package graft.search
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class FunctionQuerySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val df = Seq((1L, 10.0, 4L), (2L, -2.5, 9L)).toDF("id", "x", "n")
+
+  private def eval(fq: String): Map[Long, Double] =
+    df.withColumn("v", FunctionQuery.compile(fq, df.schema))
+      .select("id", "v").as[(Long, Double)].collect().toMap
+
+  test("arithmetic, nesting, literals, field refs") {
+    assert(eval("sum(x, 1, product(n, 2))") === Map(1L -> 19.0, 2L -> 16.5))
+    assert(eval("div(sub(x, n), 2)") === Map(1L -> 3.0, 2L -> -5.75))
+    assert(eval("max(abs(x), sqrt(n))") === Map(1L -> 10.0, 2L -> 3.0))
+    assert(eval("linear(n, 3, -1)") === Map(1L -> 11.0, 2L -> 26.0))
+    assert(eval("recip(n, 1, 1000, 1000)") ===
+      Map(1L -> 1000.0 / 1004.0, 2L -> 1000.0 / 1009.0))
+    assert(eval("if(sub(n, 4), x, 42)") === Map(1L -> 42.0, 2L -> -2.5))
+  }
+
+  test("unknown field and trailing garbage are rejected") {
+    val e1 = intercept[IllegalArgumentException] {
+      FunctionQuery.compile("sum(nope, 1)", df.schema)
+    }
+    assert(e1.getMessage.contains("unknown field"))
+    val e2 = intercept[IllegalArgumentException] {
+      FunctionQuery.compile("sum(x, 1)) extra", df.schema)
+    }
+    assert(e2.getMessage.contains("trailing"))
+  }
+}
