@@ -120,7 +120,8 @@ object Graft {
    * length) is the documented next optimization, not done here.
    */
   def search(spark: SparkSession, store: String, q: String, topK: Int = 10,
-             rankField: Option[String] = None): DataFrame = {
+             rankField: Option[String] = None,
+             boost: Option[String] = None): DataFrame = {
     import graft.index.SegmentShardSink
     val marker = SegmentShardSink.readMarker(
       spark.sessionState.newHadoopConf(), store)
@@ -134,8 +135,14 @@ object Graft {
       q, idx.schema, default, textFields)
     val hits = idx.filter(pred)
     val id = marker.idCol
+    // Solr's {!boost} / edismax boost= — a function query MULTIPLIED
+    // into the relevance score (per-row codegen'd math over stored
+    // fields; parity discipline per FunctionQuery's scaladoc)
+    val boostCol = boost.map(graft.search.FunctionQuery.compile(_, idx.schema))
     if (terms.isEmpty || !textFields.contains(default))
-      hits.withColumn("score_r", lit(0.0)).orderBy(col(id)).limit(topK)
+      hits
+        .withColumn("score_r", boostCol.map(b => round(b, 6)).getOrElse(lit(0.0)))
+        .orderBy(col("score_r").desc, col(id)).limit(topK)
     else {
       // INDEX-SERVED scoring: tf/df/|d| come from postings + norms
       // (SegmentSearch.bm25Scores, Solr's distributed-idf two-phase) —
@@ -147,9 +154,11 @@ object Graft {
       // surfaced first value.
       val scored = graft.index.SegmentSearch.bm25Scores(spark, store, default, terms)
         .withColumnRenamed("doc_id", "__sid")
+      val base = coalesce(col("score"), lit(0.0))
       hits.join(scored, col(id) === col("__sid"), "left")
         .drop("__sid")
-        .withColumn("score_r", round(coalesce(col("score"), lit(0.0)), 6))
+        .withColumn("score_r",
+          round(boostCol.map(base * _).getOrElse(base), 6))
         .drop("score")
         .orderBy(col("score_r").desc, col(id))
         .limit(topK)

@@ -23,6 +23,26 @@ class LtrSpec extends AnyFunSuite {
     assert(got === Seq((3L, 6.0), (1L, 5.0), (2L, 5.0)))
   }
 
+  test("boost= multiplies a function query into the relevance score") {
+    val out = java.nio.file.Files.createTempDirectory("graft_boost_").toString
+    graft.index.SegmentShardSink.write(
+      Seq(("1", "spark spark spark", 1L), ("2", "spark alpha", 100L))
+        .toDF("id", "text", "freshness"),
+      "id", out, shards = 2, analyzedFields = Set("text"))
+    val plain = graft.Graft.search(spark, out, "text:spark", topK = 2)
+      .select("id").as[String].collect().toSeq
+    assert(plain === Seq("1", "2")) // higher tf wins unboosted
+    val boosted = graft.Graft.search(spark, out, "text:spark", topK = 2,
+        boost = Some("linear(freshness, 1, 0)"))
+      .select("id").as[String].collect().toSeq
+    assert(boosted === Seq("2", "1")) // 100x freshness boost flips it
+    // pure-filter query: boost alone orders the hits
+    val filterOnly = graft.Graft.search(spark, out, "id:[* TO *]", topK = 2,
+        boost = Some("linear(freshness, 1, 0)"))
+      .select("id").as[String].collect().toSeq
+    assert(filterOnly === Seq("2", "1"))
+  }
+
   test("originalScore composes: reranking Graft.search output demotes short docs") {
     val out = java.nio.file.Files.createTempDirectory("graft_ltr_").toString
     graft.index.SegmentShardSink.write(
