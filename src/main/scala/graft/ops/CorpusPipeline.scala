@@ -92,17 +92,56 @@ object CorpusPipeline {
    */
   def auditDrops(docs: DataFrame, idCol: String, textCol: String,
                  cfg: Config = Config()): DataFrame = {
-    val frames = stageFrames(docs, idCol, textCol, cfg.copy(observe = false))
-    def drops(before: DataFrame, after: DataFrame, stage: String): Option[DataFrame] =
-      if (before eq after) None
-      else Some(before.select(col(idCol))
-        .join(after.select(col(idCol)), Seq(idCol), "left_anti")
-        .withColumn("stage", lit(stage)))
-    Seq(
-      drops(frames.input, frames.afterQuality, "quality"),
-      drops(frames.afterQuality, frames.afterUrl, "url_dedup"),
-      drops(frames.afterUrl, frames.afterExact, "exact_dedup"),
-      drops(frames.afterExact, frames.afterNear, "near_dedup")).flatten
+    val id = col(idCol)
+    val text = col(textCol)
+    // The deterministic stages (quality, url, exact) audit in ONE
+    // lineage: per-doc flags + a row_number window per enabled dedup
+    // stage, each computed over the previous stage's survivors — the
+    // frame-pair anti-join form re-evaluated the quality regex chain
+    // once per pair side (3× the corpus scan; the q154 10×-data
+    // constant). Windows mirror stageFrames' keepMinId exactly
+    // (same key, same id-asc order), so the drop sets are identical.
+    val quality = TextAnalysis.qualityColumns(text).toMap
+    val flagged = docs.withColumn("__q",
+      quality("n_tokens") >= cfg.minQualityTokens &&
+        quality("mean_word_len") >= 2.0 && quality("mean_word_len") <= 12.0 &&
+        quality("punct_ratio") <= 0.3)
+    val qualityDrops = flagged.filter(!col("__q"))
+      .select(id, lit("quality").as("stage"))
+    val kept = flagged.filter(col("__q"))
+    val redacted =
+      if (cfg.redactPii) kept.withColumn(textCol, Redaction.redactPii(text))
+      else kept
+    def rn(df: DataFrame, key: Column): Column =
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(key).orderBy(id.asc))
+    val (urlDrops, urlWinners) = cfg.urlCol match {
+      case Some(u) =>
+        val ranked = redacted.withColumn("__rn",
+          rn(redacted, UrlNormalize.canonicalizeUrl(col(u))))
+        (Some(ranked.filter(col("__rn") > 1)
+          .select(id, lit("url_dedup").as("stage"))),
+          ranked.filter(col("__rn") === 1).drop("__rn"))
+      case None => (None, redacted)
+    }
+    val (exactDrops, exactWinners) =
+      if (cfg.exactDedup) {
+        val ranked = urlWinners.withColumn("__rn",
+          rn(urlWinners, TextAnalysis.fingerprint(text)))
+        (Some(ranked.filter(col("__rn") > 1)
+          .select(id, lit("exact_dedup").as("stage"))),
+          ranked.filter(col("__rn") === 1).drop("__rn"))
+      } else (None, urlWinners)
+    // the LSH stage's losers are not expressible as a flag — one
+    // ids-only anti-join against the near-dedup output
+    val nearDrops = cfg.nearDedupThreshold.map { t =>
+      val tokens = regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+      exactWinners.select(id)
+        .join(ApproxDedup.dropNearDuplicates(exactWinners, id, tokens, threshold = t)
+          .select(id), Seq(idCol), "left_anti")
+        .withColumn("stage", lit("near_dedup"))
+    }
+    (Seq(Some(qualityDrops), urlDrops, exactDrops, nearDrops).flatten)
       .reduce(_ unionByName _)
   }
 
