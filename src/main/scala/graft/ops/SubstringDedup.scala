@@ -33,10 +33,11 @@ import org.apache.spark.sql.functions._
  *     indexed filter over the token array).
  *
  * Scale shape: the only corpus-sized movement is the window-key
- * shuffle (payload ≈ k× the text, the price of exactness — swap the
- * gram string for a 128-bit hash to cut it k× when probabilistic
- * equality is acceptable; at 64 bits the corpus-wide collision odds
- * at 1e12 windows are ~3%, at 128 bits negligible). The span fold and
+ * shuffle (payload ≈ k× the text, the price of exactness —
+ * `hashedKeys = true` swaps the gram string for a 128-bit fingerprint
+ * to cut it k× when probabilistic equality is acceptable; at 64 bits
+ * the corpus-wide collision odds at 1e12 windows are ~3%, at 128 bits
+ * negligible). The span fold and
  * text rebuild never shuffle; the per-doc start lists are bounded by
  * tokens/1 and collapse to <= tokens/k disjoint spans before the
  * per-token exists() probe, keeping the rebuild O(tokens·spans/k)
@@ -74,7 +75,8 @@ object SubstringDedup {
    * never touched.
    */
   def dropDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
-                          k: Int = 5, minOccurrences: Int = 2): DataFrame = {
+                          k: Int = 5, minOccurrences: Int = 2,
+                          hashedKeys: Boolean = false): DataFrame = {
     require(k >= 1 && minOccurrences >= 2)
     val base = docs
       .select(col(idCol).as("sd_id"), split(col(textCol), " ").as("sd_toks"))
@@ -85,10 +87,20 @@ object SubstringDedup {
         ApproxDedup.shingles(col("sd_toks"), k))
         .otherwise(array().cast("array<string>")))
 
+    // `hashedKeys` is the documented PRODUCTION swap: the shuffle
+    // carries a 128-bit window fingerprint (two independent 64-bit
+    // hashes — the gram string never leaves its partition) instead of
+    // the k-token string, cutting the shuffle payload ~k×. Collision
+    // odds at 1e12 windows are ~2^-49 — probabilistic equality the
+    // oracle path (exact strings, q144) doesn't need.
+    val key: Column => Column =
+      if (hashedKeys) g => struct(xxhash64(g), xxhash64(lit("sd2"), g))
+      else identity
     val windows = grams
       .select(col("sd_id"), posexplode(col("sd_grams")).as(Seq("sd_pos", "sd_gram")))
+      .select(col("sd_id"), col("sd_pos"), key(col("sd_gram")).as("sd_key"))
     val dupStarts = windows
-      .withColumn("sd_n", count(lit(1)).over(Window.partitionBy("sd_gram")))
+      .withColumn("sd_n", count(lit(1)).over(Window.partitionBy("sd_key")))
       .filter(col("sd_n") >= minOccurrences)
       .groupBy("sd_id")
       .agg(sort_array(collect_list(col("sd_pos"))).as("sd_starts"))

@@ -53,6 +53,19 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(got === Seq((1L, 3L, 0L, "x y z"), (2L, 3L, 0L, "x y z")))
   }
 
+  test("hashed window keys produce the identical result (production swap)") {
+    val docs = Seq(
+      1L -> "alpha beta gamma all rights reserved here tail",
+      2L -> "all rights reserved here delta epsilon zeta",
+      3L -> "p q r s p q r t",
+      4L -> "short doc")
+    val exact = run(docs, k = 4)
+    val hashed = SubstringDedup.dropDuplicatedSpans(
+        docs.toDF("doc_id", "text"), "doc_id", "text", k = 4, hashedKeys = true)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(hashed === exact)
+  }
+
   test("span_cut kernel matches the composable formulation on adversarial inputs") {
     import org.apache.spark.sql.functions._
     val cases: Seq[(Seq[String], Seq[Int], Int)] = Seq(
