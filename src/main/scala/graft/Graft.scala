@@ -278,6 +278,13 @@ object Graft {
     (idx, default, marker.analyzed)
   }
 
+  /** Solr TermVectorComponent: (doc_id, term, tf, df) for requested
+    * ids, served from postings (see
+    * [[graft.index.SegmentSearch.termVectors]]). */
+  def termVectors(spark: SparkSession, store: String, field: String,
+                  ids: Seq[String]): DataFrame =
+    graft.index.SegmentSearch.termVectors(spark, store, field, ids)
+
   /** Compile a Solr function query (`recip(age,1,1000,1000)`,
     * `div(x,y)`, ...) to a Column over `df`'s schema — the
     * defType=func / sort-by-function / edismax boost-function surface

@@ -2303,6 +2303,22 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
     }),
 
+    // L119 TermVectorComponent: (doc_id, term, tf, df) for requested
+    // ids, tf from the docs' positional postings, df from posting
+    // cardinality — work ∝ the requested docs, never a corpus scan
+    "q165_term_vectors" -> ((s, d) => {
+      import graft.index.SegmentShardSink
+      val txt = sharedStore(d, "docs_text") { o =>
+        SegmentShardSink.write(
+          Tables.documents(s, d).select(
+            col("doc_id").cast("string").as("id"), col("text"), col("lang")),
+          "id", o, shards = 4, analyzedFields = Set("text"))
+      }
+      graft.index.SegmentSearch.termVectors(s, txt, "text", Seq("3", "7"))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("term"), col("tf"), col("df"))
+    }),
+
     // L118 function-query compiler: sort=<func> desc — the freshness-
     // boost family as compiled Columns (IEEE correctly-rounded ops
     // only, so the scores hash-match)
@@ -3705,6 +3721,18 @@ object SparkEntry {
         |  SELECT doc_id + 200000 AS doc_id, source, text FROM documents WHERE doc_id < 10)
         |SELECT doc_id, source FROM batch
         |WHERE md5(text) NOT IN (SELECT fp FROM corpus)""".stripMargin,
+
+    // tf = token counts of the requested docs under the analyzed-field
+    // tokenizer (q143's convention); df = distinct-doc counts corpus-wide
+    "q165_term_vectors" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |           FROM documents),
+        |tfc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |        FROM (SELECT doc_id, unnest(toks) AS term FROM t WHERE doc_id IN (3, 7)) u
+        |        GROUP BY doc_id, term),
+        |dfq AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |        FROM (SELECT doc_id, unnest(toks) AS term FROM t) u GROUP BY term)
+        |SELECT doc_id, term, tf, df FROM tfc JOIN dfq USING (term)""".stripMargin,
 
     // the compiled column's exact association order: recip = a/(m*x+b),
     // then + product — all IEEE correctly-rounded ops

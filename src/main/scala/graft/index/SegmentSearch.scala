@@ -279,6 +279,48 @@ object SegmentSearch {
   }
 
   /**
+   * Solr TermVectorComponent (tv.tf + tv.df): per-document term
+   * vectors for the REQUESTED ids — (doc_id, term, tf, df) — served
+   * entirely from the index: tf from each doc's positional postings
+   * (the same seed-vector read MLT's phase 1 does, one id posting +
+   * one field block per shard), df from posting cardinality across
+   * shards. Work ∝ the requested docs' postings + their terms' stat
+   * rows; the request shape is a handful of ids (the TV component's
+   * contract), so the per-doc maps are driver-bounded by construction.
+   */
+  def termVectors(spark: SparkSession, store: String, field: String,
+                  ids: Seq[String]): DataFrame = {
+    import spark.implicits._
+    require(ids.nonEmpty, "termVectors needs at least one id")
+    val marker = SegmentShardSink.readMarker(ShardIndex.hadoopConf(spark), store)
+    require(marker.analyzed.contains(field),
+      s"termVectors requires an analyzed field; '$field' is stored verbatim")
+    val idField = marker.idCol
+    val dirs = SegmentShardSink.partIndexDirs(spark, store)
+    require(dirs.nonEmpty, s"no part dirs under $store")
+    val conf = new SerializableHadoopConf(ShardIndex.hadoopConf(spark))
+    val idsB = ids
+    val perDoc: Seq[(String, Map[String, Int])] =
+      spark.sparkContext.parallelize(dirs, dirs.size).flatMap { d =>
+        val p = new Path(d)
+        val r = new SegmentIndex.Reader(p.getFileSystem(conf.value), p)
+        idsB.map(id => id -> r.docTermFreqs(field, idField, id))
+          .filter(_._2.nonEmpty)
+      }.collect().toSeq
+    val terms = perDoc.flatMap(_._2.keys).distinct.sorted
+    val dfMap: Map[String, Long] =
+      if (terms.isEmpty) Map.empty
+      else spark.sparkContext.parallelize(dirs, dirs.size).map { d =>
+        val p = new Path(d)
+        new SegmentIndex.Reader(p.getFileSystem(conf.value), p)
+          .bm25Stats(field, terms)._3
+      }.collect().flatten.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sum }
+    perDoc.flatMap { case (id, tf) =>
+      tf.toSeq.map { case (t, f) => (id, t, f.toLong, dfMap.getOrElse(t, 0L)) }
+    }.toDF("doc_id", "term", "tf", "df")
+  }
+
+  /**
    * INDEX-SERVED MoreLikeThis (Solr's MLT handler): find docs similar
    * to the one whose id is `idValue`, with every statistic read from
    * the index — the seed's term frequencies from positional postings
