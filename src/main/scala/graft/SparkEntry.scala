@@ -2303,6 +2303,17 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
     }),
 
+    // L120 corpus duplication profile (with planted clones so the
+    // metric has signal): one aggregation on the fingerprint key
+    "q166_dup_profile" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val planted = docs.filter(col("doc_id") < 8)
+        .withColumn("doc_id", col("doc_id") + 300000L)
+      Dedup.duplicationProfile(docs.unionByName(planted)
+        .unionByName(planted.withColumn("doc_id", col("doc_id") + 1000L)),
+        col("text"))
+    }),
+
     // L119 TermVectorComponent: (doc_id, term, tf, df) for requested
     // ids, tf from the docs' positional postings, df from posting
     // cardinality — work ∝ the requested docs, never a corpus scan
@@ -3721,6 +3732,19 @@ object SparkEntry {
         |  SELECT doc_id + 200000 AS doc_id, source, text FROM documents WHERE doc_id < 10)
         |SELECT doc_id, source FROM batch
         |WHERE md5(text) NOT IN (SELECT fp FROM corpus)""".stripMargin,
+
+    // same planted-clone union; the profile is one GROUP BY over md5
+    "q166_dup_profile" ->
+      """WITH src AS (
+        |  SELECT text FROM documents
+        |  UNION ALL SELECT text FROM documents WHERE doc_id < 8
+        |  UNION ALL SELECT text FROM documents WHERE doc_id < 8),
+        |g AS (SELECT md5(text) AS fp, count(*) AS n FROM src GROUP BY 1)
+        |SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+        |  count(*) AS distinct_contents,
+        |  CAST(sum(n - 1) AS BIGINT) AS exact_dup_docs,
+        |  CAST(max(n) AS BIGINT) AS largest_clone_cluster
+        |FROM g""".stripMargin,
 
     // tf = token counts of the requested docs under the analyzed-field
     // tokenizer (q143's convention); df = distinct-doc counts corpus-wide

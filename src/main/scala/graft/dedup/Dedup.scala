@@ -159,4 +159,18 @@ object Dedup {
     newDocs.withColumn("__fp", md5(content.cast("string")))
       .join(corpusFps.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
       .drop("__fp")
+
+  /** One-row corpus duplication profile — the "how much dedup is left
+    * to do" health metric: total docs, distinct content fingerprints,
+    * docs that are exact duplicates of an earlier one, and the largest
+    * clone cluster (a crawl-boilerplate smell when it is large). One
+    * aggregation on the fingerprint key. */
+  def duplicationProfile(df: DataFrame, content: Column): DataFrame =
+    df.groupBy(md5(content.cast("string")).as("__fp"))
+      .agg(count(lit(1)).as("__n"))
+      .agg(
+        sum(col("__n")).as("n_docs"),
+        count(lit(1)).as("distinct_contents"),
+        sum(col("__n") - 1).as("exact_dup_docs"),
+        max(col("__n")).as("largest_clone_cluster"))
 }
