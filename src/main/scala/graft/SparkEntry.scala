@@ -2303,8 +2303,17 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
     }),
 
-    // L120 corpus duplication profile (with planted clones so the
-    // metric has signal): one aggregation on the fingerprint key
+    // L121 Unicode canonicalization: NFC + control strip + whitespace
+    // collapse over text salted with a decomposed accent, a control
+    // char and ragged spacing — every row exercises the kernel
+    "q167_canonical_text" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.canonicalText(
+          // decomposed accents (e + U+0301), a BEL control, ragged
+          // spacing: NFC composes, the strip removes, collapse tightens
+          concat(col("text"), lit(" cafe\u0301 \u0007 e\u0301x")))
+          .as("canon"))),
+
     "q166_dup_profile" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val planted = docs.filter(col("doc_id") < 8)
@@ -3732,6 +3741,15 @@ object SparkEntry {
         |  SELECT doc_id + 200000 AS doc_id, source, text FROM documents WHERE doc_id < 10)
         |SELECT doc_id, source FROM batch
         |WHERE md5(text) NOT IN (SELECT fp FROM corpus)""".stripMargin,
+
+    // same salt, same op order: normalize -> control strip -> collapse
+    // -> trim; chr(769) = U+0301 combining acute, chr(7) = BEL
+    "q167_canonical_text" ->
+      """SELECT doc_id, trim(regexp_replace(regexp_replace(
+        |  nfc_normalize(text || ' cafe' || chr(769) || ' ' || chr(7) || ' e' || chr(769) || 'x'),
+        |  '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x80-\x9F]', '', 'g'),
+        |  '\s+', ' ', 'g')) AS canon
+        |FROM documents""".stripMargin,
 
     // same planted-clone union; the profile is one GROUP BY over md5
     "q166_dup_profile" ->

@@ -226,6 +226,18 @@ object TextAnalysis {
         col("bigram_cost_sum").cast("double") / col("n_bigrams"))
   }
 
+  /** Unicode text canonicalization (L121 corpus hygiene): NFC
+    * normalization (composed forms — decomposed "é" == composed "é"
+    * BEFORE fingerprints), C0/C1 control characters stripped (except
+    * \t\n\r), whitespace runs collapsed, ends trimmed. Run ahead of
+    * dedup so byte-level variants of identical text collapse. */
+  def canonicalText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        graft.functions.UnicodeNormalize.unicode_normalize(text, "NFC"),
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x80-\\x9F]", ""),
+      "\\s+", " "))
+
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))
 
