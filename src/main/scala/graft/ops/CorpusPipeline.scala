@@ -44,6 +44,7 @@ object CorpusPipeline {
 
   final case class Config(
       minQualityTokens: Int = 5,
+      canonicalize: Boolean = false, // Unicode NFC + control strip + ws collapse (stage 0)
       redactPii: Boolean = true,
       urlCol: Option[String] = None,
       exactDedup: Boolean = true,
@@ -101,8 +102,11 @@ object CorpusPipeline {
     // once per pair side (3× the corpus scan; the q154 10×-data
     // constant). Windows mirror stageFrames' keepMinId exactly
     // (same key, same id-asc order), so the drop sets are identical.
+    val canon =
+      if (cfg.canonicalize) docs.withColumn(textCol, TextAnalysis.canonicalText(text))
+      else docs
     val quality = TextAnalysis.qualityColumns(text).toMap
-    val flagged = docs.withColumn("__q",
+    val flagged = canon.withColumn("__q",
       quality("n_tokens") >= cfg.minQualityTokens &&
         quality("mean_word_len") >= 2.0 && quality("mean_word_len") <= 12.0 &&
         quality("punct_ratio") <= 0.3)
@@ -160,8 +164,14 @@ object CorpusPipeline {
     // quality("keep") flag hard-codes its own n_tokens >= 5, so it is
     // rebuilt here from the component columns with cfg's floor
     // (otherwise minQualityTokens < 5 would be silently ineffective)
+    // 0. optional Unicode canonicalization (NFC + control strip + ws
+    // collapse) so byte-level variants of identical text collapse in
+    // the dedup stages below
+    val canon =
+      if (cfg.canonicalize) docs.withColumn(textCol, TextAnalysis.canonicalText(text))
+      else docs
     val quality = TextAnalysis.qualityColumns(text).toMap
-    val kept = staged(docs.filter(
+    val kept = staged(canon.filter(
       quality("n_tokens") >= cfg.minQualityTokens &&
         quality("mean_word_len") >= 2.0 && quality("mean_word_len") <= 12.0 &&
         quality("punct_ratio") <= 0.3), "quality")

@@ -111,6 +111,23 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(got === Map(2L -> "exact_dedup", 3L -> "quality"))
   }
 
+  test("canonicalize=true collapses byte-level variants in exact dedup") {
+    val base = "the quick brown fox jumps over the lazy café dog"
+    val variant = "the quick  brown fox jumps over the lazy café dog" // extra space + decomposed
+    val docs = Seq(doc(1, base), doc(2, variant)).toDF("doc_id", "text")
+    val without = CorpusPipeline.prepare(docs, "doc_id", "text",
+      CorpusPipeline.Config(nearDedupThreshold = None))
+    assert(without.count() === 2) // byte-distinct -> both survive
+    val withCanon = CorpusPipeline.prepare(docs, "doc_id", "text",
+      CorpusPipeline.Config(canonicalize = true, nearDedupThreshold = None))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(withCanon === Seq(1L)) // canonical forms equal -> min id wins
+    val audited = CorpusPipeline.auditDrops(docs, "doc_id", "text",
+      CorpusPipeline.Config(canonicalize = true, nearDedupThreshold = None))
+      .as[(Long, String)].collect().toSeq
+    assert(audited === Seq((2L, "exact_dedup")))
+  }
+
   test("observe=true surfaces per-stage row counts on the caller's action") {
     val docs = Seq(
       doc(1, "the quick brown fox jumps over the lazy dog today"),
