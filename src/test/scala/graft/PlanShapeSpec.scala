@@ -273,4 +273,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p.take(3000))
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
+
+  test("q144 substring dedup: fused kernels, gram-key window reuses its own exchange") {
+    val p = plan("q144_substring_dedup")
+    // map-side fused shingles + the span-cut rebuild kernel
+    assert(p.contains("string_shingles"), p.take(3000))
+    assert(p.contains("span_cut"), p.take(3000))
+    // exactly two hash exchanges: gram-key window count + per-doc
+    // start collection; the dup-starts frame comes BACK as a
+    // broadcast, never a third shuffle
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges === 2, p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("q145 semantic dedup: bucket-key equi-join, no cross join, no corpus broadcast") {
+    val p = plan("q145_semantic_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    assert(p.contains("array_dot"), p.take(3000))
+  }
+
+  test("q167 canonicalization: shuffle-free codegen projection") {
+    val p = plan("q167_canonical_text")
+    assert(p.contains("unicode_normalize"), p.take(2000))
+    assert(!p.contains("Exchange"), p.take(2000))
+  }
 }
