@@ -2303,6 +2303,18 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
     }),
 
+    // L122 corpus profiling: equi-width histogram + per-source summary
+    "q168_histogram" -> ((s, d) =>
+      ops.Profiling.histogram(Tables.documents(s, d), col("n_chars"),
+        lo = 0.0, hi = 600.0, buckets = 12)),
+
+    "q169_group_summary" -> ((s, d) =>
+      ops.Profiling.groupSummary(Tables.documents(s, d),
+          col("lang"), col("n_chars"))
+        .select(col("grp").as("lang"), col("n"),
+          col("min_v"), col("max_v"),
+          col("sum_v").cast("long").as("sum_v"), col("mean_v"))),
+
     // L121 Unicode canonicalization: NFC + control strip + whitespace
     // collapse over text salted with a decomposed accent, a control
     // char and ragged spacing — every row exercises the kernel
@@ -3741,6 +3753,23 @@ object SparkEntry {
         |  SELECT doc_id + 200000 AS doc_id, source, text FROM documents WHERE doc_id < 10)
         |SELECT doc_id, source FROM batch
         |WHERE md5(text) NOT IN (SELECT fp FROM corpus)""".stripMargin,
+
+    // same clamp + double arithmetic; width = 600/12 = 50 exactly
+    "q168_histogram" ->
+      """SELECT CAST(b AS BIGINT) AS bucket,
+        |  0.0 + b * 50.0 AS bucket_lo, 0.0 + (b + 1) * 50.0 AS bucket_hi,
+        |  count(*) AS n
+        |FROM (SELECT least(11, greatest(0,
+        |        CAST(floor((CAST(n_chars AS DOUBLE) - 0.0) / 50.0) AS INT))) AS b
+        |      FROM documents) t
+        |GROUP BY b""".stripMargin,
+
+    "q169_group_summary" ->
+      """SELECT lang, count(*) AS n,
+        |  min(n_chars) AS min_v, max(n_chars) AS max_v,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_v,
+        |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_v
+        |FROM documents GROUP BY lang""".stripMargin,
 
     // same salt, same op order: normalize -> control strip -> collapse
     // -> trim; chr(769) = U+0301 combining acute, chr(7) = BEL
