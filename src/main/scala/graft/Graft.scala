@@ -335,4 +335,15 @@ object Graft {
   def temperatureSample(df: DataFrame, grp: Column, key: Column,
                         alpha: Double, targetFraction: Double): DataFrame =
     graft.ops.Sampling.temperatureSample(df, grp, key, alpha, targetFraction)
+
+  /** One-row corpus duplication health metric (see
+    * [[graft.dedup.Dedup.duplicationProfile]]). */
+  def duplicationProfile(df: DataFrame, content: Column): DataFrame =
+    graft.dedup.Dedup.duplicationProfile(df, content)
+
+  /** Equi-width histogram profile (see
+    * [[graft.ops.Profiling.histogram]]). */
+  def histogram(df: DataFrame, c: Column, lo: Double, hi: Double,
+                buckets: Int): DataFrame =
+    graft.ops.Profiling.histogram(df, c, lo, hi, buckets)
 }
