@@ -242,10 +242,12 @@ object Graft {
     * contract (see [[graft.search.MultiSelect.facetFieldEx]]). */
   def facetFieldMultiSelect(spark: SparkSession, store: String, field: String,
                             q: String = "*:*", filters: Seq[String] = Nil,
-                            exclude: Set[String] = Set.empty): DataFrame = {
+                            exclude: Set[String] = Set.empty,
+                            params: graft.search.MultiSelect.FacetParams =
+                              graft.search.MultiSelect.FacetParams()): DataFrame = {
     val (idx, default, textFields) = multiSelectCtx(spark, store)
     graft.search.MultiSelect.facetFieldEx(idx, default, textFields, field, q,
-      filters.map(graft.search.MultiSelect.parseFq), exclude)
+      filters.map(graft.search.MultiSelect.parseFq), exclude, params)
   }
 
   /** Execute a Solr streaming expression (`search`/`top`/`unique`/

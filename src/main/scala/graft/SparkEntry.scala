@@ -2303,6 +2303,17 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
     }),
 
+    // L110 extension — facet.limit/mincount/sort=count: Solr's default
+    // facet ordering (count desc, value asc) with a bounded cut
+    "q170_facet_params" -> ((s, d) => {
+      val out = docsMetaStore(s, d)
+      Graft.facetFieldMultiSelect(s, out, "source",
+        filters = Seq("n_chars:[250 TO *]"),
+        params = graft.search.MultiSelect.FacetParams(
+          limit = 8, mincount = 10, sort = "count"))
+        .select(col("source"), col("cnt"))
+    }),
+
     // L122 corpus profiling: equi-width histogram + per-source summary
     "q168_histogram" -> ((s, d) =>
       ops.Profiling.histogram(Tables.documents(s, d), col("n_chars"),
@@ -3753,6 +3764,14 @@ object SparkEntry {
         |  SELECT doc_id + 200000 AS doc_id, source, text FROM documents WHERE doc_id < 10)
         |SELECT doc_id, source FROM batch
         |WHERE md5(text) NOT IN (SELECT fp FROM corpus)""".stripMargin,
+
+    // Solr default facet.sort: count desc, then value asc; mincount
+    // filters before the bounded cut
+    "q170_facet_params" ->
+      """SELECT source, cnt FROM (
+        |  SELECT source, count(*) AS cnt FROM documents
+        |  WHERE n_chars >= 250 GROUP BY source HAVING count(*) >= 10)
+        |ORDER BY cnt DESC, source ASC LIMIT 8""".stripMargin,
 
     // same clamp + double arithmetic; width = 600/12 = 50 exactly
     "q168_histogram" ->

@@ -57,12 +57,36 @@ object MultiSelect {
     }.reduce(_ unionByName _)
   }
 
+  /** Solr facet parameters: `facet.limit` (-1 = unlimited),
+    * `facet.mincount`, `facet.sort` ("count" = by count desc then
+    * value — Solr's default — or "index" = by value). */
+  final case class FacetParams(limit: Int = -1, mincount: Int = 0,
+                               sort: String = "count") {
+    require(sort == "count" || sort == "index", s"facet.sort=$sort")
+  }
+
   /** `facet.field={!ex=tags}field`: grouped counts with the excluded
     * tags' filters lifted. The null bucket surfaces as a null group
-    * row (the engine's facet.field convention, L83). */
+    * row (the engine's facet.field convention, L83). With a `limit`,
+    * ordering follows `facet.sort` and the cut is a bounded TakeOrdered
+    * over the group-cardinality frame — never a corpus sort. */
   def facetFieldEx(idx: DataFrame, defaultField: String, textFields: Set[String],
                    field: String, q: String, filters: Seq[TaggedFq],
-                   exclude: Set[String]): DataFrame =
-    idx.filter(predicate(idx, defaultField, textFields, q, filters, exclude))
+                   exclude: Set[String],
+                   params: FacetParams = FacetParams()): DataFrame = {
+    val counts = idx
+      .filter(predicate(idx, defaultField, textFields, q, filters, exclude))
       .groupBy(col(field)).agg(count(lit(1)).as("cnt"))
+    val thresholded =
+      if (params.mincount > 0) counts.filter(col("cnt") >= params.mincount)
+      else counts
+    if (params.limit < 0) thresholded
+    else {
+      val ordered =
+        if (params.sort == "count")
+          thresholded.orderBy(col("cnt").desc, col(field).asc_nulls_last)
+        else thresholded.orderBy(col(field).asc_nulls_last)
+      ordered.limit(params.limit)
+    }
+  }
 }

@@ -37,6 +37,21 @@ class MultiSelectSpec extends AnyFunSuite {
     assert(kept === Map("en" -> 1L))
   }
 
+  test("facet params: mincount filters, sort=count orders, limit cuts") {
+    val big = (Seq.fill(5)("x") ++ Seq.fill(3)("y") ++ Seq.fill(3)("z") ++ Seq("w"))
+      .zipWithIndex.map { case (lang, i) => (i.toString, lang, "s", 100L) }
+      .toDF("id", "lang", "source", "n_chars")
+    val got = MultiSelect.facetFieldEx(big, "id", Set.empty, "lang", "*:*",
+        Nil, Set.empty, MultiSelect.FacetParams(limit = 2, mincount = 2))
+      .as[(String, Long)].collect().toSeq
+    // w fails mincount; count desc then value asc -> x(5), y(3) beats z(3)
+    assert(got === Seq(("x", 5L), ("y", 3L)))
+    val byIndex = MultiSelect.facetFieldEx(big, "id", Set.empty, "lang", "*:*",
+        Nil, Set.empty, MultiSelect.FacetParams(limit = 2, sort = "index"))
+      .as[(String, Long)].collect().toSeq
+    assert(byIndex === Seq(("w", 1L), ("x", 5L)))
+  }
+
   test("facetQueries: one count per bucket under all filters") {
     val got = MultiSelect.facetQueries(df, "id", Set.empty, "*:*",
         Seq(MultiSelect.TaggedFq("source:web", None)),
