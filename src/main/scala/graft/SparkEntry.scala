@@ -2314,6 +2314,16 @@ object SparkEntry {
         .select(col("source"), col("cnt"))
     }),
 
+    // L110 extension — facet.prefix: bucket-value prefix prune ahead
+    // of grouping (a pushable StartsWith on the facet field)
+    "q171_facet_prefix" -> ((s, d) => {
+      val out = docsMetaStore(s, d)
+      Graft.facetFieldMultiSelect(s, out, "source",
+        params = graft.search.MultiSelect.FacetParams(
+          prefix = Some("src1"), sort = "index", limit = 20))
+        .select(col("source"), col("cnt"))
+    }),
+
     // L122 corpus profiling: equi-width histogram + per-source summary
     "q168_histogram" -> ((s, d) =>
       ops.Profiling.histogram(Tables.documents(s, d), col("n_chars"),
@@ -3764,6 +3774,11 @@ object SparkEntry {
         |  SELECT doc_id + 200000 AS doc_id, source, text FROM documents WHERE doc_id < 10)
         |SELECT doc_id, source FROM batch
         |WHERE md5(text) NOT IN (SELECT fp FROM corpus)""".stripMargin,
+
+    "q171_facet_prefix" ->
+      """SELECT source, count(*) AS cnt FROM documents
+        |WHERE source LIKE 'src1%' GROUP BY source
+        |ORDER BY source ASC LIMIT 20""".stripMargin,
 
     // Solr default facet.sort: count desc, then value asc; mincount
     // filters before the bounded cut

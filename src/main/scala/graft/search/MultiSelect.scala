@@ -59,9 +59,11 @@ object MultiSelect {
 
   /** Solr facet parameters: `facet.limit` (-1 = unlimited),
     * `facet.mincount`, `facet.sort` ("count" = by count desc then
-    * value — Solr's default — or "index" = by value). */
+    * value — Solr's default — or "index" = by value), `facet.prefix`
+    * (only buckets whose value starts with it). */
   final case class FacetParams(limit: Int = -1, mincount: Int = 0,
-                               sort: String = "count") {
+                               sort: String = "count",
+                               prefix: Option[String] = None) {
     require(sort == "count" || sort == "index", s"facet.sort=$sort")
   }
 
@@ -74,9 +76,15 @@ object MultiSelect {
                    field: String, q: String, filters: Seq[TaggedFq],
                    exclude: Set[String],
                    params: FacetParams = FacetParams()): DataFrame = {
-    val counts = idx
+    val matched = idx
       .filter(predicate(idx, defaultField, textFields, q, filters, exclude))
-      .groupBy(col(field)).agg(count(lit(1)).as("cnt"))
+    // facet.prefix prunes BEFORE grouping — a pushable StartsWith on
+    // the facet field, so the index scan reads only matching postings
+    val prefixed = params.prefix match {
+      case Some(p) => matched.filter(col(field).startsWith(p))
+      case None => matched
+    }
+    val counts = prefixed.groupBy(col(field)).agg(count(lit(1)).as("cnt"))
     val thresholded =
       if (params.mincount > 0) counts.filter(col("cnt") >= params.mincount)
       else counts
