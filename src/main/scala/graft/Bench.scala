@@ -32,14 +32,20 @@ object Bench {
     // full-suite wall clock; absent = everything (driver behavior)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val failed = scala.collection.mutable.ArrayBuffer[String]()
+    val failed = scala.collection.mutable.ArrayBuffer[(String, String)]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n.takeWhile(_ != '_'))) }
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
-        failed += name
+        // keep a short reason with the name: the capture window holds
+        // only the tail of stdout, so stderr detail printed per-query
+        // is usually lost — the round-6 all-events-queries failure was
+        // undiagnosable from the bare name list
+        val reason = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+          .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(80)
+        failed += ((name, reason))
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -67,7 +73,9 @@ object Bench {
     val total = fmt(results.map(_._2).sum, 3)
     // a failed query runs fast — surface failures instead of letting
     // them read as speedups
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedJson = failed
+      .map { case (n, r) => "\"" + n + ": " + r + "\"" }
+      .mkString("[", ",", "]")
     spark.stop()
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
   }
