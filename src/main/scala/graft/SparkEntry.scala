@@ -2382,8 +2382,35 @@ object SparkEntry {
       docs.withColumn("fscore_r", round(score, 6))
         .orderBy(col("fscore_r").desc, col("doc_id"))
         .select(col("doc_id"), col("fscore_r")).limit(15)
+    }),
+
+    // Solr date math over a pdate index field: the range bounds are
+    // NOW-anchored expressions resolved against an EXPLICIT instant
+    // (Solr pins one NOW per distributed request for the same reason —
+    // determinism across shards/retries), then pushed as one
+    // chronological dictionary-range scan per shard (L97)
+    "q172_date_math" -> ((s, d) => {
+      val out = eventsTimeStore(s, d)
+      val idx = s.read.format("graft-index").load(out)
+      val anchor = java.time.Instant.parse("2024-01-25T13:45:00Z")
+      idx.filter(graft.search.SolrQueryString.compile(
+          "ts:[NOW-10DAYS/DAY TO NOW/HOUR]", idx.schema, "id", now = Some(anchor)))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
     })
   )
+
+  /** The shared (id, ts, event_type, user_id) events segment store —
+    * ts indexes as epoch-micros sortable terms (pdate analog). */
+  private def eventsTimeStore(s: SparkSession, d: String): String = {
+    import graft.index.SegmentShardSink
+    sharedStore(d, "events_time") { o =>
+      SegmentShardSink.write(
+        Tables.events(s, d).select(
+          col("event_id").cast("string").as("id"),
+          col("ts"), col("event_type"), col("user_id")),
+        "id", o, shards = 4)
+    }
+  }
 
   /** The shared (id, lang, source, n_chars) documents segment store —
     * n_chars indexes under the typed-numeric encoding. */
@@ -3779,6 +3806,14 @@ object SparkEntry {
       """SELECT source, count(*) AS cnt FROM documents
         |WHERE source LIKE 'src1%' GROUP BY source
         |ORDER BY source ASC LIMIT 20""".stripMargin,
+
+    // the date-math bounds resolved by hand against the query's fixed
+    // anchor 2024-01-25T13:45:00Z: NOW-10DAYS/DAY and NOW/HOUR
+    "q172_date_math" ->
+      """SELECT event_type, count(*) AS cnt FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-25 13:00:00'
+        |GROUP BY event_type""".stripMargin,
 
     // Solr default facet.sort: count desc, then value asc; mincount
     // filters before the bounded cut

@@ -43,10 +43,14 @@ import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, IntegerType,
  */
 object SolrQueryString {
 
-  /** Compile `q` to a boolean Column over `schema`. */
+  /** Compile `q` to a boolean Column over `schema`. `now` anchors
+    * date-math range bounds ([[DateMath]]); absent, date math is a
+    * parse error — the caller must opt into an explicit instant, the
+    * engine never reads the wall clock. */
   def compile(q: String, schema: StructType, defaultField: String,
-              textFields: Set[String] = Set.empty): Column =
-    compileWithTerms(q, schema, defaultField, textFields)._1
+              textFields: Set[String] = Set.empty,
+              now: Option[java.time.Instant] = None): Column =
+    compileWithTerms(q, schema, defaultField, textFields, now)._1
 
   /** Compile AND collect the POSITIVE analyzed terms (plain terms and
     * phrase tokens on text fields outside any NOT/- scope, query
@@ -54,8 +58,9 @@ object SolrQueryString {
     * Solr's query/rank split. Wildcard and range clauses contribute no
     * ranking terms. */
   def compileWithTerms(q: String, schema: StructType, defaultField: String,
-                       textFields: Set[String] = Set.empty): (Column, Seq[String]) = {
-    val p = new Parser(q, schema, defaultField, textFields)
+                       textFields: Set[String] = Set.empty,
+                       now: Option[java.time.Instant] = None): (Column, Seq[String]) = {
+    val p = new Parser(q, schema, defaultField, textFields, now)
     val c = p.parseQuery()
     p.expectEnd()
     (c, p.positiveTerms)
@@ -67,7 +72,8 @@ object SolrQueryString {
   }
 
   private final class Parser(input: String, schema: StructType,
-                             defaultField: String, textFields: Set[String]) {
+                             defaultField: String, textFields: Set[String],
+                             now: Option[java.time.Instant]) {
     private var pos = 0
     private var negDepth = 0
     private val collected = scala.collection.mutable.LinkedHashSet.empty[String]
@@ -176,11 +182,25 @@ object SolrQueryString {
     private def rangePredicate(field: String, c: Column, lo: String, hi: String,
                                loInc: Boolean, hiInc: Boolean): Column = {
       // numeric columns compare numerically; timestamp/date columns get
-      // their bound strings cast by Spark's comparison coercion; other
+      // their bound strings cast by Spark's comparison coercion (or
+      // resolved through Solr date math when `now` is provided); other
       // columns compare lexicographically (Solr string-field behavior)
       val numeric = schema.fields.find(_.name == field).exists(f => isNumeric(f.dataType))
       def side(v: String): Column =
-        if (!numeric) lit(v)
+        if (!numeric) {
+          if (DateMath.looksLikeDateMath(v)) now match {
+            // formatted as a plain UTC wall-clock string so Spark's
+            // comparison coercion casts it to the column's flavor
+            // (TIMESTAMP and TIMESTAMP_NTZ both — the segment store
+            // serves NTZ; the session is pinned UTC so they agree)
+            case Some(anchor) => lit(java.time.LocalDateTime.ofInstant(
+              DateMath.resolve(v, anchor), java.time.ZoneOffset.UTC)
+              .format(java.time.format.DateTimeFormatter
+                .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")))
+            case None => throw new IllegalArgumentException(
+              s"date math '$v' needs an explicit NOW anchor (pass now=) in: $input")
+          } else lit(v)
+        }
         else lit(try v.toDouble catch {
           case _: NumberFormatException => throw new IllegalArgumentException(
             s"non-numeric range bound '$v' for numeric field '$field' in: $input")
