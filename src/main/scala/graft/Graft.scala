@@ -165,6 +165,32 @@ object Graft {
     }
   }
 
+  /**
+   * Solr's `/export` handler: the FULL (not top-k) result set of a
+   * query, projected to `fl` and globally ordered by `sort` — the
+   * bulk-extraction surface (Solr streams it from docValues in sort
+   * order; CloudSolrStream consumes it). Spark-first form: the pushed
+   * index scan (filters → postings, `fl` → column pruning) under a
+   * range-exchange global sort — the same merge-of-sorted-partitions
+   * shape Solr's shard-merging export performs, with the sort
+   * parallelized instead of funneled through one aggregator. Every
+   * requested field must be a stored column; `sort` entries are
+   * (field, ascending). `now` anchors date math in `q`.
+   */
+  def export(spark: SparkSession, store: String, q: String,
+             fl: Seq[String], sort: Seq[(String, Boolean)],
+             now: Option[java.time.Instant] = None): DataFrame = {
+    import graft.index.SegmentShardSink
+    val marker = SegmentShardSink.readMarker(
+      spark.sessionState.newHadoopConf(), store)
+    val idx = openSegmentIndex(spark, store)
+    val default = marker.analyzed.toSeq.sorted.headOption.getOrElse(marker.idCol)
+    val hits = idx.filter(graft.search.SolrQueryString.compile(
+      q, idx.schema, default, marker.analyzed, now))
+    val ordered = sort.map { case (f, asc) => if (asc) col(f).asc else col(f).desc }
+    hits.select(fl.map(col): _*).orderBy(ordered: _*)
+  }
+
   /** Compile a reference morphline .conf into a Pipeline command chain
     * (see [[graft.etl.MorphlineConfig]]). */
   def morphline(configText: String, schema: Option[IndexSchema] = None,

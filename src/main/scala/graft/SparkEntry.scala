@@ -2396,6 +2396,17 @@ object SparkEntry {
       idx.filter(graft.search.SolrQueryString.compile(
           "ts:[NOW-10DAYS/DAY TO NOW/HOUR]", idx.schema, "id", now = Some(anchor)))
         .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+    }),
+
+    // Solr /export: the FULL filtered result set (not top-k) under a
+    // global sort — pushed scan + range-exchange sort; the bulk-
+    // extraction path a Solr→warehouse ETL uses (order semantics
+    // locked in GraftFacadeSpec; the oracle checks the exported SET)
+    "q173_export" -> ((s, d) => {
+      val out = docsMetaStore(s, d)
+      Graft.export(s, out, "lang:en AND n_chars:[300 TO 500]",
+        fl = Seq("id", "source", "n_chars"),
+        sort = Seq(("n_chars", false), ("id", true)))
     })
   )
 
@@ -3814,6 +3825,11 @@ object SparkEntry {
         |WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
         |  AND ts <= TIMESTAMP '2024-01-25 13:00:00'
         |GROUP BY event_type""".stripMargin,
+
+    "q173_export" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS id, source, n_chars
+        |FROM documents
+        |WHERE lang = 'en' AND n_chars BETWEEN 300 AND 500""".stripMargin,
 
     // Solr default facet.sort: count desc, then value asc; mincount
     // filters before the bounded cut

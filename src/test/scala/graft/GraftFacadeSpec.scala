@@ -134,4 +134,21 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(shared12.nonEmpty, "overlapping docs must share fingerprints")
     assert(shared13.isEmpty, "unrelated docs must not")
   }
+
+  test("export: full filtered set in global sort order with pruned fields") {
+    import graft.index.SegmentShardSink
+    val docs = Seq(
+      ("1", "en", 10L), ("2", "en", 30L), ("3", "de", 20L),
+      ("4", "en", 30L), ("5", "en", 20L), ("6", "fr", 40L)
+    ).toDF("id", "lang", "n")
+    val out = java.nio.file.Files.createTempDirectory("graft_export_").toString
+    SegmentShardSink.write(docs, "id", out, shards = 2)
+    val got = Graft.export(spark, out, "lang:en AND n:[20 TO 40]",
+      fl = Seq("id", "n"), sort = Seq(("n", false), ("id", true)))
+    assert(got.columns.toSeq === Seq("id", "n"))
+    // ORDER is the contract: n desc, then id asc — and the set is the
+    // FULL match set, not a top-k cut
+    assert(got.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      === Seq(("2", 30L), ("4", 30L), ("5", 20L)))
+  }
 }
