@@ -2407,6 +2407,24 @@ object SparkEntry {
       Graft.export(s, out, "lang:en AND n_chars:[300 TO 500]",
         fl = Seq("id", "source", "n_chars"),
         sort = Seq(("n_chars", false), ("id", true)))
+    }),
+
+    // Solr QueryElevationComponent: editorially pinned ids lead in
+    // config order, an excluded id vanishes, organic integer-score
+    // order follows; top-k cut AFTER elevation (Solr's order of
+    // operations). Pure per-row scalar math — no extra shuffle.
+    "q174_elevation" -> ((s, d) => {
+      val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+      def tf(t: String) = size(filter(col("__t"), x => x === lit(t))).cast("long")
+      val scored = Tables.documents(s, d).withColumn("__t", toks)
+        .withColumn("score", lit(3L) * tf("spark") + tf("query"))
+        .filter(col("score") > 0)
+        .select(col("doc_id"), col("score"))
+      graft.search.Elevation(scored, col("doc_id"), col("score"),
+          graft.search.Elevation.Config(
+            elevated = Seq("17", "3"), excluded = Seq("5")))
+        .limit(10)
+        .withColumn("elevated", col("elevated").cast("long"))
     })
   )
 
@@ -3830,6 +3848,22 @@ object SparkEntry {
       """SELECT CAST(doc_id AS VARCHAR) AS id, source, n_chars
         |FROM documents
         |WHERE lang = 'en' AND n_chars BETWEEN 300 AND 500""".stripMargin,
+
+    // q93's organic scoring with the elevation reorder replayed: pin
+    // positions from the literal config, exclusion before the cut
+    "q174_elevation" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |           FROM documents),
+        |s AS (SELECT doc_id,
+        |  3 * len(list_filter(toks, x -> x = 'spark'))
+        |    + len(list_filter(toks, x -> x = 'query')) AS score
+        | FROM t),
+        |m AS (SELECT doc_id, CAST(score AS BIGINT) AS score,
+        |  CASE CAST(doc_id AS VARCHAR) WHEN '17' THEN 1 WHEN '3' THEN 2 END AS pin
+        | FROM s WHERE score > 0 AND CAST(doc_id AS VARCHAR) <> '5')
+        |SELECT doc_id, score, CAST(pin IS NOT NULL AS BIGINT) AS elevated FROM m
+        |ORDER BY COALESCE(pin, 9223372036854775807), score DESC, doc_id
+        |LIMIT 10""".stripMargin,
 
     // Solr default facet.sort: count desc, then value asc; mincount
     // filters before the bounded cut
