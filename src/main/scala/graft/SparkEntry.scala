@@ -2425,6 +2425,34 @@ object SparkEntry {
             elevated = Seq("17", "3"), excluded = Seq("5")))
         .limit(10)
         .withColumn("elevated", col("elevated").cast("long"))
+    }),
+
+    // L111 extension — hashJoin/leftOuterJoin: Solr's read-the-hashed-
+    // stream-into-memory contract maps onto a broadcast hint; the
+    // outer preserves unmatched left tuples (null-filled)
+    "q175_stream_hash_join" -> ((s, d) => {
+      val out = docsMetaStore(s, d)
+      Graft.streamExpr(s,
+        """leftOuterJoin(
+          |  search(docs_meta, q="lang:en AND n_chars:[380 TO *]",
+          |    fl="id,source,n_chars", sort="id asc"),
+          |  hashJoin(
+          |    search(docs_meta, q="n_chars:[500 TO *]", fl="id,lang", sort="id asc"),
+          |    search(docs_meta, q="lang:en OR lang:de", fl="id", sort="id asc"),
+          |    on="id"),
+          |  on="id")""".stripMargin,
+        Map("docs_meta" -> out))
+    }),
+
+    // L111 extension — facet decorator: bounded sorted grouped
+    // aggregate riding the same pushed scan as facet.field
+    "q176_stream_facet" -> ((s, d) => {
+      val out = docsMetaStore(s, d)
+      Graft.streamExpr(s,
+        """facet(docs_meta, q="n_chars:[250 TO *]", buckets="lang,source",
+          |  bucketSorts="cnt desc, lang asc, source asc",
+          |  bucketSizeLimit=12, count(*))""".stripMargin,
+        Map("docs_meta" -> out))
     })
   )
 
@@ -3864,6 +3892,19 @@ object SparkEntry {
         |SELECT doc_id, score, CAST(pin IS NOT NULL AS BIGINT) AS elevated FROM m
         |ORDER BY COALESCE(pin, 9223372036854775807), score DESC, doc_id
         |LIMIT 10""".stripMargin,
+
+    "q175_stream_hash_join" ->
+      """WITH l AS (SELECT CAST(doc_id AS VARCHAR) AS id, source, n_chars
+        |           FROM documents WHERE lang = 'en' AND n_chars >= 380),
+        |r AS (SELECT CAST(doc_id AS VARCHAR) AS id, lang
+        |      FROM documents WHERE n_chars >= 500 AND lang IN ('en','de'))
+        |SELECT l.id, l.source, l.n_chars, r.lang
+        |FROM l LEFT JOIN r USING (id)""".stripMargin,
+
+    "q176_stream_facet" ->
+      """SELECT lang, source, count(*) AS cnt FROM documents
+        |WHERE n_chars >= 250 GROUP BY lang, source
+        |ORDER BY cnt DESC, lang ASC, source ASC LIMIT 12""".stripMargin,
 
     // Solr default facet.sort: count desc, then value asc; mincount
     // filters before the bounded cut

@@ -14,6 +14,10 @@ import org.apache.spark.sql.functions._
  *   rollup(<stream>, over="f", sum(x), min(x), max(x), avg(x), count(*))
  *   stats(coll, q="...", sum(x), count(*))
  *   innerJoin(<left>, <right>, on="a=b")
+ *   leftOuterJoin(<left>, <right>, on="a=b")
+ *   hashJoin(<left>, <hashed>, on="a=b")    — hashed side broadcast
+ *   outerHashJoin(<left>, <hashed>, on="a=b")
+ *   facet(coll, q=, buckets=, bucketSorts=, bucketSizeLimit=, count(*))
  *   fetch(coll, <stream>, on="id", fl="a,b")
  *   intersect(<left>, <right>, on="key")   — left tuples whose key appears right
  *   complement(<left>, <right>, on="key")  — left tuples whose key does not
@@ -219,12 +223,23 @@ object StreamingExpressions {
       val overCols = over.split(",").map(_.trim).map(col).toIndexedSeq
       Stream(in.df.groupBy(overCols: _*).agg(cols.head, cols.tail: _*), Nil)
 
-    case "innerJoin" =>
-      val on = named(c, "on").getOrElse(sys.error("innerJoin() needs on="))
+    case "innerJoin" | "leftOuterJoin" | "hashJoin" | "outerHashJoin" =>
+      // Solr's merge joins (innerJoin/leftOuterJoin) demand both
+      // streams sorted on the key; hashJoin/outerHashJoin instead read
+      // the `hashed` stream FULLY INTO WORKER MEMORY. The DataFrame
+      // re-expression frees the sort requirement (Catalyst picks the
+      // join strategy), and the hashed-stream-in-memory contract maps
+      // EXACTLY onto a broadcast hint on the right side — same memory
+      // model, cluster-wide.
+      val on = named(c, "on").getOrElse(sys.error(s"${c.name}() needs on="))
       val ss = subs(c)
-      require(ss.length == 2, "innerJoin() needs exactly two stream arguments")
+      require(ss.length == 2, s"${c.name}() needs exactly two stream arguments")
       val l = compileCall(spark, ss(0), collections)
-      val r = compileCall(spark, ss(1), collections)
+      val r0 = compileCall(spark, ss(1), collections)
+      val hashed = c.name.toLowerCase.contains("hash")
+      val rdf = if (hashed) broadcast(r0.df) else r0.df
+      val joinType =
+        if (c.name == "leftOuterJoin" || c.name == "outerHashJoin") "left" else "inner"
       val pairs = on.split(",").map(_.trim).map { p =>
         p.split("=").map(_.trim) match {
           case Array(a, b) => (a, b)
@@ -236,12 +251,42 @@ object StreamingExpressions {
       // differently-named keys keep both sides
       val (usingKeys, exprKeys) = pairs.partition { case (a, b) => a == b }
       val joined =
-        if (exprKeys.isEmpty) l.df.join(r.df, usingKeys.map(_._1).toIndexedSeq)
+        if (exprKeys.isEmpty)
+          l.df.join(rdf, usingKeys.map(_._1).toIndexedSeq, joinType)
         else {
-          val cond = pairs.map { case (a, b) => l.df(a) === r.df(b) }.reduce(_ && _)
-          l.df.join(r.df, cond)
+          val cond = pairs.map { case (a, b) => l.df(a) === rdf(b) }.reduce(_ && _)
+          l.df.join(rdf, cond, joinType)
         }
       Stream(joined, l.sort)
+
+    case "facet" =>
+      // facet(coll, q=, buckets=, bucketSorts=, bucketSizeLimit=, aggs)
+      // — Solr pushes this to the JSON Facet API; here the grouped
+      // aggregate rides the index pushdowns under the same contract:
+      // bucket tuples, sorted, bounded
+      val coll = c.args.headOption match {
+        case Some(Pos(v)) => v
+        case _ => sys.error("facet() needs the collection as its first argument")
+      }
+      val buckets = named(c, "buckets").getOrElse(sys.error("facet() needs buckets="))
+      val inner = Call("search", Seq(Pos(coll)) ++
+        c.args.collect { case n @ Named("q", _) => n })
+      val in = compileCall(spark, inner, collections)
+      val aggs = c.args.collect {
+        case Sub(Call(fn, as)) if AggFns(fn) =>
+          (fn, as.collectFirst { case Pos(v) => v }.getOrElse("*"))
+        case Pos(AggRe(fn, arg)) => (fn, arg)
+      }
+      require(aggs.nonEmpty, "facet() needs at least one aggregate")
+      val cols = aggs.map(aggCol)
+      val bucketCols = buckets.split(",").map(_.trim).map(col).toIndexedSeq
+      val grouped = in.df.groupBy(bucketCols: _*).agg(cols.head, cols.tail: _*)
+      val sorted = named(c, "bucketSorts").map(parseSort)
+        .getOrElse(Seq((aggs.head match { case ("count", _) => "cnt"
+          case (fn, f) => s"${fn}_$f" }, false)))
+      val limit = named(c, "bucketSizeLimit").map(_.toInt).getOrElse(10)
+      Stream(grouped.orderBy(sortCols(sorted): _*).limit(limit), sorted)
+
 
     case "select" =>
       val in = one(spark, c, collections)

@@ -124,4 +124,34 @@ class StreamingExpressionsSpec extends AnyFunSuite {
       .orderBy("id").as[(String, String, Long)].collect().toSeq
     assert(got === Seq(("1", "en", 100L), ("2", "en", 400L), ("6", "en", 400L)))
   }
+
+  test("leftOuterJoin keeps unmatched left tuples with nulls") {
+    val got = SE.compile(spark,
+      """leftOuterJoin(search(c, q="lang:en", fl="id,lang", sort="id asc"),
+        |  search(c, q="n_chars:[300 TO *]", fl="id,n_chars", sort="id asc"),
+        |  on="id")""".stripMargin, colls)
+      .orderBy("id").collect()
+      .map(r => (r.getString(0), Option(r.get(2)))).toSeq
+    assert(got === Seq(("1", None), ("2", Some(400L)), ("6", Some(400L))))
+  }
+
+  test("hashJoin broadcasts the hashed stream (Solr's stream-in-memory contract)") {
+    val df = SE.compile(spark,
+      """hashJoin(search(c, q="*:*", fl="id,lang", sort="id asc"),
+        |  search(c, q="lang:de", fl="id,n_chars", sort="id asc"),
+        |  on="id")""".stripMargin, colls)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"hashed side must broadcast, plan was:\n$plan")
+    assert(df.orderBy("id").as[(String, String, Long)].collect().toSeq
+      === Seq(("3", "de", 500L), ("4", "de", 50L)))
+  }
+
+  test("facet compiles to a bounded sorted grouped aggregate") {
+    val got = SE.compile(spark,
+      """facet(c, q="n_chars:[100 TO *]", buckets="lang",
+        |  bucketSorts="cnt desc, lang asc", bucketSizeLimit=2, count(*))""".stripMargin,
+      colls).as[(String, Long)].collect().toSeq
+    assert(got === Seq(("en", 3L), ("de", 1L)))
+  }
 }
