@@ -2453,6 +2453,25 @@ object SparkEntry {
           |  bucketSorts="cnt desc, lang asc, source asc",
           |  bucketSizeLimit=12, count(*))""".stripMargin,
         Map("docs_meta" -> out))
+    }),
+
+    // domain-blocklist filter (C4/RefinedWeb corpus hygiene): hosts on
+    // or under a blocked domain drop before any downstream stage.
+    // URLs planted as in q64; the literal blocklist compiles to
+    // per-row scalar math — shuffle-free until the survivors' groupBy
+    "q177_domain_blocklist" -> ((s, d) => {
+      import graft.text.UrlNormalize
+      val urls = Tables.documents(s, d).withColumn("url",
+        concat(lit("http://"),
+          // every third doc sits on a SUBDOMAIN of its host family —
+          // exercising the dot-anchored suffix rule, not just equality
+          when(pmod(col("doc_id"), lit(3)) === 0, lit("cdn.")).otherwise(lit("")),
+          lit("example"), pmod(col("doc_id"), lit(40)),
+          lit(".com/page/"), col("doc_id")))
+      urls.filter(!UrlNormalize.blockedHost(col("url"),
+          Seq("example7.com", "example23.com", "example38.com")))
+        .groupBy(UrlNormalize.host(col("url")).as("host"))
+        .agg(count(lit(1)).as("cnt"))
     })
   )
 
@@ -3905,6 +3924,20 @@ object SparkEntry {
       """SELECT lang, source, count(*) AS cnt FROM documents
         |WHERE n_chars >= 250 GROUP BY lang, source
         |ORDER BY cnt DESC, lang ASC, source ASC LIMIT 12""".stripMargin,
+
+    // same planted urls; blocked = exact host or dot-anchored suffix
+    "q177_domain_blocklist" ->
+      """WITH u AS (
+        |  SELECT CASE WHEN doc_id % 3 = 0 THEN 'cdn.' ELSE '' END
+        |      || 'example' || (doc_id % 40) || '.com' AS host
+        |  FROM documents),
+        |kept AS (
+        |  SELECT host FROM u WHERE NOT (
+        |    host IN ('example7.com', 'example23.com', 'example38.com')
+        |    OR host LIKE '%.example7.com'
+        |    OR host LIKE '%.example23.com'
+        |    OR host LIKE '%.example38.com'))
+        |SELECT host, count(*) AS cnt FROM kept GROUP BY host""".stripMargin,
 
     // Solr default facet.sort: count desc, then value asc; mincount
     // filters before the bounded cut

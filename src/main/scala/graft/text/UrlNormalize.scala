@@ -63,4 +63,26 @@ object UrlNormalize {
     //    diverges)
     regexp_replace(noPort, "/+$", "")
   }
+
+  /** The URL's host, lowercased, port stripped; '' for non-URLs. */
+  def host(url: Column): Column =
+    lower(regexp_extract(trim(url), "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)", 1))
+
+  /**
+   * Domain-blocklist predicate (the C4/RefinedWeb corpus-hygiene
+   * stage): true when the URL's host IS a blocked domain or is a
+   * SUBDOMAIN of one (`ads.example.com` blocks under `example.com`;
+   * `notexample.com` does not). The blocklist is request-literal, so
+   * the check compiles to per-row scalar math — host equality or a
+   * dot-anchored suffix test per entry, OR-folded; codegen'd,
+   * shuffle-free, trivially 100 TB-safe. A blocklist too large to
+   * inline belongs in a broadcast semi-join on the exploded host
+   * suffix chain instead (the documented swap at ~10⁴+ entries).
+   */
+  def blockedHost(url: Column, blocklist: Seq[String]): Column = {
+    val h = host(url)
+    blocklist.map(_.toLowerCase).map { d =>
+      h === d || h.endsWith("." + d)
+    }.reduceOption(_ || _).getOrElse(lit(false))
+  }
 }

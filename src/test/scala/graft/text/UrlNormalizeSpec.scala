@@ -65,4 +65,32 @@ class UrlNormalizeSpec extends AnyFunSuite {
   test("schemeless input passes through the lowercase step unchanged") {
     assert(canon("not a url") === "not a url")
   }
+
+  test("host: lowercased authority, port stripped, '' for non-URLs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val got = Seq(
+      "HTTP://Ads.Example.COM:8080/x?q=1",
+      "https://example.com/",
+      "no scheme here")
+      .toDF("u").select(UrlNormalize.host(col("u"))).as[String].collect().toSeq
+    assert(got === Seq("ads.example.com", "example.com", ""))
+  }
+
+  test("blockedHost: exact domain and subdomains block, lookalikes don't") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val block = Seq("example.com", "Tracker.ORG")
+    val cases = Seq(
+      "http://example.com/a" -> true,        // exact
+      "http://ads.example.com/a" -> true,    // subdomain
+      "http://deep.ads.example.com" -> true, // deeper subdomain
+      "http://notexample.com/a" -> false,    // suffix but not dot-anchored
+      "http://example.com.evil.net" -> false,// blocked name as SUBSTRING
+      "http://sub.tracker.org/x" -> true,    // case-folded entry
+      "plain text" -> false)
+    val got = cases.map(_._1).toDF("u")
+      .select(UrlNormalize.blockedHost(col("u"), block)).as[Boolean].collect().toSeq
+    assert(got === cases.map(_._2))
+  }
 }
