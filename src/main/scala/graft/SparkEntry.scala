@@ -2472,6 +2472,25 @@ object SparkEntry {
           Seq("example7.com", "example23.com", "example38.com")))
         .groupBy(UrlNormalize.host(col("url")).as("host"))
         .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // hybrid retrieval: lexical top-50 (integer tf score) + embedding
+    // cosine top-50 fused by Reciprocal Rank Fusion in integer space
+    // — the union+groupBy runs over BOUNDED candidate frames only;
+    // corpus-scale cost stays inside the two retrievers
+    "q178_rrf_fusion" -> ((s, d) => {
+      val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+      def tf(t: String) = size(filter(col("__t"), x => x === lit(t))).cast("long")
+      val lexTop = Tables.documents(s, d).withColumn("__t", toks)
+        .withColumn("score", lit(3L) * tf("spark") + tf("query"))
+        .filter(col("score") > 0)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(50).select(col("doc_id"))
+      val lex = rankCollected(s, lexTop, "rnk").select(col("doc_id").as("id"), col("rnk"))
+      val emb = Tables.embeddings(s, d)
+      val vec = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), 50)
+        .select(col("corpus_id").as("id"), col("rank").cast("long").as("rnk"))
+      ops.HybridSearch.rrf(Seq(lex, vec), "id", "rnk").limit(15)
     })
   )
 
@@ -3938,6 +3957,33 @@ object SparkEntry {
         |    OR host LIKE '%.example23.com'
         |    OR host LIKE '%.example38.com'))
         |SELECT host, count(*) AS cnt FROM kept GROUP BY host""".stripMargin,
+
+    // both retriever rank lists replayed (q93's integer tf scoring,
+    // q25's cosine chain), fused with BIGINT floor division
+    "q178_rrf_fusion" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |           FROM documents),
+        |lex AS (SELECT doc_id,
+        |  3 * len(list_filter(toks, x -> x = 'spark'))
+        |    + len(list_filter(toks, x -> x = 'query')) AS score
+        | FROM t),
+        |lexr AS (SELECT doc_id AS id,
+        |    row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+        |  FROM lex WHERE score > 0 QUALIFY rnk <= 50),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT v FROM e WHERE vec_id = 0),
+        |p AS (SELECT e.vec_id AS id,
+        |  list_dot_product(q.v, e.v) /
+        |   (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))) AS cosine
+        | FROM q, e WHERE e.vec_id <> 0),
+        |vecr AS (SELECT id, row_number() OVER (ORDER BY cosine DESC, id) AS rnk
+        |  FROM p QUALIFY rnk <= 50),
+        |u AS (SELECT id, 1000000 // (60 + rnk) AS part FROM lexr
+        |      UNION ALL SELECT id, 1000000 // (60 + rnk) FROM vecr)
+        |SELECT id, CAST(sum(part) AS BIGINT) AS rrf_score,
+        |       count(*) AS n_lists
+        |FROM u GROUP BY id
+        |ORDER BY rrf_score DESC, id LIMIT 15""".stripMargin,
 
     // Solr default facet.sort: count desc, then value asc; mincount
     // filters before the bounded cut
