@@ -2491,6 +2491,24 @@ object SparkEntry {
       val vec = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), 50)
         .select(col("corpus_id").as("id"), col("rank").cast("long").as("rnk"))
       ops.HybridSearch.rrf(Seq(lex, vec), "id", "rnk").limit(15)
+    }),
+
+    // Solr result grouping, the full response shape: group.limit=2
+    // docs per group PLUS group_size (numFound per group) and ngroups
+    // (total group count, group.ngroups=true) on every row — one
+    // window shuffle for rank+size, the group count a broadcast scalar
+    "q179_group_ngroups" -> ((s, d) => {
+      val base = Tables.orders(s, d).filter(col("o_totalprice") > 400000.0)
+      val grp = Window.partitionBy(col("o_orderpriority"))
+      val w = grp.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val grouped = base
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("group_size", count(lit(1)).over(grp))
+        .filter(col("rn") <= 2)
+      val ngroups = base.agg(countDistinct(col("o_orderpriority")).as("ngroups"))
+      grouped.crossJoin(broadcast(ngroups))
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          col("rn"), col("group_size"), col("ngroups"))
     })
   )
 
@@ -3984,6 +4002,17 @@ object SparkEntry {
         |       count(*) AS n_lists
         |FROM u GROUP BY id
         |ORDER BY rrf_score DESC, id LIMIT 15""".stripMargin,
+
+    "q179_group_ngroups" ->
+      """WITH base AS (SELECT * FROM orders WHERE o_totalprice > 400000.0),
+        |g AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+        |  count(*) OVER (PARTITION BY o_orderpriority) AS group_size
+        | FROM base)
+        |SELECT o_orderpriority, o_orderkey, o_totalprice, rn, group_size,
+        |  (SELECT count(DISTINCT o_orderpriority) FROM base) AS ngroups
+        |FROM g WHERE rn <= 2""".stripMargin,
 
     // Solr default facet.sort: count desc, then value asc; mincount
     // filters before the bounded cut
