@@ -2509,6 +2509,28 @@ object SparkEntry {
       grouped.crossJoin(broadcast(ngroups))
         .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
           col("rn"), col("group_size"), col("ngroups"))
+    }),
+
+    // token-budget corpus selection (the pretraining data-mixing
+    // primitive: "this many tokens of each source, best docs first"):
+    // per-source priority order, exact integer running sum, hard cap
+    "q180_token_budget" -> ((s, d) =>
+      ops.Sampling.tokenBudgetSelect(Tables.documents(s, d), col("source"),
+          Seq(col("n_chars").desc, col("doc_id")), col("n_chars"),
+          budget = 30000L)
+        .select(col("source"), col("doc_id"), col("running_tokens"))),
+
+    // Solr terms.regex: vocabulary filtered by a FULL-match regex (the
+    // prefix form is q92); same postings-backed shape, regex applied
+    // to the term dictionary before the bounded cut
+    "q181_terms_regex" -> ((s, d) => {
+      val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(toks)).as("term"))
+        .filter(col("term").rlike("^s[a-z]*[kn]$"))
+        .groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
+        .orderBy(col("doc_freq").desc, col("term"))
+        .limit(10)
     })
   )
 
@@ -4002,6 +4024,24 @@ object SparkEntry {
         |       count(*) AS n_lists
         |FROM u GROUP BY id
         |ORDER BY rrf_score DESC, id LIMIT 15""".stripMargin,
+
+    "q180_token_budget" ->
+      """SELECT source, doc_id, CAST(running_tokens AS BIGINT) AS running_tokens FROM (
+        |  SELECT source, doc_id,
+        |    sum(n_chars) OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id ROWS UNBOUNDED PRECEDING)
+        |      AS running_tokens
+        |  FROM documents) t
+        |WHERE running_tokens <= 30000""".stripMargin,
+
+    "q181_terms_regex" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |           FROM documents),
+        |dt AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM t)
+        |SELECT term, count(*) AS doc_freq FROM dt
+        |WHERE regexp_full_match(term, 's[a-z]*[kn]')
+        |GROUP BY term
+        |ORDER BY doc_freq DESC, term LIMIT 10""".stripMargin,
 
     "q179_group_ngroups" ->
       """WITH base AS (SELECT * FROM orders WHERE o_totalprice > 400000.0),

@@ -151,4 +151,31 @@ object Sampling {
     }
     df.withColumn(out, split)
   }
+
+  /**
+   * Token-budget corpus selection: per group (source/domain), take
+   * rows in the given priority order until the group's cumulative
+   * token count exceeds `budget` — the pretraining data-mixing
+   * primitive ("N billion tokens of X, prioritized by quality"). A
+   * row that would cross the budget is dropped with everything after
+   * it (budget is a cap, not a target).
+   *
+   * One window shuffle on the group key; the running sum is exact
+   * integer math, so selection is deterministic and engine-
+   * reproducible. Skewed sources (one group ≫ others) concentrate in
+   * one partition here — for a pathological single-source corpus,
+   * pre-filter with a cheap quality cut (or cap per finer shard) so
+   * the window's partition stays bounded; for real multi-source
+   * mixes the group count is small and sizes are budget-bounded on
+   * OUTPUT, input-bounded per group on compute.
+   */
+  def tokenBudgetSelect(df: DataFrame, grp: Column, order: Seq[Column],
+                        tokens: Column, budget: Long,
+                        out: String = "running_tokens"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(grp).orderBy(order: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn(out, sum(tokens.cast("long")).over(w))
+      .filter(col(out) <= budget)
+  }
 }

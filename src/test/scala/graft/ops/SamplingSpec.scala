@@ -85,4 +85,20 @@ class SamplingSpec extends AnyFunSuite {
     assert(math.abs(byG("a")._3 - (1.0 / 3) / 0.2) < 1e-12)
     assert(math.abs(byG("c")._3 - (1.0 / 3) / 0.6) < 1e-12)
   }
+
+  test("tokenBudgetSelect: per-group priority order, straddling row dropped") {
+    val df = Seq(
+      // (group, id, quality, tokens) — priority = quality desc
+      ("a", 1L, 9L, 400L), ("a", 2L, 8L, 500L), ("a", 3L, 7L, 200L),
+      ("b", 4L, 5L, 999L), ("b", 5L, 4L, 2L),
+      ("c", 6L, 1L, 2000L)) // first row alone over budget -> group empty
+      .toDF("g", "id", "q", "toks")
+    val got = Sampling.tokenBudgetSelect(df, col("g"),
+        Seq(col("q").desc, col("id")), col("toks"), budget = 1000L)
+      .select("g", "id", "running_tokens").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    // a: 400, 900 — id 3 would reach 1100 > 1000, dropped
+    // b: 999, 1001>1000 dropped; c: empty
+    assert(got === Seq(("a", 1L, 400L), ("a", 2L, 900L), ("b", 4L, 999L)))
+  }
 }
