@@ -2520,6 +2520,25 @@ object SparkEntry {
           budget = 30000L)
         .select(col("source"), col("doc_id"), col("running_tokens"))),
 
+    // json.facet allBuckets/missing: tagged one-row global aggregates
+    // OUTSIDE the bucket list (exempt from limit/mincount/sort), per
+    // the API contract — driver-sized extras on the pushed partials
+    "q182_json_facet_all" -> ((s, d) => {
+      import graft.index.SegmentShardSink
+      val out = sharedStore(d, "part_jf") { o =>
+        SegmentShardSink.write(
+          Tables.part(s, d).select(
+            col("p_partkey").cast("string").as("id"),
+            col("p_brand"), col("p_type"),
+            col("p_size").cast("long").as("p_size")),
+          "id", o, shards = 4)
+      }
+      Graft.jsonFacet(s, out,
+        """{"brands": {"type": "terms", "field": "p_brand", "limit": 5,
+          |  "allBuckets": true, "missing": true,
+          |  "facet": {"sum_size": "sum(p_size)"}}}""".stripMargin)
+    }),
+
     // Solr terms.regex: vocabulary filtered by a FULL-match regex (the
     // prefix form is q92); same postings-backed shape, regex applied
     // to the term dictionary before the bounded cut
@@ -4033,6 +4052,24 @@ object SparkEntry {
         |      AS running_tokens
         |  FROM documents) t
         |WHERE running_tokens <= 30000""".stripMargin,
+
+    // bucket rows under Solr's count-desc + value tie-break and limit;
+    // allBuckets/missing replayed as global aggregates (missing is the
+    // always-present count-0 row: p_brand is never null in part)
+    "q182_json_facet_all" ->
+      """WITH b AS (
+        |  SELECT 'term' AS bucket_type, p_brand, count(*) AS cnt,
+        |         CAST(sum(p_size) AS BIGINT) AS sum_size
+        |  FROM part GROUP BY p_brand
+        |  ORDER BY cnt DESC, p_brand LIMIT 5)
+        |SELECT * FROM b
+        |UNION ALL
+        |SELECT 'allBuckets', NULL, count(*), CAST(sum(p_size) AS BIGINT)
+        |FROM part
+        |UNION ALL
+        |SELECT 'missing', NULL, count(CASE WHEN p_brand IS NULL THEN 1 END),
+        |  CAST(sum(CASE WHEN p_brand IS NULL THEN p_size END) AS BIGINT)
+        |FROM part""".stripMargin,
 
     "q181_terms_regex" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks

@@ -29,7 +29,10 @@ import org.apache.spark.sql.functions._
  *    pushdown, ranked per parent bucket;
  *  - `limit`/`sort` follow Solr semantics: `count desc` default with
  *    index-order (bucket value) tie-break, `index asc` supported;
- *    `mincount` filters merged bucket counts.
+ *    `mincount` filters merged bucket counts;
+ *  - `allBuckets:true` / `missing:true` (leaf facets only) append
+ *    tagged one-row global aggregates outside the bucket list, per
+ *    Solr — the output gains a `bucket_type` column when requested.
  *
  * The result is the FLATTENED bucket tree (Solr returns nested JSON;
  * a DataFrame wants rows): parent bucket + its stats, repeated per
@@ -47,6 +50,7 @@ object JsonFacetApi {
 
   private final case class TermsSpec(name: String, field: String, limit: Int,
                                      sortIndex: Boolean, mincount: Long,
+                                     allBuckets: Boolean, missing: Boolean,
                                      stats: Seq[(String, String, String)], // (out, fn, field)
                                      child: Option[TermsSpec])
 
@@ -80,6 +84,8 @@ object JsonFacetApi {
         s"facet '$name': unsupported sort '$other' (count desc | index asc)")
     }
     val mincount = Option(n.get("mincount")).map(_.asLong).getOrElse(1L)
+    val allBuckets = Option(n.get("allBuckets")).exists(_.asBoolean)
+    val missing = Option(n.get("missing")).exists(_.asBoolean)
     val sub = Option(n.get("facet"))
     val stats = sub.map(parseStats).getOrElse(Nil)
     val children = sub.toSeq.flatMap { f =>
@@ -95,7 +101,11 @@ object JsonFacetApi {
       require(c.child.isEmpty, s"facet '$name': nesting deeper than 2 not supported")
       require(c.stats.isEmpty, s"facet '${c.name}': stats on the nested level not supported")
     }
-    TermsSpec(name, field, limit, sortIndex, mincount, stats, children.headOption)
+    require(!(allBuckets || missing) || children.isEmpty,
+      s"facet '$name': allBuckets/missing not supported with a nested sub-facet " +
+        "(the flattened row shape would be ambiguous)")
+    TermsSpec(name, field, limit, sortIndex, mincount, allBuckets, missing,
+      stats, children.headOption)
   }
 
   private def statCol(fn: String, f: String, out: String): Column = fn match {
@@ -136,6 +146,32 @@ object JsonFacetApi {
     val parentTop = parent.orderBy(parentSort: _*).limit(spec.limit)
 
     spec.child match {
+      case None if spec.allBuckets || spec.missing =>
+        // Solr returns allBuckets/missing OUTSIDE the bucket list
+        // (exempt from mincount/limit/sort); the flattened frame keeps
+        // them as extra rows tagged by a bucket_type column — the
+        // schema gains that column only when one of the flags is on.
+        // Both are one-row GLOBAL aggregates over the same filtered
+        // domain (allBuckets = every doc; missing = the null bucket,
+        // count 0 row served even when no doc misses the field, as
+        // Solr does) — driver-sized frames, no extra corpus pass
+        // beyond one aggregation each.
+        val dt = idx.schema(spec.field).dataType
+        def tagged(tag: String, src: DataFrame) = src.select(
+          lit(tag).as("bucket_type") +: lit(null).cast(dt).as(spec.field) +:
+            col("cnt") +: spec.stats.map(s => col(s._1)): _*)
+        val termRows = parentTop.select(
+          lit("term").as("bucket_type") +: col(spec.field) +:
+            col("cnt") +: spec.stats.map(s => col(s._1)): _*)
+        val extras =
+          (if (spec.allBuckets)
+            Seq(tagged("allBuckets",
+              base.agg(aggCols.head, aggCols.tail: _*))) else Nil) ++
+          (if (spec.missing)
+            Seq(tagged("missing",
+              base.filter(col(spec.field).isNull)
+                .agg(aggCols.head, aggCols.tail: _*))) else Nil)
+        extras.foldLeft(termRows)(_ unionByName _)
       case None => parentTop
       case Some(c) =>
         val childCnt = s"${c.name}_cnt"

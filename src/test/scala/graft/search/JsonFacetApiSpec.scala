@@ -70,5 +70,22 @@ class JsonFacetApiSpec extends AnyFunSuite {
     bad("""{"a": {"type": "terms", "field": "brand", "facet": {
           |  "b": {"type": "terms", "field": "kind", "facet": {
           |    "c": {"type": "terms", "field": "id"}}}}}}""".stripMargin)
+    // allBuckets under a sub-facet is ambiguous in the flat shape
+    bad("""{"a": {"type": "terms", "field": "brand", "allBuckets": true,
+          |  "facet": {"b": {"type": "terms", "field": "kind"}}}}""".stripMargin)
+  }
+
+  test("allBuckets and missing append tagged global rows outside the bucket list") {
+    val got = JsonFacetApi.jsonFacet(spark, store,
+      """{"brands": {"type": "terms", "field": "brand", "limit": 2,
+        |  "allBuckets": true, "missing": true,
+        |  "facet": {"max_size": "max(size)"}}}""".stripMargin)
+      .collect().map(r => (r.getString(0), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(got === Set(
+      ("term", Some("a"), 3L, 3L),
+      ("term", Some("b"), 2L, 20L),          // limit cuts c, not the extras
+      ("allBuckets", None, 7L, 99L),         // EVERY doc incl. null brand
+      ("missing", None, 1L, 99L)))           // the null-brand bucket
   }
 }
