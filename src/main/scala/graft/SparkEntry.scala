@@ -2539,6 +2539,14 @@ object SparkEntry {
           |  "facet": {"sum_size": "sum(p_size)"}}}""".stripMargin)
     }),
 
+    // FIM pretraining transform (Bavarian et al. 2022): deterministic
+    // md5 coin + salted cut points -> <PRE>p<SUF>s<MID>m re-emission;
+    // pure codegen'd projection, reproducible across engines/retries
+    "q183_fim_split" -> ((s, d) =>
+      ops.FimTransform.fimSplit(Tables.documents(s, d),
+          col("doc_id"), col("text"), rate = 0.4)
+        .select(col("doc_id"), col("mode"), col("fim_text"))),
+
     // Solr terms.regex: vocabulary filtered by a FULL-match regex (the
     // prefix form is q92); same postings-backed shape, regex applied
     // to the term dictionary before the bounded cut
@@ -4070,6 +4078,29 @@ object SparkEntry {
         |SELECT 'missing', NULL, count(CASE WHEN p_brand IS NULL THEN 1 END),
         |  CAST(sum(CASE WHEN p_brand IS NULL THEN p_size END) AS BIGINT)
         |FROM part""".stripMargin,
+
+    // the same md5 coin / cut-point arithmetic replayed: first 8 md5
+    // hex chars over 2^32 for the coin, salted hashes mod (len+1) for
+    // the cuts, substr algebra identical 1-based in both engines
+    "q183_fim_split" ->
+      """WITH h AS (
+        |  SELECT doc_id, text, length(text) AS len,
+        |    CAST(('0x' || substr(md5('fim' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      / 4294967296.0 AS coin,
+        |    CAST(('0x' || substr(md5('fim#a' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      % (length(text) + 1) AS a,
+        |    CAST(('0x' || substr(md5('fim#b' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      % (length(text) + 1) AS b
+        |  FROM documents),
+        |c AS (SELECT doc_id, text, len, coin,
+        |        least(a, b) AS lo, greatest(a, b) AS hi FROM h)
+        |SELECT doc_id,
+        |  CASE WHEN coin < 0.4 THEN 'psm' ELSE 'plain' END AS mode,
+        |  CASE WHEN coin < 0.4 THEN
+        |    '<PRE>' || substr(text, 1, lo) || '<SUF>' || substr(text, hi + 1, len - hi)
+        |      || '<MID>' || substr(text, lo + 1, hi - lo)
+        |  ELSE text END AS fim_text
+        |FROM c""".stripMargin,
 
     "q181_terms_regex" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
