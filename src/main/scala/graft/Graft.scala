@@ -374,4 +374,29 @@ object Graft {
   def histogram(df: DataFrame, c: Column, lo: Double, hi: Double,
                 buckets: Int): DataFrame =
     graft.ops.Profiling.histogram(df, c, lo, hi, buckets)
+
+  /** Query elevation — pinned/excluded ids for one query text (see
+    * [[graft.search.Elevation]]). */
+  def elevate(scored: DataFrame, idCol: Column, organic: Column,
+              elevated: Seq[String], excluded: Seq[String] = Nil): DataFrame =
+    graft.search.Elevation(scored, idCol, organic,
+      graft.search.Elevation.Config(elevated, excluded))
+
+  /** Reciprocal Rank Fusion of ranked candidate lists (see
+    * [[graft.ops.HybridSearch.rrf]]). */
+  def rrf(lists: Seq[DataFrame], idCol: String, rankCol: String,
+          k0: Int = 60): DataFrame =
+    graft.ops.HybridSearch.rrf(lists, idCol, rankCol, k0)
+
+  /** Per-group token-budget corpus selection (see
+    * [[graft.ops.Sampling.tokenBudgetSelect]]). */
+  def tokenBudgetSelect(df: DataFrame, grp: Column, order: Seq[Column],
+                        tokens: Column, budget: Long): DataFrame =
+    graft.ops.Sampling.tokenBudgetSelect(df, grp, order, tokens, budget)
+
+  /** Deterministic fill-in-the-middle transform (see
+    * [[graft.ops.FimTransform.fimSplit]]). */
+  def fimSplit(df: DataFrame, id: Column, text: Column,
+               rate: Double = 0.5, salt: String = "fim"): DataFrame =
+    graft.ops.FimTransform.fimSplit(df, id, text, rate, salt)
 }
