@@ -57,26 +57,33 @@ object Bench {
       spark.catalog.clearCache()
       name -> dt
     }
-    // the harness that captures this output keeps only a bounded tail
-    // of stdout, so the line must stay short: qNN short keys (the
-    // full names are in docs/QUERIES.md; with 77 queries full names
-    // alone blow the capture window), 2-decimal seconds (below
-    // run-to-run noise anyway), and spark.stop() BEFORE the println
-    // so no shutdown WARN lands after the JSON line
+    // the harness that captures this output keeps only the LAST 2000
+    // chars of stdout (measured across BENCH_r*.json), so the line
+    // must stay short or the opening `{"metric"` is truncated away and
+    // the driver records parsed:null (this is exactly what happened in
+    // round 6 at 143 queries). Budget: qNN short keys, 2-decimal
+    // seconds, and only the TOP_N slowest queries in the per-query
+    // map — `value` still sums ALL queries, `nq` records how many ran,
+    // and the omitted ones are all below measurement noise anyway.
+    // spark.stop() BEFORE the println so no shutdown WARN lands after
+    // the JSON line.
     // Locale.ROOT: the default-locale f"" interpolator renders a
     // comma decimal point on e.g. de_DE JVMs — malformed JSON
     def fmt(v: Double, dp: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
-    val qs = results.map { case (k, v) =>
+    val TopN = 60
+    val qs = results.sortBy(-_._2).take(TopN).sortBy(_._1).map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v, 2)
     }.mkString("{", ",", "}")
     val total = fmt(results.map(_._2).sum, 3)
     // a failed query runs fast — surface failures instead of letting
-    // them read as speedups
-    val failedJson = failed
-      .map { case (n, r) => "\"" + n + ": " + r + "\"" }
+    // them read as speedups; bounded (8 entries, 40-char reasons) so a
+    // mass failure can't blow the capture window either
+    val failedJson = (failed.take(8)
+      .map { case (n, r) => "\"" + n + ": " + r.take(40) + "\"" } ++
+      (if (failed.size > 8) Seq("\"+" + (failed.size - 8) + " more\"") else Nil))
       .mkString("[", ",", "]")
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","nq":${results.size},"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
   }
 }
