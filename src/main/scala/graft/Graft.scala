@@ -399,4 +399,36 @@ object Graft {
   def fimSplit(df: DataFrame, id: Column, text: Column,
                rate: Double = 0.5, salt: String = "fim"): DataFrame =
     graft.ops.FimTransform.fimSplit(df, id, text, rate, salt)
+
+  /** DSIR importance-resampling selection of target-like raw docs
+    * (see [[graft.ops.Dsir.select]]). */
+  def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
+                 textCol: String, k: Int, buckets: Int = 512): DataFrame =
+    graft.ops.Dsir.select(raw, target, idCol, textCol, k, buckets)
+
+  /** Graded benchmark-contamination fractions (see
+    * [[graft.ops.Decontamination.overlapFraction]]). */
+  def contaminationFraction(corpus: DataFrame, corpusId: Column,
+                            corpusTokens: Column, bench: DataFrame,
+                            benchTokens: Column, n: Int = 8,
+                            tau: Double = 0.05): DataFrame =
+    graft.ops.Decontamination.overlapFraction(corpus, corpusId, corpusTokens,
+      bench, benchTokens, n, tau)
+
+  /** C4-style line+document cleaning (see
+    * [[graft.text.C4Filters.c4Clean]]). */
+  def c4Clean(docs: DataFrame, textCol: Column, minWords: Int = 3,
+              minLines: Int = 3, badWords: Seq[String] = Nil): DataFrame =
+    graft.text.C4Filters.c4Clean(docs, textCol, minWords, minLines, badWords)
+
+  /** Power-of-two sequence-length bucketing with padding waste (see
+    * [[graft.ops.Profiling.lengthBuckets]]). */
+  def lengthBuckets(df: DataFrame, tokens: Column): DataFrame =
+    graft.ops.Profiling.lengthBuckets(df, tokens)
+
+  /** Gopher top-n-gram char coverage per doc (see
+    * [[graft.text.TextAnalysis.topNgramCharFraction]]). */
+  def topNgramCharFraction(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int = 2): DataFrame =
+    graft.text.TextAnalysis.topNgramCharFraction(docs, idCol, textCol, n)
 }

@@ -2558,7 +2558,77 @@ object SparkEntry {
         .groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
         .orderBy(col("doc_freq").desc, col("term"))
         .limit(10)
-    })
+    }),
+
+    // DSIR importance scoring (Xie et al. 2023): raw corpus scored
+    // against the en-language target via hashed unigram+bigram
+    // buckets, bit-stable integer milli-ratio weights (the bucket
+    // table broadcasts; only the per-doc aggregate shuffles) — top-25
+    // most target-like docs
+    "q184_dsir_select" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      ops.Dsir.select(docs, docs.filter(col("lang") === "en"),
+          "doc_id", "text", k = 25, buckets = 256)
+        .select(col("doc_id"), col("n_grams"), col("dsir_sum"), col("dsir_avg"))
+    }),
+
+    // graded decontamination (the Llama-style fraction threshold next
+    // to q67's binary any-overlap): per-doc share of distinct 8-grams
+    // found in the benchmark set; bench grams broadcast, corpus never
+    // shuffles its text
+    "q185_contamination_frac" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      def toks(c: Column) = regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
+      val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(toks(col("text")).as("btoks"))
+      Decontamination.overlapFraction(docs, col("doc_id"), toks(col("text")),
+        bench, col("btoks"), n = 8, tau = 0.02)
+    }),
+
+    // C4 cleaning rules (Raffel et al. 2020 §2.2): the corpus is
+    // synthesized into lines (8-token chunks; every third line per
+    // doc ends in '.'), with lorem-ipsum / code-brace / blocklist
+    // lines PLANTED on fixed doc_id residues — line filter + first-
+    // failing doc rule, all codegen'd projections, shuffle-free
+    "q186_c4_clean" -> ((s, d) => {
+      val toks = filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= lit(""))
+      val staged = Tables.documents(s, d).withColumn("__l", toks)
+        .filter(size(col("__l")) > 0)
+      val nChunks = ceil(size(col("__l")).cast("double") / 8.0).cast("int")
+      val lines = transform(sequence(lit(0), nChunks - 1), i =>
+        concat(array_join(slice(col("__l"), i * 8 + 1, lit(8)), " "),
+          when(pmod(col("doc_id") + i, lit(3)) === 0, ".").otherwise("")))
+      val lined = concat(array_join(lines, "\n"),
+        when(pmod(col("doc_id"), lit(41)) === 0,
+          "\nlorem ipsum dolor sit amet.").otherwise(""),
+        when(pmod(col("doc_id"), lit(43)) === 0,
+          "\nvar f = function() {").otherwise(""),
+        when(pmod(col("doc_id"), lit(47)) === 0,
+          "\nthis page requires badterm enabled.").otherwise(""))
+      graft.text.C4Filters.c4Clean(
+          staged.withColumn("lined", lined), col("lined"),
+          minWords = 3, minLines = 3, badWords = Seq("badterm"))
+        .select(col("doc_id"), col("clean_text"), col("n_lines_kept"),
+          col("drop_reason"))
+    }),
+
+    // sequence-length bucketing: power-of-two token buckets with the
+    // padding-waste fraction a training loader would pay per bucket —
+    // one aggregation, bit-length bucket math (no log2)
+    "q187_length_buckets" -> ((s, d) => {
+      val toks = filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= lit(""))
+      ops.Profiling.lengthBuckets(
+        Tables.documents(s, d).select(size(toks).cast("long").as("n_tokens"))
+          .filter(col("n_tokens") > 0),
+        col("n_tokens"))
+    }),
+
+    // Gopher top-2-gram char coverage: how much of each doc the
+    // single most frequent 2-gram covers (count desc, gram asc
+    // argmax) — the slogan-spam detector next to q65's dup fractions
+    "q188_top_ngram_frac" -> ((s, d) =>
+      graft.text.TextAnalysis.topNgramCharFraction(
+        Tables.documents(s, d), "doc_id", "text", n = 2))
   )
 
   /** The shared (id, ts, event_type, user_id) events segment store —
@@ -4110,6 +4180,136 @@ object SparkEntry {
         |WHERE regexp_full_match(term, 's[a-z]*[kn]')
         |GROUP BY term
         |ORDER BY doc_freq DESC, term LIMIT 10""".stripMargin,
+
+    // the same hashed-feature space (md5-prefix buckets mod 256 over
+    // unigrams ++ bigrams) and the same add-one milli-ratio weights,
+    // replayed feature-for-feature; integer sums exact both engines
+    "q184_dsir_select" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                t -> t <> '') AS toks
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, lang, unnest(toks) AS g FROM tok
+        |  UNION ALL
+        |  SELECT doc_id, lang,
+        |    unnest(list_transform(list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+        |      p -> p[1] || ' ' || p[2])) AS g
+        |  FROM tok),
+        |b AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 256 AS bkt
+        |  FROM grams),
+        |ct AS (SELECT bkt, count(*) AS c FROM b WHERE lang = 'en' GROUP BY bkt),
+        |cr AS (SELECT bkt, count(*) AS c FROM b GROUP BY bkt),
+        |w AS (
+        |  SELECT coalesce(ct.bkt, cr.bkt) AS bkt,
+        |    ((coalesce(ct.c, 0) + 1) * 1000000) // (coalesce(cr.c, 0) + 1) AS w
+        |  FROM ct FULL JOIN cr ON ct.bkt = cr.bkt),
+        |score AS (
+        |  SELECT doc_id, count(*) AS n_grams,
+        |    CAST(sum(w.w) AS BIGINT) AS dsir_sum
+        |  FROM b JOIN w ON b.bkt = w.bkt
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_grams, dsir_sum,
+        |  CAST(dsir_sum AS DOUBLE) / n_grams AS dsir_avg
+        |FROM score
+        |ORDER BY dsir_avg DESC, doc_id LIMIT 25""".stripMargin,
+
+    // q67's 8-gram construction, LEFT-joined so zero-overlap docs
+    // surface with fraction 0; count(bg.gram) counts matches only
+    "q185_contamination_frac" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |           FROM documents),
+        |g AS (SELECT doc_id, list_distinct(
+        |  CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+        |   ELSE list_transform(generate_series(1, len(toks) - 7),
+        |     i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+        |                    toks[i+4], toks[i+5], toks[i+6], toks[i+7])) END) AS grams
+        | FROM t),
+        |bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+        |cg AS (SELECT doc_id, unnest(grams) AS gram FROM g)
+        |SELECT cg.doc_id, count(*) AS n_grams,
+        |  CAST(count(bg.gram) AS BIGINT) AS n_shared,
+        |  CAST(count(bg.gram) AS DOUBLE) / count(*) AS overlap_frac,
+        |  (CAST(count(bg.gram) AS DOUBLE) / count(*)) >= 0.02 AS contaminated
+        |FROM cg LEFT JOIN bg USING (gram) GROUP BY cg.doc_id""".stripMargin,
+
+    // the identical line synthesis (8-token chunks, '.' on the
+    // (doc_id+i)%3 residue, planted lorem/brace/badterm lines) and
+    // the same first-failing-rule CASE chain
+    "q186_c4_clean" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, toks, CAST(ceil(len(toks) / 8.0) AS INT) AS nc
+        |       FROM t WHERE len(toks) > 0),
+        |lined AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_transform(generate_series(0, nc - 1),
+        |      i -> array_to_string(toks[i*8+1 : i*8+8], ' ')
+        |           || CASE WHEN (doc_id + i) % 3 = 0 THEN '.' ELSE '' END), chr(10))
+        |    || CASE WHEN doc_id % 41 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END
+        |    || CASE WHEN doc_id % 43 = 0 THEN chr(10) || 'var f = function() {' ELSE '' END
+        |    || CASE WHEN doc_id % 47 = 0 THEN chr(10) || 'this page requires badterm enabled.' ELSE '' END
+        |    AS lined
+        |  FROM t2),
+        |k AS (
+        |  SELECT doc_id, lined,
+        |    list_filter(string_split(lined, chr(10)),
+        |      l -> regexp_matches(l, '[.!?"]\s*$')
+        |        AND len(list_filter(string_split_regex(l, '\s+'), w -> w <> '')) >= 3) AS kept
+        |  FROM lined)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+        |  CAST(len(kept) AS BIGINT) AS n_lines_kept,
+        |  CASE WHEN contains(lower(lined), 'lorem ipsum') THEN 'lorem_ipsum'
+        |       WHEN contains(lined, '{') THEN 'brace'
+        |       WHEN contains(lower(lined), 'badterm') THEN 'bad_word'
+        |       WHEN len(kept) < 3 THEN 'too_few_lines' END AS drop_reason
+        |FROM k""".stripMargin,
+
+    // the same bit-length power-of-two bucket math (1 << bits(n-1))
+    "q187_length_buckets" ->
+      """WITH t AS (
+        |  SELECT len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |             x -> x <> '')) AS n_tokens
+        |  FROM documents),
+        |b AS (
+        |  SELECT CASE WHEN n_tokens <= 1 THEN 1
+        |         ELSE 1 << length(bin(n_tokens - 1)) END AS bucket, n_tokens
+        |  FROM t WHERE n_tokens > 0)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(bucket * count(*) AS BIGINT) AS capacity,
+        |  CAST(bucket * count(*) - sum(n_tokens) AS DOUBLE) / (bucket * count(*)) AS padding_frac
+        |FROM b GROUP BY bucket""".stripMargin,
+
+    // 2-gram construction as in q185's 8-gram form; argmax replayed
+    // with the same (count desc, gram asc) order
+    "q188_top_ngram_frac" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, toks,
+        |         length(array_to_string(toks, ' ')) AS total_chars FROM t
+        |       WHERE length(array_to_string(toks, ' ')) > 0),
+        |g AS (SELECT doc_id, total_chars, unnest(
+        |  CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+        |   ELSE list_transform(generate_series(1, len(toks) - 1),
+        |     i -> toks[i] || ' ' || toks[i+1]) END) AS gram
+        | FROM t2),
+        |c AS (SELECT doc_id, total_chars, gram, count(*) AS cnt
+        |      FROM g GROUP BY ALL),
+        |top AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY cnt DESC, gram ASC) AS rn FROM c)
+        |SELECT doc_id, gram AS top_gram, cnt AS gram_count,
+        |  CAST(total_chars AS BIGINT) AS total_chars,
+        |  CAST(cnt * length(gram) AS DOUBLE) / total_chars AS top_gram_char_frac
+        |FROM top WHERE rn = 1""".stripMargin,
 
     "q179_group_ngroups" ->
       """WITH base AS (SELECT * FROM orders WHERE o_totalprice > 400000.0),

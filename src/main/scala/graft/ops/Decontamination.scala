@@ -38,4 +38,37 @@ object Decontamination {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared_grams"))
   }
+
+  /**
+   * GRADED decontamination — [[sharedNgrams]] reports the leak
+   * count, this reports the per-doc contamination DEGREE: the
+   * fraction of a document's distinct n-grams that appear in the
+   * benchmark set, plus the `contaminated` verdict at `tau`. The
+   * binary any-overlap rule (PaLM/GPT-3 style) over-drops long
+   * documents that share one boilerplate gram; the fraction is what
+   * the Llama-style filters threshold on.
+   *
+   * Every corpus doc is returned (zero-overlap docs score 0.0).
+   * Same scale shape as [[sharedNgrams]]: benchmark grams broadcast
+   * with a hit marker, corpus grams LEFT-join them map-side, one
+   * per-doc aggregation — the corpus never shuffles its text.
+   */
+  def overlapFraction(corpus: DataFrame, corpusId: Column, corpusTokens: Column,
+                      bench: DataFrame, benchTokens: Column, n: Int = 8,
+                      tau: Double = 0.05): DataFrame = {
+    val benchGrams = bench
+      .select(explode(array_distinct(ApproxDedup.shingles(benchTokens, n))).as("gram"))
+      .distinct()
+      .withColumn("__hit", lit(1L))
+    corpus
+      .select(corpusId.as("doc_id"),
+        explode(array_distinct(ApproxDedup.shingles(corpusTokens, n))).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_shared"))
+      .withColumn("overlap_frac",
+        col("n_shared").cast("double") / col("n_grams"))
+      .withColumn("contaminated", col("overlap_frac") >= tau)
+  }
 }

@@ -41,4 +41,29 @@ object Profiling {
       max(c).as("max_v"),
       sum(c).as("sum_v"),
       (sum(c).cast("double") / count(lit(1))).as("mean_v"))
+
+  /** Next power of two ≥ n (n ≥ 1), in exact integer space: 2 to the
+    * bit length of n-1 (no log2 of the VALUE — the bit count comes
+    * from the binary-string length both engines expose, and
+    * pow(2, k) is IEEE-exact for every k that fits a long). */
+  def pow2Bucket(n: Column): Column =
+    when(n <= 1L, lit(1L))
+      .otherwise(pow(lit(2.0), length(bin(n - 1L)).cast("int")).cast("long"))
+
+  /**
+   * Sequence-length bucketing — the batching-efficiency profile of a
+   * tokenized corpus. Training loaders pad every sequence in a batch
+   * to a common length; bucketing by power-of-two length bounds the
+   * padding waste. Per bucket: document count, real token total, the
+   * padded capacity (bucket · count), and the padding fraction the
+   * loader would waste there. One aggregation; the padding math is
+   * exact integers until the final division.
+   */
+  def lengthBuckets(df: DataFrame, tokens: Column): DataFrame =
+    df.groupBy(pow2Bucket(tokens.cast("long")).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokens.cast("long")).as("total_tokens"))
+      .withColumn("capacity", col("bucket") * col("n_docs"))
+      .withColumn("padding_frac",
+        (col("capacity") - col("total_tokens")).cast("double") / col("capacity"))
 }

@@ -290,4 +290,40 @@ object TextAnalysis {
     // computing window minima + inline distinct, replacing the
     // interpreted per-window least(element_at...) lambda — same values
     graft.functions.WinnowMinima.winnow_minima(hashedShingles, w)
+
+  /**
+   * Gopher §A1.1's OTHER repetition family — [[repetitionColumns]]
+   * measures how many grams are duplicated; this measures how much of
+   * the document the single MOST FREQUENT n-gram covers: char_frac =
+   * count(top gram) · chars(top gram) / chars(all tokens joined) —
+   * integer counts, one final division. A spam page that repeats one
+   * slogan scores near 1.0 even when its gram-diversity looks fine.
+   *
+   * Output per doc: (id, top_gram, gram_count, total_chars,
+   * top_gram_char_frac). The top gram per doc is chosen by
+   * (count desc, gram asc) — a deterministic total order. Shape: one
+   * (doc, gram) aggregation, then the per-doc argmax window riding
+   * the SAME (partial) partitioning. Docs shorter than n tokens fall
+   * back to the whole-doc shingle (fraction 1.0) — consistent with
+   * `ApproxDedup.shingles`.
+   */
+  def topNgramCharFraction(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                           textCol: String, n: Int = 2): org.apache.spark.sql.DataFrame = {
+    val base = docs.select(col(idCol), expr(
+      s"filter(split(lower(`$textCol`), '[^a-z0-9]+'), x -> x <> '')").as("__l"))
+      .withColumn("__chars",
+        length(concat_ws(" ", col("__l"))).cast("long"))
+      .filter(col("__chars") > 0)
+    val grams = base.select(col(idCol), col("__chars"),
+      explode(graft.ops.ApproxDedup.shingles(col("__l"), n)).as("__g"))
+    val counts = grams.groupBy(col(idCol), col("__chars"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__c").desc, col("__g").asc)
+    counts.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col(idCol), col("__g").as("top_gram"), col("__c").as("gram_count"),
+        col("__chars").as("total_chars"),
+        ((col("__c") * length(col("__g")).cast("long")).cast("double")
+          / col("__chars").cast("double")).as("top_gram_char_frac"))
+  }
 }

@@ -43,4 +43,21 @@ class DecontaminationSpec extends AnyFunSuite {
     // corpus 2-grams distinct: {a b, b a}; bench: {a b}
     assert(got === Seq((1L, 1L)))
   }
+
+  test("overlapFraction: every doc returned, graded, thresholded") {
+    val corpus = Seq(
+      (1L, "a b c d e f"),   // grams {a b, b c, c d, d e, e f}: 2/5 shared
+      (2L, "p q r s"),       // zero overlap
+      (3L, "a b c")          // grams {a b, b c}: 2/2 shared
+    ).toDF("id", "text")
+    val bench = Seq("a b c").toDF("btext")
+    val got = Decontamination.overlapFraction(
+      corpus, col("id"), tok("text"), bench, tok("btext"), n = 2, tau = 0.5)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSeq
+    assert(got === Seq(
+      (1L, 5L, 2L, 0.4, false),
+      (2L, 3L, 0L, 0.0, false),
+      (3L, 2L, 2L, 1.0, true)))
+  }
 }

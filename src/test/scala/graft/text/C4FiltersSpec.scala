@@ -1,0 +1,47 @@
+package graft.text
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class C4FiltersSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def clean(text: String, bad: Seq[String] = Nil) =
+    C4Filters.c4Clean(Seq((1L, text)).toDF("id", "text"), col("text"),
+        minWords = 3, minLines = 2, badWords = bad)
+      .select("clean_text", "n_lines_kept", "drop_reason")
+      .as[(String, Long, Option[String])].head()
+
+  test("keeps only terminal-punctuation lines with enough words") {
+    val (ct, n, reason) = clean(
+      "a good sentence here.\nshort.\nno punctuation at all\nanother fine line!\n")
+    assert(ct === "a good sentence here.\nanother fine line!")
+    assert(n === 2L)
+    assert(reason === None)
+  }
+
+  test("closing quote after punctuation counts as terminal") {
+    val (_, n, _) = clean("he said \"this is fine.\"\nand that was that.")
+    assert(n === 2L)
+  }
+
+  test("lorem ipsum beats other reasons (C4 rule order)") {
+    val (_, _, r) = clean("Lorem Ipsum dolor { badword.\nx.", Seq("badword"))
+    assert(r === Some("lorem_ipsum"))
+  }
+
+  test("brace then bad_word then too_few_lines precedence") {
+    assert(clean("code { here.\nmore good text here.\nthird fine line.")._3
+      === Some("brace"))
+    assert(clean("spamword is right here.\nmore good text here.",
+      Seq("spamword"))._3 === Some("bad_word"))
+    assert(clean("only one good line here.")._3 === Some("too_few_lines"))
+  }
+
+  test("empty text drops with empty clean_text") {
+    val (ct, n, r) = clean("")
+    assert(ct === "" && n === 0L && r === Some("too_few_lines"))
+  }
+}

@@ -161,4 +161,18 @@ class TextAnalysisSpec extends AnyFunSuite {
       composable(col("hs")).as("comp")).collect()
     rows.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
   }
+
+  test("topNgramCharFraction: argmax with (count desc, gram asc) tie-break") {
+    val df = Seq(
+      (1L, "buy now buy now buy now"),  // "buy now" x3, joined len 23
+      (2L, "alpha beta gamma"),         // all 2-grams unique -> lexicographic min
+      (3L, "solo")                      // < n tokens: whole-doc fallback
+    ).toDF("id", "text")
+    val got = TextAnalysis.topNgramCharFraction(df, "id", "text", n = 2)
+      .orderBy("id")
+      .as[(Long, String, Long, Long, Double)].collect().toSeq
+    assert(got(0) === ((1L, "buy now", 3L, 23L, 3 * 7 / 23.0)))
+    assert(got(1) === ((2L, "alpha beta", 1L, 16L, 10 / 16.0)))
+    assert(got(2) === ((3L, "solo", 1L, 4L, 1.0)))
+  }
 }
