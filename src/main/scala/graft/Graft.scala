@@ -431,4 +431,16 @@ object Graft {
   def topNgramCharFraction(docs: DataFrame, idCol: String, textCol: String,
                            n: Int = 2): DataFrame =
     graft.text.TextAnalysis.topNgramCharFraction(docs, idCol, textCol, n)
+
+  /** Dedup remap table (loser → kept representative, see
+    * [[graft.dedup.Dedup.dedupMap]]). */
+  def dedupMap(df: DataFrame, id: Column, content: Column,
+               keepBy: Seq[Column]): DataFrame =
+    graft.dedup.Dedup.dedupMap(df, id, content, keepBy)
+
+  /** Curriculum staging with deterministic within-stage order (see
+    * [[graft.ops.Sampling.curriculum]]). */
+  def curriculum(df: DataFrame, id: Column, difficulty: Column,
+                 thresholds: Seq[Double], salt: String = "cur"): DataFrame =
+    graft.ops.Sampling.curriculum(df, id, difficulty, thresholds, salt)
 }

@@ -2628,7 +2628,77 @@ object SparkEntry {
     // argmax) — the slogan-spam detector next to q65's dup fractions
     "q188_top_ngram_frac" -> ((s, d) =>
       graft.text.TextAnalysis.topNgramCharFraction(
-        Tables.documents(s, d), "doc_id", "text", n = 2))
+        Tables.documents(s, d), "doc_id", "text", n = 2)),
+
+    // dedup REMAP table (provenance for reference rewriting): for
+    // every doc losing its exact-content cluster, the kept
+    // representative chosen by QUALITY (n_chars desc) not arrival —
+    // clusters keyed on the 40-char prefix so the corpus has real ones
+    "q189_dedup_map" -> ((s, d) =>
+      graft.dedup.Dedup.dedupMap(Tables.documents(s, d), col("doc_id"),
+        lower(substring(col("text"), 1, 40)),
+        Seq(col("n_chars").desc, col("doc_id")))),
+
+    // facet.range `other` buckets (before/after/between): the three
+    // tagged rows OUTSIDE the bucket list that Solr serves with
+    // include-edge semantics — same single-scan aggregate family as
+    // q83/q182
+    "q190_facet_range_other" -> ((s, d) => {
+      val p = Tables.part(s, d)
+      val bucketed = p.filter(col("p_size") >= 5 && col("p_size") < 45)
+        .groupBy((col("p_size") - ((col("p_size") - 5) % 10)).cast("long").as("bucket_lo"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("row_type", lit("bucket"))
+      val other = p.agg(
+        sum(when(col("p_size") < 5, 1L).otherwise(0L)).as("before"),
+        sum(when(col("p_size") >= 45, 1L).otherwise(0L)).as("after"),
+        sum(when(col("p_size") >= 5 && col("p_size") < 45, 1L).otherwise(0L)).as("between"))
+      val tagged = Seq("before", "after", "between").map(t =>
+        other.select(lit(t).as("row_type"), lit(null).cast("long").as("bucket_lo"),
+          col(t).as("cnt")))
+      bucketed.select(col("row_type"), col("bucket_lo"), col("cnt"))
+        .unionAll(tagged.reduce(_ unionAll _))
+    }),
+
+    // grouped faceting (group.facet=true): facet counts by GROUP —
+    // for each facet value, how many matching groups contain it; the
+    // distinct (group, value) collapse IS the semantic
+    "q191_group_facet" -> ((s, d) =>
+      Tables.lineitem(s, d).filter(col("l_quantity") >= 30)
+        .select(col("l_orderkey"), col("l_returnflag")).distinct()
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("group_count"))
+        .orderBy(col("group_count").desc, col("l_returnflag"))),
+
+    // curriculum staging: fixed difficulty thresholds on n_chars +
+    // the deterministic within-stage shuffle key — one shuffle-free
+    // projection (easy-to-hard loader order)
+    "q192_curriculum" -> ((s, d) =>
+      ops.Sampling.curriculum(Tables.documents(s, d), col("doc_id"),
+          col("n_chars"), thresholds = Seq(150.0, 300.0, 450.0))
+        .select(col("doc_id"), col("n_chars"), col("stage"), col("stage_order"))),
+
+    // geodist() SORT (the d=... filter is q99): nearest-20 customers
+    // by haversine km, rounded 4dp to absorb libm ulp before the
+    // (dist, id) order — same synthesized coordinates as q99
+    "q193_geodist_sort" -> ((s, d) => {
+      val ptLat = 10.0
+      val ptLon = 20.0
+      val c = Tables.customer(s, d)
+        .withColumn("lat", (pmod(col("c_custkey"), lit(120)) - lit(60)).cast("double") * lit(0.7))
+        .withColumn("lon", (pmod(col("c_custkey") * lit(7), lit(360)) - lit(180)).cast("double") * lit(0.9))
+      val hav = {
+        val dLat = radians(col("lat") - lit(ptLat)) / lit(2.0)
+        val dLon = radians(col("lon") - lit(ptLon)) / lit(2.0)
+        val a = sin(dLat) * sin(dLat) +
+          cos(radians(lit(ptLat))) * cos(radians(col("lat"))) * sin(dLon) * sin(dLon)
+        lit(2.0 * 6371.0088) * asin(sqrt(a))
+      }
+      c.withColumn("dist_km", round(hav, 4))
+        .orderBy(col("dist_km").asc, col("c_custkey"))
+        .limit(20)
+        .select(col("c_custkey"), col("dist_km"))
+    })
   )
 
   /** The shared (id, ts, event_type, user_id) events segment store —
@@ -4310,6 +4380,62 @@ object SparkEntry {
         |  CAST(total_chars AS BIGINT) AS total_chars,
         |  CAST(cnt * length(gram) AS DOUBLE) / total_chars AS top_gram_char_frac
         |FROM top WHERE rn = 1""".stripMargin,
+
+    // same fingerprint key and (n_chars desc, doc_id) keep order
+    "q189_dedup_map" ->
+      """WITH f AS (SELECT doc_id, n_chars,
+        |             md5(lower(substr(text, 1, 40))) AS fp FROM documents),
+        |w AS (SELECT doc_id, fp,
+        |        row_number() OVER (PARTITION BY fp
+        |          ORDER BY n_chars DESC, doc_id) AS rn,
+        |        first_value(doc_id) OVER (PARTITION BY fp
+        |          ORDER BY n_chars DESC, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS kept_id,
+        |        count(*) OVER (PARTITION BY fp) AS cluster_size
+        |      FROM f)
+        |SELECT doc_id AS id, kept_id, cluster_size FROM w WHERE rn > 1""".stripMargin,
+
+    "q190_facet_range_other" ->
+      """WITH b AS (
+        |  SELECT 'bucket' AS row_type,
+        |    CAST(p_size - ((p_size - 5) % 10) AS BIGINT) AS bucket_lo,
+        |    count(*) AS cnt
+        |  FROM part WHERE p_size >= 5 AND p_size < 45 GROUP BY 2)
+        |SELECT * FROM b
+        |UNION ALL SELECT 'before', NULL, count(*) FROM part WHERE p_size < 5
+        |UNION ALL SELECT 'after', NULL, count(*) FROM part WHERE p_size >= 45
+        |UNION ALL SELECT 'between', NULL, count(*) FROM part
+        |  WHERE p_size >= 5 AND p_size < 45""".stripMargin,
+
+    "q191_group_facet" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS group_count
+        |FROM lineitem WHERE l_quantity >= 30
+        |GROUP BY l_returnflag
+        |ORDER BY group_count DESC, l_returnflag""".stripMargin,
+
+    "q192_curriculum" ->
+      """SELECT doc_id, n_chars,
+        |  CAST(1 + CAST(n_chars > 150 AS INT) + CAST(n_chars > 300 AS INT)
+        |    + CAST(n_chars > 450 AS INT) AS BIGINT) AS stage,
+        |  md5('cur' || CAST(doc_id AS VARCHAR)) AS stage_order
+        |FROM documents""".stripMargin,
+
+    // q99's distance chain, ordered: round(,4) absorbs libm ulp
+    // BEFORE the sort so the order itself is engine-stable
+    "q193_geodist_sort" ->
+      """WITH c AS (SELECT c_custkey,
+        |  CAST(c_custkey % 120 - 60 AS DOUBLE) * 0.7 AS lat,
+        |  CAST((c_custkey * 7) % 360 - 180 AS DOUBLE) * 0.9 AS lon
+        | FROM customer),
+        |d AS (SELECT c_custkey,
+        |  round(2.0 * 6371.0088 * asin(sqrt(
+        |    sin(radians(lat - 10.0) / 2.0) * sin(radians(lat - 10.0) / 2.0)
+        |    + cos(radians(10.0)) * cos(radians(lat))
+        |      * sin(radians(lon - 20.0) / 2.0) * sin(radians(lon - 20.0) / 2.0)
+        |  )), 4) AS dist_km
+        | FROM c)
+        |SELECT c_custkey, dist_km FROM d
+        |ORDER BY dist_km ASC, c_custkey LIMIT 20""".stripMargin,
 
     "q179_group_ngroups" ->
       """WITH base AS (SELECT * FROM orders WHERE o_totalprice > 400000.0),

@@ -173,4 +173,33 @@ object Dedup {
         count(lit(1)).as("distinct_contents"),
         sum(col("__n") - 1).as("exact_dup_docs"),
         max(col("__n")).as("largest_clone_cluster"))
+
+  /**
+   * Dedup REMAP table — the provenance artifact the drop-side dedup
+   * family ([[exactByContent]]) doesn't produce: for every document
+   * that loses its exact-content cluster, `(id, kept_id,
+   * cluster_size)` naming the representative that replaces it.
+   * Downstream consumers use it to rewrite references (citation
+   * graphs, parent/child links, eval-set provenance) instead of
+   * dangling on dropped ids.
+   *
+   * The representative is chosen by `keepBy` ascending (put the
+   * BEST doc first — e.g. `col("quality").desc` then the id for a
+   * total order), so "keep the best copy" replaces [[exactByContent]]'s
+   * keep-first when copies differ in quality. One window shuffle on
+   * the fingerprint key; singleton clusters produce no rows.
+   */
+  def dedupMap(df: DataFrame, id: Column, content: Column,
+               keepBy: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(col("__fp")).orderBy(keepBy: _*)
+    df.withColumn("__fp", md5(content.cast("string")))
+      .withColumn("__id", id)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("kept_id", first(col("__id")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("__fp"))))
+      .filter(col("__rn") > 1)
+      .select(col("__id").as("id"), col("kept_id"), col("cluster_size"))
+  }
 }

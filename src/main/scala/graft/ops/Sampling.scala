@@ -178,4 +178,29 @@ object Sampling {
     df.withColumn(out, sum(tokens.cast("long")).over(w))
       .filter(col(out) <= budget)
   }
+
+  /**
+   * Curriculum staging (easy-to-hard pretraining order): assign each
+   * doc a stage by comparing its difficulty against FIXED ascending
+   * thresholds (stage 1 = difficulty ≤ t1, …, stage n+1 above all) —
+   * the loader feeds stages in order — plus `stage_order`, the
+   * deterministic md5 shuffle key for WITHIN-stage batch order
+   * (curriculum training still shuffles inside a stage; a seeded RNG
+   * would be engine/retry-specific, the hash is not).
+   *
+   * Thresholds are caller-fixed, not quantiles, so the whole op is
+   * one shuffle-free codegen'd projection (derive data-driven
+   * thresholds separately from [[Profiling.histogram]] /
+   * `groupSummary` when needed — at 100 TB you want that profile
+   * cached anyway, not recomputed inside every staging pass).
+   */
+  def curriculum(df: DataFrame, id: Column, difficulty: Column,
+                 thresholds: Seq[Double], salt: String = "cur"): DataFrame = {
+    require(thresholds == thresholds.sorted, "thresholds must ascend")
+    val stage = thresholds.foldLeft(lit(1)) { (acc, t) =>
+      acc + when(difficulty.cast("double") > t, 1).otherwise(0)
+    }
+    df.withColumn("stage", stage.cast("long"))
+      .withColumn("stage_order", md5(concat(lit(salt), id.cast("string"))))
+  }
 }

@@ -65,4 +65,16 @@ class DedupSpec extends AnyFunSuite {
       .select("tag").as[String].collect().toSet
     assert(got === Set("keep1", "only"))
   }
+
+  test("dedupMap: losers map to the best-quality representative") {
+    val df = Seq(
+      (1L, "dup", 10L), (2L, "dup", 30L), (3L, "dup", 20L), // kept: 2 (q=30)
+      (4L, "uniq", 5L),                                     // singleton: no row
+      (5L, "pair", 7L), (6L, "pair", 7L)                    // q tie -> id asc: 5
+    ).toDF("id", "content", "quality")
+    val got = Dedup.dedupMap(df, col("id"), col("content"),
+        Seq(col("quality").desc, col("id")))
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L, 3L), (3L, 2L, 3L), (6L, 5L, 2L)))
+  }
 }

@@ -101,4 +101,24 @@ class SamplingSpec extends AnyFunSuite {
     // b: 999, 1001>1000 dropped; c: empty
     assert(got === Seq(("a", 1L, 400L), ("a", 2L, 900L), ("b", 4L, 999L)))
   }
+
+  test("curriculum: threshold stages and deterministic within-stage key") {
+    val df = Seq((1L, 100.0), (2L, 150.0), (3L, 151.0), (4L, 500.0))
+      .toDF("id", "diff")
+    val got = Sampling.curriculum(df, col("id"), col("diff"),
+        thresholds = Seq(150.0, 300.0))
+      .select("id", "stage", "stage_order")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    // <=150 -> 1 (boundary inclusive below), >150 -> 2, >300 -> 3
+    assert(got.map(x => (x._1, x._2)).toSeq ===
+      Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 3L)))
+    // stage_order is the salted md5 of the id — reproducible
+    val again = Sampling.curriculum(df, col("id"), col("diff"),
+        thresholds = Seq(150.0, 300.0))
+      .select("id", "stage_order").as[(Long, String)].collect().sortBy(_._1)
+    assert(got.map(x => (x._1, x._3)).toSeq === again.toSeq)
+    intercept[IllegalArgumentException] {
+      Sampling.curriculum(df, col("id"), col("diff"), Seq(300.0, 150.0))
+    }
+  }
 }
