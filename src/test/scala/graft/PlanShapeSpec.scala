@@ -299,4 +299,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("unicode_normalize"), p.take(2000))
     assert(!p.contains("Exchange"), p.take(2000))
   }
+
+  test("q184 DSIR: weight table broadcast onto the gram stream, TakeOrdered select") {
+    val p = plan("q184_dsir_select")
+    // the corpus-sized join (grams × weights) must be broadcast; the
+    // full-outer between the two ≤buckets-row count frames may
+    // sort-merge — it is bounded by the bucket count, not the corpus
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // selection is TakeOrdered over the per-doc aggregate, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
+  test("q185 contamination fraction: bench grams broadcast, corpus text never shuffled") {
+    val p = plan("q185_contamination_frac")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    // two hash exchanges: the BENCH side's distinct (small by
+    // definition) and the per-doc aggregation; the corpus gram stream
+    // itself joins map-side
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 2, p.take(3000))
+  }
+
+  test("q186 C4 cleaning + q192 curriculum: shuffle-free projections") {
+    Seq("q186_c4_clean", "q192_curriculum").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q: ${p.take(2000)}")
+    }
+  }
 }
