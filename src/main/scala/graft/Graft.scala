@@ -443,4 +443,9 @@ object Graft {
   def curriculum(df: DataFrame, id: Column, difficulty: Column,
                  thresholds: Seq[Double], salt: String = "cur"): DataFrame =
     graft.ops.Sampling.curriculum(df, id, difficulty, thresholds, salt)
+
+  /** Corpus-global first-occurrence line dedup (see
+    * [[graft.text.C4Filters.dedupLinesAcross]]). */
+  def dedupLinesAcross(docs: DataFrame, id: Column, textCol: Column): DataFrame =
+    graft.text.C4Filters.dedupLinesAcross(docs, id, textCol)
 }

@@ -2678,6 +2678,63 @@ object SparkEntry {
           col("n_chars"), thresholds = Seq(150.0, 300.0, 450.0))
         .select(col("doc_id"), col("n_chars"), col("stage"), col("stage_order"))),
 
+    // the REST of Solr's atomic-update modifier family (q86 covers
+    // set/inc/add): remove occurrences, removeregex patterns,
+    // add-distinct — one left equi-join, update side broadcast-sized;
+    // final arrays sorted before join so the oracle is order-free
+    "q194_atomic_update_ops" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"),
+        array(col("source"), col("lang"),
+          concat(lit("n"), pmod(col("doc_id"), lit(3)))).as("tags_a"))
+        .withColumn("tags_b", col("tags_a"))
+        .withColumn("tags_c", col("tags_a"))
+      val updates = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(4)) === 0)
+        .select(col("doc_id"),
+          array(col("lang")).as("tags_a"),            // remove the lang tag
+          array(lit("^n[01]$")).as("tags_b"),         // strip n0/n1 markers
+          array(lit("extra"), col("source")).as("tags_c")) // source already present
+      graft.etl.Etl.applyAtomicUpdates(base, updates, "doc_id",
+          remove = Seq("tags_a"), removeRegex = Seq("tags_b"),
+          addDistinct = Seq("tags_c"))
+        .select(col("doc_id"),
+          array_join(array_sort(col("tags_a")), "|").as("a_joined"),
+          array_join(array_sort(col("tags_b")), "|").as("b_joined"),
+          array_join(array_sort(col("tags_c")), "|").as("c_joined"))
+    }),
+
+    // C4 corpus-global line dedup: the planted boilerplate footer
+    // ("all rights reserved.") survives only in the first even doc;
+    // q186's line synthesis provides the rest of the lines
+    "q195_line_dedup" -> ((s, d) => {
+      val toks = filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= lit(""))
+      val staged = Tables.documents(s, d).withColumn("__l", toks)
+        .filter(size(col("__l")) > 0)
+      val nChunks = ceil(size(col("__l")).cast("double") / 8.0).cast("int")
+      val lines = transform(sequence(lit(0), nChunks - 1), i =>
+        array_join(slice(col("__l"), i * 8 + 1, lit(8)), " "))
+      val lined = concat(array_join(lines, "\n"),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          "\nall rights reserved.").otherwise(""))
+      graft.text.C4Filters.dedupLinesAcross(
+        staged.withColumn("lined", lined), col("doc_id"), col("lined"))
+    }),
+
+    // tokenizer fertility per language (subwords per word — the
+    // multilingual tokenizer-quality metric): q47's kernels rolled up
+    // by lang, exact integer sums, one aggregation
+    "q196_fertility" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"),
+          TextAnalysis.whitespaceTokenCount(col("text")).cast("long").as("__w"),
+          TextAnalysis.subwordCountEstimate(col("text")).cast("long").as("__s"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__w")).as("words"),
+          sum(col("__s")).as("subwords"))
+        .withColumn("fertility",
+          col("subwords").cast("double") / col("words").cast("double"))),
+
     // geodist() SORT (the d=... filter is q99): nearest-20 customers
     // by haversine km, rounded 4dp to absorb libm ulp before the
     // (dist, id) order — same synthesized coordinates as q99
@@ -4419,6 +4476,64 @@ object SparkEntry {
         |    + CAST(n_chars > 450 AS INT) AS BIGINT) AS stage,
         |  md5('cur' || CAST(doc_id AS VARCHAR)) AS stage_order
         |FROM documents""".stripMargin,
+
+    // sorted-array joins make the compare order-free; the same
+    // remove/removeregex/add-distinct algebra in list form
+    "q194_atomic_update_ops" ->
+      """WITH b AS (SELECT doc_id,
+        |    [source, lang, 'n' || CAST(doc_id % 3 AS VARCHAR)] AS tags FROM documents),
+        |u AS (SELECT doc_id, [lang] AS rm, ['extra', source] AS ad
+        |      FROM documents WHERE doc_id % 4 = 0)
+        |SELECT b.doc_id,
+        |  array_to_string(list_sort(CASE WHEN u.rm IS NULL THEN b.tags
+        |    ELSE list_filter(b.tags, x -> NOT list_contains(u.rm, x)) END), '|') AS a_joined,
+        |  array_to_string(list_sort(CASE WHEN u.rm IS NULL THEN b.tags
+        |    ELSE list_filter(b.tags, x -> NOT regexp_matches(x, '^n[01]$')) END), '|') AS b_joined,
+        |  array_to_string(list_sort(CASE WHEN u.ad IS NULL THEN b.tags
+        |    ELSE b.tags || list_filter(list_distinct(u.ad), v -> NOT list_contains(b.tags, v)) END), '|') AS c_joined
+        |FROM b LEFT JOIN u USING (doc_id)""".stripMargin,
+
+    // q186's line synthesis (no '.' planting) + the even-doc footer;
+    // first-occurrence window replayed on the same (doc_id, idx) order
+    "q195_line_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, toks, CAST(ceil(len(toks) / 8.0) AS INT) AS nc
+        |       FROM t WHERE len(toks) > 0),
+        |lined AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_transform(generate_series(0, nc - 1),
+        |      i -> array_to_string(toks[i*8+1 : i*8+8], ' ')), chr(10))
+        |    || CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'all rights reserved.' ELSE '' END
+        |    AS lined
+        |  FROM t2),
+        |l AS (SELECT doc_id, s[2] AS line, CAST(s[1] AS BIGINT) AS idx FROM (
+        |  SELECT doc_id, unnest(list_zip(generate_series(1, len(ls)), ls)) AS s FROM (
+        |    SELECT doc_id, string_split(lined, chr(10)) AS ls FROM lined))),
+        |k AS (SELECT doc_id, idx, line,
+        |        (row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, idx)) = 1 AS kept
+        |      FROM l)
+        |SELECT doc_id AS id,
+        |  coalesce(array_to_string(list(line ORDER BY idx) FILTER (WHERE kept), chr(10)), '') AS clean_text,
+        |  CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_lines_kept,
+        |  count(*) AS n_lines
+        |FROM k GROUP BY doc_id""".stripMargin,
+
+    // q47's token kernels rolled up per language
+    "q196_fertility" ->
+      """WITH t AS (SELECT lang,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS w,
+        |  CAST(COALESCE(list_aggregate(list_transform(
+        |    regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |    x -> greatest(1, CAST(ceil(length(x)/4.0) AS INTEGER))), 'sum'), 0)
+        |   + length(regexp_replace(text, '[a-zA-Z0-9\s]+', '', 'g')) AS BIGINT) AS sw
+        | FROM documents)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(w) AS BIGINT) AS words,
+        |  CAST(sum(sw) AS BIGINT) AS subwords,
+        |  CAST(sum(sw) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS fertility
+        |FROM t GROUP BY lang""".stripMargin,
 
     // q99's distance chain, ordered: round(,4) absorbs libm ulp
     // BEFORE the sort so the order itself is engine-stable

@@ -77,11 +77,15 @@ object Etl {
       when(col(field).isNull, values).otherwise(concat(col(field), values)))
 
   /**
-   * Solr atomic updates (`{"set": …}`, `{"inc": …}`, `{"add": …}`)
+   * Solr atomic updates (`set` / `inc` / `add` / `remove` /
+   * `removeregex` / `add-distinct` — the full modifier family)
    * applied as a bulk merge: left-join `updates` onto `base` by `key`
    * and combine per field — `set` overwrites when the update carries a
    * non-null value (null/absent keeps the old value), `inc` adds the
-   * numeric delta, `add` appends to a multivalued (array) field.
+   * numeric delta, `add` appends to a multivalued (array) field,
+   * `remove` drops occurrences of the given values, `removeregex`
+   * drops entries matching any given pattern, `addDistinct` appends
+   * only values not already present.
    * Documents without an update pass through unchanged; updates whose
    * key matches nothing are ignored (Solr would create a doc — that is
    * an ingest, not an update, and belongs to the union + dedup path).
@@ -91,8 +95,11 @@ object Etl {
    */
   def applyAtomicUpdates(base: DataFrame, updates: DataFrame, key: String,
                          set: Seq[String] = Nil, inc: Seq[String] = Nil,
-                         add: Seq[String] = Nil): DataFrame = {
-    val touched = (set ++ inc ++ add).distinct
+                         add: Seq[String] = Nil,
+                         remove: Seq[String] = Nil,
+                         removeRegex: Seq[String] = Nil,
+                         addDistinct: Seq[String] = Nil): DataFrame = {
+    val touched = (set ++ inc ++ add ++ remove ++ removeRegex ++ addDistinct).distinct
     require(touched.nonEmpty, "no update fields given")
     require(!touched.contains(key), "cannot update the key itself")
     // duplicate update keys would FAN OUT base rows through the join,
@@ -116,6 +123,22 @@ object Etl {
           // null base counts as 0 (Solr inc on an absent field sets it
           // to the delta) — but a doc with NO update row stays null
           when(upd.isNull, col(f)).otherwise(coalesce(col(f), lit(0)) + upd)
+        else if (remove.contains(f))
+          // remove: drop OCCURRENCES of the given values (Solr keeps
+          // duplicates of everything else — array_except would dedup
+          // survivors, so filter instead); absent base stays absent
+          when(upd.isNull, col(f))
+            .otherwise(filter(col(f), x => !array_contains(upd, x)))
+        else if (removeRegex.contains(f))
+          // removeregex: drop entries matching ANY update pattern
+          when(upd.isNull, col(f))
+            .otherwise(filter(col(f), x => !exists(upd, p => regexp_like(x, p))))
+        else if (addDistinct.contains(f))
+          // add-distinct: append each update value once, iff absent
+          // (array_except = distinct upd values not already in base)
+          when(upd.isNull, col(f))
+            .otherwise(when(col(f).isNull, array_distinct(upd))
+              .otherwise(concat(col(f), array_except(upd, col(f)))))
         else // add: null-safe append (no untyped empty-array literals)
           when(upd.isNull, col(f))
             .otherwise(when(col(f).isNull, upd).otherwise(concat(col(f), upd)))

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -38,6 +39,40 @@ object C4Filters {
    * the word-list sizes C4 uses; a 10k+ list would move to a
    * broadcast join on exploded tokens.
    */
+  /**
+   * C4's CORPUS-GLOBAL line dedup (the "three-sentence span" rule
+   * generalized to lines): every distinct line survives only at its
+   * FIRST occurrence in (id, line-index) order; later copies — the
+   * boilerplate/cookie-banner/footer lines that repeat across a crawl
+   * — are cut from their documents. Documents keep their remaining
+   * lines in order (possibly none).
+   *
+   * Output: (id, clean_text, n_lines_kept, n_lines).
+   *
+   * Scale shape: lines move ONCE to the md5(line)-key window (the
+   * first-occurrence decision), then once more to the per-doc rebuild
+   * aggregation — two line-volume shuffles, no self-join, no
+   * collect. The rebuild keeps all-lines-dropped docs (empty
+   * clean_text) because the aggregation groups every line row, kept
+   * or not.
+   */
+  def dedupLinesAcross(docs: DataFrame, id: Column, textCol: Column): DataFrame = {
+    val lines = docs.select(id.as("id"),
+      posexplode(split(textCol, "\n")).as(Seq("idx", "line")))
+    val w = Window.partitionBy(md5(col("line")))
+      .orderBy(col("id"), col("idx"))
+    lines
+      .withColumn("__kept", row_number().over(w) === 1)
+      .groupBy(col("id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("__kept"),
+            struct(col("idx").as("i"), col("line").as("l"))))),
+          x => x.getField("l")), "\n").as("clean_text"),
+        sum(when(col("__kept"), 1L).otherwise(0L)).as("n_lines_kept"),
+        count(lit(1)).as("n_lines"))
+  }
+
   def c4Clean(docs: DataFrame, textCol: Column, minWords: Int = 3,
               minLines: Int = 3, badWords: Seq[String] = Nil): DataFrame = {
     val kept = keptLines(textCol, minWords)

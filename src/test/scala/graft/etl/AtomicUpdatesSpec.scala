@@ -66,4 +66,29 @@ class AtomicUpdatesSpec extends AnyFunSuite {
       Etl.applyAtomicUpdates(base, updates, "id")
     }
   }
+
+  test("remove drops occurrences but keeps duplicates of survivors") {
+    val b = Seq((1L, Seq("a", "b", "a", "c")), (2L, Seq("x", "x"))).toDF("id", "tags")
+    val u = Seq((1L, Seq("a"))).toDF("id", "tags")
+    val got = Etl.applyAtomicUpdates(b, u, "id", remove = Seq("tags"))
+      .orderBy("id").as[(Long, Seq[String])].collect().toSeq
+    assert(got === Seq((1L, Seq("b", "c")), (2L, Seq("x", "x"))))
+  }
+
+  test("removeregex drops entries matching any pattern") {
+    val b = Seq((1L, Seq("n0", "n1", "keep", "n22"))).toDF("id", "tags")
+    val u = Seq((1L, Seq("^n[0-9]$"))).toDF("id", "tags")
+    val got = Etl.applyAtomicUpdates(b, u, "id", removeRegex = Seq("tags"))
+      .as[(Long, Seq[String])].head()
+    assert(got === ((1L, Seq("keep", "n22"))))
+  }
+
+  test("add-distinct appends only absent values, once each") {
+    val b = Seq((1L, Seq("a", "b")), (2L, null.asInstanceOf[Seq[String]]))
+      .toDF("id", "tags")
+    val u = Seq((1L, Seq("b", "c", "c")), (2L, Seq("z", "z"))).toDF("id", "tags")
+    val got = Etl.applyAtomicUpdates(b, u, "id", addDistinct = Seq("tags"))
+      .orderBy("id").as[(Long, Seq[String])].collect().toSeq
+    assert(got === Seq((1L, Seq("a", "b", "c")), (2L, Seq("z"))))
+  }
 }

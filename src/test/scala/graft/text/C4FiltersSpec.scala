@@ -44,4 +44,25 @@ class C4FiltersSpec extends AnyFunSuite {
     val (ct, n, r) = clean("")
     assert(ct === "" && n === 0L && r === Some("too_few_lines"))
   }
+
+  test("dedupLinesAcross: first occurrence wins, order preserved, empty docs kept") {
+    val df = Seq(
+      (1L, "unique one.\nfooter text."),
+      (2L, "footer text.\nunique two."),   // loses the footer, keeps its own
+      (3L, "footer text.")                 // loses everything
+    ).toDF("id", "text")
+    val got = C4Filters.dedupLinesAcross(df, col("id"), col("text"))
+      .orderBy("id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, "unique one.\nfooter text.", 2L, 2L),
+      (2L, "unique two.", 1L, 2L),
+      (3L, "", 0L, 1L)))
+  }
+
+  test("dedupLinesAcross: duplicate lines WITHIN a doc collapse to the first") {
+    val df = Seq((1L, "same line.\nsame line.\nother.")).toDF("id", "text")
+    val got = C4Filters.dedupLinesAcross(df, col("id"), col("text"))
+      .as[(Long, String, Long, Long)].head()
+    assert(got === ((1L, "same line.\nother.", 2L, 3L)))
+  }
 }
