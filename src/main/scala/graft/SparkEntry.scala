@@ -2678,6 +2678,28 @@ object SparkEntry {
           col("n_chars"), thresholds = Seq(150.0, 300.0, 450.0))
         .select(col("doc_id"), col("n_chars"), col("stage"), col("stage_order"))),
 
+    // significantTerms streaming expression: foreground lift of
+    // `source` among en docs from two postings-only facet gathers
+    "q197_significant_stream" -> ((s, d) => {
+      val out = docsMetaStore(s, d)
+      Graft.streamExpr(s,
+        """significantTerms(docs_meta, q="lang:en", field="source",
+          |  minDocFreq=5, limit=10)""".stripMargin,
+        Map("docs_meta" -> out))
+    }),
+
+    // nodes()/gatherNodes graph expansion: users who purchased →
+    // everything those users do (one-hop walk, seed set broadcast
+    // per Solr's gather-into-memory contract)
+    "q198_nodes_stream" -> ((s, d) => {
+      val out = eventsTimeStore(s, d)
+      Graft.streamExpr(s,
+        """nodes(events_time,
+          |  search(events_time, q="event_type:purchase", fl="user_id", sort="id asc"),
+          |  walk="user_id->user_id", gather="event_type")""".stripMargin,
+        Map("events_time" -> out))
+    }),
+
     // the REST of Solr's atomic-update modifier family (q86 covers
     // set/inc/add): remove occurrences, removeregex patterns,
     // add-distinct — one left equi-join, update side broadcast-sized;
@@ -4476,6 +4498,23 @@ object SparkEntry {
         |    + CAST(n_chars > 450 AS INT) AS BIGINT) AS stage,
         |  md5('cur' || CAST(doc_id AS VARCHAR)) AS stage_order
         |FROM documents""".stripMargin,
+
+    "q197_significant_stream" ->
+      """WITH bg AS (SELECT source, count(*) AS bg_df FROM documents GROUP BY source),
+        |fg AS (SELECT source, count(*) AS fg_df FROM documents
+        |       WHERE lang = 'en' GROUP BY source)
+        |SELECT fg.source AS term, fg_df, bg_df,
+        |  fg_df * 1000 // bg_df AS score_milli
+        |FROM fg JOIN bg USING (source) WHERE bg_df >= 5
+        |ORDER BY score_milli DESC, term LIMIT 10""".stripMargin,
+
+    "q198_nodes_stream" ->
+      """WITH seeds AS (SELECT DISTINCT user_id FROM events
+        |               WHERE event_type = 'purchase')
+        |SELECT e.event_type AS node, count(*) AS ancestors,
+        |  CAST(1 AS BIGINT) AS level
+        |FROM events e JOIN seeds USING (user_id)
+        |GROUP BY e.event_type""".stripMargin,
 
     // sorted-array joins make the compare order-free; the same
     // remove/removeregex/add-distinct algebra in list form

@@ -3,7 +3,7 @@ package graft.index
 import graft.util.SerializableHadoopConf
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /**
@@ -433,6 +433,31 @@ object SegmentSearch {
    * distributed terms request, with data movement ∝ vocabulary size,
    * not corpus size.
    */
+  /**
+   * SignificantTermsComponent analog: terms of `field`
+   * overrepresented in the foreground (docs matching the `fq` term
+   * filter) vs the whole collection. Both frames come from the same
+   * postings-only [[facetField]] scatter-gather (vocabulary-sized,
+   * stored docs never read); significance is the q104 integer
+   * milli-ratio `fg_df·1000 div bg_df` — monotone in the foreground
+   * lift, bit-stable (Solr's exact scoring formula is
+   * implementation-defined; the RANKING contract is what this
+   * preserves).
+   */
+  def significantTerms(spark: SparkSession, store: String, field: String,
+                       fq: (String, String), minDocFreq: Long = 1L,
+                       limit: Int = 10): DataFrame = {
+    val bg = facetField(spark, store, field, None)
+      .withColumnRenamed("cnt", "bg_df")
+    val fg = facetField(spark, store, field, Some(fq))
+      .withColumnRenamed("cnt", "fg_df")
+    fg.join(bg, Seq("term"))
+      .filter(col("bg_df") >= minDocFreq)
+      .withColumn("score_milli", expr("fg_df * 1000 div bg_df").cast("long"))
+      .orderBy(col("score_milli").desc, col("term"))
+      .limit(limit)
+  }
+
   def fieldTerms(spark: SparkSession, store: String, field: String): DataFrame = {
     import spark.implicits._
     val dirs = SegmentShardSink.partIndexDirs(spark, store)

@@ -369,6 +369,57 @@ object StreamingExpressions {
           Named("fl", s"$on,$fl"))), collections)
       Stream(in.df.join(side.df, Seq(on), "left"), in.sort)
 
+    case "significantTerms" =>
+      // significantTerms(coll, q="f:v", field=..., minDocFreq=, limit=)
+      // — foreground-vs-background lift from two postings-only facet
+      // scatter-gathers (q104's milli-ratio scoring; vocabulary-sized
+      // movement, stored docs never read)
+      val coll = c.args.headOption match {
+        case Some(Pos(v)) => v
+        case _ => sys.error("significantTerms() needs the collection first")
+      }
+      val store = collections.getOrElse(coll, sys.error(s"unknown collection '$coll'"))
+      val field = named(c, "field").getOrElse(sys.error("significantTerms() needs field="))
+      val q = named(c, "q").getOrElse(sys.error("significantTerms() needs q="))
+      val fq = q.split(":", 2) match {
+        case Array(f, v) => (f.trim, v.trim)
+        case _ => sys.error(s"significantTerms() q= must be a field:value term, got '$q'")
+      }
+      Stream(graft.index.SegmentSearch.significantTerms(spark, store, field, fq,
+        minDocFreq = named(c, "minDocFreq").map(_.toLong).getOrElse(1L),
+        limit = named(c, "limit").map(_.toInt).getOrElse(10)), Nil)
+
+    case "nodes" | "gatherNodes" =>
+      // nodes(coll, <stream>, walk="streamField->collField",
+      // gather="field") — one breadth-first expansion step: the
+      // upstream node set (bounded by Solr's gather-into-memory
+      // contract → broadcast) semi-drives a scan of the collection,
+      // gathered values dedup into (node, level, ancestors). Deeper
+      // walks nest nodes() calls, level counts the nesting.
+      val coll = c.args.headOption match {
+        case Some(Pos(v)) => v
+        case _ => sys.error("nodes() needs the collection as its first argument")
+      }
+      val store = collections.getOrElse(coll, sys.error(s"unknown collection '$coll'"))
+      val walk = named(c, "walk").getOrElse(sys.error("nodes() needs walk="))
+      val gatherF = named(c, "gather").getOrElse(sys.error("nodes() needs gather="))
+      val (from, to) = walk.split("->") match {
+        case Array(a, b) => (a.trim, b.trim)
+        case _ => sys.error(s"bad walk= '$walk' (want streamField->collField)")
+      }
+      val in = one(spark, c, collections)
+      // absolute walk depth, statically from the parse tree (Solr
+      // reports the hop level; nesting nodes() adds one per layer)
+      def depth(call: Call): Int = 1 + subs(call)
+        .filter(s => s.name == "nodes" || s.name == "gatherNodes")
+        .map(depth).foldLeft(0)(math.max)
+      val seeds = in.df.select(col(from).as("__seed")).distinct()
+      val idx = spark.read.format("graft-index").load(store)
+      Stream(idx.join(broadcast(seeds), idx(to) === col("__seed"))
+        .groupBy(col(gatherF).as("node"))
+        .agg(count(lit(1)).as("ancestors"))
+        .withColumn("level", lit(depth(c).toLong)), Nil)
+
     case other => sys.error(s"unsupported streaming expression '$other'")
   }
 

@@ -154,4 +154,34 @@ class StreamingExpressionsSpec extends AnyFunSuite {
       colls).as[(String, Long)].collect().toSeq
     assert(got === Seq(("en", 3L), ("de", 1L)))
   }
+
+  test("significantTerms ranks foreground lift in milli-ratio space") {
+    // fg = n_chars >= 350 docs: ids 2,3,5,6 → langs en,de,fr,en
+    // bg: en 3, de 2, fr 1 → lift: fr 1000, de 500, en 666
+    val got = SE.compile(spark,
+      """significantTerms(c, q="n_chars:400", field="lang", limit=10)""", colls)
+    // q must be a TERM query: n_chars:400 matches ids 2,6 (both en)
+    val rows = got.as[(String, Long, Long, Long)].collect().toSeq
+    assert(rows === Seq(("en", 2L, 3L, 666L)))
+    val lifted = SE.compile(spark,
+      """significantTerms(c, q="lang:fr", field="lang", minDocFreq=1, limit=3)""",
+      colls).as[(String, Long, Long, Long)].collect().toSeq
+    assert(lifted === Seq(("fr", 1L, 1L, 1000L)))
+  }
+
+  test("nodes gathers one-hop neighbours with ancestor counts and level") {
+    // seeds: docs with n_chars 400 (ids 2,6 — lang en); walk
+    // lang->lang: all en docs; gather id
+    val got = SE.compile(spark,
+      """nodes(c, search(c, q="n_chars:400", fl="lang", sort="id asc"),
+        |  walk="lang->lang", gather="id")""".stripMargin, colls)
+      .orderBy("node").as[(String, Long, Long)].collect().toSeq
+    // each en doc matched by 1 distinct seed lang value
+    assert(got === Seq(("1", 1L, 1L), ("2", 1L, 1L), ("6", 1L, 1L)))
+    val plan = SE.compile(spark,
+      """nodes(c, search(c, q="n_chars:400", fl="lang", sort="id asc"),
+        |  walk="lang->lang", gather="id")""".stripMargin, colls)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
 }
