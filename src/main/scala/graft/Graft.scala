@@ -448,4 +448,10 @@ object Graft {
     * [[graft.text.C4Filters.dedupLinesAcross]]). */
   def dedupLinesAcross(docs: DataFrame, id: Column, textCol: Column): DataFrame =
     graft.text.C4Filters.dedupLinesAcross(docs, id, textCol)
+
+  /** Deterministic T5-style span corruption (see
+    * [[graft.ops.FimTransform.spanCorrupt]]). */
+  def spanCorrupt(df: DataFrame, id: Column, text: Column,
+                  spanFrac: Double = 0.15, salt: String = "t5"): DataFrame =
+    graft.ops.FimTransform.spanCorrupt(df, id, text, spanFrac, salt)
 }

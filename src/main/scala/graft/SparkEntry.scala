@@ -2678,6 +2678,47 @@ object SparkEntry {
           col("n_chars"), thresholds = Seq(150.0, 300.0, 450.0))
         .select(col("doc_id"), col("n_chars"), col("stage"), col("stage_order"))),
 
+    // strdist function query (Solr's string-similarity function in
+    // the q164 compiler): edit-distance similarity to a literal,
+    // exact integer levenshtein + one IEEE division — scan-local
+    "q199_strdist" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sim = Graft.functionQuery("""strdist(source, "src7")""", docs)
+      docs.select(col("doc_id"), col("source"), sim.as("sim"))
+        .filter(col("sim") >= 0.5)
+        .orderBy(col("sim").desc, col("doc_id"))
+        .limit(40)
+    }),
+
+    // /analysis/field handler: the tokenizeText chain opened up per
+    // stage (raw regex tokens -> possessive strip -> stopword drop)
+    // for the first five docs — the analyzer-debugging surface, all
+    // scan-local projections
+    "q200_analysis_stages" -> ((s, d) => {
+      val base = Tables.documents(s, d).filter(col("doc_id") < 5)
+      val raw = regexp_extract_all(lower(col("text")),
+        lit("[a-z0-9]+(?:['.][a-z0-9]+)*"), lit(0))
+      val noPoss = transform(raw, t => regexp_replace(t, "'s$", ""))
+      val noStop = filter(noPoss, t =>
+        !t.isin(TextAnalysis.EnglishStopwords.map(lit): _*))
+      val stages = Seq(
+        ("1_tokenized", raw),
+        ("2_possessive", noPoss),
+        ("3_stopwords", noStop))
+      stages.map { case (name, c) =>
+        base.select(col("doc_id"), lit(name).as("stage"),
+          array_join(c, " ").as("tokens"))
+      }.reduce(_ unionAll _)
+    }),
+
+    // T5 span corruption (the denoising sibling of q183's FIM):
+    // deterministic 15% span cut to <extra_id_0> + target emission —
+    // md5/substr algebra replayed in SQL
+    "q201_span_corrupt" -> ((s, d) =>
+      ops.FimTransform.spanCorrupt(Tables.documents(s, d),
+          col("doc_id"), col("text"), spanFrac = 0.15)
+        .select(col("doc_id"), col("corrupted"), col("target"))),
+
     // significantTerms streaming expression: foreground lift of
     // `source` among en docs from two postings-only facet gathers
     "q197_significant_stream" -> ((s, d) => {
@@ -4498,6 +4539,49 @@ object SparkEntry {
         |    + CAST(n_chars > 450 AS INT) AS BIGINT) AS stage,
         |  md5('cur' || CAST(doc_id AS VARCHAR)) AS stage_order
         |FROM documents""".stripMargin,
+
+    "q199_strdist" ->
+      """SELECT doc_id, source, sim FROM (
+        |  SELECT doc_id, source,
+        |    1.0 - CAST(levenshtein(source, 'src7') AS DOUBLE)
+        |      / greatest(length(source), 4) AS sim
+        |  FROM documents) t
+        |WHERE sim >= 0.5
+        |ORDER BY sim DESC, doc_id LIMIT 40""".stripMargin,
+
+    // q10's tokenize replay, opened per stage
+    "q200_analysis_stages" ->
+      s"""WITH b AS (SELECT doc_id,
+         |    regexp_extract_all(lower(text), '[a-z0-9]+(?:[''.][a-z0-9]+)*') AS raw
+         |  FROM documents WHERE doc_id < 5),
+         |s AS (SELECT doc_id, raw,
+         |    list_transform(raw, t -> regexp_replace(t, '''s$$', '')) AS nop
+         |  FROM b)
+         |SELECT doc_id, '1_tokenized' AS stage,
+         |  coalesce(array_to_string(raw, ' '), '') AS tokens FROM s
+         |UNION ALL SELECT doc_id, '2_possessive',
+         |  coalesce(array_to_string(nop, ' '), '') FROM s
+         |UNION ALL SELECT doc_id, '3_stopwords',
+         |  coalesce(array_to_string(
+         |    list_filter(nop, t -> t NOT IN $stopIn), ' '), '') FROM s""".stripMargin,
+
+    // the same per-mille span + salted start algebra as q183's FIM
+    "q201_span_corrupt" ->
+      """WITH h AS (
+        |  SELECT doc_id, text, length(text) AS len,
+        |    greatest(1, (length(text) * 150) // 1000) AS span
+        |  FROM documents),
+        |c AS (SELECT doc_id, text, len, span,
+        |    CAST(('0x' || substr(md5('t5#s' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      % greatest(len - span + 1, 1) AS st
+        |  FROM h)
+        |SELECT doc_id,
+        |  CASE WHEN len = 0 THEN text
+        |    ELSE substr(text, 1, st) || '<extra_id_0>'
+        |      || substr(text, st + span + 1, len - st - span) END AS corrupted,
+        |  CASE WHEN len = 0 THEN ''
+        |    ELSE '<extra_id_0>' || substr(text, st + 1, span) || '<extra_id_1>' END AS target
+        |FROM c""".stripMargin,
 
     "q197_significant_stream" ->
       """WITH bg AS (SELECT source, count(*) AS bg_df FROM documents GROUP BY source),

@@ -47,4 +47,39 @@ object FimTransform {
         when(coin, concat(lit("<PRE>"), prefix, lit("<SUF>"), suffix,
           lit("<MID>"), middle)).otherwise(text))
   }
+
+  /**
+   * T5-style span corruption (Raffel et al. 2020 §3.1.4 — the
+   * denoising pretraining objective next to [[fimSplit]]'s
+   * infilling): ONE contiguous span per document (the distributed
+   * engine's unit of corruption; the loader stacks more per
+   * sequence) is cut out and replaced by a sentinel, and the target
+   * sequence `<extra_id_0>span<extra_id_1>` is emitted alongside.
+   * Span position derives from a salted md5 start point and
+   * `spanFrac` of the document length — deterministic like
+   * [[fimSplit]] (pure function of salt/id/len), shuffle-free.
+   *
+   * Adds `corrupted` and `target`.
+   */
+  def spanCorrupt(df: DataFrame, id: Column, text: Column,
+                  spanFrac: Double = 0.15, salt: String = "t5"): DataFrame = {
+    require(spanFrac > 0 && spanFrac < 1, s"spanFrac in (0,1): $spanFrac")
+    val len = length(text)
+    // exact integer span length: floor(len·frac) in per-mille space
+    // (the products stay far below 2^53, so the floor of the double
+    // division IS integer division), at least 1 char on non-empty docs
+    val span = greatest(lit(1L),
+      floor(len.cast("long") * lit((spanFrac * 1000).round) / lit(1000.0)).cast("long"))
+    val start = hashInt(salt + "#s", id) % greatest(len.cast("long") - span + 1, lit(1L))
+    val prefix = text.substr(lit(1), start.cast("int"))
+    val middle = text.substr((start + 1).cast("int"), span.cast("int"))
+    val suffix = text.substr((start + span + 1).cast("int"),
+      (len.cast("long") - start - span).cast("int"))
+    df.withColumn("corrupted",
+        when(len === 0, text)
+          .otherwise(concat(prefix, lit("<extra_id_0>"), suffix)))
+      .withColumn("target",
+        when(len === 0, lit(""))
+          .otherwise(concat(lit("<extra_id_0>"), middle, lit("<extra_id_1>"))))
+  }
 }

@@ -50,6 +50,16 @@ object FunctionQuery {
     }
 
     def parseExpr(): Column = {
+      skipWs()
+      // string literal (strdist's comparison argument)
+      if (!eof && (peek == '"' || peek == '\'')) {
+        val q = peek; pos += 1
+        val start = pos
+        while (!eof && peek != q) pos += 1
+        require(!eof, s"unterminated string at $start in '$s'")
+        val v = s.substring(start, pos); pos += 1
+        return lit(v)
+      }
       val t = token()
       skipWs()
       if (!eof && peek == '(') {
@@ -70,7 +80,12 @@ object FunctionQuery {
         require(schema.fieldNames.contains(t),
           s"unknown field '$t' in function query '$s' " +
             s"(have ${schema.fieldNames.mkString(",")})")
-        col(t).cast("double")
+        // string fields stay strings (strdist operands); everything
+        // else enters the numeric function space as double
+        schema(t).dataType match {
+          case org.apache.spark.sql.types.StringType => col(t)
+          case _ => col(t).cast("double")
+        }
       }
     }
 
@@ -94,6 +109,15 @@ object FunctionQuery {
       // Solr linear(x,m,c) = m*x + c
       case "linear" => nary(args, 3, fn); args(1) * args(0) + args(2)
       case "if" => nary(args, 3, fn); when(args(0) =!= 0.0, args(1)).otherwise(args(2))
+      case "strdist" =>
+        // Solr strdist(s1, s2[, edit]) with the edit measure:
+        // 1 - levenshtein/maxLen, equal strings → 1.0, one exact IEEE
+        // division (cross-engine stable); the 2-arg form is the
+        // default-measure form
+        nary(args, 2, fn)
+        when(length(args(0)) === 0 && length(args(1)) === 0, lit(1.0))
+          .otherwise(lit(1.0) - levenshtein(args(0), args(1)).cast("double") /
+            greatest(length(args(0)), length(args(1))).cast("double"))
       case other => sys.error(s"unsupported function query function '$other'")
     }
   }

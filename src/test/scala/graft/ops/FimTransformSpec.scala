@@ -48,4 +48,20 @@ class FimTransformSpec extends AnyFunSuite {
       .select("mode").distinct().as[String].collect().toSeq
     assert(none === Seq("plain"))
   }
+
+  test("spanCorrupt: corrupted + target reassemble the original") {
+    val got = FimTransform.spanCorrupt(docs, col("id"), col("text"), spanFrac = 0.2)
+      .select("text", "corrupted", "target")
+      .as[(String, String, String)].collect()
+    got.filter(_._1.nonEmpty).foreach { case (text, corr, tgt) =>
+      val span = tgt.stripPrefix("<extra_id_0>").stripSuffix("<extra_id_1>")
+      assert(corr.replace("<extra_id_0>", span) === text,
+        s"reassembly failed for '$text'")
+      assert(span.length === math.max(1, text.length / 5))
+    }
+    // determinism
+    val again = FimTransform.spanCorrupt(docs, col("id"), col("text"), spanFrac = 0.2)
+      .select("corrupted").as[String].collect().toSeq
+    assert(again === got.map(_._2).toSeq)
+  }
 }

@@ -34,4 +34,21 @@ class FunctionQuerySpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("trailing"))
   }
+
+  test("strdist: edit similarity over string fields and literals") {
+    val sdf = Seq((1L, "spark"), (2L, "spork"), (3L, "query"), (4L, ""))
+      .toDF("id", "s")
+    val got = sdf.withColumn("v",
+        FunctionQuery.compile("""strdist(s, "spark")""", sdf.schema))
+      .select("id", "v").as[(Long, Double)].collect().toMap
+    assert(got(1L) === 1.0)
+    assert(got(2L) === 1.0 - 1.0 / 5.0)
+    assert(got(3L) === 1.0 - 4.0 / 5.0) // query/spark share the 'r'
+    assert(got(4L) === 0.0) // "" vs "spark": lev 5 / max 5
+    // both-empty edge returns 1.0 (identical)
+    val both = sdf.withColumn("v",
+        FunctionQuery.compile("""strdist(s, "")""", sdf.schema))
+      .select("id", "v").as[(Long, Double)].collect().toMap
+    assert(both(4L) === 1.0)
+  }
 }
