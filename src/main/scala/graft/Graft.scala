@@ -454,4 +454,34 @@ object Graft {
   def spanCorrupt(df: DataFrame, id: Column, text: Column,
                   spanFrac: Double = 0.15, salt: String = "t5"): DataFrame =
     graft.ops.FimTransform.spanCorrupt(df, id, text, spanFrac, salt)
+
+  /** Solr 9 {!knn} dense-vector query: exact cosine topK with the
+    * optional fq PRE-filter (see [[graft.search.KnnQuery]]). */
+  def knn(df: DataFrame, q: String, idCol: String,
+          fq: Option[String] = None,
+          textFields: Set[String] = Set.empty): DataFrame =
+    graft.search.KnnQuery.knn(df, q, idCol, fq, textFields)
+
+  /** Gopher duplicate-line signals over a per-doc lines array (see
+    * [[graft.text.TextAnalysis.duplicateLineColumns]]). */
+  def duplicateLineColumns(lines: Column): Seq[(String, Column)] =
+    graft.text.TextAnalysis.duplicateLineColumns(lines)
+
+  /** Gopher duplicated-n-gram token coverage, one fused per-row pass
+    * (see [[graft.text.TextAnalysis.dupNgramCoverage]]). */
+  def dupNgramCoverage(tokens: Column, n: Int): Column =
+    graft.text.TextAnalysis.dupNgramCoverage(tokens, n)
+
+  /** SFT conversation assembly with loss-mask spans (see
+    * [[graft.ops.SftAssembly.assembleConversations]]). */
+  def assembleConversations(df: DataFrame, grp: Column, order: Seq[Column],
+                            role: Column, text: Column,
+                            maskRoles: Seq[String]): DataFrame =
+    graft.ops.SftAssembly.assembleConversations(df, grp, order, role, text, maskRoles)
+
+  /** Epoch/repeat-factor mixing allocation (see
+    * [[graft.ops.Sampling.epochAllocation]]). */
+  def epochAllocation(df: DataFrame, grp: Column, cost: Column,
+                      budget: Long, alpha: Double, maxEpochs: Double): DataFrame =
+    graft.ops.Sampling.epochAllocation(df, grp, cost, budget, alpha, maxEpochs)
 }

@@ -2818,6 +2818,61 @@ object SparkEntry {
         .orderBy(col("dist_km").asc, col("c_custkey"))
         .limit(20)
         .select(col("c_custkey"), col("dist_km"))
+    }),
+
+    // Solr 9 {!knn} dense-vector qparser: exact cosine scan, literal
+    // query vector folded into codegen, TakeOrdered topK cut
+    "q202_knn_qparser" -> ((s, d) =>
+      graft.search.KnnQuery.knn(Tables.embeddings(s, d),
+          s"{!knn f=embedding topK=12}[${knnVec.mkString(",")}]", "vec_id")
+        .select(col("id").as("vec_id"), col("score"))),
+
+    // {!knn} + fq PRE-filter (Solr 9.1 contract: filter BEFORE the
+    // topK cut, so the response still carries topK survivors)
+    "q203_knn_prefilter" -> ((s, d) =>
+      graft.search.KnnQuery.knn(Tables.embeddings(s, d),
+          s"{!knn f=embedding topK=12}[${knnVec.mkString(",")}]", "vec_id",
+          fq = Some("label:[2 TO *]"))
+        .select(col("id").as("vec_id"), col("score"))),
+
+    // Lucene sloppy-phrase proximity ("data join"~3): ordered match
+    // with up to 3 interposed tokens, compiled to one pushdown-
+    // eligible rlike — no tokenize/explode anywhere
+    "q204_proximity_search" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      docs.filter(graft.search.SolrQueryString.compile(
+          """text:"data join"~3""", docs.schema, "text", Set("text")))
+        .select(col("doc_id"), col("source"))
+    }),
+
+    // Gopher duplicate-LINE signals on the q195 synthesized lines,
+    // with the first line re-appended on doc_id%3==0 (the repeated-
+    // footer planted case) — per-row array math, shuffle-free
+    "q205_dup_lines" -> ((s, d) => {
+      val toks = filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= lit(""))
+      val staged = Tables.documents(s, d).withColumn("__l", toks)
+        .filter(size(col("__l")) > 0)
+      val nChunks = ceil(size(col("__l")).cast("double") / 8.0).cast("int")
+      val lines0 = transform(sequence(lit(0), nChunks - 1), i =>
+        array_join(slice(col("__l"), i * 8 + 1, lit(8)), " "))
+      val lines = when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lines0, array(element_at(lines0, 1)))).otherwise(lines0)
+      val sigs = TextAnalysis.duplicateLineColumns(col("__lines"))
+      staged.withColumn("__lines", lines)
+        .select(Seq(col("doc_id"), size(col("__lines")).cast("long").as("n_lines")) ++
+          sigs.map { case (n, c) => c.as(n) }: _*)
+    }),
+
+    // Gopher duplicated-n-gram coverage (n=2,3): fraction of token
+    // positions inside a repeated n-gram — ONE fused per-row kernel
+    // pass per n (hash-map count + span union), no (doc,gram) shuffle
+    "q206_dup_ngram_cov" -> ((s, d) => {
+      val toks = filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= lit(""))
+      Tables.documents(s, d).withColumn("__t", toks)
+        .filter(size(col("__t")) > 0)
+        .select(col("doc_id"), size(col("__t")).cast("long").as("n_tokens"),
+          TextAnalysis.dupNgramCoverage(col("__t"), 2).as("dup2_frac"),
+          TextAnalysis.dupNgramCoverage(col("__t"), 3).as("dup3_frac"))
     })
   )
 
@@ -2854,6 +2909,12 @@ object SparkEntry {
   private val stopIn: String = TextAnalysis.EnglishStopwords
     .map(w => s"'$w'").mkString("(", ",", ")")
   private def listLit(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString("[", ",", "]")
+
+  /** q202/q203's literal query vector: 64 dims on a 0.25 grid (exact
+    * binary fractions — the decimal literal parses to the identical
+    * double in both engines). */
+  private val knnVec: Seq[Double] =
+    (1 to 64).map(i => (((i * 37) % 19) - 9) * 0.25)
 
   def oracleSql: Map[String, String] = Map(
     "q01_match_all" -> "SELECT count(*) AS cnt FROM lineitem",
@@ -4752,6 +4813,90 @@ object SparkEntry {
         |  round(1000.0 / (1.0 * CAST(n_chars AS DOUBLE) + 1000.0)
         |        + 0.001 * CAST(n_chars AS DOUBLE), 6) AS fscore_r
         |FROM documents
-        |ORDER BY fscore_r DESC, doc_id ASC LIMIT 15""".stripMargin
+        |ORDER BY fscore_r DESC, doc_id ASC LIMIT 15""".stripMargin,
+
+    // same literal vector, same cosine tree, same (score desc, id)
+    // cut — the q25 rounding discipline
+    "q202_knn_qparser" ->
+      s"""WITH s AS (SELECT vec_id,
+         |  round(list_dot_product(CAST(embedding AS DOUBLE[]), ${knnSqlVec}) /
+         |    (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+         |     * sqrt(list_dot_product(${knnSqlVec}, ${knnSqlVec}))), 6) AS score
+         | FROM embeddings)
+         |SELECT vec_id, score FROM s
+         |ORDER BY score DESC, vec_id LIMIT 12""".stripMargin,
+
+    "q203_knn_prefilter" ->
+      s"""WITH s AS (SELECT vec_id,
+         |  round(list_dot_product(CAST(embedding AS DOUBLE[]), ${knnSqlVec}) /
+         |    (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+         |     * sqrt(list_dot_product(${knnSqlVec}, ${knnSqlVec}))), 6) AS score
+         | FROM embeddings WHERE label >= 2)
+         |SELECT vec_id, score FROM s
+         |ORDER BY score DESC, vec_id LIMIT 12""".stripMargin,
+
+    // the compiled regex replayed verbatim (RE2 and java.util.regex
+    // agree on this alternation-free pattern)
+    "q204_proximity_search" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE regexp_matches(lower(text),
+        |  '(^|[^a-z0-9])data([^a-z0-9]+[a-z0-9]+){0,3}[^a-z0-9]+join([^a-z0-9]|$)')""".stripMargin,
+
+    // q195's line synthesis + the doc_id%3 planted repeat; dup mass
+    // via (occurrences-1)·length over DISTINCT lines — integer sums,
+    // one final division per signal
+    "q205_dup_lines" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, toks, CAST(ceil(len(toks) / 8.0) AS INT) AS nc
+        |       FROM t WHERE len(toks) > 0),
+        |l0 AS (SELECT doc_id, list_transform(generate_series(0, nc - 1),
+        |         i -> array_to_string(toks[i*8+1 : i*8+8], ' ')) AS ls FROM t2),
+        |l AS (SELECT doc_id,
+        |        CASE WHEN doc_id % 3 = 0 THEN list_append(ls, ls[1]) ELSE ls END AS ls
+        |      FROM l0)
+        |SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+        |  CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE) / len(ls) AS dup_line_frac,
+        |  CASE WHEN list_sum(list_transform(ls, x -> length(x))) > 0 THEN
+        |    CAST(list_sum(list_transform(list_distinct(ls),
+        |      x -> (len(list_filter(ls, y -> y = x)) - 1) * length(x))) AS DOUBLE)
+        |    / list_sum(list_transform(ls, x -> length(x)))
+        |  ELSE 0.0 END AS dup_line_char_frac
+        |FROM l""".stripMargin,
+
+    // window-count + span-union replay of the fused kernel: positions
+    // covered by n-grams occurring 2+ times, distinct-counted
+    "q206_dup_ngram_cov" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |base AS (SELECT doc_id, len(toks) AS nt, toks FROM t WHERE len(toks) > 0),
+        |g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-1),
+        |         i -> {pos: i, gram: toks[i] || ' ' || toks[i+1]})) AS u
+        |       FROM base WHERE nt >= 2),
+        |c2 AS (SELECT doc_id, u.pos AS pos,
+        |         count(*) OVER (PARTITION BY doc_id, u.gram) AS cnt FROM g2),
+        |cov2 AS (SELECT doc_id, count(DISTINCT p) AS c FROM (
+        |  SELECT doc_id, unnest(generate_series(pos, pos+1)) AS p
+        |  FROM c2 WHERE cnt >= 2) GROUP BY doc_id),
+        |g3 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-2),
+        |         i -> {pos: i, gram: array_to_string(toks[i:i+2], ' ')})) AS u
+        |       FROM base WHERE nt >= 3),
+        |c3 AS (SELECT doc_id, u.pos AS pos,
+        |         count(*) OVER (PARTITION BY doc_id, u.gram) AS cnt FROM g3),
+        |cov3 AS (SELECT doc_id, count(DISTINCT p) AS c FROM (
+        |  SELECT doc_id, unnest(generate_series(pos, pos+2)) AS p
+        |  FROM c3 WHERE cnt >= 2) GROUP BY doc_id)
+        |SELECT b.doc_id, CAST(nt AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(cov2.c, 0) AS DOUBLE) / nt AS dup2_frac,
+        |  CAST(coalesce(cov3.c, 0) AS DOUBLE) / nt AS dup3_frac
+        |FROM base b LEFT JOIN cov2 ON b.doc_id = cov2.doc_id
+        |            LEFT JOIN cov3 ON b.doc_id = cov3.doc_id""".stripMargin
   )
+
+  /** [[knnVec]] as a DuckDB DOUBLE[] literal. */
+  private def knnSqlVec: String =
+    knnVec.mkString("CAST([", ",", "] AS DOUBLE[])")
 }

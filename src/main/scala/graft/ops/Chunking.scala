@@ -136,3 +136,59 @@ object Chunking {
             x => x.getField("t")),
           sep).as("packed_text"))
 }
+
+/**
+ * SFT/chat corpus assembly: turn per-event rows into rendered
+ * conversation transcripts with LOSS-MASK spans — the artifact an
+ * instruction-tuning loader consumes (only the masked roles' spans
+ * contribute to the loss).
+ *
+ * Rendering contract (declared, deterministic):
+ *  - each turn renders as `[<role>] <text>`, turns joined by `\n` in
+ *    (order) sequence;
+ *  - `mask_spans` carries `start:end` character offsets (0-based,
+ *    end-exclusive) of every masked-role LINE in the transcript,
+ *    joined by `|` in turn order — so a loader can slice the loss
+ *    region without re-tokenizing the template.
+ *
+ * Shape: offsets come from one window (cumulative rendered length)
+ * on the conversation key; the transcript itself uses the ordered-
+ * aggregate idiom (collect -> array_sort -> map) riding the SAME
+ * hash partitioning, so the whole assembly is ONE shuffle. At 100 TB
+ * conversations are bounded (a chat fits memory by construction);
+ * the group key is the only fan-in.
+ */
+object SftAssembly {
+  import org.apache.spark.sql.expressions.Window
+
+  def assembleConversations(df: DataFrame, grp: Column, order: Seq[Column],
+                            role: Column, text: Column,
+                            maskRoles: Seq[String]): DataFrame = {
+    require(order.nonEmpty, "conversation order columns required")
+    val line = concat(lit("["), role, lit("] "), text)
+    // start = rendered length of all preceding lines (+1 per \n)
+    val staged = df.select(grp.as("grp"), role.as("__r"), line.as("__line"),
+        struct(order: _*).as("__o"))
+      .withColumn("__start",
+        coalesce(sum(length(col("__line")) + 1).over(
+          Window.partitionBy(col("grp")).orderBy(col("__o"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__end", col("__start") + length(col("__line")))
+    val span = concat(col("__start"), lit(":"), col("__end"))
+    staged.groupBy(col("grp"))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__o"), col("__line").as("l")))),
+            x => x.getField("l")),
+          "\n").as("transcript"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__r").isin(maskRoles.map(lit): _*),
+                struct(col("__o"), span.as("s"))))),
+            x => x.getField("s")),
+          "|").as("mask_spans"))
+  }
+}

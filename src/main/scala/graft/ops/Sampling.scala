@@ -203,4 +203,48 @@ object Sampling {
     df.withColumn("stage", stage.cast("long"))
       .withColumn("stage_order", md5(concat(lit(salt), id.cast("string"))))
   }
+
+  /**
+   * Epoch/repeat-factor allocation — the UP-sampling complement of
+   * [[temperatureRates]]' down-sampling: given a token budget for one
+   * training run, how many epochs of each source to take so the
+   * realized mixture follows share^alpha reweighting (the XLM-R /
+   * Llama data-mixing recipe), capped at `maxEpochs` (repeating a
+   * small source past ~4 epochs stops helping — Muennighoff et al.
+   * 2023).
+   *
+   * epochs_s = min(maxEpochs, budget · w_s / tokens_s) with
+   * w_s = share_s^alpha / Σ share^alpha. `full_epochs` (floor) and
+   * `tail_rate` (the fractional epoch, servable via [[hashFraction]])
+   * split the plan into whole passes + one sampled pass.
+   *
+   * Shape: one aggregation to per-source token counts, then constant-
+   * space arithmetic over the GROUP frame (unpartitioned windows
+   * bounded by |sources| — the temperatureRates discipline). alpha =
+   * 0.5 routes through sqrt (IEEE correctly-rounded), keeping the
+   * whole table engine-stable under round(, 6).
+   */
+  def epochAllocation(df: DataFrame, grp: Column, cost: Column,
+                      budget: Long, alpha: Double,
+                      maxEpochs: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1]: $alpha")
+    require(budget > 0 && maxEpochs > 0)
+    val counts = df.groupBy(grp.as("grp")).agg(sum(cost).as("tokens"))
+    def powShare(share: Column): Column =
+      if (alpha == 0.5) sqrt(share)
+      else if (alpha == 1.0) share
+      else pow(share, alpha)
+    val w = Window.partitionBy().orderBy(col("grp").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    counts
+      .withColumn("__T", sum(col("tokens")).over(w))
+      .withColumn("__f", powShare(col("tokens").cast("double") / col("__T").cast("double")))
+      .withColumn("weight", col("__f") / sum(col("__f")).over(w))
+      .withColumn("epochs", least(lit(maxEpochs),
+        lit(budget.toDouble) * col("weight") / col("tokens").cast("double")))
+      .withColumn("full_epochs", floor(col("epochs")).cast("long"))
+      .withColumn("tail_rate", col("epochs") - floor(col("epochs")))
+      .select(col("grp"), col("tokens"), col("weight"), col("epochs"),
+        col("full_epochs"), col("tail_rate"))
+  }
 }

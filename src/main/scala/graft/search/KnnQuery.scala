@@ -1,0 +1,90 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Solr dense-vector search surface: the `{!knn f=<field> topK=<N>}[v1,
+ * v2, ...]` query parser (Solr 9 `KnnQParserPlugin` syntax — the
+ * modern query surface over the kind of index the reference builds;
+ * reference scope per SURVEY §2, vector search itself is part of the
+ * L8-L11 ANN family).
+ *
+ * Semantics (declared, deterministic):
+ *  - the bracketed literal is the query vector; `f` names the
+ *    array-typed column; `topK` bounds the response;
+ *  - similarity = cosine (Solr's `DenseVectorField` default), ordered
+ *    (round(score, 6) desc, id asc) so the cut is reproducible
+ *    cross-engine (the q25 discipline);
+ *  - a pre-filter (Solr 9.1's fq preFilter contract) restricts the
+ *    candidate set BEFORE the topK cut, so the response still carries
+ *    topK survivors — not Lucene's post-filtering.
+ *
+ * Execution: EXACT one-pass scan. The query vector folds into the
+ * plan as a literal array; the fused sequential dot product
+ * ([[graft.ops.Similarity.dot]]) plus a driver-computed query norm
+ * leave one multiply-divide per row; the global cut is a distributed
+ * TakeOrdered (bounded per-partition heaps), never a single-partition
+ * window. Solr answers this with an HNSW graph walk — approximate by
+ * construction; at 100 TB the Spark-shaped approximate paths are the
+ * LSH/IVF family (L9/L10, `ops/Similarity.scala`), and this parser is
+ * the exact-scoring surface those are measured against.
+ */
+object KnnQuery {
+
+  final case class KnnRequest(field: String, topK: Int, vector: Seq[Double])
+
+  private val Header = """\{!knn\s+([^}]*)\}\s*\[([^\]]*)\]\s*""".r
+
+  /** Parse `{!knn f=emb topK=10}[0.1,0.2,...]`. Local params may come
+    * in either order; both `f` and `topK` are required (Solr defaults
+    * topK=10 — we require it explicit so query intent is visible). */
+  def parse(q: String): KnnRequest = q.trim match {
+    case Header(params, vec) =>
+      val kv = params.trim.split("\\s+").filter(_.nonEmpty).map { p =>
+        val i = p.indexOf('=')
+        require(i > 0, s"malformed local param '$p' in: $q")
+        p.substring(0, i) -> p.substring(i + 1)
+      }.toMap
+      val field = kv.getOrElse("f", sys.error(s"{!knn} needs f= in: $q"))
+      val topK = kv.getOrElse("topK", sys.error(s"{!knn} needs topK= in: $q")).toInt
+      require(topK > 0, s"topK must be positive in: $q")
+      val v = vec.split(",").map(_.trim).filter(_.nonEmpty).map(_.toDouble).toSeq
+      require(v.nonEmpty, s"empty query vector in: $q")
+      KnnRequest(field, topK, v)
+    case _ => sys.error(s"not a {!knn} query: $q")
+  }
+
+  /**
+   * Execute a parsed request against a DataFrame holding the vector
+   * column. Output: (id, score) — score = round(cosine, 6), ordered
+   * (score desc, id asc), topK rows.
+   */
+  def search(df: DataFrame, req: KnnRequest, idCol: String,
+             preFilter: Option[Column] = None): DataFrame = {
+    // query norm is pure literal arithmetic — computed once on the
+    // driver, not per row
+    val qnorm = math.sqrt(req.vector.map(x => x * x).sum)
+    require(qnorm > 0, "zero query vector")
+    val qvec = typedlit(req.vector)
+    val base = preFilter.fold(df)(df.filter)
+    val scored = base.select(col(idCol).as("id"),
+        col(req.field).cast("array<double>").as("__v"))
+      .withColumn("score", round(
+        graft.ops.Similarity.dot(col("__v"), qvec) /
+          (graft.ops.Similarity.norm(col("__v")) * lit(qnorm)), 6))
+    scored.select(col("id"), col("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(req.topK)
+  }
+
+  /** One-call surface: parse + optional pre-filter query string
+    * (compiled by [[SolrQueryString]] over `df`'s schema) + search. */
+  def knn(df: DataFrame, q: String, idCol: String,
+          fq: Option[String] = None,
+          textFields: Set[String] = Set.empty): DataFrame = {
+    val req = parse(q)
+    val pre = fq.map(f => SolrQueryString.compile(f, df.schema, req.field, textFields))
+    search(df, req, idCol, pre)
+  }
+}

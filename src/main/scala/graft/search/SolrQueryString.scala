@@ -17,7 +17,7 @@ import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, IntegerType,
  *   clause    := [+|-|NOT] atom
  *   atom      := '(' query ')' | field ':' value | value
  *   value     := '*'                 match-any (field presence)
- *              | '"phrase words"'    phrase
+ *              | '"phrase words"'    phrase  (optional ~N proximity slop)
  *              | '[a TO b]'          inclusive range  ('{' '}' exclusive)
  *              | term                possibly with * and ? wildcards
  *
@@ -147,10 +147,28 @@ object SolrQueryString {
       peek match {
         case '"' =>
           val phrase = readQuoted()
+          // proximity suffix: "a b"~N (Lucene sloppy phrase). Declared
+          // semantics: ORDERED match with up to N non-matching tokens
+          // in each gap — exactly Lucene for two-term phrases with
+          // slop<2 (a transposed pair costs 2 moves); for wider slops
+          // Lucene additionally admits reordered arrangements, which
+          // this compiler deliberately does not (regex-expressible,
+          // hence oracle-able — same trade as q.op=AND above).
+          val slop =
+            if (!eof && peek == '~') {
+              pos += 1
+              val sb = new StringBuilder
+              while (!eof && peek.isDigit) { sb.append(peek); pos += 1 }
+              require(sb.nonEmpty, s"~ needs a slop integer in: $input")
+              sb.toString.toInt
+            } else 0
           if (textFields.contains(field)) {
             record(phrase.toLowerCase.split("[^a-z0-9]+").toSeq.filter(_.nonEmpty))
-            tokenSeqMatch(c, phrase)
-          } else c === phrase
+            tokenSeqMatch(c, phrase, slop)
+          } else {
+            require(slop == 0, s"proximity needs an analyzed field in: $input")
+            c === phrase
+          }
         case '[' | '{' =>
           val loInc = peek == '['
           pos += 1
@@ -218,12 +236,17 @@ object SolrQueryString {
       lower(c).rlike("(^|[^a-z0-9])" + java.util.regex.Pattern.quote(term.toLowerCase) +
         "([^a-z0-9]|$)")
 
-    /** Phrase = the token sequence with single non-token separators. */
-    private def tokenSeqMatch(c: Column, phrase: String): Column = {
+    /** Phrase = the token sequence with single non-token separators;
+      * slop > 0 additionally admits up to `slop` whole tokens in each
+      * inter-term gap (ordered proximity — see the parse-site note). */
+    private def tokenSeqMatch(c: Column, phrase: String, slop: Int = 0): Column = {
       val toks = phrase.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      val gap =
+        if (slop == 0) "[^a-z0-9]+"
+        else s"[^a-z0-9]+(?:[a-z0-9]+[^a-z0-9]+){0,$slop}"
       if (toks.isEmpty) lit(true)
       else lower(c).rlike("(^|[^a-z0-9])" +
-        toks.map(java.util.regex.Pattern.quote).mkString("[^a-z0-9]+") +
+        toks.map(java.util.regex.Pattern.quote).mkString(gap) +
         "([^a-z0-9]|$)")
     }
 

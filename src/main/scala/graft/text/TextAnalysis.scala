@@ -326,4 +326,46 @@ object TextAnalysis {
         ((col("__c") * length(col("__g")).cast("long")).cast("double")
           / col("__chars").cast("double")).as("top_gram_char_frac"))
   }
+
+  /**
+   * Gopher §A1.1 duplicate-LINE signals over a per-doc lines array
+   * (Rae et al. 2021: "duplicate line fraction" and "duplicate line
+   * character fraction"). Occurrences beyond a line's first count as
+   * duplicates; character mass follows the same rule, so a page whose
+   * footer repeats 50× scores ~1.0 on both.
+   *
+   * Pure per-row array expressions (nested lambda: the inner filter
+   * captures the outer distinct element) — shuffle-free, all counting
+   * in integers with one final division per signal.
+   */
+  def duplicateLineColumns(lines: Column): Seq[(String, Column)] = {
+    val n = size(lines)
+    val dupCount = (n - size(array_distinct(lines))).cast("long")
+    val totalChars = aggregate(lines, lit(0L), (acc, x) => acc + length(x))
+    // Σ over DISTINCT lines of (occurrences - 1) · length
+    val dupChars = aggregate(
+      transform(array_distinct(lines),
+        x => (size(filter(lines, y => y === x)) - 1).cast("long") * length(x)),
+      lit(0L), (acc, v) => acc + v)
+    Seq(
+      "dup_line_frac" ->
+        when(n > 0, dupCount.cast("double") / n.cast("double")).otherwise(lit(0.0)),
+      "dup_line_char_frac" ->
+        when(totalChars > 0, dupChars.cast("double") / totalChars.cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
+  /**
+   * Gopher §A1.1 duplicated-n-gram coverage: the fraction of token
+   * positions inside at least one n-gram occurring 2+ times in the
+   * doc (span union — overlaps count once). The fused kernel
+   * ([[graft.functions.DupNgramCovered]]) does the whole computation
+   * in one per-row pass: no (doc, gram) shuffle, O(tokens) per doc —
+   * the shape that survives 10k-token documents at corpus scale.
+   */
+  def dupNgramCoverage(tokens: Column, n: Int): Column = {
+    val covered = graft.functions.DupNgramCovered.dup_ngram_covered(tokens, n)
+    when(size(tokens) > 0,
+      covered.cast("double") / size(tokens).cast("double")).otherwise(lit(0.0))
+  }
 }

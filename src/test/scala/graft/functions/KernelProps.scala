@@ -172,4 +172,24 @@ object KernelProps extends Properties("kernels") {
       }
       got == exp
     }
+
+  property("dup-ngram coverage == reference count + span union") = {
+    // tiny alphabet so repeated n-grams actually occur
+    val toks = Gen.listOf(Gen.oneOf("a", "b", "c"))
+    val ns = Gen.chooseNum(2, 4)
+    forAll(toks, ns) { (xs, n) =>
+      val got = TextKernels.dupNgramCovered(
+        new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any]), n)
+      val exp =
+        if (xs.length < n) 0
+        else {
+          val grams = xs.sliding(n).map(_.mkString(" ")).toVector
+          val counts = grams.groupBy(identity).map { case (k, v) => k -> v.size }
+          grams.zipWithIndex.collect {
+            case (g, i) if counts(g) >= 2 => i until (i + n)
+          }.flatten.toSet.size
+        }
+      got == exp
+    }
+  }
 }

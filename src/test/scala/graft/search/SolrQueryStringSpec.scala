@@ -94,4 +94,20 @@ class SolrQueryStringSpec extends AnyFunSuite {
     // analyzed fields stay case-folded, token-bounded
     assert(ids("text:QUI*") === Seq(1L, 2L, 5L))
   }
+
+  test("proximity phrase ~N: ordered match with bounded gaps") {
+    // "quick jumps"~0 = exact adjacency: no doc has them adjacent
+    assert(ids("text:\"quick jumps\"~0") === Seq())
+    // ~2 admits "quick brown fox jumps" (two interposed tokens)
+    assert(ids("text:\"quick jumps\"~2") === Seq(1L))
+    // ~1 does not (two tokens between)
+    assert(ids("text:\"quick jumps\"~1") === Seq())
+    // ordered only: "data quick"~3 never matches doc 2's "quick ... data"
+    assert(ids("text:\"data quick\"~3") === Seq())
+    assert(ids("text:\"quick data\"~1") === Seq(2L))
+    // slop 0 is identical to a plain phrase
+    assert(ids("text:\"quick brown fox\"~0") === ids("text:\"quick brown fox\""))
+    // proximity on an exact (non-analyzed) field is refused
+    intercept[IllegalArgumentException](ids("tag:\"alpha beta\"~2"))
+  }
 }

@@ -162,6 +162,40 @@ class TextAnalysisSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
   }
 
+  test("duplicateLineColumns: dup fraction and char mass, hand-computed") {
+    // lines: [ab, cde, ab, ab, f] -> 5 lines, 3 distinct, 2 dups
+    // chars: total 2+3+2+2+1=10; dup mass: ab occurs 3x -> 2 extra * 2 = 4
+    val df = Seq((1L, Seq("ab", "cde", "ab", "ab", "f")),
+                 (2L, Seq("xyz")),
+                 (3L, Seq.empty[String])).toDF("id", "lines")
+    val sigs = TextAnalysis.duplicateLineColumns(col("lines"))
+    val got = df.select(col("id") +: sigs.map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got(1L) === ((2.0 / 5, 4.0 / 10)))
+    assert(got(2L) === ((0.0, 0.0)))
+    assert(got(3L) === ((0.0, 0.0)))
+  }
+
+  test("dupNgramCoverage: span union over repeated n-grams") {
+    // tokens: a b a b a  -> 2-grams: ab ba ab ba; all repeated ->
+    // covered positions 0..4 = 5/5. 3-grams: aba bab aba -> aba x2
+    // covers 0-2 and 2-4 -> all 5 positions.
+    // tokens: a b c d -> no repeats -> 0.0
+    val df = Seq((1L, Seq("a", "b", "a", "b", "a")),
+                 (2L, Seq("a", "b", "c", "d"))).toDF("id", "toks")
+    val got = df.select(col("id"),
+        TextAnalysis.dupNgramCoverage(col("toks"), 2).as("c2"),
+        TextAnalysis.dupNgramCoverage(col("toks"), 3).as("c3"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got(1L) === ((1.0, 1.0)))
+    assert(got(2L) === ((0.0, 0.0)))
+    // partial coverage: a b a b c c c-gram? -> 2-grams: ab ba ab bc cc
+    // ab repeats -> covers 0,1,2,3; bc,cc unique -> 4/6
+    val p = Seq((1L, Seq("a", "b", "a", "b", "c", "c"))).toDF("id", "toks")
+      .select(TextAnalysis.dupNgramCoverage(col("toks"), 2)).collect()(0).getDouble(0)
+    assert(p === 4.0 / 6)
+  }
+
   test("topNgramCharFraction: argmax with (count desc, gram asc) tie-break") {
     val df = Seq(
       (1L, "buy now buy now buy now"),  // "buy now" x3, joined len 23
