@@ -2873,6 +2873,103 @@ object SparkEntry {
         .select(col("doc_id"), size(col("__t")).cast("long").as("n_tokens"),
           TextAnalysis.dupNgramCoverage(col("__t"), 2).as("dup2_frac"),
           TextAnalysis.dupNgramCoverage(col("__t"), 3).as("dup3_frac"))
+    }),
+
+    // SFT conversation assembly: per-user event transcript with
+    // loss-mask char spans for purchase/signup turns — one shuffle
+    // (offset window + ordered aggregate ride the same partitioning)
+    "q207_sft_assembly" -> ((s, d) =>
+      graft.ops.SftAssembly.assembleConversations(
+          Tables.events(s, d), col("user_id"),
+          Seq(col("ts"), col("event_id")), col("event_type"), col("props"),
+          maskRoles = Seq("purchase", "signup"))
+        .select(col("grp").as("user_id"), col("n_turns"),
+          col("transcript"), col("mask_spans"))),
+
+    // WordBreak spellcheck (Solr WordBreakSolrSpellChecker): unknown
+    // terms split at every position against the corpus vocabulary
+    // (break), adjacent query-term pairs rejoined (combine) — query
+    // side explodes map-side and BROADCASTS into the vocab joins, so
+    // the corpus-sized vocabulary never reshuffles
+    "q208_wordbreak_spell" -> ((s, d) => {
+      val vocab = Tables.documents(s, d)
+        .select(explode(expr(
+          "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')")).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      import s.implicits._
+      val breaks = Seq("sparkjoin", "datatable", "mergescan", "zzqqxx")
+        .toDF("input")
+        .withColumn("i", explode(sequence(lit(1), length(col("input")) - 1)))
+        .select(col("input"), expr("substr(input, 1, i)").as("__l"),
+          expr("substr(input, i + 1, length(input))").as("__r"))
+      val joins = Seq(("win", "dow"), ("data", "base"), ("mer", "ge"))
+        .toDF("t1", "t2")
+        .select(concat(col("t1"), lit(" "), col("t2")).as("input"),
+          concat(col("t1"), col("t2")).as("__j"))
+      val broken = vocab.as("vl")
+        .join(broadcast(breaks), col("vl.term") === col("__l"))
+        .join(vocab.as("vr"), col("vr.term") === col("__r"))
+        .select(lit("break").as("mode"), col("input"),
+          concat(col("__l"), lit(" "), col("__r")).as("suggestion"),
+          (col("vl.df") + col("vr.df")).as("df_score"))
+      val joined = vocab.join(broadcast(joins), col("term") === col("__j"))
+        .select(lit("combine").as("mode"), col("input"),
+          col("__j").as("suggestion"), col("df").as("df_score"))
+      broken.unionByName(joined)
+    }),
+
+    // facet.heatmap (Solr spatial grid facet): 30°×30° cell counts
+    // over the q99-synthesized coordinates — one aggregation, cells
+    // bounded by the grid, zero-count cells absent (gridLevel-1 shape)
+    "q209_heatmap_facet" -> ((s, d) =>
+      Tables.customer(s, d)
+        .withColumn("lat", (pmod(col("c_custkey"), lit(120)) - lit(60)).cast("double") * lit(0.7))
+        .withColumn("lon", (pmod(col("c_custkey") * lit(7), lit(360)) - lit(180)).cast("double") * lit(0.9))
+        .groupBy(floor((col("lon") + 180.0) / 30.0).as("cell_x"),
+          floor((col("lat") + 90.0) / 30.0).as("cell_y"))
+        .agg(count(lit(1)).as("cnt"))),
+
+    // epoch/repeat-factor mixing: share^0.5 reweighting of per-source
+    // token mass into whole passes + a sampled tail, capped at 4
+    // epochs — group-frame arithmetic only (Muennighoff-style repeat
+    // planning; the up-sampling complement of q160/q180)
+    "q210_epoch_mix" -> ((s, d) =>
+      graft.ops.Sampling.epochAllocation(
+          Tables.documents(s, d), col("source"), col("n_chars"),
+          budget = 1000000L, alpha = 0.5, maxEpochs = 4.0)
+        .select(col("grp").as("source"), col("tokens"),
+          round(col("weight"), 6).as("weight_r"),
+          round(col("epochs"), 6).as("epochs_r"),
+          col("full_epochs"),
+          round(col("tail_rate"), 6).as("tail_rate_r"))),
+
+    // tokenizer-vocabulary OOV rate: corpus top-20 terms (count desc,
+    // term asc) as the closed vocabulary, per-doc out-of-vocabulary
+    // token fraction — vocab aggregate broadcast as ONE array row,
+    // membership test stays in per-row codegen
+    "q211_oov_rate" -> ((s, d) => {
+      val toks = expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')")
+      val docs = Tables.documents(s, d).withColumn("__t", toks)
+        .filter(size(col("__t")) > 0)
+      val vocab = docs.select(explode(col("__t")).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("term").asc).limit(20)
+        .agg(sort_array(collect_list(col("term"))).as("__vocab"))
+      docs.crossJoin(broadcast(vocab))
+        .select(col("doc_id"), size(col("__t")).cast("long").as("n_tokens"),
+          (size(filter(col("__t"), t => !array_contains(col("__vocab"), t)))
+            .cast("double") / size(col("__t")).cast("double")).as("oov_frac"))
+    }),
+
+    // timeseries() streaming expression: 2-day buckets over the pdate
+    // index field, range pushed, zero-filled bucket spine broadcast
+    "q212_timeseries" -> ((s, d) => {
+      val out = eventsTimeStore(s, d)
+      Graft.streamExpr(s,
+        """timeseries(events_time, q="event_type:purchase", field="ts",
+          |  start="2024-01-01T00:00:00Z", end="2024-01-31T00:00:00Z",
+          |  gap="+2DAY", count(*))""".stripMargin,
+        Map("events_time" -> out))
     })
   )
 
@@ -4894,9 +4991,114 @@ object SparkEntry {
         |  CAST(coalesce(cov3.c, 0) AS DOUBLE) / nt AS dup3_frac
         |FROM base b LEFT JOIN cov2 ON b.doc_id = cov2.doc_id
         |            LEFT JOIN cov3 ON b.doc_id = cov3.doc_id""".stripMargin
-  )
+  ) ++ oracleSqlRound7
 
   /** [[knnVec]] as a DuckDB DOUBLE[] literal. */
   private def knnSqlVec: String =
     knnVec.mkString("CAST([", ",", "] AS DOUBLE[])")
+
+  /** q207-q212 oracles (appended as a separate map so the main
+    * literal stays within scalac's method-size comfort zone). */
+  private val oracleSqlRound7: Map[String, String] = Map(
+    // same rendering, offsets from the same cumulative window
+    "q207_sft_assembly" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type,
+        |    '[' || event_type || '] ' || props AS line FROM events),
+        |o AS (SELECT *, coalesce(sum(length(line) + 1) OVER (
+        |        PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+        |      FROM e)
+        |SELECT user_id, count(*) AS n_turns,
+        |  string_agg(line, chr(10) ORDER BY ts, event_id) AS transcript,
+        |  coalesce(string_agg(CASE WHEN event_type IN ('purchase', 'signup')
+        |    THEN CAST(s AS VARCHAR) || ':' || CAST(s + length(line) AS VARCHAR) END,
+        |    '|' ORDER BY ts, event_id), '') AS mask_spans
+        |FROM o GROUP BY user_id""".stripMargin,
+
+    // break = every split point against the vocabulary (both halves
+    // present); combine = adjacent pair concatenation present
+    "q208_wordbreak_spell" ->
+      """WITH v AS (
+        |  SELECT term, count(*) AS df FROM (
+        |    SELECT unnest(list_filter(
+        |      string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+        |    FROM documents) GROUP BY term),
+        |q AS (SELECT unnest(['sparkjoin', 'datatable', 'mergescan', 'zzqqxx']) AS input),
+        |sp AS (SELECT input, unnest(generate_series(1, length(input) - 1)) AS i FROM q),
+        |halves AS (SELECT input, substr(input, 1, i) AS l,
+        |             substr(input, i + 1, length(input)) AS r FROM sp),
+        |breaks AS (
+        |  SELECT 'break' AS mode, input, l || ' ' || r AS suggestion,
+        |    CAST(vl.df + vr.df AS BIGINT) AS df_score
+        |  FROM halves JOIN v vl ON vl.term = l JOIN v vr ON vr.term = r),
+        |pairs AS (SELECT * FROM (VALUES ('win', 'dow'), ('data', 'base'),
+        |            ('mer', 'ge')) p(t1, t2)),
+        |combines AS (
+        |  SELECT 'combine' AS mode, t1 || ' ' || t2 AS input,
+        |    t1 || t2 AS suggestion, CAST(v.df AS BIGINT) AS df_score
+        |  FROM pairs JOIN v ON v.term = t1 || t2)
+        |SELECT * FROM breaks UNION ALL SELECT * FROM combines""".stripMargin,
+
+    "q209_heatmap_facet" ->
+      """SELECT CAST(floor((lon + 180.0) / 30.0) AS BIGINT) AS cell_x,
+        |  CAST(floor((lat + 90.0) / 30.0) AS BIGINT) AS cell_y,
+        |  count(*) AS cnt
+        |FROM (SELECT CAST(c_custkey % 120 - 60 AS DOUBLE) * 0.7 AS lat,
+        |        CAST((c_custkey * 7) % 360 - 180 AS DOUBLE) * 0.9 AS lon
+        |      FROM customer)
+        |GROUP BY 1, 2""".stripMargin,
+
+    // the same op order: T (integer), f = sqrt(tokens/T), weight =
+    // f/Σf (Σ in grp order), epochs = min(4, budget·w/tokens)
+    "q210_epoch_mix" ->
+      """WITH c AS (SELECT source AS grp, CAST(sum(n_chars) AS BIGINT) AS tokens
+        |           FROM documents GROUP BY 1),
+        |w AS (SELECT grp, tokens, sum(tokens) OVER (ORDER BY grp
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS T
+        |      FROM c),
+        |f AS (SELECT grp, tokens,
+        |        sqrt(CAST(tokens AS DOUBLE) / CAST(T AS DOUBLE)) AS fac FROM w),
+        |n AS (SELECT grp, tokens, fac / sum(fac) OVER (ORDER BY grp
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS weight
+        |      FROM f),
+        |e AS (SELECT grp, tokens, weight,
+        |        least(4.0, 1000000.0 * weight / CAST(tokens AS DOUBLE)) AS epochs
+        |      FROM n)
+        |SELECT grp AS source, tokens, round(weight, 6) AS weight_r,
+        |  round(epochs, 6) AS epochs_r,
+        |  CAST(floor(epochs) AS BIGINT) AS full_epochs,
+        |  round(epochs - floor(epochs), 6) AS tail_rate_r
+        |FROM e""".stripMargin,
+
+    // vocabulary = top-20 (count desc, term asc); per-doc membership
+    "q211_oov_rate" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |base AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+        |cnts AS (SELECT term, count(*) AS c FROM (
+        |    SELECT unnest(toks) AS term FROM base) GROUP BY term),
+        |vocab AS (SELECT list(term) AS vs FROM (
+        |    SELECT term FROM cnts ORDER BY c DESC, term LIMIT 20))
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(toks, x -> NOT list_contains(vs, x))) AS DOUBLE)
+        |    / len(toks) AS oov_frac
+        |FROM base, vocab""".stripMargin,
+
+    // 15 two-day buckets zero-filled; range [start, end) as pushed
+    "q212_timeseries" ->
+      """WITH spine AS (
+        |  SELECT i AS b, TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (i * 2) DAY AS bucket_start
+        |  FROM (SELECT unnest(generate_series(0, 14)) AS i)),
+        |c AS (SELECT CAST(floor(date_diff('millisecond',
+        |         TIMESTAMP '2024-01-01 00:00:00', ts) / 172800000.0) AS BIGINT) AS b,
+        |        count(*) AS n
+        |      FROM events
+        |      WHERE event_type = 'purchase'
+        |        AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |        AND ts < TIMESTAMP '2024-01-31 00:00:00'
+        |      GROUP BY 1)
+        |SELECT bucket_start, CAST(coalesce(n, 0) AS BIGINT) AS cnt
+        |FROM spine LEFT JOIN c ON spine.b = c.b""".stripMargin
+  )
 }

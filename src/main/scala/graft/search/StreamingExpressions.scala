@@ -18,6 +18,7 @@ import org.apache.spark.sql.functions._
  *   hashJoin(<left>, <hashed>, on="a=b")    — hashed side broadcast
  *   outerHashJoin(<left>, <hashed>, on="a=b")
  *   facet(coll, q=, buckets=, bucketSorts=, bucketSizeLimit=, count(*))
+ *   timeseries(coll, q=, field=, start=, end=, gap="+1DAY", count(*))
  *   fetch(coll, <stream>, on="id", fl="a,b")
  *   intersect(<left>, <right>, on="key")   — left tuples whose key appears right
  *   complement(<left>, <right>, on="key")  — left tuples whose key does not
@@ -288,6 +289,68 @@ object StreamingExpressions {
       Stream(grouped.orderBy(sortCols(sorted): _*).limit(limit), sorted)
 
 
+    case "timeseries" | "timeSeries" =>
+      // timeseries(coll, q=, field=, start=, end=, gap="+1DAY", aggs)
+      // — Solr serves this as facet.range over a date field with
+      // mincount=0 (every gap bucket present, empty ones zero). The
+      // re-expression: the [start TO end} range joins the user q and
+      // rides the chronological range pushdown; bucket index is
+      // integer epoch-millis arithmetic; the zero-fill is a broadcast
+      // bucket SPINE left-joining the aggregated buckets (q131's
+      // facet.range idiom) — bucket count is request-bounded, data
+      // volume stays in the pushed scan. Fixed-width gap units only
+      // (DAY/HOUR/MINUTE/SECOND — month arithmetic is calendar-
+      // dependent and Solr's own gap math there is zone-sensitive).
+      val coll = c.args.headOption match {
+        case Some(Pos(v)) => v
+        case _ => sys.error("timeseries() needs the collection as its first argument")
+      }
+      val field = named(c, "field").getOrElse(sys.error("timeseries() needs field="))
+      val startI = java.time.Instant.parse(
+        named(c, "start").getOrElse(sys.error("timeseries() needs start=")))
+      val endI = java.time.Instant.parse(
+        named(c, "end").getOrElse(sys.error("timeseries() needs end=")))
+      val gapMs = parseGapMillis(
+        named(c, "gap").getOrElse(sys.error("timeseries() needs gap=")))
+      require(endI.isAfter(startI), "timeseries() end must follow start")
+      val startMs = startI.toEpochMilli
+      val nBuckets = (endI.toEpochMilli - startMs + gapMs - 1) / gapMs
+      require(nBuckets <= 100000, s"timeseries() bucket count $nBuckets is not request-shaped")
+      // whitespace-free bound (the query-string lexer ends a range
+      // bound at whitespace); no zone suffix — the session is pinned
+      // UTC, so the wall-clock literal casts identically to TIMESTAMP
+      // and TIMESTAMP_NTZ columns
+      def fmtB(i: java.time.Instant): String =
+        java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC)
+          .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS"))
+      val rangeQ = s"$field:[${fmtB(startI)} TO ${fmtB(endI)}}"
+      val fullQ = named(c, "q").filter(_ != "*:*")
+        .map(q => s"$rangeQ AND ($q)").getOrElse(rangeQ)
+      val in = compileCall(spark,
+        Call("search", Seq(Pos(coll), Named("q", fullQ))), collections)
+      val aggs0 = c.args.collect {
+        case Sub(Call(fn, as)) if AggFns(fn) =>
+          (fn, as.collectFirst { case Pos(v) => v }.getOrElse("*"))
+        case Pos(AggRe(fn, arg)) => (fn, arg)
+      }
+      val aggs = if (aggs0.nonEmpty) aggs0 else Seq(("count", "*"))
+      // non-negative diff: long truncation == floor
+      val bucket = ((unix_millis(col(field).cast("timestamp")) - lit(startMs))
+        / lit(gapMs)).cast("long")
+      val counted = in.df.withColumn("__b", bucket)
+        .groupBy(col("__b")).agg(aggs.map(aggCol).head, aggs.map(aggCol).tail: _*)
+      val spine = spark.range(nBuckets).select(col("id").as("__b"),
+        expr(s"timestamp_millis(${startMs}L + id * ${gapMs}L)").as("bucket_start"))
+      val joined = broadcast(spine).join(counted, Seq("__b"), "left")
+      // only counts zero-fill (Solr's contract: empty buckets count 0,
+      // value stats stay absent)
+      val zeroFilled =
+        if (aggs.exists(_._1 == "count"))
+          joined.withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+        else joined
+      Stream(zeroFilled.drop("__b").orderBy(col("bucket_start").asc),
+        Seq(("bucket_start", true)))
+
     case "select" =>
       val in = one(spark, c, collections)
       val projs = c.args.collect { case Pos(v) => v }
@@ -424,6 +487,22 @@ object StreamingExpressions {
   }
 
   private val AggFns = Set("sum", "min", "max", "avg", "count")
+
+  /** Solr gap syntax, fixed-width units: `+N(DAY|HOUR|MINUTE|SECOND)S?`. */
+  private val GapRe = """\+(\d+)(DAY|HOUR|MINUTE|SECOND)S?""".r
+  private def parseGapMillis(gap: String): Long = gap match {
+    case GapRe(n, unit) =>
+      val u = unit match {
+        case "DAY" => 86400000L
+        case "HOUR" => 3600000L
+        case "MINUTE" => 60000L
+        case "SECOND" => 1000L
+      }
+      val g = n.toLong * u
+      require(g > 0, s"zero gap: $gap")
+      g
+    case _ => sys.error(s"unsupported timeseries gap '$gap' (+N DAY/HOUR/MINUTE/SECOND)")
+  }
 
   private val aggCol: ((String, String)) => Column = {
     case ("count", _) => count(lit(1)).as("cnt")

@@ -121,4 +121,27 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.curriculum(df, col("id"), col("diff"), Seq(300.0, 150.0))
     }
   }
+
+  test("epochAllocation: cap binds small sources, uncapped follow share^alpha") {
+    // sources: a=100, b=900 tokens; alpha=0.5 ->
+    // f_a = sqrt(0.1), f_b = sqrt(0.9); w_a ≈ 0.25, w_b ≈ 0.75
+    val df = (Seq.fill(1)(("a", 100L)) ++ Seq.fill(1)(("b", 900L)))
+      .toDF("src", "toks")
+    val got = Sampling.epochAllocation(df, col("src"), col("toks"),
+        budget = 2000L, alpha = 0.5, maxEpochs = 4.0)
+      .orderBy("grp")
+      .as[(String, Long, Double, Double, Long, Double)].collect().toSeq
+    val fa = math.sqrt(0.1); val fb = math.sqrt(0.9)
+    val wa = fa / (fa + fb); val wb = fb / (fa + fb)
+    // a: 2000·wa/100 = 5.0 -> capped at 4; b: 2000·wb/900 ≈ 1.67
+    assert(got.map(_._1) === Seq("a", "b"))
+    assert(got(0)._5 === 4L)
+    assert(math.abs(got(0)._4 - 4.0) < 1e-12)
+    assert(math.abs(got(1)._4 - 2000.0 * wb / 900.0) < 1e-12)
+    assert(math.abs(got(0)._3 - wa) < 1e-12)
+    // weights sum to 1
+    assert(math.abs(got.map(_._3).sum - 1.0) < 1e-12)
+    // full + tail decompose epochs
+    got.foreach(r => assert(math.abs(r._5 + r._6 - r._4) < 1e-12))
+  }
 }

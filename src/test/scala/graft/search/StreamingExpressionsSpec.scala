@@ -184,4 +184,40 @@ class StreamingExpressionsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
+
+  test("timeseries: zero-filled fixed-gap buckets, [start,end) range") {
+    val out = java.nio.file.Files.createTempDirectory("graft_ts_").toString
+    graft.index.SegmentShardSink.write(
+      Seq(
+        ("1", "2024-03-01 01:00:00", "a"),
+        ("2", "2024-03-01 05:00:00", "b"),
+        ("3", "2024-03-03 12:00:00", "a"),
+        ("4", "2024-03-05 00:00:00", "a") // at end -> excluded
+      ).toDF("id", "ts0", "k")
+        .withColumn("ts", col("ts0").cast("timestamp")).drop("ts0"),
+      "id", out, shards = 1)
+    val got = SE.compile(spark,
+      """timeseries(t, q="*:*", field="ts", start="2024-03-01T00:00:00Z",
+        |  end="2024-03-05T00:00:00Z", gap="+1DAY", count(*))""".stripMargin,
+      Map("t" -> out))
+      .select(date_format(col("bucket_start"), "yyyy-MM-dd").as("b"), col("cnt"))
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq(
+      ("2024-03-01", 2L), ("2024-03-02", 0L),
+      ("2024-03-03", 1L), ("2024-03-04", 0L)))
+    // q= composes with the range
+    val filtered = SE.compile(spark,
+      """timeseries(t, q="k:a", field="ts", start="2024-03-01T00:00:00Z",
+        |  end="2024-03-03T00:00:00Z", gap="+1DAY", count(*))""".stripMargin,
+      Map("t" -> out))
+      .select("cnt").as[Long].collect().toSeq
+    assert(filtered === Seq(1L, 0L))
+    // malformed gaps are refused
+    intercept[RuntimeException] {
+      SE.compile(spark,
+        """timeseries(t, q="*:*", field="ts", start="2024-03-01T00:00:00Z",
+          |  end="2024-03-02T00:00:00Z", gap="+1MONTH", count(*))""".stripMargin,
+        Map("t" -> out))
+    }
+  }
 }
