@@ -2970,7 +2970,95 @@ object SparkEntry {
           |  start="2024-01-01T00:00:00Z", end="2024-01-31T00:00:00Z",
           |  gap="+2DAY", count(*))""".stripMargin,
         Map("events_time" -> out))
-    })
+    }),
+
+    // shortestPath() graph traversal: ALL min-length c:1→p:32 paths
+    // over the customer→order⇄part edge set — one BFS join round per
+    // depth, ids-only visited anti-join, localCheckpoint lineage cap
+    "q213_shortest_path" -> ((s, d) => {
+      val co = Tables.orders(s, d).select(
+        concat(lit("c:"), col("o_custkey")).as("src"),
+        concat(lit("o:"), col("o_orderkey")).as("dst"))
+      val op = Tables.lineitem(s, d).select(
+        concat(lit("o:"), col("l_orderkey")).as("src"),
+        concat(lit("p:"), col("l_partkey")).as("dst"))
+      val po = op.select(col("dst").as("src"), col("src").as("dst"))
+      graft.ops.GraphOps.shortestPaths(co.union(op).union(po),
+        col("src"), col("dst"), "c:1", "p:32", maxDepth = 4)
+    }),
+
+    // {!frange} function-range qparser: recip freshness score bounded
+    // to [0.55, 0.95) — scan-local codegen'd predicate
+    "q214_frange" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      docs.filter(graft.search.FunctionQuery.frange(
+          "{!frange l=0.55 u=0.95 incu=false}recip(n_chars,1,500,500)",
+          docs.schema))
+        .select(col("doc_id"), col("n_chars"))
+    }),
+
+    // facet.prefix + facet.offset/facet.limit paging: the 's'-prefixed
+    // vocabulary page [4, 10] in (count desc, term asc) facet order
+    "q215_facet_prefix_page" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(expr(
+          "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')")).as("term"))
+        .filter(col("term").startsWith("s"))
+        .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rnk", row_number().over(org.apache.spark.sql.expressions
+          .Window.orderBy(col("cnt").desc, col("term").asc)).cast("long"))
+        .filter(col("rnk") > 3 && col("rnk") <= 10)),
+
+    // group.query: top-3 docs per QUERY-defined group (Solr result
+    // grouping with group.query legs) — each leg filters then ranks,
+    // union of two bounded frames
+    "q216_group_query" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      def leg(label: String, q: String) = docs
+        .filter(graft.search.SolrQueryString.compile(
+          q, docs.schema, "text", Set("text")))
+        .withColumn("grp_q", lit(label))
+      val w = Window.partitionBy(col("grp_q"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      leg("short", "n_chars:[* TO 200}")
+        .unionByName(leg("spark", "text:spark"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("grp_q"), col("rnk"), col("doc_id"), col("n_chars"))
+    }),
+
+    // contrastive hard-negative mining: per query vector, the top-3
+    // nearest CROSS-label corpus vectors (the hard negatives a
+    // contrastive trainer wants) — query side broadcast, q25's
+    // rounding discipline on the cut
+    "q217_hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val c = emb.select(col("vec_id").as("corpus_id"), col("label").as("clabel"),
+          col("embedding").cast("array<double>").as("cvec"))
+        .withColumn("cnorm", graft.ops.Similarity.norm(col("cvec")))
+      val q = emb.filter(col("vec_id") < 6)
+        .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+          col("embedding").cast("array<double>").as("qvec"))
+        .withColumn("qnorm", graft.ops.Similarity.norm(col("qvec")))
+      val scored = c.crossJoin(broadcast(q))
+        .filter(col("clabel") =!= col("qlabel"))
+        .withColumn("cosine_r", round(
+          graft.ops.Similarity.dot(col("qvec"), col("cvec"))
+            / (col("qnorm") * col("cnorm")), 6))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine_r").desc, col("corpus_id").asc)
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("query_id"), col("rnk"), col("corpus_id"), col("cosine_r"))
+    }),
+
+    // mlt.interestingTerms=details: the source doc's extracted query
+    // terms with scores — q84's phase 1 surfaced
+    "q218_mlt_terms" -> ((s, d) =>
+      graft.text.Ranking.interestingTerms(
+        Tables.documents(s, d).select(col("doc_id"),
+          regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("toks")),
+        col("doc_id"), col("toks"), sourceDocId = 7L, topTerms = 10))
   )
 
   /** The shared (id, ts, event_type, user_id) events segment store —
@@ -5084,6 +5172,84 @@ object SparkEntry {
         |  CAST(len(list_filter(toks, x -> NOT list_contains(vs, x))) AS DOUBLE)
         |    / len(toks) AS oov_frac
         |FROM base, vocab""".stripMargin,
+
+    // recursive-CTE replay of the BFS: min-depth simple walks — every
+    // min-depth walk visits each node at its BFS depth, so the CTE's
+    // per-path pruning and the BFS's global visited set admit the
+    // SAME path set (proof in GraphOps.scala scaladoc)
+    "q213_shortest_path" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT DISTINCT 'c:' || o_custkey AS src, 'o:' || o_orderkey AS dst FROM orders
+        |  UNION SELECT DISTINCT 'o:' || l_orderkey, 'p:' || l_partkey FROM lineitem
+        |  UNION SELECT DISTINCT 'p:' || l_partkey, 'o:' || l_orderkey FROM lineitem),
+        |walk AS (
+        |  SELECT 'c:1' AS node, ['c:1'] AS path, 0 AS d
+        |  UNION ALL
+        |  SELECT e.dst, list_append(w.path, e.dst), d + 1
+        |  FROM walk w JOIN edges e ON e.src = w.node
+        |  WHERE d < 4 AND w.node <> 'p:32' AND NOT list_contains(w.path, e.dst)),
+        |hits AS (SELECT path, d FROM walk WHERE node = 'p:32'),
+        |md AS (SELECT min(d) AS md FROM hits)
+        |SELECT array_to_string(path, '>') AS path, CAST(d AS BIGINT) AS depth
+        |FROM hits, md WHERE d = md""".stripMargin,
+
+    // recip is one IEEE division — the bound compare replays exactly
+    "q214_frange" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE 500.0 / (1.0 * CAST(n_chars AS DOUBLE) + 500.0) >= 0.55
+        |  AND 500.0 / (1.0 * CAST(n_chars AS DOUBLE) + 500.0) < 0.95""".stripMargin,
+
+    "q215_facet_prefix_page" ->
+      """SELECT term, cnt, rnk FROM (
+        |  SELECT term, cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rnk
+        |  FROM (SELECT term, count(*) AS cnt FROM (
+        |          SELECT unnest(list_filter(
+        |            string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+        |          FROM documents)
+        |        WHERE term LIKE 's%' GROUP BY term))
+        |WHERE rnk > 3 AND rnk <= 10""".stripMargin,
+
+    "q216_group_query" ->
+      """WITH legs AS (
+        |  SELECT 'short' AS grp_q, doc_id, n_chars FROM documents WHERE n_chars < 200
+        |  UNION ALL
+        |  SELECT 'spark', doc_id, n_chars FROM documents
+        |  WHERE regexp_matches(lower(text), '(^|[^a-z0-9])spark([^a-z0-9]|$)'))
+        |SELECT grp_q, rnk, doc_id, n_chars FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY grp_q
+        |    ORDER BY n_chars DESC, doc_id) AS rnk FROM legs)
+        |WHERE rnk <= 3""".stripMargin,
+
+    // q25's cosine chain with the cross-label filter
+    "q217_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 6),
+        |p AS (SELECT q.vec_id AS query_id, e.vec_id AS corpus_id,
+        |  round(list_dot_product(q.v, e.v) /
+        |   (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine_r
+        | FROM q, e WHERE q.label <> e.label)
+        |SELECT query_id, rnk, corpus_id, cosine_r FROM (
+        | SELECT query_id, corpus_id, cosine_r,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine_r DESC, corpus_id) AS BIGINT) AS rnk
+        | FROM p) t WHERE rnk <= 3""".stripMargin,
+
+    // q73's tf-idf restricted to the source doc, same order
+    "q218_mlt_terms" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |           FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf
+        |       FROM (SELECT doc_id, unnest(toks) AS term FROM t) u GROUP BY doc_id, term),
+        |dfq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (SELECT tf.doc_id, tf.term,
+        |  CAST(tf.tf AS DOUBLE) * (ln((CAST(n_docs AS DOUBLE) + 1.0)
+        |    / (CAST(doc_freq AS DOUBLE) + 1.0)) + 1.0) AS tf_idf
+        | FROM tf JOIN dfq USING (term) CROSS JOIN n)
+        |SELECT term, rnk AS rank, score_r FROM (
+        | SELECT term, round(tf_idf, 6) AS score_r,
+        |  CAST(row_number() OVER (ORDER BY round(tf_idf, 6) DESC, term) AS BIGINT) AS rnk
+        | FROM s WHERE doc_id = 7) x WHERE rnk <= 10""".stripMargin,
 
     // 15 two-day buckets zero-filled; range [start, end) as pushed
     "q212_timeseries" ->

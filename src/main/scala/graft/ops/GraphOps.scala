@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Graph traversal over edge frames — the Solr streaming-expression
+ * graph family beyond one-hop `nodes()`/`gatherNodes()` (q107/q198):
+ * `shortestPath(collection, from=, to=, edge=, maxDepth=)`, which BFS-
+ * walks the edge set a round at a time and emits EVERY minimum-length
+ * path (Solr's ShortestPathStream contract: breadth-first join rounds
+ * against the index, depth-bounded).
+ *
+ * Spark-first shape: one equi-join shuffle per BFS round (frontier ⋈
+ * edges on the from-key) plus an ids-only anti-join against the
+ * visited set; the frontier is `localCheckpoint`ed each round (the
+ * BPE-loop lineage discipline) so plan depth stays O(1) per round
+ * rather than O(depth). Path arrays ride the frontier — safe because
+ * every min-depth path visits each node at its BFS depth (a walk that
+ * revisits, or visits later than first reach, is strictly longer), so
+ * pruning previously-visited nodes preserves the full answer set.
+ * Work per round ∝ frontier × mean out-degree; maxDepth bounds the
+ * whole traversal, exactly as Solr requires of the request.
+ */
+object GraphOps {
+
+  /**
+   * All shortest paths `source` → `target` over directed edges.
+   * Output: (path, depth) — `path` = nodes joined with '>', one row
+   * per distinct minimum-length path; empty frame if unreachable
+   * within `maxDepth`. Edges are distinct-ed on (from, to) so path
+   * multiplicity mirrors the graph, not the edge list's duplication.
+   */
+  def shortestPaths(edges: DataFrame, fromCol: Column, toCol: Column,
+                    source: String, target: String, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 12, s"maxDepth out of range: $maxDepth")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(fromCol.cast("string").as("__src"),
+      toCol.cast("string").as("__dst")).distinct()
+    val empty = Seq.empty[(String, Long)].toDF("path", "depth")
+    if (source == target) return Seq((source, 0L)).toDF("path", "depth")
+    var frontier = Seq((source, Seq(source))).toDF("node", "path")
+    var visited = Seq(source).toDF("node")
+    var depth = 0
+    while (depth < maxDepth) {
+      depth += 1
+      val next = frontier.join(e, frontier("node") === e("__src"))
+        .select(col("__dst").as("node"),
+          concat(col("path"), array(col("__dst"))).as("path"))
+        .join(visited, Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      val hits = next.filter(col("node") === target)
+      if (!hits.isEmpty)
+        return hits.select(array_join(col("path"), ">").as("path"),
+          lit(depth.toLong).as("depth"))
+      if (next.isEmpty) return empty
+      visited = visited.union(next.select(col("node")).distinct())
+        .localCheckpoint(true)
+      frontier = next
+    }
+    empty
+  }
+}

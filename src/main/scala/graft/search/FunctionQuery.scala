@@ -121,4 +121,33 @@ object FunctionQuery {
       case other => sys.error(s"unsupported function query function '$other'")
     }
   }
+
+  /**
+   * Solr `{!frange}` query parser: filter by a function query's
+   * VALUE range — `{!frange l=0 u=2 incl=true incu=false}recip(x,1,
+   * 1000,1000)`. Bounds are optional (absent = unbounded); incl/incu
+   * default true, as in Solr's FunctionRangeQParserPlugin. Compiles
+   * to a plain boolean Column over the compiled function — scan-local
+   * codegen, pushdown-eligible when the function is.
+   */
+  def frange(q: String, schema: StructType): Column = {
+    val m = """\{!frange\s+([^}]*)\}(.*)""".r
+    q.trim match {
+      case m(params, body) =>
+        val kv = params.trim.split("\\s+").filter(_.nonEmpty).map { p =>
+          val i = p.indexOf('=')
+          require(i > 0, s"malformed local param '$p' in: $q")
+          p.substring(0, i) -> p.substring(i + 1)
+        }.toMap
+        val v = compile(body.trim, schema)
+        val incl = kv.get("incl").forall(_.toBoolean)
+        val incu = kv.get("incu").forall(_.toBoolean)
+        val loC = kv.get("l").map(_.toDouble)
+          .map(b => if (incl) v >= b else v > b).getOrElse(lit(true))
+        val hiC = kv.get("u").map(_.toDouble)
+          .map(b => if (incu) v <= b else v < b).getOrElse(lit(true))
+        loC && hiC
+      case _ => sys.error(s"not a {!frange} query: $q")
+    }
+  }
 }

@@ -196,6 +196,24 @@ object Ranking {
   }
 
   /**
+   * MLT `mlt.interestingTerms=details`: the source document's
+   * extracted query terms WITH their scores — exactly the term set
+   * [[moreLikeThis]] ranks by, surfaced for relevance debugging.
+   * Output: (term, rank, score_r) with score = round(tf_idf, 6) and
+   * rank in the same (score desc, term) order the MLT query uses.
+   */
+  def interestingTerms(df: DataFrame, id: Column, tokens: Column,
+                       sourceDocId: Long, topTerms: Int = 10): DataFrame = {
+    val ti = tfIdf(df, id, tokens)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(round(col("tf_idf"), 6).desc, col("term"))
+    ti.filter(col("doc_id") === sourceDocId)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topTerms)
+      .select(col("term"), col("rank"), round(col("tf_idf"), 6).as("score_r"))
+  }
+
+  /**
    * Highlighting (Solr's highlighting component, first-fragment
    * variant): for documents matching `term`, the snippet of up to
    * `contextWords` words on each side of the FIRST occurrence. A pure

@@ -51,4 +51,20 @@ class FunctionQuerySpec extends AnyFunSuite {
       .select("id", "v").as[(Long, Double)].collect().toMap
     assert(both(4L) === 1.0)
   }
+
+  test("{!frange}: bounds, inclusivity flags, open ends") {
+    import spark.implicits._
+    val df = Seq((1L, 0.0), (2L, 500.0), (3L, 1500.0), (4L, 4500.0))
+      .toDF("id", "x")
+    def ids(q: String): Seq[Long] =
+      df.filter(FunctionQuery.frange(q, df.schema))
+        .select("id").as[Long].collect().sorted.toSeq
+    // recip(x,1,500,500) = 500/(x+500): 1.0, 0.5, 0.25, 0.1
+    assert(ids("{!frange l=0.25 u=0.5}recip(x,1,500,500)") === Seq(2L, 3L))
+    assert(ids("{!frange l=0.25 u=0.5 incu=false}recip(x,1,500,500)") === Seq(3L))
+    assert(ids("{!frange l=0.25 u=0.5 incl=false}recip(x,1,500,500)") === Seq(2L))
+    assert(ids("{!frange u=0.25}recip(x,1,500,500)") === Seq(3L, 4L))
+    assert(ids("{!frange l=0.5}recip(x,1,500,500)") === Seq(1L, 2L))
+    intercept[RuntimeException](FunctionQuery.frange("x:[1 TO 2]", df.schema))
+  }
 }
