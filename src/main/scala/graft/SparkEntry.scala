@@ -3058,7 +3058,124 @@ object SparkEntry {
       graft.text.Ranking.interestingTerms(
         Tables.documents(s, d).select(col("doc_id"),
           regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("toks")),
-        col("doc_id"), col("toks"), sourceDocId = 7L, topTerms = 10))
+        col("doc_id"), col("toks"), sourceDocId = 7L, topTerms = 10)),
+
+    // update()/commit() streaming decorators: the src collection's
+    // tuples upsert into dest (router-aligned delta), then the read
+    // side serves the merged state — exactly-once per deterministic
+    // stream (idempotent re-run)
+    "q219_update_stream" -> ((s, d) => {
+      import graft.index.SegmentShardSink
+      val dest = sharedStore(d, "upsert_dest") { o =>
+        SegmentShardSink.write(
+          Tables.documents(s, d).filter(col("doc_id") < 400)
+            .select(col("doc_id").cast("string").as("id"),
+              col("lang"), col("source"), col("n_chars")),
+          "id", o, shards = 2)
+      }
+      val src = sharedStore(d, "upsert_src") { o =>
+        SegmentShardSink.write(
+          Tables.documents(s, d)
+            .filter(col("doc_id") >= 350 && col("doc_id") <= 450)
+            .select(col("doc_id").cast("string").as("id"),
+              col("lang"), col("source"), (col("n_chars") + 1000).as("n_chars")),
+          "id", o, shards = 2)
+      }
+      // the update stream drains at compile time (Solr semantics)
+      Graft.streamExpr(s,
+        """commit(upsert_dest, update(upsert_dest,
+          |  search(upsert_src, q="*:*", fl="id,lang,source,n_chars", sort="id asc")))""".stripMargin,
+        Map("upsert_dest" -> dest, "upsert_src" -> src)).collect()
+      s.read.format("graft-index").load(dest)
+        .withColumn("doc_id", col("id").cast("long"))
+        .filter(col("doc_id") >= 330 && col("doc_id") <= 420)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
+    // random() stream: deterministic md5(seed || id) sample — the
+    // replayable form of Solr's random sort (TakeOrdered cut)
+    "q220_random_stream" -> ((s, d) => {
+      val out = docsMetaStore(s, d)
+      Graft.streamExpr(s,
+        """random(docs_meta, q="lang:en", fl="id,n_chars", rows=10, seed="r7")""",
+        Map("docs_meta" -> out))
+    }),
+
+    // multimodal byte-frame sampling: stride-4096 windows of 512
+    // bytes, fan-out capped BEFORE the explode; frame bytes real
+    // (binary substring), metadata oracled against read_blob
+    "q221_frame_sample" -> ((s, d) =>
+      Multimodal.sampleByteFrames(
+          Multimodal.readBinary(s, d, "*.parquet"),
+          every = 4096, frameLen = 512, maxFrames = 8)
+        .select(regexp_extract(col("path"), "[^/]+$", 0).as("file_name"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          col("byte_off"), col("frame_len"))),
+
+    // full-query spellcheck collation (q97 is per-term): every query
+    // token either vocabulary-exact or replaced by its best correction
+    // (dist asc, df desc, term asc), reassembled in position order
+    "q222_spell_collation" -> ((s, d) => {
+      import s.implicits._
+      val vocab = Tables.documents(s, d)
+        .select(explode(array_distinct(regexp_extract_all(lower(col("text")),
+          lit("[a-z0-9]+"), lit(0)))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val qterms = Seq((1, "sparc"), (2, "quary"), (3, "merge"))
+        .toDF("pos", "qterm")
+      val exact = vocab.join(broadcast(qterms), col("term") === col("qterm"))
+        .select(col("pos"), col("qterm"), col("qterm").as("resolved"), lit(0L).as("dist"))
+      val missing = qterms.join(exact.select(col("pos").as("__p")),
+        col("pos") === col("__p"), "left_anti")
+      val cand = vocab.crossJoin(broadcast(missing))
+        .filter(abs(length(col("term")) - length(col("qterm"))) <= 2)
+        .withColumn("dist", levenshtein(col("qterm"), col("term")).cast("long"))
+        .filter(col("dist") <= 2)
+      val w = Window.partitionBy(col("pos"))
+        .orderBy(col("dist").asc, col("df").desc, col("term").asc)
+      val corrected = cand.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("pos"), col("qterm"), col("term").as("resolved"), col("dist"))
+      exact.unionByName(corrected)
+        .agg(
+          array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("resolved").as("r")))),
+            x => x.getField("r")), " ").as("collation"),
+          sum(when(col("dist") > 0, 1L).otherwise(0L)).as("n_corrected"))
+    }),
+
+    // n-gram CONTAINMENT (asymmetric near-dup: |A∩B|/|A| — catches a
+    // short doc quoted inside a long one where Jaccard dilutes), q24's
+    // adjacent-pair frame
+    "q223_containment" -> ((s, d) => {
+      val toks = expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')")
+      val sh = Tables.documents(s, d).select(col("doc_id"),
+        array_distinct(graft.ops.ApproxDedup.shingles(toks, 3)).as("sh"))
+      sh.as("a").join(sh.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double")
+            / size(col("a.sh")).cast("double")).as("containment"))
+    }),
+
+    // Gopher §A1.1 verdict table: the repetition/length signals
+    // composed into the paper's keep/drop decision — all fused
+    // kernels, shuffle-free projection
+    "q224_gopher_verdict" -> ((s, d) => {
+      val toks = expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')")
+      val base = Tables.documents(s, d).withColumn("__t", toks)
+        .filter(size(col("__t")) > 0)
+        .withColumn("n_words", size(col("__t")).cast("long"))
+        .withColumn("mean_word_len",
+          graft.functions.ArrayStrLenSum.str_len_sum(col("__t")).cast("double")
+            / col("n_words").cast("double"))
+        .withColumn("dup2_frac", TextAnalysis.dupNgramCoverage(col("__t"), 2))
+      base.select(col("doc_id"), col("n_words"),
+        round(col("mean_word_len"), 6).as("mean_word_len_r"),
+        col("dup2_frac"),
+        (col("n_words").between(50, 100000) &&
+          col("mean_word_len") >= 2.0 && col("mean_word_len") <= 10.0 &&
+          col("dup2_frac") < 0.3).as("keep"))
+    })
   )
 
   /** The shared (id, ts, event_type, user_id) events segment store —
@@ -5233,6 +5350,94 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY query_id
         |    ORDER BY cosine_r DESC, corpus_id) AS BIGINT) AS rnk
         | FROM p) t WHERE rnk <= 3""".stripMargin,
+
+    // merged state: base <400 overridden/extended by the 350-450
+    // modified delta, then the read window
+    "q219_update_stream" ->
+      """WITH final AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id BETWEEN 350 AND 450 THEN n_chars + 1000
+        |         ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id < 400 OR doc_id BETWEEN 350 AND 450)
+        |SELECT doc_id, lang, n_chars FROM final
+        |WHERE doc_id BETWEEN 330 AND 420""".stripMargin,
+
+    "q220_random_stream" ->
+      """SELECT id, n_chars, rand_key FROM (
+        |  SELECT CAST(doc_id AS VARCHAR) AS id, n_chars,
+        |    md5('r7' || CAST(doc_id AS VARCHAR)) AS rand_key
+        |  FROM documents WHERE lang = 'en')
+        |ORDER BY rand_key LIMIT 10""".stripMargin,
+
+    // offsets 0,4096,... <= size-1, capped at 8; tail frame truncates
+    "q221_frame_sample" ->
+      """SELECT regexp_extract(filename, '[^/]+$') AS file_name,
+        |  CAST(i AS BIGINT) AS frame_idx,
+        |  CAST(i * 4096 AS BIGINT) AS byte_off,
+        |  least(512, size - i * 4096) AS frame_len
+        |FROM (SELECT filename, size, unnest(generate_series(0,
+        |        CAST(least(7, (size - 1) // 4096) AS INT))) AS i
+        |      FROM read_blob('{SF_DIR}/*.parquet'))""".stripMargin,
+
+    // q97's candidate rule per missing term, position-ordered rebuild
+    "q222_spell_collation" ->
+      """WITH v AS (SELECT term, count(*) AS df FROM (
+        |    SELECT doc_id, unnest(list_distinct(
+        |      regexp_extract_all(lower(text), '[a-z0-9]+'))) AS term
+        |    FROM documents) GROUP BY term),
+        |q AS (SELECT * FROM (VALUES (1, 'sparc'), (2, 'quary'), (3, 'merge')) t(pos, qterm)),
+        |exact AS (SELECT pos, qterm, qterm AS resolved, 0 AS dist
+        |          FROM q JOIN v ON v.term = q.qterm),
+        |missing AS (SELECT * FROM q WHERE pos NOT IN (SELECT pos FROM exact)),
+        |cand AS (SELECT pos, qterm, term, levenshtein(qterm, term) AS dist, df
+        |         FROM missing CROSS JOIN v
+        |         WHERE abs(length(term) - length(qterm)) <= 2
+        |           AND levenshtein(qterm, term) <= 2),
+        |best AS (SELECT pos, qterm, term AS resolved, dist FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY pos
+        |    ORDER BY dist, df DESC, term) AS rn FROM cand) WHERE rn = 1),
+        |uni AS (SELECT * FROM exact UNION ALL SELECT * FROM best)
+        |SELECT string_agg(resolved, ' ' ORDER BY pos) AS collation,
+        |  CAST(sum(CASE WHEN dist > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrected
+        |FROM uni""".stripMargin,
+
+    // q24's shingle sets, asymmetric normalizer |A∩B|/|A|
+    "q223_containment" ->
+      """WITH d AS (
+        |SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |   ELSE list_transform(generate_series(1, len(toks) - 2),
+        |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+        | FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |         x -> x <> '') AS toks
+        |       FROM documents) t)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE)
+        |   / len(a.sh) AS containment
+        |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1""".stripMargin,
+
+    "q224_gopher_verdict" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |base AS (SELECT doc_id, toks, len(toks) AS nw,
+        |    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS mwl
+        |  FROM t WHERE len(toks) > 0),
+        |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-1),
+        |        i -> {pos: i, gram: toks[i] || ' ' || toks[i+1]})) AS u, nw
+        |      FROM base WHERE nw >= 2),
+        |c AS (SELECT doc_id, u.pos AS pos,
+        |        count(*) OVER (PARTITION BY doc_id, u.gram) AS cnt FROM g),
+        |cov AS (SELECT doc_id, count(DISTINCT p) AS cc FROM (
+        |  SELECT doc_id, unnest(generate_series(pos, pos+1)) AS p
+        |  FROM c WHERE cnt >= 2) GROUP BY doc_id),
+        |s AS (SELECT b.doc_id, CAST(nw AS BIGINT) AS n_words,
+        |    round(mwl, 6) AS mean_word_len_r, mwl,
+        |    CAST(coalesce(cov.cc, 0) AS DOUBLE) / nw AS dup2_frac
+        |  FROM base b LEFT JOIN cov ON b.doc_id = cov.doc_id)
+        |SELECT doc_id, n_words, mean_word_len_r, dup2_frac,
+        |  (n_words BETWEEN 50 AND 100000 AND mwl >= 2.0 AND mwl <= 10.0
+        |   AND dup2_frac < 0.3) AS keep
+        |FROM s""".stripMargin,
 
     // q73's tf-idf restricted to the source doc, same order
     "q218_mlt_terms" ->

@@ -166,4 +166,30 @@ object Multimodal {
     df.withColumn("frame_index",
       explode(slice(sequence(lit(0), greatest(col(frameCount) - 1, lit(0)), lit(everyNth)),
         1, maxFrames)))
+
+  /**
+   * Byte-level frame extraction over whole-file binary assets (the
+   * container-agnostic form of [[sampleFrameIndexes]]: fixed-stride
+   * byte windows standing in for codec-aware frame boundaries — the
+   * stride/window mirror a keyframe interval; a real demuxer slots in
+   * where the substring is). Offsets are bounded BEFORE the explode
+   * (`maxFrames` cap), so the fan-out a 4 GB video would otherwise
+   * cause never reaches the shuffle; the frame bytes ride Spark's
+   * binary substring (real bytes, zero-copy slice of the row value).
+   * Output: (path, length, frame_idx, byte_off, frame_len, frame).
+   */
+  def sampleByteFrames(df: DataFrame, every: Int, frameLen: Int,
+                       maxFrames: Int = 64): DataFrame = {
+    require(every > 0 && frameLen > 0 && maxFrames > 0)
+    val offs = slice(
+      sequence(lit(0L), greatest(col("length") - 1, lit(0L)), lit(every.toLong)),
+      1, maxFrames)
+    df.select(col("path"), col("length"), col("content"),
+        posexplode(offs).as(Seq("frame_idx", "byte_off")))
+      .withColumn("frame_len",
+        least(lit(frameLen.toLong), col("length") - col("byte_off")))
+      .withColumn("frame",
+        expr(s"substring(content, byte_off + 1, $frameLen)"))
+      .drop("content")
+  }
 }

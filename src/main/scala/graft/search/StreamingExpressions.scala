@@ -19,6 +19,8 @@ import org.apache.spark.sql.functions._
  *   outerHashJoin(<left>, <hashed>, on="a=b")
  *   facet(coll, q=, buckets=, bucketSorts=, bucketSizeLimit=, count(*))
  *   timeseries(coll, q=, field=, start=, end=, gap="+1DAY", count(*))
+ *   update(dest, <stream>) / commit(dest, <update>)  — index the stream
+ *   random(coll, q=, fl=, rows=, seed=)  — deterministic hash sample
  *   fetch(coll, <stream>, on="id", fl="a,b")
  *   intersect(<left>, <right>, on="key")   — left tuples whose key appears right
  *   complement(<left>, <right>, on="key")  — left tuples whose key does not
@@ -288,6 +290,54 @@ object StreamingExpressions {
       val limit = named(c, "bucketSizeLimit").map(_.toInt).getOrElse(10)
       Stream(grouped.orderBy(sortCols(sorted): _*).limit(limit), sorted)
 
+
+    case "update" =>
+      // update(destCollection, <stream>): index the stream's tuples
+      // into the destination store via the router-aligned upsert
+      // (L68) and emit Solr's worker summary tuple (batchIndexed).
+      // The write happens when the expression COMPILES (Solr's update
+      // stream also drains eagerly per batch); idempotent for a
+      // deterministic inner stream — same tuples, same final store.
+      val dest = c.args.headOption match {
+        case Some(Pos(v)) => v
+        case _ => sys.error("update() needs the destination collection first")
+      }
+      val store = collections.getOrElse(dest, sys.error(s"unknown collection '$dest'"))
+      val in = one(spark, c, collections)
+      val n = in.df.count()
+      graft.index.SegmentShardSink.upsert(spark, store, in.df)
+      import spark.implicits._
+      Stream(Seq(n).toDF("batchIndexed"), Nil)
+
+    case "commit" =>
+      // commit(destCollection, <update stream>): API-parity decorator
+      // — the segment-store upsert already publishes atomically at its
+      // commit marker, so commit() just passes the summary through
+      require(c.args.collectFirst { case Pos(v) => v }.nonEmpty,
+        "commit() needs the destination collection first")
+      one(spark, c, collections)
+
+    case "random" =>
+      // random(coll, q=, fl=, rows=N, seed=s): Solr's random stream
+      // re-expressed DETERMINISTICALLY — order by md5(seed || id),
+      // take N (a seeded hash sample is replayable across engines and
+      // retries; Solr's index-random sort is not). The cut is a
+      // TakeOrdered over the pushed scan, never a full sort.
+      val coll = c.args.headOption match {
+        case Some(Pos(v)) => v
+        case _ => sys.error("random() needs the collection as its first argument")
+      }
+      val rows = named(c, "rows").getOrElse(sys.error("random() needs rows=")).toInt
+      val seed = named(c, "seed").getOrElse("0")
+      val store = collections.getOrElse(coll, sys.error(s"unknown collection '$coll'"))
+      val marker = graft.index.SegmentShardSink.readMarker(
+        spark.sessionState.newHadoopConf(), store)
+      val in = compileCall(spark, Call("search", Seq(Pos(coll)) ++
+        c.args.collect { case n @ Named("q" | "fl", _) => n }), collections)
+      val keyed = in.df.withColumn("rand_key",
+        md5(concat(lit(seed), col(marker.idCol).cast("string"))))
+      Stream(keyed.orderBy(col("rand_key").asc).limit(rows),
+        Seq(("rand_key", true)))
 
     case "timeseries" | "timeSeries" =>
       // timeseries(coll, q=, field=, start=, end=, gap="+1DAY", aggs)

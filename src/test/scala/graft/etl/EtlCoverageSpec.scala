@@ -49,4 +49,25 @@ class EtlCoverageSpec extends AnyFunSuite {
     assert(got(2) === ((1L, 0)))    // 10 frames, every 30th -> frame 0
     assert(got(3) === ((1L, 0)))    // empty video still yields index 0
   }
+
+  test("byte-frame sampling: real bytes at strided offsets, tail truncation") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_frames_")
+    val bytes = Array.tabulate[Byte](1000)(i => (i % 251).toByte)
+    java.nio.file.Files.write(dir.resolve("a.bin"), bytes)
+    val bin = graft.ops.Multimodal.readBinary(spark, dir.toString, "*.bin")
+    val got = graft.ops.Multimodal.sampleByteFrames(bin, every = 400, frameLen = 300, maxFrames = 8)
+      .orderBy("frame_idx")
+      .select("frame_idx", "byte_off", "frame_len", "frame")
+      .collect()
+    // offsets 0, 400, 800 (<= 999)
+    assert(got.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((0, 0L, 300L), (1, 400L, 300L), (2, 800L, 200L)))
+    // frame bytes are the actual file slices; the tail frame truncates
+    assert(got(1).getAs[Array[Byte]]("frame").toSeq === bytes.slice(400, 700).toSeq)
+    assert(got(2).getAs[Array[Byte]]("frame").toSeq === bytes.slice(800, 1000).toSeq)
+    // maxFrames caps fan-out
+    val capped = graft.ops.Multimodal.sampleByteFrames(bin, every = 100, frameLen = 10, maxFrames = 4)
+      .count()
+    assert(capped === 4L)
+  }
 }

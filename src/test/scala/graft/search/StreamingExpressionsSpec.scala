@@ -220,4 +220,38 @@ class StreamingExpressionsSpec extends AnyFunSuite {
         Map("t" -> out))
     }
   }
+
+  test("update()/commit(): stream tuples upsert into the dest store") {
+    val dest = java.nio.file.Files.createTempDirectory("graft_upd_").toString
+    graft.index.SegmentShardSink.write(
+      Seq(("1", "en", 10L), ("2", "de", 20L)).toDF("id", "lang", "n_chars"),
+      "id", dest, shards = 1)
+    val srcColls = colls + ("dest" -> dest)
+    // update dest with en docs from c (ids 1,2,6) — id 1/2 override,
+    // 6 inserts; summary tuple reports the batch size
+    val summary = SE.compile(spark,
+      """commit(dest, update(dest,
+        |  search(c, q="lang:en", fl="id,lang,n_chars", sort="id asc")))""".stripMargin,
+      srcColls).as[Long].collect().toSeq
+    assert(summary === Seq(3L))
+    val after = spark.read.format("graft-index").load(dest)
+      .orderBy("id").as[(String, String, Long)].collect().toSeq
+    assert(after === Seq(("1", "en", 100L), ("2", "en", 400L), ("6", "en", 400L)))
+  }
+
+  test("random(): deterministic seeded hash sample") {
+    val a = SE.compile(spark,
+      """random(c, q="*:*", fl="id,lang", rows=3, seed="s1")""", colls)
+      .select("id").as[String].collect().toSeq
+    val b = SE.compile(spark,
+      """random(c, q="*:*", fl="id,lang", rows=3, seed="s1")""", colls)
+      .select("id").as[String].collect().toSeq
+    assert(a === b)
+    assert(a.length === 3)
+    // a different seed reorders (6 ids, 3-row cut — md5 orders differ)
+    val c2 = SE.compile(spark,
+      """random(c, q="*:*", fl="id,lang", rows=6, seed="s2")""", colls)
+      .select("id").as[String].collect().toSeq
+    assert(c2.sorted === Seq("1", "2", "3", "4", "5", "6"))
+  }
 }
