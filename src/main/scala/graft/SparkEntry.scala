@@ -3157,6 +3157,90 @@ object SparkEntry {
             / size(col("a.sh")).cast("double")).as("containment"))
     }),
 
+    // termfreq()/exists() function queries: index-stat scoring from
+    // the analyzed tokens, composed with the recip boost — top-20 by
+    // (score desc, id), all scan-local codegen
+    "q225_termfreq_fq" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val score = graft.search.FunctionQuery.compile(
+        "sum(product(termfreq(text,'spark'),2),recip(n_chars,1,1000,1000))",
+        docs.schema)
+      docs.select(col("doc_id"), round(score, 6).as("score_r"))
+        .orderBy(col("score_r").desc, col("doc_id").asc)
+        .limit(20)
+    }),
+
+    // sentence-boundary chunking under a token budget: q186's line
+    // synthesis provides sentences ('.' every third line); sentences
+    // stay whole, budget bucketing via the exclusive prefix sum —
+    // one window + one ordered-aggregate on the same partitioning
+    "q226_sentence_chunks" -> ((s, d) => {
+      val toks = filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= lit(""))
+      val staged = Tables.documents(s, d).withColumn("__l", toks)
+        .filter(size(col("__l")) > 0)
+      val nChunks = ceil(size(col("__l")).cast("double") / 8.0).cast("int")
+      val lines = transform(sequence(lit(0), nChunks - 1), i =>
+        array_join(slice(col("__l"), i * 8 + 1, lit(8)), " "))
+      // sentences = lines joined until a '.' residue: reuse the q186
+      // residue rule ((doc_id + i) % 3 == 0 ends a sentence) by
+      // simply treating each line as a sentence here — segmentation
+      // IS the line split; the budget pack is the operator under test
+      val sentences = staged.select(col("doc_id"),
+          posexplode(lines).as(Seq("sent_idx", "sentence")))
+        .withColumn("sent_tokens",
+          size(split(col("sentence"), " ")).cast("long"))
+      val packed = graft.ops.Chunking.packByBudget(sentences, col("doc_id"),
+        col("sent_idx"), col("sent_tokens"), budget = 24)
+      packed.groupBy(col("doc_id"), col("pack_id"))
+        .agg(count(lit(1)).as("n_sentences"),
+          sum(col("sent_tokens")).as("chunk_tokens"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("sent_idx"), col("sentence").as("t")))),
+            x => x.getField("t")), " ").as("chunk_text"))
+    }),
+
+    // corpus contamination REPORT (the release-gate rollup over
+    // q185's per-doc fractions): per source, contaminated share
+    "q227_contamination_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      def toks(c: Column) = regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
+      val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(toks(col("text")).as("btoks"))
+      val frac = Decontamination.overlapFraction(docs, col("doc_id"),
+        toks(col("text")), bench, col("btoks"), n = 8, tau = 0.02)
+      docs.select(col("doc_id"), col("source"))
+        .join(frac.select(col("doc_id"), col("contaminated")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_contaminated"))
+        .withColumn("contaminated_frac",
+          col("n_contaminated").cast("double") / col("n_docs").cast("double"))
+    }),
+
+    // JSONL training-data export sink + round trip: the standard
+    // interchange a tokenizer/loader consumes — written once per
+    // process (partitioned write), read back through the JSON reader
+    "q228_jsonl_export" -> ((s, d) => {
+      val out = sharedStore(d, "jsonl_export") { o =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .write.mode("overwrite").json(o)
+      }
+      s.read.json(out)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    }),
+
+    // stats.percentiles, CONTINUOUS form (q137 is the exact-disc walk
+    // from the term dictionary): linear interpolation over l_quantity
+    // per returnflag — Spark percentile == DuckDB quantile_cont
+    "q229_percentile_cont" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 6).as("p25_r"),
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_r"),
+          round(expr("percentile(l_quantity, 0.95)"), 6).as("p95_r"))),
+
     // Gopher §A1.1 verdict table: the repetition/length signals
     // composed into the paper's keep/drop decision — all fused
     // kernels, shuffle-free projection
@@ -5350,6 +5434,70 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY query_id
         |    ORDER BY cosine_r DESC, corpus_id) AS BIGINT) AS rnk
         | FROM p) t WHERE rnk <= 3""".stripMargin,
+
+    // same association order: (tf·2) + recip, one IEEE chain
+    "q225_termfreq_fq" ->
+      """SELECT doc_id, score_r FROM (
+        |  SELECT doc_id, round(
+        |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      t -> t = 'spark')) AS DOUBLE) * 2.0
+        |    + 1000.0 / (1.0 * CAST(n_chars AS DOUBLE) + 1000.0), 6) AS score_r
+        |  FROM documents) t
+        |ORDER BY score_r DESC, doc_id LIMIT 20""".stripMargin,
+
+    // q195's line synthesis; pack = floor(exclusive-prefix-sum / 24)
+    "q226_sentence_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, toks, CAST(ceil(len(toks) / 8.0) AS INT) AS nc
+        |       FROM t WHERE len(toks) > 0),
+        |lines AS (SELECT doc_id, i - 1 AS sent_idx,
+        |    array_to_string(toks[(i-1)*8+1 : (i-1)*8+8], ' ') AS sentence
+        |  FROM (SELECT doc_id, toks, unnest(generate_series(1, nc)) AS i FROM t2)),
+        |s AS (SELECT doc_id, sent_idx, sentence,
+        |        len(string_split(sentence, ' ')) AS st FROM lines),
+        |p AS (SELECT *, CAST(floor(coalesce(sum(st) OVER (PARTITION BY doc_id
+        |        ORDER BY sent_idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |        0) / 24.0) AS BIGINT) AS pack_id FROM s)
+        |SELECT doc_id, pack_id, count(*) AS n_sentences,
+        |  CAST(sum(st) AS BIGINT) AS chunk_tokens,
+        |  string_agg(sentence, ' ' ORDER BY sent_idx) AS chunk_text
+        |FROM p GROUP BY doc_id, pack_id""".stripMargin,
+
+    // q185's per-doc verdicts rolled up per source
+    "q227_contamination_report" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |           FROM documents),
+        |g AS (SELECT doc_id, list_distinct(
+        |  CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+        |   ELSE list_transform(generate_series(1, len(toks) - 7),
+        |     i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+        |                    toks[i+4], toks[i+5], toks[i+6], toks[i+7])) END) AS grams
+        | FROM t),
+        |bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+        |cg AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        |per AS (SELECT cg.doc_id,
+        |    (CAST(count(bg.gram) AS DOUBLE) / count(*)) >= 0.02 AS contaminated
+        |  FROM cg LEFT JOIN bg USING (gram) GROUP BY cg.doc_id)
+        |SELECT d.source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN contaminated THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+        |  CAST(sum(CASE WHEN contaminated THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+        |    AS contaminated_frac
+        |FROM documents d JOIN per ON d.doc_id = per.doc_id
+        |GROUP BY d.source""".stripMargin,
+
+    // export round trip preserves exactly the projected relation
+    "q228_jsonl_export" ->
+      "SELECT doc_id, lang, source, n_chars FROM documents",
+
+    "q229_percentile_cont" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.25), 6) AS p25_r,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50_r,
+        |  round(quantile_cont(l_quantity, 0.95), 6) AS p95_r
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     // merged state: base <400 overridden/extended by the 350-450
     // modified delta, then the read window

@@ -109,6 +109,17 @@ object FunctionQuery {
       // Solr linear(x,m,c) = m*x + c
       case "linear" => nary(args, 3, fn); args(1) * args(0) + args(2)
       case "if" => nary(args, 3, fn); when(args(0) =!= 0.0, args(1)).otherwise(args(2))
+      case "termfreq" =>
+        // Solr termfreq(field, 'term'): the term's frequency among the
+        // field's ANALYZED tokens (plain lowercase alphanumerics — the
+        // corpus-scan ranking tokenizer). Stays in codegen: one split
+        // + filter count per row.
+        nary(args, 2, fn)
+        size(filter(split(lower(args(0)), "[^a-z0-9]+"), t => t === args(1)))
+          .cast("double")
+      case "exists" =>
+        nary(args, 1, fn)
+        when(args(0).isNotNull, lit(1.0)).otherwise(lit(0.0))
       case "strdist" =>
         // Solr strdist(s1, s2[, edit]) with the edit measure:
         // 1 - levenshtein/maxLen, equal strings → 1.0, one exact IEEE

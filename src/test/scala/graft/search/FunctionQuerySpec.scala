@@ -52,6 +52,28 @@ class FunctionQuerySpec extends AnyFunSuite {
     assert(both(4L) === 1.0)
   }
 
+  test("termfreq()/exists(): analyzed-token counts and null probes") {
+    import spark.implicits._
+    val df = Seq((1L, "Spark and spark, SPARK!", 10L),
+                 (2L, "no match here", 20L),
+                 (3L, null.asInstanceOf[String], 30L)).toDF("id", "text", "n")
+    val tf = df.withColumn("v",
+        FunctionQuery.compile("termfreq(text,'spark')", df.schema))
+      .select("id", "v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1.0 else r.getDouble(1))).toMap
+    assert(tf(1L) === 3.0) // case-folded, punctuation-split
+    assert(tf(2L) === 0.0)
+    val ex = df.withColumn("v",
+        FunctionQuery.compile("exists(text)", df.schema))
+      .select("id", "v").as[(Long, Double)].collect().toMap
+    assert(ex === Map(1L -> 1.0, 2L -> 1.0, 3L -> 0.0))
+    // composes inside the numeric function space
+    val c = df.withColumn("v", FunctionQuery.compile(
+        "sum(product(termfreq(text,'spark'),2),1)", df.schema))
+      .filter(col("id") === 1).select("v").as[Double].collect().head
+    assert(c === 7.0)
+  }
+
   test("{!frange}: bounds, inclusivity flags, open ends") {
     import spark.implicits._
     val df = Seq((1L, 0.0), (2L, 500.0), (3L, 1500.0), (4L, 4500.0))
