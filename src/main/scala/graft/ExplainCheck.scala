@@ -53,7 +53,12 @@ object ExplainCheck {
       "q150_stream_rollup" -> "streaming-expr rollup: pushed index scan feeding a partial->final hash aggregate — no sorted-stream reduce",
       "q151_stream_join_top" -> "streaming-expr innerJoin+top: two pushed index scans, hash join on id, global top-10 as TakeOrderedAndProject",
       "q155_solr_sql" -> "Parallel SQL over the collection view: the same DSv2 pushdowns fire through spark.sql",
-      "q162_delta_dedup" -> "incremental exact dedup: batch anti-joins the corpus fingerprint set — fingerprints move, documents never")
+      "q162_delta_dedup" -> "incremental exact dedup: batch anti-joins the corpus fingerprint set — fingerprints move, documents never",
+      "q202_knn_qparser" -> "{!knn}: literal query vector folded into ONE codegen'd dot product per row, global cut as TakeOrderedAndProject — no broadcast, no window",
+      "q204_proximity_search" -> "sloppy-phrase proximity: one rlike predicate in the scan stage — no tokenize, no explode, no shuffle",
+      "q206_dup_ngram_cov" -> "dup-ngram coverage: both fused kernels in one scan-stage projection — zero exchanges in the whole plan",
+      "q221_frame_sample" -> "byte-frame sampling: offsets bounded pre-explode (Generate under the scan), binary substring row-local",
+      "q226_sentence_chunks" -> "sentence chunking: ONE hash exchange on doc_id — window prefix-sum and the ordered aggregate reuse the same partitioning")
     val sb = new StringBuilder
     sb.append("# Captured physical plans (generated by graft.ExplainCheck at sf0.001)\n")
     sb.append("\nRegenerate: `sbt \"runMain graft.ExplainCheck\"`.\n")

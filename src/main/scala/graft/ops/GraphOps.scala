@@ -36,29 +36,35 @@ object GraphOps {
     require(maxDepth >= 1 && maxDepth <= 12, s"maxDepth out of range: $maxDepth")
     val spark = edges.sparkSession
     import spark.implicits._
+    // the edge frame is probed once per BFS round — persist it for
+    // the loop so the source scan + distinct run once, not per round
+    // (at corpus scale this is the difference between O(depth) and
+    // O(1) passes over the fact table)
     val e = edges.select(fromCol.cast("string").as("__src"),
-      toCol.cast("string").as("__dst")).distinct()
-    val empty = Seq.empty[(String, Long)].toDF("path", "depth")
-    if (source == target) return Seq((source, 0L)).toDF("path", "depth")
-    var frontier = Seq((source, Seq(source))).toDF("node", "path")
-    var visited = Seq(source).toDF("node")
-    var depth = 0
-    while (depth < maxDepth) {
-      depth += 1
-      val next = frontier.join(e, frontier("node") === e("__src"))
-        .select(col("__dst").as("node"),
-          concat(col("path"), array(col("__dst"))).as("path"))
-        .join(visited, Seq("node"), "left_anti")
-        .localCheckpoint(true)
-      val hits = next.filter(col("node") === target)
-      if (!hits.isEmpty)
-        return hits.select(array_join(col("path"), ">").as("path"),
-          lit(depth.toLong).as("depth"))
-      if (next.isEmpty) return empty
-      visited = visited.union(next.select(col("node")).distinct())
-        .localCheckpoint(true)
-      frontier = next
-    }
-    empty
+      toCol.cast("string").as("__dst")).distinct().persist()
+    try {
+      val empty = Seq.empty[(String, Long)].toDF("path", "depth")
+      if (source == target) return Seq((source, 0L)).toDF("path", "depth")
+      var frontier = Seq((source, Seq(source))).toDF("node", "path")
+      var visited = Seq(source).toDF("node")
+      var depth = 0
+      while (depth < maxDepth) {
+        depth += 1
+        val next = frontier.join(e, frontier("node") === e("__src"))
+          .select(col("__dst").as("node"),
+            concat(col("path"), array(col("__dst"))).as("path"))
+          .join(visited, Seq("node"), "left_anti")
+          .localCheckpoint(true)
+        val hits = next.filter(col("node") === target)
+        if (!hits.isEmpty)
+          return hits.select(array_join(col("path"), ">").as("path"),
+            lit(depth.toLong).as("depth"))
+        if (next.isEmpty) return empty
+        visited = visited.union(next.select(col("node")).distinct())
+          .localCheckpoint(true)
+        frontier = next
+      }
+      empty
+    } finally e.unpersist(blocking = false)
   }
 }
