@@ -3230,6 +3230,38 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     }),
 
+    // hive-partitioned corpus export (the layout a 100 TB corpus
+    // ships in): write partitionBy(lang), read back under a partition
+    // filter — the en predicate prunes to ONE directory (plan-locked
+    // in PlanShapeSpec), file contents never scanned for other langs
+    "q230_partitioned_export" -> ((s, d) => {
+      val out = sharedStore(d, "part_export") { o =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+          .write.mode("overwrite").partitionBy("lang").parquet(o)
+      }
+      s.read.parquet(out).filter(col("lang") === "en")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
+    // Zipf profile (corpus-health QA): frequency-of-frequency table —
+    // how many distinct terms occur exactly f times; two aggregations,
+    // second over the vocabulary-sized frame
+    "q231_zipf_profile" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(expr(
+          "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')")).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("f"))
+        .groupBy(col("f")).agg(count(lit(1)).as("n_terms"))),
+
+    // hl.snippets=2 multi-fragment highlighting: up to two
+    // non-overlapping snippets in text order per matching doc
+    "q232_highlight_multi" -> ((s, d) =>
+      Ranking.highlightFragments(Tables.documents(s, d), col("doc_id"),
+          col("text"), "spark", contextWords = 2, maxFragments = 2)
+        .select(col("doc_id"), col("frag_idx").cast("long").as("frag_idx"),
+          col("snippet"))),
+
     // stats.percentiles, CONTINUOUS form (q137 is the exact-disc walk
     // from the term dictionary): linear interpolation over l_quantity
     // per returnflag — Spark percentile == DuckDB quantile_cont
@@ -5498,6 +5530,28 @@ object SparkEntry {
         |  round(quantile_cont(l_quantity, 0.5), 6) AS p50_r,
         |  round(quantile_cont(l_quantity, 0.95), 6) AS p95_r
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q230_partitioned_export" ->
+      "SELECT doc_id, source, n_chars FROM documents WHERE lang = 'en'",
+
+    "q231_zipf_profile" ->
+      """SELECT f, count(*) AS n_terms FROM (
+        |  SELECT term, count(*) AS f FROM (
+        |    SELECT unnest(list_filter(
+        |      string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+        |    FROM documents) GROUP BY term)
+        |GROUP BY f""".stripMargin,
+
+    // same regex, leftmost non-overlapping scan, first two matches
+    "q232_highlight_multi" ->
+      """SELECT doc_id, CAST(i - 1 AS BIGINT) AS frag_idx, frags[i] AS snippet
+        |FROM (
+        |  SELECT doc_id, regexp_extract_all(lower(text),
+        |    '(?:[a-z0-9]+ ){0,2}\b(?:spark)\b(?: [a-z0-9]+){0,2}') AS frags
+        |  FROM documents
+        |  WHERE regexp_matches(lower(text), '\bspark\b')),
+        |  (SELECT unnest(generate_series(1, 2)) AS i)
+        |WHERE i <= least(len(frags), 2)""".stripMargin,
 
     // merged state: base <400 overridden/extended by the 350-450
     // modified delta, then the read window

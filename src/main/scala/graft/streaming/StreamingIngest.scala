@@ -59,6 +59,31 @@ object StreamingIngest {
   }
 
   /**
+   * Streaming exact dedup with BOUNDED state:
+   * `dropDuplicatesWithinWatermark` keeps a key's state only until
+   * the watermark passes it — the streaming form of L1's exact dedup
+   * that does not grow state forever (a bare dropDuplicates on an
+   * unbounded stream is the state-explosion bug; the watermark bound
+   * is what survives a month-long ingest).
+   */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
+                           tsCol: String = "ts",
+                           watermark: String = "2 hours"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /**
+   * Stream-static enrichment join: each micro-batch hash-joins the
+   * static dimension frame (broadcast when small — Catalyst decides
+   * per batch). The dimension is re-resolvable per batch, so a
+   * refreshed dimension table picks up on the next trigger — the
+   * standard streaming-enrichment contract.
+   */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+                   key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
+  /**
    * Exactly-once index sink: each micro-batch overwrites its OWN
    * `batch=<id>` subdirectory, so a batch replayed after a crash (or a
    * restart that re-runs the last uncommitted batch) lands on the same

@@ -220,6 +220,26 @@ object Ranking {
    * filter + regexp projection — the contains() filter pushes to the
    * parquet scan, so only matching rows pay the extraction.
    */
+  /**
+   * Multi-fragment highlighting (Solr `hl.snippets=N`): up to
+   * `maxFragments` non-overlapping snippets per matching document,
+   * in text order with a fragment index — the regex engine's
+   * left-to-right non-overlapping scan IS Lucene's fragment walk
+   * here. Same pushdown-friendly prefilter as [[highlight]]; the
+   * explode fans out at most `maxFragments` rows per doc.
+   */
+  def highlightFragments(df: DataFrame, id: Column, text: Column, term: String,
+                         contextWords: Int = 3, maxFragments: Int = 2): DataFrame = {
+    require(term.matches("[a-z0-9]+"), "term must be a plain lowercase token")
+    val c = contextWords
+    val pattern = s"(?:[a-z0-9]+ ){0,$c}\\b$term\\b(?: [a-z0-9]+){0,$c}"
+    df.filter(lower(text).contains(term) && lower(text).rlike(s"\\b$term\\b"))
+      .select(id.as("doc_id"),
+        posexplode(slice(
+          regexp_extract_all(lower(text), lit(pattern), lit(0)),
+          1, maxFragments)).as(Seq("frag_idx", "snippet")))
+  }
+
   def highlight(df: DataFrame, id: Column, text: Column, term: String,
                 contextWords: Int = 3): DataFrame = {
     require(term.matches("[a-z0-9]+"), "term must be a plain lowercase token")

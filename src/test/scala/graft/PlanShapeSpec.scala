@@ -326,4 +326,34 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!p.contains("Exchange"), s"$q: ${p.take(2000)}")
     }
   }
+
+  test("q202 knn: fused dot product, TakeOrdered cut, no window/broadcast") {
+    val p = plan("q202_knn_qparser")
+    assert(p.contains("array_dot"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
+  test("q204 proximity + q206 dup-ngram + q224 verdicts: shuffle-free scans") {
+    Seq("q204_proximity_search", "q206_dup_ngram_cov", "q224_gopher_verdict")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("Exchange"), s"$q: ${p.take(2000)}")
+      }
+  }
+
+  test("q230 partitioned export: lang predicate prunes to partition dirs") {
+    val p = SparkEntry.queries("q230_partitioned_export")(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    // the filter must land in PartitionFilters (directory pruning),
+    // not in the data filters of a full scan
+    assert(p.contains("PartitionFilters") &&
+      p.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("lang"), p.take(2500))
+  }
+
+  test("q226 sentence chunks: one exchange — aggregate reuses the window partitioning") {
+    val p = plan("q226_sentence_chunks")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1, p.take(2500))
+  }
 }

@@ -16,8 +16,8 @@ class StreamStaticJoinSpec extends AnyFunSuite {
     // static dim: user_id -> segment (derived from customer table)
     val dim = Tables.customer(spark, TestSpark.sf)
       .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
-    val stream = StreamingIngest.readEvents(spark, staged)
-      .join(broadcast(dim), Seq("user_id"), "left_outer")
+    val stream = StreamingIngest.enrichStream(
+      StreamingIngest.readEvents(spark, staged), dim, "user_id")
     val q = stream.writeStream.format("memory").queryName("graft_ssj")
       .outputMode("append").start()
     try q.processAllAvailable() finally q.stop()

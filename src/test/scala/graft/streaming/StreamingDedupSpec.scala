@@ -27,6 +27,24 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(got.select("user_id").distinct().count() === users)
   }
 
+  test("dedupWithinWatermark: in-horizon duplicates collapse, state stays bounded") {
+    import spark.implicits._
+    val staged = java.nio.file.Files.createTempDirectory("graft_wmd_").toString
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    // key 1 duplicated within minutes (inside the watermark horizon),
+    // key 2 once — expect exactly one row per key
+    Seq((1L, ts(0), "a"), (1L, ts(1), "a2"), (1L, ts(2), "a3"), (2L, ts(1), "b"))
+      .toDF("id", "ts", "v").write.mode("overwrite").parquet(staged)
+    val stream = StreamingIngest.dedupWithinWatermark(
+      StreamingIngest.readEvents(spark, staged),
+      keyCols = Seq("id"), watermark = "1 hour")
+    val q = stream.writeStream.format("memory").queryName("graft_wmd")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("graft_wmd").select("id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L))
+  }
+
   test("restart-resume E2E: file source → dropDuplicatesWithinWatermark → " +
     "index sink stays exactly-once across a stop/restart") {
     import spark.implicits._
