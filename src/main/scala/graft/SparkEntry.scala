@@ -3,7 +3,7 @@ package graft
 import graft.dedup.Dedup
 import graft.etl.Etl
 import graft.index.ShardIndex
-import graft.ops.{ApproxDedup, Boilerplate, Chunking, Clustering, CorpusPipeline, Decontamination, Joins, Multimodal, Sampling, Similarity}
+import graft.ops.{ApproxDedup, Boilerplate, Chunking, Clustering, CorpusPipeline, Decontamination, Joins, Multimodal, Preference, QualityClassifier, Sampling, Similarity}
 import graft.text.Ranking
 import graft.route.HashRangeRouter
 import graft.schema.{IndexField, IndexSchema}
@@ -3291,6 +3291,102 @@ object SparkEntry {
         (col("n_words").between(50, 100000) &&
           col("mean_word_len") >= 2.0 && col("mean_word_len") <= 10.0 &&
           col("dup2_frac") < 0.3).as("keep"))
+    }),
+
+    // L155 seed quality classifier (fastText-style corpus filter,
+    // weights from NB counts instead of SGD — two aggregations + one
+    // broadcast join, bit-stable integer space): train on the
+    // n_chars>=300 seed, score everything, roll up per language
+    "q233_seed_classifier" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val wts = QualityClassifier.tokenWeights(
+        docs, "doc_id", "text", col("n_chars") >= 300, minDf = 2)
+      val scored = QualityClassifier.score(docs, "doc_id", "text", wts)
+        .select(col("doc_id").as("__sid"), col("score_milli"))
+      docs.select(col("doc_id"), col("lang"))
+        .join(scored, col("doc_id") === col("__sid"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("score_milli") > 0, 1L).otherwise(0L)).as("n_positive"),
+          sum(col("score_milli")).as("score_sum"))
+    }),
+
+    // L156 CCNet perplexity buckets: per-language head/middle/tail
+    // thirds under the corpus LM's integer milli surprise
+    "q234_ccnet_buckets" -> ((s, d) =>
+      TextAnalysis.perplexityBuckets(Tables.documents(s, d), "doc_id", "text", "lang")
+        .groupBy(col("lang"), col("ppl_bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("score_milli")).as("min_score"),
+          max(col("score_milli")).as("max_score"))),
+
+    // L157 exact-quota stratified split: per-language 80/10/10 by
+    // md5 rank — every stratum hits its quota, unlike the
+    // hash-bound split's in-expectation shares
+    "q235_stratified_split" -> ((s, d) =>
+      Sampling.stratifiedSplit(Tables.documents(s, d), col("lang"), col("doc_id"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))),
+
+    // L158 DPO preference-pair assembly: per-prompt (chosen,
+    // rejected, margin) from scored candidates — one window shuffle
+    "q236_pref_pairs" -> ((s, d) =>
+      Preference.pairs(
+        Tables.events(s, d).filter(col("value").isNotNull),
+        col("user_id"), col("event_id"), col("value"))),
+
+    // L159 lexical diversity (type/token ratio in milli space) per
+    // language — shuffle-free per-row kernel + one aggregation
+    "q237_lexical_diversity" -> ((s, d) => {
+      val toks = expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')")
+      val ttrCols = TextAnalysis.lexicalDiversityColumns(toks)
+      Tables.documents(s, d)
+        .select(col("doc_id") +: col("lang") +:
+          ttrCols.map { case (n, c) => c.as(n) }: _*)
+        .filter(col("n_tokens") > 0)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ttr_milli")).as("ttr_sum"),
+          min(col("ttr_milli")).as("ttr_min"),
+          max(col("ttr_milli")).as("ttr_max"))
+    }),
+
+    // L160 Matryoshka-truncation recall probe (Kusupati et al. 2022):
+    // overlap@10 between full-dim and first-16-dims cosine top-k —
+    // the "how few dims can retrieval afford" diagnostic; cosine
+    // renormalizes, so truncation needs no re-scaling pass
+    "q238_matryoshka_overlap" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      def tr(df: DataFrame): DataFrame =
+        df.withColumn("embedding", slice(col("embedding"), 1, 16))
+      val qs = emb.filter(col("vec_id") < 10)
+      val full = Similarity.bruteForceTopK(emb, qs, 10)
+      val trunc = Similarity.bruteForceTopK(tr(emb), tr(qs), 10)
+      full.select(col("query_id"), col("corpus_id"))
+        .join(trunc.select(col("query_id").as("__tq"), col("corpus_id").as("__tc")),
+          col("query_id") === col("__tq") && col("corpus_id") === col("__tc"),
+          "left")
+        .groupBy(col("query_id"))
+        .agg(sum(when(col("__tc").isNotNull, 1L).otherwise(0L)).as("overlap_at_10"))
+    }),
+
+    // Solr facet.query: arbitrary sub-query counts in ONE corpus
+    // scan (conditional aggregation — no per-facet re-scan), query
+    // strings compiled by the same parser the search surface uses
+    "q239_facet_query" -> ((s, d) => {
+      import graft.search.SolrQueryString
+      val docs = Tables.documents(s, d)
+      def pred(q: String) = SolrQueryString.compile(q, docs.schema,
+        defaultField = "text", textFields = Set("text"))
+      val fqs = Seq(
+        "text:spark", "lang:en AND n_chars:[300 TO *]", "source:src1* -text:merge")
+      val agged = docs.agg(
+        sum(when(pred(fqs.head), 1L).otherwise(0L)).as("c0"),
+        fqs.tail.zipWithIndex.map { case (q, i) =>
+          sum(when(pred(q), 1L).otherwise(0L)).as(s"c${i + 1}") }: _*)
+      agged.select(explode(array(fqs.zipWithIndex.map { case (q, i) =>
+        struct(lit(q).as("facet_query"), col(s"c$i").as("n")) }: _*)).as("kv"))
+        .select(col("kv.facet_query").as("facet_query"), col("kv.n").as("n"))
     })
   )
 
@@ -5672,6 +5768,147 @@ object SparkEntry {
         |        AND ts < TIMESTAMP '2024-01-31 00:00:00'
         |      GROUP BY 1)
         |SELECT bucket_start, CAST(coalesce(n, 0) AS BIGINT) AS cnt
-        |FROM spine LEFT JOIN c ON spine.b = c.b""".stripMargin
+        |FROM spine LEFT JOIN c ON spine.b = c.b""".stripMargin,
+
+    // NB-count weights in nano/milli integer space, minDf=2; OOV
+    // tokens score 0 via the LEFT join
+    "q233_seed_classifier" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t FROM (
+        |    SELECT doc_id,
+        |           unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+        |    FROM documents) u WHERE t <> ''),
+        |lab AS (SELECT doc_id, n_chars >= 300 AS lab FROM documents),
+        |counts AS (
+        |  SELECT t, CAST(sum(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+        |         CAST(sum(CASE WHEN lab THEN 0 ELSE 1 END) AS BIGINT) AS cn
+        |  FROM toks JOIN lab USING (doc_id) GROUP BY 1
+        |  HAVING count(*) >= 2),
+        |tot AS (SELECT CAST(sum(cp) AS BIGINT) AS tp, CAST(sum(cn) AS BIGINT) AS tn,
+        |        count(*) AS v FROM counts),
+        |wts AS (SELECT t,
+        |    ((cp + 1) * 1000000000) // (tp + v) * 1000
+        |      // greatest(((cn + 1) * 1000000000) // (tn + v), 1) - 1000 AS w
+        |  FROM counts, tot),
+        |scores AS (
+        |  SELECT doc_id, CAST(sum(coalesce(w, 0)) AS BIGINT) AS score_milli
+        |  FROM toks LEFT JOIN wts USING (t) GROUP BY 1)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN score_milli > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
+        |  CAST(sum(score_milli) AS BIGINT) AS score_sum
+        |FROM scores JOIN documents USING (doc_id) GROUP BY lang""".stripMargin,
+
+    // q142's rarity CTE + per-language tercile rank
+    "q234_ccnet_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t FROM (
+        |    SELECT doc_id,
+        |           unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+        |    FROM documents) u WHERE t <> ''),
+        |counts AS (SELECT t, count(*) AS c FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tt, count(*) AS v FROM counts),
+        |costs AS (SELECT t, ((tt + v) * 1000) // (c + 1) AS cost FROM counts, tot),
+        |scored AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(cost) AS BIGINT) AS rarity_sum
+        |  FROM toks JOIN costs USING (t) GROUP BY 1),
+        |sm AS (SELECT doc_id, (rarity_sum * 1000) // n_tokens AS score_milli FROM scored),
+        |b AS (SELECT d.lang, sm.score_milli,
+        |    row_number() OVER (PARTITION BY d.lang ORDER BY sm.score_milli, sm.doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY d.lang) AS n
+        |  FROM sm JOIN documents d USING (doc_id))
+        |SELECT lang,
+        |  CASE WHEN (rn - 1) * 3 < n THEN 'head'
+        |       WHEN (rn - 1) * 3 < n * 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(score_milli) AS BIGINT) AS min_score,
+        |  CAST(max(score_milli) AS BIGINT) AS max_score
+        |FROM b GROUP BY 1, 2""".stripMargin,
+
+    "q235_stratified_split" ->
+      """WITH r AS (SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN (rn - 1) * 1000 < n * 800 THEN 'train'
+        |       WHEN (rn - 1) * 1000 < n * 900 THEN 'val' ELSE 'test' END AS split,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM r GROUP BY 1, 2""".stripMargin,
+
+    "q236_pref_pairs" ->
+      """WITH r AS (SELECT user_id AS prompt, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY value DESC, event_id ASC) AS rb,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY value ASC, event_id DESC) AS rw
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT prompt,
+        |  max(CASE WHEN rb = 1 THEN event_id END) AS chosen_id,
+        |  max(CASE WHEN rb = 1 THEN value END) AS chosen_score,
+        |  max(CASE WHEN rw = 1 THEN event_id END) AS rejected_id,
+        |  max(CASE WHEN rw = 1 THEN value END) AS rejected_score,
+        |  CAST(count(*) AS BIGINT) AS n_candidates,
+        |  max(CASE WHEN rb = 1 THEN value END)
+        |    - max(CASE WHEN rw = 1 THEN value END) AS margin
+        |FROM r GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+
+    "q237_lexical_diversity" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |        x -> x <> '')) AS n_tokens,
+        |    len(list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |        x -> x <> ''))) AS n_types
+        |  FROM documents),
+        |m AS (SELECT lang, (n_types * 1000) // n_tokens AS ttr_milli
+        |  FROM t WHERE n_tokens > 0)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(ttr_milli) AS BIGINT) AS ttr_sum,
+        |  CAST(min(ttr_milli) AS BIGINT) AS ttr_min,
+        |  CAST(max(ttr_milli) AS BIGINT) AS ttr_max
+        |FROM m GROUP BY 1""".stripMargin,
+
+    // full-dim vs first-16-dims top-10 overlap per query (q25's
+    // cosine CTE twice, LEFT join so zero-overlap queries surface)
+    "q238_matryoshka_overlap" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 10),
+        |p AS (SELECT q.vec_id AS qid, e.vec_id AS cid,
+        |  list_dot_product(q.v, e.v) /
+        |   (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+        | FROM q, e WHERE q.vec_id <> e.vec_id),
+        |f AS (SELECT qid, cid FROM (
+        | SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+        | FROM p) x WHERE rn <= 10),
+        |et AS (SELECT vec_id, CAST(list_slice(embedding, 1, 16) AS DOUBLE[]) AS v
+        |       FROM embeddings),
+        |qt AS (SELECT * FROM et WHERE vec_id < 10),
+        |pt AS (SELECT qt.vec_id AS qid, et.vec_id AS cid,
+        |  list_dot_product(qt.v, et.v) /
+        |   (sqrt(list_dot_product(qt.v, qt.v)) * sqrt(list_dot_product(et.v, et.v))) AS cos
+        | FROM qt, et WHERE qt.vec_id <> et.vec_id),
+        |tr AS (SELECT qid, cid FROM (
+        | SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+        | FROM pt) x WHERE rn <= 10)
+        |SELECT f.qid AS query_id,
+        |  CAST(sum(CASE WHEN tr.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS overlap_at_10
+        |FROM f LEFT JOIN tr ON f.qid = tr.qid AND f.cid = tr.cid
+        |GROUP BY 1""".stripMargin,
+
+    // q112's text-term regex semantics, one count per facet query
+    "q239_facet_query" ->
+      """SELECT 'text:spark' AS facet_query, CAST(count(*) FILTER (
+        |    WHERE regexp_matches(lower(text), '(^|[^a-z0-9])spark([^a-z0-9]|$)')
+        |  ) AS BIGINT) AS n FROM documents
+        |UNION ALL
+        |SELECT 'lang:en AND n_chars:[300 TO *]', CAST(count(*) FILTER (
+        |    WHERE lang = 'en' AND CAST(n_chars AS DOUBLE) >= 300.0
+        |  ) AS BIGINT) FROM documents
+        |UNION ALL
+        |SELECT 'source:src1* -text:merge', CAST(count(*) FILTER (
+        |    WHERE regexp_matches(source, '^src1.*$')
+        |      AND NOT regexp_matches(lower(text), '(^|[^a-z0-9])merge([^a-z0-9]|$)')
+        |  ) AS BIGINT) FROM documents""".stripMargin
   )
 }

@@ -153,6 +153,42 @@ object Sampling {
   }
 
   /**
+   * [[deterministicSplit]]'s EXACT-quota, stratified sibling: within
+   * each stratum (language/domain/source) rows are ranked by
+   * md5(key) and the first floor(n·p_train) go to train, the next
+   * floor(n·p_val) to val, the rest to test — so every stratum hits
+   * its split fractions exactly (±1 row), where the hash-bound split
+   * only hits them in expectation (a 200-doc minority language can
+   * easily land 0 val docs there). This is the held-out-set
+   * discipline an eval pipeline needs: per-language val/test slices
+   * of guaranteed size.
+   *
+   * `permilles` are (label, per-mille) quotas in order; remainder →
+   * `rest`. Quota math is exact integers ((rank-1)·1000 < n·quota —
+   * no float boundary), so the assignment replays bit-identically in
+   * any engine. One window shuffle on the stratum key; strata are
+   * corpus partitions (languages, sources), so partitions stay
+   * bounded exactly like [[quotaSample]].
+   */
+  def stratifiedSplit(df: DataFrame, stratum: Column, key: Column,
+                      out: String = "split",
+                      permilles: Seq[(String, Int)] = Seq(
+                        "train" -> 800, "val" -> 100),
+                      rest: String = "test"): DataFrame = {
+    require(permilles.map(_._2).sum <= 1000)
+    val w = Window.partitionBy(stratum).orderBy(md5(key.cast("string")), key)
+    val wAll = Window.partitionBy(stratum)
+    val withRank = df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+    val cum = permilles.scanLeft(0) { case (acc, (_, p)) => acc + p }.tail
+    val split = permilles.zip(cum).foldRight(lit(rest): Column) {
+      case (((label, _), upto), elseC) =>
+        when((col("__rn") - 1) * 1000 < col("__n") * upto, label).otherwise(elseC)
+    }
+    withRank.withColumn(out, split).drop("__rn", "__n")
+  }
+
+  /**
    * Token-budget corpus selection: per group (source/domain), take
    * rows in the given priority order until the group's cumulative
    * token count exceeds `budget` — the pretraining data-mixing

@@ -368,4 +368,65 @@ object TextAnalysis {
     when(size(tokens) > 0,
       covered.cast("double") / size(tokens).cast("double")).otherwise(lit(0.0))
   }
+
+  /**
+   * Lexical diversity: per-row type/token ratio in integer milli
+   * space (n_types·1000 div n_tokens — TTR, the vocabulary-richness
+   * signal next to the repetition family: low TTR = template/spam
+   * text even when no single n-gram repeats enough to trip the
+   * Gopher rules). Shuffle-free per-row expressions: the type count
+   * is array_distinct on the already-materialized token array, so
+   * the whole column fuses into whatever scan or shuffle follows.
+   * Returns (n_tokens, n_types, ttr_milli) columns keyed by name.
+   */
+  def lexicalDiversityColumns(tokens: Column): Seq[(String, Column)] = {
+    val nTok = size(tokens).cast("long")
+    val nTyp = size(array_distinct(tokens)).cast("long")
+    Seq(
+      "n_tokens" -> nTok,
+      "n_types" -> nTyp,
+      // floor(double) is exact here: n_types*1000 ≪ 2^53, so the
+      // double quotient's floor equals integer div on both engines
+      "ttr_milli" -> when(nTok > 0, floor(nTyp * 1000L / nTok).cast("long"))
+        .otherwise(lit(0L)))
+  }
+
+  /**
+   * CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+   * every doc under the corpus LM ([[unigramRarity]]'s bit-stable
+   * integer milli surprise — the no-libm perplexity surrogate), then
+   * split each LANGUAGE into equal head/middle/tail thirds by score
+   * (head = most fluent). CCNet keeps head+middle for pretraining;
+   * the bucket boundary is a per-language rank, not a global one, so
+   * minority languages are not judged by the majority language's LM
+   * scale.
+   *
+   * Shape: the rarity aggregation's shuffles (token key, doc key) +
+   * one window on the language key — partitions are languages, the
+   * same bound as every stratified op here. The tercile is exact
+   * integer rank math ((rank-1)·3 div n), deterministic under the
+   * (score, id) total order, so the assignment replays in any
+   * engine.
+   */
+  def perplexityBuckets(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String, langCol: String): org.apache.spark.sql.DataFrame = {
+    // integer div (not `/` — double at rarity_sum·1000 magnitudes
+    // would shave low bits above 2^53)
+    val scored = unigramRarity(docs, idCol, textCol)
+      .withColumn("score_milli", expr("(rarity_sum * 1000L) div n_tokens"))
+      .select(col(idCol).as("__sid"), col("score_milli"))
+    val withLang = docs.select(col(idCol), col(langCol))
+      .join(scored, col(idCol) === col("__sid")).drop("__sid")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(langCol)).orderBy(col("score_milli"), col(idCol))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(langCol))
+    withLang
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("ppl_bucket",
+        when((col("__rn") - 1) * 3 < col("__n"), "head")
+          .when((col("__rn") - 1) * 3 < col("__n") * 2, "middle")
+          .otherwise("tail"))
+      .drop("__rn", "__n")
+  }
 }

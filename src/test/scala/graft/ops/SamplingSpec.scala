@@ -144,4 +144,29 @@ class SamplingSpec extends AnyFunSuite {
     // full + tail decompose epochs
     got.foreach(r => assert(math.abs(r._5 + r._6 - r._4) < 1e-12))
   }
+
+  test("stratifiedSplit: exact per-stratum quotas, deterministic") {
+    val big = (1 to 200).map(i => (i.toLong, if (i % 4 == 0) "de" else "en"))
+      .toDF("id", "lang")
+    val got = Sampling.stratifiedSplit(big, col("lang"), col("id"))
+      .groupBy("lang", "split").count()
+      .as[(String, String, Long)].collect()
+      .map { case (l, s, n) => (l, s) -> n }.toMap
+    // en: 150 -> 120/15/15; de: 50 -> 40/5/5 (exact, not in expectation)
+    assert(got(("en", "train")) === 120L)
+    assert(got(("en", "val")) === 15L)
+    assert(got(("en", "test")) === 15L)
+    assert(got(("de", "train")) === 40L)
+    assert(got(("de", "val")) === 5L)
+    assert(got(("de", "test")) === 5L)
+  }
+
+  test("stratifiedSplit: assignment is a pure function of (stratum, key)") {
+    val big = (1 to 100).map(i => (i.toLong, "en")).toDF("id", "lang")
+    def m = Sampling.stratifiedSplit(big, col("lang"), col("id"))
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(m === m)
+    // quotas: singleton stratum still yields all three splits at n>=10
+    assert(m.values.toSet === Set("train", "val", "test"))
+  }
 }

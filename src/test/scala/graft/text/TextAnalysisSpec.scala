@@ -209,4 +209,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(1) === ((2L, "alpha beta", 1L, 16L, 10 / 16.0)))
     assert(got(2) === ((3L, "solo", 1L, 4L, 1.0)))
   }
+
+  test("lexicalDiversityColumns: TTR in exact milli space") {
+    val df = Seq((1L, Seq("a", "b", "a", "b")), (2L, Seq("x", "y", "z")),
+                 (3L, Seq.empty[String])).toDF("id", "toks")
+    val cols = TextAnalysis.lexicalDiversityColumns(col("toks"))
+    val got = df.select(col("id") +: cols.map { case (n, c) => c.as(n) }: _*)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((4L, 2L, 500L)))
+    assert(got(2L) === ((3L, 3L, 1000L)))
+    assert(got(3L) === ((0L, 0L, 0L)))
+  }
+
+  test("perplexityBuckets: per-language thirds, fluent docs head") {
+    // 6 en docs: 5 made of common tokens, 1 of hapaxes -> the rare doc
+    // lands in the tail; buckets are exactly 2/2/2
+    val docs = (
+      (1 to 5).map(i => (i.toLong, "the cat sat on the mat", "en")) :+
+        ((6L, "zyzzyva quokka axolotl", "en"))
+      ).toDF("id", "text", "lang")
+    val got = TextAnalysis.perplexityBuckets(docs, "id", "text", "lang")
+    val byBucket = got.groupBy("ppl_bucket").count()
+      .as[(String, Long)].collect().toMap
+    assert(byBucket === Map("head" -> 2L, "middle" -> 2L, "tail" -> 2L))
+    val rare = got.filter(col("id") === 6L).select("ppl_bucket").as[String].collect()
+    assert(rare.toSeq === Seq("tail"))
+  }
 }
