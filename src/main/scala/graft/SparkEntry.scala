@@ -3387,6 +3387,50 @@ object SparkEntry {
       agged.select(explode(array(fqs.zipWithIndex.map { case (q, i) =>
         struct(lit(q).as("facet_query"), col(s"c$i").as("n")) }: _*)).as("kv"))
         .select(col("kv.facet_query").as("facet_query"), col("kv.n").as("n"))
+    }),
+
+    // L161 classifier calibration: q233's scores against their own
+    // seed labels, confusion counts + milli precision/recall at four
+    // operating points — ONE aggregation, thresholds exploded after
+    "q240_threshold_sweep" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val wts = QualityClassifier.tokenWeights(
+        docs, "doc_id", "text", col("n_chars") >= 300, minDf = 2)
+      val scored = QualityClassifier.score(docs, "doc_id", "text", wts)
+        .select(col("doc_id").as("__sid"), col("score_milli"))
+      val labeled = docs.select(col("doc_id"), (col("n_chars") >= 300).as("__lab"))
+        .join(scored, col("doc_id") === col("__sid"))
+      QualityClassifier.thresholdSweep(labeled, col("score_milli"), col("__lab"),
+        Seq(-5000L, 0L, 5000L, 20000L))
+    }),
+
+    // Solr streaming expressions: cartesianProduct + the analyze()
+    // evaluator — the term-explosion idiom (one row per indexed
+    // token), rolled up to corpus term counts, having-filtered
+    "q241_stream_cartesian" -> ((s, d) => {
+      import graft.index.SegmentShardSink
+      val out = sharedStore(d, "docs_text") { o =>
+        SegmentShardSink.write(
+          Tables.documents(s, d).select(
+            col("doc_id").cast("string").as("id"), col("text"), col("lang")),
+          "id", o, shards = 4, analyzedFields = Set("text"))
+      }
+      Graft.streamExpr(s,
+        """having(rollup(cartesianProduct(
+          |    search(docs, q="lang:en", fl="id,text", sort="id asc"),
+          |    analyze(text) as term),
+          |  over="term", count(*)), gt(cnt, 30))""".stripMargin,
+        Map("docs" -> out))
+    }),
+
+    // L162 Stupid Backoff trigram LM (Brants et al. 2007): score the
+    // whole corpus under the English-subcorpus model — integer milli
+    // space, real backoff (non-en docs fall through to bigram/unigram)
+    "q242_stupid_backoff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.stupidBackoffScore(
+        docs, docs.filter(col("lang") === "en"), "doc_id", "text")
+        .withColumn("avg_sb_r", round(col("avg_sb"), 6)).drop("avg_sb")
     })
   )
 
@@ -5909,6 +5953,89 @@ object SparkEntry {
         |SELECT 'source:src1* -text:merge', CAST(count(*) FILTER (
         |    WHERE regexp_matches(source, '^src1.*$')
         |      AND NOT regexp_matches(lower(text), '(^|[^a-z0-9])merge([^a-z0-9]|$)')
-        |  ) AS BIGINT) FROM documents""".stripMargin
+        |  ) AS BIGINT) FROM documents""".stripMargin,
+
+    // q233's scores CTE + a threshold spine, confusion counts per row
+    "q240_threshold_sweep" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t FROM (
+        |    SELECT doc_id,
+        |           unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+        |    FROM documents) u WHERE t <> ''),
+        |lab AS (SELECT doc_id, n_chars >= 300 AS lab FROM documents),
+        |counts AS (
+        |  SELECT t, CAST(sum(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+        |         CAST(sum(CASE WHEN lab THEN 0 ELSE 1 END) AS BIGINT) AS cn
+        |  FROM toks JOIN lab USING (doc_id) GROUP BY 1
+        |  HAVING count(*) >= 2),
+        |tot AS (SELECT CAST(sum(cp) AS BIGINT) AS tp0, CAST(sum(cn) AS BIGINT) AS tn0,
+        |        count(*) AS v FROM counts),
+        |wts AS (SELECT t,
+        |    ((cp + 1) * 1000000000) // (tp0 + v) * 1000
+        |      // greatest(((cn + 1) * 1000000000) // (tn0 + v), 1) - 1000 AS w
+        |  FROM counts, tot),
+        |scores AS (
+        |  SELECT doc_id, CAST(sum(coalesce(w, 0)) AS BIGINT) AS score_milli
+        |  FROM toks LEFT JOIN wts USING (t) GROUP BY 1),
+        |j AS (SELECT s.score_milli, l.lab FROM scores s JOIN lab l USING (doc_id)),
+        |th AS (SELECT * FROM (VALUES (-5000), (0), (5000), (20000)) t(threshold)),
+        |cm AS (SELECT threshold,
+        |    CAST(sum(CASE WHEN score_milli >= threshold AND lab THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN score_milli >= threshold AND NOT lab THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN score_milli < threshold AND lab THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(sum(CASE WHEN score_milli < threshold AND NOT lab THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM j CROSS JOIN th GROUP BY threshold)
+        |SELECT CAST(threshold AS BIGINT) AS threshold, tp, fp, fn, tn,
+        |  CAST(CASE WHEN tp + fp > 0 THEN (tp * 1000) // (tp + fp) ELSE 0 END AS BIGINT)
+        |    AS precision_milli,
+        |  CAST(CASE WHEN tp + fn > 0 THEN (tp * 1000) // (tp + fn) ELSE 0 END AS BIGINT)
+        |    AS recall_milli
+        |FROM cm""".stripMargin,
+
+    // term explosion over the en subcorpus, counts > 30
+    "q241_stream_cartesian" ->
+      """WITH t AS (SELECT unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+        |  FROM documents WHERE lang = 'en')
+        |SELECT term, CAST(count(*) AS BIGINT) AS cnt
+        |FROM t GROUP BY term HAVING count(*) > 30""".stripMargin,
+
+    // trigram/bigram/unigram model over the en subcorpus, backoff
+    // chain in exact integer milli space (400 = alpha, 160 = alpha^2)
+    "q242_stupid_backoff" ->
+      """WITH sdoc AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+        |  FROM documents),
+        |mdoc AS (SELECT l FROM sdoc JOIN documents USING (doc_id) WHERE lang = 'en'),
+        |trif AS (SELECT doc_id, g.a AS a, g.b AS b, g.c AS c FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(l) - 2),
+        |    i -> {a: l[i], b: l[i+1], c: l[i+2]})) AS g
+        |  FROM sdoc WHERE len(l) >= 3) x),
+        |c3 AS (SELECT g.a AS a, g.b AS b, g.c AS c, CAST(count(*) AS BIGINT) AS c3 FROM (
+        |  SELECT unnest(list_transform(generate_series(1, len(l) - 2),
+        |    i -> {a: l[i], b: l[i+1], c: l[i+2]})) AS g
+        |  FROM mdoc WHERE len(l) >= 3) x GROUP BY 1, 2, 3),
+        |c2 AS (SELECT g.a AS a, g.b AS b, CAST(count(*) AS BIGINT) AS c2 FROM (
+        |  SELECT unnest(list_transform(generate_series(1, len(l) - 1),
+        |    i -> {a: l[i], b: l[i+1]})) AS g
+        |  FROM mdoc WHERE len(l) >= 2) x GROUP BY 1, 2),
+        |c1 AS (SELECT t, CAST(count(*) AS BIGINT) AS c1 FROM (
+        |  SELECT unnest(l) AS t FROM mdoc) x GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS tt FROM c1),
+        |s AS (SELECT trif.doc_id,
+        |    CASE WHEN c3.c3 IS NOT NULL THEN (c3.c3 * 1000) // cab.c2
+        |         WHEN cbc.c2 IS NOT NULL THEN (400 * ((cbc.c2 * 1000) // cb.c1)) // 1000
+        |         ELSE (160 * ((coalesce(cc.c1, 0) * 1000) // tt)) // 1000 END AS sc
+        |  FROM trif
+        |  LEFT JOIN c3 ON trif.a = c3.a AND trif.b = c3.b AND trif.c = c3.c
+        |  LEFT JOIN c2 cab ON trif.a = cab.a AND trif.b = cab.b
+        |  LEFT JOIN c2 cbc ON trif.b = cbc.a AND trif.c = cbc.b
+        |  LEFT JOIN c1 cb ON trif.b = cb.t
+        |  LEFT JOIN c1 cc ON trif.c = cc.t
+        |  CROSS JOIN tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+        |  CAST(sum(sc) AS BIGINT) AS sb_sum,
+        |  round(CAST(sum(sc) AS DOUBLE) / count(*), 6) AS avg_sb_r
+        |FROM s GROUP BY 1""".stripMargin
   )
 }

@@ -55,14 +55,22 @@ object GraphOps {
             concat(col("path"), array(col("__dst"))).as("path"))
           .join(visited, Seq("node"), "left_anti")
           .localCheckpoint(true)
-        val hits = next.filter(col("node") === target)
-        if (!hits.isEmpty)
-          return hits.select(array_join(col("path"), ">").as("path"),
-            lit(depth.toLong).as("depth"))
-        if (next.isEmpty) return empty
-        visited = visited.union(next.select(col("node")).distinct())
-          .localCheckpoint(true)
-        frontier = next
+        // one probe job per round, not two: total and target hits from
+        // a single aggregate over the just-checkpointed frontier (each
+        // extra action is a full job launch — at 4 rounds the fused
+        // probe saves a third of the loop's fixed overhead)
+        val probe = next.agg(count(lit(1)).as("n"),
+          count(when(col("node") === target, 1)).as("hits")).head()
+        if (probe.getLong(1) > 0)
+          return next.filter(col("node") === target)
+            .select(array_join(col("path"), ">").as("path"),
+              lit(depth.toLong).as("depth"))
+        if (probe.getLong(0) == 0) return empty
+        if (depth < maxDepth) { // final round never consumes visited
+          visited = visited.union(next.select(col("node")).distinct())
+            .localCheckpoint(true)
+          frontier = next
+        }
       }
       empty
     } finally e.unpersist(blocking = false)

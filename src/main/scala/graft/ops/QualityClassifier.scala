@@ -93,4 +93,37 @@ object QualityClassifier {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
         sum(coalesce(col("weight_milli"), lit(0L))).as("score_milli"))
+
+  /**
+   * Classifier calibration: exact confusion counts and milli-space
+   * precision/recall at each decision threshold — the table that
+   * picks the corpus-filter operating point ("keep everything the
+   * classifier scores above t" trades recall for precision). ONE
+   * conditional aggregation over the scored frame, thresholds
+   * exploded to rows AFTER the aggregate — no per-threshold re-scan,
+   * so the sweep costs the same as a single count at any corpus
+   * size.
+   */
+  def thresholdSweep(scored: DataFrame, score: Column, label: Column,
+                     thresholds: Seq[Long]): DataFrame = {
+    require(thresholds.nonEmpty)
+    val aggs = thresholds.zipWithIndex.flatMap { case (t, i) => Seq(
+      sum(when(score >= t && label, 1L).otherwise(0L)).as(s"__tp$i"),
+      sum(when(score >= t && !label, 1L).otherwise(0L)).as(s"__fp$i"),
+      sum(when(score < t && label, 1L).otherwise(0L)).as(s"__fn$i"),
+      sum(when(score < t && !label, 1L).otherwise(0L)).as(s"__tn$i"))
+    }
+    scored.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(thresholds.zipWithIndex.map { case (t, i) =>
+        struct(lit(t).as("threshold"),
+          col(s"__tp$i").as("tp"), col(s"__fp$i").as("fp"),
+          col(s"__fn$i").as("fn"), col(s"__tn$i").as("tn")) }: _*)).as("kv"))
+      .select(col("kv.*"))
+      .withColumn("precision_milli",
+        when(col("tp") + col("fp") > 0, expr("(tp * 1000) div (tp + fp)"))
+          .otherwise(lit(0L)))
+      .withColumn("recall_milli",
+        when(col("tp") + col("fn") > 0, expr("(tp * 1000) div (tp + fn)"))
+          .otherwise(lit(0L)))
+  }
 }

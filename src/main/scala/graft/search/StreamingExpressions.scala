@@ -127,7 +127,17 @@ object StreamingExpressions {
         val save = pos
         val id = try ident() catch { case _: IllegalArgumentException => "" }
         skipWs()
-        if (id.nonEmpty && !eof && peek == '(') { pos = save; Sub(parseCall()) }
+        if (id.nonEmpty && !eof && peek == '(') {
+          pos = save
+          val sub = Sub(parseCall())
+          skipWs()
+          // a call followed by more text — `analyze(f) as terms` — is
+          // an evaluator-with-alias, not a sub-stream: re-read the
+          // whole span as one positional string (bare() is
+          // paren-balanced)
+          if (!eof && peek != ',' && peek != ')') { pos = save; Pos(bare()) }
+          else sub
+        }
         else if (id.nonEmpty && !eof && peek == '=') {
           pos += 1; skipWs()
           if (!eof && peek == '"') Named(id, quoted()) else Named(id, bare())
@@ -158,6 +168,15 @@ object StreamingExpressions {
   private def subs(c: Call): Seq[Call] = c.args.collect { case Sub(s) => s }
 
   private val AggRe = """^(sum|min|max|avg|count)\((.+)\)$""".r
+
+  /** `analyze(field) as alias` — the Solr analyze() evaluator, bound
+    * to the index-time analyzer (lowercase alnum runs, the
+    * SegmentIndex.analyze contract) so exploded terms equal the
+    * postings a search would hit. */
+  private val AnalyzeRe = """^analyze\(\s*([A-Za-z0-9_]+)\s*\)\s+(?i:as)\s+([A-Za-z0-9_]+)$""".r
+
+  private def analyzeCol(f: String): Column =
+    expr(s"filter(split(lower(`$f`), '[^a-z0-9]+'), x -> x <> '')")
 
   /**
    * Compile a streaming expression against `collections` (collection
@@ -405,14 +424,33 @@ object StreamingExpressions {
       val in = one(spark, c, collections)
       val projs = c.args.collect { case Pos(v) => v }
       require(projs.nonEmpty, "select() needs projections")
-      val cols = projs.map { p =>
-        p.split("(?i)\\s+as\\s+").map(_.trim) match {
-          case Array(f, a) => col(f).as(a)
-          case Array(f) => col(f)
-          case _ => sys.error(s"bad projection '$p'")
-        }
+      val cols = projs.map {
+        case AnalyzeRe(f, a) => analyzeCol(f).as(a)
+        case p =>
+          p.split("(?i)\\s+as\\s+").map(_.trim) match {
+            case Array(f, a) => col(f).as(a)
+            case Array(f) => col(f)
+            case _ => sys.error(s"bad projection '$p'")
+          }
       }
       Stream(in.df.select(cols.toIndexedSeq: _*), in.sort)
+
+    case "cartesianProduct" =>
+      // one output row per VALUE of a multivalued field (Solr's
+      // CartesianProductStream); with the analyze() evaluator this is
+      // the term-explosion idiom — one row per indexed token of a
+      // stored text field. explode() is map-side (no shuffle), and the
+      // stream keeps the upstream sort: products emit grouped under
+      // their source tuple, exactly Solr's contract.
+      val in = one(spark, c, collections)
+      val fieldArgs = c.args.collect { case Pos(v) => v }
+      require(fieldArgs.nonEmpty,
+        "cartesianProduct() needs a field or analyze() evaluator argument")
+      val (arr, outName) = fieldArgs.head match {
+        case AnalyzeRe(f, a) => (analyzeCol(f), a)
+        case f => (col(f), f)
+      }
+      Stream(in.df.withColumn(outName, explode(arr)), in.sort)
 
     case "stats" =>
       // rollup without grouping: one global aggregate row over the

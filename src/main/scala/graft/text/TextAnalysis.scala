@@ -429,4 +429,103 @@ object TextAnalysis {
           .otherwise("tail"))
       .drop("__rn", "__n")
   }
+
+  /**
+   * Stupid Backoff trigram LM scoring (Brants et al. 2007 — the
+   * "count-based LM at web scale" design this engine's whole L-series
+   * follows: no discounting, no normalization, just counts and a
+   * fixed backoff penalty α=0.4, which at corpus scale matches
+   * Kneser-Ney quality at a fraction of the cost). Per scored
+   * position (3rd token onward):
+   *
+   *   S(c|a,b) = c(abc)·1000 div c(ab)          if the trigram is seen
+   *            = 400·S(c|b) div 1000            else if bigram (b,c) seen
+   *            = 160·(c(c)·1000 div T) div 1000 else (α² unigram)
+   *
+   * all in the L-series bit-stable integer milli space (no libm, no
+   * float accumulation — the DuckDB oracle replays it value-for-
+   * value). High per-doc mean = predictable text; the fluency filter
+   * with real context, where [[unigramRarity]] only sees token
+   * frequency and [[bigramRarity]] one token of context.
+   *
+   * The model trains on `modelDocs` and scores `docs` — distinct
+   * frames, because a model trained on the scored corpus itself never
+   * backs off (every occurring trigram is its own evidence); the
+   * usual deployment scores candidate text against a trusted-corpus
+   * LM (the CCNet/ccnet-style "target-domain perplexity" filter).
+   *
+   * Shape at scale: count tables are single aggregations on the gram
+   * keys (map-side partial); trigram occurrences LEFT-join the three
+   * models on their gram keys (AQE broadcasts model sides that fit;
+   * at web scale these are the shuffles any distributed LM pays);
+   * the per-doc aggregate partial-aggregates map-side. Docs with
+   * fewer than 3 tokens have no scored positions and drop out.
+   */
+  def stupidBackoffScore(docs: org.apache.spark.sql.DataFrame,
+                         modelDocs: org.apache.spark.sql.DataFrame,
+                         idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    def tokenized(df: org.apache.spark.sql.DataFrame) =
+      df.select(col(idCol), expr(
+        s"filter(split(lower(`$textCol`), '[^a-z0-9]+'), x -> x <> '')").as("__l"))
+    val base = tokenized(docs)
+    val mbase = tokenized(modelDocs)
+    val toks = mbase.select(explode(col("__l")).as("__t"))
+    // trigram occurrences (id, a, b, c) of the SCORED corpus
+    val tri = base.filter(size(col("__l")) >= 3).select(col(idCol),
+        explode(expr(
+          """transform(sequence(1, size(__l) - 2),
+            | i -> struct(__l[i-1] AS a, __l[i] AS b, __l[i+1] AS c))""".stripMargin))
+          .as("__g"))
+      .select(col(idCol), col("__g.a").as("__a"), col("__g.b").as("__b"),
+        col("__g.c").as("__c"))
+    // model-side gram tables
+    val mtri = mbase.filter(size(col("__l")) >= 3).select(
+        explode(expr(
+          """transform(sequence(1, size(__l) - 2),
+            | i -> struct(__l[i-1] AS a, __l[i] AS b, __l[i+1] AS c))""".stripMargin))
+          .as("__g"))
+      .select(col("__g.a").as("__a"), col("__g.b").as("__b"), col("__g.c").as("__c"))
+    val bi = mbase.filter(size(col("__l")) >= 2).select(
+        explode(expr(
+          """transform(sequence(1, size(__l) - 1),
+            | i -> struct(__l[i-1] AS a, __l[i] AS b))""".stripMargin)).as("__p"))
+      .select(col("__p.a").as("__ba"), col("__p.b").as("__bb"))
+    // model tables — each takes the RDD round-trip to mint fresh
+    // attribute ids for the join back onto the same-lineage
+    // occurrence frame (the unigramRarity discipline)
+    def mint(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+    val c3 = mint(mtri.groupBy(col("__a"), col("__b"), col("__c"))
+      .agg(count(lit(1)).as("__c3"))
+      .toDF("__3a", "__3b", "__3c", "__c3"))
+    val c2 = mint(bi.groupBy(col("__ba"), col("__bb"))
+      .agg(count(lit(1)).as("__c2"))
+      .toDF("__2a", "__2b", "__c2"))
+    val c1 = mint(toks.groupBy(col("__t")).agg(count(lit(1)).as("__c1"))
+      .toDF("__1t", "__c1"))
+    // corpus total as a broadcast one-row frame (NOT via the c-unigram
+    // join — an OOV continuation token would null it out of the
+    // fallback's denominator)
+    val tot = mint(c1.agg(sum(col("__c1")).as("__T")))
+    val c2ab = c2.toDF("__pa", "__pb", "__cab")
+    tri
+      .join(c3, col("__a") === col("__3a") && col("__b") === col("__3b") &&
+        col("__c") === col("__3c"), "left")
+      .join(c2ab, col("__a") === col("__pa") && col("__b") === col("__pb"), "left")
+      .join(c2, col("__b") === col("__2a") && col("__c") === col("__2b"), "left")
+      .join(c1.select(col("__1t").as("__bt"), col("__c1").as("__cb")),
+        col("__b") === col("__bt"), "left")
+      .join(c1.select(col("__1t").as("__ct"), col("__c1").as("__cc")),
+        col("__c") === col("__ct"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("__s",
+        when(col("__c3").isNotNull, expr("(__c3 * 1000L) div __cab"))
+          .when(col("__c2").isNotNull,
+            expr("(400L * ((__c2 * 1000L) div __cb)) div 1000L"))
+          .otherwise(expr("(160L * ((coalesce(__cc, 0L) * 1000L) div __T)) div 1000L")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_scored"), sum(col("__s")).as("sb_sum"))
+      .withColumn("avg_sb", col("sb_sum").cast("double") / col("n_scored"))
+  }
 }

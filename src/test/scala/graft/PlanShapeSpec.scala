@@ -356,4 +356,34 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("q226_sentence_chunks")
     assert("Exchange hashpartitioning".r.findAllIn(p).length === 1, p.take(2500))
   }
+
+  test("q236 pref pairs: ONE exchange — both windows and the aggregate share the prompt partitioning") {
+    val p = plan("q236_pref_pairs")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1, p.take(2500))
+  }
+
+  test("q237 lexical diversity: shuffle-free kernel, one aggregation exchange") {
+    val p = plan("q237_lexical_diversity")
+    assert(p.contains("array_distinct"), p.take(2000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1, p.take(2500))
+  }
+
+  test("thresholdSweep in isolation: ONE scan — thresholds never re-scan the corpus") {
+    import spark.implicits._
+    val scored = (1 to 50).map(i => (i.toLong, i * 10L, i % 3 == 0))
+      .toDF("id", "s", "lab")
+    val p = graft.ops.QualityClassifier.thresholdSweep(scored, col("s"), col("lab"),
+        Seq(0L, 100L, 200L, 300L))
+      .queryExecution.executedPlan.toString
+    assert("LocalTableScan|Scan".r.findAllIn(p).length === 1, p.take(2500))
+    assert(!p.contains("Union"), p.take(2500)) // rows come from explode, not N legs
+  }
+
+  test("q241 cartesianProduct: explode is map-side — no exchange before the rollup") {
+    val p = plan("q241_stream_cartesian")
+    // generate (explode) must sit under the partial aggregate, with the
+    // single exchange being the rollup's group-by
+    assert(p.contains("Generate explode"), p.take(2500))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1, p.take(2500))
+  }
 }

@@ -57,4 +57,20 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(!terms.contains("carefully")) // occurs once
     assert(terms.contains("the"))
   }
+
+  test("thresholdSweep: exact confusion counts, milli precision/recall") {
+    val scored = Seq(
+      (1L, 500L, true), (2L, 100L, true), (3L, -200L, true),
+      (4L, 300L, false), (5L, -50L, false), (6L, -400L, false)
+    ).toDF("id", "s", "lab")
+    val rows = QualityClassifier.thresholdSweep(scored, col("s"), col("lab"),
+        Seq(0L, 200L))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    // t=0: tp=2 fp=1 fn=1 tn=2 -> p=666, r=666
+    assert(rows(0L) === ((2L, 1L, 1L, 2L, 666L, 666L)))
+    // t=200: tp=1 fp=1 fn=2 tn=2 -> p=500, r=333
+    assert(rows(200L) === ((1L, 1L, 2L, 2L, 500L, 333L)))
+  }
 }

@@ -254,4 +254,38 @@ class StreamingExpressionsSpec extends AnyFunSuite {
       .select("id").as[String].collect().toSeq
     assert(c2.sorted === Seq("1", "2", "3", "4", "5", "6"))
   }
+
+  private lazy val textStore: String = {
+    val out = java.nio.file.Files.createTempDirectory("graft_se_text_").toString
+    graft.index.SegmentShardSink.write(
+      Seq(
+        ("1", "en", "spark shuffles data fast"),
+        ("2", "en", "spark joins data"),
+        ("3", "de", "daten und mehr daten")
+      ).toDF("id", "lang", "text"),
+      "id", out, shards = 2, analyzedFields = Set("text"))
+    out
+  }
+
+  test("cartesianProduct + analyze(): one row per indexed token") {
+    val got = SE.compile(spark,
+      """cartesianProduct(search(t, q="lang:en", fl="id,text", sort="id asc"),
+        |  analyze(text) as term)""".stripMargin,
+      Map("t" -> textStore))
+      .select("id", "term").as[(String, String)].collect().toSeq
+    assert(got.count(_._1 == "1") === 4) // 4 tokens of doc 1
+    assert(got.count(_._1 == "2") === 3)
+    assert(got.count(_._2 == "spark") === 2)
+    assert(!got.exists(_._1 == "3")) // q= filtered before the explode
+  }
+
+  test("cartesianProduct over rollup counts terms like a postings walk") {
+    val got = SE.compile(spark,
+      """having(rollup(cartesianProduct(
+        |    search(t, q="*:*", fl="id,text", sort="id asc"),
+        |    analyze(text) as term), over="term", count(*)), gt(cnt, 1))""".stripMargin,
+      Map("t" -> textStore))
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("spark" -> 2L, "data" -> 2L, "daten" -> 2L))
+  }
 }

@@ -235,4 +235,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     val rare = got.filter(col("id") === 6L).select("ppl_bucket").as[String].collect()
     assert(rare.toSeq === Seq("tail"))
   }
+
+  test("stupidBackoffScore: trigram hit, bigram backoff, unigram backoff") {
+    // model "a b c a b c": trigrams (a,b,c)x2 (b,c,a) (c,a,b);
+    // bigrams (a,b)x2 (b,c)x2 (c,a); unigrams a,b,c x2 each, T=6
+    val model = Seq((100L, "a b c a b c")).toDF("id", "text")
+    // scored docs exercise each arm: trigram hit, bigram backoff,
+    // unigram backoff
+    val docs = Seq((1L, "a b c"), (2L, "x b c"), (3L, "x y c")).toDF("id", "text")
+    val got = TextAnalysis.stupidBackoffScore(docs, model, "id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // model counts: tokens a:2 b:2 c:2 T=6; bigrams ab:2 bc:2 ca:1 cb? no ->
+    //   pairs: (a,b)x2 (b,c)x2 (c,a)x1; trigrams: (a,b,c)x2 (b,c,a)x1 (c,a,b)x1
+    // doc1 "a b c": trigram abc seen c3=2, cab=c2(a,b)=2 -> (2*1000)//2 = 1000
+    assert(got(1L) === ((1L, 1000L)))
+    // doc2 "x b c": trigram xbc unseen; bigram (b,c) c2=2, c1(b)=2 ->
+    //   S2=(2*1000)//2=1000 -> (400*1000)//1000 = 400
+    assert(got(2L) === ((1L, 400L)))
+    // doc3 "x y c": trigram+bigram (y,c) unseen -> unigram c(c)=2, T=6 ->
+    //   (160*((2*1000)//6))//1000 = (160*333)//1000 = 53
+    assert(got(3L) === ((1L, 53L)))
+  }
 }
