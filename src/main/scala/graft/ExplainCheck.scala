@@ -54,6 +54,10 @@ object ExplainCheck {
       "q151_stream_join_top" -> "streaming-expr innerJoin+top: two pushed index scans, hash join on id, global top-10 as TakeOrderedAndProject",
       "q155_solr_sql" -> "Parallel SQL over the collection view: the same DSv2 pushdowns fire through spark.sql",
       "q162_delta_dedup" -> "incremental exact dedup: batch anti-joins the corpus fingerprint set — fingerprints move, documents never",
+      "q233_seed_classifier" -> "seed classifier: weight table broadcast onto token occurrences, per-doc partial aggregation — corpus never reshuffles whole",
+      "q236_pref_pairs" -> "preference pairs: two window sorts + final aggregate all riding ONE prompt-key exchange",
+      "q241_stream_cartesian" -> "cartesianProduct+analyze(): map-side explode under the rollup's partial aggregate — one exchange total",
+      "q242_stupid_backoff" -> "Stupid Backoff: scored trigrams LEFT-join the three gram models, per-doc aggregate partial-aggregates map-side",
       "q202_knn_qparser" -> "{!knn}: literal query vector folded into ONE codegen'd dot product per row, global cut as TakeOrderedAndProject — no broadcast, no window",
       "q204_proximity_search" -> "sloppy-phrase proximity: one rlike predicate in the scan stage — no tokenize, no explode, no shuffle",
       "q206_dup_ngram_cov" -> "dup-ngram coverage: both fused kernels in one scan-stage projection — zero exchanges in the whole plan",
