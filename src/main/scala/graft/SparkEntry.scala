@@ -3431,6 +3431,88 @@ object SparkEntry {
       TextAnalysis.stupidBackoffScore(
         docs, docs.filter(col("lang") === "en"), "doc_id", "text")
         .withColumn("avg_sb_r", round(col("avg_sb"), 6)).drop("avg_sb")
+    }),
+
+    // Solr /replication backup+restore round trip: snapshot the
+    // store, restore into a fresh core, query the RESTORED store —
+    // oracled against the SOURCE table, so the round trip must be
+    // lossless (marker-last copy ordering = the completion gate)
+    "q243_backup_restore" -> ((s, d) => {
+      import graft.index.{Backup, SegmentShardSink}
+      val src = sharedStore(d, "cust_backup") { o =>
+        SegmentShardSink.write(
+          Tables.customer(s, d).select(
+            col("c_custkey").cast("string").as("id"),
+            col("c_mktsegment"), col("c_acctbal")),
+          "id", o, shards = 4)
+      }
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q243_").toString
+      val snap = Backup.backup(s, src, tmp, "nightly")
+      Backup.restore(s, snap, s"$tmp/restored")
+      s.read.format("graft-index").load(s"$tmp/restored")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double").as("bal"))
+    }),
+
+    // L163 cross-source duplication audit: per ordered source pair,
+    // B's distinct-3-gram containment in A — gram-key equi-join only
+    "q244_source_overlap" -> ((s, d) =>
+      graft.ops.Profiling.sourceOverlap(
+        Tables.documents(s, d), col("source"), col("text"), n = 3)),
+
+    // L164 per-domain chrome strip: planted nav header (src1) and
+    // copyright footer (src2) must be detected from cross-doc
+    // evidence and stripped; untouched domains stay byte-identical
+    "q245_chrome_strip" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val planted = docs.withColumn("text",
+        when(col("source") === "src1", concat(lit("SITE NAV MENU\n"), col("text")))
+          .when(col("source") === "src2", concat(col("text"), lit("\nCOPYRIGHT FOOTER")))
+          .otherwise(col("text")))
+      graft.text.C4Filters.stripDomainChrome(planted, col("source"), col("text"),
+          tauMilli = 900)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(length(col("text_stripped")) < length(col("text")), 1L)
+            .otherwise(0L)).as("n_stripped"),
+          sum((length(col("text")) - length(col("text_stripped"))).cast("long"))
+            .as("chars_removed"))
+    }),
+
+    // S6 write side: Avro container round trip (float arrays + ints),
+    // read-back aggregated against the SOURCE table — lossless or bust
+    "q246_avro_roundtrip" -> ((s, d) => {
+      import graft.sources.AvroSource
+      val out = sharedStore(d, "emb_avro") { o =>
+        AvroSource.write(Tables.embeddings(s, d), o)
+      }
+      AvroSource.read(s, s"$out/*.avro")
+        .agg(count(lit(1)).as("n"),
+          sum(col("vec_id")).as("id_sum"),
+          sum(col("label").cast("long")).as("label_sum"),
+          sum(size(col("embedding")).cast("long")).as("dim_sum"))
+    }),
+
+    // L165 skip-gram pair extraction (word2vec data prep): ±2 window
+    // co-occurrence table, one map-side pair expression + one count
+    // aggregation; bounded output via the count floor
+    "q247_skipgram_pairs" -> ((s, d) =>
+      graft.text.SkipGrams.pairs(Tables.documents(s, d), "text", window = 2)
+        .filter(col("cnt") > 50)),
+
+    // L166 n-gram novelty curve: first-occurrence grams per source
+    // batch (sources ordered by name) + running vocabulary total
+    "q248_novelty_curve" -> ((s, d) =>
+      graft.ops.Profiling.noveltyCurve(
+        Tables.documents(s, d), col("source"), col("text"), n = 3)),
+
+    // Solr map() function query: range-collapse scoring
+    // (map(n_chars,0,299,0,1) = the "long doc" indicator), counted
+    "q249_map_fq" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      docs.groupBy(Graft.functionQuery("map(n_chars,0,299,0,1)", docs).as("is_long"))
+        .agg(count(lit(1)).as("n"))
     })
   )
 
@@ -6036,6 +6118,106 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
         |  CAST(sum(sc) AS BIGINT) AS sb_sum,
         |  round(CAST(sum(sc) AS DOUBLE) / count(*), 6) AS avg_sb_r
-        |FROM s GROUP BY 1""".stripMargin
+        |FROM s GROUP BY 1""".stripMargin,
+
+    // backup->restore round trip queried against the SOURCE table
+    "q243_backup_restore" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+        |FROM customer GROUP BY 1""".stripMargin,
+
+    "q244_source_overlap" ->
+      """WITH g AS (SELECT DISTINCT source AS s, gram FROM (
+        |  SELECT source, unnest(CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |      ELSE list_transform(generate_series(1, len(toks) - 2),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS gram
+        |  FROM (SELECT source, list_filter(
+        |          string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |        FROM documents) t) u),
+        |tot AS (SELECT s, CAST(count(*) AS BIGINT) AS tot FROM g GROUP BY 1),
+        |sh AS (SELECT a.s AS src_a, b.s AS src_b, CAST(count(*) AS BIGINT) AS shared_grams
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.s <> b.s GROUP BY 1, 2)
+        |SELECT src_a, src_b, shared_grams,
+        |  CAST((shared_grams * 1000) // tot AS BIGINT) AS containment_b_milli
+        |FROM sh JOIN tot ON sh.src_b = tot.s""".stripMargin,
+
+    // plant the same chrome, detect+strip with the same rules
+    "q245_chrome_strip" ->
+      """WITH planted AS (SELECT doc_id, source,
+        |    CASE WHEN source = 'src1' THEN 'SITE NAV MENU' || chr(10) || text
+        |         WHEN source = 'src2' THEN text || chr(10) || 'COPYRIGHT FOOTER'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |firsts AS (SELECT source, split_part(text, chr(10), 1) AS l, count(*) AS c
+        |  FROM planted GROUP BY 1, 2),
+        |hdr AS (SELECT source, l AS hdr FROM (
+        |    SELECT source, l, c, sum(c) OVER (PARTITION BY source) AS tot,
+        |      row_number() OVER (PARTITION BY source ORDER BY c DESC, l ASC) AS rn
+        |    FROM firsts) x WHERE rn = 1 AND c * 1000 >= tot * 900),
+        |lasts AS (SELECT source, string_split(text, chr(10))[-1] AS l, count(*) AS c
+        |  FROM planted GROUP BY 1, 2),
+        |ftr AS (SELECT source, l AS ftr FROM (
+        |    SELECT source, l, c, sum(c) OVER (PARTITION BY source) AS tot,
+        |      row_number() OVER (PARTITION BY source ORDER BY c DESC, l ASC) AS rn
+        |    FROM lasts) x WHERE rn = 1 AND c * 1000 >= tot * 900),
+        |s1 AS (SELECT p.doc_id, p.source, p.text,
+        |    CASE WHEN hdr IS NOT NULL AND (p.text = hdr
+        |            OR starts_with(p.text, hdr || chr(10)))
+        |         THEN substring(p.text, length(hdr) + 2) ELSE p.text END AS t1
+        |  FROM planted p LEFT JOIN hdr USING (source)),
+        |s2 AS (SELECT s1.doc_id, s1.source, s1.text,
+        |    CASE WHEN ftr IS NOT NULL AND (t1 = ftr
+        |            OR ends_with(t1, chr(10) || ftr))
+        |         THEN substring(t1, 1, greatest(length(t1) - length(ftr) - 1, 0))
+        |         ELSE t1 END AS t2
+        |  FROM s1 LEFT JOIN ftr USING (source))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN length(t2) < length(text) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_stripped,
+        |  CAST(sum(length(text) - length(t2)) AS BIGINT) AS chars_removed
+        |FROM s2 GROUP BY 1""".stripMargin,
+
+    // the avro round trip must reproduce the source table exactly
+    "q246_avro_roundtrip" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(vec_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(label) AS BIGINT) AS label_sum,
+        |  CAST(sum(len(embedding)) AS BIGINT) AS dim_sum
+        |FROM embeddings""".stripMargin,
+
+    "q247_skipgram_pairs" ->
+      """WITH t AS (SELECT list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+        |  FROM documents),
+        |p AS (SELECT unnest(flatten(list_transform(generate_series(1, len(l)), i ->
+        |    list_transform(list_filter(generate_series(greatest(i - 2, 1),
+        |        least(i + 2, len(l))), j -> j != i),
+        |      j -> {c: l[i], x: l[j]})))) AS pr
+        |  FROM t WHERE len(l) >= 2)
+        |SELECT pr.c AS center, pr.x AS context, CAST(count(*) AS BIGINT) AS cnt
+        |FROM p GROUP BY 1, 2 HAVING count(*) > 50""".stripMargin,
+
+    "q248_novelty_curve" ->
+      """WITH t AS (SELECT source, list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+        |  FROM documents),
+        |g AS (SELECT source, unnest(CASE WHEN len(l) < 3 THEN CAST([] AS VARCHAR[])
+        |    ELSE list_transform(generate_series(1, len(l) - 2),
+        |      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) END) AS gram
+        |  FROM t),
+        |fs AS (SELECT gram, min(source) AS b FROM g GROUP BY 1),
+        |pb AS (SELECT b AS batch, CAST(count(*) AS BIGINT) AS novel_grams
+        |  FROM fs GROUP BY 1)
+        |SELECT batch, novel_grams,
+        |  CAST(sum(novel_grams) OVER (ORDER BY batch
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cumulative_grams
+        |FROM pb""".stripMargin,
+
+    "q249_map_fq" ->
+      """SELECT CASE WHEN CAST(n_chars AS DOUBLE) BETWEEN 0.0 AND 299.0
+        |         THEN 0.0 ELSE 1.0 END AS is_long,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM documents GROUP BY 1""".stripMargin
   )
 }

@@ -66,4 +66,84 @@ object Profiling {
       .withColumn("capacity", col("bucket") * col("n_docs"))
       .withColumn("padding_frac",
         (col("capacity") - col("total_tokens")).cast("double") / col("capacity"))
+
+  /**
+   * Cross-source duplication audit — the corpus-governance matrix
+   * ("how much of source B already lives in source A"): for every
+   * ordered source pair, the count and milli-fraction of B's
+   * DISTINCT token n-grams that also occur in A. High containment of
+   * B in A means B adds little novel text (a mirror, a scrape of the
+   * same upstream, a repackaged dump) — the audit that decides
+   * whether ingesting a new source is worth its tokens.
+   *
+   * Shape at scale: one explode → distinct on the (source, gram) key
+   * (map-side partial dedup first); per-source gram totals ride the
+   * same frame; the pair counts are an equi-join ON THE GRAM KEY
+   * (never a cross join — a gram in k sources emits k·(k-1) pair
+   * rows, and k is bounded by the source count); output is
+   * |sources|² rows. Gram volume is the only corpus-sized movement.
+   */
+  def sourceOverlap(df: DataFrame, src: Column, text: Column,
+                    n: Int = 3): DataFrame = {
+    require(n >= 1)
+    val spark = df.sparkSession
+    // docs shorter than n tokens have no n-grams (sequence() with
+    // start > stop counts DOWN in Spark — the empty-array case must
+    // be explicit, not left to the bounds)
+    val gramE =
+      s"""CASE WHEN size(__tk) < $n THEN array()
+         | ELSE transform(sequence(1, size(__tk) - ${n - 1}),
+         |   i -> array_join(slice(__tk, i, $n), ' ')) END""".stripMargin
+    val grams = df.select(src.as("__src"), text.as("__txt"))
+      .select(col("__src"),
+        expr("filter(split(lower(__txt), '[^a-z0-9]+'), x -> x <> '')").as("__tk"))
+      .select(col("__src"), explode(expr(gramE)).as("__g"))
+      .distinct()
+    val totals = grams.groupBy(col("__src")).agg(count(lit(1)).as("__tot"))
+    // the gram table joins itself — mint fresh attribute ids
+    val other = spark.createDataFrame(grams.rdd, grams.schema)
+      .toDF("__osrc", "__og")
+    val shared = grams.join(other,
+        col("__g") === col("__og") && col("__src") =!= col("__osrc"))
+      .groupBy(col("__src").as("src_a"), col("__osrc").as("src_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+    shared
+      .join(broadcast(totals.toDF("__tsrc", "__tot")),
+        col("src_b") === col("__tsrc"))
+      .select(col("src_a"), col("src_b"), col("shared_grams"),
+        expr("(shared_grams * 1000) div __tot").as("containment_b_milli"))
+  }
+
+  /**
+   * N-gram novelty curve — the "is more of this source still adding
+   * anything" accumulation diagnostic: per ordered ingest batch, how
+   * many distinct token n-grams appear for the FIRST time in that
+   * batch, plus the running vocabulary total. A flattening curve says
+   * the source is exhausted (each new batch re-treads old text); the
+   * per-batch novelty rate is what data-acquisition budgets are
+   * steered by.
+   *
+   * Shape: one (gram → min(batch)) aggregation over the exploded
+   * corpus (map-side partial min), then a count per first-batch and a
+   * cumulative window over the BATCH frame — |batches| rows, the only
+   * unpartitioned window in the plan, bounded by the batch count.
+   */
+  def noveltyCurve(df: DataFrame, batch: Column, text: Column,
+                   n: Int = 3): DataFrame = {
+    val gramE =
+      s"""CASE WHEN size(__tk) < $n THEN array()
+         | ELSE transform(sequence(1, size(__tk) - ${n - 1}),
+         |   i -> array_join(slice(__tk, i, $n), ' ')) END""".stripMargin
+    val firstSeen = df.select(batch.as("__b"), text.as("__txt"))
+      .select(col("__b"),
+        expr("filter(split(lower(__txt), '[^a-z0-9]+'), x -> x <> '')").as("__tk"))
+      .select(col("__b"), explode(expr(gramE)).as("__g"))
+      .groupBy(col("__g")).agg(min(col("__b")).as("__first"))
+    val perBatch = firstSeen.groupBy(col("__first").as("batch"))
+      .agg(count(lit(1)).as("novel_grams"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("batch"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    perBatch.withColumn("cumulative_grams", sum(col("novel_grams")).over(w))
+  }
 }

@@ -109,6 +109,10 @@ object FunctionQuery {
       // Solr linear(x,m,c) = m*x + c
       case "linear" => nary(args, 3, fn); args(1) * args(0) + args(2)
       case "if" => nary(args, 3, fn); when(args(0) =!= 0.0, args(1)).otherwise(args(2))
+      case "map" => // map(x,min,max,target[,default]) — Solr ValueSource map
+        require(args.length == 4 || args.length == 5, s"map() needs 4 or 5 args")
+        val fallback = if (args.length == 5) args(4) else args(0)
+        when(args(0) >= args(1) && args(0) <= args(2), args(3)).otherwise(fallback)
       case "termfreq" =>
         // Solr termfreq(field, 'term'): the term's frequency among the
         // field's ANALYZED tokens (plain lowercase alphanumerics — the

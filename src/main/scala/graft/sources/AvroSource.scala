@@ -120,4 +120,86 @@ object AvroSource {
       case _ => v // primitives pass through
     }
   }
+
+  // ---- write side (S6 round trip) ----
+
+  /** Catalyst type → Avro schema JSON (nullable fields become
+    * null-unions — the shape `read` maps straight back). Flat records
+    * of primitives/binary/arrays-of-primitives: the subset the
+    * reference's morphline ingest actually carries. */
+  def toAvroSchemaJson(st: StructType, name: String = "row"): String = {
+    def prim(dt: DataType): String = dt match {
+      case BooleanType => "\"boolean\""
+      case IntegerType => "\"int\""
+      case LongType => "\"long\""
+      case FloatType => "\"float\""
+      case DoubleType => "\"double\""
+      case StringType => "\"string\""
+      case BinaryType => "\"bytes\""
+      case ArrayType(e, _) => s"""{"type":"array","items":${prim(e)}}"""
+      case other =>
+        throw new IllegalArgumentException(s"unsupported avro write type: $other")
+    }
+    val fields = st.fields.map { f =>
+      // a null default is only legal when "null" leads the union —
+      // non-nullable fields carry no default at all
+      if (f.nullable)
+        s"""{"name":"${f.name}","type":["null",${prim(f.dataType)}],"default":null}"""
+      else
+        s"""{"name":"${f.name}","type":${prim(f.dataType)}}"""
+    }.mkString(",")
+    s"""{"type":"record","name":"$name","fields":[$fields]}"""
+  }
+
+  /**
+   * Write a DataFrame as Avro object-container files, one
+   * `part-NNNNN.avro` per partition, through the Hadoop FileSystem
+   * (cluster-safe: local dir, HDFS or an object store alike). Data
+   * never moves — each task streams its own partition through a
+   * `DataFileWriter`; the container's block structure keeps the
+   * output splittable, so a downstream `read` gets its parallelism
+   * back. Null-union encoding mirrors the read side exactly: the
+   * round trip is lossless for the supported type subset.
+   */
+  def write(df: DataFrame, path: String): Unit = {
+    val schemaJson = toAvroSchemaJson(df.schema)
+    val sparkSchema = df.schema
+    val confSer = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = new org.apache.hadoop.fs.Path(path)
+    val fs0 = out.getFileSystem(confSer.value)
+    fs0.mkdirs(out)
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val schema = new Schema.Parser().parse(schemaJson)
+      val p = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d.avro")
+      val fs = p.getFileSystem(confSer.value)
+      val os = fs.create(p, true)
+      val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
+        new org.apache.avro.generic.GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, os)
+      try {
+        rows.foreach { row =>
+          val rec = new org.apache.avro.generic.GenericData.Record(schema)
+          var i = 0
+          while (i < sparkSchema.length) {
+            rec.put(i, toAvro(row.get(i), sparkSchema(i).dataType))
+            i += 1
+          }
+          w.append(rec)
+        }
+      } finally w.close() // closes the stream
+    }
+  }
+
+  private def toAvro(v: Any, dt: DataType): AnyRef = v match {
+    case null => null
+    case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+    case seq: scala.collection.Seq[_] =>
+      val el = dt.asInstanceOf[ArrayType].elementType
+      val out = new java.util.ArrayList[AnyRef](seq.length)
+      seq.foreach(x => out.add(toAvro(x, el)))
+      out
+    case other => other.asInstanceOf[AnyRef]
+  }
 }

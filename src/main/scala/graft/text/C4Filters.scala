@@ -89,4 +89,69 @@ object C4Filters {
           .when(badHit, "bad_word")
           .when(col("n_lines_kept") < minLines, "too_few_lines"))
   }
+
+  /**
+   * Per-domain boilerplate chrome strip (the RefinedWeb/Dolma
+   * template-removal practice): the single most common FIRST line of
+   * a domain, when it opens at least tauMilli/1000 of the domain's
+   * docs, is template chrome (nav bar, site title, cookie banner) —
+   * strip it from every doc it opens; the same rule applies to the
+   * most common LAST line (footer). Unlike the C4 line filter, which
+   * judges each line in isolation, this uses CROSS-DOC evidence: a
+   * perfectly fluent sentence repeated atop 90% of a domain is
+   * template, not content.
+   *
+   * chosen header/footer tie-breaks are deterministic ((count desc,
+   * line asc) — engine-replayable); headers are stripped before
+   * footers, each exactly once, as pure string arithmetic (prefix/
+   * suffix length cuts — no regex, no escaping surprises).
+   *
+   * Shape at scale: one (domain, first_line) + one (domain,
+   * last_line) aggregation with a per-domain argmax window (domain-
+   * bounded partitions); the qualifying header/footer table is
+   * |domains|-sized and BROADCAST back onto the corpus — documents
+   * never shuffle. Returns the input plus `text_stripped`.
+   */
+  def stripDomainChrome(docs: DataFrame, srcCol: Column, textCol: Column,
+                        tauMilli: Int = 500): DataFrame = {
+    val spark = docs.sparkSession
+    def pick(lineExpr: Column, outName: String): DataFrame = {
+      val counts = docs.select(srcCol.as("__s"), lineExpr.as("__l"))
+        .groupBy(col("__s"), col("__l")).agg(count(lit(1)).as("__c"))
+      val w = Window.partitionBy(col("__s"))
+        .orderBy(col("__c").desc, col("__l").asc)
+      val wAll = Window.partitionBy(col("__s"))
+      val top = counts
+        .withColumn("__rn", row_number().over(w))
+        .withColumn("__tot", sum(col("__c")).over(wAll))
+        .filter(col("__rn") === 1 && col("__c") * 1000 >= col("__tot") * tauMilli)
+        .select(col("__s"), col("__l").as(outName))
+      // same lineage as the corpus it joins back onto — mint fresh ids
+      spark.createDataFrame(top.rdd, top.schema)
+    }
+    val hdr = pick(element_at(split(textCol, "\\n"), 1), "__hdr")
+      .toDF("__hs", "__hdr")
+    val ftr = pick(element_at(split(textCol, "\\n"), -1), "__ftr")
+      .toDF("__fs", "__ftr")
+    val withHdr = docs
+      .withColumn("__t0", textCol)
+      .join(broadcast(hdr), srcCol === col("__hs"), "left")
+      .withColumn("__t1",
+        when(col("__hdr").isNotNull &&
+            (col("__t0") === col("__hdr") ||
+              col("__t0").startsWith(concat(col("__hdr"), lit("\n")))),
+          expr("substring(__t0, length(__hdr) + 2)"))
+          .otherwise(col("__t0")))
+    withHdr
+      .join(broadcast(ftr), srcCol === col("__fs"), "left")
+      .withColumn("text_stripped",
+        when(col("__ftr").isNotNull &&
+            (col("__t1") === col("__ftr") ||
+              col("__t1").endsWith(concat(lit("\n"), col("__ftr")))),
+          // greatest(...,0): a doc that IS the footer strips to empty
+          // in every engine (negative substring lengths differ)
+          expr("substring(__t1, 1, greatest(length(__t1) - length(__ftr) - 1, 0))"))
+          .otherwise(col("__t1")))
+      .drop("__hs", "__hdr", "__fs", "__ftr", "__t0", "__t1")
+  }
 }

@@ -24,4 +24,31 @@ class ProfilingSpec extends AnyFunSuite {
       (8L, 1L, 5L, 8L, 0.375),
       (16L, 1L, 9L, 16L, 0.4375)))
   }
+
+  test("sourceOverlap: asymmetric containment, distinct grams, short docs skipped") {
+    val df = Seq(
+      ("A", "one two three four"),       // grams: {one two three, two three four}
+      ("B", "one two three"),            // grams: {one two three} — fully inside A
+      ("C", "five six"),                 // < 3 tokens: no grams
+      ("A", "one two three")             // dup gram within A — distinct-ed
+    ).toDF("src", "text")
+    val got = Profiling.sourceOverlap(df, col("src"), col("text"), n = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // B ⊂ A: 1 shared gram / |B|=1 -> 1000 milli; A in B: 1 / |A|=2 -> 500
+    assert(got(("A", "B")) === ((1L, 1000L)))
+    assert(got(("B", "A")) === ((1L, 500L)))
+    assert(!got.keySet.exists { case (a, b) => a == "C" || b == "C" })
+  }
+
+  test("noveltyCurve: first-occurrence attribution and running total") {
+    val df = Seq(
+      ("b1", "one two three four"),   // grams: one-two-three, two-three-four
+      ("b2", "one two three five"),   // one-two-three old; two-three-five NEW
+      ("b3", "one two three")         // nothing new
+    ).toDF("b", "text")
+    val got = Profiling.noveltyCurve(df, col("b"), col("text"), n = 3)
+      .orderBy("batch").as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(("b1", 2L, 2L), ("b2", 1L, 3L)))
+  }
 }

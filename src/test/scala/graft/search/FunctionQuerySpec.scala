@@ -89,4 +89,14 @@ class FunctionQuerySpec extends AnyFunSuite {
     assert(ids("{!frange l=0.5}recip(x,1,500,500)") === Seq(1L, 2L))
     intercept[RuntimeException](FunctionQuery.frange("x:[1 TO 2]", df.schema))
   }
+
+  test("map(): range collapse with and without the default arg") {
+    val df = Seq((1L, 100L), (2L, 500L)).toDF("id", "n")
+    val got = df.select(col("id"),
+        graft.Graft.functionQuery("map(n,0,299,0,1)", df).as("m5"),
+        graft.Graft.functionQuery("map(n,0,299,0)", df).as("m4"))
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((0.0, 0.0)))
+    assert(got(2L) === ((1.0, 500.0))) // 4-arg form falls back to the value
+  }
 }

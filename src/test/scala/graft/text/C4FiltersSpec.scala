@@ -65,4 +65,34 @@ class C4FiltersSpec extends AnyFunSuite {
       .as[(Long, String, Long, Long)].head()
     assert(got === ((1L, "same line.\nother.", 2L, 3L)))
   }
+
+  test("stripDomainChrome: cross-doc header/footer detection with tau gate") {
+    val docs = Seq(
+      (1L, "d1", "NAV\nreal content one."),
+      (2L, "d1", "NAV\nreal content two."),
+      (3L, "d1", "NAV\nreal content three."),
+      (4L, "d2", "unique opener.\nbody a"),  // no dominant header/footer
+      (5L, "d2", "another opener.\nbody b")
+    ).toDF("id", "src", "text")
+    val got = C4Filters.stripDomainChrome(docs, col("src"), col("text"),
+        tauMilli = 900)
+      .select("id", "text_stripped").as[(Long, String)].collect().toMap
+    assert(got(1L) === "real content one.")
+    assert(got(2L) === "real content two.")
+    // d2 has no >=90% first line — untouched
+    assert(got(4L) === "unique opener.\nbody a")
+  }
+
+  test("stripDomainChrome: footer strip and doc-is-chrome edge") {
+    val docs = Seq(
+      (1L, "d", "body one\nFOOT"),
+      (2L, "d", "body two\nFOOT"),
+      (3L, "d", "FOOT") // the doc IS the footer -> strips to empty
+    ).toDF("id", "src", "text")
+    val got = C4Filters.stripDomainChrome(docs, col("src"), col("text"),
+        tauMilli = 900)
+      .select("id", "text_stripped").as[(Long, String)].collect().toMap
+    assert(got(1L) === "body one")
+    assert(got(3L) === "")
+  }
 }
