@@ -3513,6 +3513,69 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       docs.groupBy(Graft.functionQuery("map(n_chars,0,299,0,1)", docs).as("is_long"))
         .agg(count(lit(1)).as("n"))
+    }),
+
+    // Solr optimistic concurrency (_version_ contract, all four
+    // arms): exact-match, must-exist, must-not-exist, no-check —
+    // conflicts rejected like a 409, survivors stamped newVersion;
+    // verified by re-reading the MUTATED store
+    "q250_optimistic_upsert" -> ((s, d) => {
+      import graft.index.SegmentShardSink
+      val out = java.nio.file.Files.createTempDirectory("graft_q250_").toString
+      val base = Tables.customer(s, d).select(
+        col("c_custkey").cast("string").as("id"),
+        col("c_mktsegment"), lit(5L).as("_version_"))
+      SegmentShardSink.write(base, "id", out, shards = 4)
+      val c = Tables.customer(s, d)
+      def arm(lo: Long, hi: Long, expected: Long, idOffset: Long = 0L) =
+        c.filter(col("c_custkey").between(lo, hi)).select(
+          (col("c_custkey") + idOffset).cast("string").as("id"),
+          col("c_mktsegment"), lit(expected).as("_version_"))
+      val batch = arm(1, 50, 5L)                       // exact match -> applies
+        .unionByName(arm(51, 100, 99L))                // exact mismatch -> 409
+        .unionByName(arm(101, 150, 1L))                // must exist -> applies
+        .unionByName(arm(251, 300, -1L, 10000000L))    // must NOT exist -> insert
+        .unionByName(arm(151, 200, -1L))               // must-not on existing -> 409
+        .unionByName(arm(201, 250, 0L))                // no check -> applies
+      val (applied, conflicts) = SegmentShardSink.conditionalUpsert(
+        s, out, batch, "_version_", newVersion = 9L)
+      val store = s.read.format("graft-index").load(out)
+      applied.agg(count(lit(1)).as("applied")).crossJoin(
+          conflicts.agg(count(lit(1)).as("conflicts")))
+        .crossJoin(store.agg(
+          sum(when(col("_version_") === 9L, 1L).otherwise(0L)).as("store_v9"),
+          sum(when(col("_version_") === 5L, 1L).otherwise(0L)).as("store_v5"),
+          count(lit(1)).as("store_total")))
+    }),
+
+    // Solr LTR feature LOGGING ([features] transformer / fv=true):
+    // the per-candidate feature vectors a ranker trains on, named
+    // feature-store entries over the matched set
+    "q251_ltr_features" -> ((s, d) => {
+      import graft.search.Ltr
+      val docs = Tables.documents(s, d)
+      val cands = docs.filter(col("text").contains("spark"))
+      Ltr.featureFrame(cands, Seq(
+          Ltr.Feature("f_len", col("n_chars").cast("double") / lit(1000.0)),
+          Ltr.Feature("f_is_en", when(col("lang") === "en", 1.0).otherwise(0.0)),
+          Ltr.Feature("f_src1", when(col("source").startsWith("src1"), 1.0)
+            .otherwise(0.0))))
+        .select(col("doc_id"), col("f_len"), col("f_is_en"), col("f_src1"))
+    }),
+
+    // L167 corpus snapshot diff: planted deletes/edits/adds between
+    // two cuts classified added/removed/changed/unchanged — one
+    // full-outer fingerprint join, counts per status
+    "q252_corpus_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val newCut = docs.filter(col("doc_id") % 97 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 89 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") % 101 === 0)
+          .withColumn("doc_id", col("doc_id") + 5000000L))
+      graft.ops.Profiling.corpusDiff(docs, newCut, col("doc_id"), col("text"))
+        .groupBy(col("status")).agg(count(lit(1)).as("n"))
     })
   )
 
@@ -6218,6 +6281,45 @@ object SparkEntry {
       """SELECT CASE WHEN CAST(n_chars AS DOUBLE) BETWEEN 0.0 AND 299.0
         |         THEN 0.0 ELSE 1.0 END AS is_long,
         |  CAST(count(*) AS BIGINT) AS n
-        |FROM documents GROUP BY 1""".stripMargin
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    // the four _version_ arms computed straight from the key ranges
+    "q250_optimistic_upsert" ->
+      """WITH n AS (SELECT
+        |    CAST(count(*) FILTER (WHERE c_custkey BETWEEN 1 AND 50) AS BIGINT) AS na,
+        |    CAST(count(*) FILTER (WHERE c_custkey BETWEEN 51 AND 100) AS BIGINT) AS nb,
+        |    CAST(count(*) FILTER (WHERE c_custkey BETWEEN 101 AND 150) AS BIGINT) AS nc,
+        |    CAST(count(*) FILTER (WHERE c_custkey BETWEEN 251 AND 300) AS BIGINT) AS nd,
+        |    CAST(count(*) FILTER (WHERE c_custkey BETWEEN 151 AND 200) AS BIGINT) AS ne,
+        |    CAST(count(*) FILTER (WHERE c_custkey BETWEEN 201 AND 250) AS BIGINT) AS nf,
+        |    CAST(count(*) AS BIGINT) AS total
+        |  FROM customer)
+        |SELECT na + nc + nd + nf AS applied,
+        |  nb + ne AS conflicts,
+        |  na + nc + nd + nf AS store_v9,
+        |  total - na - nc - nf AS store_v5,
+        |  total + nd AS store_total
+        |FROM n""".stripMargin,
+
+    "q251_ltr_features" ->
+      """SELECT doc_id, CAST(n_chars AS DOUBLE) / 1000.0 AS f_len,
+        |  CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS f_is_en,
+        |  CASE WHEN regexp_matches(source, '^src1.*$') THEN 1.0 ELSE 0.0 END AS f_src1
+        |FROM documents WHERE contains(text, 'spark')""".stripMargin,
+
+    "q252_corpus_diff" ->
+      """WITH newcut AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 89 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 97 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 5000000, text FROM documents WHERE doc_id % 101 = 0),
+        |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS id,
+        |    CASE WHEN o.doc_id IS NULL THEN 'added'
+        |         WHEN n.doc_id IS NULL THEN 'removed'
+        |         WHEN md5(o.text) <> md5(n.text) THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM documents o FULL OUTER JOIN newcut n ON o.doc_id = n.doc_id)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n FROM j GROUP BY 1""".stripMargin
   )
 }

@@ -702,4 +702,61 @@ object SegmentShardSink {
       (part, cp.numDocs.toLong, cp.segments.length.toLong)
     }.toDF("part", "docs", "segments").orderBy("part")
   }
+
+  /**
+   * Optimistic-concurrency upsert — Solr's `_version_` contract
+   * (documented update semantics; the live-cluster behavior the
+   * reference's go-live hands its documents to):
+   *
+   *   expected > 1  → the stored version must match EXACTLY
+   *   expected == 1 → the doc must exist (any version)
+   *   expected < 0  → the doc must NOT exist
+   *   expected == 0 → no concurrency check
+   *
+   * Rows that fail their check are REJECTED (Solr's 409 conflict),
+   * the rest apply through [[upsert]] with `newVersion` stamped into
+   * the version column. Returns (applied, conflicts) — conflicts
+   * carry the stored version (null = absent) for the caller's retry
+   * loop.
+   *
+   * Scale shape: current versions come from an id-pushed index read
+   * (delta-sized — the IN filter prunes to the owning posting lists),
+   * joined to the batch on the id; the store itself never moves. The
+   * check-then-write pair is batch-atomic per part exactly like
+   * [[upsert]] (tombstones + new segment in one commit).
+   */
+  def conditionalUpsert(spark: SparkSession, store: String, updates: DataFrame,
+                        versionCol: String, newVersion: Long): (DataFrame, DataFrame) = {
+    val marker = readMarker(ShardIndex.hadoopConf(spark), store)
+    val idCol = marker.idCol
+    require(updates.columns.contains(versionCol),
+      s"updates must carry expected-version column '$versionCol'")
+    require(marker.columns.contains(versionCol),
+      s"store has no version column '$versionCol'")
+    val ids = updates.select(col(idCol)).distinct()
+    val current = spark.read.format("graft-index").load(store)
+      .select(col(idCol).as("__cid"), col(versionCol).as("__cur"))
+      .join(ids, col("__cid") === col(idCol), "left_semi")
+    val joined = updates
+      .join(current, col(idCol) === col("__cid"), "left")
+      .withColumn("__ok",
+        when(col(versionCol) > 1L, col("__cur").isNotNull && col("__cur") === col(versionCol))
+          .when(col(versionCol) === 1L, col("__cur").isNotNull)
+          .when(col(versionCol) < 0L, col("__cur").isNull)
+          .otherwise(lit(true)))
+    val applied = joined.filter(col("__ok"))
+      .drop("__cid", "__cur", "__ok")
+      .withColumn(versionCol, lit(newVersion))
+    val conflicts = joined.filter(!col("__ok"))
+      .withColumnRenamed("__cur", "stored_version")
+      .drop("__cid", "__ok")
+    // both frames' lineage READS the store; after the write that
+    // lineage would re-resolve against the NEW versions and silently
+    // change the answer — localCheckpoint severs it (materialized
+    // pre-write, exactly once)
+    val appliedP = applied.localCheckpoint(true)
+    val conflictsP = conflicts.localCheckpoint(true)
+    if (!appliedP.isEmpty) upsert(spark, store, appliedP)
+    (appliedP, conflictsP)
+  }
 }

@@ -146,4 +146,30 @@ object Profiling {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     perBatch.withColumn("cumulative_grams", sum(col("novel_grams")).over(w))
   }
+
+  /**
+   * Corpus snapshot diff — dataset versioning's `git status`: align
+   * two corpus snapshots on the document key and classify every id
+   * as added / removed / changed / unchanged by content fingerprint
+   * (md5 — the L16 discipline, so the classification replays in any
+   * engine). The release-note table between two training-data cuts,
+   * and the input to incremental re-processing (only `added`+
+   * `changed` need re-tokenization).
+   *
+   * Shape: ONE full-outer hash join on the id key with md5 computed
+   * map-side on each branch — content never crosses the wire, only
+   * (id, 128-bit fingerprint).
+   */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame,
+                 id: Column, content: Column): DataFrame = {
+    val o = oldDf.select(id.as("__oid"), md5(content.cast("string")).as("__oh"))
+    val n = newDf.select(id.as("__nid"), md5(content.cast("string")).as("__nh"))
+    o.join(n, col("__oid") === col("__nid"), "full_outer")
+      .select(
+        coalesce(col("__oid"), col("__nid")).as("id"),
+        when(col("__oid").isNull, "added")
+          .when(col("__nid").isNull, "removed")
+          .when(col("__oh") =!= col("__nh"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
 }

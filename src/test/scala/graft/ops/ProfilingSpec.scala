@@ -51,4 +51,13 @@ class ProfilingSpec extends AnyFunSuite {
       .orderBy("batch").as[(String, Long, Long)].collect().toSeq
     assert(got === Seq(("b1", 2L, 2L), ("b2", 1L, 3L)))
   }
+
+  test("corpusDiff classifies added/removed/changed/unchanged") {
+    val oldC = Seq((1L, "same"), (2L, "was"), (3L, "gone")).toDF("id", "t")
+    val newC = Seq((1L, "same"), (2L, "now"), (4L, "fresh")).toDF("id", "t")
+    val got = Profiling.corpusDiff(oldC, newC, col("id"), col("t"))
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
 }
