@@ -3576,7 +3576,45 @@ object SparkEntry {
           .withColumn("doc_id", col("doc_id") + 5000000L))
       graft.ops.Profiling.corpusDiff(docs, newCut, col("doc_id"), col("text"))
         .groupBy(col("status")).agg(count(lit(1)).as("n"))
-    })
+    }),
+
+    // Solr edismax: qf field boosts + per-term disjunction-max + the
+    // mm minimum-should-match gate, tf scores in integer milli space
+    "q253_edismax" -> ((s, d) =>
+      graft.search.Edismax.query(Tables.documents(s, d), "spark src1",
+          qf = Seq("text" -> 3000L, "source" -> 1000L), mm = 2, rows = 20,
+          tieBreak = col("doc_id"))
+        .select(col("doc_id"), col("matched_terms"), col("score_milli"))),
+
+    // L168 round-robin source interleave: uniform mixing order
+    // without a shuffle buffer — every rank slice holds one doc per
+    // source (until sources exhaust)
+    "q254_interleave" -> ((s, d) =>
+      Sampling.interleaveBySource(
+          Tables.documents(s, d), col("source"), col("doc_id"))
+        .groupBy(col("rr_rank"))
+        .agg(countDistinct(col("source")).as("n_sources"),
+          sum(col("doc_id")).as("id_sum"))),
+
+    // L169 nucleus (top-p) vocabulary truncation: smallest frequency-
+    // sorted head reaching 50% of corpus token mass
+    "q255_nucleus_vocab" -> ((s, d) =>
+      graft.ops.Profiling.nucleusVocabulary(
+        Tables.documents(s, d), col("text"), permille = 500)),
+
+    // L170 winsorization at per-language p05/p95 (continuous
+    // interpolation — the q229 cross-engine parity); clip-rate report
+    "q256_winsorize" -> ((s, d) =>
+      graft.ops.Profiling.winsorize(
+          Tables.documents(s, d), col("lang"), col("n_chars"), 0.05, 0.95)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("n_chars").cast("double") < col("wins_lo"), 1L)
+            .otherwise(0L)).as("n_low"),
+          sum(when(col("n_chars").cast("double") > col("wins_hi"), 1L)
+            .otherwise(0L)).as("n_high"),
+          round(min(col("wins_lo")), 6).as("p05_r"),
+          round(min(col("wins_hi")), 6).as("p95_r")))
   )
 
   /** The shared (id, ts, event_type, user_id) events segment store —
@@ -6320,6 +6358,61 @@ object SparkEntry {
         |         WHEN md5(o.text) <> md5(n.text) THEN 'changed'
         |         ELSE 'unchanged' END AS status
         |  FROM documents o FULL OUTER JOIN newcut n ON o.doc_id = n.doc_id)
-        |SELECT status, CAST(count(*) AS BIGINT) AS n FROM j GROUP BY 1""".stripMargin
+        |SELECT status, CAST(count(*) AS BIGINT) AS n FROM j GROUP BY 1""".stripMargin,
+
+    "q253_edismax" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tt,
+        |    list_filter(string_split_regex(lower(source), '[^a-z0-9]+'), x -> x <> '') AS ts
+        |  FROM documents),
+        |sc AS (SELECT doc_id,
+        |    len(list_filter(tt, x -> x = 'spark')) AS tts,
+        |    len(list_filter(ts, x -> x = 'spark')) AS tss,
+        |    len(list_filter(tt, x -> x = 'src1')) AS tt1,
+        |    len(list_filter(ts, x -> x = 'src1')) AS ts1
+        |  FROM t),
+        |m AS (SELECT doc_id,
+        |    (CASE WHEN tts > 0 OR tss > 0 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN tt1 > 0 OR ts1 > 0 THEN 1 ELSE 0 END) AS matched_terms,
+        |    greatest(3000 * tts, 1000 * tss)
+        |      + greatest(3000 * tt1, 1000 * ts1) AS score_milli
+        |  FROM sc)
+        |SELECT doc_id, CAST(matched_terms AS BIGINT) AS matched_terms,
+        |  CAST(score_milli AS BIGINT) AS score_milli
+        |FROM m WHERE matched_terms >= 2
+        |ORDER BY score_milli DESC, doc_id ASC LIMIT 20""".stripMargin,
+
+    "q254_interleave" ->
+      """WITH r AS (SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rr_rank
+        |  FROM documents)
+        |SELECT CAST(rr_rank AS BIGINT) AS rr_rank,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM r GROUP BY 1""".stripMargin,
+
+    "q255_nucleus_vocab" ->
+      """WITH toks AS (
+        |  SELECT t FROM (
+        |    SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+        |    FROM documents) u WHERE t <> ''),
+        |c AS (SELECT t AS token, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+        |x AS (SELECT token, cnt,
+        |    CAST(sum(cnt) OVER (ORDER BY cnt DESC, token ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER () AS BIGINT) AS tot
+        |  FROM c)
+        |SELECT token, cnt, cum FROM x WHERE (cum - cnt) * 1000 < tot * 500""".stripMargin,
+
+    "q256_winsorize" ->
+      """WITH b AS (SELECT lang,
+        |    quantile_cont(n_chars, 0.05) AS lo, quantile_cont(n_chars, 0.95) AS hi
+        |  FROM documents GROUP BY 1)
+        |SELECT d.lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN CAST(n_chars AS DOUBLE) < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(sum(CASE WHEN CAST(n_chars AS DOUBLE) > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |  round(min(lo), 6) AS p05_r, round(min(hi), 6) AS p95_r
+        |FROM documents d JOIN b ON d.lang = b.lang GROUP BY 1""".stripMargin
   )
 }

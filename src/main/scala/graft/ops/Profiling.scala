@@ -172,4 +172,57 @@ object Profiling {
           .when(col("__oh") =!= col("__nh"), "changed")
           .otherwise("unchanged").as("status"))
   }
+
+  /**
+   * Nucleus (top-p) vocabulary truncation — the tokenizer/LM vocab
+   * cut: the smallest head of the frequency-sorted vocabulary whose
+   * cumulative occurrence share reaches `permille`/1000 of corpus
+   * tokens. Deterministic total order (count desc, token asc), exact
+   * integer cumulative math: a token is kept iff the mass BEFORE it
+   * is still short of the target (so the token that crosses the
+   * threshold is included, nothing after it).
+   *
+   * The vocabulary-frame window is unpartitioned but |vocab|-bounded
+   * (the unigramRarity discipline) — the corpus-sized work is the one
+   * token-count aggregation.
+   */
+  def nucleusVocabulary(df: DataFrame, text: Column,
+                        permille: Int): DataFrame = {
+    require(permille >= 1 && permille <= 1000)
+    val counts = df.select(text.as("__txt"))
+      .select(explode(expr(
+        "filter(split(lower(__txt), '[^a-z0-9]+'), x -> x <> '')")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("token").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    counts
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("__tot", sum(col("cnt")).over(wAll))
+      .filter((col("cum") - col("cnt")) * 1000 < col("__tot") * permille)
+      .select(col("token"), col("cnt"), col("cum"))
+  }
+
+  /**
+   * Winsorization — outlier clipping at per-group quantiles (the
+   * score-normalization step before mixture weighting: one viral
+   * 10M-char doc would otherwise dominate any mean-based budget).
+   * Bounds are continuous-interpolation percentiles per group
+   * (Spark `percentile` == DuckDB `quantile_cont`, the q229 parity);
+   * the bounds frame is group-cardinality-sized and BROADCAST back —
+   * the corpus never shuffles. Adds `wins_lo`, `wins_hi`, and the
+   * clipped `wins_value`.
+   */
+  def winsorize(df: DataFrame, grp: Column, c: Column,
+                lo: Double, hi: Double): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi)
+    val bounds = df.groupBy(grp.as("__wg")).agg(
+      expr(s"percentile(${c.toString}, $lo)").as("wins_lo"),
+      expr(s"percentile(${c.toString}, $hi)").as("wins_hi"))
+    df.join(broadcast(bounds), grp === col("__wg"))
+      .withColumn("wins_value",
+        greatest(least(c.cast("double"), col("wins_hi")), col("wins_lo")))
+      .drop("__wg")
+  }
 }

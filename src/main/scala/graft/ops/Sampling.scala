@@ -283,4 +283,21 @@ object Sampling {
       .select(col("grp"), col("tokens"), col("weight"), col("epochs"),
         col("full_epochs"), col("tail_rate"))
   }
+
+  /**
+   * Round-robin source interleave — the training-order primitive that
+   * mixes sources UNIFORMLY through an epoch without a shuffle-buffer
+   * (a loader reading this order sees every source at its corpus rate
+   * in every window, instead of long single-source runs): global
+   * order = (rank within source by a deterministic key, then source).
+   * All the rank-1 docs of every source come first, then every
+   * rank-2, … Exactly one window shuffle on the source key; the
+   * emitted `order_key` pair is what the export sorts by ([[
+   * graft.Graft.export]] / the JSONL sink) — no global sort happens
+   * here.
+   */
+  def interleaveBySource(df: DataFrame, src: Column, key: Column): DataFrame = {
+    val w = Window.partitionBy(src).orderBy(md5(key.cast("string")), key)
+    df.withColumn("rr_rank", row_number().over(w).cast("long"))
+  }
 }

@@ -1,0 +1,62 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * The (e)dismax scoring model — Solr's default end-user query parser
+ * (`defType=edismax`, `qf=field^boost ...`, `mm=` minimum-should-
+ * match): free-text terms are searched across several fields, each
+ * term contributes the score of its BEST field (the "disjunction
+ * maximum" that keeps a term matching two fields from double-
+ * counting), a document must match at least `mm` of the terms, and
+ * the doc score is the sum over matching terms.
+ *
+ * Scoring is tf-based in integer MILLI space (boost in per-mille ×
+ * term frequency — the L-series bit-stable discipline; Solr's own
+ * idf/norm factors ride the index and are served by the BM25 path,
+ * q84/q143): exact, engine-replayable, DuckDB-oracle-able.
+ *
+ * Shape: per-row codegen only — each qf field tokenizes once, each
+ * term reads its tf from the token array; no shuffle until the
+ * caller's own sort/cut. The whole matcher fuses into the scan.
+ */
+object Edismax {
+
+  /** Add `matched_terms` and `score_milli` columns for query terms
+    * over `qf` (field → per-mille boost). Terms are analyzed with
+    * the engine's standard lowercase-alnum tokenizer. mm gating and
+    * ranking stay with the caller (they are WHERE/ORDER BY clauses). */
+  def score(df: DataFrame, q: String, qf: Seq[(String, Long)]): DataFrame = {
+    val terms = q.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    require(terms.nonEmpty, "edismax needs at least one query term")
+    require(qf.nonEmpty, "edismax needs at least one qf field")
+    val toked = qf.foldLeft(df) { case (d, (f, _)) =>
+      d.withColumn(s"__tk_$f",
+        expr(s"filter(split(lower(`$f`), '[^a-z0-9]+'), x -> x <> '')"))
+    }
+    def tf(f: String, t: String): Column =
+      size(filter(col(s"__tk_$f"), x => x === lit(t))).cast("long")
+    val perTerm = terms.map { t =>
+      val best = qf.map { case (f, b) => lit(b) * tf(f, t) }
+        .reduce((a, c) => greatest(a, c))
+      (best, qf.map { case (f, _) => tf(f, t) > 0 }.reduce(_ || _))
+    }
+    val score = perTerm.map(_._1).reduce(_ + _)
+    val matched = perTerm.map { case (_, m) =>
+      when(m, 1).otherwise(0) }.reduce(_ + _)
+    toked
+      .withColumn("matched_terms", matched.cast("long"))
+      .withColumn("score_milli", score)
+      .drop(qf.map { case (f, _) => s"__tk_$f" }: _*)
+  }
+
+  /** The full request: score + mm gate + (score desc, tieBreak asc)
+    * top-`rows` cut — Solr's `q=...&qf=...&mm=N&rows=N`. */
+  def query(df: DataFrame, q: String, qf: Seq[(String, Long)], mm: Int,
+            rows: Int, tieBreak: Column): DataFrame =
+    score(df, q, qf)
+      .filter(col("matched_terms") >= mm)
+      .orderBy(col("score_milli").desc, tieBreak.asc)
+      .limit(rows)
+}

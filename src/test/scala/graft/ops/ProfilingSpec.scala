@@ -60,4 +60,26 @@ class ProfilingSpec extends AnyFunSuite {
     assert(got === Map(1L -> "unchanged", 2L -> "changed",
       3L -> "removed", 4L -> "added"))
   }
+
+  test("nucleusVocabulary: crossing token kept, nothing after") {
+    // counts: a=5, b=3, c=2 (T=10); p=0.6 -> a (cum 5, before 0) kept,
+    // b (before 5 < 6) kept and crosses, c (before 8 >= 6) dropped
+    val df = Seq("a a a a a b b b c c").toDF("text")
+    val got = Profiling.nucleusVocabulary(df, col("text"), permille = 600)
+      .orderBy(col("cum")).as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(("a", 5L, 5L), ("b", 3L, 8L)))
+  }
+
+  test("winsorize: values clip into per-group percentile bounds") {
+    val df = ((1 to 99).map(i => ("g", i.toLong)) :+ (("g", 100000L)))
+      .toDF("grp", "v")
+    val got = Profiling.winsorize(df, col("grp"), col("v"), 0.05, 0.95)
+    val clipped = got.filter(col("v") === 100000L)
+      .select("wins_value").as[Double].collect().head
+    val hi = got.select("wins_hi").as[Double].collect().head
+    assert(clipped === hi)       // outlier clamps to p95
+    assert(hi < 100000.0 && hi > 90.0)
+    val lo = got.select("wins_lo").as[Double].collect().head
+    assert(got.filter(col("wins_value") < lo).count() === 0)
+  }
 }

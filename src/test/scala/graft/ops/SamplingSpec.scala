@@ -169,4 +169,13 @@ class SamplingSpec extends AnyFunSuite {
     // quotas: singleton stratum still yields all three splits at n>=10
     assert(m.values.toSet === Set("train", "val", "test"))
   }
+
+  test("interleaveBySource: rank slices cover every source until exhaustion") {
+    val df = (1 to 9).map(i => (i.toLong, "s" + (i % 3))).toDF("id", "src") // 3 per source
+      .union(Seq((10L, "s0")).toDF("id", "src"))                           // s0 has 4
+    val got = Sampling.interleaveBySource(df, col("src"), col("id"))
+      .groupBy("rr_rank").agg(countDistinct(col("src")).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 1L))
+  }
 }

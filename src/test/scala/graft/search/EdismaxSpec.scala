@@ -1,0 +1,36 @@
+package graft.search
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class EdismaxSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "spark spark engine", "web"),   // tf(text,spark)=2
+    (2L, "the spark engine", "spark"),   // spark in BOTH fields
+    (3L, "plain engine", "web"),         // matches only 'engine'
+    (4L, "nothing here", "web")
+  ).toDF("id", "text", "cat")
+
+  test("per-term disjunction max, summed across terms") {
+    val got = Edismax.score(docs, "spark engine",
+        Seq("text" -> 2000L, "cat" -> 1000L))
+      .select("id", "matched_terms", "score_milli")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((2L, 2000L * 2 + 2000L)))  // tf 2 in best field + engine
+    // doc 2: spark max(2000*1 text, 1000*1 cat) = 2000 — no double count
+    assert(got(2L) === ((2L, 2000L + 2000L)))
+    assert(got(3L) === ((1L, 2000L)))
+    assert(got(4L) === ((0L, 0L)))
+  }
+
+  test("mm gates and rows cuts deterministically") {
+    val got = Edismax.query(docs, "spark engine",
+        Seq("text" -> 2000L, "cat" -> 1000L), mm = 2, rows = 1, col("id"))
+      .select("id").as[Long].collect().toSeq
+    assert(got === Seq(1L)) // highest score among full matches
+  }
+}
