@@ -3614,7 +3614,42 @@ object SparkEntry {
           sum(when(col("n_chars").cast("double") > col("wins_hi"), 1L)
             .otherwise(0L)).as("n_high"),
           round(min(col("wins_lo")), 6).as("p05_r"),
-          round(min(col("wins_hi")), 6).as("p95_r")))
+          round(min(col("wins_hi")), 6).as("p95_r"))),
+
+    // edismax pf phrase boost + bf additive function boost: the full
+    // Solr relevance request (qf + pf + bf + mm + rows)
+    "q257_edismax_phrase" -> ((s, d) =>
+      graft.search.Edismax.query(Tables.documents(s, d), "fast spark",
+          qf = Seq("text" -> 1000L), mm = 1, rows = 25, tieBreak = col("doc_id"),
+          pf = Seq("text" -> 5000L),
+          bf = Some(expr("n_chars div 10").cast("long")))
+        .select(col("doc_id"), col("matched_terms"), col("score_milli"))),
+
+    // declared-vs-detected language confusion matrix (the corpus QA
+    // table that catches mislabeled crawls before they skew mixing)
+    "q258_lang_confusion" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), TextAnalysis.languageId(col("text")).as("detected"))
+        .groupBy(col("lang"), col("detected"))
+        .agg(count(lit(1)).as("n"))),
+
+    // L171 structural template detection: token-LENGTH-sequence
+    // fingerprints; planted Caesar-ciphered twins (same shape, every
+    // word different) must cluster, content hashing cannot see them
+    "q259_template_structure" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val planted = docs.filter(col("doc_id") < 30)
+        .withColumn("doc_id", col("doc_id") + 2000000L)
+        .withColumn("text", translate(col("text"),
+          "abcdefghijklmnopqrstuvwxyz", "bcdefghijklmnopqrstuvwxyza"))
+      val toks = expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')")
+      docs.unionByName(planted)
+        .select(TextAnalysis.structureFingerprint(toks).as("shape"))
+        .groupBy(col("shape")).agg(count(lit(1)).as("cluster_size"))
+        .filter(col("cluster_size") >= 2)
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+    })
   )
 
   /** The shared (id, ts, event_type, user_id) events segment store —
@@ -6413,6 +6448,68 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN CAST(n_chars AS DOUBLE) < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
         |  CAST(sum(CASE WHEN CAST(n_chars AS DOUBLE) > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
         |  round(min(lo), 6) AS p05_r, round(min(hi), 6) AS p95_r
-        |FROM documents d JOIN b ON d.lang = b.lang GROUP BY 1""".stripMargin
+        |FROM documents d JOIN b ON d.lang = b.lang GROUP BY 1""".stripMargin,
+
+    "q257_edismax_phrase" ->
+      """WITH t AS (SELECT doc_id, n_chars,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |sc AS (SELECT doc_id, n_chars,
+        |    len(list_filter(tk, x -> x = 'fast')) AS tff,
+        |    len(list_filter(tk, x -> x = 'spark')) AS tfs,
+        |    CASE WHEN len(tk) < 2 THEN 0
+        |         ELSE len(list_filter(generate_series(1, len(tk) - 1),
+        |                i -> tk[i] = 'fast' AND tk[i+1] = 'spark')) END AS ph
+        |  FROM t),
+        |m AS (SELECT doc_id,
+        |    (CASE WHEN tff > 0 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN tfs > 0 THEN 1 ELSE 0 END) AS matched_terms,
+        |    1000 * tff + 1000 * tfs + 5000 * ph + n_chars // 10 AS score_milli
+        |  FROM sc)
+        |SELECT doc_id, CAST(matched_terms AS BIGINT) AS matched_terms,
+        |  CAST(score_milli AS BIGINT) AS score_milli
+        |FROM m WHERE matched_terms >= 1
+        |ORDER BY score_milli DESC, doc_id ASC LIMIT 25""".stripMargin,
+
+    "q258_lang_confusion" -> {
+      val en = listLit(TextAnalysis.LangMarkers("en"))
+      val de = listLit(TextAnalysis.LangMarkers("de"))
+      val fr = listLit(TextAnalysis.LangMarkers("fr"))
+      val es = listLit(TextAnalysis.LangMarkers("es"))
+      s"""WITH p AS (SELECT lang,
+         | CASE WHEN en IS NULL THEN 'und'
+         |  WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+         |  WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+         |  WHEN de >= fr AND de >= es THEN 'de'
+         |  WHEN fr >= es THEN 'fr'
+         |  ELSE 'es' END AS detected
+         |FROM (
+         | SELECT lang,
+         |  len(list_distinct(list_intersect(toks, $en))) AS en,
+         |  len(list_distinct(list_intersect(toks, $de))) AS de,
+         |  len(list_distinct(list_intersect(toks, $fr))) AS fr,
+         |  len(list_distinct(list_intersect(toks, $es))) AS es
+         | FROM (SELECT lang, regexp_extract_all(lower(text), '[a-z]+') AS toks
+         |       FROM documents) t) s)
+         |SELECT lang, detected, CAST(count(*) AS BIGINT) AS n
+         |FROM p GROUP BY 1, 2""".stripMargin
+    },
+
+    "q259_template_structure" ->
+      """WITH u AS (
+        |  SELECT text FROM documents
+        |  UNION ALL
+        |  SELECT translate(text, 'abcdefghijklmnopqrstuvwxyz',
+        |                   'bcdefghijklmnopqrstuvwxyza') AS text
+        |  FROM documents WHERE doc_id < 30),
+        |f AS (SELECT md5(array_to_string(list_transform(
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''),
+        |    t -> CAST(length(t) AS VARCHAR)), ',')) AS shape
+        |  FROM u),
+        |c AS (SELECT shape, count(*) AS cluster_size FROM f GROUP BY 1
+        |      HAVING count(*) >= 2)
+        |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+        |  CAST(count(*) AS BIGINT) AS n_clusters
+        |FROM c GROUP BY 1""".stripMargin
   )
 }

@@ -78,15 +78,16 @@ object Profiling {
    *
    * Shape at scale: one explode → distinct on the (source, gram) key
    * (map-side partial dedup first); per-source gram totals ride the
-   * same frame; the pair counts are an equi-join ON THE GRAM KEY
-   * (never a cross join — a gram in k sources emits k·(k-1) pair
-   * rows, and k is bounded by the source count); output is
-   * |sources|² rows. Gram volume is the only corpus-sized movement.
+   * same frame; then ONE aggregation to gram → source-set and a
+   * MAP-SIDE pair expansion over each set (a gram in k sources emits
+   * its k·(k-1) ordered pairs in place, k bounded by the source
+   * count) — no gram-key self-join, the gram table crosses the wire
+   * once instead of being joined against itself. Output is
+   * |sources|² rows.
    */
   def sourceOverlap(df: DataFrame, src: Column, text: Column,
                     n: Int = 3): DataFrame = {
     require(n >= 1)
-    val spark = df.sparkSession
     // docs shorter than n tokens have no n-grams (sequence() with
     // start > stop counts DOWN in Spark — the empty-array case must
     // be explicit, not left to the bounds)
@@ -100,12 +101,14 @@ object Profiling {
       .select(col("__src"), explode(expr(gramE)).as("__g"))
       .distinct()
     val totals = grams.groupBy(col("__src")).agg(count(lit(1)).as("__tot"))
-    // the gram table joins itself — mint fresh attribute ids
-    val other = spark.createDataFrame(grams.rdd, grams.schema)
-      .toDF("__osrc", "__og")
-    val shared = grams.join(other,
-        col("__g") === col("__og") && col("__src") =!= col("__osrc"))
-      .groupBy(col("__src").as("src_a"), col("__osrc").as("src_b"))
+    val shared = grams
+      .groupBy(col("__g")).agg(collect_set(col("__src")).as("__ss"))
+      .filter(size(col("__ss")) > 1)
+      .select(explode(expr(
+        """flatten(transform(__ss,
+          | a -> transform(filter(__ss, b -> b != a),
+          |   b -> struct(a AS a, b AS b))))""".stripMargin)).as("__p"))
+      .groupBy(col("__p.a").as("src_a"), col("__p.b").as("src_b"))
       .agg(count(lit(1)).as("shared_grams"))
     shared
       .join(broadcast(totals.toDF("__tsrc", "__tot")),

@@ -26,12 +26,25 @@ object Edismax {
   /** Add `matched_terms` and `score_milli` columns for query terms
     * over `qf` (field → per-mille boost). Terms are analyzed with
     * the engine's standard lowercase-alnum tokenizer. mm gating and
-    * ranking stay with the caller (they are WHERE/ORDER BY clauses). */
-  def score(df: DataFrame, q: String, qf: Seq[(String, Long)]): DataFrame = {
+    * ranking stay with the caller (they are WHERE/ORDER BY clauses).
+    *
+    * `pf` (phrase fields): Solr's `pf=field^boost` — documents where
+    * the WHOLE query appears as a consecutive phrase get
+    * boost × phrase-tf added (the "exact phrase floats to the top"
+    * behavior); counted with a positional scan over the same token
+    * array, still per-row codegen.
+    *
+    * `bf` (boost function): an ADDITIVE function-query column in the
+    * same integer milli space (compose with
+    * [[graft.Graft.functionQuery]] output scaled to milli). */
+  def score(df: DataFrame, q: String, qf: Seq[(String, Long)],
+            pf: Seq[(String, Long)] = Nil,
+            bf: Option[Column] = None): DataFrame = {
     val terms = q.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
     require(terms.nonEmpty, "edismax needs at least one query term")
     require(qf.nonEmpty, "edismax needs at least one qf field")
-    val toked = qf.foldLeft(df) { case (d, (f, _)) =>
+    val fields = (qf.map(_._1) ++ pf.map(_._1)).distinct
+    val toked = fields.foldLeft(df) { (d, f) =>
       d.withColumn(s"__tk_$f",
         expr(s"filter(split(lower(`$f`), '[^a-z0-9]+'), x -> x <> '')"))
     }
@@ -42,20 +55,33 @@ object Edismax {
         .reduce((a, c) => greatest(a, c))
       (best, qf.map { case (f, _) => tf(f, t) > 0 }.reduce(_ || _))
     }
-    val score = perTerm.map(_._1).reduce(_ + _)
+    def phraseTf(f: String): Column = {
+      val eqs = terms.zipWithIndex
+        .map { case (t, k) => s"__tk_$f[i - 1 + $k] = '$t'" }
+        .mkString(" AND ")
+      expr(
+        s"""CASE WHEN size(__tk_$f) < ${terms.length} THEN 0L ELSE
+           | size(filter(sequence(1, size(__tk_$f) - ${terms.length - 1}),
+           |   i -> $eqs)) END""".stripMargin).cast("long")
+    }
+    val score = (perTerm.map(_._1) ++
+      pf.map { case (f, b) => lit(b) * phraseTf(f) } ++
+      bf.toSeq).reduce(_ + _)
     val matched = perTerm.map { case (_, m) =>
       when(m, 1).otherwise(0) }.reduce(_ + _)
     toked
       .withColumn("matched_terms", matched.cast("long"))
       .withColumn("score_milli", score)
-      .drop(qf.map { case (f, _) => s"__tk_$f" }: _*)
+      .drop(fields.map(f => s"__tk_$f"): _*)
   }
 
   /** The full request: score + mm gate + (score desc, tieBreak asc)
-    * top-`rows` cut — Solr's `q=...&qf=...&mm=N&rows=N`. */
+    * top-`rows` cut — Solr's `q=...&qf=...&pf=...&bf=...&mm=N&rows=N`. */
   def query(df: DataFrame, q: String, qf: Seq[(String, Long)], mm: Int,
-            rows: Int, tieBreak: Column): DataFrame =
-    score(df, q, qf)
+            rows: Int, tieBreak: Column,
+            pf: Seq[(String, Long)] = Nil,
+            bf: Option[Column] = None): DataFrame =
+    score(df, q, qf, pf, bf)
       .filter(col("matched_terms") >= mm)
       .orderBy(col("score_milli").desc, tieBreak.asc)
       .limit(rows)

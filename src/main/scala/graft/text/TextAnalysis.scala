@@ -379,6 +379,18 @@ object TextAnalysis {
    * the whole column fuses into whatever scan or shuffle follows.
    * Returns (n_tokens, n_types, ttr_milli) columns keyed by name.
    */
+  /**
+   * Structural fingerprint — template detection by SHAPE, not words:
+   * md5 over the sequence of token LENGTHS. Two docs generated from
+   * the same template (form letters, generated listings, boilerplate
+   * with slotted-in names) share the shape even when every slot
+   * differs, which content fingerprints and even MinHash miss when
+   * the slot density is high. Shuffle-free per-row kernel; group on
+   * the output to find template clusters.
+   */
+  def structureFingerprint(tokens: Column): Column =
+    md5(array_join(transform(tokens, t => length(t).cast("string")), ","))
+
   def lexicalDiversityColumns(tokens: Column): Seq[(String, Column)] = {
     val nTok = size(tokens).cast("long")
     val nTyp = size(array_distinct(tokens)).cast("long")

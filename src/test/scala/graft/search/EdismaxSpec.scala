@@ -33,4 +33,18 @@ class EdismaxSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSeq
     assert(got === Seq(1L)) // highest score among full matches
   }
+
+  test("pf phrase boost counts consecutive occurrences; bf adds through") {
+    val df = Seq(
+      (1L, "fast spark and fast spark", "x"),  // phrase tf 2
+      (2L, "spark fast", "x"),                 // terms match, no phrase
+      (3L, "fast only", "x")
+    ).toDF("id", "text", "cat")
+    val got = Edismax.score(df, "fast spark", Seq("text" -> 1000L),
+        pf = Seq("text" -> 5000L), bf = Some(lit(7L)))
+      .select("id", "score_milli").as[(Long, Long)].collect().toMap
+    assert(got(1L) === 1000L * 2 + 1000L * 2 + 5000L * 2 + 7L)
+    assert(got(2L) === 1000L + 1000L + 7L)
+    assert(got(3L) === 1000L + 7L)
+  }
 }

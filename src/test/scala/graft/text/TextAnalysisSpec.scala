@@ -256,4 +256,17 @@ class TextAnalysisSpec extends AnyFunSuite {
     //   (160*((2*1000)//6))//1000 = (160*333)//1000 = 53
     assert(got(3L) === ((1L, 53L)))
   }
+
+  test("structureFingerprint: same shape matches, different shape does not") {
+    val toks = col("toks")
+    val df = Seq(
+      (1L, Seq("hello", "big", "world")),
+      (2L, Seq("jumbo", "cat", "sings")),  // lengths 5,3,5 — same shape
+      (3L, Seq("a", "b"))
+    ).toDF("id", "toks")
+    val fp = df.select(col("id"), TextAnalysis.structureFingerprint(toks).as("f"))
+      .as[(Long, String)].collect().toMap
+    assert(fp(1L) === fp(2L))
+    assert(fp(1L) !== fp(3L))
+  }
 }
