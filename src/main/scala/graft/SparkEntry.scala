@@ -3649,6 +3649,55 @@ object SparkEntry {
         .filter(col("cluster_size") >= 2)
         .groupBy(col("cluster_size"))
         .agg(count(lit(1)).as("n_clusters"))
+    }),
+
+    // L172 ranked-retrieval eval (MRR + nDCG@10): cosine top-10
+    // judged by label match — discounts from a precomputed integer
+    // table, no runtime libm
+    "q260_retrieval_eval" -> ((s, d) => {
+      import graft.ops.RankingEval
+      val emb = Tables.embeddings(s, d)
+      val results = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 10)
+      val lbl = emb.select(col("vec_id"), col("label"))
+      val ranked = results
+        .join(lbl.select(col("vec_id").as("__qv"), col("label").as("__ql")),
+          col("query_id") === col("__qv"))
+        .join(lbl.select(col("vec_id").as("__cv"), col("label").as("__cl")),
+          col("corpus_id") === col("__cv"))
+        .withColumn("rel", col("__ql") === col("__cl"))
+      RankingEval.evalRanked(ranked, col("query_id"), col("rank"), col("rel"), 10)
+        .select(col("query_id"), col("n_rel"), col("dcg_micro"),
+          col("idcg_micro"), col("ndcg_r"), col("rr_milli"))
+    }),
+
+    // L173 split leakage audit: exact-content fingerprints appearing
+    // in BOTH train and test of the stratified split (planted dups
+    // guarantee real leakage to catch) — the in-corpus decontamination
+    // check an eval pipeline runs before trusting its numbers
+    "q261_split_leakage" -> ((s, d) => {
+      val docs0 = Tables.documents(s, d)
+      val docs = docs0.unionByName(docs0.filter(col("doc_id") < 20)
+        .withColumn("doc_id", col("doc_id") + 3000000L))
+      val sp = Sampling.stratifiedSplit(docs, col("lang"), col("doc_id"))
+        .select(col("lang"), col("split"), md5(col("text")).as("fp"))
+      val train = sp.filter(col("split") === "train")
+        .select(col("fp").as("__f1")).distinct()
+      val test = sp.filter(col("split") === "test")
+        .select(col("lang"), col("fp")).distinct()
+      // same-lineage frames — mint fresh attribute ids for the join
+      val trainM = s.createDataFrame(train.rdd, train.schema)
+      test.join(trainM, col("fp") === col("__f1"))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_leaked"))
+    }),
+
+    // streaming select() arithmetic evaluators (Solr add/sub/mult/
+    // div): projected computation inside the expression pipeline
+    "q262_stream_select_eval" -> ((s, d) => {
+      val out = docsMetaStore(s, d)
+      Graft.streamExpr(s,
+        """select(search(docs_meta, q="lang:en", fl="id,n_chars", sort="id asc"),
+          |  id, div(n_chars, 100) as centi, add(n_chars, 5) as plus5)""".stripMargin,
+        Map("docs_meta" -> out))
     })
   )
 
@@ -6510,6 +6559,67 @@ object SparkEntry {
         |      HAVING count(*) >= 2)
         |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
         |  CAST(count(*) AS BIGINT) AS n_clusters
-        |FROM c GROUP BY 1""".stripMargin
+        |FROM c GROUP BY 1""".stripMargin,
+
+    // q25's cosine top-10 + label-match relevance + the same literal
+    // discount/prefix tables (1e6/log2(r+1), floor)
+    "q260_retrieval_eval" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 10),
+        |p AS (SELECT q.vec_id AS qid, e.vec_id AS cid, q.label AS ql, e.label AS cl,
+        |  list_dot_product(q.v, e.v) /
+        |   (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+        | FROM q, e WHERE q.vec_id <> e.vec_id),
+        |r AS (SELECT qid, cid, ql = cl AS rel, rnk FROM (
+        | SELECT qid, cid, ql, cl,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+        | FROM p) x WHERE rnk <= 10),
+        |disc AS (SELECT qid, rel, rnk,
+        |  ([1000000, 630929, 500000, 430676, 386852, 356207, 333333, 315464,
+        |    301029, 289064])[rnk] AS d
+        | FROM r),
+        |agg AS (SELECT qid AS query_id,
+        |  CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+        |  CAST(sum(CASE WHEN rel THEN d ELSE 0 END) AS BIGINT) AS dcg_micro,
+        |  min(CASE WHEN rel THEN rnk END) AS first_rel
+        | FROM disc GROUP BY 1)
+        |SELECT query_id, n_rel, dcg_micro,
+        |  CAST(([0, 1000000, 1630929, 2130929, 2561605, 2948457, 3304664,
+        |    3637997, 3953461, 4254490, 4543554])[CAST(n_rel AS INT) + 1] AS BIGINT)
+        |    AS idcg_micro,
+        |  CASE WHEN n_rel > 0 THEN round(CAST(dcg_micro AS DOUBLE) /
+        |    ([0, 1000000, 1630929, 2130929, 2561605, 2948457, 3304664,
+        |      3637997, 3953461, 4254490, 4543554])[CAST(n_rel AS INT) + 1], 6)
+        |    ELSE 0.0 END AS ndcg_r,
+        |  CAST(CASE WHEN first_rel IS NOT NULL THEN 1000 // first_rel
+        |    ELSE 0 END AS BIGINT) AS rr_milli
+        |FROM agg""".stripMargin,
+
+    // augmented corpus -> q235's split -> fingerprint intersection
+    "q261_split_leakage" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, lang, text FROM documents WHERE doc_id < 20),
+        |r AS (SELECT lang, doc_id, text,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM docs),
+        |sp AS (SELECT lang,
+        |    CASE WHEN (rn - 1) * 1000 < n * 800 THEN 'train'
+        |         WHEN (rn - 1) * 1000 < n * 900 THEN 'val' ELSE 'test' END AS split,
+        |    md5(text) AS fp
+        |  FROM r),
+        |tr AS (SELECT DISTINCT fp FROM sp WHERE split = 'train'),
+        |te AS (SELECT DISTINCT lang, fp FROM sp WHERE split = 'test')
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_leaked
+        |FROM te JOIN tr USING (fp) GROUP BY 1""".stripMargin,
+
+    "q262_stream_select_eval" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS id,
+        |  CAST(n_chars AS DOUBLE) / 100.0 AS centi,
+        |  CAST(n_chars AS DOUBLE) + 5.0 AS plus5
+        |FROM documents WHERE lang = 'en'""".stripMargin
   )
 }

@@ -178,6 +178,16 @@ object StreamingExpressions {
   private def analyzeCol(f: String): Column =
     expr(s"filter(split(lower(`$f`), '[^a-z0-9]+'), x -> x <> '')")
 
+  /** Solr arithmetic evaluators inside select(): `add(f, 10) as x`
+    * (add/sub/mult/div over a field/number pair). All arithmetic in
+    * DOUBLE — the evaluator contract is numeric, and one type keeps
+    * the cross-engine story simple. */
+  private val ArithRe =
+    """^(add|sub|mult|div)\(\s*([A-Za-z0-9_.\-]+)\s*,\s*([A-Za-z0-9_.\-]+)\s*\)\s+(?i:as)\s+([A-Za-z0-9_]+)$""".r
+
+  private def operand(s: String): Column =
+    s.toDoubleOption.map(lit(_)).getOrElse(col(s).cast("double"))
+
   /**
    * Compile a streaming expression against `collections` (collection
    * name → segment-store path). `textFields`/`defaultField` resolve
@@ -426,6 +436,14 @@ object StreamingExpressions {
       require(projs.nonEmpty, "select() needs projections")
       val cols = projs.map {
         case AnalyzeRe(f, a) => analyzeCol(f).as(a)
+        case ArithRe(fn, a, b, alias) =>
+          val (l, r) = (operand(a), operand(b))
+          (fn match {
+            case "add" => l + r
+            case "sub" => l - r
+            case "mult" => l * r
+            case "div" => l / r
+          }).as(alias)
         case p =>
           p.split("(?i)\\s+as\\s+").map(_.trim) match {
             case Array(f, a) => col(f).as(a)

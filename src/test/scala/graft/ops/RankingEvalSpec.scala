@@ -1,0 +1,36 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RankingEvalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("hand-computed MRR and nDCG on a tiny ranking") {
+    // q1: rel at ranks 2 and 3 of 3; q2: nothing relevant
+    val ranked = Seq(
+      ("q1", 1, false), ("q1", 2, true), ("q1", 3, true),
+      ("q2", 1, false), ("q2", 2, false)
+    ).toDF("q", "r", "rel")
+    val got = RankingEval.evalRanked(ranked, col("q"), col("r"), col("rel"), 3)
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4), x.getLong(5))))
+      .toMap
+    // dcg = 630929 + 500000 = 1130929; idcg = 1000000 + 630929 = 1630929
+    val ndcg = BigDecimal(1130929.0 / 1630929.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("q1") === ((2L, 1130929L, 1630929L, ndcg, 500L)))
+    assert(got("q2") === ((0L, 0L, 0L, 0.0, 0L)))
+  }
+
+  test("perfect ranking scores nDCG 1.0 and MRR 1000") {
+    val ranked = Seq(("q", 1, true), ("q", 2, true), ("q", 3, false))
+      .toDF("q", "r", "rel")
+    val row = RankingEval.evalRanked(ranked, col("q"), col("r"), col("rel"), 3)
+      .collect().head
+    assert(row.getDouble(4) === 1.0)
+    assert(row.getLong(5) === 1000L)
+  }
+}

@@ -288,4 +288,13 @@ class StreamingExpressionsSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     assert(got === Map("spark" -> 2L, "data" -> 2L, "daten" -> 2L))
   }
+
+  test("select() arithmetic evaluators: add/div over field and literal") {
+    val got = SE.compile(spark,
+      """select(search(c, q="lang:en", fl="id,n_chars", sort="id asc"),
+        |  id, div(n_chars, 100) as centi, add(n_chars, 5) as plus5)""".stripMargin,
+      colls)
+      .as[(String, Double, Double)].collect().toSeq.sortBy(_._1)
+    assert(got === Seq(("1", 1.0, 105.0), ("2", 4.0, 405.0), ("6", 4.0, 405.0)))
+  }
 }
