@@ -58,6 +58,9 @@ object ExplainCheck {
       "q236_pref_pairs" -> "preference pairs: two window sorts + final aggregate all riding ONE prompt-key exchange",
       "q241_stream_cartesian" -> "cartesianProduct+analyze(): map-side explode under the rollup's partial aggregate — one exchange total",
       "q242_stupid_backoff" -> "Stupid Backoff: scored trigrams LEFT-join the three gram models, per-doc aggregate partial-aggregates map-side",
+      "q244_source_overlap" -> "source overlap: gram->source-set aggregation + MAP-SIDE pair expansion — no gram self-join",
+      "q253_edismax" -> "edismax: tokenize-once-per-field matcher fused into the scan, TakeOrdered cut — no shuffle before the top-k",
+      "q260_retrieval_eval" -> "retrieval eval: literal discount arrays in codegen, one query-key aggregation over the judged top-k",
       "q202_knn_qparser" -> "{!knn}: literal query vector folded into ONE codegen'd dot product per row, global cut as TakeOrderedAndProject — no broadcast, no window",
       "q204_proximity_search" -> "sloppy-phrase proximity: one rlike predicate in the scan stage — no tokenize, no explode, no shuffle",
       "q206_dup_ngram_cov" -> "dup-ngram coverage: both fused kernels in one scan-stage projection — zero exchanges in the whole plan",
