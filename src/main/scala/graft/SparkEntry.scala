@@ -3698,6 +3698,33 @@ object SparkEntry {
         """select(search(docs_meta, q="lang:en", fl="id,n_chars", sort="id asc"),
           |  id, div(n_chars, 100) as centi, add(n_chars, 5) as plus5)""".stripMargin,
         Map("docs_meta" -> out))
+    }),
+
+    // Structured Streaming run ORACLED end-to-end: the watermarked
+    // windowed aggregation executes as a real stream (AvailableNow
+    // micro-batches, append mode, memory sink) and must emit exactly
+    // the FINALIZED windows — window end <= max(ts) - watermark; the
+    // oracle replicates that cut over the same data. q28 is the
+    // static sibling (all windows, no watermark semantics).
+    "q263_stream_windows" -> ((s, d) => {
+      import graft.streaming.StreamingIngest
+      import org.apache.spark.sql.streaming.Trigger
+      // the file stream source wants a DIRECTORY — stream the sf dir
+      // with a glob pinned to the events table
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val raw = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val ev = raw.schema("ts").dataType match {
+        case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+      }
+      val sink = s"q263_sink_${System.nanoTime()}"
+      val q = StreamingIngest.windowedCounts(ev)
+        .select(col("window_start"), col("event_type"), col("n"))
+        .writeStream.format("memory").queryName(sink).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink)
     })
   )
 
@@ -6620,6 +6647,16 @@ object SparkEntry {
       """SELECT CAST(doc_id AS VARCHAR) AS id,
         |  CAST(n_chars AS DOUBLE) / 100.0 AS centi,
         |  CAST(n_chars AS DOUBLE) + 5.0 AS plus5
-        |FROM documents WHERE lang = 'en'""".stripMargin
+        |FROM documents WHERE lang = 'en'""".stripMargin,
+
+    // only FINALIZED windows: end <= max(ts) - 2h watermark
+    "q263_stream_windows" ->
+      """WITH m AS (SELECT max(CAST(ts AS TIMESTAMP)) AS mx FROM events)
+        |SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+        |  event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events, m
+        |WHERE date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR
+        |      <= mx - INTERVAL 2 HOUR
+        |GROUP BY 1, 2""".stripMargin
   )
 }
