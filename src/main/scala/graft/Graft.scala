@@ -484,4 +484,96 @@ object Graft {
   def epochAllocation(df: DataFrame, grp: Column, cost: Column,
                       budget: Long, alpha: Double, maxEpochs: Double): DataFrame =
     graft.ops.Sampling.epochAllocation(df, grp, cost, budget, alpha, maxEpochs)
+
+  /** Seed quality classifier: train count-based weights on a labeled
+    * seed (see [[graft.ops.QualityClassifier]]). */
+  def trainSeedClassifier(docs: DataFrame, idCol: String, textCol: String,
+                          label: Column, minDf: Int = 1): DataFrame =
+    graft.ops.QualityClassifier.tokenWeights(docs, idCol, textCol, label, minDf)
+
+  /** Score a corpus against trained seed-classifier weights. */
+  def scoreSeedClassifier(docs: DataFrame, idCol: String, textCol: String,
+                          weights: DataFrame): DataFrame =
+    graft.ops.QualityClassifier.score(docs, idCol, textCol, weights)
+
+  /** CCNet per-language perplexity buckets (see
+    * [[graft.text.TextAnalysis.perplexityBuckets]]). */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+                        langCol: String): DataFrame =
+    graft.text.TextAnalysis.perplexityBuckets(docs, idCol, textCol, langCol)
+
+  /** Exact-quota stratified train/val/test split (see
+    * [[graft.ops.Sampling.stratifiedSplit]]). */
+  def stratifiedSplit(df: DataFrame, stratum: Column, key: Column): DataFrame =
+    graft.ops.Sampling.stratifiedSplit(df, stratum, key)
+
+  /** DPO preference-pair assembly (see [[graft.ops.Preference.pairs]]). */
+  def preferencePairs(df: DataFrame, prompt: Column, id: Column,
+                      score: Column): DataFrame =
+    graft.ops.Preference.pairs(df, prompt, id, score)
+
+  /** Stupid Backoff trigram LM scoring against a model corpus (see
+    * [[graft.text.TextAnalysis.stupidBackoffScore]]). */
+  def stupidBackoffScore(docs: DataFrame, modelDocs: DataFrame,
+                         idCol: String, textCol: String): DataFrame =
+    graft.text.TextAnalysis.stupidBackoffScore(docs, modelDocs, idCol, textCol)
+
+  /** Solr /replication backup: snapshot a store (see
+    * [[graft.index.Backup.backup]]). */
+  def backupIndex(spark: SparkSession, store: String, destDir: String,
+                  name: String): String =
+    graft.index.Backup.backup(spark, store, destDir, name)
+
+  /** Solr /replication restore (see [[graft.index.Backup.restore]]). */
+  def restoreIndex(spark: SparkSession, snapshot: String, dest: String): Unit =
+    graft.index.Backup.restore(spark, snapshot, dest)
+
+  /** Optimistic-concurrency upsert under the Solr _version_ contract
+    * (see [[graft.index.SegmentShardSink.conditionalUpsert]]). */
+  def upsertIndexOptimistic(spark: SparkSession, store: String,
+                            updates: DataFrame, versionCol: String,
+                            newVersion: Long): (DataFrame, DataFrame) =
+    graft.index.SegmentShardSink.conditionalUpsert(
+      spark, store, updates, versionCol, newVersion)
+
+  /** Cross-source duplication audit (see
+    * [[graft.ops.Profiling.sourceOverlap]]). */
+  def sourceOverlap(df: DataFrame, src: Column, text: Column,
+                    n: Int = 3): DataFrame =
+    graft.ops.Profiling.sourceOverlap(df, src, text, n)
+
+  /** Per-domain boilerplate header/footer strip (see
+    * [[graft.text.C4Filters.stripDomainChrome]]). */
+  def stripDomainChrome(docs: DataFrame, srcCol: Column, textCol: Column,
+                        tauMilli: Int = 500): DataFrame =
+    graft.text.C4Filters.stripDomainChrome(docs, srcCol, textCol, tauMilli)
+
+  /** Avro object-container write sink (see
+    * [[graft.sources.AvroSource.write]]). */
+  def writeAvro(df: DataFrame, path: String): Unit =
+    graft.sources.AvroSource.write(df, path)
+
+  /** Corpus snapshot diff (see [[graft.ops.Profiling.corpusDiff]]). */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, id: Column,
+                 content: Column): DataFrame =
+    graft.ops.Profiling.corpusDiff(oldDf, newDf, id, content)
+
+  /** edismax request: q + qf boosts + pf phrase boosts + bf + mm +
+    * rows (see [[graft.search.Edismax.query]]). */
+  def edismax(df: DataFrame, q: String, qf: Seq[(String, Long)], mm: Int,
+              rows: Int, tieBreak: Column,
+              pf: Seq[(String, Long)] = Nil,
+              bf: Option[Column] = None): DataFrame =
+    graft.search.Edismax.query(df, q, qf, mm, rows, tieBreak, pf, bf)
+
+  /** Ranked-retrieval eval: MRR + nDCG@k (see
+    * [[graft.ops.RankingEval.evalRanked]]). */
+  def evalRanked(ranked: DataFrame, query: Column, rank: Column,
+                 rel: Column, k: Int): DataFrame =
+    graft.ops.RankingEval.evalRanked(ranked, query, rank, rel, k)
+
+  /** Skip-gram (center, context, cnt) pair extraction (see
+    * [[graft.text.SkipGrams.pairs]]). */
+  def skipGramPairs(docs: DataFrame, textCol: String, window: Int = 2): DataFrame =
+    graft.text.SkipGrams.pairs(docs, textCol, window)
 }

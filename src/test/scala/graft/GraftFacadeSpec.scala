@@ -151,4 +151,27 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(got.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
       === Seq(("2", 30L), ("4", 30L), ("5", 20L)))
   }
+
+  test("round-7 facade delegates compose end to end") {
+    val docs = Seq(
+      (1L, "the experiment measured the rate", "en", "s1"),
+      (2L, "buy cheap pills now click here", "en", "s1"),
+      (3L, "results were published after review", "en", "s2"),
+      (4L, "click here buy now cheap", "en", "s2")
+    ).toDF("id", "text", "lang", "src")
+    val w = Graft.trainSeedClassifier(docs, "id", "text", col("id") % 2 === 1)
+    assert(Graft.scoreSeedClassifier(docs, "id", "text", w).count() === 4)
+    assert(Graft.stratifiedSplit(docs, col("lang"), col("id"))
+      .select("split").distinct().count() >= 1)
+    assert(Graft.preferencePairs(docs, col("src"), col("id"), col("id"))
+      .count() === 2)
+    assert(Graft.skipGramPairs(docs, "text").count() > 0)
+    assert(Graft.sourceOverlap(docs, col("src"), col("text")).columns
+      .contains("containment_b_milli"))
+    assert(Graft.corpusDiff(docs, docs.filter(col("id") =!= 4L), col("id"), col("text"))
+      .filter(col("status") === "removed").count() === 1)
+    val em = Graft.edismax(docs, "cheap pills", Seq("text" -> 1000L),
+      mm = 1, rows = 10, tieBreak = col("id"))
+    assert(em.count() === 2)
+  }
 }
