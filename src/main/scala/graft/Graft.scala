@@ -563,8 +563,9 @@ object Graft {
   def edismax(df: DataFrame, q: String, qf: Seq[(String, Long)], mm: Int,
               rows: Int, tieBreak: Column,
               pf: Seq[(String, Long)] = Nil,
-              bf: Option[Column] = None): DataFrame =
-    graft.search.Edismax.query(df, q, qf, mm, rows, tieBreak, pf, bf)
+              bf: Option[Column] = None,
+              pf2: Seq[(String, Long)] = Nil): DataFrame =
+    graft.search.Edismax.query(df, q, qf, mm, rows, tieBreak, pf, bf, pf2)
 
   /** Ranked-retrieval eval: MRR + nDCG@k (see
     * [[graft.ops.RankingEval.evalRanked]]). */

@@ -3725,7 +3725,46 @@ object SparkEntry {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       s.table(sink)
-    })
+    }),
+
+    // WET/Common Crawl round trip: serialize the corpus as WET
+    // records, parse it back through the Warc source — counts, id
+    // checksum and byte mass must equal the source table
+    "q264_wet_roundtrip" -> ((s, d) => {
+      import graft.sources.Warc
+      val out = sharedStore(d, "wet_file") { o =>
+        Tables.documents(s, d)
+          .select(Warc.wetRecord(
+            concat(lit("http://corpus/"), col("doc_id")), col("text")).as("value"))
+          .coalesce(1).write.mode("overwrite").text(o)
+      }
+      Warc.readWet(s, out).filter(col("rec_type") === "conversion")
+        .select(regexp_extract(col("uri"), "([0-9]+)$", 1).cast("long").as("doc_id"),
+          length(col("body")).cast("long").as("body_len"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"),
+          sum(col("body_len")).as("chars"))
+    }),
+
+    // edismax pf2 bigram phrase fields: partial phrase evidence for
+    // each consecutive query-term pair
+    "q265_edismax_pf2" -> ((s, d) =>
+      graft.search.Edismax.query(Tables.documents(s, d), "fast spark table",
+          qf = Seq("text" -> 1000L), mm = 1, rows = 25, tieBreak = col("doc_id"),
+          pf2 = Seq("text" -> 2000L))
+        .select(col("doc_id"), col("matched_terms"), col("score_milli"))),
+
+    // L174 tokenizer-compression drift by source: chars per estimated
+    // subword — the "which source tokenizes expensively" diagnostic
+    "q266_compression_drift" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), col("n_chars"),
+          TextAnalysis.subwordCountEstimate(col("text")).cast("long").as("__sub"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars"),
+          sum(col("__sub")).as("subwords"))
+        .withColumn("chars_per_subword_r",
+          round(col("chars").cast("double") / col("subwords"), 6)))
   )
 
   /** The shared (id, ts, event_type, user_id) events segment store —
@@ -6657,6 +6696,55 @@ object SparkEntry {
         |FROM events, m
         |WHERE date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR
         |      <= mx - INTERVAL 2 HOUR
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+
+    // the WET round trip must reproduce the corpus exactly
+    "q264_wet_roundtrip" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(length(text)) AS BIGINT) AS chars
+        |FROM documents""".stripMargin,
+
+    "q265_edismax_pf2" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |sc AS (SELECT doc_id,
+        |    len(list_filter(tk, x -> x = 'fast')) AS tf1,
+        |    len(list_filter(tk, x -> x = 'spark')) AS tf2,
+        |    len(list_filter(tk, x -> x = 'table')) AS tf3,
+        |    CASE WHEN len(tk) < 2 THEN 0
+        |         ELSE len(list_filter(generate_series(1, len(tk) - 1),
+        |                i -> tk[i] = 'fast' AND tk[i+1] = 'spark')) END AS p12,
+        |    CASE WHEN len(tk) < 2 THEN 0
+        |         ELSE len(list_filter(generate_series(1, len(tk) - 1),
+        |                i -> tk[i] = 'spark' AND tk[i+1] = 'table')) END AS p23
+        |  FROM t),
+        |m AS (SELECT doc_id,
+        |    (CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS matched_terms,
+        |    1000 * tf1 + 1000 * tf2 + 1000 * tf3
+        |      + 2000 * p12 + 2000 * p23 AS score_milli
+        |  FROM sc)
+        |SELECT doc_id, CAST(matched_terms AS BIGINT) AS matched_terms,
+        |  CAST(score_milli AS BIGINT) AS score_milli
+        |FROM m WHERE matched_terms >= 1
+        |ORDER BY score_milli DESC, doc_id ASC LIMIT 25""".stripMargin,
+
+    // q47's subword estimate grouped per source
+    "q266_compression_drift" ->
+      """WITH s AS (SELECT source, n_chars,
+        |    COALESCE(list_aggregate(list_transform(
+        |      regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |      x -> greatest(1, CAST(ceil(length(x)/4.0) AS INTEGER))), 'sum'), 0)
+        |     + length(regexp_replace(text, '[a-zA-Z0-9\s]+', '', 'g')) AS sub
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  CAST(sum(sub) AS BIGINT) AS subwords,
+        |  round(CAST(sum(n_chars) AS DOUBLE) / CAST(sum(sub) AS BIGINT), 6)
+        |    AS chars_per_subword_r
+        |FROM s GROUP BY 1""".stripMargin
   )
 }

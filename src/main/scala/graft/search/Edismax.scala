@@ -39,11 +39,12 @@ object Edismax {
     * [[graft.Graft.functionQuery]] output scaled to milli). */
   def score(df: DataFrame, q: String, qf: Seq[(String, Long)],
             pf: Seq[(String, Long)] = Nil,
-            bf: Option[Column] = None): DataFrame = {
+            bf: Option[Column] = None,
+            pf2: Seq[(String, Long)] = Nil): DataFrame = {
     val terms = q.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
     require(terms.nonEmpty, "edismax needs at least one query term")
     require(qf.nonEmpty, "edismax needs at least one qf field")
-    val fields = (qf.map(_._1) ++ pf.map(_._1)).distinct
+    val fields = (qf.map(_._1) ++ pf.map(_._1) ++ pf2.map(_._1)).distinct
     val toked = fields.foldLeft(df) { (d, f) =>
       d.withColumn(s"__tk_$f",
         expr(s"filter(split(lower(`$f`), '[^a-z0-9]+'), x -> x <> '')"))
@@ -55,17 +56,23 @@ object Edismax {
         .reduce((a, c) => greatest(a, c))
       (best, qf.map { case (f, _) => tf(f, t) > 0 }.reduce(_ || _))
     }
-    def phraseTf(f: String): Column = {
-      val eqs = terms.zipWithIndex
+    def phraseTf(f: String, ts: Seq[String]): Column = {
+      val eqs = ts.zipWithIndex
         .map { case (t, k) => s"__tk_$f[i - 1 + $k] = '$t'" }
         .mkString(" AND ")
       expr(
-        s"""CASE WHEN size(__tk_$f) < ${terms.length} THEN 0L ELSE
-           | size(filter(sequence(1, size(__tk_$f) - ${terms.length - 1}),
+        s"""CASE WHEN size(__tk_$f) < ${ts.length} THEN 0L ELSE
+           | size(filter(sequence(1, size(__tk_$f) - ${ts.length - 1}),
            |   i -> $eqs)) END""".stripMargin).cast("long")
     }
+    // pf2: every CONSECUTIVE query-term pair as its own sub-phrase
+    // (Solr's bigram phrase fields — partial phrase evidence when the
+    // full pf phrase is absent)
+    val pairSeqs = terms.sliding(2).filter(_.length == 2).toSeq
     val score = (perTerm.map(_._1) ++
-      pf.map { case (f, b) => lit(b) * phraseTf(f) } ++
+      pf.map { case (f, b) => lit(b) * phraseTf(f, terms) } ++
+      pf2.flatMap { case (f, b) =>
+        pairSeqs.map(p => lit(b) * phraseTf(f, p)) } ++
       bf.toSeq).reduce(_ + _)
     val matched = perTerm.map { case (_, m) =>
       when(m, 1).otherwise(0) }.reduce(_ + _)
@@ -76,12 +83,14 @@ object Edismax {
   }
 
   /** The full request: score + mm gate + (score desc, tieBreak asc)
-    * top-`rows` cut — Solr's `q=...&qf=...&pf=...&bf=...&mm=N&rows=N`. */
+    * top-`rows` cut — Solr's
+    * `q=...&qf=...&pf=...&pf2=...&bf=...&mm=N&rows=N`. */
   def query(df: DataFrame, q: String, qf: Seq[(String, Long)], mm: Int,
             rows: Int, tieBreak: Column,
             pf: Seq[(String, Long)] = Nil,
-            bf: Option[Column] = None): DataFrame =
-    score(df, q, qf, pf, bf)
+            bf: Option[Column] = None,
+            pf2: Seq[(String, Long)] = Nil): DataFrame =
+    score(df, q, qf, pf, bf, pf2)
       .filter(col("matched_terms") >= mm)
       .orderBy(col("score_milli").desc, tieBreak.asc)
       .limit(rows)

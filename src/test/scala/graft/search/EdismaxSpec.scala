@@ -47,4 +47,16 @@ class EdismaxSpec extends AnyFunSuite {
     assert(got(2L) === 1000L + 1000L + 7L)
     assert(got(3L) === 1000L + 7L)
   }
+
+  test("pf2 boosts each consecutive term pair independently") {
+    val df = Seq(
+      (1L, "fast spark table", "x"),    // both pairs
+      (2L, "fast spark and table", "x") // only pair 1
+    ).toDF("id", "text", "cat")
+    val got = Edismax.score(df, "fast spark table", Seq("text" -> 1000L),
+        pf2 = Seq("text" -> 2000L))
+      .select("id", "score_milli").as[(Long, Long)].collect().toMap
+    assert(got(1L) === 3000L + 2000L * 2)
+    assert(got(2L) === 3000L + 2000L)
+  }
 }
