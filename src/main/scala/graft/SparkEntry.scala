@@ -3764,7 +3764,26 @@ object SparkEntry {
           sum(col("n_chars")).as("chars"),
           sum(col("__sub")).as("subwords"))
         .withColumn("chars_per_subword_r",
-          round(col("chars").cast("double") / col("subwords"), 6)))
+          round(col("chars").cast("double") / col("subwords"), 6))),
+
+    // .wet.gz — the format Common Crawl actually ships: gzip-coded
+    // WET files decompress through the archive expander and parse
+    // with the same record path; same oracle as the plain round trip
+    "q267_wet_gz" -> ((s, d) => {
+      import graft.sources.Warc
+      val out = sharedStore(d, "wet_gz") { o =>
+        Tables.documents(s, d)
+          .select(Warc.wetRecord(
+            concat(lit("http://corpus/"), col("doc_id")), col("text")).as("value"))
+          .coalesce(1).write.mode("overwrite")
+          .option("compression", "gzip").text(o)
+      }
+      Warc.readWetArchive(s, out).filter(col("rec_type") === "conversion")
+        .select(regexp_extract(col("uri"), "([0-9]+)$", 1).cast("long").as("doc_id"),
+          length(col("body")).cast("long").as("body_len"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"),
+          sum(col("body_len")).as("chars"))
+    })
   )
 
   /** The shared (id, ts, event_type, user_id) events segment store —
@@ -6745,6 +6764,12 @@ object SparkEntry {
         |  CAST(sum(sub) AS BIGINT) AS subwords,
         |  round(CAST(sum(n_chars) AS DOUBLE) / CAST(sum(sub) AS BIGINT), 6)
         |    AS chars_per_subword_r
-        |FROM s GROUP BY 1""".stripMargin
+        |FROM s GROUP BY 1""".stripMargin,
+
+    "q267_wet_gz" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(length(text)) AS BIGINT) AS chars
+        |FROM documents""".stripMargin
   )
 }

@@ -31,9 +31,23 @@ object Warc {
   /** Read WET files as (path, uri, rec_type, body). `warcinfo`
     * prelude records carry a null URI; filter `rec_type =
     * 'conversion'` for documents. */
-  def readWet(spark: SparkSession, path: String): DataFrame = {
-    val files = spark.read.format("binaryFile").load(path)
-      .select(col("path"), col("content").cast("string").as("__txt"))
+  def readWet(spark: SparkSession, path: String): DataFrame =
+    parseRecords(spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content").cast("string").as("__txt")))
+
+  /** [[readWet]] over COMPRESSED crawl files (`.wet.gz` is how
+    * Common Crawl actually ships): bytes route through the archive
+    * expander first (gzip/bzip2/zstd all work — magic-byte sniffed,
+    * plain files pass through), then the same record parse. One
+    * scan, decompression riding the same task as the parse. */
+  def readWetArchive(spark: SparkSession, path: String): DataFrame =
+    parseRecords(Archives.unpack(
+        spark.read.format("binaryFile").load(path),
+        col("path"), col("content"))
+      .select(col("entry_name").as("path"),
+        col("entry_content").cast("string").as("__txt")))
+
+  private def parseRecords(files: DataFrame): DataFrame = {
     files
       .select(col("path"), explode(expr(
         "filter(split(__txt, 'WARC/1\\\\.0\\r\\n'), r -> r <> '')")).as("__rec"))

@@ -32,4 +32,18 @@ class WarcSpec extends AnyFunSuite {
     assert(rec === "WARC/1.0\r\nWARC-Type: conversion\r\n" +
       "WARC-Target-URI: http://x/9\r\nContent-Length: 9\r\n\r\ntext body\r\n\r\n")
   }
+
+  test("readWetArchive parses gzipped WET files (the Common Crawl shape)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wetgz_").toString
+    val wet = "WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: http://a/7\r\n" +
+      "Content-Length: 5\r\n\r\nhello\r\n\r\n"
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(wet.getBytes("UTF-8")); gz.close()
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "f.warc.wet.gz"),
+      bos.toByteArray)
+    val got = Warc.readWetArchive(spark, dir)
+      .select("uri", "body").as[(String, String)].collect().toSeq
+    assert(got === Seq(("http://a/7", "hello")))
+  }
 }
