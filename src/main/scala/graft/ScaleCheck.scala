@@ -32,7 +32,11 @@ object ScaleCheck {
       "q21_dedup_exact", "q23_simhash", "q49_build_index",
       "q54_drop_near_dups", "q74_bm25", "q78_corpus_pipeline",
       "q144_substring_dedup", "q146_bpe_pairs", "q147_bigram_rarity",
-      "q154_corpus_audit")
+      "q154_corpus_audit",
+      // round-8 corpus-heavy additions: gram-model joins, pair
+      // explosion, source-set expansion, classifier train+score
+      "q233_seed_classifier", "q242_stupid_backoff",
+      "q244_source_overlap", "q247_skipgram_pairs")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
