@@ -82,8 +82,11 @@ object Profiling {
    * MAP-SIDE pair expansion over each set (a gram in k sources emits
    * its k·(k-1) ordered pairs in place, k bounded by the source
    * count) — no gram-key self-join, the gram table crosses the wire
-   * once instead of being joined against itself. Output is
-   * |sources|² rows.
+   * once instead of being joined against itself. Output contains
+   * only ordered pairs that share at least one gram — a pair with
+   * ZERO containment emits no row (consumers wanting a dense
+   * |sources|² matrix left-join this against the source cross
+   * product and coalesce missing cells to 0).
    */
   def sourceOverlap(df: DataFrame, src: Column, text: Column,
                     n: Int = 3): DataFrame = {
@@ -220,10 +223,14 @@ object Profiling {
   def winsorize(df: DataFrame, grp: Column, c: Column,
                 lo: Double, hi: Double): DataFrame = {
     require(lo >= 0 && hi <= 1 && lo < hi)
+    // percentile on the Column itself (not a re-parsed name string),
+    // so computed Columns and names needing backticks both work; the
+    // null-safe join key keeps null-group rows — they clip against
+    // their own (null-group) bounds instead of being dropped
     val bounds = df.groupBy(grp.as("__wg")).agg(
-      expr(s"percentile(${c.toString}, $lo)").as("wins_lo"),
-      expr(s"percentile(${c.toString}, $hi)").as("wins_hi"))
-    df.join(broadcast(bounds), grp === col("__wg"))
+      percentile(c, lit(lo)).as("wins_lo"),
+      percentile(c, lit(hi)).as("wins_hi"))
+    df.join(broadcast(bounds), grp <=> col("__wg"))
       .withColumn("wins_value",
         greatest(least(c.cast("double"), col("wins_hi")), col("wins_lo")))
       .drop("__wg")

@@ -170,14 +170,25 @@ object AvroSource {
     val fs0 = out.getFileSystem(confSer.value)
     fs0.mkdirs(out)
     df.foreachPartition { (rows: Iterator[Row]) =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val tc = org.apache.spark.TaskContext.get()
+      val pid = tc.partitionId()
       val schema = new Schema.Parser().parse(schemaJson)
-      val p = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d.avro")
-      val fs = p.getFileSystem(confSer.value)
-      val os = fs.create(p, true)
+      // write to an attempt-unique temp file, rename into place on
+      // success: a speculative duplicate or a retry racing a
+      // still-running first attempt can never tear the container —
+      // each attempt streams to its own file and the commit is a
+      // single rename (atomic on HDFS/posix; last-rename-wins on
+      // object stores, which is safe because every attempt's bytes
+      // are complete and identical)
+      val finalP = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d.avro")
+      val tmpP = new org.apache.hadoop.fs.Path(path,
+        f".part-$pid%05d-attempt-${tc.taskAttemptId()}.avro.tmp")
+      val fs = finalP.getFileSystem(confSer.value)
+      val os = fs.create(tmpP, true)
       val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
         new org.apache.avro.generic.GenericDatumWriter[GenericRecord](schema))
       w.create(schema, os)
+      var ok = false
       try {
         rows.foreach { row =>
           val rec = new org.apache.avro.generic.GenericData.Record(schema)
@@ -188,7 +199,15 @@ object AvroSource {
           }
           w.append(rec)
         }
-      } finally w.close() // closes the stream
+        ok = true
+      } finally {
+        w.close() // closes the stream
+        if (ok) {
+          fs.delete(finalP, false) // rename-over target (posix FS semantics)
+          if (!fs.rename(tmpP, finalP))
+            throw new java.io.IOException(s"commit rename failed: $tmpP -> $finalP")
+        } else fs.delete(tmpP, false)
+      }
     }
   }
 

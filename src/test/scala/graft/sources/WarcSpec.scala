@@ -33,6 +33,59 @@ class WarcSpec extends AnyFunSuite {
       "WARC-Target-URI: http://x/9\r\nContent-Length: 9\r\n\r\ntext body\r\n\r\n")
   }
 
+  test("body embedding 'WARC/1.0\\r\\n' at a line start stays ONE record (Content-Length framing)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wet_adv_").toString
+    val evil = "a crawled page quoting a record:\r\nWARC/1.0\r\nWARC-Type: fake\r\n\r\nnot real\r\n\r\nend"
+    val wet = "WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: http://a/evil\r\n" +
+      s"Content-Length: ${evil.getBytes("UTF-8").length}\r\n\r\n$evil\r\n\r\n" +
+      "WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: http://a/next\r\n" +
+      "Content-Length: 2\r\n\r\nok\r\n\r\n"
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "adv.warc.wet"),
+      wet.getBytes("UTF-8"))
+    val got = Warc.readWet(spark, dir)
+      .select("uri", "body").as[(String, String)].collect().toSet
+    assert(got === Set(("http://a/evil", evil), ("http://a/next", "ok")))
+  }
+
+  test("non-ASCII bodies: Content-Length counts octets on write and slices octets on read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wet_utf_").toString
+    val body = "héllo wörld — ünïcode"
+    val rec = Seq(("http://u/1", body)).toDF("u", "b")
+      .select(Warc.wetRecord(col("u"), col("b"))).as[String].collect().head
+    assert(rec.contains(s"Content-Length: ${body.getBytes("UTF-8").length}\r\n"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "u.warc.wet"),
+      (rec + "WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: http://u/2\r\n" +
+        "Content-Length: 2\r\n\r\nok\r\n\r\n").getBytes("UTF-8"))
+    val got = Warc.readWet(spark, dir)
+      .select("uri", "body").as[(String, String)].collect().toSet
+    assert(got === Set(("http://u/1", body), ("http://u/2", "ok")))
+  }
+
+  test("records without Content-Length fall back to delimiter framing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wet_nolen_").toString
+    val wet = "WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: http://n/1\r\n\r\n" +
+      "no length here\r\n\r\n" +
+      "WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: http://n/2\r\n" +
+      "Content-Length: 5\r\n\r\nfive!\r\n\r\n"
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "n.warc.wet"),
+      wet.getBytes("UTF-8"))
+    val got = Warc.readWet(spark, dir)
+      .select("uri", "body").as[(String, String)].collect().toSet
+    assert(got === Set(("http://n/1", "no length here"), ("http://n/2", "five!")))
+  }
+
+  test("bodies legitimately ending in CRLF pairs survive when length-framed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wet_crlf_").toString
+    val body = "text ending in blank lines\r\n\r\n"
+    val wet = "WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: http://c/1\r\n" +
+      s"Content-Length: ${body.getBytes("UTF-8").length}\r\n\r\n$body\r\n\r\n"
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "c.warc.wet"),
+      wet.getBytes("UTF-8"))
+    val got = Warc.readWet(spark, dir)
+      .select("body").as[String].collect().toSeq
+    assert(got === Seq(body))
+  }
+
   test("readWetArchive parses gzipped WET files (the Common Crawl shape)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_wetgz_").toString
     val wet = "WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: http://a/7\r\n" +
