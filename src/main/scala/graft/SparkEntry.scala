@@ -652,7 +652,8 @@ object SparkEntry {
 
     // composite-id (tenant!doc) routing: all docs of a tenant land in
     // the same shard neighbourhood — multi-tenant co-location the
-    // CompositeIdRouter exists for. Rows-only (hash-defined).
+    // CompositeIdRouter exists for. Oracled: DuckDB re-derives the
+    // composite murmur3 hash per doc (DuckDbMurmurSql).
     "q50_composite_route" -> ((s, d) => {
       val router = HashRangeRouter(8)
       Tables.documents(s, d)
@@ -668,7 +669,8 @@ object SparkEntry {
     // the flagship build dataflow end-to-end (what the reference's
     // whole MR job chain does), timed by Bench: sanitize -> validate
     // -> dedup -> route -> 8-shard store write -> match-all read-back.
-    // Rows-only (shard membership is hash-defined).
+    // Oracled: DuckDB re-derives the murmur3 routing per id
+    // (DuckDbMurmurSql), so per-shard counts hash-check.
     "q49_build_index" -> ((s, d) => {
       import graft.schema.{IndexField, IndexSchema}
       import org.apache.spark.sql.types._
@@ -689,8 +691,8 @@ object SparkEntry {
     // the reference's index-DIRECTORY product end-to-end (S12 faithful
     // layout + M1 mtree + M2 forceMerge over SegmentIndex dirs):
     // 8 micro shards -> merge to 4 -> optimize to 1 segment each;
-    // reports per-part (part, docs, segments). Rows-only (membership
-    // is hash-defined; totals asserted in SegmentIndexSpec).
+    // reports per-part (part, docs, segments). Oracled: DuckDB
+    // re-derives the murmur3 routing (DuckDbMurmurSql).
     "q88_segment_store" -> ((s, d) => {
       val docs = Tables.lineitem(s, d)
         .withColumn("id", concat(col("l_orderkey"), lit("#"), col("l_linenumber")))
@@ -3783,6 +3785,46 @@ object SparkEntry {
           length(col("body")).cast("long").as("body_len"))
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"),
           sum(col("body_len")).as("chars"))
+    }),
+
+    // the streaming dedup-ingest SINK oracled end-to-end (q263's
+    // watermark treatment, applied to the ingest path): two real
+    // AvailableNow micro-batches (maxFilesPerTrigger=1, mtime-ordered)
+    // with a PLANTED cross-batch duplicate set; fingerprint state
+    // persists between batches, so the second batch's duplicates are
+    // anti-joined away against the first batch's corpus. Survivors =
+    // the min-id doc per distinct text; the oracle replays that cut.
+    "q268_stream_dedup_ingest" -> ((s, d) => {
+      import graft.streaming.StreamingIngest
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      val root = java.nio.file.Files.createTempDirectory("graft_q268_").toString
+      val src = s"$root/src"
+      new java.io.File(src).mkdirs()
+      // one parquet FILE per micro-batch; the file stream source
+      // orders by modification time, pinned explicitly for determinism
+      def stageBatch(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = s"$root/stage_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file in $tmp"))
+        val dst = new java.io.File(src, s"$name.parquet")
+        java.nio.file.Files.copy(part.toPath, dst.toPath)
+        require(dst.setLastModified(mtime), s"cannot set mtime on $dst")
+      }
+      stageBatch(docs.filter(col("doc_id") < 250), "b0", 1000000000000L)
+      stageBatch(docs.filter(col("doc_id") >= 250).unionByName(planted),
+        "b1", 1000000060000L)
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val q = StreamingIngest.dedupIngestSink(
+        s"$root/out", s"$root/state", "doc_id", "text")(stream).start()
+      q.awaitTermination()
+      s.read.parquet(s"$root/out")
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"),
+          sum(length(col("text")).cast("long")).as("chars"))
     })
   )
 
@@ -6770,6 +6812,89 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
         |  CAST(sum(length(text)) AS BIGINT) AS chars
-        |FROM documents""".stripMargin
-  )
+        |FROM documents""".stripMargin,
+
+    // survivors of the streaming dedup ingest: min-id doc per distinct
+    // text over corpus + planted cross-batch duplicates (ids shifted
+    // +100000, always losers because the original's id is smaller and
+    // arrives in an earlier or equal batch)
+    "q268_stream_dedup_ingest" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+        |  WHERE doc_id < 10),
+        |keep AS (
+        |  SELECT min(doc_id) AS keep_id, min(length(text)) AS len
+        |  FROM all_docs GROUP BY text)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(keep_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(len) AS BIGINT) AS chars
+        |FROM keep""".stripMargin
+  ) ++ routingOracles
+
+  /**
+   * Oracles for the murmur3-routed queries — previously rows-only
+   * ("DuckDB can't replay Solr murmur3"), now fully hash-checked: the
+   * routing hash is re-derived INSIDE DuckDB by
+   * [[graft.route.DuckDbMurmurSql]] (an independent SQL
+   * reimplementation of published murmur3_x86_32), so the driver's
+   * compare verifies every per-row shard assignment, not just row
+   * counts. Range starts come from the spec-pinned router
+   * (HashRangeRouterSpec pins them to Solr's published layout).
+   */
+  private def routingOracles: Map[String, String] = {
+    import graft.route.DuckDbMurmurSql._
+    val s4 = rangeStarts(4)
+    val s8 = rangeStarts(8)
+    val liId = "l_orderkey::VARCHAR || '#' || l_linenumber::VARCHAR"
+    val mu = murmurUnsigned("__id")
+    // (hu unsigned, h signed) per id; `sel` provides the __id column
+    def hashed(sel: String) =
+      s"SELECT ${signed("hu")} AS h, hu FROM (SELECT $mu AS hu FROM ($sel))"
+    Map(
+      "q12_shard_counts" ->
+        s"""SELECT CAST(${shardCase("h", s4)} AS INTEGER) AS shard,
+           | count(*) AS cnt
+           |FROM (${hashed(s"SELECT $liId AS __id FROM lineitem")})
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q13_micro_shards" ->
+        s"""SELECT CAST(${shardCase("h", s4)} * 2
+           |   + (hu % 2147483648) % 2 AS INTEGER) AS micro,
+           | count(*) AS cnt
+           |FROM (${hashed(s"SELECT $liId AS __id FROM lineitem")})
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // build dataflow: retain-most-recent dedup keeps exactly one row
+      // per id, so per-shard match-all counts = routed distinct ids
+      "q49_build_index" ->
+        s"""SELECT CAST(${shardCase("h", s8)} AS INTEGER) AS shard,
+           | count(*) AS cnt
+           |FROM (${hashed(s"SELECT DISTINCT $liId AS __id FROM lineitem")})
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // segment store: 8 micro -> merge to 4 parts -> optimize leaves
+      // exactly 1 segment per part; docs = routed distinct ids
+      "q88_segment_store" ->
+        s"""SELECT printf('part-%05d', ${shardCase("h", s4)}) AS part,
+           | count(*) AS docs, 1::BIGINT AS segments
+           |FROM (${hashed(s"SELECT DISTINCT $liId AS __id FROM lineitem")})
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // composite `source!doc_id`: top 16 bits of hash(source) pick the
+      // slice, bottom 16 of hash(doc_id) spread within it
+      "q50_composite_route" ->
+        s"""SELECT source, count(DISTINCT shard) AS n_shards,
+           | CAST(count(*) AS BIGINT) AS docs
+           |FROM (SELECT source, ${shardCase("h", s8)} AS shard
+           |  FROM (SELECT source, ${signed("cu")} AS h
+           |    FROM (SELECT source,
+           |        ${compositeUnsigned("pu", "su")} AS cu
+           |      FROM (SELECT source, ${murmurUnsigned("source")} AS pu,
+           |          ${murmurUnsigned("doc_id::VARCHAR")} AS su
+           |        FROM documents))))
+           |GROUP BY source ORDER BY source""".stripMargin
+    )
+  }
 }

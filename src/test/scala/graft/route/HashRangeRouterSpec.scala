@@ -23,6 +23,11 @@ class HashRangeRouterSpec extends AnyFunSuite {
     val r = HashRangeRouter(4)
     assert(r.starts.toSeq === Seq(Int.MinValue, 0xc0000000, 0, 0x40000000))
     assert(r.ends.toSeq === Seq(0xbfffffff, -1, 0x3fffffff, Int.MaxValue))
+    // 8-shard layout pinned too: the DuckDbMurmurSql routing oracles
+    // (q49/q50) embed these starts as literals in the driver's SQL
+    assert(HashRangeRouter(8).starts.toSeq === Seq(Int.MinValue,
+      0xa0000000, 0xc0000000, 0xe0000000, 0, 0x20000000, 0x40000000,
+      0x60000000))
   }
 
   test("non-power-of-two range ends rounded to 0x...ffff (CompositeIdRouter rounding)") {
