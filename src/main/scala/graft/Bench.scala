@@ -76,6 +76,22 @@ object Bench {
       "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v, 2)
     }.mkString("{", ",", "}")
     val total = fmt(results.map(_._2).sum, 3)
+    // SOLO pass: the 10 most expensive queries re-run in isolation at
+    // the end of the sweep (cache cleared, GC hinted) so their numbers
+    // are free of interleave effects — in-suite ranking can overstate a
+    // query that merely inherited memory pressure from its predecessor
+    // (round-7's q213 read 1.5× its solo cost). `value`/`queries` stay
+    // the sweep's numbers; `solo` is the isolation-corrected view.
+    val soloJson = results.sortBy(-_._2).take(10).map { case (name, _) =>
+      spark.catalog.clearCache()
+      System.gc()
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () } // already reported in `failed`
+      spark.catalog.clearCache()
+      "\"" + name.takeWhile(_ != '_') + "\":" + fmt((System.nanoTime() - t0) / 1e9, 2)
+    }.mkString("{", ",", "}")
     // a failed query runs fast — surface failures instead of letting
     // them read as speedups; bounded (8 entries, 40-char reasons) so a
     // mass failure can't blow the capture window either
@@ -84,6 +100,6 @@ object Bench {
       (if (failed.size > 8) Seq("\"+" + (failed.size - 8) + " more\"") else Nil))
       .mkString("[", ",", "]")
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","nq":${results.size},"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","nq":${results.size},"queries":$qs,"solo":$soloJson,"failed":$failedJson,"sf":"$sfDir"}""")
   }
 }

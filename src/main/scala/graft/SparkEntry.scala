@@ -2978,15 +2978,27 @@ object SparkEntry {
     // over the customer→order⇄part edge set — one BFS join round per
     // depth, ids-only visited anti-join, localCheckpoint lineage cap
     "q213_shortest_path" -> ((s, d) => {
+      // edges are distinct BY CONSTRUCTION, proven cheaply: orders
+      // rows are unique per o_orderkey; (order, part) pairs dedup on
+      // their NUMERIC keys (a far lighter shuffle than distinct-ing
+      // the unioned string frame — at sf0.1 it is most of the query);
+      // the three frames can't collide across the union because their
+      // (src, dst) prefix namespaces differ — so the walk skips its
+      // defensive distinct
       val co = Tables.orders(s, d).select(
         concat(lit("c:"), col("o_custkey")).as("src"),
         concat(lit("o:"), col("o_orderkey")).as("dst"))
-      val op = Tables.lineitem(s, d).select(
+      val opNum = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val op = opNum.select(
         concat(lit("o:"), col("l_orderkey")).as("src"),
         concat(lit("p:"), col("l_partkey")).as("dst"))
-      val po = op.select(col("dst").as("src"), col("src").as("dst"))
+      val po = opNum.select(
+        concat(lit("p:"), col("l_partkey")).as("src"),
+        concat(lit("o:"), col("l_orderkey")).as("dst"))
       graft.ops.GraphOps.shortestPaths(co.union(op).union(po),
-        col("src"), col("dst"), "c:1", "p:32", maxDepth = 4)
+        col("src"), col("dst"), "c:1", "p:32", maxDepth = 4,
+        assumeDistinct = true)
     }),
 
     // {!frange} function-range qparser: recip freshness score bounded

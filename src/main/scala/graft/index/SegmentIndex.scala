@@ -371,6 +371,178 @@ object SegmentIndex {
     SegmentMeta(name, docs.length, stats = stats)
   }
 
+  /** Raw-merge eligibility: every source segment is tombstone-free,
+    * carries the stored-field seek index (.fdx) and the v3 terms
+    * dictionary, and — when the store analyzes fields — its norms
+    * file (a source missing norms would need re-analysis to rebuild
+    * them, i.e. the rewrite path). */
+  private[index] def canRawMerge(fs: FileSystem, dir: Path,
+                                 segs: Seq[SegmentMeta],
+                                 analyzed: Set[String]): Boolean =
+    segs.forall { s =>
+      s.dels == 0 && fs.exists(new Path(dir, s"${s.name}.fdx")) &&
+        (analyzed.isEmpty || s.docs == 0 ||
+          fs.exists(new Path(dir, s"${s.name}.nrm"))) && {
+          val in = fs.open(new Path(dir, s"${s.name}.trm"))
+          try in.readInt() == TRM_MAGIC3 finally in.close()
+        }
+    }
+
+  /**
+   * Postings-level segment merge — Lucene's actual merge design:
+   * stored fields CONCATENATE as raw bytes (records are
+   * self-delimiting; the .fdx offsets shift by each source's byte
+   * base), the term dictionaries k-way merge with doc ordinals offset
+   * by each source's doc base, norms arrays concatenate, zone-map
+   * stats combine. No document is ever re-parsed, re-rendered or
+   * re-analyzed — merge cost is I/O plus a vocabulary-sized merge,
+   * not an index rebuild. (The doc-rewrite path in [[Writer.forceMerge]]
+   * remains for segments carrying tombstones, where live docs must be
+   * materialized to reclaim ordinals.)
+   */
+  private[index] def mergeSegmentsRaw(fs: FileSystem, dir: Path, name: String,
+                                      segs: Seq[SegmentMeta]): SegmentMeta = {
+    val totalDocs = segs.map(_.docs).sum
+    // per-source stored-field byte ranges via each .fdx
+    val srcOffsets: Seq[Array[Long]] = segs.map { s =>
+      if (s.docs == 0) Array.empty[Long]
+      else {
+        val in = new DataInputStream(new BufferedInputStream(
+          fs.open(new Path(dir, s"${s.name}.fdx"))))
+        try {
+          require(in.readInt() == FDX_MAGIC, s"bad .fdx magic in $dir/${s.name}")
+          val n = in.readInt()
+          val arr = new Array[Long](n)
+          var i = 0
+          while (i < n) { arr(i) = in.readLong(); i += 1 }
+          arr
+        } finally in.close()
+      }
+    }
+    // .fld: header + verbatim byte concatenation of every source's
+    // record region; offsets recorded for the new .fdx as we go
+    val newOffsets = new Array[Long](totalDocs)
+    val fldCount = new CountingOutputStream(new BufferedOutputStream(
+      fs.create(new Path(dir, s"$name.fld"), true)))
+    val fld = new DataOutputStream(fldCount)
+    try {
+      fld.writeInt(FLD_MAGIC)
+      writeVInt(fld, totalDocs)
+      var ord = 0
+      segs.iterator.zipWithIndex.foreach { case (s, si) =>
+        val offs = srcOffsets(si)
+        if (offs.nonEmpty) {
+          val base = fldCount.count
+          var i = 0
+          while (i < offs.length) {
+            newOffsets(ord) = base + (offs(i) - offs(0)); ord += 1; i += 1
+          }
+          val in = fs.open(new Path(dir, s"${s.name}.fld"))
+          try {
+            in.seek(offs(0)) // first record = end of the source header
+            val buf = new Array[Byte](1 << 16)
+            var n = in.read(buf)
+            while (n >= 0) { if (n > 0) fld.write(buf, 0, n); n = in.read(buf) }
+          } finally in.close()
+        }
+      }
+    } finally fld.close()
+    val fdx = new DataOutputStream(new BufferedOutputStream(
+      fs.create(new Path(dir, s"$name.fdx"), true)))
+    try {
+      fdx.writeInt(FDX_MAGIC)
+      fdx.writeInt(totalDocs)
+      newOffsets.foreach(fdx.writeLong)
+    } finally fdx.close()
+    // .trm: merge dictionaries, ordinals shifted by doc base — source
+    // order is ascending doc base, so concatenated posting lists stay
+    // ascending and the gap encoding applies unchanged
+    val merged = mutable.SortedMap.empty[String, mutable.SortedMap[String, mutable.ArrayBuffer[(Int, Array[Int])]]]
+    var docBase = 0
+    segs.foreach { s =>
+      if (s.docs > 0) {
+        readPostingsPositions(fs, dir, s.name).foreach { case (f, terms) =>
+          val byField = merged.getOrElseUpdate(f, mutable.SortedMap.empty)
+          terms.foreach { case (t, posts) =>
+            val acc = byField.getOrElseUpdate(t, mutable.ArrayBuffer.empty)
+            posts.foreach { case (o, ps) => acc += ((o + docBase, ps)) }
+          }
+        }
+      }
+      docBase += s.docs
+    }
+    val trmCount = new CountingOutputStream(new BufferedOutputStream(
+      fs.create(new Path(dir, s"$name.trm"), true)))
+    val trm = new DataOutputStream(trmCount)
+    try {
+      trm.writeInt(TRM_MAGIC3)
+      val fields = merged.keys.toSeq
+      val fieldOffsets = new Array[Long](fields.length)
+      fields.iterator.zipWithIndex.foreach { case (f, fi) =>
+        fieldOffsets(fi) = trmCount.count
+        writeStr(trm, f)
+        val terms = merged(f)
+        writeVInt(trm, terms.size)
+        terms.foreach { case (t, posts) =>
+          writeStr(trm, t)
+          writeVInt(trm, posts.length)
+          var prev = 0
+          posts.foreach { case (o, ps) =>
+            writeVInt(trm, o - prev); prev = o
+            writeVInt(trm, ps.length)
+            var pprev = 0
+            ps.foreach { p => writeVInt(trm, p - pprev); pprev = p }
+          }
+        }
+      }
+      val footerOff = trmCount.count
+      writeVInt(trm, fields.length)
+      fields.iterator.zipWithIndex.foreach { case (f, fi) =>
+        writeStr(trm, f)
+        trm.writeLong(fieldOffsets(fi))
+      }
+      trm.writeLong(footerOff)
+      trm.writeInt(TRM_MAGIC3)
+    } finally trm.close()
+    // .nrm: concatenate per-field token-count arrays at each doc base
+    // (a source without the field contributes zeros — correct, it has
+    // no tokens there)
+    val normFields = mutable.SortedSet.empty[String]
+    segs.foreach(s => if (s.docs > 0)
+      normFields ++= readNorms(fs, dir, s.name).keys)
+    if (normFields.nonEmpty) {
+      val arrs = normFields.iterator.map(_ -> new Array[Int](totalDocs)).toMap
+      var base = 0
+      segs.foreach { s =>
+        if (s.docs > 0) {
+          readNorms(fs, dir, s.name).foreach { case (f, a) =>
+            System.arraycopy(a, 0, arrs(f), base, a.length)
+          }
+        }
+        base += s.docs
+      }
+      val nrm = new DataOutputStream(new BufferedOutputStream(
+        fs.create(new Path(dir, s"$name.nrm"), true)))
+      try {
+        nrm.writeInt(NRM_MAGIC)
+        writeVInt(nrm, normFields.size)
+        normFields.foreach { f =>
+          writeStr(nrm, f)
+          val arr = arrs(f)
+          writeVInt(nrm, arr.length)
+          arr.foreach(writeVInt(nrm, _))
+        }
+      } finally nrm.close()
+    }
+    // zone-map stats: per-field min/max combined across sources
+    val stats = segs.flatMap(_.stats.toSeq)
+      .groupBy(_._1)
+      .map { case (f, vs) =>
+        f -> (vs.map(_._2._1).min(CpOrdering), vs.map(_._2._2).max(CpOrdering))
+      }
+    SegmentMeta(name, totalDocs, stats = stats)
+  }
+
   private[index] def readStoredDocs(fs: FileSystem, dir: Path,
                                     name: String): IndexedSeq[Doc] = {
     val in = new DataInputStream(new BufferedInputStream(
@@ -769,16 +941,25 @@ object SegmentIndex {
           commitPoint.segments.forall(_.dels == 0)) commitPoint
       else {
         val old = commitPoint.segments
-        // live docs only — forceMerge is also the tombstone-reclaim path
-        // (Lucene's expungeDeletes behavior folds into forceMerge)
-        val all = old.flatMap { s =>
-          val dels = readDels(fs, dir, s)
-          readStoredDocs(fs, dir, s.name).zipWithIndex.collect {
-            case (doc, ord) if !dels.contains(ord) => doc
-          }
-        }.toIndexedSeq
         val name = s"_${commitPoint.counter}"
-        val meta = writeSegment(fs, dir, name, all, analyzed)
+        val meta =
+          if (canRawMerge(fs, dir, old, analyzed))
+            // tombstone-free sources take the POSTINGS-LEVEL merge:
+            // byte-concatenated stored fields, ord-shifted dictionary
+            // merge — no doc is re-parsed or re-analyzed
+            mergeSegmentsRaw(fs, dir, name, old)
+          else {
+            // live docs only — forceMerge is also the tombstone-reclaim
+            // path (Lucene's expungeDeletes folds into forceMerge); doc
+            // rewrite is required here because surviving ordinals shift
+            val all = old.flatMap { s =>
+              val dels = readDels(fs, dir, s)
+              readStoredDocs(fs, dir, s.name).zipWithIndex.collect {
+                case (doc, ord) if !dels.contains(ord) => doc
+              }
+            }.toIndexedSeq
+            writeSegment(fs, dir, name, all, analyzed)
+          }
         commitPoint = CommitPoint(commitPoint.gen + 1, commitPoint.counter + 1, Seq(meta))
         writeCommit(fs, dir, commitPoint)
         old.foreach { s =>
