@@ -62,6 +62,7 @@ object Multimodal {
         .when(head4.startsWith("04224D18"), "application/x-lz4")
         .when(head4.startsWith("FF060000"), "application/x-snappy-framed")
         .when(head4.startsWith("25504446"), "application/pdf")
+        .when(head4.startsWith("D0CF11E0"), "application/x-ole2-storage")
         .when(head4.startsWith("4F676753"), "audio/ogg")
         .when(head4.startsWith("52494646"), "audio/wav")
         .otherwise("application/octet-stream"))

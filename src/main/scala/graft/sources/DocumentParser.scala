@@ -78,6 +78,14 @@ object DocumentParser {
             case Some(m) => parse(m, bytes)
             case None => ParsedDoc("", mime, Map("length" -> bytes.length.toString))
           }
+        case "application/msword" =>
+          parseDoc(bytes, mime)
+        case "application/x-ole2-storage" =>
+          // same refinement for the OLE2 magic (doc/xls/ppt all share it)
+          sniffOleDocument(bytes) match {
+            case Some(m) => parse(m, bytes)
+            case None => ParsedDoc("", mime, Map("length" -> bytes.length.toString))
+          }
         case "image/png" => parsePng(bytes, mime)
         case "image/jpeg" => parseJpeg(bytes, mime)
         case "image/gif" => parseGif(bytes, mime)
@@ -331,6 +339,121 @@ object DocumentParser {
     else if (names.contains("content.xml") && names.contains("mimetype"))
       Some("application/vnd.oasis.opendocument.text")
     else None
+  }
+
+  /** OLE2 container → concrete legacy-Office MIME, refined by the
+    * compound file's directory entry names (the same refinement idea
+    * as [[sniffZipDocument]]; all OLE2 documents share the D0CF magic). */
+  private[sources] def sniffOleDocument(bytes: Array[Byte]): Option[String] = {
+    val names = Cfb.entryNames(bytes).map(_.toLowerCase).toSet
+    if (names.contains("worddocument")) Some("application/msword")
+    else if (names.contains("workbook") || names.contains("book"))
+      Some("application/vnd.ms-excel")
+    else if (names.contains("powerpoint document"))
+      Some("application/vnd.ms-powerpoint")
+    else None
+  }
+
+  /**
+   * Legacy binary Word (.doc, Word 97-2003) text extraction — the
+   * [MS-DOC] piece-table path, dependency-free: FIB from the
+   * `WordDocument` stream (wIdent 0xA5EC, fWhichTblStm selects
+   * `0Table`/`1Table`), CLX located by fcClx/lcbClx (FibRgFcLcb97
+   * pair 33), Pcdt → PlcPcd pieces, each run decoded CP1252 when the
+   * PCD's fCompressed bit is set or UTF-16LE otherwise, truncated to
+   * the main document range (ccpText). Unknown variants — pre-97
+   * nFib, missing streams, out-of-range offsets — fall through to the
+   * binary pass-through stub rather than guessing (the Tika-subset
+   * contract: never throw on crawl input).
+   */
+  private[sources] def parseDoc(bytes: Array[Byte], mime: String): ParsedDoc = {
+    def stub(reason: String) =
+      ParsedDoc("", mime, Map("length" -> bytes.length.toString,
+        "doc_variant" -> reason))
+    val wd = Cfb.stream(bytes, "WordDocument").getOrElse(
+      return stub("no WordDocument stream"))
+    if (wd.length < 0x0200) return stub("truncated FIB")
+    def u16(b: Array[Byte], o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def i32(b: Array[Byte], o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    if (u16(wd, 0) != 0xA5EC) return stub("bad wIdent")
+    val nFib = u16(wd, 2)
+    if (nFib < 0x0065) return stub(f"pre-97 nFib 0x$nFib%04X")
+    val flags = u16(wd, 0x000A)
+    val tableName = if ((flags & 0x0200) != 0) "1Table" else "0Table"
+    // walk the variable-length FIB to the FcLcb blob
+    val csw = u16(wd, 0x20)
+    val lwOff = 0x22 + csw * 2
+    if (lwOff + 2 > wd.length) return stub("truncated FIB (rgW)")
+    val cslw = u16(wd, lwOff)
+    // FibRgLw97: ccpText is the 4th slot (cbMac, reserved1, reserved2, ccpText)
+    val ccpText =
+      if (cslw >= 4 && lwOff + 2 + 4 * 4 <= wd.length) i32(wd, lwOff + 2 + 3 * 4)
+      else -1
+    val fcLcbCountOff = lwOff + 2 + cslw * 4
+    if (fcLcbCountOff + 2 > wd.length) return stub("truncated FIB (rgLw)")
+    val cbRgFcLcb = u16(wd, fcLcbCountOff)
+    val blobOff = fcLcbCountOff + 2
+    if (cbRgFcLcb < 34 || blobOff + 34 * 8 > wd.length)
+      return stub("FIB lacks fcClx")
+    val fcClx = i32(wd, blobOff + 33 * 8)
+    val lcbClx = i32(wd, blobOff + 33 * 8 + 4)
+    if (lcbClx <= 0) return stub("empty piece table")
+    val table = Cfb.stream(bytes, tableName).getOrElse(
+      return stub(s"no $tableName stream"))
+    if (fcClx < 0 || fcClx.toLong + lcbClx > table.length)
+      return stub("clx out of range")
+    // CLX: RgPrc entries (clxt=1, 2-byte size) precede the Pcdt (clxt=2)
+    var p = fcClx
+    val clxEnd = fcClx + lcbClx
+    while (p < clxEnd && (table(p) & 0xff) == 0x01) {
+      if (p + 3 > clxEnd) return stub("malformed clx prc")
+      p += 3 + u16(table, p + 1)
+    }
+    if (p + 5 > clxEnd || (table(p) & 0xff) != 0x02)
+      return stub("no pcdt in clx")
+    val lcbPlc = i32(table, p + 1)
+    val plcOff = p + 5
+    if (lcbPlc < 4 + 8 || plcOff + lcbPlc > clxEnd || (lcbPlc - 4) % 12 != 0)
+      return stub("malformed plcPcd")
+    val nPieces = (lcbPlc - 4) / 12
+    val cps = Array.tabulate(nPieces + 1)(i => i32(table, plcOff + i * 4))
+    val pcdOff = plcOff + (nPieces + 1) * 4
+    val sb = new java.lang.StringBuilder()
+    var piece = 0
+    while (piece < nPieces) {
+      val cpLen = cps(piece + 1) - cps(piece)
+      val fcRaw = i32(table, pcdOff + piece * 8 + 2)
+      val compressed = (fcRaw & 0x40000000) != 0
+      if (cpLen > 0) {
+        if (compressed) {
+          val off = (fcRaw & 0x3FFFFFFF) / 2
+          if (off >= 0 && off.toLong + cpLen <= wd.length)
+            sb.append(new String(wd, off, cpLen, "windows-1252"))
+          else return stub("piece out of range")
+        } else {
+          val off = fcRaw & 0x3FFFFFFF
+          if (off >= 0 && off.toLong + cpLen * 2 <= wd.length)
+            sb.append(new String(wd, off, cpLen * 2, "UTF-16LE"))
+          else return stub("piece out of range")
+        }
+      }
+      piece += 1
+    }
+    // main document range only (headers/footnotes CPs follow ccpText)
+    val full = sb.toString
+    val main = if (ccpText > 0 && ccpText < full.length)
+      full.substring(0, ccpText) else full
+    // Word control characters: CR is the paragraph mark; cell/row
+    // marks (0x07), page breaks (0x0C), field characters (0x13-0x15),
+    // and object anchors (0x01/0x02/0x08) are structure, not text
+    val text = main
+      .replace('\r', '\n')
+      .replace('\u0007', '\n') // cell/row mark
+      .replace('\u000C', '\n') // page break
+      .replaceAll("[\u0000-\u0006\u0008\u000B\u000E-\u001F]", "")
+      .trim
+    ParsedDoc(text, mime, Map("n_chars" -> text.length.toString))
   }
 
   /** OOXML core properties (docProps/core.xml) — title/creator. */
