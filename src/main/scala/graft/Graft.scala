@@ -577,4 +577,36 @@ object Graft {
     * [[graft.text.SkipGrams.pairs]]). */
   def skipGramPairs(docs: DataFrame, textCol: String, window: Int = 2): DataFrame =
     graft.text.SkipGrams.pairs(docs, textCol, window)
+
+  /** Fuzzy term query served from a segment store (`field:term~N`,
+    * see [[graft.index.SegmentSearch.fuzzyQuery]]). */
+  def fuzzySearchIndex(spark: SparkSession, store: String, field: String,
+                       term: String, maxEdits: Int,
+                       fields: Seq[String]): DataFrame =
+    graft.index.SegmentSearch.fuzzyQuery(spark, store, field, term, maxEdits, fields)
+
+  /** Write a binary payload column as TFRecord shards (see
+    * [[graft.sources.TfRecord.write]]). */
+  def writeTfRecord(df: DataFrame, payload: org.apache.spark.sql.Column,
+                    path: String): Unit =
+    graft.sources.TfRecord.write(df, payload, path)
+
+  /** Read TFRecord shards as (path, record_index, payload, corrupt)
+    * (see [[graft.sources.TfRecord.read]]). */
+  def readTfRecord(spark: SparkSession, path: String): DataFrame =
+    graft.sources.TfRecord.read(spark, path)
+
+  /** Deploy built shards into a live Solr-protocol cluster over HTTP —
+    * merge fan-out, fail-fast, commit-after-all (see
+    * [[graft.index.HttpGoLive]]). */
+  def goLiveHttp(shards: Seq[(Int, String)], targets: Seq[String],
+                 threads: Int = 4): Unit =
+    new graft.index.HttpGoLive(threads).goLive(shards, targets)
+
+  /** All shortest paths between two nodes over an edge frame (see
+    * [[graft.ops.GraphOps.shortestPaths]]). */
+  def shortestPaths(edges: DataFrame, fromCol: org.apache.spark.sql.Column,
+                    toCol: org.apache.spark.sql.Column, source: String,
+                    target: String, maxDepth: Int): DataFrame =
+    graft.ops.GraphOps.shortestPaths(edges, fromCol, toCol, source, target, maxDepth)
 }

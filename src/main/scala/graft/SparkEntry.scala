@@ -3837,6 +3837,87 @@ object SparkEntry {
       s.read.parquet(s"$root/out")
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"),
           sum(length(col("text")).cast("long")).as("chars"))
+    }),
+
+    // TFRecord round trip — the sharded container training jobs
+    // stream (tf.data): serialize the corpus as length+masked-crc32c
+    // framed records (JDK CRC32C, bit-exact with TensorFlow's
+    // readers), read it back through the source, parse, aggregate;
+    // corrupt count must be zero and the corpus mass must survive
+    "q269_tfrecord_roundtrip" -> ((s, d) => {
+      import graft.sources.TfRecord
+      val out = sharedStore(d, "tfrecord") { o =>
+        TfRecord.write(
+          Tables.documents(s, d).select(
+            to_json(struct(col("doc_id"), col("text"))).as("j")),
+          col("j"), o)
+      }
+      TfRecord.read(s, out)
+        .select(from_json(col("payload").cast("string"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id BIGINT, text STRING")).as("r"), col("corrupt"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("r.doc_id")).as("id_sum"),
+          sum(length(col("r.text")).cast("long")).as("chars"),
+          sum(when(col("corrupt"), 1L).otherwise(0L)).as("n_corrupt"))
+    }),
+
+    // fuzzy term query SERVED FROM THE INDEX (Lucene field:term~1):
+    // each shard walks its term dictionary (one field-block seek,
+    // vocabulary-sized) for terms within edit distance, then fetches
+    // only the hits — never a stored-doc scan
+    "q270_fuzzy_index" -> ((s, d) => {
+      import graft.index.{SegmentSearch, SegmentShardSink}
+      val out = sharedStore(d, "part_all") { o =>
+        SegmentShardSink.write(
+          Tables.part(s, d).withColumn("id", col("p_partkey").cast("string")),
+          "id", o, shards = 4)
+      }
+      SegmentSearch.fuzzyQuery(s, out, "p_brand", "Brand#23", 1,
+          Seq("id", "p_name", "p_brand"))
+        .select(col("id").cast("long").as("p_partkey"), col("p_name"),
+          col("p_brand"))
+    }),
+
+    // the same fuzzy surface in the q-string compiler (DataFrame
+    // side): token-level edit distance on an analyzed field —
+    // codegen'd levenshtein inside exists(), no UDF
+    "q271_fuzzy_qstring" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pred = graft.search.SolrQueryString.compile(
+        "text:sparc~1", docs.schema, defaultField = "text",
+        textFields = Set("text"))
+      docs.filter(pred).select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
+    // Solr's shortestPath() STREAMING EXPRESSION over an edge
+    // collection served from the segment store (same graph and oracle
+    // shape as q213, which drives GraphOps directly — this one parses
+    // the expression language and reads edges through the graft-index
+    // table with projection pushdown)
+    "q272_shortest_path_expr" -> ((s, d) => {
+      import graft.index.SegmentShardSink
+      val out = sharedStore(d, "graph_edges") { o =>
+        val co = Tables.orders(s, d).select(
+          concat(lit("c:"), col("o_custkey")).as("src"),
+          concat(lit("o:"), col("o_orderkey")).as("dst"))
+        val opNum = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val op = opNum.select(
+          concat(lit("o:"), col("l_orderkey")).as("src"),
+          concat(lit("p:"), col("l_partkey")).as("dst"))
+        val po = opNum.select(
+          concat(lit("p:"), col("l_partkey")).as("src"),
+          concat(lit("o:"), col("l_orderkey")).as("dst"))
+        SegmentShardSink.write(
+          co.union(op).union(po)
+            .withColumn("id", concat(col("src"), lit(">"), col("dst"))),
+          "id", o, shards = 4)
+      }
+      Graft.streamExpr(s,
+        """shortestPath(edges, from="c:1", to="p:32",
+          |  edge="src=dst", maxDepth="4")""".stripMargin,
+        Map("edges" -> out))
     })
   )
 
@@ -6842,7 +6923,40 @@ object SparkEntry {
         |SELECT CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(keep_id) AS BIGINT) AS id_sum,
         |  CAST(sum(len) AS BIGINT) AS chars
-        |FROM keep""".stripMargin
+        |FROM keep""".stripMargin,
+
+    "q269_tfrecord_roundtrip" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(length(text)) AS BIGINT) AS chars,
+        |  0::BIGINT AS n_corrupt
+        |FROM documents""".stripMargin,
+
+    "q270_fuzzy_index" ->
+      """SELECT p_partkey, p_name, p_brand FROM part
+        |WHERE levenshtein(p_brand, 'Brand#23') <= 1""".stripMargin,
+
+    "q271_fuzzy_qstring" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE len(list_filter(
+        |  regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |  t -> levenshtein(t, 'sparc') <= 1)) > 0""".stripMargin,
+
+    "q272_shortest_path_expr" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT DISTINCT 'c:' || o_custkey AS src, 'o:' || o_orderkey AS dst FROM orders
+        |  UNION SELECT DISTINCT 'o:' || l_orderkey, 'p:' || l_partkey FROM lineitem
+        |  UNION SELECT DISTINCT 'p:' || l_partkey, 'o:' || l_orderkey FROM lineitem),
+        |walk AS (
+        |  SELECT 'c:1' AS node, ['c:1'] AS path, 0 AS d
+        |  UNION ALL
+        |  SELECT e.dst, list_append(w.path, e.dst), d + 1
+        |  FROM walk w JOIN edges e ON e.src = w.node
+        |  WHERE d < 4 AND w.node <> 'p:32' AND NOT list_contains(w.path, e.dst)),
+        |hits AS (SELECT path, d FROM walk WHERE node = 'p:32'),
+        |md AS (SELECT min(d) AS md FROM hits)
+        |SELECT array_to_string(path, '>') AS path, CAST(d AS BIGINT) AS depth
+        |FROM hits, md WHERE d = md""".stripMargin
   ) ++ routingOracles
 
   /**

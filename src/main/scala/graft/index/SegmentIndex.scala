@@ -543,6 +543,36 @@ object SegmentIndex {
     SegmentMeta(name, totalDocs, stats = stats)
   }
 
+  /** Levenshtein distance ≤ maxEdits, banded DP with length prefilter
+    * and row-minimum early exit — O(len·maxEdits) per candidate, the
+    * shape a vocabulary walk needs. */
+  private[index] def withinEdits(a: String, b: String, maxEdits: Int): Boolean = {
+    if (a == b) return true
+    val la = a.length
+    val lb = b.length
+    if (math.abs(la - lb) > maxEdits) return false
+    if (maxEdits == 0) return false // a != b already known
+    var prev = Array.tabulate(lb + 1)(identity)
+    var cur = new Array[Int](lb + 1)
+    var i = 1
+    while (i <= la) {
+      cur(0) = i
+      var rowMin = i
+      var j = 1
+      while (j <= lb) {
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+        val v = math.min(math.min(prev(j) + 1, cur(j - 1) + 1), prev(j - 1) + cost)
+        cur(j) = v
+        if (v < rowMin) rowMin = v
+        j += 1
+      }
+      if (rowMin > maxEdits) return false
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(lb) <= maxEdits
+  }
+
   private[index] def readStoredDocs(fs: FileSystem, dir: Path,
                                     name: String): IndexedSeq[Doc] = {
     val in = new DataInputStream(new BufferedInputStream(
@@ -1008,6 +1038,29 @@ object SegmentIndex {
           .filterNot(dels.contains)
         readStoredDocsAt(fs, dir, s.name, ords, s.docs)
       }
+
+    /** Fuzzy term query (Lucene `field:term~N` / Solr fuzzy search):
+      * LIVE stored docs containing any dictionary term within
+      * `maxEdits` Levenshtein edits of `term`. The match set comes
+      * from a TERM-DICTIONARY walk (one field-block seek, vocabulary-
+      * sized — never a doc scan): each candidate is length-prefiltered
+      * then checked with the banded DP, exactly Lucene's
+      * dictionary-intersection design at the brute-force end of its
+      * automaton spectrum. */
+    def fuzzyDocs(field: String, term: String, maxEdits: Int): Seq[Doc] = {
+      require(maxEdits >= 0 && maxEdits <= 2, "fuzzy supports 0-2 edits (Lucene bound)")
+      commit.segments.flatMap { s =>
+        val dels = readDels(fs, dir, s)
+        val post = readPostingsFields(fs, dir, s.name, Set(field))
+          .getOrElse(field, Map.empty)
+        val ords = post.iterator
+          .collect { case (t, os) if withinEdits(t, term, maxEdits) => os }
+          .flatten
+          .filterNot(dels.contains)
+          .toArray.distinct.sorted
+        readStoredDocsAt(fs, dir, s.name, ords, s.docs)
+      }
+    }
 
     /** Multi-term exact query (`field:(a OR b OR ...)` / realtime-get
       * id lists): LIVE stored docs matching ANY of `terms`, each doc

@@ -109,6 +109,16 @@ object SegmentSearch {
     gather(spark, store, fields)(r => r.phraseDocs(field, tokens).iterator)
   }
 
+  /** Fuzzy term query (`field:term~N`): live docs containing a
+    * dictionary term within `maxEdits` Levenshtein edits, fanned out
+    * shard-parallel — each shard walks its own term dictionary
+    * (vocabulary-sized, one field-block seek) and fetches only hits.
+    * String fields only (fuzzy over sortable numeric encodings is
+    * meaningless). */
+  def fuzzyQuery(spark: SparkSession, store: String, field: String,
+                 term: String, maxEdits: Int, fields: Seq[String]): DataFrame =
+    gather(spark, store, fields)(r => r.fuzzyDocs(field, term, maxEdits).iterator)
+
   /** Realtime-get analog: live docs whose `field` matches ANY of
     * `terms` (each doc once), fanned out shard-parallel. */
   def getByTerms(spark: SparkSession, store: String, field: String,

@@ -183,19 +183,49 @@ object SolrQueryString {
         case _ =>
           val term = readBareToken()
           require(term.nonEmpty, s"empty term at $pos in: $input")
+          val fuzzy = "^(.+)~([0-2]?)$".r
           if (term == "*") c.isNotNull // field presence
           else if (term.exists(ch => ch == '*' || ch == '?'))
             wildcardMatch(c, term, textFields.contains(field))
-          else if (textFields.contains(field)) {
-            // record the ANALYZED tokens (a term like "don't" filters
-            // as a literal but ranks as its tokens, same as the phrase
-            // path — a raw term with punctuation would never equal an
-            // analyzer-produced token and silently score 0)
-            record(term.toLowerCase.split("[^a-z0-9]+").toSeq.filter(_.nonEmpty))
-            tokenMatch(c, term)
-          } else c === term
+          else term match {
+            case fuzzy(base, ed) =>
+              // Lucene fuzzy (`term~`, `term~1`, `term~2`): edit
+              // distance over the VALUE (exact fields) or over each
+              // TOKEN (analyzed fields). Ranking keeps the base term
+              // (Solr's closeness-weighted fuzzy scoring is out of
+              // declared scope).
+              val maxE = if (ed.isEmpty) 2 else ed.toInt
+              if (textFields.contains(field)) {
+                record(base.toLowerCase.split("[^a-z0-9]+").toSeq.filter(_.nonEmpty))
+                fuzzyMatch(c, base, maxE, analyzed = true)
+              } else fuzzyMatch(c, base, maxE, analyzed = false)
+            case _ => plainTerm(c, field, term)
+          }
       }
     }
+
+    private def plainTerm(c: Column, field: String, term: String): Column =
+      if (textFields.contains(field)) {
+        // record the ANALYZED tokens (a term like "don't" filters
+        // as a literal but ranks as its tokens, same as the phrase
+        // path — a raw term with punctuation would never equal an
+        // analyzer-produced token and silently score 0)
+        record(term.toLowerCase.split("[^a-z0-9]+").toSeq.filter(_.nonEmpty))
+        tokenMatch(c, term)
+      } else c === term
+
+    /** Fuzzy predicate: Levenshtein ≤ maxEdits against the value
+      * (exact fields, case-sensitive like `===`) or against every
+      * TOKEN (analyzed fields, case-folded) — codegen'd
+      * `levenshtein()` inside an `exists()` lambda, no UDF. The
+      * empty-token guard stops `ab~2` matching every document through
+      * the zero-length token a trailing separator produces. */
+    private def fuzzyMatch(c: Column, base: String, maxEdits: Int,
+                           analyzed: Boolean): Column =
+      if (analyzed)
+        exists(split(lower(c), "[^a-z0-9]+"),
+          t => t =!= lit("") && levenshtein(t, lit(base.toLowerCase)) <= maxEdits)
+      else levenshtein(c, lit(base)) <= maxEdits
 
     private def rangePredicate(field: String, c: Column, lo: String, hi: String,
                                loInc: Boolean, hiInc: Boolean): Column = {

@@ -589,6 +589,32 @@ object StreamingExpressions {
         .agg(count(lit(1)).as("ancestors"))
         .withColumn("level", lit(depth(c).toLong)), Nil)
 
+    case "shortestPath" =>
+      // shortestPath(coll, from="a", to="b", edge="srcField=dstField",
+      // maxDepth="4") — Solr's ShortestPathStream: every minimum-
+      // length path between two nodes over the collection's edge
+      // tuples, breadth-first, depth-bounded. Compiles onto
+      // GraphOps.shortestPaths (meet-in-the-middle by default);
+      // threads=/partitionSize= are Solr executor knobs, accepted and
+      // ignored (Spark owns task parallelism).
+      val coll = c.args.headOption match {
+        case Some(Pos(v)) => v
+        case _ => sys.error("shortestPath() needs the collection as its first argument")
+      }
+      val store = collections.getOrElse(coll, sys.error(s"unknown collection '$coll'"))
+      val from = named(c, "from").getOrElse(sys.error("shortestPath() needs from="))
+      val to = named(c, "to").getOrElse(sys.error("shortestPath() needs to="))
+      val edge = named(c, "edge").getOrElse(sys.error("shortestPath() needs edge="))
+      val (srcF, dstF) = edge.split("=") match {
+        case Array(a, b) => (a.trim, b.trim)
+        case _ => sys.error(s"bad edge= '$edge' (want srcField=dstField)")
+      }
+      val maxDepth = named(c, "maxDepth").map(_.toInt).getOrElse(4)
+      val idx = spark.read.format("graft-index").load(store)
+        .select(col(srcF), col(dstF)) // projection prunes to the edge pair
+      Stream(graft.ops.GraphOps.shortestPaths(
+        idx, col(srcF), col(dstF), from, to, maxDepth), Nil)
+
     case other => sys.error(s"unsupported streaming expression '$other'")
   }
 

@@ -914,4 +914,34 @@ class SegmentIndexSpec extends AnyFunSuite {
     for (t <- Seq("ban", "banana", "bao", "bam", "bz", "a", p + "￿"))
       assert((cpCompare(t, p) >= 0 && cpCompare(t, nxt) < 0) === t.startsWith(p), t)
   }
+
+  test("fuzzyDocs: dictionary-walk fuzzy term query, edit bounds and deletes honored") {
+    val dir = tmp("graft_fuzzy_")
+    val w = SegmentIndex.writer(dir, conf, analyzed = Set("body"))
+    w.addDocument(Seq("id" -> "1", "tag" -> "spark", "body" -> "quick brown fox"))
+    w.addDocument(Seq("id" -> "2", "tag" -> "sparks", "body" -> "quack sounds"))
+    w.addDocument(Seq("id" -> "3", "tag" -> "shark", "body" -> "totally different"))
+    w.addDocument(Seq("id" -> "4", "tag" -> "sprocket", "body" -> "quxbk typo here"))
+    w.commit()
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    val r = new SegmentIndex.Reader(fs, p)
+    def idsOf(docs: Seq[SegmentIndex.Doc]) =
+      docs.map(d => SegmentIndex.firstValues(d)("id")).sorted
+    // exact-field fuzzy: spark~1 matches spark, sparks, shark (1 edit each)
+    assert(idsOf(r.fuzzyDocs("tag", "spark", 1)) === Seq("1", "2", "3"))
+    assert(idsOf(r.fuzzyDocs("tag", "spark", 0)) === Seq("1"))
+    // analyzed-field fuzzy over tokens: quick~1 matches quick/quack;
+    // quxbk is 2 edits away (x->i, b->c)
+    assert(idsOf(r.fuzzyDocs("body", "quick", 1)) === Seq("1", "2"))
+    assert(idsOf(r.fuzzyDocs("body", "quick", 2)) === Seq("1", "2", "4"))
+    // deletes honored
+    val w2 = new SegmentIndex.Writer(fs, p, Set("body"))
+    w2.deleteDocuments("id", "2")
+    w2.commit()
+    val r2 = new SegmentIndex.Reader(fs, p)
+    assert(idsOf(r2.fuzzyDocs("tag", "spark", 1)) === Seq("1", "3"))
+    // bound guard
+    intercept[IllegalArgumentException](r2.fuzzyDocs("tag", "spark", 3))
+  }
 }

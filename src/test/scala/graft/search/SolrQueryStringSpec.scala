@@ -110,4 +110,23 @@ class SolrQueryStringSpec extends AnyFunSuite {
     // proximity on an exact (non-analyzed) field is refused
     intercept[IllegalArgumentException](ids("tag:\"alpha beta\"~2"))
   }
+
+  test("fuzzy terms: token edit distance on analyzed, value distance on exact") {
+    // quick ~1 quack/quicks...; 'quikc' is 2 edits from quick (transposition)
+    assert(ids("text:quick~1") === Seq(1L, 2L, 5L)) // exact token present
+    assert(ids("text:quik~1") === Seq(1L, 2L, 5L))  // 1 edit from 'quick'
+    assert(ids("text:quikc~1") === Seq())           // 2 edits, over budget
+    assert(ids("text:quikc~2") === Seq(1L, 2L, 5L))
+    assert(ids("text:quikc~") === Seq(1L, 2L, 5L))  // bare ~ defaults to 2
+    // case folding on analyzed fields
+    assert(ids("text:QUICK~1") === Seq(1L, 2L, 5L))
+    // exact field: case-sensitive value distance
+    assert(ids("tag:beta~1") === Seq(2L, 3L))
+    assert(ids("tag:betaXY~1") === Seq())
+    assert(ids("tag:Beta~1") === Seq(2L, 3L)) // 1 edit (case flip counts)
+    // short fuzzy terms: any 2-char token is within 2 edits (docs 4/5
+    // via 'un'/'to') — but docs 1-3 matching would mean the EMPTY
+    // token leaked through the guard (levenshtein('', 'zz') = 2)
+    assert(ids("text:zz~2") === Seq(4L, 5L))
+  }
 }
