@@ -603,6 +603,14 @@ object Graft {
                  threads: Int = 4): Unit =
     new graft.index.HttpGoLive(threads).goLive(shards, targets)
 
+  /** Stream a frame into live Solr-protocol shard leaders: routed
+    * repartition, concurrent batched JSON updates, commit after the
+    * job (see [[graft.index.LiveSolrSink]]). */
+  def liveSolrWrite(df: DataFrame, idCol: String, targets: Seq[String],
+                    batchSize: Int = 100, commit: Boolean = true): Unit =
+    graft.index.LiveSolrSink.write(df, idCol, targets,
+      batchSize = batchSize, commit = commit)
+
   /** All shortest paths between two nodes over an edge frame (see
     * [[graft.ops.GraphOps.shortestPaths]]). */
   def shortestPaths(edges: DataFrame, fromCol: org.apache.spark.sql.Column,

@@ -3918,6 +3918,60 @@ object SparkEntry {
         """shortestPath(edges, from="c:1", to="p:32",
           |  edge="src=dst", maxDepth="4")""".stripMargin,
         Map("edges" -> out))
+    }),
+
+    // S16 live Solr sink END-TO-END over real HTTP: the corpus streams
+    // through LiveSolrSink (router-aligned repartition, one concurrent
+    // batched loader per shard leader, driver commit after the job)
+    // into an in-process collector; what ARRIVED per shard is parsed
+    // back and hash-checked against the DuckDB murmur3 routing oracle
+    // — every document must land on exactly the slice a CloudSolrClient
+    // would pick, with nothing lost or duplicated in flight
+    "q273_live_solr_sink" -> ((s, d) => {
+      val received =
+        new java.util.concurrent.ConcurrentLinkedQueue[(Int, String)]()
+      val server = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      server.createContext("/",
+        (ex: com.sun.net.httpserver.HttpExchange) => {
+          val path = ex.getRequestURI.getPath
+          val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+          if (ex.getRequestMethod == "POST" && path.endsWith("/update")) {
+            val shard = path.split("/shard")(1).takeWhile(_.isDigit).toInt
+            received.add((shard, body))
+          }
+          ex.sendResponseHeaders(200, 2)
+          ex.getResponseBody.write("ok".getBytes("UTF-8"))
+          ex.close()
+        })
+      // daemon-threaded executor: server.stop() does NOT stop its
+      // executor, and a non-daemon pool would pin the driver JVM open
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8,
+        (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t })
+      server.setExecutor(pool)
+      server.start()
+      val batches =
+        try {
+          val port = server.getAddress.getPort
+          val targets =
+            (0 until 4).map(i => s"http://127.0.0.1:$port/solr/shard$i")
+          graft.index.LiveSolrSink.write(
+            Tables.documents(s, d).select(col("doc_id"), col("text")),
+            "doc_id", targets, batchSize = 256)
+          scala.jdk.CollectionConverters.IteratorHasAsScala(
+            received.iterator()).asScala.toSeq
+        } finally { server.stop(0); pool.shutdownNow() }
+      import s.implicits._
+      batches.toDF("shard", "body")
+        .select(col("shard"), explode(from_json(col("body"),
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "doc_id BIGINT, text STRING")))).as("r"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("r.doc_id")).as("id_sum"),
+          sum(length(col("r.text")).cast("long")).as("chars"))
+        .orderBy(col("shard"))
     })
   )
 
@@ -7006,6 +7060,17 @@ object SparkEntry {
         s"""SELECT printf('part-%05d', ${shardCase("h", s4)}) AS part,
            | count(*) AS docs, 1::BIGINT AS segments
            |FROM (${hashed(s"SELECT DISTINCT $liId AS __id FROM lineitem")})
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // live sink: what the HTTP collector received per shard must be
+      // exactly the murmur3 slice assignment of the whole corpus
+      "q273_live_solr_sink" ->
+        s"""SELECT CAST(${shardCase("h", s4)} AS INTEGER) AS shard,
+           | count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           | CAST(sum(length(text)) AS BIGINT) AS chars
+           |FROM (SELECT doc_id, text, ${signed("hu")} AS h
+           |  FROM (SELECT doc_id, text,
+           |      ${murmurUnsigned("doc_id::VARCHAR")} AS hu FROM documents))
            |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // composite `source!doc_id`: top 16 bits of hash(source) pick the
