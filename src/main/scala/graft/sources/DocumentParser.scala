@@ -80,6 +80,10 @@ object DocumentParser {
           }
         case "application/msword" =>
           parseDoc(bytes, mime)
+        case "application/vnd.ms-excel" =>
+          parseXls(bytes, mime)
+        case "application/vnd.ms-powerpoint" =>
+          parsePpt(bytes, mime)
         case "application/x-ole2-storage" =>
           // same refinement for the OLE2 magic (doc/xls/ppt all share it)
           sniffOleDocument(bytes) match {
@@ -454,6 +458,176 @@ object DocumentParser {
       .replaceAll("[\u0000-\u0006\u0008\u000B\u000E-\u001F]", "")
       .trim
     ParsedDoc(text, mime, Map("n_chars" -> text.length.toString))
+  }
+
+  /**
+   * Legacy binary Excel (.xls, Excel 97-2003) text — the [MS-XLS]
+   * BIFF8 shared-string path, dependency-free: the `Workbook`
+   * stream's record walk (u16 type, u16 size frames) collects the SST
+   * (0x00FC) with its Continue (0x003C) records; each
+   * XLUnicodeRichExtendedString decodes compressed (low-byte, cp1252)
+   * or UTF-16LE per its grbit, which the spec re-issues at every
+   * Continue boundary that splits character data (header fields and
+   * rich-run/ExtRst skips continue byte-exact, WITHOUT a fresh
+   * grbit); rich-format runs and ExtRst payloads are skipped, not
+   * decoded. Sheet names (BoundSheet8 0x0085) surface as metadata.
+   * Output contract matches [[parseXlsx]] (the shared strings,
+   * newline-joined — numeric cells are not text in either path).
+   * BIFF5 (`Book` stream) and malformed input fall through to the
+   * pass-through stub; truncation mid-SST keeps what decoded.
+   */
+  private[sources] def parseXls(bytes: Array[Byte], mime: String): ParsedDoc = {
+    def stub(reason: String) =
+      ParsedDoc("", mime, Map("length" -> bytes.length.toString,
+        "xls_variant" -> reason))
+    val wb = Cfb.stream(bytes, "Workbook").getOrElse(
+      return stub(if (Cfb.stream(bytes, "Book").isDefined) "BIFF5 Book stream"
+                  else "no Workbook stream"))
+    def u16(o: Int) = (wb(o) & 0xff) | ((wb(o + 1) & 0xff) << 8)
+    // record walk: SST + its Continues (a non-Continue record ends the
+    // run), BoundSheet8 names
+    val segB = IndexedSeq.newBuilder[(Int, Int)]
+    val sheetB = Seq.newBuilder[String]
+    var p = 0
+    var inSst = false
+    while (p + 4 <= wb.length) {
+      val typ = u16(p); val n = u16(p + 2); val o = p + 4
+      if (o + n > wb.length) p = wb.length // truncated record: stop
+      else {
+        typ match {
+          case 0x00FC => segB += ((o, n)); inSst = true
+          case 0x003C if inSst => segB += ((o, n))
+          case 0x0085 => // lbPlyPos(4) grbit(2) cch(1) flags(1) name
+            inSst = false
+            if (n >= 8) {
+              val cch = wb(o + 6) & 0xff
+              if ((wb(o + 7) & 1) == 1 && 8 + cch * 2 <= n)
+                sheetB += new String(wb, o + 8, cch * 2, "UTF-16LE")
+              else if ((wb(o + 7) & 1) == 0 && 8 + cch <= n)
+                sheetB += new String(wb, o + 8, cch, "windows-1252")
+            }
+          case _ => inSst = false
+        }
+        p = o + n
+      }
+    }
+    val segments = segB.result()
+    val sheets = sheetB.result()
+    val texts = Seq.newBuilder[String]
+    if (segments.nonEmpty) {
+      object Eof extends RuntimeException
+      // cursor over the SST's segment list: multi-byte header fields
+      // and skips cross Continue boundaries transparently; character
+      // reads re-read the grbit there ([MS-XLS] 2.5.293)
+      class Cur {
+        var si = 0; var so = 0
+        def rem: Int = segments(si)._2 - so
+        private def ensure(): Unit = {
+          while (rem <= 0) {
+            if (si + 1 >= segments.length) throw Eof
+            si += 1; so = 0
+          }
+        }
+        def u8(): Int = {
+          ensure(); val v = wb(segments(si)._1 + so) & 0xff; so += 1; v
+        }
+        def u16c(): Int = u8() | (u8() << 8)
+        def i32c(): Int = u16c() | (u16c() << 16)
+        def skip(n: Int): Unit = {
+          var k = n
+          while (k > 0) { ensure(); val t = math.min(k, rem); so += t; k -= t }
+        }
+        def readChars(cch: Int, grbit: Int, sb: java.lang.StringBuilder): Unit = {
+          var left = cch
+          var high = grbit & 1
+          while (left > 0) {
+            if (rem <= 0) high = u8() & 1 // fresh grbit at the boundary
+            val width = if (high == 1) 2 else 1
+            val take = math.min(left, rem / width)
+            if (take <= 0) throw Eof // odd byte under UTF-16: malformed
+            val off = segments(si)._1 + so
+            sb.append(new String(wb, off, take * width,
+              if (high == 1) "UTF-16LE" else "windows-1252"))
+            so += take * width; left -= take
+          }
+        }
+      }
+      try {
+        val cur = new Cur
+        cur.i32c() // cstTotal
+        val cstUnique = cur.i32c()
+        var i = 0
+        while (i < cstUnique && i < (1 << 22)) { // bound adversarial counts
+          val cch = cur.u16c()
+          val flags = cur.u8()
+          val cRun = if ((flags & 0x08) != 0) cur.u16c() else 0
+          val cbExt = if ((flags & 0x04) != 0) cur.i32c() else 0
+          val sb = new java.lang.StringBuilder
+          cur.readChars(cch, flags, sb)
+          cur.skip(cRun * 4)
+          cur.skip(math.max(0, cbExt))
+          val t = sb.toString
+          if (t.nonEmpty) texts += t
+          i += 1
+        }
+      } catch { case Eof => () } // truncated SST: keep what decoded
+    }
+    val strings = texts.result()
+    ParsedDoc(strings.mkString("\n").trim, mime,
+      Map("n_strings" -> strings.length.toString) ++
+        (if (sheets.nonEmpty) Map("sheets" -> sheets.mkString(",")) else Map.empty))
+  }
+
+  /**
+   * Legacy binary PowerPoint (.ppt, 97-2003) text — the [MS-PPT]
+   * record tree of the `PowerPoint Document` stream: 8-byte headers
+   * (recVerAndInstance u16, recType u16, recLen u32), containers
+   * (recVer 0xF) recursed depth-bounded, TextCharsAtom (0x0FA0,
+   * UTF-16LE) and TextBytesAtom (0x0FA8, low-byte cp1252 chars)
+   * collected in stream order. Scope: the walk visits every persisted
+   * edit (a full reader follows the Current User stream to the live
+   * edit's persist directory), matching the recall-over-precision
+   * posture crawl extraction wants; PPT line separators (CR, VT) map
+   * to newlines like the .doc path.
+   */
+  private[sources] def parsePpt(bytes: Array[Byte], mime: String): ParsedDoc = {
+    def stub(reason: String) =
+      ParsedDoc("", mime, Map("length" -> bytes.length.toString,
+        "ppt_variant" -> reason))
+    val pd = Cfb.stream(bytes, "PowerPoint Document").getOrElse(
+      return stub("no PowerPoint Document stream"))
+    def u16(o: Int) = (pd(o) & 0xff) | ((pd(o + 1) & 0xff) << 8)
+    def i32(o: Int) = u16(o) | (u16(o + 2) << 16)
+    val texts = Seq.newBuilder[String]
+    var atoms = 0
+    def walk(from: Int, to: Int, depth: Int): Unit = {
+      if (depth > 32) return // adversarial nesting bound
+      var p = from
+      var ok = true
+      while (ok && p + 8 <= to) {
+        val ver = u16(p) & 0x000F
+        val typ = u16(p + 2)
+        val len = i32(p + 4)
+        val o = p + 8
+        if (len < 0 || o + len > to) ok = false // malformed: stop level
+        else {
+          if (ver == 0xF) walk(o, o + len, depth + 1)
+          else if (typ == 0x0FA0) { // TextCharsAtom
+            texts += new String(pd, o, len & ~1, "UTF-16LE"); atoms += 1
+          } else if (typ == 0x0FA8) { // TextBytesAtom
+            texts += new String(pd, o, len, "windows-1252"); atoms += 1
+          }
+          p = o + len
+        }
+      }
+    }
+    walk(0, pd.length, 0)
+    val text = texts.result()
+      .map(_.replace('\r', '\n').replace('\u000B', '\n')
+        .replaceAll("[\\u0000-\\u0008\\u000E-\\u001F]", ""))
+      .map(_.trim).filter(_.nonEmpty)
+      .mkString("\n").trim
+    ParsedDoc(text, mime, Map("n_text_atoms" -> atoms.toString))
   }
 
   /** OOXML core properties (docProps/core.xml) — title/creator. */
