@@ -64,7 +64,18 @@ object Multimodal {
         .when(head4.startsWith("25504446"), "application/pdf")
         .when(head4.startsWith("D0CF11E0"), "application/x-ole2-storage")
         .when(head4.startsWith("4F676753"), "audio/ogg")
+        // RIFF is a family: refine by the form type at bytes 9-12
+        .when(head4.startsWith("52494646") &&
+          hex(substring(col(content), 9, 4)) === "57415645", "audio/wav")
+        .when(head4.startsWith("52494646") &&
+          hex(substring(col(content), 9, 4)) === "57454250", "image/webp")
+        .when(head4.startsWith("52494646") &&
+          hex(substring(col(content), 9, 4)) === "41564920", "video/x-msvideo")
         .when(head4.startsWith("52494646"), "audio/wav")
+        .when(head4.startsWith("494433"), "audio/mpeg") // ID3v2
+        .when(head4.startsWith("FFFB") || head4.startsWith("FFF3") ||
+          head4.startsWith("FFF2"), "audio/mpeg") // bare MPEG frame sync
+        .when(head4.startsWith("664C6143"), "audio/flac") // fLaC
         .otherwise("application/octet-stream"))
   }
 

@@ -90,6 +90,11 @@ object DocumentParser {
             case Some(m) => parse(m, bytes)
             case None => ParsedDoc("", mime, Map("length" -> bytes.length.toString))
           }
+        case "audio/wav" | "audio/x-wav" | "audio/vnd.wave" =>
+          parseWav(bytes, mime)
+        case "audio/mpeg" | "audio/mp3" => parseMp3(bytes, mime)
+        case "audio/flac" | "audio/x-flac" => parseFlac(bytes, mime)
+        case "audio/ogg" | "application/ogg" => parseOgg(bytes, mime)
         case "image/png" => parsePng(bytes, mime)
         case "image/jpeg" => parseJpeg(bytes, mime)
         case "image/gif" => parseGif(bytes, mime)
@@ -1032,6 +1037,225 @@ object DocumentParser {
   private def le32(b: Array[Byte], i: Int): Int =
     (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) |
       ((b(i + 2) & 0xFF) << 16) | ((b(i + 3) & 0xFF) << 24)
+
+  // ----- audio headers (the S9 family's last gap; public specs:
+  // RIFF/WAVE, ID3v2 + MPEG audio framing, FLAC, Ogg). Audio has no
+  // text to extract — like the image parsers these emit typed
+  // metadata (codec, channels, sample rate, duration) so pipeline
+  // stages can filter/route assets without a media library. -----
+
+  /** RIFF/WAVE: fmt chunk (channels/rate/bits), data size → duration,
+    * LIST-INFO tags (INAM/IART/ICMT) as title/artist/comment. */
+  private[sources] def parseWav(bytes: Array[Byte], mime: String): ParsedDoc = {
+    def stub(r: String) =
+      ParsedDoc("", mime, Map("length" -> bytes.length.toString,
+        "audio_variant" -> r))
+    if (bytes.length < 12 ||
+        new String(bytes, 0, 4, StandardCharsets.ISO_8859_1) != "RIFF" ||
+        new String(bytes, 8, 4, StandardCharsets.ISO_8859_1) != "WAVE")
+      return stub("not RIFF/WAVE")
+    var meta = Map.empty[String, String]
+    var byteRate = 0L
+    var dataSize = -1L
+    var p = 12L
+    while (p + 8 <= bytes.length) {
+      val o = p.toInt
+      val id = new String(bytes, o, 4, StandardCharsets.ISO_8859_1)
+      val sz = le32(bytes, o + 4) & 0xFFFFFFFFL
+      val d = o + 8
+      id match {
+        case "fmt " if d + 16 <= bytes.length =>
+          meta ++= Map(
+            "channels" -> le16(bytes, d + 2).toString,
+            "sample_rate" -> (le32(bytes, d + 4) & 0xFFFFFFFFL).toString,
+            "bits_per_sample" -> le16(bytes, d + 14).toString)
+          byteRate = le32(bytes, d + 8) & 0xFFFFFFFFL
+        case "data" =>
+          dataSize = math.min(sz, (bytes.length - d).toLong)
+        case "LIST" if d + 4 <= bytes.length &&
+            new String(bytes, d, 4, StandardCharsets.ISO_8859_1) == "INFO" =>
+          // INFO sub-chunks: (id, size, zero-terminated text)
+          var q = d + 4L
+          val end = math.min(d + sz, bytes.length.toLong)
+          while (q + 8 <= end) {
+            val qo = q.toInt
+            val sid = new String(bytes, qo, 4, StandardCharsets.ISO_8859_1)
+            val ssz = le32(bytes, qo + 4) & 0xFFFFFFFFL
+            val take = math.min(ssz, end - qo - 8).toInt
+            if (take > 0) {
+              val v = new String(bytes, qo + 8, take, StandardCharsets.UTF_8)
+                .takeWhile(_ != '\u0000').trim
+              sid match {
+                case "INAM" if v.nonEmpty => meta += ("title" -> v)
+                case "IART" if v.nonEmpty => meta += ("artist" -> v)
+                case "ICMT" if v.nonEmpty => meta += ("comment" -> v)
+                case _ => ()
+              }
+            }
+            q += 8 + ssz + (ssz & 1)
+          }
+        case _ => ()
+      }
+      p += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    if (dataSize >= 0 && byteRate > 0)
+      meta += ("duration_ms" -> (dataSize * 1000 / byteRate).toString)
+    ParsedDoc("", mime, meta + ("codec" -> "pcm_wave"))
+  }
+
+  /** MP3: ID3v2 text frames (TIT2/TPE1/TALB; v2.3 plain and v2.4
+    * syncsafe frame sizes) + the first MPEG-1 Layer III frame header
+    * (bitrate/sample-rate indices) → CBR duration estimate. */
+  private[sources] def parseMp3(bytes: Array[Byte], mime: String): ParsedDoc = {
+    var meta = Map.empty[String, String]
+    var audioStart = 0
+    if (bytes.length >= 10 &&
+        new String(bytes, 0, 3, StandardCharsets.ISO_8859_1) == "ID3") {
+      val v = bytes(3) & 0xff // 3 = v2.3, 4 = v2.4
+      val tagSize = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+        ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+      audioStart = math.min(10 + tagSize, bytes.length)
+      var p = 10
+      var ok = true
+      while (ok && p + 10 <= audioStart) {
+        val fid = new String(bytes, p, 4, StandardCharsets.ISO_8859_1)
+        val fsz =
+          if (v >= 4) ((bytes(p + 4) & 0x7f) << 21) | ((bytes(p + 5) & 0x7f) << 14) |
+            ((bytes(p + 6) & 0x7f) << 7) | (bytes(p + 7) & 0x7f)
+          else ((bytes(p + 4) & 0xff) << 24) | ((bytes(p + 5) & 0xff) << 16) |
+            ((bytes(p + 6) & 0xff) << 8) | (bytes(p + 7) & 0xff)
+        if (fsz <= 0 || p + 10 + fsz > audioStart ||
+            !fid.forall(c => c.isLetterOrDigit)) ok = false
+        else {
+          if (fid.startsWith("T") && fsz >= 2) {
+            val enc = bytes(p + 10) & 0xff
+            val raw = java.util.Arrays.copyOfRange(bytes, p + 11, p + 10 + fsz)
+            val text = (enc match {
+              case 0 => new String(raw, "windows-1252")
+              case 1 => new String(raw, StandardCharsets.UTF_16) // BOM-led
+              case 2 => new String(raw, StandardCharsets.UTF_16BE)
+              case _ => new String(raw, StandardCharsets.UTF_8)
+            }).takeWhile(_ != '\u0000').trim
+            if (text.nonEmpty) fid match {
+              case "TIT2" => meta += ("title" -> text)
+              case "TPE1" => meta += ("artist" -> text)
+              case "TALB" => meta += ("album" -> text)
+              case _ => ()
+            }
+          }
+          p += 10 + fsz
+        }
+      }
+    }
+    // first frame sync after the tag
+    val bitrates = // MPEG-1 Layer III, kbps ([ISO 11172-3] table)
+      Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    val rates = Array(44100, 48000, 32000)
+    var f = audioStart
+    var found = false
+    while (!found && f + 4 <= bytes.length) {
+      if ((bytes(f) & 0xff) == 0xFF && (bytes(f + 1) & 0xE0) == 0xE0) {
+        val versionBits = (bytes(f + 1) >> 3) & 3 // 3 = MPEG-1
+        val layerBits = (bytes(f + 1) >> 1) & 3 // 1 = Layer III
+        val brIdx = (bytes(f + 2) >> 4) & 0xF
+        val srIdx = (bytes(f + 2) >> 2) & 3
+        if (versionBits == 3 && layerBits == 1 && brIdx >= 1 && brIdx <= 14
+            && srIdx < 3) {
+          val kbps = bitrates(brIdx)
+          meta ++= Map("bitrate_kbps" -> kbps.toString,
+            "sample_rate" -> rates(srIdx).toString)
+          meta += ("duration_ms" ->
+            ((bytes.length - audioStart).toLong * 8 / kbps).toString)
+          found = true
+        }
+      }
+      if (!found) f += 1
+    }
+    ParsedDoc("", mime, meta + ("codec" -> "mp3") +
+      ("length" -> bytes.length.toString))
+  }
+
+  /** FLAC: STREAMINFO (sample rate 20 bits, channels, bps, total
+    * samples → exact duration) + VORBIS_COMMENT TITLE/ARTIST. */
+  private[sources] def parseFlac(bytes: Array[Byte], mime: String): ParsedDoc = {
+    def stub(r: String) =
+      ParsedDoc("", mime, Map("length" -> bytes.length.toString,
+        "audio_variant" -> r))
+    if (bytes.length < 8 ||
+        new String(bytes, 0, 4, StandardCharsets.ISO_8859_1) != "fLaC")
+      return stub("not fLaC")
+    var meta = Map.empty[String, String]
+    var p = 4
+    var last = false
+    while (!last && p + 4 <= bytes.length) {
+      last = (bytes(p) & 0x80) != 0
+      val typ = bytes(p) & 0x7f
+      val len = ((bytes(p + 1) & 0xff) << 16) | ((bytes(p + 2) & 0xff) << 8) |
+        (bytes(p + 3) & 0xff)
+      val o = p + 4
+      if (o + len > bytes.length) last = true
+      else {
+        if (typ == 0 && len >= 18) { // STREAMINFO
+          val rate = ((bytes(o + 10) & 0xff) << 12) |
+            ((bytes(o + 11) & 0xff) << 4) | ((bytes(o + 12) & 0xff) >> 4)
+          val channels = (((bytes(o + 12) & 0xff) >> 1) & 7) + 1
+          val bps = (((bytes(o + 12) & 1) << 4) |
+            ((bytes(o + 13) & 0xff) >> 4)) + 1
+          val total = ((bytes(o + 13) & 0x0F).toLong << 32) |
+            ((bytes(o + 14) & 0xffL) << 24) | ((bytes(o + 15) & 0xffL) << 16) |
+            ((bytes(o + 16) & 0xffL) << 8) | (bytes(o + 17) & 0xffL)
+          meta ++= Map("sample_rate" -> rate.toString,
+            "channels" -> channels.toString,
+            "bits_per_sample" -> bps.toString)
+          if (rate > 0 && total > 0)
+            meta += ("duration_ms" -> (total * 1000 / rate).toString)
+        } else if (typ == 4 && len >= 8) { // VORBIS_COMMENT
+          val vendorLen = le32(bytes, o)
+          var q = o + 4 + math.max(0, vendorLen)
+          if (q + 4 <= o + len) {
+            val count = le32(bytes, q); q += 4
+            var i = 0
+            while (i < count && q + 4 <= o + len) {
+              val el = le32(bytes, q); q += 4
+              if (el > 0 && q + el <= o + len) {
+                val kv = new String(bytes, q, el, StandardCharsets.UTF_8)
+                val eq = kv.indexOf('=')
+                if (eq > 0) kv.substring(0, eq).toUpperCase match {
+                  case "TITLE" => meta += ("title" -> kv.substring(eq + 1))
+                  case "ARTIST" => meta += ("artist" -> kv.substring(eq + 1))
+                  case _ => ()
+                }
+                q += el
+              } else i = count
+              i += 1
+            }
+          }
+        }
+        p = o + len
+      }
+    }
+    ParsedDoc("", mime, meta + ("codec" -> "flac"))
+  }
+
+  /** Ogg: identification header of the first packet — Vorbis
+    * (`\x01vorbis`: channels, rate) or Opus (`OpusHead`). */
+  private[sources] def parseOgg(bytes: Array[Byte], mime: String): ParsedDoc = {
+    val window = math.min(bytes.length, 512)
+    val head = new String(bytes, 0, window, StandardCharsets.ISO_8859_1)
+    val vorbis = head.indexOf("\u0001vorbis")
+    val opus = head.indexOf("OpusHead")
+    val meta: Map[String, String] =
+      if (vorbis >= 0 && vorbis + 16 <= window)
+        Map("codec" -> "vorbis",
+          "channels" -> (bytes(vorbis + 11) & 0xff).toString,
+          "sample_rate" -> (le32(bytes, vorbis + 12) & 0xFFFFFFFFL).toString)
+      else if (opus >= 0 && opus + 16 <= window)
+        Map("codec" -> "opus",
+          "channels" -> (bytes(opus + 9) & 0xff).toString,
+          "sample_rate" -> (le32(bytes, opus + 12) & 0xFFFFFFFFL).toString)
+      else Map("audio_variant" -> "unknown ogg codec")
+    ParsedDoc("", mime, meta + ("length" -> bytes.length.toString))
+  }
 
   /** PNG (public spec, RFC 2083/ISO 15948): IHDR dims + bit depth +
     * color type, plus tEXt keyword/value pairs (bounded walk). */
