@@ -603,6 +603,14 @@ object Graft {
                  threads: Int = 4): Unit =
     new graft.index.HttpGoLive(threads).goLive(shards, targets)
 
+  /** Incoming rows not yet in the corpus, decided by a broadcast
+    * Bloom prefilter + exact anti-join on the hits only (see
+    * [[graft.ops.BloomDedup]]). */
+  def bloomNewRows(incoming: DataFrame, keyCol: String,
+                   corpusKeys: org.apache.spark.sql.Dataset[String],
+                   expectedItems: Long, fpp: Double = 0.01): DataFrame =
+    graft.ops.BloomDedup.newRows(incoming, keyCol, corpusKeys, expectedItems, fpp)
+
   /** Stream a frame into live Solr-protocol shard leaders: routed
     * repartition, concurrent batched JSON updates, commit after the
     * job (see [[graft.index.LiveSolrSink]]). */

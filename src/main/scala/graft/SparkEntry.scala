@@ -3972,6 +3972,26 @@ object SparkEntry {
           sum(col("r.doc_id")).as("id_sum"),
           sum(length(col("r.text")).cast("long")).as("chars"))
         .orderBy(col("shard"))
+    }),
+
+    // Bloom-prefiltered incremental ingest: corpus membership decided
+    // WITHOUT shuffling the corpus — a tree-combined bitset broadcasts,
+    // bloom-miss rows bypass the join (definitely new), only bloom
+    // hits (true dups + the fpp sliver) pay the exact anti-join. The
+    // output is exact, so DuckDB's NOT EXISTS replays it verbatim.
+    "q274_bloom_incremental" -> ((s, d) => {
+      import graft.ops.BloomDedup
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+        .select(md5(col("text").cast("binary")).as("k"))
+        .as[String](org.apache.spark.sql.Encoders.STRING)
+      val incoming = docs.filter(col("doc_id") % 3 === 0)
+        .withColumn("k", md5(col("text").cast("binary")))
+      BloomDedup.newRows(incoming, "k", corpus,
+          expectedItems = 100000, fpp = 0.01)
+        .agg(count(lit(1)).as("n"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(length(col("text")).cast("long")).as("chars"))
     })
   )
 
@@ -6995,6 +7015,18 @@ object SparkEntry {
         |WHERE len(list_filter(
         |  regexp_extract_all(lower(text), '[a-z0-9]+'),
         |  t -> levenshtein(t, 'sparc') <= 1)) > 0""".stripMargin,
+
+    "q274_bloom_incremental" ->
+      """WITH corpus AS (
+        |  SELECT md5(text) AS k FROM documents WHERE doc_id % 3 <> 0),
+        |inc AS (
+        |  SELECT doc_id, text, md5(text) AS k FROM documents
+        |  WHERE doc_id % 3 = 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(length(text)) AS BIGINT) AS chars
+        |FROM inc WHERE NOT EXISTS (
+        |  SELECT 1 FROM corpus c WHERE c.k = inc.k)""".stripMargin,
 
     "q272_shortest_path_expr" ->
       """WITH RECURSIVE edges AS (
