@@ -3992,6 +3992,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("doc_id")).as("id_sum"),
           sum(length(col("text")).cast("long")).as("chars"))
+    }),
+
+    // Z-order clustered layout: events re-written along the Morton
+    // curve of (user_id, day) so a two-dimension box predicate prunes
+    // row groups on BOTH columns; the box query runs over the
+    // CLUSTERED copy and must return byte-identically what the oracle
+    // computes over the raw table — layout may never change answers
+    "q275_zorder_layout" -> ((s, d) => {
+      import graft.ops.ZOrder
+      val out = sharedStore(d, "events_zorder") { o =>
+        ZOrder.clusterWrite(
+          Tables.events(s, d).withColumn("day",
+            datediff(col("ts"), lit("2024-01-01")).cast("int")),
+          o, numFiles = 16, bitsPer = 8, col("user_id"), col("day"))
+      }
+      s.read.parquet(out)
+        .filter(col("user_id").between(40, 80) &&
+          col("day").between(7, 14))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("user_id")).as("uid_sum"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("val_sum"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -7015,6 +7037,15 @@ object SparkEntry {
         |WHERE len(list_filter(
         |  regexp_extract_all(lower(text), '[a-z0-9]+'),
         |  t -> levenshtein(t, 'sparc') <= 1)) > 0""".stripMargin,
+
+    "q275_zorder_layout" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(user_id) AS BIGINT) AS uid_sum,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+        |FROM events
+        |WHERE user_id BETWEEN 40 AND 80
+        |  AND date_diff('day', DATE '2024-01-01', ts) BETWEEN 7 AND 14
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q274_bloom_incremental" ->
       """WITH corpus AS (
