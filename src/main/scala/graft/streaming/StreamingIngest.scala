@@ -137,6 +137,32 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
 
   /**
+   * Streaming LIVE-SOLR ingest — the literal `loadSolr ≙
+   * writeStream.foreachBatch` completion: each micro-batch streams
+   * through [[graft.index.LiveSolrSink]] (router-aligned repartition,
+   * concurrent batched JSON updates) into the live shard leaders, and
+   * the cluster-wide commit runs per batch AFTER that batch's job
+   * barrier — exactly the reference loader's
+   * beginTransaction/load.../commitTransaction cadence
+   * (SolrClientDocumentLoader.java:58-88), one transaction per
+   * micro-batch instead of one per mapper. Replayed batches re-send
+   * their documents; Solr-protocol updates are idempotent upserts by
+   * unique key, the same at-least-once-delivery contract the
+   * reference's speculative mappers rely on.
+   */
+  def liveSolrSink(targets: Seq[String], idCol: String,
+                   batchSize: Int = 100)
+                  (transform: DataFrame => DataFrame)
+                  (docs: DataFrame): DataStreamWriter[Row] =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.index.LiveSolrSink.write(
+          transform(batch), idCol, targets, batchSize = batchSize)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+
+  /**
    * Streaming corpus ingest with INCREMENTAL DEDUP STATE (L117 over a
    * stream): per micro-batch —
    *
