@@ -50,12 +50,7 @@ object LiveSolrSink {
             commit: Boolean = true, timeoutMs: Int = 30000): Unit = {
     require(targets.nonEmpty, "no live targets")
     require(batchSize > 0, s"batchSize must be a positive number: $batchSize")
-    val router = graft.route.HashRangeRouter(targets.size)
-    val routed = df
-      .withColumn("__doc", to_json(struct(df.columns.map(col).toIndexedSeq: _*)))
-      .withColumn("__shard", router.shardCol(col(idCol).cast("string")))
-      .select(col("__shard"), col("__doc"))
-      .repartition(targets.size, col("__shard"))
+    val routed = routedFrame(df, idCol, targets.size)
     val targetArr = targets.toIndexedSeq
     routed.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
       // one client per target seen in this task (exactly one after the
@@ -77,6 +72,18 @@ object LiveSolrSink {
       } finally clients.values.foreach(_.shutdown())
     }
     if (commit) targetArr.distinct.foreach { t => Http.get(s"$t/update?commit=true", timeoutMs) }
+  }
+
+  /** The sink's dataflow, exposed for plan-shape locking: codegen'd
+    * JSON serialization + router expression, then exactly ONE
+    * exchange (the shard repartition) — nothing else may shuffle. */
+  private[graft] def routedFrame(df: DataFrame, idCol: String,
+                                 numShards: Int): DataFrame = {
+    val router = graft.route.HashRangeRouter(numShards)
+    df.withColumn("__doc", to_json(struct(df.columns.map(col).toIndexedSeq: _*)))
+      .withColumn("__shard", router.shardCol(col(idCol).cast("string")))
+      .select(col("__shard"), col("__doc"))
+      .repartition(numShards, col("__shard"))
   }
 }
 

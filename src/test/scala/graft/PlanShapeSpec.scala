@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions
 import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -385,5 +386,48 @@ class PlanShapeSpec extends AnyFunSuite {
     // single exchange being the rollup's group-by
     assert(p.contains("Generate explode"), p.take(2500))
     assert("Exchange hashpartitioning".r.findAllIn(p).length === 1, p.take(2500))
+  }
+
+  test("live sink dataflow: ONE exchange (the shard repartition), codegen'd route+serialize") {
+    val docs = Tables.part(spark, TestSpark.sf)
+      .select(col("p_partkey").as("id"), col("p_name").as("v"))
+    val p = graft.index.LiveSolrSink.routedFrame(docs, "id", 4)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).length === 1, p.take(2500))
+    assert(p.contains("solr_shard"), p.take(2500))
+    assert(p.contains("StructsToJson"), p.take(2500)) // to_json, codegen'd
+  }
+
+  test("bloom newRows: definite-new path joins NOTHING — one join total, probe in both branches") {
+    import spark.implicits._
+    val corpus = spark.range(0, 100)
+      .select(functions.concat(functions.lit("k"), col("id")).as("k")).as[String]
+    val incoming = spark.range(0, 100).select(col("id"),
+      functions.concat(functions.lit("k"), col("id")).as("k"))
+    val p = graft.ops.BloomDedup.newRows(incoming, "k", corpus, 100)
+      .queryExecution.executedPlan.toString
+    assert("Join".r.findAllIn(p).length === 1,
+      s"the bloom-miss branch must bypass the join entirely:\n${p.take(2500)}")
+    assert("bloom_might_contain".r.findAllIn(p).length >= 2, p.take(2500))
+  }
+
+  test("zorder interleave: built-in shift/mask fold stays in whole-stage codegen") {
+    val df = spark.range(0, 100)
+      .select(col("id").cast("int").as("x"), (col("id") % 7).cast("int").as("y"))
+      .select(graft.ops.ZOrder.zorderCol(8, col("x"), col("y")).as("z"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(1) Project"), p.take(2000)) // the codegen-span marker
+    assert(p.contains("shiftleft"), p.take(2000))
+    assert(!p.contains("BatchEvalPython") && !p.contains("Invoke"), p.take(2000))
+  }
+
+  test("q275 zorder layout: box predicate pushed to the clustered scan on BOTH columns") {
+    val p = plan("q275_zorder_layout")
+    // toString elides the tail of long filter lists — assert the
+    // user_id pair plus day's presence in the pushed set, and the
+    // full day range in DataFilters
+    assert(p.contains("PushedFilters: [IsNotNull(user_id), IsNotNull(day), " +
+      "GreaterThanOrEqual(user_id,40)"), p.take(2500))
+    assert(p.contains("(day#") && p.contains(">= 7"), p.take(2500))
   }
 }
