@@ -4014,6 +4014,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("user_id")).as("uid_sum"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("val_sum"))
         .orderBy(col("event_type"))
+    }),
+
+    // Count-min heavy hitters: frequent tokens found WITHOUT shuffling
+    // the token stream — a tree-combined d×w sketch (KBs) broadcasts,
+    // candidates (no false negatives: CMS only over-estimates) are the
+    // only tokens the exact recount aggregates. Output exact → a plain
+    // HAVING-threshold oracle replays it.
+    "q276_cms_heavy_hitters" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
+        .filter(col("tok") =!= "")
+      graft.ops.CountMin.heavyHitters(toks, "tok", phi = 0.005,
+          epsilon = 0.001)
+        .withColumnRenamed("item", "item")
     })
   )
 
@@ -7037,6 +7051,16 @@ object SparkEntry {
         |WHERE len(list_filter(
         |  regexp_extract_all(lower(text), '[a-z0-9]+'),
         |  t -> levenshtein(t, 'sparc') <= 1)) > 0""".stripMargin,
+
+    "q276_cms_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS item
+        |  FROM documents),
+        |tot AS (SELECT count(*) AS total FROM toks)
+        |SELECT item, count(*) AS cnt FROM toks, tot
+        |GROUP BY item, tot.total
+        |HAVING count(*) >= ceil(0.005 * total)
+        |ORDER BY cnt DESC, item""".stripMargin,
 
     "q275_zorder_layout" ->
       """SELECT event_type, count(*) AS n,
