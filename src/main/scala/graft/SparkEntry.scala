@@ -4028,6 +4028,23 @@ object SparkEntry {
       graft.ops.CountMin.heavyHitters(toks, "tok", phi = 0.005,
           epsilon = 0.001)
         .withColumnRenamed("item", "item")
+    }),
+
+    // Solr update-XML export (the interop hand-off a stock Solr loads
+    // with bin/post): the corpus round-trips through the codegen'd XML
+    // writer and the files are re-read and field-extracted — nothing
+    // lost, nothing duplicated across part files
+    "q277_solr_xml_export" -> ((s, d) => {
+      val out = sharedStore(d, "xml_export") { o =>
+        graft.index.SolrExport.writeUpdateXml(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          o, numFiles = 4)
+      }
+      s.read.option("wholetext", "true").text(out)
+        .select(explode(expr(
+          "regexp_extract_all(value, '<field name=\"doc_id\">([0-9]+)</field>', 1)"))
+          .as("id"))
+        .agg(count(lit(1)).as("n"), sum(col("id").cast("long")).as("id_sum"))
     })
   )
 
@@ -7051,6 +7068,11 @@ object SparkEntry {
         |WHERE len(list_filter(
         |  regexp_extract_all(lower(text), '[a-z0-9]+'),
         |  t -> levenshtein(t, 'sparc') <= 1)) > 0""".stripMargin,
+
+    "q277_solr_xml_export" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents""".stripMargin,
 
     "q276_cms_heavy_hitters" ->
       """WITH toks AS (

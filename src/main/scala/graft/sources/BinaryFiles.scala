@@ -35,4 +35,50 @@ object BinaryFiles {
 
   /** S4 FilenameInputFormat analog: just the paths as a DataFrame. */
   def pathsOf(df: DataFrame): DataFrame = df.select("path")
+
+  /**
+   * S2 at unbounded scale: the manifest NEVER materializes on the
+   * driver — paths stay a DataFrame, repartition spreads them across
+   * the cluster, and each task opens its own files through the Hadoop
+   * FS (fresh per-task `Configuration`; default-FS/credential-file
+   * setups resolve identically in executors). This is the flow for a
+   * 100M-file manifest where [[readManifest]]'s driver-side
+   * `collect()` (reference-parity: MapReduceIndexerTool.java:892-959
+   * holds the list in the submitter JVM too) would exhaust driver
+   * memory. Schema matches `binaryFile` (path, length, content);
+   * `maxBytes` caps a single file read (oversize files are truncated
+   * and flagged rather than OOMing the task).
+   */
+  def readManifestDistributed(spark: SparkSession, manifest: String,
+                              partitions: Int = 0,
+                              maxBytes: Int = 64 << 20): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val n = if (partitions > 0) partitions
+            else spark.sparkContext.defaultParallelism
+    val paths = spark.read.textFile(manifest)
+      .map(_.trim)(org.apache.spark.sql.Encoders.STRING)
+      .filter((l: String) => l.nonEmpty && !l.startsWith("#"))
+      .repartition(n)
+    val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.BINARY,
+      org.apache.spark.sql.Encoders.scalaBoolean)
+    paths.mapPartitions { it =>
+      // per-task FS handle, reused across this partition's files
+      val conf = new org.apache.hadoop.conf.Configuration()
+      it.map { p =>
+        val path = new org.apache.hadoop.fs.Path(p)
+        val fs = path.getFileSystem(conf)
+        val status = fs.getFileStatus(path)
+        val len = status.getLen
+        val take = math.min(len, maxBytes.toLong).toInt
+        val buf = new Array[Byte](take)
+        val in = fs.open(path)
+        try in.readFully(0, buf) finally in.close()
+        (p, len, buf, len > maxBytes)
+      }
+    }(enc).toDF("path", "length", "content", "truncated")
+      .filter(col("path").isNotNull)
+  }
 }
