@@ -4045,6 +4045,21 @@ object SparkEntry {
           "regexp_extract_all(value, '<field name=\"doc_id\">([0-9]+)</field>', 1)"))
           .as("id"))
         .agg(count(lit(1)).as("n"), sum(col("id").cast("long")).as("id_sum"))
+    }),
+
+    // Corpus snapshot diff (the dataset release-notes table): two
+    // versions of the corpus full-outer-joined on doc key over
+    // (key, fingerprint) projections only — text never shuffles —
+    // rolled up per source as added/removed/modified/unchanged
+    "q278_corpus_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val oldSnap = docs.filter(col("doc_id") % 7 =!= 0)
+      val newSnap = docs.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      graft.ops.CorpusDiff.diff(oldSnap, newSnap, "doc_id", "source",
+          md5(col("text").cast("binary")))
+        .orderBy(col("source"))
     })
   )
 
@@ -7073,6 +7088,23 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM documents""".stripMargin,
+
+    "q278_corpus_diff" ->
+      """WITH old AS (
+        |  SELECT doc_id, source, md5(text) AS f FROM documents
+        |  WHERE doc_id % 7 <> 0),
+        |new AS (
+        |  SELECT doc_id, source,
+        |    md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END) AS f
+        |  FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT coalesce(new.source, old.source) AS source,
+        |  CAST(sum(CASE WHEN old.f IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS added,
+        |  CAST(sum(CASE WHEN new.f IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS removed,
+        |  CAST(sum(CASE WHEN old.f IS NOT NULL AND new.f IS NOT NULL
+        |    AND old.f <> new.f THEN 1 ELSE 0 END) AS BIGINT) AS modified,
+        |  CAST(sum(CASE WHEN old.f = new.f THEN 1 ELSE 0 END) AS BIGINT) AS unchanged
+        |FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q276_cms_heavy_hitters" ->
       """WITH toks AS (
