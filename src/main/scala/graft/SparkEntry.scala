@@ -4057,8 +4057,8 @@ object SparkEntry {
       val newSnap = docs.filter(col("doc_id") % 5 =!= 0)
         .withColumn("text", when(col("doc_id") % 11 === 0,
           concat(col("text"), lit(" v2"))).otherwise(col("text")))
-      graft.ops.CorpusDiff.diff(oldSnap, newSnap, "doc_id", "source",
-          md5(col("text").cast("binary")))
+      graft.ops.Profiling.corpusDiffBySource(oldSnap, newSnap,
+          "doc_id", "source", md5(col("text").cast("binary")))
         .orderBy(col("source"))
     })
   )

@@ -180,6 +180,32 @@ object Profiling {
   }
 
   /**
+   * [[corpusDiff]]'s per-SOURCE rollup — the release-notes table a
+   * dataset version bump ships: added/removed/modified/unchanged
+   * counts pivoted per source (REMOVED rows take the old snapshot's
+   * source, ADDED the new). Same one-join fingerprint shape; the
+   * pivot's four columns are a fixed value list, so the plan is a
+   * plain conditional aggregation, not a second pass.
+   */
+  def corpusDiffBySource(oldSnap: DataFrame, newSnap: DataFrame,
+                         key: String, source: String, fp: Column): DataFrame = {
+    val o = oldSnap.select(col(key).as("__k"), col(source).as("__so"),
+      fp.as("__fo"))
+    val n = newSnap.select(col(key).as("__k"), col(source).as("__sn"),
+      fp.as("__fn"))
+    o.join(n, Seq("__k"), "full_outer")
+      .select(coalesce(col("__sn"), col("__so")).as("source"),
+        when(col("__fo").isNull, lit("added"))
+          .when(col("__fn").isNull, lit("removed"))
+          .when(col("__fo") === col("__fn"), lit("unchanged"))
+          .otherwise(lit("modified")).as("change"))
+      .groupBy(col("source"))
+      .pivot("change", Seq("added", "removed", "modified", "unchanged"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+  }
+
+  /**
    * Nucleus (top-p) vocabulary truncation — the tokenizer/LM vocab
    * cut: the smallest head of the frequency-sorted vocabulary whose
    * cumulative occurrence share reaches `permille`/1000 of corpus
