@@ -4008,7 +4008,7 @@ object SparkEntry {
           o, numFiles = 16, bitsPer = 8, col("user_id"), col("day"))
       }
       s.read.parquet(out)
-        .filter(col("user_id").between(40, 80) &&
+        .filter(col("user_id").between(4, 10) &&
           col("day").between(7, 14))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("user_id")).as("uid_sum"),
@@ -7121,7 +7121,7 @@ object SparkEntry {
         |  CAST(sum(user_id) AS BIGINT) AS uid_sum,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
         |FROM events
-        |WHERE user_id BETWEEN 40 AND 80
+        |WHERE user_id BETWEEN 4 AND 10
         |  AND date_diff('day', DATE '2024-01-01', ts) BETWEEN 7 AND 14
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 

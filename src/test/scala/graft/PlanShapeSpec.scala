@@ -427,7 +427,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // user_id pair plus day's presence in the pushed set, and the
     // full day range in DataFilters
     assert(p.contains("PushedFilters: [IsNotNull(user_id), IsNotNull(day), " +
-      "GreaterThanOrEqual(user_id,40)"), p.take(2500))
+      "GreaterThanOrEqual(user_id,4)"), p.take(2500))
     assert(p.contains("(day#") && p.contains(">= 7"), p.take(2500))
   }
 }
