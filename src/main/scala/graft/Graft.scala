@@ -625,4 +625,39 @@ object Graft {
                     toCol: org.apache.spark.sql.Column, source: String,
                     target: String, maxDepth: Int): DataFrame =
     graft.ops.GraphOps.shortestPaths(edges, fromCol, toCol, source, target, maxDepth)
+
+  /** Morton-interleave column for Z-order clustering (see
+    * [[graft.ops.ZOrder]]). */
+  def zorder(bitsPer: Int, dims: org.apache.spark.sql.Column*): org.apache.spark.sql.Column =
+    graft.ops.ZOrder.zorderCol(bitsPer, dims: _*)
+
+  /** Cluster a frame along the Z-curve and write parquet files with
+    * tight per-file min/max on every clustered column. */
+  def zorderWrite(df: DataFrame, path: String, numFiles: Int, bitsPer: Int,
+                  dims: org.apache.spark.sql.Column*): Unit =
+    graft.ops.ZOrder.clusterWrite(df, path, numFiles, bitsPer, dims: _*)
+
+  /** EXACT heavy hitters at support `phi`, count-min-sketch pruned
+    * (see [[graft.ops.CountMin]]). */
+  def heavyHitters(df: DataFrame, itemCol: String, phi: Double,
+                   epsilon: Double = 0.0005): DataFrame =
+    graft.ops.CountMin.heavyHitters(df, itemCol, phi, epsilon)
+
+  /** Per-source corpus snapshot diff rollup (see
+    * [[graft.ops.Profiling.corpusDiffBySource]]). */
+  def corpusDiffBySource(oldSnap: DataFrame, newSnap: DataFrame, key: String,
+                         source: String, fp: org.apache.spark.sql.Column): DataFrame =
+    graft.ops.Profiling.corpusDiffBySource(oldSnap, newSnap, key, source, fp)
+
+  /** Export a frame as Solr update-XML part files (see
+    * [[graft.index.SolrExport]]). */
+  def solrXmlExport(df: DataFrame, path: String, numFiles: Int = 1): Unit =
+    graft.index.SolrExport.writeUpdateXml(df, path, numFiles)
+
+  /** Unbounded-manifest binary source — paths never materialize on the
+    * driver (see [[graft.sources.BinaryFiles.readManifestDistributed]]). */
+  def readManifestDistributed(spark: SparkSession, manifest: String,
+                              partitions: Int = 0,
+                              maxBytes: Int = 64 << 20): DataFrame =
+    graft.sources.BinaryFiles.readManifestDistributed(spark, manifest, partitions, maxBytes)
 }
