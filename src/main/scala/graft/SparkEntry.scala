@@ -568,7 +568,8 @@ object SparkEntry {
         .select(col("doc_id"),
           ApproxDedup.shingleHashesFromTokenHashes(col("th"), 3).as("hs"))
         .select(col("doc_id"),
-          size(TextAnalysis.winnowingFingerprints(col("hs"))).as("n_fingerprints"))
+          size(TextAnalysis.winnowingFingerprints(col("hs")))
+            .cast("long").as("n_fingerprints"))
     }),
 
     // end-to-end near-dup DROP (minhash candidates -> losers removed);
@@ -7173,6 +7174,51 @@ object SparkEntry {
     // (hu unsigned, h signed) per id; `sel` provides the __id column
     def hashed(sel: String) =
       s"SELECT ${signed("hu")} AS h, hu FROM (SELECT $mu AS hu FROM ($sel))"
+    // The MinHash pipeline as reusable CTE chains (token murmur →
+    // w=3 pmod shingles → 32 seed-42 universal-hash minima), so the
+    // LSH family's oracles share one proven replica. Assumes every
+    // doc has ≥ 3 tokens (generated corpora: min 10); the 10000
+    // maxBucket guard cannot trigger at oracle scale.
+    def minhashSigCtes(baseName: String, baseSql: String,
+                       prefix: String = ""): String = {
+      val params = graft.ops.ApproxDedup.hashParams(32, 42)
+      val aList = params.map(_._1).mkString("[", ",", "]")
+      val bList = params.map(_._2).mkString("[", ",", "]")
+      def pstep(acc: String, h: String) =
+        s"((($acc) * 1000003 + $h) % 2147483647 + 2147483647) % 2147483647"
+      val shingle = pstep(pstep(pstep("1", "a.h"), "b.h"), "c.h")
+      s"""$baseName AS ($baseSql),
+         |${prefix}arrs AS (
+         |  SELECT id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+         |  FROM $baseName),
+         |${prefix}toks AS (
+         |  SELECT id, i, tk[i] AS __id
+         |  FROM (SELECT id, tk,
+         |      unnest(generate_series(1, len(tk))) AS i FROM ${prefix}arrs)),
+         |${prefix}th AS (SELECT id, i, ${signed("hu")} AS h
+         |  FROM (SELECT id, i, $mu AS hu FROM ${prefix}toks)),
+         |${prefix}sh AS (
+         |  SELECT a.id, a.i, $shingle AS s
+         |  FROM ${prefix}th a
+         |  JOIN ${prefix}th b ON b.id = a.id AND b.i = a.i + 1
+         |  JOIN ${prefix}th c ON c.id = a.id AND c.i = a.i + 2),
+         |${prefix}mins AS (
+         |  SELECT id, hi, min((s * ($aList)[hi] + ($bList)[hi])
+         |    % 2147483647) AS m
+         |  FROM ${prefix}sh
+         |  CROSS JOIN (SELECT unnest(generate_series(1, 32)) AS hi)
+         |  GROUP BY 1, 2),
+         |${prefix}sigs AS (
+         |  SELECT id, list(m ORDER BY hi) AS sig FROM ${prefix}mins
+         |  GROUP BY id)""".stripMargin
+    }
+    // 8 band keys per signature: murmur of the '_'-joined 4-row slice
+    def bandKeysSql(sigsName: String): String =
+      s"""SELECT id, sig, b, ${signed("ku")} AS key
+         |  FROM (SELECT id, sig, b,
+         |      ${murmurUnsigned("array_to_string(sig[4*b+1:4*b+4], '_')")} AS ku
+         |    FROM $sigsName
+         |    CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b))""".stripMargin
     Map(
       "q12_shard_counts" ->
         s"""SELECT CAST(${shardCase("h", s4)} AS INTEGER) AS shard,
@@ -7202,6 +7248,180 @@ object SparkEntry {
            | count(*) AS docs, 1::BIGINT AS segments
            |FROM (${hashed(s"SELECT DISTINCT $liId AS __id FROM lineitem")})
            |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // MinHash+LSH was rows-only ("hash/seed-defined") — but every
+      // stage is deterministic arithmetic over the same murmur3 the
+      // routing oracle rebuilds, so the ENTIRE pipeline replays in
+      // SQL: token murmur → w=3 polynomial shingles (pmod chain) →
+      // 32 universal-hash minima (seed-42 coefficients injected as
+      // literals) → band keys (murmur of the '_'-joined signature
+      // slice) → band self-join → agreement/32. Assumes every doc has
+      // ≥ w tokens (min is 10 in the generated corpora); the 10000
+      // maxBucket guard cannot trigger at oracle scale.
+      "q22_minhash_pairs" -> {
+        val base =
+          """SELECT doc_id AS id, text FROM documents
+            |  UNION ALL
+            |  SELECT doc_id + 1000000, text || ' near duplicate suffix'
+            |  FROM documents WHERE doc_id < 50""".stripMargin
+        s"""WITH ${minhashSigCtes("base", base)},
+           |bk AS (${bandKeysSql("sigs")}),
+           |cand AS (
+           |  SELECT DISTINCT l.id AS id_a, r.id AS id_b, l.sig AS sa, r.sig AS sb
+           |  FROM bk l JOIN bk r
+           |    ON l.b = r.b AND l.key = r.key AND l.id < r.id),
+           |est AS (
+           |  SELECT id_a, id_b,
+           |    len(list_filter(generate_series(1, 32), i -> sa[i] = sb[i])) / 32.0
+           |      AS est_jaccard
+           |  FROM cand)
+           |SELECT id_a, id_b, est_jaccard FROM est
+           |WHERE est_jaccard >= 0.5 ORDER BY 1, 2""".stripMargin
+      },
+
+      // hyperplane LSH top-k: the Gaussian plane matrix (Random(42 +
+      // t*7919), row-major — the exact stream the engine uses) rides
+      // as a 6144-double literal; per-bit dots replay the kernel's
+      // left-to-right fold via list_reduce with a 0.0 prepend, so sign
+      // bits (and the cosine rescoring order) are bit-identical IEEE.
+      // Output is integer (query, rank, corpus) — doubles only order.
+      "q26_lsh_ann" -> {
+        val planes = (0 until 16).flatMap { t =>
+          val rnd = new scala.util.Random(42L + t * 7919L)
+          Seq.fill(6 * 64)(rnd.nextGaussian())
+        }
+        val pl = planes.mkString("[", ",", "]")
+        // sequential fold: 0.0 + x1 + x2 ... (the kernel's d += v*p)
+        def seqDot(vExpr: String, pOff: String) =
+          s"""list_reduce(list_prepend(0.0,
+             |      [CAST(($vExpr)[j + 1] AS DOUBLE) * pl[$pOff + j + 1]
+             |       for j in generate_series(0, 63)]), (a, x) -> a + x)""".stripMargin
+        // vector-vector form (ArrayDotProduct's fold) for the rescore
+        def seqDot2(aE: String, bE: String) =
+          s"""list_reduce(list_prepend(0.0,
+             |      [CAST(($aE)[j + 1] AS DOUBLE) * CAST(($bE)[j + 1] AS DOUBLE)
+             |       for j in generate_series(0, 63)]), (a, x) -> a + x)""".stripMargin
+        s"""WITH pls AS (SELECT $pl AS pl),
+           |vecs AS (SELECT vec_id AS id, embedding AS v
+           |  FROM embeddings),
+           |dots AS (
+           |  SELECT id, t, b,
+           |    ${seqDot("v", "t * 384 + b * 64")} AS d
+           |  FROM vecs, pls,
+           |    (SELECT unnest(generate_series(0, 15)) AS t),
+           |    (SELECT unnest(generate_series(0, 5)) AS b)),
+           |buckets AS (
+           |  SELECT id, t,
+           |    sum(CASE WHEN d >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS bucket
+           |  FROM dots GROUP BY 1, 2),
+           |pairs AS (
+           |  SELECT DISTINCT q.id AS query_id, c.id AS corpus_id
+           |  FROM buckets q JOIN buckets c
+           |    ON q.t = c.t AND q.bucket = c.bucket AND q.id <> c.id
+           |  WHERE q.id < 10),
+           |scored AS (
+           |  SELECT p.query_id, p.corpus_id,
+           |    (${seqDot2("qv.v", "cv.v")}) /
+           |    (sqrt(${seqDot2("qv.v", "qv.v")}) *
+           |     sqrt(${seqDot2("cv.v", "cv.v")})) AS cosine
+           |  FROM pairs p
+           |  JOIN vecs qv ON qv.id = p.query_id
+           |  JOIN vecs cv ON cv.id = p.corpus_id),
+           |ranked AS (
+           |  SELECT query_id, corpus_id, CAST(row_number() OVER (
+           |      PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC)
+           |    AS INTEGER) AS rank
+           |  FROM scored)
+           |SELECT query_id, rank, corpus_id FROM ranked
+           |WHERE rank <= 5 ORDER BY 1, 2""".stripMargin
+      },
+
+      // winnowing (Schleimer et al.): distinct window-of-4 minima over
+      // the same w=3 shingle-hash chain — the fingerprint COUNT per
+      // doc replays as a window-min + count(DISTINCT). Full windows
+      // only (docs have ≥ 8 shingles, so the n<=w degenerate arm of
+      // the kernel is unreachable in the generated corpora).
+      "q48_winnowing" -> {
+        val base = "SELECT doc_id AS id, text FROM documents"
+        s"""WITH ${minhashSigCtes("base", base)},
+           |wmins AS (
+           |  SELECT id, i,
+           |    min(s) OVER (PARTITION BY id ORDER BY i
+           |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+           |    max(i) OVER (PARTITION BY id) AS maxi
+           |  FROM sh)
+           |SELECT id AS doc_id, CAST(count(DISTINCT m) AS BIGINT)
+           |    AS n_fingerprints
+           |FROM wmins WHERE i <= maxi - 3
+           |GROUP BY 1 ORDER BY 1""".stripMargin
+      },
+
+      // the DROP form of the same pipeline: losers = the larger id of
+      // any banded pair at est >= 0.7; survivors counted
+      "q54_drop_near_dups" -> {
+        val base =
+          """SELECT doc_id AS id, text FROM documents
+            |  UNION ALL
+            |  SELECT doc_id + 1000000, text || ' tiny suffix'
+            |  FROM documents WHERE doc_id < 30""".stripMargin
+        s"""WITH ${minhashSigCtes("base", base)},
+           |bk AS (${bandKeysSql("sigs")}),
+           |losers AS (
+           |  SELECT DISTINCT r.id AS lid
+           |  FROM bk l JOIN bk r
+           |    ON l.b = r.b AND l.key = r.key AND l.id < r.id
+           |  WHERE len(list_filter(generate_series(1, 32),
+           |      i -> l.sig[i] = r.sig[i])) / 32.0 >= 0.7)
+           |SELECT CAST(count(*) AS BIGINT) AS kept,
+           |  CAST(sum(CASE WHEN id >= 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS planted_survivors
+           |FROM base WHERE id NOT IN (SELECT lid FROM losers)""".stripMargin
+      },
+
+      // the INCREMENTAL form (L117 state): batch ids drop when their
+      // signature agrees >= 0.8 with ANY banded corpus signature
+      "q163_delta_neardup" -> {
+        val corpus = "SELECT doc_id AS id, text FROM documents WHERE doc_id < 400"
+        val batch =
+          """SELECT doc_id AS id, text, source FROM documents WHERE doc_id >= 400
+            |  UNION ALL
+            |  SELECT doc_id + 200000, text || ' extra', source
+            |  FROM documents WHERE doc_id < 10""".stripMargin
+        s"""WITH ${minhashSigCtes("cbase", corpus, prefix = "c")},
+           |${minhashSigCtes("nbase", batch, prefix = "n")},
+           |cbk AS (${bandKeysSql("csigs")}),
+           |nbk AS (${bandKeysSql("nsigs")}),
+           |losers AS (
+           |  SELECT DISTINCT n.id AS lid
+           |  FROM nbk n JOIN cbk c ON n.b = c.b AND n.key = c.key
+           |  WHERE len(list_filter(generate_series(1, 32),
+           |      i -> n.sig[i] = c.sig[i])) / 32.0 >= 0.8)
+           |SELECT id AS doc_id, source FROM nbase
+           |WHERE id NOT IN (SELECT lid FROM losers) ORDER BY 1""".stripMargin
+      },
+
+      // SimHash was rows-only ("hash-family-defined") — but the family
+      // is the same murmur3 the routing oracle rebuilds, so the WHOLE
+      // fingerprint replays in SQL: per-token hash → 32 bit votes →
+      // majority bits. Zero-token docs fingerprint to 0 on both sides.
+      "q23_simhash" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id,
+           |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS __id
+           |  FROM documents),
+           |h AS (SELECT doc_id, ${murmurUnsigned("__id")} AS hu FROM toks),
+           |votes AS (
+           |  SELECT doc_id, i,
+           |    sum(CASE WHEN (hu >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+           |  FROM h CROSS JOIN generate_series(0, 31) AS g(i)
+           |  GROUP BY 1, 2),
+           |sim AS (
+           |  SELECT doc_id,
+           |    sum(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END) AS sh
+           |  FROM votes GROUP BY 1)
+           |SELECT d.doc_id, CAST(coalesce(s.sh, 0) AS BIGINT) AS simhash
+           |FROM documents d LEFT JOIN sim s USING (doc_id)
+           |ORDER BY 1""".stripMargin,
 
       // live sink: what the HTTP collector received per shard must be
       // exactly the murmur3 slice assignment of the whole corpus

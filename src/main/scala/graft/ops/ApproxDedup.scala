@@ -60,7 +60,7 @@ object ApproxDedup {
     // reads + pmod steps — identical values (see kernel parity notes)
     graft.functions.PolyShingleHashes.poly_shingles(tokenHashCol, w)
 
-  private def hashParams(numHashes: Int, seed: Int): Seq[(Long, Long)] = {
+  private[graft] def hashParams(numHashes: Int, seed: Int): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(numHashes)((1 + rnd.nextInt(Int.MaxValue - 1)).toLong ->
       rnd.nextInt(Int.MaxValue).toLong)
