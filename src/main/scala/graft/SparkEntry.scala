@@ -7378,6 +7378,69 @@ object SparkEntry {
            |FROM base WHERE id NOT IN (SELECT lid FROM losers)""".stripMargin
       },
 
+      // the WHOLE corpus pipeline (quality gate → PII redaction →
+      // exact fingerprint dedup → near-dup drop), stage by stage: the
+      // quality signals, the RE2∩Java redaction chain (built from
+      // Redaction.Patterns so oracle and engine can never drift), the
+      // min-id fingerprint window, and the now-replayed minhash loser
+      // rule at 0.7 — every stage an already-proven replica, composed
+      "q78_corpus_pipeline" -> {
+        val redactChain = graft.text.Redaction.Patterns.foldLeft("text") {
+          case (acc, (_, pat, rep)) =>
+            s"regexp_replace($acc, '${pat.replace("\\", "\\\\")
+              .replace("'", "''")}', '$rep', 'g')"
+        }
+        val corpus =
+          """SELECT doc_id AS id, text FROM documents
+            |  UNION ALL
+            |  SELECT doc_id + 500000, text FROM documents WHERE doc_id < 20
+            |  UNION ALL
+            |  SELECT doc_id + 600000, text || ' tiny suffix'
+            |  FROM documents WHERE doc_id < 40
+            |  UNION ALL
+            |  SELECT doc_id + 700000, substr(text, 1, 12)
+            |  FROM documents WHERE doc_id < 10""".stripMargin
+        s"""WITH corpus AS ($corpus),
+           |qual AS (
+           |  SELECT id, text FROM (
+           |    SELECT id, text,
+           |      len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS nt,
+           |      list_sum([0] || [len(x)
+           |        for x in regexp_extract_all(lower(text), '[a-z0-9]+')]) AS tl,
+           |      len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS np,
+           |      len(text) AS nc
+           |    FROM corpus)
+           |  WHERE nt >= 5
+           |    AND CAST(tl AS DOUBLE) / CAST(nt AS DOUBLE) >= 2.0
+           |    AND CAST(tl AS DOUBLE) / CAST(nt AS DOUBLE) <= 12.0
+           |    AND (nc = 0 OR CAST(np AS DOUBLE) / CAST(nc AS DOUBLE) <= 0.3)),
+           |red AS (SELECT id, $redactChain AS text FROM qual),
+           |ex AS (
+           |  SELECT id, text FROM (
+           |    SELECT id, text, row_number() OVER (
+           |        PARTITION BY md5(regexp_replace(trim(lower(text)),
+           |          '\\s+', ' ', 'g'))
+           |        ORDER BY id ASC) AS rn
+           |    FROM red)
+           |  WHERE rn = 1),
+           |${minhashSigCtes("nb", "SELECT id, text FROM ex")},
+           |bk AS (${bandKeysSql("sigs")}),
+           |losers AS (
+           |  SELECT DISTINCT r.id AS lid
+           |  FROM bk l JOIN bk r
+           |    ON l.b = r.b AND l.key = r.key AND l.id < r.id
+           |  WHERE len(list_filter(generate_series(1, 32),
+           |      i -> l.sig[i] = r.sig[i])) / 32.0 >= 0.7)
+           |SELECT CAST(count(*) AS BIGINT) AS kept,
+           |  CAST(sum(CASE WHEN id >= 500000 AND id < 600000
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS exact_survivors,
+           |  CAST(sum(CASE WHEN id >= 600000 AND id < 700000
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS near_survivors,
+           |  CAST(sum(CASE WHEN id >= 700000 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS junk_survivors
+           |FROM ex WHERE id NOT IN (SELECT lid FROM losers)""".stripMargin
+      },
+
       // the INCREMENTAL form (L117 state): batch ids drop when their
       // signature agrees >= 0.8 with ANY banded corpus signature
       "q163_delta_neardup" -> {
