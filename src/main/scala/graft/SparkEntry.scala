@@ -7378,6 +7378,47 @@ object SparkEntry {
            |FROM base WHERE id NOT IN (SELECT lid FROM losers)""".stripMargin
       },
 
+      // BPE END-TO-END (learn 20 merges + encode), replayed by 20
+      // statically-unrolled rounds: round k picks the (cnt desc, a, b)
+      // argmax pair over the weighted adjacent-pair counts of corpus
+      // state k-1, then rewrites every word with the left-to-right
+      // non-overlap fold. After 20 rounds the corpus state IS the
+      // rank-order encoding (a learned pair's symbols pre-date pairs
+      // built from them — Bpe.scala's min-rank/rank-order parity), so
+      // no separate encode stage exists to diverge.
+      "q161_bpe_encode" -> {
+        def pairCte(k: Int) =
+          s"""bp$k AS MATERIALIZED (
+             |  SELECT a, b FROM (
+             |    SELECT p.s[1] AS a, p.s[2] AS b, sum(freq) AS cnt
+             |    FROM (SELECT freq, unnest([[syms[j], syms[j + 1]]
+             |        for j in generate_series(1, len(syms) - 1)]) AS s
+             |      FROM w${k - 1}) p
+             |    GROUP BY 1, 2)
+             |  ORDER BY cnt DESC, a, b LIMIT 1)""".stripMargin
+        def rewriteCte(k: Int) =
+          s"""w$k AS MATERIALIZED (
+             |  SELECT list_reduce(list_prepend([]::VARCHAR[],
+             |      [[s] for s in syms]),
+             |      (acc, x) -> CASE WHEN len(acc) > 0
+             |          AND acc[len(acc)] = bp$k.a AND x[1] = bp$k.b
+             |        THEN acc[1:len(acc) - 1] || [bp$k.a || bp$k.b]
+             |        ELSE acc || x END) AS syms, freq
+             |  FROM w${k - 1} CROSS JOIN bp$k)""".stripMargin
+        val rounds = (1 to 20).map(k => pairCte(k) + ",\n" + rewriteCte(k))
+          .mkString(",\n")
+        s"""WITH w0 AS MATERIALIZED (
+           |  SELECT [substr(word, j, 1) for j in generate_series(1, len(word))]
+           |      AS syms, count(*) AS freq
+           |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+           |      AS word FROM documents)
+           |  GROUP BY 1),
+           |$rounds
+           |SELECT subword, CAST(sum(freq) AS BIGINT) AS occurrences
+           |FROM (SELECT unnest(syms) AS subword, freq FROM w20)
+           |GROUP BY 1 ORDER BY occurrences DESC, subword LIMIT 20""".stripMargin
+      },
+
       // the WHOLE corpus pipeline (quality gate → PII redaction →
       // exact fingerprint dedup → near-dup drop), stage by stage: the
       // quality signals, the RE2∩Java redaction chain (built from
