@@ -312,8 +312,13 @@ object Similarity {
               nlist: Int = 16, nprobe: Int = 4, sampleSize: Int = 2048,
               seed: Long = 42L,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val sample = corpus.select(col(vecCol).cast("array<double>")).limit(sampleSize)
-      .collect().map(_.getSeq[Double](0).toArray)
+    // ordered take: a bare limit() samples whatever partitions answer
+    // first, so centroids (and the whole index layout) would differ
+    // across cluster layouts AND stage retries; min-id top-k costs one
+    // TakeOrdered and makes the build reproducible
+    val sample = corpus.select(col(idCol), col(vecCol).cast("array<double>"))
+      .orderBy(col(idCol)).limit(sampleSize)
+      .collect().map(_.getSeq[Double](1).toArray)
     val centroids = kmeans(sample, nlist, iters = 8, seed)
     // one fused kernel per row (centroid matrix as a codegen reference
     // object): vector norm computed once, each centroid dot once —
@@ -365,8 +370,9 @@ object Similarity {
                        seed: Long = 42L,
                        idCol: String = "vec_id",
                        vecCol: String = "embedding"): DataFrame = {
-    val sample = df.select(col(vecCol).cast("array<double>")).limit(sampleSize)
-      .collect().map(_.getSeq[Double](0).toArray)
+    val sample = df.select(col(idCol), col(vecCol).cast("array<double>"))
+      .orderBy(col(idCol)).limit(sampleSize)
+      .collect().map(_.getSeq[Double](1).toArray)
     val centroids = kmeans(sample, nlist, iters = 8, seed)
     val flat = centroids.flatten.toIndexedSeq
     def nearestCell(vec: Column): Column = {
