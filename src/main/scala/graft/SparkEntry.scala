@@ -468,9 +468,14 @@ object SparkEntry {
         .orderBy(col("file_name"))
     }),
 
-    // O1/O2 seed-deterministic randomization
+    // O1/O2 seed-deterministic randomization — the engine-replayable
+    // md5(seed:id) form (hash-checked; the reference-parity rand(seed)
+    // path stays available as Etl.randomize)
     "q35_randomize" -> ((s, d) =>
-      Etl.randomize(Tables.supplier(s, d).select(col("s_name")))),
+      Etl.randomizeReplayable(
+          Tables.supplier(s, d).select(col("s_suppkey"), col("s_name")),
+          col("s_suppkey"))
+        .select(col("s_name"), col("rkey"))),
 
     // P1-style projection out of semi-structured props
     "q36_extract_props" -> ((s, d) =>
@@ -543,8 +548,9 @@ object SparkEntry {
       Similarity.nearDupPairsExact(Tables.embeddings(s, d), threshold = 0.4)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine_r"))),
 
-    // IVF ANN (k-means cells + nprobe rescoring; oracle-free — cells
-    // depend on engine-side training)
+    // IVF ANN (k-means cells + nprobe rescoring) — hash-checked: the
+    // md5-seeded init + ordered-sample Lloyd loop replays in DuckDB as
+    // 8 unrolled materialized rounds (the q161 BPE technique)
     "q46_ivf_ann" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5, dim = 64, nprobe = 8)
@@ -2237,8 +2243,8 @@ object SparkEntry {
     }),
 
     // L107 production path: SemDeDup over IVF k-means cells
-    // (data-adaptive; engine-side training -> rows-only, the oracled
-    // semantics live in q145)
+    // (data-adaptive; hash-checked via the same unrolled k-means
+    // replay as q46 — the sign-bucket semantics live in q145)
     "q158_semantic_dedup_ivf" -> ((s, d) =>
       ops.Similarity.semanticDedupIvf(
         Tables.embeddings(s, d), threshold = 0.4, dim = 64, nlist = 16)
@@ -4322,6 +4328,13 @@ object SparkEntry {
         |      ELSE 'application/octet-stream' END AS mime,
         | CAST(size AS BIGINT) AS file_length
         |FROM read_blob('{SF_DIR}/*.parquet')""".stripMargin,
+
+    // the engine-replayable randomize: every row's shuffle-key
+    // assignment is checked (the permutation is ORDER BY rkey)
+    "q35_randomize" ->
+      """SELECT s_name,
+        | md5('421439783:' || CAST(s_suppkey AS VARCHAR)) AS rkey
+        |FROM supplier""".stripMargin,
 
     "q36_extract_props" ->
       """SELECT event_id,
@@ -7153,7 +7166,7 @@ object SparkEntry {
         |md AS (SELECT min(d) AS md FROM hits)
         |SELECT array_to_string(path, '>') AS path, CAST(d AS BIGINT) AS depth
         |FROM hits, md WHERE d = md""".stripMargin
-  ) ++ routingOracles
+  ) ++ routingOracles ++ kmeansOracles
 
   /**
    * Oracles for the murmur3-routed queries — previously rows-only
@@ -7551,6 +7564,124 @@ object SparkEntry {
            |          ${murmurUnsigned("doc_id::VARCHAR")} AS su
            |        FROM documents))))
            |GROUP BY source ORDER BY source""".stripMargin
+    )
+  }
+
+  /**
+   * Oracles for the IVF k-means queries (q46/q158) — previously
+   * rows-only ("cells depend on engine-side training"), now fully
+   * hash-checked by replaying the ENTIRE training loop in DuckDB as 8
+   * unrolled materialized Lloyd rounds (the q161 BPE technique):
+   *
+   *  - the sample is the ordered min-id take (reproducible by
+   *    construction, commit c14b771);
+   *  - init is the k sample vectors with smallest
+   *    `md5('<seed>:<id>')` — Similarity.kmeans selects them the same
+   *    way, replacing the JVM-only Random.shuffle;
+   *  - every float accumulation on both sides is a sequential
+   *    left-fold from +0.0 in a pinned order (dim order for
+   *    distances/dots, ascending-id order for per-cluster means), so
+   *    centroids — and everything downstream of them — are
+   *    BIT-IDENTICAL doubles, not approximately-equal ones;
+   *  - assignment ties keep the lowest centroid index on both sides
+   *    (strict `<` scan ⟷ ORDER BY dist, i).
+   */
+  private def kmeansOracles: Map[String, String] = {
+    val k = 16; val iters = 8; val dim = 64; val seed = 42L
+    val sampleLimit = 2048
+    val dj = s"generate_series(0, ${dim - 1})"
+    // sequential left fold from +0.0 — the kernels' `d += ...` loop
+    def fold(listExpr: String) =
+      s"list_reduce(list_prepend(0.0, $listExpr), (acc, x) -> acc + x)"
+    def sqDist(vE: String, cE: String) =
+      fold(s"[(($vE)[j + 1] - ($cE)[j + 1]) * (($vE)[j + 1] - ($cE)[j + 1]) " +
+        s"for j in $dj]")
+    def dotF(aE: String, bE: String) =
+      fold(s"[($aE)[j + 1] * ($bE)[j + 1] for j in $dj]")
+    // one Lloyd round: assign (ties -> lowest i), then per-cluster
+    // per-dim mean folded in ascending-id order; empty cells carry
+    def round(r: Int) =
+      s"""a$r AS MATERIALIZED (
+         |  SELECT id, i FROM (
+         |    SELECT s.id, c.i, row_number() OVER (PARTITION BY s.id
+         |        ORDER BY ${sqDist("s.v", "c.c")}, c.i) AS rn
+         |    FROM samp s CROSS JOIN c${r - 1} c)
+         |  WHERE rn = 1),
+         |m$r AS MATERIALIZED (
+         |  SELECT a.i, d.j,
+         |    ${fold("list(d.vj ORDER BY d.id)")} / count(*) AS cj
+         |  FROM a$r a JOIN dims d ON d.id = a.id
+         |  GROUP BY 1, 2),
+         |c$r AS MATERIALIZED (
+         |  SELECT i, list(cj ORDER BY j) AS c FROM m$r GROUP BY 1
+         |  UNION ALL
+         |  SELECT p.i, p.c FROM c${r - 1} p
+         |  WHERE p.i NOT IN (SELECT i FROM a$r))""".stripMargin
+    val rounds = (1 to iters).map(round).mkString(",\n")
+    // shared: train on the ordered sample, then assign the full corpus
+    // by negative cosine (ties -> lowest i), exactly CentroidNegCosines
+    val trainAndAssign =
+      s"""samp AS MATERIALIZED (
+         |  SELECT vec_id AS id,
+         |    [CAST(embedding[j + 1] AS DOUBLE) for j in $dj] AS v
+         |  FROM embeddings ORDER BY vec_id LIMIT $sampleLimit),
+         |dims AS MATERIALIZED (
+         |  SELECT id, j, v[j + 1] AS vj
+         |  FROM samp, (SELECT unnest($dj) AS j)),
+         |c0 AS MATERIALIZED (
+         |  SELECT i, c FROM (
+         |    SELECT CAST(row_number() OVER (
+         |        ORDER BY md5('$seed:' || CAST(id AS VARCHAR)),
+         |        CAST(id AS VARCHAR)) AS INTEGER) - 1 AS i, v AS c
+         |    FROM samp)
+         |  WHERE i < $k),
+         |$rounds,
+         |cn AS MATERIALIZED (
+         |  SELECT i, c, sqrt(${dotF("c", "c")}) AS cnorm FROM c$iters),
+         |corpn AS MATERIALIZED (
+         |  SELECT id, v, sqrt(${dotF("v", "v")}) AS vnorm FROM (
+         |    SELECT vec_id AS id,
+         |      [CAST(embedding[j + 1] AS DOUBLE) for j in $dj] AS v
+         |    FROM embeddings)),
+         |cells AS MATERIALIZED (
+         |  SELECT id, i AS cell, row_number() OVER (PARTITION BY id
+         |      ORDER BY -(${dotF("t.v", "c.c")} / (t.vnorm * c.cnorm)),
+         |        c.i) AS rn
+         |  FROM corpn t CROSS JOIN cn c),
+         |corpcell AS MATERIALIZED (
+         |  SELECT id, cell FROM cells WHERE rn = 1)""".stripMargin
+    Map(
+      "q46_ivf_ann" ->
+        s"""WITH $trainAndAssign,
+           |qcell AS (SELECT id, cell FROM cells WHERE rn <= 8 AND id < 10),
+           |scored AS (
+           |  SELECT DISTINCT q.id AS query_id, c.id AS corpus_id,
+           |    ${dotF("qv.v", "cv.v")} / (qv.vnorm * cv.vnorm) AS cosine
+           |  FROM qcell q JOIN corpcell c ON c.cell = q.cell AND c.id <> q.id
+           |  JOIN corpn qv ON qv.id = q.id
+           |  JOIN corpn cv ON cv.id = c.id)
+           |SELECT query_id, CAST(rn AS INTEGER) AS rank, corpus_id FROM (
+           |  SELECT query_id, corpus_id, row_number() OVER (
+           |      PARTITION BY query_id
+           |      ORDER BY cosine DESC, corpus_id ASC) AS rn
+           |  FROM scored)
+           |WHERE rn <= 5 ORDER BY 1, 2""".stripMargin,
+
+      "q158_semantic_dedup_ivf" ->
+        s"""WITH $trainAndAssign,
+           |pc AS (
+           |  SELECT a.id AS id_a, b.id AS id_b,
+           |    ${dotF("av.v", "bv.v")} / (av.vnorm * bv.vnorm) AS cos
+           |  FROM corpcell a JOIN corpcell b
+           |    ON a.cell = b.cell AND a.id < b.id
+           |  JOIN corpn av ON av.id = a.id
+           |  JOIN corpn bv ON bv.id = b.id),
+           |dups AS (
+           |  SELECT id_b AS sem_id FROM pc WHERE cos >= 0.4 GROUP BY 1)
+           |SELECT c.id AS vec_id, CAST(c.cell AS BIGINT) AS cluster,
+           |  (d.sem_id IS NOT NULL) AS is_dup
+           |FROM corpcell c LEFT JOIN dups d ON d.sem_id = c.id
+           |ORDER BY 1""".stripMargin
     )
   }
 }

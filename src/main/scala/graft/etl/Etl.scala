@@ -289,6 +289,23 @@ object Etl {
     df.withColumn("__r", rand(seed)).orderBy(col("__r")).drop("__r")
 
   /**
+   * [[randomize]]'s ENGINE-REPLAYABLE form — the default for new
+   * pipelines: the shuffle key is `md5("<seed>:<id>")` over a caller-
+   * named unique id, so the permutation is a pure function of
+   * (seed, id) that any engine with md5 reproduces (the partition-
+   * seeded `rand` path above depends on Spark's physical partition
+   * numbering and survives only as the MR-parity opt-in). The key is
+   * kept as `rkey` so the assignment itself is oracle-checkable
+   * without materializing a global row position; ordering by rkey is a
+   * plain range exchange at any scale. Ties (md5 collisions) break by
+   * the id itself, cast to string on both sides.
+   */
+  def randomizeReplayable(df: DataFrame, id: Column,
+                          seed: Long = 421439783L): DataFrame =
+    df.withColumn("rkey", md5(concat(lit(s"$seed:"), id.cast("string"))))
+      .orderBy(col("rkey"), id.cast("string"))
+
+  /**
    * Alphanumeric ordering key (AlphaNumericComparator.java:38-73):
    * embedded integer runs compare numerically (`part-2` < `part-10`).
    * Normalization: left-pad every digit run to 20 so lexicographic

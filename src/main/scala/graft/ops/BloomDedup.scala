@@ -95,7 +95,11 @@ object BloomDedup {
     val spark = incoming.sparkSession
     val sketch = buildSketch(corpusKeys, expectedItems, fpp)
     val probe = mightContainCol(spark, sketch, col(keyCol))
-    val definiteNew = incoming.filter(!probe)
+    // NULL-key rows: the probe is null for null input, so a bare
+    // `filter(!probe)` would drop them from BOTH branches. NOT EXISTS /
+    // left_anti semantics keep a null-key row (null never equals a corpus
+    // key), so route nulls to the definite-new branch explicitly.
+    val definiteNew = incoming.filter(col(keyCol).isNull || !probe)
     val corpusDf = corpusKeys.toDF("__corpus_key")
     val maybeNew = incoming.filter(probe)
       .join(corpusDf, col(keyCol) === col("__corpus_key"), "left_anti")

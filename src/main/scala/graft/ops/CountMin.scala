@@ -74,11 +74,17 @@ object CountMin {
    */
   def heavyHitters(df: DataFrame, itemCol: String, phi: Double,
                    epsilon: Double = 0.0005): DataFrame = {
+    require(phi > 0 && phi <= 1, s"phi must be in (0,1], got $phi")
+    // Enforce the boundedness contract, don't just document it: the
+    // driver-side candidate collect below is only ≤ ~1/phi + sliver when
+    // epsilon ≲ phi/2. Clamp rather than reject so small-phi callers who
+    // left the default epsilon still get a (narrower) correct sketch.
+    val eps = math.min(epsilon, phi / 2)
     val spark = df.sparkSession
     val items = df.select(col(itemCol).cast("string").as("__item"))
       .filter(col("__item").isNotNull)
     import org.apache.spark.sql.Encoders
-    val sketch = buildSketch(items.as[String](Encoders.STRING), epsilon)
+    val sketch = buildSketch(items.as[String](Encoders.STRING), eps)
     val n = sketch.totalAdds
     val threshold = math.ceil(phi * n).toLong
     val bc = spark.sparkContext.broadcast(sketch)

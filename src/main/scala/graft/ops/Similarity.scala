@@ -318,7 +318,7 @@ object Similarity {
     // TakeOrdered and makes the build reproducible
     val sample = corpus.select(col(idCol), col(vecCol).cast("array<double>"))
       .orderBy(col(idCol)).limit(sampleSize)
-      .collect().map(_.getSeq[Double](1).toArray)
+      .collect().map(r => (String.valueOf(r.get(0)), r.getSeq[Double](1).toArray))
     val centroids = kmeans(sample, nlist, iters = 8, seed)
     // one fused kernel per row (centroid matrix as a codegen reference
     // object): vector norm computed once, each centroid dot once —
@@ -372,7 +372,7 @@ object Similarity {
                        vecCol: String = "embedding"): DataFrame = {
     val sample = df.select(col(idCol), col(vecCol).cast("array<double>"))
       .orderBy(col(idCol)).limit(sampleSize)
-      .collect().map(_.getSeq[Double](1).toArray)
+      .collect().map(r => (String.valueOf(r.get(0)), r.getSeq[Double](1).toArray))
     val centroids = kmeans(sample, nlist, iters = 8, seed)
     val flat = centroids.flatten.toIndexedSeq
     def nearestCell(vec: Column): Column = {
@@ -386,17 +386,43 @@ object Similarity {
     pruneWithinCells(base, threshold, idCol)
   }
 
-  /** Driver-side Lloyd k-means over a bounded sample (deterministic). */
-  private[ops] def kmeans(sample: Array[Array[Double]], k: Int, iters: Int,
-                          seed: Long): Array[Array[Double]] = {
+  /** md5 hex of a UTF-8 string — matches SQL `md5(...)` in Spark and
+    * DuckDB, so selections keyed on it replay identically everywhere. */
+  private[ops] def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new StringBuilder(32)
+    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
+
+  /**
+   * Driver-side Lloyd k-means over a bounded sample — ENGINE-REPLAYABLE
+   * by construction, so the IVF queries (q46/q158) hash-check against a
+   * DuckDB replay of the same training loop:
+   *  - `sample` arrives in ascending-id order (the ordered take) and
+   *    per-cluster mean accumulation folds in that order from +0.0 —
+   *    the same sequential fold `list_reduce(list(x ORDER BY id))`
+   *    expresses in SQL;
+   *  - init is the k sample vectors with smallest `md5("<seed>:<id>")`
+   *    (hex-string order, id tie-break) — a seeded pseudo-random draw
+   *    that any engine with md5 reproduces, replacing the former
+   *    `scala.util.Random.shuffle` whose Fisher-Yates stream existed
+   *    only in the JVM;
+   *  - assignment scans centroids in index order with a strict `<`, so
+   *    distance ties keep the LOWEST index (SQL: ORDER BY d, i).
+   */
+  private[ops] def kmeans(sample: Array[(String, Array[Double])], k: Int,
+                          iters: Int, seed: Long): Array[Array[Double]] = {
     require(sample.nonEmpty, "empty k-means sample")
-    val dim = sample.head.length
-    val rnd = new scala.util.Random(seed)
-    var centroids = rnd.shuffle(sample.toVector).take(k).map(_.clone).toArray
+    val dim = sample.head._2.length
+    var centroids = sample
+      .sortBy { case (id, _) => (md5Hex(s"$seed:$id"), id) }
+      .take(k).map(_._2.clone)
     for (_ <- 0 until iters) {
       val sums = Array.fill(k)(new Array[Double](dim))
       val counts = new Array[Int](k)
-      sample.foreach { v =>
+      sample.foreach { case (_, v) =>
         var best = 0; var bestD = Double.MaxValue
         var i = 0
         while (i < centroids.length) {

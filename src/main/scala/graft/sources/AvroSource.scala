@@ -203,9 +203,25 @@ object AvroSource {
       } finally {
         w.close() // closes the stream
         if (ok) {
-          fs.delete(finalP, false) // rename-over target (posix FS semantics)
-          if (!fs.rename(tmpP, finalP))
-            throw new java.io.IOException(s"commit rename failed: $tmpP -> $finalP")
+          // Commit via a single rename-with-overwrite (FileContext
+          // Options.Rename.OVERWRITE) so a retry never opens a window
+          // where the committed file is absent. Fall back to
+          // delete+rename only where FileContext is unsupported for the
+          // scheme — there a reader listing between a retry's delete and
+          // rename can briefly miss the part file (non-atomic stores).
+          try {
+            val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+              finalP.toUri, confSer.value)
+            fc.rename(tmpP, finalP,
+              org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+          } catch {
+            case _: UnsupportedOperationException |
+                 _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+              fs.delete(finalP, false)
+              if (!fs.rename(tmpP, finalP))
+                throw new java.io.IOException(
+                  s"commit rename failed: $tmpP -> $finalP")
+          }
         } else fs.delete(tmpP, false)
       }
     }

@@ -24,13 +24,39 @@ object BinaryFiles {
       .option("recursiveFileLookup", "true")
       .load(root)
 
+  /** Above this many manifest lines, [[readManifest]] switches to the
+    * distributed reader — no unbounded driver materialization path is
+    * reachable from the facade. */
+  val ManifestCollectLimit: Int = 100000
+
   /** S2: newline-delimited URI manifest (blank lines and `#` comments
-    * ignored). The list itself is driver-side, as in the reference. */
+    * ignored). Small manifests (≤ [[ManifestCollectLimit]] lines) go
+    * through the driver-side `binaryFile` load for reference parity
+    * (path-glob planning, file-status columns); anything larger is
+    * routed to [[readManifestDistributed]] so a 100M-line manifest
+    * never lands on the driver. Use [[readManifestDryRun]] when only
+    * the resolved path list is wanted. */
   def readManifest(spark: SparkSession, manifest: String): DataFrame = {
-    val paths = spark.read.textFile(manifest).collect()
-      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
-    require(paths.nonEmpty, s"manifest $manifest lists no files")
-    spark.read.format("binaryFile").load(paths.toIndexedSeq: _*)
+    import org.apache.spark.sql.functions.{col, trim}
+    val lines = spark.read.textFile(manifest)
+      .select(trim(col("value")).as("value"))
+      .filter(col("value") =!= "" && !col("value").startsWith("#"))
+    // limit+1 bounds the driver copy regardless of manifest size
+    val head = lines.limit(ManifestCollectLimit + 1).collect().map(_.getString(0))
+    require(head.nonEmpty, s"manifest $manifest lists no files")
+    if (head.length > ManifestCollectLimit)
+      readManifestDistributed(spark, manifest)
+    else
+      spark.read.format("binaryFile").load(head.toIndexedSeq: _*)
+  }
+
+  /** Dry-run: the resolved (trimmed, uncommented) path list only —
+    * bounded by the caller's own `collect`/`show`, never loads bytes. */
+  def readManifestDryRun(spark: SparkSession, manifest: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, trim}
+    spark.read.textFile(manifest)
+      .select(trim(col("value")).as("path"))
+      .filter(col("path") =!= "" && !col("path").startsWith("#"))
   }
 
   /** S4 FilenameInputFormat analog: just the paths as a DataFrame. */
@@ -40,8 +66,10 @@ object BinaryFiles {
    * S2 at unbounded scale: the manifest NEVER materializes on the
    * driver — paths stay a DataFrame, repartition spreads them across
    * the cluster, and each task opens its own files through the Hadoop
-   * FS (fresh per-task `Configuration`; default-FS/credential-file
-   * setups resolve identically in executors). This is the flow for a
+   * FS with the SESSION's `hadoopConfiguration` (shipped via
+   * [[graft.util.SerializableHadoopConf]], the same pattern the
+   * Avro/TFRecord sinks use — so runtime-configured `spark.hadoop.*`
+   * object-store credentials work here too). This is the flow for a
    * 100M-file manifest where [[readManifest]]'s driver-side
    * `collect()` (reference-parity: MapReduceIndexerTool.java:892-959
    * holds the list in the submitter JVM too) would exhaust driver
@@ -64,9 +92,11 @@ object BinaryFiles {
       org.apache.spark.sql.Encoders.scalaLong,
       org.apache.spark.sql.Encoders.BINARY,
       org.apache.spark.sql.Encoders.scalaBoolean)
+    val serConf =
+      new graft.util.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     paths.mapPartitions { it =>
-      // per-task FS handle, reused across this partition's files
-      val conf = new org.apache.hadoop.conf.Configuration()
+      // per-task FS handle (session conf), reused across this partition's files
+      val conf = serConf.value
       it.map { p =>
         val path = new org.apache.hadoop.fs.Path(p)
         val fs = path.getFileSystem(conf)

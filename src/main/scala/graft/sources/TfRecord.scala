@@ -126,8 +126,11 @@ object TfRecord {
         var len = 0L
         var i = 7
         while (i >= 0) { len = (len << 8) | (bytes(pos + i) & 0xffL); i -= 1 }
-        // structurally impossible length -> stop (truncated/corrupt tail)
-        if (len < 0 || pos + 12 + len + 4 > bytes.length) return
+        // structurally impossible length -> stop (truncated/corrupt tail).
+        // Subtraction form: an adversarial 8-byte length near Long.MaxValue
+        // would wrap `pos + 12 + len + 4` negative and bypass an addition-form
+        // guard, crashing the task in copyOfRange instead of stopping cleanly.
+        if (len < 0 || len > bytes.length.toLong - pos - 16) return
         val lenCrcOk = readIntLE(bytes, pos + 8) == maskedCrc(bytes, pos, 8)
         if (!lenCrcOk) return // cannot trust the frame boundary itself
         val dataOff = pos + 12

@@ -63,6 +63,17 @@ class BloomDedupSpec extends AnyFunSuite {
       s"join should see ~500 of 2000 incoming rows, saw $maybe")
   }
 
+  test("null-key rows survive as new (NOT EXISTS semantics)") {
+    val corpus = spark.range(0, 100)
+      .select(concat(lit("n"), col("id")).as("k")).as[String]
+    // 2 null-key rows + 1 dup + 1 new
+    val incoming = Seq((1L, null: String), (2L, "n5"), (3L, null: String),
+      (4L, "brand-new")).toDF("id", "k")
+    val out = BloomDedup.newRows(incoming, "k", corpus, expectedItems = 100)
+    // null never equals a corpus key -> NOT EXISTS keeps it
+    assert(out.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 3L, 4L))
+  }
+
   test("undersized filter stays correct (just prunes less)") {
     val corpus = spark.range(0, 3000)
       .select(concat(lit("c"), col("id")).as("k")).as[String]

@@ -40,6 +40,21 @@ class TfRecordSpec extends AnyFunSuite {
     assert(back.map(_._1).toSet === (1 to 100).map(i => s"payload-$i-${"x" * (i % 17)}").toSet)
   }
 
+  test("adversarial near-Long.MaxValue length stops the walk instead of crashing") {
+    // Craft a frame whose 8-byte length wraps `pos + 12 + len + 4`
+    // negative: an addition-form bounds check would pass and
+    // copyOfRange would throw. The masked length-CRC is computed over
+    // the adversarial bytes so the CRC gate can't save us.
+    val len = java.lang.Long.MAX_VALUE - 7
+    val rec = new Array[Byte](12 + 8)
+    var i = 0
+    while (i < 8) { rec(i) = ((len >>> (8 * i)) & 0xff).toByte; i += 1 }
+    val crc = TfRecord.maskedCrc(rec, 0, 8)
+    i = 0
+    while (i < 4) { rec(8 + i) = ((crc >>> (8 * i)) & 0xff).toByte; i += 1 }
+    assert(TfRecord.parseFile("t", rec).isEmpty) // stop, no exception
+  }
+
   test("a flipped payload byte flags corrupt; a flipped length byte stops the walk") {
     val good = TfRecord.frame("hello".getBytes("UTF-8")) ++
       TfRecord.frame("world".getBytes("UTF-8"))
