@@ -111,8 +111,12 @@ object GraphOps {
             lit(depth.toLong).as("depth"))
       if (probe.getLong(0) == 0) return empty
       if (depth < maxDepth) { // final round never consumes visited
-        visited = visited.union(next.select(col("node")).distinct())
-          .localCheckpoint(true)
+        // LAZY visited growth: the union reads already-checkpointed
+        // frontier RDDs, so deferring it to the next round's anti-join
+        // costs no recompute and saves the eager-checkpoint job that
+        // used to run every round. Duplicate nodes (one per path) are
+        // harmless on an anti-join's build side.
+        visited = visited.union(next.select(col("node")))
         frontier = next
       }
     }
@@ -121,8 +125,21 @@ object GraphOps {
 
   /** Meet-in-the-middle walk. Forward frontiers carry (node, path
     * source→node); backward frontiers carry (node, bpath node→target).
-    * After every single-side expansion the two frontiers are joined on
-    * node; the first non-empty meet layer is the answer. */
+    * After every single-side expansion the grown frontier is probed
+    * against the other side; the first non-empty meet layer is the
+    * answer.
+    *
+    * Round cost is exactly TWO jobs: (1) expansion — frontier ⋈ edges,
+    * anti-join vs visited, eager localCheckpoint; (2) a fused probe
+    * that reads the new frontier's size AND its meet count against the
+    * other frontier in one aggregate. The visited set grows as a LAZY
+    * union of already-checkpointed frontier id-frames (no recompute,
+    * no per-round checkpoint job), and the meet/splice frame is only
+    * constructed — lazily — on the terminating round. At ~12 rounds
+    * this halves the loop's fixed job-launch overhead versus a
+    * checkpoint-meets-then-count-then-recount shape, which is the
+    * dominant residual cost once every data-sized movement is a
+    * small-frame join. */
   private def bidi(e: DataFrame, source: String, target: String,
                    maxDepth: Int): DataFrame = {
     val spark = e.sparkSession
@@ -140,49 +157,56 @@ object GraphOps {
     // expansion cost ∝ frontier size: track counts to grow the small side
     var fCount = 1L
     var bCount = 1L
-    while (fDepth + bDepth < maxDepth) {
-      val growForward = fCount <= bCount
-      if (growForward) {
-        fDepth += 1
-        fFront = fFront.join(e, fFront("node") === e("__src"))
-          .select(col("__dst").as("node"),
-            concat(col("path"), array(col("__dst"))).as("path"))
-          .join(fVisited, Seq("node"), "left_anti")
-          .localCheckpoint(true)
-      } else {
-        bDepth += 1
-        bFront = bFront.join(er, bFront("node") === er("__src"))
-          .select(col("__dst").as("node"),
-            concat(array(col("__dst")), col("bpath")).as("bpath"))
-          .join(bVisited, Seq("node"), "left_anti")
-          .localCheckpoint(true)
-      }
-      // meet layer: every shortest path of length fDepth+bDepth crosses
-      // here (scaladoc proof) — splice forward × backward halves. The
-      // meet frame stays DISTRIBUTED (it is the operator's result and
-      // can be as large as the all-shortest-paths set); the emptiness
-      // probe reads one partition of the checkpoint, not the driver
-      val meets = fFront.join(bFront, Seq("node"))
+    // splice forward × backward halves at their meet nodes (scaladoc
+    // proof: every minimum-length path crosses the meet layer at
+    // exactly one node, so the product enumerates each exactly once)
+    def spliced(ff: DataFrame, bf: DataFrame, depth: Int): DataFrame =
+      ff.join(bf, Seq("node"))
         .select(array_join(
             concat(col("path"),
               expr("slice(bpath, 2, greatest(size(bpath) - 1, 0))")),
             ">").as("path"),
-          lit((fDepth + bDepth).toLong).as("depth"))
-        .localCheckpoint(true)
-      if (meets.limit(1).count() > 0) return meets
-      val grown = if (growForward) fFront else bFront
-      val n = grown.count()
-      if (n == 0) return empty
+          lit(depth.toLong).as("depth"))
+    while (fDepth + bDepth < maxDepth) {
+      val growForward = fCount <= bCount
+      val next =
+        if (growForward) {
+          fDepth += 1
+          fFront.join(e, fFront("node") === e("__src"))
+            .select(col("__dst").as("node"),
+              concat(col("path"), array(col("__dst"))).as("path"))
+            .join(fVisited, Seq("node"), "left_anti")
+            .localCheckpoint(true)
+        } else {
+          bDepth += 1
+          bFront.join(er, bFront("node") === er("__src"))
+            .select(col("__dst").as("node"),
+              concat(array(col("__dst")), col("bpath")).as("bpath"))
+            .join(bVisited, Seq("node"), "left_anti")
+            .localCheckpoint(true)
+        }
+      val other = if (growForward) bFront else fFront
+      // fused probe: frontier size + meet hits in ONE job. When hits
+      // are zero the left join matches nothing, so n is the exact
+      // frontier size; when hits > 0 the walk terminates and n's
+      // join-multiplied value is never used.
+      val probe = next
+        .join(other.select(col("node"), lit(1).as("__hit")), Seq("node"), "left")
+        .agg(count(lit(1)).as("n"), count(col("__hit")).as("hits")).head()
+      if (probe.getLong(1) > 0)
+        return if (growForward) spliced(next, bFront, fDepth + bDepth)
+               else spliced(fFront, next, fDepth + bDepth)
+      if (probe.getLong(0) == 0) return empty
+      // LAZY visited growth (see forwardOnly): union over checkpointed
+      // frontier ids, deduped implicitly by the anti-join's build side
       if (growForward) {
-        fCount = n
-        if (fDepth + bDepth < maxDepth) // final round never consumes visited
-          fVisited = fVisited.union(fFront.select(col("node")).distinct())
-            .localCheckpoint(true)
+        fCount = probe.getLong(0)
+        fVisited = fVisited.union(next.select(col("node")))
+        fFront = next
       } else {
-        bCount = n
-        if (fDepth + bDepth < maxDepth)
-          bVisited = bVisited.union(bFront.select(col("node")).distinct())
-            .localCheckpoint(true)
+        bCount = probe.getLong(0)
+        bVisited = bVisited.union(next.select(col("node")))
+        bFront = next
       }
     }
     empty
