@@ -22,10 +22,16 @@ import scala.collection.mutable
  *  - an index directory holds immutable SEGMENTS plus a generational
  *    commit file `segments_N` (highest N wins — Lucene's commit
  *    protocol) listing live segments and their doc counts;
- *  - a segment is `_K.fld` (stored fields, doc-ordinal order) +
- *    `_K.fdx` (fixed-width byte offset of each stored doc record —
- *    Lucene's stored-fields index: a selective query SEEKS to its
- *    hit ordinals instead of streaming the segment) +
+ *  - a segment is `_K.fld` (stored fields, doc-ordinal order; the
+ *    default v2 codec packs records into ~16 KiB deflate blocks —
+ *    Lucene's CompressingStoredFieldsFormat analog, because stored
+ *    bytes are the store's dominant cost at corpus scale — v1 plain
+ *    records remain readable) +
+ *    `_K.fdx` (fixed-width position of each stored doc record: v1 a
+ *    byte offset, v2 (block offset, offset-in-block) — Lucene's
+ *    stored-fields index: a selective query SEEKS to its hit
+ *    ordinals, inflating only the blocks it touches, instead of
+ *    streaming the segment) +
  *    `_K.trm` (term dictionary: sorted (field, term) → delta-varint
  *    posting list of ascending doc ordinals; v2 adds per-ordinal
  *    token POSITIONS for analyzed fields — phrase queries — with a
@@ -164,13 +170,52 @@ object SegmentIndex {
     new String(buf, StandardCharsets.UTF_8)
   }
 
-  private val FLD_MAGIC = 0x47464C44 // "GFLD"
+  private val FLD_MAGIC = 0x47464C44 // "GFLD" — v1: plain doc records
+  private val FLD_MAGIC2 = 0x47464C45 // "GFLE" — v2: deflate block-compressed
+  private val FDX_MAGIC2 = 0x47464459 // "GFDY" — v2: (blockOff: i64, rawOff: i32) per doc
   private val TRM_MAGIC = 0x4754524D  // "GTRM" — v1, ords only
   private val TRM_MAGIC2 = 0x4754524E // "GTRN" — v2, ords + per-ord positions
   private val TRM_MAGIC3 = 0x4754524F // "GTRO" — v3: v2 blocks + per-field seek footer
   private val DEL_MAGIC = 0x4744454C // "GDEL"
   private val NRM_MAGIC = 0x474E524D // "GNRM" — per-ord token counts (norms)
   private val FDX_MAGIC = 0x47464458 // "GFDX" — fixed-width stored-doc offsets
+
+  /** Raw bytes per stored-field compression block (doc-aligned: a doc
+    * record never splits across blocks, so one inflate serves a whole
+    * record; oversized docs become single-doc blocks). 16 KiB is the
+    * Lucene BEST_SPEED chunk neighborhood — at 100 TB the store's
+    * dominant cost is stored-field bytes, and text deflates 2-4×. */
+  private[index] val StoredBlockSize: Int = 16 * 1024
+
+  private def deflateBlock(raw: Array[Byte], len: Int): Array[Byte] = {
+    // BEST_SPEED: stored-field reads sit on the query path; the codec
+    // trades a few ratio points for LZ4-class inflate cost
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+    try {
+      d.setInput(raw, 0, len)
+      d.finish()
+      val out = new java.io.ByteArrayOutputStream(len / 2 + 64)
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    } finally d.end()
+  }
+
+  private def inflateBlock(comp: Array[Byte], rawLen: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(comp)
+      val out = new Array[Byte](rawLen)
+      var off = 0
+      while (off < rawLen && !inf.finished()) {
+        val n = inf.inflate(out, off, rawLen - off)
+        if (n == 0 && inf.needsInput())
+          throw new java.io.IOException("truncated stored-field block")
+        off += n
+      }
+      out
+    } finally inf.end()
+  }
 
   /** Byte-position tracking for the seek indexes (.trm footer / .fdx):
     * sits between DataOutputStream and the buffered sink, so `count`
@@ -240,33 +285,83 @@ object SegmentIndex {
 
   private[index] def writeSegment(fs: FileSystem, dir: Path, name: String,
                                   docs: IndexedSeq[Doc],
-                                  analyzed: Set[String] = Set.empty): SegmentMeta = {
+                                  analyzed: Set[String] = Set.empty,
+                                  compress: Boolean = true): SegmentMeta = {
     // stored fields, doc-ordinal order; .fdx records each doc record's
-    // byte offset (fixed-width) so a selective query can seek straight
+    // position (fixed-width) so a selective query can seek straight
     // to its hit ordinals instead of streaming every stored doc —
-    // Lucene's stored-fields index (.fdx) design
-    val docOffsets = new Array[Long](docs.length)
-    val fldCount = new CountingOutputStream(new BufferedOutputStream(
-      fs.create(new Path(dir, s"$name.fld"), true)))
-    val fld = new DataOutputStream(fldCount)
-    try {
-      fld.writeInt(FLD_MAGIC)
-      writeVInt(fld, docs.length)
-      var i = 0
-      docs.foreach { d =>
-        docOffsets(i) = fldCount.count
-        i += 1
-        writeVInt(fld, d.length)
-        d.foreach { case (f, v) => writeStr(fld, f); writeStr(fld, v) }
-      }
-    } finally fld.close()
-    val fdx = new DataOutputStream(new BufferedOutputStream(
-      fs.create(new Path(dir, s"$name.fdx"), true)))
-    try {
-      fdx.writeInt(FDX_MAGIC)
-      fdx.writeInt(docs.length)
-      docOffsets.foreach(fdx.writeLong)
-    } finally fdx.close()
+    // Lucene's stored-fields index (.fdx) design. The default codec
+    // (v2, Lucene's CompressingStoredFieldsFormat analog) packs doc
+    // records into ~16 KiB deflate blocks: per doc the .fdx carries
+    // (block file offset, raw offset inside the block), so a seek
+    // costs one block inflate. `compress = false` writes the v1 plain
+    // layout; both remain readable forever.
+    if (compress) {
+      val blockOffs = new Array[Long](docs.length)
+      val rawOffs = new Array[Int](docs.length)
+      val fldCount = new CountingOutputStream(new BufferedOutputStream(
+        fs.create(new Path(dir, s"$name.fld"), true)))
+      val fld = new DataOutputStream(fldCount)
+      try {
+        fld.writeInt(FLD_MAGIC2)
+        writeVInt(fld, docs.length)
+        val block = new java.io.ByteArrayOutputStream(StoredBlockSize + 4096)
+        val bdo = new DataOutputStream(block)
+        def flush(): Unit = if (block.size() > 0) {
+          val raw = block.toByteArray
+          val comp = deflateBlock(raw, raw.length)
+          writeVInt(fld, raw.length)
+          writeVInt(fld, comp.length)
+          fld.write(comp)
+          block.reset()
+        }
+        var i = 0
+        docs.foreach { d =>
+          // nothing is written to fld while a block fills, so `count`
+          // IS the file offset the current block will flush to
+          blockOffs(i) = fldCount.count
+          rawOffs(i) = block.size()
+          i += 1
+          writeVInt(bdo, d.length)
+          d.foreach { case (f, v) => writeStr(bdo, f); writeStr(bdo, v) }
+          if (block.size() >= StoredBlockSize) flush()
+        }
+        flush()
+      } finally fld.close()
+      val fdx = new DataOutputStream(new BufferedOutputStream(
+        fs.create(new Path(dir, s"$name.fdx"), true)))
+      try {
+        fdx.writeInt(FDX_MAGIC2)
+        fdx.writeInt(docs.length)
+        var i = 0
+        while (i < docs.length) {
+          fdx.writeLong(blockOffs(i)); fdx.writeInt(rawOffs(i)); i += 1
+        }
+      } finally fdx.close()
+    } else {
+      val docOffsets = new Array[Long](docs.length)
+      val fldCount = new CountingOutputStream(new BufferedOutputStream(
+        fs.create(new Path(dir, s"$name.fld"), true)))
+      val fld = new DataOutputStream(fldCount)
+      try {
+        fld.writeInt(FLD_MAGIC)
+        writeVInt(fld, docs.length)
+        var i = 0
+        docs.foreach { d =>
+          docOffsets(i) = fldCount.count
+          i += 1
+          writeVInt(fld, d.length)
+          d.foreach { case (f, v) => writeStr(fld, f); writeStr(fld, v) }
+        }
+      } finally fld.close()
+      val fdx = new DataOutputStream(new BufferedOutputStream(
+        fs.create(new Path(dir, s"$name.fdx"), true)))
+      try {
+        fdx.writeInt(FDX_MAGIC)
+        fdx.writeInt(docs.length)
+        docOffsets.foreach(fdx.writeLong)
+      } finally fdx.close()
+    }
     // inverted postings: field → term → ascending distinct ordinals.
     // Analyzed fields index their TOKENS (stored value stays verbatim,
     // the Lucene stored-vs-indexed split) WITH token positions, so
@@ -386,6 +481,18 @@ object SegmentIndex {
           val in = fs.open(new Path(dir, s"${s.name}.trm"))
           try in.readInt() == TRM_MAGIC3 finally in.close()
         }
+    } && {
+      // byte concatenation requires ONE stored-field codec across all
+      // sources; a mixed v1/v2 store (e.g. addIndexes-copied legacy
+      // segments) takes the rewrite path, which re-emits as v2
+      fldMagics(fs, dir, segs).distinct.lengthIs <= 1
+    }
+
+  private def fldMagics(fs: FileSystem, dir: Path,
+                        segs: Seq[SegmentMeta]): Seq[Int] =
+    segs.filter(_.docs > 0).map { s =>
+      val in = fs.open(new Path(dir, s"${s.name}.fld"))
+      try in.readInt() finally in.close()
     }
 
   /**
@@ -403,43 +510,57 @@ object SegmentIndex {
   private[index] def mergeSegmentsRaw(fs: FileSystem, dir: Path, name: String,
                                       segs: Seq[SegmentMeta]): SegmentMeta = {
     val totalDocs = segs.map(_.docs).sum
-    // per-source stored-field byte ranges via each .fdx
-    val srcOffsets: Seq[Array[Long]] = segs.map { s =>
-      if (s.docs == 0) Array.empty[Long]
+    // one codec across sources (canRawMerge enforced); v2 blocks and
+    // v1 records are both self-delimiting, so either concatenates
+    val v2 = fldMagics(fs, dir, segs).headOption.contains(FLD_MAGIC2)
+    // per-source stored-field positions via each .fdx
+    val srcOffsets: Seq[(Array[Long], Array[Int])] = segs.map { s =>
+      if (s.docs == 0) (Array.empty[Long], Array.empty[Int])
       else {
         val in = new DataInputStream(new BufferedInputStream(
           fs.open(new Path(dir, s"${s.name}.fdx"))))
         try {
-          require(in.readInt() == FDX_MAGIC, s"bad .fdx magic in $dir/${s.name}")
+          val magic = in.readInt()
+          require(magic == (if (v2) FDX_MAGIC2 else FDX_MAGIC),
+            s"bad .fdx magic in $dir/${s.name}")
           val n = in.readInt()
           val arr = new Array[Long](n)
+          val raws = if (v2) new Array[Int](n) else Array.empty[Int]
           var i = 0
-          while (i < n) { arr(i) = in.readLong(); i += 1 }
-          arr
+          while (i < n) {
+            arr(i) = in.readLong()
+            if (v2) raws(i) = in.readInt()
+            i += 1
+          }
+          (arr, raws)
         } finally in.close()
       }
     }
     // .fld: header + verbatim byte concatenation of every source's
-    // record region; offsets recorded for the new .fdx as we go
+    // record/block region; positions recorded for the new .fdx as we
+    // go (v2 blocks relocate wholesale — intra-block offsets hold)
     val newOffsets = new Array[Long](totalDocs)
+    val newRawOffs = if (v2) new Array[Int](totalDocs) else Array.empty[Int]
     val fldCount = new CountingOutputStream(new BufferedOutputStream(
       fs.create(new Path(dir, s"$name.fld"), true)))
     val fld = new DataOutputStream(fldCount)
     try {
-      fld.writeInt(FLD_MAGIC)
+      fld.writeInt(if (v2) FLD_MAGIC2 else FLD_MAGIC)
       writeVInt(fld, totalDocs)
       var ord = 0
       segs.iterator.zipWithIndex.foreach { case (s, si) =>
-        val offs = srcOffsets(si)
+        val (offs, raws) = srcOffsets(si)
         if (offs.nonEmpty) {
           val base = fldCount.count
           var i = 0
           while (i < offs.length) {
-            newOffsets(ord) = base + (offs(i) - offs(0)); ord += 1; i += 1
+            newOffsets(ord) = base + (offs(i) - offs(0))
+            if (v2) newRawOffs(ord) = raws(i)
+            ord += 1; i += 1
           }
           val in = fs.open(new Path(dir, s"${s.name}.fld"))
           try {
-            in.seek(offs(0)) // first record = end of the source header
+            in.seek(offs(0)) // first record/block = end of source header
             val buf = new Array[Byte](1 << 16)
             var n = in.read(buf)
             while (n >= 0) { if (n > 0) fld.write(buf, 0, n); n = in.read(buf) }
@@ -450,9 +571,14 @@ object SegmentIndex {
     val fdx = new DataOutputStream(new BufferedOutputStream(
       fs.create(new Path(dir, s"$name.fdx"), true)))
     try {
-      fdx.writeInt(FDX_MAGIC)
+      fdx.writeInt(if (v2) FDX_MAGIC2 else FDX_MAGIC)
       fdx.writeInt(totalDocs)
-      newOffsets.foreach(fdx.writeLong)
+      var i = 0
+      while (i < totalDocs) {
+        fdx.writeLong(newOffsets(i))
+        if (v2) fdx.writeInt(newRawOffs(i))
+        i += 1
+      }
     } finally fdx.close()
     // .trm: merge dictionaries, ordinals shifted by doc base — source
     // order is ascending doc base, so concatenated posting lists stay
@@ -578,11 +704,33 @@ object SegmentIndex {
     val in = new DataInputStream(new BufferedInputStream(
       fs.open(new Path(dir, s"$name.fld"))))
     try {
-      require(in.readInt() == FLD_MAGIC, s"bad .fld magic in $dir/$name")
-      val n = readVInt(in)
-      (0 until n).map { _ =>
-        val nf = readVInt(in)
-        (0 until nf).map(_ => (readStr(in), readStr(in)))
+      val magic = in.readInt()
+      if (magic == FLD_MAGIC2) {
+        // v2: stream blocks, inflate, parse the records each holds
+        val n = readVInt(in)
+        val out = IndexedSeq.newBuilder[Doc]
+        var read = 0
+        while (read < n) {
+          val rawLen = readVInt(in)
+          val compLen = readVInt(in)
+          val comp = new Array[Byte](compLen)
+          in.readFully(comp)
+          val bin = new DataInputStream(
+            new java.io.ByteArrayInputStream(inflateBlock(comp, rawLen)))
+          while (bin.available() > 0 && read < n) {
+            val nf = readVInt(bin)
+            out += (0 until nf).map(_ => (readStr(bin), readStr(bin)))
+            read += 1
+          }
+        }
+        out.result()
+      } else {
+        require(magic == FLD_MAGIC, s"bad .fld magic in $dir/$name")
+        val n = readVInt(in)
+        (0 until n).map { _ =>
+          val nf = readVInt(in)
+          (0 until nf).map(_ => (readStr(in), readStr(in)))
+        }
       }
     } finally in.close()
   }
@@ -731,28 +879,57 @@ object SegmentIndex {
       return ords.toIndexedSeq.map(all)
     }
     val offsets = new Array[Long](ords.length)
+    val rawOffs = new Array[Int](ords.length) // v2 only: offset in block
+    var v2 = false
     val fdx = fs.open(fdxPath)
     try {
       val head = new DataInputStream(fdx)
-      require(head.readInt() == FDX_MAGIC, s"bad .fdx magic in $dir/$name")
+      val magic = head.readInt()
+      v2 = magic == FDX_MAGIC2
+      require(v2 || magic == FDX_MAGIC, s"bad .fdx magic in $dir/$name")
       val n = head.readInt()
+      val width = if (v2) 12L else 8L
       var i = 0
       while (i < ords.length) {
         val o = ords(i)
         require(o >= 0 && o < n, s"ordinal $o out of range in $dir/$name ($n docs)")
-        fdx.seek(8L + 8L * o)
+        fdx.seek(8L + width * o)
         offsets(i) = head.readLong()
+        if (v2) rawOffs(i) = head.readInt()
         i += 1
       }
     } finally fdx.close()
     val fld = fs.open(new Path(dir, s"$name.fld"))
     try {
-      offsets.iterator.map { off =>
-        fld.seek(off)
-        val in = new DataInputStream(new BufferedInputStream(fld))
-        val nf = readVInt(in)
-        (0 until nf).map(_ => (readStr(in), readStr(in))): Doc
-      }.toIndexedSeq
+      if (v2) {
+        // one inflate per DISTINCT block touched: ascending ords
+        // cluster into the same block, so cache the last one
+        var cachedOff = -1L
+        var cachedRaw: Array[Byte] = null
+        offsets.iterator.zipWithIndex.map { case (blockOff, i) =>
+          if (blockOff != cachedOff) {
+            fld.seek(blockOff)
+            val in = new DataInputStream(fld)
+            val rawLen = readVInt(in)
+            val compLen = readVInt(in)
+            val comp = new Array[Byte](compLen)
+            in.readFully(comp)
+            cachedRaw = inflateBlock(comp, rawLen)
+            cachedOff = blockOff
+          }
+          val bin = new DataInputStream(new java.io.ByteArrayInputStream(
+            cachedRaw, rawOffs(i), cachedRaw.length - rawOffs(i)))
+          val nf = readVInt(bin)
+          (0 until nf).map(_ => (readStr(bin), readStr(bin))): Doc
+        }.toIndexedSeq
+      } else {
+        offsets.iterator.map { off =>
+          fld.seek(off)
+          val in = new DataInputStream(new BufferedInputStream(fld))
+          val nf = readVInt(in)
+          (0 until nf).map(_ => (readStr(in), readStr(in))): Doc
+        }.toIndexedSeq
+      }
     } finally fld.close()
   }
 
@@ -829,7 +1006,8 @@ object SegmentIndex {
    * documents become ONE new segment at `commit()`.
    */
   final class Writer(fs: FileSystem, dir: Path,
-                     analyzed: Set[String] = Set.empty) {
+                     analyzed: Set[String] = Set.empty,
+                     compressStored: Boolean = true) {
     fs.mkdirs(dir)
     private var commitPoint =
       latestCommit(fs, dir).getOrElse(CommitPoint(0, 0, Nil))
@@ -887,7 +1065,8 @@ object SegmentIndex {
         if (pending.isEmpty) commitPoint
         else {
           val name = s"_${commitPoint.counter}"
-          val meta = writeSegment(fs, dir, name, pending.toIndexedSeq, analyzed)
+          val meta = writeSegment(fs, dir, name, pending.toIndexedSeq, analyzed,
+            compress = compressStored)
           pending.clear()
           commitPoint.copy(counter = commitPoint.counter + 1,
             segments = commitPoint.segments :+ meta)
@@ -988,7 +1167,7 @@ object SegmentIndex {
                 case (doc, ord) if !dels.contains(ord) => doc
               }
             }.toIndexedSeq
-            writeSegment(fs, dir, name, all, analyzed)
+            writeSegment(fs, dir, name, all, analyzed, compress = compressStored)
           }
         commitPoint = CommitPoint(commitPoint.gen + 1, commitPoint.counter + 1, Seq(meta))
         writeCommit(fs, dir, commitPoint)
@@ -1701,9 +1880,10 @@ object SegmentIndex {
   }
 
   def writer(dir: String, conf: Configuration,
-             analyzed: Set[String] = Set.empty): Writer = {
+             analyzed: Set[String] = Set.empty,
+             compressStored: Boolean = true): Writer = {
     val p = new Path(dir)
-    new Writer(p.getFileSystem(conf), p, analyzed)
+    new Writer(p.getFileSystem(conf), p, analyzed, compressStored)
   }
 
   def reader(dir: String, conf: Configuration): Reader = {
