@@ -3125,10 +3125,18 @@ object SparkEntry {
     // multimodal byte-frame sampling: stride-4096 windows of 512
     // bytes, fan-out capped BEFORE the explode; frame bytes real
     // (binary substring), metadata oracled against read_blob
+    // container-aware frame sampling: MP4/FLV payloads emit REAL
+    // keyframe offsets from their own sample tables (stsz/stsc/stco/
+    // stss, video-tag frametype); non-container files keep the exact
+    // byte-stride arithmetic. Both halves hash-oracled — the stride
+    // half replayed over read_blob, the container half recomputed
+    // from the fixtures' closed-form layout.
     "q221_frame_sample" -> ((s, d) =>
-      Multimodal.sampleByteFrames(
-          Multimodal.readBinary(s, d, "*.parquet"),
+      Multimodal.sampleContainerFrames(s,
+          Multimodal.readBinary(s, d, "*.parquet")
+            .unionByName(Multimodal.readBinary(s, videoFixtureStore(s, d), "*")),
           every = 4096, frameLen = 512, maxFrames = 8)
+        .toDF()
         .select(regexp_extract(col("path"), "[^/]+$", 0).as("file_name"),
           col("frame_idx").cast("long").as("frame_idx"),
           col("byte_off"), col("frame_len"))),
@@ -4067,6 +4075,44 @@ object SparkEntry {
       graft.ops.Profiling.corpusDiffBySource(oldSnap, newSnap,
           "doc_id", "source", md5(col("text").cast("binary")))
         .orderBy(col("source"))
+    }),
+
+    // S9 video: MP4/ISO-BMFF metadata through the dependency-free box
+    // walk (IsoBmff — Tika MP4Parser analog,
+    // solrCellDocumentTypes.conf:256). Round-trip oracle: fixture
+    // layouts are closed forms of the nation key, DuckDB recomputes
+    // them; the parser must read identical values from the real bytes.
+    "q279_mp4_parse" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.readBinary(s, videoFixtureStore(s, d), "*.mp4")
+        .select(col("path"), col("content")).as[(String, Array[Byte])]
+        .mapPartitions(_.flatMap { case (path, bytes) =>
+          graft.sources.IsoBmff.parse(bytes).map { info =>
+            val t = info.tracks.head
+            (path.replaceAll(".*/", ""), info.durationMillis,
+              info.tracks.length.toLong, t.samples.length.toLong,
+              t.samples.count(_.keyframe).toLong,
+              t.width.toLong, t.height.toLong)
+          }
+        })
+        .toDF("file_name", "duration_ms", "n_tracks", "n_samples",
+          "n_keyframes", "width", "height")
+    }),
+
+    // S9 video: FLV tag walk (Flv — Tika FLVParser analog,
+    // solrCellDocumentTypes.conf:265), same round-trip oracle shape
+    // over the region-keyed fixtures.
+    "q280_flv_parse" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.readBinary(s, videoFixtureStore(s, d), "*.flv")
+        .select(col("path"), col("content")).as[(String, Array[Byte])]
+        .mapPartitions(_.flatMap { case (path, bytes) =>
+          graft.sources.Flv.parse(bytes).map { info =>
+            (path.replaceAll(".*/", ""), info.durationMs,
+              info.tags.length.toLong, info.keyframes.length.toLong)
+          }
+        })
+        .toDF("file_name", "duration_ms", "n_tags", "n_keyframes")
     })
   )
 
@@ -4095,6 +4141,35 @@ object SparkEntry {
         "id", o, shards = 4)
     }
   }
+
+  /** Deterministic MP4 + FLV fixture files, one per nation / region
+    * row (the video-container analog of the WET fixture store): every
+    * container's sample layout is a closed form of its table key, so
+    * the DuckDB oracle recomputes each byte offset the box/tag
+    * parsers must read back from the real binary. The driving frames
+    * are 25- and 5-row dimensions — the collect is bounded by
+    * construction. */
+  private def videoFixtureStore(s: SparkSession, d: String): String =
+    sharedStore(d, "video_fixtures") { o =>
+      import graft.sources.{Flv, IsoBmff}
+      val dir = java.nio.file.Paths.get(o)
+      Tables.nation(s, d).select(col("n_nationkey").cast("int"))
+        .collect().map(_.getInt(0)).foreach { k =>
+          val count = 5 + (k % 7)
+          val sizes = (0 until count).map(i => 64 + ((k * 31 + i * 17) % 128))
+          java.nio.file.Files.write(dir.resolve(f"vid_$k%02d.mp4"),
+            IsoBmff.write(sizes, timescale = 1000, duration = 500L * (k + 1),
+              width = 320 + 16 * (k % 8), height = 240 + 16 * (k % 5),
+              samplesPerChunk = 3, keyEvery = 4))
+        }
+      Tables.region(s, d).select(col("r_regionkey").cast("int"))
+        .collect().map(_.getInt(0)).foreach { r =>
+          val count = 6 + r
+          val sizes = (0 until count).map(i => 32 + ((r * 13 + i * 7) % 64))
+          java.nio.file.Files.write(dir.resolve(f"flv_$r%02d.flv"),
+            Flv.write(sizes, msPerTag = 40, keyEvery = 3))
+        }
+    }
 
   // ---------------------------------------------------------------
   // DuckDB oracles (ANSI-ish SQL over the same parquet tables).
@@ -6362,7 +6437,37 @@ object SparkEntry {
         |  least(512, size - i * 4096) AS frame_len
         |FROM (SELECT filename, size, unnest(generate_series(0,
         |        CAST(least(7, (size - 1) // 4096) AS INT))) AS i
-        |      FROM read_blob('{SF_DIR}/*.parquet'))""".stripMargin,
+        |      FROM read_blob('{SF_DIR}/*.parquet'))
+        |UNION ALL
+        |-- mp4 fixtures: keyframes (every 4th sample) at offsets
+        |-- 32 + running sample-size sum (IsoBmff.write layout)
+        |SELECT file_name, CAST(i // 4 AS BIGINT) AS frame_idx,
+        |  CAST(off AS BIGINT) AS byte_off, CAST(sz AS BIGINT) AS frame_len
+        |FROM (
+        |  SELECT printf('vid_%02d.mp4', k) AS file_name, i, sz,
+        |    32 + COALESCE(SUM(sz) OVER (PARTITION BY k ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM (
+        |    SELECT n_nationkey AS k, g.i AS i,
+        |      64 + ((n_nationkey * 31 + g.i * 17) % 128) AS sz
+        |    FROM nation, (SELECT unnest(generate_series(0, 11)) AS i) g
+        |    WHERE g.i < 5 + (n_nationkey % 7)))
+        |WHERE i % 4 = 0
+        |UNION ALL
+        |-- flv fixtures: keyframes (every 3rd tag) at payload offsets
+        |-- 24 + running (size+15) sum (Flv.write layout)
+        |SELECT file_name, CAST(i // 3 AS BIGINT) AS frame_idx,
+        |  CAST(off AS BIGINT) AS byte_off, CAST(sz AS BIGINT) AS frame_len
+        |FROM (
+        |  SELECT printf('flv_%02d.flv', k) AS file_name, i, sz,
+        |    24 + COALESCE(SUM(sz + 15) OVER (PARTITION BY k ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM (
+        |    SELECT r_regionkey AS k, g.i AS i,
+        |      32 + ((r_regionkey * 13 + g.i * 7) % 64) AS sz
+        |    FROM region, (SELECT unnest(generate_series(0, 10)) AS i) g
+        |    WHERE g.i < 6 + r_regionkey))
+        |WHERE i % 3 = 0""".stripMargin,
 
     // q97's candidate rule per missing term, position-ordered rebuild
     "q222_spell_collation" ->
@@ -7119,6 +7224,25 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN old.f = new.f THEN 1 ELSE 0 END) AS BIGINT) AS unchanged
         |FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the mp4 fixtures' generative parameters, recomputed (the parser
+    // must read identical values back from the real container bytes)
+    "q279_mp4_parse" ->
+      """SELECT printf('vid_%02d.mp4', n_nationkey) AS file_name,
+        |  CAST(500 * (n_nationkey + 1) AS BIGINT) AS duration_ms,
+        |  CAST(1 AS BIGINT) AS n_tracks,
+        |  CAST(5 + n_nationkey % 7 AS BIGINT) AS n_samples,
+        |  CAST((5 + n_nationkey % 7 + 3) // 4 AS BIGINT) AS n_keyframes,
+        |  CAST(320 + 16 * (n_nationkey % 8) AS BIGINT) AS width,
+        |  CAST(240 + 16 * (n_nationkey % 5) AS BIGINT) AS height
+        |FROM nation""".stripMargin,
+
+    "q280_flv_parse" ->
+      """SELECT printf('flv_%02d.flv', r_regionkey) AS file_name,
+        |  CAST((6 + r_regionkey - 1) * 40 AS BIGINT) AS duration_ms,
+        |  CAST(6 + r_regionkey AS BIGINT) AS n_tags,
+        |  CAST((6 + r_regionkey + 2) // 3 AS BIGINT) AS n_keyframes
+        |FROM region""".stripMargin,
 
     "q276_cms_heavy_hitters" ->
       """WITH toks AS (

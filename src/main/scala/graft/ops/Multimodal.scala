@@ -72,6 +72,9 @@ object Multimodal {
         .when(head4.startsWith("52494646") &&
           hex(substring(col(content), 9, 4)) === "41564920", "video/x-msvideo")
         .when(head4.startsWith("52494646"), "audio/wav")
+        // ISO-BMFF: the ftyp box type at bytes 5-8 (size varies)
+        .when(hex(substring(col(content), 5, 4)) === "66747970", "video/mp4")
+        .when(head4.startsWith("464C56"), "video/x-flv") // "FLV"
         .when(head4.startsWith("494433"), "audio/mpeg") // ID3v2
         .when(head4.startsWith("FFFB") || head4.startsWith("FFF3") ||
           head4.startsWith("FFF2"), "audio/mpeg") // bare MPEG frame sync
@@ -190,6 +193,61 @@ object Multimodal {
    * binary substring (real bytes, zero-copy slice of the row value).
    * Output: (path, length, frame_idx, byte_off, frame_len, frame).
    */
+  /** One sampled frame: real container sample for MP4/FLV payloads,
+    * stride window otherwise (`container` says which path fired). */
+  case class SampledFrame(path: String, length: Long, frame_idx: Int,
+                          byte_off: Long, frame_len: Long,
+                          keyframe: Boolean, container: String)
+
+  /**
+   * Container-aware frame sampling — the upgrade over the byte-stride
+   * stand-in: payloads that parse as ISO-BMFF (graft.sources.IsoBmff)
+   * or FLV (graft.sources.Flv) emit their REAL keyframe byte offsets
+   * and sizes from the container's own sample tables (stsz/stsc/stco/
+   * stss, video-tag frametype); anything else falls back to the exact
+   * `sampleByteFrames` stride arithmetic. Runs as one batched
+   * per-partition pass (the mapInPandas shape) — parser state is
+   * per-task, payload bytes never leave the executor.
+   */
+  def sampleContainerFrames(spark: SparkSession, df: DataFrame,
+                            every: Int, frameLen: Int,
+                            maxFrames: Int = 64): Dataset[SampledFrame] = {
+    require(every > 0 && frameLen > 0 && maxFrames > 0)
+    import spark.implicits._
+    import graft.sources.{Flv, IsoBmff}
+    df.select(col("path"), col("length"), col("content"))
+      .as[(String, Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (path, length, content) =>
+        lazy val stride = {
+          val n = math.min(maxFrames.toLong,
+            math.max(length - 1, 0L) / every + 1).toInt
+          (0 until n).map { i =>
+            val off = i.toLong * every
+            SampledFrame(path, length, i, off,
+              math.min(frameLen.toLong, length - off), keyframe = false,
+              "stride")
+          }
+        }
+        IsoBmff.parse(content) match {
+          case Some(info) =>
+            info.tracks.flatMap(_.samples).filter(_.keyframe)
+              .sortBy(s => (s.offset, s.index)).take(maxFrames).zipWithIndex
+              .map { case (s, i) =>
+                SampledFrame(path, length, i, s.offset, s.size,
+                  keyframe = true, "mp4")
+              }
+          case None => Flv.parse(content) match {
+            case Some(info) if info.tags.nonEmpty =>
+              info.keyframes.take(maxFrames).zipWithIndex.map { case (t, i) =>
+                SampledFrame(path, length, i, t.offset, t.dataSize,
+                  keyframe = true, "flv")
+              }
+            case _ => stride
+          }
+        }
+      })
+  }
+
   def sampleByteFrames(df: DataFrame, every: Int, frameLen: Int,
                        maxFrames: Int = 64): DataFrame = {
     require(every > 0 && frameLen > 0 && maxFrames > 0)

@@ -99,6 +99,9 @@ object DocumentParser {
         case "image/jpeg" => parseJpeg(bytes, mime)
         case "image/gif" => parseGif(bytes, mime)
         case "image/bmp" => parseBmp(bytes, mime)
+        case "video/mp4" | "video/quicktime" | "audio/mp4" =>
+          parseMp4(bytes, mime)
+        case "video/x-flv" => parseFlv(bytes, mime)
         case "message/rfc822" => parseEml(str(), mime)
         case "application/mbox" => parseMbox(str(), mime)
         case _ =>
@@ -1256,6 +1259,48 @@ object DocumentParser {
       else Map("audio_variant" -> "unknown ogg codec")
     ParsedDoc("", mime, meta + ("length" -> bytes.length.toString))
   }
+
+  /** MP4/ISO-BMFF (Tika `MP4Parser` analog,
+    * solrCellDocumentTypes.conf:256): movie duration, per-track
+    * handler/codec/dimensions, sample + keyframe counts — the box
+    * walk itself lives in [[IsoBmff]]. */
+  private[sources] def parseMp4(bytes: Array[Byte], mime: String): ParsedDoc =
+    IsoBmff.parse(bytes) match {
+      case None =>
+        ParsedDoc("", mime, Map("length" -> bytes.length.toString,
+          "video_variant" -> "not ISO-BMFF"))
+      case Some(info) =>
+        val video = info.tracks.find(_.handler == "vide")
+        ParsedDoc("", mime, Map(
+          "length" -> bytes.length.toString,
+          "brand" -> info.brand,
+          "duration_ms" -> info.durationMillis.toString,
+          "n_tracks" -> info.tracks.length.toString,
+          "codecs" -> info.tracks.map(_.codec).distinct.mkString(","),
+          "n_samples" -> info.tracks.map(_.samples.length).sum.toString,
+          "n_keyframes" ->
+            info.tracks.map(_.samples.count(_.keyframe)).sum.toString) ++
+          video.map(v => Map("width" -> v.width.toString,
+            "height" -> v.height.toString)).getOrElse(Map.empty))
+    }
+
+  /** FLV (Tika `FLVParser` analog, solrCellDocumentTypes.conf:265):
+    * duration, tag and keyframe counts via [[Flv]]. */
+  private[sources] def parseFlv(bytes: Array[Byte], mime: String): ParsedDoc =
+    Flv.parse(bytes) match {
+      case None =>
+        ParsedDoc("", mime, Map("length" -> bytes.length.toString,
+          "video_variant" -> "not FLV"))
+      case Some(info) =>
+        ParsedDoc("", mime, Map(
+          "length" -> bytes.length.toString,
+          "flv_version" -> info.version.toString,
+          "has_video" -> info.hasVideo.toString,
+          "has_audio" -> info.hasAudio.toString,
+          "duration_ms" -> info.durationMs.toString,
+          "n_tags" -> info.tags.length.toString,
+          "n_keyframes" -> info.keyframes.length.toString))
+    }
 
   /** PNG (public spec, RFC 2083/ISO 15948): IHDR dims + bit depth +
     * color type, plus tEXt keyword/value pairs (bounded walk). */
