@@ -129,6 +129,7 @@ object SparkEntry {
     "q269_tfrecord_roundtrip", // tfrecord
     "q264_wet_roundtrip",      // wet_file
     "q267_wet_gz",             // wet_gz
+    "q281_warc_responses",     // warc_file_full
     "q277_solr_xml_export",    // xml_export
     "q279_mp4_parse",          // video_fixtures
     "q243_backup_restore")     // cust_backup
@@ -4137,6 +4138,61 @@ object SparkEntry {
           "n_keyframes", "width", "height")
     }),
 
+    // FULL raw-crawl WARC (the .warc files WET derives from):
+    // response records' HTTP messages split — status line, declared
+    // Content-Type, entity payload octets — and every payload fed
+    // through the DocumentParser (html tag-strip / plain passthrough).
+    // Fixture: one warcinfo prelude + a request/response pair per
+    // document, every value a closed form of the doc row, so DuckDB
+    // replays framing, HTTP split, payload checksum, and extraction.
+    "q281_warc_responses" -> ((s, d) => {
+      import graft.sources.{DocumentParser, Warc}
+      val out = sharedStore(d, "warc_file_full") { o =>
+        val docs = Tables.documents(s, d)
+        val uri = concat(lit("http://corpus/"), col("doc_id"))
+        val resp = docs.select(lit(1).as("__g"), col("doc_id").as("__id"),
+          lit(1).as("__sub"),
+          Warc.warcResponseRecord(uri,
+            when(col("doc_id") % 10 === 0, lit(404)).otherwise(lit(200)),
+            when(col("doc_id") % 10 === 0, lit("Not Found")).otherwise(lit("OK")),
+            when(col("doc_id") % 2 === 0, lit("text/html"))
+              .otherwise(lit("text/plain")),
+            when(col("doc_id") % 2 === 0,
+                concat(lit("<html><head><title>Doc "), col("doc_id"),
+                  lit("</title></head><body><p>"), col("text"),
+                  lit("</p></body></html>")))
+              .otherwise(col("text"))).as("value"))
+        val req = docs.select(lit(1).as("__g"), col("doc_id").as("__id"),
+          lit(0).as("__sub"),
+          Warc.warcRequestRecord(uri,
+            concat(lit("GET /"), col("doc_id"), lit(" HTTP/1.1")),
+            lit("corpus")).as("value"))
+        val info = s.range(1).select(lit(0).as("__g"), lit(0L).as("__id"),
+          lit(0).as("__sub"),
+          Warc.warcinfoRecord(
+            lit("software: graft-spark\r\nformat: WARC File Format 1.0\r\n"))
+            .as("value"))
+        info.unionByName(req).unionByName(resp)
+          .orderBy(col("__g"), col("__id"), col("__sub"))
+          .select(col("value")).coalesce(1)
+          .write.mode("overwrite").text(o)
+      }
+      val extractedLen = udf((ct: String, payload: Array[Byte]) =>
+        if (ct == null) null
+        else java.lang.Long.valueOf(
+          DocumentParser.parse(ct.takeWhile(_ != ';').trim, payload)
+            .text.length.toLong))
+      Warc.readWarc(s, out).select(
+        col("rec_type"),
+        regexp_extract(col("uri"), "([0-9]+)$", 1).cast("long").as("doc_id"),
+        col("http_status").cast("long").as("http_status"),
+        col("http_content_type").as("mime"),
+        length(col("payload")).cast("long").as("payload_len"),
+        md5(col("payload")).as("payload_md5"),
+        extractedLen(col("http_content_type"), col("payload"))
+          .as("extracted_len"))
+    }),
+
     // S9 video: FLV tag walk (Flv — Tika FLVParser analog,
     // solrCellDocumentTypes.conf:265), same round-trip oracle shape
     // over the region-keyed fixtures.
@@ -7281,6 +7337,41 @@ object SparkEntry {
         |  CAST(6 + r_regionkey AS BIGINT) AS n_tags,
         |  CAST((6 + r_regionkey + 2) // 3 AS BIGINT) AS n_keyframes
         |FROM region""".stripMargin,
+
+    // the full-WARC fixture's generative closed forms: record framing,
+    // HTTP split, payload checksum, and the html tag-strip extraction
+    // all recomputed from the documents table
+    "q281_warc_responses" ->
+      """WITH resp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0 THEN 404 ELSE 200 END AS st,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'text/html'
+        |         ELSE 'text/plain' END AS ct,
+        |    CASE WHEN doc_id % 2 = 0 THEN '<html><head><title>Doc '
+        |        || doc_id || '</title></head><body><p>' || text
+        |        || '</p></body></html>'
+        |      ELSE text END AS payload,
+        |    CASE WHEN doc_id % 2 = 0 THEN length(trim(regexp_replace(
+        |        'Doc ' || doc_id || ' ' || text, '\s+', ' ', 'g')))
+        |      ELSE length(text) END AS ext
+        |  FROM documents)
+        |SELECT 'response' AS rec_type, doc_id,
+        |  CAST(st AS BIGINT) AS http_status, ct AS mime,
+        |  CAST(strlen(payload) AS BIGINT) AS payload_len,
+        |  md5(payload) AS payload_md5, CAST(ext AS BIGINT) AS extracted_len
+        |FROM resp
+        |UNION ALL
+        |SELECT 'request', doc_id, NULL, NULL,
+        |  CAST(strlen(p) AS BIGINT), md5(p), NULL
+        |FROM (SELECT doc_id,
+        |    'GET /' || doc_id || ' HTTP/1.1' || chr(13) || chr(10)
+        |    || 'Host: corpus' || chr(13) || chr(10) || chr(13) || chr(10) AS p
+        |  FROM documents)
+        |UNION ALL
+        |SELECT 'warcinfo', NULL, NULL, NULL,
+        |  CAST(strlen(w) AS BIGINT), md5(w), NULL
+        |FROM (SELECT 'software: graft-spark' || chr(13) || chr(10)
+        |    || 'format: WARC File Format 1.0' || chr(13) || chr(10) AS w)""".stripMargin,
 
     "q276_cms_heavy_hitters" ->
       """WITH toks AS (

@@ -28,15 +28,39 @@ import org.apache.spark.sql.functions._
  *
  * Scope: WET text records (`WARC-Type: conversion` and the `warcinfo`
  * prelude; gzip members are handled upstream by
- * [[graft.sources.Archives]] decompression). Bodies decode as UTF-8;
- * Content-Length is counted in octets on both the read and write
- * sides, so non-ASCII round-trips byte-exactly.
+ * [[graft.sources.Archives]] decompression) via [[readWet]], and FULL
+ * raw-crawl WARC via [[readWarc]] — `response` records are
+ * `application/http` messages, so the reader splits the HTTP head at
+ * its own blank line, parses the status line and `Content-Type`, and
+ * exposes the entity payload as raw OCTETS (a crawled payload is
+ * arbitrary binary — PDF, image, gzip — and never survives a string
+ * decode). WET bodies decode as UTF-8; Content-Length is counted in
+ * octets on both the read and write sides, so non-ASCII and binary
+ * payloads round-trip byte-exactly.
  */
 object Warc {
 
   /** One parsed WET record; `uri` is null for `warcinfo` preludes. */
   private[sources] final case class WetRecord(
       path: String, rec_type: String, uri: String, body: String)
+
+  /** One raw WARC record: body is the record block's exact octets
+    * (for `response`/`request` records: the full HTTP message).
+    * `framed` is false only for off-spec records recovered by
+    * delimiter scanning. */
+  private[sources] final case class RawRecord(
+      path: String, rec_type: String, uri: String, body: Array[Byte],
+      framed: Boolean)
+
+  /** One full-WARC record after HTTP splitting: `http_status` /
+    * `http_content_type` are populated for `response` records whose
+    * body parses as an HTTP message (payload = entity octets after
+    * the HTTP head); any other record carries its raw body as
+    * `payload` with the HTTP columns null. */
+  final case class WarcHttpRecord(
+      path: String, rec_type: String, uri: Option[String],
+      http_status: Option[Int], http_content_type: Option[String],
+      payload: Array[Byte])
 
   /** Read WET files as (path, uri, rec_type, body). `warcinfo`
     * prelude records carry a null URI; filter `rec_type =
@@ -57,6 +81,53 @@ object Warc {
       .select(col("entry_name").as("path"),
         col("entry_content").as("__bytes")))
 
+  /**
+   * FULL raw-crawl WARC (the other half of Common Crawl: the `.warc`
+   * files WET is derived from). One row per record —
+   * (path, rec_type, uri, http_status, http_content_type, payload);
+   * `response` bodies are split into HTTP head and entity octets,
+   * every other record type (warcinfo, request, metadata, …) carries
+   * its raw body as `payload` with null HTTP columns. Feed `payload`
+   * to [[graft.ops.Multimodal.sniffMime]] / DocumentParser for
+   * content extraction — the declared `http_content_type` is the
+   * server's claim, the sniff is the bytes' truth.
+   */
+  def readWarc(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select(col("path").cast("string"), col("content").cast("binary"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        parseFileRaw(p, if (bytes == null) Array.emptyByteArray else bytes)
+          .map(splitHttp)
+      }
+      .select(col("path"), col("rec_type"), col("uri"),
+        col("http_status"), col("http_content_type"), col("payload"))
+  }
+
+  /** `response` record → HTTP head split at the message's own blank
+    * line: status from the `HTTP/x.y NNN …` status line, declared
+    * Content-Type header verbatim, payload = the entity octets. A
+    * response body with no blank line (truncated capture) degrades to
+    * raw-payload with null HTTP columns, never a throw. */
+  private[sources] def splitHttp(r: RawRecord): WarcHttpRecord = {
+    def raw = WarcHttpRecord(r.path, r.rec_type, Option(r.uri), None, None, r.body)
+    if (r.rec_type != "response") return raw
+    val i = byteIndexOf(r.body, BlankLine, 0)
+    if (i < 0) return raw
+    // HTTP head is ASCII by spec; ISO-8859-1 decodes any octet 1:1
+    val lines = new String(r.body, 0, i, "ISO-8859-1").split("\r\n")
+    val status = StatusLine.findFirstMatchIn(lines.headOption.getOrElse(""))
+      .map(_.group(1).toInt)
+    if (status.isEmpty) return raw
+    val headers = parseHeaders(lines.drop(1).mkString("\r\n"))
+    WarcHttpRecord(r.path, r.rec_type, Option(r.uri), status,
+      headers.get("content-type"),
+      java.util.Arrays.copyOfRange(r.body, i + BlankLine.length, r.body.length))
+  }
+
+  private val StatusLine = """HTTP/\d\.\d (\d{3}).*""".r
+
   private def parseRecords(files: DataFrame): DataFrame = {
     val spark = files.sparkSession
     import spark.implicits._
@@ -71,21 +142,32 @@ object Warc {
   private val Marker = "WARC/1.0\r\n".getBytes("US-ASCII")
   private val BlankLine = "\r\n\r\n".getBytes("US-ASCII")
 
-  /** Byte-walk one WET file into records, lazily. Content-Length
-    * slices the body when present (mandatory in spec-conformant WET);
-    * delimiter fallback otherwise. Whitespace between records (the
-    * CRLF CRLF trailer plus any writer-introduced separators such as
-    * a text sink's per-row newline) is skipped, never attributed to a
-    * body. */
+  /** WET adapter over [[parseFileRaw]]: bodies decode as UTF-8;
+    * delimiter-recovered (off-spec) records drop their trailing
+    * record separator, which Content-Length framing never includes. */
   private[sources] def parseFile(
       path: String, bytes: Array[Byte]): Iterator[WetRecord] =
-    new Iterator[WetRecord] {
+    parseFileRaw(path, bytes).map { r =>
+      val raw = new String(r.body, "UTF-8")
+      WetRecord(r.path, r.rec_type, r.uri,
+        if (r.framed) raw else raw.replaceAll("(?s)\\r\\n\\r\\n\\s*$", ""))
+    }
+
+  /** Byte-walk one WARC file into raw records, lazily. Content-Length
+    * slices the body when present (mandatory in spec-conformant
+    * WARC); delimiter fallback otherwise (`framed = false`).
+    * Whitespace between records (the CRLF CRLF trailer plus any
+    * writer-introduced separators such as a text sink's per-row
+    * newline) is skipped, never attributed to a body. */
+  private[sources] def parseFileRaw(
+      path: String, bytes: Array[Byte]): Iterator[RawRecord] =
+    new Iterator[RawRecord] {
       private var pos = skipWs(bytes, 0)
-      private var nextRec: WetRecord = null
+      private var nextRec: RawRecord = null
       advance()
 
       override def hasNext: Boolean = nextRec != null
-      override def next(): WetRecord = {
+      override def next(): RawRecord = {
         val r = nextRec; advance(); r
       }
 
@@ -107,20 +189,19 @@ object Warc {
               val bodyStart = hdrEnd + BlankLine.length
               val clen = headers.get("content-length")
                 .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
-              val (body, after) = clen match {
+              val (body, after, framed) = clen match {
                 case Some(n) if n >= 0 && bodyStart.toLong + n <= bytes.length =>
-                  (new String(bytes, bodyStart, n.toInt, "UTF-8"),
-                    bodyStart + n.toInt)
+                  (java.util.Arrays.copyOfRange(bytes, bodyStart, bodyStart + n.toInt),
+                    bodyStart + n.toInt, true)
                 case _ => // off-spec record: delimiter fallback
                   val nm = byteIndexOf(bytes, Marker, bodyStart)
                   val end = if (nm < 0) bytes.length else nm
-                  val raw = new String(bytes, bodyStart, end - bodyStart, "UTF-8")
-                  (raw.replaceAll("(?s)\\r\\n\\r\\n\\s*$", ""), end)
+                  (java.util.Arrays.copyOfRange(bytes, bodyStart, end), end, false)
               }
-              nextRec = WetRecord(path,
+              nextRec = RawRecord(path,
                 headers.get("warc-type").map(_.trim).getOrElse(""),
                 headers.get("warc-target-uri").map(_.trim).orNull,
-                body)
+                body, framed)
               pos = skipWs(bytes, after)
             }
           }
@@ -171,4 +252,42 @@ object Warc {
       lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "), uri,
       lit("\r\nContent-Length: "), octet_length(body).cast("string"),
       lit("\r\n\r\n"), body, lit("\r\n\r\n"))
+
+  /** Full-WARC `response` record: the body is an `application/http;
+    * msgtype=response` message — status line, entity headers, blank
+    * line, entity payload — and the record's Content-Length covers
+    * that whole message (ISO 28500 §6.3). Both lengths are octet
+    * counts, so the framing holds for non-ASCII payloads. */
+  def warcResponseRecord(uri: Column, status: Column, reason: Column,
+                         contentType: Column, payload: Column): Column = {
+    val http = concat(
+      lit("HTTP/1.1 "), status.cast("string"), lit(" "), reason, lit("\r\n"),
+      lit("Content-Type: "), contentType,
+      lit("\r\nContent-Length: "), octet_length(payload).cast("string"),
+      lit("\r\n\r\n"), payload)
+    concat(
+      lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "), uri,
+      lit("\r\nContent-Type: application/http; msgtype=response"),
+      lit("\r\nContent-Length: "), octet_length(http).cast("string"),
+      lit("\r\n\r\n"), http, lit("\r\n\r\n"))
+  }
+
+  /** Full-WARC `request` record (the crawler's side of the capture):
+    * body is the raw HTTP request message. */
+  def warcRequestRecord(uri: Column, requestLine: Column, host: Column): Column = {
+    val http = concat(requestLine, lit("\r\nHost: "), host, lit("\r\n\r\n"))
+    concat(
+      lit("WARC/1.0\r\nWARC-Type: request\r\nWARC-Target-URI: "), uri,
+      lit("\r\nContent-Type: application/http; msgtype=request"),
+      lit("\r\nContent-Length: "), octet_length(http).cast("string"),
+      lit("\r\n\r\n"), http, lit("\r\n\r\n"))
+  }
+
+  /** `warcinfo` prelude record (crawl metadata, colon fields). */
+  def warcinfoRecord(fields: Column): Column =
+    concat(
+      lit("WARC/1.0\r\nWARC-Type: warcinfo"),
+      lit("\r\nContent-Type: application/warc-fields"),
+      lit("\r\nContent-Length: "), octet_length(fields).cast("string"),
+      lit("\r\n\r\n"), fields, lit("\r\n\r\n"))
 }

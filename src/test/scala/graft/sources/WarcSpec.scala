@@ -86,6 +86,74 @@ class WarcSpec extends AnyFunSuite {
     assert(got === Seq(body))
   }
 
+  test("readWarc: response records split into status / content-type / payload; " +
+      "request and warcinfo keep raw bodies with null HTTP columns") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_full_").toString
+    val rows = Seq(("http://f/1", 200, "OK", "text/plain", "plain body"),
+      ("http://f/2", 404, "Not Found", "text/html", "<html><body>x</body></html>"))
+      .toDF("u", "st", "rs", "ct", "pl")
+    val recs = rows.select(Warc.warcResponseRecord(col("u"), col("st"),
+        col("rs"), col("ct"), col("pl")).as("value"))
+      .unionByName(rows.limit(1).select(Warc.warcRequestRecord(col("u"),
+        concat(lit("GET /1 HTTP/1.1")), lit("f")).as("value")))
+      .unionByName(spark.range(1).select(
+        Warc.warcinfoRecord(lit("software: t\r\n")).as("value")))
+      .as[String].collect().mkString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "f.warc"),
+      recs.getBytes("UTF-8"))
+    val got = Warc.readWarc(spark, dir)
+      .select(col("rec_type"), col("uri"), col("http_status"),
+        col("http_content_type"), col("payload").cast("string"))
+      .as[(String, Option[String], Option[Int], Option[String], String)]
+      .collect().toSet
+    assert(got === Set(
+      ("response", Some("http://f/1"), Some(200), Some("text/plain"), "plain body"),
+      ("response", Some("http://f/2"), Some(404), Some("text/html"),
+        "<html><body>x</body></html>"),
+      ("request", Some("http://f/1"), None, None,
+        "GET /1 HTTP/1.1\r\nHost: f\r\n\r\n"),
+      ("warcinfo", None, None, None, "software: t\r\n")))
+  }
+
+  test("readWarc: BINARY payload octets survive — NULs, high bytes, embedded " +
+      "'WARC/1.0' marker and CRLFCRLF inside a length-framed body") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_bin_").toString
+    val payload = Array[Byte](0, 1, -1, -2, 13, 10, 13, 10) ++
+      "WARC/1.0\r\nWARC-Type: fake\r\n\r\n".getBytes("US-ASCII") ++
+      Array.tabulate(64)(i => (i * 37 % 256).toByte)
+    val http = s"HTTP/1.1 200 OK\r\nContent-Type: application/octet-stream\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n"
+    val head = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://b/1\r\n" +
+      s"Content-Length: ${http.getBytes("US-ASCII").length + payload.length}\r\n\r\n"
+    val next = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://b/2\r\nContent-Length: 21\r\n\r\n" +
+      "HTTP/1.1 200 OK\r\n\r\nok\r\n\r\n"
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "b.warc"),
+      head.getBytes("US-ASCII") ++ http.getBytes("US-ASCII") ++ payload ++
+        "\r\n\r\n".getBytes("US-ASCII") ++ next.getBytes("US-ASCII"))
+    val got = Warc.readWarc(spark, dir)
+      .select(col("uri"), col("http_status"), col("payload"))
+      .as[(String, Option[Int], Array[Byte])].collect()
+      .map { case (u, st, p) => (u, st, p.toSeq) }.toSet
+    assert(got === Set(
+      ("http://b/1", Some(200), payload.toSeq),
+      ("http://b/2", Some(200), "ok".getBytes("US-ASCII").toSeq)))
+  }
+
+  test("readWarc: response body without an HTTP blank line degrades to raw payload") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_trunc_").toString
+    val warc = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://t/1\r\nContent-Length: 17\r\n\r\n" +
+      "HTTP/1.1 200 OK\r\n" + "\r\n\r\n" // head truncated mid-message
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "t.warc"),
+      warc.getBytes("US-ASCII"))
+    val got = Warc.readWarc(spark, dir)
+      .select(col("http_status"), col("payload").cast("string"))
+      .as[(Option[Int], String)].collect().toSeq
+    assert(got === Seq((None, "HTTP/1.1 200 OK\r\n")))
+  }
+
   test("readWetArchive parses gzipped WET files (the Common Crawl shape)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_wetgz_").toString
     val wet = "WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: http://a/7\r\n" +
