@@ -557,8 +557,23 @@ private[index] class IndexScan(store: String, required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
-    SegmentShardSink.partIndexDirs(spark, store)
-      .map(d => IndexInputPartition(d): InputPartition).toArray
+    val dirs = SegmentShardSink.partIndexDirs(spark, store)
+    // segment-split parallelism: a multi-segment shard (the bounded
+    // auto-flush writes one segment per maxBufferedDocs) fans out to
+    // one partition per segment — segments are independent (per-
+    // segment ordinals/deletes/zone-maps), partials combine exactly,
+    // and a corpus-scale scan is no longer throttled to one task per
+    // shard dir. Commit reads here are driver-side metadata (one tiny
+    // file per shard). Single-segment shards keep one partition.
+    val hconf = spark.sessionState.newHadoopConf()
+    dirs.flatMap { d =>
+      val p = new Path(d)
+      val segs = scala.util.Try(
+        SegmentIndex.latestCommit(p.getFileSystem(hconf), p)
+          .map(_.segments.map(_.name)).getOrElse(Nil)).getOrElse(Nil)
+      if (segs.length <= 1) Seq(IndexInputPartition(d): InputPartition)
+      else segs.map(s => IndexInputPartition(d, Some(Seq(s))): InputPartition)
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -569,7 +584,8 @@ private[index] class IndexScan(store: String, required: StructType,
   }
 }
 
-private[index] case class IndexInputPartition(dir: String) extends InputPartition
+private[index] case class IndexInputPartition(
+    dir: String, segments: Option[Seq[String]] = None) extends InputPartition
 
 private[index] class IndexReaderFactory(conf: SerializableHadoopConf,
                                         fields: Array[String],
@@ -601,8 +617,9 @@ private[index] class IndexReaderFactory(conf: SerializableHadoopConf,
       // docs matching the pushed filter) — plus null buckets for
       // matching docs missing the field(s). Stored docs never read.
       private val dir = new Path(partition.asInstanceOf[IndexInputPartition].dir)
+      private val segs = partition.asInstanceOf[IndexInputPartition].segments.map(_.toSet)
       private lazy val rows: Iterator[InternalRow] = {
-        val reader = new SegmentIndex.Reader(dir.getFileSystem(conf.value), dir)
+        val reader = new SegmentIndex.Reader(dir.getFileSystem(conf.value), dir, segs)
         facetFields match {
           case Seq(f) if aggs.isEmpty || aggs == Seq(CountStarAgg) =>
             val cf = conv(f)
@@ -660,11 +677,12 @@ private[index] class IndexReaderFactory(conf: SerializableHadoopConf,
       // zone-map stats (deletion-free segments never open a file) or
       // live postings — stored fields never read
       private val dir = new Path(partition.asInstanceOf[IndexInputPartition].dir)
+      private val segs = partition.asInstanceOf[IndexInputPartition].segments.map(_.toSet)
       private var emitted = false
       override def next(): Boolean =
         if (emitted) false
         else {
-          val reader = new SegmentIndex.Reader(dir.getFileSystem(conf.value), dir)
+          val reader = new SegmentIndex.Reader(dir.getFileSystem(conf.value), dir, segs)
           lazy val count = query match {
             case TermQuery(f, ts) => reader.termCountIn(f, ts)
             case RangeQuery(f, lo, loInc, hi, hiInc) =>
@@ -698,6 +716,7 @@ private[index] class IndexReaderFactory(conf: SerializableHadoopConf,
     }
     else new PartitionReader[InternalRow] {
       private val dir = new Path(partition.asInstanceOf[IndexInputPartition].dir)
+      private val segs = partition.asInstanceOf[IndexInputPartition].segments.map(_.toSet)
 
       /** Local top-n under the pushed sort keys via a bounded heap —
         * O(matches · log n) memory-bounded at n docs, the per-shard
@@ -737,7 +756,7 @@ private[index] class IndexReaderFactory(conf: SerializableHadoopConf,
       }
 
       private lazy val docs: Iterator[SegmentIndex.Doc] = {
-        val reader = new SegmentIndex.Reader(dir.getFileSystem(conf.value), dir)
+        val reader = new SegmentIndex.Reader(dir.getFileSystem(conf.value), dir, segs)
         val it = query match {
           case TermQuery(f, Seq(t)) => reader.termDocs(f, t).iterator
           case TermQuery(f, ts) => reader.termDocsIn(f, ts).iterator

@@ -1007,7 +1007,9 @@ object SegmentIndex {
    */
   final class Writer(fs: FileSystem, dir: Path,
                      analyzed: Set[String] = Set.empty,
-                     compressStored: Boolean = true) {
+                     compressStored: Boolean = true,
+                     maxBufferedDocs: Int = 1 << 17) {
+    require(maxBufferedDocs > 0)
     fs.mkdirs(dir)
     private var commitPoint =
       latestCommit(fs, dir).getOrElse(CommitPoint(0, 0, Nil))
@@ -1017,7 +1019,32 @@ object SegmentIndex {
     // commit leaves the index exactly at the previous generation)
     private val pendingDels = mutable.HashMap.empty[String, mutable.SortedSet[Int]]
 
-    def addDocument(doc: Doc): Unit = pending += doc
+    /** Buffer a doc; at `maxBufferedDocs` the buffer flushes to disk
+      * as a segment (Lucene's maxBufferedDocs/ramBuffer flush): the
+      * writer's memory footprint — buffered docs plus the in-flight
+      * segment's postings map — is BOUNDED regardless of how many
+      * docs a task streams in, which is what keeps a corpus-scale
+      * index build linear instead of GC-bound. Flushed segments stay
+      * unpublished (readers see nothing) until `commit()` writes the
+      * next generation; like Lucene, a delete issued after an
+      * auto-flush DOES tombstone the flushed docs. */
+    def addDocument(doc: Doc): Unit = {
+      pending += doc
+      if (pending.length >= maxBufferedDocs) flushSegment()
+    }
+
+    /** Write buffered docs as an on-disk segment WITHOUT publishing —
+      * files exist, but only the commit file (written by `commit()`)
+      * makes any segment visible; a crash here leaves unreferenced
+      * files and an unchanged index. */
+    private def flushSegment(): Unit = if (pending.nonEmpty) {
+      val name = s"_${commitPoint.counter}"
+      val meta = writeSegment(fs, dir, name, pending.toIndexedSeq, analyzed,
+        compress = compressStored)
+      pending.clear()
+      commitPoint = commitPoint.copy(counter = commitPoint.counter + 1,
+        segments = commitPoint.segments :+ meta)
+    }
 
     /**
      * Delete-by-term (Lucene `deleteDocuments(Term)` / Solr
@@ -1187,9 +1214,23 @@ object SegmentIndex {
    * open built shards with a raw Lucene reader and count
    * MatchAllDocsQuery hits, SolrIndexDriverTest.java:54-61).
    */
-  final class Reader(fs: FileSystem, dir: Path) {
-    val commit: CommitPoint = latestCommit(fs, dir).getOrElse(
-      throw new IllegalStateException(s"no commit in index $dir"))
+  /** @param onlySegments restrict the view to a subset of the
+    *   commit's segments (segment-split scan parallelism: segments
+    *   are independent — ordinals, deletes, zone maps, postings are
+    *   all per-segment — so a reader over a subset is exactly the
+    *   index minus the other segments; per-partition partials from
+    *   disjoint subsets sum to the whole-index answer). Names not in
+    *   the commit are ignored. */
+  final class Reader(fs: FileSystem, dir: Path,
+                     onlySegments: Option[Set[String]] = None) {
+    val commit: CommitPoint = {
+      val full = latestCommit(fs, dir).getOrElse(
+        throw new IllegalStateException(s"no commit in index $dir"))
+      onlySegments match {
+        case None => full
+        case Some(keep) => full.copy(segments = full.segments.filter(s => keep(s.name)))
+      }
+    }
 
     def numDocs: Int = commit.numDocs
     def numSegments: Int = commit.segments.length
