@@ -1,0 +1,216 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * TRUE sf1 validation (vs [[ScaleCheck]]'s sf1-synth key-offset
+ * copies): regenerates every table at 10× sf0.1 row counts from the
+ * SAME distributions the driver's testdata exhibits — independent
+ * fresh rows, not perturbed copies — so join fan-outs, group
+ * cardinalities, text diversity, and dedup collision rates all scale
+ * the way real data would, instead of inheriting copy structure.
+ *
+ * Measured distributions replicated (profiled from
+ * /root/testdata/sf0.1): lineitem 1–7 lines/order (avg ≈4), flags
+ * A/N/R × F/O uniform, shipdate 1995–2001; orders F/O/P and the five
+ * TPC-H priorities uniform; documents 10–100 tokens over the 31-word
+ * vocabulary with en≈2× the other four langs, 20 sources, ~0.16%
+ * planted exact-duplicate texts; events one month at 10× density with
+ * 10× users; embeddings 64-dim label-clustered floats, 10 labels.
+ * Everything is hash-seeded column expressions over `spark.range` —
+ * fully distributed, deterministic across runs and layouts, no
+ * driver-side materialization.
+ *
+ * Usage: `sbt "runMain graft.TrueScaleCheck"` — generates
+ * /tmp/graft_sf1_true once (marker-guarded), then times the ~20 most
+ * expensive queries on sf0.1 and sf1-true in one session and prints
+ * one JSON line per scale. Results: docs/SCALING.md §"true sf1".
+ */
+object TrueScaleCheck {
+
+  /** The measured set: bench's most expensive queries plus the
+    * corpus-heavy ScaleCheck carryovers — every family whose 10×
+    * behavior the synth table already claims a number for. */
+  private val Measured = Seq(
+    "q213_shortest_path", "q272_shortest_path_expr", "q78_corpus_pipeline",
+    "q161_bpe_encode", "q184_dsir_select", "q242_stupid_backoff",
+    "q244_source_overlap", "q250_optimistic_upsert", "q147_bigram_rarity",
+    "q77_dedup_clusters", "q21_dedup_exact", "q49_build_index",
+    "q88_segment_store", "q54_drop_near_dups", "q74_bm25",
+    "q144_substring_dedup", "q154_corpus_audit",
+    "q233_seed_classifier", "q247_skipgram_pairs").distinct
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1_true")
+    val spark = GraftSession.local(32)
+    generate(spark, out)
+    spark.range(1000000L).selectExpr("sum(id) as s")
+      .write.format("noop").mode("overwrite").save()
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    Seq("sf0.1" -> src, "sf1-true" -> out).foreach { case (label, dir) =>
+      val times = Measured
+        .filter(q => only.forall(_.contains(q.takeWhile(_ != '_'))))
+        .map { q =>
+          val t0 = System.nanoTime()
+          SparkEntry.queries(q)(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          spark.sharedState.cacheManager.clearCache()
+          q.takeWhile(_ != '_') -> (System.nanoTime() - t0) / 1e9
+        }
+      val qs = times.map { case (q, t) => s""""$q":${math.round(t * 100) / 100.0}""" }
+        .mkString("{", ",", "}")
+      println(s"""{"scale":"$label","queries":$qs}""")
+    }
+    spark.stop()
+  }
+
+  // hash-seeded uniforms: deterministic, splittable, expression-only
+  private def u(c: Column, salt: Int): Column =
+    pmod(hash(c, lit(salt)), lit(1000000)).cast("double") / 1000000.0
+  private def ui(c: Column, salt: Int, n: Int): Column =
+    pmod(hash(c, lit(salt)), lit(n))
+  private def pick(c: Column, salt: Int, vals: String*): Column =
+    element_at(array(vals.map(lit): _*), (ui(c, salt, vals.length) + 1).cast("int"))
+
+  private val Vocab = Seq("spark", "window", "merge", "table", "column",
+    "vector", "stream", "value", "data", "small", "join", "filter", "big",
+    "group", "hash", "customer", "sort", "order", "slow", "line", "part",
+    "fast", "the", "row", "agg", "key", "query", "a", "scan", "batch", "dup")
+
+  /** All ten tables at 10× sf0.1 cardinality, fresh rows. */
+  def generate(spark: SparkSession, out: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val done = new org.apache.hadoop.fs.Path(out, "_TRUE_SF1_DONE_v1")
+    if (fs.exists(done)) return
+
+    val nOrders = 1500000L
+    val nCust = 150000L
+    val nSupp = 10000L
+    val nPart = 200000L
+    val nEvents = 1000000L
+    val nDocs = 50000L
+    val nEmb = 20000L
+
+    def range(n: Long, parts: Int = 32): DataFrame =
+      spark.range(0, n, 1, parts).toDF("id")
+
+    // region / nation: fixed dimensions, driver layout
+    spark.range(5).select(col("id").cast("int").as("r_regionkey"),
+        concat(lit("REGION_"), col("id")).as("r_name"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/region.parquet")
+    spark.range(25).select(col("id").cast("int").as("n_nationkey"),
+        concat(lit("NATION_"), col("id")).as("n_name"),
+        pmod(col("id"), lit(5)).cast("int").as("n_regionkey"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/nation.parquet")
+
+    range(nCust, 8).select(col("id").as("c_custkey"),
+        format_string("Customer#%09d", col("id")).as("c_name"),
+        ui(col("id"), 21, 25).cast("int").as("c_nationkey"),
+        round(lit(-1000.0) + u(col("id"), 22) * 11000.0, 2).as("c_acctbal"),
+        pick(col("id"), 23, "AUTOMOBILE", "BUILDING", "FURNITURE",
+          "HOUSEHOLD", "MACHINERY").as("c_mktsegment"))
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+
+    range(nSupp, 4).select(col("id").as("s_suppkey"),
+        format_string("Supplier#%09d", col("id")).as("s_name"),
+        ui(col("id"), 31, 25).cast("int").as("s_nationkey"),
+        round(lit(-1000.0) + u(col("id"), 32) * 11000.0, 2).as("s_acctbal"))
+      .write.mode("overwrite").parquet(s"$out/supplier.parquet")
+
+    range(nPart, 8).select(col("id").as("p_partkey"),
+        concat(pick(col("id"), 41, "large", "hot", "blue", "old", "cold",
+            "dark", "light", "new", "red", "green"), lit(" "),
+          pick(col("id"), 42, "ring", "bolt", "plate", "screw", "washer",
+            "gear", "cog", "pin")).as("p_name"),
+        concat(lit("Brand#"), (ui(col("id"), 43, 25) + 1)).as("p_brand"),
+        pick(col("id"), 44, "LARGE", "ECONOMY", "SMALL", "STANDARD",
+          "MEDIUM", "PROMO").as("p_type"),
+        (ui(col("id"), 45, 50) + 1).cast("int").as("p_size"),
+        round(lit(900.0) + u(col("id"), 46) * 1100.0, 2).as("p_retailprice"))
+      .write.mode("overwrite").parquet(s"$out/part.parquet")
+
+    // orders: 1995-01-01 + 0..2400 days
+    range(nOrders).select(col("id").as("o_orderkey"),
+        ui(col("id"), 51, nCust.toInt).as("o_custkey"),
+        pick(col("id"), 52, "F", "O", "P").as("o_orderstatus"),
+        round(lit(1000.0) + u(col("id"), 53) * 499000.0, 2).as("o_totalprice"),
+        (lit(788918400L) + ui(col("id"), 54, 2400) * 86400L)
+          .cast("timestamp").as("o_orderdate"),
+        pick(col("id"), 55, "1-URGENT", "2-HIGH", "3-MEDIUM",
+          "4-NOT SPECIFIED", "5-LOW").as("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+    // lineitem: 1..7 lines per order (avg 4 → ~6M rows); fresh values
+    // per (orderkey, linenumber) pair
+    val li = range(nOrders)
+      .select(col("id").as("l_orderkey"),
+        explode(sequence(lit(1), (ui(col("id"), 61, 7) + 1).cast("int")))
+          .as("l_linenumber"))
+    val lk = hash(col("l_orderkey"), col("l_linenumber"))
+    li.select(col("l_orderkey"),
+        pmod(hash(lk, lit(62)), lit(nPart.toInt)).cast("bigint").as("l_partkey"),
+        pmod(hash(lk, lit(63)), lit(nSupp.toInt)).cast("bigint").as("l_suppkey"),
+        col("l_linenumber"),
+        (pmod(hash(lk, lit(64)), lit(50)) + 1).cast("double").as("l_quantity"),
+        round(lit(900.0) + (pmod(hash(lk, lit(65)), lit(1000000))
+          .cast("double") / 1000000.0) * 104100.0, 2).as("l_extendedprice"),
+        (pmod(hash(lk, lit(66)), lit(11)).cast("double") / 100.0).as("l_discount"),
+        (pmod(hash(lk, lit(67)), lit(9)).cast("double") / 100.0).as("l_tax"),
+        element_at(array(lit("A"), lit("N"), lit("R")),
+          (pmod(hash(lk, lit(68)), lit(3)) + 1).cast("int")).as("l_returnflag"),
+        element_at(array(lit("F"), lit("O")),
+          (pmod(hash(lk, lit(69)), lit(2)) + 1).cast("int")).as("l_linestatus"),
+        (lit(789004800L) + pmod(hash(lk, lit(70)), lit(2498)) * 86400L)
+          .cast("timestamp").as("l_shipdate"))
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    // events: the same one-month window at 10× density and 10× users
+    range(nEvents).select(col("id").as("event_id"),
+        timestamp_micros(lit(1704067200000000L) +
+          (u(col("id"), 71) * 2591940.0 * 1e6).cast("long")).as("ts"),
+        ui(col("id"), 72, 15000).cast("bigint").as("user_id"),
+        pick(col("id"), 73, "click", "error", "purchase", "signup", "view")
+          .as("event_type"),
+        round(u(col("id"), 74) * 560.0, 2).as("value"),
+        format_string("{\"k\": %d}", ui(col("id"), 75, 100)).as("props"))
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    // documents: 10..100 tokens over the 31-word vocabulary; en ≈ 2×
+    // each other lang; src0..src19; last 0.16% duplicate earlier texts
+    // exactly (the planted-dup rate the driver data carries)
+    val vocabArr = array(Vocab.map(lit): _*)
+    val srcId = col("id") // text seed: duplicates borrow the source row's seed
+    val dupOf = when(col("id") >= nDocs - 80, col("id") - (nDocs - 80))
+      .otherwise(col("id"))
+    val ntok = (pmod(hash(dupOf, lit(81)), lit(91)) + 10).cast("int")
+    val text = concat_ws(" ", transform(sequence(lit(0), ntok - 1),
+      p => element_at(vocabArr,
+        (pmod(hash(dupOf, p, lit(82)), lit(Vocab.length)) + 1).cast("int"))))
+    range(nDocs, 8).select(col("id").as("doc_id"),
+        text.as("text"),
+        element_at(array(lit("en"), lit("en"), lit("de"), lit("es"),
+            lit("fr"), lit("zh")),
+          (ui(srcId, 83, 6) + 1).cast("int")).as("lang"),
+        concat(lit("src"), ui(srcId, 84, 20)).as("source"),
+        length(text).cast("bigint").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    // embeddings: label-clustered 64-dim floats — center(label, dim)
+    // ±0.3 plus per-vector noise ±0.15, the sf0.1 value envelope
+    range(nEmb, 8).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), d => (
+          (pmod(hash(pmod(col("id"), lit(10)), d, lit(91)), lit(1000))
+            .cast("double") / 1000.0 - 0.5) * 0.6 +
+          (pmod(hash(col("id"), d, lit(92)), lit(1000))
+            .cast("double") / 1000.0 - 0.5) * 0.3
+        ).cast("float")).as("embedding"),
+        pmod(col("id"), lit(10)).cast("int").as("label"))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    fs.create(done, true).close()
+  }
+}
