@@ -105,6 +105,26 @@ object Warc {
         col("http_status"), col("http_content_type"), col("payload"))
   }
 
+  /** [[readWarc]] over COMPRESSED crawl files (`.warc.gz`, the other
+    * half of how Common Crawl ships): bytes route through the archive
+    * expander (magic-byte sniffed; plain files pass through), then
+    * the same record parse + HTTP split on the same task. */
+  def readWarcArchive(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    Archives.unpack(
+        spark.read.format("binaryFile").load(path),
+        col("path"), col("content"))
+      .select(col("entry_name").cast("string"),
+        col("entry_content").cast("binary"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        parseFileRaw(p, if (bytes == null) Array.emptyByteArray else bytes)
+          .map(splitHttp)
+      }
+      .select(col("path"), col("rec_type"), col("uri"),
+        col("http_status"), col("http_content_type"), col("payload"))
+  }
+
   /** `response` record → HTTP head split at the message's own blank
     * line: status from the `HTTP/x.y NNN …` status line, declared
     * Content-Type header verbatim, payload = the entity octets. A

@@ -154,6 +154,30 @@ class WarcSpec extends AnyFunSuite {
     assert(got === Seq((None, "HTTP/1.1 200 OK\r\n")))
   }
 
+  test("readWarcArchive parses gzipped FULL WARC with binary-safe payloads") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warcgz_").toString
+    val payload = Array[Byte](0, -1, 42) ++ "\r\n\r\n".getBytes("US-ASCII")
+    val http = "HTTP/1.1 200 OK\r\nContent-Type: image/x-test\r\n\r\n"
+      .getBytes("US-ASCII")
+    val warc = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://g/1\r\n" +
+      s"Content-Length: ${http.length + payload.length}\r\n\r\n")
+      .getBytes("US-ASCII") ++ http ++ payload ++
+      "\r\n\r\n".getBytes("US-ASCII")
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(warc); gz.close()
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "g.warc.gz"),
+      bos.toByteArray)
+    val got = Warc.readWarcArchive(spark, dir)
+      .select(col("uri"), col("http_status"), col("http_content_type"),
+        col("payload"))
+      .as[(String, Option[Int], Option[String], Array[Byte])].collect()
+      .map { case (u, st, ct, p) => (u, st, ct, p.toSeq) }.toSeq
+    assert(got === Seq(
+      ("http://g/1", Some(200), Some("image/x-test"), payload.toSeq)))
+  }
+
   test("readWetArchive parses gzipped WET files (the Common Crawl shape)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_wetgz_").toString
     val wet = "WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: http://a/7\r\n" +
