@@ -3963,10 +3963,15 @@ object SparkEntry {
         val po = opNum.select(
           concat(lit("p:"), col("l_partkey")).as("src"),
           concat(lit("o:"), col("l_orderkey")).as("dst"))
+        // microShards = 32: the corpus-sized edge store build fans out
+        // to 32 writer tasks (4 shards x 8 splits) instead of 4 — at
+        // true-sf1 this store is ~13M docs and the build is the
+        // query's dominant cost; reads are unaffected (the DSv2 scan
+        // already splits per segment)
         SegmentShardSink.write(
           co.union(op).union(po)
             .withColumn("id", concat(col("src"), lit(">"), col("dst"))),
-          "id", o, shards = 4)
+          "id", o, shards = 4, microShards = 32)
       }
       Graft.streamExpr(s,
         """shortestPath(edges, from="c:1", to="p:32",

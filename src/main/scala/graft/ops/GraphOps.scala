@@ -73,15 +73,29 @@ object GraphOps {
     // the edge frame is probed once per BFS round — persist it for
     // the loop so the source scan + distinct run once, not per round
     // (at corpus scale this is the difference between O(depth) and
-    // O(1) passes over the fact table)
+    // O(1) passes over the fact table). Persisted PRE-PARTITIONED on
+    // the join key (__src): the cached relation advertises its hash
+    // partitioning, so every round's frontier⋈edges join exchanges
+    // only the (small) frontier — without this, the corpus-sized edge
+    // frame reshuffles on every one of the ~maxDepth rounds.
     val projected = edges.select(fromCol.cast("string").as("__src"),
       toCol.cast("string").as("__dst"))
-    val e = (if (assumeDistinct) projected else projected.distinct()).persist()
+    val e = (if (assumeDistinct) projected else projected.distinct())
+      .repartition(col("__src")).persist()
+    // reversed view for the backward walk, partitioned on ITS join key
+    // (the swap inverts the key, so the forward frame's layout is
+    // useless to it — a second cached copy trades memory for zero
+    // per-round edge exchanges on both walks)
+    val er = e.select(col("__dst").as("__src"), col("__src").as("__dst"))
+      .repartition(col("__src")).persist()
     try {
       if (source == target) return Seq((source, 0L)).toDF("path", "depth")
-      if (bidirectional) bidi(e, source, target, maxDepth)
+      if (bidirectional) bidi(e, er, source, target, maxDepth)
       else forwardOnly(e, source, target, maxDepth)
-    } finally e.unpersist(blocking = false)
+    } finally {
+      e.unpersist(blocking = false)
+      er.unpersist(blocking = false)
+    }
   }
 
   private def forwardOnly(e: DataFrame, source: String, target: String,
@@ -140,14 +154,11 @@ object GraphOps {
     * checkpoint-meets-then-count-then-recount shape, which is the
     * dominant residual cost once every data-sized movement is a
     * small-frame join. */
-  private def bidi(e: DataFrame, source: String, target: String,
-                   maxDepth: Int): DataFrame = {
+  private def bidi(e: DataFrame, er: DataFrame, source: String,
+                   target: String, maxDepth: Int): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
     val empty = Seq.empty[(String, Long)].toDF("path", "depth")
-    // reversed edge view for the backward walk — same persisted frame,
-    // columns swapped (no second scan, no second shuffle cache)
-    val er = e.select(col("__dst").as("__src"), col("__src").as("__dst"))
     var fFront = Seq((source, Seq(source))).toDF("node", "path")
     var bFront = Seq((target, Seq(target))).toDF("node", "bpath")
     var fVisited = Seq(source).toDF("node")
