@@ -130,6 +130,7 @@ object SparkEntry {
     "q264_wet_roundtrip",      // wet_file
     "q267_wet_gz",             // wet_gz
     "q281_warc_responses",     // warc_file_full
+    "q282_warc_best_capture",  // warc_captures
     "q277_solr_xml_export",    // xml_export
     "q279_mp4_parse",          // video_fixtures
     "q243_backup_restore")     // cust_backup
@@ -4198,6 +4199,45 @@ object SparkEntry {
           .as("extracted_len"))
     }),
 
+    // best-capture-per-URL selection (the standard Common Crawl
+    // processing step: a URL crawled in several snapshots keeps its
+    // most recent capture): responses windowed per URI on WARC-Date
+    // desc; fixture plants two dated captures per doc (singletons for
+    // doc_id%5==0), every value a closed form — DuckDB recomputes the
+    // winning capture, its date, and its payload checksum.
+    "q282_warc_best_capture" -> ((s, d) => {
+      import graft.sources.Warc
+      import org.apache.spark.sql.expressions.Window
+      val out = sharedStore(d, "warc_captures") { o =>
+        val docs = Tables.documents(s, d)
+        val uri = concat(lit("http://corpus/"), col("doc_id"))
+        val c1 = docs.select(col("doc_id").as("__id"), lit(0).as("__sub"),
+          Warc.warcResponseRecord(uri, lit(200), lit("OK"), lit("text/plain"),
+            col("text"),
+            format_string("2024-01-%02dT00:00:00Z",
+              (col("doc_id") % 27 + 1).cast("int"))).as("value"))
+        val c2 = docs.filter(col("doc_id") % 5 =!= 0)
+          .select(col("doc_id").as("__id"), lit(1).as("__sub"),
+            Warc.warcResponseRecord(uri, lit(200), lit("OK"), lit("text/plain"),
+              concat(col("text"), lit(" v2")),
+              lit("2024-03-01T00:00:00Z")).as("value"))
+        c1.unionByName(c2).orderBy(col("__id"), col("__sub"))
+          .select(col("value")).coalesce(1).write.mode("overwrite").text(o)
+      }
+      Warc.readWarc(s, out).filter(col("rec_type") === "response")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("uri")).orderBy(col("warc_date").desc)))
+        .withColumn("n_captures",
+          count(lit(1)).over(Window.partitionBy(col("uri"))))
+        .filter(col("rn") === 1)
+        .select(
+          regexp_extract(col("uri"), "([0-9]+)$", 1).cast("long").as("doc_id"),
+          col("n_captures").cast("long").as("n_captures"),
+          col("warc_date").as("best_date"),
+          length(col("payload")).cast("long").as("payload_len"),
+          md5(col("payload")).as("payload_md5"))
+    }),
+
     // S9 video: FLV tag walk (Flv — Tika FLVParser analog,
     // solrCellDocumentTypes.conf:265), same round-trip oracle shape
     // over the region-keyed fixtures.
@@ -7377,6 +7417,22 @@ object SparkEntry {
         |  CAST(strlen(w) AS BIGINT), md5(w), NULL
         |FROM (SELECT 'software: graft-spark' || chr(13) || chr(10)
         |    || 'format: WARC File Format 1.0' || chr(13) || chr(10) AS w)""".stripMargin,
+
+    // the winning capture per URL, recomputed from the fixture's
+    // generative closed forms (two dated captures, singleton every
+    // fifth doc, ISO dates sort lexicographically)
+    "q282_warc_best_capture" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 2 END AS BIGINT)
+        |    AS n_captures,
+        |  CASE WHEN doc_id % 5 = 0
+        |    THEN printf('2024-01-%02dT00:00:00Z', CAST(doc_id % 27 + 1 AS INT))
+        |    ELSE '2024-03-01T00:00:00Z' END AS best_date,
+        |  CAST(strlen(CASE WHEN doc_id % 5 = 0 THEN text
+        |    ELSE text || ' v2' END) AS BIGINT) AS payload_len,
+        |  md5(CASE WHEN doc_id % 5 = 0 THEN text ELSE text || ' v2' END)
+        |    AS payload_md5
+        |FROM documents""".stripMargin,
 
     "q276_cms_heavy_hitters" ->
       """WITH toks AS (

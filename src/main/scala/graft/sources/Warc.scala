@@ -49,16 +49,19 @@ object Warc {
     * `framed` is false only for off-spec records recovered by
     * delimiter scanning. */
   private[sources] final case class RawRecord(
-      path: String, rec_type: String, uri: String, body: Array[Byte],
-      framed: Boolean)
+      path: String, rec_type: String, uri: String, date: String,
+      body: Array[Byte], framed: Boolean)
 
   /** One full-WARC record after HTTP splitting: `http_status` /
     * `http_content_type` are populated for `response` records whose
     * body parses as an HTTP message (payload = entity octets after
     * the HTTP head); any other record carries its raw body as
-    * `payload` with the HTTP columns null. */
+    * `payload` with the HTTP columns null. `warc_date` is the
+    * record's capture time verbatim (ISO 8601 in conformant crawls) —
+    * the key for best-capture-per-URL selection. */
   final case class WarcHttpRecord(
       path: String, rec_type: String, uri: Option[String],
+      warc_date: Option[String],
       http_status: Option[Int], http_content_type: Option[String],
       payload: Array[Byte])
 
@@ -102,7 +105,8 @@ object Warc {
           .map(splitHttp)
       }
       .select(col("path"), col("rec_type"), col("uri"),
-        col("http_status"), col("http_content_type"), col("payload"))
+        col("warc_date"), col("http_status"), col("http_content_type"),
+        col("payload"))
   }
 
   /** [[readWarc]] over COMPRESSED crawl files (`.warc.gz`, the other
@@ -122,7 +126,8 @@ object Warc {
           .map(splitHttp)
       }
       .select(col("path"), col("rec_type"), col("uri"),
-        col("http_status"), col("http_content_type"), col("payload"))
+        col("warc_date"), col("http_status"), col("http_content_type"),
+        col("payload"))
   }
 
   /** `response` record → HTTP head split at the message's own blank
@@ -131,7 +136,8 @@ object Warc {
     * response body with no blank line (truncated capture) degrades to
     * raw-payload with null HTTP columns, never a throw. */
   private[sources] def splitHttp(r: RawRecord): WarcHttpRecord = {
-    def raw = WarcHttpRecord(r.path, r.rec_type, Option(r.uri), None, None, r.body)
+    def raw = WarcHttpRecord(r.path, r.rec_type, Option(r.uri),
+      Option(r.date), None, None, r.body)
     if (r.rec_type != "response") return raw
     val i = byteIndexOf(r.body, BlankLine, 0)
     if (i < 0) return raw
@@ -141,7 +147,7 @@ object Warc {
       .map(_.group(1).toInt)
     if (status.isEmpty) return raw
     val headers = parseHeaders(lines.drop(1).mkString("\r\n"))
-    WarcHttpRecord(r.path, r.rec_type, Option(r.uri), status,
+    WarcHttpRecord(r.path, r.rec_type, Option(r.uri), Option(r.date), status,
       headers.get("content-type"),
       java.util.Arrays.copyOfRange(r.body, i + BlankLine.length, r.body.length))
   }
@@ -221,6 +227,7 @@ object Warc {
               nextRec = RawRecord(path,
                 headers.get("warc-type").map(_.trim).getOrElse(""),
                 headers.get("warc-target-uri").map(_.trim).orNull,
+                headers.get("warc-date").map(_.trim).orNull,
                 body, framed)
               pos = skipWs(bytes, after)
             }
@@ -279,7 +286,8 @@ object Warc {
     * that whole message (ISO 28500 §6.3). Both lengths are octet
     * counts, so the framing holds for non-ASCII payloads. */
   def warcResponseRecord(uri: Column, status: Column, reason: Column,
-                         contentType: Column, payload: Column): Column = {
+                         contentType: Column, payload: Column,
+                         date: Column = lit(null)): Column = {
     val http = concat(
       lit("HTTP/1.1 "), status.cast("string"), lit(" "), reason, lit("\r\n"),
       lit("Content-Type: "), contentType,
@@ -287,6 +295,8 @@ object Warc {
       lit("\r\n\r\n"), payload)
     concat(
       lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "), uri,
+      when(date.isNotNull, concat(lit("\r\nWARC-Date: "), date))
+        .otherwise(lit("")),
       lit("\r\nContent-Type: application/http; msgtype=response"),
       lit("\r\nContent-Length: "), octet_length(http).cast("string"),
       lit("\r\n\r\n"), http, lit("\r\n\r\n"))
