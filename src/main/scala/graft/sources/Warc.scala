@@ -95,32 +95,25 @@ object Warc {
    * content extraction — the declared `http_content_type` is the
    * server's claim, the sniff is the bytes' truth.
    */
-  def readWarc(spark: SparkSession, path: String): DataFrame = {
-    import spark.implicits._
-    spark.read.format("binaryFile").load(path)
-      .select(col("path").cast("string"), col("content").cast("binary"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (p, bytes) =>
-        parseFileRaw(p, if (bytes == null) Array.emptyByteArray else bytes)
-          .map(splitHttp)
-      }
-      .select(col("path"), col("rec_type"), col("uri"),
-        col("warc_date"), col("http_status"), col("http_content_type"),
-        col("payload"))
-  }
+  def readWarc(spark: SparkSession, path: String): DataFrame =
+    parseHttpRecords(spark.read.format("binaryFile").load(path)
+      .select(col("path").cast("string"), col("content").cast("binary")))
 
   /** [[readWarc]] over COMPRESSED crawl files (`.warc.gz`, the other
     * half of how Common Crawl ships): bytes route through the archive
     * expander (magic-byte sniffed; plain files pass through), then
     * the same record parse + HTTP split on the same task. */
-  def readWarcArchive(spark: SparkSession, path: String): DataFrame = {
-    import spark.implicits._
-    Archives.unpack(
+  def readWarcArchive(spark: SparkSession, path: String): DataFrame =
+    parseHttpRecords(Archives.unpack(
         spark.read.format("binaryFile").load(path),
         col("path"), col("content"))
       .select(col("entry_name").cast("string"),
-        col("entry_content").cast("binary"))
-      .as[(String, Array[Byte])]
+        col("entry_content").cast("binary")))
+
+  private def parseHttpRecords(files: DataFrame): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.as[(String, Array[Byte])]
       .flatMap { case (p, bytes) =>
         parseFileRaw(p, if (bytes == null) Array.emptyByteArray else bytes)
           .map(splitHttp)
