@@ -660,4 +660,37 @@ object Graft {
                               partitions: Int = 0,
                               maxBytes: Int = 64 << 20): DataFrame =
     graft.sources.BinaryFiles.readManifestDistributed(spark, manifest, partitions, maxBytes)
+
+  /** WET text records — Common Crawl's extracted-text profile (see
+    * [[graft.sources.Warc.readWet]]); `.wet.gz` via the archive form. */
+  def readWet(spark: SparkSession, path: String): DataFrame =
+    graft.sources.Warc.readWet(spark, path)
+
+  def readWetArchive(spark: SparkSession, path: String): DataFrame =
+    graft.sources.Warc.readWetArchive(spark, path)
+
+  /** FULL raw-crawl WARC: response records split into HTTP status /
+    * declared Content-Type / binary entity payload, WARC-Date carried
+    * for best-capture selection (see [[graft.sources.Warc.readWarc]]). */
+  def readWarc(spark: SparkSession, path: String): DataFrame =
+    graft.sources.Warc.readWarc(spark, path)
+
+  def readWarcArchive(spark: SparkSession, path: String): DataFrame =
+    graft.sources.Warc.readWarcArchive(spark, path)
+
+  /** Container-aware frame sampling over binary payloads: MP4/FLV emit
+    * REAL keyframe offsets from their own sample tables, everything
+    * else falls back to byte-stride windows (see
+    * [[graft.ops.Multimodal.sampleContainerFrames]]). */
+  def sampleContainerFrames(spark: SparkSession, df: DataFrame, every: Int,
+                            frameLen: Int, maxFrames: Int = 64): DataFrame =
+    graft.ops.Multimodal.sampleContainerFrames(spark, df, every, frameLen, maxFrames).toDF()
+
+  /** One-blob document parse by sniffed-or-declared MIME (the
+    * solrCell/Tika analog; see [[graft.sources.DocumentParser.parse]]):
+    * returns (text, metadata) for the ~20 dependency-free formats. */
+  def parseDocument(mime: String, bytes: Array[Byte]): (String, Map[String, String]) = {
+    val d = graft.sources.DocumentParser.parse(mime, bytes)
+    (d.text, d.metadata)
+  }
 }
