@@ -133,6 +133,7 @@ object SparkEntry {
     "q282_warc_best_capture",  // warc_captures
     "q277_solr_xml_export",    // xml_export
     "q279_mp4_parse",          // video_fixtures
+    "q283_epub_parse",         // epub_fixtures
     "q243_backup_restore")     // cust_backup
 
   /** Prepend a 1-based `rnkName` column to a BOUNDED, already-ordered
@@ -4199,6 +4200,40 @@ object SparkEntry {
           .as("extracted_len"))
     }),
 
+    // S9 ebooks: EPUB zip container -> container.xml -> OPF (Dublin
+    // Core metadata + spine order) -> chapter XHTML through the html
+    // parser. Fixture layouts are closed forms of the nation key;
+    // DuckDB recomputes metadata AND the spine-ordered full text the
+    // parser must extract from the real container bytes.
+    "q283_epub_parse" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.readBinary(s, epubFixtureStore(s, d), "*.epub")
+        .select(col("path"), col("content")).as[(String, Array[Byte])]
+        .mapPartitions(_.map { case (path, bytes) =>
+          val doc = graft.sources.DocumentParser.parse(
+            "application/epub+zip", bytes)
+          (path.replaceAll(".*/", ""), doc.metadata.getOrElse("title", ""),
+            doc.metadata.getOrElse("language", ""),
+            doc.metadata.getOrElse("n_chapters", "0").toLong, doc.text)
+        })
+        .toDF("file_name", "title", "language", "n_chapters", "text")
+    }),
+
+    // S9 feeds: RSS item stream (FeedParser analog) — titles +
+    // descriptions as the text; closed-form fixtures per region row.
+    "q284_feed_parse" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.readBinary(s, epubFixtureStore(s, d), "*.rss")
+        .select(col("path"), col("content")).as[(String, Array[Byte])]
+        .mapPartitions(_.map { case (path, bytes) =>
+          val doc = graft.sources.DocumentParser.parse(
+            "application/rss+xml", bytes)
+          (path.replaceAll(".*/", ""), doc.metadata.getOrElse("title", ""),
+            doc.metadata.getOrElse("n_items", "0").toLong, doc.text)
+        })
+        .toDF("file_name", "feed_title", "n_items", "text")
+    }),
+
     // best-capture-per-URL selection (the standard Common Crawl
     // processing step: a URL crawled in several snapshots keeps its
     // most recent capture): responses windowed per URI on WARC-Date
@@ -4288,6 +4323,63 @@ object SparkEntry {
     * parsers must read back from the real binary. The driving frames
     * are 25- and 5-row dimensions — the collect is bounded by
     * construction. */
+  /** Deterministic EPUB + RSS fixture files (one per nation / region
+    * row, the video-fixture pattern): every book's metadata, spine
+    * order, and chapter text — and every feed's items — are closed
+    * forms of the table key, so the DuckDB oracle recomputes what the
+    * zip/XML parsers must extract from the real bytes. */
+  private def epubFixtureStore(s: SparkSession, d: String): String =
+    sharedStore(d, "epub_fixtures") { o =>
+      val dir = java.nio.file.Paths.get(o)
+      def zipFile(path: java.nio.file.Path, entries: Seq[(String, String)]): Unit = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val z = new java.util.zip.ZipOutputStream(bos)
+        entries.foreach { case (n, body) =>
+          z.putNextEntry(new java.util.zip.ZipEntry(n))
+          z.write(body.getBytes("UTF-8")); z.closeEntry()
+        }
+        z.close()
+        java.nio.file.Files.write(path, bos.toByteArray)
+      }
+      Tables.nation(s, d).select(col("n_nationkey").cast("int"))
+        .collect().map(_.getInt(0)).foreach { k =>
+          val lang = Seq("en", "de", "fr")(k % 3)
+          val n = 2 + k % 5
+          val manifest = (1 to n).map(i =>
+            s"""<item id="c$i" href="ch$i.xhtml" media-type="application/xhtml+xml"/>""")
+            .mkString("\n")
+          val spine = (1 to n).map(i => s"""<itemref idref="c$i"/>""").mkString("\n")
+          val opf =
+            s"""<package xmlns="http://www.idpf.org/2007/opf"
+               |  xmlns:dc="http://purl.org/dc/elements/1.1/" version="3.0">
+               |<metadata><dc:title>Book $k</dc:title>
+               |<dc:language>$lang</dc:language></metadata>
+               |<manifest>$manifest</manifest><spine>$spine</spine>
+               |</package>""".stripMargin
+          val container =
+            """<container xmlns="urn:oasis:names:tc:opendocument:xmlns:container">
+              |<rootfiles><rootfile full-path="OEBPS/content.opf"/></rootfiles>
+              |</container>""".stripMargin
+          zipFile(dir.resolve(f"book_$k%02d.epub"),
+            Seq("mimetype" -> "application/epub+zip",
+              "META-INF/container.xml" -> container,
+              "OEBPS/content.opf" -> opf) ++
+              (1 to n).map(i => s"OEBPS/ch$i.xhtml" ->
+                s"<html><body><p>chapter $i of book $k</p></body></html>"))
+        }
+      Tables.region(s, d).select(col("r_regionkey").cast("int"))
+        .collect().map(_.getInt(0)).foreach { r =>
+          val n = 3 + r
+          val items = (1 to n).map(i =>
+            s"<item><title>Item $i</title><description>story $i of feed $r</description></item>")
+            .mkString("\n")
+          java.nio.file.Files.write(dir.resolve(f"feed_$r%02d.rss"),
+            s"""<rss version="2.0"><channel><title>Feed $r</title>
+               |$items
+               |</channel></rss>""".stripMargin.getBytes("UTF-8"))
+        }
+    }
+
   private def videoFixtureStore(s: SparkSession, d: String): String =
     sharedStore(d, "video_fixtures") { o =>
       import graft.sources.{Flv, IsoBmff}
@@ -7417,6 +7509,27 @@ object SparkEntry {
         |  CAST(strlen(w) AS BIGINT), md5(w), NULL
         |FROM (SELECT 'software: graft-spark' || chr(13) || chr(10)
         |    || 'format: WARC File Format 1.0' || chr(13) || chr(10) AS w)""".stripMargin,
+
+    // the epub fixtures' generative closed forms: metadata AND the
+    // spine-ordered extracted text recomputed per book
+    "q283_epub_parse" ->
+      """SELECT printf('book_%02d.epub', n_nationkey) AS file_name,
+        |  'Book ' || n_nationkey AS title,
+        |  ['en', 'de', 'fr'][(n_nationkey % 3) + 1] AS language,
+        |  CAST(2 + n_nationkey % 5 AS BIGINT) AS n_chapters,
+        |  (SELECT string_agg('chapter ' || i || ' of book ' || n_nationkey,
+        |       ' ' ORDER BY i)
+        |   FROM unnest(generate_series(1, 2 + n_nationkey % 5)) AS t(i)) AS text
+        |FROM nation""".stripMargin,
+
+    "q284_feed_parse" ->
+      """SELECT printf('feed_%02d.rss', r_regionkey) AS file_name,
+        |  'Feed ' || r_regionkey AS feed_title,
+        |  CAST(3 + r_regionkey AS BIGINT) AS n_items,
+        |  (SELECT string_agg('Item ' || i || ' story ' || i || ' of feed '
+        |       || r_regionkey, ' ' ORDER BY i)
+        |   FROM unnest(generate_series(1, 3 + r_regionkey)) AS t(i)) AS text
+        |FROM region""".stripMargin,
 
     // the winning capture per URL, recomputed from the fixture's
     // generative closed forms (two dated captures, singleton every

@@ -79,6 +79,15 @@ object Multimodal {
         .when(head4.startsWith("FFFB") || head4.startsWith("FFF3") ||
           head4.startsWith("FFF2"), "audio/mpeg") // bare MPEG frame sync
         .when(head4.startsWith("664C6143"), "audio/flac") // fLaC
+        .when(head4.startsWith("49492A00") ||
+          head4.startsWith("4D4D002A"), "image/tiff") // II*\0 / MM\0*
+        .when(head4.startsWith("38425053"), "image/vnd.adobe.photoshop") // 8BPS
+        .when(head4.startsWith("4D546864"), "audio/midi") // MThd
+        .when(head4.startsWith("7F454C46"), "application/x-executable") // \x7fELF
+        .when(head4.startsWith("CAFEBABE"), "application/java-vm")
+        .when(head4.startsWith("4F54544F"), "font/otf") // OTTO
+        .when(head4.startsWith("00010000"), "font/ttf") // sfnt v1.0
+        .when(head4.startsWith("4D5A"), "application/x-msdownload") // MZ
         .otherwise("application/octet-stream"))
   }
 

@@ -102,6 +102,21 @@ object DocumentParser {
         case "video/mp4" | "video/quicktime" | "audio/mp4" =>
           parseMp4(bytes, mime)
         case "video/x-flv" => parseFlv(bytes, mime)
+        case "application/epub+zip" => parseEpub(bytes, mime)
+        case "application/rss+xml" | "application/atom+xml" =>
+          parseFeed(str(), mime)
+        case "application/x-fictionbook+xml" => parseFb2(str(), mime)
+        case "image/tiff" => parseTiff(bytes, mime)
+        case "image/vnd.adobe.photoshop" => parsePsd(bytes, mime)
+        case "audio/midi" | "audio/x-midi" => parseMidi(bytes, mime)
+        case "font/ttf" | "font/otf" | "application/x-font-ttf" =>
+          parseTtf(bytes, mime)
+        case "application/x-executable" | "application/x-sharedlib" |
+             "application/x-elf" => parseElf(bytes, mime)
+        case "application/x-msdownload" |
+             "application/vnd.microsoft.portable-executable" =>
+          parsePe(bytes, mime)
+        case "application/java-vm" => parseClass(bytes, mime)
         case "message/rfc822" => parseEml(str(), mime)
         case "application/mbox" => parseMbox(str(), mime)
         case _ =>
@@ -350,6 +365,8 @@ object DocumentParser {
       Some("application/vnd.openxmlformats-officedocument.presentationml.presentation")
     else if (names.contains("content.xml") && names.contains("mimetype"))
       Some("application/vnd.oasis.opendocument.text")
+    else if (names.contains("META-INF/container.xml"))
+      Some("application/epub+zip")
     else None
   }
 
@@ -1396,6 +1413,275 @@ object DocumentParser {
       "top_down" -> (h < 0).toString))
   }
 
+  // ----- The remaining declared Tika set (solrCellDocumentTypes
+  // .conf:229-268): ebooks and feeds (crawl-real TEXT), plus image/
+  // audio/font/executable METADATA parsers. Same discipline as the
+  // rest of the file: dependency-free bounded walks, clamped table
+  // sizes, malformed input → partial metadata, never a throw. -----
+
+  /** EPUB (Tika `EpubParser`, conf:237) — the dominant ebook format,
+    * a zip container: META-INF/container.xml names the OPF package
+    * document, the OPF carries Dublin Core metadata plus the spine
+    * reading order, and each spine chapter is XHTML that flows
+    * through [[parseHtml]]. */
+  private[sources] def parseEpub(bytes: Array[Byte], mime: String): ParsedDoc = {
+    val entries = zipEntries(bytes, n => n == "META-INF/container.xml" ||
+      n.endsWith(".opf") || n.endsWith(".xhtml") || n.endsWith(".html") ||
+      n.endsWith(".htm"))
+    def xml(name: String): Option[scala.xml.Elem] =
+      entries.get(name).flatMap(b =>
+        scala.util.Try(scala.xml.XML.loadString(decodeText(b))).toOption)
+    val opfPath = xml("META-INF/container.xml")
+      .flatMap(c => (c \\ "rootfile").headOption)
+      .map(r => (r \@ "full-path"))
+      .filter(_.nonEmpty)
+      .orElse(entries.keys.find(_.endsWith(".opf")))
+    val opf = opfPath.flatMap(xml)
+    val opfDir = opfPath.map(p =>
+      p.lastIndexOf('/') match { case -1 => ""; case i => p.substring(0, i + 1) })
+      .getOrElse("")
+    val meta = opf.map { o =>
+      Map.empty[String, String] ++
+        (o \\ "title").headOption.map(t => "title" -> t.text.trim) ++
+        (o \\ "creator").headOption.map(c => "creator" -> c.text.trim) ++
+        (o \\ "language").headOption.map(l => "language" -> l.text.trim) ++
+        (o \\ "identifier").headOption.map(i => "identifier" -> i.text.trim)
+    }.getOrElse(Map.empty)
+    // spine order: idrefs → manifest hrefs (relative to the OPF dir)
+    val spineHrefs: Seq[String] = opf.map { o =>
+      val manifest = (o \\ "item")
+        .map(i => (i \@ "id") -> (i \@ "href")).toMap
+      (o \\ "itemref").flatMap(r => manifest.get(r \@ "idref"))
+        .map(opfDir + _)
+    }.getOrElse(Seq.empty)
+    val chapterNames =
+      if (spineHrefs.nonEmpty) spineHrefs.filter(entries.contains)
+      else entries.keys.filter(n => n.endsWith(".xhtml") || n.endsWith(".html"))
+        .toSeq.sorted
+    val text = chapterNames
+      .map(n => parseHtml(decodeText(entries(n)), "text/html").text)
+      .filter(_.nonEmpty).mkString(" ")
+    ParsedDoc(text, mime, meta + ("n_chapters" -> chapterNames.length.toString))
+  }
+
+  /** RSS 2.0 / Atom feeds (Tika `FeedParser`, conf:239): feed title +
+    * per-item titles/summaries as the text stream. */
+  private[sources] def parseFeed(raw: String, mime: String): ParsedDoc =
+    scala.util.Try(scala.xml.XML.loadString(raw)).toOption match {
+      case None => ParsedDoc("", mime, Map("parse_error" -> "bad feed xml"))
+      case Some(root) =>
+        val atom = root.label == "feed"
+        val items = if (atom) root \\ "entry" else root \\ "item"
+        val feedTitle =
+          (if (atom) root \ "title" else root \ "channel" \ "title")
+            .headOption.map(_.text.trim).getOrElse("")
+        val text = items.map { it =>
+          val t = (it \ "title").headOption.map(_.text.trim).getOrElse("")
+          val d = (it \ "description").headOption
+            .orElse((it \ "summary").headOption)
+            .map(_.text.trim).getOrElse("")
+          (t + " " + d).trim
+        }.filter(_.nonEmpty).mkString(" ")
+        ParsedDoc(text, mime, Map(
+          "feed_type" -> (if (atom) "atom" else "rss"),
+          "title" -> feedTitle,
+          "n_items" -> items.length.toString))
+    }
+
+  /** FictionBook 2 (Tika `FictionBookParser`, conf:267): XML ebook —
+    * title-info metadata + body paragraph text. */
+  private[sources] def parseFb2(raw: String, mime: String): ParsedDoc =
+    scala.util.Try(scala.xml.XML.loadString(raw)).toOption match {
+      case None => ParsedDoc("", mime, Map("parse_error" -> "bad fb2 xml"))
+      case Some(root) =>
+        val ti = (root \ "description" \ "title-info").headOption
+        val title = ti.flatMap(t => (t \ "book-title").headOption)
+          .map(_.text.trim)
+        val author = ti.flatMap(t => (t \ "author").headOption).map(a =>
+          ((a \ "first-name").text.trim + " " + (a \ "last-name").text.trim).trim)
+        val text = (root \ "body" \\ "p").map(_.text.trim)
+          .filter(_.nonEmpty).mkString(" ")
+        ParsedDoc(text, mime, Map.empty[String, String] ++
+          title.map("title" -> _) ++ author.map("author" -> _) ++
+          ti.flatMap(t => (t \ "lang").headOption).map(l => "language" -> l.text.trim))
+    }
+
+  /** TIFF (Tika `TiffParser`, conf:246): endian-tagged IFD walk for
+    * width (256) / height (257) / bits-per-sample (258). Entry count
+    * clamped to what the buffer holds. */
+  private[sources] def parseTiff(bytes: Array[Byte], mime: String): ParsedDoc = {
+    if (bytes.length < 8) return ParsedDoc("", mime, Map("parse_error" -> "truncated tiff"))
+    val le = bytes(0) == 'I' && bytes(1) == 'I'
+    def u16(i: Int): Int = if (le) le16(bytes, i) else be16(bytes, i)
+    def u32(i: Int): Long =
+      if (le) le32(bytes, i).toLong & 0xFFFFFFFFL else be32(bytes, i)
+    if (u16(2) != 42) return ParsedDoc("", mime, Map("parse_error" -> "bad tiff magic"))
+    val ifd = u32(4)
+    if (ifd < 8 || ifd + 2 > bytes.length)
+      return ParsedDoc("", mime, Map("parse_error" -> "bad ifd offset"))
+    val n = math.min(u16(ifd.toInt), (bytes.length - ifd - 2) / 12).toInt
+    var w = 0L; var h = 0L; var bits = 0L
+    var i = 0
+    while (i < n) {
+      val off = ifd.toInt + 2 + i * 12
+      val tag = u16(off)
+      val typ = u16(off + 2)
+      // SHORT values sit in the first two value bytes, LONG in all four
+      val v = if (typ == 3) u16(off + 8).toLong else u32(off + 8)
+      tag match {
+        case 256 => w = v
+        case 257 => h = v
+        case 258 => bits = v
+        case _ =>
+      }
+      i += 1
+    }
+    ParsedDoc("", mime, Map("width" -> w.toString, "height" -> h.toString,
+      "bits_per_sample" -> bits.toString,
+      "byte_order" -> (if (le) "little" else "big")))
+  }
+
+  /** Photoshop PSD (Tika `PSDParser`, conf:245): fixed header —
+    * channels/height/width/depth/mode. */
+  private[sources] def parsePsd(bytes: Array[Byte], mime: String): ParsedDoc = {
+    if (bytes.length < 26) return ParsedDoc("", mime, Map("parse_error" -> "truncated psd"))
+    ParsedDoc("", mime, Map(
+      "channels" -> be16(bytes, 12).toString,
+      "height" -> be32(bytes, 14).toString,
+      "width" -> be32(bytes, 18).toString,
+      "depth" -> be16(bytes, 22).toString,
+      "color_mode" -> be16(bytes, 24).toString))
+  }
+
+  /** Standard MIDI file (Tika `MidiParser`, conf:234): MThd header —
+    * format / track count / division. */
+  private[sources] def parseMidi(bytes: Array[Byte], mime: String): ParsedDoc = {
+    if (bytes.length < 14) return ParsedDoc("", mime, Map("parse_error" -> "truncated midi"))
+    ParsedDoc("", mime, Map(
+      "midi_format" -> be16(bytes, 8).toString,
+      "n_tracks" -> be16(bytes, 10).toString,
+      "division" -> be16(bytes, 12).toString))
+  }
+
+  /** TrueType/OpenType (Tika `TrueTypeParser`, conf:241): the `name`
+    * table's family (id 1) and full name (id 4) — platform 3 records
+    * are UTF-16BE, platform 1 latin-1. */
+  private[sources] def parseTtf(bytes: Array[Byte], mime: String): ParsedDoc = {
+    if (bytes.length < 12) return ParsedDoc("", mime, Map("parse_error" -> "truncated font"))
+    val numTables = math.min(be16(bytes, 4), (bytes.length - 12) / 16)
+    var nameOff = -1L; var nameLen = 0L
+    var i = 0
+    while (i < numTables) {
+      val o = 12 + i * 16
+      if (new String(bytes, o, 4, "ISO-8859-1") == "name") {
+        nameOff = be32(bytes, o + 8); nameLen = be32(bytes, o + 12)
+      }
+      i += 1
+    }
+    if (nameOff < 0 || nameOff + 6 > bytes.length)
+      return ParsedDoc("", mime, Map("parse_error" -> "no name table"))
+    val base = nameOff.toInt
+    val count = math.min(be16(bytes, base + 2), (bytes.length - base - 6) / 12)
+    val strBase = base + be16(bytes, base + 4)
+    var family = ""; var full = ""
+    var j = 0
+    while (j < count) {
+      val r = base + 6 + j * 12
+      val platform = be16(bytes, r)
+      val nameId = be16(bytes, r + 6)
+      val len = be16(bytes, r + 8)
+      val off = strBase + be16(bytes, r + 10)
+      if ((nameId == 1 || nameId == 4) && off + len <= bytes.length) {
+        val s = new String(bytes, off, len,
+          if (platform == 3 || platform == 0) "UTF-16BE" else "ISO-8859-1")
+        if (nameId == 1 && family.isEmpty) family = s
+        if (nameId == 4 && full.isEmpty) full = s
+      }
+      j += 1
+    }
+    ParsedDoc("", mime, Map.empty[String, String] ++
+      (if (family.nonEmpty) Some("font_family" -> family) else None) ++
+      (if (full.nonEmpty) Some("font_name" -> full) else None))
+  }
+
+  /** ELF executables/libraries (Tika `ExecutableParser`, conf:238):
+    * ident class/endianness + type + machine. */
+  private[sources] def parseElf(bytes: Array[Byte], mime: String): ParsedDoc = {
+    if (bytes.length < 20) return ParsedDoc("", mime, Map("parse_error" -> "truncated elf"))
+    val le = bytes(5) == 1
+    def u16(i: Int): Int = if (le) le16(bytes, i) else be16(bytes, i)
+    val machine = u16(18) match {
+      case 0x03 => "x86"; case 0x28 => "arm"; case 0x3E => "x86-64"
+      case 0xB7 => "aarch64"; case 0xF3 => "riscv"; case m => s"0x${m.toHexString}"
+    }
+    ParsedDoc("", mime, Map(
+      "elf_class" -> (if (bytes(4) == 2) "64" else "32"),
+      "endianness" -> (if (le) "little" else "big"),
+      "elf_type" -> (u16(16) match {
+        case 1 => "relocatable"; case 2 => "executable"
+        case 3 => "shared"; case 4 => "core"; case t => t.toString
+      }),
+      "machine" -> machine))
+  }
+
+  /** PE executables (the ExecutableParser's Windows half): COFF
+    * header machine / section count / link timestamp. */
+  private[sources] def parsePe(bytes: Array[Byte], mime: String): ParsedDoc = {
+    if (bytes.length < 64) return ParsedDoc("", mime, Map("parse_error" -> "truncated pe"))
+    val peOff = le32(bytes, 60)
+    if (peOff < 0 || peOff + 24 > bytes.length ||
+        !(bytes(peOff) == 'P' && bytes(peOff + 1) == 'E'))
+      return ParsedDoc("", mime, Map("pe_variant" -> "MZ only (DOS)"))
+    val machine = le16(bytes, peOff + 4) match {
+      case 0x014C => "x86"; case 0x8664 => "x86-64"
+      case 0xAA64 => "arm64"; case 0x01C4 => "armnt"; case m => s"0x${m.toHexString}"
+    }
+    ParsedDoc("", mime, Map(
+      "machine" -> machine,
+      "n_sections" -> le16(bytes, peOff + 6).toString,
+      "link_timestamp" -> (le32(bytes, peOff + 8).toLong & 0xFFFFFFFFL).toString))
+  }
+
+  /** Java .class (Tika `ClassParser`, conf:229): version + this-class
+    * name via a bounded constant-pool walk (tag-sized skips; Long/
+    * Double occupy two slots per the JVM spec). */
+  private[sources] def parseClass(bytes: Array[Byte], mime: String): ParsedDoc = {
+    if (bytes.length < 10) return ParsedDoc("", mime, Map("parse_error" -> "truncated class"))
+    val major = be16(bytes, 6)
+    val cpCount = be16(bytes, 8)
+    val utf8 = scala.collection.mutable.HashMap.empty[Int, String]
+    val classRef = scala.collection.mutable.HashMap.empty[Int, Int]
+    var pos = 10
+    var idx = 1
+    var ok = true
+    while (idx < cpCount && ok && pos < bytes.length) {
+      (bytes(pos) & 0xff) match {
+        case 1 =>
+          val len = be16(bytes, pos + 1)
+          if (pos + 3 + len <= bytes.length)
+            utf8(idx) = new String(bytes, pos + 3, len, "UTF-8")
+          pos += 3 + len
+        case 7 => classRef(idx) = be16(bytes, pos + 1); pos += 3
+        case 8 | 16 | 19 | 20 => pos += 3
+        case 15 => pos += 4
+        case 3 | 4 | 9 | 10 | 11 | 12 | 17 | 18 => pos += 5
+        case 5 | 6 => pos += 9; idx += 1 // two slots
+        case _ => ok = false
+      }
+      idx += 1
+    }
+    // after the pool: access_flags u16, this_class u16
+    val className =
+      if (ok && pos + 4 <= bytes.length)
+        classRef.get(be16(bytes, pos + 2)).flatMap(utf8.get)
+          .map(_.replace('/', '.'))
+      else None
+    ParsedDoc("", mime, Map(
+      "class_major" -> major.toString,
+      "java_version" -> math.max(major - 44, 1).toString) ++
+      className.map("class_name" -> _))
+  }
+
   private val parseUdf = udf((mime: String, bytes: Array[Byte]) => parse(mime, bytes))
 
   /** Adds `doc.text` / `doc.mime` / `doc.metadata` from a binary column. */
@@ -1428,5 +1714,18 @@ object DocumentParser {
       .when(name.endsWith(".gif"), "image/gif")
       .when(name.endsWith(".bmp"), "image/bmp")
       .when(name.endsWith(".avro"), "avro/binary")
+      .when(name.endsWith(".epub"), "application/epub+zip")
+      .when(name.endsWith(".rss"), "application/rss+xml")
+      .when(name.endsWith(".atom"), "application/atom+xml")
+      .when(name.endsWith(".fb2"), "application/x-fictionbook+xml")
+      .when(name.endsWith(".tif") || name.endsWith(".tiff"), "image/tiff")
+      .when(name.endsWith(".psd"), "image/vnd.adobe.photoshop")
+      .when(name.endsWith(".mid") || name.endsWith(".midi"), "audio/midi")
+      .when(name.endsWith(".ttf"), "font/ttf")
+      .when(name.endsWith(".otf"), "font/otf")
+      .when(name.endsWith(".class"), "application/java-vm")
+      .when(name.endsWith(".exe") || name.endsWith(".dll"),
+        "application/x-msdownload")
+      .when(name.endsWith(".so"), "application/x-sharedlib")
       .otherwise("application/octet-stream")
 }
