@@ -4154,36 +4154,7 @@ object SparkEntry {
     // replays framing, HTTP split, payload checksum, and extraction.
     "q281_warc_responses" -> ((s, d) => {
       import graft.sources.{DocumentParser, Warc}
-      val out = sharedStore(d, "warc_file_full") { o =>
-        val docs = Tables.documents(s, d)
-        val uri = concat(lit("http://corpus/"), col("doc_id"))
-        val resp = docs.select(lit(1).as("__g"), col("doc_id").as("__id"),
-          lit(1).as("__sub"),
-          Warc.warcResponseRecord(uri,
-            when(col("doc_id") % 10 === 0, lit(404)).otherwise(lit(200)),
-            when(col("doc_id") % 10 === 0, lit("Not Found")).otherwise(lit("OK")),
-            when(col("doc_id") % 2 === 0, lit("text/html"))
-              .otherwise(lit("text/plain")),
-            when(col("doc_id") % 2 === 0,
-                concat(lit("<html><head><title>Doc "), col("doc_id"),
-                  lit("</title></head><body><p>"), col("text"),
-                  lit("</p></body></html>")))
-              .otherwise(col("text"))).as("value"))
-        val req = docs.select(lit(1).as("__g"), col("doc_id").as("__id"),
-          lit(0).as("__sub"),
-          Warc.warcRequestRecord(uri,
-            concat(lit("GET /"), col("doc_id"), lit(" HTTP/1.1")),
-            lit("corpus")).as("value"))
-        val info = s.range(1).select(lit(0).as("__g"), lit(0L).as("__id"),
-          lit(0).as("__sub"),
-          Warc.warcinfoRecord(
-            lit("software: graft-spark\r\nformat: WARC File Format 1.0\r\n"))
-            .as("value"))
-        info.unionByName(req).unionByName(resp)
-          .orderBy(col("__g"), col("__id"), col("__sub"))
-          .select(col("value")).coalesce(1)
-          .write.mode("overwrite").text(o)
-      }
+      val out = warcFixtureStore(s, d)
       val extractedLen = udf((ct: String, payload: Array[Byte]) =>
         if (ct == null) null
         else java.lang.Long.valueOf(
@@ -4232,6 +4203,29 @@ object SparkEntry {
             doc.metadata.getOrElse("n_items", "0").toLong, doc.text)
         })
         .toDF("file_name", "feed_title", "n_items", "text")
+    }),
+
+    // the flagship LLM-ingestion chain, end-to-end: raw crawl →
+    // training corpus. Full WARC → 200-responses → declared-type
+    // parse (html tag-strip / plain passthrough) → language-ID +
+    // token statistics, every stage over the EXTRACTED text and the
+    // whole chain replayed by the DuckDB oracle.
+    "q285_crawl_to_corpus" -> ((s, d) => {
+      import graft.sources.{DocumentParser, Warc}
+      val out = warcFixtureStore(s, d)
+      val extract = udf((ct: String, payload: Array[Byte]) =>
+        if (ct == null) null
+        else DocumentParser.parse(ct.takeWhile(_ != ';').trim, payload).text)
+      Warc.readWarc(s, out)
+        .filter(col("rec_type") === "response" && col("http_status") === 200)
+        .select(
+          regexp_extract(col("uri"), "([0-9]+)$", 1).cast("long").as("doc_id"),
+          extract(col("http_content_type"), col("payload")).as("__text"))
+        .select(col("doc_id"),
+          TextAnalysis.languageId(col("__text")).as("lang_pred"),
+          TextAnalysis.whitespaceTokenCount(col("__text")).cast("long")
+            .as("ws_tokens"),
+          length(col("__text")).cast("long").as("n_chars"))
     }),
 
     // best-capture-per-URL selection (the standard Common Crawl
@@ -4323,6 +4317,43 @@ object SparkEntry {
     * parsers must read back from the real binary. The driving frames
     * are 25- and 5-row dimensions — the collect is bounded by
     * construction. */
+  /** Deterministic full-WARC fixture (one warcinfo prelude + a
+    * request/response pair per document; statuses, content types, and
+    * payloads are closed forms of the doc row — html for even ids,
+    * plain text for odd, 404 every tenth). Shared by q281/q285. */
+  private def warcFixtureStore(s: SparkSession, d: String): String =
+    sharedStore(d, "warc_file_full") { o =>
+      import graft.sources.Warc
+      val docs = Tables.documents(s, d)
+      val uri = concat(lit("http://corpus/"), col("doc_id"))
+      val resp = docs.select(lit(1).as("__g"), col("doc_id").as("__id"),
+        lit(1).as("__sub"),
+        Warc.warcResponseRecord(uri,
+          when(col("doc_id") % 10 === 0, lit(404)).otherwise(lit(200)),
+          when(col("doc_id") % 10 === 0, lit("Not Found")).otherwise(lit("OK")),
+          when(col("doc_id") % 2 === 0, lit("text/html"))
+            .otherwise(lit("text/plain")),
+          when(col("doc_id") % 2 === 0,
+              concat(lit("<html><head><title>Doc "), col("doc_id"),
+                lit("</title></head><body><p>"), col("text"),
+                lit("</p></body></html>")))
+            .otherwise(col("text"))).as("value"))
+      val req = docs.select(lit(1).as("__g"), col("doc_id").as("__id"),
+        lit(0).as("__sub"),
+        Warc.warcRequestRecord(uri,
+          concat(lit("GET /"), col("doc_id"), lit(" HTTP/1.1")),
+          lit("corpus")).as("value"))
+      val info = s.range(1).select(lit(0).as("__g"), lit(0L).as("__id"),
+        lit(0).as("__sub"),
+        Warc.warcinfoRecord(
+          lit("software: graft-spark\r\nformat: WARC File Format 1.0\r\n"))
+          .as("value"))
+      info.unionByName(req).unionByName(resp)
+        .orderBy(col("__g"), col("__id"), col("__sub"))
+        .select(col("value")).coalesce(1)
+        .write.mode("overwrite").text(o)
+    }
+
   /** Deterministic EPUB + RSS fixture files (one per nation / region
     * row, the video-fixture pattern): every book's metadata, spine
     * order, and chapter text — and every feed's items — are closed
@@ -7530,6 +7561,41 @@ object SparkEntry {
         |       || r_regionkey, ' ' ORDER BY i)
         |   FROM unnest(generate_series(1, 3 + r_regionkey)) AS t(i)) AS text
         |FROM region""".stripMargin,
+
+    // the crawl→corpus chain replayed end-to-end: fixture framing,
+    // HTTP filter, text extraction, then the SAME langid/token
+    // replicas as q18/q47 over the DERIVED text
+    "q285_crawl_to_corpus" -> {
+      val en = listLit(TextAnalysis.LangMarkers("en"))
+      val de = listLit(TextAnalysis.LangMarkers("de"))
+      val fr = listLit(TextAnalysis.LangMarkers("fr"))
+      val es = listLit(TextAnalysis.LangMarkers("es"))
+      s"""WITH corpus AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 2 = 0 THEN trim(regexp_replace(
+         |        'Doc ' || doc_id || ' ' || text, '\\s+', ' ', 'g'))
+         |      ELSE text END AS dtext
+         |  FROM documents WHERE doc_id % 10 <> 0)
+         |SELECT doc_id,
+         | CASE WHEN en IS NULL THEN 'und'
+         |  WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+         |  WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+         |  WHEN de >= fr AND de >= es THEN 'de'
+         |  WHEN fr >= es THEN 'fr'
+         |  ELSE 'es' END AS lang_pred,
+         | CAST(len(string_split_regex(trim(dtext), '\\s+')) AS BIGINT)
+         |   AS ws_tokens,
+         | CAST(length(dtext) AS BIGINT) AS n_chars
+         |FROM (
+         | SELECT doc_id, dtext,
+         |  len(list_distinct(list_intersect(toks, $en))) AS en,
+         |  len(list_distinct(list_intersect(toks, $de))) AS de,
+         |  len(list_distinct(list_intersect(toks, $fr))) AS fr,
+         |  len(list_distinct(list_intersect(toks, $es))) AS es
+         | FROM (SELECT doc_id, dtext,
+         |         regexp_extract_all(lower(dtext), '[a-z]+') AS toks
+         |       FROM corpus) t) s""".stripMargin
+    },
 
     // the winning capture per URL, recomputed from the fixture's
     // generative closed forms (two dated captures, singleton every
