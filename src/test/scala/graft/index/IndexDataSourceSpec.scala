@@ -25,6 +25,37 @@ class IndexDataSourceSpec extends AnyFunSuite {
     out
   }
 
+  test("segment-split scan: one input partition per SEGMENT of a " +
+      "multi-segment shard; counts and rows unchanged") {
+    import spark.implicits._
+    val out = tmp("graft_dsv2_split_")
+    SegmentShardSink.write(
+      Seq(("1", "a"), ("2", "b"), ("3", "c")).toDF("id", "v"), "id", out,
+      shards = 2)
+    // grow one shard to three segments through two more writer commits
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(s"$out/part-00000/data/index")
+    (0 until 2).foreach { i =>
+      val w = new SegmentIndex.Writer(fs, dir)
+      w.addDocument(Seq("id" -> s"extra$i", "v" -> "z"))
+      w.commit()
+    }
+    val totalSegments = Seq("part-00000", "part-00001").map { p =>
+      SegmentIndex.latestCommit(fs,
+        new org.apache.hadoop.fs.Path(s"$out/$p/data/index")).get.segments.length
+    }.sum
+    assert(totalSegments >= 4) // 3 in part-0, >=1 in part-1
+    val df = spark.read.format("graft-index").load(out)
+    // the split contract: partition count == live segment count
+    assert(df.rdd.getNumPartitions === totalSegments)
+    assert(df.count() === 5)
+    assert(df.select("id").as[String].collect().sorted.toSeq ===
+      Seq("1", "2", "3", "extra0", "extra1"))
+    // pushdown partials still combine exactly across segment splits
+    assert(df.filter(col("v") === "z").count() === 2)
+  }
+
   test("schema inferred from store marker, all-strings") {
     val df = spark.read.format("graft-index").load(store)
     assert(df.schema.fieldNames.toSeq === Seq("id", "value", "tag"))
