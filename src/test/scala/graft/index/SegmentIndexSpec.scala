@@ -944,4 +944,58 @@ class SegmentIndexSpec extends AnyFunSuite {
     // bound guard
     intercept[IllegalArgumentException](r2.fuzzyDocs("tag", "spark", 3))
   }
+
+  test("stored-field codecs: v1 plain write reads back identically to v2; " +
+      "seek path agrees on both") {
+    def build(compress: Boolean): (Path, SegmentIndex.Reader) = {
+      val p = new Path(tmp(s"graft_codec_${compress}_"))
+      val fs = p.getFileSystem(conf)
+      val w = new SegmentIndex.Writer(fs, p, compressStored = compress)
+      (0 until 500).foreach(i => w.addDocument(
+        Seq("id" -> i.toString, "body" -> ("text " * (i % 7 + 1) + i))))
+      w.commit()
+      (p, new SegmentIndex.Reader(fs, p))
+    }
+    val (_, rv1) = build(compress = false)
+    val (_, rv2) = build(compress = true)
+    assert(rv1.allDocs().toSeq === rv2.allDocs().toSeq)
+    // selective seek (termDocs) must agree too — v2 inflates only the
+    // blocks its hit ordinals land in
+    assert(rv1.termDocs("id", "42") === rv2.termDocs("id", "42"))
+    assert(rv1.termDocs("id", "499") === rv2.termDocs("id", "499"))
+  }
+
+  test("mixed v1/v2 store refuses raw merge and forceMerge rewrites to ONE v2 segment") {
+    val p = new Path(tmp("graft_codec_mixed_"))
+    val fs = p.getFileSystem(conf)
+    val w1 = new SegmentIndex.Writer(fs, p, compressStored = false)
+    (0 until 20).foreach(i => w1.addDocument(Seq("id" -> s"a$i")))
+    w1.commit()
+    val w2 = new SegmentIndex.Writer(fs, p, compressStored = true)
+    (0 until 20).foreach(i => w2.addDocument(Seq("id" -> s"b$i")))
+    val merged = w2.forceMerge(1) // must take the rewrite path, not byte-concat
+    assert(merged.segments.length === 1)
+    val r = new SegmentIndex.Reader(fs, p)
+    assert(r.numDocs === 40)
+    assert(r.allDocs().map(_.head._2).toSet ===
+      ((0 until 20).map(i => s"a$i") ++ (0 until 20).map(i => s"b$i")).toSet)
+    assert(r.termDocs("id", "a7").nonEmpty && r.termDocs("id", "b19").nonEmpty)
+  }
+
+  test("auto-flush: maxBufferedDocs bounds the buffer into multiple segments; " +
+      "post-flush deletes tombstone flushed docs") {
+    val p = new Path(tmp("graft_autoflush_"))
+    val fs = p.getFileSystem(conf)
+    val w = new SegmentIndex.Writer(fs, p, maxBufferedDocs = 10)
+    (0 until 35).foreach(i => w.addDocument(Seq("id" -> i.toString)))
+    // 3 full flushes happened; 5 docs still buffered. A delete issued
+    // NOW must tombstone an already-flushed doc (Lucene semantics).
+    assert(w.deleteDocuments("id", "3") === 1)
+    w.commit()
+    val r = new SegmentIndex.Reader(fs, p)
+    assert(r.numSegments === 4)
+    assert(r.numDocs === 34)
+    assert(r.termDocs("id", "3").isEmpty)
+    assert(r.termDocs("id", "34").nonEmpty)
+  }
 }
