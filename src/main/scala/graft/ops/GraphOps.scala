@@ -80,8 +80,15 @@ object GraphOps {
     // frame reshuffles on every one of the ~maxDepth rounds.
     val projected = edges.select(fromCol.cast("string").as("__src"),
       toCol.cast("string").as("__dst"))
-    val e = (if (assumeDistinct) projected else projected.distinct())
-      .repartition(col("__src")).persist()
+    // ONE exchange builds the cached frame: hash(__src) partitioning
+    // satisfies the (__src, __dst) clustering the dedup aggregate
+    // needs (partition keys ⊆ grouping keys), so dropDuplicates AFTER
+    // the repartition dedups partition-locally with no second shuffle
+    // — and the aggregate preserves the hash(__src) layout the
+    // per-round joins want
+    val part = projected.repartition(col("__src"))
+    val e = (if (assumeDistinct) part
+             else part.dropDuplicates("__src", "__dst")).persist()
     // reversed view for the backward walk, partitioned on ITS join key
     // (the swap inverts the key, so the forward frame's layout is
     // useless to it — a second cached copy trades memory for zero
