@@ -36,8 +36,14 @@ object Clustering {
     // similarity join) would otherwise run twice
     val e = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .localCheckpoint()
+    // cached PRE-PARTITIONED on b — the key every round's
+    // neighbor-join probes — so label propagation exchanges only the
+    // vertex-sized label frame per round, never the edge frame; the
+    // dedup aggregate rides the same exchange (hash(b) satisfies the
+    // (a, b) clustering: partition keys ⊆ grouping keys)
     val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
-      .distinct()
+      .repartition(col("b"))
+      .dropDuplicates("a", "b")
       .persist(StorageLevel.MEMORY_AND_DISK)
     // localCheckpoint (not persist) each round: an iterative DataFrame
     // loop grows its LOGICAL plan every iteration — by round ~12 the
