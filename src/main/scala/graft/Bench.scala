@@ -47,7 +47,7 @@ object Bench {
         val t0 = System.nanoTime()
         try SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () } // re-runs in the sweep report it
+        catch { case scala.util.control.NonFatal(_) => () } // sweep re-runs report it
         spark.catalog.clearCache()
         name -> (System.nanoTime() - t0) / 1e9
       }

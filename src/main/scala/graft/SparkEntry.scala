@@ -117,7 +117,7 @@ object SparkEntry {
     "q119_index_range",        // part_nb
     "q132_index_num_range",    // part_num
     "q128_index_pivot",        // part_bs
-    "q107_graph_walk",         // part_all
+    "q94_index_search",        // part_all
     "q141_json_facet_api",     // part_jf
     "q134_index_time_range",   // orders_time
     "q278_corpus_diff",        // docs_meta + events_time
@@ -4134,11 +4134,15 @@ object SparkEntry {
         .select(col("path"), col("content")).as[(String, Array[Byte])]
         .mapPartitions(_.flatMap { case (path, bytes) =>
           graft.sources.IsoBmff.parse(bytes).map { info =>
-            val t = info.tracks.head
+            // headOption: a parseable MP4 with zero resolvable tracks
+            // must report zeros, not crash the task
+            val t = info.tracks.headOption
             (path.replaceAll(".*/", ""), info.durationMillis,
-              info.tracks.length.toLong, t.samples.length.toLong,
-              t.samples.count(_.keyframe).toLong,
-              t.width.toLong, t.height.toLong)
+              info.tracks.length.toLong,
+              t.map(_.samples.length.toLong).getOrElse(0L),
+              t.map(_.samples.count(_.keyframe).toLong).getOrElse(0L),
+              t.map(_.width.toLong).getOrElse(0L),
+              t.map(_.height.toLong).getOrElse(0L))
           }
         })
         .toDF("file_name", "duration_ms", "n_tracks", "n_samples",

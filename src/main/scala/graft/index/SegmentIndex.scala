@@ -209,7 +209,9 @@ object SegmentIndex {
       var off = 0
       while (off < rawLen && !inf.finished()) {
         val n = inf.inflate(out, off, rawLen - off)
-        if (n == 0 && inf.needsInput())
+        // needsDictionary: a corrupt zlib header with FDICT set would
+        // otherwise return 0 forever — fail, don't spin
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
           throw new java.io.IOException("truncated stored-field block")
         off += n
       }
@@ -1026,12 +1028,19 @@ object SegmentIndex {
       * docs a task streams in, which is what keeps a corpus-scale
       * index build linear instead of GC-bound. Flushed segments stay
       * unpublished (readers see nothing) until `commit()` writes the
-      * next generation; like Lucene, a delete issued after an
-      * auto-flush DOES tombstone the flushed docs. */
+      * next generation, and they keep this session's delete contract:
+      * docs added in this writer session — buffered OR auto-flushed —
+      * are never touched by this session's deletes (the upsert
+      * protocol adds a delta then deletes its ids; the delete must
+      * only hit PRIOR copies, whatever the flush threshold did). */
     def addDocument(doc: Doc): Unit = {
       pending += doc
       if (pending.length >= maxBufferedDocs) flushSegment()
     }
+
+    // segments auto-flushed by THIS session: excluded from this
+    // session's delete-by-term walks (see addDocument scaladoc)
+    private val sessionFlushed = mutable.Set.empty[String]
 
     /** Write buffered docs as an on-disk segment WITHOUT publishing —
       * files exist, but only the commit file (written by `commit()`)
@@ -1042,6 +1051,7 @@ object SegmentIndex {
       val meta = writeSegment(fs, dir, name, pending.toIndexedSeq, analyzed,
         compress = compressStored)
       pending.clear()
+      sessionFlushed += name
       commitPoint = commitPoint.copy(counter = commitPoint.counter + 1,
         segments = commitPoint.segments :+ meta)
     }
@@ -1066,7 +1076,9 @@ object SegmentIndex {
     def deleteDocumentsBatch(field: String, terms: Set[String]): Int = {
       var deleted = 0
       if (terms.isEmpty) return 0
-      commitPoint.segments.foreach { seg =>
+      // session-added docs are exempt whether still buffered or
+      // already auto-flushed — only PRIOR generations' copies match
+      commitPoint.segments.withFilter(s => !sessionFlushed(s.name)).foreach { seg =>
         val post = readPostingsFields(fs, dir, seg.name, Set(field))
           .getOrElse(field, Map.empty)
         if (post.nonEmpty) {
@@ -1219,8 +1231,13 @@ object SegmentIndex {
     *   are independent — ordinals, deletes, zone maps, postings are
     *   all per-segment — so a reader over a subset is exactly the
     *   index minus the other segments; per-partition partials from
-    *   disjoint subsets sum to the whole-index answer). Names not in
-    *   the commit are ignored. */
+    *   disjoint subsets sum to the whole-index answer). A requested
+    *   name missing from the live commit is an ERROR, not an empty
+    *   view: it means the store was modified (merge/upsert commit)
+    *   between partition planning and task execution, and silently
+    *   returning a partial result would corrupt every aggregate built
+    *   from the partials — fail the task so Spark retries against a
+    *   fresh plan. */
   final class Reader(fs: FileSystem, dir: Path,
                      onlySegments: Option[Set[String]] = None) {
     val commit: CommitPoint = {
@@ -1228,7 +1245,13 @@ object SegmentIndex {
         throw new IllegalStateException(s"no commit in index $dir"))
       onlySegments match {
         case None => full
-        case Some(keep) => full.copy(segments = full.segments.filter(s => keep(s.name)))
+        case Some(keep) =>
+          val have = full.segments.map(_.name).toSet
+          val gone = keep -- have
+          if (gone.nonEmpty) throw new IllegalStateException(
+            s"segment(s) ${gone.mkString(", ")} vanished from $dir — " +
+              "store modified between scan planning and execution")
+          full.copy(segments = full.segments.filter(s => keep(s.name)))
       }
     }
 

@@ -135,9 +135,13 @@ object GraphOps {
         // LAZY visited growth: the union reads already-checkpointed
         // frontier RDDs, so deferring it to the next round's anti-join
         // costs no recompute and saves the eager-checkpoint job that
-        // used to run every round. Duplicate nodes (one per path) are
-        // harmless on an anti-join's build side.
-        visited = visited.union(next.select(col("node")))
+        // used to run every round. The per-round `distinct` matters:
+        // frontier rows are one-per-PATH, and on diamond-shaped graphs
+        // the path count per node is combinatorial while the node set
+        // is small — the anti-join's build side must stay node-sized.
+        // (Distinct per round IS globally distinct: a node already in
+        // visited was anti-joined out of `next` and cannot recur.)
+        visited = visited.union(next.select(col("node")).distinct())
         frontier = next
       }
     }
@@ -216,14 +220,15 @@ object GraphOps {
                else spliced(fFront, next, fDepth + bDepth)
       if (probe.getLong(0) == 0) return empty
       // LAZY visited growth (see forwardOnly): union over checkpointed
-      // frontier ids, deduped implicitly by the anti-join's build side
+      // frontier ids, node-deduped per round so the anti-join build
+      // side stays node-sized on many-paths-per-node graphs
       if (growForward) {
         fCount = probe.getLong(0)
-        fVisited = fVisited.union(next.select(col("node")))
+        fVisited = fVisited.union(next.select(col("node")).distinct())
         fFront = next
       } else {
         bCount = probe.getLong(0)
-        bVisited = bVisited.union(next.select(col("node")))
+        bVisited = bVisited.union(next.select(col("node")).distinct())
         bFront = next
       }
     }

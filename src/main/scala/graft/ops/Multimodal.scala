@@ -237,23 +237,24 @@ object Multimodal {
               "stride")
           }
         }
-        IsoBmff.parse(content) match {
-          case Some(info) =>
-            info.tracks.flatMap(_.samples).filter(_.keyframe)
-              .sortBy(s => (s.offset, s.index)).take(maxFrames).zipWithIndex
-              .map { case (s, i) =>
-                SampledFrame(path, length, i, s.offset, s.size,
-                  keyframe = true, "mp4")
-              }
-          case None => Flv.parse(content) match {
-            case Some(info) if info.tags.nonEmpty =>
-              info.keyframes.take(maxFrames).zipWithIndex.map { case (t, i) =>
-                SampledFrame(path, length, i, t.offset, t.dataSize,
-                  keyframe = true, "flv")
-              }
-            case _ => stride
-          }
-        }
+        // a container that parses but yields NO keyframes (empty/absent
+        // sample tables) falls back to stride like any other payload —
+        // a file must never silently contribute zero rows
+        val mp4Frames = IsoBmff.parse(content).map(info =>
+          info.tracks.flatMap(_.samples).filter(_.keyframe)
+            .sortBy(s => (s.offset, s.index)).take(maxFrames).zipWithIndex
+            .map { case (s, i) =>
+              SampledFrame(path, length, i, s.offset, s.size,
+                keyframe = true, "mp4")
+            })
+        lazy val flvFrames = Flv.parse(content).map(info =>
+          info.keyframes.take(maxFrames).zipWithIndex.map { case (t, i) =>
+            SampledFrame(path, length, i, t.offset, t.dataSize,
+              keyframe = true, "flv")
+          })
+        mp4Frames.filter(_.nonEmpty)
+          .orElse(flvFrames.filter(_.nonEmpty))
+          .getOrElse(stride)
       })
   }
 

@@ -983,19 +983,47 @@ class SegmentIndexSpec extends AnyFunSuite {
   }
 
   test("auto-flush: maxBufferedDocs bounds the buffer into multiple segments; " +
-      "post-flush deletes tombstone flushed docs") {
+      "session deletes NEVER touch session-added docs (flushed or buffered)") {
     val p = new Path(tmp("graft_autoflush_"))
     val fs = p.getFileSystem(conf)
+    // prior generation holds an OLD copy of id 3
+    val w0 = new SegmentIndex.Writer(fs, p)
+    w0.addDocument(Seq("id" -> "3", "v" -> "old"))
+    w0.commit()
     val w = new SegmentIndex.Writer(fs, p, maxBufferedDocs = 10)
-    (0 until 35).foreach(i => w.addDocument(Seq("id" -> i.toString)))
-    // 3 full flushes happened; 5 docs still buffered. A delete issued
-    // NOW must tombstone an already-flushed doc (Lucene semantics).
-    assert(w.deleteDocuments("id", "3") === 1)
+    (0 until 35).foreach(i => w.addDocument(Seq("id" -> i.toString, "v" -> "new")))
+    // 3 auto-flushes happened (ids 0-29 on disk), 5 docs buffered.
+    // The session's delete must hit ONLY the prior generation's copy —
+    // id 3's new (flushed) doc and id 34's buffered doc are exempt.
+    // This is the upsert protocol: add the delta, then delete its ids.
+    assert(w.deleteDocumentsBatch("id", Set("3", "34")) === 1)
     w.commit()
     val r = new SegmentIndex.Reader(fs, p)
-    assert(r.numSegments === 4)
-    assert(r.numDocs === 34)
-    assert(r.termDocs("id", "3").isEmpty)
+    assert(r.numSegments === 4) // w0's fully-deleted segment dropped
+    assert(r.numDocs === 35)
+    assert(r.termDocs("id", "3").map(_.toMap.apply("v")) === Seq("new"))
     assert(r.termDocs("id", "34").nonEmpty)
+  }
+
+  test("upsert survives auto-flush: a delta larger than maxBufferedDocs " +
+      "replaces old copies without tombstoning itself") {
+    val p = new Path(tmp("graft_upsert_flush_"))
+    val fs = p.getFileSystem(conf)
+    val w0 = new SegmentIndex.Writer(fs, p)
+    (0 until 30).foreach(i => w0.addDocument(Seq("id" -> i.toString, "v" -> "old")))
+    w0.commit()
+    // the SegmentShardSink.upsert per-micro-shard protocol, with a
+    // flush threshold far below the delta size
+    val w = new SegmentIndex.Writer(fs, p, maxBufferedDocs = 7)
+    val ids = (0 until 30).map(_.toString)
+    ids.foreach(i => w.addDocument(Seq("id" -> i, "v" -> "new")))
+    w.deleteDocumentsBatch("id", ids.toSet)
+    w.commit()
+    val r = new SegmentIndex.Reader(fs, p)
+    assert(r.numDocs === 30)
+    ids.foreach { i =>
+      assert(r.termDocs("id", i).map(_.toMap.apply("v")) === Seq("new"),
+        s"id $i must carry the NEW value")
+    }
   }
 }
