@@ -6688,8 +6688,11 @@ object SparkEntry {
         |SELECT doc_id, lang, n_chars FROM final
         |WHERE doc_id BETWEEN 330 AND 420""".stripMargin,
 
+    // rand_key no longer leaks into the output (Solr's random stream
+    // emits only fl=); the oracle still verifies the exact md5-seeded
+    // SELECTION by replaying the key in its own ORDER BY
     "q220_random_stream" ->
-      """SELECT id, n_chars, rand_key FROM (
+      """SELECT id, n_chars FROM (
         |  SELECT CAST(doc_id AS VARCHAR) AS id, n_chars,
         |    md5('r7' || CAST(doc_id AS VARCHAR)) AS rand_key
         |  FROM documents WHERE lang = 'en')

@@ -64,12 +64,21 @@ object SegmentSearch {
     }
 
   private def gather(spark: SparkSession, store: String, fields: Seq[String])
-                    (hits: SegmentIndex.Reader => Iterator[SegmentIndex.Doc]): DataFrame = {
+                    (hits: SegmentIndex.Reader => Iterator[SegmentIndex.Doc]): DataFrame =
+    gatherWith(spark, store, fields,
+      SegmentShardSink.readMarker(ShardIndex.hadoopConf(spark), store))(hits)
+
+  /** [[gather]] for callers that already read the store marker — the
+    * query entry points all need it for term encoding / field-kind
+    * guards, and re-reading it here would cost a second filesystem
+    * open per query (a full round-trip on object stores). */
+  private def gatherWith(spark: SparkSession, store: String, fields: Seq[String],
+                         marker: SegmentShardSink.StoreMarker)
+                        (hits: SegmentIndex.Reader => Iterator[SegmentIndex.Doc]): DataFrame = {
     val dirs = SegmentShardSink.partIndexDirs(spark, store)
     require(dirs.nonEmpty, s"no part dirs under $store")
     val conf = new SerializableHadoopConf(ShardIndex.hadoopConf(spark))
-    val decs = decodeOf(SegmentShardSink.readMarker(ShardIndex.hadoopConf(spark), store),
-      fields)
+    val decs = decodeOf(marker, fields)
     val schema = StructType(fields.map(f => StructField(f, StringType, nullable = true)))
     val rows = spark.sparkContext.parallelize(dirs, dirs.size).flatMap { d =>
       val p = new Path(d)
@@ -87,9 +96,9 @@ object SegmentSearch {
     * fields take the PLAIN value ("15", "2.5") and match exactly. */
   def termQuery(spark: SparkSession, store: String, field: String, term: String,
                 fields: Seq[String]): DataFrame = {
-    val t = encodeTerm(
-      SegmentShardSink.readMarker(ShardIndex.hadoopConf(spark), store), field, term)
-    gather(spark, store, fields)(r => r.termDocs(field, t).iterator)
+    val marker = SegmentShardSink.readMarker(ShardIndex.hadoopConf(spark), store)
+    val t = encodeTerm(marker, field, term)
+    gatherWith(spark, store, fields, marker)(r => r.termDocs(field, t).iterator)
   }
 
   /** `*:*` — every live stored doc across all shards. */
@@ -104,9 +113,14 @@ object SegmentSearch {
                   phrase: String, fields: Seq[String]): DataFrame = {
     val tokens = SegmentIndex.analyze(phrase)
     // fail fast on the driver — an empty token list would otherwise
-    // throw inside every shard task
+    // throw inside every shard task; and only ANALYZED fields carry
+    // the token positions phrase matching reads (a stored-verbatim
+    // field would silently return zero rows)
     require(tokens.nonEmpty, s"phrase '$phrase' has no indexable tokens")
-    gather(spark, store, fields)(r => r.phraseDocs(field, tokens).iterator)
+    val marker = SegmentShardSink.readMarker(ShardIndex.hadoopConf(spark), store)
+    require(marker.analyzed.contains(field),
+      s"phrase query needs an analyzed field; '$field' is not analyzed")
+    gatherWith(spark, store, fields, marker)(r => r.phraseDocs(field, tokens).iterator)
   }
 
   /** Fuzzy term query (`field:term~N`): live docs containing a
@@ -116,8 +130,16 @@ object SegmentSearch {
     * String fields only (fuzzy over sortable numeric encodings is
     * meaningless). */
   def fuzzyQuery(spark: SparkSession, store: String, field: String,
-                 term: String, maxEdits: Int, fields: Seq[String]): DataFrame =
-    gather(spark, store, fields)(r => r.fuzzyDocs(field, term, maxEdits).iterator)
+                 term: String, maxEdits: Int, fields: Seq[String]): DataFrame = {
+    // enforce the declared string-only contract: on a numeric field the
+    // dictionary holds sortable ENCODINGS, and edit distance over the
+    // encoding returns arbitrary neighbors in encoding space
+    val marker = SegmentShardSink.readMarker(ShardIndex.hadoopConf(spark), store)
+    require(marker.kindOf(field) == 's',
+      s"fuzzy query is defined for string fields only; '$field' is numeric")
+    gatherWith(spark, store, fields, marker)(
+      r => r.fuzzyDocs(field, term, maxEdits).iterator)
+  }
 
   /** Realtime-get analog: live docs whose `field` matches ANY of
     * `terms` (each doc once), fanned out shard-parallel. */
@@ -125,7 +147,7 @@ object SegmentSearch {
                  terms: Seq[String], fields: Seq[String]): DataFrame = {
     val marker = SegmentShardSink.readMarker(ShardIndex.hadoopConf(spark), store)
     val ts = terms.map(encodeTerm(marker, field, _))
-    gather(spark, store, fields)(r => r.termDocsIn(field, ts).iterator)
+    gatherWith(spark, store, fields, marker)(r => r.termDocsIn(field, ts).iterator)
   }
 
   /**

@@ -96,9 +96,21 @@ object StreamingExpressions {
       val start = pos
       var depth = 0
       while (!eof && (depth > 0 || (peek != ',' && peek != ')'))) {
-        if (peek == '(') depth += 1
-        else if (peek == ')') depth -= 1
-        pos += 1
+        if (peek == '"') {
+          // a quoted span inside a bare value (q=name:"John, Jr") is
+          // opaque: commas and parens inside it must not split the
+          // value or move paren depth (same escape rule as quoted())
+          pos += 1
+          while (!eof && peek != '"') {
+            if (peek == '\\' && pos + 1 < s.length) pos += 2 else pos += 1
+          }
+          require(!eof, s"unterminated string in '$s'")
+          pos += 1
+        } else {
+          if (peek == '(') depth += 1
+          else if (peek == ')') depth -= 1
+          pos += 1
+        }
       }
       s.substring(start, pos).trim
     }
@@ -280,14 +292,19 @@ object StreamingExpressions {
         }
       }
       // equal-named keys join with USING semantics (one output column);
-      // differently-named keys keep both sides
+      // differently-named keys keep both sides. A MIXED clause must
+      // still dedup the equal-named copies — a condition built from
+      // all pairs would leave two `id` columns and break every
+      // downstream reference to the name.
       val (usingKeys, exprKeys) = pairs.partition { case (a, b) => a == b }
       val joined =
         if (exprKeys.isEmpty)
           l.df.join(rdf, usingKeys.map(_._1).toIndexedSeq, joinType)
         else {
           val cond = pairs.map { case (a, b) => l.df(a) === rdf(b) }.reduce(_ && _)
-          l.df.join(rdf, cond, joinType)
+          usingKeys.map(_._1).foldLeft(l.df.join(rdf, cond, joinType)) {
+            (df, k) => df.drop(rdf(k))
+          }
         }
       Stream(joined, l.sort)
 
@@ -333,10 +350,18 @@ object StreamingExpressions {
       }
       val store = collections.getOrElse(dest, sys.error(s"unknown collection '$dest'"))
       val in = one(spark, c, collections)
-      val n = in.df.count()
-      graft.index.SegmentShardSink.upsert(spark, store, in.df)
-      import spark.implicits._
-      Stream(Seq(n).toDF("batchIndexed"), Nil)
+      // ONE evaluation of the inner stream for both the count and the
+      // write (upsert itself re-reads for its duplicate-id check +
+      // routing): without the persist a non-replay-stable inner stream
+      // could report a batchIndexed that disagrees with what landed,
+      // and even a stable one pays the scan twice
+      val batch = in.df.persist()
+      try {
+        val n = batch.count()
+        graft.index.SegmentShardSink.upsert(spark, store, batch)
+        import spark.implicits._
+        Stream(Seq(n).toDF("batchIndexed"), Nil)
+      } finally batch.unpersist(blocking = false)
 
     case "commit" =>
       // commit(destCollection, <update stream>): API-parity decorator
@@ -361,12 +386,27 @@ object StreamingExpressions {
       val store = collections.getOrElse(coll, sys.error(s"unknown collection '$coll'"))
       val marker = graft.index.SegmentShardSink.readMarker(
         spark.sessionState.newHadoopConf(), store)
-      val in = compileCall(spark, Call("search", Seq(Pos(coll)) ++
-        c.args.collect { case n @ Named("q" | "fl", _) => n }), collections)
+      // the rand key needs the id column even when fl= omits it: widen
+      // the inner fl, then project the synthetic columns back OUT so
+      // the output schema is exactly the requested field list (Solr's
+      // random stream emits no extra columns)
+      val requestedFl = named(c, "fl")
+      val innerArgs = c.args.collect { case n @ Named("q", _) => n } ++
+        requestedFl.map(fl => Named("fl",
+          if (fl.split(",").map(_.trim).contains(marker.idCol)) fl
+          else s"$fl,${marker.idCol}"))
+      val in = compileCall(spark, Call("search", Seq(Pos(coll)) ++ innerArgs),
+        collections)
       val keyed = in.df.withColumn("rand_key",
         md5(concat(lit(seed), col(marker.idCol).cast("string"))))
-      Stream(keyed.orderBy(col("rand_key").asc).limit(rows),
-        Seq(("rand_key", true)))
+      val picked = keyed.orderBy(col("rand_key").asc).limit(rows)
+        .drop("rand_key")
+      val out = requestedFl match {
+        case Some(fl) => picked.select(
+          fl.split(",").map(_.trim).filter(_.nonEmpty).map(col).toIndexedSeq: _*)
+        case None => picked
+      }
+      Stream(out, Nil)
 
     case "timeseries" | "timeSeries" =>
       // timeseries(coll, q=, field=, start=, end=, gap="+1DAY", aggs)
@@ -451,7 +491,21 @@ object StreamingExpressions {
             case _ => sys.error(s"bad projection '$p'")
           }
       }
-      Stream(in.df.select(cols.toIndexedSeq: _*), in.sort)
+      // remap the sort contract through the projection: a renamed sort
+      // column follows its alias, a projected-away one drops out —
+      // otherwise a downstream unique()/top() would resolve stale names
+      val renames = projs.flatMap {
+        case AnalyzeRe(_, _) | ArithRe(_, _, _, _) => None
+        case p => p.split("(?i)\\s+as\\s+").map(_.trim) match {
+          case Array(f, a) => Some(f -> a)
+          case Array(f) => Some(f -> f)
+          case _ => None
+        }
+      }.toMap
+      val sortOut = in.sort.flatMap { case (f, desc) =>
+        renames.get(f).map(_ -> desc)
+      }
+      Stream(in.df.select(cols.toIndexedSeq: _*), sortOut)
 
     case "cartesianProduct" =>
       // one output row per VALUE of a multivalued field (Solr's

@@ -74,14 +74,16 @@ object StreamingIngest {
 
   /**
    * Stream-static enrichment join: each micro-batch hash-joins the
-   * static dimension frame (broadcast when small — Catalyst decides
-   * per batch). The dimension is re-resolvable per batch, so a
-   * refreshed dimension table picks up on the next trigger — the
-   * standard streaming-enrichment contract.
+   * static dimension frame — Catalyst broadcasts it when it fits
+   * under the auto-broadcast threshold and falls back to a shuffled
+   * join otherwise (no forced hint: a multi-GB dimension must not be
+   * rammed through the driver every trigger). The dimension is
+   * re-resolvable per batch, so a refreshed dimension table picks up
+   * on the next trigger — the standard streaming-enrichment contract.
    */
   def enrichStream(events: DataFrame, dim: DataFrame,
                    key: String): DataFrame =
-    events.join(broadcast(dim), Seq(key), "left")
+    events.join(dim, Seq(key), "left")
 
   /**
    * Exactly-once index sink: each micro-batch overwrites its OWN
@@ -118,6 +120,12 @@ object StreamingIngest {
    * (delete-then-add of identical ids/docs) — provided `transform` is
    * deterministic, the same discipline the reference's rerun-a-reducer
    * idempotence relies on.
+   *
+   * REQUIRES a stable `checkpointLocation` on the started query (same
+   * as [[idempotentIndexSink]]): the `_applied_batch_<id>` markers are
+   * durable in the store while batch ids are CHECKPOINT-scoped — a
+   * relaunch without the original checkpoint restarts ids at 0 and the
+   * stale markers would silently skip every new batch.
    */
   def segmentUpsertSink(store: String)(transform: DataFrame => DataFrame)
                        (events: DataFrame): DataStreamWriter[Row] =
@@ -261,7 +269,11 @@ object StreamingIngest {
             secs.foreach { sec =>
               cur match {
                 case Some(s) if sec - s.last <= gapSeconds =>
-                  cur = Some(s.copy(last = sec, count = s.count + 1))
+                  // a LATE in-watermark event (sec < s.last, possible
+                  // across batches) must widen the session, never
+                  // rewind it — last monotone, start can only move back
+                  cur = Some(s.copy(start = math.min(s.start, sec),
+                    last = math.max(s.last, sec), count = s.count + 1))
                 case Some(s) =>
                   closed ::= SessionOut(user,
                     new java.sql.Timestamp(s.start * 1000),
