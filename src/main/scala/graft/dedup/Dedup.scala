@@ -66,12 +66,19 @@ object Dedup {
     // every further doc comparing equal is a "duplicate", every doc
     // comparing lower is "outdated" — so an n-way tie yields n-1
     // duplicates, not n.
+    // null-safe accounting so the counters reconcile with what
+    // retainMostRecent actually drops: a null-orderBy row superseded
+    // by a non-null max compared LOWER (the A5 null-first comparator)
+    // and counts as "outdated"; an all-null key group (max itself
+    // null) is an n-way tie — `<=>` keeps those rows in the
+    // duplicates arithmetic where a bare `===` would lose them.
     df.withColumn("__max", max(orderBy).over(w))
-      .withColumn("__nmax", count(when(orderBy === col("__max"), 1)).over(w))
+      .withColumn("__nmax", count(when(orderBy <=> col("__max"), 1)).over(w))
       .agg(
-        (count(when(orderBy === col("__max") && col("__nmax") > 1, 1)) -
+        (count(when((orderBy <=> col("__max")) && col("__nmax") > 1, 1)) -
           countDistinct(when(col("__nmax") > 1, struct(key: _*)))).as("duplicates"),
-        count(when(orderBy < col("__max"), 1)).as("outdated"),
+        count(when(orderBy < col("__max") ||
+          (orderBy.isNull && col("__max").isNotNull), 1)).as("outdated"),
         count(lit(1)).as("total"))
   }
 

@@ -123,15 +123,12 @@ object ApproxDedup {
       df: DataFrame, id: Column, tokens: Column,
       numHashes: Int = 32, bands: Int = 8,
       maxBucket: Int = 10000): (DataFrame, DataFrame) = {
-    val rows = numHashes / bands
+    val rows = bandRows(numHashes, bands)
     // signatures are tiny (numHashes ints per doc): persist them so the
     // LSH self-join below reads them twice instead of recomputing the
-    // tokenize→shingle→hash pipeline on both sides. Every intermediate
-    // array is staged as its OWN column — an expression tree referenced
-    // inside a per-element lambda re-evaluates per element.
-    val sig = df.select(id.as("id"), tokenHashes(tokens).as("__th"))
-      .select(col("id"), shingleHashesFromTokenHashes(col("__th")).as("hs"))
-      .select(col("id"), minHashSignature(col("hs"), numHashes).as("sig"))
+    // tokenize→shingle→hash pipeline on both sides (the staging
+    // discipline itself lives in signatureTable — ONE definition).
+    val sig = signatureTable(df, id, tokens, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val allBanded = sig.select(col("id"), col("sig"),
       explode(lshBands(col("sig"), bands, rows)).as("b"))
@@ -211,6 +208,17 @@ object ApproxDedup {
    * doc — the only thing that moves). Store it bucketed by band key
    * to eliminate even the signature shuffle per batch.
    */
+  /** Banding arithmetic, VALIDATED: bands must tile numHashes exactly.
+    * `numHashes / bands == 0` would band nothing (every doc in one
+    * bucket per band -> near-dedup silently finds zero duplicates),
+    * and a remainder would silently ignore trailing signature
+    * positions. */
+  private[graft] def bandRows(numHashes: Int, bands: Int): Int = {
+    require(bands >= 1 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes) exactly")
+    numHashes / bands
+  }
+
   def signatureTable(df: DataFrame, id: Column, tokens: Column,
                      numHashes: Int = 32): DataFrame =
     df.select(id.as("id"), tokenHashes(tokens).as("__th"))
@@ -233,7 +241,7 @@ object ApproxDedup {
                                 corpusSigs: DataFrame, threshold: Double = 0.8,
                                 numHashes: Int = 32, bands: Int = 8,
                                 maxBucket: Int = 10000): DataFrame = {
-    val rows = numHashes / bands
+    val rows = bandRows(numHashes, bands)
     def banded(sigs: DataFrame): DataFrame =
       sigs.select(col("id"), col("sig"),
           explode(lshBands(col("sig"), bands, rows)).as("b"))
@@ -244,16 +252,19 @@ object ApproxDedup {
       .filter(col("__bn") <= maxBucket)
       .drop("__bn")
       .toDF("cid", "csig", "band", "key")
+    // newSigs feeds exactly one consumer (the banded join) — no cache;
+    // the loser set is localCheckpoint'ed: materialized AND truncated,
+    // and its blocks are GC-reclaimed once the returned frame dies,
+    // instead of sitting in executor storage for the session's
+    // lifetime (this is the per-ingest-batch API — a persist here
+    // leaks one loser frame per batch)
     val newSigs = signatureTable(newDocs, id, tokens, numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val losers = banded(newSigs).join(corpusBanded, Seq("band", "key"))
       .filter(
         graft.functions.ArrayEqCount.array_eq_count(col("sig"), col("csig"))
           .cast("double") / lit(numHashes.toDouble) >= threshold)
       .select(col("id").as("__loser")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    losers.count()
-    newSigs.unpersist()
+      .localCheckpoint(true)
     newDocs.join(losers, id === col("__loser"), "left_anti")
   }
 
@@ -278,14 +289,14 @@ object ApproxDedup {
                          threshold: Double = 0.8, numHashes: Int = 32,
                          bands: Int = 8, maxBucket: Int = 10000): DataFrame = {
     val (cand, sig) = minHashCandidatesWithSig(df, id, tokens, numHashes, bands, maxBucket)
+    // localCheckpoint: materializes the (small) loser set so the sig
+    // cache can be released, AND the checkpoint blocks are themselves
+    // GC-reclaimed when the returned frame dies — a persist here would
+    // outlive the call for the session's lifetime
     val losers = cand
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_b").as("__loser")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // materialize the (small: duplicate ids only) loser set, then
-    // release the signature cache — without this, every call leaks the
-    // full signature frame for the session's lifetime
-    losers.count()
+      .localCheckpoint(true)
     sig.unpersist()
     df.join(losers, id === col("__loser"), "left_anti")
   }

@@ -216,12 +216,13 @@ object Similarity {
                                     idCol: String = "vec_id",
                                     vecCol: String = "embedding"): DataFrame = {
     val (scored, sig) = lshSelfPairsWithSig(df, dim, idCol = idCol, vecCol = vecCol)
+    // localCheckpoint: materializes the (small) loser set so the bucket
+    // cache can be released, and is itself GC-reclaimed with the
+    // returned frame — a persist would leak per call
     val losers = scored
       .filter(col("cosine") >= threshold)
       .select(col("id_b").as("__loser")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // materialize the (small) loser set, then release the bucket cache
-    losers.count()
+      .localCheckpoint(true)
     sig.unpersist()
     df.join(losers, col(idCol) === col("__loser"), "left_anti")
   }
@@ -232,9 +233,17 @@ object Similarity {
     * axis-aligned planes. */
   def signBucket(vec: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 62)
-    (0 until bits).map(j =>
-      when(element_at(vec, j + 1) >= 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
+    // bits beyond the vector's length contribute 0: without the size
+    // guard, Spark 4's default ANSI mode throws INVALID_ARRAY_INDEX on
+    // any vector shorter than `bits` (and non-ANSI silently nulls the
+    // comparison) — short vectors must bucket deterministically. The
+    // element access sits inside a CaseWhen branch because And does
+    // not guarantee short-circuit evaluation under codegen.
+    (0 until bits).map { j =>
+      val dim = when(lit(j) < size(vec), element_at(vec, j + 1))
+        .otherwise(lit(-1.0))
+      when(dim >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
   }
 
   /**
@@ -308,29 +317,46 @@ object Similarity {
    * driver-side k-means grows (O(sampleSize × nlist × dim) per
    * iteration — still seconds at 32k×128 on one core).
    */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
-              nlist: Int = 16, nprobe: Int = 4, sampleSize: Int = 2048,
-              seed: Long = 42L,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // ordered take: a bare limit() samples whatever partitions answer
-    // first, so centroids (and the whole index layout) would differ
-    // across cluster layouts AND stage retries; min-id top-k costs one
-    // TakeOrdered and makes the build reproducible
-    val sample = corpus.select(col(idCol), col(vecCol).cast("array<double>"))
+  /** Ordered-sample k-means training + the fused nearest-cell
+    * expressions, shared by [[ivfTopK]] and [[semanticDedupIvf]].
+    * Returns (effective cell count, distance-array fn, nearest-cell
+    * fn): the EFFECTIVE count is however many centroids k-means could
+    * actually produce — a corpus (or sample) smaller than `nlist`
+    * trains fewer cells instead of violating the kernel's
+    * centroid-matrix contract and crashing.
+    *
+    * Ordered take: a bare limit() samples whatever partitions answer
+    * first, so centroids (and the whole index layout) would differ
+    * across cluster layouts AND stage retries; min-id top-k costs one
+    * TakeOrdered and makes the build reproducible. */
+  private def trainCells(df: DataFrame, dim: Int, nlist: Int,
+                         sampleSize: Int, seed: Long, idCol: String,
+                         vecCol: String): (Int, Column => Column, Column => Column) = {
+    val sample = df.select(col(idCol), col(vecCol).cast("array<double>"))
       .orderBy(col(idCol)).limit(sampleSize)
       .collect().map(r => (String.valueOf(r.get(0)), r.getSeq[Double](1).toArray))
     val centroids = kmeans(sample, nlist, iters = 8, seed)
+    val eff = centroids.length
     // one fused kernel per row (centroid matrix as a codegen reference
     // object): vector norm computed once, each centroid dot once —
     // the literal-array form inlined nlist×dim doubles and recomputed
     // norm(vec) per centroid. min(-cosine) = nearest cell.
     val flat = centroids.flatten.toIndexedSeq
     def dists(vec: Column): Column =
-      graft.functions.CentroidNegCosines.centroid_neg_cosines(vec, flat, nlist, dim)
-    def nearestCell(vec: Column): Column = {
+      graft.functions.CentroidNegCosines.centroid_neg_cosines(vec, flat, eff, dim)
+    def nearest(vec: Column): Column = {
       val arr = dists(vec)
       (array_position(arr, array_min(arr)) - 1).cast("int")
     }
+    (eff, dists, nearest)
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+              nlist: Int = 16, nprobe: Int = 4, sampleSize: Int = 2048,
+              seed: Long = 42L,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (eff, dists, nearestCell) =
+      trainCells(corpus, dim, nlist, sampleSize, seed, idCol, vecCol)
     val c = corpus.select(col(idCol).as("corpus_id"),
         col(vecCol).cast("array<double>").as("cvec"))
       .withColumn("cnorm", norm(col("cvec")))
@@ -343,13 +369,17 @@ object Similarity {
         explode(slice(transform(
           array_sort(zip_with(
             dists(col("qvec")),
-            sequence(lit(0), lit(nlist - 1)),
+            sequence(lit(0), lit(eff - 1)),
             (d, i) => struct(d.as("d"), i.as("i")))),
-          x => x.getField("i")), 1, nprobe)))
+          x => x.getField("i")), 1, math.min(nprobe, eff))))
+    // no defensive distinct: each corpus row holds exactly one cell and
+    // a query's probed cells are distinct indices, so a (query, corpus)
+    // pair can match at most once — a distinct here would re-shuffle
+    // the hottest intermediate for nothing
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("corpus_id"))
       .withColumn("cosine", dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
-      .select(col("query_id"), col("corpus_id"), col("cosine")).distinct()
+      .select(col("query_id"), col("corpus_id"), col("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -370,16 +400,8 @@ object Similarity {
                        seed: Long = 42L,
                        idCol: String = "vec_id",
                        vecCol: String = "embedding"): DataFrame = {
-    val sample = df.select(col(idCol), col(vecCol).cast("array<double>"))
-      .orderBy(col(idCol)).limit(sampleSize)
-      .collect().map(r => (String.valueOf(r.get(0)), r.getSeq[Double](1).toArray))
-    val centroids = kmeans(sample, nlist, iters = 8, seed)
-    val flat = centroids.flatten.toIndexedSeq
-    def nearestCell(vec: Column): Column = {
-      val arr = graft.functions.CentroidNegCosines
-        .centroid_neg_cosines(vec, flat, nlist, dim)
-      (array_position(arr, array_min(arr)) - 1).cast("int")
-    }
+    val (_, _, nearestCell) =
+      trainCells(df, dim, nlist, sampleSize, seed, idCol, vecCol)
     val base = df.select(col(idCol).as("sem_id"),
         col(vecCol).cast("array<double>").as("sem_v"))
       .withColumn("sem_cluster", nearestCell(col("sem_v")).cast("long"))
