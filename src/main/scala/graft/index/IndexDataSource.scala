@@ -568,11 +568,17 @@ private[index] class IndexScan(store: String, required: StructType,
     val hconf = spark.sessionState.newHadoopConf()
     dirs.flatMap { d =>
       val p = new Path(d)
-      val segs = scala.util.Try(
-        SegmentIndex.latestCommit(p.getFileSystem(hconf), p)
-          .map(_.segments.map(_.name)).getOrElse(Nil)).getOrElse(Nil)
-      if (segs.length <= 1) Seq(IndexInputPartition(d): InputPartition)
-      else segs.map(s => IndexInputPartition(d, Some(Seq(s))): InputPartition)
+      // the planned GENERATION rides in every partition: readers
+      // verify gen equality at open, so a commit landing between
+      // planning and execution fails the task (fresh replan) instead
+      // of one scan silently mixing generations across shards
+      val cp = scala.util.Try(
+        SegmentIndex.latestCommit(p.getFileSystem(hconf), p)).toOption.flatten
+      val gen = cp.map(_.gen)
+      val segs = cp.map(_.segments.map(_.name)).getOrElse(Nil)
+      if (segs.length <= 1) Seq(IndexInputPartition(d, None, gen): InputPartition)
+      else segs.map(s =>
+        IndexInputPartition(d, Some(Seq(s)), gen): InputPartition)
     }.toArray
   }
 
@@ -585,7 +591,8 @@ private[index] class IndexScan(store: String, required: StructType,
 }
 
 private[index] case class IndexInputPartition(
-    dir: String, segments: Option[Seq[String]] = None) extends InputPartition
+    dir: String, segments: Option[Seq[String]] = None,
+    gen: Option[Int] = None) extends InputPartition
 
 private[index] class IndexReaderFactory(conf: SerializableHadoopConf,
                                         fields: Array[String],
@@ -618,8 +625,9 @@ private[index] class IndexReaderFactory(conf: SerializableHadoopConf,
       // matching docs missing the field(s). Stored docs never read.
       private val dir = new Path(partition.asInstanceOf[IndexInputPartition].dir)
       private val segs = partition.asInstanceOf[IndexInputPartition].segments.map(_.toSet)
+      private val gen = partition.asInstanceOf[IndexInputPartition].gen
       private lazy val rows: Iterator[InternalRow] = {
-        val reader = new SegmentIndex.Reader(dir.getFileSystem(conf.value), dir, segs)
+        val reader = new SegmentIndex.Reader(dir.getFileSystem(conf.value), dir, segs, gen)
         facetFields match {
           case Seq(f) if aggs.isEmpty || aggs == Seq(CountStarAgg) =>
             val cf = conv(f)
@@ -678,11 +686,12 @@ private[index] class IndexReaderFactory(conf: SerializableHadoopConf,
       // live postings — stored fields never read
       private val dir = new Path(partition.asInstanceOf[IndexInputPartition].dir)
       private val segs = partition.asInstanceOf[IndexInputPartition].segments.map(_.toSet)
+      private val gen = partition.asInstanceOf[IndexInputPartition].gen
       private var emitted = false
       override def next(): Boolean =
         if (emitted) false
         else {
-          val reader = new SegmentIndex.Reader(dir.getFileSystem(conf.value), dir, segs)
+          val reader = new SegmentIndex.Reader(dir.getFileSystem(conf.value), dir, segs, gen)
           lazy val count = query match {
             case TermQuery(f, ts) => reader.termCountIn(f, ts)
             case RangeQuery(f, lo, loInc, hi, hiInc) =>
@@ -717,6 +726,7 @@ private[index] class IndexReaderFactory(conf: SerializableHadoopConf,
     else new PartitionReader[InternalRow] {
       private val dir = new Path(partition.asInstanceOf[IndexInputPartition].dir)
       private val segs = partition.asInstanceOf[IndexInputPartition].segments.map(_.toSet)
+      private val gen = partition.asInstanceOf[IndexInputPartition].gen
 
       /** Local top-n under the pushed sort keys via a bounded heap —
         * O(matches · log n) memory-bounded at n docs, the per-shard
@@ -756,7 +766,7 @@ private[index] class IndexReaderFactory(conf: SerializableHadoopConf,
       }
 
       private lazy val docs: Iterator[SegmentIndex.Doc] = {
-        val reader = new SegmentIndex.Reader(dir.getFileSystem(conf.value), dir, segs)
+        val reader = new SegmentIndex.Reader(dir.getFileSystem(conf.value), dir, segs, gen)
         val it = query match {
           case TermQuery(f, Seq(t)) => reader.termDocs(f, t).iterator
           case TermQuery(f, ts) => reader.termDocsIn(f, ts).iterator

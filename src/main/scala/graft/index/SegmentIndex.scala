@@ -1127,6 +1127,11 @@ object SegmentIndex {
         }
       }
       pendingDels.clear()
+      // publication turns this session's flushed segments into PRIOR
+      // committed copies: a later upsert batch through this same
+      // Writer must be able to delete from them, so the session
+      // exemption ends here
+      sessionFlushed.clear()
       commitPoint = CommitPoint(nextGen, withFlush.counter, segs)
       writeCommit(fs, dir, commitPoint)
       // now that the new generation is live, remove dead files
@@ -1238,11 +1243,25 @@ object SegmentIndex {
     *   returning a partial result would corrupt every aggregate built
     *   from the partials — fail the task so Spark retries against a
     *   fresh plan. */
+  /** @param expectedGen the commit GENERATION the caller planned
+    *   against (DSv2 partition planning records it): a different live
+    *   generation at open time is an ERROR — without this check a
+    *   commit landing between planning and execution lets one scan
+    *   mix generations across shards (multi-segment shards pin their
+    *   planned segment list while single-segment shards would read
+    *   the new commit). Fail the task so Spark replans fresh. */
   final class Reader(fs: FileSystem, dir: Path,
-                     onlySegments: Option[Set[String]] = None) {
+                     onlySegments: Option[Set[String]] = None,
+                     expectedGen: Option[Int] = None) {
     val commit: CommitPoint = {
       val full = latestCommit(fs, dir).getOrElse(
         throw new IllegalStateException(s"no commit in index $dir"))
+      expectedGen.foreach { g =>
+        if (full.gen != g) throw new IllegalStateException(
+          s"index $dir is at commit generation ${full.gen}, scan was " +
+            s"planned against generation $g — store modified between " +
+            "scan planning and execution")
+      }
       onlySegments match {
         case None => full
         case Some(keep) =>

@@ -73,13 +73,22 @@ object BinaryFiles {
    * 100M-file manifest where [[readManifest]]'s driver-side
    * `collect()` (reference-parity: MapReduceIndexerTool.java:892-959
    * holds the list in the submitter JVM too) would exhaust driver
-   * memory. Schema matches `binaryFile` (path, length, content);
-   * `maxBytes` caps a single file read (oversize files are truncated
-   * and flagged rather than OOMing the task).
+   * memory.
+   *
+   * Schema is EXACTLY `binaryFile`'s — (path, modificationTime,
+   * length, content) — so [[readManifest]]'s size-based switch
+   * between the two flows is invisible to callers. A file larger
+   * than `maxBytes` FAILS the task with a clear message (binaryFile
+   * would have loaded it whole; silently truncating bytes would
+   * corrupt any downstream parse) unless `truncateOversize = true`,
+   * an explicit opt-in for callers that genuinely want capped reads
+   * — then `length` still reports the TRUE file size, so
+   * `length > octet_length(content)` identifies capped rows.
    */
   def readManifestDistributed(spark: SparkSession, manifest: String,
                               partitions: Int = 0,
-                              maxBytes: Int = 64 << 20): DataFrame = {
+                              maxBytes: Int = 64 << 20,
+                              truncateOversize: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.col
     val n = if (partitions > 0) partitions
             else spark.sparkContext.defaultParallelism
@@ -89,9 +98,9 @@ object BinaryFiles {
       .repartition(n)
     val enc = org.apache.spark.sql.Encoders.tuple(
       org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.TIMESTAMP,
       org.apache.spark.sql.Encoders.scalaLong,
-      org.apache.spark.sql.Encoders.BINARY,
-      org.apache.spark.sql.Encoders.scalaBoolean)
+      org.apache.spark.sql.Encoders.BINARY)
     val serConf =
       new graft.util.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     paths.mapPartitions { it =>
@@ -102,13 +111,17 @@ object BinaryFiles {
         val fs = path.getFileSystem(conf)
         val status = fs.getFileStatus(path)
         val len = status.getLen
+        if (len > maxBytes && !truncateOversize)
+          throw new java.io.IOException(
+            s"manifest file $p is $len bytes (> maxBytes=$maxBytes); " +
+              "raise maxBytes or pass truncateOversize=true to cap reads")
         val take = math.min(len, maxBytes.toLong).toInt
         val buf = new Array[Byte](take)
         val in = fs.open(path)
         try in.readFully(0, buf) finally in.close()
-        (p, len, buf, len > maxBytes)
+        (p, new java.sql.Timestamp(status.getModificationTime), len, buf)
       }
-    }(enc).toDF("path", "length", "content", "truncated")
+    }(enc).toDF("path", "modificationTime", "length", "content")
       .filter(col("path").isNotNull)
   }
 }

@@ -132,17 +132,23 @@ object Warc {
     def raw = WarcHttpRecord(r.path, r.rec_type, Option(r.uri),
       Option(r.date), None, None, r.body)
     if (r.rec_type != "response") return raw
-    val i = byteIndexOf(r.body, BlankLine, 0)
+    // spec delimiter first; off-spec LF-only captures (common in real
+    // crawls) fall back to \n\n — the payload offset tracks whichever
+    // delimiter actually matched
+    var delim = BlankLine
+    var i = byteIndexOf(r.body, BlankLine, 0)
+    if (i < 0) { delim = BlankLineLf; i = byteIndexOf(r.body, BlankLineLf, 0) }
     if (i < 0) return raw
-    // HTTP head is ASCII by spec; ISO-8859-1 decodes any octet 1:1
-    val lines = new String(r.body, 0, i, "ISO-8859-1").split("\r\n")
+    // HTTP head is ASCII by spec; ISO-8859-1 decodes any octet 1:1.
+    // Header lines split on \r?\n so CRLF and LF heads parse alike.
+    val lines = new String(r.body, 0, i, "ISO-8859-1").split("\r?\n")
     val status = StatusLine.findFirstMatchIn(lines.headOption.getOrElse(""))
       .map(_.group(1).toInt)
     if (status.isEmpty) return raw
     val headers = parseHeaders(lines.drop(1).mkString("\r\n"))
     WarcHttpRecord(r.path, r.rec_type, Option(r.uri), Option(r.date), status,
       headers.get("content-type"),
-      java.util.Arrays.copyOfRange(r.body, i + BlankLine.length, r.body.length))
+      java.util.Arrays.copyOfRange(r.body, i + delim.length, r.body.length))
   }
 
   private val StatusLine = """HTTP/\d\.\d (\d{3}).*""".r
@@ -160,6 +166,7 @@ object Warc {
 
   private val Marker = "WARC/1.0\r\n".getBytes("US-ASCII")
   private val BlankLine = "\r\n\r\n".getBytes("US-ASCII")
+  private val BlankLineLf = "\n\n".getBytes("US-ASCII")
 
   /** WET adapter over [[parseFileRaw]]: bodies decode as UTF-8;
     * delimiter-recovered (off-spec) records drop their trailing
