@@ -1424,6 +1424,36 @@ object SparkEntry {
         .select(col("id").cast("long").as("p_partkey"), col("p_name"), col("p_brand"))
     }),
 
+    // the steady-state ingest shape the reference's TieredMergePolicy
+    // guards (solrconfig_merge.xml:6-12, loaded by
+    // TreeMergeOutputFormat.java:248-260): TWELVE successive upsert
+    // batches against one store — each leaves a fresh segment per
+    // touched part, and the per-batch tiered merge folds over-full
+    // size tiers through the postings-level raw merge (tombstoned
+    // victims take the rewrite path, reclaiming deletes
+    // incrementally), so month-long ingest stays at O(log docs)
+    // segments instead of one per batch forever. Batch b updates the
+    // docs with doc_id % 12 == b, so DuckDB recomputes the final
+    // state in closed form; TieredMergeSpec asserts the segment-count
+    // bound on the same flow.
+    "q286_tiered_merge" -> ((s, d) => {
+      import graft.index.SegmentShardSink
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id").cast("string").as("id"), col("lang"),
+          col("n_chars"))
+      val out = java.nio.file.Files.createTempDirectory("graft_q286_").toString
+      SegmentShardSink.write(docs, "id", out, shards = 2)
+      (0 until 12).foreach { b =>
+        val delta = docs
+          .filter(pmod(col("id").cast("long"), lit(12)) === b)
+          .withColumn("n_chars", col("n_chars") + lit((b + 1) * 1000L))
+        SegmentShardSink.upsert(s, out, delta)
+      }
+      s.read.format("graft-index").load(out)
+        .select(col("id").cast("long").as("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+    }),
+
     // Luke/terms-component statistics: per-term live doc frequency
     // from the index's own POSTINGS (stored docs never read), summed
     // across shards — oracled against DuckDB on the source table, so
@@ -5335,6 +5365,11 @@ object SparkEntry {
         |SELECT p_partkey + 1000000000 AS p_partkey,
         |  'new part ' || p_partkey AS p_name, p_brand
         |FROM part WHERE p_partkey % 97 = 0""".stripMargin,
+
+    "q286_tiered_merge" ->
+      """SELECT doc_id, lang,
+        |  CAST(n_chars + 1000 * (1 + doc_id % 12) AS BIGINT) AS n_chars
+        |FROM documents""".stripMargin,
 
     "q110_luke_terms" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS doc_freq

@@ -89,6 +89,49 @@ object SegmentIndex {
     * a multivalued field (Solr's default field model). */
   type Doc = Seq[(String, String)]
 
+  /**
+   * TieredMergePolicy analog — the amortized counter-force to segment
+   * accumulation (the reference loads Lucene's
+   * `TieredMergePolicy(maxMergeAtOnce=10000, segmentsPerTier=100)` at
+   * merge time, `solrconfig_merge.xml:6-12` via
+   * `TreeMergeOutputFormat.java:248-260`). Segments are bucketed into
+   * geometric size TIERS by live-doc count (tier i spans
+   * `floorDocs·maxMergeAtOnce^(i-1) .. floorDocs·maxMergeAtOnce^i`);
+   * whenever a tier holds more than `segmentsPerTier` segments, the
+   * smallest `maxMergeAtOnce` of them fold into one segment of the
+   * next tier. Steady-state per-index segment count is therefore
+   * bounded by `segmentsPerTier · log_maxMergeAtOnce(docs/floorDocs)`
+   * — O(log docs) — and each document's bytes are re-copied at most
+   * once per tier it ascends, the classic logarithmic merge
+   * amortization. Defaults are scaled to this store's
+   * maxBufferedDocs=128k flush size (Lucene's own 10/10 defaults),
+   * not the reference's 10000/100 (tuned there for a one-shot
+   * offline merge, where unbounded fan-in is fine because no query
+   * ever runs against the intermediate state).
+   */
+  final case class MergePolicy(segmentsPerTier: Int = 10,
+                               maxMergeAtOnce: Int = 10,
+                               floorDocs: Int = 1024) {
+    require(segmentsPerTier >= 2, "segmentsPerTier must be >= 2")
+    require(maxMergeAtOnce >= 2, "maxMergeAtOnce must be >= 2")
+    require(floorDocs >= 1, "floorDocs must be >= 1")
+    /** Geometric size tier of a segment (0 = at/under the floor; tier
+      * i spans `floorDocs·M^(i-1) < docs <= floorDocs·M^i`) — exact
+      * integer math, no float-log boundary jitter. */
+    def tierOf(liveDocs: Int): Int = {
+      var t = 0
+      var cap = floorDocs.toLong
+      val d = math.max(liveDocs, 1).toLong
+      while (d > cap) { t += 1; cap *= maxMergeAtOnce }
+      t
+    }
+    /** Upper bound on post-merge segment count for `docs` total docs —
+      * what the spec asserts: segmentsPerTier per tier, tier count
+      * logarithmic in docs. */
+    def maxSegments(docs: Long): Int =
+      segmentsPerTier * (tierOf(math.min(docs, Int.MaxValue).toInt) + 1)
+  }
+
   /** The relational surfacing contract for multivalued fields: the
     * FIRST occurrence wins (shared by SegmentSearch and the DSv2
     * source, so the two read paths cannot diverge). */
@@ -1221,6 +1264,63 @@ object SegmentIndex {
         }
         commitPoint
       }
+    }
+
+    /**
+     * Incremental tiered merge ([[MergePolicy]] — the
+     * `solrconfig_merge.xml:6-12` TieredMergePolicy analog): while any
+     * size tier holds more than `segmentsPerTier` segments, fold the
+     * smallest `maxMergeAtOnce` of that tier into one segment —
+     * through [[mergeSegmentsRaw]] (byte-concatenated stored fields,
+     * ord-shifted dictionary merge; no doc re-parsed) when every
+     * victim qualifies, else the doc-rewrite path (which doubles as
+     * incremental tombstone reclaim: victims' deleted ordinals vanish
+     * in the rewrite). Each fold publishes its own commit generation,
+     * so readers always see a consistent snapshot and a crash
+     * mid-merge loses nothing but unreferenced files. Converges: each
+     * fold strictly reduces segment count. Call after `commit()` —
+     * this is the steady-state counter-force that keeps a
+     * continuously-upserted index at O(log docs) segments instead of
+     * one segment per batch forever ([[forceMerge]] stays the full
+     * one-shot rewrite for the final go-live latency trade).
+     */
+    def maybeMerge(policy: MergePolicy = MergePolicy()): CommitPoint = {
+      if (pending.nonEmpty || pendingDels.nonEmpty) commit()
+      var again = true
+      while (again) {
+        again = false
+        commitPoint.segments
+          .groupBy(s => policy.tierOf(s.liveDocs))
+          .toSeq.sortBy(_._1) // smallest tier first: cheapest fold, cascades up
+          .find(_._2.lengthIs > policy.segmentsPerTier)
+          .foreach { case (_, tierSegs) =>
+            val victims = tierSegs.sortBy(_.liveDocs).take(policy.maxMergeAtOnce)
+            val name = s"_${commitPoint.counter}"
+            val meta =
+              if (canRawMerge(fs, dir, victims, analyzed))
+                mergeSegmentsRaw(fs, dir, name, victims)
+              else {
+                val live = victims.flatMap { s =>
+                  val dels = readDels(fs, dir, s)
+                  readStoredDocs(fs, dir, s.name).zipWithIndex.collect {
+                    case (doc, o) if !dels.contains(o) => doc
+                  }
+                }.toIndexedSeq
+                writeSegment(fs, dir, name, live, analyzed, compress = compressStored)
+              }
+            val victimNames = victims.map(_.name).toSet
+            commitPoint = CommitPoint(commitPoint.gen + 1, commitPoint.counter + 1,
+              commitPoint.segments.filterNot(s => victimNames(s.name)) :+ meta)
+            writeCommit(fs, dir, commitPoint)
+            victims.foreach { s =>
+              Seq("fld", "fdx", "trm", "nrm").foreach(ext =>
+                fs.delete(new Path(dir, s"${s.name}.$ext"), false))
+              if (s.delGen > 0) fs.delete(new Path(dir, delFile(s.name, s.delGen)), false)
+            }
+            again = true
+          }
+      }
+      commitPoint
     }
 
     def close(): CommitPoint = commit()

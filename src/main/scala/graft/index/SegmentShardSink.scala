@@ -151,16 +151,20 @@ object SegmentShardSink {
     routed.foreachPartition { (rows: Iterator[Row]) =>
       var cur = -1
       var w: SegmentIndex.Writer = null
+      // build-time tiered merge: a corpus-scale part flushes one
+      // segment per maxBufferedDocs — fold over-full tiers so a fresh
+      // build starts at O(log docs) segments (no-op under 10 flushes)
+      def closeMerged(): Unit = if (w != null) { w.close(); w.maybeMerge(); () }
       rows.foreach { row =>
         val ms = row.getInt(msIdx)
         if (ms != cur) {
-          if (w != null) w.close()
+          closeMerged()
           w = SegmentIndex.writer(indexDir(out, ms), conf.value, analyzedBc)
           cur = ms
         }
         w.addDocument(docOf(row, fields))
       }
-      if (w != null) w.close()
+      closeMerged()
       ()
     }
     // empty micro shards still get committed (empty) indexes
@@ -237,7 +241,8 @@ object SegmentShardSink {
    * batch contract — last-writer ambiguity inside one batch is a
    * caller bug, enforced here).
    */
-  def upsert(spark: SparkSession, store: String, updates: DataFrame): Unit = {
+  def upsert(spark: SparkSession, store: String, updates: DataFrame,
+             mergePolicy: SegmentIndex.MergePolicy = SegmentIndex.MergePolicy()): Unit = {
     val conf0 = ShardIndex.hadoopConf(spark)
     val marker = readMarker(conf0, store)
     val idCol = marker.idCol
@@ -270,6 +275,10 @@ object SegmentShardSink {
       def flush(): Unit = if (w != null) {
         w.deleteDocumentsBatch(idCol, ids.toSet)
         w.close() // commits tombstones + the new segment together
+        // steady-state counter-force: each batch leaves one fresh
+        // segment per touched part — tiered merge folds over-full
+        // tiers so month-long ingest stays at O(log docs) segments
+        w.maybeMerge(mergePolicy)
         ids.clear()
       }
       rows.foreach { row =>
@@ -427,6 +436,28 @@ object SegmentShardSink {
       val m = readMarker(ShardIndex.hadoopConf(spark), store)
       writeMarker(store, shards, shards, m.idCol, m.columns, m.analyzed,
         m.multivalued, Some(m.router), spark)
+    }
+  }
+
+  /** Incremental tiered merge over every part index, one task per
+    * part ([[SegmentIndex.MergePolicy]] — the
+    * `solrconfig_merge.xml:6-12` TieredMergePolicy parity path, run
+    * automatically after each [[upsert]] batch and available here as
+    * an explicit store-wide pass): folds over-full size tiers through
+    * the cheap postings-level raw merge, bounding per-part segment
+    * count at O(log docs) in steady state without [[optimize]]'s full
+    * store rewrite. */
+  def maybeMerge(spark: SparkSession, store: String,
+                 policy: SegmentIndex.MergePolicy = SegmentIndex.MergePolicy()): Unit = {
+    val dirs = partDirs(spark, store)
+    val conf = new SerializableHadoopConf(ShardIndex.hadoopConf(spark))
+    // the rewrite fallback (tombstoned victims) re-analyzes, so the
+    // store's analyzer config rides along, same as optimize()
+    val analyzed = markerAnalyzed(spark, store)
+    spark.sparkContext.parallelize(dirs, math.max(1, dirs.size)).foreach { d =>
+      val p = new Path(d)
+      new SegmentIndex.Writer(p.getFileSystem(conf.value), p, analyzed).maybeMerge(policy)
+      ()
     }
   }
 
