@@ -89,6 +89,14 @@ object SegmentIndex {
     * a multivalued field (Solr's default field model). */
   type Doc = Seq[(String, String)]
 
+  /** Observability/test hook: query-time forward-view INVERSIONS — a
+    * pivot/grouped-stat touched a field with no persisted docValues
+    * column (legacy segment or multivalued field) and had to rebuild
+    * the ord→term view from postings. A store written since `.dvd`
+    * existed never bumps this for single-valued fields; DocValuesSpec
+    * asserts exactly that. */
+  private[index] val dvFallbacks = new java.util.concurrent.atomic.AtomicLong
+
   /**
    * TieredMergePolicy analog — the amortized counter-force to segment
    * accumulation (the reference loads Lucene's
@@ -222,6 +230,7 @@ object SegmentIndex {
   private val DEL_MAGIC = 0x4744454C // "GDEL"
   private val NRM_MAGIC = 0x474E524D // "GNRM" — per-ord token counts (norms)
   private val FDX_MAGIC = 0x47464458 // "GFDX" — fixed-width stored-doc offsets
+  private val DVD_MAGIC = 0x47445644 // "GDVD" — persisted docValues (forward index)
 
   /** Raw bytes per stored-field compression block (doc-aligned: a doc
     * record never splits across blocks, so one inflate serves a whole
@@ -423,11 +432,24 @@ object SegmentIndex {
     // without re-analyzing stored values. Multivalued fields sum
     // tokens across ALL values (Lucene/Solr length semantics).
     val norms = mutable.HashMap.empty[String, Array[Int]]
+    // persisted docValues (Lucene's docValues="true" contract, the
+    // reference's schema.xml:70): per NON-analyzed field that stays
+    // single-valued across this segment, the forward doc→value column
+    // is written ONCE at index time, so pivot/grouped-stat queries
+    // read a packed ord column instead of re-inverting postings per
+    // query. A field repeated within any doc is multivalued — no
+    // forward column (the pushdown contract never groups on those).
+    val dvVals = mutable.HashMap.empty[String, Array[String]]
+    val dvMulti = mutable.HashSet.empty[String]
     var ord = 0
     docs.foreach { d =>
       val fieldPos = mutable.HashMap.empty[String, Int]
       d.foreach { case (f, v) =>
         val isAna = analyzed.contains(f)
+        if (!isAna) {
+          val arr = dvVals.getOrElseUpdate(f, new Array[String](docs.length))
+          if (arr(ord) != null) dvMulti += f else arr(ord) = v
+        }
         val terms = if (isAna) analyze(v) else Seq(v)
         if (isAna) norms.getOrElseUpdate(f, new Array[Int](docs.length))(ord) += terms.length
         val byField = post.getOrElseUpdate(f, mutable.HashMap.empty)
@@ -501,6 +523,9 @@ object SegmentIndex {
         }
       } finally nrm.close()
     }
+    val dvFields = (dvVals.keySet -- dvMulti).toSeq.sorted
+    if (dvFields.nonEmpty)
+      writeDocValues(fs, dir, name, dvFields.map(f => f -> dvVals(f)), docs.length)
     // zone-map stats: min/max indexed term per NON-analyzed field
     // (code-point order — must match what a pushed range predicate
     // means to Spark, see cpCompare)
@@ -509,6 +534,86 @@ object SegmentIndex {
         f -> (terms.keys.min(CpOrdering), terms.keys.max(CpOrdering))
     }.toMap
     SegmentMeta(name, docs.length, stats = stats)
+  }
+
+  /** `.dvd` — persisted docValues: per field, a CP-sorted term dict
+    * then one varint per doc ordinal (dict index + 1; 0 = doc lacks
+    * the field), with a v3-style per-field seek footer so reading one
+    * field's column never parses the rest. The on-disk analog of
+    * Lucene's SortedDocValues (ord column + terms dict). */
+  private def writeDocValues(fs: FileSystem, dir: Path, name: String,
+                             fields: Seq[(String, Array[String])], nDocs: Int): Unit = {
+    val cnt = new CountingOutputStream(new BufferedOutputStream(
+      fs.create(new Path(dir, s"$name.dvd"), true)))
+    val out = new DataOutputStream(cnt)
+    try {
+      out.writeInt(DVD_MAGIC)
+      val offsets = new Array[Long](fields.length)
+      fields.iterator.zipWithIndex.foreach { case ((f, vals), fi) =>
+        offsets(fi) = cnt.count
+        writeStr(out, f)
+        val terms = vals.iterator.filter(_ != null).toArray.distinct.sorted(CpOrdering)
+        writeVInt(out, terms.length)
+        terms.foreach(writeStr(out, _))
+        val idx = terms.iterator.zipWithIndex.toMap
+        writeVInt(out, nDocs)
+        var o = 0
+        while (o < nDocs) {
+          val v = vals(o)
+          writeVInt(out, if (v == null) 0 else idx(v) + 1)
+          o += 1
+        }
+      }
+      val footerOff = cnt.count
+      writeVInt(out, fields.length)
+      fields.iterator.zipWithIndex.foreach { case ((f, _), fi) =>
+        writeStr(out, f)
+        out.writeLong(offsets(fi))
+      }
+      out.writeLong(footerOff)
+      out.writeInt(DVD_MAGIC)
+    } finally out.close()
+  }
+
+  /** Persisted docValues of SELECTED fields (None = all): field →
+    * (CP-sorted term dict, per-ordinal dict index, -1 = missing).
+    * Empty for segments written before docValues existed — callers
+    * fall back to postings inversion. Footer-seeked: I/O ∝ the
+    * selected fields' columns. */
+  private[index] def readDocValues(fs: FileSystem, dir: Path, name: String,
+                                   sel: Option[Set[String]])
+      : Map[String, (Array[String], Array[Int])] = {
+    val path = new Path(dir, s"$name.dvd")
+    if (!fs.exists(path)) return Map.empty
+    if (sel.exists(_.isEmpty)) return Map.empty
+    val raw = fs.open(path)
+    try {
+      require(new DataInputStream(raw).readInt() == DVD_MAGIC,
+        s"bad .dvd magic in $dir/$name")
+      val len = fs.getFileStatus(path).getLen
+      raw.seek(len - 12)
+      val tail = new DataInputStream(raw)
+      val footerOff = tail.readLong()
+      require(tail.readInt() == DVD_MAGIC, s"bad .dvd trailer in $dir/$name")
+      raw.seek(footerOff)
+      val foot = new DataInputStream(new BufferedInputStream(raw))
+      val nFields = readVInt(foot)
+      val offs = (0 until nFields).map(_ => (readStr(foot), foot.readLong()))
+      offs.iterator
+        .filter { case (f, _) => sel.forall(_.contains(f)) }
+        .map { case (_, off) =>
+          raw.seek(off)
+          val in = new DataInputStream(new BufferedInputStream(raw))
+          val f = readStr(in)
+          val nT = readVInt(in)
+          val terms = Array.fill(nT)(readStr(in))
+          val nD = readVInt(in)
+          val idx = new Array[Int](nD)
+          var o = 0
+          while (o < nD) { idx(o) = readVInt(in) - 1; o += 1 }
+          f -> (terms, idx)
+        }.toMap
+    } finally raw.close()
   }
 
   /** Raw-merge eligibility: every source segment is tombstone-free,
@@ -629,17 +734,20 @@ object SegmentIndex {
     // order is ascending doc base, so concatenated posting lists stay
     // ascending and the gap encoding applies unchanged
     val merged = mutable.SortedMap.empty[String, mutable.SortedMap[String, mutable.ArrayBuffer[(Int, Array[Int])]]]
+    val srcFields = mutable.ArrayBuffer.empty[Set[String]] // per source, for dvd eligibility
     var docBase = 0
     segs.foreach { s =>
       if (s.docs > 0) {
-        readPostingsPositions(fs, dir, s.name).foreach { case (f, terms) =>
+        val posts = readPostingsPositions(fs, dir, s.name)
+        srcFields += posts.keySet
+        posts.foreach { case (f, terms) =>
           val byField = merged.getOrElseUpdate(f, mutable.SortedMap.empty)
-          terms.foreach { case (t, posts) =>
+          terms.foreach { case (t, fieldPosts) =>
             val acc = byField.getOrElseUpdate(t, mutable.ArrayBuffer.empty)
-            posts.foreach { case (o, ps) => acc += ((o + docBase, ps)) }
+            fieldPosts.foreach { case (o, ps) => acc += ((o + docBase, ps)) }
           }
         }
-      }
+      } else srcFields += Set.empty[String]
       docBase += s.docs
     }
     val trmCount = new CountingOutputStream(new BufferedOutputStream(
@@ -704,6 +812,38 @@ object SegmentIndex {
           arr.foreach(writeVInt(nrm, _))
         }
       } finally nrm.close()
+    }
+    // persisted docValues: forward columns concatenate at each doc
+    // base with a term-dict union remap. A field merges only when
+    // every source that HOLDS it (postings-wise) carries its dvd
+    // column — otherwise the merged segment omits it and readers fall
+    // back to per-query inversion (never a wrong answer, only the
+    // legacy cost).
+    val dvPerSrc: Seq[Map[String, (Array[String], Array[Int])]] =
+      segs.map(s => if (s.docs == 0) Map.empty[String, (Array[String], Array[Int])]
+                    else readDocValues(fs, dir, s.name, None))
+    val dvFields = dvPerSrc.iterator.flatMap(_.keys).toSet.filter { f =>
+      segs.indices.forall { i =>
+        segs(i).docs == 0 || dvPerSrc(i).contains(f) || !srcFields(i).contains(f)
+      }
+    }.toSeq.sorted
+    if (dvFields.nonEmpty) {
+      val cols = dvFields.map { f =>
+        val vals = new Array[String](totalDocs)
+        var base = 0
+        segs.iterator.zipWithIndex.foreach { case (s, i) =>
+          dvPerSrc(i).get(f).foreach { case (terms, idx) =>
+            var o = 0
+            while (o < idx.length) {
+              if (idx(o) >= 0) vals(base + o) = terms(idx(o))
+              o += 1
+            }
+          }
+          base += s.docs
+        }
+        f -> vals
+      }
+      writeDocValues(fs, dir, name, cols, totalDocs)
     }
     // zone-map stats: per-field min/max combined across sources
     val stats = segs.flatMap(_.stats.toSeq)
@@ -1180,7 +1320,7 @@ object SegmentIndex {
       // now that the new generation is live, remove dead files
       staleDelFiles.foreach(f => fs.delete(new Path(dir, f), false))
       dropped.foreach { s =>
-        Seq("fld", "fdx", "trm", "nrm").foreach(ext => fs.delete(new Path(dir, s"${s.name}.$ext"), false))
+        Seq("fld", "fdx", "trm", "nrm", "dvd").foreach(ext => fs.delete(new Path(dir, s"${s.name}.$ext"), false))
       }
       commitPoint
     }
@@ -1200,7 +1340,7 @@ object SegmentIndex {
             val name = s"_${commitPoint.counter}"
             // .nrm only exists for segments with analyzed fields;
             // .fdx only for segments written since the seek index
-            Seq("fld", "fdx", "trm", "nrm").foreach { ext =>
+            Seq("fld", "fdx", "trm", "nrm", "dvd").foreach { ext =>
               val from = new Path(src, s"${seg.name}.$ext")
               if (ext == "fld" || ext == "trm" || fs.exists(from))
                 org.apache.hadoop.fs.FileUtil.copy(
@@ -1259,7 +1399,7 @@ object SegmentIndex {
         commitPoint = CommitPoint(commitPoint.gen + 1, commitPoint.counter + 1, Seq(meta))
         writeCommit(fs, dir, commitPoint)
         old.foreach { s =>
-          Seq("fld", "fdx", "trm", "nrm").foreach(ext => fs.delete(new Path(dir, s"${s.name}.$ext"), false))
+          Seq("fld", "fdx", "trm", "nrm", "dvd").foreach(ext => fs.delete(new Path(dir, s"${s.name}.$ext"), false))
           if (s.delGen > 0) fs.delete(new Path(dir, delFile(s.name, s.delGen)), false)
         }
         commitPoint
@@ -1313,7 +1453,7 @@ object SegmentIndex {
               commitPoint.segments.filterNot(s => victimNames(s.name)) :+ meta)
             writeCommit(fs, dir, commitPoint)
             victims.foreach { s =>
-              Seq("fld", "fdx", "trm", "nrm").foreach(ext =>
+              Seq("fld", "fdx", "trm", "nrm", "dvd").foreach(ext =>
                 fs.delete(new Path(dir, s"${s.name}.$ext"), false))
               if (s.delGen > 0) fs.delete(new Path(dir, delFile(s.name, s.delGen)), false)
             }
@@ -1692,23 +1832,50 @@ object SegmentIndex {
       * O(|V_a|·|V_b|) and are exactly what this avoids. Assumes both
       * fields single-valued non-analyzed (the DSv2 pushdown
       * contract). */
+    /** Forward ord→term view of `field` in segment `s`: read straight
+      * from the persisted docValues column when the segment carries
+      * one (packed-ord read, postings never touched — the
+      * schema.xml:70 `docValues="true"` design), else a transient
+      * inversion of the field's postings (legacy segments /
+      * multivalued fields; bumps [[dvFallbacks]]). */
+    private def forwardFrom(s: SegmentMeta,
+                            dv: Map[String, (Array[String], Array[Int])],
+                            field: String,
+                            post: => Map[String, Map[String, Array[Int]]])
+        : Array[String] =
+      dv.get(field) match {
+        case Some((terms, idx)) =>
+          val fwd = new Array[String](s.docs)
+          var o = 0
+          while (o < idx.length) {
+            if (idx(o) >= 0) fwd(o) = terms(idx(o))
+            o += 1
+          }
+          fwd
+        case None =>
+          dvFallbacks.incrementAndGet()
+          val fwd = new Array[String](s.docs)
+          post.getOrElse(field, Map.empty).foreach { case (t, ords) =>
+            ords.foreach(o => fwd(o) = t)
+          }
+          fwd
+      }
+
     def pivotCounts(fieldA: String, fieldB: String, filter: PushedQuery)
         : Map[(Option[String], Option[String]), Long] = {
       val acc = mutable.HashMap.empty[(Option[String], Option[String]), Long]
       commit.segments.foreach { s =>
         if (!segExcluded(s, filter)) {
           val dels = readDels(fs, dir, s)
+          // dvd-served fields never reach the postings read: the scan
+          // touches only the FILTER's field blocks (plus inversion
+          // fallbacks for legacy segments)
+          val dv = readDocValues(fs, dir, s.name, Some(Set(fieldA, fieldB)))
+          val needInvert = Set(fieldA, fieldB).filterNot(dv.contains)
           val allPost = readPostingsFields(fs, dir, s.name,
-            queryFields(filter) + fieldA + fieldB)
-          def forward(f: String): Array[String] = {
-            val fwd = new Array[String](s.docs)
-            allPost.getOrElse(f, Map.empty).foreach { case (t, ords) =>
-              ords.foreach(o => fwd(o) = t)
-            }
-            fwd
-          }
-          val fa = forward(fieldA)
-          val fb = forward(fieldB)
+            queryFields(filter) ++ needInvert)
+          val fa = forwardFrom(s, dv, fieldA, allPost)
+          val fb = forwardFrom(s, dv, fieldB, allPost)
           val ords: Iterator[Int] = filter match {
             case MatchAll => Iterator.range(0, s.docs)
             case q => branchOrds(s, allPost, q).toArray.distinct.iterator
@@ -1813,12 +1980,16 @@ object SegmentIndex {
       commit.segments.foreach { s =>
         if (!segExcluded(s, filter)) {
           val dels = readDels(fs, dir, s)
+          // group column from the persisted docValues when present —
+          // stat/sum fields stay postings-streamed (term→ords is the
+          // right shape for min/max/sum), so only the GROUP field's
+          // O(docs) inversion disappears
+          val dv = readDocValues(fs, dir, s.name, Some(Set(group)))
+          val needInvert: Set[String] =
+            if (dv.contains(group)) Set.empty else Set(group)
           val allPost = readPostingsFields(fs, dir, s.name,
-            queryFields(filter) + group ++ statFields ++ sumFields)
-          val fwd = new Array[String](s.docs)
-          allPost.getOrElse(group, Map.empty).foreach { case (t, ords) =>
-            ords.foreach(o => fwd(o) = t)
-          }
+            queryFields(filter) ++ needInvert ++ statFields ++ sumFields)
+          val fwd = forwardFrom(s, dv, group, allPost)
           val matched = new Array[Boolean](s.docs)
           filter match {
             case MatchAll =>

@@ -667,8 +667,9 @@ object SegmentShardSink {
       SegmentIndex.latestCommit(fs, src).foreach { cp =>
         val files = Seq(s"segments_${cp.gen}") ++ cp.segments.flatMap { m =>
           Seq(s"${m.name}.fld", s"${m.name}.trm") ++
-            (if (fs.exists(new Path(src, s"${m.name}.fdx"))) Seq(s"${m.name}.fdx") else Nil) ++
-            (if (fs.exists(new Path(src, s"${m.name}.nrm"))) Seq(s"${m.name}.nrm") else Nil) ++
+            Seq("fdx", "nrm", "dvd").collect {
+              case ext if fs.exists(new Path(src, s"${m.name}.$ext")) => s"${m.name}.$ext"
+            } ++
             (if (m.delGen > 0) Seq(s"${m.name}_${m.delGen}.del") else Nil)
         }
         files.foreach { f =>

@@ -1,0 +1,109 @@
+package graft.index
+
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Persisted docValues (`.dvd` — the reference schema.xml:70
+  * `docValues="true"` contract): the forward doc→value column is
+  * written once at index time, so pivot/grouped-stat queries read a
+  * packed ord column instead of re-inverting postings per query. */
+class DocValuesSpec extends AnyFunSuite {
+
+  private def conf = new org.apache.hadoop.conf.Configuration()
+
+  private def buildSeg(dir: Path, nDocs: Int = 60): Unit = {
+    val fs = dir.getFileSystem(conf)
+    val w = new SegmentIndex.Writer(fs, dir)
+    (0 until nDocs).foreach { i =>
+      val base = Seq("id" -> i.toString, "grp" -> ("g" + (i % 4)),
+        "val" -> f"${i % 9}%03d")
+      // every third doc lacks `cat` (null-bucket coverage); doc 7 is
+      // multivalued on `tags` (excluded from docValues)
+      val cat = if (i % 3 == 0) Nil else Seq("cat" -> ("c" + (i % 2)))
+      val tags = if (i == 7) Seq("tags" -> "a", "tags" -> "b") else Seq("tags" -> "x")
+      w.addDocument(base ++ cat ++ tags)
+    }
+    w.commit()
+    ()
+  }
+
+  test("single-valued fields persist a .dvd column; multivalued are excluded") {
+    val dir = new Path(java.nio.file.Files.createTempDirectory("dv_write_").toString)
+    val fs = dir.getFileSystem(conf)
+    buildSeg(dir)
+    val seg = SegmentIndex.latestCommit(fs, dir).get.segments.head.name
+    assert(fs.exists(new Path(dir, s"$seg.dvd")))
+    val dv = SegmentIndex.readDocValues(fs, dir, seg, None)
+    assert(dv.keySet === Set("id", "grp", "val", "cat")) // tags multivalued → absent
+    val (terms, idx) = dv("grp")
+    assert(terms.toSeq === Seq("g0", "g1", "g2", "g3"))
+    assert(idx.length === 60)
+    (0 until 60).foreach(i => assert(terms(idx(i)) === "g" + (i % 4)))
+    // missing-field docs carry -1
+    val (_, catIdx) = dv("cat")
+    (0 until 60).foreach { i =>
+      if (i % 3 == 0) assert(catIdx(i) === -1) else assert(catIdx(i) >= 0)
+    }
+  }
+
+  test("pivot and grouped stats answer from docValues with zero inversions") {
+    val dir = new Path(java.nio.file.Files.createTempDirectory("dv_query_").toString)
+    val fs = dir.getFileSystem(conf)
+    buildSeg(dir)
+    val r = new SegmentIndex.Reader(fs, dir)
+    SegmentIndex.dvFallbacks.set(0)
+    val pivot = r.pivotCounts("grp", "cat", MatchAll)
+    val stats = r.groupedStats("grp", Seq("val"), MatchAll)
+    assert(SegmentIndex.dvFallbacks.get() === 0,
+      "dvd-bearing store must not invert postings for forward views")
+    // answers correct (closed form: i%4 x i%2 with i%3==0 null bucket)
+    assert(pivot((Some("g0"), Some("c0"))) ===
+      (0 until 60).count(i => i % 4 == 0 && i % 3 != 0 && i % 2 == 0).toLong)
+    assert(pivot((Some("g1"), None)) ===
+      (0 until 60).count(i => i % 4 == 1 && i % 3 == 0).toLong)
+    val (cnt, mm, _) = stats(Some("g2"))
+    assert(cnt === 15)
+    assert(mm("val") === (f"${(0 until 60).filter(_ % 4 == 2).map(_ % 9).min}%03d",
+      f"${(0 until 60).filter(_ % 4 == 2).map(_ % 9).max}%03d"))
+  }
+
+  test("legacy segments (no .dvd) fall back to inversion, same answers") {
+    val dir = new Path(java.nio.file.Files.createTempDirectory("dv_legacy_").toString)
+    val fs = dir.getFileSystem(conf)
+    buildSeg(dir)
+    val seg = SegmentIndex.latestCommit(fs, dir).get.segments.head.name
+    val withDv = new SegmentIndex.Reader(fs, dir).pivotCounts("grp", "cat", MatchAll)
+    fs.delete(new Path(dir, s"$seg.dvd"), false) // simulate a pre-dvd store
+    SegmentIndex.dvFallbacks.set(0)
+    val without = new SegmentIndex.Reader(fs, dir).pivotCounts("grp", "cat", MatchAll)
+    assert(SegmentIndex.dvFallbacks.get() > 0)
+    assert(withDv === without)
+  }
+
+  test("raw merge relocates docValues columns with term-dict remap") {
+    val dir = new Path(java.nio.file.Files.createTempDirectory("dv_merge_").toString)
+    val fs = dir.getFileSystem(conf)
+    // two flushes with DISJOINT term dicts for grp → merge must remap
+    val w = new SegmentIndex.Writer(fs, dir, maxBufferedDocs = 30)
+    (0 until 30).foreach(i => w.addDocument(Seq("id" -> i.toString, "grp" -> ("a" + (i % 3)))))
+    (30 until 60).foreach(i => w.addDocument(Seq("id" -> i.toString, "grp" -> ("b" + (i % 3)))))
+    w.commit()
+    assert(new SegmentIndex.Reader(fs, dir).numSegments === 2)
+    w.forceMerge(1)
+    val r = new SegmentIndex.Reader(fs, dir)
+    assert(r.numSegments === 1)
+    val seg = r.commit.segments.head.name
+    val dv = SegmentIndex.readDocValues(fs, dir, seg, Some(Set("grp")))
+    assert(dv.contains("grp"), "raw merge must carry the dvd column")
+    val (terms, idx) = dv("grp")
+    assert(terms.toSeq === Seq("a0", "a1", "a2", "b0", "b1", "b2"))
+    (0 until 60).foreach { i =>
+      val want = (if (i < 30) "a" else "b") + (i % 3)
+      assert(terms(idx(i)) === want, s"doc $i")
+    }
+    SegmentIndex.dvFallbacks.set(0)
+    val pivot = r.pivotCounts("grp", "grp", MatchAll)
+    assert(SegmentIndex.dvFallbacks.get() === 0)
+    assert(pivot((Some("a0"), Some("a0"))) === 10L)
+  }
+}
