@@ -332,15 +332,30 @@ object Similarity {
   private def trainCells(df: DataFrame, dim: Int, nlist: Int,
                          sampleSize: Int, seed: Long, idCol: String,
                          vecCol: String): (Int, Column => Column, Column => Column) = {
+    val centroids = trainCentroids(df, nlist, sampleSize, seed, idCol, vecCol)
+    val (dists, nearest) = cellFns(centroids, dim)
+    (centroids.length, dists, nearest)
+  }
+
+  /** The ordered-sample k-means training alone — shared by the batch
+    * operators above and the PERSISTED index ([[IvfIndex.build]]),
+    * which trains once and serves many query calls. */
+  private[ops] def trainCentroids(df: DataFrame, nlist: Int, sampleSize: Int,
+                                  seed: Long, idCol: String,
+                                  vecCol: String): Array[Array[Double]] = {
     val sample = df.select(col(idCol), col(vecCol).cast("array<double>"))
       .orderBy(col(idCol)).limit(sampleSize)
       .collect().map(r => (String.valueOf(r.get(0)), r.getSeq[Double](1).toArray))
-    val centroids = kmeans(sample, nlist, iters = 8, seed)
+    kmeans(sample, nlist, iters = 8, seed)
+  }
+
+  /** The fused nearest-cell kernels for a trained centroid matrix:
+    * (distance-array fn, nearest-cell fn). One kernel per row — the
+    * centroid matrix rides as a codegen reference object; vector norm
+    * computed once, each centroid dot once. min(-cosine) = nearest. */
+  private[ops] def cellFns(centroids: Array[Array[Double]],
+                           dim: Int): (Column => Column, Column => Column) = {
     val eff = centroids.length
-    // one fused kernel per row (centroid matrix as a codegen reference
-    // object): vector norm computed once, each centroid dot once —
-    // the literal-array form inlined nlist×dim doubles and recomputed
-    // norm(vec) per centroid. min(-cosine) = nearest cell.
     val flat = centroids.flatten.toIndexedSeq
     def dists(vec: Column): Column =
       graft.functions.CentroidNegCosines.centroid_neg_cosines(vec, flat, eff, dim)
@@ -348,8 +363,20 @@ object Similarity {
       val arr = dists(vec)
       (array_position(arr, array_min(arr)) - 1).cast("int")
     }
-    (eff, dists, nearest)
+    (dists, nearest)
   }
+
+  /** The `nprobe` nearest cell indices for a distance array — ranked
+    * by (distance, index), ties to the lowest index, exactly the
+    * assignment kernel's tie-break. Shared by [[ivfTopK]] and
+    * [[IvfIndex.query]] so the two probe identically. */
+  private[ops] def probeCells(distArr: Column, eff: Int, nprobe: Int): Column =
+    slice(transform(
+      array_sort(zip_with(
+        distArr,
+        sequence(lit(0), lit(eff - 1)),
+        (d, i) => struct(d.as("d"), i.as("i")))),
+      x => x.getField("i")), 1, math.min(nprobe, eff))
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
               nlist: Int = 16, nprobe: Int = 4, sampleSize: Int = 2048,
@@ -366,12 +393,7 @@ object Similarity {
       .withColumn("qnorm", norm(col("qvec")))
     // nprobe nearest cells per query: rank the distance array
     val q = q0.withColumn("cell",
-        explode(slice(transform(
-          array_sort(zip_with(
-            dists(col("qvec")),
-            sequence(lit(0), lit(eff - 1)),
-            (d, i) => struct(d.as("d"), i.as("i")))),
-          x => x.getField("i")), 1, math.min(nprobe, eff))))
+      explode(probeCells(dists(col("qvec")), eff, nprobe)))
     // no defensive distinct: each corpus row holds exactly one cell and
     // a query's probed cells are distinct indices, so a (query, corpus)
     // pair can match at most once — a distinct here would re-shuffle

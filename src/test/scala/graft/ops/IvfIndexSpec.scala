@@ -1,0 +1,78 @@
+package graft.ops
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Persisted IVF index: build/load split over the batch ivfTopK —
+  * frozen centroids, cell-partitioned corpus, probe-only reads. */
+class IvfIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def emb = Tables.embeddings(spark, TestSpark.sf)
+
+  private lazy val idx: String = {
+    val out = java.nio.file.Files.createTempDirectory("ivf_idx_").toString
+    IvfIndex.build(emb, out, dim = 64)
+    out
+  }
+
+  test("persisted query matches the batch operator bit-for-bit") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val batch = Similarity.ivfTopK(emb, queries, k = 5, dim = 64, nprobe = 8)
+      .select("query_id", "rank", "corpus_id", "cosine")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    val persisted = IvfIndex.query(spark, idx, queries, k = 5, nprobe = 8)
+      .select("query_id", "rank", "corpus_id", "cosine")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(persisted === batch) // includes exact double equality on cosine
+  }
+
+  test("query scan reads only the probed cell partitions (pruning on the plan)") {
+    val queries = emb.filter(col("vec_id") === 3)
+    val df = IvfIndex.query(spark, idx, queries, k = 5, nprobe = 2)
+    // unwrap AQE (AdaptiveSparkPlanExec presents as a leaf) and find
+    // the cells/ file scan: the cell filter must be a PARTITION
+    // filter — pruning at planning, non-probed inverted lists never
+    // opened
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val cellScans = scans(df.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("cells")))
+    assert(cellScans.nonEmpty, "no cells/ file scan in the plan")
+    val s = cellScans.head
+    assert(s.partitionFilters.exists(_.references.exists(_.name == "cell")),
+      s"cell must be a partition filter, got ${s.partitionFilters}")
+    assert(s.selectedPartitions.partitionCount <= 2,
+      s"nprobe=2 must select <=2 cell partitions, got ${s.selectedPartitions.partitionCount}")
+  }
+
+  test("incremental add routes to frozen cells; old answers unchanged") {
+    val out = java.nio.file.Files.createTempDirectory("ivf_add_").toString
+    // build from the first half, add the second half incrementally
+    IvfIndex.build(emb.filter(col("vec_id") % 2 === 0), out, dim = 64)
+    val queries = emb.filter(col("vec_id") < 10)
+    val before = IvfIndex.query(spark, out, queries, k = 3, nprobe = 8)
+      .select("query_id", "rank", "corpus_id").collect().toSet
+    IvfIndex.add(spark, out, emb.filter(col("vec_id") % 2 === 1))
+    val after = IvfIndex.query(spark, out, queries, k = 50, nprobe = 8)
+    // added vectors are now retrievable...
+    assert(after.filter(col("corpus_id") % 2 === 1).count() > 0)
+    // ...and an even-only rerun of the same top-3 is unchanged (the
+    // frozen coarse quantizer never reassigns existing vectors)
+    val evenAfter = after.filter(col("corpus_id") % 2 === 0)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("corpus_id").asc)))
+      .filter(col("rank") <= 3)
+      .select("query_id", "rank", "corpus_id").collect().toSet
+    assert(evenAfter === before)
+  }
+}
