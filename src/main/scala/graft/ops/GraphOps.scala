@@ -115,15 +115,22 @@ object GraphOps {
     var depth = 0
     while (depth < maxDepth) {
       depth += 1
+      // LAZY localCheckpoint: the probe action below is the frontier's
+      // first job, so expansion, checkpoint materialization and the
+      // probe aggregate all run as ONE Spark job — the eager form paid
+      // a separate materialization job per round, and at BFS depth the
+      // loop's residual cost IS sequential job launches (the data-sized
+      // work is a small-frame join either way). Lineage still truncates
+      // at first materialization, so plan depth stays O(1) per round.
       val next = frontier.join(e, frontier("node") === e("__src"))
         .select(col("__dst").as("node"),
           concat(col("path"), array(col("__dst"))).as("path"))
         .join(visited, Seq("node"), "left_anti")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       // one probe job per round, not two: total and target hits from
-      // a single aggregate over the just-checkpointed frontier (each
-      // extra action is a full job launch — at 4 rounds the fused
-      // probe saves a third of the loop's fixed overhead)
+      // a single aggregate over the frontier (each extra action is a
+      // full job launch — at 4 rounds the fused probe saves a third of
+      // the loop's fixed overhead)
       val probe = next.agg(count(lit(1)).as("n"),
         count(when(col("node") === target, 1)).as("hits")).head()
       if (probe.getLong(1) > 0)
@@ -154,17 +161,18 @@ object GraphOps {
     * against the other side; the first non-empty meet layer is the
     * answer.
     *
-    * Round cost is exactly TWO jobs: (1) expansion — frontier ⋈ edges,
-    * anti-join vs visited, eager localCheckpoint; (2) a fused probe
-    * that reads the new frontier's size AND its meet count against the
-    * other frontier in one aggregate. The visited set grows as a LAZY
-    * union of already-checkpointed frontier id-frames (no recompute,
-    * no per-round checkpoint job), and the meet/splice frame is only
-    * constructed — lazily — on the terminating round. At ~12 rounds
-    * this halves the loop's fixed job-launch overhead versus a
-    * checkpoint-meets-then-count-then-recount shape, which is the
+    * Round cost is exactly ONE job: the expansion (frontier ⋈ edges,
+    * anti-join vs visited) is marked for LAZY localCheckpoint, and the
+    * fused probe — frontier size AND meet count against the other
+    * frontier in one aggregate — is its first action, so expansion,
+    * checkpoint materialization and probe run in a single job launch.
+    * The visited set grows as a LAZY union of already-checkpointed
+    * frontier id-frames (no recompute, no per-round checkpoint job),
+    * and the meet/splice frame is only constructed — lazily — on the
+    * terminating round. Sequential job launches are the loop's
     * dominant residual cost once every data-sized movement is a
-    * small-frame join. */
+    * small-frame join; this shape is the floor (one synchronization
+    * barrier per BFS layer is inherent to level-synchronous BFS). */
   private def bidi(e: DataFrame, er: DataFrame, source: String,
                    target: String, maxDepth: Int): DataFrame = {
     val spark = e.sparkSession
@@ -191,6 +199,10 @@ object GraphOps {
           lit(depth.toLong).as("depth"))
     while (fDepth + bDepth < maxDepth) {
       val growForward = fCount <= bCount
+      // LAZY localCheckpoint (see forwardOnly): the fused probe below
+      // is the frontier's first action, so expansion + checkpoint
+      // materialization + probe are ONE job — the round cost drops
+      // from two sequential job launches to one
       val next =
         if (growForward) {
           fDepth += 1
@@ -198,14 +210,14 @@ object GraphOps {
             .select(col("__dst").as("node"),
               concat(col("path"), array(col("__dst"))).as("path"))
             .join(fVisited, Seq("node"), "left_anti")
-            .localCheckpoint(true)
+            .localCheckpoint(false)
         } else {
           bDepth += 1
           bFront.join(er, bFront("node") === er("__src"))
             .select(col("__dst").as("node"),
               concat(array(col("__dst")), col("bpath")).as("bpath"))
             .join(bVisited, Seq("node"), "left_anti")
-            .localCheckpoint(true)
+            .localCheckpoint(false)
         }
       val other = if (growForward) bFront else fFront
       // fused probe: frontier size + meet hits in ONE job. When hits
