@@ -98,13 +98,15 @@ object Bench {
       "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v, 2)
     }.mkString("{", ",", "}")
     val total = fmt(results.map(_._2).sum, 3)
-    // SOLO pass: the 10 most expensive queries re-run in isolation at
+    // SOLO pass: the 20 most expensive queries re-run in isolation at
     // the end of the sweep (cache cleared, GC hinted) so their numbers
     // are free of interleave effects — in-suite ranking can overstate a
     // query that merely inherited memory pressure from its predecessor
-    // (round-7's q213 read 1.5× its solo cost). `value`/`queries` stay
-    // the sweep's numbers; `solo` is the isolation-corrected view.
-    val soloJson = results.sortBy(-_._2).take(10).map { case (name, _) =>
+    // (round-7's q213 read 1.5× its solo cost; round-9's q104 read 10×).
+    // `value`/`queries` stay the sweep's numbers; `solo` is the
+    // isolation-corrected view, and covers the whole top-20 so every
+    // per-query number worth reading has an interleave-free counterpart.
+    val soloJson = results.sortBy(-_._2).take(20).map { case (name, _) =>
       spark.catalog.clearCache()
       System.gc()
       val t0 = System.nanoTime()

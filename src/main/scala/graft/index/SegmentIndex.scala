@@ -208,10 +208,84 @@ object SegmentIndex {
     v
   }
 
+  /** Array-backed serializer for the write path: varints and string
+    * bytes land as direct array stores instead of byte-at-a-time
+    * virtual calls through DataOutputStream→Counting→Buffered — at
+    * segment scale (millions of varints per file) the stream chain
+    * was a top slice of single-writer ingest cost. Big-endian
+    * fixed-width puts match DataOutputStream, so files stay
+    * bit-identical to the stream-written form. */
+  private[index] final class ByteWriter(initial: Int) {
+    var buf = new Array[Byte](initial)
+    var n = 0
+    private def ensure(k: Int): Unit = {
+      val need = n + k
+      if (need > buf.length) {
+        var c = buf.length << 1
+        while (c < need) c <<= 1
+        buf = java.util.Arrays.copyOf(buf, c)
+      }
+    }
+    def putVInt(v0: Int): Unit = {
+      require(v0 >= 0, s"negative varint: $v0")
+      ensure(5)
+      var v = v0
+      while ((v & ~0x7F) != 0) { buf(n) = ((v & 0x7F) | 0x80).toByte; n += 1; v >>>= 7 }
+      buf(n) = v.toByte; n += 1
+    }
+    def putStr(s: String): Unit = {
+      val len = s.length
+      var ascii = true
+      var i = 0
+      while (ascii && i < len) { if (s.charAt(i) < 0x80) i += 1 else ascii = false }
+      if (ascii) {
+        putVInt(len); ensure(len)
+        i = 0
+        while (i < len) { buf(n) = s.charAt(i).toByte; n += 1; i += 1 }
+      } else {
+        val bytes = s.getBytes(StandardCharsets.UTF_8)
+        putVInt(bytes.length); ensure(bytes.length)
+        System.arraycopy(bytes, 0, buf, n, bytes.length); n += bytes.length
+      }
+    }
+    def putIntBE(v: Int): Unit = {
+      ensure(4)
+      buf(n) = (v >>> 24).toByte; buf(n + 1) = (v >>> 16).toByte
+      buf(n + 2) = (v >>> 8).toByte; buf(n + 3) = v.toByte
+      n += 4
+    }
+    def putLongBE(v: Long): Unit = { putIntBE((v >>> 32).toInt); putIntBE(v.toInt) }
+    def reset(): Unit = n = 0
+    /** Flush accumulated bytes to `out` and reset. */
+    def drainTo(out: java.io.OutputStream): Unit = { out.write(buf, 0, n); n = 0 }
+  }
+
+  // reusable ASCII encode buffer: writeStr runs once per field name,
+  // term and stored value — a fresh getBytes array per call was a
+  // measurable slice of single-writer ingest throughput
+  private val strBuf = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](512)
+  }
+
   private def writeStr(out: DataOutputStream, s: String): Unit = {
-    val bytes = s.getBytes(StandardCharsets.UTF_8)
-    writeVInt(out, bytes.length)
-    out.write(bytes)
+    val n = s.length
+    var buf = strBuf.get()
+    if (buf.length < n) {
+      buf = new Array[Byte](java.lang.Integer.highestOneBit(math.max(n, 256)) << 1)
+      strBuf.set(buf)
+    }
+    var i = 0
+    var ascii = true
+    while (ascii && i < n) {
+      val c = s.charAt(i)
+      if (c < 0x80) { buf(i) = c.toByte; i += 1 } else ascii = false
+    }
+    if (ascii) { writeVInt(out, n); out.write(buf, 0, n) }
+    else {
+      val bytes = s.getBytes(StandardCharsets.UTF_8)
+      writeVInt(out, bytes.length)
+      out.write(bytes)
+    }
   }
 
   private def readStr(in: DataInputStream): String = {
@@ -222,7 +296,8 @@ object SegmentIndex {
   }
 
   private val FLD_MAGIC = 0x47464C44 // "GFLD" — v1: plain doc records
-  private val FLD_MAGIC2 = 0x47464C45 // "GFLE" — v2: deflate block-compressed
+  private[index] val FLD_MAGIC2 = 0x47464C45 // "GFLE" — v2: deflate block-compressed
+  private[index] val FLD_MAGIC4 = 0x47464C46 // "GFLF" — v4: LZ4 block-compressed
   private val FDX_MAGIC2 = 0x47464459 // "GFDY" — v2: (blockOff: i64, rawOff: i32) per doc
   private val TRM_MAGIC = 0x4754524D  // "GTRM" — v1, ords only
   private val TRM_MAGIC2 = 0x4754524E // "GTRN" — v2, ords + per-ord positions
@@ -252,6 +327,27 @@ object SegmentIndex {
       out.toByteArray
     } finally d.end()
   }
+
+  /** The default codec for compressed stored fields. LZ4 (v4): the
+    * write path is throughput-gated on block compression at corpus
+    * ingest rates, and Lucene's own BEST_SPEED stored-fields default
+    * is LZ4 for the same reason; deflate (v2) stays fully readable and
+    * raw-mergeable forever, and remains writable for byte-budgeted
+    * stores (StoreStats measures both). */
+  private[index] val DefaultStoredMagic: Int = FLD_MAGIC4
+
+  /** Stored-field block magics with the (blockOff, rawOff) .fdx layout
+    * — identical framing, different per-block compressor. */
+  private[index] def isBlockedMagic(m: Int): Boolean =
+    m == FLD_MAGIC2 || m == FLD_MAGIC4
+
+  private def compressBlock(magic: Int, raw: Array[Byte], len: Int): Array[Byte] =
+    if (magic == FLD_MAGIC4) Lz4Block.compress(raw, len)
+    else deflateBlock(raw, len)
+
+  private def decompressBlock(magic: Int, comp: Array[Byte], rawLen: Int): Array[Byte] =
+    if (magic == FLD_MAGIC4) Lz4Block.decompress(comp, comp.length, rawLen)
+    else inflateBlock(comp, rawLen)
 
   private def inflateBlock(comp: Array[Byte], rawLen: Int): Array[Byte] = {
     val inf = new java.util.zip.Inflater()
@@ -340,7 +436,8 @@ object SegmentIndex {
   private[index] def writeSegment(fs: FileSystem, dir: Path, name: String,
                                   docs: IndexedSeq[Doc],
                                   analyzed: Set[String] = Set.empty,
-                                  compress: Boolean = true): SegmentMeta = {
+                                  compress: Boolean = true,
+                                  storedMagic: Int = DefaultStoredMagic): SegmentMeta = {
     // stored fields, doc-ordinal order; .fdx records each doc record's
     // position (fixed-width) so a selective query can seek straight
     // to its hit ordinals instead of streaming every stored doc —
@@ -357,14 +454,13 @@ object SegmentIndex {
         fs.create(new Path(dir, s"$name.fld"), true)))
       val fld = new DataOutputStream(fldCount)
       try {
-        fld.writeInt(FLD_MAGIC2)
+        require(isBlockedMagic(storedMagic), s"not a block codec magic: $storedMagic")
+        fld.writeInt(storedMagic)
         writeVInt(fld, docs.length)
-        val block = new java.io.ByteArrayOutputStream(StoredBlockSize + 4096)
-        val bdo = new DataOutputStream(block)
-        def flush(): Unit = if (block.size() > 0) {
-          val raw = block.toByteArray
-          val comp = deflateBlock(raw, raw.length)
-          writeVInt(fld, raw.length)
+        val block = new ByteWriter(StoredBlockSize + 4096)
+        def flush(): Unit = if (block.n > 0) {
+          val comp = compressBlock(storedMagic, block.buf, block.n)
+          writeVInt(fld, block.n)
           writeVInt(fld, comp.length)
           fld.write(comp)
           block.reset()
@@ -374,24 +470,23 @@ object SegmentIndex {
           // nothing is written to fld while a block fills, so `count`
           // IS the file offset the current block will flush to
           blockOffs(i) = fldCount.count
-          rawOffs(i) = block.size()
+          rawOffs(i) = block.n
           i += 1
-          writeVInt(bdo, d.length)
-          d.foreach { case (f, v) => writeStr(bdo, f); writeStr(bdo, v) }
-          if (block.size() >= StoredBlockSize) flush()
+          block.putVInt(d.length)
+          d.foreach { case (f, v) => block.putStr(f); block.putStr(v) }
+          if (block.n >= StoredBlockSize) flush()
         }
         flush()
       } finally fld.close()
-      val fdx = new DataOutputStream(new BufferedOutputStream(
-        fs.create(new Path(dir, s"$name.fdx"), true)))
-      try {
-        fdx.writeInt(FDX_MAGIC2)
-        fdx.writeInt(docs.length)
-        var i = 0
-        while (i < docs.length) {
-          fdx.writeLong(blockOffs(i)); fdx.writeInt(rawOffs(i)); i += 1
-        }
-      } finally fdx.close()
+      val fdx = new ByteWriter(8 + 12 * docs.length)
+      fdx.putIntBE(FDX_MAGIC2)
+      fdx.putIntBE(docs.length)
+      var i = 0
+      while (i < docs.length) {
+        fdx.putLongBE(blockOffs(i)); fdx.putIntBE(rawOffs(i)); i += 1
+      }
+      val fdxOut = fs.create(new Path(dir, s"$name.fdx"), true)
+      try fdx.drainTo(fdxOut) finally fdxOut.close()
     } else {
       val docOffsets = new Array[Long](docs.length)
       val fldCount = new CountingOutputStream(new BufferedOutputStream(
@@ -400,21 +495,22 @@ object SegmentIndex {
       try {
         fld.writeInt(FLD_MAGIC)
         writeVInt(fld, docs.length)
+        val rec = new ByteWriter(1024)
         var i = 0
         docs.foreach { d =>
           docOffsets(i) = fldCount.count
           i += 1
-          writeVInt(fld, d.length)
-          d.foreach { case (f, v) => writeStr(fld, f); writeStr(fld, v) }
+          rec.putVInt(d.length)
+          d.foreach { case (f, v) => rec.putStr(f); rec.putStr(v) }
+          rec.drainTo(fld)
         }
       } finally fld.close()
-      val fdx = new DataOutputStream(new BufferedOutputStream(
-        fs.create(new Path(dir, s"$name.fdx"), true)))
-      try {
-        fdx.writeInt(FDX_MAGIC)
-        fdx.writeInt(docs.length)
-        docOffsets.foreach(fdx.writeLong)
-      } finally fdx.close()
+      val fdx = new ByteWriter(8 + 8 * docs.length)
+      fdx.putIntBE(FDX_MAGIC)
+      fdx.putIntBE(docs.length)
+      docOffsets.foreach(fdx.putLongBE)
+      val fdxOut = fs.create(new Path(dir, s"$name.fdx"), true)
+      try fdx.drainTo(fdxOut) finally fdxOut.close()
     }
     // inverted postings: field → term → ascending distinct ordinals.
     // Analyzed fields index their TOKENS (stored value stays verbatim,
@@ -424,8 +520,26 @@ object SegmentIndex {
     // Multivalued analyzed fields advance positions by a 100 gap
     // between values (Lucene's positionIncrementGap) so phrases never
     // match across value boundaries.
-    final case class Posting(ords: mutable.ArrayBuffer[Int],
-                             positions: mutable.ArrayBuffer[mutable.ArrayBuffer[Int]])
+    // unboxed growable posting buffers: ArrayBuffer[Int] boxes every
+    // ordinal/position, and the build+write loops touch every posting
+    // — this class is the difference between an allocation per posting
+    // and an amortized array append
+    final class IntsBuf(initial: Int) {
+      var arr = new Array[Int](initial)
+      var n = 0
+      def add(v: Int): Unit = {
+        if (n == arr.length) arr = java.util.Arrays.copyOf(arr, arr.length << 1)
+        arr(n) = v; n += 1
+      }
+      def last: Int = arr(n - 1)
+      def isEmpty: Boolean = n == 0
+    }
+    // positions stays null for non-analyzed fields (exact terms carry
+    // no positions — the write path emits the 0-length run directly)
+    final class Posting {
+      val ords = new IntsBuf(4)
+      var positions: mutable.ArrayBuffer[IntsBuf] = null
+    }
     val post = mutable.HashMap.empty[String, mutable.HashMap[String, Posting]]
     // norms: per-ord token counts of each ANALYZED field (the Lucene
     // norms analog) — what index-side BM25 needs for |d| and avgdl
@@ -439,31 +553,47 @@ object SegmentIndex {
     // read a packed ord column instead of re-inverting postings per
     // query. A field repeated within any doc is multivalued — no
     // forward column (the pushdown contract never groups on those).
-    val dvVals = mutable.HashMap.empty[String, Array[String]]
+    // occurrence counts, not value copies: the forward column itself
+    // derives from the postings vocabulary below (for a non-analyzed
+    // field the postings terms ARE the distinct values), so the doc
+    // loop only needs to detect multivalued fields
+    val dvOcc = mutable.HashMap.empty[String, Array[Int]]
     val dvMulti = mutable.HashSet.empty[String]
     var ord = 0
+    val fieldPos = mutable.HashMap.empty[String, Int] // analyzed-field position bases, reused per doc
     docs.foreach { d =>
-      val fieldPos = mutable.HashMap.empty[String, Int]
+      if (fieldPos.nonEmpty) fieldPos.clear()
       d.foreach { case (f, v) =>
         val isAna = analyzed.contains(f)
         if (!isAna) {
-          val arr = dvVals.getOrElseUpdate(f, new Array[String](docs.length))
-          if (arr(ord) != null) dvMulti += f else arr(ord) = v
+          val occ = dvOcc.getOrElseUpdate(f, new Array[Int](docs.length))
+          occ(ord) += 1
+          if (occ(ord) > 1) dvMulti += f
         }
-        val terms = if (isAna) analyze(v) else Seq(v)
-        if (isAna) norms.getOrElseUpdate(f, new Array[Int](docs.length))(ord) += terms.length
         val byField = post.getOrElseUpdate(f, mutable.HashMap.empty)
-        val base = fieldPos.getOrElse(f, 0)
-        terms.iterator.zipWithIndex.foreach { case (t, i) =>
-          val p = byField.getOrElseUpdate(t,
-            Posting(mutable.ArrayBuffer.empty, mutable.ArrayBuffer.empty))
-          if (p.ords.isEmpty || p.ords.last != ord) { // dedupe same term, same doc
-            p.ords += ord
-            p.positions += mutable.ArrayBuffer.empty[Int]
+        if (!isAna) {
+          // exact term, no positions, no per-value tokenization
+          val p = byField.getOrElseUpdate(v, new Posting)
+          if (p.ords.isEmpty || p.ords.last != ord) p.ords.add(ord)
+        } else {
+          val terms = analyze(v)
+          norms.getOrElseUpdate(f, new Array[Int](docs.length))(ord) += terms.length
+          val base = fieldPos.getOrElse(f, 0)
+          var i = 0
+          val it = terms.iterator
+          while (it.hasNext) {
+            val t = it.next()
+            val p = byField.getOrElseUpdate(t, new Posting)
+            if (p.ords.isEmpty || p.ords.last != ord) { // dedupe same term, same doc
+              p.ords.add(ord)
+              if (p.positions == null) p.positions = mutable.ArrayBuffer.empty
+              p.positions += new IntsBuf(2)
+            }
+            p.positions.last.add(base + i)
+            i += 1
           }
-          if (isAna) p.positions.last += (base + i)
+          fieldPos(f) = base + terms.length + 100
         }
-        fieldPos(f) = base + terms.length + 100
       }
       ord += 1
     }
@@ -471,43 +601,62 @@ object SegmentIndex {
     // and a fixed 12-byte trailer naming the footer — Lucene's
     // per-field terms index. A reader touching one field seeks to its
     // block instead of parsing the whole dictionary.
-    val trmCount = new CountingOutputStream(new BufferedOutputStream(
-      fs.create(new Path(dir, s"$name.trm"), true)))
-    val trm = new DataOutputStream(trmCount)
-    try {
-      trm.writeInt(TRM_MAGIC3)
-      val fields = post.keys.toSeq.sorted
-      val fieldOffsets = new Array[Long](fields.length)
-      fields.iterator.zipWithIndex.foreach { case (f, fi) =>
-        fieldOffsets(fi) = trmCount.count
-        writeStr(trm, f)
-        val terms = post(f).keys.toSeq.sorted
-        writeVInt(trm, terms.length)
-        terms.foreach { t =>
-          writeStr(trm, t)
-          val Posting(ords, positions) = post(f)(t)
-          writeVInt(trm, ords.length)
-          var prev = 0
-          var i = 0
-          while (i < ords.length) {
-            writeVInt(trm, ords(i) - prev); prev = ords(i)
-            val ps = positions(i)
-            writeVInt(trm, ps.length)
+    // each field's vocabulary is sorted ONCE (code-point order, the
+    // zone-map/pushdown comparator) and shared by the .trm write, the
+    // .dvd dict and the zone-map stats — the biggest vocab (an id
+    // field) is segment-sized, and sorting it repeatedly was a top
+    // slice of write cost. Readers parse term blocks into maps, so
+    // block order is determinism, not contract.
+    val fields = post.keys.toSeq.sorted
+    val sortedVocab = mutable.HashMap.empty[String, Array[String]]
+    fields.foreach { f =>
+      val a = post(f).keysIterator.toArray
+      java.util.Arrays.sort(a, CpOrdering)
+      sortedVocab(f) = a
+    }
+    val trm = new ByteWriter(1 << 20)
+    trm.putIntBE(TRM_MAGIC3)
+    val fieldOffsets = new Array[Long](fields.length)
+    fields.iterator.zipWithIndex.foreach { case (f, fi) =>
+      fieldOffsets(fi) = trm.n.toLong
+      trm.putStr(f)
+      val byField = post(f)
+      val terms = sortedVocab(f)
+      trm.putVInt(terms.length)
+      terms.foreach { t =>
+        trm.putStr(t)
+        val p = byField(t)
+        trm.putVInt(p.ords.n)
+        var prev = 0
+        var i = 0
+        while (i < p.ords.n) {
+          val o = p.ords.arr(i)
+          trm.putVInt(o - prev); prev = o
+          if (p.positions == null) trm.putVInt(0)
+          else {
+            val ps = p.positions(i)
+            trm.putVInt(ps.n)
             var pprev = 0
-            ps.foreach { p => writeVInt(trm, p - pprev); pprev = p }
-            i += 1
+            var j = 0
+            while (j < ps.n) {
+              val pv = ps.arr(j)
+              trm.putVInt(pv - pprev); pprev = pv; j += 1
+            }
           }
+          i += 1
         }
       }
-      val footerOff = trmCount.count
-      writeVInt(trm, fields.length)
-      fields.iterator.zipWithIndex.foreach { case (f, fi) =>
-        writeStr(trm, f)
-        trm.writeLong(fieldOffsets(fi))
-      }
-      trm.writeLong(footerOff)
-      trm.writeInt(TRM_MAGIC3)
-    } finally trm.close()
+    }
+    val footerOff = trm.n.toLong
+    trm.putVInt(fields.length)
+    fields.iterator.zipWithIndex.foreach { case (f, fi) =>
+      trm.putStr(f)
+      trm.putLongBE(fieldOffsets(fi))
+    }
+    trm.putLongBE(footerOff)
+    trm.putIntBE(TRM_MAGIC3)
+    val trmOut = fs.create(new Path(dir, s"$name.trm"), true)
+    try trm.drainTo(trmOut) finally trmOut.close()
     if (norms.nonEmpty) {
       val nrm = new DataOutputStream(new BufferedOutputStream(
         fs.create(new Path(dir, s"$name.nrm"), true)))
@@ -523,15 +672,35 @@ object SegmentIndex {
         }
       } finally nrm.close()
     }
-    val dvFields = (dvVals.keySet -- dvMulti).toSeq.sorted
-    if (dvFields.nonEmpty)
-      writeDocValues(fs, dir, name, dvFields.map(f => f -> dvVals(f)), docs.length)
+    val dvFields = (dvOcc.keySet -- dvMulti).toSeq.sorted
+    if (dvFields.nonEmpty) {
+      // forward columns straight from the postings: for a single-
+      // valued non-analyzed field the vocabulary IS the value dict,
+      // and each term's posting list names exactly the docs holding
+      // it — one array pass per field, no per-doc string hashing
+      val cols = dvFields.map { f =>
+        val byField = post(f)
+        val terms = sortedVocab(f)
+        val ordCol = new Array[Int](docs.length) // 0 = doc lacks the field
+        var ti = 0
+        while (ti < terms.length) {
+          val p = byField(terms(ti))
+          var i = 0
+          while (i < p.ords.n) { ordCol(p.ords.arr(i)) = ti + 1; i += 1 }
+          ti += 1
+        }
+        (f, terms, ordCol)
+      }
+      writeDocValuesCols(fs, dir, name, cols, docs.length)
+    }
     // zone-map stats: min/max indexed term per NON-analyzed field
     // (code-point order — must match what a pushed range predicate
     // means to Spark, see cpCompare)
     val stats = post.iterator.collect {
       case (f, terms) if !analyzed.contains(f) && terms.nonEmpty =>
-        f -> (terms.keys.min(CpOrdering), terms.keys.max(CpOrdering))
+        // the shared vocab is already CP-sorted: bounds are its ends
+        val sv = sortedVocab(f)
+        f -> (sv(0), sv(sv.length - 1))
     }.toMap
     SegmentMeta(name, docs.length, stats = stats)
   }
@@ -543,36 +712,57 @@ object SegmentIndex {
     * Lucene's SortedDocValues (ord column + terms dict). */
   private def writeDocValues(fs: FileSystem, dir: Path, name: String,
                              fields: Seq[(String, Array[String])], nDocs: Int): Unit = {
-    val cnt = new CountingOutputStream(new BufferedOutputStream(
-      fs.create(new Path(dir, s"$name.dvd"), true)))
-    val out = new DataOutputStream(cnt)
-    try {
-      out.writeInt(DVD_MAGIC)
-      val offsets = new Array[Long](fields.length)
-      fields.iterator.zipWithIndex.foreach { case ((f, vals), fi) =>
-        offsets(fi) = cnt.count
-        writeStr(out, f)
-        val terms = vals.iterator.filter(_ != null).toArray.distinct.sorted(CpOrdering)
-        writeVInt(out, terms.length)
-        terms.foreach(writeStr(out, _))
-        val idx = terms.iterator.zipWithIndex.toMap
-        writeVInt(out, nDocs)
-        var o = 0
-        while (o < nDocs) {
-          val v = vals(o)
-          writeVInt(out, if (v == null) 0 else idx(v) + 1)
-          o += 1
-        }
+    // string-column form (the merge path): derive dict + ord column,
+    // presized JDK collections — boxed scala distinct/toMap was a top
+    // slice of segment-write wall time
+    val cols = fields.map { case (f, vals) =>
+      val set = new java.util.HashSet[String](nDocs * 2)
+      var o = 0
+      while (o < nDocs) { if (vals(o) != null) set.add(vals(o)); o += 1 }
+      val terms = set.toArray(new Array[String](set.size))
+      java.util.Arrays.sort(terms, CpOrdering)
+      val idx = new java.util.HashMap[String, Integer](terms.length * 2)
+      var ti = 0
+      while (ti < terms.length) { idx.put(terms(ti), ti); ti += 1 }
+      val ordCol = new Array[Int](nDocs) // 0 = missing
+      o = 0
+      while (o < nDocs) {
+        val v = vals(o)
+        if (v != null) ordCol(o) = idx.get(v) + 1
+        o += 1
       }
-      val footerOff = cnt.count
-      writeVInt(out, fields.length)
-      fields.iterator.zipWithIndex.foreach { case ((f, _), fi) =>
-        writeStr(out, f)
-        out.writeLong(offsets(fi))
-      }
-      out.writeLong(footerOff)
-      out.writeInt(DVD_MAGIC)
-    } finally out.close()
+      (f, terms, ordCol)
+    }
+    writeDocValuesCols(fs, dir, name, cols, nDocs)
+  }
+
+  /** Core .dvd writer: per field, the CP-sorted dict and the per-doc
+    * dict-index+1 column (0 = doc lacks the field). */
+  private def writeDocValuesCols(fs: FileSystem, dir: Path, name: String,
+                                 fields: Seq[(String, Array[String], Array[Int])],
+                                 nDocs: Int): Unit = {
+    val out = new ByteWriter(1 << 18)
+    out.putIntBE(DVD_MAGIC)
+    val offsets = new Array[Long](fields.length)
+    fields.iterator.zipWithIndex.foreach { case ((f, terms, ordCol), fi) =>
+      offsets(fi) = out.n.toLong
+      out.putStr(f)
+      out.putVInt(terms.length)
+      terms.foreach(out.putStr)
+      out.putVInt(nDocs)
+      var o = 0
+      while (o < nDocs) { out.putVInt(ordCol(o)); o += 1 }
+    }
+    val footerOff = out.n.toLong
+    out.putVInt(fields.length)
+    fields.iterator.zipWithIndex.foreach { case ((f, _, _), fi) =>
+      out.putStr(f)
+      out.putLongBE(offsets(fi))
+    }
+    out.putLongBE(footerOff)
+    out.putIntBE(DVD_MAGIC)
+    val os = fs.create(new Path(dir, s"$name.dvd"), true)
+    try out.drainTo(os) finally os.close()
   }
 
   /** Persisted docValues of SELECTED fields (None = all): field →
@@ -633,8 +823,9 @@ object SegmentIndex {
         }
     } && {
       // byte concatenation requires ONE stored-field codec across all
-      // sources; a mixed v1/v2 store (e.g. addIndexes-copied legacy
-      // segments) takes the rewrite path, which re-emits as v2
+      // sources; a mixed-codec store (e.g. addIndexes-copied legacy
+      // segments) takes the rewrite path, which re-emits as the
+      // default codec
       fldMagics(fs, dir, segs).distinct.lengthIs <= 1
     }
 
@@ -660,9 +851,12 @@ object SegmentIndex {
   private[index] def mergeSegmentsRaw(fs: FileSystem, dir: Path, name: String,
                                       segs: Seq[SegmentMeta]): SegmentMeta = {
     val totalDocs = segs.map(_.docs).sum
-    // one codec across sources (canRawMerge enforced); v2 blocks and
-    // v1 records are both self-delimiting, so either concatenates
-    val v2 = fldMagics(fs, dir, segs).headOption.contains(FLD_MAGIC2)
+    // one codec across sources (canRawMerge enforced); compressed
+    // blocks (v2 deflate / v4 LZ4) and v1 records are all
+    // self-delimiting, so any single codec concatenates — blocks
+    // relocate wholesale without a decompress
+    val srcMagic = fldMagics(fs, dir, segs).headOption
+    val v2 = srcMagic.exists(isBlockedMagic)
     // per-source stored-field positions via each .fdx
     val srcOffsets: Seq[(Array[Long], Array[Int])] = segs.map { s =>
       if (s.docs == 0) (Array.empty[Long], Array.empty[Int])
@@ -695,7 +889,7 @@ object SegmentIndex {
       fs.create(new Path(dir, s"$name.fld"), true)))
     val fld = new DataOutputStream(fldCount)
     try {
-      fld.writeInt(if (v2) FLD_MAGIC2 else FLD_MAGIC)
+      fld.writeInt(if (v2) srcMagic.get else FLD_MAGIC)
       writeVInt(fld, totalDocs)
       var ord = 0
       segs.iterator.zipWithIndex.foreach { case (s, si) =>
@@ -890,8 +1084,8 @@ object SegmentIndex {
       fs.open(new Path(dir, s"$name.fld"))))
     try {
       val magic = in.readInt()
-      if (magic == FLD_MAGIC2) {
-        // v2: stream blocks, inflate, parse the records each holds
+      if (isBlockedMagic(magic)) {
+        // v2/v4: stream blocks, decompress, parse the records each holds
         val n = readVInt(in)
         val out = IndexedSeq.newBuilder[Doc]
         var read = 0
@@ -901,7 +1095,7 @@ object SegmentIndex {
           val comp = new Array[Byte](compLen)
           in.readFully(comp)
           val bin = new DataInputStream(
-            new java.io.ByteArrayInputStream(inflateBlock(comp, rawLen)))
+            new java.io.ByteArrayInputStream(decompressBlock(magic, comp, rawLen)))
           while (bin.available() > 0 && read < n) {
             val nf = readVInt(bin)
             out += (0 until nf).map(_ => (readStr(bin), readStr(bin)))
@@ -1087,7 +1281,11 @@ object SegmentIndex {
     val fld = fs.open(new Path(dir, s"$name.fld"))
     try {
       if (v2) {
-        // one inflate per DISTINCT block touched: ascending ords
+        // the .fld header magic picks the block decompressor (v2
+        // deflate vs v4 LZ4 — same block framing)
+        val fldMagic = new DataInputStream(fld).readInt()
+        require(isBlockedMagic(fldMagic), s"bad .fld magic in $dir/$name")
+        // one decompress per DISTINCT block touched: ascending ords
         // cluster into the same block, so cache the last one
         var cachedOff = -1L
         var cachedRaw: Array[Byte] = null
@@ -1099,7 +1297,7 @@ object SegmentIndex {
             val compLen = readVInt(in)
             val comp = new Array[Byte](compLen)
             in.readFully(comp)
-            cachedRaw = inflateBlock(comp, rawLen)
+            cachedRaw = decompressBlock(fldMagic, comp, rawLen)
             cachedOff = blockOff
           }
           val bin = new DataInputStream(new java.io.ByteArrayInputStream(
@@ -1195,6 +1393,9 @@ object SegmentIndex {
                      compressStored: Boolean = true,
                      maxBufferedDocs: Int = 1 << 17) {
     require(maxBufferedDocs > 0)
+    // diagnostic knob (StoreStats codec A/B): which block codec
+    // compressed flushes write; readers always dispatch on the magic
+    private[index] var storedCodecMagic: Int = DefaultStoredMagic
     fs.mkdirs(dir)
     private var commitPoint =
       latestCommit(fs, dir).getOrElse(CommitPoint(0, 0, Nil))
@@ -1232,7 +1433,7 @@ object SegmentIndex {
     private def flushSegment(): Unit = if (pending.nonEmpty) {
       val name = s"_${commitPoint.counter}"
       val meta = writeSegment(fs, dir, name, pending.toIndexedSeq, analyzed,
-        compress = compressStored)
+        compress = compressStored, storedMagic = storedCodecMagic)
       pending.clear()
       sessionFlushed += name
       commitPoint = commitPoint.copy(counter = commitPoint.counter + 1,
@@ -1288,7 +1489,7 @@ object SegmentIndex {
         else {
           val name = s"_${commitPoint.counter}"
           val meta = writeSegment(fs, dir, name, pending.toIndexedSeq, analyzed,
-            compress = compressStored)
+            compress = compressStored, storedMagic = storedCodecMagic)
           pending.clear()
           commitPoint.copy(counter = commitPoint.counter + 1,
             segments = commitPoint.segments :+ meta)
