@@ -90,9 +90,25 @@ object Graft {
 
   /** Incremental upsert of a delta batch into a segment store
     * (deleteById + add with the store's own routing; see
-    * [[graft.index.SegmentShardSink.upsert]]). */
-  def upsertIndex(spark: SparkSession, store: String, updates: DataFrame): Unit =
-    graft.index.SegmentShardSink.upsert(spark, store, updates)
+    * [[graft.index.SegmentShardSink.upsert]]). `mergePolicy` is the
+    * TieredMergePolicy analog run after each batch — the reference's
+    * `solrconfig_merge.xml` ships maxMergeAtOnce=10000 /
+    * segmentsPerTier=100 (tuned for its one-shot offline merge); this
+    * engine's steady-state defaults are 10/10 (Lucene's own) — see
+    * docs/QUERIES.md §"Tiered merge knobs" for the mapping. */
+  def upsertIndex(spark: SparkSession, store: String, updates: DataFrame,
+                  mergePolicy: graft.index.SegmentIndex.MergePolicy =
+                    graft.index.SegmentIndex.MergePolicy()): Unit =
+    graft.index.SegmentShardSink.upsert(spark, store, updates, mergePolicy)
+
+  /** Run the tiered merge policy across every part of a store without
+    * ingesting anything — the standalone counter-force for stores
+    * grown by many small appends (see
+    * [[graft.index.SegmentShardSink.maybeMerge]]). */
+  def mergeIndex(spark: SparkSession, store: String,
+                 mergePolicy: graft.index.SegmentIndex.MergePolicy =
+                   graft.index.SegmentIndex.MergePolicy()): Unit =
+    graft.index.SegmentShardSink.maybeMerge(spark, store, mergePolicy)
 
   /** Compile a Solr/Lucene query string (`field:term AND n:[1 TO 5]`)
     * to a Catalyst predicate usable on any DataFrame — including

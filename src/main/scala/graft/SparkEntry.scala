@@ -129,6 +129,7 @@ object SparkEntry {
     "q269_tfrecord_roundtrip", // tfrecord
     "q264_wet_roundtrip",      // wet_file
     "q287_ivf_persisted",      // ivf_index (train + cell-partitioned corpus)
+    "q286_tiered_merge",       // q286_tiered base store (upserts idempotent)
     "q267_wet_gz",             // wet_gz
     "q281_warc_responses",     // warc_file_full
     "q282_warc_best_capture",  // warc_captures
@@ -609,6 +610,34 @@ object SparkEntry {
       IvfIndex.query(s, out, Tables.embeddings(s, d).filter(col("vec_id") < 10),
           k = 5, nprobe = 8)
         .select(col("query_id"), col("rank"), col("corpus_id"))
+    }),
+
+    // LIMIT pushdown (Solr `rows=n` without a sort) — per-shard early
+    // stop: each shard's reader stops materializing stored docs after
+    // n hits, Spark applies the global limit over the union. A bare
+    // LIMIT's row SET is nondeterministic, so the oracle uses two
+    // deterministic legs: (a) the limit BITES (matches > n) but the
+    // projection is constant over the match set, so ANY n rows hash
+    // identically; (b) the limit is slack (n >= matches), so the
+    // result is the full match set with real row content. Plan lock:
+    // PlanShapeSpec asserts pushedLimit on both legs' scans.
+    "q288_index_limit" -> ((s, d) => {
+      import graft.index.SegmentShardSink
+      val out = sharedStore(d, "part_nb") { o =>
+        SegmentShardSink.write(
+          Tables.part(s, d).withColumn("id", col("p_partkey").cast("string"))
+            .select(col("id"), col("p_name"), col("p_brand")),
+          "id", o, shards = 4)
+      }
+      val idx = s.read.format("graft-index").load(out)
+      val bitten = idx.filter(col("p_brand") === "Brand#23")
+        .select(col("p_brand")).limit(50)
+        .select(lit("bitten").as("leg"),
+          lit(-1L).as("p_partkey"), col("p_brand"))
+      val slack = idx.filter(col("p_brand") === "Brand#11").limit(1000000)
+        .select(lit("slack").as("leg"),
+          col("id").cast("long").as("p_partkey"), col("p_brand"))
+      bitten.union(slack)
     }),
 
     // token statistics (whitespace + BPE-ish subword estimate)
@@ -1459,8 +1488,15 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
         .select(col("doc_id").cast("string").as("id"), col("lang"),
           col("n_chars"))
-      val out = java.nio.file.Files.createTempDirectory("graft_q286_").toString
-      SegmentShardSink.write(docs, "id", out, shards = 2)
+      // the base store is SHARED even though the query mutates it:
+      // every batch rewrites the same ids to the same values (batch b
+      // recomputes from the source frame, never from the store), so
+      // re-running the 12-batch flow is idempotent — the measured cost
+      // is the steady-state ingest (upserts + tiered merge folds +
+      // read-back), not the one-time base build
+      val out = sharedStore(d, "q286_tiered") { o =>
+        SegmentShardSink.write(docs, "id", o, shards = 2)
+      }
       (0 until 12).foreach { b =>
         val delta = docs
           .filter(pmod(col("id").cast("long"), lit(12)) === b)
@@ -8223,6 +8259,16 @@ object SparkEntry {
       // the persisted index serves the SAME answer from frozen
       // centroids + cell partitions — one oracle, two read paths
       "q287_ivf_persisted" -> ivfAnnSql,
+
+      // L80: both legs deterministic by construction — the bitten leg
+      // projects a column constant over its match set, the slack leg's
+      // limit exceeds its match count (see the query's scaladoc)
+      "q288_index_limit" ->
+        """SELECT 'bitten' AS leg, CAST(-1 AS BIGINT) AS p_partkey, p_brand
+          |FROM (SELECT p_brand FROM part WHERE p_brand = 'Brand#23' LIMIT 50) t
+          |UNION ALL
+          |SELECT 'slack' AS leg, CAST(p_partkey AS BIGINT) AS p_partkey, p_brand
+          |FROM part WHERE p_brand = 'Brand#11'""".stripMargin,
 
       "q158_semantic_dedup_ivf" ->
         s"""WITH $trainAndAssign,

@@ -114,13 +114,18 @@ object Lz4Block {
     val dst = new Array[Byte](rawLen)
     var s = 0
     var d = 0
+    def truncated(): Nothing =
+      throw new java.io.IOException("corrupt LZ4 block: truncated")
     while (s < srcLen) {
       val token = src(s) & 0xFF; s += 1
       // literal run
       var litLen = token >>> 4
       if (litLen == 15) {
         var b = 0
-        do { b = src(s) & 0xFF; s += 1; litLen += b } while (b == 255)
+        do {
+          if (s >= srcLen) truncated()
+          b = src(s) & 0xFF; s += 1; litLen += b
+        } while (b == 255)
       }
       if (litLen > 0) {
         if (s + litLen > srcLen || d + litLen > rawLen)
@@ -128,13 +133,17 @@ object Lz4Block {
         System.arraycopy(src, s, dst, d, litLen); s += litLen; d += litLen
       }
       if (s < srcLen) { // a match follows unless this was the last sequence
+        if (s + 2 > srcLen) truncated()
         val off = (src(s) & 0xFF) | ((src(s + 1) & 0xFF) << 8); s += 2
         if (off <= 0 || off > d)
           throw new java.io.IOException("corrupt LZ4 block: bad offset")
         var mLen = (token & 0x0F) + MinMatch
         if ((token & 0x0F) == 15) {
           var b = 0
-          do { b = src(s) & 0xFF; s += 1; mLen += b } while (b == 255)
+          do {
+            if (s >= srcLen) truncated()
+            b = src(s) & 0xFF; s += 1; mLen += b
+          } while (b == 255)
         }
         if (d + mLen > rawLen)
           throw new java.io.IOException("corrupt LZ4 block: match overrun")

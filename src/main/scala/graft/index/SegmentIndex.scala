@@ -221,8 +221,16 @@ object SegmentIndex {
     private def ensure(k: Int): Unit = {
       val need = n + k
       if (need > buf.length) {
+        // guard: past 2^30 doubling wraps negative; fail loudly instead
+        // of hanging — .trm/.dvd/.fdx are built fully in memory, so an
+        // oversized tier merge must error, not spin
+        val MaxArray = Int.MaxValue - 8
+        if (need < 0 || need > MaxArray) throw new IllegalStateException(
+          s"segment buffer exceeds max array size ($need bytes) — " +
+            "segment too large for in-memory build; lower segmentsPerTier/maxMergeAtOnce")
         var c = buf.length << 1
-        while (c < need) c <<= 1
+        while (c > 0 && c < need) c <<= 1
+        if (c < need) c = MaxArray
         buf = java.util.Arrays.copyOf(buf, c)
       }
     }
@@ -306,6 +314,7 @@ object SegmentIndex {
   private val NRM_MAGIC = 0x474E524D // "GNRM" — per-ord token counts (norms)
   private val FDX_MAGIC = 0x47464458 // "GFDX" — fixed-width stored-doc offsets
   private val DVD_MAGIC = 0x47445644 // "GDVD" — persisted docValues (forward index)
+  private val DVM_MAGIC = 0x47445645 // "GDVE" — SORTED_SET docValues (per-doc ord lists)
 
   /** Raw bytes per stored-field compression block (doc-aligned: a doc
     * record never splits across blocks, so one inflate serves a whole
@@ -1647,7 +1656,8 @@ object SegmentIndex {
                     case (doc, o) if !dels.contains(o) => doc
                   }
                 }.toIndexedSeq
-                writeSegment(fs, dir, name, live, analyzed, compress = compressStored)
+                writeSegment(fs, dir, name, live, analyzed,
+                  compress = compressStored, storedMagic = storedCodecMagic)
               }
             val victimNames = victims.map(_.name).toSet
             commitPoint = CommitPoint(commitPoint.gen + 1, commitPoint.counter + 1,
@@ -1682,15 +1692,21 @@ object SegmentIndex {
     *   view: it means the store was modified (merge/upsert commit)
     *   between partition planning and task execution, and silently
     *   returning a partial result would corrupt every aggregate built
-    *   from the partials — fail the task so Spark retries against a
-    *   fresh plan. */
+    *   from the partials — fail the task. Task retries reuse the same
+    *   planned partitions (same pinned segment list), so the job fails
+    *   fast after max retries: safe vs mixed generations. */
   /** @param expectedGen the commit GENERATION the caller planned
     *   against (DSv2 partition planning records it): a different live
     *   generation at open time is an ERROR — without this check a
     *   commit landing between planning and execution lets one scan
     *   mix generations across shards (multi-segment shards pin their
     *   planned segment list while single-segment shards would read
-    *   the new commit). Fail the task so Spark replans fresh. */
+    *   the new commit). Task retries reuse the same planned gen, so a
+    *   commit landing mid-scan fails the whole job fast (correct:
+    *   never mixes generations). Consequence: concurrent scans and
+    *   upserts of the SAME store are mutually exclusive — maybeMerge
+    *   bumps the generation on every upsert, so schedule reads and
+    *   ingest of one store serially (or read a snapshot copy). */
   final class Reader(fs: FileSystem, dir: Path,
                      onlySegments: Option[Set[String]] = None,
                      expectedGen: Option[Int] = None) {

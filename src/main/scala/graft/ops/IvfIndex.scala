@@ -117,8 +117,14 @@ object IvfIndex {
   /** Incremental add: assign `vectors` against the FROZEN centroids
     * and append to the touched cell partitions — existing cells'
     * files never rewrite (dynamic partition append), the classical
-    * IVF add contract. Periodic retrain is a rebuild, by design. */
-  def add(spark: SparkSession, out: String, vectors: DataFrame): Unit = {
+    * IVF add contract. Periodic retrain is a rebuild, by design.
+    * After the append, any cell whose small-file pile exceeds
+    * `maxFilesPerCell` is folded (see [[compact]]) — the same
+    * counter-force the segment store's tiered merge applies, so a
+    * continuous ingest converges to O(bytes/targetFileBytes) files
+    * per cell instead of O(adds). */
+  def add(spark: SparkSession, out: String, vectors: DataFrame,
+          maxFilesPerCell: Int = 8): Unit = {
     val m = readMarker(spark, out)
     val (_, nearest) = Similarity.cellFns(loadCentroids(spark, out), m.dim)
     vectors.select(col(m.idCol).as("corpus_id"),
@@ -126,5 +132,48 @@ object IvfIndex {
       .withColumn("cnorm", Similarity.norm(col("cvec")))
       .withColumn("cell", nearest(col("cvec")))
       .write.mode("append").partitionBy("cell").parquet(s"$out/cells")
+    compact(spark, out, maxFilesPerCell)
+  }
+
+  /** Fold over-budget cell partitions: each cell whose parquet file
+    * count exceeds `maxFilesPerCell` is rewritten to
+    * ceil(bytes / targetFileBytes) files (≥1) — contents unchanged,
+    * queries and their plans unaffected (the cell dir keeps its name;
+    * only the files inside collapse). Cells under budget are never
+    * touched, so steady-state compaction I/O is ∝ recently-grown
+    * cells, not index size. Same single-writer discipline as the
+    * segment store: do not compact a store while a query batch reads
+    * it. Returns the number of cells folded. */
+  def compact(spark: SparkSession, out: String, maxFilesPerCell: Int = 8,
+              targetFileBytes: Long = 256L << 20): Int = {
+    val root = new org.apache.hadoop.fs.Path(s"$out/cells")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    var folded = 0
+    fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .foreach { d =>
+        val dataFiles = fs.listStatus(d.getPath)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        if (dataFiles.length > maxFilesPerCell) {
+          val bytes = dataFiles.map(_.getLen).sum
+          val target = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+          val tmp = new org.apache.hadoop.fs.Path(
+            s"$out/.compact_tmp_${d.getPath.getName}")
+          spark.read.parquet(d.getPath.toString).coalesce(target)
+            .write.mode("overwrite").parquet(tmp.toString)
+          // the rewrite materialized fully above — swap files in place
+          dataFiles.foreach(f => fs.delete(f.getPath, false))
+          fs.listStatus(tmp)
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+            .zipWithIndex.foreach { case (f, i) =>
+              fs.rename(f.getPath,
+                new org.apache.hadoop.fs.Path(d.getPath, f"compacted-$i%05d.parquet"))
+            }
+          fs.delete(tmp, true)
+          folded += 1
+        }
+      }
+    folded
   }
 }

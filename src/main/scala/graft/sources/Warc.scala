@@ -132,13 +132,18 @@ object Warc {
     def raw = WarcHttpRecord(r.path, r.rec_type, Option(r.uri),
       Option(r.date), None, None, r.body)
     if (r.rec_type != "response") return raw
-    // spec delimiter first; off-spec LF-only captures (common in real
-    // crawls) fall back to \n\n — the payload offset tracks whichever
-    // delimiter actually matched
-    var delim = BlankLine
-    var i = byteIndexOf(r.body, BlankLine, 0)
-    if (i < 0) { delim = BlankLineLf; i = byteIndexOf(r.body, BlankLineLf, 0) }
-    if (i < 0) return raw
+    // Both delimiters searched; the EARLIER match wins. Preferring the
+    // spec \r\n\r\n anywhere would mis-split an LF-terminated head
+    // whose binary payload happens to contain CRLFCRLF further in —
+    // the head ends at the first blank line of either form.
+    val iCrlf = byteIndexOf(r.body, BlankLine, 0)
+    val iLf = byteIndexOf(r.body, BlankLineLf, 0)
+    // a \n\n whose first \n is the tail of a \r\n\r\n is the same
+    // blank line, not an earlier one — the CRLF match starts 2 earlier
+    val (delim, i) =
+      if (iCrlf >= 0 && (iLf < 0 || iCrlf <= iLf)) (BlankLine, iCrlf)
+      else if (iLf >= 0) (BlankLineLf, iLf)
+      else return raw
     // HTTP head is ASCII by spec; ISO-8859-1 decodes any octet 1:1.
     // Header lines split on \r?\n so CRLF and LF heads parse alike.
     val lines = new String(r.body, 0, i, "ISO-8859-1").split("\r?\n")

@@ -201,6 +201,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000)) // partial: Spark merges
   }
 
+  test("q288 index limit: both legs' scans carry pushedLimit beside the pushed term") {
+    val p = plan("q288_index_limit")
+    assert(p.contains("pushedTerm=p_brand:Brand#23"), p.take(3000))
+    assert(p.contains("pushedLimit=50"), p.take(3000))
+    assert(p.contains("pushedTerm=p_brand:Brand#11"), p.take(3000))
+    assert(p.contains("pushedLimit=1000000"), p.take(3000))
+  }
+
   test("q121 index facet: grouped count answered from postings, no stored-doc scan") {
     val p = plan("q121_index_facet")
     assert(p.contains("pushedAgg=count(*)") && p.contains("pushedGroupBy=p_brand"),

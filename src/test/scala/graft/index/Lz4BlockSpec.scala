@@ -83,5 +83,17 @@ class Lz4BlockSpec extends AnyFunSuite {
     intercept[java.io.IOException] {
       Lz4Block.decompress(Array[Byte](0x10, 'a'), 2, 9)
     }
+    // truncated mid literal-length extension (token nibble 15, no ext byte)
+    intercept[java.io.IOException] {
+      Lz4Block.decompress(Array[Byte](0xF0.toByte), 1, 400)
+    }
+    // truncated mid match-offset (literal consumed, 1 of 2 offset bytes)
+    intercept[java.io.IOException] {
+      Lz4Block.decompress(Array[Byte](0x10, 'a', 0x01), 3, 10)
+    }
+    // truncated mid match-length extension (match nibble 15, offset ok, no ext)
+    intercept[java.io.IOException] {
+      Lz4Block.decompress(Array[Byte](0x1F, 'x', 0x01, 0x00), 4, 400)
+    }
   }
 }

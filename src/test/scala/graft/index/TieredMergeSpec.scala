@@ -56,6 +56,57 @@ class TieredMergeSpec extends AnyFunSuite {
       (0 until 100).filter(_ % 7 == 3).toSet)
   }
 
+  test("reference knobs (segmentsPerTier=100, maxMergeAtOnce=10000) reproduce the " +
+      "offline shape: nothing folds under the tier budget, one fold past it") {
+    val dir = new Path(java.nio.file.Files.createTempDirectory("tiered_ref_").toString)
+    val fs = dir.getFileSystem(conf)
+    val w = new SegmentIndex.Writer(fs, dir, maxBufferedDocs = 2)
+    (0 until 60).foreach(i => w.addDocument(Seq("id" -> i.toString)))
+    w.commit()
+    assert(new SegmentIndex.Reader(fs, dir).numSegments === 30)
+    // the reference's solrconfig_merge.xml values: 30 segments sit far
+    // under the 100-per-tier budget, so maybeMerge is a no-op — the
+    // offline contract where no query reads the intermediate state
+    val ref = SegmentIndex.MergePolicy(segmentsPerTier = 100, maxMergeAtOnce = 10000,
+      floorDocs = 2)
+    w.maybeMerge(ref)
+    assert(new SegmentIndex.Reader(fs, dir).numSegments === 30)
+    // drop the budget below the pile: ONE unbounded-fan-in fold takes
+    // every tier-0 segment at once (maxMergeAtOnce > pile size)
+    w.maybeMerge(SegmentIndex.MergePolicy(segmentsPerTier = 5, maxMergeAtOnce = 10000,
+      floorDocs = 2))
+    val r = new SegmentIndex.Reader(fs, dir)
+    assert(r.numSegments === 1)
+    assert(r.numDocs === 60)
+    assert(r.allDocs().flatMap(_.collect { case ("id", v) => v }).toSet ===
+      (0 until 60).map(_.toString).toSet)
+  }
+
+  test("facade passes non-default merge knobs through (Graft.upsertIndex/mergeIndex)") {
+    import graft.Graft
+    val out = java.nio.file.Files.createTempDirectory("tiered_facade_").toString
+    val docs = spark.range(0, 40).selectExpr("cast(id as string) as id",
+      "cast(id % 5 as string) as grp")
+    SegmentShardSink.write(docs, "id", out, shards = 1)
+    // 8 upsert batches with folding disabled-in-practice (huge budget):
+    // segments accumulate one per batch
+    val lax = SegmentIndex.MergePolicy(segmentsPerTier = 1000, maxMergeAtOnce = 10000)
+    (0 until 8).foreach { b =>
+      Graft.upsertIndex(spark, out,
+        docs.filter(col("id").cast("long") % 8 === b), mergePolicy = lax)
+    }
+    val dir = new Path(s"$out/part-00000/data/index")
+    val fs = dir.getFileSystem(conf)
+    assert(new SegmentIndex.Reader(fs, dir).numSegments >= 8)
+    // the standalone facade merge with a tight budget folds them
+    Graft.mergeIndex(spark, out,
+      SegmentIndex.MergePolicy(segmentsPerTier = 2, maxMergeAtOnce = 4, floorDocs = 2))
+    val r = new SegmentIndex.Reader(fs, dir)
+    assert(r.numSegments < 8)
+    assert(r.allDocs().flatMap(_.collect { case ("id", v) => v.toInt }).toSet ===
+      (0 until 40).toSet)
+  }
+
   test("maybeMerge reclaims tombstoned victims through the rewrite path") {
     val dir = new Path(java.nio.file.Files.createTempDirectory("tiered_del_").toString)
     val fs = dir.getFileSystem(conf)
@@ -75,6 +126,28 @@ class TieredMergeSpec extends AnyFunSuite {
     // the rewrite reclaimed the deletes: no segment carries tombstones
     assert(r.commit.segments.forall(_.dels === 0) ||
       r.commit.segments.count(_.dels > 0) < 10) // at most unmerged stragglers
+  }
+
+  test("maybeMerge rewrite path preserves a non-default stored codec (no mixed-codec store)") {
+    val dir = new Path(java.nio.file.Files.createTempDirectory("tiered_codec_").toString)
+    val fs = dir.getFileSystem(conf)
+    val w = new SegmentIndex.Writer(fs, dir, maxBufferedDocs = 4)
+    w.storedCodecMagic = SegmentIndex.FLD_MAGIC2 // deflate A/B knob
+    (0 until 40).foreach(i => w.addDocument(Seq("id" -> i.toString)))
+    w.commit()
+    // tombstones force the rewrite (non-raw) merge path
+    w.deleteDocumentsBatch("id", (0 until 40).filter(_ % 2 == 1).map(_.toString).toSet)
+    w.commit()
+    w.maybeMerge(SegmentIndex.MergePolicy(segmentsPerTier = 2, maxMergeAtOnce = 4,
+      floorDocs = 2))
+    val r = new SegmentIndex.Reader(fs, dir)
+    assert(r.numDocs === 20)
+    // every surviving segment still carries the deflate magic
+    val magics = r.commit.segments.map { s =>
+      val in = new java.io.DataInputStream(fs.open(new Path(dir, s"${s.name}.fld")))
+      try in.readInt() finally in.close()
+    }
+    assert(magics.toSet === Set(SegmentIndex.FLD_MAGIC2))
   }
 
   test("12 upsert batches stay bounded per part and answer correctly (q286 flow)") {

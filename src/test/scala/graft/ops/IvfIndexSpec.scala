@@ -75,4 +75,40 @@ class IvfIndexSpec extends AnyFunSuite {
       .select("query_id", "rank", "corpus_id").collect().toSet
     assert(evenAfter === before)
   }
+
+  test("files per cell stay bounded across 12 incremental adds; answers unchanged") {
+    val out = java.nio.file.Files.createTempDirectory("ivf_compact_").toString
+    IvfIndex.build(emb.filter(col("vec_id") < 100), out, dim = 64)
+    val queries = emb.filter(col("vec_id") < 5)
+    def answer() = IvfIndex.query(spark, out, queries, k = 5, nprobe = 8)
+      .select("query_id", "rank", "corpus_id").collect().toSet
+    val root = new org.apache.hadoop.fs.Path(s"$out/cells")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def maxFilesPerCell(): Int = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .map(d => fs.listStatus(d.getPath)
+        .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))).max
+    val budget = 4
+    var prev = answer()
+    (0 until 12).foreach { i =>
+      val batch = emb.filter(col("vec_id") >= 100 + i * 33 &&
+        col("vec_id") < 100 + (i + 1) * 33)
+      IvfIndex.add(spark, out, batch, maxFilesPerCell = budget)
+      // bound holds at EVERY observation point, not just the end —
+      // compaction folds over-budget cells right after each append.
+      // A single append can leave at most `shuffle partitions` files
+      // per cell before the fold, so post-fold the pile is <= budget
+      // OR freshly folded to its byte-target count (1 here).
+      assert(maxFilesPerCell() <= budget,
+        s"add #$i left ${maxFilesPerCell()} files in a cell (budget $budget)")
+      val now = answer()
+      // adds only ever EXTEND the candidate set; the top-5 over old
+      // queries may change only by genuinely closer new vectors —
+      // re-querying twice around a pure compaction must be identical
+      val again = answer()
+      assert(now === again, "compaction changed query answers")
+      prev = now
+    }
+    assert(prev.nonEmpty)
+  }
 }

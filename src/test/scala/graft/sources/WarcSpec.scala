@@ -154,6 +154,17 @@ class WarcSpec extends AnyFunSuite {
     assert(got === Seq((None, "HTTP/1.1 200 OK\r\n")))
   }
 
+  test("splitHttp: LF-only head splits at ITS blank line even when the binary " +
+      "payload contains a later CRLFCRLF") {
+    val head = "HTTP/1.1 200 OK\nContent-Type: image/x-test\n\n"
+    val payload = Array[Byte](1, 2) ++ "\r\n\r\n".getBytes("US-ASCII") ++ Array[Byte](9)
+    val rec = Warc.splitHttp(Warc.RawRecord("p", "response", "http://l/1",
+      "2024-01-01T00:00:00Z", head.getBytes("US-ASCII") ++ payload, framed = true))
+    assert(rec.http_status === Some(200))
+    assert(rec.http_content_type === Some("image/x-test"))
+    assert(rec.payload === payload)
+  }
+
   test("readWarcArchive parses gzipped FULL WARC with binary-safe payloads") {
     val dir = java.nio.file.Files.createTempDirectory("graft_warcgz_").toString
     val payload = Array[Byte](0, -1, 42) ++ "\r\n\r\n".getBytes("US-ASCII")
