@@ -31,7 +31,9 @@ object TrueScaleCheck {
 
   /** The measured set: bench's most expensive queries plus the
     * corpus-heavy ScaleCheck carryovers — every family whose 10×
-    * behavior the synth table already claims a number for. */
+    * behavior the synth table already claims a number for — plus the
+    * r10/r11 write-path additions (tiered merge flow, persisted IVF,
+    * the .dvm-served facet family). */
   private val Measured = Seq(
     "q213_shortest_path", "q272_shortest_path_expr", "q78_corpus_pipeline",
     "q161_bpe_encode", "q184_dsir_select", "q242_stupid_backoff",
@@ -39,7 +41,9 @@ object TrueScaleCheck {
     "q77_dedup_clusters", "q21_dedup_exact", "q49_build_index",
     "q88_segment_store", "q54_drop_near_dups", "q74_bm25",
     "q144_substring_dedup", "q154_corpus_audit",
-    "q233_seed_classifier", "q247_skipgram_pairs").distinct
+    "q233_seed_classifier", "q247_skipgram_pairs",
+    "q286_tiered_merge", "q287_ivf_persisted", "q139_token_facet",
+    "q263_stream_windows", "q268_stream_dedup_ingest").distinct
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -783,14 +783,30 @@ private[index] class IndexReaderFactory(conf: SerializableHadoopConf,
       private var current: InternalRow = _
 
       private val convs: Array[String => Any] = fields.map(conv)
+      // field name → output position, primitive-friendly: the row loop
+      // below runs once per STORED DOC of every scan — the Map +
+      // Option + fromSeq form allocated ~6 objects per doc and was a
+      // visible slice of corpus-scale index reads (q272's 1M-edge
+      // scan). First occurrence wins (the multivalued surfacing
+      // contract, same as SegmentIndex.firstValues).
+      private val fieldIdx = {
+        val m = new java.util.HashMap[String, Integer](fields.length * 2)
+        fields.indices.foreach(i => m.put(fields(i), i))
+        m
+      }
 
       override def next(): Boolean =
         if (!docs.hasNext) false
         else {
           val doc = docs.next()
-          val m = SegmentIndex.firstValues(doc)
-          current = InternalRow.fromSeq(fields.indices.map(i =>
-            m.get(fields(i)).map(convs(i)).orNull))
+          val arr = new Array[Any](fields.length)
+          val it = doc.iterator
+          while (it.hasNext) {
+            val kv = it.next()
+            val i = fieldIdx.get(kv._1)
+            if (i != null && arr(i) == null) arr(i) = convs(i)(kv._2)
+          }
+          current = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(arr)
           true
         }
 

@@ -156,13 +156,29 @@ object SegmentIndex {
     * silently DROP true matches. All range/stats ordering in this
     * format goes through this comparator. */
   private[index] def cpCompare(a: String, b: String): Int = {
-    var i = 0
+    // plain UTF-16 unit walk with the classic surrogate fix-up (the
+    // public Lucene CharsRef UTF16-sorted-as-UTF8 shift): unit order
+    // equals code-point order except where one differing unit is a
+    // surrogate (U+D800..DFFF, leading a supplementary >= U+10000) and
+    // the other is in [U+E000, U+FFFF] — shifting both ranges when
+    // BOTH units are >= 0xD800 restores code-point order. This runs in
+    // the writer's hottest loop (the per-field vocabulary sort, ~30%
+    // of segment write time): codePointAt/charCount per character cost
+    // several times the comparison itself.
     val n = math.min(a.length, b.length)
+    var i = 0
     while (i < n) {
-      val ca = a.codePointAt(i)
-      val cb = b.codePointAt(i)
-      if (ca != cb) return Integer.compare(ca, cb)
-      i += Character.charCount(ca)
+      val ca = a.charAt(i)
+      val cb = b.charAt(i)
+      if (ca != cb) {
+        if (ca >= 0xD800 && cb >= 0xD800) {
+          val fa = if (ca >= 0xE000) ca - 0x800 else ca + 0x2000
+          val fb = if (cb >= 0xE000) cb - 0x800 else cb + 0x2000
+          return fa - fb
+        }
+        return ca - cb
+      }
+      i += 1
     }
     Integer.compare(a.length, b.length)
   }
@@ -218,21 +234,24 @@ object SegmentIndex {
   private[index] final class ByteWriter(initial: Int) {
     var buf = new Array[Byte](initial)
     var n = 0
-    private def ensure(k: Int): Unit = {
-      val need = n + k
-      if (need > buf.length) {
-        // guard: past 2^30 doubling wraps negative; fail loudly instead
-        // of hanging — .trm/.dvd/.fdx are built fully in memory, so an
-        // oversized tier merge must error, not spin
-        val MaxArray = Int.MaxValue - 8
-        if (need < 0 || need > MaxArray) throw new IllegalStateException(
-          s"segment buffer exceeds max array size ($need bytes) — " +
-            "segment too large for in-memory build; lower segmentsPerTier/maxMergeAtOnce")
-        var c = buf.length << 1
-        while (c > 0 && c < need) c <<= 1
-        if (c < need) c = MaxArray
-        buf = java.util.Arrays.copyOf(buf, c)
-      }
+    // ensure stays a two-branch method so HotSpot inlines it into
+    // every putVInt/putStr call (the guard logic living here inflated
+    // the bytecode past the inline threshold and cost ~20% writer
+    // throughput); the rare grow path carries the overflow guard
+    private def ensure(k: Int): Unit =
+      if (n + k > buf.length) grow(n + k)
+    private def grow(need: Int): Unit = {
+      // guard: past 2^30 doubling wraps negative; fail loudly instead
+      // of hanging — .trm/.dvd/.fdx are built fully in memory, so an
+      // oversized tier merge must error, not spin
+      val MaxArray = Int.MaxValue - 8
+      if (need < 0 || need > MaxArray) throw new IllegalStateException(
+        s"segment buffer exceeds max array size ($need bytes) — " +
+          "segment too large for in-memory build; lower segmentsPerTier/maxMergeAtOnce")
+      var c = buf.length << 1
+      while (c > 0 && c < need) c <<= 1
+      if (c < need) c = MaxArray
+      buf = java.util.Arrays.copyOf(buf, c)
     }
     def putVInt(v0: Int): Unit = {
       require(v0 >= 0, s"negative varint: $v0")
@@ -442,11 +461,36 @@ object SegmentIndex {
     out.toSeq
   }
 
+  /** Writer phase profile (nanos, cumulative, per-JVM): where segment
+    * write wall time goes — the profile-first discipline that found
+    * the r10 writer fixes. Phase boundaries are per-SEGMENT (a handful
+    * of nanoTime calls per 128k docs — zero measurable overhead).
+    * StoreStats prints the table; docs/SCALING.md records it. */
+  private[index] object WritePhases {
+    import java.util.concurrent.atomic.AtomicLong
+    val stored = new AtomicLong   // .fld blocks (+codec) + .fdx
+    val docLoop = new AtomicLong  // postings build (analyze, term hash)
+    val vocabSort = new AtomicLong // per-field vocabulary sort
+    val trm = new AtomicLong      // .trm serialize + write (+ .nrm)
+    val dv = new AtomicLong       // .dvd + .dvm derive + write
+    def reset(): Unit =
+      Seq(stored, docLoop, vocabSort, trm, dv).foreach(_.set(0))
+    def table: Seq[(String, Long)] = Seq("stored" -> stored.get,
+      "docLoop" -> docLoop.get, "vocabSort" -> vocabSort.get,
+      "trm" -> trm.get, "dv" -> dv.get)
+  }
+
   private[index] def writeSegment(fs: FileSystem, dir: Path, name: String,
                                   docs: IndexedSeq[Doc],
                                   analyzed: Set[String] = Set.empty,
                                   compress: Boolean = true,
                                   storedMagic: Int = DefaultStoredMagic): SegmentMeta = {
+    var tMark = System.nanoTime()
+    def phase(acc: java.util.concurrent.atomic.AtomicLong): Unit = {
+      val now = System.nanoTime()
+      acc.addAndGet(now - tMark)
+      tMark = now
+    }
     // stored fields, doc-ordinal order; .fdx records each doc record's
     // position (fixed-width) so a selective query can seek straight
     // to its hit ordinals instead of streaming every stored doc —
@@ -521,6 +565,7 @@ object SegmentIndex {
       val fdxOut = fs.create(new Path(dir, s"$name.fdx"), true)
       try fdx.drainTo(fdxOut) finally fdxOut.close()
     }
+    phase(WritePhases.stored)
     // inverted postings: field → term → ascending distinct ordinals.
     // Analyzed fields index their TOKENS (stored value stays verbatim,
     // the Lucene stored-vs-indexed split) WITH token positions, so
@@ -570,6 +615,12 @@ object SegmentIndex {
     val dvMulti = mutable.HashSet.empty[String]
     var ord = 0
     val fieldPos = mutable.HashMap.empty[String, Int] // analyzed-field position bases, reused per doc
+    // per-field terms in ARRIVAL order (appended on first sight): the
+    // sink feeds each segment sorted by id, so id-like vocabularies
+    // arrive as one run and the CP sort below degrades from
+    // O(V log V) random-order to TimSort's O(V) run detection — the
+    // vocabulary sort was the writer's single largest phase (~30%)
+    val arrival = mutable.HashMap.empty[String, mutable.ArrayBuffer[String]]
     docs.foreach { d =>
       if (fieldPos.nonEmpty) fieldPos.clear()
       d.foreach { case (f, v) =>
@@ -582,7 +633,10 @@ object SegmentIndex {
         val byField = post.getOrElseUpdate(f, mutable.HashMap.empty)
         if (!isAna) {
           // exact term, no positions, no per-value tokenization
+          val szBefore = byField.size
           val p = byField.getOrElseUpdate(v, new Posting)
+          if (byField.size != szBefore)
+            arrival.getOrElseUpdate(f, mutable.ArrayBuffer.empty) += v
           if (p.ords.isEmpty || p.ords.last != ord) p.ords.add(ord)
         } else {
           val terms = analyze(v)
@@ -592,7 +646,10 @@ object SegmentIndex {
           val it = terms.iterator
           while (it.hasNext) {
             val t = it.next()
+            val szBefore = byField.size
             val p = byField.getOrElseUpdate(t, new Posting)
+            if (byField.size != szBefore)
+              arrival.getOrElseUpdate(f, mutable.ArrayBuffer.empty) += t
             if (p.ords.isEmpty || p.ords.last != ord) { // dedupe same term, same doc
               p.ords.add(ord)
               if (p.positions == null) p.positions = mutable.ArrayBuffer.empty
@@ -606,6 +663,7 @@ object SegmentIndex {
       }
       ord += 1
     }
+    phase(WritePhases.docLoop)
     // v3: v2 per-field blocks + a seek FOOTER (field → block offset)
     // and a fixed 12-byte trailer naming the footer — Lucene's
     // per-field terms index. A reader touching one field seeks to its
@@ -619,10 +677,13 @@ object SegmentIndex {
     val fields = post.keys.toSeq.sorted
     val sortedVocab = mutable.HashMap.empty[String, Array[String]]
     fields.foreach { f =>
-      val a = post(f).keysIterator.toArray
+      // getOrElse: a field whose every value analyzed to zero tokens
+      // has a postings entry but no terms, hence no arrival list
+      val a = arrival.getOrElse(f, mutable.ArrayBuffer.empty[String]).toArray
       java.util.Arrays.sort(a, CpOrdering)
       sortedVocab(f) = a
     }
+    phase(WritePhases.vocabSort)
     val trm = new ByteWriter(1 << 20)
     trm.putIntBE(TRM_MAGIC3)
     val fieldOffsets = new Array[Long](fields.length)
@@ -681,6 +742,7 @@ object SegmentIndex {
         }
       } finally nrm.close()
     }
+    phase(WritePhases.trm)
     val dvFields = (dvOcc.keySet -- dvMulti).toSeq.sorted
     if (dvFields.nonEmpty) {
       // forward columns straight from the postings: for a single-
@@ -702,6 +764,49 @@ object SegmentIndex {
       }
       writeDocValuesCols(fs, dir, name, cols, docs.length)
     }
+    // SORTED_SET docValues (.dvm) for the fields the single-valued
+    // column can't hold: ANALYZED fields (per-doc distinct-token sets)
+    // and MULTIVALUED non-analyzed fields (per-doc value sets) — the
+    // Lucene SortedSetDocValues design. Derived from the postings in
+    // one counting pass + one fill pass per field; per-doc lists come
+    // out ascending in dict order for free (terms iterate sorted).
+    // Facet queries then read a packed forward column instead of
+    // re-walking the field's postings (positions and all) per query.
+    val dvmFields = fields.filter(f => analyzed.contains(f) || dvMulti.contains(f))
+    if (dvmFields.nonEmpty) {
+      val cols = dvmFields.map { f =>
+        val byField = post(f)
+        val terms = sortedVocab(f)
+        val counts = new Array[Int](docs.length)
+        var ti = 0
+        while (ti < terms.length) {
+          val p = byField(terms(ti))
+          var i = 0
+          while (i < p.ords.n) { counts(p.ords.arr(i)) += 1; i += 1 }
+          ti += 1
+        }
+        val offs = new Array[Int](docs.length + 1)
+        var o = 0
+        while (o < docs.length) { offs(o + 1) = offs(o) + counts(o); o += 1 }
+        val lists = new Array[Int](offs(docs.length))
+        val fill = java.util.Arrays.copyOf(offs, docs.length)
+        ti = 0
+        while (ti < terms.length) {
+          val p = byField(terms(ti))
+          var i = 0
+          while (i < p.ords.n) {
+            val d = p.ords.arr(i)
+            lists(fill(d)) = ti
+            fill(d) += 1
+            i += 1
+          }
+          ti += 1
+        }
+        (f, terms, offs, lists)
+      }
+      writeSortedSetCols(fs, dir, name, cols, docs.length)
+    }
+    phase(WritePhases.dv)
     // zone-map stats: min/max indexed term per NON-analyzed field
     // (code-point order — must match what a pushed range predicate
     // means to Spark, see cpCompare)
@@ -772,6 +877,107 @@ object SegmentIndex {
     out.putIntBE(DVD_MAGIC)
     val os = fs.create(new Path(dir, s"$name.dvd"), true)
     try out.drainTo(os) finally os.close()
+  }
+
+  /** `.dvm` — SORTED_SET docValues: per field, a CP-sorted term dict
+    * then per-doc ord LISTS (varint length + delta-encoded ascending
+    * dict indexes), with the same per-field seek footer as `.dvd`.
+    * The on-disk analog of Lucene's SortedSetDocValues — the forward
+    * view of MULTIVALUED and ANALYZED fields, where one doc carries a
+    * SET of ords. `offs` is the CSR offsets array (doc o's ords live
+    * at lists[offs(o) until offs(o+1)], ascending). */
+  private def writeSortedSetCols(fs: FileSystem, dir: Path, name: String,
+                                 fields: Seq[(String, Array[String], Array[Int], Array[Int])],
+                                 nDocs: Int): Unit = {
+    val out = new ByteWriter(1 << 18)
+    out.putIntBE(DVM_MAGIC)
+    val offsets = new Array[Long](fields.length)
+    fields.iterator.zipWithIndex.foreach { case ((f, terms, offs, lists), fi) =>
+      offsets(fi) = out.n.toLong
+      out.putStr(f)
+      out.putVInt(terms.length)
+      terms.foreach(out.putStr)
+      out.putVInt(nDocs)
+      var o = 0
+      while (o < nDocs) {
+        val from = offs(o)
+        val until = offs(o + 1)
+        out.putVInt(until - from)
+        var prev = 0
+        var j = from
+        while (j < until) {
+          out.putVInt(lists(j) - prev)
+          prev = lists(j)
+          j += 1
+        }
+        o += 1
+      }
+    }
+    val footerOff = out.n.toLong
+    out.putVInt(fields.length)
+    fields.iterator.zipWithIndex.foreach { case ((f, _, _, _), fi) =>
+      out.putStr(f)
+      out.putLongBE(offsets(fi))
+    }
+    out.putLongBE(footerOff)
+    out.putIntBE(DVM_MAGIC)
+    val os = fs.create(new Path(dir, s"$name.dvm"), true)
+    try out.drainTo(os) finally os.close()
+  }
+
+  /** SORTED_SET docValues of SELECTED fields (None = all): field →
+    * (CP-sorted term dict, CSR offsets, concatenated ascending ord
+    * lists). Empty for segments written before `.dvm` existed —
+    * callers fall back to postings. Footer-seeked like `.dvd`. */
+  private[index] def readSortedSet(fs: FileSystem, dir: Path, name: String,
+                                   sel: Option[Set[String]])
+      : Map[String, (Array[String], Array[Int], Array[Int])] = {
+    val path = new Path(dir, s"$name.dvm")
+    if (!fs.exists(path)) return Map.empty
+    if (sel.exists(_.isEmpty)) return Map.empty
+    val raw = fs.open(path)
+    try {
+      require(new DataInputStream(raw).readInt() == DVM_MAGIC,
+        s"bad .dvm magic in $dir/$name")
+      val len = fs.getFileStatus(path).getLen
+      raw.seek(len - 12)
+      val tail = new DataInputStream(raw)
+      val footerOff = tail.readLong()
+      require(tail.readInt() == DVM_MAGIC, s"bad .dvm trailer in $dir/$name")
+      raw.seek(footerOff)
+      val foot = new DataInputStream(new BufferedInputStream(raw))
+      val nFields = readVInt(foot)
+      val offs = (0 until nFields).map(_ => (readStr(foot), foot.readLong()))
+      offs.iterator
+        .filter { case (f, _) => sel.forall(_.contains(f)) }
+        .map { case (_, off) =>
+          raw.seek(off)
+          val in = new DataInputStream(new BufferedInputStream(raw))
+          val f = readStr(in)
+          val nT = readVInt(in)
+          val terms = Array.fill(nT)(readStr(in))
+          val nD = readVInt(in)
+          val csr = new Array[Int](nD + 1)
+          var buf = new Array[Int](math.max(nD * 2, 16))
+          var bn = 0
+          var o = 0
+          while (o < nD) {
+            val n = readVInt(in)
+            csr(o + 1) = csr(o) + n
+            var prev = 0
+            var j = 0
+            while (j < n) {
+              prev += readVInt(in)
+              if (bn == buf.length) buf = java.util.Arrays.copyOf(buf, buf.length << 1)
+              buf(bn) = prev
+              bn += 1
+              j += 1
+            }
+            o += 1
+          }
+          f -> (terms, csr, java.util.Arrays.copyOf(buf, bn))
+        }.toMap
+    } finally raw.close()
   }
 
   /** Persisted docValues of SELECTED fields (None = all): field →
@@ -1047,6 +1253,58 @@ object SegmentIndex {
         f -> vals
       }
       writeDocValues(fs, dir, name, cols, totalDocs)
+    }
+    // SORTED_SET docValues: per-doc ord lists concatenate at each doc
+    // base with a dict-union remap (CP order is total and shared, so
+    // the remap is monotonic and per-doc lists stay ascending). Same
+    // eligibility rule as .dvd: every source HOLDING the field must
+    // carry the column, else the merged segment omits it (readers
+    // fall back to postings — never wrong, only the legacy cost).
+    val dvmPerSrc: Seq[Map[String, (Array[String], Array[Int], Array[Int])]] =
+      segs.map(s => if (s.docs == 0) Map.empty[String, (Array[String], Array[Int], Array[Int])]
+                    else readSortedSet(fs, dir, s.name, None))
+    val dvmFields = dvmPerSrc.iterator.flatMap(_.keys).toSet.filter { f =>
+      segs.indices.forall { i =>
+        segs(i).docs == 0 || dvmPerSrc(i).contains(f) || !srcFields(i).contains(f)
+      }
+    }.toSeq.sorted
+    if (dvmFields.nonEmpty) {
+      val cols = dvmFields.map { f =>
+        val dictSet = new java.util.TreeSet[String](CpOrdering)
+        dvmPerSrc.foreach(_.get(f).foreach { case (terms, _, _) =>
+          terms.foreach(dictSet.add)
+        })
+        val terms = dictSet.toArray(new Array[String](dictSet.size))
+        val tIdx = new java.util.HashMap[String, Integer](terms.length * 2)
+        var ti = 0
+        while (ti < terms.length) { tIdx.put(terms(ti), ti); ti += 1 }
+        val offs = new Array[Int](totalDocs + 1)
+        var nOrds = 0
+        dvmPerSrc.foreach(_.get(f).foreach { case (_, csr, _) => nOrds += csr(csr.length - 1) })
+        val lists = new Array[Int](nOrds)
+        var base = 0
+        var w = 0
+        segs.iterator.zipWithIndex.foreach { case (s, i) =>
+          dvmPerSrc(i).get(f) match {
+            case Some((srcTerms, csr, srcLists)) =>
+              val remap = srcTerms.map(t => tIdx.get(t).intValue())
+              var o = 0
+              while (o < s.docs) {
+                var j = csr(o)
+                while (j < csr(o + 1)) { lists(w) = remap(srcLists(j)); w += 1; j += 1 }
+                offs(base + o + 1) = w
+                o += 1
+              }
+            case None =>
+              // source lacks the field entirely: empty lists
+              var o = 0
+              while (o < s.docs) { offs(base + o + 1) = w; o += 1 }
+          }
+          base += s.docs
+        }
+        (f, terms, offs, lists)
+      }
+      writeSortedSetCols(fs, dir, name, cols, totalDocs)
     }
     // zone-map stats: per-field min/max combined across sources
     val stats = segs.flatMap(_.stats.toSeq)
@@ -1530,7 +1788,7 @@ object SegmentIndex {
       // now that the new generation is live, remove dead files
       staleDelFiles.foreach(f => fs.delete(new Path(dir, f), false))
       dropped.foreach { s =>
-        Seq("fld", "fdx", "trm", "nrm", "dvd").foreach(ext => fs.delete(new Path(dir, s"${s.name}.$ext"), false))
+        Seq("fld", "fdx", "trm", "nrm", "dvd", "dvm").foreach(ext => fs.delete(new Path(dir, s"${s.name}.$ext"), false))
       }
       commitPoint
     }
@@ -1550,7 +1808,7 @@ object SegmentIndex {
             val name = s"_${commitPoint.counter}"
             // .nrm only exists for segments with analyzed fields;
             // .fdx only for segments written since the seek index
-            Seq("fld", "fdx", "trm", "nrm", "dvd").foreach { ext =>
+            Seq("fld", "fdx", "trm", "nrm", "dvd", "dvm").foreach { ext =>
               val from = new Path(src, s"${seg.name}.$ext")
               if (ext == "fld" || ext == "trm" || fs.exists(from))
                 org.apache.hadoop.fs.FileUtil.copy(
@@ -1609,7 +1867,7 @@ object SegmentIndex {
         commitPoint = CommitPoint(commitPoint.gen + 1, commitPoint.counter + 1, Seq(meta))
         writeCommit(fs, dir, commitPoint)
         old.foreach { s =>
-          Seq("fld", "fdx", "trm", "nrm", "dvd").foreach(ext => fs.delete(new Path(dir, s"${s.name}.$ext"), false))
+          Seq("fld", "fdx", "trm", "nrm", "dvd", "dvm").foreach(ext => fs.delete(new Path(dir, s"${s.name}.$ext"), false))
           if (s.delGen > 0) fs.delete(new Path(dir, delFile(s.name, s.delGen)), false)
         }
         commitPoint
@@ -1664,7 +1922,7 @@ object SegmentIndex {
               commitPoint.segments.filterNot(s => victimNames(s.name)) :+ meta)
             writeCommit(fs, dir, commitPoint)
             victims.foreach { s =>
-              Seq("fld", "fdx", "trm", "nrm", "dvd").foreach(ext =>
+              Seq("fld", "fdx", "trm", "nrm", "dvd", "dvm").foreach(ext =>
                 fs.delete(new Path(dir, s"${s.name}.$ext"), false))
               if (s.delGen > 0) fs.delete(new Path(dir, delFile(s.name, s.delGen)), false)
             }
@@ -2000,38 +2258,88 @@ object SegmentIndex {
         // the zone map can rule the segment out from commit metadata
         // (range filters directly; and/or trees recursively)
         if (!segExcluded(s, filter)) {
-          // facet field + filter fields only — seeked blocks, not the
-          // whole dictionary
-          lazy val allPost =
-            readPostingsFields(fs, dir, s.name, queryFields(filter) + field)
-          // presence tracked per ORDINAL (BitSet), not per posting:
-          // on a multivalued/analyzed field a doc carries several
-          // terms but must fill the null bucket's complement once
-          val present = new java.util.BitSet(s.docs)
-          filter match {
+          // PERSISTED forward columns first (schema.xml docValues
+          // design): `.dvm` (SORTED_SET — analyzed/multivalued) or
+          // `.dvd` (single-valued) serve the facet as a packed-ord
+          // walk over exactly the MATCH set — the facet field's
+          // postings (positions and all) are never opened, and under
+          // a selective filter the work is ∝ matches, not ∝ the
+          // field's total postings. Legacy segments without a column
+          // fall back to the postings walk (bumps [[dvFallbacks]]).
+          val dvm = readSortedSet(fs, dir, s.name, Some(Set(field)))
+          lazy val dvd =
+            if (dvm.contains(field)) Map.empty[String, (Array[String], Array[Int])]
+            else readDocValues(fs, dir, s.name, Some(Set(field)))
+          val served = dvm.contains(field) || dvd.contains(field)
+          // filter fields only when served; + facet field on fallback
+          lazy val allPost = readPostingsFields(fs, dir, s.name,
+            if (served) queryFields(filter) else queryFields(filter) + field)
+          // the match-set ordinal iterator (deletes masked)
+          val ords: Iterator[Int] = filter match {
             case MatchAll =>
               matched += s.liveDocs.toLong
-              allPost.getOrElse(field, Map.empty).foreach { case (term, ords) =>
-                var live = 0L
-                ords.foreach { o =>
-                  if (!dels.contains(o)) { live += 1; present.set(o) }
-                }
-                if (live > 0) acc.update(term, acc.getOrElse(term, 0L) + live)
-              }
+              Iterator.range(0, s.docs).filterNot(dels.contains)
             case q =>
-              val fOrds: Set[Int] =
-                branchOrds(s, allPost, q).filterNot(dels.contains).toSet
+              val fOrds = branchOrds(s, allPost, q).filterNot(dels.contains).toSet
               matched += fOrds.size.toLong
-              if (fOrds.nonEmpty)
-                allPost.getOrElse(field, Map.empty).foreach { case (term, ords) =>
+              fOrds.iterator
+          }
+          dvm.get(field) match {
+            case Some((terms, csr, lists)) =>
+              // per-segment counts by dict index: one array, no hashing
+              val cnt = new Array[Long](terms.length)
+              ords.foreach { o =>
+                var j = csr(o)
+                if (j < csr(o + 1)) withField += 1
+                while (j < csr(o + 1)) { cnt(lists(j)) += 1; j += 1 }
+              }
+              var ti = 0
+              while (ti < terms.length) {
+                if (cnt(ti) > 0)
+                  acc.update(terms(ti), acc.getOrElse(terms(ti), 0L) + cnt(ti))
+                ti += 1
+              }
+            case None => dvd.get(field) match {
+              case Some((terms, idx)) =>
+                val cnt = new Array[Long](terms.length)
+                ords.foreach { o =>
+                  val ti = idx(o)
+                  if (ti >= 0) { cnt(ti) += 1; withField += 1 }
+                }
+                var ti = 0
+                while (ti < terms.length) {
+                  if (cnt(ti) > 0)
+                    acc.update(terms(ti), acc.getOrElse(terms(ti), 0L) + cnt(ti))
+                  ti += 1
+                }
+              case None =>
+                // legacy fallback: walk the facet field's postings.
+                // presence tracked per ORDINAL (BitSet), not per
+                // posting: on a multivalued/analyzed field a doc
+                // carries several terms but must fill the null
+                // bucket's complement once. The counter only bumps
+                // when the field actually EXISTS here postings-wise —
+                // a segment that simply lacks the field has no column
+                // to miss.
+                val fieldPost = allPost.getOrElse(field, Map.empty)
+                if (fieldPost.nonEmpty) dvFallbacks.incrementAndGet()
+                val present = new java.util.BitSet(s.docs)
+                val matchSet: Int => Boolean = filter match {
+                  case MatchAll => o => !dels.contains(o)
+                  case _ =>
+                    val set = ords.toSet
+                    set.contains
+                }
+                fieldPost.foreach { case (term, tOrds) =>
                   var c = 0L
-                  ords.foreach { o =>
-                    if (fOrds.contains(o)) { c += 1; present.set(o) }
+                  tOrds.foreach { o =>
+                    if (matchSet(o)) { c += 1; present.set(o) }
                   }
                   if (c > 0) acc.update(term, acc.getOrElse(term, 0L) + c)
                 }
+                withField += present.cardinality().toLong
+            }
           }
-          withField += present.cardinality().toLong
         }
       }
       (acc.toMap, matched - withField)

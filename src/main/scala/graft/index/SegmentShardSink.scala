@@ -667,7 +667,7 @@ object SegmentShardSink {
       SegmentIndex.latestCommit(fs, src).foreach { cp =>
         val files = Seq(s"segments_${cp.gen}") ++ cp.segments.flatMap { m =>
           Seq(s"${m.name}.fld", s"${m.name}.trm") ++
-            Seq("fdx", "nrm", "dvd").collect {
+            Seq("fdx", "nrm", "dvd", "dvm").collect {
               case ext if fs.exists(new Path(src, s"${m.name}.$ext")) => s"${m.name}.$ext"
             } ++
             (if (m.delGen > 0) Seq(s"${m.name}_${m.delGen}.del") else Nil)

@@ -106,4 +106,99 @@ class DocValuesSpec extends AnyFunSuite {
     assert(SegmentIndex.dvFallbacks.get() === 0)
     assert(pivot((Some("a0"), Some("a0"))) === 10L)
   }
+
+  test("multivalued and analyzed fields persist a .dvm SORTED_SET column") {
+    val dir = new Path(java.nio.file.Files.createTempDirectory("dvm_write_").toString)
+    val fs = dir.getFileSystem(conf)
+    val w = new SegmentIndex.Writer(fs, dir, analyzed = Set("body"))
+    (0 until 40).foreach { i =>
+      val tags = Seq("tags" -> ("t" + (i % 3))) ++
+        (if (i % 2 == 0) Seq("tags" -> ("t" + ((i + 1) % 3))) else Nil)
+      val body = if (i % 5 == 0) Nil else Seq("body" -> s"alpha beta w${i % 4}")
+      w.addDocument(Seq("id" -> i.toString) ++ tags ++ body)
+    }
+    w.commit()
+    val seg = SegmentIndex.latestCommit(fs, dir).get.segments.head.name
+    assert(fs.exists(new Path(dir, s"$seg.dvm")))
+    val dvm = SegmentIndex.readSortedSet(fs, dir, seg, None)
+    assert(dvm.keySet === Set("tags", "body")) // single-valued id stays in .dvd
+    val (tTerms, tCsr, tLists) = dvm("tags")
+    assert(tTerms.toSeq === Seq("t0", "t1", "t2"))
+    (0 until 40).foreach { i =>
+      val got = (tCsr(i) until tCsr(i + 1)).map(j => tTerms(tLists(j))).toSet
+      val want = Set("t" + (i % 3)) ++ (if (i % 2 == 0) Set("t" + ((i + 1) % 3)) else Set())
+      assert(got === want, s"doc $i tags")
+      // ascending dict order within each doc
+      assert((tCsr(i) until tCsr(i + 1)).map(tLists).sorted ===
+        (tCsr(i) until tCsr(i + 1)).map(tLists))
+    }
+    val (bTerms, bCsr, bLists) = dvm("body")
+    (0 until 40).foreach { i =>
+      val got = (bCsr(i) until bCsr(i + 1)).map(j => bTerms(bLists(j))).toSet
+      val want = if (i % 5 == 0) Set.empty[String] else Set("alpha", "beta", s"w${i % 4}")
+      assert(got === want, s"doc $i body tokens")
+    }
+  }
+
+  test("facetCounts serves analyzed/multivalued facets from .dvm — zero fallbacks, " +
+      "same answers as the postings walk") {
+    val dir = new Path(java.nio.file.Files.createTempDirectory("dvm_facet_").toString)
+    val fs = dir.getFileSystem(conf)
+    val w = new SegmentIndex.Writer(fs, dir, analyzed = Set("body"))
+    (0 until 60).foreach { i =>
+      w.addDocument(Seq("id" -> i.toString, "grp" -> ("g" + (i % 2))) ++
+        (if (i % 7 == 0) Nil else Seq("body" -> s"spark data w${i % 5}")))
+    }
+    w.commit()
+    val seg = SegmentIndex.latestCommit(fs, dir).get.segments.head.name
+    val r = new SegmentIndex.Reader(fs, dir)
+    SegmentIndex.dvFallbacks.set(0)
+    val all = r.facetCounts("body", MatchAll)
+    val filtered = r.facetCounts("body", TermQuery("grp", Seq("g1")))
+    assert(SegmentIndex.dvFallbacks.get() === 0,
+      "dvm-bearing store must not walk facet-field postings")
+    // closed form: every non-(i%7==0) doc carries spark, data, w(i%5)
+    assert(all._1("spark") === (0 until 60).count(_ % 7 != 0).toLong)
+    assert(all._1("w3") === (0 until 60).count(i => i % 7 != 0 && i % 5 == 3).toLong)
+    assert(all._2 === (0 until 60).count(_ % 7 == 0).toLong) // null bucket
+    assert(filtered._1("spark") ===
+      (0 until 60).count(i => i % 7 != 0 && i % 2 == 1).toLong)
+    // legacy fallback (no .dvm): identical answers, counter bumps
+    fs.delete(new Path(dir, s"$seg.dvm"), false)
+    fs.delete(new Path(dir, s"$seg.dvd"), false)
+    SegmentIndex.dvFallbacks.set(0)
+    val r2 = new SegmentIndex.Reader(fs, dir)
+    assert(r2.facetCounts("body", MatchAll) === all)
+    assert(r2.facetCounts("body", TermQuery("grp", Seq("g1"))) === filtered)
+    assert(SegmentIndex.dvFallbacks.get() > 0)
+  }
+
+  test("raw merge relocates .dvm columns with dict-union remap; deletes respected after") {
+    val dir = new Path(java.nio.file.Files.createTempDirectory("dvm_merge_").toString)
+    val fs = dir.getFileSystem(conf)
+    // two flushes with OVERLAPPING-but-different tag dicts → remap
+    val w = new SegmentIndex.Writer(fs, dir, maxBufferedDocs = 20)
+    (0 until 20).foreach(i => w.addDocument(
+      Seq("id" -> i.toString, "tags" -> ("a" + (i % 2)), "tags" -> "shared")))
+    (20 until 40).foreach(i => w.addDocument(
+      Seq("id" -> i.toString, "tags" -> ("b" + (i % 2)), "tags" -> "shared")))
+    w.commit()
+    assert(new SegmentIndex.Reader(fs, dir).numSegments === 2)
+    w.forceMerge(1)
+    val r = new SegmentIndex.Reader(fs, dir)
+    val seg = r.commit.segments.head.name
+    val dvm = SegmentIndex.readSortedSet(fs, dir, seg, Some(Set("tags")))
+    assert(dvm.contains("tags"), "raw merge must carry the dvm column")
+    val (terms, csr, lists) = dvm("tags")
+    assert(terms.toSeq === Seq("a0", "a1", "b0", "b1", "shared"))
+    (0 until 40).foreach { i =>
+      val got = (csr(i) until csr(i + 1)).map(j => terms(lists(j))).toSet
+      val want = Set((if (i < 20) "a" else "b") + (i % 2), "shared")
+      assert(got === want, s"doc $i")
+    }
+    SegmentIndex.dvFallbacks.set(0)
+    val (counts, nulls) = r.facetCounts("tags", MatchAll)
+    assert(SegmentIndex.dvFallbacks.get() === 0)
+    assert(counts("shared") === 40L && counts("a0") === 10L && nulls === 0L)
+  }
 }

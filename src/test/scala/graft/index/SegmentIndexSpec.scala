@@ -915,6 +915,41 @@ class SegmentIndexSpec extends AnyFunSuite {
       assert((cpCompare(t, p) >= 0 && cpCompare(t, nxt) < 0) === t.startsWith(p), t)
   }
 
+  test("cpCompare fuzz: surrogate fix-up agrees with the codePointAt definition") {
+    // the reference implementation the fast unit-walk must match
+    def slow(a: String, b: String): Int = {
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val ca = a.codePointAt(i)
+        val cb = b.codePointAt(i)
+        if (ca != cb) return Integer.compare(ca, cb)
+        i += Character.charCount(ca)
+      }
+      Integer.compare(a.length, b.length)
+    }
+    val rnd = new scala.util.Random(11)
+    // char pool deliberately dense around the problem ranges: ASCII,
+    // BMP text, [U+E000, U+FFFF] privates, and supplementary pairs
+    def randString(): String = {
+      val sb = new StringBuilder
+      (0 until rnd.nextInt(6)).foreach { _ =>
+        rnd.nextInt(4) match {
+          case 0 => sb.append(('a' + rnd.nextInt(26)).toChar)
+          case 1 => sb.append((0xE000 + rnd.nextInt(0x2000)).toChar)
+          case 2 => sb.appendAll(Character.toChars(0x10000 + rnd.nextInt(0x1000)))
+          case 3 => sb.append((0x4E00 + rnd.nextInt(0x100)).toChar)
+        }
+      }
+      sb.toString
+    }
+    (1 to 20000).foreach { _ =>
+      val (a, b) = (randString(), randString())
+      assert(Integer.signum(SegmentIndex.cpCompare(a, b)) === Integer.signum(slow(a, b)),
+        s"'$a' vs '$b' (${a.map(_.toInt)} vs ${b.map(_.toInt)})")
+    }
+  }
+
   test("fuzzyDocs: dictionary-walk fuzzy term query, edit bounds and deletes honored") {
     val dir = tmp("graft_fuzzy_")
     val w = SegmentIndex.writer(dir, conf, analyzed = Set("body"))
