@@ -84,12 +84,42 @@ object TrueScaleCheck {
     "group", "hash", "customer", "sort", "order", "slow", "line", "part",
     "fast", "the", "row", "agg", "key", "query", "a", "scan", "batch", "dup")
 
-  /** All ten tables at 10× sf0.1 cardinality, fresh rows. */
+  /** All ten tables at 10× sf0.1 cardinality, fresh rows. Each table
+    * lands as a SINGLE FILE named `X.parquet` — the driver's testdata
+    * layout — not a Spark directory: the streaming queries pin the
+    * file stream with `pathGlobFilter=events.parquet`, which matches
+    * leaf FILES, so a directory-shaped table silently streams zero
+    * rows (caught in round 11: q263 "ran" 18× faster on 10× data).
+    * Single files cost nothing at read time (row-group splitting
+    * keeps scans parallel); generation stays distributed — only the
+    * final exchange funnels to one writer task. */
   def generate(spark: SparkSession, out: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val done = new org.apache.hadoop.fs.Path(out, "_TRUE_SF1_DONE_v1")
+    val done = new org.apache.hadoop.fs.Path(out, "_TRUE_SF1_DONE_v3")
     if (fs.exists(done)) return
+
+    // single-file writer: distributed generation, one final exchange,
+    // rename the lone part file to the driver's `X.parquet` layout.
+    // Row groups are capped at 4 MB: the driver's sf0.1 files are
+    // single-row-group (fine at that size), but a single 100 MB row
+    // group at sf1 would pin every SCAN stage to one task and the 10×
+    // table would measure the input layout, not the engine — 4 MB
+    // groups let Spark split the file so scan parallelism tracks data
+    // growth, the layout any real corpus write produces.
+    def save(df: DataFrame, name: String): Unit = {
+      val tmp = new org.apache.hadoop.fs.Path(out, s".tmp_$name")
+      df.repartition(1).write.mode("overwrite")
+        .option("parquet.block.size", (4 * 1024 * 1024).toString)
+        .parquet(tmp.toString)
+      val part = fs.listStatus(tmp).map(_.getPath)
+        .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file generated for $name"))
+      val dest = new org.apache.hadoop.fs.Path(out, s"$name.parquet")
+      fs.delete(dest, true)
+      fs.rename(part, dest)
+      fs.delete(tmp, true)
+    }
 
     val nOrders = 1500000L
     val nCust = 150000L
@@ -103,13 +133,11 @@ object TrueScaleCheck {
       spark.range(0, n, 1, parts).toDF("id")
 
     // region / nation: fixed dimensions, driver layout
-    spark.range(5).select(col("id").cast("int").as("r_regionkey"),
-        concat(lit("REGION_"), col("id")).as("r_name"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$out/region.parquet")
-    spark.range(25).select(col("id").cast("int").as("n_nationkey"),
+    save(spark.range(5).select(col("id").cast("int").as("r_regionkey"),
+        concat(lit("REGION_"), col("id")).as("r_name")), "region")
+    save(spark.range(25).select(col("id").cast("int").as("n_nationkey"),
         concat(lit("NATION_"), col("id")).as("n_name"),
-        pmod(col("id"), lit(5)).cast("int").as("n_regionkey"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$out/nation.parquet")
+        pmod(col("id"), lit(5)).cast("int").as("n_regionkey")), "nation")
 
     range(nCust, 8).select(col("id").as("c_custkey"),
         format_string("Customer#%09d", col("id")).as("c_name"),
@@ -117,13 +145,13 @@ object TrueScaleCheck {
         round(lit(-1000.0) + u(col("id"), 22) * 11000.0, 2).as("c_acctbal"),
         pick(col("id"), 23, "AUTOMOBILE", "BUILDING", "FURNITURE",
           "HOUSEHOLD", "MACHINERY").as("c_mktsegment"))
-      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+      .transform { df => save(df, "customer"); df }
 
     range(nSupp, 4).select(col("id").as("s_suppkey"),
         format_string("Supplier#%09d", col("id")).as("s_name"),
         ui(col("id"), 31, 25).cast("int").as("s_nationkey"),
         round(lit(-1000.0) + u(col("id"), 32) * 11000.0, 2).as("s_acctbal"))
-      .write.mode("overwrite").parquet(s"$out/supplier.parquet")
+      .transform { df => save(df, "supplier"); df }
 
     range(nPart, 8).select(col("id").as("p_partkey"),
         concat(pick(col("id"), 41, "large", "hot", "blue", "old", "cold",
@@ -135,7 +163,7 @@ object TrueScaleCheck {
           "MEDIUM", "PROMO").as("p_type"),
         (ui(col("id"), 45, 50) + 1).cast("int").as("p_size"),
         round(lit(900.0) + u(col("id"), 46) * 1100.0, 2).as("p_retailprice"))
-      .write.mode("overwrite").parquet(s"$out/part.parquet")
+      .transform { df => save(df, "part"); df }
 
     // orders: 1995-01-01 + 0..2400 days
     range(nOrders).select(col("id").as("o_orderkey"),
@@ -146,7 +174,7 @@ object TrueScaleCheck {
           .cast("timestamp").as("o_orderdate"),
         pick(col("id"), 55, "1-URGENT", "2-HIGH", "3-MEDIUM",
           "4-NOT SPECIFIED", "5-LOW").as("o_orderpriority"))
-      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+      .transform { df => save(df, "orders"); df }
 
     // lineitem: 1..7 lines per order (avg 4 → ~6M rows); fresh values
     // per (orderkey, linenumber) pair
@@ -170,7 +198,7 @@ object TrueScaleCheck {
           (pmod(hash(lk, lit(69)), lit(2)) + 1).cast("int")).as("l_linestatus"),
         (lit(789004800L) + pmod(hash(lk, lit(70)), lit(2498)) * 86400L)
           .cast("timestamp").as("l_shipdate"))
-      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      .transform { df => save(df, "lineitem"); df }
 
     // events: the same one-month window at 10× density and 10× users
     range(nEvents).select(col("id").as("event_id"),
@@ -181,7 +209,7 @@ object TrueScaleCheck {
           .as("event_type"),
         round(u(col("id"), 74) * 560.0, 2).as("value"),
         format_string("{\"k\": %d}", ui(col("id"), 75, 100)).as("props"))
-      .write.mode("overwrite").parquet(s"$out/events.parquet")
+      .transform { df => save(df, "events"); df }
 
     // documents: 10..100 tokens over the 31-word vocabulary; en ≈ 2×
     // each other lang; src0..src19; last 0.16% duplicate earlier texts
@@ -201,7 +229,7 @@ object TrueScaleCheck {
           (ui(srcId, 83, 6) + 1).cast("int")).as("lang"),
         concat(lit("src"), ui(srcId, 84, 20)).as("source"),
         length(text).cast("bigint").as("n_chars"))
-      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      .transform { df => save(df, "documents"); df }
 
     // embeddings: label-clustered 64-dim floats — center(label, dim)
     // ±0.3 plus per-vector noise ±0.15, the sf0.1 value envelope
@@ -213,7 +241,7 @@ object TrueScaleCheck {
             .cast("double") / 1000.0 - 0.5) * 0.3
         ).cast("float")).as("embedding"),
         pmod(col("id"), lit(10)).cast("int").as("label"))
-      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      .transform { df => save(df, "embeddings"); df }
 
     fs.create(done, true).close()
   }
