@@ -84,9 +84,15 @@ object Graft {
   /** Open a segment store as a TABLE via the graft-index DataSourceV2
     * source: EqualTo/In predicates push down to posting lookups,
     * stored-field projection prunes (see
-    * [[graft.index.IndexDataSource]]). */
-  def openSegmentIndex(spark: SparkSession, store: String): DataFrame =
-    spark.read.format("graft-index").load(store)
+    * [[graft.index.IndexDataSource]]). `multivaluedAsArray = true`
+    * surfaces multivalued fields as `array<string>` with every stored
+    * occurrence in order (Solr's multiValued=true response shape);
+    * the default keeps the first-value scalar contract. */
+  def openSegmentIndex(spark: SparkSession, store: String,
+                       multivaluedAsArray: Boolean = false): DataFrame = {
+    val r = spark.read.format("graft-index")
+    (if (multivaluedAsArray) r.option("multivalued", "array") else r).load(store)
+  }
 
   /** Incremental upsert of a delta batch into a segment store
     * (deleteById + add with the store's own routing; see

@@ -130,6 +130,7 @@ object SparkEntry {
     "q264_wet_roundtrip",      // wet_file
     "q287_ivf_persisted",      // ivf_index (train + cell-partitioned corpus)
     "q286_tiered_merge",       // q286_tiered base store (upserts idempotent)
+    "q289_index_multivalued",  // part_mv (array-surfaced store)
     "q267_wet_gz",             // wet_gz
     "q281_warc_responses",     // warc_file_full
     "q282_warc_best_capture",  // warc_captures
@@ -638,6 +639,43 @@ object SparkEntry {
         .select(lit("slack").as("leg"),
           col("id").cast("long").as("p_partkey"), col("p_brand"))
       bitten.union(slack)
+    }),
+
+    // MULTIVALUED fields surfaced as arrays (Solr's multiValued=true
+    // response shape): the store keeps every stored occurrence in
+    // order; `.option("multivalued", "array")` turns the relational
+    // first-value scalar into array<string> with ALL values. Oracled
+    // through explode so DuckDB's unnest replays the same rows (array
+    // OUTPUT columns hash asymmetrically between pandas and duckdb).
+    "q289_index_multivalued" -> ((s, d) => {
+      import graft.index.SegmentShardSink
+      val out = sharedStore(d, "part_mv") { o =>
+        SegmentShardSink.write(
+          Tables.part(s, d).select(col("p_partkey").cast("string").as("id"),
+            split(col("p_name"), " ").as("words"), col("p_brand")),
+          "id", o, shards = 4)
+      }
+      val idx = s.read.format("graft-index")
+        .option("multivalued", "array").load(out)
+      idx.select(col("id").cast("long").as("p_partkey"),
+          explode(col("words")).as("word"), col("p_brand"))
+    }),
+
+    // facet.pivot over a MULTIVALUED axis (Solr semantics: a doc
+    // counts once under EACH (brand, word) combination it carries —
+    // not a SQL GROUP BY, so the DSv2 pushdown refuses it): served
+    // from the persisted .dvm ord lists per shard, vocabulary-bounded
+    // partials merged by one groupBy. Same part_mv store as q289.
+    "q290_pivot_multivalued" -> ((s, d) => {
+      import graft.index.{SegmentSearch, SegmentShardSink}
+      val out = sharedStore(d, "part_mv") { o =>
+        SegmentShardSink.write(
+          Tables.part(s, d).select(col("p_partkey").cast("string").as("id"),
+            split(col("p_name"), " ").as("words"), col("p_brand")),
+          "id", o, shards = 4)
+      }
+      SegmentSearch.facetPivot(s, out, "p_brand", "words")
+        .select(col("a").as("p_brand"), col("b").as("word"), col("cnt"))
     }),
 
     // token statistics (whitespace + BPE-ish subword estimate)
@@ -8269,6 +8307,21 @@ object SparkEntry {
           |UNION ALL
           |SELECT 'slack' AS leg, CAST(p_partkey AS BIGINT) AS p_partkey, p_brand
           |FROM part WHERE p_brand = 'Brand#11'""".stripMargin,
+
+      // multivalued array surfacing: every stored occurrence, in order,
+      // replayed by unnest over the same split
+      "q289_index_multivalued" ->
+        """SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+          |  unnest(string_split(p_name, ' ')) AS word, p_brand
+          |FROM part""".stripMargin,
+
+      // pivot over (brand, word): DISTINCT per doc first (p_name words
+      // are distinct by construction, but the contract is per-combo)
+      "q290_pivot_multivalued" ->
+        """SELECT p_brand, word, CAST(count(*) AS BIGINT) AS cnt
+          |FROM (SELECT DISTINCT p_partkey, p_brand,
+          |        unnest(string_split(p_name, ' ')) AS word FROM part)
+          |GROUP BY 1, 2""".stripMargin,
 
       "q158_semantic_dedup_ivf" ->
         s"""WITH $trainAndAssign,

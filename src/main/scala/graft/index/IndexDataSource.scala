@@ -40,7 +40,10 @@ import java.util
  * their terms carry [[NumericTerms]]' sortable encoding inside the
  * index (so ranges, zone maps and TopN run in numeric order), bounds
  * encode on push and values decode on read. Multivalued fields
- * surface their FIRST value, matching [[SegmentSearch]].
+ * surface their FIRST value, matching [[SegmentSearch]] — or, with
+ * `.option("multivalued", "array")`, as `array<string>` carrying
+ * every stored occurrence in order (Solr's multiValued=true response
+ * shape; such fields are already excluded from every pushdown).
  *
  * Reference trace: the reference never reads its indexes back into the
  * engine (its product ENDS at the go-live dirs) — this source is the
@@ -64,17 +67,25 @@ class IndexDataSource extends TableProvider with DataSourceRegister {
     require(cols.nonEmpty,
       s"no column inventory in $store/_graft_segment_commit.json — not a graft segment store?")
     // numeric fields surface TYPED (the Solr plong/pdouble analog);
-    // their terms carry the sortable encoding, decoded on read
+    // their terms carry the sortable encoding, decoded on read.
+    // `.option("multivalued", "array")` surfaces multivalued fields as
+    // array<string> with ALL stored values in order — Solr's
+    // multiValued=true response shape; the default keeps the
+    // first-value scalar contract (and its pushdown exclusions).
     val marker = SegmentShardSink.readMarker(conf, store)
+    val asArray = "array".equalsIgnoreCase(options.get("multivalued"))
     StructType(cols.map { c =>
-      val dt = marker.kindOf(c) match {
-        case 'l' => LongType
-        case 'd' => DoubleType
-        case 't' => TimestampType
-        case 'u' => TimestampNTZType
-        case 'a' => DateType
-        case _ => StringType
-      }
+      val dt =
+        if (asArray && marker.multivalued.contains(c))
+          org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+        else marker.kindOf(c) match {
+          case 'l' => LongType
+          case 'd' => DoubleType
+          case 't' => TimestampType
+          case 'u' => TimestampNTZType
+          case 'a' => DateType
+          case _ => StringType
+        }
       StructField(c, dt, nullable = true)
     })
   }
@@ -109,7 +120,14 @@ private[index] class IndexTable(tableSchema: StructType, store: String)
         marker.numericTs.iterator.map(_ -> 't') ++
         marker.numericDate.iterator.map(_ -> 'a') ++
         marker.numericTsNtz.iterator.map(_ -> 'u')
-    new IndexScanBuilder(tableSchema, store, marker.multivalued, marker.analyzed, numeric)
+    // array surfacing (see inferSchema): the affected fields were
+    // already excluded from filter/TopN/aggregate pushdown as
+    // multivalued, so only row materialization changes shape
+    val arrayFields =
+      if ("array".equalsIgnoreCase(options.get("multivalued"))) marker.multivalued
+      else Set.empty[String]
+    new IndexScanBuilder(tableSchema, store, marker.multivalued, marker.analyzed,
+      numeric, arrayFields)
   }
 }
 
@@ -155,7 +173,8 @@ private[index] final case class CountFieldAgg(field: String) extends PushedAgg
 private[index] class IndexScanBuilder(full: StructType, store: String,
                                       multivalued: Set[String],
                                       analyzed: Set[String],
-                                      numeric: Map[String, Char] = Map.empty)
+                                      numeric: Map[String, Char] = Map.empty,
+                                      arrayFields: Set[String] = Set.empty)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit
     with SupportsPushDownTopN {
@@ -236,7 +255,8 @@ private[index] class IndexScanBuilder(full: StructType, store: String,
     val keys = orders.toSeq.map { o =>
       o.expression() match {
         case ref: NamedReference if ref.fieldNames().length == 1 &&
-            full.fieldNames.contains(ref.fieldNames()(0)) =>
+            full.fieldNames.contains(ref.fieldNames()(0)) &&
+            !arrayFields.contains(ref.fieldNames()(0)) =>
           Some(SortKey(ref.fieldNames()(0),
             o.direction() == SortDirection.DESCENDING,
             o.nullOrdering() == NullOrdering.NULLS_FIRST))
@@ -489,7 +509,7 @@ private[index] class IndexScanBuilder(full: StructType, store: String,
 
   override def build(): Scan =
     new IndexScan(store, required, query, countPushed, limit, topN, facetFields, aggs,
-      numeric)
+      numeric, arrayFields)
 }
 
 private[index] class IndexScan(store: String, required: StructType,
@@ -499,7 +519,8 @@ private[index] class IndexScan(store: String, required: StructType,
                                topN: Option[(Seq[SortKey], Int)] = None,
                                facetFields: Seq[String] = Nil,
                                aggs: Seq[PushedAgg] = Nil,
-                               numeric: Map[String, Char] = Map.empty)
+                               numeric: Map[String, Char] = Map.empty,
+                               arrayFields: Set[String] = Set.empty)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def description(): String = {
@@ -586,7 +607,7 @@ private[index] class IndexScan(store: String, required: StructType,
     val conf = new SerializableHadoopConf(
       SparkSession.active.sessionState.newHadoopConf())
     new IndexReaderFactory(conf, required.fieldNames, query, countOnly, limit, topN,
-      facetFields, aggs, numeric)
+      facetFields, aggs, numeric, arrayFields)
   }
 }
 
@@ -602,7 +623,8 @@ private[index] class IndexReaderFactory(conf: SerializableHadoopConf,
                                         topN: Option[(Seq[SortKey], Int)] = None,
                                         facetFields: Seq[String] = Nil,
                                         aggs: Seq[PushedAgg] = Nil,
-                                        numeric: Map[String, Char] = Map.empty)
+                                        numeric: Map[String, Char] = Map.empty,
+                                        arrayFields: Set[String] = Set.empty)
     extends PartitionReaderFactory {
 
   /** Stored/indexed term → the typed row value: numeric fields decode
@@ -795,6 +817,10 @@ private[index] class IndexReaderFactory(conf: SerializableHadoopConf,
         m
       }
 
+      // output positions surfaced as array<string> (ALL stored values
+      // in order — the Solr multiValued response shape, option-gated)
+      private val isArray: Array[Boolean] = fields.map(arrayFields.contains)
+
       override def next(): Boolean =
         if (!docs.hasNext) false
         else {
@@ -804,7 +830,27 @@ private[index] class IndexReaderFactory(conf: SerializableHadoopConf,
           while (it.hasNext) {
             val kv = it.next()
             val i = fieldIdx.get(kv._1)
-            if (i != null && arr(i) == null) arr(i) = convs(i)(kv._2)
+            if (i != null) {
+              if (isArray(i)) {
+                val buf = arr(i) match {
+                  case null =>
+                    val b = new scala.collection.mutable.ArrayBuffer[Any](4)
+                    arr(i) = b
+                    b
+                  case b: scala.collection.mutable.ArrayBuffer[Any @unchecked] => b
+                }
+                buf += UTF8String.fromString(kv._2)
+              } else if (arr(i) == null) arr(i) = convs(i)(kv._2)
+            }
+          }
+          var i = 0
+          while (i < arr.length) {
+            arr(i) match {
+              case b: scala.collection.mutable.ArrayBuffer[Any @unchecked] =>
+                arr(i) = new org.apache.spark.sql.catalyst.util.GenericArrayData(b.toArray)
+              case _ =>
+            }
+            i += 1
           }
           current = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(arr)
           true

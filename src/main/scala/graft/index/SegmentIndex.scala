@@ -2414,6 +2414,83 @@ object SegmentIndex {
       acc.toMap
     }
 
+    /** Per-doc VALUE-LIST view of `field` in segment `s` — the
+      * multivalued generalization of [[forwardFrom]]: `.dvm` lists
+      * where the segment carries them, `.dvd` as one-element lists,
+      * else a postings inversion into per-doc buffers (legacy; bumps
+      * [[dvFallbacks]]). Empty array = doc lacks the field. */
+    private def listsFrom(s: SegmentMeta, field: String,
+                          post: => Map[String, Map[String, Array[Int]]])
+        : Int => Array[String] = {
+      val dvm = readSortedSet(fs, dir, s.name, Some(Set(field)))
+      dvm.get(field) match {
+        case Some((terms, csr, lists)) =>
+          o => {
+            val n = csr(o + 1) - csr(o)
+            val out = new Array[String](n)
+            var j = 0
+            while (j < n) { out(j) = terms(lists(csr(o) + j)); j += 1 }
+            out
+          }
+        case None =>
+          val dvd = readDocValues(fs, dir, s.name, Some(Set(field)))
+          dvd.get(field) match {
+            case Some((terms, idx)) =>
+              o => if (idx(o) >= 0) Array(terms(idx(o))) else Array.empty[String]
+            case None =>
+              val fieldPost = post.getOrElse(field, Map.empty)
+              if (fieldPost.nonEmpty) dvFallbacks.incrementAndGet()
+              val bufs = Array.fill(s.docs)(List.empty[String])
+              // reverse term order so per-doc cons-lists come out in
+              // forward dictionary order — parity with the .dvm view
+              fieldPost.toSeq.sortBy(_._1)(CpOrdering.reverse).foreach {
+                case (t, ords) => ords.foreach(o => bufs(o) = t :: bufs(o))
+              }
+              o => bufs(o).toArray
+          }
+      }
+    }
+
+    /** facet.pivot over fields of ANY cardinality — Solr semantics on
+      * multivalued/analyzed fields: a doc counts once under EACH
+      * (valueA, valueB) combination it carries (cartesian per doc),
+      * with null buckets on an axis the doc lacks entirely. Served
+      * from the persisted forward columns (`.dvm`/`.dvd`); the
+      * single-valued [[pivotCounts]] stays the DSv2 pushdown's path
+      * (SQL GROUP BY semantics — it must refuse multivalued). */
+    def pivotCountsMulti(fieldA: String, fieldB: String, filter: PushedQuery)
+        : Map[(Option[String], Option[String]), Long] = {
+      val acc = mutable.HashMap.empty[(Option[String], Option[String]), Long]
+      commit.segments.foreach { s =>
+        if (!segExcluded(s, filter)) {
+          val dels = readDels(fs, dir, s)
+          lazy val allPost =
+            readPostingsFields(fs, dir, s.name, queryFields(filter) + fieldA + fieldB)
+          val la = listsFrom(s, fieldA, allPost)
+          val lb = listsFrom(s, fieldB, allPost)
+          val ords: Iterator[Int] = filter match {
+            case MatchAll => Iterator.range(0, s.docs)
+            case q => branchOrds(s, allPost, q).toArray.distinct.iterator
+          }
+          ords.filterNot(dels.contains).foreach { o =>
+            val as = la(o)
+            val bs = lb(o)
+            val aOpts: Array[Option[String]] =
+              if (as.isEmpty) Array(None) else as.map(v => Some(v): Option[String])
+            val bOpts: Array[Option[String]] =
+              if (bs.isEmpty) Array(None) else bs.map(v => Some(v): Option[String])
+            aOpts.foreach { a =>
+              bOpts.foreach { b =>
+                val k = (a, b)
+                acc.update(k, acc.getOrElse(k, 0L) + 1L)
+              }
+            }
+          }
+        }
+      }
+      acc.toMap
+    }
+
     /** stats.field under an `fq`: min/max LIVE indexed term of `field`
       * among docs matching `filter` (code-point order — Spark's string
       * MIN/MAX semantics). [[MatchAll]] delegates to the zone-map path

@@ -83,9 +83,21 @@ object SegmentSearch {
     val rows = spark.sparkContext.parallelize(dirs, dirs.size).flatMap { d =>
       val p = new Path(d)
       val reader = new SegmentIndex.Reader(p.getFileSystem(conf.value), p)
+      // field→position table, first occurrence wins (the multivalued
+      // surfacing contract) — per-doc Map + Option allocation was a
+      // visible slice of corpus-sized exports (same fix as the DSv2
+      // reader's row loop)
+      val fieldIdx = new java.util.HashMap[String, Integer](fields.length * 2)
+      fields.indices.foreach(i => fieldIdx.put(fields(i), i))
       hits(reader).map { doc =>
-        val m = SegmentIndex.firstValues(doc) // first-wins multivalued contract
-        Row.fromSeq(fields.indices.map(i => m.get(fields(i)).map(decs(i)).orNull))
+        val arr = new Array[Any](fields.length)
+        val it = doc.iterator
+        while (it.hasNext) {
+          val kv = it.next()
+          val i = fieldIdx.get(kv._1)
+          if (i != null && arr(i) == null) arr(i) = decs(i)(kv._2)
+        }
+        Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(arr))
       }
     }
     spark.createDataFrame(rows, schema)
@@ -454,6 +466,41 @@ object SegmentSearch {
         (if (nullBucket > 0) Iterator((null: String, nullBucket)) else Iterator.empty)
     }.toDF("term", "cnt_part")
       .groupBy(col("term"))
+      .agg(sum(col("cnt_part")).as("cnt"))
+  }
+
+  /**
+   * Solr `facet.pivot=a,b` over fields of ANY cardinality — including
+   * MULTIVALUED and ANALYZED fields, where a doc counts once under
+   * EACH (valueA, valueB) combination it carries (the shape the DSv2
+   * two-field GROUP BY pushdown must refuse: per-combination counts
+   * don't partition docs). Served from the persisted forward columns
+   * (`.dvm` ord lists / `.dvd`); per-shard partials are (a, b, count)
+   * rows — bounded by the product of the two vocabularies actually
+   * co-occurring — merged by one groupBy. Null bucket on an axis the
+   * doc lacks. Optional `fq` is an exact-term filter.
+   */
+  def facetPivot(spark: SparkSession, store: String, fieldA: String,
+                 fieldB: String, fq: Option[(String, String)] = None): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.sum
+    val dirs = SegmentShardSink.partIndexDirs(spark, store)
+    require(dirs.nonEmpty, s"no part dirs under $store")
+    val marker = SegmentShardSink.readMarker(ShardIndex.hadoopConf(spark), store)
+    val Seq(decA, decB) = decodeOf(marker, Seq(fieldA, fieldB)).toSeq
+    val filter: PushedQuery = fq match {
+      case Some((f, v)) => TermQuery(f, Seq(encodeTerm(marker, f, v)))
+      case None => MatchAll
+    }
+    val conf = new SerializableHadoopConf(ShardIndex.hadoopConf(spark))
+    spark.sparkContext.parallelize(dirs, dirs.size).flatMap { d =>
+      val p = new Path(d)
+      val reader = new SegmentIndex.Reader(p.getFileSystem(conf.value), p)
+      reader.pivotCountsMulti(fieldA, fieldB, filter).iterator.map {
+        case ((a, b), n) => (a.map(decA).orNull, b.map(decB).orNull, n)
+      }
+    }.toDF("a", "b", "cnt_part")
+      .groupBy(col("a"), col("b"))
       .agg(sum(col("cnt_part")).as("cnt"))
   }
 

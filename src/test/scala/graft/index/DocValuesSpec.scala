@@ -201,4 +201,55 @@ class DocValuesSpec extends AnyFunSuite {
     assert(SegmentIndex.dvFallbacks.get() === 0)
     assert(counts("shared") === 40L && counts("a0") === 10L && nulls === 0L)
   }
+
+  test("pivotCountsMulti: cartesian per doc over multivalued axes, null buckets, " +
+      "fq composition, legacy postings fallback agrees") {
+    val dir = new Path(java.nio.file.Files.createTempDirectory("dvm_pivot_").toString)
+    val fs = dir.getFileSystem(conf)
+    val w = new SegmentIndex.Writer(fs, dir)
+    // 30 docs: grp single-valued g0/g1/g2; tags multivalued — every doc
+    // gets t(i%2), even docs also t2; docs i%5==0 get NO tags at all
+    (0 until 30).foreach { i =>
+      val tags =
+        if (i % 5 == 0) Nil
+        else Seq("tags" -> ("t" + (i % 2))) ++
+          (if (i % 2 == 0) Seq("tags" -> "t2") else Nil)
+      w.addDocument(Seq("id" -> i.toString, "grp" -> ("g" + (i % 3))) ++ tags)
+    }
+    w.commit()
+    val r = new SegmentIndex.Reader(fs, dir)
+    SegmentIndex.dvFallbacks.set(0)
+    val pv = r.pivotCountsMulti("grp", "tags", MatchAll)
+    assert(SegmentIndex.dvFallbacks.get() === 0)
+    // closed form
+    def expect(g: Int, t: Option[Int]): Long = (0 until 30).count { i =>
+      i % 3 == g && (t match {
+        case None => i % 5 == 0
+        case Some(2) => i % 5 != 0 && i % 2 == 0
+        case Some(x) => i % 5 != 0 && i % 2 == x
+      })
+    }.toLong
+    (0 until 3).foreach { g =>
+      assert(pv.getOrElse((Some(s"g$g"), Some("t0")), 0L) === expect(g, Some(0)), s"g$g t0")
+      assert(pv.getOrElse((Some(s"g$g"), Some("t2")), 0L) === expect(g, Some(2)), s"g$g t2")
+      assert(pv.getOrElse((Some(s"g$g"), None), 0L) === expect(g, None), s"g$g null")
+    }
+    // a doc with two tags counted once under EACH combination: total
+    // pivot mass = sum over docs of |tags| (or 1 when empty)
+    assert(pv.values.sum === (0 until 30).map(i =>
+      if (i % 5 == 0) 1 else if (i % 2 == 0) 2 else 1).sum.toLong)
+    // fq composes
+    val fq = r.pivotCountsMulti("grp", "tags", TermQuery("grp", Seq("g1")))
+    assert(fq.keys.forall(_._1 === Some("g1")))
+    assert(fq.values.sum === (0 until 30).filter(_ % 3 == 1).map(i =>
+      if (i % 5 == 0) 1 else if (i % 2 == 0) 2 else 1).sum.toLong)
+    // legacy store (no .dvm/.dvd): postings inversion, same answers
+    val seg = r.commit.segments.head.name
+    fs.delete(new Path(dir, s"$seg.dvm"), false)
+    fs.delete(new Path(dir, s"$seg.dvd"), false)
+    SegmentIndex.dvFallbacks.set(0)
+    val legacy = new SegmentIndex.Reader(fs, dir).pivotCountsMulti("grp", "tags", MatchAll)
+    assert(SegmentIndex.dvFallbacks.get() > 0)
+    assert(legacy === pv)
+  }
 }

@@ -226,6 +226,44 @@ class IndexDataSourceSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).sorted.toSeq === Seq("1", "2"))
   }
 
+  test("multivalued=array option surfaces ALL stored values in order; " +
+      "default keeps the first-value scalar; filters stay residual") {
+    import spark.implicits._
+    val out = tmp("graft_dsv2_mvarr_")
+    val df = Seq(
+      ("1", Seq("y", "x"), "a"),
+      ("2", Seq("x"), "b"),
+      ("3", Seq.empty[String], "c") // no tags values at all -> null column
+    ).toDF("id", "tags", "v")
+    SegmentShardSink.write(df, "id", out, shards = 1)
+    // default: scalar first value (unchanged contract)
+    val scalar = spark.read.format("graft-index").load(out)
+    assert(scalar.schema("tags").dataType === org.apache.spark.sql.types.StringType)
+    assert(scalar.orderBy("id").select("tags").collect().map(_.getString(0)).toSeq ===
+      Seq("y", "x", null))
+    // array option: every value, stored order, missing field -> null
+    val arr = spark.read.format("graft-index").option("multivalued", "array").load(out)
+    assert(arr.schema("tags").dataType ===
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, containsNull = false))
+    val got = arr.orderBy("id").select("id", "tags").collect()
+      .map(r => r.getString(0) -> Option(r.getSeq[String](1)).map(_.toList))
+    assert(got.toSeq === Seq("1" -> Some(List("y", "x")), "2" -> Some(List("x")),
+      "3" -> None))
+    // array-typed field: equality filter can't push (residual Spark
+    // evaluation over the array), scalar filters on other fields still do
+    val hits = arr.filter(array_contains(col("tags"), "x") && col("v") === "b")
+    val scan = hits.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.description()
+    }
+    assert(scan.exists(_.contains("pushedTerm=v:b")), s"scan was: $scan")
+    assert(hits.select("id").collect().map(_.getString(0)).toSeq === Seq("2"))
+    // explode parity with the source frame
+    val exploded = arr.select(col("id"), explode(col("tags")).as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(exploded === Seq(("1", "x"), ("1", "y"), ("2", "x")))
+  }
+
   test("COUNT(*) pushes to metadata/postings; deletes respected; grouped counts push too") {
     val idx = spark.read.format("graft-index").load(store)
     val cnt = idx.agg(org.apache.spark.sql.functions.count(
