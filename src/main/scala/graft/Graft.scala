@@ -89,9 +89,33 @@ object Graft {
     * occurrence in order (Solr's multiValued=true response shape);
     * the default keeps the first-value scalar contract. */
   def openSegmentIndex(spark: SparkSession, store: String,
-                       multivaluedAsArray: Boolean = false): DataFrame = {
-    val r = spark.read.format("graft-index")
-    (if (multivaluedAsArray) r.option("multivalued", "array") else r).load(store)
+                       multivaluedAsArray: Boolean = false,
+                       snapshot: Option[String] = None): DataFrame = {
+    var r = spark.read.format("graft-index")
+    if (multivaluedAsArray) r = r.option("multivalued", "array")
+    snapshot.foreach(t => r = r.option("snapshot", t))
+    r.load(store)
+  }
+
+  /** Capture the store's current commit generations as an opaque
+    * snapshot token — the Delta `versionAsOf` analog for segment
+    * stores. Pass it to [[openSegmentIndex]]'s `snapshot` to read the
+    * store exactly as it was when the token was taken, regardless of
+    * upserts/merges committed since. Tokens stay openable while every
+    * part's pinned generation is within its writer's retention window
+    * (`retainGenerations` on [[upsertIndex]]/[[mergeIndex]] — the
+    * default 1 keeps only the live commit, so pass K > 1 on the
+    * ingest side to hold K-1 older snapshots). Generations are
+    * per-PART (an upsert only commits the parts its delta touches),
+    * hence a vector token, not a single number. */
+  def indexSnapshot(spark: SparkSession, store: String): String = {
+    val conf = graft.index.ShardIndex.hadoopConf(spark)
+    graft.index.SegmentShardSink.partIndexDirs(spark, store).map { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val gen = graft.index.SegmentIndex.latestCommit(p.getFileSystem(conf), p)
+        .map(_.gen).getOrElse(throw new IllegalStateException(s"no commit in $d"))
+      s"${p.getParent.getParent.getName}:$gen"
+    }.mkString(",")
   }
 
   /** Incremental upsert of a delta batch into a segment store
@@ -104,8 +128,10 @@ object Graft {
     * docs/QUERIES.md §"Tiered merge knobs" for the mapping. */
   def upsertIndex(spark: SparkSession, store: String, updates: DataFrame,
                   mergePolicy: graft.index.SegmentIndex.MergePolicy =
-                    graft.index.SegmentIndex.MergePolicy()): Unit =
-    graft.index.SegmentShardSink.upsert(spark, store, updates, mergePolicy)
+                    graft.index.SegmentIndex.MergePolicy(),
+                  retainGenerations: Int = 1): Unit =
+    graft.index.SegmentShardSink.upsert(spark, store, updates, mergePolicy,
+      retainGenerations)
 
   /** Run the tiered merge policy across every part of a store without
     * ingesting anything — the standalone counter-force for stores
@@ -113,8 +139,10 @@ object Graft {
     * [[graft.index.SegmentShardSink.maybeMerge]]). */
   def mergeIndex(spark: SparkSession, store: String,
                  mergePolicy: graft.index.SegmentIndex.MergePolicy =
-                   graft.index.SegmentIndex.MergePolicy()): Unit =
-    graft.index.SegmentShardSink.maybeMerge(spark, store, mergePolicy)
+                   graft.index.SegmentIndex.MergePolicy(),
+                 retainGenerations: Int = 1): Unit =
+    graft.index.SegmentShardSink.maybeMerge(spark, store, mergePolicy,
+      retainGenerations)
 
   /** Compile a Solr/Lucene query string (`field:term AND n:[1 TO 5]`)
     * to a Catalyst predicate usable on any DataFrame — including

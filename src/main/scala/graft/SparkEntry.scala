@@ -1546,6 +1546,41 @@ object SparkEntry {
           col("n_chars").cast("long").as("n_chars"))
     }),
 
+    // Snapshot-isolated time travel over the segment store (Delta
+    // versionAsOf analog / Lucene SnapshotDeletionPolicy): capture a
+    // snapshot token, upsert a delta batch under a retention window,
+    // then read BOTH the pinned snapshot (the exact pre-upsert state)
+    // and the live table from the SAME store — the reproducible-
+    // training-run contract ("the corpus exactly as the last run saw
+    // it") without copying the store. The store is rebuilt fresh each
+    // run (the flow is a state transition, not a steady-state query),
+    // and both generations' aggregates are oracled from the source.
+    "q291_snapshot_read" -> ((s, d) => {
+      import graft.index.SegmentShardSink
+      import s.implicits._
+      val base = Tables.part(s, d)
+        .select(col("p_partkey").cast("string").as("id"), col("p_brand"),
+          col("p_size"))
+      val out = java.nio.file.Files.createTempDirectory("graft_q291_").toString
+      SegmentShardSink.write(base, "id", out, shards = 2)
+      val token = Graft.indexSnapshot(s, out)
+      val delta = Tables.part(s, d).filter(col("p_partkey") % 7 === 0)
+        .select(col("p_partkey").cast("string").as("id"),
+          lit("Brand#99").as("p_brand"), lit(999).as("p_size"))
+        .unionByName((1 to 50).map(i => (s"x$i", "Brand#NEW", 111))
+          .toDF("id", "p_brand", "p_size"))
+      // retention window: the upsert's commit (+ any merge fold) must
+      // not reclaim the token's pinned generations
+      SegmentShardSink.upsert(s, out, delta, retainGenerations = 4)
+      def agg(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("p_size").cast("long")).as("sum_size"))
+          .select(lit(tag).as("src"), col("p_brand"), col("cnt"), col("sum_size"))
+      agg(Graft.openSegmentIndex(s, out, snapshot = Some(token)), "snapshot")
+        .unionByName(agg(Graft.openSegmentIndex(s, out), "live"))
+    }),
+
     // Luke/terms-component statistics: per-term live doc frequency
     // from the index's own POSTINGS (stored docs never read), summed
     // across shards — oracled against DuckDB on the source table, so
@@ -5462,6 +5497,22 @@ object SparkEntry {
       """SELECT doc_id, lang,
         |  CAST(n_chars + 1000 * (1 + doc_id % 12) AS BIGINT) AS n_chars
         |FROM documents""".stripMargin,
+
+    "q291_snapshot_read" ->
+      """WITH live AS (
+        |  SELECT CASE WHEN p_partkey % 7 = 0 THEN 'Brand#99' ELSE p_brand END AS p_brand,
+        |         CASE WHEN p_partkey % 7 = 0 THEN 999 ELSE p_size END AS p_size
+        |  FROM part
+        |  UNION ALL
+        |  SELECT 'Brand#NEW' AS p_brand, 111 AS p_size FROM range(50)
+        |)
+        |SELECT 'snapshot' AS src, p_brand, CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(p_size) AS BIGINT) AS sum_size
+        |FROM part GROUP BY p_brand
+        |UNION ALL
+        |SELECT 'live' AS src, p_brand, CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(p_size) AS BIGINT) AS sum_size
+        |FROM live GROUP BY p_brand""".stripMargin,
 
     "q110_luke_terms" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS doc_freq

@@ -126,8 +126,23 @@ private[index] class IndexTable(tableSchema: StructType, store: String)
     val arrayFields =
       if ("array".equalsIgnoreCase(options.get("multivalued"))) marker.multivalued
       else Set.empty[String]
+    // `.option("snapshot", token)` — time-travel read (Delta
+    // `versionAsOf` analog): the token from [[Graft.indexSnapshot]]
+    // pins every part to the commit generation it carried when the
+    // token was taken; the scan reads that immutable snapshot
+    // regardless of commits landing afterwards (as long as the
+    // writer's retention policy keeps it — see
+    // SegmentIndex.Writer.retainGenerations)
+    val snapshot: Option[Map[String, Int]] =
+      Option(options.get("snapshot")).map { tok =>
+        tok.split(",").iterator.filter(_.nonEmpty).map { e =>
+          val i = e.lastIndexOf(':')
+          require(i > 0, s"malformed snapshot token entry '$e'")
+          e.substring(0, i) -> e.substring(i + 1).toInt
+        }.toMap
+      }
     new IndexScanBuilder(tableSchema, store, marker.multivalued, marker.analyzed,
-      numeric, arrayFields)
+      numeric, arrayFields, snapshot)
   }
 }
 
@@ -174,7 +189,8 @@ private[index] class IndexScanBuilder(full: StructType, store: String,
                                       multivalued: Set[String],
                                       analyzed: Set[String],
                                       numeric: Map[String, Char] = Map.empty,
-                                      arrayFields: Set[String] = Set.empty)
+                                      arrayFields: Set[String] = Set.empty,
+                                      snapshot: Option[Map[String, Int]] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit
     with SupportsPushDownTopN {
@@ -509,7 +525,7 @@ private[index] class IndexScanBuilder(full: StructType, store: String,
 
   override def build(): Scan =
     new IndexScan(store, required, query, countPushed, limit, topN, facetFields, aggs,
-      numeric, arrayFields)
+      numeric, arrayFields, snapshot)
 }
 
 private[index] class IndexScan(store: String, required: StructType,
@@ -520,7 +536,8 @@ private[index] class IndexScan(store: String, required: StructType,
                                facetFields: Seq[String] = Nil,
                                aggs: Seq[PushedAgg] = Nil,
                                numeric: Map[String, Char] = Map.empty,
-                               arrayFields: Set[String] = Set.empty)
+                               arrayFields: Set[String] = Set.empty,
+                               snapshot: Option[Map[String, Int]] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def description(): String = {
@@ -567,6 +584,7 @@ private[index] class IndexScan(store: String, required: StructType,
     s"GraftIndexScan store=$store $q " +
       aggDesc +
       (if (facetFields.nonEmpty) s"pushedGroupBy=${facetFields.mkString(",")} " else "") +
+      snapshot.map(_ => "snapshot=pinned ").getOrElse("") +
       limit.map(n => s"pushedLimit=$n ").getOrElse("") +
       topN.map { case (ks, n) =>
         val o = ks.map(k => s"${k.field} ${if (k.desc) "DESC" else "ASC"}").mkString(",")
@@ -589,12 +607,26 @@ private[index] class IndexScan(store: String, required: StructType,
     val hconf = spark.sessionState.newHadoopConf()
     dirs.flatMap { d =>
       val p = new Path(d)
-      // the planned GENERATION rides in every partition: readers
-      // verify gen equality at open, so a commit landing between
-      // planning and execution fails the task (fresh replan) instead
-      // of one scan silently mixing generations across shards
-      val cp = scala.util.Try(
-        SegmentIndex.latestCommit(p.getFileSystem(hconf), p)).toOption.flatten
+      // the planned GENERATION rides in every partition: readers open
+      // exactly that commit snapshot, so a commit landing between
+      // planning and execution never mixes generations across shards
+      // (and, when the writer retains generations, doesn't even fail
+      // the scan — it keeps reading its snapshot). A snapshot token
+      // pins each part to the generation recorded when the token was
+      // taken (time travel) instead of the planning-time latest.
+      val cp = snapshot match {
+        case Some(pins) =>
+          val part = p.getParent.getParent.getName
+          val g = pins.getOrElse(part, throw new IllegalStateException(
+            s"snapshot token has no entry for part '$part' of $store — " +
+              "the store's part layout changed since the token was taken"))
+          Some(SegmentIndex.commitAt(p.getFileSystem(hconf), p, g).getOrElse(
+            throw new IllegalStateException(
+              s"snapshot generation $g of $d is not available — reclaimed " +
+                "by the retention policy (Writer.retainGenerations)")))
+        case None => scala.util.Try(
+          SegmentIndex.latestCommit(p.getFileSystem(hconf), p)).toOption.flatten
+      }
       val gen = cp.map(_.gen)
       val segs = cp.map(_.segments.map(_.name)).getOrElse(Nil)
       if (segs.length <= 1) Seq(IndexInputPartition(d, None, gen): InputPartition)
@@ -787,19 +819,57 @@ private[index] class IndexReaderFactory(conf: SerializableHadoopConf,
         out.iterator
       }
 
-      private lazy val docs: Iterator[SegmentIndex.Doc] = {
+      private lazy val rows: Iterator[InternalRow] = {
         val reader = new SegmentIndex.Reader(dir.getFileSystem(conf.value), dir, segs, gen)
-        val it = query match {
-          case TermQuery(f, Seq(t)) => reader.termDocs(f, t).iterator
-          case TermQuery(f, ts) => reader.termDocsIn(f, ts).iterator
-          case RangeQuery(f, lo, loInc, hi, hiInc) =>
-            reader.rangeDocs(f, lo, loInc, hi, hiInc).iterator
-          case q @ (_: OrQuery | _: AndQuery | _: NotQuery) => reader.queryDocs(q).iterator
-          case MatchAll => reader.allDocs()
-        }
-        topN match {
-          case Some((keys, n)) => localTopN(it, keys, n)
-          case None => limit.map(it.take).getOrElse(it) // per-shard early stop
+        // COLUMNAR retrieval (Lucene docValues retrieval): when the
+        // projection has no array-surfaced field and no pushed sort,
+        // rows assemble from the `.dvd` forward columns of exactly the
+        // projected fields — the `.fld` stored blocks (every field of
+        // every doc, decompressed) never open, so a narrow projection
+        // over a wide store reads I/O ∝ projected columns, not row
+        // width. Segments lacking a column (legacy, or the field is
+        // analyzed/multivalued there) fall back to stored fetch
+        // per-segment; results are identical either way.
+        if (topN.isEmpty && !fields.exists(arrayFields.contains)) {
+          val base = reader.matchOrdsBySegment(query).flatMap { case (s, ords) =>
+            if (ords.length == 0) Iterator.empty
+            else reader.docValuesCols(s, fields) match {
+              case Some(cols) =>
+                // dict converted ONCE per (segment, field) — per-row
+                // work is two array reads per column
+                val dicts = new Array[Array[Any]](cols.length)
+                var i = 0
+                while (i < cols.length) {
+                  dicts(i) = cols(i)._1.map(convs(i))
+                  i += 1
+                }
+                ords.iterator.map { o =>
+                  val arr = new Array[Any](fields.length)
+                  var j = 0
+                  while (j < fields.length) {
+                    val ti = cols(j)._2(o)
+                    if (ti >= 0) arr(j) = dicts(j)(ti)
+                    j += 1
+                  }
+                  new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(arr)
+                }
+              case None => reader.storedDocsAt(s, ords).iterator.map(docToRow)
+            }
+          }
+          limit.map(base.take).getOrElse(base) // per-shard early stop
+        } else {
+          val it = query match {
+            case TermQuery(f, Seq(t)) => reader.termDocs(f, t).iterator
+            case TermQuery(f, ts) => reader.termDocsIn(f, ts).iterator
+            case RangeQuery(f, lo, loInc, hi, hiInc) =>
+              reader.rangeDocs(f, lo, loInc, hi, hiInc).iterator
+            case q @ (_: OrQuery | _: AndQuery | _: NotQuery) => reader.queryDocs(q).iterator
+            case MatchAll => reader.allDocs()
+          }
+          (topN match {
+            case Some((keys, n)) => localTopN(it, keys, n)
+            case None => limit.map(it.take).getOrElse(it) // per-shard early stop
+          }).map(docToRow)
         }
       }
       private var current: InternalRow = _
@@ -821,40 +891,40 @@ private[index] class IndexReaderFactory(conf: SerializableHadoopConf,
       // in order — the Solr multiValued response shape, option-gated)
       private val isArray: Array[Boolean] = fields.map(arrayFields.contains)
 
-      override def next(): Boolean =
-        if (!docs.hasNext) false
-        else {
-          val doc = docs.next()
-          val arr = new Array[Any](fields.length)
-          val it = doc.iterator
-          while (it.hasNext) {
-            val kv = it.next()
-            val i = fieldIdx.get(kv._1)
-            if (i != null) {
-              if (isArray(i)) {
-                val buf = arr(i) match {
-                  case null =>
-                    val b = new scala.collection.mutable.ArrayBuffer[Any](4)
-                    arr(i) = b
-                    b
-                  case b: scala.collection.mutable.ArrayBuffer[Any @unchecked] => b
-                }
-                buf += UTF8String.fromString(kv._2)
-              } else if (arr(i) == null) arr(i) = convs(i)(kv._2)
-            }
+      private def docToRow(doc: SegmentIndex.Doc): InternalRow = {
+        val arr = new Array[Any](fields.length)
+        val it = doc.iterator
+        while (it.hasNext) {
+          val kv = it.next()
+          val i = fieldIdx.get(kv._1)
+          if (i != null) {
+            if (isArray(i)) {
+              val buf = arr(i) match {
+                case null =>
+                  val b = new scala.collection.mutable.ArrayBuffer[Any](4)
+                  arr(i) = b
+                  b
+                case b: scala.collection.mutable.ArrayBuffer[Any @unchecked] => b
+              }
+              buf += UTF8String.fromString(kv._2)
+            } else if (arr(i) == null) arr(i) = convs(i)(kv._2)
           }
-          var i = 0
-          while (i < arr.length) {
-            arr(i) match {
-              case b: scala.collection.mutable.ArrayBuffer[Any @unchecked] =>
-                arr(i) = new org.apache.spark.sql.catalyst.util.GenericArrayData(b.toArray)
-              case _ =>
-            }
-            i += 1
-          }
-          current = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(arr)
-          true
         }
+        var i = 0
+        while (i < arr.length) {
+          arr(i) match {
+            case b: scala.collection.mutable.ArrayBuffer[Any @unchecked] =>
+              arr(i) = new org.apache.spark.sql.catalyst.util.GenericArrayData(b.toArray)
+            case _ =>
+          }
+          i += 1
+        }
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(arr)
+      }
+
+      override def next(): Boolean =
+        if (!rows.hasNext) false
+        else { current = rows.next(); true }
 
       override def get(): InternalRow = current
       override def close(): Unit = ()

@@ -1593,29 +1593,38 @@ object SegmentIndex {
       case genRe(g) => Some(g.toInt)
       case _ => None
     })
-    if (gens.isEmpty) None
-    else {
-      val gen = gens.max
-      val p = new Path(dir, s"segments_$gen")
-      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-      val in = fs.open(p)
-      try in.readFully(0, buf) finally in.close()
-      val root = new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(new String(buf, StandardCharsets.UTF_8))
-      import scala.jdk.CollectionConverters._
-      val segs = root.get("segments").elements().asScala.map { s =>
-        val stats =
-          if (!s.has("stats")) Map.empty[String, (String, String)]
-          else s.get("stats").properties().asScala.map { e =>
-            e.getKey -> (e.getValue.get(0).asText(), e.getValue.get(1).asText())
-          }.toMap
-        SegmentMeta(s.get("name").asText(), s.get("docs").asInt(),
-          if (s.has("dels")) s.get("dels").asInt() else 0,
-          if (s.has("delgen")) s.get("delgen").asInt() else 0,
-          stats)
-      }.toSeq
-      Some(CommitPoint(gen, root.get("counter").asInt(), segs))
-    }
+    if (gens.isEmpty) None else Some(readCommitFile(fs, dir, gens.max))
+  }
+
+  /** Open commit generation `gen` exactly — the snapshot read under
+    * the retention policy ([[Writer]] `retainGenerations`). `None`
+    * when that generation's `segments_N` file is absent (reclaimed or
+    * never written). */
+  def commitAt(fs: FileSystem, dir: Path, gen: Int): Option[CommitPoint] = {
+    if (!fs.exists(new Path(dir, s"segments_$gen"))) None
+    else Some(readCommitFile(fs, dir, gen))
+  }
+
+  private def readCommitFile(fs: FileSystem, dir: Path, gen: Int): CommitPoint = {
+    val p = new Path(dir, s"segments_$gen")
+    val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+    val in = fs.open(p)
+    try in.readFully(0, buf) finally in.close()
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new String(buf, StandardCharsets.UTF_8))
+    import scala.jdk.CollectionConverters._
+    val segs = root.get("segments").elements().asScala.map { s =>
+      val stats =
+        if (!s.has("stats")) Map.empty[String, (String, String)]
+        else s.get("stats").properties().asScala.map { e =>
+          e.getKey -> (e.getValue.get(0).asText(), e.getValue.get(1).asText())
+        }.toMap
+      SegmentMeta(s.get("name").asText(), s.get("docs").asInt(),
+        if (s.has("dels")) s.get("dels").asInt() else 0,
+        if (s.has("delgen")) s.get("delgen").asInt() else 0,
+        stats)
+    }.toSeq
+    CommitPoint(gen, root.get("counter").asInt(), segs)
   }
 
   private def writeCommit(fs: FileSystem, dir: Path, cp: CommitPoint): Unit = {
@@ -1643,11 +1652,48 @@ object SegmentIndex {
     val p = new Path(dir, s"segments_${cp.gen}")
     val os = fs.create(p, true)
     try os.write(json.getBytes(StandardCharsets.UTF_8)) finally os.close()
-    // keep-last-commit deletion policy: older generations are dead
-    fs.listStatus(dir).foreach(s => s.getPath.getName match {
-      case genRe(g) if g.toInt < cp.gen => fs.delete(s.getPath, false)
-      case _ =>
-    })
+  }
+
+  private[index] val SegmentFileExts = Seq("fld", "fdx", "trm", "nrm", "dvd", "dvm")
+
+  /** Every file a commit point references: segment data files plus
+    * the live tombstone generation per segment. */
+  private def commitRefs(fs: FileSystem, dir: Path, gen: Int): Set[String] =
+    commitAt(fs, dir, gen).map { cp =>
+      cp.segments.flatMap { s =>
+        SegmentFileExts.map(e => s"${s.name}.$e") ++
+          (if (s.delGen > 0) Seq(delFile(s.name, s.delGen)) else Nil)
+      }.toSet
+    }.getOrElse(Set.empty)
+
+  /**
+   * Retention deletion policy (Lucene `IndexFileDeleter` +
+   * `KeepOnlyLastCommitDeletionPolicy`/`SnapshotDeletionPolicy`
+   * analog): keep the newest `retain` commit generations; every file
+   * referenced ONLY by older commits is deleted, then the old
+   * `segments_N` files themselves. Files referenced by NO commit —
+   * this writer's flushed-but-unpublished segments, crash leftovers —
+   * are never touched. With `retain = 1` this reproduces the
+   * keep-last-commit behavior exactly (merged-away segments, stale
+   * tombstone generations and dropped fully-deleted segments vanish
+   * the moment the next commit lands); with `retain = K` a reader
+   * pinned at any of the newest K generations keeps a complete,
+   * immutable snapshot while upserts and merges commit concurrently.
+   */
+  private def reclaimCommits(fs: FileSystem, dir: Path, retain: Int): Unit = {
+    val keep = math.max(1, retain)
+    val gens = fs.listStatus(dir).flatMap(s => s.getPath.getName match {
+      case genRe(g) => Some(g.toInt)
+      case _ => None
+    }).sorted(Ordering.Int.reverse)
+    if (gens.length <= keep) return
+    val (kept, dropped) = gens.splitAt(keep)
+    val keepRefs = kept.iterator.flatMap(g => commitRefs(fs, dir, g)).toSet
+    dropped.foreach { g =>
+      (commitRefs(fs, dir, g) -- keepRefs)
+        .foreach(f => fs.delete(new Path(dir, f), false))
+      fs.delete(new Path(dir, s"segments_$g"), false)
+    }
   }
 
   /**
@@ -1658,8 +1704,10 @@ object SegmentIndex {
   final class Writer(fs: FileSystem, dir: Path,
                      analyzed: Set[String] = Set.empty,
                      compressStored: Boolean = true,
-                     maxBufferedDocs: Int = 1 << 17) {
+                     maxBufferedDocs: Int = 1 << 17,
+                     retainGenerations: Int = 1) {
     require(maxBufferedDocs > 0)
+    require(retainGenerations >= 1, "retainGenerations must be >= 1")
     // diagnostic knob (StoreStats codec A/B): which block codec
     // compressed flushes write; readers always dispatch on the magic
     private[index] var storedCodecMagic: Int = DefaultStoredMagic
@@ -1762,15 +1810,12 @@ object SegmentIndex {
             segments = commitPoint.segments :+ meta)
         }
       val nextGen = withFlush.gen + 1
-      val dropped = mutable.ArrayBuffer.empty[SegmentMeta]
-      val staleDelFiles = mutable.ArrayBuffer.empty[String]
       val segs = withFlush.segments.flatMap { seg =>
         pendingDels.get(seg.name) match {
           case None => Some(seg)
           case Some(newOnes) =>
             val merged = readDels(fs, dir, seg) ++ newOnes
-            if (seg.delGen > 0) staleDelFiles += delFile(seg.name, seg.delGen)
-            if (merged.size >= seg.docs) { dropped += seg; None }
+            if (merged.size >= seg.docs) None // fully deleted: dropped from the commit
             else {
               writeDels(fs, dir, seg.name, nextGen, merged)
               Some(seg.copy(dels = merged.size, delGen = nextGen))
@@ -1785,11 +1830,11 @@ object SegmentIndex {
       sessionFlushed.clear()
       commitPoint = CommitPoint(nextGen, withFlush.counter, segs)
       writeCommit(fs, dir, commitPoint)
-      // now that the new generation is live, remove dead files
-      staleDelFiles.foreach(f => fs.delete(new Path(dir, f), false))
-      dropped.foreach { s =>
-        Seq("fld", "fdx", "trm", "nrm", "dvd", "dvm").foreach(ext => fs.delete(new Path(dir, s"${s.name}.$ext"), false))
-      }
+      // now that the new generation is live, reclaim files outside the
+      // retention window (stale tombstone generations and dropped
+      // fully-deleted segments fall out once no retained commit
+      // references them)
+      reclaimCommits(fs, dir, retainGenerations)
       commitPoint
     }
 
@@ -1866,10 +1911,9 @@ object SegmentIndex {
           }
         commitPoint = CommitPoint(commitPoint.gen + 1, commitPoint.counter + 1, Seq(meta))
         writeCommit(fs, dir, commitPoint)
-        old.foreach { s =>
-          Seq("fld", "fdx", "trm", "nrm", "dvd", "dvm").foreach(ext => fs.delete(new Path(dir, s"${s.name}.$ext"), false))
-          if (s.delGen > 0) fs.delete(new Path(dir, delFile(s.name, s.delGen)), false)
-        }
+        // pre-merge segment files live until they leave the retention
+        // window (retain=1: deleted now, exactly the old behavior)
+        reclaimCommits(fs, dir, retainGenerations)
         commitPoint
       }
     }
@@ -1921,11 +1965,7 @@ object SegmentIndex {
             commitPoint = CommitPoint(commitPoint.gen + 1, commitPoint.counter + 1,
               commitPoint.segments.filterNot(s => victimNames(s.name)) :+ meta)
             writeCommit(fs, dir, commitPoint)
-            victims.foreach { s =>
-              Seq("fld", "fdx", "trm", "nrm", "dvd", "dvm").foreach(ext =>
-                fs.delete(new Path(dir, s"${s.name}.$ext"), false))
-              if (s.delGen > 0) fs.delete(new Path(dir, delFile(s.name, s.delGen)), false)
-            }
+            reclaimCommits(fs, dir, retainGenerations)
             again = true
           }
       }
@@ -1954,28 +1994,32 @@ object SegmentIndex {
     *   planned partitions (same pinned segment list), so the job fails
     *   fast after max retries: safe vs mixed generations. */
   /** @param expectedGen the commit GENERATION the caller planned
-    *   against (DSv2 partition planning records it): a different live
-    *   generation at open time is an ERROR — without this check a
-    *   commit landing between planning and execution lets one scan
-    *   mix generations across shards (multi-segment shards pin their
-    *   planned segment list while single-segment shards would read
-    *   the new commit). Task retries reuse the same planned gen, so a
-    *   commit landing mid-scan fails the whole job fast (correct:
-    *   never mixes generations). Consequence: concurrent scans and
-    *   upserts of the SAME store are mutually exclusive — maybeMerge
-    *   bumps the generation on every upsert, so schedule reads and
-    *   ingest of one store serially (or read a snapshot copy). */
+    *   against (DSv2 partition planning records it): the reader opens
+    *   exactly that `segments_N` snapshot, so a commit landing between
+    *   planning and execution cannot mix generations across shards —
+    *   every partition of one scan reads the same immutable commit
+    *   point. With the writer's retention policy (`retainGenerations
+    *   = K`), the pinned snapshot's files survive the next K-1 commits,
+    *   so concurrent scans and upserts of the SAME store are safe as
+    *   long as a scan finishes within K-1 commits of its planning; a
+    *   snapshot already reclaimed (the retain=1 default reproduces
+    *   keep-last-commit) is an ERROR, and task retries reuse the same
+    *   planned gen, so the job fails fast rather than silently reading
+    *   a different generation. */
   final class Reader(fs: FileSystem, dir: Path,
                      onlySegments: Option[Set[String]] = None,
                      expectedGen: Option[Int] = None) {
     val commit: CommitPoint = {
-      val full = latestCommit(fs, dir).getOrElse(
-        throw new IllegalStateException(s"no commit in index $dir"))
-      expectedGen.foreach { g =>
-        if (full.gen != g) throw new IllegalStateException(
-          s"index $dir is at commit generation ${full.gen}, scan was " +
-            s"planned against generation $g — store modified between " +
-            "scan planning and execution")
+      val full = expectedGen match {
+        case Some(g) => commitAt(fs, dir, g).getOrElse {
+          val live = latestCommit(fs, dir).map(_.gen.toString).getOrElse("none")
+          throw new IllegalStateException(
+            s"commit generation $g of index $dir is not available (store " +
+              s"is at generation $live) — the snapshot was reclaimed by the " +
+              "retention policy (Writer.retainGenerations) or never existed")
+        }
+        case None => latestCommit(fs, dir).getOrElse(
+          throw new IllegalStateException(s"no commit in index $dir"))
       }
       onlySegments match {
         case None => full
@@ -2215,6 +2259,66 @@ object SegmentIndex {
             .filterNot(dels.contains).toArray.distinct.length.toLong
         }
       }.sum
+
+    /** Ascending LIVE match ordinals per segment — the ord-level core
+      * every doc-fetch path derives from, exposed for COLUMNAR
+      * retrieval (see [[docValuesCols]]): callers assemble projected
+      * rows from forward columns instead of fetching whole stored
+      * docs. Zone-map-excluded segments yield empty without opening
+      * any file. */
+    def matchOrdsBySegment(q: PushedQuery): Iterator[(SegmentMeta, Array[Int])] =
+      commit.segments.iterator.map { s =>
+        val ords: Array[Int] = q match {
+          case MatchAll =>
+            val dels = readDels(fs, dir, s)
+            if (dels.isEmpty) Array.range(0, s.docs)
+            else Array.range(0, s.docs).filterNot(dels.contains)
+          case TermQuery(f, ts) =>
+            val dels = readDels(fs, dir, s)
+            val post = readPostingsFields(fs, dir, s.name, Set(f))
+              .getOrElse(f, Map.empty)
+            val raw =
+              if (ts.lengthIs == 1) post.getOrElse(ts.head, Array.empty[Int])
+              else ts.iterator.flatMap(t =>
+                post.getOrElse(t, Array.empty[Int]).iterator).toArray.distinct.sorted
+            raw.filterNot(dels.contains)
+          case RangeQuery(f, lo, loInc, hi, hiInc) =>
+            if (!segmentCanMatch(s, f, lo, loInc, hi, hiInc)) Array.empty[Int]
+            else {
+              val dels = readDels(fs, dir, s)
+              rangeOrds(s, f, lo, loInc, hi, hiInc).filterNot(dels.contains)
+            }
+          case q @ (_: OrQuery | _: AndQuery | _: NotQuery) =>
+            if (segExcluded(s, q)) Array.empty[Int]
+            else {
+              val dels = readDels(fs, dir, s)
+              lazy val allPost = readPostingsFields(fs, dir, s.name, queryFields(q))
+              branchOrds(s, allPost, q)
+                .filterNot(dels.contains).toArray.distinct.sorted
+            }
+        }
+        (s, ords)
+      }
+
+    /** Forward columns of exactly `fields` from one segment's `.dvd`
+      * (Lucene docValues retrieval): per field its CP-sorted value
+      * dict and the per-ordinal dict index (-1 = doc lacks the field).
+      * `None` when any requested field has no persisted column there
+      * (legacy segment, or the field is analyzed / multivalued in
+      * that segment) — the caller falls back to stored-doc fetch for
+      * that segment. I/O ∝ the requested fields' columns; the `.fld`
+      * stored fields are never opened. */
+    def docValuesCols(s: SegmentMeta, fields: Array[String])
+        : Option[Array[(Array[String], Array[Int])]] = {
+      if (fields.isEmpty) return Some(Array.empty)
+      val m = readDocValues(fs, dir, s.name, Some(fields.toSet))
+      if (fields.forall(m.contains)) Some(fields.map(m)) else None
+    }
+
+    /** Stored docs of one segment at the given LIVE ordinals — the
+      * per-segment fallback for [[matchOrdsBySegment]] consumers. */
+    def storedDocsAt(s: SegmentMeta, ords: Array[Int]): Seq[Doc] =
+      readStoredDocsAt(fs, dir, s.name, ords, s.docs)
 
     /** Min/max LIVE indexed term of a non-analyzed field (code-point
       * order — Spark's string MIN/MAX semantics). A segment WITHOUT
@@ -2837,9 +2941,11 @@ object SegmentIndex {
 
   def writer(dir: String, conf: Configuration,
              analyzed: Set[String] = Set.empty,
-             compressStored: Boolean = true): Writer = {
+             compressStored: Boolean = true,
+             retainGenerations: Int = 1): Writer = {
     val p = new Path(dir)
-    new Writer(p.getFileSystem(conf), p, analyzed, compressStored)
+    new Writer(p.getFileSystem(conf), p, analyzed, compressStored,
+      retainGenerations = retainGenerations)
   }
 
   def reader(dir: String, conf: Configuration): Reader = {

@@ -242,7 +242,8 @@ object SegmentShardSink {
    * caller bug, enforced here).
    */
   def upsert(spark: SparkSession, store: String, updates: DataFrame,
-             mergePolicy: SegmentIndex.MergePolicy = SegmentIndex.MergePolicy()): Unit = {
+             mergePolicy: SegmentIndex.MergePolicy = SegmentIndex.MergePolicy(),
+             retainGenerations: Int = 1): Unit = {
     val conf0 = ShardIndex.hadoopConf(spark)
     val marker = readMarker(conf0, store)
     val idCol = marker.idCol
@@ -285,7 +286,8 @@ object SegmentShardSink {
         val ms = row.getInt(msIdx)
         if (ms != cur) {
           flush()
-          w = SegmentIndex.writer(indexDir(store, ms), conf.value, analyzedBc)
+          w = SegmentIndex.writer(indexDir(store, ms), conf.value, analyzedBc,
+            retainGenerations = retainGenerations)
           cur = ms
         }
         ids += render(row.get(idIdx))
@@ -373,7 +375,7 @@ object SegmentShardSink {
   }
 
   /** part-NNNNN dirs under a store, ascending. */
-  private[index] def partIndexDirs(spark: SparkSession, store: String): Seq[String] =
+  private[graft] def partIndexDirs(spark: SparkSession, store: String): Seq[String] =
     partDirs(spark, store)
 
   private def partDirs(spark: SparkSession, store: String): Seq[String] = {
@@ -448,7 +450,8 @@ object SegmentShardSink {
     * count at O(log docs) in steady state without [[optimize]]'s full
     * store rewrite. */
   def maybeMerge(spark: SparkSession, store: String,
-                 policy: SegmentIndex.MergePolicy = SegmentIndex.MergePolicy()): Unit = {
+                 policy: SegmentIndex.MergePolicy = SegmentIndex.MergePolicy(),
+                 retainGenerations: Int = 1): Unit = {
     val dirs = partDirs(spark, store)
     val conf = new SerializableHadoopConf(ShardIndex.hadoopConf(spark))
     // the rewrite fallback (tombstoned victims) re-analyzes, so the
@@ -456,14 +459,16 @@ object SegmentShardSink {
     val analyzed = markerAnalyzed(spark, store)
     spark.sparkContext.parallelize(dirs, math.max(1, dirs.size)).foreach { d =>
       val p = new Path(d)
-      new SegmentIndex.Writer(p.getFileSystem(conf.value), p, analyzed).maybeMerge(policy)
+      new SegmentIndex.Writer(p.getFileSystem(conf.value), p, analyzed,
+        retainGenerations = retainGenerations).maybeMerge(policy)
       ()
     }
   }
 
   /** Segment optimize (M2): forceMerge every part index down to
     * `maxSegments` (default 1), one task per part. */
-  def optimize(spark: SparkSession, store: String, maxSegments: Int = 1): Unit = {
+  def optimize(spark: SparkSession, store: String, maxSegments: Int = 1,
+               retainGenerations: Int = 1): Unit = {
     val dirs = partDirs(spark, store)
     val conf = new SerializableHadoopConf(ShardIndex.hadoopConf(spark))
     // forceMerge REWRITES postings from stored docs, so the store's
@@ -472,7 +477,8 @@ object SegmentShardSink {
     val analyzed = markerAnalyzed(spark, store)
     spark.sparkContext.parallelize(dirs, math.max(1, dirs.size)).foreach { d =>
       val p = new Path(d)
-      new SegmentIndex.Writer(p.getFileSystem(conf.value), p, analyzed).forceMerge(maxSegments)
+      new SegmentIndex.Writer(p.getFileSystem(conf.value), p, analyzed,
+        retainGenerations = retainGenerations).forceMerge(maxSegments)
       ()
     }
   }
