@@ -141,8 +141,14 @@ private[index] class IndexTable(tableSchema: StructType, store: String)
           e.substring(0, i) -> e.substring(i + 1).toInt
         }.toMap
       }
+    // `.option("columnar", "off")` — A/B escape hatch: force the
+    // stored-doc row path even where the .dvd columnar assembly is
+    // eligible (results identical; used to measure the columnar win
+    // and as a fallback knob). "on" bypasses the projection-width
+    // gate too (measurement aid).
+    val columnar = Option(options.get("columnar")).map(_.toLowerCase).orNull
     new IndexScanBuilder(tableSchema, store, marker.multivalued, marker.analyzed,
-      numeric, arrayFields, snapshot)
+      numeric, arrayFields, snapshot, columnar)
   }
 }
 
@@ -190,7 +196,8 @@ private[index] class IndexScanBuilder(full: StructType, store: String,
                                       analyzed: Set[String],
                                       numeric: Map[String, Char] = Map.empty,
                                       arrayFields: Set[String] = Set.empty,
-                                      snapshot: Option[Map[String, Int]] = None)
+                                      snapshot: Option[Map[String, Int]] = None,
+                                      columnar: String = null)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit
     with SupportsPushDownTopN {
@@ -523,9 +530,23 @@ private[index] class IndexScanBuilder(full: StructType, store: String,
     if (!countPushed)
       required = StructType(requiredSchema.fields.filter(f => full.fieldNames.contains(f.name)))
 
-  override def build(): Scan =
+  override def build(): Scan = {
+    // PROJECTION-WIDTH gate: the columnar win is the stored bytes it
+    // does NOT read, so it only engages when the projection prunes at
+    // least half the table's columns. A same-width read (a 2-column
+    // export of a 2-column edge table) pays dict indirection for zero
+    // skipped bytes — measurably slower on narrow stores (q272's BFS
+    // regressed 27→37 s at sf1 before this gate). option("columnar",
+    // "on") forces it regardless (A/B aid); "off" disables entirely.
+    val useColumnar = columnar match {
+      case "off" => false
+      case "on" => true
+      case _ => !countPushed && aggs.isEmpty &&
+        required.fields.length * 2 <= full.fields.length
+    }
     new IndexScan(store, required, query, countPushed, limit, topN, facetFields, aggs,
-      numeric, arrayFields, snapshot)
+      numeric, arrayFields, snapshot, useColumnar)
+  }
 }
 
 private[index] class IndexScan(store: String, required: StructType,
@@ -537,7 +558,8 @@ private[index] class IndexScan(store: String, required: StructType,
                                aggs: Seq[PushedAgg] = Nil,
                                numeric: Map[String, Char] = Map.empty,
                                arrayFields: Set[String] = Set.empty,
-                               snapshot: Option[Map[String, Int]] = None)
+                               snapshot: Option[Map[String, Int]] = None,
+                               columnar: Boolean = true)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def description(): String = {
@@ -639,7 +661,7 @@ private[index] class IndexScan(store: String, required: StructType,
     val conf = new SerializableHadoopConf(
       SparkSession.active.sessionState.newHadoopConf())
     new IndexReaderFactory(conf, required.fieldNames, query, countOnly, limit, topN,
-      facetFields, aggs, numeric, arrayFields)
+      facetFields, aggs, numeric, arrayFields, columnar)
   }
 }
 
@@ -656,7 +678,8 @@ private[index] class IndexReaderFactory(conf: SerializableHadoopConf,
                                         facetFields: Seq[String] = Nil,
                                         aggs: Seq[PushedAgg] = Nil,
                                         numeric: Map[String, Char] = Map.empty,
-                                        arrayFields: Set[String] = Set.empty)
+                                        arrayFields: Set[String] = Set.empty,
+                                        columnar: Boolean = true)
     extends PartitionReaderFactory {
 
   /** Stored/indexed term → the typed row value: numeric fields decode
@@ -830,9 +853,21 @@ private[index] class IndexReaderFactory(conf: SerializableHadoopConf,
         // width. Segments lacking a column (legacy, or the field is
         // analyzed/multivalued there) fall back to stored fetch
         // per-segment; results are identical either way.
-        if (topN.isEmpty && !fields.exists(arrayFields.contains)) {
+        if (columnar && topN.isEmpty && !fields.exists(arrayFields.contains)) {
           val base = reader.matchOrdsBySegment(query).flatMap { case (s, ords) =>
             if (ords.length == 0) Iterator.empty
+            // SELECTIVITY GATE: a .dvd column costs O(segment docs)
+            // to read (one varint per ordinal + the value dict)
+            // regardless of how few ordinals matched, while the
+            // stored path costs O(hits) block fetches — so sparse
+            // match sets (a point lookup against a million-doc
+            // segment) keep the per-hit seeks and only scans touching
+            // a material fraction of the segment go columnar. 1/32
+            // sits safely past the break-even (one ~16 KiB stored
+            // block holds tens-to-hundreds of docs, so by 3% density
+            // nearly every block gets decompressed anyway).
+            else if (fields.nonEmpty && ords.length.toLong * 32 < s.docs)
+              reader.storedDocsAt(s, ords).iterator.map(docToRow)
             else reader.docValuesCols(s, fields) match {
               case Some(cols) =>
                 // dict converted ONCE per (segment, field) — per-row
