@@ -328,6 +328,24 @@ object SegmentIndex {
   private val FDX_MAGIC2 = 0x47464459 // "GFDY" — v2: (blockOff: i64, rawOff: i32) per doc
   private val TRM_MAGIC = 0x4754524D  // "GTRM" — v1, ords only
   private val TRM_MAGIC2 = 0x4754524E // "GTRN" — v2, ords + per-ord positions
+  // v4: v3 + FRONT-CODED terms (each term = shared-prefix char count
+  // vs the previous term + suffix — Lucene's prefix-coded term blocks;
+  // terms in a block are sorted, so id-like vocabularies share long
+  // prefixes) and a per-field positions FLAG (non-analyzed fields drop
+  // the 1-byte-per-posting zero position count v2/v3 paid)
+  private[index] val TRM_MAGIC4 = 0x47545250 // "GTRP"
+
+  /** Shared CHAR prefix of consecutive sorted terms, never splitting a
+    * surrogate pair (the suffix is UTF-8 encoded on its own — a suffix
+    * starting with a lone low surrogate would encode as replacement
+    * bytes; the prefix side is taken from the DECODED previous term,
+    * so only the suffix boundary matters). */
+  private def sharedPrefixLen(prev: String, t: String): Int = {
+    val n = math.min(prev.length, t.length)
+    var i = 0
+    while (i < n && prev.charAt(i) == t.charAt(i)) i += 1
+    if (i < t.length && Character.isLowSurrogate(t.charAt(i)) && i > 0) i - 1 else i
+  }
   private val TRM_MAGIC3 = 0x4754524F // "GTRO" — v3: v2 blocks + per-field seek footer
   private val DEL_MAGIC = 0x4744454C // "GDEL"
   private val NRM_MAGIC = 0x474E524D // "GNRM" — per-ord token counts (norms)
@@ -685,16 +703,24 @@ object SegmentIndex {
     }
     phase(WritePhases.vocabSort)
     val trm = new ByteWriter(1 << 20)
-    trm.putIntBE(TRM_MAGIC3)
+    trm.putIntBE(TRM_MAGIC4)
     val fieldOffsets = new Array[Long](fields.length)
     fields.iterator.zipWithIndex.foreach { case (f, fi) =>
       fieldOffsets(fi) = trm.n.toLong
       trm.putStr(f)
+      // positions exist exactly for analyzed fields — one flag per
+      // field instead of a zero count per posting
+      val hasPos = analyzed.contains(f)
+      trm.putVInt(if (hasPos) 1 else 0)
       val byField = post(f)
       val terms = sortedVocab(f)
       trm.putVInt(terms.length)
+      var prevTerm = ""
       terms.foreach { t =>
-        trm.putStr(t)
+        val pl = sharedPrefixLen(prevTerm, t)
+        trm.putVInt(pl)
+        trm.putStr(if (pl == 0) t else t.substring(pl))
+        prevTerm = t
         val p = byField(t)
         trm.putVInt(p.ords.n)
         var prev = 0
@@ -702,8 +728,7 @@ object SegmentIndex {
         while (i < p.ords.n) {
           val o = p.ords.arr(i)
           trm.putVInt(o - prev); prev = o
-          if (p.positions == null) trm.putVInt(0)
-          else {
+          if (hasPos) {
             val ps = p.positions(i)
             trm.putVInt(ps.n)
             var pprev = 0
@@ -724,7 +749,7 @@ object SegmentIndex {
       trm.putLongBE(fieldOffsets(fi))
     }
     trm.putLongBE(footerOff)
-    trm.putIntBE(TRM_MAGIC3)
+    trm.putIntBE(TRM_MAGIC4)
     val trmOut = fs.create(new Path(dir, s"$name.trm"), true)
     try trm.drainTo(trmOut) finally trmOut.close()
     if (norms.nonEmpty) {
@@ -1034,7 +1059,8 @@ object SegmentIndex {
         (analyzed.isEmpty || s.docs == 0 ||
           fs.exists(new Path(dir, s"${s.name}.nrm"))) && {
           val in = fs.open(new Path(dir, s"${s.name}.trm"))
-          try in.readInt() == TRM_MAGIC3 finally in.close()
+          try { val m = in.readInt(); m == TRM_MAGIC3 || m == TRM_MAGIC4 }
+          finally in.close()
         }
     } && {
       // byte concatenation requires ONE stored-field codec across all
@@ -1163,23 +1189,34 @@ object SegmentIndex {
       fs.create(new Path(dir, s"$name.trm"), true)))
     val trm = new DataOutputStream(trmCount)
     try {
-      trm.writeInt(TRM_MAGIC3)
+      trm.writeInt(TRM_MAGIC4)
       val fields = merged.keys.toSeq
       val fieldOffsets = new Array[Long](fields.length)
       fields.iterator.zipWithIndex.foreach { case (f, fi) =>
         fieldOffsets(fi) = trmCount.count
         writeStr(trm, f)
         val terms = merged(f)
+        // v4 per-field positions flag: present iff any source posting
+        // carried positions (consistent per field — positions exist
+        // exactly for analyzed fields)
+        val hasPos = terms.valuesIterator.exists(_.exists(_._2.nonEmpty))
+        writeVInt(trm, if (hasPos) 1 else 0)
         writeVInt(trm, terms.size)
+        var prevTerm = ""
         terms.foreach { case (t, posts) =>
-          writeStr(trm, t)
+          val pl = sharedPrefixLen(prevTerm, t)
+          writeVInt(trm, pl)
+          writeStr(trm, if (pl == 0) t else t.substring(pl))
+          prevTerm = t
           writeVInt(trm, posts.length)
           var prev = 0
           posts.foreach { case (o, ps) =>
             writeVInt(trm, o - prev); prev = o
-            writeVInt(trm, ps.length)
-            var pprev = 0
-            ps.foreach { p => writeVInt(trm, p - pprev); pprev = p }
+            if (hasPos) {
+              writeVInt(trm, ps.length)
+              var pprev = 0
+              ps.foreach { p => writeVInt(trm, p - pprev); pprev = p }
+            }
           }
         }
       }
@@ -1190,7 +1227,7 @@ object SegmentIndex {
         trm.writeLong(fieldOffsets(fi))
       }
       trm.writeLong(footerOff)
-      trm.writeInt(TRM_MAGIC3)
+      trm.writeInt(TRM_MAGIC4)
     } finally trm.close()
     // .nrm: concatenate per-field token-count arrays at each doc base
     // (a source without the field contributes zeros — correct, it has
@@ -1435,14 +1472,25 @@ object SegmentIndex {
       .getOrElse(field, Map.empty)
 
   /** One field block: `field` name, then sorted terms with delta-coded
-    * ordinals (+ per-ordinal positions in v2/v3). */
+    * ordinals (+ per-ordinal positions in v2/v3). v4 blocks carry a
+    * per-field positions flag and FRONT-CODED terms (prefix-length vs
+    * the previous term + suffix). */
   private def parseFieldBlock(in: DataInputStream, hasPositions: Boolean,
-                              keepPositions: Boolean)
+                              keepPositions: Boolean, v4: Boolean = false)
       : (String, Map[String, Array[(Int, Array[Int])]]) = {
     val f = readStr(in)
+    val fieldHasPos = if (v4) readVInt(in) == 1 else hasPositions
     val nTerms = readVInt(in)
+    var prevTerm = ""
     f -> (0 until nTerms).map { _ =>
-      val t = readStr(in)
+      val t =
+        if (!v4) readStr(in)
+        else {
+          val pl = readVInt(in)
+          val suffix = readStr(in)
+          if (pl == 0) suffix else prevTerm.substring(0, pl) + suffix
+        }
+      prevTerm = t
       val len = readVInt(in)
       val out = new Array[(Int, Array[Int])](len)
       var prev = 0
@@ -1450,7 +1498,7 @@ object SegmentIndex {
       while (i < len) {
         prev += readVInt(in)
         val positions: Array[Int] =
-          if (!hasPositions) Array.empty
+          if (!fieldHasPos) Array.empty
           else {
             val nPos = readVInt(in)
             if (nPos == 0) Array.empty
@@ -1477,9 +1525,9 @@ object SegmentIndex {
     try {
       val head = new DataInputStream(new BufferedInputStream(raw))
       val magic = head.readInt()
-      require(magic == TRM_MAGIC || magic == TRM_MAGIC2 || magic == TRM_MAGIC3,
-        s"bad .trm magic in $dir/$name")
-      if (magic == TRM_MAGIC3) {
+      require(magic == TRM_MAGIC || magic == TRM_MAGIC2 || magic == TRM_MAGIC3 ||
+        magic == TRM_MAGIC4, s"bad .trm magic in $dir/$name")
+      if (magic == TRM_MAGIC3 || magic == TRM_MAGIC4) {
         // footer-directed: trailer names the footer, footer names each
         // field's block offset — selected fields are SEEKED to, the
         // rest of the dictionary is never read
@@ -1487,7 +1535,7 @@ object SegmentIndex {
         raw.seek(len - 12)
         val tail = new DataInputStream(raw)
         val footerOff = tail.readLong()
-        require(tail.readInt() == TRM_MAGIC3, s"bad .trm trailer in $dir/$name")
+        require(tail.readInt() == magic, s"bad .trm trailer in $dir/$name")
         raw.seek(footerOff)
         val foot = new DataInputStream(new BufferedInputStream(raw))
         val nFields = readVInt(foot)
@@ -1497,7 +1545,7 @@ object SegmentIndex {
           .map { case (_, off) =>
             raw.seek(off)
             parseFieldBlock(new DataInputStream(new BufferedInputStream(raw)),
-              hasPositions = true, keepPositions)
+              hasPositions = true, keepPositions, v4 = magic == TRM_MAGIC4)
           }.toMap
       } else {
         // v1/v2: no footer — sequential parse (selection only filters)
