@@ -596,6 +596,30 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("corpus_id"))
     }),
 
+    // Product-quantization ANN (Jégou et al. 2011, FAISS `PQ`): the
+    // compression tier of the ANN family — a corpus vector becomes m=8
+    // codebook codes (8 bytes vs 64 doubles), queries score by ADC
+    // table lookups. Training (per-subspace Lloyd over the md5-seeded
+    // ordered sample), encoding, and ADC all replay in DuckDB — the
+    // q46 technique with a subspace key on every Lloyd CTE.
+    "q292_pq_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), k = 5, dim = 64)
+        .select(col("query_id"), col("rank"), col("corpus_id"))
+    }),
+
+    // IVF-PQ (FAISS IVFPQ — the classical billion-scale recipe):
+    // coarse cells prune the probe, residuals product-quantize, ADC
+    // scores probed pairs by m table lookups; the whole pipeline
+    // (coarse Lloyd, residuals, m sub-Lloyds, encode, probe, ADC)
+    // hash-checks against a DuckDB replay.
+    "q293_ivfpq_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), k = 5, dim = 64,
+        nprobe = 8)
+        .select(col("query_id"), col("rank"), col("corpus_id"))
+    }),
+
     // the PERSISTED IVF index (build/load split): training + corpus
     // assignment run ONCE into a cell-partitioned store; a query
     // batch probes nprobe cells and reads ONLY those partitions (the
@@ -8343,8 +8367,222 @@ object SparkEntry {
            |      ORDER BY cosine DESC, corpus_id ASC) AS rn
            |  FROM scored)
            |WHERE rn <= 5 ORDER BY 1, 2""".stripMargin
+    // PQ (q292): the SAME Lloyd replay with a SUBSPACE key on every
+    // CTE — m=8 independent 8-dim k-means train simultaneously, then
+    // corpus encodes to per-subspace argmin codes and pairs score by
+    // the per-subspace distance sum (ADC), fold order pinned
+    // throughout (dim order inside a subspace, subspace order across)
+    val djS = s"generate_series(0, 7)" // dsub = 8 per PQ subspace
+    def sqDistS(vE: String, cE: String) =
+      fold(s"[(($vE)[j + 1] - ($cE)[j + 1]) * (($vE)[j + 1] - ($cE)[j + 1]) " +
+        s"for j in $djS]")
+    val pqAnnSql: String = {
+      val ksub = 16; val dsub = 8; val pqIters = 4
+      val pqSample = 256
+      def pqRound(r: Int) =
+        s"""pa$r AS MATERIALIZED (
+           |  SELECT s, id, i FROM (
+           |    SELECT v.s, v.id, c.i, row_number() OVER (PARTITION BY v.s, v.id
+           |        ORDER BY ${sqDistS("v.v", "c.c")}, c.i) AS rn
+           |    FROM subv v JOIN pc${r - 1} c ON c.s = v.s)
+           |  WHERE rn = 1),
+           |pm$r AS MATERIALIZED (
+           |  SELECT a.s, a.i, d.jl,
+           |    ${fold("list(d.vj ORDER BY d.id)")} / count(*) AS cj
+           |  FROM pa$r a JOIN sdims d ON d.s = a.s AND d.id = a.id
+           |  GROUP BY 1, 2, 3),
+           |pc$r AS MATERIALIZED (
+           |  SELECT s, i, list(cj ORDER BY jl) AS c FROM pm$r GROUP BY 1, 2
+           |  UNION ALL
+           |  SELECT p.s, p.i, p.c FROM pc${r - 1} p
+           |  WHERE NOT EXISTS (SELECT 1 FROM pa$r a WHERE a.s = p.s AND a.i = p.i))"""
+          .stripMargin
+      val pqRounds = (1 to pqIters).map(pqRound).mkString(",\n")
+      s"""WITH samp0 AS MATERIALIZED (
+         |  SELECT vec_id AS id, [CAST(embedding[j + 1] AS DOUBLE) for j in $dj] AS v
+         |  FROM embeddings ORDER BY vec_id LIMIT $pqSample),
+         |sampN AS MATERIALIZED (
+         |  SELECT id, [v[j + 1] / vn for j in $dj] AS v
+         |  FROM (SELECT id, v, sqrt(${dotF("v", "v")}) AS vn FROM samp0)),
+         |sdims AS MATERIALIZED (
+         |  SELECT id, CAST(j // $dsub AS INTEGER) AS s, j % $dsub AS jl, v[j + 1] AS vj
+         |  FROM sampN, (SELECT unnest($dj) AS j)),
+         |subv AS MATERIALIZED (
+         |  SELECT s, id, list(vj ORDER BY jl) AS v FROM sdims GROUP BY 1, 2),
+         |prk AS MATERIALIZED (
+         |  SELECT id, CAST(row_number() OVER (
+         |      ORDER BY md5('$seed:' || CAST(id AS VARCHAR)),
+         |        CAST(id AS VARCHAR)) AS INTEGER) - 1 AS i
+         |  FROM sampN),
+         |pc0 AS MATERIALIZED (
+         |  SELECT sv.s, prk.i, sv.v AS c FROM subv sv JOIN prk ON prk.id = sv.id
+         |  WHERE prk.i < $ksub),
+         |$pqRounds,
+         |corpPN AS MATERIALIZED (
+         |  SELECT id, [v[j + 1] / vn for j in $dj] AS v FROM (
+         |    SELECT id, v, sqrt(${dotF("v", "v")}) AS vn FROM (
+         |      SELECT vec_id AS id,
+         |        [CAST(embedding[j + 1] AS DOUBLE) for j in $dj] AS v
+         |      FROM embeddings))),
+         |cdims AS MATERIALIZED (
+         |  SELECT id, CAST(j // $dsub AS INTEGER) AS s, j % $dsub AS jl, v[j + 1] AS vj
+         |  FROM corpPN, (SELECT unnest($dj) AS j)),
+         |csubv AS MATERIALIZED (
+         |  SELECT s, id, list(vj ORDER BY jl) AS v FROM cdims GROUP BY 1, 2),
+         |pcodes AS MATERIALIZED (
+         |  SELECT s, id, i AS code FROM (
+         |    SELECT v.s, v.id, c.i, row_number() OVER (PARTITION BY v.s, v.id
+         |        ORDER BY ${sqDistS("v.v", "c.c")}, c.i) AS rn
+         |    FROM csubv v JOIN pc$pqIters c ON c.s = v.s)
+         |  WHERE rn = 1),
+         |pairds AS (
+         |  SELECT q.id AS query_id, k.id AS corpus_id, q.s,
+         |    ${sqDistS("q.v", "c.c")} AS ds
+         |  FROM csubv q JOIN pcodes k ON k.s = q.s AND k.id <> q.id
+         |  JOIN pc$pqIters c ON c.s = k.s AND c.i = k.code
+         |  WHERE q.id < 10),
+         |adc AS (
+         |  SELECT query_id, corpus_id, ${fold("list(ds ORDER BY s)")} AS dist
+         |  FROM pairds GROUP BY 1, 2)
+         |SELECT query_id, CAST(rn AS INTEGER) AS rank, corpus_id FROM (
+         |  SELECT query_id, corpus_id, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY dist ASC, corpus_id ASC) AS rn
+         |  FROM adc)
+         |WHERE rn <= 5 ORDER BY 1, 2""".stripMargin
+    }
+    // IVF-PQ (q293): coarse Lloyd (normalized space) → neg-cosine cell
+    // assignment → residual per row → per-subspace Lloyd on the first
+    // 256 residuals → codes → probed-cell ADC. The full FAISS IVFPQ
+    // pipeline replayed; every stage reuses a generator proven above.
+    val ivfPqSql: String = {
+      val nlist = 16; val ksub = 16; val coarseIters = 8; val pqIters = 4
+      def coarseRound(r: Int) =
+        s"""ia$r AS MATERIALIZED (
+           |  SELECT id, i FROM (
+           |    SELECT s.id, c.i, row_number() OVER (PARTITION BY s.id
+           |        ORDER BY ${sqDist("s.v", "c.c")}, c.i) AS rn
+           |    FROM isamp s CROSS JOIN ic${r - 1} c)
+           |  WHERE rn = 1),
+           |im$r AS MATERIALIZED (
+           |  SELECT a.i, d.j,
+           |    ${fold("list(d.vj ORDER BY d.id)")} / count(*) AS cj
+           |  FROM ia$r a JOIN idims d ON d.id = a.id
+           |  GROUP BY 1, 2),
+           |ic$r AS MATERIALIZED (
+           |  SELECT i, list(cj ORDER BY j) AS c FROM im$r GROUP BY 1
+           |  UNION ALL
+           |  SELECT p.i, p.c FROM ic${r - 1} p
+           |  WHERE p.i NOT IN (SELECT i FROM ia$r))""".stripMargin
+      def pqRound2(r: Int) =
+        s"""ipa$r AS MATERIALIZED (
+           |  SELECT s, id, i FROM (
+           |    SELECT v.s, v.id, c.i, row_number() OVER (PARTITION BY v.s, v.id
+           |        ORDER BY ${sqDistS("v.v", "c.c")}, c.i) AS rn
+           |    FROM ipsubv v JOIN ipc${r - 1} c ON c.s = v.s)
+           |  WHERE rn = 1),
+           |ipm$r AS MATERIALIZED (
+           |  SELECT a.s, a.i, d.jl,
+           |    ${fold("list(d.vj ORDER BY d.id)")} / count(*) AS cj
+           |  FROM ipa$r a JOIN ipsdims d ON d.s = a.s AND d.id = a.id
+           |  GROUP BY 1, 2, 3),
+           |ipc$r AS MATERIALIZED (
+           |  SELECT s, i, list(cj ORDER BY jl) AS c FROM ipm$r GROUP BY 1, 2
+           |  UNION ALL
+           |  SELECT p.s, p.i, p.c FROM ipc${r - 1} p
+           |  WHERE NOT EXISTS (SELECT 1 FROM ipa$r a WHERE a.s = p.s AND a.i = p.i))"""
+          .stripMargin
+      val coarseRounds = (1 to coarseIters).map(coarseRound).mkString(",\n")
+      val pqRounds = (1 to pqIters).map(pqRound2).mkString(",\n")
+      s"""WITH icorpN AS MATERIALIZED (
+         |  SELECT id, [v[j + 1] / vn for j in $dj] AS v FROM (
+         |    SELECT id, v, sqrt(${dotF("v", "v")}) AS vn FROM (
+         |      SELECT vec_id AS id,
+         |        [CAST(embedding[j + 1] AS DOUBLE) for j in $dj] AS v
+         |      FROM embeddings))),
+         |isamp AS MATERIALIZED (
+         |  SELECT id, v FROM icorpN ORDER BY id LIMIT $sampleLimit),
+         |idims AS MATERIALIZED (
+         |  SELECT id, j, v[j + 1] AS vj FROM isamp, (SELECT unnest($dj) AS j)),
+         |irk AS MATERIALIZED (
+         |  SELECT id, CAST(row_number() OVER (
+         |      ORDER BY md5('$seed:' || CAST(id AS VARCHAR)),
+         |        CAST(id AS VARCHAR)) AS INTEGER) - 1 AS i
+         |  FROM isamp),
+         |ic0 AS MATERIALIZED (
+         |  SELECT rk.i, s.v AS c FROM isamp s JOIN irk rk ON rk.id = s.id
+         |  WHERE rk.i < $nlist),
+         |$coarseRounds,
+         |icn AS MATERIALIZED (
+         |  SELECT i, c, sqrt(${dotF("c", "c")}) AS cnorm FROM ic$coarseIters),
+         |icorpn2 AS MATERIALIZED (
+         |  SELECT id, v, sqrt(${dotF("v", "v")}) AS vnorm FROM icorpN),
+         |icells AS MATERIALIZED (
+         |  SELECT id, i AS cell, row_number() OVER (PARTITION BY id
+         |      ORDER BY -(${dotF("t.v", "c.c")} / (t.vnorm * c.cnorm)),
+         |        c.i) AS rn
+         |  FROM icorpn2 t CROSS JOIN icn c),
+         |icorpcell AS MATERIALIZED (SELECT id, cell FROM icells WHERE rn = 1),
+         |ires AS MATERIALIZED (
+         |  SELECT t.id, icc.cell, [t.v[j + 1] - c.c[j + 1] for j in $dj] AS r
+         |  FROM icorpN t JOIN icorpcell icc ON icc.id = t.id
+         |  JOIN icn c ON c.i = icc.cell),
+         |ipsamp AS MATERIALIZED (SELECT id, r FROM ires ORDER BY id LIMIT 256),
+         |ipsdims AS MATERIALIZED (
+         |  SELECT id, CAST(j // 8 AS INTEGER) AS s, j % 8 AS jl, r[j + 1] AS vj
+         |  FROM ipsamp, (SELECT unnest($dj) AS j)),
+         |ipsubv AS MATERIALIZED (
+         |  SELECT s, id, list(vj ORDER BY jl) AS v FROM ipsdims GROUP BY 1, 2),
+         |iprk AS MATERIALIZED (
+         |  SELECT id, CAST(row_number() OVER (
+         |      ORDER BY md5('$seed:' || CAST(id AS VARCHAR)),
+         |        CAST(id AS VARCHAR)) AS INTEGER) - 1 AS i
+         |  FROM ipsamp),
+         |ipc0 AS MATERIALIZED (
+         |  SELECT sv.s, rk.i, sv.v AS c FROM ipsubv sv JOIN iprk rk ON rk.id = sv.id
+         |  WHERE rk.i < $ksub),
+         |$pqRounds,
+         |icdims AS MATERIALIZED (
+         |  SELECT id, CAST(j // 8 AS INTEGER) AS s, j % 8 AS jl, r[j + 1] AS vj
+         |  FROM ires, (SELECT unnest($dj) AS j)),
+         |icsubv AS MATERIALIZED (
+         |  SELECT s, id, list(vj ORDER BY jl) AS v FROM icdims GROUP BY 1, 2),
+         |icodes AS MATERIALIZED (
+         |  SELECT s, id, i AS code FROM (
+         |    SELECT v.s, v.id, c.i, row_number() OVER (PARTITION BY v.s, v.id
+         |        ORDER BY ${sqDistS("v.v", "c.c")}, c.i) AS rn
+         |    FROM icsubv v JOIN ipc$pqIters c ON c.s = v.s)
+         |  WHERE rn = 1),
+         |iqcell AS (SELECT id, cell FROM icells WHERE rn <= 8 AND id < 10),
+         |iqres AS MATERIALIZED (
+         |  SELECT q.id, q.cell, [t.v[j + 1] - c.c[j + 1] for j in $dj] AS r
+         |  FROM iqcell q JOIN icorpN t ON t.id = q.id
+         |  JOIN icn c ON c.i = q.cell),
+         |iqrdims AS (
+         |  SELECT id, cell, CAST(j // 8 AS INTEGER) AS s, j % 8 AS jl, r[j + 1] AS vj
+         |  FROM iqres, (SELECT unnest($dj) AS j)),
+         |iqrsubv AS MATERIALIZED (
+         |  SELECT id, cell, s, list(vj ORDER BY jl) AS v
+         |  FROM iqrdims GROUP BY 1, 2, 3),
+         |ipairds AS (
+         |  SELECT q.id AS query_id, kc.id AS corpus_id, q.s,
+         |    ${sqDistS("q.v", "cb.c")} AS ds
+         |  FROM iqrsubv q
+         |  JOIN icorpcell kc ON kc.cell = q.cell AND kc.id <> q.id
+         |  JOIN icodes k ON k.id = kc.id AND k.s = q.s
+         |  JOIN ipc$pqIters cb ON cb.s = q.s AND cb.i = k.code),
+         |iadc AS (
+         |  SELECT query_id, corpus_id, ${fold("list(ds ORDER BY s)")} AS dist
+         |  FROM ipairds GROUP BY 1, 2)
+         |SELECT query_id, CAST(rn AS INTEGER) AS rank, corpus_id FROM (
+         |  SELECT query_id, corpus_id, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY dist ASC, corpus_id ASC) AS rn
+         |  FROM iadc)
+         |WHERE rn <= 5 ORDER BY 1, 2""".stripMargin
+    }
     Map(
       "q46_ivf_ann" -> ivfAnnSql,
+      "q292_pq_ann" -> pqAnnSql,
+      "q293_ivfpq_ann" -> ivfPqSql,
       // the persisted index serves the SAME answer from frozen
       // centroids + cell partitions — one oracle, two read paths
       "q287_ivf_persisted" -> ivfAnnSql,

@@ -488,6 +488,193 @@ object Similarity {
   }
 
   /**
+   * Product-quantization ANN (Jégou et al. 2011 — the FAISS `PQ`
+   * index): vectors L2-normalize, split into `m` subspaces of `dim/m`
+   * dims, and each subspace vector-quantizes against its own
+   * `ksub`-entry codebook (per-subspace Lloyd k-means over the SAME
+   * ordered md5-seeded sample as [[ivfTopK]], so the whole training
+   * loop replays in SQL). A corpus vector then IS its `m` codes —
+   * `m` bytes instead of `dim` floats (32× at 8×64) — and scoring is
+   * ADC (asymmetric distance computation): per query one
+   * `m × ksub` table of exact subspace distances, per (query, corpus)
+   * pair `m` table lookups. On normalized vectors squared-L2 ranking
+   * is monotone in cosine, so PQ slots beside the exact/LSH/IVF tiers
+   * on the same contract.
+   *
+   * Scale shape: codebooks broadcast (m·ksub·dim/m doubles); the
+   * corpus is read ONCE to encode (one fused kernel pass) and the
+   * scoring scan moves only (id, m codes) rows — the compression tier
+   * a billion-vector store keeps in memory when raw vectors no longer
+   * fit. Queries are bounded and broadcast with their precomputed ADC
+   * tables.
+   */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+             m: Int = 8, ksub: Int = 16, sampleSize: Int = 256,
+             iters: Int = 4, seed: Long = 42L,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    // normalized ordered sample — vnorm folds from +0.0 in dim order,
+    // each component divides by it: exactly `v[j+1]/sqrt(dot(v,v))`
+    // in the DuckDB replay
+    val sample = corpus.select(col(idCol), col(vecCol).cast("array<double>"))
+      .orderBy(col(idCol)).limit(sampleSize)
+      .collect().map { r =>
+        val v = r.getSeq[Double](1).toArray
+        var sq = 0.0
+        var j = 0
+        while (j < v.length) { sq += v(j) * v(j); j += 1 }
+        val n = math.sqrt(sq)
+        (String.valueOf(r.get(0)), v.map(_ / n))
+      }
+    require(sample.length >= ksub,
+      s"PQ needs >= ksub=$ksub sample vectors, got ${sample.length}")
+    // per-subspace codebooks from ONE shared sample order (the md5
+    // init inside kmeans picks the same sample ids for every subspace)
+    val codebooks: IndexedSeq[Double] = (0 until m).flatMap { s =>
+      val sub = sample.map { case (id, v) =>
+        (id, java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      }
+      kmeans(sub, ksub, iters, seed).flatten
+    }
+    val c = corpus.select(col(idCol).as("corpus_id"),
+        col(vecCol).cast("array<double>").as("cvec"))
+      .withColumn("cnorm", norm(col("cvec")))
+      .withColumn("codes", graft.functions.PqKernels.pq_codes(
+        transform(col("cvec"), x => x / col("cnorm")), codebooks, m, ksub, dim))
+      .select(col("corpus_id"), col("codes"))
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qvec"))
+      .withColumn("qnorm", norm(col("qvec")))
+      .withColumn("qtable", graft.functions.PqKernels.pq_adc_table(
+        transform(col("qvec"), x => x / col("qnorm")), codebooks, m, ksub, dim))
+      .select(col("query_id"), col("qtable"))
+    // ADC: m lookups per pair, folded from +0.0 in subspace order
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("adc", aggregate(
+        zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+          (code, s) => element_at(col("qtable"), s * lit(ksub) + code + lit(1))),
+        lit(0.0), (acc, x) => acc + x))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"))
+  }
+
+  /**
+   * IVF-PQ (Jégou et al. 2011 §IV, the FAISS `IVFPQ` index — THE
+   * classical billion-scale recipe): coarse k-means cells prune the
+   * search to `nprobe` probed cells, and inside them vectors are
+   * product-quantized RESIDUALS (v − cell centroid) — the coarse
+   * quantizer absorbs the corpus's global structure so the `m`
+   * sub-codebooks spend their 16 codes on local detail. Everything in
+   * L2-normalized space; coarse assignment keeps [[ivfTopK]]'s
+   * negative-cosine kernel (scale-invariant, so cells match the plain
+   * IVF family's), residual encode/ADC are [[pqTopK]]'s kernels.
+   *
+   * Scale shape: the scoring scan joins (cell, id, m codes) rows
+   * against broadcast (query, probed cell, ADC table) rows on the
+   * cell key — corpus vectors are read once at encode time and never
+   * again; per probed pair the score is `m` table lookups.
+   *
+   * Fully engine-replayable: coarse Lloyd (8 rounds) and the m
+   * per-subspace residual Lloyds (4 rounds) both train from ordered
+   * md5-seeded samples with pinned fold orders, so q293 hash-checks
+   * the entire pipeline against DuckDB.
+   */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+                nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
+                coarseSample: Int = 2048, pqSample: Int = 256,
+                coarseIters: Int = 8, pqIters: Int = 4, seed: Long = 42L,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    val spark = corpus.sparkSession
+    // ---- driver-side training, all from ordered samples ----
+    def normalize(v: Array[Double]): Array[Double] = {
+      var sq = 0.0; var j = 0
+      while (j < v.length) { sq += v(j) * v(j); j += 1 }
+      val n = math.sqrt(sq)
+      v.map(_ / n)
+    }
+    val sampleAll = corpus.select(col(idCol), col(vecCol).cast("array<double>"))
+      .orderBy(col(idCol)).limit(coarseSample)
+      .collect().map(r => (String.valueOf(r.get(0)), normalize(r.getSeq[Double](1).toArray)))
+    val centroids = kmeans(sampleAll, nlist, coarseIters, seed)
+    val eff = centroids.length
+    val cnorms = centroids.map { c =>
+      var sq = 0.0; var j = 0
+      while (j < c.length) { sq += c(j) * c(j); j += 1 }
+      math.sqrt(sq)
+    }
+    // negative-cosine assignment, bit-identical to CentroidNegCosines
+    // (vector norm recomputed per row, strict < keeps the lowest cell)
+    def assignCell(nv: Array[Double]): Int = {
+      var sq = 0.0; var j = 0
+      while (j < nv.length) { sq += nv(j) * nv(j); j += 1 }
+      val vn = math.sqrt(sq)
+      var best = 0; var bestD = Double.MaxValue
+      var i = 0
+      while (i < eff) {
+        var d = 0.0; var jj = 0
+        while (jj < dim) { d += nv(jj) * centroids(i)(jj); jj += 1 }
+        val nd = -(d / (vn * cnorms(i)))
+        if (nd < bestD) { bestD = nd; best = i }
+        i += 1
+      }
+      best
+    }
+    // PQ trains on the RESIDUALS of the first pqSample ids
+    require(sampleAll.length >= math.max(ksub, 1), "sample smaller than ksub")
+    val pqTrain = sampleAll.take(pqSample).map { case (id, nv) =>
+      val c = centroids(assignCell(nv))
+      (id, Array.tabulate(dim)(j => nv(j) - c(j)))
+    }
+    require(pqTrain.length >= ksub,
+      s"IVF-PQ needs >= ksub=$ksub residual sample vectors, got ${pqTrain.length}")
+    val codebooks: IndexedSeq[Double] = (0 until m).flatMap { s =>
+      val sub = pqTrain.map { case (id, r) =>
+        (id, java.util.Arrays.copyOfRange(r, s * dsub, (s + 1) * dsub))
+      }
+      kmeans(sub, ksub, pqIters, seed).flatten
+    }
+    // ---- engine side: encode once, probe + ADC per query ----
+    val (dists, nearest) = cellFns(centroids, dim)
+    import spark.implicits._
+    val cellsDf = centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "ccent")
+    val c = corpus.select(col(idCol).as("corpus_id"),
+        col(vecCol).cast("array<double>").as("cvec"))
+      .withColumn("cnorm", norm(col("cvec")))
+      .withColumn("nvec", transform(col("cvec"), x => x / col("cnorm")))
+      .withColumn("cell", nearest(col("nvec")))
+      .join(broadcast(cellsDf), Seq("cell"))
+      .withColumn("codes", graft.functions.PqKernels.pq_codes(
+        zip_with(col("nvec"), col("ccent"), (a, b) => a - b), codebooks, m, ksub, dim))
+      .select(col("cell"), col("corpus_id"), col("codes"))
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qvec"))
+      .withColumn("qnorm", norm(col("qvec")))
+      .withColumn("nq", transform(col("qvec"), x => x / col("qnorm")))
+      .withColumn("cell", explode(probeCells(dists(col("nq")), eff, nprobe)))
+      .join(broadcast(cellsDf), Seq("cell"))
+      .withColumn("qtable", graft.functions.PqKernels.pq_adc_table(
+        zip_with(col("nq"), col("ccent"), (a, b) => a - b), codebooks, m, ksub, dim))
+      .select(col("cell"), col("query_id"), col("qtable"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("adc", aggregate(
+        zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+          (code, s) => element_at(col("qtable"), s * lit(ksub) + code + lit(1))),
+        lit(0.0), (acc, x) => acc + x))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"))
+  }
+
+  /**
    * Multi-table LSH ANN (the classical design: L independent tables of
    * b hyperplane bits; a pair is a candidate if its signatures collide
    * in ANY table). Collision prob for angle θ is 1-(1-(1-θ/π)^b)^L —
