@@ -352,6 +352,49 @@ object SegmentIndex {
   private val FDX_MAGIC = 0x47464458 // "GFDX" — fixed-width stored-doc offsets
   private val DVD_MAGIC = 0x47445644 // "GDVD" — persisted docValues (forward index)
   private val DVM_MAGIC = 0x47445645 // "GDVE" — SORTED_SET docValues (per-doc ord lists)
+  // v2: FRONT-CODED dicts (same prefix coding as the v4 .trm — the
+  // dicts are CP-sorted, so id-like vocabularies shrink the same way)
+  private val DVD_MAGIC2 = 0x47445646 // "GDVF"
+  private val DVM_MAGIC2 = 0x47445647 // "GDVG"
+
+  /** Front-coded dict write: per term, shared-prefix char count vs the
+    * previous + suffix (never splitting a surrogate pair). */
+  private def putDict(out: ByteWriter, terms: Array[String]): Unit = {
+    out.putVInt(terms.length)
+    var prev = ""
+    var i = 0
+    while (i < terms.length) {
+      val t = terms(i)
+      val pl = sharedPrefixLen(prev, t)
+      out.putVInt(pl)
+      out.putStr(if (pl == 0) t else t.substring(pl))
+      prev = t
+      i += 1
+    }
+  }
+
+  /** Dict read for both codecs: verbatim strings (legacy) or
+    * front-coded (v2). */
+  private def readDict(in: DataInputStream, frontCoded: Boolean): Array[String] = {
+    val nT = readVInt(in)
+    val terms = new Array[String](nT)
+    if (!frontCoded) {
+      var i = 0
+      while (i < nT) { terms(i) = readStr(in); i += 1 }
+    } else {
+      var prev = ""
+      var i = 0
+      while (i < nT) {
+        val pl = readVInt(in)
+        val sfx = readStr(in)
+        val t = if (pl == 0) sfx else prev.substring(0, pl) + sfx
+        terms(i) = t
+        prev = t
+        i += 1
+      }
+    }
+    terms
+  }
 
   /** Raw bytes per stored-field compression block (doc-aligned: a doc
     * record never splits across blocks, so one inflate serves a whole
@@ -881,13 +924,12 @@ object SegmentIndex {
                                  fields: Seq[(String, Array[String], Array[Int])],
                                  nDocs: Int): Unit = {
     val out = new ByteWriter(1 << 18)
-    out.putIntBE(DVD_MAGIC)
+    out.putIntBE(DVD_MAGIC2)
     val offsets = new Array[Long](fields.length)
     fields.iterator.zipWithIndex.foreach { case ((f, terms, ordCol), fi) =>
       offsets(fi) = out.n.toLong
       out.putStr(f)
-      out.putVInt(terms.length)
-      terms.foreach(out.putStr)
+      putDict(out, terms)
       out.putVInt(nDocs)
       var o = 0
       while (o < nDocs) { out.putVInt(ordCol(o)); o += 1 }
@@ -899,7 +941,7 @@ object SegmentIndex {
       out.putLongBE(offsets(fi))
     }
     out.putLongBE(footerOff)
-    out.putIntBE(DVD_MAGIC)
+    out.putIntBE(DVD_MAGIC2)
     val os = fs.create(new Path(dir, s"$name.dvd"), true)
     try out.drainTo(os) finally os.close()
   }
@@ -915,13 +957,12 @@ object SegmentIndex {
                                  fields: Seq[(String, Array[String], Array[Int], Array[Int])],
                                  nDocs: Int): Unit = {
     val out = new ByteWriter(1 << 18)
-    out.putIntBE(DVM_MAGIC)
+    out.putIntBE(DVM_MAGIC2)
     val offsets = new Array[Long](fields.length)
     fields.iterator.zipWithIndex.foreach { case ((f, terms, offs, lists), fi) =>
       offsets(fi) = out.n.toLong
       out.putStr(f)
-      out.putVInt(terms.length)
-      terms.foreach(out.putStr)
+      putDict(out, terms)
       out.putVInt(nDocs)
       var o = 0
       while (o < nDocs) {
@@ -945,7 +986,7 @@ object SegmentIndex {
       out.putLongBE(offsets(fi))
     }
     out.putLongBE(footerOff)
-    out.putIntBE(DVM_MAGIC)
+    out.putIntBE(DVM_MAGIC2)
     val os = fs.create(new Path(dir, s"$name.dvm"), true)
     try out.drainTo(os) finally os.close()
   }
@@ -962,13 +1003,14 @@ object SegmentIndex {
     if (sel.exists(_.isEmpty)) return Map.empty
     val raw = fs.open(path)
     try {
-      require(new DataInputStream(raw).readInt() == DVM_MAGIC,
+      val magic = new DataInputStream(raw).readInt()
+      require(magic == DVM_MAGIC || magic == DVM_MAGIC2,
         s"bad .dvm magic in $dir/$name")
       val len = fs.getFileStatus(path).getLen
       raw.seek(len - 12)
       val tail = new DataInputStream(raw)
       val footerOff = tail.readLong()
-      require(tail.readInt() == DVM_MAGIC, s"bad .dvm trailer in $dir/$name")
+      require(tail.readInt() == magic, s"bad .dvm trailer in $dir/$name")
       raw.seek(footerOff)
       val foot = new DataInputStream(new BufferedInputStream(raw))
       val nFields = readVInt(foot)
@@ -979,8 +1021,7 @@ object SegmentIndex {
           raw.seek(off)
           val in = new DataInputStream(new BufferedInputStream(raw))
           val f = readStr(in)
-          val nT = readVInt(in)
-          val terms = Array.fill(nT)(readStr(in))
+          val terms = readDict(in, frontCoded = magic == DVM_MAGIC2)
           val nD = readVInt(in)
           val csr = new Array[Int](nD + 1)
           var buf = new Array[Int](math.max(nD * 2, 16))
@@ -1018,13 +1059,14 @@ object SegmentIndex {
     if (sel.exists(_.isEmpty)) return Map.empty
     val raw = fs.open(path)
     try {
-      require(new DataInputStream(raw).readInt() == DVD_MAGIC,
+      val magic = new DataInputStream(raw).readInt()
+      require(magic == DVD_MAGIC || magic == DVD_MAGIC2,
         s"bad .dvd magic in $dir/$name")
       val len = fs.getFileStatus(path).getLen
       raw.seek(len - 12)
       val tail = new DataInputStream(raw)
       val footerOff = tail.readLong()
-      require(tail.readInt() == DVD_MAGIC, s"bad .dvd trailer in $dir/$name")
+      require(tail.readInt() == magic, s"bad .dvd trailer in $dir/$name")
       raw.seek(footerOff)
       val foot = new DataInputStream(new BufferedInputStream(raw))
       val nFields = readVInt(foot)
@@ -1035,8 +1077,7 @@ object SegmentIndex {
           raw.seek(off)
           val in = new DataInputStream(new BufferedInputStream(raw))
           val f = readStr(in)
-          val nT = readVInt(in)
-          val terms = Array.fill(nT)(readStr(in))
+          val terms = readDict(in, frontCoded = magic == DVD_MAGIC2)
           val nD = readVInt(in)
           val idx = new Array[Int](nD)
           var o = 0
