@@ -129,6 +129,7 @@ object SparkEntry {
     "q269_tfrecord_roundtrip", // tfrecord
     "q264_wet_roundtrip",      // wet_file
     "q287_ivf_persisted",      // ivf_index (train + cell-partitioned corpus)
+    "q294_ivfpq_persisted",    // ivfpq_index (quantizers + code partitions)
     "q286_tiered_merge",       // q286_tiered base store (upserts idempotent)
     "q289_index_multivalued",  // part_mv (array-surfaced store)
     "q267_wet_gz",             // wet_gz
@@ -633,6 +634,22 @@ object SparkEntry {
         IvfIndex.build(Tables.embeddings(s, d), o, dim = 64)
       }
       IvfIndex.query(s, out, Tables.embeddings(s, d).filter(col("vec_id") < 10),
+          k = 5, nprobe = 8)
+        .select(col("query_id"), col("rank"), col("corpus_id"))
+    }),
+
+    // the PERSISTED IVF-PQ index (q293's build/load split): the store
+    // holds the COMPRESSED corpus — m codes per vector, no raw
+    // vectors — plus the frozen coarse/sub-codebook quantizers; query
+    // batches read only probed cell partitions and score by ADC.
+    // Same oracle as q293: training, encoding, probing and ADC are
+    // bit-identical — only where the codes live changes.
+    "q294_ivfpq_persisted" -> ((s, d) => {
+      import graft.ops.IvfPqIndex
+      val out = sharedStore(d, "ivfpq_index") { o =>
+        IvfPqIndex.build(Tables.embeddings(s, d), o, dim = 64)
+      }
+      IvfPqIndex.query(s, out, Tables.embeddings(s, d).filter(col("vec_id") < 10),
           k = 5, nprobe = 8)
         .select(col("query_id"), col("rank"), col("corpus_id"))
     }),
@@ -8583,6 +8600,9 @@ object SparkEntry {
       "q46_ivf_ann" -> ivfAnnSql,
       "q292_pq_ann" -> pqAnnSql,
       "q293_ivfpq_ann" -> ivfPqSql,
+      // persisted IVF-PQ serves the SAME answer from the code store —
+      // one oracle, two read paths (the q46/q287 pairing)
+      "q294_ivfpq_persisted" -> ivfPqSql,
       // the persisted index serves the SAME answer from frozen
       // centroids + cell partitions — one oracle, two read paths
       "q287_ivf_persisted" -> ivfAnnSql,

@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * PERSISTED IVF-PQ index — [[IvfIndex]]'s build/load split applied to
+ * [[Similarity.ivfPqTopK]] (FAISS `IVFPQ` on disk): the store holds
+ * the COMPRESSED corpus only —
+ *
+ *  - `centroids/` — the coarse quantizer (tiny, driver-loadable);
+ *  - `codebooks/` — the m flat residual sub-codebooks (tiny);
+ *  - `cells/` — `partitionBy(cell)` parquet of (corpus_id, codes):
+ *    m SMALL INTS per vector instead of dim doubles — the ~32×
+ *    compression that lets a billion-vector index fit where raw
+ *    vectors cannot. Original vectors are NOT stored: queries score
+ *    by ADC against the codebooks alone.
+ *
+ * Query batches probe their nprobe nearest cells and read ONLY those
+ * cells' partitions (collected probe set → partition-pruning IN
+ * filter, the [[IvfIndex.query]] contract, plan-asserted in
+ * IvfPqIndexSpec). Answers are bit-identical to the batch
+ * `ivfPqTopK` with the same build parameters — q294 shares q293's
+ * DuckDB oracle.
+ *
+ * Incremental adds encode against the FROZEN quantizers (coarse +
+ * sub-codebooks — FAISS's `add` contract) and append to touched cell
+ * partitions; [[IvfIndex.compact]]'s counter-force applies unchanged
+ * since the cell layout is identical.
+ */
+object IvfPqIndex {
+
+  private def markerPath(out: String) = s"$out/_ivfpq_marker.json"
+
+  final case class Marker(dim: Int, eff: Int, m: Int, ksub: Int, seed: Long,
+                          idCol: String, vecCol: String)
+
+  def build(corpus: DataFrame, out: String, dim: Int,
+            nlist: Int = 16, m: Int = 8, ksub: Int = 16,
+            coarseSample: Int = 2048, pqSample: Int = 256,
+            coarseIters: Int = 8, pqIters: Int = 4, seed: Long = 42L,
+            idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (centroids, codebooks) = Similarity.trainIvfPq(corpus, dim, nlist, m,
+      ksub, coarseSample, pqSample, coarseIters, pqIters, seed, idCol, vecCol)
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("i", "c").coalesce(1)
+      .write.mode("overwrite").parquet(s"$out/centroids")
+    // flat [s][code][dim/m] layout, one row per (subspace, code)
+    val dsub = dim / m
+    (0 until m).flatMap(s => (0 until ksub).map { c =>
+      (s, c, codebooks.slice((s * ksub + c) * dsub, (s * ksub + c + 1) * dsub))
+    }).toDF("s", "code", "c").coalesce(1)
+      .write.mode("overwrite").parquet(s"$out/codebooks")
+    Similarity.encodeIvfPq(corpus, centroids, codebooks, dim, m, ksub,
+        idCol, vecCol)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$out/cells")
+    val mk = s"""{"dim":$dim,"eff":${centroids.length},"m":$m,"ksub":$ksub,""" +
+      s""""seed":$seed,"idCol":"$idCol","vecCol":"$vecCol"}"""
+    val p = new org.apache.hadoop.fs.Path(markerPath(out))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    try os.write(mk.getBytes("UTF-8")) finally os.close()
+  }
+
+  private def readMarker(spark: SparkSession, out: String): Marker = {
+    val p = new org.apache.hadoop.fs.Path(markerPath(out))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+    val in = fs.open(p)
+    try in.readFully(0, buf) finally in.close()
+    val txt = new String(buf, "UTF-8")
+    def num(k: String) = s""""$k":(-?\\d+)""".r.findFirstMatchIn(txt).get.group(1)
+    def str(k: String) = (s""""$k":"([^"]*)"""").r.findFirstMatchIn(txt).get.group(1)
+    Marker(num("dim").toInt, num("eff").toInt, num("m").toInt,
+      num("ksub").toInt, num("seed").toLong, str("idCol"), str("vecCol"))
+  }
+
+  private def loadQuantizers(spark: SparkSession, out: String, mk: Marker)
+      : (Array[Array[Double]], IndexedSeq[Double]) = {
+    val centroids = spark.read.parquet(s"$out/centroids")
+      .orderBy("i").collect()
+      .map(r => r.getSeq[Double](r.fieldIndex("c")).toArray)
+    val codebooks = spark.read.parquet(s"$out/codebooks")
+      .orderBy("s", "code").collect()
+      .flatMap(r => r.getSeq[Double](r.fieldIndex("c")))
+      .toIndexedSeq
+    (centroids, codebooks)
+  }
+
+  /** Query the persisted index: bit-identical to `ivfPqTopK` with the
+    * build's parameters; only the probed cells' partitions are read
+    * and no training runs. */
+  def query(spark: SparkSession, out: String, queries: DataFrame, k: Int,
+            nprobe: Int = 4): DataFrame = {
+    val mk = readMarker(spark, out)
+    val (centroids, codebooks) = loadQuantizers(spark, out, mk)
+    val probes = Similarity.probeIvfPq(queries, centroids, codebooks, mk.dim,
+      mk.m, mk.ksub, nprobe, mk.idCol, mk.vecCol)
+    // probed cells -> partition-pruning literals (bounded: |Q|·nprobe)
+    val probed = probes.select(col("cell")).distinct().collect().map(_.getInt(0))
+    val cells = spark.read.parquet(s"$out/cells")
+      .filter(col("cell").isin(probed.map(Int.box).toIndexedSeq: _*))
+    Similarity.adcRank(cells, probes, k, mk.m, mk.ksub)
+  }
+
+  /** Incremental add against the FROZEN quantizers: encode + append to
+    * the touched cell partitions, then fold any over-budget cell
+    * ([[IvfIndex.compact]] — identical cells/ layout). */
+  def add(spark: SparkSession, out: String, vectors: DataFrame,
+          maxFilesPerCell: Int = 8): Unit = {
+    val mk = readMarker(spark, out)
+    val (centroids, codebooks) = loadQuantizers(spark, out, mk)
+    Similarity.encodeIvfPq(vectors, centroids, codebooks, mk.dim, mk.m, mk.ksub,
+        mk.idCol, mk.vecCol)
+      .write.mode("append").partitionBy("cell").parquet(s"$out/cells")
+    IvfIndex.compact(spark, out, maxFilesPerCell)
+    ()
+  }
+}

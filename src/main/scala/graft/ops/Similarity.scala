@@ -588,10 +588,26 @@ object Similarity {
                 coarseSample: Int = 2048, pqSample: Int = 256,
                 coarseIters: Int = 8, pqIters: Int = 4, seed: Long = 42L,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (centroids, codebooks) = trainIvfPq(corpus, dim, nlist, m, ksub,
+      coarseSample, pqSample, coarseIters, pqIters, seed, idCol, vecCol)
+    val codes = encodeIvfPq(corpus, centroids, codebooks, dim, m, ksub, idCol, vecCol)
+    val probes = probeIvfPq(queries, centroids, codebooks, dim, m, ksub, nprobe,
+      idCol, vecCol)
+    adcRank(codes, probes, k, m, ksub)
+  }
+
+  /** IVF-PQ training (driver-side, ordered md5-seeded samples): the
+    * coarse centroid matrix + the m flat sub-codebooks trained on the
+    * RESIDUALS of the first `pqSample` sample ids — shared by the
+    * batch operator and the persisted [[IvfPqIndex]], so both serve
+    * bit-identical answers. */
+  private[ops] def trainIvfPq(corpus: DataFrame, dim: Int, nlist: Int, m: Int,
+                              ksub: Int, coarseSample: Int, pqSample: Int,
+                              coarseIters: Int, pqIters: Int, seed: Long,
+                              idCol: String, vecCol: String)
+      : (Array[Array[Double]], IndexedSeq[Double]) = {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val dsub = dim / m
-    val spark = corpus.sparkSession
-    // ---- driver-side training, all from ordered samples ----
     def normalize(v: Array[Double]): Array[Double] = {
       var sq = 0.0; var j = 0
       while (j < v.length) { sq += v(j) * v(j); j += 1 }
@@ -626,7 +642,6 @@ object Similarity {
       best
     }
     // PQ trains on the RESIDUALS of the first pqSample ids
-    require(sampleAll.length >= math.max(ksub, 1), "sample smaller than ksub")
     val pqTrain = sampleAll.take(pqSample).map { case (id, nv) =>
       val c = centroids(assignCell(nv))
       (id, Array.tabulate(dim)(j => nv(j) - c(j)))
@@ -639,12 +654,21 @@ object Similarity {
       }
       kmeans(sub, ksub, pqIters, seed).flatten
     }
-    // ---- engine side: encode once, probe + ADC per query ----
-    val (dists, nearest) = cellFns(centroids, dim)
+    (centroids, codebooks)
+  }
+
+  /** Encode the corpus against FROZEN quantizers: one fused pass →
+    * (cell, corpus_id, codes) — the compressed row the IVF-PQ scoring
+    * scan (and the persisted store) carries instead of vectors. */
+  private[ops] def encodeIvfPq(corpus: DataFrame, centroids: Array[Array[Double]],
+                               codebooks: IndexedSeq[Double], dim: Int, m: Int,
+                               ksub: Int, idCol: String, vecCol: String): DataFrame = {
+    val spark = corpus.sparkSession
     import spark.implicits._
+    val (_, nearest) = cellFns(centroids, dim)
     val cellsDf = centroids.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "ccent")
-    val c = corpus.select(col(idCol).as("corpus_id"),
+    corpus.select(col(idCol).as("corpus_id"),
         col(vecCol).cast("array<double>").as("cvec"))
       .withColumn("cnorm", norm(col("cvec")))
       .withColumn("nvec", transform(col("cvec"), x => x / col("cnorm")))
@@ -653,7 +677,21 @@ object Similarity {
       .withColumn("codes", graft.functions.PqKernels.pq_codes(
         zip_with(col("nvec"), col("ccent"), (a, b) => a - b), codebooks, m, ksub, dim))
       .select(col("cell"), col("corpus_id"), col("codes"))
-    val q = queries.select(col(idCol).as("query_id"),
+  }
+
+  /** Probe side: per (query, probed cell) the residual ADC lookup
+    * table — broadcast-small by the query contract. */
+  private[ops] def probeIvfPq(queries: DataFrame, centroids: Array[Array[Double]],
+                              codebooks: IndexedSeq[Double], dim: Int, m: Int,
+                              ksub: Int, nprobe: Int,
+                              idCol: String, vecCol: String): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val eff = centroids.length
+    val (dists, _) = cellFns(centroids, dim)
+    val cellsDf = centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "ccent")
+    queries.select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("qvec"))
       .withColumn("qnorm", norm(col("qvec")))
       .withColumn("nq", transform(col("qvec"), x => x / col("qnorm")))
@@ -662,7 +700,14 @@ object Similarity {
       .withColumn("qtable", graft.functions.PqKernels.pq_adc_table(
         zip_with(col("nq"), col("ccent"), (a, b) => a - b), codebooks, m, ksub, dim))
       .select(col("cell"), col("query_id"), col("qtable"))
-    val scored = c.join(broadcast(q), Seq("cell"))
+  }
+
+  /** ADC scoring + top-k: codes rows join broadcast probe rows on the
+    * cell key; per pair the score is m table lookups folded from +0.0
+    * in subspace order. */
+  private[ops] def adcRank(codes: DataFrame, probes: DataFrame, k: Int,
+                           m: Int, ksub: Int): DataFrame = {
+    val scored = codes.join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("corpus_id"))
       .withColumn("adc", aggregate(
         zip_with(col("codes"), sequence(lit(0), lit(m - 1)),

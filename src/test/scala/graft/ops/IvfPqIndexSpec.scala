@@ -1,0 +1,77 @@
+package graft.ops
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Persisted IVF-PQ: build/load split over the batch ivfPqTopK —
+  * frozen coarse + sub-codebook quantizers, cell-partitioned CODE
+  * store (no raw vectors), probe-only reads, ADC scoring. */
+class IvfPqIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def emb = Tables.embeddings(spark, TestSpark.sf)
+
+  private lazy val idx: String = {
+    val out = java.nio.file.Files.createTempDirectory("ivfpq_idx_").toString
+    IvfPqIndex.build(emb, out, dim = 64)
+    out
+  }
+
+  test("persisted query matches the batch operator exactly") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val batch = Similarity.ivfPqTopK(emb, queries, k = 5, dim = 64, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    val persisted = IvfPqIndex.query(spark, idx, queries, k = 5, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(persisted === batch)
+  }
+
+  test("the store holds codes, not vectors (the compression contract)") {
+    val cells = spark.read.parquet(s"$idx/cells")
+    assert(cells.columns.toSet === Set("corpus_id", "codes", "cell"))
+    val row = cells.limit(1).collect().head
+    assert(row.getSeq[Int](row.fieldIndex("codes")).length === 8) // m codes
+  }
+
+  test("query scan reads only the probed cell partitions (pruning on the plan)") {
+    val queries = emb.filter(col("vec_id") === 3)
+    val df = IvfPqIndex.query(spark, idx, queries, k = 5, nprobe = 2)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val cellScans = scans(df.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("cells")))
+    assert(cellScans.nonEmpty, "no cells/ file scan in the plan")
+    val s = cellScans.head
+    assert(s.partitionFilters.exists(_.references.exists(_.name == "cell")),
+      s"cell must be a partition filter, got ${s.partitionFilters}")
+    assert(s.selectedPartitions.partitionCount <= 2,
+      s"nprobe=2 must select <=2 cell partitions, got ${s.selectedPartitions.partitionCount}")
+  }
+
+  test("incremental add encodes against frozen quantizers; old answers unchanged") {
+    val out = java.nio.file.Files.createTempDirectory("ivfpq_add_").toString
+    IvfPqIndex.build(emb.filter(col("vec_id") % 2 === 0), out, dim = 64)
+    val queries = emb.filter(col("vec_id") === 0)
+    val before = IvfPqIndex.query(spark, out, queries, k = 3, nprobe = 8)
+      .filter(col("corpus_id") % 2 === 0) // hits among the original half
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    IvfPqIndex.add(spark, out, emb.filter(col("vec_id") % 2 === 1))
+    val total = spark.read.parquet(s"$out/cells").count()
+    assert(total === emb.count())
+    // original-half hits can only be displaced by NEW ids, never
+    // reordered among themselves (codes and tables are frozen)
+    val after = IvfPqIndex.query(spark, out, queries, k = 3, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(after.length === 3)
+    val afterEven = after.filter(_._2 % 2 == 0).map(_._2).toSet
+    assert(afterEven.subsetOf(before.map(_._2)))
+  }
+}
