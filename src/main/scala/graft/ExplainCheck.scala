@@ -65,7 +65,23 @@ object ExplainCheck {
       "q204_proximity_search" -> "sloppy-phrase proximity: one rlike predicate in the scan stage — no tokenize, no explode, no shuffle",
       "q206_dup_ngram_cov" -> "dup-ngram coverage: both fused kernels in one scan-stage projection — zero exchanges in the whole plan",
       "q221_frame_sample" -> "byte-frame sampling: offsets bounded pre-explode (Generate under the scan), binary substring row-local",
-      "q226_sentence_chunks" -> "sentence chunking: ONE hash exchange on doc_id — window prefix-sum and the ordered aggregate reuse the same partitioning")
+      "q226_sentence_chunks" -> "sentence chunking: ONE hash exchange on doc_id — window prefix-sum and the ordered aggregate reuse the same partitioning",
+      "q292_pq_ann" -> "PQ ADC: codes from one fused kernel pass (codebooks as codegen reference objects), query tables broadcast, per-pair score is an m-lookup fold — corpus vectors read once at encode, never at scoring",
+      "q294_ivfpq_persisted" -> "persisted IVF-PQ: the code store's probed cells read under a PARTITION filter (pruning at planning), ADC scoring joins broadcast (query, cell, table) rows — no raw vectors anywhere in the plan")
+    // prose riders appended after specific plans (regenerated with them)
+    val postscript = Map(
+      "q108_index_dsv2" ->
+        ("Row materialization (round 11): when the projection carries no " +
+          "array-surfaced field and no pushed sort, rows assemble COLUMNAR " +
+          "from the `.dvd` forward columns of exactly the projected fields " +
+          "(dict converted once per segment×field, two array reads per " +
+          "column per row) — the `.fld` stored blocks never open, so scan " +
+          "I/O is ∝ projected columns instead of full row width. Two " +
+          "measured gates keep it off where it loses: match sets under " +
+          "1/32 of a segment keep the per-hit stored seeks, and the " +
+          "projection must prune ≥ half the table's columns. Segments " +
+          "lacking a column fall back to stored fetch per-segment with " +
+          "identical results."))
     val sb = new StringBuilder
     sb.append("# Captured physical plans (generated by graft.ExplainCheck at sf0.001)\n")
     sb.append("\nRegenerate: `sbt \"runMain graft.ExplainCheck\"`.\n")
@@ -75,6 +91,7 @@ object ExplainCheck {
       sb.append(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
       sb.append("```\n")
+      postscript.get(q).foreach(p => sb.append(s"\n$p\n"))
     }
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("docs"))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("docs/PLANS.md"), sb.toString)

@@ -340,7 +340,7 @@ object SegmentIndex {
     * starting with a lone low surrogate would encode as replacement
     * bytes; the prefix side is taken from the DECODED previous term,
     * so only the suffix boundary matters). */
-  private def sharedPrefixLen(prev: String, t: String): Int = {
+  private[index] def sharedPrefixLen(prev: String, t: String): Int = {
     val n = math.min(prev.length, t.length)
     var i = 0
     while (i < n && prev.charAt(i) == t.charAt(i)) i += 1
