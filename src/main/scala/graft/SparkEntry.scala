@@ -621,6 +621,18 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("corpus_id"))
     }),
 
+    // IVF-PQ + exact re-rank (FAISS IndexRefineFlat over IVFPQ — the
+    // production two-stage pattern): 20 cheap ADC candidates per
+    // query, then exact cosine over ONLY those rows fixes the final
+    // ordering — quantization error corrected where it matters, raw
+    // vectors fetched ∝ candidates, never corpus-wide.
+    "q295_ivfpq_refine" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfPqRefineTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+        dim = 64, kCandidates = 20, nprobe = 8)
+        .select(col("query_id"), col("rank"), col("corpus_id"))
+    }),
+
     // the PERSISTED IVF index (build/load split): training + corpus
     // assignment run ONCE into a cell-partitioned store; a query
     // batch probes nprobe cells and reads ONLY those partitions (the
@@ -8471,7 +8483,7 @@ object SparkEntry {
     // assignment → residual per row → per-subspace Lloyd on the first
     // 256 residuals → codes → probed-cell ADC. The full FAISS IVFPQ
     // pipeline replayed; every stage reuses a generator proven above.
-    val ivfPqSql: String = {
+    val ivfPqBody: String = {
       val nlist = 16; val ksub = 16; val coarseIters = 8; val pqIters = 4
       def coarseRound(r: Int) =
         s"""ia$r AS MATERIALIZED (
@@ -8589,13 +8601,40 @@ object SparkEntry {
          |  JOIN ipc$pqIters cb ON cb.s = q.s AND cb.i = k.code),
          |iadc AS (
          |  SELECT query_id, corpus_id, ${fold("list(ds ORDER BY s)")} AS dist
-         |  FROM ipairds GROUP BY 1, 2)
+         |  FROM ipairds GROUP BY 1, 2)""".stripMargin
+    }
+    val ivfPqSql =
+      s"""$ivfPqBody
          |SELECT query_id, CAST(rn AS INTEGER) AS rank, corpus_id FROM (
          |  SELECT query_id, corpus_id, row_number() OVER (PARTITION BY query_id
          |      ORDER BY dist ASC, corpus_id ASC) AS rn
          |  FROM iadc)
          |WHERE rn <= 5 ORDER BY 1, 2""".stripMargin
-    }
+    // refine (q295): the same ADC pipeline cut at 20 candidates, then
+    // an exact-cosine re-rank over the RAW vectors of only those rows
+    val ivfPqRefineSql =
+      s"""$ivfPqBody,
+         |icand AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT query_id, corpus_id, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY dist ASC, corpus_id ASC) AS rn
+         |    FROM iadc)
+         |  WHERE rn <= 20),
+         |irawn AS MATERIALIZED (
+         |  SELECT id, v, sqrt(${dotF("v", "v")}) AS vn FROM (
+         |    SELECT vec_id AS id,
+         |      [CAST(embedding[j + 1] AS DOUBLE) for j in $dj] AS v
+         |    FROM embeddings)),
+         |irescored AS (
+         |  SELECT c.query_id, c.corpus_id,
+         |    ${dotF("qv.v", "cv.v")} / (qv.vn * cv.vn) AS cosine
+         |  FROM icand c JOIN irawn qv ON qv.id = c.query_id
+         |  JOIN irawn cv ON cv.id = c.corpus_id)
+         |SELECT query_id, CAST(rn AS INTEGER) AS rank, corpus_id FROM (
+         |  SELECT query_id, corpus_id, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, corpus_id ASC) AS rn
+         |  FROM irescored)
+         |WHERE rn <= 5 ORDER BY 1, 2""".stripMargin
     Map(
       "q46_ivf_ann" -> ivfAnnSql,
       "q292_pq_ann" -> pqAnnSql,
@@ -8603,6 +8642,7 @@ object SparkEntry {
       // persisted IVF-PQ serves the SAME answer from the code store —
       // one oracle, two read paths (the q46/q287 pairing)
       "q294_ivfpq_persisted" -> ivfPqSql,
+      "q295_ivfpq_refine" -> ivfPqRefineSql,
       // the persisted index serves the SAME answer from frozen
       // centroids + cell partitions — one oracle, two read paths
       "q287_ivf_persisted" -> ivfAnnSql,

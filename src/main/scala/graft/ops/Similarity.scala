@@ -596,6 +596,47 @@ object Similarity {
     adcRank(codes, probes, k, m, ksub)
   }
 
+  /**
+   * IVF-PQ with EXACT re-rank (FAISS `IndexRefineFlat` over `IVFPQ` —
+   * the standard two-stage serving pattern): ADC over probed cells
+   * produces `kCandidates` cheap candidates per query, then ONLY those
+   * |Q|·kCandidates rows fetch their raw vectors for an exact cosine
+   * re-rank. ADC's quantization error is corrected where it matters
+   * (the final ordering) while the corpus-wide scan still never
+   * touches a raw vector — the candidate set joins the corpus as a
+   * BROADCAST, so the fetch is one hash-join pass, I/O ∝ candidates.
+   */
+  def ivfPqRefineTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+                      kCandidates: Int = 20, nlist: Int = 16, nprobe: Int = 4,
+                      m: Int = 8, ksub: Int = 16,
+                      coarseSample: Int = 2048, pqSample: Int = 256,
+                      coarseIters: Int = 8, pqIters: Int = 4, seed: Long = 42L,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (centroids, codebooks) = trainIvfPq(corpus, dim, nlist, m, ksub,
+      coarseSample, pqSample, coarseIters, pqIters, seed, idCol, vecCol)
+    val codes = encodeIvfPq(corpus, centroids, codebooks, dim, m, ksub, idCol, vecCol)
+    val probes = probeIvfPq(queries, centroids, codebooks, dim, m, ksub, nprobe,
+      idCol, vecCol)
+    val cand = adcRank(codes, probes, kCandidates, m, ksub)
+      .select(col("query_id"), col("corpus_id"))
+    val c = corpus.select(col(idCol).as("corpus_id"),
+        col(vecCol).cast("array<double>").as("cvec"))
+      .withColumn("cnorm", norm(col("cvec")))
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qvec"))
+      .withColumn("qnorm", norm(col("qvec")))
+    // exact rescore of the candidate set only: candidates broadcast
+    // into the corpus join (one pass), query side broadcast as always
+    val rescored = c.join(broadcast(cand), Seq("corpus_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine", dot(col("qvec"), col("cvec")) /
+        (col("qnorm") * col("cnorm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    rescored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"))
+  }
+
   /** IVF-PQ training (driver-side, ordered md5-seeded samples): the
     * coarse centroid matrix + the m flat sub-codebooks trained on the
     * RESIDUALS of the first `pqSample` sample ids — shared by the

@@ -48,6 +48,24 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("refine: exact re-rank of ADC candidates recalls >= 4 of the exact " +
+      "top-5 (quantization error corrected by the second stage)") {
+    val df = vecs(300, 64)
+    val queries = df.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(df, queries, k = 5)
+      .select(col("query_id"), col("corpus_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val refined = Similarity.ivfPqRefineTopK(df, queries, k = 5, dim = 64,
+        kCandidates = 40, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    refined.foreach { case (q, ids) =>
+      val overlap = ids.intersect(exact.getOrElse(q, Set.empty)).size
+      assert(overlap >= 4, s"query $q: refine recalled only $overlap of exact top-5")
+    }
+  }
+
   test("IVF-PQ: probed-cell residual ADC also stays in-cluster, deterministic, " +
       "full k per query") {
     val df = vecs(300, 64)
