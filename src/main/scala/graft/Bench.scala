@@ -7,19 +7,93 @@ import org.apache.spark.sql.SparkSession
  * forcing full materialization through the `noop` sink (a bare
  * `count()` would let Catalyst prune most of the work), and prints one
  * JSON line for the driver.
+ *
+ * Measurement hygiene (round-12, after the r11 harness defect):
+ *
+ *  - BETWEEN QUERIES the sweep clears the cache manager AND unpersists
+ *    every RDD still pinned in the block manager. `clearCache()` only
+ *    drops `Dataset.persist` entries; `localCheckpoint`ed RDDs (the
+ *    BFS frontiers, clustering assignments, near-dup loser sets) live
+ *    at the RDD layer and otherwise linger until a driver GC lets
+ *    ContextCleaner reap them — across a 295-query sweep they pile up
+ *    in storage memory, squeeze execution memory, and later queries
+ *    inherit spill pressure that has nothing to do with their own cost
+ *    (r11: q104 read 10.6 s in-suite vs 0.44 solo — measured
+ *    attribution in docs/SCALING.md §"bench interference").
+ *  - THE SOLO BLOCK runs in a FRESH FORKED JVM (same classpath and
+ *    module options as this one — sbt forks `run`, so
+ *    `java.class.path` is the real classpath). The r11 in-JVM solo
+ *    pass ran at the END of the sweep and measured end-of-suite heap
+ *    state, reading HIGHER than the contended sweep for store-heavy
+ *    queries — an isolation view that doesn't isolate. The child
+ *    re-runs each solo query once un-measured (rebuilding the shared
+ *    stores its queries need — sharedStore paths are per-JVM) and then
+ *    measures it, so solo numbers are warm-store steady state in a
+ *    clean heap. Fork failure falls back to the in-JVM pass, flagged
+ *    in the JSON (`"soloMode"`).
+ *  - SPARK_GRAFT_DIAG=1 appends per-query wall / GC-delta / pinned-RDD
+ *    / storage-byte lines to /tmp/graft_bench_diag.jsonl (stderr-side;
+ *    the stdout JSON contract is unchanged) — the attribution
+ *    instrument, kept wired so regressions of this class are a one-env
+ *    rerun away.
  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+  private def newSession(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Drop everything a finished query can leave pinned: cache-manager
+    * entries (Dataset.persist) AND raw persisted RDDs
+    * (localCheckpoint) — the latter are invisible to clearCache and
+    * were the r11 sweep-interference leak. */
+  private def releaseQueryState(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
+
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).sum
+  }
+
+  def fmt(v: Double, dp: Int): String =
+    // Locale.ROOT: the default-locale f"" interpolator renders a
+    // comma decimal point on e.g. de_DE JVMs — malformed JSON
+    String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+
+  def main(args: Array[String]): Unit = {
+    if (args.length >= 2 && args(0) == "--solo") { soloMain(args(1)); return }
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = newSession()
+    val diag = sys.env.get("SPARK_GRAFT_DIAG").exists(_.nonEmpty)
+    val diagOut = new java.io.File("/tmp/graft_bench_diag.jsonl")
+    if (diag) diagOut.delete()
+    def diagLine(phase: String, name: String, dt: Double): Unit = if (diag) {
+      val sc = spark.sparkContext
+      val pinned = sc.getPersistentRDDs.size
+      val stor = sc.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum
+      val heap = {
+        val r = Runtime.getRuntime; r.totalMemory() - r.freeMemory()
+      }
+      val line = s"""{"phase":"$phase","q":"$name","sec":${fmt(dt, 2)},""" +
+        s""""gcMs":${gcMillis()},"pinnedRdds":$pinned,"storageBytes":$stor,""" +
+        s""""heapBytes":$heap}"""
+      val w = new java.io.FileWriter(diagOut, true)
+      try w.write(line + "\n") finally w.close()
+    }
     // warm the session (JVM, codegen, the noop sink the measured
     // queries write through, and the parquet/Hadoop-FS read stack via
     // the 5-row region table) so the first measured query doesn't pay
@@ -48,9 +122,14 @@ object Bench {
         try SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         catch { case scala.util.control.NonFatal(_) => () } // sweep re-runs report it
-        spark.catalog.clearCache()
-        name -> (System.nanoTime() - t0) / 1e9
+        releaseQueryState(spark)
+        val dt = (System.nanoTime() - t0) / 1e9
+        diagLine("setup", name, dt)
+        name -> dt
       }
+    // setup built ~90 s of stores: give ContextCleaner one drain pass
+    // so the sweep's first queries don't start under setup's garbage
+    System.gc()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n.takeWhile(_ != '_'))) }
       .map { case (name, fn) =>
@@ -67,12 +146,8 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val dt = (System.nanoTime() - t0) / 1e9
-      // several queries persist intermediates (LSH signatures, shingle
-      // sets) for their own multi-read plans; dropping them between
-      // queries keeps each measurement independent — leaked cache
-      // blocks from earlier queries otherwise build memory pressure
-      // that shows up as multi-second outliers in later ones
-      spark.catalog.clearCache()
+      diagLine("sweep", name, dt)
+      releaseQueryState(spark)
       name -> dt
     }
     // the harness that captures this output keeps only the LAST 2000
@@ -85,10 +160,6 @@ object Bench {
     // and the omitted ones are all below measurement noise anyway.
     // spark.stop() BEFORE the println so no shutdown WARN lands after
     // the JSON line.
-    // Locale.ROOT: the default-locale f"" interpolator renders a
-    // comma decimal point on e.g. de_DE JVMs — malformed JSON
-    def fmt(v: Double, dp: Int): String =
-      String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
     val TopN = 50
     val qs = results.sortBy(-_._2).take(TopN).sortBy(_._1).map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v, 2)
@@ -98,24 +169,29 @@ object Bench {
       "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v, 2)
     }.mkString("{", ",", "}")
     val total = fmt(results.map(_._2).sum, 3)
-    // SOLO pass: the 20 most expensive queries re-run in isolation at
-    // the end of the sweep (cache cleared, GC hinted) so their numbers
-    // are free of interleave effects — in-suite ranking can overstate a
-    // query that merely inherited memory pressure from its predecessor
-    // (round-7's q213 read 1.5× its solo cost; round-9's q104 read 10×).
-    // `value`/`queries` stay the sweep's numbers; `solo` is the
-    // isolation-corrected view, and covers the whole top-20 so every
-    // per-query number worth reading has an interleave-free counterpart.
-    val soloJson = results.sortBy(-_._2).take(20).map { case (name, _) =>
-      spark.catalog.clearCache()
-      System.gc()
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () } // already reported in `failed`
-      spark.catalog.clearCache()
-      "\"" + name.takeWhile(_ != '_') + "\":" + fmt((System.nanoTime() - t0) / 1e9, 2)
-    }.mkString("{", ",", "}")
+    // SOLO pass: the 20 most expensive queries re-run in a FRESH
+    // FORKED JVM (see object scaladoc) so their numbers are free of
+    // both interleave effects AND end-of-suite heap state. The child
+    // prints {"solo":{...}} on its own stdout; stderr passes through.
+    val soloNames = results.sortBy(-_._2).take(20).map(_._1)
+    val (soloJson, soloMode) = forkSolo(soloNames) match {
+      case Some(j) => (j, "forked")
+      case None =>
+        // fallback: in-JVM isolation (cache cleared, GC hinted) —
+        // still better than sweep numbers, but heap-state-tainted
+        val j = soloNames.map { name =>
+          releaseQueryState(spark)
+          System.gc()
+          val t0 = System.nanoTime()
+          try SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () } // already reported in `failed`
+          releaseQueryState(spark)
+          "\"" + name.takeWhile(_ != '_') + "\":" +
+            fmt((System.nanoTime() - t0) / 1e9, 2)
+        }.mkString("{", ",", "}")
+        (j, "in-jvm")
+    }
     // a failed query runs fast — surface failures instead of letting
     // them read as speedups; bounded (8 entries, 40-char reasons) so a
     // mass failure can't blow the capture window either
@@ -124,6 +200,79 @@ object Bench {
       (if (failed.size > 8) Seq("\"+" + (failed.size - 8) + " more\"") else Nil))
       .mkString("[", ",", "]")
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","nq":${results.size},"queries":$qs,"setup":$setupJson,"solo":$soloJson,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","nq":${results.size},"queries":$qs,"setup":$setupJson,"solo":$soloJson,"soloMode":"$soloMode","failed":$failedJson,"sf":"$sfDir"}""")
+  }
+
+  /** Spawn `java -cp <this JVM's classpath> graft.Bench --solo names`
+    * and harvest its `{"solo":{...}}` stdout line. None on any
+    * failure (missing java, non-zero exit, no JSON line) — the caller
+    * falls back to the in-JVM pass. */
+  private def forkSolo(names: Seq[String]): Option[String] = {
+    if (names.isEmpty) return Some("{}")
+    try {
+      import scala.jdk.CollectionConverters._
+      val javaBin = java.nio.file.Paths
+        .get(System.getProperty("java.home"), "bin", "java").toString
+      val cp = System.getProperty("java.class.path")
+      // carry the module opens + memory + -D flags this JVM runs with
+      // (Spark 4 on JDK 17 needs the --add-opens set; build.sbt
+      // injects it into the forked run)
+      val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.filter { a =>
+          a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
+            a.startsWith("-Xmx") || a.startsWith("-Xms") || a.startsWith("-D")
+        }
+      val cmd = (Seq(javaBin) ++ jvmArgs.toSeq ++
+        Seq("-cp", cp, "graft.Bench", "--solo", names.mkString(","))).asJava
+      val pb = new ProcessBuilder(cmd)
+      pb.redirectErrorStream(false)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val proc = pb.start()
+      val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+      val rc = proc.waitFor()
+      val line = out.linesIterator.find(_.startsWith("{\"solo\":"))
+      if (rc != 0) {
+        System.err.println(s"[bench] solo fork exited $rc")
+        None
+      } else line.map { l =>
+        val j = l.stripPrefix("{\"solo\":").stripSuffix("}")
+        j
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] solo fork failed: ${e.getMessage}")
+        None
+    }
+  }
+
+  /** Child-JVM entry: fresh session, and for each named query one
+    * un-measured warm run (builds this JVM's shared stores on demand,
+    * warms page cache the way the sweep's history did) then one
+    * measured run. Prints exactly one {"solo":{...}} line. */
+  private def soloMain(csv: String): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = newSession()
+    spark.range(1000000L).selectExpr("sum(id) as s")
+      .write.format("noop").mode("overwrite").save()
+    val entries = csv.split(",").iterator.filter(_.nonEmpty).map { name =>
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save() // warm + store build
+        releaseQueryState(spark)
+        System.gc()
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        releaseQueryState(spark)
+        Some("\"" + name.takeWhile(_ != '_') + "\":" + fmt(dt, 2))
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench-solo] $name failed: ${e.getMessage}")
+          None
+      }
+    }.flatten.toSeq
+    spark.stop()
+    println(entries.mkString("{\"solo\":{", ",", "}}"))
   }
 }

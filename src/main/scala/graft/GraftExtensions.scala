@@ -1,0 +1,21 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/**
+ * Session extensions — registered via
+ * `.config("spark.sql.extensions", "graft.GraftExtensions")` (all of
+ * [[GraftSession]], [[Bench]], [[Verify]] and the test session do).
+ *
+ * Currently one rule: [[graft.index.TermFilterPushdown]], which routes
+ * `array_contains(multivaluedField, lit)` filters over graft-index
+ * relations into posting-list lookups. Every rule here is a pure
+ * optimization — plans produced without the extension return the same
+ * rows (the rules only re-route work into the index), so a foreign
+ * session reading the same stores stays correct.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.index.TermFilterPushdown)
+  }
+}

@@ -103,17 +103,34 @@ private[index] class IndexTable(tableSchema: StructType, store: String)
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
+
+  /** Store marker, read once (driver-side metadata) — shared by scan
+    * building and by [[TermFilterPushdown]]'s eligibility check. */
+  private[index] lazy val marker: SegmentShardSink.StoreMarker =
+    SegmentShardSink.readMarker(
+      SparkSession.active.sessionState.newHadoopConf(), store)
+
+  /** Fields whose `array_contains(f, lit)` is EXACTLY a posting
+    * lookup: multivalued (array surfacing carries every stored
+    * occurrence, and postings index every occurrence) and NOT
+    * analyzed (analyzed postings hold tokens, not verbatim values).
+    * Used by [[TermFilterPushdown]]. */
+  private[index] def termPushableArrays: Set[String] =
+    marker.multivalued -- marker.analyzed
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    // two field classes are excluded from pushdown:
+    // two field classes are excluded from DIRECT filter pushdown:
     //  - MULTIVALUED: the relational surface shows their FIRST value,
     //    but a posting lookup matches ANY value — pushing would return
-    //    rows that visibly violate the predicate;
+    //    rows that visibly violate the predicate (under
+    //    `multivalued=array` surfacing, `array_contains` IS any-value
+    //    semantics — [[TermFilterPushdown]] routes those here via the
+    //    `termFilter` option, since Spark's V2 filter translation
+    //    never surfaces ArrayContains to pushFilters);
     //  - ANALYZED: postings hold TOKENS, the relational surface the
     //    VERBATIM stored value — a pushed whole-value lookup would
     //    silently miss (`text = "Spark"` vs token `spark`).
     // Residual Spark evaluation keeps the table honest for both.
-    val marker = SegmentShardSink.readMarker(
-      SparkSession.active.sessionState.newHadoopConf(), store)
     val numeric: Map[String, Char] =
       marker.numericLong.iterator.map(_ -> 'l').toMap ++
         marker.numericDouble.iterator.map(_ -> 'd') ++
@@ -147,8 +164,23 @@ private[index] class IndexTable(tableSchema: StructType, store: String)
     // and as a fallback knob). "on" bypasses the projection-width
     // gate too (measurement aid).
     val columnar = Option(options.get("columnar")).map(_.toLowerCase).orNull
+    // `.option("termFilter", "f:t[,f2:t2]")` (URL-encoded halves) —
+    // injected by [[TermFilterPushdown]] for `array_contains` on
+    // array-surfaced multivalued fields: each entry is ANDed into the
+    // pushed query as a posting lookup. The Catalyst Filter stays in
+    // the plan (residual re-eval — exact, cheap), so correctness never
+    // depends on this option.
+    val optionTerms: Seq[(String, String)] =
+      Option(options.get("termfilter")).toSeq.flatMap { s =>
+        s.split(",").iterator.filter(_.nonEmpty).map { e =>
+          val i = e.indexOf(':')
+          require(i > 0, s"malformed termFilter entry '$e'")
+          (java.net.URLDecoder.decode(e.substring(0, i), "UTF-8"),
+            java.net.URLDecoder.decode(e.substring(i + 1), "UTF-8"))
+        }.toSeq
+      }
     new IndexScanBuilder(tableSchema, store, marker.multivalued, marker.analyzed,
-      numeric, arrayFields, snapshot, columnar)
+      numeric, arrayFields, snapshot, columnar, optionTerms)
   }
 }
 
@@ -197,7 +229,8 @@ private[index] class IndexScanBuilder(full: StructType, store: String,
                                       numeric: Map[String, Char] = Map.empty,
                                       arrayFields: Set[String] = Set.empty,
                                       snapshot: Option[Map[String, Int]] = None,
-                                      columnar: String = null)
+                                      columnar: String = null,
+                                      optionTerms: Seq[(String, String)] = Nil)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit
     with SupportsPushDownTopN {
@@ -544,7 +577,20 @@ private[index] class IndexScanBuilder(full: StructType, store: String,
       case _ => !countPushed && aggs.isEmpty &&
         required.fields.length * 2 <= full.fields.length
     }
-    new IndexScan(store, required, query, countPushed, limit, topN, facetFields, aggs,
+    // AND the option-injected term lookups (TermFilterPushdown's
+    // array_contains routing) into whatever pushFilters accepted
+    val fullQuery = {
+      val termQs: Seq[PushedQuery] =
+        optionTerms.map { case (f, t) => TermQuery(f, Seq(t)) }
+      if (termQs.isEmpty) query
+      else query match {
+        case MatchAll =>
+          if (termQs.length == 1) termQs.head else AndQuery(termQs)
+        case AndQuery(bs) => AndQuery(bs ++ termQs)
+        case other => AndQuery(other +: termQs)
+      }
+    }
+    new IndexScan(store, required, fullQuery, countPushed, limit, topN, facetFields, aggs,
       numeric, arrayFields, snapshot, useColumnar)
   }
 }

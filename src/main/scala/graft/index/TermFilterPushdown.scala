@@ -1,0 +1,73 @@
+package graft.index
+
+import org.apache.spark.sql.catalyst.expressions.{And, ArrayContains, AttributeReference, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/**
+ * SQL-surface pushdown for multivalued term filters (the Solr
+ * `fq=tags:x` shape, the single most common index query): under
+ * `.option("multivalued", "array")` surfacing, `array_contains(f, 'x')`
+ * on a multivalued stored field is EXACTLY a posting-list lookup —
+ * postings index every stored occurrence, and `array_contains` asks
+ * "any occurrence equals x". Spark's DSv2 filter translation
+ * (V2ExpressionBuilder) never surfaces ArrayContains to
+ * `pushFilters`, so without this rule a tag filter pays a full
+ * stored-row scan.
+ *
+ * Mechanics: this is an injected operator-optimization rule (runs in
+ * the fixed-point operator batches, BEFORE V2ScanRelationPushDown's
+ * "Early Filter and Projection Push-Down"). It rewrites
+ * `Filter(..array_contains(f, lit).., rel)` over a graft-index
+ * relation by adding a `termFilter` read option; the scan builder ANDs
+ * those terms into its pushed query ([[IndexScanBuilder]]), and the
+ * Filter node itself is KEPT — residual re-evaluation over the
+ * surfaced arrays is exact and cheap, so correctness never depends on
+ * the rule firing (sessions without [[graft.GraftExtensions]] get the
+ * same rows from the unpushed plan).
+ *
+ * Eligible fields are multivalued AND not analyzed
+ * ([[IndexTable.termPushableArrays]]): analyzed postings hold TOKENS
+ * while the surfaced array holds VERBATIM values, so a pushed lookup
+ * there would silently drop rows.
+ *
+ * Reference trace: Solr serves `fq=field:term` on multiValued fields
+ * from the same inverted postings; the reference's own query surface
+ * (README examples) leans on exactly this shape.
+ */
+object TermFilterPushdown extends Rule[LogicalPlan] {
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case x => Seq(x)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, rel: DataSourceV2Relation)
+        if rel.table.isInstanceOf[IndexTable] &&
+          rel.options.get("termfilter") == null &&
+          "array".equalsIgnoreCase(rel.options.get("multivalued")) =>
+      val pushable = rel.table.asInstanceOf[IndexTable].termPushableArrays
+      val terms = conjuncts(cond).collect {
+        case ArrayContains(a: AttributeReference, Literal(v, StringType))
+            if v != null && pushable.contains(a.name) &&
+              rel.output.exists(_.exprId == a.exprId) =>
+          a.name -> v.toString
+      }
+      if (terms.isEmpty) f
+      else {
+        // URL-encode both halves so field names / terms carrying the
+        // ':' and ',' delimiters round-trip
+        val enc = terms.map { case (k, t) =>
+          java.net.URLEncoder.encode(k, "UTF-8") + ":" +
+            java.net.URLEncoder.encode(t, "UTF-8")
+        }.mkString(",")
+        val opts = new java.util.HashMap[String, String](rel.options.asCaseSensitiveMap())
+        opts.put("termFilter", enc)
+        f.copy(child = rel.copy(options = new CaseInsensitiveStringMap(opts)))
+      }
+  }
+}
