@@ -108,14 +108,47 @@ object Graft {
     * ingest side to hold K-1 older snapshots). Generations are
     * per-PART (an upsert only commits the parts its delta touches),
     * hence a vector token, not a single number. */
-  def indexSnapshot(spark: SparkSession, store: String): String = {
+  def indexSnapshot(spark: SparkSession, store: String): String =
+    indexSnapshot(spark, store, pin = false)
+
+  /** As [[indexSnapshot]]; with `pin = true` the captured generations
+    * are also HELD against the retention policy (Lucene
+    * SnapshotDeletionPolicy): any number of later commits may land and
+    * reclaim, the pinned snapshot stays openable until
+    * [[releaseIndexSnapshot]]. Without the pin, a token older than the
+    * ingest side's `retainGenerations` expires at the next
+    * commit+reclaim (the open fails with the retention message) — pin
+    * the snapshots that must outlive the window, e.g. "train on the
+    * corpus exactly as run N saw it" reproducibility holds. */
+  def indexSnapshot(spark: SparkSession, store: String, pin: Boolean): String = {
     val conf = graft.index.ShardIndex.hadoopConf(spark)
     graft.index.SegmentShardSink.partIndexDirs(spark, store).map { d =>
       val p = new org.apache.hadoop.fs.Path(d)
-      val gen = graft.index.SegmentIndex.latestCommit(p.getFileSystem(conf), p)
+      val fs = p.getFileSystem(conf)
+      val gen = graft.index.SegmentIndex.latestCommit(fs, p)
         .map(_.gen).getOrElse(throw new IllegalStateException(s"no commit in $d"))
+      if (pin) graft.index.SegmentIndex.pinGeneration(fs, p, gen)
       s"${p.getParent.getParent.getName}:$gen"
     }.mkString(",")
+  }
+
+  /** Release a PINNED snapshot token's holds (idempotent; a token from
+    * an unpinned [[indexSnapshot]] is a no-op). The held generations'
+    * files fall out at the next commit's reclaim if outside the
+    * retention window. */
+  def releaseIndexSnapshot(spark: SparkSession, store: String, token: String): Unit = {
+    val conf = graft.index.ShardIndex.hadoopConf(spark)
+    val pins = token.split(",").iterator.filter(_.nonEmpty).map { e =>
+      val i = e.lastIndexOf(':')
+      require(i > 0, s"malformed snapshot token entry '$e'")
+      e.substring(0, i) -> e.substring(i + 1).toInt
+    }.toMap
+    graft.index.SegmentShardSink.partIndexDirs(spark, store).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      pins.get(p.getParent.getParent.getName).foreach { g =>
+        graft.index.SegmentIndex.unpinGeneration(p.getFileSystem(conf), p, g)
+      }
+    }
   }
 
   /** Incremental upsert of a delta batch into a segment store

@@ -130,6 +130,7 @@ object SparkEntry {
     "q264_wet_roundtrip",      // wet_file
     "q287_ivf_persisted",      // ivf_index (train + cell-partitioned corpus)
     "q294_ivfpq_persisted",    // ivfpq_index (quantizers + code partitions)
+    "q297_ivfpq_delete",       // ivfpq_del (ivfpq_index + tombstoned ids)
     "q286_tiered_merge",       // q286_tiered base store (upserts idempotent)
     "q289_index_multivalued",  // part_mv (array-surfaced store)
     "q267_wet_gz",             // wet_gz
@@ -666,6 +667,26 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("corpus_id"))
     }),
 
+    // remove_ids on the persisted IVF-PQ store (FAISS remove_ids; the
+    // redaction/dedup-follow-up a continuously-maintained corpus ANN
+    // index needs): a delete batch tombstones ids in O(batch); every
+    // query anti-joins them, so ranks recompute over survivors only —
+    // the oracle replays the full q293 pipeline and excludes the
+    // deleted ids before ranking. Physical reclaim (purgeDeletes /
+    // compact) is spec-asserted in IvfPqIndexSpec.
+    "q297_ivfpq_delete" -> ((s, d) => {
+      import graft.ops.IvfPqIndex
+      val out = sharedStore(d, "ivfpq_del") { o =>
+        IvfPqIndex.build(Tables.embeddings(s, d), o, dim = 64)
+        IvfPqIndex.removeIds(s, o,
+          Tables.embeddings(s, d).filter(col("vec_id") % 7 === 3)
+            .select(col("vec_id")))
+      }
+      IvfPqIndex.query(s, out, Tables.embeddings(s, d).filter(col("vec_id") < 10),
+          k = 5, nprobe = 8)
+        .select(col("query_id"), col("rank"), col("corpus_id"))
+    }),
+
     // LIMIT pushdown (Solr `rows=n` without a sort) — per-shard early
     // stop: each shard's reader stops materializing stored docs after
     // n hits, Spark applies the global limit over the union. A bare
@@ -729,6 +750,29 @@ object SparkEntry {
       }
       SegmentSearch.facetPivot(s, out, "p_brand", "words")
         .select(col("a").as("p_brand"), col("b").as("word"), col("cnt"))
+    }),
+
+    // MULTIVALUED term filter pushed at the SQL surface (Solr's
+    // `fq=tags:x`, the most common index query shape): under array
+    // surfacing, `array_contains(words, 'bolt')` is exactly a posting
+    // lookup — TermFilterPushdown (GraftExtensions) routes it into the
+    // scan as a termFilter option, so only matching stored docs
+    // materialize instead of the whole store (plan-locked in
+    // IndexDataSourceSpec: `pushedTerm=words:bolt`). The Filter stays
+    // residual, so rows are correct with or without the extension.
+    "q296_index_array_filter" -> ((s, d) => {
+      import graft.index.SegmentShardSink
+      val out = sharedStore(d, "part_mv") { o =>
+        SegmentShardSink.write(
+          Tables.part(s, d).select(col("p_partkey").cast("string").as("id"),
+            split(col("p_name"), " ").as("words"), col("p_brand")),
+          "id", o, shards = 4)
+      }
+      val idx = s.read.format("graft-index")
+        .option("multivalued", "array").load(out)
+      idx.filter(array_contains(col("words"), "bolt"))
+        .select(col("id").cast("long").as("p_partkey"),
+          explode(col("words")).as("word"), col("p_brand"))
     }),
 
     // token statistics (whitespace + BPE-ish subword estimate)
@@ -8639,6 +8683,16 @@ object SparkEntry {
       "q46_ivf_ann" -> ivfAnnSql,
       "q292_pq_ann" -> pqAnnSql,
       "q293_ivfpq_ann" -> ivfPqSql,
+      // q293's replay with the tombstoned ids excluded BEFORE ranking
+      // (the Spark side anti-joins the tombstone set off the probed
+      // cells, so survivors re-rank — identical pair scores)
+      "q297_ivfpq_delete" ->
+        s"""$ivfPqBody
+           |SELECT query_id, CAST(rn AS INTEGER) AS rank, corpus_id FROM (
+           |  SELECT query_id, corpus_id, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY dist ASC, corpus_id ASC) AS rn
+           |  FROM iadc WHERE corpus_id % 7 <> 3)
+           |WHERE rn <= 5 ORDER BY 1, 2""".stripMargin,
       // persisted IVF-PQ serves the SAME answer from the code store —
       // one oracle, two read paths (the q46/q287 pairing)
       "q294_ivfpq_persisted" -> ivfPqSql,
@@ -8671,6 +8725,15 @@ object SparkEntry {
           |FROM (SELECT DISTINCT p_partkey, p_brand,
           |        unnest(string_split(p_name, ' ')) AS word FROM part)
           |GROUP BY 1, 2""".stripMargin,
+
+      // multivalued term filter (pushed as a posting lookup): docs
+      // where ANY stored occurrence equals the term, every occurrence
+      // of the matching docs surfaced
+      "q296_index_array_filter" ->
+        """SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+          |  unnest(string_split(p_name, ' ')) AS word, p_brand
+          |FROM part
+          |WHERE list_contains(string_split(p_name, ' '), 'bolt')""".stripMargin,
 
       "q158_semantic_dedup_ivf" ->
         s"""WITH $trainAndAssign,

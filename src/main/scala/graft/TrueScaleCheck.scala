@@ -54,19 +54,42 @@ object TrueScaleCheck {
       .write.format("noop").mode("overwrite").save()
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    def release(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
     Seq("sf0.1" -> src, "sf1-true" -> out).foreach { case (label, dir) =>
+      // SETUP column (Bench's setup/sweep split, r11 watch item): the
+      // one-time store builds run first and report separately, so the
+      // 10×-data ratios below are STEADY-STATE query cost — a
+      // build-inclusive number muddies the scale signal with one-shot
+      // construction that a real deployment amortizes across runs.
+      val setup = SparkEntry.storeWarmupQueries
+        .filter(q => only.forall(_.contains(q.takeWhile(_ != '_'))))
+        .filter(Measured.contains) // owners the measured set re-queries
+        .map { q =>
+          val t0 = System.nanoTime()
+          try SparkEntry.queries(q)(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[sf1] setup $q failed: ${e.getMessage}") }
+          release()
+          q.takeWhile(_ != '_') -> (System.nanoTime() - t0) / 1e9
+        }
       val times = Measured
         .filter(q => only.forall(_.contains(q.takeWhile(_ != '_'))))
         .map { q =>
           val t0 = System.nanoTime()
           SparkEntry.queries(q)(spark, dir)
             .write.format("noop").mode("overwrite").save()
-          spark.sharedState.cacheManager.clearCache()
+          release()
           q.takeWhile(_ != '_') -> (System.nanoTime() - t0) / 1e9
         }
-      val qs = times.map { case (q, t) => s""""$q":${math.round(t * 100) / 100.0}""" }
+      def js(ts: Seq[(String, Double)]) = ts
+        .map { case (q, t) => s""""$q":${math.round(t * 100) / 100.0}""" }
         .mkString("{", ",", "}")
-      println(s"""{"scale":"$label","queries":$qs}""")
+      println(s"""{"scale":"$label","setup":${js(setup.filter(_._2 >= 0.5))},"queries":${js(times)}}""")
     }
     spark.stop()
   }

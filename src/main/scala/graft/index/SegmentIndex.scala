@@ -1768,6 +1768,16 @@ object SegmentIndex {
    * the moment the next commit lands); with `retain = K` a reader
    * pinned at any of the newest K generations keeps a complete,
    * immutable snapshot while upserts and merges commit concurrently.
+   *
+   * PINNED generations (Lucene `SnapshotDeletionPolicy` proper): a
+   * `pinned_N` marker file ([[pinGeneration]], written by
+   * `Graft.indexSnapshot(pin = true)`) holds generation N — and every
+   * file it references — across ANY number of commits, regardless of
+   * the retention window, until [[unpinGeneration]] releases it. This
+   * closes the silent-expiry window: an unpinned snapshot token older
+   * than `retainGenerations` dies at the next commit+reclaim (the
+   * open then fails with the retention message), while a pinned one
+   * refuses reclaim by construction.
    */
   private def reclaimCommits(fs: FileSystem, dir: Path, retain: Int): Unit = {
     val keep = math.max(1, retain)
@@ -1776,14 +1786,44 @@ object SegmentIndex {
       case _ => None
     }).sorted(Ordering.Int.reverse)
     if (gens.length <= keep) return
-    val (kept, dropped) = gens.splitAt(keep)
-    val keepRefs = kept.iterator.flatMap(g => commitRefs(fs, dir, g)).toSet
+    val pinned = pinnedGenerations(fs, dir)
+    val (inWindow, older) = gens.splitAt(keep)
+    val (held, dropped) = older.partition(pinned.contains)
+    val keepRefs = (inWindow ++ held).iterator
+      .flatMap(g => commitRefs(fs, dir, g)).toSet
     dropped.foreach { g =>
       (commitRefs(fs, dir, g) -- keepRefs)
         .foreach(f => fs.delete(new Path(dir, f), false))
       fs.delete(new Path(dir, s"segments_$g"), false)
     }
   }
+
+  private val pinRe = "pinned_(\\d+)".r
+
+  /** Hold commit generation `gen` (and every file it references)
+    * against [[reclaimCommits]] until [[unpinGeneration]] — the
+    * SnapshotDeletionPolicy hold. Idempotent. */
+  def pinGeneration(fs: FileSystem, dir: Path, gen: Int): Unit = {
+    require(fs.exists(new Path(dir, s"segments_$gen")),
+      s"cannot pin generation $gen of $dir — no such commit (already " +
+        "reclaimed by the retention policy, or never written)")
+    fs.create(new Path(dir, s"pinned_$gen"), true).close()
+  }
+
+  /** Release a [[pinGeneration]] hold; the generation's files fall out
+    * at the next commit's reclaim if outside the retention window.
+    * Idempotent. */
+  def unpinGeneration(fs: FileSystem, dir: Path, gen: Int): Unit = {
+    fs.delete(new Path(dir, s"pinned_$gen"), false)
+    ()
+  }
+
+  private[index] def pinnedGenerations(fs: FileSystem, dir: Path): Set[Int] =
+    if (!fs.exists(dir)) Set.empty
+    else fs.listStatus(dir).flatMap(s => s.getPath.getName match {
+      case pinRe(g) => Some(g.toInt)
+      case _ => None
+    }).toSet
 
   /**
    * Index writer over one directory. NOT thread-safe (one writer per

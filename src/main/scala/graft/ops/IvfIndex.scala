@@ -28,10 +28,24 @@ import org.apache.spark.sql.functions._
  * coarse quantizer is fixed after training; FAISS's `add` does the
  * same), so existing cell contents and query answers for old vectors
  * never change.
+ *
+ * Deletes ([[removeIds]] — FAISS `remove_ids` analog, via the segment
+ * store's tombstone precedent rather than FAISS's eager rewrite): a
+ * delete batch appends ids to `deletes/`; every query anti-joins the
+ * tombstone set so deleted ids never surface, and reclaim is
+ * deferred — [[compact]] drops tombstoned rows from any cell it
+ * rewrites, and [[purgeDeletes]] rewrites exactly the touched cells
+ * and then clears the tombstones. This keeps a continuously-deduping/
+ * redacting corpus pipeline's ANN index consistent without a rebuild.
+ * Contract note: a tombstoned id stays dead — including rows `add`ed
+ * AFTER the delete — until [[purgeDeletes]] runs; to re-add an id,
+ * purge first (FAISS's eager remove has no such window; ours trades
+ * it for O(batch) deletes).
  */
 object IvfIndex {
 
   private def markerPath(out: String) = s"$out/_ivf_marker.json"
+  private def deletesPath(out: String) = s"$out/deletes"
 
   final case class Marker(dim: Int, eff: Int, seed: Long,
                           idCol: String, vecCol: String)
@@ -104,7 +118,7 @@ object IvfIndex {
     val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0))
     val cells = spark.read.parquet(s"$out/cells")
       .filter(col("cell").isin(probed.map(Int.box).toIndexedSeq: _*))
-    val scored = cells.join(broadcast(q), Seq("cell"))
+    val scored = exceptDeleted(spark, out, cells).join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("corpus_id"))
       .withColumn("cosine", Similarity.dot(col("qvec"), col("cvec")) /
         (col("qnorm") * col("cnorm")))
@@ -135,20 +149,103 @@ object IvfIndex {
     compact(spark, out, maxFilesPerCell)
   }
 
+  /** The live tombstone set, if any delete batch has landed. */
+  private[ops] def deletes(spark: SparkSession, out: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(deletesPath(out))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** Anti-join the tombstone set out of a cells frame — the read-side
+    * half of [[removeIds]]. Broadcast: between purges the tombstone
+    * set is bounded by the delete batches since the last reclaim
+    * (the same small-side contract as the probe set). */
+  private[ops] def exceptDeleted(spark: SparkSession, out: String,
+                                 cells: DataFrame): DataFrame =
+    deletes(spark, out)
+      .map(d => cells.join(broadcast(d.select("corpus_id")),
+        Seq("corpus_id"), "left_anti"))
+      .getOrElse(cells)
+
+  /** Delete vectors by id (FAISS `remove_ids` analog): appends a
+    * tombstone batch to `deletes/` — O(batch) I/O, no cell touched.
+    * Deleted ids never surface from [[query]] (anti-joined) from this
+    * moment; physical reclaim is [[purgeDeletes]] (targeted) or any
+    * [[compact]] rewrite that happens to fold a touched cell.
+    * `ids`' FIRST column is the id (whatever `idCol` the build used). */
+  def removeIds(spark: SparkSession, out: String, ids: DataFrame): Unit =
+    ids.select(col(ids.columns.head).as("corpus_id")).distinct()
+      .coalesce(1).write.mode("append").parquet(deletesPath(out))
+
+  /** Physically reclaim tombstoned rows: one broadcast semi-join scan
+    * locates the touched cells (the ids' vectors may no longer exist —
+    * an IVF-PQ store holds no raw vectors — so cell membership can
+    * only come from the stored rows), each touched cell rewrites
+    * without its dead rows, then the tombstone set clears. I/O is
+    * ∝ touched-cell bytes + one corpus scan, never a rebuild.
+    * Single-writer discipline as [[compact]]. Returns cells purged. */
+  def purgeDeletes(spark: SparkSession, out: String,
+                   targetFileBytes: Long = 256L << 20): Int = {
+    val dels = deletes(spark, out).getOrElse(return 0)
+    val root = new org.apache.hadoop.fs.Path(s"$out/cells")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val touched = spark.read.parquet(root.toString)
+      .join(broadcast(dels.select("corpus_id")), Seq("corpus_id"), "left_semi")
+      .select("cell").distinct().collect().map(_.getInt(0))
+    touched.foreach { c =>
+      val d = new org.apache.hadoop.fs.Path(root, s"cell=$c")
+      rewriteCellDir(spark, fs, out, d, targetFileBytes, Some(dels))
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(deletesPath(out)), true)
+    touched.length
+  }
+
+  /** Rewrite one cell directory in place: read, optionally drop
+    * tombstoned rows, coalesce to ceil(bytes/targetFileBytes) files,
+    * swap. The rewrite materializes fully into a tmp dir before any
+    * original file is removed. */
+  private def rewriteCellDir(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+                             out: String, d: org.apache.hadoop.fs.Path,
+                             targetFileBytes: Long,
+                             dropDels: Option[DataFrame]): Unit = {
+    val dataFiles = fs.listStatus(d)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    if (dataFiles.isEmpty) return
+    val bytes = dataFiles.map(_.getLen).sum
+    val target = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val tmp = new org.apache.hadoop.fs.Path(s"$out/.compact_tmp_${d.getName}")
+    val base = spark.read.parquet(d.toString)
+    val live = dropDels
+      .map(ds => base.join(broadcast(ds.select("corpus_id")),
+        Seq("corpus_id"), "left_anti"))
+      .getOrElse(base)
+    live.coalesce(target).write.mode("overwrite").parquet(tmp.toString)
+    dataFiles.foreach(f => fs.delete(f.getPath, false))
+    fs.listStatus(tmp)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .zipWithIndex.foreach { case (f, i) =>
+        fs.rename(f.getPath,
+          new org.apache.hadoop.fs.Path(d, f"compacted-$i%05d.parquet"))
+      }
+    fs.delete(tmp, true)
+  }
+
   /** Fold over-budget cell partitions: each cell whose parquet file
     * count exceeds `maxFilesPerCell` is rewritten to
-    * ceil(bytes / targetFileBytes) files (≥1) — contents unchanged,
-    * queries and their plans unaffected (the cell dir keeps its name;
-    * only the files inside collapse). Cells under budget are never
-    * touched, so steady-state compaction I/O is ∝ recently-grown
-    * cells, not index size. Same single-writer discipline as the
-    * segment store: do not compact a store while a query batch reads
-    * it. Returns the number of cells folded. */
+    * ceil(bytes / targetFileBytes) files (≥1) — live contents
+    * unchanged (tombstoned rows drop during the rewrite — they were
+    * already invisible to queries), plans unaffected (the cell dir
+    * keeps its name; only the files inside collapse). Cells under
+    * budget are never touched, so steady-state compaction I/O is
+    * ∝ recently-grown cells, not index size. Same single-writer
+    * discipline as the segment store: do not compact a store while a
+    * query batch reads it. Returns the number of cells folded. */
   def compact(spark: SparkSession, out: String, maxFilesPerCell: Int = 8,
               targetFileBytes: Long = 256L << 20): Int = {
     val root = new org.apache.hadoop.fs.Path(s"$out/cells")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0
+    val dels = deletes(spark, out)
     var folded = 0
     fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
@@ -156,21 +253,7 @@ object IvfIndex {
         val dataFiles = fs.listStatus(d.getPath)
           .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
         if (dataFiles.length > maxFilesPerCell) {
-          val bytes = dataFiles.map(_.getLen).sum
-          val target = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-          val tmp = new org.apache.hadoop.fs.Path(
-            s"$out/.compact_tmp_${d.getPath.getName}")
-          spark.read.parquet(d.getPath.toString).coalesce(target)
-            .write.mode("overwrite").parquet(tmp.toString)
-          // the rewrite materialized fully above — swap files in place
-          dataFiles.foreach(f => fs.delete(f.getPath, false))
-          fs.listStatus(tmp)
-            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-            .zipWithIndex.foreach { case (f, i) =>
-              fs.rename(f.getPath,
-                new org.apache.hadoop.fs.Path(d.getPath, f"compacted-$i%05d.parquet"))
-            }
-          fs.delete(tmp, true)
+          rewriteCellDir(spark, fs, out, d.getPath, targetFileBytes, dels)
           folded += 1
         }
       }

@@ -102,8 +102,19 @@ object IvfPqIndex {
     val probed = probes.select(col("cell")).distinct().collect().map(_.getInt(0))
     val cells = spark.read.parquet(s"$out/cells")
       .filter(col("cell").isin(probed.map(Int.box).toIndexedSeq: _*))
-    Similarity.adcRank(cells, probes, k, mk.m, mk.ksub)
+    Similarity.adcRank(IvfIndex.exceptDeleted(spark, out, cells), probes,
+      k, mk.m, mk.ksub)
   }
+
+  /** Delete by id ([[IvfIndex.removeIds]] — identical cells/ layout,
+    * identical tombstone contract: deleted ids never surface, reclaim
+    * via [[purgeDeletes]] or any compaction rewrite). */
+  def removeIds(spark: SparkSession, out: String, ids: DataFrame): Unit =
+    IvfIndex.removeIds(spark, out, ids)
+
+  /** Physically reclaim tombstoned codes ([[IvfIndex.purgeDeletes]]). */
+  def purgeDeletes(spark: SparkSession, out: String): Int =
+    IvfIndex.purgeDeletes(spark, out)
 
   /** Incremental add against the FROZEN quantizers: encode + append to
     * the touched cell partitions, then fold any over-budget cell

@@ -130,4 +130,37 @@ class RetentionSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("not available") ||
       Option(ex.getCause).exists(_.getMessage.contains("not available")))
   }
+
+  test("PINNED snapshot survives K+1 commits under retain=K " +
+      "(SnapshotDeletionPolicy hold); release + next commit reclaims it") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("snap_pin_").toString + "/store"
+    val base = (0 until 20).map(i => (i.toString, s"t$i")).toDF("id", "title")
+    Graft.buildSegmentIndex(base, "id", store, shards = 1)
+    val token = Graft.indexSnapshot(spark, store, pin = true)
+
+    // K+1 = 3 upsert commits at retainGenerations = 2: the pinned
+    // generation is well outside the window — only the pin holds it
+    (0 until 3).foreach { i =>
+      Graft.upsertIndex(spark, store,
+        Seq(("0", s"v$i")).toDF("id", "title"), retainGenerations = 2)
+    }
+    val snap = Graft.openSegmentIndex(spark, store, snapshot = Some(token))
+    assert(snap.count() === 20)
+    assert(snap.filter($"id" === "0").select("title").as[String].head() === "t0",
+      "pinned snapshot must show the pre-upsert values")
+    val live = Graft.openSegmentIndex(spark, store)
+    assert(live.filter($"id" === "0").select("title").as[String].head() === "v2")
+
+    // release the hold: the NEXT commit's reclaim drops the old gen,
+    // and the pinned open now fails loudly with the retention message
+    Graft.releaseIndexSnapshot(spark, store, token)
+    Graft.upsertIndex(spark, store,
+      Seq(("19", "last")).toDF("id", "title"), retainGenerations = 2)
+    val ex = intercept[Exception] {
+      Graft.openSegmentIndex(spark, store, snapshot = Some(token)).count()
+    }
+    assert(ex.getMessage.contains("not available") ||
+      Option(ex.getCause).exists(_.getMessage.contains("not available")))
+  }
 }

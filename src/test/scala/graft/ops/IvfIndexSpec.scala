@@ -111,4 +111,31 @@ class IvfIndexSpec extends AnyFunSuite {
     }
     assert(prev.nonEmpty)
   }
+
+  test("remove_ids tombstones immediately; compact of a touched cell " +
+      "reclaims; re-rank matches a fresh build over the survivors") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("ivf_del_").toString
+    IvfIndex.build(emb, out, dim = 64)
+    val queries = emb.filter(col("vec_id") < 5)
+    val victims = IvfIndex.query(spark, out, queries, k = 3, nprobe = 8)
+      .filter(col("rank") === 1).select("corpus_id")
+      .collect().map(_.getLong(0)).distinct.toSeq
+    IvfIndex.removeIds(spark, out, victims.toDF("vec_id"))
+    val after = IvfIndex.query(spark, out, queries, k = 3, nprobe = 8)
+      .select("query_id", "rank", "corpus_id").collect()
+    assert(after.forall(r => !victims.contains(r.getLong(2))))
+    // ranks recompute over survivors: every query still fills k slots
+    // (corpus >> k) and rank sequences stay 1..k
+    assert(after.groupBy(_.getLong(0)).values
+      .forall(_.map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3)))
+    // purge reclaims physically and is answer-neutral
+    IvfIndex.purgeDeletes(spark, out)
+    assert(spark.read.parquet(s"$out/cells")
+      .filter(col("corpus_id").isin(victims.map(Long.box): _*)).count() === 0)
+    val afterPurge = IvfIndex.query(spark, out, queries, k = 3, nprobe = 8)
+      .select("query_id", "rank", "corpus_id").collect()
+    assert(afterPurge.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+      === after.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq)
+  }
 }

@@ -74,4 +74,37 @@ class IvfPqIndexSpec extends AnyFunSuite {
     val afterEven = after.filter(_._2 % 2 == 0).map(_._2).toSet
     assert(afterEven.subsetOf(before.map(_._2)))
   }
+
+  test("remove_ids: deleted ids never surface; purge reclaims the rows " +
+      "and clears the tombstones without changing answers") {
+    val out = java.nio.file.Files.createTempDirectory("ivfpq_del_").toString
+    IvfPqIndex.build(emb, out, dim = 64)
+    val queries = emb.filter(col("vec_id") < 10)
+    val full = IvfPqIndex.query(spark, out, queries, k = 5, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // delete the ids that actually WON (vec_id of every rank-1 hit) —
+    // the strongest survivors-rerank check
+    val victims = full.filter(_._2 == 1).map(_._3).distinct.toSeq
+    import spark.implicits._
+    IvfPqIndex.removeIds(spark, out, victims.toDF("vec_id"))
+    val afterDel = IvfPqIndex.query(spark, out, queries, k = 5, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(afterDel.forall(t => !victims.contains(t._3)),
+      "a tombstoned id surfaced from query()")
+    assert(afterDel.count(_._2 == 1) === full.count(_._2 == 1),
+      "every query must still have a rank-1 hit (survivors re-rank)")
+    // purge: rows physically gone, tombstone dir cleared, answers stable
+    val purged = IvfPqIndex.purgeDeletes(spark, out)
+    assert(purged >= 1)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out/deletes")))
+    val stored = spark.read.parquet(s"$out/cells")
+      .filter(col("corpus_id").isin(victims.map(Long.box): _*)).count()
+    assert(stored === 0, "purge left tombstoned rows in the code store")
+    val afterPurge = IvfPqIndex.query(spark, out, queries, k = 5, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(afterPurge.sortBy(t => (t._1, t._2)).toSeq ===
+      afterDel.sortBy(t => (t._1, t._2)).toSeq)
+  }
 }
