@@ -259,12 +259,19 @@ object Bench {
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save() // warm + store build
         releaseQueryState(spark)
-        System.gc()
-        val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
-        val dt = (System.nanoTime() - t0) / 1e9
-        releaseQueryState(spark)
+        // MIN of two measured runs: a solo number is an isolation-
+        // corrected view, so per-run noise (JIT, page-cache misses,
+        // one unlucky GC) should not read as interleave cost — the min
+        // is the query's reproducible steady-state floor
+        val dt = (0 until 2).map { _ =>
+          System.gc()
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          val d = (System.nanoTime() - t0) / 1e9
+          releaseQueryState(spark)
+          d
+        }.min
         Some("\"" + name.takeWhile(_ != '_') + "\":" + fmt(dt, 2))
       } catch {
         case scala.util.control.NonFatal(e) =>

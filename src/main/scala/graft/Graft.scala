@@ -67,6 +67,16 @@ object Graft {
    * the full MapReduceIndexerTool phase sequence over
    * [[graft.index.SegmentIndex]] directories. Returns per-part
    * (part, docs, segments).
+   *
+   * `microShards` is the WRITE-PARALLELISM lever: a build runs one
+   * writer task per (micro) shard, so direct write caps at `shards`
+   * cores while fan-out converts idle cores into writers and pays one
+   * merge-tree re-read/re-write per level. Measured at sf1-true (6M
+   * docs → 4 shards, local[32]): 0 → 86.6k docs/s, 16 → 260k (3.0×),
+   * plateau at 32 — size it to min(total cores, 4 × shards) for
+   * million-doc-per-shard builds, keep 0 for small stores
+   * (docs/SCALING.md §"writer fan-out"). At cluster scale this is the
+   * reference's own design: one micro index per map task, then mtree.
    */
   def buildSegmentIndex(docs: DataFrame, idCol: String, out: String,
                         shards: Int, microShards: Int = 0, fanout: Int = 2,

@@ -17,5 +17,17 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.index.TermFilterPushdown)
+    // graft_term_match(text, term) — analyzed-term membership under
+    // the index-time analyzer, SQL-callable (the DataFrame form is
+    // graft.functions.TermMatch.graft_term_match, registry-free)
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_term_match"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.TermMatch].getName, "graft_term_match"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2,
+          "graft_term_match(text, term) takes exactly 2 arguments")
+        graft.functions.TermMatch(children.head, children(1))
+      }))
   }
 }

@@ -131,6 +131,7 @@ object SparkEntry {
     "q287_ivf_persisted",      // ivf_index (train + cell-partitioned corpus)
     "q294_ivfpq_persisted",    // ivfpq_index (quantizers + code partitions)
     "q297_ivfpq_delete",       // ivfpq_del (ivfpq_index + tombstoned ids)
+    "q298_ivf_delete",         // ivf_del (ivf_index + tombstoned ids)
     "q286_tiered_merge",       // q286_tiered base store (upserts idempotent)
     "q289_index_multivalued",  // part_mv (array-surfaced store)
     "q267_wet_gz",             // wet_gz
@@ -663,6 +664,23 @@ object SparkEntry {
         IvfPqIndex.build(Tables.embeddings(s, d), o, dim = 64)
       }
       IvfPqIndex.query(s, out, Tables.embeddings(s, d).filter(col("vec_id") < 10),
+          k = 5, nprobe = 8)
+        .select(col("query_id"), col("rank"), col("corpus_id"))
+    }),
+
+    // remove_ids on the persisted IVF (raw-vector) store — the q297
+    // contract at the cell-pruned exact-cosine tier: tombstoned ids
+    // anti-join out before scoring, survivors re-rank over identical
+    // cosines (q287's oracle with the ids excluded before ranking).
+    "q298_ivf_delete" -> ((s, d) => {
+      import graft.ops.IvfIndex
+      val out = sharedStore(d, "ivf_del") { o =>
+        IvfIndex.build(Tables.embeddings(s, d), o, dim = 64)
+        IvfIndex.removeIds(s, o,
+          Tables.embeddings(s, d).filter(col("vec_id") % 7 === 3)
+            .select(col("vec_id")))
+      }
+      IvfIndex.query(s, out, Tables.embeddings(s, d).filter(col("vec_id") < 10),
           k = 5, nprobe = 8)
         .select(col("query_id"), col("rank"), col("corpus_id"))
     }),
@@ -2285,6 +2303,26 @@ object SparkEntry {
       }
       Graft.facetField(s, out, "text", fq = Some(("lang", "en")))
         .filter(col("term").isNotNull)
+    }),
+
+    // ANALYZED term filter at the SQL surface (Solr `fq=text:spark` on
+    // a text field — the full-text half of the q296 pushdown):
+    // graft_term_match runs THE index-time analyzer, so the pushed
+    // posting lookup and the residual token re-check agree row-for-row
+    // (plan-locked pushedTerm=text:spark in IndexDataSourceSpec).
+    // Same docs_text store as q139.
+    "q299_index_analyzed_filter" -> ((s, d) => {
+      import graft.index.SegmentShardSink
+      val out = sharedStore(d, "docs_text") { o =>
+        SegmentShardSink.write(
+          Tables.documents(s, d).select(
+            col("doc_id").cast("string").as("id"), col("text"), col("lang")),
+          "id", o, shards = 4, analyzedFields = Set("text"))
+      }
+      val idx = s.read.format("graft-index").load(out)
+      idx.filter(graft.functions.TermMatch.graft_term_match(
+          col("text"), lit("spark")))
+        .select(col("id").cast("long").as("doc_id"), col("lang"))
     }),
 
     // Solr SPLITSHARD: a private 2-shard store splits shard 0 at its
@@ -5816,6 +5854,13 @@ object SparkEntry {
       """SELECT CAST(c_custkey AS VARCHAR) AS id, c_name, c_mktsegment
         |FROM customer""".stripMargin,
 
+    // analyzed-term membership under the same lowercase-alphanumeric
+    // tokenization the index writer uses
+    "q299_index_analyzed_filter" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM documents
+        |WHERE list_contains(
+        |  regexp_split_to_array(lower(text), '[^a-z0-9]+'), 'spark')""".stripMargin,
+
     // Replays the compiled plan: top-5 brands (count desc, brand
     // tie-break), avg over exact integer sum, top-3 containers per
     // brand — flattened.
@@ -8700,6 +8745,22 @@ object SparkEntry {
       // the persisted index serves the SAME answer from frozen
       // centroids + cell partitions — one oracle, two read paths
       "q287_ivf_persisted" -> ivfAnnSql,
+      // q287's replay with tombstoned ids excluded before ranking
+      "q298_ivf_delete" ->
+        s"""WITH $trainAndAssign,
+           |qcell AS (SELECT id, cell FROM cells WHERE rn <= 8 AND id < 10),
+           |scored AS (
+           |  SELECT DISTINCT q.id AS query_id, c.id AS corpus_id,
+           |    ${dotF("qv.v", "cv.v")} / (qv.vnorm * cv.vnorm) AS cosine
+           |  FROM qcell q JOIN corpcell c ON c.cell = q.cell AND c.id <> q.id
+           |  JOIN corpn qv ON qv.id = q.id
+           |  JOIN corpn cv ON cv.id = c.id)
+           |SELECT query_id, CAST(rn AS INTEGER) AS rank, corpus_id FROM (
+           |  SELECT query_id, corpus_id, row_number() OVER (
+           |      PARTITION BY query_id
+           |      ORDER BY cosine DESC, corpus_id ASC) AS rn
+           |  FROM scored WHERE corpus_id % 7 <> 3)
+           |WHERE rn <= 5 ORDER BY 1, 2""".stripMargin,
 
       // L80: both legs deterministic by construction — the bitten leg
       // projects a column constant over its match set, the slack leg's

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/**
+ * Writer-parallelism A/B (docs/SCALING.md §"writer fan-out"): at 403k
+ * docs/s the single segment writer is the index build's serial floor,
+ * and the named next lever is microShards fan-out — write M > shards
+ * micro indexes in parallel, then mtree-merge down ([[Graft
+ * .buildSegmentIndex]]'s `microShards`, the reference's own
+ * MapReduceIndexerTool phase split). This main MEASURES that lever at
+ * sf1-true on the q88 shape (lineitem → 4 final shards, ~6M docs) so
+ * the default ships on evidence, not intuition:
+ *
+ *   SPARK_GRAFT_SF1_DIR=/tmp/graft_sf1_true \
+ *     sbt "runMain graft.WriterFanoutCheck"
+ *
+ * One JSON line per fan-out (0 = direct write at `shards`, no merge):
+ * wall seconds + docs/s, end-to-end including the merge-down and
+ * forceMerge(1) — fan-out only wins if it buys more in parallel write
+ * time than it spends re-reading and merging, which is exactly the
+ * trade a 1000-executor 100 TB build faces.
+ */
+object WriterFanoutCheck {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1_true")
+    val spark = GraftSession.local(32)
+    TrueScaleCheck.generate(spark, dir)
+    spark.range(1000000L).selectExpr("sum(id) as s")
+      .write.format("noop").mode("overwrite").save()
+    val docs = Tables.lineitem(spark, dir)
+      .withColumn("id", concat(col("l_orderkey"), lit("#"), col("l_linenumber")))
+      .select(col("id"), col("l_returnflag"), col("l_shipdate"))
+    val n = docs.count()
+    val fs = new org.apache.hadoop.fs.Path("/tmp")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(0, 8, 16, 32).foreach { micro =>
+      val out = java.nio.file.Files.createTempDirectory(s"fanout_${micro}_").toString
+      val t0 = System.nanoTime()
+      Graft.buildSegmentIndex(docs, "id", out, shards = 4, microShards = micro,
+        orderBy = Some(col("l_shipdate")))
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(s"""{"fanout":$micro,"shards":4,"docs":$n,""" +
+        s""""sec":${Bench.fmt(dt, 1)},"docsPerSec":${(n / dt).toLong}}""")
+      fs.delete(new org.apache.hadoop.fs.Path(out), true)
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

@@ -118,6 +118,14 @@ private[index] class IndexTable(tableSchema: StructType, store: String)
   private[index] def termPushableArrays: Set[String] =
     marker.multivalued -- marker.analyzed
 
+  /** Fields whose `graft_term_match(f, lit)` is EXACTLY a posting
+    * lookup: analyzed (postings hold the analyzer's tokens, and the
+    * expression re-runs the same analyzer residually) and NOT
+    * multivalued (the scalar surface shows only the first value while
+    * postings index every value). Used by [[TermFilterPushdown]]. */
+  private[index] def termPushableAnalyzed: Set[String] =
+    marker.analyzed -- marker.multivalued
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // two field classes are excluded from DIRECT filter pushdown:
     //  - MULTIVALUED: the relational surface shows their FIRST value,

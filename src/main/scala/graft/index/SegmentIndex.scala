@@ -507,7 +507,7 @@ object SegmentIndex {
     * runs — deliberately the SAME tokenization SolrQueryString's
     * analyzed-term predicates use, so `text:spark` agrees between an
     * index lookup and a DataFrame scan. */
-  private[index] def analyze(v: String): Seq[String] = {
+  private[graft] def analyze(v: String): Seq[String] = {
     val out = mutable.ArrayBuffer.empty[String]
     val sb = new StringBuilder
     var i = 0

@@ -48,12 +48,27 @@ object TermFilterPushdown extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, rel: DataSourceV2Relation)
         if rel.table.isInstanceOf[IndexTable] &&
-          rel.options.get("termfilter") == null &&
-          "array".equalsIgnoreCase(rel.options.get("multivalued")) =>
-      val pushable = rel.table.asInstanceOf[IndexTable].termPushableArrays
+          rel.options.get("termfilter") == null =>
+      val tbl = rel.table.asInstanceOf[IndexTable]
+      // array_contains needs the array surfacing to even type-check;
+      // graft_term_match works on the scalar surface in either mode
+      val arrays =
+        if ("array".equalsIgnoreCase(rel.options.get("multivalued")))
+          tbl.termPushableArrays
+        else Set.empty[String]
+      val analyzed = tbl.termPushableAnalyzed
       val terms = conjuncts(cond).collect {
         case ArrayContains(a: AttributeReference, Literal(v, StringType))
-            if v != null && pushable.contains(a.name) &&
+            if v != null && arrays.contains(a.name) &&
+              rel.output.exists(_.exprId == a.exprId) =>
+          a.name -> v.toString
+        // analyzed `field:term` (Solr fq on a text field): postings
+        // hold the analyzer's tokens, and graft_term_match asks token
+        // membership under THE SAME analyzer — exact agreement. Scalar
+        // fields only: a multivalued analyzed field's scalar surface
+        // shows the first value, but its postings index every value.
+        case graft.functions.TermMatch(a: AttributeReference, Literal(v, StringType))
+            if v != null && analyzed.contains(a.name) &&
               rel.output.exists(_.exprId == a.exprId) =>
           a.name -> v.toString
       }

@@ -308,6 +308,46 @@ class IndexDataSourceSpec extends AnyFunSuite {
       Seq("2", "5"))
   }
 
+  test("graft_term_match on an analyzed field pushes as a posting " +
+      "lookup; residual re-analysis agrees; non-token terms match nothing") {
+    import spark.implicits._
+    import graft.functions.TermMatch.graft_term_match
+    val out = tmp("graft_dsv2_anapush_")
+    val df = Seq(
+      ("1", "Spark rocks, spark SCALES", "a"),
+      ("2", "flink streams", "b"),
+      ("3", "sparkles are not spark-adjacent? sparkles!", "c"),
+      ("4", "spark", "d")
+    ).toDF("id", "body", "v")
+    SegmentShardSink.write(df, "id", out, shards = 2,
+      analyzedFields = Set("body"))
+    val idx = spark.read.format("graft-index").load(out)
+    val hits = idx.filter(graft_term_match(col("body"), lit("spark")))
+      .select("id")
+    val scan = hits.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.description()
+    }
+    assert(scan.exists(_.contains("pushedTerm=body:spark")), s"scan was: $scan")
+    // doc 3 has tokens [sparkles, are, not, spark, adjacent, sparkles]
+    // — 'spark' IS a token there (hyphen splits); 'sparkles' != 'spark'
+    assert(hits.collect().map(_.getString(0)).sorted.toSeq === Seq("1", "3", "4"))
+    // the SQL registration (GraftExtensions.injectFunction) compiles too
+    idx.createOrReplaceTempView("anapush")
+    val viaSql = spark.sql(
+      "SELECT id FROM anapush WHERE graft_term_match(body, 'sparkles')")
+    assert(viaSql.collect().map(_.getString(0)).toSeq === Seq("3"))
+    // a non-token term (uppercase) matches nothing on BOTH paths
+    assert(idx.filter(graft_term_match(col("body"), lit("Spark"))).count() === 0)
+    // verbatim equality on the analyzed field still refuses to push
+    // (stored value vs token mismatch) — the original exclusion holds
+    val eq = idx.filter(col("body") === "spark")
+    val scanEq = eq.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.description()
+    }
+    assert(scanEq.exists(_.contains("pushedTerm=*:*")), s"scan was: $scanEq")
+    assert(eq.select("id").collect().map(_.getString(0)).toSeq === Seq("4"))
+  }
+
   test("COUNT(*) pushes to metadata/postings; deletes respected; grouped counts push too") {
     val idx = spark.read.format("graft-index").load(store)
     val cnt = idx.agg(org.apache.spark.sql.functions.count(
