@@ -189,6 +189,7 @@ object IvfIndex {
     val dels = deletes(spark, out).getOrElse(return 0)
     val root = new org.apache.hadoop.fs.Path(s"$out/cells")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
     val touched = spark.read.parquet(root.toString)
       .join(broadcast(dels.select("corpus_id")), Seq("corpus_id"), "left_semi")
       .select("cell").distinct().collect().map(_.getInt(0))
