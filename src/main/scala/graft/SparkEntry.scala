@@ -132,6 +132,7 @@ object SparkEntry {
     "q294_ivfpq_persisted",    // ivfpq_index (quantizers + code partitions)
     "q297_ivfpq_delete",       // ivfpq_del (ivfpq_index + tombstoned ids)
     "q298_ivf_delete",         // ivf_del (ivf_index + tombstoned ids)
+    "q300_stream_ann_ingest",  // ivf_stream (build + streamed adds)
     "q286_tiered_merge",       // q286_tiered base store (upserts idempotent)
     "q289_index_multivalued",  // part_mv (array-surfaced store)
     "q267_wet_gz",             // wet_gz
@@ -664,6 +665,49 @@ object SparkEntry {
         IvfPqIndex.build(Tables.embeddings(s, d), o, dim = 64)
       }
       IvfPqIndex.query(s, out, Tables.embeddings(s, d).filter(col("vec_id") < 10),
+          k = 5, nprobe = 8)
+        .select(col("query_id"), col("rank"), col("corpus_id"))
+    }),
+
+    // STREAMING ANN ingest: micro-batches of new vectors flow into the
+    // persisted IVF store through foreachBatch (frozen-quantizer adds
+    // + per-batch compaction — the FAISS `add` contract under a
+    // stream). The oracle replays training on the ORIGINAL corpus and
+    // unions the streamed ids into assignment/scoring, so this is the
+    // first hash-check of the add path end-to-end; answers are
+    // batch-boundary-invariant by construction (per-row assignment,
+    // commuting appends).
+    "q300_stream_ann_ingest" -> ((s, d) => {
+      import graft.ops.IvfIndex
+      import graft.streaming.StreamingIngest
+      val out = sharedStore(d, "ivf_stream") { o =>
+        val emb = Tables.embeddings(s, d)
+        IvfIndex.build(emb, o, dim = 64)
+        // two single-file micro-batches of NEW vectors (ids shifted
+        // +100000, same embeddings) — the q268 staging pattern with
+        // pinned mtimes so the file-source order is deterministic
+        val adds = emb.filter(col("vec_id") < 50)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+        val root = java.nio.file.Files.createTempDirectory("graft_q300_").toString
+        val src = s"$root/src"
+        new java.io.File(src).mkdirs()
+        def stageBatch(df: DataFrame, name: String, mtime: Long): Unit = {
+          val tmp = s"$root/stage_$name"
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no part file in $tmp"))
+          val dst = new java.io.File(src, s"$name.parquet")
+          java.nio.file.Files.copy(part.toPath, dst.toPath)
+          require(dst.setLastModified(mtime), s"cannot set mtime on $dst")
+        }
+        stageBatch(adds.filter(col("vec_id") < 100025L), "b0", 1000000000000L)
+        stageBatch(adds.filter(col("vec_id") >= 100025L), "b1", 1000000060000L)
+        val stream = s.readStream.schema(adds.schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+        StreamingIngest.annIngestSink(o)(stream).start().awaitTermination()
+      }
+      IvfIndex.query(s, out, Tables.embeddings(s, d).filter(col("vec_id") < 10),
           k = 5, nprobe = 8)
         .select(col("query_id"), col("rank"), col("corpus_id"))
     }),
@@ -8745,6 +8789,34 @@ object SparkEntry {
       // the persisted index serves the SAME answer from frozen
       // centroids + cell partitions — one oracle, two read paths
       "q287_ivf_persisted" -> ivfAnnSql,
+      // q287's replay with the STREAMED ids unioned into assignment
+      // and scoring: training ran on the original corpus (the store
+      // was built before the stream), adds assign against those
+      // frozen centroids — a duplicate vector lands in its original's
+      // cell with a bit-identical cosine, ties broken by id
+      "q300_stream_ann_ingest" ->
+        s"""WITH $trainAndAssign,
+           |corpcell2 AS (
+           |  SELECT id, cell FROM corpcell
+           |  UNION ALL
+           |  SELECT id + 100000 AS id, cell FROM corpcell WHERE id < 50),
+           |corpn2 AS (
+           |  SELECT id, v, vnorm FROM corpn
+           |  UNION ALL
+           |  SELECT id + 100000 AS id, v, vnorm FROM corpn WHERE id < 50),
+           |qcell AS (SELECT id, cell FROM cells WHERE rn <= 8 AND id < 10),
+           |scored AS (
+           |  SELECT DISTINCT q.id AS query_id, c.id AS corpus_id,
+           |    ${dotF("qv.v", "cv.v")} / (qv.vnorm * cv.vnorm) AS cosine
+           |  FROM qcell q JOIN corpcell2 c ON c.cell = q.cell AND c.id <> q.id
+           |  JOIN corpn qv ON qv.id = q.id
+           |  JOIN corpn2 cv ON cv.id = c.id)
+           |SELECT query_id, CAST(rn AS INTEGER) AS rank, corpus_id FROM (
+           |  SELECT query_id, corpus_id, row_number() OVER (
+           |      PARTITION BY query_id
+           |      ORDER BY cosine DESC, corpus_id ASC) AS rn
+           |  FROM scored)
+           |WHERE rn <= 5 ORDER BY 1, 2""".stripMargin,
       // q287's replay with tombstoned ids excluded before ranking
       "q298_ivf_delete" ->
         s"""WITH $trainAndAssign,

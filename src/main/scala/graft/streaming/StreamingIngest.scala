@@ -59,6 +59,29 @@ object StreamingIngest {
   }
 
   /**
+   * Continuous ANN-index maintenance: each micro-batch of vectors
+   * encodes against the store's FROZEN quantizers and appends to its
+   * touched cell partitions ([[graft.ops.IvfIndex.add]] — the FAISS
+   * `add` contract under a stream), with the per-batch compaction
+   * counter-force bounding files-per-cell regardless of how many
+   * batches land. Batch-boundary invariant: assignment is per-row
+   * against frozen centroids and appends commute, so query answers
+   * depend only on the SET of streamed vectors, never on how the
+   * stream chopped them (q300 hash-checks the result against the
+   * batch oracle). The corpus-store pairing: q268's dedup-ingest keeps
+   * the document store canonical while this sink keeps its ANN index
+   * fresh — [[graft.ops.IvfIndex.removeIds]] follows the deletes.
+   */
+  def annIngestSink(store: String, maxFilesPerCell: Int = 8)
+                   (vectors: DataFrame): DataStreamWriter[Row] =
+    vectors.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.IvfIndex.add(batch.sparkSession, store, batch, maxFilesPerCell)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+
+  /**
    * Streaming exact dedup with BOUNDED state:
    * `dropDuplicatesWithinWatermark` keeps a key's state only until
    * the watermark passes it — the streaming form of L1's exact dedup

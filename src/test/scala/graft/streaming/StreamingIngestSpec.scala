@@ -106,4 +106,34 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(written.count() === 1000)
     assert(written.select("shard").distinct().count() === 2)
   }
+
+  test("ANN ingest sink: streamed adds == one batch add (boundary " +
+      "invariance); query answers extend, never reorder, old hits") {
+    import graft.ops.IvfIndex
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val base = emb.filter(col("vec_id") < 150)
+    val adds = emb.filter(col("vec_id") >= 150 && col("vec_id") < 190)
+    def build(): String = {
+      val o = java.nio.file.Files.createTempDirectory("ann_ingest_").toString
+      IvfIndex.build(base, o, dim = 64)
+      o
+    }
+    // A: one batch add; B: the same rows streamed as 2 micro-batches
+    val a = build()
+    IvfIndex.add(spark, a, adds)
+    val b = build()
+    val staged = java.nio.file.Files.createTempDirectory("ann_in_").toString
+    adds.repartition(2).write.mode("overwrite").parquet(staged)
+    val stream = spark.readStream.schema(adds.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = StreamingIngest.annIngestSink(b)(stream).start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+    def answers(o: String) =
+      IvfIndex.query(spark, o, emb.filter(col("vec_id") < 5), k = 5, nprobe = 8)
+        .select("query_id", "rank", "corpus_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    assert(answers(a) === answers(b))
+    assert(spark.read.parquet(s"$b/cells").count() === 190)
+  }
 }
