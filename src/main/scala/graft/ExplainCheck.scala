@@ -69,7 +69,8 @@ object ExplainCheck {
       "q292_pq_ann" -> "PQ ADC: codes from one fused kernel pass (codebooks as codegen reference objects), query tables broadcast, per-pair score is an m-lookup fold — corpus vectors read once at encode, never at scoring",
       "q294_ivfpq_persisted" -> "persisted IVF-PQ: the code store's probed cells read under a PARTITION filter (pruning at planning), ADC scoring joins broadcast (query, cell, table) rows — no raw vectors anywhere in the plan",
       "q296_index_array_filter" -> "multivalued array_contains routed to a posting lookup by the injected TermFilterPushdown rule (pushedTerm on the scan), Filter kept residual — tag filtering reads matching docs only, not the store",
-      "q299_index_analyzed_filter" -> "analyzed graft_term_match pushed to a token posting lookup; the residual re-check runs THE index-time analyzer as a codegen'd kernel inside the scan stage")
+      "q299_index_analyzed_filter" -> "analyzed graft_term_match pushed to a token posting lookup; the residual re-check runs THE index-time analyzer as a codegen'd kernel inside the scan stage",
+      "q301_index_array_or" -> "OR of multivalued terms pushed WHOLE as a posting union (same-field branches collapse to one multi-term lookup) — a partially-pushable OR never pushes")
     // prose riders appended after specific plans (regenerated with them)
     val postscript = Map(
       "q108_index_dsv2" ->

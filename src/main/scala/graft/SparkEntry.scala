@@ -837,6 +837,25 @@ object SparkEntry {
           explode(col("words")).as("word"), col("p_brand"))
     }),
 
+    // OR of multivalued term filters (Solr `fq=words:(bolt OR gear)`)
+    // pushed whole as a posting-list union — a partially-pushable OR
+    // never pushes (dropping a branch would narrow the scan), and
+    // same-field branches collapse into one multi-term lookup.
+    "q301_index_array_or" -> ((s, d) => {
+      import graft.index.SegmentShardSink
+      val out = sharedStore(d, "part_mv") { o =>
+        SegmentShardSink.write(
+          Tables.part(s, d).select(col("p_partkey").cast("string").as("id"),
+            split(col("p_name"), " ").as("words"), col("p_brand")),
+          "id", o, shards = 4)
+      }
+      val idx = s.read.format("graft-index")
+        .option("multivalued", "array").load(out)
+      idx.filter(array_contains(col("words"), "bolt") ||
+          array_contains(col("words"), "gear"))
+        .select(col("id").cast("long").as("p_partkey"), col("p_brand"))
+    }),
+
     // token statistics (whitespace + BPE-ish subword estimate)
     "q47_token_stats" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
@@ -8858,6 +8877,13 @@ object SparkEntry {
           |FROM (SELECT DISTINCT p_partkey, p_brand,
           |        unnest(string_split(p_name, ' ')) AS word FROM part)
           |GROUP BY 1, 2""".stripMargin,
+
+      // OR of multivalued term filters: the union pushed whole
+      "q301_index_array_or" ->
+        """SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_brand
+          |FROM part
+          |WHERE list_contains(string_split(p_name, ' '), 'bolt')
+          |   OR list_contains(string_split(p_name, ' '), 'gear')""".stripMargin,
 
       // multivalued term filter (pushed as a posting lookup): docs
       // where ANY stored occurrence equals the term, every occurrence

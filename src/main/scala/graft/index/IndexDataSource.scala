@@ -172,19 +172,23 @@ private[index] class IndexTable(tableSchema: StructType, store: String)
     // and as a fallback knob). "on" bypasses the projection-width
     // gate too (measurement aid).
     val columnar = Option(options.get("columnar")).map(_.toLowerCase).orNull
-    // `.option("termFilter", "f:t[,f2:t2]")` (URL-encoded halves) —
-    // injected by [[TermFilterPushdown]] for `array_contains` on
-    // array-surfaced multivalued fields: each entry is ANDed into the
-    // pushed query as a posting lookup. The Catalyst Filter stays in
-    // the plan (residual re-eval — exact, cheap), so correctness never
+    // `.option("termFilter", "f:t[|f2:t2][,g:u…]")` (URL-encoded
+    // halves) — injected by [[TermFilterPushdown]] for term predicates
+    // (`array_contains` on array-surfaced multivalued fields,
+    // `graft_term_match` on analyzed scalars): ','-separated clauses
+    // AND into the pushed query, '|'-separated branches inside a
+    // clause union (posting-list OR). The Catalyst Filter stays in the
+    // plan (residual re-eval — exact, cheap), so correctness never
     // depends on this option.
-    val optionTerms: Seq[(String, String)] =
+    val optionTerms: Seq[Seq[(String, String)]] =
       Option(options.get("termfilter")).toSeq.flatMap { s =>
-        s.split(",").iterator.filter(_.nonEmpty).map { e =>
-          val i = e.indexOf(':')
-          require(i > 0, s"malformed termFilter entry '$e'")
-          (java.net.URLDecoder.decode(e.substring(0, i), "UTF-8"),
-            java.net.URLDecoder.decode(e.substring(i + 1), "UTF-8"))
+        s.split(",").iterator.filter(_.nonEmpty).map { cl =>
+          cl.split("\\|").iterator.filter(_.nonEmpty).map { e =>
+            val i = e.indexOf(':')
+            require(i > 0, s"malformed termFilter entry '$e'")
+            (java.net.URLDecoder.decode(e.substring(0, i), "UTF-8"),
+              java.net.URLDecoder.decode(e.substring(i + 1), "UTF-8"))
+          }.toSeq
         }.toSeq
       }
     new IndexScanBuilder(tableSchema, store, marker.multivalued, marker.analyzed,
@@ -238,7 +242,7 @@ private[index] class IndexScanBuilder(full: StructType, store: String,
                                       arrayFields: Set[String] = Set.empty,
                                       snapshot: Option[Map[String, Int]] = None,
                                       columnar: String = null,
-                                      optionTerms: Seq[(String, String)] = Nil)
+                                      optionTerms: Seq[Seq[(String, String)]] = Nil)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit
     with SupportsPushDownTopN {
@@ -585,11 +589,18 @@ private[index] class IndexScanBuilder(full: StructType, store: String,
       case _ => !countPushed && aggs.isEmpty &&
         required.fields.length * 2 <= full.fields.length
     }
-    // AND the option-injected term lookups (TermFilterPushdown's
-    // array_contains routing) into whatever pushFilters accepted
+    // AND the option-injected term clauses (TermFilterPushdown's
+    // array_contains / graft_term_match routing) into whatever
+    // pushFilters accepted; multi-branch clauses union (BooleanQuery
+    // SHOULD — posting-list OR with per-segment ordinal dedup)
     val fullQuery = {
-      val termQs: Seq[PushedQuery] =
-        optionTerms.map { case (f, t) => TermQuery(f, Seq(t)) }
+      val termQs: Seq[PushedQuery] = optionTerms.map { branches =>
+        // same-field branches collapse into one multi-term lookup
+        if (branches.length == 1) TermQuery(branches.head._1, Seq(branches.head._2))
+        else if (branches.map(_._1).distinct.length == 1)
+          TermQuery(branches.head._1, branches.map(_._2))
+        else OrQuery(branches.map { case (f, t) => TermQuery(f, Seq(t)) })
+      }
       if (termQs.isEmpty) query
       else query match {
         case MatchAll =>

@@ -1,6 +1,6 @@
 package graft.index
 
-import org.apache.spark.sql.catalyst.expressions.{And, ArrayContains, AttributeReference, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, ArrayContains, AttributeReference, Expression, Literal, Or}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -57,11 +57,12 @@ object TermFilterPushdown extends Rule[LogicalPlan] {
           tbl.termPushableArrays
         else Set.empty[String]
       val analyzed = tbl.termPushableAnalyzed
-      val terms = conjuncts(cond).collect {
+      // one pushable LEAF: a term predicate the index serves exactly
+      def leaf(e: Expression): Option[(String, String)] = e match {
         case ArrayContains(a: AttributeReference, Literal(v, StringType))
             if v != null && arrays.contains(a.name) &&
               rel.output.exists(_.exprId == a.exprId) =>
-          a.name -> v.toString
+          Some(a.name -> v.toString)
         // analyzed `field:term` (Solr fq on a text field): postings
         // hold the analyzer's tokens, and graft_term_match asks token
         // membership under THE SAME analyzer — exact agreement. Scalar
@@ -70,16 +71,27 @@ object TermFilterPushdown extends Rule[LogicalPlan] {
         case graft.functions.TermMatch(a: AttributeReference, Literal(v, StringType))
             if v != null && analyzed.contains(a.name) &&
               rel.output.exists(_.exprId == a.exprId) =>
-          a.name -> v.toString
+          Some(a.name -> v.toString)
+        case _ => None
       }
-      if (terms.isEmpty) f
+      // one pushable CLAUSE: a leaf, or an OR tree whose leaves all
+      // push (Solr's `fq=tags:(a OR b)` — posting-list unions); a
+      // partially-pushable OR must stay whole (dropping a branch would
+      // narrow the scan below the predicate's match set)
+      def clause(e: Expression): Option[Seq[(String, String)]] = e match {
+        case Or(l, r) =>
+          for { a <- clause(l); b <- clause(r) } yield a ++ b
+        case other => leaf(other).map(Seq(_))
+      }
+      val clauses = conjuncts(cond).flatMap(c => clause(c))
+      if (clauses.isEmpty) f
       else {
-        // URL-encode both halves so field names / terms carrying the
-        // ':' and ',' delimiters round-trip
-        val enc = terms.map { case (k, t) =>
+        // grammar: conjuncts joined by ',', OR branches inside one by
+        // '|'; URL-encoding both halves protects all three delimiters
+        val enc = clauses.map(_.map { case (k, t) =>
           java.net.URLEncoder.encode(k, "UTF-8") + ":" +
             java.net.URLEncoder.encode(t, "UTF-8")
-        }.mkString(",")
+        }.mkString("|")).mkString(",")
         val opts = new java.util.HashMap[String, String](rel.options.asCaseSensitiveMap())
         opts.put("termFilter", enc)
         f.copy(child = rel.copy(options = new CaseInsensitiveStringMap(opts)))

@@ -76,7 +76,15 @@ object StreamingIngest {
                    (vectors: DataFrame): DataStreamWriter[Row] =
     vectors.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.ops.IvfIndex.add(batch.sparkSession, store, batch, maxFilesPerCell)
+        val spark = batch.sparkSession
+        // dispatch on the store's marker: the IVF-PQ store shares the
+        // cells/ layout but encodes to codes instead of raw vectors
+        val isPq = {
+          val p = new org.apache.hadoop.fs.Path(s"$store/_ivfpq_marker.json")
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+        }
+        if (isPq) graft.ops.IvfPqIndex.add(spark, store, batch, maxFilesPerCell)
+        else graft.ops.IvfIndex.add(spark, store, batch, maxFilesPerCell)
         ()
       }
       .trigger(Trigger.AvailableNow())

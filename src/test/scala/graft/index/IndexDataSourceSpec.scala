@@ -299,6 +299,26 @@ class IndexDataSourceSpec extends AnyFunSuite {
     assert(scan2.exists(s => s.contains("tags:blue") && s.contains("tags:red")),
       s"scan was: $scan2")
     assert(both.select("id").collect().map(_.getString(0)).toSeq === Seq("1"))
+    // OR of two array terms pushes WHOLE as a posting union (same
+    // field → one multi-term lookup)
+    val either = arr.filter(
+      array_contains(col("tags"), "red") || array_contains(col("tags"), "green"))
+    val scan3 = either.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.description()
+    }
+    assert(scan3.exists(_.contains("pushedTerm=tags:red|green")), s"scan was: $scan3")
+    assert(either.select("id").collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("1", "3"))
+    // an OR with a non-pushable branch must NOT push at all (dropping
+    // a branch would narrow the scan below the predicate's match set)
+    val mixed = arr.filter(
+      array_contains(col("tags"), "red") || col("v") === "d")
+    val scan4 = mixed.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.description()
+    }
+    assert(scan4.exists(s => !s.contains("tags:red")), s"scan was: $scan4")
+    assert(mixed.select("id").collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("1", "3", "4"))
     // default scalar surfacing: no array fields, so the rule must NOT
     // fire (array_contains can't even type-check there) — guard that
     // first-value mode is untouched
