@@ -786,4 +786,63 @@ object Graft {
     val d = graft.sources.DocumentParser.parse(mime, bytes)
     (d.text, d.metadata)
   }
+
+  // ── persisted ANN index stores (the FAISS-analog serving tier) ──
+  // Build once, query many; incremental add against frozen quantizers;
+  // remove_ids tombstones + purge. Every method dispatches on the
+  // store's marker, so one facade serves both tiers: IVF (raw vectors,
+  // exact cosines over probed cells) and IVF-PQ (m codes per vector,
+  // ~32× smaller, ADC scoring — the billion-vector recipe).
+
+  private def isPqStore(spark: SparkSession, store: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$store/_ivfpq_marker.json")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Build a persisted ANN index over `(idCol, vecCol)`:
+    * `compressed = false` → [[graft.ops.IvfIndex]] (raw vectors);
+    * `compressed = true` → [[graft.ops.IvfPqIndex]] (PQ code store,
+    * no raw vectors on disk). `nlist ≈ sqrt(corpus rows)`. */
+  def buildAnnIndex(corpus: DataFrame, out: String, dim: Int,
+                    nlist: Int = 16, compressed: Boolean = false,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    if (compressed)
+      graft.ops.IvfPqIndex.build(corpus, out, dim, nlist,
+        idCol = idCol, vecCol = vecCol)
+    else graft.ops.IvfIndex.build(corpus, out, dim, nlist,
+      idCol = idCol, vecCol = vecCol)
+
+  /** Top-k neighbors for a broadcast-small query batch — only the
+    * probed cells' partitions are read (plan-asserted pruning). */
+  def queryAnnIndex(spark: SparkSession, store: String, queries: DataFrame,
+                    k: Int, nprobe: Int = 4): DataFrame =
+    if (isPqStore(spark, store))
+      graft.ops.IvfPqIndex.query(spark, store, queries, k, nprobe)
+    else graft.ops.IvfIndex.query(spark, store, queries, k, nprobe)
+
+  /** Incremental add against the store's FROZEN quantizers (FAISS
+    * `add`), with the per-call cell compaction counter-force. The
+    * streaming form is [[graft.streaming.StreamingIngest.annIngestSink]]. */
+  def addToAnnIndex(spark: SparkSession, store: String, vectors: DataFrame,
+                    maxFilesPerCell: Int = 8): Unit =
+    if (isPqStore(spark, store))
+      graft.ops.IvfPqIndex.add(spark, store, vectors, maxFilesPerCell)
+    else graft.ops.IvfIndex.add(spark, store, vectors, maxFilesPerCell)
+
+  /** Delete by id (FAISS `remove_ids`): O(batch) tombstones, deleted
+    * ids never surface from queries; [[purgeAnnDeletes]] reclaims.
+    * Same cells/ layout both tiers ([[graft.ops.IvfIndex.removeIds]]). */
+  def removeFromAnnIndex(spark: SparkSession, store: String, ids: DataFrame): Unit =
+    graft.ops.IvfIndex.removeIds(spark, store, ids)
+
+  /** Physically reclaim tombstoned vectors/codes (rewrites exactly the
+    * touched cells, then clears the tombstones). */
+  def purgeAnnDeletes(spark: SparkSession, store: String): Int =
+    graft.ops.IvfIndex.purgeDeletes(spark, store)
+
+  /** Fold over-budget cell partitions (tombstoned rows drop during the
+    * rewrite); steady-state I/O ∝ recently-grown cells. */
+  def compactAnnIndex(spark: SparkSession, store: String,
+                      maxFilesPerCell: Int = 8): Int =
+    graft.ops.IvfIndex.compact(spark, store, maxFilesPerCell)
 }

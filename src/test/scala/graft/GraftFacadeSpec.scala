@@ -174,4 +174,37 @@ class GraftFacadeSpec extends AnyFunSuite {
       mm = 1, rows = 10, tieBreak = col("id"))
     assert(em.count() === 2)
   }
+
+  test("ANN facade: one surface dispatches IVF and IVF-PQ stores " +
+      "(build/query/add/remove/purge) on the store marker") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val queries = emb.filter(col("vec_id") < 3)
+    Seq(false, true).foreach { compressed =>
+      val out = java.nio.file.Files
+        .createTempDirectory(s"ann_facade_${compressed}_").toString
+      Graft.buildAnnIndex(emb.filter(col("vec_id") < 150), out, dim = 64,
+        compressed = compressed)
+      val before = Graft.queryAnnIndex(spark, out, queries, k = 3, nprobe = 8)
+      assert(before.count() === 9)
+      // facade add routes to the right tier (code store stays codes)
+      Graft.addToAnnIndex(spark, out,
+        emb.filter(col("vec_id") >= 150 && col("vec_id") < 170))
+      assert(spark.read.parquet(s"$out/cells").count() === 170)
+      if (compressed)
+        assert(spark.read.parquet(s"$out/cells").columns.contains("codes"))
+      // delete every current winner; survivors re-rank, then purge
+      val victims = Graft.queryAnnIndex(spark, out, queries, k = 3, nprobe = 8)
+        .filter(col("rank") === 1).select("corpus_id")
+        .collect().map(_.getLong(0)).distinct.toSeq
+      Graft.removeFromAnnIndex(spark, out, victims.toDF("vec_id"))
+      val after = Graft.queryAnnIndex(spark, out, queries, k = 3, nprobe = 8)
+        .select("corpus_id").collect().map(_.getLong(0))
+      assert(after.forall(id => !victims.contains(id)))
+      assert(Graft.purgeAnnDeletes(spark, out) >= 1)
+      assert(spark.read.parquet(s"$out/cells")
+        .filter(col("corpus_id").isin(victims.map(Long.box): _*)).count() === 0)
+    }
+  }
 }
