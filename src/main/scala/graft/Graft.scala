@@ -829,6 +829,19 @@ object Graft {
       graft.ops.IvfPqIndex.add(spark, store, vectors, maxFilesPerCell)
     else graft.ops.IvfIndex.add(spark, store, vectors, maxFilesPerCell)
 
+  /** Two-stage serving: ADC candidates from a PQ code store + exact
+    * cosine re-rank over `corpusRaw` (wherever the raw vectors live)
+    * for only those candidates — FAISS `IndexRefineFlat`. On a
+    * raw-vector IVF store the plain [[queryAnnIndex]] is already
+    * exact, so this dispatches to it. */
+  def queryAnnIndexRefined(spark: SparkSession, store: String,
+                           corpusRaw: DataFrame, queries: DataFrame, k: Int,
+                           kCandidates: Int = 20, nprobe: Int = 4): DataFrame =
+    if (isPqStore(spark, store))
+      graft.ops.IvfPqIndex.queryRefined(spark, store, corpusRaw, queries, k,
+        kCandidates, nprobe)
+    else graft.ops.IvfIndex.query(spark, store, queries, k, nprobe)
+
   /** Delete by id (FAISS `remove_ids`): O(batch) tombstones, deleted
     * ids never surface from queries; [[purgeAnnDeletes]] reclaims.
     * Same cells/ layout both tiers ([[graft.ops.IvfIndex.removeIds]]). */

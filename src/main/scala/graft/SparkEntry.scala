@@ -669,6 +669,23 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("corpus_id"))
     }),
 
+    // two-stage serving over the PERSISTED IVF-PQ store (q295's batch
+    // refine, production form): ADC candidates from the code store,
+    // exact cosine re-rank joining the raw corpus frame over ONLY
+    // those rows — the code store never holds vectors, raw I/O ∝
+    // candidates. Same oracle as q295 (candidates and re-rank are
+    // bit-identical to the batch operator).
+    "q302_ivfpq_refine_persisted" -> ((s, d) => {
+      import graft.ops.IvfPqIndex
+      val out = sharedStore(d, "ivfpq_index") { o =>
+        IvfPqIndex.build(Tables.embeddings(s, d), o, dim = 64)
+      }
+      IvfPqIndex.queryRefined(s, out, Tables.embeddings(s, d),
+          Tables.embeddings(s, d).filter(col("vec_id") < 10),
+          k = 5, kCandidates = 20, nprobe = 8)
+        .select(col("query_id"), col("rank"), col("corpus_id"))
+    }),
+
     // STREAMING ANN ingest: micro-batches of new vectors flow into the
     // persisted IVF store through foreachBatch (frozen-quantizer adds
     // + per-batch compaction — the FAISS `add` contract under a
@@ -8805,6 +8822,10 @@ object SparkEntry {
       // one oracle, two read paths (the q46/q287 pairing)
       "q294_ivfpq_persisted" -> ivfPqSql,
       "q295_ivfpq_refine" -> ivfPqRefineSql,
+      // identical pipeline served from the persisted code store +
+      // raw-corpus re-rank join (one oracle, two read paths — the
+      // q293/q294 relationship at the refine tier)
+      "q302_ivfpq_refine_persisted" -> ivfPqRefineSql,
       // the persisted index serves the SAME answer from frozen
       // centroids + cell partitions — one oracle, two read paths
       "q287_ivf_persisted" -> ivfAnnSql,

@@ -106,6 +106,40 @@ object IvfPqIndex {
       k, mk.m, mk.ksub)
   }
 
+  /** Two-stage serving over the persisted store (FAISS
+    * `IndexRefineFlat` over an on-disk `IVFPQ` — the production
+    * pattern q295 runs in batch form): `kCandidates` cheap ADC
+    * candidates per query from the code store (probe-pruned,
+    * tombstone-filtered), then an EXACT cosine re-rank joining the
+    * supplied raw-vector frame over only those rows — raw-vector I/O
+    * ∝ candidates, never corpus-wide, and the code store still never
+    * holds vectors. `corpus` is wherever the raw vectors live (the
+    * corpus table, a column store); rows outside the candidate set are
+    * never read into the join (candidates broadcast). Bit-identical to
+    * [[Similarity.ivfPqRefineTopK]] with the build's parameters. */
+  def queryRefined(spark: SparkSession, out: String, corpus: DataFrame,
+                   queries: DataFrame, k: Int, kCandidates: Int = 20,
+                   nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mk = readMarker(spark, out)
+    val cand = query(spark, out, queries, kCandidates, nprobe)
+      .select(col("query_id"), col("corpus_id"))
+    val c = corpus.select(col(mk.idCol).as("corpus_id"),
+        col(mk.vecCol).cast("array<double>").as("cvec"))
+      .withColumn("cnorm", Similarity.norm(col("cvec")))
+    val q = queries.select(col(mk.idCol).as("query_id"),
+        col(mk.vecCol).cast("array<double>").as("qvec"))
+      .withColumn("qnorm", Similarity.norm(col("qvec")))
+    val rescored = c.join(broadcast(cand), Seq("corpus_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine", Similarity.dot(col("qvec"), col("cvec")) /
+        (col("qnorm") * col("cnorm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    rescored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"))
+  }
+
   /** Delete by id ([[IvfIndex.removeIds]] — identical cells/ layout,
     * identical tombstone contract: deleted ids never surface, reclaim
     * via [[purgeDeletes]] or any compaction rewrite). */

@@ -194,6 +194,13 @@ class GraftFacadeSpec extends AnyFunSuite {
       assert(spark.read.parquet(s"$out/cells").count() === 170)
       if (compressed)
         assert(spark.read.parquet(s"$out/cells").columns.contains("codes"))
+      // two-stage refine serves exact-cosine ranks from the raw frame
+      // (PQ tier) or dispatches to the already-exact IVF query
+      val refined = Graft.queryAnnIndexRefined(spark, out,
+        emb.filter(col("vec_id") < 170), queries, k = 3, nprobe = 8)
+      assert(refined.count() === 9)
+      assert(refined.groupBy("query_id").count().collect()
+        .forall(_.getLong(1) === 3))
       // delete every current winner; survivors re-rank, then purge
       val victims = Graft.queryAnnIndex(spark, out, queries, k = 3, nprobe = 8)
         .filter(col("rank") === 1).select("corpus_id")
