@@ -2385,6 +2385,25 @@ object SparkEntry {
         .filter(col("term").isNotNull)
     }),
 
+    // negated multivalued term filter (Solr `fq=-words:bolt` composed
+    // with a positive term): the exclusion pushes as MUST_NOT over
+    // field presence, ANDed with the positive posting lookup — the
+    // Solr exclusion-facet shape at the SQL surface.
+    "q303_index_array_not" -> ((s, d) => {
+      import graft.index.SegmentShardSink
+      val out = sharedStore(d, "part_mv") { o =>
+        SegmentShardSink.write(
+          Tables.part(s, d).select(col("p_partkey").cast("string").as("id"),
+            split(col("p_name"), " ").as("words"), col("p_brand")),
+          "id", o, shards = 4)
+      }
+      val idx = s.read.format("graft-index")
+        .option("multivalued", "array").load(out)
+      idx.filter(array_contains(col("words"), "blue") &&
+          !array_contains(col("words"), "bolt"))
+        .select(col("id").cast("long").as("p_partkey"), col("p_brand"))
+    }),
+
     // ANALYZED term filter at the SQL surface (Solr `fq=text:spark` on
     // a text field — the full-text half of the q296 pushdown):
     // graft_term_match runs THE index-time analyzer, so the pushed
@@ -8898,6 +8917,14 @@ object SparkEntry {
           |FROM (SELECT DISTINCT p_partkey, p_brand,
           |        unnest(string_split(p_name, ' ')) AS word FROM part)
           |GROUP BY 1, 2""".stripMargin,
+
+      // negative + positive multivalued terms: exclusion as presence
+      // minus match, intersected with the positive lookup
+      "q303_index_array_not" ->
+        """SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_brand
+          |FROM part
+          |WHERE list_contains(string_split(p_name, ' '), 'blue')
+          |  AND NOT list_contains(string_split(p_name, ' '), 'bolt')""".stripMargin,
 
       // OR of multivalued term filters: the union pushed whole
       "q301_index_array_or" ->

@@ -172,18 +172,21 @@ private[index] class IndexTable(tableSchema: StructType, store: String)
     // and as a fallback knob). "on" bypasses the projection-width
     // gate too (measurement aid).
     val columnar = Option(options.get("columnar")).map(_.toLowerCase).orNull
-    // `.option("termFilter", "f:t[|f2:t2][,g:u…]")` (URL-encoded
+    // `.option("termFilter", "f:t[|f2:t2][,!g:u…]")` (URL-encoded
     // halves) — injected by [[TermFilterPushdown]] for term predicates
     // (`array_contains` on array-surfaced multivalued fields,
     // `graft_term_match` on analyzed scalars): ','-separated clauses
     // AND into the pushed query, '|'-separated branches inside a
-    // clause union (posting-list OR). The Catalyst Filter stays in the
-    // plan (residual re-eval — exact, cheap), so correctness never
-    // depends on this option.
-    val optionTerms: Seq[Seq[(String, String)]] =
+    // clause union (posting-list OR), a leading '!' negates a clause
+    // (field presence minus the match — MUST_NOT). The Catalyst Filter
+    // stays in the plan (residual re-eval — exact, cheap), so
+    // correctness never depends on this option.
+    val optionTerms: Seq[(Boolean, Seq[(String, String)])] =
       Option(options.get("termfilter")).toSeq.flatMap { s =>
-        s.split(",").iterator.filter(_.nonEmpty).map { cl =>
-          cl.split("\\|").iterator.filter(_.nonEmpty).map { e =>
+        s.split(",").iterator.filter(_.nonEmpty).map { cl0 =>
+          val neg = cl0.startsWith("!")
+          val cl = if (neg) cl0.substring(1) else cl0
+          neg -> cl.split("\\|").iterator.filter(_.nonEmpty).map { e =>
             val i = e.indexOf(':')
             require(i > 0, s"malformed termFilter entry '$e'")
             (java.net.URLDecoder.decode(e.substring(0, i), "UTF-8"),
@@ -242,7 +245,7 @@ private[index] class IndexScanBuilder(full: StructType, store: String,
                                       arrayFields: Set[String] = Set.empty,
                                       snapshot: Option[Map[String, Int]] = None,
                                       columnar: String = null,
-                                      optionTerms: Seq[Seq[(String, String)]] = Nil)
+                                      optionTerms: Seq[(Boolean, Seq[(String, String)])] = Nil)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit
     with SupportsPushDownTopN {
@@ -592,14 +595,17 @@ private[index] class IndexScanBuilder(full: StructType, store: String,
     // AND the option-injected term clauses (TermFilterPushdown's
     // array_contains / graft_term_match routing) into whatever
     // pushFilters accepted; multi-branch clauses union (BooleanQuery
-    // SHOULD — posting-list OR with per-segment ordinal dedup)
+    // SHOULD — posting-list OR with per-segment ordinal dedup),
+    // negated clauses subtract from field presence (MUST_NOT)
     val fullQuery = {
-      val termQs: Seq[PushedQuery] = optionTerms.map { branches =>
+      val termQs: Seq[PushedQuery] = optionTerms.map { case (neg, branches) =>
         // same-field branches collapse into one multi-term lookup
-        if (branches.length == 1) TermQuery(branches.head._1, Seq(branches.head._2))
-        else if (branches.map(_._1).distinct.length == 1)
-          TermQuery(branches.head._1, branches.map(_._2))
-        else OrQuery(branches.map { case (f, t) => TermQuery(f, Seq(t)) })
+        val q0 =
+          if (branches.length == 1) TermQuery(branches.head._1, Seq(branches.head._2))
+          else if (branches.map(_._1).distinct.length == 1)
+            TermQuery(branches.head._1, branches.map(_._2))
+          else OrQuery(branches.map { case (f, t) => TermQuery(f, Seq(t)) })
+        if (neg) NotQuery(q0, Some(branches.head._1)) else q0
       }
       if (termQs.isEmpty) query
       else query match {

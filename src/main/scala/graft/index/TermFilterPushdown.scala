@@ -74,24 +74,36 @@ object TermFilterPushdown extends Rule[LogicalPlan] {
           Some(a.name -> v.toString)
         case _ => None
       }
-      // one pushable CLAUSE: a leaf, or an OR tree whose leaves all
-      // push (Solr's `fq=tags:(a OR b)` — posting-list unions); a
-      // partially-pushable OR must stay whole (dropping a branch would
-      // narrow the scan below the predicate's match set)
-      def clause(e: Expression): Option[Seq[(String, String)]] = e match {
+      // one pushable CLAUSE: a leaf, an OR tree whose leaves all push
+      // (Solr's `fq=tags:(a OR b)` — posting-list unions), or a
+      // NEGATED leaf (Solr's `fq=-tags:x` — field presence minus the
+      // match, MUST_NOT; agrees with the residual because a doc with
+      // no field value evaluates NULL there and is excluded by both).
+      // A partially-pushable OR must stay whole (dropping a branch
+      // would narrow the scan below the predicate's match set).
+      def orTree(e: Expression): Option[Seq[(String, String)]] = e match {
         case Or(l, r) =>
-          for { a <- clause(l); b <- clause(r) } yield a ++ b
+          for { a <- orTree(l); b <- orTree(r) } yield a ++ b
         case other => leaf(other).map(Seq(_))
       }
+      def clause(e: Expression): Option[(Boolean, Seq[(String, String)])] =
+        e match {
+          case org.apache.spark.sql.catalyst.expressions.Not(inner) =>
+            leaf(inner).map(l => (true, Seq(l)))
+          case other => orTree(other).map((false, _))
+        }
       val clauses = conjuncts(cond).flatMap(c => clause(c))
       if (clauses.isEmpty) f
       else {
         // grammar: conjuncts joined by ',', OR branches inside one by
-        // '|'; URL-encoding both halves protects all three delimiters
-        val enc = clauses.map(_.map { case (k, t) =>
-          java.net.URLEncoder.encode(k, "UTF-8") + ":" +
-            java.net.URLEncoder.encode(t, "UTF-8")
-        }.mkString("|")).mkString(",")
+        // '|', a leading '!' negates a (single-leaf) clause;
+        // URL-encoding both halves protects all the delimiters
+        val enc = clauses.map { case (neg, branches) =>
+          (if (neg) "!" else "") + branches.map { case (k, t) =>
+            java.net.URLEncoder.encode(k, "UTF-8") + ":" +
+              java.net.URLEncoder.encode(t, "UTF-8")
+          }.mkString("|")
+        }.mkString(",")
         val opts = new java.util.HashMap[String, String](rel.options.asCaseSensitiveMap())
         opts.put("termFilter", enc)
         f.copy(child = rel.copy(options = new CaseInsensitiveStringMap(opts)))

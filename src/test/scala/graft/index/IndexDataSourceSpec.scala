@@ -309,6 +309,16 @@ class IndexDataSourceSpec extends AnyFunSuite {
     assert(scan3.exists(_.contains("pushedTerm=tags:red|green")), s"scan was: $scan3")
     assert(either.select("id").collect().map(_.getString(0)).sorted.toSeq ===
       Seq("1", "3"))
+    // NOT array_contains pushes as MUST_NOT over field presence
+    // (Solr fq=-tags:blue); a doc with NO values for the field is
+    // excluded by BOTH paths (pushed: absent from presence; residual:
+    // NOT null = null)
+    val non = arr.filter(!array_contains(col("tags"), "blue"))
+    val scanN = non.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.description()
+    }
+    assert(scanN.exists(_.contains("NOT tags:blue")), s"scan was: $scanN")
+    assert(non.select("id").collect().map(_.getString(0)).toSeq === Seq("3"))
     // an OR with a non-pushable branch must NOT push at all (dropping
     // a branch would narrow the scan below the predicate's match set)
     val mixed = arr.filter(
