@@ -43,7 +43,12 @@ object TrueScaleCheck {
     "q144_substring_dedup", "q154_corpus_audit",
     "q233_seed_classifier", "q247_skipgram_pairs",
     "q286_tiered_merge", "q287_ivf_persisted", "q139_token_facet",
-    "q263_stream_windows", "q268_stream_dedup_ingest").distinct
+    "q263_stream_windows", "q268_stream_dedup_ingest",
+    // round-12 families: the PQ code store, its delete path, and the
+    // SQL-surface term pushdowns (q289 is part_mv's owner, so its
+    // presence warms q296's store; q139 already owns q299's)
+    "q294_ivfpq_persisted", "q297_ivfpq_delete", "q289_index_multivalued",
+    "q296_index_array_filter", "q299_index_analyzed_filter").distinct
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
