@@ -135,6 +135,7 @@ object SparkEntry {
     "q300_stream_ann_ingest",  // ivf_stream (build + streamed adds)
     "q286_tiered_merge",       // q286_tiered base store (upserts idempotent)
     "q289_index_multivalued",  // part_mv (array-surfaced store)
+    "q304_index_analyzed_array", // part_mvana (analyzed multivalued)
     "q267_wet_gz",             // wet_gz
     "q281_warc_responses",     // warc_file_full
     "q282_warc_best_capture",  // warc_captures
@@ -2422,6 +2423,29 @@ object SparkEntry {
       idx.filter(graft.functions.TermMatch.graft_term_match(
           col("text"), lit("spark")))
         .select(col("id").cast("long").as("doc_id"), col("lang"))
+    }),
+
+    // analyzed MULTIVALUED term filter (Solr `fq=labels:promo` on a
+    // tokenized multi-value text field — the last common fq shape):
+    // `exists(labels, t -> graft_term_match(t, 'promo'))` asks "any
+    // value's token stream contains the term"; postings index the
+    // tokens of EVERY value, so the predicate pushes whole as a token
+    // posting lookup (plan-locked in IndexDataSourceSpec). The match
+    // here comes only via the UPPERCASE p_type value's case-folded
+    // tokens — verbatim array_contains could never see it.
+    "q304_index_analyzed_array" -> ((s, d) => {
+      import graft.index.SegmentShardSink
+      val out = sharedStore(d, "part_mvana") { o =>
+        SegmentShardSink.write(
+          Tables.part(s, d).select(col("p_partkey").cast("string").as("id"),
+            array(col("p_name"), col("p_type")).as("labels"), col("p_brand")),
+          "id", o, shards = 4, analyzedFields = Set("labels"))
+      }
+      val idx = s.read.format("graft-index")
+        .option("multivalued", "array").load(out)
+      idx.filter(exists(col("labels"),
+          t => graft.functions.TermMatch.graft_term_match(t, lit("promo"))))
+        .select(col("id").cast("long").as("p_partkey"), col("p_brand"))
     }),
 
     // Solr SPLITSHARD: a private 2-shard store splits shard 0 at its
@@ -5959,6 +5983,16 @@ object SparkEntry {
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM documents
         |WHERE list_contains(
         |  regexp_split_to_array(lower(text), '[^a-z0-9]+'), 'spark')""".stripMargin,
+
+    // analyzed MULTIVALUED term membership: any of the two label
+    // values whose token stream (same lowercase-alphanumeric
+    // tokenization) contains the term — the match comes only via the
+    // uppercase p_type value's case-folded tokens
+    "q304_index_analyzed_array" ->
+      """SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_brand
+        |FROM part
+        |WHERE len(list_filter([p_name, p_type], v -> list_contains(
+        |  regexp_split_to_array(lower(v), '[^a-z0-9]+'), 'promo'))) > 0""".stripMargin,
 
     // Replays the compiled plan: top-5 brands (count desc, brand
     // tie-break), avg over exact integer sum, top-3 containers per

@@ -46,14 +46,17 @@ case class TermMatch(left: Expression, right: Expression)
 
 object TermMatch {
   /** Shared kernel for eval + codegen: delegates to THE index-time
-    * analyzer itself (`SegmentIndex.analyze`) so pushed and residual
-    * evaluation can never drift — including on the exotic case-fold
-    * characters where a hand-rolled char loop would diverge from
-    * String.toLowerCase. */
-  def compute(value: UTF8String, term: UTF8String): Boolean = {
-    val t = term.toString
-    t.nonEmpty && graft.index.SegmentIndex.analyze(value.toString).contains(t)
-  }
+    * analyzer's streaming membership form
+    * (`SegmentIndex.analyzeContains` — same lowercase fold and token
+    * alphabet as `SegmentIndex.analyze`, early-exit, no per-token
+    * allocation: the residual filter runs this per scanned row even
+    * when the pushdown fired) so pushed and residual evaluation can
+    * never drift — including on the exotic case-fold characters where
+    * a hand-rolled char fold would diverge from String.toLowerCase.
+    * `analyzeContains(v, t) == analyze(v).contains(t)` is fuzz-locked
+    * in TermMatchSpec. */
+  def compute(value: UTF8String, term: UTF8String): Boolean =
+    graft.index.SegmentIndex.analyzeContains(value.toString, term.toString)
 
   def graft_term_match(text: Column, term: Column): Column =
     GraftColumns.of(TermMatch(GraftColumns.expr(text), GraftColumns.expr(term)))

@@ -126,6 +126,14 @@ private[index] class IndexTable(tableSchema: StructType, store: String)
   private[index] def termPushableAnalyzed: Set[String] =
     marker.analyzed -- marker.multivalued
 
+  /** Fields whose `exists(f, t -> graft_term_match(t, lit))` is EXACTLY
+    * a posting lookup: analyzed AND multivalued — the surfaced array
+    * carries every stored value, postings index the tokens of every
+    * value, and the lambda asks "any value's token stream contains the
+    * term". Array surfacing required (gated at the rule). */
+  private[index] def termPushableAnalyzedArrays: Set[String] =
+    marker.analyzed intersect marker.multivalued
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // two field classes are excluded from DIRECT filter pushdown:
     //  - MULTIVALUED: the relational surface shows their FIRST value,

@@ -522,6 +522,34 @@ object SegmentIndex {
     out.toSeq
   }
 
+  /** Allocation-light membership form of [[analyze]]: true iff
+    * `analyze(v).contains(term)`, streaming the token runs in place
+    * (one lowercase fold — the same locale-sensitive `toLowerCase` as
+    * [[analyze]], which is 1:N on e.g. İ so a per-char fold would
+    * drift — no buffers, no per-token Strings, early exit on first
+    * match). This is [[graft.functions.TermMatch]]'s per-row kernel:
+    * the residual filter runs it over every scanned row even when the
+    * pushdown fired, so the token materialization [[analyze]] does was
+    * a hot-spot there. Parity with `analyze(v).contains(term)` is
+    * fuzz-locked in TermMatchSpec. */
+  private[graft] def analyzeContains(v: String, term: String): Boolean = {
+    val tn = term.length
+    if (tn == 0) return false
+    val lower = v.toLowerCase
+    val n = lower.length
+    @inline def tok(c: Char): Boolean =
+      (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+    var i = 0
+    while (i < n) {
+      while (i < n && !tok(lower.charAt(i))) i += 1
+      var j = i
+      while (j < n && tok(lower.charAt(j))) j += 1
+      if (j - i == tn && lower.regionMatches(i, term, 0, tn)) return true
+      i = j
+    }
+    false
+  }
+
   /** Writer phase profile (nanos, cumulative, per-JVM): where segment
     * write wall time goes — the profile-first discipline that found
     * the r10 writer fixes. Phase boundaries are per-SEGMENT (a handful

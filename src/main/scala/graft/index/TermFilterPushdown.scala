@@ -1,6 +1,6 @@
 package graft.index
 
-import org.apache.spark.sql.catalyst.expressions.{And, ArrayContains, AttributeReference, Expression, Literal, Or}
+import org.apache.spark.sql.catalyst.expressions.{And, ArrayContains, ArrayExists, AttributeReference, Expression, LambdaFunction, Literal, NamedLambdaVariable, Or}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -29,10 +29,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  * the rule firing (sessions without [[graft.GraftExtensions]] get the
  * same rows from the unpushed plan).
  *
- * Eligible fields are multivalued AND not analyzed
+ * Eligible `array_contains` fields are multivalued AND not analyzed
  * ([[IndexTable.termPushableArrays]]): analyzed postings hold TOKENS
  * while the surfaced array holds VERBATIM values, so a pushed lookup
- * there would silently drop rows.
+ * there would silently drop rows. The token-side forms —
+ * `graft_term_match(f, 'x')` on analyzed scalars and
+ * `exists(f, t -> graft_term_match(t, 'x'))` on analyzed multivalued
+ * fields — push as token posting lookups instead.
  *
  * Reference trace: Solr serves `fq=field:term` on multiValued fields
  * from the same inverted postings; the reference's own query surface
@@ -57,12 +60,22 @@ object TermFilterPushdown extends Rule[LogicalPlan] {
           tbl.termPushableArrays
         else Set.empty[String]
       val analyzed = tbl.termPushableAnalyzed
-      // one pushable LEAF: a term predicate the index serves exactly
-      def leaf(e: Expression): Option[(String, String)] = e match {
+      val analyzedArrays =
+        if ("array".equalsIgnoreCase(rel.options.get("multivalued")))
+          tbl.termPushableAnalyzedArrays
+        else Set.empty[String]
+      // pushable ARRAY leaf: verbatim posting lookup on a multivalued
+      // stored field — safe under negation too (every stored value has
+      // a verbatim posting, so postings-derived presence == non-null).
+      def arrayLeaf(e: Expression): Option[(String, String)] = e match {
         case ArrayContains(a: AttributeReference, Literal(v, StringType))
             if v != null && arrays.contains(a.name) &&
               rel.output.exists(_.exprId == a.exprId) =>
           Some(a.name -> v.toString)
+        case _ => None
+      }
+      // pushable ANALYZED leaf: token posting lookup.
+      def analyzedLeaf(e: Expression): Option[(String, String)] = e match {
         // analyzed `field:term` (Solr fq on a text field): postings
         // hold the analyzer's tokens, and graft_term_match asks token
         // membership under THE SAME analyzer — exact agreement. Scalar
@@ -72,8 +85,31 @@ object TermFilterPushdown extends Rule[LogicalPlan] {
             if v != null && analyzed.contains(a.name) &&
               rel.output.exists(_.exprId == a.exprId) =>
           Some(a.name -> v.toString)
+        // analyzed MULTIVALUED `field:term` — the tokenized-tag-set
+        // shape: `exists(tags, t -> graft_term_match(t, 'x'))` asks
+        // "any value's token stream contains x", and a multivalued
+        // analyzed field's postings index the tokens of EVERY value
+        // (SegmentIndex's 100-gap position advance) — exact agreement.
+        // Requires array surfacing (the predicate doesn't type-check
+        // otherwise, which the option gate above already encodes).
+        case ae: ArrayExists => (ae.argument, ae.function) match {
+          case (a: AttributeReference,
+                LambdaFunction(graft.functions.TermMatch(
+                  v: NamedLambdaVariable, Literal(t, StringType)), args, _))
+              if t != null && analyzedArrays.contains(a.name) &&
+                args.lengthCompare(1) == 0 &&
+                (args.head match {
+                  case arg: NamedLambdaVariable => arg.exprId == v.exprId
+                  case _ => false
+                }) &&
+                rel.output.exists(_.exprId == a.exprId) =>
+            Some(a.name -> t.toString)
+          case _ => None
+        }
         case _ => None
       }
+      def leaf(e: Expression): Option[(String, String)] =
+        arrayLeaf(e).orElse(analyzedLeaf(e))
       // one pushable CLAUSE: a leaf, an OR tree whose leaves all push
       // (Solr's `fq=tags:(a OR b)` — posting-list unions), or a
       // NEGATED leaf (Solr's `fq=-tags:x` — field presence minus the
@@ -86,10 +122,18 @@ object TermFilterPushdown extends Rule[LogicalPlan] {
           for { a <- orTree(l); b <- orTree(r) } yield a ++ b
         case other => leaf(other).map(Seq(_))
       }
+      // Negation pushes for ARRAY leaves ONLY: the pushed MUST_NOT base
+      // is postings-derived field presence, and for an analyzed field a
+      // non-null stored value can tokenize to ZERO tokens ("!!!") — no
+      // postings, so the pushed scan would exclude a row the residual
+      // `NOT graft_term_match(...)` keeps (narrowing below the match
+      // set, the one failure the residual cannot repair). Verbatim
+      // array postings exist for every stored value, so there the
+      // presence base is exact.
       def clause(e: Expression): Option[(Boolean, Seq[(String, String)])] =
         e match {
           case org.apache.spark.sql.catalyst.expressions.Not(inner) =>
-            leaf(inner).map(l => (true, Seq(l)))
+            arrayLeaf(inner).map(l => (true, Seq(l)))
           case other => orTree(other).map((false, _))
         }
       val clauses = conjuncts(cond).flatMap(c => clause(c))

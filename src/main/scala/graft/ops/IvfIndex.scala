@@ -180,10 +180,18 @@ object IvfIndex {
   /** Physically reclaim tombstoned rows: one broadcast semi-join scan
     * locates the touched cells (the ids' vectors may no longer exist —
     * an IVF-PQ store holds no raw vectors — so cell membership can
-    * only come from the stored rows), each touched cell rewrites
-    * without its dead rows, then the tombstone set clears. I/O is
-    * ∝ touched-cell bytes + one corpus scan, never a rebuild.
-    * Single-writer discipline as [[compact]]. Returns cells purged. */
+    * only come from the stored rows), then the WHOLE touched set
+    * rewrites in ONE read-filter-write job — cell-partition-pruned
+    * read, broadcast anti-join, `partitionBy(cell)` write into a tmp
+    * dir, per-cell file swap — so a redaction batch touching hundreds
+    * of cells costs two Spark jobs, not hundreds of serialized tiny
+    * ones (job count is constant in touched-cell count, spec-asserted
+    * in IvfIndexSpec). I/O stays ∝ touched-cell bytes + one corpus
+    * scan, never a rebuild; the rewrite materializes fully under the
+    * tmp dir before any original file is removed. Output files aim at
+    * `targetFileBytes` via a per-cell salt (bounded driver-side CASE
+    * over the touched list). Single-writer discipline as [[compact]].
+    * Returns cells purged. */
   def purgeDeletes(spark: SparkSession, out: String,
                    targetFileBytes: Long = 256L << 20): Int = {
     val dels = deletes(spark, out).getOrElse(return 0)
@@ -193,10 +201,53 @@ object IvfIndex {
     val touched = spark.read.parquet(root.toString)
       .join(broadcast(dels.select("corpus_id")), Seq("corpus_id"), "left_semi")
       .select("cell").distinct().collect().map(_.getInt(0))
+    if (touched.isEmpty) {
+      fs.delete(new org.apache.hadoop.fs.Path(deletesPath(out)), true)
+      return 0
+    }
+    // per-cell split counts from the fs listing (driver-side, bounded
+    // by the touched set): cells over targetFileBytes shard across
+    // salt buckets so one jumbo cell can't force a single giant file
+    val splits: Seq[(Int, Int)] = touched.toSeq.map { c =>
+      val d = new org.apache.hadoop.fs.Path(root, s"cell=$c")
+      val bytes =
+        if (fs.exists(d))
+          fs.listStatus(d).filter(f => f.isFile &&
+            f.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+        else 0L
+      c -> math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    }
+    val salt = splits.foldLeft(lit(0)) { case (acc, (c, n)) =>
+      when(col("cell") === c, pmod(hash(col("corpus_id")), lit(n)))
+        .otherwise(acc)
+    }
+    val tmp = new org.apache.hadoop.fs.Path(s"$out/.purge_tmp")
+    fs.delete(tmp, true)
+    val base = spark.read.parquet(root.toString)
+      .filter(col("cell").isin(touched.map(Int.box).toIndexedSeq: _*))
+    val live = base.join(broadcast(dels.select("corpus_id")),
+      Seq("corpus_id"), "left_anti")
+    live.repartition(splits.map(_._2).sum, col("cell"), salt)
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+    // swap: originals go only after the tmp write committed whole
     touched.foreach { c =>
       val d = new org.apache.hadoop.fs.Path(root, s"cell=$c")
-      rewriteCellDir(spark, fs, out, d, targetFileBytes, Some(dels))
+      if (fs.exists(d))
+        fs.listStatus(d)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .foreach(f => fs.delete(f.getPath, false))
+      val td = new org.apache.hadoop.fs.Path(tmp, s"cell=$c")
+      if (fs.exists(td)) {
+        if (!fs.exists(d)) fs.mkdirs(d)
+        fs.listStatus(td)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .zipWithIndex.foreach { case (f, i) =>
+            fs.rename(f.getPath,
+              new org.apache.hadoop.fs.Path(d, f"purged-$i%05d.parquet"))
+          }
+      }
     }
+    fs.delete(tmp, true)
     fs.delete(new org.apache.hadoop.fs.Path(deletesPath(out)), true)
     touched.length
   }

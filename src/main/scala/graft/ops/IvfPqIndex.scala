@@ -110,21 +110,35 @@ object IvfPqIndex {
     * `IndexRefineFlat` over an on-disk `IVFPQ` — the production
     * pattern q295 runs in batch form): `kCandidates` cheap ADC
     * candidates per query from the code store (probe-pruned,
-    * tombstone-filtered), then an EXACT cosine re-rank joining the
-    * supplied raw-vector frame over only those rows — raw-vector I/O
-    * ∝ candidates, never corpus-wide, and the code store still never
-    * holds vectors. `corpus` is wherever the raw vectors live (the
-    * corpus table, a column store); rows outside the candidate set are
-    * never read into the join (candidates broadcast). Bit-identical to
-    * [[Similarity.ivfPqRefineTopK]] with the build's parameters. */
+    * tombstone-filtered), then an EXACT cosine re-rank over only those
+    * rows. The candidate set is BOUNDED by construction
+    * (≤ |Q|·kCandidates — the same broadcast-small contract as the
+    * probe set), so it is collected once and its ids PUSH into the
+    * raw-vector scan as an `In` source filter: at corpus scale the
+    * re-rank fetch reads only the row groups / index postings holding
+    * candidate ids (DSv2 / parquet filter pushdown, plan-locked in
+    * IvfPqIndexSpec), never the corpus — and the code store still
+    * never holds vectors. `corpus` is wherever the raw vectors live
+    * (the corpus table, a graft-index store surfaced as a DataFrame, a
+    * column store — anything whose scan accepts an id `In` pushdown).
+    * Bit-identical to [[Similarity.ivfPqRefineTopK]] with the build's
+    * parameters. */
   def queryRefined(spark: SparkSession, out: String, corpus: DataFrame,
                    queries: DataFrame, k: Int, kCandidates: Int = 20,
                    nprobe: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val mk = readMarker(spark, out)
-    val cand = query(spark, out, queries, kCandidates, nprobe)
+    val cand0 = query(spark, out, queries, kCandidates, nprobe)
       .select(col("query_id"), col("corpus_id"))
-    val c = corpus.select(col(mk.idCol).as("corpus_id"),
+    // one execution of the ADC stage: the collected pairs re-enter the
+    // plan as a LocalRelation (broadcast-cheap) and the distinct ids
+    // become the pushed fetch predicate
+    val candRows = cand0.collect()
+    val cand = spark.createDataFrame(
+      java.util.Arrays.asList(candRows: _*), cand0.schema)
+    val candIds = candRows.map(_.get(1)).distinct.toSeq
+    val c = corpus.filter(col(mk.idCol).isin(candIds: _*))
+      .select(col(mk.idCol).as("corpus_id"),
         col(mk.vecCol).cast("array<double>").as("cvec"))
       .withColumn("cnorm", Similarity.norm(col("cvec")))
     val q = queries.select(col(mk.idCol).as("query_id"),

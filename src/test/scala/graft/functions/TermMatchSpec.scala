@@ -36,6 +36,19 @@ object TermMatchProps extends Properties("term-match") {
       graft.index.SegmentIndex.analyze(text).forall(compute(text, _)) &&
         !compute(text, "")
     }
+
+  // the streaming early-exit kernel (the residual hot path) must be
+  // indistinguishable from materialize-then-contains for ANY term —
+  // including non-token terms the termGen above never produces
+  private val rawTermGen = Gen.frequency(
+    4 -> termGen,
+    1 -> Gen.listOfN(3, charGen).map(_.mkString),
+    1 -> Gen.const(""))
+  property("analyzeContains == analyze-then-contains (any term)") =
+    forAll(textGen, rawTermGen) { (text, term) =>
+      graft.index.SegmentIndex.analyzeContains(text, term) ==
+        graft.index.SegmentIndex.analyze(text).contains(term)
+    }
 }
 
 class TermMatchSpec extends AnyFunSuite {

@@ -378,6 +378,101 @@ class IndexDataSourceSpec extends AnyFunSuite {
     assert(eq.select("id").collect().map(_.getString(0)).toSeq === Seq("4"))
   }
 
+  test("negated graft_term_match stays residual-only: a non-null doc " +
+      "that tokenizes to ZERO tokens must survive the NOT") {
+    import spark.implicits._
+    import graft.functions.TermMatch.graft_term_match
+    val out = tmp("graft_dsv2_ananot_")
+    // doc 3's body is punctuation-only: non-null stored value, zero
+    // tokens → NO postings. A pushed MUST_NOT over postings-derived
+    // presence would exclude it; the predicate keeps it (NOT false).
+    val df = Seq(
+      ("1", "Spark rocks", "a"),
+      ("2", "flink streams", "b"),
+      ("3", "!!! ---", "c"),
+      ("4", "spark", "d")
+    ).toDF("id", "body", "v")
+    SegmentShardSink.write(df, "id", out, shards = 2,
+      analyzedFields = Set("body"))
+    val idx = spark.read.format("graft-index").load(out)
+    val non = idx.filter(!graft_term_match(col("body"), lit("spark")))
+    val scanN = non.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.description()
+    }
+    assert(scanN.exists(s => !s.contains("NOT body:spark")),
+      s"negated analyzed term must not push, scan was: $scanN")
+    assert(non.select("id").collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("2", "3"))
+    // the positive leaf inside an AND still pushes; the negated leaf
+    // contributes nothing to the pushed query
+    val mixed = idx.filter(graft_term_match(col("body"), lit("spark")) &&
+      !graft_term_match(col("body"), lit("rocks")))
+    val scanM = mixed.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.description()
+    }
+    assert(scanM.exists(s => s.contains("body:spark") && !s.contains("NOT body:rocks")),
+      s"scan was: $scanM")
+    assert(mixed.select("id").collect().map(_.getString(0)).toSeq === Seq("4"))
+  }
+
+  test("exists(f, t -> graft_term_match(t, term)) on an analyzed " +
+      "MULTIVALUED field pushes as a token posting lookup") {
+    import spark.implicits._
+    import graft.functions.TermMatch.graft_term_match
+    val out = tmp("graft_dsv2_anamv_")
+    // analyzed multivalued: postings index the TOKENS of every value
+    val df = Seq(
+      ("1", Seq("Machine Learning", "nlp-tools"), "a"),
+      ("2", Seq("databases"), "b"),
+      ("3", Seq("nlp", "search & ranking"), "c"),
+      ("4", Seq.empty[String], "d"),
+      ("5", Seq("!!!"), "e") // one value, zero tokens
+    ).toDF("id", "tags", "v")
+    SegmentShardSink.write(df, "id", out, shards = 2,
+      analyzedFields = Set("tags"))
+    val arr = spark.read.format("graft-index")
+      .option("multivalued", "array").load(out)
+    val hits = arr.filter(exists(col("tags"),
+        t => graft_term_match(t, lit("nlp"))))
+      .select("id", "v")
+    val scan = hits.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.description()
+    }
+    assert(scan.exists(_.contains("pushedTerm=tags:nlp")), s"scan was: $scan")
+    // doc 1 matches via the second VALUE's token stream (nlp-tools →
+    // [nlp, tools]); doc 3 via its first value
+    assert(hits.collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq ===
+      Seq(("1", "a"), ("3", "c")))
+    // OR of two exists-branches pushes whole (posting union)
+    val either = arr.filter(exists(col("tags"), t => graft_term_match(t, lit("learning"))) ||
+      exists(col("tags"), t => graft_term_match(t, lit("ranking"))))
+    val scan2 = either.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.description()
+    }
+    assert(scan2.exists(s => s.contains("learning") && s.contains("ranking")),
+      s"scan was: $scan2")
+    assert(either.select("id").collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("1", "3"))
+    // NEGATED exists must NOT push (zero-token values break the
+    // postings-presence base exactly as on the scalar analyzed path):
+    // doc 5 is non-null with zero tokens and must survive
+    val non = arr.filter(!exists(col("tags"), t => graft_term_match(t, lit("nlp"))))
+    val scanN = non.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.description()
+    }
+    assert(scanN.exists(s => !s.contains("NOT tags:nlp")), s"scan was: $scanN")
+    assert(non.select("id").collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("2", "5"))
+    // array_contains on the analyzed multivalued field still refuses
+    // to push (verbatim values vs token postings) — original exclusion
+    val verb = arr.filter(array_contains(col("tags"), "nlp"))
+    val scanV = verb.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.description()
+    }
+    assert(scanV.exists(_.contains("pushedTerm=*:*")), s"scan was: $scanV")
+    assert(verb.select("id").collect().map(_.getString(0)).toSeq === Seq("3"))
+  }
+
   test("COUNT(*) pushes to metadata/postings; deletes respected; grouped counts push too") {
     val idx = spark.read.format("graft-index").load(store)
     val cnt = idx.agg(org.apache.spark.sql.functions.count(

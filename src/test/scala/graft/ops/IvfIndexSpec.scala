@@ -138,4 +138,42 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(afterPurge.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
       === after.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq)
   }
+
+  test("purgeDeletes rewrites a MULTI-cell touched set in a constant " +
+      "number of jobs (one batched read-filter-write, not one job per cell)") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("ivf_purgejobs_").toString
+    IvfIndex.build(emb, out, dim = 64)
+    // every 3rd id: the victims land across most of the 16 cells
+    val victims = emb.filter(col("vec_id") % 3 === 0).select("vec_id")
+    IvfIndex.removeIds(spark, out, victims)
+    val touchedCells = spark.read.parquet(s"$out/cells")
+      .join(victims.withColumnRenamed("vec_id", "corpus_id"),
+        Seq("corpus_id"), "left_semi")
+      .select("cell").distinct().count()
+    assert(touchedCells >= 8, s"fixture too weak: only $touchedCells cells touched")
+    val sc = spark.sparkContext
+    val group = s"purge-jobs-${System.nanoTime()}"
+    sc.setJobGroup(group, "purge job-count lock", interruptOnCancel = false)
+    val purged = try IvfIndex.purgeDeletes(spark, out)
+    finally sc.clearJobGroup()
+    assert(purged === touchedCells)
+    // job budget: touched-cell discovery + the single batched rewrite,
+    // each costing a constant handful of jobs (parquet schema reads,
+    // AQE stage jobs) — must NOT grow with the touched-cell count
+    // (per-cell serialization here would be >= touched+2 = 18 jobs)
+    val jobs = sc.statusTracker.getJobIdsForGroup(group).length
+    assert(jobs <= 10 && jobs >= 1,
+      s"purge of $touchedCells cells ran $jobs jobs — per-cell serialization?")
+    // correctness unchanged: victims gone, survivors intact, tombstones cleared
+    assert(spark.read.parquet(s"$out/cells")
+      .join(victims.withColumnRenamed("vec_id", "corpus_id"),
+        Seq("corpus_id"), "left_semi").count() === 0)
+    assert(spark.read.parquet(s"$out/cells").count() ===
+      emb.count() - victims.count())
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out/deletes")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out/.purge_tmp")))
+  }
 }

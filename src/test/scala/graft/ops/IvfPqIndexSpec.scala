@@ -56,6 +56,43 @@ class IvfPqIndexSpec extends AnyFunSuite {
       s"nprobe=2 must select <=2 cell partitions, got ${s.selectedPartitions.partitionCount}")
   }
 
+  test("two-stage refine matches the batch operator; the re-rank fetch " +
+      "is id-pushed (In on the corpus scan, plan-locked)") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val batch = Similarity.ivfPqRefineTopK(emb, queries, k = 5, dim = 64,
+        kCandidates = 20, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    val got = IvfPqIndex.queryRefined(spark, idx, emb, queries, k = 5,
+        kCandidates = 20, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(got === batch)
+    // fresh frame for the plan lock: post-collect, AQE wraps subtrees
+    // in QueryStageExec nodes that hide the file scans
+    val served = IvfPqIndex.queryRefined(spark, idx, emb, queries, k = 5,
+      kCandidates = 20, nprobe = 8)
+    // PLAN LOCK: the raw-vector fetch carries the candidate ids as a
+    // pushed In — at corpus scale the scan reads only the row groups
+    // holding candidates, never the full vector column
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val corpusScans = scans(served.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("embeddings")))
+    assert(corpusScans.nonEmpty, "no raw-corpus file scan in the refine plan")
+    val s = corpusScans.head
+    assert(s.metadata.get("PushedFilters").exists(_.contains("In(vec_id")),
+      s"candidate ids must push into the corpus scan, metadata: ${s.metadata.get("PushedFilters")}")
+    assert(s.dataFilters.exists(_.references.exists(_.name == "vec_id")),
+      s"vec_id data filter missing: ${s.dataFilters}")
+  }
+
   test("incremental add encodes against frozen quantizers; old answers unchanged") {
     val out = java.nio.file.Files.createTempDirectory("ivfpq_add_").toString
     IvfPqIndex.build(emb.filter(col("vec_id") % 2 === 0), out, dim = 64)
