@@ -72,20 +72,30 @@ object Graft {
    * writer task per (micro) shard, so direct write caps at `shards`
    * cores while fan-out converts idle cores into writers and pays one
    * merge-tree re-read/re-write per level. Measured at sf1-true (6M
-   * docs → 4 shards, local[32]): 0 → 86.6k docs/s, 16 → 260k (3.0×),
-   * plateau at 32 — size it to min(total cores, 4 × shards) for
-   * million-doc-per-shard builds, keep 0 for small stores
-   * (docs/SCALING.md §"writer fan-out"). At cluster scale this is the
-   * reference's own design: one micro index per map task, then mtree.
+   * docs → 4 shards, local[32]): direct → 86.6k docs/s, 16 → 260k
+   * (3.0×), plateau at 32 (docs/SCALING.md §"writer fan-out"). At
+   * cluster scale this is the reference's own design: one micro index
+   * per map task, then mtree.
+   *
+   * The default `microShards = 0` AUTO-SIZES on the input's Catalyst
+   * size estimate ([[graft.index.SegmentShardSink.autoMicroShards]]):
+   * builds over ~8 MB-estimate per final shard fan out to
+   * `min(cores, 4 × shards)` — the measured optimum, so the flagship
+   * 100 TB build path does not leave cores idle by default — while
+   * small stores write direct (no merge tax). Pass an explicit value
+   * to override either way (`microShards = shards` forces direct).
    */
   def buildSegmentIndex(docs: DataFrame, idCol: String, out: String,
                         shards: Int, microShards: Int = 0, fanout: Int = 2,
                         orderBy: Option[Column] = None,
                         analyzedFields: Set[String] = Set.empty): DataFrame = {
     val spark = docs.sparkSession
-    graft.index.SegmentShardSink.write(docs, idCol, out, shards, microShards,
+    val micro =
+      if (microShards != 0) microShards
+      else graft.index.SegmentShardSink.autoMicroShards(docs, shards)
+    graft.index.SegmentShardSink.write(docs, idCol, out, shards, micro,
       dedupOrder = orderBy, analyzedFields = analyzedFields)
-    if (microShards > shards)
+    if (micro > shards)
       graft.index.SegmentShardSink.mergeTree(spark, out, shards, fanout)
     graft.index.SegmentShardSink.optimize(spark, out)
     graft.index.SegmentShardSink.docCounts(spark, out)

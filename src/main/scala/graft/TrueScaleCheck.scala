@@ -48,7 +48,14 @@ object TrueScaleCheck {
     // SQL-surface term pushdowns (q289 is part_mv's owner, so its
     // presence warms q296's store; q139 already owns q299's)
     "q294_ivfpq_persisted", "q297_ivfpq_delete", "q289_index_multivalued",
-    "q296_index_array_filter", "q299_index_analyzed_filter").distinct
+    "q296_index_array_filter", "q299_index_analyzed_filter",
+    // round-13 completions (r12 verdict #6): persisted two-stage refine
+    // serving (now id-pushed), streaming ANN ingest, the raw-vector IVF
+    // delete path, the OR / NOT pushdown shapes, and the analyzed
+    // multivalued pushdown (q304 owns part_mvana)
+    "q302_ivfpq_refine_persisted", "q300_stream_ann_ingest",
+    "q298_ivf_delete", "q301_index_array_or", "q303_index_array_not",
+    "q304_index_analyzed_array").distinct
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -45,6 +45,18 @@ object WriterFanoutCheck {
       fs.delete(new org.apache.hadoop.fs.Path(out), true)
       spark.catalog.clearCache()
     }
+    // AUTO-gate evidence (microShards = 0 default): the resolver must
+    // pick the measured optimum (min(cores, 4×shards) = 16) on the
+    // sf1-true q88 shape and DIRECT write (= shards) on fixture-size
+    // input — the same decision a user's untouched default gets
+    val fixtureDocs = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .withColumn("id", concat(col("l_orderkey"), lit("#"), col("l_linenumber")))
+      .select(col("id"), col("l_returnflag"), col("l_shipdate"))
+    val autoBig = graft.index.SegmentShardSink.autoMicroShards(docs, 4)
+    val autoFix = graft.index.SegmentShardSink.autoMicroShards(fixtureDocs, 4)
+    println(s"""{"autoMicroShards":{"sf1TrueQ88Shape":$autoBig,""" +
+      s""""fixtureShape":$autoFix,"shards":4,""" +
+      s""""cores":${spark.sparkContext.defaultParallelism}}}""")
     spark.stop()
   }
 }

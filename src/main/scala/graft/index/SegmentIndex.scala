@@ -1830,12 +1830,37 @@ object SegmentIndex {
 
   /** Hold commit generation `gen` (and every file it references)
     * against [[reclaimCommits]] until [[unpinGeneration]] — the
-    * SnapshotDeletionPolicy hold. Idempotent. */
+    * SnapshotDeletionPolicy hold. Idempotent.
+    *
+    * Concurrency contract: the marker write races a concurrent
+    * commit's reclaim (check-then-act over the filesystem — reclaim
+    * may read the pinned set between our existence check and the
+    * marker landing). The post-write re-verify below catches the
+    * common interleaving (marker up, generation already gone →
+    * marker removed, loud failure) but a reclaim mid-deletion can
+    * still slip past it: Lucene's SnapshotDeletionPolicy holds the
+    * WRITER's lock for exactly this reason, and a marker-file
+    * protocol has no lock to take. Pinning a generation while a
+    * writer may commit+reclaim the same store therefore requires the
+    * same single-writer quiescence as the other maintenance ops
+    * (forceMerge, purge): pin from the writer's control flow, or pin
+    * a generation still inside the retention window (those reclaim
+    * never touches). */
   def pinGeneration(fs: FileSystem, dir: Path, gen: Int): Unit = {
     require(fs.exists(new Path(dir, s"segments_$gen")),
       s"cannot pin generation $gen of $dir — no such commit (already " +
         "reclaimed by the retention policy, or never written)")
     fs.create(new Path(dir, s"pinned_$gen"), true).close()
+    // re-verify: a reclaim that read the pinned set before our marker
+    // landed may have dropped the generation — fail loudly instead of
+    // leaving a pin that advertises a snapshot whose files are gone
+    if (!fs.exists(new Path(dir, s"segments_$gen"))) {
+      fs.delete(new Path(dir, s"pinned_$gen"), false)
+      throw new IllegalStateException(
+        s"generation $gen of $dir was reclaimed concurrently with the " +
+          "pin — retry against the newest generation, or pin under " +
+          "single-writer quiescence")
+    }
   }
 
   /** Release a [[pinGeneration]] hold; the generation's files fall out

@@ -109,6 +109,30 @@ object SegmentShardSink {
     case _ => 's'
   }
 
+  /** Auto writer fan-out sizing for [[graft.Graft.buildSegmentIndex]]:
+    * per-shard estimated input bytes above this threshold buy the
+    * fan-out's merge tax back several times over (measured at
+    * sf1-true, docs/SCALING.md §"writer fan-out": 86.6k → 260k docs/s
+    * at microShards=16 on a ~14 MB/shard Catalyst estimate); below it
+    * the merge re-read dominates and direct write wins. Calibrated
+    * against `optimizedPlan.stats.sizeInBytes` (parquet-compressed
+    * scale): sf1-true q88 shape ≈ 13.7 MB/shard → fan out; sf0.1 ≈
+    * 1.3 MB/shard and fixture stores → direct. */
+  private[graft] val AutoFanoutBytesPerShard: Long = 8L << 20
+
+  /** Resolve the auto (`microShards = 0`) writer fan-out: big builds
+    * get `min(cores, 4 × shards)` (the measured sweet spot — a
+    * 32-core driver building 4 shards should not leave 28 writers
+    * idle), small stores stay direct (no merge tax). The estimate is
+    * Catalyst's driver-side plan statistic — free, no job. */
+  private[graft] def autoMicroShards(df: DataFrame, shards: Int): Int = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (est > BigInt(AutoFanoutBytesPerShard) * shards)
+      math.max(shards, math.min(cores, 4 * shards))
+    else shards
+  }
+
   /**
    * Build `microShards` (default: `shards`) index directories at
    * `out/part-NNNNN/data/index`, docs routed by the Solr-compatible

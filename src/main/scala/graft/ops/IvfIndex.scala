@@ -149,6 +149,79 @@ object IvfIndex {
     compact(spark, out, maxFilesPerCell)
   }
 
+  /** Marker recording that streamed batch `batchId` fully applied —
+    * the replay guard [[addBatch]] checks. Durable in the store;
+    * batch ids are CHECKPOINT-scoped (see
+    * [[graft.streaming.StreamingIngest.annIngestSink]]). */
+  private[graft] def batchMarker(out: String, batchId: Long) =
+    new org.apache.hadoop.fs.Path(s"$out/_ann_batch_$batchId")
+
+  /** Exactly-once add for a streamed micro-batch: no-op if `batchId`'s
+    * marker exists; otherwise DELETE-OUTPUT-FIRST (any `b<id>-*` cell
+    * files from a crashed prior attempt go away — the reference's
+    * rerun-a-task semantics), encode+stage the batch under a private
+    * dir, move the staged files to batch-keyed names inside the cell
+    * partitions, write the marker, THEN compact (marker strictly
+    * before compaction: once a batch's files may fold into compacted
+    * files, its replay must already be a no-op). Returns true if the
+    * batch applied, false if it was a replay skip. */
+  def addBatch(spark: SparkSession, out: String, vectors: DataFrame,
+               batchId: Long, maxFilesPerCell: Int = 8): Boolean = {
+    val m = readMarker(spark, out)
+    val (_, nearest) = Similarity.cellFns(loadCentroids(spark, out), m.dim)
+    val encoded = vectors.select(col(m.idCol).as("corpus_id"),
+        col(m.vecCol).cast("array<double>").as("cvec"))
+      .withColumn("cnorm", Similarity.norm(col("cvec")))
+      .withColumn("cell", nearest(col("cvec")))
+    val applied = commitEncodedBatch(spark, out, encoded, batchId)
+    if (applied) compact(spark, out, maxFilesPerCell)
+    applied
+  }
+
+  /** The transactional append shared by the IVF and IVF-PQ streamed
+    * add paths (`encoded` carries a `cell` column plus the store's row
+    * shape). See [[addBatch]] for the protocol. */
+  private[ops] def commitEncodedBatch(spark: SparkSession, out: String,
+                                      encoded: DataFrame,
+                                      batchId: Long): Boolean = {
+    val marker = batchMarker(out, batchId)
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) return false
+    val root = new org.apache.hadoop.fs.Path(s"$out/cells")
+    // delete-output-first: a crashed prior attempt of THIS batch may
+    // have moved some files in; its markerless leftovers are exactly
+    // the `b<id>-*` names (compaction can only have folded files of
+    // batches whose marker already exists)
+    if (fs.exists(root))
+      fs.listStatus(root)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+        .foreach { d =>
+          fs.listStatus(d.getPath)
+            .filter(f => f.isFile && f.getPath.getName.startsWith(s"b$batchId-"))
+            .foreach(f => fs.delete(f.getPath, false))
+        }
+    // stage the whole batch (idempotent overwrite), then move files to
+    // batch-keyed names — the marker commits the batch only after
+    // every move landed
+    val stage = new org.apache.hadoop.fs.Path(s"$out/.ann_stage_$batchId")
+    encoded.write.mode("overwrite").partitionBy("cell").parquet(stage.toString)
+    fs.listStatus(stage)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .foreach { d =>
+        val dst = new org.apache.hadoop.fs.Path(root, d.getPath.getName)
+        if (!fs.exists(dst)) fs.mkdirs(dst)
+        fs.listStatus(d.getPath)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .zipWithIndex.foreach { case (f, i) =>
+            fs.rename(f.getPath,
+              new org.apache.hadoop.fs.Path(dst, f"b$batchId-$i%05d.parquet"))
+          }
+      }
+    fs.delete(stage, true)
+    fs.create(marker, true).close()
+    true
+  }
+
   /** The live tombstone set, if any delete batch has landed. */
   private[ops] def deletes(spark: SparkSession, out: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(deletesPath(out))

@@ -164,6 +164,20 @@ object IvfPqIndex {
   def purgeDeletes(spark: SparkSession, out: String): Int =
     IvfIndex.purgeDeletes(spark, out)
 
+  /** Exactly-once add for a streamed micro-batch ([[IvfIndex.addBatch]]
+    * with PQ encoding — marker-guarded, delete-output-first,
+    * batch-keyed file names; replays are no-ops). */
+  def addBatch(spark: SparkSession, out: String, vectors: DataFrame,
+               batchId: Long, maxFilesPerCell: Int = 8): Boolean = {
+    val mk = readMarker(spark, out)
+    val (centroids, codebooks) = loadQuantizers(spark, out, mk)
+    val encoded = Similarity.encodeIvfPq(vectors, centroids, codebooks,
+      mk.dim, mk.m, mk.ksub, mk.idCol, mk.vecCol)
+    val applied = IvfIndex.commitEncodedBatch(spark, out, encoded, batchId)
+    if (applied) IvfIndex.compact(spark, out, maxFilesPerCell)
+    applied
+  }
+
   /** Incremental add against the FROZEN quantizers: encode + append to
     * the touched cell partitions, then fold any over-budget cell
     * ([[IvfIndex.compact]] — identical cells/ layout). */

@@ -71,6 +71,17 @@ object StreamingIngest {
    * batch oracle). The corpus-store pairing: q268's dedup-ingest keeps
    * the document store canonical while this sink keeps its ANN index
    * fresh — [[graft.ops.IvfIndex.removeIds]] follows the deletes.
+   *
+   * Exactly-once under replay: each micro-batch applies through
+   * [[graft.ops.IvfIndex.addBatch]] — an `_ann_batch_<id>` marker
+   * skips a batch that already fully applied, and a batch that
+   * crashed mid-append reruns delete-output-first against its own
+   * batch-keyed cell files, so a Structured-Streaming retry never
+   * duplicates vectors (a duplicate row would otherwise occupy a
+   * top-k rank slot and displace a true neighbor). REQUIRES a stable
+   * `checkpointLocation` (same contract as [[segmentUpsertSink]]):
+   * the markers are durable in the store while batch ids are
+   * checkpoint-scoped.
    */
   def annIngestSink(store: String, maxFilesPerCell: Int = 8)
                    (vectors: DataFrame): DataStreamWriter[Row] =
@@ -83,8 +94,10 @@ object StreamingIngest {
           val p = new org.apache.hadoop.fs.Path(s"$store/_ivfpq_marker.json")
           p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
         }
-        if (isPq) graft.ops.IvfPqIndex.add(spark, store, batch, maxFilesPerCell)
-        else graft.ops.IvfIndex.add(spark, store, batch, maxFilesPerCell)
+        if (isPq)
+          graft.ops.IvfPqIndex.addBatch(spark, store, batch, batchId, maxFilesPerCell)
+        else
+          graft.ops.IvfIndex.addBatch(spark, store, batch, batchId, maxFilesPerCell)
         ()
       }
       .trigger(Trigger.AvailableNow())

@@ -1,0 +1,49 @@
+package graft.index
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The microShards auto-gate (Graft.buildSegmentIndex default 0):
+  * per-shard Catalyst size estimate over the threshold → the measured
+  * fan-out optimum min(cores, 4×shards); under it → direct write.
+  * The threshold itself is evidence-calibrated in WriterFanoutCheck /
+  * docs/SCALING.md §"writer fan-out". */
+class AutoFanoutSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("fixture-size input resolves to direct write (no merge tax)") {
+    val docs = Tables.lineitem(spark, TestSpark.sf)
+      .withColumn("id", concat(col("l_orderkey"), lit("#"), col("l_linenumber")))
+      .select(col("id"), col("l_returnflag"), col("l_shipdate"))
+    assert(SegmentShardSink.autoMicroShards(docs, 4) === 4)
+  }
+
+  test("large-estimate input resolves to min(cores, 4x shards)") {
+    // spark.range carries an exact Catalyst size estimate (8 bytes/row)
+    // without materializing anything: 50M rows = 400 MB >> 8 MB * 4
+    val big = spark.range(50000000L)
+      .select(col("id").cast("string").as("id"))
+    val cores = spark.sparkContext.defaultParallelism
+    assert(SegmentShardSink.autoMicroShards(big, 4) ===
+      math.max(4, math.min(cores, 16)))
+    // many final shards: the 4x-per-shard cap binds before the core cap
+    assert(SegmentShardSink.autoMicroShards(big, 1) ===
+      math.max(1, math.min(cores, 4)))
+  }
+
+  test("an explicit microShards value bypasses the auto gate " +
+      "(buildSegmentIndex contract: 0 = auto, nonzero = literal)") {
+    // direct-write fixture build through the flagship path stays at
+    // `shards` part dirs — the auto gate must not fan a tiny store out
+    val docs = Tables.lineitem(spark, TestSpark.sf)
+      .filter(col("l_orderkey") < 100)
+      .withColumn("id", concat(col("l_orderkey"), lit("#"), col("l_linenumber")))
+      .select(col("id"), col("l_returnflag"))
+    val out = java.nio.file.Files.createTempDirectory("auto_fanout_").toString
+    graft.Graft.buildSegmentIndex(docs, "id", out, shards = 2)
+    val parts = new java.io.File(out).listFiles()
+      .count(_.getName.startsWith("part-"))
+    assert(parts === 2, s"fixture-size auto build fanned out to $parts parts")
+  }
+}

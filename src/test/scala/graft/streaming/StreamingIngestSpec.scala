@@ -136,4 +136,43 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(answers(a) === answers(b))
     assert(spark.read.parquet(s"$b/cells").count() === 190)
   }
+
+  test("ANN ingest replay safety: a re-delivered batch is a no-op; a " +
+      "crashed half-applied batch reruns without duplicating vectors") {
+    import graft.ops.IvfIndex
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val base = emb.filter(col("vec_id") < 150)
+    val adds = emb.filter(col("vec_id") >= 150 && col("vec_id") < 190)
+    val o = java.nio.file.Files.createTempDirectory("ann_replay_").toString
+    IvfIndex.build(base, o, dim = 64)
+    // batch 0 applies, then replays (Structured Streaming retry after
+    // a sink success but checkpoint-commit failure): marker skips it
+    assert(IvfIndex.addBatch(spark, o, adds, batchId = 0L) === true)
+    val afterFirst = spark.read.parquet(s"$o/cells").count()
+    assert(afterFirst === 190)
+    assert(IvfIndex.addBatch(spark, o, adds, batchId = 0L) === false)
+    assert(spark.read.parquet(s"$o/cells").count() === afterFirst)
+    // crash-mid-append: batch 1's files land but the marker write never
+    // happened (simulated by removing it) — the rerun must
+    // delete-output-first and converge to exactly one copy
+    assert(IvfIndex.addBatch(spark, o, adds
+      .select((col("vec_id") + 5000L).as("vec_id"), col("embedding")),
+      batchId = 1L) === true)
+    val fs = new org.apache.hadoop.fs.Path(o)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(IvfIndex.batchMarker(o, 1L), false)
+    assert(IvfIndex.addBatch(spark, o, adds
+      .select((col("vec_id") + 5000L).as("vec_id"), col("embedding")),
+      batchId = 1L) === true)
+    val cells = spark.read.parquet(s"$o/cells")
+    assert(cells.count() === 230, "replayed batch duplicated vectors")
+    assert(cells.groupBy("corpus_id").count()
+      .filter(col("count") > 1).count() === 0)
+    // duplicates would displace true neighbors in top-k: ranks stay sane
+    val ranks = IvfIndex.query(spark, o, emb.filter(col("vec_id") < 3),
+        k = 5, nprobe = 8)
+      .groupBy("query_id").agg(countDistinct("corpus_id").as("n"))
+      .collect()
+    assert(ranks.forall(_.getLong(1) === 5L))
+  }
 }
