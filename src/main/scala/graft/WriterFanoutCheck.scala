@@ -15,11 +15,14 @@ import org.apache.spark.sql.functions._
  *   SPARK_GRAFT_SF1_DIR=/tmp/graft_sf1_true \
  *     sbt "runMain graft.WriterFanoutCheck"
  *
- * One JSON line per fan-out (0 = direct write at `shards`, no merge):
- * wall seconds + docs/s, end-to-end including the merge-down and
- * forceMerge(1) — fan-out only wins if it buys more in parallel write
- * time than it spends re-reading and merging, which is exactly the
- * trade a 1000-executor 100 TB build faces.
+ * One JSON line per fan-out (4 = `shards`, i.e. explicit DIRECT write,
+ * no merge; 0 = the AUTO default, which resolves through
+ * [[graft.index.SegmentShardSink.autoMicroShards]] and must land on
+ * the measured optimum here): wall seconds + docs/s, end-to-end
+ * including the merge-down and forceMerge(1) — fan-out only wins if
+ * it buys more in parallel write time than it spends re-reading and
+ * merging, which is exactly the trade a 1000-executor 100 TB build
+ * faces.
  */
 object WriterFanoutCheck {
   def main(args: Array[String]): Unit = {
@@ -34,7 +37,7 @@ object WriterFanoutCheck {
     val n = docs.count()
     val fs = new org.apache.hadoop.fs.Path("/tmp")
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq(0, 8, 16, 32).foreach { micro =>
+    Seq(4, 8, 16, 32, 0).foreach { micro =>
       val out = java.nio.file.Files.createTempDirectory(s"fanout_${micro}_").toString
       val t0 = System.nanoTime()
       Graft.buildSegmentIndex(docs, "id", out, shards = 4, microShards = micro,
