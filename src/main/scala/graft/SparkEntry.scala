@@ -133,6 +133,7 @@ object SparkEntry {
     "q297_ivfpq_delete",       // ivfpq_del (ivfpq_index + tombstoned ids)
     "q298_ivf_delete",         // ivf_del (ivf_index + tombstoned ids)
     "q300_stream_ann_ingest",  // ivf_stream (build + streamed adds)
+    "q305_ivfpq_refine_stored", // ivfpq_refine (codes + raw-vector sidecar)
     "q286_tiered_merge",       // q286_tiered base store (upserts idempotent)
     "q289_index_multivalued",  // part_mv (array-surfaced store)
     "q304_index_analyzed_array", // part_mvana (analyzed multivalued)
@@ -682,6 +683,24 @@ object SparkEntry {
         IvfPqIndex.build(Tables.embeddings(s, d), o, dim = 64)
       }
       IvfPqIndex.queryRefined(s, out, Tables.embeddings(s, d),
+          Tables.embeddings(s, d).filter(col("vec_id") < 10),
+          k = 5, kCandidates = 20, nprobe = 8)
+        .select(col("query_id"), col("rank"), col("corpus_id"))
+    }),
+
+    // two-stage serving entirely FROM THE STORE (FAISS IndexRefineFlat
+    // proper): build(refineStore=true) lays a raw-vector sidecar down
+    // cell-partitioned beside the codes, and the exact re-rank fetches
+    // from the PROBED CELLS only (partition pruning + pushed candidate
+    // ids — plan-locked in IvfPqIndexSpec) with no external corpus
+    // frame. Bit-identical to q302/q295, so it shares their oracle.
+    "q305_ivfpq_refine_stored" -> ((s, d) => {
+      import graft.ops.IvfPqIndex
+      val out = sharedStore(d, "ivfpq_refine") { o =>
+        IvfPqIndex.build(Tables.embeddings(s, d), o, dim = 64,
+          refineStore = true)
+      }
+      IvfPqIndex.queryRefinedStored(s, out,
           Tables.embeddings(s, d).filter(col("vec_id") < 10),
           k = 5, kCandidates = 20, nprobe = 8)
         .select(col("query_id"), col("rank"), col("corpus_id"))
@@ -8879,6 +8898,7 @@ object SparkEntry {
       // raw-corpus re-rank join (one oracle, two read paths — the
       // q293/q294 relationship at the refine tier)
       "q302_ivfpq_refine_persisted" -> ivfPqRefineSql,
+      "q305_ivfpq_refine_stored" -> ivfPqRefineSql,
       // the persisted index serves the SAME answer from frozen
       // centroids + cell partitions — one oracle, two read paths
       "q287_ivf_persisted" -> ivfAnnSql,

@@ -173,51 +173,55 @@ object IvfIndex {
         col(m.vecCol).cast("array<double>").as("cvec"))
       .withColumn("cnorm", Similarity.norm(col("cvec")))
       .withColumn("cell", nearest(col("cvec")))
-    val applied = commitEncodedBatch(spark, out, encoded, batchId)
+    val applied = commitEncodedBatch(spark, out, Seq("cells" -> encoded), batchId)
     if (applied) compact(spark, out, maxFilesPerCell)
     applied
   }
 
   /** The transactional append shared by the IVF and IVF-PQ streamed
-    * add paths (`encoded` carries a `cell` column plus the store's row
-    * shape). See [[addBatch]] for the protocol. */
+    * add paths: each (subdir, frame) pair carries a `cell` column plus
+    * that subdir's row shape (cells/ codes or raw rows; vectors/ for
+    * the refine sidecar) and ALL commit under ONE batch marker. See
+    * [[addBatch]] for the protocol. */
   private[ops] def commitEncodedBatch(spark: SparkSession, out: String,
-                                      encoded: DataFrame,
+                                      frames: Seq[(String, DataFrame)],
                                       batchId: Long): Boolean = {
     val marker = batchMarker(out, batchId)
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(marker)) return false
-    val root = new org.apache.hadoop.fs.Path(s"$out/cells")
-    // delete-output-first: a crashed prior attempt of THIS batch may
-    // have moved some files in; its markerless leftovers are exactly
-    // the `b<id>-*` names (compaction can only have folded files of
-    // batches whose marker already exists)
-    if (fs.exists(root))
-      fs.listStatus(root)
+    frames.foreach { case (subdir, encoded) =>
+      val root = new org.apache.hadoop.fs.Path(s"$out/$subdir")
+      // delete-output-first: a crashed prior attempt of THIS batch may
+      // have moved some files in; its markerless leftovers are exactly
+      // the `b<id>-*` names (compaction can only have folded files of
+      // batches whose marker already exists)
+      if (fs.exists(root))
+        fs.listStatus(root)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+          .foreach { d =>
+            fs.listStatus(d.getPath)
+              .filter(f => f.isFile && f.getPath.getName.startsWith(s"b$batchId-"))
+              .foreach(f => fs.delete(f.getPath, false))
+          }
+      // stage the whole batch (idempotent overwrite), then move files
+      // to batch-keyed names — the marker commits the batch only after
+      // every subdir's every move landed
+      val stage = new org.apache.hadoop.fs.Path(s"$out/.ann_stage_${subdir}_$batchId")
+      encoded.write.mode("overwrite").partitionBy("cell").parquet(stage.toString)
+      fs.listStatus(stage)
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
         .foreach { d =>
+          val dst = new org.apache.hadoop.fs.Path(root, d.getPath.getName)
+          if (!fs.exists(dst)) fs.mkdirs(dst)
           fs.listStatus(d.getPath)
-            .filter(f => f.isFile && f.getPath.getName.startsWith(s"b$batchId-"))
-            .foreach(f => fs.delete(f.getPath, false))
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+            .zipWithIndex.foreach { case (f, i) =>
+              fs.rename(f.getPath,
+                new org.apache.hadoop.fs.Path(dst, f"b$batchId-$i%05d.parquet"))
+            }
         }
-    // stage the whole batch (idempotent overwrite), then move files to
-    // batch-keyed names — the marker commits the batch only after
-    // every move landed
-    val stage = new org.apache.hadoop.fs.Path(s"$out/.ann_stage_$batchId")
-    encoded.write.mode("overwrite").partitionBy("cell").parquet(stage.toString)
-    fs.listStatus(stage)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
-      .foreach { d =>
-        val dst = new org.apache.hadoop.fs.Path(root, d.getPath.getName)
-        if (!fs.exists(dst)) fs.mkdirs(dst)
-        fs.listStatus(d.getPath)
-          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          .zipWithIndex.foreach { case (f, i) =>
-            fs.rename(f.getPath,
-              new org.apache.hadoop.fs.Path(dst, f"b$batchId-$i%05d.parquet"))
-          }
-      }
-    fs.delete(stage, true)
+      fs.delete(stage, true)
+    }
     fs.create(marker, true).close()
     true
   }
@@ -268,16 +272,32 @@ object IvfIndex {
   def purgeDeletes(spark: SparkSession, out: String,
                    targetFileBytes: Long = 256L << 20): Int = {
     val dels = deletes(spark, out).getOrElse(return 0)
-    val root = new org.apache.hadoop.fs.Path(s"$out/cells")
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the raw-vector refine sidecar (IvfPqIndex refineStore) mirrors
+    // the cell layout and holds the SAME deleted ids' raw vectors —
+    // a redaction purge must reclaim both, sidecar first (the
+    // tombstone set clears with the cells/ pass)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$out/vectors")))
+      purgeSubdir(spark, fs, out, "vectors", dels, targetFileBytes)
+    val purged = purgeSubdir(spark, fs, out, "cells", dels, targetFileBytes)
+    fs.delete(new org.apache.hadoop.fs.Path(deletesPath(out)), true)
+    purged
+  }
+
+  /** One subdir's purge: locate touched cells (broadcast semi-join),
+    * rewrite the whole touched set in ONE read-filter-write job,
+    * per-cell file swap. Returns cells purged in this subdir. */
+  private def purgeSubdir(spark: SparkSession,
+                          fs: org.apache.hadoop.fs.FileSystem, out: String,
+                          subdir: String, dels: DataFrame,
+                          targetFileBytes: Long): Int = {
+    val root = new org.apache.hadoop.fs.Path(s"$out/$subdir")
     if (!fs.exists(root)) return 0
     val touched = spark.read.parquet(root.toString)
       .join(broadcast(dels.select("corpus_id")), Seq("corpus_id"), "left_semi")
       .select("cell").distinct().collect().map(_.getInt(0))
-    if (touched.isEmpty) {
-      fs.delete(new org.apache.hadoop.fs.Path(deletesPath(out)), true)
-      return 0
-    }
+    if (touched.isEmpty) return 0
     // per-cell split counts from the fs listing (driver-side, bounded
     // by the touched set): cells over targetFileBytes shard across
     // salt buckets so one jumbo cell can't force a single giant file
@@ -294,7 +314,7 @@ object IvfIndex {
       when(col("cell") === c, pmod(hash(col("corpus_id")), lit(n)))
         .otherwise(acc)
     }
-    val tmp = new org.apache.hadoop.fs.Path(s"$out/.purge_tmp")
+    val tmp = new org.apache.hadoop.fs.Path(s"$out/.purge_tmp_$subdir")
     fs.delete(tmp, true)
     val base = spark.read.parquet(root.toString)
       .filter(col("cell").isin(touched.map(Int.box).toIndexedSeq: _*))
@@ -321,7 +341,6 @@ object IvfIndex {
       }
     }
     fs.delete(tmp, true)
-    fs.delete(new org.apache.hadoop.fs.Path(deletesPath(out)), true)
     touched.length
   }
 
@@ -367,21 +386,26 @@ object IvfIndex {
     * query batch reads it. Returns the number of cells folded. */
   def compact(spark: SparkSession, out: String, maxFilesPerCell: Int = 8,
               targetFileBytes: Long = 256L << 20): Int = {
-    val root = new org.apache.hadoop.fs.Path(s"$out/cells")
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return 0
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dels = deletes(spark, out)
     var folded = 0
-    fs.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
-      .foreach { d =>
-        val dataFiles = fs.listStatus(d.getPath)
-          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        if (dataFiles.length > maxFilesPerCell) {
-          rewriteCellDir(spark, fs, out, d.getPath, targetFileBytes, dels)
-          folded += 1
-        }
-      }
+    // the refine sidecar (vectors/) grows in lockstep with cells/
+    // under streamed adds — its file piles fold under the same budget
+    Seq("cells", "vectors").foreach { subdir =>
+      val root = new org.apache.hadoop.fs.Path(s"$out/$subdir")
+      if (fs.exists(root))
+        fs.listStatus(root)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+          .foreach { d =>
+            val dataFiles = fs.listStatus(d.getPath)
+              .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+            if (dataFiles.length > maxFilesPerCell) {
+              rewriteCellDir(spark, fs, out, d.getPath, targetFileBytes, dels)
+              folded += 1
+            }
+          }
+    }
     folded
   }
 }

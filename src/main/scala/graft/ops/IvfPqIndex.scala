@@ -13,8 +13,13 @@ import org.apache.spark.sql.functions._
  *  - `cells/` — `partitionBy(cell)` parquet of (corpus_id, codes):
  *    m SMALL INTS per vector instead of dim doubles — the ~32×
  *    compression that lets a billion-vector index fit where raw
- *    vectors cannot. Original vectors are NOT stored: queries score
- *    by ADC against the codebooks alone.
+ *    vectors cannot. Original vectors are NOT stored by default:
+ *    queries score by ADC against the codebooks alone.
+ *  - `vectors/` (optional, `build(refineStore = true)` — FAISS
+ *    `IndexRefineFlat`): a raw-vector sidecar partitioned by the SAME
+ *    cells, so [[queryRefinedStored]]'s exact re-rank fetches from the
+ *    probed cells only. Deletes/purges/compaction/streamed adds all
+ *    cover it alongside the code cells.
  *
  * Query batches probe their nprobe nearest cells and read ONLY those
  * cells' partitions (collected probe set → partition-pruning IN
@@ -39,7 +44,8 @@ object IvfPqIndex {
             nlist: Int = 16, m: Int = 8, ksub: Int = 16,
             coarseSample: Int = 2048, pqSample: Int = 256,
             coarseIters: Int = 8, pqIters: Int = 4, seed: Long = 42L,
-            idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+            idCol: String = "vec_id", vecCol: String = "embedding",
+            refineStore: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val (centroids, codebooks) = Similarity.trainIvfPq(corpus, dim, nlist, m,
@@ -53,15 +59,30 @@ object IvfPqIndex {
       (s, c, codebooks.slice((s * ksub + c) * dsub, (s * ksub + c + 1) * dsub))
     }).toDF("s", "code", "c").coalesce(1)
       .write.mode("overwrite").parquet(s"$out/codebooks")
-    Similarity.encodeIvfPq(corpus, centroids, codebooks, dim, m, ksub,
-        idCol, vecCol)
+    val full = Similarity.encodeIvfPqFull(corpus, centroids, codebooks,
+      dim, m, ksub, idCol, vecCol)
+    full.select(col("cell"), col("corpus_id"), col("codes"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$out/cells")
+    // refineStore (FAISS IndexRefineFlat): a raw-vector SIDECAR under
+    // vectors/, cell-partitioned in lockstep with the code cells, so
+    // two-stage serving fetches re-rank vectors from the probed cells
+    // only — no external corpus frame, no corpus-wide read. The cell
+    // value comes from the SAME encoded frame, so sidecar and code
+    // store can never disagree on assignment.
+    if (refineStore)
+      full.select(col("cell"), col("corpus_id"), col("cvec"), col("cnorm"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$out/vectors")
     val mk = s"""{"dim":$dim,"eff":${centroids.length},"m":$m,"ksub":$ksub,""" +
       s""""seed":$seed,"idCol":"$idCol","vecCol":"$vecCol"}"""
     val p = new org.apache.hadoop.fs.Path(markerPath(out))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val os = fs.create(p, true)
     try os.write(mk.getBytes("UTF-8")) finally os.close()
+  }
+
+  private def hasRefineStore(spark: SparkSession, out: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$out/vectors")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   private def readMarker(spark: SparkSession, out: String): Marker = {
@@ -93,7 +114,15 @@ object IvfPqIndex {
     * build's parameters; only the probed cells' partitions are read
     * and no training runs. */
   def query(spark: SparkSession, out: String, queries: DataFrame, k: Int,
-            nprobe: Int = 4): DataFrame = {
+            nprobe: Int = 4): DataFrame =
+    candidateStage(spark, out, queries, k, nprobe)._1
+
+  /** The ADC stage plus the probed cell set it read — the refine paths
+    * reuse the probe set to partition-prune their raw-vector fetch
+    * (candidates can only come from probed cells). */
+  private def candidateStage(spark: SparkSession, out: String,
+                             queries: DataFrame, k: Int,
+                             nprobe: Int): (DataFrame, Array[Int]) = {
     val mk = readMarker(spark, out)
     val (centroids, codebooks) = loadQuantizers(spark, out, mk)
     val probes = Similarity.probeIvfPq(queries, centroids, codebooks, mk.dim,
@@ -102,8 +131,8 @@ object IvfPqIndex {
     val probed = probes.select(col("cell")).distinct().collect().map(_.getInt(0))
     val cells = spark.read.parquet(s"$out/cells")
       .filter(col("cell").isin(probed.map(Int.box).toIndexedSeq: _*))
-    Similarity.adcRank(IvfIndex.exceptDeleted(spark, out, cells), probes,
-      k, mk.m, mk.ksub)
+    (Similarity.adcRank(IvfIndex.exceptDeleted(spark, out, cells), probes,
+      k, mk.m, mk.ksub), probed)
   }
 
   /** Two-stage serving over the persisted store (FAISS
@@ -126,7 +155,6 @@ object IvfPqIndex {
   def queryRefined(spark: SparkSession, out: String, corpus: DataFrame,
                    queries: DataFrame, k: Int, kCandidates: Int = 20,
                    nprobe: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val mk = readMarker(spark, out)
     val cand0 = query(spark, out, queries, kCandidates, nprobe)
       .select(col("query_id"), col("corpus_id"))
@@ -144,6 +172,52 @@ object IvfPqIndex {
     val q = queries.select(col(mk.idCol).as("query_id"),
         col(mk.vecCol).cast("array<double>").as("qvec"))
       .withColumn("qnorm", Similarity.norm(col("qvec")))
+    rerank(cand, c, q, k)
+  }
+
+  /** Two-stage serving entirely FROM THE STORE — requires
+    * `build(refineStore = true)`'s raw-vector sidecar. Candidates come
+    * from the code cells as in [[queryRefined]]; the exact re-rank
+    * then fetches raw vectors from `vectors/` with the PROBED CELLS
+    * partition-pruned and the candidate ids pushed — at any corpus
+    * size the fetch reads only probed-cell row groups holding
+    * candidates (candidates can only live in probed cells, and the
+    * sidecar shares the code store's cell assignment to the bit), with
+    * no external corpus frame to keep in sync. Tombstoned ids never
+    * reach the fetch (the ADC stage anti-joins them), and
+    * [[purgeDeletes]] physically reclaims sidecar rows alongside the
+    * codes — the redaction contract covers the raw vectors too.
+    * Answers are bit-identical to [[queryRefined]] over the original
+    * corpus frame (IvfPqIndexSpec). */
+  def queryRefinedStored(spark: SparkSession, out: String, queries: DataFrame,
+                         k: Int, kCandidates: Int = 20,
+                         nprobe: Int = 4): DataFrame = {
+    require(hasRefineStore(spark, out),
+      s"$out has no vectors/ refine sidecar — build(refineStore = true), " +
+        "or pass the corpus frame to queryRefined")
+    val mk = readMarker(spark, out)
+    val (cand0, probed) = candidateStage(spark, out, queries, kCandidates, nprobe)
+    val candProj = cand0.select(col("query_id"), col("corpus_id"))
+    val candRows = candProj.collect()
+    val cand = spark.createDataFrame(
+      java.util.Arrays.asList(candRows: _*), candProj.schema)
+    val candIds = candRows.map(_.get(1)).distinct.toSeq
+    val c = spark.read.parquet(s"$out/vectors")
+      .filter(col("cell").isin(probed.map(Int.box).toIndexedSeq: _*) &&
+        col("corpus_id").isin(candIds: _*))
+      .select(col("corpus_id"), col("cvec"), col("cnorm"))
+    val q = queries.select(col(mk.idCol).as("query_id"),
+        col(mk.vecCol).cast("array<double>").as("qvec"))
+      .withColumn("qnorm", Similarity.norm(col("qvec")))
+    rerank(cand, c, q, k)
+  }
+
+  /** Exact-cosine re-rank of a bounded candidate set: candidates and
+    * queries broadcast into the (already id-pruned) raw-vector frame,
+    * dense ranks per query. */
+  private def rerank(cand: DataFrame, c: DataFrame, q: DataFrame,
+                     k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val rescored = c.join(broadcast(cand), Seq("corpus_id"))
       .join(broadcast(q), Seq("query_id"))
       .withColumn("cosine", Similarity.dot(col("qvec"), col("cvec")) /
@@ -171,23 +245,35 @@ object IvfPqIndex {
                batchId: Long, maxFilesPerCell: Int = 8): Boolean = {
     val mk = readMarker(spark, out)
     val (centroids, codebooks) = loadQuantizers(spark, out, mk)
-    val encoded = Similarity.encodeIvfPq(vectors, centroids, codebooks,
+    val full = Similarity.encodeIvfPqFull(vectors, centroids, codebooks,
       mk.dim, mk.m, mk.ksub, mk.idCol, mk.vecCol)
-    val applied = IvfIndex.commitEncodedBatch(spark, out, encoded, batchId)
+    val frames =
+      Seq("cells" -> full.select(col("cell"), col("corpus_id"), col("codes"))) ++
+        (if (hasRefineStore(spark, out))
+          Seq("vectors" -> full.select(col("cell"), col("corpus_id"),
+            col("cvec"), col("cnorm")))
+        else Nil)
+    val applied = IvfIndex.commitEncodedBatch(spark, out, frames, batchId)
     if (applied) IvfIndex.compact(spark, out, maxFilesPerCell)
     applied
   }
 
   /** Incremental add against the FROZEN quantizers: encode + append to
-    * the touched cell partitions, then fold any over-budget cell
-    * ([[IvfIndex.compact]] — identical cells/ layout). */
+    * the touched cell partitions (and the vectors/ refine sidecar when
+    * the store carries one — same frame, same cell assignment), then
+    * fold any over-budget cell ([[IvfIndex.compact]] — identical
+    * cells/ layout). */
   def add(spark: SparkSession, out: String, vectors: DataFrame,
           maxFilesPerCell: Int = 8): Unit = {
     val mk = readMarker(spark, out)
     val (centroids, codebooks) = loadQuantizers(spark, out, mk)
-    Similarity.encodeIvfPq(vectors, centroids, codebooks, mk.dim, mk.m, mk.ksub,
-        mk.idCol, mk.vecCol)
+    val full = Similarity.encodeIvfPqFull(vectors, centroids, codebooks,
+      mk.dim, mk.m, mk.ksub, mk.idCol, mk.vecCol)
+    full.select(col("cell"), col("corpus_id"), col("codes"))
       .write.mode("append").partitionBy("cell").parquet(s"$out/cells")
+    if (hasRefineStore(spark, out))
+      full.select(col("cell"), col("corpus_id"), col("cvec"), col("cnorm"))
+        .write.mode("append").partitionBy("cell").parquet(s"$out/vectors")
     IvfIndex.compact(spark, out, maxFilesPerCell)
     ()
   }

@@ -703,7 +703,18 @@ object Similarity {
     * scan (and the persisted store) carries instead of vectors. */
   private[ops] def encodeIvfPq(corpus: DataFrame, centroids: Array[Array[Double]],
                                codebooks: IndexedSeq[Double], dim: Int, m: Int,
-                               ksub: Int, idCol: String, vecCol: String): DataFrame = {
+                               ksub: Int, idCol: String, vecCol: String): DataFrame =
+    encodeIvfPqFull(corpus, centroids, codebooks, dim, m, ksub, idCol, vecCol)
+      .select(col("cell"), col("corpus_id"), col("codes"))
+
+  /** [[encodeIvfPq]] keeping the raw row alongside the codes —
+    * (cell, corpus_id, codes, cvec, cnorm). The refine sidecar
+    * ([[IvfPqIndex]] `refineStore`) derives its rows from THIS frame
+    * so sidecar and code store agree on cell assignment to the bit
+    * (both use the normalized-vector nearest-cell, same expression). */
+  private[ops] def encodeIvfPqFull(corpus: DataFrame, centroids: Array[Array[Double]],
+                                   codebooks: IndexedSeq[Double], dim: Int, m: Int,
+                                   ksub: Int, idCol: String, vecCol: String): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val (_, nearest) = cellFns(centroids, dim)
@@ -717,7 +728,8 @@ object Similarity {
       .join(broadcast(cellsDf), Seq("cell"))
       .withColumn("codes", graft.functions.PqKernels.pq_codes(
         zip_with(col("nvec"), col("ccent"), (a, b) => a - b), codebooks, m, ksub, dim))
-      .select(col("cell"), col("corpus_id"), col("codes"))
+      .select(col("cell"), col("corpus_id"), col("codes"),
+        col("cvec"), col("cnorm"))
   }
 
   /** Probe side: per (query, probed cell) the residual ADC lookup

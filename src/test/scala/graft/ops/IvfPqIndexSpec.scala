@@ -93,6 +93,64 @@ class IvfPqIndexSpec extends AnyFunSuite {
       s"vec_id data filter missing: ${s.dataFilters}")
   }
 
+  test("refineStore sidecar: stored two-stage serving matches the " +
+      "corpus-frame path bit-for-bit; the fetch partition-prunes to " +
+      "probed cells; purge reclaims raw vectors too") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("ivfpq_refstore_").toString
+    IvfPqIndex.build(emb, out, dim = 64, refineStore = true)
+    val queries = emb.filter(col("vec_id") < 10)
+    val viaCorpus = IvfPqIndex.queryRefined(spark, out, emb, queries, k = 5,
+        kCandidates = 20, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    val viaStore = IvfPqIndex.queryRefinedStored(spark, out, queries, k = 5,
+        kCandidates = 20, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(viaStore === viaCorpus)
+    // plan lock: the sidecar fetch is cell-partition-pruned AND id-pushed
+    val planDf = IvfPqIndex.queryRefinedStored(spark, out,
+      emb.filter(col("vec_id") === 3), k = 5, kCandidates = 10, nprobe = 2)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val vecScans = scans(planDf.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("vectors")))
+    assert(vecScans.nonEmpty, "no vectors/ sidecar scan in the plan")
+    val s = vecScans.head
+    assert(s.partitionFilters.exists(_.references.exists(_.name == "cell")),
+      s"cell must partition-prune the sidecar fetch, got ${s.partitionFilters}")
+    assert(s.selectedPartitions.partitionCount <= 2,
+      s"nprobe=2 must select <=2 sidecar partitions, got ${s.selectedPartitions.partitionCount}")
+    assert(s.metadata.get("PushedFilters").exists(_.contains("In(corpus_id")),
+      s"candidate ids must push into the sidecar scan: ${s.metadata.get("PushedFilters")}")
+    // streamed add maintains the sidecar under the same batch marker;
+    // a replay is a no-op for BOTH dirs
+    val adds = emb.filter(col("vec_id") < 30)
+      .select((col("vec_id") + 70000L).as("vec_id"), col("embedding"))
+    assert(IvfPqIndex.addBatch(spark, out, adds, batchId = 9L) === true)
+    assert(IvfPqIndex.addBatch(spark, out, adds, batchId = 9L) === false)
+    val nCells = spark.read.parquet(s"$out/cells").count()
+    val nVecs = spark.read.parquet(s"$out/vectors").count()
+    assert(nCells === emb.count() + 30 && nVecs === nCells,
+      s"sidecar out of lockstep: cells=$nCells vectors=$nVecs")
+    // redaction: purge must physically reclaim the raw vectors too
+    val victims = Seq(1L, 2L, 70001L)
+    IvfPqIndex.removeIds(spark, out, victims.toDF("vec_id"))
+    IvfPqIndex.purgeDeletes(spark, out)
+    assert(spark.read.parquet(s"$out/cells")
+      .filter(col("corpus_id").isin(victims.map(Long.box): _*)).count() === 0)
+    assert(spark.read.parquet(s"$out/vectors")
+      .filter(col("corpus_id").isin(victims.map(Long.box): _*)).count() === 0,
+      "purge left redacted raw vectors in the refine sidecar")
+  }
+
   test("incremental add encodes against frozen quantizers; old answers unchanged") {
     val out = java.nio.file.Files.createTempDirectory("ivfpq_add_").toString
     IvfPqIndex.build(emb.filter(col("vec_id") % 2 === 0), out, dim = 64)
