@@ -706,6 +706,29 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("corpus_id"))
     }),
 
+    // ANN recall@k evaluation (ann-benchmarks' acceptance metric): the
+    // quantized two-stage refine (q305 serving path) scored against
+    // the exact brute-force truth — per query |approx∩exact|·200 in
+    // integer milli space. The oracle replays BOTH legs (the full
+    // IVF-PQ pipeline + the exact cosine top-k) and intersects, so a
+    // recall regression anywhere in train/encode/probe/ADC/refine
+    // hash-fails here even when the served ranks stay plausible.
+    "q306_ann_recall_eval" -> ((s, d) => {
+      import graft.ops.{IvfPqIndex, RankingEval, Similarity}
+      val out = sharedStore(d, "ivfpq_refine") { o =>
+        IvfPqIndex.build(Tables.embeddings(s, d), o, dim = 64,
+          refineStore = true)
+      }
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(emb, queries, 5)
+        .select(col("query_id"), col("corpus_id"))
+      val approx = IvfPqIndex.queryRefinedStored(s, out, queries,
+          k = 5, kCandidates = 20, nprobe = 8)
+        .select(col("query_id"), col("corpus_id"))
+      RankingEval.annRecallAtK(exact, approx, k = 5)
+    }),
+
     // STREAMING ANN ingest: micro-batches of new vectors flow into the
     // persisted IVF store through foreachBatch (frozen-quantizer adds
     // + per-batch compaction — the FAISS `add` contract under a
@@ -8899,6 +8922,51 @@ object SparkEntry {
       // q293/q294 relationship at the refine tier)
       "q302_ivfpq_refine_persisted" -> ivfPqRefineSql,
       "q305_ivfpq_refine_stored" -> ivfPqRefineSql,
+      // recall@5 of the refined ANN vs exact truth: both legs replayed
+      // (the refine pipeline above + a brute-force cosine top-5 over
+      // the same normalized corpus), intersected per query in exact
+      // integer milli space
+      "q306_ann_recall_eval" ->
+        s"""$ivfPqBody,
+           |icand AS (
+           |  SELECT query_id, corpus_id FROM (
+           |    SELECT query_id, corpus_id, row_number() OVER (PARTITION BY query_id
+           |        ORDER BY dist ASC, corpus_id ASC) AS rn
+           |    FROM iadc)
+           |  WHERE rn <= 20),
+           |irawn AS MATERIALIZED (
+           |  SELECT id, v, sqrt(${dotF("v", "v")}) AS vn FROM (
+           |    SELECT vec_id AS id,
+           |      [CAST(embedding[j + 1] AS DOUBLE) for j in $dj] AS v
+           |    FROM embeddings)),
+           |irescored AS (
+           |  SELECT c.query_id, c.corpus_id,
+           |    ${dotF("qv.v", "cv.v")} / (qv.vn * cv.vn) AS cosine
+           |  FROM icand c JOIN irawn qv ON qv.id = c.query_id
+           |  JOIN irawn cv ON cv.id = c.corpus_id),
+           |iref AS (
+           |  SELECT query_id, corpus_id FROM (
+           |    SELECT query_id, corpus_id, row_number() OVER (PARTITION BY query_id
+           |        ORDER BY cosine DESC, corpus_id ASC) AS rn
+           |    FROM irescored)
+           |  WHERE rn <= 5),
+           |iexact AS (
+           |  SELECT query_id, corpus_id FROM (
+           |    SELECT q.id AS query_id, e.id AS corpus_id,
+           |      row_number() OVER (PARTITION BY q.id
+           |        ORDER BY ${dotF("q.v", "e.v")} / (q.vn * e.vn) DESC, e.id ASC) AS rn
+           |    FROM irawn q JOIN irawn e ON e.id <> q.id
+           |    WHERE q.id < 10)
+           |  WHERE rn <= 5),
+           |iov AS (
+           |  SELECT r.query_id, count(*) AS n FROM iref r
+           |  JOIN iexact x ON x.query_id = r.query_id
+           |    AND x.corpus_id = r.corpus_id
+           |  GROUP BY 1)
+           |SELECT b.query_id, CAST(coalesce(o.n, 0) * 200 AS BIGINT) AS recall_milli
+           |FROM (SELECT DISTINCT query_id FROM iexact) b
+           |LEFT JOIN iov o USING (query_id)
+           |ORDER BY 1""".stripMargin,
       // the persisted index serves the SAME answer from frozen
       // centroids + cell partitions — one oracle, two read paths
       "q287_ivf_persisted" -> ivfAnnSql,

@@ -55,7 +55,8 @@ object TrueScaleCheck {
     // multivalued pushdown (q304 owns part_mvana)
     "q302_ivfpq_refine_persisted", "q300_stream_ann_ingest",
     "q298_ivf_delete", "q301_index_array_or", "q303_index_array_not",
-    "q304_index_analyzed_array", "q305_ivfpq_refine_stored").distinct
+    "q304_index_analyzed_array", "q305_ivfpq_refine_stored",
+    "q306_ann_recall_eval").distinct
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

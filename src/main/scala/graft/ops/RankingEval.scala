@@ -27,6 +27,30 @@ object RankingEval {
     250000L, 244650L, 239812L, 235408L, 231378L, 227670L)
 
   /**
+   * ANN serving-quality metric (ann-benchmarks' recall@k): per query,
+   * |approx top-k ∩ exact top-k| · 1000 / k in exact integer milli
+   * space. `exact` and `approx` both carry (query_id, corpus_id) rows
+   * for their top-k; queries with zero overlap still emit a row
+   * (left join from the exact side, which by construction has every
+   * query). One equi-join + one aggregation, both on the query key —
+   * the truth set is |Q|·k rows, so corpus scale never enters. This
+   * is the acceptance gate a quantized index (IVF/PQ/LSH) is tuned
+   * against before it serves.
+   */
+  def annRecallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && 1000 % k == 0, s"k must divide 1000, got $k")
+    val overlap = exact.select(col("query_id"), col("corpus_id"))
+      .join(approx.select(col("query_id"), col("corpus_id")),
+        Seq("query_id", "corpus_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n"))
+    exact.select(col("query_id")).distinct()
+      .join(overlap, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("n"), lit(0L)) * (1000 / k)).cast("long")
+          .as("recall_milli"))
+  }
+
+  /**
    * Per-query metrics from a ranked frame carrying (queryCol,
    * rankCol 1-based, relCol boolean): n_rel in top-k, dcg_micro,
    * idcg_micro (ideal = all relevant first), ndcg_r (rounded 6),

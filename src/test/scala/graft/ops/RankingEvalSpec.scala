@@ -33,4 +33,20 @@ class RankingEvalSpec extends AnyFunSuite {
     assert(row.getDouble(4) === 1.0)
     assert(row.getLong(5) === 1000L)
   }
+
+  test("annRecallAtK: exact milli overlap, zero-overlap queries kept") {
+    // truth: q1 -> {a,b}, q2 -> {c,d}; approx: q1 -> {a,x} (1/2),
+    // q2 -> {y,z} (0/2) — the zero-overlap query must still emit a row
+    val exact = Seq(("q1", "a"), ("q1", "b"), ("q2", "c"), ("q2", "d"))
+      .toDF("query_id", "corpus_id")
+    val approx = Seq(("q1", "a"), ("q1", "x"), ("q2", "y"), ("q2", "z"))
+      .toDF("query_id", "corpus_id")
+    val got = RankingEval.annRecallAtK(exact, approx, k = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("q1" -> 500L, "q2" -> 0L))
+    // k must divide 1000 so the milli value is exact
+    assertThrows[IllegalArgumentException] {
+      RankingEval.annRecallAtK(exact, approx, k = 3)
+    }
+  }
 }
