@@ -706,6 +706,45 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("corpus_id"))
     }),
 
+    // FILTERED ANN over the persisted IVF store (FAISS IDSelector /
+    // Solr's {!knn} composed with an fq — the most common production
+    // vector-search shape: "nearest neighbors WHERE metadata
+    // predicate"): the label predicate evaluates against the corpus
+    // table into an id set, and ranking restricts to it via a
+    // semi-join over the PROBED mass only (never corpus-wide; Catalyst
+    // broadcasts the set when it fits). Oracle = q287's replay with
+    // the same predicate applied before ranking (the q298 pattern).
+    "q307_ivf_filtered" -> ((s, d) => {
+      import graft.ops.IvfIndex
+      val out = sharedStore(d, "ivf_index") { o =>
+        IvfIndex.build(Tables.embeddings(s, d), o, dim = 64)
+      }
+      val allowed = Tables.embeddings(s, d)
+        .filter(col("label").isin(1, 2, 3)).select(col("vec_id"))
+      IvfIndex.queryFiltered(s, out,
+          Tables.embeddings(s, d).filter(col("vec_id") < 10),
+          k = 5, allowed = allowed, nprobe = 8)
+        .select(col("query_id"), col("rank"), col("corpus_id"))
+    }),
+
+    // Quantizer DRIFT probe (the retrain trigger the frozen-add
+    // contract needs): milli-integer assignment-distance sums for the
+    // stored corpus vs a deterministically SHIFTED recent batch
+    // (+0.3 on dim 0 — the distribution moved). The oracle replays
+    // training + assignment for both cohorts in the same exact milli
+    // space; the recent sum reading high is the rebuild signal.
+    "q308_ann_drift" -> ((s, d) => {
+      import graft.ops.IvfIndex
+      val out = sharedStore(d, "ivf_index") { o =>
+        IvfIndex.build(Tables.embeddings(s, d), o, dim = 64)
+      }
+      val recent = Tables.embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          (x, i) => x + when(i === 0, lit(0.3)).otherwise(lit(0.0)))
+          .as("embedding"))
+      IvfIndex.assignmentDrift(s, out, recent)
+    }),
+
     // ANN recall@k evaluation (ann-benchmarks' acceptance metric): the
     // quantized two-stage refine (q305 serving path) scored against
     // the exact brute-force truth — per query |approx∩exact|·200 in
@@ -9013,6 +9052,52 @@ object SparkEntry {
            |      PARTITION BY query_id
            |      ORDER BY cosine DESC, corpus_id ASC) AS rn
            |  FROM scored WHERE corpus_id % 7 <> 3)
+           |WHERE rn <= 5 ORDER BY 1, 2""".stripMargin,
+
+      // drift probe: training + assignment replayed for both cohorts,
+      // per-vector milli distance to the nearest centroid summed in
+      // exact integer space (recent = dim-0 shifted by the same 0.3
+      // double literal on both sides)
+      "q308_ann_drift" ->
+        s"""WITH $trainAndAssign,
+           |sdist AS (
+           |  SELECT t.id, CAST(round((1 - max(${dotF("t.v", "c.c")} /
+           |      (t.vnorm * c.cnorm))) * 1000) AS BIGINT) AS dm
+           |  FROM corpn t CROSS JOIN cn c GROUP BY t.id),
+           |recn AS (
+           |  SELECT id, v, sqrt(${dotF("v", "v")}) AS vnorm FROM (
+           |    SELECT vec_id AS id,
+           |      [CAST(embedding[j + 1] AS DOUBLE) +
+           |        (CASE WHEN j = 0 THEN 0.3 ELSE 0.0 END) for j in $dj] AS v
+           |    FROM embeddings)),
+           |rdist AS (
+           |  SELECT t.id, CAST(round((1 - max(${dotF("t.v", "c.c")} /
+           |      (t.vnorm * c.cnorm))) * 1000) AS BIGINT) AS dm
+           |  FROM recn t CROSS JOIN cn c GROUP BY t.id)
+           |SELECT 'store' AS cohort, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(dm) AS BIGINT) AS sum_dist_milli FROM sdist
+           |UNION ALL
+           |SELECT 'recent', CAST(count(*) AS BIGINT),
+           |  CAST(sum(dm) AS BIGINT) FROM rdist""".stripMargin,
+
+      // filtered ANN: q287's replay restricted to the metadata
+      // predicate's id set before ranking (the q298 composition with
+      // a real fq instead of tombstones)
+      "q307_ivf_filtered" ->
+        s"""WITH $trainAndAssign,
+           |qcell AS (SELECT id, cell FROM cells WHERE rn <= 8 AND id < 10),
+           |scored AS (
+           |  SELECT DISTINCT q.id AS query_id, c.id AS corpus_id,
+           |    ${dotF("qv.v", "cv.v")} / (qv.vnorm * cv.vnorm) AS cosine
+           |  FROM qcell q JOIN corpcell c ON c.cell = q.cell AND c.id <> q.id
+           |  JOIN corpn qv ON qv.id = q.id
+           |  JOIN corpn cv ON cv.id = c.id)
+           |SELECT query_id, CAST(rn AS INTEGER) AS rank, corpus_id FROM (
+           |  SELECT query_id, corpus_id, row_number() OVER (
+           |      PARTITION BY query_id
+           |      ORDER BY cosine DESC, corpus_id ASC) AS rn
+           |  FROM scored WHERE corpus_id IN (
+           |    SELECT vec_id FROM embeddings WHERE label IN (1, 2, 3)))
            |WHERE rn <= 5 ORDER BY 1, 2""".stripMargin,
 
       // L80: both legs deterministic by construction — the bitten leg

@@ -56,7 +56,7 @@ object TrueScaleCheck {
     "q302_ivfpq_refine_persisted", "q300_stream_ann_ingest",
     "q298_ivf_delete", "q301_index_array_or", "q303_index_array_not",
     "q304_index_analyzed_array", "q305_ivfpq_refine_stored",
-    "q306_ann_recall_eval").distinct
+    "q306_ann_recall_eval", "q307_ivf_filtered", "q308_ann_drift").distinct
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

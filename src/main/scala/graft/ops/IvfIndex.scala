@@ -105,7 +105,22 @@ object IvfIndex {
    * probed cell set is collected to drive partition pruning.
    */
   def query(spark: SparkSession, out: String, queries: DataFrame, k: Int,
-            nprobe: Int = 4): DataFrame = {
+            nprobe: Int = 4): DataFrame =
+    query(spark, out, queries, k, nprobe, allowed = None)
+
+  /** As [[query]], with an optional FILTERED-SEARCH id selector (the
+    * FAISS `IDSelector` / production metadata-filter shape): when
+    * `allowed` is given (a frame whose FIRST column is the corpus id —
+    * typically the caller's metadata predicate evaluated against their
+    * corpus table), ranking restricts to allowed ids. The restriction
+    * is a semi-join applied AFTER probe pruning, so its left side is
+    * the probed mass only, and Catalyst broadcasts the id set when it
+    * fits (no forced hint: a half-the-corpus filter must not ram
+    * through the driver). Top-k is over allowed survivors — a query
+    * whose probed cells hold fewer than k allowed vectors returns
+    * fewer rows, exactly Solr's `{!knn}` + fq composition. */
+  def query(spark: SparkSession, out: String, queries: DataFrame, k: Int,
+            nprobe: Int, allowed: Option[DataFrame]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val m = readMarker(spark, out)
     val (dists, _) = Similarity.cellFns(loadCentroids(spark, out), m.dim)
@@ -118,7 +133,8 @@ object IvfIndex {
     val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0))
     val cells = spark.read.parquet(s"$out/cells")
       .filter(col("cell").isin(probed.map(Int.box).toIndexedSeq: _*))
-    val scored = exceptDeleted(spark, out, cells).join(broadcast(q), Seq("cell"))
+    val searched = restrictToAllowed(exceptDeleted(spark, out, cells), allowed)
+    val scored = searched.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("corpus_id"))
       .withColumn("cosine", Similarity.dot(col("qvec"), col("cvec")) /
         (col("qnorm") * col("cnorm")))
@@ -127,6 +143,48 @@ object IvfIndex {
       .orderBy(col("cosine").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Quantization-drift probe — the RETRAIN TRIGGER the frozen-add
+    * contract needs (FAISS freezes the coarse quantizer on `add` and
+    * leaves "when to retrain" to the user; without a measurement the
+    * degradation is silent): per cohort, the exact-integer sum of
+    * per-vector milli distances to the assigned (nearest) centroid —
+    * `round((1 - cos) * 1000)` — for the STORED corpus (the build-time
+    * baseline, tombstones excluded) and for a `recent` batch. A recent
+    * mean (sum/n) well above the store's says the centroids no longer
+    * describe incoming data and a rebuild is due; the milli-integer
+    * space keeps the statistic bit-stable across engines (oracled in
+    * q308). One pass over each cohort, centroids broadcast — corpus
+    * scale never shuffles. */
+  def assignmentDrift(spark: SparkSession, out: String,
+                      recent: DataFrame): DataFrame = {
+    val m = readMarker(spark, out)
+    val (dists, _) = Similarity.cellFns(loadCentroids(spark, out), m.dim)
+    def cohort(vecs: DataFrame, name: String): DataFrame =
+      vecs.select(round((lit(1.0) + array_min(dists(col("v")))) * 1000)
+          .cast("long").as("dm"))
+        .agg(count(lit(1)).as("n"), sum(col("dm")).as("sum_dist_milli"))
+        .select(lit(name).as("cohort"), col("n"), col("sum_dist_milli"))
+    val stored = exceptDeleted(spark, out, spark.read.parquet(s"$out/cells"))
+      .select(col("cvec").as("v"))
+    val rec = recent.select(col(m.vecCol).cast("array<double>").as("v"))
+    cohort(stored, "store").unionByName(cohort(rec, "recent"))
+  }
+
+  /** Named form of the filtered search ([[query]]'s `allowed` arm). */
+  def queryFiltered(spark: SparkSession, out: String, queries: DataFrame,
+                    k: Int, allowed: DataFrame,
+                    nprobe: Int = 4): DataFrame =
+    query(spark, out, queries, k, nprobe, Some(allowed))
+
+  /** The filtered-search semi-join shared by the IVF and IVF-PQ read
+    * paths: keep rows whose corpus_id is in `allowed`'s first column. */
+  private[ops] def restrictToAllowed(cells: DataFrame,
+                                     allowed: Option[DataFrame]): DataFrame =
+    allowed.map { a =>
+      cells.join(a.select(col(a.columns.head).as("corpus_id")),
+        Seq("corpus_id"), "left_semi")
+    }.getOrElse(cells)
 
   /** Incremental add: assign `vectors` against the FROZEN centroids
     * and append to the touched cell partitions — existing cells'

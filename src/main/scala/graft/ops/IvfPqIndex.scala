@@ -115,14 +115,23 @@ object IvfPqIndex {
     * and no training runs. */
   def query(spark: SparkSession, out: String, queries: DataFrame, k: Int,
             nprobe: Int = 4): DataFrame =
-    candidateStage(spark, out, queries, k, nprobe)._1
+    candidateStage(spark, out, queries, k, nprobe, None)._1
+
+  /** As [[query]] with a FILTERED-SEARCH id selector (FAISS
+    * `IDSelector`): ADC ranking restricts to `allowed` ids (first
+    * column = corpus id) via a semi-join over the probed mass — see
+    * [[IvfIndex.restrictToAllowed]] for the scale shape. */
+  def queryFiltered(spark: SparkSession, out: String, queries: DataFrame,
+                    k: Int, allowed: DataFrame,
+                    nprobe: Int = 4): DataFrame =
+    candidateStage(spark, out, queries, k, nprobe, Some(allowed))._1
 
   /** The ADC stage plus the probed cell set it read — the refine paths
     * reuse the probe set to partition-prune their raw-vector fetch
     * (candidates can only come from probed cells). */
   private def candidateStage(spark: SparkSession, out: String,
-                             queries: DataFrame, k: Int,
-                             nprobe: Int): (DataFrame, Array[Int]) = {
+                             queries: DataFrame, k: Int, nprobe: Int,
+                             allowed: Option[DataFrame]): (DataFrame, Array[Int]) = {
     val mk = readMarker(spark, out)
     val (centroids, codebooks) = loadQuantizers(spark, out, mk)
     val probes = Similarity.probeIvfPq(queries, centroids, codebooks, mk.dim,
@@ -131,8 +140,9 @@ object IvfPqIndex {
     val probed = probes.select(col("cell")).distinct().collect().map(_.getInt(0))
     val cells = spark.read.parquet(s"$out/cells")
       .filter(col("cell").isin(probed.map(Int.box).toIndexedSeq: _*))
-    (Similarity.adcRank(IvfIndex.exceptDeleted(spark, out, cells), probes,
-      k, mk.m, mk.ksub), probed)
+    val searched = IvfIndex.restrictToAllowed(
+      IvfIndex.exceptDeleted(spark, out, cells), allowed)
+    (Similarity.adcRank(searched, probes, k, mk.m, mk.ksub), probed)
   }
 
   /** Two-stage serving over the persisted store (FAISS
@@ -196,7 +206,8 @@ object IvfPqIndex {
       s"$out has no vectors/ refine sidecar — build(refineStore = true), " +
         "or pass the corpus frame to queryRefined")
     val mk = readMarker(spark, out)
-    val (cand0, probed) = candidateStage(spark, out, queries, kCandidates, nprobe)
+    val (cand0, probed) =
+      candidateStage(spark, out, queries, kCandidates, nprobe, None)
     val candProj = cand0.select(col("query_id"), col("corpus_id"))
     val candRows = candProj.collect()
     val cand = spark.createDataFrame(

@@ -139,6 +139,43 @@ class IvfIndexSpec extends AnyFunSuite {
       === after.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq)
   }
 
+  test("filtered search (IDSelector): ranking restricts to the allowed " +
+      "set; scarce filters return fewer than k, never a disallowed id") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("ivf_filter_").toString
+    IvfIndex.build(emb, out, dim = 64)
+    val queries = emb.filter(col("vec_id") < 5)
+    val allowed = emb.filter(col("label").isin(1, 2, 3)).select("vec_id")
+    val allowedSet = allowed.collect().map(_.getLong(0)).toSet
+    val got = IvfIndex.queryFiltered(spark, out, queries, k = 5,
+        allowed = allowed, nprobe = 8)
+      .select("query_id", "rank", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    assert(got.forall(t => allowedSet.contains(t._3)),
+      "a disallowed id surfaced from filtered search")
+    // parity: the unfiltered ranking restricted post-hoc to allowed
+    // ids and re-ranked must equal the filtered search (same cosines,
+    // same tie-break) — checked with a generous unfiltered k
+    val unfiltered = IvfIndex.query(spark, out, queries, k = 1000, nprobe = 8)
+      .select("query_id", "rank", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)) // collect() order is not rank order
+    val expected = unfiltered.filter(t => allowedSet.contains(t._3))
+      .groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+        rows.sortBy(_._2).map(_._3).take(5).toSeq
+          .zipWithIndex.map { case (c, i) => (q, i + 1, c) }
+      }.sortBy(t => (t._1, t._2))
+    assert(got.sortBy(t => (t._1, t._2)).toSeq === expected)
+    // a scarce filter (single id) yields exactly <=1 row per query
+    val scarce = IvfIndex.queryFiltered(spark, out, queries, k = 5,
+        allowed = Seq(42L).toDF("vec_id"), nprobe = 8)
+      .select("query_id", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(scarce.forall(_._2 == 42L))
+    assert(scarce.groupBy(_._1).values.forall(_.length == 1))
+  }
+
   test("purgeDeletes rewrites a MULTI-cell touched set in a constant " +
       "number of jobs (one batched read-filter-write, not one job per cell)") {
     import spark.implicits._
