@@ -70,7 +70,12 @@ object ExplainCheck {
       "q294_ivfpq_persisted" -> "persisted IVF-PQ: the code store's probed cells read under a PARTITION filter (pruning at planning), ADC scoring joins broadcast (query, cell, table) rows — no raw vectors anywhere in the plan",
       "q296_index_array_filter" -> "multivalued array_contains routed to a posting lookup by the injected TermFilterPushdown rule (pushedTerm on the scan), Filter kept residual — tag filtering reads matching docs only, not the store",
       "q299_index_analyzed_filter" -> "analyzed graft_term_match pushed to a token posting lookup; the residual re-check runs THE index-time analyzer as a codegen'd kernel inside the scan stage",
-      "q301_index_array_or" -> "OR of multivalued terms pushed WHOLE as a posting union (same-field branches collapse to one multi-term lookup) — a partially-pushable OR never pushes")
+      "q301_index_array_or" -> "OR of multivalued terms pushed WHOLE as a posting union (same-field branches collapse to one multi-term lookup) — a partially-pushable OR never pushes",
+      "q304_index_analyzed_array" -> "exists(f, t -> graft_term_match(t, …)) on an analyzed MULTIVALUED field pushed as a token posting lookup — postings index every value's tokens, the lambda re-check stays residual",
+      "q302_ivfpq_refine_persisted" -> "persisted two-stage refine: candidate ids collected once (bounded) and PUSHED as an In filter into the raw-corpus scan — re-rank I/O ∝ candidates, never corpus-wide",
+      "q305_ivfpq_refine_stored" -> "refineStore sidecar serving: raw-vector fetch under a cell PARTITION filter (probed cells only) AND a pushed id In — the fetch reads probed-cell row groups holding candidates, nothing else",
+      "q307_ivf_filtered" -> "filtered ANN (IDSelector): the allowed-id semi-join applies AFTER probe pruning, so its left side is probed mass only; Catalyst picks broadcast vs shuffle by the id set's size",
+      "q308_ann_drift" -> "drift probe: centroids broadcast as codegen reference objects, one scan-local milli-distance projection per cohort, a 1-row aggregate each — no shuffle wider than the final union")
     // prose riders appended after specific plans (regenerated with them)
     val postscript = Map(
       "q108_index_dsv2" ->
