@@ -70,12 +70,141 @@ object Bpe {
   final case class Merge(rank: Int, left: String, right: String, pairCount: Long)
 
   /**
-   * Learn `numMerges` BPE merges from the corpus. Stops early when no
-   * adjacent pair remains. The driver pulls ONE row per round (the
-   * argmax pair) — the sequential dependency of the algorithm, not a
-   * collect of data.
+   * Learn `numMerges` BPE merges from the corpus.
+   *
+   * Stage split (the HF-tokenizers trainer shape): the CORPUS-scale
+   * work is exactly one distributed tokenize+count shuffle
+   * ([[wordFrequencies]]); the merge loop then runs IN-MEMORY over the
+   * collected word-frequency table — bounded by `maxWords` (top
+   * frequencies, deterministic (freq desc, word) cut; the cap is the
+   * standard trainer contract and the same bounded-collect class as
+   * the k-means sample). The former per-round Spark-job loop
+   * ([[learnBySparkRounds]], kept as the parity reference) costs two
+   * jobs per merge — fine for tens of merges, absurd for a 50k-merge
+   * production vocabulary (100k jobs of pure scheduling overhead); the
+   * in-memory loop is incremental (only words CONTAINING the chosen
+   * pair recount) with a lazy max-heap argmax, the textbook
+   * implementation, and produces the IDENTICAL merge table
+   * (count desc, then lexicographic (a, b) — BpeSpec pins three-way
+   * parity with the Spark-round loop and an independent reference).
+   * Stops early when no adjacent pair remains.
    */
-  def learn(docs: DataFrame, textCol: String, numMerges: Int): Seq[Merge] = {
+  def learn(docs: DataFrame, textCol: String, numMerges: Int,
+            maxWords: Int = 1 << 20): Seq[Merge] = {
+    require(numMerges >= 1)
+    val freqs = wordFrequencies(docs, textCol)
+      .orderBy(col("freq").desc, col("word")).limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    learnInMemory(freqs, numMerges)
+  }
+
+  /** The in-memory merge loop over a (word, freq) table — exact
+    * [[learnBySparkRounds]] semantics (all adjacent positions count,
+    * overlap included; argmax by (cnt desc, a, b); left-to-right
+    * non-overlapping apply). Incremental: per round, only the words
+    * holding the chosen pair update their pair counts; stale heap
+    * entries re-validate against the count map on pop. */
+  private[text] def learnInMemory(freqs: Array[(String, Long)],
+                                  numMerges: Int): Seq[Merge] = {
+    import scala.collection.mutable
+    val syms: Array[mutable.ArrayBuffer[String]] =
+      freqs.map { case (w, _) => mutable.ArrayBuffer(w.map(_.toString): _*) }
+    val freq: Array[Long] = freqs.map(_._2)
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    // occurrence index: HashSet (NOT BitSet — a BitSet sizes to its
+    // max element, so one rare pair in a late word would allocate
+    // maxIdx/8 bytes; total HashSet membership is Σ word lengths)
+    val occurs = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    def addPairs(i: Int, sign: Long): Unit = {
+      val s = syms(i)
+      var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        val n = counts.getOrElse(p, 0L) + sign * freq(i)
+        if (n == 0L) counts.remove(p) else counts.update(p, n)
+        if (sign > 0) occurs.getOrElseUpdate(p, mutable.HashSet.empty) += i
+        j += 1
+      }
+    }
+    syms.indices.foreach(addPairs(_, 1L))
+    // lazy max-heap: entries are (cnt, a, b) snapshots; an entry whose
+    // cnt no longer matches the live count map is stale and skipped
+    val ord = new Ordering[(Long, String, String)] {
+      def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(x._1, y._1)
+        if (c != 0) c
+        else {
+          val a = y._2.compareTo(x._2) // smaller pair = higher priority
+          if (a != 0) a else y._3.compareTo(x._3)
+        }
+      }
+    }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](ord)
+    counts.foreach { case ((a, b), c) => heap.enqueue((c, a, b)) }
+    def applyMergeToWord(i: Int, a: String, b: String): Unit = {
+      val s = syms(i)
+      // cheap containment check first: occurs can hold stale indices
+      var has = false
+      var j = 0
+      while (!has && j < s.length - 1) {
+        if (s(j) == a && s(j + 1) == b) has = true
+        j += 1
+      }
+      if (has) {
+        // every pair whose count this call changes is adjacent in the
+        // OLD list (decrements) or the NEW list (increments) — both
+        // sides must re-enter the heap with their live counts, or a
+        // decreased-but-live pair would carry only stale (skipped)
+        // entries and never be chosen again
+        val touched = mutable.HashSet.empty[(String, String)]
+        var t = 0
+        while (t < s.length - 1) { touched += ((s(t), s(t + 1))); t += 1 }
+        addPairs(i, -1L)
+        val out = mutable.ArrayBuffer.empty[String]
+        var k = 0
+        while (k < s.length) {
+          if (k + 1 < s.length && s(k) == a && s(k + 1) == b) {
+            out += (a + b); k += 2
+          } else { out += s(k); k += 1 }
+        }
+        syms(i) = out
+        addPairs(i, 1L)
+        t = 0
+        while (t < out.length - 1) { touched += ((out(t), out(t + 1))); t += 1 }
+        touched.foreach { p =>
+          counts.get(p).foreach(c => heap.enqueue((c, p._1, p._2)))
+        }
+      }
+    }
+    val merges = mutable.ArrayBuffer.empty[Merge]
+    var round = 1
+    var done = false
+    while (round <= numMerges && !done) {
+      // pop to the first LIVE entry (count matches the map)
+      var top: Option[(Long, String, String)] = None
+      while (top.isEmpty && heap.nonEmpty) {
+        val e = heap.dequeue()
+        if (counts.getOrElse((e._2, e._3), 0L) == e._1) top = Some(e)
+      }
+      top match {
+        case None => done = true
+        case Some((c, a, b)) =>
+          merges += Merge(round, a, b, c)
+          val affected = occurs.getOrElse((a, b), mutable.BitSet.empty)
+          occurs.remove((a, b))
+          affected.foreach(applyMergeToWord(_, a, b))
+          round += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The original per-round distributed loop (two Spark jobs per
+    * merge: pair-count argmax + merge fold). Kept as [[learn]]'s
+    * parity reference — identical output, but the job-per-round shape
+    * does not survive production merge counts. */
+  private[text] def learnBySparkRounds(docs: DataFrame, textCol: String,
+                                       numMerges: Int): Seq[Merge] = {
     require(numMerges >= 1)
     var words = wordFrequencies(docs, textCol)
       .select(charSymbols(col("word")).as("syms"), col("freq"))

@@ -70,6 +70,39 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.learn(df, "text", numMerges = 3) === Seq.empty)
   }
 
+  test("three-way parity: in-memory learn == Spark-round loop == " +
+      "reference, deep into the merge sequence (randomized corpus)") {
+    // seeded corpus with repeated stems so merges cascade (merged
+    // symbols re-merge) — the shape that exercises the incremental
+    // count maintenance and the lazy heap's stale-entry handling
+    val rnd = new scala.util.Random(20260815L)
+    val stems = Seq("inter", "nation", "al", "iz", "ation", "re", "con",
+      "struct", "ed", "ing", "s", "un", "der")
+    val docs = (0 until 60).map { i =>
+      (i.toLong, (0 until 8).map(_ =>
+        (0 until 1 + rnd.nextInt(3)).map(_ => stems(rnd.nextInt(stems.length)))
+          .mkString).mkString(" "))
+    }
+    val df = docs.toDF("id", "text")
+    val n = 40
+    val fast = Bpe.learn(df, "text", n).map(m => (m.left, m.right, m.pairCount))
+    val slow = Bpe.learnBySparkRounds(df, "text", n)
+      .map(m => (m.left, m.right, m.pairCount))
+    val ref = refBpe(freqsOf(docs.map(_._2)), n)
+    assert(fast === ref)
+    assert(slow === ref)
+  }
+
+  test("maxWords cap is a deterministic (freq desc, word) cut") {
+    // cap to the 2 most frequent words: merges must come from those
+    // words' pairs only
+    val df = Seq((1L, "aaaa aaaa aaaa bbb bbb zz")).toDF("id", "text")
+    val capped = Bpe.learn(df, "text", numMerges = 2, maxWords = 2)
+    // aaaa (freq 3) and bbb (freq 2) survive the cut; zz drops
+    assert(capped.map(m => (m.left, m.right)) === Seq("a" -> "a", "b" -> "b"))
+    assert(capped.head.pairCount === 9L) // 3 adjacencies x freq 3
+  }
+
   test("fused encoder matches the chained-fold reference over a learned table") {
     val corpus = Seq(
       (1L, "low lower lowest low low slow slower glow"),
