@@ -161,12 +161,16 @@ object IvfPqIndex {
     * (the corpus table, a graft-index store surfaced as a DataFrame, a
     * column store — anything whose scan accepts an id `In` pushdown).
     * Bit-identical to [[Similarity.ivfPqRefineTopK]] with the build's
-    * parameters. */
+    * parameters. `allowed` composes filtered search into the two-stage
+    * path (FAISS IDSelector over IndexRefineFlat): the ADC candidate
+    * stage restricts to the id set, so the re-rank's pushed id fetch
+    * inherits the restriction for free. */
   def queryRefined(spark: SparkSession, out: String, corpus: DataFrame,
                    queries: DataFrame, k: Int, kCandidates: Int = 20,
-                   nprobe: Int = 4): DataFrame = {
+                   nprobe: Int = 4,
+                   allowed: Option[DataFrame] = None): DataFrame = {
     val mk = readMarker(spark, out)
-    val cand0 = query(spark, out, queries, kCandidates, nprobe)
+    val cand0 = candidateStage(spark, out, queries, kCandidates, nprobe, allowed)._1
       .select(col("query_id"), col("corpus_id"))
     // one execution of the ADC stage: the collected pairs re-enter the
     // plan as a LocalRelation (broadcast-cheap) and the distinct ids
@@ -201,13 +205,14 @@ object IvfPqIndex {
     * corpus frame (IvfPqIndexSpec). */
   def queryRefinedStored(spark: SparkSession, out: String, queries: DataFrame,
                          k: Int, kCandidates: Int = 20,
-                         nprobe: Int = 4): DataFrame = {
+                         nprobe: Int = 4,
+                         allowed: Option[DataFrame] = None): DataFrame = {
     require(hasRefineStore(spark, out),
       s"$out has no vectors/ refine sidecar — build(refineStore = true), " +
         "or pass the corpus frame to queryRefined")
     val mk = readMarker(spark, out)
     val (cand0, probed) =
-      candidateStage(spark, out, queries, kCandidates, nprobe, None)
+      candidateStage(spark, out, queries, kCandidates, nprobe, allowed)
     val candProj = cand0.select(col("query_id"), col("corpus_id"))
     val candRows = candProj.collect()
     val cand = spark.createDataFrame(

@@ -140,6 +140,24 @@ class IvfPqIndexSpec extends AnyFunSuite {
     val nVecs = spark.read.parquet(s"$out/vectors").count()
     assert(nCells === emb.count() + 30 && nVecs === nCells,
       s"sidecar out of lockstep: cells=$nCells vectors=$nVecs")
+    // filtered two-stage serving (IDSelector over IndexRefineFlat):
+    // the ADC stage restricts to the allowed set, the re-rank inherits
+    // it; sidecar and corpus-frame paths agree under the filter
+    val allowed = emb.filter(col("label").isin(1, 2, 3)).select("vec_id")
+    val allowedSet = allowed.collect().map(_.getLong(0)).toSet
+    val fStore = IvfPqIndex.queryRefinedStored(spark, out, queries, k = 5,
+        kCandidates = 20, nprobe = 8, allowed = Some(allowed))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(fStore.nonEmpty)
+    assert(fStore.forall(t => allowedSet.contains(t._3)),
+      "a disallowed id surfaced from filtered refine")
+    val fCorpus = IvfPqIndex.queryRefined(spark, out, emb, queries, k = 5,
+        kCandidates = 20, nprobe = 8, allowed = Some(allowed))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(fStore === fCorpus)
+
     // redaction: purge must physically reclaim the raw vectors too
     val victims = Seq(1L, 2L, 70001L)
     IvfPqIndex.removeIds(spark, out, victims.toDF("vec_id"))
