@@ -169,6 +169,28 @@ class IvfPqIndexSpec extends AnyFunSuite {
       "purge left redacted raw vectors in the refine sidecar")
   }
 
+  test("recall@k responds to the tuning levers (the q306 metric's " +
+      "purpose): wide probes + more candidates reach high recall") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, 5)
+      .select("query_id", "corpus_id")
+    def recallSum(kCand: Int, nprobe: Int): Long =
+      RankingEval.annRecallAtK(exact,
+        IvfPqIndex.queryRefined(spark, idx, emb, queries, k = 5,
+            kCandidates = kCand, nprobe = nprobe)
+          .select("query_id", "corpus_id"), 5)
+        .agg(org.apache.spark.sql.functions.sum("recall_milli"))
+        .head.getLong(0)
+    val defaults = recallSum(20, 8)   // the q306 operating point
+    val wide = recallSum(100, 16)     // all cells probed, 5x candidates
+    assert(wide >= defaults,
+      s"widening the levers lost recall: $defaults -> $wide")
+    // nprobe=16 probes every cell and kCandidates=100 of 500 corpus
+    // rows go to exact re-rank: recall must be high (deterministic
+    // pipeline, deterministic value)
+    assert(wide >= 8000L, s"wide-setting recall too low: $wide / 10000")
+  }
+
   test("incremental add encodes against frozen quantizers; old answers unchanged") {
     val out = java.nio.file.Files.createTempDirectory("ivfpq_add_").toString
     IvfPqIndex.build(emb.filter(col("vec_id") % 2 === 0), out, dim = 64)
