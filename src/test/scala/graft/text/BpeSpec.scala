@@ -3,6 +3,59 @@ package graft.text
 import graft.TestSpark
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Fuzz the in-memory incremental trainer (lazy max-heap, incremental
+  * pair maintenance) against a naive recount-per-round reference. The
+  * tiny alphabet forces heavy count TIES (the heap ordering's hard
+  * case) and cascading merges (merged symbols re-merging — the
+  * incremental bookkeeping's hard case). Pure in-memory, no Spark. */
+object BpeLearnProps extends Properties("bpe-learn") {
+
+  private def naive(words: Seq[(String, Long)], n: Int): Seq[(String, String, Long)] = {
+    var syms: Vector[(Vector[String], Long)] =
+      words.toVector.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    val out = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var continue = true
+    while (continue && out.size < n) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+      for ((s, f) <- syms; i <- 0 until s.length - 1) counts((s(i), s(i + 1))) += f
+      if (counts.isEmpty) continue = false
+      else {
+        val ((a, b), c) = counts.toSeq.minBy { case ((x, y), cc) => (-cc, x, y) }
+        out += ((a, b, c))
+        syms = syms.map { case (s, f) =>
+          val m = scala.collection.mutable.ArrayBuffer[String]()
+          var i = 0
+          while (i < s.length) {
+            if (i + 1 < s.length && s(i) == a && s(i + 1) == b) { m += (a + b); i += 2 }
+            else { m += s(i); i += 1 }
+          }
+          (m.toVector, f)
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  private val wordGen = for {
+    len <- Gen.choose(1, 7)
+    cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+  } yield cs.mkString
+  private val corpusGen = for {
+    nw <- Gen.choose(1, 14)
+    ws <- Gen.listOfN(nw, wordGen)
+    fs <- Gen.listOfN(nw, Gen.choose(1L, 5L))
+  } yield ws.zip(fs).groupBy(_._1).view
+    .mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+
+  property("incremental heap trainer == naive recount reference") =
+    forAll(corpusGen, Gen.choose(1, 25)) { (corpus, n) =>
+      Bpe.learnInMemory(corpus.toArray, n)
+        .map(m => (m.left, m.right, m.pairCount)) == naive(corpus, n)
+    }
+}
 
 class BpeSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
