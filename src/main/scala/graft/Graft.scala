@@ -812,13 +812,17 @@ object Graft {
   /** Build a persisted ANN index over `(idCol, vecCol)`:
     * `compressed = false` → [[graft.ops.IvfIndex]] (raw vectors);
     * `compressed = true` → [[graft.ops.IvfPqIndex]] (PQ code store,
-    * no raw vectors on disk). `nlist ≈ sqrt(corpus rows)`. */
+    * no raw vectors on disk; `refineStore = true` adds the
+    * cell-partitioned raw-vector sidecar so two-stage serving needs no
+    * external corpus frame — FAISS IndexRefineFlat proper).
+    * `nlist ≈ sqrt(corpus rows)`. */
   def buildAnnIndex(corpus: DataFrame, out: String, dim: Int,
                     nlist: Int = 16, compressed: Boolean = false,
+                    refineStore: Boolean = false,
                     idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
     if (compressed)
       graft.ops.IvfPqIndex.build(corpus, out, dim, nlist,
-        idCol = idCol, vecCol = vecCol)
+        idCol = idCol, vecCol = vecCol, refineStore = refineStore)
     else graft.ops.IvfIndex.build(corpus, out, dim, nlist,
       idCol = idCol, vecCol = vecCol)
 
@@ -868,4 +872,38 @@ object Graft {
   def compactAnnIndex(spark: SparkSession, store: String,
                       maxFilesPerCell: Int = 8): Int =
     graft.ops.IvfIndex.compact(spark, store, maxFilesPerCell)
+
+  /** FILTERED search (FAISS `IDSelector` / Solr `{!knn}` + fq): the
+    * caller's metadata predicate, evaluated to an id frame, restricts
+    * ranking via a semi-join over the probed mass only. Both tiers. */
+  def queryAnnIndexFiltered(spark: SparkSession, store: String,
+                            queries: DataFrame, k: Int, allowed: DataFrame,
+                            nprobe: Int = 4): DataFrame =
+    if (isPqStore(spark, store))
+      graft.ops.IvfPqIndex.queryFiltered(spark, store, queries, k, allowed, nprobe)
+    else graft.ops.IvfIndex.queryFiltered(spark, store, queries, k, allowed, nprobe)
+
+  /** Two-stage serving from the store alone — requires
+    * `buildAnnIndex(compressed = true, refineStore = true)`'s raw-vector
+    * sidecar; the re-rank fetch is partition-pruned to the probed cells
+    * and id-pushed to the candidates. */
+  def queryAnnIndexRefinedStored(spark: SparkSession, store: String,
+                                 queries: DataFrame, k: Int,
+                                 kCandidates: Int = 20,
+                                 nprobe: Int = 4): DataFrame =
+    graft.ops.IvfPqIndex.queryRefinedStored(spark, store, queries, k,
+      kCandidates, nprobe)
+
+  /** recall@k of an approximate result against exact truth (both as
+    * (query_id, corpus_id) top-k frames), exact integer milli space —
+    * the serving-quality acceptance gate. */
+  def annRecallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame =
+    graft.ops.RankingEval.annRecallAtK(exact, approx, k)
+
+  /** Quantization-drift probe over a raw-vector IVF store (the retrain
+    * trigger): per-cohort milli-distance sums to the assigned centroid
+    * for the stored corpus vs `recent`. */
+  def annAssignmentDrift(spark: SparkSession, store: String,
+                         recent: DataFrame): DataFrame =
+    graft.ops.IvfIndex.assignmentDrift(spark, store, recent)
 }

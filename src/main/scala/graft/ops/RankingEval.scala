@@ -28,9 +28,11 @@ object RankingEval {
 
   /**
    * ANN serving-quality metric (ann-benchmarks' recall@k): per query,
-   * |approx top-k ∩ exact top-k| · 1000 / k in exact integer milli
-   * space. `exact` and `approx` both carry (query_id, corpus_id) rows
-   * for their top-k; queries with zero overlap still emit a row
+   * floor(|approx top-k ∩ exact top-k| · 1000 / k) in exact integer
+   * milli space (exact when k divides 1000, floored otherwise — still
+   * a pure integer function of the overlap, so bit-stable across
+   * engines). `exact` and `approx` both carry (query_id, corpus_id)
+   * rows for their top-k; queries with zero overlap still emit a row
    * (left join from the exact side, which by construction has every
    * query). One equi-join + one aggregation, both on the query key —
    * the truth set is |Q|·k rows, so corpus scale never enters. This
@@ -38,7 +40,7 @@ object RankingEval {
    * against before it serves.
    */
   def annRecallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
-    require(k >= 1 && 1000 % k == 0, s"k must divide 1000, got $k")
+    require(k >= 1, s"k must be positive, got $k")
     val overlap = exact.select(col("query_id"), col("corpus_id"))
       .join(approx.select(col("query_id"), col("corpus_id")),
         Seq("query_id", "corpus_id"))
@@ -46,8 +48,7 @@ object RankingEval {
     exact.select(col("query_id")).distinct()
       .join(overlap, Seq("query_id"), "left")
       .select(col("query_id"),
-        (coalesce(col("n"), lit(0L)) * (1000 / k)).cast("long")
-          .as("recall_milli"))
+        expr(s"(coalesce(n, 0L) * 1000) div $k").as("recall_milli"))
   }
 
   /**

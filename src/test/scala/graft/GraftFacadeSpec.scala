@@ -212,6 +212,36 @@ class GraftFacadeSpec extends AnyFunSuite {
       assert(Graft.purgeAnnDeletes(spark, out) >= 1)
       assert(spark.read.parquet(s"$out/cells")
         .filter(col("corpus_id").isin(victims.map(Long.box): _*)).count() === 0)
+      // filtered search (IDSelector) routes through both tiers
+      val allowed = emb.filter(col("label").isin(1, 2, 3)).select("vec_id")
+      val allowedSet = allowed.collect().map(_.getLong(0)).toSet
+      val filt = Graft.queryAnnIndexFiltered(spark, out, queries, k = 3,
+          allowed = allowed, nprobe = 8)
+        .select("corpus_id").collect().map(_.getLong(0))
+      assert(filt.nonEmpty && filt.forall(allowedSet.contains))
     }
+    // serving-quality metrics at the facade: recall vs exact truth and
+    // the drift probe (raw-vector tier)
+    val rawOut = java.nio.file.Files.createTempDirectory("ann_facade_m_").toString
+    Graft.buildAnnIndex(emb, rawOut, dim = 64)
+    val exact = graft.ops.Similarity.bruteForceTopK(emb, queries, 3)
+      .select("query_id", "corpus_id")
+    val approx = Graft.queryAnnIndex(spark, rawOut, queries, k = 3, nprobe = 8)
+      .select("query_id", "corpus_id")
+    val rec = Graft.annRecallAtK(exact, approx, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rec.size === 3 && rec.values.forall(v => v >= 0L && v <= 1000L))
+    val drift = Graft.annAssignmentDrift(spark, rawOut,
+        emb.filter(col("vec_id") < 100))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(drift("store")._1 === emb.count())
+    assert(drift("recent")._1 === 100L)
+    // stored two-stage serving from a refineStore build
+    val refOut = java.nio.file.Files.createTempDirectory("ann_facade_r_").toString
+    Graft.buildAnnIndex(emb, refOut, dim = 64, compressed = true,
+      refineStore = true)
+    val stored = Graft.queryAnnIndexRefinedStored(spark, refOut, queries, k = 3,
+      kCandidates = 10, nprobe = 8)
+    assert(stored.count() === 9)
   }
 }

@@ -44,9 +44,9 @@ class RankingEvalSpec extends AnyFunSuite {
     val got = RankingEval.annRecallAtK(exact, approx, k = 2)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got === Map("q1" -> 500L, "q2" -> 0L))
-    // k must divide 1000 so the milli value is exact
-    assertThrows[IllegalArgumentException] {
-      RankingEval.annRecallAtK(exact, approx, k = 3)
-    }
+    // non-divisor k floors (1/3 -> 333 milli) — still pure integer math
+    val k3 = RankingEval.annRecallAtK(exact, approx, k = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(k3 === Map("q1" -> 333L, "q2" -> 0L))
   }
 }
