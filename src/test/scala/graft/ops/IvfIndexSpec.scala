@@ -174,6 +174,28 @@ class IvfIndexSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(scarce.forall(_._2 == 42L))
     assert(scarce.groupBy(_._1).values.forall(_.length == 1))
+    // PLAN LOCK: the allowed-id semi-join must not defeat probe
+    // pruning — the cells scan under the filtered query still reads
+    // only the probed partitions
+    val planDf = IvfIndex.queryFiltered(spark, out,
+      emb.filter(col("vec_id") === 3), k = 5, allowed = allowed, nprobe = 2)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val cellScans = scans(planDf.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("cells")))
+    assert(cellScans.nonEmpty, "no cells/ scan in the filtered plan")
+    val sc0 = cellScans.head
+    assert(sc0.partitionFilters.exists(_.references.exists(_.name == "cell")),
+      s"probe pruning lost under the filter: ${sc0.partitionFilters}")
+    assert(sc0.selectedPartitions.partitionCount <= 2,
+      s"nprobe=2 must select <=2 partitions under the filter, got " +
+        s"${sc0.selectedPartitions.partitionCount}")
   }
 
   test("purgeDeletes rewrites a MULTI-cell touched set in a constant " +
