@@ -197,6 +197,7 @@ object IvfIndex {
     * per cell instead of O(adds). */
   def add(spark: SparkSession, out: String, vectors: DataFrame,
           maxFilesPerCell: Int = 8): Unit = {
+    recoverStore(spark, out) // never append into a half-swapped cell
     val m = readMarker(spark, out)
     val (_, nearest) = Similarity.cellFns(loadCentroids(spark, out), m.dim)
     vectors.select(col(m.idCol).as("corpus_id"),
@@ -247,6 +248,7 @@ object IvfIndex {
     val marker = batchMarker(out, batchId)
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(marker)) return false
+    recoverStore(spark, out) // never append into a half-swapped cell
     frames.foreach { case (subdir, encoded) =>
       val root = new org.apache.hadoop.fs.Path(s"$out/$subdir")
       // delete-output-first: a crashed prior attempt of THIS batch may
@@ -329,6 +331,7 @@ object IvfIndex {
     * Returns cells purged. */
   def purgeDeletes(spark: SparkSession, out: String,
                    targetFileBytes: Long = 256L << 20): Int = {
+    recoverStore(spark, out)
     val dels = deletes(spark, out).getOrElse(return 0)
     val fs = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -345,7 +348,12 @@ object IvfIndex {
 
   /** One subdir's purge: locate touched cells (broadcast semi-join),
     * rewrite the whole touched set in ONE read-filter-write job,
-    * per-cell file swap. Returns cells purged in this subdir. */
+    * then swap each touched cell by WHOLE-DIRECTORY rename — original
+    * aside to a trash dir first, rewritten dir in second — so a crash
+    * at any point leaves a state [[recoverStore]] completes: a cell
+    * whose live dir is missing has its only copy sitting in the tmp
+    * dir under a deterministic name, never deleted before it is
+    * renamed back in. Returns cells purged in this subdir. */
   private def purgeSubdir(spark: SparkSession,
                           fs: org.apache.hadoop.fs.FileSystem, out: String,
                           subdir: String, dels: DataFrame,
@@ -373,41 +381,90 @@ object IvfIndex {
         .otherwise(acc)
     }
     val tmp = new org.apache.hadoop.fs.Path(s"$out/.purge_tmp_$subdir")
+    val trash = new org.apache.hadoop.fs.Path(s"$out/.purge_trash_$subdir")
     fs.delete(tmp, true)
+    fs.delete(trash, true)
     val base = spark.read.parquet(root.toString)
       .filter(col("cell").isin(touched.map(Int.box).toIndexedSeq: _*))
     val live = base.join(broadcast(dels.select("corpus_id")),
       Seq("corpus_id"), "left_anti")
     live.repartition(splits.map(_._2).sum, col("cell"), salt)
       .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
-    // swap: originals go only after the tmp write committed whole
+    // swap only after the tmp write committed whole (_SUCCESS): the
+    // original dir goes ASIDE (trash) before the rewritten dir renames
+    // in, and trash is removed only after every cell landed — at no
+    // point is any cell's only live copy scheduled for deletion
+    fs.mkdirs(trash)
     touched.foreach { c =>
       val d = new org.apache.hadoop.fs.Path(root, s"cell=$c")
       if (fs.exists(d))
-        fs.listStatus(d)
-          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          .foreach(f => fs.delete(f.getPath, false))
+        fs.rename(d, new org.apache.hadoop.fs.Path(trash, s"cell=$c"))
       val td = new org.apache.hadoop.fs.Path(tmp, s"cell=$c")
-      if (fs.exists(td)) {
-        if (!fs.exists(d)) fs.mkdirs(d)
-        fs.listStatus(td)
-          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          .zipWithIndex.foreach { case (f, i) =>
-            fs.rename(f.getPath,
-              new org.apache.hadoop.fs.Path(d, f"purged-$i%05d.parquet"))
-          }
-      }
+      if (fs.exists(td)) fs.rename(td, d)
     }
     fs.delete(tmp, true)
+    fs.delete(trash, true)
     touched.length
+  }
+
+  /** Complete (or discard) any swap a crashed [[purgeDeletes]] /
+    * [[compact]] left behind — runs at every mutation entry point.
+    * Rules: a tmp dir that finished its write (`_SUCCESS`) may hold
+    * the ONLY copy of a cell whose live dir was already moved aside —
+    * those cells rename back in (the purged/compacted version, still
+    * consistent). A tmp cell whose live dir still exists is discarded:
+    * the live dir is the original (possibly with appends that landed
+    * after the crash), and the still-present tombstone set lets the
+    * next purge re-derive the rewrite. Trash dirs only ever hold
+    * superseded originals and are dropped. */
+  private[ops] def recoverStore(spark: SparkSession, out: String): Unit = {
+    val outP = new org.apache.hadoop.fs.Path(out)
+    val fs = outP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(outP)) return
+    Seq("cells", "vectors").foreach { subdir =>
+      val root = new org.apache.hadoop.fs.Path(s"$out/$subdir")
+      val tmp = new org.apache.hadoop.fs.Path(s"$out/.purge_tmp_$subdir")
+      if (fs.exists(tmp)) {
+        if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
+          fs.listStatus(tmp)
+            .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+            .foreach { d =>
+              val dst = new org.apache.hadoop.fs.Path(root, d.getPath.getName)
+              if (!fs.exists(dst)) fs.rename(d.getPath, dst)
+            }
+        fs.delete(tmp, true)
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(s"$out/.purge_trash_$subdir"), true)
+    }
+    // compact leftovers: .compact_tmp_<subdir>_cell=N at the store root
+    fs.listStatus(outP).foreach { s =>
+      val n = s.getPath.getName
+      if (n.startsWith(".compact_tmp_")) {
+        val rest = n.stripPrefix(".compact_tmp_")
+        val i = rest.indexOf("_cell=")
+        val dst = if (i > 0) Some(new org.apache.hadoop.fs.Path(
+          s"$out/${rest.substring(0, i)}/${rest.substring(i + 1)}")) else None
+        dst match {
+          case Some(d) if !fs.exists(d) &&
+              fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")) =>
+            fs.rename(s.getPath, d)
+          case _ => fs.delete(s.getPath, true)
+        }
+      } else if (n.startsWith(".compact_trash_")) {
+        fs.delete(s.getPath, true)
+      }
+    }
   }
 
   /** Rewrite one cell directory in place: read, optionally drop
     * tombstoned rows, coalesce to ceil(bytes/targetFileBytes) files,
-    * swap. The rewrite materializes fully into a tmp dir before any
-    * original file is removed. */
+    * then swap by WHOLE-DIRECTORY rename (original aside, rewrite in)
+    * so the original is never deleted before its replacement landed —
+    * a crash at any point is completed or discarded by
+    * [[recoverStore]]. */
   private def rewriteCellDir(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
-                             out: String, d: org.apache.hadoop.fs.Path,
+                             out: String, subdir: String,
+                             d: org.apache.hadoop.fs.Path,
                              targetFileBytes: Long,
                              dropDels: Option[DataFrame]): Unit = {
     val dataFiles = fs.listStatus(d)
@@ -415,21 +472,21 @@ object IvfIndex {
     if (dataFiles.isEmpty) return
     val bytes = dataFiles.map(_.getLen).sum
     val target = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val tmp = new org.apache.hadoop.fs.Path(s"$out/.compact_tmp_${d.getName}")
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$out/.compact_tmp_${subdir}_${d.getName}")
+    val trash = new org.apache.hadoop.fs.Path(
+      s"$out/.compact_trash_${subdir}_${d.getName}")
+    fs.delete(tmp, true)
+    fs.delete(trash, true)
     val base = spark.read.parquet(d.toString)
     val live = dropDels
       .map(ds => base.join(broadcast(ds.select("corpus_id")),
         Seq("corpus_id"), "left_anti"))
       .getOrElse(base)
     live.coalesce(target).write.mode("overwrite").parquet(tmp.toString)
-    dataFiles.foreach(f => fs.delete(f.getPath, false))
-    fs.listStatus(tmp)
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .zipWithIndex.foreach { case (f, i) =>
-        fs.rename(f.getPath,
-          new org.apache.hadoop.fs.Path(d, f"compacted-$i%05d.parquet"))
-      }
-    fs.delete(tmp, true)
+    fs.rename(d, trash)
+    fs.rename(tmp, d)
+    fs.delete(trash, true)
   }
 
   /** Fold over-budget cell partitions: each cell whose parquet file
@@ -446,6 +503,7 @@ object IvfIndex {
               targetFileBytes: Long = 256L << 20): Int = {
     val fs = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverStore(spark, out)
     val dels = deletes(spark, out)
     var folded = 0
     // the refine sidecar (vectors/) grows in lockstep with cells/
@@ -459,7 +517,8 @@ object IvfIndex {
             val dataFiles = fs.listStatus(d.getPath)
               .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
             if (dataFiles.length > maxFilesPerCell) {
-              rewriteCellDir(spark, fs, out, d.getPath, targetFileBytes, dels)
+              rewriteCellDir(spark, fs, out, subdir, d.getPath,
+                targetFileBytes, dels)
               folded += 1
             }
           }

@@ -281,6 +281,7 @@ object IvfPqIndex {
     * cells/ layout). */
   def add(spark: SparkSession, out: String, vectors: DataFrame,
           maxFilesPerCell: Int = 8): Unit = {
+    IvfIndex.recoverStore(spark, out) // never append into a half-swapped cell
     val mk = readMarker(spark, out)
     val (centroids, codebooks) = loadQuantizers(spark, out, mk)
     val full = Similarity.encodeIvfPqFull(vectors, centroids, codebooks,

@@ -233,6 +233,60 @@ class IvfIndexSpec extends AnyFunSuite {
     val fs = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out/deletes")))
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out/.purge_tmp")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out/.purge_tmp_cells")))
+  }
+
+  test("a crash mid-purge-swap loses no rows: the rerun completes the " +
+      "pending swap instead of deleting the only copy in the tmp dir") {
+    val out = java.nio.file.Files.createTempDirectory("ivf_crash_purge_").toString
+    val corpus = emb.filter(col("vec_id") < 600)
+    IvfIndex.build(corpus, out, dim = 64)
+    val victims = corpus.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id").as("corpus_id"))
+    IvfIndex.removeIds(spark, out, victims)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // fabricate the post-crash state a mid-swap failure leaves: one
+    // touched cell's purged rewrite sits COMPLETE (with _SUCCESS) in
+    // the tmp dir, and its live dir was already moved aside (the trash
+    // copy died with the crashed process's cleanup never running)
+    val all = spark.read.parquet(s"$out/cells")
+    val crashCell = all.join(victims, Seq("corpus_id"), "left_semi")
+      .select("cell").orderBy("cell").first().getInt(0)
+    val tmp = s"$out/.purge_tmp_cells"
+    all.filter(col("cell") === crashCell)
+      .join(victims, Seq("corpus_id"), "left_anti")
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$out/cells/cell=$crashCell"), true)
+    // the rerun (tombstones still present) must restore the crashed
+    // cell from tmp and purge the rest — zero rows lost
+    IvfIndex.purgeDeletes(spark, out)
+    val after = spark.read.parquet(s"$out/cells")
+    assert(after.join(victims, Seq("corpus_id"), "left_semi").count() === 0)
+    assert(after.count() === corpus.count() -
+      victims.select("corpus_id").distinct().count())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(tmp)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out/.purge_trash_cells")))
+  }
+
+  test("a crash mid-compact-swap is completed by the next mutation entry") {
+    val out = java.nio.file.Files.createTempDirectory("ivf_crash_compact_").toString
+    val corpus = emb.filter(col("vec_id") < 300)
+    IvfIndex.build(corpus, out, dim = 64)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val all = spark.read.parquet(s"$out/cells")
+    val crashCell = all.select("cell").orderBy("cell").first().getInt(0)
+    // the compacted rewrite landed whole in tmp; the original dir was
+    // renamed aside and lost with the crash (compact tmp is NOT
+    // cell-partitioned — it holds one cell's files directly)
+    all.filter(col("cell") === crashCell).drop("cell").coalesce(1)
+      .write.mode("overwrite")
+      .parquet(s"$out/.compact_tmp_cells_cell=$crashCell")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$out/cells/cell=$crashCell"), true)
+    IvfIndex.compact(spark, out) // recovery runs at the mutation entry
+    assert(spark.read.parquet(s"$out/cells").count() === corpus.count())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$out/.compact_tmp_cells_cell=$crashCell")))
   }
 }
