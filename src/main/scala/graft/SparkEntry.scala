@@ -804,7 +804,8 @@ object SparkEntry {
         stageBatch(adds.filter(col("vec_id") >= 100025L), "b1", 1000000060000L)
         val stream = s.readStream.schema(adds.schema)
           .option("maxFilesPerTrigger", 1).parquet(src)
-        StreamingIngest.annIngestSink(o)(stream).start().awaitTermination()
+        StreamingIngest.annIngestSink(o, streamId = "q300")(stream)
+          .start().awaitTermination()
       }
       IvfIndex.query(s, out, Tables.embeddings(s, d).filter(col("vec_id") < 10),
           k = 5, nprobe = 8)

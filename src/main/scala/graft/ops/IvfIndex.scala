@@ -208,12 +208,26 @@ object IvfIndex {
     compact(spark, out, maxFilesPerCell)
   }
 
-  /** Marker recording that streamed batch `batchId` fully applied —
-    * the replay guard [[addBatch]] checks. Durable in the store;
-    * batch ids are CHECKPOINT-scoped (see
-    * [[graft.streaming.StreamingIngest.annIngestSink]]). */
-  private[graft] def batchMarker(out: String, batchId: Long) =
-    new org.apache.hadoop.fs.Path(s"$out/_ann_batch_$batchId")
+  /** Stream-scoping key for batch markers and batch-keyed file names.
+    * Structured Streaming batch ids are CHECKPOINT-scoped while the
+    * markers are durable in the store: without a per-stream namespace,
+    * a relaunch with a fresh checkpoint (or a second stream into the
+    * same store) re-issues batch ids 0..N that collide with committed
+    * markers and fresh data is silently skipped as a "replay".
+    * Empty streamId keeps the legacy single-stream names. */
+  private def streamKey(streamId: String): String =
+    if (streamId.isEmpty) ""
+    else java.security.MessageDigest.getInstance("MD5")
+      .digest(streamId.getBytes("UTF-8")).take(4)
+      .map(b => f"$b%02x").mkString + "_"
+
+  /** Marker recording that streamed batch `batchId` of stream
+    * `streamId` fully applied — the replay guard [[addBatch]] checks.
+    * Durable in the store; namespaced per stream (see [[streamKey]]). */
+  private[graft] def batchMarker(out: String, batchId: Long,
+                                 streamId: String = "") =
+    new org.apache.hadoop.fs.Path(
+      s"$out/_ann_batch_${streamKey(streamId)}$batchId")
 
   /** Exactly-once add for a streamed micro-batch: no-op if `batchId`'s
     * marker exists; otherwise DELETE-OUTPUT-FIRST (any `b<id>-*` cell
@@ -225,14 +239,16 @@ object IvfIndex {
     * files, its replay must already be a no-op). Returns true if the
     * batch applied, false if it was a replay skip. */
   def addBatch(spark: SparkSession, out: String, vectors: DataFrame,
-               batchId: Long, maxFilesPerCell: Int = 8): Boolean = {
+               batchId: Long, maxFilesPerCell: Int = 8,
+               streamId: String = ""): Boolean = {
     val m = readMarker(spark, out)
     val (_, nearest) = Similarity.cellFns(loadCentroids(spark, out), m.dim)
     val encoded = vectors.select(col(m.idCol).as("corpus_id"),
         col(m.vecCol).cast("array<double>").as("cvec"))
       .withColumn("cnorm", Similarity.norm(col("cvec")))
       .withColumn("cell", nearest(col("cvec")))
-    val applied = commitEncodedBatch(spark, out, Seq("cells" -> encoded), batchId)
+    val applied = commitEncodedBatch(spark, out, Seq("cells" -> encoded),
+      batchId, streamId)
     if (applied) compact(spark, out, maxFilesPerCell)
     applied
   }
@@ -244,29 +260,34 @@ object IvfIndex {
     * [[addBatch]] for the protocol. */
   private[ops] def commitEncodedBatch(spark: SparkSession, out: String,
                                       frames: Seq[(String, DataFrame)],
-                                      batchId: Long): Boolean = {
-    val marker = batchMarker(out, batchId)
+                                      batchId: Long,
+                                      streamId: String = ""): Boolean = {
+    val marker = batchMarker(out, batchId, streamId)
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(marker)) return false
     recoverStore(spark, out) // never append into a half-swapped cell
+    val key = streamKey(streamId)
     frames.foreach { case (subdir, encoded) =>
       val root = new org.apache.hadoop.fs.Path(s"$out/$subdir")
       // delete-output-first: a crashed prior attempt of THIS batch may
       // have moved some files in; its markerless leftovers are exactly
-      // the `b<id>-*` names (compaction can only have folded files of
-      // batches whose marker already exists)
+      // the `b<key><id>-*` names (compaction can only have folded files
+      // of batches whose marker already exists; another stream's files
+      // carry a different key and are never touched)
       if (fs.exists(root))
         fs.listStatus(root)
           .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
           .foreach { d =>
             fs.listStatus(d.getPath)
-              .filter(f => f.isFile && f.getPath.getName.startsWith(s"b$batchId-"))
+              .filter(f => f.isFile &&
+                f.getPath.getName.startsWith(s"b$key$batchId-"))
               .foreach(f => fs.delete(f.getPath, false))
           }
       // stage the whole batch (idempotent overwrite), then move files
       // to batch-keyed names — the marker commits the batch only after
       // every subdir's every move landed
-      val stage = new org.apache.hadoop.fs.Path(s"$out/.ann_stage_${subdir}_$batchId")
+      val stage = new org.apache.hadoop.fs.Path(
+        s"$out/.ann_stage_${subdir}_$key$batchId")
       encoded.write.mode("overwrite").partitionBy("cell").parquet(stage.toString)
       fs.listStatus(stage)
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
@@ -277,7 +298,7 @@ object IvfIndex {
             .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
             .zipWithIndex.foreach { case (f, i) =>
               fs.rename(f.getPath,
-                new org.apache.hadoop.fs.Path(dst, f"b$batchId-$i%05d.parquet"))
+                new org.apache.hadoop.fs.Path(dst, f"b$key$batchId-$i%05d.parquet"))
             }
         }
       fs.delete(stage, true)

@@ -258,7 +258,8 @@ object IvfPqIndex {
     * with PQ encoding — marker-guarded, delete-output-first,
     * batch-keyed file names; replays are no-ops). */
   def addBatch(spark: SparkSession, out: String, vectors: DataFrame,
-               batchId: Long, maxFilesPerCell: Int = 8): Boolean = {
+               batchId: Long, maxFilesPerCell: Int = 8,
+               streamId: String = ""): Boolean = {
     val mk = readMarker(spark, out)
     val (centroids, codebooks) = loadQuantizers(spark, out, mk)
     val full = Similarity.encodeIvfPqFull(vectors, centroids, codebooks,
@@ -269,7 +270,7 @@ object IvfPqIndex {
           Seq("vectors" -> full.select(col("cell"), col("corpus_id"),
             col("cvec"), col("cnorm")))
         else Nil)
-    val applied = IvfIndex.commitEncodedBatch(spark, out, frames, batchId)
+    val applied = IvfIndex.commitEncodedBatch(spark, out, frames, batchId, streamId)
     if (applied) IvfIndex.compact(spark, out, maxFilesPerCell)
     applied
   }

@@ -73,17 +73,23 @@ object StreamingIngest {
    * fresh — [[graft.ops.IvfIndex.removeIds]] follows the deletes.
    *
    * Exactly-once under replay: each micro-batch applies through
-   * [[graft.ops.IvfIndex.addBatch]] — an `_ann_batch_<id>` marker
-   * skips a batch that already fully applied, and a batch that
+   * [[graft.ops.IvfIndex.addBatch]] — an `_ann_batch_<stream>_<id>`
+   * marker skips a batch that already fully applied, and a batch that
    * crashed mid-append reruns delete-output-first against its own
    * batch-keyed cell files, so a Structured-Streaming retry never
    * duplicates vectors (a duplicate row would otherwise occupy a
    * top-k rank slot and displace a true neighbor). REQUIRES a stable
-   * `checkpointLocation` (same contract as [[segmentUpsertSink]]):
-   * the markers are durable in the store while batch ids are
-   * checkpoint-scoped.
+   * `checkpointLocation` (same contract as [[segmentUpsertSink]])
+   * plus `streamId`, a stable identifier UNIQUE PER (store,
+   * checkpoint) — the checkpoint path itself is the natural choice.
+   * The markers are durable in the store while Structured Streaming
+   * batch ids are checkpoint-scoped: the streamId namespaces them, so
+   * a relaunch under a NEW checkpoint (batch ids restart at 0) or a
+   * second stream into the same store can never have its fresh data
+   * silently skipped as a "replay" of another stream's batches.
    */
-  def annIngestSink(store: String, maxFilesPerCell: Int = 8)
+  def annIngestSink(store: String, streamId: String,
+                    maxFilesPerCell: Int = 8)
                    (vectors: DataFrame): DataStreamWriter[Row] =
     vectors.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -95,9 +101,11 @@ object StreamingIngest {
           p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
         }
         if (isPq)
-          graft.ops.IvfPqIndex.addBatch(spark, store, batch, batchId, maxFilesPerCell)
+          graft.ops.IvfPqIndex.addBatch(spark, store, batch, batchId,
+            maxFilesPerCell, streamId)
         else
-          graft.ops.IvfIndex.addBatch(spark, store, batch, batchId, maxFilesPerCell)
+          graft.ops.IvfIndex.addBatch(spark, store, batch, batchId,
+            maxFilesPerCell, streamId)
         ()
       }
       .trigger(Trigger.AvailableNow())

@@ -126,7 +126,7 @@ class StreamingIngestSpec extends AnyFunSuite {
     adds.repartition(2).write.mode("overwrite").parquet(staged)
     val stream = spark.readStream.schema(adds.schema)
       .option("maxFilesPerTrigger", 1).parquet(staged)
-    val q = StreamingIngest.annIngestSink(b)(stream).start()
+    val q = StreamingIngest.annIngestSink(b, streamId = "specA")(stream).start()
     try q.awaitTermination() finally if (q.isActive) q.stop()
     def answers(o: String) =
       IvfIndex.query(spark, o, emb.filter(col("vec_id") < 5), k = 5, nprobe = 8)
@@ -174,5 +174,42 @@ class StreamingIngestSpec extends AnyFunSuite {
       .groupBy("query_id").agg(countDistinct("corpus_id").as("n"))
       .collect()
     assert(ranks.forall(_.getLong(1) === 5L))
+  }
+
+  test("ANN ingest markers are stream-scoped: a second stream (fresh " +
+      "checkpoint) reusing batch id 0 is NOT skipped as a replay, and " +
+      "its delete-output-first rerun never touches the first stream's files") {
+    import graft.ops.IvfIndex
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val o = java.nio.file.Files.createTempDirectory("ann_streams_").toString
+    IvfIndex.build(emb.filter(col("vec_id") < 150), o, dim = 64)
+    val addsA = emb.filter(col("vec_id") >= 150 && col("vec_id") < 180)
+    val addsB = emb.filter(col("vec_id") >= 180 && col("vec_id") < 200)
+      .select((col("vec_id") + 9000L).as("vec_id"), col("embedding"))
+    // stream A commits batch 0; stream B (a relaunch with a new
+    // checkpoint, or a second feed) also presents batch id 0 — with
+    // un-scoped markers B's fresh rows would silently vanish
+    assert(IvfIndex.addBatch(spark, o, addsA, batchId = 0L,
+      streamId = "ckptA") === true)
+    assert(IvfIndex.addBatch(spark, o, addsB, batchId = 0L,
+      streamId = "ckptB") === true)
+    val cells = spark.read.parquet(s"$o/cells")
+    assert(cells.count() === 200, "a stream's batch was skipped as a replay")
+    // B's replay (same stream) is still a no-op...
+    assert(IvfIndex.addBatch(spark, o, addsB, batchId = 0L,
+      streamId = "ckptB") === false)
+    // ...and a crashed-rerun of B (marker removed) deletes only B's
+    // batch-keyed files: A's rows survive intact
+    val fs = new org.apache.hadoop.fs.Path(o)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(IvfIndex.batchMarker(o, 0L, "ckptB"), false)
+    assert(IvfIndex.addBatch(spark, o, addsB, batchId = 0L,
+      streamId = "ckptB") === true)
+    val after = spark.read.parquet(s"$o/cells")
+    assert(after.count() === 200)
+    assert(after.filter(col("corpus_id") >= 150 && col("corpus_id") < 180)
+      .count() === 30, "stream B's rerun clobbered stream A's batch")
+    assert(after.groupBy("corpus_id").count()
+      .filter(col("count") > 1).count() === 0)
   }
 }
