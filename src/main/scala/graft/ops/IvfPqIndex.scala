@@ -168,18 +168,30 @@ object IvfPqIndex {
   def queryRefined(spark: SparkSession, out: String, corpus: DataFrame,
                    queries: DataFrame, k: Int, kCandidates: Int = 20,
                    nprobe: Int = 4,
-                   allowed: Option[DataFrame] = None): DataFrame = {
+                   allowed: Option[DataFrame] = None,
+                   maxPushedIds: Int = 4096): DataFrame = {
     val mk = readMarker(spark, out)
     val cand0 = candidateStage(spark, out, queries, kCandidates, nprobe, allowed)._1
       .select(col("query_id"), col("corpus_id"))
     // one execution of the ADC stage: the collected pairs re-enter the
     // plan as a LocalRelation (broadcast-cheap) and the distinct ids
-    // become the pushed fetch predicate
+    // become the pushed fetch predicate — UP TO maxPushedIds. A large
+    // offline batch (|Q|·kCandidates beyond the cap) would make the
+    // In literal itself the bottleneck (driver memory + Catalyst
+    // analysis cost grow with the id list), so past the cap the
+    // restriction stays IN THE PLAN: the re-rank's broadcast hash join
+    // against the candidate pairs bounds the joined mass — the scan is
+    // no longer id-pruned, the join still is.
     val candRows = cand0.collect()
     val cand = spark.createDataFrame(
       java.util.Arrays.asList(candRows: _*), cand0.schema)
     val candIds = candRows.map(_.get(1)).distinct.toSeq
-    val c = corpus.filter(col(mk.idCol).isin(candIds: _*))
+    val fetch =
+      if (candIds.size <= maxPushedIds) corpus.filter(col(mk.idCol).isin(candIds: _*))
+      else corpus.join(
+        broadcast(cand.select(col("corpus_id").as(mk.idCol)).distinct()),
+        Seq(mk.idCol), "left_semi")
+    val c = fetch
       .select(col(mk.idCol).as("corpus_id"),
         col(mk.vecCol).cast("array<double>").as("cvec"))
       .withColumn("cnorm", Similarity.norm(col("cvec")))
@@ -206,7 +218,8 @@ object IvfPqIndex {
   def queryRefinedStored(spark: SparkSession, out: String, queries: DataFrame,
                          k: Int, kCandidates: Int = 20,
                          nprobe: Int = 4,
-                         allowed: Option[DataFrame] = None): DataFrame = {
+                         allowed: Option[DataFrame] = None,
+                         maxPushedIds: Int = 4096): DataFrame = {
     require(hasRefineStore(spark, out),
       s"$out has no vectors/ refine sidecar — build(refineStore = true), " +
         "or pass the corpus frame to queryRefined")
@@ -218,10 +231,17 @@ object IvfPqIndex {
     val cand = spark.createDataFrame(
       java.util.Arrays.asList(candRows: _*), candProj.schema)
     val candIds = candRows.map(_.get(1)).distinct.toSeq
-    val c = spark.read.parquet(s"$out/vectors")
-      .filter(col("cell").isin(probed.map(Int.box).toIndexedSeq: _*) &&
-        col("corpus_id").isin(candIds: _*))
-      .select(col("corpus_id"), col("cvec"), col("cnorm"))
+    // probed-cell partition pruning ALWAYS applies; the candidate-id
+    // In pushes only while the literal stays Catalyst-cheap (see
+    // queryRefined) — past maxPushedIds the re-rank's broadcast join
+    // carries the id restriction inside the plan instead
+    val sidecar = spark.read.parquet(s"$out/vectors")
+      .filter(col("cell").isin(probed.map(Int.box).toIndexedSeq: _*))
+    val fetch =
+      if (candIds.size <= maxPushedIds)
+        sidecar.filter(col("corpus_id").isin(candIds: _*))
+      else sidecar
+    val c = fetch.select(col("corpus_id"), col("cvec"), col("cnorm"))
     val q = queries.select(col(mk.idCol).as("query_id"),
         col(mk.vecCol).cast("array<double>").as("qvec"))
       .withColumn("qnorm", Similarity.norm(col("qvec")))

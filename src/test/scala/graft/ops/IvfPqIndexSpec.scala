@@ -169,6 +169,61 @@ class IvfPqIndexSpec extends AnyFunSuite {
       "purge left redacted raw vectors in the refine sidecar")
   }
 
+  test("a >10^4-candidate refine batch leaves the In literal behind: " +
+      "the id restriction becomes a plan-side broadcast join, answers " +
+      "identical to the pushed path") {
+    // synthetic 12k-row dim-8 corpus: integer-hash embeddings keep the
+    // fixture deterministic and the candidate sets spread wide
+    val corpus = spark.range(12000).select(col("id").as("vec_id"),
+      expr("transform(sequence(0,7), j -> " +
+        "cast(pmod(hash(id*8+j), 1000) as double)/500.0 - 1.0)").as("embedding"))
+    val out = java.nio.file.Files.createTempDirectory("ivfpq_bigbatch_").toString
+    IvfPqIndex.build(corpus, out, dim = 8, nlist = 16, m = 4, ksub = 16,
+      refineStore = true)
+    val queries = corpus.filter(pmod(col("vec_id"), lit(10)) === 0) // 1200
+    // the offline batch's candidate mass: 1200 queries x 20 candidates
+    val nCand = IvfPqIndex.query(spark, out, queries, k = 20, nprobe = 8)
+      .select("corpus_id").distinct().count()
+    assert(nCand >= 10000L, s"fixture too weak: only $nCand distinct candidates")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._3)).toSeq
+    // default cap (4096) trips the fallback; the forced-push variant is
+    // the old giant-In plan — both must answer identically
+    val viaJoin = IvfPqIndex.queryRefinedStored(spark, out, queries,
+      k = 3, kCandidates = 20, nprobe = 8)
+    val viaPush = IvfPqIndex.queryRefinedStored(spark, out, queries,
+      k = 3, kCandidates = 20, nprobe = 8, maxPushedIds = Int.MaxValue)
+    assert(rows(viaJoin) === rows(viaPush))
+    // plan lock: under the fallback the sidecar scan carries NO
+    // candidate-id In literal (the probed-cell partition filter stays)
+    val planDf = IvfPqIndex.queryRefinedStored(spark, out, queries,
+      k = 3, kCandidates = 20, nprobe = 8)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val vecScans = scans(planDf.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("vectors")))
+    assert(vecScans.nonEmpty, "no vectors/ sidecar scan in the plan")
+    val s = vecScans.head
+    assert(s.partitionFilters.exists(_.references.exists(_.name == "cell")),
+      "probed-cell pruning must survive the fallback")
+    assert(!s.metadata.get("PushedFilters").exists(_.contains("In(corpus_id")),
+      s"giant In literal leaked into the scan: ${s.metadata.get("PushedFilters")}")
+    // the corpus-frame path takes the same fork: semi-join, same answers
+    val cJoin = IvfPqIndex.queryRefined(spark, out, corpus, queries,
+      k = 3, kCandidates = 20, nprobe = 8)
+    val cPush = IvfPqIndex.queryRefined(spark, out, corpus, queries,
+      k = 3, kCandidates = 20, nprobe = 8, maxPushedIds = Int.MaxValue)
+    assert(rows(cJoin.select("query_id", "rank", "corpus_id")) ===
+      rows(cPush.select("query_id", "rank", "corpus_id")))
+  }
+
   test("recall@k responds to the tuning levers (the q306 metric's " +
       "purpose): wide probes + more candidates reach high recall") {
     val queries = emb.filter(col("vec_id") < 10)
