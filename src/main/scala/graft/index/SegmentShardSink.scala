@@ -124,11 +124,26 @@ object SegmentShardSink {
     * get `min(cores, 4 × shards)` (the measured sweet spot — a
     * 32-core driver building 4 shards should not leave 28 writers
     * idle), small stores stay direct (no merge tax). The estimate is
-    * Catalyst's driver-side plan statistic — free, no job. */
+    * Catalyst's driver-side plan statistic — free, no job — but the
+    * ROOT estimate alone is untrustworthy upward: joins multiply
+    * child sizes and stat-less leaves fall back to the huge
+    * `spark.sql.defaultSizeInBytes`, so a small build from a
+    * joined/derived input could spuriously fan out and pay the
+    * merge-tree tax. Sanity-check against the leaf scan bytes (what
+    * the writer actually ingests, join fan-out aside): take the
+    * smaller signal, and a plan with any unknown-size leaf stays
+    * direct (the explicit `microShards` knob remains for callers who
+    * know their size). */
   private[graft] def autoMicroShards(df: DataFrame, shards: Int): Int = {
-    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val plan = df.queryExecution.optimizedPlan
+    val default = BigInt(
+      df.sparkSession.sessionState.conf.defaultSizeInBytes)
+    val leafSizes = plan.collectLeaves().map(_.stats.sizeInBytes)
+    val est = plan.stats.sizeInBytes
+    val trusted = est < default && leafSizes.forall(_ < default)
+    val signal = if (trusted) est.min(leafSizes.sum) else BigInt(0)
     val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (est > BigInt(AutoFanoutBytesPerShard) * shards)
+    if (signal > BigInt(AutoFanoutBytesPerShard) * shards)
       math.max(shards, math.min(cores, 4 * shards))
     else shards
   }

@@ -92,10 +92,20 @@ object Bpe {
   def learn(docs: DataFrame, textCol: String, numMerges: Int,
             maxWords: Int = 1 << 20): Seq[Merge] = {
     require(numMerges >= 1)
-    val freqs = wordFrequencies(docs, textCol)
-      .orderBy(col("freq").desc, col("word")).limit(maxWords)
+    // collect one row past the cap: when it arrives, the corpus
+    // exceeds maxWords and the merge table may diverge from the
+    // full-table trainer (learnBySparkRounds) — say so instead of
+    // truncating silently (the tail carries the LOWEST frequencies,
+    // so early merges are stable; late low-count merges can differ)
+    val rows = wordFrequencies(docs, textCol)
+      .orderBy(col("freq").desc, col("word")).limit(maxWords + 1)
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    learnInMemory(freqs, numMerges)
+    if (rows.length > maxWords)
+      Console.err.println(s"[graft.Bpe] word-frequency table exceeds " +
+        s"maxWords=$maxWords — training on the top $maxWords by " +
+        "(freq desc, word); merges may diverge from the full-corpus " +
+        "trainer. Raise maxWords to silence.")
+    learnInMemory(rows.take(maxWords), numMerges)
   }
 
   /** The in-memory merge loop over a (word, freq) table — exact

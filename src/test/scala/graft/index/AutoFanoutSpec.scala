@@ -32,6 +32,32 @@ class AutoFanoutSpec extends AnyFunSuite {
       math.max(1, math.min(cores, 4)))
   }
 
+  test("a join-multiplied or stat-less estimate cannot spuriously fan out") {
+    // self-join: Catalyst multiplies the child estimates, so the root
+    // stat of a tiny joined input can read huge — the leaf cross-check
+    // must keep the build direct
+    val small = Tables.nation(spark, TestSpark.sf)
+      .select(col("n_nationkey").cast("string").as("id"), col("n_name"))
+    val joined = small.as("a").join(small.as("b"), Seq("id"))
+      .join(small.as("c"), Seq("id")).join(small.as("d"), Seq("id"))
+    assert(SegmentShardSink.autoMicroShards(joined, 4) === 4,
+      s"tiny self-join fanned out (root est " +
+        s"${joined.queryExecution.optimizedPlan.stats.sizeInBytes})")
+    // a stat-less leaf (LocalRelation is sized; a streaming-ish or
+    // unknown source falls to defaultSizeInBytes): simulate with an
+    // RDD-backed frame, which carries the default size
+    val rddBacked = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq((1L, "x"))).map {
+        case (i, s) => org.apache.spark.sql.Row(i, s) },
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType))))
+    assert(SegmentShardSink.autoMicroShards(rddBacked, 4) === 4,
+      "unknown-size leaf must stay direct")
+  }
+
   test("an explicit microShards value bypasses the auto gate " +
       "(buildSegmentIndex contract: 0 = auto, nonzero = literal)") {
     // direct-write fixture build through the flagship path stays at
