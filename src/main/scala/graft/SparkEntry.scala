@@ -133,6 +133,7 @@ object SparkEntry {
     "q297_ivfpq_delete",       // ivfpq_del (ivfpq_index + tombstoned ids)
     "q298_ivf_delete",         // ivf_del (ivf_index + tombstoned ids)
     "q300_stream_ann_ingest",  // ivf_stream (build + streamed adds)
+    "q309_ann_retrain",        // ivf_retrain (build half + add + retrain)
     "q305_ivfpq_refine_stored", // ivfpq_refine (codes + raw-vector sidecar)
     "q286_tiered_merge",       // q286_tiered base store (upserts idempotent)
     "q289_index_multivalued",  // part_mv (array-surfaced store)
@@ -743,6 +744,30 @@ object SparkEntry {
           (x, i) => x + when(i === 0, lit(0.3)).otherwise(lit(0.0)))
           .as("embedding"))
       IvfIndex.assignmentDrift(s, out, recent)
+    }),
+
+    // RETRAIN — the operator q308's drift signal calls for: build on
+    // half the corpus, add the other half against the frozen (stale)
+    // centroids, then retrain — the SAME md5-seeded training protocol
+    // re-runs over the live corpus into a NEW generation, committed by
+    // one _gen_N file (the segments_N precedent; old-generation dirs
+    // keep serving until the swap). Because retrain over the live
+    // corpus is bit-identical to build over that corpus, the retrained
+    // store serves exactly q287's full-corpus answer: ONE oracle, two
+    // construction paths (the q294 pattern) — a retrain that forgot
+    // adds, resurrected deletes, or perturbed the training protocol
+    // hash-fails here.
+    "q309_ann_retrain" -> ((s, d) => {
+      import graft.ops.IvfIndex
+      val out = sharedStore(d, "ivf_retrain") { o =>
+        val emb = Tables.embeddings(s, d)
+        IvfIndex.build(emb.filter(col("vec_id") % 2 === 0), o, dim = 64)
+        IvfIndex.add(s, o, emb.filter(col("vec_id") % 2 === 1))
+        IvfIndex.retrain(s, o)
+      }
+      IvfIndex.query(s, out, Tables.embeddings(s, d).filter(col("vec_id") < 10),
+          k = 5, nprobe = 8)
+        .select(col("query_id"), col("rank"), col("corpus_id"))
     }),
 
     // ANN recall@k evaluation (ann-benchmarks' acceptance metric): the
@@ -9010,6 +9035,12 @@ object SparkEntry {
       // the persisted index serves the SAME answer from frozen
       // centroids + cell partitions — one oracle, two read paths
       "q287_ivf_persisted" -> ivfAnnSql,
+      // retrain over the live corpus (build-half + add-half) is
+      // bit-identical to build over the full corpus: one oracle,
+      // two CONSTRUCTION paths — the q294 pattern at the lifecycle
+      // tier (a retrain that forgot adds or perturbed the training
+      // protocol hash-fails)
+      "q309_ann_retrain" -> ivfAnnSql,
       // q287's replay with the STREAMED ids unioned into assignment
       // and scoring: training ran on the original corpus (the store
       // was built before the stream), adds assign against those

@@ -44,8 +44,39 @@ import org.apache.spark.sql.functions._
  */
 object IvfIndex {
 
-  private def markerPath(out: String) = s"$out/_ivf_marker.json"
   private def deletesPath(out: String) = s"$out/deletes"
+
+  /** Current GENERATION of the store: max N over `_gen_N` marker files
+    * at the store root; 0 = the build-time layout (data dirs directly
+    * under `out`). The commit protocol is the segment store's
+    * `segments_N` precedent ([[graft.index.SegmentIndex]]): a
+    * [[retrain]] writes the complete new generation under `out/gN/`
+    * and the single `_gen_N` file creation IS the atomic swap —
+    * readers that resolved before it keep serving the old generation's
+    * dirs untouched; readers after it see only the new one. */
+  private[ops] def generation(fs: org.apache.hadoop.fs.FileSystem,
+                              out: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(out)
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).iterator.map(_.getPath.getName)
+      .filter(_.startsWith("_gen_"))
+      .map(n => scala.util.Try(n.stripPrefix("_gen_").toInt).getOrElse(0))
+      .foldLeft(0)(math.max)
+  }
+
+  /** Root of the CURRENT generation's data dirs (centroids/cells/
+    * vectors/codebooks and their swap tmp dirs). Batch markers and the
+    * tombstone set stay at the store root: a streamed batch committed
+    * before a retrain is already folded into the new generation, so
+    * its replay must STILL be a no-op. */
+  private[ops] def dataRoot(spark: SparkSession, out: String): String = {
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val g = generation(fs, out)
+    if (g == 0) out else s"$out/g$g"
+  }
+
+  private def markerPath(root: String) = s"$root/_ivf_marker.json"
 
   final case class Marker(dim: Int, eff: Int, seed: Long,
                           idCol: String, vecCol: String)
@@ -56,7 +87,15 @@ object IvfIndex {
     * cells/ becomes one directory per inverted list. */
   def build(corpus: DataFrame, out: String, dim: Int,
             nlist: Int = 16, sampleSize: Int = 2048, seed: Long = 42L,
-            idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+            idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    writeGeneration(corpus, out, dim, nlist, sampleSize, seed, idCol, vecCol)
+
+  /** One complete generation's data dirs + marker under `root` — the
+    * build body, shared by [[build]] (root = store root, gen 0) and
+    * [[retrain]] (root = the next `gN/` dir, committed afterwards). */
+  private def writeGeneration(corpus: DataFrame, root: String, dim: Int,
+                              nlist: Int, sampleSize: Int, seed: Long,
+                              idCol: String, vecCol: String): Unit = {
     val spark = corpus.sparkSession
     val centroids = Similarity.trainCentroids(corpus, nlist, sampleSize, seed,
       idCol, vecCol)
@@ -64,22 +103,58 @@ object IvfIndex {
     import spark.implicits._
     centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("i", "c").coalesce(1)
-      .write.mode("overwrite").parquet(s"$out/centroids")
+      .write.mode("overwrite").parquet(s"$root/centroids")
     corpus.select(col(idCol).as("corpus_id"),
         col(vecCol).cast("array<double>").as("cvec"))
       .withColumn("cnorm", Similarity.norm(col("cvec")))
       .withColumn("cell", nearest(col("cvec")))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$out/cells")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$root/cells")
     val m = s"""{"dim":$dim,"eff":${centroids.length},"seed":$seed,""" +
       s""""idCol":"$idCol","vecCol":"$vecCol"}"""
-    val p = new org.apache.hadoop.fs.Path(markerPath(out))
+    val p = new org.apache.hadoop.fs.Path(markerPath(root))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val os = fs.create(p, true)
     try os.write(m.getBytes("UTF-8")) finally os.close()
   }
 
+  /** RETRAIN — the operator [[assignmentDrift]]'s signal calls for
+    * (the frozen-add contract is explicitly "retrain when drifted";
+    * FAISS leaves it to the user, a 100 TB pipeline needs it in the
+    * engine): re-run the SAME md5-seeded ordered-sample Lloyd protocol
+    * over the CURRENT live corpus (store + adds − deletes), re-assign
+    * every vector, and write the result as a NEW generation under
+    * `out/gN/`, committed by one `_gen_N` file creation — the
+    * `segments_N` atomic-swap precedent. Old-generation dirs are never
+    * touched: a query that resolved its paths before the commit keeps
+    * serving the old centroids/cells to completion. Tombstones fold in
+    * (the new generation is purged by construction) and the tombstone
+    * dir clears AFTER the commit; committed stream-batch markers stay,
+    * so a replayed old batch is still a no-op against the new
+    * generation. Retraining over the live corpus with the same
+    * protocol is bit-identical to `build` over that corpus — q309
+    * hash-locks retrain-then-query ≡ build-from-scratch-then-query on
+    * one oracle. Returns the new generation number. */
+  def retrain(spark: SparkSession, out: String, nlist: Int = 0,
+              sampleSize: Int = 2048): Int = {
+    recoverStore(spark, out)
+    val m = readMarker(spark, out)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val g = generation(fs, out)
+    val root = dataRoot(spark, out)
+    val corpus = exceptDeleted(spark, out, spark.read.parquet(s"$root/cells"))
+      .select(col("corpus_id").as(m.idCol), col("cvec").as(m.vecCol))
+    val newRoot = s"$out/g${g + 1}"
+    fs.delete(new org.apache.hadoop.fs.Path(newRoot), true) // crashed attempt
+    writeGeneration(corpus, newRoot, m.dim,
+      if (nlist > 0) nlist else m.eff, sampleSize, m.seed, m.idCol, m.vecCol)
+    fs.create(new org.apache.hadoop.fs.Path(s"$out/_gen_${g + 1}"), true).close()
+    fs.delete(new org.apache.hadoop.fs.Path(deletesPath(out)), true)
+    g + 1
+  }
+
   private[ops] def readMarker(spark: SparkSession, out: String): Marker = {
-    val p = new org.apache.hadoop.fs.Path(markerPath(out))
+    val p = new org.apache.hadoop.fs.Path(markerPath(dataRoot(spark, out)))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
     val in = fs.open(p)
@@ -92,7 +167,7 @@ object IvfIndex {
   }
 
   private def loadCentroids(spark: SparkSession, out: String): Array[Array[Double]] =
-    spark.read.parquet(s"$out/centroids")
+    spark.read.parquet(s"${dataRoot(spark, out)}/centroids")
       .orderBy("i").collect()
       .map(r => r.getSeq[Double](r.fieldIndex("c")).toArray)
 
@@ -131,7 +206,7 @@ object IvfIndex {
       explode(Similarity.probeCells(dists(col("qvec")), m.eff, nprobe)))
     // probed cells -> partition-pruning literals (bounded: |Q|·nprobe)
     val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0))
-    val cells = spark.read.parquet(s"$out/cells")
+    val cells = spark.read.parquet(s"${dataRoot(spark, out)}/cells")
       .filter(col("cell").isin(probed.map(Int.box).toIndexedSeq: _*))
     val searched = restrictToAllowed(exceptDeleted(spark, out, cells), allowed)
     val scored = searched.join(broadcast(q), Seq("cell"))
@@ -165,7 +240,8 @@ object IvfIndex {
           .cast("long").as("dm"))
         .agg(count(lit(1)).as("n"), sum(col("dm")).as("sum_dist_milli"))
         .select(lit(name).as("cohort"), col("n"), col("sum_dist_milli"))
-    val stored = exceptDeleted(spark, out, spark.read.parquet(s"$out/cells"))
+    val stored = exceptDeleted(spark, out,
+        spark.read.parquet(s"${dataRoot(spark, out)}/cells"))
       .select(col("cvec").as("v"))
     val rec = recent.select(col(m.vecCol).cast("array<double>").as("v"))
     cohort(stored, "store").unionByName(cohort(rec, "recent"))
@@ -204,7 +280,8 @@ object IvfIndex {
         col(m.vecCol).cast("array<double>").as("cvec"))
       .withColumn("cnorm", Similarity.norm(col("cvec")))
       .withColumn("cell", nearest(col("cvec")))
-      .write.mode("append").partitionBy("cell").parquet(s"$out/cells")
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"${dataRoot(spark, out)}/cells")
     compact(spark, out, maxFilesPerCell)
   }
 
@@ -267,8 +344,9 @@ object IvfIndex {
     if (fs.exists(marker)) return false
     recoverStore(spark, out) // never append into a half-swapped cell
     val key = streamKey(streamId)
+    val base = dataRoot(spark, out)
     frames.foreach { case (subdir, encoded) =>
-      val root = new org.apache.hadoop.fs.Path(s"$out/$subdir")
+      val root = new org.apache.hadoop.fs.Path(s"$base/$subdir")
       // delete-output-first: a crashed prior attempt of THIS batch may
       // have moved some files in; its markerless leftovers are exactly
       // the `b<key><id>-*` names (compaction can only have folded files
@@ -287,7 +365,7 @@ object IvfIndex {
       // to batch-keyed names — the marker commits the batch only after
       // every subdir's every move landed
       val stage = new org.apache.hadoop.fs.Path(
-        s"$out/.ann_stage_${subdir}_$key$batchId")
+        s"$base/.ann_stage_${subdir}_$key$batchId")
       encoded.write.mode("overwrite").partitionBy("cell").parquet(stage.toString)
       fs.listStatus(stage)
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
@@ -356,13 +434,14 @@ object IvfIndex {
     val dels = deletes(spark, out).getOrElse(return 0)
     val fs = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = dataRoot(spark, out)
     // the raw-vector refine sidecar (IvfPqIndex refineStore) mirrors
     // the cell layout and holds the SAME deleted ids' raw vectors —
     // a redaction purge must reclaim both, sidecar first (the
     // tombstone set clears with the cells/ pass)
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$out/vectors")))
-      purgeSubdir(spark, fs, out, "vectors", dels, targetFileBytes)
-    val purged = purgeSubdir(spark, fs, out, "cells", dels, targetFileBytes)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$base/vectors")))
+      purgeSubdir(spark, fs, base, "vectors", dels, targetFileBytes)
+    val purged = purgeSubdir(spark, fs, base, "cells", dels, targetFileBytes)
     fs.delete(new org.apache.hadoop.fs.Path(deletesPath(out)), true)
     purged
   }
@@ -376,10 +455,10 @@ object IvfIndex {
     * dir under a deterministic name, never deleted before it is
     * renamed back in. Returns cells purged in this subdir. */
   private def purgeSubdir(spark: SparkSession,
-                          fs: org.apache.hadoop.fs.FileSystem, out: String,
+                          fs: org.apache.hadoop.fs.FileSystem, base: String,
                           subdir: String, dels: DataFrame,
                           targetFileBytes: Long): Int = {
-    val root = new org.apache.hadoop.fs.Path(s"$out/$subdir")
+    val root = new org.apache.hadoop.fs.Path(s"$base/$subdir")
     if (!fs.exists(root)) return 0
     val touched = spark.read.parquet(root.toString)
       .join(broadcast(dels.select("corpus_id")), Seq("corpus_id"), "left_semi")
@@ -401,13 +480,13 @@ object IvfIndex {
       when(col("cell") === c, pmod(hash(col("corpus_id")), lit(n)))
         .otherwise(acc)
     }
-    val tmp = new org.apache.hadoop.fs.Path(s"$out/.purge_tmp_$subdir")
-    val trash = new org.apache.hadoop.fs.Path(s"$out/.purge_trash_$subdir")
+    val tmp = new org.apache.hadoop.fs.Path(s"$base/.purge_tmp_$subdir")
+    val trash = new org.apache.hadoop.fs.Path(s"$base/.purge_trash_$subdir")
     fs.delete(tmp, true)
     fs.delete(trash, true)
-    val base = spark.read.parquet(root.toString)
+    val scan = spark.read.parquet(root.toString)
       .filter(col("cell").isin(touched.map(Int.box).toIndexedSeq: _*))
-    val live = base.join(broadcast(dels.select("corpus_id")),
+    val live = scan.join(broadcast(dels.select("corpus_id")),
       Seq("corpus_id"), "left_anti")
     live.repartition(splits.map(_._2).sum, col("cell"), salt)
       .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
@@ -439,12 +518,13 @@ object IvfIndex {
     * next purge re-derive the rewrite. Trash dirs only ever hold
     * superseded originals and are dropped. */
   private[ops] def recoverStore(spark: SparkSession, out: String): Unit = {
-    val outP = new org.apache.hadoop.fs.Path(out)
+    val base = dataRoot(spark, out)
+    val outP = new org.apache.hadoop.fs.Path(base)
     val fs = outP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(outP)) return
     Seq("cells", "vectors").foreach { subdir =>
-      val root = new org.apache.hadoop.fs.Path(s"$out/$subdir")
-      val tmp = new org.apache.hadoop.fs.Path(s"$out/.purge_tmp_$subdir")
+      val root = new org.apache.hadoop.fs.Path(s"$base/$subdir")
+      val tmp = new org.apache.hadoop.fs.Path(s"$base/.purge_tmp_$subdir")
       if (fs.exists(tmp)) {
         if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
           fs.listStatus(tmp)
@@ -455,16 +535,16 @@ object IvfIndex {
             }
         fs.delete(tmp, true)
       }
-      fs.delete(new org.apache.hadoop.fs.Path(s"$out/.purge_trash_$subdir"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$base/.purge_trash_$subdir"), true)
     }
-    // compact leftovers: .compact_tmp_<subdir>_cell=N at the store root
+    // compact leftovers: .compact_tmp_<subdir>_cell=N at the data root
     fs.listStatus(outP).foreach { s =>
       val n = s.getPath.getName
       if (n.startsWith(".compact_tmp_")) {
         val rest = n.stripPrefix(".compact_tmp_")
         val i = rest.indexOf("_cell=")
         val dst = if (i > 0) Some(new org.apache.hadoop.fs.Path(
-          s"$out/${rest.substring(0, i)}/${rest.substring(i + 1)}")) else None
+          s"$base/${rest.substring(0, i)}/${rest.substring(i + 1)}")) else None
         dst match {
           case Some(d) if !fs.exists(d) &&
               fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")) =>
@@ -484,7 +564,7 @@ object IvfIndex {
     * a crash at any point is completed or discarded by
     * [[recoverStore]]. */
   private def rewriteCellDir(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
-                             out: String, subdir: String,
+                             base: String, subdir: String,
                              d: org.apache.hadoop.fs.Path,
                              targetFileBytes: Long,
                              dropDels: Option[DataFrame]): Unit = {
@@ -494,16 +574,16 @@ object IvfIndex {
     val bytes = dataFiles.map(_.getLen).sum
     val target = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     val tmp = new org.apache.hadoop.fs.Path(
-      s"$out/.compact_tmp_${subdir}_${d.getName}")
+      s"$base/.compact_tmp_${subdir}_${d.getName}")
     val trash = new org.apache.hadoop.fs.Path(
-      s"$out/.compact_trash_${subdir}_${d.getName}")
+      s"$base/.compact_trash_${subdir}_${d.getName}")
     fs.delete(tmp, true)
     fs.delete(trash, true)
-    val base = spark.read.parquet(d.toString)
+    val scan = spark.read.parquet(d.toString)
     val live = dropDels
-      .map(ds => base.join(broadcast(ds.select("corpus_id")),
+      .map(ds => scan.join(broadcast(ds.select("corpus_id")),
         Seq("corpus_id"), "left_anti"))
-      .getOrElse(base)
+      .getOrElse(scan)
     live.coalesce(target).write.mode("overwrite").parquet(tmp.toString)
     fs.rename(d, trash)
     fs.rename(tmp, d)
@@ -526,11 +606,12 @@ object IvfIndex {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverStore(spark, out)
     val dels = deletes(spark, out)
+    val base = dataRoot(spark, out)
     var folded = 0
     // the refine sidecar (vectors/) grows in lockstep with cells/
     // under streamed adds — its file piles fold under the same budget
     Seq("cells", "vectors").foreach { subdir =>
-      val root = new org.apache.hadoop.fs.Path(s"$out/$subdir")
+      val root = new org.apache.hadoop.fs.Path(s"$base/$subdir")
       if (fs.exists(root))
         fs.listStatus(root)
           .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
@@ -538,7 +619,7 @@ object IvfIndex {
             val dataFiles = fs.listStatus(d.getPath)
               .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
             if (dataFiles.length > maxFilesPerCell) {
-              rewriteCellDir(spark, fs, out, subdir, d.getPath,
+              rewriteCellDir(spark, fs, base, subdir, d.getPath,
                 targetFileBytes, dels)
               folded += 1
             }

@@ -35,7 +35,7 @@ import org.apache.spark.sql.functions._
  */
 object IvfPqIndex {
 
-  private def markerPath(out: String) = s"$out/_ivfpq_marker.json"
+  private def markerPath(root: String) = s"$root/_ivfpq_marker.json"
 
   final case class Marker(dim: Int, eff: Int, m: Int, ksub: Int, seed: Long,
                           idCol: String, vecCol: String)
@@ -45,24 +45,35 @@ object IvfPqIndex {
             coarseSample: Int = 2048, pqSample: Int = 256,
             coarseIters: Int = 8, pqIters: Int = 4, seed: Long = 42L,
             idCol: String = "vec_id", vecCol: String = "embedding",
-            refineStore: Boolean = false): Unit = {
+            refineStore: Boolean = false): Unit =
+    writeGeneration(corpus, out, dim, nlist, m, ksub, coarseSample, pqSample,
+      coarseIters, pqIters, seed, idCol, vecCol, refineStore)
+
+  /** One complete generation under `root` — shared by [[build]]
+    * (root = store root, gen 0) and [[retrain]] (the next `gN/`). */
+  private def writeGeneration(corpus: DataFrame, root: String, dim: Int,
+                              nlist: Int, m: Int, ksub: Int,
+                              coarseSample: Int, pqSample: Int,
+                              coarseIters: Int, pqIters: Int, seed: Long,
+                              idCol: String, vecCol: String,
+                              refineStore: Boolean): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val (centroids, codebooks) = Similarity.trainIvfPq(corpus, dim, nlist, m,
       ksub, coarseSample, pqSample, coarseIters, pqIters, seed, idCol, vecCol)
     centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("i", "c").coalesce(1)
-      .write.mode("overwrite").parquet(s"$out/centroids")
+      .write.mode("overwrite").parquet(s"$root/centroids")
     // flat [s][code][dim/m] layout, one row per (subspace, code)
     val dsub = dim / m
     (0 until m).flatMap(s => (0 until ksub).map { c =>
       (s, c, codebooks.slice((s * ksub + c) * dsub, (s * ksub + c + 1) * dsub))
     }).toDF("s", "code", "c").coalesce(1)
-      .write.mode("overwrite").parquet(s"$out/codebooks")
+      .write.mode("overwrite").parquet(s"$root/codebooks")
     val full = Similarity.encodeIvfPqFull(corpus, centroids, codebooks,
       dim, m, ksub, idCol, vecCol)
     full.select(col("cell"), col("corpus_id"), col("codes"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$out/cells")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$root/cells")
     // refineStore (FAISS IndexRefineFlat): a raw-vector SIDECAR under
     // vectors/, cell-partitioned in lockstep with the code cells, so
     // two-stage serving fetches re-rank vectors from the probed cells
@@ -71,22 +82,70 @@ object IvfPqIndex {
     // store can never disagree on assignment.
     if (refineStore)
       full.select(col("cell"), col("corpus_id"), col("cvec"), col("cnorm"))
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$out/vectors")
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$root/vectors")
     val mk = s"""{"dim":$dim,"eff":${centroids.length},"m":$m,"ksub":$ksub,""" +
       s""""seed":$seed,"idCol":"$idCol","vecCol":"$vecCol"}"""
-    val p = new org.apache.hadoop.fs.Path(markerPath(out))
+    val p = new org.apache.hadoop.fs.Path(markerPath(root))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val os = fs.create(p, true)
     try os.write(mk.getBytes("UTF-8")) finally os.close()
   }
 
+  /** Retrain + RE-ENCODE into a new generation ([[IvfIndex.retrain]]'s
+    * contract at the PQ tier): requires the raw-vector refine sidecar
+    * (`build(refineStore = true)`) — the code store alone cannot
+    * retrain, codes are lossy. Re-runs the full quantizer training
+    * (coarse + sub-codebooks, same seeds/protocol) over the live
+    * sidecar corpus (store + adds − deletes), re-encodes every vector,
+    * writes codes + sidecar under `out/gN/`, and commits with one
+    * `_gen_N` creation; old-generation serving is untouched until the
+    * commit, tombstones fold in and clear after it. Bit-identical to
+    * `build(refineStore = true)` over the same live corpus. Returns
+    * the new generation number. */
+  def retrain(spark: SparkSession, out: String, nlist: Int = 0,
+              m: Int = 0, ksub: Int = 0): Int = {
+    IvfIndex.recoverStore(spark, out)
+    require(hasRefineStore(spark, out),
+      s"$out has no vectors/ refine sidecar — an IVF-PQ store can only " +
+        "retrain from raw vectors (build(refineStore = true))")
+    val mk = readMarker(spark, out)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val g = IvfIndex.generation(fs, out)
+    val root = IvfIndex.dataRoot(spark, out)
+    val corpus = IvfIndex.exceptDeleted(spark, out,
+        spark.read.parquet(s"$root/vectors"))
+      .select(col("corpus_id").as(mk.idCol), col("cvec").as(mk.vecCol))
+    val newRoot = s"$out/g${g + 1}"
+    fs.delete(new org.apache.hadoop.fs.Path(newRoot), true) // crashed attempt
+    writeGeneration(corpus, newRoot, mk.dim,
+      if (nlist > 0) nlist else mk.eff, if (m > 0) m else mk.m,
+      if (ksub > 0) ksub else mk.ksub, coarseSample = 2048, pqSample = 256,
+      coarseIters = 8, pqIters = 4, mk.seed, mk.idCol, mk.vecCol,
+      refineStore = true)
+    fs.create(new org.apache.hadoop.fs.Path(s"$out/_gen_${g + 1}"), true).close()
+    fs.delete(new org.apache.hadoop.fs.Path(s"$out/deletes"), true)
+    g + 1
+  }
+
   private def hasRefineStore(spark: SparkSession, out: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$out/vectors")
+    val p = new org.apache.hadoop.fs.Path(
+      s"${IvfIndex.dataRoot(spark, out)}/vectors")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Store-type probe for sinks that accept either index flavor: an
+    * IVF-PQ store carries `_ivfpq_marker.json` in its CURRENT
+    * generation's data root. */
+  private[graft] def isPqStore(spark: SparkSession, out: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(
+      markerPath(IvfIndex.dataRoot(spark, out)))
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   private def readMarker(spark: SparkSession, out: String): Marker = {
-    val p = new org.apache.hadoop.fs.Path(markerPath(out))
+    val p = new org.apache.hadoop.fs.Path(
+      markerPath(IvfIndex.dataRoot(spark, out)))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
     val in = fs.open(p)
@@ -100,10 +159,11 @@ object IvfPqIndex {
 
   private def loadQuantizers(spark: SparkSession, out: String, mk: Marker)
       : (Array[Array[Double]], IndexedSeq[Double]) = {
-    val centroids = spark.read.parquet(s"$out/centroids")
+    val root = IvfIndex.dataRoot(spark, out)
+    val centroids = spark.read.parquet(s"$root/centroids")
       .orderBy("i").collect()
       .map(r => r.getSeq[Double](r.fieldIndex("c")).toArray)
-    val codebooks = spark.read.parquet(s"$out/codebooks")
+    val codebooks = spark.read.parquet(s"$root/codebooks")
       .orderBy("s", "code").collect()
       .flatMap(r => r.getSeq[Double](r.fieldIndex("c")))
       .toIndexedSeq
@@ -138,7 +198,7 @@ object IvfPqIndex {
       mk.m, mk.ksub, nprobe, mk.idCol, mk.vecCol)
     // probed cells -> partition-pruning literals (bounded: |Q|·nprobe)
     val probed = probes.select(col("cell")).distinct().collect().map(_.getInt(0))
-    val cells = spark.read.parquet(s"$out/cells")
+    val cells = spark.read.parquet(s"${IvfIndex.dataRoot(spark, out)}/cells")
       .filter(col("cell").isin(probed.map(Int.box).toIndexedSeq: _*))
     val searched = IvfIndex.restrictToAllowed(
       IvfIndex.exceptDeleted(spark, out, cells), allowed)
@@ -235,7 +295,7 @@ object IvfPqIndex {
     // In pushes only while the literal stays Catalyst-cheap (see
     // queryRefined) — past maxPushedIds the re-rank's broadcast join
     // carries the id restriction inside the plan instead
-    val sidecar = spark.read.parquet(s"$out/vectors")
+    val sidecar = spark.read.parquet(s"${IvfIndex.dataRoot(spark, out)}/vectors")
       .filter(col("cell").isin(probed.map(Int.box).toIndexedSeq: _*))
     val fetch =
       if (candIds.size <= maxPushedIds)
@@ -307,11 +367,12 @@ object IvfPqIndex {
     val (centroids, codebooks) = loadQuantizers(spark, out, mk)
     val full = Similarity.encodeIvfPqFull(vectors, centroids, codebooks,
       mk.dim, mk.m, mk.ksub, mk.idCol, mk.vecCol)
+    val root = IvfIndex.dataRoot(spark, out)
     full.select(col("cell"), col("corpus_id"), col("codes"))
-      .write.mode("append").partitionBy("cell").parquet(s"$out/cells")
+      .write.mode("append").partitionBy("cell").parquet(s"$root/cells")
     if (hasRefineStore(spark, out))
       full.select(col("cell"), col("corpus_id"), col("cvec"), col("cnorm"))
-        .write.mode("append").partitionBy("cell").parquet(s"$out/vectors")
+        .write.mode("append").partitionBy("cell").parquet(s"$root/vectors")
     IvfIndex.compact(spark, out, maxFilesPerCell)
     ()
   }

@@ -94,13 +94,9 @@ object StreamingIngest {
     vectors.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        // dispatch on the store's marker: the IVF-PQ store shares the
-        // cells/ layout but encodes to codes instead of raw vectors
-        val isPq = {
-          val p = new org.apache.hadoop.fs.Path(s"$store/_ivfpq_marker.json")
-          p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-        }
-        if (isPq)
+        // dispatch on the store's marker (generation-resolved): the
+        // IVF-PQ store shares the cells/ layout but encodes to codes
+        if (graft.ops.IvfPqIndex.isPqStore(spark, store))
           graft.ops.IvfPqIndex.addBatch(spark, store, batch, batchId,
             maxFilesPerCell, streamId)
         else

@@ -236,6 +236,80 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out/.purge_tmp_cells")))
   }
 
+  test("retrain: drift drops on a planted-shift corpus, answers match a " +
+      "fresh build over the live corpus, old generation stays untouched " +
+      "(serving until the _gen_N swap), deletes fold in") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("ivf_retrain_").toString
+    val half = emb.filter(col("vec_id") < 250)
+    // the distribution MOVES: the second half arrives displaced on dim 0
+    val shifted = emb.filter(col("vec_id") >= 250).select(col("vec_id"),
+      transform(col("embedding").cast("array<double>"),
+        (x, i) => x + when(i === 0, lit(0.5)).otherwise(lit(0.0)))
+        .as("embedding"))
+    IvfIndex.build(half, out, dim = 64)
+    IvfIndex.add(spark, out, shifted)
+    val victims = Seq(7L, 301L)
+    IvfIndex.removeIds(spark, out, victims.toDF("vec_id"))
+    def recentMeanMilli(): Double = {
+      val r = IvfIndex.assignmentDrift(spark, out, shifted)
+        .filter(col("cohort") === "recent").collect().head
+      r.getLong(2).toDouble / r.getLong(1)
+    }
+    val driftBefore = recentMeanMilli()
+    // freeze the old generation's physical state before the swap
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def listing(dir: String): Set[(String, Long)] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      fs.listStatus(p).flatMap { d =>
+        if (d.isDirectory) fs.listStatus(d.getPath)
+          .map(f => (s"${d.getPath.getName}/${f.getPath.getName}", f.getLen))
+        else Array((d.getPath.getName, d.getLen))
+      }.toSet
+    }
+    val oldCells = listing(s"$out/cells")
+    val gen = IvfIndex.retrain(spark, out)
+    assert(gen === 1)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$out/_gen_1")))
+    // the old generation's dirs are byte-identical — an in-flight query
+    // that resolved its paths before the commit keeps serving them
+    assert(listing(s"$out/cells") === oldCells,
+      "retrain touched the old generation's files")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$out/g1/cells")))
+    // the retrain trigger closes: centroids now describe the shifted
+    // data, the recent cohort's mean assignment distance drops
+    val driftAfter = recentMeanMilli()
+    assert(driftAfter < driftBefore,
+      s"drift did not drop after retrain: $driftBefore -> $driftAfter")
+    // retrain-then-query == build-from-scratch-then-query over the SAME
+    // live corpus (store + adds - deletes), cosines included
+    val live = half.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      .unionByName(shifted)
+      .filter(!col("vec_id").isin(victims.map(Long.box): _*))
+    val fresh = java.nio.file.Files.createTempDirectory("ivf_fresh_").toString
+    IvfIndex.build(live, fresh, dim = 64)
+    val queries = emb.filter(col("vec_id") < 10)
+    def answers(o: String) = IvfIndex.query(spark, o, queries, k = 5, nprobe = 8)
+      .select("query_id", "rank", "corpus_id", "cosine")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(answers(out) === answers(fresh))
+    // tombstones folded in physically and the tombstone dir cleared
+    assert(spark.read.parquet(s"$out/g1/cells")
+      .filter(col("corpus_id").isin(victims.map(Long.box): _*)).count() === 0)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out/deletes")))
+    // post-retrain adds land in the NEW generation and serve
+    IvfIndex.add(spark, out,
+      emb.filter(col("vec_id") === 0)
+        .select((col("vec_id") + 50000L).as("vec_id"), col("embedding")))
+    assert(spark.read.parquet(s"$out/g1/cells")
+      .filter(col("corpus_id") === 50000L).count() === 1)
+    assert(IvfIndex.query(spark, out, queries, k = 500, nprobe = 16)
+      .filter(col("corpus_id") === 50000L).count() > 0)
+  }
+
   test("a crash mid-purge-swap loses no rows: the rerun completes the " +
       "pending swap instead of deleting the only copy in the tmp dir") {
     val out = java.nio.file.Files.createTempDirectory("ivf_crash_purge_").toString

@@ -265,6 +265,43 @@ class IvfPqIndexSpec extends AnyFunSuite {
     assert(afterEven.subsetOf(before.map(_._2)))
   }
 
+  test("IVF-PQ retrain re-encodes codes + sidecar into a new generation " +
+      "from the live sidecar corpus; answers match a fresh build; a " +
+      "code-only store refuses (codes are lossy)") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("ivfpq_retrain_").toString
+    IvfPqIndex.build(emb.filter(col("vec_id") < 300), out, dim = 64,
+      refineStore = true)
+    IvfPqIndex.add(spark, out, emb.filter(col("vec_id") >= 300))
+    val victims = Seq(3L, 333L)
+    IvfPqIndex.removeIds(spark, out, victims.toDF("vec_id"))
+    val gen = IvfPqIndex.retrain(spark, out)
+    assert(gen === 1)
+    val live = emb.filter(!col("vec_id").isin(victims.map(Long.box): _*))
+    val fresh = java.nio.file.Files.createTempDirectory("ivfpq_freshg_").toString
+    IvfPqIndex.build(live, fresh, dim = 64, refineStore = true)
+    val queries = emb.filter(col("vec_id") < 10)
+    def adc(o: String) = IvfPqIndex.query(spark, o, queries, k = 5, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    def refined(o: String) = IvfPqIndex.queryRefinedStored(spark, o, queries,
+        k = 5, kCandidates = 20, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(adc(out) === adc(fresh))
+    assert(refined(out) === refined(fresh))
+    // sidecar re-encoded in lockstep in the new generation
+    val nc = spark.read.parquet(s"$out/g1/cells").count()
+    assert(nc === live.count())
+    assert(spark.read.parquet(s"$out/g1/vectors").count() === nc)
+    // a code-only store cannot retrain — codes are lossy
+    val codeOnly = java.nio.file.Files.createTempDirectory("ivfpq_codeonly_").toString
+    IvfPqIndex.build(emb.filter(col("vec_id") < 100), codeOnly, dim = 64)
+    intercept[IllegalArgumentException] {
+      IvfPqIndex.retrain(spark, codeOnly)
+    }
+  }
+
   test("remove_ids: deleted ids never surface; purge reclaims the rows " +
       "and clears the tombstones without changing answers") {
     val out = java.nio.file.Files.createTempDirectory("ivfpq_del_").toString
