@@ -804,10 +804,8 @@ object Graft {
   // exact cosines over probed cells) and IVF-PQ (m codes per vector,
   // ~32× smaller, ADC scoring — the billion-vector recipe).
 
-  private def isPqStore(spark: SparkSession, store: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$store/_ivfpq_marker.json")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
+  private def isPqStore(spark: SparkSession, store: String): Boolean =
+    graft.ops.IvfPqIndex.isPqStore(spark, store)
 
   /** Build a persisted ANN index over `(idCol, vecCol)`:
     * `compressed = false` → [[graft.ops.IvfIndex]] (raw vectors);
@@ -906,4 +904,13 @@ object Graft {
   def annAssignmentDrift(spark: SparkSession, store: String,
                          recent: DataFrame): DataFrame =
     graft.ops.IvfIndex.assignmentDrift(spark, store, recent)
+
+  /** Act on the drift signal: re-train (and for a PQ store re-encode)
+    * over the live corpus into a NEW generation, committed atomically
+    * by one `_gen_N` file — old-generation reads keep serving until
+    * the swap; tombstones fold in. PQ stores require the raw-vector
+    * refine sidecar (codes are lossy). Returns the new generation. */
+  def retrainAnnIndex(spark: SparkSession, store: String): Int =
+    if (isPqStore(spark, store)) graft.ops.IvfPqIndex.retrain(spark, store)
+    else graft.ops.IvfIndex.retrain(spark, store)
 }
