@@ -770,6 +770,65 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("corpus_id"))
     }),
 
+    // Unigram-LM (SentencePiece) tokenizer training, stage 1 — the
+    // SEED VOCABULARY: freq-weighted counts of all substrings (≤4
+    // chars) of the word-frequency table, top-300 by (cnt, piece)
+    // union every single character (coverage). One distributed
+    // explode+aggregate over the one-shuffle word table; pure integer.
+    "q310_unigram_seed" -> ((s, d) => {
+      val words = text.Bpe.wordFrequencies(Tables.documents(s, d), "text")
+      text.Unigram.seedVocab(words, seedSize = 300, maxPieceLen = 4)
+        .select(col("piece"), col("cnt"))
+    }),
+
+    // Unigram-LM stage 2 — the first E-STEP: Viterbi argmax
+    // segmentation of the top-200 short words under the seed scores
+    // (integer milli log-probs, floor(x+0.5) — identical on both
+    // engines), ties broken by the lexicographically smallest
+    // segmentation. The oracle ENUMERATES every segmentation in a
+    // recursive CTE and takes the same argmax — two independent
+    // implementations of the DP contract must agree on score AND path.
+    "q311_unigram_estep" -> ((s, d) => {
+      import s.implicits._
+      val all = text.Bpe.wordFrequencies(Tables.documents(s, d), "text")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val seed = text.Unigram.seedInMemory(all, seedSize = 300, maxPieceLen = 4)
+      val total = seed.iterator.map(_._2).sum
+      val scores = seed.iterator
+        .map { case (p, c) => p -> text.Unigram.scoreMilli(c, total) }.toMap
+      val words = all.filter(_._1.length <= 10)
+        .sortBy { case (w, f) => (-f, w) }.take(200)
+      words.map { case (w, f) =>
+        val (sc, seg) = text.Unigram.viterbi(w, scores, 4).get
+        (w, f, sc, seg.mkString(" "))
+      }.toDF("word", "freq", "score_milli", "seg")
+    }),
+
+    // Unigram-LM stage 3 — the M-STEP re-estimate: freq-weighted
+    // expected piece counts over the E-step segmentations (the counts
+    // the next EM round's probabilities come from), top-50. The full
+    // EM+prune loop (Unigram.learnInMemory) is fuzz-locked against an
+    // exhaustive-enumeration reference in UnigramSpec.
+    "q312_unigram_mstep" -> ((s, d) => {
+      import s.implicits._
+      val all = text.Bpe.wordFrequencies(Tables.documents(s, d), "text")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val seed = text.Unigram.seedInMemory(all, seedSize = 300, maxPieceLen = 4)
+      val total = seed.iterator.map(_._2).sum
+      val scores = seed.iterator
+        .map { case (p, c) => p -> text.Unigram.scoreMilli(c, total) }.toMap
+      val words = all.filter(_._1.length <= 10)
+        .sortBy { case (w, f) => (-f, w) }.take(200)
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      words.foreach { case (w, f) =>
+        text.Unigram.viterbi(w, scores, 4).foreach { case (_, pieces) =>
+          pieces.foreach(p => counts.update(p, counts.getOrElse(p, 0L) + f))
+        }
+      }
+      counts.toSeq.sortBy { case (p, c) => (-c, p) }.take(50)
+        .toDF("piece", "cnt")
+    }),
+
     // ANN recall@k evaluation (ann-benchmarks' acceptance metric): the
     // quantized two-stage refine (q305 serving path) scored against
     // the exact brute-force truth — per query |approx∩exact|·200 in
@@ -4973,6 +5032,54 @@ object SparkEntry {
   private val knnVec: Seq[Double] =
     (1 to 64).map(i => (((i * 37) % 19) - 9) * 0.25)
 
+  /** Shared CTE body for the unigram-LM oracles (q310/q311/q312): the
+    * word table, substring counts, the seed vocabulary (top-300 union
+    * single chars) and its integer-milli scores — floor(x+0.5), the
+    * rounding with identical semantics on both engines. */
+  private val unigramSeedBody: String =
+    """toks AS (SELECT t AS word FROM (
+      |    SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+      |    FROM documents) u WHERE t <> ''),
+      |wf AS (SELECT word, count(*) AS freq FROM toks GROUP BY 1),
+      |subs AS (
+      |  SELECT substr(word, s, CAST(l AS INTEGER)) AS piece, sum(freq) AS cnt
+      |  FROM (
+      |    SELECT word, freq, s, unnest([1, 2, 3, 4]) AS l
+      |    FROM (SELECT word, freq,
+      |      CAST(unnest(range(1, length(word) + 1)) AS INTEGER) AS s FROM wf))
+      |  WHERE s + l - 1 <= length(word)
+      |  GROUP BY 1),
+      |topseed AS (SELECT piece, cnt FROM subs ORDER BY cnt DESC, piece LIMIT 300),
+      |seed0 AS (SELECT DISTINCT piece, cnt FROM (
+      |  SELECT piece, cnt FROM topseed UNION ALL
+      |  SELECT piece, cnt FROM subs WHERE length(piece) = 1)),
+      |tot AS (SELECT sum(cnt) AS t FROM seed0),
+      |seed AS (SELECT piece, cnt,
+      |  CAST(floor(ln(CAST(cnt AS DOUBLE) / t) * 1000 + 0.5) AS BIGINT)
+      |    AS score_milli
+      |  FROM seed0, tot)""".stripMargin
+
+  /** The E-step enumeration: every segmentation of the top-200 short
+    * words as a recursive CTE over the seed pieces, argmax per word by
+    * (score desc, seg asc) — the independent replay of the Viterbi DP. */
+  private val unigramEstepBody: String =
+    """w AS (SELECT word, freq FROM wf WHERE length(word) <= 10
+      |  ORDER BY freq DESC, word LIMIT 200),
+      |r AS (
+      |  SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS score, '' AS seg FROM w
+      |  UNION ALL
+      |  SELECT r.word, r.pos + length(s.piece) AS pos,
+      |    r.score + s.score_milli AS score,
+      |    CASE WHEN r.seg = '' THEN s.piece
+      |         ELSE r.seg || ' ' || s.piece END AS seg
+      |  FROM r CROSS JOIN generate_series(1, 4) g(l)
+      |  JOIN seed s ON s.piece = substr(r.word, r.pos + 1, CAST(g.l AS INTEGER))
+      |  WHERE r.pos + g.l <= length(r.word)),
+      |best AS (
+      |  SELECT word, score, seg, row_number() OVER (
+      |    PARTITION BY word ORDER BY score DESC, seg ASC) AS rn
+      |  FROM r WHERE pos = length(word))""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_match_all" -> "SELECT count(*) AS cnt FROM lineitem",
 
@@ -6235,6 +6342,40 @@ object SparkEntry {
         |SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
         |FROM pairs GROUP BY a, b
         |ORDER BY cnt DESC, a, b LIMIT 20""".stripMargin,
+
+    // Unigram-LM seed vocabulary: substring counting is pure integer;
+    // top-300 by (cnt, piece) UNION all single chars (UNION dedups the
+    // overlap). Lateral generate_series plays Spark's nested transform.
+    "q310_unigram_seed" ->
+      s"""WITH $unigramSeedBody
+         |SELECT piece, CAST(cnt AS BIGINT) AS cnt FROM seed0
+         |ORDER BY cnt DESC, piece""".stripMargin,
+
+    // Unigram-LM first E-step: the oracle ENUMERATES every segmentation
+    // of each word (recursive CTE over the seed pieces) and takes the
+    // (score desc, seg asc) argmax — the Spark side's Viterbi DP must
+    // land on the identical score AND path, milli-integer exact
+    "q311_unigram_estep" ->
+      s"""WITH RECURSIVE $unigramSeedBody,
+         |$unigramEstepBody
+         |SELECT w.word, CAST(w.freq AS BIGINT) AS freq,
+         |  b.score AS score_milli, b.seg AS seg
+         |FROM w JOIN best b ON b.word = w.word AND b.rn = 1
+         |ORDER BY freq DESC, w.word""".stripMargin,
+
+    // Unigram-LM M-step re-estimate: expected piece counts over the
+    // enumerated argmax segmentations, freq-weighted, top-50
+    "q312_unigram_mstep" ->
+      s"""WITH RECURSIVE $unigramSeedBody,
+         |$unigramEstepBody,
+         |chosen AS (
+         |  SELECT w.freq, b.seg FROM w
+         |  JOIN best b ON b.word = w.word AND b.rn = 1),
+         |mstep AS (
+         |  SELECT unnest(string_split(seg, ' ')) AS piece, freq FROM chosen)
+         |SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+         |FROM mstep GROUP BY piece
+         |ORDER BY cnt DESC, piece LIMIT 50""".stripMargin,
 
     // integer-space bigram surprise: ((c(prev)+V)*1000) // (c(prev,cur)+1)
     // summed per doc; docs with < 2 tokens have no bigrams on either

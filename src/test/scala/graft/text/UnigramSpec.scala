@@ -1,0 +1,117 @@
+package graft.text
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.{forAll, propBoolean}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unigram-LM trainer: the DP argmax must equal a full enumeration
+  * (score AND tie-broken segmentation), the E-step must equal a naive
+  * recount, and the learn loop must be deterministic and bounded. */
+object UnigramProps extends Properties("unigram-lm") {
+
+  private val wordGen = for {
+    len <- Gen.choose(1, 8)
+    cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+  } yield cs.mkString
+  private val corpusGen: Gen[Seq[(String, Long)]] = for {
+    nw <- Gen.choose(1, 12)
+    ws <- Gen.listOfN(nw, wordGen)
+    fs <- Gen.listOfN(nw, Gen.choose(1L, 9L))
+  } yield ws.zip(fs).groupBy(_._1).view
+    .mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+
+  private def scoresOf(seed: Seq[(String, Long)]): Map[String, Long] = {
+    val total = seed.iterator.map(_._2).sum
+    seed.iterator.map { case (p, c) => p -> Unigram.scoreMilli(c, total) }.toMap
+  }
+
+  /** Exponential reference: ALL segmentations, argmax by
+    * (score desc, space-joined seg asc). */
+  private def naiveBest(word: String, scores: Map[String, Long],
+                        maxPieceLen: Int): Option[(Long, String)] = {
+    def segs(i: Int): Seq[(Long, List[String])] =
+      if (i == word.length) Seq((0L, Nil))
+      else (1 to math.min(maxPieceLen, word.length - i)).flatMap { l =>
+        val p = word.substring(i, i + l)
+        scores.get(p).toSeq.flatMap(sc =>
+          segs(i + l).map { case (s, rest) => (s + sc, p :: rest) })
+      }
+    val all = segs(0).map { case (s, ps) => (s, ps.mkString(" ")) }
+    if (all.isEmpty) None
+    else Some(all.minBy { case (s, seg) => (-s, seg) })
+  }
+
+  property("viterbi == full enumeration (score and tie-broken seg)") =
+    forAll(corpusGen, Gen.choose(2, 24)) { (corpus, seedSize) =>
+      val scores = scoresOf(Unigram.seedInMemory(corpus, seedSize, 3))
+      corpus.forall { case (w, _) =>
+        val dp = Unigram.viterbi(w, scores, 3)
+          .map { case (s, v) => (s, v.mkString(" ")) }
+        dp == naiveBest(w, scores, 3)
+      }
+    }
+
+  property("eStep == naive recount over enumerated argmax segs") =
+    forAll(corpusGen) { corpus =>
+      val scores = scoresOf(Unigram.seedInMemory(corpus, 16, 3))
+      val naive = scala.collection.mutable.HashMap.empty[String, Long]
+      corpus.foreach { case (w, f) =>
+        naiveBest(w, scores, 3).foreach { case (_, seg) =>
+          seg.split(" ").foreach(p =>
+            naive.update(p, naive.getOrElse(p, 0L) + f))
+        }
+      }
+      Unigram.eStepCounts(corpus, scores, 3) == naive.toMap
+    }
+
+  property("learn: deterministic, char-coverage kept, encode spells " +
+      "every word back, vocab within budget") =
+    forAll(corpusGen) { corpus =>
+      val chars = corpus.flatMap(_._1.toSet).map(_.toString).toSet
+      val budget = chars.size + 4
+      val a = Unigram.learnInMemory(corpus, budget, seedSize = 24,
+        maxPieceLen = 3)
+      val b = Unigram.learnInMemory(corpus, budget, seedSize = 24,
+        maxPieceLen = 3)
+      val pieces = a.map(_.piece).toSet
+      ((a == b) :| "nondeterministic learn") &&
+        (chars.subsetOf(pieces) :| s"chars pruned: ${chars diff pieces}") &&
+        ((a.count(_.piece.length > 1) <= budget) :| "vocab over budget") &&
+        (corpus.forall { case (w, _) =>
+          Unigram.encode(w, a, 3).mkString("") == w
+        } :| "encode does not spell a word back")
+    }
+}
+
+/** Distributed seed == in-memory seed over the same word table. */
+class UnigramSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("seedVocab (distributed) == seedInMemory over the same table") {
+    import spark.implicits._
+    val words = Seq(("banana", 3L), ("bandana", 2L), ("nab", 5L),
+      ("an", 7L), ("b7b", 1L)).toDF("word", "freq")
+    val dist = Unigram.seedVocab(words, seedSize = 10, maxPieceLen = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (p, c) => (-c, p) }.toSeq
+    val mem = Unigram.seedInMemory(
+      Seq(("banana", 3L), ("bandana", 2L), ("nab", 5L), ("an", 7L),
+        ("b7b", 1L)), seedSize = 10, maxPieceLen = 3)
+    assert(dist === mem)
+  }
+
+  test("trained vocabulary favors frequent multi-char pieces") {
+    import spark.implicits._
+    val docs = Seq.fill(40)("the cat sat on the mat").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val vocab = Unigram.learn(docs, "text", vocabSize = 12,
+      seedSize = 64, maxPieceLen = 3)
+    val pieces = vocab.map(_.piece).toSet
+    // 'the' is the most frequent trigram-able word: it must survive as
+    // one piece, and encode as itself
+    assert(pieces.contains("the"))
+    assert(Unigram.encode("the", vocab, 3) === Vector("the"))
+  }
+}
