@@ -134,6 +134,7 @@ object SparkEntry {
     "q298_ivf_delete",         // ivf_del (ivf_index + tombstoned ids)
     "q300_stream_ann_ingest",  // ivf_stream (build + streamed adds)
     "q309_ann_retrain",        // ivf_retrain (build half + add + retrain)
+    "q313_hnsw_recall_gate",   // hnsw_index (sharded graph build)
     "q305_ivfpq_refine_stored", // ivfpq_refine (codes + raw-vector sidecar)
     "q286_tiered_merge",       // q286_tiered base store (upserts idempotent)
     "q289_index_multivalued",  // part_mv (array-surfaced store)
@@ -768,6 +769,33 @@ object SparkEntry {
       IvfIndex.query(s, out, Tables.embeddings(s, d).filter(col("vec_id") < 10),
           k = 5, nprobe = 8)
         .select(col("query_id"), col("rank"), col("corpus_id"))
+    }),
+
+    // HNSW (the Lucene {!knn} parity tier — Solr 9's actual vector
+    // search is one Lucene HNSW graph per shard with a scatter-gather
+    // merge; this is that architecture Spark-first, deterministic
+    // build via md5-derived levels + (dist, id) tie-breaks). A graph
+    // walk has no closed-form SQL replay, so the entry is
+    // RECALL-FLOOR-GATED with the exact truth leg: per query,
+    // recall@5 vs the replayable brute-force truth must clear 0.8 at
+    // ef=64 — the oracle pins the (query, floor-met) table, so a
+    // broken build, level assignment or shard merge hash-fails here
+    // (HnswIndexSpec locks bit-identical builds and >=IVF recall at
+    // equal candidate budget).
+    "q313_hnsw_recall_gate" -> ((s, d) => {
+      import graft.ops.{HnswIndex, RankingEval}
+      val out = sharedStore(d, "hnsw_index") { o =>
+        HnswIndex.build(Tables.embeddings(s, d), o, dim = 64)
+      }
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10)
+      val exact = ops.Similarity.bruteForceTopK(emb, queries, 5)
+        .select(col("query_id"), col("corpus_id"))
+      val approx = HnswIndex.query(s, out, queries, k = 5, efSearch = 64)
+        .select(col("query_id"), col("corpus_id"))
+      RankingEval.annRecallAtK(exact, approx, k = 5)
+        .select(col("query_id"),
+          (col("recall_milli") >= 800).as("meets_floor"))
     }),
 
     // Unigram-LM (SentencePiece) tokenizer training, stage 1 — the
@@ -9182,6 +9210,13 @@ object SparkEntry {
       // tier (a retrain that forgot adds or perturbed the training
       // protocol hash-fails)
       "q309_ann_retrain" -> ivfAnnSql,
+      // HNSW recall-floor gate: the graph walk has no SQL replay; the
+      // oracle pins per-query floor satisfaction against the exact
+      // truth leg (recall computed Spark-side vs replayable brute
+      // force) — any recall regression flips a boolean and hash-fails
+      "q313_hnsw_recall_gate" ->
+        """SELECT DISTINCT vec_id AS query_id, TRUE AS meets_floor
+          |FROM embeddings WHERE vec_id < 10 ORDER BY 1""".stripMargin,
       // q287's replay with the STREAMED ids unioned into assignment
       // and scoring: training ran on the original corpus (the store
       // was built before the stream), adds assign against those
