@@ -913,4 +913,28 @@ object Graft {
   def retrainAnnIndex(spark: SparkSession, store: String): Int =
     if (isPqStore(spark, store)) graft.ops.IvfPqIndex.retrain(spark, store)
     else graft.ops.IvfIndex.retrain(spark, store)
+
+  /** Sharded deterministic-build HNSW (Solr 9's `{!knn}` architecture:
+    * one graph per shard, scatter-gather merge) — the recall-at-low-
+    * latency tier next to the IVF family's memory tier. */
+  def buildHnswIndex(corpus: DataFrame, out: String, dim: Int,
+                     shards: Int = 4, m: Int = 8,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): Unit =
+    graft.ops.HnswIndex.build(corpus, out, dim, shards, m,
+      idCol = idCol, vecCol = vecCol)
+
+  /** Top-k over the sharded HNSW store ((cosine desc, id) order,
+    * self-matches excluded). */
+  def queryHnswIndex(spark: SparkSession, store: String, queries: DataFrame,
+                     k: Int, efSearch: Int = 64): DataFrame =
+    graft.ops.HnswIndex.query(spark, store, queries, k, efSearch)
+
+  /** Train a unigram-LM (SentencePiece) tokenizer vocabulary over a
+    * corpus — one tokenize+count shuffle, then in-memory EM/prune
+    * (`graft.text.Unigram`); [[graft.text.Bpe.learn]]'s sibling. */
+  def trainUnigram(docs: DataFrame, textCol: String, vocabSize: Int,
+                   maxPieceLen: Int = 4): Seq[graft.text.Unigram.Entry] =
+    graft.text.Unigram.learn(docs, textCol, vocabSize,
+      maxPieceLen = maxPieceLen)
 }
