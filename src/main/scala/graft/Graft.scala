@@ -930,6 +930,37 @@ object Graft {
                      k: Int, efSearch: Int = 64): DataFrame =
     graft.ops.HnswIndex.query(spark, store, queries, k, efSearch)
 
+  /** FILTERED HNSW top-k (Lucene `{!knn}`+fq / FAISS IDSelector):
+    * `allowed`'s first column is the permitted id set; the walk
+    * collects accepted nodes only and falls back to exact over the
+    * accepted set when the filter is scarce (Lucene's visitedLimit
+    * contract — a very selective filter gets the exact answer). */
+  def queryHnswIndexFiltered(spark: SparkSession, store: String,
+                             queries: DataFrame, k: Int, allowed: DataFrame,
+                             efSearch: Int = 64): DataFrame =
+    graft.ops.HnswIndex.queryFiltered(spark, store, queries, k, allowed,
+      efSearch)
+
+  /** Add vectors to an HNSW store: touched shards rebuild over
+    * old ∪ new (bit-identical to a fresh build over the union) into a
+    * new atomically-committed generation. Batch adds — cost is ∝
+    * touched-shard bytes; for continuous ingest use the IVF tier. */
+  def addToHnswIndex(spark: SparkSession, store: String,
+                     vectors: DataFrame): Unit =
+    graft.ops.HnswIndex.add(spark, store, vectors)
+
+  /** Tombstone ids in an HNSW store (O(batch); dead nodes still route
+    * the walk but never surface). First column = id. */
+  def removeFromHnswIndex(spark: SparkSession, store: String,
+                          ids: DataFrame): Unit =
+    graft.ops.HnswIndex.removeIds(spark, store, ids)
+
+  /** Physically reclaim HNSW tombstones: rebuild only the touched
+    * shards into a new generation (≡ fresh build over the live rows),
+    * then clear the tombstone set. Returns shards rebuilt. */
+  def purgeHnswDeletes(spark: SparkSession, store: String): Int =
+    graft.ops.HnswIndex.purgeDeletes(spark, store)
+
   /** Train a unigram-LM (SentencePiece) tokenizer vocabulary over a
     * corpus — one tokenize+count shuffle, then in-memory EM/prune
     * (`graft.text.Unigram`); [[graft.text.Bpe.learn]]'s sibling. */

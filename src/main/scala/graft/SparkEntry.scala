@@ -135,6 +135,7 @@ object SparkEntry {
     "q300_stream_ann_ingest",  // ivf_stream (build + streamed adds)
     "q309_ann_retrain",        // ivf_retrain (build half + add + retrain)
     "q313_hnsw_recall_gate",   // hnsw_index (sharded graph build)
+    "q315_hnsw_lifecycle",     // hnsw_lifecycle (build + add + purge)
     "q305_ivfpq_refine_stored", // ivfpq_refine (codes + raw-vector sidecar)
     "q286_tiered_merge",       // q286_tiered base store (upserts idempotent)
     "q289_index_multivalued",  // part_mv (array-surfaced store)
@@ -796,6 +797,58 @@ object SparkEntry {
       RankingEval.annRecallAtK(exact, approx, k = 5)
         .select(col("query_id"),
           (col("recall_milli") >= 800).as("meets_floor"))
+    }),
+
+    // FILTERED HNSW (Lucene {!knn}+fq / FAISS IDSelector on the graph
+    // tier): the allowed-id frame joins the graph as a per-node accept
+    // flag; the walk routes THROUGH rejected nodes and collects only
+    // accepted ones, and a shard whose walk visits more nodes than its
+    // accepted count falls back to EXACT over the accepted set —
+    // Lucene's visitedLimit fallback. The filter here is scarce
+    // (accepted-per-shard < ef), so that fallback fires and the answer
+    // is EXACT: unlike the unfiltered graph walk, this entry
+    // hash-matches a full DuckDB replay (brute force over the allowed
+    // set) — the scarce-filter contract itself is what's under oracle.
+    "q314_hnsw_filtered" -> ((s, d) => {
+      import graft.ops.HnswIndex
+      val out = sharedStore(d, "hnsw_index") { o =>
+        HnswIndex.build(Tables.embeddings(s, d), o, dim = 64)
+      }
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10)
+      val allowed = emb.filter(col("vec_id") % 13 === 0).select("vec_id")
+      HnswIndex.queryFiltered(s, out, queries, k = 5, allowed,
+          efSearch = 64)
+        .select(col("query_id"), col("rank"), col("corpus_id"))
+    }),
+
+    // HNSW LIFECYCLE under one oracle: build on the evens, add the
+    // odds (add rebuilds touched shards over old ∪ new with
+    // ascending-id insertion — bit-identical to build-from-scratch
+    // over the union, the q309 two-construction-paths pattern on the
+    // graph tier), tombstone two id cohorts, purge (rebuilds ONLY the
+    // touched shards into an atomically-committed new generation),
+    // then run the scarce-filtered EXACT query. The DuckDB oracle is
+    // brute force over (allowed ∩ live): a lost add, a resurrected
+    // delete, a purge that moved a survivor's shard, or a generation
+    // swap that served half-written data all hash-fail here.
+    "q315_hnsw_lifecycle" -> ((s, d) => {
+      import graft.ops.HnswIndex
+      val out = sharedStore(d, "hnsw_lifecycle") { o =>
+        val emb = Tables.embeddings(s, d)
+        HnswIndex.build(emb.filter(col("vec_id") % 2 === 0), o, dim = 64)
+        HnswIndex.add(s, o, emb.filter(col("vec_id") % 2 === 1))
+        HnswIndex.removeIds(s, o,
+          emb.filter(col("vec_id") % 10 === 4 || col("vec_id") % 10 === 7)
+            .select("vec_id"))
+        HnswIndex.purgeDeletes(s, o)
+      }
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10)
+      val allowed = emb.filter(col("vec_id") % 13 === 0).select("vec_id")
+      HnswIndex.queryFiltered(s, out, queries, k = 5, allowed,
+          efSearch = 64)
+        .select(col("query_id"), col("rank"), col("corpus_id"))
     }),
 
     // Unigram-LM (SentencePiece) tokenizer training, stage 1 — the
@@ -9217,6 +9270,43 @@ object SparkEntry {
       "q313_hnsw_recall_gate" ->
         """SELECT DISTINCT vec_id AS query_id, TRUE AS meets_floor
           |FROM embeddings WHERE vec_id < 10 ORDER BY 1""".stripMargin,
+
+      // scarce-filtered HNSW is EXACT (the Lucene visitedLimit
+      // fallback), so the oracle is the full brute-force replay over
+      // the allowed set — same cosine tree as q25
+      "q314_hnsw_filtered" ->
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          |  FROM embeddings),
+          |q AS (SELECT * FROM e WHERE vec_id < 10),
+          |c AS (SELECT * FROM e WHERE vec_id % 13 = 0),
+          |p AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+          |  list_dot_product(q.v, c.v) /
+          |   (sqrt(list_dot_product(q.v, q.v))
+          |    * sqrt(list_dot_product(c.v, c.v))) AS cosine
+          | FROM q, c WHERE q.vec_id <> c.vec_id)
+          |SELECT query_id, CAST(rn AS INTEGER) AS rank, corpus_id FROM (
+          | SELECT query_id, corpus_id, row_number() OVER (
+          |   PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rn
+          | FROM p) t WHERE rn <= 5 ORDER BY 1, 2""".stripMargin,
+
+      // the lifecycle store's live corpus = everything minus the two
+      // tombstoned cohorts; the query side is the same scarce-filtered
+      // exact contract as q314
+      "q315_hnsw_lifecycle" ->
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          |  FROM embeddings),
+          |q AS (SELECT * FROM e WHERE vec_id < 10),
+          |c AS (SELECT * FROM e
+          |  WHERE vec_id % 13 = 0 AND vec_id % 10 NOT IN (4, 7)),
+          |p AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+          |  list_dot_product(q.v, c.v) /
+          |   (sqrt(list_dot_product(q.v, q.v))
+          |    * sqrt(list_dot_product(c.v, c.v))) AS cosine
+          | FROM q, c WHERE q.vec_id <> c.vec_id)
+          |SELECT query_id, CAST(rn AS INTEGER) AS rank, corpus_id FROM (
+          | SELECT query_id, corpus_id, row_number() OVER (
+          |   PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rn
+          | FROM p) t WHERE rn <= 5 ORDER BY 1, 2""".stripMargin,
       // q287's replay with the STREAMED ids unioned into assignment
       // and scoring: training ran on the original corpus (the store
       // was built before the stream), adds assign against those

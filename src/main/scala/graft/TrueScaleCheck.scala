@@ -56,7 +56,13 @@ object TrueScaleCheck {
     "q302_ivfpq_refine_persisted", "q300_stream_ann_ingest",
     "q298_ivf_delete", "q301_index_array_or", "q303_index_array_not",
     "q304_index_analyzed_array", "q305_ivfpq_refine_stored",
-    "q306_ann_recall_eval", "q307_ivf_filtered", "q308_ann_drift").distinct
+    "q306_ann_recall_eval", "q307_ivf_filtered", "q308_ann_drift",
+    // round-14 families: drift-triggered retrain (generation swap),
+    // the unigram seed shuffle (the only distributed unigram stage),
+    // and the HNSW tier — build+floor gate, filtered search, and the
+    // full add/delete/purge lifecycle store
+    "q309_ann_retrain", "q310_unigram_seed", "q313_hnsw_recall_gate",
+    "q314_hnsw_filtered", "q315_hnsw_lifecycle").distinct
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

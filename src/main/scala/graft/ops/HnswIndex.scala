@@ -40,10 +40,95 @@ import org.apache.spark.sql.functions._
  * stores raw vectors for distance evaluation, the Lucene trade — use
  * [[IvfPqIndex]] when memory dominates, HNSW when recall-at-low-
  * latency dominates; [[RankingEval.annRecallAtK]] arbitrates).
+ *
+ * LIFECYCLE (round 14 — parity with the IVF family's serving
+ * surface):
+ *  - [[removeIds]]: O(batch) tombstones, Lucene soft-delete
+ *    semantics — a dead node still ROUTES the walk but is never
+ *    collected, until [[purgeDeletes]] rebuilds its shard.
+ *  - [[queryFiltered]]: Lucene `acceptDocs` — the filter joins the
+ *    graph as a per-node flag (one Catalyst join, no driver collect
+ *    of the filter set), collection-time acceptance, and the
+ *    visitedLimit fallback to exact when the filter is scarce.
+ *  - [[add]] / [[purgeDeletes]]: rebuild ONLY the touched shards
+ *    (ascending-id insertion makes any rebuild bit-identical to a
+ *    fresh build over the same live rows) into a new GENERATION
+ *    carrying JUST those shards, committed by one `_gen_N` file
+ *    whose content is the carried shard list — the `segments_N` /
+ *    [[IvfIndex.retrain]] precedent sharpened to Lucene's
+ *    per-segment layering: readers resolve each shard to its newest
+ *    carrying generation, so mutation I/O is ∝ touched-shard bytes,
+ *    never a corpus rewrite, and old generations keep serving
+ *    in-flight readers untouched. Batch adds (the Lucene flush
+ *    discipline). For continuous high-rate ingest prefer
+ *    [[IvfIndex]]'s streaming sink — appending to a graph without a
+ *    rebuild would make the result insertion-order-dependent, which
+ *    a hash-oracled engine deliberately refuses.
  */
 object HnswIndex {
 
   private def markerPath(out: String) = s"$out/_hnsw_marker.json"
+  private def deletesPath(out: String) = s"$out/deletes"
+
+  /** GENERATIONS — the [[IvfIndex.generation]] / `segments_N` commit
+    * protocol, sharpened to per-shard layering (the Lucene segment
+    * model): [[add]] and [[purgeDeletes]] write ONLY the rebuilt
+    * shards under `out/gN/graph/`, and the single `_gen_N` file —
+    * whose CONTENT is the shard list that generation carries — is the
+    * atomic swap. A reader resolves every shard to its newest
+    * carrying generation (gen 0 = the build layout carries all), so
+    * mutation I/O is ∝ touched-shard bytes, never a corpus rewrite,
+    * and old-generation dirs stay byte-identical for in-flight
+    * readers. The params marker and the tombstone set live at the
+    * store root: params never change, and a delete landed before a
+    * swap is folded into the new generation by construction. */
+  private[ops] def generations(fs: org.apache.hadoop.fs.FileSystem,
+                                out: String): Seq[Int] = {
+    val p = new org.apache.hadoop.fs.Path(out)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).iterator.map(_.getPath.getName)
+      .filter(_.startsWith("_gen_"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("_gen_").toInt).toOption)
+      .toSeq.sorted
+  }
+
+  private def readSmallFile(fs: org.apache.hadoop.fs.FileSystem,
+                            p: org.apache.hadoop.fs.Path): String = {
+    val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+    val in = fs.open(p)
+    try in.readFully(0, buf) finally in.close()
+    new String(buf, "UTF-8")
+  }
+
+  /** The LIVE graph: per shard, the rows of its newest carrying
+    * generation — one parquet read per contributing generation,
+    * partition-pruned to the shards it still serves. */
+  private[ops] def readGraph(spark: SparkSession, out: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens = generations(fs, out)
+    // newest generation carrying each shard wins
+    val carried = scala.collection.mutable.Set.empty[Int]
+    val layers = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    gens.reverse.foreach { g =>
+      val shards = readSmallFile(fs,
+          new org.apache.hadoop.fs.Path(s"$out/_gen_$g"))
+        .split(",").filter(_.nonEmpty).map(_.trim.toInt)
+        .filterNot(carried)
+      if (shards.nonEmpty) {
+        carried ++= shards
+        layers += spark.read.parquet(s"$out/g$g/graph")
+          .filter(col("shard").isin(shards.toSeq: _*))
+          .select("shard", "corpus_id", "cvec", "level", "nbrs")
+      }
+    }
+    val base = spark.read.parquet(s"$out/graph")
+      .select("shard", "corpus_id", "cvec", "level", "nbrs")
+    val base2 =
+      if (carried.isEmpty) base
+      else base.filter(!col("shard").isin(carried.toSeq: _*))
+    (layers :+ base2).reduce(_ unionByName _)
+  }
 
   final case class Marker(dim: Int, m: Int, efC: Int, shards: Int,
                           idCol: String, vecCol: String)
@@ -93,7 +178,20 @@ object HnswIndex {
     /** Best-first layer search: ef closest nodes to v on `layer`,
       * ordered (dist asc, id asc), starting from `starts`. */
     private def searchLayer(v: Array[Double], n: Double, starts: Seq[Int],
-                            ef: Int, layer: Int): Seq[(Double, Int)] = {
+                            ef: Int, layer: Int): Seq[(Double, Int)] =
+      searchLayerAccept(v, n, starts, ef, layer, _ => true, Int.MaxValue)._1
+
+    /** Filtered best-first layer search — Lucene `acceptDocs`
+      * semantics: the traversal expands through EVERY node (a
+      * rejected node still routes), only accepted nodes enter the
+      * result heap. `limit` caps visited nodes; on overrun the caller
+      * falls back to exact over the accepted set (Lucene's
+      * scarce-filter fallback — past that point brute force is the
+      * cheaper exact plan anyway). With accept-all and no limit this
+      * is bit-identical to the unfiltered search. */
+    private def searchLayerAccept(v: Array[Double], n: Double,
+        starts: Seq[Int], ef: Int, layer: Int, accept: Int => Boolean,
+        limit: Int): (Seq[(Double, Int)], Boolean) = {
       val visited = scala.collection.mutable.HashSet.empty[Int]
       // candidates: min-heap by (dist, id); results: max-heap by (dist, id)
       val cand = scala.collection.mutable.PriorityQueue
@@ -102,32 +200,39 @@ object HnswIndex {
       val res = scala.collection.mutable.PriorityQueue
         .empty[(Double, Int)](Ordering.by[(Double, Int), (Double, Long)](
           t => (t._1, ids(t._2))))
+      var limitHit = false
       starts.foreach { s0 =>
         if (visited.add(s0)) {
           val d = dist(v, n, s0)
-          cand.enqueue((d, s0)); res.enqueue((d, s0))
+          cand.enqueue((d, s0))
+          if (accept(s0)) res.enqueue((d, s0))
         }
       }
-      while (cand.nonEmpty) {
+      while (cand.nonEmpty && !limitHit) {
         val (dc, c) = cand.dequeue()
-        val worst = res.head._1
-        if (dc > worst && res.size >= ef) { cand.clear() }
+        if (res.size >= ef && dc > res.head._1) { cand.clear() }
         else {
           val layerNbrs = if (layer < nbrs(c).length) nbrs(c)(layer)
                           else Array.empty[Int]
           layerNbrs.foreach { e =>
-            if (visited.add(e)) {
-              val d = dist(v, n, e)
-              if (res.size < ef || d < res.head._1 ||
-                  (d == res.head._1 && ids(e) < ids(res.head._2))) {
-                cand.enqueue((d, e)); res.enqueue((d, e))
-                if (res.size > ef) res.dequeue()
+            if (!limitHit && visited.add(e)) {
+              if (visited.size > limit) limitHit = true
+              else {
+                val d = dist(v, n, e)
+                if (res.size < ef || d < res.head._1 ||
+                    (d == res.head._1 && ids(e) < ids(res.head._2))) {
+                  cand.enqueue((d, e))
+                  if (accept(e)) {
+                    res.enqueue((d, e))
+                    if (res.size > ef) res.dequeue()
+                  }
+                }
               }
             }
           }
         }
       }
-      res.toSeq.sortBy(t => (t._1, ids(t._2)))
+      (res.toSeq.sortBy(t => (t._1, ids(t._2))), limitHit)
     }
 
     /** Simple closest-M neighbor selection ((dist, id) order — the
@@ -191,6 +296,93 @@ object HnswIndex {
       searchLayer(v, n, ep, math.max(ef, k), 0).take(math.max(ef, k))
         .map { case (d, j) => (ids(j), 1.0 - d) }
     }
+
+    /** Filtered top-k: descent is UNFILTERED (upper layers only
+      * route — Lucene gates acceptance at the collection layer), the
+      * layer-0 collection accepts only `accept` nodes; if the walk
+      * visits more than `limit` nodes it falls back to exact over the
+      * accepted set (bit-deterministic either way: the walk order is
+      * deterministic, so the fallback decision is too). */
+    def searchAccept(v: Array[Double], k: Int, ef: Int,
+        accept: Int => Boolean, limit: Int): Seq[(Long, Double)] = {
+      if (entry < 0) return Nil
+      var nrm = 0.0
+      var i0 = 0
+      while (i0 < dim) { nrm += v(i0) * v(i0); i0 += 1 }
+      val n = math.sqrt(nrm)
+      var ep = Seq(entry)
+      var layer = levels(entry)
+      while (layer > 0) {
+        ep = searchLayer(v, n, ep, 1, layer).take(1).map(_._2)
+        layer -= 1
+      }
+      val kk = math.max(ef, k)
+      val (res, limitHit) =
+        searchLayerAccept(v, n, ep, kk, 0, accept, limit)
+      val rows = if (limitHit) bruteForce(v, n, kk, accept) else res
+      rows.take(kk).map { case (d, j) => (ids(j), 1.0 - d) }
+    }
+
+    /** Exact scan over the accepted nodes of this shard — the
+      * scarce-filter fallback. (dist asc, id asc), top `kk`. */
+    private def bruteForce(v: Array[Double], n: Double, kk: Int,
+        accept: Int => Boolean): Seq[(Double, Int)] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Double, Int)]
+      var i = 0
+      while (i < ids.length) {
+        if (accept(i)) buf += ((dist(v, n, i), i))
+        i += 1
+      }
+      buf.sortBy(t => (t._1, ids(t._2))).take(kk).toSeq
+    }
+  }
+
+  private val graphSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("shard", IntegerType), StructField("corpus_id", LongType),
+      StructField("cvec", ArrayType(DoubleType)),
+      StructField("level", IntegerType),
+      StructField("nbrs", ArrayType(ArrayType(LongType)))))
+  }
+
+  /** (shard, corpus_id, cvec): shard = `pmod(murmur3(id), shards)` —
+    * HashPartitioning's own `partitionIdExpression`, computed as a
+    * COLUMN rather than read off `TaskContext.getPartitionId` (a
+    * task's partition index renumbers when the lineage executes
+    * inside a bigger plan, e.g. a union — a label must not). One
+    * membership function; [[add]] reuses it so a later vector lands
+    * in the shard a fresh build would put it in. */
+  private def assignShards(corpus: DataFrame, shards: Int,
+      idCol: String, vecCol: String): DataFrame =
+    corpus.select(
+      pmod(hash(col(idCol).cast("long")), lit(shards)).cast("int")
+        .as("shard"),
+      col(idCol).cast("long").as("corpus_id"),
+      col(vecCol).cast("array<double>").as("cvec"))
+
+  /** Build graphs for every shard present in `rows` ((shard,
+    * corpus_id, cvec)) — ascending-id insertion per shard, so ANY
+    * rebuild ([[add]], [[purgeDeletes]]) is bit-identical to a fresh
+    * [[build]] over the same live rows: the property the specs and
+    * the one-oracle-two-construction-paths q-entries lean on. */
+  private def rebuildShards(rows: DataFrame, dim: Int, m: Int,
+      efC: Int, shards: Int): DataFrame = {
+    val spark = rows.sparkSession
+    val rdd = rows.repartition(shards, col("shard")).rdd.mapPartitions { it =>
+      val byShard = it.map(r => (r.getInt(0),
+        (r.getLong(1), r.getSeq[Double](2).toArray))).toArray.groupBy(_._1)
+      byShard.iterator.flatMap { case (shard, rs) =>
+        val all = rs.map(_._2).sortBy(_._1)
+        val g = new Graph(dim, m, efC)
+        all.foreach { case (id, v) => g.insert(id, v) }
+        g.ids.indices.iterator.map { i =>
+          Row(shard, g.ids(i), g.vecs(i).toSeq, g.levels(i),
+            g.nbrs(i).map(_.map(j => g.ids(j)).toSeq).toSeq)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, graphSchema)
   }
 
   /** Build the sharded graph store: one shuffle (hash-repartition by
@@ -200,27 +392,8 @@ object HnswIndex {
             m: Int = 8, efConstruction: Int = 64,
             idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = corpus.sparkSession
-    import org.apache.spark.sql.types._
-    val rows = corpus.select(col(idCol).cast("long").as("corpus_id"),
-        col(vecCol).cast("array<double>").as("cvec"))
-      .repartition(shards, col("corpus_id"))
-    val schema = StructType(Seq(
-      StructField("shard", IntegerType), StructField("corpus_id", LongType),
-      StructField("cvec", ArrayType(DoubleType)),
-      StructField("level", IntegerType),
-      StructField("nbrs", ArrayType(ArrayType(LongType)))))
-    val builtRdd = rows.rdd.mapPartitions { it =>
-      val part = org.apache.spark.TaskContext.getPartitionId()
-      val all = it.map(r => (r.getLong(0),
-        r.getSeq[Double](1).toArray)).toArray.sortBy(_._1)
-      val g = new Graph(dim, m, efConstruction)
-      all.foreach { case (id, v) => g.insert(id, v) }
-      g.ids.indices.iterator.map { i =>
-        Row(part, g.ids(i), g.vecs(i).toSeq, g.levels(i),
-          g.nbrs(i).map(_.map(j => g.ids(j)).toSeq).toSeq)
-      }
-    }
-    spark.createDataFrame(builtRdd, schema)
+    rebuildShards(assignShards(corpus, shards, idCol, vecCol),
+        dim, m, efConstruction, shards)
       .write.mode("overwrite").partitionBy("shard").parquet(s"$out/graph")
     val mk = s"""{"dim":$dim,"m":$m,"efC":$efConstruction,""" +
       s""""shards":$shards,"idCol":"$idCol","vecCol":"$vecCol"}"""
@@ -246,9 +419,30 @@ object HnswIndex {
   /** Scatter-gather query: every shard searches its graph for the
     * broadcast query batch (ef results each), one window merges the
     * global top-k — Solr's distributed `{!knn}`. Self-matches are
-    * excluded (the family convention). */
+    * excluded (the family convention). Tombstoned ids never surface
+    * (Lucene liveDocs: the node still ROUTES, it just isn't
+    * collected). */
   def query(spark: SparkSession, out: String, queries: DataFrame, k: Int,
-            efSearch: Int = 64): DataFrame = {
+            efSearch: Int = 64): DataFrame =
+    scatterQuery(spark, out, queries, k, efSearch, None)
+
+  /** FILTERED knn (Lucene `{!knn}` + fq / FAISS `IDSelector`): the
+    * allowed-id frame (first column = id) joins the graph rows as a
+    * per-node accept flag — one Catalyst join, broadcast or shuffle
+    * by id-set size, no driver collect of the filter — and the walk
+    * collects accepted nodes only, still routing THROUGH rejected
+    * ones. If a shard's walk visits more nodes than the shard's
+    * accepted count (the scarce-filter regime) it falls back to exact
+    * over the accepted set — Lucene's visitedLimit fallback, which
+    * also makes very selective filters exact rather than empty. */
+  def queryFiltered(spark: SparkSession, out: String, queries: DataFrame,
+                    k: Int, allowed: DataFrame,
+                    efSearch: Int = 64): DataFrame =
+    scatterQuery(spark, out, queries, k, efSearch, Some(allowed))
+
+  private def scatterQuery(spark: SparkSession, out: String,
+      queries: DataFrame, k: Int, efSearch: Int,
+      allowed: Option[DataFrame]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types._
     val mk = readMarker(spark, out)
@@ -256,11 +450,27 @@ object HnswIndex {
         col(mk.vecCol).cast("array<double>").as("qvec"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val qB = spark.sparkContext.broadcast(q)
+    // tombstones: bounded by the delete batches since the last purge
+    // (the IvfIndex small-side contract) — a per-executor hash set is
+    // the liveDocs bitset analog
+    val tomb: Set[Long] = deletes(spark, out)
+      .map(_.select("corpus_id").collect().map(_.getLong(0)).toSet)
+      .getOrElse(Set.empty)
+    val tombB = spark.sparkContext.broadcast(tomb)
     val dim = mk.dim; val m = mk.m; val efC = mk.efC
     val ef = efSearch; val kk = k
-    val graph = spark.read.parquet(s"$out/graph")
-      .select("shard", "corpus_id", "cvec", "level", "nbrs")
-      .repartition(mk.shards, col("shard"))
+    val graph0 = readGraph(spark, out)
+    val filtering = allowed.isDefined
+    val graph = (allowed match {
+      case Some(a) =>
+        val idsF = a.select(col(a.columns.head).cast("long").as("corpus_id"))
+          .distinct().withColumn("_ok", lit(true))
+        graph0.join(idsF, Seq("corpus_id"), "left_outer")
+          .select(col("shard"), col("corpus_id"), col("cvec"), col("level"),
+            col("nbrs"), coalesce(col("_ok"), lit(false)).as("_ok"))
+      case None =>
+        graph0.withColumn("_ok", lit(true))
+    }).repartition(mk.shards, col("shard"))
     val schema = StructType(Seq(
       StructField("query_id", LongType), StructField("corpus_id", LongType),
       StructField("cosine", DoubleType)))
@@ -269,13 +479,14 @@ object HnswIndex {
       // rebuild each shard's graph verbatim from its persisted rows
       val byShard = it.map { r =>
         (r.getInt(0), (r.getLong(1), r.getSeq[Double](2).toArray,
-          r.getInt(3), r.getSeq[scala.collection.Seq[Long]](4).map(_.toArray)))
+          r.getInt(3), r.getSeq[scala.collection.Seq[Long]](4).map(_.toArray),
+          r.getBoolean(5)))
       }.toArray.groupBy(_._1)
       byShard.iterator.flatMap { case (_, rows0) =>
         val rows = rows0.map(_._2).sortBy(_._1)
         val index = rows.iterator.map(_._1).zipWithIndex.toMap
         val g = new Graph(dim, m, efC)
-        rows.foreach { case (id, v, lvl, _) =>
+        rows.foreach { case (id, v, lvl, _, _) =>
           g.ids += id; g.vecs += v
           var nrm = 0.0
           var i0 = 0
@@ -283,13 +494,24 @@ object HnswIndex {
           g.norms += math.sqrt(nrm); g.levels += lvl
           g.nbrs += Array.empty
         }
-        rows.zipWithIndex.foreach { case ((_, _, _, nb), i) =>
+        rows.zipWithIndex.foreach { case ((_, _, _, nb, _), i) =>
           g.nbrs(i) = nb.map(_.map(index)).toArray
         }
         g.restoreEntry() // (level desc, id asc) — deterministic
+        val tombSet = tombB.value
+        val plain = !filtering && tombSet.isEmpty
+        val ok = rows.map(_._5)
+        val accept: Int => Boolean =
+          i => ok(i) && !tombSet.contains(g.ids(i))
+        val acceptedCount = ok.indices.count(accept)
+        // Lucene's visitedLimit: past the accepted cardinality, exact
+        // over the accepted set is the cheaper plan
+        val limit = math.max(math.max(ef, kk + 1), acceptedCount)
         qB.value.iterator.flatMap { case (qid, qv) =>
-          g.search(qv, kk + 1, ef) // +1 absorbs a self-match
-            .filter(_._1 != qid).take(math.max(ef, kk))
+          val hits =
+            if (plain) g.search(qv, kk + 1, ef) // +1 absorbs a self-match
+            else g.searchAccept(qv, kk + 1, ef, accept, limit)
+          hits.filter(_._1 != qid).take(math.max(ef, kk))
             .map { case (cid, cos) => Row(qid, cid, cos) }
         }
       }
@@ -300,6 +522,96 @@ object HnswIndex {
     scattered.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
+  }
+
+  /** The live tombstone set, if any delete batch has landed. */
+  private[ops] def deletes(spark: SparkSession,
+                           out: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(deletesPath(out))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** Delete vectors by id (Lucene soft delete): appends a tombstone
+    * batch to `deletes/` — O(batch) I/O, the graph is untouched;
+    * deleted ids stop surfacing from [[query]]/[[queryFiltered]]
+    * immediately (they still ROUTE until [[purgeDeletes]] rebuilds
+    * their shards — exactly a deleted doc's life in a Lucene segment
+    * before a merge). `ids`' FIRST column is the id. */
+  def removeIds(spark: SparkSession, out: String, ids: DataFrame): Unit =
+    ids.select(col(ids.columns.head).cast("long").as("corpus_id")).distinct()
+      .coalesce(1).write.mode("append").parquet(deletesPath(out))
+
+  /** Physically reclaim tombstoned nodes: rebuild ONLY the shards
+    * holding tombstoned ids (survivor membership can't move — shard =
+    * hash(id)), write them as a NEW generation carrying just those
+    * shards, commit with one `_gen_N` creation, then clear the
+    * tombstones; untouched shards keep serving from their existing
+    * generations untouched — I/O ∝ touched-shard bytes. Because
+    * rebuild inserts ascending-id per shard, purge-then-query is
+    * BIT-IDENTICAL to build-from-scratch over the live corpus
+    * (spec-locked). Returns shards rebuilt. */
+  def purgeDeletes(spark: SparkSession, out: String): Int = {
+    val mk = readMarker(spark, out)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val del = deletes(spark, out).getOrElse(return 0)
+    val old = readGraph(spark, out)
+    val touched = old
+      .join(broadcast(del.select("corpus_id")), Seq("corpus_id"), "left_semi")
+      .select("shard").distinct().collect().map(_.getInt(0)).toSeq
+    if (touched.isEmpty) {
+      fs.delete(new org.apache.hadoop.fs.Path(deletesPath(out)), true)
+      return 0
+    }
+    val live = old.filter(col("shard").isin(touched: _*))
+      .join(broadcast(del.select("corpus_id")), Seq("corpus_id"), "left_anti")
+      .select("shard", "corpus_id", "cvec")
+    val rebuilt = rebuildShards(live, mk.dim, mk.m, mk.efC, mk.shards)
+    commitGeneration(spark, out, rebuilt, touched)
+    fs.delete(new org.apache.hadoop.fs.Path(deletesPath(out)), true)
+    touched.size
+  }
+
+  /** Add vectors: the touched shards (same membership function as
+    * [[build]]) rebuild over old-rows ∪ new-rows with ascending-id
+    * insertion, so add-then-query is BIT-IDENTICAL to
+    * build-from-scratch over the union — the deterministic contract
+    * (FAISS/Lucene appends are insertion-order-dependent; a
+    * hash-oracled engine wants the order-free one). The new
+    * generation carries ONLY the rebuilt shards (I/O ∝ touched-shard
+    * bytes); BATCH adds, the Lucene flush discipline. A tombstoned id
+    * stays dead even if re-added (the IvfIndex contract) until
+    * [[purgeDeletes]] clears it. */
+  def add(spark: SparkSession, out: String, vectors: DataFrame): Unit = {
+    val mk = readMarker(spark, out)
+    val newRows = assignShards(vectors, mk.shards, mk.idCol, mk.vecCol)
+    val touched =
+      newRows.select("shard").distinct().collect().map(_.getInt(0)).toSeq
+    if (touched.isEmpty) return
+    val old = readGraph(spark, out)
+    val rebuildInput = old.filter(col("shard").isin(touched: _*))
+      .select("shard", "corpus_id", "cvec")
+      .unionByName(newRows)
+    val rebuilt = rebuildShards(rebuildInput, mk.dim, mk.m, mk.efC, mk.shards)
+    commitGeneration(spark, out, rebuilt, touched)
+  }
+
+  /** Write the rebuilt shards as the next generation and commit with
+    * one `_gen_N` file whose content is the carried shard list — the
+    * `segments_N` precedent: a crash before the marker leaves an
+    * invisible partial dir a rerun overwrites; readers resolve each
+    * shard to its newest carrying generation ([[readGraph]]). */
+  private def commitGeneration(spark: SparkSession, out: String,
+                               graph: DataFrame, shards: Seq[Int]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gNew = generations(fs, out).lastOption.getOrElse(0) + 1
+    graph.write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$out/g$gNew/graph")
+    val os = fs.create(new org.apache.hadoop.fs.Path(s"$out/_gen_$gNew"), true)
+    try os.write(shards.sorted.mkString(",").getBytes("UTF-8"))
+    finally os.close()
   }
 
 }

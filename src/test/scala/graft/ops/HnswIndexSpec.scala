@@ -74,6 +74,114 @@ class HnswIndexSpec extends AnyFunSuite {
       "a query fell below the 0.8 recall floor at ef=64")
   }
 
+  private def graphRowsLive(o: String): Set[(Long, Int, Seq[Seq[Long]])] =
+    HnswIndex.readGraph(spark, o)
+      .select("corpus_id", "level", "nbrs")
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[scala.collection.Seq[Long]](2).map(_.toSeq).toSeq)).toSet
+
+  test("filtered search: every hit satisfies the filter, and a scarce " +
+      "filter is EXACT (the Lucene visitedLimit fallback)") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val allowed = emb.filter(col("vec_id") % 13 === 0).select("vec_id")
+    val got = HnswIndex.queryFiltered(spark, idx, queries, k = 5, allowed,
+        efSearch = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    assert(got.forall(_._3 % 13 == 0), "a hit escaped the filter")
+    // scarce => exact: identical (query, rank, id) triples to brute
+    // force over the allowed corpus
+    val exact = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") % 13 === 0), queries, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.sorted.toSeq === exact.sorted.toSeq)
+  }
+
+  test("filtered search with a DENSE filter keeps the walk (no " +
+      "fallback) and still clears the recall floor") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val allowedDf = emb.filter(col("vec_id") % 2 === 0)
+    val approx = HnswIndex.queryFiltered(spark, idx, queries, k = 5,
+        allowedDf.select("vec_id"), efSearch = 64)
+    val exact = Similarity.bruteForceTopK(allowedDf, queries, 5)
+      .select("query_id", "corpus_id")
+    val perQuery = RankingEval.annRecallAtK(exact,
+      approx.select("query_id", "corpus_id"), 5)
+    assert(perQuery.filter(col("recall_milli") < 800).count() === 0,
+      "a dense-filtered query fell below the 0.8 recall floor")
+  }
+
+  test("add-then-query is bit-identical to build-from-scratch over " +
+      "the union; the pre-add generation stays byte-readable") {
+    val inc = java.nio.file.Files.createTempDirectory("hnsw_add_").toString
+    HnswIndex.build(emb.filter(col("vec_id") % 2 === 0), inc, dim = 64)
+    val gen0 = graphRowsLive(inc)
+    HnswIndex.add(spark, inc, emb.filter(col("vec_id") % 2 === 1))
+    // the rebuilt store IS the fresh full build, node for node
+    assert(graphRowsLive(inc) === graphRows(idx))
+    // old generation untouched (readers that resolved before the
+    // swap keep serving exactly what they saw)
+    val gen0Again = spark.read.parquet(s"$inc/graph")
+      .select("corpus_id", "level", "nbrs")
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[scala.collection.Seq[Long]](2).map(_.toSeq).toSeq)).toSet
+    assert(gen0Again === gen0)
+  }
+
+  test("a single-vector add writes a generation carrying ONLY its " +
+      "shard (mutation I/O ∝ touched shards) and readers layer " +
+      "per shard across generations") {
+    val store = java.nio.file.Files.createTempDirectory("hnsw_gen_").toString
+    HnswIndex.build(emb, store, dim = 64)
+    val one = emb.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    HnswIndex.add(spark, store, one)
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val markerBytes = {
+      val p = new org.apache.hadoop.fs.Path(s"$store/_gen_1")
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try in.readFully(0, buf) finally in.close()
+      new String(buf, "UTF-8")
+    }
+    assert(markerBytes.split(",").count(_.nonEmpty) === 1,
+      s"gen 1 should carry exactly one shard, carried [$markerBytes]")
+    val gen1Shards = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$store/g1/graph"))
+      .map(_.getPath.getName).filter(_.startsWith("shard="))
+    assert(gen1Shards.length === 1, "gen 1 wrote more than its shard")
+    // layered resolution still serves the fresh-build answer
+    val fresh = java.nio.file.Files.createTempDirectory("hnsw_gen2_").toString
+    HnswIndex.build(
+      emb.select(col("vec_id"), col("embedding")).unionByName(one),
+      fresh, dim = 64)
+    assert(graphRowsLive(store) === graphRowsLive(fresh))
+  }
+
+  test("removeIds hides ids immediately; purgeDeletes rebuilds " +
+      "bit-identically to a fresh build over the live corpus and " +
+      "clears the tombstones") {
+    val store = java.nio.file.Files.createTempDirectory("hnsw_del_").toString
+    HnswIndex.build(emb, store, dim = 64)
+    val deadIds = emb.filter(col("vec_id") % 5 === 0).select("vec_id")
+    HnswIndex.removeIds(spark, store, deadIds)
+    val queries = emb.filter(col("vec_id") < 10)
+    // pre-purge: tombstoned ids already never surface (graph untouched)
+    val pre = HnswIndex.query(spark, store, queries, k = 5, efSearch = 64)
+      .collect()
+    assert(pre.forall(_.getLong(2) % 5 != 0), "a tombstoned id surfaced")
+    val rebuilt = HnswIndex.purgeDeletes(spark, store)
+    assert(rebuilt > 0)
+    val fresh = java.nio.file.Files.createTempDirectory("hnsw_del2_").toString
+    HnswIndex.build(emb.filter(col("vec_id") % 5 =!= 0), fresh, dim = 64)
+    assert(graphRowsLive(store) === graphRowsLive(fresh))
+    assert(HnswIndex.deletes(spark, store).isEmpty, "tombstones survived")
+    val post = HnswIndex.query(spark, store, queries, k = 5, efSearch = 64)
+      .collect()
+    assert(post.forall(_.getLong(2) % 5 != 0))
+  }
+
   test("sharding is a pure partition of the corpus: every id appears " +
       "in exactly one shard; more shards still answer") {
     val g = spark.read.parquet(s"$idx/graph")
