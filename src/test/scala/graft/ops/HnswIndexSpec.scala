@@ -182,6 +182,28 @@ class HnswIndexSpec extends AnyFunSuite {
     assert(post.forall(_.getLong(2) % 5 != 0))
   }
 
+  test("scarce-filter exactness holds across 20 random (filter, k, ef) " +
+      "combinations — the q314 oracle contract, fuzzed") {
+    val rnd = new scala.util.Random(14) // fixed seed: deterministic sweep
+    val queries = emb.filter(col("vec_id") < 5)
+    (1 to 20).foreach { i =>
+      val mod = 11 + rnd.nextInt(30)          // scarce: <=46 allowed of 500
+      val off = rnd.nextInt(mod)
+      val k = 1 + rnd.nextInt(7)
+      val ef = 48 + rnd.nextInt(80)           // always > allowed-per-shard
+      val allowedDf = emb.filter(col("vec_id") % mod === off)
+      val got = HnswIndex.queryFiltered(spark, idx, queries, k,
+          allowedDf.select("vec_id"), efSearch = ef)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .sorted.toSeq
+      val want = Similarity.bruteForceTopK(allowedDf, queries, k)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .sorted.toSeq
+      assert(got === want,
+        s"combo #$i (mod=$mod off=$off k=$k ef=$ef) diverged from exact")
+    }
+  }
+
   test("sharding is a pure partition of the corpus: every id appears " +
       "in exactly one shard; more shards still answer") {
     val g = spark.read.parquet(s"$idx/graph")
