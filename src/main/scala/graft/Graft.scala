@@ -961,6 +961,13 @@ object Graft {
   def purgeHnswDeletes(spark: SparkSession, store: String): Int =
     graft.ops.HnswIndex.purgeDeletes(spark, store)
 
+  /** Drop HNSW generations fully shadowed by newer ones (every shard
+    * re-carried), keeping the newest `retain` regardless — disk stays
+    * bounded under a long add/purge history. Returns gens removed. */
+  def reclaimHnswGenerations(spark: SparkSession, store: String,
+                             retain: Int = 2): Int =
+    graft.ops.HnswIndex.reclaimGenerations(spark, store, retain)
+
   /** Train a unigram-LM (SentencePiece) tokenizer vocabulary over a
     * corpus — one tokenize+count shuffle, then in-memory EM/prune
     * (`graft.text.Unigram`); [[graft.text.Bpe.learn]]'s sibling. */

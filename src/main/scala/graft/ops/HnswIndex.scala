@@ -539,7 +539,11 @@ object HnswIndex {
     * their shards — exactly a deleted doc's life in a Lucene segment
     * before a merge). `ids`' FIRST column is the id. */
   def removeIds(spark: SparkSession, out: String, ids: DataFrame): Unit =
-    ids.select(col(ids.columns.head).cast("long").as("corpus_id")).distinct()
+    ids.select(col(ids.columns.head).cast("long").as("corpus_id"))
+      // a null id must not reach the store: the collected tombstone
+      // set reads rows with the primitive accessor, where null
+      // silently decodes as 0L — tombstoning id 0 by accident
+      .filter(col("corpus_id").isNotNull).distinct()
       .coalesce(1).write.mode("append").parquet(deletesPath(out))
 
   /** Physically reclaim tombstoned nodes: rebuild ONLY the shards
@@ -595,6 +599,41 @@ object HnswIndex {
       .unionByName(newRows)
     val rebuilt = rebuildShards(rebuildInput, mk.dim, mk.m, mk.efC, mk.shards)
     commitGeneration(spark, out, rebuilt, touched)
+  }
+
+  /** Reclaim fully-SHADOWED generations (the `retainGenerations`
+    * precedent, [[graft.index.SegmentIndex]]): a generation every one
+    * of whose shards is re-carried by a NEWER generation serves no
+    * current reader — its marker and data dir can go. The newest
+    * `retain` generations are kept regardless (the in-flight-reader
+    * window: a reader that resolved just before the latest commits
+    * may still be scanning a shadowed dir); gen 0 (the build layout)
+    * is never reclaimed — [[readGraph]] reads it unconditionally for
+    * whatever shards no generation carries. Returns generations
+    * removed. Single-writer discipline, as every mutation here. */
+  def reclaimGenerations(spark: SparkSession, out: String,
+                         retain: Int = 2): Int = {
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens = generations(fs, out)
+    if (gens.size <= retain) return 0
+    val carriedBy: Map[Int, Set[Int]] = gens.map { g =>
+      g -> readSmallFile(fs, new org.apache.hadoop.fs.Path(s"$out/_gen_$g"))
+        .split(",").filter(_.nonEmpty).map(_.trim.toInt).toSet
+    }.toMap
+    val candidates = gens.dropRight(retain)
+    val removed = candidates.filter { g =>
+      val newer = gens.filter(_ > g)
+      carriedBy(g).forall(s => newer.exists(n => carriedBy(n).contains(s)))
+    }
+    removed.foreach { g =>
+      // marker first: once it's gone no new reader resolves the dir,
+      // and a crash between the two deletes leaves only an orphaned
+      // (never-again-resolved) data dir, not a half-resolved store
+      fs.delete(new org.apache.hadoop.fs.Path(s"$out/_gen_$g"), false)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$out/g$g"), true)
+    }
+    removed.size
   }
 
   /** Write the rebuilt shards as the next generation and commit with

@@ -182,6 +182,27 @@ class HnswIndexSpec extends AnyFunSuite {
     assert(post.forall(_.getLong(2) % 5 != 0))
   }
 
+  test("reclaimGenerations removes fully-shadowed generations outside " +
+      "the retain window; resolution is unchanged") {
+    val store = java.nio.file.Files.createTempDirectory("hnsw_rec_").toString
+    HnswIndex.build(emb, store, dim = 64)
+    def batch(off: Int) = emb.filter(col("vec_id") < 100)
+      .select((col("vec_id") + off).as("vec_id"), col("embedding"))
+    HnswIndex.add(spark, store, batch(20000)) // gen 1: spans every shard
+    HnswIndex.add(spark, store, batch(30000)) // gen 2: spans every shard
+    val before = graphRowsLive(store)
+    // retain=2 keeps both: nothing reclaimable
+    assert(HnswIndex.reclaimGenerations(spark, store, retain = 2) === 0)
+    val removed = HnswIndex.reclaimGenerations(spark, store, retain = 1)
+    assert(removed === 1, "gen 1 is fully shadowed by gen 2")
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$store/_gen_1")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$store/g1")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$store/_gen_2")))
+    assert(graphRowsLive(store) === before, "reclaim changed resolution")
+  }
+
   test("scarce-filter exactness holds across 20 random (filter, k, ef) " +
       "combinations — the q314 oracle contract, fuzzed") {
     val rnd = new scala.util.Random(14) // fixed seed: deterministic sweep
