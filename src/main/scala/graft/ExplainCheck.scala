@@ -101,6 +101,34 @@ object ExplainCheck {
       sb.append("```\n")
       postscript.get(q).foreach(p => sb.append(s"\n$p\n"))
     }
+    // HNSW generation-layered read (round 14): not reachable through a
+    // q-entry's returned frame (the graph walk runs behind a LogicalRDD
+    // boundary), so the layered READ plan is captured directly — the
+    // evidence that a mutated store reads each shard from its newest
+    // carrying generation under partition filters, never a full rescan.
+    locally {
+      val store = java.nio.file.Files
+        .createTempDirectory("explain_hnsw_").toString
+      val emb = Tables.embeddings(spark, d)
+      graft.ops.HnswIndex.build(emb, store, dim = 64)
+      graft.ops.HnswIndex.add(spark, store,
+        emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0)
+          .select(org.apache.spark.sql.functions
+            .col("vec_id").plus(10000).as("vec_id"),
+            org.apache.spark.sql.functions.col("embedding")))
+      sb.append("\n## hnsw layered read — after a single-vector add: the " +
+        "touched shard reads from g1 under a PartitionFilter, every " +
+        "other shard from the base build under the complementary " +
+        "filter — mutation I/O and re-read both ∝ touched shards\n\n```\n")
+      sb.append(graft.ops.HnswIndex.readGraph(spark, store)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      sb.append("```\n\nThe filtered-search accept flag rides the same " +
+        "frame: `queryFiltered` left-outer-joins the allowed-id set " +
+        "onto this read (Catalyst picks broadcast vs shuffle by filter " +
+        "size) before the per-shard walk, so the filter never collects " +
+        "to the driver.\n")
+    }
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("docs"))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("docs/PLANS.md"), sb.toString)
     println(s"wrote docs/PLANS.md (${sb.length} chars)")

@@ -103,7 +103,7 @@ object HnswIndex {
   /** The LIVE graph: per shard, the rows of its newest carrying
     * generation — one parquet read per contributing generation,
     * partition-pruned to the shards it still serves. */
-  private[ops] def readGraph(spark: SparkSession, out: String): DataFrame = {
+  private[graft] def readGraph(spark: SparkSession, out: String): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val gens = generations(fs, out)
