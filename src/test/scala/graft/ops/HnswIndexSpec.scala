@@ -182,6 +182,31 @@ class HnswIndexSpec extends AnyFunSuite {
     assert(post.forall(_.getLong(2) % 5 != 0))
   }
 
+  test("crash states: an uncommitted generation dir is invisible to " +
+      "readers and overwritten by the retried mutation; a reclaim " +
+      "crash leaves only an orphaned dir") {
+    val store = java.nio.file.Files.createTempDirectory("hnsw_crash_").toString
+    HnswIndex.build(emb, store, dim = 64)
+    val before = graphRowsLive(store)
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // fabricate a crash mid-add: a partial g1 data dir, no _gen_1 marker
+    emb.limit(3).select(col("vec_id").as("corpus_id"))
+      .write.parquet(s"$store/g1/graph/shard=0")
+    assert(graphRowsLive(store) === before, "uncommitted gen dir leaked")
+    // the retried add recomputes gen 1 and overwrites the debris
+    val one = emb.filter(col("vec_id") === 1)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    HnswIndex.add(spark, store, one)
+    val live = graphRowsLive(store)
+    assert(live.size === before.size + 1)
+    assert(live.exists(_._1 === 10001L))
+    // reclaim-crash shape: marker gone, dir still present → never resolved
+    fs.delete(new org.apache.hadoop.fs.Path(s"$store/_gen_1"), false)
+    assert(graphRowsLive(store) === before,
+      "a marker-less generation dir must never resolve")
+  }
+
   test("reclaimGenerations removes fully-shadowed generations outside " +
       "the retain window; resolution is unchanged") {
     val store = java.nio.file.Files.createTempDirectory("hnsw_rec_").toString
