@@ -914,6 +914,14 @@ object Graft {
     if (isPqStore(spark, store)) graft.ops.IvfPqIndex.retrain(spark, store)
     else graft.ops.IvfIndex.retrain(spark, store)
 
+  /** Drop superseded retrain generations (complete stores below the
+    * newest), keeping `retain` for in-flight readers — disk stays
+    * bounded under a long drift-retrain history. Both tiers share the
+    * layout, so one call serves either store. */
+  def reclaimAnnGenerations(spark: SparkSession, store: String,
+                            retain: Int = 1): Int =
+    graft.ops.IvfIndex.reclaimGenerations(spark, store, retain)
+
   /** Sharded deterministic-build HNSW (Solr 9's `{!knn}` architecture:
     * one graph per shard, scatter-gather merge) — the recall-at-low-
     * latency tier next to the IVF family's memory tier. */
@@ -974,5 +982,16 @@ object Graft {
   def trainUnigram(docs: DataFrame, textCol: String, vocabSize: Int,
                    maxPieceLen: Int = 4): Seq[graft.text.Unigram.Entry] =
     graft.text.Unigram.learn(docs, textCol, vocabSize,
+      maxPieceLen = maxPieceLen)
+
+  /** Cap-free unigram train: the word table stays distributed end to
+    * end (each EM round is one broadcast-scores Spark job, only
+    * vocab-bounded frames collect) — use when the table exceeds
+    * [[trainUnigram]]'s in-memory cap, the 100 TB web-corpus case.
+    * Bit-identical to the capped path when the cap has slack. */
+  def trainUnigramDistributed(docs: DataFrame, textCol: String,
+                              vocabSize: Int, maxPieceLen: Int = 4)
+      : Seq[graft.text.Unigram.Entry] =
+    graft.text.Unigram.learnDistributed(docs, textCol, vocabSize,
       maxPieceLen = maxPieceLen)
 }

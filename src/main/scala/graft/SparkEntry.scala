@@ -910,6 +910,30 @@ object SparkEntry {
         .toDF("piece", "cnt")
     }),
 
+    // The DISTRIBUTED unigram E-step kernel (round 14): the same
+    // M-step answer as q312, computed by `eStepCountsDistributed` —
+    // broadcast scores, Viterbi each word WHERE IT SITS, one
+    // vocab-bounded aggregation; the word table never collects. One
+    // oracle (q312's recursive-CTE enumeration), two execution paths:
+    // this is the kernel `learnDistributed` loops, the cap-free
+    // 100 TB train (its full-loop bit-parity with learnInMemory is
+    // spec-locked in UnigramSpec).
+    "q316_unigram_mstep_dist" -> ((s, d) => {
+      import s.implicits._
+      val all = text.Bpe.wordFrequencies(Tables.documents(s, d), "text")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val seed = text.Unigram.seedInMemory(all, seedSize = 300, maxPieceLen = 4)
+      val total = seed.iterator.map(_._2).sum
+      val scores = seed.iterator
+        .map { case (p, c) => p -> text.Unigram.scoreMilli(c, total) }.toMap
+      val words = all.filter(_._1.length <= 10)
+        .sortBy { case (w, f) => (-f, w) }.take(200)
+      val counts = text.Unigram.eStepCountsDistributed(
+        words.toDF("word", "freq"), scores, maxPieceLen = 4)
+      counts.toSeq.sortBy { case (p, c) => (-c, p) }.take(50)
+        .toDF("piece", "cnt")
+    }),
+
     // ANN recall@k evaluation (ann-benchmarks' acceptance metric): the
     // quantized two-stage refine (q305 serving path) scored against
     // the exact brute-force truth — per query |approx∩exact|·200 in
@@ -6447,6 +6471,20 @@ object SparkEntry {
     // Unigram-LM M-step re-estimate: expected piece counts over the
     // enumerated argmax segmentations, freq-weighted, top-50
     "q312_unigram_mstep" ->
+      s"""WITH RECURSIVE $unigramSeedBody,
+         |$unigramEstepBody,
+         |chosen AS (
+         |  SELECT w.freq, b.seg FROM w
+         |  JOIN best b ON b.word = w.word AND b.rn = 1),
+         |mstep AS (
+         |  SELECT unnest(string_split(seg, ' ')) AS piece, freq FROM chosen)
+         |SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+         |FROM mstep GROUP BY piece
+         |ORDER BY cnt DESC, piece LIMIT 50""".stripMargin,
+
+    // same enumeration oracle as q312 — the distributed E-step kernel
+    // must land on the identical M-step counts
+    "q316_unigram_mstep_dist" ->
       s"""WITH RECURSIVE $unigramSeedBody,
          |$unigramEstepBody,
          |chosen AS (

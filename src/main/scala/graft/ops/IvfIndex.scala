@@ -76,6 +76,37 @@ object IvfIndex {
     if (g == 0) out else s"$out/g$g"
   }
 
+  /** Drop SUPERSEDED retrain generations (round 14, the disk-growth
+    * close): a generation here is a COMPLETE store, so every `gN`
+    * below the current one is fully shadowed the moment its successor
+    * commits — only an in-flight reader that resolved before the swap
+    * can still be scanning it. Keep the newest `retain` committed
+    * generations (that reader window), delete the rest — marker
+    * first, so a crash between the two deletes leaves an orphaned,
+    * never-again-resolved dir. The build-time layout (gen 0, data
+    * dirs at the store root) is never reclaimed — bounded residue of
+    * one generation, same contract as the HNSW tier. Serves both
+    * tiers ([[IvfPqIndex]] shares this store layout). Returns
+    * generations removed. */
+  def reclaimGenerations(spark: SparkSession, out: String,
+                         retain: Int = 1): Int = {
+    require(retain >= 1, "the current generation cannot be reclaimed")
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(out)
+    if (!fs.exists(p)) return 0
+    val gens = fs.listStatus(p).iterator.map(_.getPath.getName)
+      .filter(_.startsWith("_gen_"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("_gen_").toInt).toOption)
+      .toSeq.sorted
+    val removed = gens.dropRight(retain)
+    removed.foreach { g =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$out/_gen_$g"), false)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$out/g$g"), true)
+    }
+    removed.size
+  }
+
   private def markerPath(root: String) = s"$root/_ivf_marker.json"
 
   final case class Marker(dim: Int, eff: Int, seed: Long,

@@ -169,11 +169,23 @@ object Unigram {
     * characters are never pruned and never drop below count 1. */
   def learnInMemory(freqs: Seq[(String, Long)], vocabSize: Int,
                     seedSize: Int = 1 << 12, maxPieceLen: Int = 4,
-                    emIters: Int = 2): Seq[Entry] = {
+                    emIters: Int = 2): Seq[Entry] =
+    emPruneLoop(seedInMemory(freqs, seedSize, maxPieceLen), vocabSize,
+      emIters, scores => eStepCounts(freqs, scores, maxPieceLen))
+
+  /** The shared EM + prune protocol: `eStep` maps the current scores
+    * to expected piece counts — in-memory over a collected table
+    * ([[learnInMemory]]) or as a Spark job over the distributed word
+    * table ([[learnDistributed]]). Because the DP per word is the
+    * same function and counts are exact Long sums (order-free), the
+    * two paths are BIT-IDENTICAL (spec-locked). */
+  private def emPruneLoop(seed: Seq[(String, Long)], vocabSize: Int,
+      emIters: Int,
+      eStep: Map[String, Long] => Map[String, Long]): Seq[Entry] = {
     require(vocabSize >= 1)
-    var vocab: Seq[(String, Long)] = seedInMemory(freqs, seedSize, maxPieceLen)
+    var vocab: Seq[(String, Long)] = seed
     def em(v: Seq[(String, Long)]): Seq[(String, Long)] = {
-      val counts = eStepCounts(freqs, withScores(v), maxPieceLen)
+      val counts = eStep(withScores(v))
       v.flatMap { case (p, _) =>
         val c = counts.getOrElse(p, 0L)
         if (p.length == 1) Some(p -> math.max(c, 1L)) // coverage floor
@@ -199,6 +211,51 @@ object Unigram {
     val total = vocab.iterator.map(_._2).sum
     vocab.map { case (p, c) => Entry(p, c, scoreMilli(c, total)) }
       .sortBy(e => (-e.cnt, e.piece))
+  }
+
+  /** One DISTRIBUTED E-step: broadcast the (vocab-bounded) scores,
+    * Viterbi every word where it sits, aggregate freq-weighted piece
+    * counts — the word table never collects, and the result is
+    * vocab-bounded. */
+  def eStepCountsDistributed(words: DataFrame, scores: Map[String, Long],
+                             maxPieceLen: Int = 4): Map[String, Long] = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val scB = spark.sparkContext.broadcast(scores)
+    val mpl = maxPieceLen
+    words.select(col("word"), col("freq")).as[(String, Long)]
+      .mapPartitions { it =>
+        val sc = scB.value
+        it.flatMap { case (w, f) =>
+          viterbi(w, sc, mpl).iterator
+            .flatMap(_._2.iterator.map(p => (p, f)))
+        }
+      }
+      .toDF("piece", "cnt").groupBy("piece").agg(sum("cnt").as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  /** Corpus-scale learn with NO word-table cap: the table stays a
+    * DataFrame end to end — seeding is the distributed [[seedVocab]],
+    * each EM round is one broadcast-scores Spark job, and only
+    * vocab-bounded frames ever collect. Bit-identical to
+    * [[learnInMemory]] over the same (full) table; use this when the
+    * word table exceeds [[learn]]'s `maxWords` cap — the 100 TB web
+    * corpus case, where the capped path WARNS and diverges. Job count
+    * is `emIters × prune-rounds + 1` (prune rounds shrink the
+    * vocabulary geometrically — ~5-10 rounds for typical budgets). */
+  def learnDistributed(docs: DataFrame, textCol: String, vocabSize: Int,
+                       seedSize: Int = 1 << 12, maxPieceLen: Int = 4,
+                       emIters: Int = 2): Seq[Entry] = {
+    val words = Bpe.wordFrequencies(docs, textCol)
+      .select(col("word"), col("freq")).persist()
+    try {
+      val seed = seedVocab(words, seedSize, maxPieceLen)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        .sortBy { case (p, c) => (-c, p) }
+      emPruneLoop(seed, vocabSize, emIters,
+        scores => eStepCountsDistributed(words, scores, maxPieceLen))
+    } finally { words.unpersist(); () }
   }
 
   /** Corpus-facing learn: ONE distributed tokenize+count shuffle, then

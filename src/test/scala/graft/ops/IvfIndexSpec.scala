@@ -308,6 +308,18 @@ class IvfIndexSpec extends AnyFunSuite {
       .filter(col("corpus_id") === 50000L).count() === 1)
     assert(IvfIndex.query(spark, out, queries, k = 500, nprobe = 16)
       .filter(col("corpus_id") === 50000L).count() > 0)
+    // a SECOND retrain (over the live corpus that now includes the
+    // post-retrain add) supersedes g1; reclaim drops g1 (marker + dir)
+    // while answers stay the current generation's
+    assert(IvfIndex.retrain(spark, out) === 2)
+    val afterG2 = answers(out)
+    assert(IvfIndex.reclaimGenerations(spark, out, retain = 2) === 0,
+      "retain window must protect the newest generations")
+    assert(IvfIndex.reclaimGenerations(spark, out, retain = 1) === 1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out/_gen_1")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out/g1")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$out/_gen_2")))
+    assert(answers(out) === afterG2, "reclaim changed resolution")
   }
 
   test("a crash mid-purge-swap loses no rows: the rerun completes the " +

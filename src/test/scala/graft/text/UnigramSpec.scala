@@ -102,6 +102,31 @@ class UnigramSpec extends AnyFunSuite {
     assert(dist === mem)
   }
 
+  test("learnDistributed == learn (capped path) when the cap does not " +
+      "bind, and == learnInMemory over the FULL table when it does") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, TestSpark.sf)
+    // cap slack: identical vocabularies, Entry for Entry
+    val dist = Unigram.learnDistributed(docs, "text", vocabSize = 40,
+      seedSize = 256, maxPieceLen = 3)
+    val capped = Unigram.learn(docs, "text", vocabSize = 40,
+      seedSize = 256, maxPieceLen = 3)
+    assert(dist === capped)
+    // cap binds: the capped path trains on a truncated table and
+    // diverges from the full-table train; the distributed path does
+    // not — it equals learnInMemory over the COMPLETE word table
+    val full = graft.text.Bpe.wordFrequencies(docs, "text")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(full.size > 20, "fixture too small for a binding cap")
+    val mem = Unigram.learnInMemory(full, vocabSize = 40,
+      seedSize = 256, maxPieceLen = 3)
+    assert(dist === mem)
+    val truncated = Unigram.learn(docs, "text", vocabSize = 40,
+      seedSize = 256, maxPieceLen = 3, maxWords = 15)
+    assert(truncated !== mem,
+      "a binding cap should diverge (otherwise this control is dead)")
+  }
+
   test("trained vocabulary favors frequent multi-char pieces") {
     import spark.implicits._
     val docs = Seq.fill(40)("the cat sat on the mat").zipWithIndex
