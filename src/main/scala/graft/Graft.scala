@@ -976,6 +976,14 @@ object Graft {
                              retain: Int = 2): Int =
     graft.ops.HnswIndex.reclaimGenerations(spark, store, retain)
 
+  /** Open a RESIDENT HNSW serving handle: the graph shard-exchanges
+    * once into the cache and every later batch walks it with zero
+    * read and zero exchange — the Solr live-searcher shape. Snapshot
+    * semantics: mutations committed after open need a reopen. */
+  def openHnswServing(spark: SparkSession,
+                      store: String): graft.ops.HnswIndex.Serving =
+    graft.ops.HnswIndex.open(spark, store)
+
   /** Train a unigram-LM (SentencePiece) tokenizer vocabulary over a
     * corpus — one tokenize+count shuffle, then in-memory EM/prune
     * (`graft.text.Unigram`); [[graft.text.Bpe.learn]]'s sibling. */

@@ -442,10 +442,15 @@ object HnswIndex {
 
   private def scatterQuery(spark: SparkSession, out: String,
       queries: DataFrame, k: Int, efSearch: Int,
-      allowed: Option[DataFrame]): DataFrame = {
+      allowed: Option[DataFrame]): DataFrame =
+    scatterOver(spark, out, readMarker(spark, out), readGraph(spark, out),
+      prePartitioned = false, queries, k, efSearch, allowed)
+
+  private def scatterOver(spark: SparkSession, out: String, mk: Marker,
+      base: DataFrame, prePartitioned: Boolean, queries: DataFrame,
+      k: Int, efSearch: Int, allowed: Option[DataFrame]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types._
-    val mk = readMarker(spark, out)
     val q = queries.select(col(mk.idCol).cast("long").as("query_id"),
         col(mk.vecCol).cast("array<double>").as("qvec"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
@@ -459,18 +464,23 @@ object HnswIndex {
     val tombB = spark.sparkContext.broadcast(tomb)
     val dim = mk.dim; val m = mk.m; val efC = mk.efC
     val ef = efSearch; val kk = k
-    val graph0 = readGraph(spark, out)
     val filtering = allowed.isDefined
-    val graph = (allowed match {
+    // a shard's rows MUST land whole in one task: the accept-flag join
+    // can re-plan the exchange away, so the filtered path always
+    // re-partitions AFTER it; the unfiltered path over a pre-exchanged
+    // (Serving-cached) base skips the exchange entirely
+    val graph = allowed match {
       case Some(a) =>
         val idsF = a.select(col(a.columns.head).cast("long").as("corpus_id"))
           .distinct().withColumn("_ok", lit(true))
-        graph0.join(idsF, Seq("corpus_id"), "left_outer")
+        base.join(idsF, Seq("corpus_id"), "left_outer")
           .select(col("shard"), col("corpus_id"), col("cvec"), col("level"),
             col("nbrs"), coalesce(col("_ok"), lit(false)).as("_ok"))
+          .repartition(mk.shards, col("shard"))
       case None =>
-        graph0.withColumn("_ok", lit(true))
-    }).repartition(mk.shards, col("shard"))
+        val g0 = base.withColumn("_ok", lit(true))
+        if (prePartitioned) g0 else g0.repartition(mk.shards, col("shard"))
+    }
     val schema = StructType(Seq(
       StructField("query_id", LongType), StructField("corpus_id", LongType),
       StructField("cosine", DoubleType)))
@@ -599,6 +609,40 @@ object HnswIndex {
       .unionByName(newRows)
     val rebuilt = rebuildShards(rebuildInput, mk.dim, mk.m, mk.efC, mk.shards)
     commitGeneration(spark, out, rebuilt, touched)
+  }
+
+  /** A RESIDENT serving handle (Solr keeps each shard's live HNSW
+    * graph resident between requests; this is that shape on Spark):
+    * the generation-resolved graph is shard-exchanged ONCE and
+    * persisted, so every subsequent query batch walks the cached
+    * partitions — zero read, zero exchange on the unfiltered path
+    * (a filtered query reuses the cached read but pays its own
+    * exchange after the accept-flag join, which can re-plan the
+    * partitioning away). The handle SNAPSHOTS the generations at
+    * [[open]] — a mutation committed later is not visible until
+    * reopen, exactly an open Lucene reader; tombstones re-read per
+    * query (O(batch), the cheap fresh half). */
+  final class Serving private[ops](spark: SparkSession, out: String,
+      mk: Marker, private[ops] val partitioned: DataFrame) {
+    def query(queries: DataFrame, k: Int, efSearch: Int = 64): DataFrame =
+      scatterOver(spark, out, mk, partitioned, prePartitioned = true,
+        queries, k, efSearch, None)
+    def queryFiltered(queries: DataFrame, k: Int, allowed: DataFrame,
+                      efSearch: Int = 64): DataFrame =
+      scatterOver(spark, out, mk, partitioned, prePartitioned = false,
+        queries, k, efSearch, Some(allowed))
+    def close(): Unit = { partitioned.unpersist(); () }
+  }
+
+  /** Open a resident [[Serving]] handle over the current generations. */
+  def open(spark: SparkSession, out: String,
+           storage: org.apache.spark.storage.StorageLevel =
+             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      : Serving = {
+    val mk = readMarker(spark, out)
+    val part = readGraph(spark, out)
+      .repartition(mk.shards, col("shard")).persist(storage)
+    new Serving(spark, out, mk, part)
   }
 
   /** Reclaim fully-SHADOWED generations (the `retainGenerations`

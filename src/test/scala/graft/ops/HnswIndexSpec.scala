@@ -182,6 +182,25 @@ class HnswIndexSpec extends AnyFunSuite {
     assert(post.forall(_.getLong(2) % 5 != 0))
   }
 
+  test("Serving: the resident handle answers repeated batches " +
+      "identically to the one-shot path (filtered and not) off a " +
+      "persisted, pre-exchanged graph") {
+    val s = HnswIndex.open(spark, idx)
+    try {
+      assert(s.partitioned.storageLevel.useMemory ||
+        s.partitioned.storageLevel.useDisk, "serving graph not persisted")
+      val queries = emb.filter(col("vec_id") < 10)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+      val oneShot = rows(HnswIndex.query(spark, idx, queries, 5, 64))
+      assert(rows(s.query(queries, 5)) === oneShot)
+      assert(rows(s.query(queries, 5)) === oneShot, "second warm batch")
+      val allowed = emb.filter(col("vec_id") % 13 === 0).select("vec_id")
+      assert(rows(s.queryFiltered(queries, 5, allowed)) ===
+        rows(HnswIndex.queryFiltered(spark, idx, queries, 5, allowed)))
+    } finally s.close()
+  }
+
   test("crash states: an uncommitted generation dir is invisible to " +
       "readers and overwritten by the retried mutation; a reclaim " +
       "crash leaves only an orphaned dir") {
