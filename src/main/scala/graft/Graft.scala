@@ -1002,4 +1002,19 @@ object Graft {
       : Seq[graft.text.Unigram.Entry] =
     graft.text.Unigram.learnDistributed(docs, textCol, vocabSize,
       maxPieceLen = maxPieceLen)
+
+  /** Serialize a trained BPE merge table as the HF `tokenizer.json`
+    * model object at `path` — the handoff format the training stack
+    * downstream of this pipeline loads directly. */
+  def exportBpeTokenizer(spark: SparkSession, path: String,
+                         merges: Seq[graft.text.Bpe.Merge]): Unit =
+    graft.text.TokenizerExport.write(spark, path,
+      graft.text.TokenizerExport.bpeModelJson(merges))
+
+  /** Serialize a trained unigram vocabulary as the HF
+    * `tokenizer.json` model object at `path`. */
+  def exportUnigramTokenizer(spark: SparkSession, path: String,
+                             vocab: Seq[graft.text.Unigram.Entry]): Unit =
+    graft.text.TokenizerExport.write(spark, path,
+      graft.text.TokenizerExport.unigramModelJson(vocab))
 }

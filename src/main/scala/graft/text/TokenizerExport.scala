@@ -1,0 +1,84 @@
+package graft.text
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Tokenizer interop: serialize a trained [[Bpe]] merge table or
+ * [[Unigram]] vocabulary as the `model` object of a HuggingFace
+ * `tokenizer.json` — the public format (tokenizers library docs) the
+ * training stack downstream of a data pipeline actually loads, so a
+ * vocabulary trained here hands off without a conversion step.
+ *
+ * Shapes emitted (the documented HF fast-tokenizer serialization):
+ *  - BPE:     {"type":"BPE","unk_token":"<unk>","vocab":{token:id,…},
+ *              "merges":["left right",…]}
+ *    vocab ids follow the HF training convention: specials first,
+ *    then the base alphabet (sorted), then each merge's joined symbol
+ *    in merge-rank order — the id order a from-scratch HF train of
+ *    the same merges would produce.
+ *  - Unigram: {"type":"Unigram","unk_id":0,
+ *              "vocab":[["<unk>",0.0],["piece",logprob],…]}
+ *    log-probs are the engine's integer-milli scores divided by 1000
+ *    (exact decimal rendering, so a re-import reproduces ordering
+ *    bit-for-bit).
+ *
+ * Writing is driver-side (a tokenizer file is KBs — never
+ * corpus-shaped); both methods return the JSON string and optionally
+ * persist it via the Hadoop FS (works on HDFS/object stores too).
+ */
+object TokenizerExport {
+
+  private def esc(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** The base alphabet of a merge table: every single-character
+    * symbol that appears on either side of a merge, split down to
+    * characters (merges reference joined symbols; characters are the
+    * leaves). Sorted for deterministic ids. */
+  private[text] def bpeAlphabet(merges: Seq[Bpe.Merge]): Seq[String] =
+    merges.iterator
+      .flatMap(m => (m.left + m.right).iterator)
+      .map(_.toString).toSeq.distinct.sorted
+
+  /** HF `tokenizer.json` model object for a BPE merge table. */
+  def bpeModelJson(merges: Seq[Bpe.Merge],
+                   unk: String = "<unk>"): String = {
+    val ordered = merges.sortBy(_.rank)
+    val symbols =
+      Seq(unk) ++ bpeAlphabet(ordered) ++ ordered.map(m => m.left + m.right)
+    val vocab = symbols.distinct.zipWithIndex
+      .map { case (t, i) => s""""${esc(t)}":$i""" }.mkString(",")
+    val ms = ordered
+      .map(m => s""""${esc(m.left)} ${esc(m.right)}"""").mkString(",")
+    s"""{"type":"BPE","unk_token":"${esc(unk)}","vocab":{$vocab},""" +
+      s""""merges":[$ms]}"""
+  }
+
+  /** HF `tokenizer.json` model object for a unigram vocabulary.
+    * Pieces keep the trainer's (cnt desc, piece asc) order, ids
+    * starting after unk_id 0. */
+  def unigramModelJson(vocab: Seq[Unigram.Entry],
+                       unk: String = "<unk>"): String = {
+    val rows = (s"""["${esc(unk)}",0.0]""" +: vocab.map { e =>
+      val lp = e.scoreMilli / 1000.0
+      s"""["${esc(e.piece)}",$lp]"""
+    }).mkString(",")
+    s"""{"type":"Unigram","unk_id":0,"vocab":[$rows]}"""
+  }
+
+  /** Persist a model JSON at `path` (single small file, any Hadoop
+    * FS). */
+  def write(spark: SparkSession, path: String, json: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    try os.write(json.getBytes("UTF-8")) finally os.close()
+  }
+}
