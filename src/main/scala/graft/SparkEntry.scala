@@ -934,6 +934,19 @@ object SparkEntry {
         .toDF("piece", "cnt")
     }),
 
+    // 1-BIT binary embedding quantization (FAISS IndexBinaryFlat /
+    // the modern binary-embedding serving tier, 32× memory cut):
+    // sign-pack to 32-bit words (shift-free acc*2+bit — exact integer
+    // arithmetic on both engines), rank by Hamming (popcount of XOR),
+    // exact-cosine re-rank over the top-32 candidates only. Unlike
+    // the graph walk, EVERY stage replays in SQL, so the whole
+    // two-stage pipeline hash-matches the DuckDB oracle.
+    "q317_binary_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.ops.BinaryQuant.binaryTopK(emb,
+        emb.filter(col("vec_id") < 10), k = 5, rerank = 32, dim = 64)
+    }),
+
     // ANN recall@k evaluation (ann-benchmarks' acceptance metric): the
     // quantized two-stage refine (q305 serving path) scored against
     // the exact brute-force truth — per query |approx∩exact|·200 in
@@ -6481,6 +6494,38 @@ object SparkEntry {
          |SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
          |FROM mstep GROUP BY piece
          |ORDER BY cnt DESC, piece LIMIT 50""".stripMargin,
+
+    // the binary-quantization pipeline replayed whole: identical
+    // sign-pack (acc*2+bit over 32-bit words), Hamming = popcount of
+    // XOR per word, candidate cut by (hamming, id), exact-cosine
+    // re-rank over the candidates — all integer until the final
+    // cosine, which follows the q25 double discipline
+    "q317_binary_ann" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |c AS (SELECT vec_id,
+        |  [list_reduce(list_prepend(CAST(0 AS BIGINT), [CASE WHEN v[0 + b + 1] > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END for b in generate_series(0, 31)]), (acc, x) -> acc * 2 + x),
+        |   list_reduce(list_prepend(CAST(0 AS BIGINT), [CASE WHEN v[32 + b + 1] > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END for b in generate_series(0, 31)]), (acc, x) -> acc * 2 + x)] AS code FROM e),
+        |q AS (SELECT * FROM c WHERE vec_id < 10),
+        |h AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |  bit_count(xor(q.code[1], c.code[1]))
+        |    + bit_count(xor(q.code[2], c.code[2])) AS ham
+        | FROM q JOIN c ON c.vec_id <> q.vec_id),
+        |cand AS (SELECT query_id, corpus_id FROM (
+        |  SELECT query_id, corpus_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY ham, corpus_id) AS hr FROM h) t
+        |  WHERE hr <= 32),
+        |r AS (SELECT cand.query_id, cand.corpus_id,
+        |  list_dot_product(qv.v, cv.v) /
+        |   (sqrt(list_dot_product(qv.v, qv.v))
+        |    * sqrt(list_dot_product(cv.v, cv.v))) AS cosine
+        | FROM cand
+        | JOIN e qv ON qv.vec_id = cand.query_id
+        | JOIN e cv ON cv.vec_id = cand.corpus_id)
+        |SELECT query_id, CAST(rn AS INTEGER) AS rank, corpus_id FROM (
+        | SELECT query_id, corpus_id, row_number() OVER (
+        |   PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rn
+        | FROM r) t WHERE rn <= 5 ORDER BY 1, 2""".stripMargin,
 
     // same enumeration oracle as q312 — the distributed E-step kernel
     // must land on the identical M-step counts

@@ -1,0 +1,85 @@
+package graft.ops
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** 1-bit quantization: the pack must match an independent bit-level
+  * recompute, Hamming must behave like a metric on codes, and the
+  * two-stage pipeline must stay inside its own candidate set. */
+class BinaryQuantSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def emb = Tables.embeddings(spark, TestSpark.sf)
+
+  test("packSigns matches an independent plain-Scala recompute " +
+      "(32-bit words, acc*2+bit, strict > 0)") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0, -2.0, 0.0, 0.5, -0.1, 3.0)),
+      (2L, Array.fill(6)(-1.0)),
+      (3L, Array.fill(6)(2.5)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = df.select(col("vec_id"),
+        BinaryQuant.packSigns(col("embedding").cast("array<double>"), 6)
+          .as("code"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    def ref(v: Array[Double]): Seq[Long] = (0 until 1).map { w =>
+      (0 until 32).foldLeft(0L) { (acc, b) =>
+        val idx = w * 32 + b
+        acc * 2 + (if (idx < v.length && v(idx) > 0) 1L else 0L)
+      }
+    }
+    vecs.foreach { case (id, v) => assert(got(id) === ref(v), s"id $id") }
+    // zero is NOT positive (the strict-compare contract)
+    assert(got(1L) !== ref(Array(1.0, -2.0, 1e-9, 0.5, -0.1, 3.0)))
+  }
+
+  test("hamming: zero on self, symmetric, bounded by dim") {
+    val codes = emb.limit(20)
+      .select(col("vec_id"),
+        BinaryQuant.packSigns(col("embedding").cast("array<double>"), 64)
+          .as("code"))
+    val a = codes.as("a"); val b = codes.as("b")
+    val pairs = a.crossJoin(b).select(
+      col("a.vec_id").as("ida"), col("b.vec_id").as("idb"),
+      BinaryQuant.hamming(col("a.code"), col("b.code")).as("h"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    pairs.foreach { case ((x, y), h) =>
+      assert(h >= 0 && h <= 64)
+      if (x == y) assert(h === 0)
+      assert(pairs((y, x)) === h, "asymmetric hamming")
+    }
+  }
+
+  test("two-stage binary ANN: k rows per query, no self-matches, " +
+      "every hit inside its own Hamming candidate set, deterministic") {
+    val queries = emb.filter(col("vec_id") < 6)
+    def run() = BinaryQuant.binaryTopK(emb, queries, k = 5, rerank = 32,
+        dim = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val got = run()
+    assert(got === run(), "not deterministic")
+    assert(got.size === 30)
+    assert(got.forall { case (q, _, c) => q != c })
+    // stage-2 hits ⊆ stage-1 candidates: re-run stage 1 standalone
+    val codes = emb.select(col("vec_id").cast("long").as("corpus_id"),
+      BinaryQuant.packSigns(col("embedding").cast("array<double>"), 64)
+        .as("code"))
+    val qc = queries.select(col("vec_id").cast("long").as("query_id"),
+      BinaryQuant.packSigns(col("embedding").cast("array<double>"), 64)
+        .as("qcode"))
+    import org.apache.spark.sql.expressions.Window
+    val cand = codes.crossJoin(broadcast(qc))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("h", BinaryQuant.hamming(col("qcode"), col("code")))
+      .withColumn("hr", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("h").asc, col("corpus_id").asc)))
+      .filter(col("hr") <= 32)
+      .select("query_id", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got.foreach { case (q, _, c) =>
+      assert(cand.contains((q, c)), s"hit ($q,$c) escaped its candidates")
+    }
+  }
+}

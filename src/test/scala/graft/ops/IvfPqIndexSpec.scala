@@ -300,6 +300,15 @@ class IvfPqIndexSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       IvfPqIndex.retrain(spark, codeOnly)
     }
+    // reclaim serves the PQ tier through the shared layout: a second
+    // retrain supersedes g1; reclaim drops it, answers unchanged
+    assert(IvfPqIndex.retrain(spark, out) === 2)
+    val g2Refined = refined(out)
+    assert(IvfIndex.reclaimGenerations(spark, out, retain = 1) === 1)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out/g1")))
+    assert(refined(out) === g2Refined, "reclaim changed PQ resolution")
   }
 
   test("remove_ids: deleted ids never surface; purge reclaims the rows " +
