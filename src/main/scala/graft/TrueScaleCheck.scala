@@ -63,7 +63,7 @@ object TrueScaleCheck {
     // full add/delete/purge lifecycle store
     "q309_ann_retrain", "q310_unigram_seed", "q313_hnsw_recall_gate",
     "q314_hnsw_filtered", "q315_hnsw_lifecycle",
-    "q316_unigram_mstep_dist").distinct
+    "q316_unigram_mstep_dist", "q317_binary_ann").distinct
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
