@@ -136,6 +136,7 @@ object SparkEntry {
     "q309_ann_retrain",        // ivf_retrain (build half + add + retrain)
     "q313_hnsw_recall_gate",   // hnsw_index (sharded graph build)
     "q315_hnsw_lifecycle",     // hnsw_lifecycle (build + add + purge)
+    "q318_binary_ann_persisted", // bq_codes (packed sign bits)
     "q305_ivfpq_refine_stored", // ivfpq_refine (codes + raw-vector sidecar)
     "q286_tiered_merge",       // q286_tiered base store (upserts idempotent)
     "q289_index_multivalued",  // part_mv (array-surfaced store)
@@ -945,6 +946,21 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       graft.ops.BinaryQuant.binaryTopK(emb,
         emb.filter(col("vec_id") < 10), k = 5, rerank = 32, dim = 64)
+    }),
+
+    // the persisted binary-code tier (FAISS IndexBinaryFlat on disk:
+    // pack once, serve Hamming forever from 1/32 the bytes; the
+    // re-rank fetch is candidate-id-pushed into the external corpus
+    // read — the queryRefined discipline). Same oracle as q317: one
+    // oracle, two read paths — a store that dropped a code, packed a
+    // bit differently, or fetched beyond its candidates hash-fails.
+    "q318_binary_ann_persisted" -> ((s, d) => {
+      val out = sharedStore(d, "bq_codes") { o =>
+        graft.ops.BinaryQuant.buildStore(Tables.embeddings(s, d), o, dim = 64)
+      }
+      val emb = Tables.embeddings(s, d)
+      graft.ops.BinaryQuant.queryStore(s, out,
+        emb.filter(col("vec_id") < 10), emb, k = 5, rerank = 32)
     }),
 
     // ANN recall@k evaluation (ann-benchmarks' acceptance metric): the
@@ -6501,6 +6517,35 @@ object SparkEntry {
     // re-rank over the candidates — all integer until the final
     // cosine, which follows the q25 double discipline
     "q317_binary_ann" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |c AS (SELECT vec_id,
+        |  [list_reduce(list_prepend(CAST(0 AS BIGINT), [CASE WHEN v[0 + b + 1] > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END for b in generate_series(0, 31)]), (acc, x) -> acc * 2 + x),
+        |   list_reduce(list_prepend(CAST(0 AS BIGINT), [CASE WHEN v[32 + b + 1] > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END for b in generate_series(0, 31)]), (acc, x) -> acc * 2 + x)] AS code FROM e),
+        |q AS (SELECT * FROM c WHERE vec_id < 10),
+        |h AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |  bit_count(xor(q.code[1], c.code[1]))
+        |    + bit_count(xor(q.code[2], c.code[2])) AS ham
+        | FROM q JOIN c ON c.vec_id <> q.vec_id),
+        |cand AS (SELECT query_id, corpus_id FROM (
+        |  SELECT query_id, corpus_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY ham, corpus_id) AS hr FROM h) t
+        |  WHERE hr <= 32),
+        |r AS (SELECT cand.query_id, cand.corpus_id,
+        |  list_dot_product(qv.v, cv.v) /
+        |   (sqrt(list_dot_product(qv.v, qv.v))
+        |    * sqrt(list_dot_product(cv.v, cv.v))) AS cosine
+        | FROM cand
+        | JOIN e qv ON qv.vec_id = cand.query_id
+        | JOIN e cv ON cv.vec_id = cand.corpus_id)
+        |SELECT query_id, CAST(rn AS INTEGER) AS rank, corpus_id FROM (
+        | SELECT query_id, corpus_id, row_number() OVER (
+        |   PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rn
+        | FROM r) t WHERE rn <= 5 ORDER BY 1, 2""".stripMargin,
+
+    // one oracle, two read paths: the persisted code store must
+    // serve exactly the batch pipeline's answer
+    "q318_binary_ann_persisted" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings),
         |c AS (SELECT vec_id,

@@ -63,7 +63,8 @@ object TrueScaleCheck {
     // full add/delete/purge lifecycle store
     "q309_ann_retrain", "q310_unigram_seed", "q313_hnsw_recall_gate",
     "q314_hnsw_filtered", "q315_hnsw_lifecycle",
-    "q316_unigram_mstep_dist", "q317_binary_ann").distinct
+    "q316_unigram_mstep_dist", "q317_binary_ann",
+    "q318_binary_ann_persisted").distinct
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -84,4 +84,90 @@ object BinaryQuant {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("corpus_id"))
   }
+
+  private def markerPath(out: String) = s"$out/_bq_marker.json"
+
+  /** Persist the packed codes (the build-once-query-many shape: pack
+    * the corpus ONCE, serve Hamming ranking forever from 1/32 the
+    * bytes). The store holds codes only — FAISS `IndexBinaryFlat`'s
+    * contract; the re-rank corpus stays external and its fetch is
+    * candidate-bounded ([[queryStore]]). */
+  def buildStore(corpus: DataFrame, out: String, dim: Int,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    corpus.select(col(idCol).cast("long").as("corpus_id"),
+        packSigns(col(vecCol).cast("array<double>"), dim).as("code"))
+      .write.mode("overwrite").parquet(s"$out/codes")
+    val mk = s"""{"dim":$dim,"idCol":"$idCol","vecCol":"$vecCol"}"""
+    val p = new org.apache.hadoop.fs.Path(markerPath(out))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    try os.write(mk.getBytes("UTF-8")) finally os.close()
+  }
+
+  /** Serve from the persisted code store: Hamming stage reads CODES
+    * ONLY; the exact-cosine re-rank fetches raw vectors from the
+    * external `corpus` frame under a candidate-id pushdown (bounded
+    * by |Q|·rerank — the [[IvfPqIndex.queryRefined]] discipline;
+    * above `pushLimit` ids the restriction becomes a plan-side
+    * broadcast semi-join instead of an In literal). Answers are
+    * bit-identical to the batch [[binaryTopK]] (one oracle, two read
+    * paths — q318 vs q317). */
+  def queryStore(spark: org.apache.spark.sql.SparkSession, out: String,
+                 queries: DataFrame, corpus: DataFrame, k: Int,
+                 rerank: Int, pushLimit: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val txt = {
+      val p = new org.apache.hadoop.fs.Path(markerPath(out))
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try in.readFully(0, buf) finally in.close()
+      new String(buf, "UTF-8")
+    }
+    def num(kk: String) =
+      s""""$kk":(-?\\d+)""".r.findFirstMatchIn(txt).get.group(1)
+    def str(kk: String) =
+      (s""""$kk":"([^"]*)"""").r.findFirstMatchIn(txt).get.group(1)
+    val dim = num("dim").toInt
+    val idCol = str("idCol"); val vecCol = str("vecCol")
+    val codes = spark.read.parquet(s"$out/codes")
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).cast("array<double>").as("qvec"))
+      .withColumn("qcode", packSigns(col("qvec"), dim))
+    val scored = codes.crossJoin(broadcast(q.select("query_id", "qcode")))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("hamming", hamming(col("qcode"), col("code")))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("corpus_id").asc)
+    val cand = scored.withColumn("hrank", row_number().over(w1))
+      .filter(col("hrank") <= rerank)
+      .select("query_id", "corpus_id")
+    // candidate-bounded raw-vector fetch from the external corpus
+    val candRows = cand.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val candIds = candRows.map(_._2).distinct
+    val c = corpus.select(col(idCol).cast("long").as("corpus_id"),
+      col(vecCol).cast("array<double>").as("cvec"))
+    val fetched =
+      if (candIds.length <= pushLimit)
+        c.filter(col("corpus_id").isin(candIds.map(Long.box).toSeq: _*))
+      else {
+        import spark.implicits._
+        c.join(broadcast(candIds.toSeq.toDF("corpus_id")),
+          Seq("corpus_id"), "left_semi")
+      }
+    import spark.implicits._
+    val candDf = candRows.toSeq.toDF("query_id", "corpus_id")
+    val rer = candDf.join(fetched, Seq("corpus_id"))
+      .join(broadcast(q.select("query_id", "qvec")), Seq("query_id"))
+      .withColumn("cosine",
+        Similarity.dot(col("qvec"), col("cvec")) /
+          (Similarity.norm(col("qvec")) * Similarity.norm(col("cvec"))))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    rer.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"))
+  }
 }

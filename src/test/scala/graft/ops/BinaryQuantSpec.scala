@@ -51,6 +51,28 @@ class BinaryQuantSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted code store serves exactly the batch pipeline's " +
+      "answer; the store holds codes only (the 32x contract)") {
+    val out = java.nio.file.Files.createTempDirectory("bq_store_").toString
+    BinaryQuant.buildStore(emb, out, dim = 64)
+    val codes = spark.read.parquet(s"$out/codes")
+    assert(codes.columns.toSet === Set("corpus_id", "code"),
+      "the store must hold codes only, never raw vectors")
+    assert(codes.count() === emb.count())
+    val queries = emb.filter(col("vec_id") < 6)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    val stored = rows(BinaryQuant.queryStore(spark, out, queries, emb,
+      k = 5, rerank = 32))
+    val batch = rows(BinaryQuant.binaryTopK(emb, queries, k = 5,
+      rerank = 32, dim = 64))
+    assert(stored === batch)
+    // the broadcast-semi-join fallback path answers identically too
+    val viaJoin = rows(BinaryQuant.queryStore(spark, out, queries, emb,
+      k = 5, rerank = 32, pushLimit = 1))
+    assert(viaJoin === batch)
+  }
+
   test("two-stage binary ANN: k rows per query, no self-matches, " +
       "every hit inside its own Hamming candidate set, deterministic") {
     val queries = emb.filter(col("vec_id") < 6)
