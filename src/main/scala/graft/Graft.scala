@@ -1017,4 +1017,22 @@ object Graft {
                              vocab: Seq[graft.text.Unigram.Entry]): Unit =
     graft.text.TokenizerExport.write(spark, path,
       graft.text.TokenizerExport.unigramModelJson(vocab))
+
+  /** Two-stage 1-bit binary ANN (FAISS IndexBinaryFlat, 32× memory
+    * cut): Hamming over sign codes, exact-cosine re-rank over the
+    * top-`rerank` candidates only. */
+  def binaryAnn(corpus: DataFrame, queries: DataFrame, k: Int,
+                rerank: Int, dim: Int): DataFrame =
+    graft.ops.BinaryQuant.binaryTopK(corpus, queries, k, rerank, dim)
+
+  /** Persist the packed sign codes — pack once, serve many. */
+  def buildBinaryAnnIndex(corpus: DataFrame, out: String, dim: Int): Unit =
+    graft.ops.BinaryQuant.buildStore(corpus, out, dim)
+
+  /** Serve from a persisted binary-code store; the re-rank fetch is
+    * candidate-id-pushed into the external `corpus` read. */
+  def queryBinaryAnnIndex(spark: SparkSession, store: String,
+                          queries: DataFrame, corpus: DataFrame, k: Int,
+                          rerank: Int): DataFrame =
+    graft.ops.BinaryQuant.queryStore(spark, store, queries, corpus, k, rerank)
 }
