@@ -587,10 +587,10 @@ object HnswIndex {
     touched.size
   }
 
-  /** Add vectors: the touched shards (same membership function as
-    * [[build]]) rebuild over old-rows ∪ new-rows with ascending-id
-    * insertion, so add-then-query is BIT-IDENTICAL to
-    * build-from-scratch over the union — the deterministic contract
+  /** Add vectors (UPSERT): the touched shards (same membership
+    * function as [[build]]) rebuild over (old ∖ incoming-ids) ∪ new
+    * with ascending-id insertion, so add-then-query is BIT-IDENTICAL
+    * to build-from-scratch over that set — the deterministic contract
     * (FAISS/Lucene appends are insertion-order-dependent; a
     * hash-oracled engine wants the order-free one). The new
     * generation carries ONLY the rebuilt shards (I/O ∝ touched-shard
@@ -604,7 +604,14 @@ object HnswIndex {
       newRows.select("shard").distinct().collect().map(_.getInt(0)).toSeq
     if (touched.isEmpty) return
     val old = readGraph(spark, out)
+    // UPSERT semantics (free under rebuild, unlike a FAISS/Lucene
+    // append): a re-added id replaces its old vector instead of
+    // duplicating the node — old rows for incoming ids drop before
+    // the union, so add-then-query ≡ build-from-scratch over
+    // (old ∖ newIds) ∪ new
     val rebuildInput = old.filter(col("shard").isin(touched: _*))
+      .select("shard", "corpus_id", "cvec")
+      .join(newRows.select("corpus_id"), Seq("corpus_id"), "left_anti")
       .select("shard", "corpus_id", "cvec")
       .unionByName(newRows)
     val rebuilt = rebuildShards(rebuildInput, mk.dim, mk.m, mk.efC, mk.shards)

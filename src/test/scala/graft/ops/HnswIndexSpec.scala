@@ -128,6 +128,25 @@ class HnswIndexSpec extends AnyFunSuite {
     assert(gen0Again === gen0)
   }
 
+  test("add is an UPSERT: re-adding an existing id replaces its " +
+      "vector (one node, the new vector) — bit-identical to a fresh " +
+      "build over the replaced corpus") {
+    val store = java.nio.file.Files.createTempDirectory("hnsw_ups_").toString
+    HnswIndex.build(emb, store, dim = 64)
+    // replace id 0's vector with id 1's values
+    val replacement = emb.filter(col("vec_id") === 1)
+      .select(lit(0L).as("vec_id"), col("embedding"))
+    HnswIndex.add(spark, store, replacement)
+    val live = graphRowsLive(store)
+    assert(live.count(_._1 == 0L) === 1, "re-added id duplicated")
+    val fresh = java.nio.file.Files.createTempDirectory("hnsw_ups2_").toString
+    HnswIndex.build(
+      emb.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding"))
+        .unionByName(replacement), fresh, dim = 64)
+    assert(live === graphRowsLive(fresh))
+  }
+
   test("a single-vector add writes a generation carrying ONLY its " +
       "shard (mutation I/O ∝ touched shards) and readers layer " +
       "per shard across generations") {
