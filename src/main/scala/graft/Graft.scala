@@ -565,6 +565,19 @@ object Graft {
           textFields: Set[String] = Set.empty): DataFrame =
     graft.search.KnnQuery.knn(df, q, idCol, fq, textFields)
 
+  /** Solr 9 {!knn} served from the PERSISTED sharded HNSW store —
+    * the real Lucene execution shape (per-shard graph walk +
+    * scatter-gather merge); fq compiles against `meta` into the
+    * walk's acceptDocs set (see [[graft.search.KnnQuery.knnStore]]). */
+  def knnServe(spark: SparkSession, store: String,
+               requests: Seq[(Long, String)],
+               meta: Option[DataFrame] = None, metaIdCol: String = "vec_id",
+               fq: Option[String] = None,
+               textFields: Set[String] = Set.empty,
+               efSearch: Int = 64): DataFrame =
+    graft.search.KnnQuery.knnStore(spark, store, requests, meta, metaIdCol,
+      fq, textFields, efSearch)
+
   /** Gopher duplicate-line signals over a per-doc lines array (see
     * [[graft.text.TextAnalysis.duplicateLineColumns]]). */
   def duplicateLineColumns(lines: Column): Seq[(String, Column)] =
@@ -1018,9 +1031,10 @@ object Graft {
     graft.text.TokenizerExport.write(spark, path,
       graft.text.TokenizerExport.unigramModelJson(vocab))
 
-  /** Two-stage 1-bit binary ANN (FAISS IndexBinaryFlat, 32× memory
-    * cut): Hamming over sign codes, exact-cosine re-rank over the
-    * top-`rerank` candidates only. */
+  /** Two-stage 1-bit binary ANN (FAISS IndexBinaryFlat; 32× memory
+    * cut vs the engine's float64 arrays, 16× vs float32): Hamming
+    * over sign codes, exact-cosine re-rank over the top-`rerank`
+    * candidates only. */
   def binaryAnn(corpus: DataFrame, queries: DataFrame, k: Int,
                 rerank: Int, dim: Int): DataFrame =
     graft.ops.BinaryQuant.binaryTopK(corpus, queries, k, rerank, dim)
@@ -1035,4 +1049,20 @@ object Graft {
                           queries: DataFrame, corpus: DataFrame, k: Int,
                           rerank: Int): DataFrame =
     graft.ops.BinaryQuant.queryStore(spark, store, queries, corpus, k, rerank)
+
+  /** BUCKETED binary ANN store (FAISS IndexBinaryIVF): codes cluster
+    * into coarse cells under a md5-seeded k-majority binary quantizer;
+    * queries probe nprobe cells only — the 100 TB serving form of the
+    * binary tier (see [[graft.ops.BinaryQuant.buildIvfStore]]). */
+  def buildBinaryIvfIndex(corpus: DataFrame, out: String, dim: Int,
+                          nlist: Int = 8): Unit =
+    graft.ops.BinaryQuant.buildIvfStore(corpus, out, dim, nlist)
+
+  /** Serve from the bucketed binary store: partition-pruned probe
+    * scan + candidate-bounded exact re-rank. */
+  def queryBinaryIvfIndex(spark: SparkSession, store: String,
+                          queries: DataFrame, corpus: DataFrame, k: Int,
+                          rerank: Int, nprobe: Int = 4): DataFrame =
+    graft.ops.BinaryQuant.queryIvfStore(spark, store, queries, corpus, k,
+      rerank, nprobe)
 }

@@ -137,6 +137,7 @@ object SparkEntry {
     "q313_hnsw_recall_gate",   // hnsw_index (sharded graph build)
     "q315_hnsw_lifecycle",     // hnsw_lifecycle (build + add + purge)
     "q318_binary_ann_persisted", // bq_codes (packed sign bits)
+    "q321_binary_ivf",         // bq_ivf (cell-partitioned binary codes)
     "q305_ivfpq_refine_stored", // ivfpq_refine (codes + raw-vector sidecar)
     "q286_tiered_merge",       // q286_tiered base store (upserts idempotent)
     "q289_index_multivalued",  // part_mv (array-surfaced store)
@@ -852,6 +853,66 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("corpus_id"))
     }),
 
+    // {!knn} SERVED FROM THE STORE (round 15 — the qparser↔tier seam):
+    // the literal Solr 9 request string `{!knn f= topK=}[...]` is
+    // parsed and DISPATCHED onto the persisted sharded HNSW store —
+    // Solr 9's actual execution (the qparser compiles onto one Lucene
+    // HNSW graph per shard, scatter-gather merge), where Graft.knn
+    // alone is the exact-scan scoring surface. The fq pre-filter
+    // compiles against the metadata frame into the walk's acceptDocs
+    // set; the filter is selective, so every shard's walk overruns its
+    // accepted cardinality and the scarce-filter EXACT fallback fires:
+    // the request-string path must hash-match q314's full brute-force
+    // replay — one oracle, two request surfaces.
+    "q319_knn_hnsw_store" -> ((s, d) => {
+      import graft.ops.HnswIndex
+      val out = sharedStore(d, "hnsw_index") { o =>
+        HnswIndex.build(Tables.embeddings(s, d), o, dim = 64)
+      }
+      val emb = Tables.embeddings(s, d)
+      val requests = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").cast("long"),
+          col("embedding").cast("array<double>"))
+        .collect().map { r =>
+          val vec = r.getSeq[Double](1).mkString(",")
+          (r.getLong(0), s"{!knn f=embedding topK=5}[$vec]")
+        }.toSeq.sortBy(_._1)
+      val meta = emb.select(col("vec_id"),
+        pmod(col("vec_id"), lit(13)).as("mod13"))
+      graft.search.KnnQuery.knnStore(s, out, requests, meta = Some(meta),
+          fq = Some("mod13:0"), efSearch = 64)
+        .select(col("query_id"), col("rank"), col("corpus_id"))
+    }),
+
+    // the dense (unfiltered) {!knn}-from-store case: no SQL replay of
+    // the graph walk exists, so — the q313 pattern — the entry is
+    // recall-floor-gated against the replayable exact truth leg:
+    // per request, recall@5 of the store-served answer vs brute force
+    // must clear 0.8 at ef=64.
+    "q320_knn_hnsw_recall" -> ((s, d) => {
+      import graft.ops.{HnswIndex, RankingEval}
+      val out = sharedStore(d, "hnsw_index") { o =>
+        HnswIndex.build(Tables.embeddings(s, d), o, dim = 64)
+      }
+      val emb = Tables.embeddings(s, d)
+      val requests = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").cast("long"),
+          col("embedding").cast("array<double>"))
+        .collect().map { r =>
+          val vec = r.getSeq[Double](1).mkString(",")
+          (r.getLong(0), s"{!knn f=embedding topK=5}[$vec]")
+        }.toSeq.sortBy(_._1)
+      val served = graft.search.KnnQuery.knnStore(s, out, requests,
+          efSearch = 64)
+        .select(col("query_id"), col("corpus_id"))
+      val exact = ops.Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") < 10), 5)
+        .select(col("query_id"), col("corpus_id"))
+      RankingEval.annRecallAtK(exact, served, k = 5)
+        .select(col("query_id"),
+          (col("recall_milli") >= 800).as("meets_floor"))
+    }),
+
     // Unigram-LM (SentencePiece) tokenizer training, stage 1 — the
     // SEED VOCABULARY: freq-weighted counts of all substrings (≤4
     // chars) of the word-frequency table, top-300 by (cnt, piece)
@@ -936,7 +997,8 @@ object SparkEntry {
     }),
 
     // 1-BIT binary embedding quantization (FAISS IndexBinaryFlat /
-    // the modern binary-embedding serving tier, 32× memory cut):
+    // the modern binary-embedding serving tier; 32× memory cut vs
+    // the engine's float64 arrays, 16× vs float32):
     // sign-pack to 32-bit words (shift-free acc*2+bit — exact integer
     // arithmetic on both engines), rank by Hamming (popcount of XOR),
     // exact-cosine re-rank over the top-32 candidates only. Unlike
@@ -961,6 +1023,27 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       graft.ops.BinaryQuant.queryStore(s, out,
         emb.filter(col("vec_id") < 10), emb, k = 5, rerank = 32)
+    }),
+
+    // BUCKETED binary ANN (round 15 — FAISS IndexBinaryIVF, the 100 TB
+    // serving form of the binary tier): q317/q318's Hamming stage scans
+    // every code per query batch; here the codes cluster into coarse
+    // cells under a BINARY quantizer (md5-seeded ordered-sample seeds +
+    // one k-majority bit-vote round — the IVF family's training
+    // discipline in bit space), the store partitions by cell, and a
+    // query probes its nprobe nearest cells ONLY — the scan term drops
+    // from |corpus| to the probed mass, partition-pruned at planning
+    // (plan-locked in BinaryQuantSpec). Pure integer end-to-end until
+    // the final cosine, so the WHOLE pipeline — training included —
+    // replays in DuckDB.
+    "q321_binary_ivf" -> ((s, d) => {
+      val out = sharedStore(d, "bq_ivf") { o =>
+        graft.ops.BinaryQuant.buildIvfStore(Tables.embeddings(s, d), o,
+          dim = 64, nlist = 8)
+      }
+      val emb = Tables.embeddings(s, d)
+      graft.ops.BinaryQuant.queryIvfStore(s, out,
+        emb.filter(col("vec_id") < 10), emb, k = 5, rerank = 32, nprobe = 4)
     }),
 
     // ANN recall@k evaluation (ann-benchmarks' acceptance metric): the
@@ -6572,6 +6655,80 @@ object SparkEntry {
         |   PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rn
         | FROM r) t WHERE rn <= 5 ORDER BY 1, 2""".stripMargin,
 
+    // the bucketed IndexBinaryIVF pipeline replayed WHOLE — coarse
+    // training included: md5-ordered seed pick, (hamming, i) sample
+    // assignment, per-bit majority vote (ties to 1), bit-repack,
+    // full-corpus assignment, nprobe probe ranking, in-cell Hamming
+    // candidate cut, exact-cosine re-rank — pure integer until the
+    // final cosine
+    "q321_binary_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |c AS (SELECT vec_id,
+        |  [list_reduce(list_prepend(CAST(0 AS BIGINT), [CASE WHEN v[0 + b + 1] > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END for b in generate_series(0, 31)]), (acc, x) -> acc * 2 + x),
+        |   list_reduce(list_prepend(CAST(0 AS BIGINT), [CASE WHEN v[32 + b + 1] > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END for b in generate_series(0, 31)]), (acc, x) -> acc * 2 + x)] AS code FROM e),
+        |samp AS (SELECT vec_id, code FROM c ORDER BY vec_id LIMIT 2048),
+        |seeds AS (SELECT code, CAST(row_number() OVER (
+        |    ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)),
+        |      CAST(vec_id AS VARCHAR)) AS INTEGER) - 1 AS i FROM samp),
+        |sd AS (SELECT * FROM seeds WHERE i < 8),
+        |a0 AS (SELECT vec_id, i FROM (
+        |  SELECT s.vec_id, d.i, row_number() OVER (PARTITION BY s.vec_id
+        |    ORDER BY bit_count(xor(s.code[1], d.code[1]))
+        |           + bit_count(xor(s.code[2], d.code[2])), d.i) AS rn
+        |  FROM samp s CROSS JOIN sd d) t WHERE rn = 1),
+        |bs AS (SELECT a.i AS ci, j.j,
+        |    (s.code[1 + (j.j // 32)] >> (31 - (j.j % 32))) & 1 AS b
+        |  FROM a0 a JOIN samp s USING (vec_id)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) j),
+        |vb AS (SELECT ci, j,
+        |    CASE WHEN 2 * sum(b) >= count(*) THEN CAST(1 AS BIGINT)
+        |         ELSE CAST(0 AS BIGINT) END AS bit
+        |  FROM bs GROUP BY ci, j),
+        |vbits AS (SELECT ci, list(bit ORDER BY j) AS bits FROM vb GROUP BY ci),
+        |vc AS (
+        |  SELECT ci AS i,
+        |    [list_reduce(list_prepend(CAST(0 AS BIGINT), [bits[b + 1] for b in generate_series(0, 31)]), (acc, x) -> acc * 2 + x),
+        |     list_reduce(list_prepend(CAST(0 AS BIGINT), [bits[32 + b + 1] for b in generate_series(0, 31)]), (acc, x) -> acc * 2 + x)] AS code
+        |  FROM vbits
+        |  UNION ALL
+        |  SELECT d.i, d.code FROM sd d
+        |  WHERE d.i NOT IN (SELECT ci FROM vb)),
+        |cells AS (SELECT vec_id, i AS cell FROM (
+        |  SELECT t.vec_id, v.i, row_number() OVER (PARTITION BY t.vec_id
+        |    ORDER BY bit_count(xor(t.code[1], v.code[1]))
+        |           + bit_count(xor(t.code[2], v.code[2])), v.i) AS rn
+        |  FROM c t CROSS JOIN vc v) t2 WHERE rn = 1),
+        |q AS (SELECT * FROM c WHERE vec_id < 10),
+        |probes AS (SELECT query_id, cell FROM (
+        |  SELECT qq.vec_id AS query_id, v.i AS cell, row_number() OVER (
+        |    PARTITION BY qq.vec_id
+        |    ORDER BY bit_count(xor(qq.code[1], v.code[1]))
+        |           + bit_count(xor(qq.code[2], v.code[2])), v.i) AS rn
+        |  FROM q qq CROSS JOIN vc v) t3 WHERE rn <= 4),
+        |h AS (SELECT p.query_id, t.vec_id AS corpus_id,
+        |    bit_count(xor(qq.code[1], t.code[1]))
+        |      + bit_count(xor(qq.code[2], t.code[2])) AS ham
+        |  FROM probes p
+        |  JOIN cells cl ON cl.cell = p.cell
+        |  JOIN c t ON t.vec_id = cl.vec_id AND t.vec_id <> p.query_id
+        |  JOIN q qq ON qq.vec_id = p.query_id),
+        |cand AS (SELECT query_id, corpus_id FROM (
+        |  SELECT query_id, corpus_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY ham, corpus_id) AS hr FROM h) t4
+        |  WHERE hr <= 32),
+        |r AS (SELECT cand.query_id, cand.corpus_id,
+        |  list_dot_product(qv.v, cv.v) /
+        |   (sqrt(list_dot_product(qv.v, qv.v))
+        |    * sqrt(list_dot_product(cv.v, cv.v))) AS cosine
+        | FROM cand
+        | JOIN e qv ON qv.vec_id = cand.query_id
+        | JOIN e cv ON cv.vec_id = cand.corpus_id)
+        |SELECT query_id, CAST(rn AS INTEGER) AS rank, corpus_id FROM (
+        | SELECT query_id, corpus_id, row_number() OVER (
+        |   PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rn
+        | FROM r) t5 WHERE rn <= 5 ORDER BY 1, 2""".stripMargin,
+
     // same enumeration oracle as q312 — the distributed E-step kernel
     // must land on the identical M-step counts
     "q316_unigram_mstep_dist" ->
@@ -9416,6 +9573,31 @@ object SparkEntry {
           | SELECT query_id, corpus_id, row_number() OVER (
           |   PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rn
           | FROM p) t WHERE rn <= 5 ORDER BY 1, 2""".stripMargin,
+
+      // the {!knn} request-string dispatch onto the HNSW store is the
+      // SAME scarce-filtered exact contract as q314 — one oracle, two
+      // request surfaces (a parse, field-check or fq-compile defect
+      // hash-fails here)
+      "q319_knn_hnsw_store" ->
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          |  FROM embeddings),
+          |q AS (SELECT * FROM e WHERE vec_id < 10),
+          |c AS (SELECT * FROM e WHERE vec_id % 13 = 0),
+          |p AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+          |  list_dot_product(q.v, c.v) /
+          |   (sqrt(list_dot_product(q.v, q.v))
+          |    * sqrt(list_dot_product(c.v, c.v))) AS cosine
+          | FROM q, c WHERE q.vec_id <> c.vec_id)
+          |SELECT query_id, CAST(rn AS INTEGER) AS rank, corpus_id FROM (
+          | SELECT query_id, corpus_id, row_number() OVER (
+          |   PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rn
+          | FROM p) t WHERE rn <= 5 ORDER BY 1, 2""".stripMargin,
+
+      // dense {!knn}-from-store: recall-floor gate (the q313 pattern —
+      // the oracle pins per-request floor satisfaction)
+      "q320_knn_hnsw_recall" ->
+        """SELECT DISTINCT vec_id AS query_id, TRUE AS meets_floor
+          |FROM embeddings WHERE vec_id < 10 ORDER BY 1""".stripMargin,
 
       // the lifecycle store's live corpus = everything minus the two
       // tombstoned cohorts; the query side is the same scarce-filtered

@@ -1,12 +1,14 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
  * 1-BIT (sign) embedding quantization — FAISS `IndexBinaryFlat` /
  * the binary-embedding serving tier modern vector stores ship
- * (32× memory cut vs float32): pack each dimension's sign into a
+ * (32× memory cut vs this engine's float64 arrays — codes spend 2
+ * bits/dim packing 32 sign bits per 64-bit word; 16× vs float32):
+ * pack each dimension's sign into a
  * long-array code, rank by HAMMING distance (popcount of XOR — the
  * cheapest distance there is), then re-rank a bounded candidate set
  * with exact cosine over the raw vectors. Completes the quantization
@@ -106,45 +108,31 @@ object BinaryQuant {
     try os.write(mk.getBytes("UTF-8")) finally os.close()
   }
 
-  /** Serve from the persisted code store: Hamming stage reads CODES
-    * ONLY; the exact-cosine re-rank fetches raw vectors from the
-    * external `corpus` frame under a candidate-id pushdown (bounded
-    * by |Q|·rerank — the [[IvfPqIndex.queryRefined]] discipline;
-    * above `pushLimit` ids the restriction becomes a plan-side
-    * broadcast semi-join instead of an In literal). Answers are
-    * bit-identical to the batch [[binaryTopK]] (one oracle, two read
-    * paths — q318 vs q317). */
-  def queryStore(spark: org.apache.spark.sql.SparkSession, out: String,
-                 queries: DataFrame, corpus: DataFrame, k: Int,
-                 rerank: Int, pushLimit: Int = 4096): DataFrame = {
+  private def readMarkerText(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+    val in = fs.open(p)
+    try in.readFully(0, buf) finally in.close()
+    new String(buf, "UTF-8")
+  }
+
+  private def markerNum(txt: String, k: String): Long =
+    s""""$k":(-?\\d+)""".r.findFirstMatchIn(txt).get.group(1).toLong
+  private def markerStr(txt: String, k: String): String =
+    (s""""$k":"([^"]*)"""").r.findFirstMatchIn(txt).get.group(1)
+
+  /** The candidate-bounded exact-cosine re-rank shared by the flat
+    * and bucketed store read paths: raw vectors for the collected
+    * (query, candidate) pairs alone, fetched from the external corpus
+    * under a candidate-id pushdown — an `In` literal up to
+    * `pushLimit` ids, a plan-side broadcast semi-join past it (the
+    * [[IvfPqIndex.queryRefined]] discipline). */
+  private def rerankExact(spark: SparkSession, cand: DataFrame,
+                          corpus: DataFrame, q: DataFrame, k: Int,
+                          idCol: String, vecCol: String,
+                          pushLimit: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val txt = {
-      val p = new org.apache.hadoop.fs.Path(markerPath(out))
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-      val in = fs.open(p)
-      try in.readFully(0, buf) finally in.close()
-      new String(buf, "UTF-8")
-    }
-    def num(kk: String) =
-      s""""$kk":(-?\\d+)""".r.findFirstMatchIn(txt).get.group(1)
-    def str(kk: String) =
-      (s""""$kk":"([^"]*)"""").r.findFirstMatchIn(txt).get.group(1)
-    val dim = num("dim").toInt
-    val idCol = str("idCol"); val vecCol = str("vecCol")
-    val codes = spark.read.parquet(s"$out/codes")
-    val q = queries.select(col(idCol).cast("long").as("query_id"),
-        col(vecCol).cast("array<double>").as("qvec"))
-      .withColumn("qcode", packSigns(col("qvec"), dim))
-    val scored = codes.crossJoin(broadcast(q.select("query_id", "qcode")))
-      .filter(col("query_id") =!= col("corpus_id"))
-      .withColumn("hamming", hamming(col("qcode"), col("code")))
-    val w1 = Window.partitionBy(col("query_id"))
-      .orderBy(col("hamming").asc, col("corpus_id").asc)
-    val cand = scored.withColumn("hrank", row_number().over(w1))
-      .filter(col("hrank") <= rerank)
-      .select("query_id", "corpus_id")
-    // candidate-bounded raw-vector fetch from the external corpus
     val candRows = cand.collect().map(r => (r.getLong(0), r.getLong(1)))
     val candIds = candRows.map(_._2).distinct
     val c = corpus.select(col(idCol).cast("long").as("corpus_id"),
@@ -169,5 +157,222 @@ object BinaryQuant {
     rer.withColumn("rank", row_number().over(w2))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("corpus_id"))
+  }
+
+  /** Serve from the persisted code store: Hamming stage reads CODES
+    * ONLY; the exact-cosine re-rank fetches raw vectors from the
+    * external `corpus` frame under a candidate-id pushdown (bounded
+    * by |Q|·rerank — the [[IvfPqIndex.queryRefined]] discipline;
+    * above `pushLimit` ids the restriction becomes a plan-side
+    * broadcast semi-join instead of an In literal). Answers are
+    * bit-identical to the batch [[binaryTopK]] (one oracle, two read
+    * paths — q318 vs q317). */
+  def queryStore(spark: SparkSession, out: String,
+                 queries: DataFrame, corpus: DataFrame, k: Int,
+                 rerank: Int, pushLimit: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val txt = readMarkerText(spark, markerPath(out))
+    val dim = markerNum(txt, "dim").toInt
+    val idCol = markerStr(txt, "idCol"); val vecCol = markerStr(txt, "vecCol")
+    val codes = spark.read.parquet(s"$out/codes")
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).cast("array<double>").as("qvec"))
+      .withColumn("qcode", packSigns(col("qvec"), dim))
+    val scored = codes.crossJoin(broadcast(q.select("query_id", "qcode")))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("hamming", hamming(col("qcode"), col("code")))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("corpus_id").asc)
+    val cand = scored.withColumn("hrank", row_number().over(w1))
+      .filter(col("hrank") <= rerank)
+      .select("query_id", "corpus_id")
+    rerankExact(spark, cand, corpus, q, k, idCol, vecCol, pushLimit)
+  }
+
+  // ----- bucketed binary IVF (FAISS IndexBinaryIVF) -----------------
+
+  private def ivfMarkerPath(out: String) = s"$out/_bqivf_marker.json"
+
+  /** In-memory Hamming between two packed codes. */
+  private def hammingWords(a: Seq[Long], b: Seq[Long]): Int = {
+    var s = 0
+    var i = 0
+    while (i < a.length) {
+      s += java.lang.Long.bitCount(a(i) ^ b(i))
+      i += 1
+    }
+    s
+  }
+
+  /** md5("<seed>:<id>") hex — the engine's seeded-randomization
+    * primitive (O1/O2), the same keying the IVF k-means oracle
+    * replays with DuckDB's md5(). */
+  private def md5Key(seed: Long, id: Long): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s"$seed:$id".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+  }
+
+  /** Train the BINARY coarse quantizer (the bit-space analog of the
+    * family's md5-seeded ordered-sample Lloyd): seeds = the first
+    * `nlist` sample codes in (md5("<seed>:<id>"), id) order, one
+    * k-MAJORITY round — each sample code joins its (Hamming, i)-
+    * nearest seed, then every centroid bit becomes the majority vote
+    * of its cluster (ties to 1: `2·ones >= n`), empty clusters carry
+    * their seed. Returns the packed centroid codes, index = cell id.
+    * Pure integer throughout — the DuckDB oracle replays it exactly. */
+  private[ops] def trainBinaryCentroids(sample: Seq[(Long, Seq[Long])],
+                                        nlist: Int, seed: Long,
+                                        words: Int): Array[Array[Long]] = {
+    val seeds = sample
+      .sortBy { case (id, _) => (md5Key(seed, id), id.toString) }
+      .take(nlist).map(_._2.toArray).toArray
+    val eff = seeds.length
+    // assign each sample code to its (Hamming, i)-nearest seed
+    val assigned = Array.fill(eff)(
+      scala.collection.mutable.ArrayBuffer.empty[Array[Long]])
+    sample.foreach { case (_, code) =>
+      val c = code.toArray
+      var best = 0
+      var bestH = Int.MaxValue
+      var i = 0
+      while (i < eff) {
+        val h = hammingWords(c, seeds(i))
+        if (h < bestH) { bestH = h; best = i }
+        i += 1
+      }
+      assigned(best) += c
+    }
+    // k-majority vote per centroid bit; empty clusters carry the seed
+    Array.tabulate(eff) { i =>
+      val cluster = assigned(i)
+      if (cluster.isEmpty) seeds(i)
+      else Array.tabulate(words) { w =>
+        var word = 0L
+        var b = 0
+        while (b < 32) {
+          val mask = 1L << (31 - b)
+          var ones = 0
+          cluster.foreach(c => if ((c(w) & mask) != 0L) ones += 1)
+          val bit = if (2 * ones >= cluster.length) 1L else 0L
+          word = word * 2L + bit
+          b += 1
+        }
+        word
+      }
+    }
+  }
+
+  /** The (Hamming, i)-nearest centroid of a packed `code` column —
+    * the bit-space assignment kernel (ties to the lowest index via
+    * array_position's first match). */
+  private def nearestCell(code: Column,
+                          centroids: Array[Array[Long]]): Column = {
+    val hams = array(centroids.map(c =>
+      hamming(code, typedlit(c.toSeq))): _*)
+    (array_position(hams, array_min(hams)) - 1).cast("int")
+  }
+
+  /** Per-query probe list: the `nprobe` (Hamming, i)-nearest centroid
+    * indices of `qcode` — the IVF probe ranking in bit space. */
+  private def probeCells(qcode: Column, centroids: Array[Array[Long]],
+                         nprobe: Int): Column = {
+    val eff = centroids.length
+    val hams = array(centroids.map(c =>
+      hamming(qcode, typedlit(c.toSeq))): _*)
+    slice(transform(
+      array_sort(zip_with(hams, sequence(lit(0), lit(eff - 1)),
+        (d, i) => struct(d.as("d"), i.as("i")))),
+      x => x.getField("i")), 1, math.min(nprobe, eff))
+  }
+
+  /**
+   * BUCKETED binary ANN store — FAISS `IndexBinaryIVF`: the flat
+   * tier's ([[buildStore]]) Hamming stage scans every code per query
+   * batch, which is the right flat-tier semantics but the wrong
+   * serving shape at 10⁹+ vectors. Here the packed codes cluster into
+   * `nlist` coarse cells under a BINARY quantizer trained on the
+   * md5-seeded ordered sample (k-majority/bit-vote — see
+   * [[trainBinaryCentroids]]), the code store persists
+   * `partitionBy(cell)`, and a query probes its `nprobe` nearest
+   * cells ONLY: the Hamming scan term drops from |corpus| to the
+   * probed mass, partition-pruned at planning exactly like
+   * [[IvfIndex]] (plan-locked in BinaryQuantSpec). Re-rank stays the
+   * candidate-bounded exact-cosine fetch. Pure integer end-to-end
+   * until the final cosine, so the whole pipeline — training
+   * included — replays in DuckDB (q321).
+   */
+  def buildIvfStore(corpus: DataFrame, out: String, dim: Int,
+                    nlist: Int = 8, sampleSize: Int = 2048,
+                    seed: Long = 42L, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    val words = (dim + 31) / 32
+    val codes = corpus.select(col(idCol).cast("long").as("corpus_id"),
+      packSigns(col(vecCol).cast("array<double>"), dim).as("code"))
+    // ordered sample (the trainCentroids discipline: reproducible
+    // across partitionings and retries; bounded driver memory)
+    val sample = codes.orderBy(col("corpus_id")).limit(sampleSize)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+    val centroids = trainBinaryCentroids(sample, nlist, seed, words)
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("i", "code").coalesce(1)
+      .write.mode("overwrite").parquet(s"$out/centroids")
+    codes.withColumn("cell", nearestCell(col("code"), centroids))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$out/codes")
+    val mk = s"""{"dim":$dim,"eff":${centroids.length},"seed":$seed,""" +
+      s""""idCol":"$idCol","vecCol":"$vecCol"}"""
+    val p = new org.apache.hadoop.fs.Path(ivfMarkerPath(out))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    try os.write(mk.getBytes("UTF-8")) finally os.close()
+  }
+
+  /** Serve from the bucketed store: per query the `nprobe` nearest
+    * cells are probed, the probed set is collected (bounded by
+    * |Q|·nprobe) and pushed as a partition filter — non-probed
+    * inverted lists never open — then Hamming ranks INSIDE the probed
+    * mass and the exact-cosine re-rank fetches candidates only.
+    * Output (query_id, rank, corpus_id), the family shape. */
+  def queryIvfStore(spark: SparkSession, out: String, queries: DataFrame,
+                    corpus: DataFrame, k: Int, rerank: Int,
+                    nprobe: Int = 4, pushLimit: Int = 4096): DataFrame = {
+    val txt = readMarkerText(spark, ivfMarkerPath(out))
+    val dim = markerNum(txt, "dim").toInt
+    val idCol = markerStr(txt, "idCol"); val vecCol = markerStr(txt, "vecCol")
+    val q0 = queries.select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).cast("array<double>").as("qvec"))
+      .withColumn("qcode", packSigns(col("qvec"), dim))
+    val cand = ivfCandidates(spark, out, q0, rerank, nprobe)
+    rerankExact(spark, cand, corpus, q0, k, idCol, vecCol, pushLimit)
+  }
+
+  /** The Hamming candidate stage of the bucketed store — the frame
+    * whose PLAN carries the probed-cell partition filter
+    * (plan-locked in BinaryQuantSpec; the re-rank above collects it,
+    * so the pruning proof lives on this handle). `q0` carries
+    * (query_id, qcode). */
+  private[ops] def ivfCandidates(spark: SparkSession, out: String,
+                                 q0: DataFrame, rerank: Int,
+                                 nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = spark.read.parquet(s"$out/centroids")
+      .orderBy("i").collect()
+      .map(r => r.getSeq[Long](r.fieldIndex("code")).toArray)
+    val q = q0.withColumn("cell",
+      explode(probeCells(col("qcode"), centroids, nprobe)))
+    val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0))
+    val codes = spark.read.parquet(s"$out/codes")
+      .filter(col("cell").isin(probed.map(Int.box).toIndexedSeq: _*))
+    val scored = codes
+      .join(broadcast(q.select("query_id", "qcode", "cell")), Seq("cell"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("hamming", hamming(col("qcode"), col("code")))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("corpus_id").asc)
+    scored.withColumn("hrank", row_number().over(w1))
+      .filter(col("hrank") <= rerank)
+      .select("query_id", "corpus_id")
   }
 }

@@ -69,6 +69,13 @@ object HnswIndex {
 
   private def markerPath(out: String) = s"$out/_hnsw_marker.json"
   private def deletesPath(out: String) = s"$out/deletes"
+  private def deltaPath(out: String) = s"$out/delta"
+
+  /** Is `out` an HNSW store? (the streaming sink's tier dispatch). */
+  private[graft] def isHnswStore(spark: SparkSession, out: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(markerPath(out))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 
   /** GENERATIONS — the [[IvfIndex.generation]] / `segments_N` commit
     * protocol, sharpened to per-shard layering (the Lucene segment
@@ -102,7 +109,12 @@ object HnswIndex {
 
   /** The LIVE graph: per shard, the rows of its newest carrying
     * generation — one parquet read per contributing generation,
-    * partition-pruned to the shards it still serves. */
+    * partition-pruned to the shards it still serves. Every read uses
+    * the EXPLICIT [[graphSchema]]: a generation whose rebuild emptied
+    * all its shards (tombstones covered every live row) commits a
+    * file-less partitioned dir, and schema inference over it would
+    * throw — with the declared schema it resolves to an empty frame,
+    * which is exactly what an emptied shard serves. */
   private[graft] def readGraph(spark: SparkSession, out: String): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -117,12 +129,12 @@ object HnswIndex {
         .filterNot(carried)
       if (shards.nonEmpty) {
         carried ++= shards
-        layers += spark.read.parquet(s"$out/g$g/graph")
+        layers += spark.read.schema(graphSchema).parquet(s"$out/g$g/graph")
           .filter(col("shard").isin(shards.toSeq: _*))
           .select("shard", "corpus_id", "cvec", "level", "nbrs")
       }
     }
-    val base = spark.read.parquet(s"$out/graph")
+    val base = spark.read.schema(graphSchema).parquet(s"$out/graph")
       .select("shard", "corpus_id", "cvec", "level", "nbrs")
     val base2 =
       if (carried.isEmpty) base
@@ -323,6 +335,23 @@ object HnswIndex {
       rows.take(kk).map { case (d, j) => (ids(j), 1.0 - d) }
     }
 
+    /** Exact accepted-set top-k, entered DIRECTLY in the scarce
+      * regime (accepted cardinality ≤ the walk's visited budget): the
+      * visited-counter fallback only fires on OVERRUN, so a shard
+      * whose reachable component fits under the budget while neighbor
+      * pruning left an accepted node unreachable would return an
+      * approximate answer where the scarce contract promises an exact
+      * one — going straight to brute force closes that hole, and past
+      * that cardinality brute force is the cheaper exact plan anyway. */
+    def searchExact(v: Array[Double], k: Int,
+        accept: Int => Boolean): Seq[(Long, Double)] = {
+      var nrm = 0.0
+      var i0 = 0
+      while (i0 < dim) { nrm += v(i0) * v(i0); i0 += 1 }
+      val n = math.sqrt(nrm)
+      bruteForce(v, n, k, accept).map { case (d, j) => (ids(j), 1.0 - d) }
+    }
+
     /** Exact scan over the accepted nodes of this shard — the
       * scarce-filter fallback. (dist asc, id asc), top `kk`. */
     private def bruteForce(v: Array[Double], n: Double, kk: Int,
@@ -446,6 +475,31 @@ object HnswIndex {
     scatterOver(spark, out, readMarker(spark, out), readGraph(spark, out),
       prePartitioned = false, queries, k, efSearch, allowed)
 
+  /** Query with DRIVER-SIDE literal vectors — the `{!knn}` request
+    * dispatch path ([[graft.search.KnnQuery.knnStore]]): a parsed
+    * request batch arrives as (query_id, vector) pairs rather than a
+    * corpus frame. Same scatter-gather, same self-exclusion by
+    * query_id, same filtered/scarce semantics via `allowed`.
+    * `field`, when given, must name the store's vector column — the
+    * request's `f=` reaching the wrong store is a caller bug worth
+    * failing loudly on. */
+  def queryVectors(spark: SparkSession, out: String,
+                   vectors: Seq[(Long, Array[Double])], k: Int,
+                   efSearch: Int = 64, allowed: Option[DataFrame] = None,
+                   field: Option[String] = None): DataFrame = {
+    val mk = readMarker(spark, out)
+    field.foreach(f => require(f == mk.vecCol,
+      s"request field '$f' does not match the store's vector column " +
+        s"'${mk.vecCol}' ($out)"))
+    vectors.foreach { case (id, v) => require(v.length == mk.dim,
+      s"query $id has dim ${v.length}, store expects ${mk.dim}") }
+    import spark.implicits._
+    val qdf = vectors.map { case (id, v) => (id, v.toSeq) }
+      .toDF(mk.idCol, mk.vecCol)
+    scatterOver(spark, out, mk, readGraph(spark, out),
+      prePartitioned = false, qdf, k, efSearch, allowed)
+  }
+
   private def scatterOver(spark: SparkSession, out: String, mk: Marker,
       base: DataFrame, prePartitioned: Boolean, queries: DataFrame,
       k: Int, efSearch: Int, allowed: Option[DataFrame]): DataFrame = {
@@ -461,6 +515,7 @@ object HnswIndex {
     val tomb: Set[Long] = deletes(spark, out)
       .map(_.select("corpus_id").collect().map(_.getLong(0)).toSet)
       .getOrElse(Set.empty)
+    AnnTombstones.check(spark, "hnsw", out, tomb.size.toLong)
     val tombB = spark.sparkContext.broadcast(tomb)
     val dim = mk.dim; val m = mk.m; val efC = mk.efC
     val ef = efSearch; val kk = k
@@ -514,12 +569,16 @@ object HnswIndex {
         val accept: Int => Boolean =
           i => ok(i) && !tombSet.contains(g.ids(i))
         val acceptedCount = ok.indices.count(accept)
-        // Lucene's visitedLimit: past the accepted cardinality, exact
-        // over the accepted set is the cheaper plan
-        val limit = math.max(math.max(ef, kk + 1), acceptedCount)
+        // the walk's visited budget; at or under it the accepted set
+        // goes straight to exact (see Graph.searchExact), past it the
+        // walk runs with Lucene's visitedLimit overrun fallback
+        val budget = math.max(ef, kk + 1)
+        val scarce = acceptedCount <= budget
+        val limit = math.max(budget, acceptedCount)
         qB.value.iterator.flatMap { case (qid, qv) =>
           val hits =
             if (plain) g.search(qv, kk + 1, ef) // +1 absorbs a self-match
+            else if (scarce) g.searchExact(qv, budget, accept)
             else g.searchAccept(qv, kk + 1, ef, accept, limit)
           hits.filter(_._1 != qid).take(math.max(ef, kk))
             .map { case (cid, cos) => Row(qid, cid, cos) }
@@ -641,7 +700,12 @@ object HnswIndex {
     def close(): Unit = { partitioned.unpersist(); () }
   }
 
-  /** Open a resident [[Serving]] handle over the current generations. */
+  /** Open a resident [[Serving]] handle over the current generations.
+    * The snapshot MATERIALIZES here (persist is lazy; an unpinned
+    * handle would re-read generation dirs on first query, and a
+    * [[reclaimGenerations]] landing in that window could delete a dir
+    * the handle still resolves) — after the count the cached
+    * partitions are the snapshot, and reclaim can't reach them. */
   def open(spark: SparkSession, out: String,
            storage: org.apache.spark.storage.StorageLevel =
              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -649,6 +713,7 @@ object HnswIndex {
     val mk = readMarker(spark, out)
     val part = readGraph(spark, out)
       .repartition(mk.shards, col("shard")).persist(storage)
+    part.count() // pin the snapshot before the handle escapes
     new Serving(spark, out, mk, part)
   }
 

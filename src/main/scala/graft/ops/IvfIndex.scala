@@ -323,7 +323,7 @@ object IvfIndex {
     * same store) re-issues batch ids 0..N that collide with committed
     * markers and fresh data is silently skipped as a "replay".
     * Empty streamId keeps the legacy single-stream names. */
-  private def streamKey(streamId: String): String =
+  private[ops] def streamKey(streamId: String): String =
     if (streamId.isEmpty) ""
     else java.security.MessageDigest.getInstance("MD5")
       .digest(streamId.getBytes("UTF-8")).take(4)
@@ -426,12 +426,18 @@ object IvfIndex {
   /** Anti-join the tombstone set out of a cells frame — the read-side
     * half of [[removeIds]]. Broadcast: between purges the tombstone
     * set is bounded by the delete batches since the last reclaim
-    * (the same small-side contract as the probe set). */
+    * (the same small-side contract as the probe set). The count check
+    * is the [[AnnTombstones]] nudge — one tiny-parquet count per
+    * query (the delete set is single-file coalesced batches), the
+    * price of knowing the broadcast contract is still honored. */
   private[ops] def exceptDeleted(spark: SparkSession, out: String,
                                  cells: DataFrame): DataFrame =
     deletes(spark, out)
-      .map(d => cells.join(broadcast(d.select("corpus_id")),
-        Seq("corpus_id"), "left_anti"))
+      .map { d =>
+        AnnTombstones.check(spark, "ivf", out, d.count())
+        cells.join(broadcast(d.select("corpus_id")),
+          Seq("corpus_id"), "left_anti")
+      }
       .getOrElse(cells)
 
   /** Delete vectors by id (FAISS `remove_ids` analog): appends a

@@ -87,4 +87,52 @@ object KnnQuery {
     val pre = fq.map(f => SolrQueryString.compile(f, df.schema, req.field, textFields))
     search(df, req, idCol, pre)
   }
+
+  /**
+   * Serve a batch of literal `{!knn}` requests FROM THE PERSISTED
+   * SHARDED HNSW STORE — Solr 9's actual execution shape: the `{!knn}`
+   * qparser compiles onto one Lucene HNSW graph per shard with a
+   * scatter-gather merge, never a corpus scan ([[search]] above is the
+   * exact-scoring surface that walk is measured against;
+   * [[graft.ops.RankingEval.annRecallAtK]] arbitrates).
+   *
+   * `requests`: (query_id, request-string) pairs — the id keys the
+   * response rows and drives the family's self-exclusion convention.
+   * All requests of a batch must share `f=` (checked against the
+   * store's vector column) and `topK` — one scatter serves the batch.
+   *
+   * `fq` (Solr 9.1's preFilter contract composed with `{!knn}`):
+   * compiled by [[SolrQueryString]] against `meta`'s schema, evaluated
+   * there, and the matching ids become the graph walk's acceptDocs
+   * set — collection-time acceptance routing THROUGH rejected nodes,
+   * with the scarce-filter exact fallback
+   * ([[graft.ops.HnswIndex.queryFiltered]] semantics, q314's
+   * contract). Output: (query_id, rank, corpus_id, cosine), topK rows
+   * per query.
+   */
+  def knnStore(spark: org.apache.spark.sql.SparkSession, store: String,
+               requests: Seq[(Long, String)],
+               meta: Option[DataFrame] = None, metaIdCol: String = "vec_id",
+               fq: Option[String] = None,
+               textFields: Set[String] = Set.empty,
+               efSearch: Int = 64): DataFrame = {
+    require(requests.nonEmpty, "empty {!knn} request batch")
+    val parsed = requests.map { case (id, q) => (id, parse(q)) }
+    val topKs = parsed.map(_._2.topK).distinct
+    require(topKs.size == 1,
+      s"batch store dispatch needs one shared topK, got $topKs")
+    val fields = parsed.map(_._2.field).distinct
+    require(fields.size == 1,
+      s"batch store dispatch needs one shared f=, got $fields")
+    val allowed = fq.map { f =>
+      val m = meta.getOrElse(throw new IllegalArgumentException(
+        "{!knn} fq pre-filter needs a metadata frame (meta=)"))
+      m.filter(SolrQueryString.compile(f, m.schema, fields.head, textFields))
+        .select(col(metaIdCol))
+    }
+    graft.ops.HnswIndex.queryVectors(spark, store,
+      parsed.map { case (id, r) => (id, r.vector.toArray) },
+      k = topKs.head, efSearch = efSearch, allowed = allowed,
+      field = Some(fields.head))
+  }
 }

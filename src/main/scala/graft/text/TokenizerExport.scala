@@ -63,10 +63,17 @@ object TokenizerExport {
 
   /** HF `tokenizer.json` model object for a unigram vocabulary.
     * Pieces keep the trainer's (cnt desc, piece asc) order, ids
-    * starting after unk_id 0. */
+    * starting after unk_id 0. The unk score follows the SentencePiece/
+    * HF convention — strongly NEGATIVE (min piece score minus a
+    * penalty), never 0.0: a zero unk would be the vocabulary's MAXIMUM
+    * score, and a downstream HF load would weight unknowns above every
+    * trained piece. */
   def unigramModelJson(vocab: Seq[Unigram.Entry],
                        unk: String = "<unk>"): String = {
-    val rows = (s"""["${esc(unk)}",0.0]""" +: vocab.map { e =>
+    val unkScore =
+      if (vocab.isEmpty) -10.0
+      else vocab.iterator.map(_.scoreMilli).min / 1000.0 - 10.0
+    val rows = (s"""["${esc(unk)}",$unkScore]""" +: vocab.map { e =>
       val lp = e.scoreMilli / 1000.0
       s"""["${esc(e.piece)}",$lp]"""
     }).mkString(",")

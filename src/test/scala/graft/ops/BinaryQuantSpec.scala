@@ -104,4 +104,62 @@ class BinaryQuantSpec extends AnyFunSuite {
       assert(cand.contains((q, c)), s"hit ($q,$c) escaped its candidates")
     }
   }
+
+  test("bucketed IVF store: probe scan reads ONLY the probed cell " +
+      "partitions (partition filter on the plan)") {
+    val store = java.nio.file.Files.createTempDirectory("bqivf_").toString
+    BinaryQuant.buildIvfStore(emb, store, dim = 64, nlist = 8)
+    // the candidate stage is the frame that reads the store (the
+    // re-rank collects it eagerly, so the pruning proof lives here)
+    val q0 = emb.filter(col("vec_id") === 3)
+      .select(col("vec_id").cast("long").as("query_id"),
+        col("embedding").cast("array<double>").as("qvec"))
+      .withColumn("qcode", BinaryQuant.packSigns(col("qvec"), 64))
+    val df = BinaryQuant.ivfCandidates(spark, store, q0,
+      rerank = 16, nprobe = 2)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val codeScans = scans(df.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("codes")))
+    assert(codeScans.nonEmpty, "no codes/ file scan in the plan")
+    val s = codeScans.head
+    assert(s.partitionFilters.exists(_.references.exists(_.name == "cell")),
+      s"cell must be a partition filter, got ${s.partitionFilters}")
+    assert(s.selectedPartitions.partitionCount <= 2,
+      s"nprobe=2 must select <=2 cell partitions, got " +
+        s"${s.selectedPartitions.partitionCount}")
+  }
+
+  test("bucketed IVF store at FULL probe serves exactly the flat " +
+      "tier's answer (probing every cell makes the candidate pool " +
+      "identical), and the build is deterministic") {
+    val store = java.nio.file.Files.createTempDirectory("bqivf_full_").toString
+    BinaryQuant.buildIvfStore(emb, store, dim = 64, nlist = 8)
+    val queries = emb.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sorted.toSeq
+    val bucketed = rows(BinaryQuant.queryIvfStore(spark, store, queries,
+      emb, k = 5, rerank = 32, nprobe = 8))
+    val flat = rows(BinaryQuant.binaryTopK(emb, queries, k = 5,
+      rerank = 32, dim = 64))
+    assert(bucketed === flat, "full-probe bucketed diverged from flat")
+    // deterministic build: same corpus -> identical centroids + cells
+    val again = java.nio.file.Files.createTempDirectory("bqivf_again_").toString
+    BinaryQuant.buildIvfStore(emb.repartition(7), again, dim = 64, nlist = 8)
+    def cents(o: String) = spark.read.parquet(s"$o/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Long](1).mkString(",")))
+      .sorted.toSeq
+    def cells(o: String) = spark.read.parquet(s"$o/codes")
+      .select("corpus_id", "cell")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(cents(store) === cents(again))
+    assert(cells(store) === cells(again))
+  }
 }

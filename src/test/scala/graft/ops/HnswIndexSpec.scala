@@ -288,6 +288,48 @@ class HnswIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("a purge whose rebuilds empty every touched shard still " +
+      "commits a SERVABLE store: file-less generation dirs read as " +
+      "empty frames, and later adds land in a fresh generation") {
+    val store = java.nio.file.Files.createTempDirectory("hnsw_empty_").toString
+    val small = emb.filter(col("vec_id") < 12)
+    HnswIndex.build(small, store, dim = 64)
+    HnswIndex.removeIds(spark, store, small.select("vec_id"))
+    assert(HnswIndex.purgeDeletes(spark, store) > 0)
+    val queries = emb.filter(col("vec_id") < 3)
+    // the emptied store must answer (with nothing), not throw on a
+    // generation dir that holds no parquet files
+    assert(HnswIndex.query(spark, store, queries, k = 5).collect().isEmpty)
+    val refill = emb.filter(col("vec_id") >= 12 && col("vec_id") < 24)
+    HnswIndex.add(spark, store, refill)
+    val post = HnswIndex.query(spark, store, queries, k = 5).collect()
+    assert(post.nonEmpty, "the emptied-then-refilled store went dark")
+    assert(post.forall(r => r.getLong(2) >= 12 && r.getLong(2) < 24))
+  }
+
+  test("the tombstone warning fires past the configured bound on the " +
+      "scatter path and stays silent under it") {
+    val store = java.nio.file.Files.createTempDirectory("hnsw_tomb_").toString
+    HnswIndex.build(emb.filter(col("vec_id") < 40), store, dim = 64)
+    HnswIndex.removeIds(spark, store,
+      emb.filter(col("vec_id") < 5).select("vec_id"))
+    val queries = emb.filter(col("vec_id") < 3)
+    try {
+      spark.conf.set(AnnTombstones.ThresholdConf, "100")
+      AnnTombstones.reset()
+      HnswIndex.query(spark, store, queries, k = 3).collect()
+      assert(AnnTombstones.lastWarning.isEmpty, "warned under the bound")
+      spark.conf.set(AnnTombstones.ThresholdConf, "2")
+      HnswIndex.query(spark, store, queries, k = 3).collect()
+      val w = AnnTombstones.lastWarning
+      assert(w.isDefined, "no warning past the bound")
+      assert(w.get.contains("purgeDeletes") && w.get.contains(store))
+    } finally {
+      spark.conf.unset(AnnTombstones.ThresholdConf)
+      AnnTombstones.reset()
+    }
+  }
+
   test("sharding is a pure partition of the corpus: every id appears " +
       "in exactly one shard; more shards still answer") {
     val g = spark.read.parquet(s"$idx/graph")

@@ -375,4 +375,24 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(
       s"$out/.compact_tmp_cells_cell=$crashCell")))
   }
+
+  test("the tombstone warning fires past the configured bound on the " +
+      "IVF read path") {
+    val store = java.nio.file.Files.createTempDirectory("ivf_tomb_").toString
+    IvfIndex.build(emb.filter(col("vec_id") < 40), store, dim = 64, nlist = 4)
+    IvfIndex.removeIds(spark, store,
+      emb.filter(col("vec_id") < 5).select("vec_id"))
+    val queries = emb.filter(col("vec_id") < 3)
+    try {
+      spark.conf.set(AnnTombstones.ThresholdConf, "2")
+      AnnTombstones.reset()
+      IvfIndex.query(spark, store, queries, k = 3, nprobe = 4).collect()
+      val w = AnnTombstones.lastWarning
+      assert(w.isDefined, "no warning past the bound")
+      assert(w.get.contains("ivf") && w.get.contains("purgeDeletes"))
+    } finally {
+      spark.conf.unset(AnnTombstones.ThresholdConf)
+      AnnTombstones.reset()
+    }
+  }
 }

@@ -46,4 +46,46 @@ class KnnQuerySpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(got === Seq(5L, 3L)) // id1 (label 0) excluded despite cos=1.0
   }
+
+  test("store dispatch: the literal request batch served from the " +
+      "persisted HNSW store equals the store's native query path; " +
+      "fq compiles into the acceptDocs set; bad batches fail loudly") {
+    import graft.ops.HnswIndex
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.embeddings(spark, graft.TestSpark.sf)
+    val store = java.nio.file.Files.createTempDirectory("knn_hnsw_").toString
+    HnswIndex.build(emb, store, dim = 64)
+    val reqRows = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val requests = reqRows.map { case (id, v) =>
+      (id, s"{!knn f=embedding topK=4}[${v.mkString(",")}]")
+    }.toSeq
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sorted.toSeq
+    val served = rows(KnnQuery.knnStore(spark, store, requests))
+    val native = rows(HnswIndex.query(spark, store,
+      emb.filter(col("vec_id") < 5), k = 4, efSearch = 64))
+    assert(served === native, "request-string path diverged from native")
+    // filtered: fq against a metadata frame = native queryFiltered
+    val meta = emb.select(col("vec_id"), col("label"))
+    val servedF = rows(KnnQuery.knnStore(spark, store, requests,
+      meta = Some(meta), fq = Some("label:[1 TO *]")))
+    val nativeF = rows(HnswIndex.queryFiltered(spark, store,
+      emb.filter(col("vec_id") < 5), k = 4,
+      emb.filter(col("label") >= 1).select("vec_id"), efSearch = 64))
+    assert(servedF === nativeF, "fq path diverged from native filtered")
+    // mixed topK / wrong field / fq without meta all refuse
+    intercept[IllegalArgumentException](KnnQuery.knnStore(spark, store,
+      Seq((0L, "{!knn f=embedding topK=2}[1]"),
+        (1L, "{!knn f=embedding topK=3}[1]"))))
+    intercept[IllegalArgumentException](KnnQuery.knnStore(spark, store,
+      Seq((0L, "{!knn f=other topK=2}[" +
+        Seq.fill(64)("0.1").mkString(",") + "]"))))
+    intercept[IllegalArgumentException](KnnQuery.knnStore(spark, store,
+      requests, fq = Some("label:1")))
+  }
 }

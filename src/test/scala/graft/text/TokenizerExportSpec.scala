@@ -70,7 +70,12 @@ class TokenizerExportSpec extends AnyFunSuite {
     assert(r.getString(0) === "Unigram")
     assert(r.getLong(1) === 0L)
     val rows = r.getAs[scala.collection.Seq[scala.collection.Seq[String]]]("vocab")
-    assert(rows.head.toSeq === Seq("<unk>", "0.0"))
+    // unk carries the SentencePiece convention: min piece score minus
+    // a penalty — strictly below every trained piece, never 0.0
+    assert(rows.head.head === "<unk>")
+    val minScore = vocab.iterator.map(_.scoreMilli).min / 1000.0
+    assert(rows.head(1).toDouble === minScore - 10.0)
+    assert(rows.tail.forall(row => rows.head(1).toDouble < row(1).toDouble))
     rows.tail.zip(vocab).foreach { case (row, e) =>
       assert(row(0) === e.piece)
       assert(row(1).toDouble === e.scoreMilli / 1000.0,
