@@ -989,6 +989,22 @@ object Graft {
                              retain: Int = 2): Int =
     graft.ops.HnswIndex.reclaimGenerations(spark, store, retain)
 
+  /** Exactly-once streamed micro-batch into the HNSW DELTA tier
+    * (Lucene NRT — queries merge graph + delta; see
+    * [[graft.ops.HnswIndex.addBatchDelta]]). */
+  def addHnswDeltaBatch(spark: SparkSession, store: String,
+                        vectors: DataFrame, batchId: Long,
+                        streamId: String = "",
+                        foldThreshold: Long = 100000L): Boolean =
+    graft.ops.HnswIndex.addBatchDelta(spark, store, vectors, batchId,
+      streamId, foldThreshold)
+
+  /** Fold the HNSW delta store into the graph (order-free touched-
+    * shard rebuild — ≡ batch adds of the same rows). Returns rows
+    * folded. */
+  def foldHnswDelta(spark: SparkSession, store: String): Long =
+    graft.ops.HnswIndex.foldDelta(spark, store)
+
   /** Open a RESIDENT HNSW serving handle: the graph shard-exchanges
     * once into the cache and every later batch walks it with zero
     * read and zero exchange — the Solr live-searcher shape. Snapshot
@@ -1030,6 +1046,22 @@ object Graft {
                              vocab: Seq[graft.text.Unigram.Entry]): Unit =
     graft.text.TokenizerExport.write(spark, path,
       graft.text.TokenizerExport.unigramModelJson(vocab))
+
+  /** Load a HF `tokenizer.json` BPE model (exported here or trained
+    * externally) into the merge table the encode kernels
+    * ([[graft.text.Bpe.encode]]) run with — the import half of
+    * tokenizer interop. */
+  def importBpeTokenizer(spark: SparkSession,
+                         path: String): Seq[graft.text.Bpe.Merge] =
+    graft.text.TokenizerImport.bpeMerges(
+      graft.text.TokenizerImport.read(spark, path))
+
+  /** Load a HF `tokenizer.json` Unigram model into the scored
+    * vocabulary [[graft.text.Unigram.encode]] runs with. */
+  def importUnigramTokenizer(spark: SparkSession,
+                             path: String): Seq[graft.text.Unigram.Entry] =
+    graft.text.TokenizerImport.unigramVocab(
+      graft.text.TokenizerImport.read(spark, path))
 
   /** Two-stage 1-bit binary ANN (FAISS IndexBinaryFlat; 32× memory
     * cut vs the engine's float64 arrays, 16× vs float32): Hamming

@@ -136,6 +136,7 @@ object SparkEntry {
     "q309_ann_retrain",        // ivf_retrain (build half + add + retrain)
     "q313_hnsw_recall_gate",   // hnsw_index (sharded graph build)
     "q315_hnsw_lifecycle",     // hnsw_lifecycle (build + add + purge)
+    "q322_hnsw_stream_delta",  // hnsw_stream (build evens + streamed odds)
     "q318_binary_ann_persisted", // bq_codes (packed sign bits)
     "q321_binary_ivf",         // bq_ivf (cell-partitioned binary codes)
     "q305_ivfpq_refine_stored", // ivfpq_refine (codes + raw-vector sidecar)
@@ -913,6 +914,55 @@ object SparkEntry {
           (col("recall_milli") >= 800).as("meets_floor"))
     }),
 
+    // HNSW STREAMING via the DELTA tier (round 15 — Lucene's NRT shape
+    // closing the graph tier's ingest gap): build on the evens, STREAM
+    // the odds in two exactly-once micro-batches into the flat delta
+    // store (appending to the graph itself would be insertion-order-
+    // dependent — refused; the delta is order-free by construction),
+    // tombstone two cohorts, then run the scarce-filtered EXACT query:
+    // the graph leg (scarce fallback) and the delta leg (always exact
+    // cosine) merge into one exact answer, so the entry hash-matches
+    // q315's lifecycle oracle — the SAME live set through a third
+    // ingest path (build+add / build+stream / fresh build all agree).
+    "q322_hnsw_stream_delta" -> ((s, d) => {
+      import graft.ops.HnswIndex
+      import graft.streaming.StreamingIngest
+      val out = sharedStore(d, "hnsw_stream") { o =>
+        val emb = Tables.embeddings(s, d)
+        HnswIndex.build(emb.filter(col("vec_id") % 2 === 0), o, dim = 64)
+        val adds = emb.filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id"), col("embedding"))
+        val root = java.nio.file.Files.createTempDirectory("graft_q322_").toString
+        val src = s"$root/src"
+        new java.io.File(src).mkdirs()
+        def stageBatch(df: DataFrame, name: String, mtime: Long): Unit = {
+          val tmp = s"$root/stage_$name"
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no part file in $tmp"))
+          val dst = new java.io.File(src, s"$name.parquet")
+          java.nio.file.Files.copy(part.toPath, dst.toPath)
+          require(dst.setLastModified(mtime), s"cannot set mtime on $dst")
+        }
+        stageBatch(adds.filter(col("vec_id") < 250), "b0", 1000000000000L)
+        stageBatch(adds.filter(col("vec_id") >= 250), "b1", 1000000060000L)
+        val stream = s.readStream.schema(adds.schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+        StreamingIngest.annIngestSink(o, streamId = "q322")(stream)
+          .start().awaitTermination()
+        HnswIndex.removeIds(s, o,
+          emb.filter(col("vec_id") % 10 === 4 || col("vec_id") % 10 === 7)
+            .select("vec_id"))
+      }
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10)
+      val allowed = emb.filter(col("vec_id") % 13 === 0).select("vec_id")
+      HnswIndex.queryFiltered(s, out, queries, k = 5, allowed,
+          efSearch = 64)
+        .select(col("query_id"), col("rank"), col("corpus_id"))
+    }),
+
     // Unigram-LM (SentencePiece) tokenizer training, stage 1 — the
     // SEED VOCABULARY: freq-weighted counts of all substrings (≤4
     // chars) of the word-frequency table, top-300 by (cnt, piece)
@@ -1067,6 +1117,91 @@ object SparkEntry {
           k = 5, kCandidates = 20, nprobe = 8)
         .select(col("query_id"), col("corpus_id"))
       RankingEval.annRecallAtK(exact, approx, k = 5)
+    }),
+
+    // The RESIDENT SERVING handle under measurement (round 15 — the
+    // sf1 gate's serving-vs-scatter row): open() shard-exchanges and
+    // PINS the generation-resolved graph once (materialized at open —
+    // reclaim can't unseat it), then two query batches walk the cached
+    // partitions — zero read, zero exchange on the warm path; the
+    // SECOND batch's answers gate the entry (q313's recall-floor
+    // oracle: the handle must serve exactly what the one-shot path
+    // serves, warm).
+    "q324_hnsw_serving" -> ((s, d) => {
+      import graft.ops.{HnswIndex, RankingEval}
+      val out = sharedStore(d, "hnsw_index") { o =>
+        HnswIndex.build(Tables.embeddings(s, d), o, dim = 64)
+      }
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10)
+      val serving = HnswIndex.open(s, out)
+      val got =
+        try {
+          serving.query(queries, k = 5, efSearch = 64).collect() // batch 1
+          serving.query(queries, k = 5, efSearch = 64)           // batch 2
+            .select(col("query_id"), col("corpus_id"))
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        } finally serving.close()
+      import s.implicits._
+      val approx = got.toDF("query_id", "corpus_id")
+      val exact = ops.Similarity.bruteForceTopK(emb, queries, 5)
+        .select(col("query_id"), col("corpus_id"))
+      RankingEval.annRecallAtK(exact, approx, k = 5)
+        .select(col("query_id"),
+          (col("recall_milli") >= 800).as("meets_floor"))
+    }),
+
+    // TIER ARBITRATION at equal candidate budget (round 15 — the
+    // executable form of "RankingEval arbitrates"): the four serving
+    // tiers — exact scan, IVF-PQ refined, HNSW graph, binary Hamming —
+    // answer the same queries over the same corpus, the approximate
+    // tiers under the SAME per-query candidate budget (32), and each
+    // tier's query-averaged recall@5 vs the exact leg must clear its
+    // pinned floor. The oracle replays the exact leg's structure
+    // (corpus cardinality for its candidate count) and pins the
+    // floors; a recall regression in ANY tier's train/encode/probe/
+    // walk/rerank flips its boolean and hash-fails.
+    "q323_ann_tier_arbitration" -> ((s, d) => {
+      import graft.ops.{BinaryQuant, HnswIndex, IvfPqIndex, RankingEval, Similarity}
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(emb, queries, 5)
+        .select(col("query_id"), col("corpus_id"))
+      val hnswStore = sharedStore(d, "hnsw_index") { o =>
+        HnswIndex.build(Tables.embeddings(s, d), o, dim = 64)
+      }
+      val pqStore = sharedStore(d, "ivfpq_refine") { o =>
+        IvfPqIndex.build(Tables.embeddings(s, d), o, dim = 64,
+          refineStore = true)
+      }
+      val bqStore = sharedStore(d, "bq_codes") { o =>
+        BinaryQuant.buildStore(Tables.embeddings(s, d), o, dim = 64)
+      }
+      val budget = 32L
+      val legs = Seq(
+        ("exact", exact, emb.count() - 1),
+        ("hnsw", HnswIndex.query(s, hnswStore, queries, k = 5,
+            efSearch = budget.toInt)
+          .select(col("query_id"), col("corpus_id")), budget),
+        ("ivfpq", IvfPqIndex.queryRefinedStored(s, pqStore, queries,
+            k = 5, kCandidates = budget.toInt, nprobe = 8)
+          .select(col("query_id"), col("corpus_id")), budget),
+        ("binary", BinaryQuant.queryStore(s, bqStore, queries, emb,
+            k = 5, rerank = budget.toInt)
+          .select(col("query_id"), col("corpus_id")), budget))
+      // floors pinned from measured recall with margin (exact is 1000
+      // by construction; the raw avg_recall_milli per tier is the
+      // RankingEval.tierReport surface, spec-asserted — the oracled
+      // entry pins floor satisfaction, the q313 discipline)
+      val floors = Map("exact" -> 1000L, "hnsw" -> 800L,
+        "ivfpq" -> 450L, "binary" -> 350L)
+      val floorCol = floors.foldLeft(lit(0L)) { case (acc, (t, f)) =>
+        when(col("tier") === t, lit(f)).otherwise(acc)
+      }
+      RankingEval.tierReport(exact, legs, 5)
+        .withColumn("floor_milli", floorCol)
+        .select(col("tier"), col("candidates_scored"), col("floor_milli"),
+          (col("avg_recall_milli") >= col("floor_milli")).as("meets_floor"))
     }),
 
     // STREAMING ANN ingest: micro-batches of new vectors flow into the
@@ -9599,6 +9734,27 @@ object SparkEntry {
         """SELECT DISTINCT vec_id AS query_id, TRUE AS meets_floor
           |FROM embeddings WHERE vec_id < 10 ORDER BY 1""".stripMargin,
 
+      // the serving handle must answer exactly like the one-shot path
+      // (q313's floor gate on the WARM second batch)
+      "q324_hnsw_serving" ->
+        """SELECT DISTINCT vec_id AS query_id, TRUE AS meets_floor
+          |FROM embeddings WHERE vec_id < 10 ORDER BY 1""".stripMargin,
+
+      // tier arbitration: the exact leg's candidate count replays
+      // from the corpus cardinality; the approximate tiers' floors
+      // are pinned (their recalls have no SQL replay — the q313
+      // discipline applied across the ladder)
+      "q323_ann_tier_arbitration" ->
+        """SELECT 'binary' AS tier, CAST(32 AS BIGINT) AS candidates_scored,
+          |  CAST(350 AS BIGINT) AS floor_milli, TRUE AS meets_floor
+          |UNION ALL
+          |SELECT 'exact', (SELECT count(*) - 1 FROM embeddings), 1000, TRUE
+          |UNION ALL
+          |SELECT 'hnsw', 32, 800, TRUE
+          |UNION ALL
+          |SELECT 'ivfpq', 32, 450, TRUE
+          |ORDER BY 1""".stripMargin,
+
       // the lifecycle store's live corpus = everything minus the two
       // tombstoned cohorts; the query side is the same scarce-filtered
       // exact contract as q314
@@ -9617,6 +9773,27 @@ object SparkEntry {
           | SELECT query_id, corpus_id, row_number() OVER (
           |   PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rn
           | FROM p) t WHERE rn <= 5 ORDER BY 1, 2""".stripMargin,
+      // the streamed-delta store holds the SAME live set as q315's
+      // (evens built + odds streamed − the two tombstoned cohorts),
+      // and the scarce-filtered query is exact on both legs (graph
+      // fallback + delta cosine scan) — one oracle, three ingest
+      // paths (fresh build ≡ build+add ≡ build+stream)
+      "q322_hnsw_stream_delta" ->
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          |  FROM embeddings),
+          |q AS (SELECT * FROM e WHERE vec_id < 10),
+          |c AS (SELECT * FROM e
+          |  WHERE vec_id % 13 = 0 AND vec_id % 10 NOT IN (4, 7)),
+          |p AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+          |  list_dot_product(q.v, c.v) /
+          |   (sqrt(list_dot_product(q.v, q.v))
+          |    * sqrt(list_dot_product(c.v, c.v))) AS cosine
+          | FROM q, c WHERE q.vec_id <> c.vec_id)
+          |SELECT query_id, CAST(rn AS INTEGER) AS rank, corpus_id FROM (
+          | SELECT query_id, corpus_id, row_number() OVER (
+          |   PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rn
+          | FROM p) t WHERE rn <= 5 ORDER BY 1, 2""".stripMargin,
+
       // q287's replay with the STREAMED ids unioned into assignment
       // and scoring: training ran on the original corpus (the store
       // was built before the stream), adds assign against those

@@ -64,7 +64,13 @@ object TrueScaleCheck {
     "q309_ann_retrain", "q310_unigram_seed", "q313_hnsw_recall_gate",
     "q314_hnsw_filtered", "q315_hnsw_lifecycle",
     "q316_unigram_mstep_dist", "q317_binary_ann",
-    "q318_binary_ann_persisted").distinct
+    "q318_binary_ann_persisted",
+    // round-15 families (r14 verdict #7 + #2 acceptance): the {!knn}
+    // store dispatch, the bucketed binary IVF (probe-pruned — its row
+    // is the "scan term dropped vs q317/q318" evidence), the streamed
+    // HNSW delta store, and the tier-arbitration harness
+    "q319_knn_hnsw_store", "q321_binary_ivf", "q322_hnsw_stream_delta",
+    "q323_ann_tier_arbitration", "q324_hnsw_serving").distinct
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -60,10 +60,17 @@ import org.apache.spark.sql.functions._
  *    carrying generation, so mutation I/O is ∝ touched-shard bytes,
  *    never a corpus rewrite, and old generations keep serving
  *    in-flight readers untouched. Batch adds (the Lucene flush
- *    discipline). For continuous high-rate ingest prefer
- *    [[IvfIndex]]'s streaming sink — appending to a graph without a
- *    rebuild would make the result insertion-order-dependent, which
- *    a hash-oracled engine deliberately refuses.
+ *    discipline).
+ *  - [[addBatchDelta]] / [[foldDelta]]: continuous ingest WITHOUT
+ *    order-dependence — appending to a graph directly would make the
+ *    result insertion-order-dependent (which a hash-oracled engine
+ *    refuses), so streamed micro-batches land in a flat DELTA side
+ *    store (Lucene's NRT shape): queries union an exact-cosine leg
+ *    over it, delta ids shadow their graph nodes (upsert), and past
+ *    a size threshold the delta folds into the graph through the
+ *    order-free touched-shard rebuild — batch-boundary-invariant end
+ *    to end (spec-locked; q322 runs the lifecycle oracle with a
+ *    streamed cohort).
  */
 object HnswIndex {
 
@@ -187,6 +194,21 @@ object HnswIndex {
       1.0 - s / (n * norms(j))
     }
 
+    /** The cosine itself, computed DIRECTLY — what results carry.
+      * Returning `1.0 - dist` instead loses the cosine's low bits
+      * (1.0-(1.0-x) ≠ x at the ulp), which flips exact cross-leg ties
+      * against the column kernels' values (the lifecycle fuzz caught
+      * a delta-leg vector tying a graph-leg one and losing the id
+      * tie-break to a 1-ulp phantom difference). Same sequential fold
+      * as [[Similarity.dot]], so the value is bit-identical to the
+      * engine's column cosine. */
+    private def cosOf(v: Array[Double], n: Double, j: Int): Double = {
+      val w = vecs(j)
+      var s = 0.0; var i = 0
+      while (i < dim) { s += v(i) * w(i); i += 1 }
+      s / (n * norms(j))
+    }
+
     /** Best-first layer search: ef closest nodes to v on `layer`,
       * ordered (dist asc, id asc), starting from `starts`. */
     private def searchLayer(v: Array[Double], n: Double, starts: Seq[Int],
@@ -306,7 +328,7 @@ object HnswIndex {
         layer -= 1
       }
       searchLayer(v, n, ep, math.max(ef, k), 0).take(math.max(ef, k))
-        .map { case (d, j) => (ids(j), 1.0 - d) }
+        .map { case (_, j) => (ids(j), cosOf(v, n, j)) }
     }
 
     /** Filtered top-k: descent is UNFILTERED (upper layers only
@@ -331,8 +353,8 @@ object HnswIndex {
       val kk = math.max(ef, k)
       val (res, limitHit) =
         searchLayerAccept(v, n, ep, kk, 0, accept, limit)
-      val rows = if (limitHit) bruteForce(v, n, kk, accept) else res
-      rows.take(kk).map { case (d, j) => (ids(j), 1.0 - d) }
+      if (limitHit) bruteForce(v, n, kk, accept)
+      else res.take(kk).map { case (_, j) => (ids(j), cosOf(v, n, j)) }
     }
 
     /** Exact accepted-set top-k, entered DIRECTLY in the scarce
@@ -349,20 +371,22 @@ object HnswIndex {
       var i0 = 0
       while (i0 < dim) { nrm += v(i0) * v(i0); i0 += 1 }
       val n = math.sqrt(nrm)
-      bruteForce(v, n, k, accept).map { case (d, j) => (ids(j), 1.0 - d) }
+      bruteForce(v, n, k, accept)
     }
 
     /** Exact scan over the accepted nodes of this shard — the
-      * scarce-filter fallback. (dist asc, id asc), top `kk`. */
+      * scarce-filter fallback. DIRECT cosines ((cosine desc, id asc)
+      * ordering, so the cut agrees bit-for-bit with the column-kernel
+      * brute force and the oracles' replay), top `kk`. */
     private def bruteForce(v: Array[Double], n: Double, kk: Int,
-        accept: Int => Boolean): Seq[(Double, Int)] = {
-      val buf = scala.collection.mutable.ArrayBuffer.empty[(Double, Int)]
+        accept: Int => Boolean): Seq[(Long, Double)] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
       var i = 0
       while (i < ids.length) {
-        if (accept(i)) buf += ((dist(v, n, i), i))
+        if (accept(i)) buf += ((ids(i), cosOf(v, n, i)))
         i += 1
       }
-      buf.sortBy(t => (t._1, ids(t._2))).take(kk).toSeq
+      buf.sortBy { case (id, c) => (-c, id) }.take(kk).toSeq
     }
   }
 
@@ -586,9 +610,40 @@ object HnswIndex {
       }
     }
     val scattered = spark.createDataFrame(scatteredRdd, schema)
+    // the DELTA leg (Lucene NRT): recent streamed batches live in a
+    // flat side store; each query unions an exact-cosine scan over it
+    // (bounded by the fold threshold). Delta ids SHADOW their graph
+    // nodes — the upsert contract — so the graph leg drops them; the
+    // filter and the tombstones apply to the delta identically.
+    val merged = readDelta(spark, out) match {
+      case None => scattered
+      case Some(delta0) =>
+        val live = deletes(spark, out)
+          .map(dl => delta0.join(broadcast(dl.select("corpus_id")),
+            Seq("corpus_id"), "left_anti"))
+          .getOrElse(delta0)
+        val accepted = allowed match {
+          case Some(a) => live.join(
+            a.select(col(a.columns.head).cast("long").as("corpus_id"))
+              .distinct(), Seq("corpus_id"), "left_semi")
+          case None => live
+        }
+        import spark.implicits._
+        val qdf = q.toSeq.map { case (id, v) => (id, v.toSeq) }
+          .toDF("query_id", "qvec")
+        val deltaLeg = accepted.crossJoin(broadcast(qdf))
+          .filter(col("query_id") =!= col("corpus_id"))
+          .select(col("query_id"), col("corpus_id"),
+            (Similarity.dot(col("qvec"), col("cvec")) /
+              (Similarity.norm(col("qvec")) * Similarity.norm(col("cvec"))))
+              .as("cosine"))
+        scattered.join(broadcast(delta0.select("corpus_id")),
+            Seq("corpus_id"), "left_anti")
+          .unionByName(deltaLeg)
+    }
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id").asc)
-    scattered.withColumn("rank", row_number().over(w))
+    merged.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
   }
@@ -599,6 +654,177 @@ object HnswIndex {
     val p = new org.apache.hadoop.fs.Path(deletesPath(out))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  // ----- the DELTA tier (Lucene NRT: stream into a flat side store,
+  // ----- merge at query, fold into the graph past a threshold) ------
+
+  private val deltaSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("corpus_id", LongType),
+      StructField("cvec", ArrayType(DoubleType))))
+  }
+
+  /** Complete (or discard) a delta swap a crash left half-done: a tmp
+    * dir that finished its write (`_SUCCESS`) while the live dir is
+    * gone holds the only copy — rename it in; any other tmp/trash
+    * residue is superseded and drops. Runs at every delta mutation
+    * entry (single-writer discipline, as every mutation here). */
+  private[ops] def recoverDelta(spark: SparkSession, out: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dp = new org.apache.hadoop.fs.Path(deltaPath(out))
+    val tmp = new org.apache.hadoop.fs.Path(s"$out/.delta_tmp")
+    val trash = new org.apache.hadoop.fs.Path(s"$out/.delta_trash")
+    if (fs.exists(tmp)) {
+      if (!fs.exists(dp) &&
+          fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
+        fs.rename(tmp, dp)
+      else fs.delete(tmp, true)
+    }
+    fs.delete(trash, true)
+  }
+
+  /** Swap the delta store's contents for `rows` — original aside to a
+    * trash dir first, rewrite in second, so the only live copy is
+    * never scheduled for deletion ([[recoverDelta]] completes a crash
+    * at any point). */
+  private def swapDelta(spark: SparkSession,
+                        fs: org.apache.hadoop.fs.FileSystem, out: String,
+                        rows: DataFrame): Unit = {
+    val dp = new org.apache.hadoop.fs.Path(deltaPath(out))
+    val tmp = new org.apache.hadoop.fs.Path(s"$out/.delta_tmp")
+    val trash = new org.apache.hadoop.fs.Path(s"$out/.delta_trash")
+    fs.delete(tmp, true)
+    fs.delete(trash, true)
+    rows.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(dp)) fs.rename(dp, trash)
+    fs.rename(tmp, dp)
+    fs.delete(trash, true)
+  }
+
+  /** The delta store's LIVE files: swap-produced part files plus
+    * batch-keyed files whose commit marker exists — a half-moved
+    * batch (crash, or another stream mid-move) is invisible to
+    * readers and folds; its markerless files are re-staged whole by
+    * the batch replay. */
+  private def deltaFiles(fs: org.apache.hadoop.fs.FileSystem,
+                         out: String): Seq[String] = {
+    val dp = new org.apache.hadoop.fs.Path(deltaPath(out))
+    if (!fs.exists(dp)) return Nil
+    fs.listStatus(dp).iterator
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .filter { s =>
+        val n = s.getPath.getName
+        if (!n.startsWith("b")) true
+        else {
+          val cut = n.lastIndexOf('-')
+          cut > 1 && fs.exists(new org.apache.hadoop.fs.Path(
+            s"$out/_hnsw_batch_${n.substring(1, cut)}"))
+        }
+      }
+      .map(_.getPath.toString).toSeq
+  }
+
+  /** The committed delta rows, if any. */
+  private[ops] def readDelta(spark: SparkSession,
+                             out: String): Option[DataFrame] = {
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = deltaFiles(fs, out)
+    if (files.isEmpty) None
+    else Some(spark.read.schema(deltaSchema).parquet(files: _*))
+  }
+
+  /** Drop `ids` (first column) from the delta store, if it overlaps —
+    * the upsert discipline's delta half: a direct [[add]] or a purge
+    * supersedes any delta row with the same id. One cheap overlap
+    * probe per call; the rewrite only runs when something drops. */
+  private def dropFromDelta(spark: SparkSession, out: String,
+                            ids: DataFrame): Unit = {
+    recoverDelta(spark, out)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readDelta(spark, out).foreach { delta =>
+      val idF = ids.select(col(ids.columns.head).cast("long").as("corpus_id"))
+      if (!delta.join(broadcast(idF), Seq("corpus_id"), "left_semi")
+            .isEmpty)
+        swapDelta(spark, fs, out,
+          delta.join(broadcast(idF), Seq("corpus_id"), "left_anti"))
+    }
+  }
+
+  /** Exactly-once micro-batch ingest into the DELTA tier — the
+    * streaming answer the graph tier deliberately lacks: appending to
+    * an HNSW graph is insertion-order-dependent, so streamed batches
+    * land in a flat side store (Lucene's NRT shape); every query
+    * unions an exact-cosine leg over it (delta ids SHADOW their graph
+    * nodes — the upsert contract), and once the delta holds
+    * `foldThreshold`+ rows it folds into the graph via the order-free
+    * touched-shard rebuild ([[foldDelta]]) — which is why answers are
+    * batch-boundary-invariant end to end. Exactly-once protocol =
+    * [[IvfIndex.addBatch]]'s: stream-scoped batch markers,
+    * delete-output-first replay, stage-then-move into batch-keyed
+    * file names. An id re-streamed in a later batch replaces its
+    * older delta row at commit. Returns true if the batch applied,
+    * false on a replay skip. */
+  def addBatchDelta(spark: SparkSession, out: String, vectors: DataFrame,
+                    batchId: Long, streamId: String = "",
+                    foldThreshold: Long = 100000L): Boolean = {
+    val mk = readMarker(spark, out)
+    val key = IvfIndex.streamKey(streamId)
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$out/_hnsw_batch_$key$batchId")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) return false
+    recoverDelta(spark, out)
+    val dp = new org.apache.hadoop.fs.Path(deltaPath(out))
+    if (!fs.exists(dp)) fs.mkdirs(dp)
+    // delete-output-first: a crashed prior attempt's markerless files
+    fs.listStatus(dp)
+      .filter(f => f.isFile && f.getPath.getName.startsWith(s"b$key$batchId-"))
+      .foreach(f => fs.delete(f.getPath, false))
+    val rows = vectors.select(col(mk.idCol).cast("long").as("corpus_id"),
+      col(mk.vecCol).cast("array<double>").as("cvec"))
+    // upsert: rows for re-streamed ids drop before the batch moves in
+    dropFromDelta(spark, out, rows.select("corpus_id"))
+    val stage = new org.apache.hadoop.fs.Path(s"$out/.delta_stage_$key$batchId")
+    rows.write.mode("overwrite").parquet(stage.toString)
+    fs.listStatus(stage)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .zipWithIndex.foreach { case (f, i) =>
+        fs.rename(f.getPath,
+          new org.apache.hadoop.fs.Path(dp, f"b$key$batchId-$i%05d.parquet"))
+      }
+    fs.delete(stage, true)
+    fs.create(marker, true).close()
+    val size = readDelta(spark, out).map(_.count()).getOrElse(0L)
+    if (size >= foldThreshold) foldDelta(spark, out)
+    true
+  }
+
+  /** Fold the delta into the graph: ONE [[add]]-shaped touched-shard
+    * rebuild over the delta rows (order-free — the reason folding
+    * commutes with batch boundaries), then clear the delta. A crash
+    * between the generation commit and the delta clear re-folds on
+    * the next call; add is an UPSERT rebuild, so the re-fold changes
+    * nothing. Returns rows folded. */
+  def foldDelta(spark: SparkSession, out: String): Long = {
+    recoverDelta(spark, out)
+    val mk = readMarker(spark, out)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readDelta(spark, out) match {
+      case None => 0L
+      case Some(delta) =>
+        val n = delta.count()
+        if (n > 0)
+          addInternal(spark, out,
+            delta.select(col("corpus_id").as(mk.idCol),
+              col("cvec").as(mk.vecCol)))
+        fs.delete(new org.apache.hadoop.fs.Path(deltaPath(out)), true)
+        n
+    }
   }
 
   /** Delete vectors by id (Lucene soft delete): appends a tombstone
@@ -629,6 +855,9 @@ object HnswIndex {
     val fs = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val del = deletes(spark, out).getOrElse(return 0)
+    // the delta tier holds the same ids' rows — reclaim both sides
+    // before the tombstones clear (the refine-sidecar precedent)
+    dropFromDelta(spark, out, del.select("corpus_id"))
     val old = readGraph(spark, out)
     val touched = old
       .join(broadcast(del.select("corpus_id")), Seq("corpus_id"), "left_semi")
@@ -657,6 +886,20 @@ object HnswIndex {
     * stays dead even if re-added (the IvfIndex contract) until
     * [[purgeDeletes]] clears it. */
   def add(spark: SparkSession, out: String, vectors: DataFrame): Unit = {
+    val mk = readMarker(spark, out)
+    // upsert discipline vs the delta tier: a direct add supersedes any
+    // delta row carrying the same id (else a stale delta row would
+    // shadow the freshly-rebuilt graph node)
+    dropFromDelta(spark, out,
+      vectors.select(col(mk.idCol).cast("long").as("corpus_id")))
+    addInternal(spark, out, vectors)
+  }
+
+  /** The graph-side add body — shared with [[foldDelta]], which must
+    * NOT drop its own input from the delta before the rebuild reads
+    * it. */
+  private def addInternal(spark: SparkSession, out: String,
+                          vectors: DataFrame): Unit = {
     val mk = readMarker(spark, out)
     val newRows = assignShards(vectors, mk.shards, mk.idCol, mk.vecCol)
     val touched =

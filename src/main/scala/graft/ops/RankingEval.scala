@@ -52,6 +52,28 @@ object RankingEval {
   }
 
   /**
+   * TIER ARBITRATION at equal candidate budget — the executable form
+   * of "RankingEval arbitrates" across the engine's ANN serving
+   * tiers: every leg is one tier's answer frame (query_id, corpus_id)
+   * produced under the SAME per-query candidate budget, and the
+   * report emits one row per tier with the query-averaged recall@k
+   * against the exact leg (integer milli, truncating division —
+   * deterministic) and the candidates each tier scored. Feed it
+   * exact / IVF-PQ / HNSW / binary answers over one corpus and the
+   * table reads as the serving-tier decision: at this budget, which
+   * tier buys how much recall. Output: (tier, avg_recall_milli,
+   * candidates_scored), ordered by tier.
+   */
+  def tierReport(exact: DataFrame, legs: Seq[(String, DataFrame, Long)],
+                 k: Int): DataFrame =
+    legs.map { case (tier, approx, candidates) =>
+      annRecallAtK(exact, approx, k)
+        .agg(expr("sum(recall_milli) div count(1)").as("avg_recall_milli"))
+        .select(lit(tier).as("tier"), col("avg_recall_milli"),
+          lit(candidates).as("candidates_scored"))
+    }.reduce(_ unionByName _).orderBy("tier")
+
+  /**
    * Per-query metrics from a ranked frame carrying (queryCol,
    * rankCol 1-based, relCol boolean): n_rel in top-k, dcg_micro,
    * idcg_micro (ideal = all relevant first), ndcg_r (rounded 6),

@@ -89,14 +89,21 @@ object StreamingIngest {
    * silently skipped as a "replay" of another stream's batches.
    */
   def annIngestSink(store: String, streamId: String,
-                    maxFilesPerCell: Int = 8)
+                    maxFilesPerCell: Int = 8,
+                    hnswFoldThreshold: Long = 100000L)
                    (vectors: DataFrame): DataStreamWriter[Row] =
     vectors.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         // dispatch on the store's marker (generation-resolved): the
-        // IVF-PQ store shares the cells/ layout but encodes to codes
-        if (graft.ops.IvfPqIndex.isPqStore(spark, store))
+        // IVF-PQ store shares the cells/ layout but encodes to codes;
+        // an HNSW store takes the batch into its DELTA tier (Lucene
+        // NRT — appending to the graph itself would be insertion-
+        // order-dependent), folding past hnswFoldThreshold rows
+        if (graft.ops.HnswIndex.isHnswStore(spark, store))
+          graft.ops.HnswIndex.addBatchDelta(spark, store, batch, batchId,
+            streamId, hnswFoldThreshold)
+        else if (graft.ops.IvfPqIndex.isPqStore(spark, store))
           graft.ops.IvfPqIndex.addBatch(spark, store, batch, batchId,
             maxFilesPerCell, streamId)
         else

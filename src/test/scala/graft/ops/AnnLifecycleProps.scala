@@ -1,0 +1,233 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/**
+ * Property fuzz of the ANN LIFECYCLE state machines — the
+ * [[TermPushdownProps]] treatment applied to the hand-rolled
+ * mutation protocols the example-based specs lock pointwise: random
+ * interleavings of add / streamed-batch / remove / purge / fold /
+ * retrain / reclaim / CRASH-RECOVER against both persisted tiers
+ * ([[HnswIndex]] and [[IvfIndex]]), each sequence ending in an
+ * EXACT query compared against brute force over an independently
+ * maintained model of the live set.
+ *
+ * Exactness is arranged, not hoped for: the HNSW query runs filtered
+ * with every id allowed on a corpus small enough that each shard's
+ * accepted count sits under the walk budget (the scarce-exact
+ * contract → [[HnswIndex]]'s direct accepted-set scan); the IVF
+ * query probes every cell. So ANY divergence — a lost add, a
+ * resurrected delete, a stale delta shadow, a generation swap served
+ * half-done, a crash recovery that dropped rows — fails the
+ * property, with the shrunk op sequence as the repro.
+ *
+ * Model contracts mirrored (the tiers' documented semantics):
+ *  - a tombstoned id stays dead — including rows added after the
+ *    delete — until purge clears it, and purge REMOVES every row of
+ *    a tombstoned id (whenever it was added);
+ *  - HNSW adds/streams are upserts (latest vector wins; delta
+ *    shadows graph); IVF adds are appends, so the generator only
+ *    adds ids not currently stored there;
+ *  - fold/reclaim/compact/crash-recovery never change the live set;
+ *    IVF retrain additionally folds tombstones in and clears them.
+ */
+object AnnLifecycleProps extends Properties("ann-lifecycle") {
+
+  // 55 sequences per tier = 110 total, each 3-5 ops + exact compare
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(55)
+      .withInitialSeed(org.scalacheck.rng.Seed(20260816L))
+
+  private lazy val spark = TestSpark.spark
+
+  private val Dim = 8
+  private val Pool = 30 // ids 0..29; 0..19 are built, the rest add/stream
+  private def vecOf(id: Long, version: Int): Seq[Double] =
+    Seq.tabulate(Dim)(j => (((id * 31 + j * 17 + version * 7) % 23) - 11) / 7.0)
+
+  private def df(rows: Seq[(Long, Seq[Double])]) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  private def queries = df((0 until 3).map(i => (1000L + i, vecOf(1000L + i, 9))))
+
+  private def bruteTruth(rows: Map[Long, Seq[Double]]): Seq[(Long, Int, Long)] =
+    Similarity.bruteForceTopK(df(rows.toSeq), queries, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sorted.toSeq
+
+  private sealed trait Op
+  private case class Add(seed: Int) extends Op
+  private case class Stream(seed: Int) extends Op
+  private case class Remove(seed: Int) extends Op
+  private case object Purge extends Op
+  private case object Rebuild extends Op // hnsw: fold + reclaim; ivf: retrain
+  private case object CrashRecover extends Op
+
+  private val opGen: Gen[Op] = Gen.frequency(
+    4 -> Gen.choose(0, 97).map(Add.apply),
+    3 -> Gen.choose(0, 97).map(Stream.apply),
+    4 -> Gen.choose(0, 97).map(Remove.apply),
+    2 -> Gen.const(Purge),
+    2 -> Gen.const(Rebuild),
+    1 -> Gen.const(CrashRecover))
+
+  private val seqGen: Gen[List[Op]] =
+    Gen.choose(3, 5).flatMap(n => Gen.listOfN(n, opGen))
+
+  /** Shared per-sequence state: the model of the live set. */
+  private final class Model {
+    val rows = scala.collection.mutable.Map.empty[Long, Seq[Double]]
+    val tombs = scala.collection.mutable.Set.empty[Long]
+    (0L until 20L).foreach(id => rows(id) = vecOf(id, 0))
+    def visible: Map[Long, Seq[Double]] =
+      rows.view.filterKeys(id => !tombs.contains(id)).toMap
+    def purge(): Unit = { tombs.foreach(rows.remove); tombs.clear() }
+  }
+
+  private def addIds(seed: Int, version: Int): Seq[Long] =
+    (0 until 3).map(i => ((seed * 7 + i * 11) % Pool).toLong).distinct
+  private def removeIds(seed: Int): Seq[Long] =
+    (0 until 2).map(i => ((seed * 5 + i * 13) % Pool).toLong).distinct
+
+  private def hadoopFs(out: String) = new org.apache.hadoop.fs.Path(out)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  property("hnsw: random lifecycle interleavings stay exact vs brute " +
+      "force over the model") = forAll(seqGen) { ops =>
+    val out = java.nio.file.Files.createTempDirectory("fuzz_hnsw_").toString
+    val m = new Model
+    HnswIndex.build(df(m.rows.toSeq), out, dim = Dim, shards = 2, m = 4,
+      efConstruction = 16)
+    var batch = 0L
+    ops.zipWithIndex.foreach { case (op, v) =>
+      op match {
+        case Add(seed) =>
+          val ids = addIds(seed, v)
+          HnswIndex.add(spark, out, df(ids.map(id => (id, vecOf(id, v + 1)))))
+          ids.foreach(id => m.rows(id) = vecOf(id, v + 1))
+        case Stream(seed) =>
+          val ids = addIds(seed, v)
+          assert(HnswIndex.addBatchDelta(spark, out,
+            df(ids.map(id => (id, vecOf(id, v + 1)))), batch, "fuzz"))
+          // a replay of the same batch id must be skipped
+          assert(!HnswIndex.addBatchDelta(spark, out,
+            df(ids.map(id => (id, vecOf(id, 99)))), batch, "fuzz"))
+          batch += 1
+          ids.foreach(id => m.rows(id) = vecOf(id, v + 1))
+        case Remove(seed) =>
+          val ids = removeIds(seed)
+          HnswIndex.removeIds(spark, out, df(ids.map(id => (id, Seq.empty[Double]))).select("vec_id"))
+          m.tombs ++= ids
+        case Purge =>
+          HnswIndex.purgeDeletes(spark, out)
+          m.purge()
+        case Rebuild =>
+          HnswIndex.foldDelta(spark, out)
+          HnswIndex.reclaimGenerations(spark, out, retain = 1)
+        case CrashRecover =>
+          // fabricate a mid-delta-swap crash when a delta exists:
+          // rewrite sits complete in tmp, live dir already moved aside
+          val fs = hadoopFs(out)
+          val dp = new org.apache.hadoop.fs.Path(s"$out/delta")
+          if (fs.exists(dp)) {
+            spark.read.parquet(dp.toString)
+              .write.mode("overwrite").parquet(s"$out/.delta_tmp")
+            fs.delete(dp, true)
+            HnswIndex.recoverDelta(spark, out)
+          }
+      }
+    }
+    val allowed = df((0L until Pool.toLong).map(id => (id, Seq.empty[Double])))
+      .select("vec_id")
+    val got = HnswIndex.queryFiltered(spark, out, queries, k = 5, allowed,
+        efSearch = 32)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sorted.toSeq
+    val want = bruteTruth(m.visible)
+    if (got != want)
+      println(s"HNSW fuzz diverged on ops=$ops\n got=$got\nwant=$want")
+    got == want
+  }
+
+  property("ivf: random lifecycle interleavings stay exact vs brute " +
+      "force over the model (nprobe = all cells)") = forAll(seqGen) { ops =>
+    val out = java.nio.file.Files.createTempDirectory("fuzz_ivf_").toString
+    val m = new Model
+    IvfIndex.build(df(m.rows.toSeq), out, dim = Dim, nlist = 4)
+    var batch = 0L
+    ops.zipWithIndex.foreach { case (op, v) =>
+      op match {
+        case Add(seed) =>
+          // IVF adds are APPENDS: only ids not currently stored
+          val ids = addIds(seed, v)
+            .filterNot(m.rows.contains).filterNot(m.tombs.contains)
+          if (ids.nonEmpty) {
+            IvfIndex.add(spark, out, df(ids.map(id => (id, vecOf(id, v + 1)))))
+            ids.foreach(id => m.rows(id) = vecOf(id, v + 1))
+          }
+        case Stream(seed) =>
+          val ids = addIds(seed, v)
+            .filterNot(m.rows.contains).filterNot(m.tombs.contains)
+          if (ids.nonEmpty) {
+            assert(IvfIndex.addBatch(spark, out,
+              df(ids.map(id => (id, vecOf(id, v + 1)))), batch,
+              streamId = "fuzz"))
+            assert(!IvfIndex.addBatch(spark, out,
+              df(ids.map(id => (id, vecOf(id, 99)))), batch,
+              streamId = "fuzz"))
+            batch += 1
+            ids.foreach(id => m.rows(id) = vecOf(id, v + 1))
+          }
+        case Remove(seed) =>
+          val ids = removeIds(seed)
+          IvfIndex.removeIds(spark, out,
+            df(ids.map(id => (id, Seq.empty[Double]))).select("vec_id"))
+          m.tombs ++= ids
+        case Purge =>
+          IvfIndex.purgeDeletes(spark, out)
+          m.purge()
+        case Rebuild =>
+          IvfIndex.retrain(spark, out)
+          m.purge() // retrain folds tombstones in and clears them
+        case CrashRecover =>
+          // fabricate the mid-purge-swap crash (the recoverStore
+          // class): one touched cell's purged rewrite complete in
+          // tmp, its live dir gone — then run the real purge
+          val fs = hadoopFs(out)
+          val stored = m.tombs.filter(m.rows.contains)
+          if (stored.nonEmpty) {
+            val base = IvfIndex.dataRoot(spark, out)
+            val all = spark.read.parquet(s"$base/cells")
+            val victims = df(stored.toSeq.map(id => (id, Seq.empty[Double])))
+              .select(col("vec_id").as("corpus_id"))
+            val touched = all.join(victims, Seq("corpus_id"), "left_semi")
+              .select("cell").orderBy("cell").limit(1).collect()
+            if (touched.nonEmpty) {
+              val cell = touched.head.getInt(0)
+              all.filter(col("cell") === cell)
+                .join(victims, Seq("corpus_id"), "left_anti")
+                .write.mode("overwrite").partitionBy("cell")
+                .parquet(s"$base/.purge_tmp_cells")
+              fs.delete(new org.apache.hadoop.fs.Path(
+                s"$base/cells/cell=$cell"), true)
+            }
+            IvfIndex.purgeDeletes(spark, out)
+            m.purge()
+          }
+      }
+    }
+    val got = IvfIndex.query(spark, out, queries, k = 5, nprobe = 8)
+      .select("query_id", "rank", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sorted.toSeq
+    val want = bruteTruth(m.visible)
+    if (got != want)
+      println(s"IVF fuzz diverged on ops=$ops\n got=$got\nwant=$want")
+    got == want
+  }
+}

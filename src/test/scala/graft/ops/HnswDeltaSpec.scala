@@ -1,0 +1,139 @@
+package graft.ops
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The HNSW DELTA tier (Lucene NRT): exactly-once streamed batches,
+  * batch-boundary invariance, upsert shadowing over the graph, folds
+  * that are bit-identical to batch adds, and crash recovery of a
+  * half-done delta swap. */
+class HnswDeltaSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def emb = Tables.embeddings(spark, TestSpark.sf)
+  private def emb100 = emb.filter(col("vec_id") < 100)
+  private def evens = emb100.filter(col("vec_id") % 2 === 0)
+  private def odds = emb100.filter(col("vec_id") % 2 === 1)
+
+  private def mkStore(): String = {
+    val o = java.nio.file.Files.createTempDirectory("hnsw_delta_").toString
+    HnswIndex.build(evens, o, dim = 64)
+    o
+  }
+
+  private def graphRowsLive(o: String): Set[(Long, Int, Seq[Seq[Long]])] =
+    HnswIndex.readGraph(spark, o)
+      .select("corpus_id", "level", "nbrs")
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[scala.collection.Seq[Long]](2).map(_.toSeq).toSeq)).toSet
+
+  private def rows(df: org.apache.spark.sql.DataFrame) = df
+    .select("query_id", "rank", "corpus_id")
+    .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    .sorted.toSeq
+
+  test("streamed batches are exactly-once and batch-boundary-" +
+      "invariant: one batch == two batches; a replayed batch id is " +
+      "skipped") {
+    val s1 = mkStore()
+    assert(HnswIndex.addBatchDelta(spark, s1, odds, 0L, "s"))
+    val s2 = mkStore()
+    assert(HnswIndex.addBatchDelta(spark, s2,
+      odds.filter(col("vec_id") < 50), 0L, "s"))
+    assert(HnswIndex.addBatchDelta(spark, s2,
+      odds.filter(col("vec_id") >= 50), 1L, "s"))
+    // replay: same (stream, batch) id must be a no-op skip
+    assert(!HnswIndex.addBatchDelta(spark, s2,
+      odds.filter(col("vec_id") < 50), 0L, "s"))
+    val queries = emb.filter(col("vec_id") < 6)
+    assert(rows(HnswIndex.query(spark, s1, queries, k = 5)) ===
+      rows(HnswIndex.query(spark, s2, queries, k = 5)))
+    // a second stream reuses batch id 0 without colliding
+    assert(HnswIndex.addBatchDelta(spark, s2,
+      emb.filter(col("vec_id") === 101), 0L, "other"))
+    assert(HnswIndex.readDelta(spark, s2).get
+      .filter(col("corpus_id") === 101).count() === 1)
+  }
+
+  test("delta ids SHADOW the graph (upsert), a re-streamed id " +
+      "replaces its older delta row, and the merged filtered query " +
+      "is exact vs brute force over the live corpus") {
+    val s = mkStore()
+    assert(HnswIndex.addBatchDelta(spark, s, odds, 0L, "u"))
+    // re-stream id 1 with a negated vector — replaces, never duplicates
+    val shifted = odds.filter(col("vec_id") === 1)
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => x * lit(-1.0)).as("embedding"))
+    assert(HnswIndex.addBatchDelta(spark, s, shifted, 1L, "u"))
+    val delta = HnswIndex.readDelta(spark, s).get
+    assert(delta.filter(col("corpus_id") === 1).count() === 1)
+    assert(delta.count() === odds.count())
+    val queries = emb.filter(col("vec_id") < 6)
+    // allowed = every id: acceptance is scarce per shard (~25 <= ef),
+    // so both legs are exact — brute force is the ground truth
+    val live = emb100.filter(col("vec_id") =!= 1)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      .unionByName(shifted)
+    val got = rows(HnswIndex.queryFiltered(spark, s, queries, k = 5,
+      emb100.select("vec_id"), efSearch = 64))
+    val want = rows(Similarity.bruteForceTopK(live, queries, 5))
+    assert(got === want, "merged graph+delta diverged from brute force")
+    // a direct add supersedes the delta row for the same id
+    HnswIndex.add(spark, s, emb.filter(col("vec_id") === 3))
+    assert(HnswIndex.readDelta(spark, s).get
+      .filter(col("corpus_id") === 3).count() === 0)
+  }
+
+  test("foldDelta rebuilds the graph bit-identically to a fresh " +
+      "build over (graph ∪ delta) and clears the delta; the fold " +
+      "threshold triggers it from the batch path") {
+    val s = mkStore()
+    assert(HnswIndex.addBatchDelta(spark, s, odds, 0L, "f"))
+    assert(HnswIndex.foldDelta(spark, s) === odds.count())
+    assert(HnswIndex.readDelta(spark, s).isEmpty)
+    val fresh = java.nio.file.Files.createTempDirectory("hnsw_fresh_").toString
+    HnswIndex.build(emb100, fresh, dim = 64)
+    assert(graphRowsLive(s) === graphRowsLive(fresh),
+      "folded graph != fresh build over the union")
+    // threshold: a batch that tips the delta over foldThreshold folds
+    val s2 = mkStore()
+    assert(HnswIndex.addBatchDelta(spark, s2, odds, 0L, "t",
+      foldThreshold = 1L))
+    assert(HnswIndex.readDelta(spark, s2).isEmpty, "threshold fold skipped")
+    assert(graphRowsLive(s2) === graphRowsLive(fresh))
+  }
+
+  test("tombstones hide delta rows; purgeDeletes reclaims them from " +
+      "the delta too; a half-done delta swap recovers at the next " +
+      "mutation entry") {
+    val s = mkStore()
+    assert(HnswIndex.addBatchDelta(spark, s, odds, 0L, "d"))
+    HnswIndex.removeIds(spark, s,
+      emb100.filter(col("vec_id") % 10 === 1).select("vec_id"))
+    val queries = emb.filter(col("vec_id") < 6)
+    val got = rows(HnswIndex.queryFiltered(spark, s, queries, k = 5,
+      emb100.select("vec_id"), efSearch = 64))
+    assert(got.forall(_._3 % 10 != 1), "a tombstoned delta id surfaced")
+    HnswIndex.purgeDeletes(spark, s)
+    assert(HnswIndex.readDelta(spark, s).get
+      .filter(col("corpus_id") % 10 === 1).count() === 0,
+      "purge left tombstoned rows in the delta")
+    // crash simulation: delta moved aside mid-swap (tmp complete,
+    // live dir missing) — the next mutation completes the swap
+    val fs = new org.apache.hadoop.fs.Path(s)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = HnswIndex.readDelta(spark, s).get.count()
+    assert(before > 0)
+    val dp = new org.apache.hadoop.fs.Path(s"$s/delta")
+    val tmp = new org.apache.hadoop.fs.Path(s"$s/.delta_tmp")
+    // rebuild the tmp exactly as swapDelta would have (with _SUCCESS)
+    spark.read.parquet(dp.toString).write.parquet(tmp.toString)
+    fs.delete(dp, true)
+    assert(HnswIndex.readDelta(spark, s).isEmpty, "phantom delta")
+    HnswIndex.recoverDelta(spark, s)
+    assert(HnswIndex.readDelta(spark, s).get.count() === before,
+      "recovery lost delta rows")
+  }
+}

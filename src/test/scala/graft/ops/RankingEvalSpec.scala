@@ -49,4 +49,20 @@ class RankingEvalSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(k3 === Map("q1" -> 333L, "q2" -> 0L))
   }
+
+  test("tierReport: one row per tier with query-averaged recall " +
+      "(integer milli, truncating) and the leg's candidate budget") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L))
+      .toDF("query_id", "corpus_id")
+    // legA: q1 hits both (1000), q2 hits one of two (500) -> avg 750
+    val legA = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 99L))
+      .toDF("query_id", "corpus_id")
+    // legB: nothing -> 0
+    val legB = Seq((1L, 98L), (2L, 99L)).toDF("query_id", "corpus_id")
+    val got = RankingEval.tierReport(exact,
+        Seq(("a", legA, 7L), ("b", legB, 3L)), k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq(("a", 750L, 7L), ("b", 0L, 3L)))
+  }
 }
