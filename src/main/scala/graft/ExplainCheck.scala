@@ -75,7 +75,9 @@ object ExplainCheck {
       "q302_ivfpq_refine_persisted" -> "persisted two-stage refine: candidate ids collected once (bounded) and PUSHED as an In filter into the raw-corpus scan — re-rank I/O ∝ candidates, never corpus-wide",
       "q305_ivfpq_refine_stored" -> "refineStore sidecar serving: raw-vector fetch under a cell PARTITION filter (probed cells only) AND a pushed id In — the fetch reads probed-cell row groups holding candidates, nothing else",
       "q307_ivf_filtered" -> "filtered ANN (IDSelector): the allowed-id semi-join applies AFTER probe pruning, so its left side is probed mass only; Catalyst picks broadcast vs shuffle by the id set's size",
-      "q308_ann_drift" -> "drift probe: centroids broadcast as codegen reference objects, one scan-local milli-distance projection per cohort, a 1-row aggregate each — no shuffle wider than the final union")
+      "q308_ann_drift" -> "drift probe: centroids broadcast as codegen reference objects, one scan-local milli-distance projection per cohort, a 1-row aggregate each — no shuffle wider than the final union",
+      "q321_binary_ivf" -> "bucketed binary ANN: the cell-partitioned code store read under a PARTITION filter (probed cells only — the Hamming scan term is probed mass, not corpus), centroid Hamming as literal-code expressions, the exact re-rank candidate-id-pushed into the corpus read",
+      "q322_hnsw_stream_delta" -> "HNSW graph+delta merge: the scatter leg's per-shard walk unions an exact-cosine delta leg (delta bounded by the fold threshold, broadcast query batch), delta ids anti-joined out of the graph leg (upsert shadowing) — one window merges both legs' top-k")
     // prose riders appended after specific plans (regenerated with them)
     val postscript = Map(
       "q108_index_dsv2" ->

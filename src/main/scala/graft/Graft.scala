@@ -1097,4 +1097,30 @@ object Graft {
                           rerank: Int, nprobe: Int = 4): DataFrame =
     graft.ops.BinaryQuant.queryIvfStore(spark, store, queries, corpus, k,
       rerank, nprobe)
+
+  /** Filtered search on the bucketed binary store (IDSelector):
+    * `allowed`'s first column restricts candidates after probe
+    * pruning. */
+  def queryBinaryIvfIndexFiltered(spark: SparkSession, store: String,
+                                  queries: DataFrame, corpus: DataFrame,
+                                  k: Int, rerank: Int, allowed: DataFrame,
+                                  nprobe: Int = 4): DataFrame =
+    graft.ops.BinaryQuant.queryIvfStoreFiltered(spark, store, queries,
+      corpus, k, rerank, allowed, nprobe)
+
+  /** Frozen-quantizer add on the bucketed binary store (FAISS
+    * IndexBinaryIVF.add — appends to touched cells only). */
+  def addToBinaryIvfIndex(spark: SparkSession, store: String,
+                          vectors: DataFrame): Unit =
+    graft.ops.BinaryQuant.addToIvfStore(spark, store, vectors)
+
+  /** Tombstone deletes on the bucketed binary store (remove_ids). */
+  def removeFromBinaryIvfIndex(spark: SparkSession, store: String,
+                               ids: DataFrame): Unit =
+    graft.ops.BinaryQuant.removeIdsFromIvfStore(spark, store, ids)
+
+  /** Physically reclaim tombstoned binary codes; returns cells
+    * purged. */
+  def purgeBinaryIvfDeletes(spark: SparkSession, store: String): Int =
+    graft.ops.BinaryQuant.purgeIvfDeletes(spark, store)
 }

@@ -139,6 +139,7 @@ object SparkEntry {
     "q322_hnsw_stream_delta",  // hnsw_stream (build evens + streamed odds)
     "q318_binary_ann_persisted", // bq_codes (packed sign bits)
     "q321_binary_ivf",         // bq_ivf (cell-partitioned binary codes)
+    "q325_binary_ivf_add",     // bq_ivf_add (build evens + frozen-add odds)
     "q305_ivfpq_refine_stored", // ivfpq_refine (codes + raw-vector sidecar)
     "q286_tiered_merge",       // q286_tiered base store (upserts idempotent)
     "q289_index_multivalued",  // part_mv (array-surfaced store)
@@ -1094,6 +1095,41 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       graft.ops.BinaryQuant.queryIvfStore(s, out,
         emb.filter(col("vec_id") < 10), emb, k = 5, rerank = 32, nprobe = 4)
+    }),
+
+    // the FROZEN-quantizer add on the bucketed binary store (FAISS
+    // IndexBinaryIVF.add): build on the evens — the oracle's training
+    // replay covers that cohort ONLY — then add the odds, which must
+    // assign against the frozen centroids without re-training or
+    // re-voting; the query replay assigns everyone under the
+    // evens-trained centroids, so a drifted add hash-fails.
+    "q325_binary_ivf_add" -> ((s, d) => {
+      val out = sharedStore(d, "bq_ivf_add") { o =>
+        val emb = Tables.embeddings(s, d)
+        graft.ops.BinaryQuant.buildIvfStore(
+          emb.filter(col("vec_id") % 2 === 0), o, dim = 64, nlist = 8)
+        graft.ops.BinaryQuant.addToIvfStore(s, o,
+          emb.filter(col("vec_id") % 2 === 1))
+      }
+      val emb = Tables.embeddings(s, d)
+      graft.ops.BinaryQuant.queryIvfStore(s, out,
+        emb.filter(col("vec_id") < 10), emb, k = 5, rerank = 32, nprobe = 4)
+    }),
+
+    // FILTERED search on the bucketed binary store (IDSelector): the
+    // allowed set restricts candidates AFTER probe pruning, before
+    // the Hamming cut — the oracle replays q321 with the predicate in
+    // exactly that position.
+    "q326_binary_ivf_filtered" -> ((s, d) => {
+      val out = sharedStore(d, "bq_ivf") { o =>
+        graft.ops.BinaryQuant.buildIvfStore(Tables.embeddings(s, d), o,
+          dim = 64, nlist = 8)
+      }
+      val emb = Tables.embeddings(s, d)
+      val allowed = emb.filter(col("vec_id") % 3 === 0).select("vec_id")
+      graft.ops.BinaryQuant.queryIvfStoreFiltered(s, out,
+        emb.filter(col("vec_id") < 10), emb, k = 5, rerank = 32,
+        allowed = allowed, nprobe = 4)
     }),
 
     // ANN recall@k evaluation (ann-benchmarks' acceptance metric): the
@@ -6796,73 +6832,18 @@ object SparkEntry {
     // full-corpus assignment, nprobe probe ranking, in-cell Hamming
     // candidate cut, exact-cosine re-rank — pure integer until the
     // final cosine
-    "q321_binary_ivf" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        |  FROM embeddings),
-        |c AS (SELECT vec_id,
-        |  [list_reduce(list_prepend(CAST(0 AS BIGINT), [CASE WHEN v[0 + b + 1] > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END for b in generate_series(0, 31)]), (acc, x) -> acc * 2 + x),
-        |   list_reduce(list_prepend(CAST(0 AS BIGINT), [CASE WHEN v[32 + b + 1] > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END for b in generate_series(0, 31)]), (acc, x) -> acc * 2 + x)] AS code FROM e),
-        |samp AS (SELECT vec_id, code FROM c ORDER BY vec_id LIMIT 2048),
-        |seeds AS (SELECT code, CAST(row_number() OVER (
-        |    ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)),
-        |      CAST(vec_id AS VARCHAR)) AS INTEGER) - 1 AS i FROM samp),
-        |sd AS (SELECT * FROM seeds WHERE i < 8),
-        |a0 AS (SELECT vec_id, i FROM (
-        |  SELECT s.vec_id, d.i, row_number() OVER (PARTITION BY s.vec_id
-        |    ORDER BY bit_count(xor(s.code[1], d.code[1]))
-        |           + bit_count(xor(s.code[2], d.code[2])), d.i) AS rn
-        |  FROM samp s CROSS JOIN sd d) t WHERE rn = 1),
-        |bs AS (SELECT a.i AS ci, j.j,
-        |    (s.code[1 + (j.j // 32)] >> (31 - (j.j % 32))) & 1 AS b
-        |  FROM a0 a JOIN samp s USING (vec_id)
-        |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) j),
-        |vb AS (SELECT ci, j,
-        |    CASE WHEN 2 * sum(b) >= count(*) THEN CAST(1 AS BIGINT)
-        |         ELSE CAST(0 AS BIGINT) END AS bit
-        |  FROM bs GROUP BY ci, j),
-        |vbits AS (SELECT ci, list(bit ORDER BY j) AS bits FROM vb GROUP BY ci),
-        |vc AS (
-        |  SELECT ci AS i,
-        |    [list_reduce(list_prepend(CAST(0 AS BIGINT), [bits[b + 1] for b in generate_series(0, 31)]), (acc, x) -> acc * 2 + x),
-        |     list_reduce(list_prepend(CAST(0 AS BIGINT), [bits[32 + b + 1] for b in generate_series(0, 31)]), (acc, x) -> acc * 2 + x)] AS code
-        |  FROM vbits
-        |  UNION ALL
-        |  SELECT d.i, d.code FROM sd d
-        |  WHERE d.i NOT IN (SELECT ci FROM vb)),
-        |cells AS (SELECT vec_id, i AS cell FROM (
-        |  SELECT t.vec_id, v.i, row_number() OVER (PARTITION BY t.vec_id
-        |    ORDER BY bit_count(xor(t.code[1], v.code[1]))
-        |           + bit_count(xor(t.code[2], v.code[2])), v.i) AS rn
-        |  FROM c t CROSS JOIN vc v) t2 WHERE rn = 1),
-        |q AS (SELECT * FROM c WHERE vec_id < 10),
-        |probes AS (SELECT query_id, cell FROM (
-        |  SELECT qq.vec_id AS query_id, v.i AS cell, row_number() OVER (
-        |    PARTITION BY qq.vec_id
-        |    ORDER BY bit_count(xor(qq.code[1], v.code[1]))
-        |           + bit_count(xor(qq.code[2], v.code[2])), v.i) AS rn
-        |  FROM q qq CROSS JOIN vc v) t3 WHERE rn <= 4),
-        |h AS (SELECT p.query_id, t.vec_id AS corpus_id,
-        |    bit_count(xor(qq.code[1], t.code[1]))
-        |      + bit_count(xor(qq.code[2], t.code[2])) AS ham
-        |  FROM probes p
-        |  JOIN cells cl ON cl.cell = p.cell
-        |  JOIN c t ON t.vec_id = cl.vec_id AND t.vec_id <> p.query_id
-        |  JOIN q qq ON qq.vec_id = p.query_id),
-        |cand AS (SELECT query_id, corpus_id FROM (
-        |  SELECT query_id, corpus_id, row_number() OVER (
-        |    PARTITION BY query_id ORDER BY ham, corpus_id) AS hr FROM h) t4
-        |  WHERE hr <= 32),
-        |r AS (SELECT cand.query_id, cand.corpus_id,
-        |  list_dot_product(qv.v, cv.v) /
-        |   (sqrt(list_dot_product(qv.v, qv.v))
-        |    * sqrt(list_dot_product(cv.v, cv.v))) AS cosine
-        | FROM cand
-        | JOIN e qv ON qv.vec_id = cand.query_id
-        | JOIN e cv ON cv.vec_id = cand.corpus_id)
-        |SELECT query_id, CAST(rn AS INTEGER) AS rank, corpus_id FROM (
-        | SELECT query_id, corpus_id, row_number() OVER (
-        |   PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rn
-        | FROM r) t5 WHERE rn <= 5 ORDER BY 1, 2""".stripMargin,
+    "q321_binary_ivf" -> binaryIvfSql("", "TRUE"),
+
+    // the add path on the frozen binary quantizer: training replays
+    // over the BUILD cohort only (the evens), assignment over
+    // everyone — an add that re-trained, re-voted, or mis-assigned
+    // against the frozen centroids hash-fails
+    "q325_binary_ivf_add" -> binaryIvfSql("WHERE vec_id % 2 = 0", "TRUE"),
+
+    // filtered search on the bucketed store: the allowed set
+    // restricts candidates AFTER probe pruning, before the Hamming
+    // cut — exactly the replay's predicate position
+    "q326_binary_ivf_filtered" -> binaryIvfSql("", "t.vec_id % 3 = 0"),
 
     // same enumeration oracle as q312 — the distributed E-step kernel
     // must land on the identical M-step counts
@@ -9288,6 +9269,85 @@ object SparkEntry {
    *  - assignment ties keep the lowest centroid index on both sides
    *    (strict `<` scan ⟷ ORDER BY dist, i).
    */
+  /** The bucketed IndexBinaryIVF replay, parameterized on the
+    * TRAINING cohort (`sampWhere` filters the ordered sample — the
+    * add-path oracle trains on the build cohort only) and on the
+    * filtered-search predicate (`candPred` restricts candidates after
+    * probe pruning, the engine's semi-join position). Everything else
+    * — md5-ordered seed pick, (hamming, i) assignment, per-bit
+    * majority vote (ties to 1), bit repack, nprobe probe ranking,
+    * in-cell Hamming cut, exact-cosine re-rank — is shared verbatim
+    * across q321/q325/q326. */
+  private def binaryIvfSql(sampWhere: String, candPred: String): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |c AS (SELECT vec_id,
+      |  [list_reduce(list_prepend(CAST(0 AS BIGINT), [CASE WHEN v[0 + b + 1] > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END for b in generate_series(0, 31)]), (acc, x) -> acc * 2 + x),
+      |   list_reduce(list_prepend(CAST(0 AS BIGINT), [CASE WHEN v[32 + b + 1] > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END for b in generate_series(0, 31)]), (acc, x) -> acc * 2 + x)] AS code FROM e),
+      |samp AS (SELECT vec_id, code FROM c $sampWhere
+      |  ORDER BY vec_id LIMIT 2048),
+      |seeds AS (SELECT code, CAST(row_number() OVER (
+      |    ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)),
+      |      CAST(vec_id AS VARCHAR)) AS INTEGER) - 1 AS i FROM samp),
+      |sd AS (SELECT * FROM seeds WHERE i < 8),
+      |a0 AS (SELECT vec_id, i FROM (
+      |  SELECT s.vec_id, d.i, row_number() OVER (PARTITION BY s.vec_id
+      |    ORDER BY bit_count(xor(s.code[1], d.code[1]))
+      |           + bit_count(xor(s.code[2], d.code[2])), d.i) AS rn
+      |  FROM samp s CROSS JOIN sd d) t WHERE rn = 1),
+      |bs AS (SELECT a.i AS ci, j.j,
+      |    (s.code[1 + (j.j // 32)] >> (31 - (j.j % 32))) & 1 AS b
+      |  FROM a0 a JOIN samp s USING (vec_id)
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) j),
+      |vb AS (SELECT ci, j,
+      |    CASE WHEN 2 * sum(b) >= count(*) THEN CAST(1 AS BIGINT)
+      |         ELSE CAST(0 AS BIGINT) END AS bit
+      |  FROM bs GROUP BY ci, j),
+      |vbits AS (SELECT ci, list(bit ORDER BY j) AS bits FROM vb GROUP BY ci),
+      |vc AS (
+      |  SELECT ci AS i,
+      |    [list_reduce(list_prepend(CAST(0 AS BIGINT), [bits[b + 1] for b in generate_series(0, 31)]), (acc, x) -> acc * 2 + x),
+      |     list_reduce(list_prepend(CAST(0 AS BIGINT), [bits[32 + b + 1] for b in generate_series(0, 31)]), (acc, x) -> acc * 2 + x)] AS code
+      |  FROM vbits
+      |  UNION ALL
+      |  SELECT d.i, d.code FROM sd d
+      |  WHERE d.i NOT IN (SELECT ci FROM vb)),
+      |cells AS (SELECT vec_id, i AS cell FROM (
+      |  SELECT t.vec_id, v.i, row_number() OVER (PARTITION BY t.vec_id
+      |    ORDER BY bit_count(xor(t.code[1], v.code[1]))
+      |           + bit_count(xor(t.code[2], v.code[2])), v.i) AS rn
+      |  FROM c t CROSS JOIN vc v) t2 WHERE rn = 1),
+      |q AS (SELECT * FROM c WHERE vec_id < 10),
+      |probes AS (SELECT query_id, cell FROM (
+      |  SELECT qq.vec_id AS query_id, v.i AS cell, row_number() OVER (
+      |    PARTITION BY qq.vec_id
+      |    ORDER BY bit_count(xor(qq.code[1], v.code[1]))
+      |           + bit_count(xor(qq.code[2], v.code[2])), v.i) AS rn
+      |  FROM q qq CROSS JOIN vc v) t3 WHERE rn <= 4),
+      |h AS (SELECT p.query_id, t.vec_id AS corpus_id,
+      |    bit_count(xor(qq.code[1], t.code[1]))
+      |      + bit_count(xor(qq.code[2], t.code[2])) AS ham
+      |  FROM probes p
+      |  JOIN cells cl ON cl.cell = p.cell
+      |  JOIN c t ON t.vec_id = cl.vec_id AND t.vec_id <> p.query_id
+      |  JOIN q qq ON qq.vec_id = p.query_id
+      |  WHERE $candPred),
+      |cand AS (SELECT query_id, corpus_id FROM (
+      |  SELECT query_id, corpus_id, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY ham, corpus_id) AS hr FROM h) t4
+      |  WHERE hr <= 32),
+      |r AS (SELECT cand.query_id, cand.corpus_id,
+      |  list_dot_product(qv.v, cv.v) /
+      |   (sqrt(list_dot_product(qv.v, qv.v))
+      |    * sqrt(list_dot_product(cv.v, cv.v))) AS cosine
+      | FROM cand
+      | JOIN e qv ON qv.vec_id = cand.query_id
+      | JOIN e cv ON cv.vec_id = cand.corpus_id)
+      |SELECT query_id, CAST(rn AS INTEGER) AS rank, corpus_id FROM (
+      | SELECT query_id, corpus_id, row_number() OVER (
+      |   PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rn
+      | FROM r) t5 WHERE rn <= 5 ORDER BY 1, 2""".stripMargin
+
   private def kmeansOracles: Map[String, String] = {
     val k = 16; val iters = 8; val dim = 64; val seed = 42L
     val sampleLimit = 2048

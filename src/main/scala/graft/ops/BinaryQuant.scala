@@ -337,14 +337,34 @@ object BinaryQuant {
     * Output (query_id, rank, corpus_id), the family shape. */
   def queryIvfStore(spark: SparkSession, out: String, queries: DataFrame,
                     corpus: DataFrame, k: Int, rerank: Int,
-                    nprobe: Int = 4, pushLimit: Int = 4096): DataFrame = {
+                    nprobe: Int = 4, pushLimit: Int = 4096): DataFrame =
+    queryIvfStore(spark, out, queries, corpus, k, rerank, nprobe,
+      pushLimit, allowed = None)
+
+  /** As [[queryIvfStore]] with the family's FILTERED-SEARCH selector
+    * (FAISS `IDSelector`): `allowed`'s first column is the id set
+    * ranking restricts to — a semi-join applied AFTER probe pruning,
+    * so its left side is the probed mass only (Catalyst broadcasts
+    * the set when it fits). */
+  def queryIvfStoreFiltered(spark: SparkSession, out: String,
+                            queries: DataFrame, corpus: DataFrame, k: Int,
+                            rerank: Int, allowed: DataFrame,
+                            nprobe: Int = 4,
+                            pushLimit: Int = 4096): DataFrame =
+    queryIvfStore(spark, out, queries, corpus, k, rerank, nprobe,
+      pushLimit, Some(allowed))
+
+  private def queryIvfStore(spark: SparkSession, out: String,
+                            queries: DataFrame, corpus: DataFrame, k: Int,
+                            rerank: Int, nprobe: Int, pushLimit: Int,
+                            allowed: Option[DataFrame]): DataFrame = {
     val txt = readMarkerText(spark, ivfMarkerPath(out))
     val dim = markerNum(txt, "dim").toInt
     val idCol = markerStr(txt, "idCol"); val vecCol = markerStr(txt, "vecCol")
     val q0 = queries.select(col(idCol).cast("long").as("query_id"),
         col(vecCol).cast("array<double>").as("qvec"))
       .withColumn("qcode", packSigns(col("qvec"), dim))
-    val cand = ivfCandidates(spark, out, q0, rerank, nprobe)
+    val cand = ivfCandidates(spark, out, q0, rerank, nprobe, allowed)
     rerankExact(spark, cand, corpus, q0, k, idCol, vecCol, pushLimit)
   }
 
@@ -352,10 +372,11 @@ object BinaryQuant {
     * whose PLAN carries the probed-cell partition filter
     * (plan-locked in BinaryQuantSpec; the re-rank above collects it,
     * so the pruning proof lives on this handle). `q0` carries
-    * (query_id, qcode). */
+    * (query_id, qcode). Tombstones anti-join out, the allowed set
+    * semi-joins in — both AFTER probe pruning. */
   private[ops] def ivfCandidates(spark: SparkSession, out: String,
-                                 q0: DataFrame, rerank: Int,
-                                 nprobe: Int): DataFrame = {
+                                 q0: DataFrame, rerank: Int, nprobe: Int,
+                                 allowed: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val centroids = spark.read.parquet(s"$out/centroids")
       .orderBy("i").collect()
@@ -363,8 +384,21 @@ object BinaryQuant {
     val q = q0.withColumn("cell",
       explode(probeCells(col("qcode"), centroids, nprobe)))
     val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0))
-    val codes = spark.read.parquet(s"$out/codes")
+    val codes0 = spark.read.parquet(s"$out/codes")
       .filter(col("cell").isin(probed.map(Int.box).toIndexedSeq: _*))
+    val codes1 = ivfDeletes(spark, out) match {
+      case Some(d) =>
+        AnnTombstones.check(spark, "binary-ivf", out, d.count())
+        codes0.join(broadcast(d.select("corpus_id")),
+          Seq("corpus_id"), "left_anti")
+      case None => codes0
+    }
+    val codes = allowed match {
+      case Some(a) => codes1.join(
+        a.select(col(a.columns.head).cast("long").as("corpus_id")),
+        Seq("corpus_id"), "left_semi")
+      case None => codes1
+    }
     val scored = codes
       .join(broadcast(q.select("query_id", "qcode", "cell")), Seq("cell"))
       .filter(col("query_id") =!= col("corpus_id"))
@@ -374,5 +408,81 @@ object BinaryQuant {
     scored.withColumn("hrank", row_number().over(w1))
       .filter(col("hrank") <= rerank)
       .select("query_id", "corpus_id")
+  }
+
+  /** Incremental add against the FROZEN binary quantizer (FAISS
+    * `IndexBinaryIVF.add`): pack, assign to the trained centroids,
+    * append to the touched cell partitions only — existing cells'
+    * files never rewrite, old answers never change (the [[IvfIndex]]
+    * add contract in bit space). Retrain-on-drift stays the raw
+    * tiers' machinery; the binary store rebuilds via
+    * [[buildIvfStore]] when its corpus does. */
+  def addToIvfStore(spark: SparkSession, out: String,
+                    vectors: DataFrame): Unit = {
+    recoverIvfStore(spark, out)
+    val txt = readMarkerText(spark, ivfMarkerPath(out))
+    val dim = markerNum(txt, "dim").toInt
+    val idCol = markerStr(txt, "idCol"); val vecCol = markerStr(txt, "vecCol")
+    val centroids = spark.read.parquet(s"$out/centroids")
+      .orderBy("i").collect()
+      .map(r => r.getSeq[Long](r.fieldIndex("code")).toArray)
+    vectors.select(col(idCol).cast("long").as("corpus_id"),
+        packSigns(col(vecCol).cast("array<double>"), dim).as("code"))
+      .withColumn("cell", nearestCell(col("code"), centroids))
+      .write.mode("append").partitionBy("cell").parquet(s"$out/codes")
+  }
+
+  private def ivfDeletesPath(out: String) = s"$out/deletes"
+
+  private def ivfDeletes(spark: SparkSession,
+                         out: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(ivfDeletesPath(out))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** Tombstone deletes on the bucketed store (FAISS `remove_ids`):
+    * O(batch) appends; queries anti-join the set; [[purgeIvfDeletes]]
+    * reclaims. `ids`' FIRST column is the id. */
+  def removeIdsFromIvfStore(spark: SparkSession, out: String,
+                            ids: DataFrame): Unit =
+    ids.select(col(ids.columns.head).cast("long").as("corpus_id"))
+      .filter(col("corpus_id").isNotNull).distinct()
+      .coalesce(1).write.mode("append").parquet(ivfDeletesPath(out))
+
+  /** Physically reclaim tombstoned codes: the [[IvfIndex.purgeSubdir]]
+    * machinery over `codes/` (one batched read-filter-write, per-cell
+    * aside-then-rename swaps), then clear the tombstones. Returns
+    * cells purged. */
+  def purgeIvfDeletes(spark: SparkSession, out: String): Int = {
+    recoverIvfStore(spark, out)
+    val dels = ivfDeletes(spark, out).getOrElse(return 0)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val purged = IvfIndex.purgeSubdir(spark, fs, out, "codes", dels,
+      targetFileBytes = 256L << 20)
+    fs.delete(new org.apache.hadoop.fs.Path(ivfDeletesPath(out)), true)
+    purged
+  }
+
+  /** Complete (or discard) a swap a crashed [[purgeIvfDeletes]] left
+    * behind — [[IvfIndex.recoverStore]]'s rules for the `codes/`
+    * subdir; runs at every mutation entry. */
+  private[ops] def recoverIvfStore(spark: SparkSession, out: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(s"$out/codes")
+    val tmp = new org.apache.hadoop.fs.Path(s"$out/.purge_tmp_codes")
+    if (fs.exists(tmp)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
+        fs.listStatus(tmp)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+          .foreach { d =>
+            val dst = new org.apache.hadoop.fs.Path(root, d.getPath.getName)
+            if (!fs.exists(dst)) fs.rename(d.getPath, dst)
+          }
+      fs.delete(tmp, true)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$out/.purge_trash_codes"), true)
   }
 }

@@ -491,10 +491,10 @@ object IvfIndex {
     * whose live dir is missing has its only copy sitting in the tmp
     * dir under a deterministic name, never deleted before it is
     * renamed back in. Returns cells purged in this subdir. */
-  private def purgeSubdir(spark: SparkSession,
-                          fs: org.apache.hadoop.fs.FileSystem, base: String,
-                          subdir: String, dels: DataFrame,
-                          targetFileBytes: Long): Int = {
+  private[ops] def purgeSubdir(spark: SparkSession,
+                               fs: org.apache.hadoop.fs.FileSystem, base: String,
+                               subdir: String, dels: DataFrame,
+                               targetFileBytes: Long): Int = {
     val root = new org.apache.hadoop.fs.Path(s"$base/$subdir")
     if (!fs.exists(root)) return 0
     val touched = spark.read.parquet(root.toString)

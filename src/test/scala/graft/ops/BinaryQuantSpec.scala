@@ -162,4 +162,54 @@ class BinaryQuantSpec extends AnyFunSuite {
     assert(cents(store) === cents(again))
     assert(cells(store) === cells(again))
   }
+
+  test("bucketed IVF lifecycle: frozen-quantizer add keeps old " +
+      "answers; tombstones hide immediately; purge reclaims with the " +
+      "crash-safe swap and a fabricated mid-swap crash loses nothing") {
+    val store = java.nio.file.Files.createTempDirectory("bqivf_life_").toString
+    val evens = emb.filter(col("vec_id") % 2 === 0)
+    val odds = emb.filter(col("vec_id") % 2 === 1)
+    BinaryQuant.buildIvfStore(evens, store, dim = 64, nlist = 8)
+    val queries = emb.filter(col("vec_id") < 6)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sorted.toSeq
+    val before = rows(BinaryQuant.queryIvfStore(spark, store, queries,
+      evens, k = 5, rerank = 16, nprobe = 8))
+    BinaryQuant.addToIvfStore(spark, store, odds)
+    // full-probe answers over the union still contain no surprises:
+    // evens-only ranks are reproduced when odds are filtered out
+    val filteredBack = rows(BinaryQuant.queryIvfStoreFiltered(spark, store,
+      queries, emb, k = 5, rerank = 16,
+      allowed = evens.select("vec_id"), nprobe = 8))
+    assert(filteredBack === before,
+      "frozen add changed the original cohort's answers")
+    // tombstones hide instantly
+    val victims = emb.filter(col("vec_id") % 7 === 1).select("vec_id")
+    BinaryQuant.removeIdsFromIvfStore(spark, store, victims)
+    val afterDel = rows(BinaryQuant.queryIvfStore(spark, store, queries,
+      emb, k = 5, rerank = 16, nprobe = 8))
+    assert(afterDel.forall(_._3 % 7 != 1), "a tombstoned code surfaced")
+    // fabricate the mid-purge-swap crash, then purge: recovery first
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val all = spark.read.parquet(s"$store/codes")
+    val vic = victims.select(col("vec_id").cast("long").as("corpus_id"))
+    val crashCell = all.join(vic, Seq("corpus_id"), "left_semi")
+      .select("cell").orderBy("cell").first().getInt(0)
+    all.filter(col("cell") === crashCell)
+      .join(vic, Seq("corpus_id"), "left_anti")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$store/.purge_tmp_codes")
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$store/codes/cell=$crashCell"), true)
+    assert(BinaryQuant.purgeIvfDeletes(spark, store) > 0)
+    val after = spark.read.parquet(s"$store/codes")
+    assert(after.join(vic, Seq("corpus_id"), "left_semi").count() === 0)
+    assert(after.count() ===
+      emb.count() - emb.filter(col("vec_id") % 7 === 1).count())
+    assert(rows(BinaryQuant.queryIvfStore(spark, store, queries, emb,
+      k = 5, rerank = 16, nprobe = 8)) === afterDel,
+    "purge changed the served answers")
+  }
 }
