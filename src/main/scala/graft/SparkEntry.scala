@@ -1187,16 +1187,20 @@ object SparkEntry {
           (col("recall_milli") >= 800).as("meets_floor"))
     }),
 
-    // TIER ARBITRATION at equal candidate budget (round 15 — the
+    // TIER ARBITRATION at pinned candidate budgets (round 15 — the
     // executable form of "RankingEval arbitrates"): the four serving
     // tiers — exact scan, IVF-PQ refined, HNSW graph, binary Hamming —
-    // answer the same queries over the same corpus, the approximate
-    // tiers under the SAME per-query candidate budget (32), and each
+    // answer the same queries over the same corpus; binary and IVF-PQ
+    // score 32 exact candidates per query, while HNSW's ef=32 budget
+    // is PER SHARD (the scatter-gather contract: every shard
+    // contributes up to max(ef, k) exact-scored rows to the merge), so
+    // its candidates_scored reports the honest shards×ef = 128 —
+    // comparing the walk at a hidden 4× budget while printing 32 would
+    // misrank exactly the decision this table exists to rank. Each
     // tier's query-averaged recall@5 vs the exact leg must clear its
-    // pinned floor. The oracle replays the exact leg's structure
-    // (corpus cardinality for its candidate count) and pins the
-    // floors; a recall regression in ANY tier's train/encode/probe/
-    // walk/rerank flips its boolean and hash-fails.
+    // pinned floor; the oracle replays the exact leg's candidate count
+    // from corpus cardinality and pins the rest — a recall regression
+    // in ANY tier's train/encode/probe/walk/rerank hash-fails.
     "q323_ann_tier_arbitration" -> ((s, d) => {
       import graft.ops.{BinaryQuant, HnswIndex, IvfPqIndex, RankingEval, Similarity}
       val emb = Tables.embeddings(s, d)
@@ -1216,9 +1220,10 @@ object SparkEntry {
       val budget = 32L
       val legs = Seq(
         ("exact", exact, emb.count() - 1),
+        // per-shard ef × the store's 4 shards — the honest total
         ("hnsw", HnswIndex.query(s, hnswStore, queries, k = 5,
             efSearch = budget.toInt)
-          .select(col("query_id"), col("corpus_id")), budget),
+          .select(col("query_id"), col("corpus_id")), budget * 4),
         ("ivfpq", IvfPqIndex.queryRefinedStored(s, pqStore, queries,
             k = 5, kCandidates = budget.toInt, nprobe = 8)
           .select(col("query_id"), col("corpus_id")), budget),
@@ -9810,7 +9815,7 @@ object SparkEntry {
           |UNION ALL
           |SELECT 'exact', (SELECT count(*) - 1 FROM embeddings), 1000, TRUE
           |UNION ALL
-          |SELECT 'hnsw', 32, 800, TRUE
+          |SELECT 'hnsw', 128, 800, TRUE
           |UNION ALL
           |SELECT 'ivfpq', 32, 450, TRUE
           |ORDER BY 1""".stripMargin,

@@ -108,14 +108,9 @@ object BinaryQuant {
     try os.write(mk.getBytes("UTF-8")) finally os.close()
   }
 
-  private def readMarkerText(spark: SparkSession, path: String): String = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-    val in = fs.open(p)
-    try in.readFully(0, buf) finally in.close()
-    new String(buf, "UTF-8")
-  }
+  private def readMarkerText(spark: SparkSession, path: String): String =
+    graft.util.FsIo.readSmallFile(
+      spark.sparkContext.hadoopConfiguration, path)
 
   private def markerNum(txt: String, k: String): Long =
     s""""$k":(-?\\d+)""".r.findFirstMatchIn(txt).get.group(1).toLong
@@ -466,23 +461,12 @@ object BinaryQuant {
   }
 
   /** Complete (or discard) a swap a crashed [[purgeIvfDeletes]] left
-    * behind — [[IvfIndex.recoverStore]]'s rules for the `codes/`
-    * subdir; runs at every mutation entry. */
-  private[ops] def recoverIvfStore(spark: SparkSession, out: String): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(out)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val root = new org.apache.hadoop.fs.Path(s"$out/codes")
-    val tmp = new org.apache.hadoop.fs.Path(s"$out/.purge_tmp_codes")
-    if (fs.exists(tmp)) {
-      if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
-        fs.listStatus(tmp)
-          .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
-          .foreach { d =>
-            val dst = new org.apache.hadoop.fs.Path(root, d.getPath.getName)
-            if (!fs.exists(dst)) fs.rename(d.getPath, dst)
-          }
-      fs.delete(tmp, true)
-    }
-    fs.delete(new org.apache.hadoop.fs.Path(s"$out/.purge_trash_codes"), true)
-  }
+    * behind — the ONE shared implementation of the swap-recovery
+    * rules ([[IvfIndex.recoverSubdirSwap]]) applied to `codes/`;
+    * runs at every mutation entry. */
+  private[ops] def recoverIvfStore(spark: SparkSession, out: String): Unit =
+    IvfIndex.recoverSubdirSwap(
+      new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      out, "codes")
 }

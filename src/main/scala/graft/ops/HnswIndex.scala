@@ -112,7 +112,8 @@ object HnswIndex {
     val in = fs.open(p)
     try in.readFully(0, buf) finally in.close()
     new String(buf, "UTF-8")
-  }
+  } // fs-handle form of graft.util.FsIo.readSmallFile (callers here
+    // already hold the fs; the path-only sites use the shared helper)
 
   /** The LIVE graph: per shard, the rows of its newest carrying
     * generation — one parquet read per contributing generation,
@@ -457,12 +458,8 @@ object HnswIndex {
   }
 
   private def readMarker(spark: SparkSession, out: String): Marker = {
-    val p = new org.apache.hadoop.fs.Path(markerPath(out))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-    val in = fs.open(p)
-    try in.readFully(0, buf) finally in.close()
-    val txt = new String(buf, "UTF-8")
+    val txt = graft.util.FsIo.readSmallFile(
+      spark.sparkContext.hadoopConfiguration, markerPath(out))
     def num(k: String) = s""""$k":(-?\\d+)""".r.findFirstMatchIn(txt).get.group(1)
     def str(k: String) = (s""""$k":"([^"]*)"""").r.findFirstMatchIn(txt).get.group(1)
     Marker(num("dim").toInt, num("m").toInt, num("efC").toInt,
@@ -659,10 +656,18 @@ object HnswIndex {
   // ----- the DELTA tier (Lucene NRT: stream into a flat side store,
   // ----- merge at query, fold into the graph past a threshold) ------
 
+  /** Delta rows carry a `seq` (the committing batch id): the upsert
+    * contract resolves at READ time — latest seq per id wins — so a
+    * batch commit never has to destructively rewrite COMMITTED rows
+    * before its own marker lands (a crash between such a rewrite and
+    * the marker would lose the only copy of the superseded row while
+    * the superseding one is still invisible). Shadowed history is
+    * garbage-collected by the next swap (fold/purge/direct-add). */
   private val deltaSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
     StructType(Seq(StructField("corpus_id", LongType),
-      StructField("cvec", ArrayType(DoubleType))))
+      StructField("cvec", ArrayType(DoubleType)),
+      StructField("seq", LongType)))
   }
 
   /** Complete (or discard) a delta swap a crash left half-done: a tmp
@@ -726,14 +731,28 @@ object HnswIndex {
       .map(_.getPath.toString).toSeq
   }
 
-  /** The committed delta rows, if any. */
+  /** The committed delta rows, UPSERT-RESOLVED: one row per id — the
+    * highest `seq` (latest committing batch) wins; a duplicated id
+    * within one batch (an at-least-once upstream's caller bug) is
+    * tolerated deterministically via a vector-hash tie-break rather
+    * than surfacing twice in a top-k. Read-time resolution is what
+    * lets a batch COMMIT without destructively rewriting older
+    * committed rows first — no crash point can lose the only live
+    * copy of an id. */
   private[ops] def readDelta(spark: SparkSession,
                              out: String): Option[DataFrame] = {
+    import org.apache.spark.sql.expressions.Window
     val fs = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = deltaFiles(fs, out)
     if (files.isEmpty) None
-    else Some(spark.read.schema(deltaSchema).parquet(files: _*))
+    else {
+      val raw = spark.read.schema(deltaSchema).parquet(files: _*)
+      val w = Window.partitionBy(col("corpus_id"))
+        .orderBy(col("seq").desc, hash(col("cvec")).asc)
+      Some(raw.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn"))
+    }
   }
 
   /** Drop `ids` (first column) from the delta store, if it overlaps —
@@ -765,9 +784,11 @@ object HnswIndex {
     * batch-boundary-invariant end to end. Exactly-once protocol =
     * [[IvfIndex.addBatch]]'s: stream-scoped batch markers,
     * delete-output-first replay, stage-then-move into batch-keyed
-    * file names. An id re-streamed in a later batch replaces its
-    * older delta row at commit. Returns true if the batch applied,
-    * false on a replay skip. */
+    * file names. An id re-streamed in a later batch SHADOWS its older
+    * delta row at read time ([[readDelta]]'s latest-`seq` resolution —
+    * the commit itself never rewrites committed state, so no crash
+    * point between batches can lose an id's only live copy). Returns
+    * true if the batch applied, false on a replay skip. */
   def addBatchDelta(spark: SparkSession, out: String, vectors: DataFrame,
                     batchId: Long, streamId: String = "",
                     foldThreshold: Long = 100000L): Boolean = {
@@ -785,9 +806,8 @@ object HnswIndex {
       .filter(f => f.isFile && f.getPath.getName.startsWith(s"b$key$batchId-"))
       .foreach(f => fs.delete(f.getPath, false))
     val rows = vectors.select(col(mk.idCol).cast("long").as("corpus_id"),
-      col(mk.vecCol).cast("array<double>").as("cvec"))
-    // upsert: rows for re-streamed ids drop before the batch moves in
-    dropFromDelta(spark, out, rows.select("corpus_id"))
+        col(mk.vecCol).cast("array<double>").as("cvec"))
+      .withColumn("seq", lit(batchId))
     val stage = new org.apache.hadoop.fs.Path(s"$out/.delta_stage_$key$batchId")
     rows.write.mode("overwrite").parquet(stage.toString)
     fs.listStatus(stage)

@@ -185,12 +185,9 @@ object IvfIndex {
   }
 
   private[ops] def readMarker(spark: SparkSession, out: String): Marker = {
-    val p = new org.apache.hadoop.fs.Path(markerPath(dataRoot(spark, out)))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-    val in = fs.open(p)
-    try in.readFully(0, buf) finally in.close()
-    val txt = new String(buf, "UTF-8")
+    val txt = graft.util.FsIo.readSmallFile(
+      spark.sparkContext.hadoopConfiguration,
+      markerPath(dataRoot(spark, out)))
     def num(k: String) = s""""$k":(-?\\d+)""".r.findFirstMatchIn(txt).get.group(1)
     def str(k: String) = (s""""$k":"([^"]*)"""").r.findFirstMatchIn(txt).get.group(1)
     Marker(num("dim").toInt, num("eff").toInt, num("seed").toLong,
@@ -554,26 +551,33 @@ object IvfIndex {
     * after the crash), and the still-present tombstone set lets the
     * next purge re-derive the rewrite. Trash dirs only ever hold
     * superseded originals and are dropped. */
+  /** One subdir's purge-swap recovery — the rules [[recoverStore]]
+    * documents, shared with the binary tier's `codes/` store
+    * ([[BinaryQuant.recoverIvfStore]]): a crash-safety protocol must
+    * have exactly one implementation. */
+  private[ops] def recoverSubdirSwap(fs: org.apache.hadoop.fs.FileSystem,
+                                     base: String, subdir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(s"$base/$subdir")
+    val tmp = new org.apache.hadoop.fs.Path(s"$base/.purge_tmp_$subdir")
+    if (fs.exists(tmp)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
+        fs.listStatus(tmp)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+          .foreach { d =>
+            val dst = new org.apache.hadoop.fs.Path(root, d.getPath.getName)
+            if (!fs.exists(dst)) fs.rename(d.getPath, dst)
+          }
+      fs.delete(tmp, true)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/.purge_trash_$subdir"), true)
+  }
+
   private[ops] def recoverStore(spark: SparkSession, out: String): Unit = {
     val base = dataRoot(spark, out)
     val outP = new org.apache.hadoop.fs.Path(base)
     val fs = outP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(outP)) return
-    Seq("cells", "vectors").foreach { subdir =>
-      val root = new org.apache.hadoop.fs.Path(s"$base/$subdir")
-      val tmp = new org.apache.hadoop.fs.Path(s"$base/.purge_tmp_$subdir")
-      if (fs.exists(tmp)) {
-        if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
-          fs.listStatus(tmp)
-            .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
-            .foreach { d =>
-              val dst = new org.apache.hadoop.fs.Path(root, d.getPath.getName)
-              if (!fs.exists(dst)) fs.rename(d.getPath, dst)
-            }
-        fs.delete(tmp, true)
-      }
-      fs.delete(new org.apache.hadoop.fs.Path(s"$base/.purge_trash_$subdir"), true)
-    }
+    Seq("cells", "vectors").foreach(recoverSubdirSwap(fs, base, _))
     // compact leftovers: .compact_tmp_<subdir>_cell=N at the data root
     fs.listStatus(outP).foreach { s =>
       val n = s.getPath.getName

@@ -144,13 +144,9 @@ object IvfPqIndex {
   }
 
   private def readMarker(spark: SparkSession, out: String): Marker = {
-    val p = new org.apache.hadoop.fs.Path(
+    val txt = graft.util.FsIo.readSmallFile(
+      spark.sparkContext.hadoopConfiguration,
       markerPath(IvfIndex.dataRoot(spark, out)))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-    val in = fs.open(p)
-    try in.readFully(0, buf) finally in.close()
-    val txt = new String(buf, "UTF-8")
     def num(k: String) = s""""$k":(-?\\d+)""".r.findFirstMatchIn(txt).get.group(1)
     def str(k: String) = (s""""$k":"([^"]*)"""").r.findFirstMatchIn(txt).get.group(1)
     Marker(num("dim").toInt, num("eff").toInt, num("m").toInt,

@@ -76,7 +76,11 @@ object TokenizerImport {
     val m = modelNode(json)
     require(m.get("type").asText == "Unigram",
       s"expected a Unigram model, got ${m.get("type").asText}")
-    val unkId = Option(m.get("unk_id")).map(_.asInt).getOrElse(-1)
+    // tokenizers serializes "no unk token" as an explicit JSON null —
+    // Jackson returns a NullNode (asInt would read 0 and silently drop
+    // the real piece at index 0), so filter it out
+    val unkId = Option(m.get("unk_id")).filter(!_.isNull)
+      .map(_.asInt).getOrElse(-1)
     val vocab = Option(m.get("vocab")).getOrElse(
       throw new IllegalArgumentException("Unigram model has no vocab"))
     vocab.elements().asScala.zipWithIndex.flatMap { case (row, i) =>
@@ -89,12 +93,7 @@ object TokenizerImport {
 
   /** Read a tokenizer file off any Hadoop FS (single small file —
     * tokenizer.json is KBs, never corpus-shaped). */
-  def read(spark: SparkSession, path: String): String = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-    val in = fs.open(p)
-    try in.readFully(0, buf) finally in.close()
-    new String(buf, "UTF-8")
-  }
+  def read(spark: SparkSession, path: String): String =
+    graft.util.FsIo.readSmallFile(
+      spark.sparkContext.hadoopConfiguration, path)
 }

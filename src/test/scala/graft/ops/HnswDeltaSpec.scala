@@ -84,6 +84,23 @@ class HnswDeltaSpec extends AnyFunSuite {
     HnswIndex.add(spark, s, emb.filter(col("vec_id") === 3))
     assert(HnswIndex.readDelta(spark, s).get
       .filter(col("corpus_id") === 3).count() === 0)
+    // an id duplicated WITHIN one batch (at-least-once upstream)
+    // resolves to ONE row — never two ranks in a top-k
+    val dup = odds.filter(col("vec_id") === 21)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    assert(HnswIndex.addBatchDelta(spark, s, dup.unionByName(
+      dup.select(col("vec_id"),
+        transform(col("embedding"), x => x * lit(0.5)).as("embedding"))),
+      2L, "u"))
+    assert(HnswIndex.readDelta(spark, s).get
+      .filter(col("corpus_id") === 21).count() === 1,
+      "within-batch duplicate id surfaced twice from the delta")
+    val hits = HnswIndex.queryFiltered(spark, s, queries, k = 5,
+        emb100.select("vec_id"), efSearch = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(hits.distinct.length === hits.length,
+      "a (query, corpus) pair took two ranks")
   }
 
   test("foldDelta rebuilds the graph bit-identically to a fresh " +

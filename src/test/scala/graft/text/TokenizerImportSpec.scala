@@ -75,5 +75,11 @@ class TokenizerImportSpec extends AnyFunSuite {
       TokenizerImport.unigramVocab(TokenizerImport.read(spark, p)))
     intercept[IllegalArgumentException](
       TokenizerImport.bpeMerges("""{"no_type":true}"""))
+    // "no unk token" serializes as unk_id: null — must NOT be read as
+    // id 0 (which would silently drop the first real piece)
+    val noUnk = TokenizerImport.unigramVocab(
+      """{"type":"Unigram","unk_id":null,"vocab":[["a",-1.0],["b",-2.5]]}""")
+    assert(noUnk.map(e => (e.piece, e.scoreMilli)) ===
+      Seq(("a", -1000L), ("b", -2500L)))
   }
 }
