@@ -10,8 +10,9 @@ import org.scalacheck.Prop.forAll
  * [[TermPushdownProps]] treatment applied to the hand-rolled
  * mutation protocols the example-based specs lock pointwise: random
  * interleavings of add / streamed-batch / remove / purge / fold /
- * retrain / reclaim / CRASH-RECOVER against both persisted tiers
- * ([[HnswIndex]] and [[IvfIndex]]), each sequence ending in an
+ * retrain / reclaim / CRASH-RECOVER against the persisted tiers
+ * ([[HnswIndex]], [[IvfIndex]], and [[BinaryQuant]]'s bucketed
+ * store), each sequence ending in an
  * EXACT query compared against brute force over an independently
  * maintained model of the live set.
  *
@@ -36,7 +37,7 @@ import org.scalacheck.Prop.forAll
  */
 object AnnLifecycleProps extends Properties("ann-lifecycle") {
 
-  // 55 sequences per tier = 110 total, each 3-5 ops + exact compare
+  // 55 sequences per tier x 3 tiers = 165 total, each 3-5 ops + exact compare
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
     p.withMinSuccessfulTests(55)
       .withInitialSeed(org.scalacheck.rng.Seed(20260816L))
@@ -151,6 +152,68 @@ object AnnLifecycleProps extends Properties("ann-lifecycle") {
     val want = bruteTruth(m.visible)
     if (got != want)
       println(s"HNSW fuzz diverged on ops=$ops\n got=$got\nwant=$want")
+    got == want
+  }
+
+  property("binary-ivf: random add/remove/purge/crash interleavings " +
+      "stay exact vs brute force (full probe + corpus-wide rerank " +
+      "make the two-stage pipeline exact)") = forAll(seqGen) { ops =>
+    val out = java.nio.file.Files.createTempDirectory("fuzz_bq_").toString
+    val m = new Model
+    BinaryQuant.buildIvfStore(df(m.rows.toSeq), out, dim = Dim, nlist = 4)
+    ops.zipWithIndex.foreach { case (op, v) =>
+      op match {
+        case op2 @ (Add(_) | Stream(_)) => // binary IVF: one add path
+          val seed = op2 match {
+            case Add(x) => x; case Stream(x) => x; case _ => 0
+          }
+          val ids = addIds(seed, v)
+            .filterNot(m.rows.contains).filterNot(m.tombs.contains)
+          if (ids.nonEmpty) {
+            BinaryQuant.addToIvfStore(spark, out,
+              df(ids.map(id => (id, vecOf(id, v + 1)))))
+            ids.foreach(id => m.rows(id) = vecOf(id, v + 1))
+          }
+        case Remove(seed) =>
+          val ids = removeIds(seed)
+          BinaryQuant.removeIdsFromIvfStore(spark, out,
+            df(ids.map(id => (id, Seq.empty[Double]))).select("vec_id"))
+          m.tombs ++= ids
+        case Purge | Rebuild =>
+          BinaryQuant.purgeIvfDeletes(spark, out)
+          m.purge()
+        case CrashRecover =>
+          // fabricate the mid-purge-swap crash on codes/, then purge
+          val fs = hadoopFs(out)
+          val stored = m.tombs.filter(m.rows.contains)
+          if (stored.nonEmpty) {
+            val all = spark.read.parquet(s"$out/codes")
+            val victims = df(stored.toSeq.map(id => (id, Seq.empty[Double])))
+              .select(col("vec_id").as("corpus_id"))
+            val touched = all.join(victims, Seq("corpus_id"), "left_semi")
+              .select("cell").orderBy("cell").limit(1).collect()
+            if (touched.nonEmpty) {
+              val cell = touched.head.getInt(0)
+              all.filter(col("cell") === cell)
+                .join(victims, Seq("corpus_id"), "left_anti")
+                .write.mode("overwrite").partitionBy("cell")
+                .parquet(s"$out/.purge_tmp_codes")
+              fs.delete(new org.apache.hadoop.fs.Path(
+                s"$out/codes/cell=$cell"), true)
+            }
+            BinaryQuant.purgeIvfDeletes(spark, out)
+            m.purge()
+          }
+      }
+    }
+    // full probe (nprobe >= nlist) + rerank >= |corpus| = exact
+    val got = BinaryQuant.queryIvfStore(spark, out, queries,
+        df(m.rows.toSeq), k = 5, rerank = 64, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sorted.toSeq
+    val want = bruteTruth(m.visible)
+    if (got != want)
+      println(s"binary-IVF fuzz diverged on ops=$ops\n got=$got\nwant=$want")
     got == want
   }
 
