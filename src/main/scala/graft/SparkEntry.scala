@@ -1220,10 +1220,14 @@ object SparkEntry {
       val budget = 32L
       val legs = Seq(
         ("exact", exact, emb.count() - 1),
-        // per-shard ef × the store's 4 shards — the honest total
+        // per-shard ef × the store's shard count — the honest total,
+        // READ off the marker: if the build default ever changes, the
+        // engine's number moves while the oracle's pinned 128 stays,
+        // and the entry fails LOUDLY instead of silently misreporting
         ("hnsw", HnswIndex.query(s, hnswStore, queries, k = 5,
             efSearch = budget.toInt)
-          .select(col("query_id"), col("corpus_id")), budget * 4),
+          .select(col("query_id"), col("corpus_id")),
+          budget * HnswIndex.shardCount(s, hnswStore)),
         ("ivfpq", IvfPqIndex.queryRefinedStored(s, pqStore, queries,
             k = 5, kCandidates = budget.toInt, nprobe = 8)
           .select(col("query_id"), col("corpus_id")), budget),

@@ -457,6 +457,13 @@ object HnswIndex {
     try os.write(mk.getBytes("UTF-8")) finally os.close()
   }
 
+  /** The store's shard count — callers accounting candidate budgets
+    * need it: `efSearch` is a PER-SHARD budget (every shard
+    * contributes up to max(ef, k) exact-scored rows to the merge), so
+    * the honest total is shards×ef, never ef. */
+  def shardCount(spark: SparkSession, out: String): Int =
+    readMarker(spark, out).shards
+
   private def readMarker(spark: SparkSession, out: String): Marker = {
     val txt = graft.util.FsIo.readSmallFile(
       spark.sparkContext.hadoopConfiguration, markerPath(out))
@@ -731,27 +738,40 @@ object HnswIndex {
       .map(_.getPath.toString).toSeq
   }
 
-  /** The committed delta rows, UPSERT-RESOLVED: one row per id — the
-    * highest `seq` (latest committing batch) wins; a duplicated id
-    * within one batch (an at-least-once upstream's caller bug) is
-    * tolerated deterministically via a vector-hash tie-break rather
-    * than surfacing twice in a top-k. Read-time resolution is what
-    * lets a batch COMMIT without destructively rewriting older
-    * committed rows first — no crash point can lose the only live
-    * copy of an id. */
-  private[ops] def readDelta(spark: SparkSession,
-                             out: String): Option[DataFrame] = {
-    import org.apache.spark.sql.expressions.Window
+  /** The delta's raw committed rows (shadowed history included) — the
+    * PHYSICAL view: the fold threshold and the swap rewrites operate
+    * here, so an update-heavy stream that keeps the resolved set
+    * small still triggers the fold once the physical pile grows. */
+  private def readDeltaRaw(spark: SparkSession,
+                           out: String): Option[DataFrame] = {
     val fs = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = deltaFiles(fs, out)
     if (files.isEmpty) None
-    else {
-      val raw = spark.read.schema(deltaSchema).parquet(files: _*)
+    else Some(spark.read.schema(deltaSchema).parquet(files: _*))
+  }
+
+  /** The committed delta rows, UPSERT-RESOLVED: one row per id — the
+    * highest `seq` wins, where seq is the store's COMMIT ORDINAL
+    * (the count of batch markers at commit time — monotone across
+    * streams AND across checkpoint relaunches, so latest-COMMIT-wins
+    * holds even when a restarted stream's batch ids restart at 0;
+    * batch ids alone are stream-scoped and do not order commits). A
+    * duplicated id within one batch (an at-least-once upstream's
+    * caller bug) resolves deterministically: the final tie-break is
+    * the vector's own string form — a TOTAL order, so repeated reads
+    * of the same store can never flip the pick. Read-time resolution
+    * is what lets a batch COMMIT without destructively rewriting
+    * older committed rows first — no crash point can lose the only
+    * live copy of an id. */
+  private[ops] def readDelta(spark: SparkSession,
+                             out: String): Option[DataFrame] = {
+    import org.apache.spark.sql.expressions.Window
+    readDeltaRaw(spark, out).map { raw =>
       val w = Window.partitionBy(col("corpus_id"))
-        .orderBy(col("seq").desc, hash(col("cvec")).asc)
-      Some(raw.withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1).drop("_rn"))
+        .orderBy(col("seq").desc, col("cvec").cast("string").asc)
+      raw.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn")
     }
   }
 
@@ -805,9 +825,18 @@ object HnswIndex {
     fs.listStatus(dp)
       .filter(f => f.isFile && f.getPath.getName.startsWith(s"b$key$batchId-"))
       .foreach(f => fs.delete(f.getPath, false))
+    // seq = the store's COMMIT ORDINAL: the count of batch markers at
+    // commit time — monotone across streams and relaunches (batch ids
+    // are stream-scoped and restart with checkpoints; commit order
+    // does not), so readDelta's latest-seq resolution IS
+    // latest-commit-wins. Single-writer discipline, as every mutation
+    // here; a crashed attempt re-derives its seq on replay (its
+    // marker never landed, so ordering stays consistent).
+    val seq = fs.listStatus(new org.apache.hadoop.fs.Path(out))
+      .count(_.getPath.getName.startsWith("_hnsw_batch_")).toLong
     val rows = vectors.select(col(mk.idCol).cast("long").as("corpus_id"),
         col(mk.vecCol).cast("array<double>").as("cvec"))
-      .withColumn("seq", lit(batchId))
+      .withColumn("seq", lit(seq))
     val stage = new org.apache.hadoop.fs.Path(s"$out/.delta_stage_$key$batchId")
     rows.write.mode("overwrite").parquet(stage.toString)
     fs.listStatus(stage)
@@ -818,7 +847,11 @@ object HnswIndex {
       }
     fs.delete(stage, true)
     fs.create(marker, true).close()
-    val size = readDelta(spark, out).map(_.count()).getOrElse(0L)
+    // fold on the PHYSICAL row count: shadowed history is only GC'd
+    // by a swap, so an update-heavy stream re-streaming the same ids
+    // must still hit the valve once the raw pile (which every query's
+    // resolution window scans) outgrows the threshold
+    val size = readDeltaRaw(spark, out).map(_.count()).getOrElse(0L)
     if (size >= foldThreshold) foldDelta(spark, out)
     true
   }

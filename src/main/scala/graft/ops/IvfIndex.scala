@@ -541,8 +541,9 @@ object IvfIndex {
     touched.length
   }
 
-  /** Complete (or discard) any swap a crashed [[purgeDeletes]] /
-    * [[compact]] left behind — runs at every mutation entry point.
+  /** One subdir's purge-swap recovery, shared with the binary tier's
+    * `codes/` store ([[BinaryQuant.recoverIvfStore]]) — a
+    * crash-safety protocol must have exactly one implementation.
     * Rules: a tmp dir that finished its write (`_SUCCESS`) may hold
     * the ONLY copy of a cell whose live dir was already moved aside —
     * those cells rename back in (the purged/compacted version, still
@@ -551,10 +552,6 @@ object IvfIndex {
     * after the crash), and the still-present tombstone set lets the
     * next purge re-derive the rewrite. Trash dirs only ever hold
     * superseded originals and are dropped. */
-  /** One subdir's purge-swap recovery — the rules [[recoverStore]]
-    * documents, shared with the binary tier's `codes/` store
-    * ([[BinaryQuant.recoverIvfStore]]): a crash-safety protocol must
-    * have exactly one implementation. */
   private[ops] def recoverSubdirSwap(fs: org.apache.hadoop.fs.FileSystem,
                                      base: String, subdir: String): Unit = {
     val root = new org.apache.hadoop.fs.Path(s"$base/$subdir")
@@ -572,6 +569,11 @@ object IvfIndex {
     fs.delete(new org.apache.hadoop.fs.Path(s"$base/.purge_trash_$subdir"), true)
   }
 
+  /** Complete (or discard) any swap a crashed [[purgeDeletes]] /
+    * [[compact]] left behind — runs at every mutation entry point:
+    * [[recoverSubdirSwap]]'s rules over cells/ and vectors/, plus the
+    * compact-leftover handling below (compact tmp dirs are NOT
+    * cell-partitioned, so they need their own resolution). */
   private[ops] def recoverStore(spark: SparkSession, out: String): Unit = {
     val base = dataRoot(spark, out)
     val outP = new org.apache.hadoop.fs.Path(base)

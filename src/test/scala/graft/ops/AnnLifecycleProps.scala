@@ -155,6 +155,17 @@ object AnnLifecycleProps extends Properties("ann-lifecycle") {
     got == want
   }
 
+  /** The binary tier's single add path (appends only — new ids). */
+  private def bqAdd(out: String, m: Model, seed: Int, v: Int): Unit = {
+    val ids = addIds(seed, v)
+      .filterNot(m.rows.contains).filterNot(m.tombs.contains)
+    if (ids.nonEmpty) {
+      BinaryQuant.addToIvfStore(spark, out,
+        df(ids.map(id => (id, vecOf(id, v + 1)))))
+      ids.foreach(id => m.rows(id) = vecOf(id, v + 1))
+    }
+  }
+
   property("binary-ivf: random add/remove/purge/crash interleavings " +
       "stay exact vs brute force (full probe + corpus-wide rerank " +
       "make the two-stage pipeline exact)") = forAll(seqGen) { ops =>
@@ -163,17 +174,9 @@ object AnnLifecycleProps extends Properties("ann-lifecycle") {
     BinaryQuant.buildIvfStore(df(m.rows.toSeq), out, dim = Dim, nlist = 4)
     ops.zipWithIndex.foreach { case (op, v) =>
       op match {
-        case op2 @ (Add(_) | Stream(_)) => // binary IVF: one add path
-          val seed = op2 match {
-            case Add(x) => x; case Stream(x) => x; case _ => 0
-          }
-          val ids = addIds(seed, v)
-            .filterNot(m.rows.contains).filterNot(m.tombs.contains)
-          if (ids.nonEmpty) {
-            BinaryQuant.addToIvfStore(spark, out,
-              df(ids.map(id => (id, vecOf(id, v + 1)))))
-            ids.foreach(id => m.rows(id) = vecOf(id, v + 1))
-          }
+        // binary IVF has ONE add path: Add and Stream both append
+        case Add(seed) => bqAdd(out, m, seed, v)
+        case Stream(seed) => bqAdd(out, m, seed, v)
         case Remove(seed) =>
           val ids = removeIds(seed)
           BinaryQuant.removeIdsFromIvfStore(spark, out,

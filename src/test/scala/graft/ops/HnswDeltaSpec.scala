@@ -53,6 +53,22 @@ class HnswDeltaSpec extends AnyFunSuite {
       emb.filter(col("vec_id") === 101), 0L, "other"))
     assert(HnswIndex.readDelta(spark, s2).get
       .filter(col("corpus_id") === 101).count() === 1)
+    // COMMIT order wins, not batch id: a relaunch under a fresh
+    // checkpoint restarts batch ids at 0 — its re-streamed vector
+    // must still supersede the one committed at a higher batch id
+    val relaunched = emb.filter(col("vec_id") === 101)
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => x * lit(-1.0)).as("embedding"))
+    assert(HnswIndex.addBatchDelta(spark, s2, relaunched, 0L, "relaunch"))
+    val served = HnswIndex.readDelta(spark, s2).get
+      .filter(col("corpus_id") === 101).collect()
+    assert(served.length === 1)
+    val orig = emb.filter(col("vec_id") === 101)
+      .select(col("embedding").cast("array<double>"))
+      .head.getSeq[Double](0)
+    assert(served.head.getSeq[Double](1) === orig.map(-_),
+      "a relaunched stream's lower batch id shadowed its NEWER commit")
   }
 
   test("delta ids SHADOW the graph (upsert), a re-streamed id " +
