@@ -578,6 +578,58 @@ object Graft {
     graft.search.KnnQuery.knnStore(spark, store, requests, meta, metaIdCol,
       fq, textFields, efSearch)
 
+  /**
+   * ONE hybrid-retrieval request — Solr 9.8's "combiner" shape, the
+   * modern RAG/search request: the LEXICAL leg runs the full Solr
+   * request loop over the segment store ([[search]]: query-string
+   * parse → term-pushdown filter → index-served distributed BM25 →
+   * top-`topN` by (score_r desc, id)); the VECTOR leg dispatches the
+   * `{!knn}` request string onto the persisted sharded HNSW store
+   * ([[knnServe]]: per-shard graph walk, scatter-gather merge,
+   * optional `fq` pre-filter compiled into acceptDocs); and the two
+   * ranked lists fuse by integer-space Reciprocal Rank Fusion
+   * ([[graft.ops.HybridSearch.rrf]] — Cormack et al. 2009, the
+   * combiner Solr 9.8 ships), which never compares the legs'
+   * incommensurable scores, only their ranks.
+   *
+   * Output: (id STRING — the segment store's id space, the vector
+   * leg's corpus ids rendered into it; rrf_score; n_lists), ordered
+   * (rrf_score desc, id). Scale shape: each leg carries its own
+   * corpus-scale design (postings pushdown / graph walk); the fuse
+   * touches two topN-bounded lists only. Both legs are
+   * deterministic, so the fused ranking is too — the `{!knn}` leg
+   * under a scarce `fq` is EXACT (the visitedLimit contract), which
+   * is what lets the whole request hash-check against a DuckDB
+   * replay (q327).
+   */
+  def hybridSearch(spark: SparkSession, store: String, annStore: String,
+                   q: String, knnQ: String, topN: Int = 50,
+                   meta: Option[DataFrame] = None,
+                   metaIdCol: String = "vec_id",
+                   fq: Option[String] = None,
+                   textFields: Set[String] = Set.empty,
+                   efSearch: Int = 64, k0: Int = 60,
+                   rankField: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val marker = graft.index.SegmentShardSink.readMarker(
+      spark.sessionState.newHadoopConf(), store)
+    // the lexical top-N is bounded by construction (limit topN) and
+    // arrives ordered — rank driver-side (the rankCollected
+    // discipline: an unpartitioned window would be the scale bug)
+    val lexIds = search(spark, store, q, topK = topN, rankField = rankField)
+      .select(col(marker.idCol).cast("string"))
+      .collect().map(_.getString(0))
+    val lex = lexIds.toSeq.zipWithIndex
+      .map { case (id, i) => (id, (i + 1).toLong) }.toDF("id", "rnk")
+    // one {!knn} request; query_id -1 never collides with a corpus id,
+    // so the family's self-exclusion stays inert
+    val ann = knnServe(spark, annStore, Seq((-1L, knnQ)), meta, metaIdCol,
+        fq, textFields, efSearch)
+      .select(col("corpus_id").cast("string").as("id"),
+        col("rank").cast("long").as("rnk"))
+    graft.ops.HybridSearch.rrf(Seq(lex, ann), "id", "rnk", k0)
+  }
+
   /** Gopher duplicate-line signals over a per-doc lines array (see
     * [[graft.text.TextAnalysis.duplicateLineColumns]]). */
   def duplicateLineColumns(lines: Column): Seq[(String, Column)] =
@@ -1123,4 +1175,54 @@ object Graft {
     * purged. */
   def purgeBinaryIvfDeletes(spark: SparkSession, store: String): Int =
     graft.ops.BinaryQuant.purgeIvfDeletes(spark, store)
+
+  /** Build the persisted INT8 (SQ8) ANN store — FAISS
+    * IndexIVFScalarQuantizer: coarse k-means cells + frozen per-dim
+    * (offset, scale), 8× memory cut vs float64 (4× vs float32); the
+    * quantization-ladder rung between the binary and PQ tiers (see
+    * [[graft.ops.Sq8Index.build]]). */
+  def buildSq8Index(corpus: DataFrame, out: String, dim: Int,
+                    nlist: Int = 16): Unit =
+    graft.ops.Sq8Index.build(corpus, out, dim, nlist)
+
+  /** Serve from the SQ8 store: probed-cell partition pruning, integer
+    * dot-product candidate cut, exact-cosine re-rank (candidate-
+    * bounded raw-vector fetch). */
+  def querySq8Index(spark: SparkSession, store: String, queries: DataFrame,
+                    corpus: DataFrame, k: Int, rerank: Int,
+                    nprobe: Int = 4): DataFrame =
+    graft.ops.Sq8Index.query(spark, store, queries, corpus, k, rerank, nprobe)
+
+  /** Filtered search on the SQ8 store (IDSelector): `allowed`'s first
+    * column restricts candidates after probe pruning. */
+  def querySq8IndexFiltered(spark: SparkSession, store: String,
+                            queries: DataFrame, corpus: DataFrame, k: Int,
+                            rerank: Int, allowed: DataFrame,
+                            nprobe: Int = 4): DataFrame =
+    graft.ops.Sq8Index.query(spark, store, queries, corpus, k, rerank,
+      nprobe, allowed = Some(allowed))
+
+  /** Frozen-quantizer add on the SQ8 store (appends to touched cells
+    * only). */
+  def addToSq8Index(spark: SparkSession, store: String,
+                    vectors: DataFrame): Unit =
+    graft.ops.Sq8Index.add(spark, store, vectors)
+
+  /** Tombstone deletes on the SQ8 store (remove_ids). */
+  def removeFromSq8Index(spark: SparkSession, store: String,
+                         ids: DataFrame): Unit =
+    graft.ops.Sq8Index.removeIds(spark, store, ids)
+
+  /** Physically reclaim tombstoned SQ8 codes; returns cells purged. */
+  def purgeSq8Deletes(spark: SparkSession, store: String): Int =
+    graft.ops.Sq8Index.purgeDeletes(spark, store)
+
+  /** Late-interaction (ColBERT MaxSim) re-rank over a first-stage
+    * tier's candidates — Σ per query token of the max integer-milli
+    * cosine against the candidate's token vectors (see
+    * [[graft.ops.LateInteraction.maxSimRerank]]). */
+  def maxSimRerank(candidates: DataFrame, docTokens: DataFrame,
+                   queryTokens: DataFrame, k: Int): DataFrame =
+    graft.ops.LateInteraction.maxSimRerank(candidates, docTokens,
+      queryTokens, k)
 }

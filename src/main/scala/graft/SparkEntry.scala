@@ -140,6 +140,7 @@ object SparkEntry {
     "q318_binary_ann_persisted", // bq_codes (packed sign bits)
     "q321_binary_ivf",         // bq_ivf (cell-partitioned binary codes)
     "q325_binary_ivf_add",     // bq_ivf_add (build evens + frozen-add odds)
+    "q330_sq8_ann",            // sq8_index (coarse + scalar quantizers, codes)
     "q305_ivfpq_refine_stored", // ivfpq_refine (codes + raw-vector sidecar)
     "q286_tiered_merge",       // q286_tiered base store (upserts idempotent)
     "q289_index_multivalued",  // part_mv (array-surfaced store)
@@ -886,6 +887,142 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("corpus_id"))
     }),
 
+    // ONE hybrid-retrieval request (Solr 9.8's combiner — the modern
+    // RAG/search shape, round 16): the lexical leg runs the full Solr
+    // request loop (q117's path — parse, pushdown filter, index-served
+    // distributed BM25) over the docs segment store; the vector leg
+    // dispatches a {!knn} request string onto the persisted sharded
+    // HNSW store under a scarce fq (q319's exact contract); integer
+    // RRF (q178's combiner) fuses the two rank lists. All three legs
+    // are individually oracled; this entry hash-checks their
+    // COMPOSITION under one request surface — parse, filter, BM25
+    // stats, graph dispatch, acceptDocs, rank fusion, every tie-break.
+    "q327_hybrid_search" -> ((s, d) => {
+      import graft.index.SegmentShardSink
+      import graft.ops.HnswIndex
+      val docsStore = sharedStore(d, "docs_text") { o =>
+        SegmentShardSink.write(
+          Tables.documents(s, d).select(
+            col("doc_id").cast("string").as("id"), col("text"), col("lang")),
+          "id", o, shards = 4, analyzedFields = Set("text"))
+      }
+      val annStore = sharedStore(d, "hnsw_index") { o =>
+        HnswIndex.build(Tables.embeddings(s, d), o, dim = 64)
+      }
+      val emb = Tables.embeddings(s, d)
+      val qvec = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head.getSeq[Double](0).mkString(",")
+      val meta = emb.select(col("vec_id"),
+        pmod(col("vec_id"), lit(13)).as("mod13"))
+      Graft.hybridSearch(s, docsStore, annStore,
+          q = "text:spark", knnQ = s"{!knn f=embedding topK=10}[$qvec]",
+          topN = 50, meta = Some(meta), fq = Some("mod13:0"))
+        .limit(15)
+        .select(col("id").cast("long").as("id"), col("rrf_score"),
+          col("n_lists"))
+    }),
+
+    // SemDeDup with TRAINED centroids (round 16 — the published form:
+    // Abbas et al. 2023 cluster with k-means; q145's axis-sign buckets
+    // were the training-free stand-in): cells come from the SAME
+    // md5-seeded ordered-sample Lloyd the IVF family ships (q46/q287's
+    // replayable training), so cell populations adapt to the data
+    // distribution and the O(cell²) rescore stays balanced on
+    // clustered corpora where sign-bit buckets skew — and pairs split
+    // by an axis sign but kept together by a centroid are now found
+    // (spec-locked). Same downstream plan: one equi-join on the cell
+    // key, keep-lowest-id. The oracle replays TRAINING and prune.
+    "q328_semantic_dedup_trained" -> ((s, d) =>
+      ops.Similarity.semanticDedupIvf(Tables.embeddings(s, d),
+          threshold = 0.4, dim = 64)
+        .select(col("vec_id"), col("cluster"), col("is_dup"),
+          col("max_prior_cos_r"))),
+
+    // BYTE-LEVEL BPE (GPT-2 / HF ByteLevel — round 16, the production
+    // tokenizer form the word-boundary trainer q146/q161 stands
+    // below): the GPT-2 regex pretokenizes (space-prefixed chunks,
+    // so "the" word-initial and " the" mid-sentence train as distinct
+    // symbols — the GPT-2 property), the byte alphabet maps chars
+    // (space→Ġ), merges learn over the chunk-frequency table, the
+    // fused kernel encodes the corpus; top-20 token occurrences. The
+    // oracle replays the WHOLE pipeline: chunking (the corpus is
+    // single-space lowercase words, so chunks are w0 plus Ġ-prefixed
+    // rest — the regex's exact output on this text), alphabet map,
+    // 20 statically-unrolled merge rounds (q161's technique), token
+    // counting.
+    "q329_bytelevel_bpe" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = text.Bpe.learnByteLevel(docs, "text", numMerges = 20)
+      docs.select(explode(
+          text.Bpe.encodeByteLevel(col("text"), merges)).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("occurrences"))
+        .orderBy(col("occurrences").desc, col("token")).limit(20)
+    }),
+
+    // Persisted INT8 (SQ8) tier — FAISS IndexIVFScalarQuantizer
+    // (round 16): the quantization-ladder rung between 1-bit binary
+    // and PQ — 8× memory cut vs float64 (4× vs float32) at far better
+    // recall than a sign bit. Build on the EVENS (coarse Lloyd +
+    // per-dim min/max scalar params over the NORMALIZED md5-ordered
+    // sample — FAISS's cosine recipe: unit vectors make L2 track the
+    // cosine), frozen-quantizer ADD the odds, then serve: probed-cell
+    // partition pruning (plan-locked in Sq8IndexSpec), INTEGER
+    // squared-L2 candidate cut (pure integer — replayable where float
+    // decode would ulp-drift; translation-free where a shifted-space
+    // dot would rank by the offsets), exact-cosine re-rank over
+    // candidate rows only. The oracle replays training, normalization,
+    // scalar params, codes, probing, the integer distance and the
+    // re-rank — build AND add on one hash.
+    "q330_sq8_ann" -> ((s, d) => {
+      import graft.ops.Sq8Index
+      val out = sharedStore(d, "sq8_index") { o =>
+        val emb = Tables.embeddings(s, d)
+        Sq8Index.build(emb.filter(col("vec_id") % 2 === 0), o, dim = 64)
+        Sq8Index.add(s, o, emb.filter(col("vec_id") % 2 === 1))
+      }
+      val emb = Tables.embeddings(s, d)
+      Sq8Index.query(s, out, emb.filter(col("vec_id") < 10), emb,
+          k = 5, rerank = 32, nprobe = 8)
+        .select(col("query_id"), col("rank"), col("corpus_id"))
+    }),
+
+    // LATE-INTERACTION re-rank (ColBERT MaxSim, round 16): the
+    // persisted IVF store nominates 20 candidates per query
+    // (first-stage retrieval — q287's path), then multi-vector MaxSim
+    // re-ranks ONLY those: per query token, the max integer-milli
+    // cosine over the candidate's token vectors, summed. Token
+    // vectors derive deterministically from the embeddings by index
+    // rotation (3 doc tokens via +7t, 2 query tokens via +11t — a
+    // replayable multi-vector fixture with genuinely distinct
+    // directions). The oracle replays first-stage training+probe AND
+    // the MaxSim tree: rotation, per-pair floor(cos·1000+0.5), max,
+    // sum, every tie-break.
+    "q331_colbert_maxsim" -> ((s, d) => {
+      import graft.ops.{IvfIndex, LateInteraction}
+      val out = sharedStore(d, "ivf_index") { o =>
+        IvfIndex.build(Tables.embeddings(s, d), o, dim = 64)
+      }
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10)
+      val cand = IvfIndex.query(s, out, queries, k = 20, nprobe = 8)
+        .select("query_id", "corpus_id")
+      def rotated(step: Column) = transform(sequence(lit(0), lit(63)),
+        j => element_at(col("e"), (pmod(j + step, lit(64)) + 1).cast("int")))
+      val docTokens = emb.select(col("vec_id").as("doc_id"),
+          col("embedding").cast("array<double>").as("e"))
+        .withColumn("tpos", explode(array(lit(0), lit(1), lit(2))))
+        .select(col("doc_id"), rotated(col("tpos") * 7).as("tvec"))
+      val queryTokens = queries.select(col("vec_id").as("query_id"),
+          col("embedding").cast("array<double>").as("e"))
+        .withColumn("qpos", explode(array(lit(0), lit(1))))
+        .select(col("query_id"), col("qpos"),
+          rotated(col("qpos") * 11).as("qvec"))
+      LateInteraction.maxSimRerank(cand, docTokens, queryTokens, k = 5)
+        .select(col("query_id"), col("rank"), col("corpus_id"),
+          col("maxsim_milli"))
+    }),
+
     // the dense (unfiltered) {!knn}-from-store case: no SQL replay of
     // the graph walk exists, so — the q313 pattern — the entry is
     // recall-floor-gated against the replayable exact truth leg:
@@ -1217,6 +1354,13 @@ object SparkEntry {
       val bqStore = sharedStore(d, "bq_codes") { o =>
         BinaryQuant.buildStore(Tables.embeddings(s, d), o, dim = 64)
       }
+      val sq8Store = sharedStore(d, "sq8_index") { o =>
+        graft.ops.Sq8Index.build(
+          Tables.embeddings(s, d).filter(col("vec_id") % 2 === 0), o,
+          dim = 64)
+        graft.ops.Sq8Index.add(s, o,
+          Tables.embeddings(s, d).filter(col("vec_id") % 2 === 1))
+      }
       val budget = 32L
       val legs = Seq(
         ("exact", exact, emb.count() - 1),
@@ -1233,13 +1377,19 @@ object SparkEntry {
           .select(col("query_id"), col("corpus_id")), budget),
         ("binary", BinaryQuant.queryStore(s, bqStore, queries, emb,
             k = 5, rerank = budget.toInt)
+          .select(col("query_id"), col("corpus_id")), budget),
+        // the INT8 rung (round 16): 8 bits/dim buys most of the raw
+        // tier's recall at the same 32-candidate budget
+        ("sq8", graft.ops.Sq8Index.query(s, sq8Store, queries, emb,
+            k = 5, rerank = budget.toInt, nprobe = 8)
           .select(col("query_id"), col("corpus_id")), budget))
       // floors pinned from measured recall with margin (exact is 1000
       // by construction; the raw avg_recall_milli per tier is the
       // RankingEval.tierReport surface, spec-asserted — the oracled
-      // entry pins floor satisfaction, the q313 discipline)
+      // entry pins floor satisfaction, the q313 discipline; sq8
+      // measured 860/880 at sf0.01/sf0.1 → floor 700)
       val floors = Map("exact" -> 1000L, "hnsw" -> 800L,
-        "ivfpq" -> 450L, "binary" -> 350L)
+        "ivfpq" -> 450L, "binary" -> 350L, "sq8" -> 700L)
       val floorCol = floors.foldLeft(lit(0L)) { case (acc, (t, f)) =>
         when(col("tier") === t, lit(f)).otherwise(acc)
       }
@@ -7107,6 +7257,56 @@ object SparkEntry {
         |FROM u GROUP BY id
         |ORDER BY rrf_score DESC, id LIMIT 15""".stripMargin,
 
+    // the composed hybrid request: q117's BM25 replay (single-term
+    // form) ranks the lexical leg, q319's scarce-exact knn replay
+    // ranks the vector leg (query vector = vec 0's embedding; no
+    // exclusion — the request id is -1), q178's integer fusion
+    // combines them; string-id tie-breaks throughout (the segment
+    // store's id space)
+    "q327_hybrid_search" ->
+      """WITH t AS (SELECT doc_id, text,
+        |             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |           FROM documents),
+        |d AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM t),
+        |tf AS (SELECT doc_id, count(*) AS tf, min(dl) AS dl
+        |       FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d) u
+        |       WHERE term = 'spark' GROUP BY doc_id),
+        |dfq AS (SELECT count(*) AS doc_freq FROM tf),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |              sum(dl) / CAST(count(*) AS DOUBLE) AS avgdl FROM d),
+        |sc AS (SELECT tf.doc_id,
+        |  round(ln(1.0 + (n_docs - CAST(doc_freq AS DOUBLE) + 0.5)
+        |      / (CAST(doc_freq AS DOUBLE) + 0.5))
+        |   * (CAST(tf AS DOUBLE) * 1.2 + CAST(tf AS DOUBLE))
+        |   / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6)
+        |    AS score_r
+        | FROM tf CROSS JOIN dfq CROSS JOIN st),
+        |hits AS (SELECT doc_id FROM t
+        |  WHERE regexp_matches(lower(text),
+        |    '(^|[^a-z0-9])spark([^a-z0-9]|$)')),
+        |lexr AS (SELECT CAST(h.doc_id AS VARCHAR) AS id,
+        |    row_number() OVER (ORDER BY COALESCE(score_r, 0.0) DESC,
+        |      CAST(h.doc_id AS VARCHAR)) AS rnk
+        |  FROM hits h LEFT JOIN sc USING (doc_id)
+        |  QUALIFY rnk <= 50),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |qv AS (SELECT v FROM e WHERE vec_id = 0),
+        |p AS (SELECT c.vec_id AS cid,
+        |  list_dot_product(qv.v, c.v) /
+        |   (sqrt(list_dot_product(qv.v, qv.v))
+        |    * sqrt(list_dot_product(c.v, c.v))) AS cosine
+        | FROM qv, e c WHERE c.vec_id % 13 = 0),
+        |annr AS (SELECT CAST(cid AS VARCHAR) AS id,
+        |    row_number() OVER (ORDER BY cosine DESC, cid) AS rnk
+        |  FROM p QUALIFY rnk <= 10),
+        |u AS (SELECT id, 1000000 // (60 + rnk) AS part FROM lexr
+        |      UNION ALL SELECT id, 1000000 // (60 + rnk) FROM annr)
+        |SELECT CAST(id AS BIGINT) AS id, CAST(sum(part) AS BIGINT)
+        |    AS rrf_score, count(*) AS n_lists
+        |FROM u GROUP BY id
+        |ORDER BY rrf_score DESC, CAST(id AS VARCHAR) LIMIT 15""".stripMargin,
+
     "q180_token_budget" ->
       """SELECT source, doc_id, CAST(running_tokens AS BIGINT) AS running_tokens FROM (
         |  SELECT source, doc_id,
@@ -9124,6 +9324,48 @@ object SparkEntry {
            |GROUP BY 1 ORDER BY occurrences DESC, subword LIMIT 20""".stripMargin
       },
 
+      // byte-level BPE: q161's unrolled-merge replay over GPT-2 chunks
+      // — the corpus is single-space lowercase words, so the GPT-2
+      // regex's chunks are exactly [w0, ' w1', ' w2', ...] and the
+      // byte alphabet's only non-identity mapping is space → Ġ
+      // (chr(288), the published bytes_to_unicode table)
+      "q329_bytelevel_bpe" -> {
+        def pairCte(k: Int) =
+          s"""bp$k AS MATERIALIZED (
+             |  SELECT a, b FROM (
+             |    SELECT p.s[1] AS a, p.s[2] AS b, sum(freq) AS cnt
+             |    FROM (SELECT freq, unnest([[syms[j], syms[j + 1]]
+             |        for j in generate_series(1, len(syms) - 1)]) AS s
+             |      FROM w${k - 1}) p
+             |    GROUP BY 1, 2)
+             |  ORDER BY cnt DESC, a, b LIMIT 1)""".stripMargin
+        def rewriteCte(k: Int) =
+          s"""w$k AS MATERIALIZED (
+             |  SELECT list_reduce(list_prepend([]::VARCHAR[],
+             |      [[s] for s in syms]),
+             |      (acc, x) -> CASE WHEN len(acc) > 0
+             |          AND acc[len(acc)] = bp$k.a AND x[1] = bp$k.b
+             |        THEN acc[1:len(acc) - 1] || [bp$k.a || bp$k.b]
+             |        ELSE acc || x END) AS syms, freq
+             |  FROM w${k - 1} CROSS JOIN bp$k)""".stripMargin
+        val rounds = (1 to 20).map(k => pairCte(k) + ",\n" + rewriteCte(k))
+          .mkString(",\n")
+        s"""WITH wsl AS (SELECT string_split(text, ' ') AS ws FROM documents),
+           |chunks AS (
+           |  SELECT CASE WHEN i = 1 THEN ws[i]
+           |              ELSE chr(288) || ws[i] END AS word
+           |  FROM (SELECT ws, unnest(generate_series(1, len(ws))) AS i
+           |        FROM wsl)),
+           |w0 AS MATERIALIZED (
+           |  SELECT [substr(word, j, 1) for j in generate_series(1, len(word))]
+           |      AS syms, count(*) AS freq
+           |  FROM chunks GROUP BY 1),
+           |$rounds
+           |SELECT subword AS token, CAST(sum(freq) AS BIGINT) AS occurrences
+           |FROM (SELECT unnest(syms) AS subword, freq FROM w20)
+           |GROUP BY 1 ORDER BY occurrences DESC, token LIMIT 20""".stripMargin
+      },
+
       // the WHOLE corpus pipeline (quality gate → PII redaction →
       // exact fingerprint dedup → near-dup drop), stage by stage: the
       // quality signals, the RE2∩Java redaction chain (built from
@@ -9390,12 +9632,15 @@ object SparkEntry {
          |  WHERE p.i NOT IN (SELECT i FROM a$r))""".stripMargin
     val rounds = (1 to iters).map(round).mkString(",\n")
     // shared: train on the ordered sample, then assign the full corpus
-    // by negative cosine (ties -> lowest i), exactly CentroidNegCosines
-    val trainAndAssign =
+    // by negative cosine (ties -> lowest i), exactly CentroidNegCosines.
+    // `sampWhere` restricts the TRAINING cohort (the add-path oracles
+    // train on the build cohort while assignment covers everyone —
+    // the q325 pattern).
+    def trainAndAssignW(sampWhere: String) =
       s"""samp AS MATERIALIZED (
          |  SELECT vec_id AS id,
          |    [CAST(embedding[j + 1] AS DOUBLE) for j in $dj] AS v
-         |  FROM embeddings ORDER BY vec_id LIMIT $sampleLimit),
+         |  FROM embeddings $sampWhere ORDER BY vec_id LIMIT $sampleLimit),
          |dims AS MATERIALIZED (
          |  SELECT id, j, v[j + 1] AS vj
          |  FROM samp, (SELECT unnest($dj) AS j)),
@@ -9421,6 +9666,7 @@ object SparkEntry {
          |  FROM corpn t CROSS JOIN cn c),
          |corpcell AS MATERIALIZED (
          |  SELECT id, cell FROM cells WHERE rn = 1)""".stripMargin
+    val trainAndAssign = trainAndAssignW("")
     val ivfAnnSql =
         s"""WITH $trainAndAssign,
            |qcell AS (SELECT id, cell FROM cells WHERE rn <= 8 AND id < 10),
@@ -9677,6 +9923,120 @@ object SparkEntry {
          |WHERE rn <= 5 ORDER BY 1, 2""".stripMargin
     Map(
       "q46_ivf_ann" -> ivfAnnSql,
+
+      // SemDeDup on TRAINED cells: the q46 training replay assigns the
+      // corpus (corpcell), then q145's within-cell keep-lowest-id
+      // prune runs with the trained cell as the cluster key
+      "q328_semantic_dedup_trained" ->
+        s"""WITH $trainAndAssign,
+           |cv AS (SELECT t.id AS vec_id, t.v, c.cell
+           |  FROM corpn t JOIN corpcell c ON c.id = t.id),
+           |d AS (SELECT id_b AS vec_id, max(cos) AS mx FROM (
+           |  SELECT b.vec_id AS id_b,
+           |    list_dot_product(a.v, b.v) /
+           |      (sqrt(list_dot_product(a.v, a.v))
+           |       * sqrt(list_dot_product(b.v, b.v))) AS cos
+           |  FROM cv a JOIN cv b ON a.cell = b.cell AND a.vec_id < b.vec_id) p
+           | WHERE cos >= 0.4 GROUP BY id_b)
+           |SELECT cv.vec_id, CAST(cv.cell AS BIGINT) AS cluster,
+           |  d.vec_id IS NOT NULL AS is_dup, round(d.mx, 6) AS max_prior_cos_r
+           |FROM cv LEFT JOIN d ON cv.vec_id = d.vec_id""".stripMargin,
+
+      // SQ8 (IndexIVFScalarQuantizer): coarse training + scalar
+      // min/max params on the EVENS sample (the build cohort — the
+      // q325 add-path pattern), codes for everyone under the frozen
+      // quantizers, probed-cell integer-dot candidates, exact re-rank
+      "q330_sq8_ann" -> {
+        val t = trainAndAssignW("WHERE vec_id % 2 = 0")
+        s"""WITH $t,
+           |sn AS MATERIALIZED (
+           |  SELECT id, sqrt(${dotF("v", "v")}) AS nrm FROM samp),
+           |ndims AS MATERIALIZED (
+           |  SELECT d.id, d.j,
+           |    CASE WHEN s.nrm = 0 THEN 0.0 ELSE d.vj / s.nrm END AS vj
+           |  FROM dims d JOIN sn s ON s.id = d.id),
+           |sq AS MATERIALIZED (
+           |  SELECT j, min(vj) AS vmin, max(vj) - min(vj) AS vdiff
+           |  FROM ndims GROUP BY j),
+           |codes AS MATERIALIZED (
+           |  SELECT t.id, list(CASE WHEN s.vdiff = 0 THEN 0
+           |      ELSE CAST(least(255, greatest(0,
+           |        floor(((CASE WHEN t.vnorm = 0 THEN 0.0
+           |                ELSE t.v[s.j + 1] / t.vnorm END) - s.vmin)
+           |          / s.vdiff * 255 + 0.5)))
+           |        AS INTEGER) END ORDER BY s.j) AS qc
+           |  FROM corpn t CROSS JOIN sq s GROUP BY t.id),
+           |qcell AS (SELECT id, cell FROM cells WHERE rn <= 8 AND id < 10),
+           |sd AS (
+           |  SELECT DISTINCT q.id AS query_id, c.id AS corpus_id,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      [CAST((qq.qc[j + 1] - cq.qc[j + 1])
+           |         * (qq.qc[j + 1] - cq.qc[j + 1]) AS BIGINT)
+           |       for j in $dj]),
+           |      (acc, x) -> acc + x) AS d2
+           |  FROM qcell q JOIN corpcell c ON c.cell = q.cell AND c.id <> q.id
+           |  JOIN codes qq ON qq.id = q.id
+           |  JOIN codes cq ON cq.id = c.id),
+           |cand AS (SELECT query_id, corpus_id FROM (
+           |  SELECT query_id, corpus_id, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY d2 ASC, corpus_id) AS r
+           |  FROM sd) WHERE r <= 32),
+           |rer AS (SELECT cand.query_id, cand.corpus_id,
+           |  ${dotF("qv.v", "cv.v")} / (qv.vnorm * cv.vnorm) AS cosine
+           | FROM cand JOIN corpn qv ON qv.id = cand.query_id
+           | JOIN corpn cv ON cv.id = cand.corpus_id)
+           |SELECT query_id, CAST(rn AS INTEGER) AS rank, corpus_id FROM (
+           |  SELECT query_id, corpus_id, row_number() OVER (
+           |      PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rn
+           |  FROM rer)
+           |WHERE rn <= 5 ORDER BY 1, 2""".stripMargin
+      },
+
+      // ColBERT MaxSim: the q46/q287 first-stage replay cut at 20
+      // candidates, token vectors by index rotation, per-pair
+      // integer-milli floor, max per query token, sum, rank
+      "q331_colbert_maxsim" ->
+        s"""WITH $trainAndAssign,
+           |qcell AS (SELECT id, cell FROM cells WHERE rn <= 8 AND id < 10),
+           |scored AS (
+           |  SELECT DISTINCT q.id AS query_id, c.id AS corpus_id,
+           |    ${dotF("qv.v", "cv.v")} / (qv.vnorm * cv.vnorm) AS cosine
+           |  FROM qcell q JOIN corpcell c ON c.cell = q.cell AND c.id <> q.id
+           |  JOIN corpn qv ON qv.id = q.id
+           |  JOIN corpn cv ON cv.id = c.id),
+           |cand AS (SELECT query_id, corpus_id FROM (
+           |  SELECT query_id, corpus_id, row_number() OVER (
+           |      PARTITION BY query_id
+           |      ORDER BY cosine DESC, corpus_id ASC) AS rn
+           |  FROM scored) WHERE rn <= 20),
+           |e AS (SELECT vec_id AS id,
+           |    [CAST(embedding[j + 1] AS DOUBLE) for j in $dj] AS v
+           |  FROM embeddings),
+           |dt AS (SELECT e.id AS corpus_id, t.tpos,
+           |    [e.v[((j + t.tpos * 7) % 64) + 1] for j in $dj] AS tvec
+           |  FROM e, (SELECT unnest([0, 1, 2]) AS tpos) t),
+           |qt AS (SELECT e.id AS query_id, t.qpos,
+           |    [e.v[((j + t.qpos * 11) % 64) + 1] for j in $dj] AS qvec
+           |  FROM e, (SELECT unnest([0, 1]) AS qpos) t WHERE e.id < 10),
+           |pairs AS (SELECT cand.query_id, cand.corpus_id, qt.qpos,
+           |    CAST(floor(${dotF("qt.qvec", "dt.tvec")} /
+           |      (sqrt(${dotF("qt.qvec", "qt.qvec")})
+           |       * sqrt(${dotF("dt.tvec", "dt.tvec")})) * 1000 + 0.5)
+           |      AS BIGINT) AS cm
+           |  FROM cand JOIN dt ON dt.corpus_id = cand.corpus_id
+           |  JOIN qt ON qt.query_id = cand.query_id),
+           |mx AS (SELECT query_id, corpus_id, qpos, max(cm) AS m
+           |  FROM pairs GROUP BY 1, 2, 3),
+           |ms AS (SELECT query_id, corpus_id, CAST(sum(m) AS BIGINT)
+           |    AS maxsim_milli
+           |  FROM mx GROUP BY 1, 2)
+           |SELECT query_id, CAST(rn AS INTEGER) AS rank, corpus_id,
+           |    maxsim_milli FROM (
+           |  SELECT query_id, corpus_id, maxsim_milli, row_number() OVER (
+           |      PARTITION BY query_id
+           |      ORDER BY maxsim_milli DESC, corpus_id ASC) AS rn
+           |  FROM ms)
+           |WHERE rn <= 5 ORDER BY 1, 2""".stripMargin,
       "q292_pq_ann" -> pqAnnSql,
       "q293_ivfpq_ann" -> ivfPqSql,
       // q293's replay with the tombstoned ids excluded BEFORE ranking
@@ -9822,6 +10182,8 @@ object SparkEntry {
           |SELECT 'hnsw', 128, 800, TRUE
           |UNION ALL
           |SELECT 'ivfpq', 32, 450, TRUE
+          |UNION ALL
+          |SELECT 'sq8', 32, 700, TRUE
           |ORDER BY 1""".stripMargin,
 
       // the lifecycle store's live corpus = everything minus the two

@@ -38,9 +38,53 @@ object AnnTombstones {
 
   def reset(): Unit = last.set(None)
 
+  /** Bad-conf complaint fires once per JVM — the observability nudge
+    * must never become a per-query log storm, let alone (the round-15
+    * defect) a hard query failure from a bare `.toLong` throwing
+    * NumberFormatException inside every serving path. */
+  private val badConfWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   private def threshold(spark: SparkSession): Long =
-    spark.conf.getOption(ThresholdConf).map(_.toLong)
-      .getOrElse(DefaultThreshold)
+    spark.conf.getOption(ThresholdConf) match {
+      case None => DefaultThreshold
+      case Some(v) => scala.util.Try(v.trim.toLong).getOrElse {
+        if (badConfWarned.compareAndSet(false, true))
+          log.warn(s"unparsable $ThresholdConf='$v' — " +
+            s"falling back to the default $DefaultThreshold")
+        DefaultThreshold
+      }
+    }
+
+  private def countPath(store: String) = s"$store/_tombcount"
+
+  /** MARKER-CACHED tombstone row count — maintained at DELETE/PURGE
+    * commit time so the per-query [[check]] reads one small file
+    * instead of running a `count()` Spark job on the serving hot path.
+    * [[recordRemoval]] SETS the live count (the delete path recounts
+    * its tiny coalesced `deletes/` dir after the append — one O(batch)
+    * job at delete time, which also self-heals a pre-cache store's
+    * first post-upgrade delete) under the crash-safe swap protocol;
+    * [[clearCount]] runs wherever the tombstone dir itself clears. A
+    * store whose deletes predate the cache (no count file yet) falls
+    * back to the one-off `count()`. */
+  def recordRemoval(spark: SparkSession, store: String, rows: Long): Unit =
+    graft.util.FsIo.writeSwapped(spark.sparkContext.hadoopConfiguration,
+      countPath(store), rows.toString)
+
+  def clearCount(spark: SparkSession, store: String): Unit =
+    graft.util.FsIo.deleteSwapped(
+      spark.sparkContext.hadoopConfiguration, countPath(store))
+
+  def cachedCount(spark: SparkSession, store: String): Option[Long] =
+    graft.util.FsIo.readSwapped(
+        spark.sparkContext.hadoopConfiguration, countPath(store))
+      .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+
+  /** The count [[check]] should run with: the marker cache when the
+    * store maintains one, else the caller's fallback (a one-off
+    * `count()` for stores whose deletes predate the cache). */
+  def countOf(spark: SparkSession, store: String)(fallback: => Long): Long =
+    cachedCount(spark, store).getOrElse(fallback)
 
   /** Warn-and-record when `count` live tombstones on `store` (tier =
     * "hnsw" / "ivf" / ...) exceed the configured threshold. Returns

@@ -118,12 +118,12 @@ object BinaryQuant {
     (s""""$k":"([^"]*)"""").r.findFirstMatchIn(txt).get.group(1)
 
   /** The candidate-bounded exact-cosine re-rank shared by the flat
-    * and bucketed store read paths: raw vectors for the collected
-    * (query, candidate) pairs alone, fetched from the external corpus
-    * under a candidate-id pushdown — an `In` literal up to
-    * `pushLimit` ids, a plan-side broadcast semi-join past it (the
-    * [[IvfPqIndex.queryRefined]] discipline). */
-  private def rerankExact(spark: SparkSession, cand: DataFrame,
+    * and bucketed store read paths (and the SQ8 tier — [[Sq8Index]]):
+    * raw vectors for the collected (query, candidate) pairs alone,
+    * fetched from the external corpus under a candidate-id pushdown —
+    * an `In` literal up to `pushLimit` ids, a plan-side broadcast
+    * semi-join past it (the [[IvfPqIndex.queryRefined]] discipline). */
+  private[ops] def rerankExact(spark: SparkSession, cand: DataFrame,
                           corpus: DataFrame, q: DataFrame, k: Int,
                           idCol: String, vecCol: String,
                           pushLimit: Int): DataFrame = {
@@ -383,7 +383,9 @@ object BinaryQuant {
       .filter(col("cell").isin(probed.map(Int.box).toIndexedSeq: _*))
     val codes1 = ivfDeletes(spark, out) match {
       case Some(d) =>
-        AnnTombstones.check(spark, "binary-ivf", out, d.count())
+        // count off the marker cache — no count() job on the hot path
+        AnnTombstones.check(spark, "binary-ivf", out,
+          AnnTombstones.countOf(spark, out)(d.count()))
         codes0.join(broadcast(d.select("corpus_id")),
           Seq("corpus_id"), "left_anti")
       case None => codes0
@@ -398,6 +400,13 @@ object BinaryQuant {
       .join(broadcast(q.select("query_id", "qcode", "cell")), Seq("cell"))
       .filter(col("query_id") =!= col("corpus_id"))
       .withColumn("hamming", hamming(col("qcode"), col("code")))
+      // collapse duplicate corpus rows (a re-[[addToIvfStore]]ed id, or
+      // an id whose copies land in two probed cells) to the pair's best
+      // Hamming BEFORE the cut — a duplicate must never occupy a
+      // candidate slot a distinct neighbor should hold; map-side
+      // combinable, probed-mass-sized
+      .groupBy(col("query_id"), col("corpus_id"))
+      .agg(min(col("hamming")).as("hamming"))
     val w1 = Window.partitionBy(col("query_id"))
       .orderBy(col("hamming").asc, col("corpus_id").asc)
     scored.withColumn("hrank", row_number().over(w1))
@@ -409,9 +418,19 @@ object BinaryQuant {
     * `IndexBinaryIVF.add`): pack, assign to the trained centroids,
     * append to the touched cell partitions only — existing cells'
     * files never rewrite, old answers never change (the [[IvfIndex]]
-    * add contract in bit space). Retrain-on-drift stays the raw
-    * tiers' machinery; the binary store rebuilds via
-    * [[buildIvfStore]] when its corpus does. */
+    * add contract in bit space). APPEND-ONLY FOR UNIQUE IDS, unlike
+    * [[HnswIndex.add]]'s upsert: a rewrite-the-old-copy protocol here
+    * would open a crash window where an id's only live copy sits
+    * between the drop and the append (the old code can live in a
+    * DIFFERENT cell than the re-quantized new one, so no single-cell
+    * swap covers both) — instead a re-added id's duplicate rows are
+    * collapsed at READ time ([[ivfCandidates]] keeps each (query,
+    * corpus) pair's best-Hamming copy before the candidate cut), so a
+    * duplicate can never occupy a top-k slot a DISTINCT neighbor
+    * should hold. To truly replace an id's vector: [[
+    * removeIdsFromIvfStore]] + [[purgeIvfDeletes]] + add, or rebuild
+    * ([[buildIvfStore]]) — the documented binary-tier lifecycle.
+    * Retrain-on-drift stays the raw tiers' machinery. */
   def addToIvfStore(spark: SparkSession, out: String,
                     vectors: DataFrame): Unit = {
     recoverIvfStore(spark, out)
@@ -438,12 +457,17 @@ object BinaryQuant {
 
   /** Tombstone deletes on the bucketed store (FAISS `remove_ids`):
     * O(batch) appends; queries anti-join the set; [[purgeIvfDeletes]]
-    * reclaims. `ids`' FIRST column is the id. */
+    * reclaims. `ids`' FIRST column is the id. The row count folds into
+    * the [[AnnTombstones]] marker cache at delete time so the query
+    * paths never run a count job. */
   def removeIdsFromIvfStore(spark: SparkSession, out: String,
-                            ids: DataFrame): Unit =
+                            ids: DataFrame): Unit = {
     ids.select(col(ids.columns.head).cast("long").as("corpus_id"))
       .filter(col("corpus_id").isNotNull).distinct()
       .coalesce(1).write.mode("append").parquet(ivfDeletesPath(out))
+    AnnTombstones.recordRemoval(spark, out,
+      spark.read.parquet(ivfDeletesPath(out)).count())
+  }
 
   /** Physically reclaim tombstoned codes: the [[IvfIndex.purgeSubdir]]
     * machinery over `codes/` (one batched read-filter-write, per-cell
@@ -457,6 +481,7 @@ object BinaryQuant {
     val purged = IvfIndex.purgeSubdir(spark, fs, out, "codes", dels,
       targetFileBytes = 256L << 20)
     fs.delete(new org.apache.hadoop.fs.Path(ivfDeletesPath(out)), true)
+    AnnTombstones.clearCount(spark, out)
     purged
   }
 

@@ -77,6 +77,10 @@ object HnswIndex {
   private def markerPath(out: String) = s"$out/_hnsw_marker.json"
   private def deletesPath(out: String) = s"$out/deletes"
   private def deltaPath(out: String) = s"$out/delta"
+  private def dropIntentPath(out: String) = s"$out/_drop_intent"
+  private def dropIntentIdsPath(out: String) = s"$out/.drop_intent_ids"
+  private def deltaSeqPath(out: String) = s"$out/_delta_seq"
+  private def hwmPath(out: String, key: String) = s"$out/_hnsw_hwm_$key"
 
   /** Is `out` an HNSW store? (the streaming sink's tier dispatch). */
   private[graft] def isHnswStore(spark: SparkSession, out: String): Boolean = {
@@ -123,10 +127,20 @@ object HnswIndex {
     * file-less partitioned dir, and schema inference over it would
     * throw — with the declared schema it resolves to an empty frame,
     * which is exactly what an emptied shard serves. */
-  private[graft] def readGraph(spark: SparkSession, out: String): DataFrame = {
+  private[graft] def readGraph(spark: SparkSession, out: String): DataFrame =
+    readGraphUpTo(spark, out, Int.MaxValue)
+
+  /** [[readGraph]] restricted to generations ≤ `maxGen` — the
+    * GENERATION-ADDRESSED read a pinned snapshot resolves through
+    * (generation dirs are immutable once committed, so the resolution
+    * at any historical ceiling reproduces that moment's graph
+    * byte-for-byte as long as reclaim spares the dirs — which
+    * [[reclaimGenerations]] guarantees for pinned ceilings). */
+  private def readGraphUpTo(spark: SparkSession, out: String,
+                            maxGen: Int): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val gens = generations(fs, out)
+    val gens = generations(fs, out).filter(_ <= maxGen)
     // newest generation carrying each shard wins
     val carried = scala.collection.mutable.Set.empty[Int]
     val layers = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -501,7 +515,8 @@ object HnswIndex {
       queries: DataFrame, k: Int, efSearch: Int,
       allowed: Option[DataFrame]): DataFrame =
     scatterOver(spark, out, readMarker(spark, out), readGraph(spark, out),
-      prePartitioned = false, queries, k, efSearch, allowed)
+      prePartitioned = false, queries, k, efSearch, allowed,
+      readDelta(spark, out), deletes(spark, out))
 
   /** Query with DRIVER-SIDE literal vectors — the `{!knn}` request
     * dispatch path ([[graft.search.KnnQuery.knnStore]]): a parsed
@@ -525,22 +540,26 @@ object HnswIndex {
     val qdf = vectors.map { case (id, v) => (id, v.toSeq) }
       .toDF(mk.idCol, mk.vecCol)
     scatterOver(spark, out, mk, readGraph(spark, out),
-      prePartitioned = false, qdf, k, efSearch, allowed)
+      prePartitioned = false, qdf, k, efSearch, allowed,
+      readDelta(spark, out), deletes(spark, out))
   }
 
   private def scatterOver(spark: SparkSession, out: String, mk: Marker,
       base: DataFrame, prePartitioned: Boolean, queries: DataFrame,
-      k: Int, efSearch: Int, allowed: Option[DataFrame]): DataFrame = {
+      k: Int, efSearch: Int, allowed: Option[DataFrame],
+      delta: Option[DataFrame],
+      tombstones: Option[DataFrame]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types._
     val q = queries.select(col(mk.idCol).cast("long").as("query_id"),
         col(mk.vecCol).cast("array<double>").as("qvec"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val qB = spark.sparkContext.broadcast(q)
-    // tombstones: bounded by the delete batches since the last purge
-    // (the IvfIndex small-side contract) — a per-executor hash set is
-    // the liveDocs bitset analog
-    val tomb: Set[Long] = deletes(spark, out)
+    // tombstones (caller-resolved: the live set normally, a pin's
+    // snapshot under [[queryPinned]]): bounded by the delete batches
+    // since the last purge (the IvfIndex small-side contract) — a
+    // per-executor hash set is the liveDocs bitset analog
+    val tomb: Set[Long] = tombstones
       .map(_.select("corpus_id").collect().map(_.getLong(0)).toSet)
       .getOrElse(Set.empty)
     AnnTombstones.check(spark, "hnsw", out, tomb.size.toLong)
@@ -618,11 +637,13 @@ object HnswIndex {
     // flat side store; each query unions an exact-cosine scan over it
     // (bounded by the fold threshold). Delta ids SHADOW their graph
     // nodes — the upsert contract — so the graph leg drops them; the
-    // filter and the tombstones apply to the delta identically.
-    val merged = readDelta(spark, out) match {
+    // filter and the tombstones apply to the delta identically. The
+    // frame is caller-supplied: one-shot paths read it fresh, a
+    // [[Serving]] handle passes its PINNED snapshot (see [[open]]).
+    val merged = delta match {
       case None => scattered
       case Some(delta0) =>
-        val live = deletes(spark, out)
+        val live = tombstones
           .map(dl => delta0.join(broadcast(dl.select("corpus_id")),
             Seq("corpus_id"), "left_anti"))
           .getOrElse(delta0)
@@ -700,7 +721,12 @@ object HnswIndex {
   /** Swap the delta store's contents for `rows` — original aside to a
     * trash dir first, rewrite in second, so the only live copy is
     * never scheduled for deletion ([[recoverDelta]] completes a crash
-    * at any point). */
+    * at any point). READER CAVEAT (unlike the graph tier's layered
+    * generations): the swap physically deletes files an in-flight
+    * lazy plan may still reference — single-writer covers mutations,
+    * not readers. A query that must tolerate concurrent delta
+    * mutations goes through [[open]], which pins the resolved delta
+    * alongside the graph snapshot. */
   private def swapDelta(spark: SparkSession,
                         fs: org.apache.hadoop.fs.FileSystem, out: String,
                         rows: DataFrame): Unit = {
@@ -715,15 +741,40 @@ object HnswIndex {
     fs.delete(trash, true)
   }
 
+  /** Split a batch tag (`<key><id>`, key = "" or 8 hex + '_') into
+    * (key, batchId); None when the id half isn't numeric. */
+  private def parseBatchTag(tag: String): Option[(String, Long)] = {
+    val us = tag.lastIndexOf('_')
+    val (key, idStr) =
+      if (us >= 0) (tag.substring(0, us + 1), tag.substring(us + 1))
+      else ("", tag)
+    scala.util.Try(idStr.toLong).toOption.map(key -> _)
+  }
+
+  /** The compacted-marker HIGH WATERMARK of stream `key`: every batch
+    * id ≤ it committed and had its marker reclaimed
+    * ([[compactBatchMarkers]]); -1 when none were. */
+  private def hwmOf(fs: org.apache.hadoop.fs.FileSystem, out: String,
+                    key: String): Long =
+    graft.util.FsIo.readSwapped(fs.getConf, hwmPath(out, key))
+      .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+      .getOrElse(-1L)
+
   /** The delta store's LIVE files: swap-produced part files plus
-    * batch-keyed files whose commit marker exists — a half-moved
-    * batch (crash, or another stream mid-move) is invisible to
-    * readers and folds; its markerless files are re-staged whole by
-    * the batch replay. */
+    * batch-keyed files whose batch COMMITTED — marker present, or
+    * batch id at or under its stream's compacted-marker high
+    * watermark — so a half-moved batch (crash, or another stream
+    * mid-move) is invisible to readers and folds; its markerless
+    * files are re-staged whole by the batch replay. One root listing
+    * resolves every marker (bounded: [[compactBatchMarkers]] keeps the
+    * marker population from growing with stream lifetime). */
   private def deltaFiles(fs: org.apache.hadoop.fs.FileSystem,
                          out: String): Seq[String] = {
     val dp = new org.apache.hadoop.fs.Path(deltaPath(out))
     if (!fs.exists(dp)) return Nil
+    val rootNames = fs.listStatus(new org.apache.hadoop.fs.Path(out))
+      .iterator.map(_.getPath.getName).toSet
+    val hwms = scala.collection.mutable.Map.empty[String, Long]
     fs.listStatus(dp).iterator
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .filter { s =>
@@ -731,12 +782,72 @@ object HnswIndex {
         if (!n.startsWith("b")) true
         else {
           val cut = n.lastIndexOf('-')
-          cut > 1 && fs.exists(new org.apache.hadoop.fs.Path(
-            s"$out/_hnsw_batch_${n.substring(1, cut)}"))
+          cut > 1 && {
+            val tag = n.substring(1, cut)
+            rootNames.contains(s"_hnsw_batch_$tag") ||
+              parseBatchTag(tag).exists { case (key, id) =>
+                id <= hwms.getOrElseUpdate(key, hwmOf(fs, out, key))
+              }
+          }
         }
       }
       .map(_.getPath.toString).toSeq
   }
+
+  /** Reclaim the committed batch markers of stream `streamId` behind
+    * one durable high-watermark file (round 16 — without it a
+    * long-lived stream's per-batch root listing and marker population
+    * grow O(total-batches-ever)): Structured Streaming commits a
+    * stream's batch ids IN ORDER, so every id ≤ the newest committed
+    * marker has committed, and the single hwm file carries the same
+    * replay guarantee the markers did. The hwm commits (crash-safe
+    * swap write) BEFORE any marker deletes, so no crash point weakens
+    * replay protection. The delta seq counter is migrated first if
+    * this store predates it (its legacy derivation counted markers).
+    * Returns markers reclaimed. [[addBatchDelta]] invokes this
+    * automatically past 64 live markers per stream. */
+  def compactBatchMarkers(spark: SparkSession, out: String,
+                          streamId: String = ""): Int = {
+    val key = IvfIndex.streamKey(streamId)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ensureSeqCounter(fs, out)
+    val mine = fs.listStatus(new org.apache.hadoop.fs.Path(out)).iterator
+      .map(_.getPath.getName)
+      .filter(_.startsWith("_hnsw_batch_"))
+      .flatMap { n =>
+        parseBatchTag(n.stripPrefix("_hnsw_batch_"))
+          .collect { case (k, id) if k == key => id }
+      }.toSeq
+    if (mine.isEmpty) return 0
+    val m = math.max(mine.max, hwmOf(fs, out, key))
+    graft.util.FsIo.writeSwapped(fs.getConf, hwmPath(out, key), m.toString)
+    mine.foreach { id =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$out/_hnsw_batch_$key$id"),
+        false)
+    }
+    mine.size
+  }
+
+  /** The delta COMMIT ORDINAL counter: read the durable value, or
+    * migrate a pre-counter store by counting its batch markers (the
+    * legacy seq derivation — valid exactly while no marker has been
+    * compacted, which [[compactBatchMarkers]] guarantees by migrating
+    * first). */
+  private def readSeqCounter(fs: org.apache.hadoop.fs.FileSystem,
+                             out: String): Long =
+    graft.util.FsIo.readSwapped(fs.getConf, deltaSeqPath(out))
+      .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+      .getOrElse {
+        fs.listStatus(new org.apache.hadoop.fs.Path(out))
+          .count(_.getPath.getName.startsWith("_hnsw_batch_")).toLong
+      }
+
+  private def ensureSeqCounter(fs: org.apache.hadoop.fs.FileSystem,
+                               out: String): Unit =
+    if (graft.util.FsIo.readSwapped(fs.getConf, deltaSeqPath(out)).isEmpty)
+      graft.util.FsIo.writeSwapped(fs.getConf, deltaSeqPath(out),
+        readSeqCounter(fs, out).toString)
 
   /** The delta's raw committed rows (shadowed history included) — the
     * PHYSICAL view: the fold threshold and the swap rewrites operate
@@ -753,19 +864,20 @@ object HnswIndex {
 
   /** The committed delta rows, UPSERT-RESOLVED: one row per id — the
     * highest `seq` wins, where seq is the store's COMMIT ORDINAL
-    * (the count of batch markers at commit time — monotone across
-    * streams AND across checkpoint relaunches, so latest-COMMIT-wins
-    * holds even when a restarted stream's batch ids restart at 0;
-    * batch ids alone are stream-scoped and do not order commits). A
-    * duplicated id within one batch (an at-least-once upstream's
-    * caller bug) resolves deterministically: the final tie-break is
-    * the vector's own string form — a TOTAL order, so repeated reads
-    * of the same store can never flip the pick. Read-time resolution
-    * is what lets a batch COMMIT without destructively rewriting
-    * older committed rows first — no crash point can lose the only
-    * live copy of an id. */
-  private[ops] def readDelta(spark: SparkSession,
-                             out: String): Option[DataFrame] = {
+    * (a durable monotone counter bumped at each batch commit —
+    * monotone across streams AND across checkpoint relaunches, so
+    * latest-COMMIT-wins holds even when a restarted stream's batch
+    * ids restart at 0; batch ids alone are stream-scoped and do not
+    * order commits). A duplicated id within one batch (an
+    * at-least-once upstream's caller bug) resolves deterministically:
+    * the final tie-break is the vector's own string form — a TOTAL
+    * order, so repeated reads of the same store can never flip the
+    * pick. Read-time resolution is what lets a batch COMMIT without
+    * destructively rewriting older committed rows first — no crash
+    * point can lose the only live copy of an id. This is the MUTATION
+    * view (no drop-intent filter); readers go through [[readDelta]]. */
+  private def readDeltaResolved(spark: SparkSession,
+                                out: String): Option[DataFrame] = {
     import org.apache.spark.sql.expressions.Window
     readDeltaRaw(spark, out).map { raw =>
       val w = Window.partitionBy(col("corpus_id"))
@@ -775,16 +887,72 @@ object HnswIndex {
     }
   }
 
+  /** The READER view of the delta: [[readDeltaResolved]] minus the
+    * ids of a COMMITTED drop intent — a crashed [[add]] whose
+    * generation landed but whose delta drop did not must not serve
+    * stale delta shadows over the freshly-rebuilt graph nodes in the
+    * window before the next mutation entry physically completes the
+    * drop ([[resolveDropIntent]]); an UNcommitted intent (the add's
+    * generation never landed) leaves the delta rows serving — they
+    * are still the only live copy. Queries never mutate: the filter
+    * is read-side only. */
+  private[ops] def readDelta(spark: SparkSession,
+                             out: String): Option[DataFrame] =
+    readDeltaResolved(spark, out).map { resolved =>
+      committedDropIntentIds(spark, out) match {
+        case Some(ids) =>
+          resolved.join(broadcast(ids), Seq("corpus_id"), "left_anti")
+        case None => resolved
+      }
+    }
+
+  /** The staged ids of a drop intent WHOSE GENERATION COMMITTED —
+    * i.e. an [[add]] that crashed after its `_gen_N` swap but before
+    * its delta drop finished. None when no intent exists or the
+    * intent's generation never landed (that add is void). */
+  private def committedDropIntentIds(spark: SparkSession,
+                                     out: String): Option[DataFrame] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dropIntentPath(out))
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return None
+    val gen = scala.util.Try(
+      graft.util.FsIo.readSmallFile(conf, dropIntentPath(out)).trim.toInt)
+      .getOrElse(return None)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$out/_gen_$gen"))) None
+    else Some(spark.read.parquet(dropIntentIdsPath(out)).select("corpus_id"))
+  }
+
+  /** Finish (or void) a drop intent a crashed [[add]] left behind —
+    * runs at every mutation entry (single-writer discipline): a
+    * COMMITTED intent (its generation landed, so the graph holds the
+    * newer copies) physically completes the delta drop; an
+    * uncommitted one is discarded — the add never happened, the delta
+    * rows stay the live copies. Idempotent. */
+  private[ops] def resolveDropIntent(spark: SparkSession,
+                                     out: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    committedDropIntentIds(spark, out) match {
+      case Some(ids) => dropFromDelta(spark, out, ids)
+      case None => // absent, unparsable, or its generation never landed
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(dropIntentPath(out)), false)
+    fs.delete(new org.apache.hadoop.fs.Path(dropIntentIdsPath(out)), true)
+  }
+
   /** Drop `ids` (first column) from the delta store, if it overlaps —
     * the upsert discipline's delta half: a direct [[add]] or a purge
     * supersedes any delta row with the same id. One cheap overlap
-    * probe per call; the rewrite only runs when something drops. */
+    * probe per call; the rewrite only runs when something drops.
+    * Operates on the MUTATION view (drop intents do not mask rows
+    * here — completing an intent is exactly this call). */
   private def dropFromDelta(spark: SparkSession, out: String,
                             ids: DataFrame): Unit = {
     recoverDelta(spark, out)
     val fs = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    readDelta(spark, out).foreach { delta =>
+    readDeltaResolved(spark, out).foreach { delta =>
       val idF = ids.select(col(ids.columns.head).cast("long").as("corpus_id"))
       if (!delta.join(broadcast(idF), Seq("corpus_id"), "left_semi")
             .isEmpty)
@@ -817,7 +985,10 @@ object HnswIndex {
     val marker = new org.apache.hadoop.fs.Path(
       s"$out/_hnsw_batch_$key$batchId")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(marker)) return false
+    // replay guard: the batch's own marker, or — once markers were
+    // compacted away — its stream's high watermark
+    if (fs.exists(marker) || batchId <= hwmOf(fs, out, key)) return false
+    resolveDropIntent(spark, out)
     recoverDelta(spark, out)
     val dp = new org.apache.hadoop.fs.Path(deltaPath(out))
     if (!fs.exists(dp)) fs.mkdirs(dp)
@@ -825,15 +996,18 @@ object HnswIndex {
     fs.listStatus(dp)
       .filter(f => f.isFile && f.getPath.getName.startsWith(s"b$key$batchId-"))
       .foreach(f => fs.delete(f.getPath, false))
-    // seq = the store's COMMIT ORDINAL: the count of batch markers at
-    // commit time — monotone across streams and relaunches (batch ids
-    // are stream-scoped and restart with checkpoints; commit order
-    // does not), so readDelta's latest-seq resolution IS
-    // latest-commit-wins. Single-writer discipline, as every mutation
-    // here; a crashed attempt re-derives its seq on replay (its
-    // marker never landed, so ordering stays consistent).
-    val seq = fs.listStatus(new org.apache.hadoop.fs.Path(out))
-      .count(_.getPath.getName.startsWith("_hnsw_batch_")).toLong
+    // seq = the store's COMMIT ORDINAL: a durable monotone counter
+    // (crash-safe swap file; round 16 — the former count-every-marker
+    // derivation cost O(total-batches-ever) listStatus per batch and
+    // pinned markers forever) — monotone across streams and
+    // relaunches (batch ids are stream-scoped and restart with
+    // checkpoints; commit order does not), so readDelta's latest-seq
+    // resolution IS latest-commit-wins. Single-writer discipline, as
+    // every mutation here; a crashed attempt re-derives its seq on
+    // replay (the counter advances only after the files landed, so a
+    // replay reuses or skips a seq — never reuses one another batch
+    // committed).
+    val seq = readSeqCounter(fs, out) + 1
     val rows = vectors.select(col(mk.idCol).cast("long").as("corpus_id"),
         col(mk.vecCol).cast("array<double>").as("cvec"))
       .withColumn("seq", lit(seq))
@@ -846,7 +1020,15 @@ object HnswIndex {
           new org.apache.hadoop.fs.Path(dp, f"b$key$batchId-$i%05d.parquet"))
       }
     fs.delete(stage, true)
+    graft.util.FsIo.writeSwapped(fs.getConf, deltaSeqPath(out), seq.toString)
     fs.create(marker, true).close()
+    // marker-population valve: past 64 live markers for this stream,
+    // fold them into the hwm file (replay protection unchanged)
+    val live = fs.listStatus(new org.apache.hadoop.fs.Path(out)).iterator
+      .map(_.getPath.getName)
+      .count(n => n.startsWith(s"_hnsw_batch_$key") &&
+        parseBatchTag(n.stripPrefix("_hnsw_batch_")).exists(_._1 == key))
+    if (live >= 64) compactBatchMarkers(spark, out, streamId)
     // fold on the PHYSICAL row count: shadowed history is only GC'd
     // by a swap, so an update-heavy stream re-streaming the same ids
     // must still hit the valve once the raw pile (which every query's
@@ -863,6 +1045,7 @@ object HnswIndex {
     * the next call; add is an UPSERT rebuild, so the re-fold changes
     * nothing. Returns rows folded. */
   def foldDelta(spark: SparkSession, out: String): Long = {
+    resolveDropIntent(spark, out)
     recoverDelta(spark, out)
     val mk = readMarker(spark, out)
     val fs = new org.apache.hadoop.fs.Path(out)
@@ -886,13 +1069,16 @@ object HnswIndex {
     * immediately (they still ROUTE until [[purgeDeletes]] rebuilds
     * their shards — exactly a deleted doc's life in a Lucene segment
     * before a merge). `ids`' FIRST column is the id. */
-  def removeIds(spark: SparkSession, out: String, ids: DataFrame): Unit =
+  def removeIds(spark: SparkSession, out: String, ids: DataFrame): Unit = {
     ids.select(col(ids.columns.head).cast("long").as("corpus_id"))
       // a null id must not reach the store: the collected tombstone
       // set reads rows with the primitive accessor, where null
       // silently decodes as 0L — tombstoning id 0 by accident
       .filter(col("corpus_id").isNotNull).distinct()
       .coalesce(1).write.mode("append").parquet(deletesPath(out))
+    AnnTombstones.recordRemoval(spark, out,
+      spark.read.parquet(deletesPath(out)).count())
+  }
 
   /** Physically reclaim tombstoned nodes: rebuild ONLY the shards
     * holding tombstoned ids (survivor membership can't move — shard =
@@ -905,6 +1091,7 @@ object HnswIndex {
     * (spec-locked). Returns shards rebuilt. */
   def purgeDeletes(spark: SparkSession, out: String): Int = {
     val mk = readMarker(spark, out)
+    resolveDropIntent(spark, out)
     val fs = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val del = deletes(spark, out).getOrElse(return 0)
@@ -917,6 +1104,7 @@ object HnswIndex {
       .select("shard").distinct().collect().map(_.getInt(0)).toSeq
     if (touched.isEmpty) {
       fs.delete(new org.apache.hadoop.fs.Path(deletesPath(out)), true)
+      AnnTombstones.clearCount(spark, out)
       return 0
     }
     val live = old.filter(col("shard").isin(touched: _*))
@@ -925,6 +1113,7 @@ object HnswIndex {
     val rebuilt = rebuildShards(live, mk.dim, mk.m, mk.efC, mk.shards)
     commitGeneration(spark, out, rebuilt, touched)
     fs.delete(new org.apache.hadoop.fs.Path(deletesPath(out)), true)
+    AnnTombstones.clearCount(spark, out)
     touched.size
   }
 
@@ -940,19 +1129,47 @@ object HnswIndex {
     * [[purgeDeletes]] clears it. */
   def add(spark: SparkSession, out: String, vectors: DataFrame): Unit = {
     val mk = readMarker(spark, out)
+    resolveDropIntent(spark, out)
+    recoverDelta(spark, out)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = vectors.select(col(mk.idCol).cast("long").as("corpus_id"))
     // upsert discipline vs the delta tier: a direct add supersedes any
     // delta row carrying the same id (else a stale delta row would
-    // shadow the freshly-rebuilt graph node)
+    // shadow the freshly-rebuilt graph node). ORDER (round 16, the
+    // crash-safety fix): the generation commits FIRST, the delta drop
+    // runs SECOND, under a durable intent staged BEFORE the commit —
+    //  - drop-then-commit loses an id whose ONLY live copy was a delta
+    //    row if the crash lands between the two (gone from both legs);
+    //  - commit-then-drop without the intent leaves a stale delta row
+    //    shadowing the fresh graph node forever;
+    //  - the intent records the TARGET generation, so recovery
+    //    ([[resolveDropIntent]]) can tell which side of the commit the
+    //    crash fell on: generation landed → finish the drop (readers
+    //    already mask the ids via [[readDelta]]'s intent filter);
+    //    generation absent → the add never happened, void the intent,
+    //    the delta rows stay the live copies.
+    val overlaps = readDeltaResolved(spark, out).exists(dl =>
+      !dl.join(broadcast(ids), Seq("corpus_id"), "left_semi").isEmpty)
+    if (!overlaps) { addInternal(spark, out, vectors); return }
+    val gNew = generations(fs, out).lastOption.getOrElse(0) + 1
+    ids.distinct().coalesce(1)
+      .write.mode("overwrite").parquet(dropIntentIdsPath(out))
+    graft.util.FsIo.writeSmallFile(spark.sparkContext.hadoopConfiguration,
+      dropIntentPath(out), gNew.toString)
+    addInternal(spark, out, vectors) // commits _gen_gNew
     dropFromDelta(spark, out,
-      vectors.select(col(mk.idCol).cast("long").as("corpus_id")))
-    addInternal(spark, out, vectors)
+      spark.read.parquet(dropIntentIdsPath(out)).select("corpus_id"))
+    fs.delete(new org.apache.hadoop.fs.Path(dropIntentPath(out)), false)
+    fs.delete(new org.apache.hadoop.fs.Path(dropIntentIdsPath(out)), true)
   }
 
   /** The graph-side add body — shared with [[foldDelta]], which must
     * NOT drop its own input from the delta before the rebuild reads
-    * it. */
-  private def addInternal(spark: SparkSession, out: String,
-                          vectors: DataFrame): Unit = {
+    * it ([[ops]]-visible so the crash specs can stop an add exactly
+    * between its generation commit and its delta drop). */
+  private[ops] def addInternal(spark: SparkSession, out: String,
+                               vectors: DataFrame): Unit = {
     val mk = readMarker(spark, out)
     val newRows = assignShards(vectors, mk.shards, mk.idCol, mk.vecCol)
     val touched =
@@ -985,15 +1202,21 @@ object HnswIndex {
     * reopen, exactly an open Lucene reader; tombstones re-read per
     * query (O(batch), the cheap fresh half). */
   final class Serving private[ops](spark: SparkSession, out: String,
-      mk: Marker, private[ops] val partitioned: DataFrame) {
+      mk: Marker, private[ops] val partitioned: DataFrame,
+      pinnedDelta: Option[DataFrame]) {
     def query(queries: DataFrame, k: Int, efSearch: Int = 64): DataFrame =
       scatterOver(spark, out, mk, partitioned, prePartitioned = true,
-        queries, k, efSearch, None)
+        queries, k, efSearch, None, pinnedDelta, deletes(spark, out))
     def queryFiltered(queries: DataFrame, k: Int, allowed: DataFrame,
                       efSearch: Int = 64): DataFrame =
       scatterOver(spark, out, mk, partitioned, prePartitioned = false,
-        queries, k, efSearch, Some(allowed))
-    def close(): Unit = { partitioned.unpersist(); () }
+        queries, k, efSearch, Some(allowed), pinnedDelta,
+        deletes(spark, out))
+    def close(): Unit = {
+      partitioned.unpersist()
+      pinnedDelta.foreach(_.unpersist())
+      ()
+    }
   }
 
   /** Open a resident [[Serving]] handle over the current generations.
@@ -1001,7 +1224,15 @@ object HnswIndex {
     * handle would re-read generation dirs on first query, and a
     * [[reclaimGenerations]] landing in that window could delete a dir
     * the handle still resolves) — after the count the cached
-    * partitions are the snapshot, and reclaim can't reach them. */
+    * partitions are the snapshot, and reclaim can't reach them. The
+    * DELTA pins the same way (round 16): unlike the graph's layered
+    * generations, the delta tier's swaps/folds physically delete the
+    * files a lazy plan references, so an unpinned one-shot query
+    * racing a concurrent fold/purge/add can fail mid-scan — a handle
+    * is the documented way to read a store while another process
+    * mutates it (the mutation side's single-writer discipline covers
+    * writers only, never readers). Tombstones stay fresh per query
+    * (O(batch), the cheap half). */
   def open(spark: SparkSession, out: String,
            storage: org.apache.spark.storage.StorageLevel =
              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1010,7 +1241,83 @@ object HnswIndex {
     val part = readGraph(spark, out)
       .repartition(mk.shards, col("shard")).persist(storage)
     part.count() // pin the snapshot before the handle escapes
-    new Serving(spark, out, mk, part)
+    val delta = readDelta(spark, out).map(_.persist(storage))
+    delta.foreach(_.count()) // same pin: folds can't unsee these rows
+    new Serving(spark, out, mk, part, delta)
+  }
+
+  // ----- PINNED SNAPSHOTS (round 16 — the SegmentIndex pinGeneration
+  // ----- precedent on the ANN store: a reproducible eval over a
+  // ----- mutating index) ---------------------------------------------
+
+  private def pinMarkerPath(out: String, g: Int) = s"$out/_pin_$g"
+  private def pinDir(out: String, g: Int) = s"$out/.pin_$g"
+
+  /** The set of pinned generation ceilings. */
+  private def pins(fs: org.apache.hadoop.fs.FileSystem,
+                   out: String): Set[Int] = {
+    val p = new org.apache.hadoop.fs.Path(out)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).iterator.map(_.getPath.getName)
+      .filter(_.startsWith("_pin_"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("_pin_").toInt).toOption)
+      .toSet
+  }
+
+  /** PIN the store's CURRENT state and return the snapshot token (the
+    * generation ceiling): graph resolution freezes at generations ≤
+    * the token (generation dirs are immutable once committed and
+    * [[reclaimGenerations]] spares what a pin resolves), while the
+    * two MUTABLE side states — the tombstone set and the delta tier,
+    * both bounded (delete batches / foldThreshold) — MATERIALIZE into
+    * the pin's own directory, so later removes, purges, streamed
+    * batches, folds and reclaims can never move a pinned answer:
+    * [[queryPinned]] reproduces this moment bit-for-bit (spec-locked,
+    * and a fuzz op in AnnLifecycleProps). Release with
+    * [[releaseSnapshot]]; an unreleased pin holds its generations on
+    * disk — the SegmentIndex retention contract. */
+  def pinSnapshot(spark: SparkSession, out: String): Int = {
+    resolveDropIntent(spark, out)
+    recoverDelta(spark, out)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val g = generations(fs, out).lastOption.getOrElse(0)
+    fs.delete(new org.apache.hadoop.fs.Path(pinDir(out, g)), true)
+    deletes(spark, out).foreach(
+      _.write.mode("overwrite").parquet(s"${pinDir(out, g)}/deletes"))
+    readDelta(spark, out).foreach(
+      _.write.mode("overwrite").parquet(s"${pinDir(out, g)}/delta"))
+    fs.create(new org.apache.hadoop.fs.Path(pinMarkerPath(out, g)), true)
+      .close()
+    g
+  }
+
+  /** Release a pin: its generations re-enter reclaim eligibility, its
+    * materialized side state drops. */
+  def releaseSnapshot(spark: SparkSession, out: String, token: Int): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(pinMarkerPath(out, token)), false)
+    fs.delete(new org.apache.hadoop.fs.Path(pinDir(out, token)), true)
+  }
+
+  /** Query a PINNED snapshot: the graph resolved at generations ≤
+    * `token`, the pin's materialized tombstones and delta — the exact
+    * pre-mutation serving state, whatever landed since. */
+  def queryPinned(spark: SparkSession, out: String, token: Int,
+                  queries: DataFrame, k: Int, efSearch: Int = 64,
+                  allowed: Option[DataFrame] = None): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(pinMarkerPath(out, token))),
+      s"no pin $token on $out")
+    def part(name: String): Option[DataFrame] = {
+      val p = new org.apache.hadoop.fs.Path(s"${pinDir(out, token)}/$name")
+      if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+    }
+    scatterOver(spark, out, readMarker(spark, out),
+      readGraphUpTo(spark, out, token), prePartitioned = false,
+      queries, k, efSearch, allowed, part("delta"), part("deletes"))
   }
 
   /** Reclaim fully-SHADOWED generations (the `retainGenerations`
@@ -1021,8 +1328,11 @@ object HnswIndex {
     * window: a reader that resolved just before the latest commits
     * may still be scanning a shadowed dir); gen 0 (the build layout)
     * is never reclaimed — [[readGraph]] reads it unconditionally for
-    * whatever shards no generation carries. Returns generations
-    * removed. Single-writer discipline, as every mutation here. */
+    * whatever shards no generation carries. PINNED snapshots hold
+    * their resolutions: a generation that any pin's ceiling-resolution
+    * still reads is kept until [[releaseSnapshot]]. Returns
+    * generations removed. Single-writer discipline, as every mutation
+    * here. */
   def reclaimGenerations(spark: SparkSession, out: String,
                          retain: Int = 2): Int = {
     val fs = new org.apache.hadoop.fs.Path(out)
@@ -1033,8 +1343,20 @@ object HnswIndex {
       g -> readSmallFile(fs, new org.apache.hadoop.fs.Path(s"$out/_gen_$g"))
         .split(",").filter(_.nonEmpty).map(_.trim.toInt).toSet
     }.toMap
+    // the generations a resolution at ceiling `cap` actually reads:
+    // for each shard, the newest carrying generation ≤ cap
+    def resolved(cap: Int): Set[Int] = {
+      val carried = scala.collection.mutable.Set.empty[Int]
+      val used = scala.collection.mutable.Set.empty[Int]
+      gens.filter(_ <= cap).reverse.foreach { g =>
+        val fresh = carriedBy(g) -- carried
+        if (fresh.nonEmpty) { carried ++= fresh; used += g }
+      }
+      used.toSet
+    }
+    val pinnedNeeds: Set[Int] = pins(fs, out).flatMap(resolved)
     val candidates = gens.dropRight(retain)
-    val removed = candidates.filter { g =>
+    val removed = candidates.filterNot(pinnedNeeds).filter { g =>
       val newer = gens.filter(_ > g)
       carriedBy(g).forall(s => newer.exists(n => carriedBy(n).contains(s)))
     }

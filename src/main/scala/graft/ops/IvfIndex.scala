@@ -44,6 +44,8 @@ import org.apache.spark.sql.functions._
  */
 object IvfIndex {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   private def deletesPath(out: String) = s"$out/deletes"
 
   /** Current GENERATION of the store: max N over `_gen_N` marker files
@@ -99,7 +101,10 @@ object IvfIndex {
       .filter(_.startsWith("_gen_"))
       .flatMap(n => scala.util.Try(n.stripPrefix("_gen_").toInt).toOption)
       .toSeq.sorted
-    val removed = gens.dropRight(retain)
+    // a PINNED generation serves a live snapshot token — spared until
+    // releaseGeneration (the SegmentIndex retention contract)
+    val pinned = pins(fs, out)
+    val removed = gens.dropRight(retain).filterNot(pinned)
     removed.foreach { g =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$out/_gen_$g"), false)
       fs.delete(new org.apache.hadoop.fs.Path(s"$out/g$g"), true)
@@ -181,6 +186,7 @@ object IvfIndex {
       if (nlist > 0) nlist else m.eff, sampleSize, m.seed, m.idCol, m.vecCol)
     fs.create(new org.apache.hadoop.fs.Path(s"$out/_gen_${g + 1}"), true).close()
     fs.delete(new org.apache.hadoop.fs.Path(deletesPath(out)), true)
+    AnnTombstones.clearCount(spark, out)
     g + 1
   }
 
@@ -224,9 +230,23 @@ object IvfIndex {
     * fewer rows, exactly Solr's `{!knn}` + fq composition. */
   def query(spark: SparkSession, out: String, queries: DataFrame, k: Int,
             nprobe: Int, allowed: Option[DataFrame]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val m = readMarker(spark, out)
-    val (dists, _) = Similarity.cellFns(loadCentroids(spark, out), m.dim)
+    queryInternal(spark, m, loadCentroids(spark, out), queries,
+      probed => spark.read.parquet(s"${dataRoot(spark, out)}/cells")
+        .filter(col("cell").isin(probed.map(Int.box): _*)),
+      cells => exceptDeleted(spark, out, cells), k, nprobe, allowed)
+  }
+
+  /** The probe→prune→score→cut body shared by the LIVE read path and
+    * the pinned one ([[queryPinned]]) — only WHERE marker, centroids,
+    * cells and tombstones come from differs. */
+  private def queryInternal(spark: SparkSession, m: Marker,
+      centroids: Array[Array[Double]], queries: DataFrame,
+      readCells: Seq[Int] => DataFrame,
+      exceptTomb: DataFrame => DataFrame, k: Int, nprobe: Int,
+      allowed: Option[DataFrame]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (dists, _) = Similarity.cellFns(centroids, m.dim)
     val q0 = queries.select(col(m.idCol).as("query_id"),
         col(m.vecCol).cast("array<double>").as("qvec"))
       .withColumn("qnorm", Similarity.norm(col("qvec")))
@@ -234,9 +254,9 @@ object IvfIndex {
       explode(Similarity.probeCells(dists(col("qvec")), m.eff, nprobe)))
     // probed cells -> partition-pruning literals (bounded: |Q|·nprobe)
     val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0))
-    val cells = spark.read.parquet(s"${dataRoot(spark, out)}/cells")
-      .filter(col("cell").isin(probed.map(Int.box).toIndexedSeq: _*))
-    val searched = restrictToAllowed(exceptDeleted(spark, out, cells), allowed)
+      .toIndexedSeq
+    val cells = readCells(probed)
+    val searched = restrictToAllowed(exceptTomb(cells), allowed)
     val scored = searched.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("corpus_id"))
       .withColumn("cosine", Similarity.dot(col("qvec"), col("cvec")) /
@@ -245,6 +265,120 @@ object IvfIndex {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  // ----- PINNED SNAPSHOTS (round 16 — the SegmentIndex pinGeneration
+  // ----- precedent: a reproducible eval over a mutating store) -------
+
+  private def pinMarkerPath(out: String, g: Int) = s"$out/_pin_$g"
+  private def pinDir(out: String, g: Int) = s"$out/.pin_$g"
+
+  private[ops] def pins(fs: org.apache.hadoop.fs.FileSystem,
+                        out: String): Set[Int] = {
+    val p = new org.apache.hadoop.fs.Path(out)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).iterator.map(_.getPath.getName)
+      .filter(_.startsWith("_pin_"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("_pin_").toInt).toOption)
+      .toSet
+  }
+
+  /** List one generation's cell files, relative to its `cells/` root
+    * — the pin's immutable read set. */
+  private def cellFiles(fs: org.apache.hadoop.fs.FileSystem,
+                        root: String): Seq[String] = {
+    val cr = new org.apache.hadoop.fs.Path(s"$root/cells")
+    if (!fs.exists(cr)) Nil
+    else fs.listStatus(cr).iterator
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .flatMap { d =>
+        fs.listStatus(d.getPath).iterator
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(f => s"${d.getPath.getName}/${f.getPath.getName}")
+      }.toSeq.sorted
+  }
+
+  /** PIN the store's CURRENT state; returns the snapshot token (the
+    * generation number). What freezes, and how:
+    *  - the generation's `centroids/` and marker are write-once;
+    *  - `cells/` mutates IN PLACE under adds — so the pin records the
+    *    FILE LIST at pin time (Lucene's commit-point shape: a commit
+    *    is a file set), and [[queryPinned]] reads exactly those files
+    *    — later appends are new files the pin never lists;
+    *  - the tombstone set materializes into the pin's directory;
+    *  - physical REWRITES of pinned files ([[purgeDeletes]],
+    *    [[compact]]) DEFER while a pin addresses their generation
+    *    (they return 0 and log — deletes stay logically applied via
+    *    the tombstone anti-join, so nothing is wrong, just unreclaimed
+    *    — the Lucene deletion-policy trade); [[retrain]] is free (a
+    *    new generation) and [[reclaimGenerations]] spares pinned ones.
+    * Release with [[releaseGeneration]]. */
+  def pinGeneration(spark: SparkSession, out: String): Int = {
+    recoverStore(spark, out)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val g = generation(fs, out)
+    val root = dataRoot(spark, out)
+    fs.delete(new org.apache.hadoop.fs.Path(pinDir(out, g)), true)
+    deletes(spark, out).foreach(
+      _.write.mode("overwrite").parquet(s"${pinDir(out, g)}/deletes"))
+    graft.util.FsIo.writeSmallFile(spark.sparkContext.hadoopConfiguration,
+      s"${pinDir(out, g)}/files", cellFiles(fs, root).mkString("\n"))
+    fs.create(new org.apache.hadoop.fs.Path(pinMarkerPath(out, g)), true)
+      .close()
+    g
+  }
+
+  /** Release a pin: its generation re-enters reclaim eligibility and
+    * deferred rewrites may proceed. */
+  def releaseGeneration(spark: SparkSession, out: String,
+                        token: Int): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(pinMarkerPath(out, token)), false)
+    fs.delete(new org.apache.hadoop.fs.Path(pinDir(out, token)), true)
+  }
+
+  /** Query a PINNED snapshot: the pinned generation's quantizers, the
+    * pin's recorded file set (partition pruning still applies — the
+    * probed-cell filter prunes by directory under the basePath), the
+    * pin's tombstones — bit-for-bit the answers of pin time, whatever
+    * mutations landed since (spec-locked; an AnnLifecycleProps fuzz
+    * op). */
+  def queryPinned(spark: SparkSession, out: String, token: Int,
+                  queries: DataFrame, k: Int, nprobe: Int = 4,
+                  allowed: Option[DataFrame] = None): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(pinMarkerPath(out, token))),
+      s"no pin $token on $out")
+    val root = if (token == 0) out else s"$out/g$token"
+    val txt = graft.util.FsIo.readSmallFile(
+      spark.sparkContext.hadoopConfiguration, markerPath(root))
+    def num(k0: String) = s""""$k0":(-?\\d+)""".r.findFirstMatchIn(txt).get.group(1)
+    def str(k0: String) = (s""""$k0":"([^"]*)"""").r.findFirstMatchIn(txt).get.group(1)
+    val m = Marker(num("dim").toInt, num("eff").toInt, num("seed").toLong,
+      str("idCol"), str("vecCol"))
+    val centroids = spark.read.parquet(s"$root/centroids")
+      .orderBy("i").collect()
+      .map(r => r.getSeq[Double](r.fieldIndex("c")).toArray)
+    val files = graft.util.FsIo.readSmallFile(
+        spark.sparkContext.hadoopConfiguration, s"${pinDir(out, token)}/files")
+      .split("\n").filter(_.nonEmpty).map(f => s"$root/cells/$f").toSeq
+    val tombP = new org.apache.hadoop.fs.Path(s"${pinDir(out, token)}/deletes")
+    val tomb: DataFrame => DataFrame =
+      if (!fs.exists(tombP)) identity
+      else cells => cells.join(
+        broadcast(spark.read.parquet(tombP.toString).select("corpus_id")),
+        Seq("corpus_id"), "left_anti")
+    queryInternal(spark, m, centroids, queries,
+      probed =>
+        (if (files.isEmpty)
+          spark.read.parquet(s"$root/cells").limit(0)
+        else spark.read.option("basePath", s"$root/cells")
+          .parquet(files: _*))
+          .filter(col("cell").isin(probed.map(Int.box): _*)),
+      tomb, k, nprobe, allowed)
   }
 
   /** Quantization-drift probe — the RETRAIN TRIGGER the frozen-add
@@ -424,14 +558,16 @@ object IvfIndex {
     * half of [[removeIds]]. Broadcast: between purges the tombstone
     * set is bounded by the delete batches since the last reclaim
     * (the same small-side contract as the probe set). The count check
-    * is the [[AnnTombstones]] nudge — one tiny-parquet count per
-    * query (the delete set is single-file coalesced batches), the
-    * price of knowing the broadcast contract is still honored. */
+    * is the [[AnnTombstones]] nudge, read off the marker cache
+    * [[removeIds]] maintains — zero extra Spark jobs on the serving
+    * hot path (a store whose deletes predate the cache pays the
+    * one-off `count()` fallback). */
   private[ops] def exceptDeleted(spark: SparkSession, out: String,
                                  cells: DataFrame): DataFrame =
     deletes(spark, out)
       .map { d =>
-        AnnTombstones.check(spark, "ivf", out, d.count())
+        AnnTombstones.check(spark, "ivf", out,
+          AnnTombstones.countOf(spark, out)(d.count()))
         cells.join(broadcast(d.select("corpus_id")),
           Seq("corpus_id"), "left_anti")
       }
@@ -442,10 +578,15 @@ object IvfIndex {
     * Deleted ids never surface from [[query]] (anti-joined) from this
     * moment; physical reclaim is [[purgeDeletes]] (targeted) or any
     * [[compact]] rewrite that happens to fold a touched cell.
-    * `ids`' FIRST column is the id (whatever `idCol` the build used). */
-  def removeIds(spark: SparkSession, out: String, ids: DataFrame): Unit =
-    ids.select(col(ids.columns.head).as("corpus_id")).distinct()
-      .coalesce(1).write.mode("append").parquet(deletesPath(out))
+    * `ids`' FIRST column is the id (whatever `idCol` the build used).
+    * The batch row count folds into the [[AnnTombstones]] marker cache
+    * (one O(batch) job HERE so the query paths never count). */
+  def removeIds(spark: SparkSession, out: String, ids: DataFrame): Unit = {
+    val batch = ids.select(col(ids.columns.head).as("corpus_id")).distinct()
+    batch.coalesce(1).write.mode("append").parquet(deletesPath(out))
+    AnnTombstones.recordRemoval(spark, out,
+      spark.read.parquet(deletesPath(out)).count())
+  }
 
   /** Physically reclaim tombstoned rows: one broadcast semi-join scan
     * locates the touched cells (the ids' vectors may no longer exist —
@@ -468,6 +609,14 @@ object IvfIndex {
     val dels = deletes(spark, out).getOrElse(return 0)
     val fs = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a pin on the CURRENT generation addresses the very files this
+    // rewrite would delete — DEFER (the Lucene deletion-policy trade:
+    // deletes stay logically applied via the anti-join, reclaim waits
+    // for release)
+    if (pins(fs, out).contains(generation(fs, out))) {
+      log.info(s"purgeDeletes deferred: generation of $out is pinned")
+      return 0
+    }
     val base = dataRoot(spark, out)
     // the raw-vector refine sidecar (IvfPqIndex refineStore) mirrors
     // the cell layout and holds the SAME deleted ids' raw vectors —
@@ -477,6 +626,7 @@ object IvfIndex {
       purgeSubdir(spark, fs, base, "vectors", dels, targetFileBytes)
     val purged = purgeSubdir(spark, fs, base, "cells", dels, targetFileBytes)
     fs.delete(new org.apache.hadoop.fs.Path(deletesPath(out)), true)
+    AnnTombstones.clearCount(spark, out)
     purged
   }
 
@@ -648,6 +798,13 @@ object IvfIndex {
     val fs = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverStore(spark, out)
+    // compaction rewrites files a pin on the current generation still
+    // reads — DEFER until release (compaction is an optimization;
+    // deferring it is semantically free)
+    if (pins(fs, out).contains(generation(fs, out))) {
+      log.info(s"compact deferred: generation of $out is pinned")
+      return 0
+    }
     val dels = deletes(spark, out)
     val base = dataRoot(spark, out)
     var folded = 0

@@ -1,0 +1,265 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Persisted INT8 scalar-quantized ANN store — FAISS
+ * `IndexIVFScalarQuantizer` (QT_8bit) re-derived Spark-first: the
+ * quantization-ladder rung between the 1-bit binary tier
+ * ([[BinaryQuant]], 32× cut / coarsest recall) and product codes
+ * ([[IvfPqIndex]], lookup-table ADC): each dimension quantizes
+ * independently to one byte under FROZEN per-dim (offset, scale)
+ * trained on the build sample — 8× memory cut vs the engine's
+ * float64 arrays (4× vs float32) at far better recall than one sign
+ * bit.
+ *
+ * Layout (the [[IvfIndex]] store shape):
+ *  - `centroids/` — the coarse k-means quantizer (the SAME md5-seeded
+ *    ordered-sample Lloyd as the raw/PQ tiers, so training replays in
+ *    DuckDB);
+ *  - `scalar/` — per-dim (vmin, vdiff) over the ordered sample's
+ *    NORMALIZED vectors (FAISS `RangeStat_minmax`; normalization is
+ *    FAISS's own cosine recipe — unit vectors make L2 monotone with
+ *    cosine), one tiny parquet;
+ *  - `codes/` — `partitionBy(cell)`: (corpus_id, qc: array<int>) —
+ *    code_j = clamp(round((v̂_j − vmin_j)/vdiff_j · 255), 0, 255)
+ *    over the unit vector v̂; a constant dim (vdiff 0) codes to 0.
+ *
+ * Query: probe the `nprobe` (neg-cosine)-nearest coarse cells —
+ * collected (|Q|·nprobe-bounded) and pushed as a PARTITION FILTER, so
+ * non-probed inverted lists never open (plan-locked in Sq8IndexSpec)
+ * — then rank the probed mass by INTEGER SQUARED-L2 between the
+ * quantized query and the stored codes (pure integer arithmetic:
+ * translation-free — a dot product in the shifted code space would
+ * rank by the offsets, not the vectors — and, the engine's reason,
+ * EXACTLY replayable cross-engine where float decode-then-L2 would
+ * ulp-drift), cut `rerank` candidates, and re-rank exactly over raw
+ * vectors fetched candidate-bounded ([[BinaryQuant.rerankExact]]).
+ *
+ * Lifecycle: [[add]] appends against the frozen quantizers (the FAISS
+ * `add` contract — append-only for unique ids, duplicates collapse at
+ * read time like the binary tier); [[removeIds]]/[[purgeDeletes]] are
+ * the family tombstone protocol; rebuild via [[build]] on drift
+ * ([[IvfIndex.assignmentDrift]] measures).
+ */
+object Sq8Index {
+
+  private def markerPath(out: String) = s"$out/_sq8_marker.json"
+  private def deletesPath(out: String) = s"$out/deletes"
+
+  /** Is `out` an SQ8 store? (tier dispatch). */
+  private[graft] def isSq8Store(spark: SparkSession, out: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(markerPath(out))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** code_j = clamp(round((v_j − vmin_j)/vdiff_j · 255), 0, 255) —
+    * pure column arithmetic (whole-stage codegen; the float ops are
+    * the same double expressions DuckDB evaluates, so codes replay
+    * exactly). `vmin`/`vdiff` ride as literal arrays. */
+  private def quantize(vec: Column, vmin: Array[Double],
+                       vdiff: Array[Double]): Column = {
+    val vminC = typedlit(vmin.toSeq)
+    val vdiffC = typedlit(vdiff.toSeq)
+    transform(sequence(lit(0), lit(vmin.length - 1)), j => {
+      val jj = (j + lit(1)).cast("int")
+      val d = element_at(vdiffC, jj)
+      when(d === 0d, lit(0)).otherwise(
+        least(lit(255), greatest(lit(0),
+          floor((element_at(vec, jj) - element_at(vminC, jj)) / d * 255d
+            + lit(0.5d)))).cast("int"))
+    })
+  }
+
+  /** Σ_j (qc_j − cc_j)² as a long — the integer code-space distance
+    * (smaller = closer; translation-free, exact cross-engine). */
+  private def intL2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => ((x - y) * (x - y)).cast("bigint")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** The unit vector of `vec` (its norm in `n`) — FAISS's cosine
+    * recipe: quantize normalized vectors so code-space L2 tracks the
+    * cosine. A zero vector stays zero. */
+  private def unit(vec: Column, n: Column): Column =
+    transform(vec, x => when(n === 0d, 0d).otherwise(x / n))
+
+  /** Train both quantizers on the md5-ordered sample and persist the
+    * cell-partitioned code store. */
+  def build(corpus: DataFrame, out: String, dim: Int,
+            nlist: Int = 16, sampleSize: Int = 2048, seed: Long = 42L,
+            idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    val centroids = Similarity.trainCentroids(corpus, nlist, sampleSize,
+      seed, idCol, vecCol)
+    val (_, nearest) = Similarity.cellFns(centroids, dim)
+    // per-dim min/max over the SAME ordered sample the coarse trainer
+    // used (FAISS trains both quantizers on one train() call's data),
+    // NORMALIZED — the scalar quantizer codes unit vectors
+    val sample = corpus.select(col(idCol), col(vecCol).cast("array<double>"))
+      .orderBy(col(idCol)).limit(sampleSize)
+      .collect().map { r =>
+        val v = r.getSeq[Double](1)
+        // the same sequential sum-of-squares fold as Similarity.norm
+        var s = 0.0
+        var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        val n = math.sqrt(s)
+        if (n == 0.0) v else v.map(_ / n)
+      }
+    val vmin = Array.tabulate(dim)(j => sample.iterator.map(_(j)).min)
+    val vdiff = Array.tabulate(dim)(j =>
+      sample.iterator.map(_(j)).max - vmin(j))
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("i", "c").coalesce(1)
+      .write.mode("overwrite").parquet(s"$out/centroids")
+    (0 until dim).map(j => (j, vmin(j), vdiff(j)))
+      .toDF("j", "vmin", "vdiff").coalesce(1)
+      .write.mode("overwrite").parquet(s"$out/scalar")
+    corpus.select(col(idCol).cast("long").as("corpus_id"),
+        col(vecCol).cast("array<double>").as("cvec"))
+      .withColumn("cn", Similarity.norm(col("cvec")))
+      .withColumn("qc", quantize(unit(col("cvec"), col("cn")), vmin, vdiff))
+      .withColumn("cell", nearest(col("cvec")))
+      .select("corpus_id", "qc", "cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$out/codes")
+    val mk = s"""{"dim":$dim,"eff":${centroids.length},"seed":$seed,""" +
+      s""""idCol":"$idCol","vecCol":"$vecCol"}"""
+    graft.util.FsIo.writeSmallFile(
+      spark.sparkContext.hadoopConfiguration, markerPath(out), mk)
+  }
+
+  private def readMarker(spark: SparkSession, out: String)
+      : (Int, Int, String, String) = {
+    val txt = graft.util.FsIo.readSmallFile(
+      spark.sparkContext.hadoopConfiguration, markerPath(out))
+    def num(k: String) = s""""$k":(-?\\d+)""".r.findFirstMatchIn(txt).get.group(1)
+    def str(k: String) = (s""""$k":"([^"]*)"""").r.findFirstMatchIn(txt).get.group(1)
+    (num("dim").toInt, num("eff").toInt, str("idCol"), str("vecCol"))
+  }
+
+  private def loadQuantizers(spark: SparkSession, out: String)
+      : (Array[Array[Double]], Array[Double], Array[Double]) = {
+    val centroids = spark.read.parquet(s"$out/centroids")
+      .orderBy("i").collect()
+      .map(r => r.getSeq[Double](r.fieldIndex("c")).toArray)
+    val sc = spark.read.parquet(s"$out/scalar").orderBy("j").collect()
+    (centroids, sc.map(_.getDouble(1)), sc.map(_.getDouble(2)))
+  }
+
+  /** Serve from the store: probe-pruned partition read, integer-dot
+    * candidate cut, exact-cosine re-rank over the external `corpus`
+    * frame (candidate-bounded fetch). Output (query_id, rank,
+    * corpus_id) — the family shape. `allowed` (first column = id) is
+    * the FILTERED-SEARCH selector, semi-joined AFTER probe pruning. */
+  def query(spark: SparkSession, out: String, queries: DataFrame,
+            corpus: DataFrame, k: Int, rerank: Int, nprobe: Int = 4,
+            pushLimit: Int = 4096,
+            allowed: Option[DataFrame] = None): DataFrame = {
+    val (_, _, idCol, vecCol) = readMarker(spark, out)
+    val (_, vmin, vdiff) = loadQuantizers(spark, out)
+    val q0 = queries.select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).cast("array<double>").as("qvec"))
+      .withColumn("qn", Similarity.norm(col("qvec")))
+      .withColumn("qqc", quantize(unit(col("qvec"), col("qn")), vmin, vdiff))
+      .drop("qn")
+    val cand = sq8Candidates(spark, out, q0, rerank, nprobe, allowed)
+    BinaryQuant.rerankExact(spark, cand, corpus, q0, k, idCol, vecCol,
+      pushLimit)
+  }
+
+  /** The integer-dot candidate stage — the frame whose PLAN carries
+    * the probed-cell partition filter (plan-locked in Sq8IndexSpec).
+    * `q0` carries (query_id, qvec, qqc). */
+  private[ops] def sq8Candidates(spark: SparkSession, out: String,
+      q0: DataFrame, rerank: Int, nprobe: Int,
+      allowed: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (dim, eff, _, _) = readMarker(spark, out)
+    val (centroids, _, _) = loadQuantizers(spark, out)
+    val (dists, _) = Similarity.cellFns(centroids, dim)
+    val q = q0.withColumn("cell",
+      explode(Similarity.probeCells(dists(col("qvec")), eff, nprobe)))
+    val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0))
+    val codes0 = spark.read.parquet(s"$out/codes")
+      .filter(col("cell").isin(probed.map(Int.box).toIndexedSeq: _*))
+    val codes1 = deletes(spark, out) match {
+      case Some(d) =>
+        AnnTombstones.check(spark, "sq8", out,
+          AnnTombstones.countOf(spark, out)(d.count()))
+        codes0.join(broadcast(d.select("corpus_id")),
+          Seq("corpus_id"), "left_anti")
+      case None => codes0
+    }
+    val codes = allowed match {
+      case Some(a) => codes1.join(
+        a.select(col(a.columns.head).cast("long").as("corpus_id")),
+        Seq("corpus_id"), "left_semi")
+      case None => codes1
+    }
+    val scored = codes
+      .join(broadcast(q.select("query_id", "qqc", "cell")), Seq("cell"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("d2", intL2(col("qqc"), col("qc")))
+      // duplicate copies of a re-added id collapse to their best
+      // (nearest) copy — the binary tier's read-side discipline
+      .groupBy(col("query_id"), col("corpus_id"))
+      .agg(min(col("d2")).as("d2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col("corpus_id").asc)
+    scored.withColumn("r", row_number().over(w))
+      .filter(col("r") <= rerank)
+      .select("query_id", "corpus_id")
+  }
+
+  /** Frozen-quantizer add (FAISS `IndexIVFScalarQuantizer::add`):
+    * quantize under the TRAINED (offset, scale) and coarse centroids,
+    * append to the touched cell partitions only. Append-only for
+    * unique ids — the binary tier's contract and read-side duplicate
+    * collapse; retrain = [[build]]. */
+  def add(spark: SparkSession, out: String, vectors: DataFrame): Unit = {
+    IvfIndex.recoverSubdirSwap(new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration), out, "codes")
+    val (dim, _, idCol, vecCol) = readMarker(spark, out)
+    val (centroids, vmin, vdiff) = loadQuantizers(spark, out)
+    val (_, nearest) = Similarity.cellFns(centroids, dim)
+    vectors.select(col(idCol).cast("long").as("corpus_id"),
+        col(vecCol).cast("array<double>").as("cvec"))
+      .withColumn("cn", Similarity.norm(col("cvec")))
+      .withColumn("qc", quantize(unit(col("cvec"), col("cn")), vmin, vdiff))
+      .withColumn("cell", nearest(col("cvec")))
+      .select("corpus_id", "qc", "cell")
+      .write.mode("append").partitionBy("cell").parquet(s"$out/codes")
+  }
+
+  private def deletes(spark: SparkSession, out: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(deletesPath(out))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** Tombstone deletes (the family protocol; count marker-cached). */
+  def removeIds(spark: SparkSession, out: String, ids: DataFrame): Unit = {
+    ids.select(col(ids.columns.head).cast("long").as("corpus_id"))
+      .filter(col("corpus_id").isNotNull).distinct()
+      .coalesce(1).write.mode("append").parquet(deletesPath(out))
+    AnnTombstones.recordRemoval(spark, out,
+      spark.read.parquet(deletesPath(out)).count())
+  }
+
+  /** Physically reclaim tombstoned codes (the crash-safe
+    * [[IvfIndex.purgeSubdir]] swap over `codes/`). Returns cells
+    * purged. */
+  def purgeDeletes(spark: SparkSession, out: String): Int = {
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    IvfIndex.recoverSubdirSwap(fs, out, "codes")
+    val dels = deletes(spark, out).getOrElse(return 0)
+    val purged = IvfIndex.purgeSubdir(spark, fs, out, "codes", dels,
+      targetFileBytes = 256L << 20)
+    fs.delete(new org.apache.hadoop.fs.Path(deletesPath(out)), true)
+    AnnTombstones.clearCount(spark, out)
+    purged
+  }
+}

@@ -94,24 +94,33 @@ object StreamingIngest {
                    (vectors: DataFrame): DataStreamWriter[Row] =
     vectors.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        // dispatch on the store's marker (generation-resolved): the
-        // IVF-PQ store shares the cells/ layout but encodes to codes;
-        // an HNSW store takes the batch into its DELTA tier (Lucene
-        // NRT — appending to the graph itself would be insertion-
-        // order-dependent), folding past hnswFoldThreshold rows
-        if (graft.ops.HnswIndex.isHnswStore(spark, store))
-          graft.ops.HnswIndex.addBatchDelta(spark, store, batch, batchId,
-            streamId, hnswFoldThreshold)
-        else if (graft.ops.IvfPqIndex.isPqStore(spark, store))
-          graft.ops.IvfPqIndex.addBatch(spark, store, batch, batchId,
-            maxFilesPerCell, streamId)
-        else
-          graft.ops.IvfIndex.addBatch(spark, store, batch, batchId,
-            maxFilesPerCell, streamId)
+        annIngestBatch(batch.sparkSession, store, batch, batchId, streamId,
+          maxFilesPerCell, hnswFoldThreshold)
         ()
       }
       .trigger(Trigger.AvailableNow())
+
+  /** ONE micro-batch of the ANN ingest sink — the tier DISPATCH
+    * itself, factored out so the lifecycle fuzz can drive the public
+    * seam (marker routing) directly: the IVF-PQ store shares the
+    * cells/ layout but encodes to codes; an HNSW store takes the
+    * batch into its DELTA tier (Lucene NRT — appending to the graph
+    * itself would be insertion-order-dependent), folding past
+    * `hnswFoldThreshold` rows. Returns true if the batch applied,
+    * false on a replay skip. */
+  def annIngestBatch(spark: org.apache.spark.sql.SparkSession,
+                     store: String, batch: DataFrame, batchId: Long,
+                     streamId: String, maxFilesPerCell: Int = 8,
+                     hnswFoldThreshold: Long = 100000L): Boolean =
+    if (graft.ops.HnswIndex.isHnswStore(spark, store))
+      graft.ops.HnswIndex.addBatchDelta(spark, store, batch, batchId,
+        streamId, hnswFoldThreshold)
+    else if (graft.ops.IvfPqIndex.isPqStore(spark, store))
+      graft.ops.IvfPqIndex.addBatch(spark, store, batch, batchId,
+        maxFilesPerCell, streamId)
+    else
+      graft.ops.IvfIndex.addBatch(spark, store, batch, batchId,
+        maxFilesPerCell, streamId)
 
   /**
    * Streaming exact dedup with BOUNDED state:

@@ -259,4 +259,66 @@ object Bpe {
   def encode(syms: Column, merges: Seq[Merge]): Column =
     graft.functions.BpeEncode.bpe_encode(syms,
       merges.sortBy(_.rank).map(m => (m.left, m.right)))
+
+  // ----- BYTE-LEVEL form (GPT-2 / HF ByteLevel — round 16) ----------
+
+  /** GPT-2 pretokenizer chunks of a text column — the byte-level
+    * trainer/encoder's corpus-scale split (Java regex; Spark's
+    * regexp_extract_all runs Java regex, so the pattern's lookahead
+    * works where RE2 would refuse it). */
+  def byteLevelChunks(text: Column): Column =
+    regexp_extract_all(text, lit(ByteLevel.Gpt2Pattern), lit(0))
+
+  /** Learn byte-level BPE merges — the PRODUCTION GPT-2 training
+    * form: the corpus-scale work is ONE pretokenize+count shuffle
+    * (chunk frequencies, the classical word-frequency table with
+    * GPT-2's chunks as the words), the byte-level alphabet map is
+    * applied DRIVER-side to the vocabulary-sized table (the map is a
+    * bijection, so counting raw chunks first is exact), and the merge
+    * loop is [[learnInMemory]] — merges are over alphabet CHARS, i.e.
+    * bytes, so the table covers arbitrary input with no unk. */
+  def learnByteLevel(docs: DataFrame, textCol: String, numMerges: Int,
+                     maxWords: Int = 1 << 20): Seq[Merge] = {
+    require(numMerges >= 1)
+    val rows = docs.select(explode(byteLevelChunks(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word")).limit(maxWords + 1)
+      .collect().map(r => (ByteLevel.encode(r.getString(0)), r.getLong(1)))
+    if (rows.length > maxWords)
+      Console.err.println(s"[graft.Bpe] byte-level chunk table exceeds " +
+        s"maxWords=$maxWords — training on the top $maxWords; merges may " +
+        "diverge from the full-corpus trainer. Raise maxWords to silence.")
+    learnInMemory(rows.take(maxWords), numMerges)
+  }
+
+  /** PRODUCTION byte-level encoding of a TEXT column: pretokenize
+    * (GPT-2 regex), map each chunk through the byte alphabet (fused
+    * codegen kernel), run the BPE kernel per chunk, concatenate —
+    * array<string> tokens whose concatenation [[decodeByteLevel]]
+    * inverts EXACTLY (merges never cross chunk boundaries, and the
+    * chunks partition the text). */
+  def encodeByteLevel(text: Column, merges: Seq[Merge]): Column = {
+    val pairs = merges.sortBy(_.rank).map(m => (m.left, m.right))
+    flatten(transform(byteLevelChunks(text), chunk =>
+      graft.functions.BpeEncode.bpe_encode(
+        filter(split(
+          graft.functions.ByteLevelCodec.byte_level_encode(chunk), ""),
+          x => x =!= lit("")),
+        pairs)))
+  }
+
+  /** ids→text DECODE for byte-level tokens: concatenate and invert
+    * the byte alphabet — exact for any encoder output (spec-fuzzed
+    * over arbitrary unicode). `tokens` is an array<string> column. */
+  def decodeByteLevel(tokens: Column): Column =
+    graft.functions.ByteLevelCodec.byte_level_decode(
+      concat_ws("", tokens))
+
+  /** Decode for the WORD-BOUNDARY model ([[learn]]/[[encode]]):
+    * pieces of one word concatenate back to the word. The word-level
+    * trainer tokenizes on `[^a-z0-9]+`, so the separators themselves
+    * were never captured — whole-TEXT reconstruction is the
+    * byte-level form's contract ([[decodeByteLevel]]); this one
+    * restores words, the declared lossy half. */
+  def decodeWord(tokens: Column): Column = concat_ws("", tokens)
 }

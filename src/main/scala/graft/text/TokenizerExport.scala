@@ -80,6 +80,22 @@ object TokenizerExport {
     s"""{"type":"Unigram","unk_id":0,"vocab":[$rows]}"""
   }
 
+  /** Wrap a model object into a FULL `tokenizer.json` (round 16): the
+    * HF fast-tokenizer file shape with the `pre_tokenizer` and
+    * `decoder` objects a byte-level model needs — a downstream
+    * `tokenizers` load of this file pretokenizes with the same GPT-2
+    * regex and byte alphabet the engine encoded with, so token
+    * streams agree end to end. `byteLevel = false` emits the bare
+    * whitespace-era wrapper (model only). */
+  def tokenizerJson(modelJson: String, byteLevel: Boolean): String =
+    if (!byteLevel) s"""{"version":"1.0","model":$modelJson}"""
+    else s"""{"version":"1.0",""" +
+      s""""pre_tokenizer":{"type":"ByteLevel","add_prefix_space":false,""" +
+      s""""trim_offsets":true,"use_regex":true},""" +
+      s""""decoder":{"type":"ByteLevel","add_prefix_space":false,""" +
+      s""""trim_offsets":true,"use_regex":true},""" +
+      s""""model":$modelJson}"""
+
   /** Persist a model JSON at `path` (single small file, any Hadoop
     * FS). */
   def write(spark: SparkSession, path: String, json: String): Unit = {

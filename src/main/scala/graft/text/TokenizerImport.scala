@@ -91,6 +91,17 @@ object TokenizerImport {
     }.toSeq
   }
 
+  /** The tokenizer's `pre_tokenizer` type, when the file carries one
+    * (round 16) — `Some("ByteLevel")` tells the caller to encode with
+    * [[Bpe.encodeByteLevel]] / decode with [[Bpe.decodeByteLevel]]
+    * instead of the word-boundary kernels; a bare model object (what
+    * the whitespace-era export writes) has none. */
+  def preTokenizer(json: String): Option[String] = {
+    val root = mapper.readTree(json)
+    Option(root.get("pre_tokenizer")).filter(!_.isNull)
+      .flatMap(p => Option(p.get("type")).map(_.asText))
+  }
+
   /** Read a tokenizer file off any Hadoop FS (single small file —
     * tokenizer.json is KBs, never corpus-shaped). */
   def read(spark: SparkSession, path: String): String =

@@ -282,4 +282,10 @@ object Unigram {
              maxPieceLen: Int = 4): Vector[String] =
     viterbi(word, vocab.iterator.map(e => e.piece -> e.scoreMilli).toMap,
       maxPieceLen).map(_._2).getOrElse(Vector(word))
+
+  /** DECODE (the encode half's inverse, round 16): a Viterbi
+    * segmentation PARTITIONS the word and the unk fallback is the
+    * whole word itself, so concatenation restores the input exactly —
+    * `decode(encode(w)) == w` for every word (spec-locked). */
+  def decode(pieces: Seq[String]): String = pieces.mkString
 }

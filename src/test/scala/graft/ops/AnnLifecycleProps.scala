@@ -10,20 +10,29 @@ import org.scalacheck.Prop.forAll
  * [[TermPushdownProps]] treatment applied to the hand-rolled
  * mutation protocols the example-based specs lock pointwise: random
  * interleavings of add / streamed-batch / remove / purge / fold /
- * retrain / reclaim / CRASH-RECOVER against the persisted tiers
+ * retrain / reclaim / PIN / CRASH-RECOVER against the persisted tiers
  * ([[HnswIndex]], [[IvfIndex]], and [[BinaryQuant]]'s bucketed
  * store), each sequence ending in an
  * EXACT query compared against brute force over an independently
  * maintained model of the live set.
  *
- * Exactness is arranged, not hoped for: the HNSW query runs filtered
- * with every id allowed on a corpus small enough that each shard's
- * accepted count sits under the walk budget (the scarce-exact
+ * ROUND 16 — the compares go through the PUBLIC REQUEST SURFACES, not
+ * the ops internals: the HNSW arm's streamed batches dispatch through
+ * [[graft.streaming.StreamingIngest.annIngestBatch]] (the sink's
+ * marker routing) and both its mid-lifecycle and final compares are
+ * literal `{!knn}` REQUEST STRINGS served by [[graft.Graft.knnServe]]
+ * (parse → store dispatch → fq compilation → acceptDocs); the binary
+ * arm's final compare is [[graft.Graft.queryBinaryIvfIndex]]; the IVF
+ * arm streams through the same dispatcher. Seam bugs (marker
+ * dispatch, fq compilation, facade plumbing) now fail the property
+ * where the per-tier internals fuzz could not see them.
+ *
+ * Exactness is arranged, not hoped for: the HNSW request runs with an
+ * fq accepting every pool id on a corpus small enough that each
+ * shard's accepted count sits under the walk budget (the scarce-exact
  * contract → [[HnswIndex]]'s direct accepted-set scan); the IVF
- * query probes every cell. So ANY divergence — a lost add, a
- * resurrected delete, a stale delta shadow, a generation swap served
- * half-done, a crash recovery that dropped rows — fails the
- * property, with the shrunk op sequence as the repro.
+ * query probes every cell; the binary query's rerank covers the
+ * corpus.
  *
  * Model contracts mirrored (the tiers' documented semantics):
  *  - a tombstoned id stays dead — including rows added after the
@@ -31,9 +40,18 @@ import org.scalacheck.Prop.forAll
  *    a tombstoned id (whenever it was added);
  *  - HNSW adds/streams are upserts (latest vector wins; delta
  *    shadows graph); IVF adds are appends, so the generator only
- *    adds ids not currently stored there;
+ *    adds ids not currently stored there; binary adds are append-only
+ *    with read-side duplicate collapse, so re-adds are legal and the
+ *    model takes the latest vector (the corpus frame the exact
+ *    re-rank reads);
  *  - fold/reclaim/compact/crash-recovery never change the live set;
- *    IVF retrain additionally folds tombstones in and clears them.
+ *    IVF retrain additionally folds tombstones in and clears them;
+ *  - a PIN freezes that moment: the pinned query must reproduce the
+ *    pin-time live set bit-for-bit at the END of the sequence,
+ *    whatever landed since (on IVF a purge DEFERS while its
+ *    generation is pinned — observable as the tombstone dir
+ *    surviving — so the model purges only when the store actually
+ *    did).
  */
 object AnnLifecycleProps extends Properties("ann-lifecycle") {
 
@@ -66,7 +84,8 @@ object AnnLifecycleProps extends Properties("ann-lifecycle") {
   private case class Stream(seed: Int) extends Op
   private case class Remove(seed: Int) extends Op
   private case object Purge extends Op
-  private case object Rebuild extends Op // hnsw: fold + reclaim; ivf: retrain
+  private case object Rebuild extends Op // hnsw: fold + reclaim; ivf: retrain + reclaim
+  private case object PinNow extends Op
   private case object CrashRecover extends Op
 
   private val opGen: Gen[Op] = Gen.frequency(
@@ -75,6 +94,7 @@ object AnnLifecycleProps extends Properties("ann-lifecycle") {
     4 -> Gen.choose(0, 97).map(Remove.apply),
     2 -> Gen.const(Purge),
     2 -> Gen.const(Rebuild),
+    2 -> Gen.const(PinNow),
     1 -> Gen.const(CrashRecover))
 
   private val seqGen: Gen[List[Op]] =
@@ -98,13 +118,35 @@ object AnnLifecycleProps extends Properties("ann-lifecycle") {
   private def hadoopFs(out: String) = new org.apache.hadoop.fs.Path(out)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  property("hnsw: random lifecycle interleavings stay exact vs brute " +
-      "force over the model") = forAll(seqGen) { ops =>
+  /** The `{!knn}` REQUEST-STRING compare (the facade path: parse →
+    * knnStore dispatch → fq acceptDocs compile → scarce-exact walk):
+    * an fq accepting every pool id keeps each shard's accepted count
+    * under the ef=32 budget, so answers are exact vs the model. */
+  private def knnServeRows(out: String): Seq[(Long, Int, Long)] = {
+    val reqs = (0 until 3).map { i =>
+      val id = 1000L + i
+      (id, s"{!knn f=embedding topK=5}[${vecOf(id, 9).mkString(",")}]")
+    }
+    val meta = df((0L until Pool.toLong).map(id => (id, Seq.empty[Double])))
+      .select(col("vec_id"), lit(1L).as("keep"))
+    graft.Graft.knnServe(spark, out, reqs, meta = Some(meta),
+        fq = Some("keep:1"), efSearch = 32)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sorted.toSeq
+  }
+
+  property("hnsw: random lifecycle interleavings (facade-dispatched " +
+      "streams, {!knn} request strings mid-lifecycle and at the end, " +
+      "pin/unpin) stay exact vs brute force over the model") =
+    forAll(seqGen) { ops =>
     val out = java.nio.file.Files.createTempDirectory("fuzz_hnsw_").toString
     val m = new Model
     HnswIndex.build(df(m.rows.toSeq), out, dim = Dim, shards = 2, m = 4,
       efConstruction = 16)
     var batch = 0L
+    var pinTok: Option[Int] = None
+    var pinnedVis: Map[Long, Seq[Double]] = Map.empty
+    var ok = true
     ops.zipWithIndex.foreach { case (op, v) =>
       op match {
         case Add(seed) =>
@@ -113,10 +155,11 @@ object AnnLifecycleProps extends Properties("ann-lifecycle") {
           ids.foreach(id => m.rows(id) = vecOf(id, v + 1))
         case Stream(seed) =>
           val ids = addIds(seed, v)
-          assert(HnswIndex.addBatchDelta(spark, out,
+          // through the PUBLIC sink dispatch (marker routing)
+          assert(graft.streaming.StreamingIngest.annIngestBatch(spark, out,
             df(ids.map(id => (id, vecOf(id, v + 1)))), batch, "fuzz"))
           // a replay of the same batch id must be skipped
-          assert(!HnswIndex.addBatchDelta(spark, out,
+          assert(!graft.streaming.StreamingIngest.annIngestBatch(spark, out,
             df(ids.map(id => (id, vecOf(id, 99)))), batch, "fuzz"))
           batch += 1
           ids.foreach(id => m.rows(id) = vecOf(id, v + 1))
@@ -130,6 +173,11 @@ object AnnLifecycleProps extends Properties("ann-lifecycle") {
         case Rebuild =>
           HnswIndex.foldDelta(spark, out)
           HnswIndex.reclaimGenerations(spark, out, retain = 1)
+        case PinNow =>
+          if (pinTok.isEmpty) {
+            pinTok = Some(HnswIndex.pinSnapshot(spark, out))
+            pinnedVis = m.visible
+          }
         case CrashRecover =>
           // fabricate a mid-delta-swap crash when a delta exists:
           // rewrite sits complete in tmp, live dir already moved aside
@@ -142,23 +190,45 @@ object AnnLifecycleProps extends Properties("ann-lifecycle") {
             HnswIndex.recoverDelta(spark, out)
           }
       }
+      // mid-lifecycle {!knn} request-string compare (one per sequence)
+      if (v == 1) {
+        val mid = knnServeRows(out)
+        val midWant = bruteTruth(m.visible)
+        if (mid != midWant) {
+          println(s"HNSW fuzz MID-compare diverged after ${ops.take(2)}\n" +
+            s" got=$mid\nwant=$midWant")
+          ok = false
+        }
+      }
     }
-    val allowed = df((0L until Pool.toLong).map(id => (id, Seq.empty[Double])))
-      .select("vec_id")
-    val got = HnswIndex.queryFiltered(spark, out, queries, k = 5, allowed,
-        efSearch = 32)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
-      .sorted.toSeq
+    val got = knnServeRows(out)
     val want = bruteTruth(m.visible)
-    if (got != want)
+    if (got != want) {
       println(s"HNSW fuzz diverged on ops=$ops\n got=$got\nwant=$want")
-    got == want
+      ok = false
+    }
+    pinTok.foreach { t =>
+      val allowed = df((0L until Pool.toLong).map(id => (id, Seq.empty[Double])))
+        .select("vec_id")
+      val pinGot = HnswIndex.queryPinned(spark, out, t, queries, k = 5,
+          efSearch = 32, allowed = Some(allowed))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .sorted.toSeq
+      val pinWant = bruteTruth(pinnedVis)
+      if (pinGot != pinWant) {
+        println(s"HNSW PIN diverged on ops=$ops\n got=$pinGot\nwant=$pinWant")
+        ok = false
+      }
+      HnswIndex.releaseSnapshot(spark, out, t)
+    }
+    ok
   }
 
-  /** The binary tier's single add path (appends only — new ids). */
+  /** The binary tier's add path: append-only, read-side collapse —
+    * re-adds are legal, the model keeps the latest vector (the exact
+    * re-rank reads the model's corpus frame). */
   private def bqAdd(out: String, m: Model, seed: Int, v: Int): Unit = {
-    val ids = addIds(seed, v)
-      .filterNot(m.rows.contains).filterNot(m.tombs.contains)
+    val ids = addIds(seed, v).filterNot(m.tombs.contains)
     if (ids.nonEmpty) {
       BinaryQuant.addToIvfStore(spark, out,
         df(ids.map(id => (id, vecOf(id, v + 1)))))
@@ -167,8 +237,9 @@ object AnnLifecycleProps extends Properties("ann-lifecycle") {
   }
 
   property("binary-ivf: random add/remove/purge/crash interleavings " +
-      "stay exact vs brute force (full probe + corpus-wide rerank " +
-      "make the two-stage pipeline exact)") = forAll(seqGen) { ops =>
+      "(re-adds included) stay exact vs brute force through the " +
+      "PUBLIC facade (full probe + corpus-wide rerank make the " +
+      "two-stage pipeline exact)") = forAll(seqGen) { ops =>
     val out = java.nio.file.Files.createTempDirectory("fuzz_bq_").toString
     val m = new Model
     BinaryQuant.buildIvfStore(df(m.rows.toSeq), out, dim = Dim, nlist = 4)
@@ -185,6 +256,7 @@ object AnnLifecycleProps extends Properties("ann-lifecycle") {
         case Purge | Rebuild =>
           BinaryQuant.purgeIvfDeletes(spark, out)
           m.purge()
+        case PinNow => // no pin surface on the binary tier
         case CrashRecover =>
           // fabricate the mid-purge-swap crash on codes/, then purge
           val fs = hadoopFs(out)
@@ -209,8 +281,9 @@ object AnnLifecycleProps extends Properties("ann-lifecycle") {
           }
       }
     }
-    // full probe (nprobe >= nlist) + rerank >= |corpus| = exact
-    val got = BinaryQuant.queryIvfStore(spark, out, queries,
+    // full probe (nprobe >= nlist) + rerank >= |corpus| = exact — and
+    // through the Graft facade (the public request surface)
+    val got = graft.Graft.queryBinaryIvfIndex(spark, out, queries,
         df(m.rows.toSeq), k = 5, rerank = 64, nprobe = 8)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
       .sorted.toSeq
@@ -220,12 +293,16 @@ object AnnLifecycleProps extends Properties("ann-lifecycle") {
     got == want
   }
 
-  property("ivf: random lifecycle interleavings stay exact vs brute " +
+  property("ivf: random lifecycle interleavings (facade-dispatched " +
+      "streams, pin/unpin with purge deferral) stay exact vs brute " +
       "force over the model (nprobe = all cells)") = forAll(seqGen) { ops =>
     val out = java.nio.file.Files.createTempDirectory("fuzz_ivf_").toString
     val m = new Model
     IvfIndex.build(df(m.rows.toSeq), out, dim = Dim, nlist = 4)
     var batch = 0L
+    var pinTok: Option[Int] = None
+    var pinnedVis: Map[Long, Seq[Double]] = Map.empty
+    var ok = true
     ops.zipWithIndex.foreach { case (op, v) =>
       op match {
         case Add(seed) =>
@@ -240,11 +317,12 @@ object AnnLifecycleProps extends Properties("ann-lifecycle") {
           val ids = addIds(seed, v)
             .filterNot(m.rows.contains).filterNot(m.tombs.contains)
           if (ids.nonEmpty) {
-            assert(IvfIndex.addBatch(spark, out,
-              df(ids.map(id => (id, vecOf(id, v + 1)))), batch,
+            // through the PUBLIC sink dispatch (marker routing)
+            assert(graft.streaming.StreamingIngest.annIngestBatch(spark,
+              out, df(ids.map(id => (id, vecOf(id, v + 1)))), batch,
               streamId = "fuzz"))
-            assert(!IvfIndex.addBatch(spark, out,
-              df(ids.map(id => (id, vecOf(id, 99)))), batch,
+            assert(!graft.streaming.StreamingIngest.annIngestBatch(spark,
+              out, df(ids.map(id => (id, vecOf(id, 99)))), batch,
               streamId = "fuzz"))
             batch += 1
             ids.foreach(id => m.rows(id) = vecOf(id, v + 1))
@@ -256,17 +334,31 @@ object AnnLifecycleProps extends Properties("ann-lifecycle") {
           m.tombs ++= ids
         case Purge =>
           IvfIndex.purgeDeletes(spark, out)
-          m.purge()
+          // a pin on the current generation DEFERS the physical purge
+          // — observable: the tombstone dir survives; the model purges
+          // only when the store actually did
+          if (!hadoopFs(out).exists(
+              new org.apache.hadoop.fs.Path(s"$out/deletes")))
+            m.purge()
         case Rebuild =>
           IvfIndex.retrain(spark, out)
+          IvfIndex.reclaimGenerations(spark, out, retain = 1)
           m.purge() // retrain folds tombstones in and clears them
+        case PinNow =>
+          if (pinTok.isEmpty) {
+            pinTok = Some(IvfIndex.pinGeneration(spark, out))
+            pinnedVis = m.visible
+          }
         case CrashRecover =>
           // fabricate the mid-purge-swap crash (the recoverStore
           // class): one touched cell's purged rewrite complete in
-          // tmp, its live dir gone — then run the real purge
+          // tmp, its live dir gone — then run the real purge. Skip
+          // while pinned: the fabricated crash deletes live files a
+          // pin addresses (a real crash mid-DEFERRED-purge cannot
+          // exist — the purge never starts).
           val fs = hadoopFs(out)
           val stored = m.tombs.filter(m.rows.contains)
-          if (stored.nonEmpty) {
+          if (stored.nonEmpty && pinTok.isEmpty) {
             val base = IvfIndex.dataRoot(spark, out)
             val all = spark.read.parquet(s"$base/cells")
             val victims = df(stored.toSeq.map(id => (id, Seq.empty[Double])))
@@ -283,7 +375,8 @@ object AnnLifecycleProps extends Properties("ann-lifecycle") {
                 s"$base/cells/cell=$cell"), true)
             }
             IvfIndex.purgeDeletes(spark, out)
-            m.purge()
+            if (!fs.exists(new org.apache.hadoop.fs.Path(s"$out/deletes")))
+              m.purge()
           }
       }
     }
@@ -292,8 +385,23 @@ object AnnLifecycleProps extends Properties("ann-lifecycle") {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
       .sorted.toSeq
     val want = bruteTruth(m.visible)
-    if (got != want)
+    if (got != want) {
       println(s"IVF fuzz diverged on ops=$ops\n got=$got\nwant=$want")
-    got == want
+      ok = false
+    }
+    pinTok.foreach { t =>
+      val pinGot = IvfIndex.queryPinned(spark, out, t, queries, k = 5,
+          nprobe = 8)
+        .select("query_id", "rank", "corpus_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .sorted.toSeq
+      val pinWant = bruteTruth(pinnedVis)
+      if (pinGot != pinWant) {
+        println(s"IVF PIN diverged on ops=$ops\n got=$pinGot\nwant=$pinWant")
+        ok = false
+      }
+      IvfIndex.releaseGeneration(spark, out, t)
+    }
+    ok
   }
 }

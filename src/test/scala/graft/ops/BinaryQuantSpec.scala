@@ -212,4 +212,33 @@ class BinaryQuantSpec extends AnyFunSuite {
       k = 5, rerank = 16, nprobe = 8)) === afterDel,
     "purge changed the served answers")
   }
+
+  test("a re-added id's duplicate code rows collapse at read time: " +
+      "each (query, corpus) pair competes once with its best-Hamming " +
+      "copy, so a duplicate never displaces a distinct neighbor") {
+    val store = java.nio.file.Files.createTempDirectory("bqivf_dup_").toString
+    val base = emb.filter(col("vec_id") < 40)
+    BinaryQuant.buildIvfStore(base, store, dim = 64, nlist = 4)
+    // re-add ids 10..14 with NEGATED vectors — the add contract is
+    // append-only, so both copies now sit in the code store (possibly
+    // in different cells)
+    val readded = base.filter(col("vec_id") >= 10 && col("vec_id") < 15)
+      .select(col("vec_id"), transform(col("embedding")
+        .cast("array<double>"), x => x * lit(-1.0)).as("embedding"))
+    BinaryQuant.addToIvfStore(spark, store, readded)
+    val dupIds = spark.read.parquet(s"$store/codes")
+      .groupBy("corpus_id").count().filter(col("count") > 1).count()
+    assert(dupIds === 5L, "append-only add did not append")
+    val queries = emb.filter(col("vec_id") < 3)
+    val got = BinaryQuant.queryIvfStore(spark, store, queries, base,
+        k = 5, rerank = 40, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    // no (query, corpus) pair twice, and every query still fills k
+    // with DISTINCT ids
+    assert(got.distinct.length === got.length,
+      "a duplicate corpus row occupied two ranks for one query")
+    got.groupBy(_._1).foreach { case (q, hits) =>
+      assert(hits.map(_._2).distinct.length === 5, s"query $q short")
+    }
+  }
 }

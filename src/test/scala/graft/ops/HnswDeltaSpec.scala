@@ -169,4 +169,143 @@ class HnswDeltaSpec extends AnyFunSuite {
     assert(HnswIndex.readDelta(spark, s).get.count() === before,
       "recovery lost delta rows")
   }
+
+  test("a crash between add's generation commit and its delta drop " +
+      "neither loses the id nor serves the stale delta shadow: the " +
+      "committed drop intent masks the ids at read time and the next " +
+      "mutation entry completes the drop physically") {
+    val s = mkStore()
+    // id 1's only live copy is a streamed delta row
+    assert(HnswIndex.addBatchDelta(spark, s,
+      odds.filter(col("vec_id") === 1), 0L, "c"))
+    // the add re-submits id 1 with a NEGATED vector; simulate the
+    // crash by running exactly what add() runs up to the commit —
+    // intent staged, generation committed — and stopping before the
+    // delta drop
+    val newVec = emb100.filter(col("vec_id") === 1)
+      .select(col("vec_id"), transform(col("embedding")
+        .cast("array<double>"), x => x * lit(-1.0)).as("embedding"))
+    val fs = new org.apache.hadoop.fs.Path(s)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    import spark.implicits._
+    Seq(1L).toDF("corpus_id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$s/.drop_intent_ids")
+    graft.util.FsIo.writeSmallFile(
+      spark.sparkContext.hadoopConfiguration, s"$s/_drop_intent", "1")
+    HnswIndex.addInternal(spark, s, newVec) // commits _gen_1, then CRASH
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$s/_gen_1")))
+    // READ correctness before any mutation runs: the committed intent
+    // masks the stale delta row, so the query serves the new vector —
+    // exact compare vs a fresh build over the post-add live set
+    val queries = emb.filter(col("vec_id") < 6)
+    def exact(o: String) = rows(HnswIndex.queryFiltered(spark, o, queries,
+      k = 5, emb100.select("vec_id"), efSearch = 512))
+    val want = {
+      val o = java.nio.file.Files.createTempDirectory("hnsw_want_").toString
+      HnswIndex.build(evens.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+        .unionByName(newVec), o, dim = 64)
+      exact(o)
+    }
+    assert(exact(s) === want, "crashed add served a stale delta shadow")
+    // the next mutation entry completes the drop physically and
+    // clears the intent
+    assert(HnswIndex.foldDelta(spark, s) === 0L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$s/_drop_intent")))
+    assert(HnswIndex.readDelta(spark, s).isEmpty,
+      "completed drop left the stale delta row")
+    assert(exact(s) === want)
+  }
+
+  test("a crash BEFORE add's generation commit voids the intent: the " +
+      "delta row stays the live copy (it was the only one)") {
+    val s = mkStore()
+    assert(HnswIndex.addBatchDelta(spark, s,
+      odds.filter(col("vec_id") === 1), 0L, "v"))
+    val queries = emb.filter(col("vec_id") < 6)
+    def exact() = rows(HnswIndex.queryFiltered(spark, s, queries,
+      k = 5, emb100.select("vec_id"), efSearch = 512))
+    val before = exact()
+    // intent staged for a generation that never committed
+    import spark.implicits._
+    Seq(1L).toDF("corpus_id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$s/.drop_intent_ids")
+    graft.util.FsIo.writeSmallFile(
+      spark.sparkContext.hadoopConfiguration, s"$s/_drop_intent", "1")
+    assert(exact() === before,
+      "an UNcommitted intent masked the only live copy")
+    HnswIndex.resolveDropIntent(spark, s)
+    val fs = new org.apache.hadoop.fs.Path(s)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$s/_drop_intent")))
+    assert(HnswIndex.readDelta(spark, s).get
+      .filter(org.apache.spark.sql.functions.col("corpus_id") === 1)
+      .count() === 1, "voiding the intent dropped the live delta row")
+    assert(exact() === before)
+  }
+
+  test("batch-marker compaction: markers fold into the stream hwm, " +
+      "replay protection and committed delta files survive, and the " +
+      "seq counter keeps latest-commit-wins across the compaction") {
+    val s = mkStore()
+    assert(HnswIndex.addBatchDelta(spark, s,
+      odds.filter(col("vec_id") === 1), 0L, "m"))
+    assert(HnswIndex.addBatchDelta(spark, s,
+      odds.filter(col("vec_id") === 3), 1L, "m"))
+    val fs = new org.apache.hadoop.fs.Path(s)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def markers() = fs.listStatus(new org.apache.hadoop.fs.Path(s))
+      .count(_.getPath.getName.startsWith("_hnsw_batch_"))
+    assert(markers() === 2)
+    assert(HnswIndex.compactBatchMarkers(spark, s, "m") === 2)
+    assert(markers() === 0, "compaction left markers behind")
+    // replay of a compacted batch is still skipped
+    assert(!HnswIndex.addBatchDelta(spark, s,
+      odds.filter(col("vec_id") === 1), 0L, "m"))
+    assert(!HnswIndex.addBatchDelta(spark, s,
+      odds.filter(col("vec_id") === 3), 1L, "m"))
+    // the committed files still serve (hwm vouches for them)
+    assert(HnswIndex.readDelta(spark, s).get.count() === 2)
+    // a post-compaction re-stream of id 1 must still supersede the
+    // pre-compaction row (the durable seq counter outlives markers)
+    val negated = emb100.filter(col("vec_id") === 1)
+      .select(col("vec_id"), transform(col("embedding")
+        .cast("array<double>"), x => x * lit(-1.0)).as("embedding"))
+    assert(HnswIndex.addBatchDelta(spark, s, negated, 2L, "m"))
+    val served = HnswIndex.readDelta(spark, s).get
+      .filter(col("corpus_id") === 1).collect()
+    assert(served.length === 1)
+    val orig = emb100.filter(col("vec_id") === 1)
+      .select(col("embedding").cast("array<double>"))
+      .head.getSeq[Double](0)
+    assert(served.head.getSeq[Double](1) === orig.map(-_),
+      "seq regression after marker compaction flipped the upsert")
+  }
+
+  test("a Serving handle PINS the delta snapshot: a concurrent fold's " +
+      "physical file swap cannot fail or change an open handle's " +
+      "answers; mutations become visible on reopen") {
+    val s = mkStore()
+    assert(HnswIndex.addBatchDelta(spark, s, odds, 0L, "p"))
+    val queries = emb.filter(col("vec_id") < 6)
+    val serving = HnswIndex.open(spark, s)
+    try {
+      val before = rows(serving.query(queries, k = 5, efSearch = 64))
+      // mutations land while the handle is open: the fold DELETES the
+      // delta files the one-shot path would still reference, and a
+      // fresh batch adds a brand-new id
+      HnswIndex.foldDelta(spark, s)
+      assert(HnswIndex.addBatchDelta(spark, s,
+        emb.filter(col("vec_id") === 101), 1L, "p"))
+      val after = rows(serving.query(queries, k = 5, efSearch = 64))
+      assert(after === before, "open handle's answers moved under it")
+      assert(!after.exists(_._3 == 101L), "snapshot saw a later commit")
+    } finally serving.close()
+    // a REOPENED handle sees the folded graph + the new delta row
+    val reopened = HnswIndex.open(spark, s)
+    try {
+      val fresh = rows(HnswIndex.query(spark, s, queries, k = 5))
+      assert(rows(reopened.query(queries, k = 5)) === fresh)
+    } finally reopened.close()
+  }
 }

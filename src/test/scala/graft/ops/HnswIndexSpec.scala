@@ -342,4 +342,57 @@ class HnswIndexSpec extends AnyFunSuite {
       .collect()
     assert(got.length === 9)
   }
+
+  test("a PINNED snapshot reproduces its pre-mutation answers " +
+      "bit-for-bit through add + stream + remove + purge + fold + " +
+      "reclaim, and releases back into reclaim eligibility") {
+    val out = java.nio.file.Files.createTempDirectory("hnsw_pin_").toString
+    val emb100 = emb.filter(col("vec_id") < 100)
+    val evens = emb100.filter(col("vec_id") % 2 === 0)
+    HnswIndex.build(evens, out, dim = 64)
+    // pre-pin state carries all three mutable layers: a streamed
+    // delta row, a tombstone, and one committed generation (an add)
+    HnswIndex.add(spark, out, emb100.filter(col("vec_id") === 1))
+    assert(HnswIndex.addBatchDelta(spark, out,
+      emb100.filter(col("vec_id") === 3), 0L, "pin"))
+    HnswIndex.removeIds(spark, out,
+      emb100.filter(col("vec_id") === 4).select("vec_id"))
+    val queries = emb.filter(col("vec_id") < 6)
+    def exactRows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sorted.toSeq
+    val allowed = emb100.select("vec_id")
+    val want = exactRows(HnswIndex.queryFiltered(spark, out, queries,
+      k = 5, allowed, efSearch = 512))
+    val pin = HnswIndex.pinSnapshot(spark, out)
+    // mutate EVERYTHING: upsert pinned ids, stream, tombstone more,
+    // purge (clears live tombstones), fold, reclaim aggressively
+    HnswIndex.add(spark, out, emb100.filter(col("vec_id") < 20)
+      .select(col("vec_id"), transform(col("embedding")
+        .cast("array<double>"), x => x * lit(-1.0)).as("embedding")))
+    assert(HnswIndex.addBatchDelta(spark, out,
+      emb100.filter(col("vec_id") === 5), 1L, "pin"))
+    HnswIndex.removeIds(spark, out,
+      emb100.filter(col("vec_id") % 3 === 0).select("vec_id"))
+    HnswIndex.purgeDeletes(spark, out)
+    HnswIndex.foldDelta(spark, out)
+    HnswIndex.reclaimGenerations(spark, out, retain = 1)
+    // the live answers moved; the pinned ones must not have
+    val live = exactRows(HnswIndex.queryFiltered(spark, out, queries,
+      k = 5, allowed, efSearch = 512))
+    assert(live !== want, "mutations were supposed to move live answers")
+    val pinned = exactRows(HnswIndex.queryPinned(spark, out, pin, queries,
+      k = 5, efSearch = 512, allowed = Some(allowed)))
+    assert(pinned === want, "pinned snapshot drifted under mutations")
+    // release: the pin's generations re-enter reclaim; the live view
+    // is untouched
+    HnswIndex.releaseSnapshot(spark, out, pin)
+    HnswIndex.reclaimGenerations(spark, out, retain = 1)
+    assert(exactRows(HnswIndex.queryFiltered(spark, out, queries,
+      k = 5, allowed, efSearch = 512)) === live)
+    intercept[IllegalArgumentException] {
+      HnswIndex.queryPinned(spark, out, pin, queries, k = 5)
+    }
+  }
 }

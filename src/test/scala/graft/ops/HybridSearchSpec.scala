@@ -27,4 +27,43 @@ class HybridSearchSpec extends AnyFunSuite {
       .as[(String, Long, Long)].collect().toSeq
       === Seq(("x", 16393L, 1L), ("y", 16129L, 1L)))
   }
+
+  test("Graft.hybridSearch composes the index-served BM25 leg and the " +
+      "store-served {!knn} leg into exactly the RRF of the two legs " +
+      "run separately") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, graft.TestSpark.sf)
+    val emb = graft.Tables.embeddings(spark, graft.TestSpark.sf)
+    val docsStore =
+      java.nio.file.Files.createTempDirectory("hyb_docs_").toString
+    graft.index.SegmentShardSink.write(
+      docs.select(col("doc_id").cast("string").as("id"), col("text")),
+      "id", docsStore, shards = 2, analyzedFields = Set("text"))
+    val annStore =
+      java.nio.file.Files.createTempDirectory("hyb_ann_").toString
+    HnswIndex.build(emb.filter(col("vec_id") < 200), annStore, dim = 64)
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head.getSeq[Double](0)
+    val knnQ = s"{!knn f=embedding topK=8}[${qvec.mkString(",")}]"
+    val got = graft.Graft.hybridSearch(spark, docsStore, annStore,
+        q = "text:spark", knnQ = knnQ, topN = 20)
+      .as[(String, Long, Long)].collect().toSeq
+    // the two legs run separately, fused by the same rrf
+    val lexIds = graft.Graft.search(spark, docsStore, "text:spark",
+        topK = 20).select(col("id")).collect().map(_.getString(0))
+    val lex = lexIds.toSeq.zipWithIndex
+      .map { case (id, i) => (id, (i + 1).toLong) }.toDF("id", "rnk")
+    val ann = graft.Graft.knnServe(spark, annStore, Seq((-1L, knnQ)))
+      .select(col("corpus_id").cast("string").as("id"),
+        col("rank").cast("long").as("rnk"))
+    val want = HybridSearch.rrf(Seq(lex, ann), "id", "rnk")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+    // an id present in both legs carries n_lists = 2 and outranks its
+    // single-leg rrf contribution
+    val both = got.filter(_._3 == 2L)
+    both.foreach { case (_, score, _) => assert(score > 16393L / 2) }
+  }
 }

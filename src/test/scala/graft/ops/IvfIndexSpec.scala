@@ -395,4 +395,88 @@ class IvfIndexSpec extends AnyFunSuite {
       AnnTombstones.reset()
     }
   }
+
+  test("the tombstone count the warning reads comes off the marker " +
+      "cache (maintained at delete/purge time), never a per-query " +
+      "count() job; a malformed threshold conf falls back to the " +
+      "default instead of failing the query") {
+    val store = java.nio.file.Files.createTempDirectory("ivf_tombc_").toString
+    IvfIndex.build(emb.filter(col("vec_id") < 40), store, dim = 64, nlist = 4)
+    IvfIndex.removeIds(spark, store,
+      emb.filter(col("vec_id") < 5).select("vec_id"))
+    assert(AnnTombstones.cachedCount(spark, store) === Some(5L),
+      "removeIds did not maintain the marker cache")
+    val queries = emb.filter(col("vec_id") < 3)
+    try {
+      // prove the READ comes from the cache: plant an inflated value —
+      // a count() of the 5 physical rows could never cross this bound
+      graft.util.FsIo.writeSwapped(spark.sparkContext.hadoopConfiguration,
+        s"$store/_tombcount", "999999999")
+      AnnTombstones.reset()
+      IvfIndex.query(spark, store, queries, k = 3, nprobe = 4).collect()
+      assert(AnnTombstones.lastWarning.exists(_.contains("999999999")),
+        "the query path counted instead of reading the cache")
+      // malformed conf: the query must still answer (Try + default)
+      spark.conf.set(AnnTombstones.ThresholdConf, "not-a-number")
+      AnnTombstones.reset()
+      val n = IvfIndex.query(spark, store, queries, k = 3, nprobe = 4).count()
+      assert(n > 0, "malformed threshold conf broke the query")
+    } finally {
+      spark.conf.unset(AnnTombstones.ThresholdConf)
+      AnnTombstones.reset()
+    }
+    // purge clears the cache with the tombstones
+    IvfIndex.purgeDeletes(spark, store)
+    assert(AnnTombstones.cachedCount(spark, store).isEmpty,
+      "purge left a stale cached count")
+  }
+
+  test("a PINNED generation survives retrain+reclaim and reproduces " +
+      "its pre-mutation answers bit-for-bit; physical rewrites of the " +
+      "pinned generation DEFER; release re-opens reclaim") {
+    val out = java.nio.file.Files.createTempDirectory("ivf_pin_").toString
+    val base = emb.filter(col("vec_id") < 60)
+    IvfIndex.build(base, out, dim = 64, nlist = 4)
+    IvfIndex.retrain(spark, out) // gen 1 — a reclaimable, pinnable gen
+    IvfIndex.removeIds(spark, out,
+      base.filter(col("vec_id") === 7).select("vec_id"))
+    val queries = emb.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sorted.toSeq
+    val want = rows(IvfIndex.query(spark, out, queries, k = 5, nprobe = 4))
+    val pin = IvfIndex.pinGeneration(spark, out)
+    assert(pin === 1)
+    // mutations: adds APPEND new files (never in the pin's list);
+    // purge DEFERS while its generation is pinned (tombstone dir
+    // survives, logically still applied); retrain rolls to gen 2 and
+    // reclaim would drop gen 1 — the pin holds it
+    IvfIndex.add(spark, out, emb.filter(col("vec_id") >= 60 &&
+      col("vec_id") < 80))
+    IvfIndex.removeIds(spark, out,
+      base.filter(col("vec_id") === 9).select("vec_id"))
+    assert(IvfIndex.purgeDeletes(spark, out) === 0, "purge did not defer")
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$out/deletes")),
+      "deferred purge must leave the tombstones")
+    IvfIndex.retrain(spark, out) // gen 2 (purges tombstones into it)
+    IvfIndex.retrain(spark, out) // gen 3
+    assert(IvfIndex.reclaimGenerations(spark, out, retain = 1) === 1,
+      "only the unpinned shadowed generation reclaims")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$out/g1")),
+      "reclaim deleted a pinned generation")
+    val pinned = rows(IvfIndex.queryPinned(spark, out, pin, queries,
+      k = 5, nprobe = 4))
+    assert(pinned === want, "pinned answers drifted under mutations")
+    // live view reflects the mutations (id 9 gone via retrain-fold)
+    val live = rows(IvfIndex.query(spark, out, queries, k = 5, nprobe = 4))
+    assert(!live.exists(_._3 == 9L))
+    IvfIndex.releaseGeneration(spark, out, pin)
+    assert(IvfIndex.reclaimGenerations(spark, out, retain = 1) === 1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out/g1")))
+    assert(rows(IvfIndex.query(spark, out, queries, k = 5, nprobe = 4))
+      === live)
+  }
 }

@@ -249,4 +249,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got === Seq(
       (10L, false, None), (20L, true, Some(1.0)), (30L, true, Some(1.0))))
   }
+
+  test("trained centroids find the near-dup pair axis-sign buckets " +
+      "SPLIT: a tight cluster straddling a sign boundary lands in one " +
+      "k-means cell (the data-adaptive win SemDeDup's published form " +
+      "buys)") {
+    import spark.implicits._
+    // cluster A straddles dim-1's sign (cos(1,2) ~ 0.99997); cluster B
+    // sits far away so k=2 Lloyd separates A from B, never A itself
+    val df = Seq(
+      (1L, Seq(0.01, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0)),
+      (2L, Seq(-0.01, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0)),
+      (3L, Seq(5.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0)),
+      (4L, Seq(5.5, -1.1, -1.1, -1.1, -1.1, -1.1, -1.1, -1.1))
+    ).toDF("vec_id", "embedding")
+    // the sign stand-in splits the pair across buckets — both survive
+    val sign = Similarity.semanticDedup(df, threshold = 0.95, bits = 4)
+      .filter(col("vec_id") <= 2).orderBy("vec_id")
+      .select("is_dup").as[Boolean].collect().toSeq
+    assert(sign === Seq(false, false),
+      "axis-sign buckets unexpectedly co-bucketed the straddling pair")
+    // trained cells keep the cluster together — id 2 marks as the dup
+    val trained = Similarity.semanticDedupIvf(df, threshold = 0.95,
+        dim = 8, nlist = 2, sampleSize = 4)
+      .orderBy("vec_id")
+      .select("vec_id", "is_dup").as[(Long, Boolean)].collect().toSeq
+    assert(trained === Seq((1L, false), (2L, true), (3L, false), (4L, true)))
+  }
 }
