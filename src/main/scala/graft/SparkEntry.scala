@@ -141,6 +141,7 @@ object SparkEntry {
     "q321_binary_ivf",         // bq_ivf (cell-partitioned binary codes)
     "q325_binary_ivf_add",     // bq_ivf_add (build evens + frozen-add odds)
     "q330_sq8_ann",            // sq8_index (coarse + scalar quantizers, codes)
+    "q332_ann_pinned_query",   // ivf_pinned (build + pin + post-pin mutations)
     "q305_ivfpq_refine_stored", // ivfpq_refine (codes + raw-vector sidecar)
     "q286_tiered_merge",       // q286_tiered base store (upserts idempotent)
     "q289_index_multivalued",  // part_mv (array-surfaced store)
@@ -932,12 +933,20 @@ object SparkEntry {
     // clustered corpora where sign-bit buckets skew — and pairs split
     // by an axis sign but kept together by a centroid are now found
     // (spec-locked). Same downstream plan: one equi-join on the cell
-    // key, keep-lowest-id. The oracle replays TRAINING and prune.
-    "q328_semantic_dedup_trained" -> ((s, d) =>
-      ops.Similarity.semanticDedupIvf(Tables.embeddings(s, d),
-          threshold = 0.4, dim = 64)
+    // key, keep-lowest-id. nlist SCALES with the corpus (the SemDeDup
+    // cost model: cells sized so cell² stays bounded — ~128 rows/cell
+    // keeps the pairwise rescore LINEAR in corpus size; fixed nlist
+    // would read quadratic at 10×), floored at the oracle's 16 — at
+    // the driver's sf0.01 correctness scale the floor binds, so the
+    // replay stays bit-exact. The oracle replays TRAINING and prune.
+    "q328_semantic_dedup_trained" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val nlist = math.max(16, (emb.count() / 128L).toInt)
+      ops.Similarity.semanticDedupIvf(emb, threshold = 0.4, dim = 64,
+          nlist = nlist, sampleSize = math.max(2048, nlist * 16))
         .select(col("vec_id"), col("cluster"), col("is_dup"),
-          col("max_prior_cos_r"))),
+          col("max_prior_cos_r"))
+    }),
 
     // BYTE-LEVEL BPE (GPT-2 / HF ByteLevel — round 16, the production
     // tokenizer form the word-boundary trainer q146/q161 stands
@@ -1021,6 +1030,38 @@ object SparkEntry {
       LateInteraction.maxSimRerank(cand, docTokens, queryTokens, k = 5)
         .select(col("query_id"), col("rank"), col("corpus_id"),
           col("maxsim_milli"))
+    }),
+
+    // PINNED SNAPSHOT query on a mutating ANN store (round 16 —
+    // the reproducible-eval use case, hash-oracled): build the IVF
+    // store on the EVENS, tombstone a cohort, PIN — then pile on
+    // every mutation class (frozen adds of the odds; a purge that
+    // must DEFER because its generation is pinned; a retrain that
+    // rolls a new generation and folds the tombstones; a reclaim).
+    // The pinned token must serve the PIN-TIME answers bit-for-bit:
+    // the oracle replays training on the evens and ranks over evens
+    // minus the tombstoned cohort — none of the post-pin mutations
+    // may reach it.
+    "q332_ann_pinned_query" -> ((s, d) => {
+      import graft.ops.IvfIndex
+      val out = sharedStore(d, "ivf_pinned") { o =>
+        val emb = Tables.embeddings(s, d)
+        val evens = emb.filter(col("vec_id") % 2 === 0)
+        IvfIndex.build(evens, o, dim = 64)
+        IvfIndex.removeIds(s, o,
+          evens.filter(col("vec_id") % 7 === 1).select("vec_id"))
+        val pin = IvfIndex.pinGeneration(s, o)
+        require(pin == 0, s"expected the build generation, got $pin")
+        IvfIndex.add(s, o, emb.filter(col("vec_id") % 2 === 1))
+        require(IvfIndex.purgeDeletes(s, o) == 0,
+          "purge must defer while its generation is pinned")
+        IvfIndex.retrain(s, o)
+        IvfIndex.reclaimGenerations(s, o)
+      }
+      IvfIndex.queryPinned(s, out, token = 0,
+          Tables.embeddings(s, d).filter(col("vec_id") < 10),
+          k = 5, nprobe = 8)
+        .select(col("query_id"), col("rank"), col("corpus_id"))
     }),
 
     // the dense (unfiltered) {!knn}-from-store case: no SQL replay of
@@ -10037,6 +10078,28 @@ object SparkEntry {
            |      ORDER BY maxsim_milli DESC, corpus_id ASC) AS rn
            |  FROM ms)
            |WHERE rn <= 5 ORDER BY 1, 2""".stripMargin,
+
+      // the pinned token's view: training on the evens (the build
+      // cohort), ranking over evens minus the tombstoned %7 cohort —
+      // the post-pin adds/purge/retrain/reclaim must be invisible
+      "q332_ann_pinned_query" -> {
+        val t = trainAndAssignW("WHERE vec_id % 2 = 0")
+        s"""WITH $t,
+           |qcell AS (SELECT id, cell FROM cells WHERE rn <= 8 AND id < 10),
+           |scored AS (
+           |  SELECT DISTINCT q.id AS query_id, c.id AS corpus_id,
+           |    ${dotF("qv.v", "cv.v")} / (qv.vnorm * cv.vnorm) AS cosine
+           |  FROM qcell q JOIN corpcell c ON c.cell = q.cell AND c.id <> q.id
+           |  JOIN corpn qv ON qv.id = q.id
+           |  JOIN corpn cv ON cv.id = c.id
+           |  WHERE c.id % 2 = 0 AND c.id % 7 <> 1)
+           |SELECT query_id, CAST(rn AS INTEGER) AS rank, corpus_id FROM (
+           |  SELECT query_id, corpus_id, row_number() OVER (
+           |      PARTITION BY query_id
+           |      ORDER BY cosine DESC, corpus_id ASC) AS rn
+           |  FROM scored)
+           |WHERE rn <= 5 ORDER BY 1, 2""".stripMargin
+      },
       "q292_pq_ann" -> pqAnnSql,
       "q293_ivfpq_ann" -> ivfPqSql,
       // q293's replay with the tombstoned ids excluded BEFORE ranking

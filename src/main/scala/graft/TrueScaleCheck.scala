@@ -70,7 +70,13 @@ object TrueScaleCheck {
     // is the "scan term dropped vs q317/q318" evidence), the streamed
     // HNSW delta store, and the tier-arbitration harness
     "q319_knn_hnsw_store", "q321_binary_ivf", "q322_hnsw_stream_delta",
-    "q323_ann_tier_arbitration", "q324_hnsw_serving").distinct
+    "q323_ann_tier_arbitration", "q324_hnsw_serving",
+    // round-16 families: the composed hybrid request (BM25 + {!knn} +
+    // RRF), trained-centroid SemDeDup, byte-level BPE, the SQ8 tier
+    // (q330 owns sq8_index), and the MaxSim late-interaction re-rank
+    "q327_hybrid_search", "q328_semantic_dedup_trained",
+    "q329_bytelevel_bpe", "q330_sq8_ann", "q331_colbert_maxsim",
+    "q332_ann_pinned_query").distinct
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -233,6 +233,31 @@ object Sq8Index {
       .write.mode("append").partitionBy("cell").parquet(s"$out/codes")
   }
 
+  /** Exactly-once add for a streamed micro-batch — the
+    * [[IvfIndex.addBatch]] protocol (stream-scoped durable markers,
+    * delete-output-first replay, stage-then-move into batch-keyed
+    * cell files) with SQ8 encoding; the [[graft.streaming
+    * .StreamingIngest.annIngestBatch]] dispatcher routes here on the
+    * SQ8 marker. Returns true if the batch applied, false on a
+    * replay skip. Like [[add]]: append-only for unique ids. */
+  def addBatch(spark: SparkSession, out: String, vectors: DataFrame,
+               batchId: Long, streamId: String = ""): Boolean = {
+    // never append into a half-swapped codes dir (crashed purge)
+    IvfIndex.recoverSubdirSwap(new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration), out, "codes")
+    val (dim, _, idCol, vecCol) = readMarker(spark, out)
+    val (centroids, vmin, vdiff) = loadQuantizers(spark, out)
+    val (_, nearest) = Similarity.cellFns(centroids, dim)
+    val encoded = vectors.select(col(idCol).cast("long").as("corpus_id"),
+        col(vecCol).cast("array<double>").as("cvec"))
+      .withColumn("cn", Similarity.norm(col("cvec")))
+      .withColumn("qc", quantize(unit(col("cvec"), col("cn")), vmin, vdiff))
+      .withColumn("cell", nearest(col("cvec")))
+      .select("corpus_id", "qc", "cell")
+    IvfIndex.commitEncodedBatch(spark, out, Seq("codes" -> encoded),
+      batchId, streamId)
+  }
+
   private def deletes(spark: SparkSession, out: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(deletesPath(out))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -115,6 +115,8 @@ object StreamingIngest {
     if (graft.ops.HnswIndex.isHnswStore(spark, store))
       graft.ops.HnswIndex.addBatchDelta(spark, store, batch, batchId,
         streamId, hnswFoldThreshold)
+    else if (graft.ops.Sq8Index.isSq8Store(spark, store))
+      graft.ops.Sq8Index.addBatch(spark, store, batch, batchId, streamId)
     else if (graft.ops.IvfPqIndex.isPqStore(spark, store))
       graft.ops.IvfPqIndex.addBatch(spark, store, batch, batchId,
         maxFilesPerCell, streamId)

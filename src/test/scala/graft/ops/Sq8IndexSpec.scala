@@ -120,4 +120,33 @@ class Sq8IndexSpec extends AnyFunSuite {
       .select(element_at(col("qc"), 1)).collect().map(_.getInt(0)).toSet
     assert(c0 === Set(0), "constant dimension must code to 0")
   }
+
+  test("streamed adds are exactly-once, batch-boundary-invariant, and " +
+      "the ingest sink DISPATCHES on the SQ8 marker") {
+    val evens = emb.filter(col("vec_id") % 2 === 0)
+    val odds = emb.filter(col("vec_id") % 2 === 1)
+    def mk(): String = {
+      val o = java.nio.file.Files.createTempDirectory("sq8_stream_").toString
+      Sq8Index.build(evens, o, dim = 64, nlist = 4)
+      o
+    }
+    val s1 = mk()
+    // through the PUBLIC dispatcher — the marker must route to SQ8
+    assert(graft.streaming.StreamingIngest.annIngestBatch(spark, s1,
+      odds, 0L, "s"))
+    val s2 = mk()
+    assert(graft.streaming.StreamingIngest.annIngestBatch(spark, s2,
+      odds.filter(col("vec_id") < 50), 0L, "s"))
+    assert(graft.streaming.StreamingIngest.annIngestBatch(spark, s2,
+      odds.filter(col("vec_id") >= 50), 1L, "s"))
+    // replay: same (stream, batch) id is a no-op skip
+    assert(!graft.streaming.StreamingIngest.annIngestBatch(spark, s2,
+      odds.filter(col("vec_id") < 50), 0L, "s"))
+    val queries = emb.filter(col("vec_id") < 6)
+    def rows(o: String) = Sq8Index.query(spark, o, queries, emb,
+        k = 5, rerank = 16, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(rows(s1) === rows(s2), "batch boundaries changed answers")
+  }
 }
