@@ -461,6 +461,23 @@ object Graft {
   def learnBpe(docs: DataFrame, textCol: String, numMerges: Int): Seq[graft.text.Bpe.Merge] =
     graft.text.Bpe.learn(docs, textCol, numMerges)
 
+  /** Byte-level BPE training (GPT-2 / HF ByteLevel — the production
+    * tokenizer form; see [[graft.text.Bpe.learnByteLevel]]). */
+  def learnByteLevelBpe(docs: DataFrame, textCol: String,
+                        numMerges: Int): Seq[graft.text.Bpe.Merge] =
+    graft.text.Bpe.learnByteLevel(docs, textCol, numMerges)
+
+  /** Byte-level production encoding of a text column — GPT-2
+    * pretokenize, alphabet map, fused BPE kernel; decode with
+    * [[decodeByteLevel]] inverts exactly. */
+  def encodeByteLevel(text: Column,
+                      merges: Seq[graft.text.Bpe.Merge]): Column =
+    graft.text.Bpe.encodeByteLevel(text, merges)
+
+  /** Exact ids→text decode for byte-level tokens. */
+  def decodeByteLevel(tokens: Column): Column =
+    graft.text.Bpe.decodeByteLevel(tokens)
+
   /** Temperature-scaled mixture sampling (see
     * [[graft.ops.Sampling.temperatureSample]]). */
   def temperatureSample(df: DataFrame, grp: Column, key: Column,
@@ -1225,4 +1242,47 @@ object Graft {
                    queryTokens: DataFrame, k: Int): DataFrame =
     graft.ops.LateInteraction.maxSimRerank(candidates, docTokens,
       queryTokens, k)
+
+  /** PIN the HNSW store's current serving state; the token replays
+    * pin-time answers bit-for-bit under any later mutation (see
+    * [[graft.ops.HnswIndex.pinSnapshot]] — the [[indexSnapshot]]
+    * pin=true contract on the vector tiers). */
+  def pinHnswSnapshot(spark: SparkSession, store: String): Int =
+    graft.ops.HnswIndex.pinSnapshot(spark, store)
+
+  /** Query a pinned HNSW snapshot (generation-ceiling graph + the
+    * pin's materialized tombstones and delta). */
+  def queryHnswPinned(spark: SparkSession, store: String, token: Int,
+                      queries: DataFrame, k: Int, efSearch: Int = 64,
+                      allowed: Option[DataFrame] = None): DataFrame =
+    graft.ops.HnswIndex.queryPinned(spark, store, token, queries, k,
+      efSearch, allowed)
+
+  /** Release an HNSW pin (its generations re-enter reclaim). */
+  def releaseHnswSnapshot(spark: SparkSession, store: String,
+                          token: Int): Unit =
+    graft.ops.HnswIndex.releaseSnapshot(spark, store, token)
+
+  /** PIN an IVF / IVF-PQ store's current generation (file-set
+    * snapshot + tombstones; purge/compact defer while pinned — see
+    * [[graft.ops.IvfIndex.pinGeneration]]). */
+  def pinIvfGeneration(spark: SparkSession, store: String): Int =
+    graft.ops.IvfIndex.pinGeneration(spark, store)
+
+  /** Query a pinned IVF snapshot (raw-vector cells). */
+  def queryIvfPinned(spark: SparkSession, store: String, token: Int,
+                     queries: DataFrame, k: Int,
+                     nprobe: Int = 4): DataFrame =
+    graft.ops.IvfIndex.queryPinned(spark, store, token, queries, k, nprobe)
+
+  /** Query a pinned IVF-PQ snapshot (ADC over the pinned code set). */
+  def queryIvfPqPinned(spark: SparkSession, store: String, token: Int,
+                       queries: DataFrame, k: Int,
+                       nprobe: Int = 4): DataFrame =
+    graft.ops.IvfPqIndex.queryPinned(spark, store, token, queries, k, nprobe)
+
+  /** Release an IVF / IVF-PQ pin. */
+  def releaseIvfGeneration(spark: SparkSession, store: String,
+                           token: Int): Unit =
+    graft.ops.IvfIndex.releaseGeneration(spark, store, token)
 }

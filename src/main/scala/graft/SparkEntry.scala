@@ -142,6 +142,7 @@ object SparkEntry {
     "q325_binary_ivf_add",     // bq_ivf_add (build evens + frozen-add odds)
     "q330_sq8_ann",            // sq8_index (coarse + scalar quantizers, codes)
     "q332_ann_pinned_query",   // ivf_pinned (build + pin + post-pin mutations)
+    "q333_hnsw_pinned_query",  // hnsw_pinned (build + delta + pin + mutations)
     "q305_ivfpq_refine_stored", // ivfpq_refine (codes + raw-vector sidecar)
     "q286_tiered_merge",       // q286_tiered base store (upserts idempotent)
     "q289_index_multivalued",  // part_mv (array-surfaced store)
@@ -1061,6 +1062,45 @@ object SparkEntry {
       IvfIndex.queryPinned(s, out, token = 0,
           Tables.embeddings(s, d).filter(col("vec_id") < 10),
           k = 5, nprobe = 8)
+        .select(col("query_id"), col("rank"), col("corpus_id"))
+    }),
+
+    // the GRAPH tier's pinned snapshot, hash-oracled (q332's sibling
+    // on HnswIndex — here the pin freezes all THREE mutable layers:
+    // the generation ceiling, the tombstone set, and the streamed
+    // DELTA, each materialized at pin time): build evens, stream id
+    // 13 into the delta, tombstone an even cohort, PIN — then upsert
+    // every odd id with NEGATED vectors, tombstone more, purge, fold,
+    // reclaim. The pinned scarce-filtered query (fq %13 — the q314
+    // exact contract) must serve the pin-time live set with the
+    // pin-time vectors: a leak of the negated upserts, the later
+    // tombstones, or the fold is a hash-fail.
+    "q333_hnsw_pinned_query" -> ((s, d) => {
+      import graft.ops.HnswIndex
+      val out = sharedStore(d, "hnsw_pinned") { o =>
+        val emb = Tables.embeddings(s, d)
+        val evens = emb.filter(col("vec_id") % 2 === 0)
+        HnswIndex.build(evens, o, dim = 64)
+        require(HnswIndex.addBatchDelta(s, o,
+          emb.filter(col("vec_id") === 13), 0L, "q333"))
+        HnswIndex.removeIds(s, o,
+          evens.filter(col("vec_id") % 7 === 1).select("vec_id"))
+        val pin = HnswIndex.pinSnapshot(s, o)
+        require(pin == 0, s"expected the build ceiling, got $pin")
+        HnswIndex.add(s, o, emb.filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id"), transform(col("embedding")
+            .cast("array<double>"), x => x * lit(-1.0)).as("embedding")))
+        HnswIndex.removeIds(s, o,
+          emb.filter(col("vec_id") % 5 === 0).select("vec_id"))
+        HnswIndex.purgeDeletes(s, o)
+        HnswIndex.foldDelta(s, o)
+        HnswIndex.reclaimGenerations(s, o, retain = 1)
+      }
+      val emb = Tables.embeddings(s, d)
+      HnswIndex.queryPinned(s, out, token = 0,
+          emb.filter(col("vec_id") < 10), k = 5, efSearch = 64,
+          allowed = Some(emb.filter(col("vec_id") % 13 === 0)
+            .select("vec_id")))
         .select(col("query_id"), col("rank"), col("corpus_id"))
     }),
 
@@ -10078,6 +10118,26 @@ object SparkEntry {
            |      ORDER BY maxsim_milli DESC, corpus_id ASC) AS rn
            |  FROM ms)
            |WHERE rn <= 5 ORDER BY 1, 2""".stripMargin,
+
+      // the pinned GRAPH view: live set at pin time = evens minus the
+      // tombstoned %7 cohort plus the streamed id 13, restricted by
+      // the %13 fq (scarce → the walk is exact brute force); the
+      // post-pin negated upserts / tombstones / fold are invisible
+      "q333_hnsw_pinned_query" ->
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          |  FROM embeddings),
+          |c AS (SELECT * FROM e WHERE vec_id % 13 = 0
+          |  AND ((vec_id % 2 = 0 AND vec_id % 7 <> 1) OR vec_id = 13)),
+          |q AS (SELECT * FROM e WHERE vec_id < 10),
+          |p AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+          |  list_dot_product(q.v, c.v) /
+          |   (sqrt(list_dot_product(q.v, q.v))
+          |    * sqrt(list_dot_product(c.v, c.v))) AS cosine
+          | FROM q, c WHERE q.vec_id <> c.vec_id)
+          |SELECT query_id, CAST(rn AS INTEGER) AS rank, corpus_id FROM (
+          | SELECT query_id, corpus_id, row_number() OVER (
+          |   PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rn
+          | FROM p) t WHERE rn <= 5 ORDER BY 1, 2""".stripMargin,
 
       // the pinned token's view: training on the evens (the build
       // cohort), ranking over evens minus the tombstoned %7 cohort —

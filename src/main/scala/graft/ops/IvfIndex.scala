@@ -283,11 +283,11 @@ object IvfIndex {
       .toSet
   }
 
-  /** List one generation's cell files, relative to its `cells/` root
-    * — the pin's immutable read set. */
+  /** List one generation subdir's cell files, relative to its root —
+    * the pin's immutable read set. */
   private def cellFiles(fs: org.apache.hadoop.fs.FileSystem,
-                        root: String): Seq[String] = {
-    val cr = new org.apache.hadoop.fs.Path(s"$root/cells")
+                        root: String, subdir: String): Seq[String] = {
+    val cr = new org.apache.hadoop.fs.Path(s"$root/$subdir")
     if (!fs.exists(cr)) Nil
     else fs.listStatus(cr).iterator
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
@@ -296,6 +296,46 @@ object IvfIndex {
           .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
           .map(f => s"${d.getPath.getName}/${f.getPath.getName}")
       }.toSeq.sorted
+  }
+
+  private[ops] def pinnedRootOf(out: String, token: Int): String =
+    if (token == 0) out else s"$out/g$token"
+
+  private[ops] def requirePin(spark: SparkSession, out: String,
+                              token: Int): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(pinMarkerPath(out, token))),
+      s"no pin $token on $out")
+  }
+
+  /** A pinned subdir's frame: exactly the FILE SET the pin recorded —
+    * later appends are unlisted, rewrites of listed files are
+    * deferred while the pin lives ([[purgeDeletes]]/[[compact]]).
+    * Partition pruning on `cell` still applies via the basePath. */
+  private[ops] def pinnedSubdirFrame(spark: SparkSession, out: String,
+                                     token: Int,
+                                     subdir: String): DataFrame = {
+    val root = pinnedRootOf(out, token)
+    val listName = if (subdir == "cells") "files" else s"files_$subdir"
+    val files = graft.util.FsIo.readSmallFile(
+        spark.sparkContext.hadoopConfiguration,
+        s"${pinDir(out, token)}/$listName")
+      .split("\n").filter(_.nonEmpty).map(f => s"$root/$subdir/$f").toSeq
+    if (files.isEmpty) spark.read.parquet(s"$root/$subdir").limit(0)
+    else spark.read.option("basePath", s"$root/$subdir").parquet(files: _*)
+  }
+
+  /** The pin's tombstone snapshot as an anti-join (identity when the
+    * pin saw no deletes). */
+  private[ops] def pinnedTombAnti(spark: SparkSession, out: String,
+                                  token: Int): DataFrame => DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"${pinDir(out, token)}/deletes")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) identity
+    else cells => cells.join(
+      broadcast(spark.read.parquet(p.toString).select("corpus_id")),
+      Seq("corpus_id"), "left_anti")
   }
 
   /** PIN the store's CURRENT state; returns the snapshot token (the
@@ -323,7 +363,13 @@ object IvfIndex {
     deletes(spark, out).foreach(
       _.write.mode("overwrite").parquet(s"${pinDir(out, g)}/deletes"))
     graft.util.FsIo.writeSmallFile(spark.sparkContext.hadoopConfiguration,
-      s"${pinDir(out, g)}/files", cellFiles(fs, root).mkString("\n"))
+      s"${pinDir(out, g)}/files", cellFiles(fs, root, "cells").mkString("\n"))
+    // the IVF-PQ refine sidecar mirrors the cell layout — snapshot its
+    // file set too so a pinned refine read has the same immutable base
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$root/vectors")))
+      graft.util.FsIo.writeSmallFile(spark.sparkContext.hadoopConfiguration,
+        s"${pinDir(out, g)}/files_vectors",
+        cellFiles(fs, root, "vectors").mkString("\n"))
     fs.create(new org.apache.hadoop.fs.Path(pinMarkerPath(out, g)), true)
       .close()
     g
@@ -348,11 +394,8 @@ object IvfIndex {
   def queryPinned(spark: SparkSession, out: String, token: Int,
                   queries: DataFrame, k: Int, nprobe: Int = 4,
                   allowed: Option[DataFrame] = None): DataFrame = {
-    val fs = new org.apache.hadoop.fs.Path(out)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(new org.apache.hadoop.fs.Path(pinMarkerPath(out, token))),
-      s"no pin $token on $out")
-    val root = if (token == 0) out else s"$out/g$token"
+    requirePin(spark, out, token)
+    val root = pinnedRootOf(out, token)
     val txt = graft.util.FsIo.readSmallFile(
       spark.sparkContext.hadoopConfiguration, markerPath(root))
     def num(k0: String) = s""""$k0":(-?\\d+)""".r.findFirstMatchIn(txt).get.group(1)
@@ -362,23 +405,10 @@ object IvfIndex {
     val centroids = spark.read.parquet(s"$root/centroids")
       .orderBy("i").collect()
       .map(r => r.getSeq[Double](r.fieldIndex("c")).toArray)
-    val files = graft.util.FsIo.readSmallFile(
-        spark.sparkContext.hadoopConfiguration, s"${pinDir(out, token)}/files")
-      .split("\n").filter(_.nonEmpty).map(f => s"$root/cells/$f").toSeq
-    val tombP = new org.apache.hadoop.fs.Path(s"${pinDir(out, token)}/deletes")
-    val tomb: DataFrame => DataFrame =
-      if (!fs.exists(tombP)) identity
-      else cells => cells.join(
-        broadcast(spark.read.parquet(tombP.toString).select("corpus_id")),
-        Seq("corpus_id"), "left_anti")
     queryInternal(spark, m, centroids, queries,
-      probed =>
-        (if (files.isEmpty)
-          spark.read.parquet(s"$root/cells").limit(0)
-        else spark.read.option("basePath", s"$root/cells")
-          .parquet(files: _*))
-          .filter(col("cell").isin(probed.map(Int.box): _*)),
-      tomb, k, nprobe, allowed)
+      probed => pinnedSubdirFrame(spark, out, token, "cells")
+        .filter(col("cell").isin(probed.map(Int.box): _*)),
+      pinnedTombAnti(spark, out, token), k, nprobe, allowed)
   }
 
   /** Quantization-drift probe — the RETRAIN TRIGGER the frozen-add

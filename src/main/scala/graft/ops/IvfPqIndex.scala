@@ -201,6 +201,49 @@ object IvfPqIndex {
     (Similarity.adcRank(searched, probes, k, mk.m, mk.ksub), probed)
   }
 
+  /** PIN the current generation — [[IvfIndex.pinGeneration]] verbatim
+    * (same store layout, same commit protocol); the pin snapshots the
+    * code cells' file set, the refine sidecar's when present, and the
+    * tombstones. Release with [[IvfIndex.releaseGeneration]]. */
+  def pinGeneration(spark: SparkSession, out: String): Int =
+    IvfIndex.pinGeneration(spark, out)
+
+  /** Query a PINNED snapshot: ADC over the pin's recorded code-file
+    * set under the pinned generation's quantizers, with the pin's
+    * tombstones — bit-for-bit the pin-time ADC answers, whatever
+    * adds/purges/retrains landed since (the reproducible-eval
+    * contract, [[IvfIndex.queryPinned]]'s shape on the PQ tier). The
+    * refine step composes on top when needed: these candidates +
+    * [[queryRefined]]'s external-corpus re-rank (external corpora are
+    * not store state, so the pin has nothing to freeze there). */
+  def queryPinned(spark: SparkSession, out: String, token: Int,
+                  queries: DataFrame, k: Int, nprobe: Int = 4,
+                  allowed: Option[DataFrame] = None): DataFrame = {
+    IvfIndex.requirePin(spark, out, token)
+    val root = IvfIndex.pinnedRootOf(out, token)
+    val txt = graft.util.FsIo.readSmallFile(
+      spark.sparkContext.hadoopConfiguration, markerPath(root))
+    def num(k0: String) = s""""$k0":(-?\\d+)""".r.findFirstMatchIn(txt).get.group(1)
+    def str(k0: String) = (s""""$k0":"([^"]*)"""").r.findFirstMatchIn(txt).get.group(1)
+    val mk = Marker(num("dim").toInt, num("eff").toInt, num("m").toInt,
+      num("ksub").toInt, num("seed").toLong, str("idCol"), str("vecCol"))
+    val centroids = spark.read.parquet(s"$root/centroids")
+      .orderBy("i").collect()
+      .map(r => r.getSeq[Double](r.fieldIndex("c")).toArray)
+    val codebooks = spark.read.parquet(s"$root/codebooks")
+      .orderBy("s", "code").collect()
+      .flatMap(r => r.getSeq[Double](r.fieldIndex("c")))
+      .toIndexedSeq
+    val probes = Similarity.probeIvfPq(queries, centroids, codebooks, mk.dim,
+      mk.m, mk.ksub, nprobe, mk.idCol, mk.vecCol)
+    val probed = probes.select(col("cell")).distinct().collect().map(_.getInt(0))
+    val cells = IvfIndex.pinnedSubdirFrame(spark, out, token, "cells")
+      .filter(col("cell").isin(probed.map(Int.box).toIndexedSeq: _*))
+    val searched = IvfIndex.restrictToAllowed(
+      IvfIndex.pinnedTombAnti(spark, out, token)(cells), allowed)
+    Similarity.adcRank(searched, probes, k, mk.m, mk.ksub)
+  }
+
   /** Two-stage serving over the persisted store (FAISS
     * `IndexRefineFlat` over an on-disk `IVFPQ` — the production
     * pattern q295 runs in batch form): `kCandidates` cheap ADC

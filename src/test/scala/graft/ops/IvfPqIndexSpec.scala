@@ -343,4 +343,39 @@ class IvfPqIndexSpec extends AnyFunSuite {
     assert(afterPurge.sortBy(t => (t._1, t._2)).toSeq ===
       afterDel.sortBy(t => (t._1, t._2)).toSeq)
   }
+
+  test("a PINNED generation reproduces its pre-mutation ADC answers " +
+      "bit-for-bit through add + deferred purge + retrain + reclaim " +
+      "(the PQ tier's pin on the shared store layout)") {
+    val emb = graft.Tables.embeddings(spark, graft.TestSpark.sf)
+    val out = java.nio.file.Files.createTempDirectory("ivfpq_pin_").toString
+    val base = emb.filter(col("vec_id") < 80)
+    IvfPqIndex.build(base, out, dim = 64, refineStore = true)
+    IvfPqIndex.retrain(spark, out) // gen 1 — a reclaimable, pinnable gen
+    IvfPqIndex.removeIds(spark, out,
+      base.filter(col("vec_id") === 7).select("vec_id"))
+    val queries = emb.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sorted.toSeq
+    val want = rows(IvfPqIndex.query(spark, out, queries, k = 5, nprobe = 8))
+    val pin = IvfPqIndex.pinGeneration(spark, out)
+    assert(pin === 1)
+    IvfPqIndex.add(spark, out,
+      emb.filter(col("vec_id") >= 80 && col("vec_id") < 120))
+    assert(IvfPqIndex.purgeDeletes(spark, out) === 0, "purge did not defer")
+    IvfPqIndex.retrain(spark, out) // gen 2
+    IvfPqIndex.retrain(spark, out) // gen 3
+    IvfIndex.reclaimGenerations(spark, out, retain = 1)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$out/g1")),
+      "reclaim deleted the pinned generation")
+    assert(rows(IvfPqIndex.queryPinned(spark, out, pin, queries,
+      k = 5, nprobe = 8)) === want, "pinned ADC answers drifted")
+    IvfIndex.releaseGeneration(spark, out, pin)
+    assert(IvfIndex.reclaimGenerations(spark, out, retain = 1) >= 1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out/g1")))
+  }
 }
