@@ -997,6 +997,26 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("corpus_id"))
     }),
 
+    // FILTERED search on the SQ8 store (FAISS IDSelector on the int8
+    // tier — q307/q326's sibling): the allowed set restricts
+    // candidates AFTER probe pruning, before the integer-L2 cut, so
+    // its left side is the probed mass only — q330's replay with the
+    // predicate in exactly that position.
+    "q334_sq8_filtered" -> ((s, d) => {
+      import graft.ops.Sq8Index
+      val out = sharedStore(d, "sq8_index") { o =>
+        val emb = Tables.embeddings(s, d)
+        Sq8Index.build(emb.filter(col("vec_id") % 2 === 0), o, dim = 64)
+        Sq8Index.add(s, o, emb.filter(col("vec_id") % 2 === 1))
+      }
+      val emb = Tables.embeddings(s, d)
+      Sq8Index.query(s, out, emb.filter(col("vec_id") < 10), emb,
+          k = 5, rerank = 32, nprobe = 8,
+          allowed = Some(emb.filter(col("vec_id") % 3 === 0)
+            .select("vec_id")))
+        .select(col("query_id"), col("rank"), col("corpus_id"))
+    }),
+
     // LATE-INTERACTION re-rank (ColBERT MaxSim, round 16): the
     // persisted IVF store nominates 20 candidates per query
     // (first-stage retrieval — q287's path), then multi-vector MaxSim
@@ -9748,6 +9768,58 @@ object SparkEntry {
          |corpcell AS MATERIALIZED (
          |  SELECT id, cell FROM cells WHERE rn = 1)""".stripMargin
     val trainAndAssign = trainAndAssignW("")
+    // SQ8 replay, parameterized on the FILTERED-SEARCH predicate
+    // (`candPred` restricts candidates after probe pruning, the
+    // engine's semi-join position — the binaryIvfSql pattern):
+    // coarse training + scalar min/max over the NORMALIZED evens
+    // sample, codes for everyone under the frozen quantizers,
+    // probed-cell integer-L2 candidates, exact re-rank
+    def sq8Sql(candPred: String): String = {
+      val t = trainAndAssignW("WHERE vec_id % 2 = 0")
+      s"""WITH $t,
+         |sn AS MATERIALIZED (
+         |  SELECT id, sqrt(${dotF("v", "v")}) AS nrm FROM samp),
+         |ndims AS MATERIALIZED (
+         |  SELECT d.id, d.j,
+         |    CASE WHEN s.nrm = 0 THEN 0.0 ELSE d.vj / s.nrm END AS vj
+         |  FROM dims d JOIN sn s ON s.id = d.id),
+         |sq AS MATERIALIZED (
+         |  SELECT j, min(vj) AS vmin, max(vj) - min(vj) AS vdiff
+         |  FROM ndims GROUP BY j),
+         |codes AS MATERIALIZED (
+         |  SELECT t.id, list(CASE WHEN s.vdiff = 0 THEN 0
+         |      ELSE CAST(least(255, greatest(0,
+         |        floor(((CASE WHEN t.vnorm = 0 THEN 0.0
+         |                ELSE t.v[s.j + 1] / t.vnorm END) - s.vmin)
+         |          / s.vdiff * 255 + 0.5)))
+         |        AS INTEGER) END ORDER BY s.j) AS qc
+         |  FROM corpn t CROSS JOIN sq s GROUP BY t.id),
+         |qcell AS (SELECT id, cell FROM cells WHERE rn <= 8 AND id < 10),
+         |sd AS (
+         |  SELECT DISTINCT q.id AS query_id, c.id AS corpus_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      [CAST((qq.qc[j + 1] - cq.qc[j + 1])
+         |         * (qq.qc[j + 1] - cq.qc[j + 1]) AS BIGINT)
+         |       for j in $dj]),
+         |      (acc, x) -> acc + x) AS d2
+         |  FROM qcell q JOIN corpcell c ON c.cell = q.cell AND c.id <> q.id
+         |    AND $candPred
+         |  JOIN codes qq ON qq.id = q.id
+         |  JOIN codes cq ON cq.id = c.id),
+         |cand AS (SELECT query_id, corpus_id FROM (
+         |  SELECT query_id, corpus_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY d2 ASC, corpus_id) AS r
+         |  FROM sd) WHERE r <= 32),
+         |rer AS (SELECT cand.query_id, cand.corpus_id,
+         |  ${dotF("qv.v", "cv.v")} / (qv.vnorm * cv.vnorm) AS cosine
+         | FROM cand JOIN corpn qv ON qv.id = cand.query_id
+         | JOIN corpn cv ON cv.id = cand.corpus_id)
+         |SELECT query_id, CAST(rn AS INTEGER) AS rank, corpus_id FROM (
+         |  SELECT query_id, corpus_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rn
+         |  FROM rer)
+         |WHERE rn <= 5 ORDER BY 1, 2""".stripMargin
+    }
     val ivfAnnSql =
         s"""WITH $trainAndAssign,
            |qcell AS (SELECT id, cell FROM cells WHERE rn <= 8 AND id < 10),
@@ -10026,52 +10098,11 @@ object SparkEntry {
       // SQ8 (IndexIVFScalarQuantizer): coarse training + scalar
       // min/max params on the EVENS sample (the build cohort — the
       // q325 add-path pattern), codes for everyone under the frozen
-      // quantizers, probed-cell integer-dot candidates, exact re-rank
-      "q330_sq8_ann" -> {
-        val t = trainAndAssignW("WHERE vec_id % 2 = 0")
-        s"""WITH $t,
-           |sn AS MATERIALIZED (
-           |  SELECT id, sqrt(${dotF("v", "v")}) AS nrm FROM samp),
-           |ndims AS MATERIALIZED (
-           |  SELECT d.id, d.j,
-           |    CASE WHEN s.nrm = 0 THEN 0.0 ELSE d.vj / s.nrm END AS vj
-           |  FROM dims d JOIN sn s ON s.id = d.id),
-           |sq AS MATERIALIZED (
-           |  SELECT j, min(vj) AS vmin, max(vj) - min(vj) AS vdiff
-           |  FROM ndims GROUP BY j),
-           |codes AS MATERIALIZED (
-           |  SELECT t.id, list(CASE WHEN s.vdiff = 0 THEN 0
-           |      ELSE CAST(least(255, greatest(0,
-           |        floor(((CASE WHEN t.vnorm = 0 THEN 0.0
-           |                ELSE t.v[s.j + 1] / t.vnorm END) - s.vmin)
-           |          / s.vdiff * 255 + 0.5)))
-           |        AS INTEGER) END ORDER BY s.j) AS qc
-           |  FROM corpn t CROSS JOIN sq s GROUP BY t.id),
-           |qcell AS (SELECT id, cell FROM cells WHERE rn <= 8 AND id < 10),
-           |sd AS (
-           |  SELECT DISTINCT q.id AS query_id, c.id AS corpus_id,
-           |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-           |      [CAST((qq.qc[j + 1] - cq.qc[j + 1])
-           |         * (qq.qc[j + 1] - cq.qc[j + 1]) AS BIGINT)
-           |       for j in $dj]),
-           |      (acc, x) -> acc + x) AS d2
-           |  FROM qcell q JOIN corpcell c ON c.cell = q.cell AND c.id <> q.id
-           |  JOIN codes qq ON qq.id = q.id
-           |  JOIN codes cq ON cq.id = c.id),
-           |cand AS (SELECT query_id, corpus_id FROM (
-           |  SELECT query_id, corpus_id, row_number() OVER (
-           |    PARTITION BY query_id ORDER BY d2 ASC, corpus_id) AS r
-           |  FROM sd) WHERE r <= 32),
-           |rer AS (SELECT cand.query_id, cand.corpus_id,
-           |  ${dotF("qv.v", "cv.v")} / (qv.vnorm * cv.vnorm) AS cosine
-           | FROM cand JOIN corpn qv ON qv.id = cand.query_id
-           | JOIN corpn cv ON cv.id = cand.corpus_id)
-           |SELECT query_id, CAST(rn AS INTEGER) AS rank, corpus_id FROM (
-           |  SELECT query_id, corpus_id, row_number() OVER (
-           |      PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rn
-           |  FROM rer)
-           |WHERE rn <= 5 ORDER BY 1, 2""".stripMargin
-      },
+      // quantizers, probed-cell integer-L2 candidates, exact re-rank;
+      // `candPred` is the filtered-search selector in the engine's
+      // exact position (after probe pruning, before the cut — q334)
+      "q330_sq8_ann" -> sq8Sql("TRUE"),
+      "q334_sq8_filtered" -> sq8Sql("c.id % 3 = 0"),
 
       // ColBERT MaxSim: the q46/q287 first-stage replay cut at 20
       // candidates, token vectors by index rotation, per-pair
