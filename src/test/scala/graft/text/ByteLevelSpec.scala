@@ -87,5 +87,13 @@ class ByteLevelSpec extends AnyFunSuite {
     Seq("banana", "cabana", "unknownword", "x").foreach { w =>
       assert(Unigram.decode(Unigram.encode(w, vocab)) === w, s"word $w")
     }
+    // the word-boundary BPE decode restores words the same way (BPE
+    // merges partition the word's chars)
+    val merges = Bpe.learn(docs, "text", numMerges = 5)
+    val back = Seq("banana", "cabana", "zzz").toDF("w")
+      .select(col("w"), Bpe.decodeWord(
+        Bpe.encode(Bpe.charSymbols(col("w")), merges)).as("back"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    back.foreach { case (w, b) => assert(b === w, s"word $w") }
   }
 }
