@@ -1132,6 +1132,14 @@ object Graft {
     graft.text.TokenizerImport.unigramVocab(
       graft.text.TokenizerImport.read(spark, path))
 
+  /** Matryoshka (MRL) two-stage retrieval: prefix-dim cosine
+    * candidates, full-dim exact re-rank — cut dimensions instead of
+    * bits (see [[graft.ops.Similarity.matryoshkaTopK]]). */
+  def matryoshkaAnn(corpus: DataFrame, queries: DataFrame, k: Int,
+                    rerank: Int, prefixDim: Int): DataFrame =
+    graft.ops.Similarity.matryoshkaTopK(corpus, queries, k, rerank,
+      prefixDim)
+
   /** Two-stage 1-bit binary ANN (FAISS IndexBinaryFlat; 32× memory
     * cut vs the engine's float64 arrays, 16× vs float32): Hamming
     * over sign codes, exact-cosine re-rank over the top-`rerank`

@@ -1299,6 +1299,21 @@ object SparkEntry {
         emb.filter(col("vec_id") < 10), k = 5, rerank = 32, dim = 64)
     }),
 
+    // MATRYOSHKA (MRL) two-stage retrieval (round 16 — Kusupati et
+    // al. 2022, the truncatable-embedding recipe the current
+    // embedding APIs ship): stage 1 ranks by cosine over the FIRST 16
+    // of 64 dims (a quarter of the scan's flops/bytes — the
+    // quantization ladder's lateral sibling: cut DIMENSIONS instead
+    // of bits), stage 2 re-ranks 32 candidates full-dim exact. Every
+    // stage is slices of one arithmetic tree — the whole pipeline
+    // replays in DuckDB.
+    "q335_matryoshka_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      ops.Similarity.matryoshkaTopK(emb, emb.filter(col("vec_id") < 10),
+          k = 5, rerank = 32, prefixDim = 16)
+        .select(col("query_id"), col("rank"), col("corpus_id"))
+    }),
+
     // the persisted binary-code tier (FAISS IndexBinaryFlat on disk:
     // pack once, serve Hamming forever from 1/32 the bytes; the
     // re-rank fetch is candidate-id-pushed into the external corpus
@@ -7024,6 +7039,32 @@ object SparkEntry {
          |SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
          |FROM mstep GROUP BY piece
          |ORDER BY cnt DESC, piece LIMIT 50""".stripMargin,
+
+    // Matryoshka: the prefix-cosine stage is list slices of the q25
+    // cosine chain (same fold, 16 dims), the re-rank the full chain
+    "q335_matryoshka_ann" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 10),
+        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |  list_dot_product(q.v[1:16], c.v[1:16]) /
+        |   (sqrt(list_dot_product(q.v[1:16], q.v[1:16]))
+        |    * sqrt(list_dot_product(c.v[1:16], c.v[1:16]))) AS pcos
+        | FROM q, e c WHERE q.vec_id <> c.vec_id),
+        |cand AS (SELECT query_id, corpus_id FROM (
+        |  SELECT query_id, corpus_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY pcos DESC, corpus_id) AS pr
+        |  FROM p) WHERE pr <= 32),
+        |r AS (SELECT cand.query_id, cand.corpus_id,
+        |  list_dot_product(qv.v, cv.v) /
+        |   (sqrt(list_dot_product(qv.v, qv.v))
+        |    * sqrt(list_dot_product(cv.v, cv.v))) AS cosine
+        | FROM cand JOIN e qv ON qv.vec_id = cand.query_id
+        | JOIN e cv ON cv.vec_id = cand.corpus_id)
+        |SELECT query_id, CAST(rn AS INTEGER) AS rank, corpus_id FROM (
+        | SELECT query_id, corpus_id, row_number() OVER (
+        |   PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rn
+        | FROM r) t WHERE rn <= 5 ORDER BY 1, 2""".stripMargin,
 
     // the binary-quantization pipeline replayed whole: identical
     // sign-pack (acc*2+bit over 32-bit words), Hamming = popcount of

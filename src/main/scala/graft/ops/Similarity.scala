@@ -56,6 +56,62 @@ object Similarity {
   }
 
   /**
+   * MATRYOSHKA (MRL) two-stage retrieval — Kusupati et al. 2022, the
+   * truncatable-embedding recipe the current embedding APIs ship: an
+   * MRL-trained embedding's PREFIX is itself a valid lower-dim
+   * embedding, so stage 1 ranks by cosine over the first `prefixDim`
+   * dims only (prefixDim/dim of the full scan's flops AND bytes when
+   * the prefix is stored as its own column/store) and stage 2
+   * re-ranks `rerank` candidates with the full-dim exact cosine —
+   * the quantization ladder's lateral sibling: cut DIMENSIONS
+   * instead of bits. Same two-stage shape as [[BinaryQuant]]: the
+   * corpus-scale stage touches prefixes only, full vectors are
+   * scored for ≤ |Q|·rerank candidate rows. Everything is column
+   * expressions over slices of one arithmetic tree, so the WHOLE
+   * pipeline replays in DuckDB (q335); ties break (cosine desc, id)
+   * at both stages.
+   */
+  def matryoshkaTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     rerank: Int, prefixDim: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    require(prefixDim >= 1, s"prefixDim must be positive, got $prefixDim")
+    val c = corpus.select(col(idCol).as("corpus_id"),
+        col(vecCol).cast("array<double>").as("cvec"))
+      .withColumn("cpre", slice(col("cvec"), 1, prefixDim))
+      .withColumn("cnorm", norm(col("cvec")))
+      .withColumn("cpnorm", norm(col("cpre")))
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qvec"))
+      .withColumn("qpre", slice(col("qvec"), 1, prefixDim))
+      .withColumn("qnorm", norm(col("qvec")))
+      .withColumn("qpnorm", norm(col("qpre")))
+    // stage 1: prefix cosine only
+    val pre = c.crossJoin(broadcast(
+        q.select("query_id", "qpre", "qpnorm")))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("pcos",
+        dot(col("qpre"), col("cpre")) / (col("qpnorm") * col("cpnorm")))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("pcos").desc, col("corpus_id").asc)
+    val cand = pre.withColumn("prank", row_number().over(w1))
+      .filter(col("prank") <= rerank)
+      .select("query_id", "corpus_id")
+    // stage 2: full-dim exact cosine over candidates only
+    val rer = cand
+      .join(c.select("corpus_id", "cvec", "cnorm"), Seq("corpus_id"))
+      .join(broadcast(q.select("query_id", "qvec", "qnorm")),
+        Seq("query_id"))
+      .withColumn("cosine",
+        dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    rer.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"))
+  }
+
+  /**
    * Symmetric int8 quantization: scale = max|v|/127, q_i =
    * round(v_i/scale) — the 4× memory cut that makes billion-vector
    * corpora fit executor memory (dequantize: v ≈ q·scale). Pure

@@ -276,4 +276,29 @@ class SimilaritySpec extends AnyFunSuite {
       .select("vec_id", "is_dup").as[(Long, Boolean)].collect().toSeq
     assert(trained === Seq((1L, false), (2L, true), (3L, false), (4L, true)))
   }
+
+  test("matryoshka two-stage: a corpus-covering rerank is EXACT vs " +
+      "brute force (prefix stage only reorders candidates), k rows " +
+      "per query, and prefix recall holds at the operating point") {
+    val base = graft.Tables.embeddings(spark, graft.TestSpark.sf)
+      .filter(col("vec_id") < 200)
+    val queries = base.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sorted.toSeq
+    val exact = rows(Similarity.bruteForceTopK(base, queries, 5))
+    assert(rows(Similarity.matryoshkaTopK(base, queries, k = 5,
+      rerank = 300, prefixDim = 16)) === exact,
+      "corpus-covering rerank must equal brute force")
+    // the operating point: quarter-dim candidates, 32 re-ranked
+    val approx = Similarity.matryoshkaTopK(base, queries, k = 5,
+        rerank = 32, prefixDim = 16)
+      .select("query_id", "corpus_id")
+    val recall = RankingEval.annRecallAtK(
+        Similarity.bruteForceTopK(base, queries, 5)
+          .select("query_id", "corpus_id"), approx, 5)
+      .agg(expr("sum(recall_milli) div count(1)")).head.getLong(0)
+    assert(recall >= 600L, s"prefix-stage recall $recall under the floor")
+  }
 }
