@@ -76,7 +76,8 @@ object TrueScaleCheck {
     // (q330 owns sq8_index), and the MaxSim late-interaction re-rank
     "q327_hybrid_search", "q328_semantic_dedup_trained",
     "q329_bytelevel_bpe", "q330_sq8_ann", "q331_colbert_maxsim",
-    "q332_ann_pinned_query", "q333_hnsw_pinned_query").distinct
+    "q332_ann_pinned_query", "q333_hnsw_pinned_query",
+    "q335_matryoshka_ann").distinct
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
