@@ -647,6 +647,59 @@ object Graft {
     graft.ops.HybridSearch.rrf(Seq(lex, ann), "id", "rnk", k0)
   }
 
+  /**
+   * BATCHED hybrid retrieval (round 17): N requests `(request_id,
+   * q, knnQ)` served as ONE composition — every other serving
+   * surface takes a batch ([[knnServe]]), and a per-request driver
+   * round-trip per fuse is the latency bug at serving scale. The
+   * vector legs dispatch as ONE `{!knn}` job (the whole batch rides
+   * one scatter-gather over the sharded store — request ids must not
+   * collide with corpus ids; use negatives, the [[hybridSearch]]
+   * convention); the lexical legs keep PER-REQUEST pushdown (each
+   * query string compiles to its own postings lookups — a union
+   * filter would scan the OR of the terms and re-rank per request
+   * anyway; each leg is `topN`-bounded by construction, so the
+   * driver holds |requests|·topN ids, the [[hybridSearch]]
+   * discipline batched); the fuse is ONE integer-RRF job grouped by
+   * (request, id) ([[graft.ops.HybridSearch.rrfKeyed]]).
+   *
+   * Output: (request_id, id, rrf_score, n_lists), ordered
+   * (request_id, rrf_score desc, id). Per-request rows are
+   * bit-identical to [[hybridSearch]] run in a loop
+   * (HybridSearchSpec; hash-oracled with 3 fused requests in q339).
+   */
+  def hybridSearchBatch(spark: SparkSession, store: String,
+                        annStore: String,
+                        requests: Seq[(Long, String, String)],
+                        topN: Int = 50,
+                        meta: Option[DataFrame] = None,
+                        metaIdCol: String = "vec_id",
+                        fq: Option[String] = None,
+                        textFields: Set[String] = Set.empty,
+                        efSearch: Int = 64, k0: Int = 60,
+                        rankField: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    require(requests.nonEmpty, "empty hybrid request batch")
+    require(requests.map(_._1).distinct.size == requests.size,
+      "duplicate request ids in the hybrid batch")
+    val marker = graft.index.SegmentShardSink.readMarker(
+      spark.sessionState.newHadoopConf(), store)
+    val lex = requests.flatMap { case (rid, q, _) =>
+      search(spark, store, q, topK = topN, rankField = rankField)
+        .select(col(marker.idCol).cast("string"))
+        .collect().zipWithIndex
+        .map { case (r, i) => (rid, r.getString(0), (i + 1).toLong) }
+    }.toDF("request_id", "id", "rnk")
+    val ann = knnServe(spark, annStore,
+        requests.map { case (rid, _, knnQ) => (rid, knnQ) },
+        meta, metaIdCol, fq, textFields, efSearch)
+      .select(col("query_id").as("request_id"),
+        col("corpus_id").cast("string").as("id"),
+        col("rank").cast("long").as("rnk"))
+    graft.ops.HybridSearch.rrfKeyed(Seq(lex, ann), "request_id", "id",
+      "rnk", k0)
+  }
+
   /** Gopher duplicate-line signals over a per-doc lines array (see
     * [[graft.text.TextAnalysis.duplicateLineColumns]]). */
   def duplicateLineColumns(lines: Column): Seq[(String, Column)] =
@@ -1293,4 +1346,110 @@ object Graft {
   def releaseIvfGeneration(spark: SparkSession, store: String,
                            token: Int): Unit =
     graft.ops.IvfIndex.releaseGeneration(spark, store, token)
+
+  // ----- round 17 ---------------------------------------------------
+
+  /** Build the STORE-SERVED Matryoshka tier — prefix-space coarse
+    * quantizer, prefix cells, full-dim refine sidecar (see
+    * [[graft.ops.MrlIndex.build]]; the persisted form of
+    * [[matryoshkaAnn]]). */
+  def buildMrlIndex(corpus: DataFrame, out: String, dim: Int,
+                    prefixDim: Int, nlist: Int = 16): Unit =
+    graft.ops.MrlIndex.build(corpus, out, dim, prefixDim, nlist)
+
+  /** Serve from the MRL store: probe-pruned prefix ranking + exact
+    * full-dim re-rank from the sidecar. */
+  def queryMrlIndex(spark: SparkSession, store: String,
+                    queries: DataFrame, k: Int, rerank: Int,
+                    nprobe: Int = 4): DataFrame =
+    graft.ops.MrlIndex.query(spark, store, queries, k, rerank, nprobe)
+
+  /** Filtered search on the MRL store (IDSelector position). */
+  def queryMrlIndexFiltered(spark: SparkSession, store: String,
+                            queries: DataFrame, k: Int, rerank: Int,
+                            allowed: DataFrame,
+                            nprobe: Int = 4): DataFrame =
+    graft.ops.MrlIndex.query(spark, store, queries, k, rerank, nprobe,
+      allowed = Some(allowed))
+
+  /** Frozen-quantizer add on the MRL store (prefix-space assignment,
+    * sidecar-first append). */
+  def addToMrlIndex(spark: SparkSession, store: String,
+                    vectors: DataFrame): Unit =
+    graft.ops.MrlIndex.add(spark, store, vectors)
+
+  /** PIN the SQ8 store's current state (file-set snapshot +
+    * tombstones; purge defers while pinned). Release with
+    * [[releaseIvfGeneration]]. */
+  def pinSq8Generation(spark: SparkSession, store: String): Int =
+    graft.ops.Sq8Index.pinGeneration(spark, store)
+
+  /** Query a pinned SQ8 snapshot. */
+  def querySq8Pinned(spark: SparkSession, store: String, token: Int,
+                     queries: DataFrame, corpus: DataFrame, k: Int,
+                     rerank: Int, nprobe: Int = 4): DataFrame =
+    graft.ops.Sq8Index.queryPinned(spark, store, token, queries, corpus,
+      k, rerank, nprobe)
+
+  /** PIN the bucketed binary store's current state. Release with
+    * [[releaseIvfGeneration]]. */
+  def pinBinaryIvfGeneration(spark: SparkSession, store: String): Int =
+    graft.ops.BinaryQuant.pinIvfGeneration(spark, store)
+
+  /** Query a pinned binary-IVF snapshot (the exact re-rank reads the
+    * caller's pin-time corpus frame — the code store holds no raw
+    * vectors). */
+  def queryBinaryIvfPinned(spark: SparkSession, store: String,
+                           token: Int, queries: DataFrame,
+                           corpus: DataFrame, k: Int, rerank: Int,
+                           nprobe: Int = 4): DataFrame =
+    graft.ops.BinaryQuant.queryIvfStorePinned(spark, store, token,
+      queries, corpus, k, rerank, nprobe)
+
+  /** SQ8 quantization-drift probe — the retrain trigger on the int8
+    * tier (see [[graft.ops.Sq8Index.assignmentDrift]]). */
+  def sq8AssignmentDrift(spark: SparkSession, store: String,
+                         recent: DataFrame): DataFrame =
+    graft.ops.Sq8Index.assignmentDrift(spark, store, recent)
+
+  /** Build the token-level multi-vector (ColBERT) store: an IVF over
+    * token space for candidate generation + a doc-id-bucketed fetch
+    * copy (see [[graft.ops.LateInteraction.buildTokenStore]]). */
+  def buildColbertTokenStore(docTokens: DataFrame, out: String, dim: Int,
+                             nlist: Int = 16, posStride: Int = 4,
+                             buckets: Int = 16): Unit =
+    graft.ops.LateInteraction.buildTokenStore(docTokens, out, dim, nlist,
+      posStride = posStride, buckets = buckets)
+
+  /** Late interaction end-to-end FROM the token store: per-query-token
+    * probes nominate candidates, MaxSim re-ranks their full token
+    * sets (see [[graft.ops.LateInteraction.queryTokenStore]]). */
+  def queryColbertTokenStore(spark: SparkSession, store: String,
+                             queryTokens: DataFrame, k: Int,
+                             tokenK: Int = 16,
+                             nprobe: Int = 4): DataFrame =
+    graft.ops.LateInteraction.queryTokenStore(spark, store, queryTokens,
+      k, tokenK, nprobe)
+
+  /** Unigram vocabulary with the SentencePiece byte-fallback tail
+    * (256 `<0xNN>` pieces — no unk, ever; see
+    * [[graft.text.Unigram.withByteFallback]]). */
+  def unigramWithByteFallback(
+      vocab: Seq[graft.text.Unigram.Entry]): Seq[graft.text.Unigram.Entry] =
+    graft.text.Unigram.withByteFallback(vocab)
+
+  /** Byte-fallback unigram encode/decode (the LLaMA-family form). */
+  def unigramEncodeByteFallback(word: String,
+      vocab: Seq[graft.text.Unigram.Entry],
+      maxPieceLen: Int = 4): Vector[String] =
+    graft.text.Unigram.encodeByteFallback(word, vocab, maxPieceLen)
+
+  def unigramDecodeByteFallback(pieces: Seq[String]): String =
+    graft.text.Unigram.decodeByteFallback(pieces)
+
+  /** Encode with PROTECTED added tokens (BOS/EOS/control tokens that
+    * never split — see [[graft.text.AddedTokens.encode]]). */
+  def encodeWithAddedTokens(text: String, added: Seq[String],
+      encodeSegment: String => Seq[String]): Vector[String] =
+    graft.text.AddedTokens.encode(text, added, encodeSegment)
 }

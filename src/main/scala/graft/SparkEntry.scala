@@ -153,7 +153,11 @@ object SparkEntry {
     "q277_solr_xml_export",    // xml_export
     "q279_mp4_parse",          // video_fixtures
     "q283_epub_parse",         // epub_fixtures
-    "q243_backup_restore")     // cust_backup
+    "q243_backup_restore",     // cust_backup
+    "q337_mrl_persisted",      // mrl_index (prefix cells + raw sidecar)
+    "q338_sq8_pinned_query",   // sq8_pinned (build + pin + post-pin mutations)
+    "q341_colbert_token_store", // colbert_tokens (token IVF + bucketed fetch)
+    "q323_ann_tier_arbitration") // exact_topk5 (cached ground-truth leg)
 
   /** Prepend a 1-based `rnkName` column to a BOUNDED, already-ordered
     * frame by collecting it and zipping positions driver-side. Only
@@ -1314,6 +1318,188 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("corpus_id"))
     }),
 
+    // SQ8 DRIFT probe (round 17, closes the frozen-quantizer loop on
+    // the int8 tier): q308's retrain trigger re-read off the SQ8
+    // layout — the stored cohort DEQUANTIZES the codes (vmin +
+    // qc/255·vdiff, the store AS SERVED, quantization error included)
+    // and the recent cohort is the same deterministically shifted
+    // batch (+0.3 on dim 0). The oracle replays coarse training,
+    // scalar params, codes, the decode, and both cohorts' exact
+    // integer-milli assignment-distance sums.
+    "q336_sq8_drift" -> ((s, d) => {
+      import graft.ops.Sq8Index
+      val out = sharedStore(d, "sq8_index") { o =>
+        val emb = Tables.embeddings(s, d)
+        Sq8Index.build(emb.filter(col("vec_id") % 2 === 0), o, dim = 64)
+        Sq8Index.add(s, o, emb.filter(col("vec_id") % 2 === 1))
+      }
+      val recent = Tables.embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          (x, i) => x + when(i === 0, lit(0.3)).otherwise(lit(0.0)))
+          .as("embedding"))
+      Sq8Index.assignmentDrift(s, out, recent)
+    }),
+
+    // TOKEN-LEVEL multi-vector store (round 17 — the production
+    // ColBERT shape q331 stood below: token vectors PERSIST, and
+    // candidates come from per-query-token ANN probes against the
+    // token store ITSELF, not an external doc-level tier). Two views
+    // of one token set: an IVF over token space (coarse quantizer
+    // trained on the md5-seeded ordered token sample, keyed
+    // doc_id·4+tpos) for candidate generation, and a doc-id-bucketed
+    // copy for the MaxSim fetch (a candidate's full token set may
+    // live in unprobed cells). The oracle replays training, per-token
+    // probing, the tokenK cut, the candidate union, and the whole
+    // integer-milli MaxSim tree.
+    "q341_colbert_token_store" -> ((s, d) => {
+      import graft.ops.LateInteraction
+      def rotated(step: Column) = transform(sequence(lit(0), lit(63)),
+        j => element_at(col("e"), (pmod(j + step, lit(64)) + 1).cast("int")))
+      val out = sharedStore(d, "colbert_tokens") { o =>
+        val docTokens = Tables.embeddings(s, d)
+          .select(col("vec_id").as("doc_id"),
+            col("embedding").cast("array<double>").as("e"))
+          .withColumn("tpos", explode(array(lit(0), lit(1), lit(2))))
+          .select(col("doc_id"), col("tpos"),
+            rotated(col("tpos") * 7).as("tvec"))
+        LateInteraction.buildTokenStore(docTokens, o, dim = 64,
+          nlist = 16, posStride = 4)
+      }
+      val queryTokens = Tables.embeddings(s, d)
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").cast("array<double>").as("e"))
+        .withColumn("qpos", explode(array(lit(0), lit(1))))
+        .select(col("query_id"), col("qpos"),
+          rotated(col("qpos") * 11).as("qvec"))
+      LateInteraction.queryTokenStore(s, out, queryTokens, k = 5,
+        tokenK = 16, nprobe = 4)
+    }),
+
+    // UNIGRAM BYTE-FALLBACK encode (round 17 — SentencePiece
+    // `byte_fallback=true`, the LLaMA-family form: 256 <0xNN> pieces
+    // guarantee no unk): q311's E-step words prefixed with an
+    // OUT-OF-VOCABULARY '7' (the corpus is pure a-z, so no piece
+    // contains a digit — the byte arc is the ONLY way through
+    // position 0, and the DP's additivity makes the rest exactly the
+    // plain Viterbi argmax). The oracle replays seed + enumeration
+    // and prepends the forced <0x37> arc; the decoded column binds
+    // the round trip. Scores ride integer-milli, byte pieces at
+    // (min − 1000) — strictly dominated wherever real coverage
+    // exists (fuzz-locked in UnigramProps).
+    "q340_unigram_bytefallback" -> ((s, d) => {
+      import s.implicits._
+      val all = text.Bpe.wordFrequencies(Tables.documents(s, d), "text")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val seed = text.Unigram.seedInMemory(all, seedSize = 300,
+        maxPieceLen = 4)
+      val total = seed.iterator.map(_._2).sum
+      val vocab = text.Unigram.withByteFallback(seed.map { case (p, c) =>
+        text.Unigram.Entry(p, c, text.Unigram.scoreMilli(c, total))
+      })
+      val words = all.filter(_._1.length <= 10)
+        .sortBy { case (w, f) => (-f, w) }.take(200)
+      words.map { case (w, f) =>
+        val pieces = text.Unigram.encodeByteFallback("7" + w, vocab, 4)
+        (w, f, pieces.mkString(" "),
+          text.Unigram.decodeByteFallback(pieces))
+      }.toDF("word", "freq", "seg", "decoded")
+    }),
+
+    // BATCHED hybrid retrieval (round 17 — q327's composition serving
+    // THREE requests as one call): the vector legs dispatch as ONE
+    // {!knn} job over the sharded HNSW store (scatter-gather shared
+    // across the batch, fq → acceptDocs), the lexical legs keep
+    // per-request postings pushdown (each topN-bounded), and ONE
+    // integer-RRF job fuses grouped by (request, id). Per-request
+    // rows are bit-identical to hybridSearch in a loop (spec-locked);
+    // the oracle replays all six legs and the keyed fuse.
+    "q339_hybrid_batch" -> ((s, d) => {
+      import graft.index.SegmentShardSink
+      import graft.ops.HnswIndex
+      val docsStore = sharedStore(d, "docs_text") { o =>
+        SegmentShardSink.write(
+          Tables.documents(s, d).select(
+            col("doc_id").cast("string").as("id"), col("text"), col("lang")),
+          "id", o, shards = 4, analyzedFields = Set("text"))
+      }
+      val annStore = sharedStore(d, "hnsw_index") { o =>
+        HnswIndex.build(Tables.embeddings(s, d), o, dim = 64)
+      }
+      val emb = Tables.embeddings(s, d)
+      val qv = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => r.getLong(0) ->
+          r.getSeq[Double](1).mkString(",")).toMap
+      val meta = emb.select(col("vec_id"),
+        pmod(col("vec_id"), lit(13)).as("mod13"))
+      val reqs = Seq(
+        (-1L, "text:join", s"{!knn f=embedding topK=10}[${qv(0L)}]"),
+        (-2L, "text:vector", s"{!knn f=embedding topK=10}[${qv(1L)}]"),
+        (-3L, "text:merge", s"{!knn f=embedding topK=10}[${qv(2L)}]"))
+      Graft.hybridSearchBatch(s, docsStore, annStore, reqs, topN = 50,
+          meta = Some(meta), fq = Some("mod13:0"))
+        .select(col("request_id"), col("id").cast("long").as("id"),
+          col("rrf_score"), col("n_lists"))
+    }),
+
+    // PINNED SNAPSHOT on the SQ8 tier (round 17 — q332's pattern on
+    // the int8 rung, closing pins across the serving ladder): build
+    // on the evens, tombstone the %7==1 cohort, PIN — then frozen-add
+    // the odds, tombstone more, and attempt a purge that must DEFER
+    // (its generation is pinned). The pinned query serves exactly the
+    // pin-time file set + tombstone snapshot; the oracle replays the
+    // whole SQ8 pipeline restricted to the pin-time live set (evens
+    // minus %7==1). A leak of the adds, the later tombstones, or a
+    // purge that rewrote pinned files is a hash-fail.
+    "q338_sq8_pinned_query" -> ((s, d) => {
+      import graft.ops.{IvfIndex, Sq8Index}
+      val out = sharedStore(d, "sq8_pinned") { o =>
+        val emb = Tables.embeddings(s, d)
+        val evens = emb.filter(col("vec_id") % 2 === 0)
+        Sq8Index.build(evens, o, dim = 64)
+        Sq8Index.removeIds(s, o,
+          evens.filter(col("vec_id") % 7 === 1).select("vec_id"))
+        val pin = Sq8Index.pinGeneration(s, o)
+        require(pin == 0, s"expected the build generation, got $pin")
+        Sq8Index.add(s, o, emb.filter(col("vec_id") % 2 === 1))
+        Sq8Index.removeIds(s, o,
+          emb.filter(col("vec_id") % 3 === 0).select("vec_id"))
+        require(Sq8Index.purgeDeletes(s, o) == 0,
+          "purge must defer while its generation is pinned")
+      }
+      val emb = Tables.embeddings(s, d)
+      Sq8Index.queryPinned(s, out, token = 0,
+          emb.filter(col("vec_id") < 10), emb,
+          k = 5, rerank = 32, nprobe = 8)
+        .select(col("query_id"), col("rank"), col("corpus_id"))
+    }),
+
+    // STORE-SERVED Matryoshka (round 17 — q335's flat prefix scan
+    // moved onto a persisted probe-pruned tier): the coarse quantizer
+    // trains ON THE PREFIX SPACE (md5-seeded ordered-sample Lloyd over
+    // 16-dim slices — train in the space you rank in), `cells/` holds
+    // prefix slices only (prefixDim/dim of the corpus bytes),
+    // `vectors/` is the full-dim refine sidecar; a query probes its 8
+    // nearest prefix cells (partition-pruned, plan-locked in
+    // MrlIndexSpec), ranks the probed mass by prefix cosine, and
+    // re-ranks 32 candidates exactly from the sidecar. Build on the
+    // evens + frozen-quantizer add of the odds — the oracle replays
+    // training, assignment, probing, both cosine stages, every
+    // tie-break, on one hash.
+    "q337_mrl_persisted" -> ((s, d) => {
+      import graft.ops.MrlIndex
+      val out = sharedStore(d, "mrl_index") { o =>
+        val emb = Tables.embeddings(s, d)
+        MrlIndex.build(emb.filter(col("vec_id") % 2 === 0), o,
+          dim = 64, prefixDim = 16)
+        MrlIndex.add(s, o, emb.filter(col("vec_id") % 2 === 1))
+      }
+      val emb = Tables.embeddings(s, d)
+      MrlIndex.query(s, out, emb.filter(col("vec_id") < 10),
+        k = 5, rerank = 32, nprobe = 8)
+    }),
+
     // the persisted binary-code tier (FAISS IndexBinaryFlat on disk:
     // pack once, serve Hamming forever from 1/32 the bytes; the
     // re-rank fetch is candidate-id-pushed into the external corpus
@@ -1458,8 +1644,24 @@ object SparkEntry {
       import graft.ops.{BinaryQuant, HnswIndex, IvfPqIndex, RankingEval, Similarity}
       val emb = Tables.embeddings(s, d)
       val queries = emb.filter(col("vec_id") < 10)
-      val exact = Similarity.bruteForceTopK(emb, queries, 5)
-        .select(col("query_id"), col("corpus_id"))
+      // the exact ground-truth leg is O(|Q|·corpus) BECAUSE ground
+      // truth is — but it is a deterministic function of the shared
+      // embeddings table, so it computes ONCE per session via the
+      // sharedStore mechanism (round 17: adding tier N+1 costs one
+      // leg, not a re-run of the brute-force scan); the count rides
+      // in the same store
+      val exactDir = sharedStore(d, "exact_topk5") { o =>
+        val e = Tables.embeddings(s, d)
+        Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), 5)
+          .select(col("query_id"), col("corpus_id"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$o/topk")
+        graft.util.FsIo.writeSmallFile(
+          s.sparkContext.hadoopConfiguration, s"$o/count",
+          e.count().toString)
+      }
+      val exact = s.read.parquet(s"$exactDir/topk")
+      val corpusCount = graft.util.FsIo.readSmallFile(
+        s.sparkContext.hadoopConfiguration, s"$exactDir/count").trim.toLong
       val hnswStore = sharedStore(d, "hnsw_index") { o =>
         HnswIndex.build(Tables.embeddings(s, d), o, dim = 64)
       }
@@ -1477,9 +1679,15 @@ object SparkEntry {
         graft.ops.Sq8Index.add(s, o,
           Tables.embeddings(s, d).filter(col("vec_id") % 2 === 1))
       }
+      val mrlStore = sharedStore(d, "mrl_index") { o =>
+        val e = Tables.embeddings(s, d)
+        graft.ops.MrlIndex.build(e.filter(col("vec_id") % 2 === 0), o,
+          dim = 64, prefixDim = 16)
+        graft.ops.MrlIndex.add(s, o, e.filter(col("vec_id") % 2 === 1))
+      }
       val budget = 32L
       val legs = Seq(
-        ("exact", exact, emb.count() - 1),
+        ("exact", exact, corpusCount - 1),
         // per-shard ef × the store's shard count — the honest total,
         // READ off the marker: if the build default ever changes, the
         // engine's number moves while the oracle's pinned 128 stays,
@@ -1498,14 +1706,31 @@ object SparkEntry {
         // tier's recall at the same 32-candidate budget
         ("sq8", graft.ops.Sq8Index.query(s, sq8Store, queries, emb,
             k = 5, rerank = budget.toInt, nprobe = 8)
+          .select(col("query_id"), col("corpus_id")), budget),
+        // the DIMENSION-cut rung (round 17, store-served Matryoshka):
+        // a quarter of the prefix bytes buys near-raw recall at the
+        // same 32-candidate budget — the MRL premise as a tier row
+        ("mrl", graft.ops.MrlIndex.query(s, mrlStore, queries,
+            k = 5, rerank = budget.toInt, nprobe = 8)
           .select(col("query_id"), col("corpus_id")), budget))
       // floors pinned from measured recall with margin (exact is 1000
       // by construction; the raw avg_recall_milli per tier is the
       // RankingEval.tierReport surface, spec-asserted — the oracled
       // entry pins floor satisfaction, the q313 discipline; sq8
-      // measured 860/880 at sf0.01/sf0.1 → floor 700)
+      // measured 860/880 at sf0.01/sf0.1 → floor 700; mrl measured
+      // 460/200 at sf0.01/sf0.1 → floor 150. The low mrl number is a
+      // DATA property, not a store defect: store-at-full-probe ==
+      // flat matryoshkaTopK exactly (540/200 at rerank 32 — the
+      // store is a faithful probe-pruned server of the flat family,
+      // MrlIndexSpec locks the equality), and on the ISOTROPIC
+      // synthetic embeddings a 16/64 prefix carries 1/4 of the
+      // signal — real MRL-trained embeddings concentrate energy in
+      // the prefix (Kusupati et al.), which is the premise the tier
+      // serves; note binary's 64×1-bit sketch (350) beats a 16-dim
+      // float prefix here for the same reason.
       val floors = Map("exact" -> 1000L, "hnsw" -> 800L,
-        "ivfpq" -> 450L, "binary" -> 350L, "sq8" -> 700L)
+        "ivfpq" -> 450L, "binary" -> 350L, "sq8" -> 700L,
+        "mrl" -> 150L)
       val floorCol = floors.foldLeft(lit(0L)) { case (acc, (t, f)) =>
         when(col("tier") === t, lit(f)).otherwise(acc)
       }
@@ -7026,6 +7251,17 @@ object SparkEntry {
          |FROM w JOIN best b ON b.word = w.word AND b.rn = 1
          |ORDER BY freq DESC, w.word""".stripMargin,
 
+    // byte fallback: the forced <0x37> arc (the only way through the
+    // OOV '7' prefix) + the SAME enumerated argmax as q311; the
+    // decoded column replays the byte→char restore
+    "q340_unigram_bytefallback" ->
+      s"""WITH RECURSIVE $unigramSeedBody,
+         |$unigramEstepBody
+         |SELECT w.word, CAST(w.freq AS BIGINT) AS freq,
+         |  '<0x37> ' || b.seg AS seg, '7' || w.word AS decoded
+         |FROM w JOIN best b ON b.word = w.word AND b.rn = 1
+         |ORDER BY freq DESC, w.word""".stripMargin,
+
     // Unigram-LM M-step re-estimate: expected piece counts over the
     // enumerated argmax segmentations, freq-weighted, top-50
     "q312_unigram_mstep" ->
@@ -7047,9 +7283,11 @@ object SparkEntry {
         |  FROM embeddings),
         |q AS (SELECT * FROM e WHERE vec_id < 10),
         |p AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
-        |  list_dot_product(q.v[1:16], c.v[1:16]) /
+        |  CASE WHEN list_dot_product(q.v[1:16], q.v[1:16]) = 0
+        |        OR list_dot_product(c.v[1:16], c.v[1:16]) = 0 THEN -2.0
+        |  ELSE list_dot_product(q.v[1:16], c.v[1:16]) /
         |   (sqrt(list_dot_product(q.v[1:16], q.v[1:16]))
-        |    * sqrt(list_dot_product(c.v[1:16], c.v[1:16]))) AS pcos
+        |    * sqrt(list_dot_product(c.v[1:16], c.v[1:16]))) END AS pcos
         | FROM q, e c WHERE q.vec_id <> c.vec_id),
         |cand AS (SELECT query_id, corpus_id FROM (
         |  SELECT query_id, corpus_id, row_number() OVER (
@@ -7448,6 +7686,65 @@ object SparkEntry {
         |    AS rrf_score, count(*) AS n_lists
         |FROM u GROUP BY id
         |ORDER BY rrf_score DESC, CAST(id AS VARCHAR) LIMIT 15""".stripMargin,
+
+    // q327's six legs replayed (three lexical BM25 + three fq-exact
+    // {!knn}) and fused by the KEYED integer RRF — the batch surface
+    "q339_hybrid_batch" -> {
+      def lexLeg(r: Int, term: String) =
+        s"""tf$r AS (SELECT doc_id, count(*) AS tf, min(dl) AS dl
+           |       FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d) u
+           |       WHERE term = '$term' GROUP BY doc_id),
+           |dfq$r AS (SELECT count(*) AS doc_freq FROM tf$r),
+           |sc$r AS (SELECT tf$r.doc_id,
+           |  round(ln(1.0 + (n_docs - CAST(doc_freq AS DOUBLE) + 0.5)
+           |      / (CAST(doc_freq AS DOUBLE) + 0.5))
+           |   * (CAST(tf AS DOUBLE) * 1.2 + CAST(tf AS DOUBLE))
+           |   / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6)
+           |    AS score_r
+           | FROM tf$r CROSS JOIN dfq$r CROSS JOIN st),
+           |hits$r AS (SELECT doc_id FROM t
+           |  WHERE regexp_matches(lower(text),
+           |    '(^|[^a-z0-9])$term([^a-z0-9]|$$)')),
+           |lexr$r AS (SELECT CAST(h.doc_id AS VARCHAR) AS id,
+           |    row_number() OVER (ORDER BY COALESCE(score_r, 0.0) DESC,
+           |      CAST(h.doc_id AS VARCHAR)) AS rnk
+           |  FROM hits$r h LEFT JOIN sc$r USING (doc_id)
+           |  QUALIFY rnk <= 50)""".stripMargin
+      def annLeg(r: Int, qid: Int) =
+        s"""p$r AS (SELECT c.vec_id AS cid,
+           |  list_dot_product(qv$r.v, c.v) /
+           |   (sqrt(list_dot_product(qv$r.v, qv$r.v))
+           |    * sqrt(list_dot_product(c.v, c.v))) AS cosine
+           | FROM (SELECT v FROM e WHERE vec_id = $qid) qv$r, e c
+           | WHERE c.vec_id % 13 = 0),
+           |annr$r AS (SELECT CAST(cid AS VARCHAR) AS id,
+           |    row_number() OVER (ORDER BY cosine DESC, cid) AS rnk
+           |  FROM p$r QUALIFY rnk <= 10)""".stripMargin
+      val terms = Seq(1 -> "join", 2 -> "vector", 3 -> "merge")
+      val legs = (terms.map { case (r, t) => lexLeg(r, t) } ++
+        terms.map { case (r, _) => annLeg(r, r - 1) }).mkString(",\n")
+      val unions = terms.map { case (r, _) =>
+        s"""  SELECT ${-r} AS rid, id, 1000000 // (60 + rnk) AS part
+           |  FROM lexr$r
+           |  UNION ALL
+           |  SELECT ${-r}, id, 1000000 // (60 + rnk) FROM annr$r""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH t AS (SELECT doc_id, text,
+         |             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         |           FROM documents),
+         |d AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM t),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |              sum(dl) / CAST(count(*) AS DOUBLE) AS avgdl FROM d),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |$legs,
+         |u AS (
+         |$unions)
+         |SELECT CAST(rid AS BIGINT) AS request_id, CAST(id AS BIGINT) AS id,
+         |  CAST(sum(part) AS BIGINT) AS rrf_score, count(*) AS n_lists
+         |FROM u GROUP BY rid, id
+         |ORDER BY 1, 3 DESC, CAST(id AS VARCHAR)""".stripMargin
+    },
 
     "q180_token_budget" ->
       """SELECT source, doc_id, CAST(running_tokens AS BIGINT) AS running_tokens FROM (
@@ -9815,9 +10112,9 @@ object SparkEntry {
     // coarse training + scalar min/max over the NORMALIZED evens
     // sample, codes for everyone under the frozen quantizers,
     // probed-cell integer-L2 candidates, exact re-rank
-    def sq8Sql(candPred: String): String = {
+    val sq8Cte: String = {
       val t = trainAndAssignW("WHERE vec_id % 2 = 0")
-      s"""WITH $t,
+      s"""$t,
          |sn AS MATERIALIZED (
          |  SELECT id, sqrt(${dotF("v", "v")}) AS nrm FROM samp),
          |ndims AS MATERIALIZED (
@@ -9834,7 +10131,10 @@ object SparkEntry {
          |                ELSE t.v[s.j + 1] / t.vnorm END) - s.vmin)
          |          / s.vdiff * 255 + 0.5)))
          |        AS INTEGER) END ORDER BY s.j) AS qc
-         |  FROM corpn t CROSS JOIN sq s GROUP BY t.id),
+         |  FROM corpn t CROSS JOIN sq s GROUP BY t.id)""".stripMargin
+    }
+    def sq8Sql(candPred: String): String = {
+      s"""WITH $sq8Cte,
          |qcell AS (SELECT id, cell FROM cells WHERE rn <= 8 AND id < 10),
          |sd AS (
          |  SELECT DISTINCT q.id AS query_id, c.id AS corpus_id,
@@ -9861,6 +10161,206 @@ object SparkEntry {
          |  FROM rer)
          |WHERE rn <= 5 ORDER BY 1, 2""".stripMargin
     }
+    // SQ8 drift probe (q336): the stored cohort is the DEQUANTIZED
+    // codes (vmin + qc/255·vdiff — the store as served), the recent
+    // cohort the q308 shifted batch; both summed in the exact
+    // integer-milli assignment-distance space
+    val sq8DriftSql: String =
+      s"""WITH $sq8Cte,
+         |dec AS MATERIALIZED (
+         |  SELECT c.id,
+         |    list(s.vmin + c.qc[s.j + 1] / 255.0 * s.vdiff ORDER BY s.j) AS v
+         |  FROM codes c CROSS JOIN sq s GROUP BY c.id),
+         |decn AS MATERIALIZED (
+         |  SELECT id, v, sqrt(${dotF("v", "v")}) AS vnorm FROM dec),
+         |sdist AS (
+         |  SELECT t.id, CAST(round((1 - max(${dotF("t.v", "c.c")} /
+         |      (t.vnorm * c.cnorm))) * 1000) AS BIGINT) AS dm
+         |  FROM decn t CROSS JOIN cn c GROUP BY t.id),
+         |recn AS (
+         |  SELECT id, v, sqrt(${dotF("v", "v")}) AS vnorm FROM (
+         |    SELECT vec_id AS id,
+         |      [CAST(embedding[j + 1] AS DOUBLE) +
+         |        (CASE WHEN j = 0 THEN 0.3 ELSE 0.0 END) for j in $dj] AS v
+         |    FROM embeddings)),
+         |rdist AS (
+         |  SELECT t.id, CAST(round((1 - max(${dotF("t.v", "c.c")} /
+         |      (t.vnorm * c.cnorm))) * 1000) AS BIGINT) AS dm
+         |  FROM recn t CROSS JOIN cn c GROUP BY t.id)
+         |SELECT 'store' AS cohort, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(dm) AS BIGINT) AS sum_dist_milli FROM sdist
+         |UNION ALL
+         |SELECT 'recent', CAST(count(*) AS BIGINT),
+         |  CAST(sum(dm) AS BIGINT) FROM rdist""".stripMargin
+    // Store-served Matryoshka (q337): 16-dim k-means trained on the
+    // evens' PREFIX slices, prefix-space assignment + probing, prefix
+    // cosine candidates, full-dim exact re-rank — the whole two-stage
+    // store replayed (same Lloyd protocol as trainAndAssignW, folds
+    // over the first 16 dims only)
+    val mrlSql: String = {
+      val pd = 16
+      val djp = s"generate_series(0, ${pd - 1})"
+      def dotP(aE: String, bE: String) =
+        fold(s"[($aE)[j + 1] * ($bE)[j + 1] for j in $djp]")
+      def sqDistP(vE: String, cE: String) =
+        fold(s"[(($vE)[j + 1] - ($cE)[j + 1]) * (($vE)[j + 1] - ($cE)[j + 1]) " +
+          s"for j in $djp]")
+      def roundP(r: Int) =
+        s"""a$r AS MATERIALIZED (
+           |  SELECT id, i FROM (
+           |    SELECT s.id, c.i, row_number() OVER (PARTITION BY s.id
+           |        ORDER BY ${sqDistP("s.v", "c.c")}, c.i) AS rn
+           |    FROM samp s CROSS JOIN c${r - 1} c)
+           |  WHERE rn = 1),
+           |m$r AS MATERIALIZED (
+           |  SELECT a.i, d.j,
+           |    ${fold("list(d.vj ORDER BY d.id)")} / count(*) AS cj
+           |  FROM a$r a JOIN dims d ON d.id = a.id
+           |  GROUP BY 1, 2),
+           |c$r AS MATERIALIZED (
+           |  SELECT i, list(cj ORDER BY j) AS c FROM m$r GROUP BY 1
+           |  UNION ALL
+           |  SELECT p.i, p.c FROM c${r - 1} p
+           |  WHERE p.i NOT IN (SELECT i FROM a$r))""".stripMargin
+      val roundsP = (1 to iters).map(roundP).mkString(",\n")
+      s"""WITH samp AS MATERIALIZED (
+         |  SELECT vec_id AS id,
+         |    [CAST(embedding[j + 1] AS DOUBLE) for j in $djp] AS v
+         |  FROM embeddings WHERE vec_id % 2 = 0
+         |  ORDER BY vec_id LIMIT $sampleLimit),
+         |dims AS MATERIALIZED (
+         |  SELECT id, j, v[j + 1] AS vj
+         |  FROM samp, (SELECT unnest($djp) AS j)),
+         |c0 AS MATERIALIZED (
+         |  SELECT i, c FROM (
+         |    SELECT CAST(row_number() OVER (
+         |        ORDER BY md5('$seed:' || CAST(id AS VARCHAR)),
+         |        CAST(id AS VARCHAR)) AS INTEGER) - 1 AS i, v AS c
+         |    FROM samp)
+         |  WHERE i < $k),
+         |$roundsP,
+         |cn AS MATERIALIZED (
+         |  SELECT i, c, sqrt(${dotP("c", "c")}) AS cnorm FROM c$iters),
+         |corpn AS MATERIALIZED (
+         |  SELECT id, v, sqrt(${dotF("v", "v")}) AS vnorm FROM (
+         |    SELECT vec_id AS id,
+         |      [CAST(embedding[j + 1] AS DOUBLE) for j in $dj] AS v
+         |    FROM embeddings)),
+         |corpp AS MATERIALIZED (
+         |  SELECT id, [v[j + 1] for j in $djp] AS p,
+         |    sqrt(${dotP("v", "v")}) AS pnorm
+         |  FROM corpn),
+         |cells AS MATERIALIZED (
+         |  SELECT id, i AS cell, row_number() OVER (PARTITION BY id
+         |      ORDER BY -(${dotP("t.p", "c.c")} / (t.pnorm * c.cnorm)),
+         |        c.i) AS rn
+         |  FROM corpp t CROSS JOIN cn c),
+         |corpcell AS (SELECT id, cell FROM cells WHERE rn = 1),
+         |qcell AS (SELECT id, cell FROM cells WHERE rn <= 8 AND id < 10),
+         |pc AS (
+         |  SELECT q.id AS query_id, c.id AS corpus_id,
+         |    CASE WHEN qp.pnorm = 0 OR cp.pnorm = 0 THEN -2.0
+         |    ELSE ${dotP("qp.p", "cp.p")} / (qp.pnorm * cp.pnorm) END AS pcos
+         |  FROM qcell q JOIN corpcell c ON c.cell = q.cell AND c.id <> q.id
+         |  JOIN corpp qp ON qp.id = q.id
+         |  JOIN corpp cp ON cp.id = c.id),
+         |cand AS (SELECT query_id, corpus_id FROM (
+         |  SELECT query_id, corpus_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY pcos DESC, corpus_id) AS r
+         |  FROM pc) WHERE r <= 32),
+         |rer AS (SELECT cand.query_id, cand.corpus_id,
+         |  ${dotF("qv.v", "cv.v")} / (qv.vnorm * cv.vnorm) AS cosine
+         | FROM cand JOIN corpn qv ON qv.id = cand.query_id
+         | JOIN corpn cv ON cv.id = cand.corpus_id)
+         |SELECT query_id, CAST(rn AS INTEGER) AS rank, corpus_id FROM (
+         |  SELECT query_id, corpus_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rn
+         |  FROM rer)
+         |WHERE rn <= 5 ORDER BY 1, 2""".stripMargin
+    }
+    // Token-level ColBERT store (q341): k-means over the md5-ordered
+    // TOKEN sample (ids doc_id·4+tpos), per-query-token probes,
+    // tokenK candidate cut, candidate union, the q331 MaxSim tree
+    val tokenColbertSql: String =
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT vec_id, [CAST(embedding[j + 1] AS DOUBLE) for j in $dj] AS v
+         |  FROM embeddings),
+         |alltok AS MATERIALIZED (
+         |  SELECT e0.vec_id AS doc_id, t.tpos,
+         |    e0.vec_id * 4 + t.tpos AS id,
+         |    [e0.v[((j + t.tpos * 7) % 64) + 1] for j in $dj] AS v
+         |  FROM e0, (SELECT unnest([0, 1, 2]) AS tpos) t),
+         |samp AS MATERIALIZED (
+         |  SELECT id, v FROM alltok ORDER BY id LIMIT $sampleLimit),
+         |dims AS MATERIALIZED (
+         |  SELECT id, j, v[j + 1] AS vj
+         |  FROM samp, (SELECT unnest($dj) AS j)),
+         |c0 AS MATERIALIZED (
+         |  SELECT i, c FROM (
+         |    SELECT CAST(row_number() OVER (
+         |        ORDER BY md5('$seed:' || CAST(id AS VARCHAR)),
+         |        CAST(id AS VARCHAR)) AS INTEGER) - 1 AS i, v AS c
+         |    FROM samp)
+         |  WHERE i < $k),
+         |$rounds,
+         |cn AS MATERIALIZED (
+         |  SELECT i, c, sqrt(${dotF("c", "c")}) AS cnorm FROM c$iters),
+         |dt AS MATERIALIZED (
+         |  SELECT doc_id, tpos, v AS tvec, sqrt(${dotF("v", "v")}) AS tnorm
+         |  FROM alltok),
+         |tcell AS MATERIALIZED (
+         |  SELECT doc_id, tpos, cell FROM (
+         |    SELECT d.doc_id, d.tpos, c.i AS cell, row_number() OVER (
+         |        PARTITION BY d.doc_id, d.tpos
+         |        ORDER BY -(${dotF("d.tvec", "c.c")} / (d.tnorm * c.cnorm)),
+         |          c.i) AS rn
+         |    FROM dt d CROSS JOIN cn c) WHERE rn = 1),
+         |qt AS MATERIALIZED (
+         |  SELECT e0.vec_id AS query_id, t.qpos,
+         |    [e0.v[((j + t.qpos * 11) % 64) + 1] for j in $dj] AS qvec
+         |  FROM e0, (SELECT unnest([0, 1]) AS qpos) t WHERE e0.vec_id < 10),
+         |qtn AS MATERIALIZED (SELECT query_id, qpos, qvec,
+         |    sqrt(${dotF("qvec", "qvec")}) AS qnorm FROM qt),
+         |qprobe AS (SELECT query_id, qpos, cell FROM (
+         |  SELECT q.query_id, q.qpos, c.i AS cell, row_number() OVER (
+         |      PARTITION BY q.query_id, q.qpos
+         |      ORDER BY -(${dotF("q.qvec", "c.c")} / (q.qnorm * c.cnorm)),
+         |        c.i) AS rn
+         |  FROM qtn q CROSS JOIN cn c) WHERE rn <= 4),
+         |sc1 AS (
+         |  SELECT p.query_id, p.qpos, d.doc_id, d.tpos,
+         |    CASE WHEN q.qnorm = 0 OR d.tnorm = 0 THEN -2.0
+         |    ELSE ${dotF("q.qvec", "d.tvec")} / (q.qnorm * d.tnorm)
+         |    END AS tcos
+         |  FROM qprobe p
+         |  JOIN tcell tc ON tc.cell = p.cell
+         |  JOIN dt d ON d.doc_id = tc.doc_id AND d.tpos = tc.tpos
+         |  JOIN qtn q ON q.query_id = p.query_id AND q.qpos = p.qpos),
+         |cand AS (
+         |  SELECT DISTINCT query_id, doc_id AS corpus_id FROM (
+         |    SELECT query_id, qpos, doc_id, row_number() OVER (
+         |        PARTITION BY query_id, qpos
+         |        ORDER BY tcos DESC, doc_id, tpos) AS r
+         |    FROM sc1) WHERE r <= 16),
+         |pairs AS (SELECT cand.query_id, cand.corpus_id, q.qpos,
+         |    CAST(floor(${dotF("q.qvec", "d.tvec")} /
+         |      (sqrt(${dotF("q.qvec", "q.qvec")})
+         |       * sqrt(${dotF("d.tvec", "d.tvec")})) * 1000 + 0.5)
+         |      AS BIGINT) AS cm
+         |  FROM cand JOIN dt d ON d.doc_id = cand.corpus_id
+         |  JOIN qt q ON q.query_id = cand.query_id),
+         |mx AS (SELECT query_id, corpus_id, qpos, max(cm) AS m
+         |  FROM pairs GROUP BY 1, 2, 3),
+         |ms AS (SELECT query_id, corpus_id, CAST(sum(m) AS BIGINT)
+         |    AS maxsim_milli
+         |  FROM mx GROUP BY 1, 2)
+         |SELECT query_id, CAST(rn AS INTEGER) AS rank, corpus_id,
+         |    maxsim_milli FROM (
+         |  SELECT query_id, corpus_id, maxsim_milli, row_number() OVER (
+         |      PARTITION BY query_id
+         |      ORDER BY maxsim_milli DESC, corpus_id ASC) AS rn
+         |  FROM ms)
+         |WHERE rn <= 5 ORDER BY 1, 2""".stripMargin
     val ivfAnnSql =
         s"""WITH $trainAndAssign,
            |qcell AS (SELECT id, cell FROM cells WHERE rn <= 8 AND id < 10),
@@ -10143,6 +10643,13 @@ object SparkEntry {
       // `candPred` is the filtered-search selector in the engine's
       // exact position (after probe pruning, before the cut — q334)
       "q330_sq8_ann" -> sq8Sql("TRUE"),
+      "q336_sq8_drift" -> sq8DriftSql,
+      "q337_mrl_persisted" -> mrlSql,
+      // pinned SQ8 read: the pin-time live set is the evens minus the
+      // pin-time tombstones (%7==1); post-pin adds/deletes are
+      // invisible by construction of the predicate
+      "q338_sq8_pinned_query" -> sq8Sql("c.id % 2 = 0 AND c.id % 7 <> 1"),
+      "q341_colbert_token_store" -> tokenColbertSql,
       "q334_sq8_filtered" -> sq8Sql("c.id % 3 = 0"),
 
       // ColBERT MaxSim: the q46/q287 first-stage replay cut at 20
@@ -10379,6 +10886,8 @@ object SparkEntry {
           |SELECT 'ivfpq', 32, 450, TRUE
           |UNION ALL
           |SELECT 'sq8', 32, 700, TRUE
+          |UNION ALL
+          |SELECT 'mrl', 32, 150, TRUE
           |ORDER BY 1""".stripMargin,
 
       // the lifecycle store's live corpus = everything minus the two

@@ -77,7 +77,15 @@ object TrueScaleCheck {
     "q327_hybrid_search", "q328_semantic_dedup_trained",
     "q329_bytelevel_bpe", "q330_sq8_ann", "q331_colbert_maxsim",
     "q332_ann_pinned_query", "q333_hnsw_pinned_query",
-    "q335_matryoshka_ann").distinct
+    "q335_matryoshka_ann",
+    // round-17 families: the store-served MRL tier (q337 owns
+    // mrl_index — its row is the "probe-pruned vs q335's designed-
+    // linear scan" evidence), the SQ8 drift probe and pinned read,
+    // the batched hybrid request, byte-fallback encode, and the
+    // token-level ColBERT store (q341 owns colbert_tokens)
+    "q336_sq8_drift", "q337_mrl_persisted", "q338_sq8_pinned_query",
+    "q339_hybrid_batch", "q340_unigram_bytefallback",
+    "q341_colbert_token_store").distinct
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -371,7 +371,28 @@ object BinaryQuant {
     * semi-joins in — both AFTER probe pruning. */
   private[ops] def ivfCandidates(spark: SparkSession, out: String,
                                  q0: DataFrame, rerank: Int, nprobe: Int,
-                                 allowed: Option[DataFrame] = None): DataFrame = {
+                                 allowed: Option[DataFrame] = None): DataFrame =
+    ivfCandidatesFrom(spark, out, q0, rerank, nprobe, allowed,
+      probed => spark.read.parquet(s"$out/codes")
+        .filter(col("cell").isin(probed.map(Int.box).toIndexedSeq: _*)),
+      cf => ivfDeletes(spark, out) match {
+        case Some(d) =>
+          // count off the marker cache — no count() job on the hot path
+          AnnTombstones.check(spark, "binary-ivf", out,
+            AnnTombstones.countOf(spark, out)(d.count()))
+          cf.join(broadcast(d.select("corpus_id")),
+            Seq("corpus_id"), "left_anti")
+        case None => cf
+      })
+
+  /** The candidate body with the codes source and tombstone view
+    * pluggable — live reads above, the pinned file set + pin-time
+    * tombstone snapshot in [[queryIvfStorePinned]]. */
+  private def ivfCandidatesFrom(spark: SparkSession, out: String,
+                                q0: DataFrame, rerank: Int, nprobe: Int,
+                                allowed: Option[DataFrame],
+                                codesOf: Array[Int] => DataFrame,
+                                tombAnti: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val centroids = spark.read.parquet(s"$out/centroids")
       .orderBy("i").collect()
@@ -379,17 +400,7 @@ object BinaryQuant {
     val q = q0.withColumn("cell",
       explode(probeCells(col("qcode"), centroids, nprobe)))
     val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0))
-    val codes0 = spark.read.parquet(s"$out/codes")
-      .filter(col("cell").isin(probed.map(Int.box).toIndexedSeq: _*))
-    val codes1 = ivfDeletes(spark, out) match {
-      case Some(d) =>
-        // count off the marker cache — no count() job on the hot path
-        AnnTombstones.check(spark, "binary-ivf", out,
-          AnnTombstones.countOf(spark, out)(d.count()))
-        codes0.join(broadcast(d.select("corpus_id")),
-          Seq("corpus_id"), "left_anti")
-      case None => codes0
-    }
+    val codes1 = tombAnti(codesOf(probed))
     val codes = allowed match {
       case Some(a) => codes1.join(
         a.select(col(a.columns.head).cast("long").as("corpus_id")),
@@ -412,6 +423,40 @@ object BinaryQuant {
     scored.withColumn("hrank", row_number().over(w1))
       .filter(col("hrank") <= rerank)
       .select("query_id", "corpus_id")
+  }
+
+  /** PIN the bucketed binary store's current state (round 17 —
+    * [[IvfIndex.pinGeneration]]'s file-list shape over `codes/`:
+    * the binary quantizer is write-once, adds append NEW files, so
+    * the recorded file set + the tombstone snapshot is the complete
+    * pin; [[purgeIvfDeletes]] DEFERS while the pin lives). Returns
+    * the snapshot token. Release with [[IvfIndex.releaseGeneration]]. */
+  def pinIvfGeneration(spark: SparkSession, out: String): Int = {
+    recoverIvfStore(spark, out)
+    IvfIndex.pinSubdirs(spark, out, Seq("codes"))
+  }
+
+  /** Query a PINNED snapshot of the bucketed binary store: exactly
+    * the file set and tombstone view of pin time — bit-for-bit
+    * pin-time answers whatever add/remove/purge landed since
+    * (spec-locked; an AnnLifecycleProps fuzz op). */
+  def queryIvfStorePinned(spark: SparkSession, out: String, token: Int,
+                          queries: DataFrame, corpus: DataFrame, k: Int,
+                          rerank: Int, nprobe: Int = 4,
+                          pushLimit: Int = 4096,
+                          allowed: Option[DataFrame] = None): DataFrame = {
+    IvfIndex.requirePin(spark, out, token)
+    val txt = readMarkerText(spark, ivfMarkerPath(out))
+    val dim = markerNum(txt, "dim").toInt
+    val idCol = markerStr(txt, "idCol"); val vecCol = markerStr(txt, "vecCol")
+    val q0 = queries.select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).cast("array<double>").as("qvec"))
+      .withColumn("qcode", packSigns(col("qvec"), dim))
+    val cand = ivfCandidatesFrom(spark, out, q0, rerank, nprobe, allowed,
+      probed => IvfIndex.pinnedSubdirFrame(spark, out, token, "codes")
+        .filter(col("cell").isin(probed.map(Int.box).toIndexedSeq: _*)),
+      IvfIndex.pinnedTombAnti(spark, out, token))
+    rerankExact(spark, cand, corpus, q0, k, idCol, vecCol, pushLimit)
   }
 
   /** Incremental add against the FROZEN binary quantizer (FAISS
@@ -475,9 +520,13 @@ object BinaryQuant {
     * cells purged. */
   def purgeIvfDeletes(spark: SparkSession, out: String): Int = {
     recoverIvfStore(spark, out)
-    val dels = ivfDeletes(spark, out).getOrElse(return 0)
     val fs = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a pin addresses the very files this rewrite would delete —
+    // DEFER (deletes stay logically applied via the anti-join)
+    if (IvfIndex.pins(fs, out).contains(IvfIndex.generation(fs, out)))
+      return 0
+    val dels = ivfDeletes(spark, out).getOrElse(return 0)
     val purged = IvfIndex.purgeSubdir(spark, fs, out, "codes", dels,
       targetFileBytes = 256L << 20)
     fs.delete(new org.apache.hadoop.fs.Path(ivfDeletesPath(out)), true)

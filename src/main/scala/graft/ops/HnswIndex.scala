@@ -909,17 +909,28 @@ object HnswIndex {
   /** The staged ids of a drop intent WHOSE GENERATION COMMITTED —
     * i.e. an [[add]] that crashed after its `_gen_N` swap but before
     * its delta drop finished. None when no intent exists or the
-    * intent's generation never landed (that add is void). */
+    * intent's generation never landed (that add is void).
+    *
+    * Torn-write defense (round 17): the intent is written via the
+    * crash-atomic [[graft.util.FsIo.writeSwapped]] protocol, AND the
+    * recorded generation is validated against the store's actual
+    * last generation — at any crash point the only legal values are
+    * `last` (the add committed; finish the drop) or `last + 1` (the
+    * add never landed; the intent is void). Anything else is a torn
+    * or stale file (e.g. a legacy truncate-write crash leaving '1'
+    * of '13', which CAN point at an older existing generation) and
+    * must be treated as void — dropping on it would lose ids whose
+    * replacement generation never landed. */
   private def committedDropIntentIds(spark: SparkSession,
                                      out: String): Option[DataFrame] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(dropIntentPath(out))
-    val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) return None
-    val gen = scala.util.Try(
-      graft.util.FsIo.readSmallFile(conf, dropIntentPath(out)).trim.toInt)
+    val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(conf)
+    val txt = graft.util.FsIo.readSwapped(conf, dropIntentPath(out))
       .getOrElse(return None)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$out/_gen_$gen"))) None
+    val gen = scala.util.Try(txt.trim.toInt).getOrElse(return None)
+    val last = generations(fs, out).lastOption.getOrElse(0)
+    if (gen != last || !fs.exists(new org.apache.hadoop.fs.Path(s"$out/_gen_$gen")))
+      None // uncommitted (gen == last+1), torn, or stale — void
     else Some(spark.read.parquet(dropIntentIdsPath(out)).select("corpus_id"))
   }
 
@@ -935,9 +946,10 @@ object HnswIndex {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     committedDropIntentIds(spark, out) match {
       case Some(ids) => dropFromDelta(spark, out, ids)
-      case None => // absent, unparsable, or its generation never landed
+      case None => // absent, unparsable, torn, or its gen never landed
     }
-    fs.delete(new org.apache.hadoop.fs.Path(dropIntentPath(out)), false)
+    graft.util.FsIo.deleteSwapped(
+      spark.sparkContext.hadoopConfiguration, dropIntentPath(out))
     fs.delete(new org.apache.hadoop.fs.Path(dropIntentIdsPath(out)), true)
   }
 
@@ -1155,12 +1167,17 @@ object HnswIndex {
     val gNew = generations(fs, out).lastOption.getOrElse(0) + 1
     ids.distinct().coalesce(1)
       .write.mode("overwrite").parquet(dropIntentIdsPath(out))
-    graft.util.FsIo.writeSmallFile(spark.sparkContext.hadoopConfiguration,
+    // writeSwapped, not a create-truncate-write: a torn-but-parseable
+    // prefix of the generation number could point at an OLDER existing
+    // generation and read as committed, dropping ids whose replacement
+    // never landed (recovery additionally validates gen == last)
+    graft.util.FsIo.writeSwapped(spark.sparkContext.hadoopConfiguration,
       dropIntentPath(out), gNew.toString)
     addInternal(spark, out, vectors) // commits _gen_gNew
     dropFromDelta(spark, out,
       spark.read.parquet(dropIntentIdsPath(out)).select("corpus_id"))
-    fs.delete(new org.apache.hadoop.fs.Path(dropIntentPath(out)), false)
+    graft.util.FsIo.deleteSwapped(spark.sparkContext.hadoopConfiguration,
+      dropIntentPath(out))
     fs.delete(new org.apache.hadoop.fs.Path(dropIntentIdsPath(out)), true)
   }
 

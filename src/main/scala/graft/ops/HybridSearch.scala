@@ -41,4 +41,27 @@ object HybridSearch {
         count(lit(1)).cast("long").as("n_lists"))
       .orderBy(col("rrf_score").desc, col(idCol).asc)
   }
+
+  /**
+   * The BATCHED fuse (round 17): each list additionally carries
+   * `keyCol` (the request id), and fusion groups by (key, id) — N
+   * requests' lists fuse in ONE union + ONE groupBy over frames
+   * bounded by |requests|·topN. Per-key results are identical to
+   * [[rrf]] run per request (HybridSearchSpec locks the equivalence).
+   * Output: (keyCol, idCol, rrf_score, n_lists), ordered (key,
+   * rrf_score desc, id).
+   */
+  def rrfKeyed(lists: Seq[DataFrame], keyCol: String, idCol: String,
+               rankCol: String, k0: Int = 60,
+               scale: Long = 1000000L): DataFrame = {
+    require(lists.nonEmpty, "rrfKeyed needs at least one ranked list")
+    val parts = lists.map(_.select(
+      col(keyCol), col(idCol),
+      expr(s"${scale}L div (${k0}L + CAST($rankCol AS BIGINT))").as("__part")))
+    parts.reduce(_ unionByName _)
+      .groupBy(col(keyCol), col(idCol))
+      .agg(sum(col("__part")).as("rrf_score"),
+        count(lit(1)).cast("long").as("n_lists"))
+      .orderBy(col(keyCol).asc, col("rrf_score").desc, col(idCol).asc)
+  }
 }

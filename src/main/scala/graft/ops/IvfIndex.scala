@@ -357,19 +357,35 @@ object IvfIndex {
     recoverStore(spark, out)
     val fs = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = dataRoot(spark, out)
+    // the IVF-PQ refine sidecar mirrors the cell layout — snapshot its
+    // file set too so a pinned refine read has the same immutable base
+    val subdirs = Seq("cells") ++
+      (if (fs.exists(new org.apache.hadoop.fs.Path(s"$root/vectors")))
+        Seq("vectors") else Nil)
+    pinSubdirs(spark, out, subdirs)
+  }
+
+  /** The subdir-parameterized pin body [[pinGeneration]] wraps — also
+    * serves the `codes/`-layout tiers ([[Sq8Index.pinGeneration]],
+    * [[BinaryQuant.pinIvfGeneration]]): record each subdir's file
+    * list, materialize the tombstone snapshot, commit the pin marker.
+    * Callers run their own swap recovery first. */
+  private[ops] def pinSubdirs(spark: SparkSession, out: String,
+                              subdirs: Seq[String]): Int = {
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val g = generation(fs, out)
     val root = dataRoot(spark, out)
     fs.delete(new org.apache.hadoop.fs.Path(pinDir(out, g)), true)
     deletes(spark, out).foreach(
       _.write.mode("overwrite").parquet(s"${pinDir(out, g)}/deletes"))
-    graft.util.FsIo.writeSmallFile(spark.sparkContext.hadoopConfiguration,
-      s"${pinDir(out, g)}/files", cellFiles(fs, root, "cells").mkString("\n"))
-    // the IVF-PQ refine sidecar mirrors the cell layout — snapshot its
-    // file set too so a pinned refine read has the same immutable base
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$root/vectors")))
+    subdirs.foreach { sub =>
+      val listName = if (sub == "cells") "files" else s"files_$sub"
       graft.util.FsIo.writeSmallFile(spark.sparkContext.hadoopConfiguration,
-        s"${pinDir(out, g)}/files_vectors",
-        cellFiles(fs, root, "vectors").mkString("\n"))
+        s"${pinDir(out, g)}/$listName",
+        cellFiles(fs, root, sub).mkString("\n"))
+    }
     fs.create(new org.apache.hadoop.fs.Path(pinMarkerPath(out, g)), true)
       .close()
     g

@@ -87,11 +87,18 @@ object Similarity {
       .withColumn("qnorm", norm(col("qvec")))
       .withColumn("qpnorm", norm(col("qpre")))
     // stage 1: prefix cosine only
+    // zero-norm guard (the Sq8Index.unit discipline): a vector whose
+    // first prefixDim dims are all zero would make the division NaN,
+    // and Spark sorts NaN ABOVE every real double — zero-prefix rows
+    // would seize candidate slots (and DuckDB's 0-division NULL would
+    // diverge). Sentinel -2.0 ranks below any real cosine.
     val pre = c.crossJoin(broadcast(
         q.select("query_id", "qpre", "qpnorm")))
       .filter(col("query_id") =!= col("corpus_id"))
       .withColumn("pcos",
-        dot(col("qpre"), col("cpre")) / (col("qpnorm") * col("cpnorm")))
+        when(col("qpnorm") === 0d || col("cpnorm") === 0d, lit(-2.0))
+          .otherwise(dot(col("qpre"), col("cpre")) /
+            (col("qpnorm") * col("cpnorm"))))
     val w1 = Window.partitionBy(col("query_id"))
       .orderBy(col("pcos").desc, col("corpus_id").asc)
     val cand = pre.withColumn("prank", row_number().over(w1))

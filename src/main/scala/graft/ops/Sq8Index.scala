@@ -41,7 +41,8 @@ import org.apache.spark.sql.functions._
  * `add` contract — append-only for unique ids, duplicates collapse at
  * read time like the binary tier); [[removeIds]]/[[purgeDeletes]] are
  * the family tombstone protocol; rebuild via [[build]] on drift
- * ([[IvfIndex.assignmentDrift]] measures).
+ * ([[assignmentDrift]] measures — the SQ8-aware probe; the IvfIndex
+ * one reads `_ivf_marker.json` and cannot serve this store).
  */
 object Sq8Index {
 
@@ -174,7 +175,27 @@ object Sq8Index {
     * `q0` carries (query_id, qvec, qqc). */
   private[ops] def sq8Candidates(spark: SparkSession, out: String,
       q0: DataFrame, rerank: Int, nprobe: Int,
-      allowed: Option[DataFrame] = None): DataFrame = {
+      allowed: Option[DataFrame] = None): DataFrame =
+    sq8CandidatesFrom(spark, out, q0, rerank, nprobe, allowed,
+      probed => spark.read.parquet(s"$out/codes")
+        .filter(col("cell").isin(probed.map(Int.box).toIndexedSeq: _*)),
+      cf => deletes(spark, out) match {
+        case Some(d) =>
+          AnnTombstones.check(spark, "sq8", out,
+            AnnTombstones.countOf(spark, out)(d.count()))
+          cf.join(broadcast(d.select("corpus_id")),
+            Seq("corpus_id"), "left_anti")
+        case None => cf
+      })
+
+  /** The candidate body with the codes source and tombstone view
+    * pluggable — live reads above, the pinned file set + pin-time
+    * tombstone snapshot in [[queryPinned]]. */
+  private def sq8CandidatesFrom(spark: SparkSession, out: String,
+      q0: DataFrame, rerank: Int, nprobe: Int,
+      allowed: Option[DataFrame],
+      codesOf: Array[Int] => DataFrame,
+      tombAnti: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (dim, eff, _, _) = readMarker(spark, out)
     val (centroids, _, _) = loadQuantizers(spark, out)
@@ -182,16 +203,7 @@ object Sq8Index {
     val q = q0.withColumn("cell",
       explode(Similarity.probeCells(dists(col("qvec")), eff, nprobe)))
     val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0))
-    val codes0 = spark.read.parquet(s"$out/codes")
-      .filter(col("cell").isin(probed.map(Int.box).toIndexedSeq: _*))
-    val codes1 = deletes(spark, out) match {
-      case Some(d) =>
-        AnnTombstones.check(spark, "sq8", out,
-          AnnTombstones.countOf(spark, out)(d.count()))
-        codes0.join(broadcast(d.select("corpus_id")),
-          Seq("corpus_id"), "left_anti")
-      case None => codes0
-    }
+    val codes1 = tombAnti(codesOf(probed))
     val codes = allowed match {
       case Some(a) => codes1.join(
         a.select(col(a.columns.head).cast("long").as("corpus_id")),
@@ -211,6 +223,42 @@ object Sq8Index {
     scored.withColumn("r", row_number().over(w))
       .filter(col("r") <= rerank)
       .select("query_id", "corpus_id")
+  }
+
+  /** PIN the store's current state (round 17 — [[IvfIndex
+    * .pinGeneration]]'s file-list shape over `codes/`: this tier's
+    * quantizers are write-once and adds append NEW files, so the
+    * recorded file set + the materialized tombstone snapshot is the
+    * complete pin; [[purgeDeletes]] DEFERS while the pin lives).
+    * Returns the snapshot token. Release with
+    * [[IvfIndex.releaseGeneration]]. */
+  def pinGeneration(spark: SparkSession, out: String): Int = {
+    IvfIndex.recoverSubdirSwap(new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration), out, "codes")
+    IvfIndex.pinSubdirs(spark, out, Seq("codes"))
+  }
+
+  /** Query a PINNED snapshot: exactly the file set and tombstone view
+    * of pin time — bit-for-bit pin-time answers whatever add/remove/
+    * purge landed since (spec-locked; hash-oracled in q338). */
+  def queryPinned(spark: SparkSession, out: String, token: Int,
+                  queries: DataFrame, corpus: DataFrame, k: Int,
+                  rerank: Int, nprobe: Int = 4, pushLimit: Int = 4096,
+                  allowed: Option[DataFrame] = None): DataFrame = {
+    IvfIndex.requirePin(spark, out, token)
+    val (_, _, idCol, vecCol) = readMarker(spark, out)
+    val (_, vmin, vdiff) = loadQuantizers(spark, out)
+    val q0 = queries.select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).cast("array<double>").as("qvec"))
+      .withColumn("qn", Similarity.norm(col("qvec")))
+      .withColumn("qqc", quantize(unit(col("qvec"), col("qn")), vmin, vdiff))
+      .drop("qn")
+    val cand = sq8CandidatesFrom(spark, out, q0, rerank, nprobe, allowed,
+      probed => IvfIndex.pinnedSubdirFrame(spark, out, token, "codes")
+        .filter(col("cell").isin(probed.map(Int.box).toIndexedSeq: _*)),
+      IvfIndex.pinnedTombAnti(spark, out, token))
+    BinaryQuant.rerankExact(spark, cand, corpus, q0, k, idCol, vecCol,
+      pushLimit)
   }
 
   /** Frozen-quantizer add (FAISS `IndexIVFScalarQuantizer::add`):
@@ -258,6 +306,48 @@ object Sq8Index {
       batchId, streamId)
   }
 
+  /** Quantization-drift probe for the SQ8 tier — the retrain trigger
+    * [[IvfIndex.assignmentDrift]] provides for the raw tier, re-read
+    * off THIS store's layout (the `_sq8_marker.json` dispatch; calling
+    * the IVF probe on an SQ8 path throws on the marker regex): the
+    * stored cohort DEQUANTIZES the codes (dec_j = vmin_j +
+    * qc_j/255·vdiff_j — the unit-vector reconstruction; cosine is
+    * scale-invariant, so the decoded vectors assign exactly like the
+    * normalized originals up to quantization error, which is the
+    * point — the statistic measures the store AS SERVED), the recent
+    * cohort uses its raw vectors. Same exact integer-milli statistic
+    * as the raw tier (`round((1 − cos_nearest)·1000)` summed), so it
+    * hash-oracles (q336). Tombstones excluded; duplicate copies of a
+    * re-added id each count (they are all live code rows the probe
+    * would serve candidates from). One pass per cohort, centroids
+    * broadcast — corpus scale never shuffles. */
+  def assignmentDrift(spark: SparkSession, out: String,
+                      recent: DataFrame): DataFrame = {
+    val (dim, _, _, vecCol) = readMarker(spark, out)
+    val (centroids, vmin, vdiff) = loadQuantizers(spark, out)
+    val (dists, _) = Similarity.cellFns(centroids, dim)
+    def cohort(vecs: DataFrame, name: String): DataFrame =
+      vecs.select(round((lit(1.0) + array_min(dists(col("v")))) * 1000)
+          .cast("long").as("dm"))
+        .agg(count(lit(1)).as("n"), sum(col("dm")).as("sum_dist_milli"))
+        .select(lit(name).as("cohort"), col("n"), col("sum_dist_milli"))
+    val vminC = typedlit(vmin.toSeq)
+    val vdiffC = typedlit(vdiff.toSeq)
+    val codes0 = spark.read.parquet(s"$out/codes")
+    val live = deletes(spark, out) match {
+      case Some(dels) => codes0.join(broadcast(dels.select("corpus_id")),
+        Seq("corpus_id"), "left_anti")
+      case None => codes0
+    }
+    val stored = live.select(transform(col("qc"), (c, j) => {
+      val jj = (j + lit(1)).cast("int")
+      element_at(vminC, jj) +
+        c.cast("double") / 255d * element_at(vdiffC, jj)
+    }).as("v"))
+    val rec = recent.select(col(vecCol).cast("array<double>").as("v"))
+    cohort(stored, "store").unionByName(cohort(rec, "recent"))
+  }
+
   private def deletes(spark: SparkSession, out: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(deletesPath(out))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -280,6 +370,10 @@ object Sq8Index {
     val fs = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     IvfIndex.recoverSubdirSwap(fs, out, "codes")
+    // a pin addresses the very files this rewrite would delete —
+    // DEFER (deletes stay logically applied via the anti-join)
+    if (IvfIndex.pins(fs, out).contains(IvfIndex.generation(fs, out)))
+      return 0
     val dels = deletes(spark, out).getOrElse(return 0)
     val purged = IvfIndex.purgeSubdir(spark, fs, out, "codes", dels,
       targetFileBytes = 256L << 20)

@@ -69,7 +69,8 @@ object TokenizerExport {
     * score, and a downstream HF load would weight unknowns above every
     * trained piece. */
   def unigramModelJson(vocab: Seq[Unigram.Entry],
-                       unk: String = "<unk>"): String = {
+                       unk: String = "<unk>",
+                       byteFallback: Boolean = false): String = {
     val unkScore =
       if (vocab.isEmpty) -10.0
       else vocab.iterator.map(_.scoreMilli).min / 1000.0 - 10.0
@@ -77,7 +78,12 @@ object TokenizerExport {
       val lp = e.scoreMilli / 1000.0
       s"""["${esc(e.piece)}",$lp]"""
     }).mkString(",")
-    s"""{"type":"Unigram","unk_id":0,"vocab":[$rows]}"""
+    // byte_fallback (round 17, the HF Unigram field): true promises
+    // the vocab carries the complete <0x00>..<0xFF> tail and encode
+    // is the no-unk byte-fallback lattice — the caller passes a
+    // Unigram.withByteFallback vocabulary
+    val bf = if (byteFallback) ""","byte_fallback":true""" else ""
+    s"""{"type":"Unigram","unk_id":0$bf,"vocab":[$rows]}"""
   }
 
   /** Wrap a model object into a FULL `tokenizer.json` (round 16): the
@@ -88,13 +94,31 @@ object TokenizerExport {
     * streams agree end to end. `byteLevel = false` emits the bare
     * whitespace-era wrapper (model only). */
   def tokenizerJson(modelJson: String, byteLevel: Boolean): String =
-    if (!byteLevel) s"""{"version":"1.0","model":$modelJson}"""
-    else s"""{"version":"1.0",""" +
+    tokenizerJson(modelJson, byteLevel, Nil, 0)
+
+  /** As above with ADDED TOKENS (round 17 — the HF `added_tokens`
+    * array: BOS/EOS/control tokens that must never split; a
+    * downstream `tokenizers` load protects them exactly like
+    * [[AddedTokens.encode]] does here). Ids are sequential from
+    * `addedIdBase` — pass the model's vocab size for the HF
+    * convention (added tokens append after the vocabulary). */
+  def tokenizerJson(modelJson: String, byteLevel: Boolean,
+                    addedTokens: Seq[String], addedIdBase: Int): String = {
+    val added =
+      if (addedTokens.isEmpty) ""
+      else addedTokens.zipWithIndex.map { case (t, i) =>
+        s"""{"id":${addedIdBase + i},"content":"${esc(t)}",""" +
+          s""""single_word":false,"lstrip":false,"rstrip":false,""" +
+          s""""normalized":false,"special":true}"""
+      }.mkString(""""added_tokens":[""", ",", "],")
+    if (!byteLevel) s"""{"version":"1.0",$added"model":$modelJson}"""
+    else s"""{"version":"1.0",$added""" +
       s""""pre_tokenizer":{"type":"ByteLevel","add_prefix_space":false,""" +
       s""""trim_offsets":true,"use_regex":true},""" +
       s""""decoder":{"type":"ByteLevel","add_prefix_space":false,""" +
       s""""trim_offsets":true,"use_regex":true},""" +
       s""""model":$modelJson}"""
+  }
 
   /** Persist a model JSON at `path` (single small file, any Hadoop
     * FS). */

@@ -91,6 +91,27 @@ object TokenizerImport {
     }.toSeq
   }
 
+  /** Does the Unigram model promise byte-fallback encode (round 17 —
+    * the HF `byte_fallback` field)? True tells the caller to encode
+    * with [[Unigram.encodeByteFallback]] / decode with
+    * [[Unigram.decodeByteFallback]]; the vocab then carries the
+    * complete `<0x00>`..`<0xFF>` tail ([[Unigram.hasByteFallback]]). */
+  def byteFallback(json: String): Boolean = {
+    val m = modelNode(json)
+    Option(m.get("byte_fallback")).filter(!_.isNull)
+      .exists(_.asBoolean(false))
+  }
+
+  /** The file's ADDED TOKENS (round 17 — `added_tokens[].content`, in
+    * file order): the protected strings [[AddedTokens.encode]] must
+    * never split. Empty when the file carries none. */
+  def addedTokens(json: String): Seq[String] = {
+    val root = mapper.readTree(json)
+    Option(root.get("added_tokens")).filter(!_.isNull).toSeq
+      .flatMap(_.elements().asScala)
+      .flatMap(n => Option(n.get("content")).map(_.asText))
+  }
+
   /** The tokenizer's `pre_tokenizer` type, when the file carries one
     * (round 16) — `Some("ByteLevel")` tells the caller to encode with
     * [[Bpe.encodeByteLevel]] / decode with [[Bpe.decodeByteLevel]]

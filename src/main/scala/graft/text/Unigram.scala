@@ -288,4 +288,114 @@ object Unigram {
     * whole word itself, so concatenation restores the input exactly —
     * `decode(encode(w)) == w` for every word (spec-locked). */
   def decode(pieces: Seq[String]): String = pieces.mkString
+
+  // ----- BYTE FALLBACK (round 17 — SentencePiece `byte_fallback=
+  // ----- true`, the LLaMA-family production form: 256 `<0xNN>`
+  // ----- pieces guarantee NO unk ever) ------------------------------
+
+  /** The 256 byte pieces `<0x00>`..`<0xFF>` (SentencePiece's exact
+    * rendering — uppercase hex, the LLaMA vocab tail). */
+  val ByteFallbackPieces: IndexedSeq[String] =
+    (0 until 256).map(b => f"<0x$b%02X>")
+  private val ByteFallbackSet: Set[String] = ByteFallbackPieces.toSet
+  private val BytePieceRe = "^<0x([0-9A-F]{2})>$".r
+
+  /** Append the byte pieces to a learned vocabulary, scored strictly
+    * BELOW every real piece (min − 1000 milli — deterministic, and
+    * exported/imported like any other score): a path through a byte
+    * arc is then dominated whenever any vocab piece covers the same
+    * character, so fallback fires EXACTLY on uncovered characters. */
+  def withByteFallback(vocab: Seq[Entry]): Seq[Entry] = {
+    val real = vocab.filterNot(e => ByteFallbackSet(e.piece))
+    require(real.nonEmpty, "cannot byte-fallback an empty vocabulary")
+    val bs = real.iterator.map(_.scoreMilli).min - 1000L
+    real ++ ByteFallbackPieces.map(p => Entry(p, 0L, bs))
+  }
+
+  /** Does a vocabulary carry the complete byte-fallback tail? */
+  def hasByteFallback(vocab: Seq[Entry]): Boolean =
+    ByteFallbackSet.subsetOf(vocab.iterator.map(_.piece).toSet)
+
+  /** Byte-fallback encode — [[viterbi]]'s lattice plus one fallback
+    * arc per CODEPOINT (its UTF-8 bytes as `<0xNN>` pieces, scored
+    * per byte; surrogate pairs fall back whole — splitting one would
+    * emit bytes no decode can restore). Total: byte arcs chain
+    * through any input, so this NEVER returns the unk whole-word
+    * fallback — the SentencePiece `byte_fallback` contract.
+    * `decodeByteFallback(encodeByteFallback(w)) == w` for every
+    * well-formed string (fuzz-locked in UnigramProps). */
+  def encodeByteFallback(word: String, vocab: Seq[Entry],
+                         maxPieceLen: Int = 4): Vector[String] = {
+    val (bytes, real) = vocab.partition(e => ByteFallbackSet(e.piece))
+    val bs =
+      if (bytes.nonEmpty) bytes.iterator.map(_.scoreMilli).min
+      else real.iterator.map(_.scoreMilli).min - 1000L
+    val scores = real.iterator.map(e => e.piece -> e.scoreMilli).toMap
+    val n = word.length
+    if (n == 0) return Vector.empty
+    val dp = new Array[(Long, String)](n + 1)
+    dp(0) = (0L, "")
+    var i = 1
+    while (i <= n) {
+      var best: (Long, String) = null
+      def offer(s: Long, seg: String): Unit =
+        if (best == null || s > best._1 ||
+            (s == best._1 && seg < best._2)) best = (s, seg)
+      var j = math.max(0, i - maxPieceLen)
+      while (j < i) {
+        if (dp(j) != null) {
+          val piece = word.substring(j, i)
+          scores.get(piece) match {
+            case Some(sc) =>
+              val (ps, pseg) = dp(j)
+              offer(ps + sc,
+                if (pseg.isEmpty) piece else pseg + " " + piece)
+            case None =>
+          }
+        }
+        j += 1
+      }
+      // the fallback arc for the codepoint ENDING at i: a surrogate
+      // pair spans two chars; a high surrogate followed by its low
+      // half contributes no arc at i (the pair's arc ends at i+1);
+      // lone surrogates degrade to UTF-8's replacement deterministically
+      val c = word.charAt(i - 1)
+      val pairEndsLater = Character.isHighSurrogate(c) && i < n &&
+        Character.isLowSurrogate(word.charAt(i))
+      if (!pairEndsLater) {
+        val start =
+          if (Character.isLowSurrogate(c) && i >= 2 &&
+              Character.isHighSurrogate(word.charAt(i - 2))) i - 2
+          else i - 1
+        if (dp(start) != null) {
+          val bs8 = word.substring(start, i).getBytes("UTF-8")
+          val arc = bs8.iterator.map(b => f"<0x${b & 0xff}%02X>")
+            .mkString(" ")
+          val (ps, pseg) = dp(start)
+          offer(ps + bs8.length * bs,
+            if (pseg.isEmpty) arc else pseg + " " + arc)
+        }
+      }
+      dp(i) = best
+      i += 1
+    }
+    dp(n)._2.split(" ").toVector
+  }
+
+  /** Byte-fallback decode: runs of `<0xNN>` pieces collect into one
+    * byte buffer and decode as UTF-8 at the run boundary; every other
+    * piece concatenates as-is ([[decode]]). */
+  def decodeByteFallback(pieces: Seq[String]): String = {
+    val sb = new StringBuilder
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def flush(): Unit = if (buf.nonEmpty) {
+      sb.append(new String(buf.toArray, "UTF-8")); buf.clear()
+    }
+    pieces.foreach {
+      case BytePieceRe(hex) => buf += Integer.parseInt(hex, 16).toByte
+      case p => flush(); sb.append(p)
+    }
+    flush()
+    sb.toString
+  }
 }

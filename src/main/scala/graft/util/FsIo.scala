@@ -42,7 +42,12 @@ object FsIo {
     val os = fs.create(tmp, true)
     try os.write(content.getBytes("UTF-8")) finally os.close()
     fs.delete(p, false)
-    fs.rename(tmp, p)
+    // a soft rename failure (false, no exception) would leave only the
+    // tmp holding the committed value — readable today, but the NEXT
+    // writeSwapped truncates the tmp first, so surface it NOW
+    if (!fs.rename(tmp, p) && !fs.exists(p))
+      throw new java.io.IOException(
+        s"writeSwapped: rename $tmp -> $p failed; value only in tmp")
   }
 
   /** The current value of a [[writeSwapped]] file: the final path

@@ -237,11 +237,15 @@ object AnnLifecycleProps extends Properties("ann-lifecycle") {
   }
 
   property("binary-ivf: random add/remove/purge/crash interleavings " +
-      "(re-adds included) stay exact vs brute force through the " +
-      "PUBLIC facade (full probe + corpus-wide rerank make the " +
-      "two-stage pipeline exact)") = forAll(seqGen) { ops =>
+      "(re-adds included, pin/unpin with purge deferral) stay exact " +
+      "vs brute force through the PUBLIC facade (full probe + " +
+      "corpus-wide rerank make the two-stage pipeline exact)") =
+      forAll(seqGen) { ops =>
     val out = java.nio.file.Files.createTempDirectory("fuzz_bq_").toString
     val m = new Model
+    var pinTok: Option[Int] = None
+    var pinnedVis: Map[Long, Seq[Double]] = Map.empty
+    var ok = true
     BinaryQuant.buildIvfStore(df(m.rows.toSeq), out, dim = Dim, nlist = 4)
     ops.zipWithIndex.foreach { case (op, v) =>
       op match {
@@ -255,13 +259,24 @@ object AnnLifecycleProps extends Properties("ann-lifecycle") {
           m.tombs ++= ids
         case Purge | Rebuild =>
           BinaryQuant.purgeIvfDeletes(spark, out)
-          m.purge()
-        case PinNow => // no pin surface on the binary tier
+          // a pin on the current generation DEFERS the physical purge
+          // — observable: the tombstone dir survives
+          if (!hadoopFs(out).exists(
+              new org.apache.hadoop.fs.Path(s"$out/deletes")))
+            m.purge()
+        case PinNow =>
+          if (pinTok.isEmpty) {
+            pinTok = Some(BinaryQuant.pinIvfGeneration(spark, out))
+            pinnedVis = m.visible
+          }
         case CrashRecover =>
-          // fabricate the mid-purge-swap crash on codes/, then purge
+          // fabricate the mid-purge-swap crash on codes/, then purge.
+          // Skip while pinned: the fabricated crash deletes live
+          // files a pin addresses (a real crash mid-DEFERRED-purge
+          // cannot exist — the purge never starts).
           val fs = hadoopFs(out)
           val stored = m.tombs.filter(m.rows.contains)
-          if (stored.nonEmpty) {
+          if (stored.nonEmpty && pinTok.isEmpty) {
             val all = spark.read.parquet(s"$out/codes")
             val victims = df(stored.toSeq.map(id => (id, Seq.empty[Double])))
               .select(col("vec_id").as("corpus_id"))
@@ -277,7 +292,8 @@ object AnnLifecycleProps extends Properties("ann-lifecycle") {
                 s"$out/codes/cell=$cell"), true)
             }
             BinaryQuant.purgeIvfDeletes(spark, out)
-            m.purge()
+            if (!fs.exists(new org.apache.hadoop.fs.Path(s"$out/deletes")))
+              m.purge()
           }
       }
     }
@@ -288,9 +304,26 @@ object AnnLifecycleProps extends Properties("ann-lifecycle") {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
       .sorted.toSeq
     val want = bruteTruth(m.visible)
-    if (got != want)
+    if (got != want) {
       println(s"binary-IVF fuzz diverged on ops=$ops\n got=$got\nwant=$want")
-    got == want
+      ok = false
+    }
+    pinTok.foreach { t =>
+      // the binary store holds CODES only — the pinned read takes the
+      // pin-time corpus frame for its exact re-rank (the caller-kept
+      // snapshot; the store-side pin freezes codes + tombstones)
+      val pinGot = BinaryQuant.queryIvfStorePinned(spark, out, t,
+          queries, df(pinnedVis.toSeq), k = 5, rerank = 64, nprobe = 8)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .sorted.toSeq
+      val pinWant = bruteTruth(pinnedVis)
+      if (pinGot != pinWant) {
+        println(s"binary PIN diverged on ops=$ops\n got=$pinGot\nwant=$pinWant")
+        ok = false
+      }
+      IvfIndex.releaseGeneration(spark, out, t)
+    }
+    ok
   }
 
   property("ivf: random lifecycle interleavings (facade-dispatched " +

@@ -241,4 +241,38 @@ class BinaryQuantSpec extends AnyFunSuite {
       assert(hits.map(_._2).distinct.length === 5, s"query $q short")
     }
   }
+
+  test("pinned snapshot on the bucketed store: pre-mutation answers " +
+      "bit-for-bit through add/remove; purge DEFERS while pinned " +
+      "and reclaims after release") {
+    val store = java.nio.file.Files.createTempDirectory("bqivf_pin_").toString
+    val evens = emb.filter(col("vec_id") % 2 === 0)
+    val odds = emb.filter(col("vec_id") % 2 === 1)
+    BinaryQuant.buildIvfStore(evens, store, dim = 64, nlist = 4)
+    BinaryQuant.removeIdsFromIvfStore(spark, store,
+      emb.filter(col("vec_id") % 5 === 2).select("vec_id"))
+    val tok = BinaryQuant.pinIvfGeneration(spark, store)
+    assert(tok === 0)
+    val queries = emb.filter(col("vec_id") < 6)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sorted.toSeq
+    val atPin = rows(BinaryQuant.queryIvfStore(spark, store, queries,
+      emb, k = 5, rerank = 32, nprobe = 4))
+    BinaryQuant.addToIvfStore(spark, store, odds)
+    BinaryQuant.removeIdsFromIvfStore(spark, store,
+      emb.filter(col("vec_id") % 3 === 0).select("vec_id"))
+    assert(BinaryQuant.purgeIvfDeletes(spark, store) === 0,
+      "purge must defer while its generation is pinned")
+    assert(rows(BinaryQuant.queryIvfStorePinned(spark, store, tok,
+        queries, emb, k = 5, rerank = 32, nprobe = 4)) === atPin,
+      "pinned query diverged from pin-time answers")
+    IvfIndex.releaseGeneration(spark, store, tok)
+    assert(BinaryQuant.purgeIvfDeletes(spark, store) > 0,
+      "release must re-enable the purge")
+    intercept[IllegalArgumentException] {
+      BinaryQuant.queryIvfStorePinned(spark, store, tok, queries, emb,
+        k = 5, rerank = 32, nprobe = 4)
+    }
+  }
 }

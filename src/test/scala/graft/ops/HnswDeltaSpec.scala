@@ -244,6 +244,46 @@ class HnswDeltaSpec extends AnyFunSuite {
     assert(exact() === before)
   }
 
+  test("a TORN drop-intent file (a parseable prefix of the real " +
+      "generation that happens to name an older, existing generation) " +
+      "is treated as void — it never drops delta rows whose " +
+      "replacement generation may not exist") {
+    val s = mkStore()
+    // id 1's only live copy is a delta row; two non-overlapping direct
+    // adds commit _gen_1 and _gen_2 (so generations.last == 2)
+    assert(HnswIndex.addBatchDelta(spark, s,
+      odds.filter(col("vec_id") === 1), 0L, "t"))
+    HnswIndex.add(spark, s, emb.filter(col("vec_id") === 102))
+    HnswIndex.add(spark, s, emb.filter(col("vec_id") === 104))
+    val fs = new org.apache.hadoop.fs.Path(s)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$s/_gen_1")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$s/_gen_2")))
+    // crash simulation: an add targeting gen 13 tore its intent to
+    // '1' — a LEGACY truncate-write artifact; '_gen_1' exists, so the
+    // old existence check would have read it as committed and dropped
+    // id 1's only live copy
+    import spark.implicits._
+    Seq(1L).toDF("corpus_id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$s/.drop_intent_ids")
+    graft.util.FsIo.writeSmallFile(
+      spark.sparkContext.hadoopConfiguration, s"$s/_drop_intent", "1")
+    // read side: the torn intent must not mask the live delta row
+    val queries = emb.filter(col("vec_id") < 6)
+    assert(rows(HnswIndex.queryFiltered(spark, s, queries, k = 5,
+        emb100.select("vec_id"), efSearch = 512))
+      .exists(_._3 == 1L) ||
+      HnswIndex.readDelta(spark, s).get
+        .filter(col("corpus_id") === 1).count() === 1,
+      "torn intent masked the only live copy at read time")
+    // recovery voids it and keeps the delta row
+    HnswIndex.resolveDropIntent(spark, s)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$s/_drop_intent")))
+    assert(HnswIndex.readDelta(spark, s).get
+      .filter(col("corpus_id") === 1).count() === 1,
+      "torn intent dropped the only live copy")
+  }
+
   test("batch-marker compaction: markers fold into the stream hwm, " +
       "replay protection and committed delta files survive, and the " +
       "seq counter keeps latest-commit-wins across the compaction") {

@@ -66,4 +66,38 @@ class HybridSearchSpec extends AnyFunSuite {
     val both = got.filter(_._3 == 2L)
     both.foreach { case (_, score, _) => assert(score > 16393L / 2) }
   }
+
+  test("hybridSearchBatch: per-request rows are bit-identical to " +
+      "hybridSearch run in a loop (the batch fuses N requests in one " +
+      "job, it must not change any answer)") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, graft.TestSpark.sf)
+    val emb = graft.Tables.embeddings(spark, graft.TestSpark.sf)
+    val docsStore =
+      java.nio.file.Files.createTempDirectory("hybb_docs_").toString
+    graft.index.SegmentShardSink.write(
+      docs.select(col("doc_id").cast("string").as("id"), col("text")),
+      "id", docsStore, shards = 2, analyzedFields = Set("text"))
+    val annStore =
+      java.nio.file.Files.createTempDirectory("hybb_ann_").toString
+    HnswIndex.build(emb.filter(col("vec_id") < 200), annStore, dim = 64)
+    def vecOf(id: Long) = emb.filter(col("vec_id") === id)
+      .select(col("embedding").cast("array<double>"))
+      .head.getSeq[Double](0).mkString(",")
+    val reqs = Seq(
+      (-1L, "text:join", s"{!knn f=embedding topK=8}[${vecOf(0)}]"),
+      (-2L, "text:vector", s"{!knn f=embedding topK=8}[${vecOf(1)}]"),
+      (-3L, "text:merge", s"{!knn f=embedding topK=8}[${vecOf(2)}]"))
+    val batch = graft.Graft.hybridSearchBatch(spark, docsStore, annStore,
+        reqs, topN = 20)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(batch.nonEmpty)
+    reqs.foreach { case (rid, q, knnQ) =>
+      val solo = graft.Graft.hybridSearch(spark, docsStore, annStore,
+          q = q, knnQ = knnQ, topN = 20)
+        .as[(String, Long, Long)].collect().toSeq
+      val slice = batch.filter(_._1 == rid).map(t => (t._2, t._3, t._4))
+      assert(slice === solo, s"request $rid diverged from the solo run")
+    }
+  }
 }

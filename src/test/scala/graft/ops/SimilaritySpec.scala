@@ -301,4 +301,24 @@ class SimilaritySpec extends AnyFunSuite {
       .agg(expr("sum(recall_milli) div count(1)")).head.getLong(0)
     assert(recall >= 600L, s"prefix-stage recall $recall under the floor")
   }
+
+  test("matryoshka zero-prefix guard: a corpus row whose first " +
+      "prefixDim dims are all zero must not seize candidate slots " +
+      "(NaN sorts above every real double in Spark)") {
+    import spark.implicits._
+    // 4-dim vectors, prefixDim 2; id 9's prefix is all-zero
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.1, 0.0, 0.0)), (2L, Seq(0.9, 0.2, 0.1, 0.0)),
+      (3L, Seq(0.8, 0.3, 0.0, 0.1)), (9L, Seq(0.0, 0.0, 5.0, 5.0)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((100L, Seq(1.0, 0.0, 0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    // rerank 2: only 2 candidate slots — a NaN pcos on id 9 would
+    // have taken one and pushed a real neighbor out
+    val got = Similarity.matryoshkaTopK(corpus, queries, k = 2,
+        rerank = 2, prefixDim = 2)
+      .select("corpus_id").as[Long].collect().toSet
+    assert(!got.contains(9L), "zero-prefix row seized a candidate slot")
+    assert(got === Set(1L, 2L))
+  }
 }

@@ -121,6 +121,45 @@ class Sq8IndexSpec extends AnyFunSuite {
     assert(c0 === Set(0), "constant dimension must code to 0")
   }
 
+  test("pinned snapshot: pre-mutation answers bit-for-bit through " +
+      "add/remove; purge DEFERS while pinned and reclaims after " +
+      "release") {
+    val store = java.nio.file.Files.createTempDirectory("sq8_pin_").toString
+    val evens = emb.filter(col("vec_id") % 2 === 0)
+    val odds = emb.filter(col("vec_id") % 2 === 1)
+    Sq8Index.build(evens, store, dim = 64, nlist = 4)
+    Sq8Index.removeIds(spark, store,
+      emb.filter(col("vec_id") % 5 === 2).select("vec_id"))
+    val tok = Sq8Index.pinGeneration(spark, store)
+    assert(tok === 0)
+    val queries = emb.filter(col("vec_id") < 6)
+    val atPin = rows(Sq8Index.query(spark, store, queries, emb,
+      k = 5, rerank = 32, nprobe = 4))
+    Sq8Index.add(spark, store, odds)
+    Sq8Index.removeIds(spark, store,
+      emb.filter(col("vec_id") % 3 === 0).select("vec_id"))
+    assert(Sq8Index.purgeDeletes(spark, store) === 0,
+      "purge must defer while its generation is pinned")
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$store/deletes")),
+      "deferred purge must leave the tombstones")
+    assert(rows(Sq8Index.queryPinned(spark, store, tok, queries, emb,
+        k = 5, rerank = 32, nprobe = 4)) === atPin,
+      "pinned query diverged from pin-time answers")
+    // live query sees the mutations (sanity, not bit-compared)
+    val live = rows(Sq8Index.query(spark, store, queries, emb,
+      k = 5, rerank = 32, nprobe = 4))
+    assert(live.forall(_._3 % 3 != 0), "a live tombstone leaked")
+    IvfIndex.releaseGeneration(spark, store, tok)
+    assert(Sq8Index.purgeDeletes(spark, store) > 0,
+      "release must re-enable the purge")
+    intercept[IllegalArgumentException] {
+      Sq8Index.queryPinned(spark, store, tok, queries, emb,
+        k = 5, rerank = 32, nprobe = 4)
+    }
+  }
+
   test("streamed adds are exactly-once, batch-boundary-invariant, and " +
       "the ingest sink DISPATCHES on the SQ8 marker") {
     val evens = emb.filter(col("vec_id") % 2 === 0)

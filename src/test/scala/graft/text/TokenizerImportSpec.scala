@@ -82,4 +82,39 @@ class TokenizerImportSpec extends AnyFunSuite {
     assert(noUnk.map(e => (e.piece, e.scoreMilli)) ===
       Seq(("a", -1000L), ("b", -2500L)))
   }
+
+  test("byte_fallback + added_tokens survive export -> import: the " +
+      "flag round-trips, the <0xNN> tail round-trips with its " +
+      "below-minimum score, added tokens come back in order and " +
+      "protect encode identically") {
+    val vocab = Unigram.withByteFallback(Unigram.learn(corpus, "text",
+      vocabSize = 15, seedSize = 64, maxPieceLen = 3))
+    val added = Seq("<s>", "</s>", "<pad>")
+    val json = TokenizerExport.tokenizerJson(
+      TokenizerExport.unigramModelJson(vocab, byteFallback = true),
+      byteLevel = false, added, addedIdBase = vocab.size + 1)
+    assert(TokenizerImport.byteFallback(json))
+    assert(TokenizerImport.addedTokens(json) === added)
+    assert(!TokenizerImport.byteFallback(
+      TokenizerExport.unigramModelJson(vocab.take(5))))
+    assert(TokenizerImport.addedTokens(
+      """{"version":"1.0","model":{"type":"Unigram","vocab":[]}}""") === Nil)
+    val imported = TokenizerImport.unigramVocab(json)
+    assert(imported.map(e => (e.piece, e.scoreMilli)) ===
+      vocab.map(e => (e.piece, e.scoreMilli)))
+    assert(Unigram.hasByteFallback(imported))
+    // the whole protected-encode path under the IMPORTED file: added
+    // tokens atomic, OOV chars as byte pieces, round trip exact
+    val text = "<s>the caté</s>"
+    def enc(v: Seq[Unigram.Entry]) = AddedTokens.encode(text,
+      TokenizerImport.addedTokens(json),
+      run => run.split(" ").toSeq.filter(_.nonEmpty)
+        .flatMap(w => Unigram.encodeByteFallback(w, v, 3)))
+    assert(enc(imported) === enc(vocab))
+    val pieces = enc(imported)
+    assert(pieces.head === "<s>" && pieces.last === "</s>",
+      s"added tokens split: $pieces")
+    assert(pieces.exists(_.matches("<0x[0-9A-F]{2}>")),
+      s"é did not byte-fall back: $pieces")
+  }
 }

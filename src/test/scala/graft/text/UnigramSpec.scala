@@ -83,6 +83,54 @@ object UnigramProps extends Properties("unigram-lm") {
           Unigram.encode(w, a, 3).mkString("") == w
         } :| "encode does not spell a word back")
     }
+
+  // byte-fallback words: WHOLE codepoints (the ByteLevelProps
+  // discipline — char sampling would emit unpaired surrogates with no
+  // UTF-8 round trip)
+  private val anyWordGen: Gen[String] = Gen.nonEmptyListOf(Gen.frequency(
+    5 -> Gen.oneOf("a", "b", "c"),
+    2 -> Gen.oneOf("x", "7", "!", " "),
+    1 -> Gen.choose(0x80, 0x2fff).map(_.toChar.toString),
+    1 -> Gen.oneOf("中", "é", "🎉", "😀"))).map(_.mkString)
+
+  property("byte fallback: decode(encode(w)) == w for ARBITRARY " +
+      "unicode under an a-b-c-trained vocab (no unk, ever), and " +
+      "encode == plain viterbi when the word is fully covered") =
+    forAll(corpusGen, anyWordGen) { (corpus, w) =>
+      val vb = Unigram.withByteFallback(
+        Unigram.learnInMemory(corpus, 8, seedSize = 16, maxPieceLen = 3))
+      val pieces = Unigram.encodeByteFallback(w, vb, 3)
+      val rt = Unigram.decodeByteFallback(pieces)
+      val covered = corpus.flatMap(_._1.toSet).toSet
+      val plainAgrees = !w.forall(covered.contains) || {
+        Unigram.viterbi(w,
+          vb.filterNot(e => e.piece.startsWith("<0x"))
+            .map(e => e.piece -> e.scoreMilli).toMap, 3)
+          .exists(_._2 == pieces)
+      }
+      ((rt == w) :| s"round trip broke: '$w' -> $pieces -> '$rt'") &&
+        (plainAgrees :| s"fallback arcs leaked into a covered word: $pieces") &&
+        (Unigram.hasByteFallback(vb) :| "vocab lost its byte tail")
+    }
+
+  property("added tokens never split and pass through encode " +
+      "verbatim; segment() partitions the input; longest token wins " +
+      "at equal start") =
+    forAll(Gen.listOf(Gen.oneOf("a", "b", "ab", "ba")).map(_.mkString)) { s =>
+      val added = Seq("<s>", "</s>", "<s>>")
+      val text = s"<s>$s</s>${s}<s>><s>"
+      val segs = AddedTokens.segment(text, added)
+      val enc = AddedTokens.encode(text, added, run => Seq(run))
+      ((segs.map(_.fold(identity, identity)).mkString == text) :|
+        "segment does not partition") &&
+        ((enc.mkString == text) :| "encode broke the surface form") &&
+        ((segs.count(_ == Right("<s>>")) == 1) :|
+          s"longest-first precedence broke: $segs") &&
+        (segs.forall {
+          case Left(run) => added.forall(t => !run.contains(t))
+          case Right(t) => added.contains(t)
+        } :| "an added token survived inside a plain run")
+    }
 }
 
 /** Distributed seed == in-memory seed over the same word table. */
