@@ -1378,6 +1378,25 @@ object Graft {
                     vectors: DataFrame): Unit =
     graft.ops.MrlIndex.add(spark, store, vectors)
 
+  /** PIN the MRL store's current state (file-set snapshots of BOTH
+    * stages + tombstones; purge defers while pinned). Release with
+    * [[releaseIvfGeneration]]. */
+  def pinMrlGeneration(spark: SparkSession, store: String): Int =
+    graft.ops.MrlIndex.pinGeneration(spark, store)
+
+  /** Query a pinned MRL snapshot. */
+  def queryMrlPinned(spark: SparkSession, store: String, token: Int,
+                     queries: DataFrame, k: Int, rerank: Int,
+                     nprobe: Int = 4): DataFrame =
+    graft.ops.MrlIndex.queryPinned(spark, store, token, queries, k,
+      rerank, nprobe)
+
+  /** Prefix-space drift probe on the MRL store — the frozen prefix
+    * quantizer's retrain trigger. */
+  def mrlAssignmentDrift(spark: SparkSession, store: String,
+                         recent: DataFrame): DataFrame =
+    graft.ops.MrlIndex.assignmentDrift(spark, store, recent)
+
   /** PIN the SQ8 store's current state (file-set snapshot +
     * tombstones; purge defers while pinned). Release with
     * [[releaseIvfGeneration]]. */

@@ -155,6 +155,7 @@ object SparkEntry {
     "q283_epub_parse",         // epub_fixtures
     "q243_backup_restore",     // cust_backup
     "q337_mrl_persisted",      // mrl_index (prefix cells + raw sidecar)
+    "q342_mrl_pinned_query",   // mrl_pinned (build + pin + post-pin mutations)
     "q338_sq8_pinned_query",   // sq8_pinned (build + pin + post-pin mutations)
     "q341_colbert_token_store", // colbert_tokens (token IVF + bucketed fetch)
     "q323_ann_tier_arbitration") // exact_topk5 (cached ground-truth leg)
@@ -1497,6 +1498,34 @@ object SparkEntry {
       }
       val emb = Tables.embeddings(s, d)
       MrlIndex.query(s, out, emb.filter(col("vec_id") < 10),
+        k = 5, rerank = 32, nprobe = 8)
+    }),
+
+    // PINNED SNAPSHOT on the MRL tier (round 17 — q332/q338's pattern
+    // on the dimension-cut rung: pins now cover ALL SEVEN persisted
+    // tiers): build on evens, tombstone %7==1, PIN — then frozen-add
+    // the odds, tombstone more, attempt a purge that must DEFER (the
+    // shared IvfIndex pass already checks the pin). The pinned query
+    // reads both stages' pin-time file sets; the oracle replays the
+    // MRL pipeline restricted to the pin-time live set.
+    "q342_mrl_pinned_query" -> ((s, d) => {
+      import graft.ops.{IvfIndex, MrlIndex}
+      val out = sharedStore(d, "mrl_pinned") { o =>
+        val emb = Tables.embeddings(s, d)
+        val evens = emb.filter(col("vec_id") % 2 === 0)
+        MrlIndex.build(evens, o, dim = 64, prefixDim = 16)
+        MrlIndex.removeIds(s, o,
+          evens.filter(col("vec_id") % 7 === 1).select("vec_id"))
+        val pin = MrlIndex.pinGeneration(s, o)
+        require(pin == 0, s"expected the build generation, got $pin")
+        MrlIndex.add(s, o, emb.filter(col("vec_id") % 2 === 1))
+        MrlIndex.removeIds(s, o,
+          emb.filter(col("vec_id") % 3 === 0).select("vec_id"))
+        require(MrlIndex.purgeDeletes(s, o) == 0,
+          "purge must defer while its generation is pinned")
+      }
+      MrlIndex.queryPinned(s, out, token = 0,
+        Tables.embeddings(s, d).filter(col("vec_id") < 10),
         k = 5, rerank = 32, nprobe = 8)
     }),
 
@@ -10196,8 +10225,10 @@ object SparkEntry {
     // evens' PREFIX slices, prefix-space assignment + probing, prefix
     // cosine candidates, full-dim exact re-rank — the whole two-stage
     // store replayed (same Lloyd protocol as trainAndAssignW, folds
-    // over the first 16 dims only)
-    val mrlSql: String = {
+    // over the first 16 dims only). `candPred` restricts the
+    // candidate rows (the pinned-read oracle q342 models the
+    // pin-time live set with it — the sq8Sql pattern).
+    def mrlSql(candPred: String): String = {
       val pd = 16
       val djp = s"generate_series(0, ${pd - 1})"
       def dotP(aE: String, bE: String) =
@@ -10262,6 +10293,7 @@ object SparkEntry {
          |    CASE WHEN qp.pnorm = 0 OR cp.pnorm = 0 THEN -2.0
          |    ELSE ${dotP("qp.p", "cp.p")} / (qp.pnorm * cp.pnorm) END AS pcos
          |  FROM qcell q JOIN corpcell c ON c.cell = q.cell AND c.id <> q.id
+         |    AND $candPred
          |  JOIN corpp qp ON qp.id = q.id
          |  JOIN corpp cp ON cp.id = c.id),
          |cand AS (SELECT query_id, corpus_id FROM (
@@ -10644,7 +10676,10 @@ object SparkEntry {
       // exact position (after probe pruning, before the cut — q334)
       "q330_sq8_ann" -> sq8Sql("TRUE"),
       "q336_sq8_drift" -> sq8DriftSql,
-      "q337_mrl_persisted" -> mrlSql,
+      "q337_mrl_persisted" -> mrlSql("TRUE"),
+      // pinned MRL read: the pin-time live set is the evens minus the
+      // pin-time tombstones (%7==1) — post-pin adds/deletes invisible
+      "q342_mrl_pinned_query" -> mrlSql("c.id % 2 = 0 AND c.id % 7 <> 1"),
       // pinned SQ8 read: the pin-time live set is the evens minus the
       // pin-time tombstones (%7==1); post-pin adds/deletes are
       // invisible by construction of the predicate

@@ -109,7 +109,48 @@ object MrlIndex {
     * the FILTERED-SEARCH selector, semi-joined after probe pruning. */
   def query(spark: SparkSession, out: String, queries: DataFrame,
             k: Int, rerank: Int, nprobe: Int = 4,
-            allowed: Option[DataFrame] = None): DataFrame = {
+            allowed: Option[DataFrame] = None): DataFrame =
+    queryFrom(spark, out, queries, k, rerank, nprobe, allowed,
+      (sub, probed) => spark.read.parquet(s"$out/$sub")
+        .filter(col("cell").isin(probed: _*)),
+      cf => IvfIndex.exceptDeleted(spark, out, cf))
+
+  /** PIN the store's current state — [[IvfIndex.pinSubdirs]] over
+    * BOTH subdirs (prefix cells + refine sidecar; the quantizer is
+    * write-once, adds append new files); [[purgeDeletes]] already
+    * defers while pinned (the shared IvfIndex pass). Release with
+    * [[IvfIndex.releaseGeneration]]. */
+  def pinGeneration(spark: SparkSession, out: String): Int = {
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    IvfIndex.recoverSubdirSwap(fs, out, "cells")
+    IvfIndex.recoverSubdirSwap(fs, out, "vectors")
+    IvfIndex.pinSubdirs(spark, out, Seq("cells", "vectors"))
+  }
+
+  /** Query a PINNED snapshot: both stages read exactly the pin-time
+    * file sets, tombstones are the pin's snapshot — bit-for-bit
+    * pin-time answers whatever mutations landed since (hash-oracled
+    * in q342). */
+  def queryPinned(spark: SparkSession, out: String, token: Int,
+                  queries: DataFrame, k: Int, rerank: Int,
+                  nprobe: Int = 4,
+                  allowed: Option[DataFrame] = None): DataFrame = {
+    IvfIndex.requirePin(spark, out, token)
+    queryFrom(spark, out, queries, k, rerank, nprobe, allowed,
+      (sub, probed) => IvfIndex.pinnedSubdirFrame(spark, out, token, sub)
+        .filter(col("cell").isin(probed: _*)),
+      IvfIndex.pinnedTombAnti(spark, out, token))
+  }
+
+  /** The two-stage body with the subdir source and tombstone view
+    * pluggable — live reads above, pinned file sets in
+    * [[queryPinned]]. */
+  private def queryFrom(spark: SparkSession, out: String,
+      queries: DataFrame, k: Int, rerank: Int, nprobe: Int,
+      allowed: Option[DataFrame],
+      subdirOf: (String, IndexedSeq[Integer]) => DataFrame,
+      tombAnti: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (_, prefixDim, eff, idCol, vecCol) = readMarker(spark, out)
     val centroids = loadCentroids(spark, out)
@@ -123,12 +164,12 @@ object MrlIndex {
       explode(Similarity.probeCells(dists(col("qpre")), eff, nprobe)))
     val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0))
     val probedBox = probed.map(Int.box).toIndexedSeq
-    val cand = prefixCandidates(spark, out, q, probedBox, rerank, allowed)
+    val cand = prefixCandidates(spark, q, rerank, allowed,
+      tombAnti(subdirOf("cells", probedBox)))
     // stage 2: exact full-dim re-rank from the sidecar — the probed
     // cells prune the partition read (candidates only live there),
     // the broadcast candidate join restricts rows inside them
-    val side = spark.read.parquet(s"$out/vectors")
-      .filter(col("cell").isin(probedBox: _*))
+    val side = subdirOf("vectors", probedBox)
       .select("corpus_id", "cvec", "cnorm")
     val rer = side.join(broadcast(cand), Seq("corpus_id"))
       .join(broadcast(q0.select("query_id", "qvec", "qnorm")),
@@ -146,14 +187,12 @@ object MrlIndex {
   }
 
   /** The prefix-cosine candidate stage — the frame whose PLAN carries
-    * the probed-cell partition filter (plan-locked in MrlIndexSpec). */
-  private[ops] def prefixCandidates(spark: SparkSession, out: String,
-      q: DataFrame, probedBox: IndexedSeq[Integer], rerank: Int,
-      allowed: Option[DataFrame]): DataFrame = {
+    * the probed-cell partition filter (plan-locked in MrlIndexSpec).
+    * `cells1` is the already-probed, tombstone-filtered prefix frame. */
+  private[ops] def prefixCandidates(spark: SparkSession,
+      q: DataFrame, rerank: Int,
+      allowed: Option[DataFrame], cells1: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cells0 = spark.read.parquet(s"$out/cells")
-      .filter(col("cell").isin(probedBox: _*))
-    val cells1 = IvfIndex.exceptDeleted(spark, out, cells0)
     val cells = allowed match {
       case Some(a) => cells1.join(
         a.select(col(a.columns.head).cast("long").as("corpus_id")),
@@ -197,6 +236,56 @@ object MrlIndex {
       .write.mode("append").partitionBy("cell").parquet(s"$out/vectors")
     base.select("corpus_id", "pvec", "pnorm", "cell")
       .write.mode("append").partitionBy("cell").parquet(s"$out/cells")
+  }
+
+  /** Exactly-once add for a streamed micro-batch — the family's
+    * [[IvfIndex.commitEncodedBatch]] protocol over BOTH subdirs in
+    * one marker-committed batch (stream-scoped durable markers,
+    * delete-output-first replay); the ingest sink's marker dispatch
+    * routes here ([[graft.streaming.StreamingIngest.annIngestBatch]]).
+    * Returns true if the batch applied, false on a replay skip. */
+  def addBatch(spark: SparkSession, out: String, vectors: DataFrame,
+               batchId: Long, streamId: String = ""): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    IvfIndex.recoverSubdirSwap(fs, out, "cells")
+    IvfIndex.recoverSubdirSwap(fs, out, "vectors")
+    val (_, prefixDim, _, idCol, vecCol) = readMarker(spark, out)
+    val (_, nearest) = Similarity.cellFns(loadCentroids(spark, out), prefixDim)
+    val base = vectors.select(col(idCol).cast("long").as("corpus_id"),
+        col(vecCol).cast("array<double>").as("cvec"))
+      .withColumn("pvec", slice(col("cvec"), 1, prefixDim))
+      .withColumn("pnorm", Similarity.norm(col("pvec")))
+      .withColumn("cnorm", Similarity.norm(col("cvec")))
+      .withColumn("cell", nearest(col("pvec")))
+    IvfIndex.commitEncodedBatch(spark, out, Seq(
+      "vectors" -> base.select(col("cell"), col("corpus_id"),
+        col("cvec"), col("cnorm")),
+      "cells" -> base.select(col("cell"), col("corpus_id"),
+        col("pvec"), col("pnorm"))), batchId, streamId)
+  }
+
+  /** Quantization-drift probe in PREFIX space — the retrain trigger
+    * for the frozen prefix quantizer ([[IvfIndex.assignmentDrift]]'s
+    * statistic, read off this store's layout: the stored cohort is
+    * the persisted prefix slices, tombstones excluded; the recent
+    * cohort's vectors slice down to the prefix first). Exact
+    * integer-milli sums, one pass per cohort. */
+  def assignmentDrift(spark: SparkSession, out: String,
+                      recent: DataFrame): DataFrame = {
+    val (_, prefixDim, _, _, vecCol) = readMarker(spark, out)
+    val (dists, _) = Similarity.cellFns(loadCentroids(spark, out), prefixDim)
+    def cohort(vecs: DataFrame, name: String): DataFrame =
+      vecs.select(round((lit(1.0) + array_min(dists(col("v")))) * 1000)
+          .cast("long").as("dm"))
+        .agg(count(lit(1)).as("n"), sum(col("dm")).as("sum_dist_milli"))
+        .select(lit(name).as("cohort"), col("n"), col("sum_dist_milli"))
+    val stored = IvfIndex.exceptDeleted(spark, out,
+        spark.read.parquet(s"$out/cells"))
+      .select(col("pvec").as("v"))
+    val rec = recent.select(
+      slice(col(vecCol).cast("array<double>"), 1, prefixDim).as("v"))
+    cohort(stored, "store").unionByName(cohort(rec, "recent"))
   }
 
   /** Tombstone deletes — [[IvfIndex.removeIds]] verbatim (identical

@@ -117,6 +117,8 @@ object StreamingIngest {
         streamId, hnswFoldThreshold)
     else if (graft.ops.Sq8Index.isSq8Store(spark, store))
       graft.ops.Sq8Index.addBatch(spark, store, batch, batchId, streamId)
+    else if (graft.ops.MrlIndex.isMrlStore(spark, store))
+      graft.ops.MrlIndex.addBatch(spark, store, batch, batchId, streamId)
     else if (graft.ops.IvfPqIndex.isPqStore(spark, store))
       graft.ops.IvfPqIndex.addBatch(spark, store, batch, batchId,
         maxFilesPerCell, streamId)

@@ -126,4 +126,99 @@ class MrlIndexSpec extends AnyFunSuite {
         s"purge left tombstoned rows in $sub/")
     }
   }
+
+  test("streamed adds are exactly-once, batch-boundary-invariant, " +
+      "commit BOTH subdirs under one marker, and the ingest sink " +
+      "DISPATCHES on the MRL marker") {
+    val evens = emb.filter(col("vec_id") % 2 === 0)
+    val odds = emb.filter(col("vec_id") % 2 === 1)
+    def mk(): String = {
+      val o = java.nio.file.Files.createTempDirectory("mrl_stream_").toString
+      MrlIndex.build(evens, o, dim = 64, prefixDim = 16, nlist = 4)
+      o
+    }
+    val s1 = mk()
+    // through the PUBLIC dispatcher — the marker must route to MRL
+    assert(graft.streaming.StreamingIngest.annIngestBatch(spark, s1,
+      odds, 0L, "s"))
+    val s2 = mk()
+    assert(graft.streaming.StreamingIngest.annIngestBatch(spark, s2,
+      odds.filter(col("vec_id") < 50), 0L, "s"))
+    assert(graft.streaming.StreamingIngest.annIngestBatch(spark, s2,
+      odds.filter(col("vec_id") >= 50), 1L, "s"))
+    // replay: same (stream, batch) id is a no-op skip on BOTH subdirs
+    assert(!graft.streaming.StreamingIngest.annIngestBatch(spark, s2,
+      odds.filter(col("vec_id") < 50), 0L, "s"))
+    Seq("cells", "vectors").foreach { sub =>
+      assert(spark.read.parquet(s"$s1/$sub").count() ===
+        spark.read.parquet(s"$s2/$sub").count(), s"$sub row drift")
+    }
+    val queries = emb.filter(col("vec_id") < 6)
+    def served(o: String) = rows(MrlIndex.query(spark, o, queries,
+      k = 5, rerank = 16, nprobe = 4))
+    assert(served(s1) === served(s2), "batch boundaries changed answers")
+    // streamed == batch add (one lineage, same frozen quantizer)
+    val s3 = mk()
+    MrlIndex.add(spark, s3, odds)
+    assert(served(s3) === served(s1), "streamed adds diverged from add")
+  }
+
+  test("pinned snapshot: pre-mutation answers bit-for-bit through " +
+      "add/remove on BOTH stages; purge DEFERS while pinned (the " +
+      "shared IvfIndex pass) and reclaims after release") {
+    val store = java.nio.file.Files.createTempDirectory("mrl_pin_").toString
+    val evens = emb.filter(col("vec_id") % 2 === 0)
+    MrlIndex.build(evens, store, dim = 64, prefixDim = 16, nlist = 4)
+    MrlIndex.removeIds(spark, store,
+      emb.filter(col("vec_id") % 5 === 2).select("vec_id"))
+    val tok = MrlIndex.pinGeneration(spark, store)
+    assert(tok === 0)
+    val queries = emb.filter(col("vec_id") < 6)
+    val atPin = rows(MrlIndex.query(spark, store, queries,
+      k = 5, rerank = 32, nprobe = 4))
+    MrlIndex.add(spark, store, emb.filter(col("vec_id") % 2 === 1))
+    MrlIndex.removeIds(spark, store,
+      emb.filter(col("vec_id") % 3 === 0).select("vec_id"))
+    assert(MrlIndex.purgeDeletes(spark, store) === 0,
+      "purge must defer while its generation is pinned")
+    assert(rows(MrlIndex.queryPinned(spark, store, tok, queries,
+        k = 5, rerank = 32, nprobe = 4)) === atPin,
+      "pinned query diverged from pin-time answers")
+    IvfIndex.releaseGeneration(spark, store, tok)
+    assert(MrlIndex.purgeDeletes(spark, store) > 0,
+      "release must re-enable the purge")
+    intercept[IllegalArgumentException] {
+      MrlIndex.queryPinned(spark, store, tok, queries,
+        k = 5, rerank = 32, nprobe = 4)
+    }
+  }
+
+  test("prefix-space drift probe: an in-distribution recent batch " +
+      "reads near the store mean; a shifted batch reads HIGHER (the " +
+      "retrain signal), and tombstoned rows leave the store cohort") {
+    val store = java.nio.file.Files.createTempDirectory("mrl_drift_").toString
+    MrlIndex.build(emb, store, dim = 64, prefixDim = 16, nlist = 8)
+    def report(recent: org.apache.spark.sql.DataFrame) =
+      MrlIndex.assignmentDrift(spark, store, recent)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2))).toMap
+    val inDist = report(emb)
+    assert(inDist("store")._1 === inDist("recent")._1)
+    assert(inDist("store")._2 === inDist("recent")._2,
+      "identical cohorts must produce identical sums")
+    val shifted = emb.select(col("vec_id"),
+      transform(col("embedding").cast("array<double>"),
+        (x, i) => x + when(i === 0, lit(0.5)).otherwise(lit(0.0)))
+        .as("embedding"))
+    val drifted = report(shifted)
+    val storeMean = drifted("store")._2.toDouble / drifted("store")._1
+    val recentMean = drifted("recent")._2.toDouble / drifted("recent")._1
+    assert(recentMean > storeMean,
+      s"shifted batch must read above the store mean ($recentMean vs $storeMean)")
+    val n0 = report(emb)("store")._1
+    MrlIndex.removeIds(spark, store,
+      emb.filter(col("vec_id") % 4 === 0).select("vec_id"))
+    assert(report(emb)("store")._1 < n0,
+      "tombstoned rows must leave the store cohort")
+  }
 }
