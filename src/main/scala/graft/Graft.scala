@@ -1471,4 +1471,13 @@ object Graft {
   def encodeWithAddedTokens(text: String, added: Seq[String],
       encodeSegment: String => Seq[String]): Vector[String] =
     graft.text.AddedTokens.encode(text, added, encodeSegment)
+
+  /** MMR diversified re-rank over any first-stage tier's candidates
+    * (Carbonell & Goldstein 1998 — see
+    * [[graft.ops.Diversify.mmrTopK]]). */
+  def mmrDiversify(candidates: DataFrame, corpus: DataFrame,
+                   queries: DataFrame, k: Int,
+                   lambdaMilli: Long = 500L): DataFrame =
+    graft.ops.Diversify.mmrTopK(candidates, corpus, queries, k,
+      lambdaMilli)
 }

@@ -1341,6 +1341,28 @@ object SparkEntry {
       Sq8Index.assignmentDrift(s, out, recent)
     }),
 
+    // MMR diversified re-rank (round 17 — Carbonell & Goldstein 1998,
+    // the standard diversification step a retrieval stack runs above
+    // any first-stage tier: RAG context assembly must not return k
+    // near-duplicates): greedy k-of-N selection maximizing
+    // λ·rel − (1−λ)·max-sim-to-selected, everything integer-milli
+    // BEFORE the greedy (each step an exact integer argmax, ties by
+    // id), distributed per query via flatMapGroups over the bounded
+    // candidate group. The oracle replays the first-stage top-16 AND
+    // all five greedy steps (statically unrolled — the q161
+    // technique).
+    "q343_mmr_diversify" -> ((s, d) => {
+      import graft.ops.{Diversify, IvfIndex}
+      val out = sharedStore(d, "ivf_index") { o =>
+        IvfIndex.build(Tables.embeddings(s, d), o, dim = 64)
+      }
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10)
+      val cand = IvfIndex.query(s, out, queries, k = 16, nprobe = 8)
+        .select("query_id", "corpus_id")
+      Diversify.mmrTopK(cand, emb, queries, k = 5)
+    }),
+
     // TOKEN-LEVEL multi-vector store (round 17 — the production
     // ColBERT shape q331 stood below: token vectors PERSIST, and
     // candidates come from per-query-token ANN probes against the
@@ -10393,6 +10415,64 @@ object SparkEntry {
          |      ORDER BY maxsim_milli DESC, corpus_id ASC) AS rn
          |  FROM ms)
          |WHERE rn <= 5 ORDER BY 1, 2""".stripMargin
+    // MMR diversification (q343): the IVF first stage replayed at
+    // k=16, then all five greedy steps statically unrolled — each
+    // step one integer argmax over the remaining candidates with the
+    // max-sim-to-chosen correlated lookup (the chosen set rides as a
+    // growing list)
+    val mmrSql: String = {
+      val lam = 500
+      def step(n: Int) =
+        s"""step$n AS (
+           |  SELECT query_id, $n AS rank, corpus_id, score AS mmr_milli FROM (
+           |    SELECT t.*, row_number() OVER (PARTITION BY query_id
+           |        ORDER BY score DESC, corpus_id) AS rn FROM (
+           |      SELECT c.query_id, c.corpus_id,
+           |        $lam * c.rel - ${1000 - lam} * (SELECT max(m.sim)
+           |          FROM sims m
+           |          WHERE m.query_id = c.query_id AND m.i = c.corpus_id
+           |            AND list_contains(ch.ch, m.j)) AS score
+           |      FROM cand c JOIN chosen${n - 1} ch ON ch.query_id = c.query_id
+           |      WHERE NOT list_contains(ch.ch, c.corpus_id)) t)
+           |  WHERE rn = 1),
+           |chosen$n AS (SELECT s.query_id, list_append(ch.ch, s.corpus_id) AS ch
+           |  FROM step$n s JOIN chosen${n - 1} ch USING (query_id))""".stripMargin
+      val steps = (2 to 5).map(step).mkString(",\n")
+      s"""WITH $trainAndAssign,
+         |qcell AS (SELECT id, cell FROM cells WHERE rn <= 8 AND id < 10),
+         |scored AS (
+         |  SELECT DISTINCT q.id AS query_id, c.id AS corpus_id,
+         |    ${dotF("qv.v", "cv.v")} / (qv.vnorm * cv.vnorm) AS cosine
+         |  FROM qcell q JOIN corpcell c ON c.cell = q.cell AND c.id <> q.id
+         |  JOIN corpn qv ON qv.id = q.id
+         |  JOIN corpn cv ON cv.id = c.id),
+         |cand AS (SELECT query_id, corpus_id,
+         |    CAST(floor(cosine * 1000 + 0.5) AS BIGINT) AS rel FROM (
+         |  SELECT query_id, corpus_id, cosine, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rn
+         |  FROM scored) WHERE rn <= 16),
+         |sims AS MATERIALIZED (SELECT a.query_id, a.corpus_id AS i,
+         |    b.corpus_id AS j,
+         |    CAST(floor(${dotF("ei.v", "ej.v")} /
+         |      (ei.vnorm * ej.vnorm) * 1000 + 0.5) AS BIGINT) AS sim
+         |  FROM cand a JOIN cand b ON b.query_id = a.query_id
+         |    AND b.corpus_id <> a.corpus_id
+         |  JOIN corpn ei ON ei.id = a.corpus_id
+         |  JOIN corpn ej ON ej.id = b.corpus_id),
+         |step1 AS (SELECT query_id, 1 AS rank, corpus_id,
+         |    $lam * rel AS mmr_milli FROM (
+         |  SELECT query_id, corpus_id, rel, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY rel DESC, corpus_id) AS rn
+         |  FROM cand) WHERE rn = 1),
+         |chosen1 AS (SELECT query_id, [corpus_id] AS ch FROM step1),
+         |$steps
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, corpus_id,
+         |  CAST(mmr_milli AS BIGINT) AS mmr_milli
+         |FROM (SELECT * FROM step1 UNION ALL SELECT * FROM step2
+         |  UNION ALL SELECT * FROM step3 UNION ALL SELECT * FROM step4
+         |  UNION ALL SELECT * FROM step5)
+         |ORDER BY 1, 2""".stripMargin
+    }
     val ivfAnnSql =
         s"""WITH $trainAndAssign,
            |qcell AS (SELECT id, cell FROM cells WHERE rn <= 8 AND id < 10),
@@ -10685,6 +10765,7 @@ object SparkEntry {
       // invisible by construction of the predicate
       "q338_sq8_pinned_query" -> sq8Sql("c.id % 2 = 0 AND c.id % 7 <> 1"),
       "q341_colbert_token_store" -> tokenColbertSql,
+      "q343_mmr_diversify" -> mmrSql,
       "q334_sq8_filtered" -> sq8Sql("c.id % 3 = 0"),
 
       // ColBERT MaxSim: the q46/q287 first-stage replay cut at 20

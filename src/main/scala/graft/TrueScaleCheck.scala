@@ -85,7 +85,8 @@ object TrueScaleCheck {
     // token-level ColBERT store (q341 owns colbert_tokens)
     "q336_sq8_drift", "q337_mrl_persisted", "q338_sq8_pinned_query",
     "q339_hybrid_batch", "q340_unigram_bytefallback",
-    "q341_colbert_token_store", "q342_mrl_pinned_query").distinct
+    "q341_colbert_token_store", "q342_mrl_pinned_query",
+    "q343_mmr_diversify").distinct
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
