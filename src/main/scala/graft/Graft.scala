@@ -1472,6 +1472,15 @@ object Graft {
       encodeSegment: String => Seq[String]): Vector[String] =
     graft.text.AddedTokens.encode(text, added, encodeSegment)
 
+  /** CONSISTENT ONLINE BACKUP of a mutating ANN store — pin →
+    * copy exactly the pin manifest → release; the destination is a
+    * complete, independently serving and mutable store answering
+    * backup-time answers (see [[graft.ops.AnnBackup.backup]]).
+    * Returns data files copied. */
+  def backupAnnStore(spark: SparkSession, store: String,
+                     dest: String): Int =
+    graft.ops.AnnBackup.backup(spark, store, dest)
+
   /** MMR diversified re-rank over any first-stage tier's candidates
     * (Carbonell & Goldstein 1998 — see
     * [[graft.ops.Diversify.mmrTopK]]). */

@@ -157,6 +157,7 @@ object SparkEntry {
     "q337_mrl_persisted",      // mrl_index (prefix cells + raw sidecar)
     "q342_mrl_pinned_query",   // mrl_pinned (build + pin + post-pin mutations)
     "q338_sq8_pinned_query",   // sq8_pinned (build + pin + post-pin mutations)
+    "q344_ann_backup",         // sq8_backup (build + backup + source mutations)
     "q341_colbert_token_store", // colbert_tokens (token IVF + bucketed fetch)
     "q323_ann_tier_arbitration") // exact_topk5 (cached ground-truth leg)
 
@@ -1495,6 +1496,37 @@ object SparkEntry {
       Sq8Index.queryPinned(s, out, token = 0,
           emb.filter(col("vec_id") < 10), emb,
           k = 5, rerank = 32, nprobe = 8)
+        .select(col("query_id"), col("rank"), col("corpus_id"))
+    }),
+
+    // CONSISTENT ONLINE BACKUP of a mutating ANN store (round 17 —
+    // the /replication story on the vector tiers, built ON the pin
+    // machinery: a pin IS a backup manifest): build SQ8 on the evens,
+    // tombstone %7==1, BACKUP (pin → copy exactly the manifest →
+    // release), then mutate the SOURCE freely (add odds, more
+    // tombstones, a purge that now RUNS — the pin was released). The
+    // backup serves the backup-time answers from its own directory:
+    // ONE oracle (q338's pin-time live set), TWO mechanisms — the
+    // q294 discipline.
+    "q344_ann_backup" -> ((s, d) => {
+      import graft.ops.{AnnBackup, Sq8Index}
+      val out = sharedStore(d, "sq8_backup") { o =>
+        val emb = Tables.embeddings(s, d)
+        val evens = emb.filter(col("vec_id") % 2 === 0)
+        val src = s"$o/src"
+        Sq8Index.build(evens, src, dim = 64)
+        Sq8Index.removeIds(s, src,
+          evens.filter(col("vec_id") % 7 === 1).select("vec_id"))
+        AnnBackup.backup(s, src, s"$o/bak")
+        Sq8Index.add(s, src, emb.filter(col("vec_id") % 2 === 1))
+        Sq8Index.removeIds(s, src,
+          emb.filter(col("vec_id") % 3 === 0).select("vec_id"))
+        require(Sq8Index.purgeDeletes(s, src) > 0,
+          "the post-release purge must physically reclaim")
+      }
+      val emb = Tables.embeddings(s, d)
+      Sq8Index.query(s, s"$out/bak", emb.filter(col("vec_id") < 10),
+          emb, k = 5, rerank = 32, nprobe = 8)
         .select(col("query_id"), col("rank"), col("corpus_id"))
     }),
 
@@ -10764,6 +10796,9 @@ object SparkEntry {
       // pin-time tombstones (%7==1); post-pin adds/deletes are
       // invisible by construction of the predicate
       "q338_sq8_pinned_query" -> sq8Sql("c.id % 2 = 0 AND c.id % 7 <> 1"),
+      // the backup serves exactly the backup-time live set — one
+      // oracle, two mechanisms (pin read / manifest copy)
+      "q344_ann_backup" -> sq8Sql("c.id % 2 = 0 AND c.id % 7 <> 1"),
       "q341_colbert_token_store" -> tokenColbertSql,
       "q343_mmr_diversify" -> mmrSql,
       "q334_sq8_filtered" -> sq8Sql("c.id % 3 = 0"),

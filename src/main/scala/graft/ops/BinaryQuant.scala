@@ -188,6 +188,13 @@ object BinaryQuant {
 
   private def ivfMarkerPath(out: String) = s"$out/_bqivf_marker.json"
 
+  /** Is `out` a bucketed binary store? (tier dispatch). */
+  private[graft] def isBinaryIvfStore(spark: SparkSession,
+                                      out: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(ivfMarkerPath(out))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** In-memory Hamming between two packed codes. */
   private def hammingWords(a: Seq[Long], b: Seq[Long]): Int = {
     var s = 0
