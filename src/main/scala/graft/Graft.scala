@@ -1481,6 +1481,29 @@ object Graft {
                      dest: String): Int =
     graft.ops.AnnBackup.backup(spark, store, dest)
 
+  /** Build the persisted incremental near-dup (MinHash-LSH) index —
+    * banded signatures bucket-partitioned on disk (see
+    * [[graft.ops.LshIndex.build]]). */
+  def buildLshIndex(docs: DataFrame, out: String,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): Unit =
+    graft.ops.LshIndex.build(docs, out, idCol, textCol)
+
+  /** Which of `newDocs` near-duplicate the LSH store? (id, dup_of,
+    * est_milli) — bucket-pruned probe. */
+  def probeLshIndex(spark: SparkSession, store: String,
+                    newDocs: DataFrame,
+                    thresholdMilli: Long = 500L): DataFrame =
+    graft.ops.LshIndex.probe(spark, store, newDocs, thresholdMilli)
+
+  /** The near-dup INGEST GATE: probe the batch, index the survivors
+    * (the store grows with the corpus), return the dropped report
+    * (see [[graft.ops.LshIndex.ingestDedup]]). */
+  def lshIngestDedup(spark: SparkSession, store: String,
+                     newDocs: DataFrame,
+                     thresholdMilli: Long = 500L): DataFrame =
+    graft.ops.LshIndex.ingestDedup(spark, store, newDocs, thresholdMilli)
+
   /** MMR diversified re-rank over any first-stage tier's candidates
     * (Carbonell & Goldstein 1998 — see
     * [[graft.ops.Diversify.mmrTopK]]). */

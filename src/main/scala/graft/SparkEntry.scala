@@ -158,6 +158,7 @@ object SparkEntry {
     "q342_mrl_pinned_query",   // mrl_pinned (build + pin + post-pin mutations)
     "q338_sq8_pinned_query",   // sq8_pinned (build + pin + post-pin mutations)
     "q344_ann_backup",         // sq8_backup (build + backup + source mutations)
+    "q345_lsh_incremental",    // lsh_index (banded sigs + two ingest phases)
     "q341_colbert_token_store", // colbert_tokens (token IVF + bucketed fetch)
     "q323_ann_tier_arbitration") // exact_topk5 (cached ground-truth leg)
 
@@ -1497,6 +1498,45 @@ object SparkEntry {
           emb.filter(col("vec_id") < 10), emb,
           k = 5, rerank = 32, nprobe = 8)
         .select(col("query_id"), col("rank"), col("corpus_id"))
+    }),
+
+    // PERSISTED incremental near-dup index (round 17 — the LSH
+    // sibling of q274's bloom-incremental exact gate: banded MinHash
+    // signatures persist bucket-partitioned, and the ingest gate is a
+    // store operation): build on the %3!=0 corpus, then TWO ingest
+    // phases — batch 1 carries planted near-dups of CORPUS docs
+    // (dropped against the store) plus fresh %3==0 docs (indexed as
+    // survivors); batch 2 carries near-dups of those SURVIVORS, whose
+    // drops prove the store grew between phases. The oracle replays
+    // signatures, banding, both phases' matches, the integer-milli
+    // estimate, and the best-match tie-break — on one hash.
+    "q345_lsh_incremental" -> ((s, d) => {
+      import graft.ops.LshIndex
+      val out = sharedStore(d, "lsh_index") { o =>
+        val docs = Tables.documents(s, d)
+        LshIndex.build(docs.filter(col("doc_id") % 3 =!= 0)
+          .select(col("doc_id"), col("text")), s"$o/store")
+        val plain = docs.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("text"))
+        val planted1 = docs
+          .filter(col("doc_id") < 30 && col("doc_id") % 3 =!= 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" near duplicate suffix")).as("text"))
+        LshIndex.ingestDedup(s, s"$o/store",
+            plain.unionByName(planted1), thresholdMilli = 500L)
+          .coalesce(1).write.mode("overwrite").parquet(s"$o/report1")
+        val planted2 = docs
+          .filter(col("doc_id") % 3 === 0 && col("doc_id") < 60)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" near duplicate suffix")).as("text"))
+        LshIndex.ingestDedup(s, s"$o/store", planted2,
+            thresholdMilli = 500L)
+          .coalesce(1).write.mode("overwrite").parquet(s"$o/report2")
+      }
+      s.read.parquet(s"$out/report1").withColumn("phase", lit(1))
+        .unionByName(
+          s.read.parquet(s"$out/report2").withColumn("phase", lit(2)))
+        .select(col("phase"), col("id"), col("dup_of"), col("est_milli"))
     }),
 
     // CONSISTENT ONLINE BACKUP of a mutating ANN store (round 17 —
@@ -9704,6 +9744,56 @@ object SparkEntry {
            |  FROM cand)
            |SELECT id_a, id_b, est_jaccard FROM est
            |WHERE est_jaccard >= 0.5 ORDER BY 1, 2""".stripMargin
+      },
+
+      // the persisted LSH gate (q345): three cohorts' signatures
+      // replayed with the q22 machinery, phase-1 matches vs the
+      // corpus store, phase-2 vs corpus + phase-1 SURVIVORS (the
+      // growth the entry proves), integer-milli estimates, best
+      // match by (est desc, id)
+      "q345_lsh_incremental" -> {
+        val corpusBase =
+          "SELECT doc_id AS id, text FROM documents WHERE doc_id % 3 <> 0"
+        val b1Base =
+          """SELECT doc_id AS id, text FROM documents WHERE doc_id % 3 = 0
+            |  UNION ALL
+            |  SELECT doc_id + 1000000, text || ' near duplicate suffix'
+            |  FROM documents WHERE doc_id < 30 AND doc_id % 3 <> 0""".stripMargin
+        val b2Base =
+          """SELECT doc_id + 2000000 AS id,
+            |    text || ' near duplicate suffix' AS text
+            |  FROM documents WHERE doc_id % 3 = 0 AND doc_id < 60""".stripMargin
+        def phase(n: Int, probeBk: String, storeBk: String) =
+          s"""p$n AS (SELECT DISTINCT n.id, c.id AS cid,
+             |    n.sig AS nsig, c.sig AS csig
+             |  FROM $probeBk n JOIN $storeBk c
+             |    ON c.b = n.b AND c.key = n.key),
+             |e$n AS (SELECT id, cid,
+             |    (len(list_filter(generate_series(1, 32),
+             |       i -> nsig[i] = csig[i])) * 1000) // 32 AS est_milli
+             |  FROM p$n),
+             |r$n AS (SELECT id, cid AS dup_of, est_milli FROM (
+             |  SELECT id, cid, est_milli, row_number() OVER (
+             |      PARTITION BY id ORDER BY est_milli DESC, cid) AS rn
+             |  FROM e$n WHERE est_milli >= 500) WHERE rn = 1)""".stripMargin
+        s"""WITH ${minhashSigCtes("cbase", corpusBase, "c")},
+           |${minhashSigCtes("b1base", b1Base, "b1")},
+           |${minhashSigCtes("b2base", b2Base, "b2")},
+           |cbk AS (${bandKeysSql("csigs")}),
+           |b1bk AS (${bandKeysSql("b1sigs")}),
+           |b2bk AS (${bandKeysSql("b2sigs")}),
+           |${phase(1, "b1bk", "cbk")},
+           |surv1 AS (SELECT id, sig FROM b1sigs
+           |  WHERE id NOT IN (SELECT id FROM r1)),
+           |sbk AS (SELECT * FROM cbk
+           |  UNION ALL SELECT * FROM (${bandKeysSql("surv1")}) u),
+           |${phase(2, "b2bk", "sbk")}
+           |SELECT CAST(1 AS INTEGER) AS phase, id, dup_of,
+           |  CAST(est_milli AS BIGINT) AS est_milli FROM r1
+           |UNION ALL
+           |SELECT CAST(2 AS INTEGER), id, dup_of,
+           |  CAST(est_milli AS BIGINT) FROM r2
+           |ORDER BY 1, 2""".stripMargin
       },
 
       // hyperplane LSH top-k: the Gaussian plane matrix (Random(42 +

@@ -86,7 +86,8 @@ object TrueScaleCheck {
     "q336_sq8_drift", "q337_mrl_persisted", "q338_sq8_pinned_query",
     "q339_hybrid_batch", "q340_unigram_bytefallback",
     "q341_colbert_token_store", "q342_mrl_pinned_query",
-    "q343_mmr_diversify", "q344_ann_backup").distinct
+    "q343_mmr_diversify", "q344_ann_backup",
+    "q345_lsh_incremental").distinct
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
