@@ -591,9 +591,10 @@ object Graft {
                meta: Option[DataFrame] = None, metaIdCol: String = "vec_id",
                fq: Option[String] = None,
                textFields: Set[String] = Set.empty,
-               efSearch: Int = 64): DataFrame =
+               efSearch: Int = 64, nprobe: Int = 8,
+               rerank: Int = 32): DataFrame =
     graft.search.KnnQuery.knnStore(spark, store, requests, meta, metaIdCol,
-      fq, textFields, efSearch)
+      fq, textFields, efSearch, nprobe, rerank)
 
   /**
    * ONE hybrid-retrieval request — Solr 9.8's "combiner" shape, the

@@ -1500,6 +1500,39 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("corpus_id"))
     }),
 
+    // ONE REQUEST STRING, ANY SELF-CONTAINED TIER (round 17 — the
+    // {!knn} qparser's marker dispatch extended beyond HNSW): the
+    // SAME ten literal Solr 9 request strings serve the raw IVF
+    // store (probe + exact) AND the MRL store (prefix probe +
+    // sidecar re-rank), each leg hash-checked against its tier's
+    // full replay — the request surface is now tier-agnostic
+    // wherever a store is self-contained (SQ8/binary refuse with a
+    // corpus-frame pointer, spec-locked).
+    "q346_knn_any_tier" -> ((s, d) => {
+      import graft.ops.{IvfIndex, MrlIndex}
+      val ivfStore = sharedStore(d, "ivf_index") { o =>
+        IvfIndex.build(Tables.embeddings(s, d), o, dim = 64)
+      }
+      val mrlStore = sharedStore(d, "mrl_index") { o =>
+        val emb = Tables.embeddings(s, d)
+        MrlIndex.build(emb.filter(col("vec_id") % 2 === 0), o,
+          dim = 64, prefixDim = 16)
+        MrlIndex.add(s, o, emb.filter(col("vec_id") % 2 === 1))
+      }
+      val reqs = Tables.embeddings(s, d).filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0),
+          s"{!knn f=embedding topK=5}[${r.getSeq[Double](1).mkString(",")}]"))
+        .toSeq
+      Graft.knnServe(s, ivfStore, reqs, nprobe = 8)
+        .withColumn("tier", lit("ivf"))
+        .select("tier", "query_id", "rank", "corpus_id")
+        .unionByName(
+          Graft.knnServe(s, mrlStore, reqs, nprobe = 8, rerank = 32)
+            .withColumn("tier", lit("mrl"))
+            .select("tier", "query_id", "rank", "corpus_id"))
+    }),
+
     // PERSISTED incremental near-dup index (round 17 — the LSH
     // sibling of q274's bloom-incremental exact gate: banded MinHash
     // signatures persist bucket-partitioned, and the ingest gate is a
@@ -11049,6 +11082,14 @@ object SparkEntry {
       // the persisted index serves the SAME answer from frozen
       // centroids + cell partitions — one oracle, two read paths
       "q287_ivf_persisted" -> ivfAnnSql,
+      // one request string, two tiers: the ivf and mrl replays under
+      // tier tags — exactly what the dispatched request must serve
+      "q346_knn_any_tier" ->
+        s"""SELECT * FROM (
+           |  SELECT 'ivf' AS tier, t1.* FROM ($ivfAnnSql) t1
+           |  UNION ALL
+           |  SELECT 'mrl' AS tier, t2.* FROM (${mrlSql("TRUE")}) t2) u
+           |ORDER BY 1, 2, 3""".stripMargin,
       // retrain over the live corpus (build-half + add-half) is
       // bit-identical to build over the full corpus: one oracle,
       // two CONSTRUCTION paths — the q294 pattern at the lifecycle

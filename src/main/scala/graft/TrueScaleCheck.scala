@@ -87,7 +87,7 @@ object TrueScaleCheck {
     "q339_hybrid_batch", "q340_unigram_bytefallback",
     "q341_colbert_token_store", "q342_mrl_pinned_query",
     "q343_mmr_diversify", "q344_ann_backup",
-    "q345_lsh_incremental").distinct
+    "q345_lsh_incremental", "q346_knn_any_tier").distinct
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -237,6 +237,35 @@ object IvfIndex {
       cells => exceptDeleted(spark, out, cells), k, nprobe, allowed)
   }
 
+  /** Is `out` a raw-vector IVF store? (tier dispatch — the marker
+    * lives at the CURRENT generation's root). */
+  private[graft] def isIvfStore(spark: SparkSession, out: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(
+      markerPath(dataRoot(spark, out)))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Serve PARSED `{!knn}` request vectors (round 17 — the request
+    * surface's tier dispatch, [[HnswIndex.queryVectors]]'s shape):
+    * validates the request field and dims against the marker, builds
+    * the query frame, serves via [[query]]. Output (query_id, rank,
+    * corpus_id) — the family shape. */
+  private[graft] def queryVectors(spark: SparkSession, out: String,
+      vectors: Seq[(Long, Array[Double])], k: Int, nprobe: Int,
+      allowed: Option[DataFrame], field: Option[String]): DataFrame = {
+    val m = readMarker(spark, out)
+    field.foreach(f => require(f == m.vecCol,
+      s"request field '$f' does not match the store's vector column " +
+        s"'${m.vecCol}' ($out)"))
+    vectors.foreach { case (id, v) => require(v.length == m.dim,
+      s"query $id has dim ${v.length}, store expects ${m.dim}") }
+    import spark.implicits._
+    val qdf = vectors.map { case (id, v) => (id, v.toSeq) }
+      .toDF(m.idCol, m.vecCol)
+    query(spark, out, qdf, k, nprobe, allowed)
+      .select(col("query_id"), col("rank"), col("corpus_id"))
+  }
+
   /** The probe→prune→score→cut body shared by the LIVE read path and
     * the pinned one ([[queryPinned]]) — only WHERE marker, centroids,
     * cells and tombstones come from differs. */

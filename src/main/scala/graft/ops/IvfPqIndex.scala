@@ -128,7 +128,28 @@ object IvfPqIndex {
     g + 1
   }
 
-  private def hasRefineStore(spark: SparkSession, out: String): Boolean = {
+  /** Serve PARSED `{!knn}` request vectors via the self-contained
+    * two-stage path (round 17 — the request surface's tier dispatch;
+    * requires the refine sidecar). Output (query_id, rank,
+    * corpus_id). */
+  private[graft] def queryVectors(spark: SparkSession, out: String,
+      vectors: Seq[(Long, Array[Double])], k: Int, kCandidates: Int,
+      nprobe: Int, allowed: Option[DataFrame],
+      field: Option[String]): DataFrame = {
+    val mk = readMarker(spark, out)
+    field.foreach(f => require(f == mk.vecCol,
+      s"request field '$f' does not match the store's vector column " +
+        s"'${mk.vecCol}' ($out)"))
+    vectors.foreach { case (id, v) => require(v.length == mk.dim,
+      s"query $id has dim ${v.length}, store expects ${mk.dim}") }
+    import spark.implicits._
+    val qdf = vectors.map { case (id, v) => (id, v.toSeq) }
+      .toDF(mk.idCol, mk.vecCol)
+    queryRefinedStored(spark, out, qdf, k, kCandidates, nprobe, allowed)
+      .select(col("query_id"), col("rank"), col("corpus_id"))
+  }
+
+  private[graft] def hasRefineStore(spark: SparkSession, out: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(
       s"${IvfIndex.dataRoot(spark, out)}/vectors")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)

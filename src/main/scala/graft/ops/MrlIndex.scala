@@ -238,6 +238,27 @@ object MrlIndex {
       .write.mode("append").partitionBy("cell").parquet(s"$out/cells")
   }
 
+  /** Serve PARSED `{!knn}` request vectors (round 17 — the request
+    * surface's tier dispatch, [[graft.ops.HnswIndex.queryVectors]]'s
+    * shape): validates the request field and dims against the
+    * marker, builds the query frame, serves via [[query]]. Output
+    * (query_id, rank, corpus_id). */
+  private[graft] def queryVectors(spark: SparkSession, out: String,
+      vectors: Seq[(Long, Array[Double])], k: Int, rerank: Int,
+      nprobe: Int, allowed: Option[DataFrame],
+      field: Option[String]): DataFrame = {
+    val (dim, _, _, idCol, vecCol) = readMarker(spark, out)
+    field.foreach(f => require(f == vecCol,
+      s"request field '$f' does not match the store's vector column " +
+        s"'$vecCol' ($out)"))
+    vectors.foreach { case (id, v) => require(v.length == dim,
+      s"query $id has dim ${v.length}, store expects $dim") }
+    import spark.implicits._
+    val qdf = vectors.map { case (id, v) => (id, v.toSeq) }
+      .toDF(idCol, vecCol)
+    query(spark, out, qdf, k, rerank, nprobe, allowed)
+  }
+
   /** Exactly-once add for a streamed micro-batch — the family's
     * [[IvfIndex.commitEncodedBatch]] protocol over BOTH subdirs in
     * one marker-committed batch (stream-scoped durable markers,

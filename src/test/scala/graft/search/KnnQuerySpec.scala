@@ -88,4 +88,51 @@ class KnnQuerySpec extends AnyFunSuite {
     intercept[IllegalArgumentException](KnnQuery.knnStore(spark, store,
       requests, fq = Some("label:1")))
   }
+
+  test("tier dispatch (round 17): the SAME request strings serve the " +
+      "IVF and MRL stores bit-identically to their direct query " +
+      "paths (filtered form included); code-only tiers refuse with a " +
+      "corpus-frame pointer") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.embeddings(spark, graft.TestSpark.sf)
+      .filter(col("vec_id") < 200)
+    val reqs = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0),
+        s"{!knn f=embedding topK=5}[${r.getSeq[Double](1).mkString(",")}]"))
+      .toSeq
+    val queries = emb.filter(col("vec_id") < 4)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sorted.toSeq
+    val meta = emb.select(col("vec_id"),
+      pmod(col("vec_id"), lit(3)).as("m3"))
+    val allowedIds = emb.filter(pmod(col("vec_id"), lit(3)) === 0)
+      .select("vec_id")
+    val ivf = java.nio.file.Files.createTempDirectory("knn_ivf_").toString
+    graft.ops.IvfIndex.build(emb, ivf, dim = 64, nlist = 4)
+    assert(rows(KnnQuery.knnStore(spark, ivf, reqs, nprobe = 4)) ===
+      rows(graft.ops.IvfIndex.query(spark, ivf, queries, k = 5,
+        nprobe = 4)), "ivf dispatch diverged from the direct path")
+    assert(rows(KnnQuery.knnStore(spark, ivf, reqs, nprobe = 4,
+        meta = Some(meta), fq = Some("m3:0"))) ===
+      rows(graft.ops.IvfIndex.query(spark, ivf, queries, k = 5,
+        nprobe = 4, allowed = Some(allowedIds))),
+      "ivf fq dispatch diverged from the direct filtered path")
+    val mrl = java.nio.file.Files.createTempDirectory("knn_mrl_").toString
+    graft.ops.MrlIndex.build(emb, mrl, dim = 64, prefixDim = 16,
+      nlist = 4)
+    assert(rows(KnnQuery.knnStore(spark, mrl, reqs, nprobe = 4,
+        rerank = 16)) ===
+      rows(graft.ops.MrlIndex.query(spark, mrl, queries, k = 5,
+        rerank = 16, nprobe = 4)),
+      "mrl dispatch diverged from the direct path")
+    val sq8 = java.nio.file.Files.createTempDirectory("knn_sq8_").toString
+    graft.ops.Sq8Index.build(emb, sq8, dim = 64, nlist = 4)
+    val e = intercept[IllegalArgumentException](
+      KnnQuery.knnStore(spark, sq8, reqs))
+    assert(e.getMessage.contains("corpus frame"),
+      s"sq8 refusal must point at the corpus-frame APIs: ${e.getMessage}")
+  }
 }
