@@ -29,5 +29,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default (was 8g): a full Bench/Verify sweep runs ~400 queries
+  // plus ~50 store builds in one JVM and accumulated 17-39 s of GC at
+  // 8g (r17 measurement, /tmp/graft_bench_diag.jsonl gcMs); the
+  // sandbox has 128 GiB. Still env-overridable for smaller hosts.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

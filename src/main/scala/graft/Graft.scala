@@ -631,20 +631,26 @@ object Graft {
     import spark.implicits._
     val marker = graft.index.SegmentShardSink.readMarker(
       spark.sessionState.newHadoopConf(), store)
-    // the lexical top-N is bounded by construction (limit topN) and
-    // arrives ordered — rank driver-side (the rankCollected
-    // discipline: an unpartitioned window would be the scale bug)
-    val lexIds = search(spark, store, q, topK = topN, rankField = rankField)
-      .select(col(marker.idCol).cast("string"))
-      .collect().map(_.getString(0))
-    val lex = lexIds.toSeq.zipWithIndex
-      .map { case (id, i) => (id, (i + 1).toLong) }.toDF("id", "rnk")
-    // one {!knn} request; query_id -1 never collides with a corpus id,
-    // so the family's self-exclusion stays inert
-    val ann = knnServe(spark, annStore, Seq((-1L, knnQ)), meta, metaIdCol,
-        fq, textFields, efSearch)
-      .select(col("corpus_id").cast("string").as("id"),
-        col("rank").cast("long").as("rnk"))
+    // the two legs are independent and each runs eager driver jobs —
+    // build them concurrently (r17, graft.util.Par: overlap the fixed
+    // job-launch latency; leg contents and fuse order are unchanged)
+    val (lex, ann) = graft.util.Par.pair(
+      () => {
+        // the lexical top-N is bounded by construction (limit topN) and
+        // arrives ordered — rank driver-side (the rankCollected
+        // discipline: an unpartitioned window would be the scale bug)
+        val lexIds = search(spark, store, q, topK = topN, rankField = rankField)
+          .select(col(marker.idCol).cast("string"))
+          .collect().map(_.getString(0))
+        lexIds.toSeq.zipWithIndex
+          .map { case (id, i) => (id, (i + 1).toLong) }.toDF("id", "rnk")
+      },
+      // one {!knn} request; query_id -1 never collides with a corpus id,
+      // so the family's self-exclusion stays inert
+      () => knnServe(spark, annStore, Seq((-1L, knnQ)), meta, metaIdCol,
+          fq, textFields, efSearch)
+        .select(col("corpus_id").cast("string").as("id"),
+          col("rank").cast("long").as("rnk")))
     graft.ops.HybridSearch.rrf(Seq(lex, ann), "id", "rnk", k0)
   }
 
@@ -685,18 +691,27 @@ object Graft {
       "duplicate request ids in the hybrid batch")
     val marker = graft.index.SegmentShardSink.readMarker(
       spark.sessionState.newHadoopConf(), store)
-    val lex = requests.flatMap { case (rid, q, _) =>
-      search(spark, store, q, topK = topN, rankField = rankField)
-        .select(col(marker.idCol).cast("string"))
-        .collect().zipWithIndex
-        .map { case (r, i) => (rid, r.getString(0), (i + 1).toLong) }
-    }.toDF("request_id", "id", "rnk")
-    val ann = knnServe(spark, annStore,
-        requests.map { case (rid, _, knnQ) => (rid, knnQ) },
-        meta, metaIdCol, fq, textFields, efSearch)
-      .select(col("query_id").as("request_id"),
-        col("corpus_id").cast("string").as("id"),
-        col("rank").cast("long").as("rnk"))
+    // every lexical leg and the batched vector leg are independent —
+    // evaluate them concurrently (r17, graft.util.Par): the per-leg
+    // eager jobs (postings collects, probe collects) overlap instead
+    // of serializing on the driver; flatMap order over the in-order
+    // results keeps the frame identical to the sequential build
+    val (lexRows, ann) = graft.util.Par.pair(
+      () => graft.util.Par.seq(
+        requests.map { case (rid, q, _) => () =>
+          search(spark, store, q, topK = topN, rankField = rankField)
+            .select(col(marker.idCol).cast("string"))
+            .collect().zipWithIndex
+            .map { case (r, i) => (rid, r.getString(0), (i + 1).toLong) }
+            .toSeq
+        }).flatten,
+      () => knnServe(spark, annStore,
+          requests.map { case (rid, _, knnQ) => (rid, knnQ) },
+          meta, metaIdCol, fq, textFields, efSearch)
+        .select(col("query_id").as("request_id"),
+          col("corpus_id").cast("string").as("id"),
+          col("rank").cast("long").as("rnk")))
+    val lex = lexRows.toDF("request_id", "id", "rnk")
     graft.ops.HybridSearch.rrfKeyed(Seq(lex, ann), "request_id", "id",
       "rnk", k0)
   }

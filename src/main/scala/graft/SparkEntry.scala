@@ -182,6 +182,20 @@ object SparkEntry {
     s.createDataFrame(java.util.Arrays.asList(ranked: _*), schema)
   }
 
+  /** Evaluate independent thunks on their own threads and return the
+    * results IN INPUT ORDER (r17 optimization, guide §2.6 "overlap
+    * independent jobs"): multi-leg entries (tier arbitration, recall
+    * evals) construct each leg with several eager, driver-blocking
+    * jobs (quantizer loads, probe-cell collects, candidate collects);
+    * run sequentially those jobs serialize on the driver even though
+    * every one of them uses a fraction of the cluster. Spark's
+    * scheduler interleaves concurrently-submitted jobs (FIFO back-
+    * fill), and the result is a deterministic function of each thunk
+    * alone, so ordering-by-input keeps the composed frame identical
+    * to the sequential build. */
+  private def concurrently[T](parts: Seq[() => T]): Seq[T] =
+    graft.util.Par.seq(parts)
+
   // ---------------------------------------------------------------
   // queries: name -> (spark, sfDir) => DataFrame
   // ---------------------------------------------------------------
@@ -1524,13 +1538,16 @@ object SparkEntry {
         .collect().map(r => (r.getLong(0),
           s"{!knn f=embedding topK=5}[${r.getSeq[Double](1).mkString(",")}]"))
         .toSeq
-      Graft.knnServe(s, ivfStore, reqs, nprobe = 8)
-        .withColumn("tier", lit("ivf"))
-        .select("tier", "query_id", "rank", "corpus_id")
-        .unionByName(
-          Graft.knnServe(s, mrlStore, reqs, nprobe = 8, rerank = 32)
-            .withColumn("tier", lit("mrl"))
-            .select("tier", "query_id", "rank", "corpus_id"))
+      // the two tier legs are independent — dispatch them concurrently
+      // (r17, graft.util.Par); union order is unchanged
+      val (ivfLeg, mrlLeg) = graft.util.Par.pair(
+        () => Graft.knnServe(s, ivfStore, reqs, nprobe = 8)
+          .withColumn("tier", lit("ivf"))
+          .select("tier", "query_id", "rank", "corpus_id"),
+        () => Graft.knnServe(s, mrlStore, reqs, nprobe = 8, rerank = 32)
+          .withColumn("tier", lit("mrl"))
+          .select("tier", "query_id", "rank", "corpus_id"))
+      ivfLeg.unionByName(mrlLeg)
     }),
 
     // PERSISTED incremental near-dup index (round 17 — the LSH
@@ -1806,69 +1823,87 @@ object SparkEntry {
       // sharedStore mechanism (round 17: adding tier N+1 costs one
       // leg, not a re-run of the brute-force scan); the count rides
       // in the same store
-      val exactDir = sharedStore(d, "exact_topk5") { o =>
-        val e = Tables.embeddings(s, d)
-        Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), 5)
-          .select(col("query_id"), col("corpus_id"))
-          .coalesce(1).write.mode("overwrite").parquet(s"$o/topk")
-        graft.util.FsIo.writeSmallFile(
-          s.sparkContext.hadoopConfiguration, s"$o/count",
-          e.count().toString)
-      }
-      val exact = s.read.parquet(s"$exactDir/topk")
-      val corpusCount = graft.util.FsIo.readSmallFile(
-        s.sparkContext.hadoopConfiguration, s"$exactDir/count").trim.toLong
-      val hnswStore = sharedStore(d, "hnsw_index") { o =>
-        HnswIndex.build(Tables.embeddings(s, d), o, dim = 64)
-      }
-      val pqStore = sharedStore(d, "ivfpq_refine") { o =>
-        IvfPqIndex.build(Tables.embeddings(s, d), o, dim = 64,
-          refineStore = true)
-      }
-      val bqStore = sharedStore(d, "bq_codes") { o =>
-        BinaryQuant.buildStore(Tables.embeddings(s, d), o, dim = 64)
-      }
-      val sq8Store = sharedStore(d, "sq8_index") { o =>
-        graft.ops.Sq8Index.build(
-          Tables.embeddings(s, d).filter(col("vec_id") % 2 === 0), o,
-          dim = 64)
-        graft.ops.Sq8Index.add(s, o,
-          Tables.embeddings(s, d).filter(col("vec_id") % 2 === 1))
-      }
-      val mrlStore = sharedStore(d, "mrl_index") { o =>
-        val e = Tables.embeddings(s, d)
-        graft.ops.MrlIndex.build(e.filter(col("vec_id") % 2 === 0), o,
-          dim = 64, prefixDim = 16)
-        graft.ops.MrlIndex.add(s, o, e.filter(col("vec_id") % 2 === 1))
-      }
       val budget = 32L
-      val legs = Seq(
-        ("exact", exact, corpusCount - 1),
+      // r17 optimization (guide §2.6): the six legs are independent —
+      // each one's CONSTRUCTION runs several eager driver jobs
+      // (quantizer loads, probe-cell collects, candidate collects;
+      // this entry measured 86 serial jobs / ~14 s before), so build
+      // them concurrently and let the scheduler back-fill. Leg
+      // contents and union order are unchanged — same rows, same hash.
+      val legs: Seq[(String, DataFrame, Long)] = concurrently(Seq(
+        () => {
+          val exactDir = sharedStore(d, "exact_topk5") { o =>
+            val e = Tables.embeddings(s, d)
+            Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), 5)
+              .select(col("query_id"), col("corpus_id"))
+              .coalesce(1).write.mode("overwrite").parquet(s"$o/topk")
+            graft.util.FsIo.writeSmallFile(
+              s.sparkContext.hadoopConfiguration, s"$o/count",
+              e.count().toString)
+          }
+          val corpusCount = graft.util.FsIo.readSmallFile(
+            s.sparkContext.hadoopConfiguration, s"$exactDir/count").trim.toLong
+          ("exact", s.read.parquet(s"$exactDir/topk"), corpusCount - 1)
+        },
         // per-shard ef × the store's shard count — the honest total,
         // READ off the marker: if the build default ever changes, the
         // engine's number moves while the oracle's pinned 128 stays,
         // and the entry fails LOUDLY instead of silently misreporting
-        ("hnsw", HnswIndex.query(s, hnswStore, queries, k = 5,
-            efSearch = budget.toInt)
-          .select(col("query_id"), col("corpus_id")),
-          budget * HnswIndex.shardCount(s, hnswStore)),
-        ("ivfpq", IvfPqIndex.queryRefinedStored(s, pqStore, queries,
-            k = 5, kCandidates = budget.toInt, nprobe = 8)
-          .select(col("query_id"), col("corpus_id")), budget),
-        ("binary", BinaryQuant.queryStore(s, bqStore, queries, emb,
-            k = 5, rerank = budget.toInt)
-          .select(col("query_id"), col("corpus_id")), budget),
+        () => {
+          val hnswStore = sharedStore(d, "hnsw_index") { o =>
+            HnswIndex.build(Tables.embeddings(s, d), o, dim = 64)
+          }
+          ("hnsw", HnswIndex.query(s, hnswStore, queries, k = 5,
+              efSearch = budget.toInt)
+            .select(col("query_id"), col("corpus_id")),
+            budget * HnswIndex.shardCount(s, hnswStore))
+        },
+        () => {
+          val pqStore = sharedStore(d, "ivfpq_refine") { o =>
+            IvfPqIndex.build(Tables.embeddings(s, d), o, dim = 64,
+              refineStore = true)
+          }
+          ("ivfpq", IvfPqIndex.queryRefinedStored(s, pqStore, queries,
+              k = 5, kCandidates = budget.toInt, nprobe = 8)
+            .select(col("query_id"), col("corpus_id")), budget)
+        },
+        () => {
+          val bqStore = sharedStore(d, "bq_codes") { o =>
+            BinaryQuant.buildStore(Tables.embeddings(s, d), o, dim = 64)
+          }
+          ("binary", BinaryQuant.queryStore(s, bqStore, queries, emb,
+              k = 5, rerank = budget.toInt)
+            .select(col("query_id"), col("corpus_id")), budget)
+        },
         // the INT8 rung (round 16): 8 bits/dim buys most of the raw
         // tier's recall at the same 32-candidate budget
-        ("sq8", graft.ops.Sq8Index.query(s, sq8Store, queries, emb,
-            k = 5, rerank = budget.toInt, nprobe = 8)
-          .select(col("query_id"), col("corpus_id")), budget),
+        () => {
+          val sq8Store = sharedStore(d, "sq8_index") { o =>
+            graft.ops.Sq8Index.build(
+              Tables.embeddings(s, d).filter(col("vec_id") % 2 === 0), o,
+              dim = 64)
+            graft.ops.Sq8Index.add(s, o,
+              Tables.embeddings(s, d).filter(col("vec_id") % 2 === 1))
+          }
+          ("sq8", graft.ops.Sq8Index.query(s, sq8Store, queries, emb,
+              k = 5, rerank = budget.toInt, nprobe = 8)
+            .select(col("query_id"), col("corpus_id")), budget)
+        },
         // the DIMENSION-cut rung (round 17, store-served Matryoshka):
         // a quarter of the prefix bytes buys near-raw recall at the
         // same 32-candidate budget — the MRL premise as a tier row
-        ("mrl", graft.ops.MrlIndex.query(s, mrlStore, queries,
-            k = 5, rerank = budget.toInt, nprobe = 8)
-          .select(col("query_id"), col("corpus_id")), budget))
+        () => {
+          val mrlStore = sharedStore(d, "mrl_index") { o =>
+            val e = Tables.embeddings(s, d)
+            graft.ops.MrlIndex.build(e.filter(col("vec_id") % 2 === 0), o,
+              dim = 64, prefixDim = 16)
+            graft.ops.MrlIndex.add(s, o, e.filter(col("vec_id") % 2 === 1))
+          }
+          ("mrl", graft.ops.MrlIndex.query(s, mrlStore, queries,
+              k = 5, rerank = budget.toInt, nprobe = 8)
+            .select(col("query_id"), col("corpus_id")), budget)
+        }))
+      val exact = legs.head._2
       // floors pinned from measured recall with margin (exact is 1000
       // by construction; the raw avg_recall_milli per tier is the
       // RankingEval.tierReport surface, spec-asserted — the oracled
@@ -3007,10 +3042,14 @@ object SparkEntry {
     // whole id set, each shard resolves only its own posting lists.
     "q111_realtime_get" -> ((s, d) => {
       import graft.index.SegmentShardSink
-      val parts = Tables.part(s, d).withColumn("id", col("p_partkey").cast("string"))
-        .select(col("id"), col("p_name"), col("p_size"))
-      val out = java.nio.file.Files.createTempDirectory("graft_q111_").toString
-      SegmentShardSink.write(parts, "id", out, shards = 4)
+      // r17 optimization: the shared part_all store carries these
+      // columns (the scan prunes the rest) — read-only id lookup
+      // serves from it instead of writing a private 3-column copy
+      val out = sharedStore(d, "part_all") { o =>
+        SegmentShardSink.write(
+          Tables.part(s, d).withColumn("id", col("p_partkey").cast("string")),
+          "id", o, shards = 4)
+      }
       s.read.format("graft-index").load(out)
         .filter(col("id").isin("7", "77", "177", "777"))
         .select(col("id").cast("long").as("p_partkey"), col("p_name"),
@@ -3038,11 +3077,14 @@ object SparkEntry {
     // the equivalent token-boundary regex on the source table.
     "q113_analyzed_index" -> ((s, d) => {
       import graft.index.{SegmentSearch, SegmentShardSink}
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id").cast("string").as("id"), col("text"), col("lang"))
-      val out = java.nio.file.Files.createTempDirectory("graft_q113_").toString
-      SegmentShardSink.write(docs, "id", out, shards = 4,
-        analyzedFields = Set("text"))
+      // r17 optimization: identical to the shared docs_text spec —
+      // read-only term query serves from the shared store
+      val out = sharedStore(d, "docs_text") { o =>
+        SegmentShardSink.write(
+          Tables.documents(s, d).select(
+            col("doc_id").cast("string").as("id"), col("text"), col("lang")),
+          "id", o, shards = 4, analyzedFields = Set("text"))
+      }
       SegmentSearch.termQuery(s, out, "text", "spark", Seq("id", "lang"))
         .select(col("id").cast("long").as("doc_id"), col("lang"))
     }),
@@ -3107,11 +3149,14 @@ object SparkEntry {
     // via the equivalent token-sequence regex on the source table.
     "q116_index_phrase" -> ((s, d) => {
       import graft.index.{SegmentSearch, SegmentShardSink}
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id").cast("string").as("id"), col("text"), col("lang"))
-      val out = java.nio.file.Files.createTempDirectory("graft_q116_").toString
-      SegmentShardSink.write(docs, "id", out, shards = 4,
-        analyzedFields = Set("text"))
+      // r17 optimization: identical to the shared docs_text spec —
+      // read-only phrase query serves from the shared store
+      val out = sharedStore(d, "docs_text") { o =>
+        SegmentShardSink.write(
+          Tables.documents(s, d).select(
+            col("doc_id").cast("string").as("id"), col("text"), col("lang")),
+          "id", o, shards = 4, analyzedFields = Set("text"))
+      }
       SegmentSearch.phraseQuery(s, out, "text", "spark query", Seq("id", "lang"))
         .select(col("id").cast("long").as("doc_id"), col("lang"))
     }),
@@ -3123,11 +3168,17 @@ object SparkEntry {
     // so parse, filter, rank, and tie-break all verify at once.
     "q117_solr_search" -> ((s, d) => {
       import graft.index.SegmentShardSink
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id").cast("string").as("id"), col("text"), col("lang"))
-      val out = java.nio.file.Files.createTempDirectory("graft_q117_").toString
-      SegmentShardSink.write(docs, "id", out, shards = 4,
-        analyzedFields = Set("text"))
+      // r17 optimization: this is byte-for-byte the shared docs_text
+      // spec — read-only search serves from the shared store instead
+      // of rebuilding a private copy every run (build-once-query-many,
+      // the sharedStore discipline; the result depends only on store
+      // contents, which are identical)
+      val out = sharedStore(d, "docs_text") { o =>
+        SegmentShardSink.write(
+          Tables.documents(s, d).select(
+            col("doc_id").cast("string").as("id"), col("text"), col("lang")),
+          "id", o, shards = 4, analyzedFields = Set("text"))
+      }
       Graft.search(s, out, "text:spark text:table lang:en", topK = 10)
         .select(col("id").cast("long").as("doc_id"), col("lang"), col("score_r"))
     }),

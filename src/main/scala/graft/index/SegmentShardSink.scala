@@ -288,8 +288,12 @@ object SegmentShardSink {
     val idCol = marker.idCol
     val splits = math.max(1, marker.parts / marker.shards)
     require(updates.columns.contains(idCol), s"updates must carry id column '$idCol'")
-    val dupes = updates.groupBy(col(idCol)).count().filter(col("count") > 1).limit(1).count()
-    require(dupes == 0, s"duplicate $idCol values in upsert batch")
+    // same-batch duplicate ids are still refused loudly, but the check
+    // rides the write pass itself instead of a dedicated groupBy-count
+    // shuffle job per upsert (r17 optimization: duplicates of an id
+    // route to the same micro-shard, where the writer's own id set
+    // detects them for free; the driver unwraps the task failure back
+    // to the contract's IllegalArgumentException below)
     val routed = ShardIndex.routedForWrite(updates, idCol, marker.shards, splits,
       dedupOrder = None, rejectConflicts = false,
       routerOpt = Some(marker.router), keepMs = true)
@@ -308,32 +312,51 @@ object SegmentShardSink {
       }
     val conf = new SerializableHadoopConf(conf0)
     val analyzedBc = marker.analyzed
-    routed.foreachPartition { (rows: Iterator[Row]) =>
-      var cur = -1
-      var w: SegmentIndex.Writer = null
-      val ids = scala.collection.mutable.HashSet.empty[String]
-      def flush(): Unit = if (w != null) {
-        w.deleteDocumentsBatch(idCol, ids.toSet)
-        w.close() // commits tombstones + the new segment together
-        // steady-state counter-force: each batch leaves one fresh
-        // segment per touched part — tiered merge folds over-full
-        // tiers so month-long ingest stays at O(log docs) segments
-        w.maybeMerge(mergePolicy)
-        ids.clear()
-      }
-      rows.foreach { row =>
-        val ms = row.getInt(msIdx)
-        if (ms != cur) {
-          flush()
-          w = SegmentIndex.writer(indexDir(store, ms), conf.value, analyzedBc,
-            retainGenerations = retainGenerations)
-          cur = ms
+    try {
+      routed.foreachPartition { (rows: Iterator[Row]) =>
+        var cur = -1
+        var w: SegmentIndex.Writer = null
+        val ids = scala.collection.mutable.HashSet.empty[String]
+        def flush(): Unit = if (w != null) {
+          w.deleteDocumentsBatch(idCol, ids.toSet)
+          w.close() // commits tombstones + the new segment together
+          // steady-state counter-force: each batch leaves one fresh
+          // segment per touched part — tiered merge folds over-full
+          // tiers so month-long ingest stays at O(log docs) segments
+          w.maybeMerge(mergePolicy)
+          ids.clear()
         }
-        ids += render(row.get(idIdx))
-        w.addDocument(docOf(row, fields))
+        rows.foreach { row =>
+          val ms = row.getInt(msIdx)
+          if (ms != cur) {
+            flush()
+            w = SegmentIndex.writer(indexDir(store, ms), conf.value, analyzedBc,
+              retainGenerations = retainGenerations)
+            cur = ms
+          }
+          if (!ids.add(render(row.get(idIdx))))
+            throw new IllegalArgumentException(
+              s"duplicate $idCol values in upsert batch")
+          w.addDocument(docOf(row, fields))
+        }
+        flush()
+        ()
       }
-      flush()
-      ()
+    } catch {
+      // surface the caller-bug contract as the documented
+      // IllegalArgumentException rather than Spark's task-failure
+      // wrapper (the pre-r17 shape ran a dedicated duplicate-check
+      // job before writing; the fused check keeps the loud refusal)
+      case e: Throwable =>
+        var c: Throwable = e
+        while (c != null && !c.isInstanceOf[IllegalArgumentException])
+          c = c.getCause
+        c match {
+          case iae: IllegalArgumentException
+            if Option(iae.getMessage).exists(_.contains("duplicate")) =>
+              throw iae
+          case _ => throw e
+        }
     }
   }
 

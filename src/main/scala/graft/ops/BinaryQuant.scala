@@ -401,8 +401,11 @@ object BinaryQuant {
                                 codesOf: Array[Int] => DataFrame,
                                 tombAnti: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // collect-then-sort on the driver: nlist rows; an orderBy before
+    // collect costs a sort Exchange per call (r17 optimization)
     val centroids = spark.read.parquet(s"$out/centroids")
-      .orderBy("i").collect()
+      .collect()
+      .sortBy(r => r.getInt(r.fieldIndex("i")))
       .map(r => r.getSeq[Long](r.fieldIndex("code")).toArray)
     val q = q0.withColumn("cell",
       explode(probeCells(col("qcode"), centroids, nprobe)))
@@ -489,8 +492,11 @@ object BinaryQuant {
     val txt = readMarkerText(spark, ivfMarkerPath(out))
     val dim = markerNum(txt, "dim").toInt
     val idCol = markerStr(txt, "idCol"); val vecCol = markerStr(txt, "vecCol")
+    // collect-then-sort on the driver: nlist rows; an orderBy before
+    // collect costs a sort Exchange per call (r17 optimization)
     val centroids = spark.read.parquet(s"$out/centroids")
-      .orderBy("i").collect()
+      .collect()
+      .sortBy(r => r.getInt(r.fieldIndex("i")))
       .map(r => r.getSeq[Long](r.fieldIndex("code")).toArray)
     vectors.select(col(idCol).cast("long").as("corpus_id"),
         packSigns(col(vecCol).cast("array<double>"), dim).as("code"))

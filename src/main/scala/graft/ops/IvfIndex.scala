@@ -201,8 +201,12 @@ object IvfIndex {
   }
 
   private def loadCentroids(spark: SparkSession, out: String): Array[Array[Double]] =
+    // collect-then-sort on the driver: nlist rows; an orderBy before
+    // collect costs a sort Exchange per serving call (r17 optimization
+    // — serving paths are driver-job-count bound)
     spark.read.parquet(s"${dataRoot(spark, out)}/centroids")
-      .orderBy("i").collect()
+      .collect()
+      .sortBy(r => r.getInt(r.fieldIndex("i")))
       .map(r => r.getSeq[Double](r.fieldIndex("c")).toArray)
 
   /**
@@ -448,7 +452,8 @@ object IvfIndex {
     val m = Marker(num("dim").toInt, num("eff").toInt, num("seed").toLong,
       str("idCol"), str("vecCol"))
     val centroids = spark.read.parquet(s"$root/centroids")
-      .orderBy("i").collect()
+      .collect()
+      .sortBy(r => r.getInt(r.fieldIndex("i")))
       .map(r => r.getSeq[Double](r.fieldIndex("c")).toArray)
     queryInternal(spark, m, centroids, queries,
       probed => pinnedSubdirFrame(spark, out, token, "cells")

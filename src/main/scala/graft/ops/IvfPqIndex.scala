@@ -177,11 +177,17 @@ object IvfPqIndex {
   private def loadQuantizers(spark: SparkSession, out: String, mk: Marker)
       : (Array[Array[Double]], IndexedSeq[Double]) = {
     val root = IvfIndex.dataRoot(spark, out)
+    // collect-then-sort on the driver: quantizer-sized frames; the
+    // orderBy-before-collect shape cost a sort Exchange per serving
+    // call (r17 optimization — serving paths are driver-job-count
+    // bound)
     val centroids = spark.read.parquet(s"$root/centroids")
-      .orderBy("i").collect()
+      .collect()
+      .sortBy(r => r.getInt(r.fieldIndex("i")))
       .map(r => r.getSeq[Double](r.fieldIndex("c")).toArray)
     val codebooks = spark.read.parquet(s"$root/codebooks")
-      .orderBy("s", "code").collect()
+      .collect()
+      .sortBy(r => (r.getInt(r.fieldIndex("s")), r.getInt(r.fieldIndex("code"))))
       .flatMap(r => r.getSeq[Double](r.fieldIndex("c")))
       .toIndexedSeq
     (centroids, codebooks)
@@ -248,11 +254,17 @@ object IvfPqIndex {
     def str(k0: String) = (s""""$k0":"([^"]*)"""").r.findFirstMatchIn(txt).get.group(1)
     val mk = Marker(num("dim").toInt, num("eff").toInt, num("m").toInt,
       num("ksub").toInt, num("seed").toLong, str("idCol"), str("vecCol"))
+    // collect-then-sort on the driver: quantizer-sized frames; the
+    // orderBy-before-collect shape cost a sort Exchange per serving
+    // call (r17 optimization — serving paths are driver-job-count
+    // bound)
     val centroids = spark.read.parquet(s"$root/centroids")
-      .orderBy("i").collect()
+      .collect()
+      .sortBy(r => r.getInt(r.fieldIndex("i")))
       .map(r => r.getSeq[Double](r.fieldIndex("c")).toArray)
     val codebooks = spark.read.parquet(s"$root/codebooks")
-      .orderBy("s", "code").collect()
+      .collect()
+      .sortBy(r => (r.getInt(r.fieldIndex("s")), r.getInt(r.fieldIndex("code"))))
       .flatMap(r => r.getSeq[Double](r.fieldIndex("c")))
       .toIndexedSeq
     val probes = Similarity.probeIvfPq(queries, centroids, codebooks, mk.dim,

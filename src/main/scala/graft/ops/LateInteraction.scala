@@ -171,8 +171,11 @@ object LateInteraction {
     def num(key: String) =
       s""""$key":(-?\\d+)""".r.findFirstMatchIn(txt).get.group(1).toInt
     val dim = num("dim"); val eff = num("eff")
+    // collect-then-sort on the driver (r17 optimization: avoids a
+    // sort Exchange per serving call on an nlist-sized frame)
     val centroids = spark.read.parquet(s"$out/centroids")
-      .orderBy("i").collect()
+      .collect()
+      .sortBy(r => r.getInt(r.fieldIndex("i")))
       .map(r => r.getSeq[Double](r.fieldIndex("c")).toArray)
     val (dists, _) = Similarity.cellFns(centroids, dim)
     val qt = queryTokens.select(col("query_id").cast("long"),

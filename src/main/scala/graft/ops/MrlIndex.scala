@@ -100,7 +100,11 @@ object MrlIndex {
 
   private def loadCentroids(spark: SparkSession,
                             out: String): Array[Array[Double]] =
-    spark.read.parquet(s"$out/centroids").orderBy("i").collect()
+    // collect-then-sort on the driver: the frame is nlist-sized and an
+    // orderBy before collect costs a sort Exchange per serving call
+    // (r17 optimization — serving paths are driver-job-count bound)
+    spark.read.parquet(s"$out/centroids").collect()
+      .sortBy(r => r.getInt(r.fieldIndex("i")))
       .map(r => r.getSeq[Double](r.fieldIndex("c")).toArray)
 
   /** Two-stage serving FROM THE STORE: probe-pruned prefix ranking,

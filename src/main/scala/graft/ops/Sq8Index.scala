@@ -142,11 +142,19 @@ object Sq8Index {
 
   private def loadQuantizers(spark: SparkSession, out: String)
       : (Array[Array[Double]], Array[Double], Array[Double]) = {
-    val centroids = spark.read.parquet(s"$out/centroids")
-      .orderBy("i").collect()
+    // collect-then-sort on the driver: both frames are quantizer-sized
+    // (nlist rows / dim rows), and an orderBy before collect costs a
+    // whole sort Exchange per serving call for ordering the driver can
+    // impose itself (r17 optimization: the serving paths are driver-
+    // job-count bound, guide §5)
+    val centroids = spark.read.parquet(s"$out/centroids").collect()
+      .sortBy(r => r.getInt(r.fieldIndex("i")))
       .map(r => r.getSeq[Double](r.fieldIndex("c")).toArray)
-    val sc = spark.read.parquet(s"$out/scalar").orderBy("j").collect()
-    (centroids, sc.map(_.getDouble(1)), sc.map(_.getDouble(2)))
+    val sc = spark.read.parquet(s"$out/scalar").collect()
+      .sortBy(r => r.getInt(r.fieldIndex("j")))
+    (centroids,
+      sc.map(r => r.getDouble(r.fieldIndex("vmin"))),
+      sc.map(r => r.getDouble(r.fieldIndex("vdiff"))))
   }
 
   /** Serve from the store: probe-pruned partition read, integer-dot
@@ -158,14 +166,28 @@ object Sq8Index {
             corpus: DataFrame, k: Int, rerank: Int, nprobe: Int = 4,
             pushLimit: Int = 4096,
             allowed: Option[DataFrame] = None): DataFrame = {
-    val (_, _, idCol, vecCol) = readMarker(spark, out)
-    val (_, vmin, vdiff) = loadQuantizers(spark, out)
+    // marker + quantizers load ONCE per call and thread through the
+    // candidate stage (r17 optimization: the old shape re-read both
+    // tiny frames inside sq8CandidatesFrom — two extra driver jobs on
+    // every serving call)
+    val mk@(dim, eff, idCol, vecCol) = readMarker(spark, out)
+    val qz@(centroids, vmin, vdiff) = loadQuantizers(spark, out)
     val q0 = queries.select(col(idCol).cast("long").as("query_id"),
         col(vecCol).cast("array<double>").as("qvec"))
       .withColumn("qn", Similarity.norm(col("qvec")))
       .withColumn("qqc", quantize(unit(col("qvec"), col("qn")), vmin, vdiff))
       .drop("qn")
-    val cand = sq8Candidates(spark, out, q0, rerank, nprobe, allowed)
+    val cand = sq8CandidatesFrom(spark, out, q0, rerank, nprobe, allowed,
+      probed => spark.read.parquet(s"$out/codes")
+        .filter(col("cell").isin(probed.map(Int.box).toIndexedSeq: _*)),
+      cf => deletes(spark, out) match {
+        case Some(d) =>
+          AnnTombstones.check(spark, "sq8", out,
+            AnnTombstones.countOf(spark, out)(d.count()))
+          cf.join(broadcast(d.select("corpus_id")),
+            Seq("corpus_id"), "left_anti")
+        case None => cf
+      }, loaded = Some((mk, qz)))
     BinaryQuant.rerankExact(spark, cand, corpus, q0, k, idCol, vecCol,
       pushLimit)
   }
@@ -195,10 +217,15 @@ object Sq8Index {
       q0: DataFrame, rerank: Int, nprobe: Int,
       allowed: Option[DataFrame],
       codesOf: Array[Int] => DataFrame,
-      tombAnti: DataFrame => DataFrame): DataFrame = {
+      tombAnti: DataFrame => DataFrame,
+      loaded: Option[((Int, Int, String, String),
+        (Array[Array[Double]], Array[Double], Array[Double]))] = None)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (dim, eff, _, _) = readMarker(spark, out)
-    val (centroids, _, _) = loadQuantizers(spark, out)
+    val (dim, eff, _, _) = loaded.map(_._1)
+      .getOrElse(readMarker(spark, out))
+    val (centroids, _, _) = loaded.map(_._2)
+      .getOrElse(loadQuantizers(spark, out))
     val (dists, _) = Similarity.cellFns(centroids, dim)
     val q = q0.withColumn("cell",
       explode(Similarity.probeCells(dists(col("qvec")), eff, nprobe)))
@@ -246,8 +273,8 @@ object Sq8Index {
                   rerank: Int, nprobe: Int = 4, pushLimit: Int = 4096,
                   allowed: Option[DataFrame] = None): DataFrame = {
     IvfIndex.requirePin(spark, out, token)
-    val (_, _, idCol, vecCol) = readMarker(spark, out)
-    val (_, vmin, vdiff) = loadQuantizers(spark, out)
+    val mk@(_, _, idCol, vecCol) = readMarker(spark, out)
+    val qz@(_, vmin, vdiff) = loadQuantizers(spark, out)
     val q0 = queries.select(col(idCol).cast("long").as("query_id"),
         col(vecCol).cast("array<double>").as("qvec"))
       .withColumn("qn", Similarity.norm(col("qvec")))
@@ -256,7 +283,7 @@ object Sq8Index {
     val cand = sq8CandidatesFrom(spark, out, q0, rerank, nprobe, allowed,
       probed => IvfIndex.pinnedSubdirFrame(spark, out, token, "codes")
         .filter(col("cell").isin(probed.map(Int.box).toIndexedSeq: _*)),
-      IvfIndex.pinnedTombAnti(spark, out, token))
+      IvfIndex.pinnedTombAnti(spark, out, token), loaded = Some((mk, qz)))
     BinaryQuant.rerankExact(spark, cand, corpus, q0, k, idCol, vecCol,
       pushLimit)
   }
