@@ -4895,8 +4895,16 @@ object SparkEntry {
     // adjacent-pair frame
     "q223_containment" -> ((s, d) => {
       val toks = expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')")
+      // materialized like q24's shingle frame (its own comment
+      // documents the discipline): the self-join's two sides exchange
+      // on DIFFERENT keys (doc_id vs doc_id+1), so without this the
+      // tokenize+shingle scan runs once per side (r17 optimization).
+      // LAZY localCheckpoint rather than q24's persist: a persist
+      // registers in the CacheManager where q24's IDENTICAL shingle
+      // frame would cross-substitute in a shared session.
       val sh = Tables.documents(s, d).select(col("doc_id"),
         array_distinct(graft.ops.ApproxDedup.shingles(toks, 3)).as("sh"))
+        .localCheckpoint(false)
       sh.as("a").join(sh.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
           (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double")

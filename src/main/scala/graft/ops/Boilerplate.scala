@@ -26,18 +26,26 @@ object Boilerplate {
    */
   def boilerplateStats(df: DataFrame, id: Column, tokens: Column,
                        n: Int, minDocs: Long): DataFrame = {
-    val gr = df.select(id.as("doc_id"),
-      explode(array_distinct(ApproxDedup.shingles(tokens, n))).as("gram"))
+    // tokenize+shingle ONCE into the array-per-doc form and
+    // materialize it for the query's duration (r17 optimization):
+    // `gr` feeds two subplans (the boilerplate-set aggregation and
+    // the per-doc join), and their stage shapes differ (exchange-on-
+    // gram vs broadcast-join side), so without this the corpus
+    // re-shingled once per branch. LAZY localCheckpoint, not persist,
+    // so no CacheManager registration can rewrite unrelated queries'
+    // plans. The pre-explode array frame is the compact thing to
+    // hold; the explode from it is cheap.
+    val sh = df.select(id.as("doc_id"),
+      array_distinct(ApproxDedup.shingles(tokens, n)).as("__sh"))
+      .localCheckpoint(false)
+    val gr = sh.select(col("doc_id"), explode(col("__sh")).as("gram"))
     val bp = gr.groupBy(col("gram"))
       .agg(count(lit(1)).as("gram_docs"))
       .filter(col("gram_docs") >= minDocs)
       .select(col("gram"))
     // per-doc totals and boilerplate hits in ONE pass over gr: a left
     // join against the boilerplate set with a marker column, counted
-    // conditionally — `gr` still feeds two subplans (this one and bp's
-    // aggregation; Spark has no cross-branch CSE), which is the floor
-    // without materializing the corpus-sized explode — a third scan
-    // (separate total/hits aggregations) is pure waste
+    // conditionally
     gr.join(bp.withColumn("__bp", lit(1)), Seq("gram"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"), count(col("__bp")).as("n_bp"))

@@ -35,7 +35,7 @@ object Clustering {
     // branch CSE), so an expensive upstream (e.g. an all-pairs
     // similarity join) would otherwise run twice
     val e = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: materializes inside the first job that reads it
     // cached PRE-PARTITIONED on b — the key every round's
     // neighbor-join probes — so label propagation exchanges only the
     // vertex-sized label frame per round, never the edge frame; the
@@ -50,9 +50,15 @@ object Clustering {
     // lineage is deep enough that merely rendering the adaptive plan
     // OOMs. Checkpointing materializes the round AND truncates lineage,
     // so every iteration starts from a flat scan of the previous one.
+    // LAZY localCheckpoint throughout the loop (r17 optimization, the
+    // GraphOps discipline): the per-round convergence count is the
+    // round frame's FIRST action, so propagation, checkpoint
+    // materialization and the count run as ONE Spark job instead of
+    // two — at CC depth the loop's residual cost is sequential job
+    // launches. Lineage still truncates at first materialization.
     var labels = sym.select(col("a").as("v")).distinct()
       .withColumn("label", col("v"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -63,7 +69,7 @@ object Clustering {
         .select(col("v"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
           (col("nbr_label") < col("label")).as("__changed"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       changed = next.filter(col("__changed")).count()
       labels = next.select(col("v"), col("label"))
       iter += 1

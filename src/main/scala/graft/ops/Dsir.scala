@@ -36,10 +36,14 @@ import org.apache.spark.sql.functions._
  * (buckets rows, two ints) BROADCASTS onto the raw corpus's exploded
  * grams, so the only corpus-sized movement is the per-doc aggregate,
  * which partial-aggregates map-side on the doc key. The raw corpus
- * is never shuffled whole; it is SCANNED twice (model fit, then
- * scoring — the standard two-pass DSIR shape; persisting the
- * exploded grams to skip the second scan would cost far more memory
- * than the scan at corpus scale), the target corpus once.
+ * is never shuffled whole; it is tokenized+hashed ONCE into the
+ * per-doc bucket-array form, which is materialized (lazy local
+ * checkpoint) for the query's duration and feeds both the model fit
+ * and the scoring pass (the
+ * long arrays are more compact than the text they came from, so the
+ * cache is cheaper than the second scan it replaces — the EXPLODED
+ * gram stream would not be, which is why the cache sits before the
+ * explode). The target corpus is scanned once.
  */
 object Dsir {
 
@@ -74,15 +78,30 @@ object Dsir {
     // (a bucket seen only in one corpus still smooths to +1 on the
     // other side), positional toDF so the raw-side self-join below
     // gets fresh attributes
+    // the RAW corpus feeds both the model fit and the scoring pass;
+    // tokenize+hash ONCE into the per-doc bucket-array form and
+    // materialize that for the query's duration (r17 optimization):
+    // the md5-per-gram feature hash is the dominant per-pass cost,
+    // and the array-of-longs frame is the COMPACT form (~8
+    // bytes/gram, smaller than the text it came from — unlike the
+    // exploded gram stream the scaladoc's earlier note rejected).
+    // LAZY localCheckpoint, not persist, so no CacheManager
+    // registration can rewrite unrelated queries' plans. At corpus
+    // scale this trades one spill-to-disk write of the long arrays
+    // for a full re-read + re-tokenize + re-md5 of the raw corpus.
+    val bucketed = raw.select(col(idCol),
+      featureBuckets(col(textCol), buckets).as("__fb")).localCheckpoint(false)
+    val rawCounts = bucketed
+      .select(explode(col("__fb")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
     val wtab = bucketCounts(target, textCol, buckets)
       .withColumnRenamed("cnt", "ct")
-      .join(bucketCounts(raw, textCol, buckets).withColumnRenamed("cnt", "cr"),
+      .join(rawCounts.withColumnRenamed("cnt", "cr"),
         Seq("bucket"), "full_outer")
       .selectExpr("bucket",
         "((coalesce(ct, 0L) + 1L) * 1000000L) div (coalesce(cr, 0L) + 1L) AS w")
       .toDF("__wb", "__w")
-    val grams = raw.select(col(idCol),
-      explode(featureBuckets(col(textCol), buckets)).as("__b"))
+    val grams = bucketed.select(col(idCol), explode(col("__fb")).as("__b"))
     grams.join(broadcast(wtab), col("__b") === col("__wb"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"), sum(col("__w")).as("dsir_sum"))

@@ -176,17 +176,37 @@ object Ranking {
    */
   def moreLikeThis(df: DataFrame, id: Column, tokens: Column,
                    sourceDocId: Long, topTerms: Int = 10, k: Int = 10): DataFrame = {
-    val ti = tfIdf(df, id, tokens)
+    // ONE corpus tf relation, materialized once for the query's
+    // duration (r17 optimization): the seed leg, the document-
+    // frequency aggregate and the corpus-terms leg all read it —
+    // unmaterialized, the pushed-down seed/≠seed filters make the
+    // three subtrees plan-distinct, so the corpus explode ran once
+    // per leg. LAZY localCheckpoint, NOT persist: a persist registers
+    // the subtree in the session CacheManager, where an IDENTICAL tf
+    // relation built by an unrelated query in the same session would
+    // silently substitute the cache and lose its own scan pushdown
+    // (PlanShapeSpec's q73 guard caught exactly this); the
+    // RDD-backed checkpoint is invisible to other plans.
+    val tf = termFreqs(df, id, tokens).localCheckpoint(false)
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(round(col("tf_idf"), 6).desc, col("term"))
-    val interesting = ti.filter(col("doc_id") === sourceDocId)
+    val interesting = tf.filter(col("doc_id") === sourceDocId)
+      .join(docFreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tf_idf",
+        col("tf").cast("double") *
+          (log((col("n_docs").cast("double") + 1.0)
+            / (col("doc_freq").cast("double") + 1.0)) + 1.0))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= topTerms)
       .select(col("term"))
-    // corpus terms come from the tf relation already inside ti (one
-    // row per distinct (doc, term)) — a separate explode of df would
-    // scan and shingle the corpus a third time for nothing
-    val corpusTerms = ti.select(col("doc_id"), col("term"))
+    // corpus terms come straight off the tf relation (one row per
+    // distinct (doc, term)); the tf⋈docFreq join the old shape ran
+    // here is row-preserving by construction (docFreq's term set IS
+    // tf's term set), so skipping it changes nothing but the plan
+    val corpusTerms = tf.select(col("doc_id"), col("term"))
       .filter(col("doc_id") =!= sourceDocId)
     corpusTerms.join(broadcast(interesting), "term")
       .groupBy(col("doc_id"))

@@ -147,8 +147,21 @@ object TextAnalysis {
   def unigramRarity(docs: org.apache.spark.sql.DataFrame, idCol: String,
                     textCol: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.broadcast
-    val toks = docs.select(col(idCol), explode(expr(
-      s"filter(split(lower(`$textCol`), '[^a-z0-9]+'), x -> x <> '')")).as("__t"))
+    // tokenize ONCE into an array-per-doc frame, materialized lazily
+    // for the query's duration: the vocabulary counts (behind the
+    // mint barrier, which blocks exchange reuse) and the per-doc
+    // scoring join both explode from it instead of re-running the
+    // regex tokenization over the corpus (r17 optimization). LAZY
+    // localCheckpoint, NOT persist — persist registers the subtree
+    // in the session CacheManager where identical subtrees of
+    // UNRELATED queries would substitute it and lose their own scan
+    // pushdown; the RDD-backed checkpoint stays query-local. The
+    // bench/Verify harness unpersists checkpoint RDDs between
+    // queries.
+    val base = docs.select(col(idCol), expr(
+      s"filter(split(lower(`$textCol`), '[^a-z0-9]+'), x -> x <> '')").as("__l"))
+      .localCheckpoint(false)
+    val toks = base.select(col(idCol), explode(col("__l")).as("__t"))
     val counts = toks.groupBy(col("__t")).agg(count(lit(1)).as("__c"))
     // corpus totals as an unpartitioned window over the VOCABULARY
     // frame (not a corpus re-scan, and not a crossJoin back onto the
@@ -196,8 +209,16 @@ object TextAnalysis {
    */
   def bigramRarity(docs: org.apache.spark.sql.DataFrame, idCol: String,
                    textCol: String): org.apache.spark.sql.DataFrame = {
+    // materialized once for the query's duration: `base` feeds the
+    // unigram counts, the bigram-count model AND the final per-doc
+    // join, and the mint barrier below blocks exchange reuse between
+    // them — this cuts three regex tokenization passes over the
+    // corpus to one (r17 optimization; array-per-doc form). LAZY
+    // localCheckpoint, not persist, so no CacheManager registration
+    // can rewrite unrelated queries' plans (see unigramRarity).
     val base = docs.select(col(idCol), expr(
       s"filter(split(lower(`$textCol`), '[^a-z0-9]+'), x -> x <> '')").as("__l"))
+      .localCheckpoint(false)
     val toks = base.select(explode(col("__l")).as("__t"))
     val uni = toks.groupBy(col("__t")).agg(count(lit(1)).as("__c"))
     val big = base.filter(size(col("__l")) >= 2).select(col(idCol),
@@ -481,7 +502,16 @@ object TextAnalysis {
       df.select(col(idCol), expr(
         s"filter(split(lower(`$textCol`), '[^a-z0-9]+'), x -> x <> '')").as("__l"))
     val base = tokenized(docs)
-    val mbase = tokenized(modelDocs)
+    // materialize the tokenized MODEL frame once for the query's
+    // duration: the three gram tables (c3/c2/c1) each descend from it
+    // through their own shuffle, and the mint barrier below blocks
+    // exchange reuse, so without this the model corpus re-tokenizes
+    // once per table (r17 optimization, guide §1.2 "don't compute
+    // things you throw away"; array-per-doc form, far smaller than
+    // the exploded token stream). LAZY localCheckpoint, not persist,
+    // so no CacheManager registration can rewrite unrelated queries'
+    // plans (see unigramRarity).
+    val mbase = tokenized(modelDocs).localCheckpoint(false)
     val toks = mbase.select(explode(col("__l")).as("__t"))
     // trigram occurrences (id, a, b, c) of the SCORED corpus
     val tri = base.filter(size(col("__l")) >= 3).select(col(idCol),
