@@ -64,11 +64,19 @@ object Bench {
   /** Drop everything a finished query can leave pinned: cache-manager
     * entries (Dataset.persist) AND raw persisted RDDs
     * (localCheckpoint) — the latter are invisible to clearCache and
-    * were the r11 sweep-interference leak. */
+    * were the r11 sweep-interference leak.
+    *
+    * BLOCKING unpersist (r18, VERDICT_r17 item 1): the async form
+    * returns before the block manager actually drops the blocks, so
+    * at 32 threads the next query's measured window starts under the
+    * previous query's storage eviction + ContextCleaner RPC churn —
+    * exactly the interference class this release call exists to
+    * prevent. The synchronous drop costs the UN-measured gap between
+    * queries instead. */
   private def releaseQueryState(spark: SparkSession): Unit = {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
+      .foreach(_.unpersist(blocking = true))
   }
 
   private def gcMillis(): Long = {

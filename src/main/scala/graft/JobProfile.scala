@@ -30,13 +30,6 @@ object JobProfile {
     val (full, fn) = SparkEntry.queries.find(_._1.startsWith(key + "_"))
       .orElse(SparkEntry.queries.find(_._1 == key))
       .getOrElse(sys.error(s"no query $name"))
-    // warm run: builds shared stores, JIT, page cache
-    spark.range(1000000L).selectExpr("sum(id) as s")
-      .write.format("noop").mode("overwrite").save()
-    fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-    spark.catalog.clearCache()
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-
     val starts = mutable.Map[Int, (Long, String)]()
     val lines = mutable.ArrayBuffer[String]()
     val listener = new SparkListener {
@@ -50,6 +43,28 @@ object JobProfile {
           lines += f"  job ${j.jobId}%4d ${(System.nanoTime() - t0) / 1e9}%7.3f s  $desc"
         }
     }
+
+    // warm run: builds shared stores, JIT, page cache.
+    // SPARK_GRAFT_PROFILE_WARM=1 instruments IT too — the store-BUILD
+    // cost attribution (setup phase), which the measured repeats
+    // amortize away (r18, VERDICT item 6/7: the pinned-store and
+    // graph-store builds needed the same per-job view).
+    val profileWarm = sys.env.get("SPARK_GRAFT_PROFILE_WARM").exists(_.nonEmpty)
+    spark.range(1000000L).selectExpr("sum(id) as s")
+      .write.format("noop").mode("overwrite").save()
+    if (profileWarm) spark.sparkContext.addSparkListener(listener)
+    val tw0 = System.nanoTime()
+    fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    val twd = (System.nanoTime() - tw0) / 1e9
+    if (profileWarm) {
+      spark.sparkContext.removeSparkListener(listener)
+      Thread.sleep(300)
+      println(f"== $name WARM (build-inclusive): $twd%.3f s, ${lines.size} jobs ==")
+      lines.foreach(println)
+      lines.clear()
+    }
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     (0 until repeats).foreach { i =>
       lines.clear()
       spark.sparkContext.addSparkListener(listener)

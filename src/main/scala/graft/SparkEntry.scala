@@ -1,5 +1,6 @@
 package graft
 
+import graft.util.Checkpoints.CutOps
 import graft.dedup.Dedup
 import graft.etl.Etl
 import graft.index.ShardIndex
@@ -92,13 +93,37 @@ object SparkEntry {
     * the same build repeatedly. Mutating queries (q109 upsert, q122
     * deleteByQuery) build PRIVATE stores — sharing one would leak
     * state between queries. */
-  private val sharedStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def sharedStore(d: String, spec: String)(build: String => Unit): String =
-    sharedStores.computeIfAbsent(s"$d|$spec", _ => {
-      val out = java.nio.file.Files.createTempDirectory(s"graft_store_${spec}_").toString
-      build(out)
-      out
-    })
+  // Per-key FUTURE holders, resolved OUTSIDE the map's bin locks (r18,
+  // ADVICE_r17): multi-second store builds used to run inside
+  // computeIfAbsent's mapping function, where distinct keys hashing to
+  // one bin silently serialize under concurrent Par legs, and a nested
+  // sharedStore call inside a build closure would violate the CHM
+  // mapping-function contract. The CHM now only installs a
+  // CompletableFuture (cheap, lock-safe); exactly one caller runs the
+  // build, everyone else blocks on the future.
+  private val sharedStores = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[String]]()
+  private def sharedStore(d: String, spec: String)(build: String => Unit): String = {
+    val holder = new java.util.concurrent.CompletableFuture[String]()
+    val prior = sharedStores.putIfAbsent(s"$d|$spec", holder)
+    if (prior != null) prior.join()
+    else {
+      try {
+        val out = java.nio.file.Files
+          .createTempDirectory(s"graft_store_${spec}_").toString
+        build(out)
+        holder.complete(out)
+      } catch {
+        case e: Throwable =>
+          // a failed build must not poison the key forever — the next
+          // caller retries (and concurrent waiters see the failure)
+          sharedStores.remove(s"$d|$spec", holder)
+          holder.completeExceptionally(e)
+          throw e
+      }
+      holder.join()
+    }
+  }
 
   /** One owner query per shared read-only store spec: running these
     * once builds every store for (sfDir), so a measuring harness can
@@ -4904,7 +4929,7 @@ object SparkEntry {
       // frame would cross-substitute in a shared session.
       val sh = Tables.documents(s, d).select(col("doc_id"),
         array_distinct(graft.ops.ApproxDedup.shingles(toks, 3)).as("sh"))
-        .localCheckpoint(false)
+        .cutLineage(false)
       sh.as("a").join(sh.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
           (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double")
@@ -5473,11 +5498,15 @@ object SparkEntry {
         case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
       }
       val sink = s"q263_sink_${System.nanoTime()}"
-      val q = StreamingIngest.windowedCounts(ev)
-        .select(col("window_start"), col("event_type"), col("n"))
-        .writeStream.format("memory").queryName(sink).outputMode("append")
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      // stateful stream: bound the state-store partition count (r18 —
+      // AQE is off in streaming, so shuffle.partitions is raw)
+      StreamingIngest.withStatePartitions(s) {
+        val q = StreamingIngest.windowedCounts(ev)
+          .select(col("window_start"), col("event_type"), col("n"))
+          .writeStream.format("memory").queryName(sink).outputMode("append")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.table(sink)
     }),
 
@@ -5571,9 +5600,13 @@ object SparkEntry {
         "b1", 1000000060000L)
       val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1).parquet(src)
-      val q = StreamingIngest.dedupIngestSink(
-        s"$root/out", s"$root/state", "doc_id", "text")(stream).start()
-      q.awaitTermination()
+      // per-micro-batch joins/writes inherit the session's shuffle
+      // partitions with no AQE — bound them for the stream (r18)
+      StreamingIngest.withStatePartitions(s) {
+        val q = StreamingIngest.dedupIngestSink(
+          s"$root/out", s"$root/state", "doc_id", "text")(stream).start()
+        q.awaitTermination()
+      }
       s.read.parquet(s"$root/out")
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"),
           sum(length(col("text")).cast("long")).as("chars"))

@@ -30,10 +30,11 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // drop per-query persisted intermediates INCLUDING localCheckpoint
-      // RDDs, which clearCache alone leaves pinned (see Bench)
+      // RDDs, which clearCache alone leaves pinned (see Bench); blocking
+      // so the next query never starts under this one's eviction (r18)
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

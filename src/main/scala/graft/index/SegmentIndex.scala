@@ -1722,8 +1722,9 @@ object SegmentIndex {
     else Some(readCommitFile(fs, dir, gen))
   }
 
-  private def readCommitFile(fs: FileSystem, dir: Path, gen: Int): CommitPoint = {
-    val p = new Path(dir, s"segments_$gen")
+  private def readCommitFile(fs: FileSystem, dir: Path, gen: Int,
+                             staged: Boolean = false): CommitPoint = {
+    val p = new Path(dir, s"${if (staged) StagedPrefix else ""}segments_$gen")
     val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
     val in = fs.open(p)
     try in.readFully(0, buf) finally in.close()
@@ -1744,7 +1745,8 @@ object SegmentIndex {
     CommitPoint(gen, root.get("counter").asInt(), segs)
   }
 
-  private def writeCommit(fs: FileSystem, dir: Path, cp: CommitPoint): Unit = {
+  private def writeCommit(fs: FileSystem, dir: Path, cp: CommitPoint,
+                          staged: Boolean = false): Unit = {
     // jackson, not string interpolation: stats min/max are TERM data
     // (arbitrary user strings) and must be JSON-escaped
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -1766,22 +1768,78 @@ object SegmentIndex {
       }
     }
     val json = mapper.writeValueAsString(root)
-    val p = new Path(dir, s"segments_${cp.gen}")
+    val p = new Path(dir,
+      s"${if (staged) StagedPrefix else ""}segments_${cp.gen}")
     val os = fs.create(p, true)
     try os.write(json.getBytes(StandardCharsets.UTF_8)) finally os.close()
+  }
+
+  // ---- staged commits (r18 — batch-atomic upsert publication) ----
+  //
+  // A STAGED commit is a complete commit file written under a name the
+  // reader-side generation regex never matches: segment data files and
+  // tombstone generations land on disk, but the store serves exactly
+  // its pre-existing commits until publishStaged renames the staged
+  // files into place. This is the two-phase form of the `segments_N`
+  // protocol: tasks stage, the driver publishes only after the WHOLE
+  // job succeeded — so a refused upsert batch (duplicate ids, any task
+  // failure) leaves every part serving its old generation, restoring
+  // the refusal atomicity the r17 fused duplicate check traded away,
+  // WITHOUT re-adding the pre-write validation job.
+
+  private[index] val StagedPrefix = "_staged_"
+  private val stagedGenRe = "_staged_segments_(\\d+)".r
+
+  private def stagedGensOf(fs: FileSystem, dir: Path): Seq[Int] =
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).flatMap(s => s.getPath.getName match {
+      case stagedGenRe(g) => Some(g.toInt)
+      case _ => None
+    }).sorted.toSeq
+
+  /** Publish every staged commit in `dir` (ascending — highest wins),
+    * then run the retention reclaim the staged session deferred.
+    * No-op when nothing is staged. */
+  def publishStaged(fs: FileSystem, dir: Path, retain: Int): Unit = {
+    val gens = stagedGensOf(fs, dir)
+    gens.foreach { g =>
+      fs.rename(new Path(dir, s"${StagedPrefix}segments_$g"),
+        new Path(dir, s"segments_$g"))
+    }
+    if (gens.nonEmpty) reclaimCommits(fs, dir, retain)
+  }
+
+  /** Discard staged commits AND the files only they reference (their
+    * fresh segments and tombstone generations) — the refusal path and
+    * the crash-residue sweep. Files referenced by any LIVE commit are
+    * never touched, so the store is byte-identical to its pre-upsert
+    * state afterwards. */
+  def discardStaged(fs: FileSystem, dir: Path): Unit = {
+    val gens = stagedGensOf(fs, dir)
+    if (gens.isEmpty) return
+    val liveRefs = fs.listStatus(dir).flatMap(s => s.getPath.getName match {
+      case genRe(g) => Some(g.toInt)
+      case _ => None
+    }).flatMap(g => commitRefs(fs, dir, g)).toSet
+    gens.foreach { g =>
+      val refs = refsOf(readCommitFile(fs, dir, g, staged = true))
+      (refs -- liveRefs).foreach(f => fs.delete(new Path(dir, f), false))
+      fs.delete(new Path(dir, s"${StagedPrefix}segments_$g"), false)
+    }
   }
 
   private[index] val SegmentFileExts = Seq("fld", "fdx", "trm", "nrm", "dvd", "dvm")
 
   /** Every file a commit point references: segment data files plus
     * the live tombstone generation per segment. */
+  private def refsOf(cp: CommitPoint): Set[String] =
+    cp.segments.flatMap { s =>
+      SegmentFileExts.map(e => s"${s.name}.$e") ++
+        (if (s.delGen > 0) Seq(delFile(s.name, s.delGen)) else Nil)
+    }.toSet
+
   private def commitRefs(fs: FileSystem, dir: Path, gen: Int): Set[String] =
-    commitAt(fs, dir, gen).map { cp =>
-      cp.segments.flatMap { s =>
-        SegmentFileExts.map(e => s"${s.name}.$e") ++
-          (if (s.delGen > 0) Seq(delFile(s.name, s.delGen)) else Nil)
-      }.toSet
-    }.getOrElse(Set.empty)
+    commitAt(fs, dir, gen).map(refsOf).getOrElse(Set.empty)
 
   /**
    * Retention deletion policy (Lucene `IndexFileDeleter` +
@@ -1883,11 +1941,17 @@ object SegmentIndex {
    * index dir — same single-writer discipline as Lucene). Buffered
    * documents become ONE new segment at `commit()`.
    */
+  /** @param staged commits write under [[StagedPrefix]] names the
+    *   reader regex never matches, and the retention reclaim is
+    *   deferred — publication happens when the CALLER (the upsert
+    *   driver, after its whole job succeeded) runs [[publishStaged]];
+    *   [[discardStaged]] is the refusal path. */
   final class Writer(fs: FileSystem, dir: Path,
                      analyzed: Set[String] = Set.empty,
                      compressStored: Boolean = true,
                      maxBufferedDocs: Int = 1 << 17,
-                     retainGenerations: Int = 1) {
+                     retainGenerations: Int = 1,
+                     staged: Boolean = false) {
     require(maxBufferedDocs > 0)
     require(retainGenerations >= 1, "retainGenerations must be >= 1")
     // diagnostic knob (StoreStats codec A/B): which block codec
@@ -2011,12 +2075,14 @@ object SegmentIndex {
       // exemption ends here
       sessionFlushed.clear()
       commitPoint = CommitPoint(nextGen, withFlush.counter, segs)
-      writeCommit(fs, dir, commitPoint)
+      writeCommit(fs, dir, commitPoint, staged)
       // now that the new generation is live, reclaim files outside the
       // retention window (stale tombstone generations and dropped
       // fully-deleted segments fall out once no retained commit
-      // references them)
-      reclaimCommits(fs, dir, retainGenerations)
+      // references them) — DEFERRED in staged mode (publishStaged
+      // reclaims after the rename; reclaiming here would delete files
+      // the still-live old generation references)
+      if (!staged) reclaimCommits(fs, dir, retainGenerations)
       commitPoint
     }
 
@@ -2092,10 +2158,10 @@ object SegmentIndex {
             writeSegment(fs, dir, name, all, analyzed, compress = compressStored)
           }
         commitPoint = CommitPoint(commitPoint.gen + 1, commitPoint.counter + 1, Seq(meta))
-        writeCommit(fs, dir, commitPoint)
+        writeCommit(fs, dir, commitPoint, staged)
         // pre-merge segment files live until they leave the retention
         // window (retain=1: deleted now, exactly the old behavior)
-        reclaimCommits(fs, dir, retainGenerations)
+        if (!staged) reclaimCommits(fs, dir, retainGenerations)
         commitPoint
       }
     }
@@ -2146,8 +2212,8 @@ object SegmentIndex {
             val victimNames = victims.map(_.name).toSet
             commitPoint = CommitPoint(commitPoint.gen + 1, commitPoint.counter + 1,
               commitPoint.segments.filterNot(s => victimNames(s.name)) :+ meta)
-            writeCommit(fs, dir, commitPoint)
-            reclaimCommits(fs, dir, retainGenerations)
+            writeCommit(fs, dir, commitPoint, staged)
+            if (!staged) reclaimCommits(fs, dir, retainGenerations)
             again = true
           }
       }
@@ -3124,10 +3190,11 @@ object SegmentIndex {
   def writer(dir: String, conf: Configuration,
              analyzed: Set[String] = Set.empty,
              compressStored: Boolean = true,
-             retainGenerations: Int = 1): Writer = {
+             retainGenerations: Int = 1,
+             staged: Boolean = false): Writer = {
     val p = new Path(dir)
     new Writer(p.getFileSystem(conf), p, analyzed, compressStored,
-      retainGenerations = retainGenerations)
+      retainGenerations = retainGenerations, staged = staged)
   }
 
   def reader(dir: String, conf: Configuration): Reader = {

@@ -1,5 +1,6 @@
 package graft.index
 
+import graft.util.Checkpoints.CutOps
 import graft.route.HashRangeRouter
 import graft.util.SerializableHadoopConf
 import org.apache.hadoop.fs.Path
@@ -312,52 +313,90 @@ object SegmentShardSink {
       }
     val conf = new SerializableHadoopConf(conf0)
     val analyzedBc = marker.analyzed
-    try {
-      routed.foreachPartition { (rows: Iterator[Row]) =>
-        var cur = -1
-        var w: SegmentIndex.Writer = null
-        val ids = scala.collection.mutable.HashSet.empty[String]
-        def flush(): Unit = if (w != null) {
-          w.deleteDocumentsBatch(idCol, ids.toSet)
-          w.close() // commits tombstones + the new segment together
-          // steady-state counter-force: each batch leaves one fresh
-          // segment per touched part — tiered merge folds over-full
-          // tiers so month-long ingest stays at O(log docs) segments
-          w.maybeMerge(mergePolicy)
-          ids.clear()
-        }
-        rows.foreach { row =>
-          val ms = row.getInt(msIdx)
-          if (ms != cur) {
-            flush()
-            w = SegmentIndex.writer(indexDir(store, ms), conf.value, analyzedBc,
-              retainGenerations = retainGenerations)
-            cur = ms
-          }
-          if (!ids.add(render(row.get(idIdx))))
-            throw new IllegalArgumentException(
-              s"duplicate $idCol values in upsert batch")
-          w.addDocument(docOf(row, fields))
-        }
-        flush()
-        ()
+    // STAGED write (r18, VERDICT_r17 item 4): tasks write tombstones +
+    // segments + merges under staged commit names invisible to readers;
+    // the driver publishes per part only after the WHOLE job succeeded.
+    // A refused batch (the fused duplicate check below, or any task
+    // failure) discards the staged commits and the files only they
+    // reference — the store stays byte-identical to its pre-upsert
+    // state, restoring the refusal atomicity the r16 pre-check job
+    // provided, still without that extra shuffle job per upsert.
+    val partsP = (0 until marker.parts).map(ms => indexDir(store, ms))
+    def eachPartDir(f: org.apache.hadoop.fs.Path => Unit): Unit = {
+      val fs = new Path(store).getFileSystem(conf0)
+      partsP.foreach { d =>
+        val p = new Path(d)
+        if (fs.exists(p)) f(p)
       }
-    } catch {
-      // surface the caller-bug contract as the documented
-      // IllegalArgumentException rather than Spark's task-failure
-      // wrapper (the pre-r17 shape ran a dedicated duplicate-check
-      // job before writing; the fused check keeps the loud refusal)
-      case e: Throwable =>
-        var c: Throwable = e
-        while (c != null && !c.isInstanceOf[IllegalArgumentException])
-          c = c.getCause
-        c match {
-          case iae: IllegalArgumentException
-            if Option(iae.getMessage).exists(_.contains("duplicate")) =>
-              throw iae
-          case _ => throw e
-        }
     }
+    // crash residue from a previous driver that died between job
+    // success and publish (or mid-discard) must not leak into THIS
+    // batch's publication
+    eachPartDir(SegmentIndex.discardStaged(new Path(store)
+      .getFileSystem(conf0), _))
+    // the duplicate check rides the write pass as a RETURNED FLAG, not
+    // a task failure: a thrown task would make Spark kill its siblings
+    // asynchronously, racing the driver's staged-state discard with
+    // writers mid-file. With the flag, the collect() below is a full
+    // barrier — every task has finished (and staged whatever it wrote)
+    // before the driver decides to publish or discard, so the refusal
+    // path is deterministic and byte-exact.
+    val dupFlags =
+      try {
+        routed.rdd.mapPartitions { (rows: Iterator[Row]) =>
+          var cur = -1
+          var w: SegmentIndex.Writer = null
+          var dup = false
+          val ids = scala.collection.mutable.HashSet.empty[String]
+          def flush(): Unit = if (w != null) {
+            w.deleteDocumentsBatch(idCol, ids.toSet)
+            w.close() // stages tombstones + the new segment together
+            // steady-state counter-force: each batch leaves one fresh
+            // segment per touched part — tiered merge folds over-full
+            // tiers so month-long ingest stays at O(log docs) segments
+            w.maybeMerge(mergePolicy)
+            ids.clear()
+          }
+          rows.takeWhile(_ => !dup).foreach { row =>
+            val ms = row.getInt(msIdx)
+            if (ms != cur) {
+              flush()
+              w = SegmentIndex.writer(indexDir(store, ms), conf.value, analyzedBc,
+                retainGenerations = retainGenerations, staged = true)
+              cur = ms
+            }
+            if (!ids.add(render(row.get(idIdx)))) dup = true // stop: batch is refused
+            else w.addDocument(docOf(row, fields))
+          }
+          if (!dup) flush() // a refused partition abandons its tail un-staged
+          Iterator.single(dup)
+        }.collect()
+      } catch {
+        case e: Throwable =>
+          // a genuinely failed job (I/O, OOM — not the duplicate path)
+          // still discards whatever landed; late writes of killed tasks
+          // are unreferenced staged files the next upsert's pre-sweep
+          // also clears
+          eachPartDir(SegmentIndex.discardStaged(new Path(store)
+            .getFileSystem(conf0), _))
+          throw e
+      }
+    if (dupFlags.exists(identity)) {
+      // refusal: drop every staged commit and the files only they
+      // reference — the store is byte-identical to its pre-upsert
+      // state (spec-locked in SegmentIndexSpec)
+      eachPartDir(SegmentIndex.discardStaged(new Path(store)
+        .getFileSystem(conf0), _))
+      throw new IllegalArgumentException(
+        s"duplicate $idCol values in upsert batch")
+    }
+    // the job succeeded whole: publish every part's staged commits
+    // (driver-side renames, bounded by the store's part count — the
+    // same driver-side per-part discipline mergeTree's renumbering
+    // already uses), then the deferred retention reclaim runs per
+    // published part
+    eachPartDir(SegmentIndex.publishStaged(new Path(store)
+      .getFileSystem(conf0), _, retainGenerations))
   }
 
   private[graft] case class StoreMarker(shards: Int, parts: Int, idCol: String,
@@ -854,8 +893,8 @@ object SegmentShardSink {
     // lineage would re-resolve against the NEW versions and silently
     // change the answer — localCheckpoint severs it (materialized
     // pre-write, exactly once)
-    val appliedP = applied.localCheckpoint(true)
-    val conflictsP = conflicts.localCheckpoint(true)
+    val appliedP = applied.cutLineage(true)
+    val conflictsP = conflicts.cutLineage(true)
     if (!appliedP.isEmpty) upsert(spark, store, appliedP)
     (appliedP, conflictsP)
   }

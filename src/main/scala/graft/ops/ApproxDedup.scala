@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.util.Checkpoints.CutOps
 import graft.route.SolrHash
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -264,7 +265,7 @@ object ApproxDedup {
         graft.functions.ArrayEqCount.array_eq_count(col("sig"), col("csig"))
           .cast("double") / lit(numHashes.toDouble) >= threshold)
       .select(col("id").as("__loser")).distinct()
-      .localCheckpoint(true)
+      .cutLineage(true)
     newDocs.join(losers, id === col("__loser"), "left_anti")
   }
 
@@ -296,7 +297,7 @@ object ApproxDedup {
     val losers = cand
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_b").as("__loser")).distinct()
-      .localCheckpoint(true)
+      .cutLineage(true)
     sig.unpersist()
     df.join(losers, id === col("__loser"), "left_anti")
   }

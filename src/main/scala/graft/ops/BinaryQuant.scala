@@ -363,9 +363,11 @@ object BinaryQuant {
     val txt = readMarkerText(spark, ivfMarkerPath(out))
     val dim = markerNum(txt, "dim").toInt
     val idCol = markerStr(txt, "idCol"); val vecCol = markerStr(txt, "vecCol")
-    val q0 = queries.select(col(idCol).cast("long").as("query_id"),
-        col(vecCol).cast("array<double>").as("qvec"))
-      .withColumn("qcode", packSigns(col("qvec"), dim))
+    // localized: probe collect free, both broadcast builds job-less (r18)
+    val q0 = Similarity.localized(
+      queries.select(col(idCol).cast("long").as("query_id"),
+          col(vecCol).cast("array<double>").as("qvec"))
+        .withColumn("qcode", packSigns(col("qvec"), dim)))
     val cand = ivfCandidates(spark, out, q0, rerank, nprobe, allowed)
     rerankExact(spark, cand, corpus, q0, k, idCol, vecCol, pushLimit)
   }
@@ -401,15 +403,35 @@ object BinaryQuant {
                                 codesOf: Array[Int] => DataFrame,
                                 tombAnti: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // collect-then-sort on the driver: nlist rows; an orderBy before
-    // collect costs a sort Exchange per call (r17 optimization)
-    val centroids = spark.read.parquet(s"$out/centroids")
-      .collect()
-      .sortBy(r => r.getInt(r.fieldIndex("i")))
-      .map(r => r.getSeq[Long](r.fieldIndex("code")).toArray)
-    val q = q0.withColumn("cell",
-      explode(probeCells(col("qcode"), centroids, nprobe)))
-    val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0))
+    // driver-side parquet read (r18): nlist rows, zero Spark jobs —
+    // the serving paths are driver-job-count bound (guide §5)
+    val centroids = graft.util.SmallParquet
+      .rows(spark.sparkContext.hadoopConfiguration, s"$out/centroids")
+      .sortBy(_.int("i")).map(_.longArray("code")).toArray
+    // driver-side probes over the collected (broadcast-small) query
+    // batch (r18; see IvfIndex.queryInternal) — pure-integer Hamming,
+    // exactly [[hammingWords]], with the (distance, index) tie-break
+    // of the expression form
+    val qRows = q0.collect()
+    val qcodeIdx = q0.schema.fieldIndex("qcode")
+    val probesPer = qRows.map { r =>
+      val raw = if (r.isNullAt(qcodeIdx)) null else r.getSeq[Any](qcodeIdx)
+      if (raw == null || raw.exists(_ == null) ||
+          (centroids.nonEmpty && raw.length != centroids(0).length))
+        Array.empty[Int]
+      else {
+        val c = raw.map(_.asInstanceOf[Long]).toArray
+        Similarity.probeOrderLocal(
+          centroids.map(ct => hammingWords(c, ct).toDouble), nprobe)
+      }
+    }
+    val q = spark.createDataFrame(
+      java.util.Arrays.asList(qRows.zip(probesPer).flatMap { case (r, cs) =>
+        cs.map(cc => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ cc))
+      }: _*),
+      q0.schema.add("cell",
+        org.apache.spark.sql.types.IntegerType, nullable = false))
+    val probed = probesPer.flatten.distinct
     val codes1 = tombAnti(codesOf(probed))
     val codes = allowed match {
       case Some(a) => codes1.join(
@@ -459,9 +481,10 @@ object BinaryQuant {
     val txt = readMarkerText(spark, ivfMarkerPath(out))
     val dim = markerNum(txt, "dim").toInt
     val idCol = markerStr(txt, "idCol"); val vecCol = markerStr(txt, "vecCol")
-    val q0 = queries.select(col(idCol).cast("long").as("query_id"),
-        col(vecCol).cast("array<double>").as("qvec"))
-      .withColumn("qcode", packSigns(col("qvec"), dim))
+    val q0 = Similarity.localized(
+      queries.select(col(idCol).cast("long").as("query_id"),
+          col(vecCol).cast("array<double>").as("qvec"))
+        .withColumn("qcode", packSigns(col("qvec"), dim)))
     val cand = ivfCandidatesFrom(spark, out, q0, rerank, nprobe, allowed,
       probed => IvfIndex.pinnedSubdirFrame(spark, out, token, "codes")
         .filter(col("cell").isin(probed.map(Int.box).toIndexedSeq: _*)),
@@ -492,12 +515,10 @@ object BinaryQuant {
     val txt = readMarkerText(spark, ivfMarkerPath(out))
     val dim = markerNum(txt, "dim").toInt
     val idCol = markerStr(txt, "idCol"); val vecCol = markerStr(txt, "vecCol")
-    // collect-then-sort on the driver: nlist rows; an orderBy before
-    // collect costs a sort Exchange per call (r17 optimization)
-    val centroids = spark.read.parquet(s"$out/centroids")
-      .collect()
-      .sortBy(r => r.getInt(r.fieldIndex("i")))
-      .map(r => r.getSeq[Long](r.fieldIndex("code")).toArray)
+    // driver-side parquet read (r18): nlist rows, zero Spark jobs
+    val centroids = graft.util.SmallParquet
+      .rows(spark.sparkContext.hadoopConfiguration, s"$out/centroids")
+      .sortBy(_.int("i")).map(_.longArray("code")).toArray
     vectors.select(col(idCol).cast("long").as("corpus_id"),
         packSigns(col(vecCol).cast("array<double>"), dim).as("code"))
       .withColumn("cell", nearestCell(col("code"), centroids))

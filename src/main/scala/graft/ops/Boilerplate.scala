@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.util.Checkpoints.CutOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -37,7 +38,7 @@ object Boilerplate {
     // hold; the explode from it is cheap.
     val sh = df.select(id.as("doc_id"),
       array_distinct(ApproxDedup.shingles(tokens, n)).as("__sh"))
-      .localCheckpoint(false)
+      .cutLineage(false)
     val gr = sh.select(col("doc_id"), explode(col("__sh")).as("gram"))
     val bp = gr.groupBy(col("gram"))
       .agg(count(lit(1)).as("gram_docs"))

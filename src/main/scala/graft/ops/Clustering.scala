@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.util.Checkpoints.CutOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -35,7 +36,7 @@ object Clustering {
     // branch CSE), so an expensive upstream (e.g. an all-pairs
     // similarity join) would otherwise run twice
     val e = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
-      .localCheckpoint(false) // lazy: materializes inside the first job that reads it
+      .cutLineage(false) // lazy: materializes inside the first job that reads it
     // cached PRE-PARTITIONED on b — the key every round's
     // neighbor-join probes — so label propagation exchanges only the
     // vertex-sized label frame per round, never the edge frame; the
@@ -58,7 +59,7 @@ object Clustering {
     // launches. Lineage still truncates at first materialization.
     var labels = sym.select(col("a").as("v")).distinct()
       .withColumn("label", col("v"))
-      .localCheckpoint(false)
+      .cutLineage(false)
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -69,7 +70,7 @@ object Clustering {
         .select(col("v"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
           (col("nbr_label") < col("label")).as("__changed"))
-        .localCheckpoint(false)
+        .cutLineage(false)
       changed = next.filter(col("__changed")).count()
       labels = next.select(col("v"), col("label"))
       iter += 1

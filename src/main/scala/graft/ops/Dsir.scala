@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.util.Checkpoints.CutOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -90,7 +91,7 @@ object Dsir {
     // scale this trades one spill-to-disk write of the long arrays
     // for a full re-read + re-tokenize + re-md5 of the raw corpus.
     val bucketed = raw.select(col(idCol),
-      featureBuckets(col(textCol), buckets).as("__fb")).localCheckpoint(false)
+      featureBuckets(col(textCol), buckets).as("__fb")).cutLineage(false)
     val rawCounts = bucketed
       .select(explode(col("__fb")).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.util.Checkpoints.CutOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -126,7 +127,7 @@ object GraphOps {
         .select(col("__dst").as("node"),
           concat(col("path"), array(col("__dst"))).as("path"))
         .join(visited, Seq("node"), "left_anti")
-        .localCheckpoint(false)
+        .cutLineage(false)
       // one probe job per round, not two: total and target hits from
       // a single aggregate over the frontier (each extra action is a
       // full job launch — at 4 rounds the fused probe saves a third of
@@ -210,14 +211,14 @@ object GraphOps {
             .select(col("__dst").as("node"),
               concat(col("path"), array(col("__dst"))).as("path"))
             .join(fVisited, Seq("node"), "left_anti")
-            .localCheckpoint(false)
+            .cutLineage(false)
         } else {
           bDepth += 1
           bFront.join(er, bFront("node") === er("__src"))
             .select(col("__dst").as("node"),
               concat(array(col("__dst")), col("bpath")).as("bpath"))
             .join(bVisited, Seq("node"), "left_anti")
-            .localCheckpoint(false)
+            .cutLineage(false)
         }
       val other = if (growForward) bFront else fFront
       // fused probe: frontier size + meet hits in ONE job. When hits

@@ -201,13 +201,14 @@ object IvfIndex {
   }
 
   private def loadCentroids(spark: SparkSession, out: String): Array[Array[Double]] =
-    // collect-then-sort on the driver: nlist rows; an orderBy before
-    // collect costs a sort Exchange per serving call (r17 optimization
-    // — serving paths are driver-job-count bound)
-    spark.read.parquet(s"${dataRoot(spark, out)}/centroids")
-      .collect()
-      .sortBy(r => r.getInt(r.fieldIndex("i")))
-      .map(r => r.getSeq[Double](r.fieldIndex("c")).toArray)
+    // driver-side parquet read (r18): the centroid frame is nlist-
+    // sized; even a collect costs one full Spark job per serving call
+    // (r17 had already dropped the sort Exchange) — the serving paths
+    // are driver-job-count bound, so the load now runs off the
+    // scheduler entirely
+    graft.util.SmallParquet.rows(spark.sparkContext.hadoopConfiguration,
+        s"${dataRoot(spark, out)}/centroids")
+      .sortBy(_.int("i")).map(_.doubleArray("c")).toArray
 
   /**
    * Query the persisted index: identical semantics (and bit-identical
@@ -279,15 +280,31 @@ object IvfIndex {
       exceptTomb: DataFrame => DataFrame, k: Int, nprobe: Int,
       allowed: Option[DataFrame]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (dists, _) = Similarity.cellFns(centroids, m.dim)
     val q0 = queries.select(col(m.idCol).as("query_id"),
         col(m.vecCol).cast("array<double>").as("qvec"))
       .withColumn("qnorm", Similarity.norm(col("qvec")))
-    val q = q0.withColumn("cell",
-      explode(Similarity.probeCells(dists(col("qvec")), m.eff, nprobe)))
+    // ONE collect of the (broadcast-small by contract) query batch:
+    // probe cells are computed DRIVER-SIDE (bit-identical fold order,
+    // see Similarity.probeCellsLocal) and the query side becomes a
+    // LocalRelation — the old probed-cell collect job disappears and
+    // the scoring join's broadcast build no longer needs a scan job
+    // (r18, guide §5; the serving paths are driver-job-count bound)
+    val qRows = q0.collect()
+    val qvecIdx = q0.schema.fieldIndex("qvec")
+    val cnorms = Similarity.centroidNormsLocal(centroids)
+    val probesPer = qRows.map { r =>
+      Similarity.probeCellsLocal(
+        if (r.isNullAt(qvecIdx)) null else r.getSeq[Any](qvecIdx),
+        centroids, cnorms, nprobe)
+    }
+    val qSchema = q0.schema.add("cell",
+      org.apache.spark.sql.types.IntegerType, nullable = false)
+    val q = spark.createDataFrame(
+      java.util.Arrays.asList(qRows.zip(probesPer).flatMap { case (r, cs) =>
+        cs.map(c => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ c))
+      }: _*), qSchema)
     // probed cells -> partition-pruning literals (bounded: |Q|·nprobe)
-    val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0))
-      .toIndexedSeq
+    val probed = probesPer.flatten.distinct.toIndexedSeq
     val cells = readCells(probed)
     val searched = restrictToAllowed(exceptTomb(cells), allowed)
     val scored = searched.join(broadcast(q), Seq("cell"))
@@ -451,10 +468,9 @@ object IvfIndex {
     def str(k0: String) = (s""""$k0":"([^"]*)"""").r.findFirstMatchIn(txt).get.group(1)
     val m = Marker(num("dim").toInt, num("eff").toInt, num("seed").toLong,
       str("idCol"), str("vecCol"))
-    val centroids = spark.read.parquet(s"$root/centroids")
-      .collect()
-      .sortBy(r => r.getInt(r.fieldIndex("i")))
-      .map(r => r.getSeq[Double](r.fieldIndex("c")).toArray)
+    val centroids = graft.util.SmallParquet
+      .rows(spark.sparkContext.hadoopConfiguration, s"$root/centroids")
+      .sortBy(_.int("i")).map(_.doubleArray("c")).toArray
     queryInternal(spark, m, centroids, queries,
       probed => pinnedSubdirFrame(spark, out, token, "cells")
         .filter(col("cell").isin(probed.map(Int.box): _*)),

@@ -177,18 +177,16 @@ object IvfPqIndex {
   private def loadQuantizers(spark: SparkSession, out: String, mk: Marker)
       : (Array[Array[Double]], IndexedSeq[Double]) = {
     val root = IvfIndex.dataRoot(spark, out)
-    // collect-then-sort on the driver: quantizer-sized frames; the
-    // orderBy-before-collect shape cost a sort Exchange per serving
-    // call (r17 optimization — serving paths are driver-job-count
-    // bound)
-    val centroids = spark.read.parquet(s"$root/centroids")
-      .collect()
-      .sortBy(r => r.getInt(r.fieldIndex("i")))
-      .map(r => r.getSeq[Double](r.fieldIndex("c")).toArray)
-    val codebooks = spark.read.parquet(s"$root/codebooks")
-      .collect()
-      .sortBy(r => (r.getInt(r.fieldIndex("s")), r.getInt(r.fieldIndex("code"))))
-      .flatMap(r => r.getSeq[Double](r.fieldIndex("c")))
+    // driver-side parquet reads (r18): quantizer-sized frames — the
+    // r17 collect still cost one Spark JOB each per serving call; the
+    // serving paths are driver-job-count bound, so both loads now run
+    // off the scheduler entirely
+    val conf = spark.sparkContext.hadoopConfiguration
+    val centroids = graft.util.SmallParquet.rows(conf, s"$root/centroids")
+      .sortBy(_.int("i")).map(_.doubleArray("c")).toArray
+    val codebooks = graft.util.SmallParquet.rows(conf, s"$root/codebooks")
+      .sortBy(r => (r.int("s"), r.int("code")))
+      .flatMap(_.doubleArray("c"))
       .toIndexedSeq
     (centroids, codebooks)
   }
@@ -254,18 +252,14 @@ object IvfPqIndex {
     def str(k0: String) = (s""""$k0":"([^"]*)"""").r.findFirstMatchIn(txt).get.group(1)
     val mk = Marker(num("dim").toInt, num("eff").toInt, num("m").toInt,
       num("ksub").toInt, num("seed").toLong, str("idCol"), str("vecCol"))
-    // collect-then-sort on the driver: quantizer-sized frames; the
-    // orderBy-before-collect shape cost a sort Exchange per serving
-    // call (r17 optimization — serving paths are driver-job-count
-    // bound)
-    val centroids = spark.read.parquet(s"$root/centroids")
-      .collect()
-      .sortBy(r => r.getInt(r.fieldIndex("i")))
-      .map(r => r.getSeq[Double](r.fieldIndex("c")).toArray)
-    val codebooks = spark.read.parquet(s"$root/codebooks")
-      .collect()
-      .sortBy(r => (r.getInt(r.fieldIndex("s")), r.getInt(r.fieldIndex("code"))))
-      .flatMap(r => r.getSeq[Double](r.fieldIndex("c")))
+    // driver-side parquet reads (r18): quantizer-sized frames, zero
+    // Spark jobs — see loadQuantizers
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val centroids = graft.util.SmallParquet.rows(hconf, s"$root/centroids")
+      .sortBy(_.int("i")).map(_.doubleArray("c")).toArray
+    val codebooks = graft.util.SmallParquet.rows(hconf, s"$root/codebooks")
+      .sortBy(r => (r.int("s"), r.int("code")))
+      .flatMap(_.doubleArray("c"))
       .toIndexedSeq
     val probes = Similarity.probeIvfPq(queries, centroids, codebooks, mk.dim,
       mk.m, mk.ksub, nprobe, mk.idCol, mk.vecCol)

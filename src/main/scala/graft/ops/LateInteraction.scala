@@ -171,21 +171,33 @@ object LateInteraction {
     def num(key: String) =
       s""""$key":(-?\\d+)""".r.findFirstMatchIn(txt).get.group(1).toInt
     val dim = num("dim"); val eff = num("eff")
-    // collect-then-sort on the driver (r17 optimization: avoids a
-    // sort Exchange per serving call on an nlist-sized frame)
-    val centroids = spark.read.parquet(s"$out/centroids")
-      .collect()
-      .sortBy(r => r.getInt(r.fieldIndex("i")))
-      .map(r => r.getSeq[Double](r.fieldIndex("c")).toArray)
-    val (dists, _) = Similarity.cellFns(centroids, dim)
-    val qt = queryTokens.select(col("query_id").cast("long"),
+    // driver-side parquet read (r18): nlist-sized frame, zero Spark
+    // jobs — the serving paths are driver-job-count bound (guide §5)
+    val centroids = graft.util.SmallParquet
+      .rows(spark.sparkContext.hadoopConfiguration, s"$out/centroids")
+      .sortBy(_.int("i")).map(_.doubleArray("c")).toArray
+    val qt0 = queryTokens.select(col("query_id").cast("long"),
         col("qpos").cast("int"),
         col("qvec").cast("array<double>"))
       .withColumn("qnorm", Similarity.norm(col("qvec")))
-    val probes = qt.withColumn("cell",
-      explode(Similarity.probeCells(dists(col("qvec")), eff, nprobe)))
-    val probed = probes.select(col("cell")).distinct()
-      .collect().map(_.getInt(0)).map(Int.box).toIndexedSeq
+    // driver-side probes over the collected (broadcast-small) query
+    // token batch (r18; see IvfIndex.queryInternal) — one collect,
+    // zero probe jobs, broadcast builds from a LocalRelation
+    val qRows = qt0.collect()
+    val qvecIdx = qt0.schema.fieldIndex("qvec")
+    val cnorms = Similarity.centroidNormsLocal(centroids)
+    val probesPer = qRows.map { r =>
+      Similarity.probeCellsLocal(
+        if (r.isNullAt(qvecIdx)) null else r.getSeq[Any](qvecIdx),
+        centroids, cnorms, nprobe)
+    }
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(qRows.zip(probesPer).flatMap { case (r, cs) =>
+        cs.map(c => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ c))
+      }: _*),
+      qt0.schema.add("cell",
+        org.apache.spark.sql.types.IntegerType, nullable = false))
+    val probed = probesPer.flatten.distinct.map(Int.box).toIndexedSeq
     val scored = spark.read.parquet(s"$out/cells")
       .filter(col("cell").isin(probed: _*))
       .join(broadcast(probes.select("query_id", "qpos", "qvec", "qnorm",

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.util.Checkpoints.CutOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -139,7 +140,7 @@ object LshIndex {
     // anti-join) — materialize once, blocks GC-reclaimed with the
     // frame (the dropNearDuplicatesAgainst discipline)
     val report = probe(spark, out, newDocs, thresholdMilli, maxBucket)
-      .localCheckpoint(true)
+      .cutLineage(true)
     val survivors = newDocs.join(report.select(col("id").as("__dropped")),
       col(idCol) === col("__dropped"), "left_anti")
     add(spark, out, survivors)

@@ -100,12 +100,11 @@ object MrlIndex {
 
   private def loadCentroids(spark: SparkSession,
                             out: String): Array[Array[Double]] =
-    // collect-then-sort on the driver: the frame is nlist-sized and an
-    // orderBy before collect costs a sort Exchange per serving call
-    // (r17 optimization — serving paths are driver-job-count bound)
-    spark.read.parquet(s"$out/centroids").collect()
-      .sortBy(r => r.getInt(r.fieldIndex("i")))
-      .map(r => r.getSeq[Double](r.fieldIndex("c")).toArray)
+    // driver-side parquet read (r18): nlist-sized frame, zero Spark
+    // jobs — the serving paths are driver-job-count bound (guide §5)
+    graft.util.SmallParquet.rows(spark.sparkContext.hadoopConfiguration,
+        s"$out/centroids")
+      .sortBy(_.int("i")).map(_.doubleArray("c")).toArray
 
   /** Two-stage serving FROM THE STORE: probe-pruned prefix ranking,
     * exact full-dim re-rank from the sidecar. Output (query_id, rank,
@@ -158,15 +157,32 @@ object MrlIndex {
     import org.apache.spark.sql.expressions.Window
     val (_, prefixDim, eff, idCol, vecCol) = readMarker(spark, out)
     val centroids = loadCentroids(spark, out)
-    val (dists, _) = Similarity.cellFns(centroids, prefixDim)
-    val q0 = queries.select(col(idCol).cast("long").as("query_id"),
+    val q0full = queries.select(col(idCol).cast("long").as("query_id"),
         col(vecCol).cast("array<double>").as("qvec"))
       .withColumn("qpre", slice(col("qvec"), 1, prefixDim))
       .withColumn("qpnorm", Similarity.norm(col("qpre")))
       .withColumn("qnorm", Similarity.norm(col("qvec")))
-    val q = q0.withColumn("cell",
-      explode(Similarity.probeCells(dists(col("qpre")), eff, nprobe)))
-    val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0))
+    // driver-side probes over the collected (broadcast-small) query
+    // batch — one collect instead of a probe job, and every broadcast
+    // of the query side downstream builds from a LocalRelation (r18;
+    // see IvfIndex.queryInternal)
+    val qRows = q0full.collect()
+    val qpreIdx = q0full.schema.fieldIndex("qpre")
+    val cnorms = Similarity.centroidNormsLocal(centroids)
+    val probesPer = qRows.map { r =>
+      Similarity.probeCellsLocal(
+        if (r.isNullAt(qpreIdx)) null else r.getSeq[Any](qpreIdx),
+        centroids, cnorms, nprobe)
+    }
+    val q0 = spark.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), q0full.schema)
+    val q = spark.createDataFrame(
+      java.util.Arrays.asList(qRows.zip(probesPer).flatMap { case (r, cs) =>
+        cs.map(c => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ c))
+      }: _*),
+      q0full.schema.add("cell",
+        org.apache.spark.sql.types.IntegerType, nullable = false))
+    val probed = probesPer.flatten.distinct
     val probedBox = probed.map(Int.box).toIndexedSeq
     val cand = prefixCandidates(spark, q, rerank, allowed,
       tombAnti(subdirOf("cells", probedBox)))

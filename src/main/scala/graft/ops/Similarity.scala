@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.util.Checkpoints.CutOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -285,7 +286,7 @@ object Similarity {
     val losers = scored
       .filter(col("cosine") >= threshold)
       .select(col("id_b").as("__loser")).distinct()
-      .localCheckpoint(true)
+      .cutLineage(true)
     sig.unpersist()
     df.join(losers, col(idCol) === col("__loser"), "left_anti")
   }
@@ -440,6 +441,86 @@ object Similarity {
         sequence(lit(0), lit(eff - 1)),
         (d, i) => struct(d.as("d"), i.as("i")))),
       x => x.getField("i")), 1, math.min(nprobe, eff))
+
+  /** DRIVER-SIDE replication of `probeCells(centroid_neg_cosines(v))`
+    * (r18, guide §5 — the serving paths are driver-job-count bound):
+    * the probed-cell set is a DRIVER-SIDE DECISION INPUT (a partition
+    * filter), computed from the broadcast-small query batch, so
+    * deriving it on the driver saves one full Spark job per serving
+    * call. Bit-identical to the expression pipeline by construction:
+    * the dot/norm folds run left-to-right from +0.0 exactly like
+    * [[graft.functions.CentroidNegCosines]] (whose nullSafeEval this
+    * mirrors line for line), and the (distance, index) tie-break
+    * matches array_sort's struct ordering — equal keys (including
+    * ±0.0, which Spark's compareDoubles treats as equal) break to the
+    * lower index, NaN sorts last. A dim-mismatched or null-element
+    * vector yields NO probes — the null-dists explode of the
+    * expression form. */
+  private[ops] def probeCellsLocal(vRaw: scala.collection.Seq[Any],
+                                   centroids: Array[Array[Double]],
+                                   cnorms: Array[Double],
+                                   nprobe: Int): Array[Int] = {
+    val eff = centroids.length
+    if (eff == 0) return Array.empty
+    val dim = centroids(0).length
+    if (vRaw == null || vRaw.length != dim || vRaw.exists(_ == null))
+      return Array.empty
+    val v = new Array[Double](dim)
+    var j = 0
+    var sq = 0.0
+    while (j < dim) {
+      val x = vRaw(j).asInstanceOf[Double]
+      v(j) = x
+      sq += x * x
+      j += 1
+    }
+    val nv = math.sqrt(sq)
+    val d = new Array[Double](eff)
+    var i = 0
+    while (i < eff) {
+      var acc = 0.0
+      val c = centroids(i)
+      j = 0
+      while (j < dim) { acc += v(j) * c(j); j += 1 }
+      d(i) = -(acc / (nv * cnorms(i)))
+      i += 1
+    }
+    probeOrderLocal(d, nprobe)
+  }
+
+  /** The (distance asc, index asc) cut shared by the cosine and the
+    * binary (Hamming, exact-integer) local probes. */
+  private[ops] def probeOrderLocal(d: Array[Double], nprobe: Int): Array[Int] = {
+    val idx = Array.range(0, d.length)
+    val sorted = idx.sortWith { (a, b) =>
+      val da = d(a); val db = d(b)
+      // Spark's compareDoubles: == covers ±0.0; NaN greater than all
+      if (da == db) a < b
+      else {
+        val c = java.lang.Double.compare(da, db)
+        if (c != 0) c < 0 else a < b
+      }
+    }
+    sorted.take(math.min(nprobe, d.length))
+  }
+
+  /** Materialize a broadcast-small frame as a LocalRelation: same
+    * rows, same schema, but downstream broadcasts build without a scan
+    * job and driver-side collects are free. ONLY for query batches
+    * (broadcast-small by contract). */
+  private[ops] def localized(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
+
+  /** Centroid norms exactly as [[graft.functions.CentroidNegCosines]]
+    * precomputes them (left-to-right sum of squares, then sqrt). */
+  private[ops] def centroidNormsLocal(centroids: Array[Array[Double]]): Array[Double] =
+    centroids.map { c =>
+      var s = 0.0
+      var j = 0
+      while (j < c.length) { s += c(j) * c(j); j += 1 }
+      math.sqrt(s)
+    }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
               nlist: Int = 16, nprobe: Int = 4, sampleSize: Int = 2048,

@@ -142,19 +142,18 @@ object Sq8Index {
 
   private def loadQuantizers(spark: SparkSession, out: String)
       : (Array[Array[Double]], Array[Double], Array[Double]) = {
-    // collect-then-sort on the driver: both frames are quantizer-sized
-    // (nlist rows / dim rows), and an orderBy before collect costs a
-    // whole sort Exchange per serving call for ordering the driver can
-    // impose itself (r17 optimization: the serving paths are driver-
-    // job-count bound, guide §5)
-    val centroids = spark.read.parquet(s"$out/centroids").collect()
-      .sortBy(r => r.getInt(r.fieldIndex("i")))
-      .map(r => r.getSeq[Double](r.fieldIndex("c")).toArray)
-    val sc = spark.read.parquet(s"$out/scalar").collect()
-      .sortBy(r => r.getInt(r.fieldIndex("j")))
+    // driver-side parquet reads (r18): both frames are quantizer-sized
+    // (nlist rows / dim rows) — the r17 collects still cost one Spark
+    // JOB each per serving call; the serving paths are driver-job-count
+    // bound (guide §5), so the loads now run off the scheduler entirely
+    val conf = spark.sparkContext.hadoopConfiguration
+    val centroids = graft.util.SmallParquet.rows(conf, s"$out/centroids")
+      .sortBy(_.int("i")).map(_.doubleArray("c")).toArray
+    val sc = graft.util.SmallParquet.rows(conf, s"$out/scalar")
+      .sortBy(_.int("j"))
     (centroids,
-      sc.map(r => r.getDouble(r.fieldIndex("vmin"))),
-      sc.map(r => r.getDouble(r.fieldIndex("vdiff"))))
+      sc.map(_.double("vmin")).toArray,
+      sc.map(_.double("vdiff")).toArray)
   }
 
   /** Serve from the store: probe-pruned partition read, integer-dot
@@ -172,11 +171,15 @@ object Sq8Index {
     // every serving call)
     val mk@(dim, eff, idCol, vecCol) = readMarker(spark, out)
     val qz@(centroids, vmin, vdiff) = loadQuantizers(spark, out)
-    val q0 = queries.select(col(idCol).cast("long").as("query_id"),
-        col(vecCol).cast("array<double>").as("qvec"))
-      .withColumn("qn", Similarity.norm(col("qvec")))
-      .withColumn("qqc", quantize(unit(col("qvec"), col("qn")), vmin, vdiff))
-      .drop("qn")
+    // localized: the candidate stage's probe collect and BOTH
+    // broadcast builds (candidate join, exact re-rank) read a
+    // LocalRelation — no per-call query-side scan jobs (r18)
+    val q0 = Similarity.localized(
+      queries.select(col(idCol).cast("long").as("query_id"),
+          col(vecCol).cast("array<double>").as("qvec"))
+        .withColumn("qn", Similarity.norm(col("qvec")))
+        .withColumn("qqc", quantize(unit(col("qvec"), col("qn")), vmin, vdiff))
+        .drop("qn"))
     val cand = sq8CandidatesFrom(spark, out, q0, rerank, nprobe, allowed,
       probed => spark.read.parquet(s"$out/codes")
         .filter(col("cell").isin(probed.map(Int.box).toIndexedSeq: _*)),
@@ -226,10 +229,24 @@ object Sq8Index {
       .getOrElse(readMarker(spark, out))
     val (centroids, _, _) = loaded.map(_._2)
       .getOrElse(loadQuantizers(spark, out))
-    val (dists, _) = Similarity.cellFns(centroids, dim)
-    val q = q0.withColumn("cell",
-      explode(Similarity.probeCells(dists(col("qvec")), eff, nprobe)))
-    val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0))
+    // driver-side probes over the collected (broadcast-small) query
+    // batch (r18; see IvfIndex.queryInternal) — the collect is free
+    // when the caller already localized q0
+    val qRows = q0.collect()
+    val qvecIdx = q0.schema.fieldIndex("qvec")
+    val cnorms = Similarity.centroidNormsLocal(centroids)
+    val probesPer = qRows.map { r =>
+      Similarity.probeCellsLocal(
+        if (r.isNullAt(qvecIdx)) null else r.getSeq[Any](qvecIdx),
+        centroids, cnorms, nprobe)
+    }
+    val q = spark.createDataFrame(
+      java.util.Arrays.asList(qRows.zip(probesPer).flatMap { case (r, cs) =>
+        cs.map(c => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ c))
+      }: _*),
+      q0.schema.add("cell",
+        org.apache.spark.sql.types.IntegerType, nullable = false))
+    val probed = probesPer.flatten.distinct
     val codes1 = tombAnti(codesOf(probed))
     val codes = allowed match {
       case Some(a) => codes1.join(
@@ -275,11 +292,12 @@ object Sq8Index {
     IvfIndex.requirePin(spark, out, token)
     val mk@(_, _, idCol, vecCol) = readMarker(spark, out)
     val qz@(_, vmin, vdiff) = loadQuantizers(spark, out)
-    val q0 = queries.select(col(idCol).cast("long").as("query_id"),
-        col(vecCol).cast("array<double>").as("qvec"))
-      .withColumn("qn", Similarity.norm(col("qvec")))
-      .withColumn("qqc", quantize(unit(col("qvec"), col("qn")), vmin, vdiff))
-      .drop("qn")
+    val q0 = Similarity.localized(
+      queries.select(col(idCol).cast("long").as("query_id"),
+          col(vecCol).cast("array<double>").as("qvec"))
+        .withColumn("qn", Similarity.norm(col("qvec")))
+        .withColumn("qqc", quantize(unit(col("qvec"), col("qn")), vmin, vdiff))
+        .drop("qn"))
     val cand = sq8CandidatesFrom(spark, out, q0, rerank, nprobe, allowed,
       probed => IvfIndex.pinnedSubdirFrame(spark, out, token, "codes")
         .filter(col("cell").isin(probed.map(Int.box).toIndexedSeq: _*)),

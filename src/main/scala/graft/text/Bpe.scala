@@ -1,5 +1,6 @@
 package graft.text
 
+import graft.util.Checkpoints.CutOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -218,7 +219,7 @@ object Bpe {
     require(numMerges >= 1)
     var words = wordFrequencies(docs, textCol)
       .select(charSymbols(col("word")).as("syms"), col("freq"))
-      .localCheckpoint()
+      .cutLineage()
     val out = scala.collection.mutable.ArrayBuffer[Merge]()
     var round = 1
     var exhausted = false
@@ -231,7 +232,7 @@ object Bpe {
         out += Merge(round, a, b, c)
         val next = words
           .select(mergeAdjacent(col("syms"), a, b).as("syms"), col("freq"))
-          .localCheckpoint()
+          .cutLineage()
         words.unpersist()
         words = next
         round += 1

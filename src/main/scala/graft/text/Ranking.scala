@@ -1,5 +1,6 @@
 package graft.text
 
+import graft.util.Checkpoints.CutOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -187,7 +188,7 @@ object Ranking {
     // silently substitute the cache and lose its own scan pushdown
     // (PlanShapeSpec's q73 guard caught exactly this); the
     // RDD-backed checkpoint is invisible to other plans.
-    val tf = termFreqs(df, id, tokens).localCheckpoint(false)
+    val tf = termFreqs(df, id, tokens).cutLineage(false)
     val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
     val nDocs = df.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))

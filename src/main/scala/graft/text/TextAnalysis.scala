@@ -1,5 +1,6 @@
 package graft.text
 
+import graft.util.Checkpoints.CutOps
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -160,7 +161,7 @@ object TextAnalysis {
     // queries.
     val base = docs.select(col(idCol), expr(
       s"filter(split(lower(`$textCol`), '[^a-z0-9]+'), x -> x <> '')").as("__l"))
-      .localCheckpoint(false)
+      .cutLineage(false)
     val toks = base.select(col(idCol), explode(col("__l")).as("__t"))
     val counts = toks.groupBy(col("__t")).agg(count(lit(1)).as("__c"))
     // corpus totals as an unpartitioned window over the VOCABULARY
@@ -218,7 +219,7 @@ object TextAnalysis {
     // can rewrite unrelated queries' plans (see unigramRarity).
     val base = docs.select(col(idCol), expr(
       s"filter(split(lower(`$textCol`), '[^a-z0-9]+'), x -> x <> '')").as("__l"))
-      .localCheckpoint(false)
+      .cutLineage(false)
     val toks = base.select(explode(col("__l")).as("__t"))
     val uni = toks.groupBy(col("__t")).agg(count(lit(1)).as("__c"))
     val big = base.filter(size(col("__l")) >= 2).select(col(idCol),
@@ -511,7 +512,7 @@ object TextAnalysis {
     // the exploded token stream). LAZY localCheckpoint, not persist,
     // so no CacheManager registration can rewrite unrelated queries'
     // plans (see unigramRarity).
-    val mbase = tokenized(modelDocs).localCheckpoint(false)
+    val mbase = tokenized(modelDocs).cutLineage(false)
     val toks = mbase.select(explode(col("__l")).as("__t"))
     // trigram occurrences (id, a, b, c) of the SCORED corpus
     val tri = base.filter(size(col("__l")) >= 3).select(col(idCol),

@@ -15,15 +15,31 @@ package graft.util
   */
 object Par {
 
+  /** Concurrent driver jobs saturate well before dozens are in
+    * flight (guide §2.6 recommends 2-3; the serving legs are small, so
+    * a few more overlap their fixed launch latency) — a request batch
+    * of N must not spawn N threads each submitting collect jobs. */
+  private val MaxThreads = 6
+
   def seq[T](parts: Seq[() => T]): Seq[T] = {
     if (parts.sizeIs <= 1) return parts.map(_.apply())
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(parts.size)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(parts.size, MaxThreads))
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
     try {
       val fs = parts.map(p => scala.concurrent.Future(p()))
-      fs.map(f => scala.concurrent.Await.result(
+      try fs.map(f => scala.concurrent.Await.result(
         f, scala.concurrent.duration.Duration.Inf))
+      catch {
+        case e: Throwable =>
+          // fail FAST and fail CLEAN: queued thunks must not start
+          // (side-effecting legs would keep mutating shared state
+          // after the composed operation already failed), and started
+          // ones get an interrupt
+          pool.shutdownNow()
+          throw e
+      }
     } finally pool.shutdown()
   }
 

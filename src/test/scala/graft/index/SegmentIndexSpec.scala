@@ -402,11 +402,40 @@ class SegmentIndexSpec extends AnyFunSuite {
     assert(got("7") === "name7 v2" && got("20") === "name20 v2")
     assert(got("99") === "brand new")
     assert(got("8") === "name8")
-    // same-batch id collision is a caller bug, refused loudly
-    val bad = Seq(("5", "a"), ("5", "b")).toDF("id", "name")
+    // same-batch id collision is a caller bug, refused loudly — and
+    // ATOMICALLY (r18, the staged-publish protocol): the refused batch
+    // must leave the store byte-identical, even though other micro
+    // shards' tasks completed their (staged) writes before the
+    // duplicate was hit
+    def snapshot(): Map[String, (Long, String)] = {
+      val root = java.nio.file.Paths.get(out)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map { p =>
+          val bytes = java.nio.file.Files.readAllBytes(p)
+          root.relativize(p).toString ->
+            (bytes.length.toLong, md.digest(bytes).map(b => f"$b%02x").mkString)
+        }.toMap
+    }
+    val before = snapshot()
+    // duplicates land in ONE micro shard; the other rows spread across
+    // all four — without staging, their parts would publish commits
+    val bad = ((1 to 40).map(i => (i.toString, s"poison$i")) ++
+      Seq(("5", "dup"))).toDF("id", "name")
     assertThrows[IllegalArgumentException] {
       SegmentShardSink.upsert(spark, out, bad)
     }
+    assert(snapshot() === before,
+      "a refused upsert batch must leave the store byte-identical")
+    // and the store still serves — a clean retry of a corrected batch
+    SegmentShardSink.upsert(spark, out,
+      Seq(("5", "name5 v2")).toDF("id", "name"))
+    val after = SegmentSearch.matchAll(spark, out, Seq("id", "name"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(after.size === 41 && after("5") === "name5 v2")
+    assert(after("7") === "name7 v2" && after("12") === "name12")
   }
 
   test("analyzed fields: token postings, verbatim stored values, survive forceMerge and upsert") {

@@ -169,36 +169,42 @@ class IvfPqIndexSpec extends AnyFunSuite {
       "purge left redacted raw vectors in the refine sidecar")
   }
 
-  test("a >10^4-candidate refine batch leaves the In literal behind: " +
+  test("an over-cap refine batch leaves the In literal behind: " +
       "the id restriction becomes a plan-side broadcast join, answers " +
       "identical to the pushed path") {
-    // synthetic 12k-row dim-8 corpus: integer-hash embeddings keep the
-    // fixture deterministic and the candidate sets spread wide
-    val corpus = spark.range(12000).select(col("id").as("vec_id"),
+    // synthetic 4k-row dim-8 corpus: integer-hash embeddings keep the
+    // fixture deterministic and the candidate sets spread wide. r18:
+    // was 12k rows × 1200 queries against the DEFAULT 4096 cap — this
+    // test alone cost 31 s; the cap is a parameter compared against
+    // the candidate count, so tripping an explicit 1500 cap with a
+    // quarter of the data exercises the identical fork at a tenth of
+    // the cost.
+    val corpus = spark.range(4000).select(col("id").as("vec_id"),
       expr("transform(sequence(0,7), j -> " +
         "cast(pmod(hash(id*8+j), 1000) as double)/500.0 - 1.0)").as("embedding"))
     val out = java.nio.file.Files.createTempDirectory("ivfpq_bigbatch_").toString
     IvfPqIndex.build(corpus, out, dim = 8, nlist = 16, m = 4, ksub = 16,
       refineStore = true)
-    val queries = corpus.filter(pmod(col("vec_id"), lit(10)) === 0) // 1200
-    // the offline batch's candidate mass: 1200 queries x 20 candidates
+    val queries = corpus.filter(pmod(col("vec_id"), lit(20)) === 0) // 200
+    // the offline batch's candidate mass: 200 queries x 20 candidates
     val nCand = IvfPqIndex.query(spark, out, queries, k = 20, nprobe = 8)
       .select("corpus_id").distinct().count()
-    assert(nCand >= 10000L, s"fixture too weak: only $nCand distinct candidates")
+    val cap = 1500
+    assert(nCand > cap, s"fixture too weak: only $nCand distinct candidates")
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
         .sortBy(t => (t._1, t._3)).toSeq
-    // default cap (4096) trips the fallback; the forced-push variant is
+    // an over-cap batch trips the fallback; the forced-push variant is
     // the old giant-In plan — both must answer identically
     val viaJoin = IvfPqIndex.queryRefinedStored(spark, out, queries,
-      k = 3, kCandidates = 20, nprobe = 8)
+      k = 3, kCandidates = 20, nprobe = 8, maxPushedIds = cap)
     val viaPush = IvfPqIndex.queryRefinedStored(spark, out, queries,
       k = 3, kCandidates = 20, nprobe = 8, maxPushedIds = Int.MaxValue)
     assert(rows(viaJoin) === rows(viaPush))
     // plan lock: under the fallback the sidecar scan carries NO
     // candidate-id In literal (the probed-cell partition filter stays)
     val planDf = IvfPqIndex.queryRefinedStored(spark, out, queries,
-      k = 3, kCandidates = 20, nprobe = 8)
+      k = 3, kCandidates = 20, nprobe = 8, maxPushedIds = cap)
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
@@ -217,7 +223,7 @@ class IvfPqIndexSpec extends AnyFunSuite {
       s"giant In literal leaked into the scan: ${s.metadata.get("PushedFilters")}")
     // the corpus-frame path takes the same fork: semi-join, same answers
     val cJoin = IvfPqIndex.queryRefined(spark, out, corpus, queries,
-      k = 3, kCandidates = 20, nprobe = 8)
+      k = 3, kCandidates = 20, nprobe = 8, maxPushedIds = cap)
     val cPush = IvfPqIndex.queryRefined(spark, out, corpus, queries,
       k = 3, kCandidates = 20, nprobe = 8, maxPushedIds = Int.MaxValue)
     assert(rows(cJoin.select("query_id", "rank", "corpus_id")) ===
